@@ -1,0 +1,547 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.queries.
+  *
+  * Authoring rules (SURVEY.md §5.3 + empirically verified parity):
+  * - column names/aliases identical to the Spark output (driver sorts
+  *   columns by name before hashing);
+  * - every output fully ORDER BY'd; every double `round`ed (Spark's double
+  *   round and DuckDB's both round the shortest-decimal representation
+  *   half-away-from-zero — verified identical);
+  * - DuckDB `sum(BIGINT)` returns HUGEINT and `len()` returns BIGINT —
+  *   always cast back to BIGINT / INTEGER to match Spark's long / int;
+  * - ratios guarded with CASE (Spark 4 ANSI mode ⇒ the Spark side guards
+  *   with `when`, producing NULL, same as DuckDB NULL division);
+  * - `time_bucket` is epoch-aligned exactly like Spark's `window()`;
+  * - sliding windows expand via CROSS JOIN generate_series(0,5): each event
+  *   belongs to precisely the 6 10-min-aligned windows covering it.
+  */
+object OracleSql {
+
+  /** Uniform-(0,1] hash shared with graft.ops.Gen.u01. */
+  private def u(c: Int): String =
+    s"(CAST((c_custkey*48271 + $c) % 2147483647 + 1 AS DOUBLE)/2147483647.0)"
+
+  private val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+  /** Shared aggregate list of the flagship clickstream query. */
+  private val clickAggs: String = s"""
+    count(*) AS total_events,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_count,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+    CAST(count(DISTINCT $k) AS BIGINT) AS unique_k,
+    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS total_revenue,
+    round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS avg_view_value,
+    min(CASE WHEN event_type = 'click' THEN $k END) AS primary_k,
+    round(CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) <> 0
+      THEN CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) END, 6) AS click_through_rate,
+    round(CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) <> 0
+      THEN CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) END, 6) AS conversion_rate"""
+
+  private val snapshotCte: String = """
+    snap AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_totalprice, o_orderstatus,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)"""
+
+  val all: Map[String, String] = Map(
+    "p_parse_events" -> s"""
+      SELECT event_id, user_id, event_type, value, $k AS k,
+             ts AS ts_parsed, CAST(ts AS DATE) AS event_date,
+             ts AS feature_timestamp
+      FROM events WHERE user_id IS NOT NULL ORDER BY event_id""",
+
+    "p_value_bins" -> """
+      SELECT CASE WHEN value/1000.0 < 0.1 THEN 'negligible'
+                  WHEN value/1000.0 < 0.2 THEN 'small'
+                  WHEN value/1000.0 < 0.3 THEN 'moderate'
+                  WHEN value/1000.0 < 0.5 THEN 'large'
+                  ELSE 'very large' END AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY bin ORDER BY bin""",
+
+    "p_pct_change" -> """
+      WITH c AS (SELECT avg(value) AS cur FROM events WHERE event_type = 'purchase'),
+           r AS (SELECT avg(value) AS ref FROM events WHERE event_type = 'view')
+      SELECT round(cur, 6) AS cur_mean, round(ref, 6) AS ref_mean,
+             round(CASE WHEN ref = 0 THEN 0.0 ELSE (cur - ref)/ref*100.0 END, 6)
+               AS pct_change
+      FROM c, r""",
+
+    "p_id_format" -> """
+      SELECT c_custkey, printf('user_%06d', c_custkey) AS user_id,
+             upper(substr(c_mktsegment, 1, 3)) || '_' ||
+               printf('%05d', c_nationkey) AS code
+      FROM customer ORDER BY c_custkey""",
+
+    "q_clickstream_hourly" -> s"""
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             $clickAggs,
+             CAST(time_bucket(INTERVAL '1 hour', ts) AS DATE) AS event_date,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS feature_timestamp
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+      ORDER BY user_id, window_start""",
+
+    "q_clickstream_sliding" -> s"""
+      WITH expanded AS (
+        SELECT e.*, time_bucket(INTERVAL '10 minutes', e.ts)
+               - gs.kk * INTERVAL '10 minutes' AS window_start
+        FROM events e CROSS JOIN generate_series(0, 5) gs(kk)
+        WHERE e.user_id IS NOT NULL)
+      SELECT user_id, window_start,
+             window_start + INTERVAL '1 hour' AS window_end,
+             $clickAggs
+      FROM expanded
+      GROUP BY user_id, window_start
+      ORDER BY user_id, window_start""",
+
+    "q_group_distribution" -> """
+      WITH t AS (SELECT count(*) AS total FROM customer)
+      SELECT c_nationkey, count(*) AS cnt,
+             round(CAST(count(*) AS DOUBLE) / max(t.total), 6) AS share
+      FROM customer CROSS JOIN t
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_numeric_summary" -> """
+      SELECT count(*) AS n, round(avg(l_quantity), 6) AS mean,
+             round(min(l_quantity), 6) AS min_v,
+             round(max(l_quantity), 6) AS max_v,
+             CAST(sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS above_threshold
+      FROM lineitem""",
+
+    "q_latest_snapshot" -> s"""
+      WITH $snapshotCte
+      SELECT o_custkey, o_orderdate AS feature_ts, o_totalprice, o_orderstatus
+      FROM snap ORDER BY o_custkey""",
+
+    "q_freshness" -> """
+      SELECT * FROM (
+        SELECT 'events' AS feature_view_name, max(ts) AS last_updated_at,
+               count(*) AS row_count FROM events
+        UNION ALL
+        SELECT 'orders', max(o_orderdate), count(*) FROM orders)
+      ORDER BY feature_view_name""",
+
+    "q_coverage" -> s"""
+      WITH $snapshotCte
+      SELECT count(*) AS probed,
+             CAST(sum(CASE WHEN s.o_totalprice IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS covered,
+             round(sum(CASE WHEN s.o_totalprice IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               / count(*), 6) AS coverage_ratio
+      FROM customer c LEFT JOIN snap s ON c.c_custkey = s.o_custkey""",
+
+    "q_asof_features" -> """
+      WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      feats AS (
+        SELECT user_id, ts AS fts, max(value) AS last_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
+               THEN f.last_purchase_value END AS last_purchase_value,
+             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
+               THEN f.fts END AS feature_ts
+      FROM probes p ASOF LEFT JOIN feats f
+        ON p.user_id = f.user_id AND p.ts >= f.fts
+      ORDER BY p.event_id""",
+
+    "q_point_lookup" -> s"""
+      WITH $snapshotCte
+      SELECT c.c_custkey, c.c_mktsegment AS customer__mktsegment,
+             s.o_totalprice AS orders__totalprice,
+             s.o_orderstatus AS orders__orderstatus,
+             s.o_totalprice IS NOT NULL AS has_features
+      FROM customer c LEFT JOIN snap s ON c.c_custkey = s.o_custkey
+      WHERE c.c_custkey % 7 = 0 ORDER BY c.c_custkey""",
+
+    "q_enrichment" -> """
+      SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, n.n_name
+      FROM events e
+      LEFT JOIN customer c ON e.user_id = c.c_custkey
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      ORDER BY e.event_id""",
+
+    "q_topk_segments" -> """
+      SELECT c_mktsegment, count(*) AS cnt
+      FROM customer GROUP BY c_mktsegment
+      ORDER BY cnt DESC, c_mktsegment ASC LIMIT 3""",
+
+    "q_probe_sample" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey % 50 = 0 ORDER BY c_custkey""",
+
+    "q_percentiles" -> """
+      SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50,
+             round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90,
+             round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95,
+             round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6) AS p99,
+             round(min(l_extendedprice), 6) AS min_v,
+             round(max(l_extendedprice), 6) AS max_v,
+             round(avg(l_extendedprice), 6) AS avg_v
+      FROM lineitem""",
+
+    "q_recent_partitions" -> """
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
+      ORDER BY event_date DESC LIMIT 7""",
+
+    "q_quality_report" -> """
+      WITH t AS (SELECT
+        count(*) AS total,
+        CAST(sum(CASE WHEN c_acctbal IS NOT NULL
+          AND NOT (c_acctbal >= -1000.0 AND c_acctbal <= 10000.0)
+          THEN 1 ELSE 0 END) AS BIGINT) AS u_between_acctbal,
+        CAST(sum(CASE WHEN c_nationkey IS NOT NULL
+          AND NOT (c_nationkey >= 0.0 AND c_nationkey <= 24.0)
+          THEN 1 ELSE 0 END) AS BIGINT) AS u_between_nationkey,
+        CAST(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+          ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+          THEN 1 ELSE 0 END) AS BIGINT) AS u_inset_mkt,
+        CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS u_nn_mkt,
+        CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS u_nn_name
+        FROM customer)
+      SELECT rule, total, unexpected_count,
+             round(CASE WHEN total = 0 THEN 0.0
+               ELSE CAST(unexpected_count AS DOUBLE)/total*100.0 END, 6)
+               AS unexpected_pct,
+             unexpected_count = 0 AS passed
+      FROM (
+        SELECT 'between_c_acctbal' AS rule, total, u_between_acctbal AS unexpected_count FROM t
+        UNION ALL SELECT 'between_c_nationkey', total, u_between_nationkey FROM t
+        UNION ALL SELECT 'in_set_c_mktsegment', total, u_inset_mkt FROM t
+        UNION ALL SELECT 'not_null_c_mktsegment', total, u_nn_mkt FROM t
+        UNION ALL SELECT 'not_null_c_name', total, u_nn_name FROM t)
+      ORDER BY rule""",
+
+    "q_unique_check" -> """
+      SELECT (SELECT count(*) FROM customer) AS total,
+             (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+               AS distinct_values,
+             (SELECT count(*) FROM (
+                SELECT c_custkey FROM customer GROUP BY c_custkey
+                HAVING count(*) > 1)) AS duplicate_keys,
+             (SELECT count(*) FROM customer) =
+               (SELECT count(DISTINCT c_custkey) FROM customer) AS passed""",
+
+    "q_ks_drift" -> """
+      WITH clean AS (
+        SELECT value AS v, event_type FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND event_type IN ('purchase', 'view')),
+      pv AS (
+        SELECT v,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM clean GROUP BY v),
+      c AS (
+        SELECT v,
+          sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+          sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+          sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM pv),
+      s AS (
+        SELECT CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+               CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b,
+               coalesce(max(abs(CAST(cuma AS DOUBLE)/na
+                 - CAST(cumb AS DOUBLE)/nb)), 0.0) AS d
+        FROM c),
+      p AS (
+        SELECT n_a, n_b, d,
+               d * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) AS lam
+        FROM s),
+      ser AS (
+        SELECT p.n_a, p.n_b, p.d,
+               least(greatest(sum(
+                 (CASE WHEN gs.kk % 2 = 1 THEN 2.0 ELSE -2.0 END)
+                 * exp(-2.0 * gs.kk * gs.kk * p.lam * p.lam)), 0.0), 1.0) AS praw
+        FROM p CROSS JOIN generate_series(1, 100) gs(kk)
+        GROUP BY p.n_a, p.n_b, p.d, p.lam),
+      fin AS (
+        SELECT n_a, n_b,
+               round(CASE WHEN n_a < 10 OR n_b < 10 THEN 0.0 ELSE d END, 6) AS ks_stat,
+               round(CASE WHEN n_a < 10 OR n_b < 10 THEN 1.0 ELSE praw END, 6) AS p_value
+        FROM ser)
+      SELECT n_a, n_b, ks_stat, p_value,
+             p_value < 0.05 AS drift_detected,
+             CASE WHEN ks_stat < 0.1 THEN 'negligible'
+                  WHEN ks_stat < 0.2 THEN 'small'
+                  WHEN ks_stat < 0.3 THEN 'moderate'
+                  WHEN ks_stat < 0.5 THEN 'large'
+                  ELSE 'very large' END AS magnitude
+      FROM fin""",
+
+    "q_dist_summary" -> """
+      SELECT event_type AS side, count(*) AS n,
+             round(avg(value), 6) AS mean,
+             round(stddev_pop(value), 6) AS std_pop,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS median,
+             round(min(value), 6) AS min_v,
+             round(max(value), 6) AS max_v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY event_type ORDER BY side""",
+
+    "q_drift_sweep" -> s"""
+      WITH melted AS (
+        SELECT event_type, 'k' AS feature,
+               CAST($k AS DOUBLE) AS v FROM events
+          WHERE event_type IN ('purchase', 'view')
+        UNION ALL
+        SELECT event_type, 'value', value FROM events
+          WHERE event_type IN ('purchase', 'view')),
+      clean AS (SELECT * FROM melted WHERE v IS NOT NULL AND NOT isnan(v)),
+      pv AS (
+        SELECT feature, v,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM clean GROUP BY feature, v),
+      c AS (
+        SELECT feature,
+          sum(ca) OVER (PARTITION BY feature ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+          sum(cb) OVER (PARTITION BY feature ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+          sum(ca) OVER (PARTITION BY feature) AS na,
+          sum(cb) OVER (PARTITION BY feature) AS nb
+        FROM pv)
+      SELECT feature, CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b,
+             round(max(abs(CAST(cuma AS DOUBLE)/na - CAST(cumb AS DOUBLE)/nb)), 6)
+               AS ks_stat
+      FROM c GROUP BY feature ORDER BY feature""",
+
+    "g_profiles" -> s"""
+      WITH g AS (
+        SELECT c_custkey,
+               printf('user_%06d', c_custkey) AS user_id,
+               CASE WHEN ${u(1)} <= 0.30 THEN 'US' WHEN ${u(1)} <= 0.42 THEN 'UK'
+                    WHEN ${u(1)} <= 0.52 THEN 'DE' WHEN ${u(1)} <= 0.60 THEN 'FR'
+                    WHEN ${u(1)} <= 0.68 THEN 'JP' WHEN ${u(1)} <= 0.76 THEN 'IN'
+                    WHEN ${u(1)} <= 0.83 THEN 'BR' WHEN ${u(1)} <= 0.90 THEN 'CA'
+                    WHEN ${u(1)} <= 0.96 THEN 'AU' ELSE 'OTHER' END AS country,
+               CASE WHEN ${u(2)} <= 0.60 THEN 'free' WHEN ${u(2)} <= 0.85 THEN 'basic'
+                    WHEN ${u(2)} <= 0.97 THEN 'premium' ELSE 'enterprise' END
+                 AS subscription_tier,
+               CAST(CASE
+                 WHEN ${u(3)} <= 0.15 THEN floor(${u(4)} * 7) + 18
+                 WHEN ${u(3)} <= 0.40 THEN floor(${u(4)} * 10) + 25
+                 WHEN ${u(3)} <= 0.65 THEN floor(${u(4)} * 10) + 35
+                 WHEN ${u(3)} <= 0.85 THEN floor(${u(4)} * 10) + 45
+                 WHEN ${u(3)} <= 0.95 THEN floor(${u(4)} * 10) + 55
+                 ELSE floor(${u(4)} * 16) + 65 END AS INTEGER) AS age,
+               CAST(CAST(floor(-ln(${u(5)}) * 365.0) AS BIGINT) % 1095 AS INTEGER)
+                 AS signup_days_ago,
+               ${u(6)} AS u6
+        FROM customer)
+      SELECT c_custkey, user_id, country, subscription_tier, age,
+             signup_days_ago,
+             round(least(
+               (CASE WHEN subscription_tier = 'enterprise' THEN 1.5
+                     WHEN subscription_tier = 'premium' THEN 1.3
+                     WHEN subscription_tier = 'basic' THEN 1.1
+                     ELSE 0.9 END)
+               * (CASE WHEN age < 25 THEN 1.2 WHEN age < 35 THEN 1.1
+                       WHEN age < 55 THEN 1.0 ELSE 0.8 END)
+               * (u6 + 0.5), 2.0), 6) AS activity_weight
+      FROM g ORDER BY c_custkey""",
+
+    "x_dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             count(*) AS copies
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id""",
+
+    "x_dedup_stats" -> """
+      SELECT count(*) AS total_docs,
+             CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+               AS BIGINT) AS distinct_docs,
+             count(*) - CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+               AS BIGINT) AS duplicate_docs
+      FROM documents""",
+
+    "x_jaccard_pairs" -> """
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 60),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+        FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id)
+      SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+             CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+             round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.1
+      ORDER BY id_a, id_b""",
+
+    "x_token_stats" -> """
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+             CAST(len(string_split_regex(text, '[a-zA-Z]+')) - 1 AS INTEGER)
+               AS n_alpha_runs,
+             round(CAST(length(text) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')), 6) AS chars_per_token
+      FROM documents ORDER BY doc_id""",
+
+    "x_quality_scores" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             round(CAST(length(text)
+               - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
+               AS DOUBLE) / length(text), 6) AS punct_ratio,
+             round(CAST(len(list_filter(toks, t -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','on','for'], t)))
+               AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+               AS distinct_token_ratio
+      FROM d ORDER BY doc_id""",
+
+    "x_lang_stats" -> """
+      SELECT lang, count(*) AS n_docs,
+             round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
+             round(avg(length(text)), 6) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "x_lang_id" -> """
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS INTEGER) AS score_de,
+          CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))) AS INTEGER) AS score_en,
+          CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS INTEGER) AS score_es,
+          CAST(len(list_filter(toks, t -> list_contains(['le','la','de','et','les'], t))) AS INTEGER) AS score_fr,
+          CAST(len(list_filter(toks, t -> list_contains(['de','le','shi','wo','ni'], t))) AS INTEGER) AS score_zh
+        FROM d)
+      SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+             CASE
+               WHEN score_de >= score_en AND score_de >= score_es
+                AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+               WHEN score_en >= score_de AND score_en >= score_es
+                AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+               WHEN score_es >= score_de AND score_es >= score_en
+                AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+               WHEN score_fr >= score_de AND score_fr >= score_en
+                AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+               ELSE 'zh' END AS predicted_lang
+      FROM s ORDER BY doc_id""",
+
+    "x_fingerprints" -> """
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+      FROM documents ORDER BY doc_id""",
+
+    "x_vector_stats" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id, CAST(len(v) AS INTEGER) AS dim,
+             round(sqrt(list_inner_product(v, v)), 6) AS l2_norm,
+             round(CAST(list_aggregate(v, 'sum') AS DOUBLE) / len(v), 6)
+               AS mean_component
+      FROM e ORDER BY vec_id""",
+
+    "x_knn_bruteforce" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, round(cos, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "x_knn_ivf" -> """
+      WITH e AS (SELECT vec_id, label AS cell,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, cell, v AS qv FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, q.cell, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e JOIN q ON e.cell = q.cell WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cell, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, cell, cand_id, round(cos, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "x_cosine_neardups" -> """
+      WITH e AS (SELECT vec_id, label AS cell,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT l.cell, l.vec_id AS id_a, r.vec_id AS id_b,
+             round(list_inner_product(l.v, r.v)
+               / (sqrt(list_inner_product(l.v, l.v))
+                  * sqrt(list_inner_product(r.v, r.v))), 6) AS cos
+      FROM e l JOIN e r ON l.cell = r.cell AND l.vec_id < r.vec_id
+      WHERE round(list_inner_product(l.v, r.v)
+               / (sqrt(list_inner_product(l.v, l.v))
+                  * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "x_binary_features" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             md5(text) AS content_md5,
+             CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+      FROM documents ORDER BY doc_id""",
+
+    "q_lineitem_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_extendedprice), 6) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_revenue_by_segment" -> """
+      SELECT c.c_mktsegment,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+  )
+}

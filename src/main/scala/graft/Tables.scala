@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver corpus (`/root/testdata/sf*`, schemas in FIXTURES.md §B).
+  *
+  * Design note (100 TB posture): every loader is a plain parquet scan — Catalyst
+  * pushes filters and prunes columns into the scan, so operators compose on top of
+  * these without materializing anything. At cluster scale the same call reads a
+  * partitioned directory; nothing here assumes single-file inputs.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS, ntz), which
+    * Spark's vectorized reader rejects. Read nanos as long (legacy flag) and
+    * truncate to microsecond TIMESTAMP_NTZ — exactly what DuckDB does when it
+    * reads the same file, keeping the oracle bit-identical. All other corpus
+    * timestamps are millis-NTZ and load as TIMESTAMP_NTZ natively.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

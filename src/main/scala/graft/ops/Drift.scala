@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Drift-detection statistics (SURVEY.md §2.7, D1–D4) — the two-sample
+  * Kolmogorov–Smirnov test of `scripts/drift_detection.py:15-54` plus the
+  * distribution summaries of `:98-123`, built from windows + aggregates
+  * (no UDAF; SURVEY.md §7.2).
+  *
+  * KS construction (D1):
+  *   1. `groupBy(value)` pre-aggregates the two samples to per-distinct-value
+  *      counts — this is the scale move: the subsequent ordered window runs
+  *      over |distinct values| rows, not |sample| rows;
+  *   2. a running sum over `Window.orderBy(value)` yields both ECDFs in one
+  *      pass; D = max |F1 - F2|.
+  *   3. the asymptotic p-value 2·Σ_{k≥1} (-1)^{k-1} e^{-2k²λ²},
+  *      λ = D·√(nm/(n+m)), is a scalar series — computed as a projection
+  *      (generate the k series with `sequence`), never on the driver.
+  *
+  * The ordered window is a single-partition sort over the distinct values —
+  * documented caveat (SURVEY.md §7.3#1): for 100 TB, histogram the values
+  * first (fixed-width bins via `width_bucket`) so the ordered pass is over a
+  * bounded bin count; the exact-distinct form below is used at test scale.
+  */
+object Drift {
+
+  /** D2: NaN/null cleanup (`drift_detection.py:37-38`). */
+  def cleanSamples(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+
+  /** D1: two-sample KS statistic + asymptotic p-value.
+    *
+    * @param tagged rows with `valueCol` and a `sideCol` ∈ {a, b}
+    * @return single row: (n_a, n_b, ks_stat, p_value, drift_detected,
+    *         magnitude) — guard: fewer than `minSamples` clean rows on either
+    *         side ⇒ (stat 0, p 1, no drift), matching
+    *         `drift_detection.py:40-46`.
+    */
+  def ksTest(tagged: DataFrame, valueCol: String, sideCol: String,
+             a: String, b: String, minSamples: Int = 10,
+             alpha: Double = 0.05): DataFrame = {
+    val clean = cleanSamples(tagged, valueCol)
+      .filter(col(sideCol) === a || col(sideCol) === b)
+
+    val perValue = clean.groupBy(col(valueCol).as("v")).agg(
+      sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
+      sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
+
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+
+    val totW = Window.partitionBy()   // single-partition total over the
+    val cum2 = cum                    // pre-aggregated distinct values (small)
+      .withColumn("na", sum(col("ca")).over(totW))
+      .withColumn("nb", sum(col("cb")).over(totW))
+    val totals = cum2.agg(
+      coalesce(max(col("na")), lit(0L)).as("n_a"),
+      coalesce(max(col("nb")), lit(0L)).as("n_b"),
+      coalesce(max(abs(
+        col("cuma").cast("double") / col("na") -
+        col("cumb").cast("double") / col("nb"))), lit(0.0)).as("d_raw"))
+
+    // λ = D·√(nm/(n+m)); p = 2·Σ_{k=1..100} (-1)^{k-1} e^{-2k²λ²}, clamped
+    // to [0,1] — the Kolmogorov distribution series (public formula; scipy
+    // ks_2samp asymptotic mode uses the same).
+    val lam = col("d_raw") * sqrt(col("n_a") * col("n_b") /
+      (col("n_a") + col("n_b")).cast("double"))
+    val series = expr(
+      """aggregate(
+        |  transform(sequence(1, 100),
+        |    k -> (CASE WHEN k % 2 = 1 THEN 2.0D ELSE -2.0D END)
+        |         * exp(-2.0D * k * k * __lam * __lam)),
+        |  0.0D, (acc, x) -> acc + x)""".stripMargin)
+
+    val guarded = totals
+      .withColumn("__lam", lam)
+      .withColumn("__p_raw", least(greatest(series, lit(0.0)), lit(1.0)))
+      .withColumn("small", col("n_a") < minSamples || col("n_b") < minSamples)
+      .select(
+        col("n_a"), col("n_b"),
+        round(when(col("small"), 0.0).otherwise(col("d_raw")), 6).as("ks_stat"),
+        round(when(col("small"), 1.0).otherwise(col("__p_raw")), 6).as("p_value"))
+      .withColumn("drift_detected", col("p_value") < alpha)
+      .withColumn("magnitude", Parse.magnitudeBin(col("ks_stat")))
+    guarded
+  }
+
+  /** D3: per-side distribution summary — count/mean/stddev_pop/median/min/max
+    * (`drift_detection.py:98-123`; np.nanstd ddof=0 ⇒ population stddev,
+    * SURVEY.md §5.3).
+    */
+  def distSummary(df: DataFrame, valueCol: String, sideCol: String): DataFrame =
+    cleanSamples(df, valueCol)
+      .groupBy(col(sideCol).as("side"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("mean"),
+        round(stddev_pop(col(valueCol)), 6).as("std_pop"),
+        round(expr(s"percentile($valueCol, 0.5D)"), 6).as("median"),
+        round(min(col(valueCol)), 6).as("min_v"),
+        round(max(col(valueCol)), 6).as("max_v"))
+      .orderBy("side")
+
+  /** D4: multi-feature drift sweep — KS per feature column, features melted
+    * via `stack` so the sweep is one job, not a driver loop
+    * (`drift_detection.py:171-225`).
+    */
+  def sweep(df: DataFrame, sideCol: String, a: String, b: String,
+            features: Seq[String]): DataFrame = {
+    val stackExpr = features.map(f => s"'$f', cast($f as double)")
+      .mkString(s"stack(${features.size}, ", ", ", ") as (feature, v)")
+    val melted = df.selectExpr(sideCol, stackExpr)
+    // per-feature KS over the melted frame: one shuffle keyed by feature
+    val perValue = cleanSamples(melted, "v")
+      .groupBy(col("feature"), col("v")).agg(
+        sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(col("feature")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("feature"))
+    perValue
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .groupBy(col("feature"))
+      .agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(max(abs(col("cuma").cast("double") / col("na") -
+          col("cumb").cast("double") / col("nb"))), 6).as("ks_stat"))
+      .orderBy("feature")
+  }
+}

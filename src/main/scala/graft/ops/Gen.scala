@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weighted synthetic-data generation (SURVEY.md §2.8, G1–G5) — the
+  * reference's profile/event generators (`scripts/batch_generator.py`,
+  * `scripts/stream_generator.py`) as deterministic column transforms.
+  *
+  * Instead of `random.choices`, randomness is a Lehmer-style multiplicative
+  * hash of the row key: u = ((key·48271 + c) mod 2³¹−1) / (2³¹−1). This is
+  * (a) reproducible across engines — the DuckDB oracle evaluates the exact
+  * same integer arithmetic, and (b) partition-independent — no seed state,
+  * so generation is embarrassingly parallel at any scale (SURVEY.md §5.3
+  * determinism rule: seed or eliminate `rand`).
+  */
+object Gen {
+
+  private val M = 2147483647L // 2^31 - 1
+
+  /** Deterministic uniform in (0, 1], stream `c` decorrelates channels. */
+  def u01(key: Column, c: Long): Column =
+    (((key * 48271L + lit(c)) % M + 1L).cast("double")) / M.toDouble
+
+  /** G1: weighted categorical sampling via cumulative-weight `when` cascade
+    * (`batch_generator.py:25-43`). `weighted` = (value, cumulativeUpperBound).
+    */
+  def weightedChoice(u: Column, weighted: Seq[(String, Double)]): Column =
+    weighted.init.foldRight(lit(weighted.last._1): Column) {
+      case ((v, ub), acc) => when(u <= ub, v).otherwise(acc)
+    }
+
+  /** The reference's country / tier / event-type weight tables
+    * (`batch_generator.py:25-43`, `stream_generator.py:32-37`).
+    */
+  val countries: Seq[(String, Double)] = Seq(
+    "US" -> 0.30, "UK" -> 0.42, "DE" -> 0.52, "FR" -> 0.60, "JP" -> 0.68,
+    "IN" -> 0.76, "BR" -> 0.83, "CA" -> 0.90, "AU" -> 0.96, "OTHER" -> 1.0)
+  val tiers: Seq[(String, Double)] = Seq(
+    "free" -> 0.60, "basic" -> 0.85, "premium" -> 0.97, "enterprise" -> 1.0)
+
+  /** G2: age from weighted bands then uniform inside the band
+    * (`batch_generator.py:45-65`).
+    */
+  def bandedAge(u1: Column, u2: Column): Column = {
+    val bands = Seq( // (cumWeight, lo, hi) per batch_generator.py:46-53
+      (0.15, 18, 24), (0.40, 25, 34), (0.65, 35, 44),
+      (0.85, 45, 54), (0.95, 55, 64), (1.01, 65, 80))
+    bands.init.foldRight(
+      inBand(u2, bands.last._2, bands.last._3): Column) {
+      case ((ub, lo, hi), acc) => when(u1 <= ub, inBand(u2, lo, hi)).otherwise(acc)
+    }
+  }
+  private def inBand(u: Column, lo: Int, hi: Int): Column =
+    (floor(u * (hi - lo + 1)) + lo).cast("int")
+
+  /** G3: exponential-recency signup offset —
+    * `int(expovariate(1/365)) % 1095` days ago (`batch_generator.py:68-76`).
+    */
+  def signupDaysAgo(u: Column): Column =
+    (floor(-log(u) * 365.0).cast("long") % 1095L).cast("int")
+
+  /** G4: rule-based activity weight — tier base × age factor × U(0.5,1.5),
+    * capped at 2.0 (`batch_generator.py:79-108`).
+    */
+  def activityWeight(tier: Column, age: Column, u: Column): Column = {
+    val base = when(tier === "enterprise", 1.5)
+      .when(tier === "premium", 1.3)
+      .when(tier === "basic", 1.1)
+      .otherwise(0.9)
+    val ageFactor = when(age < 25, 1.2)
+      .when(age < 35, 1.1)
+      .when(age < 55, 1.0)
+      .otherwise(0.8)
+    round(least(base * ageFactor * (u + 0.5), lit(2.0)), 6)
+  }
+
+  /** Full profile synthesis (G1–G4) from a key column — the engine-side
+    * equivalent of `generate_user_profiles` (`batch_generator.py:111-137`).
+    */
+  def profiles(keys: DataFrame, key: String): DataFrame =
+    keys.select(
+        col(key),
+        Parse.formatUserId(col(key)).as("user_id"),
+        weightedChoice(u01(col(key), 1), countries).as("country"),
+        weightedChoice(u01(col(key), 2), tiers).as("subscription_tier"),
+        bandedAge(u01(col(key), 3), u01(col(key), 4)).as("age"),
+        signupDaysAgo(u01(col(key), 5)).as("signup_days_ago"))
+      .withColumn("activity_weight",
+        activityWeight(col("subscription_tier"), col("age"), u01(col(key), 6)))
+      .orderBy(col(key))
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Online-store materialization operators (SURVEY.md §2.3 A12–A14).
+  *
+  * Models `feast materialize-incremental`
+  * (`airflow/dags/feature_store_materialization.py:214-239`): reduce the
+  * offline feature history to the newest row per entity key (the online
+  * store's KV image), plus the registry freshness aggregate
+  * (`init-scripts/01-init-db.sql:22-27`) and the post-materialization
+  * coverage probe (`airflow/scripts/validate_online_store.py:102-135`).
+  *
+  * Scale posture: `latestPerKey` is one hash shuffle on the entity key and a
+  * per-key sort inside each partition (`WindowExec` after exchange). No global
+  * sort, no driver collection; for 100 TB, entity keys hash-partition evenly
+  * and skewed hot keys are handled by AQE. The deterministic tiebreak column
+  * keeps results reproducible under any partitioning.
+  */
+object Materialize {
+
+  /** A12: latest row per entity key ("materialize"). `tiebreak` makes row
+    * selection deterministic when timestamps collide (SURVEY.md §5.3).
+    */
+  def latestPerKey(history: DataFrame, key: String, ts: String,
+                   tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tiebreak).desc)
+    history
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A13: registry freshness — per feature view: last update + row count
+    * (the `feature_freshness` table, `01-init-db.sql:22-27`).
+    */
+  def freshness(views: Seq[(String, DataFrame, String)]): DataFrame = {
+    val perView = views.map { case (name, df, ts) =>
+      df.agg(
+        max(col(ts)).as("last_updated_at"),
+        count(lit(1)).as("row_count")
+      ).select(lit(name).as("feature_view_name"), col("last_updated_at"),
+        col("row_count"))
+    }
+    perView.reduce(_.unionByName(_)).orderBy("feature_view_name")
+  }
+
+  /** A14: coverage ratio — fraction of probed entities whose online features
+    * are non-null (`validate_online_store.py:102-135`). One row.
+    */
+  def coverage(probed: DataFrame, featureCol: String): DataFrame =
+    probed.agg(
+      count(lit(1)).as("probed"),
+      sum(when(col(featureCol).isNotNull, 1L).otherwise(0L)).as("covered"),
+      round(
+        sum(when(col(featureCol).isNotNull, 1.0).otherwise(0.0)) / count(lit(1)),
+        6
+      ).as("coverage_ratio")
+    )
+}

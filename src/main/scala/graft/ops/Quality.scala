@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (SURVEY.md §2.6, Q1–Q5) — the
+  * Great-Expectations surface of `scripts/data_quality_checks.py:18-147`
+  * re-expressed as predicate-aggregates.
+  *
+  * Each expectation compiles to one `count_if(violation)` column; the whole
+  * suite evaluates in a SINGLE aggregation pass over the table (one scan, one
+  * partial+final agg, no shuffle of raw rows) and is then unpivoted to the
+  * reference's one-row-per-expectation report shape
+  * (`data_quality_checks.py:91-134`). Uniqueness is the one rule that needs
+  * its own keyed aggregate (`count(*) vs count(distinct)`), still a single
+  * shuffle on the checked column.
+  *
+  * 100 TB posture: suites of N rules cost one scan regardless of N; the
+  * unpivot is a constant-size projection of the single aggregate row.
+  */
+object Quality {
+
+  sealed trait Expectation { def name: String; def violation: Column }
+
+  /** Q1: ExpectColumnValuesToNotBeNull (`data_quality_checks.py:52,64,70`). */
+  final case class NotNull(column: String) extends Expectation {
+    val name = s"not_null_$column"
+    val violation: Column = col(column).isNull
+  }
+
+  /** Q2: ExpectColumnValuesToBeBetween (`data_quality_checks.py:55,73-75`).
+    * Bounds inclusive; NULLs are not counted as range violations (they are
+    * NotNull's job) — matches GE's `mostly`-free semantics.
+    */
+  final case class Between(column: String, lo: Double, hi: Double)
+      extends Expectation {
+    val name = s"between_$column"
+    val violation: Column =
+      col(column).isNotNull && !(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Q3: ExpectColumnValuesToBeInSet (`data_quality_checks.py:58-61`). */
+  final case class InSet(column: String, values: Seq[String])
+      extends Expectation {
+    val name = s"in_set_$column"
+    val violation: Column =
+      col(column).isNotNull && !col(column).isin(values: _*)
+  }
+
+  /** Q5: the aggregated report — one row per expectation:
+    * (rule, total, unexpected_count, unexpected_pct, passed).
+    */
+  def report(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    val aggCols = count(lit(1)).as("__total") +:
+      expectations.map(e =>
+        sum(when(e.violation, 1L).otherwise(0L)).as(s"__u_${e.name}"))
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val rows = expectations.map { e =>
+      struct(
+        lit(e.name).as("rule"),
+        col("__total").as("total"),
+        col(s"__u_${e.name}").as("unexpected_count")
+      )
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(
+        col("r.rule").as("rule"),
+        col("r.total").as("total"),
+        col("r.unexpected_count").as("unexpected_count"),
+        round(when(col("r.total") === 0, 0.0)
+          .otherwise(col("r.unexpected_count").cast("double") / col("r.total") * 100.0), 6)
+          .as("unexpected_pct"),
+        (col("r.unexpected_count") === 0).as("passed")
+      )
+      .orderBy("rule")
+  }
+
+  /** Q4: ExpectColumnValuesToBeUnique (`data_quality_checks.py:67`) — keyed
+    * aggregate; returns (total, distinct, duplicate_keys, passed).
+    */
+  def uniqueReport(df: DataFrame, column: String): DataFrame = {
+    val dups = df.groupBy(col(column)).count().filter(col("count") > 1)
+    df.agg(
+      count(lit(1)).as("total"),
+      countDistinct(col(column)).as("distinct_values")
+    ).crossJoin(
+      dups.agg(count(lit(1)).as("duplicate_keys"))
+    ).withColumn("passed", col("total") === col("distinct_values"))
+  }
+
+  /** Sample offenders for a rule (`data_quality_checks.py:94-134`), bounded
+    * and deterministically ordered.
+    */
+  def offenders(df: DataFrame, e: Expectation, orderCol: String,
+                n: Int): DataFrame =
+    df.filter(e.violation).orderBy(col(orderCol)).limit(n)
+}

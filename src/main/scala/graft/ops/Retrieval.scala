@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-retrieval joins (SURVEY.md §2.4, J1–J4) — the feature-store
+  * crown jewels the reference delegates to Feast.
+  *
+  * J1 `asOfJoin` is `get_historical_features` (`drift_detection.py:260-269`):
+  * for each probe `(entity, ts)`, the newest feature row with
+  * `feature_ts <= ts` and `feature_ts >= ts - ttl`, else NULLs (probe row
+  * preserved).
+  *
+  * Implementation is the union-and-window "piggyback" formulation
+  * (SURVEY.md §7.3#2), NOT a range join: probes and features are unioned,
+  * and a running `last(_, ignoreNulls)` over
+  * `partitionBy(key).orderBy(ts, isProbe)` carries the newest feature value
+  * forward onto each probe row; the TTL is applied afterwards as a
+  * projection. Cost: ONE hash shuffle on the entity key + per-key sort —
+  * identical shape to a windowed dedup, fully scalable. The naive
+  * `join(f.ts <= e.ts && f.ts >= e.ts - ttl)` degrades to
+  * BroadcastNestedLoopJoin (a 100 TB cartesian death sentence); this never
+  * does.
+  */
+object Retrieval {
+
+  /** J1: point-in-time (as-of) join with TTL.
+    *
+    * @param probes   entity probes; columns `key`, `probeTs` + payload
+    * @param features feature history; columns `key`, `featureTs` + feature cols;
+    *                 must be unique per (key, featureTs) — pre-aggregate if not
+    *                 (ties on feature_ts would otherwise be order-dependent)
+    * @param ttl      lookback horizon, e.g. "INTERVAL 7 DAYS"
+    * @param featureCols feature value columns to attach
+    */
+  def asOfJoin(probes: DataFrame, features: DataFrame, key: String,
+               probeTs: String, featureTs: String, ttl: String,
+               featureCols: Seq[String]): DataFrame = {
+    val probeSide = probes
+      .withColumn("__ts", col(probeTs))
+      .withColumn("__isProbe", lit(1))
+      .withColumn("__fts", lit(null).cast("timestamp"))
+    val probeCols = probes.columns
+    // feature rows carry null payload for the probe columns and vice versa
+    val featureSide0 = features
+      .withColumn("__ts", col(featureTs))
+      .withColumn("__isProbe", lit(0))
+      .withColumn("__fts", col(featureTs))
+    val featureSide = probeCols.filterNot(c => c == key)
+      .foldLeft(featureSide0) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(probes.schema(c).dataType))
+      }
+    val probeFull = featureCols.foldLeft(probeSide) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(features.schema(c).dataType))
+    }
+    val unioned = probeFull.select(
+      (probeCols.filterNot(_ == key) ++ Seq(key, "__ts", "__isProbe", "__fts")
+        ++ featureCols).map(col): _*
+    ).unionByName(featureSide.select(
+      (probeCols.filterNot(_ == key) ++ Seq(key, "__ts", "__isProbe", "__fts")
+        ++ featureCols).map(col): _*
+    ))
+
+    // Feature rows sort BEFORE probes at equal ts => feature_ts == probe_ts
+    // is included (Feast boundary semantics: feature_ts <= event_ts).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__isProbe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = featureCols.foldLeft(
+      unioned.withColumn("__lastFts", last(col("__fts"), ignoreNulls = true).over(w))
+    ) { (df, c) =>
+      df.withColumn(s"__v_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+
+    val inTtl = col("__lastFts").isNotNull &&
+      col("__lastFts") >= col("__ts") - expr(ttl)
+    val out = featureCols.foldLeft(carried.filter(col("__isProbe") === 1)) {
+      (df, c) => df.withColumn(c, when(inTtl, col(s"__v_$c")))
+    }.withColumn("feature_ts", when(inTtl, col("__lastFts")))
+    out.select((probeCols ++ featureCols :+ "feature_ts").map(col): _*)
+  }
+
+  /** J2: online point lookup — `get_online_features`
+    * (`scripts/inference_service.py:76-105`): key set, LEFT-joined against the
+    * latest-per-key snapshot (A12), missing entities kept as NULL rows.
+    * The snapshot side is broadcast — an online lookup against a bounded
+    * entity dimension must never shuffle the probe stream.
+    */
+  def pointLookup(keys: DataFrame, snapshot: DataFrame, key: String): DataFrame =
+    keys.join(broadcast(snapshot), Seq(key), "left")
+
+  /** J3: feature-ref selection — `view:feature` refs rendered as
+    * `view__feature` columns (`inference_service.py:20-31`).
+    */
+  def selectFeatureRefs(df: DataFrame, view: String, features: Seq[String],
+                        keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) ++
+      features.map(f => col(f).as(s"${view}__$f")): _*)
+
+  /** J4: enrichment join — denormalize profile attributes onto the event
+    * stream (`stream_generator.py:184-203`). Dimension side broadcast.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §7.4):
+  * tokenization, quality scoring, language ID, fingerprinting. All narrow
+  * column transforms (no shuffle until the final per-group aggregate), all
+  * built-in `functions._` — codegen'd end to end.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Per-document token/char statistics (token counting via whitespace
+    * split; a BPE-ish subword proxy counts alpha runs + digits + punct
+    * separately).
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        col(idCol),
+        length(col(textCol)).as("n_chars"),
+        size(tokens(col(textCol))).as("n_tokens"),
+        size(split(col(textCol), "[a-zA-Z]+"))
+          .minus(1).as("n_alpha_runs"),
+        round(length(col(textCol)).cast("double") /
+          size(tokens(col(textCol))), 6).as("chars_per_token"))
+      .orderBy(col(idCol))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, distinct
+    * token ratio — the standard cheap heuristics for corpus filtering.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for")
+
+  def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+        col(idCol),
+        length(col(textCol)).as("n_chars"),
+        size(toks).as("n_tokens"),
+        round(
+          (length(col(textCol)) -
+            length(regexp_replace(col(textCol), "[^a-zA-Z0-9\\s]", "")))
+            .cast("double") / length(col(textCol)), 6).as("punct_ratio"),
+        round(size(filter(toks, t => array_contains(stopArr, t)))
+          .cast("double") / size(toks), 6).as("stopword_ratio"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+          .as("distinct_token_ratio"))
+      .orderBy(col(idCol))
+  }
+
+  /** Per-language corpus statistics. */
+  def langStats(docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(size(tokens(col(textCol)))), 6).as("avg_tokens"),
+        round(avg(length(col(textCol))), 6).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Language ID via stopword-hit heuristic: score = hits against each
+    * language's marker list; predicted = argmax with a fixed tie order.
+    * (The corpus is synthetic, so markers are demonstrative; the operator
+    * shape — N parallel scores + argmax cascade — is the real deliverable.)
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de", "le", "shi", "wo", "ni"))
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = markers.toSeq.sortBy(_._1).foldLeft(docs.select(col(idCol),
+        col(textCol))) { case (df, (lang, ms)) =>
+      val arr = array(ms.map(lit): _*)
+      df.withColumn(s"score_$lang",
+        size(filter(toks, t => array_contains(arr, t))))
+    }
+    // first language (lexicographic order) whose score >= all others —
+    // same cascade is expressible verbatim in the DuckDB oracle
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.init.foldRight(lit(langs.last): Column) { (l, acc) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+      when(ge, l).otherwise(acc)
+    }
+    scored.select(col(idCol) +: langs.map(l => col(s"score_$l")) :+
+      best.as("predicted_lang"): _*).orderBy(col(idCol))
+  }
+
+  /** Document fingerprint (rolling-hash stand-in): md5 over the normalized
+    * text — content-addressed identity for dedup joins.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), Dedup.fingerprint(col(textCol)).as("fp"),
+        octet_length(col(textCol)).as("n_bytes"))
+      .orderBy(col(idCol))
+}

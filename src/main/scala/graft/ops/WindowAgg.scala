@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The flagship windowed clickstream aggregation (SURVEY.md §2.3, A1–A9).
+  *
+  * Re-expresses `apply_windowed_aggregation`
+  * (`spark/apps/clickstream_aggregation.py:112-201`): per-entity event-time
+  * windows with counts, filtered counts, exact distincts, conditional
+  * sums/averages and guarded derived ratios. The same pure transform serves
+  * batch (oracle-checked here) and streaming (graft.streaming.Pipeline adds
+  * watermark + sink; Spark's `window()` semantics are identical in both).
+  *
+  * Scale posture:
+  * - single shuffle on (group keys, window) — partial aggregation
+  *   (map-side combine) happens before the exchange, so the shuffle carries
+  *   pre-aggregated partials, not raw events;
+  * - `countDistinct` triggers Catalyst's `RewriteDistinctAggregates` Expand;
+  *   for 100 TB the HLL variant below (`hourlyFeaturesApprox`) replaces the
+  *   Expand with mergeable sketches — one narrow pass, no per-key blowup;
+  * - derived ratios are post-aggregation projections (free);
+  * - sliding windows multiply state by (window/slide) = 6; at cluster scale
+  *   prefer tumbling windows + a rolling post-aggregation over window starts
+  *   if state becomes the bottleneck.
+  */
+object WindowAgg {
+
+  private def aggs(exact: Boolean): Seq[Column] = {
+    val uniqueK =
+      if (exact) countDistinct(col("k")) else approx_count_distinct(col("k"))
+    Seq(
+      count(lit(1)).as("total_events"),                                      // A3
+      sum(Parse.flagIf(col("event_type") === "click")).as("click_count"),    // A4
+      sum(Parse.flagIf(col("event_type") === "view")).as("view_count"),
+      sum(Parse.flagIf(col("event_type") === "purchase")).as("purchase_count"),
+      sum(Parse.flagIf(col("event_type") === "signup")).as("signup_count"),
+      sum(Parse.flagIf(col("event_type") === "error")).as("error_count"),
+      uniqueK.as("unique_k"),                                                // A5
+      round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0))), 2).as("total_revenue"),                       // A6
+      round(avg(when(col("event_type") === "view", col("value"))), 6)
+        .as("avg_view_value"),                                               // A7
+      min(when(col("event_type") === "click", col("k")))
+        .as("primary_k")                                                     // A8 (deterministic min, SURVEY §5.3)
+    )
+  }
+
+  private def derived(df: DataFrame): DataFrame =
+    df.withColumn("click_through_rate",
+        round(Parse.safeRatio(col("click_count"), col("view_count")), 6))    // P9/A9
+      .withColumn("conversion_rate",
+        round(Parse.safeRatio(col("purchase_count"), col("click_count")), 6))
+
+  /** Tumbling 1-hour windows (slide == duration). */
+  def hourlyFeatures(parsedEvents: DataFrame): DataFrame = {
+    val w = window(col("ts_parsed"), "1 hour")                               // A2
+    val a = aggs(exact = true)
+    val out = parsedEvents
+      .groupBy(col("user_id"), w.as("win"))
+      .agg(a.head, a.tail: _*)
+      .withColumn("window_start", col("win.start"))                          // A9
+      .withColumn("window_end", col("win.end"))
+      .withColumn("event_date", to_date(col("window_start")))                // P10
+      .withColumn("feature_timestamp", col("window_end"))                    // P11
+      .drop("win")
+    derived(out)
+      .select(
+        col("user_id"), col("window_start"), col("window_end"),
+        col("total_events"), col("click_count"), col("view_count"),
+        col("purchase_count"), col("signup_count"), col("error_count"),
+        col("unique_k"), col("total_revenue"), col("avg_view_value"),
+        col("primary_k"), col("click_through_rate"), col("conversion_rate"),
+        col("event_date"), col("feature_timestamp"))
+      .orderBy("user_id", "window_start")
+  }
+
+  /** Sliding windows — the reference's exact shape: 1 h window / 10 min slide
+    * (`clickstream_aggregation.py:27-28,131-140`). Each event lands in 6
+    * windows; Spark expands via the `window()` generator before the single
+    * keyed shuffle.
+    */
+  def slidingFeatures(parsedEvents: DataFrame): DataFrame = {
+    val w = window(col("ts_parsed"), "1 hour", "10 minutes")
+    val a = aggs(exact = true)
+    val out = parsedEvents
+      .groupBy(col("user_id"), w.as("win"))
+      .agg(a.head, a.tail: _*)
+      .withColumn("window_start", col("win.start"))
+      .withColumn("window_end", col("win.end"))
+      .drop("win")
+    derived(out)
+      .select(
+        col("user_id"), col("window_start"), col("window_end"),
+        col("total_events"), col("click_count"), col("view_count"),
+        col("purchase_count"), col("signup_count"), col("error_count"),
+        col("unique_k"), col("total_revenue"), col("avg_view_value"),
+        col("primary_k"), col("click_through_rate"), col("conversion_rate"))
+      .orderBy("user_id", "window_start")
+  }
+
+  /** 100 TB variant of the flagship: HyperLogLog distincts instead of the
+    * exact-distinct Expand (`approx_count_distinct`, SURVEY.md §7.2). Not
+    * oracle-checked (sketches aren't reproducible in DuckDB); benchmarked.
+    */
+  def hourlyFeaturesApprox(parsedEvents: DataFrame): DataFrame = {
+    val w = window(col("ts_parsed"), "1 hour")
+    val a = aggs(exact = false)
+    parsedEvents
+      .groupBy(col("user_id"), w.as("win"))
+      .agg(a.head, a.tail: _*)
+      .withColumn("window_start", col("win.start"))
+      .drop("win")
+      .orderBy("user_id", "window_start")
+  }
+}

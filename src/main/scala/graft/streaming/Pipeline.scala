@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming wrapper around the batch operators (SURVEY.md §2.1
+  * S1/S5/S6 + §2.3 A1) — the reference's streaming pipeline
+  * (`spark/apps/clickstream_aggregation.py:204-231`) re-expressed so that
+  * the SAME pure transform (`graft.ops.WindowAgg`) runs in both batch and
+  * streaming; the wrapper only adds source, watermark and sink. Batch ≡
+  * stream for closed windows is asserted in the MemoryStream smoke spec.
+  */
+object Pipeline {
+
+  /** A1: event-time watermark bounding state (15 min in the reference,
+    * `clickstream_aggregation.py:129`).
+    */
+  def withWatermark(events: DataFrame, tsCol: String,
+                    delay: String = "15 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
+
+  /** The streaming flagship: watermarked sliding-window aggregation over a
+    * streaming events frame (from Kafka, rate source, file source, or
+    * MemoryStream — the transform does not care).
+    */
+  def streamingFeatures(events: DataFrame): DataFrame = {
+    val parsed = graft.ops.Parse.parseEvents(events)
+    // watermark must be on the grouping timestamp column
+    val watermarked = parsed.withWatermark("ts_parsed", "15 minutes")
+    watermarked
+      .groupBy(col("user_id"), window(col("ts_parsed"), "1 hour", "10 minutes"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click_count"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+          .as("total_revenue"))
+      .select(col("user_id"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("total_events"),
+        col("click_count"), col("total_revenue"))
+  }
+
+  /** S5: date-partitioned parquet append sink with a processing-time
+    * trigger (`clickstream_aggregation.py:204-218`).
+    */
+  def parquetSink(agg: DataFrame, path: String, checkpoint: String,
+                  triggerInterval: String = "1 minute"): DataStreamWriter[Row] =
+    agg
+      .withColumn("event_date", to_date(col("window_start")))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+
+  /** S6: console debug sink, update mode
+    * (`clickstream_aggregation.py:221-231`).
+    */
+  def consoleSink(agg: DataFrame,
+                  triggerInterval: String = "30 seconds"): DataStreamWriter[Row] =
+    agg.writeStream.format("console").outputMode("update")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+
+  /** S1 (production shape): Kafka source — documented for parity; tests use
+    * MemoryStream (no broker in this environment).
+    * {{{
+    * spark.readStream.format("kafka")
+    *   .option("kafka.bootstrap.servers", servers)
+    *   .option("subscribe", "user_clicks")
+    *   .option("startingOffsets", "latest")
+    *   .option("failOnDataLoss", "false").load()
+    * }}}
+    */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+      .load()
+}
