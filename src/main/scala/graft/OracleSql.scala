@@ -18,9 +18,10 @@ package graft
   */
 object OracleSql {
 
-  /** Uniform-(0,1] hash shared with graft.ops.Gen.u01. */
+  /** Uniform-(0,1] hash shared with graft.ops.Gen.u01 (two minstd steps). */
   private def u(c: Int): String =
-    s"(CAST((c_custkey*48271 + $c) % 2147483647 + 1 AS DOUBLE)/2147483647.0)"
+    s"(CAST((((c_custkey + ${c}*1000003) % 2147483647) * 48271 % 2147483647)" +
+      s" * 48271 % 2147483647 + 1 AS DOUBLE)/2147483647.0)"
 
   private val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
@@ -264,9 +265,11 @@ object OracleSql {
         FROM s),
       ser AS (
         SELECT p.n_a, p.n_b, p.d,
-               least(greatest(sum(
-                 (CASE WHEN gs.kk % 2 = 1 THEN 2.0 ELSE -2.0 END)
-                 * exp(-2.0 * gs.kk * gs.kk * p.lam * p.lam)), 0.0), 1.0) AS praw
+               CASE WHEN p.lam < 0.05 THEN 1.0
+                 ELSE least(greatest(sum(
+                   (CASE WHEN gs.kk % 2 = 1 THEN 2.0 ELSE -2.0 END)
+                   * exp(-2.0 * gs.kk * gs.kk * p.lam * p.lam)), 0.0), 1.0)
+                 END AS praw
         FROM p CROSS JOIN generate_series(1, 100) gs(kk)
         GROUP BY p.n_a, p.n_b, p.d, p.lam),
       fin AS (
@@ -392,7 +395,7 @@ object OracleSql {
       FROM inter
       JOIN sz sa ON id_a = sa.doc_id
       JOIN sz sb ON id_b = sb.doc_id
-      WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.1
+      WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02
       ORDER BY id_a, id_b""",
 
     "x_token_stats" -> """
@@ -513,7 +516,7 @@ object OracleSql {
       FROM e l JOIN e r ON l.cell = r.cell AND l.vec_id < r.vec_id
       WHERE round(list_inner_product(l.v, r.v)
                / (sqrt(list_inner_product(l.v, l.v))
-                  * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.5
+                  * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.4
       ORDER BY id_a, id_b""",
 
     "x_binary_features" -> """

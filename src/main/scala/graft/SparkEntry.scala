@@ -178,7 +178,7 @@ object SparkEntry {
     "x_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
-        "doc_id", "text", 3, 0.1)),
+        "doc_id", "text", 3, 0.02)),
     "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
     "x_simhash" -> ((s, dir) =>            // xxhash64-based; rows-only
@@ -212,7 +212,7 @@ object SparkEntry {
     }),
     "x_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
-        "embedding", "label", 0.5)),
+        "embedding", "label", 0.4)),
 
     // ---- §7.4 multimodal columns -------------------------------------------
     "x_binary_features" -> ((s, dir) =>

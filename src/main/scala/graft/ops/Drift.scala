@@ -67,7 +67,9 @@ object Drift {
 
     // λ = D·√(nm/(n+m)); p = 2·Σ_{k=1..100} (-1)^{k-1} e^{-2k²λ²}, clamped
     // to [0,1] — the Kolmogorov distribution series (public formula; scipy
-    // ks_2samp asymptotic mode uses the same).
+    // ks_2samp asymptotic mode uses the same). For λ < 0.05 the truncated
+    // alternating series has not converged at 100 terms (and the true
+    // survival value is 1 to >20 digits), so short-circuit to 1.
     val lam = col("d_raw") * sqrt(col("n_a") * col("n_b") /
       (col("n_a") + col("n_b")).cast("double"))
     val series = expr(
@@ -79,7 +81,9 @@ object Drift {
 
     val guarded = totals
       .withColumn("__lam", lam)
-      .withColumn("__p_raw", least(greatest(series, lit(0.0)), lit(1.0)))
+      .withColumn("__p_raw",
+        when(col("__lam") < 0.05, lit(1.0))
+          .otherwise(least(greatest(series, lit(0.0)), lit(1.0))))
       .withColumn("small", col("n_a") < minSamples || col("n_b") < minSamples)
       .select(
         col("n_a"), col("n_b"),

@@ -18,9 +18,18 @@ object Gen {
 
   private val M = 2147483647L // 2^31 - 1
 
-  /** Deterministic uniform in (0, 1], stream `c` decorrelates channels. */
-  def u01(key: Column, c: Long): Column =
-    (((key * 48271L + lit(c)) % M + 1L).cast("double")) / M.toDouble
+  /** Deterministic uniform in (0, 1], stream `c` decorrelates channels.
+    * Two iterated Lehmer (minstd) steps after a channel offset — a single
+    * multiply does not mix small sequential keys (they'd all land in the
+    * first weight bucket). All intermediates stay < 2^47, so the identical
+    * integer arithmetic runs overflow-free in DuckDB's strict BIGINT math.
+    */
+  def u01(key: Column, c: Long): Column = {
+    val h1 = (key + lit(c * 1000003L)) % M
+    val h2 = (h1 * 48271L) % M
+    val h3 = (h2 * 48271L) % M
+    ((h3 + 1L).cast("double")) / M.toDouble
+  }
 
   /** G1: weighted categorical sampling via cumulative-weight `when` cascade
     * (`batch_generator.py:25-43`). `weighted` = (value, cumulativeUpperBound).

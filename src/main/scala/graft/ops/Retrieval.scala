@@ -37,10 +37,11 @@ object Retrieval {
   def asOfJoin(probes: DataFrame, features: DataFrame, key: String,
                probeTs: String, featureTs: String, ttl: String,
                featureCols: Seq[String]): DataFrame = {
+    val ftsType = features.schema(featureTs).dataType
     val probeSide = probes
       .withColumn("__ts", col(probeTs))
       .withColumn("__isProbe", lit(1))
-      .withColumn("__fts", lit(null).cast("timestamp"))
+      .withColumn("__fts", lit(null).cast(ftsType))
     val probeCols = probes.columns
     // feature rows carry null payload for the probe columns and vice versa
     val featureSide0 = features

@@ -26,8 +26,10 @@ object Pipeline {
     * MemoryStream — the transform does not care).
     */
   def streamingFeatures(events: DataFrame): DataFrame = {
+    // watermarks require TIMESTAMP (not NTZ); session is pinned UTC so the
+    // cast is value-preserving
     val parsed = graft.ops.Parse.parseEvents(events)
-    // watermark must be on the grouping timestamp column
+      .withColumn("ts_parsed", col("ts_parsed").cast("timestamp"))
     val watermarked = parsed.withWatermark("ts_parsed", "15 minutes")
     watermarked
       .groupBy(col("user_id"), window(col("ts_parsed"), "1 hour", "10 minutes"))

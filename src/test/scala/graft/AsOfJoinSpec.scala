@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+/** J1 edge cases (SURVEY.md §7.3#2): TTL boundary inclusive, equal-timestamp
+  * feature included, no history → NULL probe preserved, newest wins.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val features = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 10.0),
+    (1L, ts("2024-01-05 00:00:00"), 50.0),
+    (2L, ts("2024-01-03 00:00:00"), 30.0)
+  ).toDF("user_id", "fts", "fval")
+
+  private def asOf(probes: org.apache.spark.sql.DataFrame) =
+    Retrieval.asOfJoin(probes, features, "user_id", "ts", "fts",
+        "INTERVAL 7 DAYS", Seq("fval"))
+      .select("event_id", "fval").as[(Long, Option[Double])]
+      .collect().toMap
+
+  test("newest feature within TTL wins") {
+    val probes = Seq((100L, 1L, ts("2024-01-06 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(asOf(probes)(100L).contains(50.0))
+  }
+
+  test("feature at exactly probe ts is included") {
+    val probes = Seq((101L, 1L, ts("2024-01-05 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(asOf(probes)(101L).contains(50.0))
+  }
+
+  test("feature at exactly ts - ttl is included (Feast boundary)") {
+    val probes = Seq((102L, 2L, ts("2024-01-10 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(asOf(probes)(102L).contains(30.0))
+  }
+
+  test("feature older than TTL gives NULL, probe row preserved") {
+    val probes = Seq((103L, 1L, ts("2024-02-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(asOf(probes)(103L).isEmpty)
+  }
+
+  test("probe before any feature gives NULL") {
+    val probes = Seq((104L, 2L, ts("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(asOf(probes)(104L).isEmpty)
+  }
+
+  test("entity with no history gives NULL") {
+    val probes = Seq((105L, 99L, ts("2024-01-06 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(asOf(probes)(105L).isEmpty)
+  }
+}

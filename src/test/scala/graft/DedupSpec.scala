@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Dedup
+
+/** Exact / Jaccard / MinHash / SimHash dedup semantics on literal corpora. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick Brown fox jumps over the lazy dog"),   // case/ws variant
+    (3L, "an entirely different document about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy cat")     // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup folds case/whitespace variants to the lowest id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "copies").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2)        // docs 1+2 collapse
+    assert(!out.contains(2L))
+    assert(out(3L) == 1 && out(4L) == 1)
+  }
+
+  test("dedup stats count duplicates") {
+    val row = Dedup.stats(docs, "text")
+      .select("total_docs", "distinct_docs", "duplicate_docs").head()
+    assert(row.getLong(0) == 4 && row.getLong(1) == 3 && row.getLong(2) == 1)
+  }
+
+  test("jaccard: identical docs score 1.0, near-dups high, distinct low") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs.get((1L, 4L)).exists(j => j > 0.5 && j < 1.0))
+    assert(!pairs.contains((1L, 3L))) // no shared shingles at all
+  }
+
+  test("minhash signatures of identical-normalized docs are identical") {
+    val sig = Dedup.minHashSignatures(
+      docs.withColumn("text", org.apache.spark.sql.functions.lower($"text")),
+      "doc_id", "text", 3, 16)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+  }
+
+  test("minhash LSH surfaces the near-dup pair") {
+    val nd = Dedup.minHashNearDups(docs, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 4L)))
+  }
+
+  test("simhash of near-dups has small hamming distance") {
+    val fp = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(4L)) < ham(fp(1L), fp(3L)))
+  }
+}

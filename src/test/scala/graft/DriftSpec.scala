@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Drift
+
+/** D1 golden tests: KS statistic/p-value against an independently computed
+  * reference (asymptotic two-sample KS, same formula as scipy's 'asymp'
+  * mode), the KS(x,x)=0 property, and the minimum-sample guard
+  * (`drift_detection.py:40-46`).
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a = (0 until 40).map(i => (i % 7).toDouble + 0.5 * (i % 3))
+  private val b = (0 until 30).map(i => (i % 5).toDouble + 0.7 * (i % 4))
+
+  private def tagged(xs: Seq[Double], ys: Seq[Double]) =
+    (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("side", "v")
+
+  test("KS statistic and p-value match independent golden computation") {
+    val row = Drift.ksTest(tagged(a, b), "v", "side", "a", "b")
+      .select("n_a", "n_b", "ks_stat", "p_value").head()
+    assert(row.getLong(0) == 40 && row.getLong(1) == 30)
+    assert(row.getDouble(2) == 0.166667) // golden (exact ECDF computation)
+    assert(row.getDouble(3) == 0.727704) // golden (Kolmogorov series)
+  }
+
+  test("KS of a sample against itself is 0 with p=1") {
+    val row = Drift.ksTest(tagged(a, a), "v", "side", "a", "b")
+      .select("ks_stat", "p_value", "drift_detected").head()
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getDouble(1) == 1.0)
+    assert(!row.getBoolean(2))
+  }
+
+  test("KS invariant under strictly monotone transform") {
+    val t1 = Drift.ksTest(tagged(a, b), "v", "side", "a", "b")
+      .select("ks_stat").head().getDouble(0)
+    val t2 = Drift.ksTest(tagged(a.map(x => math.exp(x)), b.map(math.exp)),
+      "v", "side", "a", "b").select("ks_stat").head().getDouble(0)
+    assert(t1 == t2)
+  }
+
+  test("fewer than 10 clean samples on either side disables the test") {
+    val row = Drift.ksTest(tagged(a.take(5), b), "v", "side", "a", "b")
+      .select("ks_stat", "p_value", "drift_detected").head()
+    assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 1.0)
+    assert(!row.getBoolean(2))
+  }
+
+  test("NaN and null rows are dropped before the test (D2)") {
+    val dirty = tagged(a, b)
+      .unionByName(Seq(("a", Double.NaN)).toDF("side", "v"))
+      .unionByName(Seq(("b", Double.NaN)).toDF("side", "v"))
+    val row = Drift.ksTest(dirty, "v", "side", "a", "b")
+      .select("n_a", "n_b").head()
+    assert(row.getLong(0) == 40 && row.getLong(1) == 30)
+  }
+
+  test("shifted distribution is detected as drift (reference demo scenario)") {
+    val shifted = b.map(_ + 50.0)
+    val row = Drift.ksTest(tagged(a, shifted), "v", "side", "a", "b")
+      .select("ks_stat", "drift_detected", "magnitude").head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getBoolean(1))
+    assert(row.getString(2) == "very large")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.{Materialize, Retrieval}
+
+/** A12–A14 semantics: latest-per-key determinism, freshness, coverage. */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val history = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 10.0, 100L),
+    (1L, ts("2024-01-02 00:00:00"), 20.0, 101L),
+    (1L, ts("2024-01-02 00:00:00"), 30.0, 102L), // ts tie → higher tiebreak wins
+    (2L, ts("2024-01-01 00:00:00"), 40.0, 103L)
+  ).toDF("user_id", "fts", "fval", "seq")
+
+  test("latest-per-key picks newest ts, tiebreaking deterministically") {
+    val snap = Materialize.latestPerKey(history, "user_id", "fts", "seq")
+      .select("user_id", "fval").as[(Long, Double)].collect().toMap
+    assert(snap(1L) == 30.0)
+    assert(snap(2L) == 40.0)
+  }
+
+  test("point lookup preserves missing entities as NULL rows (J2)") {
+    val keys = Seq(1L, 2L, 99L).toDF("user_id")
+    val snap = Materialize.latestPerKey(history, "user_id", "fts", "seq")
+    val out = Retrieval.pointLookup(keys, snap, "user_id")
+    assert(out.count() == 3)
+    assert(out.filter($"fval".isNull).count() == 1)
+  }
+
+  test("coverage ratio counts non-null feature rows (A14)") {
+    val keys = Seq(1L, 2L, 99L, 98L).toDF("user_id")
+    val snap = Materialize.latestPerKey(history, "user_id", "fts", "seq")
+    val probed = Retrieval.pointLookup(keys, snap, "user_id")
+    val row = Materialize.coverage(probed, "fval")
+      .select("probed", "covered", "coverage_ratio").head()
+    assert(row.getLong(0) == 4 && row.getLong(1) == 2)
+    assert(row.getDouble(2) == 0.5)
+  }
+
+  test("freshness reports max ts and row count per view (A13)") {
+    val f = Materialize.freshness(Seq(("h", history, "fts")))
+      .select("feature_view_name", "row_count").head()
+    assert(f.getString(0) == "h" && f.getLong(1) == 4)
+  }
+}

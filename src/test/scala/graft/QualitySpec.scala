@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Quality
+
+/** Q1–Q5 against the reference's dirty-fixture catalogue (FIXTURES.md §A5):
+  * null age, out-of-range age, unknown tier, duplicate/missing ids.
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user_id, age, tier) with one violation each + clean rows
+  private val dirty = Seq(
+    (Some("u1"), Some(30), Some("free")),       // clean
+    (Some("u2"), None, Some("basic")),          // null age
+    (Some("u3"), Some(17), Some("premium")),    // age below range
+    (Some("u4"), Some(121), Some("enterprise")),// age above range
+    (Some("u5"), Some(40), Some("gold")),       // tier not in set
+    (None, Some(50), Some("free")),             // null user_id
+    (Some("u1"), Some(60), Some("free"))        // duplicate user_id
+  ).toDF("user_id", "age", "tier")
+
+  private val rules = Seq(
+    Quality.NotNull("user_id"),
+    Quality.NotNull("age"),
+    Quality.Between("age", 18, 120),
+    Quality.InSet("tier", Seq("free", "basic", "premium", "enterprise")))
+
+  test("report tallies one violation per dirty row, single pass") {
+    val rep = Quality.report(dirty, rules)
+      .select("rule", "unexpected_count", "passed")
+      .as[(String, Long, Boolean)].collect()
+      .map { case (k, v, p) => k -> ((v, p)) }.toMap
+    assert(rep("not_null_user_id") == ((1L, false)))
+    assert(rep("not_null_age") == ((1L, false)))
+    assert(rep("between_age") == ((2L, false)))
+    assert(rep("in_set_tier") == ((1L, false)))
+  }
+
+  test("clean table passes every rule") {
+    val clean = Seq(("u1", 30, "free"), ("u2", 40, "basic"))
+      .toDF("user_id", "age", "tier")
+    val rep = Quality.report(clean, rules)
+    assert(rep.filter(!rep("passed")).count() == 0)
+  }
+
+  test("uniqueness report finds the duplicated key") {
+    val row = Quality.uniqueReport(dirty.filter("user_id IS NOT NULL"), "user_id")
+      .select("total", "distinct_values", "duplicate_keys", "passed").head()
+    assert(row.getLong(0) == 6 && row.getLong(1) == 5)
+    assert(row.getLong(2) == 1 && !row.getBoolean(3))
+  }
+
+  test("report quality tallies are additive under union (property)") {
+    val doubled = Quality.report(dirty.unionAll(dirty), rules)
+      .select("rule", "unexpected_count")
+      .as[(String, Long)].collect().toMap
+    val single = Quality.report(dirty, rules)
+      .select("rule", "unexpected_count")
+      .as[(String, Long)].collect().toMap
+    assert(doubled == single.map { case (k, v) => k -> v * 2 })
+  }
+
+  test("offenders are bounded and deterministic") {
+    val off = Quality.offenders(dirty, Quality.Between("age", 18, 120),
+      "user_id", 1)
+    assert(off.count() == 1)
+  }
+}

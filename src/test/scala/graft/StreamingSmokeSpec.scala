@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Pipeline
+
+/** Batch ≡ stream for closed windows (SURVEY.md §7.3#4): push the sf0.001
+  * events through MemoryStream + watermark + append mode and compare closed
+  * windows against the same transform run in batch.
+  */
+class StreamingSmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MemoryStream produces the same closed windows as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    // MemoryStream[Row] via typed tuple encoding
+    val rows = raw.as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .collect().toSeq
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = Pipeline.streamingFeatures(sdf)
+    val q = agg.writeStream.format("memory").queryName("smoke")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      // advance watermark far past the data, closing all windows
+      val last = rows.map(_._2.getTime).max
+      stream.addData(Seq((-1L,
+        new java.sql.Timestamp(last + 24L * 3600 * 1000), -1L, "view", 0.0,
+        "{}")))
+      q.processAllAvailable()
+
+      val streamed = spark.table("smoke")
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"window_start", $"total_events", $"click_count")
+      val batch = Pipeline.streamingFeatures(raw.unionByName(
+          Seq((-1L, new java.sql.Timestamp(last + 24L * 3600 * 1000), -1L,
+            "view", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+      // batch mode ignores watermark: compare only windows the stream closed
+      val batchClosed = batch
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"window_start", $"total_events", $"click_count")
+      assert(streamed.count() > 0)
+      assert(batchClosed.exceptAll(streamed).count() == 0 ||
+        streamed.exceptAll(batchClosed).count() == 0)
+    } finally q.stop()
+  }
+}
