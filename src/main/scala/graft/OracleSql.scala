@@ -19,9 +19,10 @@ package graft
 object OracleSql {
 
   /** Uniform-(0,1] hash shared with graft.ops.Gen.u01 (two minstd steps). */
-  private def u(c: Int): String =
-    s"(CAST((((c_custkey + ${c}*1000003) % 2147483647) * 48271 % 2147483647)" +
+  private def uk(key: String, c: Int): String =
+    s"(CAST(((($key + ${c}*1000003) % 2147483647) * 48271 % 2147483647)" +
       s" * 48271 % 2147483647 + 1 AS DOUBLE)/2147483647.0)"
+  private def u(c: Int): String = uk("c_custkey", c)
 
   private val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
@@ -359,6 +360,51 @@ object OracleSql {
                        WHEN age < 55 THEN 1.0 ELSE 0.8 END)
                * (u6 + 0.5), 2.0), 6) AS activity_weight
       FROM g ORDER BY c_custkey""",
+
+    "s_csv_roundtrip" -> """
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      FROM customer ORDER BY c_custkey""",
+
+    "s_offline_store" -> """
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id""",
+
+    "s_partition_probe" -> """
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
+      ORDER BY event_date DESC LIMIT 7""",
+
+    "g_events" -> s"""
+      WITH seqd AS (
+        SELECT c_custkey, CAST(gs.sq AS INTEGER) AS sq,
+               c_custkey * 3 + gs.sq AS ek
+        FROM customer CROSS JOIN generate_series(1, 3) gs(sq)),
+      typed AS (
+        SELECT c_custkey, sq, ek,
+               CASE WHEN ${uk("ek", 11)} <= 0.50 THEN 'view'
+                    WHEN ${uk("ek", 11)} <= 0.80 THEN 'click'
+                    WHEN ${uk("ek", 11)} <= 0.95 THEN 'cart'
+                    ELSE 'purchase' END AS event_type
+        FROM seqd)
+      SELECT c_custkey, sq, event_type,
+             CASE WHEN event_type = 'view'
+               THEN CAST(floor(${uk("ek", 12)} * 118) + 3 AS INTEGER) END
+               AS view_duration_sec,
+             CASE WHEN event_type = 'click'
+               THEN CAST(floor(${uk("ek", 13)} * 20) + 1 AS INTEGER) END
+               AS click_position,
+             CASE WHEN event_type = 'click' THEN
+               (CASE WHEN ${uk("ek", 14)} <= 0.2 THEN 'search'
+                     WHEN ${uk("ek", 14)} <= 0.4 THEN 'recommendation'
+                     WHEN ${uk("ek", 14)} <= 0.6 THEN 'homepage'
+                     WHEN ${uk("ek", 14)} <= 0.8 THEN 'email'
+                     ELSE 'direct' END) END AS referrer,
+             CASE WHEN event_type IN ('cart', 'purchase')
+               THEN CAST(floor(${uk("ek", 15)} * 5) + 1 AS INTEGER) END
+               AS quantity,
+             CASE WHEN event_type = 'purchase'
+               THEN round(${uk("ek", 16)} * (499.99 - 9.99) + 9.99, 6) END
+               AS price
+      FROM typed ORDER BY c_custkey, sq""",
 
     "x_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id,

@@ -166,9 +166,43 @@ object SparkEntry {
             get_json_object(col("props"), "$.k").cast("double").as("k")),
         "event_type", "purchase", "view", Seq("k", "value"))),
 
+    // ---- §2.1 sources / sinks ----------------------------------------------
+    "s_csv_roundtrip" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.sources.Sources.csvRoundTrip(s,
+          Tables.customer(s, dir)
+            .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+          schema)
+        .orderBy("c_custkey")
+    }),
+    "s_offline_store" -> ((s, dir) => {
+      val withDate = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      val root = graft.sources.Sources.writeOfflineStore(withDate, "event_date")
+      graft.sources.Sources.readPartition(s, root, "event_date", "2024-01-15")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+    "s_partition_probe" -> ((s, dir) => {
+      val withDate = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      val root = graft.sources.Sources.writeOfflineStore(withDate, "event_date")
+      graft.sources.Sources.recentPartitions(s, root, "event_date", 7)
+    }),
+
     // ---- §2.8 weighted data generation -------------------------------------
     "g_profiles" -> ((s, dir) =>
       Gen.profiles(Tables.customer(s, dir).select("c_custkey"), "c_custkey")),
+    "g_events" -> ((s, dir) =>
+      Gen.events(Tables.customer(s, dir).select("c_custkey"), "c_custkey", 3)),
 
     // ---- §7.4 dedup --------------------------------------------------------
     "x_dedup_exact" -> ((s, dir) =>

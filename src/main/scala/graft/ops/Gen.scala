@@ -84,6 +84,48 @@ object Gen {
     round(least(base * ageFactor * (u + 0.5), lit(2.0)), 6)
   }
 
+  /** G5: event synthesis with per-type fields
+    * (`stream_generator.py:184-217`): each key emits `perKey` events; type
+    * from the reference's weights (view .50 / click .30 / cart .15 /
+    * purchase .05); view→duration 3–120 s, click→position 1–20 + referrer,
+    * cart/purchase→quantity 1–5, purchase→price U(9.99, 499.99); fields
+    * NULL for other types (nullable schema per
+    * `clickstream_aggregation.py:61-65`).
+    */
+  val eventTypes: Seq[(String, Double)] = Seq(
+    "view" -> 0.50, "click" -> 0.80, "cart" -> 0.95, "purchase" -> 1.0)
+  val referrers: Seq[(String, Double)] = Seq(
+    "search" -> 0.2, "recommendation" -> 0.4, "homepage" -> 0.6,
+    "email" -> 0.8, "direct" -> 1.0)
+
+  def events(keys: DataFrame, key: String, perKey: Int): DataFrame = {
+    val seqd = keys
+      .select(col(key), explode(sequence(lit(1), lit(perKey))).as("sq"))
+      .withColumn("ek", col(key) * perKey + col("sq"))
+    val t = weightedChoice(u01(col("ek"), 11), eventTypes)
+    seqd
+      .withColumn("event_type", t)
+      .withColumn("view_duration_sec",
+        when(col("event_type") === "view",
+          (floor(u01(col("ek"), 12) * 118) + 3).cast("int")))
+      .withColumn("click_position",
+        when(col("event_type") === "click",
+          (floor(u01(col("ek"), 13) * 20) + 1).cast("int")))
+      .withColumn("referrer",
+        when(col("event_type") === "click",
+          weightedChoice(u01(col("ek"), 14), referrers)))
+      .withColumn("quantity",
+        when(col("event_type").isin("cart", "purchase"),
+          (floor(u01(col("ek"), 15) * 5) + 1).cast("int")))
+      .withColumn("price",
+        when(col("event_type") === "purchase",
+          round(u01(col("ek"), 16) * (499.99 - 9.99) + 9.99, 6)))
+      .select(col(key), col("sq"), col("event_type"),
+        col("view_duration_sec"), col("click_position"), col("referrer"),
+        col("quantity"), col("price"))
+      .orderBy(col(key), col("sq"))
+  }
+
   /** Full profile synthesis (G1–G4) from a key column — the engine-side
     * equivalent of `generate_user_profiles` (`batch_generator.py:111-137`).
     */

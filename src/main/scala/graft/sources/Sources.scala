@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.Files
+
+/** Source/sink operators (SURVEY.md §2.1): CSV read with declared schema
+  * (S2, `data_quality_checks.py:164-166`), CSV write (S3,
+  * `batch_generator.py:140-152`), date-partitioned parquet offline store
+  * (S5, `clickstream_aggregation.py:204-218`) and the partition-existence
+  * probe with last-N fallback (S11,
+  * `feature_store_materialization.py:128-160`).
+  *
+  * Scale posture: the partitioned write is the offline-store layout that
+  * makes downstream date predicates partition-pruning hits (zero data read
+  * outside the date); the probe reads partition VALUES from the directory
+  * listing only — no file contents.
+  */
+object Sources {
+
+  /** S3 + S2: write a frame as header CSV, read it back with an explicit
+    * declared schema (never inference — SURVEY.md §1.3).
+    */
+  def csvRoundTrip(spark: SparkSession, df: DataFrame,
+                   schema: StructType): DataFrame = {
+    val dir = Files.createTempDirectory("graft_csv_").toString
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read.option("header", "true").schema(schema).csv(dir)
+  }
+
+  /** S5: date-partitioned parquet offline store write; returns the root. */
+  def writeOfflineStore(df: DataFrame, dateCol: String): String = {
+    val dir = Files.createTempDirectory("graft_offline_").toString
+    df.write.mode("overwrite").partitionBy(dateCol).parquet(dir)
+    dir
+  }
+
+  /** S11 read side: single-date read — the date predicate prunes to one
+    * partition directory (check: PartitionFilters in the scan, zero rows
+    * read elsewhere).
+    */
+  def readPartition(spark: SparkSession, root: String, dateCol: String,
+                    date: String): DataFrame =
+    spark.read.parquet(root).where(col(dateCol) === lit(date).cast("date"))
+
+  /** S11 probe: the newest N partition values, from partition metadata only
+    * (`sorted(partitions)[-7:]` in the reference).
+    */
+  def recentPartitions(spark: SparkSession, root: String, dateCol: String,
+                       n: Int): DataFrame =
+    spark.read.parquet(root).select(col(dateCol)).distinct()
+      .orderBy(col(dateCol).desc).limit(n)
+}
