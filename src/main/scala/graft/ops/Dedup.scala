@@ -78,25 +78,21 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Deterministic 32-bit shingle hash (xxhash64 folded) for MinHash. */
-  private def shingleHash(s: Column): Column =
-    pmod(xxhash64(s), lit(2147483647L))
-
   /** MinHash signatures: for each of `numHashes` permutations
-    * h_i(x) = (a_i·x + b_i) mod p, keep the min over the doc's shingles.
-    * One explode + one groupBy — no pairwise work.
+    * h_i(x) = (a_i·x + b_i) mod p, keep the min over the doc's distinct
+    * shingles. One narrow pass, ZERO shuffle: the whole signature is the
+    * native `graft.functions.Native.MinHashSignature` expression (tight
+    * JVM loop per row; the HOF formulation paid an interpreted closure per
+    * shingle × permutation and the explode+groupBy one a corpus×shingles
+    * shuffle on top). Scales linearly with corpus bytes.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("s"))
-    val hashed = sh.withColumn("hx", shingleHash(col("s")))
-    val minCols = (0 until numHashes).map { i =>
-      val a = 1103515245L + 2L * i // odd multipliers
-      val b = 12345L + 7919L * i
-      min(pmod(col("hx") * a + b, lit(2147483647L))).as(s"mh_$i")
-    }
-    hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val sig = graft.functions.Native
+      .minhash_signature(col(textCol), n, numHashes)
+    val withSig = docs.select(col(idCol).as("id"), sig.as("mhs"))
+    val minCols = (0 until numHashes).map(i => col("mhs")(i).as(s"mh_$i"))
+    withSig.select(col("id") +: minCols: _*)
   }
 
   /** MinHash + LSH banding: docs sharing any band bucket are candidate
@@ -108,6 +104,12 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    // Slim bucket rows (id, band, bucket) through the self-join, dedup the
+    // candidate PAIRS first (hot LSH buckets generate the same pair in
+    // several bands), then join the narrow signature relation back for
+    // verification. The signature build is shuffle-free, so the two
+    // verification joins are cheap; carrying signatures through the bucket
+    // join instead would shuffle numHashes ints per collision row.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)

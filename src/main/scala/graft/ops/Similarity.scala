@@ -30,8 +30,13 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
 
+  /** Pairwise hot-path cosine: the native single-pass expression
+    * (`graft.functions.Native`), bit-identical to dot/(‖a‖·‖b‖) with the
+    * HOFs above but one JVM call per pair instead of an interpreted
+    * closure per element.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.Native.cosine_similarity(a, b)
 
   /** Per-vector norms/means — sanity statistics over the embedding column. */
   def vectorStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters — the
+  * supported pattern for libraries that define custom Catalyst expressions
+  * against Spark 4's classic API (the converters themselves are stable;
+  * only their visibility is package-scoped).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}
