@@ -406,6 +406,105 @@ object OracleSql {
                AS price
       FROM typed ORDER BY c_custkey, sq""",
 
+    "q_reference_pipeline" -> s"""
+      WITH seqd AS (
+        SELECT c_custkey, CAST(gs.sq AS INTEGER) AS sq,
+               c_custkey * 8 + gs.sq AS ek
+        FROM customer CROSS JOIN generate_series(1, 8) gs(sq)),
+      typed AS (
+        SELECT c_custkey, sq, ek,
+               CASE WHEN ${uk("ek", 11)} <= 0.50 THEN 'view'
+                    WHEN ${uk("ek", 11)} <= 0.80 THEN 'click'
+                    WHEN ${uk("ek", 11)} <= 0.95 THEN 'cart'
+                    ELSE 'purchase' END AS event_type,
+               CASE WHEN ${uk("ek", 21)} <= 0.18 THEN 'electronics'
+                    WHEN ${uk("ek", 21)} <= 0.33 THEN 'clothing'
+                    WHEN ${uk("ek", 21)} <= 0.46 THEN 'home'
+                    WHEN ${uk("ek", 21)} <= 0.58 THEN 'books'
+                    WHEN ${uk("ek", 21)} <= 0.70 THEN 'sports'
+                    WHEN ${uk("ek", 21)} <= 0.81 THEN 'beauty'
+                    WHEN ${uk("ek", 21)} <= 0.91 THEN 'toys'
+                    ELSE 'grocery' END AS product_category
+        FROM seqd),
+      ev AS (
+        SELECT c_custkey AS user_id, sq, event_type, product_category,
+               CASE WHEN event_type = 'view'
+                 THEN CAST(floor(${uk("ek", 12)} * 118) + 3 AS INTEGER) END
+                 AS view_duration_sec,
+               CASE WHEN event_type = 'click' THEN
+                 (CASE WHEN ${uk("ek", 14)} <= 0.2 THEN 'search'
+                       WHEN ${uk("ek", 14)} <= 0.4 THEN 'recommendation'
+                       WHEN ${uk("ek", 14)} <= 0.6 THEN 'homepage'
+                       WHEN ${uk("ek", 14)} <= 0.8 THEN 'email'
+                       ELSE 'direct' END) END AS referrer,
+               CASE WHEN event_type IN ('cart', 'purchase')
+                 THEN CAST(floor(${uk("ek", 15)} * 5) + 1 AS INTEGER) END
+                 AS quantity,
+               CASE WHEN event_type = 'purchase'
+                 THEN round(${uk("ek", 16)} * (499.99 - 9.99) + 9.99, 6) END
+                 AS price,
+               upper(substr(product_category, 1, 3)) || '_' ||
+                 printf('%05d', CAST(floor(${uk("ek", 22)} * 500) AS INTEGER))
+                 AS product_id,
+               CASE WHEN ${uk("ek", 23)} <= 0.55 THEN 'mobile'
+                    WHEN ${uk("ek", 23)} <= 0.90 THEN 'desktop'
+                    ELSE 'tablet' END AS device_type,
+               printf('%d_%d', c_custkey, sq // 4) AS session_id,
+               TIMESTAMP '2024-01-01 00:00:00' +
+                 CAST(floor(${uk("ek", 17)} * 10080) AS INTEGER)
+                 * INTERVAL '1 minute' AS ts
+        FROM typed),
+      prof AS (
+        SELECT c_custkey AS user_id,
+               CASE WHEN ${u(1)} <= 0.30 THEN 'US' WHEN ${u(1)} <= 0.42 THEN 'UK'
+                    WHEN ${u(1)} <= 0.52 THEN 'DE' WHEN ${u(1)} <= 0.60 THEN 'FR'
+                    WHEN ${u(1)} <= 0.68 THEN 'JP' WHEN ${u(1)} <= 0.76 THEN 'IN'
+                    WHEN ${u(1)} <= 0.83 THEN 'BR' WHEN ${u(1)} <= 0.90 THEN 'CA'
+                    WHEN ${u(1)} <= 0.96 THEN 'AU' ELSE 'OTHER' END AS user_country,
+               CASE WHEN ${u(2)} <= 0.60 THEN 'free' WHEN ${u(2)} <= 0.85 THEN 'basic'
+                    WHEN ${u(2)} <= 0.97 THEN 'premium' ELSE 'enterprise' END
+                 AS user_tier
+        FROM customer),
+      j AS (
+        SELECT e.*, p.user_country, p.user_tier
+        FROM ev e LEFT JOIN prof p ON e.user_id = p.user_id)
+      SELECT user_id, user_country, user_tier,
+             count(*) AS total_events,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+             CAST(sum(CASE WHEN event_type = 'cart' THEN 1 ELSE 0 END) AS BIGINT) AS cart_count,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+             CAST(count(DISTINCT product_id) AS BIGINT) AS unique_products,
+             CAST(count(DISTINCT product_category) AS BIGINT) AS unique_categories,
+             CAST(count(DISTINCT session_id) AS BIGINT) AS session_count,
+             CAST(sum(CASE WHEN device_type = 'mobile' THEN 1 ELSE 0 END) AS BIGINT) AS mobile_events,
+             CAST(sum(CASE WHEN device_type = 'desktop' THEN 1 ELSE 0 END) AS BIGINT) AS desktop_events,
+             round(sum(CASE WHEN event_type = 'purchase'
+               THEN price * quantity ELSE 0 END), 2) AS total_revenue,
+             round(avg(CASE WHEN event_type = 'view'
+               THEN view_duration_sec END), 6) AS avg_view_duration_sec,
+             min(CASE WHEN event_type = 'click' THEN referrer END)
+               AS primary_referrer,
+             round(CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) <> 0
+               THEN CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+                    / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) END, 6)
+               AS click_through_rate,
+             round(CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) <> 0
+               THEN CAST(sum(CASE WHEN event_type = 'cart' THEN 1 ELSE 0 END) AS DOUBLE)
+                    / sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) END, 6)
+               AS cart_rate,
+             round(CASE WHEN sum(CASE WHEN event_type = 'cart' THEN 1 ELSE 0 END) <> 0
+               THEN CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                    / sum(CASE WHEN event_type = 'cart' THEN 1 ELSE 0 END) END, 6)
+               AS conversion_rate,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             CAST(time_bucket(INTERVAL '1 hour', ts) AS DATE) AS event_date,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS feature_timestamp
+      FROM j
+      GROUP BY user_id, user_country, user_tier, time_bucket(INTERVAL '1 hour', ts)
+      ORDER BY user_id, window_start""",
+
     "x_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

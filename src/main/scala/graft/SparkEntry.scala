@@ -204,6 +204,20 @@ object SparkEntry {
     "g_events" -> ((s, dir) =>
       Gen.events(Tables.customer(s, dir).select("c_custkey"), "c_custkey", 3)),
 
+    // ---- the reference's EXACT end-to-end pipeline -------------------------
+    // profiles (G1–G4) → clickstream synthesis (G5/P14) → enrichment join
+    // (J4) → the full 21-column flagship aggregation (A1–A9, FIXTURES §A3)
+    "q_reference_pipeline" -> ((s, dir) => {
+      val keys = Tables.customer(s, dir).select("c_custkey")
+      val evs = Gen.clickstream(keys, "c_custkey", 8)
+        .withColumnRenamed("c_custkey", "user_id")
+      val prof = Gen.profiles(keys, "c_custkey")
+        .select(col("c_custkey").as("user_id"),
+          col("country").as("user_country"),
+          col("subscription_tier").as("user_tier"))
+      WindowAgg.referenceFeatures(Retrieval.enrich(evs, prof, "user_id"))
+    }),
+
     // ---- §7.4 dedup --------------------------------------------------------
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),

@@ -126,6 +126,39 @@ object Gen {
       .orderBy(col(key), col("sq"))
   }
 
+  /** Full reference-shaped clickstream synthesis (G5 + P14): every field of
+    * the reference's 15-field event schema that feeds the flagship
+    * aggregation (`stream_generator.py:184-217`, schema
+    * `clickstream_aggregation.py:50-66`): type, product (category + id),
+    * device, session, per-type nullable fields, and a deterministic
+    * event-time spread over 7 days.
+    */
+  val categories: Seq[(String, Double)] = Seq(
+    "electronics" -> 0.18, "clothing" -> 0.33, "home" -> 0.46,
+    "books" -> 0.58, "sports" -> 0.70, "beauty" -> 0.81,
+    "toys" -> 0.91, "grocery" -> 1.0)
+  val devices: Seq[(String, Double)] = Seq(
+    "mobile" -> 0.55, "desktop" -> 0.90, "tablet" -> 1.0)
+
+  def clickstream(keys: DataFrame, key: String, perKey: Int): DataFrame = {
+    val base = events(keys, key, perKey)
+      .withColumn("ek", col(key) * perKey + col("sq"))
+    base
+      .withColumn("product_category",
+        weightedChoice(u01(col("ek"), 21), categories))
+      .withColumn("product_id",
+        Parse.formatCode(col("product_category"),
+          floor(u01(col("ek"), 22) * 500).cast("int")))
+      .withColumn("device_type", weightedChoice(u01(col("ek"), 23), devices))
+      .withColumn("session_id",
+        format_string("%d_%d", col(key), expr("sq div 4")))
+      .withColumn("__mins", floor(u01(col("ek"), 17) * 10080).cast("int"))
+      .withColumn("ts",
+        lit("2024-01-01 00:00:00").cast("timestamp_ntz") +
+          expr("make_dt_interval(0, 0, __mins, 0)"))
+      .drop("ek", "__mins")
+  }
+
   /** Full profile synthesis (G1–G4) from a key column — the engine-side
     * equivalent of `generate_user_profiles` (`batch_generator.py:111-137`).
     */

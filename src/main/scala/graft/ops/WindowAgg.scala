@@ -100,6 +100,52 @@ object WindowAgg {
       .orderBy("user_id", "window_start")
   }
 
+  /** The reference's EXACT flagship output — all 21 columns of
+    * `apply_windowed_aggregation` (`clickstream_aggregation.py:112-201`,
+    * output schema FIXTURES.md §A3) over a reference-shaped event stream:
+    * keys (user, country, tier, window), 14 aggregates including
+    * product/category/session distincts, device splits, revenue =
+    * Σ price·quantity on purchases, view-only average duration,
+    * deterministic primary referrer (min — SURVEY §5.3), and the three
+    * derived ratios CTR = click/view, cart_rate = cart/click,
+    * conversion = purchase/cart (`:193-195`), all NULL-guarded.
+    */
+  def referenceFeatures(enriched: DataFrame): DataFrame = {
+    val out = enriched
+      .groupBy(col("user_id"), col("user_country"), col("user_tier"),
+        window(col("ts"), "1 hour").as("win"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(Parse.flagIf(col("event_type") === "click")).as("click_count"),
+        sum(Parse.flagIf(col("event_type") === "view")).as("view_count"),
+        sum(Parse.flagIf(col("event_type") === "cart")).as("cart_count"),
+        sum(Parse.flagIf(col("event_type") === "purchase")).as("purchase_count"),
+        countDistinct(col("product_id")).as("unique_products"),
+        countDistinct(col("product_category")).as("unique_categories"),
+        countDistinct(col("session_id")).as("session_count"),
+        sum(Parse.flagIf(col("device_type") === "mobile")).as("mobile_events"),
+        sum(Parse.flagIf(col("device_type") === "desktop")).as("desktop_events"),
+        round(sum(when(col("event_type") === "purchase",
+          col("price") * col("quantity")).otherwise(lit(0.0))), 2)
+          .as("total_revenue"),
+        round(avg(when(col("event_type") === "view",
+          col("view_duration_sec"))), 6).as("avg_view_duration_sec"),
+        min(when(col("event_type") === "click", col("referrer")))
+          .as("primary_referrer"))
+      .withColumn("click_through_rate",
+        round(Parse.safeRatio(col("click_count"), col("view_count")), 6))
+      .withColumn("cart_rate",
+        round(Parse.safeRatio(col("cart_count"), col("click_count")), 6))
+      .withColumn("conversion_rate",
+        round(Parse.safeRatio(col("purchase_count"), col("cart_count")), 6))
+      .withColumn("window_start", col("win.start"))
+      .withColumn("window_end", col("win.end"))
+      .withColumn("event_date", to_date(col("window_start")))
+      .withColumn("feature_timestamp", col("window_end"))
+      .drop("win")
+    out.orderBy("user_id", "window_start")
+  }
+
   /** 100 TB variant of the flagship: HyperLogLog distincts instead of the
     * exact-distinct Expand (`approx_count_distinct`, SURVEY.md §7.2). Not
     * oracle-checked (sketches aren't reproducible in DuckDB); benchmarked.
