@@ -441,7 +441,7 @@ object OracleSql {
                  THEN CAST(floor(${uk("ek", 15)} * 5) + 1 AS INTEGER) END
                  AS quantity,
                CASE WHEN event_type = 'purchase'
-                 THEN round(${uk("ek", 16)} * (499.99 - 9.99) + 9.99, 6) END
+                 THEN round(round(${uk("ek", 16)} * (499.99 - 9.99) + 9.99, 6), 2) END
                  AS price,
                upper(substr(product_category, 1, 3)) || '_' ||
                  printf('%05d', CAST(floor(${uk("ek", 22)} * 500) AS INTEGER))

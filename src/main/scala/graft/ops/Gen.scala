@@ -144,6 +144,9 @@ object Gen {
     val base = events(keys, key, perKey)
       .withColumn("ek", col(key) * perKey + col("sq"))
     base
+      // money has 2 decimals: keeps Σ price·qty away from round-half
+      // boundaries, so the cross-engine sum is rounding-stable at any scale
+      .withColumn("price", round(col("price"), 2))
       .withColumn("product_category",
         weightedChoice(u01(col("ek"), 21), categories))
       .withColumn("product_id",

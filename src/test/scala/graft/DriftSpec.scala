@@ -65,4 +65,44 @@ class DriftSpec extends SparkSpec {
     assert(row.getBoolean(1))
     assert(row.getString(2) == "very large")
   }
+
+  // D5: the reference's three golden scenarios (`drift_detection.py:289-328`):
+  // same-Poisson → no drift; Poisson mean shift → drift; Normal variance
+  // inflation → drift. Deterministic fixtures from seeded java.util.Random
+  // (stable LCG + specified nextGaussian algorithm).
+  private def poisson(lambda: Double, n: Int, seed: Long): Seq[Double] = {
+    val r = new java.util.Random(seed)
+    Seq.fill(n) { // Knuth
+      val l = math.exp(-lambda)
+      var k = 0; var p = 1.0
+      while ({ p *= r.nextDouble(); p > l }) k += 1
+      k.toDouble
+    }
+  }
+  private def normal(mu: Double, sd: Double, n: Int, seed: Long): Seq[Double] = {
+    val r = new java.util.Random(seed)
+    Seq.fill(n)(mu + sd * r.nextGaussian())
+  }
+
+  test("golden: Poisson(15) vs Poisson(15) → no drift") {
+    val row = Drift.ksTest(
+      tagged(poisson(15, 1000, 1), poisson(15, 500, 2)), "v", "side", "a", "b")
+      .select("drift_detected", "p_value").head()
+    assert(!row.getBoolean(0), s"p=${row.getDouble(1)}")
+  }
+
+  test("golden: Poisson(15) vs Poisson(25) → drift (mean shift)") {
+    val row = Drift.ksTest(
+      tagged(poisson(15, 1000, 1), poisson(25, 500, 2)), "v", "side", "a", "b")
+      .select("drift_detected", "magnitude").head()
+    assert(row.getBoolean(0))
+    assert(Seq("large", "very large").contains(row.getString(1)))
+  }
+
+  test("golden: Normal(15,2) vs Normal(15,8) → drift (variance inflation)") {
+    val row = Drift.ksTest(
+      tagged(normal(15, 2, 1000, 3), normal(15, 8, 500, 4)), "v", "side", "a", "b")
+      .select("drift_detected").head()
+    assert(row.getBoolean(0))
+  }
 }
