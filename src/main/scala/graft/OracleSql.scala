@@ -107,6 +107,34 @@ object OracleSql {
       GROUP BY user_id, window_start
       ORDER BY user_id, window_start""",
 
+    "q_sessions" -> """
+      WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM o)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             count(*) AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
+    "x_sql_cosine" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+      FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
+      ORDER BY id_a""",
+
     "q_group_distribution" -> """
       WITH t AS (SELECT count(*) AS total FROM customer)
       SELECT c_nationkey, count(*) AS cnt,

@@ -63,6 +63,18 @@ object SparkEntry {
       WindowAgg.slidingFeatures(ev(s, dir))),
     "q_clickstream_hourly_approx" -> ((s, dir) =>   // 100 TB HLL variant; rows-only
       WindowAgg.hourlyFeaturesApprox(ev(s, dir))),
+    "q_sessions" -> ((s, dir) =>
+      Session.sessionWindows(Tables.events(s, dir), "user_id", "ts",
+        "30 minutes")),
+    "x_sql_cosine" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")
+      s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(cosine_similarity(CAST(a.embedding AS ARRAY<DOUBLE>),
+              |        CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS cos
+              |FROM emb_sql a JOIN emb_sql b ON a.vec_id + 1 = b.vec_id
+              |ORDER BY id_a""".stripMargin)
+    }),
     "q_group_distribution" -> ((s, dir) =>
       Stats.groupDistribution(Tables.customer(s, dir), "c_nationkey")),
     "q_numeric_summary" -> ((s, dir) =>

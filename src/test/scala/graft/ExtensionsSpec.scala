@@ -1,0 +1,34 @@
+package graft
+
+import graft.functions.{GraftExtensions, Native}
+import org.apache.spark.sql.functions._
+
+/** The native expressions are reachable from SQL after registration. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_similarity and minhash_signature callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c1,
+        |  cosine_similarity(array(1.0D, 0.0D), array(0.0D, 2.0D)) AS c0,
+        |  minhash_signature('a b c d', 3, 4) AS mh""".stripMargin).head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == 0.0)
+    assert(row.getSeq[Long](2).length == 4)
+  }
+
+  test("SQL result matches the column-API native expression") {
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "the quick brown fox")).toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT minhash_signature(text, 3, 8) AS mh FROM ext_docs")
+      .head().getSeq[Long](0)
+    val viaCol = docs.select(
+      Native.minhash_signature(col("text"), 3, 8).as("mh"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaCol)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Session
+
+/** Sessionization: built-in session_window vs the flatMapGroupsWithState
+  * implementation, plus gap boundary semantics.
+  */
+class SessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("built-in and custom-state sessionization agree on the corpus") {
+    val events = Tables.events(spark, sfDir)
+    val builtin = Session.sessionWindows(events, "user_id", "ts", "30 minutes")
+      .select($"user_id",
+        unix_micros($"session_start".cast("timestamp")).as("s"),
+        unix_micros($"session_end".cast("timestamp")).as("e"),
+        $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    implicit val s = spark
+    val stateful = Session.sessionizeWithState(
+        Session.toTyped(events, "user_id", "ts"), 30L * 60 * 1000000)
+      .map(x => (x.userId, x.startMicros, x.endMicros, x.nEvents))
+      .collect().toSet
+    assert(builtin == stateful)
+    assert(builtin.nonEmpty)
+  }
+
+  test("gap boundary: exactly-gap merges, beyond-gap splits") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val atGap = Seq((1L, ts(0), 1.0), (1L, ts(30), 1.0))
+      .toDF("user_id", "ts", "value")
+    assert(Session.sessionWindows(atGap, "user_id", "ts", "30 minutes")
+      .count() == 1) // inclusive: event at last+gap still merges
+    val beyond = Seq((1L, ts(0), 1.0), (1L, ts(31), 1.0))
+      .toDF("user_id", "ts", "value")
+    assert(Session.sessionWindows(beyond, "user_id", "ts", "30 minutes")
+      .count() == 2)
+  }
+
+  test("events within the gap merge into one session") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val df = Seq((1L, ts(0), 1.0), (1L, ts(29), 1.0), (1L, ts(58), 1.0))
+      .toDF("user_id", "ts", "value")
+    val out = Session.sessionWindows(df, "user_id", "ts", "30 minutes")
+      .select("n_events").as[Long].collect().toList
+    assert(out == List(3)) // each arrives within 30min of the last
+  }
+}
