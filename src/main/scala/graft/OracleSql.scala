@@ -266,6 +266,12 @@ object OracleSql {
              (SELECT count(*) FROM customer) =
                (SELECT count(DISTINCT c_custkey) FROM customer) AS passed""",
 
+    "q_quality_offenders" -> """
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_acctbal IS NOT NULL
+        AND NOT (c_acctbal >= 0.0 AND c_acctbal <= 9000.0)
+      ORDER BY c_custkey LIMIT 5""",
+
     "q_ks_drift" -> """
       WITH clean AS (
         SELECT value AS v, event_type FROM events

@@ -163,6 +163,10 @@ object SparkEntry {
           "FURNITURE", "HOUSEHOLD", "MACHINERY"))))),
     "q_unique_check" -> ((s, dir) =>
       Quality.uniqueReport(Tables.customer(s, dir), "c_custkey")),
+    "q_quality_offenders" -> ((s, dir) =>
+      Quality.offenders(
+          Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal"),
+          Quality.Between("c_acctbal", 0.0, 9000.0), "c_custkey", 5)),
 
     // ---- §2.7 drift detection ----------------------------------------------
     "q_ks_drift" -> ((s, dir) =>
