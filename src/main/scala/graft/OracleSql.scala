@@ -155,6 +155,11 @@ object OracleSql {
       SELECT o_custkey, o_orderdate AS feature_ts, o_totalprice, o_orderstatus
       FROM snap ORDER BY o_custkey""",
 
+    "q_incremental_snapshot" -> s"""
+      WITH $snapshotCte
+      SELECT o_custkey, o_orderdate AS feature_ts, o_totalprice, o_orderstatus
+      FROM snap ORDER BY o_custkey""",
+
     "q_freshness" -> """
       SELECT * FROM (
         SELECT 'events' AS feature_view_name, max(ts) AS last_updated_at,

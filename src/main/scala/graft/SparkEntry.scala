@@ -84,6 +84,22 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderdate").as("feature_ts"),
           col("o_totalprice"), col("o_orderstatus"))
         .orderBy("o_custkey")),
+    "q_incremental_snapshot" -> ((s, dir) => {
+      // materialize-incremental contract: fold the post-cutoff delta into
+      // the pre-cutoff snapshot; must equal the full-history snapshot
+      // (oracle = the same snapshot SQL as q_latest_snapshot)
+      val o = Tables.orders(s, dir)
+      val cutoff = "1999-01-01"
+      val base = Materialize.latestPerKey(
+        o.filter(col("o_orderdate") < lit(cutoff).cast("timestamp_ntz")),
+        "o_custkey", "o_orderdate", "o_orderkey")
+      val delta = o.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp_ntz"))
+      Materialize.incremental(base, delta, "o_custkey", "o_orderdate",
+          "o_orderkey")
+        .select(col("o_custkey"), col("o_orderdate").as("feature_ts"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_custkey")
+    }),
     "q_freshness" -> ((s, dir) =>
       Materialize.freshness(Seq(
         ("events", Tables.events(s, dir), "ts"),

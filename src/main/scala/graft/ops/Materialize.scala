@@ -34,6 +34,17 @@ object Materialize {
       .drop("__rn")
   }
 
+  /** A12 incremental: `feast materialize-incremental`'s contract
+    * (`README.md:124-127`, DAG step `feature_store_materialization.py:214-239`)
+    * — fold a batch of NEW feature rows into an existing online snapshot,
+    * keeping the newest row per key across both. Equivalent to
+    * `latestPerKey(full history)` but touches only |snapshot| + |delta|
+    * rows — the point of incremental materialization at scale.
+    */
+  def incremental(snapshot: DataFrame, delta: DataFrame, key: String,
+                  ts: String, tiebreak: String): DataFrame =
+    latestPerKey(snapshot.unionByName(delta), key, ts, tiebreak)
+
   /** A13: registry freshness — per feature view: last update + row count
     * (the `feature_freshness` table, `01-init-db.sql:22-27`).
     */

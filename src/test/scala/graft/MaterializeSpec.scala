@@ -40,6 +40,20 @@ class MaterializeSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.5)
   }
 
+  test("incremental materialization equals full-history snapshot (A12 inc)") {
+    val old = Materialize.latestPerKey(history, "user_id", "fts", "seq")
+    val delta = Seq(
+      (1L, ts("2024-01-03 00:00:00"), 99.0, 200L),  // newer → replaces
+      (3L, ts("2024-01-01 00:00:00"), 70.0, 201L)   // new entity → appears
+    ).toDF("user_id", "fts", "fval", "seq")
+    val inc = Materialize.incremental(old, delta, "user_id", "fts", "seq")
+    val full = Materialize.latestPerKey(history.unionByName(delta),
+      "user_id", "fts", "seq")
+    assert(inc.collect().toSet == full.collect().toSet)
+    val vals = inc.select("user_id", "fval").as[(Long, Double)].collect().toMap
+    assert(vals == Map(1L -> 99.0, 2L -> 40.0, 3L -> 70.0))
+  }
+
   test("freshness reports max ts and row count per view (A13)") {
     val f = Materialize.freshness(Seq(("h", history, "fts")))
       .select("feature_view_name", "row_count").head()

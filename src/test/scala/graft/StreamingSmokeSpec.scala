@@ -51,4 +51,36 @@ class StreamingSmokeSpec extends SparkSpec {
         streamed.exceptAll(batchClosed).count() == 0)
     } finally q.stop()
   }
+
+  test("streaming parquet sink writes date-partitioned append output (S5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .collect().toSeq
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val q = Pipeline.parquetSink(Pipeline.streamingFeatures(sdf), out, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      stream.addData(rows)
+      // close all windows by pushing the watermark past the data
+      val last = rows.map(_._2.getTime).max
+      stream.addData(Seq((-1L,
+        new java.sql.Timestamp(last + 24L * 3600 * 1000), -1L, "view", 0.0,
+        "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() > 0)
+    assert(written.columns.contains("event_date")) // partition column
+    val dirs = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(dirs > 0)
+  }
 }
