@@ -290,6 +290,15 @@ object SparkEntry {
       Similarity.topKIvf(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", "label", 3)
     }),
+    "x_knn_learned_ivf" -> ((s, dir) => {   // MLlib KMeans codebook; rows-only
+      val emb = Tables.embeddings(s, dir)
+      MLBridge.learnedIvf(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), 3, nCells = 8)
+    }),
+    "x_minhash_mllib" -> ((s, dir) =>       // MLlib MinHashLSH; rows-only
+      MLBridge.minHashLSHNearDups(
+        Tables.documents(s, dir).filter(col("doc_id") < 60),
+        "doc_id", "text", 3, 0.99)),
     "x_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label", 0.4)),
