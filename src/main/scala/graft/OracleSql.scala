@@ -177,6 +177,26 @@ object OracleSql {
                / count(*), 6) AS coverage_ratio
       FROM customer c LEFT JOIN snap s ON c.c_custkey = s.o_custkey""",
 
+    "q_materialization_dag" -> """
+      WITH recent AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        ORDER BY d DESC LIMIT 7),
+      f AS (
+        SELECT e.* FROM events e JOIN recent r ON CAST(e.ts AS DATE) = r.d),
+      snap AS (
+        SELECT user_id, value AS feature_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+        WHERE rn = 1),
+      probes AS (
+        SELECT c_custkey AS user_id FROM customer WHERE c_custkey % 13 = 0)
+      SELECT count(*) AS probed,
+             CAST(sum(CASE WHEN s.feature_value IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS covered,
+             round(sum(CASE WHEN s.feature_value IS NOT NULL
+               THEN 1.0 ELSE 0.0 END) / count(*), 6) AS coverage_ratio
+      FROM probes p LEFT JOIN snap s ON p.user_id = s.user_id""",
+
     "q_asof_features" -> """
       WITH probes AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -721,6 +741,26 @@ object OracleSql {
              count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    "q_selective_revenue" -> """
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24""",
+
+    "q_regional_revenue" -> """
+      SELECT r.r_name, n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name ORDER BY r_name, n_name""",
 
     "q_revenue_by_segment" -> """
       SELECT c.c_mktsegment,

@@ -113,6 +113,24 @@ object SparkEntry {
       Materialize.coverage(probed, "o_totalprice")
     }),
 
+    "q_materialization_dag" -> ((s, dir) => {
+      // §3.2 end to end: partition probe (S11 fallback: last-7 partitions) →
+      // latest-per-key materialization (A12) → sampled point lookups (T2/J2)
+      // → non-null coverage (A14) — the reference's daily Airflow DAG as one
+      // declarative plan
+      val events = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      val recent = events.select("event_date").distinct()
+        .orderBy(col("event_date").desc).limit(7)
+      val filtered = events.join(broadcast(recent), Seq("event_date"))
+      val snap = Materialize.latestPerKey(filtered, "user_id", "ts", "event_id")
+        .select(col("user_id"), col("value").as("feature_value"))
+      val probes = Stats.probeSample(Tables.customer(s, dir), "c_custkey", 13)
+        .select(col("c_custkey").as("user_id"))
+      Materialize.coverage(
+        Retrieval.pointLookup(probes, snap, "user_id"), "feature_value")
+    }),
+
     // ---- §2.4 joins / point-in-time retrieval ------------------------------
     "q_asof_features" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -327,6 +345,30 @@ object SparkEntry {
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+    "q_selective_revenue" -> ((s, dir) =>
+      // TPC-H Q6 shape: tight filters pushed into the parquet scan
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n_rows"))),
+    "q_regional_revenue" -> ((s, dir) => {
+      // TPC-H Q5 shape: fact ⋈ fact ⋈ broadcast dimension chain
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
     "q_revenue_by_segment" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
