@@ -283,12 +283,13 @@ object OracleSql {
 
     "q_unique_check" -> """
       SELECT (SELECT count(*) FROM customer) AS total,
+             (SELECT count(c_custkey) FROM customer) AS non_null,
              (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
                AS distinct_values,
              (SELECT count(*) FROM (
-                SELECT c_custkey FROM customer GROUP BY c_custkey
-                HAVING count(*) > 1)) AS duplicate_keys,
-             (SELECT count(*) FROM customer) =
+                SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+                GROUP BY c_custkey HAVING count(*) > 1)) AS duplicate_keys,
+             (SELECT count(c_custkey) FROM customer) =
                (SELECT count(DISTINCT c_custkey) FROM customer) AS passed""",
 
     "q_quality_offenders" -> """
@@ -589,9 +590,13 @@ object OracleSql {
           SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      kept AS (
+        SELECT sh.* FROM sh JOIN (
+          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
+          ON sh.s = ok.s),
       inter AS (
         SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
-        FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+        FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
         GROUP BY l.doc_id, r.doc_id)
       SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
              CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
@@ -727,7 +732,7 @@ object OracleSql {
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              md5(text) AS content_md5,
-             CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+             substr(hex(encode(text)), 1, 2) AS first_byte_hex
       FROM documents ORDER BY doc_id""",
 
     "q_lineitem_pricing" -> """

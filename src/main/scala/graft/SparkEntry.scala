@@ -120,8 +120,7 @@ object SparkEntry {
       // declarative plan
       val events = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
-      val recent = events.select("event_date").distinct()
-        .orderBy(col("event_date").desc).limit(7)
+      val recent = Stats.recentPartitions(events, "event_date", 7)
       val filtered = events.join(broadcast(recent), Seq("event_date"))
       val snap = Materialize.latestPerKey(filtered, "user_id", "ts", "event_id")
         .select(col("user_id"), col("value").as("feature_value"))
@@ -276,7 +275,7 @@ object SparkEntry {
     "x_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
-        "doc_id", "text", 3, 0.02)),
+        "doc_id", "text", 3, 0.02, maxDf = 30)),
     "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
     "x_simhash" -> ((s, dir) =>            // xxhash64-based; rows-only

@@ -78,6 +78,7 @@ object Native {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true // NULL on dimension mismatch
 
     private def valueAt(a: ArrayData, et: DataType, i: Int): Double =
       et match {
@@ -89,9 +90,12 @@ object Native {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val la = l.asInstanceOf[ArrayData]
       val ra = r.asInstanceOf[ArrayData]
+      // dimension mismatch → NULL (a corrupt embedding must not produce a
+      // plausible similarity; matches zip_with's NULL on unequal lengths)
+      if (la.numElements() != ra.numElements()) return null
       val let = left.dataType.asInstanceOf[ArrayType].elementType
       val ret = right.dataType.asInstanceOf[ArrayType].elementType
-      val len = math.min(la.numElements(), ra.numElements())
+      val len = la.numElements()
       var dot = 0.0; var nl = 0.0; var nr = 0.0
       var i = 0
       while (i < len) {

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * Scale posture:
   * - exact dedup: one shuffle on the content hash (not the content);
   * - Jaccard: explode shingles → self-join ON shingle → pair counts. Join
-  *   fan-out is bounded by shingle-bucket sizes, not corpus²; stop-shingle
-  *   capping (drop shingles with > maxDf docs) bounds hot buckets at scale;
+  *   fan-out is bounded by shingle-bucket sizes, not corpus²; the `maxDf`
+  *   stop-shingle cap drops shingles shared by more than maxDf docs so hot
+  *   buckets stay bounded at scale;
   * - MinHash/LSH: signatures are fixed-width per doc (one narrow pass);
   *   banding buckets candidates so verification touches only same-bucket
   *   pairs — the standard sub-quadratic near-dup pipeline;
@@ -58,11 +59,22 @@ object Dedup {
     * pure shuffle plan whose cost is Σ bucket², not corpus².
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
+                   n: Int, threshold: Double,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("s"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("l").join(sh.as("r"), col("l.s") === col("r.s"))
+    // stop-shingle cap: a shingle in more than maxDf docs (boilerplate, a
+    // common phrase) would contribute df² join rows; dropping it bounds the
+    // self-join at Σ min(df, maxDf)². Doc sizes are computed BEFORE the cap
+    // so Jaccard denominators stay exact for surviving pairs.
+    val kept =
+      if (maxDf == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("s"),
+        Seq("s"), "left_semi")
+    val inter = kept.as("l").join(kept.as("r"), col("l.s") === col("r.s"))
       .filter(col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

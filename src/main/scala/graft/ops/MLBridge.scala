@@ -27,23 +27,31 @@ object MLBridge {
   private val toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))
 
-  /** Fit a seeded KMeans codebook and return (vec_id, cell) assignments. */
-  def learnedCells(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, seed: Long = 42L): DataFrame = {
-    val feat = emb.select(col(idCol), toVec(col(vecCol)).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
-      .fit(feat)
-    model.transform(feat)
-      .select(col(idCol), col("prediction").as("cell"))
+  /** Fit a seeded KMeans codebook on the corpus. */
+  def fitCodebook(emb: DataFrame, vecCol: String, k: Int,
+                  seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel = {
+    val feat = emb.select(toVec(col(vecCol)).as("features"))
+    new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feat)
   }
 
-  /** ANN over the learned quantizer: assign cells, then cell-local top-k. */
+  /** Assign ANY vector set to its nearest codebook centroid — queries need
+    * not be part of the indexed corpus (the normal ANN serving case).
+    */
+  def assignCells(model: org.apache.spark.ml.clustering.KMeansModel,
+                  df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    model.transform(
+        df.select(col(idCol), col(vecCol), toVec(col(vecCol)).as("features")))
+      .select(col(idCol), col(vecCol), col("prediction").as("cell"))
+
+  /** ANN over the learned quantizer: one fitted codebook assigns both the
+    * corpus and the (possibly unseen) probe vectors; search is cell-local.
+    */
   def learnedIvf(emb: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, k: Int, nCells: Int): DataFrame = {
-    val cells = learnedCells(emb, idCol, vecCol, nCells)
-    val withCells = emb.join(cells, idCol)
-    val queryCells = queries.join(cells, idCol)
-    Similarity.topKIvf(queryCells, withCells, idCol, vecCol, "cell", k)
+    val model = fitCodebook(emb, vecCol, nCells)
+    val corpus = assignCells(model, emb, idCol, vecCol)
+    val probes = assignCells(model, queries, idCol, vecCol)
+    Similarity.topKIvf(probes, corpus, idCol, vecCol, "cell", k)
   }
 
   /** MLlib MinHashLSH near-dup join over binary shingle vectors. */

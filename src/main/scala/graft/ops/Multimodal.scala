@@ -43,8 +43,9 @@ object Multimodal {
         col(idCol),
         col("n_bytes"),
         md5(col("payload")).as("content_md5"),
-        conv(substring(hex(col("payload")), 1, 2), 16, 10).cast("int")
-          .as("first_byte"))
+        // first BYTE as hex — not a code point, so multi-byte UTF-8 content
+        // hashes/compares identically in any engine
+        substring(hex(col("payload")), 1, 2).as("first_byte_hex"))
       .orderBy(col(idCol))
 
   /** The decode stage: `mapPartitions` over binary payloads. A real codec

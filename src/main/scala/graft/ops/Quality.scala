@@ -76,16 +76,21 @@ object Quality {
   }
 
   /** Q4: ExpectColumnValuesToBeUnique (`data_quality_checks.py:67`) — keyed
-    * aggregate; returns (total, distinct, duplicate_keys, passed).
+    * aggregate; returns (total, non_null, distinct_values, duplicate_keys,
+    * passed). GE's uniqueness ignores NULLs, so `passed` compares the
+    * NON-NULL count to the distinct count (a nullable-but-unique column
+    * passes); NotNull is a separate rule.
     */
   def uniqueReport(df: DataFrame, column: String): DataFrame = {
-    val dups = df.groupBy(col(column)).count().filter(col("count") > 1)
+    val dups = df.filter(col(column).isNotNull)
+      .groupBy(col(column)).count().filter(col("count") > 1)
     df.agg(
       count(lit(1)).as("total"),
+      count(col(column)).as("non_null"),
       countDistinct(col(column)).as("distinct_values")
     ).crossJoin(
       dups.agg(count(lit(1)).as("duplicate_keys"))
-    ).withColumn("passed", col("total") === col("distinct_values"))
+    ).withColumn("passed", col("non_null") === col("distinct_values"))
   }
 
   /** Sample offenders for a rule (`data_quality_checks.py:94-134`), bounded

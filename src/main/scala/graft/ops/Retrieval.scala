@@ -71,17 +71,21 @@ object Retrieval {
       .orderBy(col("__ts").asc, col("__isProbe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = featureCols.foldLeft(
-      unioned.withColumn("__lastFts", last(col("__fts"), ignoreNulls = true).over(w))
-    ) { (df, c) =>
-      df.withColumn(s"__v_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    // Carry the newest feature ROW as one struct: per-column last(ignoreNulls)
+    // would backfill a NULL value in the newest row from an older row —
+    // fabricating a (value, feature_ts) pair that never existed. The struct
+    // is non-null whenever __fts is, so the newest row wins as a unit and
+    // its NULL fields stay NULL (matches DuckDB ASOF semantics).
+    val rowStruct = when(col("__fts").isNotNull,
+      struct(col("__fts").as("fts") +: featureCols.map(col): _*))
+    val carried = unioned
+      .withColumn("__lastRow", last(rowStruct, ignoreNulls = true).over(w))
 
-    val inTtl = col("__lastFts").isNotNull &&
-      col("__lastFts") >= col("__ts") - expr(ttl)
+    val inTtl = col("__lastRow").isNotNull &&
+      col("__lastRow.fts") >= col("__ts") - expr(ttl)
     val out = featureCols.foldLeft(carried.filter(col("__isProbe") === 1)) {
-      (df, c) => df.withColumn(c, when(inTtl, col(s"__v_$c")))
-    }.withColumn("feature_ts", when(inTtl, col("__lastFts")))
+      (df, c) => df.withColumn(c, when(inTtl, col(s"__lastRow.$c")))
+    }.withColumn("feature_ts", when(inTtl, col("__lastRow.fts")))
     out.select((probeCols ++ featureCols :+ "feature_ts").map(col): _*)
   }
 

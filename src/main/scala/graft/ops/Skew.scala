@@ -18,6 +18,13 @@ object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched dim row once per salt
+    // replica — only fact-preserving join types are equivalent to the
+    // plain join under replication
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(jt),
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
     // deterministic salt: spread rows without an RNG (partition-stable)
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(buckets))

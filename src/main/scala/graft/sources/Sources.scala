@@ -51,10 +51,11 @@ object Sources {
     spark.read.parquet(root).where(col(dateCol) === lit(date).cast("date"))
 
   /** S11 probe: the newest N partition values, from partition metadata only
-    * (`sorted(partitions)[-7:]` in the reference).
+    * (`sorted(partitions)[-7:]` in the reference). Delegates to the shared
+    * tail operator — over a partitioned root the distinct comes from the
+    * partition listing, no file contents are read.
     */
   def recentPartitions(spark: SparkSession, root: String, dateCol: String,
                        n: Int): DataFrame =
-    spark.read.parquet(root).select(col(dateCol)).distinct()
-      .orderBy(col(dateCol).desc).limit(n)
+    graft.ops.Stats.recentPartitions(spark.read.parquet(root), dateCol, n)
 }

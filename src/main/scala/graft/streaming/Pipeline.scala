@@ -7,10 +7,12 @@ import org.apache.spark.sql.Row
 
 /** Structured-Streaming wrapper around the batch operators (SURVEY.md §2.1
   * S1/S5/S6 + §2.3 A1) — the reference's streaming pipeline
-  * (`spark/apps/clickstream_aggregation.py:204-231`) re-expressed so that
-  * the SAME pure transform (`graft.ops.WindowAgg`) runs in both batch and
-  * streaming; the wrapper only adds source, watermark and sink. Batch ≡
-  * stream for closed windows is asserted in the MemoryStream smoke spec.
+  * (`spark/apps/clickstream_aggregation.py:204-231`). The parse stage
+  * (`Parse.parseEvents`) is shared verbatim with batch; the aggregation is
+  * the streaming-safe projection of the flagship (see `streamingFeatures` —
+  * exact distincts become HLL sketches, everything else is the same
+  * expression). Batch ≡ stream for closed windows is asserted in the
+  * MemoryStream smoke spec.
   */
 object Pipeline {
 
@@ -24,6 +26,12 @@ object Pipeline {
   /** The streaming flagship: watermarked sliding-window aggregation over a
     * streaming events frame (from Kafka, rate source, file source, or
     * MemoryStream — the transform does not care).
+    *
+    * This is the streaming-SAFE projection of `WindowAgg.slidingFeatures`,
+    * not a call to it: exact `countDistinct` is unsupported in streaming
+    * aggregations, so the distinct column uses the mergeable HLL sketch
+    * (`approx_count_distinct`) — the same 100 TB substitution documented in
+    * SURVEY.md §7.2; the remaining aggregates are identical expressions.
     */
   def streamingFeatures(events: DataFrame): DataFrame = {
     // watermarks require TIMESTAMP (not NTZ); session is pinned UTC so the
@@ -36,11 +44,12 @@ object Pipeline {
       .agg(
         count(lit(1)).as("total_events"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click_count"),
+        approx_count_distinct(col("k")).as("unique_k_approx"),
         sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
           .as("total_revenue"))
       .select(col("user_id"), col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("total_events"),
-        col("click_count"), col("total_revenue"))
+        col("click_count"), col("unique_k_approx"), col("total_revenue"))
   }
 
   /** S5: date-partitioned parquet append sink with a processing-time

@@ -58,4 +58,21 @@ class AsOfJoinSpec extends SparkSpec {
       .toDF("event_id", "user_id", "ts")
     assert(asOf(probes)(105L).isEmpty)
   }
+
+  test("NULL value in the newest in-TTL feature row is NOT backfilled") {
+    // newest row (day5) has v=NULL: point-in-time correct answer is NULL,
+    // not the older day1 value (that pair never existed at probe time)
+    val fs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(5.0)),
+      (1L, ts("2024-01-05 00:00:00"), None)
+    ).toDF("user_id", "fts", "fval")
+    val probes = Seq((201L, 1L, ts("2024-01-06 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = Retrieval.asOfJoin(probes, fs, "user_id", "ts", "fts",
+        "INTERVAL 7 DAYS", Seq("fval"))
+      .select("event_id", "fval", "feature_ts")
+      .as[(Long, Option[Double], Option[java.sql.Timestamp])].head()
+    assert(out._2.isEmpty)
+    assert(out._3.contains(ts("2024-01-05 00:00:00"))) // newest row matched
+  }
 }

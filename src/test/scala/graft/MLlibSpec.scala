@@ -22,6 +22,16 @@ class MLlibSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("learned IVF serves query vectors NOT in the indexed corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // synthesize unseen probes: corpus vectors under fresh ids
+    val unseen = emb.filter($"vec_id" < 2)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val out = MLBridge.learnedIvf(emb, "vec_id", "embedding",
+      unseen, 3, nCells = 4)
+    assert(out.select("query_id").distinct().count() == 2)
+  }
+
   test("MLlib MinHashLSH agrees with native Jaccard on the clearest pair") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and then naps"),

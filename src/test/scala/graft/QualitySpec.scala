@@ -50,6 +50,14 @@ class QualitySpec extends SparkSpec {
     assert(row.getLong(2) == 1 && !row.getBoolean(3))
   }
 
+  test("uniqueness ignores NULLs (GE semantics): nullable-but-unique passes") {
+    val df = Seq(Some("a"), Some("b"), None).toDF("user_id")
+    val row = Quality.uniqueReport(df, "user_id")
+      .select("total", "non_null", "distinct_values", "passed").head()
+    assert(row.getLong(0) == 3 && row.getLong(1) == 2 && row.getLong(2) == 2)
+    assert(row.getBoolean(3)) // NULL is NotNull's job, not uniqueness's
+  }
+
   test("report quality tallies are additive under union (property)") {
     val doubled = Quality.report(dirty.unionAll(dirty), rules)
       .select("rule", "unexpected_count")
