@@ -43,11 +43,12 @@ object Session {
   final case class Sess(userId: Long, startMicros: Long, endMicros: Long,
                         nEvents: Long, sessionValue: Double)
 
-  /** Custom-state sessionization on KeyValueGroupedDataset — same output as
-    * `sessionWindows` (modulo the gap parameterization) with explicit state
-    * handling. Streaming callers must `withWatermark` upstream and use
-    * OutputMode.Append; batch callers get each group once (iterator holds
-    * the whole group — per-key volume, not corpus volume).
+  /** Custom-state sessionization, BATCH form — same output as
+    * `sessionWindows` with explicit session logic. Each group is processed
+    * once with the whole group in the iterator (per-key volume, not corpus
+    * volume); state is cleared, so this function is NOT streaming-correct
+    * (a session spanning micro-batches would be emitted twice) — streaming
+    * callers use `sessionizeStream` below.
     */
   def sessionizeWithState(events: Dataset[Ev], gapMicros: Long): Dataset[Sess] = {
     import events.sparkSession.implicits._
@@ -80,6 +81,65 @@ object Session {
             out += Sess(userId, start, last + gapMicros, n,
               math.round(v * 100) / 100.0)
             out.iterator
+          }
+      }
+  }
+
+  /** Streaming event with a real timestamp column (watermarkable). */
+  final case class SEv(userId: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Custom-state sessionization, STREAMING form: open sessions persist in
+    * GroupState across micro-batches; a session is emitted (Append mode)
+    * only once the event-time watermark passes its end, either because new
+    * events for the key arrive or via the event-time timeout. Caller must
+    * `withWatermark("ts", ...)` upstream.
+    *
+    * Closing rule: a session with end == watermark can still be extended
+    * (an event at exactly last+gap merges, and events at ts >= watermark
+    * are still admissible), so only sessions with end < watermark close.
+    */
+  def sessionizeStream(events: Dataset[SEv], gapMicros: Long): Dataset[Sess] = {
+    import events.sparkSession.implicits._
+
+    def split(sorted: List[Ev]): List[Sess] = {
+      val out = scala.collection.mutable.ListBuffer[Sess]()
+      var start = sorted.head.tsMicros
+      var last = start; var n = 0L; var v = 0.0
+      sorted.foreach { e =>
+        if (n > 0 && e.tsMicros - last > gapMicros) {
+          out += Sess(sorted.head.userId, start, last + gapMicros, n,
+            math.round(v * 100) / 100.0)
+          start = e.tsMicros; n = 0; v = 0.0
+        }
+        last = e.tsMicros; n += 1; v += e.value
+      }
+      out += Sess(sorted.head.userId, start, last + gapMicros, n,
+        math.round(v * 100) / 100.0)
+      out.toList
+    }
+
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[List[Ev], Sess](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[SEv], state: GroupState[List[Ev]]) =>
+          val incoming = it.map(e =>
+            Ev(userId, e.ts.getTime * 1000L, e.value)).toList
+          val buffered = state.getOption.getOrElse(Nil) ++ incoming
+          if (buffered.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val sessions = split(buffered.sortBy(e => (e.tsMicros, e.value)))
+            val (closed, open) = sessions.partition(_.endMicros < wmMicros)
+            if (open.isEmpty) state.remove()
+            else {
+              // keep the raw events of still-open sessions; wake up when
+              // the watermark passes the earliest open session end
+              val openStart = open.map(_.startMicros).min
+              state.update(buffered.filter(_.tsMicros >= openStart))
+              state.setTimeoutTimestamp(open.map(_.endMicros).min / 1000L + 1L)
+            }
+            closed.iterator
           }
       }
   }

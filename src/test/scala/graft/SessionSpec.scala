@@ -38,6 +38,40 @@ class SessionSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("streaming sessionization carries open sessions across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[Session.SEv]
+    val sessions = Session.sessionizeStream(
+      stream.toDS().withWatermark("ts", "0 seconds"), 30L * 60 * 1000000)
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events of one session
+      stream.addData(Session.SEv(1L, ts(0), 1.0), Session.SEv(1L, ts(10), 1.0))
+      q.processAllAvailable()
+      // batch 2: extends the SAME session (within gap of ts=10)
+      stream.addData(Session.SEv(1L, ts(20), 1.0))
+      q.processAllAvailable()
+      // push the watermark far past the session end, then let the
+      // event-time timeout fire in a follow-up batch
+      stream.addData(Session.SEv(99L, ts(100000), 0.0))
+      q.processAllAvailable()
+      stream.addData(Session.SEv(99L, ts(200000), 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sess_stream")
+        .filter($"userId" === 1L)
+        .select("startMicros", "endMicros", "nEvents")
+        .as[(Long, Long, Long)].collect().toList
+      // ONE session [t0, t20+gap) with all 3 events — not two overlapping
+      // fragments (the bug this spec guards against)
+      assert(out == List((ts(0).getTime * 1000L,
+        ts(20).getTime * 1000L + 30L * 60 * 1000000, 3L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("events within the gap merge into one session") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val df = Seq((1L, ts(0), 1.0), (1L, ts(29), 1.0), (1L, ts(58), 1.0))
