@@ -31,7 +31,9 @@ object MLBridge {
   def fitCodebook(emb: DataFrame, vecCol: String, k: Int,
                   seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel = {
     val feat = emb.select(toVec(col(vecCol)).as("features"))
-    new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feat)
+    // a coarse quantizer needs rough cells, not convergence — 10 iterations
+    // is the standard IVF training budget
+    new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(feat)
   }
 
   /** Assign ANY vector set to its nearest codebook centroid — queries need
@@ -54,10 +56,13 @@ object MLBridge {
     Similarity.topKIvf(probes, corpus, idCol, vecCol, "cell", k)
   }
 
-  /** MLlib MinHashLSH near-dup join over binary shingle vectors. */
+  /** MLlib MinHashLSH near-dup join over binary shingle vectors. The
+    * featurized table feeds the fit AND both join sides, so it is cached —
+    * without it the shingle+UDF pipeline runs three times.
+    */
   def minHashLSHNearDups(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int, maxDistance: Double): DataFrame = {
-    val spark = docs.sparkSession
+                         n: Int, maxDistance: Double,
+                         numHashTables: Int = 4): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       Dedup.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -68,14 +73,16 @@ object MLBridge {
       Vectors.sparse(dim, idx.toArray, Array.fill(idx.length)(1.0))
     })
     val feat = sh.select(col("id"), toSparse(col("sh")).as("features"))
-    val lsh = new MinHashLSH().setNumHashTables(8).setSeed(42L)
+      .cache()
+    val lsh = new MinHashLSH().setNumHashTables(numHashTables).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
     val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, maxDistance, "jaccard_dist")
+    val out = model.approxSimilarityJoin(feat, feat, maxDistance, "jaccard_dist")
       .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
         round(lit(1.0) - col("jaccard_dist"), 6).as("est_jaccard"))
       .filter(col("id_a") < col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
+    out
   }
 
   /** Feature-store → training handoff: assemble numeric features produced

@@ -50,6 +50,22 @@ object Sources {
                     date: String): DataFrame =
     spark.read.parquet(root).where(col(dateCol) === lit(date).cast("date"))
 
+  /** Bucketed co-located join: write both sides bucketed (+sorted) on the
+    * join key, then join the catalog tables — the plan carries NO shuffle
+    * exchange (verified in BucketingSpec). At 100 TB this is how repeated
+    * fact⋈fact joins on a stable key amortize their shuffle to write time:
+    * every subsequent join on the bucket key is exchange-free.
+    */
+  def bucketedCoLocatedJoin(spark: SparkSession, left: DataFrame,
+                            right: DataFrame, key: String, buckets: Int,
+                            leftName: String, rightName: String): DataFrame = {
+    left.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(leftName)
+    right.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(rightName)
+    spark.table(leftName).join(spark.table(rightName), Seq(key))
+  }
+
   /** S11 probe: the newest N partition values, from partition metadata only
     * (`sorted(partitions)[-7:]` in the reference). Delegates to the shared
     * tail operator — over a partitioned root the distinct comes from the
