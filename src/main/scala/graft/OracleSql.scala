@@ -212,6 +212,21 @@ object OracleSql {
         ON p.user_id = f.user_id AND p.ts >= f.fts
       ORDER BY p.event_id""",
 
+    "q_asof_native" -> """
+      WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      feats AS (
+        SELECT user_id, ts AS fts, max(value) AS last_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
+               THEN f.last_purchase_value END AS last_purchase_value,
+             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
+               THEN f.fts END AS feature_ts
+      FROM probes p ASOF LEFT JOIN feats f
+        ON p.user_id = f.user_id AND p.ts >= f.fts
+      ORDER BY p.event_id""",
+
     "q_point_lookup" -> s"""
       WITH $snapshotCte
       SELECT c.c_custkey, c.c_mktsegment AS customer__mktsegment,

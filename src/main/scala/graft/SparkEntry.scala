@@ -142,6 +142,23 @@ object SparkEntry {
           "INTERVAL 7 DAYS", Seq("last_purchase_value"))
         .orderBy("event_id")
     }),
+    "q_asof_native" -> ((s, dir) => {
+      // J1 via the custom LogicalPlan/Strategy/SparkPlan operator — checked
+      // against the SAME DuckDB ASOF oracle as the window formulation
+      val e = Tables.events(s, dir)
+      val probes = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val feats = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("fts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      Retrieval.asOfJoinNative(probes, feats, "user_id", "ts", "fts",
+          7L * 86400L * 1000000L)
+        .toDF("event_id", "user_id", "ts", "f_user", "feature_ts",
+          "last_purchase_value")
+        .select("event_id", "user_id", "ts", "last_purchase_value",
+          "feature_ts")
+        .orderBy("event_id")
+    }),
     "q_point_lookup" -> ((s, dir) => {
       val keys = Stats.probeSample(Tables.customer(s, dir), "c_custkey", 7)
         .select(col("c_custkey"), col("c_mktsegment"))

@@ -89,6 +89,30 @@ object Retrieval {
     out.select((probeCols ++ featureCols :+ "feature_ts").map(col): _*)
   }
 
+  /** J1 via the custom physical operator (`graft.plans.AsOfJoinExec`):
+    * same semantics as `asOfJoin` (proven equivalent in AsOfNativeSpec),
+    * planned as a co-partitioned sort-merge — demand clustering+ordering
+    * from Catalyst, stream-merge each partition. Output: all probe columns
+    * + all feature columns (nullable). Requires features unique per
+    * (key, featureTs), like `asOfJoin`.
+    */
+  def asOfJoinNative(probes: DataFrame, features: DataFrame, key: String,
+                     probeTs: String, featureTs: String,
+                     ttlMicros: Long): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val spark = probes.sparkSession
+    GraftSqlBridge.injectStrategy(spark, graft.plans.AsOfJoinStrategy)
+    require(probes.columns.contains(key) && probes.columns.contains(probeTs),
+      s"probe side needs $key/$probeTs")
+    require(features.columns.contains(key) &&
+      features.columns.contains(featureTs),
+      s"feature side needs $key/$featureTs")
+    GraftSqlBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      GraftSqlBridge.analyzedPlan(probes),
+      GraftSqlBridge.analyzedPlan(features),
+      key, probeTs, featureTs, ttlMicros))
+  }
+
   /** J2: online point lookup — `get_online_features`
     * (`scripts/inference_service.py:76-105`): key set, LEFT-joined against the
     * latest-per-key snapshot (A12), missing entities kept as NULL rows.

@@ -19,4 +19,22 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(id, info, builder)
+
+  def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Register a planner strategy on a LIVE session (extensions normally do
+    * this at session build; tests inject into the running one).
+    */
+  def injectStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    if (!ss.experimental.extraStrategies.contains(strategy))
+      ss.experimental.extraStrategies =
+        ss.experimental.extraStrategies :+ strategy
+  }
 }
