@@ -295,6 +295,9 @@ object SparkEntry {
         "doc_id", "text", 3, 0.02, maxDf = 30)),
     "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
+    "x_neardups_verified" -> ((s, dir) =>  // LSH propose + exact verify; rows-only
+      Dedup.nearDupsVerified(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.01)),
     "x_simhash" -> ((s, dir) =>            // xxhash64-based; rows-only
       Dedup.simHash(Tables.documents(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")),

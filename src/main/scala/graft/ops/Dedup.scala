@@ -145,6 +145,32 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The full production near-dup pipeline: MinHash+LSH proposes candidate
+    * pairs (sub-quadratic, recall-oriented), then EXACT Jaccard verifies
+    * each candidate (precision) — exact similarity is computed only for
+    * |candidates| pairs, never corpus². This is the 100 TB shape: banding
+    * bounds the pair space, verification cost is proportional to what the
+    * bands surface.
+    */
+  def nearDupsVerified(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                       threshold: Double = 0.3): DataFrame = {
+    val cand = minHashNearDups(docs, idCol, textCol, n, numHashes, bands,
+      threshold = 0.0) // take every banded candidate; verify exactly below
+      .select(col("id_a"), col("id_b"))
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+    verified.select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash: 64-bit fingerprint = sign-aggregated bit votes of token
     * hashes; near-dups have small Hamming distance. One narrow pass.
     */

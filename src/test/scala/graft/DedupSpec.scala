@@ -51,6 +51,21 @@ class DedupSpec extends SparkSpec {
     assert(nd.contains((1L, 4L)))
   }
 
+  test("LSH-propose + exact-verify pipeline: near-dup found, verified score exact") {
+    val out = Dedup.nearDupsVerified(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // every surfaced pair carries the EXACT jaccard (not the estimate)
+    out.foreach { case (pair, j) => assert(exact.get(pair).contains(j)) }
+    assert(out.contains((1L, 4L)))
+  }
+
   test("simhash of near-dups has small hamming distance") {
     val fp = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -66,6 +66,19 @@ class DriftSpec extends SparkSpec {
     assert(row.getString(2) == "very large")
   }
 
+  test("sweep's per-feature KS agrees with the single-feature ksTest") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_type".isin("purchase", "view"))
+    val single = Drift.ksTest(events, "value", "event_type",
+        "purchase", "view")
+      .select("ks_stat").head().getDouble(0)
+    val swept = Drift.sweep(events.select($"event_type", $"value"),
+        "event_type", "purchase", "view", Seq("value"))
+      .filter($"feature" === "value")
+      .select("ks_stat").head().getDouble(0)
+    assert(single == swept)
+  }
+
   // D5: the reference's three golden scenarios (`drift_detection.py:289-328`):
   // same-Poisson → no drift; Poisson mean shift → drift; Normal variance
   // inflation → drift. Deterministic fixtures from seeded java.util.Random
