@@ -262,6 +262,15 @@ object OracleSql {
              round(avg(l_extendedprice), 6) AS avg_v
       FROM lineitem""",
 
+    "q_mode_per_key" -> """
+      SELECT user_id, event_type AS mode_value, cnt FROM (
+        SELECT user_id, event_type, count(*) AS cnt,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY count(*) DESC, event_type ASC) AS rn
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type)
+      WHERE rn = 1 ORDER BY user_id""",
+
     "q_recent_partitions" -> """
       SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
       ORDER BY event_date DESC LIMIT 7""",

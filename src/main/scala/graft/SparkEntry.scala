@@ -65,7 +65,7 @@ object SparkEntry {
       WindowAgg.hourlyFeaturesApprox(ev(s, dir))),
     "q_sessions" -> ((s, dir) =>
       Session.sessionWindows(Tables.events(s, dir), "user_id", "ts",
-        "30 minutes")),
+        "30 minutes").orderBy("user_id", "session_start")),
     "x_sql_cosine" -> ((s, dir) => {
       graft.functions.GraftExtensions.register(s)
       Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")
@@ -197,6 +197,8 @@ object SparkEntry {
       Stats.percentiles(Tables.lineitem(s, dir), "l_extendedprice")),
     "q_percentiles_approx" -> ((s, dir) =>   // sketch variant; rows-only
       Stats.percentilesApprox(Tables.lineitem(s, dir), "l_extendedprice")),
+    "q_mode_per_key" -> ((s, dir) =>
+      Stats.deterministicMode(Tables.events(s, dir), "user_id", "event_type")),
     "q_recent_partitions" -> ((s, dir) =>
       Stats.recentPartitions(
         Tables.events(s, dir).withColumn("event_date", to_date(col("ts"))),

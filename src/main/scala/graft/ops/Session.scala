@@ -37,7 +37,8 @@ object Session {
       .select(col(key), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"),
         col("session_value"))
-      .orderBy(col(key), col("session_start"))
+  // no terminal sort: the same transform must run under streaming append
+  // mode, where sorting is unsupported — batch callers order the output
 
   final case class Ev(userId: Long, tsMicros: Long, value: Double)
   final case class Sess(userId: Long, startMicros: Long, endMicros: Long,

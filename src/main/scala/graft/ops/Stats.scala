@@ -76,6 +76,25 @@ object Stats {
       round(max(col(valueCol)), 6).as("max_v"),
       sum(when(col(valueCol) > threshold, 1L).otherwise(0L)).as("above_threshold"))
 
+  /** A8 (deterministic mode): the reference approximates "primary referrer"
+    * with `first()` (`clickstream_aggregation.py:170`); the robust form is
+    * the true per-key mode with a total tiebreak (count desc, then value
+    * asc) — reproducible under any partitioning, expressible identically
+    * in the oracle (SURVEY.md §5.3/§7.2). One keyed count + one windowed
+    * pick; both shuffles are on the (key) / (key, value) axes.
+    */
+  def deterministicMode(df: DataFrame, key: String, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(key), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("cnt").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(key), col(valueCol).as("mode_value"), col("cnt"))
+      .orderBy(col(key))
+  }
+
   /** T4: most-recent-partitions tail (`feature_store_materialization.py:153`):
     * newest N distinct dates.
     */

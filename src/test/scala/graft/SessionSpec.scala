@@ -72,6 +72,32 @@ class SessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window works in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[Session.SEv]
+    val agg = Session.sessionWindows(
+      stream.toDS().withWatermark("ts", "0 seconds")
+        .toDF("user_id", "ts", "value"),
+      "user_id", "ts", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sw_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Session.SEv(1L, ts(0), 1.0), Session.SEv(1L, ts(10), 2.0))
+      q.processAllAvailable()
+      stream.addData(Session.SEv(1L, ts(20), 3.0))  // merges via state store
+      q.processAllAvailable()
+      stream.addData(Session.SEv(99L, ts(100000), 0.0)) // advance watermark
+      q.processAllAvailable()
+      stream.addData(Session.SEv(99L, ts(200000), 0.0)) // flush closed
+      q.processAllAvailable()
+      val out = spark.table("sw_stream").filter($"user_id" === 1L)
+        .select("n_events", "session_value").as[(Long, Double)].collect().toList
+      assert(out == List((3L, 6.0)), s"got $out") // one merged session
+    } finally q.stop()
+  }
+
   test("events within the gap merge into one session") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val df = Seq((1L, ts(0), 1.0), (1L, ts(29), 1.0), (1L, ts(58), 1.0))
