@@ -52,6 +52,28 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops cross-batch duplicates within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val deduped = stream.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0))
+      q.processAllAvailable()
+      // duplicate of event 1 arrives in a LATER micro-batch, within the
+      // watermark horizon — state must absorb it
+      stream.addData((1L, ts(2), 99.0), (3L, ts(3), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted.toList
+      assert(ids == List(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned append output (S5)") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
