@@ -329,9 +329,9 @@ object SparkEntry {
       Similarity.topKIvf(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", "label", 3)
     }),
-    "x_knn_learned_ivf" -> ((s, dir) => {   // MLlib KMeans codebook; rows-only
+    "x_knn_learned_ivf" -> ((s, dir) => {   // bounded-sample codebook; rows-only
       val emb = Tables.embeddings(s, dir)
-      MLBridge.learnedIvf(emb, "vec_id", "embedding",
+      Similarity.learnedIvf(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), 3, nCells = 8)
     }),
     "x_minhash_mllib" -> ((s, dir) =>       // MLlib MinHashLSH; rows-only

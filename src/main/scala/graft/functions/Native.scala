@@ -69,6 +69,48 @@ object Native {
     override def prettyName: String = "minhash_signature"
   }
 
+  /** Distinct word n-gram shingles of a document, first-occurrence order —
+    * semantically identical to
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+    * slice(split(trim(text), "\\s+"), i+1, n))))`, but one tight JVM loop
+    * per row instead of an interpreted closure per shingle (the HOF form
+    * re-slices the word array per element). Documents with fewer than `n`
+    * words yield an empty array, like the guarded HOF form.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+      if (words.length < n) return new GenericArrayData(Array.empty[Any])
+      val out = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "word_shingles"
+  }
+
   /** Cosine similarity of two float/double arrays, single pass, double
     * accumulation in element order — bit-identical to the
     * `aggregate(zip_with(...))` formulation it replaces (and hence to the
@@ -110,6 +152,52 @@ object Native {
     override def prettyName: String = "cosine_similarity"
   }
 
+  /** Nearest-centroid assignment against a small codebook carried in the
+    * expression itself (the broadcast-codebook IVF pattern: the quantizer
+    * is trained on a bounded sample, the assignment is this narrow map).
+    * Returns the argmin squared-L2 cell index, lowest index on ties;
+    * NULL on a dimension mismatch (corrupt embedding must not land in a
+    * plausible cell).
+    */
+  case class NearestCentroid(child: Expression,
+                             centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val len = a.numElements()
+      if (centroids.length == 0 || centroids(0).length != len) return null
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var dist = 0.0
+        var i = 0
+        while (i < len) {
+          val x = et match {
+            case FloatType  => a.getFloat(i).toDouble
+            case DoubleType => a.getDouble(i)
+            case _ => throw new IllegalArgumentException(s"bad element type $et")
+          }
+          val dd = x - cent(i)
+          dist += dd * dd
+          i += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      best
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "nearest_centroid"
+  }
+
   // Spark 4 classic bridge: Column <-> catalyst Expression
   private def toExpr(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)
@@ -118,6 +206,12 @@ object Native {
 
   def minhash_signature(text: Column, n: Int, numHashes: Int): Column =
     toCol(MinHashSignature(toExpr(text), n, numHashes))
+
+  def word_shingles(text: Column, n: Int): Column =
+    toCol(WordShingles(toExpr(text), n))
+
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    toCol(NearestCentroid(toExpr(vec), centroids))
 
   def cosine_similarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))

@@ -43,8 +43,18 @@ object Dedup {
       countDistinct(fingerprint(col(textCol))).as("distinct_docs"))
       .withColumn("duplicate_docs", col("total_docs") - col("distinct_docs"))
 
-  /** Word n-gram shingles of a document, distinct. */
-  def shingles(textCol: Column, n: Int): Column = {
+  /** Word n-gram shingles of a document, distinct, first-occurrence order.
+    * Native expression (`graft.functions.Native.WordShingles`) — the HOF
+    * formulation (kept below for the DedupSpec equivalence test) pays an
+    * interpreted closure + array re-slice per shingle.
+    */
+  def shingles(textCol: Column, n: Int): Column =
+    graft.functions.Native.word_shingles(textCol, n)
+
+  /** The built-in-HOF formulation of [[shingles]]; DedupSpec asserts it is
+    * row-identical to the native expression.
+    */
+  def shinglesHof(textCol: Column, n: Int): Column = {
     val words = split(trim(textCol), "\\s+")
     array_distinct(
       when(size(words) >= n,
@@ -107,21 +117,15 @@ object Dedup {
     withSig.select(col("id") +: minCols: _*)
   }
 
-  /** MinHash + LSH banding: docs sharing any band bucket are candidate
-    * near-dups; candidates verified with exact Jaccard estimate
-    * (fraction of equal signature components).
+  /** LSH banding candidate pairs over a signature relation: docs sharing
+    * any band bucket, deduped. Slim bucket rows (id, band, bucket) go
+    * through the self-join; hot LSH buckets generate the same pair in
+    * several bands, hence the distinct. Carrying signatures through the
+    * bucket join instead would shuffle numHashes ints per collision row.
     */
-  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+  private def lshCandidatePairs(sig: DataFrame, numHashes: Int,
+                                bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
-    // Slim bucket rows (id, band, bucket) through the self-join, dedup the
-    // candidate PAIRS first (hot LSH buckets generate the same pair in
-    // several bands), then join the narrow signature relation back for
-    // verification. The signature build is shuffle-free, so the two
-    // verification joins are cheap; carrying signatures through the bucket
-    // join instead would shuffle numHashes ints per collision row.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
@@ -130,10 +134,23 @@ object Dedup {
     val buckets = sig.select(col("id"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = buckets.as("l").join(buckets.as("r"),
+    buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+  }
+
+  /** MinHash + LSH banding: docs sharing any band bucket are candidate
+    * near-dups; candidates verified with exact Jaccard estimate
+    * (fraction of equal signature components). The signature build is
+    * shuffle-free, so the two verification joins back to the narrow
+    * signature relation are cheap.
+    */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val cand = lshCandidatePairs(sig, numHashes, bands)
     val simExpr = (0 until numHashes).map(i =>
         when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1.0).otherwise(0.0))
       .reduce(_ + _) / numHashes.toDouble
@@ -155,9 +172,11 @@ object Dedup {
   def nearDupsVerified(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, numHashes: Int = 16, bands: Int = 8,
                        threshold: Double = 0.3): DataFrame = {
-    val cand = minHashNearDups(docs, idCol, textCol, n, numHashes, bands,
-      threshold = 0.0) // take every banded candidate; verify exactly below
-      .select(col("id_a"), col("id_b"))
+    // every banded candidate goes straight to exact verification — the
+    // signature-estimate pass adds nothing when exact Jaccard follows
+    val cand = lshCandidatePairs(
+      minHashSignatures(docs, idCol, textCol, n, numHashes),
+      numHashes, bands)
     val sh = docs.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
     val verified = cand

@@ -90,6 +90,79 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Train an IVF coarse-quantizer codebook on a BOUNDED deterministic
+    * sample, driver-side — the FAISS architecture: codebook training cost
+    * is fixed by `sampleCap` regardless of corpus size (the sample is a
+    * hash-ordered top-`sampleCap`, one distributed TakeOrdered), Lloyd's
+    * runs in microseconds locally, and the resulting centroids ship to
+    * executors inside the `NearestCentroid` expression. Contrast with
+    * fitting distributed KMeans on the full corpus: 10+ full-scan jobs to
+    * learn 8 cells nobody needs at full precision.
+    *
+    * Deterministic end to end: hash-ordered sample (ties broken by id),
+    * seeded init, lowest-index tie-break in assignment; empty cells keep
+    * their previous centroid.
+    */
+  def trainCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, sampleCap: Int = 4096, seed: Long = 42L,
+                    iters: Int = 20): Array[Array[Double]] = {
+    val sample = emb
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    val k = math.min(nCells, sample.length)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k).sorted
+      .map(i => sample(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestDist = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < dim) { val d = v(i) - centroids(c)(i); dist += d * d; i += 1 }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Learned IVF ANN: bounded-sample codebook (above) assigns both the
+    * corpus and the (possibly unseen) probe vectors to coarse cells via the
+    * broadcast `NearestCentroid` expression; search is cell-local
+    * (`topKIvf`). The 100 TB shape: one TakeOrdered for the sample, one
+    * narrow map for assignment, one keyed equi-join for search.
+    */
+  def learnedIvf(emb: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, k: Int, nCells: Int): DataFrame = {
+    val cb = trainCodebook(emb, idCol, vecCol, nCells)
+    def assign(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(vecCol),
+        graft.functions.Native.nearest_centroid(col(vecCol), cb).as("cell"))
+    topKIvf(assign(queries), assign(emb), idCol, vecCol, "cell", k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the IVF
     * cells to bound the pair space (id_a < id_b).
     */

@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((1L, 4L)))
   }
 
+  test("native word_shingles is row-identical to the HOF formulation") {
+    val edge = docs.union(Seq(
+      (5L, ""),                        // empty doc
+      (6L, "one two"),                 // fewer words than n
+      (7L, "a b c a b c a b c"),       // repeated shingles (distinct order)
+      (8L, "  padded   with   runs  ") // whitespace runs + padding
+    ).toDF("doc_id", "text"))
+    val both = edge.select(
+      Dedup.shingles($"text", 3).as("native"),
+      Dedup.shinglesHof($"text", 3).as("hof"))
+    assert(both.collect().forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("simhash of near-dups has small hamming distance") {
     val fp = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

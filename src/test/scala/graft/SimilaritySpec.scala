@@ -45,6 +45,31 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getInt(0) == 3 && row.getDouble(1) == 2.0)
   }
 
+  test("bounded-sample codebook IVF: deterministic, good recall vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.topKBruteForce(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val run1 = Similarity.learnedIvf(emb, "vec_id", "embedding", queries, 5, 4)
+      .select("query_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect().toList
+    val run2 = Similarity.learnedIvf(emb, "vec_id", "embedding", queries, 5, 4)
+      .select("query_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect().toList
+    assert(run1 == run2) // sample, init, and assignment all deterministic
+    val approx = run1.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall") // coarse 4-cell quantizer
+  }
+
+  test("codebook IVF serves query vectors NOT in the indexed corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val unseen = emb.filter($"vec_id" < 2)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val out = Similarity.learnedIvf(emb, "vec_id", "embedding", unseen, 3, 4)
+    assert(out.select("query_id").distinct().count() == 2)
+  }
+
   test("cosine near-dups finds the in-cell colinear pair only") {
     val nd = Similarity.cosineNearDups(vecs, "vec_id", "embedding", "label", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
