@@ -759,6 +759,65 @@ object OracleSql {
              substr(hex(encode(text)), 1, 2) AS first_byte_hex
       FROM documents ORDER BY doc_id""",
 
+    // deterministic splits / sampling: randomness is the shared minstd hash
+    "q_split_assign" -> s"""
+      SELECT c_custkey,
+             CASE WHEN u <= 0.8 THEN 'train'
+                  WHEN u <= 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT c_custkey, ${uk("c_custkey", 31)} AS u FROM customer)
+      ORDER BY c_custkey""",
+
+    "q_stratified_sample" -> s"""
+      WITH r AS (
+        SELECT event_id, event_type,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY ${uk("event_id", 33)}, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_id, event_type FROM r
+      WHERE rn <= ceil(n * 0.1) ORDER BY event_id""",
+
+    "q_quota_cap" -> """
+      WITH r AS (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT event_id, user_id, ts FROM r WHERE rn <= 3 ORDER BY event_id""",
+
+    "q_uniform_sample" -> s"""
+      SELECT c_custkey, c_name FROM (
+        SELECT c_custkey, c_name FROM customer
+        ORDER BY ${uk("c_custkey", 35)}, c_custkey LIMIT 100)
+      ORDER BY c_custkey""",
+
+    // mapPartitions decode stub: byte-exact oracle — bytes recovered from the
+    // hex dump two nibbles at a time (strpos against the hex alphabet), so
+    // the mean-intensity matches Spark's (b & 0xff) sum exactly
+    "x_decode_stub" -> """
+      WITH m AS (
+        SELECT doc_id AS id, CAST(octet_length(encode(text)) AS INTEGER) AS n,
+               hex(encode(text)) AS h
+        FROM documents
+      ), e AS (
+        SELECT id, n, unnest(range(0, n)) AS i, h FROM m WHERE n > 0
+      ), bytes AS (
+        SELECT id, n,
+          (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INTEGER), 1))-1)*16 +
+          (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INTEGER), 1))-1) AS v
+        FROM e
+      ), agg AS (
+        SELECT id, round(CAST(sum(v) AS DOUBLE)/n, 6) AS mean
+        FROM bytes GROUP BY id, n
+      )
+      SELECT m.id AS id, m.n AS n_bytes,
+             CAST(m.n % 640 + 1 AS INTEGER) AS fake_width,
+             CAST(m.n % 480 + 1 AS INTEGER) AS fake_height,
+             coalesce(agg.mean, 0.0) AS fake_mean_intensity
+      FROM m LEFT JOIN agg ON m.id = agg.id
+      ORDER BY id""",
+
     "q_lineitem_pricing" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

@@ -286,6 +286,27 @@ object SparkEntry {
       WindowAgg.referenceFeatures(Retrieval.enrich(evs, prof, "user_id"))
     }),
 
+    // ---- §7.4 sampling / deterministic splits ------------------------------
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.customer(s, dir).select("c_custkey"),
+          "c_custkey", Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
+        .orderBy("c_custkey")),
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+          Tables.events(s, dir).select("event_id", "event_type"),
+          "event_type", "event_id", 0.1)
+        .orderBy("event_id")),
+    "q_quota_cap" -> ((s, dir) =>
+      Sampling.quotaCap(
+          Tables.events(s, dir).select("event_id", "user_id", "ts"),
+          "user_id", Seq(col("ts").desc, col("event_id").desc), 3)
+        .orderBy("event_id")),
+    "q_uniform_sample" -> ((s, dir) =>
+      Sampling.uniformSample(
+          Tables.customer(s, dir).select("c_custkey", "c_name"),
+          "c_custkey", 100)
+        .orderBy("c_custkey")),
+
     // ---- §7.4 dedup --------------------------------------------------------
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
@@ -347,7 +368,7 @@ object SparkEntry {
       Multimodal.binaryFeatures(
         Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id")),
-    "x_decode_stub" -> ((s, dir) =>        // mapPartitions codec stub; rows-only
+    "x_decode_stub" -> ((s, dir) =>        // mapPartitions codec stub; byte-sum oracle
       Multimodal.decodeFeatures(s,
         Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id")),

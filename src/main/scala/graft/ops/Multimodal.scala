@@ -67,9 +67,11 @@ object Multimodal {
           if (bytes.isEmpty) 0.0
           else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
         (id, bytes.length, (bytes.length % 640) + 1, (bytes.length % 480) + 1,
-          math.round(mean * 1e6) / 1e6)
+          mean)
       }
     }.toDF("id", "n_bytes", "fake_width", "fake_height", "fake_mean_intensity")
+      // round with the SQL round (not math.round) for oracle parity
+      .withColumn("fake_mean_intensity", round(col("fake_mean_intensity"), 6))
       .orderBy(col("id"))
   }
 }
