@@ -631,6 +631,41 @@ object OracleSql {
       WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02
       ORDER BY id_a, id_b""",
 
+    // cluster resolution: Spark's iterative min-label propagation vs a
+    // DuckDB recursive-CTE transitive closure over the SAME pair list
+    "x_dedup_clusters" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 60),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      kept AS (
+        SELECT sh.* FROM sh JOIN (
+          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
+          ON sh.s = ok.s),
+      inter AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+        FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02),
+      nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+      SELECT id, CAST(min(r) AS BIGINT) AS component,
+             (id = min(r)) AS is_canonical
+      FROM reach GROUP BY id ORDER BY id""",
+
     "x_token_stats" -> """
       SELECT doc_id,
              CAST(length(text) AS INTEGER) AS n_chars,
@@ -751,6 +786,74 @@ object OracleSql {
                / (sqrt(list_inner_product(l.v, l.v))
                   * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.4
       ORDER BY id_a, id_b""",
+
+    "s_sorted_layout" -> """
+      SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value,
+             min(ts) AS min_ts, max(ts) AS max_ts
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'""",
+
+    // PII scrub over deterministically injected emails/phones/id runs;
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+    "x_pii_scrub" -> """
+      WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id
+                    || '@mail.example.com or +1 (555) 010-' || doc_id
+                    || ' ref 123456789' AS x
+        FROM documents)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(x,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g'),
+               '[0-9]{6,}', '<ID>', 'g') AS clean_text,
+             CAST(len(regexp_extract_all(x,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails,
+             CAST(len(regexp_extract_all(regexp_replace(x,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9() .-]{6,}[0-9]')) AS INTEGER) AS n_phones
+      FROM t ORDER BY doc_id""",
+
+    // vector transforms: components exploded so the oracle checks every
+    // element, not a summary
+    "x_vector_normalize" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM v),
+      e AS (SELECT vec_id, nrm, unnest(range(1, len(v)+1)) AS kk, v FROM n)
+      SELECT vec_id, CAST(kk - 1 AS INTEGER) AS idx,
+             round(CASE WHEN nrm <> 0 THEN v[kk] / nrm ELSE v[kk] END, 6) AS nval
+      FROM e ORDER BY vec_id, idx""",
+
+    "x_quantize_int8" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM v),
+      e AS (SELECT vec_id, sc, unnest(range(1, len(v)+1)) AS kk, v FROM s)
+      SELECT vec_id, CAST(kk - 1 AS INTEGER) AS idx,
+             CAST(round(CASE WHEN sc <> 0 THEN v[kk] * 127.0 / sc ELSE 0.0 END)
+               AS INTEGER) AS q,
+             round(sc, 6) AS scale
+      FROM e ORDER BY vec_id, idx""",
+
+    "x_quantized_ann" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM v),
+      q AS (SELECT vec_id, sc,
+              list_transform(range(1, len(v)+1),
+                kk -> CAST(round(CASE WHEN sc <> 0 THEN v[kk] * 127.0 / sc
+                                      ELSE 0.0 END) AS INTEGER)) AS qv
+            FROM s),
+      p AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+              round(list_inner_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+                    * a.sc * b.sc / 16129.0, 6) AS qcos
+            FROM q a JOIN q b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 5),
+      r AS (SELECT query_id, cand_id, qcos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY qcos DESC, cand_id) AS INTEGER) AS rank
+            FROM p)
+      SELECT query_id, cand_id, qcos, rank FROM r WHERE rank <= 3
+      ORDER BY query_id, rank""",
 
     "x_binary_features" -> """
       SELECT doc_id,

@@ -259,6 +259,20 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    "s_sorted_layout" -> ((s, dir) => {
+      // layout round trip: range-clustered sorted write, read back through a
+      // range predicate (file/row-group skipping path), aggregate — oracle
+      // is the same aggregate over the raw table
+      val root = graft.sources.Sources.sortedLayoutWrite(
+        Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+        "ts", 8)
+      s.read.parquet(root)
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-17").cast("timestamp_ntz"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    }),
     "s_partition_probe" -> ((s, dir) => {
       val withDate = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
@@ -316,6 +330,10 @@ object SparkEntry {
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
         "doc_id", "text", 3, 0.02, maxDf = 30)),
+    "x_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 60),
+          "doc_id", "text", 3, 0.02, maxDf = 30).select("id_a", "id_b"))),
     "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
     "x_neardups_verified" -> ((s, dir) =>  // LSH propose + exact verify; rows-only
@@ -336,6 +354,18 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")),
     "x_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
+    "x_pii_scrub" -> ((s, dir) => {
+      // deterministic PII injection so the scrub exercises on every row
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or +1 (555) 010-"), col("doc_id"),
+        lit(" ref 123456789"))
+      val (ne, np) = TextAnalysis.piiCounts(injected)
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.scrubPii(injected).as("clean_text"),
+          ne.as("n_emails"), np.as("n_phones"))
+        .orderBy("doc_id")
+    }),
 
     // ---- §7.4 similarity search --------------------------------------------
     "x_vector_stats" -> ((s, dir) =>
@@ -362,6 +392,24 @@ object SparkEntry {
     "x_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label", 0.4)),
+
+    "x_vector_normalize" -> ((s, dir) =>
+      Similarity.l2Normalize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("nvec")).as(Seq("idx", "nval")))
+        .withColumn("nval", round(col("nval"), 6))
+        .orderBy("vec_id", "idx")),
+    "x_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("idx", "q")))
+        .select(col("vec_id"), col("idx"), col("q"),
+          round(col("scale"), 6).as("scale"))
+        .orderBy("vec_id", "idx")),
+    "x_quantized_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKQuantized(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", 3)
+    }),
 
     // ---- §7.4 multimodal columns -------------------------------------------
     "x_binary_features" -> ((s, dir) =>

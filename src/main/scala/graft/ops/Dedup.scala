@@ -190,6 +190,61 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over an undirected pair list (the dedup-cluster
+    * resolution step that turns pairwise near-dup hits into groups):
+    * iterative min-label propagation — every node repeatedly adopts the
+    * smallest component id among itself and its neighbours until a fixed
+    * point. Returns (id, component) with component = min reachable id.
+    *
+    * Scale posture: each superstep is ONE shuffle keyed on node id
+    * (edges ⋈ labels → union → min-groupBy); the driver loop only runs
+    * `count` actions (convergence check), never collects data. Supersteps
+    * needed = graph diameter — near-dup graphs are overwhelmingly tiny
+    * stars/cliques, so 3-5 in practice. Each iteration's result is
+    * CHECKPOINTED (lineage truncated to a materialized leaf) — without
+    * that, each superstep's plan embeds the previous one twice and the
+    * logical plan grows exponentially. A production run would use
+    * reliable `checkpoint` to HDFS instead of `localCheckpoint`, and
+    * switch to large-star/small-star if a pathological high-diameter
+    * component shows up.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val half = pairs.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val prop = edges.as("e")
+        .join(labels.as("l"), col("e.src") === col("l.id"))
+        .select(col("e.dst").as("id"), col("l.component").as("component"))
+        .union(labels)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      changed = prop.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") < col("o.component"))
+        .count()
+      labels = prop
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup pairs → cluster assignments: component id plus whether the
+    * node is its cluster's canonical (kept) representative.
+    */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame =
+    connectedComponents(pairs, idA, idB)
+      .withColumn("is_canonical", col("id") === col("component"))
+      .orderBy("id")
+
   /** SimHash: 64-bit fingerprint = sign-aggregated bit votes of token
     * hashes; near-dups have small Hamming distance. One narrow pass.
     */

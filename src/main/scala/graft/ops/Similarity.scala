@@ -90,6 +90,64 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** L2-normalized copy of the embedding column (zero vectors pass through
+    * unchanged rather than dividing by zero — ANSI-safe).
+    */
+  def l2Normalize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = d(col(vecCol))
+    emb.select(col(idCol), v.as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nvec",
+        when(col("nrm") =!= 0.0, transform(col("v"), _ / col("nrm")))
+          .otherwise(col("v")))
+      .select(col(idCol), col("nvec"))
+  }
+
+  /** Per-vector symmetric int8 quantization: scale = max |component|,
+    * q_i = round(127·x_i / scale) — the storage layout that cuts an
+    * embedding corpus 4× (float32 → int8 + one float scale) and lets ANN
+    * first-pass scoring run on integer dot products. Zero vectors quantize
+    * to zeros with scale 0.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = d(col(vecCol))
+    emb.select(col(idCol), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), abs(_))))
+      .withColumn("qvec",
+        when(col("scale") =!= 0.0,
+          transform(col("v"), x => round(x * lit(127.0) / col("scale")).cast("int")))
+        .otherwise(transform(col("v"), _ => lit(0))))
+      .select(col(idCol), col("scale"), col("qvec"))
+  }
+
+  /** ANN top-k over the int8-quantized corpus: integer dot product
+    * rescaled by the two quantization scales approximates the raw dot
+    * (for L2-normalized inputs, the cosine). Ranking uses the ROUNDED
+    * score with an id tiebreak so results are engine-independent. The
+    * 100 TB first-pass: 4× less scan bandwidth, integer multiply-adds,
+    * exact re-scoring only for the survivors.
+    */
+  def topKQuantized(queries: DataFrame, candidates: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("scale").as("sq"), col("qvec").as("qq"))
+    val c = quantizeInt8(candidates, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("scale").as("sc"), col("qvec").as("qc"))
+    val dotq = aggregate(
+      zip_with(col("qq"), col("qc"), (x, y) => (x * y).cast("long")),
+      lit(0L), _ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("qcos",
+        round(dotq.cast("double") * col("sq") * col("sc") / lit(16129.0), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("qcos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Train an IVF coarse-quantizer codebook on a BOUNDED deterministic
     * sample, driver-side — the FAISS architecture: codebook training cost
     * is fixed by `sampleCap` regardless of corpus size (the sample is a

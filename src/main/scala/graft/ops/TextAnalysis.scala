@@ -99,4 +99,29 @@ object TextAnalysis {
     docs.select(col(idCol), Dedup.fingerprint(col(textCol)).as("fp"),
         octet_length(col(textCol)).as("n_bytes"))
       .orderBy(col(idCol))
+
+  /** PII redaction: emails, phone-number shapes, then any leftover long
+    * digit run (account ids, SSN-ish tokens) become typed placeholders.
+    * A chained `regexp_replace` — codegen'd, no UDF; the patterns avoid
+    * backreferences/lookaround so any RE2-class engine reproduces them
+    * byte-for-byte (the DuckDB oracle does).
+    */
+  def scrubPii(text: Column): Column = {
+    val email  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone  = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+    val digits = "[0-9]{6,}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      digits, "<ID>")
+  }
+
+  /** Count of redactions applied by [[scrubPii]] per category. */
+  def piiCounts(text: Column): (Column, Column) = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    (regexp_count(text, lit(email)).cast("int"),
+      regexp_count(regexp_replace(text, email, "<EMAIL>"),
+        lit("\\+?[0-9][0-9() .-]{6,}[0-9]")).cast("int"))
+  }
 }

@@ -66,6 +66,24 @@ object Sources {
     spark.table(leftName).join(spark.table(rightName), Seq(key))
   }
 
+  /** Range-clustered sorted parquet layout: `repartitionByRange` on the
+    * clustering key (one range per output file, so per-file min/max spans
+    * are disjoint) + `sortWithinPartitions` (so row groups inside each
+    * file are ordered too). The write costs one range shuffle; every
+    * subsequent range predicate on the key then skips whole files/row
+    * groups via parquet min/max stats instead of scanning the corpus —
+    * the batch analogue of a zone map, and the layout step a 100 TB
+    * offline store runs after compaction. LayoutSpec asserts the
+    * disjoint-span property from the written footers.
+    */
+  def sortedLayoutWrite(df: DataFrame, sortCol: String, nFiles: Int): String = {
+    val dir = Files.createTempDirectory("graft_sorted_").toString
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   /** S11 probe: the newest N partition values, from partition metadata only
     * (`sorted(partitions)[-7:]` in the reference). Delegates to the shared
     * tail operator — over a partitioned root the distinct comes from the

@@ -66,6 +66,34 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((1L, 4L)))
   }
 
+  test("connected components: chain, star and disjoint clusters resolve to min id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),         // chain (unordered ends)
+      (10L, 11L), (10L, 12L), (10L, 13L),                  // star
+      (21L, 20L)                                           // disjoint pair
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
+  test("connected components converge on a high-diameter chain") {
+    val pairs = (1 until 16).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1 to 16).forall(i => cc(i.toLong) == 1L))
+  }
+
+  test("dedupClusters marks exactly one canonical per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.count(_._3) == 2) // one canonical per component
+    assert(out.filter(_._3).map(_._1).toSet == Set(1L, 7L))
+  }
+
   test("native word_shingles is row-identical to the HOF formulation") {
     val edge = docs.union(Seq(
       (5L, ""),                        // empty doc

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** Range-clustered sorted layout: disjoint per-file key spans (the property
+  * that makes parquet min/max stats skip whole files under range
+  * predicates) and filter pushdown on the read-back path.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("sorted layout writes disjoint per-file key ranges") {
+    val df = Tables.events(spark, sfDir).select("event_id", "ts", "value")
+    val root = Sources.sortedLayoutWrite(df, "ts", 4)
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length == 4)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("ts")), max(col("ts"))).head()
+      (r.getAs[java.time.LocalDateTime](0), r.getAs[java.time.LocalDateTime](1))
+    }.sortBy(_._1)
+    // every file's span ends before the next file's begins — zone-map layout
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(!hi.isAfter(lo2))
+      case _ =>
+    }
+  }
+
+  test("read-back range predicate is pushed to the parquet scan") {
+    val df = Tables.events(spark, sfDir).select("event_id", "ts", "value")
+    val root = Sources.sortedLayoutWrite(df, "ts", 4)
+    val q = spark.read.parquet(root)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp_ntz"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(ts"), scan.take(500))
+    // and the filtered read agrees with the in-memory filter
+    val expected = df
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp_ntz")).count()
+    assert(q.count() == expected)
+  }
+}

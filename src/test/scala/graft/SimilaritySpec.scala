@@ -45,6 +45,42 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getInt(0) == 3 && row.getDouble(1) == 2.0)
   }
 
+  test("l2Normalize yields unit vectors; zero vectors pass through") {
+    val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.l2Normalize(df, "vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(0L) == Seq(0.6, 0.8))
+    assert(out(1L) == Seq(0.0, 0.0))
+  }
+
+  test("int8 quantization: bounded error, zero vector safe") {
+    val df = Seq((0L, Array(0.5f, -1.0f, 0.25f)), (1L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (k, s, q) => k -> (s, q) }.toMap
+    val (s0, q0) = rows(0L)
+    assert(s0 == 1.0 && q0 == Seq(64, -127, 32))
+    assert(q0.forall(v => v >= -127 && v <= 127))
+    // reconstruction error bounded by half a quantization step
+    Seq(0.5, -1.0, 0.25).zip(q0).foreach { case (x, q) =>
+      assert(math.abs(x - q * s0 / 127.0) <= s0 / 254.0 + 1e-12)
+    }
+    assert(rows(1L) == (0.0, Seq(0, 0, 0)))
+  }
+
+  test("quantized ANN ranks like exact cosine on well-separated vectors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.topKBruteForce(queries, emb, "vec_id", "embedding", 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.topKQuantized(queries, emb, "vec_id", "embedding", 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"overlap=$overlap") // int8 keeps most of the ranking
+  }
+
   test("bounded-sample codebook IVF: deterministic, good recall vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" < 10)
