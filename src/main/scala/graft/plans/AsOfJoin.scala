@@ -72,6 +72,16 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
+  // The merge is a per-partition map over the probe side: probe rows keep
+  // their partitioning AND (key, ts) order. Declaring both lets
+  // EnsureRequirements elide downstream exchanges/sorts (e.g. an ORDER BY
+  // on the key, or a second as-of join on the same key), and — with
+  // bucketed-sorted inputs, which already satisfy the requirements above —
+  // the whole join runs exchange-free and sort-free (AsOfNativeSpec).
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
     val lTsOrd = left.output.indexWhere(_.exprId == leftTs.exprId)

@@ -75,6 +75,65 @@ object Pipeline {
     agg.writeStream.format("console").outputMode("update")
       .trigger(Trigger.ProcessingTime(triggerInterval))
 
+  /** Watermarked stream-stream interval join: each probe-stream row pairs
+    * with feature-stream rows of the same key whose timestamp falls in
+    * (probe_ts − lookback, probe_ts]. Both sides carry watermarks and the
+    * join condition bounds both event times, so Spark can expire state —
+    * the streaming analogue of the as-of join's TTL (state per key is
+    * bounded by lookback + watermark delay, the 100 TB-stream requirement).
+    * Column names must be disjoint across the two sides.
+    */
+  def streamStreamJoin(probes: DataFrame, probeTs: String, probeKey: String,
+                       feats: DataFrame, featTs: String, featKey: String,
+                       lookback: String = "1 hour",
+                       delay: String = "15 minutes"): DataFrame = {
+    val l = probes.withColumn(probeTs, col(probeTs).cast("timestamp"))
+      .withWatermark(probeTs, delay)
+    val r = feats.withColumn(featTs, col(featTs).cast("timestamp"))
+      .withWatermark(featTs, delay)
+    l.join(r, expr(
+      s"$probeKey = $featKey AND " +
+      s"$featTs > $probeTs - INTERVAL $lookback AND $featTs <= $probeTs"))
+  }
+
+  /** Streaming online-store materialization: `foreachBatch` folds every
+    * micro-batch into a latest-per-key parquet snapshot (write-new,
+    * atomic-swap). Idempotent by construction — replaying a micro-batch
+    * re-derives the same snapshot, which is exactly the exactly-once story
+    * foreachBatch needs. Production would target Redis (the reference's
+    * online store, `feature_store_materialization.py`) or a Delta MERGE;
+    * the fold/swap semantics are identical.
+    */
+  def onlineStoreSink(features: DataFrame, storePath: String,
+                      checkpoint: String, keyCol: String, tsCol: String,
+                      tiebreakCol: String): DataStreamWriter[Row] =
+    features.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertSnapshot(batch, storePath, keyCol, tsCol, tiebreakCol)
+      }
+
+  /** One fold of [[onlineStoreSink]]: merge a batch into the snapshot at
+    * `storePath` keeping the newest row per key, then atomically swap.
+    */
+  def upsertSnapshot(batch: DataFrame, storePath: String, keyCol: String,
+                     tsCol: String, tiebreakCol: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new Path(storePath))) spark.read.parquet(storePath)
+      else batch.limit(0)
+    val merged = graft.ops.Materialize.latestPerKey(
+      existing.unionByName(batch), keyCol, tsCol, tiebreakCol)
+    val tmp = storePath + ".swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(new Path(storePath), true)
+    fs.rename(new Path(tmp), new Path(storePath))
+  }
+
   /** S1 (production shape): Kafka source — documented for parity; tests use
     * MemoryStream (no broker in this environment).
     * {{{

@@ -53,6 +53,35 @@ class AsOfNativeSpec extends SparkSpec {
     assert(hasExec)
   }
 
+  test("bucketed-sorted inputs run the as-of join exchange-free and sort-free") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    probes.write.mode("overwrite")
+      .bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("asof_p_b")
+    features.write.mode("overwrite")
+      .bucketBy(4, "user_id").sortBy("user_id", "fts").saveAsTable("asof_f_b")
+    try {
+      val df = Retrieval.asOfJoinNative(spark.table("asof_p_b"),
+        spark.table("asof_f_b"), "user_id", "ts", "fts", 7L * day)
+      var shuffles = 0; var sorts = 0
+      df.queryExecution.sparkPlan.foreach {
+        case _: ShuffleExchangeExec => shuffles += 1
+        case _: SortExec => sorts += 1
+        case _ =>
+      }
+      assert(shuffles == 0, "bucketed as-of join must not shuffle")
+      assert(sorts == 0, "sorted buckets must satisfy the merge's ordering")
+      // and the fast path computes the same result
+      val got = df.toDF("event_id", "user_id", "ts", "f_user", "fts", "fval")
+        .select("event_id", "fval")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(got == run(probes))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_p_b")
+      spark.sql("DROP TABLE IF EXISTS asof_f_b")
+    }
+  }
+
   test("native as-of matches window formulation on randomized data") {
     val r = new java.util.Random(77)
     (1 to 10).foreach { _ =>

@@ -74,6 +74,57 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs keys within lookback, expires outside") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val probes = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val feats = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = Pipeline.streamStreamJoin(
+      probes.toDF().toDF("event_id", "user_id", "ts"), "ts", "user_id",
+      feats.toDF().toDF("f_user", "fts", "fval"), "fts", "f_user",
+      lookback = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      feats.addData((1L, ts(0), 10.0), (1L, ts(30), 20.0), (2L, ts(0), 5.0))
+      probes.addData((100L, 1L, ts(40)), // both feature rows in lookback
+        (101L, 2L, ts(90)),              // feature 90 min old — outside
+        (102L, 3L, ts(40)))              // no features for key
+      q.processAllAvailable()
+      val got = spark.table("ssj").select("event_id", "fval")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((100L, 10.0), (100L, 20.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("foreachBatch online-store upsert folds to latest-per-key, idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val store = java.nio.file.Files.createTempDirectory("graft_store_").toString + "/snap"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2_").toString
+    val q = Pipeline.onlineStoreSink(
+        stream.toDF().toDF("user_id", "ts", "value"),
+        store, ckpt, "user_id", "ts", "value")
+      .start()
+    try {
+      stream.addData((1L, ts(0), 10.0), (2L, ts(0), 20.0))
+      q.processAllAvailable()
+      stream.addData((1L, ts(5), 11.0), (3L, ts(5), 30.0)) // newer row for 1
+      q.processAllAvailable()
+      val snap = spark.read.parquet(store)
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(snap == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+      // idempotency: re-applying the last batch changes nothing
+      Pipeline.upsertSnapshot(
+        Seq((1L, ts(5), 11.0), (3L, ts(5), 30.0)).toDF("user_id", "ts", "value"),
+        store, "user_id", "ts", "value")
+      val again = spark.read.parquet(store)
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(again == snap)
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned append output (S5)") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
@@ -86,17 +137,20 @@ class StreamingSmokeSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    // AvailableNow snapshots "available" offsets at query start — data must
+    // be in the stream BEFORE start() (adding it after is a lost race)
+    stream.addData(rows)
+    // close all windows by pushing the watermark past the data
+    val last = rows.map(_._2.getTime).max
+    stream.addData(Seq((-1L,
+      new java.sql.Timestamp(last + 24L * 3600 * 1000), -1L, "view", 0.0,
+      "{}")))
     val q = Pipeline.parquetSink(Pipeline.streamingFeatures(sdf), out, ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try {
-      stream.addData(rows)
-      // close all windows by pushing the watermark past the data
-      val last = rows.map(_._2.getTime).max
-      stream.addData(Seq((-1L,
-        new java.sql.Timestamp(last + 24L * 3600 * 1000), -1L, "view", 0.0,
-        "{}")))
       q.processAllAvailable()
+      q.awaitTermination(60000)
     } finally q.stop()
     val written = spark.read.parquet(out)
     assert(written.count() > 0)
