@@ -342,6 +342,9 @@ object SparkEntry {
     "x_simhash" -> ((s, dir) =>            // xxhash64-based; rows-only
       Dedup.simHash(Tables.documents(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")),
+    "x_simhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
+      Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 8)),
 
     // ---- §7.4 text analysis ------------------------------------------------
     "x_token_stats" -> ((s, dir) =>
@@ -384,6 +387,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.learnedIvf(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), 3, nCells = 8)
+    }),
+    "x_knn_pq" -> ((s, dir) => {            // PQ/ADC ANN; rows-only
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKPq(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", 3)
     }),
     "x_minhash_mllib" -> ((s, dir) =>       // MLlib MinHashLSH; rows-only
       MLBridge.minHashLSHNearDups(

@@ -198,6 +198,79 @@ object Native {
     override def prettyName: String = "nearest_centroid"
   }
 
+  /** 64-bit SimHash fingerprint: lowercase, whitespace-tokenize, xxhash64
+    * each token (seed 42, same as the `xxhash64` SQL function), vote ±1
+    * per bit, sign-aggregate. One tight loop per ROW — the
+    * explode+64-conditional-sums formulation it replaces shuffles
+    * |corpus|×|tokens| rows through a 64-column aggregate.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String]
+        .toLowerCase.toString.trim.split("\\s+")
+      val votes = new Array[Int](64)
+      var w = 0
+      while (w < words.length) {
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(words(w)), StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+        w += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** Product-quantization decode: an array of `m` code indices becomes the
+    * concatenation of the corresponding per-subspace centroids — the
+    * reconstruction used for asymmetric-distance (ADC) scoring, where the
+    * query stays exact and only the candidate side is approximated.
+    * Codebooks (m × k × subdim) ride inside the expression like
+    * [[NearestCentroid]]'s centroids. NULL on a malformed code array.
+    */
+  case class PqReconstruct(child: Expression,
+                           codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    private val subDim = if (codebooks.isEmpty) 0 else codebooks(0)(0).length
+
+    override def nullSafeEval(input: Any): Any = {
+      val codes = input.asInstanceOf[ArrayData]
+      if (codes.numElements() != codebooks.length) return null
+      val out = new Array[Any](codebooks.length * subDim)
+      var s = 0
+      while (s < codebooks.length) {
+        val c = codes.getInt(s)
+        if (c < 0 || c >= codebooks(s).length) return null
+        val cent = codebooks(s)(c)
+        var i = 0
+        while (i < subDim) { out(s * subDim + i) = cent(i); i += 1 }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "pq_reconstruct"
+  }
+
   // Spark 4 classic bridge: Column <-> catalyst Expression
   private def toExpr(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)
@@ -212,6 +285,12 @@ object Native {
 
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     toCol(NearestCentroid(toExpr(vec), centroids))
+
+  def pq_reconstruct(codes: Column,
+                     codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(PqReconstruct(toExpr(codes), codebooks))
+
+  def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
 
   def cosine_similarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))

@@ -190,6 +190,40 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SimHash near-dup pairs: the 64-bit fingerprints are cut into `bands`
+    * equal bit-bands; docs sharing ANY exact band are candidates (by
+    * pigeonhole, every pair with hamming distance < `bands` shares one, so
+    * recall is GUARANTEED up to bands−1 differing bits), then candidates
+    * are verified with the exact `bit_count(a^b)` hamming distance. The
+    * same sub-quadratic propose/verify shape as the MinHash pipeline:
+    * pair generation is Σ bucket², never corpus².
+    */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val fp = simHash(docs, idCol, textCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("bits"))
+    }
+    val buckets = fp.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val cand = buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    cand
+      .join(fp.select(col("id").as("id_a"), col("simhash").as("fa")), "id_a")
+      .join(fp.select(col("id").as("id_b"), col("simhash").as("fb")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Connected components over an undirected pair list (the dedup-cluster
     * resolution step that turns pairwise near-dup hits into groups):
     * iterative min-label propagation — every node repeatedly adopts the
@@ -246,20 +280,13 @@ object Dedup {
       .orderBy("id")
 
   /** SimHash: 64-bit fingerprint = sign-aggregated bit votes of token
-    * hashes; near-dups have small Hamming distance. One narrow pass.
+    * xxhash64s; near-dups have small Hamming distance. The fingerprint is
+    * the native `SimHash64` expression — one tight loop per document, no
+    * explode, NO shuffle (the HOF/explode formulation pushed
+    * corpus×tokens rows through a 64-column aggregate).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol).as("id"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
-    val hashed = tokens.withColumn("hx", xxhash64(col("t")))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("hx"), i).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"bit_$i")
-    }
-    val votes = hashed.groupBy(col("id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val fp = (0 until 64).map(i =>
-        when(col(s"bit_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    votes.select(col("id"), fp.as("simhash")).orderBy(col("id"))
-  }
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.Native.simhash64(col(textCol)).as("simhash"))
+      .orderBy(col("id"))
 }

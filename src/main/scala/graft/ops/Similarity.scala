@@ -161,9 +161,11 @@ object Similarity {
     * seeded init, lowest-index tie-break in assignment; empty cells keep
     * their previous centroid.
     */
-  def trainCodebook(emb: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int, sampleCap: Int = 4096, seed: Long = 42L,
-                    iters: Int = 20): Array[Array[Double]] = {
+  /** Bounded deterministic training sample: hash-ordered top-`sampleCap`
+    * (one distributed TakeOrdered, ties broken by id).
+    */
+  private def collectSample(emb: DataFrame, idCol: String, vecCol: String,
+                            sampleCap: Int): Array[Array[Double]] = {
     val sample = emb
       .select(col(vecCol).cast("array<double>").as("v"))
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -171,6 +173,14 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")
+    sample
+  }
+
+  /** Deterministic local Lloyd's: seeded init, lowest-index tie-break,
+    * empty cells keep their previous centroid.
+    */
+  private def lloyds(sample: Array[Array[Double]], nCells: Int, seed: Long,
+                     iters: Int): Array[Array[Double]] = {
     val dim = sample(0).length
     val rnd = new scala.util.Random(seed)
     val k = math.min(nCells, sample.length)
@@ -204,6 +214,74 @@ object Similarity {
       it += 1
     }
     centroids
+  }
+
+  def trainCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, sampleCap: Int = 4096, seed: Long = 42L,
+                    iters: Int = 20): Array[Array[Double]] =
+    lloyds(collectSample(emb, idCol, vecCol, sampleCap), nCells, seed, iters)
+
+  /** Product-quantization codebooks: the vector is cut into `m` equal
+    * subvectors and each subspace gets its own `kCodes`-centroid codebook
+    * (trained on the same bounded sample, sliced). Storage per vector
+    * drops from dim floats to m small ints — with m=8, k=16 that is a
+    * 64-dim float32 vector in 8 nibbles. Same bounded-cost training
+    * posture as [[trainCodebook]].
+    */
+  def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int, kCodes: Int = 16, sampleCap: Int = 4096,
+                       seed: Long = 42L,
+                       iters: Int = 20): Array[Array[Array[Double]]] = {
+    val sample = collectSample(emb, idCol, vecCol, sampleCap)
+    val dim = sample(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(_.slice(s * subDim, (s + 1) * subDim))
+      lloyds(sub, kCodes, seed + s, iters)
+    }
+  }
+
+  /** Encode every vector as its `m` per-subspace code indices (the PQ
+    * compressed representation) via broadcast `NearestCentroid` on each
+    * slice — a narrow map, no shuffle.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val subDim = codebooks(0)(0).length
+    val v = d(col(vecCol))
+    val codes = array(codebooks.indices.map { s =>
+      graft.functions.Native.nearest_centroid(
+        slice(v, s * subDim + 1, subDim), codebooks(s))
+    }: _*)
+    emb.select(col(idCol), codes.as("pq_codes"))
+  }
+
+  /** PQ ANN with asymmetric-distance scoring: the query vector stays
+    * exact; each candidate is reconstructed from its codes
+    * (`PqReconstruct`) and scored by cosine. The 100 TB shape: the scan
+    * reads m-byte codes instead of dim floats (16-32× less bandwidth than
+    * raw, 4-8× less than int8), reconstruction is a broadcast-codebook
+    * lookup, and exact re-scoring runs only on the survivors.
+    */
+  def topKPq(queries: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8,
+             kCodes: Int = 16): DataFrame = {
+    val codebooks = trainPqCodebooks(candidates, idCol, vecCol, m, kCodes)
+    val encoded = pqEncode(candidates, idCol, vecCol, codebooks)
+      .select(col(idCol).as("cand_id"),
+        graft.functions.Native.pq_reconstruct(col("pq_codes"), codebooks)
+          .as("rv"))
+    val q = queries.select(col(idCol).as("query_id"), d(col(vecCol)).as("qv"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("qcos", round(cosine(col("qv"), col("rv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("qcos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Learned IVF ANN: bounded-sample codebook (above) assigns both the

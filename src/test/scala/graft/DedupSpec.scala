@@ -107,6 +107,28 @@ class DedupSpec extends SparkSpec {
     assert(both.collect().forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("simhash band search surfaces near-identical docs, verified hamming") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // 1 token off
+      (3L, "totally different words about streaming query planners today")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simHash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ham12 = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
+    val out = Dedup.simHashNearDups(corpus, "doc_id", "text",
+        maxHamming = ham12, bands = 4)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toList
+    // pigeonhole recall guarantee holds when ham12 < bands; either way the
+    // verified hamming must be exact
+    out.foreach { case (a, b, h) =>
+      assert(h == java.lang.Long.bitCount(fp(a) ^ fp(b)))
+    }
+    if (ham12 < 4) assert(out.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!out.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("simhash of near-dups has small hamming distance") {
     val fp = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

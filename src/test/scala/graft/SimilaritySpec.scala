@@ -106,6 +106,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.select("query_id").distinct().count() == 2)
   }
 
+  test("PQ: encode/reconstruct round trip is deterministic, ADC recall reasonable") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val run1 = Similarity.topKPq(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id", "qcos")
+      .as[(Long, Long, Double)].collect().toList
+    val run2 = Similarity.topKPq(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id", "qcos")
+      .as[(Long, Long, Double)].collect().toList
+    assert(run1 == run2) // sample, per-subspace init, encode all deterministic
+    val exact = Similarity.topKBruteForce(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = run1.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall") // 8-subspace 16-code quantizer
+  }
+
+  test("PQ codes are within range and reconstruction has the right shape") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8)
+    assert(cb.length == 8 && cb.forall(_.length <= 16))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .select("pq_codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("cosine near-dups finds the in-cell colinear pair only") {
     val nd = Similarity.cosineNearDups(vecs, "vec_id", "embedding", "label", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
