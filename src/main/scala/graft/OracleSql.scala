@@ -862,6 +862,32 @@ object OracleSql {
              substr(hex(encode(text)), 1, 2) AS first_byte_hex
       FROM documents ORDER BY doc_id""",
 
+    "q_rolling_features" -> """
+      SELECT event_id, user_id, ts, value,
+             lag(value, 1) OVER w AS prev_value,
+             round(avg(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_avg,
+             CAST(row_number() OVER w AS INTEGER) AS event_idx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
+
+    "q_iqr_outliers" -> """
+      WITH q AS (
+        SELECT event_type,
+               quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+               quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+        FROM events GROUP BY event_type)
+      SELECT e.event_type,
+             round(min(q.q1), 6) AS q1, round(min(q.q3), 6) AS q3,
+             round(min(q.q3 - q.q1), 6) AS iqr,
+             CAST(sum(CASE WHEN e.value < q.q1 - 1.5*(q.q3 - q.q1)
+                            OR  e.value > q.q3 + 1.5*(q.q3 - q.q1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             count(*) AS n_rows
+      FROM events e JOIN q ON e.event_type = q.event_type
+      GROUP BY e.event_type ORDER BY e.event_type""",
+
     // deterministic splits / sampling: randomness is the shared minstd hash
     "q_split_assign" -> s"""
       SELECT c_custkey,

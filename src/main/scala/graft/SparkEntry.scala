@@ -199,6 +199,13 @@ object SparkEntry {
       Stats.percentilesApprox(Tables.lineitem(s, dir), "l_extendedprice")),
     "q_mode_per_key" -> ((s, dir) =>
       Stats.deterministicMode(Tables.events(s, dir), "user_id", "event_type")),
+    "q_rolling_features" -> ((s, dir) =>
+      Stats.rollingFeatures(
+          Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("event_id")),
+    "q_iqr_outliers" -> ((s, dir) =>
+      Stats.iqrOutliers(Tables.events(s, dir), "event_type", "value")),
     "q_recent_partitions" -> ((s, dir) =>
       Stats.recentPartitions(
         Tables.events(s, dir).withColumn("event_date", to_date(col("ts"))),

@@ -42,7 +42,15 @@ object GraftExtensions {
         "minhash_signature"),
       (exprs: Seq[Expression]) =>
         Native.MinHashSignature(exprs(0),
-          intArg(exprs(1), "n"), intArg(exprs(2), "numHashes")))
+          intArg(exprs(1), "n"), intArg(exprs(2), "numHashes"))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[Native.WordShingles].getName,
+        "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        Native.WordShingles(exprs(0), intArg(exprs(1), "n"))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Native.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => Native.SimHash64(exprs(0)))
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -98,6 +98,47 @@ object Stats {
   /** T4: most-recent-partitions tail (`feature_store_materialization.py:153`):
     * newest N distinct dates.
     */
+  /** Rolling time-series features per key: previous value, N-row rolling
+    * mean, and running event index — the lag/rolling feature-engineering
+    * staple. One shuffle on the key; the frame is partition-local after
+    * that (bounded ROWS frame, not an unbounded range, so window state is
+    * O(frame) at any scale).
+    */
+  def rollingFeatures(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valCol: String,
+                      frameRows: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val frame = order.rowsBetween(-(frameRows - 1), Window.currentRow)
+    df.select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+      lag(col(valCol), 1).over(order).as("prev_value"),
+      round(avg(col(valCol)).over(frame), 6).as("rolling_avg"),
+      row_number().over(order).as("event_idx"))
+  }
+
+  /** IQR outlier report per group: exact quartiles, Tukey fences at
+    * 1.5·IQR, and the count outside them. Two passes — a per-group
+    * quantile aggregate, then a broadcast join back to count offenders —
+    * the standard shape when the fence depends on the whole group.
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val q = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, 0.25D)").as("q1"),
+      expr(s"percentile($valCol, 0.75D)").as("q3"))
+    df.join(broadcast(q), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        round(min(col("q1")), 6).as("q1"),
+        round(min(col("q3")), 6).as("q3"),
+        round(min(col("q3") - col("q1")), 6).as("iqr"),
+        sum(when(col(valCol) < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+                 col(valCol) > col("q3") + (col("q3") - col("q1")) * 1.5, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col(groupCol))
+  }
+
   def recentPartitions(df: DataFrame, dateCol: String, n: Int): DataFrame =
     df.select(col(dateCol)).distinct()
       .orderBy(col(dateCol).desc).limit(n)

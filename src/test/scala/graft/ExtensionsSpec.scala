@@ -19,6 +19,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](2).length == 4)
   }
 
+  test("word_shingles and simhash64 callable from SQL, match column API") {
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "the quick brown fox jumps")).toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      "SELECT word_shingles(text, 3) AS sh, simhash64(text) AS fp FROM ext_docs2")
+      .head()
+    val viaCol = docs.select(
+      Native.word_shingles(col("text"), 3).as("sh"),
+      Native.simhash64(col("text")).as("fp")).head()
+    assert(viaSql.getSeq[String](0) == viaCol.getSeq[String](0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+    assert(viaSql.getSeq[String](0) ==
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
   test("SQL result matches the column-API native expression") {
     GraftExtensions.register(spark)
     val docs = Seq((1L, "the quick brown fox")).toDF("id", "text")
