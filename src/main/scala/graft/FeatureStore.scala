@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Materialize, Retrieval}
+
+/** A registered feature view: an event-time keyed feature source plus the
+  * metadata retrieval needs (reference: feature view definitions in
+  * `feature_repo/features.py` — entity key, event timestamp, TTL, schema).
+  */
+case class FeatureView(
+    name: String,
+    source: DataFrame,
+    entityCol: String,
+    tsCol: String,
+    tiebreakCol: String,
+    features: Seq[String],
+    ttl: String = "INTERVAL 7 DAYS")
+
+/** The reference's user-facing feature-store API, re-expressed over the
+  * engine's operators — the facade a user switching from the reference
+  * calls instead of Feast:
+  *
+  *  - `applyView`          ≙ `feast apply` (register a view)
+  *  - `materialize`        ≙ `feast materialize` (A12 latest-per-key)
+  *  - `materializeIncremental` ≙ `feast materialize-incremental`
+  *  - `getHistoricalFeatures`  ≙ offline point-in-time retrieval (J1 as-of
+  *                               join with TTL, `view__feature` columns)
+  *  - `getOnlineFeatures`      ≙ online lookup (J2/J3 broadcast point read)
+  *  - `freshness`              ≙ the registry's `feature_freshness` table
+  *
+  * Every method returns a lazy DataFrame plan built from the same
+  * oracle-verified operators the query registry exercises; materialized
+  * snapshots are cached per view (at 100 TB they'd be the date-partitioned
+  * offline store / online K-V store instead — `Sources.writeOfflineStore`
+  * and `streaming.Pipeline.onlineStoreSink` are those paths).
+  */
+class FeatureStore(@annotation.unused spark: SparkSession) {
+
+  private val views = scala.collection.mutable.LinkedHashMap[String, FeatureView]()
+  private val snapshots = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+
+  def applyView(view: FeatureView): Unit = views(view.name) = view
+
+  def view(name: String): FeatureView =
+    views.getOrElse(name, throw new NoSuchElementException(
+      s"feature view '$name' not registered"))
+
+  /** Latest-per-key snapshot of a view; cached for online reads. */
+  def materialize(name: String): DataFrame = {
+    val v = view(name)
+    val snap = Materialize.latestPerKey(
+        v.source, v.entityCol, v.tsCol, v.tiebreakCol)
+      .select((v.entityCol +: v.tsCol +: v.tiebreakCol +: v.features).distinct.map(col): _*)
+      .cache()
+    snapshots(name) = snap
+    snap
+  }
+
+  /** Fold new rows into the existing snapshot (materialize-incremental):
+    * touches |snapshot| + |delta| rows, never the full history.
+    */
+  def materializeIncremental(name: String, delta: DataFrame): DataFrame = {
+    val v = view(name)
+    val base = snapshots.getOrElse(name, materialize(name))
+    val folded = Materialize.incremental(
+        base,
+        delta.select((v.entityCol +: v.tsCol +: v.tiebreakCol +: v.features).distinct.map(col): _*),
+        v.entityCol, v.tsCol, v.tiebreakCol)
+      .cache()
+    snapshots(name) = folded
+    folded
+  }
+
+  /** Point-in-time correct training frame: each entity row gets the newest
+    * feature values as of its own timestamp, within the view's TTL —
+    * `view__feature` columns, probe payload untouched.
+    */
+  def getHistoricalFeatures(entityDf: DataFrame, name: String,
+                            probeTs: String): DataFrame = {
+    val v = view(name)
+    val joined = Retrieval.asOfJoin(entityDf, v.source, v.entityCol,
+      probeTs, v.tsCol, v.ttl, v.features)
+    Retrieval.selectFeatureRefs(joined, v.name, v.features,
+      entityDf.columns.toSeq)
+  }
+
+  /** Online read: broadcast point lookup against the materialized
+    * snapshot, `view__feature` columns like the reference's serving path.
+    */
+  def getOnlineFeatures(keys: DataFrame, name: String): DataFrame = {
+    val v = view(name)
+    val snap = snapshots.getOrElse(name, materialize(name))
+    val looked = Retrieval.pointLookup(keys, snap, v.entityCol)
+    Retrieval.selectFeatureRefs(looked, v.name, v.features, keys.columns.toSeq)
+  }
+
+  /** Registry freshness over every registered view. */
+  def freshness(): DataFrame =
+    Materialize.freshness(views.values.toSeq.map(v =>
+      (v.name, v.source, v.tsCol)))
+}

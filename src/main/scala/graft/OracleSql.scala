@@ -197,6 +197,19 @@ object OracleSql {
                THEN 1.0 ELSE 0.0 END) / count(*), 6) AS coverage_ratio
       FROM probes p LEFT JOIN snap s ON p.user_id = s.user_id""",
 
+    "q_fs_historical" -> """
+      WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      feats AS (
+        SELECT user_id, ts AS fts, max(value) AS last_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
+               THEN f.last_purchase_value END AS purchases__last_purchase_value
+      FROM probes p ASOF LEFT JOIN feats f
+        ON p.user_id = f.user_id AND p.ts >= f.fts
+      ORDER BY event_id""",
+
     "q_asof_features" -> """
       WITH probes AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -159,6 +159,21 @@ object SparkEntry {
           "feature_ts")
         .orderBy("event_id")
     }),
+    "q_fs_historical" -> ((s, dir) => {
+      // the FeatureStore facade end to end: apply view → point-in-time
+      // retrieval — same ASOF oracle as q_asof_features, view__feature cols
+      val e = Tables.events(s, dir)
+      val probes = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val feats = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("fts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      val fs = new graft.FeatureStore(s)
+      fs.applyView(graft.FeatureView("purchases", feats, "user_id", "fts",
+        "last_purchase_value", Seq("last_purchase_value")))
+      fs.getHistoricalFeatures(probes, "purchases", "ts")
+        .orderBy("event_id")
+    }),
     "q_point_lookup" -> ((s, dir) => {
       val keys = Stats.probeSample(Tables.customer(s, dir), "c_custkey", 7)
         .select(col("c_custkey"), col("c_mktsegment"))

@@ -251,19 +251,26 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
-    var changed = 1L
+    // labels only ever DECREASE under min-propagation, so the exact label
+    // sum is strictly monotone — comparing sums detects convergence with
+    // one tiny aggregate over the checkpointed frame instead of a join
+    // against the previous iteration
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIters) {
+    while (changed && i < maxIters) {
       val prop = edges.as("e")
         .join(labels.as("l"), col("e.src") === col("l.id"))
         .select(col("e.dst").as("id"), col("l.component").as("component"))
         .union(labels)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
-      changed = prop.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") < col("o.component"))
-        .count()
+      val newSum = labelSum(prop)
+      changed = newSum.compareTo(prevSum) != 0
+      prevSum = newSum
       labels = prop
       i += 1
     }

@@ -84,6 +84,22 @@ object Sources {
     dir
   }
 
+  /** Small-file compaction: rewrite a parquet root into ~`targetFiles`
+    * files via `coalesce` — NO shuffle (partitions are concatenated, not
+    * redistributed), so the cost is one read + one write. The maintenance
+    * job that keeps an offline store's file count bounded after many
+    * incremental appends; at 100 TB it runs per date-partition. Pair with
+    * [[sortedLayoutWrite]] when range predicates matter (coalesce
+    * preserves no ordering guarantee).
+    */
+  def compact(spark: SparkSession, root: String, targetFiles: Int): String = {
+    val out = Files.createTempDirectory("graft_compact_").toString
+    spark.read.parquet(root)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   /** S11 probe: the newest N partition values, from partition metadata only
     * (`sorted(partitions)[-7:]` in the reference). Delegates to the shared
     * tail operator — over a partitioned root the distinct comes from the

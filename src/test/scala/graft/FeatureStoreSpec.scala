@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Materialize, Retrieval}
+
+/** The FeatureStore facade is a faithful composition of the verified
+  * operators: materialize == latestPerKey, historical == as-of join,
+  * online == point lookup, incremental fold == full-history snapshot.
+  */
+class FeatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def ordersView = FeatureView(
+    name = "orders",
+    source = Tables.orders(spark, sfDir),
+    entityCol = "o_custkey", tsCol = "o_orderdate", tiebreakCol = "o_orderkey",
+    features = Seq("o_totalprice", "o_orderstatus"))
+
+  test("materialize equals latestPerKey; online lookup serves view__feature columns") {
+    val fs = new FeatureStore(spark)
+    fs.applyView(ordersView)
+    val snap = fs.materialize("orders")
+    val direct = Materialize.latestPerKey(Tables.orders(spark, sfDir),
+        "o_custkey", "o_orderdate", "o_orderkey")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice", "o_orderstatus")
+    assert(snap.exceptAll(direct).isEmpty && direct.exceptAll(snap).isEmpty)
+
+    val keys = Tables.customer(spark, sfDir).select($"c_custkey".as("o_custkey")).limit(20)
+    val online = fs.getOnlineFeatures(keys, "orders")
+    assert(online.columns.toSet ==
+      Set("o_custkey", "orders__o_totalprice", "orders__o_orderstatus"))
+    assert(online.count() == 20)
+  }
+
+  test("incremental materialize fold equals the full-history snapshot") {
+    val fs = new FeatureStore(spark)
+    val o = Tables.orders(spark, sfDir)
+    val cutoff = lit("1999-01-01").cast("timestamp_ntz")
+    fs.applyView(ordersView.copy(name = "orders_pre",
+      source = o.filter($"o_orderdate" < cutoff)))
+    fs.materialize("orders_pre")
+    val folded = fs.materializeIncremental("orders_pre",
+      o.filter($"o_orderdate" >= cutoff))
+    val full = new FeatureStore(spark)
+    full.applyView(ordersView)
+    val whole = full.materialize("orders")
+    assert(folded.exceptAll(whole).isEmpty && whole.exceptAll(folded).isEmpty)
+  }
+
+  test("historical features are point-in-time correct with TTL") {
+    val fs = new FeatureStore(spark)
+    val feats = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-05 00:00:00"), 50.0)
+    ).toDF("user_id", "fts", "fval")
+    fs.applyView(FeatureView("purchases", feats, "user_id", "fts", "fval",
+      Seq("fval"), ttl = "INTERVAL 7 DAYS"))
+    val probes = Seq(
+      (100L, 1L, ts("2024-01-06 00:00:00")), // sees day-5 value
+      (101L, 1L, ts("2024-02-01 00:00:00"))  // beyond TTL -> null
+    ).toDF("event_id", "user_id", "pts")
+    val got = fs.getHistoricalFeatures(probes, "purchases", "pts")
+      .select("event_id", "purchases__fval")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(100L).contains(50.0))
+    assert(got(101L).isEmpty)
+    // matches the raw operator call
+    val direct = Retrieval.asOfJoin(probes, feats, "user_id", "pts", "fts",
+        "INTERVAL 7 DAYS", Seq("fval"))
+      .select("event_id", "fval").as[(Long, Option[Double])].collect().toMap
+    assert(got == direct)
+  }
+
+  test("freshness reports every registered view") {
+    val fs = new FeatureStore(spark)
+    fs.applyView(ordersView)
+    fs.applyView(FeatureView("events", Tables.events(spark, sfDir),
+      "user_id", "ts", "event_id", Seq("value")))
+    val rows = fs.freshness().select("feature_view_name").as[String].collect().toSet
+    assert(rows == Set("orders", "events"))
+  }
+}

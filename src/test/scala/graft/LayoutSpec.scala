@@ -26,6 +26,19 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compaction bounds file count without changing content") {
+    val df = Tables.events(spark, sfDir).select("event_id", "value")
+    val scattered = java.nio.file.Files.createTempDirectory("graft_scatter_").toString
+    df.repartition(16).write.mode("overwrite").parquet(scattered)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(scattered) == 16)
+    val compacted = Sources.compact(spark, scattered, 2)
+    assert(files(compacted) <= 2)
+    val a = spark.read.parquet(compacted)
+    assert(a.exceptAll(df).isEmpty && df.exceptAll(a).isEmpty)
+  }
+
   test("read-back range predicate is pushed to the parquet scan") {
     val df = Tables.events(spark, sfDir).select("event_id", "ts", "value")
     val root = Sources.sortedLayoutWrite(df, "ts", 4)
