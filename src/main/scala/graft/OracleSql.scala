@@ -800,6 +800,108 @@ object OracleSql {
                   * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.4
       ORDER BY id_a, id_b""",
 
+    // PSI over reference-decile bins; DuckDB mirrors the CASE bin counter,
+    // window-total proportions, and the (p-q)*ln(p/q) contribution exactly
+    "q_psi_drift" -> """
+      WITH clean AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND event_type IN ('view', 'purchase')),
+      cuts AS (
+        SELECT quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.1) AS c1,
+               quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.2) AS c2,
+               quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.3) AS c3,
+               quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.4) AS c4,
+               quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.5) AS c5,
+               quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.6) AS c6,
+               quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.7) AS c7,
+               quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.8) AS c8,
+               quantile_cont(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END, 0.9) AS c9
+        FROM clean),
+      binned AS (
+        SELECT event_type,
+               (CASE WHEN value > c1 THEN 1 ELSE 0 END +
+                CASE WHEN value > c2 THEN 1 ELSE 0 END +
+                CASE WHEN value > c3 THEN 1 ELSE 0 END +
+                CASE WHEN value > c4 THEN 1 ELSE 0 END +
+                CASE WHEN value > c5 THEN 1 ELSE 0 END +
+                CASE WHEN value > c6 THEN 1 ELSE 0 END +
+                CASE WHEN value > c7 THEN 1 ELSE 0 END +
+                CASE WHEN value > c8 THEN 1 ELSE 0 END +
+                CASE WHEN value > c9 THEN 1 ELSE 0 END) AS bin
+        FROM clean, cuts),
+      counts AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin),
+      prop AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(n_ref AS DOUBLE) / CAST(sum(n_ref) OVER () AS DOUBLE) AS p,
+               CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER () AS DOUBLE) AS q
+        FROM counts),
+      contrib AS (
+        SELECT bin, n_ref, n_cur, p, q,
+               CASE WHEN p > 0 AND q > 0 THEN (p - q) * ln(p / q)
+                    ELSE 0.0 END AS contribution
+        FROM prop)
+      SELECT bin, n_ref, n_cur, round(p, 6) AS p, round(q, 6) AS q,
+             round(contribution, 6) AS contribution,
+             round(sum(contribution) OVER (), 6) AS psi
+      FROM contrib ORDER BY bin""",
+
+    "q_chi2_drift" -> """
+      WITH t AS (
+        SELECT CASE WHEN value/1000.0 < 0.1 THEN 'negligible'
+                    WHEN value/1000.0 < 0.2 THEN 'small'
+                    WHEN value/1000.0 < 0.3 THEN 'moderate'
+                    WHEN value/1000.0 < 0.5 THEN 'large'
+                    ELSE 'very large' END AS category, event_type
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      counts AS (
+        SELECT category,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM t GROUP BY category),
+      x AS (
+        SELECT category, n_ref, n_cur,
+               CAST(sum(n_ref) OVER () AS BIGINT) AS t_ref,
+               CAST(sum(n_cur) OVER () AS BIGINT) AS t_cur,
+               n_ref + n_cur AS row_t
+        FROM counts),
+      y AS (
+        SELECT *, t_ref + t_cur AS grand FROM x),
+      z AS (
+        SELECT *,
+               CAST(row_t AS DOUBLE) * t_ref / grand AS e_ref,
+               CAST(row_t AS DOUBLE) * t_cur / grand AS e_cur
+        FROM y),
+      w AS (
+        SELECT *,
+               (n_ref - e_ref) * (n_ref - e_ref) / e_ref +
+               (n_cur - e_cur) * (n_cur - e_cur) / e_cur AS cell
+        FROM z)
+      SELECT category, n_ref, n_cur, round(cell, 6) AS cell_chi2,
+             round(sum(cell) OVER (), 6) AS chi2,
+             CAST(count(*) OVER () - 1 AS INTEGER) AS dof
+      FROM w ORDER BY category""",
+
+    "q_quality_windows" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             count(*) AS total,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS unexpected_not_null_user_id,
+             CAST(sum(CASE WHEN value IS NOT NULL
+                            AND NOT (value >= 0.0 AND value <= 400.0)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS unexpected_between_value,
+             CAST(sum(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN
+                              ('click','view','purchase','signup','error')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS unexpected_in_set_event_type
+      FROM events GROUP BY 1 ORDER BY window_start""",
+
     "s_sorted_layout" -> """
       SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value,
              min(ts) AS min_ts, max(ts) AS max_ts

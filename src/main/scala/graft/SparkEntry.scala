@@ -256,6 +256,23 @@ object SparkEntry {
             get_json_object(col("props"), "$.k").cast("double").as("k")),
         "event_type", "purchase", "view", Seq("k", "value"))),
 
+    "q_psi_drift" -> ((s, dir) =>
+      Drift.psi(Tables.events(s, dir), "value", "event_type",
+        "view", "purchase")),
+    "q_chi2_drift" -> ((s, dir) =>
+      Drift.chiSquare(
+        Tables.events(s, dir)
+          .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
+        "vbin", "event_type", "view", "purchase")),
+    "q_quality_windows" -> ((s, dir) =>
+      Quality.windowedReport(
+        Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp_ntz")),
+        "ts", Seq(
+          Quality.NotNull("user_id"),
+          Quality.Between("value", 0.0, 400.0),
+          Quality.InSet("event_type", Seq("click", "view", "purchase",
+            "signup", "error"))))),
+
     // ---- §2.1 sources / sinks ----------------------------------------------
     "s_csv_roundtrip" -> ((s, dir) => {
       val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -139,4 +139,76 @@ object Drift {
           col("cumb").cast("double") / col("nb"))), 6).as("ks_stat"))
       .orderBy("feature")
   }
+
+  /** D5 (ext): Population Stability Index over reference-decile bins — the
+    * industry-standard drift score next to KS (PSI < 0.1 stable, > 0.25
+    * drifted). Bin edges come from the REFERENCE side's quantiles (the
+    * standard construction); per-bin proportions from both sides;
+    * contribution (p−q)·ln(p/q), empty-on-either-side bins contribute 0
+    * (documented epsilon-free convention, deterministic in both engines).
+    * Returns the per-bin table (auditable) with the scalar PSI repeated on
+    * each row. Two aggregates + a broadcast of 9 cutpoints — no sort.
+    */
+  def psi(tagged: DataFrame, valueCol: String, sideCol: String,
+          ref: String, cur: String, bins: Int = 10): DataFrame = {
+    val clean = cleanSamples(tagged, valueCol)
+      .filter(col(sideCol).isin(ref, cur))
+    val cutExprs = (1 until bins).map(i =>
+      expr(s"percentile(CASE WHEN $sideCol = '$ref' THEN $valueCol END, " +
+        s"${i.toDouble / bins}D)").as(s"c$i"))
+    val cuts = clean.agg(cutExprs.head, cutExprs.tail: _*)
+    val binned = clean.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (1 until bins).map(i =>
+          when(col(valueCol) > col(s"c$i"), 1).otherwise(0)).reduce(_ + _))
+    val counts = binned.groupBy(col("bin")).agg(
+      sum(when(col(sideCol) === ref, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col(sideCol) === cur, 1L).otherwise(0L)).as("n_cur"))
+    val tot = Window.partitionBy()
+    val contrib = counts
+      .withColumn("p", col("n_ref").cast("double") / sum(col("n_ref")).over(tot))
+      .withColumn("q", col("n_cur").cast("double") / sum(col("n_cur")).over(tot))
+      .withColumn("contribution",
+        when(col("p") > 0 && col("q") > 0,
+          (col("p") - col("q")) * log(col("p") / col("q"))).otherwise(0.0))
+    contrib
+      .withColumn("psi", round(sum(col("contribution")).over(tot), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("contribution"), 6).as("contribution"), col("psi"))
+      .orderBy("bin")
+  }
+
+  /** D6 (ext): two-sample chi-square over a categorical column — drift for
+    * columns KS cannot handle (device, country, referrer). Pure-arithmetic
+    * statistic (no transcendentals beyond the squares), so the DuckDB
+    * oracle matches exactly. Expected counts from the pooled margins;
+    * categories missing on one side still contribute (observed 0).
+    */
+  def chiSquare(tagged: DataFrame, catCol: String, sideCol: String,
+                ref: String, cur: String): DataFrame = {
+    val clean = tagged.filter(col(sideCol).isin(ref, cur) &&
+      col(catCol).isNotNull)
+    val counts = clean.groupBy(col(catCol).as("category")).agg(
+      sum(when(col(sideCol) === ref, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col(sideCol) === cur, 1L).otherwise(0L)).as("n_cur"))
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("t_ref", sum(col("n_ref")).over(tot))
+      .withColumn("t_cur", sum(col("n_cur")).over(tot))
+      .withColumn("row_t", col("n_ref") + col("n_cur"))
+      .withColumn("grand", col("t_ref") + col("t_cur"))
+      .withColumn("e_ref",
+        col("row_t").cast("double") * col("t_ref") / col("grand"))
+      .withColumn("e_cur",
+        col("row_t").cast("double") * col("t_cur") / col("grand"))
+      .withColumn("cell",
+        (col("n_ref") - col("e_ref")) * (col("n_ref") - col("e_ref")) / col("e_ref") +
+        (col("n_cur") - col("e_cur")) * (col("n_cur") - col("e_cur")) / col("e_cur"))
+      .withColumn("chi2", round(sum(col("cell")).over(tot), 6))
+      .withColumn("dof", (count(lit(1)).over(tot) - 1).cast("int"))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(col("cell"), 6).as("cell_chi2"), col("chi2"), col("dof"))
+      .orderBy("category")
+  }
 }

@@ -99,4 +99,23 @@ object Quality {
   def offenders(df: DataFrame, e: Expectation, orderCol: String,
                 n: Int): DataFrame =
     df.filter(e.violation).orderBy(col(orderCol)).limit(n)
+
+  /** Quality as a time series: per event-time window, total rows and the
+    * violation count of every expectation — the batch twin of
+    * `streaming.Pipeline.streamingQualityMonitor` (same compiled
+    * aggregates, so batch backfill and the live stream agree). One
+    * windowed aggregation, state one row per window.
+    */
+  def windowedReport(df: DataFrame, tsCol: String,
+                     expectations: Seq[Expectation],
+                     windowLen: String = "1 hour"): DataFrame = {
+    val aggs = count(lit(1)).as("total") +:
+      expectations.map(e => sum(when(e.violation, 1L).otherwise(0L))
+        .as(s"unexpected_${e.name}"))
+    df.groupBy(window(col(tsCol), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: col("total") +:
+        expectations.map(e => col(s"unexpected_${e.name}")): _*)
+      .orderBy("window_start")
+  }
 }

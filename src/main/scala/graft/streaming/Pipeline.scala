@@ -134,6 +134,30 @@ object Pipeline {
     fs.rename(new Path(tmp), new Path(storePath))
   }
 
+  /** Streaming data-quality monitor: the SAME declarative expectations the
+    * batch report runs (`ops.Quality`), evaluated as per-window violation
+    * counts over a watermarked stream — quality drift becomes a windowed
+    * time series instead of a nightly batch report. One streaming
+    * aggregation; state is one row per (window), since every expectation
+    * compiles to a `sum(when(violation))` column.
+    */
+  def streamingQualityMonitor(events: DataFrame, tsCol: String,
+                              checks: Seq[graft.ops.Quality.Expectation],
+                              windowLen: String = "1 hour",
+                              delay: String = "15 minutes"): DataFrame = {
+    val watermarked = events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
+    val aggs = count(lit(1)).as("total") +:
+      checks.map(e => sum(when(e.violation, 1L).otherwise(0L))
+        .as(s"unexpected_${e.name}"))
+    watermarked
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: col("total") +:
+        checks.map(e => col(s"unexpected_${e.name}")): _*)
+  }
+
   /** S1 (production shape): Kafka source — documented for parity; tests use
     * MemoryStream (no broker in this environment).
     * {{{

@@ -97,6 +97,38 @@ class DriftSpec extends SparkSpec {
     Seq.fill(n)(mu + sd * r.nextGaussian())
   }
 
+  test("PSI: identical sides score ~0, shifted sides score high") {
+    val same = tagged(a, a)
+    val psiSame = Drift.psi(same, "v", "side", "a", "b")
+      .select("psi").head().getDouble(0)
+    assert(math.abs(psiSame) < 0.05, s"psi=$psiSame")
+    val shifted = tagged(a, a.map(_ + 5.0))
+    val psiShift = Drift.psi(shifted, "v", "side", "a", "b")
+      .select("psi").head().getDouble(0)
+    assert(psiShift > 0.25, s"psi=$psiShift") // industry drift threshold
+    // proportions sum to 1 on both sides
+    val bins = Drift.psi(shifted, "v", "side", "a", "b")
+      .select("p", "q").as[(Double, Double)].collect()
+    assert(math.abs(bins.map(_._1).sum - 1.0) < 1e-4)
+    assert(math.abs(bins.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("chi-square: identical categorical mix scores 0, skewed mix scores high") {
+    val same = (Seq.fill(50)(("a", "x")) ++ Seq.fill(30)(("a", "y")) ++
+      Seq.fill(50)(("b", "x")) ++ Seq.fill(30)(("b", "y")))
+      .toDF("side", "cat")
+    val chiSame = Drift.chiSquare(same, "cat", "side", "a", "b")
+      .select("chi2").head().getDouble(0)
+    assert(chiSame == 0.0)
+    val skew = (Seq.fill(50)(("a", "x")) ++ Seq.fill(30)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(75)(("b", "y")))
+      .toDF("side", "cat")
+    val row = Drift.chiSquare(skew, "cat", "side", "a", "b")
+      .select("chi2", "dof").head()
+    assert(row.getDouble(0) > 10.0) // far past the 95% critical value at dof 1
+    assert(row.getInt(1) == 1)
+  }
+
   test("golden: Poisson(15) vs Poisson(15) → no drift") {
     val row = Drift.ksTest(
       tagged(poisson(15, 1000, 1), poisson(15, 500, 2)), "v", "side", "a", "b")

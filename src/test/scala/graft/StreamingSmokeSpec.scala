@@ -97,6 +97,26 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality monitor counts violations per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val monitored = Pipeline.streamingQualityMonitor(
+      stream.toDF().toDF("event_id", "ts", "value"), "ts",
+      Seq(graft.ops.Quality.Between("value", 0.0, 100.0)))
+    val q = monitored.writeStream.format("memory").queryName("qmon")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0), 50.0), (2L, ts(1), -5.0), (3L, ts(2), 500.0))
+      q.processAllAvailable()
+      stream.addData((4L, ts(24 * 60), 1.0)) // advance watermark, close window
+      q.processAllAvailable()
+      val row = spark.table("qmon")
+        .select("total", "unexpected_between_value").head()
+      assert(row.getLong(0) == 3 && row.getLong(1) == 2)
+    } finally q.stop()
+  }
+
   test("foreachBatch online-store upsert folds to latest-per-key, idempotently") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
