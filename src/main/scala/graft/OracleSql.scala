@@ -800,6 +800,47 @@ object OracleSql {
                   * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.4
       ORDER BY id_a, id_b""",
 
+    // binned KS (the 100 TB fallback): fixed-width histogram then bounded
+    // cumulative window — same floor/least arithmetic in both engines
+    "q_ks_binned" -> """
+      WITH clean AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND event_type IN ('purchase', 'view')),
+      bounds AS (
+        SELECT CAST(min(value) AS DOUBLE) AS lo,
+               CAST(max(value) AS DOUBLE) AS hi FROM clean),
+      binned AS (
+        SELECT event_type,
+               CASE WHEN hi = lo THEN 0
+                    ELSE least(CAST(floor((value - lo) / ((hi - lo) / 1000))
+                               AS INTEGER), 999) END AS bin
+        FROM clean, bounds),
+      per_bin AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM binned GROUP BY bin),
+      cum AS (
+        SELECT bin, ca, cb,
+               sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+               sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+               sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM per_bin)
+      SELECT coalesce(CAST(max(na) AS BIGINT), 0) AS n_a,
+             coalesce(CAST(max(nb) AS BIGINT), 0) AS n_b,
+             round(coalesce(max(abs(CAST(cuma AS DOUBLE)/na
+                                    - CAST(cumb AS DOUBLE)/nb)), 0.0), 6)
+               AS ks_stat_binned
+      FROM cum""",
+
+    "q_group_percentiles" -> """
+      SELECT event_type, count(*) AS n,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // PSI over reference-decile bins; DuckDB mirrors the CASE bin counter,
     // window-total proportions, and the (p-q)*ln(p/q) contribution exactly
     "q_psi_drift" -> """

@@ -256,6 +256,18 @@ object SparkEntry {
             get_json_object(col("props"), "$.k").cast("double").as("k")),
         "event_type", "purchase", "view", Seq("k", "value"))),
 
+    "q_ks_binned" -> ((s, dir) =>
+      Drift.ksTestBinned(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view", bins = 1000)),
+    "q_group_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+        .orderBy("event_type")),
     "q_psi_drift" -> ((s, dir) =>
       Drift.psi(Tables.events(s, dir), "value", "event_type",
         "view", "purchase")),

@@ -140,6 +140,49 @@ object Drift {
       .orderBy("feature")
   }
 
+  /** The 100 TB KS path documented in SURVEY.md §7.3#1, implemented: the
+    * samples are histogrammed into `bins` fixed-width buckets FIRST (one
+    * shuffle on the bin id, fully parallel), so the ordered ECDF window
+    * runs over ≤ `bins` rows regardless of corpus size — the exact form's
+    * per-distinct-value window becomes a bounded constant. The statistic
+    * is the KS D evaluated at bin boundaries: within one bin width of the
+    * exact D (DriftSpec asserts the bound); use the exact `ksTest` when
+    * |distinct| is small, this one when it is not.
+    */
+  def ksTestBinned(tagged: DataFrame, valueCol: String, sideCol: String,
+                   a: String, b: String, bins: Int = 1000): DataFrame = {
+    val clean = cleanSamples(tagged, valueCol)
+      .filter(col(sideCol) === a || col(sideCol) === b)
+    val bounds = clean.agg(
+      min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    val binned = clean.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(
+            floor((col(valueCol) - col("lo")) / ((col("hi") - col("lo")) / bins))
+              .cast("int"),
+            lit(bins - 1))))
+    val perBin = binned.groupBy(col("bin")).agg(
+      sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
+      sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy()
+    perBin
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(totW))
+      .withColumn("nb", sum(col("cb")).over(totW))
+      .agg(
+        coalesce(max(col("na")), lit(0L)).as("n_a"),
+        coalesce(max(col("nb")), lit(0L)).as("n_b"),
+        round(coalesce(max(abs(
+          col("cuma").cast("double") / col("na") -
+          col("cumb").cast("double") / col("nb"))), lit(0.0)), 6)
+          .as("ks_stat_binned"))
+  }
+
   /** D5 (ext): Population Stability Index over reference-decile bins — the
     * industry-standard drift score next to KS (PSI < 0.1 stable, > 0.25
     * drifted). Bin edges come from the REFERENCE side's quantiles (the

@@ -97,6 +97,28 @@ class DriftSpec extends SparkSpec {
     Seq.fill(n)(mu + sd * r.nextGaussian())
   }
 
+  test("binned KS is within one bin-mass of the exact statistic") {
+    val df = tagged(a, b)
+    val exact = Drift.ksTest(df, "v", "side", "a", "b")
+      .select("ks_stat").head().getDouble(0)
+    val binned = Drift.ksTestBinned(df, "v", "side", "a", "b", bins = 1000)
+      .select("ks_stat_binned").head().getDouble(0)
+    // with 1000 bins over this range, every distinct value gets its own bin
+    assert(math.abs(binned - exact) < 1e-6, s"exact=$exact binned=$binned")
+    val coarse = Drift.ksTestBinned(df, "v", "side", "a", "b", bins = 8)
+      .select("ks_stat_binned").head().getDouble(0)
+    assert(coarse <= exact + 1e-9) // boundary evaluation can only lose mass
+    assert(coarse > 0.0)
+  }
+
+  test("binned KS handles the degenerate all-equal sample") {
+    val df = tagged(Seq.fill(20)(5.0), Seq.fill(20)(5.0))
+    val row = Drift.ksTestBinned(df, "v", "side", "a", "b")
+      .select("n_a", "n_b", "ks_stat_binned").head()
+    assert(row.getLong(0) == 20 && row.getLong(1) == 20)
+    assert(row.getDouble(2) == 0.0)
+  }
+
   test("PSI: identical sides score ~0, shifted sides score high") {
     val same = tagged(a, a)
     val psiSame = Drift.psi(same, "v", "side", "a", "b")
