@@ -644,6 +644,27 @@ object OracleSql {
       WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02
       ORDER BY id_a, id_b""",
 
+    "x_entity_resolution" -> """
+      WITH c AS (
+        SELECT c_custkey AS id, c_name AS name FROM customer
+        WHERE c_custkey < 200),
+      v AS (
+        SELECT id + 100000 AS id,
+               substr(name, 1, length(name)-2)
+                 || substr(name, length(name), 1)
+                 || substr(name, length(name)-1, 1) AS name
+        FROM c),
+      u AS (SELECT * FROM c UNION ALL SELECT * FROM v),
+      n AS (SELECT id, name, substr(lower(trim(name)), 1, 9) AS blk,
+                   length(name) AS len
+            FROM u)
+      SELECT l.id AS id_a, r.id AS id_b, l.name AS name_a, r.name AS name_b,
+             CAST(levenshtein(l.name, r.name) AS INTEGER) AS dist
+      FROM n l JOIN n r
+        ON l.blk = r.blk AND abs(l.len - r.len) <= 2 AND l.id < r.id
+      WHERE levenshtein(l.name, r.name) <= 2
+      ORDER BY id_a, id_b""",
+
     // cluster resolution: Spark's iterative min-label propagation vs a
     // DuckDB recursive-CTE transitive closure over the SAME pair list
     "x_dedup_clusters" -> """

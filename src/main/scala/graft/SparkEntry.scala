@@ -381,6 +381,19 @@ object SparkEntry {
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
         "doc_id", "text", 3, 0.02, maxDf = 30)),
+    "x_entity_resolution" -> ((s, dir) => {
+      // blocked fuzzy match: customers vs deterministically typo'd variants
+      // (last two name chars swapped -> edit distance 2)
+      val c = Tables.customer(s, dir).filter(col("c_custkey") < 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val variants = c.select((col("id") + 100000).as("id"),
+        concat(
+          substring(col("name"), lit(1), length(col("name")) - 2),
+          substring(col("name"), length(col("name")), lit(1)),
+          substring(col("name"), length(col("name")) - 1, lit(1))).as("name"))
+      Dedup.fuzzyPairs(c.unionByName(variants), "id", "name",
+        maxDistance = 2, blockPrefixLen = 9)
+    }),
     "x_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(
         Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 60),

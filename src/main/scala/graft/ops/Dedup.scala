@@ -224,6 +224,30 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Entity resolution for short strings (names, titles, SKUs): candidate
+    * pairs from an equi-join on a blocking key (normalized prefix) plus a
+    * length band, then exact Levenshtein verification — the classic
+    * block/verify shape, quadratic only within a block, never corpus².
+    * Production blocking would union several keys (prefix, phonetic,
+    * character q-grams — the `shingles` machinery applies verbatim to
+    * char n-grams); one prefix key is the demonstrable core.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+                 maxDistance: Int, blockPrefixLen: Int): DataFrame = {
+    val n = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("blk", substring(lower(trim(col("s"))), 1, blockPrefixLen))
+      .withColumn("len", length(col("s")))
+    n.as("l").join(n.as("r"),
+        col("l.blk") === col("r.blk") &&
+          abs(col("l.len") - col("r.len")) <= maxDistance &&
+          col("l.id") < col("r.id"))
+      .withColumn("dist", levenshtein(col("l.s"), col("r.s")))
+      .filter(col("dist") <= maxDistance)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.s").as("name_a"), col("r.s").as("name_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Connected components over an undirected pair list (the dedup-cluster
     * resolution step that turns pairwise near-dup hits into groups):
     * iterative min-label propagation — every node repeatedly adopts the

@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((1L, 4L)))
   }
 
+  test("fuzzy pairs: blocked levenshtein finds typos, respects the distance cap") {
+    val names = Seq(
+      (1L, "Acme Corporation"),
+      (2L, "Acme Corporatoin"),   // transposition: distance 2
+      (3L, "Acme Corp"),          // 7 deletions: out of band
+      (4L, "Zenith Industries")   // different block
+    ).toDF("id", "name")
+    val out = Dedup.fuzzyPairs(names, "id", "name",
+        maxDistance = 2, blockPrefixLen = 6)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toList
+    assert(out == List((1L, 2L, 2)))
+  }
+
   test("connected components: chain, star and disjoint clusters resolve to min id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),         // chain (unordered ends)
       (10L, 11L), (10L, 12L), (10L, 13L),                  // star
