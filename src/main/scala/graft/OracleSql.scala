@@ -1098,6 +1098,34 @@ object OracleSql {
         ORDER BY ${uk("c_custkey", 35)}, c_custkey LIMIT 100)
       ORDER BY c_custkey""",
 
+    "q_mixture_sample" -> s"""
+      WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ${uk("doc_id", 37)}, doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, lang FROM r
+      WHERE rn <= (CASE WHEN lang = 'en' THEN 120
+                        WHEN lang = 'de' THEN 40
+                        WHEN lang = 'fr' THEN 40
+                        ELSE 0 END)
+      ORDER BY doc_id""",
+
+    "q_pack_sequences" -> """
+      WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+                 AS n_tokens
+        FROM documents)
+      SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+               / 2048) AS INTEGER) AS pack_id
+      FROM t ORDER BY lang, doc_id""",
+
     // mapPartitions decode stub: byte-exact oracle — bytes recovered from the
     // hex dump two nibbles at a time (strpos against the hex alphabet), so
     // the mean-intensity matches Spark's (b & 0xff) sum exactly

@@ -371,6 +371,19 @@ object SparkEntry {
           Tables.customer(s, dir).select("c_custkey", "c_name"),
           "c_custkey", 100)
         .orderBy("c_custkey")),
+    "q_mixture_sample" -> ((s, dir) =>
+      Sampling.mixtureSample(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          "lang", "doc_id",
+          Seq("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2), totalN = 200)
+        .orderBy("doc_id")),
+    "q_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+          Tables.documents(s, dir)
+            .select(col("lang"), col("doc_id"),
+              size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+          "lang", "doc_id", "n_tokens", maxTokens = 2048)
+        .orderBy("lang", "doc_id")),
 
     // ---- §7.4 dedup --------------------------------------------------------
     "x_dedup_exact" -> ((s, dir) =>

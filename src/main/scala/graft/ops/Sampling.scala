@@ -75,4 +75,48 @@ object Sampling {
   def uniformSample(df: DataFrame, keyCol: String, n: Int,
                     channel: Long = 35L): DataFrame =
     df.orderBy(Gen.u01(col(keyCol), channel), col(keyCol)).limit(n)
+
+  /** Mixture sampling: draw a corpus whose stratum proportions match a
+    * TARGET mixture (the data-mixing step of a training pipeline — e.g.
+    * 70% english / 30% rest regardless of the raw crawl mix). Per-stratum
+    * quota = floor(share·totalN); rows picked by hash order within the
+    * stratum, so the draw is deterministic and stable. Strata with fewer
+    * rows than their quota contribute everything they have (the shortfall
+    * is reported by comparing output counts to quotas downstream).
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                    targetShares: Seq[(String, Double)], totalN: Long,
+                    channel: Long = 37L): DataFrame = {
+    val quota = targetShares.foldRight(lit(0L): Column) {
+      case ((s, share), acc) =>
+        when(col(stratumCol) === s,
+          lit(math.floor(share * totalN).toLong)).otherwise(acc)
+    }
+    val pick = Window.partitionBy(col(stratumCol))
+      .orderBy(Gen.u01(col(keyCol), channel), col(keyCol))
+    df.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** Sequence packing: assign documents to fixed-budget training packs —
+    * per group (e.g. language), documents in deterministic id order, pack
+    * id = floor(tokens-before-this-doc / maxTokens). The standard
+    * streaming-concat packing approximation: every pack holds consecutive
+    * docs and at least one doc, a doc straddling a boundary spills into
+    * the next pack. One shuffle on the group key; the running sum is a
+    * bounded ROWS window.
+    */
+  def packSequences(docs: DataFrame, groupCol: String, idCol: String,
+                    tokenCol: String, maxTokens: Long): DataFrame = {
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(order))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col(tokenCol)) / maxTokens).cast("int"))
+      .select(col(groupCol), col(idCol), col(tokenCol).cast("int").as(tokenCol),
+        col("cum_tokens"), col("pack_id"))
+  }
 }

@@ -47,6 +47,35 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set(3L, 2L, 4L)) // a keeps its top-2 scores, b keeps its 1
   }
 
+  test("mixture sample hits the target proportions exactly when supply allows") {
+    val df = (Seq.tabulate(500)(i => (i.toLong, "en")) ++
+      Seq.tabulate(500)(i => ((i + 1000).toLong, "de")) ++
+      Seq.tabulate(10)(i => ((i + 5000).toLong, "rare")))
+      .toDF("id", "src")
+    val out = Sampling.mixtureSample(df, "src", "id",
+      Seq("en" -> 0.7, "de" -> 0.2, "rare" -> 0.1), totalN = 100)
+    val sizes = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(sizes("en") == 70 && sizes("de") == 20)
+    assert(sizes("rare") == 10) // supply exactly meets quota
+    // undersupplied stratum contributes everything it has
+    val short = Sampling.mixtureSample(df, "src", "id",
+      Seq("rare" -> 1.0), totalN = 100)
+    assert(short.count() == 10)
+  }
+
+  test("sequence packing: consecutive docs per pack, budget respected at boundaries") {
+    val df = Seq(
+      ("en", 1L, 1000), ("en", 2L, 800), ("en", 3L, 500), ("en", 4L, 2000),
+      ("de", 10L, 3000)
+    ).toDF("lang", "doc_id", "n_tokens")
+    val out = Sampling.packSequences(df, "lang", "doc_id", "n_tokens", 2048L)
+      .select("doc_id", "pack_id").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0 && out(2L) == 0)  // 1000 + 800 fit pack 0
+    assert(out(3L) == 0)                  // starts at 1800 < 2048 (spills)
+    assert(out(4L) == 1)                  // starts at 2300 -> pack 1
+    assert(out(10L) == 0)                 // other group packs independently
+  }
+
   test("uniform sample: exact size, deterministic across runs") {
     val df = spark.range(0, 1000).toDF("id")
     val a = Sampling.uniformSample(df, "id", 50).as[Long].collect().toList
