@@ -40,7 +40,11 @@ class FeatureStore(@annotation.unused spark: SparkSession) {
   private val views = scala.collection.mutable.LinkedHashMap[String, FeatureView]()
   private val snapshots = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
 
-  def applyView(view: FeatureView): Unit = views(view.name) = view
+  def applyView(view: FeatureView): Unit = {
+    views(view.name) = view
+    // a re-registered view must not serve the previous source's snapshot
+    snapshots.remove(view.name).foreach(_.unpersist())
+  }
 
   def view(name: String): FeatureView =
     views.getOrElse(name, throw new NoSuchElementException(
@@ -53,6 +57,7 @@ class FeatureStore(@annotation.unused spark: SparkSession) {
         v.source, v.entityCol, v.tsCol, v.tiebreakCol)
       .select((v.entityCol +: v.tsCol +: v.tiebreakCol +: v.features).distinct.map(col): _*)
       .cache()
+    snapshots.remove(name).foreach(_.unpersist()) // don't leak the old cache
     snapshots(name) = snap
     snap
   }
@@ -68,6 +73,9 @@ class FeatureStore(@annotation.unused spark: SparkSession) {
         delta.select((v.entityCol +: v.tsCol +: v.tiebreakCol +: v.features).distinct.map(col): _*),
         v.entityCol, v.tsCol, v.tiebreakCol)
       .cache()
+    // materialize the fold BEFORE unpersisting its own input snapshot
+    folded.count()
+    snapshots.remove(name).foreach(_.unpersist())
     snapshots(name) = folded
     folded
   }

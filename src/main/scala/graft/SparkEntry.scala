@@ -420,8 +420,10 @@ object SparkEntry {
       Dedup.simHash(Tables.documents(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")),
     "x_simhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
+      // maxHamming < bands(4) keeps the pigeonhole recall guarantee: this
+      // is exactly "all pairs within hamming 3", not a banding-luck subset
       Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 8)),
+        maxHamming = 3)),
 
     // ---- §7.4 text analysis ------------------------------------------------
     "x_token_stats" -> ((s, dir) =>

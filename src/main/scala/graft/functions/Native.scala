@@ -257,6 +257,9 @@ object Native {
       val out = new Array[Any](codebooks.length * subDim)
       var s = 0
       while (s < codebooks.length) {
+        // a NULL code (NearestCentroid's dimension-mismatch marker) must
+        // not decode as centroid 0 — propagate the NULL
+        if (codes.isNullAt(s)) return null
         val c = codes.getInt(s)
         if (c < 0 || c >= codebooks(s).length) return null
         val cent = codebooks(s)(c)

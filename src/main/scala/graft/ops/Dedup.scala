@@ -191,12 +191,15 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: the 64-bit fingerprints are cut into `bands`
-    * equal bit-bands; docs sharing ANY exact band are candidates (by
-    * pigeonhole, every pair with hamming distance < `bands` shares one, so
-    * recall is GUARANTEED up to bands−1 differing bits), then candidates
-    * are verified with the exact `bit_count(a^b)` hamming distance. The
-    * same sub-quadratic propose/verify shape as the MinHash pipeline:
-    * pair generation is Σ bucket², never corpus².
+    * equal bit-bands; docs sharing ANY exact band are candidates, then
+    * candidates are verified with the exact `bit_count(a^b)` hamming
+    * distance. By pigeonhole, every pair with hamming distance < `bands`
+    * shares a band, so recall is COMPLETE only when
+    * `maxHamming < bands` — with `maxHamming >= bands` the verified
+    * distances are still exact but pairs spreading their differing bits
+    * across every band can be missed (best-effort recall). The same
+    * sub-quadratic propose/verify shape as the MinHash pipeline: pair
+    * generation is Σ bucket², never corpus².
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
@@ -283,6 +286,7 @@ object Dedup {
       df.agg(sum(col("component").cast("decimal(38,0)")))
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
+    if (prevSum == null) return labels // empty pair list: no nodes, no work
     var changed = true
     var i = 0
     while (changed && i < maxIters) {
@@ -298,6 +302,11 @@ object Dedup {
       labels = prop
       i += 1
     }
+    // a truncated propagation would silently split components — fail loudly
+    if (changed) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters supersteps " +
+        "(graph diameter exceeds maxIters); raise maxIters or switch to " +
+        "a large-star/small-star formulation for this graph")
     labels
   }
 

@@ -100,22 +100,33 @@ object Quality {
                 n: Int): DataFrame =
     df.filter(e.violation).orderBy(col(orderCol)).limit(n)
 
+  /** The per-window aggregate list shared by the batch report below and
+    * `streaming.Pipeline.streamingQualityMonitor` — ONE definition, so
+    * batch backfill and the live stream cannot desynchronize.
+    */
+  def windowedAggs(expectations: Seq[Expectation]): Seq[Column] =
+    count(lit(1)).as("total") +:
+      expectations.map(e => sum(when(e.violation, 1L).otherwise(0L))
+        .as(s"unexpected_${e.name}"))
+
+  /** Output projection paired with [[windowedAggs]]. */
+  def windowedSelect(expectations: Seq[Expectation]): Seq[Column] =
+    col("window.start").as("window_start") +: col("total") +:
+      expectations.map(e => col(s"unexpected_${e.name}"))
+
   /** Quality as a time series: per event-time window, total rows and the
     * violation count of every expectation — the batch twin of
-    * `streaming.Pipeline.streamingQualityMonitor` (same compiled
-    * aggregates, so batch backfill and the live stream agree). One
-    * windowed aggregation, state one row per window.
+    * `streaming.Pipeline.streamingQualityMonitor` (identical compiled
+    * aggregates via [[windowedAggs]]). One windowed aggregation, state one
+    * row per window.
     */
   def windowedReport(df: DataFrame, tsCol: String,
                      expectations: Seq[Expectation],
                      windowLen: String = "1 hour"): DataFrame = {
-    val aggs = count(lit(1)).as("total") +:
-      expectations.map(e => sum(when(e.violation, 1L).otherwise(0L))
-        .as(s"unexpected_${e.name}"))
+    val aggs = windowedAggs(expectations)
     df.groupBy(window(col(tsCol), windowLen))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("window.start").as("window_start") +: col("total") +:
-        expectations.map(e => col(s"unexpected_${e.name}")): _*)
+      .select(windowedSelect(expectations): _*)
       .orderBy("window_start")
   }
 }

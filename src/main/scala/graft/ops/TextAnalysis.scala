@@ -106,22 +106,21 @@ object TextAnalysis {
     * backreferences/lookaround so any RE2-class engine reproduces them
     * byte-for-byte (the DuckDB oracle does).
     */
-  def scrubPii(text: Column): Column = {
-    val email  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone  = "\\+?[0-9][0-9() .-]{6,}[0-9]"
-    val digits = "[0-9]{6,}"
+  // one definition per PII pattern — scrub and counts must not diverge
+  private val piiEmail  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhone  = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+  private val piiDigits = "[0-9]{6,}"
+
+  def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, email, "<EMAIL>"),
-        phone, "<PHONE>"),
-      digits, "<ID>")
-  }
+        regexp_replace(text, piiEmail, "<EMAIL>"),
+        piiPhone, "<PHONE>"),
+      piiDigits, "<ID>")
 
   /** Count of redactions applied by [[scrubPii]] per category. */
-  def piiCounts(text: Column): (Column, Column) = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    (regexp_count(text, lit(email)).cast("int"),
-      regexp_count(regexp_replace(text, email, "<EMAIL>"),
-        lit("\\+?[0-9][0-9() .-]{6,}[0-9]")).cast("int"))
-  }
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(piiEmail)).cast("int"),
+      regexp_count(regexp_replace(text, piiEmail, "<EMAIL>"),
+        lit(piiPhone)).cast("int"))
 }

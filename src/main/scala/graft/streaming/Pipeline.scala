@@ -115,23 +115,37 @@ object Pipeline {
       }
 
   /** One fold of [[onlineStoreSink]]: merge a batch into the snapshot at
-    * `storePath` keeping the newest row per key, then atomically swap.
+    * `storePath` keeping the newest row per key, then swap via
+    * retire-then-promote renames. A crash can leave the live path missing
+    * only AFTER the previous snapshot was renamed to `.old` — the read
+    * side falls back to `.old`, so no crash point loses data (the naive
+    * delete-then-rename would replay the batch against an EMPTY store and
+    * silently drop every previously materialized key). Rename failures
+    * throw instead of passing silently.
     */
   def upsertSnapshot(batch: DataFrame, storePath: String, keyCol: String,
                      tsCol: String, tiebreakCol: String): Unit = {
     val spark = batch.sparkSession
     import org.apache.hadoop.fs.Path
-    val fs = new Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(new Path(storePath))) spark.read.parquet(storePath)
+    val live = new Path(storePath)
+    val old = new Path(storePath + ".old")
+    val swap = new Path(storePath + ".swap")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: live missing but .old present ⇒ previous fold died
+    // between retire and promote — the retired snapshot is authoritative
+    val base =
+      if (fs.exists(live)) spark.read.parquet(storePath)
+      else if (fs.exists(old)) spark.read.parquet(storePath + ".old")
       else batch.limit(0)
     val merged = graft.ops.Materialize.latestPerKey(
-      existing.unionByName(batch), keyCol, tsCol, tiebreakCol)
-    val tmp = storePath + ".swap"
-    merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(new Path(storePath), true)
-    fs.rename(new Path(tmp), new Path(storePath))
+      base.unionByName(batch), keyCol, tsCol, tiebreakCol)
+    merged.write.mode("overwrite").parquet(storePath + ".swap")
+    fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"retire failed: $live -> $old")
+    if (!fs.rename(swap, live))
+      throw new java.io.IOException(s"promote failed: $swap -> $live")
+    fs.delete(old, true)
   }
 
   /** Streaming data-quality monitor: the SAME declarative expectations the
@@ -148,14 +162,11 @@ object Pipeline {
     val watermarked = events
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, delay)
-    val aggs = count(lit(1)).as("total") +:
-      checks.map(e => sum(when(e.violation, 1L).otherwise(0L))
-        .as(s"unexpected_${e.name}"))
+    val aggs = graft.ops.Quality.windowedAggs(checks)
     watermarked
       .groupBy(window(col(tsCol), windowLen))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("window.start").as("window_start") +: col("total") +:
-        checks.map(e => col(s"unexpected_${e.name}")): _*)
+      .select(graft.ops.Quality.windowedSelect(checks): _*)
   }
 
   /** S1 (production shape): Kafka source — documented for parity; tests use

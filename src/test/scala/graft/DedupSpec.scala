@@ -99,6 +99,20 @@ class DedupSpec extends SparkSpec {
     assert((1 to 16).forall(i => cc(i.toLong) == 1L))
   }
 
+  test("connected components of an empty pair list is empty (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+    assert(Dedup.dedupClusters(empty).count() == 0)
+  }
+
+  test("connected components fail loudly when maxIters truncates propagation") {
+    val longChain = (1 until 10).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(longChain, "id_a", "id_b", maxIters = 3)
+    }
+  }
+
   test("dedupClusters marks exactly one canonical per component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
     val out = Dedup.dedupClusters(pairs)

@@ -145,6 +145,27 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online-store upsert recovers from a crash between retire and promote") {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val store = java.nio.file.Files.createTempDirectory("graft_crash_").toString + "/snap"
+    Pipeline.upsertSnapshot(
+      Seq((1L, ts(0), 10.0), (2L, ts(0), 20.0)).toDF("user_id", "ts", "value"),
+      store, "user_id", "ts", "value")
+    // simulate the crash window: live snapshot retired to .old, promote
+    // never happened
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(store), new Path(store + ".old")))
+    // the replayed batch must fold into the retired snapshot, not an empty one
+    Pipeline.upsertSnapshot(
+      Seq((3L, ts(5), 30.0)).toDF("user_id", "ts", "value"),
+      store, "user_id", "ts", "value")
+    val snap = spark.read.parquet(store)
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+    assert(snap == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("streaming parquet sink writes date-partitioned append output (S5)") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
