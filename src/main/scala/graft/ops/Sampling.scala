@@ -6,23 +6,31 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and split operators for training-data pipelines
   * (SURVEY.md §7.4 extension set): hash splits, exact stratified sampling,
-  * per-group quota caps, and a uniform fixed-size sample.
+  * per-group quota caps, target-mixture draws, and sequence packing.
   *
   * All randomness is the shared cross-engine minstd hash ([[Gen.u01]]), so
   * every operator is reproducible run-to-run AND DuckDB-oracle checkable —
   * the property a training pipeline needs for leak-free, re-derivable
   * splits at any scale.
   *
-  * Scale posture:
+  * Scale posture — NO full-stratum sorts anywhere:
   * - `splitAssign` is a narrow map (no shuffle): each key's split depends
   *   only on its own hash, so assignments are stable when the corpus grows
   *   — new data never reshuffles an existing key across the train/test
   *   boundary;
-  * - `stratifiedSample` shuffles once on the stratum key; the per-stratum
-  *   rank is a window, partition-local after that shuffle;
-  * - `quotaCap` is the same single-shuffle shape keyed by group;
+  * - `stratifiedSample` / `mixtureSample` select the exact quota-smallest
+  *   rows per stratum WITHOUT ranking the stratum: a per-(stratum, u-bucket)
+  *   histogram finds the single bucket where the quota boundary falls, rows
+  *   in lower buckets are accepted outright, and only that one boundary
+  *   bucket (≈ n / 2²⁰ rows) is ranked — see [[smallestPerStratum]];
+  * - `quotaCap` ranks per group, but the cap `n` bounds useful output;
+  *   dominant groups should be pre-trimmed with `smallestPerStratum`-style
+  *   selection when the priority order is a hash (see scaladoc);
   * - `uniformSample` is a TakeOrdered — O(n) heap per partition, one
-  *   driver merge of 32·n rows, NO global sort and no shuffle.
+  *   driver merge of 32·n rows, NO global sort and no shuffle;
+  * - `packSequences` computes its per-group running sum as a distributed
+  *   prefix sum over range-partitioned slices — no single task ever sorts
+  *   a whole group.
   */
 object Sampling {
 
@@ -40,25 +48,91 @@ object Sampling {
       })
   }
 
+  /** Exact-quota per-stratum selection at scale: returns, for each stratum,
+    * the `quota` smallest rows by `(u01(key), key)` — the same rows a
+    * `row_number() OVER (PARTITION BY stratum ORDER BY u, key)` rank would
+    * pick — without ever sorting a whole stratum in one task.
+    *
+    * Three bounded phases:
+    *   1. histogram: one shuffled count per (stratum, bucket) where
+    *      bucket = floor(u·2²⁰) — map-side combined, fully parallel;
+    *   2. boundary: a window over the histogram (≤ 2²⁰ rows per stratum,
+    *      bounded regardless of corpus size) finds the one bucket where the
+    *      running count crosses the quota; emits per stratum
+    *      (boundary bucket, rows below it, quota) — one tiny row per
+    *      stratum, broadcast back;
+    *   3. select: rows in buckets below the boundary are accepted with no
+    *      sort; ONLY the boundary bucket (≈ n/2²⁰ rows — ~10⁶ even for a
+    *      10¹²-row stratum) is ranked to fill the remaining slots.
+    *
+    * Deterministically exact for ANY u distribution — a degenerate u (all
+    * rows in one bucket) just degrades the boundary bucket to the whole
+    * stratum, i.e. the naive form; there is no probabilistic fallback to
+    * get wrong. The broadcast plan holds one row per stratum (strata are
+    * categorical — languages, event types — by construction).
+    *
+    * @param quota (stratumValue, n) => rows to keep, clamped to [0, n]
+    */
+  private def smallestPerStratum(df: DataFrame, stratumCol: String,
+                                 keyCol: String, channel: Long,
+                                 quota: (Column, Column) => Column,
+                                 buckets: Int = 1 << 20): DataFrame = {
+    val u = Gen.u01(col(keyCol), channel)
+    // u ∈ (0, 1]: clamp u == 1 into the top bucket
+    val bucketOf = least(floor(u * buckets), lit(buckets - 1L)).cast("long")
+
+    val hist = df
+      .groupBy(col(stratumCol).as("__s"), bucketOf.as("__hb"))
+      .agg(count(lit(1)).as("__c"))
+    val before = Window.partitionBy(col("__s")).orderBy(col("__hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col("__s"))
+    // the one histogram row per stratum where the running count crosses k
+    val boundary = hist
+      .withColumn("__cumBefore", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__k",
+        greatest(lit(0L), least(quota(col("__s"), col("__n")).cast("long"),
+          col("__n"))))
+      .filter(col("__cumBefore") < col("__k") &&
+        col("__k") <= col("__cumBefore") + col("__c"))
+      .select(col("__s"), col("__hb").as("__bstar"),
+        col("__cumBefore").as("__clo"), col("__k"))
+
+    // strata with quota 0 have no boundary row: the inner join drops them
+    val tagged = df
+      .withColumn("__u", u).withColumn("__b", bucketOf)
+      .join(broadcast(boundary), col(stratumCol) === col("__s"))
+    val keep = df.columns.map(col)
+    val acceptedOutright = tagged.filter(col("__b") < col("__bstar"))
+    val pick = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__u"), col(keyCol))
+    val fromBoundary = tagged.filter(col("__b") === col("__bstar"))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") <= col("__k") - col("__clo"))
+    acceptedOutright.select(keep: _*)
+      .unionByName(fromBoundary.select(keep: _*))
+  }
+
   /** Exact stratified sample: ceil(fraction·|stratum|) rows from EVERY
     * stratum, picked by hash order within the stratum — rare strata never
-    * vanish the way they can under global-uniform sampling.
+    * vanish the way they can under global-uniform sampling. Selection via
+    * [[smallestPerStratum]]: no task ever sorts a whole stratum.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
-                       fraction: Double, channel: Long = 33L): DataFrame = {
-    val pick = Window.partitionBy(col(stratumCol))
-      .orderBy(Gen.u01(col(keyCol), channel), col(keyCol))
-    val whole = Window.partitionBy(col(stratumCol))
-    df.withColumn("__rn", row_number().over(pick))
-      .withColumn("__n", count(lit(1)).over(whole))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
-  }
+                       fraction: Double, channel: Long = 33L): DataFrame =
+    smallestPerStratum(df, stratumCol, keyCol, channel,
+      (_, n) => ceil(n * fraction))
 
   /** Per-group quota cap: at most `n` rows per group, highest-priority
     * first (`orderCols` must be a total order — tiebreak on a unique id).
     * The standard per-domain cap that stops one crawl domain from
     * dominating a training corpus.
+    *
+    * The rank is a per-group window over arbitrary priority columns — for
+    * hash-priority caps at extreme group sizes, prefer
+    * [[stratifiedSample]]/[[mixtureSample]], whose histogram selection
+    * avoids the group sort entirely.
     */
   def quotaCap(df: DataFrame, groupCol: String, orderCols: Seq[Column],
                n: Int): DataFrame = {
@@ -80,40 +154,64 @@ object Sampling {
     * TARGET mixture (the data-mixing step of a training pipeline — e.g.
     * 70% english / 30% rest regardless of the raw crawl mix). Per-stratum
     * quota = floor(share·totalN); rows picked by hash order within the
-    * stratum, so the draw is deterministic and stable. Strata with fewer
-    * rows than their quota contribute everything they have (the shortfall
-    * is reported by comparing output counts to quotas downstream).
+    * stratum via [[smallestPerStratum]] — exact, deterministic, and free
+    * of full-stratum sorts. Strata with fewer rows than their quota
+    * contribute everything they have (the shortfall is reported by
+    * comparing output counts to quotas downstream); strata not named in
+    * `targetShares` are dropped.
     */
   def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
                     targetShares: Seq[(String, Double)], totalN: Long,
-                    channel: Long = 37L): DataFrame = {
-    val quota = targetShares.foldRight(lit(0L): Column) {
-      case ((s, share), acc) =>
-        when(col(stratumCol) === s,
-          lit(math.floor(share * totalN).toLong)).otherwise(acc)
-    }
-    val pick = Window.partitionBy(col(stratumCol))
-      .orderBy(Gen.u01(col(keyCol), channel), col(keyCol))
-    df.withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") <= quota)
-      .drop("__rn")
-  }
+                    channel: Long = 37L): DataFrame =
+    smallestPerStratum(df, stratumCol, keyCol, channel,
+      (s, _) => targetShares.foldRight(lit(0L): Column) {
+        case ((name, share), acc) =>
+          when(s === name, lit(math.floor(share * totalN).toLong))
+            .otherwise(acc)
+      })
 
   /** Sequence packing: assign documents to fixed-budget training packs —
     * per group (e.g. language), documents in deterministic id order, pack
     * id = floor(tokens-before-this-doc / maxTokens). The standard
     * streaming-concat packing approximation: every pack holds consecutive
     * docs and at least one doc, a doc straddling a boundary spills into
-    * the next pack. One shuffle on the group key; the running sum is a
-    * bounded ROWS window.
+    * the next pack.
+    *
+    * The per-group running sum is a DISTRIBUTED PREFIX SUM, not one
+    * group-wide window: rows are range-partitioned on (group, id) into
+    * ordered slices, each slice computes its local running sum in
+    * parallel, per-slice totals (one tiny row per (group, slice) —
+    * #shuffle-partitions rows in all) are offset-scanned and broadcast
+    * back. No task ever sorts more than one slice, so a group 1000× the
+    * rest still packs at slice parallelism. Slicing cannot change the
+    * result: a prefix sum is slicing-invariant as long as slices are in
+    * order, which range partitioning on the sort key guarantees.
     */
   def packSequences(docs: DataFrame, groupCol: String, idCol: String,
                     tokenCol: String, maxTokens: Long): DataFrame = {
-    val order = Window.partitionBy(col(groupCol))
+    val nSlices = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // __slice is evaluated on the range-exchange output (nondeterministic
+    // exprs don't get pushed past the exchange), so it IS the range slice
+    val sliced = docs
+      .repartitionByRange(nSlices, col(groupCol), col(idCol))
+      .withColumn("__slice", spark_partition_id())
+    val local = Window.partitionBy(col(groupCol), col("__slice"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(order))
+    val withLocal = sliced
+      .withColumn("__lcum", sum(col(tokenCol).cast("long")).over(local))
+    val sliceTotals = withLocal
+      .groupBy(col(groupCol), col("__slice"))
+      .agg(max(col("__lcum")).as("__stot"))
+    val prior = Window.partitionBy(col(groupCol)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliceTotals
+      .withColumn("__off", coalesce(sum(col("__stot")).over(prior), lit(0L)))
+      .select(col(groupCol), col("__slice"), col("__off"))
+    withLocal
+      .join(broadcast(offsets), Seq(groupCol, "__slice"))
+      .withColumn("cum_tokens", col("__lcum") + col("__off"))
       .withColumn("pack_id",
         floor((col("cum_tokens") - col(tokenCol)) / maxTokens).cast("int"))
       .select(col(groupCol), col(idCol), col(tokenCol).cast("int").as(tokenCol),

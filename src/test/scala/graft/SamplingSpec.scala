@@ -1,13 +1,75 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Sampling
+import graft.ops.{Gen, Sampling}
 
 /** Deterministic split / sampling semantics. */
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
   private val splits = Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)
+
+  /** The round-2 naive forms (full-stratum window rank) — kept here as the
+    * semantic reference the scale-safe implementations must match exactly.
+    */
+  private def naiveStratified(df: DataFrame, stratum: String, key: String,
+                              fraction: Double): DataFrame = {
+    val pick = Window.partitionBy(col(stratum))
+      .orderBy(Gen.u01(col(key), 33), col(key))
+    val whole = Window.partitionBy(col(stratum))
+    df.withColumn("__rn", row_number().over(pick))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
+
+  private def naiveMixture(df: DataFrame, stratum: String, key: String,
+                           shares: Seq[(String, Double)], totalN: Long): DataFrame = {
+    val quota = shares.foldRight(lit(0L): org.apache.spark.sql.Column) {
+      case ((s, share), acc) =>
+        when(col(stratum) === s, lit(math.floor(share * totalN).toLong))
+          .otherwise(acc)
+    }
+    val pick = Window.partitionBy(col(stratum))
+      .orderBy(Gen.u01(col(key), 37), col(key))
+    df.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  private def naivePack(df: DataFrame, grp: String, id: String, tok: String,
+                        maxTokens: Long): DataFrame = {
+    val order = Window.partitionBy(col(grp)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tok).cast("long")).over(order))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col(tok)) / maxTokens).cast("int"))
+      .select(col(grp), col(id), col(tok).cast("int").as(tok),
+        col("cum_tokens"), col("pack_id"))
+  }
+
+  /** Scale assertion: every logical Window in the plan is bounded — either
+    * partitioned on more than the stratum (packing slices), computed over an
+    * Aggregate (histogram / slice totals: ≤ #buckets / #slices rows per
+    * stratum), or computed over the boundary-bucket filter (≈ n/2²⁰ rows).
+    * A window partitioned solely by the raw stratum over unfiltered input —
+    * the round-2 scale killer — fails this.
+    */
+  private def assertNoFullStratumWindow(df: DataFrame): Unit = {
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected windows in the sampler plan")
+    wins.foreach { w =>
+      val overAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
+      val overBoundaryBucket = w.child.collectFirst {
+        case f: Filter if f.condition.references.exists(_.name == "__bstar") => f
+      }.isDefined
+      assert(w.partitionSpec.size >= 2 || overAggregate || overBoundaryBucket,
+        s"unbounded full-stratum window in plan:\n$w")
+    }
+  }
 
   test("splitAssign is exhaustive, disjoint, and roughly proportional") {
     val keys = spark.range(0, 10000).toDF("id")
@@ -74,6 +136,59 @@ class SamplingSpec extends SparkSpec {
     assert(out(3L) == 0)                  // starts at 1800 < 2048 (spills)
     assert(out(4L) == 1)                  // starts at 2300 -> pack 1
     assert(out(10L) == 0)                 // other group packs independently
+  }
+
+  test("scale-safe stratified sample ≡ naive full-window rank (skewed strata)") {
+    // one dominant stratum (the 100 TB failure mode) + a rare one
+    val df = (Seq.tabulate(5000)(i => (i * 17L % 100003L, "dominant")) ++
+      Seq.tabulate(40)(i => ((i + 900000).toLong, "rare")))
+      .toDF("id", "stratum")
+    for (f <- Seq(0.07, 0.5, 1.0)) {
+      val fast = Sampling.stratifiedSample(df, "stratum", "id", f)
+        .as[(Long, String)].collect().toSet
+      val slow = naiveStratified(df, "stratum", "id", f)
+        .as[(Long, String)].collect().toSet
+      assert(fast == slow, s"mismatch at fraction $f")
+    }
+  }
+
+  test("scale-safe mixture sample ≡ naive quota rank, unlisted strata dropped") {
+    val df = (Seq.tabulate(3000)(i => (i.toLong * 31 % 999983, "en")) ++
+      Seq.tabulate(300)(i => ((i + 700000).toLong, "de")) ++
+      Seq.tabulate(50)(i => ((i + 800000).toLong, "zz")))
+      .toDF("id", "src")
+    val shares = Seq("en" -> 0.8, "de" -> 0.2)
+    val fast = Sampling.mixtureSample(df, "src", "id", shares, 500)
+      .as[(Long, String)].collect().toSet
+    val slow = naiveMixture(df, "src", "id", shares, 500)
+      .as[(Long, String)].collect().toSet
+    assert(fast == slow)
+    assert(!fast.exists(_._2 == "zz"))
+  }
+
+  test("distributed-prefix-sum packing ≡ naive group-wide running sum") {
+    // enough rows that every test slice (4 shuffle partitions) holds a chunk
+    // of the dominant group, so the offset path is genuinely exercised
+    val df = (Seq.tabulate(2000)(i => ("en", i.toLong, 100 + i % 700)) ++
+      Seq.tabulate(60)(i => ("de", i.toLong, 500 + i)))
+      .toDF("lang", "doc_id", "n_tokens")
+    val fast = Sampling.packSequences(df, "lang", "doc_id", "n_tokens", 4096L)
+      .as[(String, Long, Int, Long, Int)].collect().toSet
+    val slow = naivePack(df, "lang", "doc_id", "n_tokens", 4096L)
+      .as[(String, Long, Int, Long, Int)].collect().toSet
+    assert(fast == slow)
+  }
+
+  test("sampler plans contain no unbounded full-stratum window") {
+    val df = Seq.tabulate(500)(i => (i.toLong, if (i % 9 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    assertNoFullStratumWindow(
+      Sampling.stratifiedSample(df, "stratum", "id", 0.2))
+    assertNoFullStratumWindow(
+      Sampling.mixtureSample(df, "stratum", "id", Seq("a" -> 0.5, "b" -> 0.5), 100))
+    val docs = Seq.tabulate(500)(i => ("en", i.toLong, 100)).toDF("lang", "doc_id", "n_tokens")
+    assertNoFullStratumWindow(
+      Sampling.packSequences(docs, "lang", "doc_id", "n_tokens", 2048L))
   }
 
   test("uniform sample: exact size, deterministic across runs") {
