@@ -45,6 +45,45 @@ object OracleSql {
       THEN CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
            / sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) END, 6) AS conversion_rate"""
 
+  /** The reference profile synthesis (G1–G4) — shared by g_profiles and
+    * g_weighted_pick; mirrors graft.ops.Gen.profiles exactly.
+    */
+  private lazy val profilesCte: String = s"""
+      g AS (
+        SELECT c_custkey,
+               printf('user_%06d', c_custkey) AS user_id,
+               CASE WHEN ${u(1)} <= 0.30 THEN 'US' WHEN ${u(1)} <= 0.42 THEN 'UK'
+                    WHEN ${u(1)} <= 0.52 THEN 'DE' WHEN ${u(1)} <= 0.60 THEN 'FR'
+                    WHEN ${u(1)} <= 0.68 THEN 'JP' WHEN ${u(1)} <= 0.76 THEN 'IN'
+                    WHEN ${u(1)} <= 0.83 THEN 'BR' WHEN ${u(1)} <= 0.90 THEN 'CA'
+                    WHEN ${u(1)} <= 0.96 THEN 'AU' ELSE 'OTHER' END AS country,
+               CASE WHEN ${u(2)} <= 0.60 THEN 'free' WHEN ${u(2)} <= 0.85 THEN 'basic'
+                    WHEN ${u(2)} <= 0.97 THEN 'premium' ELSE 'enterprise' END
+                 AS subscription_tier,
+               CAST(CASE
+                 WHEN ${u(3)} <= 0.15 THEN floor(${u(4)} * 7) + 18
+                 WHEN ${u(3)} <= 0.40 THEN floor(${u(4)} * 10) + 25
+                 WHEN ${u(3)} <= 0.65 THEN floor(${u(4)} * 10) + 35
+                 WHEN ${u(3)} <= 0.85 THEN floor(${u(4)} * 10) + 45
+                 WHEN ${u(3)} <= 0.95 THEN floor(${u(4)} * 10) + 55
+                 ELSE floor(${u(4)} * 16) + 65 END AS INTEGER) AS age,
+               CAST(CAST(floor(-ln(${u(5)}) * 365.0) AS BIGINT) % 1095 AS INTEGER)
+                 AS signup_days_ago,
+               ${u(6)} AS u6
+        FROM customer),
+      prof AS (
+        SELECT c_custkey, user_id, country, subscription_tier, age,
+               signup_days_ago,
+               round(least(
+                 (CASE WHEN subscription_tier = 'enterprise' THEN 1.5
+                       WHEN subscription_tier = 'premium' THEN 1.3
+                       WHEN subscription_tier = 'basic' THEN 1.1
+                       ELSE 0.9 END)
+                 * (CASE WHEN age < 25 THEN 1.2 WHEN age < 35 THEN 1.1
+                         WHEN age < 55 THEN 1.0 ELSE 0.8 END)
+                 * (u6 + 0.5), 2.0), 6) AS activity_weight
+        FROM g)"""
+
   private val snapshotCte: String = """
     snap AS (
       SELECT * FROM (
@@ -424,39 +463,33 @@ object OracleSql {
       FROM c GROUP BY feature ORDER BY feature""",
 
     "g_profiles" -> s"""
-      WITH g AS (
-        SELECT c_custkey,
-               printf('user_%06d', c_custkey) AS user_id,
-               CASE WHEN ${u(1)} <= 0.30 THEN 'US' WHEN ${u(1)} <= 0.42 THEN 'UK'
-                    WHEN ${u(1)} <= 0.52 THEN 'DE' WHEN ${u(1)} <= 0.60 THEN 'FR'
-                    WHEN ${u(1)} <= 0.68 THEN 'JP' WHEN ${u(1)} <= 0.76 THEN 'IN'
-                    WHEN ${u(1)} <= 0.83 THEN 'BR' WHEN ${u(1)} <= 0.90 THEN 'CA'
-                    WHEN ${u(1)} <= 0.96 THEN 'AU' ELSE 'OTHER' END AS country,
-               CASE WHEN ${u(2)} <= 0.60 THEN 'free' WHEN ${u(2)} <= 0.85 THEN 'basic'
-                    WHEN ${u(2)} <= 0.97 THEN 'premium' ELSE 'enterprise' END
-                 AS subscription_tier,
-               CAST(CASE
-                 WHEN ${u(3)} <= 0.15 THEN floor(${u(4)} * 7) + 18
-                 WHEN ${u(3)} <= 0.40 THEN floor(${u(4)} * 10) + 25
-                 WHEN ${u(3)} <= 0.65 THEN floor(${u(4)} * 10) + 35
-                 WHEN ${u(3)} <= 0.85 THEN floor(${u(4)} * 10) + 45
-                 WHEN ${u(3)} <= 0.95 THEN floor(${u(4)} * 10) + 55
-                 ELSE floor(${u(4)} * 16) + 65 END AS INTEGER) AS age,
-               CAST(CAST(floor(-ln(${u(5)}) * 365.0) AS BIGINT) % 1095 AS INTEGER)
-                 AS signup_days_ago,
-               ${u(6)} AS u6
-        FROM customer)
+      WITH $profilesCte
       SELECT c_custkey, user_id, country, subscription_tier, age,
-             signup_days_ago,
-             round(least(
-               (CASE WHEN subscription_tier = 'enterprise' THEN 1.5
-                     WHEN subscription_tier = 'premium' THEN 1.3
-                     WHEN subscription_tier = 'basic' THEN 1.1
-                     ELSE 0.9 END)
-               * (CASE WHEN age < 25 THEN 1.2 WHEN age < 35 THEN 1.1
-                       WHEN age < 55 THEN 1.0 ELSE 0.8 END)
-               * (u6 + 0.5), 2.0), 6) AS activity_weight
-      FROM g ORDER BY c_custkey""",
+             signup_days_ago, activity_weight
+      FROM prof ORDER BY c_custkey""",
+
+    // G6: random.choices-with-weights parity — integer-scaled cumulative
+    // weights (exact in both engines), target = u01(draw)·total, interval
+    // containment join (the Spark side replaces this theta join with a
+    // bucketized equi-join producing the identical match)
+    "g_weighted_pick" -> s"""
+      WITH $profilesCte,
+      w AS (SELECT c_custkey,
+                   CAST(round(activity_weight * 1e6) AS BIGINT) AS wi
+            FROM prof WHERE round(activity_weight * 1e6) > 0),
+      cum AS (SELECT c_custkey, wi,
+                     CAST(sum(wi) OVER (ORDER BY c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS hi
+              FROM w),
+      tot AS (SELECT CAST(sum(wi) AS BIGINT) AS total FROM w),
+      d AS (SELECT CAST(gs.g AS BIGINT) AS draw_id
+            FROM generate_series(1, 2000) gs(g)),
+      t AS (SELECT draw_id, ${uk("draw_id", 41)} * total AS target
+            FROM d, tot)
+      SELECT t.draw_id, c.c_custkey
+      FROM t JOIN cum c ON c.hi - c.wi < t.target AND t.target <= c.hi
+      ORDER BY draw_id""",
 
     "s_csv_roundtrip" -> """
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
@@ -655,7 +688,14 @@ object OracleSql {
                  || substr(name, length(name)-1, 1) AS name
         FROM c),
       u AS (SELECT * FROM c UNION ALL SELECT * FROM v),
-      n AS (SELECT id, name, substr(lower(trim(name)), 1, 9) AS blk,
+      -- transposition-canonical block key: string with last two chars sorted
+      n AS (SELECT id, name,
+                   substr(lower(trim(name)), 1, length(lower(trim(name))) - 2)
+                     || least(substr(lower(trim(name)), length(lower(trim(name))) - 1, 1),
+                              substr(lower(trim(name)), length(lower(trim(name))), 1))
+                     || greatest(substr(lower(trim(name)), length(lower(trim(name))) - 1, 1),
+                                 substr(lower(trim(name)), length(lower(trim(name))), 1))
+                     AS blk,
                    length(name) AS len
             FROM u)
       SELECT l.id AS id_a, r.id AS id_b, l.name AS name_a, r.name AS name_b,

@@ -336,6 +336,15 @@ object SparkEntry {
       Gen.profiles(Tables.customer(s, dir).select("c_custkey"), "c_custkey")),
     "g_events" -> ((s, dir) =>
       Gen.events(Tables.customer(s, dir).select("c_custkey"), "c_custkey", 3)),
+    "g_weighted_pick" -> ((s, dir) => {
+      // G6: emitting-user selection ∝ activity_weight
+      // (stream_generator.py:69-111) — cumulative-weight inverse-CDF draw
+      val prof = Gen.profiles(Tables.customer(s, dir).select("c_custkey"),
+        "c_custkey")
+      Gen.weightedPick(prof.select(col("c_custkey"), col("activity_weight")),
+          "c_custkey", "activity_weight", nDraws = 2000)
+        .orderBy("draw_id")
+    }),
 
     // ---- the reference's EXACT end-to-end pipeline -------------------------
     // profiles (G1–G4) → clickstream synthesis (G5/P14) → enrichment join
@@ -396,7 +405,11 @@ object SparkEntry {
         "doc_id", "text", 3, 0.02, maxDf = 30)),
     "x_entity_resolution" -> ((s, dir) => {
       // blocked fuzzy match: customers vs deterministically typo'd variants
-      // (last two name chars swapped -> edit distance 2)
+      // (last two name chars swapped -> edit distance 2). The blocking key
+      // is TRANSPOSITION-CANONICAL — string with its last two chars sorted
+      // — so it is invariant under the injected typo yet one-entity
+      // selective (max block 4, vs the corpus-wide block a "Customer#..."
+      // prefix key degenerates to; DedupSpec asserts the bound)
       val c = Tables.customer(s, dir).filter(col("c_custkey") < 200)
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
       val variants = c.select((col("id") + 100000).as("id"),
@@ -404,8 +417,14 @@ object SparkEntry {
           substring(col("name"), lit(1), length(col("name")) - 2),
           substring(col("name"), length(col("name")), lit(1)),
           substring(col("name"), length(col("name")) - 1, lit(1))).as("name"))
-      Dedup.fuzzyPairs(c.unionByName(variants), "id", "name",
-        maxDistance = 2, blockPrefixLen = 9)
+      Dedup.fuzzyPairsKeyed(c.unionByName(variants), "id", "name",
+        maxDistance = 2, blockKey = { s =>
+          val t = lower(trim(s))
+          val n = length(t)
+          val c1 = substring(t, n - 1, lit(1))
+          val c2 = substring(t, n, lit(1))
+          concat(substring(t, lit(1), n - 2), least(c1, c2), greatest(c1, c2))
+        })
     }),
     "x_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(

@@ -236,9 +236,24 @@ object Dedup {
     * char n-grams); one prefix key is the demonstrable core.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
-                 maxDistance: Int, blockPrefixLen: Int): DataFrame = {
+                 maxDistance: Int, blockPrefixLen: Int): DataFrame =
+    fuzzyPairsKeyed(df, idCol, strCol, maxDistance,
+      s => substring(lower(trim(s)), 1, blockPrefixLen))
+
+  /** Block/verify fuzzy matching with a caller-supplied CANONICAL block
+    * key: records whose canonicalized strings collide become candidates,
+    * verified by exact Levenshtein. The key function encodes what edit
+    * class the blocking must survive — e.g. a transposition-canonical key
+    * (string with its last two chars sorted) is invariant under trailing
+    * swaps while staying one-block-per-entity selective, where a plain
+    * prefix key on low-entropy prefixes (every name starting "Customer#")
+    * degenerates to one corpus-wide block. Cost stays Σ block², never
+    * corpus²; block sizes are auditable via a groupBy on the key.
+    */
+  def fuzzyPairsKeyed(df: DataFrame, idCol: String, strCol: String,
+                      maxDistance: Int, blockKey: Column => Column): DataFrame = {
     val n = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .withColumn("blk", substring(lower(trim(col("s"))), 1, blockPrefixLen))
+      .withColumn("blk", blockKey(col("s")))
       .withColumn("len", length(col("s")))
     n.as("l").join(n.as("r"),
         col("l.blk") === col("r.blk") &&

@@ -162,6 +162,60 @@ object Gen {
       .drop("ek", "__mins")
   }
 
+  /** G6: distributed weighted sampling WITH replacement — the engine-side
+    * `random.choices(users, weights=activity_weights)` of the reference's
+    * stream generator (`scripts/stream_generator.py:69-111`): draw `nDraws`
+    * keys, each key picked with probability ∝ its weight.
+    *
+    * Construction (all deterministic, DuckDB-oracle exact):
+    *   1. weights are scaled to integers (×10⁶, matching their 6-decimal
+    *      precision) so every cumulative sum is exact integer arithmetic —
+    *      no float-accumulation order sensitivity anywhere;
+    *   2. the cumulative weight axis is built with [[Scan.prefixSum]]
+    *      (distributed — no single-task global window over the key table);
+    *      key i owns the interval (cum−w, cum];
+    *   3. draw j's target is u01(j)·totalWeight; instead of an interval
+    *      (theta) join — which Spark would plan as a nested loop — the
+    *      weight axis is cut into `buckets` equal cells, each key's
+    *      interval is exploded onto the ≤ span cells it overlaps (most
+    *      keys hit 1–2 cells; a hot key's span is capped at `buckets`),
+    *      and draws equi-join their cell, then filter to the exact
+    *      interval. FP-safe: cell(x) = floor(x/total·buckets) is monotone,
+    *      so a target strictly inside (lo, hi] can only land in a cell the
+    *      interval also covers.
+    *
+    * Work per draw ≈ #keys/buckets + 1 candidates — size `buckets` ≈ 4× the
+    * key count at scale. Returns (draw_id, key) with exactly one key per
+    * draw.
+    */
+  def weightedPick(weights: DataFrame, keyCol: String, weightCol: String,
+                   nDraws: Long, channel: Long = 41L,
+                   buckets: Int = 1 << 16): DataFrame = {
+    val base = weights
+      .select(col(keyCol), round(col(weightCol) * 1e6).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+    val cum = Scan.prefixSum(base, Nil, col(keyCol), col("__w"), "__hi")
+      .withColumn("__lo", col("__hi") - col("__w"))
+    val total = base.agg(sum(col("__w")).as("__total"))
+
+    val cellOf = (x: Column, tot: Column) =>
+      least(floor(x.cast("double") / tot * buckets), lit(buckets - 1L))
+        .cast("long")
+    val spans = cum.crossJoin(broadcast(total))
+      .withColumn("__cell", explode(sequence(
+        cellOf(col("__lo"), col("__total")),
+        cellOf(col("__hi"), col("__total")))))
+      .select(col("__cell"), col(keyCol), col("__lo"), col("__hi"))
+
+    weights.sparkSession.range(1, nDraws + 1).toDF("draw_id")
+      .crossJoin(broadcast(total))
+      .withColumn("__target", u01(col("draw_id"), channel) * col("__total"))
+      .withColumn("__cell", cellOf(col("__target"), col("__total")))
+      .join(spans, Seq("__cell"))
+      .filter(col("__lo") < col("__target") && col("__target") <= col("__hi"))
+      .select(col("draw_id"), col(keyCol))
+  }
+
   /** Full profile synthesis (G1–G4) from a key column — the engine-side
     * equivalent of `generate_user_profiles` (`batch_generator.py:111-137`).
     */

@@ -177,44 +177,18 @@ object Sampling {
     * docs and at least one doc, a doc straddling a boundary spills into
     * the next pack.
     *
-    * The per-group running sum is a DISTRIBUTED PREFIX SUM, not one
-    * group-wide window: rows are range-partitioned on (group, id) into
-    * ordered slices, each slice computes its local running sum in
-    * parallel, per-slice totals (one tiny row per (group, slice) —
-    * #shuffle-partitions rows in all) are offset-scanned and broadcast
-    * back. No task ever sorts more than one slice, so a group 1000× the
-    * rest still packs at slice parallelism. Slicing cannot change the
-    * result: a prefix sum is slicing-invariant as long as slices are in
-    * order, which range partitioning on the sort key guarantees.
+    * The per-group running sum is [[Scan.prefixSum]] — a distributed
+    * two-level prefix sum, not one group-wide window. No task ever sorts
+    * more than one range slice, so a group 1000× the rest still packs at
+    * slice parallelism, and the result is provably identical to the
+    * sequential scan (integer sums are slicing-invariant).
     */
   def packSequences(docs: DataFrame, groupCol: String, idCol: String,
-                    tokenCol: String, maxTokens: Long): DataFrame = {
-    val nSlices = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    // __slice is evaluated on the range-exchange output (nondeterministic
-    // exprs don't get pushed past the exchange), so it IS the range slice
-    val sliced = docs
-      .repartitionByRange(nSlices, col(groupCol), col(idCol))
-      .withColumn("__slice", spark_partition_id())
-    val local = Window.partitionBy(col(groupCol), col("__slice"))
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = sliced
-      .withColumn("__lcum", sum(col(tokenCol).cast("long")).over(local))
-    val sliceTotals = withLocal
-      .groupBy(col(groupCol), col("__slice"))
-      .agg(max(col("__lcum")).as("__stot"))
-    val prior = Window.partitionBy(col(groupCol)).orderBy(col("__slice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sliceTotals
-      .withColumn("__off", coalesce(sum(col("__stot")).over(prior), lit(0L)))
-      .select(col(groupCol), col("__slice"), col("__off"))
-    withLocal
-      .join(broadcast(offsets), Seq(groupCol, "__slice"))
-      .withColumn("cum_tokens", col("__lcum") + col("__off"))
+                    tokenCol: String, maxTokens: Long): DataFrame =
+    Scan.prefixSum(docs, Seq(groupCol), col(idCol), col(tokenCol),
+        "cum_tokens")
       .withColumn("pack_id",
         floor((col("cum_tokens") - col(tokenCol)) / maxTokens).cast("int"))
       .select(col(groupCol), col(idCol), col(tokenCol).cast("int").as(tokenCol),
         col("cum_tokens"), col("pack_id"))
-  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Dedup
+import org.apache.spark.sql.functions._
 
 /** Exact / Jaccard / MinHash / SimHash dedup semantics on literal corpora. */
 class DedupSpec extends SparkSpec {
@@ -77,6 +78,33 @@ class DedupSpec extends SparkSpec {
         maxDistance = 2, blockPrefixLen = 6)
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toList
     assert(out == List((1L, 2L, 2)))
+  }
+
+  test("canonical-key blocking: full typo recall with bounded blocks on low-entropy names") {
+    import org.apache.spark.sql.Column
+    // the x_entity_resolution shape: constant-prefix names, entropy only in
+    // the trailing digits, typo = last-two-char swap (edit distance 2)
+    val n = 150
+    val orig = Seq.tabulate(n)(i => (i.toLong, f"Customer#${i}%09d"))
+    val typo = orig.map { case (id, s) =>
+      (id + 100000L, s.dropRight(2) + s.takeRight(2).reverse)
+    }
+    val df = (orig ++ typo).toDF("id", "name")
+    val canon: Column => Column = { s =>
+      val t = lower(trim(s)); val ln = length(t)
+      val c1 = substring(t, ln - 1, lit(1)); val c2 = substring(t, ln, lit(1))
+      concat(substring(t, lit(1), ln - 2), least(c1, c2), greatest(c1, c2))
+    }
+    val out = Dedup.fuzzyPairsKeyed(df, "id", "name", 2, canon)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every injected (orig, typo) pair is recovered
+    (0 until n).foreach { i =>
+      assert(out.contains((i.toLong, i + 100000L)), s"missed typo pair $i")
+    }
+    // and the blocking stayed selective: max block size << corpus
+    val maxBlock = df.groupBy(canon(col("name"))).count()
+      .agg(max("count")).as[Long].head()
+    assert(maxBlock <= 4, s"degenerate block of size $maxBlock")
   }
 
   test("connected components: chain, star and disjoint clusters resolve to min id") {
