@@ -423,6 +423,78 @@ object OracleSql {
                   ELSE 'very large' END AS magnitude
       FROM fin""",
 
+    // exact small-n KS: the lattice-path DP replayed in HUGEINT — kk walks
+    // the anti-diagonals, `diag` is the list of path counts A(i,j) on the
+    // current one (A(kk+1, jx) = A_kk(jx) + A_kk(jx-1) when inside the
+    // band |i·m − j·n| < round(d·lcm)·gcd), `bc` accumulates C(n+m,n)
+    // by exact incremental division; p = (C − inside)/C in double, the
+    // same division order as the Spark side
+    "q_ks_exact" -> """
+      WITH RECURSIVE pur AS (
+        SELECT event_type, value FROM events WHERE event_type = 'purchase'
+        ORDER BY event_id LIMIT 30),
+      vw AS (
+        SELECT event_type, value FROM events WHERE event_type = 'view'
+        ORDER BY event_id LIMIT 30),
+      clean AS (
+        SELECT value AS v, event_type
+        FROM (SELECT * FROM pur UNION ALL SELECT * FROM vw)
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+      pv AS (
+        SELECT v,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM clean GROUP BY v),
+      c AS (
+        SELECT
+          sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+          sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+          sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM pv),
+      s AS (
+        SELECT CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+               CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b,
+               coalesce(max(abs(CAST(cuma AS DOUBLE)/na
+                 - CAST(cumb AS DOUBLE)/nb)), 0.0) AS d
+        FROM c),
+      prm AS (
+        SELECT n_a, n_b, d,
+               CAST(round(d * (n_a * n_b / gcd(n_a, n_b))) AS BIGINT)
+                 * gcd(n_a, n_b) AS band
+        FROM s),
+      dp AS (
+        SELECT 0 AS kk,
+               [CAST(CASE WHEN band > 0 THEN 1 ELSE 0 END AS HUGEINT)] AS diag,
+               CAST(1 AS HUGEINT) AS bc, n_a AS nn, n_b AS mm, band, d
+        FROM prm
+        UNION ALL
+        SELECT kk + 1,
+          list_transform(range(0, least(kk + 1, mm) + 1), jx ->
+            CASE WHEN (kk + 1 - jx) <= nn
+                   AND abs((kk + 1 - jx) * mm - jx * nn) < band
+              THEN coalesce(diag[jx + 1], CAST(0 AS HUGEINT))
+                 + coalesce(diag[jx], CAST(0 AS HUGEINT))
+              ELSE CAST(0 AS HUGEINT) END),
+          CASE WHEN kk < nn THEN bc * (mm + kk + 1) / (kk + 1) ELSE bc END,
+          nn, mm, band, d
+        FROM dp WHERE kk < nn + mm),
+      fin AS (
+        SELECT nn AS n_a, mm AS n_b,
+               round(CASE WHEN nn < 10 OR mm < 10 THEN 0.0 ELSE d END, 6)
+                 AS ks_stat,
+               round(CASE WHEN nn < 10 OR mm < 10 THEN 1.0
+                 ELSE CAST(bc - diag[CAST(mm AS INTEGER) + 1] AS DOUBLE)
+                      / CAST(bc AS DOUBLE) END, 6) AS p_value
+        FROM dp WHERE kk = nn + mm)
+      SELECT n_a, n_b, ks_stat, p_value,
+             p_value < 0.05 AS drift_detected,
+             CASE WHEN ks_stat < 0.1 THEN 'negligible'
+                  WHEN ks_stat < 0.2 THEN 'small'
+                  WHEN ks_stat < 0.3 THEN 'moderate'
+                  WHEN ks_stat < 0.5 THEN 'large'
+                  ELSE 'very large' END AS magnitude
+      FROM fin""",
+
     "q_dist_summary" -> """
       SELECT event_type AS side, count(*) AS n,
              round(avg(value), 6) AS mean,
@@ -433,7 +505,47 @@ object OracleSql {
       FROM events WHERE value IS NOT NULL AND NOT isnan(value)
       GROUP BY event_type ORDER BY side""",
 
+    // binned default: ≤1000-bin per-feature ECDF, mirrors Drift.sweep
     "q_drift_sweep" -> s"""
+      WITH melted AS (
+        SELECT event_type, 'k' AS feature,
+               CAST($k AS DOUBLE) AS v FROM events
+          WHERE event_type IN ('purchase', 'view')
+        UNION ALL
+        SELECT event_type, 'value', value FROM events
+          WHERE event_type IN ('purchase', 'view')),
+      clean AS (SELECT * FROM melted WHERE v IS NOT NULL AND NOT isnan(v)),
+      bounds AS (
+        SELECT feature, CAST(min(v) AS DOUBLE) AS lo,
+               CAST(max(v) AS DOUBLE) AS hi
+        FROM clean GROUP BY feature),
+      binned AS (
+        SELECT c.event_type, c.feature,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE least(CAST(floor((c.v - b.lo) / ((b.hi - b.lo) / 1000))
+                               AS INTEGER), 999) END AS bin
+        FROM clean c JOIN bounds b USING (feature)),
+      pv AS (
+        SELECT feature, bin,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM binned GROUP BY feature, bin),
+      c AS (
+        SELECT feature,
+          sum(ca) OVER (PARTITION BY feature ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+          sum(cb) OVER (PARTITION BY feature ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+          sum(ca) OVER (PARTITION BY feature) AS na,
+          sum(cb) OVER (PARTITION BY feature) AS nb
+        FROM pv)
+      SELECT feature, CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b,
+             round(max(abs(CAST(cuma AS DOUBLE)/na - CAST(cumb AS DOUBLE)/nb)), 6)
+               AS ks_stat
+      FROM c GROUP BY feature ORDER BY feature""",
+
+    "q_drift_sweep_exact" -> s"""
       WITH melted AS (
         SELECT event_type, 'k' AS feature,
                CAST($k AS DOUBLE) AS v FROM events

@@ -221,6 +221,11 @@ object SparkEntry {
         .orderBy("event_id")),
     "q_iqr_outliers" -> ((s, dir) =>
       Stats.iqrOutliers(Tables.events(s, dir), "event_type", "value")),
+    "q_iqr_outliers_approx" -> ((s, dir) =>    // sketch quartiles; rows-only
+      Stats.iqrOutliersApprox(Tables.events(s, dir), "event_type", "value")),
+    "q_group_percentiles_approx" -> ((s, dir) => // sketch variant; rows-only
+      Stats.groupPercentilesApprox(Tables.events(s, dir), "event_type",
+        "value")),
     "q_recent_partitions" -> ((s, dir) =>
       Stats.recentPartitions(
         Tables.events(s, dir).withColumn("event_date", to_date(col("ts"))),
@@ -244,12 +249,34 @@ object SparkEntry {
 
     // ---- §2.7 drift detection ----------------------------------------------
     "q_ks_drift" -> ((s, dir) =>
+      // large-sample KS: asymptotic p pinned (exactBelow=0) so the series
+      // oracle holds at every sf — sf0.001 sides (~200) would otherwise
+      // flip into the exact small-n path, which q_ks_exact oracle-checks
       Drift.ksTest(Tables.events(s, dir), "value", "event_type",
-        "purchase", "view")),
+        "purchase", "view", exactBelow = 0)),
+    "q_ks_exact" -> ((s, dir) => {
+      // D1 small-n: scipy-parity EXACT p-value (lattice-path distribution)
+      // on a deterministic 30-vs-30 probe; the DuckDB oracle replays the
+      // same integer DP in HUGEINT inside a recursive CTE
+      val e = Tables.events(s, dir)
+      def side(t: String) = e.filter(col("event_type") === t)
+        .orderBy("event_id").limit(30).select("event_type", "value")
+      Drift.ksTest(side("purchase").unionByName(side("view")),
+        "value", "event_type", "purchase", "view")
+    }),
     "q_dist_summary" -> ((s, dir) =>
       Drift.distSummary(Tables.events(s, dir), "value", "event_type")),
     "q_drift_sweep" -> ((s, dir) =>
+      // binned ECDF default: per-feature windows bounded at ≤1000 rows
       Drift.sweep(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_type"), col("value"),
+            get_json_object(col("props"), "$.k").cast("double").as("k")),
+        "event_type", "purchase", "view", Seq("k", "value"))),
+    "q_drift_sweep_exact" -> ((s, dir) =>
+      // small-domain opt-in: per-distinct-value ECDF
+      Drift.sweepExact(
         Tables.events(s, dir)
           .filter(col("event_type").isin("purchase", "view"))
           .select(col("event_type"), col("value"),

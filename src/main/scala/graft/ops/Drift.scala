@@ -30,7 +30,60 @@ object Drift {
   def cleanSamples(df: DataFrame, valueCol: String): DataFrame =
     df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
 
-  /** D1: two-sample KS statistic + asymptotic p-value.
+  /** Exact two-sample KS survival probability P(D ≥ d) under the null, by
+    * lattice-path counting (Hodges 1958 — the same construction
+    * `scipy.stats.ks_2samp` uses in exact mode, which its auto mode picks
+    * for small samples; the reference calls it at
+    * `scripts/drift_detection.py:49`, so for small n the asymptotic series
+    * alone diverges from the cited behavior).
+    *
+    * Paths from (0,0) to (n,m) staying strictly inside |i/n − j/m| < d are
+    * counted in exact BigInt arithmetic (no overflow, no float
+    * accumulation); d is snapped to the lattice as h = round(d·lcm(n,m)),
+    * and the band test is pure integers: |i·m − j·n| < h·gcd(n,m).
+    * p = 1 − inside/C(n+m,n), with the final division done double/double
+    * so the DuckDB oracle (HUGEINT DP, same integers) matches bit-exactly.
+    * O(n·m) scalar work on ONE aggregated row — never on the data path.
+    */
+  private[graft] def ksExactP(d: Double, n: Int, m: Int): Double = {
+    if (d <= 0 || n <= 0 || m <= 0) return 1.0
+    val g = BigInt(n).gcd(BigInt(m)).toLong
+    val lcm = n.toLong * m / g
+    val h = math.round(d * lcm)
+    val band = h * g
+    var prev = new Array[BigInt](m + 1)
+    prev(0) = if (band > 0) BigInt(1) else BigInt(0)
+    var j = 1
+    while (j <= m) {
+      prev(j) = if (j.toLong * n < band) prev(j - 1) else BigInt(0)
+      j += 1
+    }
+    var i = 1
+    while (i <= n) {
+      val cur = new Array[BigInt](m + 1)
+      cur(0) = if (i.toLong * m < band) prev(0) else BigInt(0)
+      var jj = 1
+      while (jj <= m) {
+        cur(jj) =
+          if ((i.toLong * m - jj.toLong * n).abs < band) cur(jj - 1) + prev(jj)
+          else BigInt(0)
+        jj += 1
+      }
+      prev = cur
+      i += 1
+    }
+    var total = BigInt(1)
+    var k = 1
+    while (k <= n) { total = total * (m + k) / k; k += 1 } // C(n+m, n), exact
+    (total - prev(m)).toDouble / total.toDouble
+  }
+
+  /** D1: two-sample KS statistic + p-value.
+    *
+    * p-value selection mirrors scipy's auto mode: EXACT (lattice-path
+    * distribution, [[ksExactP]]) when max(n,m) ≤ `exactBelow`, the
+    * asymptotic Kolmogorov series otherwise. The exact path is a scalar
+    * UDF on the single post-aggregation row — off the distributed path.
     *
     * @param tagged rows with `valueCol` and a `sideCol` ∈ {a, b}
     * @return single row: (n_a, n_b, ks_stat, p_value, drift_detected,
@@ -40,7 +93,7 @@ object Drift {
     */
   def ksTest(tagged: DataFrame, valueCol: String, sideCol: String,
              a: String, b: String, minSamples: Int = 10,
-             alpha: Double = 0.05): DataFrame = {
+             alpha: Double = 0.05, exactBelow: Int = 256): DataFrame = {
     val clean = cleanSamples(tagged, valueCol)
       .filter(col(sideCol) === a || col(sideCol) === b)
 
@@ -79,11 +132,16 @@ object Drift {
         |         * exp(-2.0D * k * k * __lam * __lam)),
         |  0.0D, (acc, x) -> acc + x)""".stripMargin)
 
+    val exactP = udf((d: Double, na: Long, nb: Long) =>
+      ksExactP(d, na.toInt, nb.toInt))
+    val useExact = greatest(col("n_a"), col("n_b")) <= exactBelow &&
+      col("n_a") > 0 && col("n_b") > 0
     val guarded = totals
       .withColumn("__lam", lam)
       .withColumn("__p_raw",
-        when(col("__lam") < 0.05, lit(1.0))
-          .otherwise(least(greatest(series, lit(0.0)), lit(1.0))))
+        when(useExact, exactP(col("d_raw"), col("n_a"), col("n_b")))
+          .otherwise(when(col("__lam") < 0.05, lit(1.0))
+            .otherwise(least(greatest(series, lit(0.0)), lit(1.0)))))
       .withColumn("small", col("n_a") < minSamples || col("n_b") < minSamples)
       .select(
         col("n_a"), col("n_b"),
@@ -113,21 +171,64 @@ object Drift {
   /** D4: multi-feature drift sweep — KS per feature column, features melted
     * via `stack` so the sweep is one job, not a driver loop
     * (`drift_detection.py:171-225`).
+    *
+    * DEFAULT = the binned form: each feature's samples are histogrammed
+    * into `bins` fixed-width buckets first, so the per-feature ordered
+    * ECDF window runs over ≤ `bins` rows — bounded regardless of corpus
+    * size. For continuous features |distinct| ≈ |rows|, which would make
+    * the exact per-distinct-value window a full single-task sort per
+    * feature at 100 TB; the binned D is within one bin's mass of exact
+    * (DriftSpec bounds it). Use [[sweepExact]] when the domain is known
+    * small (categorical codes, integer scores).
     */
   def sweep(df: DataFrame, sideCol: String, a: String, b: String,
-            features: Seq[String]): DataFrame = {
-    val stackExpr = features.map(f => s"'$f', cast($f as double)")
-      .mkString(s"stack(${features.size}, ", ", ", ") as (feature, v)")
-    val melted = df.selectExpr(sideCol, stackExpr)
-    // per-feature KS over the melted frame: one shuffle keyed by feature
-    val perValue = cleanSamples(melted, "v")
+            features: Seq[String], bins: Int = 1000): DataFrame = {
+    val clean = cleanSamples(melt(df, sideCol, features), "v")
+    val bounds = clean.groupBy(col("feature")).agg(
+      min(col("v")).cast("double").as("lo"),
+      max(col("v")).cast("double").as("hi"))
+    val binned = clean.join(broadcast(bounds), "feature")
+      .withColumn("bin",
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(
+            floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / bins))
+              .cast("int"),
+            lit(bins - 1))))
+    val perBin = binned.groupBy(col("feature"), col("bin")).agg(
+      sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
+      sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
+    ecdfMax(perBin, col("bin"))
+  }
+
+  /** D4, exact variant: per-distinct-value ECDF — the small-domain opt-in.
+    * The per-feature window sorts every distinct value in one task; fine
+    * for bounded domains, a scale hazard for continuous ones (use the
+    * binned default there).
+    */
+  def sweepExact(df: DataFrame, sideCol: String, a: String, b: String,
+                 features: Seq[String]): DataFrame = {
+    val perValue = cleanSamples(melt(df, sideCol, features), "v")
       .groupBy(col("feature"), col("v")).agg(
         sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
         sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
-    val w = Window.partitionBy(col("feature")).orderBy(col("v"))
+    ecdfMax(perValue, col("v"))
+  }
+
+  private def melt(df: DataFrame, sideCol: String,
+                   features: Seq[String]): DataFrame = {
+    val stackExpr = features.map(f => s"'$f', cast($f as double)")
+      .mkString(s"stack(${features.size}, ", ", ", ") as (feature, v)")
+    df.selectExpr(sideCol, stackExpr)
+  }
+
+  /** Shared ECDF tail of both sweep forms: running sums over the ordered
+    * axis within each feature, then max |F_a − F_b|.
+    */
+  private def ecdfMax(perAxis: DataFrame, axis: Column): DataFrame = {
+    val w = Window.partitionBy(col("feature")).orderBy(axis)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("feature"))
-    perValue
+    perAxis
       .withColumn("cuma", sum(col("ca")).over(w))
       .withColumn("cumb", sum(col("cb")).over(w))
       .withColumn("na", sum(col("ca")).over(tot))

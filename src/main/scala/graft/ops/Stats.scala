@@ -121,12 +121,34 @@ object Stats {
     * 1.5·IQR, and the count outside them. Two passes — a per-group
     * quantile aggregate, then a broadcast join back to count offenders —
     * the standard shape when the fence depends on the whole group.
+    * EXACT `percentile` buffers every group value in the aggregation
+    * buffer; at 100 TB use [[iqrOutliersApprox]].
     */
-  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
-    val q = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valCol, 0.25D)").as("q1"),
-      expr(s"percentile($valCol, 0.75D)").as("q3"))
-    df.join(broadcast(q), groupCol)
+  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    iqrReport(df,
+      df.groupBy(col(groupCol)).agg(
+        expr(s"percentile($valCol, 0.25D)").as("q1"),
+        expr(s"percentile($valCol, 0.75D)").as("q3")),
+      groupCol, valCol)
+
+  /** The 100 TB IQR variant: sketch quartiles (`percentile_approx` —
+    * single-pass, mergeable, bounded memory per group) feeding the same
+    * Tukey-fence offender count. Not oracle-checked (sketch output);
+    * StatsSpec bounds the sketch error against the exact form.
+    */
+  def iqrOutliersApprox(df: DataFrame, groupCol: String, valCol: String,
+                        accuracy: Int = 10000): DataFrame =
+    iqrReport(df,
+      df.groupBy(col(groupCol)).agg(
+        percentile_approx(col(valCol), lit(0.25), lit(accuracy))
+          .cast("double").as("q1"),
+        percentile_approx(col(valCol), lit(0.75), lit(accuracy))
+          .cast("double").as("q3")),
+      groupCol, valCol)
+
+  private def iqrReport(df: DataFrame, quartiles: DataFrame,
+                        groupCol: String, valCol: String): DataFrame =
+    df.join(broadcast(quartiles), groupCol)
       .groupBy(col(groupCol))
       .agg(
         round(min(col("q1")), 6).as("q1"),
@@ -137,7 +159,24 @@ object Stats {
           .otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"))
       .orderBy(col(groupCol))
-  }
+
+  /** Grouped sketch percentiles — the bounded-memory counterpart of the
+    * exact grouped `percentile` (q_group_percentiles): one mergeable
+    * KLL-style sketch per (group, column), error ≤ 1/accuracy in rank.
+    */
+  def groupPercentilesApprox(df: DataFrame, groupCol: String,
+                             valCol: String,
+                             accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col(valCol), lit(0.5), lit(accuracy))
+          .as("p50_approx"),
+        percentile_approx(col(valCol), lit(0.9), lit(accuracy))
+          .as("p90_approx"),
+        percentile_approx(col(valCol), lit(0.99), lit(accuracy))
+          .as("p99_approx"))
+      .orderBy(groupCol)
 
   def recentPartitions(df: DataFrame, dateCol: String, n: Int): DataFrame =
     df.select(col(dateCol)).distinct()

@@ -18,11 +18,44 @@ class DriftSpec extends SparkSpec {
     (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("side", "v")
 
   test("KS statistic and p-value match independent golden computation") {
+    // n=40/m=30 sits below the scipy-parity switchover ⇒ EXACT p by default
     val row = Drift.ksTest(tagged(a, b), "v", "side", "a", "b")
       .select("n_a", "n_b", "ks_stat", "p_value").head()
     assert(row.getLong(0) == 40 && row.getLong(1) == 30)
     assert(row.getDouble(2) == 0.166667) // golden (exact ECDF computation)
-    assert(row.getDouble(3) == 0.727704) // golden (Kolmogorov series)
+    assert(row.getDouble(3) == 0.677133) // golden (exact lattice-path DP)
+    // asymptotic opt-out reproduces the Kolmogorov-series value
+    val asymp = Drift.ksTest(tagged(a, b), "v", "side", "a", "b",
+      exactBelow = 0).select("p_value").head().getDouble(0)
+    assert(asymp == 0.727704) // golden (Kolmogorov series)
+  }
+
+  test("exact small-n p-values match independent integer-arithmetic goldens") {
+    // goldens from a pure-python lattice-path count in exact Fractions
+    // (the construction scipy ks_2samp mode='exact' implements); the DP
+    // itself is cross-validated against brute-force permutation
+    // enumeration below
+    def mk(n: Int, off: Double, step: Double) =
+      (0 until n).map(i => off + i * step)
+    val cases = Seq(
+      (mk(10, 0.0, 1.0), mk(10, 0.5, 1.1), 0.994458),
+      (mk(15, 0.0, 1.0), mk(15, 3.25, 0.9), 0.678138),
+      (mk(25, 0.0, 1.0), mk(25, 5.125, 1.05), 0.285042),
+      (mk(10, 0.0, 1.0), mk(25, 2.5, 0.8), 0.003018)) // unequal sizes
+    for ((xa, xb, pExp) <- cases) {
+      val p = Drift.ksTest(tagged(xa, xb), "v", "side", "a", "b")
+        .select("p_value").head().getDouble(0)
+      assert(p == pExp, s"n=${xa.size} m=${xb.size}: got $p want $pExp")
+    }
+  }
+
+  test("exact KS distribution equals brute-force permutation enumeration") {
+    // n=m=6, d=1/3: all C(12,6)=924 label assignments enumerated offline
+    // give P(D >= 1/3) = 860/924 = 0.930735930...
+    assert(math.round(Drift.ksExactP(1.0 / 3, 6, 6) * 1e6) == 930736L)
+    // degenerate guards
+    assert(Drift.ksExactP(0.0, 10, 10) == 1.0)
+    assert(Drift.ksExactP(1.0, 5, 7) > 0.0)
   }
 
   test("KS of a sample against itself is 0 with p=1") {
@@ -66,17 +99,36 @@ class DriftSpec extends SparkSpec {
     assert(row.getString(2) == "very large")
   }
 
-  test("sweep's per-feature KS agrees with the single-feature ksTest") {
+  test("sweepExact's per-feature KS agrees with the single-feature ksTest") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .filter($"event_type".isin("purchase", "view"))
     val single = Drift.ksTest(events, "value", "event_type",
         "purchase", "view")
       .select("ks_stat").head().getDouble(0)
-    val swept = Drift.sweep(events.select($"event_type", $"value"),
+    val swept = Drift.sweepExact(events.select($"event_type", $"value"),
         "event_type", "purchase", "view", Seq("value"))
       .filter($"feature" === "value")
       .select("ks_stat").head().getDouble(0)
     assert(single == swept)
+  }
+
+  test("sweep's default binned KS agrees with the single-feature ksTestBinned") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_type".isin("purchase", "view"))
+    val single = Drift.ksTestBinned(events, "value", "event_type",
+        "purchase", "view", bins = 1000)
+      .select("ks_stat_binned").head().getDouble(0)
+    val swept = Drift.sweep(events.select($"event_type", $"value"),
+        "event_type", "purchase", "view", Seq("value"))
+      .filter($"feature" === "value")
+      .select("ks_stat").head().getDouble(0)
+    assert(math.round(single * 1e6) == math.round(swept * 1e6))
+    // and the binned default stays within one bin-mass of the exact sweep
+    val exact = Drift.sweepExact(events.select($"event_type", $"value"),
+        "event_type", "purchase", "view", Seq("value"))
+      .filter($"feature" === "value")
+      .select("ks_stat").head().getDouble(0)
+    assert(swept <= exact + 1e-9)
   }
 
   // D5: the reference's three golden scenarios (`drift_detection.py:289-328`):

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Stats
+import org.apache.spark.sql.functions._
 
 /** Golden cases for the rolling-feature and IQR-outlier operators. */
 class StatsSpec extends SparkSpec {
@@ -29,5 +30,37 @@ class StatsSpec extends SparkSpec {
     val row = Stats.iqrOutliers(df, "grp", "value")
       .select("n_outliers", "n_rows").head()
     assert(row.getLong(0) == 1 && row.getLong(1) == 101)
+  }
+
+  test("grouped sketch percentiles stay within rank tolerance of exact") {
+    val e = graft.Tables.events(spark, sfDir)
+    // exact rank brackets ±5% around each target quantile
+    val brackets = e.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.45D)").as("p50_lo"),
+        expr("percentile(value, 0.55D)").as("p50_hi"),
+        expr("percentile(value, 0.85D)").as("p90_lo"),
+        expr("percentile(value, 0.95D)").as("p90_hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Stats.groupPercentilesApprox(e, "event_type", "value").collect()
+      .foreach { r =>
+        val b = brackets(r.getString(0))
+        assert(r.getDouble(2) >= b.getDouble(1) &&
+          r.getDouble(2) <= b.getDouble(2), s"p50 out of bracket: $r")
+        assert(r.getDouble(3) >= b.getDouble(3) &&
+          r.getDouble(3) <= b.getDouble(4), s"p90 out of bracket: $r")
+      }
+  }
+
+  test("approx IQR report tracks the exact one") {
+    val e = graft.Tables.events(spark, sfDir)
+    val exact = Stats.iqrOutliers(e, "event_type", "value").collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    Stats.iqrOutliersApprox(e, "event_type", "value").collect().foreach { r =>
+      val (nOut, nRows) = exact(r.getString(0))
+      assert(r.getLong(5) == nRows)
+      // fences from sketch quartiles may flip boundary points only
+      assert(math.abs(r.getLong(4) - nOut) <= math.max(2L, nRows / 20),
+        s"outlier count drifted: got ${r.getLong(4)} want ~$nOut")
+    }
   }
 }
