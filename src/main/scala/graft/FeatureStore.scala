@@ -95,12 +95,17 @@ class FeatureStore(@annotation.unused spark: SparkSession) {
 
   /** Online read: broadcast point lookup against the materialized
     * snapshot, `view__feature` columns like the reference's serving path.
+    * Responses align to the REQUEST order (SURVEY §3.3,
+    * `inference_service.py:107-135`): every row carries its `req_idx`
+    * stamp and the frame is ordered by it — callers zip the response
+    * against the request batch without re-sorting by key.
     */
   def getOnlineFeatures(keys: DataFrame, name: String): DataFrame = {
     val v = view(name)
     val snap = snapshots.getOrElse(name, materialize(name))
-    val looked = Retrieval.pointLookup(keys, snap, v.entityCol)
-    Retrieval.selectFeatureRefs(looked, v.name, v.features, keys.columns.toSeq)
+    val looked = Retrieval.pointLookupOrdered(keys, snap, v.entityCol)
+    Retrieval.selectFeatureRefs(looked, v.name, v.features,
+      "req_idx" +: keys.columns.toSeq)
   }
 
   /** Registry freshness over every registered view. */

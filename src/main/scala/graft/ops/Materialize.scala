@@ -13,25 +13,39 @@ import org.apache.spark.sql.functions._
   * (`init-scripts/01-init-db.sql:22-27`) and the post-materialization
   * coverage probe (`airflow/scripts/validate_online_store.py:102-135`).
   *
-  * Scale posture: `latestPerKey` is one hash shuffle on the entity key and a
-  * per-key sort inside each partition (`WindowExec` after exchange). No global
-  * sort, no driver collection; for 100 TB, entity keys hash-partition evenly
-  * and skewed hot keys are handled by AQE. The deterministic tiebreak column
-  * keeps results reproducible under any partitioning.
+  * Scale posture: `latestPerKey` is an ASSOCIATIVE REDUCE — max over a
+  * (ts, tiebreak, payload) struct — so it runs as a partial-then-final
+  * aggregation: every map task collapses its share of a key to ONE row
+  * before the shuffle. A 100:1 hot entity key therefore ships at most
+  * #partitions rows, where the equivalent `row_number() OVER (PARTITION BY
+  * key)` window would funnel the hot key's entire history into a single
+  * sort task (AQE splits skewed joins, not skewed window partitions —
+  * SkewSpec pins both the result equivalence and the plan shape). The
+  * deterministic tiebreak keeps results reproducible under any
+  * partitioning.
   */
 object Materialize {
 
   /** A12: latest row per entity key ("materialize"). `tiebreak` makes row
     * selection deterministic when timestamps collide (SURVEY.md §5.3).
+    *
+    * Implemented as `max(struct(ts, tiebreak, rest…))` per key: struct
+    * comparison is lexicographic, so the max is exactly the row the
+    * `ORDER BY ts DESC, tiebreak DESC` window would rank first (struct
+    * NULL fields sort first = NULLS LAST under desc, same as the window).
+    * Requires orderable payload types (no maps) — the feature-store data
+    * model by construction.
     */
   def latestPerKey(history: DataFrame, key: String, ts: String,
                    tiebreak: String): DataFrame = {
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).desc, col(tiebreak).desc)
+    val rest = history.columns.filterNot(c => c == key || c == ts || c == tiebreak)
+    val packed = struct((ts +: tiebreak +: rest.toSeq).map(c => col(s"`$c`")): _*)
     history
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(key))
+      .agg(max(packed).as("__m"))
+      .select(history.columns.toSeq.map { c =>
+        if (c == key) col(s"`$c`") else col(s"__m.`$c`").as(c)
+      }: _*)
   }
 
   /** A12 incremental: `feast materialize-incremental`'s contract

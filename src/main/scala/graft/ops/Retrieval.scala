@@ -122,6 +122,21 @@ object Retrieval {
   def pointLookup(keys: DataFrame, snapshot: DataFrame, key: String): DataFrame =
     keys.join(broadcast(snapshot), Seq(key), "left")
 
+  /** J2 with request-order alignment (SURVEY §3.3): the reference's serving
+    * path returns feature vectors aligned to the request batch's own order
+    * (`inference_service.py:107-135`). Each request row is stamped with
+    * `req_idx` BEFORE the join (monotonically_increasing_id preserves the
+    * input's partition/row order), the broadcast left join keeps misses as
+    * NULL rows, and the result is ordered by — and carries — `req_idx`, so
+    * alignment survives any downstream exchange, not just the join's
+    * incidental row order.
+    */
+  def pointLookupOrdered(keys: DataFrame, snapshot: DataFrame,
+                         key: String): DataFrame =
+    keys.withColumn("req_idx", monotonically_increasing_id())
+      .join(broadcast(snapshot), Seq(key), "left")
+      .orderBy("req_idx")
+
   /** J3: feature-ref selection — `view:feature` refs rendered as
     * `view__feature` columns (`inference_service.py:20-31`).
     */

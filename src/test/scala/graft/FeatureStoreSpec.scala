@@ -30,8 +30,25 @@ class FeatureStoreSpec extends SparkSpec {
     val keys = Tables.customer(spark, sfDir).select($"c_custkey".as("o_custkey")).limit(20)
     val online = fs.getOnlineFeatures(keys, "orders")
     assert(online.columns.toSet ==
-      Set("o_custkey", "orders__o_totalprice", "orders__o_orderstatus"))
+      Set("req_idx", "o_custkey", "orders__o_totalprice",
+        "orders__o_orderstatus"))
     assert(online.count() == 20)
+  }
+
+  test("online features align to the request order, misses included") {
+    val fs = new FeatureStore(spark)
+    fs.applyView(ordersView)
+    // deliberately unsorted request batch with unknown entities interleaved
+    val requested = Seq(901L, 7L, -5L, 3L, 9999999L, 1L)
+    val keys = requested.toDF("o_custkey").repartition(3)
+    val reqOrder = keys.select("o_custkey").collect().map(_.getLong(0)).toSeq
+    val out = fs.getOnlineFeatures(keys, "orders").collect()
+    // response row i is request row i — same keys, same order, misses kept
+    assert(out.map(_.getLong(1)).toSeq == reqOrder)
+    assert(out.length == requested.size)
+    // at least the impossible keys are misses with NULL features
+    val missIdx = reqOrder.zipWithIndex.filter(k => k._1 < 0 || k._1 > 999999)
+    missIdx.foreach { case (_, i) => assert(out(i).isNullAt(2)) }
   }
 
   test("incremental materialize fold equals the full-history snapshot") {

@@ -1,8 +1,12 @@
 package graft
 
-import graft.ops.Skew
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Materialize, Skew}
 
-/** Salted join produces exactly the plain join's rows. */
+/** Salted join produces exactly the plain join's rows; latestPerKey stays
+  * a partial-aggregating reduce under extreme key skew.
+  */
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
@@ -18,6 +22,36 @@ class SkewSpec extends SparkSpec {
       .select("k", "payload", "name").collect().toSet
     assert(plain == salted)
     assert(plain.size == 500 + fact.filter($"k".isin(2L, 3L)).count())
+  }
+
+  test("latestPerKey under 100:1 key skew: exact result, no window, partial agg") {
+    // one hot entity with 100× the history of everyone else
+    val rows = (1 to 20000).map(i => (1L, 1700000000L + i, i.toLong, s"v$i")) ++
+      (2L to 200L).flatMap(k =>
+        (1 to 100).map(i => (k, 1700000000L + i * k, i.toLong, s"k${k}_$i")))
+    val df = rows.toDF("k", "ts", "id", "payload").repartition(8)
+
+    val out = Materialize.latestPerKey(df, "k", "ts", "id")
+    // reference: the naive window formulation
+    val w = Window.partitionBy($"k").orderBy($"ts".desc, $"id".desc)
+    val ref = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .drop("rn")
+    assert(out.collect().toSet == ref.collect().toSet)
+
+    // plan shape: an aggregation pair (partial map-side combine collapses
+    // the hot key before the exchange), and no WindowExec anywhere
+    val plan = out.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case x: org.apache.spark.sql.execution.window.WindowExec => x
+    }
+    assert(windows.isEmpty, "latestPerKey must not plan a skew-prone window")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final aggregation:\n$plan")
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode ==
+      org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      "expected a map-side partial aggregate")
   }
 
   test("salted left join preserves unmatched fact rows once") {

@@ -145,6 +145,42 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online-store sink killed mid-stream resumes from its checkpoint; " +
+      "snapshot equals the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val store = java.nio.file.Files.createTempDirectory("graft_resume_")
+      .toString + "/snap"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rckpt_").toString
+    def startSink() = Pipeline.onlineStoreSink(
+        stream.toDF().toDF("user_id", "ts", "value"),
+        store, ckpt, "user_id", "ts", "value")
+      .start()
+    val q1 = startSink()
+    stream.addData((1L, ts(0), 10.0), (2L, ts(0), 20.0))
+    q1.processAllAvailable()
+    q1.stop() // kill the sink mid-stream
+    // data keeps arriving while the sink is down
+    stream.addData((1L, ts(5), 11.0), (3L, ts(5), 30.0))
+    stream.addData((2L, ts(9), 21.0))
+    val q2 = startSink() // resume over the SAME checkpoint
+    try {
+      q2.processAllAvailable()
+      val snap = spark.read.parquet(store)
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      // the recovered stream converges to the same state a single batch
+      // latest-per-key fold over all data produces
+      val all = Seq((1L, ts(0), 10.0), (2L, ts(0), 20.0), (1L, ts(5), 11.0),
+        (3L, ts(5), 30.0), (2L, ts(9), 21.0)).toDF("user_id", "ts", "value")
+      val batchFold = graft.ops.Materialize
+        .latestPerKey(all, "user_id", "ts", "value")
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(snap == batchFold)
+      assert(snap == Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
+    } finally q2.stop()
+  }
+
   test("online-store upsert recovers from a crash between retire and promote") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val store = java.nio.file.Files.createTempDirectory("graft_crash_").toString + "/snap"
