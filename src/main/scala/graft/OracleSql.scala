@@ -1244,6 +1244,14 @@ object OracleSql {
         FROM events)
       SELECT event_id, user_id, ts FROM r WHERE rn <= 3 ORDER BY event_id""",
 
+    "q_quota_cap_hashed" -> s"""
+      WITH r AS (
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ${uk("event_id", 39)}, event_id) AS rn
+        FROM events)
+      SELECT event_id, user_id FROM r WHERE rn <= 3 ORDER BY event_id""",
+
     "q_uniform_sample" -> s"""
       SELECT c_custkey, c_name FROM (
         SELECT c_custkey, c_name FROM customer

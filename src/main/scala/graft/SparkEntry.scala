@@ -402,6 +402,12 @@ object SparkEntry {
           Tables.events(s, dir).select("event_id", "user_id", "ts"),
           "user_id", Seq(col("ts").desc, col("event_id").desc), 3)
         .orderBy("event_id")),
+    "q_quota_cap_hashed" -> ((s, dir) =>
+      // skew-proof per-domain cap: hash-priority selection, no group sort
+      Sampling.quotaCapHashed(
+          Tables.events(s, dir).select("event_id", "user_id"),
+          "user_id", "event_id", 3)
+        .orderBy("event_id")),
     "q_uniform_sample" -> ((s, dir) =>
       Sampling.uniformSample(
           Tables.customer(s, dir).select("c_custkey", "c_name"),

@@ -142,6 +142,17 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Hash-priority quota cap: keep at most `n` rows per group, selected by
+    * deterministic hash order — the skew-proof form of [[quotaCap]] for the
+    * common "cap every crawl domain at N documents, any N will do" case.
+    * Runs through [[smallestPerStratum]]'s histogram selection, so a
+    * dominant group (the exact situation a cap exists for!) never becomes
+    * one giant sort task the way `quotaCap`'s priority window does.
+    */
+  def quotaCapHashed(df: DataFrame, groupCol: String, keyCol: String,
+                     n: Long, channel: Long = 39L): DataFrame =
+    smallestPerStratum(df, groupCol, keyCol, channel, (_, _) => lit(n))
+
   /** Uniform fixed-size sample without replacement: the `n` smallest rows
     * by keyed hash. Equivalent in distribution to a seeded reservoir, but
     * deterministic, mergeable, and executed as TakeOrdered.

@@ -179,6 +179,21 @@ class SamplingSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("hashed quota cap: at most n per group, skew-proof, deterministic") {
+    val df = (Seq.tabulate(3000)(i => (i.toLong, "hot")) ++
+      Seq.tabulate(10)(i => ((i + 50000).toLong, "cold")) ++
+      Seq.tabulate(2)(i => ((i + 90000).toLong, "tiny")))
+      .toDF("id", "grp")
+    val out = Sampling.quotaCapHashed(df, "grp", "id", 5)
+    val sizes = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes("hot") == 5 && sizes("cold") == 5 && sizes("tiny") == 2)
+    // deterministic and a subset of the input
+    val again = Sampling.quotaCapHashed(df, "grp", "id", 5)
+      .as[(Long, String)].collect().toSet
+    assert(again == out.as[(Long, String)].collect().toSet)
+    assertNoFullStratumWindow(out)
+  }
+
   test("sampler plans contain no unbounded full-stratum window") {
     val df = Seq.tabulate(500)(i => (i.toLong, if (i % 9 == 0) "a" else "b"))
       .toDF("id", "stratum")
