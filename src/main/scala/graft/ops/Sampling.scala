@@ -61,9 +61,12 @@ object Sampling {
     *      running count crosses the quota; emits per stratum
     *      (boundary bucket, rows below it, quota) — one tiny row per
     *      stratum, broadcast back;
-    *   3. select: rows in buckets below the boundary are accepted with no
-    *      sort; ONLY the boundary bucket (≈ n/2²⁰ rows — ~10⁶ even for a
-    *      10¹²-row stratum) is ranked to fill the remaining slots.
+    *   3. select, in one pass: rows are ranked within their (stratum,
+    *      bucket) — every window partition is bucket-sized (≈ n/2²⁰ rows,
+    *      ~10⁶ even for a 10¹²-row stratum), never a stratum — and kept if
+    *      their bucket is below the boundary (rank irrelevant) or they sit
+    *      in the boundary bucket with an in-bucket rank that fits the
+    *      remaining quota k − cumBefore.
     *
     * Deterministically exact for ANY u distribution — a degenerate u (all
     * rows in one bucket) just degrades the boundary bucket to the whole
@@ -99,19 +102,21 @@ object Sampling {
       .select(col("__s"), col("__hb").as("__bstar"),
         col("__cumBefore").as("__clo"), col("__k"))
 
-    // strata with quota 0 have no boundary row: the inner join drops them
-    val tagged = df
-      .withColumn("__u", u).withColumn("__b", bucketOf)
-      .join(broadcast(boundary), col(stratumCol) === col("__s"))
-    val keep = df.columns.map(col)
-    val acceptedOutright = tagged.filter(col("__b") < col("__bstar"))
-    val pick = Window.partitionBy(col(stratumCol))
+    // strata with quota 0 have no boundary row: the inner join drops them.
+    // One selection pass: rank within (stratum, BUCKET) — every window
+    // partition is bucket-sized (≈ n/2²⁰), never a stratum — and keep a
+    // row if its bucket is below the boundary, or it is in the boundary
+    // bucket and its in-bucket rank fits the remaining quota.
+    val pick = Window.partitionBy(col(stratumCol), col("__b"))
       .orderBy(col("__u"), col(keyCol))
-    val fromBoundary = tagged.filter(col("__b") === col("__bstar"))
+    val keep = df.columns.map(col)
+    df.withColumn("__u", u).withColumn("__b", bucketOf)
+      .join(broadcast(boundary), col(stratumCol) === col("__s"))
       .withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") <= col("__k") - col("__clo"))
-    acceptedOutright.select(keep: _*)
-      .unionByName(fromBoundary.select(keep: _*))
+      .filter(col("__b") < col("__bstar") ||
+        (col("__b") === col("__bstar") &&
+          col("__rn") <= col("__k") - col("__clo")))
+      .select(keep: _*)
   }
 
   /** Exact stratified sample: ceil(fraction·|stratum|) rows from EVERY
