@@ -519,6 +519,11 @@ object SparkEntry {
       Similarity.learnedIvf(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), 3, nCells = 8)
     }),
+    "x_knn_ivf_multiprobe" -> ((s, dir) => { // nProbe=2 recall knob; rows-only
+      val emb = Tables.embeddings(s, dir)
+      Similarity.learnedIvfMultiProbe(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), 3, nCells = 8, nProbe = 2)
+    }),
     "x_knn_pq" -> ((s, dir) => {            // PQ/ADC ANN; rows-only
       val emb = Tables.embeddings(s, dir)
       Similarity.topKPq(emb.filter(col("vec_id") < 5), emb,

@@ -198,6 +198,54 @@ object Native {
     override def prettyName: String = "nearest_centroid"
   }
 
+  /** The `nProbe` nearest centroid indices by squared L2, ascending
+    * distance with an index tiebreak — the multi-probe IVF assignment
+    * ([[NearestCentroid]] is the nProbe=1 special case; same metric, so a
+    * corpus assigned by one and probed by the other is consistent).
+    * Returns fewer than nProbe entries only when there are fewer
+    * centroids. NULL on dimension mismatch.
+    */
+  case class NearestCentroids(child: Expression,
+                              centroids: Array[Array[Double]], nProbe: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val len = a.numElements()
+      if (centroids.length == 0 || centroids(0).length != len) return null
+      val dists = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var dist = 0.0
+        var i = 0
+        while (i < len) {
+          val x = et match {
+            case FloatType  => a.getFloat(i).toDouble
+            case DoubleType => a.getDouble(i)
+            case _ => throw new IllegalArgumentException(s"bad element type $et")
+          }
+          val dd = x - cent(i)
+          dist += dd * dd
+          i += 1
+        }
+        dists(c) = dist
+        c += 1
+      }
+      val order = dists.indices.sortBy(i => (dists(i), i))
+      new GenericArrayData(
+        order.take(math.min(nProbe, centroids.length)).map(Int.box).toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "nearest_centroids"
+  }
+
   /** 64-bit SimHash fingerprint: lowercase, whitespace-tokenize, xxhash64
     * each token (seed 42, same as the `xxhash64` SQL function), vote ±1
     * per bit, sign-aggregate. One tight loop per ROW — the
@@ -288,6 +336,10 @@ object Native {
 
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     toCol(NearestCentroid(toExpr(vec), centroids))
+
+  def nearest_centroids(vec: Column, centroids: Array[Array[Double]],
+                        nProbe: Int): Column =
+    toCol(NearestCentroids(toExpr(vec), centroids, nProbe))
 
   def pq_reconstruct(codes: Column,
                      codebooks: Array[Array[Array[Double]]]): Column =

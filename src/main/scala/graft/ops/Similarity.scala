@@ -291,12 +291,28 @@ object Similarity {
     * narrow map for assignment, one keyed equi-join for search.
     */
   def learnedIvf(emb: DataFrame, idCol: String, vecCol: String,
-                 queries: DataFrame, k: Int, nCells: Int): DataFrame = {
+                 queries: DataFrame, k: Int, nCells: Int): DataFrame =
+    learnedIvfMultiProbe(emb, idCol, vecCol, queries, k, nCells, nProbe = 1)
+
+  /** Multi-probe learned IVF: each query searches its `nProbe` NEAREST
+    * cells instead of one — the standard FAISS recall knob. Corpus rows
+    * keep their single nearest-cell assignment; the query side explodes
+    * onto its probe cells (query sets are small/broadcast, so the fan-out
+    * is on the cheap side of the join) and the per-query rank dedupes
+    * across probed cells. Cost ∝ nProbe·cellSize per query; recall climbs
+    * toward brute force as nProbe → nCells (SimilaritySpec pins both
+    * directions).
+    */
+  def learnedIvfMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+                           queries: DataFrame, k: Int, nCells: Int,
+                           nProbe: Int): DataFrame = {
     val cb = trainCodebook(emb, idCol, vecCol, nCells)
-    def assign(df: DataFrame): DataFrame =
-      df.select(col(idCol), col(vecCol),
-        graft.functions.Native.nearest_centroid(col(vecCol), cb).as("cell"))
-    topKIvf(assign(queries), assign(emb), idCol, vecCol, "cell", k)
+    val corpus = emb.select(col(idCol), col(vecCol),
+      graft.functions.Native.nearest_centroid(col(vecCol), cb).as("cell"))
+    val probed = queries.select(col(idCol), col(vecCol),
+        explode(graft.functions.Native.nearest_centroids(col(vecCol), cb,
+          nProbe)).as("cell"))
+    topKIvf(probed, corpus, idCol, vecCol, "cell", k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via the IVF

@@ -98,6 +98,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall") // coarse 4-cell quantizer
   }
 
+  test("multi-probe IVF: recall climbs with nProbe; nProbe=nCells ≡ brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.topKBruteForce(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Similarity.learnedIvfMultiProbe(
+          emb, "vec_id", "embedding", queries, 5, 4, nProbe)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2); val r4 = recallAt(4)
+    assert(r1 <= r2 + 1e-9 && r2 <= r4 + 1e-9, s"recall not monotone: $r1 $r2 $r4")
+    // probing every cell searches the whole corpus: exactly brute force
+    assert(r4 == 1.0, s"full-probe recall $r4")
+    // and nProbe=1 is precisely the single-cell learnedIvf
+    val single = Similarity.learnedIvf(emb, "vec_id", "embedding", queries, 5, 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val probe1 = Similarity.learnedIvfMultiProbe(
+        emb, "vec_id", "embedding", queries, 5, 4, 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(single == probe1)
+  }
+
   test("codebook IVF serves query vectors NOT in the indexed corpus") {
     val emb = Tables.embeddings(spark, sfDir)
     val unseen = emb.filter($"vec_id" < 2)
