@@ -105,7 +105,9 @@ class FeatureStore(@annotation.unused spark: SparkSession) {
     val snap = snapshots.getOrElse(name, materialize(name))
     val looked = Retrieval.pointLookupOrdered(keys, snap, v.entityCol)
     Retrieval.selectFeatureRefs(looked, v.name, v.features,
-      "req_idx" +: keys.columns.toSeq)
+        "req_idx" +: keys.columns.toSeq)
+      .orderBy("req_idx") // serving batches are small; alignment sort here,
+      // never inside pointLookupOrdered (large probe sets zip by req_idx)
   }
 
   /** Registry freshness over every registered view. */

@@ -454,13 +454,16 @@ object OracleSql {
       s AS (
         SELECT CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
                CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b,
-               coalesce(max(abs(CAST(cuma AS DOUBLE)/na
-                 - CAST(cumb AS DOUBLE)/nb)), 0.0) AS d
+               CASE WHEN coalesce(max(na), 0) = 0 OR coalesce(max(nb), 0) = 0
+                 THEN 0.0  -- empty side: 0/0 ECDF would be NaN; guard row
+                 ELSE coalesce(max(abs(CAST(cuma AS DOUBLE)/na
+                   - CAST(cumb AS DOUBLE)/nb)), 0.0) END AS d
         FROM c),
       prm AS (
         SELECT n_a, n_b, d,
-               CAST(round(d * (n_a * n_b / gcd(n_a, n_b))) AS BIGINT)
-                 * gcd(n_a, n_b) AS band
+               CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                 ELSE CAST(round(d * (n_a * n_b / gcd(n_a, n_b))) AS BIGINT)
+                   * gcd(n_a, n_b) END AS band
         FROM s),
       dp AS (
         SELECT 0 AS kk,

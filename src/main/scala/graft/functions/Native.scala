@@ -159,6 +159,43 @@ object Native {
     * NULL on a dimension mismatch (corrupt embedding must not land in a
     * plausible cell).
     */
+  /** Read an array column's row value into a primitive double array,
+    * resolving the element type ONCE per row (not per element inside the
+    * distance loops).
+    */
+  private def readVec(a: ArrayData, et: DataType): Array[Double] = et match {
+    case DoubleType => a.toDoubleArray()
+    case FloatType =>
+      val n = a.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = a.getFloat(i).toDouble; i += 1 }
+      out
+    case _ => throw new IllegalArgumentException(s"bad element type $et")
+  }
+
+  /** Squared L2 distances of `vec` to every centroid — the shared inner
+    * loop of [[NearestCentroid]] and [[NearestCentroids]].
+    */
+  private def sqDists(vec: Array[Double],
+                      centroids: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var dist = 0.0
+      var i = 0
+      while (i < vec.length) {
+        val dd = vec(i) - cent(i)
+        dist += dd * dd
+        i += 1
+      }
+      out(c) = dist
+      c += 1
+    }
+    out
+  }
+
   case class NearestCentroid(child: Expression,
                              centroids: Array[Array[Double]])
       extends UnaryExpression with CodegenFallback {
@@ -169,26 +206,13 @@ object Native {
     override def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]
       val et = child.dataType.asInstanceOf[ArrayType].elementType
-      val len = a.numElements()
-      if (centroids.length == 0 || centroids(0).length != len) return null
+      if (centroids.length == 0 || centroids(0).length != a.numElements())
+        return null
+      val dists = sqDists(readVec(a, et), centroids)
       var best = 0
-      var bestDist = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val cent = centroids(c)
-        var dist = 0.0
-        var i = 0
-        while (i < len) {
-          val x = et match {
-            case FloatType  => a.getFloat(i).toDouble
-            case DoubleType => a.getDouble(i)
-            case _ => throw new IllegalArgumentException(s"bad element type $et")
-          }
-          val dd = x - cent(i)
-          dist += dd * dd
-          i += 1
-        }
-        if (dist < bestDist) { bestDist = dist; best = c }
+      var c = 1
+      while (c < dists.length) {
+        if (dists(c) < dists(best)) best = c
         c += 1
       }
       best
@@ -216,27 +240,9 @@ object Native {
     override def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]
       val et = child.dataType.asInstanceOf[ArrayType].elementType
-      val len = a.numElements()
-      if (centroids.length == 0 || centroids(0).length != len) return null
-      val dists = new Array[Double](centroids.length)
-      var c = 0
-      while (c < centroids.length) {
-        val cent = centroids(c)
-        var dist = 0.0
-        var i = 0
-        while (i < len) {
-          val x = et match {
-            case FloatType  => a.getFloat(i).toDouble
-            case DoubleType => a.getDouble(i)
-            case _ => throw new IllegalArgumentException(s"bad element type $et")
-          }
-          val dd = x - cent(i)
-          dist += dd * dd
-          i += 1
-        }
-        dists(c) = dist
-        c += 1
-      }
+      if (centroids.length == 0 || centroids(0).length != a.numElements())
+        return null
+      val dists = sqDists(readVec(a, et), centroids)
       val order = dists.indices.sortBy(i => (dists(i), i))
       new GenericArrayData(
         order.take(math.min(nProbe, centroids.length)).map(Int.box).toArray[Any])

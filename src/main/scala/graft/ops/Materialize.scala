@@ -33,19 +33,35 @@ object Materialize {
     * comparison is lexicographic, so the max is exactly the row the
     * `ORDER BY ts DESC, tiebreak DESC` window would rank first (struct
     * NULL fields sort first = NULLS LAST under desc, same as the window).
-    * Requires orderable payload types (no maps) — the feature-store data
-    * model by construction.
+    * The tiebreak is unique per (key, ts) by contract, so payload fields
+    * are never actually compared — but Catalyst requires the whole struct
+    * be ORDERABLE at analysis time, so histories carrying an un-orderable
+    * payload column (e.g. a map) fall back to the window form, which only
+    * orders by (ts, tiebreak).
     */
   def latestPerKey(history: DataFrame, key: String, ts: String,
                    tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
     val rest = history.columns.filterNot(c => c == key || c == ts || c == tiebreak)
-    val packed = struct((ts +: tiebreak +: rest.toSeq).map(c => col(s"`$c`")): _*)
-    history
-      .groupBy(col(key))
-      .agg(max(packed).as("__m"))
-      .select(history.columns.toSeq.map { c =>
-        if (c == key) col(s"`$c`") else col(s"__m.`$c`").as(c)
-      }: _*)
+    val orderable = history.schema.fields
+      .filter(f => rest.contains(f.name))
+      .forall(f => RowOrdering.isOrderable(f.dataType))
+    if (!orderable) {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col(ts).desc, col(tiebreak).desc)
+      history
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    } else {
+      val packed = struct((ts +: tiebreak +: rest.toSeq).map(c => col(s"`$c`")): _*)
+      history
+        .groupBy(col(key))
+        .agg(max(packed).as("__m"))
+        .select(history.columns.toSeq.map { c =>
+          if (c == key) col(s"`$c`") else col(s"__m.`$c`").as(c)
+        }: _*)
+    }
   }
 
   /** A12 incremental: `feast materialize-incremental`'s contract

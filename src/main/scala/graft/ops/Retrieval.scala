@@ -127,15 +127,16 @@ object Retrieval {
     * (`inference_service.py:107-135`). Each request row is stamped with
     * `req_idx` BEFORE the join (monotonically_increasing_id preserves the
     * input's partition/row order), the broadcast left join keeps misses as
-    * NULL rows, and the result is ordered by — and carries — `req_idx`, so
-    * alignment survives any downstream exchange, not just the join's
-    * incidental row order.
+    * NULL rows, and the stamp survives any downstream exchange. NO sort is
+    * added here — a large probe set must never be globally sorted just for
+    * alignment (callers zip by `req_idx`); the serving facade
+    * (`FeatureStore.getOnlineFeatures`) adds the presentation `orderBy` on
+    * its small request batches.
     */
   def pointLookupOrdered(keys: DataFrame, snapshot: DataFrame,
                          key: String): DataFrame =
     keys.withColumn("req_idx", monotonically_increasing_id())
       .join(broadcast(snapshot), Seq(key), "left")
-      .orderBy("req_idx")
 
   /** J3: feature-ref selection — `view:feature` refs rendered as
     * `view__feature` columns (`inference_service.py:20-31`).

@@ -81,8 +81,12 @@ object Sampling {
                                  quota: (Column, Column) => Column,
                                  buckets: Int = 1 << 20): DataFrame = {
     val u = Gen.u01(col(keyCol), channel)
-    // u ∈ (0, 1]: clamp u == 1 into the top bucket
-    val bucketOf = least(floor(u * buckets), lit(buckets - 1L)).cast("long")
+    // u ∈ (0, 1]: clamp u == 1 into the top bucket. NULL keys hash to
+    // bucket −1 — ranked before every real bucket, mirroring the naive
+    // window's ASC NULLS FIRST ordering, so they are counted AND
+    // selectable instead of silently consuming quota
+    val bucketOf = when(u.isNull, lit(-1L))
+      .otherwise(least(floor(u * buckets), lit(buckets - 1L)).cast("long"))
 
     val hist = df
       .groupBy(col(stratumCol).as("__s"), bucketOf.as("__hb"))
@@ -102,20 +106,23 @@ object Sampling {
       .select(col("__s"), col("__hb").as("__bstar"),
         col("__cumBefore").as("__clo"), col("__k"))
 
-    // strata with quota 0 have no boundary row: the inner join drops them.
-    // One selection pass: rank within (stratum, BUCKET) — every window
-    // partition is bucket-sized (≈ n/2²⁰), never a stratum — and keep a
-    // row if its bucket is below the boundary, or it is in the boundary
-    // bucket and its in-bucket rank fits the remaining quota.
+    // strata with quota 0 have no boundary row: the inner join drops them
+    // (null-safe <=> keeps a NULL stratum as its own stratum, like the
+    // window's partitionBy did). One selection pass: rows above the
+    // boundary bucket are discarded BEFORE the window (they can never be
+    // picked), the rest rank within (stratum, BUCKET) — every window
+    // partition is bucket-sized (≈ n/2²⁰), never a stratum — and a row is
+    // kept if its bucket is below the boundary, or it is in the boundary
+    // bucket with an in-bucket rank that fits the remaining quota.
     val pick = Window.partitionBy(col(stratumCol), col("__b"))
       .orderBy(col("__u"), col(keyCol))
     val keep = df.columns.map(col)
     df.withColumn("__u", u).withColumn("__b", bucketOf)
-      .join(broadcast(boundary), col(stratumCol) === col("__s"))
+      .join(broadcast(boundary), col(stratumCol) <=> col("__s"))
+      .filter(col("__b") <= col("__bstar"))
       .withColumn("__rn", row_number().over(pick))
       .filter(col("__b") < col("__bstar") ||
-        (col("__b") === col("__bstar") &&
-          col("__rn") <= col("__k") - col("__clo")))
+        col("__rn") <= col("__k") - col("__clo"))
       .select(keep: _*)
   }
 

@@ -47,7 +47,9 @@ object Scan {
       .withColumn("__lcum", sum(valueCol.cast("long")).over(local))
     val sliceTotals = withLocal
       .groupBy(groups :+ col("__slice"): _*)
-      .agg(max(col("__lcum")).as("__stot"))
+      .agg(sum(valueCol.cast("long")).as("__stot")) // not max(__lcum):
+      // with negative values the running sum is not monotone, so the
+      // slice TOTAL (its last running value) can be below the max
     val prior = Window.partitionBy(groups: _*).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sliceTotals

@@ -22,6 +22,15 @@ class MaterializeSpec extends SparkSpec {
     assert(snap(2L) == 40.0)
   }
 
+  test("latest-per-key handles un-orderable payload columns (map) via window fallback") {
+    import org.apache.spark.sql.functions.{lit, map}
+    val withMap = history.withColumn("attrs", map(lit("a"), $"fval"))
+    val snap = Materialize.latestPerKey(withMap, "user_id", "fts", "seq")
+    val got = snap.select("user_id", "fval").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 30.0 && got(2L) == 40.0)
+    assert(snap.columns.contains("attrs"))
+  }
+
   test("point lookup preserves missing entities as NULL rows (J2)") {
     val keys = Seq(1L, 2L, 99L).toDF("user_id")
     val snap = Materialize.latestPerKey(history, "user_id", "fts", "seq")

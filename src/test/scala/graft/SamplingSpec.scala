@@ -179,6 +179,26 @@ class SamplingSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("NULL strata and NULL keys survive the histogram selection like the naive rank") {
+    val df = (Seq.tabulate(200)(i => (Some(i.toLong), Some("a"))) ++
+      Seq.tabulate(60)(i => (Some((i + 1000).toLong), None: Option[String])) ++
+      Seq.tabulate(8)(_ => (None: Option[Long], Some("a"))))
+      .toDF("id", "stratum")
+    for (f <- Seq(0.25, 1.0)) {
+      val fast = Sampling.stratifiedSample(df, "stratum", "id", f)
+        .as[(Option[Long], Option[String])].collect()
+      val slow = naiveStratified(df, "stratum", "id", f)
+        .as[(Option[Long], Option[String])].collect()
+      // null-key rows are interchangeable under the rank (their sort keys
+      // tie), so compare per-stratum sizes plus the exact non-null-key set
+      assert(fast.length == slow.length, s"row count at fraction $f")
+      assert(fast.groupBy(_._2).view.mapValues(_.length).toMap ==
+        slow.groupBy(_._2).view.mapValues(_.length).toMap)
+      assert(fast.filter(_._1.isDefined).toSet ==
+        slow.filter(_._1.isDefined).toSet)
+    }
+  }
+
   test("hashed quota cap: at most n per group, skew-proof, deterministic") {
     val df = (Seq.tabulate(3000)(i => (i.toLong, "hot")) ++
       Seq.tabulate(10)(i => ((i + 50000).toLong, "cold")) ++
@@ -204,6 +224,18 @@ class SamplingSpec extends SparkSpec {
     val docs = Seq.tabulate(500)(i => ("en", i.toLong, 100)).toDF("lang", "doc_id", "n_tokens")
     assertNoFullStratumWindow(
       Sampling.packSequences(docs, "lang", "doc_id", "n_tokens", 2048L))
+  }
+
+  test("prefix sum is exact with negative values (slice totals are sums, not maxes)") {
+    val df = Seq.tabulate(500)(i =>
+      ("g", i.toLong, if (i % 3 == 0) -7 else 5)).toDF("grp", "id", "v")
+    val got = graft.ops.Scan.prefixSum(df, Seq("grp"), col("id"), col("v"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    var run = 0L
+    (0 until 500).foreach { i =>
+      run += (if (i % 3 == 0) -7 else 5)
+      assert(got(i.toLong) == run, s"prefix sum wrong at $i")
+    }
   }
 
   test("uniform sample: exact size, deterministic across runs") {
