@@ -84,6 +84,43 @@ object OracleSql {
                  * (u6 + 0.5), 2.0), 6) AS activity_weight
         FROM g)"""
 
+  /** Cluster resolution: DuckDB recursive-CTE transitive closure over the
+    * SAME near-dup pair list — one oracle for both distributed CC
+    * algorithms (label propagation and large-star/small-star).
+    */
+  private val dedupClustersOracle: String = """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 60),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      kept AS (
+        SELECT sh.* FROM sh JOIN (
+          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
+          ON sh.s = ok.s),
+      inter AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+        FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02),
+      nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+      SELECT id, CAST(min(r) AS BIGINT) AS component,
+             (id = min(r)) AS is_canonical
+      FROM reach GROUP BY id ORDER BY id"""
+
   private val snapshotCte: String = """
     snap AS (
       SELECT * FROM (
@@ -822,38 +859,10 @@ object OracleSql {
 
     // cluster resolution: Spark's iterative min-label propagation vs a
     // DuckDB recursive-CTE transitive closure over the SAME pair list
-    "x_dedup_clusters" -> """
-      WITH RECURSIVE d AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        FROM documents WHERE doc_id < 60),
-      sh AS (
-        SELECT DISTINCT doc_id, s FROM (
-          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
-          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
-      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      kept AS (
-        SELECT sh.* FROM sh JOIN (
-          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
-          ON sh.s = ok.s),
-      inter AS (
-        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
-        FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
-        GROUP BY l.doc_id, r.doc_id),
-      pairs AS (
-        SELECT id_a, id_b FROM inter
-        JOIN sz sa ON id_a = sa.doc_id
-        JOIN sz sb ON id_b = sb.doc_id
-        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02),
-      nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
-      SELECT id, CAST(min(r) AS BIGINT) AS component,
-             (id = min(r)) AS is_canonical
-      FROM reach GROUP BY id ORDER BY id""",
+    "x_dedup_clusters" -> dedupClustersOracle,
+    // same recursive-CTE transitive closure checks BOTH distributed CC
+    // algorithms (min-label propagation and large-star/small-star)
+    "x_dedup_clusters_star" -> dedupClustersOracle,
 
     "x_token_stats" -> """
       SELECT doc_id,

@@ -463,6 +463,14 @@ object SparkEntry {
       Dedup.dedupClusters(
         Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 60),
           "doc_id", "text", 3, 0.02, maxDf = 30).select("id_a", "id_b"))),
+    "x_dedup_clusters_star" -> ((s, dir) =>
+      // same pair list through the O(log n)-round large-star/small-star CC
+      Dedup.connectedComponentsStar(
+          Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 60),
+            "doc_id", "text", 3, 0.02, maxDf = 30).select("id_a", "id_b"),
+          "id_a", "id_b")
+        .withColumn("is_canonical", col("id") === col("component"))
+        .orderBy("id")),
     "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
     "x_neardups_verified" -> ((s, dir) =>  // LSH propose + exact verify; rows-only

@@ -325,6 +325,86 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — the published O(log n)-round algorithm): every round,
+    * large-star points each node's strictly-larger neighbors at the
+    * minimum of its neighborhood, small-star collapses the smaller
+    * neighbors the same way, and the edge set contracts toward min-rooted
+    * stars. Same output contract as [[connectedComponents]] —
+    * (id, component = min reachable id) — but ROUNDS ARE LOGARITHMIC in
+    * component size instead of linear in graph DIAMETER: a 10⁶-node chain
+    * needs ~20 rounds here vs 10⁶ label-propagation supersteps. Use this
+    * when components can be long paths (near-dup chains through
+    * transitive similarity); min-label propagation stays preferable for
+    * the star/clique graphs LSH typically emits (fewer shuffles per
+    * round).
+    *
+    * Each round is two keyed groupBy-join shuffles over the current edge
+    * set, checkpointed; convergence = edge-set fixpoint, detected by a
+    * (count, xxhash64-sum) signature over the checkpointed frame (one
+    * tiny aggregate; a collision would need two distinct edge sets with
+    * equal count and 64-bit hash sum in the same run). Non-convergence
+    * inside `maxIters` throws loudly, like the propagation form.
+    */
+  def connectedComponentsStar(pairs: DataFrame, srcCol: String,
+                              dstCol: String, maxIters: Int = 40): DataFrame = {
+    val raw = pairs.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct().localCheckpoint()
+    if (nodes.isEmpty)
+      return nodes.withColumn("component", col("id"))
+    // canonical orientation: (u = bigger, v = smaller), no self loops
+    var edges = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    // decimal(38,0) sum: ANSI mode forbids the wrapping long sum a hash
+    // aggregate would need (same device as the propagation convergence)
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters && prev._1 > 0) {
+      // large-star: over full neighborhoods (both orientations), point
+      // every neighbor bigger than u at m = min(neighborhood ∪ {u})
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLarge = nbrs.join(mLarge, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: edges are all (bigger, smaller) now, so each node's
+      // smaller neighborhood is exactly its outgoing edge list
+      val mSmall = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val afterSmall = afterLarge.join(mSmall, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mSmall.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val cur = signature(afterSmall)
+      converged = cur == prev
+      prev = cur
+      edges = afterSmall
+      i += 1
+    }
+    if (!converged && prev._1 > 0) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIters rounds; " +
+        "raise maxIters (rounds grow with log of the largest component)")
+    nodes.join(edges.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Near-dup pairs → cluster assignments: component id plus whether the
     * node is its cluster's canonical (kept) representative.
     */

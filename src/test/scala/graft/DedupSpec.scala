@@ -141,6 +141,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star CC: chain, star and disjoint clusters resolve to min id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
+  test("star CC: 300-node chain converges in logarithmic rounds") {
+    // label propagation needs ~300 supersteps here; the star rewrites must
+    // finish inside 12 rounds (≈ log₂ 300 + slack) or throw
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(chain, "id_a", "id_b", maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 300)
+    assert(cc.forall(_._2 == 0L))
+  }
+
+  test("star CC ≡ label propagation on randomized graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 120
+      val pairs = (1 to 180).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"trial $trial diverged")
+    }
+  }
+
+  test("star CC of an empty pair list is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponentsStar(empty, "id_a", "id_b").count() == 0)
+  }
+
   test("dedupClusters marks exactly one canonical per component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
     val out = Dedup.dedupClusters(pairs)
