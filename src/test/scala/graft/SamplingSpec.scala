@@ -238,6 +238,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("prefix-sum operators are invariant to the shuffle-partition count") {
+    // Scan.prefixSum slices by spark.sql.shuffle.partitions — the OUTPUT
+    // must not depend on how many slices the scan used
+    val docs = (Seq.tabulate(900)(i => ("en", i.toLong, 50 + i % 311)) ++
+      Seq.tabulate(70)(i => ("de", i.toLong, 40 + i)))
+      .toDF("lang", "doc_id", "n_tokens")
+    val w = Seq.tabulate(40)(i => (i.toLong, 0.5 + (i % 7) * 0.3))
+      .toDF("k", "wt")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def at[T](n: Int)(f: => T): T =
+      try { spark.conf.set("spark.sql.shuffle.partitions", n.toString); f }
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val pack3 = at(3)(Sampling.packSequences(docs, "lang", "doc_id",
+      "n_tokens", 2048L).collect().toSet)
+    val pack13 = at(13)(Sampling.packSequences(docs, "lang", "doc_id",
+      "n_tokens", 2048L).collect().toSet)
+    assert(pack3 == pack13)
+    val pick3 = at(3)(graft.ops.Gen.weightedPick(w, "k", "wt", 3000)
+      .as[(Long, Long)].collect().toSet)
+    val pick13 = at(13)(graft.ops.Gen.weightedPick(w, "k", "wt", 3000)
+      .as[(Long, Long)].collect().toSet)
+    assert(pick3 == pick13)
+  }
+
   test("uniform sample: exact size, deterministic across runs") {
     val df = spark.range(0, 1000).toDF("id")
     val a = Sampling.uniformSample(df, "id", 50).as[Long].collect().toList
