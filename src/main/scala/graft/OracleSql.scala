@@ -1256,6 +1256,16 @@ object OracleSql {
         FROM events)
       SELECT event_id, user_id, ts FROM r WHERE rn <= 3 ORDER BY event_id""",
 
+    // identical semantics (and SQL) to q_quota_cap — the Spark side runs
+    // the priority-histogram selection instead of a per-group rank window
+    "q_quota_cap_scalable" -> """
+      WITH r AS (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT event_id, user_id, ts FROM r WHERE rn <= 3 ORDER BY event_id""",
+
     "q_quota_cap_hashed" -> s"""
       WITH r AS (
         SELECT event_id, user_id,

@@ -408,6 +408,16 @@ object SparkEntry {
           Tables.events(s, dir).select("event_id", "user_id"),
           "user_id", "event_id", 3)
         .orderBy("event_id")),
+    "q_quota_cap_scalable" -> ((s, dir) =>
+      // q_quota_cap's exact semantics (3 newest per user, ts/event_id
+      // desc) through the priority-histogram selection — same oracle,
+      // no per-user sort task
+      Sampling.quotaCapByPriority(
+          Tables.events(s, dir).select("event_id", "user_id", "ts"),
+          "user_id",
+          priority = -unix_micros(col("ts").cast("timestamp")),
+          tiebreak = -col("event_id"), n = 3)
+        .orderBy("event_id")),
     "q_uniform_sample" -> ((s, dir) =>
       Sampling.uniformSample(
           Tables.customer(s, dir).select("c_custkey", "c_name"),

@@ -87,9 +87,24 @@ object Sampling {
     // selectable instead of silently consuming quota
     val bucketOf = when(u.isNull, lit(-1L))
       .otherwise(least(floor(u * buckets), lit(buckets - 1L)).cast("long"))
+    histogramSelect(
+      df.withColumn("__p", u).withColumn("__b", bucketOf)
+        .withColumn("__t", col(keyCol)),
+      df.columns.toSeq, stratumCol, quota)
+  }
 
-    val hist = df
-      .groupBy(col(stratumCol).as("__s"), bucketOf.as("__hb"))
+  /** The shared selection core: `prepared` carries `__p` (ascending
+    * priority, NULLs first), `__b` (its bucket, −1 for NULL `__p`,
+    * monotone non-decreasing in `__p`), and `__t` (a tiebreak completing a
+    * total order). Keeps, per stratum, the quota smallest rows by
+    * (`__p`, `__t`) — exactly the naive full-stratum rank's selection —
+    * with every window bounded by one bucket.
+    */
+  private def histogramSelect(prepared: DataFrame, outCols: Seq[String],
+                              stratumCol: String,
+                              quota: (Column, Column) => Column): DataFrame = {
+    val hist = prepared
+      .groupBy(col(stratumCol).as("__s"), col("__b").as("__hb"))
       .agg(count(lit(1)).as("__c"))
     val before = Window.partitionBy(col("__s")).orderBy(col("__hb"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -111,19 +126,56 @@ object Sampling {
     // window's partitionBy did). One selection pass: rows above the
     // boundary bucket are discarded BEFORE the window (they can never be
     // picked), the rest rank within (stratum, BUCKET) — every window
-    // partition is bucket-sized (≈ n/2²⁰), never a stratum — and a row is
-    // kept if its bucket is below the boundary, or it is in the boundary
-    // bucket with an in-bucket rank that fits the remaining quota.
+    // partition is bucket-sized, never a stratum — and a row is kept if
+    // its bucket is below the boundary, or it is in the boundary bucket
+    // with an in-bucket rank that fits the remaining quota.
     val pick = Window.partitionBy(col(stratumCol), col("__b"))
-      .orderBy(col("__u"), col(keyCol))
-    val keep = df.columns.map(col)
-    df.withColumn("__u", u).withColumn("__b", bucketOf)
+      .orderBy(col("__p"), col("__t"))
+    prepared
       .join(broadcast(boundary), col(stratumCol) <=> col("__s"))
       .filter(col("__b") <= col("__bstar"))
       .withColumn("__rn", row_number().over(pick))
       .filter(col("__b") < col("__bstar") ||
         col("__rn") <= col("__k") - col("__clo"))
-      .select(keep: _*)
+      .select(outCols.map(col): _*)
+  }
+
+  /** Top-n per group by an ARBITRARY numeric priority, without sorting any
+    * group in one task — the scale path for [[quotaCap]]'s common shape
+    * ("keep the n newest / highest-score rows per key"). `priority` is
+    * ascending (smallest first — negate for descending, e.g.
+    * `-unix_micros(ts)` for newest-first); `tiebreak` completes the total
+    * order; NULL priorities sort FIRST (pre-filter or coalesce to mimic a
+    * desc NULLS LAST window).
+    *
+    * One extra phase vs the hash samplers: per-group (min, max) priority
+    * bounds (a cheap partial-aggregated pass) define the bucket mapping
+    * `floor((p − lo)/((hi − lo)/2²⁰))`; then the same histogram → boundary
+    * bucket → bucket-bounded rank selection. Exact for any priority
+    * distribution; heavy ties degrade the boundary bucket toward the
+    * naive per-group sort (a constant priority is inherently unrankable
+    * without one), never past it.
+    */
+  def quotaCapByPriority(df: DataFrame, groupCol: String, priority: Column,
+                         tiebreak: Column, n: Long,
+                         buckets: Int = 1 << 20): DataFrame = {
+    val p = priority.cast("double")
+    val bounds = df
+      .groupBy(col(groupCol).as("__bs"))
+      .agg(min(p).as("__lo"), max(p).as("__hi"))
+    val bucketOf =
+      when(p.isNull, lit(-1L))
+        .otherwise(when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((p - col("__lo")) / ((col("__hi") - col("__lo")) / buckets))
+              .cast("long"),
+            lit(buckets - 1L))))
+    histogramSelect(
+      df.join(broadcast(bounds), col(groupCol) <=> col("__bs"))
+        .withColumn("__p", p).withColumn("__b", bucketOf)
+        .withColumn("__t", tiebreak)
+        .drop("__bs", "__lo", "__hi"),
+      df.columns.toSeq, groupCol, (_, _) => lit(n))
   }
 
   /** Exact stratified sample: ceil(fraction·|stratum|) rows from EVERY

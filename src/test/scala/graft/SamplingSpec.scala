@@ -238,6 +238,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("priority quota cap ≡ rank window on skewed groups, ties and all") {
+    // hot group with heavy timestamp ties + cold groups
+    val rows = (1 to 4000).map(i =>
+      (i.toLong, 1L, 1700000000L + (i % 97))) ++           // hot, many ties
+      (1 to 60).map(i => (10000L + i, (i % 5 + 2).toLong, 1700000000L + i))
+    val df = rows.toDF("event_id", "user_id", "ts_s")
+    val fast = Sampling.quotaCapByPriority(df, "user_id",
+        priority = -col("ts_s"), tiebreak = -col("event_id"), n = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    val slow = Sampling.quotaCap(df, "user_id",
+        Seq(col("ts_s").desc, col("event_id").desc), 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == slow)
+    assertNoFullStratumWindow(Sampling.quotaCapByPriority(df, "user_id",
+      -col("ts_s"), -col("event_id"), 7))
+  }
+
   test("prefix-sum operators are invariant to the shuffle-partition count") {
     // Scan.prefixSum slices by spark.sql.shuffle.partitions — the OUTPUT
     // must not depend on how many slices the scan used
