@@ -795,6 +795,18 @@ object OracleSql {
       GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
       ORDER BY doc_id""",
 
+    "x_dedup_incremental" -> """
+      WITH f AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      seen AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+      batch AS (SELECT * FROM f WHERE doc_id >= 250)
+      SELECT min(doc_id) AS doc_id, fp,
+             CAST(count(*) AS BIGINT) AS batch_copies
+      FROM batch WHERE fp NOT IN (SELECT fp FROM seen)
+      GROUP BY fp ORDER BY doc_id""",
+
     "x_dedup_stats" -> """
       SELECT count(*) AS total_docs,
              CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
@@ -1275,6 +1287,12 @@ object OracleSql {
       SELECT event_id, user_id FROM r WHERE rn <= 3 ORDER BY event_id""",
 
     "q_uniform_sample" -> s"""
+      SELECT c_custkey, c_name FROM (
+        SELECT c_custkey, c_name FROM customer
+        ORDER BY ${uk("c_custkey", 35)}, c_custkey LIMIT 100)
+      ORDER BY c_custkey""",
+
+    "q_uniform_sample_scalable" -> s"""
       SELECT c_custkey, c_name FROM (
         SELECT c_custkey, c_name FROM customer
         ORDER BY ${uk("c_custkey", 35)}, c_custkey LIMIT 100)

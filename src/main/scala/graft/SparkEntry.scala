@@ -423,6 +423,12 @@ object SparkEntry {
           Tables.customer(s, dir).select("c_custkey", "c_name"),
           "c_custkey", 100)
         .orderBy("c_custkey")),
+    "q_uniform_sample_scalable" -> ((s, dir) =>
+      // same 100 rows, selected without the TakeOrdered driver merge
+      Sampling.uniformSampleScalable(
+          Tables.customer(s, dir).select("c_custkey", "c_name"),
+          "c_custkey", 100)
+        .orderBy("c_custkey")),
     "q_mixture_sample" -> ((s, dir) =>
       Sampling.mixtureSample(
           Tables.documents(s, dir).select("doc_id", "lang"),
@@ -442,6 +448,12 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
     "x_dedup_stats" -> ((s, dir) =>
       Dedup.stats(Tables.documents(s, dir), "text")),
+    "x_dedup_incremental" -> ((s, dir) => {
+      // ingest-shaped dedup: new batch vs the already-seen corpus
+      val d = Tables.documents(s, dir)
+      Dedup.exactIncremental(d.filter(col("doc_id") < 250),
+        d.filter(col("doc_id") >= 250), "doc_id", "text")
+    }),
     "x_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),

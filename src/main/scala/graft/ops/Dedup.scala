@@ -36,6 +36,27 @@ object Dedup {
       .select(col(idCol), col("fp"), col("copies"))
       .orderBy(col(idCol))
 
+  /** Incremental exact dedup — the production ingest shape: dedup a NEW
+    * batch against the already-ingested corpus without ever re-reading the
+    * corpus text. Returns the batch's surviving rows (lowest id per
+    * batch-internal fingerprint, rows whose fingerprint already exists in
+    * `seen` dropped) with their intra-batch copy count. Cost: one
+    * fingerprint scan of each side and an ANTI join that shuffles ONLY
+    * 16-byte fingerprints — at 100 TB the seen side is the accumulated
+    * fingerprint table (or a bloom-filter pre-filter in front of it),
+    * never the corpus.
+    */
+  def exactIncremental(seen: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val seenFp = seen.select(fingerprint(col(textCol)).as("fp")).distinct()
+    batch.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .join(seenFp, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("batch_copies"))
+      .select(col(idCol), col("fp"), col("batch_copies"))
+      .orderBy(col(idCol))
+  }
+
   /** Corpus-level dedup stats: total / distinct / duplicate rows. */
   def stats(docs: DataFrame, textCol: String): DataFrame =
     docs.agg(

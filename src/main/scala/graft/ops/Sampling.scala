@@ -225,6 +225,18 @@ object Sampling {
                     channel: Long = 35L): DataFrame =
     df.orderBy(Gen.u01(col(keyCol), channel), col(keyCol)).limit(n)
 
+  /** [[uniformSample]] at scale: the SAME n smallest-by-hash rows selected
+    * through the histogram machinery instead of TakeOrdered — no driver
+    * merge of #partitions·n heap heads, so n can be millions (a 1%
+    * fixed-size sample of a 10¹¹-row corpus) without the driver becoming
+    * the bottleneck. Single stratum ⇒ the boundary scan is one ≤2²⁰-row
+    * window; selection windows stay bucket-bounded.
+    */
+  def uniformSampleScalable(df: DataFrame, keyCol: String, n: Long,
+                            channel: Long = 35L): DataFrame =
+    smallestPerStratum(df.withColumn("__all", lit(1)), "__all", keyCol,
+      channel, (_, _) => lit(n)).drop("__all")
+
   /** Mixture sampling: draw a corpus whose stratum proportions match a
     * TARGET mixture (the data-mixing step of a training pipeline — e.g.
     * 70% english / 30% rest regardless of the raw crawl mix). Per-stratum

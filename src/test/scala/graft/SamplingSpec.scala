@@ -285,4 +285,26 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.uniformSample(df, "id", 50).as[Long].collect().toList
     assert(a == b && a.size == 50 && a.distinct.size == 50)
   }
+
+  test("scalable uniform sample selects exactly the TakeOrdered rows") {
+    val df = spark.range(0, 5000).toDF("id")
+    val takeOrdered = Sampling.uniformSample(df, "id", 400)
+      .as[Long].collect().toSet
+    val histogram = Sampling.uniformSampleScalable(df, "id", 400)
+      .as[Long].collect().toSet
+    assert(histogram == takeOrdered)
+  }
+
+  test("incremental exact dedup drops seen fingerprints, keeps batch-lowest id") {
+    import graft.ops.Dedup
+    val seen = Seq((1L, "alpha  beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA BETA"),   // normalized dup of seen 1 -> dropped
+      (11L, "delta"), (12L, "delta"), // intra-batch dup -> min id kept
+      (13L, "epsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(seen, batch, "doc_id", "text")
+      .select("doc_id", "batch_copies").as[(Long, Long)].collect().toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+  }
 }
