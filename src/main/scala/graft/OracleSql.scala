@@ -121,6 +121,24 @@ object OracleSql {
              (id = min(r)) AS is_canonical
       FROM reach GROUP BY id ORDER BY id"""
 
+  /** One oracle for both quota-cap formulations (rank window and
+    * priority-histogram selection) — shared so they can never diverge.
+    */
+  private val quotaCapOracle: String = """
+      WITH r AS (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT event_id, user_id, ts FROM r WHERE rn <= 3 ORDER BY event_id"""
+
+  /** One oracle for both uniform-sample formulations. */
+  private lazy val uniformSampleOracle: String = s"""
+      SELECT c_custkey, c_name FROM (
+        SELECT c_custkey, c_name FROM customer
+        ORDER BY ${uk("c_custkey", 35)}, c_custkey LIMIT 100)
+      ORDER BY c_custkey"""
+
   private val snapshotCte: String = """
     snap AS (
       SELECT * FROM (
@@ -804,7 +822,10 @@ object OracleSql {
       batch AS (SELECT * FROM f WHERE doc_id >= 250)
       SELECT min(doc_id) AS doc_id, fp,
              CAST(count(*) AS BIGINT) AS batch_copies
-      FROM batch WHERE fp NOT IN (SELECT fp FROM seen)
+      FROM batch b
+      -- NOT EXISTS with '=' mirrors Spark's null-ignoring LEFT ANTI join
+      -- (NOT IN would return zero rows if any seen fingerprint were NULL)
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
       GROUP BY fp ORDER BY doc_id""",
 
     "x_dedup_stats" -> """
@@ -1260,23 +1281,10 @@ object OracleSql {
       SELECT event_id, event_type FROM r
       WHERE rn <= ceil(n * 0.1) ORDER BY event_id""",
 
-    "q_quota_cap" -> """
-      WITH r AS (
-        SELECT event_id, user_id, ts,
-               row_number() OVER (PARTITION BY user_id
-                 ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events)
-      SELECT event_id, user_id, ts FROM r WHERE rn <= 3 ORDER BY event_id""",
-
-    // identical semantics (and SQL) to q_quota_cap — the Spark side runs
-    // the priority-histogram selection instead of a per-group rank window
-    "q_quota_cap_scalable" -> """
-      WITH r AS (
-        SELECT event_id, user_id, ts,
-               row_number() OVER (PARTITION BY user_id
-                 ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events)
-      SELECT event_id, user_id, ts FROM r WHERE rn <= 3 ORDER BY event_id""",
+    "q_quota_cap" -> quotaCapOracle,
+    // identical semantics, ONE shared oracle — the Spark side runs the
+    // priority-histogram selection instead of a per-group rank window
+    "q_quota_cap_scalable" -> quotaCapOracle,
 
     "q_quota_cap_hashed" -> s"""
       WITH r AS (
@@ -1286,17 +1294,9 @@ object OracleSql {
         FROM events)
       SELECT event_id, user_id FROM r WHERE rn <= 3 ORDER BY event_id""",
 
-    "q_uniform_sample" -> s"""
-      SELECT c_custkey, c_name FROM (
-        SELECT c_custkey, c_name FROM customer
-        ORDER BY ${uk("c_custkey", 35)}, c_custkey LIMIT 100)
-      ORDER BY c_custkey""",
-
-    "q_uniform_sample_scalable" -> s"""
-      SELECT c_custkey, c_name FROM (
-        SELECT c_custkey, c_name FROM customer
-        ORDER BY ${uk("c_custkey", 35)}, c_custkey LIMIT 100)
-      ORDER BY c_custkey""",
+    "q_uniform_sample" -> uniformSampleOracle,
+    // same selection, ONE shared oracle — histogram machinery vs TakeOrdered
+    "q_uniform_sample_scalable" -> uniformSampleOracle,
 
     "q_mixture_sample" -> s"""
       WITH r AS (

@@ -102,7 +102,8 @@ object Sampling {
     */
   private def histogramSelect(prepared: DataFrame, outCols: Seq[String],
                               stratumCol: String,
-                              quota: (Column, Column) => Column): DataFrame = {
+                              quota: (Column, Column) => Column,
+                              broadcastPlan: Boolean = true): DataFrame = {
     val hist = prepared
       .groupBy(col(stratumCol).as("__s"), col("__b").as("__hb"))
       .agg(count(lit(1)).as("__c"))
@@ -131,8 +132,12 @@ object Sampling {
     // with an in-bucket rank that fits the remaining quota.
     val pick = Window.partitionBy(col(stratumCol), col("__b"))
       .orderBy(col("__p"), col("__t"))
+    // broadcast only when the caller vouches for bounded stratum
+    // cardinality (categorical strata); per-entity groups (one plan row
+    // per user) must shuffle-join instead of collecting to the driver
+    val planSide = if (broadcastPlan) broadcast(boundary) else boundary
     prepared
-      .join(broadcast(boundary), col(stratumCol) <=> col("__s"))
+      .join(planSide, col(stratumCol) <=> col("__s"))
       .filter(col("__b") <= col("__bstar"))
       .withColumn("__rn", row_number().over(pick))
       .filter(col("__b") < col("__bstar") ||
@@ -159,23 +164,28 @@ object Sampling {
   def quotaCapByPriority(df: DataFrame, groupCol: String, priority: Column,
                          tiebreak: Column, n: Long,
                          buckets: Int = 1 << 20): DataFrame = {
-    val p = priority.cast("double")
+    // bucket from the DOUBLE view (long→double is monotone, which is all
+    // bucketing needs); RANK by the ORIGINAL priority — a double cast
+    // would collapse 64-bit priorities past 2⁵³ and change the selection
+    val pd = priority.cast("double")
     val bounds = df
       .groupBy(col(groupCol).as("__bs"))
-      .agg(min(p).as("__lo"), max(p).as("__hi"))
+      .agg(min(pd).as("__lo"), max(pd).as("__hi"))
     val bucketOf =
-      when(p.isNull, lit(-1L))
+      when(priority.isNull, lit(-1L))
         .otherwise(when(col("__hi") === col("__lo"), lit(0L))
           .otherwise(least(
-            floor((p - col("__lo")) / ((col("__hi") - col("__lo")) / buckets))
+            floor((pd - col("__lo")) / ((col("__hi") - col("__lo")) / buckets))
               .cast("long"),
             lit(buckets - 1L))))
+    // groups are per-entity (unbounded cardinality): bounds and the
+    // boundary plan stay SHUFFLE joins — never driver-collected broadcasts
     histogramSelect(
-      df.join(broadcast(bounds), col(groupCol) <=> col("__bs"))
-        .withColumn("__p", p).withColumn("__b", bucketOf)
+      df.join(bounds, col(groupCol) <=> col("__bs"))
+        .withColumn("__p", priority).withColumn("__b", bucketOf)
         .withColumn("__t", tiebreak)
         .drop("__bs", "__lo", "__hi"),
-      df.columns.toSeq, groupCol, (_, _) => lit(n))
+      df.columns.toSeq, groupCol, (_, _) => lit(n), broadcastPlan = false)
   }
 
   /** Exact stratified sample: ceil(fraction·|stratum|) rows from EVERY

@@ -255,6 +255,19 @@ class SamplingSpec extends SparkSpec {
       -col("ts_s"), -col("event_id"), 7))
   }
 
+  test("priority quota cap is exact for 64-bit priorities beyond 2^53") {
+    // consecutive longs near 1.7e18 collapse to one double (ulp = 256):
+    // bucketing may merge them, but the RANK must still use the original
+    // long — with a double-cast __p the adversarial tiebreak would win
+    val base = 1700000000000000000L
+    val df = (0 until 100).map(i => (i.toLong, 1L, base + i))
+      .toDF("id", "grp", "prio")
+    val out = Sampling.quotaCapByPriority(df, "grp",
+        priority = $"prio", tiebreak = -$"id", n = 5)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("prefix-sum operators are invariant to the shuffle-partition count") {
     // Scan.prefixSum slices by spark.sql.shuffle.partitions — the OUTPUT
     // must not depend on how many slices the scan used
