@@ -813,6 +813,32 @@ object OracleSql {
       GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
       ORDER BY doc_id""",
 
+    // char-histogram entropy: ln/ln(2) on BOTH sides (log2() directly can
+    // differ in the last ulp); unordered Σ c·log2(c) matches the native
+    // expression's codepoint-ordered sum at round-6
+    "x_char_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      hist AS (
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM ch GROUP BY doc_id, c),
+      ent AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+               sum(cnt * (ln(CAST(cnt AS DOUBLE)) / ln(2.0))) AS acc
+        FROM hist GROUP BY doc_id),
+      rounded AS (
+        SELECT d.doc_id,
+               round(CASE WHEN e.n IS NULL OR e.n = 0 THEN 0.0
+                 ELSE ln(CAST(e.n AS DOUBLE))/ln(2.0) - e.acc/e.n END, 6)
+                 AS char_entropy
+        FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id)
+      SELECT doc_id, char_entropy,
+             -- band from the ROUNDED value, same as the Spark projection
+             CASE WHEN char_entropy < 2.0 THEN 'low'
+                  WHEN char_entropy > 6.0 THEN 'high'
+                  ELSE 'normal' END AS entropy_band
+      FROM rounded ORDER BY doc_id""",
+
     "x_dedup_incremental" -> """
       WITH f AS (
         SELECT doc_id,

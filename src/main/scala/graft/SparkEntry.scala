@@ -518,6 +518,8 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")),
     "x_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
+    "x_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")),
     "x_pii_scrub" -> ((s, dir) => {
       // deterministic PII injection so the scrub exercises on every row
       val injected = concat(col("text"),

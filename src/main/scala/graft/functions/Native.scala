@@ -288,6 +288,45 @@ object Native {
     override def prettyName: String = "simhash64"
   }
 
+  /** Shannon entropy (bits) of a document's CODEPOINT histogram — the
+    * standard gibberish/boilerplate quality signal (low entropy = repeated
+    * filler, high = random noise; natural text sits in a stable band).
+    * H = log₂(n) − (Σ cᵢ·log₂ cᵢ)/n computed in one pass per row with the
+    * per-codepoint terms accumulated in ascending codepoint order, so the
+    * value is deterministic and (at round-6) matches a SQL char-histogram
+    * formulation. Empty/whitespace-only strings score 0.
+    */
+  case class CharEntropy(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (s.isEmpty) return 0.0
+      val counts = new java.util.TreeMap[Integer, Long]()
+      var i = 0
+      var n = 0L
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        counts.merge(cp, 1L, (a, b) => a + b)
+        n += 1
+        i += Character.charCount(cp)
+      }
+      if (n == 0L) return 0.0
+      var acc = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().toDouble
+        acc += c * (math.log(c) / math.log(2.0))
+      }
+      math.log(n.toDouble) / math.log(2.0) - acc / n
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "char_entropy"
+  }
+
   /** Product-quantization decode: an array of `m` code indices becomes the
     * concatenation of the corresponding per-subspace centroids — the
     * reconstruction used for asymmetric-distance (ADC) scoring, where the
@@ -352,6 +391,8 @@ object Native {
     toCol(PqReconstruct(toExpr(codes), codebooks))
 
   def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+
+  def char_entropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
 
   def cosine_similarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))

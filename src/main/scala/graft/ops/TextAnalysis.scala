@@ -51,6 +51,26 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Character-entropy quality signal: Shannon entropy (bits) of each
+    * document's codepoint histogram — low for repeated boilerplate, high
+    * for random noise, a stable band for natural text. The native
+    * `CharEntropy` expression computes it in ONE loop per row (the
+    * explode-chars formulation, kept in TextAnalysisSpec as the semantic
+    * cross-check, shuffles corpus×chars rows). Bands follow the common
+    * filter practice: < 2 bits suspicious-repetitive, > 6 bits
+    * suspicious-random.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        col(idCol),
+        round(graft.functions.Native.char_entropy(col(textCol)), 6)
+          .as("char_entropy"))
+      .withColumn("entropy_band",
+        when(col("char_entropy") < 2.0, "low")
+          .when(col("char_entropy") > 6.0, "high")
+          .otherwise("normal"))
+      .orderBy(col(idCol))
+
   /** Per-language corpus statistics. */
   def langStats(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol).as("lang"))
