@@ -1307,6 +1307,37 @@ object OracleSql {
       SELECT event_id, event_type FROM r
       WHERE rn <= ceil(n * 0.1) ORDER BY event_id""",
 
+    "q_pack_report" -> """
+      WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+                 AS n_tokens
+        FROM documents),
+      packed AS (
+        SELECT lang, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                 / 2048) AS INTEGER) AS pack_id
+        FROM t)
+      SELECT lang, pack_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 6) AS utilization
+      FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+
+    "q_mixture_report" -> """
+      WITH targets(stratum, quota) AS (
+        VALUES ('en', CAST(1000 AS BIGINT)), ('de', 400), ('fr', 400),
+               ('xx', 200)),
+      counts AS (
+        SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS available
+        FROM documents GROUP BY lang)
+      SELECT t.stratum, t.quota,
+             coalesce(c.available, 0) AS available,
+             least(t.quota, coalesce(c.available, 0)) AS drawn,
+             t.quota - least(t.quota, coalesce(c.available, 0)) AS shortfall
+      FROM targets t LEFT JOIN counts c ON t.stratum = c.stratum
+      ORDER BY t.stratum""",
+
     "q_quota_cap" -> quotaCapOracle,
     // identical semantics, ONE shared oracle — the Spark side runs the
     // priority-histogram selection instead of a per-group rank window

@@ -442,6 +442,22 @@ object SparkEntry {
               size(split(trim(col("text")), "\\s+")).as("n_tokens")),
           "lang", "doc_id", "n_tokens", maxTokens = 2048)
         .orderBy("lang", "doc_id")),
+    "q_pack_report" -> ((s, dir) =>
+      // padding-waste audit over the packing output
+      Sampling.packReport(
+        Sampling.packSequences(
+          Tables.documents(s, dir)
+            .select(col("lang"), col("doc_id"),
+              size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+          "lang", "doc_id", "n_tokens", maxTokens = 2048),
+        "lang", "n_tokens", maxTokens = 2048)),
+    "q_mixture_report" -> ((s, dir) =>
+      // shortfall audit the mixture draw publishes beside its sample
+      Sampling.mixtureReport(
+        Tables.documents(s, dir).select("doc_id", "lang"), "lang",
+        // "xx" has no corpus supply: its whole quota surfaces as shortfall
+        Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "xx" -> 0.1),
+        totalN = 2000)),
 
     // ---- §7.4 dedup --------------------------------------------------------
     "x_dedup_exact" -> ((s, dir) =>

@@ -267,6 +267,45 @@ object Sampling {
             .otherwise(acc)
       })
 
+  /** Mixture audit: per target stratum, the quota the mixture asks for,
+    * the rows the corpus can supply, what a [[mixtureSample]] draw
+    * actually takes, and the shortfall — the report a data-mixing run
+    * publishes next to its sample so undersupplied sources are visible
+    * instead of silently diluting the mix. One aggregate over the corpus
+    * joined to the (tiny, literal) target table.
+    */
+  def mixtureReport(df: DataFrame, stratumCol: String,
+                    targetShares: Seq[(String, Double)],
+                    totalN: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetShares.map { case (s, share) =>
+      (s, math.floor(share * totalN).toLong)
+    }.toDF("stratum", "quota")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("available"))
+    targets.join(counts, Seq("stratum"), "left")
+      .withColumn("available", coalesce(col("available"), lit(0L)))
+      .withColumn("drawn", least(col("quota"), col("available")))
+      .withColumn("shortfall", col("quota") - col("drawn"))
+      .orderBy("stratum")
+  }
+
+  /** Pack audit for [[packSequences]] output: per (group, pack), document
+    * count, token load, and utilization of the budget — packs may exceed
+    * 1.0 by one document (the documented spill-at-boundary convention), so
+    * utilization is the padding-waste signal a training run watches.
+    */
+  def packReport(packed: DataFrame, groupCol: String, tokenCol: String,
+                 maxTokens: Long): DataFrame =
+    packed.groupBy(col(groupCol), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("pack_tokens"))
+      .withColumn("utilization",
+        round(col("pack_tokens").cast("double") / maxTokens, 6))
+      .orderBy(groupCol, "pack_id")
+
   /** Sequence packing: assign documents to fixed-budget training packs —
     * per group (e.g. language), documents in deterministic id order, pack
     * id = floor(tokens-before-this-doc / maxTokens). The standard
