@@ -1448,6 +1448,22 @@ object OracleSql {
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    "q_bloom_semi" -> """
+      SELECT o_orderstatus, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'AUTOMOBILE')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_bloom_anti" -> """
+      SELECT o_orderstatus, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'AUTOMOBILE')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

@@ -651,6 +651,32 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    "q_bloom_semi" -> ((s, dir) => {
+      // explicit runtime filter: bloom built from the selective dim side
+      // prunes the fact scan BEFORE the join shuffle; the exact semi join
+      // on the survivors makes the result fpp-independent (≡ plain ⋉)
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      Bloom.bloomSemiJoin(Tables.orders(s, dir), dim,
+          "o_custkey", "c_custkey", expectedItems = 1L << 17)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_bloom_anti" -> ((s, dir) => {
+      // bloom short-circuit anti join: definite misses skip the join
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      Bloom.bloomAntiJoin(Tables.orders(s, dir), dim,
+          "o_custkey", "c_custkey", expectedItems = 1L << 17)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
     "q_revenue_by_segment" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
