@@ -1193,6 +1193,12 @@ object OracleSql {
       FROM events
       WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'""",
 
+    "s_zorder_layout" -> """
+      SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value,
+             min(event_id) AS min_event, max(event_id) AS max_event
+      FROM events
+      WHERE user_id BETWEEN 100 AND 400 AND value BETWEEN 50.0 AND 200.0""",
+
     // PII scrub over deterministically injected emails/phones/id runs;
     // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
     "x_pii_scrub" -> """

@@ -351,6 +351,22 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
     }),
+    "s_zorder_layout" -> ((s, dir) => {
+      // two-dimensional clustered layout round trip: Z-order write, read
+      // back through predicates on BOTH clustering columns (file-skipping
+      // on either dim), aggregate — oracle is the same aggregate on the
+      // raw table
+      val root = graft.sources.Sources.zorderLayoutWrite(
+        Tables.events(s, dir).select("event_id", "user_id", "value"),
+        "user_id", "value", nFiles = 8)
+      s.read.parquet(root)
+        .filter(col("user_id").between(100, 400) &&
+          col("value").between(50.0, 200.0))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+    }),
     "s_partition_probe" -> ((s, dir) => {
       val withDate = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))

@@ -327,6 +327,38 @@ object Native {
     override def prettyName: String = "char_entropy"
   }
 
+  /** Morton (Z-order) bit interleave of two bucket indices: bit `2i` of
+    * the result is bit `i` of `left`, bit `2i+1` is bit `i` of `right`,
+    * for `bits` bits per dimension (≤31; result fits a long for bits≤31).
+    * Consecutive Z values are near each other in BOTH dimensions, so
+    * range-partitioning a write by this value gives every output file a
+    * bounded min/max span on each clustering column — two-dimensional
+    * zone maps from one sort key (the layout `OPTIMIZE ZORDER BY` builds
+    * in lakehouse engines). One tight loop per row.
+    */
+  case class InterleaveBits(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with CodegenFallback {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[Int]
+      val b = r.asInstanceOf[Int]
+      var z = 0L
+      var i = 0
+      while (i < bits) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
+    override def prettyName: String = "interleave_bits"
+  }
+
   /** Product-quantization decode: an array of `m` code indices becomes the
     * concatenation of the corresponding per-subspace centroids — the
     * reconstruction used for asymmetric-distance (ADC) scoring, where the
@@ -391,6 +423,9 @@ object Native {
     toCol(PqReconstruct(toExpr(codes), codebooks))
 
   def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+
+  def interleave_bits(a: Column, b: Column, bits: Int): Column =
+    toCol(InterleaveBits(toExpr(a), toExpr(b), bits))
 
   def char_entropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
 

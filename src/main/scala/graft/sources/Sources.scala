@@ -84,6 +84,45 @@ object Sources {
     dir
   }
 
+  /** Z-order (Morton-curve) clustered layout over TWO columns: each value
+    * is min/max-scaled to a `bits`-bit bucket index, the two indices are
+    * bit-interleaved into one Z value (native expression — one loop per
+    * row), and the write is range-partitioned + sorted by Z. Because the
+    * Z curve preserves locality in both dimensions, EVERY output file gets
+    * a bounded min/max span on BOTH columns — so parquet zone maps skip
+    * files for predicates on either column or both, where a single-column
+    * sort ([[sortedLayoutWrite]]) leaves the second column's per-file span
+    * at ~the full range. This is the layout `OPTIMIZE ZORDER BY` builds in
+    * lakehouse engines; at 100 TB it runs per date-partition after
+    * compaction. Cost: one tiny min/max aggregate + one range shuffle.
+    * Caveat: min/max scaling keys the curve to the value RANGE — under
+    * heavy value skew, swap the scaling for quantile buckets (the
+    * clustering stays correct either way; only file-skipping balance
+    * changes). LayoutSpec asserts the two-dimensional span bound against
+    * the single-column layout.
+    */
+  def zorderLayoutWrite(df: DataFrame, colA: String, colB: String,
+                        nFiles: Int, bits: Int = 16): String = {
+    val s = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    def bucket(c: String, lo: Double, hi: Double): org.apache.spark.sql.Column =
+      if (hi <= lo) lit(0)
+      else least(lit((1 << bits) - 1), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo)
+          * lit((1 << bits).toDouble)).cast("int")))
+    val z = graft.functions.Native.interleave_bits(
+      bucket(colA, s.getDouble(0), s.getDouble(1)),
+      bucket(colB, s.getDouble(2), s.getDouble(3)), bits)
+    val dir = Files.createTempDirectory("graft_zorder_").toString
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   /** Small-file compaction: rewrite a parquet root into ~`targetFiles`
     * files via `coalesce` — NO shuffle (partitions are concatenated, not
     * redistributed), so the cost is one read + one write. The maintenance

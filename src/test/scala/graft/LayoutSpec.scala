@@ -26,6 +26,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout bounds per-file spans on BOTH dimensions") {
+    val df = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value").na.drop(Seq("value"))
+    def spans(root: String, c: String): Array[Double] = {
+      val files = new java.io.File(root).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val r = df.agg(min(col(c).cast("double")),
+        max(col(c).cast("double"))).head()
+      val full = r.getDouble(1) - r.getDouble(0)
+      files.map { f =>
+        val s = spark.read.parquet(f).agg(min(col(c).cast("double")),
+          max(col(c).cast("double"))).head()
+        (s.getDouble(1) - s.getDouble(0)) / full
+      }
+    }
+    val zRoot = Sources.zorderLayoutWrite(df, "user_id", "value", 8)
+    val aRoot = Sources.sortedLayoutWrite(df, "user_id", 8)
+    def mean(a: Array[Double]) = a.sum / a.length
+    // single-column sort: user_id spans tight, value spans ~full range
+    // (mean < 1.0 only because the global max is a tail outlier)
+    assert(mean(spans(aRoot, "value")) > 0.5,
+      "unexpected: value already clustered under user_id sort")
+    // z-order: BOTH dims bounded — value strictly better than the
+    // single-column layout, user_id well under the full range
+    assert(mean(spans(zRoot, "value")) < 0.8 * mean(spans(aRoot, "value")),
+      s"value spans not improved: ${spans(zRoot, "value").toSeq}")
+    assert(mean(spans(zRoot, "user_id")) < 0.75,
+      s"user_id spans unbounded: ${spans(zRoot, "user_id").toSeq}")
+    // content is unchanged by the layout rewrite
+    val back = spark.read.parquet(zRoot)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("compaction bounds file count without changing content") {
     val df = Tables.events(spark, sfDir).select("event_id", "value")
     val scattered = java.nio.file.Files.createTempDirectory("graft_scatter_").toString
