@@ -1456,6 +1456,15 @@ object OracleSql {
       JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
 
+    "x_heavy_hitters" -> """
+      WITH t AS (SELECT event_type FROM events WHERE event_type IS NOT NULL),
+      tot AS (SELECT count(*) AS n FROM t)
+      SELECT event_type, count(*) AS cnt,
+             round(count(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS share
+      FROM t GROUP BY event_type
+      HAVING count(*) >= 0.1 * (SELECT CAST(n AS DOUBLE) FROM tot)
+      ORDER BY cnt DESC, event_type""",
+
     "q_bloom_semi" -> """
       SELECT o_orderstatus, count(*) AS n_orders,
              round(sum(o_totalprice), 2) AS total_price

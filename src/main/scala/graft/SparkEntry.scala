@@ -539,6 +539,12 @@ object SparkEntry {
       Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
 
+    "x_heavy_hitters" -> ((s, dir) =>
+      // Misra-Gries propose + exact verify: ≡ GROUP BY + HAVING without
+      // shuffling the key space (the hot-domain / hot-URL detector)
+      Frequency.heavyHitters(Tables.events(s, dir), "event_type",
+        minShare = 0.1)),
+
     // ---- §7.4 text analysis ------------------------------------------------
     "x_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")),

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Heavy-hitter detection at corpus scale — the propose/verify shape
+  * (like `Dedup.nearDupsVerified`): per-partition Misra-Gries summaries
+  * propose a BOUNDED candidate set without ever shuffling the key space,
+  * then one exact count over just the candidates verifies.
+  *
+  * Why not `groupBy(key).count` directly: at 100 TB with a high-cardinality
+  * key (URLs, doc domains, user agents) the full groupBy shuffles every
+  * distinct key; heavy hitters only need the few keys above a frequency
+  * floor. Misra-Gries with k counters per partition guarantees any key
+  * with GLOBAL count > N/(k+1) survives in at least one partition summary
+  * (each MG decrement consumes k+1 stream items, so a key missing from
+  * every summary has total count ≤ Σₚ nₚ/(k+1) = N/(k+1)). With
+  * k = ceil(1/minShare), k+1 > 1/minShare, so every key at or above
+  * `minShare·N` is proposed — the verify step then makes the output EXACT:
+  * identical to the full groupBy + HAVING, at the cost of one narrow scan
+  * + one aggregate over ≤ k·partitions candidate keys.
+  *
+  * The candidate set is ≤ k·numPartitions rows (a few thousand at any
+  * scale) — broadcast to filter the counting scan, so the only shuffle
+  * carries candidate-key rows.
+  */
+object Frequency {
+
+  /** Per-partition Misra-Gries candidate keys for frequency floor `1/k`.
+    * Exposed for the spec's bound assertion; use [[heavyHitters]].
+    */
+  def mgCandidates(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val keys = df.select(col(keyCol).cast("string").as(keyCol)).na.drop
+    keys.as(Encoders.STRING).mapPartitions { it =>
+      // value type must be java.lang.Long: with scala Long the map's
+      // get(absent) null would silently unbox to 0L and defeat the
+      // null check (every key would look already-counted)
+      val counters = new java.util.HashMap[String, java.lang.Long]()
+      it.foreach { x =>
+        val c = counters.get(x)
+        if (c != null) counters.put(x, c + 1L)
+        else if (counters.size < k) counters.put(x, 1L)
+        else {
+          // decrement-all: each pass consumes k+1 items of stream weight
+          val iter = counters.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            if (e.getValue == 1L) iter.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.SetHasAsScala(counters.keySet())
+        .asScala.iterator
+    }(Encoders.STRING).toDF(keyCol).distinct()
+  }
+
+  /** All keys with frequency ≥ `minShare` of the non-null total, with
+    * exact counts and shares — result identical to
+    * `GROUP BY key HAVING count >= minShare·N` (FrequencySpec asserts
+    * equality under skew), ordered by count desc then key.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String,
+                   minShare: Double): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0,
+      s"minShare must be in (0,1], got $minShare")
+    val k = math.ceil(1.0 / minShare).toInt
+    val keys = df.select(col(keyCol).cast("string").as(keyCol)).na.drop
+    val total = keys.count()
+    val cand = mgCandidates(df, keyCol, k)
+    keys.join(broadcast(cand), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(minShare) * lit(total.toDouble))
+      .withColumn("share", round(col("cnt") / lit(total.toDouble), 6))
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
+}
