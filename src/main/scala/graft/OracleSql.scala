@@ -1456,6 +1456,29 @@ object OracleSql {
       JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
 
+    // TF-IDF: rank by the ROUNDED score in both engines so the top-k
+    // selection can't diverge on sub-round ulps; ties break by term
+    "x_tfidf_terms" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+               round(tf.tf * (ln(((SELECT n_docs FROM n) + 1.0)
+                 / (dft.df_t + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dft USING (term)),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored)
+      SELECT doc_id, term, tf, df_t, tfidf FROM ranked WHERE rn <= 3
+      ORDER BY doc_id, tfidf DESC, term""",
+
     "x_heavy_hitters" -> """
       WITH t AS (SELECT event_type FROM events WHERE event_type IS NOT NULL),
       tot AS (SELECT count(*) AS n FROM t)

@@ -558,6 +558,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
     "x_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")),
+    "x_tfidf_terms" -> ((s, dir) =>
+      // salient-term extraction: smooth-idf TF-IDF, top-3 per document
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+        k = 3)),
     "x_pii_scrub" -> ((s, dir) => {
       // deterministic PII injection so the scrub exercises on every row
       val injected = concat(col("text"),

@@ -120,6 +120,39 @@ object TextAnalysis {
         octet_length(col(textCol)).as("n_bytes"))
       .orderBy(col(idCol))
 
+  /** TF-IDF top-`k` terms per document — the standard keyword-extraction
+    * / salient-term primitive over a corpus. Smooth idf (sklearn's
+    * formulation): `idf = ln((N+1)/(df+1)) + 1`, score `tf·idf` rounded
+    * BEFORE ranking so the per-document selection is reproducible across
+    * engines (ties break by term ascending via [[Sampling.quotaCap]]).
+    *
+    * Scale shape: tokenize → per-(doc,term) count (one shuffle keyed by
+    * doc+term), document frequency from the tf table itself (one shuffle
+    * keyed by term — never re-reads the corpus), corpus size joined as a
+    * broadcast 1-row aggregate, and the top-k window partitioned BY
+    * DOCUMENT — bounded by a document's distinct-term count, never a
+    * corpus-wide sort.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val term = explode(tokens(lower(col(textCol)))).as("term")
+    val tf = docs.select(col(idCol), term)
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val total = docs.agg(count(lit(1)).as("__n_docs"))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("__n_docs") + 1.0) / (col("df_t") + 1.0)) + 1.0), 6))
+      .drop("__n_docs")
+    Sampling.quotaCap(scored, idCol,
+        Seq(col("tfidf").desc, col("term").asc), k)
+      .select(col(idCol), col("term"), col("tf"), col("df_t"), col("tfidf"))
+      .orderBy(col(idCol), col("tfidf").desc, col("term"))
+  }
+
   /** PII redaction: emails, phone-number shapes, then any leftover long
     * digit run (account ids, SSN-ish tokens) become typed placeholders.
     * A chained `regexp_replace` — codegen'd, no UDF; the patterns avoid

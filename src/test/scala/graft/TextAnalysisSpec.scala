@@ -57,4 +57,35 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     exploded.foreach { case (id, h) => assert(out(id)._1 == h, s"doc $id") }
   }
+
+  test("tfidfTopTerms matches hand-computed smooth-idf scores") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    def idf(df: Int) = math.log(4.0 / (df + 1.0)) + 1.0
+    def sc(tf: Int, df: Int) =
+      BigDecimal(tf * idf(df)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // doc 1: apple tf=2 df=2, banana tf=1 df=2
+    // doc 2: banana tf=1 df=2, cherry tf=1 df=2 -> tie, term asc
+    // doc 3: cherry tf=2 df=2, apple tf=1 df=2
+    val expected = Seq(
+      (1L, "apple", 2L, 2L, sc(2, 2)), (1L, "banana", 1L, 2L, sc(1, 2)),
+      (2L, "banana", 1L, 2L, sc(1, 2)), (2L, "cherry", 1L, 2L, sc(1, 2)),
+      (3L, "cherry", 2L, 2L, sc(2, 2)), (3L, "apple", 1L, 2L, sc(1, 2)))
+    assert(out.toSeq == expected)
+  }
+
+  test("tfidfTopTerms: k bounds output per doc; rare terms outrank common") {
+    val docs = (1L to 20L).map(i => (i, s"common rare_$i common filler"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+    assert(out.count() == 20)
+    // the per-doc unique term (df=1) must beat "common" (df=20, tf=2)
+    assert(out.collect().forall(_.getString(1).startsWith("rare_")))
+  }
 }
