@@ -307,8 +307,10 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 50): DataFrame = {
+    // checkpoint once — the union below consumes `half` twice, and the
+    // upstream pair plan (LSH/shingle self-join) must not recompute
     val half = pairs.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -370,8 +372,12 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, srcCol: String,
                               dstCol: String, maxIters: Int = 40): DataFrame = {
+    // checkpoint the raw pair list ONCE: `pairs` is typically an expensive
+    // upstream plan (LSH/shingle self-join) and is consumed three times
+    // below (nodes twice via the union, edges once) — without this the
+    // whole upstream recomputes per consumer
     val raw = pairs.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))
+      col(dstCol).cast("long").as("b")).localCheckpoint()
     val nodes = raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id"))).distinct().localCheckpoint()
     if (nodes.isEmpty)
