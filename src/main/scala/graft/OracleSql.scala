@@ -888,6 +888,40 @@ object OracleSql {
       WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02
       ORDER BY id_a, id_b""",
 
+    // contamination: DISTINCT 3-gram shingles per test doc vs the train
+    // shingle set; short docs (zero shingles) kept at contamination 0
+    "x_contamination" -> """
+      WITH te_docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id >= 250),
+      tr AS (
+        SELECT DISTINCT s FROM (
+          SELECT w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT string_split_regex(trim(text), '\s+') AS w,
+                       unnest(range(1, len(w) - 1)) AS kk
+                FROM documents WHERE doc_id < 250))),
+      te AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk
+                FROM te_docs))),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY doc_id),
+      hit AS (SELECT te.doc_id, count(*) AS n_contaminated
+              FROM te JOIN tr ON te.s = tr.s GROUP BY te.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(sz.n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             CASE WHEN coalesce(sz.n_shingles, 0) > 0
+               THEN round(CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE)
+                 / sz.n_shingles, 6) ELSE 0.0 END AS contamination,
+             (CASE WHEN coalesce(sz.n_shingles, 0) > 0
+               THEN round(CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE)
+                 / sz.n_shingles, 6) ELSE 0.0 END) >= 0.2 AS is_contaminated
+      FROM te_docs d
+      LEFT JOIN sz ON d.doc_id = sz.doc_id
+      LEFT JOIN hit ON d.doc_id = hit.doc_id
+      ORDER BY d.doc_id""",
+
     "x_entity_resolution" -> """
       WITH c AS (
         SELECT c_custkey AS id, c_name AS name FROM customer

@@ -525,6 +525,12 @@ object SparkEntry {
           "id_a", "id_b")
         .withColumn("is_canonical", col("id") === col("component"))
         .orderBy("id")),
+    "x_contamination" -> ((s, dir) => {
+      // decontamination: per-test-doc 3-gram overlap with the train split
+      val d = Tables.documents(s, dir)
+      Dedup.contamination(d.filter(col("doc_id") < 250),
+        d.filter(col("doc_id") >= 250), "doc_id", "text", n = 3)
+    }),
     "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
     "x_neardups_verified" -> ((s, dir) =>  // LSH propose + exact verify; rows-only

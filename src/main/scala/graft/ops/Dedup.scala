@@ -441,6 +441,43 @@ object Dedup {
       .withColumn("is_canonical", col("id") === col("component"))
       .orderBy("id")
 
+  /** Train/test contamination check — the decontamination primitive every
+    * eval pipeline needs: for each TEST document, the fraction of its
+    * distinct word `n`-gram shingles that also appear anywhere in the
+    * TRAIN corpus. A test doc whose shingles are largely covered by train
+    * text leaks eval answers into training metrics.
+    *
+    * Shape: the test side derives (doc, shingle) pairs + per-doc shingle
+    * counts from ONE native-expression pass (no corpus re-read); the train
+    * side reduces to a distinct shingle set; one equi-join on the shingle
+    * counts the hits. Short docs (< n words, zero shingles) surface with
+    * `contamination = 0.0` rather than vanishing. At 100 TB, put a
+    * [[Bloom.bloomPrune]] of the train shingle set in front of the join
+    * (shingle→64-bit hash) so only maybe-contaminated test shingles
+    * shuffle — the exact join on the survivors keeps the result exact,
+    * same propose/verify shape as [[nearDupsVerified]].
+    */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, n: Int,
+                    threshold: Double = 0.2): DataFrame = {
+    val base = test.select(col(idCol),
+      size(shingles(col(textCol), n)).cast("long").as("n_shingles"))
+    val testSh = test.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("s"))
+    val trainSh = train.select(explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+    val hits = testSh.join(trainSh, Seq("s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    base.join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          round(col("n_contaminated") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("is_contaminated", col("contamination") >= threshold)
+      .orderBy(col(idCol))
+  }
+
   /** SimHash: 64-bit fingerprint = sign-aggregated bit votes of token
     * xxhash64s; near-dups have small Hamming distance. The fingerprint is
     * the native `SimHash64` expression — one tight loop per document, no

@@ -233,4 +233,21 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fp(1L), fp(4L)) < ham(fp(1L), fp(3L)))
   }
+
+  test("contamination: per-test-doc shingle overlap with the train set") {
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "a b c d e"),  // full copy: 3/3 shingles covered
+      (11L, "a b c x y"),  // 1/3 covered
+      (12L, "z z")         // < 3 words: zero shingles, kept at 0.0
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, test, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (10L, 3L, 3L, 1.0, true),
+      (11L, 3L, 1L, 0.333333, false),
+      (12L, 0L, 0L, 0.0, false)))
+  }
 }
