@@ -665,6 +665,10 @@ object OracleSql {
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
       FROM customer ORDER BY c_custkey""",
 
+    "s_json_roundtrip" -> """
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      FROM customer ORDER BY c_custkey""",
+
     "s_offline_store" -> """
       SELECT event_id, user_id, event_type, value FROM events
       WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id""",
@@ -1301,6 +1305,21 @@ object OracleSql {
              md5(text) AS content_md5,
              substr(hex(encode(text)), 1, 2) AS first_byte_hex
       FROM documents ORDER BY doc_id""",
+
+    "q_rolling_anomalies" -> """
+      WITH w AS (
+        SELECT event_id, user_id, value,
+               avg(value) OVER win AS mu,
+               stddev_samp(value) OVER win AS sd
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, value,
+             round(mu, 6) AS roll_avg, round(sd, 6) AS roll_std,
+             round((value - mu) / sd, 6) AS z
+      FROM w
+      WHERE sd > 0 AND abs(round((value - mu) / sd, 6)) > 2
+      ORDER BY event_id""",
 
     "q_rolling_features" -> """
       SELECT event_id, user_id, ts, value,

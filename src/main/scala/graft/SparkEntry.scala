@@ -219,6 +219,15 @@ object SparkEntry {
           Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
           "user_id", "ts", "event_id", "value")
         .orderBy("event_id")),
+    "q_rolling_anomalies" -> ((s, dir) =>
+      // trailing-window z-score anomalies per user (|z| > 2 on the
+      // ROUNDED score, so both engines select identical rows)
+      Stats.rollingZScore(
+          Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value")
+        .filter(abs(col("z")) > 2)
+        .select("event_id", "user_id", "value", "roll_avg", "roll_std", "z")
+        .orderBy("event_id")),
     "q_iqr_outliers" -> ((s, dir) =>
       Stats.iqrOutliers(Tables.events(s, dir), "event_type", "value")),
     "q_iqr_outliers_approx" -> ((s, dir) =>    // sketch quartiles; rows-only
@@ -324,6 +333,22 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("c_acctbal",
           org.apache.spark.sql.types.DoubleType)))
       graft.sources.Sources.csvRoundTrip(s,
+          Tables.customer(s, dir)
+            .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+          schema)
+        .orderBy("c_custkey")
+    }),
+    "s_json_roundtrip" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.sources.Sources.jsonRoundTrip(s,
           Tables.customer(s, dir)
             .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
           schema)

@@ -117,6 +117,30 @@ object Stats {
       row_number().over(order).as("event_idx"))
   }
 
+  /** Rolling z-score anomaly signal per key: each value scored against
+    * the mean/stddev of its own trailing `frameRows`-row window (ordered
+    * by time with an id tiebreak). `z` is NULL when the trailing window
+    * has no spread (stddev 0 or a single row) — a flat history cannot
+    * anomaly-score, and the guard keeps ANSI mode from a ÷0. Window is
+    * partitioned BY KEY, so the sort is bounded by one entity's history
+    * (same posture as [[rollingFeatures]]; salt the key if one entity
+    * dominates).
+    */
+  def rollingZScore(df: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valCol: String,
+                    frameRows: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val frame = order.rowsBetween(-(frameRows - 1), Window.currentRow)
+    val mu = avg(col(valCol)).over(frame)
+    val sd = stddev_samp(col(valCol)).over(frame)
+    df.select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+      round(mu, 6).as("roll_avg"),
+      round(sd, 6).as("roll_std"),
+      round(when(sd > 0, (col(valCol) - mu) / sd), 6).as("z"))
+  }
+
   /** IQR outlier report per group: exact quartiles, Tukey fences at
     * 1.5·IQR, and the count outside them. Two passes — a per-group
     * quantile aggregate, then a broadcast join back to count offenders —

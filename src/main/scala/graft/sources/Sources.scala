@@ -29,6 +29,17 @@ object Sources {
     spark.read.option("header", "true").schema(schema).csv(dir)
   }
 
+  /** JSON-lines round trip with a DECLARED schema on the read side (same
+    * no-inference rule as [[csvRoundTrip]] — schema inference over JSON is
+    * a full extra pass at 100 TB and type-unstable across batches).
+    */
+  def jsonRoundTrip(spark: SparkSession, df: DataFrame,
+                    schema: StructType): DataFrame = {
+    val dir = Files.createTempDirectory("graft_json_").toString
+    df.write.mode("overwrite").json(dir)
+    spark.read.schema(schema).json(dir)
+  }
+
   /** S5: date-partitioned parquet offline store write; returns the root.
     * Repartitioned by the date key first so each partition directory gets
     * one file instead of (shuffle partitions × dates) shards — at scale

@@ -63,4 +63,23 @@ class StatsSpec extends SparkSpec {
         s"outlier count drifted: got ${r.getLong(4)} want ~$nOut")
     }
   }
+
+  test("rollingZScore: hand-computed window, flat history gives NULL z") {
+    val df = Seq(
+      (1L, "u", 1L, 10.0), (2L, "u", 2L, 10.0), (3L, "u", 3L, 10.0),
+      (4L, "u", 4L, 22.0),            // spike after a flat run
+      (10L, "v", 1L, 5.0)             // single row: no spread
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Stats.rollingZScore(df, "user_id", "ts", "event_id", "value",
+        frameRows = 4)
+      .orderBy("event_id").collect()
+    // rows 1-3: stddev 0 or single row -> z NULL
+    assert(out.take(3).forall(_.isNullAt(6)))
+    // row 4: frame = (10,10,10,22): mu=13, sd=6, z=(22-13)/6=1.5
+    val r4 = out(3)
+    assert(r4.getDouble(4) == 13.0 && r4.getDouble(5) == 6.0 &&
+      r4.getDouble(6) == 1.5)
+    // key v single row: NULL z, not a crash (ANSI div guard)
+    assert(out(4).isNullAt(6))
+  }
 }
