@@ -665,6 +665,29 @@ object OracleSql {
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
       FROM customer ORDER BY c_custkey""",
 
+    "q_profile" -> """
+      WITH s AS (SELECT count(*) AS n_rows,
+        count(c_custkey) AS nn1, count(DISTINCT c_custkey) AS nd1,
+        CAST(min(c_custkey) AS VARCHAR) AS mn1,
+        CAST(max(c_custkey) AS VARCHAR) AS mx1,
+        count(c_name) AS nn2, count(DISTINCT c_name) AS nd2,
+        min(c_name) AS mn2, max(c_name) AS mx2,
+        count(c_mktsegment) AS nn3, count(DISTINCT c_mktsegment) AS nd3,
+        min(c_mktsegment) AS mn3, max(c_mktsegment) AS mx3
+        FROM customer)
+      SELECT 'c_custkey' AS col_name, n_rows, n_rows - nn1 AS n_nulls,
+             round((n_rows - nn1) / CAST(n_rows AS DOUBLE), 6) AS null_ratio,
+             nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM s
+      UNION ALL
+      SELECT 'c_mktsegment', n_rows, n_rows - nn3,
+             round((n_rows - nn3) / CAST(n_rows AS DOUBLE), 6),
+             nd3, mn3, mx3 FROM s
+      UNION ALL
+      SELECT 'c_name', n_rows, n_rows - nn2,
+             round((n_rows - nn2) / CAST(n_rows AS DOUBLE), 6),
+             nd2, mn2, mx2 FROM s
+      ORDER BY col_name""",
+
     "s_json_roundtrip" -> """
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
       FROM customer ORDER BY c_custkey""",

@@ -249,6 +249,10 @@ object SparkEntry {
         Quality.Between("c_nationkey", 0.0, 24.0),
         Quality.InSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING",
           "FURNITURE", "HOUSEHOLD", "MACHINERY"))))),
+    "q_profile" -> ((s, dir) =>
+      // data-catalog column profile: one aggregation pass, melted report
+      Quality.profile(Tables.customer(s, dir),
+        Seq("c_custkey", "c_name", "c_mktsegment"))),
     "q_unique_check" -> ((s, dir) =>
       Quality.uniqueReport(Tables.customer(s, dir), "c_custkey")),
     "q_quality_offenders" -> ((s, dir) =>

@@ -114,6 +114,43 @@ object Quality {
     col("window.start").as("window_start") +: col("total") +:
       expectations.map(e => col(s"unexpected_${e.name}"))
 
+  /** Column profile — the data-catalog summary a feature registry shows
+    * per table: for every requested column, row/null counts, null ratio,
+    * distinct count, and min/max (stringified so one report row shape
+    * covers every type). ONE aggregation pass for the whole profile
+    * (per-column aggregates side by side in a single agg, melted from the
+    * 1-row result by a constant-size `stack`), exactly like [[report]].
+    *
+    * `exactDistinct = true` uses `count(DISTINCT col)` per column — Spark
+    * plans multi-distinct via expand (cost × #columns) — which keeps the
+    * profile oracle-checkable. At 100 TB pass `false`: every distinct
+    * becomes a mergeable HLL sketch (`approx_count_distinct`), single
+    * pass, bounded memory, same report shape.
+    */
+  def profile(df: DataFrame, columns: Seq[String],
+              exactDistinct: Boolean = true): DataFrame = {
+    val aggs = count(lit(1)).as("__rows") +: columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.map(c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    one.select(col("__rows"), expr(
+        s"stack(${columns.size}, $stackArgs) " +
+          "AS (col_name, __nn, n_distinct, min_value, max_value)"))
+      .select(col("col_name"), col("__rows").as("n_rows"),
+        (col("__rows") - col("__nn")).as("n_nulls"),
+        round((col("__rows") - col("__nn")) /
+          col("__rows").cast("double"), 6).as("null_ratio"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy("col_name")
+  }
+
   /** Quality as a time series: per event-time window, total rows and the
     * violation count of every expectation — the batch twin of
     * `streaming.Pipeline.streamingQualityMonitor` (identical compiled

@@ -73,4 +73,23 @@ class QualitySpec extends SparkSpec {
       "user_id", 1)
     assert(off.count() == 1)
   }
+
+  test("profile: one-pass column catalog with nulls and distincts") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(2L), None, Some(2.5)),
+      (Some(2L), Some("b"), None)
+    ).toDF("k", "s", "v")
+    val out = Quality.profile(df, Seq("k", "s", "v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getString(5), r.getString(6)))
+    assert(out.toSeq == Seq(
+      ("k", 3L, 0L, 0.0, 2L, "1", "2"),
+      ("s", 3L, 1L, 0.333333, 2L, "a", "b"),
+      ("v", 3L, 1L, 0.333333, 1L, "2.5", "2.5")))
+    // sketch variant: same shape, distinct within HLL tolerance
+    val approx = Quality.profile(df, Seq("k"), exactDistinct = false)
+      .head()
+    assert(approx.getLong(4) == 2L)
+  }
 }
