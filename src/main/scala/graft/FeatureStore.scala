@@ -93,6 +93,43 @@ class FeatureStore(@annotation.unused spark: SparkSession) {
       entityDf.columns.toSeq)
   }
 
+  /** Point-in-time training frame across SEVERAL views in one call — the
+    * reference API's multi-view feature list. The as-of joins CHAIN on
+    * the accumulating probe frame (one hash shuffle per view; the frame
+    * only ever carries probe columns + already-joined `view__feature`
+    * columns, never a view×view product). Views may key on different
+    * entity columns as long as the probe frame carries each one; feature
+    * column names must not collide with probe columns (same contract as
+    * the single-view call).
+    */
+  def getHistoricalFeaturesMulti(entityDf: DataFrame, names: Seq[String],
+                                 probeTs: String): DataFrame =
+    names.foldLeft(entityDf) { (acc, n) =>
+      val v = view(n)
+      val joined = Retrieval.asOfJoin(acc, v.source, v.entityCol, probeTs,
+        v.tsCol, v.ttl, v.features)
+      Retrieval.selectFeatureRefs(joined, v.name, v.features,
+        acc.columns.toSeq)
+    }
+
+  /** Multi-view online read: one `req_idx` stamp up front, then a chained
+    * broadcast point lookup per view — responses align to the request
+    * order with every view's `view__feature` columns side by side.
+    */
+  def getOnlineFeaturesMulti(keys: DataFrame, names: Seq[String]): DataFrame = {
+    // req_idx leads, matching getOnlineFeatures' column contract
+    val stamped = keys.select(
+      monotonically_increasing_id().as("req_idx") +:
+        keys.columns.map(col).toSeq: _*)
+    names.foldLeft(stamped) { (acc, n) =>
+      val v = view(n)
+      val snap = snapshots.getOrElse(n, materialize(n))
+      Retrieval.selectFeatureRefs(
+        Retrieval.pointLookup(acc, snap, v.entityCol), v.name, v.features,
+        acc.columns.toSeq)
+    }.orderBy("req_idx")
+  }
+
   /** Online read: broadcast point lookup against the materialized
     * snapshot, `view__feature` columns like the reference's serving path.
     * Responses align to the REQUEST order (SURVEY §3.3,

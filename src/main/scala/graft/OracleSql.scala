@@ -304,6 +304,27 @@ object OracleSql {
         ON p.user_id = f.user_id AND p.ts >= f.fts
       ORDER BY event_id""",
 
+    // multi-view retrieval: DuckDB chains two ASOF LEFT JOINs the same
+    // way the facade chains as-of joins on the accumulating probe frame
+    "q_fs_multiview" -> """
+      WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts AS fts, max(value) AS last_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      pv AS (
+        SELECT user_id, ts AS fts, max(value) AS last_view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN f1.fts >= p.ts - INTERVAL '7 days'
+               THEN f1.last_purchase_value END AS purchases__last_purchase_value,
+             CASE WHEN f2.fts >= p.ts - INTERVAL '7 days'
+               THEN f2.last_view_value END AS pageviews__last_view_value
+      FROM probes p
+      ASOF LEFT JOIN purch f1 ON p.user_id = f1.user_id AND p.ts >= f1.fts
+      ASOF LEFT JOIN pv f2 ON p.user_id = f2.user_id AND p.ts >= f2.fts
+      ORDER BY event_id""",
+
     "q_asof_features" -> """
       WITH probes AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -1531,6 +1552,34 @@ object OracleSql {
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    // duplicate n-gram ratios; distinct n-grams via the same unnest
+    // construction as the jaccard/contamination oracles
+    "x_repetition" -> """
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents),
+      g2 AS (SELECT doc_id, count(DISTINCT s) AS d2 FROM (
+        SELECT doc_id, w[kk] || ' ' || w[kk+1] AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS kk FROM d))
+        GROUP BY doc_id),
+      g3 AS (SELECT doc_id, count(DISTINCT s) AS d3 FROM (
+        SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))
+        GROUP BY doc_id),
+      r AS (
+        SELECT d.doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+               CASE WHEN len(w) - 1 > 0 THEN round(1.0 -
+                 coalesce(g2.d2, 0) / (CAST(len(w) AS DOUBLE) - 1), 6)
+                 ELSE 0.0 END AS dup_2gram_ratio,
+               CASE WHEN len(w) - 2 > 0 THEN round(1.0 -
+                 coalesce(g3.d3, 0) / (CAST(len(w) AS DOUBLE) - 2), 6)
+                 ELSE 0.0 END AS dup_3gram_ratio
+        FROM d LEFT JOIN g2 ON d.doc_id = g2.doc_id
+               LEFT JOIN g3 ON d.doc_id = g3.doc_id)
+      SELECT *, dup_2gram_ratio > 0.2 OR dup_3gram_ratio > 0.18
+               AS is_repetitive
+      FROM r ORDER BY doc_id""",
 
     // TF-IDF: rank by the ROUNDED score in both engines so the top-k
     // selection can't diverge on sub-round ulps; ties break by term

@@ -174,6 +174,26 @@ object SparkEntry {
       fs.getHistoricalFeatures(probes, "purchases", "ts")
         .orderBy("event_id")
     }),
+    "q_fs_multiview" -> ((s, dir) => {
+      // the multi-view feature list: two registered views join point-in-
+      // time onto one probe frame in a single call, features side by side
+      val e = Tables.events(s, dir)
+      val probes = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def latest(t: String, out: String) = e.filter(col("event_type") === t)
+        .groupBy(col("user_id"), col("ts").as("fts"))
+        .agg(max(col("value")).as(out))
+      val fs = new graft.FeatureStore(s)
+      fs.applyView(graft.FeatureView("purchases", latest("purchase",
+        "last_purchase_value"), "user_id", "fts", "last_purchase_value",
+        Seq("last_purchase_value")))
+      fs.applyView(graft.FeatureView("pageviews", latest("view",
+        "last_view_value"), "user_id", "fts", "last_view_value",
+        Seq("last_view_value")))
+      fs.getHistoricalFeaturesMulti(probes, Seq("purchases", "pageviews"),
+          "ts")
+        .orderBy("event_id")
+    }),
     "q_point_lookup" -> ((s, dir) => {
       val keys = Stats.probeSample(Tables.customer(s, dir), "c_custkey", 7)
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -593,6 +613,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
     "x_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")),
+    "x_repetition" -> ((s, dir) =>
+      // Gopher-rule repetition filter: duplicate n-gram ratios per doc
+      TextAnalysis.repetitionScores(Tables.documents(s, dir), "doc_id",
+        "text")),
     "x_tfidf_terms" -> ((s, dir) =>
       // salient-term extraction: smooth-idf TF-IDF, top-3 per document
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",

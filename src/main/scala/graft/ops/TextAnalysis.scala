@@ -120,6 +120,34 @@ object TextAnalysis {
         octet_length(col(textCol)).as("n_bytes"))
       .orderBy(col(idCol))
 
+  /** Intra-document repetition scoring — the Gopher-rules quality filter
+    * for boilerplate/spam: fraction of DUPLICATE word n-grams inside each
+    * document (`1 − distinct/total` for n = 2, 3). Natural prose sits near
+    * 0; templated or looping text spikes. The distinct count is the native
+    * `WordShingles` expression (one loop per row); total n-gram count is
+    * arithmetic on the token count — the whole score is a narrow
+    * projection, no shuffle, no explode. Thresholds follow the published
+    * Gopher cuts (dup-2gram > 0.2, dup-3gram > 0.18).
+    */
+  def repetitionScores(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val nWords = size(tokens(lowered))
+    def dupRatio(n: Int): Column = {
+      val total = nWords - (n - 1)
+      when(total > 0,
+        round(lit(1.0) -
+          size(Dedup.shingles(lowered, n)).cast("double") / total, 6))
+        .otherwise(lit(0.0))
+    }
+    docs.select(col(idCol), nWords.as("n_tokens"),
+        dupRatio(2).as("dup_2gram_ratio"),
+        dupRatio(3).as("dup_3gram_ratio"))
+      .withColumn("is_repetitive",
+        col("dup_2gram_ratio") > 0.2 || col("dup_3gram_ratio") > 0.18)
+      .orderBy(col(idCol))
+  }
+
   /** TF-IDF top-`k` terms per document — the standard keyword-extraction
     * / salient-term primitive over a corpus. Smooth idf (sklearn's
     * formulation): `idf = ln((N+1)/(df+1)) + 1`, score `tf·idf` rounded

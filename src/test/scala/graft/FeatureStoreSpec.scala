@@ -98,4 +98,47 @@ class FeatureStoreSpec extends SparkSpec {
     val rows = fs.freshness().select("feature_view_name").as[String].collect().toSet
     assert(rows == Set("orders", "events"))
   }
+
+  test("multi-view retrieval equals chained single-view calls") {
+    val e = Tables.events(spark, sfDir)
+    val probes = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts").limit(200)
+    def latest(t: String, out: String) = e.filter($"event_type" === t)
+      .groupBy($"user_id", $"ts".as("fts")).agg(max($"value").as(out))
+    val fs = new FeatureStore(spark)
+    fs.applyView(FeatureView("purchases", latest("purchase", "pv"),
+      "user_id", "fts", "pv", Seq("pv")))
+    fs.applyView(FeatureView("pageviews", latest("view", "vv"),
+      "user_id", "fts", "vv", Seq("vv")))
+    val multi = fs.getHistoricalFeaturesMulti(probes,
+      Seq("purchases", "pageviews"), "ts")
+    val chained = fs.getHistoricalFeatures(
+      fs.getHistoricalFeatures(probes, "purchases", "ts")
+        .withColumnRenamed("purchases__pv", "purchases__pv_keep"), // avoid re-projection loss
+      "pageviews", "ts")
+      .withColumnRenamed("purchases__pv_keep", "purchases__pv")
+    assert(multi.columns.toSeq == Seq("event_id", "user_id", "ts",
+      "purchases__pv", "pageviews__vv"))
+    assert(multi.exceptAll(chained.select(multi.columns.map(col): _*)).isEmpty)
+    assert(multi.count() == 200)
+  }
+
+  test("multi-view online read aligns to request order with all views") {
+    val e = Tables.events(spark, sfDir)
+    def latest(t: String, out: String) = e.filter($"event_type" === t)
+      .groupBy($"user_id", $"ts".as("fts")).agg(max($"value").as(out))
+    val fs = new FeatureStore(spark)
+    fs.applyView(FeatureView("purchases", latest("purchase", "pv"),
+      "user_id", "fts", "pv", Seq("pv")))
+    fs.applyView(FeatureView("pageviews", latest("view", "vv"),
+      "user_id", "fts", "vv", Seq("vv")))
+    val requested = Seq(42L, 7L, -1L, 13L)
+    val keys = requested.toDF("user_id").repartition(2)
+    val reqOrder = keys.collect().map(_.getLong(0)).toSeq
+    val out = fs.getOnlineFeaturesMulti(keys,
+      Seq("purchases", "pageviews")).collect()
+    assert(out.head.schema.fieldNames.toSeq == Seq("req_idx", "user_id",
+      "purchases__pv", "pageviews__vv"))
+    assert(out.map(_.getLong(1)).toSeq == reqOrder)
+  }
 }

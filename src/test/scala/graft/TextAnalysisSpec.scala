@@ -88,4 +88,19 @@ class TextAnalysisSpec extends SparkSpec {
     // the per-doc unique term (df=1) must beat "common" (df=20, tf=2)
     assert(out.collect().forall(_.getString(1).startsWith("rare_")))
   }
+
+  test("repetitionScores: duplicate n-gram ratios and Gopher flags") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 2-grams: 5 total / 2 distinct; 3-grams: 4/2
+      (2L, "a b c d"),       // all n-grams distinct
+      (3L, "word")           // single token: no n-grams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScores(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 6, 0.6, 0.5, true),
+      (2L, 4, 0.0, 0.0, false),
+      (3L, 1, 0.0, 0.0, false)))
+  }
 }
