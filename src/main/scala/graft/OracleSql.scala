@@ -1553,6 +1553,42 @@ object OracleSql {
       JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
 
+    // the LLM pipeline composition: same building blocks as x_repetition
+    // (dup-2gram CTE), x_fingerprints (md5 fingerprint), and
+    // q_quota_cap_hashed (minstd hash rank), chained
+    "x_llm_pipeline" -> s"""
+      WITH d0 AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents),
+      g2 AS (SELECT doc_id, count(DISTINCT s) AS d2 FROM (
+        SELECT doc_id, w[kk] || ' ' || w[kk+1] AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS kk FROM d0))
+        GROUP BY doc_id),
+      scored AS (
+        SELECT d0.doc_id, lang, text, len(w) AS n_tokens,
+               CASE WHEN len(w) - 1 > 0 THEN round(1.0 -
+                 coalesce(g2.d2, 0) / (CAST(len(w) AS DOUBLE) - 1), 6)
+                 ELSE 0.0 END AS dup2
+        FROM d0 LEFT JOIN g2 ON d0.doc_id = g2.doc_id),
+      filtered AS (
+        SELECT * FROM scored WHERE n_tokens >= 20 AND dup2 <= 0.2),
+      fp AS (
+        SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          AS fp FROM filtered),
+      dedup AS (
+        SELECT doc_id, lang, n_tokens FROM (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+            AS rn FROM fp) WHERE rn = 1),
+      capped AS (
+        SELECT lang, n_tokens FROM (
+          SELECT lang, n_tokens, row_number() OVER (PARTITION BY lang
+            ORDER BY ${uk("doc_id", 41)}, doc_id) AS rn2 FROM dedup)
+        WHERE rn2 <= 150)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM capped GROUP BY lang ORDER BY lang""",
+
     // duplicate n-gram ratios; distinct n-grams via the same unnest
     // construction as the jaccard/contamination oracles
     "x_repetition" -> """

@@ -634,6 +634,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the LLM training-data pipeline end to end -------------------------
+    // quality filter (token floor + repetition cut) → exact dedup (lowest
+    // id per content fingerprint) → per-language hashed cap → corpus
+    // summary: every stage is an oracle-verified operator, composed the
+    // way a real pretraining-data job chains them
+    "x_llm_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val filtered = d
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(lower(col("text")))))
+        .withColumn("dup2", TextAnalysis.dupNGramRatio(lower(col("text")), 2))
+        .filter(col("n_tokens") >= 20 && col("dup2") <= 0.2)
+      val deduped = filtered
+        .withColumn("fp", Dedup.fingerprint(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens")))
+          .as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.n_tokens").as("n_tokens"))
+      Sampling.quotaCapHashed(deduped, "lang", "doc_id", n = 150,
+          channel = 41L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // ---- §7.4 similarity search --------------------------------------------
     "x_vector_stats" -> ((s, dir) =>
       Similarity.vectorStats(Tables.embeddings(s, dir), "vec_id", "embedding")),

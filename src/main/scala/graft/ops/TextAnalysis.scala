@@ -129,20 +129,25 @@ object TextAnalysis {
     * projection, no shuffle, no explode. Thresholds follow the published
     * Gopher cuts (dup-2gram > 0.2, dup-3gram > 0.18).
     */
+  /** `1 − distinct/total` duplicate ratio of word n-grams for an
+    * ALREADY-LOWERCASED text column; 0.0 when the text is too short to
+    * have any n-gram. Column-level so pipelines can filter inline without
+    * a join back ([[repetitionScores]] is the report-shaped wrapper).
+    */
+  def dupNGramRatio(textLower: Column, n: Int): Column = {
+    val total = size(tokens(textLower)) - (n - 1)
+    when(total > 0,
+      round(lit(1.0) -
+        size(Dedup.shingles(textLower, n)).cast("double") / total, 6))
+      .otherwise(lit(0.0))
+  }
+
   def repetitionScores(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val lowered = lower(col(textCol))
-    val nWords = size(tokens(lowered))
-    def dupRatio(n: Int): Column = {
-      val total = nWords - (n - 1)
-      when(total > 0,
-        round(lit(1.0) -
-          size(Dedup.shingles(lowered, n)).cast("double") / total, 6))
-        .otherwise(lit(0.0))
-    }
-    docs.select(col(idCol), nWords.as("n_tokens"),
-        dupRatio(2).as("dup_2gram_ratio"),
-        dupRatio(3).as("dup_3gram_ratio"))
+    docs.select(col(idCol), size(tokens(lowered)).as("n_tokens"),
+        dupNGramRatio(lowered, 2).as("dup_2gram_ratio"),
+        dupNGramRatio(lowered, 3).as("dup_3gram_ratio"))
       .withColumn("is_repetitive",
         col("dup_2gram_ratio") > 0.2 || col("dup_3gram_ratio") > 0.18)
       .orderBy(col(idCol))
