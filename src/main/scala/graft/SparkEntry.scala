@@ -653,6 +653,10 @@ object SparkEntry {
           .as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
           col("r.n_tokens").as("n_tokens"))
+        // the histogram cap consumes its input twice (counts + selection);
+        // checkpoint the small surviving id set so the shingle-scoring +
+        // dedup upstream runs once, not per consumer
+        .localCheckpoint()
       Sampling.quotaCapHashed(deduped, "lang", "doc_id", n = 150,
           channel = 41L)
         .groupBy(col("lang"))
