@@ -254,6 +254,29 @@ object OracleSql {
       SELECT o_custkey, o_orderdate AS feature_ts, o_totalprice, o_orderstatus
       FROM snap ORDER BY o_custkey""",
 
+    "q_snapshot_asof" -> """
+      SELECT o_custkey, o_orderdate AS feature_ts, o_totalprice,
+             o_orderstatus
+      FROM (
+        SELECT o_custkey, o_orderdate, o_totalprice, o_orderstatus,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01')
+      WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q_feature_scaling" -> """
+      WITH s AS (
+        SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd,
+               min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders)
+      SELECT o_orderkey,
+             CASE WHEN sd > 0
+               THEN round((o_totalprice - mu) / sd, 6) END AS z_o_totalprice,
+             CASE WHEN mx > mn
+               THEN round((o_totalprice - mn) / (mx - mn), 6)
+               END AS mm_o_totalprice
+      FROM orders, s WHERE o_orderkey % 300 = 0 ORDER BY o_orderkey""",
+
     "q_freshness" -> """
       SELECT * FROM (
         SELECT 'events' AS feature_view_name, max(ts) AS last_updated_at,

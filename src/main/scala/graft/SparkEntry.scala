@@ -100,6 +100,19 @@ object SparkEntry {
           col("o_totalprice"), col("o_orderstatus"))
         .orderBy("o_custkey")
     }),
+    "q_snapshot_asof" -> ((s, dir) =>
+      // time travel: the online store as it looked at the 1997-06-01 cutoff
+      Materialize.snapshotAsOf(Tables.orders(s, dir), "o_custkey",
+          "o_orderdate", "o_orderkey", "1997-06-01")
+        .select(col("o_custkey"), col("o_orderdate").as("feature_ts"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_custkey")),
+    "q_feature_scaling" -> ((s, dir) =>
+      // standardize + min-max transforms from one stats pass; probe rows
+      // subsampled by key modulus (stats still computed over ALL rows)
+      Stats.scaleFeatures(Tables.orders(s, dir), "o_orderkey",
+          Seq("o_totalprice"))
+        .filter(col("o_orderkey") % 300 === 0)),
     "q_freshness" -> ((s, dir) =>
       Materialize.freshness(Seq(
         ("events", Tables.events(s, dir), "ts"),

@@ -71,6 +71,19 @@ object Materialize {
     * `latestPerKey(full history)` but touches only |snapshot| + |delta|
     * rows — the point of incremental materialization at scale.
     */
+  /** Snapshot time travel: the online store as it WOULD have looked at
+    * `asOf` — latest row per key over only the history at or before the
+    * cutoff. The reproducibility primitive behind "retrain with the
+    * features the model actually saw on date X"; over a date-partitioned
+    * offline store the cutoff predicate is a partition-pruning hit, so
+    * the reconstruction reads only the ≤asOf partitions.
+    */
+  def snapshotAsOf(history: DataFrame, key: String, ts: String,
+                   tiebreak: String, asOf: String): DataFrame =
+    latestPerKey(
+      history.filter(col(ts) <= lit(asOf).cast("timestamp_ntz")),
+      key, ts, tiebreak)
+
   def incremental(snapshot: DataFrame, delta: DataFrame, key: String,
                   ts: String, tiebreak: String): DataFrame =
     latestPerKey(snapshot.unionByName(delta), key, ts, tiebreak)

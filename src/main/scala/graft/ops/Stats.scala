@@ -117,6 +117,33 @@ object Stats {
       row_number().over(order).as("event_idx"))
   }
 
+  /** Feature scaling transforms — the standardize / min-max normalize
+    * step of a feature pipeline, as ONE stats aggregate + a broadcast
+    * 1-row join (never a per-row subquery): `z_col` = (x−μ)/σ (NULL when
+    * the column has no spread), `mm_col` = (x−min)/(max−min) (NULL when
+    * constant). Train-time stats can be reused at serving by passing the
+    * same literal frame; here stats come from `df` itself.
+    */
+  def scaleFeatures(df: DataFrame, keyCol: String,
+                    cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(avg(col(c)).as(s"__mu_$c"),
+        stddev_samp(col(c)).as(s"__sd_$c"),
+        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    df.crossJoin(broadcast(stats))
+      .select(col(keyCol) +: cols.flatMap { c =>
+        Seq(
+          round(when(col(s"__sd_$c") > 0,
+            (col(c) - col(s"__mu_$c")) / col(s"__sd_$c")), 6).as(s"z_$c"),
+          round(when(col(s"__mx_$c") > col(s"__mn_$c"),
+            (col(c) - col(s"__mn_$c")) /
+              (col(s"__mx_$c") - col(s"__mn_$c"))), 6).as(s"mm_$c"))
+      }: _*)
+      .orderBy(keyCol)
+  }
+
   /** Rolling z-score anomaly signal per key: each value scored against
     * the mean/stddev of its own trailing `frameRows`-row window (ordered
     * by time with an id tiebreak). `z` is NULL when the trailing window

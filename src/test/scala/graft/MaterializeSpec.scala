@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{Materialize, Retrieval}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** A12–A14 semantics: latest-per-key determinism, freshness, coverage. */
 class MaterializeSpec extends SparkSpec {
@@ -67,5 +68,25 @@ class MaterializeSpec extends SparkSpec {
     val f = Materialize.freshness(Seq(("h", history, "fts")))
       .select("feature_view_name", "row_count").head()
     assert(f.getString(0) == "h" && f.getLong(1) == 4)
+  }
+
+  test("snapshotAsOf reconstructs the store at a past cutoff") {
+    val o = Tables.orders(spark, sfDir)
+    val cutoff = "1997-06-01"
+    val asOf = Materialize.snapshotAsOf(o, "o_custkey", "o_orderdate",
+      "o_orderkey", cutoff)
+    val direct = Materialize.latestPerKey(
+      o.filter(col("o_orderdate") <= lit(cutoff).cast("timestamp_ntz")),
+      "o_custkey", "o_orderdate", "o_orderkey")
+    assert(asOf.exceptAll(direct).isEmpty && direct.exceptAll(asOf).isEmpty)
+    // no row can postdate the cutoff
+    assert(asOf.filter(col("o_orderdate") >
+      lit(cutoff).cast("timestamp_ntz")).isEmpty)
+    // a far-future cutoff equals the full snapshot
+    val full = Materialize.latestPerKey(o, "o_custkey", "o_orderdate",
+      "o_orderkey")
+    val future = Materialize.snapshotAsOf(o, "o_custkey", "o_orderdate",
+      "o_orderkey", "2099-01-01")
+    assert(future.exceptAll(full).isEmpty && full.exceptAll(future).isEmpty)
   }
 }

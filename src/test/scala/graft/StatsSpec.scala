@@ -82,4 +82,15 @@ class StatsSpec extends SparkSpec {
     // key v single row: NULL z, not a crash (ANSI div guard)
     assert(out(4).isNullAt(6))
   }
+
+  test("scaleFeatures: standardize + min-max goldens, constant column NULL") {
+    val df = Seq((1L, 0.0, 7.0), (2L, 5.0, 7.0), (3L, 10.0, 7.0))
+      .toDF("k", "x", "c")
+    val out = Stats.scaleFeatures(df, "k", Seq("x", "c")).collect()
+    // x: mu=5 sd=5 -> z = -1, 0, 1; mm = 0, 0.5, 1
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq == Seq((1L, -1.0, 0.0), (2L, 0.0, 0.5), (3L, 1.0, 1.0)))
+    // constant column: no spread -> NULL z and NULL min-max
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
 }
