@@ -682,6 +682,17 @@ object OracleSql {
              signup_days_ago, activity_weight
       FROM prof ORDER BY c_custkey""",
 
+    // Efraimidis–Spirakis: priority u^(1/w), top-n win; same u01 hash
+    // and the reconstructed profiles CTE on both sides
+    "g_weighted_sample" -> s"""
+      WITH $profilesCte,
+      p AS (SELECT c_custkey, activity_weight,
+                   pow(${uk("c_custkey", 43)}, 1.0 / activity_weight) AS pr
+            FROM prof WHERE activity_weight > 0),
+      sel AS (SELECT c_custkey, activity_weight FROM p
+              ORDER BY pr DESC, c_custkey LIMIT 100)
+      SELECT c_custkey, activity_weight FROM sel ORDER BY c_custkey""",
+
     // G6: random.choices-with-weights parity — integer-scaled cumulative
     // weights (exact in both engines), target = u01(draw)·total, interval
     // containment join (the Spark side replaces this theta join with a

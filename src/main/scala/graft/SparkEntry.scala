@@ -441,6 +441,16 @@ object SparkEntry {
       Gen.profiles(Tables.customer(s, dir).select("c_custkey"), "c_custkey")),
     "g_events" -> ((s, dir) =>
       Gen.events(Tables.customer(s, dir).select("c_custkey"), "c_custkey", 3)),
+    "g_weighted_sample" -> ((s, dir) => {
+      // Efraimidis–Spirakis weighted sample WITHOUT replacement:
+      // inclusion ∝ activity_weight, deterministic via the shared hash
+      val prof = Gen.profiles(Tables.customer(s, dir).select("c_custkey"),
+        "c_custkey")
+      Sampling.weightedSampleNoReplacement(
+          prof.select(col("c_custkey"), col("activity_weight")),
+          "c_custkey", "activity_weight", n = 100)
+        .orderBy("c_custkey")
+    }),
     "g_weighted_pick" -> ((s, dir) => {
       // G6: emitting-user selection ∝ activity_weight
       // (stream_generator.py:69-111) — cumulative-weight inverse-CDF draw
@@ -699,6 +709,11 @@ object SparkEntry {
     "x_knn_ivf_multiprobe" -> ((s, dir) => { // nProbe=2 recall knob; rows-only
       val emb = Tables.embeddings(s, dir)
       Similarity.learnedIvfMultiProbe(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), 3, nCells = 8, nProbe = 2)
+    }),
+    "x_knn_ivfpq" -> ((s, dir) => {         // full FAISS IVF-PQ; rows-only
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKIvfPq(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), 3, nCells = 8, nProbe = 2)
     }),
     "x_knn_pq" -> ((s, dir) => {            // PQ/ADC ANN; rows-only

@@ -227,6 +227,25 @@ object Sampling {
                      n: Long, channel: Long = 39L): DataFrame =
     smallestPerStratum(df, groupCol, keyCol, channel, (_, _) => lit(n))
 
+  /** WEIGHTED sample without replacement (Efraimidis–Spirakis A-Res):
+    * each row gets priority `u^(1/w)` with the shared deterministic u01
+    * hash, and the `n` largest priorities win — inclusion probability ∝
+    * weight, no replacement, no sequential pass. The quality-weighted
+    * corpus subsampling primitive ([[Gen.weightedPick]] is the
+    * with-replacement counterpart). Zero/negative weights are excluded
+    * (their priority would be ill-defined), ties break by key. Executes
+    * as TakeOrdered: per-partition top-n heaps, driver merges n·P rows —
+    * no global sort at any size.
+    */
+  def weightedSampleNoReplacement(df: DataFrame, keyCol: String,
+                                  weightCol: String, n: Int,
+                                  channel: Long = 43L): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .orderBy(
+        pow(Gen.u01(col(keyCol), channel), lit(1.0) / col(weightCol)).desc,
+        col(keyCol))
+      .limit(n)
+
   /** Uniform fixed-size sample without replacement: the `n` smallest rows
     * by keyed hash. Equivalent in distribution to a seeded reservoir, but
     * deterministic, mergeable, and executed as TakeOrdered.

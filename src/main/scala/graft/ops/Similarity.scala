@@ -315,6 +315,44 @@ object Similarity {
     topKIvf(probed, corpus, idCol, vecCol, "cell", k)
   }
 
+  /** IVF-PQ: the full FAISS layout — a coarse learned-cell index bounds
+    * WHICH candidates each query scores (nProbe nearest cells), and PQ
+    * codes bound the BANDWIDTH of scoring them (m small ints per vector,
+    * asymmetric-distance reconstruction at the scan). Corpus side is one
+    * narrow projection (cell + codes), query side explodes onto its probe
+    * cells, search is a cell-keyed equi-join. Both codebooks train on the
+    * same bounded deterministic sample. Exactness is approximate twice
+    * over (cell pruning + code quantization) — SimilaritySpec pins
+    * determinism and recall against brute force.
+    */
+  def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, k: Int, nCells: Int, nProbe: Int = 2,
+                m: Int = 8, kCodes: Int = 16): DataFrame = {
+    val cells = trainCodebook(emb, idCol, vecCol, nCells)
+    val pq = trainPqCodebooks(emb, idCol, vecCol, m, kCodes)
+    val subDim = pq(0)(0).length
+    val v = d(col(vecCol))
+    val codes = array(pq.indices.map { s =>
+      graft.functions.Native.nearest_centroid(
+        slice(v, s * subDim + 1, subDim), pq(s))
+    }: _*)
+    val corpus = emb.select(col(idCol).as("cand_id"),
+        graft.functions.Native.nearest_centroid(v, cells).as("cell"),
+        graft.functions.Native.pq_reconstruct(codes, pq).as("rv"))
+    val q = queries.select(col(idCol).as("query_id"), v.as("qv"),
+      explode(graft.functions.Native.nearest_centroids(v, cells, nProbe))
+        .as("cell"))
+    val scored = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("qcos", round(cosine(col("qv"), col("rv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("qcos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the IVF
     * cells to bound the pair space (id_a < id_b).
     */

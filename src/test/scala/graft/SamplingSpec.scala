@@ -320,4 +320,22 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "batch_copies").as[(Long, Long)].collect().toMap
     assert(out == Map(11L -> 2L, 13L -> 1L))
   }
+
+  test("weightedSampleNoReplacement: exact n, weight-proportional, no zero picks") {
+    val rows = (1L to 100L).map(k => (k, 5.0)) ++
+      (101L to 200L).map(k => (k, 0.05)) ++
+      (201L to 210L).map(k => (k, 0.0))      // excluded outright
+    val df = rows.toDF("k", "w").repartition(4)
+    val sel = Sampling.weightedSampleNoReplacement(df, "k", "w", 50)
+      .collect().map(_.getLong(0))
+    assert(sel.length == 50 && sel.distinct.length == 50)
+    assert(sel.forall(_ <= 200), "zero-weight key selected")
+    // 100:1 weight ratio: the heavy half must dominate the selection
+    val heavy = sel.count(_ <= 100)
+    assert(heavy >= 40, s"only $heavy/50 heavy picks")
+    // deterministic for a fixed channel
+    val again = Sampling.weightedSampleNoReplacement(df, "k", "w", 50)
+      .collect().map(_.getLong(0))
+    assert(sel.sorted.toSeq == again.sorted.toSeq)
+  }
 }

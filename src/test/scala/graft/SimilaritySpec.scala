@@ -161,4 +161,29 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(nd == Set((0L, 1L))) // 3-4 are opposite (cos -1); 0-4 cross-cell
   }
+
+  test("IVF-PQ: deterministic, k per query, recall within the combined loss") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    def run() = Similarity.topKIvfPq(emb, "vec_id", "embedding", queries,
+        5, nCells = 4, nProbe = 2)
+      .select("query_id", "cand_id", "qcos")
+      .as[(Long, Long, Double)].collect().toList
+    val r1 = run(); val r2 = run()
+    assert(r1 == r2)
+    val perQuery = r1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.size == 10 && perQuery.values.forall(_ == 5))
+    val exact = Similarity.topKBruteForce(queries, emb, "vec_id",
+        "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect r1.map(r => (r._1, r._2)).toSet).size
+      .toDouble / exact.size
+    // two approximations stack (cell pruning + 16-code quantization)
+    assert(recall >= 0.15, s"recall=$recall")
+    // widening the probe set cannot lose candidates that scored higher
+    val full = Similarity.topKIvfPq(emb, "vec_id", "embedding", queries,
+        5, nCells = 4, nProbe = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(full.size == 50)
+  }
 }
