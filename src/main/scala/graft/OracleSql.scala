@@ -147,6 +147,12 @@ object OracleSql {
                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         FROM orders) WHERE rn = 1)"""
 
+  private val zorderOracle: String = """
+      SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value,
+             min(event_id) AS min_event, max(event_id) AS max_event
+      FROM events
+      WHERE user_id BETWEEN 100 AND 400 AND value BETWEEN 50.0 AND 200.0"""
+
   val all: Map[String, String] = Map(
     "p_parse_events" -> s"""
       SELECT event_id, user_id, event_type, value, $k AS k,
@@ -1309,11 +1315,9 @@ object OracleSql {
       FROM events
       WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'""",
 
-    "s_zorder_layout" -> """
-      SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value,
-             min(event_id) AS min_event, max(event_id) AS max_event
-      FROM events
-      WHERE user_id BETWEEN 100 AND 400 AND value BETWEEN 50.0 AND 200.0""",
+    "s_zorder_layout" -> zorderOracle,
+    // same content contract, skew-proof quantile bucketing — shared oracle
+    "s_zorder_quantile" -> zorderOracle,
 
     // PII scrub over deterministically injected emails/phones/id runs;
     // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all

@@ -429,6 +429,21 @@ object SparkEntry {
           min(col("event_id")).as("min_event"),
           max(col("event_id")).as("max_event"))
     }),
+    "s_zorder_quantile" -> ((s, dir) => {
+      // skew-proof variant: quantile bucket boundaries, same read-back
+      // aggregate and the same oracle as s_zorder_layout (layout changes,
+      // content does not)
+      val root = graft.sources.Sources.zorderLayoutWriteQuantile(
+        Tables.events(s, dir).select("event_id", "user_id", "value"),
+        "user_id", "value", nFiles = 8)
+      s.read.parquet(root)
+        .filter(col("user_id").between(100, 400) &&
+          col("value").between(50.0, 200.0))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+    }),
     "s_partition_probe" -> ((s, dir) => {
       val withDate = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))

@@ -134,6 +134,47 @@ object Sources {
     dir
   }
 
+  /** The skew-proof [[zorderLayoutWrite]] variant: bucket boundaries come
+    * from APPROXIMATE QUANTILES (a bounded mergeable-sketch pass +
+    * `Bucketizer` binary search per row) instead of min/max scaling, so a
+    * heavy-tailed column still spreads across the full bucket range — with
+    * min/max scaling one outlier collapses the bulk of a skewed column
+    * into bucket 0 and the curve loses that dimension's resolution.
+    * Same write shape (range partition + sort by the interleaved value);
+    * LayoutSpec asserts the rank-coverage win on skewed data.
+    */
+  def zorderLayoutWriteQuantile(df: DataFrame, colA: String, colB: String,
+                                nFiles: Int, bits: Int = 8): String = {
+    import org.apache.spark.ml.feature.Bucketizer
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val quants = df.stat.approxQuantile(Array(colA, colB), probs, 0.001)
+    def splits(q: Array[Double]): Array[Double] =
+      Double.NegativeInfinity +: q.distinct.sorted :+ Double.PositiveInfinity
+    val withD = df
+      .withColumn("__da", col(colA).cast("double"))
+      .withColumn("__db", col(colB).cast("double"))
+    val bucketed = new Bucketizer()
+      .setInputCols(Array("__da", "__db"))
+      .setOutputCols(Array("__ba", "__bb"))
+      .setSplitsArray(Array(splits(quants(0)), splits(quants(1))))
+      .setHandleInvalid("keep") // NULLs land in the overflow bucket
+      .transform(withD)
+    // clamp the overflow bucket into range so the interleave stays in
+    // `bits` bits per dimension
+    def clamped(c: String) =
+      least(col(c).cast("int"), lit(nb - 1))
+    val z = graft.functions.Native.interleave_bits(
+      clamped("__ba"), clamped("__bb"), bits)
+    val dir = Files.createTempDirectory("graft_zorderq_").toString
+    bucketed.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__da", "__db", "__ba", "__bb")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   /** Small-file compaction: rewrite a parquet root into ~`targetFiles`
     * files via `coalesce` — NO shuffle (partitions are concatenated, not
     * redistributed), so the cost is one read + one write. The maintenance

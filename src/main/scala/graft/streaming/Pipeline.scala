@@ -169,6 +169,28 @@ object Pipeline {
       .select(graft.ops.Quality.windowedSelect(checks): _*)
   }
 
+  /** Streaming heavy hitters: per event-time window, the keys whose count
+    * reaches `minCount` — the hot-domain/hot-entity alarm as a LIVE
+    * windowed aggregation rather than a nightly batch sweep
+    * (`ops.Frequency.heavyHitters` is the corpus-scale batch twin). State
+    * is one row per (window, distinct key in window); for key spaces too
+    * wide for that, run the batch Misra-Gries form over landed
+    * micro-batches instead. The threshold filter sits on the aggregate,
+    * so append mode emits only finalized windows' hitters.
+    */
+  def streamingHeavyHitters(events: DataFrame, tsCol: String,
+                            keyCol: String, minCount: Long,
+                            windowLen: String = "1 hour",
+                            delay: String = "15 minutes"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("cnt"))
+
   /** S1 (production shape): Kafka source — documented for parity; tests use
     * MemoryStream (no broker in this environment).
     * {{{

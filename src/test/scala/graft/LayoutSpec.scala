@@ -86,4 +86,39 @@ class LayoutSpec extends SparkSpec {
       .filter(col("ts") >= lit("2024-01-10").cast("timestamp_ntz")).count()
     assert(q.count() == expected)
   }
+
+  test("quantile z-order keeps resolution on a heavy-tailed dimension") {
+    import spark.implicits._
+    // value ~ exponential with one huge outlier: min/max scaling collapses
+    // the bulk into bucket 0 on that dim
+    val rows = (1 to 4000).map { i =>
+      val u = ((i * 2654435761L) % 4000).toDouble / 4000.0
+      (i.toLong, (i % 200).toLong, math.expm1(8 * u))
+    }
+    val df = rows.toDF("id", "k", "v")
+    def rankCoverage(root: String): Double = {
+      val sorted = rows.map(_._3).sorted
+      def rank(x: Double) = {
+        val i = java.util.Arrays.binarySearch(sorted.toArray, x)
+        (if (i >= 0) i else -i - 1).toDouble / sorted.size
+      }
+      val files = new java.io.File(root).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val fr = files.map { f =>
+        val r = spark.read.parquet(f).agg(min($"v"), max($"v")).head()
+        rank(r.getDouble(1)) - rank(r.getDouble(0))
+      }
+      fr.sum / fr.length
+    }
+    val qRoot = Sources.zorderLayoutWriteQuantile(df, "k", "v", 8)
+    val mRoot = Sources.zorderLayoutWrite(df, "k", "v", 8)
+    // rank coverage = fraction of the value DISTRIBUTION a file spans;
+    // quantile bucketing must beat min/max scaling on skewed data
+    assert(rankCoverage(qRoot) < rankCoverage(mRoot),
+      s"quantile ${rankCoverage(qRoot)} vs minmax ${rankCoverage(mRoot)}")
+    assert(rankCoverage(qRoot) < 0.7)
+    // layout rewrite preserves content
+    val back = spark.read.parquet(qRoot).select("id", "k", "v")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
 }

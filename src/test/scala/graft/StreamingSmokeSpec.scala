@@ -236,4 +236,25 @@ class StreamingSmokeSpec extends SparkSpec {
       .count(f => f.isDirectory && f.getName.startsWith("event_date="))
     assert(dirs > 0)
   }
+
+  test("streaming heavy hitters emit only keys at the window threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val hh = Pipeline.streamingHeavyHitters(
+      stream.toDF().toDF("ts", "k"), "ts", "k", minCount = 3L)
+    val q = hh.writeStream.format("memory").queryName("shh")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (ts(0), "hot"), (ts(1), "hot"), (ts(2), "hot"),
+        (ts(3), "warm"), (ts(4), "warm"), (ts(5), "cold"))
+      q.processAllAvailable()
+      stream.addData((ts(24 * 60), "later")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("shh").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("hot", 3L))) // warm(2)/cold(1) below threshold
+    } finally q.stop()
+  }
 }
