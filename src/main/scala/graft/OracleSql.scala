@@ -1550,6 +1550,40 @@ object OracleSql {
       FROM m LEFT JOIN agg ON m.id = agg.id
       ORDER BY id""",
 
+    "q_funnel" -> """
+      WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      fc AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+             JOIN fv ON e.user_id = fv.user_id AND e.ts >= fv.t_view
+             WHERE e.event_type = 'click' GROUP BY e.user_id),
+      fp AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+             JOIN fc ON e.user_id = fc.user_id AND e.ts >= fc.t_click
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM fv) AS n_view,
+             (SELECT count(*) FROM fc) AS n_click,
+             (SELECT count(*) FROM fp) AS n_purchase,
+             round((SELECT count(*) FROM fc)
+               / CAST((SELECT count(*) FROM fv) AS DOUBLE), 6) AS click_rate,
+             round((SELECT count(*) FROM fp)
+               / CAST((SELECT count(*) FROM fc) AS DOUBLE), 6)
+               AS purchase_rate""",
+
+    "q_cohort_retention" -> """
+      WITH f AS (SELECT user_id,
+                        CAST(date_trunc('week', min(CAST(ts AS DATE)))
+                          AS DATE) AS cohort_week
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                     AS act_week
+            FROM events)
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, act_week) / 7 AS INTEGER)
+               AS week_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_lineitem_pricing" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

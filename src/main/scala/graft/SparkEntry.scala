@@ -772,6 +772,48 @@ object SparkEntry {
         Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id")),
 
+    "q_funnel" -> ((s, dir) => {
+      // ordered conversion funnel: first view → first click at-or-after
+      // it → first purchase at-or-after that; per-user mins keep every
+      // join side bounded at one row per user
+      val e = Tables.events(s, dir)
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val fc = e.filter(col("event_type") === "click").as("e")
+        .join(fv, Seq("user_id"))
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val fp = e.filter(col("event_type") === "purchase").as("e")
+        .join(fc, Seq("user_id"))
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      val nv = fv.agg(count(lit(1)).as("n_view"))
+      val nc = fc.agg(count(lit(1)).as("n_click"))
+      val np = fp.agg(count(lit(1)).as("n_purchase"))
+      nv.crossJoin(nc).crossJoin(np)
+        .withColumn("click_rate",
+          round(col("n_click") / col("n_view").cast("double"), 6))
+        .withColumn("purchase_rate",
+          round(col("n_purchase") / col("n_click").cast("double"), 6))
+    }),
+    "q_cohort_retention" -> ((s, dir) => {
+      // weekly cohort retention: users grouped by first-activity week,
+      // distinct active users per (cohort, week offset)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("day"))).cast("date")
+          .as("cohort_week"))
+      val act = e.select(col("user_id"),
+        date_trunc("week", col("day")).cast("date").as("act_week")).distinct()
+      act.join(first, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("act_week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // ---- classic analytics heft (A6/A10/J4 composites) ---------------------
     "q_lineitem_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
