@@ -693,7 +693,8 @@ object OracleSql {
     "g_weighted_sample" -> s"""
       WITH $profilesCte,
       p AS (SELECT c_custkey, activity_weight,
-                   pow(${uk("c_custkey", 43)}, 1.0 / activity_weight) AS pr
+                   round(pow(${uk("c_custkey", 43)},
+                     1.0 / activity_weight), 6) AS pr
             FROM prof WHERE activity_weight > 0),
       sel AS (SELECT c_custkey, activity_weight FROM p
               ORDER BY pr DESC, c_custkey LIMIT 100)

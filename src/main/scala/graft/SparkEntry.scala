@@ -777,12 +777,17 @@ object SparkEntry {
       // it → first purchase at-or-after that; per-user mins keep every
       // join side bounded at one row per user
       val e = Tables.events(s, dir)
+      // each stage frame feeds two consumers (next stage + its own
+      // count): checkpoint the small per-user frames so the events scan
+      // and funnel joins run once per stage, not per consumer
       val fv = e.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        .localCheckpoint()
       val fc = e.filter(col("event_type") === "click").as("e")
         .join(fv, Seq("user_id"))
         .filter(col("ts") >= col("t_view"))
         .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        .localCheckpoint()
       val fp = e.filter(col("event_type") === "purchase").as("e")
         .join(fc, Seq("user_id"))
         .filter(col("ts") >= col("t_click"))

@@ -26,17 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Frequency {
 
-  /** Per-partition Misra-Gries candidate keys for frequency floor `1/k`.
-    * Exposed for the spec's bound assertion; use [[heavyHitters]].
+  /** One Misra-Gries pass: candidate keys PLUS each partition's row count
+    * (so the non-null total needs no second corpus scan). Output is tiny —
+    * ≤ (k+1)·numPartitions rows — and cached for its two consumers.
     */
-  def mgCandidates(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+  private def mgSummary(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     val keys = df.select(col(keyCol).cast("string").as(keyCol)).na.drop
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+      Encoders.scalaBoolean)
     keys.as(Encoders.STRING).mapPartitions { it =>
       // value type must be java.lang.Long: with scala Long the map's
       // get(absent) null would silently unbox to 0L and defeat the
       // null check (every key would look already-counted)
       val counters = new java.util.HashMap[String, java.lang.Long]()
+      var n = 0L
       it.foreach { x =>
+        n += 1
         val c = counters.get(x)
         if (c != null) counters.put(x, c + 1L)
         else if (counters.size < k) counters.put(x, 1L)
@@ -50,14 +55,24 @@ object Frequency {
         }
       }
       scala.jdk.CollectionConverters.SetHasAsScala(counters.keySet())
-        .asScala.iterator
-    }(Encoders.STRING).toDF(keyCol).distinct()
+        .asScala.iterator.map(key => (key, 0L, false)) ++
+        Iterator(("", n, true)) // per-partition total, key unused
+    }(enc).toDF(keyCol, "cnt", "is_total").cache()
   }
+
+  /** Per-partition Misra-Gries candidate keys for frequency floor `1/k`.
+    * Exposed for the spec's bound assertion; use [[heavyHitters]].
+    */
+  def mgCandidates(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    mgSummary(df, keyCol, k).filter(!col("is_total"))
+      .select(col(keyCol)).distinct()
 
   /** All keys with frequency ≥ `minShare` of the non-null total, with
     * exact counts and shares — result identical to
     * `GROUP BY key HAVING count >= minShare·N` (FrequencySpec asserts
-    * equality under skew), ordered by count desc then key.
+    * equality under skew), ordered by count desc then key. Exactly two
+    * corpus scans: the MG pass (which also accumulates the total) and
+    * the candidate-count verify.
     */
   def heavyHitters(df: DataFrame, keyCol: String,
                    minShare: Double): DataFrame = {
@@ -65,8 +80,10 @@ object Frequency {
       s"minShare must be in (0,1], got $minShare")
     val k = math.ceil(1.0 / minShare).toInt
     val keys = df.select(col(keyCol).cast("string").as(keyCol)).na.drop
-    val total = keys.count()
-    val cand = mgCandidates(df, keyCol, k)
+    val summary = mgSummary(df, keyCol, k)
+    val total = summary.filter(col("is_total"))
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    val cand = summary.filter(!col("is_total")).select(col(keyCol)).distinct()
     keys.join(broadcast(cand), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"))

@@ -64,13 +64,6 @@ object Materialize {
     }
   }
 
-  /** A12 incremental: `feast materialize-incremental`'s contract
-    * (`README.md:124-127`, DAG step `feature_store_materialization.py:214-239`)
-    * — fold a batch of NEW feature rows into an existing online snapshot,
-    * keeping the newest row per key across both. Equivalent to
-    * `latestPerKey(full history)` but touches only |snapshot| + |delta|
-    * rows — the point of incremental materialization at scale.
-    */
   /** Snapshot time travel: the online store as it WOULD have looked at
     * `asOf` — latest row per key over only the history at or before the
     * cutoff. The reproducibility primitive behind "retrain with the
@@ -84,6 +77,13 @@ object Materialize {
       history.filter(col(ts) <= lit(asOf).cast("timestamp_ntz")),
       key, ts, tiebreak)
 
+  /** A12 incremental: `feast materialize-incremental`'s contract
+    * (`README.md:124-127`, DAG step `feature_store_materialization.py:214-239`)
+    * — fold a batch of NEW feature rows into an existing online snapshot,
+    * keeping the newest row per key across both. Equivalent to
+    * `latestPerKey(full history)` but touches only |snapshot| + |delta|
+    * rows — the point of incremental materialization at scale.
+    */
   def incremental(snapshot: DataFrame, delta: DataFrame, key: String,
                   ts: String, tiebreak: String): DataFrame =
     latestPerKey(snapshot.unionByName(delta), key, ts, tiebreak)

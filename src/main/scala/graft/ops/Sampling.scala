@@ -242,7 +242,12 @@ object Sampling {
                                   channel: Long = 43L): DataFrame =
     df.filter(col(weightCol) > 0)
       .orderBy(
-        pow(Gen.u01(col(keyCol), channel), lit(1.0) / col(weightCol)).desc,
+        // rank by the ROUNDED priority: JVM and libm pow agree only to
+        // ulps, and an unrounded rank could select different boundary
+        // rows per engine (same rule as the TF-IDF top-k); rounding ties
+        // are broken deterministically by key
+        round(pow(Gen.u01(col(keyCol), channel),
+          lit(1.0) / col(weightCol)), 6).desc,
         col(keyCol))
       .limit(n)
 

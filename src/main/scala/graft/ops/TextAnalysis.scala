@@ -120,15 +120,6 @@ object TextAnalysis {
         octet_length(col(textCol)).as("n_bytes"))
       .orderBy(col(idCol))
 
-  /** Intra-document repetition scoring — the Gopher-rules quality filter
-    * for boilerplate/spam: fraction of DUPLICATE word n-grams inside each
-    * document (`1 − distinct/total` for n = 2, 3). Natural prose sits near
-    * 0; templated or looping text spikes. The distinct count is the native
-    * `WordShingles` expression (one loop per row); total n-gram count is
-    * arithmetic on the token count — the whole score is a narrow
-    * projection, no shuffle, no explode. Thresholds follow the published
-    * Gopher cuts (dup-2gram > 0.2, dup-3gram > 0.18).
-    */
   /** `1 − distinct/total` duplicate ratio of word n-grams for an
     * ALREADY-LOWERCASED text column; 0.0 when the text is too short to
     * have any n-gram. Column-level so pipelines can filter inline without
@@ -142,6 +133,15 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Intra-document repetition scoring — the Gopher-rules quality filter
+    * for boilerplate/spam: fraction of DUPLICATE word n-grams inside each
+    * document (`1 − distinct/total` for n = 2, 3). Natural prose sits near
+    * 0; templated or looping text spikes. The distinct count is the native
+    * `WordShingles` expression (one loop per row); total n-gram count is
+    * arithmetic on the token count — the whole score is a narrow
+    * projection, no shuffle, no explode. Thresholds follow the published
+    * Gopher cuts (dup-2gram > 0.2, dup-3gram > 0.18).
+    */
   def repetitionScores(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val lowered = lower(col(textCol))

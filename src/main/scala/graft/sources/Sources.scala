@@ -114,6 +114,9 @@ object Sources {
     */
   def zorderLayoutWrite(df: DataFrame, colA: String, colB: String,
                         nFiles: Int, bits: Int = 16): String = {
+    // 30 keeps (1 << bits) inside positive Int range; at 31 the scale
+    // factor would overflow negative and clamp every row to bucket 0
+    require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
     val s = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
@@ -146,6 +149,8 @@ object Sources {
   def zorderLayoutWriteQuantile(df: DataFrame, colA: String, colB: String,
                                 nFiles: Int, bits: Int = 8): String = {
     import org.apache.spark.ml.feature.Bucketizer
+    // 2^bits − 1 quantile probes must stay a sane sketch size
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val quants = df.stat.approxQuantile(Array(colA, colB), probs, 0.001)
