@@ -1154,6 +1154,51 @@ object OracleSql {
       SELECT query_id, cell, cand_id, round(cos, 6) AS cosine, rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    // cross-modal clusters: the jaccard and cosine pair CTEs above,
+    // unioned, through the same recursive-CTE transitive closure
+    "x_multimodal_neardups" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 60),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      kept AS (
+        SELECT sh.* FROM sh JOIN (
+          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
+          ON sh.s = ok.s),
+      inter AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+        FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id),
+      tpairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02),
+      e AS (SELECT vec_id, label AS cell,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 60),
+      vpairs AS (
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM e l JOIN e r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        WHERE round(list_inner_product(l.v, r.v)
+                 / (sqrt(list_inner_product(l.v, l.v))
+                    * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.4),
+      pairs AS (SELECT * FROM tpairs UNION SELECT * FROM vpairs),
+      nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e2.dst, reach.r FROM edges e2 JOIN reach ON e2.src = reach.id)
+      SELECT id, CAST(min(r) AS BIGINT) AS component,
+             (id = min(r)) AS is_canonical
+      FROM reach GROUP BY id ORDER BY id""",
+
     "x_cosine_neardups" -> """
       WITH e AS (SELECT vec_id, label AS cell,
                         CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

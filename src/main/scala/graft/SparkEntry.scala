@@ -618,6 +618,19 @@ object SparkEntry {
       Dedup.contamination(d.filter(col("doc_id") < 250),
         d.filter(col("doc_id") >= 250), "doc_id", "text", n = 3)
     }),
+    "x_multimodal_neardups" -> ((s, dir) => {
+      // cross-modal dedup: TEXT near-dup pairs (shingle Jaccard) and
+      // EMBEDDING near-dup pairs (cell-bucketed cosine) union into ONE
+      // cluster resolution — a pair is a pair, whichever modality found
+      // it; the oracle replays both pair generators + transitive closure
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      val textPairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.02,
+        maxDf = 30).select("id_a", "id_b")
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 60)
+      val vecPairs = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+        "label", 0.4).select("id_a", "id_b")
+      Dedup.dedupClusters(textPairs.unionByName(vecPairs))
+    }),
     "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
     "x_neardups_verified" -> ((s, dir) =>  // LSH propose + exact verify; rows-only

@@ -169,6 +169,17 @@ object Pipeline {
       .select(graft.ops.Quality.windowedSelect(checks): _*)
   }
 
+  /** Stream-static enrichment: the serving-path J4 — a live event stream
+    * LEFT-joined against a static (or periodically reloaded) broadcast
+    * dimension. No state, no watermark needed (stream-static joins are
+    * stateless row-at-a-time); the static side re-resolves per micro-batch
+    * so swapping the snapshot under the same path picks up new dimension
+    * rows without restarting the query.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming heavy hitters: per event-time window, the keys whose count
     * reaches `minCount` — the hot-domain/hot-entity alarm as a LIVE
     * windowed aggregation rather than a nightly batch sweep

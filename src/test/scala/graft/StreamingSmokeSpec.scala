@@ -257,4 +257,22 @@ class StreamingSmokeSpec extends SparkSpec {
       assert(rows == Set(("hot", 3L))) // warm(2)/cold(1) below threshold
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the broadcast dim, misses kept NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = Pipeline.streamStaticEnrich(
+      stream.toDF().toDF("user_id", "value"), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("sse")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("sse").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
 }
