@@ -88,7 +88,11 @@ object OracleSql {
     * SAME near-dup pair list — one oracle for both distributed CC
     * algorithms (label propagation and large-star/small-star).
     */
-  private val dedupClustersOracle: String = """
+  /** Shared recursive-CTE prefix: the <60-doc shingle-Jaccard pair list
+    * and its transitive closure `reach(id, r)` — one derivation for the
+    * cluster, star-CC, and retention oracles so they can never diverge.
+    */
+  private val clusterReachCte: String = """
       WITH RECURSIVE d AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         FROM documents WHERE doc_id < 60),
@@ -116,10 +120,30 @@ object OracleSql {
       reach(id, r) AS (
         SELECT id, id FROM nodes
         UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)"""
+
+  private val dedupClustersOracle: String = clusterReachCte + """
       SELECT id, CAST(min(r) AS BIGINT) AS component,
              (id = min(r)) AS is_canonical
       FROM reach GROUP BY id ORDER BY id"""
+
+  /** Retention: clusters from the probe subset, keep-best (longest, ties
+    * to lowest id) per cluster, every other doc a kept singleton.
+    */
+  private val dedupRetainOracle: String = clusterReachCte + """
+      , comp AS (
+        SELECT id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY id),
+      lab AS (
+        SELECT dd.doc_id, dd.n_chars AS quality,
+               COALESCE(comp.component, dd.doc_id) AS component
+        FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.id),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY component
+                 ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM lab)
+      SELECT doc_id, component, quality, (rn = 1) AS keep
+      FROM rk ORDER BY doc_id"""
 
   /** One oracle for both quota-cap formulations (rank window and
     * priority-histogram selection) — shared so they can never diverge.
@@ -1045,6 +1069,35 @@ object OracleSql {
     // same recursive-CTE transitive closure checks BOTH distributed CC
     // algorithms (min-label propagation and large-star/small-star)
     "x_dedup_clusters_star" -> dedupClustersOracle,
+    // retention over the full corpus: same closure, keep-best per cluster
+    "x_dedup_retain" -> dedupRetainOracle,
+
+    "x_lm_surprisal" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      tc AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM tc),
+      vocab AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 100),
+      ts AS (SELECT term,
+                    -log2(cnt / (SELECT total FROM tot)) AS s FROM vocab),
+      per AS (
+        SELECT tf.doc_id,
+               sum(tf.tf) AS n_tokens,
+               sum(CASE WHEN ts.s IS NULL THEN tf.tf ELSE 0 END) AS n_oov,
+               round(sum(tf.tf * COALESCE(ts.s,
+                     log2((SELECT total FROM tot)))) / sum(tf.tf), 6)
+                 AS surprisal
+        FROM tf LEFT JOIN ts USING (term) GROUP BY tf.doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+             COALESCE(per.surprisal, 0.0) AS surprisal
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id""",
 
     "x_token_stats" -> """
       SELECT doc_id,

@@ -612,6 +612,14 @@ object SparkEntry {
           "id_a", "id_b")
         .withColumn("is_canonical", col("id") === col("component"))
         .orderBy("id")),
+    "x_dedup_retain" -> ((s, dir) => {
+      // retention over the FULL corpus: near-dup clusters from the probe
+      // subset keep their longest member; every other doc is a singleton
+      val d = Tables.documents(s, dir)
+      Dedup.dedupRetain(d, "doc_id", col("n_chars"),
+        Dedup.jaccardPairs(d.filter(col("doc_id") < 60),
+          "doc_id", "text", 3, 0.02, maxDf = 30).select("id_a", "id_b"))
+    }),
     "x_contamination" -> ((s, dir) => {
       // decontamination: per-test-doc 3-gram overlap with the train split
       val d = Tables.documents(s, dir)
@@ -672,6 +680,11 @@ object SparkEntry {
       // salient-term extraction: smooth-idf TF-IDF, top-3 per document
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
         k = 3)),
+    "x_lm_surprisal" -> ((s, dir) =>
+      // CCNet-style unigram-LM surprisal; 100-term vocab so the OOV
+      // floor path carries real weight
+      TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text",
+        vocabSize = 100)),
     "x_pii_scrub" -> ((s, dir) => {
       // deterministic PII injection so the scrub exercises on every row
       val injected = concat(col("text"),

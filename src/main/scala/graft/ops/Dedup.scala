@@ -441,6 +441,37 @@ object Dedup {
       .withColumn("is_canonical", col("id") === col("component"))
       .orderBy("id")
 
+  /** Corpus dedup RETENTION — the end product a dedup pipeline actually
+    * ships: for every document (near-dups AND singletons), its cluster id
+    * and a keep/drop decision that retains the single best-quality member
+    * of each near-dup cluster. Min-id canonicalization ([[dedupClusters]])
+    * answers "which cluster"; this answers "which copy survives" — the
+    * keep-best policy (longest / highest quality score, ties to the lowest
+    * id) is the one production corpora use so boilerplate-trimmed or
+    * truncated variants drop in favor of the fullest copy.
+    *
+    * Scale shape: components come from the pair list only (tiny next to
+    * the corpus), so the docs⋈components join is broadcast-able; singleton
+    * docs never enter the CC iteration and fall out of the left join as
+    * their own component. The keep-ranking window partitions BY COMPONENT
+    * — bounded by the largest near-dup cluster, never a corpus-wide sort.
+    */
+  def dedupRetain(docs: DataFrame, idCol: String, quality: Column,
+                  pairs: DataFrame, idA: String = "id_a",
+                  idB: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, idA, idB)
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.select(col(idCol), quality.as("quality"))
+      .join(broadcast(comp), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("component"), col("quality"), col("keep"))
+      .orderBy(col(idCol))
+  }
+
   /** Train/test contamination check — the decontamination primitive every
     * eval pipeline needs: for each TEST document, the fraction of its
     * distinct word `n`-gram shingles that also appear anywhere in the

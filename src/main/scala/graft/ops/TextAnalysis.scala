@@ -186,6 +186,56 @@ object TextAnalysis {
       .orderBy(col(idCol), col("tfidf").desc, col("term"))
   }
 
+  /** Corpus-LM surprisal scoring — the CCNet-style quality signal: score
+    * each document by the mean negative log2-probability of its tokens
+    * under a unigram language model fitted on the corpus itself. Natural
+    * in-distribution text scores low; gibberish, rare-token spam, and
+    * off-domain text score high — the standard "perplexity bucket" cut
+    * for LLM training-data curation, here with the corpus as its own LM
+    * (a production run would fit on a held-out reference corpus; the
+    * operator shape is identical).
+    *
+    * Model: top-`vocabSize` terms by corpus count (ties broken by term
+    * ascending) carry `p = cnt/total`; every out-of-vocabulary token gets
+    * the floor `p = 1/total`. Doc score = Σ tf·(−log2 p) / Σ tf, rounded
+    * at the very end. Documents with zero tokens surface with
+    * `n_tokens = 0, surprisal = 0.0` rather than vanishing.
+    *
+    * Scale shape: tokenize → per-(doc,term) counts (ONE shuffle keyed by
+    * doc+term); corpus term counts derive from that tf table (one shuffle
+    * keyed by term — the corpus text is never re-read); the vocabulary is
+    * a distributed top-k (`TakeOrdered`, never a full sort) whose result
+    * is broadcast, as is the 1-row total; the final per-doc aggregate is
+    * one more keyed shuffle. No window, no driver collect.
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = termCounts.agg(sum("cnt").cast("double").as("__total"))
+    val vocab = termCounts
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+    val termS = vocab.crossJoin(broadcast(total))
+      .select(col("term"), (-log2(col("cnt") / col("__total"))).as("s"))
+    val perDoc = tf.join(broadcast(termS), Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("is_oov", col("s").isNull)
+      .withColumn("s", coalesce(col("s"), log2(col("__total"))))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("is_oov"), col("tf")).otherwise(lit(0L))).as("n_oov"),
+        round(sum(col("tf") * col("s")) / sum(col("tf")), 6).as("surprisal"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+      .orderBy(col(idCol))
+  }
+
   /** PII redaction: emails, phone-number shapes, then any leftover long
     * digit run (account ids, SSN-ish tokens) become typed placeholders.
     * A chained `regexp_replace` — codegen'd, no UDF; the patterns avoid

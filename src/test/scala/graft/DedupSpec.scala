@@ -250,4 +250,29 @@ class DedupSpec extends SparkSpec {
       (11L, 3L, 1L, 0.333333, false),
       (12L, 0L, 0L, 0.0, false)))
   }
+
+  test("dedupRetain keeps the best-quality member per cluster, " +
+       "singletons kept as their own component") {
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),  // cluster {1,2,3}: 2 wins (9, lower id)
+      (4L, 1L)                       // singleton: kept
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupRetain(docs, "doc_id", col("quality"), pairs)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 5L, false),
+      (2L, 1L, 9L, true),
+      (3L, 1L, 9L, false),
+      (4L, 4L, 1L, true)))
+  }
+
+  test("dedupRetain with an empty pair list keeps everything") {
+    val docs = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "quality")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.dedupRetain(docs, "doc_id", col("quality"), pairs)
+      .collect()
+    assert(out.length == 2 && out.forall(_.getBoolean(3)))
+  }
 }

@@ -103,4 +103,27 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 4, 0.0, 0.0, false),
       (3L, 1, 0.0, 0.0, false)))
   }
+
+  test("lmSurprisal: hand-computed unigram surprisal, OOV floor, empty doc") {
+    // corpus counts: a=3 b=2 c=1 z=1, total=7; vocab(2) = {a, b};
+    // s(a)=-log2(3/7), s(b)=-log2(2/7), OOV floor = log2(7)
+    val sA = -math.log(3.0 / 7) / math.log(2)
+    val sB = -math.log(2.0 / 7) / math.log(2)
+    val oov = math.log(7.0) / math.log(2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a b c"), (3L, "z"), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmSurprisal(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, r6((2 * sA + sB) / 3)),
+      (2L, 3L, 1L, r6((sA + sB + oov) / 3)),
+      (3L, 1L, 1L, r6(oov)),
+      (4L, 0L, 0L, 0.0)))
+    // ordering property: common-token text scores lower than OOV gibberish
+    assert(out(0)._4 < out(2)._4)
+  }
 }
