@@ -92,10 +92,11 @@ object OracleSql {
     * and its transitive closure `reach(id, r)` — one derivation for the
     * cluster, star-CC, and retention oracles so they can never diverge.
     */
-  private val clusterReachCte: String = """
+  private def clusterReachCteFor(docWhere: String, maxDf: Int,
+                                 threshold: Double): String = raw"""
       WITH RECURSIVE d AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        FROM documents WHERE doc_id < 60),
+        FROM documents $docWhere),
       sh AS (
         SELECT DISTINCT doc_id, s FROM (
           SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
@@ -103,7 +104,7 @@ object OracleSql {
       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       kept AS (
         SELECT sh.* FROM sh JOIN (
-          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
+          SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf) ok
           ON sh.s = ok.s),
       inter AS (
         SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
@@ -113,7 +114,7 @@ object OracleSql {
         SELECT id_a, id_b FROM inter
         JOIN sz sa ON id_a = sa.doc_id
         JOIN sz sb ON id_b = sb.doc_id
-        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02),
+        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= $threshold),
       nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                 UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
@@ -122,10 +123,24 @@ object OracleSql {
         UNION
         SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)"""
 
-  private val dedupClustersOracle: String = clusterReachCte + """
+  /** The <60-doc probe-subset derivation shared by the original cluster /
+    * star / retention oracles.
+    */
+  private val clusterReachCte: String =
+    clusterReachCteFor("WHERE doc_id < 60", 30, 0.02)
+
+  private val clusterSelect: String = """
       SELECT id, CAST(min(r) AS BIGINT) AS component,
              (id = min(r)) AS is_canonical
       FROM reach GROUP BY id ORDER BY id"""
+
+  private val dedupClustersOracle: String = clusterReachCte + clusterSelect
+
+  /** Full-corpus cluster oracle — no doc_id cap; threshold 0.5 / maxDf 50
+    * keep the pair list (and so the recursive closure) near-dup-sized.
+    */
+  private val dedupClustersFullOracle: String =
+    clusterReachCteFor("", 50, 0.5) + clusterSelect
 
   /** Retention: clusters from the probe subset, keep-best (longest, ties
     * to lowest id) per cluster, every other doc a kept singleton.
@@ -170,6 +185,25 @@ object OracleSql {
                row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         FROM orders) WHERE rn = 1)"""
+
+  /** One oracle for the native as-of join however it is planned —
+    * exchange-planned (q_asof_native) or bucketed-sorted zero-exchange
+    * fast path (s_bucketed_asof).
+    */
+  private val asofNativeOracle: String = """
+      WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      feats AS (
+        SELECT user_id, ts AS fts, max(value) AS last_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
+               THEN f.last_purchase_value END AS last_purchase_value,
+             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
+               THEN f.fts END AS feature_ts
+      FROM probes p ASOF LEFT JOIN feats f
+        ON p.user_id = f.user_id AND p.ts >= f.fts
+      ORDER BY p.event_id"""
 
   private val zorderOracle: String = """
       SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value,
@@ -393,20 +427,9 @@ object OracleSql {
         ON p.user_id = f.user_id AND p.ts >= f.fts
       ORDER BY p.event_id""",
 
-    "q_asof_native" -> """
-      WITH probes AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-      feats AS (
-        SELECT user_id, ts AS fts, max(value) AS last_purchase_value
-        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
-      SELECT p.event_id, p.user_id, p.ts,
-             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
-               THEN f.last_purchase_value END AS last_purchase_value,
-             CASE WHEN f.fts >= p.ts - INTERVAL '7 days'
-               THEN f.fts END AS feature_ts
-      FROM probes p ASOF LEFT JOIN feats f
-        ON p.user_id = f.user_id AND p.ts >= f.fts
-      ORDER BY p.event_id""",
+    "q_asof_native" -> asofNativeOracle,
+    // bucketed fast path: layout changes, semantics do not — same oracle
+    "s_bucketed_asof" -> asofNativeOracle,
 
     "q_point_lookup" -> s"""
       WITH $snapshotCte
@@ -1069,6 +1092,9 @@ object OracleSql {
     // same recursive-CTE transitive closure checks BOTH distributed CC
     // algorithms (min-label propagation and large-star/small-star)
     "x_dedup_clusters_star" -> dedupClustersOracle,
+    // FULL-corpus clusters: no probe cap; the closure stays tractable
+    // because threshold 0.5 / maxDf 50 keep the pair list near-dup-sized
+    "x_dedup_clusters_full" -> dedupClustersFullOracle,
     // retention over the full corpus: same closure, keep-best per cluster
     "x_dedup_retain" -> dedupRetainOracle,
 
@@ -1188,6 +1214,31 @@ object OracleSql {
         FROM scored)
       SELECT query_id, cand_id, round(cos, 6) AS cosine, rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // recall audit of the learned-IVF pipeline at full probe width: DuckDB
+    // independently replays BRUTE FORCE top-3; nProbe = nCells means cell
+    // pruning drops nothing, so every brute row must also be in the
+    // learned-IVF output — n_hits 3, recall 1.0 per query, or the learned
+    // path has a defect and the hash mismatches
+    "x_ann_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(3 AS INTEGER) AS k,
+             round(CAST(count(*) AS DOUBLE) / 3, 6) AS recall
+      FROM ranked WHERE rank <= 3
+      GROUP BY query_id ORDER BY query_id""",
 
     "x_knn_ivf" -> """
       WITH e AS (SELECT vec_id, label AS cell,
@@ -1623,31 +1674,18 @@ object OracleSql {
                / 2048) AS INTEGER) AS pack_id
       FROM t ORDER BY lang, doc_id""",
 
-    // mapPartitions decode stub: byte-exact oracle — bytes recovered from the
-    // hex dump two nibbles at a time (strpos against the hex alphabet), so
-    // the mean-intensity matches Spark's (b & 0xff) sum exactly
-    "x_decode_stub" -> """
-      WITH m AS (
-        SELECT doc_id AS id, CAST(octet_length(encode(text)) AS INTEGER) AS n,
-               hex(encode(text)) AS h
-        FROM documents
-      ), e AS (
-        SELECT id, n, unnest(range(0, n)) AS i, h FROM m WHERE n > 0
-      ), bytes AS (
-        SELECT id, n,
-          (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INTEGER), 1))-1)*16 +
-          (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INTEGER), 1))-1) AS v
-        FROM e
-      ), agg AS (
-        SELECT id, round(CAST(sum(v) AS DOUBLE)/n, 6) AS mean
-        FROM bytes GROUP BY id, n
-      )
-      SELECT m.id AS id, m.n AS n_bytes,
-             CAST(m.n % 640 + 1 AS INTEGER) AS fake_width,
-             CAST(m.n % 480 + 1 AS INTEGER) AS fake_height,
-             coalesce(agg.mean, 0.0) AS fake_mean_intensity
-      FROM m LEFT JOIN agg ON m.id = agg.id
-      ORDER BY id""",
+    // real mapPartitions codec (Base64 → UTF-8): every feature is a
+    // function of the DECODED bytes, so computing the same features from
+    // the original text pins the round trip — content_md5 makes the check
+    // byte-exact (a single corrupted byte anywhere in the decode flips it)
+    "x_decode_base64" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(length(text) - length(replace(text, chr(10), '')) + 1
+               AS INTEGER) AS n_lines,
+             md5(text) AS content_md5
+      FROM documents ORDER BY doc_id""",
 
     "q_funnel" -> """
       WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -172,6 +172,43 @@ object SparkEntry {
           "feature_ts")
         .orderBy("event_id")
     }),
+    "s_bucketed_asof" -> ((s, dir) => {
+      // the zero-exchange/zero-sort as-of fast path as a registered query:
+      // both sides land as bucketed-sorted tables on the join key, so
+      // AsOfJoinExec's required distribution+ordering are satisfied at the
+      // SCAN and EnsureRequirements inserts nothing — the 100 TB shape
+      // where feature tables are written bucketed once and every as-of
+      // retrieval afterwards is shuffle-free. Same DuckDB ASOF oracle as
+      // the exchange-planned form (layout changes, semantics do not);
+      // PLANS.md carries the exchange-free plan.
+      val e = Tables.events(s, dir)
+      // a fresh session's in-memory catalog doesn't know about a previous
+      // run's managed-table LOCATION — drop both the entry and the files
+      for (t <- Seq("graft_asof_probes_bkt", "graft_asof_feats_bkt")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .write.mode("overwrite").bucketBy(8, "user_id")
+        .sortBy("user_id", "ts").saveAsTable("graft_asof_probes_bkt")
+      e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("fts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+        .write.mode("overwrite").bucketBy(8, "user_id")
+        .sortBy("user_id", "fts").saveAsTable("graft_asof_feats_bkt")
+      Retrieval.asOfJoinNative(s.table("graft_asof_probes_bkt"),
+          s.table("graft_asof_feats_bkt"), "user_id", "ts", "fts",
+          7L * 86400L * 1000000L)
+        .toDF("event_id", "user_id", "ts", "f_user", "feature_ts",
+          "last_purchase_value")
+        .select("event_id", "user_id", "ts", "last_purchase_value",
+          "feature_ts")
+        .orderBy("event_id")
+    }),
     "q_fs_historical" -> ((s, dir) => {
       // the FeatureStore facade end to end: apply view → point-in-time
       // retrieval — same ASOF oracle as q_asof_features, view__feature cols
@@ -573,6 +610,18 @@ object SparkEntry {
       Dedup.exactIncremental(d.filter(col("doc_id") < 250),
         d.filter(col("doc_id") >= 250), "doc_id", "text")
     }),
+    "x_dedup_incremental_lsh" -> ((s, dir) => {
+      // ingest-shaped NEAR-dup check: the new batch probes the accumulated
+      // MinHash signature table — corpus text is never re-read (rows-only:
+      // xxhash64-based signatures; DedupSpec proves batch-vs-full-corpus
+      // equivalence of the surviving id set)
+      val d = Tables.documents(s, dir)
+      val seenSigs = Dedup.minHashSignatures(
+        d.filter(col("doc_id") < 250), "doc_id", "text", 3, 16)
+      Dedup.minHashNearDupsIncremental(seenSigs,
+        d.filter(col("doc_id") >= 250), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    }),
     "x_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
@@ -612,6 +661,16 @@ object SparkEntry {
           "id_a", "id_b")
         .withColumn("is_canonical", col("id") === col("component"))
         .orderBy("id")),
+    "x_dedup_clusters_full" -> ((s, dir) =>
+      // FULL-corpus near-dup clustering — no probe-subset cap: exact
+      // shingle-Jaccard pairs over every document (threshold 0.5 bounds
+      // the pair list to true near-dups; maxDf 50 bounds hot shingle
+      // buckets), resolved to components. The DuckDB oracle replays the
+      // same pair derivation and a recursive-CTE transitive closure over
+      // the whole table.
+      Dedup.dedupClusters(
+        Dedup.jaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", 3, 0.5, maxDf = 50).select("id_a", "id_b"))),
     "x_dedup_retain" -> ((s, dir) => {
       // retention over the FULL corpus: near-dup clusters from the probe
       // subset keep their longest member; every other doc is a singleton
@@ -762,6 +821,30 @@ object SparkEntry {
       Similarity.topKPq(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", 3)
     }),
+    "x_ann_recall" -> ((s, dir) => {
+      // recall audit that turns the learned-IVF claim into an ORACLE: at
+      // full probe width (nProbe = nCells) cell pruning vanishes, so the
+      // learned pipeline — bounded-sample codebook, NearestCentroid
+      // assignment, multi-probe explode, per-query rank — must reproduce
+      // brute-force top-k EXACTLY. The query emits per-query hit counts of
+      // learned-IVF ∩ brute-force; DuckDB independently replays brute
+      // force, so any codebook/assignment/ranking defect surfaces as
+      // recall < 1 and a hash mismatch.
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val ivf = Similarity.learnedIvfMultiProbe(emb, "vec_id", "embedding",
+          queries, 3, nCells = 8, nProbe = 8)
+        .select(col("query_id"), col("cand_id"))
+      val brute = Similarity.topKBruteForce(queries, emb, "vec_id",
+          "embedding", 3)
+        .select(col("query_id"), col("cand_id"))
+      brute.join(ivf, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("k", lit(3))
+        .withColumn("recall", round(col("n_hits") / col("k"), 6))
+        .orderBy("query_id")
+    }),
     "x_minhash_mllib" -> ((s, dir) =>       // MLlib MinHashLSH; rows-only
       MLBridge.minHashLSHNearDups(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
@@ -793,9 +876,9 @@ object SparkEntry {
       Multimodal.binaryFeatures(
         Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id")),
-    "x_decode_stub" -> ((s, dir) =>        // mapPartitions codec stub; byte-sum oracle
-      Multimodal.decodeFeatures(s,
-        Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"),
+    "x_decode_base64" -> ((s, dir) =>      // real mapPartitions codec: Base64→UTF-8
+      Multimodal.decodeBase64Features(s,
+        Multimodal.asBase64Table(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id")),
 
     "q_funnel" -> ((s, dir) => {

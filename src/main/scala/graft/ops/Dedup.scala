@@ -138,27 +138,86 @@ object Dedup {
     withSig.select(col("id") +: minCols: _*)
   }
 
-  /** LSH banding candidate pairs over a signature relation: docs sharing
-    * any band bucket, deduped. Slim bucket rows (id, band, bucket) go
-    * through the self-join; hot LSH buckets generate the same pair in
-    * several bands, hence the distinct. Carrying signatures through the
-    * bucket join instead would shuffle numHashes ints per collision row.
+  /** Slim LSH band-bucket relation of a signature table: (id, band,
+    * bucket) — one row per (doc, band), the minimal shape for bucket
+    * equi-joins (carrying signatures through the join would shuffle
+    * numHashes ints per collision row).
     */
-  private def lshCandidatePairs(sig: DataFrame, numHashes: Int,
-                                bands: Int): DataFrame = {
+  private def bandBuckets(sig: DataFrame, numHashes: Int,
+                          bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
           .as("bucket"))
     }
-    val buckets = sig.select(col("id"),
-      explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH banding candidate pairs over a signature relation: docs sharing
+    * any band bucket, deduped. Hot LSH buckets generate the same pair in
+    * several bands, hence the distinct.
+    */
+  private def lshCandidatePairs(sig: DataFrame, numHashes: Int,
+                                bands: Int): DataFrame = {
+    val buckets = bandBuckets(sig, numHashes, bands)
     buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+  }
+
+  /** Incremental NEAR-dup ingest — the LSH analogue of [[exactIncremental]]
+    * and the production shape at 100 TB: near-dup-check a NEW batch against
+    * the accumulated corpus WITHOUT re-scanning corpus text. `seenSigs` is
+    * the accumulated MinHash signature table ([[minHashSignatures]] output,
+    * persisted and appended to at every ingest — fixed-width ints per doc,
+    * like exactIncremental's 16-byte fingerprint table), so only the new
+    * batch pays a text scan; both sides then band into slim (id, band,
+    * bucket) rows and the batch's buckets probe seen + batch buckets.
+    *
+    * A batch doc is a duplicate when any banded candidate with a SMALLER id
+    * (already-ingested or earlier in the batch) reaches `threshold`
+    * estimated Jaccard (fraction of equal signature components — the same
+    * verification as [[minHashNearDups]]). Because bucket collision and the
+    * signature estimate are pairwise properties, the surviving set is
+    * IDENTICAL to what a full-corpus [[minHashNearDups]] run would leave
+    * standing under the keep-lowest-id rule — DedupSpec asserts the
+    * equivalence.
+    *
+    * Returns one row per batch doc: (id, is_dup, dup_of) with dup_of the
+    * smallest verified duplicate partner (NULL for survivors).
+    */
+  def minHashNearDupsIncremental(seenSigs: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int = 3, numHashes: Int = 16,
+                                 bands: Int = 4,
+                                 threshold: Double = 0.5): DataFrame = {
+    val batchSigs = minHashSignatures(batch, idCol, textCol, n, numHashes)
+    val sigCols = batchSigs.columns
+    val seen = seenSigs.select(sigCols.map(col): _*)
+    val bb = bandBuckets(batchSigs, numHashes, bands)
+    val all = bandBuckets(seen, numHashes, bands).unionByName(bb)
+    // batch buckets probe the accumulated buckets: candidate = same band
+    // bucket, strictly smaller partner id (seen docs or earlier batch docs)
+    val cand = bb.as("l").join(all.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("r.id") < col("l.id"))
+      .select(col("l.id").as("bid"), col("r.id").as("cand")).distinct()
+    val simExpr = (0 until numHashes).map(i =>
+        when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / numHashes.toDouble
+    val dups = cand
+      .join(batchSigs.as("a"), col("bid") === col("a.id"))
+      .join(seen.unionByName(batchSigs).as("b"), col("cand") === col("b.id"))
+      .filter(simExpr >= threshold)
+      .groupBy(col("bid")).agg(min(col("cand")).as("dup_of"))
+      .withColumnRenamed("bid", "id")
+    batchSigs.select(col("id"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("id"))
   }
 
   /** MinHash + LSH banding: docs sharing any band bucket are candidate

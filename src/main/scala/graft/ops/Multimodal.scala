@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §7.4): image/audio/video treated as
-  * opaque `binary` columns + typed metadata. The decode step is STUBBED
-  * (this container has no image/audio codecs) with a deterministic fake;
-  * everything Spark-side — schema, batching, partition-level processing
-  * signature — is real.
+  * opaque `binary` columns + typed metadata, with a REAL decode stage — a
+  * Base64+UTF-8 codec (the container has no image/audio libraries, so the
+  * demonstrable codec is textual; a JPEG/PCM decoder drops into the same
+  * partition-level slot).
   *
   * Scale posture: binary payloads never shuffle for metadata-only queries
   * (column pruning drops them at the scan); the decode pass is
-  * `mapPartitions` so a real codec would amortize model/codec init once per
-  * partition (the Scala analogue of `mapInPandas` batch semantics).
+  * `mapPartitions` so codec state (here the Base64 and charset decoders, in
+  * production a model or codec context) initializes once per partition —
+  * the Scala analogue of `mapInPandas` batch semantics.
   */
 object Multimodal {
 
@@ -25,6 +26,19 @@ object Multimodal {
       col(idCol),
       to_binary(col(textCol), lit("utf-8")).as("payload"),
       lit("application/octet-stream").as("media_type"),
+      octet_length(col(textCol)).as("n_bytes"))
+
+  /** Base64-ENCODED binary table: the payload is the ASCII bytes of the
+    * Base64 encoding of the document's UTF-8 text — a genuinely encoded
+    * format the decode stage must actually decode (two real codec layers:
+    * Base64 transfer encoding over UTF-8 character encoding).
+    */
+  def asBase64Table(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      to_binary(base64(to_binary(col(textCol), lit("utf-8"))), lit("utf-8"))
+        .as("payload"),
+      lit("text/plain; transfer=base64").as("media_type"),
       octet_length(col(textCol)).as("n_bytes"))
 
   /** Metadata-only projection — proves the payload is pruned from the scan
@@ -48,30 +62,46 @@ object Multimodal {
         substring(hex(col("payload")), 1, 2).as("first_byte_hex"))
       .orderBy(col(idCol))
 
-  /** The decode stage: `mapPartitions` over binary payloads. A real codec
-    * (JPEG decode, audio resample, frame sample) plugs in at `decodeStub`;
-    * here it is a clearly-marked deterministic fake (SURVEY.md §7.4).
-    * Output schema is the typed feature frame a downstream trainer reads.
+  /** The decode stage: `mapPartitions` over Base64 payloads (from
+    * [[asBase64Table]]). Each partition initializes its codec state ONCE —
+    * the strict RFC 4648 Base64 decoder and a strict (malformed-input =
+    * fail-loud) UTF-8 charset decoder — then streams the partition's rows
+    * through it: payload ASCII bytes → Base64 decode → UTF-8 decode →
+    * typed features of the decoded content. A JPEG or audio codec plugs
+    * into the same slot with the same init-once/stream-rows shape. Every
+    * emitted feature is a function of the DECODED bytes, so the DuckDB
+    * oracle (computing the same features from the original text) verifies
+    * the round trip byte-exactly via `content_md5`.
     */
-  def decodeFeatures(spark: org.apache.spark.sql.SparkSession,
-                     bin: DataFrame, idCol: String): DataFrame = {
+  def decodeBase64Features(spark: org.apache.spark.sql.SparkSession,
+                           bin: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     val input = bin
       .select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
     input.mapPartitions { iter =>
-      // STUB: a real codec (JPEG decode / audio resample / frame sample)
-      // initializes ONCE here per partition, then maps the batch.
-      iter.map { case (id, bytes) =>
-        val mean =
-          if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        (id, bytes.length, (bytes.length % 640) + 1, (bytes.length % 480) + 1,
-          mean)
+      // codec init, once per partition (amortized like a real decoder's
+      // model/context setup). MIME decoder: Spark's base64() chunks its
+      // output with CRLF line breaks every 76 chars (RFC 2045), which the
+      // basic RFC 4648 decoder rejects.
+      val b64 = java.util.Base64.getMimeDecoder
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      iter.map { case (id, payload) =>
+        val decoded = b64.decode(payload)
+        val text = utf8
+          .decode(java.nio.ByteBuffer.wrap(decoded)).toString
+        md.reset()
+        val digest = md.digest(decoded).map("%02x".format(_)).mkString
+        var nl = 0
+        var i = 0
+        while (i < text.length) { if (text.charAt(i) == '\n') nl += 1; i += 1 }
+        (id, decoded.length, text.codePointCount(0, text.length), nl + 1,
+          digest)
       }
-    }.toDF("id", "n_bytes", "fake_width", "fake_height", "fake_mean_intensity")
-      // round with the SQL round (not math.round) for oracle parity
-      .withColumn("fake_mean_intensity", round(col("fake_mean_intensity"), 6))
-      .orderBy(col("id"))
+    }.toDF(idCol, "n_bytes", "n_chars", "n_lines", "content_md5")
+      .orderBy(col(idCol))
   }
 }
