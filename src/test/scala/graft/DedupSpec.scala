@@ -275,4 +275,75 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(out.length == 2 && out.forall(_.getBoolean(3)))
   }
+
+  test("incremental LSH ingest ≡ full-corpus near-dup run (250/250 split)") {
+    // the scaladoc contract of minHashNearDupsIncremental: because bucket
+    // collision and the signature estimate are pairwise properties, batch
+    // survivors under keep-lowest-id must equal a full-corpus
+    // minHashNearDups run restricted to the batch — same corpus, same
+    // parameters, the real documents table
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val full = Dedup.minHashNearDups(d, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    // keep-lowest-id: a doc is dropped iff it is the LARGER side of any
+    // verified pair; its dup_of is the smallest such partner
+    val droppedTo = full.groupBy($"id_b").agg(min($"id_a").as("m"))
+      .as[(Long, Long)].collect().toMap
+    val allIds = d.select($"doc_id").as[Long].collect().toSet
+    val fullSurvivors = allIds -- droppedTo.keySet
+
+    val seen  = d.filter($"doc_id" < 250)
+    val batch = d.filter($"doc_id" >= 250)
+    // seen side = signatures of EVERY previously ingested doc, dups
+    // included — the append-only signature-table contract
+    val seenSigs = Dedup.minHashSignatures(seen, "doc_id", "text", 3, 16)
+    val inc = Dedup.minHashNearDupsIncremental(seenSigs, batch,
+        "doc_id", "text", n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(inc.map(_._1).toSet == allIds.filter(_ >= 250))
+    val incSurvivors = inc.filter(!_._2).map(_._1).toSet
+    assert(incSurvivors == fullSurvivors.filter(_ >= 250))
+    // and every dup points at the same smallest partner the full run found
+    inc.filter(_._2).foreach { case (id, _, dupOf) =>
+      assert(dupOf.contains(droppedTo(id)), s"doc $id dup_of mismatch")
+    }
+
+    // chained ingest from an EMPTY seen table: first-half survivors union
+    // second-half survivors must reproduce the full-corpus surviving set
+    val emptySigs = Dedup.minHashSignatures(d.limit(0), "doc_id", "text", 3, 16)
+    val firstSurvivors = Dedup.minHashNearDupsIncremental(emptySigs, seen,
+        "doc_id", "text", n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .filter(!$"is_dup").select($"id").as[Long].collect().toSet
+    assert((firstSurvivors ++ incSurvivors) == fullSurvivors)
+  }
+
+  test("incremental LSH: batch-internal dups and dropped-seen partners") {
+    // batch-internal: 11 duplicates the EARLIER batch doc 10 (neither in
+    // seen); 12 is unrelated and survives
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "unrelated words entirely different content right here")
+    ).toDF("doc_id", "text")
+    val empty = Dedup.minHashSignatures(batch.limit(0), "doc_id", "text", 3, 16)
+    val out = Dedup.minHashNearDupsIncremental(empty, batch, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Boolean, Option[Long])].collect().toList
+    assert(out == List((10L, false, None), (11L, true, Some(10L)),
+      (12L, false, None)))
+
+    // the drop rule is pairwise, not transitive: a batch doc matching only
+    // an already-DROPPED seen doc is still a dup, and dup_of is the
+    // smallest candidate (1, not the nearer 2)
+    val seen = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")  // dup of 1
+    ).toDF("doc_id", "text")
+    val seenSigs = Dedup.minHashSignatures(seen, "doc_id", "text", 3, 16)
+    val out2 = Dedup.minHashNearDupsIncremental(seenSigs,
+        batch.filter($"doc_id" === 10L), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Boolean, Option[Long])].collect().toList
+    assert(out2 == List((10L, true, Some(1L))))
+  }
 }
