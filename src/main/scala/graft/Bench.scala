@@ -14,10 +14,17 @@ object Bench {
     // itself stays cold): pays JVM/JIT, codegen-compiler, parquet reader and
     // shuffle-machinery startup once, so the measured loop times query work.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Each query runs TWICE and reports the min: single-shot sweeps showed
+    // 5-12x first-touch spikes (page cache, per-plan codegen, JIT of cold
+    // expression classes) that BenchOne warm reruns consistently refuted —
+    // min-of-2 measures the query, not the first touch.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
