@@ -204,14 +204,33 @@ object Drift {
     * The per-feature window sorts every distinct value in one task; fine
     * for bounded domains, a scale hazard for continuous ones (use the
     * binned default there).
+    *
+    * GUARDED: the plan carries a per-feature distinct-value count (a fully
+    * parallel partial aggregate, one output row per feature, broadcast
+    * back) and `raise_error`s any feature whose domain exceeds `maxDomain`
+    * BEFORE its single-task ordered window can run — so a 100 TB user
+    * pointing this at a continuous column gets a loud, named failure
+    * instead of a stuck sort task. The guard is lazy (no extra eager job
+    * at build time) and leaves passing results bit-identical.
     */
   def sweepExact(df: DataFrame, sideCol: String, a: String, b: String,
-                 features: Seq[String]): DataFrame = {
+                 features: Seq[String], maxDomain: Long = 100000L): DataFrame = {
     val perValue = cleanSamples(melt(df, sideCol, features), "v")
       .groupBy(col("feature"), col("v")).agg(
         sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
         sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
-    ecdfMax(perValue, col("v"))
+    val domains = perValue.groupBy(col("feature"))
+      .agg(count(lit(1)).as("__domain"))
+    val guarded = perValue.join(broadcast(domains), "feature")
+      .withColumn("v",
+        when(col("__domain") <= maxDomain, col("v"))
+          .otherwise(raise_error(concat(
+            lit("sweepExact: feature '"), col("feature"), lit("' has "),
+            col("__domain").cast("string"),
+            lit(s" distinct values (> maxDomain=$maxDomain); use sweep() " +
+              "binned for continuous domains or raise maxDomain")))))
+      .drop("__domain")
+    ecdfMax(guarded, col("v"))
   }
 
   private def melt(df: DataFrame, sideCol: String,

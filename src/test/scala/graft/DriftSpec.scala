@@ -112,6 +112,29 @@ class DriftSpec extends SparkSpec {
     assert(single == swept)
   }
 
+  test("sweepExact guard fails loud above maxDomain, passes bounded domains") {
+    // 60 distinct values on one feature; the other is 3-valued. With
+    // maxDomain=10 the wide feature must abort the job with a named error
+    // BEFORE its single-task ECDF window runs; the bounded feature alone
+    // passes with output identical to the unguarded form's semantics.
+    val wide = (0 until 60).flatMap(i =>
+      Seq(("a", i.toDouble, (i % 3).toDouble), ("b", i.toDouble, (i % 3).toDouble)))
+      .toDF("side", "wide_f", "small_f")
+    val ex = intercept[Exception] {
+      Drift.sweepExact(wide, "side", "a", "b", Seq("wide_f", "small_f"),
+        maxDomain = 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("sweepExact") && m.contains("wide_f")))
+    // guard transparent when the domain is within bounds
+    val ok = Drift.sweepExact(wide, "side", "a", "b", Seq("small_f"),
+      maxDomain = 10L).select("feature", "ks_stat").collect()
+    assert(ok.map(_.getString(0)).toSeq == Seq("small_f"))
+    assert(ok.head.getDouble(1) == 0.0) // identical sides: no drift
+  }
+
   test("sweep's default binned KS agrees with the single-feature ksTestBinned") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .filter($"event_type".isin("purchase", "view"))
