@@ -64,7 +64,8 @@ object Multimodal {
 
   /** The decode stage: `mapPartitions` over Base64 payloads (from
     * [[asBase64Table]]). Each partition initializes its codec state ONCE —
-    * the strict RFC 4648 Base64 decoder and a strict (malformed-input =
+    * a CRLF-stripping strict RFC 4648 Base64 decoder (any other
+    * non-alphabet byte fails loud) and a strict (malformed-input =
     * fail-loud) UTF-8 charset decoder — then streams the partition's rows
     * through it: payload ASCII bytes → Base64 decode → UTF-8 decode →
     * typed features of the decoded content. A JPEG or audio codec plugs
@@ -81,16 +82,36 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     input.mapPartitions { iter =>
       // codec init, once per partition (amortized like a real decoder's
-      // model/context setup). MIME decoder: Spark's base64() chunks its
-      // output with CRLF line breaks every 76 chars (RFC 2045), which the
-      // basic RFC 4648 decoder rejects.
-      val b64 = java.util.Base64.getMimeDecoder
+      // model/context setup). Spark's base64() chunks output ≥ 76 chars
+      // with CRLF line breaks (RFC 2045, conf-dependent across versions),
+      // so ONLY those two bytes are stripped explicitly; decoding then
+      // uses the strict RFC 4648 decoder, which rejects any other
+      // non-alphabet byte — a corrupted payload fails loud here instead of
+      // surfacing only as an md5 mismatch downstream (a MIME decoder would
+      // silently skip it).
+      val b64 = java.util.Base64.getDecoder
       val utf8 = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
       val md = java.security.MessageDigest.getInstance("MD5")
       iter.map { case (id, payload) =>
-        val decoded = b64.decode(payload)
+        // drop CR/LF (the sanctioned chunking bytes), nothing else
+        var n = 0; var p = 0
+        while (p < payload.length) {
+          if (payload(p) != 10 && payload(p) != 13) n += 1; p += 1
+        }
+        val cleaned =
+          if (n == payload.length) payload
+          else {
+            val out = new Array[Byte](n); var j = 0; p = 0
+            while (p < payload.length) {
+              val b = payload(p)
+              if (b != 10 && b != 13) { out(j) = b; j += 1 }
+              p += 1
+            }
+            out
+          }
+        val decoded = b64.decode(cleaned)
         val text = utf8
           .decode(java.nio.ByteBuffer.wrap(decoded)).toString
         md.reset()
