@@ -1024,6 +1024,41 @@ object OracleSql {
       WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02
       ORDER BY id_a, id_b""",
 
+    // recall oracle for the LSH propose + exact-verify pipeline: in the
+    // rows-per-band = 1 config a true pair escapes candidacy only if NONE
+    // of its 64 MinHash components collide ((1-j)^64 ≤ 5e-20 at j ≥ 0.5),
+    // so the pipeline's output is exactly the full shingle-Jaccard pair
+    // scan at threshold 0.5 — replayed here with no stop-shingle cap
+    "x_neardups_verified" -> """
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+        FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id)
+      SELECT id_a, id_b,
+             round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    // simhash recall: every doc's identical-text twin has an identical
+    // fingerprint (hamming 0 < bands ⇒ pigeonhole must-find), so the
+    // injected-pair slice of the band search is one deterministic row per
+    // document
+    "x_simhash_recall" -> """
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+             CAST(0 AS INTEGER) AS hamming
+      FROM documents ORDER BY id_a""",
+
     // contamination: DISTINCT 3-gram shingles per test doc vs the train
     // shingle set; short docs (zero shingles) kept at contamination 0
     "x_contamination" -> """
@@ -1222,6 +1257,52 @@ object OracleSql {
     // path has a defect and the hash mismatches
     "x_ann_recall" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(3 AS INTEGER) AS k,
+             round(CAST(count(*) AS DOUBLE) / 3, 6) AS recall
+      FROM ranked WHERE rank <= 3
+      GROUP BY query_id ORDER BY query_id""",
+
+    // PQ / IVF-PQ exactness audits: the degenerate kCodes ≥ corpus
+    // codebook makes reconstruction lossless (and nProbe = nCells disarms
+    // cell pruning for IVF-PQ), so both must reproduce brute-force top-3
+    // over the vec_id < 500 corpus — DuckDB replays brute force
+    "x_pq_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 500),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(3 AS INTEGER) AS k,
+             round(CAST(count(*) AS DOUBLE) / 3, 6) AS recall
+      FROM ranked WHERE rank <= 3
+      GROUP BY query_id ORDER BY query_id""",
+
+    "x_ivfpq_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 500),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
       scored AS (
         SELECT q.query_id, e.vec_id AS cand_id,

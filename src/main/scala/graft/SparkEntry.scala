@@ -700,9 +700,18 @@ object SparkEntry {
     }),
     "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
-    "x_neardups_verified" -> ((s, dir) =>  // LSH propose + exact verify; rows-only
+    "x_neardups_verified" -> ((s, dir) =>
+      // LSH propose + estimate trim + exact verify, in the
+      // PROVABLY-COMPLETE banding config (rows-per-band = 1): a pair
+      // reaches candidacy unless NONE of its 64 MinHash components
+      // collide ((1-j)^64 ≤ 5e-20 at j ≥ 0.5), and the minEst=0.125 trim
+      // drops a true pair only if < 8/64 components agree (≈ 2e-10 at
+      // j = 0.5) — so the output is exactly "all pairs with exact Jaccard
+      // ≥ 0.5" and DuckDB replays it as a full shingle-Jaccard pair scan
+      // (the recall oracle for the whole LSH pipeline)
       Dedup.nearDupsVerified(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.01)),
+        n = 3, numHashes = 64, bands = 64, threshold = 0.5,
+        minEst = 0.125)),
     "x_simhash" -> ((s, dir) =>            // xxhash64-based; rows-only
       Dedup.simHash(Tables.documents(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")),
@@ -711,6 +720,21 @@ object SparkEntry {
       // is exactly "all pairs within hamming 3", not a banding-luck subset
       Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
+    "x_simhash_recall" -> ((s, dir) => {
+      // recall ORACLE for the SimHash band search: every doc gets an
+      // identical-text twin (doc_id + 1000000); identical text → identical
+      // 64-bit fingerprint → hamming 0 < bands, so by the pigeonhole
+      // guarantee every (id, twin) pair is a MUST-FIND. Restricted to the
+      // injected pairs the output is fully deterministic — one row per doc
+      // with hamming 0 — which DuckDB replays trivially; any fingerprint /
+      // banding / verify-join defect drops a row and mismatches.
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simHashNearDups(d.unionByName(twins), "doc_id", "text",
+          maxHamming = 3, bands = 4)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy("id_a")
+    }),
 
     "x_heavy_hitters" -> ((s, dir) =>
       // Misra-Gries propose + exact verify: ≡ GROUP BY + HAVING without
@@ -839,6 +863,50 @@ object SparkEntry {
           "embedding", 3)
         .select(col("query_id"), col("cand_id"))
       brute.join(ivf, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("k", lit(3))
+        .withColumn("recall", round(col("n_hits") / col("k"), 6))
+        .orderBy("query_id")
+    }),
+    "x_pq_recall" -> ((s, dir) => {
+      // PQ-exactness audit → ORACLE: with kCodes ≥ corpus size every
+      // sampled subvector is its own Lloyd's-fixpoint centroid, so
+      // reconstruction is LOSSLESS and ADC scoring ≡ exact cosine — PQ
+      // top-k must reproduce brute-force top-k exactly. DuckDB replays
+      // brute force independently; any encode / reconstruct / rank defect
+      // surfaces as recall < 1 and a hash mismatch. Corpus capped at 500
+      // vectors so the degenerate codebook stays ≥ corpus at every SF.
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val queries = emb.filter(col("vec_id") < 5)
+      val pq = Similarity.topKPq(queries, emb, "vec_id", "embedding", 3,
+          m = 8, kCodes = 512)
+        .select(col("query_id"), col("cand_id"))
+      val brute = Similarity.topKBruteForce(queries, emb, "vec_id",
+          "embedding", 3)
+        .select(col("query_id"), col("cand_id"))
+      brute.join(pq, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("k", lit(3))
+        .withColumn("recall", round(col("n_hits") / col("k"), 6))
+        .orderBy("query_id")
+    }),
+    "x_ivfpq_recall" -> ((s, dir) => {
+      // IVF-PQ at FULL probe width (nProbe = nCells ⇒ cell pruning drops
+      // nothing) with the lossless kCodes ≥ corpus codebook: both
+      // approximation knobs disarmed, so the full FAISS layout must
+      // reproduce brute force exactly — the x_ann_recall pattern applied
+      // to the compound index.
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val queries = emb.filter(col("vec_id") < 5)
+      val ivfpq = Similarity.topKIvfPq(emb, "vec_id", "embedding", queries,
+          3, nCells = 8, nProbe = 8, m = 8, kCodes = 512)
+        .select(col("query_id"), col("cand_id"))
+      val brute = Similarity.topKBruteForce(queries, emb, "vec_id",
+          "embedding", 3)
+        .select(col("query_id"), col("cand_id"))
+      brute.join(ivfpq, Seq("query_id", "cand_id"), "left_semi")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_hits"))
         .withColumn("k", lit(3))

@@ -248,18 +248,38 @@ object Dedup {
     * |candidates| pairs, never corpus². This is the 100 TB shape: banding
     * bounds the pair space, verification cost is proportional to what the
     * bands surface.
+    *
+    * `minEst` adds an optional MIDDLE stage: candidates are scored by the
+    * cheap signature estimate (fraction of equal components — a narrow
+    * int-vector join, no text) and only pairs at or above `minEst` reach
+    * the exact shingle-array verify. With wide single-row banding
+    * (bands = numHashes) candidate sets are dominated by pairs sharing
+    * one hot component; the trim cuts the expensive verify join by
+    * orders of magnitude while a true pair at Jaccard j clears a margin
+    * m with probability 1 − P(Binomial(numHashes, j) < m·numHashes) —
+    * e.g. j=0.5, numHashes=64, minEst=0.125: miss ≈ 2e-10.
     */
   def nearDupsVerified(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, numHashes: Int = 16, bands: Int = 8,
-                       threshold: Double = 0.3): DataFrame = {
-    // every banded candidate goes straight to exact verification — the
-    // signature-estimate pass adds nothing when exact Jaccard follows
-    val cand = lshCandidatePairs(
-      minHashSignatures(docs, idCol, textCol, n, numHashes),
-      numHashes, bands)
+                       threshold: Double = 0.3,
+                       minEst: Double = 0.0): DataFrame = {
+    val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val cand = lshCandidatePairs(sig, numHashes, bands)
+    val trimmed =
+      if (minEst <= 0.0) cand
+      else {
+        val simExpr = (0 until numHashes).map(i =>
+            when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1.0).otherwise(0.0))
+          .reduce(_ + _) / numHashes.toDouble
+        cand
+          .join(sig.as("a"), col("id_a") === col("a.id"))
+          .join(sig.as("b"), col("id_b") === col("b.id"))
+          .filter(simExpr >= minEst)
+          .select(col("id_a"), col("id_b"))
+      }
     val sh = docs.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
-    val verified = cand
+    val verified = trimmed
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -273,14 +273,18 @@ object Similarity {
         graft.functions.Native.pq_reconstruct(col("pq_codes"), codebooks)
           .as("rv"))
     val q = queries.select(col(idCol).as("query_id"), d(col(vecCol)).as("qv"))
+    // rank on the UNROUNDED ADC score (same semantics as topKBruteForce,
+    // so lossless-codebook configurations reproduce brute force exactly —
+    // the x_pq_recall oracle); round only for display
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("qcos", round(cosine(col("qv"), col("rv")), 6))
+      .withColumn("qcos_raw", cosine(col("qv"), col("rv")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cand_id").asc)
+      .orderBy(col("qcos_raw").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("qcos"), col("rank"))
+      .select(col("query_id"), col("cand_id"),
+        round(col("qcos_raw"), 6).as("qcos"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -342,14 +346,17 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), v.as("qv"),
       explode(graft.functions.Native.nearest_centroids(v, cells, nProbe))
         .as("cell"))
+    // unrounded ranking, as in topKPq: at nProbe = nCells with a lossless
+    // codebook this must reproduce brute force (the x_ivfpq_recall oracle)
     val scored = corpus.join(broadcast(q), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("qcos", round(cosine(col("qv"), col("rv")), 6))
+      .withColumn("qcos_raw", cosine(col("qv"), col("rv")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cand_id").asc)
+      .orderBy(col("qcos_raw").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("qcos"), col("rank"))
+      .select(col("query_id"), col("cand_id"),
+        round(col("qcos_raw"), 6).as("qcos"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 

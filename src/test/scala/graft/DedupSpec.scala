@@ -276,6 +276,36 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 2 && out.forall(_.getBoolean(3)))
   }
 
+  test("rows=1 banding makes nearDupsVerified ≡ exact jaccardPairs " +
+       "(the x_neardups_verified recall oracle)") {
+    // with one row per band a true pair is a candidate unless NONE of its
+    // 64 signature components collide — (1-j)^64 ≤ 5e-20 at j ≥ 0.5 — so
+    // the propose/verify pipeline must emit exactly the full exact-Jaccard
+    // pair scan at the same threshold
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val lsh = Dedup.nearDupsVerified(d, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 64, threshold = 0.5, minEst = 0.125)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "corpus has no near-dup pairs — test is vacuous")
+    assert(lsh == exact)
+  }
+
+  test("simhash recall audit: every identical-text twin pair surfaces at hamming 0") {
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val twins = d.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val out = Dedup.simHashNearDups(d.unionByName(twins), "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      .filter($"id_b" === $"id_a" + 1000000L)
+      .as[(Long, Long, Int)].collect()
+    val ids = d.select($"doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == ids)      // one twin pair per doc
+    assert(out.forall(_._3 == 0))           // all at hamming 0
+  }
+
   test("incremental LSH ingest ≡ full-corpus near-dup run (250/250 split)") {
     // the scaladoc contract of minHashNearDupsIncremental: because bucket
     // collision and the signature estimate are pairwise properties, batch

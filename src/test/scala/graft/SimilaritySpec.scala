@@ -156,6 +156,25 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("lossless PQ (kCodes ≥ corpus) reproduces brute force exactly") {
+    // every sampled subvector becomes its own Lloyd's-fixpoint centroid,
+    // so reconstruction is exact and ADC ranking ≡ brute-force ranking —
+    // the x_pq_recall / x_ivfpq_recall oracle contract
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" < 500)
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.topKBruteForce(queries, emb, "vec_id",
+        "embedding", 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.topKPq(queries, emb, "vec_id", "embedding", 3,
+        m = 8, kCodes = 512)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(pq == brute)
+    val ivfpq = Similarity.topKIvfPq(emb, "vec_id", "embedding", queries,
+        3, nCells = 8, nProbe = 8, m = 8, kCodes = 512)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq == brute)
+  }
+
   test("cosine near-dups finds the in-cell colinear pair only") {
     val nd = Similarity.cosineNearDups(vecs, "vec_id", "embedding", "label", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
