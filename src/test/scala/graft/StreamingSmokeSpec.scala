@@ -181,6 +181,62 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamingFeatures killed and resumed from its checkpoint emits the " +
+      "same closed windows as one batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    // time-ordered split: phase-2 rows all carry event times at or past
+    // phase 1's maximum, so none are late against the watermark the first
+    // incarnation checkpointed
+    val rows = raw.as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .collect().toSeq.sortBy(_._2.getTime)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = java.nio.file.Files.createTempDirectory("graft_sf_out_").toString + "/agg"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sf_ckpt_").toString
+    def startSink() =
+      Pipeline.parquetSink(Pipeline.streamingFeatures(sdf), out, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    // phase 1: first half, then the sink goes down (deterministic stop at a
+    // batch boundary — the checkpoint-recovery path is the same one a
+    // mid-batch kill exercises, minus nondeterministic replay timing)
+    stream.addData(first)
+    val q1 = startSink()
+    q1.processAllAvailable(); q1.awaitTermination(60000); q1.stop()
+    // data keeps arriving while the sink is down; the sentinel pushes the
+    // watermark a day past everything so every real window closes
+    val last = rows.map(_._2.getTime).max
+    stream.addData(second)
+    stream.addData(Seq((-1L,
+      new java.sql.Timestamp(last + 24L * 3600 * 1000), -1L, "view", 0.0,
+      "{}")))
+    // phase 2: resume over the SAME checkpoint and output
+    val q2 = startSink()
+    try {
+      q2.processAllAvailable(); q2.awaitTermination(60000)
+    } finally q2.stop()
+    val streamed = spark.read.parquet(out)
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"window_start", $"total_events", $"click_count")
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect().toSet
+    // every real window closed, so the streamed append output must equal a
+    // single batch evaluation of the same transform over all the data
+    val batch = Pipeline.streamingFeatures(raw.unionByName(
+        Seq((-1L, new java.sql.Timestamp(last + 24L * 3600 * 1000), -1L,
+          "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"window_start", $"total_events", $"click_count")
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("online-store upsert recovers from a crash between retire and promote") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val store = java.nio.file.Files.createTempDirectory("graft_crash_").toString + "/snap"
