@@ -182,6 +182,11 @@ object SparkEntry {
       // the exchange-planned form (layout changes, semantics do not);
       // PLANS.md carries the exchange-free plan.
       val e = Tables.events(s, dir)
+      // bucket sort metadata is only exposed to planning under this conf
+      // (off by default since Spark 3.0 because it lists files at plan
+      // time); without it the merge's ordering requirement re-sorts each
+      // bucket. Left set: it is behavior-neutral beyond planning cost.
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // a fresh session's in-memory catalog doesn't know about a previous
       // run's managed-table LOCATION — drop both the entry and the files
       for (t <- Seq("graft_asof_probes_bkt", "graft_asof_feats_bkt")) {
@@ -191,13 +196,20 @@ object SparkEntry {
         loc.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(loc, true)
       }
+      // repartition onto the bucket hash BEFORE the bucketed write: each
+      // task then holds exactly one bucket, so every bucket lands as ONE
+      // sorted file — the condition under which the scan's outputOrdering
+      // carries the sortBy order and EnsureRequirements inserts no Sort
+      // (multi-file buckets are only per-file sorted, forcing a re-sort)
       e.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
+        .repartition(8, col("user_id"))
         .write.mode("overwrite").bucketBy(8, "user_id")
         .sortBy("user_id", "ts").saveAsTable("graft_asof_probes_bkt")
       e.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts").as("fts"))
         .agg(max(col("value")).as("last_purchase_value"))
+        .repartition(8, col("user_id"))
         .write.mode("overwrite").bucketBy(8, "user_id")
         .sortBy("user_id", "fts").saveAsTable("graft_asof_feats_bkt")
       Retrieval.asOfJoinNative(s.table("graft_asof_probes_bkt"),

@@ -56,18 +56,33 @@ class AsOfNativeSpec extends SparkSpec {
   test("bucketed-sorted inputs run the as-of join exchange-free and sort-free") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    probes.write.mode("overwrite")
+    // one task per bucket → one sorted file per bucket, the condition for
+    // the scan to carry the sortBy order into outputOrdering
+    probes.repartition(4, $"user_id").write.mode("overwrite")
       .bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("asof_p_b")
-    features.write.mode("overwrite")
+    features.repartition(4, $"user_id").write.mode("overwrite")
       .bucketBy(4, "user_id").sortBy("user_id", "fts").saveAsTable("asof_f_b")
     try {
       val df = Retrieval.asOfJoinNative(spark.table("asof_p_b"),
         spark.table("asof_f_b"), "user_id", "ts", "fts", 7L * day)
+      // audit the POST-EnsureRequirements plan: requirement-driven
+      // exchanges/sorts are only inserted during preparation, so the
+      // pre-preparation sparkPlan would be vacuously exchange-free. AQE
+      // off so executedPlan is a plain walkable tree, and the legacy
+      // bucketedTableScan.outputOrdering conf on so the scan EXPOSES the
+      // per-bucket sortBy order (off by default since Spark 3.0 — without
+      // it the merge's ordering requirement forces a per-partition Sort
+      // even over single-file sorted buckets).
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       var shuffles = 0; var sorts = 0
-      df.queryExecution.sparkPlan.foreach {
+      try df.queryExecution.executedPlan.foreach {
         case _: ShuffleExchangeExec => shuffles += 1
         case _: SortExec => sorts += 1
         case _ =>
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       }
       assert(shuffles == 0, "bucketed as-of join must not shuffle")
       assert(sorts == 0, "sorted buckets must satisfy the merge's ordering")
