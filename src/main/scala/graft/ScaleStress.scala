@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Scale-stress harness for the full-corpus near-dup path:
+  * `sbt "runMain graft.ScaleStress"` times the x_dedup_clusters_full
+  * pipeline (exact shingle-Jaccard pairs at threshold 0.5, maxDf 50,
+  * resolved to components) and the incremental LSH ingest
+  * ([[graft.ops.Dedup.minHashNearDupsIncremental]]) on 1×/2×/5×/10×
+  * copies of the sf0.1 documents table (5 K → 50 K docs).
+  *
+  * Each copy beyond the first gets every token suffixed `_cK`, so
+  * cross-copy shingle sets are DISJOINT: the k× corpus is k disjoint
+  * replicas of the original similarity graph — near-dup DENSITY is
+  * preserved instead of multiplied (naive replication would square the
+  * within-cluster pair count and measure a different problem). Under the
+  * `maxDf` stop-shingle cap the join fan-out is Σ min(df,50)², which
+  * grows linearly in k here (each shingle's df is unchanged, there are
+  * just k× more of them) — so ~linear runtime is the pass criterion and
+  * anything superlinear means the cap is not doing its job.
+  *
+  * Corpora are localCheckpoint'ed before timing so generation cost stays
+  * out of the measurement; each config runs twice and reports the min
+  * (same first-touch policy as graft.Bench).
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+
+    def timeMin2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val a = once(); val b = once()
+      (math.min(a._1, b._1), b._2)
+    }
+
+    for (k <- Seq(1, 2, 5, 10)) {
+      val corpus = (0 until k).map { i =>
+        val text =
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", "$1_c" + i)
+        base.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val nDocs = corpus.count()
+
+      val (tCluster, nClustered) = timeMin2 {
+        Dedup.dedupClusters(
+          Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 50)
+            .select("id_a", "id_b")).count()
+      }
+      // ingest shape: earlier half of every copy is the accumulated corpus
+      // (signatures only), the later half is the new batch
+      val seen = corpus.filter(col("doc_id") % 100000L < 2500L)
+      val batch = corpus.filter(col("doc_id") % 100000L >= 2500L)
+      val seenSigs = Dedup.minHashSignatures(seen, "doc_id", "text", 3, 16)
+        .localCheckpoint()
+      val (tIncr, nBatch) = timeMin2 {
+        Dedup.minHashNearDupsIncremental(seenSigs, batch, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.5).count()
+      }
+      println(s"STRESS k=$k docs=$nDocs clustered=$nClustered " +
+        f"t_cluster=$tCluster%.2f t_incr=$tIncr%.2f batch=$nBatch")
+    }
+    spark.stop()
+  }
+}
