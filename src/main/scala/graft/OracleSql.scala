@@ -809,6 +809,15 @@ object OracleSql {
       SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
       ORDER BY event_date DESC LIMIT 7""",
 
+    // the JDBC registry round trip is identity-preserving (write →
+    // partitioned read → freshness fold → registry write → read), so the
+    // oracle is the direct per-view freshness aggregate off the raw table
+    "s_jdbc_registry" -> """
+      SELECT event_type AS feature_view_name, max(ts) AS last_updated_at,
+             count(*) AS row_count, round(sum(value), 6) AS value_sum
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type ORDER BY feature_view_name""",
+
     "g_events" -> s"""
       WITH seqd AS (
         SELECT c_custkey, CAST(gs.sq AS INTEGER) AS sq,

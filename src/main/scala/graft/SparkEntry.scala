@@ -448,6 +448,40 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    "s_jdbc_registry" -> ((s, dir) => {
+      // S9, for real: the reference's registry flow
+      // (init-scripts/01-init-db.sql:22-59) over an actual JDBC database
+      // (embedded Derby — same spark.read/write.jdbc code paths as
+      // Postgres). Offline feature rows land in `user_features` via JDBC
+      // write, come back through a range-PARTITIONED parallel JDBC read,
+      // fold to the per-view freshness aggregate, and the aggregate round
+      // trips through the `feature_freshness` registry table. Every hop is
+      // identity-preserving, so DuckDB replays the whole thing straight
+      // from events.parquet — any JDBC type-mapping or partition-predicate
+      // defect breaks the hash.
+      val db = java.nio.file.Files.createTempDirectory("graft_derby_")
+        .toString + "/registry"
+      val url = s"jdbc:derby:$db;create=true"
+      val e = Tables.events(s, dir)
+      val feats = e.filter(col("event_type").isin("click", "purchase"))
+        .select(
+          concat(lit("user_"), col("user_id")).as("entity_id"),
+          unix_micros(col("ts").cast("timestamp")).as("event_us"),
+          col("event_type").as("view_name"),
+          col("value").as("feature_1"))
+      graft.sources.JdbcRegistry.writeTable(feats, url, "user_features")
+      val bounds = feats.agg(min(col("event_us")), max(col("event_us"))).head()
+      val back = graft.sources.JdbcRegistry.readTablePartitioned(s, url,
+        "user_features", "event_us", bounds.getLong(0), bounds.getLong(1) + 1, 4)
+      graft.sources.JdbcRegistry
+        .publishFreshness(back, "view_name", "event_us", "feature_1", url)
+        .select(col("feature_view_name"),
+          timestamp_micros(col("last_updated_us")).cast("timestamp_ntz")
+            .as("last_updated_at"),
+          col("row_count"),
+          round(col("value_sum"), 6).as("value_sum"))
+        .orderBy("feature_view_name")
+    }),
     "s_sorted_layout" -> ((s, dir) => {
       // layout round trip: range-clustered sorted write, read back through a
       // range predicate (file/row-group skipping path), aggregate — oracle
