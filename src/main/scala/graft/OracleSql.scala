@@ -1068,6 +1068,54 @@ object OracleSql {
              CAST(0 AS INTEGER) AS hamming
       FROM documents ORDER BY id_a""",
 
+    // overlapping 32-token windows every 16 tokens; chunk count =
+    // max(ceil((n-32)/16), 0) + 1, token slices clamp at document end
+    "x_chunk_windows" -> """
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                 FROM documents WHERE trim(text) <> ''),
+      chunks AS (
+        SELECT doc_id, CAST(kk AS INTEGER) AS chunk_idx,
+               array_to_string(w[kk*16+1 : kk*16+32], ' ') AS chunk_text,
+               CAST(len(w[kk*16+1 : kk*16+32]) AS INTEGER) AS n_tokens
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CAST(greatest(ceil((len(w)-32)/16.0), 0)
+                       AS BIGINT) + 1)) AS kk
+              FROM d))
+      SELECT doc_id, chunk_idx, chunk_text, n_tokens
+      FROM chunks ORDER BY doc_id, chunk_idx""",
+
+    // cross-document first-occurrence line dedup over the injected 8-word
+    // line structure: winner per line fingerprint = smallest
+    // doc·10⁶+idx position; blank lines (none here) always kept
+    "x_dedup_lines" -> """
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                 FROM documents WHERE trim(text) <> ''),
+      lines AS (
+        SELECT doc_id, CAST(kk AS INTEGER) AS idx,
+               array_to_string(w[kk*8+1 : kk*8+8], ' ') AS line
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CAST(greatest(ceil((len(w)-8)/8.0), 0)
+                       AS BIGINT) + 1)) AS kk
+              FROM d)),
+      content AS (
+        SELECT doc_id, idx, line,
+               md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS fp,
+               doc_id*1000000 + idx AS pos
+        FROM lines WHERE trim(line) <> ''),
+      winners AS (SELECT fp, min(pos) AS keep_pos FROM content GROUP BY fp),
+      kept AS (
+        SELECT c.doc_id, c.idx, c.line
+        FROM content c JOIN winners w ON c.fp = w.fp AND c.pos = w.keep_pos),
+      nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+      SELECT nl.doc_id,
+             coalesce(string_agg(kept.line, chr(10) ORDER BY kept.idx), '')
+               AS clean_text,
+             CAST(count(kept.line) AS BIGINT) AS n_lines_kept,
+             CAST(nl.n_lines - count(kept.line) AS BIGINT) AS n_lines_removed
+      FROM nl LEFT JOIN kept ON nl.doc_id = kept.doc_id
+      GROUP BY nl.doc_id, nl.n_lines
+      ORDER BY nl.doc_id""",
+
     // contamination: DISTINCT 3-gram shingles per test doc vs the train
     // shingle set; short docs (zero shingles) kept at contamination 0
     "x_contamination" -> """
@@ -1677,6 +1725,20 @@ object OracleSql {
                   ELSE 'test' END AS split
       FROM (SELECT c_custkey, ${uk("c_custkey", 31)} AS u FROM customer)
       ORDER BY c_custkey""",
+
+    // shuffled-shard layout: uniform hash shard (u=1.0 edge clamped) +
+    // independent-channel rank within the shard, id tiebreak
+    "x_corpus_shuffle" -> s"""
+      WITH s AS (
+        SELECT doc_id,
+               least(CAST(floor(${uk("doc_id", 71)} * 8) AS INTEGER), 7)
+                 AS shard,
+               ${uk("doc_id", 72)} AS u
+        FROM documents)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
+               AS BIGINT) AS shard_pos
+      FROM s ORDER BY shard, shard_pos""",
 
     "q_stratified_sample" -> s"""
       WITH r AS (

@@ -814,6 +814,28 @@ object SparkEntry {
       // floor path carries real weight
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 100)),
+    "x_chunk_windows" -> ((s, dir) =>
+      // context-window prep: overlapping 32-token chunks every 16 tokens,
+      // chunk index kept so downstream packing can restore document order
+      TextAnalysis.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+        window = 32, stride = 16)),
+    "x_dedup_lines" -> ((s, dir) => {
+      // cross-document line dedup (the RefinedWeb/Dolma paragraph rule:
+      // each line survives only at its first corpus-wide occurrence). The
+      // corpus is single-line, so the query injects line structure first —
+      // every doc re-chunked into 8-word lines (deterministic, replayed by
+      // the oracle) — then dedups lines across the whole corpus.
+      val lined = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
+          .as("text"))
+      TextAnalysis.dedupLines(lined, "doc_id", "text")
+    }),
+    "x_corpus_shuffle" -> ((s, dir) =>
+      // deterministic shuffled-shard layout for training reads: uniform
+      // hash shard + independent-channel within-shard order, stable under
+      // reruns and corpus append
+      Sampling.corpusShuffle(Tables.documents(s, dir), "doc_id",
+        nShards = 8)),
     "x_pii_scrub" -> ((s, dir) => {
       // deterministic PII injection so the scrub exercises on every row
       val injected = concat(col("text"),

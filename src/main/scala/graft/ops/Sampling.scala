@@ -351,4 +351,31 @@ object Sampling {
         floor((col("cum_tokens") - col(tokenCol)) / maxTokens).cast("int"))
       .select(col(groupCol), col(idCol), col(tokenCol).cast("int").as(tokenCol),
         col("cum_tokens"), col("pack_id"))
+
+  /** Deterministic corpus shuffle into training shards: every row gets a
+    * shard (uniform over `nShards` via the engine-parity [[Gen.u01]]
+    * hash) and a position WITHIN its shard (rank by an independent hash
+    * channel, id tiebreak) — the "globally shuffled, sharded" layout a
+    * training job reads so consecutive examples are decorrelated, stable
+    * under reruns and corpus append (hash-keyed, like [[splitAssign]]).
+    *
+    * Scale shape: shard assignment is a narrow projection; the only
+    * shuffle is the per-shard rank window, whose partitions are
+    * corpus/nShards rows — pick nShards so a shard fits a task (the same
+    * knob a writer uses for output file sizing), and the plan has no
+    * global sort.
+    */
+  def corpusShuffle(docs: DataFrame, idCol: String, nShards: Int,
+                    channel: Long = 71L): DataFrame = {
+    val shard = least(
+      floor(Gen.u01(col(idCol), channel) * nShards).cast("int"),
+      lit(nShards - 1))
+    val order = Gen.u01(col(idCol), channel + 1)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__u").asc, col(idCol).asc)
+    docs.select(col(idCol), shard.as("shard"), order.as("__u"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("shard_pos"))
+      .orderBy(col("shard"), col("shard_pos"))
+  }
 }

@@ -259,4 +259,83 @@ object TextAnalysis {
     (regexp_count(text, lit(piiEmail)).cast("int"),
       regexp_count(regexp_replace(text, piiEmail, "<EMAIL>"),
         lit(piiPhone)).cast("int"))
+
+  /** Fixed-token chunk texts of a document: token windows of `window`
+    * words starting every `stride` words (stride < window ⇒ overlapping
+    * context windows, the LLM-training chunking shape; stride = window ⇒
+    * a partition). Pure HOF projection — one narrow codegen'd pass, no
+    * shuffle. Empty docs produce an empty array (zero chunks), not a
+    * single empty chunk.
+    */
+  def chunkTexts(text: Column, window: Int, stride: Int): Column = {
+    val w = tokens(text)
+    val n = size(w)
+    // chunk starts 0, stride, 2·stride … while start < n
+    val nChunks = greatest(
+      ceil((n - lit(window)).cast("double") / stride).cast("int"), lit(0)) + 1
+    // guard on trimmed text, not size(w): Spark's split("") is [""], so an
+    // empty doc would otherwise emit one empty chunk
+    when(length(trim(text)) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        k => concat_ws(" ", slice(w, k * stride + 1, lit(window)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-chunk relation: (id, chunk_idx, chunk_text, n_tokens) — the
+    * context-window prep stage of a training pipeline. posexplode keeps
+    * the chunk index so downstream packing/shuffling can reconstruct
+    * document order.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame =
+    docs.select(col(idCol),
+        posexplode(chunkTexts(col(textCol), window, stride))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(tokens(col("chunk_text"))))
+      .orderBy(col(idCol), col("chunk_idx"))
+
+  /** Cross-document LINE deduplication (the RefinedWeb/Dolma paragraph
+    * dedup rule): every non-blank line keeps exactly its FIRST occurrence
+    * corpus-wide (smallest (doc, line-position)); later occurrences are
+    * removed from their documents; blank lines are document structure and
+    * always kept. Returns per doc the cleaned text plus kept/removed
+    * counts.
+    *
+    * Scale shape: explode lines (narrow) → ONE shuffle on the 16-byte
+    * line fingerprint to elect winners (min position — an associative
+    * partial agg) → fingerprint join back → per-document reassembly
+    * (array_sort over that document's own lines, bounded by document
+    * size, never a corpus sort). Line content never shuffles twice: the
+    * winner election carries only (fp, pos).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // pos = doc·10⁶ + idx gives the lexicographic (doc, idx) order as one
+    // long — the same encoding the DuckDB oracle replays
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val content = lines.filter(trim(col("line")) =!= "")
+      // same normalized fingerprint as exact document dedup: lowercase,
+      // collapse whitespace runs, md5 ([[Dedup.fingerprint]])
+      .withColumn("fp", Dedup.fingerprint(col("line")))
+      .withColumn("pos", col(idCol) * 1000000L + col("idx"))
+    val winners = content.groupBy(col("fp")).agg(min(col("pos")).as("keep_pos"))
+    val kept = content.join(winners, "fp")
+      .filter(col("pos") === col("keep_pos"))
+      .select(col(idCol), col("idx"), col("line"))
+      .unionByName(lines.filter(trim(col("line")) === ""))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x("line")), "\n").as("clean_text"),
+      count(lit(1)).as("n_lines_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+      .orderBy(col(idCol))
+  }
 }

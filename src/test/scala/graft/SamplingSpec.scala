@@ -338,4 +338,29 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(sel.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("corpusShuffle: complete, contiguous per-shard positions, " +
+       "append-stable shard assignment") {
+    val docs = (0L until 400L).toDF("doc_id")
+    val out = Sampling.corpusShuffle(docs, "doc_id", nShards = 8)
+      .as[(Long, Int, Long)].collect()
+    // every doc exactly once, shards in range
+    assert(out.length == 400 && out.map(_._1).distinct.length == 400)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions within each shard are exactly 1..|shard|
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // hash shards are roughly balanced (uniform over 8 shards, 400 docs)
+    assert(out.groupBy(_._2).values.map(_.size).min > 20)
+    // the shuffle actually decorrelates: within-shard order is not id order
+    val firstShard = out.filter(_._2 == out.head._2).sortBy(_._3).map(_._1)
+    assert(firstShard.toSeq != firstShard.sorted.toSeq)
+    // append-stability: growing the corpus never reassigns an existing doc
+    val grown = Sampling.corpusShuffle((0L until 800L).toDF("doc_id"),
+        "doc_id", nShards = 8)
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out.forall(r => grown(r._1) == r._2))
+  }
 }

@@ -126,4 +126,48 @@ class TextAnalysisSpec extends SparkSpec {
     // ordering property: common-token text scores lower than OOV gibberish
     assert(out(0)._4 < out(2)._4)
   }
+
+  test("chunkWindows: overlap, tail clamp, short and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than window
+      (3L, "")                                        // empty: zero chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(docs, "doc_id", "text",
+        window = 4, stride = 2)
+      .as[(Long, Int, String, Int)].collect().toList
+    val doc1 = out.filter(_._1 == 1L)
+    // starts 0,2,4,6 (ceil((10-4)/2)+1 = 4 chunks); last chunk full
+    assert(doc1.map(_._3) == List(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(doc1.map(_._4).forall(_ == 4))
+    assert(out.filter(_._1 == 2L).map(_._3) == List("a b")) // one short chunk
+    assert(!out.exists(_._1 == 3L))                         // empty vanishes
+  }
+
+  test("dedupLines keeps first corpus-wide occurrence, blank lines intact") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared line\ngamma"),
+      (2L, "shared line\n\ndelta"),      // duplicate + a blank line
+      (3L, "shared line")                // entire doc duplicated away
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, "alpha beta\nshared line\ngamma", 3L, 0L),
+      (2L, "\ndelta", 2L, 1L),           // blank kept, duplicate removed
+      (3L, "", 0L, 1L)))                 // fully deduped doc → empty text
+  }
+
+  test("dedupLines is normalization-aware (case/whitespace variants collapse)") {
+    val docs = Seq(
+      (1L, "Hello World"),
+      (2L, "  hello   world  ") // different raw bytes, same normalized fp
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, "Hello World", 1L, 0L),
+      (2L, "", 0L, 1L)))
+  }
 }
