@@ -1905,6 +1905,25 @@ object OracleSql {
       JOIN region r ON n.n_regionkey = r.r_regionkey
       GROUP BY r.r_name, n.n_name ORDER BY r_name, n_name""",
 
+    "q_promo_revenue" -> """
+      SELECT round(100.0 *
+               sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0.0 END) /
+               sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS promo_revenue_pct,
+             count(*) AS n_items
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
+
+    "q_supplier_volume" -> """
+      SELECT n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY n_name""",
+
     "q_revenue_by_segment" -> """
       SELECT c.c_mktsegment,
              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

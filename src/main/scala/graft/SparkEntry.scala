@@ -1102,6 +1102,34 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    "q_promo_revenue" -> ((s, dir) =>
+      // TPC-H Q14 shape: fact ⋈ broadcast part dim, conditional revenue
+      // share — part is orders-of-magnitude smaller than lineitem, so the
+      // dim broadcasts and the fact never shuffles
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+            .as("promo_revenue_pct"),
+          count(lit(1)).as("n_items"))),
+    "q_supplier_volume" -> ((s, dir) => {
+      // TPC-H Q9-lite: revenue by supplier nation — fact ⋈ broadcast
+      // supplier ⋈ broadcast nation, one hash aggregate
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
     "q_bloom_semi" -> ((s, dir) => {
       // explicit runtime filter: bloom built from the selective dim side
       // prunes the fact scan BEFORE the join shuffle; the exact semi join
