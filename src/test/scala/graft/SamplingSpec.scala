@@ -363,4 +363,23 @@ class SamplingSpec extends SparkSpec {
       .map(r => r._1 -> r._2).toMap
     assert(out.forall(r => grown(r._1) == r._2))
   }
+
+  test("corpusShuffle ≡ naive scalar replay of the hash + rank") {
+    def u01(key: Long, c: Long): Double = {
+      val M = 2147483647L
+      val h3 = ((key + c * 1000003L) % M) * 48271L % M * 48271L % M
+      (h3 + 1).toDouble / M
+    }
+    val ids = 0L until 300L
+    val expected = ids
+      .map(id => (id, math.min(math.floor(u01(id, 71L) * 8).toInt, 7),
+        u01(id, 72L)))
+      .groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case ((id, s, _), i) => (id, s, (i + 1).toLong) }
+      }.sortBy(r => (r._2, r._3)).toList
+    val got = Sampling.corpusShuffle(ids.toDF("doc_id"), "doc_id", 8)
+      .as[(Long, Int, Long)].collect().toList
+    assert(got == expected)
+  }
 }

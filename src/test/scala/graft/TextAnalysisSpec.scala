@@ -170,4 +170,52 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "Hello World", 1L, 0L),
       (2L, "", 0L, 1L)))
   }
+
+  test("dedupLines ≡ naive sequential first-occurrence scan on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa bb", "cc", "dd ee ff", "GG", "gg", " cc ", "")
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 30L).map(id =>
+        id -> Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+          .mkString("\n"))
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.map { case (id, text) =>
+        val lines = text.split("\n", -1)
+        val kept = lines.filter { l =>
+          if (l.trim.isEmpty) true
+          else seen.add(l.trim.toLowerCase.replaceAll("\\s+", " "))
+        }
+        (id, kept.mkString("\n"), kept.length.toLong,
+          (lines.length - kept.length).toLong)
+      }
+      val got = TextAnalysis.dedupLines(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, String, Long, Long)].collect().toList
+      assert(got == expected.toList, s"trial $trial diverged")
+    }
+  }
+
+  test("chunkWindows ≡ naive sliding windows on random token counts") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 40L).map(id =>
+      id -> (0 until rnd.nextInt(30)).map(i => s"t${rnd.nextInt(9)}_$i")
+        .mkString(" "))
+    val (window, stride) = (7, 3)
+    val expected = docs.flatMap { case (id, text) =>
+      val w = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.isEmpty) Nil
+      else {
+        // chunks advance by stride until one window covers the tail
+        val n = math.max(math.ceil((w.length - window).toDouble / stride)
+          .toInt, 0) + 1
+        (0 until n).map(k =>
+          (id, k, w.slice(k * stride, k * stride + window).mkString(" ")))
+      }
+    }
+    val got = TextAnalysis.chunkWindows(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window, stride)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect().toList
+    assert(got == expected.toList)
+  }
 }
