@@ -1116,6 +1116,50 @@ object OracleSql {
       GROUP BY nl.doc_id, nl.n_lines
       ORDER BY nl.doc_id""",
 
+    // chunk-level pipeline composite: the x_dedup_lines CTEs (8-word line
+    // injection + first-occurrence dedup), a ≥2-surviving-lines doc
+    // floor, 16-token windows, hash shard, per-shard summary
+    "x_llm_pipeline_v2" -> s"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                 FROM documents WHERE trim(text) <> ''),
+      lines AS (
+        SELECT doc_id, CAST(kk AS INTEGER) AS idx,
+               array_to_string(w[kk*8+1 : kk*8+8], ' ') AS line
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CAST(greatest(ceil((len(w)-8)/8.0), 0)
+                       AS BIGINT) + 1)) AS kk
+              FROM d)),
+      content AS (
+        SELECT doc_id, idx, line,
+               md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS fp,
+               doc_id*1000000 + idx AS pos
+        FROM lines WHERE trim(line) <> ''),
+      winners AS (SELECT fp, min(pos) AS keep_pos FROM content GROUP BY fp),
+      kept AS (
+        SELECT c.doc_id, c.idx, c.line
+        FROM content c JOIN winners wi ON c.fp = wi.fp AND c.pos = wi.keep_pos),
+      clean AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        FROM kept GROUP BY doc_id HAVING count(*) >= 2),
+      cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+             FROM clean),
+      chunks AS (
+        SELECT doc_id, CAST(kk AS INTEGER) AS chunk_idx,
+               CAST(len(w[kk*16+1 : kk*16+16]) AS BIGINT) AS n_tokens,
+               doc_id*1000 + kk AS chunk_key
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CAST(greatest(ceil((len(w)-16)/16.0), 0)
+                       AS BIGINT) + 1)) AS kk
+              FROM cw)),
+      sharded AS (
+        SELECT chunk_key, n_tokens,
+               least(CAST(floor(${uk("chunk_key", 71)} * 8) AS INTEGER), 7)
+                 AS shard
+        FROM chunks)
+      SELECT shard, count(*) AS n_chunks,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM sharded GROUP BY shard ORDER BY shard""",
+
     // contamination: DISTINCT 3-gram shingles per test doc vs the train
     // shingle set; short docs (zero shingles) kept at contamination 0
     "x_contamination" -> """

@@ -836,6 +836,33 @@ object SparkEntry {
       // reruns and corpus append
       Sampling.corpusShuffle(Tables.documents(s, dir), "doc_id",
         nShards = 8)),
+    "x_llm_pipeline_v2" -> ((s, dir) => {
+      // the CHUNK-level training-data pipeline, composed from this round's
+      // operators: inject 8-word line structure → cross-document line
+      // dedup → doc floor (≥ 2 surviving lines) → 16-token context
+      // windows → deterministic shard layout → per-shard corpus summary.
+      // Every stage is individually oracle-checked; the composite chains
+      // their CTEs in DuckDB.
+      val lined = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
+          .as("text"))
+      val clean = TextAnalysis.dedupLines(lined, "doc_id", "text")
+        .filter(col("n_lines_kept") >= 2)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      // checkpoint: the chunk table feeds BOTH the shard assignment and
+      // the join back for n_tokens — without it the dedup + chunking
+      // upstream runs once per consumer
+      val chunks = TextAnalysis.chunkWindows(clean, "doc_id", "text",
+          window = 16, stride = 16)
+        .withColumn("chunk_key", col("doc_id") * 1000L + col("chunk_idx"))
+        .localCheckpoint()
+      Sampling.corpusShuffle(chunks, "chunk_key", nShards = 8)
+        .join(chunks, "chunk_key")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("shard")
+    }),
     "x_pii_scrub" -> ((s, dir) => {
       // deterministic PII injection so the scrub exercises on every row
       val injected = concat(col("text"),
