@@ -73,6 +73,46 @@ object ScaleStress {
       }
       println(s"STRESS k=$k docs=$nDocs clustered=$nClustered " +
         f"t_cluster=$tCluster%.2f t_incr=$tIncr%.2f batch=$nBatch")
+
+      // line-dedup + chunking over the same replicated corpus (cross-copy
+      // lines are disjoint, so dedup density is preserved too)
+      val (tLines, nCleaned) = timeMin2 {
+        graft.ops.TextAnalysis.dedupLines(
+          corpus.select(col("doc_id"),
+            array_join(graft.ops.TextAnalysis.chunkTexts(col("text"), 8, 8),
+              "\n").as("text")),
+          "doc_id", "text").count()
+      }
+      val (tChunk, nChunks) = timeMin2 {
+        graft.ops.TextAnalysis.chunkWindows(corpus, "doc_id", "text",
+          window = 16, stride = 16).count()
+      }
+      println(s"STRESS-TEXT k=$k " +
+        f"t_dedup_lines=$tLines%.2f docs=$nCleaned " +
+        f"t_chunk=$tChunk%.2f chunks=$nChunks")
+    }
+
+    // ANN search path at 1× and 10× the embeddings corpus (replicated
+    // vec_ids; identical vectors — this times the SEARCH plans, the
+    // codebook stays a bounded sample by construction)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding"))
+    for (k <- Seq(1, 10)) {
+      val corpus = (0 until k).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val n = corpus.count()
+      val queries = corpus.filter(col("vec_id") < 5)
+      val (tBrute, _) = timeMin2 {
+        graft.ops.Similarity.topKBruteForce(queries, corpus,
+          "vec_id", "embedding", 3).count()
+      }
+      val (tIvf, _) = timeMin2 {
+        graft.ops.Similarity.learnedIvf(corpus, "vec_id", "embedding",
+          queries, 3, nCells = 8).count()
+      }
+      println(f"STRESS-ANN k=$k vecs=$n t_brute=$tBrute%.2f t_ivf=$tIvf%.2f")
     }
     spark.stop()
   }
