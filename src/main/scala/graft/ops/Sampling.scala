@@ -367,6 +367,7 @@ object Sampling {
     */
   def corpusShuffle(docs: DataFrame, idCol: String, nShards: Int,
                     channel: Long = 71L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val shard = least(
       floor(Gen.u01(col(idCol), channel) * nShards).cast("int"),
       lit(nShards - 1))
