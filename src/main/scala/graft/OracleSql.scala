@@ -1949,6 +1949,61 @@ object OracleSql {
       JOIN region r ON n.n_regionkey = r.r_regionkey
       GROUP BY r.r_name, n.n_name ORDER BY r_name, n_name""",
 
+    // hashing trick: first 8 md5 hex chars as an int, mod buckets —
+    // engine-parity (md5 bytewise identical, 32-bit prefix sign-safe)
+    "q_feature_hashing" -> """
+      SELECT event_id, event_type,
+             CAST(CAST(concat('0x', substr(md5(event_type), 1, 8)) AS BIGINT)
+               % 64 AS INTEGER) AS event_type_bucket
+      FROM events ORDER BY event_id""",
+
+    "q_onehot_events" -> """
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_signup
+      FROM events ORDER BY event_id""",
+
+    "q_mad_outliers" -> """
+      WITH med AS (
+        SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        FROM events GROUP BY event_type),
+      mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type)
+      SELECT e.event_type, round(m.med, 6) AS median, round(d.mad, 6) AS mad,
+             CAST(sum(CASE WHEN abs(CAST(e.value AS DOUBLE) - m.med)
+                                > d.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             count(*) AS n_rows
+      FROM events e
+      JOIN med m ON e.event_type = m.event_type
+      JOIN mad d ON e.event_type = d.event_type
+      GROUP BY e.event_type, m.med, d.mad
+      ORDER BY e.event_type""",
+
+    "q_feature_corr" -> """
+      SELECT col_a, col_b, round(c, 6) AS corr FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               corr(l_quantity, l_extendedprice) AS c FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               corr(l_extendedprice, l_discount) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem)
+      ORDER BY col_a, col_b""",
+
     "q_promo_revenue" -> """
       SELECT round(100.0 *
                sum(CASE WHEN p.p_type = 'PROMO'

@@ -1129,6 +1129,29 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    "q_feature_hashing" -> ((s, dir) =>
+      // hashing-trick encoder: md5-prefix bucket per category — no fitted
+      // vocabulary, stable under unseen categories (the 100 TB encoder)
+      Encoding.featureHash(
+          Tables.events(s, dir).select(col("event_id"), col("event_type")),
+          Seq("event_type"), nBuckets = 64)
+        .orderBy("event_id")),
+    "q_onehot_events" -> ((s, dir) =>
+      // explicit one-hot over a DECLARED category list; 'error' rows fall
+      // outside it and get all-zero indicators (handle-unknown=ignore)
+      Encoding.oneHot(
+          Tables.events(s, dir).select(col("event_id"), col("event_type")),
+          "event_type", Seq("view", "click", "purchase", "signup"))
+        .orderBy("event_id")),
+    "q_mad_outliers" -> ((s, dir) =>
+      // robust (median/MAD) outlier report — the heavy-tail-safe sibling
+      // of the Tukey IQR fences
+      Stats.madOutliers(Tables.events(s, dir), "event_type", "value",
+        k = 3.0)),
+    "q_feature_corr" -> ((s, dir) =>
+      // pairwise Pearson matrix in ONE aggregation pass, melted to rows
+      Stats.corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_promo_revenue" -> ((s, dir) =>
       // TPC-H Q14 shape: fact ⋈ broadcast part dim, conditional revenue
       // share — part is orders-of-magnitude smaller than lineitem, so the

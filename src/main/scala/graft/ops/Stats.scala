@@ -232,4 +232,49 @@ object Stats {
   def recentPartitions(df: DataFrame, dateCol: String, n: Int): DataFrame =
     df.select(col(dateCol)).distinct()
       .orderBy(col(dateCol).desc).limit(n)
+
+  /** Robust outlier report: per group, the median, the median absolute
+    * deviation (MAD), and the count of rows beyond `k`·MAD — the
+    * heavy-tail-safe sibling of the Tukey IQR fences (a single wild value
+    * cannot move median/MAD the way it moves mean/stddev). Three bounded
+    * passes: per-group median, per-group MAD of deviations (both exact
+    * `percentile` aggregates), broadcast join back for the offender count.
+    * At 100 TB swap the exact percentiles for `percentile_approx` exactly
+    * as [[iqrOutliersApprox]] does.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5D)").as("med"))
+    val mad = df.join(broadcast(med), groupCol)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valCol - med), 0.5D)").as("mad"))
+    df.join(broadcast(med), groupCol).join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        round(min(col("med")), 6).as("median"),
+        round(min(col("mad")), 6).as("mad"),
+        sum(when(abs(col(valCol) - col("med")) > col("mad") * k, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns, melted to
+    * (col_a, col_b, corr) rows for a < b — ONE aggregation pass computes
+    * every pair (corr is an aggregate function, so the whole matrix is a
+    * single map-side-combined job, no per-pair scans).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = pairs.map { case (a, b) => s"'$a', '$b', ${a}__$b" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ") as (col_a, col_b, corr)")
+    wide.selectExpr(stackExpr).orderBy("col_a", "col_b")
+  }
 }

@@ -93,4 +93,25 @@ class StatsSpec extends SparkSpec {
     // constant column: no spread -> NULL z and NULL min-max
     assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
+
+  test("madOutliers: hand-computed median/MAD, wild value flagged, " +
+       "constant group robust") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 7.0), ("b", 7.0), ("b", 7.0)
+    ).toDF("g", "v")
+    val out = Stats.madOutliers(df, "g", "v", k = 3.0)
+      .as[(String, Double, Double, Long, Long)].collect().toList
+    // a: median 3, deviations (2,1,0,1,97) -> MAD 1; only 100 beyond 3·MAD
+    // b: constant -> MAD 0, no deviation exceeds 0 strictly
+    assert(out == List(("a", 3.0, 1.0, 1L, 5L), ("b", 7.0, 0.0, 0L, 3L)))
+  }
+
+  test("corrMatrix: perfect correlation, anti-correlation, one pass") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("x", "y", "z")
+    val out = Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Double)].collect().toList
+    assert(out == List(("x", "y", 1.0), ("x", "z", -1.0), ("y", "z", -1.0)))
+  }
 }
