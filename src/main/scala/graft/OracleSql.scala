@@ -1086,7 +1086,11 @@ object OracleSql {
 
     // cross-document first-occurrence line dedup over the injected 8-word
     // line structure: winner per line fingerprint = smallest
-    // doc·10⁶+idx position; blank lines (none here) always kept
+    // doc·10⁶+idx position; blank lines (none here) always kept. The
+    // WHERE trim(text) <> '' mirrors the registered query's filter —
+    // empty docs are excluded on BOTH sides (the operator itself keeps
+    // them as one blank line, which this line-derivation CTE cannot
+    // express)
     "x_dedup_lines" -> """
       WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                  FROM documents WHERE trim(text) <> ''),
@@ -1146,7 +1150,7 @@ object OracleSql {
       chunks AS (
         SELECT doc_id, CAST(kk AS INTEGER) AS chunk_idx,
                CAST(len(w[kk*16+1 : kk*16+16]) AS BIGINT) AS n_tokens,
-               doc_id*1000 + kk AS chunk_key
+               doc_id*1000000 + kk AS chunk_key
         FROM (SELECT doc_id, w,
                      unnest(range(0, CAST(greatest(ceil((len(w)-16)/16.0), 0)
                        AS BIGINT) + 1)) AS kk

@@ -473,7 +473,7 @@ object SparkEntry {
       val bounds = feats.agg(min(col("event_us")), max(col("event_us"))).head()
       val back = graft.sources.JdbcRegistry.readTablePartitioned(s, url,
         "user_features", "event_us", bounds.getLong(0), bounds.getLong(1) + 1, 4)
-      graft.sources.JdbcRegistry
+      val out = graft.sources.JdbcRegistry
         .publishFreshness(back, "view_name", "event_us", "feature_1", url)
         .select(col("feature_view_name"),
           timestamp_micros(col("last_updated_us")).cast("timestamp_ntz")
@@ -481,6 +481,14 @@ object SparkEntry {
           col("row_count"),
           round(col("value_sum"), 6).as("value_sum"))
         .orderBy("feature_view_name")
+        // eager checkpoint: the result must not lazily re-read Derby after
+        // the engine below is shut down and the directory removed
+        .localCheckpoint()
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // shutdown SIGNALS via SQLException
+      val dbDir = new java.io.File(db).getParentFile
+      org.apache.commons.io.FileUtils.deleteQuietly(dbDir)
+      out
     }),
     "s_sorted_layout" -> ((s, dir) => {
       // layout round trip: range-clustered sorted write, read back through a
@@ -824,10 +832,15 @@ object SparkEntry {
       // each line survives only at its first corpus-wide occurrence). The
       // corpus is single-line, so the query injects line structure first —
       // every doc re-chunked into 8-word lines (deterministic, replayed by
-      // the oracle) — then dedups lines across the whole corpus.
-      val lined = Tables.documents(s, dir).select(col("doc_id"),
-        array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
-          .as("text"))
+      // the oracle) — then dedups lines across the whole corpus. Empty
+      // docs are excluded symmetrically with the oracle's WHERE (the
+      // operator itself keeps them as one blank line; the oracle's
+      // line-derivation CTE cannot represent that).
+      val lined = Tables.documents(s, dir)
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
+            .as("text"))
       TextAnalysis.dedupLines(lined, "doc_id", "text")
     }),
     "x_corpus_shuffle" -> ((s, dir) =>
@@ -843,21 +856,22 @@ object SparkEntry {
       // windows → deterministic shard layout → per-shard corpus summary.
       // Every stage is individually oracle-checked; the composite chains
       // their CTEs in DuckDB.
-      val lined = Tables.documents(s, dir).select(col("doc_id"),
-        array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
-          .as("text"))
+      val lined = Tables.documents(s, dir)
+        .filter(trim(col("text")) =!= "")  // symmetric with the oracle CTE
+        .select(col("doc_id"),
+          array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
+            .as("text"))
       val clean = TextAnalysis.dedupLines(lined, "doc_id", "text")
         .filter(col("n_lines_kept") >= 2)
         .select(col("doc_id"), col("clean_text").as("text"))
-      // checkpoint: the chunk table feeds BOTH the shard assignment and
-      // the join back for n_tokens — without it the dedup + chunking
-      // upstream runs once per consumer
-      val chunks = TextAnalysis.chunkWindows(clean, "doc_id", "text",
+      // chunk_key uses the same ·10⁶ positional encoding as dedupLines
+      // (collision-free below a million chunks per doc); the summary only
+      // needs the SHARD, so the assignment runs inline — no within-shard
+      // rank, no checkpoint, no join back
+      TextAnalysis.chunkWindows(clean, "doc_id", "text",
           window = 16, stride = 16)
-        .withColumn("chunk_key", col("doc_id") * 1000L + col("chunk_idx"))
-        .localCheckpoint()
-      Sampling.corpusShuffle(chunks, "chunk_key", nShards = 8)
-        .join(chunks, "chunk_key")
+        .withColumn("chunk_key", col("doc_id") * 1000000L + col("chunk_idx"))
+        .withColumn("shard", Sampling.shardOf(col("chunk_key"), 8))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("n_tokens").cast("long")).as("total_tokens"))

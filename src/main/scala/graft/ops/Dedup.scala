@@ -138,6 +138,15 @@ object Dedup {
     withSig.select(col("id") +: minCols: _*)
   }
 
+  /** Estimated Jaccard of two signature rows aliased `a`/`b`: the
+    * fraction of equal MinHash components — shared by every propose /
+    * verify stage so the estimator cannot silently diverge between them.
+    */
+  private def sigAgreement(numHashes: Int): Column =
+    (0 until numHashes).map(i =>
+        when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / numHashes.toDouble
+
   /** Slim LSH band-bucket relation of a signature table: (id, band,
     * bucket) — one row per (doc, band), the minimal shape for bucket
     * equi-joins (carrying signatures through the join would shuffle
@@ -205,9 +214,7 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("r.id") < col("l.id"))
       .select(col("l.id").as("bid"), col("r.id").as("cand")).distinct()
-    val simExpr = (0 until numHashes).map(i =>
-        when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1.0).otherwise(0.0))
-      .reduce(_ + _) / numHashes.toDouble
+    val simExpr = sigAgreement(numHashes)
     val dups = cand
       .join(batchSigs.as("a"), col("bid") === col("a.id"))
       .join(seen.unionByName(batchSigs).as("b"), col("cand") === col("b.id"))
@@ -231,9 +238,7 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
     val cand = lshCandidatePairs(sig, numHashes, bands)
-    val simExpr = (0 until numHashes).map(i =>
-        when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1.0).otherwise(0.0))
-      .reduce(_ + _) / numHashes.toDouble
+    val simExpr = sigAgreement(numHashes)
     cand
       .join(sig.as("a"), col("id_a") === col("a.id"))
       .join(sig.as("b"), col("id_b") === col("b.id"))
@@ -268,13 +273,10 @@ object Dedup {
     val trimmed =
       if (minEst <= 0.0) cand
       else {
-        val simExpr = (0 until numHashes).map(i =>
-            when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1.0).otherwise(0.0))
-          .reduce(_ + _) / numHashes.toDouble
         cand
           .join(sig.as("a"), col("id_a") === col("a.id"))
           .join(sig.as("b"), col("id_b") === col("b.id"))
-          .filter(simExpr >= minEst)
+          .filter(sigAgreement(numHashes) >= minEst)
           .select(col("id_a"), col("id_b"))
       }
     val sh = docs.select(col(idCol).as("id"),

@@ -365,12 +365,20 @@ object Sampling {
     * knob a writer uses for output file sizing), and the plan has no
     * global sort.
     */
+  /** Uniform hash shard of a numeric key (the u = 1.0 edge clamps into the
+    * last shard) — the assignment half of [[corpusShuffle]], exposed so
+    * pipelines that only need the shard column skip the within-shard rank
+    * entirely.
+    */
+  def shardOf(key: Column, nShards: Int, channel: Long = 71L): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    least(floor(Gen.u01(key, channel) * nShards).cast("int"),
+      lit(nShards - 1))
+  }
+
   def corpusShuffle(docs: DataFrame, idCol: String, nShards: Int,
                     channel: Long = 71L): DataFrame = {
-    require(nShards > 0, s"nShards must be positive, got $nShards")
-    val shard = least(
-      floor(Gen.u01(col(idCol), channel) * nShards).cast("int"),
-      lit(nShards - 1))
+    val shard = shardOf(col(idCol), nShards, channel)
     val order = Gen.u01(col(idCol), channel + 1)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__u").asc, col(idCol).asc)

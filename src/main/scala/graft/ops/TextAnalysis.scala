@@ -263,14 +263,19 @@ object TextAnalysis {
   /** Fixed-token chunk texts of a document: token windows of `window`
     * words starting every `stride` words (stride < window ⇒ overlapping
     * context windows, the LLM-training chunking shape; stride = window ⇒
-    * a partition). Pure HOF projection — one narrow codegen'd pass, no
-    * shuffle. Empty docs produce an empty array (zero chunks), not a
-    * single empty chunk.
+    * a partition; stride > window is rejected — it would strand tokens
+    * between chunks and emit phantom starts past the document end). Pure
+    * HOF projection — one narrow codegen'd pass, no shuffle. Empty docs
+    * produce an empty array (zero chunks), not a single empty chunk.
     */
   def chunkTexts(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
     val w = tokens(text)
     val n = size(w)
-    // chunk starts 0, stride, 2·stride … while start < n
+    // chunk starts 0, stride, 2·stride … until one window covers the tail
+    // (the last start is the smallest multiple of stride with
+    // start + window >= n)
     val nChunks = greatest(
       ceil((n - lit(window)).cast("double") / stride).cast("int"), lit(0)) + 1
     // guard on trimmed text, not size(w): Spark's split("") is [""], so an

@@ -8,13 +8,27 @@ import org.apache.spark.sql.functions._
   * this spec covers the JDBC mechanics an oracle can't see — partition
   * fan-out, overwrite idempotency, registry re-publication).
   */
-class JdbcRegistrySpec extends SparkSpec {
+class JdbcRegistrySpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
+  private val created = scala.collection.mutable.ListBuffer[String]()
+
   private def freshUrl(): String = {
-    val db = java.nio.file.Files.createTempDirectory("graft_derby_spec_")
-      .toString + "/db"
-    s"jdbc:derby:$db;create=true"
+    val root = java.nio.file.Files.createTempDirectory("graft_derby_spec_")
+      .toString
+    created += root
+    s"jdbc:derby:$root/db;create=true"
+  }
+
+  override def afterAll(): Unit = {
+    created.foreach { root =>
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$root/db;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // success SIGNALS via SQLException
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    super.afterAll()
   }
 
   private val feats = Seq(
