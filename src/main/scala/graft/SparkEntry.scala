@@ -861,14 +861,17 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
             .as("text"))
-      val clean = TextAnalysis.dedupLines(lined, "doc_id", "text")
+      // unordered relation forms mid-pipeline: the export sorts inside
+      // dedupLines/chunkWindows would otherwise survive as global
+      // range-exchange+Sort stages under the final aggregate
+      val clean = TextAnalysis.dedupLinesRelation(lined, "doc_id", "text")
         .filter(col("n_lines_kept") >= 2)
         .select(col("doc_id"), col("clean_text").as("text"))
       // chunk_key uses the same ·10⁶ positional encoding as dedupLines
       // (collision-free below a million chunks per doc); the summary only
       // needs the SHARD, so the assignment runs inline — no within-shard
       // rank, no checkpoint, no join back
-      TextAnalysis.chunkWindows(clean, "doc_id", "text",
+      TextAnalysis.chunkRelation(clean, "doc_id", "text",
           window = 16, stride = 16)
         .withColumn("chunk_key", col("doc_id") * 1000000L + col("chunk_idx"))
         .withColumn("shard", Sampling.shardOf(col("chunk_key"), 8))

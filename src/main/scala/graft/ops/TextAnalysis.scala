@@ -287,16 +287,24 @@ object TextAnalysis {
   }
 
   /** Per-chunk relation: (id, chunk_idx, chunk_text, n_tokens) — the
-    * context-window prep stage of a training pipeline. posexplode keeps
-    * the chunk index so downstream packing/shuffling can reconstruct
-    * document order.
+    * context-window prep stage of a training pipeline, UNORDERED (a
+    * narrow projection; compose it mid-pipeline without paying a global
+    * sort). posexplode keeps the chunk index so downstream
+    * packing/shuffling can reconstruct document order.
     */
-  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
-                   window: Int, stride: Int): DataFrame =
+  def chunkRelation(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame =
     docs.select(col(idCol),
         posexplode(chunkTexts(col(textCol), window, stride))
           .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_tokens", size(tokens(col("chunk_text"))))
+
+  /** [[chunkRelation]] with the deterministic output order — the
+    * registered-query / export form.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame =
+    chunkRelation(docs, idCol, textCol, window, stride)
       .orderBy(col(idCol), col("chunk_idx"))
 
   /** Cross-document LINE deduplication (the RefinedWeb/Dolma paragraph
@@ -313,7 +321,14 @@ object TextAnalysis {
     * size, never a corpus sort). Line content never shuffles twice: the
     * winner election carries only (fp, pos).
     */
-  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupLinesRelation(docs, idCol, textCol).orderBy(col(idCol))
+
+  /** [[dedupLines]] without the output sort — for mid-pipeline
+    * composition (the order is only an export contract).
+    */
+  def dedupLinesRelation(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
     // pos = doc·10⁶ + idx gives the lexicographic (doc, idx) order as one
     // long — the same encoding the DuckDB oracle replays
     val lines = docs.select(col(idCol),
@@ -341,6 +356,5 @@ object TextAnalysis {
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
         (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
           .as("n_lines_removed"))
-      .orderBy(col(idCol))
   }
 }
