@@ -17,22 +17,40 @@ object Bench {
     // itself stays cold): pays JVM/JIT, codegen-compiler, parquet reader and
     // shuffle-machinery startup once, so the measured loop times query work.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Each query runs TWICE and reports the min: single-shot sweeps showed
-    // 5-12x first-touch spikes (page cache, per-plan codegen, JIT of cold
-    // expression classes) that BenchOne warm reruns consistently refuted —
-    // min-of-2 measures the query, not the first touch.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+    // TWO FULL SWEEP PASSES, per-query min ACROSS passes (not back-to-back
+    // min-of-2): back-to-back reruns share their sweep neighbors' page-cache
+    // and GC weather, which round 6 showed still manufactures ~0.5 s
+    // position-dependent swings that warm single-query reruns refute.
+    // Separating the two samples by a whole sweep decorrelates that ambient
+    // pressure. A throwing query is recorded in `errors` (and its wall time
+    // NEVER reported as a timing) so a fast failure can't pose as a fast
+    // success.
+    def sweep(): Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val outcome =
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        name -> outcome
       }
-      name -> math.min(once(), once())
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val p1 = sweep()
+    val p2 = sweep()
+    val merged = SparkEntry.queries.keys.map { name =>
+      name -> ((p1(name), p2(name)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Right(a), Left(_))  => Right(a)
+        case (Left(_), Right(b))  => Right(b)
+        case (Left(m), Left(_))   => Left(m)
+      })
+    }.toSeq
+    val timings = merged.collect { case (k, Right(v)) => k -> v }
+    val errors = merged.collect { case (k, Left(m)) => k -> m }
+    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1103,13 +1103,18 @@ object OracleSql {
               FROM d)),
       content AS (
         SELECT doc_id, idx, line,
-               md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS fp,
-               doc_id*1000000 + idx AS pos
+               md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS fp
         FROM lines WHERE trim(line) <> ''),
-      winners AS (SELECT fp, min(pos) AS keep_pos FROM content GROUP BY fp),
+      winners AS (
+        SELECT fp, doc_id, idx FROM (
+          SELECT fp, doc_id, idx,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+          FROM content) WHERE rn = 1),
       kept AS (
         SELECT c.doc_id, c.idx, c.line
-        FROM content c JOIN winners w ON c.fp = w.fp AND c.pos = w.keep_pos),
+        FROM content c
+        JOIN winners w ON c.fp = w.fp AND c.doc_id = w.doc_id
+                      AND c.idx = w.idx),
       nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
       SELECT nl.doc_id,
              coalesce(string_agg(kept.line, chr(10) ORDER BY kept.idx), '')
@@ -1135,13 +1140,18 @@ object OracleSql {
               FROM d)),
       content AS (
         SELECT doc_id, idx, line,
-               md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS fp,
-               doc_id*1000000 + idx AS pos
+               md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS fp
         FROM lines WHERE trim(line) <> ''),
-      winners AS (SELECT fp, min(pos) AS keep_pos FROM content GROUP BY fp),
+      winners AS (
+        SELECT fp, doc_id, idx FROM (
+          SELECT fp, doc_id, idx,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+          FROM content) WHERE rn = 1),
       kept AS (
         SELECT c.doc_id, c.idx, c.line
-        FROM content c JOIN winners wi ON c.fp = wi.fp AND c.pos = wi.keep_pos),
+        FROM content c
+        JOIN winners wi ON c.fp = wi.fp AND c.doc_id = wi.doc_id
+                       AND c.idx = wi.idx),
       clean AS (
         SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
         FROM kept GROUP BY doc_id HAVING count(*) >= 2),

@@ -867,13 +867,14 @@ object SparkEntry {
       val clean = TextAnalysis.dedupLinesRelation(lined, "doc_id", "text")
         .filter(col("n_lines_kept") >= 2)
         .select(col("doc_id"), col("clean_text").as("text"))
-      // chunk_key uses the same ·10⁶ positional encoding as dedupLines
-      // (collision-free below a million chunks per doc); the summary only
-      // needs the SHARD, so the assignment runs inline — no within-shard
-      // rank, no checkpoint, no join back
+      // chunk_key is the ·10⁶ positional encoding, now GUARDED (posKey
+      // raise_errors past a million chunks per doc instead of colliding);
+      // the summary only needs the SHARD, so the assignment runs inline —
+      // no within-shard rank, no checkpoint, no join back
       TextAnalysis.chunkRelation(clean, "doc_id", "text",
           window = 16, stride = 16)
-        .withColumn("chunk_key", col("doc_id") * 1000000L + col("chunk_idx"))
+        .withColumn("chunk_key",
+          TextAnalysis.posKey(col("doc_id"), col("chunk_idx")))
         .withColumn("shard", Sampling.shardOf(col("chunk_key"), 8))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_chunks"),

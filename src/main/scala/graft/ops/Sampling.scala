@@ -352,19 +352,6 @@ object Sampling {
       .select(col(groupCol), col(idCol), col(tokenCol).cast("int").as(tokenCol),
         col("cum_tokens"), col("pack_id"))
 
-  /** Deterministic corpus shuffle into training shards: every row gets a
-    * shard (uniform over `nShards` via the engine-parity [[Gen.u01]]
-    * hash) and a position WITHIN its shard (rank by an independent hash
-    * channel, id tiebreak) — the "globally shuffled, sharded" layout a
-    * training job reads so consecutive examples are decorrelated, stable
-    * under reruns and corpus append (hash-keyed, like [[splitAssign]]).
-    *
-    * Scale shape: shard assignment is a narrow projection; the only
-    * shuffle is the per-shard rank window, whose partitions are
-    * corpus/nShards rows — pick nShards so a shard fits a task (the same
-    * knob a writer uses for output file sizing), and the plan has no
-    * global sort.
-    */
   /** Uniform hash shard of a numeric key (the u = 1.0 edge clamps into the
     * last shard) — the assignment half of [[corpusShuffle]], exposed so
     * pipelines that only need the shard column skip the within-shard rank
@@ -376,15 +363,55 @@ object Sampling {
       lit(nShards - 1))
   }
 
-  def corpusShuffle(docs: DataFrame, idCol: String, nShards: Int,
-                    channel: Long = 71L): DataFrame = {
-    val shard = shardOf(col(idCol), nShards, channel)
-    val order = Gen.u01(col(idCol), channel + 1)
+  /** Deterministic corpus shuffle into training shards, UNORDERED form:
+    * every row gets a shard (uniform over `nShards` via the engine-parity
+    * [[Gen.u01]] hash) and a position WITHIN its shard (rank by an
+    * independent hash channel, id tiebreak) — the "globally shuffled,
+    * sharded" layout a training job reads so consecutive examples are
+    * decorrelated, stable under reruns and corpus append (hash-keyed,
+    * like [[splitAssign]]). Compose this form mid-pipeline; the
+    * (shard, shard_pos) order of [[corpusShuffle]] is only an export
+    * contract.
+    *
+    * Scale shape and ITS INVARIANT: shard assignment is a narrow
+    * projection; the only sort is the per-shard rank window, which ranks
+    * each shard IN ONE TASK. That is only sound when nShards grows with
+    * the corpus so a shard stays executor-sized (the same knob a writer
+    * uses for output file sizing — corpus/nShards rows per task). The
+    * invariant is enforced in-plan, [[Drift.sweepExact]]-style: a
+    * per-shard row count (parallel partial agg, nShards rows, broadcast
+    * back) `raise_error`s any shard above `maxShardRows` BEFORE its
+    * single-task sort can run, so an under-sharded 100 TB run fails loud
+    * instead of wedging one task on a corpus-sized sort.
+    */
+  def corpusShuffleRelation(docs: DataFrame, idCol: String, nShards: Int,
+                            channel: Long = 71L,
+                            maxShardRows: Long = 10000000L): DataFrame = {
+    val assigned = docs.select(col(idCol),
+      shardOf(col(idCol), nShards, channel).as("shard"),
+      Gen.u01(col(idCol), channel + 1).as("__u"))
+    val sizes = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__shard_rows"))
+    val guarded = assigned.join(broadcast(sizes), "shard")
+      .withColumn("__u",
+        when(col("__shard_rows") <= maxShardRows, col("__u"))
+          .otherwise(raise_error(concat(
+            lit("corpusShuffle: shard "), col("shard").cast("string"),
+            lit(" has "), col("__shard_rows").cast("string"),
+            lit(s" rows (> maxShardRows=$maxShardRows); raise nShards so " +
+              "a shard fits one task, or raise maxShardRows")))))
+      .drop("__shard_rows")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__u").asc, col(idCol).asc)
-    docs.select(col(idCol), shard.as("shard"), order.as("__u"))
-      .withColumn("shard_pos", row_number().over(w).cast("long"))
+    guarded.withColumn("shard_pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("shard_pos"))
-      .orderBy(col("shard"), col("shard_pos"))
   }
+
+  /** [[corpusShuffleRelation]] with the deterministic (shard, shard_pos)
+    * output order — the registered-query / export form.
+    */
+  def corpusShuffle(docs: DataFrame, idCol: String, nShards: Int,
+                    channel: Long = 71L): DataFrame =
+    corpusShuffleRelation(docs, idCol, nShards, channel)
+      .orderBy(col("shard"), col("shard_pos"))
 }

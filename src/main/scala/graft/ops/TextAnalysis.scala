@@ -307,6 +307,22 @@ object TextAnalysis {
     chunkRelation(docs, idCol, textCol, window, stride)
       .orderBy(col(idCol), col("chunk_idx"))
 
+  /** Guarded positional key id·10⁶ + idx — the one place the arithmetic
+    * encoding survives: downstream hash inputs ([[Sampling.shardOf]]'s
+    * numeric channel) that can't take a struct. Fails loud in-plan
+    * (the [[Drift.sweepExact]] guard idiom) when idx leaves the encoding
+    * range, instead of silently colliding into a neighboring id's key
+    * space — the 100 TB pathological case is a concatenated-log document
+    * chunking into ≥10⁶ windows.
+    */
+  def posKey(id: Column, idx: Column): Column =
+    when(idx >= 0 && idx < 1000000L, id * 1000000L + idx)
+      .otherwise(raise_error(concat(
+        lit("posKey: idx "), idx.cast("string"),
+        lit(" outside [0, 1000000) for id "), id.cast("string"),
+        lit(" — the id*1e6+idx encoding would collide; split the " +
+          "document or widen the key"))))
+
   /** Cross-document LINE deduplication (the RefinedWeb/Dolma paragraph
     * dedup rule): every non-blank line keeps exactly its FIRST occurrence
     * corpus-wide (smallest (doc, line-position)); later occurrences are
@@ -315,11 +331,11 @@ object TextAnalysis {
     * counts.
     *
     * Scale shape: explode lines (narrow) → ONE shuffle on the 16-byte
-    * line fingerprint to elect winners (min position — an associative
-    * partial agg) → fingerprint join back → per-document reassembly
-    * (array_sort over that document's own lines, bounded by document
-    * size, never a corpus sort). Line content never shuffles twice: the
-    * winner election carries only (fp, pos).
+    * line fingerprint to elect winners (min (doc, idx) struct — an
+    * associative partial agg) → fingerprint join back → per-document
+    * reassembly (array_sort over that document's own lines, bounded by
+    * document size, never a corpus sort). Line content never shuffles
+    * twice: the winner election carries only (fp, doc, idx).
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     dedupLinesRelation(docs, idCol, textCol).orderBy(col(idCol))
@@ -329,18 +345,20 @@ object TextAnalysis {
     */
   def dedupLinesRelation(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
-    // pos = doc·10⁶ + idx gives the lexicographic (doc, idx) order as one
-    // long — the same encoding the DuckDB oracle replays
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
     val content = lines.filter(trim(col("line")) =!= "")
       // same normalized fingerprint as exact document dedup: lowercase,
       // collapse whitespace runs, md5 ([[Dedup.fingerprint]])
       .withColumn("fp", Dedup.fingerprint(col("line")))
-      .withColumn("pos", col(idCol) * 1000000L + col("idx"))
-    val winners = content.groupBy(col("fp")).agg(min(col("pos")).as("keep_pos"))
+    // winner = lexicographically-smallest (doc, idx), elected as min over a
+    // struct — still an associative partial agg (one shuffle on fp), and
+    // unlike an arithmetic doc·K+idx encoding it cannot collide or overflow
+    // for any document length or id range
+    val winners = content.groupBy(col("fp")).agg(
+      min(struct(col(idCol).as("w_id"), col("idx").as("w_idx"))).as("keep"))
     val kept = content.join(winners, "fp")
-      .filter(col("pos") === col("keep_pos"))
+      .filter(col(idCol) === col("keep.w_id") && col("idx") === col("keep.w_idx"))
       .select(col(idCol), col("idx"), col("line"))
       .unionByName(lines.filter(trim(col("line")) === ""))
     val rebuilt = kept.groupBy(col(idCol)).agg(

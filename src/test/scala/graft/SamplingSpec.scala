@@ -382,4 +382,33 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toList
     assert(got == expected)
   }
+
+  test("corpusShuffleRelation ≡ corpusShuffle modulo the export sort") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val rel = Sampling.corpusShuffleRelation(docs, "doc_id", 8)
+      .as[(Long, Int, Long)].collect().toSet
+    val ordered = Sampling.corpusShuffle(docs, "doc_id", 8)
+      .as[(Long, Int, Long)].collect()
+    assert(rel == ordered.toSet)
+    // and the ordered form really is sorted by (shard, shard_pos)
+    assert(ordered.map(r => (r._2, r._3)).sameElements(
+      ordered.map(r => (r._2, r._3)).sortBy(identity)))
+  }
+
+  test("corpusShuffle fails loud when a shard exceeds maxShardRows") {
+    val docs = (0L until 100L).toDF("doc_id")
+    // materialize shard_pos: under a bare count() Catalyst prunes the rank
+    // window AND the guard together — consistent, since the guard protects
+    // exactly that window's single-task sort
+    val e = intercept[Exception] {
+      Sampling.corpusShuffleRelation(docs, "doc_id", nShards = 2,
+        maxShardRows = 10L).agg(max("shard_pos")).head()
+    }
+    assert(e.getMessage.contains("corpusShuffle") ||
+      Option(e.getCause).exists(_.getMessage.contains("corpusShuffle")))
+    // generous bound → identical rows, guard invisible
+    val ok = Sampling.corpusShuffleRelation(docs, "doc_id", nShards = 2,
+      maxShardRows = 100L).agg(max("shard_pos")).head().getLong(0)
+    assert(ok > 0L)
+  }
 }

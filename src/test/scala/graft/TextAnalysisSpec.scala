@@ -218,4 +218,32 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().toList
     assert(got == expected.toList)
   }
+
+  test("dedupLines elects the true first occurrence past 10^6 lines " +
+      "(old doc*1e6+idx encoding would collide here)") {
+    // doc 0 ends with "dup" at idx 1_000_001; doc 1 opens with "dup".
+    // Under the retired arithmetic encoding, (0, 1_000_001) → 1_000_001 and
+    // (1, 0) → 1_000_000, so doc 1 would have stolen the win; the struct
+    // election keeps lexicographic (doc, idx) order at any document length.
+    val big = ((0 until 1000001).map(i => s"u$i") :+ "dup").mkString("\n")
+    val docs = Seq((0L, big), (1L, "dup\nzed")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesRelation(docs, "doc_id", "text")
+      .select("doc_id", "n_lines_kept", "n_lines_removed")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => a -> (b, c) }.toMap
+    assert(out(0L) == (1000002L, 0L), "doc 0 must keep ALL its lines")
+    assert(out(1L) == (1L, 1L), "doc 1 must lose its copy of 'dup'")
+  }
+
+  test("posKey guards the 10^6 encoding range in-plan") {
+    val ok = Seq((5L, 999999)).toDF("id", "idx")
+      .select(TextAnalysis.posKey($"id", $"idx")).as[Long].head()
+    assert(ok == 5999999L)
+    val e = intercept[Exception] {
+      Seq((5L, 1000000)).toDF("id", "idx")
+        .select(TextAnalysis.posKey($"id", $"idx")).as[Long].head()
+    }
+    assert(e.getMessage.contains("posKey") ||
+      Option(e.getCause).exists(_.getMessage.contains("posKey")))
+  }
 }
