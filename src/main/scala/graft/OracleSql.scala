@@ -252,6 +252,21 @@ object OracleSql {
       GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
       ORDER BY user_id, window_start""",
 
+    // tolerance oracle: the exact flagship columns replay in DuckDB; the
+    // HLL-vs-exact boolean is deterministically TRUE on the Spark side
+    // (3σ bound at rsd 0.05, sparse-range cardinalities), literal here
+    "q_clickstream_hourly_approx" -> s"""
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             $clickAggs,
+             CAST(time_bucket(INTERVAL '1 hour', ts) AS DATE) AS event_date,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS feature_timestamp,
+             TRUE AS unique_k_ok
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+      ORDER BY user_id, window_start""",
+
     "q_clickstream_sliding" -> s"""
       WITH expanded AS (
         SELECT e.*, time_bucket(INTERVAL '10 minutes', e.ts)
@@ -464,6 +479,14 @@ object OracleSql {
              round(min(l_extendedprice), 6) AS min_v,
              round(max(l_extendedprice), 6) AS max_v,
              round(avg(l_extendedprice), 6) AS avg_v
+      FROM lineitem""",
+
+    // tolerance oracle: exact p50/p95 replay; the sketch-inside-±1%-rank
+    // booleans are deterministically TRUE (GK rank error ≤ 1e-4)
+    "q_percentiles_approx" -> """
+      SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50,
+             round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95,
+             TRUE AS p50_ok, TRUE AS p95_ok
       FROM lineitem""",
 
     "q_mode_per_key" -> """
@@ -1553,6 +1576,16 @@ object OracleSql {
              round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // tolerance oracle: exact grouped percentiles replay; the
+    // sketch-inside-±5%-rank booleans are deterministically TRUE
+    "q_group_percentiles_approx" -> """
+      SELECT event_type, count(*) AS n,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99,
+             TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // PSI over reference-decile bins; DuckDB mirrors the CASE bin counter,
     // window-total proportions, and the (p-q)*ln(p/q) contribution exactly
     "q_psi_drift" -> """
@@ -1772,6 +1805,26 @@ object OracleSql {
                             OR  e.value > q.q3 + 1.5*(q.q3 - q.q1)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              count(*) AS n_rows
+      FROM events e JOIN q ON e.event_type = q.event_type
+      GROUP BY e.event_type ORDER BY e.event_type""",
+
+    // tolerance oracle: exact quartiles/fences replay; sketch-quartile and
+    // sketch-fence-count booleans are deterministically TRUE (bounds in
+    // Stats.iqrOutliersApproxChecked scaladoc)
+    "q_iqr_outliers_approx" -> """
+      WITH q AS (
+        SELECT event_type,
+               quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+               quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+        FROM events GROUP BY event_type)
+      SELECT e.event_type,
+             round(min(q.q1), 6) AS q1, round(min(q.q3), 6) AS q3,
+             round(min(q.q3 - q.q1), 6) AS iqr,
+             CAST(sum(CASE WHEN e.value < q.q1 - 1.5*(q.q3 - q.q1)
+                            OR  e.value > q.q3 + 1.5*(q.q3 - q.q1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             count(*) AS n_rows,
+             TRUE AS quartiles_ok, TRUE AS outliers_ok
       FROM events e JOIN q ON e.event_type = q.event_type
       GROUP BY e.event_type ORDER BY e.event_type""",
 

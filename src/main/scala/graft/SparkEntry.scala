@@ -61,8 +61,8 @@ object SparkEntry {
       WindowAgg.hourlyFeatures(ev(s, dir))),
     "q_clickstream_sliding" -> ((s, dir) =>
       WindowAgg.slidingFeatures(ev(s, dir))),
-    "q_clickstream_hourly_approx" -> ((s, dir) =>   // 100 TB HLL variant; rows-only
-      WindowAgg.hourlyFeaturesApprox(ev(s, dir))),
+    "q_clickstream_hourly_approx" -> ((s, dir) =>   // HLL vs exact, tolerance-oracled
+      WindowAgg.hourlyFeaturesApproxChecked(ev(s, dir))),
     "q_sessions" -> ((s, dir) =>
       Session.sessionWindows(Tables.events(s, dir), "user_id", "ts",
         "30 minutes").orderBy("user_id", "session_start")),
@@ -292,8 +292,9 @@ object SparkEntry {
         .select("c_custkey", "c_name").orderBy("c_custkey")),
     "q_percentiles" -> ((s, dir) =>
       Stats.percentiles(Tables.lineitem(s, dir), "l_extendedprice")),
-    "q_percentiles_approx" -> ((s, dir) =>   // sketch variant; rows-only
-      Stats.percentilesApprox(Tables.lineitem(s, dir), "l_extendedprice")),
+    "q_percentiles_approx" -> ((s, dir) =>   // sketch vs exact, tolerance-oracled
+      Stats.percentilesApproxChecked(Tables.lineitem(s, dir),
+        "l_extendedprice")),
     "q_mode_per_key" -> ((s, dir) =>
       Stats.deterministicMode(Tables.events(s, dir), "user_id", "event_type")),
     "q_rolling_features" -> ((s, dir) =>
@@ -312,10 +313,11 @@ object SparkEntry {
         .orderBy("event_id")),
     "q_iqr_outliers" -> ((s, dir) =>
       Stats.iqrOutliers(Tables.events(s, dir), "event_type", "value")),
-    "q_iqr_outliers_approx" -> ((s, dir) =>    // sketch quartiles; rows-only
-      Stats.iqrOutliersApprox(Tables.events(s, dir), "event_type", "value")),
-    "q_group_percentiles_approx" -> ((s, dir) => // sketch variant; rows-only
-      Stats.groupPercentilesApprox(Tables.events(s, dir), "event_type",
+    "q_iqr_outliers_approx" -> ((s, dir) =>    // sketch quartiles, tolerance-oracled
+      Stats.iqrOutliersApproxChecked(Tables.events(s, dir), "event_type",
+        "value")),
+    "q_group_percentiles_approx" -> ((s, dir) => // sketch vs exact, tolerance-oracled
+      Stats.groupPercentilesApproxChecked(Tables.events(s, dir), "event_type",
         "value")),
     "q_recent_partitions" -> ((s, dir) =>
       Stats.recentPartitions(

@@ -51,6 +51,27 @@ object Stats {
       percentile_approx(col(valueCol), lit(0.95), lit(10000)).as("p95_approx"),
       percentile_approx(col(valueCol), lit(0.5), lit(10000)).as("p50_approx"))
 
+  /** [[percentilesApprox]] with an in-plan tolerance oracle: emits the
+    * EXACT percentiles (DuckDB-replayable) plus booleans asserting the
+    * sketch landed inside a ±1% exact-rank bracket around each target.
+    * The GK sketch guarantees rank error ≤ 1/accuracy (1e-4 at the
+    * default) regardless of merge order, so the booleans are
+    * deterministically true with a 100× margin — which makes the whole
+    * row hashable: if a Spark upgrade ever broke the sketch, the flipped
+    * boolean fails the hash compare loudly.
+    */
+  def percentilesApproxChecked(df: DataFrame, valueCol: String,
+                               accuracy: Int = 10000): DataFrame = {
+    def ex(p: Double) = expr(s"percentile($valueCol, ${p}D)")
+    def pa(p: Double) =
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).cast("double")
+    df.agg(
+      round(ex(0.5), 6).as("p50"),
+      round(ex(0.95), 6).as("p95"),
+      (pa(0.5) >= ex(0.49) && pa(0.5) <= ex(0.51)).as("p50_ok"),
+      (pa(0.95) >= ex(0.94) && pa(0.95) <= ex(0.96)).as("p95_ok"))
+  }
+
   /** A10: group distribution — count per key + share of total
     * (`batch_generator.py:160-177`). The grand total is computed once and
     * broadcast back (scalar cross join), not recomputed per group.
@@ -197,6 +218,53 @@ object Stats {
           .cast("double").as("q3")),
       groupCol, valCol)
 
+  /** [[iqrOutliersApprox]] with an in-plan tolerance oracle: the output
+    * carries the EXACT quartiles/fence counts (DuckDB-replayable) plus two
+    * booleans — sketch quartiles inside a ±5% exact-rank bracket, and the
+    * sketch-fence offender count within max(2, n/20) of the exact one
+    * (fence error amplifies quartile rank error ~2.5×, still ~n/4000
+    * boundary rows at the default accuracy — 200× inside the bound). One
+    * extra conditional sum in the same broadcast-join pass; no new
+    * shuffle.
+    */
+  def iqrOutliersApproxChecked(df: DataFrame, groupCol: String,
+                               valCol: String,
+                               accuracy: Int = 10000): DataFrame = {
+    val v = col(valCol)
+    def ex(p: Double) = expr(s"percentile($valCol, ${p}D)")
+    def pa(p: Double) =
+      percentile_approx(v, lit(p), lit(accuracy)).cast("double")
+    val quart = df.groupBy(col(groupCol)).agg(
+      ex(0.25).as("q1"), ex(0.75).as("q3"),
+      ex(0.20).as("q1_lo"), ex(0.30).as("q1_hi"),
+      ex(0.70).as("q3_lo"), ex(0.80).as("q3_hi"),
+      pa(0.25).as("q1_a"), pa(0.75).as("q3_a"))
+    val exLo = col("q1") - (col("q3") - col("q1")) * 1.5
+    val exHi = col("q3") + (col("q3") - col("q1")) * 1.5
+    val aLo = col("q1_a") - (col("q3_a") - col("q1_a")) * 1.5
+    val aHi = col("q3_a") + (col("q3_a") - col("q1_a")) * 1.5
+    df.join(broadcast(quart), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        round(min(col("q1")), 6).as("q1"),
+        round(min(col("q3")), 6).as("q3"),
+        round(min(col("q3") - col("q1")), 6).as("iqr"),
+        sum(when(v < exLo || v > exHi, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"),
+        sum(when(v < aLo || v > aHi, 1L).otherwise(0L)).as("__n_out_a"),
+        min(col("q1_a")).as("__q1_a"), min(col("q3_a")).as("__q3_a"),
+        min(col("q1_lo")).as("__q1_lo"), min(col("q1_hi")).as("__q1_hi"),
+        min(col("q3_lo")).as("__q3_lo"), min(col("q3_hi")).as("__q3_hi"))
+      .select(col(groupCol), col("q1"), col("q3"), col("iqr"),
+        col("n_outliers"), col("n_rows"),
+        (col("__q1_a") >= col("__q1_lo") && col("__q1_a") <= col("__q1_hi") &&
+         col("__q3_a") >= col("__q3_lo") && col("__q3_a") <= col("__q3_hi"))
+          .as("quartiles_ok"),
+        (abs(col("__n_out_a") - col("n_outliers")) <=
+          greatest(lit(2L), col("n_rows") / 20)).as("outliers_ok"))
+      .orderBy(col(groupCol))
+  }
+
   private def iqrReport(df: DataFrame, quartiles: DataFrame,
                         groupCol: String, valCol: String): DataFrame =
     df.join(broadcast(quartiles), groupCol)
@@ -228,6 +296,34 @@ object Stats {
         percentile_approx(col(valCol), lit(0.99), lit(accuracy))
           .as("p99_approx"))
       .orderBy(groupCol)
+
+  /** [[groupPercentilesApprox]] with an in-plan tolerance oracle: exact
+    * per-group percentiles (DuckDB-replayable) plus booleans asserting
+    * each sketch value sits inside a ±5% exact-rank bracket (the
+    * StatsSpec bound, lifted into the query). All brackets, sketches and
+    * exacts compute in ONE grouped aggregation pass. All-NULL groups
+    * yield NULL exacts AND NULL sketches — the booleans coalesce to true
+    * there, matching the oracle's literal TRUE.
+    */
+  def groupPercentilesApproxChecked(df: DataFrame, groupCol: String,
+                                    valCol: String,
+                                    accuracy: Int = 10000): DataFrame = {
+    def ex(p: Double) = expr(s"percentile($valCol, ${p}D)")
+    def pa(p: Double) =
+      percentile_approx(col(valCol), lit(p), lit(accuracy)).cast("double")
+    def ok(p: Double, lo: Double, hi: Double) =
+      coalesce(pa(p) >= ex(lo) && pa(p) <= ex(hi), lit(true))
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(ex(0.5), 6).as("p50"),
+        round(ex(0.9), 6).as("p90"),
+        round(ex(0.99), 6).as("p99"),
+        ok(0.5, 0.45, 0.55).as("p50_ok"),
+        ok(0.9, 0.85, 0.95).as("p90_ok"),
+        ok(0.99, 0.98, 1.0).as("p99_ok"))
+      .orderBy(groupCol)
+  }
 
   def recentPartitions(df: DataFrame, dateCol: String, n: Int): DataFrame =
     df.select(col(dateCol)).distinct()

@@ -160,4 +160,42 @@ object WindowAgg {
       .drop("win")
       .orderBy("user_id", "window_start")
   }
+
+  /** [[hourlyFeaturesApprox]] with an in-plan tolerance oracle: the full
+    * exact flagship output (DuckDB-replayable, the q_clickstream_hourly
+    * schema) plus `unique_k_ok` — the HLL estimate within
+    * max(2, 15% = 3σ at the default rsd 0.05) of the exact distinct
+    * count. HLL register merges are commutative maxes, so the estimate
+    * is deterministic for fixed data, and per-(user, hour) cardinalities
+    * sit in HLL++'s near-exact sparse range — the boolean is stably true
+    * and the whole row hashes. Both distincts run in the one keyed
+    * aggregation (the exact side still pays the Expand; this is the
+    * CHECK query, not the 100 TB serving shape — that's
+    * [[hourlyFeaturesApprox]]).
+    */
+  def hourlyFeaturesApproxChecked(parsedEvents: DataFrame): DataFrame = {
+    val w = window(col("ts_parsed"), "1 hour")
+    val a = aggs(exact = true) :+
+      approx_count_distinct(col("k")).as("__unique_k_hll")
+    val out = parsedEvents
+      .groupBy(col("user_id"), w.as("win"))
+      .agg(a.head, a.tail: _*)
+      .withColumn("window_start", col("win.start"))
+      .withColumn("window_end", col("win.end"))
+      .withColumn("event_date", to_date(col("window_start")))
+      .withColumn("feature_timestamp", col("window_end"))
+      .drop("win")
+    derived(out)
+      .withColumn("unique_k_ok",
+        abs(col("__unique_k_hll") - col("unique_k")).cast("double") <=
+          greatest(lit(2.0), col("unique_k") * 0.15))
+      .select(
+        col("user_id"), col("window_start"), col("window_end"),
+        col("total_events"), col("click_count"), col("view_count"),
+        col("purchase_count"), col("signup_count"), col("error_count"),
+        col("unique_k"), col("total_revenue"), col("avg_view_value"),
+        col("primary_k"), col("click_through_rate"), col("conversion_rate"),
+        col("event_date"), col("feature_timestamp"), col("unique_k_ok"))
+      .orderBy("user_id", "window_start")
+  }
 }

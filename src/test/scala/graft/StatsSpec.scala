@@ -51,6 +51,28 @@ class StatsSpec extends SparkSpec {
       }
   }
 
+  test("tolerance-checked sketch variants: booleans all true, exact side " +
+      "matches the exact operators") {
+    val e = graft.Tables.events(spark, sfDir)
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val p = Stats.percentilesApproxChecked(li, "l_extendedprice").head()
+    assert(p.getBoolean(2) && p.getBoolean(3))
+    val gp = Stats.groupPercentilesApproxChecked(e, "event_type", "value")
+      .collect()
+    assert(gp.forall(r => r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7)))
+    // exact side of the checked IQR ≡ the exact operator, plus true flags
+    val exact = Stats.iqrOutliers(e, "event_type", "value").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(4), r.getLong(5))).toMap
+    Stats.iqrOutliersApproxChecked(e, "event_type", "value").collect()
+      .foreach { r =>
+        val (q1, q3, nOut, nRows) = exact(r.getString(0))
+        assert(r.getDouble(1) == q1 && r.getDouble(2) == q3)
+        assert(r.getLong(4) == nOut && r.getLong(5) == nRows)
+        assert(r.getBoolean(6) && r.getBoolean(7), s"tolerance flag false: $r")
+      }
+  }
+
   test("approx IQR report tracks the exact one") {
     val e = graft.Tables.events(spark, sfDir)
     val exact = Stats.iqrOutliers(e, "event_type", "value").collect()
