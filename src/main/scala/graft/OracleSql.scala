@@ -1082,6 +1082,37 @@ object OracleSql {
       WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.5
       ORDER BY id_a, id_b""",
 
+    // incremental-rule oracle: in the rows-per-band = 1 + exact-verify
+    // config, a batch doc (>= 250) is a dup iff SOME smaller id (seen
+    // corpus or earlier batch doc) reaches exact Jaccard 0.5, dup_of the
+    // smallest such partner — replayed as a pair scan over the whole
+    // table keeping only batch-id larger sides
+    "x_incremental_verified" -> """
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT r.doc_id AS bid, l.doc_id AS cand, count(*) AS i
+        FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+        WHERE r.doc_id >= 250
+        GROUP BY r.doc_id, l.doc_id),
+      dup AS (
+        SELECT bid, min(cand) AS dup_of
+        FROM inter
+        JOIN sz sa ON cand = sa.doc_id
+        JOIN sz sb ON bid = sb.doc_id
+        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.5
+        GROUP BY bid)
+      SELECT b.doc_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) b
+      LEFT JOIN dup ON b.doc_id = dup.bid
+      ORDER BY b.doc_id""",
+
     // simhash recall: every doc's identical-text twin has an identical
     // fingerprint (hamming 0 < bands ⇒ pigeonhole must-find), so the
     // injected-pair slice of the band search is one deterministic row per

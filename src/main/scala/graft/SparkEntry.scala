@@ -678,6 +678,25 @@ object SparkEntry {
         d.filter(col("doc_id") >= 250), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)
     }),
+    "x_incremental_verified" -> ((s, dir) => {
+      // the INCREMENTAL rule, oracle-checkable: batch (doc_id >= 250)
+      // probes the accumulated signature + shingle stores in the
+      // provably-complete rows-per-band = 1 config with exact-Jaccard
+      // verification, so the surviving set is exactly "smallest partner
+      // with jaccard >= 0.5" — DuckDB replays it as a plain pair scan
+      // restricted to batch-id larger sides. This turns the incremental
+      // equivalence that previously lived only in DedupSpec into a
+      // hash-green registry row.
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 250)
+      Dedup.nearDupsVerifiedIncremental(
+        Dedup.minHashSignatures(seen, "doc_id", "text", 3, 64),
+        Dedup.shingleRelation(seen, "doc_id", "text", 3),
+        d.filter(col("doc_id") >= 250), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 64, threshold = 0.5,
+        minEst = 0.125)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "x_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),

@@ -227,6 +227,73 @@ object Dedup {
       .orderBy(col("id"))
   }
 
+  /** The persisted shingle store: (id, sh) — distinct word n-gram arrays
+    * per doc, the second accumulated artifact (next to the signature
+    * table) an incremental EXACT-verify ingest maintains so corpus text
+    * is never re-read.
+    */
+  def shingleRelation(docs: DataFrame, idCol: String,
+                      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+
+  /** Incremental ingest in the PROVABLY-COMPLETE verify config — the
+    * [[nearDupsVerified]] analogue of [[minHashNearDupsIncremental]]:
+    * a new batch probes the ACCUMULATED signature table with
+    * rows-per-band = 1 banding (a true pair escapes candidacy only if no
+    * signature component collides), candidates are trimmed by the cheap
+    * signature estimate, and survivors are verified with EXACT shingle
+    * Jaccard against the accumulated shingle store ([[shingleRelation]]).
+    * Neither persisted artifact requires re-reading corpus text; only the
+    * batch pays a text scan.
+    *
+    * With numHashes=64, bands=64, minEst=0.125 the output is exactly
+    * "each batch doc's smallest partner (already-ingested or earlier in
+    * the batch) with exact Jaccard ≥ threshold" (miss prob ≤ 2e-10 at
+    * j = 0.5) — which a SQL oracle can replay as a plain pair scan, making
+    * the incremental rule itself hash-checkable (x_incremental_verified).
+    *
+    * Returns one row per batch doc: (id, is_dup, dup_of) with dup_of the
+    * smallest exact-verified partner (NULL for survivors).
+    */
+  def nearDupsVerifiedIncremental(seenSigs: DataFrame,
+                                  seenShingles: DataFrame,
+                                  batch: DataFrame, idCol: String,
+                                  textCol: String, n: Int = 3,
+                                  numHashes: Int = 64, bands: Int = 64,
+                                  threshold: Double = 0.5,
+                                  minEst: Double = 0.125): DataFrame = {
+    val batchSigs = minHashSignatures(batch, idCol, textCol, n, numHashes)
+    val sigCols = batchSigs.columns
+    val seen = seenSigs.select(sigCols.map(col): _*)
+    val bb = bandBuckets(batchSigs, numHashes, bands)
+    val all = bandBuckets(seen, numHashes, bands).unionByName(bb)
+    val cand = bb.as("l").join(all.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("r.id") < col("l.id"))
+      .select(col("l.id").as("bid"), col("r.id").as("cand")).distinct()
+    val trimmed = cand
+      .join(batchSigs.as("a"), col("bid") === col("a.id"))
+      .join(seen.unionByName(batchSigs).as("b"), col("cand") === col("b.id"))
+      .filter(sigAgreement(numHashes) >= minEst)
+      .select(col("bid"), col("cand"))
+    val batchSh = shingleRelation(batch, idCol, textCol, n)
+    val allSh = seenShingles.select(col("id"), col("sh"))
+      .unionByName(batchSh)
+    val dups = trimmed
+      .join(batchSh.select(col("id").as("bid"), col("sh").as("sh_a")), "bid")
+      .join(allSh.select(col("id").as("cand"), col("sh").as("sh_b")), "cand")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("bid")).agg(min(col("cand")).as("dup_of"))
+      .withColumnRenamed("bid", "id")
+    batchSigs.select(col("id"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("id"))
+  }
+
   /** MinHash + LSH banding: docs sharing any band bucket are candidate
     * near-dups; candidates verified with exact Jaccard estimate
     * (fraction of equal signature components). The signature build is

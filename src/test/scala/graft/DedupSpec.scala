@@ -376,4 +376,30 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Boolean, Option[Long])].collect().toList
     assert(out2 == List((10L, true, Some(1L))))
   }
+
+  test("exact-verify incremental ingest ≡ exact-Jaccard pair rule " +
+      "(provably-complete config, 250/250 split)") {
+    // the x_incremental_verified contract: with rows-per-band = 1 +
+    // estimate trim + exact verify, a batch doc's dup_of is exactly the
+    // smallest partner (seen or earlier-batch) at exact Jaccard >= 0.5 —
+    // replay the rule here with jaccardPairs (no banding at all)
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val truth = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .filter($"id_b" >= 250)
+      .groupBy($"id_b").agg(min($"id_a").as("m"))
+      .as[(Long, Long)].collect().toMap
+    val seen = d.filter($"doc_id" < 250)
+    val out = Dedup.nearDupsVerifiedIncremental(
+        Dedup.minHashSignatures(seen, "doc_id", "text", 3, 64),
+        Dedup.shingleRelation(seen, "doc_id", "text", 3),
+        d.filter($"doc_id" >= 250), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 64, threshold = 0.5, minEst = 0.125)
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(out.map(_._1).toSet ==
+      d.filter($"doc_id" >= 250).select($"doc_id").as[Long].collect().toSet)
+    out.foreach { case (id, isDup, dupOf) =>
+      assert(isDup == truth.contains(id), s"doc $id dup flag mismatch")
+      assert(dupOf == truth.get(id), s"doc $id dup_of mismatch")
+    }
+  }
 }
