@@ -114,6 +114,41 @@ object Pipeline {
         upsertSnapshot(batch, storePath, keyCol, tsCol, tiebreakCol)
       }
 
+  /** S8×S9 fused: streaming materialization INTO the real JDBC registry —
+    * the reference's airflow flow (`feature_store_materialization.py:
+    * 214-239`: materialize the view, then record its freshness) as one
+    * `foreachBatch`. Every micro-batch (a) folds into the latest-per-key
+    * snapshot via [[upsertSnapshot]] (crash-safe retire/promote swap) and
+    * (b) publishes the A13 freshness aggregate of the POST-fold snapshot
+    * — `(view, last_updated_us, row_count, value_sum)` — through
+    * `spark.write.jdbc` into the registry's `feature_freshness` table.
+    *
+    * Publishing from the post-fold STORE state (not the raw batch) makes
+    * the registry row a pure function of the snapshot: a replayed
+    * micro-batch re-derives the identical snapshot and therefore the
+    * identical registry row — the same idempotence story as
+    * [[upsertSnapshot]] itself, extended across both stores. The
+    * registry write is one row per view (overwrite), so the JDBC hop is
+    * metadata-sized at any corpus scale.
+    */
+  def registryMaterializeSink(features: DataFrame, storePath: String,
+                              checkpoint: String, keyCol: String,
+                              tsCol: String, tiebreakCol: String,
+                              viewName: String, jdbcUrl: String,
+                              table: String = "feature_freshness"): DataStreamWriter[Row] =
+    features.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertSnapshot(batch, storePath, keyCol, tsCol, tiebreakCol)
+        val snap = batch.sparkSession.read.parquet(storePath)
+          .withColumn("view_name", lit(viewName))
+          .withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
+        graft.sources.JdbcRegistry.publishFreshness(
+          snap, "view_name", "ts_us", tiebreakCol, jdbcUrl, table)
+        ()
+      }
+
   /** One fold of [[onlineStoreSink]]: merge a batch into the snapshot at
     * `storePath` keeping the newest row per key, then swap via
     * retire-then-promote renames. A crash can leave the live path missing

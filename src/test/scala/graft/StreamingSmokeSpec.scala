@@ -237,6 +237,52 @@ class StreamingSmokeSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("registry-fused sink: kill/resume converges snapshot AND the JDBC " +
+      "freshness row to the batch fold (S8×S9)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val store = java.nio.file.Files.createTempDirectory("graft_reg_")
+      .toString + "/snap"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_regck_").toString
+    val dbRoot = java.nio.file.Files.createTempDirectory("graft_regdb_").toString
+    val url = s"jdbc:derby:$dbRoot/db;create=true"
+    def startSink() = Pipeline.registryMaterializeSink(
+        stream.toDF().toDF("user_id", "ts", "value"),
+        store, ckpt, "user_id", "ts", "value", "user_features", url)
+      .start()
+    try {
+      val q1 = startSink()
+      stream.addData((1L, ts(0), 10.0), (2L, ts(0), 20.0))
+      q1.processAllAvailable()
+      q1.stop() // registry publisher dies mid-stream
+      // data keeps arriving while the sink is down
+      stream.addData((1L, ts(5), 11.0), (3L, ts(5), 30.0))
+      stream.addData((2L, ts(9), 21.0))
+      val q2 = startSink() // resume over the SAME checkpoint
+      try q2.processAllAvailable() finally q2.stop()
+      // the registry row is a pure function of the post-fold snapshot, so
+      // after recovery it must equal the A13 aggregate of one batch
+      // latest-per-key fold over ALL the data
+      val reg = graft.sources.JdbcRegistry
+        .readTable(spark, url, "feature_freshness")
+        .select("feature_view_name", "last_updated_us", "row_count",
+          "value_sum")
+        .as[(String, Long, Long, Double)].collect().toList
+      assert(reg == List(
+        ("user_features", ts(9).getTime * 1000L, 3L, 11.0 + 21.0 + 30.0)))
+      // and the snapshot itself converged (same assertion as the S8 test)
+      val snap = spark.read.parquet(store)
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(snap == Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
+    } finally {
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$dbRoot/db;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // success SIGNALS via SQLException
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dbRoot))
+    }
+  }
+
   test("online-store upsert recovers from a crash between retire and promote") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val store = java.nio.file.Files.createTempDirectory("graft_crash_").toString + "/snap"
