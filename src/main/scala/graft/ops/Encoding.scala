@@ -34,11 +34,21 @@ object Encoding {
     * bounded-domain encoder — order of `categories` fixes column order;
     * values outside the list get all-zero indicators, the standard
     * handle-unknown=ignore contract). Indicator columns are
-    * `is_<category>` ints.
+    * `is_<category>` ints; the declared categories must be distinct and
+    * identifier-safe (they become column names) — enforced up front so a
+    * stray space or duplicate fails loud instead of producing broken or
+    * colliding columns.
     */
   def oneHot(df: DataFrame, catCol: String,
-             categories: Seq[String]): DataFrame =
+             categories: Seq[String]): DataFrame = {
+    require(categories.distinct.size == categories.size,
+      s"oneHot: duplicate categories in ${categories.mkString(",")}")
+    val unsafe = categories.filterNot(_.matches("[A-Za-z0-9_]+"))
+    require(unsafe.isEmpty,
+      s"oneHot: categories must be identifier-safe ([A-Za-z0-9_]+) to " +
+        s"become column names; got ${unsafe.mkString(",")}")
     categories.foldLeft(df)((d, c) =>
       d.withColumn(s"is_$c",
         when(col(catCol) === c, 1).otherwise(0)))
+  }
 }

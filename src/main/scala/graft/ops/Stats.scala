@@ -362,15 +362,24 @@ object Stats {
     * single map-side-combined job, no per-pair scans).
     */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // positional aliases + backtick-quoted source refs: column names with
+    // spaces/dots/quotes/"__" can't break the melt or collide pair labels
+    def src(name: String) = col("`" + name.replace("`", "``") + "`")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
-    } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) =>
-      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      round(corr(src(cols(i)), src(cols(j))), 6).as(s"c${i}__$j")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = pairs.map { case (a, b) => s"'$a', '$b', ${a}__$b" }
-      .mkString(s"stack(${pairs.size}, ", ", ", ") as (col_a, col_b, corr)")
-    wide.selectExpr(stackExpr).orderBy("col_a", "col_b")
+    // melt with typed Columns, not string SQL
+    val melted = explode(array(pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col(s"c${i}__$j").as("corr"))
+    }: _*))
+    wide.select(melted.as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+        col("r.corr").as("corr"))
+      .orderBy("col_a", "col_b")
   }
 }
