@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Retrieval
+import org.apache.spark.sql.functions.col
 
 /** Property: the union+window as-of join equals a brute-force per-probe
   * scan of the feature history, for randomized feature/probe sets — the
@@ -50,6 +51,87 @@ class AsOfPropertySpec extends SparkSpec {
         .select("probe_id", "fval")
         .as[(Long, Option[Double])].collect().toMap
       assert(got == bruteForce(feats, probes), s"round $round: $feats $probes")
+    }
+  }
+
+  /** Boundary-chaos triple agreement: timestamps are drawn ON and ±1–2 µs
+    * AROUND the hazardous instants — the 1970 epoch itself, the epoch±TTL
+    * window edges, a pre-epoch (negative-micros) instant, and a real DST
+    * transition (2021-03-14 07:00 UTC, US spring-forward) — so microsecond
+    * ties (probe==feature ts, probe==probe, window-edge exact hits) occur
+    * constantly rather than by luck. All three production formulations of
+    * J1 (union+window, native AsOfJoinExec, native over bucketed-sorted
+    * tables) must agree with the brute-force executable spec on every
+    * probe. TTL boundary is inclusive (fts >= ts - ttl), the fts == ts tie
+    * includes the feature (Feast semantics) — exactly what an off-by-one
+    * in any of the three implementations would break at these instants.
+    */
+  test("epoch/DST boundary chaos: window ≡ native ≡ bucketed ≡ brute force " +
+       "(≥1000 probes)") {
+    val r = new java.util.Random(20260813)
+    val dstEdge = 1615705200000000L // 2021-03-14T07:00:00Z in micros
+    val bases = Seq(0L, ttlMicros, -ttlMicros, -86400000000L, // 1969-12-31
+      dstEdge, dstEdge - ttlMicros)
+    def chaosTs(): Long = {
+      val base = bases(r.nextInt(bases.length))
+      // ±2 µs jitter, occasionally shifted by a whole TTL so probes straddle
+      // the lookback window of features sitting on a neighboring base
+      val jitter = r.nextInt(5) - 2
+      val shift = if (r.nextInt(4) == 0) (r.nextInt(3) - 1) * ttlMicros else 0L
+      base + jitter + shift
+    }
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    var totalProbes = 0
+    try {
+      (1 to 10).foreach { round =>
+        val nf = 20 + r.nextInt(20)
+        val np = 110
+        val rawFeats = Seq.fill(nf)(
+          (1L + r.nextInt(3), chaosTs(), (r.nextInt(900) + 100).toDouble))
+        // operator precondition: unique (key, fts) — dedup keeping max value
+        val feats = rawFeats.groupBy(f => (f._1, f._2))
+          .map { case ((k, t), fs) => (k, t, fs.map(_._3).max) }.toSeq
+        val probes = Seq.tabulate(np)(i => (i.toLong, 1L + r.nextInt(3), chaosTs()))
+        val want = bruteForce(feats, probes)
+
+        val featDf = feats.toDF("user_id", "l", "fval")
+          .selectExpr("user_id", "timestamp_micros(l) AS fts", "fval")
+        val probeDf = probes.toDF("probe_id", "user_id", "l")
+          .selectExpr("probe_id", "user_id", "timestamp_micros(l) AS ts")
+
+        val window = Retrieval.asOfJoin(probeDf, featDf, "user_id", "ts",
+            "fts", "INTERVAL '0.001' SECOND", Seq("fval"))
+          .select("probe_id", "fval")
+          .as[(Long, Option[Double])].collect().toMap
+        assert(window == want, s"round $round window: $feats $probes")
+
+        val native = Retrieval.asOfJoinNative(probeDf, featDf, "user_id",
+            "ts", "fts", ttlMicros)
+          .toDF("probe_id", "user_id", "ts", "f_user", "f_fts", "fval")
+          .select("probe_id", "fval")
+          .as[(Long, Option[Double])].collect().toMap
+        assert(native == want, s"round $round native: $feats $probes")
+
+        probeDf.repartition(4, col("user_id")).write.mode("overwrite")
+          .bucketBy(4, "user_id").sortBy("user_id", "ts")
+          .saveAsTable("asof_chaos_p")
+        featDf.repartition(4, col("user_id")).write.mode("overwrite")
+          .bucketBy(4, "user_id").sortBy("user_id", "fts")
+          .saveAsTable("asof_chaos_f")
+        val bucketed = Retrieval.asOfJoinNative(spark.table("asof_chaos_p"),
+            spark.table("asof_chaos_f"), "user_id", "ts", "fts", ttlMicros)
+          .toDF("probe_id", "user_id", "ts", "f_user", "f_fts", "fval")
+          .select("probe_id", "fval")
+          .as[(Long, Option[Double])].collect().toMap
+        assert(bucketed == want, s"round $round bucketed: $feats $probes")
+
+        totalProbes += np
+      }
+      assert(totalProbes >= 1000, s"only $totalProbes probes exercised")
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS asof_chaos_p")
+      spark.sql("DROP TABLE IF EXISTS asof_chaos_f")
     }
   }
 }
