@@ -8,7 +8,11 @@ import graft.ops.Dedup
   * pipeline (exact shingle-Jaccard pairs at threshold 0.5, maxDf 50,
   * resolved to components) and the incremental LSH ingest
   * ([[graft.ops.Dedup.minHashNearDupsIncremental]]) on 1×/2×/5×/10×
-  * copies of the sf0.1 documents table (5 K → 50 K docs).
+  * copies of the sf0.1 documents table (5 K → 50 K docs). Pass a
+  * comma-separated k list as the first arg (e.g. `"10,100"`) to override
+  * the sweep — with args given, only the dedup/incremental/text loop runs
+  * (the 100× row where data-proportional work should finally dominate the
+  * scheduling floor, confirming exponent → 1, not 2).
   *
   * Each copy beyond the first gets every token suffixed `_cK`, so
   * cross-copy shingle sets are DISJOINT: the k× corpus is k disjoint
@@ -46,7 +50,9 @@ object ScaleStress {
       (math.min(a._1, b._1), b._2)
     }
 
-    for (k <- Seq(1, 2, 5, 10)) {
+    val ks = args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 2, 5, 10))
+    for (k <- ks) {
       val corpus = (0 until k).map { i =>
         val text =
           if (i == 0) col("text")
@@ -94,10 +100,11 @@ object ScaleStress {
 
     // ANN search path at 1× and 10× the embeddings corpus (replicated
     // vec_ids; identical vectors — this times the SEARCH plans, the
-    // codebook stays a bounded sample by construction)
+    // codebook stays a bounded sample by construction). Skipped when an
+    // explicit k list was passed (targeted dedup-scale runs).
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
       .select(col("vec_id"), col("embedding"))
-    for (k <- Seq(1, 10)) {
+    for (k <- if (args.nonEmpty) Seq.empty[Int] else Seq(1, 10)) {
       val corpus = (0 until k).map(i =>
         emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
           col("embedding")))
