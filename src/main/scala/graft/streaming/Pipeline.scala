@@ -183,6 +183,88 @@ object Pipeline {
     fs.delete(old, true)
   }
 
+  /** Streaming near-dup ingest gate — the incremental-LSH corpus admission
+    * rule ([[graft.ops.Dedup.minHashNearDupsIncremental]]) as a live
+    * `foreachBatch` sink: every micro-batch of documents probes the
+    * ACCUMULATED MinHash signature store, admitted (non-dup) docs land in
+    * the corpus store, and the batch's signatures append to the signature
+    * store — corpus text is scanned once, on arrival, never re-read. This
+    * is the streaming form of the training-data ingest front door: what
+    * reaches the corpus is exactly what the batch near-dup run would have
+    * kept (the equivalence DedupSpec proves for the batch rule carries
+    * over batch-by-batch).
+    *
+    * Crash-safety is partition idempotence rather than fold idempotence:
+    * both stores are partitioned by `ingest_batch` (the foreachBatch epoch
+    * id) and written with dynamic partition overwrite, so a replayed
+    * micro-batch overwrites ITS OWN partition instead of double-appending;
+    * the probe reads the store MINUS the current epoch's partition, so a
+    * replay never collides with its first attempt's output (which would
+    * mark every replayed doc a duplicate of itself). Any crash point
+    * therefore re-derives identical verdicts and identical partitions.
+    */
+  def nearDupIngestSink(docs: DataFrame, idCol: String, textCol: String,
+                        sigPath: String, corpusPath: String,
+                        checkpoint: String, n: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4,
+                        threshold: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestNearDupBatch(batch, batchId, idCol, textCol, sigPath,
+          corpusPath, n, numHashes, bands, threshold)
+      }
+
+  /** One fold of [[nearDupIngestSink]]: probe, admit, append — replay-safe
+    * via the current epoch's partition being excluded from the probe and
+    * overwritten (not appended) by the writes.
+    */
+  def ingestNearDupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                         textCol: String, sigPath: String,
+                         corpusPath: String, n: Int, numHashes: Int,
+                         bands: Int, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(sigPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // empty frame with the signature schema doubles as the first-batch seen
+    val emptySigs = graft.ops.Dedup.minHashSignatures(
+      batch.limit(0), idCol, textCol, n, numHashes)
+    val seen =
+      if (fs.exists(new Path(sigPath)))
+        spark.read.parquet(sigPath)
+          .filter(col("ingest_batch") =!= batchId)
+          .select(emptySigs.columns.map(col): _*)
+      else emptySigs
+    val verdicts = graft.ops.Dedup.minHashNearDupsIncremental(
+      seen, batch, idCol, textCol, n, numHashes, bands, threshold)
+    val admitted = batch.join(
+      verdicts.filter(!col("is_dup")).select(col("id").as(idCol)), Seq(idCol))
+    val prior =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // admitted docs FIRST (their plan probes the pre-write store), the
+      // batch signatures second — a crash between the two replays cleanly
+      // because the probe excludes this epoch's partition either way
+      admitted.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(corpusPath)
+      graft.ops.Dedup.minHashSignatures(batch, idCol, textCol, n, numHashes)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(sigPath)
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Streaming data-quality monitor: the SAME declarative expectations the
     * batch report runs (`ops.Quality`), evaluated as per-window violation
     * counts over a watermarked stream — quality drift becomes a windowed

@@ -181,6 +181,50 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming near-dup ingest gate: kill/resume; admitted corpus " +
+      "equals the full-corpus batch survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val rows = d.as[(Long, String)].collect().sortBy(_._1).toSeq
+    // ground truth: keep-lowest-id survivors of the one-shot batch run
+    val dropped = graft.ops.Dedup.minHashNearDups(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select($"id_b").as[Long].collect().toSet
+    val survivors = rows.map(_._1).toSet -- dropped
+
+    // ingest in id order (the monotonic-arrival contract of the
+    // keep-lowest-id rule), split across three micro-batches
+    val (p1, rest) = rows.splitAt(rows.length / 3)
+    val (p2, p3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_ndi_").toString
+    def startSink() = Pipeline.nearDupIngestSink(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        root + "/sigs", root + "/corpus", root + "/ckpt").start()
+    val q1 = startSink()
+    stream.addData(p1)
+    q1.processAllAvailable()
+    q1.stop() // the gate goes down; documents keep arriving
+    stream.addData(p2)
+    val q2 = startSink() // resume over the SAME checkpoint
+    try {
+      q2.processAllAvailable()
+      stream.addData(p3)
+      q2.processAllAvailable()
+      val admitted = spark.read.parquet(root + "/corpus")
+        .select($"doc_id").as[Long].collect().toSeq
+      // exactly the batch run's surviving set — nothing double-admitted
+      assert(admitted.sorted == survivors.toSeq.sorted)
+      // the signature store accumulated EVERY doc exactly once (dups
+      // included — the append-only signature-table contract), spread
+      // over one partition per micro-batch
+      val sigs = spark.read.parquet(root + "/sigs")
+      assert(sigs.select($"id").as[Long].collect().sorted.toSeq
+        == rows.map(_._1).toSeq)
+      assert(sigs.select($"ingest_batch").distinct().count() == 3)
+    } finally q2.stop()
+  }
+
   test("streamingFeatures killed and resumed from its checkpoint emits the " +
       "same closed windows as one batch run") {
     implicit val sqlCtx = spark.sqlContext
