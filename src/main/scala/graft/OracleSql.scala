@@ -2102,6 +2102,61 @@ object OracleSql {
         SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem)
       ORDER BY col_a, col_b""",
 
+    "q_target_encoding" -> """
+      WITH t AS (SELECT event_type, value FROM events
+                 WHERE event_type IS NOT NULL),
+      g AS (SELECT avg(value) AS gm FROM t)
+      SELECT event_type, count(*) AS n,
+             round((sum(value) + 10.0 * (SELECT gm FROM g))
+                   / (count(*) + 10.0), 6) AS enc
+      FROM t GROUP BY event_type ORDER BY event_type""",
+
+    "q_standard_scale" -> """
+      WITH s AS (SELECT avg(l_quantity) AS mq, stddev_pop(l_quantity) AS sq,
+                        avg(l_extendedprice) AS mp,
+                        stddev_pop(l_extendedprice) AS sp,
+                        avg(l_discount) AS md, stddev_pop(l_discount) AS sd
+                 FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             round(CASE WHEN (SELECT sq FROM s) > 0.0 THEN
+               (l_quantity - (SELECT mq FROM s)) / (SELECT sq FROM s)
+               ELSE 0.0 END, 6) AS l_quantity_z,
+             round(CASE WHEN (SELECT sp FROM s) > 0.0 THEN
+               (l_extendedprice - (SELECT mp FROM s)) / (SELECT sp FROM s)
+               ELSE 0.0 END, 6) AS l_extendedprice_z,
+             round(CASE WHEN (SELECT sd FROM s) > 0.0 THEN
+               (l_discount - (SELECT md FROM s)) / (SELECT sd FROM s)
+               ELSE 0.0 END, 6) AS l_discount_z
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "x_bm25_search" -> """
+      WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS dl
+        FROM documents),
+      stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+                FROM dl),
+      toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('spark', 'join', 'window')
+             GROUP BY doc_id, term),
+      dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + ((SELECT n_docs FROM stats) - dft.df_t + 0.5)
+                        / (dft.df_t + 0.5))
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (0.25
+                     + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS w
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id))
+      SELECT doc_id, count(*) AS matched_terms, round(sum(w), 6) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id""",
+
     "q_promo_revenue" -> """
       SELECT round(100.0 *
                sum(CASE WHEN p.p_type = 'PROMO'

@@ -1191,6 +1191,26 @@ object SparkEntry {
       // pairwise Pearson matrix in ONE aggregation pass, melted to rows
       Stats.corrMatrix(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_target_encoding" -> ((s, dir) =>
+      // smoothed mean encoding of event_type against the purchase value —
+      // the fitted table a serving join broadcasts
+      Encoding.targetEncode(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        "event_type", "value", smoothing = 10.0)),
+    "q_standard_scale" -> ((s, dir) =>
+      // z-score standardization: one broadcast stats row, narrow transform
+      Encoding.standardScale(
+          Tables.lineitem(s, dir).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_z"), col("l_extendedprice_z"), col("l_discount_z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "x_bm25_search" -> ((s, dir) =>
+      // BM25 lexical search over the corpus for a fixed 3-term query
+      TextAnalysis.bm25Scores(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window"))),
     "q_promo_revenue" -> ((s, dir) =>
       // TPC-H Q14 shape: fact ⋈ broadcast part dim, conditional revenue
       // share — part is orders-of-magnitude smaller than lineitem, so the

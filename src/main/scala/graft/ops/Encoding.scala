@@ -51,4 +51,57 @@ object Encoding {
       d.withColumn(s"is_$c",
         when(col(catCol) === c, 1).otherwise(0)))
   }
+
+  /** Smoothed target (mean) encoding: each category's target mean shrunk
+    * toward the global mean by a pseudo-count prior —
+    * `enc = (Σ target + m·global_mean) / (n + m)` — the classic
+    * high-cardinality categorical encoder (bayesian mean encoding). Rare
+    * categories collapse to the global mean instead of memorizing noise;
+    * `m` is the prior strength in pseudo-rows. NULL categories are
+    * excluded (caller imputes first if they carry signal).
+    *
+    * Returns the fitted encoding TABLE (cat, n, enc) — the bounded
+    * artifact to broadcast-join onto training/serving frames — not the
+    * projected input: one full-input aggregation on the category key plus
+    * a broadcast 1-row global, so the plan is a single shuffle bounded by
+    * category cardinality at any corpus size.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   smoothing: Double = 10.0): DataFrame = {
+    val nonNull = df.filter(col(catCol).isNotNull)
+    val global = nonNull.agg(avg(col(targetCol)).as("__global"))
+    nonNull.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol)).as("__sum"))
+      .crossJoin(broadcast(global))
+      .withColumn("enc",
+        round((col("__sum") + lit(smoothing) * col("__global")) /
+          (col("n") + lit(smoothing)), 6))
+      .select(col(catCol), col("n"), col("enc"))
+      .orderBy(col(catCol))
+  }
+
+  /** Z-score standardization of numeric columns: `(x − μ)/σ_pop` appended
+    * as `<col>_z`, with constant columns (σ = 0) mapping to 0.0 instead
+    * of NULL/Inf. The fit is ONE broadcast 1-row aggregate over all
+    * columns at once (no per-column pass), and the transform is a narrow
+    * codegen'd projection — the scaling feeds straight into the training
+    * handoff at any scale. Column names become `<col>_z`, so they must be
+    * identifier-safe — enforced up front, mirroring [[oneHot]].
+    */
+  def standardScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val unsafe = cols.filterNot(_.matches("[A-Za-z0-9_]+"))
+    require(unsafe.isEmpty,
+      s"standardScale: column names must be identifier-safe to derive " +
+        s"'_z' names; got ${unsafe.mkString(",")}")
+    val statAggs = cols.flatMap(c => Seq(
+      avg(col(c)).as(s"__mu_$c"), stddev_pop(col(c)).as(s"__sigma_$c")))
+    val withStats = df.crossJoin(
+      broadcast(df.agg(statAggs.head, statAggs.tail: _*)))
+    cols.foldLeft(withStats)((d, c) =>
+        d.withColumn(s"${c}_z",
+          round(when(col(s"__sigma_$c") > 0.0,
+            (col(c) - col(s"__mu_$c")) / col(s"__sigma_$c"))
+            .otherwise(0.0), 6)))
+      .drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sigma_$c")): _*)
+  }
 }

@@ -186,6 +186,55 @@ object TextAnalysis {
       .orderBy(col(idCol), col("tfidf").desc, col("term"))
   }
 
+  /** BM25 relevance scoring of every document against a fixed query-term
+    * set — the standard lexical retrieval scorer (Robertson/Spärck Jones;
+    * the scoring function behind Lucene/Elasticsearch defaults), here as
+    * a corpus-scale batch ranking:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·|d|/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Scale shape: document length is a NARROW projection (array size — no
+    * explode, no shuffle); the exploded token stream is filtered to the
+    * query terms BEFORE any shuffle, so the per-(doc,term) count moves
+    * only rows mentioning query terms; df lands in a |query|-row frame
+    * joined back via broadcast; N/avgdl ride a broadcast 1-row aggregate.
+    * The only corpus-wide shuffle keys are (doc,term) and doc. Documents
+    * matching no query term are absent from the output (score 0).
+    *
+    * Double math is ordered identically to the DuckDB oracle and the
+    * score rounds at 6 decimals; output is (id, matched_terms, bm25)
+    * ordered by score desc with id as the deterministic tiebreak.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      s"bm25Scores: query terms must be non-empty and distinct, got " +
+        queryTerms.mkString(","))
+    val toksArr = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val dl = docs.select(col(idCol), size(toksArr).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("__n_docs"),
+      avg(col("dl")).as("__avgdl"))
+    val tf = docs.select(col(idCol), explode(toksArr).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("__n_docs") - col("df_t") + 0.5) /
+            (col("df_t") + 0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_terms"), round(sum(col("w")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+  }
+
   /** Corpus-LM surprisal scoring — the CCNet-style quality signal: score
     * each document by the mean negative log2-probability of its tokens
     * under a unigram language model fitted on the corpus itself. Natural

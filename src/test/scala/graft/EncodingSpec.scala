@@ -40,4 +40,33 @@ class EncodingSpec extends SparkSpec {
       .as[(Long, Int, Int, Int)].collect().toList
     assert(out == List((1L, 1, 0, 0), (2L, 0, 1, 0), (3L, 0, 0, 0)))
   }
+
+  test("targetEncode: smoothed means shrink toward the global mean; NULL " +
+      "categories excluded") {
+    // a: values 1,3 (mean 2); b: value 10; global mean 14/3; m=2
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (Some("b"), 10.0),
+      (None, 99.0)).toDF("cat", "v")
+    val out = Encoding.targetEncode(df, "cat", "v", smoothing = 2.0)
+      .as[(String, Long, Double)].collect().toList
+    val g = 14.0 / 3.0
+    assert(out == List(
+      ("a", 2L, math.rint((4.0 + 2.0 * g) / 4.0 * 1e6) / 1e6),
+      ("b", 1L, math.rint((10.0 + 2.0 * g) / 3.0 * 1e6) / 1e6)))
+    // rare category sits closer to the global mean than its raw mean
+    val encB = out.find(_._1 == "b").get._3
+    assert(math.abs(encB - g) < math.abs(10.0 - g))
+  }
+
+  test("standardScale: z-scores against population stats; constant column " +
+      "maps to 0; unsafe names rejected") {
+    val df = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "c")
+    val out = Encoding.standardScale(df, Seq("x", "c"))
+      .select("x_z", "c_z").as[(Double, Double)].collect().toList.sortBy(_._1)
+    val sigma = math.sqrt(2.0 / 3.0)
+    def z(v: Double) = math.rint((v - 2.0) / sigma * 1e6) / 1e6
+    assert(out == List((z(1.0), 0.0), (z(2.0), 0.0), (z(3.0), 0.0)))
+    intercept[IllegalArgumentException] {
+      Encoding.standardScale(df.withColumnRenamed("x", "x y"), Seq("x y"))
+    }
+  }
 }

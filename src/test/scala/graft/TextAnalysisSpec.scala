@@ -246,4 +246,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e.getMessage.contains("posKey") ||
       Option(e.getCause).exists(_.getMessage.contains("posKey")))
   }
+
+  test("bm25Scores matches an independent scala computation; non-matching " +
+      "and empty docs absent") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"),
+      (4L, "x y z"), (5L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq("a", "c"))
+      .as[(Long, Long, Double)].collect().toList
+    // independent reference computation over the same corpus
+    val toks = Map(1L -> Seq("a", "b", "a"), 2L -> Seq("b", "c"),
+      3L -> Seq("c", "c", "c"), 4L -> Seq("x", "y", "z"), 5L -> Seq())
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def idf(t: String) = {
+      val df = toks.values.count(_.contains(t)).toDouble
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    def score(id: Long) = {
+      val ws = Seq("a", "c").flatMap { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(idf(t) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl)))
+      }
+      (ws.size.toLong, math.rint(ws.sum * 1e6) / 1e6)
+    }
+    val want = Seq(1L, 2L, 3L).map(id => (id, score(id)._1, score(id)._2))
+      .sortBy { case (id, _, s) => (-s, id) }.toList
+    assert(got == want)
+    assert(!got.exists(r => r._1 == 4L || r._1 == 5L))
+  }
 }
