@@ -2129,6 +2129,103 @@ object OracleSql {
                ELSE 0.0 END, 6) AS l_discount_z
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
+    "q_js_divergence" -> """
+      WITH clean AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND event_type IN ('view', 'purchase')),
+      cuts AS (
+        SELECT quantile_cont(value, 0.1) AS c1, quantile_cont(value, 0.2) AS c2,
+               quantile_cont(value, 0.3) AS c3, quantile_cont(value, 0.4) AS c4,
+               quantile_cont(value, 0.5) AS c5, quantile_cont(value, 0.6) AS c6,
+               quantile_cont(value, 0.7) AS c7, quantile_cont(value, 0.8) AS c8,
+               quantile_cont(value, 0.9) AS c9
+        FROM clean),
+      binned AS (
+        SELECT event_type,
+               (CASE WHEN value > c1 THEN 1 ELSE 0 END +
+                CASE WHEN value > c2 THEN 1 ELSE 0 END +
+                CASE WHEN value > c3 THEN 1 ELSE 0 END +
+                CASE WHEN value > c4 THEN 1 ELSE 0 END +
+                CASE WHEN value > c5 THEN 1 ELSE 0 END +
+                CASE WHEN value > c6 THEN 1 ELSE 0 END +
+                CASE WHEN value > c7 THEN 1 ELSE 0 END +
+                CASE WHEN value > c8 THEN 1 ELSE 0 END +
+                CASE WHEN value > c9 THEN 1 ELSE 0 END) AS bin
+        FROM clean, cuts),
+      counts AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b
+        FROM binned GROUP BY bin),
+      pq AS (
+        SELECT bin, n_a, n_b,
+               CAST(n_a AS DOUBLE) / sum(n_a) OVER () AS p,
+               CAST(n_b AS DOUBLE) / sum(n_b) OVER () AS q
+        FROM counts),
+      contrib AS (
+        SELECT *,
+               (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) / 2.0
+                     ELSE 0.0 END +
+                CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) / 2.0
+                     ELSE 0.0 END) AS contribution
+        FROM pq)
+      SELECT bin, n_a, n_b, round(p, 6) AS p, round(q, 6) AS q,
+             round(contribution, 6) AS contribution,
+             round(sum(contribution) OVER (), 6) AS jsd
+      FROM contrib ORDER BY bin""",
+
+    "q_quantile_bins" -> """
+      WITH cuts AS (
+        SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS c1,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.2) AS c2,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.3) AS c3,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.4) AS c4,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS c5,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.6) AS c6,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.7) AS c7,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.8) AS c8,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS c9
+        FROM lineitem)
+      SELECT (CASE WHEN l_extendedprice > c1 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > c2 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > c3 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > c4 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > c5 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > c6 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > c7 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > c8 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > c9 THEN 1 ELSE 0 END) AS bin,
+             count(*) AS n,
+             round(min(l_extendedprice), 2) AS lo,
+             round(max(l_extendedprice), 2) AS hi
+      FROM lineitem, cuts GROUP BY bin ORDER BY bin""",
+
+    "q_robust_scale" -> """
+      WITH s AS (
+        SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS med,
+               quantile_cont(CAST(value AS DOUBLE), 0.75)
+                 - quantile_cont(CAST(value AS DOUBLE), 0.25) AS iqr
+        FROM events)
+      SELECT event_id,
+             round(CASE WHEN (SELECT iqr FROM s) > 0.0 THEN
+               (value - (SELECT med FROM s)) / (SELECT iqr FROM s)
+               ELSE 0.0 END, 6) AS value_rs
+      FROM events ORDER BY event_id""",
+
+    "x_user_sequences" -> """
+      WITH lastk AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type IS NOT NULL)
+      SELECT user_id, count(*) AS seq_len,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
+      FROM lastk WHERE rn <= 20
+      GROUP BY user_id ORDER BY user_id""",
+
     "x_bm25_search" -> """
       WITH dl AS (
         SELECT doc_id,

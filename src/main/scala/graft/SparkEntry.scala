@@ -1211,6 +1211,32 @@ object SparkEntry {
       // BM25 lexical search over the corpus for a fixed 3-term query
       TextAnalysis.bm25Scores(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "join", "window"))),
+    "q_js_divergence" -> ((s, dir) =>
+      // symmetric bounded drift score over pooled-decile bins
+      Drift.jsDivergence(Tables.events(s, dir), "value", "event_type",
+        "view", "purchase", bins = 10)),
+    "q_quantile_bins" -> ((s, dir) =>
+      // equal-frequency discretization audit: per-bucket count and range
+      Stats.quantileBin(
+          Tables.lineitem(s, dir).select(col("l_extendedprice")),
+          "l_extendedprice", 10)
+        .groupBy(col("l_extendedprice_bin").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy(col("bin"))),
+    "q_robust_scale" -> ((s, dir) =>
+      // median/IQR scaling of the heavy-tailed purchase value
+      Encoding.robustScale(
+          Tables.events(s, dir).select(col("event_id"), col("value")),
+          Seq("value"))
+        .select(col("event_id"), col("value_rs"))
+        .orderBy(col("event_id"))),
+    "x_user_sequences" -> ((s, dir) =>
+      // last-20 action strings per user, oldest->newest — sequence-model
+      // training features
+      Session.eventSequences(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", k = 20)),
     "q_promo_revenue" -> ((s, dir) =>
       // TPC-H Q14 shape: fact ⋈ broadcast part dim, conditional revenue
       // share — part is orders-of-magnitude smaller than lineitem, so the

@@ -342,6 +342,51 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** D5b (ext): Jensen–Shannon divergence over pooled-quantile bins — the
+    * bounded, symmetric companion to [[psi]] (JSD ∈ [0, ln 2] in nats;
+    * PSI is unbounded and asymmetric). Bin edges come from the POOLED
+    * sample's quantiles (symmetry demands neither side own the bins);
+    * per-bin proportions p, q feed
+    * `0.5·Σ p·ln(p/m) + 0.5·Σ q·ln(q/m)` with `m = (p+q)/2` and empty
+    * sides contributing 0 (0·ln0 = 0 convention, deterministic in both
+    * engines). Same plan shape as psi: one quantile aggregate broadcast
+    * as cutpoints, one count aggregate, no sort.
+    */
+  def jsDivergence(tagged: DataFrame, valueCol: String, sideCol: String,
+                   a: String, b: String, bins: Int = 10): DataFrame = {
+    val clean = cleanSamples(tagged, valueCol)
+      .filter(col(sideCol).isin(a, b))
+    // one array-percentile aggregate (single value buffer), not one
+    // percentile(...) per cutpoint (bins-1 full-column buffers)
+    val fracs = (1 until bins).map(i => s"${i.toDouble / bins}D")
+    val cuts = clean.agg(
+      expr(s"percentile(CAST($valueCol AS DOUBLE), " +
+        s"array(${fracs.mkString(",")}))").as("__cuts"))
+    val binned = clean.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (1 until bins).map(i =>
+          when(col(valueCol) > element_at(col("__cuts"), i), 1).otherwise(0))
+          .reduce(_ + _))
+    val counts = binned.groupBy(col("bin")).agg(
+      sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("n_b"))
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("p", col("n_a").cast("double") / sum(col("n_a")).over(tot))
+      .withColumn("q", col("n_b").cast("double") / sum(col("n_b")).over(tot))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .withColumn("contribution",
+        when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2.0)
+          .otherwise(0.0) +
+        when(col("q") > 0, col("q") * log(col("q") / col("m")) / 2.0)
+          .otherwise(0.0))
+      .withColumn("jsd", round(sum(col("contribution")).over(tot), 6))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("contribution"), 6).as("contribution"), col("jsd"))
+      .orderBy("bin")
+  }
+
   /** D6 (ext): two-sample chi-square over a categorical column — drift for
     * columns KS cannot handle (device, country, referrer). Pure-arithmetic
     * statistic (no transcendentals beyond the squares), so the DuckDB

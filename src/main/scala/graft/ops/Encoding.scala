@@ -104,4 +104,32 @@ object Encoding {
             .otherwise(0.0), 6)))
       .drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sigma_$c")): _*)
   }
+
+  /** Robust (median/IQR) scaling — the outlier-immune sibling of
+    * [[standardScale]] for heavy-tailed features, where a single extreme
+    * value drags μ/σ but leaves the quartiles untouched:
+    * `(x − median) / (q3 − q1)` appended as `<col>_rs`, constant-IQR
+    * columns mapping to 0.0. Same plan: one broadcast exact-percentile
+    * aggregate over all columns, then a narrow projection.
+    */
+  def robustScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val unsafe = cols.filterNot(_.matches("[A-Za-z0-9_]+"))
+    require(unsafe.isEmpty,
+      s"robustScale: column names must be identifier-safe to derive " +
+        s"'_rs' names; got ${unsafe.mkString(",")}")
+    // one array-percentile per column (single value buffer each), split
+    // into median/IQR in the projection below
+    val statAggs = cols.map(c =>
+      expr(s"percentile(CAST($c AS DOUBLE), array(0.25D, 0.5D, 0.75D))")
+        .as(s"__q_$c"))
+    val withStats = df.crossJoin(
+      broadcast(df.agg(statAggs.head, statAggs.tail: _*)))
+    cols.foldLeft(withStats) { (d, c) =>
+        val med = element_at(col(s"__q_$c"), 2)
+        val iqr = element_at(col(s"__q_$c"), 3) - element_at(col(s"__q_$c"), 1)
+        d.withColumn(s"${c}_rs",
+          round(when(iqr > 0.0, (col(c) - med) / iqr).otherwise(0.0), 6))
+      }
+      .drop(cols.map(c => s"__q_$c"): _*)
+  }
 }

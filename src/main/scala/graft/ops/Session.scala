@@ -155,4 +155,34 @@ object Session {
       col("value")).as[(Long, Long, Double)]
       .map { case (k, t, v) => Ev(k, t, v) }
   }
+
+  /** Per-entity ordered event sequences — the "last k actions per user"
+    * feature a sequence model (next-event prediction, churn transformers)
+    * trains on, exported as one comma-joined string plus its length.
+    * Selection is the NEWEST `k` events by (ts, tiebreak) descending; the
+    * emitted sequence reads oldest→newest (training order). Rows with a
+    * NULL event label are excluded up front so the string and `seq_len`
+    * agree.
+    *
+    * Scale shape: [[Sampling.quotaCap]]'s per-key window bounds the sort
+    * at one user's history (never a corpus sort), and `k` caps what
+    * `collect_list` holds per group — state is k·width per entity, the
+    * contract that keeps the aggregation memory-safe however hot a user
+    * is. The struct sort key (ts, tiebreak) makes the order total, so the
+    * string is deterministic and oracle-checkable.
+    */
+  def eventSequences(events: DataFrame, key: String, ts: String,
+                     tiebreak: String, typeCol: String, k: Int): DataFrame = {
+    val lastK = Sampling.quotaCap(
+      events.filter(col(typeCol).isNotNull)
+        .select(col(key), col(ts), col(tiebreak), col(typeCol)),
+      key, Seq(col(ts).desc, col(tiebreak).desc), k)
+    lastK.groupBy(col(key))
+      .agg(count(lit(1)).as("seq_len"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col(ts).as("t"),
+            col(tiebreak).as("tb"), col(typeCol).as("e")))),
+          x => x.getField("e"))).as("sequence"))
+      .orderBy(col(key))
+  }
 }

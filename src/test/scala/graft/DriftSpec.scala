@@ -247,4 +247,24 @@ class DriftSpec extends SparkSpec {
       .select("drift_detected").head()
     assert(row.getBoolean(0))
   }
+
+  test("jsDivergence: zero on identical samples, symmetric, bounded by ln 2," +
+      " larger under a mean shift") {
+    val same = tagged(poisson(15, 800, 7), poisson(15, 800, 7))
+    val sameJsd = Drift.jsDivergence(same, "v", "side", "a", "b")
+      .select("jsd").head().getDouble(0)
+    assert(sameJsd == 0.0)
+    val shifted = tagged(poisson(15, 800, 8), poisson(25, 800, 9))
+    val ab = Drift.jsDivergence(shifted, "v", "side", "a", "b")
+      .select("jsd").head().getDouble(0)
+    val ba = Drift.jsDivergence(shifted, "v", "side", "b", "a")
+      .select("jsd").head().getDouble(0)
+    assert(ab == ba, "JSD must be symmetric in the two sides")
+    assert(ab > 0.05 && ab <= math.log(2.0) + 1e-9)
+    assert(ab > sameJsd)
+    // per-bin contributions sum to the scalar
+    val rows = Drift.jsDivergence(shifted, "v", "side", "a", "b")
+      .select("contribution").collect().map(_.getDouble(0))
+    assert(math.abs(rows.sum - ab) < 1e-4)
+  }
 }

@@ -69,4 +69,20 @@ class EncodingSpec extends SparkSpec {
       Encoding.standardScale(df.withColumnRenamed("x", "x y"), Seq("x y"))
     }
   }
+
+  test("robustScale: median/IQR scaling ignores the outlier z-scores chase; " +
+      "constant column maps to 0") {
+    // 1..9 plus an outlier 1000: median 5.5, q1 3.25, q3 7.75, iqr 4.5
+    val vals = ((1 to 9).map(_.toDouble) :+ 1000.0)
+    val df = vals.map(v => (v, 1.0)).toDF("x", "c")
+    val out = Encoding.robustScale(df, Seq("x", "c"))
+      .select("x", "x_rs", "c_rs").as[(Double, Double, Double)]
+      .collect().sortBy(_._1).toList
+    def rs(v: Double) = math.rint((v - 5.5) / 4.5 * 1e6) / 1e6
+    assert(out.map(_._2) == vals.sorted.map(rs).toList)
+    assert(out.forall(_._3 == 0.0))
+    // the outlier inflates sigma ~300x but shifts the IQR fit not at all:
+    // a typical value keeps an O(1) robust score
+    assert(math.abs(rs(9.0)) < 1.0)
+  }
 }

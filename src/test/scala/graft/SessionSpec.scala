@@ -106,4 +106,21 @@ class SessionSpec extends SparkSpec {
       .select("n_events").as[Long].collect().toList
     assert(out == List(3)) // each arrives within 30min of the last
   }
+
+  test("eventSequences: newest-k selection, oldest-first order, ts tiebreak " +
+      "by id, null labels excluded") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 10L, Some("a")), (1L, ts(1), 11L, Some("b")),
+      (1L, ts(2), 12L, Some("c")), (1L, ts(3), 13L, Some("d")),
+      (2L, ts(5), 20L, Some("x")), (2L, ts(5), 21L, Some("y")), // ts tie
+      (3L, ts(7), 30L, None) // label-less user vanishes entirely
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Session.eventSequences(df, "user_id", "ts", "event_id",
+        "event_type", k = 3)
+      .as[(Long, Long, String)].collect().toList
+    // user 1: newest 3 of 4 (b,c,d), emitted oldest->newest
+    // user 2: equal ts ordered by event_id
+    assert(out == List((1L, 3L, "b,c,d"), (2L, 2L, "x,y")))
+  }
 }

@@ -136,4 +136,19 @@ class StatsSpec extends SparkSpec {
       .as[(String, String, Double)].collect().toList
     assert(out == List(("x", "y", 1.0), ("x", "z", -1.0), ("y", "z", -1.0)))
   }
+
+  test("quantileBin: equal-frequency buckets on distinct values, NULLs to " +
+      "bin 0, bin is monotone in the value") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val binned = Stats.quantileBin(df, "v", 4)
+      .select("v", "v_bin").as[(Double, Int)].collect().toList
+    val counts = binned.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // monotone: sorting by value never decreases the bin
+    val byV = binned.sortBy(_._1).map(_._2)
+    assert(byV == byV.sorted)
+    val withNull = Seq(Some(5.0), None).toDF("v")
+    assert(Stats.quantileBin(withNull, "v", 2).filter($"v".isNull)
+      .select("v_bin").as[Int].head() == 0)
+  }
 }
