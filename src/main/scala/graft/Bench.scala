@@ -25,11 +25,20 @@ object Bench {
     // pressure. A throwing query is recorded in `errors` (and its wall time
     // NEVER reported as a timing) so a fast failure can't pose as a fast
     // success.
+    // The timed action is queryExecution.toRdd.count(), NOT df.count():
+    // count() re-optimizes with the count on top, which PRUNES the query's
+    // own work — unused aggregate expressions (exact percentiles!), all
+    // projections, and every sort are eliminated, so a 1-row-agg or
+    // narrow-transform query was being timed doing ~none of its work
+    // (q_percentiles: 0.14 s under count() vs 3.8 s real). toRdd executes
+    // the query's OWN optimized plan — every column computed, sorts kept —
+    // without paying driver-side result serialization.
     def sweep(): Map[String, Either[String, Double]] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val outcome =
-          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          try { fn(spark, sfDir).queryExecution.toRdd.count()
+                Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable => Left(e.getClass.getSimpleName) }
         name -> outcome
       }

@@ -20,7 +20,8 @@ object BenchOne {
     SparkEntry.queries("x_dedup_exact")(spark, dir).count() // warmup
     for (q <- args) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dir).count() // same action as Bench
+      // same action as Bench: the query's OWN plan, not count()-pruned
+      val n = SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
       println(s"TIMING $q ${(System.nanoTime() - t0) / 1e9} rows=$n")
     }
     spark.stop()
