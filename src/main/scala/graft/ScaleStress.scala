@@ -65,7 +65,7 @@ object ScaleStress {
       val (tCluster, nClustered) = timeMin2 {
         Dedup.dedupClusters(
           Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 50)
-            .select("id_a", "id_b")).count()
+            .select("id_a", "id_b")).queryExecution.toRdd.count()
       }
       // ingest shape: earlier half of every copy is the accumulated corpus
       // (signatures only), the later half is the new batch
@@ -75,7 +75,8 @@ object ScaleStress {
         .localCheckpoint()
       val (tIncr, nBatch) = timeMin2 {
         Dedup.minHashNearDupsIncremental(seenSigs, batch, "doc_id", "text",
-          n = 3, numHashes = 16, bands = 4, threshold = 0.5).count()
+          n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .queryExecution.toRdd.count()
       }
       println(s"STRESS k=$k docs=$nDocs clustered=$nClustered " +
         f"t_cluster=$tCluster%.2f t_incr=$tIncr%.2f batch=$nBatch")
@@ -87,11 +88,11 @@ object ScaleStress {
           corpus.select(col("doc_id"),
             array_join(graft.ops.TextAnalysis.chunkTexts(col("text"), 8, 8),
               "\n").as("text")),
-          "doc_id", "text").count()
+          "doc_id", "text").queryExecution.toRdd.count()
       }
       val (tChunk, nChunks) = timeMin2 {
         graft.ops.TextAnalysis.chunkWindows(corpus, "doc_id", "text",
-          window = 16, stride = 16).count()
+          window = 16, stride = 16).queryExecution.toRdd.count()
       }
       println(s"STRESS-TEXT k=$k " +
         f"t_dedup_lines=$tLines%.2f docs=$nCleaned " +
@@ -113,11 +114,11 @@ object ScaleStress {
       val queries = corpus.filter(col("vec_id") < 5)
       val (tBrute, _) = timeMin2 {
         graft.ops.Similarity.topKBruteForce(queries, corpus,
-          "vec_id", "embedding", 3).count()
+          "vec_id", "embedding", 3).queryExecution.toRdd.count()
       }
       val (tIvf, _) = timeMin2 {
         graft.ops.Similarity.learnedIvf(corpus, "vec_id", "embedding",
-          queries, 3, nCells = 8).count()
+          queries, 3, nCells = 8).queryExecution.toRdd.count()
       }
       println(f"STRESS-ANN k=$k vecs=$n t_brute=$tBrute%.2f t_ivf=$tIvf%.2f")
     }

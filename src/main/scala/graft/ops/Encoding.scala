@@ -87,6 +87,13 @@ object Encoding {
     * codegen'd projection — the scaling feeds straight into the training
     * handoff at any scale. Column names become `<col>_z`, so they must be
     * identifier-safe — enforced up front, mirroring [[oneHot]].
+    *
+    * Not [[graft.ops.Stats.scaleFeatures]] with fewer columns: that is
+    * the exploratory REPORT form (sample σ, z + min-max side by side,
+    * NULL on spread-free columns so a human sees the degenerate column).
+    * This is the sklearn-StandardScaler serving convention — population
+    * σ and 0.0 imputation, so a constant feature never injects NULLs
+    * into a model input vector.
     */
   def standardScale(df: DataFrame, cols: Seq[String]): DataFrame = {
     val unsafe = cols.filterNot(_.matches("[A-Za-z0-9_]+"))
