@@ -1566,6 +1566,35 @@ object OracleSql {
                   * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.4
       ORDER BY id_a, id_b""",
 
+    // SemDeDup with seed centroids: DuckDB replays the nearest-centroid
+    // assignment (squared-L2 argmin, lowest-index tiebreak — margins are
+    // >=1e-4 at every SF so cross-engine float noise cannot flip it), the
+    // within-cell rounded-cosine pair scan, and the lower-id drop rule
+    "x_semdedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cidx, v AS cv FROM e WHERE vec_id < 8),
+      asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, CAST(c.cidx AS INTEGER) AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_inner_product(e.v, e.v)
+                     - 2 * list_inner_product(e.v, c.cv)
+                     + list_inner_product(c.cv, c.cv) ASC,
+                   c.cidx ASC) AS rn
+          FROM e CROSS JOIN c) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             JOIN e ea ON a.vec_id = ea.vec_id
+             JOIN e eb ON b.vec_id = eb.vec_id
+        WHERE round(list_inner_product(ea.v, eb.v)
+                / (sqrt(list_inner_product(ea.v, ea.v))
+                   * sqrt(list_inner_product(eb.v, eb.v))), 6) >= 0.4)
+      SELECT asg.vec_id, asg.cell, (d.id_b IS NULL) AS kept
+      FROM asg LEFT JOIN dropped d ON asg.vec_id = d.id_b
+      ORDER BY asg.vec_id""",
+
     // binned KS (the 100 TB fallback): fixed-width histogram then bounded
     // cumulative window — same floor/least arithmetic in both engines
     "q_ks_binned" -> """
@@ -2026,6 +2055,36 @@ object OracleSql {
              count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    // ROLLUP/CUBE: subtotal keys coalesced to the '(all)' sentinel and the
+    // GROUPING bitmask kept alongside, dodging NULL-ordering conventions
+    "q_rollup_pricing" -> """
+      SELECT coalesce(CAST(l_returnflag AS VARCHAR), '(all)') AS l_returnflag,
+             coalesce(CAST(l_linestatus AS VARCHAR), '(all)') AS l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus""",
+
+    "q_cube_events" -> """
+      SELECT coalesce(CAST(event_type AS VARCHAR), '(all)') AS event_type,
+             coalesce(CAST(month(ts) AS VARCHAR), '(all)') AS month,
+             CAST(GROUPING(event_type, month(ts)) AS BIGINT) AS gid,
+             count(*) AS n_events,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY CUBE(event_type, month(ts))
+      ORDER BY gid, event_type, month""",
+
+    "q_pivot_events" -> """
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) FILTER (WHERE event_type = 'view') AS "view",
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_selective_revenue" -> """
       SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -1054,6 +1054,20 @@ object SparkEntry {
     "x_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label", 0.4)),
+    "x_semdedup" -> ((s, dir) => {
+      // SemDeDup with SEED centroids (the first 8 vectors) instead of the
+      // fitted codebook, so DuckDB replays the whole decision — nearest-
+      // centroid assignment included (assignment margins are ≥1e-4 at
+      // every SF, far above cross-engine float-summation noise; the
+      // fitted-codebook production path is pinned in SimilaritySpec).
+      // Bounded 8-row collect at construction, same posture as
+      // trainCodebook's 4096-row sample.
+      val emb = Tables.embeddings(s, dir)
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.semDedup(emb, "vec_id", "embedding", seeds, tau = 0.4)
+    }),
 
     "x_vector_normalize" -> ((s, dir) =>
       Similarity.l2Normalize(Tables.embeddings(s, dir), "vec_id", "embedding")
@@ -1168,6 +1182,30 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    "q_rollup_pricing" -> ((s, dir) =>
+      // ROLLUP subtotal lattice: leaf (flag, status), per-flag, grand
+      // total — all three dashboard granularities from ONE shuffled
+      // aggregation instead of three GROUP BY passes
+      Olap.rollupAgg(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(
+          "sum_qty" -> round(sum(col("l_quantity")), 2),
+          "revenue" ->
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
+          "n_items" -> count(lit(1))))),
+    "q_cube_events" -> ((s, dir) =>
+      // CUBE over (event_type, month): all four grouping sets in one pass
+      Olap.cubeAgg(
+        Tables.events(s, dir).withColumn("month", month(col("ts"))),
+        Seq("event_type", "month"),
+        Seq(
+          "n_events" -> count(lit(1)),
+          "avg_value" -> round(avg(col("value")), 6)))),
+    "q_pivot_events" -> ((s, dir) =>
+      // wide per-day activity matrix over the DECLARED event-type set —
+      // static schema, single aggregation, no distinct-discovery job
+      Olap.pivotCounts(Tables.events(s, dir), to_date(col("ts")), "day",
+        "event_type", Seq("view", "click", "purchase", "signup", "error"))),
     "q_feature_hashing" -> ((s, dir) =>
       // hashing-trick encoder: md5-prefix bucket per category — no fitted
       // vocabulary, stable under unseen categories (the 100 TB encoder)

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-level OLAP aggregation — ROLLUP / CUBE subtotal lattices and
+  * declared-values PIVOT. The reference's dashboards recompute each
+  * subtotal level as its own GROUP BY pass
+  * (reference `spark/apps/batch_feature_engineering.py` runs one
+  * aggregation per granularity); `rollup`/`cube` produce every level in
+  * ONE shuffle — partial aggregation covers all grouping sets at once.
+  *
+  * Subtotal rows carry NULL in the rolled-up key columns; we coalesce
+  * them to the `(all)` sentinel and keep `grouping_id()` alongside, so
+  * consumers (and the DuckDB oracle) distinguish a subtotal from a
+  * genuine NULL key without relying on engine NULL-ordering conventions.
+  *
+  * Scale notes: rollup/cube multiply output rows, not input rows — the
+  * shuffle is still one pass over the fact table with map-side partials
+  * per grouping set. PIVOT is only scale-safe with DECLARED values
+  * (`pivotCounts` requires them): Spark otherwise runs an extra distinct
+  * scan to discover the column set, and an unbounded pivot width is a
+  * driver OOM at 100 TB.
+  */
+object Olap {
+
+  private def sentinel(keys: Seq[String]): Seq[Column] =
+    keys.map(k => coalesce(col(k).cast("string"), lit("(all)")).as(k))
+
+  /** Hierarchical subtotals: (k1..kn), (k1..kn-1), …, grand total — one
+    * shuffled aggregation for the whole lattice. `aggs` maps output name →
+    * metric expression; `gid` is Spark's `grouping_id()` bitmask (0 = leaf
+    * row, all-ones = grand total).
+    */
+  def rollupAgg(df: DataFrame, keys: Seq[String],
+                aggs: Seq[(String, Column)]): DataFrame =
+    finish(df.rollup(keys.map(col): _*), keys, aggs)
+
+  /** Every grouping-set combination (2^n levels), same single-shuffle
+    * shape as [[rollupAgg]].
+    */
+  def cubeAgg(df: DataFrame, keys: Seq[String],
+              aggs: Seq[(String, Column)]): DataFrame =
+    finish(df.cube(keys.map(col): _*), keys, aggs)
+
+  private def finish(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                     keys: Seq[String],
+                     aggs: Seq[(String, Column)]): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate required")
+    val aliased = aggs.map { case (n, c) => c.as(n) }
+    grouped
+      .agg(grouping_id().as("gid"), aliased: _*)
+      .select((sentinel(keys) :+ col("gid")) ++
+        aggs.map { case (n, _) => col(n) }: _*)
+      .orderBy(col("gid") +: keys.map(col): _*)
+  }
+
+  /** Wide-format counts: one row per `rowKey`, one column per declared
+    * `values` entry of `pivotCol`. Declared values keep the plan a single
+    * aggregation (no distinct-discovery job) and make the output schema
+    * static — both required for the 100 TB posture and for the oracle.
+    * Values outside the declared list are dropped (handle-unknown=ignore,
+    * matching [[Encoding.oneHot]]).
+    */
+  def pivotCounts(df: DataFrame, rowKey: Column, rowKeyName: String,
+                  pivotCol: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty && values.distinct == values,
+      "pivot values must be declared, non-empty, and unique")
+    val unsafe = values.filterNot(_.matches("[A-Za-z0-9_]+"))
+    require(unsafe.isEmpty,
+      s"pivot values must be identifier-safe column names, got: $unsafe")
+    df.groupBy(rowKey.as(rowKeyName))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      // pivot leaves NULL where a (row, value) cell has no rows — report 0
+      .select(col(rowKeyName) +:
+        values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+      .orderBy(col(rowKeyName))
+  }
+}

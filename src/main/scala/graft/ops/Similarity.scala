@@ -360,6 +360,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SemDeDup — semantic deduplication over the embedding corpus (the
+    * cluster-then-prune recipe of Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * every vector is assigned to its nearest centroid (broadcast codebook,
+    * narrow map — the IVF assignment reused), pairwise cosine runs only
+    * WITHIN a cell, and a vector is dropped when a more-senior (lower-id)
+    * cell-mate sits at or above the similarity threshold. Emits the full
+    * per-vector audit (id, cell, kept) rather than just the survivors, so
+    * the drop decision itself is oracle-checkable.
+    *
+    * Deterministic: assignment ties break to the lowest centroid index,
+    * the drop rule keys on ids, and the threshold compares the ROUNDED
+    * cosine (same 6-decimal convention as [[cosineNearDups]]) so replays
+    * are engine-independent.
+    *
+    * Scale shape: no all-pairs anything — the pair space is Σ cellSize²,
+    * controlled by the codebook size exactly as in the paper (cells ≈
+    * corpus/5k at web scale); assignment is one narrow projection, the
+    * drop election is a distinct + a join on the (small) dropped-id set.
+    * Centroids come from [[trainCodebook]] in production; the registry
+    * query uses seed centroids (the first k vectors) so DuckDB can replay
+    * the whole decision without Lloyd's.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val assigned = emb.select(col(idCol), col(vecCol),
+      graft.functions.Native.nearest_centroid(d(col(vecCol)), centroids)
+        .as("cell"))
+    val dropped = cosineNearDups(assigned, idCol, vecCol, "cell", tau)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("dup", lit(true))
+    assigned
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dup").isNull.as("kept"))
+      .orderBy(col(idCol))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via the IVF
     * cells to bound the pair space (id_a < id_b).
     */

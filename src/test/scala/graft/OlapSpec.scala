@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Olap
+import org.apache.spark.sql.functions._
+
+/** ROLLUP/CUBE subtotal-lattice semantics and declared-values PIVOT. */
+class OlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sales = Seq(
+    ("east", "a", 10.0),
+    ("east", "b", 20.0),
+    ("west", "a", 5.0),
+    ("west", "a", 1.0)
+  ).toDF("region", "sku", "amt")
+
+  test("rollupAgg: leaf, per-prefix, and grand-total levels from one pass") {
+    val out = Olap.rollupAgg(sales, Seq("region", "sku"),
+        Seq("total" -> sum($"amt"), "n" -> count(lit(1))))
+      .as[(String, String, Long, Double, Long)].collect().toList
+    assert(out == List(
+      ("east", "a", 0L, 10.0, 1L),
+      ("east", "b", 0L, 20.0, 1L),
+      ("west", "a", 0L, 6.0, 2L),
+      ("east", "(all)", 1L, 30.0, 2L),
+      ("west", "(all)", 1L, 6.0, 2L),
+      ("(all)", "(all)", 3L, 36.0, 4L)))
+  }
+
+  test("cubeAgg adds the per-sku slice rollup lacks") {
+    val out = Olap.cubeAgg(sales, Seq("region", "sku"),
+        Seq("total" -> sum($"amt")))
+      .as[(String, String, Long, Double)].collect().toList
+    val gidOf = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(gidOf == Map(0L -> 3, 1L -> 2, 2L -> 2, 3L -> 1))
+    // the gid=2 rows are the per-sku marginals (region rolled up)
+    assert(out.filter(_._3 == 2L).map(r => (r._1, r._2, r._4)).toSet ==
+      Set(("(all)", "a", 16.0), ("(all)", "b", 20.0)))
+  }
+
+  test("grouping_id separates a genuine NULL key from a subtotal") {
+    val withNull = Seq((Option.empty[String], 7.0), (Some("x"), 1.0))
+      .toDF("k", "amt")
+    val out = Olap.rollupAgg(withNull, Seq("k"), Seq("total" -> sum($"amt")))
+      .as[(String, Long, Double)].collect().toList
+    // NULL leaf coalesces to the sentinel but keeps gid=0; the rollup
+    // total is the gid=1 row — same label, disjoint gid
+    assert(out == List(
+      ("(all)", 0L, 7.0), ("x", 0L, 1.0), ("(all)", 1L, 8.0)))
+  }
+
+  test("pivotCounts: declared values, zero-filled cells, unknowns dropped") {
+    val ev = Seq(("d1", "view"), ("d1", "view"), ("d1", "click"),
+        ("d2", "purchase"), ("d2", "mystery"))
+      .toDF("day", "event_type")
+    val out = Olap.pivotCounts(ev, $"day", "day", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(out == List(("d1", 2L, 1L, 0L), ("d2", 0L, 0L, 1L)))
+  }
+
+  test("pivotCounts rejects undeclared, duplicate, or unsafe value lists") {
+    val ev = Seq(("d1", "view")).toDF("day", "event_type")
+    intercept[IllegalArgumentException] {
+      Olap.pivotCounts(ev, $"day", "day", "event_type", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Olap.pivotCounts(ev, $"day", "day", "event_type", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Olap.pivotCounts(ev, $"day", "day", "event_type", Seq("has space"))
+    }
+  }
+}

@@ -181,6 +181,47 @@ class SimilaritySpec extends SparkSpec {
     assert(nd == Set((0L, 1L))) // 3-4 are opposite (cos -1); 0-4 cross-cell
   }
 
+  test("semDedup: lower-id cell-mate above tau wins; cross-cell dups survive") {
+    // seed centroids (1,0,0) and (0,1,0): vecs 0,1,4 land in cell 0,
+    // vecs 2,3 in cell 1. At tau=0.9 the colinear/near-colinear 1 and 4
+    // lose to senior 0; 2 and 3 are orthogonal-to-opposite (cos 0) — kept.
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents, 0.9)
+      .as[(Long, Int, Boolean)].collect().toList
+    assert(out.map(_._1) == List(0L, 1L, 2L, 3L, 4L)) // full audit, ordered
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
+    assert(out.filter(_._3).map(_._1) == List(0L, 2L, 3L))
+  }
+
+  test("semDedup: unreachable tau keeps everything; audit covers the corpus") {
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents, 2.0)
+    assert(out.count() == 5 && out.filter($"kept" === false).count() == 0)
+  }
+
+  test("semDedup: fitted-codebook drop rule matches a naive recheck") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = Similarity.trainCodebook(emb, "vec_id", "embedding", nCells = 4)
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", cb, 0.4)
+    assert(out.count() == emb.count()) // full audit, one row per vector
+    val cells = out.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val kept = out.filter($"kept").select("vec_id").as[Long].collect().toSet
+    val vs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val naiveKept = vs.keySet.filter { id =>
+      !vs.keySet.exists(o => o < id && cells(o) == cells(id) &&
+        cos(vs(o), vs(id)) >= 0.4)
+    }
+    assert(kept == naiveKept)
+  }
+
   test("IVF-PQ: deterministic, k per query, recall within the combined loss") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" < 10)
