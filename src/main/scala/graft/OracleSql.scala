@@ -2056,6 +2056,29 @@ object OracleSql {
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
 
+    "q_winsorize" -> """
+      WITH b AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+                        quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+                 FROM events)
+      SELECT event_id, round(value, 6) AS value,
+             round(least(greatest(value, b.lo), b.hi), 6) AS value_w
+      FROM events CROSS JOIN b ORDER BY event_id""",
+
+    // bounded-lag EWMA: the truncated weighted mean replayed as a
+    // rank-bounded self-join (b.rn within the trailing 8-row frame)
+    "q_ewma_features" -> """
+      WITH t AS (SELECT event_id, user_id, value,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS rn
+                 FROM events)
+      SELECT a.event_id, a.user_id, round(a.value, 6) AS value,
+             round(sum(b.value * pow(0.7, a.rn - b.rn))
+               / sum(pow(0.7, a.rn - b.rn)), 6) AS ewma
+      FROM t a JOIN t b ON a.user_id = b.user_id
+                       AND b.rn BETWEEN a.rn - 7 AND a.rn
+      GROUP BY a.event_id, a.user_id, a.value
+      ORDER BY a.event_id""",
+
     // ROLLUP/CUBE: subtotal keys coalesced to the '(all)' sentinel and the
     // GROUPING bitmask kept alongside, dodging NULL-ordering conventions
     "q_rollup_pricing" -> """

@@ -1182,6 +1182,23 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    "q_winsorize" -> ((s, dir) =>
+      // heavy-tail clipping at the 5th/95th percentile: one array-
+      // percentile fit, broadcast bounds, narrow clip projection
+      Stats.winsorize(
+          Tables.events(s, dir).select(col("event_id"), col("value")),
+          "value", 0.05, 0.95)
+        .select(col("event_id"), round(col("value"), 6).as("value"),
+          round(col("value_w"), 6).as("value_w"))
+        .orderBy("event_id")),
+    "q_ewma_features" -> ((s, dir) =>
+      // per-user exponentially-weighted trailing mean, truncated to the
+      // last 8 events (bounded state — the honest 100 TB recursion)
+      Stats.ewmaFeatures(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "value", alpha = 0.3, frameRows = 8)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("value"), col("ewma"))
+        .orderBy("event_id")),
     "q_rollup_pricing" -> ((s, dir) =>
       // ROLLUP subtotal lattice: leaf (flag, status), per-flag, grand
       // total — all three dashboard granularities from ONE shuffled

@@ -206,6 +206,71 @@ object Stats {
       round(when(sd > 0, (col(valCol) - mu) / sd), 6).as("z"))
   }
 
+  /** Winsorization — clip a numeric column to its [lo, hi] quantile
+    * bounds: the standard heavy-tail taming step before scaling/training
+    * (clipping, unlike dropping, keeps the row and its other features).
+    * ONE array-percentile aggregate fits both bounds (single buffer, same
+    * shape as [[quantileBin]]), broadcast as a 1-row frame; the clip
+    * itself is a narrow codegen'd `least/greatest` projection. At true
+    * 100 TB swap the fit to `percentile_approx` — same call shape.
+    * Output column is `<col>_w`; NULLs pass through unclipped.
+    */
+  def winsorize(df: DataFrame, valCol: String, lo: Double,
+                hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      s"winsorize: need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val bounds = df.agg(
+      expr(s"percentile(CAST(`$valCol` AS DOUBLE), array(${lo}D, ${hi}D))")
+        .as("__wb"))
+    df.crossJoin(broadcast(bounds))
+      // greatest/least IGNORE nulls (they'd clip a NULL to the lower
+      // bound) — gate explicitly so NULLs pass through as NULL
+      .withColumn(s"${valCol}_w",
+        when(col(valCol).isNotNull,
+          least(greatest(col(valCol).cast("double"),
+            element_at(col("__wb"), 1)), element_at(col("__wb"), 2))))
+      .drop("__wb")
+  }
+
+  /** Bounded-lag EWMA per key — the exponentially-weighted trailing mean
+    * a monitoring/feature pipeline keeps per entity, truncated to the
+    * last `frameRows` events so the state and the arithmetic are bounded
+    * (the untruncated recursion needs either per-row sequential state or
+    * numerically explosive (1−α)^−n rescaling; weights beyond ~15 lags
+    * are < 1e-3 of the total at α ≥ 0.3, so the truncation is the honest
+    * 100 TB form). Weighted mean over the frame with weights
+    * (1−α)^lag, normalized by the actual in-frame weight sum (pandas
+    * `ewm(adjust=True)` convention), so early rows with short histories
+    * are means of what exists rather than biased toward zero.
+    *
+    * Window is partitioned by key and ordered by (ts, id) — the sort is
+    * bounded by one entity's history, same posture as [[rollingFeatures]].
+    */
+  def ewmaFeatures(df: DataFrame, keyCol: String, tsCol: String,
+                   idCol: String, valCol: String, alpha: Double,
+                   frameRows: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ewma: need 0 < alpha < 1, got $alpha")
+    require(frameRows >= 1, s"ewma: need frameRows >= 1, got $frameRows")
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val frame = order.rowsBetween(-(frameRows - 1), Window.currentRow)
+    val decay = lit(1.0 - alpha)
+    val withVals = df.select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+      collect_list(col(valCol).cast("double")).over(frame).as("__fv"))
+    val n = size(col("__fv"))
+    // position i in 1..n (oldest first) carries weight (1−α)^(n−i)
+    val idx = sequence(lit(1), n)
+    val num = aggregate(
+      zip_with(col("__fv"), idx,
+        (x, i) => x * pow(decay, n.cast("double") - i.cast("double"))),
+      lit(0.0), _ + _)
+    val den = aggregate(idx, lit(0.0),
+      (acc, i) => acc + pow(decay, n.cast("double") - i.cast("double")))
+    withVals
+      .withColumn("ewma", round(num / den, 6))
+      .drop("__fv")
+  }
+
   /** IQR outlier report per group: exact quartiles, Tukey fences at
     * 1.5·IQR, and the count outside them. Two passes — a per-group
     * quantile aggregate, then a broadcast join back to count offenders —

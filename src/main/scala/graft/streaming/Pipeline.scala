@@ -265,6 +265,91 @@ object Pipeline {
     }
   }
 
+  /** Streaming SEMANTIC ingest gate — [[graft.ops.Similarity.semDedup]]'s
+    * admission rule as a live `foreachBatch` sink, the embedding twin of
+    * [[nearDupIngestSink]]: each micro-batch of (id, vector) rows is
+    * cell-assigned via the broadcast codebook, probed against the
+    * ACCUMULATED store within its cell only (cost ∝ batch × cell-mates,
+    * never batch × corpus), and a row is admitted iff no prior vector and
+    * no senior batch-mate in its cell sits at or above cosine `tau`.
+    *
+    * The store keeps EVERY arriving vector with its `admitted` verdict —
+    * not just survivors — because the batch drop rule keys on seniority,
+    * not survival: a vector whose senior match was itself dropped must
+    * still be dropped, so dropped seniors must stay probe-able (the same
+    * reasoning behind the signature store keeping all batch signatures,
+    * DedupSpec's dropped-seen-partners case). With id-ordered arrival this
+    * makes the gate verdict-identical to running batch `semDedup` over
+    * everything seen so far — SimilaritySpec proves the equivalence.
+    *
+    * Same crash-safety as the text gate: the store is partitioned by
+    * `ingest_batch` with dynamic partition overwrite, and the probe
+    * excludes the current epoch's partition, so replays re-derive
+    * identical verdicts into their own partition.
+    */
+  def semDedupIngestSink(vecs: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[Array[Double]], storePath: String,
+                         checkpoint: String,
+                         tau: Double): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestSemDedupBatch(batch, batchId, idCol, vecCol, centroids,
+          storePath, tau)
+      }
+
+  /** One fold of [[semDedupIngestSink]]: assign, probe, admit, append. */
+  def ingestSemDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                          vecCol: String, centroids: Array[Array[Double]],
+                          storePath: String, tau: Double): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val cos = graft.ops.Similarity.cosine _
+    val assigned = batch.select(
+      col(idCol), col(vecCol).cast("array<double>").as("v"),
+      graft.functions.Native.nearest_centroid(
+        col(vecCol).cast("array<double>"), centroids).as("cell"))
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (fs.exists(new Path(storePath)))
+        spark.read.parquet(storePath)
+          .filter(col("ingest_batch") =!= batchId)
+          .select(col(idCol), col("v"), col("cell"))
+      else assigned.limit(0)
+    val dupVsSeen = assigned.alias("b")
+      .join(seen.select(col("cell"), col("v").as("sv")), Seq("cell"))
+      .filter(round(cos(col("v"), col("sv")), 6) >= tau)
+      .select(col(idCol))
+    val dupInBatch = assigned.alias("x")
+      .join(assigned.select(col(idCol).as("__senior"), col("cell"),
+        col("v").as("xv")), Seq("cell"))
+      .filter(col("__senior") < col(idCol) &&
+        round(cos(col("v"), col("xv")), 6) >= tau)
+      .select(col(idCol))
+    val dropped = dupVsSeen.unionByName(dupInBatch).distinct()
+      .withColumn("__dup", lit(true))
+    val verdicts = assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("v"), col("cell"),
+        col("__dup").isNull.as("admitted"))
+    val prior =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      verdicts.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(storePath)
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Streaming data-quality monitor: the SAME declarative expectations the
     * batch report runs (`ops.Quality`), evaluated as per-window violation
     * counts over a watermarked stream — quality drift becomes a windowed

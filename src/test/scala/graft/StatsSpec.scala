@@ -151,4 +151,41 @@ class StatsSpec extends SparkSpec {
     assert(Stats.quantileBin(withNull, "v", 2).filter($"v".isNull)
       .select("v_bin").as[Int].head() == 0)
   }
+
+  test("winsorize clips to in-sample quantile bounds; NULLs stay NULL") {
+    // values 0..10: p25 = 2.5, p75 = 7.5 under linear interpolation
+    val df = (0 to 10).map(i => Some(i.toDouble)).toDF("v")
+    val out = Stats.winsorize(df, "v", 0.25, 0.75)
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    assert(out(0.0) == 2.5 && out(2.0) == 2.5)   // clipped up
+    assert(out(5.0) == 5.0)                       // untouched middle
+    assert(out(9.0) == 7.5 && out(10.0) == 7.5)   // clipped down
+    val withNull = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
+    assert(Stats.winsorize(withNull, "v", 0.1, 0.9)
+      .filter($"v".isNull).select("v_w").as[Option[Double]].head().isEmpty)
+    intercept[IllegalArgumentException] {
+      Stats.winsorize(df, "v", 0.9, 0.1)
+    }
+  }
+
+  test("ewmaFeatures: hand-computed weights, truncation, and " +
+      "short-history normalization") {
+    val df = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0),
+      (4L, 2L, 5.0)
+    ).toDF("event_id", "user_id", "value")
+      .withColumn("ts", col("event_id").cast("timestamp"))
+    def run(frame: Int) =
+      Stats.ewmaFeatures(df, "user_id", "ts", "event_id", "value",
+          alpha = 0.5, frameRows = frame)
+        .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    val full = run(8)
+    assert(full(1L) == 10.0)                     // single-row history
+    assert(full(2L) == 16.666667)                // (10·.5 + 20)/1.5
+    assert(full(4L) == 5.0)                      // other key untouched
+    // all three rows in frame: (10·.25 + 20·.5 + 30)/1.75
+    assert(full(3L) == 24.285714)
+    // truncated to 2 lags: row 3 forgets the value 10
+    assert(run(2)(3L) == 26.666667)              // (20·.5 + 30)/1.5
+  }
 }

@@ -225,6 +225,46 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming semantic ingest gate: kill/resume; admitted set equals " +
+      "batch semDedup over everything seen") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val rows = emb.as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val seeds = rows.take(8).map(_._2.map(_.toDouble).toArray).toArray
+    val keptBatch = graft.ops.Similarity.semDedup(
+        emb, "vec_id", "embedding", seeds, 0.4)
+      .filter($"kept").select($"vec_id").as[Long].collect().toSet
+
+    // id-ordered arrival (the monotonic contract of the lower-id drop
+    // rule), split across three micro-batches with a kill in between
+    val (p1, rest) = rows.splitAt(rows.length / 3)
+    val (p2, p3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val root = java.nio.file.Files.createTempDirectory("graft_sdi_").toString
+    def startSink() = Pipeline.semDedupIngestSink(
+        stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        seeds, root + "/store", root + "/ckpt", 0.4).start()
+    val q1 = startSink()
+    stream.addData(p1)
+    q1.processAllAvailable()
+    q1.stop() // gate down; vectors keep arriving
+    stream.addData(p2)
+    val q2 = startSink() // resume over the SAME checkpoint
+    try {
+      q2.processAllAvailable()
+      stream.addData(p3)
+      q2.processAllAvailable()
+      val store = spark.read.parquet(root + "/store")
+      // every arriving vector is stored with a verdict (dropped seniors
+      // stay probe-able), one partition per micro-batch
+      assert(store.count() == rows.length)
+      assert(store.select($"ingest_batch").distinct().count() == 3)
+      val admitted = store.filter($"admitted")
+        .select($"vec_id").as[Long].collect().toSet
+      assert(admitted == keptBatch)
+    } finally q2.stop()
+  }
+
   test("streamingFeatures killed and resumed from its checkpoint emits the " +
       "same closed windows as one batch run") {
     implicit val sqlCtx = spark.sqlContext
