@@ -1965,6 +1965,22 @@ object OracleSql {
         FROM events)
       SELECT event_id, user_id FROM r WHERE rn <= 3 ORDER BY event_id""",
 
+    // budget-capped quota: the sliced prefix sum replayed as a plain
+    // hash-ordered window cumsum per language, filtered to the budget
+    "x_budget_sample" -> s"""
+      WITH t AS (
+        SELECT lang, doc_id, n_chars,
+               sum(n_chars) OVER (PARTITION BY lang
+                 ORDER BY ${uk("doc_id", 47)}, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_cost
+        FROM documents WHERE lang IN ('en', 'de', 'zh'))
+      SELECT lang, doc_id, n_chars, cum_cost FROM t
+      WHERE cum_cost <= CASE lang WHEN 'en' THEN 20000
+                                  WHEN 'de' THEN 8000
+                                  ELSE 10000 END
+      ORDER BY lang, cum_cost, doc_id""",
+
     "q_uniform_sample" -> uniformSampleOracle,
     // same selection, ONE shared oracle — histogram machinery vs TakeOrdered
     "q_uniform_sample_scalable" -> uniformSampleOracle,

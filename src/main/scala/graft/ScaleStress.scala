@@ -99,13 +99,14 @@ object ScaleStress {
         f"t_chunk=$tChunk%.2f chunks=$nChunks")
     }
 
-    // ANN search path at 1× and 10× the embeddings corpus (replicated
-    // vec_ids; identical vectors — this times the SEARCH plans, the
-    // codebook stays a bounded sample by construction). Skipped when an
-    // explicit k list was passed (targeted dedup-scale runs).
+    // ANN search + semantic-dedup path at 1×/10×/100× the embeddings
+    // corpus (replicated vec_ids; identical vectors — this times the
+    // SEARCH/DEDUP plans, the codebook stays a bounded sample by
+    // construction). Skipped when an explicit k list was passed
+    // (targeted dedup-scale runs).
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
       .select(col("vec_id"), col("embedding"))
-    for (k <- if (args.nonEmpty) Seq.empty[Int] else Seq(1, 10)) {
+    for (k <- if (args.nonEmpty) Seq.empty[Int] else Seq(1, 10, 100)) {
       val corpus = (0 until k).map(i =>
         emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
           col("embedding")))
@@ -120,7 +121,20 @@ object ScaleStress {
         graft.ops.Similarity.learnedIvf(corpus, "vec_id", "embedding",
           queries, 3, nCells = 8).queryExecution.toRdd.count()
       }
-      println(f"STRESS-ANN k=$k vecs=$n t_brute=$tBrute%.2f t_ivf=$tIvf%.2f")
+      // SemDeDup with cells ∝ corpus (the paper's scale knob: avg cell
+      // size stays ~250, so the within-cell pair space grows LINEARLY in
+      // k, never corpus²). Codebook fit is the bounded driver-side sample
+      // — constant cost by construction, kept outside the timer.
+      val nCells = math.max(8, (n / 250).toInt)
+      val cb = graft.ops.Similarity.trainCodebook(
+        corpus, "vec_id", "embedding", nCells)
+      val (tSem, nKept) = timeMin2 {
+        graft.ops.Similarity.semDedup(corpus, "vec_id", "embedding",
+          cb, tau = 0.9).filter(col("kept"))
+          .queryExecution.toRdd.count()
+      }
+      println(f"STRESS-ANN k=$k vecs=$n t_brute=$tBrute%.2f " +
+        f"t_ivf=$tIvf%.2f t_semdedup=$tSem%.2f cells=$nCells kept=$nKept")
     }
     spark.stop()
   }

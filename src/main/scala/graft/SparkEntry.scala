@@ -631,6 +631,17 @@ object SparkEntry {
           "lang", "doc_id",
           Seq("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2), totalN = 200)
         .orderBy("doc_id")),
+    "x_budget_sample" -> ((s, dir) =>
+      // data-recipe mixing in COST units (chars here, tokens in prod):
+      // per-language hash-ordered prefix within a declared char budget;
+      // es/fr carry no budget and are dropped entirely
+      Sampling.budgetSample(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", "n_chars",
+          Map("en" -> 20000L, "de" -> 8000L, "zh" -> 10000L))
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("cum_cost"))
+        .orderBy("lang", "cum_cost", "doc_id")),
     "q_pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(
           Tables.documents(s, dir)

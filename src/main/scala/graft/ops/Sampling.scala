@@ -251,6 +251,50 @@ object Sampling {
         col(keyCol))
       .limit(n)
 
+  /** Budget-capped quota sample — the data-recipe mixing primitive ("20 K
+    * chars of en, 8 K of de, 10 K of zh"): each group admits its
+    * hash-ordered prefix of rows whose CUMULATIVE cost (tokens / chars /
+    * bytes) stays within the group's declared budget. Where the
+    * `quotaCap*` family counts ROWS, this integrates a per-row cost —
+    * the unit an LLM data recipe is actually written in.
+    *
+    * Admission rule: inclusive cumulative cost ≤ budget, so the first
+    * over-budget row and everything after it in hash order are excluded —
+    * no partial documents. Groups absent from `budgets` are dropped
+    * entirely; groups whose total cost fits are admitted whole. Rows with
+    * NULL cost are excluded up front (they cannot be budgeted); negative
+    * costs `raise_error` in-plan (a non-monotone prefix has no "within
+    * budget" meaning — same fail-loud posture as [[corpusShuffle]]).
+    *
+    * The cumulative cost comes from [[Scan.prefixSum]]'s two-level sliced
+    * scan, so no task ever sorts a whole group — a dominant source (the
+    * very thing a budget exists to tame) cannot serialize the job the way
+    * `sum() OVER (PARTITION BY group ORDER BY hash)` would. Output keeps
+    * the running total as `cum_cost` for audit.
+    */
+  def budgetSample(df: DataFrame, groupCol: String, keyCol: String,
+                   costCol: String, budgets: Map[String, Long],
+                   channel: Long = 47L): DataFrame = {
+    require(budgets.nonEmpty, "budgetSample: empty budget map")
+    require(budgets.values.forall(_ >= 0),
+      s"budgetSample: negative budget in $budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.toDF(groupCol, "__budget")
+    val cost = when(col(costCol) < 0, raise_error(concat(
+        lit(s"budgetSample: negative cost in `$costCol`: "),
+        col(costCol).cast("string"))))
+      .otherwise(col(costCol)).cast("long")
+    val ordered = df
+      .filter(col(costCol).isNotNull)
+      .withColumn("__ord",
+        struct(Gen.u01(col(keyCol), channel).as("h"), col(keyCol).as("k")))
+    Scan.prefixSum(ordered, Seq(groupCol), col("__ord"), cost, "cum_cost")
+      .join(broadcast(budgetDf), Seq(groupCol))
+      .filter(col("cum_cost") <= col("__budget"))
+      .drop("__ord", "__budget")
+  }
+
   /** Uniform fixed-size sample without replacement: the `n` smallest rows
     * by keyed hash. Equivalent in distribution to a seeded reservoir, but
     * deterministic, mergeable, and executed as TakeOrdered.

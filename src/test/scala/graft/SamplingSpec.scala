@@ -411,4 +411,48 @@ class SamplingSpec extends SparkSpec {
       maxShardRows = 100L).agg(max("shard_pos")).head().getLong(0)
     assert(ok > 0L)
   }
+
+  test("budgetSample ≡ naive window cumsum; unbudgeted groups dropped") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars")
+    val budgets = Map("en" -> 5000L, "de" -> 2000L)
+    val out = Sampling.budgetSample(docs, "lang", "doc_id", "n_chars",
+        budgets)
+      .select("lang", "doc_id", "cum_cost")
+      .as[(String, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"lang")
+      .orderBy(graft.ops.Gen.u01($"doc_id", 47L), $"doc_id")
+    val naive = docs.filter($"lang".isin("en", "de"))
+      .withColumn("cum_cost", sum($"n_chars".cast("long")).over(w))
+      .filter($"cum_cost" <= when($"lang" === "en", 5000L).otherwise(2000L))
+      .select("lang", "doc_id", "cum_cost")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == naive)
+    assert(out.nonEmpty && !out.exists(_._1 == "es")) // no budget, no rows
+    // inclusive-prefix contract: within budget, nothing partial
+    assert(out.groupBy(_._1).forall { case (lang, rows) =>
+      rows.map(_._3).max <= budgets(lang)
+    })
+  }
+
+  test("budgetSample: whole group fits a big budget; NULL cost excluded; " +
+      "negative cost fails loud") {
+    val df = Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "a", None)
+    ).toDF("id", "g", "cost")
+    val out = Sampling.budgetSample(df, "g", "id", "cost",
+        Map("a" -> 1000000L))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L)) // NULL-cost row unbudgetable, excluded
+    val neg = Seq((1L, "a", -5L)).toDF("id", "g", "cost")
+    val e = intercept[Exception] {
+      Sampling.budgetSample(neg, "g", "id", "cost", Map("a" -> 10L))
+        .collect()
+    }
+    assert(e.getMessage.contains("budgetSample") ||
+      Option(e.getCause).exists(_.getMessage.contains("budgetSample")))
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSample(df, "g", "id", "cost", Map.empty)
+    }
+  }
 }
