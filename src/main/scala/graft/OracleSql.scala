@@ -1508,6 +1508,39 @@ object OracleSql {
       SELECT query_id, cell, cand_id, round(cos, 6) AS cosine, rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    // disk-partitioned IVF index round trip: seed-centroid assignment
+    // (same argmin as x_semdedup) + cell-local top-k — partition pruning
+    // cannot change results, only bytes read, so the oracle is the plain
+    // cell-restricted search
+    "s_ann_index" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cidx, v AS cv FROM e WHERE vec_id < 8),
+      asg AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, CAST(c.cidx AS INTEGER) AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, e.v)
+                   - 2 * list_inner_product(e.v, c.cv)
+                   + list_inner_product(c.cv, c.cv) ASC, c.cidx ASC) AS rn
+        FROM e CROSS JOIN c) WHERE rn = 1),
+      q AS (SELECT e.vec_id AS query_id, a.cell, e.v AS qv
+            FROM e JOIN asg a ON e.vec_id = a.vec_id WHERE e.vec_id < 5),
+      scored AS (
+        SELECT q.query_id, q.cell, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM q JOIN asg a ON q.cell = a.cell
+               JOIN e ON a.vec_id = e.vec_id
+        WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cell, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, cell, cand_id, round(cos, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
     // cross-modal clusters: the jaccard and cosine pair CTEs above,
     // unioned, through the same recursive-CTE transitive closure
     "x_multimodal_neardups" -> """
@@ -2418,6 +2451,56 @@ object OracleSql {
 
     // duplicate n-gram ratios; distinct n-grams via the same unnest
     // construction as the jaccard/contamination oracles
+    // the C4/Gopher rule battery: token/word-length/stopword signals from
+    // the split-token list, dup-2-gram via the distinct-shingle count,
+    // entropy via the codepoint histogram — all rounded before their
+    // threshold compares, exactly as the Spark projection does
+    "x_quality_filter" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents),
+      g2 AS (SELECT doc_id, count(DISTINCT s) AS d2 FROM (
+        SELECT doc_id, w[kk] || ' ' || w[kk+1] AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS kk FROM d))
+        GROUP BY doc_id),
+      ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      hist AS (
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM ch GROUP BY doc_id, c),
+      ent AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+               sum(cnt * (ln(CAST(cnt AS DOUBLE)) / ln(2.0))) AS acc
+        FROM hist GROUP BY doc_id),
+      sig AS (
+        SELECT d.doc_id,
+               CAST(len(d.w) AS INTEGER) AS n_tokens,
+               round(list_aggregate(list_transform(d.w, x -> len(x)), 'sum')
+                 / CAST(len(d.w) AS DOUBLE), 6) AS mean_word_len,
+               round(len(list_filter(d.w, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','on','for'],
+                   x))) / CAST(len(d.w) AS DOUBLE), 6) AS stopword_ratio,
+               CASE WHEN len(d.w) - 1 > 0 THEN round(1.0 -
+                 coalesce(g2.d2, 0) / (CAST(len(d.w) AS DOUBLE) - 1), 6)
+                 ELSE 0.0 END AS dup_2gram_ratio,
+               round(CASE WHEN e.n IS NULL OR e.n = 0 THEN 0.0
+                 ELSE ln(CAST(e.n AS DOUBLE))/ln(2.0) - e.acc/e.n END, 6)
+                 AS entropy_bits
+        FROM d LEFT JOIN g2 ON d.doc_id = g2.doc_id
+               LEFT JOIN ent e ON d.doc_id = e.doc_id)
+      SELECT *,
+             (r_len AND r_word_len AND r_stopwords AND r_repetition
+              AND r_entropy) AS keep
+      FROM (SELECT *,
+             n_tokens BETWEEN 20 AND 5000 AS r_len,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+             stopword_ratio >= 0.01 AS r_stopwords,
+             dup_2gram_ratio <= 0.08 AS r_repetition,
+             entropy_bits BETWEEN 2.0 AND 6.0 AS r_entropy
+            FROM sig)
+      ORDER BY doc_id""",
+
     "x_repetition" -> """
       WITH d AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

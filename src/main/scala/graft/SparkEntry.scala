@@ -506,6 +506,28 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
     }),
+    "s_ann_index" -> ((s, dir) => {
+      // disk-partitioned IVF serving layout: corpus written partitionBy
+      // cell (seed centroids, so DuckDB replays assignment + search), a
+      // 5-query probe reads ONLY its cells via partition pruning, then
+      // the usual cell-local top-k. The one bounded collect fetches the
+      // ≤5 probe cells for the literal pruning predicate.
+      val emb = Tables.embeddings(s, dir)
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val root = graft.sources.Sources.annIndexWrite(
+        emb, "vec_id", "embedding", seeds)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.Native.nearest_centroid(
+            col("embedding").cast("array<double>"), seeds).as("cell"))
+      val probeCells = queries.select("cell").distinct()
+        .collect().map(_.getInt(0))
+      val indexed = s.read.parquet(root)
+        .filter(col("cell").isin(probeCells.map(Int.box): _*))
+      Similarity.topKIvf(queries, indexed, "vec_id", "embedding", "cell", 3)
+    }),
     "s_zorder_layout" -> ((s, dir) => {
       // two-dimensional clustered layout round trip: Z-order write, read
       // back through predicates on BOTH clustering columns (file-skipping
@@ -833,6 +855,11 @@ object SparkEntry {
       TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")),
     "x_quality_scores" -> ((s, dir) =>
       TextAnalysis.qualityScores(Tables.documents(s, dir), "doc_id", "text")),
+    "x_quality_filter" -> ((s, dir) =>
+      // the C4/Gopher rule battery with per-rule audit columns — rounded
+      // signals, engine-independent verdicts, one narrow projection
+      TextAnalysis.qualityFilter(Tables.documents(s, dir), "doc_id",
+        "text")),
     "x_lang_stats" -> ((s, dir) =>
       TextAnalysis.langStats(Tables.documents(s, dir), "lang", "text")),
     "x_lang_id" -> ((s, dir) =>

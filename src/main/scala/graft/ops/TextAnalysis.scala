@@ -71,6 +71,54 @@ object TextAnalysis {
           .otherwise("normal"))
       .orderBy(col(idCol))
 
+  /** C4/Gopher-style composite quality FILTER — the rule battery a
+    * curation pipeline actually gates on, with a per-rule audit column so
+    * a drop is attributable (the practice the Gopher paper reports:
+    * per-rule ablations need per-rule verdicts, not one opaque boolean).
+    * Every signal is ROUNDED before its threshold compare, so verdicts
+    * are engine-independent and the whole battery oracle-checkable.
+    *
+    * Rules (thresholds per the C4/Gopher conventions, scaled to this
+    * corpus): token count in [minTokens, maxTokens]; mean word length in
+    * [3, 10]; stopword ratio ≥ 0.01; duplicate-2-gram ratio ≤ 0.08
+    * (Gopher repetition, tightened to this corpus's p90); char entropy
+    * in [2, 6] bits (boilerplate / noise bands). `keep` = all pass.
+    *
+    * One narrow projection — every signal is per-row (native
+    * `CharEntropy` + `WordShingles` expressions, HOF token math), no
+    * shuffle, no UDF: the 100 TB posture for a filter that reads every
+    * document is "touch each row once, keep it in codegen".
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 20,
+                    maxTokens: Int = 5000): DataFrame = {
+    val lowered = lower(col(textCol))
+    val toks = tokens(lowered)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTokens = size(toks)
+    val meanWl = round(
+      aggregate(transform(toks, t => length(t).cast("double")),
+        lit(0.0), _ + _) / nTokens, 6)
+    val stopRatio = round(
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+        / nTokens, 6)
+    val dup2 = dupNGramRatio(lowered, 2)
+    val entropy = round(graft.functions.Native.char_entropy(col(textCol)), 6)
+    docs.select(col(idCol), nTokens.as("n_tokens"),
+        meanWl.as("mean_word_len"), stopRatio.as("stopword_ratio"),
+        dup2.as("dup_2gram_ratio"), entropy.as("entropy_bits"))
+      .withColumn("r_len",
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_stopwords", col("stopword_ratio") >= 0.01)
+      .withColumn("r_repetition", col("dup_2gram_ratio") <= 0.08)
+      .withColumn("r_entropy", col("entropy_bits").between(2.0, 6.0))
+      .withColumn("keep",
+        col("r_len") && col("r_word_len") && col("r_stopwords") &&
+          col("r_repetition") && col("r_entropy"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-language corpus statistics. */
   def langStats(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol).as("lang"))

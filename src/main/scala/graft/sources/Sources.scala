@@ -87,6 +87,27 @@ object Sources {
     * offline store runs after compaction. LayoutSpec asserts the
     * disjoint-span property from the written footers.
     */
+  /** Disk-layout IVF index: the embedding corpus written PARTITIONED BY
+    * its coarse cell, so an ANN probe's `cell IN (...)` predicate prunes
+    * at the STORAGE layer — hive partition pruning does on disk what
+    * `Similarity.topKIvf`'s equi-join does in memory. This is the
+    * serving-side ANN layout at 100 TB: a probe with nProbe cells reads
+    * nProbe/nCells of the corpus bytes and nothing else (the plan's
+    * PartitionFilters shows the pruned read — PLANS.md `s_ann_index`).
+    * Cell assignment is the broadcast-codebook `NearestCentroid`
+    * expression; rewrite cost is one narrow projection + one partitioned
+    * write, re-run per compaction cycle like the Z-order layout.
+    */
+  def annIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]]): String = {
+    val dir = Files.createTempDirectory("graft_annidx_").toString
+    emb.select(col(idCol), col(vecCol),
+        graft.functions.Native.nearest_centroid(
+          col(vecCol).cast("array<double>"), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    dir
+  }
+
   def sortedLayoutWrite(df: DataFrame, sortCol: String, nFiles: Int): String = {
     val dir = Files.createTempDirectory("graft_sorted_").toString
     df.repartitionByRange(nFiles, col(sortCol))

@@ -87,6 +87,41 @@ class LayoutSpec extends SparkSpec {
     assert(q.count() == expected)
   }
 
+  test("ANN index layout: one partition per cell, probe read is " +
+      "partition-pruned, pruning never changes results") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val seeds = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val root = Sources.annIndexWrite(emb, "vec_id", "embedding", seeds)
+    // hive layout: cell=N directories, one per assigned cell
+    val cellDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+    // the probe's IN-predicate reaches the scan as a PartitionFilter
+    val probed = spark.read.parquet(root).filter(col("cell").isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell#"),
+      scan.take(500))
+    // pruned search ≡ unpruned search restricted to the same cells
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Native.nearest_centroid(
+          col("embedding").cast("array<double>"), seeds).as("cell"))
+    val all = spark.read.parquet(root)
+    import spark.implicits._
+    def run(cand: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.topKIvf(queries, cand, "vec_id", "embedding",
+          "cell", 3)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toList
+    val probeCells = queries.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    assert(run(all.filter(col("cell").isin(probeCells.map(Int.box): _*)))
+      == run(all))
+  }
+
   test("quantile z-order keeps resolution on a heavy-tailed dimension") {
     import spark.implicits._
     // value ~ exponential with one huge outlier: min/max scaling collapses

@@ -104,6 +104,33 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 1, 0.0, 0.0, false)))
   }
 
+  test("qualityFilter: per-rule verdicts attribute each drop") {
+    val good = "the quick brown fox jumps over a lazy dog and then runs " +
+      "to the old stone bridge in the misty morning light of an autumn day"
+    val docs = Seq(
+      (1L, good),                                       // passes everything
+      (2L, "tiny doc"),                                 // under minTokens
+      (3L, Seq.fill(30)("spam").mkString(" ")),         // pure repetition
+      (4L, (1 to 25).map(i => s"module$i").mkString(" ")), // no stopwords
+      (5L, (1 to 25).map(i => s"extraordinarily$i").mkString(" ")) // long words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .select("doc_id", "r_len", "r_word_len", "r_stopwords",
+        "r_repetition", "r_entropy", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true, true)))
+    assert(!out(2L)._2 && !out(2L)._7)   // dropped for length
+    assert(!out(3L)._5 && !out(3L)._7)   // dropped for repetition
+    assert(out(4L)._2 && out(4L)._3 && !out(4L)._4 && !out(4L)._7)
+    assert(!out(5L)._3 && !out(5L)._7)   // mean word length out of band
+    // signals behind the verdicts are the rounded, oracle-shape values
+    val sig = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .filter($"doc_id" === 3L)
+      .select("n_tokens", "dup_2gram_ratio").as[(Int, Double)].head()
+    assert(sig == ((30, 0.965517)))      // 1 − 1/29, rounded half-up
+  }
+
   test("lmSurprisal: hand-computed unigram surprisal, OOV floor, empty doc") {
     // corpus counts: a=3 b=2 c=1 z=1, total=7; vocab(2) = {a, b};
     // s(a)=-log2(3/7), s(b)=-log2(2/7), OOV floor = log2(7)
