@@ -1681,6 +1681,42 @@ object OracleSql {
 
     // PSI over reference-decile bins; DuckDB mirrors the CASE bin counter,
     // window-total proportions, and the (p-q)*ln(p/q) contribution exactly
+    // CUSUM: the prefix-minus-running-min identity replayed verbatim;
+    // P₀ = 0 participates via least(0, running min)
+    "q_cusum_drift" -> """
+      WITH d AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+                 FROM events GROUP BY 1),
+      r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+      b AS (SELECT avg(x) AS mu0, stddev_pop(x) AS sigma0
+            FROM r WHERE rn <= 7),
+      p AS (SELECT r.day, r.x, b.mu0, b.sigma0,
+              sum(r.x - b.mu0 - 0.5 * b.sigma0) OVER (ORDER BY r.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+              sum(b.mu0 - r.x - 0.5 * b.sigma0) OVER (ORDER BY r.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qq
+            FROM r CROSS JOIN b),
+      sres AS (SELECT day, x, mu0, sigma0,
+              round(pp - least(0, min(pp) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                AS s_pos,
+              round(qq - least(0, min(qq) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                AS s_neg
+            FROM p)
+      SELECT day, round(x, 6) AS x, round(mu0, 6) AS mu0, s_pos, s_neg,
+             (s_pos > round(3.0 * sigma0, 6)
+              OR s_neg > round(3.0 * sigma0, 6)) AS alarm
+      FROM sres ORDER BY day""",
+
+    "q_temporal_split" -> """
+      SELECT split, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+      FROM (SELECT ts,
+              CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+                   WHEN ts <= TIMESTAMP '2024-01-18 00:00:00' THEN 'embargo'
+                   ELSE 'test' END AS split
+            FROM events)
+      GROUP BY split ORDER BY split""",
+
     "q_psi_drift" -> """
       WITH clean AS (
         SELECT event_type, value FROM events

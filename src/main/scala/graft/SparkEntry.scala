@@ -400,6 +400,25 @@ object SparkEntry {
         Tables.events(s, dir)
           .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
         "vbin", "event_type", "view", "purchase")),
+    "q_cusum_drift" -> ((s, dir) =>
+      // two-sided CUSUM over the daily-mean series: baseline = first 7
+      // in-control days, slack 0.5σ₀, alarm at 3σ₀ — the sequential
+      // recursion distributed via the prefix-minus-running-min identity
+      Drift.cusum(
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(avg(col("value")).as("daily_avg")),
+        "day", "daily_avg", baselineRows = 7)),
+    "q_temporal_split" -> ((s, dir) =>
+      // purged time-series split: 3-day embargo after the cutoff is
+      // quarantined so trailing-window features cannot leak into test
+      Sampling.temporalSplit(
+          Tables.events(s, dir).select(col("event_id"), col("ts")),
+          "ts", "2024-01-15 00:00:00", embargoDays = 3)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy("split")),
     "q_quality_windows" -> ((s, dir) =>
       Quality.windowedReport(
         Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp_ntz")),

@@ -419,4 +419,54 @@ object Drift {
         round(col("cell"), 6).as("cell_chi2"), col("chi2"), col("dof"))
       .orderBy("category")
   }
+
+  /** Two-sided CUSUM changepoint monitor over a PRE-AGGREGATED ordered
+    * series (per-day means, per-window counts — always ≤ a few hundred
+    * rows, so the ordered windows below are the documented bounded
+    * GLOBAL-WINDOW pattern, like PSI's bin table).
+    *
+    * The textbook recursion S⁺_t = max(0, S⁺_{t−1} + (x_t − μ₀ − k)) is
+    * sequential, but distributes exactly via the prefix identity
+    * S⁺_t = P_t − min_{0≤j≤t} P_j with P_t = Σ_{i≤t} (x_i − μ₀ − k) and
+    * P₀ = 0 (the empty prefix is a legal minimum) — a
+    * running sum minus its own running minimum, two window passes, no
+    * recursion (the mirrored Q_t = Σ (μ₀ − x_i − k) gives S⁻). Reference
+    * μ₀, slack k = `slackK`·σ₀ and threshold h = `h`·σ₀ all come from the
+    * first `baselineRows` rows — the in-control period — via one bounded
+    * aggregate broadcast back; alarms compare the ROUNDED statistic so
+    * verdicts replay engine-independently.
+    *
+    * A constant baseline (σ₀ = 0) degenerates to k = h = 0: any deviation
+    * from μ₀ alarms immediately — fail-sensitive, not fail-silent.
+    */
+  def cusum(series: DataFrame, ordCol: String, valCol: String,
+            baselineRows: Int, slackK: Double = 0.5,
+            h: Double = 3.0): DataFrame = {
+    require(baselineRows >= 2, s"cusum: baselineRows >= 2, got $baselineRows")
+    val ord = Window.orderBy(col(ordCol))
+    val upToHere = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val ranked = series
+      .select(col(ordCol), col(valCol).cast("double").as("x"))
+      .withColumn("__rn", row_number().over(ord))
+    val base = ranked.filter(col("__rn") <= baselineRows)
+      .agg(avg(col("x")).as("__mu0"), stddev_pop(col("x")).as("__sigma0"))
+    val k = lit(slackK) * col("__sigma0")
+    val thr = lit(h) * col("__sigma0")
+    ranked.crossJoin(broadcast(base))
+      .withColumn("__p", sum(col("x") - col("__mu0") - k).over(upToHere))
+      .withColumn("__q", sum(col("__mu0") - col("x") - k).over(upToHere))
+      // the empty prefix P₀ = 0 is a legal minimum (all-positive
+      // deviations must accumulate from zero, not reset at row 1)
+      .withColumn("s_pos", round(
+        col("__p") - least(lit(0.0), min(col("__p")).over(upToHere)), 6))
+      .withColumn("s_neg", round(
+        col("__q") - least(lit(0.0), min(col("__q")).over(upToHere)), 6))
+      .withColumn("alarm",
+        col("s_pos") > round(thr, 6) || col("s_neg") > round(thr, 6))
+      .select(col(ordCol), round(col("x"), 6).as("x"),
+        round(col("__mu0"), 6).as("mu0"), col("s_pos"), col("s_neg"),
+        col("alarm"))
+      .orderBy(col(ordCol))
+  }
 }

@@ -48,6 +48,25 @@ object Sampling {
       })
   }
 
+  /** Purged temporal split (the de Prado time-series protocol): rows at or
+    * before `cutoff` train; rows inside the embargo window after it are
+    * QUARANTINED rather than tested — features computed over trailing
+    * windows (rolling means, EWMA, as-of joins) leak cutoff-adjacent
+    * training information into them, so evaluating there inflates every
+    * metric; rows after the embargo test. A narrow three-way projection —
+    * the label is pure arithmetic on the row's own timestamp, no shuffle.
+    */
+  def temporalSplit(df: DataFrame, tsCol: String, cutoff: String,
+                    embargoDays: Int): DataFrame = {
+    require(embargoDays >= 0, s"temporalSplit: embargoDays >= 0")
+    val cut = lit(cutoff).cast("timestamp_ntz")
+    val embargoEnd = cut + expr(s"INTERVAL $embargoDays DAYS")
+    df.withColumn("split",
+      when(col(tsCol) <= cut, "train")
+        .when(col(tsCol) <= embargoEnd, "embargo")
+        .otherwise("test"))
+  }
+
   /** Exact-quota per-stratum selection at scale: returns, for each stratum,
     * the `quota` smallest rows by `(u01(key), key)` — the same rows a
     * `row_number() OVER (PARTITION BY stratum ORDER BY u, key)` rank would

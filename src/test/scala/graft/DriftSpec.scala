@@ -267,4 +267,31 @@ class DriftSpec extends SparkSpec {
       .select("contribution").collect().map(_.getDouble(0))
     assert(math.abs(rows.sum - ab) < 1e-4)
   }
+
+  test("cusum: prefix identity ≡ sequential recursion; a step change " +
+      "alarms, the in-control period does not") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // baseline rows 1-4: μ₀ = 10, σ₀ = √2; rows 5-7 shift to 15
+    val vals = Seq(10.0, 10.0, 12.0, 8.0, 15.0, 15.0, 15.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i + 1, v) }
+      .toDF("t", "v")
+    val out = Drift.cusum(df, "t", "v", baselineRows = 4)
+      .select("t", "s_pos", "s_neg", "alarm")
+      .as[(Int, Double, Double, Boolean)].collect().toList
+    val mu0 = 10.0; val sigma = math.sqrt(2.0)
+    val k = 0.5 * sigma; val h = 3 * sigma
+    var sp = 0.0; var sn = 0.0
+    val expect = vals.map { x =>
+      sp = math.max(0.0, sp + x - mu0 - k)
+      sn = math.max(0.0, sn + mu0 - x - k)
+      (r6(sp), r6(sn), r6(sp) > r6(h) || r6(sn) > r6(h))
+    }
+    assert(out.map(r => (r._2, r._3, r._4)) == expect)
+    assert(out.count(_._4) == 3 && out.takeWhile(!_._4).length == 4,
+      s"alarm should first fire at the shift: $out")
+    intercept[IllegalArgumentException] {
+      Drift.cusum(df, "t", "v", baselineRows = 1)
+    }
+  }
 }

@@ -412,6 +412,26 @@ class SamplingSpec extends SparkSpec {
     assert(ok > 0L)
   }
 
+  test("temporalSplit: inclusive cutoff trains, embargo quarantines, " +
+      "after-embargo tests") {
+    val df = Seq(
+      (1L, "2024-01-14 23:59:59"), (2L, "2024-01-15 00:00:00"),
+      (3L, "2024-01-15 00:00:01"), (4L, "2024-01-18 00:00:00"),
+      (5L, "2024-01-18 00:00:01")
+    ).toDF("id", "s").withColumn("ts", $"s".cast("timestamp_ntz"))
+    val out = Sampling.temporalSplit(df, "ts", "2024-01-15 00:00:00", 3)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "embargo", 5L -> "test"))
+    // zero embargo degenerates to a plain two-way temporal split
+    val none = Sampling.temporalSplit(df, "ts", "2024-01-15 00:00:00", 0)
+      .filter($"split" === "embargo").count()
+    assert(none == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.temporalSplit(df, "ts", "2024-01-15 00:00:00", -1)
+    }
+  }
+
   test("budgetSample ≡ naive window cumsum; unbudgeted groups dropped") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"n_chars")
