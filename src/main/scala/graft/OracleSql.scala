@@ -1681,6 +1681,21 @@ object OracleSql {
 
     // PSI over reference-decile bins; DuckDB mirrors the CASE bin counter,
     // window-total proportions, and the (p-q)*ln(p/q) contribution exactly
+    // forward-window labels: same rows-following window min — equal-ts
+    // targets count as "after" via (ts, id) row order, both engines
+    "q_future_labels" -> """
+      WITH t AS (
+        SELECT event_id, user_id, ts,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS next_target_ts
+        FROM events)
+      SELECT event_id, user_id, next_target_ts,
+             (next_target_ts IS NOT NULL
+              AND next_target_ts <= ts + INTERVAL 24 HOURS) AS label
+      FROM t ORDER BY event_id""",
+
     // CUSUM: the prefix-minus-running-min identity replayed verbatim;
     // P₀ = 0 participates via least(0, running min)
     "q_cusum_drift" -> """
@@ -1716,6 +1731,23 @@ object OracleSql {
                    ELSE 'test' END AS split
             FROM events)
       GROUP BY split ORDER BY split""",
+
+    // group k-fold: the shared minstd hash replayed on user_id, floor to
+    // k buckets with the k-1 clamp (u = 1.0 edge) — both engines identical
+    "q_group_kfold" -> s"""
+      SELECT event_id, user_id,
+             CAST(least(floor(${uk("user_id", 83)} * 5), 4) AS INT) AS fold
+      FROM events ORDER BY event_id""",
+
+    // negative downsample: survival + weight replayed from the same hash;
+    // weight literals (1.0, 1/0.25) are exact doubles in both engines
+    "q_negative_downsample" -> s"""
+      SELECT event_id, (event_type = 'purchase') AS label,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 4.0 END
+                  AS DOUBLE) AS weight
+      FROM events
+      WHERE event_type = 'purchase' OR ${uk("event_id", 89)} <= 0.25
+      ORDER BY event_id""",
 
     "q_psi_drift" -> """
       WITH clean AS (

@@ -400,6 +400,18 @@ object SparkEntry {
         Tables.events(s, dir)
           .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
         "vbin", "event_type", "view", "purchase")),
+    "q_future_labels" -> ((s, dir) =>
+      // forward-window conversion labels: did the user purchase within
+      // 24h after each event? — one per-key window, no self-join
+      Retrieval.futureLabels(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_type")),
+          "user_id", "ts", "event_id",
+          col("event_type") === "purchase", "24 HOURS")
+        .select(col("event_id"), col("user_id"), col("next_target_ts"),
+          col("label"))
+        .orderBy("event_id")),
     "q_cusum_drift" -> ((s, dir) =>
       // two-sided CUSUM over the daily-mean series: baseline = first 7
       // in-control days, slack 0.5σ₀, alarm at 3σ₀ — the sequential
@@ -419,6 +431,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
         .orderBy("split")),
+    "q_group_kfold" -> ((s, dir) =>
+      // entity-leakage-safe CV folds: all of a user's events share a fold
+      Sampling.groupKFold(
+          Tables.events(s, dir).select(col("event_id"), col("user_id")),
+          "user_id", k = 5)
+        .orderBy("event_id")),
+    "q_negative_downsample" -> ((s, dir) =>
+      // CTR-style class rebalance: keep all purchases, 25% of the rest,
+      // 1/rate importance weight on survivors
+      Sampling.negativeDownsample(
+          Tables.events(s, dir).select(col("event_id"), col("event_type")),
+          "event_id", col("event_type") === "purchase", rate = 0.25)
+        .select(col("event_id"), col("label"), col("weight"))
+        .orderBy("event_id")),
     "q_quality_windows" -> ((s, dir) =>
       Quality.windowedReport(
         Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp_ntz")),

@@ -149,6 +149,40 @@ object Retrieval {
   /** J4: enrichment join — denormalize profile attributes onto the event
     * stream (`stream_generator.py:184-203`). Dimension side broadcast.
     */
+  /** Future-window binary labels — the FORWARD mirror of the as-of join:
+    * where point-in-time retrieval looks back ("features as of t"), label
+    * generation looks ahead ("did the target event happen within the
+    * horizon after t?") — the churn / conversion / next-purchase training
+    * label. For each row, `label` is true iff the same key has a row
+    * matching `target` later in (ts, id) order with ts ≤ t + horizon;
+    * `next_target_ts` carries the matched timestamp for lag features
+    * (NULL when none).
+    *
+    * One per-key window, no self-join: the next qualifying timestamp is
+    * `min(when(target, ts))` over the rows-following frame — sort bounded
+    * by one key's history, the [[graft.ops.Stats.rollingFeatures]]
+    * posture. Same-timestamp rows count as "after" in row order (ties
+    * broken by id) — deterministic, and the honest convention for
+    * simultaneous events.
+    *
+    * Leakage warning (why this lives next to as-of): a row whose horizon
+    * extends past a train/test cutoff has a label computed FROM the test
+    * period — pair with [[graft.ops.Sampling.temporalSplit]] and an
+    * embargo ≥ horizon.
+    */
+  def futureLabels(events: DataFrame, key: String, ts: String, id: String,
+                   target: Column, horizon: String): DataFrame = {
+    val following = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(id))
+      .rowsBetween(1, Window.unboundedFollowing)
+    events
+      .withColumn("next_target_ts",
+        min(when(target, col(ts))).over(following))
+      .withColumn("label",
+        col("next_target_ts").isNotNull &&
+          col("next_target_ts") <= col(ts) + expr(s"INTERVAL $horizon"))
+  }
+
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 }

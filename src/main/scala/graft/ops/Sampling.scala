@@ -67,6 +67,47 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Group-aware k-fold assignment (sklearn `GroupKFold` semantics, hashed):
+    * every row of a group lands in the SAME fold — `fold =
+    * min(floor(u01(group)·k), k−1)` — so cross-validation never trains on
+    * one of a user's events and validates on another (the entity-leakage
+    * sibling of [[temporalSplit]]'s time leakage; pair both for panel
+    * data). A narrow map, no shuffle: the fold depends only on the group's
+    * own hash, so assignments are STABLE under corpus growth — new events
+    * from a known user join that user's existing fold, and an incremental
+    * re-run never migrates a group across folds (the property
+    * shuffle-based `GroupKFold` lacks).
+    */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int,
+                 channel: Long = 83L): DataFrame = {
+    require(k >= 2, s"groupKFold: k >= 2 (got $k)")
+    val u = Gen.u01(col(groupCol), channel)
+    df.withColumn("fold",
+      least(floor(u * k), lit(k - 1L)).cast("int"))
+  }
+
+  /** Class-rebalancing negative downsample with importance weights — the
+    * CTR-training trick: positives are all kept, negatives survive at
+    * `rate` via the key hash, and surviving negatives carry weight
+    * `1/rate` (positives 1.0) so weighted losses/aggregates remain
+    * unbiased estimates of the full-corpus values. Calibration note in
+    * scaladoc: a model trained on these WEIGHTED rows is calibrated; one
+    * trained unweighted must correct its logit by −ln(rate).
+    *
+    * Narrow filter+projection, no shuffle; deterministic and stable under
+    * corpus growth (a key's survival never changes when data is appended).
+    */
+  def negativeDownsample(df: DataFrame, keyCol: String, positive: Column,
+                         rate: Double, channel: Long = 89L): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0,
+      s"negativeDownsample: rate in (0,1] (got $rate)")
+    val u = Gen.u01(col(keyCol), channel)
+    df.withColumn("label", positive)
+      .filter(col("label") || u <= rate)
+      .withColumn("weight",
+        when(col("label"), 1.0).otherwise(lit(1.0 / rate)))
+  }
+
   /** Exact-quota per-stratum selection at scale: returns, for each stratum,
     * the `quota` smallest rows by `(u01(key), key)` — the same rows a
     * `row_number() OVER (PARTITION BY stratum ORDER BY u, key)` rank would

@@ -75,4 +75,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out._2.isEmpty)
     assert(out._3.contains(ts("2024-01-05 00:00:00"))) // newest row matched
   }
+
+  test("futureLabels: horizon boundary inclusive, per-key isolation, " +
+      "simultaneous target counts as after") {
+    val ev = Seq(
+      // user 1: view at 00:00, purchase at exactly +24h (inclusive → 1),
+      // then a view with no later purchase
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 1L, ts("2024-01-02 00:00:00"), "purchase"),
+      (3L, 1L, ts("2024-01-03 00:00:00"), "view"),
+      // user 2: purchase 24h+1s after the view → outside horizon
+      (4L, 2L, ts("2024-01-01 00:00:00"), "view"),
+      (5L, 2L, ts("2024-01-02 00:00:01"), "purchase"),
+      // user 3: SIMULTANEOUS view+purchase — row order (id) decides
+      (6L, 3L, ts("2024-01-01 00:00:00"), "view"),
+      (7L, 3L, ts("2024-01-01 00:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Retrieval.futureLabels(ev, "user_id", "ts", "event_id",
+        col("event_type") === "purchase", "24 HOURS")
+      .select("event_id", "label").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> true, 7L -> false))
+    // a purchase before the row never labels it (forward-only)
+    val backward = Seq(
+      (1L, 9L, ts("2024-01-02 00:00:00"), "purchase"),
+      (2L, 9L, ts("2024-01-03 00:00:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    assert(!Retrieval.futureLabels(backward, "user_id", "ts", "event_id",
+        col("event_type") === "purchase", "24 HOURS")
+      .filter($"event_id" === 2L).select("label").as[Boolean].head())
+  }
 }

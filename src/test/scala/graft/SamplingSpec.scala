@@ -432,6 +432,46 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("groupKFold: one fold per group, all folds in range and populated, " +
+      "stable under corpus growth") {
+    val df = (1L to 2000L).map(i => (i, i % 200)).toDF("id", "grp")
+    val out = Sampling.groupKFold(df, "grp", 5)
+    // every group maps to exactly one fold
+    assert(out.groupBy("grp").agg(countDistinct("fold").as("nf"))
+      .filter($"nf" =!= 1).count() == 0)
+    val folds = out.select("fold").distinct().as[Int].collect().toSet
+    assert(folds.subsetOf((0 until 5).toSet) && folds.size == 5)
+    // appending rows never migrates an existing group's fold
+    val grown = Sampling.groupKFold(
+      df.union((2001L to 3000L).map(i => (i, i % 400)).toDF("id", "grp")),
+      "grp", 5)
+    val before = out.select("grp", "fold").distinct().as[(Long, Int)]
+      .collect().toMap
+    val after = grown.select("grp", "fold").distinct().as[(Long, Int)]
+      .collect().toMap
+    assert(before.forall { case (g, f) => after(g) == f })
+    intercept[IllegalArgumentException] { Sampling.groupKFold(df, "grp", 1) }
+  }
+
+  test("negativeDownsample: positives all kept, negative survival matches " +
+      "the hash, weights unbias the class counts") {
+    val df = (1L to 4000L).map(i => (i, i % 10 == 0)).toDF("id", "pos")
+    val out = Sampling.negativeDownsample(df, "id", $"pos", 0.25)
+    assert(out.filter($"label").count() == 400) // every positive survives
+    // survivors are exactly the hash-selected negatives
+    val expectNeg = df.filter(!$"pos")
+      .filter(graft.ops.Gen.u01($"id", 89) <= 0.25).count()
+    assert(out.filter(!$"label").count() == expectNeg)
+    assert(out.filter($"label" && $"weight" =!= 1.0).count() == 0)
+    assert(out.filter(!$"label" && $"weight" =!= 4.0).count() == 0)
+    // weighted negative count estimates the true 3600 (within hash noise)
+    val est = out.filter(!$"label").agg(sum("weight")).as[Double].head()
+    assert(math.abs(est - 3600.0) / 3600.0 < 0.1)
+    intercept[IllegalArgumentException] {
+      Sampling.negativeDownsample(df, "id", $"pos", 0.0)
+    }
+  }
+
   test("budgetSample ≡ naive window cumsum; unbudgeted groups dropped") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"n_chars")
