@@ -333,6 +333,60 @@ object OracleSql {
       SELECT o_custkey, o_orderdate AS feature_ts, o_totalprice, o_orderstatus
       FROM snap ORDER BY o_custkey""",
 
+    // FK audit: one LEFT JOIN onto distinct parent keys per edge, the
+    // same predicate-aggregate fold; match_rate NULL when every fk is NULL
+    "q_fk_integrity" -> """
+      WITH edge AS (
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relationship,
+               l_orderkey AS fk,
+               (SELECT count(*) FROM orders o
+                 WHERE o.o_orderkey = l.l_orderkey) > 0 AS hit
+        FROM lineitem l
+        UNION ALL
+        SELECT 'orders.o_custkey->customer.c_custkey', o_custkey,
+               (SELECT count(*) FROM customer c
+                 WHERE c.c_custkey = o.o_custkey) > 0
+        FROM orders o
+        UNION ALL
+        SELECT 'events.user_id->customer.c_custkey', user_id,
+               (SELECT count(*) FROM customer c
+                 WHERE c.c_custkey = e.user_id) > 0
+        FROM events e)
+      SELECT relationship, count(*) AS total,
+             count(*) FILTER (fk IS NULL) AS null_fk,
+             count(*) FILTER (fk IS NOT NULL AND NOT hit) AS orphans,
+             round((count(*) FILTER (fk IS NOT NULL AND hit))
+                   / nullif(CAST(count(*) FILTER (fk IS NOT NULL) AS DOUBLE),
+                            0), 6) AS match_rate
+      FROM edge GROUP BY relationship ORDER BY relationship""",
+
+    // snapshot diff: both cutoffs replayed as row_number snapshots, FULL
+    // JOIN on the key, unchanged (NULL-safe-equal values) rows dropped
+    "q_snapshot_diff" -> """
+      WITH snap1 AS (
+        SELECT o_custkey, o_orderdate AS old_ts, o_totalprice AS old_value
+        FROM (SELECT o_custkey, o_orderdate, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01')
+        WHERE rn = 1),
+      snap2 AS (
+        SELECT o_custkey, o_orderdate AS new_ts, o_totalprice AS new_value
+        FROM (SELECT o_custkey, o_orderdate, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders WHERE o_orderdate <= TIMESTAMP '1998-01-01')
+        WHERE rn = 1)
+      SELECT coalesce(snap1.o_custkey, snap2.o_custkey) AS o_custkey,
+             CASE WHEN old_ts IS NULL THEN 'added'
+                  WHEN new_ts IS NULL THEN 'removed'
+                  ELSE 'changed' END AS status,
+             old_ts, new_ts, old_value, new_value
+      FROM snap1 FULL JOIN snap2 ON snap1.o_custkey = snap2.o_custkey
+      WHERE old_ts IS NULL OR new_ts IS NULL
+         OR old_value IS DISTINCT FROM new_value
+      ORDER BY 1""",
+
     "q_snapshot_asof" -> """
       SELECT o_custkey, o_orderdate AS feature_ts, o_totalprice,
              o_orderstatus
@@ -2281,6 +2335,48 @@ object OracleSql {
       JOIN mad d ON e.event_type = d.event_type
       GROUP BY e.event_type, m.med, d.mad
       ORDER BY e.event_type""",
+
+    // mutual information: joint counts → window marginals → Σ p·ln(p/pq),
+    // the same bounded-table fold both engines run; round(6) absorbs
+    // last-ulp summation-order drift
+    "q_mutual_info" -> """
+      WITH joint AS (
+        SELECT event_type AS x,
+               CASE WHEN value/1000.0 < 0.1 THEN 'negligible'
+                    WHEN value/1000.0 < 0.2 THEN 'small'
+                    WHEN value/1000.0 < 0.3 THEN 'moderate'
+                    WHEN value/1000.0 < 0.5 THEN 'large'
+                    ELSE 'very large' END AS y,
+               CAST(count(*) AS DOUBLE) AS nxy
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      t AS (
+        SELECT nxy / sum(nxy) OVER () AS pxy,
+               sum(nxy) OVER (PARTITION BY x) / sum(nxy) OVER () AS px,
+               sum(nxy) OVER (PARTITION BY y) / sum(nxy) OVER () AS py
+        FROM joint)
+      SELECT round(sum(pxy * ln(pxy / (px * py))), 6) AS mi_nats,
+             round(sum(pxy * ln(pxy / (px * py))) /
+                   least(-sum(pxy * ln(px)), -sum(pxy * ln(py))), 6) AS nmi
+      FROM t""",
+
+    // calibration bins: equal-width bin key with the bin-9 clamp at
+    // score = 1.0; ECE = support-weighted |gap| via window totals
+    "q_calibration" -> """
+      WITH s AS (
+        SELECT least(value/500.0, 1.0) AS score,
+               (event_type = 'purchase') AS pos
+        FROM events),
+      b AS (
+        SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+               count(*) AS n, avg(score) AS confidence,
+               avg(CAST(pos AS INT)) AS accuracy
+        FROM s GROUP BY 1)
+      SELECT bin, n, round(confidence, 6) AS confidence,
+             round(accuracy, 6) AS accuracy,
+             round(abs(accuracy - confidence), 6) AS gap,
+             round(sum(abs(accuracy - confidence) * n) OVER ()
+                   / sum(n) OVER (), 6) AS ece
+      FROM b ORDER BY bin""",
 
     "q_feature_corr" -> """
       SELECT col_a, col_b, round(c, 6) AS corr FROM (

@@ -343,6 +343,26 @@ object SparkEntry {
       Quality.offenders(
           Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal"),
           Quality.Between("c_acctbal", 0.0, 9000.0), "c_custkey", 5)),
+    "q_fk_integrity" -> ((s, dir) =>
+      // cross-table FK health: orphans + match rate per declared edge
+      Quality.referentialIntegrity(Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        ("events.user_id->customer.c_custkey",
+          Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey")))),
+    "q_snapshot_diff" -> ((s, dir) =>
+      // governance diff: which keys the 1997-06-01 → 1998-01-01
+      // materialization window added or changed (delta only, never the
+      // full store)
+      Materialize.snapshotDiff(Tables.orders(s, dir), "o_custkey",
+          "o_orderdate", "o_orderkey", "o_totalprice",
+          "1997-06-01", "1998-01-01")
+        .orderBy("o_custkey")),
 
     // ---- §2.7 drift detection ----------------------------------------------
     "q_ks_drift" -> ((s, dir) =>
@@ -1329,6 +1349,20 @@ object SparkEntry {
       // pairwise Pearson matrix in ONE aggregation pass, melted to rows
       Stats.corrMatrix(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_mutual_info" -> ((s, dir) =>
+      // model-free relevance screen: MI between event type and the value
+      // magnitude bin, over the bounded joint-count table
+      Stats.mutualInfo(
+        Tables.events(s, dir)
+          .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
+        "event_type", "vbin")),
+    "q_calibration" -> ((s, dir) =>
+      // reliability diagram + ECE: score = clipped value/500 against the
+      // purchase outcome, 10 equal-width bins
+      Stats.calibrationBins(
+        Tables.events(s, dir)
+          .withColumn("score", least(col("value") / 500.0, lit(1.0))),
+        "score", col("event_type") === "purchase", bins = 10)),
     "q_target_encoding" -> ((s, dir) =>
       // smoothed mean encoding of event_type against the purchase value —
       // the fitted table a serving join broadcasts

@@ -114,4 +114,38 @@ object Materialize {
         6
       ).as("coverage_ratio")
     )
+
+  /** Snapshot diff — what changed in the online store between two as-of
+    * cutoffs: per key, `added` (absent at t1, present at t2), `removed`
+    * (the reverse; impossible over append-only history but real when
+    * diffing two independently-materialized stores), `changed` (present in
+    * both with different `valueCol`). Keys whose value is IDENTICAL at
+    * both cutoffs — including refreshed-but-equal rows — are dropped: a
+    * 100 TB diff must emit the delta, never the store. The governance
+    * primitive behind "what did yesterday's materialization actually
+    * touch?" and rollback review.
+    *
+    * Both sides are [[snapshotAsOf]] aggregates hash-partitioned on the
+    * key, so the full-outer join reuses that partitioning — ONE shuffle
+    * axis end to end, no exchange between the snapshots and the join.
+    * NULL-safe value compare (`<=>`): NULL→value and value→NULL count as
+    * changed, NULL→NULL as unchanged.
+    */
+  def snapshotDiff(history: DataFrame, key: String, ts: String,
+                   tiebreak: String, valueCol: String,
+                   asOf1: String, asOf2: String): DataFrame = {
+    val old = snapshotAsOf(history, key, ts, tiebreak, asOf1)
+      .select(col(key), col(ts).as("old_ts"), col(valueCol).as("old_value"))
+    val neu = snapshotAsOf(history, key, ts, tiebreak, asOf2)
+      .select(col(key), col(ts).as("new_ts"), col(valueCol).as("new_value"))
+    old.join(neu, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("old_ts").isNull, "added")
+          .when(col("new_ts").isNull, "removed")
+          .when(col("old_value") <=> col("new_value"), "unchanged")
+          .otherwise("changed"))
+      .filter(col("status") =!= "unchanged")
+      .select(col(key), col("status"), col("old_ts"), col("new_ts"),
+        col("old_value"), col("new_value"))
+  }
 }

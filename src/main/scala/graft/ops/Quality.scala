@@ -166,4 +166,40 @@ object Quality {
       .select(windowedSelect(expectations): _*)
       .orderBy("window_start")
   }
+
+  /** Referential-integrity audit across table relationships — the
+    * cross-TABLE expectation the single-table suite can't express: for each
+    * declared (child, fk) → (parent, pk) edge, one report row with total
+    * child rows, NULL foreign keys, orphans (non-NULL fk with no parent),
+    * and the match rate over non-NULL keys. The warehouse FK health check
+    * a feature platform runs before joining feeds.
+    *
+    * Per edge: the DISTINCT parent keys (bounded by the parent's key
+    * cardinality, not its row count) left-join onto the child with a
+    * match marker, then ONE predicate-aggregate — no orphan-row shuffle
+    * back to the driver, counts only. Dimension-sized parents broadcast;
+    * fact-sized parents fall back to a shuffled join on the key axis,
+    * which is the minimum possible work for the question.
+    */
+  def referentialIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val reports = edges.map { case (name, child, fk, parent, pk) =>
+      val parents = parent.select(col(pk).as("__pk")).distinct()
+        .withColumn("__hit", lit(1))
+      child.select(col(fk).as("__fk"))
+        .join(parents, col("__fk") === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("null_fk"),
+          sum(when(col("__fk").isNotNull && col("__hit").isNull, 1L)
+            .otherwise(0L)).as("orphans"))
+        .select(lit(name).as("relationship"), col("total"), col("null_fk"),
+          col("orphans"),
+          round((col("total") - col("null_fk") - col("orphans"))
+            .cast("double") /
+            nullif((col("total") - col("null_fk")).cast("double"), lit(0.0)),
+            6).as("match_rate"))
+    }
+    reports.reduce(_.unionByName(_)).orderBy("relationship")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -495,5 +495,80 @@ object Stats {
       .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
         col("r.corr").as("corr"))
       .orderBy("col_a", "col_b")
+  }
+
+  /** Mutual information between two categorical columns, in nats, with the
+    * normalized form NMI = MI / min(H(x), H(y)) — the model-free feature-
+    * relevance screen (does this feature carry signal about the label?)
+    * and redundancy detector (two features with NMI ≈ 1 are duplicates)
+    * that Pearson [[corrMatrix]] misses for non-linear / non-numeric
+    * relationships.
+    *
+    * ONE shuffled aggregation over the (x, y) joint — map-side combined,
+    * output bounded by |domain(x)|·|domain(y)|, never corpus-sized — then
+    * marginals and the Σ p·ln(p/(px·py)) fold run as windows over that
+    * bounded joint table. NULLs excluded (MI over observed pairs). One
+    * output row; doubles rounded at 6 for cross-engine parity.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast("double").as("nxy"))
+    val all = Window.partitionBy()
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    joint
+      .withColumn("n", sum(col("nxy")).over(all))
+      .withColumn("px", sum(col("nxy")).over(wx) / col("n"))
+      .withColumn("py", sum(col("nxy")).over(wy) / col("n"))
+      .withColumn("pxy", col("nxy") / col("n"))
+      .agg(
+        sum(col("pxy") * log(col("pxy") / (col("px") * col("py"))))
+          .as("mi"),
+        (-sum(col("pxy") * log(col("px")))).as("__hx_terms"),
+        (-sum(col("pxy") * log(col("py")))).as("__hy_terms"))
+      .select(
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("mi") / least(col("__hx_terms"), col("__hy_terms")), 6)
+          .as("nmi"))
+  }
+
+  /** Calibration / reliability report over a [0,1] score against a binary
+    * outcome — the serving-side model monitor: B equal-width score bins,
+    * each with support, mean predicted confidence, observed positive rate,
+    * and the |gap|; the support-weighted gap sum is the Expected
+    * Calibration Error, repeated on every row (`ece`) so the one-pass
+    * report carries the headline number without a second output shape.
+    *
+    * ONE shuffled aggregation on the bin key (≤ B groups) + a window over
+    * the B-row result — bounded regardless of corpus size. Scores outside
+    * [0,1] fail loud (a miscalibrated PIPELINE, not a miscalibrated model).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, positive: Column,
+                      bins: Int): DataFrame = {
+    require(bins >= 2, s"calibrationBins: bins >= 2 (got $bins)")
+    val s = col(scoreCol)
+    val guarded = when(s.isNull || s < 0.0 || s > 1.0,
+      raise_error(concat(lit(s"calibrationBins: $scoreCol out of [0,1]: "),
+        s.cast("string")))).otherwise(s)
+    val bin = least(floor(guarded * bins), lit(bins - 1L)).cast("int")
+    val perBin = df
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col(scoreCol)).as("confidence"),
+        avg(when(positive, 1.0).otherwise(0.0)).as("accuracy"))
+    val all = Window.partitionBy()
+    perBin
+      .withColumn("gap", abs(col("accuracy") - col("confidence")))
+      .withColumn("ece",
+        round(sum(col("gap") * col("n")).over(all) /
+          sum(col("n")).over(all), 6))
+      .select(col("bin"), col("n"), round(col("confidence"), 6).as("confidence"),
+        round(col("accuracy"), 6).as("accuracy"), round(col("gap"), 6).as("gap"),
+        col("ece"))
+      .orderBy("bin")
   }
 }

@@ -89,4 +89,22 @@ class MaterializeSpec extends SparkSpec {
       "o_orderkey", "2099-01-01")
     assert(future.exceptAll(full).isEmpty && full.exceptAll(future).isEmpty)
   }
+
+  test("snapshotDiff: added / changed emitted, refreshed-but-equal and " +
+      "untouched keys dropped, NULL-safe value compare") {
+    val h = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(10.0), 100L), // unchanged key
+      (2L, ts("2024-01-01 00:00:00"), Some(20.0), 101L),
+      (2L, ts("2024-01-05 00:00:00"), Some(25.0), 102L), // changed at t2
+      (3L, ts("2024-01-04 00:00:00"), Some(30.0), 103L), // added after t1
+      (4L, ts("2024-01-01 00:00:00"), Some(40.0), 104L),
+      (4L, ts("2024-01-05 00:00:00"), Some(40.0), 105L), // refreshed, equal
+      (5L, ts("2024-01-01 00:00:00"), Some(50.0), 106L),
+      (5L, ts("2024-01-05 00:00:00"), None, 107L)        // value → NULL
+    ).toDF("user_id", "fts", "fval", "seq")
+    val out = Materialize.snapshotDiff(h, "user_id", "fts", "seq", "fval",
+        "2024-01-02 00:00:00", "2024-01-06 00:00:00")
+      .select("user_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "added", 5L -> "changed"))
+  }
 }

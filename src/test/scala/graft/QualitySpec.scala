@@ -74,6 +74,26 @@ class QualitySpec extends SparkSpec {
     assert(off.count() == 1)
   }
 
+  test("referentialIntegrity: orphans, NULL fks, match rate, " +
+      "all-NULL edge yields NULL rate") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val out = Quality.referentialIntegrity(Seq(
+        ("c->p", child, "fk", parent, "pk"),
+        ("allnull", Seq(Option.empty[Long]).toDF("fk"), "fk", parent, "pk")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(out == Seq(
+      ("allnull", 1L, 1L, 0L, None), // no non-NULL keys → rate undefined
+      ("c->p", 4L, 1L, 1L, Some(0.666667))))
+    // duplicate parent keys must not double-count child matches
+    val dupParent = Seq(1L, 1L, 2L).toDF("pk")
+    val dup = Quality.referentialIntegrity(Seq(
+      ("d", child, "fk", dupParent, "pk"))).collect()(0)
+    assert(dup.getLong(1) == 4L && dup.getLong(3) == 1L)
+  }
+
   test("profile: one-pass column catalog with nulls and distincts") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),

@@ -168,6 +168,49 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("mutualInfo: zero for independence, NMI=1 for a bijection, " +
+      "symmetric, NULLs excluded") {
+    // independent: every (x, y) cell has equal mass → MI = 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v");
+                       _ <- 1 to 25 } yield (x, y)).toDF("x", "y")
+    val mi0 = Stats.mutualInfo(indep, "x", "y")
+      .select("mi_nats").as[Double].head()
+    assert(mi0 == 0.0)
+    // bijective dependence: MI = H = ln 2, NMI = 1
+    val dep = (Seq.fill(30)(("a", "u")) ++ Seq.fill(30)(("b", "v")))
+      .toDF("x", "y")
+    val r = Stats.mutualInfo(dep, "x", "y")
+      .select("mi_nats", "nmi").as[(Double, Double)].head()
+    assert(math.abs(r._1 - math.log(2)) < 1e-6 && r._2 == 1.0)
+    // symmetry, and a NULL row changes nothing
+    val withNull = dep.union(Seq(("a", null: String)).toDF("x", "y"))
+    val sym = Stats.mutualInfo(withNull, "y", "x")
+      .select("mi_nats").as[Double].head()
+    assert(sym == r._1)
+  }
+
+  test("calibrationBins: hand-computed bins + ECE, top-edge clamp, " +
+      "out-of-range score fails loud") {
+    // bin 0: scores .05/.05 with 1 positive → conf .05, acc .5, gap .45
+    // bin 9: scores .95/1.0 both positive → conf .975, acc 1.0, gap .025
+    val df = Seq((0.05, false), (0.05, true), (0.95, true), (1.0, true))
+      .toDF("score", "pos")
+    val out = Stats.calibrationBins(df, "score", $"pos", 10)
+      .select("bin", "n", "confidence", "accuracy", "gap", "ece")
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(0, 9)) // score=1.0 clamps into bin 9
+    assert(out(0) == ((0, 2L, 0.05, 0.5, 0.45, 0.2375)))
+    assert(out(1) == ((9, 2L, 0.975, 1.0, 0.025, 0.2375)))
+    val bad = Seq((1.2, true)).toDF("score", "pos")
+    val e = intercept[Exception] {
+      Stats.calibrationBins(bad, "score", $"pos", 10).collect()
+    }
+    assert(e.getMessage.contains("out of [0,1]"))
+    intercept[IllegalArgumentException] {
+      Stats.calibrationBins(df, "score", $"pos", 1)
+    }
+  }
+
   test("ewmaFeatures: hand-computed weights, truncation, and " +
       "short-history normalization") {
     val df = Seq(
