@@ -1786,6 +1786,25 @@ object OracleSql {
             FROM events)
       GROUP BY split ORDER BY split""",
 
+    // interval join: the oracle states the SEMANTICS (plain containment
+    // join); the engine's bin replication is an execution detail it must
+    // exactly reproduce
+    "q_interval_join" -> """
+      WITH c AS (
+        SELECT t.event_type,
+               t.event_type || '_w' || CAST(w AS VARCHAR) AS campaign_id,
+               CAST(DATE '2024-01-01' + (w*7) * INTERVAL 1 DAY
+                    AS TIMESTAMP) AS cstart,
+               CAST(DATE '2024-01-01' + (w*7+10) * INTERVAL 1 DAY
+                    AS TIMESTAMP) AS cend
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             generate_series(0, 4) g(w))
+      SELECT e.event_id, c.campaign_id
+      FROM events e
+      JOIN c ON e.event_type = c.event_type
+            AND e.ts >= c.cstart AND e.ts < c.cend
+      ORDER BY e.event_id, c.campaign_id""",
+
     // group k-fold: the shared minstd hash replayed on user_id, floor to
     // k buckets with the k-1 clamp (u = 1.0 edge) — both engines identical
     "q_group_kfold" -> s"""

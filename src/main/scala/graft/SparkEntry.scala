@@ -451,6 +451,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
         .orderBy("split")),
+    "q_interval_join" -> ((s, dir) => {
+      // campaign attribution: 5 weekly 10-day campaigns per event type
+      // OVERLAP, so events match 1-2 concurrent campaigns — the
+      // many-to-many interval join as-of can't express; binned to the
+      // daily equi-join path, never a nested loop
+      val campaigns = Tables.events(s, dir).select("event_type").distinct()
+        .crossJoin(s.range(5).select(col("id").cast("int").as("w")))
+        .select(col("event_type"),
+          concat(col("event_type"), lit("_w"), col("w").cast("string"))
+            .as("campaign_id"),
+          date_add(lit("2024-01-01").cast("date"), col("w") * 7)
+            .cast("timestamp_ntz").as("cstart"),
+          date_add(lit("2024-01-01").cast("date"), col("w") * 7 + lit(10))
+            .cast("timestamp_ntz").as("cend"))
+      Retrieval.intervalJoin(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"),
+            col("event_type"), col("ts")),
+          campaigns, Seq("event_type"), "ts", "cstart", "cend")
+        .select(col("event_id"), col("campaign_id"))
+        .orderBy("event_id", "campaign_id")
+    }),
     "q_group_kfold" -> ((s, dir) =>
       // entity-leakage-safe CV folds: all of a user's events share a fold
       Sampling.groupKFold(

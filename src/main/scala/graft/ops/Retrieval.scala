@@ -185,4 +185,57 @@ object Retrieval {
 
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Many-to-many interval join — attach every interval (campaign,
+    * promotion, validity window) whose `[start, end)` contains the point's
+    * timestamp, matching on `keys` first. The one temporal join the as-of
+    * family CANNOT express: as-of picks exactly one (newest) match, so
+    * overlapping windows — concurrent campaigns, A/B test exposures,
+    * nested maintenance windows — need a true interval semi-product.
+    *
+    * Spark plans the naive `pt >= start && pt < end` predicate as
+    * BroadcastNestedLoopJoin (or a cartesian when neither side fits in
+    * memory) — O(|points|·|intervals|) at 100 TB. This operator makes it
+    * an EQUI join: time is quantized into `binMicros`-wide bins, each
+    * interval is replicated to the bins it overlaps
+    * (`explode(sequence(...))`, bounded by `maxBinsPerInterval` with an
+    * in-plan raise — the `sweepExact` fail-loud posture), points carry
+    * their single bin, and the join runs on `keys :+ bin` through the
+    * ordinary hash-shuffle machinery (AQE, skew split, broadcast if small
+    * — all free). The exact containment predicate is a narrow post-filter.
+    * Replication factor = interval span / binWidth, so pick binMicros near
+    * the MEDIAN interval span: cost is O(|points| + |intervals|·spanBins)
+    * — never a product.
+    *
+    * Malformed intervals (end <= start) raise in-plan rather than silently
+    * matching nothing. `end` is exclusive; the last replicated bin is the
+    * one containing `end − 1 µs`.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   keys: Seq[String], ptCol: String,
+                   startCol: String, endCol: String,
+                   binMicros: Long = 86400000000L,
+                   maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binMicros > 0, s"intervalJoin: binMicros > 0 (got $binMicros)")
+    def binOf(c: Column) = floor(unix_micros(c.cast("timestamp")) / binMicros)
+    val sBin = binOf(col(startCol))
+    val eBin = binOf(col(endCol).cast("timestamp") - expr("INTERVAL 1 MICROSECOND"))
+    val nBins = eBin - sBin + lit(1L)
+    val checked = when(col(endCol) <= col(startCol),
+        raise_error(concat(lit("intervalJoin: empty interval (end <= start) at "),
+          col(startCol).cast("string"))))
+      .when(nBins > maxBinsPerInterval,
+        raise_error(concat(lit("intervalJoin: interval spans "),
+          nBins.cast("string"),
+          lit(s" bins (> maxBinsPerInterval=$maxBinsPerInterval); raise " +
+            "binMicros toward the median interval span"))))
+      .otherwise(eBin)
+    val replicated = intervals
+      .withColumn("__bin", explode(sequence(sBin, checked)))
+    points
+      .withColumn("__bin", binOf(col(ptCol)))
+      .join(replicated, keys :+ "__bin")
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bin")
+  }
 }

@@ -105,4 +105,50 @@ class AsOfJoinSpec extends SparkSpec {
         col("event_type") === "purchase", "24 HOURS")
       .filter($"event_id" === 2L).select("label").as[Boolean].head())
   }
+
+  test("intervalJoin ≡ naive containment join; equi plan, no nested loop; " +
+      "half-open bounds; guards raise") {
+    val pts = (1L to 200L).map(i => (i, s"k${i % 3}",
+      ts("2024-01-01 00:00:00").toLocalDateTime.plusHours(i).toString
+        .replace('T', ' '))).toDF("id", "k", "s")
+      .withColumn("pt", $"s".cast("timestamp_ntz")).drop("s")
+    val ivs = Seq(
+      ("k0", "a", "2024-01-01 12:00:00", "2024-01-03 00:00:00"),
+      ("k0", "b", "2024-01-02 00:00:00", "2024-01-05 06:00:00"), // overlaps a
+      ("k1", "c", "2024-01-04 00:00:00", "2024-01-04 00:00:01"), // sub-bin
+      ("k2", "d", "2024-01-01 00:00:00", "2024-01-09 00:00:00")
+    ).toDF("k", "iv", "s0", "s1")
+      .withColumn("start", $"s0".cast("timestamp_ntz"))
+      .withColumn("end", $"s1".cast("timestamp_ntz")).drop("s0", "s1")
+    val out = Retrieval.intervalJoin(pts, ivs, Seq("k"), "pt", "start", "end")
+    val naive = pts.join(ivs, Seq("k"))
+      .filter($"pt" >= $"start" && $"pt" < $"end")
+    assert(out.select("id", "iv").exceptAll(naive.select("id", "iv")).isEmpty)
+    assert(naive.select("id", "iv").exceptAll(out.select("id", "iv")).isEmpty)
+    // a point exactly at start matches; exactly at end does not
+    val edge = Seq((1L, "k0", "2024-01-01 12:00:00"),
+        (2L, "k0", "2024-01-03 00:00:00")).toDF("id", "k", "s")
+      .withColumn("pt", $"s".cast("timestamp_ntz")).drop("s")
+    val hits = Retrieval.intervalJoin(edge, ivs, Seq("k"), "pt", "start", "end")
+      .filter($"iv" === "a").select("id").as[Long].collect().toSet
+    assert(hits == Set(1L))
+    // the physical plan is an equi join — never a nested-loop/cartesian
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"))
+    // empty interval and over-wide interval raise in-plan
+    val bad = Seq(("k0", "z", "2024-01-02 00:00:00", "2024-01-02 00:00:00"))
+      .toDF("k", "iv", "s0", "s1")
+      .withColumn("start", $"s0".cast("timestamp_ntz"))
+      .withColumn("end", $"s1".cast("timestamp_ntz")).drop("s0", "s1")
+    val e1 = intercept[Exception] {
+      Retrieval.intervalJoin(pts, bad, Seq("k"), "pt", "start", "end").collect()
+    }
+    assert(e1.getMessage.contains("empty interval"))
+    val e2 = intercept[Exception] {
+      Retrieval.intervalJoin(pts, ivs, Seq("k"), "pt", "start", "end",
+        binMicros = 1000000L, maxBinsPerInterval = 10).collect()
+    }
+    assert(e2.getMessage.contains("maxBinsPerInterval"))
+  }
 }
