@@ -1356,6 +1356,43 @@ object OracleSql {
     // retention over the full corpus: same closure, keep-best per cluster
     "x_dedup_retain" -> dedupRetainOracle,
 
+    // DSIR: both hashed-unigram LMs from one token stream; Gumbel key
+    // replayed from the shared u01 hash and rounded at 6 before top-k
+    "x_dsir_sample" -> s"""
+      WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS t,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents),
+      tok2 AS (
+        SELECT doc_id, t,
+               CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+                 % 1024 AS BIGINT) AS bucket
+        FROM toks WHERE term <> ''),
+      bc AS (SELECT bucket, count(*) FILTER (t) AS ct, count(*) AS cs
+             FROM tok2 GROUP BY bucket),
+      tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM bc),
+      sc AS (SELECT bucket,
+                    ln(CAST(ct + 1 AS DOUBLE) / (nt + 1024)) -
+                    ln(CAST(cs + 1 AS DOUBLE) / (ns + 1024)) AS dlog
+             FROM bc, tot),
+      tf AS (SELECT doc_id, bucket, count(*) AS tf
+             FROM tok2 GROUP BY doc_id, bucket),
+      w AS (SELECT d.doc_id,
+                   coalesce(sum(tf.tf), 0) AS n_tokens,
+                   coalesce(sum(tf.tf * sc.dlog), 0.0) AS log_w
+            FROM documents d
+            LEFT JOIN tf ON d.doc_id = tf.doc_id
+            LEFT JOIN sc ON tf.bucket = sc.bucket
+            GROUP BY d.doc_id),
+      k AS (SELECT doc_id, n_tokens, log_w,
+                   round(log_w - ln(-ln(least(${uk("doc_id", 97)},
+                     1.0 - 1e-12))), 6) AS key
+            FROM w)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(log_w, 6) AS log_w
+      FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 100)
+      ORDER BY doc_id""",
+
     "x_lm_surprisal" -> """
       WITH toks AS (
         SELECT doc_id,

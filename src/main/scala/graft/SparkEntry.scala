@@ -967,6 +967,22 @@ object SparkEntry {
       // floor path carries real weight
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 100)),
+    "x_dsir_sample" -> ((s, dir) => {
+      // DSIR: weight every doc by the hashed-unigram LM ratio toward the
+      // English target slice, then Gumbel-top-k importance resampling —
+      // priority rounded at 6 (the g_weighted_sample precedent) so both
+      // engines elect the identical sample
+      val w = TextAnalysis.dsirWeights(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", numBuckets = 1024)
+      val u = least(graft.ops.Gen.u01(col("doc_id"), 97L),
+        lit(1.0 - 1e-12)) // u=1 would send the Gumbel to +inf
+      w.withColumn("key", round(col("log_w") - log(-log(u)), 6))
+        .orderBy(col("key").desc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("log_w"), 6).as("log_w"))
+        .orderBy("doc_id")
+    }),
     "x_chunk_windows" -> ((s, dir) =>
       // context-window prep: overlapping 32-token chunks every 16 tokens,
       // chunk index kept so downstream packing can restore document order

@@ -472,4 +472,52 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
           .as("n_lines_removed"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its tokens are under a TARGET distribution than
+    * under the raw-corpus source distribution — `log_w = Σ_tok
+    * (ln p_target(bucket) − ln p_source(bucket))` over hashed-unigram LMs
+    * with add-one smoothing on `numBuckets` hash buckets. Pair with
+    * Gumbel-top-k (`x_dsir_sample`) to importance-RESAMPLE a pretraining
+    * mix toward the target domain, the published recipe.
+    *
+    * Scale shape: tokenize → bucket via the md5-prefix hashing trick
+    * (cross-engine, [[graft.ops.Encoding]]'s idiom) → per-(doc, bucket)
+    * tf (ONE shuffle); both LMs fold from the SAME token stream in one
+    * bounded aggregate (≤ numBuckets rows, broadcast back with the 1-row
+    * totals); the final per-doc fold is one more keyed shuffle. The text
+    * is read once; nothing driver-side. Tokenless docs surface with
+    * `log_w = 0` (length-zero evidence), not dropped.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets > 0, s"dsirWeights: numBuckets > 0 (got $numBuckets)")
+    val toks = docs.select(col(idCol), isTarget.as("__t"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("bucket",
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+          % numBuckets)
+    val bucketCounts = toks.groupBy("bucket").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cs"))
+    val totals = bucketCounts.agg(
+      sum("ct").as("nt"), sum("cs").as("ns"))
+    val scores = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + numBuckets)) -
+         log((col("cs") + 1).cast("double") / (col("ns") + numBuckets)))
+          .as("dlog"))
+    val tf = toks.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = tf.join(broadcast(scores), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("dlog")).as("log_w"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("log_w"), lit(0.0)).as("log_w"))
+  }
 }

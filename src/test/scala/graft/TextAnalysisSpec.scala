@@ -274,6 +274,42 @@ class TextAnalysisSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("posKey")))
   }
 
+  test("dsirWeights: target-like docs score higher, independent scala " +
+      "replay agrees, tokenless doc gets 0") {
+    // target vocabulary {alpha beta}, off-target {gamma delta}
+    val docs = Seq(
+      (1L, "alpha beta alpha", true),   // pure target
+      (2L, "gamma delta gamma", false), // pure source-only
+      (3L, "alpha gamma", false),       // mixed
+      (4L, "", false)                   // tokenless
+    ).toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.dsirWeights(docs, "doc_id", "text", $"is_t",
+        numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // independent replay of the smoothed LM ratio
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val toks = Seq(1L -> "alpha beta alpha", 2L -> "gamma delta gamma",
+        3L -> "alpha gamma", 4L -> "")
+      .flatMap { case (id, t) => t.split("\\s+").filter(_.nonEmpty)
+        .map(w => (id, bucket(w), id == 1L)) }
+    val ct = toks.filter(_._3).groupBy(_._2).view.mapValues(_.size).toMap
+    val cs = toks.groupBy(_._2).view.mapValues(_.size).toMap
+    val (nt, ns) = (toks.count(_._3).toDouble, toks.size.toDouble)
+    def dlog(b: Long) = math.log((ct.getOrElse(b, 0) + 1) / (nt + 64)) -
+      math.log((cs.getOrElse(b, 0) + 1) / (ns + 64))
+    val expect = toks.groupBy(_._1).view
+      .mapValues(_.map(x => dlog(x._2)).sum).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(math.abs(out(id)._2 - expect(id)) < 1e-9, s"doc $id")
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+    assert(out(4L) == ((0L, 0.0)))
+  }
+
   test("bm25Scores matches an independent scala computation; non-matching " +
       "and empty docs absent") {
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"),
