@@ -543,6 +543,34 @@ object OracleSql {
              TRUE AS p50_ok, TRUE AS p95_ok
       FROM lineitem""",
 
+    // rolling actives: the exact semantics as a day-grid range join over
+    // the distinct (day, user) pair table
+    "q_rolling_active_users" -> """
+      WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+      wau AS (
+        SELECT d.day, count(DISTINCT p.u) AS wau
+        FROM (SELECT DISTINCT day FROM pairs) d
+        JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+      SELECT dau.day, dau.dau, wau.wau
+      FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""",
+
+    // sketch twin: exact anchors replayed; the tolerance boolean is
+    // deterministically true (HLL is deterministic per corpus)
+    "q_rolling_active_users_approx" -> """
+      WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+      wau AS (
+        SELECT d.day, count(DISTINCT p.u) AS wau
+        FROM (SELECT DISTINCT day FROM pairs) d
+        JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+      SELECT dau.day, dau.dau, wau.wau, TRUE AS wau_ok
+      FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""",
+
     "q_mode_per_key" -> """
       SELECT user_id, event_type AS mode_value, cnt FROM (
         SELECT user_id, event_type, count(*) AS cnt,

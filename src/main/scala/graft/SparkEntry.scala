@@ -66,6 +66,13 @@ object SparkEntry {
     "q_sessions" -> ((s, dir) =>
       Session.sessionWindows(Tables.events(s, dir), "user_id", "ts",
         "30 minutes").orderBy("user_id", "session_start")),
+    "q_rolling_active_users" -> ((s, dir) =>
+      // DAU + exact trailing-7-day WAU via bounded pair replication
+      WindowAgg.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts")),
+    "q_rolling_active_users_approx" -> ((s, dir) =>
+      // the mergeable-sketch WAU path, tolerance-oracled against exact
+      WindowAgg.rollingActiveUsersApproxChecked(
+        Tables.events(s, dir), "user_id", "ts")),
     "x_sql_cosine" -> ((s, dir) => {
       graft.functions.GraftExtensions.register(s)
       Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -197,5 +198,60 @@ object WindowAgg {
         col("primary_k"), col("click_through_rate"), col("conversion_rate"),
         col("event_date"), col("feature_timestamp"), col("unique_k_ok"))
       .orderBy("user_id", "window_start")
+  }
+
+  /** Rolling distinct actives — DAU + trailing-`windowDays` WAU per day,
+    * EXACT. Distinct counts don't sum across days, so the rolling window
+    * can't reuse daily aggregates; the scalable exact form replicates
+    * each (user, day) pair onto the `windowDays` report days it covers
+    * (`explode(sequence)` — a bounded ×W blow-up of the DISTINCT pair
+    * table, not of the raw events) and de-dups per report day. Three
+    * keyed shuffles, never a per-day re-scan of the corpus; windows at
+    * the range edges are clipped (a day's WAU covers only observed
+    * history), and only days with activity are reported.
+    */
+  def rollingActiveUsers(events: DataFrame, keyCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"rollingActiveUsers: windowDays >= 1")
+    val pairs = events
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("u")).distinct()
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(col("u"), explode(
+        sequence(col("day"), date_add(col("day"), windowDays - 1)))
+        .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day")).orderBy("day")
+  }
+
+  /** [[rollingActiveUsers]] with the 100 TB path VERIFIED in-plan: per-day
+    * HLL sketches of the key, rolling WAU = `hll_union_agg` over the
+    * trailing frame — a few-KB sketch per day instead of the ×W pair
+    * replication, the mergeable-sketch idiom streaming backfill shares.
+    * The window is global but BOUNDED: it runs over the per-day aggregate
+    * (one row per day), the documented bounded-global-window class. Emits
+    * the exact DAU/WAU (DuckDB-replayable) plus `wau_ok` asserting the
+    * sketch landed within `relTol` — deterministic for a given corpus
+    * (HLL is deterministic), so the whole row hashes.
+    */
+  def rollingActiveUsersApproxChecked(events: DataFrame, keyCol: String,
+                                      tsCol: String, windowDays: Int = 7,
+                                      relTol: Double = 0.05): DataFrame = {
+    val exact = rollingActiveUsers(events, keyCol, tsCol, windowDays)
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("u"))
+      .groupBy("day").agg(hll_sketch_agg(col("u")).as("sk"))
+    val frame = Window.orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val approx = daily
+      .withColumn("wau_approx",
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(frame)))
+      .select(col("day"), col("wau_approx"))
+    exact.join(approx, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (abs(col("wau_approx").cast("double") / col("wau") - 1.0) <= relTol)
+          .as("wau_ok"))
+      .orderBy("day")
   }
 }

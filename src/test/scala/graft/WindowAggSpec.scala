@@ -45,4 +45,25 @@ class WindowAggSpec extends SparkSpec {
       .agg(round(sum("value"), 0)).head().getDouble(0)
     assert(math.abs(fromAgg - raw) <= 1.0) // per-window rounding tolerance
   }
+
+  test("rollingActiveUsers: WAU unions the trailing window exactly, " +
+      "clipped edges, repeat visits dedup; sketch twin within tolerance") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // u1 every day 1-3; u2 on day 1 only (twice); u3 on day 3
+    val ev = Seq((1L, t(1)), (1L, t(2)), (1L, t(3)),
+        (2L, t(1)), (2L, t(1)), (3L, t(3)))
+      .toDF("user_id", "ts")
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+    val out = WindowAgg.rollingActiveUsers(ev, "user_id", "ts", windowDays = 2)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1.toString -> (r._2, r._3)).toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 2L)),   // day 1 alone: u1, u2
+      "2024-01-02" -> ((1L, 2L)),   // dau u1; wau day1-2: u1, u2
+      "2024-01-03" -> ((2L, 2L)))) // dau u1,u3; wau day2-3: u1, u3
+    val chk = WindowAgg.rollingActiveUsersApproxChecked(
+        ev, "user_id", "ts", windowDays = 2)
+      .select("day", "wau_ok").as[(java.sql.Date, Boolean)].collect()
+    assert(chk.length == 3 && chk.forall(_._2))
+  }
 }
