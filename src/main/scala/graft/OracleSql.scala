@@ -2420,6 +2420,36 @@ object OracleSql {
       GROUP BY e.event_type, m.med, d.mad
       ORDER BY e.event_type""",
 
+    // skew report: counts-of-counts fold; quantile_cont interpolates like
+    // Spark percentile; HUGEINT sums cast back to BIGINT
+    "q_skew_report" -> """
+      WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+                 GROUP BY user_id)
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             count(*) AS n_keys,
+             max(cnt) AS max_key_rows,
+             round(quantile_cont(CAST(cnt AS DOUBLE), 0.5), 6)
+               AS p50_key_rows,
+             round(quantile_cont(CAST(cnt AS DOUBLE), 0.9), 6)
+               AS p90_key_rows,
+             round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 6)
+               AS p99_key_rows,
+             round(max(cnt) / quantile_cont(CAST(cnt AS DOUBLE), 0.5), 6)
+               AS skew_ratio,
+             round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share
+      FROM c""",
+
+    // rank analytics: tie-free (value, id) order makes rank/percent_rank/
+    // ntile identical in both engines
+    "q_rank_features" -> """
+      SELECT event_id, event_type, value,
+             CAST(rank() OVER w AS INTEGER) AS rnk,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             CAST(ntile(4) OVER w AS INTEGER) AS bucket
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+      ORDER BY event_id""",
+
     // mutual information: joint counts → window marginals → Σ p·ln(p/pq),
     // the same bounded-table fold both engines run; round(6) absorbs
     // last-ulp summation-order drift

@@ -1384,6 +1384,18 @@ object SparkEntry {
           Tables.events(s, dir).select(col("event_id"), col("event_type")),
           "event_type", Seq("view", "click", "purchase", "signup"))
         .orderBy("event_id")),
+    "q_skew_report" -> ((s, dir) =>
+      // pre-shuffle key diagnostics: per-key count percentiles, hottest
+      // key share, max/median skew ratio
+      Stats.skewReport(Tables.events(s, dir), "user_id")),
+    "q_rank_features" -> ((s, dir) =>
+      // within-group standing: rank / percent_rank / quartile of value
+      // inside each event type; sorts are group-local
+      Stats.rankFeatures(
+          Tables.events(s, dir).select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value", "event_id")
+        .orderBy("event_id")),
     "q_mad_outliers" -> ((s, dir) =>
       // robust (median/MAD) outlier report — the heavy-tail-safe sibling
       // of the Tukey IQR fences

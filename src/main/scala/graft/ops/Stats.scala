@@ -475,6 +475,54 @@ object Stats {
     * every pair (corr is an aggregate function, so the whole matrix is a
     * single map-side-combined job, no per-pair scans).
     */
+  /** Key-skew diagnostics — the pre-flight check before keying a shuffle,
+    * join, or window on a column at scale: per-key count distribution
+    * (p50/p90/p99/max), the hottest key's share of all rows, and
+    * `skew_ratio` = max/median — the number that predicts whether AQE
+    * skew-split or explicit salting ([[graft.ops.Skew]]) is needed BEFORE
+    * the 4-hour straggler task teaches it the hard way.
+    *
+    * One keyed count (map-side combined) + one aggregate over the counts
+    * table. The exact percentile buffers |keys| longs — the report grain,
+    * not the corpus; for billion-key columns swap `percentile` for
+    * `percentile_approx` exactly as [[percentilesApprox]] documents.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(
+        sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("cnt").as("max_key_rows"),
+        expr("percentile(cnt, array(0.5D, 0.9D, 0.99D))").as("__p"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        round(element_at(col("__p"), 1), 6).as("p50_key_rows"),
+        round(element_at(col("__p"), 2), 6).as("p90_key_rows"),
+        round(element_at(col("__p"), 3), 6).as("p99_key_rows"),
+        round(col("max_key_rows") / element_at(col("__p"), 1), 6)
+          .as("skew_ratio"),
+        round(col("max_key_rows").cast("double") / col("n_rows"), 6)
+          .as("top1_share"))
+  }
+
+  /** Per-group rank analytics — rank, percent_rank, and ntile bucket of a
+    * value within its group, the "where does this row stand among its
+    * peers" feature family (spend percentile within segment, doc quality
+    * quartile within language). One shuffle on the group key; every sort
+    * is partition-local to a group, never global. The (value, id) order
+    * makes ranks tie-free and reproducible under any partitioning.
+    */
+  def rankFeatures(df: DataFrame, groupCol: String, valCol: String,
+                   idCol: String, buckets: Int = 4): DataFrame = {
+    require(buckets >= 2, s"rankFeatures: buckets >= 2 (got $buckets)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol).desc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol), col(valCol),
+      rank().over(w).as("rnk"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      ntile(buckets).over(w).as("bucket"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     // positional aliases + backtick-quoted source refs: column names with
     // spaces/dots/quotes/"__" can't break the melt or collide pair labels

@@ -168,6 +168,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("skewReport: hand-computed distribution on a hot-key layout") {
+    // keys: a×6, b×2, c×1, d×1 → counts (6,2,1,1)
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = Stats.skewReport(df, "k").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 4L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 1.5)   // p50 of (1,1,2,6) interpolated
+    assert(r.getDouble(6) == 4.0)   // skew ratio 6/1.5
+    assert(r.getDouble(7) == 0.6)   // hottest key share
+  }
+
+  test("rankFeatures: group-local ranks, percent_rank bounds, ntile " +
+      "bucket sizes") {
+    val df = Seq((1L, "g", 30.0), (2L, "g", 20.0), (3L, "g", 20.0),
+        (4L, "g", 10.0), (5L, "h", 1.0))
+      .toDF("id", "grp", "v")
+    val out = Stats.rankFeatures(df, "grp", "v", "id")
+      .select("id", "rnk", "pct_rank", "bucket")
+      .as[(Long, Int, Double, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // value ties broken by id: 30 > 20(id2) > 20(id3) > 10
+    assert(out(1L) == ((1, 0.0, 1)) && out(2L) == ((2, 0.333333, 2)))
+    assert(out(3L) == ((3, 0.666667, 3)) && out(4L) == ((4, 1.0, 4)))
+    assert(out(5L) == ((1, 0.0, 1))) // singleton group: percent_rank 0
+    intercept[IllegalArgumentException] {
+      Stats.rankFeatures(df, "grp", "v", "id", buckets = 1)
+    }
+  }
+
   test("mutualInfo: zero for independence, NMI=1 for a bijection, " +
       "symmetric, NULLs excluded") {
     // independent: every (x, y) cell has equal mass → MI = 0
