@@ -2420,6 +2420,70 @@ object OracleSql {
       GROUP BY e.event_type, m.med, d.mad
       ORDER BY e.event_type""",
 
+    // join forecast: histogram join replayed; HUGEINT folds cast back
+    "q_join_cardinality" -> """
+      WITH lc AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+                  GROUP BY 1),
+      rc AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+      sides AS (
+        SELECT (SELECT CAST(sum(cl) AS BIGINT) FROM lc) AS n_left,
+               (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS n_right,
+               (SELECT count(*) FROM lc) AS n_left_keys,
+               (SELECT count(*) FROM rc) AS n_right_keys),
+      joint AS (
+        SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS predicted_rows,
+               count(*) AS n_common_keys,
+               CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS hottest_key_rows
+        FROM lc JOIN rc USING (k))
+      SELECT n_left, n_right, n_left_keys, n_right_keys, n_common_keys,
+             predicted_rows, hottest_key_rows,
+             round(CAST(hottest_key_rows AS DOUBLE)
+                   / nullif(CAST(predicted_rows AS DOUBLE), 0), 6)
+               AS hottest_share
+      FROM joint, sides""",
+
+    // purge audit: the erasure proof replayed as a marked left join
+    "q_purge_audit" -> """
+      WITH reqs AS (
+        SELECT DISTINCT c_custkey AS uid FROM customer
+        WHERE c_custkey % 100 = 0
+        UNION SELECT 1000000 AS uid),
+      marked AS (
+        SELECT e.user_id, r.uid FROM events e
+        LEFT JOIN reqs r ON e.user_id = r.uid)
+      SELECT count(*) AS rows_before,
+             count(uid) AS rows_purged,
+             count(*) - count(uid) AS rows_after,
+             (SELECT count(*) FROM reqs) AS keys_requested,
+             count(DISTINCT CASE WHEN uid IS NOT NULL THEN user_id END)
+               AS keys_hit
+      FROM marked""",
+
+    // embedding outliers: per-label centroid from the positional explode,
+    // cosine distance rounded at 6 before the per-label top-k election
+    "x_embedding_outliers" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      comp AS (SELECT label, generate_subscripts(v, 1) AS pos,
+                      unnest(v) AS val FROM e),
+      cent AS (SELECT label, pos, avg(val) AS c FROM comp GROUP BY 1, 2),
+      carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent
+               GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label,
+               round(1.0 - list_inner_product(e.v, carr.centroid)
+                 / (sqrt(list_inner_product(e.v, e.v))
+                    * sqrt(list_inner_product(carr.centroid, carr.centroid))),
+                 6) AS cos_dist
+        FROM e JOIN carr ON e.label = carr.label),
+      ranked AS (
+        SELECT vec_id, label, cos_dist,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY cos_dist DESC, vec_id) AS rn
+        FROM scored)
+      SELECT vec_id, label, cos_dist FROM ranked WHERE rn <= 10
+      ORDER BY label, vec_id""",
+
     // skew report: counts-of-counts fold; quantile_cont interpolates like
     // Spark percentile; HUGEINT sums cast back to BIGINT
     "q_skew_report" -> """

@@ -1384,6 +1384,24 @@ object SparkEntry {
           Tables.events(s, dir).select(col("event_id"), col("event_type")),
           "event_type", Seq("view", "click", "purchase", "signup"))
         .orderBy("event_id")),
+    "q_join_cardinality" -> ((s, dir) =>
+      // forecast lineitem ⋈ orders size + hottest key BEFORE running it
+      Stats.joinCardinality(Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")),
+    "q_purge_audit" -> ((s, dir) =>
+      // GDPR erasure audit: purge the probe-sampled users (plus one
+      // never-present key) from events; file the proof
+      Materialize.purgeAudit(Tables.events(s, dir), "user_id",
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey").as("uid"))
+          .unionByName(s.range(1).select((col("id") + 1000000L).as("uid"))),
+        "uid")),
+    "x_embedding_outliers" -> ((s, dir) =>
+      // mislabeled-sample screen: 10 vectors farthest from their label
+      // centroid, per label; distances rounded before the rank election
+      Similarity.centroidOutliers(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", k = 10)),
     "q_skew_report" -> ((s, dir) =>
       // pre-shuffle key diagnostics: per-key count percentiles, hottest
       // key share, max/median skew ratio

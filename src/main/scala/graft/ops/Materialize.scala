@@ -115,6 +115,43 @@ object Materialize {
       ).as("coverage_ratio")
     )
 
+  /** Right-to-be-forgotten purge with an audit row — remove every row
+    * whose key appears in the deletion request set and account for it:
+    * the GDPR/CCPA maintenance pass an online/offline store must run and
+    * PROVE it ran. Returns the audit (rows before/purged/after, keys
+    * requested / actually hit) — the purged data itself is
+    * [[purgeKeys]]'s output; the audit is what gets filed.
+    *
+    * The request set joins as a broadcast anti/semi pair when small (the
+    * normal case — deletion requests are human-scale) and falls back to a
+    * shuffled join for bulk erasure; counts come from predicate
+    * aggregates, the row data never moves to the driver.
+    */
+  def purgeKeys(df: DataFrame, keyCol: String, requests: DataFrame,
+                reqCol: String): DataFrame =
+    df.join(broadcast(requests.select(col(reqCol).as(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+
+  /** The audit row for [[purgeKeys]] — computed from the same plan shape
+    * so the numbers are the ones the purge actually enacted.
+    */
+  def purgeAudit(df: DataFrame, keyCol: String, requests: DataFrame,
+                 reqCol: String): DataFrame = {
+    val reqs = requests.select(col(reqCol).as(keyCol)).distinct()
+    val marked = df.join(broadcast(reqs.withColumn("__req", lit(1))),
+      Seq(keyCol), "left")
+    val total = reqs.agg(count(lit(1)).as("keys_requested"))
+    marked.agg(
+        count(lit(1)).as("rows_before"),
+        sum(when(col("__req").isNotNull, 1L).otherwise(0L)).as("rows_purged"),
+        countDistinct(when(col("__req").isNotNull, col(keyCol)))
+          .as("keys_hit"))
+      .crossJoin(broadcast(total))
+      .select(col("rows_before"), col("rows_purged"),
+        (col("rows_before") - col("rows_purged")).as("rows_after"),
+        col("keys_requested"), col("keys_hit"))
+  }
+
   /** Snapshot diff — what changed in the online store between two as-of
     * cutoffs: per key, `added` (absent at t1, present at t2), `removed`
     * (the reverse; impossible over append-only history but real when

@@ -413,4 +413,38 @@ object Similarity {
       .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Embedding-space outlier report — the top-k vectors FARTHEST from
+    * their group's centroid (cosine distance), per group: the mislabeled-
+    * sample / noisy-caption screen for labeled embedding corpora (prune
+    * before contrastive training, audit before clustering). Distances are
+    * rounded at 6 BEFORE ranking (the g_weighted_sample election idiom)
+    * so the per-group top-k is reproducible cross-engine.
+    *
+    * Centroids: explode to (group, dim-pos, component) → ONE avg shuffle
+    * bounded by |groups|·dim → rebuilt arrays broadcast back (|groups|
+    * rows). Ranking is a group-local window; k bounds the output. The
+    * embedding column shuffles ONCE (the explode); at 100 TB the explode
+    * carries (row × dim) narrow doubles with map-side partial avg — no
+    * all-pairs anything.
+    */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"centroidOutliers: k >= 1 (got $k)")
+    val cents = emb
+      .select(col(groupCol), posexplode(d(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos")).agg(avg("v").as("c"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col(groupCol), transform(col("pc"), x => x("c")).as("__cent"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cos_dist").desc, col(idCol).asc)
+    emb.join(broadcast(cents), Seq(groupCol))
+      .withColumn("cos_dist",
+        round(lit(1.0) - cosine(d(col(vecCol)), col("__cent")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col(groupCol), col("cos_dist"))
+      .orderBy(col(groupCol), col(idCol))
+  }
 }

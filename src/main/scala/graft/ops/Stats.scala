@@ -475,6 +475,38 @@ object Stats {
     * every pair (corr is an aggregate function, so the whole matrix is a
     * single map-side-combined job, no per-pair scans).
     */
+  /** Join-cardinality forecast — predict the output size AND skew of a
+    * prospective equi-join WITHOUT running it: |A ⋈ B| = Σ_k a_k·b_k over
+    * the two per-key count histograms, plus the hottest key's
+    * contribution (the straggler-task predictor) and its share. The
+    * capacity-planning sibling of [[skewReport]]: run both before
+    * submitting a 100 TB join, not after it rots on one task.
+    *
+    * Two keyed counts (map-side combined — the histograms, not the rows,
+    * shuffle) + one inner join of the histograms + a 1-row fold. Exact,
+    * not an estimate: the histograms ARE the join's key distribution.
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    val sides = lc.agg(sum("cl").as("n_left"),
+        count(lit(1)).as("n_left_keys"))
+      .crossJoin(rc.agg(sum("cr").as("n_right"),
+        count(lit(1)).as("n_right_keys")))
+    val joint = lc.join(rc, "k").agg(
+      coalesce(sum(col("cl") * col("cr")), lit(0L)).as("predicted_rows"),
+      count(lit(1)).as("n_common_keys"),
+      coalesce(max(col("cl") * col("cr")), lit(0L)).as("hottest_key_rows"))
+    joint.crossJoin(broadcast(sides))
+      .select(col("n_left"), col("n_right"), col("n_left_keys"),
+        col("n_right_keys"), col("n_common_keys"), col("predicted_rows"),
+        col("hottest_key_rows"),
+        round(col("hottest_key_rows").cast("double") /
+          nullif(col("predicted_rows").cast("double"), lit(0.0)), 6)
+          .as("hottest_share"))
+  }
+
   /** Key-skew diagnostics — the pre-flight check before keying a shuffle,
     * join, or window on a column at scale: per-key count distribution
     * (p50/p90/p99/max), the hottest key's share of all rows, and

@@ -90,6 +90,19 @@ class MaterializeSpec extends SparkSpec {
     assert(future.exceptAll(full).isEmpty && full.exceptAll(future).isEmpty)
   }
 
+  test("purgeKeys removes exactly the requested keys; audit accounts " +
+      "for every row including never-present request keys") {
+    val data = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("user_id", "payload")
+    val reqs = Seq(1L, 1L, 99L).toDF("uid") // dup request + absent key
+    val purged = Materialize.purgeKeys(data, "user_id", reqs, "uid")
+    assert(purged.select("user_id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+    val a = Materialize.purgeAudit(data, "user_id", reqs, "uid").head()
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3),
+      a.getLong(4)) == ((4L, 2L, 2L, 2L, 1L)))
+  }
+
   test("snapshotDiff: added / changed emitted, refreshed-but-equal and " +
       "untouched keys dropped, NULL-safe value compare") {
     val h = Seq(

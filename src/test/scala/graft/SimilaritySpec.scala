@@ -246,4 +246,24 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     assert(full.size == 50)
   }
+
+  test("centroidOutliers: farthest-from-centroid wins, per-group k, " +
+      "groups isolated") {
+    // group 0: three near (1,0) and one near (0,1) — the odd one out;
+    // group 1: two identical vectors → both at distance 0
+    val emb = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 0, Seq(1.0f, 0.05f)), (4L, 0, Seq(0.0f, 1.0f)),
+      (5L, 1, Seq(0.5f, 0.5f)), (6L, 1, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val top1 = Similarity.centroidOutliers(emb, "vec_id", "embedding",
+        "label", k = 1)
+      .select("label", "vec_id").as[(Int, Long)].collect().toMap
+    assert(top1(0) == 4L)  // the orthogonal vector is group 0's outlier
+    assert(top1(1) == 5L)  // tie at distance 0 → smaller id elected
+    val all = Similarity.centroidOutliers(emb, "vec_id", "embedding",
+      "label", k = 10)
+    assert(all.count() == 6) // k caps, never pads
+    assert(all.filter($"label" === 1 && $"cos_dist" =!= 0.0).count() == 0)
+  }
 }

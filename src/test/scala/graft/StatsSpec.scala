@@ -168,6 +168,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("joinCardinality: exact forecast equals the actual join size, " +
+      "hottest key flagged, disjoint keys predict zero") {
+    val l = Seq(1, 1, 1, 2, 3).toDF("lk")
+    val r = Seq(1, 1, 2, 4).toDF("rk")
+    val f = Stats.joinCardinality(l, "lk", r, "rk").head()
+    val actual = l.join(r, $"lk" === $"rk").count()
+    // predicted: key1 3·2 + key2 1·1 = 7
+    assert(f.getLong(5) == 7L && actual == 7L)
+    assert(f.getLong(0) == 5L && f.getLong(1) == 4L) // side totals
+    assert(f.getLong(4) == 2L && f.getLong(6) == 6L) // common keys, hottest
+    assert(f.getDouble(7) == 0.857143)
+    val none = Stats.joinCardinality(l, "lk", Seq(9).toDF("rk"), "rk").head()
+    assert(none.getLong(5) == 0L && none.isNullAt(7))
+  }
+
   test("skewReport: hand-computed distribution on a hot-key layout") {
     // keys: a×6, b×2, c×1, d×1 → counts (6,2,1,1)
     val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
