@@ -333,6 +333,20 @@ object OracleSql {
       SELECT o_custkey, o_orderdate AS feature_ts, o_totalprice, o_orderstatus
       FROM snap ORDER BY o_custkey""",
 
+    // dataset fingerprint: same per-row md5-prefix hash (15 hex chars =
+    // 60 bits, sign-safe) XOR-folded; chr(1)/chr(2) mirror the Spark
+    // u0001 separator and u0002 NULL sentinel
+    "q_dataset_fingerprint" -> """
+      SELECT bit_xor(CAST(CAST(concat('0x', substr(md5(
+               concat_ws(chr(1),
+                 coalesce(CAST(event_id AS VARCHAR), chr(2)),
+                 coalesce(CAST(user_id AS VARCHAR), chr(2)),
+                 coalesce(event_type, chr(2)),
+                 coalesce(props, chr(2)))), 1, 15)) AS BIGINT) AS BIGINT))
+               AS fingerprint,
+             count(*) AS n_rows
+      FROM events""",
+
     // FK audit: one LEFT JOIN onto distinct parent keys per edge, the
     // same predicate-aggregate fold; match_rate NULL when every fk is NULL
     "q_fk_integrity" -> """

@@ -350,6 +350,12 @@ object SparkEntry {
       Quality.offenders(
           Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal"),
           Quality.Between("c_acctbal", 0.0, 9000.0), "c_custkey", 5)),
+    "q_dataset_fingerprint" -> ((s, dir) =>
+      // order-invariant 64-bit content hash + row count: the "exact same
+      // dataset?" stamp for the registry (string-stable columns only —
+      // float stringification is engine-specific, so value/ts stay out)
+      Quality.datasetFingerprint(Tables.events(s, dir),
+        Seq("event_id", "user_id", "event_type", "props"))),
     "q_fk_integrity" -> ((s, dir) =>
       // cross-table FK health: orphans + match rate per declared edge
       Quality.referentialIntegrity(Seq(

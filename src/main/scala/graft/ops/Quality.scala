@@ -167,6 +167,34 @@ object Quality {
       .orderBy("window_start")
   }
 
+  /** Order-invariant dataset fingerprint — one 64-bit content hash for a
+    * table version: `bit_xor` of a per-row md5-prefix hash over the
+    * declared columns (field boundaries fenced by a \\u0001 separator,
+    * NULLs by a \\u0002 sentinel), plus the row count. The
+    * reproducibility primitive behind "is this the EXACT dataset the
+    * model trained on?" — cheap enough to stamp into the registry on
+    * every materialization and compare across clusters/engines (the
+    * DuckDB oracle computes the identical value).
+    *
+    * XOR is commutative/associative → partition-order- and
+    * partitioning-invariant, mergeable (partial agg), constant memory,
+    * and overflow-free — the properties a 100 TB checksum needs. Caveat
+    * (documented, not hidden): XOR cancels duplicate row PAIRS; the row
+    * count catches cardinality drift, and exact-dup auditing is
+    * [[graft.ops.Dedup]]'s job, not the checksum's.
+    */
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "datasetFingerprint: at least one column")
+    val repr = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    // 15 hex chars = 60 bits: always positive, identical in DuckDB's
+    // signed BIGINT parse (16 chars could overflow the signed cast)
+    val h = conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+    df.select(h.as("__h"))
+      .agg(expr("bit_xor(__h)").as("fingerprint"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Referential-integrity audit across table relationships — the
     * cross-TABLE expectation the single-table suite can't express: for each
     * declared (child, fk) → (parent, pk) edge, one report row with total

@@ -74,6 +74,31 @@ class QualitySpec extends SparkSpec {
     assert(off.count() == 1)
   }
 
+  test("datasetFingerprint: order/partitioning-invariant, content- and " +
+      "NULL-sensitive, count catches xor-cancelling dups") {
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None))
+      .toDF("id", "s")
+    val fp = Materializer(a)
+    // any row order / partitioning gives the identical fingerprint
+    assert(Materializer(a.orderBy($"id".desc).repartition(7)) == fp)
+    // changing one value changes it; NULL vs the string "null" differ
+    assert(Materializer(Seq((1L, Some("x")), (2L, Some("z")),
+      (3L, None)).toDF("id", "s")) != fp)
+    assert(Materializer(Seq((1L, Some("x")), (2L, Some("y")),
+      (3L, Some("null"))).toDF("id", "s")) != fp)
+    // a duplicated row pair xor-cancels, but n_rows exposes it
+    val dup = a.union(Seq((1L, Option("x"))).toDF("id", "s"))
+      .union(Seq((1L, Option("x"))).toDF("id", "s"))
+    val (f1, n1) = MaterializerN(a); val (f2, n2) = MaterializerN(dup)
+    assert(f1 == f2 && n1 == 3L && n2 == 5L)
+  }
+  private def MaterializerN(df: org.apache.spark.sql.DataFrame) = {
+    val r = Quality.datasetFingerprint(df, Seq("id", "s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private def Materializer(df: org.apache.spark.sql.DataFrame): Long =
+    MaterializerN(df)._1
+
   test("referentialIntegrity: orphans, NULL fks, match rate, " +
       "all-NULL edge yields NULL rate") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
