@@ -1814,6 +1814,28 @@ object OracleSql {
 
     // PSI over reference-decile bins; DuckDB mirrors the CASE bin counter,
     // window-total proportions, and the (p-q)*ln(p/q) contribution exactly
+    // training-set pipeline: label window → split CASE → fold hash →
+    // grouped class audit, each stage the verified oracle form chained
+    "x_training_set_pipeline" -> s"""
+      WITH lab AS (
+        SELECT event_id, user_id, ts,
+               (min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                <= ts + INTERVAL 24 HOURS) AS label
+        FROM events),
+      sp AS (
+        SELECT *,
+               CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+                    WHEN ts <= TIMESTAMP '2024-01-16 00:00:00' THEN 'embargo'
+                    ELSE 'test' END AS split,
+               CAST(least(floor(${uk("user_id", 83)} * 5), 4) AS INT) AS fold
+        FROM lab)
+      SELECT split, fold, count(*) AS n,
+             count(*) FILTER (label) AS n_pos,
+             count(DISTINCT user_id) AS n_users
+      FROM sp GROUP BY split, fold ORDER BY split, fold""",
+
     // forward-window labels: same rows-following window min — equal-ts
     // targets count as "after" via (ts, id) row order, both engines
     "q_future_labels" -> """

@@ -136,6 +136,49 @@ object ScaleStress {
       println(f"STRESS-ANN k=$k vecs=$n t_brute=$tBrute%.2f " +
         f"t_ivf=$tIvf%.2f t_semdedup=$tSem%.2f cells=$nCells kept=$nKept")
     }
+
+    // event-ops stress: interval join, rolling actives, forward labels at
+    // 1×/10×/100× the events table (10 M rows at 100×). Copies shift
+    // user/event ids so per-key history is IDENTICAL in every copy —
+    // per-key window work stays constant and total work should scale
+    // linearly; the campaign calendar stays 25 rows at every k (intervals
+    // are a dimension, not data).
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    for (k <- if (args.nonEmpty) Seq.empty[Int] else Seq(1, 10, 100)) {
+      val corpus = (0 until k).map(i =>
+        ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("ts")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val n = corpus.count()
+      val campaigns = corpus.select("event_type").distinct()
+        .crossJoin(spark.range(5).select(col("id").cast("int").as("w")))
+        .select(col("event_type"),
+          concat(col("event_type"), lit("_w"), col("w").cast("string"))
+            .as("campaign_id"),
+          date_add(lit("2024-01-01").cast("date"), col("w") * 7)
+            .cast("timestamp_ntz").as("cstart"),
+          date_add(lit("2024-01-01").cast("date"), col("w") * 7 + lit(10))
+            .cast("timestamp_ntz").as("cend"))
+      val (tIj, nIj) = timeMin2 {
+        graft.ops.Retrieval.intervalJoin(corpus, campaigns,
+          Seq("event_type"), "ts", "cstart", "cend")
+          .queryExecution.toRdd.count()
+      }
+      val (tRa, nDays) = timeMin2 {
+        graft.ops.WindowAgg.rollingActiveUsers(corpus, "user_id", "ts")
+          .queryExecution.toRdd.count()
+      }
+      val (tFl, _) = timeMin2 {
+        graft.ops.Retrieval.futureLabels(corpus, "user_id", "ts",
+          "event_id", col("event_type") === "purchase", "24 HOURS")
+          .queryExecution.toRdd.count()
+      }
+      println(f"STRESS-EVENTS k=$k rows=$n t_interval_join=$tIj%.2f " +
+        f"matches=$nIj t_rolling_active=$tRa%.2f days=$nDays " +
+        f"t_future_labels=$tFl%.2f")
+    }
     spark.stop()
   }
 }

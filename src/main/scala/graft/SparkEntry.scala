@@ -1071,6 +1071,26 @@ object SparkEntry {
     // ---- the LLM training-data pipeline end to end -------------------------
     // quality filter (token floor + repetition cut) → exact dedup (lowest
     // id per content fingerprint) → per-language hashed cap → corpus
+    "x_training_set_pipeline" -> ((s, dir) => {
+      // the leakage-safe supervised-training prep, end to end: forward
+      // labels (24h purchase horizon) → purged temporal split with
+      // embargo ≥ horizon (so no test label is computed FROM train-time
+      // futures) → entity-safe folds → per-(split, fold) class audit.
+      // Every stage is an oracle-verified operator.
+      val labeled = Retrieval.futureLabels(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id",
+        col("event_type") === "purchase", "24 HOURS")
+      val split = Sampling.temporalSplit(labeled, "ts",
+        "2024-01-15 00:00:00", embargoDays = 1)
+      Sampling.groupKFold(split, "user_id", k = 5)
+        .groupBy("split", "fold")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("split", "fold")
+    }),
     // summary: every stage is an oracle-verified operator, composed the
     // way a real pretraining-data job chains them
     "x_llm_pipeline" -> ((s, dir) => {
