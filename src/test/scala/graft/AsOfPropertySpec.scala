@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Retrieval
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Property: the union+window as-of join equals a brute-force per-probe
   * scan of the feature history, for randomized feature/probe sets — the
@@ -26,6 +26,41 @@ class AsOfPropertySpec extends SparkSpec {
         }
       pid -> best
     }.toMap
+
+  test("intervalJoin equals brute-force containment for random intervals, " +
+      "points, and bin widths (30 random datasets)") {
+    val r = new java.util.Random(777)
+    (1 to 30).foreach { round =>
+      val np = 1 + r.nextInt(40)
+      val ni = r.nextInt(15)
+      val base = 1700000000000000L // µs epoch anchor
+      val pts = Seq.fill(np)(
+        (r.nextInt(100000).toLong, 1L + r.nextInt(3),
+          base + r.nextInt(10000000).toLong))
+      val ivs = Seq.fill(ni) {
+        val s = base + r.nextInt(10000000).toLong
+        (1L + r.nextInt(3), "iv" + r.nextInt(1000000),
+          s, s + 1 + r.nextInt(5000000).toLong)
+      }
+      val expected = (for {
+        (pid, pk, pt) <- pts; (ik, iv, s, e) <- ivs
+        if ik == pk && pt >= s && pt < e
+      } yield (pid, iv)).toSet
+      val ptsDf = pts.toDF("id", "k", "ptu")
+        .withColumn("pt", timestamp_micros($"ptu")).drop("ptu")
+      val ivsDf = ivs.toDF("k", "iv", "su", "eu")
+        .withColumn("start", timestamp_micros($"su"))
+        .withColumn("end", timestamp_micros($"eu")).drop("su", "eu")
+      // random bin width from sub-interval to super-interval scale
+      val binMicros = math.pow(10, 3 + r.nextInt(5)).toLong
+      val got = Retrieval.intervalJoin(ptsDf, ivsDf, Seq("k"), "pt",
+          "start", "end", binMicros = binMicros,
+          maxBinsPerInterval = Int.MaxValue)
+        .select("id", "iv").as[(Long, String)].collect().toSet
+      assert(got == expected,
+        s"round $round binMicros=$binMicros np=$np ni=$ni")
+    }
+  }
 
   test("as-of join equals brute-force per-probe scan (40 random datasets)") {
     val r = new java.util.Random(4242)
