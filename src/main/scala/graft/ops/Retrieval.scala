@@ -172,6 +172,9 @@ object Retrieval {
     */
   def futureLabels(events: DataFrame, key: String, ts: String, id: String,
                    target: Column, horizon: String): DataFrame = {
+    require(!events.columns.contains("next_target_ts") &&
+      !events.columns.contains("label"),
+      "futureLabels: input already has a next_target_ts/label column")
     val following = Window.partitionBy(col(key))
       .orderBy(col(ts), col(id))
       .rowsBetween(1, Window.unboundedFollowing)
@@ -217,6 +220,12 @@ object Retrieval {
                    binMicros: Long = 86400000000L,
                    maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binMicros > 0, s"intervalJoin: binMicros > 0 (got $binMicros)")
+    require(keys.forall(points.columns.contains) &&
+      keys.forall(intervals.columns.contains),
+      s"intervalJoin: every key in $keys must exist on both sides")
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "intervalJoin: __bin column name is reserved")
     def binOf(c: Column) = floor(unix_micros(c.cast("timestamp")) / binMicros)
     val sBin = binOf(col(startCol))
     val eBin = binOf(col(endCol).cast("timestamp") - expr("INTERVAL 1 MICROSECOND"))

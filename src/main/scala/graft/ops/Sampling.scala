@@ -81,6 +81,8 @@ object Sampling {
   def groupKFold(df: DataFrame, groupCol: String, k: Int,
                  channel: Long = 83L): DataFrame = {
     require(k >= 2, s"groupKFold: k >= 2 (got $k)")
+    require(!df.columns.contains("fold"),
+      "groupKFold: input already has a fold column")
     val u = Gen.u01(col(groupCol), channel)
     df.withColumn("fold",
       least(floor(u * k), lit(k - 1L)).cast("int"))
@@ -101,6 +103,8 @@ object Sampling {
                          rate: Double, channel: Long = 89L): DataFrame = {
     require(rate > 0.0 && rate <= 1.0,
       s"negativeDownsample: rate in (0,1] (got $rate)")
+    require(!df.columns.contains("label") && !df.columns.contains("weight"),
+      "negativeDownsample: input already has a label/weight column")
     val u = Gen.u01(col(keyCol), channel)
     df.withColumn("label", positive)
       .filter(col("label") || u <= rate)
