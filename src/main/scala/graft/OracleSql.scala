@@ -1836,6 +1836,35 @@ object OracleSql {
              count(DISTINCT user_id) AS n_users
       FROM sp GROUP BY split, fold ORDER BY split, fold""",
 
+    // backward recency: rows-preceding window max + µs-exact elapsed secs
+    "q_time_since_target" -> """
+      SELECT event_id, user_id,
+             max(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_target_ts,
+             round((epoch_us(ts) -
+                    epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts
+                                 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING))) / 1e6, 6)
+               AS secs_since_target
+      FROM events ORDER BY event_id""",
+
+    // Markov transitions: lead pairs → bounded |domain|² fold
+    "q_transition_matrix" -> """
+      WITH pairs AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_state
+        FROM events),
+      c AS (SELECT from_state, to_state, count(*) AS n FROM pairs
+            WHERE to_state IS NOT NULL GROUP BY 1, 2)
+      SELECT from_state, to_state, n,
+             round(n / sum(n) OVER (PARTITION BY from_state), 6) AS p
+      FROM c ORDER BY from_state, to_state""",
+
     // forward-window labels: same rows-following window min — equal-ts
     // targets count as "after" via (ts, id) row order, both engines
     "q_future_labels" -> """

@@ -433,6 +433,22 @@ object SparkEntry {
         Tables.events(s, dir)
           .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
         "vbin", "event_type", "view", "purchase")),
+    "q_time_since_target" -> ((s, dir) =>
+      // recency feature: seconds since the user's last purchase, NULL for
+      // never-purchased — the backward mirror of q_future_labels
+      Retrieval.timeSinceTarget(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"),
+            col("ts"), col("event_type")),
+          "user_id", "ts", "event_id", col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("last_target_ts"),
+          col("secs_since_target"))
+        .orderBy("event_id")),
+    "q_transition_matrix" -> ((s, dir) =>
+      // behavioral flow: P(next event type | current) per user sequence
+      Retrieval.transitionMatrix(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type")),
     "q_future_labels" -> ((s, dir) =>
       // forward-window conversion labels: did the user purchase within
       // 24h after each event? — one per-key window, no self-join

@@ -189,6 +189,54 @@ object Retrieval {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Time-since-last-target — the BACKWARD mirror of [[futureLabels]]:
+    * for each row, the timestamp of the same key's most recent PRIOR row
+    * matching `target` (strictly before in (ts, id) order) and the
+    * elapsed seconds since it — recency features ("seconds since last
+    * purchase") computed exactly like a running as-of self-join, with
+    * the same single per-key window and no self-join. NULL when the key
+    * has no prior target (a feature, not a miss: "never purchased" is
+    * signal).
+    */
+  def timeSinceTarget(events: DataFrame, key: String, ts: String,
+                      id: String, target: Column): DataFrame = {
+    require(!events.columns.contains("last_target_ts") &&
+      !events.columns.contains("secs_since_target"),
+      "timeSinceTarget: input already has an output column")
+    val preceding = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_target_ts",
+        max(when(target, col(ts))).over(preceding))
+      .withColumn("secs_since_target",
+        round((unix_micros(col(ts).cast("timestamp")) -
+          unix_micros(col("last_target_ts").cast("timestamp"))) / 1e6, 6))
+  }
+
+  /** First-order Markov transition matrix over the per-key event
+    * sequence: P(next = b | current = a) with counts — the sequence-model
+    * feature ("what usually follows a cart-add?") and the drift monitor
+    * for behavioral flow. `lead` over the per-key (ts, id) window forms
+    * the (a, b) pairs (ONE key shuffle, per-key-bounded sort); the pair
+    * counts and row-conditional probabilities fold over a table bounded
+    * by |domain|² — never corpus-sized. Sequence-final events (no next)
+    * are excluded, standard Markov estimation.
+    */
+  def transitionMatrix(events: DataFrame, key: String, ts: String,
+                       id: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val pairs = events
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_state"))
+    pairs
+      .withColumn("p", round(col("n") / sum(col("n")).over(rowTotal), 6))
+      .orderBy("from_state", "to_state")
+  }
+
   /** Many-to-many interval join — attach every interval (campaign,
     * promotion, validity window) whose `[start, end)` contains the point's
     * timestamp, matching on `keys` first. The one temporal join the as-of

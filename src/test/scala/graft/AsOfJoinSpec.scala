@@ -106,6 +106,29 @@ class AsOfJoinSpec extends SparkSpec {
       .filter($"event_id" === 2L).select("label").as[Boolean].head())
   }
 
+  test("timeSinceTarget: strictly-prior target, NULL before first, " +
+      "per-key isolation; transitionMatrix: hand-computed rows") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "purchase"),
+      (2L, 1L, ts("2024-01-01 00:00:10"), "view"),     // 10s after
+      (3L, 1L, ts("2024-01-02 00:00:00"), "purchase"), // since FIRST: 86400
+      (4L, 1L, ts("2024-01-02 00:00:05"), "view"),     // 5s after second
+      (5L, 2L, ts("2024-01-01 00:00:00"), "view")      // other key: never
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Retrieval.timeSinceTarget(ev, "user_id", "ts", "event_id",
+        col("event_type") === "purchase")
+      .select("event_id", "secs_since_target")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some(10.0), 3L -> Some(86400.0),
+      4L -> Some(5.0), 5L -> None))
+    val tm = Retrieval.transitionMatrix(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // user1 chain: purchase→view→purchase→view; user2 contributes none
+    assert(tm == Seq(("purchase", "view", 2L, 1.0),
+      ("view", "purchase", 1L, 1.0)))
+  }
+
   test("intervalJoin ≡ naive containment join; equi plan, no nested loop; " +
       "half-open bounds; guards raise") {
     val pts = (1L to 200L).map(i => (i, s"k${i % 3}",
