@@ -2485,6 +2485,31 @@ object OracleSql {
       GROUP BY e.event_type, m.med, d.mad
       ORDER BY e.event_type""",
 
+    // activity profile: hourly histogram → entropy fold; peak-hour tie
+    // broken toward the smaller hour via the (c, 23-hr) struct max
+    "q_activity_profile" -> """
+      WITH h AS (
+        SELECT user_id, hour(ts) AS hr, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      hp AS (
+        SELECT *, CAST(c AS DOUBLE)
+                    / sum(c) OVER (PARTITION BY user_id) AS p
+        FROM h),
+      pk AS (
+        SELECT user_id, hr,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY c DESC, hr ASC) AS rn
+        FROM h),
+      agg AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+               count(*) AS n_active_hours,
+               round(-sum(p * ln(p)), 6) AS hour_entropy
+        FROM hp GROUP BY user_id)
+      SELECT agg.user_id, n_events, n_active_hours, hour_entropy,
+             CAST(pk.hr AS INTEGER) AS peak_hour
+      FROM agg JOIN pk ON agg.user_id = pk.user_id AND pk.rn = 1
+      ORDER BY agg.user_id""",
+
     // join forecast: histogram join replayed; HUGEINT folds cast back
     "q_join_cardinality" -> """
       WITH lc AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem

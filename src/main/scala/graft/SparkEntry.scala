@@ -1426,6 +1426,9 @@ object SparkEntry {
           Tables.events(s, dir).select(col("event_id"), col("event_type")),
           "event_type", Seq("view", "click", "purchase", "signup"))
         .orderBy("event_id")),
+    "q_activity_profile" -> ((s, dir) =>
+      // behavioral rhythm per user: hour histogram entropy + peak hour
+      Stats.activityProfile(Tables.events(s, dir), "user_id", "ts")),
     "q_join_cardinality" -> ((s, dir) =>
       // forecast lineitem ⋈ orders size + hottest key BEFORE running it
       Stats.joinCardinality(Tables.lineitem(s, dir), "l_orderkey",

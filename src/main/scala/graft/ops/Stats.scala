@@ -475,6 +475,37 @@ object Stats {
     * every pair (corr is an aggregate function, so the whole matrix is a
     * single map-side-combined job, no per-pair scans).
     */
+  /** Per-entity temporal activity profile — when does this key act?
+    * Events per key folded into an hour-of-day histogram: total events,
+    * distinct active hours, the Shannon entropy of the hour distribution
+    * (nats — low = routine-driven bot-like key, high ≈ ln 24 = diffuse),
+    * and the peak hour (smallest hour wins ties). The behavioral-rhythm
+    * feature block for churn/fraud models.
+    *
+    * Two bounded keyed aggregations: (key, hour) counts — at most 24 rows
+    * per key regardless of corpus size — then the per-key fold. No
+    * windows, no day-of-week (engine calendars disagree; hours don't).
+    */
+  def activityProfile(df: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol), hour(col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    // the per-key share window runs over the ≤24-row hourly histogram
+    val p = col("c") /
+      sum("c").over(Window.partitionBy(col(keyCol)))
+    hourly.withColumn("p", p)
+      .groupBy(col(keyCol))
+      .agg(
+        sum("c").as("n_events"),
+        count(lit(1)).as("n_active_hours"),
+        round(-sum(col("p") * log(col("p"))), 6).as("hour_entropy"),
+        max(struct(col("c"), (lit(23) - col("hr")).as("nh"))).as("__pk"))
+      .select(col(keyCol), col("n_events"), col("n_active_hours"),
+        col("hour_entropy"), (lit(23) - col("__pk.nh")).as("peak_hour"))
+      .orderBy(col(keyCol))
+  }
+
   /** Join-cardinality forecast — predict the output size AND skew of a
     * prospective equi-join WITHOUT running it: |A ⋈ B| = Σ_k a_k·b_k over
     * the two per-key count histograms, plus the hottest key's

@@ -168,6 +168,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("activityProfile: uniform hours maximize entropy, single hour " +
+      "gives zero, peak-hour tie elects the smaller hour") {
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, t(3, 0)), (1L, t(9, 0)),            // u1: two hours, 1 each
+      (2L, t(5, 0)), (2L, t(5, 30)), (2L, t(5, 59)), // u2: one hour only
+      (3L, t(8, 0)), (3L, t(2, 0))             // u3: tie → peak hour 2
+    ).toDF("user_id", "ts").withColumn("ts", $"ts".cast("timestamp_ntz"))
+    val out = Stats.activityProfile(ev, "user_id", "ts")
+      .as[(Long, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) == ((2L, 2L, 0.693147, 3)))  // ln 2, peak = earliest max
+    assert(out(2L) == ((3L, 1L, -0.0, 5)))
+    assert(out(3L) == ((2L, 2L, 0.693147, 2)))  // tie at 1-1 → hour 2
+  }
+
   test("joinCardinality: exact forecast equals the actual join size, " +
       "hottest key flagged, disjoint keys predict zero") {
     val l = Seq(1, 1, 1, 2, 3).toDF("lk")
