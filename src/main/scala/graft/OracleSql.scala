@@ -1880,6 +1880,90 @@ object OracleSql {
               AND next_target_ts <= ts + INTERVAL 24 HOURS) AS label
       FROM t ORDER BY event_id""",
 
+    // bidirectional as-of: refs-first tie order makes a simultaneous
+    // view score gap 0 through the backward (max-over-preceding) arm
+    "q_nearest_join" -> """
+      WITH t AS (
+        SELECT event_id, user_id, ts,
+               (event_type = 'purchase') AS is_probe,
+               CASE WHEN event_type = 'view' THEN ts END AS ref_ts
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      w AS (
+        SELECT event_id, user_id, ts, is_probe,
+               max(ref_ts) OVER
+                 (PARTITION BY user_id
+                  ORDER BY ts, CAST(is_probe AS INT), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_ref_ts,
+               min(ref_ts) OVER
+                 (PARTITION BY user_id
+                  ORDER BY ts, CAST(is_probe AS INT), event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS next_ref_ts
+        FROM t),
+      n AS (
+        SELECT event_id, user_id, ts, prev_ref_ts, next_ref_ts,
+               CASE WHEN prev_ref_ts IS NULL THEN next_ref_ts
+                    WHEN next_ref_ts IS NULL THEN prev_ref_ts
+                    WHEN epoch_us(ts) - epoch_us(prev_ref_ts)
+                         <= epoch_us(next_ref_ts) - epoch_us(ts)
+                      THEN prev_ref_ts
+                    ELSE next_ref_ts END AS nearest_ref_ts
+        FROM w WHERE is_probe)
+      SELECT event_id, user_id, prev_ref_ts, next_ref_ts, nearest_ref_ts,
+             round(abs(epoch_us(ts) - epoch_us(nearest_ref_ts)) / 1e6, 6)
+               AS gap_secs
+      FROM n ORDER BY event_id""",
+
+    // SCD2: run-boundary lag + running boundary count = run id, then
+    // lead(valid_from) chains [valid_from, valid_to) intervals
+    "q_scd2" -> """
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      b AS (
+        SELECT *, sum(CASE WHEN prev IS DISTINCT FROM event_type
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+        FROM r),
+      runs AS (
+        SELECT user_id, run, event_type,
+               min(ts) AS valid_from, count(*) AS n_rows
+        FROM b GROUP BY 1, 2, 3)
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from) AS valid_to,
+             n_rows,
+             (lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from) IS NULL) AS is_current
+      FROM runs ORDER BY user_id, valid_from""",
+
+    // lag-k autocorrelation: bucket agg, one ordered lag pass, then one
+    // corr per k — unrolled as a UNION because corr is an aggregate
+    "q_autocorr" -> {
+      val lags = (1 to 14)
+        .map(k => s"lag(x, $k) OVER (ORDER BY bucket) AS l$k")
+        .mkString(",\n               ")
+      val arms = (1 to 14)
+        .map(k => s"SELECT $k AS lag, corr(x, l$k) AS c, " +
+          s"count(l$k) AS n_pairs FROM l")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH s AS (SELECT CAST(o_orderdate AS DATE) AS bucket,
+                        avg(o_totalprice) AS x
+                 FROM orders GROUP BY 1),
+      l AS (SELECT bucket, x,
+               $lags
+            FROM s)
+      SELECT lag, round(c, 6) AS autocorr, n_pairs
+      FROM ($arms)
+      ORDER BY lag"""
+    },
+
     // CUSUM: the prefix-minus-running-min identity replayed verbatim;
     // P₀ = 0 participates via least(0, running min)
     "q_cusum_drift" -> """
@@ -2301,6 +2385,60 @@ object OracleSql {
                         WHEN lang = 'fr' THEN 40
                         ELSE 0 END)
       ORDER BY doc_id""",
+
+    // α=0.5 temperature mixture: quotas from the corpus itself via the
+    // IEEE-exact sqrt weight; selection replays the u01 hash rank
+    "x_temperature_mixture" -> s"""
+      WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      q AS (SELECT lang,
+              CAST(floor(300.0 * sqrt(CAST(n AS DOUBLE)) /
+                   (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM counts))
+                AS BIGINT) AS quota
+            FROM counts),
+      r AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY ${uk("doc_id", 53)}, doc_id) AS rn
+            FROM documents)
+      SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
+      WHERE r.rn <= q.quota ORDER BY r.doc_id""",
+
+    "x_temperature_report" -> """
+      WITH counts AS (SELECT lang AS stratum, count(*) AS available
+                      FROM documents GROUP BY lang),
+      t AS (SELECT stratum, available,
+              round(sqrt(CAST(available AS DOUBLE)), 6) AS weight,
+              CAST(floor(300.0 * sqrt(CAST(available AS DOUBLE)) /
+                   (SELECT sum(sqrt(CAST(available AS DOUBLE))) FROM counts))
+                AS BIGINT) AS quota
+            FROM counts)
+      SELECT stratum, available, weight, quota,
+             least(quota, available) AS drawn,
+             quota - least(quota, available) AS shortfall
+      FROM t ORDER BY stratum""",
+
+    // per-dimension centroid drift between the even/odd vec_id slices;
+    // both slice means come from ONE conditional-avg aggregation
+    "x_embedding_drift" -> """
+      WITH e AS (SELECT vec_id % 2 = 0 AS is_ref,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT is_ref,
+                   CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS dim,
+                   unnest(v) AS comp
+            FROM e),
+      d AS (SELECT dim,
+              avg(CASE WHEN is_ref THEN comp END) AS ref_mean,
+              avg(CASE WHEN NOT is_ref THEN comp END) AS cur_mean
+            FROM x GROUP BY dim),
+      s AS (SELECT dim, ref_mean, cur_mean,
+                   cur_mean - ref_mean AS shift FROM d)
+      SELECT dim, round(ref_mean, 6) AS ref_mean,
+             round(cur_mean, 6) AS cur_mean, round(shift, 6) AS shift,
+             round(sum(ref_mean * cur_mean) OVER () /
+                   (sqrt(sum(ref_mean * ref_mean) OVER ()) *
+                    sqrt(sum(cur_mean * cur_mean) OVER ())), 6)
+               AS centroid_cosine,
+             round(sqrt(sum(shift * shift) OVER ()), 6) AS l2_shift
+      FROM s ORDER BY dim""",
 
     "q_pack_sequences" -> """
       WITH t AS (

@@ -461,6 +461,37 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("next_target_ts"),
           col("label"))
         .orderBy("event_id")),
+    "q_nearest_join" -> ((s, dir) =>
+      // bidirectional as-of: for each purchase, the same user's view
+      // nearest in time (either direction, tie → earlier) — merged
+      // per-key stream, one window pass, no self-join
+      Retrieval.nearestJoin(
+          Tables.events(s, dir)
+            .filter(col("event_type").isin("purchase", "view"))
+            .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_type")),
+          "user_id", "ts", "event_id",
+          col("event_type") === "purchase", col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("prev_ref_ts"),
+          col("next_ref_ts"), col("nearest_ref_ts"), col("gap_secs"))
+        .orderBy("event_id")),
+    "q_scd2" -> ((s, dir) =>
+      // SCD type-2 dimension: per-user event_type validity intervals —
+      // run-length collapse via one per-key window + run groupBy
+      Materialize.scd2(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_type")),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_rows"), col("is_current"))
+        .orderBy("user_id", "valid_from")),
+    "q_autocorr" -> ((s, dir) =>
+      // seasonality diagnostic: lag-1..14 autocorrelation of the daily
+      // order-revenue series — one bucket agg + one bounded window pass
+      Stats.autocorr(
+        Tables.orders(s, dir), to_date(col("o_orderdate")),
+        "o_totalprice", maxLag = 14)),
     "q_cusum_drift" -> ((s, dir) =>
       // two-sided CUSUM over the daily-mean series: baseline = first 7
       // in-control days, slack 0.5σ₀, alarm at 3σ₀ — the sequential
@@ -768,6 +799,22 @@ object SparkEntry {
           "lang", "doc_id",
           Seq("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2), totalN = 200)
         .orderBy("doc_id")),
+    "x_temperature_mixture" -> ((s, dir) =>
+      // α=0.5 temperature rebalancing: per-language quotas ∝ √nᵢ,
+      // derived from the corpus itself — no target list
+      Sampling.temperatureMixture(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          "lang", "doc_id", alpha = 0.5, totalN = 300)
+        .orderBy("doc_id")),
+    "x_temperature_report" -> ((s, dir) =>
+      // the audit twin: count, √-weight, derived quota, draw, shortfall
+      Sampling.temperatureMixtureReport(
+        Tables.documents(s, dir), "lang", alpha = 0.5, totalN = 300)),
+    "x_embedding_drift" -> ((s, dir) =>
+      // encoder/corpus drift in embedding space: per-dimension centroid
+      // shift between the even/odd vec_id slices + global cosine/L2
+      Similarity.embeddingDrift(
+        Tables.embeddings(s, dir), "embedding", col("vec_id") % 2 === 0)),
     "x_budget_sample" -> ((s, dir) =>
       // data-recipe mixing in COST units (chars here, tokens in prod):
       // per-language hash-ordered prefix within a declared char budget;

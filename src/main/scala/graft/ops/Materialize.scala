@@ -185,4 +185,49 @@ object Materialize {
       .select(col(key), col("status"), col("old_ts"), col("new_ts"),
         col("old_value"), col("new_value"))
   }
+
+  /** SCD type-2 interval construction: collapse a per-key attribute
+    * history into validity intervals `[valid_from, valid_to)` — one row
+    * per RUN of consecutive equal attribute values, newest run open
+    * (`valid_to` NULL, `is_current` true). This is the versioned-dimension
+    * form every feature registry needs for time travel: [[snapshotAsOf]]
+    * answers "value at T" by scanning history; the SCD2 table answers it
+    * with a single interval probe (pair with
+    * [[graft.ops.Retrieval.intervalJoin]]).
+    *
+    * Plan: one per-key (ts, id) window computes `lag` (run-boundary
+    * detection, NULL-safe so NULL→NULL is "unchanged") and a running
+    * boundary count (the run id) in the SAME window pass; the run groupBy
+    * re-shuffles on (key, run) — both stages per-key-bounded, no
+    * corpus-wide sort, skew bounded by one key's history. A second tiny
+    * per-key window over the RUNS (rows = #runs per key, not #events)
+    * chains `valid_to = next run's valid_from`.
+    *
+    * Reference: ML-Feature-Store-Enterprise-Grade
+    * `init-scripts/01-init-db.sql:22-59` keeps only the latest registry
+    * row; SCD2 is the standard generalization that preserves history.
+    */
+  def scd2(history: DataFrame, key: String, ts: String, id: String,
+           attrCol: String): DataFrame = {
+    val reserved = Seq("__prev", "__run", "valid_from", "valid_to",
+      "n_rows", "is_current")
+    require(!reserved.exists(history.columns.contains),
+      s"scd2: input already has one of ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val running = w.rowsBetween(Window.unboundedPreceding, 0)
+    val runs = history
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      // NULL-safe inequality: first row of a key opens run 1; a NULL
+      // attribute only opens a new run when the previous value differed
+      .withColumn("__run",
+        sum(when(!(col("__prev") <=> col(attrCol)), 1L).otherwise(0L))
+          .over(running))
+      .groupBy(col(key), col("__run"), col(attrCol))
+      .agg(min(col(ts)).as("valid_from"), count(lit(1)).as("n_rows"))
+    val byKey = Window.partitionBy(col(key)).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__run")
+  }
 }

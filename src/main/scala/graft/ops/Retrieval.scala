@@ -237,6 +237,64 @@ object Retrieval {
       .orderBy("from_state", "to_state")
   }
 
+  /** Nearest-event temporal join — for each probe row, the same key's
+    * closest reference row in EITHER time direction (the bidirectional
+    * generalization of as-of, which only looks backward): "the view
+    * nearest to this purchase", "the sensor reading nearest to this
+    * fault". Ties (equal gap before and after) resolve to the EARLIER
+    * reference — deterministic, and consistent with as-of's
+    * newest-at-or-before convention.
+    *
+    * No self-join: probes and references are tagged and merged into ONE
+    * per-key stream (union is shuffle-free), then a single per-key
+    * (ts, refs-first, id) window reads the latest reference at-or-before
+    * (`max(ref_ts)` over the preceding frame — the frame is
+    * time-ordered, so max IS the most recent) and the earliest
+    * strictly-after (`min(ref_ts)` over the following frame).
+    * Sorting refs before probes at equal timestamps makes a simultaneous
+    * reference count as gap 0 via the backward arm. One shuffle on the
+    * key, per-key-bounded sort — the [[futureLabels]] posture, robust at
+    * any corpus size because no frame ever spans keys.
+    *
+    * Reference: ML-Feature-Store-Enterprise-Grade
+    * `feature_repo/features/streaming_features.py` pairs each event with
+    * its nearest context row driver-side; here it is one declarative
+    * window pass.
+    */
+  def nearestJoin(events: DataFrame, key: String, ts: String, id: String,
+                  isProbe: Column, isRef: Column): DataFrame = {
+    val reserved = Seq("__is_probe", "__ref_ts", "prev_ref_ts", "next_ref_ts",
+      "nearest_ref_ts", "gap_secs")
+    require(!reserved.exists(events.columns.contains),
+      s"nearestJoin: input already has one of ${reserved.mkString(", ")}")
+    val tagged = events
+      .withColumn("__is_probe", isProbe)
+      .withColumn("__ref_ts", when(isRef, col(ts)))
+    // refs-first at equal ts: a simultaneous ref lands in the preceding
+    // frame of its probe, scoring gap 0 through the backward arm
+    val order = Seq(col(ts), col("__is_probe").cast("int"), col(id))
+    val before = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    def secs(a: Column, b: Column) =
+      (unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))) / 1e6
+    tagged
+      .withColumn("prev_ref_ts", max(col("__ref_ts")).over(before))
+      .withColumn("next_ref_ts", min(col("__ref_ts")).over(after))
+      .filter(col("__is_probe"))
+      .withColumn("nearest_ref_ts",
+        when(col("prev_ref_ts").isNull, col("next_ref_ts"))
+          .when(col("next_ref_ts").isNull, col("prev_ref_ts"))
+          // tie → earlier (the backward arm), matching as-of's convention
+          .when(secs(col(ts), col("prev_ref_ts")) <=
+                secs(col("next_ref_ts"), col(ts)), col("prev_ref_ts"))
+          .otherwise(col("next_ref_ts")))
+      .withColumn("gap_secs",
+        round(abs(secs(col(ts), col("nearest_ref_ts"))), 6))
+      .drop("__is_probe", "__ref_ts")
+  }
+
   /** Many-to-many interval join — attach every interval (campaign,
     * promotion, validity window) whose `[start, end)` contains the point's
     * timestamp, matching on `keys` first. The one temporal join the as-of

@@ -143,7 +143,8 @@ object Sampling {
   private def smallestPerStratum(df: DataFrame, stratumCol: String,
                                  keyCol: String, channel: Long,
                                  quota: (Column, Column) => Column,
-                                 buckets: Int = 1 << 20): DataFrame = {
+                                 buckets: Int = 1 << 20,
+                                 quotaTable: Option[DataFrame] = None): DataFrame = {
     val u = Gen.u01(col(keyCol), channel)
     // u ∈ (0, 1]: clamp u == 1 into the top bucket. NULL keys hash to
     // bucket −1 — ranked before every real bucket, mirroring the naive
@@ -154,7 +155,7 @@ object Sampling {
     histogramSelect(
       df.withColumn("__p", u).withColumn("__b", bucketOf)
         .withColumn("__t", col(keyCol)),
-      df.columns.toSeq, stratumCol, quota)
+      df.columns.toSeq, stratumCol, quota, quotaTable = quotaTable)
   }
 
   /** The shared selection core: `prepared` carries `__p` (ascending
@@ -167,10 +168,18 @@ object Sampling {
   private def histogramSelect(prepared: DataFrame, outCols: Seq[String],
                               stratumCol: String,
                               quota: (Column, Column) => Column,
-                              broadcastPlan: Boolean = true): DataFrame = {
-    val hist = prepared
+                              broadcastPlan: Boolean = true,
+                              quotaTable: Option[DataFrame] = None): DataFrame = {
+    val hist0 = prepared
       .groupBy(col(stratumCol).as("__s"), col("__b").as("__hb"))
       .agg(count(lit(1)).as("__c"))
+    // quotaTable (stratum __qs → rows __qk) overrides the quota callback
+    // with DATA-DERIVED quotas — bounded (one row per stratum), broadcast;
+    // strata absent from the table get quota 0, like mixtureSample's
+    // not-named-in-targets convention
+    val hist = quotaTable.fold(hist0)(q =>
+      hist0.join(broadcast(q), col("__s") <=> col("__qs"), "left")
+        .drop("__qs"))
     val before = Window.partitionBy(col("__s")).orderBy(col("__hb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val whole = Window.partitionBy(col("__s"))
@@ -179,7 +188,9 @@ object Sampling {
       .withColumn("__cumBefore", coalesce(sum(col("__c")).over(before), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(whole))
       .withColumn("__k",
-        greatest(lit(0L), least(quota(col("__s"), col("__n")).cast("long"),
+        greatest(lit(0L), least(
+          quotaTable.fold(quota(col("__s"), col("__n")).cast("long"))(_ =>
+            coalesce(col("__qk"), lit(0L))),
           col("__n"))))
       .filter(col("__cumBefore") < col("__k") &&
         col("__k") <= col("__cumBefore") + col("__c"))
@@ -418,6 +429,66 @@ object Sampling {
       .agg(count(lit(1)).as("available"))
     targets.join(counts, Seq("stratum"), "left")
       .withColumn("available", coalesce(col("available"), lit(0L)))
+      .withColumn("drawn", least(col("quota"), col("available")))
+      .withColumn("shortfall", col("quota") - col("drawn"))
+      .orderBy("stratum")
+  }
+
+  /** Temperature-scaled mixture: per-stratum quotas DERIVED from the
+    * corpus itself, `quotaᵢ = ⌊totalN · nᵢᵅ / Σⱼ nⱼᵅ⌋` — the multilingual
+    * /multi-domain rebalancing rule (α < 1 upsamples the tail relative to
+    * the head; α = 1 recovers proportional sampling; α → 0 approaches
+    * uniform-over-strata). Unlike [[mixtureSample]], no target list is
+    * needed: every observed stratum participates.
+    *
+    * The quota table is ONE bounded aggregation (a row per stratum) with
+    * the normalizer folded over the stratum-bounded frame; selection then
+    * runs the [[smallestPerStratum]] histogram machinery with the quotas
+    * broadcast-joined in — same cost profile as [[mixtureSample]], no
+    * full-stratum sorts, corpus scanned once for counting and once for
+    * selection.
+    *
+    * α = 0.5 routes through `sqrt` (IEEE correctly-rounded in every
+    * engine) rather than `pow` (libm-dependent ULP), keeping the quota
+    * floor cross-engine reproducible for the common temperature.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, keyCol: String,
+                         alpha: Double, totalN: Long,
+                         channel: Long = 53L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureMixture: alpha in (0, 1] (got $alpha)")
+    require(totalN >= 0, s"temperatureMixture: totalN >= 0 (got $totalN)")
+    def weight(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val all = Window.partitionBy()
+    val quotas = df
+      .groupBy(col(stratumCol).as("__qs"))
+      .agg(count(lit(1)).as("__qn"))
+      .withColumn("__qk",
+        floor(lit(totalN.toDouble) * weight(col("__qn").cast("double")) /
+          sum(weight(col("__qn").cast("double"))).over(all)).cast("long"))
+      .select(col("__qs"), col("__qk"))
+    smallestPerStratum(df, stratumCol, keyCol, channel,
+      (_, _) => lit(0L), quotaTable = Some(quotas))
+  }
+
+  /** The audit twin of [[temperatureMixture]]: per stratum, its raw
+    * count, temperature weight, derived quota, actual draw and shortfall
+    * — published next to the sample so the rebalancing is inspectable.
+    */
+  def temperatureMixtureReport(df: DataFrame, stratumCol: String,
+                               alpha: Double, totalN: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureMixtureReport: alpha in (0, 1] (got $alpha)")
+    def weight(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val all = Window.partitionBy()
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("available"))
+      .withColumn("weight", round(weight(col("available").cast("double")), 6))
+      .withColumn("quota",
+        floor(lit(totalN.toDouble) * weight(col("available").cast("double")) /
+          sum(weight(col("available").cast("double"))).over(all)).cast("long"))
       .withColumn("drawn", least(col("quota"), col("available")))
       .withColumn("shortfall", col("quota") - col("drawn"))
       .orderBy("stratum")

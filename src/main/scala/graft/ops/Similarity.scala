@@ -447,4 +447,46 @@ object Similarity {
       .select(col(idCol), col(groupCol), col("cos_dist"))
       .orderBy(col(groupCol), col(idCol))
   }
+
+  /** Embedding-space drift between two corpus slices (reference vs
+    * current — yesterday's crawl vs today's, train vs serve): per
+    * dimension, the two centroid components and their shift, plus the
+    * global centroid cosine and L2 shift — the embedding analogue of
+    * [[graft.ops.Drift.distributionSummary]], catching encoder or corpus
+    * drift that scalar feature monitors miss.
+    *
+    * ONE pass: explode to (slice, dim, component) and aggregate both
+    * slices' per-dimension means in the same shuffled aggregation
+    * (conditional avg — no second scan, no join of two aggregates). The
+    * shuffle key is the dimension index (≤ a few thousand groups) with
+    * map-side partial avg, so the corpus-sized explode never lands in one
+    * task. Global metrics (cosine of centroids, L2 of the shift vector)
+    * fold over the DIM-bounded frame via an empty-partition window —
+    * bounded per the PLANS.md global-window contract.
+    */
+  def embeddingDrift(emb: DataFrame, vecCol: String,
+                     isRef: Column): DataFrame = {
+    val exploded = emb
+      .select(isRef.as("__ref"), posexplode(d(col(vecCol))).as(Seq("dim", "comp")))
+    val perDim = exploded
+      .groupBy(col("dim"))
+      .agg(
+        avg(when(col("__ref"), col("comp"))).as("ref_mean"),
+        avg(when(!col("__ref"), col("comp"))).as("cur_mean"))
+      .withColumn("shift", col("cur_mean") - col("ref_mean"))
+    val all = Window.partitionBy()
+    perDim
+      .withColumn("centroid_cosine",
+        round(sum(col("ref_mean") * col("cur_mean")).over(all) /
+          (sqrt(sum(col("ref_mean") * col("ref_mean")).over(all)) *
+           sqrt(sum(col("cur_mean") * col("cur_mean")).over(all))), 6))
+      .withColumn("l2_shift",
+        round(sqrt(sum(col("shift") * col("shift")).over(all)), 6))
+      .select(col("dim"),
+        round(col("ref_mean"), 6).as("ref_mean"),
+        round(col("cur_mean"), 6).as("cur_mean"),
+        round(col("shift"), 6).as("shift"),
+        col("centroid_cosine"), col("l2_shift"))
+      .orderBy("dim")
+  }
 }

@@ -682,4 +682,46 @@ object Stats {
         col("ece"))
       .orderBy("bin")
   }
+
+  /** Lag-k autocorrelation of a regular time series — the seasonality /
+    * persistence diagnostic for forecast features ("is daily revenue
+    * weekly-periodic?"): Pearson corr(xₜ, xₜ₋ₖ) for k = 1..maxLag over the
+    * series produced by aggregating `df` to one `avg(valueCol)` point per
+    * `bucketCol` (a date or hour column).
+    *
+    * Plan: ONE shuffled aggregation to the bucket grain (the only
+    * corpus-sized stage), then all maxLag lag columns in a SINGLE global
+    * window pass over the bucketed series — the series is bounded by the
+    * calendar (≤ a few thousand rows for years of days), so the empty
+    * `partitionBy()` is a bounded frame per the PLANS.md global-window
+    * contract, not a corpus sort. One final fold computes every corr in
+    * one aggregation; `stack` melts the k columns to (lag, autocorr) rows.
+    * Gaps in the calendar are NOT filled: lag k means "k buckets earlier
+    * in the observed series" — document-level honesty over silent
+    * interpolation.
+    */
+  def autocorr(df: DataFrame, bucketCol: Column, valueCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"autocorr: maxLag in [1, 64] (got $maxLag)")
+    val series = df
+      .groupBy(bucketCol.as("bucket"))
+      .agg(avg(col(valueCol)).as("x"))
+    val w = Window.partitionBy().orderBy(col("bucket"))
+    val lagged = (1 to maxLag).foldLeft(series) { (d, k) =>
+      d.withColumn(s"__lag$k", lag(col("x"), k).over(w))
+    }
+    val aggs = (1 to maxLag).flatMap { k =>
+      Seq(corr(col("x"), col(s"__lag$k")).as(s"__corr$k"),
+        count(col(s"__lag$k")).as(s"__n$k"))
+    }
+    val folded = lagged.groupBy().agg(aggs.head, aggs.tail: _*)
+    folded
+      .select(expr(
+        (1 to maxLag).map(k => s"$k, __corr$k, __n$k")
+          .mkString("stack(" + maxLag + ", ", ", ", ")")
+          + " AS (lag, autocorr, n_pairs)"))
+      .withColumn("autocorr", round(col("autocorr"), 6))
+      .orderBy("lag")
+  }
 }

@@ -141,4 +141,30 @@ class FeatureStoreSpec extends SparkSpec {
       "purchases__pv", "pageviews__vv"))
     assert(out.map(_.getLong(1)).toSeq == reqOrder)
   }
+
+  test("nearestJoin: picks the closer side, tie goes to the earlier ref, " +
+      "simultaneous ref scores gap 0, refless key yields NULL") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val events = Seq(
+      // user 1: refs at 0s and 100s; probes at 10s (closer to 0), 70s
+      // (closer to 100), 50s (exact tie → earlier ref, 0s)
+      (1L, 1L, ts(0), "r"), (2L, 1L, ts(100), "r"),
+      (3L, 1L, ts(10), "p"), (4L, 1L, ts(70), "p"), (5L, 1L, ts(50), "p"),
+      // user 2: a ref exactly at the probe's timestamp → gap 0
+      (6L, 2L, ts(5), "r"), (7L, 2L, ts(5), "p"),
+      // user 3: probe with no refs at all
+      (8L, 3L, ts(1), "p")
+    ).toDF("event_id", "user_id", "ts", "kind")
+    val out = Retrieval.nearestJoin(events, "user_id", "ts", "event_id",
+        col("kind") === "p", col("kind") === "r")
+      .select("event_id", "nearest_ref_ts", "gap_secs")
+      .as[(Long, Option[java.sql.Timestamp], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(3L) == ((Some(ts(0)), Some(10.0))))
+    assert(out(4L) == ((Some(ts(100)), Some(30.0))))
+    assert(out(5L) == ((Some(ts(0)), Some(50.0))))  // tie → earlier
+    assert(out(7L) == ((Some(ts(5)), Some(0.0))))   // simultaneous ref
+    assert(out(8L) == ((None, None)))
+    assert(out.size == 5)                           // refs not emitted
+  }
 }

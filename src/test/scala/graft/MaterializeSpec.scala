@@ -120,4 +120,36 @@ class MaterializeSpec extends SparkSpec {
       .select("user_id", "status").as[(Long, String)].collect().toMap
     assert(out == Map(2L -> "changed", 3L -> "added", 5L -> "changed"))
   }
+
+  test("scd2: consecutive equal values collapse to one interval, " +
+      "value flip-flops reopen runs, intervals chain exactly") {
+    val h = Seq(
+      // user 1: a a b a — four events, three runs (a reappears)
+      (1L, ts("2024-01-01 00:00:00"), 11L, Some("a")),
+      (1L, ts("2024-01-02 00:00:00"), 12L, Some("a")),
+      (1L, ts("2024-01-03 00:00:00"), 13L, Some("b")),
+      (1L, ts("2024-01-04 00:00:00"), 14L, Some("a")),
+      // user 2: NULL NULL x — NULL run collapses, NULL→x is a boundary
+      (2L, ts("2024-01-01 00:00:00"), 21L, None),
+      (2L, ts("2024-01-02 00:00:00"), 22L, None),
+      (2L, ts("2024-01-03 00:00:00"), 23L, Some("x"))
+    ).toDF("user_id", "fts", "seq", "attr")
+    val out = Materialize.scd2(h, "user_id", "fts", "seq", "attr")
+      .select("user_id", "attr", "valid_from", "valid_to", "n_rows",
+        "is_current")
+      .as[(Long, Option[String], java.sql.Timestamp,
+        Option[java.sql.Timestamp], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.map(_._2) sameElements Array(Some("a"), Some("b"), Some("a")))
+    assert(u1.map(_._5) sameElements Array(2L, 1L, 1L))
+    // each interval's valid_to is the next interval's valid_from
+    assert(u1.init.map(_._4.get) sameElements u1.tail.map(_._3))
+    assert(u1.map(_._6) sameElements Array(false, false, true))
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.map(_._2) sameElements Array(None, Some("x")))
+    assert(u2.head._5 == 2L && u2.last._6)
+    // round trip: interval row counts cover every source event
+    assert(out.map(_._5).sum == 7L)
+  }
 }

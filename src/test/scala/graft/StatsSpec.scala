@@ -292,4 +292,27 @@ class StatsSpec extends SparkSpec {
     // truncated to 2 lags: row 3 forgets the value 10
     assert(run(2)(3L) == 26.666667)              // (20·.5 + 30)/1.5
   }
+
+  test("autocorr: period-2 alternating series gives corr -1 at lag 1, " +
+      "+1 at lag 2, and the documented pair counts") {
+    // buckets 1..40 with x alternating 0, 10, 0, 10 …
+    val df = (1 to 40).map(i => (i, if (i % 2 == 0) 10.0 else 0.0))
+      .toDF("bucket", "v")
+    val out = Stats.autocorr(df, col("bucket"), "v", maxLag = 3)
+      .as[(Int, Option[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1)._1.get == -1.0 && out(1)._2 == 39L)
+    assert(out(2)._1.get == 1.0 && out(2)._2 == 38L)
+    assert(out(3)._1.get == -1.0 && out(3)._2 == 37L)
+    // multiple rows per bucket average first: duplicating every point
+    // must not change the series
+    val dup = df.union(df)
+    val out2 = Stats.autocorr(dup, col("bucket"), "v", maxLag = 2)
+      .as[(Int, Option[Double], Long)].collect()
+      .map(r => r._1 -> r._2.get).toMap
+    assert(out2(1) == -1.0 && out2(2) == 1.0)
+    intercept[IllegalArgumentException] {
+      Stats.autocorr(df, col("bucket"), "v", maxLag = 0)
+    }
+  }
 }
