@@ -3143,6 +3143,226 @@ object OracleSql {
       FROM orders
       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                               WHERE c_mktsegment = 'AUTOMOBILE')
-      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // Mann–Whitney AUC with midrank ties; gini re-rounds from the
+    // ROUNDED auc, mirroring the Spark column chain
+    "q_auc" -> """
+      WITH t AS (SELECT CAST(ts AS DATE) AS day,
+                        CAST(event_type = 'purchase' AS INT) AS y,
+                        CAST(value AS DOUBLE) AS s FROM events),
+      ps AS (SELECT day, s, count(*) AS n, sum(y) AS npos
+             FROM t GROUP BY day, s),
+      r AS (SELECT day, n, npos,
+               coalesce(sum(n) OVER (PARTITION BY day ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (n + 1) / 2.0 AS rank
+            FROM ps),
+      g AS (SELECT day, CAST(sum(npos) AS BIGINT) AS n_pos,
+               CAST(sum(n) - sum(npos) AS BIGINT) AS n_neg,
+               sum(npos * rank) AS rsum FROM r GROUP BY day),
+      a AS (SELECT day, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 round((rsum - n_pos * (n_pos + 1) / 2.0)
+                   / CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
+            FROM g)
+      SELECT day, n_pos, n_neg, auc, round(2.0 * auc - 1.0, 6) AS gini
+      FROM a ORDER BY day""",
+
+    // decile 0 = highest scores; cuts replay the array-percentile bins
+    "q_lift_table" -> """
+      WITH cuts AS (
+        SELECT quantile_cont(CAST(value AS DOUBLE),
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+        FROM events),
+      b AS (SELECT 9 - (CASE WHEN value > c[1] THEN 1 ELSE 0 END +
+                        CASE WHEN value > c[2] THEN 1 ELSE 0 END +
+                        CASE WHEN value > c[3] THEN 1 ELSE 0 END +
+                        CASE WHEN value > c[4] THEN 1 ELSE 0 END +
+                        CASE WHEN value > c[5] THEN 1 ELSE 0 END +
+                        CASE WHEN value > c[6] THEN 1 ELSE 0 END +
+                        CASE WHEN value > c[7] THEN 1 ELSE 0 END +
+                        CASE WHEN value > c[8] THEN 1 ELSE 0 END +
+                        CASE WHEN value > c[9] THEN 1 ELSE 0 END) AS decile,
+               CAST(event_type = 'purchase' AS INT) AS y, value
+            FROM events, cuts),
+      d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               round(min(value), 6) AS score_lo,
+               round(max(value), 6) AS score_hi
+            FROM b GROUP BY decile)
+      SELECT decile, n, n_pos, score_lo, score_hi,
+             round(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+             CASE WHEN sum(n_pos) OVER () > 0 THEN
+               round((n_pos / CAST(n AS DOUBLE)) /
+                 (sum(n_pos) OVER () / CAST(sum(n) OVER () AS DOUBLE)), 6)
+             END AS lift,
+             CASE WHEN sum(n_pos) OVER () > 0 THEN
+               round(sum(n_pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(n_pos) OVER () AS DOUBLE), 6)
+             END AS cum_capture
+      FROM d ORDER BY decile""",
+
+    // user-grain conversion + revenue, hash 50/50 split, pooled z +
+    // Welch t/df in one conditional fold
+    "q_ab_test" -> s"""
+      WITH u AS (SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 95.0
+                        THEN 1 ELSE 0 END) AS conv,
+               sum(coalesce(value, 0.0)) AS rev
+            FROM events GROUP BY user_id),
+      a AS (SELECT conv, rev, ${uk("user_id", 59)} > 0.5 AS t FROM u),
+      f AS (SELECT
+              CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n_control,
+              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treatment,
+              CAST(sum(CASE WHEN NOT t THEN conv END) AS BIGINT)
+                AS conversions_control,
+              CAST(sum(CASE WHEN t THEN conv END) AS BIGINT)
+                AS conversions_treatment,
+              avg(CASE WHEN NOT t THEN rev END) AS mc,
+              avg(CASE WHEN t THEN rev END) AS mt,
+              var_samp(CASE WHEN NOT t THEN rev END) AS vc,
+              var_samp(CASE WHEN t THEN rev END) AS vt
+            FROM a),
+      e AS (SELECT *,
+              conversions_control / CAST(n_control AS DOUBLE) AS rc,
+              conversions_treatment / CAST(n_treatment AS DOUBLE) AS rt,
+              (conversions_control + conversions_treatment)
+                / CAST(n_control + n_treatment AS DOUBLE) AS pp,
+              vc / n_control + vt / n_treatment AS sw2
+            FROM f)
+      SELECT n_control, n_treatment, conversions_control,
+             conversions_treatment,
+             round(rc, 6) AS rate_control, round(rt, 6) AS rate_treatment,
+             round(rt - rc, 6) AS abs_lift,
+             CASE WHEN sqrt(pp * (1.0 - pp)
+                    * (1.0 / n_control + 1.0 / n_treatment)) > 0 THEN
+               round((rt - rc) / sqrt(pp * (1.0 - pp)
+                 * (1.0 / n_control + 1.0 / n_treatment)), 6) END AS z_stat,
+             round(mc, 6) AS rev_mean_control,
+             round(mt, 6) AS rev_mean_treatment,
+             CASE WHEN sw2 > 0
+               THEN round((mt - mc) / sqrt(sw2), 6) END AS welch_t,
+             CASE WHEN sw2 > 0 THEN
+               round(sw2 * sw2 / (
+                 (vc / n_control) * (vc / n_control) / (n_control - 1)
+                 + (vt / n_treatment) * (vt / n_treatment)
+                   / (n_treatment - 1)), 6) END AS welch_df
+      FROM e""",
+
+    // product-limit estimate over whole-hour durations; the zero-factor
+    // flag pins survival to exact 0 instead of routing through ln(0)
+    "q_kaplan_meier" -> """
+      WITH k AS (SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' AND value > 95.0
+                        THEN ts END) AS te,
+               max(ts) AS tl
+            FROM events GROUP BY user_id),
+      d AS (SELECT te IS NOT NULL AS obs,
+               CAST(floor((epoch_us(coalesce(te, tl)) - epoch_us(t0))
+                 / 3600000000.0) AS BIGINT) AS t_hours
+            FROM k),
+      p AS (SELECT t_hours,
+               CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_censored
+            FROM d GROUP BY t_hours),
+      r AS (SELECT *,
+               sum(n_events + n_censored) OVER ()
+                 - coalesce(sum(n_events + n_censored) OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+            FROM p),
+      f AS (SELECT *,
+               1.0 - n_events / CAST(n_risk AS DOUBLE) AS fac FROM r),
+      s AS (SELECT *,
+               max(CASE WHEN fac = 0.0 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS hit0,
+               sum(CASE WHEN fac > 0 THEN ln(fac) ELSE 0.0 END)
+                 OVER (ORDER BY t_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS lsum
+            FROM f)
+      SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+             n_censored,
+             CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(lsum), 6) END
+               AS survival
+      FROM s WHERE n_events > 0 ORDER BY t_hours""",
+
+    // centered 7-row MA trend (NULL edges), epoch-mod-7 weekday slot,
+    // slot means re-centered to sum 0 across the 7 slots
+    "q_seasonality" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(o_totalprice) AS x,
+               date_diff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) % 7 AS dow
+        FROM orders GROUP BY 1, 3),
+      tr AS (SELECT *,
+               CASE WHEN count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                 THEN avg(x) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END AS trend
+            FROM daily),
+      sl AS (SELECT dow, avg(x - trend) AS raw FROM tr GROUP BY dow),
+      ce AS (SELECT dow, raw - avg(raw) OVER () AS seas FROM sl)
+      SELECT tr.day, tr.dow, round(tr.x, 2) AS revenue,
+             round(tr.trend, 6) AS trend,
+             round(ce.seas, 6) AS seasonal,
+             round(tr.x - tr.trend - ce.seas, 6) AS residual
+      FROM tr LEFT JOIN ce ON tr.dow = ce.dow
+      ORDER BY tr.day""",
+
+    // PMI over the unfiltered probability spaces; minCount trims output
+    // only. Operation order mirrors the Spark column chain exactly so
+    // the IEEE division/multiplication sequence is bit-identical.
+    "x_collocations" -> """
+      WITH arr AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t <> '') AS w
+            FROM documents),
+      uni AS (SELECT term, count(*) AS cnt
+              FROM (SELECT unnest(w) AS term FROM arr) GROUP BY term),
+      pos AS (SELECT doc_id, generate_subscripts(w, 1) AS idx,
+                     unnest(w) AS term FROM arr),
+      bg AS (SELECT term AS term_a,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY idx) AS term_b
+            FROM pos),
+      pc AS (SELECT term_a, term_b, count(*) AS pair_count
+             FROM bg WHERE term_b IS NOT NULL GROUP BY 1, 2),
+      nt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS ntok FROM uni),
+      nb AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS nbig FROM pc),
+      s AS (SELECT pc.term_a, pc.term_b,
+               CAST(pc.pair_count AS BIGINT) AS pair_count,
+               CAST(ua.cnt AS BIGINT) AS count_a,
+               CAST(ub.cnt AS BIGINT) AS count_b,
+               round(ln((pc.pair_count / nbig)
+                 / ((ua.cnt / ntok) * (ub.cnt / ntok))), 6) AS pmi
+            FROM pc
+            JOIN uni ua ON pc.term_a = ua.term
+            JOIN uni ub ON pc.term_b = ub.term, nt, nb
+            WHERE pc.pair_count >= 5)
+      SELECT term_a, term_b, pair_count, count_a, count_b, pmi
+      FROM s ORDER BY pmi DESC, term_a, term_b LIMIT 50""",
+
+    "x_vocabulary" -> """
+      WITH tok AS (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents),
+      dt AS (SELECT doc_id, token, count(*) AS tf
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+      v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS term_count,
+               CAST(count(*) AS BIGINT) AS doc_freq
+            FROM dt GROUP BY token HAVING sum(tf) >= 10)
+      SELECT token, term_count, doc_freq,
+             CAST(row_number() OVER (ORDER BY term_count DESC, token) - 1
+               AS BIGINT) AS idx,
+             round(term_count / CAST(sum(term_count) OVER () AS DOUBLE), 6)
+               AS share
+      FROM v ORDER BY idx"""
   )
 }

@@ -1641,7 +1641,51 @@ object SparkEntry {
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("c_mktsegment")
-    })
+    }),
+    "q_auc" -> ((s, dir) =>
+      // per-day ROC AUC of value as a purchase score — Mann–Whitney
+      // rank-sum with midrank ties, no curve materialization
+      Eval.rocAuc(
+        Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("value")),
+        "day", col("event_type") === "purchase", "value")),
+    "q_lift_table" -> ((s, dir) =>
+      // decile gains table: per-decile positive rate, lift over base,
+      // cumulative capture from the top decile down
+      Eval.liftTable(
+        Tables.events(s, dir).select(col("value"), col("event_type")),
+        col("event_type") === "purchase", "value", bins = 10)),
+    "q_ab_test" -> ((s, dir) =>
+      // deterministic 50/50 hash-split experiment readout: pooled
+      // two-proportion z on high-value conversion + Welch t on revenue
+      Eval.abTest(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value")),
+        "user_id",
+        col("event_type") === "purchase" && col("value") > 95.0, "value")),
+    "q_kaplan_meier" -> ((s, dir) =>
+      // product-limit survival of time-to-first-high-value-purchase,
+      // right-censored at each user's last observed event
+      Eval.kaplanMeier(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_seasonality" -> ((s, dir) =>
+      // additive period-7 decomposition of daily order revenue with a
+      // calendar-free epoch-mod-7 weekday slot
+      Eval.seasonality(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
+    "x_collocations" -> ((s, dir) =>
+      // top PMI bigrams (Church–Hanks collocations) with a min-count cut
+      TextAnalysis.collocations(Tables.documents(s, dir), "text",
+        minCount = 5, k = 50)),
+    "x_vocabulary" -> ((s, dir) =>
+      // frequency-ordered dense-index vocabulary — embedding-table prep
+      TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 10))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,284 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and experimentation analytics: ROC AUC, lift/gains
+  * tables, A/B significance tests, Kaplan–Meier survival, and seasonal
+  * decomposition — the offline-evaluation block a feature store feeds
+  * (the reference's serving metrics stop at latency; model quality lives
+  * downstream, and these are the standard downstream queries).
+  *
+  * Scale posture: every operator aggregates the corpus ONCE to a bounded
+  * grain (distinct scores per group, deciles, users → arms, distinct
+  * durations, calendar days) and runs its windows/folds over THAT bounded
+  * frame — the PLANS.md global-window contract. No corpus-wide sorts, no
+  * driver loops.
+  *
+  * Reference: ML-Feature-Store-Enterprise-Grade
+  * `monitoring/metrics.py` tracks serving-side counters only; these
+  * operators complete the picture with the evaluation-side metrics.
+  */
+object Eval {
+
+  /** ROC AUC (and Gini) per group via the Mann–Whitney rank-sum identity
+    * with midrank tie handling: AUC = (R⁺ − P(P+1)/2) / (P·N) where R⁺ is
+    * the sum of average ranks of the positives under an ascending score
+    * order. Exactly equals the trapezoidal area under the ROC curve with
+    * ties interpolated — no curve materialization, no threshold sweep.
+    *
+    * Plan: ONE aggregation to (group, score) grain (the only corpus-sized
+    * stage, map-side combined), then a per-group cumulative window over
+    * distinct scores (bounded per group), then the per-group fold.
+    * Degenerate groups (no positives or no negatives) yield NULL auc
+    * rather than a misleading 0/1.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, label: Column,
+             scoreCol: String): DataFrame = {
+    val perScore = df
+      .select(col(groupCol), label.cast("int").as("__y"),
+        col(scoreCol).cast("double").as("__s"))
+      .groupBy(col(groupCol), col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__npos"))
+    val before = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      // midrank of a tied block = (#rows before it) + (blockSize + 1)/2
+      .withColumn("__rank",
+        coalesce(sum(col("__n")).over(before), lit(0L)) +
+          (col("__n") + 1L) / lit(2.0))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__npos")).as("n_pos"),
+        (sum(col("__n")) - sum(col("__npos"))).as("n_neg"),
+        sum(col("__npos") * col("__rank")).as("__rsum"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__rsum") -
+            col("n_pos") * (col("n_pos") + 1L) / lit(2.0)) /
+            (col("n_pos") * col("n_neg")).cast("double"), 6)))
+      .withColumn("gini", round(lit(2.0) * col("auc") - 1.0, 6))
+      .drop("__rsum")
+      .orderBy(groupCol)
+  }
+
+  /** Decile lift/gains table: bin by score into `bins` equal-frequency
+    * buckets (decile 0 = HIGHEST scores), then per decile the positive
+    * rate, lift over the base rate, and cumulative capture of all
+    * positives — "the top 20% of scores capture X% of conversions", the
+    * campaign-targeting readout of a propensity model.
+    *
+    * Plan: cutpoints via ONE array-percentile aggregate (the
+    * [[Stats.quantileBin]] machinery — swap `percentile_approx` in at
+    * true 100 TB, same shape), broadcast to bin, one decile-grain
+    * aggregation, folds over the bins-bounded frame.
+    */
+  def liftTable(df: DataFrame, label: Column, scoreCol: String,
+                bins: Int = 10): DataFrame = {
+    val binned = Stats.quantileBin(
+      df.select(col(scoreCol), label.cast("int").as("__y")), scoreCol, bins)
+    val whole = Window.partitionBy()
+    val fromTop = Window.partitionBy().orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("decile", lit(bins - 1) - col(s"${scoreCol}_bin"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        round(min(col(scoreCol)), 6).as("score_lo"),
+        round(max(col(scoreCol)), 6).as("score_hi"))
+      .withColumn("pos_rate", round(col("n_pos") / col("n"), 6))
+      .withColumn("lift",
+        when(sum(col("n_pos")).over(whole) > 0,
+          round((col("n_pos") / col("n")) /
+            (sum(col("n_pos")).over(whole) /
+              sum(col("n")).over(whole).cast("double")), 6)))
+      .withColumn("cum_capture",
+        when(sum(col("n_pos")).over(whole) > 0,
+          round(sum(col("n_pos")).over(fromTop) /
+            sum(col("n_pos")).over(whole).cast("double"), 6)))
+      .orderBy("decile")
+  }
+
+  /** A/B experiment readout: deterministic 50/50 user-level hash
+    * assignment (channel-keyed [[Gen.u01]], so assignment is reproducible
+    * and independent of every sampler), user-grain conversion + revenue,
+    * then the two-proportion pooled z statistic and Welch's unequal-
+    * variance t with Satterthwaite degrees of freedom — one wide row.
+    *
+    * Plan: ONE user-grain aggregation (the corpus-sized stage), then a
+    * single-row conditional fold — arms never shuffle separately. At any
+    * corpus size the fold input is #users rows with map-side partial
+    * aggregation.
+    */
+  def abTest(df: DataFrame, userCol: String, isConv: Column,
+             valueCol: String, channel: Long = 59L): DataFrame = {
+    val users = df
+      .groupBy(col(userCol))
+      .agg(max(isConv.cast("int")).as("__conv"),
+        sum(coalesce(col(valueCol), lit(0.0))).as("__rev"))
+      .withColumn("__t", Gen.u01(col(userCol), channel) > 0.5)
+    def arm(t: Boolean, c: Column) = when(col("__t") === t, c)
+    val folded = users.groupBy().agg(
+      count(arm(false, lit(1))).as("n_control"),
+      count(arm(true, lit(1))).as("n_treatment"),
+      sum(arm(false, col("__conv"))).as("conversions_control"),
+      sum(arm(true, col("__conv"))).as("conversions_treatment"),
+      avg(arm(false, col("__rev"))).as("__mc"),
+      avg(arm(true, col("__rev"))).as("__mt"),
+      var_samp(arm(false, col("__rev"))).as("__vc"),
+      var_samp(arm(true, col("__rev"))).as("__vt"))
+    val rc = col("conversions_control") / col("n_control").cast("double")
+    val rt = col("conversions_treatment") / col("n_treatment").cast("double")
+    val pPool = (col("conversions_control") + col("conversions_treatment")) /
+      (col("n_control") + col("n_treatment")).cast("double")
+    val seZ = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_control") + lit(1.0) / col("n_treatment")))
+    val seW2 = col("__vc") / col("n_control") + col("__vt") / col("n_treatment")
+    folded
+      .withColumn("rate_control", round(rc, 6))
+      .withColumn("rate_treatment", round(rt, 6))
+      .withColumn("abs_lift", round(rt - rc, 6))
+      .withColumn("z_stat", when(seZ > 0, round((rt - rc) / seZ, 6)))
+      .withColumn("rev_mean_control", round(col("__mc"), 6))
+      .withColumn("rev_mean_treatment", round(col("__mt"), 6))
+      .withColumn("welch_t",
+        when(seW2 > 0, round((col("__mt") - col("__mc")) / sqrt(seW2), 6)))
+      .withColumn("welch_df",
+        when(seW2 > 0, round(seW2 * seW2 / (
+          (col("__vc") / col("n_control")) * (col("__vc") / col("n_control")) /
+            (col("n_control") - 1L) +
+          (col("__vt") / col("n_treatment")) * (col("__vt") / col("n_treatment")) /
+            (col("n_treatment") - 1L)), 6)))
+      .drop("__mc", "__mt", "__vc", "__vt")
+  }
+
+  /** Kaplan–Meier survival over time-to-first-event: per key, the clock
+    * starts at its first observation; keys that ever fire `isEvent` are
+    * observed at their FIRST firing, the rest are right-censored at their
+    * last observation. Durations are floored to whole hours (bounds the
+    * distinct-time grain). Emits one row per hour with ≥1 observed event:
+    * the risk set, event/censor counts, and the product-limit survival
+    * estimate Ŝ(t) = Π_{s≤t} (1 − dₛ/nₛ).
+    *
+    * Plan: one key-grain aggregation (corpus-sized, combined map-side),
+    * one duration-grain aggregation (≤ distinct hours), then the
+    * cumulative product over that bounded frame as exp(Σ ln) — with an
+    * explicit zero-factor flag so a risk set that empties (dₜ = nₜ) pins
+    * survival to exactly 0 instead of routing ln(0) through the engines'
+    * divergent conventions.
+    */
+  def kaplanMeier(df: DataFrame, keyCol: String, tsCol: String,
+                  isEvent: Column): DataFrame = {
+    val perKey = df
+      .groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__t0"),
+        min(when(isEvent, col(tsCol))).as("__te"),
+        max(col(tsCol)).as("__tl"))
+      .withColumn("__obs", col("__te").isNotNull)
+      .withColumn("t_hours",
+        floor((unix_micros(coalesce(col("__te"), col("__tl")).cast("timestamp"))
+          - unix_micros(col("__t0").cast("timestamp"))) / lit(3600000000L)))
+    val perT = perKey
+      .groupBy(col("t_hours"))
+      .agg(sum(col("__obs").cast("long")).as("n_events"),
+        sum((!col("__obs")).cast("long")).as("n_censored"))
+    val whole = Window.partitionBy()
+    val before = Window.partitionBy().orderBy(col("t_hours"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy().orderBy(col("t_hours"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRisk = perT
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(whole) -
+          coalesce(sum(col("n_events") + col("n_censored")).over(before),
+            lit(0L)))
+      .withColumn("__f",
+        lit(1.0) - col("n_events") / col("n_risk").cast("double"))
+    withRisk
+      .withColumn("__hitZero", max((col("__f") === 0.0).cast("int")).over(upTo))
+      .withColumn("survival",
+        when(col("__hitZero") === 1, lit(0.0)).otherwise(
+          round(exp(sum(when(col("__f") > 0, log(col("__f")))
+            .otherwise(lit(0.0))).over(upTo)), 6)))
+      .filter(col("n_events") > 0)
+      .select(col("t_hours"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+      .orderBy("t_hours")
+  }
+
+  /** Forecast-baseline scorecard over a daily series: the naive (lag-1)
+    * and seasonal-naive (lag-7) forecasts every real model must beat,
+    * with per-day absolute errors and the global MAE of both plus MASE
+    * (seasonal-naive MAE / naive MAE) repeated on each row — the
+    * denominator every forecasting paper scales by (Hyndman & Koehler
+    * 2006). Lags are over the OBSERVED series (calendar gaps are not
+    * interpolated — same honesty rule as [[Stats.autocorr]]).
+    *
+    * Plan: one day-grain aggregation, then every lag, error, and global
+    * fold in windows over the calendar-bounded series.
+    */
+  def forecastBaseline(df: DataFrame, dateCol: Column,
+                       valueCol: String): DataFrame = {
+    val daily = df.groupBy(dateCol.as("day")).agg(sum(col(valueCol)).as("__x"))
+    val w = Window.partitionBy().orderBy(col("day"))
+    val whole = Window.partitionBy()
+    val scored = daily
+      .withColumn("naive", lag(col("__x"), 1).over(w))
+      .withColumn("snaive", lag(col("__x"), 7).over(w))
+      .withColumn("__e1", abs(col("__x") - col("naive")))
+      .withColumn("__e7", abs(col("__x") - col("snaive")))
+    scored
+      .withColumn("mae_naive", avg(col("__e1")).over(whole))
+      .withColumn("mae_snaive", avg(col("__e7")).over(whole))
+      .select(col("day"), round(col("__x"), 2).as("actual"),
+        round(col("naive"), 2).as("naive"),
+        round(col("snaive"), 2).as("snaive"),
+        round(col("__e1"), 2).as("abs_err_naive"),
+        round(col("__e7"), 2).as("abs_err_snaive"),
+        round(col("mae_naive"), 6).as("mae_naive"),
+        round(col("mae_snaive"), 6).as("mae_snaive"),
+        when(col("mae_naive") > 0,
+          round(col("mae_snaive") / col("mae_naive"), 6)).as("mase"))
+      .orderBy("day")
+  }
+
+  /** Additive seasonal decomposition of a daily series with period 7:
+    * trend = centered 7-day moving average (NULL on the 3-day edges, no
+    * silent partial windows), seasonal = the mean detrended value of the
+    * day's weekday slot re-centered to sum to zero across the 7 slots,
+    * residual = observed − trend − seasonal. The weekday slot is computed
+    * as `days-since-epoch mod 7` — calendar-free, so Spark and any oracle
+    * engine agree without touching their (incompatible) DOW conventions.
+    *
+    * Plan: one day-grain aggregation (corpus-sized stage), a 7-row-frame
+    * window over the calendar-bounded series, a 7-row slot aggregate
+    * broadcast back. Bounded everywhere past the first shuffle.
+    */
+  def seasonality(df: DataFrame, dateCol: Column,
+                  valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(dateCol.as("day"))
+      .agg(sum(col(valueCol)).as("__x"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+    val ma = Window.partitionBy().orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        when(count(lit(1)).over(ma) === 7, avg(col("__x")).over(ma)))
+      .withColumn("__detr", col("__x") - col("trend"))
+    val slotAll = Window.partitionBy()
+    val slots = trended
+      .groupBy(col("dow").as("__sd"))
+      .agg(avg(col("__detr")).as("__raw"))
+      .withColumn("__seas", col("__raw") - avg(col("__raw")).over(slotAll))
+      .select(col("__sd"), col("__seas"))
+    trended
+      .join(broadcast(slots), col("dow") === col("__sd"), "left")
+      .select(col("day"), col("dow"),
+        round(col("__x"), 2).as("revenue"),
+        round(col("trend"), 6).as("trend"),
+        round(col("__seas"), 6).as("seasonal"),
+        round(col("__x") - col("trend") - col("__seas"), 6).as("residual"))
+      .orderBy("day")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §7.4):
@@ -519,5 +520,90 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("log_w"), lit(0.0)).as("log_w"))
+  }
+
+  /** Top collocations by pointwise mutual information: adjacent-token
+    * bigrams scored PMI = ln(p(ab) / (p(a)·p(b))) with p(ab) over the
+    * bigram space and p(·) over the unigram space, thresholded at
+    * `minCount` occurrences (PMI's low-frequency pathology — hapax pairs
+    * scoring highest — is cut off, the standard Church–Hanks practice).
+    * Top-`k` by (pmi desc, pair asc) — fully deterministic.
+    *
+    * Plan: bigrams come from `zip_with(slice, slice)` INSIDE each
+    * document's token array — adjacency never pays a self-join. One
+    * shuffle to (a, b) grain, one to term grain; unigram counts join back
+    * on the term key; final top-k is TakeOrdered (per-partition heaps),
+    * not a global sort.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Int,
+                   k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1,
+      s"collocations: minCount/k >= 1 (got $minCount, $k)")
+    val toksArr = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val pairsAll = docs
+      .select(explode(zip_with(
+        slice(toksArr, lit(1), greatest(size(toksArr) - 1, lit(0))),
+        slice(toksArr, lit(2), greatest(size(toksArr) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("bg.a").as("term_a"), col("bg.b").as("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("pair_count"))
+    val unigrams = docs
+      .select(explode(toksArr).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val nTok = unigrams.agg(sum("cnt").as("__ntok"))
+    // normalizers over the UNFILTERED spaces: minCount trims the output,
+    // not the probability model
+    val nBig = pairsAll.agg(sum("pair_count").as("__nbig"))
+    pairsAll
+      .filter(col("pair_count") >= minCount)
+      .join(unigrams.withColumnRenamed("term", "term_a")
+        .withColumnRenamed("cnt", "count_a"), Seq("term_a"))
+      .join(unigrams.withColumnRenamed("term", "term_b")
+        .withColumnRenamed("cnt", "count_b"), Seq("term_b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .withColumn("pmi", round(
+        log((col("pair_count") / col("__nbig")) /
+          ((col("count_a") / col("__ntok")) *
+           (col("count_b") / col("__ntok")))), 6))
+      .select(col("term_a"), col("term_b"), col("pair_count"),
+        col("count_a"), col("count_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
+  /** Frequency-ordered vocabulary with dense indices — the embedding-
+    * table prep step: tokens at or above `minCount`, each with its corpus
+    * count, document frequency, coverage share of the RETAINED token
+    * mass, and a dense index assigned by (count desc, token asc) — the
+    * deterministic tie order every re-run and engine reproduces.
+    *
+    * Plan: one (doc, term) grain aggregation (corpus-sized, map-side
+    * combined), one term-grain fold, then the index via a global
+    * row_number over the RETAINED vocabulary only — bounded by the
+    * `minCount` threshold, which is the knob that keeps the single-task
+    * index sort small (the [[graft.ops.Sampling]] corpus-shuffle
+    * invariant: raise minCount as the corpus grows).
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Int): DataFrame = {
+    require(minCount >= 1, s"vocabulary: minCount >= 1 (got $minCount)")
+    val perDocTerm = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val vocab = perDocTerm
+      .groupBy(col("token"))
+      .agg(sum(col("__tf")).as("term_count"),
+        count(lit(1)).as("doc_freq"))
+      .filter(col("term_count") >= minCount)
+    val order = Window.partitionBy()
+      .orderBy(col("term_count").desc, col("token"))
+    val whole = Window.partitionBy()
+    vocab
+      .withColumn("idx", row_number().over(order).cast("long") - 1L)
+      .withColumn("share",
+        round(col("term_count") / sum(col("term_count")).over(whole), 6))
+      .orderBy("idx")
   }
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Eval
+
+/** Hand-computable golden cases for the evaluation/experimentation ops. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc: perfect separation 1, inverted 0, all-tied 0.5, " +
+      "degenerate group NULL") {
+    val df = Seq(
+      // g: positives strictly above negatives
+      ("g", 1, 3.0), ("g", 1, 4.0), ("g", 0, 1.0), ("g", 0, 2.0),
+      // h: positive strictly below the negative
+      ("h", 1, 1.0), ("h", 0, 2.0),
+      // i: one tied score for both classes -> midrank 0.5
+      ("i", 1, 5.0), ("i", 0, 5.0),
+      // j: positives only -> undefined
+      ("j", 1, 1.0), ("j", 1, 2.0)
+    ).toDF("grp", "y", "s")
+    val out = Eval.rocAuc(df, "grp", col("y") === 1, "s")
+      .select("grp", "n_pos", "n_neg", "auc", "gini")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("g") == (("g", 2L, 2L, Some(1.0), Some(1.0))))
+    assert(out("h") == (("h", 1L, 1L, Some(0.0), Some(-1.0))))
+    assert(out("i") == (("i", 1L, 1L, Some(0.5), Some(0.0))))
+    assert(out("j") == (("j", 2L, 0L, None, None)))
+  }
+
+  test("liftTable: top-decile lift = 1/base and capture accumulates to 1") {
+    // scores 1..20, positives = the top five scores (16..20)
+    val df = (1 to 20).map(i => (i.toDouble, if (i >= 16) 1 else 0))
+      .toDF("s", "y")
+    val out = Eval.liftTable(df, col("y") === 1, "s", bins = 10)
+      .select("decile", "n", "n_pos", "lift", "cum_capture")
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 10 && out.values.forall(_._2 == 2L))
+    // base rate 5/20; decile 0 holds {19, 20}: rate 1 -> lift 4
+    assert(out(0)._3 == 2L && out(0)._4.get == 4.0)
+    assert(out(0)._5.get == 0.4 && out(1)._5.get == 0.8)
+    assert(out(2)._3 == 1L && out(2)._5.get == 1.0)
+    assert((3 to 9).forall(d => out(d)._3 == 0L && out(d)._5.get == 1.0))
+  }
+
+  test("abTest: arms partition the users and the statistics replay the " +
+      "closed-form formulas on the hash assignment") {
+    val M = 2147483647L
+    def u01(key: Long, c: Long): Double = {
+      val h1 = (key + c * 1000003L) % M
+      ((h1 * 48271L % M) * 48271L % M + 1).toDouble / M
+    }
+    // 40 users, 3 events each; conversion = any value > 95; the third
+    // event pushes half the users over the line deterministically
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u, "e", 10.0), (u, "e", 20.0),
+        (u, "e", if (u % 2 == 0) 96.0 else 30.0))
+    }
+    val df = rows.toDF("user_id", "event_type", "value")
+    val out = Eval.abTest(df, "user_id", col("value") > 95.0, "value").head()
+    def g(n: String) = out.getAs[Any](n)
+    val (nc, nt) = (g("n_control").asInstanceOf[Long],
+      g("n_treatment").asInstanceOf[Long])
+    assert(nc + nt == 40L && nc > 0 && nt > 0)
+    // replay the assignment + user aggregates in plain Scala
+    val byArm = (1L to 40L).groupBy(u => u01(u, 59L) > 0.5)
+    assert(nc == byArm(false).size && nt == byArm(true).size)
+    def conv(us: Seq[Long]) = us.count(_ % 2 == 0).toLong
+    assert(g("conversions_control") == conv(byArm(false)))
+    assert(g("conversions_treatment") == conv(byArm(true)))
+    def rev(u: Long) = 30.0 + (if (u % 2 == 0) 96.0 else 30.0)
+    val (mc, mt) = (byArm(false).map(rev).sum / nc, byArm(true).map(rev).sum / nt)
+    assert(math.abs(g("rev_mean_control").asInstanceOf[Double] - mc) < 1e-6)
+    assert(math.abs(g("rev_mean_treatment").asInstanceOf[Double] - mt) < 1e-6)
+    val (rc, rt) = (conv(byArm(false)).toDouble / nc, conv(byArm(true)).toDouble / nt)
+    val pp = (conv(byArm(false)) + conv(byArm(true))).toDouble / 40
+    val z = (rt - rc) / math.sqrt(pp * (1 - pp) * (1.0 / nc + 1.0 / nt))
+    assert(math.abs(g("z_stat").asInstanceOf[Double] - z) < 1e-5)
+  }
+
+  test("kaplanMeier: survival steps only at event hours, censoring " +
+      "shrinks the risk set, exhausted risk set pins survival to 0") {
+    def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    // durations (hours): events at 1 (u1, u2) and 3 (u3); censored at 2
+    // (u4) and 5 (u5)
+    val rows = Seq(
+      (1L, ts(0), "s"), (1L, ts(1), "e"),
+      (2L, ts(0), "s"), (2L, ts(1), "e"),
+      (3L, ts(0), "s"), (3L, ts(2), "s"), (3L, ts(3), "e"),
+      (4L, ts(0), "s"), (4L, ts(2), "s"),
+      (5L, ts(0), "s"), (5L, ts(5), "s")
+    ).toDF("user_id", "fts", "kind")
+    val out = Eval.kaplanMeier(rows, "user_id", "fts", col("kind") === "e")
+      .select("t_hours", "n_risk", "n_events", "n_censored", "survival")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // S(1) = 1 - 2/5 = 0.6 ; S(3) = 0.6 * (1 - 1/2) = 0.3
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 5L, 2L), (3L, 2L, 1L)))
+    assert(out.map(_._5).toSeq == Seq(0.6, 0.3))
+    // everyone fires -> the last factor is 0 -> survival exactly 0
+    val all = Seq((1L, ts(0), "s"), (1L, ts(1), "e"),
+      (2L, ts(0), "s"), (2L, ts(1), "e")).toDF("user_id", "fts", "kind")
+    val z = Eval.kaplanMeier(all, "user_id", "fts", col("kind") === "e")
+      .select("survival").as[Double].collect()
+    assert(z.toSeq == Seq(0.0))
+  }
+
+  test("seasonality: pure weekday signal decomposes to flat trend, " +
+      "centered slots, zero residual, NULL trend edges") {
+    // 21 consecutive days; value = 700 + slot where slot = epochdays % 7
+    val d0 = java.time.LocalDate.of(2024, 1, 1) // epoch day 19723 -> slot 4
+    val rows = (0 until 21).map { i =>
+      val d = d0.plusDays(i.toLong)
+      (java.sql.Date.valueOf(d), 700.0 + (d.toEpochDay % 7).toDouble)
+    }
+    val out = Eval.seasonality(rows.toDF("d", "v"), col("d"), "v")
+      .select("day", "dow", "trend", "seasonal", "residual")
+      .as[(java.sql.Date, Int, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1.getTime)
+    assert(out.length == 21)
+    assert(out(0)._2 == 4) // 2024-01-01 is slot 4 under epoch-mod-7
+    // 3-day edges carry no trend
+    assert(out.take(3).forall(_._3.isEmpty) && out.takeRight(3).forall(_._3.isEmpty))
+    // interior: trend = 700 + mean(0..6) = 703, seasonal = slot - 3,
+    // residual = 0
+    out.slice(3, 18).foreach { r =>
+      assert(r._3.get == 703.0)
+      assert(r._4.get == (r._2 - 3).toDouble)
+      assert(r._5.get == 0.0)
+    }
+  }
+}

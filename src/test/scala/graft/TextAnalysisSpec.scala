@@ -339,4 +339,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
     assert(!got.exists(r => r._1 == 4L || r._1 == 5L))
   }
+
+  test("collocations: pair/unigram counts are exact and PMI matches the " +
+      "hand-computed value over the unfiltered spaces") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 1, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // bigrams: (a,b) x3, (b,a) x1, (b,c) x1 -> nbig 5; unigrams a3 b3 c1
+    // -> ntok 7
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(out(("a", "b"))._3 == 3L && out(("a", "b"))._4 == 3L &&
+      out(("a", "b"))._5 == 3L)
+    def pmi(cab: Long, ca: Long, cb: Long) = BigDecimal(
+      math.log((cab / 5.0) / ((ca / 7.0) * (cb / 7.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "b"))._6 == pmi(3, 3, 3))
+    assert(out(("b", "c"))._6 == pmi(1, 3, 1))
+    // a one-doc corpus below minCount yields nothing
+    assert(TextAnalysis.collocations(docs, "text", minCount = 4, k = 10)
+      .count() == 0)
+  }
+
+  test("vocabulary: dense indices follow (count desc, token asc), " +
+      "minCount trims, share covers the retained mass") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "doc_id", "text", minCount = 2)
+      .select("token", "term_count", "doc_freq", "idx", "share")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._4)
+    // counts: a 2 (1 doc), b 2 (2 docs), c 1 (cut); tie a/b -> a first
+    assert(out.toSeq == Seq(("a", 2L, 1L, 0L, 0.5), ("b", 2L, 2L, 1L, 0.5)))
+  }
 }
