@@ -3363,6 +3363,214 @@ object OracleSql {
                AS BIGINT) AS idx,
              round(term_count / CAST(sum(term_count) OVER () AS DOUBLE), 6)
                AS share
-      FROM v ORDER BY idx"""
+      FROM v ORDER BY idx""",
+
+    // rules in both directions from the unordered pair table; order by
+    // the ROUNDED lift (matching the Spark column) with the pair as a
+    // total tiebreak
+    "q_basket_rules" -> """
+      WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                 FROM lineitem),
+      supp AS (SELECT it, count(*) AS s FROM b GROUP BY it),
+      pc AS (SELECT l.it AS a, r.it AS b2, count(*) AS ps
+             FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      dr AS (SELECT a AS antecedent, b2 AS consequent, ps FROM pc
+             UNION ALL SELECT b2, a, ps FROM pc),
+      j AS (SELECT d.antecedent, d.consequent,
+               CAST(d.ps AS BIGINT) AS pair_support,
+               CAST(sa.s AS BIGINT) AS ante_support,
+               CAST(sc.s AS BIGINT) AS cons_support,
+               round(d.ps / CAST(sa.s AS DOUBLE), 6) AS confidence,
+               round((d.ps / CAST(sa.s AS DOUBLE))
+                 / (sc.s / (SELECT CAST(count(DISTINCT bk) AS DOUBLE)
+                            FROM b)), 6) AS lift
+            FROM dr d
+            JOIN supp sa ON d.antecedent = sa.it
+            JOIN supp sc ON d.consequent = sc.it)
+      SELECT antecedent, consequent, pair_support, ante_support,
+             cons_support, confidence, lift
+      FROM j ORDER BY lift DESC, antecedent, consequent LIMIT 100""",
+
+    // 5 unrolled PageRank supersteps — identical literal arithmetic to
+    // the Spark loop ((1-d)/N, d, dm/N all in the same operation order)
+    "q_supplier_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""d$i AS (SELECT coalesce(sum(rank), 0.0) AS dm
+               FROM p${i - 1} WHERE out_deg = 0),
+      c$i AS (SELECT e.dst AS node, sum(p.rank / p.out_deg) AS inr
+              FROM e JOIN p${i - 1} p ON e.src = p.node GROUP BY 1),
+      p$i AS (SELECT g.node, g.out_deg,
+                (1.0 - 0.85) / nn.n
+                  + 0.85 * (coalesce(c.inr, 0.0) + d.dm / nn.n) AS rank
+              FROM deg g LEFT JOIN c$i c ON g.node = c.node, d$i d, nn)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+                    FROM lineitem),
+      e AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+            FROM base a JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT n.node, CAST(coalesce(d.c, 0) AS BIGINT) AS out_deg
+              FROM nodes n LEFT JOIN (SELECT src, count(*) AS c
+                                      FROM e GROUP BY 1) d
+                ON n.node = d.src),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+      p0 AS (SELECT node, out_deg, 1.0 / nn.n AS rank FROM deg, nn),
+      $iters
+      SELECT node AS s_suppkey, out_deg, round(rank, 6) AS pagerank
+      FROM p5 ORDER BY s_suppkey"""
+    },
+
+    "q_forecast_baseline" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(o_totalprice) AS x FROM orders GROUP BY 1),
+      l AS (SELECT day, x, lag(x, 1) OVER (ORDER BY day) AS naive,
+               lag(x, 7) OVER (ORDER BY day) AS snaive FROM daily),
+      e AS (SELECT *, abs(x - naive) AS e1, abs(x - snaive) AS e7 FROM l),
+      m AS (SELECT *, avg(e1) OVER () AS m1, avg(e7) OVER () AS m7 FROM e)
+      SELECT day, round(x, 2) AS actual, round(naive, 2) AS naive,
+             round(snaive, 2) AS snaive, round(e1, 2) AS abs_err_naive,
+             round(e7, 2) AS abs_err_snaive, round(m1, 6) AS mae_naive,
+             round(m7, 6) AS mae_snaive,
+             CASE WHEN m1 > 0 THEN round(m7 / m1, 6) END AS mase
+      FROM m ORDER BY day""",
+
+    // leading digit via floor(x / 10^floor(log10 x)); expectation
+    // ln(1+1/d)/ln(10) mirrors the Spark operation order exactly
+    "q_benford" -> """
+      WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                 WHERE o_totalprice > 0.0),
+      d AS (SELECT CAST(floor(x / power(10.0, floor(log10(x))))
+                     AS INTEGER) AS digit FROM v),
+      g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      t AS (SELECT digit, n, sum(n) OVER () AS total FROM g),
+      c AS (SELECT digit, CAST(n AS BIGINT) AS n,
+               round(n / CAST(total AS DOUBLE), 6) AS share,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected,
+               total * (ln(1.0 + 1.0 / digit) / ln(10.0)) AS expn,
+               n AS rawn
+            FROM t)
+      SELECT digit, n, share, expected,
+             round((rawn - expn) * (rawn - expn) / expn, 6) AS chi2_term,
+             round(sum((rawn - expn) * (rawn - expn) / expn) OVER (), 6)
+               AS chi2_total
+      FROM c ORDER BY digit""",
+
+    // centroid silhouette: same cosine shape as x_sql_cosine
+    // (list_inner_product over CAST DOUBLE[] mirrors the native
+    // single-pass expression bit-for-bit)
+    "x_silhouette" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      x AS (SELECT label, CAST(generate_subscripts(v, 1) AS INTEGER) AS dim,
+                   unnest(v) AS comp FROM e),
+      cm AS (SELECT label AS cl, dim, avg(comp) AS m FROM x GROUP BY 1, 2),
+      cv AS (SELECT cl, list(m ORDER BY dim) AS c FROM cm GROUP BY cl),
+      dst AS (SELECT e.vec_id, e.label, cv.cl,
+               1.0 - list_inner_product(e.v, cv.c)
+                 / (sqrt(list_inner_product(e.v, e.v))
+                    * sqrt(list_inner_product(cv.c, cv.c))) AS dist
+             FROM e, cv),
+      p AS (SELECT vec_id, label,
+               min(CASE WHEN cl = label THEN dist END) AS a,
+               min(CASE WHEN cl <> label THEN dist END) AS b
+            FROM dst GROUP BY 1, 2),
+      s AS (SELECT label, a, b,
+               CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                    WHEN b IS NOT NULL THEN 0.0 END AS sil
+            FROM p)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+             round(avg(a), 6) AS mean_intra,
+             round(avg(b), 6) AS mean_nearest_other,
+             round(avg(sil), 6) AS mean_silhouette
+      FROM s GROUP BY label ORDER BY label""",
+
+    // 3 unrolled Lloyd supersteps: id-ordered seeds, argmin by
+    // (d2, cluster) row_number, ‖v−c‖² expanded as v·v − 2·v·c + c·c in
+    // the exact Spark operation order
+    "x_kmeans" -> {
+      def assignFrom(c: String, a: String) =
+        s"""$a AS (SELECT id, cl, d2 FROM (
+             SELECT id, cl, d2,
+                    row_number() OVER (PARTITION BY id ORDER BY d2, cl)
+                      AS rn
+             FROM (SELECT e.id, c.cl,
+                     list_inner_product(e.v, e.v)
+                       - 2.0 * list_inner_product(e.v, c.c)
+                       + list_inner_product(c.c, c.c) AS d2
+                   FROM e, $c c)) WHERE rn = 1)"""
+      def updateFrom(a: String, c: String) =
+        s"""$c AS (SELECT cl, list(m ORDER BY dim) AS c FROM (
+             SELECT x.cl, x.dim, avg(x.comp) AS m FROM (
+               SELECT a.cl,
+                      CAST(generate_subscripts(e.v, 1) AS INTEGER) AS dim,
+                      unnest(e.v) AS comp
+               FROM $a a JOIN e ON a.id = e.id) x
+             GROUP BY x.cl, x.dim) GROUP BY cl)"""
+      s"""
+      WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c0 AS (SELECT id AS cl, v AS c FROM e ORDER BY id LIMIT 8),
+      ${assignFrom("c0", "a1")},
+      ${updateFrom("a1", "c1")},
+      ${assignFrom("c1", "a2")},
+      ${updateFrom("a2", "c2")},
+      ${assignFrom("c2", "a3")}
+      SELECT id AS vec_id, cl AS cluster, round(d2, 6) AS dist2
+      FROM a3 ORDER BY vec_id"""
+    },
+
+    // DCG discounts via ln(pos+1)/ln(2) — spelled identically in Spark;
+    // IDCG folds the 1..min(rel,k) sequence; no-relevant groups NULL
+    "q_ndcg" -> """
+      WITH t AS (SELECT user_id, event_id, value,
+               CAST(event_type = 'purchase' AND value > 90.0 AS INT)
+                 AS rel
+            FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS pos FROM t),
+      g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(rel) AS BIGINT) AS n_relevant,
+               sum(CASE WHEN pos <= 10 THEN
+                     rel / (ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0))
+                   ELSE 0.0 END) AS dcg_raw
+            FROM r GROUP BY user_id),
+      disc AS (SELECT i,
+               sum(1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))
+                 OVER (ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+            FROM generate_series(1, 10) AS t(i)),
+      i AS (SELECT g.*, CASE WHEN n_relevant > 0 THEN d.cum END
+               AS idcg_raw
+            FROM g LEFT JOIN disc d ON d.i = least(g.n_relevant, 10))
+      SELECT user_id, n_items, n_relevant,
+             round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
+             CASE WHEN idcg_raw > 0
+               THEN round(dcg_raw / idcg_raw, 6) END AS ndcg
+      FROM i ORDER BY user_id""",
+
+    // rank-formula Gini over the ascending (value, entity) order plus
+    // Lorenz top-1%/top-10% tail shares
+    "q_revenue_gini" -> """
+      WITH per AS (SELECT o_custkey AS e, sum(o_totalprice) AS x
+                   FROM orders GROUP BY 1),
+      r AS (SELECT x,
+               CAST(row_number() OVER (ORDER BY x, e) AS BIGINT) AS i,
+               count(*) OVER () AS n,
+               sum(x) OVER () AS t
+            FROM per)
+      SELECT CAST(max(n) AS BIGINT) AS n_entities,
+             round(max(t), 2) AS total_value,
+             round(2.0 * sum(i * x) / (max(n) * max(t))
+               - (max(n) + 1) / CAST(max(n) AS DOUBLE), 6) AS gini,
+             round(sum(CASE WHEN i > n
+                 - CAST(greatest(ceil(n / 100.0), 1.0) AS BIGINT)
+               THEN x ELSE 0.0 END) / max(t), 6) AS top1_pct_share,
+             round(sum(CASE WHEN i > n
+                 - CAST(greatest(ceil(n / 10.0), 1.0) AS BIGINT)
+               THEN x ELSE 0.0 END) / max(t), 6) AS top10_pct_share
+      FROM r"""
   )
 }

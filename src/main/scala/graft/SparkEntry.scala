@@ -1685,7 +1685,58 @@ object SparkEntry {
     "x_vocabulary" -> ((s, dir) =>
       // frequency-ordered dense-index vocabulary — embedding-table prep
       TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text",
-        minCount = 10))
+        minCount = 10)),
+    "q_basket_rules" -> ((s, dir) =>
+      // market-basket mining: top part-pair association rules by lift,
+      // pairs bounded per order (never corpus²)
+      Frequency.basketRules(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minPairSupport = 2, k = 100)),
+    "q_supplier_pagerank" -> ((s, dir) => {
+      // 5-superstep damped PageRank over the supplier co-order graph —
+      // the declarative Pregel loop, deterministic via fixed iterations
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .withColumnRenamed("node", "s_suppkey")
+    }),
+    "q_forecast_baseline" -> ((s, dir) =>
+      // the two baselines every forecast must beat: lag-1 naive and
+      // lag-7 seasonal-naive over daily revenue, with MAE + MASE folds
+      Eval.forecastBaseline(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
+    "q_benford" -> ((s, dir) =>
+      // Benford first-digit audit of order totals: observed vs
+      // log10(1+1/d) shares with per-digit and total chi-square
+      Quality.benford(Tables.orders(s, dir), "o_totalprice")),
+    "x_silhouette" -> ((s, dir) =>
+      // centroid-silhouette cluster quality of the labeled embedding
+      // partition: per-label intra/nearest-other distance and score
+      Similarity.silhouette(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label")),
+    "x_kmeans" -> ((s, dir) =>
+      // deterministic Lloyd k-means (id-ordered seeds, fixed supersteps,
+      // lowest-cluster tie rule) — assignment + distance per vector
+      Clustering.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iterations = 3)),
+    "q_ndcg" -> ((s, dir) =>
+      // ranking quality of value-as-score against purchase relevance,
+      // per user: DCG@10 / ideal, ln-ratio log2 on both engines
+      Eval.ndcgAtK(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("event_type")),
+        "user_id", "event_id", "value",
+        col("event_type") === "purchase" && col("value") > 90.0, k = 10)),
+    "q_revenue_gini" -> ((s, dir) =>
+      // revenue concentration across customers: Gini + Lorenz tail
+      // shares over the entity-grain aggregate
+      Stats.giniConcentration(Tables.orders(s, dir), "o_custkey",
+        "o_totalprice"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch clustering over embedding columns — deterministic Lloyd k-means
+  * expressed as declarative DataFrame supersteps (assignment = a
+  * broadcast-join argmin, update = one keyed aggregation), the same
+  * iterate-with-checkpoint pattern as [[Graph.pageRank]] and the
+  * [[Dedup]] label propagation.
+  *
+  * Determinism contract (what makes the result engine-replayable, unlike
+  * MLlib's sampled init): seeds are the `k` LOWEST-id vectors, distance
+  * ties assign to the lowest cluster id, a fixed superstep count replaces
+  * a float-tolerance convergence test, and every arithmetic expression
+  * mirrors the oracle's operation order bit for bit.
+  */
+object Clustering {
+
+  /** Σ aᵢ·bᵢ with strict left-to-right accumulation — the HOF twin of
+    * DuckDB's `list_inner_product`, shared by the distance expansion
+    * ‖v−c‖² = v·v − 2·v·c + c·c.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Lloyd k-means: returns one row per vector with its final cluster id
+    * (the SEED VECTOR's id — stable across supersteps, no relabeling
+    * pass) and the squared-L2 distance to that centroid. Clusters that
+    * lose every member simply drop out of later supersteps (the standard
+    * batch-Lloyd degeneracy; with id-ordered seeds on real corpora this
+    * is a corner, and determinism is what the contract guarantees).
+    *
+    * Plan per superstep: vectors × broadcast k-row centroid table →
+    * argmin via `min(struct(dist², cluster))` (one narrow projection +
+    * one keyed min, no sort), then centroid update = explode to
+    * (cluster, dim) grain and ONE aggregation (bounded: k·dim rows).
+    * Lineage truncates per superstep via `localCheckpoint` (swap
+    * `checkpoint` on a cluster). The corpus is never globally sorted;
+    * seed selection is TakeOrdered(k).
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+             iterations: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"kmeans: k in [1, 1024] (got $k)")
+    require(iterations >= 1 && iterations <= 20,
+      s"kmeans: iterations in [1, 20] (got $iterations)")
+    val vecs = emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v")).localCheckpoint()
+    var cent = vecs.orderBy(col("__id")).limit(k)
+      .select(col("__id").as("__cl"), col("__v").as("__c"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame = vecs
+      .crossJoin(broadcast(c))
+      .withColumn("__d2",
+        dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__c"))
+          + dot(col("__c"), col("__c")))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("__d2"), col("__cl"))).as("__best"))
+      .select(col("__id"), col("__best.__cl").as("cluster"),
+        col("__best.__d2").as("dist2"))
+    for (_ <- 1 until iterations) {
+      val assigned = assign(cent)
+      cent = assigned
+        .join(vecs, Seq("__id"))
+        .select(col("cluster").as("__cl"),
+          posexplode(col("__v")).as(Seq("__dim", "__comp")))
+        .groupBy(col("__cl"), col("__dim"))
+        .agg(avg(col("__comp")).as("__m"))
+        .groupBy(col("__cl"))
+        .agg(array_sort(collect_list(struct(col("__dim"), col("__m"))))
+          .as("__sm"))
+        .select(col("__cl"),
+          transform(col("__sm"), s => s.getField("__m")).as("__c"))
+        .localCheckpoint(eager = false)
+    }
+    assign(cent)
+      .select(col("__id").as(idCol), col("cluster"),
+        round(col("dist2"), 6).as("dist2"))
+      .orderBy(idCol)
+  }
+}

@@ -206,6 +206,48 @@ object Eval {
       .orderBy("t_hours")
   }
 
+  /** NDCG@k of a scored ranking against binary relevance, per group —
+    * the ranking-quality readout for retrieval / recommendation features:
+    * within each group, items are ranked by (score desc, id asc); DCG@k
+    * discounts each relevant item by 1/log₂(position+1); IDCG@k is the
+    * all-relevant-first ideal; ndcg = dcg/idcg. Groups with no relevant
+    * item report NULL (not 0 — "nothing to find" is not "found nothing").
+    * The log₂ is spelled ln(x)/ln(2) so every engine computes the
+    * identical operation sequence.
+    *
+    * Plan: one per-group window ranks (per-key bounded), positions > k
+    * drop before the fold, and IDCG folds a ≤k-element generated
+    * sequence per group — no joins, no global sort.
+    */
+  def ndcgAtK(df: DataFrame, groupCol: String, idCol: String,
+              scoreCol: String, isRelevant: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"ndcgAtK: k in [1, 1000] (got $k)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    def ln2 = log(lit(2.0))
+    val ranked = df
+      .withColumn("__rel", isRelevant.cast("int"))
+      .withColumn("__pos", row_number().over(w))
+    ranked
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__rel")).as("n_relevant"),
+        sum(when(col("__pos") <= k,
+          col("__rel") / (log(col("__pos").cast("double") + 1.0) / ln2))
+          .otherwise(lit(0.0))).as("__dcg"))
+      .withColumn("__idcg",
+        when(col("n_relevant") > 0,
+          aggregate(sequence(lit(1), least(col("n_relevant"), lit(k))),
+            lit(0.0),
+            (acc, i) => acc + lit(1.0) / (log(i.cast("double") + 1.0) / ln2))))
+      .select(col(groupCol), col("n_items"), col("n_relevant"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 6))
+          .as("ndcg"))
+      .orderBy(groupCol)
+  }
+
   /** Forecast-baseline scorecard over a daily series: the naive (lag-1)
     * and seasonal-naive (lag-7) forecasts every real model must beat,
     * with per-day absolute errors and the global MAE of both plus MASE

@@ -91,4 +91,54 @@ object Frequency {
       .withColumn("share", round(col("cnt") / lit(total.toDouble), 6))
       .orderBy(col("cnt").desc, col(keyCol))
   }
+
+  /** Market-basket association rules: for item pairs co-occurring in at
+    * least `minPairSupport` baskets, both directed rules A→B and B→A with
+    * support, confidence = supp(A∪B)/supp(A), and lift =
+    * conf / (supp(B)/N) — the co-purchase / co-click mining primitive.
+    * Top-`k` rules by (lift desc, antecedent, consequent) — deterministic.
+    *
+    * Plan: distinct (basket, item) first (dedups repeated lines), then
+    * pair generation is a SELF-EQUI-JOIN on the basket key with `a < b` —
+    * per-basket bounded (a basket of m items yields m(m−1)/2 pairs, never
+    * corpus²), the same bounded-pairs posture as the shingle dedup. Item
+    * supports are one keyed agg; the basket total is a broadcast 1-row
+    * fold; final top-k is TakeOrdered, not a global sort.
+    */
+  def basketRules(items: DataFrame, basketCol: String, itemCol: String,
+                  minPairSupport: Long, k: Int): DataFrame = {
+    require(minPairSupport >= 1 && k >= 1,
+      s"basketRules: minPairSupport/k >= 1 (got $minPairSupport, $k)")
+    val b = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val nBaskets = b.agg(countDistinct(col("__bk")).as("__nb"))
+    val supp = b.groupBy(col("__it")).agg(count(lit(1)).as("__supp"))
+    val pairs = b.as("l").join(b.as("r"),
+        col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("__a"), col("r.__it").as("__b"))
+      .agg(count(lit(1)).as("pair_support"))
+      .filter(col("pair_support") >= minPairSupport)
+    // both rule directions from the one unordered pair table
+    val directed = pairs
+      .select(col("__a").as("antecedent"), col("__b").as("consequent"),
+        col("pair_support"))
+      .unionByName(pairs.select(col("__b").as("antecedent"),
+        col("__a").as("consequent"), col("pair_support")))
+    directed
+      .join(supp.select(col("__it").as("antecedent"),
+        col("__supp").as("ante_support")), Seq("antecedent"))
+      .join(supp.select(col("__it").as("consequent"),
+        col("__supp").as("cons_support")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("confidence",
+        round(col("pair_support") / col("ante_support"), 6))
+      .withColumn("lift", round(
+        (col("pair_support") / col("ante_support")) /
+          (col("cons_support") / col("__nb").cast("double")), 6))
+      .select(col("antecedent"), col("consequent"), col("pair_support"),
+        col("ante_support"), col("cons_support"), col("confidence"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+  }
 }

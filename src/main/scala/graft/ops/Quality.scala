@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations (SURVEY.md §2.6, Q1–Q5) — the
@@ -229,5 +230,42 @@ object Quality {
             6).as("match_rate"))
     }
     reports.reduce(_.unionByName(_)).orderBy("relationship")
+  }
+
+  /** Benford first-digit audit — the fabricated-data smell test for any
+    * naturally-spanning-magnitudes numeric column (amounts, populations,
+    * trade sizes): observed leading-digit shares vs the Benford
+    * expectation log₁₀(1 + 1/d), with each digit's χ² contribution and
+    * the total over OBSERVED digits repeated per row (a corpus spanning
+    * magnitudes populates all nine; absent digits contribute no term). Non-positive values are excluded
+    * (Benford is defined on magnitudes).
+    *
+    * Plan: ONE aggregation from the corpus to the 9-digit grain (the
+    * leading digit is a narrow codegen'd expression), then every share /
+    * expectation / χ² column folds over the ≤9-row frame.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val whole = Window.partitionBy()
+    df.filter(v > 0.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("__total", sum(col("n")).over(whole))
+      .withColumn("share", round(col("n") / col("__total").cast("double"), 6))
+      .withColumn("expected",
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6))
+      .withColumn("__exp_n",
+        col("__total") * (log(lit(1.0) + lit(1.0) / col("digit")) /
+          log(lit(10.0))))
+      .withColumn("chi2_term", round(
+        (col("n") - col("__exp_n")) * (col("n") - col("__exp_n")) /
+          col("__exp_n"), 6))
+      .withColumn("chi2_total", round(sum(
+        (col("n") - col("__exp_n")) * (col("n") - col("__exp_n")) /
+          col("__exp_n")).over(whole), 6))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        col("chi2_term"), col("chi2_total"))
+      .orderBy("digit")
   }
 }

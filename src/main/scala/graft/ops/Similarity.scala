@@ -489,4 +489,51 @@ object Similarity {
         col("centroid_cosine"), col("l2_shift"))
       .orderBy("dim")
   }
+
+  /** Simplified (centroid-based) silhouette per cluster label — the
+    * cluster-quality readout for an embedding partition: per vector,
+    * a = cosine distance to its OWN label centroid, b = distance to the
+    * NEAREST other centroid, s = (b − a) / max(a, b); reported per label
+    * as mean a / mean b / mean silhouette. Positive ≈ separated cluster,
+    * ≈0 = boundary, negative = misassigned. The centroid form is the
+    * standard scalable variant — per-point work is |labels| distances,
+    * not the O(n²) pairwise silhouette.
+    *
+    * Plan: centroids from ONE explode + (label, dim) aggregation (both
+    * stages bounded by |labels|·dim after the shuffle); each vector then
+    * meets the |labels|-row broadcast centroid table, and the per-label
+    * fold is the final bounded aggregation. Labels with a single cluster
+    * (no "other" centroid) yield NULL b and NULL silhouette.
+    */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String): DataFrame = {
+    val cent = emb
+      .select(col(labelCol).as("__cl"),
+        posexplode(d(col(vecCol))).as(Seq("__dim", "__comp")))
+      .groupBy(col("__cl"), col("__dim"))
+      .agg(avg(col("__comp")).as("__m"))
+      .groupBy(col("__cl"))
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__m"))))
+        .as("__sm"))
+      .select(col("__cl"),
+        transform(col("__sm"), s => s.getField("__m")).as("__cv"))
+    val dist = emb
+      .select(col(idCol), col(labelCol).as("__lab"), d(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__dist", lit(1.0) - cosine(col("__v"), col("__cv")))
+    dist
+      .groupBy(col(idCol), col("__lab"))
+      .agg(min(when(col("__cl") === col("__lab"), col("__dist"))).as("__a"),
+        min(when(col("__cl") =!= col("__lab"), col("__dist"))).as("__b"))
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(when(col("__b").isNotNull, lit(0.0))))
+      .groupBy(col("__lab").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__a")), 6).as("mean_intra"),
+        round(avg(col("__b")), 6).as("mean_nearest_other"),
+        round(avg(col("__s")), 6).as("mean_silhouette"))
+      .orderBy("label")
+  }
 }

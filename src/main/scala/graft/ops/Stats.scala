@@ -724,4 +724,43 @@ object Stats {
       .withColumn("autocorr", round(col("autocorr"), 6))
       .orderBy("lag")
   }
+
+  /** Gini coefficient + Lorenz tail shares of a value's concentration
+    * across entities ("do 1% of customers carry half the revenue?") —
+    * the skew diagnostic that decides salting/bucketing strategy AND the
+    * business-side concentration readout. Uses the rank formula
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ascending sort with id
+    * tiebreak (deterministic under ties, engine-replayable).
+    *
+    * Plan: ONE entity-grain aggregation (the corpus-sized stage), then
+    * ranks/folds in windows over the ENTITY-grain frame — bounded by the
+    * entity count, the [[graft.ops.Materialize]] snapshot posture, not
+    * the event count. One output row.
+    */
+  def giniConcentration(df: DataFrame, entityCol: String,
+                        valueCol: String): DataFrame = {
+    val per = df.groupBy(col(entityCol).as("__e"))
+      .agg(sum(col(valueCol)).as("__x"))
+    val asc = Window.partitionBy().orderBy(col("__x"), col("__e"))
+    val whole = Window.partitionBy()
+    per
+      .withColumn("__i", row_number().over(asc).cast("long"))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__t", sum(col("__x")).over(whole))
+      .groupBy()
+      .agg(max(col("__n")).as("n_entities"),
+        round(max(col("__t")), 2).as("total_value"),
+        round(lit(2.0) * sum(col("__i") * col("__x")) /
+          (max(col("__n")) * max(col("__t"))) -
+          (max(col("__n")) + 1L) / max(col("__n")).cast("double"), 6)
+          .as("gini"),
+        round(sum(when(col("__i") > col("__n") -
+            greatest(ceil(col("__n") / lit(100.0)), lit(1.0)).cast("long"),
+          col("__x")).otherwise(lit(0.0))) / max(col("__t")), 6)
+          .as("top1_pct_share"),
+        round(sum(when(col("__i") > col("__n") -
+            greatest(ceil(col("__n") / lit(10.0)), lit(1.0)).cast("long"),
+          col("__x")).otherwise(lit(0.0))) / max(col("__t")), 6)
+          .as("top10_pct_share"))
+  }
 }

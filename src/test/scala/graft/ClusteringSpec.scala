@@ -1,0 +1,30 @@
+package graft
+
+import graft.ops.Clustering
+
+/** Lloyd k-means golden case on a hand-traceable corpus. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans: two well-separated groups converge to their means; " +
+      "cluster ids are the seed vector ids; distances are exact") {
+    // seeds are ids 0 and 1; after two updates the centroids settle at
+    // 0.1 and 10.1 on the x-axis
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(0.2f, 0.0f)), (3L, Array(10.0f, 0.0f)),
+      (4L, Array(10.1f, 0.0f)), (5L, Array(10.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(emb, "vec_id", "embedding",
+        k = 2, iterations = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert((0L to 2L).forall(out(_)._2 == 0L))
+    assert((3L to 5L).forall(out(_)._2 == 1L))
+    // centroid x ≈ 0.1 / 10.1 (float inputs widen exactly enough that
+    // round-6 lands on the clean values)
+    assert(out(1L)._3 == 0.0)
+    assert(out(0L)._3 == out(2L)._3 && out(0L)._3 > 0.009 &&
+      out(0L)._3 < 0.011)
+    assert(out(4L)._3 < 1e-6 && out(3L)._3 > 0.009)
+  }
+}

@@ -131,4 +131,44 @@ class EvalSpec extends SparkSpec {
       assert(r._5.get == 0.0)
     }
   }
+  test("forecastBaseline: linear series gives MAE 1 (naive) and 7 " +
+      "(seasonal-naive), MASE 7, NULL forecasts at the head") {
+    val d0 = java.time.LocalDate.of(2024, 3, 1)
+    val rows = (0 until 14).map(i =>
+      (java.sql.Date.valueOf(d0.plusDays(i.toLong)), (i + 1).toDouble))
+    val out = Eval.forecastBaseline(rows.toDF("d", "v"), col("d"), "v")
+      .select("actual", "naive", "snaive", "mae_naive", "mae_snaive", "mase")
+      .as[(Double, Option[Double], Option[Double], Double, Double, Double)]
+      .collect()
+    assert(out.length == 14)
+    assert(out.head._2.isEmpty && out.take(7).forall(_._3.isEmpty))
+    assert(out.last._2.get == 13.0 && out.last._3.get == 7.0)
+    assert(out.forall(r => r._4 == 1.0 && r._5 == 7.0 && r._6 == 7.0))
+  }
+  test("ndcgAtK: hand-computed DCG/IDCG, no-relevant NULL, relevance " +
+      "outside the top k scores zero") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def disc(p: Int) = 1.0 / (math.log(p + 1.0) / math.log(2.0))
+    val rows =
+      // user 1: relevant at predicted positions 1 and 3
+      Seq((1L, 11L, 4.0, 1), (1L, 12L, 3.0, 0), (1L, 13L, 2.0, 1),
+        (1L, 14L, 1.0, 0)) ++
+      // user 2: nothing relevant
+      Seq((2L, 21L, 9.0, 0), (2L, 22L, 8.0, 0)) ++
+      // user 3: 12 items, the only relevant one ranked 11th -> outside k
+      (1 to 12).map(i => (3L, 30L + i, 100.0 - i, if (i == 11) 1 else 0))
+    val out = Eval.ndcgAtK(rows.toDF("u", "id", "s", "rel"),
+        "u", "id", "s", col("rel") === 1, k = 10)
+      .select("u", "n_relevant", "dcg", "idcg", "ndcg")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val dcg1 = disc(1) + disc(3)
+    val idcg1 = disc(1) + disc(2)
+    assert(out(1L)._3.get == r6(dcg1) && out(1L)._4.get == r6(idcg1))
+    assert(out(1L)._5.get == r6(dcg1 / idcg1))
+    assert(out(2L) == ((2L, 0L, Some(0.0), None, None)))
+    assert(out(3L)._2 == 1L && out(3L)._3.get == 0.0 &&
+      out(3L)._5.get == 0.0)
+  }
 }

@@ -61,4 +61,28 @@ class FrequencySpec extends SparkSpec {
     // share is over the 90 non-null rows, not 100
     assert(hh.head.getDouble(2) == 1.0)
   }
+  test("basketRules: supports, confidence and lift match hand values; " +
+      "minSupport cuts; both directions emitted") {
+    val items = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "b"),
+      (4L, "b") // duplicate line collapses in the distinct
+    ).toDF("bk", "it")
+    val out = Frequency.basketRules(items, "bk", "it",
+        minPairSupport = 2, k = 10)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // pairs: (a,b) 2, (a,c) 2, (b,c) 1 (cut); supports a3 b3 c2, N=4
+    assert(out.keySet ==
+      Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")))
+    assert(out(("a", "b"))._3 == 2L && out(("a", "b"))._4 == 3L &&
+      out(("a", "b"))._5 == 3L)
+    assert(out(("a", "b"))._6 == 0.666667)            // conf 2/3
+    assert(out(("a", "b"))._7 == 0.888889)            // lift (2/3)/(3/4)
+    assert(out(("c", "a"))._6 == 1.0)                 // conf 2/2
+    assert(out(("c", "a"))._7 == 1.333333)            // lift 1/(3/4)
+    assert(out(("a", "c"))._7 == 1.333333)
+  }
 }

@@ -137,4 +137,18 @@ class QualitySpec extends SparkSpec {
       .head()
     assert(approx.getLong(4) == 2L)
   }
+  test("benford: digit extraction, shares, expectation and chi2 match " +
+      "hand values; non-positives excluded") {
+    val df = Seq(1.0, 19.0, 2.5, 300.0, 0.0, -5.0).toDF("v")
+    val out = Quality.benford(df, "v")
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // digits 1,1,2,3 from the four positives
+    assert(out.keySet == Set(1, 2, 3))
+    assert(out(1)._2 == 2L && out(1)._3 == 0.5)
+    assert(out(1)._4 == 0.30103)                     // log10(2)
+    assert(out(1)._5 == 0.526048)
+    assert(out(2)._5 == 0.124083 && out(3)._5 == 0.500736)
+    assert(out.values.forall(_._6 == 1.150867))      // observed-digit total
+  }
 }

@@ -294,4 +294,23 @@ class SimilaritySpec extends SparkSpec {
       .select("cur_mean").as[Option[Double]].collect()
     assert(same.forall(_.isEmpty)) // empty current slice → NULL means
   }
+  test("silhouette: orthogonal clusters score 1, own-centroid distance 0, " +
+      "single-label corpus yields NULL silhouette") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 3.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.silhouette(emb, "vec_id", "embedding", "label")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // all vectors are colinear with their centroid (cos dist 0) and
+    // orthogonal to the other centroid (cos dist 1) -> silhouette 1
+    assert(out(0) == ((0, 2L, 0.0, 1.0, 1.0)))
+    assert(out(1) == ((1, 2L, 0.0, 1.0, 1.0)))
+    val single = Similarity.silhouette(
+        emb.filter($"label" === 0), "vec_id", "embedding", "label")
+      .select("mean_nearest_other", "mean_silhouette")
+      .as[(Option[Double], Option[Double])].head()
+    assert(single == ((None, None)))
+  }
 }

@@ -315,4 +315,21 @@ class StatsSpec extends SparkSpec {
       Stats.autocorr(df, col("bucket"), "v", maxLag = 0)
     }
   }
+  test("giniConcentration: uniform 0, single-holder (n-1)/n, Lorenz " +
+      "tails capture the top entities") {
+    val uniform = (1L to 8L).flatMap(e => Seq((e, 5.0), (e, 5.0)))
+      .toDF("e", "v")
+    val u = Stats.giniConcentration(uniform, "e", "v")
+      .select("n_entities", "total_value", "gini", "top1_pct_share",
+        "top10_pct_share")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(u._1 == 8L && u._2 == 80.0 && u._3 == 0.0)
+    // ceil(8/100)=1, ceil(8/10)=1 -> both tails are the single top entity
+    assert(u._4 == 0.125 && u._5 == 0.125)
+    val skew = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 100.0))
+      .toDF("e", "v")
+    val s = Stats.giniConcentration(skew, "e", "v")
+      .select("gini", "top1_pct_share").as[(Double, Double)].head()
+    assert(s._1 == 0.75 && s._2 == 1.0)   // (n-1)/n with n=4
+  }
 }
