@@ -3571,6 +3571,57 @@ object OracleSql {
              round(sum(CASE WHEN i > n
                  - CAST(greatest(ceil(n / 10.0), 1.0) AS BIGINT)
                THEN x ELSE 0.0 END) / max(t), 6) AS top10_pct_share
-      FROM r"""
+      FROM r""",
+
+    // WOE over smoothed class shares (s=0.5 spread across K observed
+    // categories — the dsirWeights smoothing convention), IV fold over
+    // the K-row frame
+    "q_woe_encoding" -> """
+      WITH per AS (SELECT event_type AS category,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value > 90.0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pos
+            FROM events GROUP BY 1),
+      t AS (SELECT category, n, n_pos, n - n_pos AS n_neg,
+               (n_pos + 0.5)
+                 / (sum(n_pos) OVER () + 0.5 * count(*) OVER ()) AS ps,
+               (n - n_pos + 0.5)
+                 / (sum(n - n_pos) OVER () + 0.5 * count(*) OVER ()) AS ns
+            FROM per),
+      w AS (SELECT category, n, n_pos, n_neg,
+               ln(ps) - ln(ns) AS woe_raw,
+               (ps - ns) * (ln(ps) - ln(ns)) AS iv_raw
+            FROM t)
+      SELECT category, n, n_pos, n_neg, round(woe_raw, 6) AS woe,
+             round(iv_raw, 6) AS iv_term,
+             round(sum(iv_raw) OVER (), 6) AS iv_total
+      FROM w ORDER BY category""",
+
+    // ordered wedge join (a<b<c) + closure semi-join — each triangle
+    // found once, credited to all three corners
+    "q_triangles" -> """
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+                    FROM lineitem),
+      e AS (SELECT a.sk AS a, b.sk AS b FROM base a JOIN base b
+            ON a.bk = b.bk AND a.sk < b.sk
+            GROUP BY 1, 2 HAVING count(*) >= 10),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+              (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY node),
+      w AS (SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1 JOIN e e2 ON e1.b = e2.a),
+      t AS (SELECT w.a, w.b, w.c FROM w WHERE EXISTS
+            (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)),
+      pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+             (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+              UNION ALL SELECT c FROM t) GROUP BY node)
+      SELECT d.node AS s_suppkey, d.degree,
+             CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+             round(CASE WHEN d.degree >= 2 THEN
+                 2.0 * coalesce(p.triangles, 0)
+                   / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+               ELSE 0.0 END, 6) AS clustering_coeff
+      FROM deg d LEFT JOIN pn p ON d.node = p.node
+      ORDER BY s_suppkey"""
   )
 }

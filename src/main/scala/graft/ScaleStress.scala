@@ -50,8 +50,12 @@ object ScaleStress {
       (math.min(a._1, b._1), b._2)
     }
 
-    val ks = args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
-      .getOrElse(Seq(1, 2, 5, 10))
+    // "mining" as the sole arg runs ONLY the mining/graph loop below
+    val miningOnly = args.headOption.contains("mining")
+    val ks =
+      if (miningOnly) Seq.empty[Int]
+      else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse(Seq(1, 2, 5, 10))
     for (k <- ks) {
       val corpus = (0 until k).map { i =>
         val text =
@@ -178,6 +182,61 @@ object ScaleStress {
       println(f"STRESS-EVENTS k=$k rows=$n t_interval_join=$tIj%.2f " +
         f"matches=$nIj t_rolling_active=$tRa%.2f days=$nDays " +
         f"t_future_labels=$tFl%.2f")
+    }
+
+    // mining/graph/clustering stress at 1x/10x/100x: disjoint replicas
+    // (shifted basket/part/supplier/vector ids, suffixed tokens) preserve
+    // per-copy density, so pair spaces, co-order graphs and vocabularies
+    // grow LINEARLY in k — the pass criterion for every operator here.
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    for (k <- if (args.isEmpty || miningOnly) Seq(1, 10, 100)
+              else Seq.empty[Int]) {
+      val lic = (0 until k).map(i =>
+        li.select((col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey"),
+          (col("l_suppkey") + lit(i * 10000000L)).as("l_suppkey")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nLi = lic.count()
+      val (tBasket, nRules) = timeMin2 {
+        graft.ops.Frequency.basketRules(lic, "l_orderkey", "l_partkey",
+          minPairSupport = 2, k = 100).queryExecution.toRdd.count()
+      }
+      val base2 = lic.select(col("l_orderkey").as("bk"),
+        col("l_suppkey").as("sk")).distinct()
+      val edges = base2.as("a").join(base2.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      val (tPr, nNodes) = timeMin2 {
+        graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
+          .queryExecution.toRdd.count()
+      }
+      println(f"STRESS-MINING k=$k rows=$nLi t_basket=$tBasket%.2f " +
+        f"rules=$nRules t_pagerank=$tPr%.2f nodes=$nNodes")
+
+      val embK = (0 until k).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nVec = embK.count()
+      val (tKm, _) = timeMin2 {
+        graft.ops.Clustering.kmeans(embK, "vec_id", "embedding",
+          k = 8, iterations = 3).queryExecution.toRdd.count()
+      }
+      val docsK = (0 until k).map { i =>
+        val text =
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", "$1_m" + i)
+        base.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val nDocs2 = docsK.count()
+      val (tColl, nColl) = timeMin2 {
+        graft.ops.TextAnalysis.collocations(docsK, "text",
+          minCount = 5, k = 50).queryExecution.toRdd.count()
+      }
+      println(f"STRESS-MINING2 k=$k vecs=$nVec t_kmeans=$tKm%.2f " +
+        f"docs=$nDocs2 t_collocations=$tColl%.2f top=$nColl")
     }
     spark.stop()
   }

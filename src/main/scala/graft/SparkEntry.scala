@@ -1736,7 +1736,27 @@ object SparkEntry {
       // revenue concentration across customers: Gini + Lorenz tail
       // shares over the entity-grain aggregate
       Stats.giniConcentration(Tables.orders(s, dir), "o_custkey",
-        "o_totalprice"))
+        "o_totalprice")),
+    "q_woe_encoding" -> ((s, dir) =>
+      // weight-of-evidence of event_type for predicting high-value
+      // events, with the information-value feature-power total
+      Encoding.woeEncode(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        "event_type", col("value") > 90.0)),
+    "q_triangles" -> ((s, dir) => {
+      // community density of the strong co-order supplier graph (pairs
+      // sharing >= 10 orders): per-node triangles + clustering coeff
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 10)
+        .select("src", "dst")
+      Graph.triangleCounts(edges, "src", "dst")
+        .withColumnRenamed("node", "s_suppkey")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Categorical feature encoders for the training handoff (SURVEY.md §7.4
@@ -138,5 +139,39 @@ object Encoding {
           round(when(iqr > 0.0, (col(c) - med) / iqr).otherwise(0.0), 6))
       }
       .drop(cols.map(c => s"__q_$c"): _*)
+  }
+  /** Weight-of-evidence encoding + information value — the
+    * credit-scoring-standard supervised categorical encoder: per
+    * category, WOE = ln(posShare / negShare) over additively-smoothed
+    * class distributions (smoothing `s` spread over the K observed
+    * categories, the [[graft.ops.TextAnalysis.dsirWeights]] convention,
+    * so empty classes never hit ln(0)), and the IV term
+    * (posShare − negShare)·WOE whose total ranks the feature's
+    * predictive power (<0.02 useless, >0.3 strong — Siddiqi's bands).
+    *
+    * Plan: ONE aggregation to category grain (the corpus-sized stage,
+    * map-side combined); shares, WOE, and the IV fold all run over the
+    * K-row category frame.
+    */
+  def woeEncode(df: DataFrame, catCol: String, label: Column,
+                smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0.0, s"woeEncode: smoothing > 0 (got $smoothing)")
+    val whole = Window.partitionBy()
+    val per = df.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"), sum(label.cast("long")).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val k = count(lit(1)).over(whole)
+    val ps = (col("n_pos") + lit(smoothing)) /
+      (sum(col("n_pos")).over(whole) + lit(smoothing) * k)
+    val ns = (col("n_neg") + lit(smoothing)) /
+      (sum(col("n_neg")).over(whole) + lit(smoothing) * k)
+    per
+      .withColumn("__woe", log(ps) - log(ns))
+      .withColumn("__iv", (ps - ns) * (log(ps) - log(ns)))
+      .select(col("category"), col("n"), col("n_pos"), col("n_neg"),
+        round(col("__woe"), 6).as("woe"),
+        round(col("__iv"), 6).as("iv_term"),
+        round(sum(col("__iv")).over(whole), 6).as("iv_total"))
+      .orderBy("category")
   }
 }

@@ -32,7 +32,10 @@ object Eval {
     * stage, map-side combined), then a per-group cumulative window over
     * distinct scores (bounded per group), then the per-group fold.
     * Degenerate groups (no positives or no negatives) yield NULL auc
-    * rather than a misleading 0/1.
+    * rather than a misleading 0/1. A single group with extreme distinct-
+    * score cardinality sorts in one task — pre-bin the score first in
+    * that regime (the q_ks_binned pattern; ranks over bins give the
+    * identical AUC when bin boundaries respect ties).
     */
   def rocAuc(df: DataFrame, groupCol: String, label: Column,
              scoreCol: String): DataFrame = {

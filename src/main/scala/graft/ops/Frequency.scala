@@ -106,11 +106,26 @@ object Frequency {
     * fold; final top-k is TakeOrdered, not a global sort.
     */
   def basketRules(items: DataFrame, basketCol: String, itemCol: String,
-                  minPairSupport: Long, k: Int): DataFrame = {
+                  minPairSupport: Long, k: Int,
+                  maxBasketSize: Int = 10000): DataFrame = {
     require(minPairSupport >= 1 && k >= 1,
       s"basketRules: minPairSupport/k >= 1 (got $minPairSupport, $k)")
+    // fail-loud pathological-basket guard (the dedupLines/sweepExact
+    // posture): one 10⁶-item basket would silently cost 10¹² pairs. The
+    // guard lives INSIDE the item column every downstream stage reads, so
+    // column pruning can never elide it; its window shuffles on the same
+    // basket key the pair join needs anyway.
     val b = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
       .distinct()
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__bk"))))
+      .withColumn("__it",
+        when(col("__sz") <= maxBasketSize, col("__it"))
+          .otherwise(raise_error(concat(
+            lit(s"basketRules: basket over $maxBasketSize items " +
+              "(pair space is quadratic per basket): "),
+            col("__bk").cast("string")))))
+      .drop("__sz")
     val nBaskets = b.agg(countDistinct(col("__bk")).as("__nb"))
     val supp = b.groupBy(col("__it")).agg(count(lit(1)).as("__supp"))
     val pairs = b.as("l").join(b.as("r"),

@@ -66,4 +66,63 @@ object Graph {
     pr.select(col("node"), col("out_deg"), round(col("rank"), 6).as("pagerank"))
       .orderBy("node")
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * UNDIRECTED graph (pass any edge list; it is canonicalized to
+    * `u < v` pairs) — the community-density readout next to
+    * [[pageRank]]'s centrality. cc = 2·T / (deg·(deg−1)), 0 for
+    * degree < 2.
+    *
+    * Plan: the classic ordered wedge join — canonical edges (a<b) joined
+    * (a,b)⋈(b,c) enumerate each wedge ONCE (a<b<c), then one semi-join
+    * against the edge set closes triangles. Wedge volume is Σ deg²,
+    * the inherent cost of exact triangle counting — so a `maxDegree`
+    * fail-loud guard rides in the plan: a hub beyond it raises instead
+    * of silently detonating the wedge join (cap or sample hub
+    * neighborhoods first, then raise the knob). All equi-joins, no
+    * nested loop.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxDegree: Int = 10000): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val canon0 = raw
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint(eager = false)
+    val deg = canon0.select(col("a").as("node"))
+      .unionByName(canon0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // fail-loud hub guard (the sweepExact posture): wedge volume is
+    // Σ deg², so one 10⁶-degree hub costs 10¹² wedges. The guard rides
+    // in the edge column the wedge join reads — never prunable.
+    val canon = canon0
+      .crossJoin(broadcast(deg.agg(max(col("degree")).as("__maxdeg"))))
+      .withColumn("a",
+        when(col("__maxdeg") <= maxDegree, col("a"))
+          .otherwise(raise_error(concat(
+            lit(s"triangleCounts: a node exceeds degree $maxDegree " +
+              "(wedge space is quadratic per node); cap or sample hub " +
+              "neighborhoods first — max degree seen: "),
+            col("__maxdeg").cast("string")))))
+      .drop("__maxdeg")
+    val wedges = canon.as("e1")
+      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tris = wedges
+      .join(canon.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "left_semi")
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)), 6).as("clustering_coeff"))
+      .orderBy("node")
+  }
 }

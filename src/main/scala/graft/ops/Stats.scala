@@ -734,8 +734,11 @@ object Stats {
     *
     * Plan: ONE entity-grain aggregation (the corpus-sized stage), then
     * ranks/folds in windows over the ENTITY-grain frame — bounded by the
-    * entity count, the [[graft.ops.Materialize]] snapshot posture, not
-    * the event count. One output row.
+    * entity count, not the event count. The rank window is a single-task
+    * sort of the entity table; at billions of entities switch to the
+    * binned-Lorenz approximation (quantile-bin revenues, Gini over the
+    * binned distribution — the q_ks_binned exact/binned convention).
+    * One output row.
     */
   def giniConcentration(df: DataFrame, entityCol: String,
                         valueCol: String): DataFrame = {

@@ -85,4 +85,24 @@ class EncodingSpec extends SparkSpec {
     // a typical value keeps an O(1) robust score
     assert(math.abs(rs(9.0)) < 1.0)
   }
+  test("woeEncode: hand-computed smoothed shares, WOE sign tracks class " +
+      "skew, IV total folds the terms") {
+    // cat a: 3 pos 1 neg; cat b: 1 pos 3 neg -> P=4, N=4, K=2
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0)).toDF("c", "y")
+    val out = graft.ops.Encoding.woeEncode(df, "c", col("y") === 1)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def share(c: Long, tot: Long) = (c + 0.5) / (tot + 0.5 * 2)
+    def woe(p: Long, q: Long) =
+      math.log(share(p, 4)) - math.log(share(q, 4))
+    assert(out("a")._2 == 4L && out("a")._3 == 3L && out("a")._4 == 1L)
+    assert(out("a")._5 == r6(woe(3, 1)) && out("b")._5 == r6(woe(1, 3)))
+    assert(out("a")._5 > 0 && out("b")._5 < 0)      // sign tracks skew
+    val iv = (share(3, 4) - share(1, 4)) * woe(3, 1) +
+      (share(1, 4) - share(3, 4)) * woe(1, 3)
+    assert(out.values.forall(_._7 == r6(iv)))
+  }
 }

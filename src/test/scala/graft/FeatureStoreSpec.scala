@@ -167,4 +167,30 @@ class FeatureStoreSpec extends SparkSpec {
     assert(out(8L) == ((None, None)))
     assert(out.size == 5)                           // refs not emitted
   }
+  test("nearestJoin ≡ naive per-probe scan on random event streams " +
+      "(property)") {
+    val rnd = new scala.util.Random(4207)
+    val rows = (1 to 600).map { i =>
+      (i.toLong, (rnd.nextInt(12) + 1).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        if (rnd.nextBoolean()) "p" else "r")
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "kind")
+    val got = graft.ops.Retrieval.nearestJoin(df, "user_id", "ts",
+        "event_id", col("kind") === "p", col("kind") === "r")
+      .select("event_id", "nearest_ref_ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    // naive: for each probe, scan the user's refs; tie -> earlier ref
+    val byUser = rows.groupBy(_._2)
+    val want = rows.filter(_._4 == "p").map { case (id, u, ts, _) =>
+      val refs = byUser(u).filter(_._4 == "r").map(_._3)
+      val best =
+        if (refs.isEmpty) None
+        else Some(refs.minBy(r =>
+          (math.abs(r.getTime - ts.getTime), r.getTime)))
+      id -> best
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, b) => assert(got(id) == b, s"probe $id") }
+  }
 }

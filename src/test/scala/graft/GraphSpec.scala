@@ -30,4 +30,36 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(cyc.length == 2 && cyc.forall(_._3 == 0.5))
   }
+  test("triangleCounts: triangle corners counted once each, pendant " +
+      "scores zero, coefficients match the closed form, direction and " +
+      "duplicate edges collapse") {
+    // triangle {1,2,3} plus pendant 4 on node 1; edges given in mixed
+    // directions with a duplicate
+    val g = Seq((1L, 2L), (3L, 2L), (1L, 3L), (4L, 1L), (2L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(g, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, 0.333333)))
+    assert(out(2L) == ((2L, 2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 2L, 1L, 1.0)))
+    assert(out(4L) == ((4L, 1L, 0L, 0.0)))
+  }
+  test("guards fire loud: oversized basket and hub degree raise in-plan") {
+    val fat = (1 to 30).map(i => (1L, i.toLong)).toDF("bk", "it")
+    val e1 = intercept[Exception] {
+      graft.ops.Frequency.basketRules(fat, "bk", "it",
+        minPairSupport = 1, k = 5, maxBasketSize = 10).collect()
+    }
+    assert(e1.getMessage.contains("basket over 10 items"))
+    // star hub 1 with 12 spokes
+    val star = (2L to 13L).map(v => (1L, v)).toDF("src", "dst")
+    val e2 = intercept[Exception] {
+      graft.ops.Graph.triangleCounts(star, "src", "dst", maxDegree = 10)
+        .collect()
+    }
+    assert(e2.getMessage.contains("exceeds degree 10"))
+    // at-the-limit graphs pass
+    assert(graft.ops.Graph.triangleCounts(star, "src", "dst",
+      maxDegree = 12).count() == 13)
+  }
 }
