@@ -26,6 +26,35 @@ object OracleSql {
 
   private val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
+  /** Full-history SCD2 — shared by q_scd2 and q_scd2_incremental (the
+    * incremental fold's contract is exact equality with this).
+    */
+  private val scd2Sql = """
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      b AS (
+        SELECT *, sum(CASE WHEN prev IS DISTINCT FROM event_type
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+        FROM r),
+      runs AS (
+        SELECT user_id, run, event_type,
+               min(ts) AS valid_from, max(ts) AS last_ts,
+               count(*) AS n_rows
+        FROM b GROUP BY 1, 2, 3)
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from) AS valid_to,
+             last_ts, n_rows,
+             (lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from) IS NULL) AS is_current
+      FROM runs ORDER BY user_id, valid_from"""
+
   /** Shared aggregate list of the flagship clickstream query. */
   private val clickAggs: String = s"""
     count(*) AS total_events,
@@ -1916,31 +1945,11 @@ object OracleSql {
       FROM n ORDER BY event_id""",
 
     // SCD2: run-boundary lag + running boundary count = run id, then
-    // lead(valid_from) chains [valid_from, valid_to) intervals
-    "q_scd2" -> """
-      WITH r AS (
-        SELECT user_id, ts, event_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS prev
-        FROM events),
-      b AS (
-        SELECT *, sum(CASE WHEN prev IS DISTINCT FROM event_type
-                           THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS run
-        FROM r),
-      runs AS (
-        SELECT user_id, run, event_type,
-               min(ts) AS valid_from, count(*) AS n_rows
-        FROM b GROUP BY 1, 2, 3)
-      SELECT user_id, event_type, valid_from,
-             lead(valid_from) OVER (PARTITION BY user_id
-               ORDER BY valid_from) AS valid_to,
-             n_rows,
-             (lead(valid_from) OVER (PARTITION BY user_id
-               ORDER BY valid_from) IS NULL) AS is_current
-      FROM runs ORDER BY user_id, valid_from""",
+    // lead(valid_from) chains [valid_from, valid_to) intervals.
+    // q_scd2_incremental folds a split history and must reproduce this
+    // full-history result EXACTLY, so it replays the same SQL.
+    "q_scd2" -> scd2Sql,
+    "q_scd2_incremental" -> scd2Sql,
 
     // lag-k autocorrelation: bucket agg, one ordered lag pass, then one
     // corr per k — unrolled as a UNION because corr is an aggregate
@@ -3622,6 +3631,45 @@ object OracleSql {
                    / CAST(d.degree * (d.degree - 1) AS DOUBLE)
                ELSE 0.0 END, 6) AS clustering_coeff
       FROM deg d LEFT JOIN pn p ON d.node = p.node
-      ORDER BY s_suppkey"""
+      ORDER BY s_suppkey""",
+
+    // fixed z-quantile literals (alpha=.05 two-sided, power=.80) — the
+    // identical closed form on both engines, no inverse-CDF calls
+    "q_ab_power" -> s"""
+      WITH u AS (SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 95.0
+                        THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id),
+      a AS (SELECT conv, ${uk("user_id", 59)} > 0.5 AS t FROM u),
+      f AS (SELECT
+              CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT)
+                AS n_control,
+              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT)
+                AS n_treatment,
+              sum(CASE WHEN NOT t THEN conv END) AS cc,
+              sum(CASE WHEN t THEN conv END) AS ct
+            FROM a),
+      e AS (SELECT *,
+              cc / CAST(n_control AS DOUBLE) AS rc,
+              ct / CAST(n_treatment AS DOUBLE) AS rt,
+              abs(ct / CAST(n_treatment AS DOUBLE)
+                - cc / CAST(n_control AS DOUBLE)) AS delta,
+              (cc + ct) / CAST(n_control + n_treatment AS DOUBLE) AS pbar,
+              least(n_control, n_treatment) AS nmin,
+              1.959964 + 0.841621 AS zs
+            FROM f)
+      SELECT n_control, n_treatment,
+             round(rc, 6) AS rate_control, round(rt, 6) AS rate_treatment,
+             round(delta, 6) AS observed_delta,
+             CASE WHEN delta > 0 THEN
+               CAST(ceil(zs * zs * (rc * (1.0 - rc) + rt * (1.0 - rt))
+                 / (delta * delta)) AS BIGINT) END AS required_n_per_arm,
+             CASE WHEN nmin > 0 THEN
+               round(zs * sqrt(2.0 * pbar * (1.0 - pbar) / nmin), 6)
+             END AS mde_at_current_n,
+             CASE WHEN delta > 0 THEN
+               nmin >= ceil(zs * zs * (rc * (1.0 - rc) + rt * (1.0 - rt))
+                 / (delta * delta)) END AS powered
+      FROM e"""
   )
 }

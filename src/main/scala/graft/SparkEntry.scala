@@ -484,8 +484,33 @@ object SparkEntry {
               col("event_type")),
           "user_id", "ts", "event_id", "event_type")
         .select(col("user_id"), col("event_type"), col("valid_from"),
-          col("valid_to"), col("n_rows"), col("is_current"))
+          col("valid_to"), col("last_ts"), col("n_rows"), col("is_current"))
         .orderBy("user_id", "valid_from")),
+    "q_scd2_incremental" -> ((s, dir) => {
+      // split-history fold: SCD2 of the first half folded with the
+      // second half's batch must equal SCD2 of full history (the
+      // q_incremental_snapshot convention — the oracle replays the
+      // full-history SQL)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val cut = lit("2024-01-16").cast("timestamp_ntz")
+      val existing = Materialize.scd2(ev.filter(col("ts") < cut),
+        "user_id", "ts", "event_id", "event_type")
+      Materialize.scd2Incremental(existing, ev.filter(col("ts") >= cut),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("last_ts"), col("n_rows"), col("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+    "q_ab_power" -> ((s, dir) =>
+      // experiment sizing audit: required n per arm for the observed
+      // lift at alpha=.05/power=.80, MDE at current size, powered?
+      Eval.abPower(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value")),
+        "user_id",
+        col("event_type") === "purchase" && col("value") > 95.0)),
     "q_autocorr" -> ((s, dir) =>
       // seasonality diagnostic: lag-1..14 autocorrelation of the daily
       // order-revenue series — one bucket agg + one bounded window pass

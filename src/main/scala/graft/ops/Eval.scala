@@ -155,6 +155,52 @@ object Eval {
       .drop("__mc", "__mt", "__vc", "__vt")
   }
 
+  /** A/B sizing readout — the "is this experiment big enough" audit
+    * published next to [[abTest]]: from the same hash assignment and
+    * user-grain conversion, the two-proportion sample size required per
+    * arm to detect the OBSERVED lift at α = 0.05 (two-sided) with power
+    * 0.80 — n = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/Δ² — plus the
+    * minimum detectable effect at the CURRENT smaller arm,
+    * MDE = (z_{α/2}+z_β)·√(2·p̄(1−p̄)/n_min), and a powered? verdict.
+    * The z quantiles are fixed literals (1.959964, 0.841621), so both
+    * engines compute the identical closed form — no inverse-CDF calls.
+    *
+    * Plan: identical to [[abTest]] — one user-grain aggregation, one
+    * single-row fold.
+    */
+  def abPower(df: DataFrame, userCol: String, isConv: Column,
+              channel: Long = 59L): DataFrame = {
+    val zSum = lit(1.959964 + 0.841621)
+    val users = df
+      .groupBy(col(userCol))
+      .agg(max(isConv.cast("int")).as("__conv"))
+      .withColumn("__t", Gen.u01(col(userCol), channel) > 0.5)
+    def arm(t: Boolean, c: Column) = when(col("__t") === t, c)
+    val folded = users.groupBy().agg(
+      count(arm(false, lit(1))).as("n_control"),
+      count(arm(true, lit(1))).as("n_treatment"),
+      sum(arm(false, col("__conv"))).as("__cc"),
+      sum(arm(true, col("__conv"))).as("__ct"))
+    val rc = col("__cc") / col("n_control").cast("double")
+    val rt = col("__ct") / col("n_treatment").cast("double")
+    val delta = abs(rt - rc)
+    val pBar = (col("__cc") + col("__ct")) /
+      (col("n_control") + col("n_treatment")).cast("double")
+    val nMin = least(col("n_control"), col("n_treatment"))
+    val reqN = ceil(zSum * zSum *
+      (rc * (lit(1.0) - rc) + rt * (lit(1.0) - rt)) / (delta * delta))
+    folded
+      .withColumn("rate_control", round(rc, 6))
+      .withColumn("rate_treatment", round(rt, 6))
+      .withColumn("observed_delta", round(delta, 6))
+      .withColumn("required_n_per_arm", when(delta > 0, reqN))
+      .withColumn("mde_at_current_n",
+        when(nMin > 0, round(zSum *
+          sqrt(lit(2.0) * pBar * (lit(1.0) - pBar) / nMin), 6)))
+      .withColumn("powered", when(delta > 0, nMin >= reqN))
+      .drop("__cc", "__ct")
+  }
+
   /** Kaplan–Meier survival over time-to-first-event: per key, the clock
     * starts at its first observation; keys that ever fire `isEvent` are
     * observed at their FIRST firing, the rest are right-censored at their

@@ -210,7 +210,7 @@ object Materialize {
   def scd2(history: DataFrame, key: String, ts: String, id: String,
            attrCol: String): DataFrame = {
     val reserved = Seq("__prev", "__run", "valid_from", "valid_to",
-      "n_rows", "is_current")
+      "last_ts", "n_rows", "is_current")
     require(!reserved.exists(history.columns.contains),
       s"scd2: input already has one of ${reserved.mkString(", ")}")
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
@@ -223,11 +223,77 @@ object Materialize {
         sum(when(!(col("__prev") <=> col(attrCol)), 1L).otherwise(0L))
           .over(running))
       .groupBy(col(key), col("__run"), col(attrCol))
-      .agg(min(col(ts)).as("valid_from"), count(lit(1)).as("n_rows"))
+      .agg(min(col(ts)).as("valid_from"), max(col(ts)).as("last_ts"),
+        count(lit(1)).as("n_rows"))
     val byKey = Window.partitionBy(col(key)).orderBy(col("valid_from"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__run")
+  }
+
+  /** Incremental SCD2 maintenance — fold an APPEND-ONLY batch of new
+    * events into an existing [[scd2]] table without re-reading history:
+    * closed intervals pass through untouched; each key's OPEN interval
+    * becomes a single virtual seed event (its attribute at its
+    * `last_ts`, remembering `valid_from`/`n_rows`), the seed + new
+    * events run the same run-collapse, and the seed run's provenance is
+    * restored afterwards. Produces EXACTLY [[scd2]] of the full history
+    * (the oracle replays the full-history SQL against this fold — the
+    * [[incremental]] snapshot convention).
+    *
+    * Append-only contract, enforced fail-loud IN-PLAN: a new event at or
+    * before its key's open-interval `last_ts` raises (out-of-order
+    * arrivals would need the collapsed rows back — re-run [[scd2]] on
+    * full history for that key instead).
+    *
+    * Plan: same per-key-bounded shapes as [[scd2]] over (seeds ∪ batch)
+    * — history cost is one row per key regardless of how many events the
+    * existing runs collapsed.
+    */
+  def scd2Incremental(existing: DataFrame, newEvents: DataFrame,
+                      key: String, ts: String, id: String,
+                      attrCol: String): DataFrame = {
+    val closed = existing.filter(!col("is_current"))
+      .select(col(key), col(attrCol), col("valid_from"), col("last_ts"),
+        col("n_rows"), col("valid_to"), col("is_current"))
+    val open = existing.filter(col("is_current"))
+      .select(col(key), col(attrCol).as("__seedAttr"),
+        col("valid_from").as("__seedFrom"), col("last_ts").as("__seedTs"),
+        col("n_rows").as("__seedN"))
+    // fail-loud append-only guard, riding in the ts column the collapse
+    // sorts on (never prunable)
+    val guarded = newEvents
+      .join(open.select(col(key), col("__seedTs")), Seq(key), "left")
+      .withColumn(ts,
+        when(col("__seedTs").isNull || col(ts) > col("__seedTs"), col(ts))
+          .otherwise(raise_error(concat(
+            lit("scd2Incremental: new event at or before the open " +
+              "interval's last_ts for key "), col(key).cast("string"),
+            lit(" — append-only contract violated; rebuild this key " +
+              "from full history")))))
+      .drop("__seedTs")
+    val seeds = open.select(col(key), col("__seedAttr").as(attrCol),
+      col("__seedTs").as(ts), lit(Long.MinValue).as(id))
+    val folded = scd2(
+      guarded.select(col(key), col(ts), col(id), col(attrCol))
+        .unionByName(seeds), key, ts, id, attrCol)
+    // restore the seed run's provenance: its valid_from and the rows the
+    // collapsed history already counted (seed itself counted once)
+    // keyed join, NOT broadcast: the open-interval table is entity-grain
+    // (one row per key) and shares the collapse's shuffle key
+    folded
+      .join(open.select(col(key), col("__seedFrom"),
+        col("__seedTs"), col("__seedN")), Seq(key), "left")
+      .withColumn("__isSeedRun",
+        col("__seedTs").isNotNull && col("valid_from") === col("__seedTs"))
+      .withColumn("valid_from",
+        when(col("__isSeedRun"), col("__seedFrom")).otherwise(col("valid_from")))
+      .withColumn("n_rows",
+        when(col("__isSeedRun"), col("n_rows") + col("__seedN") - 1L)
+          .otherwise(col("n_rows")))
+      .drop("__seedFrom", "__seedTs", "__seedN", "__isSeedRun")
+      .unionByName(closed.select(col(key), col(attrCol), col("valid_from"),
+        col("last_ts"), col("n_rows"), col("valid_to"), col("is_current")))
   }
 }

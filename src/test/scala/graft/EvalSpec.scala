@@ -171,4 +171,33 @@ class EvalSpec extends SparkSpec {
     assert(out(3L)._2 == 1L && out(3L)._3.get == 0.0 &&
       out(3L)._5.get == 0.0)
   }
+  test("abPower: closed-form replay of required n and MDE on the hash " +
+      "assignment; zero-delta experiment reports NULL sizing") {
+    val M = 2147483647L
+    def u01(key: Long, c: Long): Double = {
+      val h1 = (key + c * 1000003L) % M
+      ((h1 * 48271L % M) * 48271L % M + 1).toDouble / M
+    }
+    val rows = (1L to 40L).map(u =>
+      (u, if (u % 2 == 0) 96.0 else 30.0))
+    val out = Eval.abPower(rows.toDF("user_id", "value"),
+      "user_id", col("value") > 95.0).head()
+    def g(n: String) = out.getAs[Any](n)
+    val byArm = (1L to 40L).groupBy(u => u01(u, 59L) > 0.5)
+    val (nc, nt) = (byArm(false).size, byArm(true).size)
+    val (rc, rt) = (byArm(false).count(_ % 2 == 0).toDouble / nc,
+      byArm(true).count(_ % 2 == 0).toDouble / nt)
+    val zs = 1.959964 + 0.841621
+    val d = math.abs(rt - rc)
+    assert(d > 0) // this seed splits unevenly, so rates differ
+    val req = math.ceil(zs * zs * (rc * (1 - rc) + rt * (1 - rt)) / (d * d))
+    assert(g("required_n_per_arm") == req.toLong)
+    assert(g("powered") == (math.min(nc, nt) >= req))
+    // all-converted corpus: delta 0 -> NULL sizing, MDE still reported
+    val flat = (1L to 10L).map(u => (u, 100.0)).toDF("user_id", "value")
+    val f = Eval.abPower(flat, "user_id", col("value") > 95.0).head()
+    assert(f.getAs[Any]("required_n_per_arm") == null &&
+      f.getAs[Any]("powered") == null &&
+      f.getAs[Any]("mde_at_current_n") != null)
+  }
 }

@@ -152,4 +152,44 @@ class MaterializeSpec extends SparkSpec {
     // round trip: interval row counts cover every source event
     assert(out.map(_._5).sum == 7L)
   }
+  test("scd2Incremental: split-history fold equals full-history scd2 " +
+      "(boundary-continuing runs, new keys, untouched keys); guard " +
+      "fires on out-of-order batch") {
+    val rnd = new scala.util.Random(1137)
+    val attrs = Array("a", "b", "c")
+    // 20 keys x ~30 events with frequent run-continuations across any cut
+    val rows = (1 to 600).map { i =>
+      (i.toLong, (i % 20).toLong + 1L,
+        ts("2024-02-01 00:00:00").getTime + rnd.nextInt(500000) * 1000L,
+        attrs(rnd.nextInt(3)))
+    }.map(r => (r._1, r._2, new java.sql.Timestamp(r._3), r._4)) ++
+      // key 77 exists ONLY before the cut; key 88 ONLY after
+      Seq((9001L, 77L, ts("2024-02-01 01:00:00"), "a"),
+        (9002L, 88L, ts("2024-02-20 01:00:00"), "b"))
+    val df = rows.toDF("event_id", "user_id", "fts", "attr")
+    val cut = ts("2024-02-04 00:00:00")
+    val old = df.filter($"fts" < cut)
+    val batch = df.filter($"fts" >= cut)
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select("user_id", "attr", "valid_from", "valid_to", "last_ts",
+        "n_rows", "is_current")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp],
+        java.sql.Timestamp, Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    val full = canon(Materialize.scd2(df, "user_id", "fts", "event_id",
+      "attr"))
+    val inc = canon(Materialize.scd2Incremental(
+      Materialize.scd2(old, "user_id", "fts", "event_id", "attr"),
+      batch, "user_id", "fts", "event_id", "attr"))
+    assert(inc == full)
+    // guard: an event at/before the open interval's last_ts raises
+    val stale = Seq((9100L, 1L, ts("2024-02-01 00:00:00"), "a"))
+      .toDF("event_id", "user_id", "fts", "attr")
+    val e = intercept[Exception] {
+      Materialize.scd2Incremental(
+        Materialize.scd2(old, "user_id", "fts", "event_id", "attr"),
+        stale, "user_id", "fts", "event_id", "attr").collect()
+    }
+    assert(e.getMessage.contains("append-only contract violated"))
+  }
 }
