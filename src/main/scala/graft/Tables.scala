@@ -14,17 +14,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS, ntz), which
-    * Spark's vectorized reader rejects. Read nanos as long (legacy flag) and
-    * truncate to microsecond TIMESTAMP_NTZ — exactly what DuckDB does when it
-    * reads the same file, keeping the oracle bit-identical. All other corpus
-    * timestamps are millis-NTZ and load as TIMESTAMP_NTZ natively.
+  /** The events table has shipped `ts` as either parquet TIMESTAMP(NANOS, ntz)
+    * (older corpus drops; Spark's vectorized reader rejects it, so read nanos as
+    * long via the legacy flag and truncate to micros) or TIMESTAMP(MICROS, ntz)
+    * (current drops; loads natively). Both branches land on microsecond
+    * TIMESTAMP_NTZ — exactly what DuckDB produces reading the same file, keeping
+    * the oracle bit-identical regardless of which generation wrote the file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = load(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
