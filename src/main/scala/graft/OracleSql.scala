@@ -3670,6 +3670,92 @@ object OracleSql {
              CASE WHEN delta > 0 THEN
                nmin >= ceil(zs * zs * (rc * (1.0 - rc) + rt * (1.0 - rt))
                  / (delta * delta)) END AS powered
-      FROM e"""
+      FROM e""",
+
+    // k-anonymity audit over QI (mktsegment, nationkey), threshold 10
+    "q_k_anonymity" -> """
+      WITH c AS (SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+                 FROM customer GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(class_size) AS BIGINT) AS n_rows,
+             CAST(min(class_size) AS BIGINT) AS k_anonymity,
+             CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS classes_below_k,
+             CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+               AS BIGINT) AS rows_below_k
+      FROM c""",
+
+    // the suppression worklist: QI combos below k=8, most identifying first
+    "q_k_offenders" -> """
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2 HAVING count(*) < 8
+      ORDER BY class_size, c_mktsegment, c_nationkey""",
+
+    // l-diversity of banded acctbal (width 2000) within each QI class
+    "q_l_diversity" -> """
+      WITH cs AS (SELECT c_mktsegment, c_nationkey,
+                    count(DISTINCT floor(c_acctbal / 2000.0) * 2000.0)
+                      AS l_div,
+                    count(*) AS class_size
+                  FROM customer GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(l_div) AS BIGINT) AS l_diversity,
+             CAST(sum(CASE WHEN l_div < 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l,
+             CAST(sum(CASE WHEN l_div < 4 THEN class_size ELSE 0 END)
+               AS BIGINT) AS rows_below_l
+      FROM cs""",
+
+    // per-source boilerplate bigrams: distinct (doc, bigram) first (the
+    // Spark side dedups shingles within a doc), then doc-frequency >= 3
+    "x_boilerplate_ngrams" -> """
+      WITH arr AS (SELECT doc_id, source,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t <> '') AS w
+             FROM documents),
+      pos AS (SELECT doc_id, source, generate_subscripts(w, 1) AS idx,
+                     unnest(w) AS term FROM arr),
+      bgrams AS (SELECT DISTINCT doc_id, source, shingle FROM (
+          SELECT doc_id, source,
+                 term || ' ' || lead(term)
+                   OVER (PARTITION BY doc_id ORDER BY idx) AS shingle
+          FROM pos) WHERE shingle IS NOT NULL)
+      SELECT source, shingle, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM bgrams GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY source, doc_freq DESC, shingle""",
+
+    // per-doc share of distinct bigrams that are source-boilerplate
+    "x_boilerplate_ratio" -> """
+      WITH arr AS (SELECT doc_id, source,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t <> '') AS w
+             FROM documents),
+      pos AS (SELECT doc_id, source, generate_subscripts(w, 1) AS idx,
+                     unnest(w) AS term FROM arr),
+      bgrams AS (SELECT DISTINCT doc_id, source, shingle FROM (
+          SELECT doc_id, source,
+                 term || ' ' || lead(term)
+                   OVER (PARTITION BY doc_id ORDER BY idx) AS shingle
+          FROM pos) WHERE shingle IS NOT NULL),
+      boiler AS (SELECT source, shingle FROM bgrams
+                 GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT b.doc_id, b.source, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN bo.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_boiler,
+             round(sum(CASE WHEN bo.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+      FROM bgrams b
+      LEFT JOIN boiler bo ON b.source = bo.source AND b.shingle = bo.shingle
+      GROUP BY b.doc_id, b.source ORDER BY b.doc_id""",
+
+    // sketch-store rollup: exact weekly distinct replayed; the HLL-union
+    // estimate-within-max(5, 3%) boolean is deterministically TRUE
+    // (register merges are commutative maxes; these cardinalities sit in
+    // the sketch's near-exact range)
+    "q_sketch_weekly" -> """
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS bucket,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             TRUE AS approx_ok
+      FROM events GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -1781,7 +1781,31 @@ object SparkEntry {
         .select("src", "dst")
       Graph.triangleCounts(edges, "src", "dst")
         .withColumnRenamed("node", "s_suppkey")
-    })
+    }),
+
+    // ---- privacy release audits (k-anonymity / l-diversity) ----------------
+    "q_k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymityReport(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"), kThreshold = 10)),
+    "q_k_offenders" -> ((s, dir) =>
+      Privacy.kAnonymityOffenders(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"), kThreshold = 8)),
+    "q_l_diversity" -> ((s, dir) =>
+      Privacy.lDiversityReport(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"),
+        Privacy.band(col("c_acctbal"), 2000.0), lThreshold = 4)),
+
+    // ---- web-corpus curation: domain-scoped boilerplate --------------------
+    "x_boilerplate_ngrams" -> ((s, dir) =>
+      TextAnalysis.boilerplateShingles(Tables.documents(s, dir), "doc_id",
+        "text", "source", n = 2, minDf = 3)),
+    "x_boilerplate_ratio" -> ((s, dir) =>
+      TextAnalysis.boilerplateRatio(Tables.documents(s, dir), "doc_id",
+        "text", "source", n = 2, minDf = 3)),
+
+    // ---- mergeable-sketch store (pre-agg daily HLL, union rollup) ----------
+    "q_sketch_weekly" -> ((s, dir) =>
+      Sketches.weeklyDistinctChecked(Tables.events(s, dir), "ts", "user_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk audits for training-data release: k-anonymity and
+  * l-diversity over declared quasi-identifier columns, plus the numeric
+  * generalization (banding) step of the classic anonymization loop
+  * (Sweeney 2002, "k-anonymity: a model for protecting privacy";
+  * Machanavajjhala et al. 2007, "l-diversity").
+  *
+  * A 100 TB corpus release gate runs exactly this shape: one shuffled
+  * aggregation on the quasi-identifier key builds the equivalence-class
+  * table (map-side combined; output bounded by |domain(QI)|, never
+  * corpus-sized), and every report below folds that bounded table — no
+  * second pass over the raw data, no per-row risk scoring.
+  *
+  * Reference anchor: the reference validates uniqueness/in-set constraints
+  * per entity (`scripts/data_quality_checks.py:61-118`) but has no re-id
+  * risk audit; this is the release-side complement a feature store feeding
+  * shared training data needs.
+  */
+object Privacy {
+
+  /** Equivalence classes: one row per distinct QI combination with its
+    * size. The building block the reports fold; exposed for callers that
+    * want the full histogram.
+    */
+  def equivalenceClasses(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+  }
+
+  /** K-anonymity report (one row): the dataset's k (smallest equivalence
+    * class), class counts, and how many classes/rows fall below the
+    * declared threshold. `k_anonymity >= k_threshold` is the release gate.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+                       kThreshold: Int): DataFrame = {
+    require(kThreshold >= 2, s"kAnonymity: threshold >= 2 (got $kThreshold)")
+    equivalenceClasses(df, quasiCols).agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("class_size")).cast("long").as("n_rows"),
+      min(col("class_size")).cast("long").as("k_anonymity"),
+      sum(when(col("class_size") < kThreshold, 1).otherwise(0))
+        .cast("long").as("classes_below_k"),
+      sum(when(col("class_size") < kThreshold, col("class_size"))
+        .otherwise(0)).cast("long").as("rows_below_k"))
+  }
+
+  /** The offending QI combinations (class_size < kThreshold), smallest —
+    * i.e. most identifying — first. Output bounded by the number of rare
+    * classes; at scale this is the suppression worklist.
+    */
+  def kAnonymityOffenders(df: DataFrame, quasiCols: Seq[String],
+                          kThreshold: Int): DataFrame = {
+    require(kThreshold >= 2, s"kAnonymity: threshold >= 2 (got $kThreshold)")
+    equivalenceClasses(df, quasiCols)
+      .filter(col("class_size") < kThreshold)
+      .orderBy(col("class_size") +: quasiCols.map(col): _*)
+  }
+
+  /** L-diversity report (one row): per equivalence class, the number of
+    * DISTINCT sensitive values; the dataset's l is the minimum. A class
+    * that is k-anonymous but l=1 still leaks the sensitive attribute
+    * exactly (the homogeneity attack l-diversity exists to catch).
+    * One aggregation on (QI, sensitive) then a fold over the bounded
+    * class table — the sensitive domain never ships to the driver.
+    */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: Column, lThreshold: Int): DataFrame = {
+    require(lThreshold >= 2, s"lDiversity: threshold >= 2 (got $lThreshold)")
+    val classes = df
+      .groupBy(quasiCols.map(col) :+ sensitiveCol.as("__sens"): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("l_div"), sum(col("n")).as("class_size"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      min(col("l_div")).cast("long").as("l_diversity"),
+      sum(when(col("l_div") < lThreshold, 1).otherwise(0))
+        .cast("long").as("classes_below_l"),
+      sum(when(col("l_div") < lThreshold, col("class_size")).otherwise(0))
+        .cast("long").as("rows_below_l"))
+  }
+
+  /** Numeric generalization: coarsen a value to its band floor
+    * (`floor(v / width) * width`) — the standard k-anonymity repair move
+    * for continuous quasi-identifiers. Pure projection; recompute the
+    * report on the banded column to measure the privacy/utility trade.
+    */
+  def band(c: Column, width: Double): Column = {
+    require(width > 0, s"band: width > 0 (got $width)")
+    floor(c / width) * width
+  }
+}

@@ -606,4 +606,54 @@ object TextAnalysis {
         round(col("term_count") / sum(col("term_count")).over(whole), 6))
       .orderBy("idx")
   }
+
+  /** Domain-scoped boilerplate detection: the word n-gram shingles that
+    * recur across `minDf`+ DISTINCT documents of the same group (site /
+    * source) — navigation chrome, footers, license blurbs — the segments a
+    * web-corpus curation pass strips before near-dup analysis (the
+    * boilerplate stage of C4/CCNet-style pipelines; per-site recurrence is
+    * the signal, corpus-wide frequency is not, because a phrase common
+    * across ALL sites is just language).
+    *
+    * Plan: distinct shingles per doc ([[Dedup.shingles]] dedups within the
+    * doc, so a shingle repeated inside one page counts once) → explode →
+    * ONE shuffled count on (group, shingle), map-side combined; output
+    * bounded by the per-group shingle vocabulary, never corpus-sized.
+    */
+  def boilerplateShingles(docs: DataFrame, idCol: String, textCol: String,
+                          groupCol: String, n: Int, minDf: Int): DataFrame = {
+    require(n >= 1, s"boilerplateShingles: n >= 1 (got $n)")
+    require(minDf >= 2, s"boilerplateShingles: minDf >= 2 (got $minDf)")
+    docs
+      .select(col(groupCol),
+        explode(Dedup.shingles(lower(col(textCol)), n)).as("shingle"))
+      .groupBy(col(groupCol), col("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(col(groupCol), col("doc_freq").desc, col("shingle"))
+  }
+
+  /** Per-document boilerplate ratio: the fraction of a document's distinct
+    * shingles that are group-boilerplate per [[boilerplateShingles]] — a
+    * quality-filter signal (high ratio = mostly chrome, drop or down-weight
+    * before training). Second pass joins each doc's distinct shingles to
+    * the bounded boilerplate set on (group, shingle) — an equi-join Spark
+    * plans as a plain shuffled hash join; nothing quadratic.
+    */
+  def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, n: Int, minDf: Int): DataFrame = {
+    val boiler = boilerplateShingles(docs, idCol, textCol, groupCol, n, minDf)
+      .select(col(groupCol), col("shingle"), lit(1).as("__hit"))
+    val docShingles = docs
+      .select(col(idCol), col(groupCol),
+        explode(Dedup.shingles(lower(col(textCol)), n)).as("shingle"))
+    docShingles
+      .join(boiler, Seq(groupCol, "shingle"), "left")
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler") / col("n_shingles"), 6))
+      .orderBy(col(idCol))
+  }
 }

@@ -28,4 +28,36 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.01,
       s"exact=$exact approx=$approx")
   }
+
+  test("sketch store: daily HLL sketches union to the same estimate as a " +
+      "direct sketch of the union, and rollups stay within tolerance") {
+    import graft.ops.Sketches
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val store = Sketches.dailySketchStore(ev, "ts", "user_id")
+    // store is bounded: one row per day, sketch column is binary
+    assert(store.schema("key_sketch").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+
+    // merged estimate over ALL days == sketching the raw column directly
+    // (union of partials must lose nothing vs the single-pass sketch)
+    val merged = store
+      .agg(hll_sketch_estimate(hll_union_agg(col("key_sketch"), lit(true))))
+      .head().getLong(0)
+    val direct = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))))
+      .head().getLong(0)
+    assert(merged == direct, s"union-of-daily=$merged direct=$direct")
+
+    // weekly rollup: every tolerance boolean true, exact side sane
+    val checked = Sketches.weeklyDistinctChecked(ev, "ts", "user_id").collect()
+    assert(checked.length >= 2)
+    assert(checked.forall(_.getAs[Boolean]("approx_ok")))
+    assert(checked.forall(_.getAs[Long]("exact_distinct") > 0))
+
+    // determinism under re-partitioning (merge order must not matter)
+    val merged2 = Sketches.dailySketchStore(ev.repartition(17), "ts", "user_id")
+      .agg(hll_sketch_estimate(hll_union_agg(col("key_sketch"), lit(true))))
+      .head().getLong(0)
+    assert(merged2 == merged)
+  }
 }

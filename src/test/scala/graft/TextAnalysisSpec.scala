@@ -370,4 +370,35 @@ class TextAnalysisSpec extends SparkSpec {
     // counts: a 2 (1 doc), b 2 (2 docs), c 1 (cut); tie a/b -> a first
     assert(out.toSeq == Seq(("a", 2L, 1L, 0L, 0.5), ("b", 2L, 2L, 1L, 0.5)))
   }
+
+  test("boilerplateShingles: per-GROUP doc frequency, within-doc repeats " +
+      "count once, cross-group phrases stay out") {
+    val docs = Seq(
+      // "home about" recurs in 3 docs of site1 (twice inside doc 1 — one vote)
+      (1L, "home about home about x y", "site1"),
+      (2L, "home about z", "site1"),
+      (3L, "q home about", "site1"),
+      // the same phrase in only 1 doc of site2 -> not boilerplate there
+      (4L, "home about w", "site2"),
+      (5L, "w v", "site2")
+    ).toDF("doc_id", "text", "source")
+    val boiler = TextAnalysis.boilerplateShingles(docs, "doc_id", "text",
+      "source", n = 2, minDf = 3)
+      .as[(String, String, Long)].collect().toSeq
+    assert(boiler == Seq(("site1", "home about", 3L)))
+
+    val ratio = TextAnalysis.boilerplateRatio(docs, "doc_id", "text",
+      "source", n = 2, minDf = 3)
+      .select("doc_id", "n_shingles", "n_boiler", "boiler_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1 distinct bigrams: home-about, about-home, about-x, x-y (4, 1 hit)
+    assert(ratio.find(_._1 == 1L).get == ((1L, 4L, 1L, 0.25)))
+    // doc 3: q-home, home-about -> 1 of 2
+    assert(ratio.find(_._1 == 3L).get == ((3L, 2L, 1L, 0.5)))
+    // doc 4 (site2): home-about is NOT boilerplate in site2
+    assert(ratio.find(_._1 == 4L).get._3 == 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.boilerplateShingles(docs, "doc_id", "text", "source", 2, 1)
+    }
+  }
 }
