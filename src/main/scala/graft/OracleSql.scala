@@ -3756,6 +3756,49 @@ object OracleSql {
       SELECT date_trunc('week', CAST(ts AS DATE)) AS bucket,
              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
              TRUE AS approx_ok
-      FROM events GROUP BY 1 ORDER BY bucket"""
+      FROM events GROUP BY 1 ORDER BY bucket""",
+
+    // CDC apply: last change per key wins; keys whose last change is a
+    // tombstone ('error') vanish from the snapshot
+    "q_cdc_apply" -> """
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, ts, event_id, event_type, value
+      FROM r WHERE rn = 1 AND op <> 'delete'
+      ORDER BY user_id""",
+
+    // missingness patterns over the flagship feature table (presence mask
+    // order: primary_k, avg_view_value, click_through_rate, conversion_rate)
+    "q_null_patterns" -> s"""
+      WITH h AS (
+        SELECT user_id, $clickAggs
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)),
+      m AS (SELECT
+        (CASE WHEN primary_k IS NULL THEN '0' ELSE '1' END ||
+         CASE WHEN avg_view_value IS NULL THEN '0' ELSE '1' END ||
+         CASE WHEN click_through_rate IS NULL THEN '0' ELSE '1' END ||
+         CASE WHEN conversion_rate IS NULL THEN '0' ELSE '1' END) AS pattern
+        FROM h)
+      SELECT pattern, CAST(count(*) AS BIGINT) AS n_rows,
+             round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+               AS share
+      FROM m GROUP BY pattern ORDER BY n_rows DESC, pattern""",
+
+    // schema evolution: gen1 (even keys) lacks the eur column, gen2 (odd
+    // keys) carries it — the merged read must NULL-fill gen1
+    "s_schema_evolution" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_eur,
+             round(sum(o_totalprice), 2) AS usd_total,
+             round(sum(CASE WHEN o_orderkey % 2 = 1
+               THEN round(o_totalprice * 0.92, 2) END), 2) AS eur_total
+      FROM orders"""
   )
 }

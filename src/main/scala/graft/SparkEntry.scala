@@ -1805,7 +1805,51 @@ object SparkEntry {
 
     // ---- mergeable-sketch store (pre-agg daily HLL, union rollup) ----------
     "q_sketch_weekly" -> ((s, dir) =>
-      Sketches.weeklyDistinctChecked(Tables.events(s, dir), "ts", "user_id"))
+      Sketches.weeklyDistinctChecked(Tables.events(s, dir), "ts", "user_id")),
+
+    // ---- CDC changelog apply (upserts + deletes -> current snapshot) -------
+    "q_cdc_apply" -> ((s, dir) =>
+      // events as a CDC feed: 'error' events are tombstones; the snapshot
+      // keeps only keys whose LATEST change is an upsert
+      Materialize.applyChangelog(
+        Tables.events(s, dir).withColumn("op",
+          when(col("event_type") === "error", "delete").otherwise("upsert")),
+        "user_id", "ts", "event_id", "op", "delete",
+        Seq("event_type", "value"))),
+
+    // ---- missingness-pattern profile over the feature table ----------------
+    "q_null_patterns" -> ((s, dir) =>
+      Quality.nullPatterns(WindowAgg.hourlyFeatures(ev(s, dir)),
+        Seq("primary_k", "avg_view_value", "click_through_rate",
+          "conversion_rate"))),
+
+    // ---- schema-evolution read (mergeSchema across generations) ------------
+    "s_schema_evolution" -> ((s, dir) => {
+      // two parquet generations of the same table — gen2 grew a derived
+      // column — read back as ONE frame via mergeSchema (the decade-of-
+      // partitions reality at 100 TB: old files simply surface NULLs for
+      // columns they predate). The aggregate proves column alignment and
+      // NULL-fill; DuckDB replays it straight from orders.parquet.
+      val o = Tables.orders(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          round(col("o_totalprice") * 0.92, 2).as("o_totalprice_eur"))
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen1", s"$root/gen2")
+      val out = merged.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_totalprice_eur")).as("n_eur"),
+        round(sum(col("o_totalprice")), 2).as("usd_total"),
+        round(sum(col("o_totalprice_eur")), 2).as("eur_total"))
+        .localCheckpoint() // must not lazily re-read the dir removed below
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      out
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

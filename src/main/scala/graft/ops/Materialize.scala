@@ -296,4 +296,31 @@ object Materialize {
       .unionByName(closed.select(col(key), col(attrCol), col("valid_from"),
         col("last_ts"), col("n_rows"), col("valid_to"), col("is_current")))
   }
+
+  /** Apply a CDC changelog (upserts AND deletes) to produce the current
+    * snapshot — the MERGE INTO semantics a feature store consuming a
+    * Debezium/CDC feed needs, where [[latestPerKey]] alone is wrong: a key
+    * whose LAST change is a delete must vanish, not resurface its final
+    * pre-delete payload.
+    *
+    * Same skew-proof shape as [[latestPerKey]]: ONE shuffled max(struct)
+    * aggregation — the (ts, tie) prefix makes the struct comparison the
+    * event-order comparison, and partial aggregation folds hot keys
+    * map-side (no window, no per-key sort). The delete filter runs on the
+    * one surviving row per key.
+    */
+  def applyChangelog(changelog: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, opCol: String, deleteOp: String,
+                     payloadCols: Seq[String]): DataFrame = {
+    val packed = struct(
+      col(tsCol) +: col(tieCol) +: col(opCol) +: payloadCols.map(col): _*)
+    changelog
+      .groupBy(col(keyCol))
+      .agg(max(packed).as("__last"))
+      .filter(col(s"__last.$opCol") =!= deleteOp)
+      .select(col(keyCol) +:
+        (Seq(tsCol, tieCol) ++ payloadCols).map(c =>
+          col(s"__last.$c").as(c)): _*)
+      .orderBy(keyCol)
+  }
 }

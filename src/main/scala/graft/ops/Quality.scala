@@ -268,4 +268,28 @@ object Quality {
         col("chi2_term"), col("chi2_total"))
       .orderBy("digit")
   }
+
+  /** Missingness-pattern profile: group rows by WHICH of the declared
+    * columns are null (a '1'/'0' presence mask, leftmost = first column)
+    * and count each pattern. Per-column null rates (the Q1 report) can't
+    * distinguish "two columns each 10% null, independently" from "the
+    * same 10% of rows missing both" — the pattern table can, and that
+    * co-missingness structure decides whether imputation is safe or the
+    * rows share a broken upstream join.
+    *
+    * ONE map-side-combined aggregation; output bounded by 2^|cols|
+    * patterns (declare a handful of columns, not hundreds — enforced).
+    */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 16,
+      s"nullPatterns: 1..16 columns (got ${cols.size})")
+    val mask = concat(cols.map(c =>
+      when(col(c).isNull, "0").otherwise("1")): _*)
+    val whole = Window.partitionBy()
+    df.groupBy(mask.as("pattern"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("share",
+        round(col("n_rows") / sum(col("n_rows")).over(whole), 6))
+      .orderBy(col("n_rows").desc, col("pattern"))
+  }
 }

@@ -192,4 +192,23 @@ class MaterializeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("append-only contract violated"))
   }
+
+  test("applyChangelog: last-writer wins, trailing tombstone removes the " +
+      "key, delete-then-reinsert resurfaces it") {
+    val log = Seq(
+      // k1: upsert, upsert -> latest payload survives
+      (1L, 10L, 1L, "upsert", "a"), (1L, 20L, 2L, "upsert", "b"),
+      // k2: upsert then DELETE -> gone (latestPerKey would wrongly keep it)
+      (2L, 10L, 3L, "upsert", "x"), (2L, 30L, 4L, "delete", "x"),
+      // k3: delete then reinsert -> present with the new payload
+      (3L, 10L, 5L, "delete", "y"), (3L, 40L, 6L, "upsert", "z"),
+      // k4: same ts — tie broken by the tie column (larger id wins)
+      (4L, 50L, 7L, "upsert", "old"), (4L, 50L, 8L, "upsert", "new")
+    ).toDF("k", "ts", "id", "op", "payload")
+    val out = Materialize.applyChangelog(log, "k", "ts", "id", "op",
+      "delete", Seq("payload"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 20L, 2L, "b"), (3L, 40L, 6L, "z"),
+      (4L, 50L, 8L, "new")))
+  }
 }

@@ -151,4 +151,20 @@ class QualitySpec extends SparkSpec {
     assert(out(2)._5 == 0.124083 && out(3)._5 == 0.500736)
     assert(out.values.forall(_._6 == 1.150867))      // observed-digit total
   }
+
+  test("nullPatterns: co-missingness patterns counted, not just marginals") {
+    val df = Seq[(Option[Int], Option[String], Option[Double])](
+      (Some(1), Some("a"), Some(1.0)),   // 111
+      (Some(2), Some("b"), Some(2.0)),   // 111
+      (None, None, Some(3.0)),           // 001 — x and y missing TOGETHER
+      (None, None, Some(4.0)),           // 001
+      (Some(5), Some("c"), None)         // 110
+    ).toDF("x", "y", "z")
+    val out = Quality.nullPatterns(df, Seq("x", "y", "z"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("001", 2L, 0.4), ("111", 2L, 0.4), ("110", 1L, 0.2)))
+    intercept[IllegalArgumentException] {
+      Quality.nullPatterns(df, Seq.empty)
+    }
+  }
 }
