@@ -3758,6 +3758,30 @@ object OracleSql {
              TRUE AS approx_ok
       FROM events GROUP BY 1 ORDER BY bucket""",
 
+    // histogram-store quantile readout: same bins, cumulative counts and
+    // first-candidate interpolation as Sketches.rollupQuantiles (arg_min
+    // on bin = the min(struct(bin, est)) election)
+    "q_histogram_weekly" -> """
+      WITH h AS (
+        SELECT date_trunc('week', CAST(ts AS DATE)) AS bucket,
+               least(599, greatest(0, CAST(floor(value) AS INTEGER))) AS bin,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+      c AS (
+        SELECT bucket, bin, cnt,
+               sum(cnt) OVER (PARTITION BY bucket ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY bucket) AS total
+        FROM h)
+      SELECT bucket,
+             round(arg_min(bin + (ceil(total * 0.5) - (cum - cnt))
+                 / CAST(cnt AS DOUBLE), bin)
+               FILTER (cum >= ceil(total * 0.5)), 6) AS p50,
+             round(arg_min(bin + (ceil(total * 0.95) - (cum - cnt))
+                 / CAST(cnt AS DOUBLE), bin)
+               FILTER (cum >= ceil(total * 0.95)), 6) AS p95
+      FROM c GROUP BY bucket ORDER BY bucket""",
+
     // CDC apply: last change per key wins; keys whose last change is a
     // tombstone ('error') vanish from the snapshot
     "q_cdc_apply" -> """
@@ -3789,6 +3813,34 @@ object OracleSql {
              round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
                AS share
       FROM m GROUP BY pattern ORDER BY n_rows DESC, pattern""",
+
+    // per-user OLS trend over daily purchase revenue (regr_* closed form;
+    // day-resolution x, 2-rounded daily y on BOTH sides)
+    "q_trend_per_key" -> """
+      WITH d AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               round(sum(value), 2) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2)
+      SELECT user_id, CAST(count(x) AS BIGINT) AS n_points,
+             round(CASE WHEN count(x) >= 2 THEN regr_slope(y, x) END, 6)
+               AS slope,
+             round(CASE WHEN count(x) >= 2 THEN regr_intercept(y, x) END, 6)
+               AS intercept,
+             round(CASE WHEN count(x) >= 2 THEN regr_r2(y, x) END, 6) AS r2
+      FROM d GROUP BY user_id ORDER BY user_id""",
+
+    // uniform k-frame sampling offsets (same left-to-right double
+    // arithmetic as the Spark expression -> bit-identical floors)
+    "x_frame_sample" -> """
+      SELECT doc_id, CAST(gs.f AS INTEGER) AS frame_no,
+             CAST(floor((gs.f + 0.5) / 4.0 * round(n_chars / 50.0, 2)
+               * 30.0) AS BIGINT) AS frame_idx,
+             round(floor((gs.f + 0.5) / 4.0 * round(n_chars / 50.0, 2)
+               * 30.0) / 30.0, 6) AS t_offset_s
+      FROM documents CROSS JOIN generate_series(0, 3) gs(f)
+      ORDER BY doc_id, frame_no""",
 
     // schema evolution: gen1 (even keys) lacks the eur column, gen2 (odd
     // keys) carries it — the merged read must NULL-fill gen1

@@ -50,10 +50,11 @@ object ScaleStress {
       (math.min(a._1, b._1), b._2)
     }
 
-    // "mining" as the sole arg runs ONLY the mining/graph loop below
+    // "mining" / "curate" as the sole arg run ONLY that loop below
     val miningOnly = args.headOption.contains("mining")
+    val curateOnly = args.headOption.contains("curate")
     val ks =
-      if (miningOnly) Seq.empty[Int]
+      if (miningOnly || curateOnly) Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
     for (k <- ks) {
@@ -237,6 +238,51 @@ object ScaleStress {
       }
       println(f"STRESS-MINING2 k=$k vecs=$nVec t_kmeans=$tKm%.2f " +
         f"docs=$nDocs2 t_collocations=$tColl%.2f top=$nColl")
+    }
+
+    // curation-ops stress at 1×/10×/100×: per-copy SOURCES are disjoint
+    // (suffixed), so the boilerplate keyspace (source, shingle) and
+    // per-source doc frequencies are identical in every copy — linear
+    // growth is the pass criterion. Sketch store: day count is constant,
+    // so the store stays ~30 rows while the scanned input grows 100× —
+    // near-flat rollup, linear build. CDC apply: ONE max(struct) shuffle.
+    val docsrc = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"), col("source"))
+    for (k <- if (args.isEmpty || curateOnly) Seq(1, 10, 100)
+              else Seq.empty[Int]) {
+      val dk = (0 until k).map(i =>
+        docsrc.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+          col("text"),
+          concat(col("source"), lit("_c" + i)).as("source")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nD = dk.count()
+      val (tBoiler, nBoiler) = timeMin2 {
+        graft.ops.TextAnalysis.boilerplateRatio(dk, "doc_id", "text",
+          "source", n = 2, minDf = 3).queryExecution.toRdd.count()
+      }
+      val evk = (0 until k).map(i =>
+        ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("ts")))
+        .reduce(_ unionByName _)
+        .withColumn("value", col("user_id") * 1.0)
+        .localCheckpoint()
+      val nE = evk.count()
+      val (tSketch, nBuckets) = timeMin2 {
+        graft.ops.Sketches.rollupDistinct(
+          graft.ops.Sketches.dailySketchStore(evk, "ts", "user_id"),
+          date_trunc("week", _)).queryExecution.toRdd.count()
+      }
+      val (tCdc, nLive) = timeMin2 {
+        graft.ops.Materialize.applyChangelog(
+          evk.withColumn("op", when(col("event_type") === "error",
+            "delete").otherwise("upsert")),
+          "user_id", "ts", "event_id", "op", "delete",
+          Seq("event_type", "value")).queryExecution.toRdd.count()
+      }
+      println(f"STRESS-CURATE k=$k docs=$nD t_boiler=$tBoiler%.2f " +
+        f"scored=$nBoiler events=$nE t_sketch=$tSketch%.2f " +
+        f"weeks=$nBuckets t_cdc=$tCdc%.2f live=$nLive")
     }
     spark.stop()
   }

@@ -1807,6 +1807,16 @@ object SparkEntry {
     "q_sketch_weekly" -> ((s, dir) =>
       Sketches.weeklyDistinctChecked(Tables.events(s, dir), "ts", "user_id")),
 
+    // histogram store: per-day equi-width bins merged to weekly quantile
+    // readouts — exact integer bin counts, so (unlike HLL) the whole
+    // pipeline is deterministic arithmetic the oracle replays bit-for-bit
+    "q_histogram_weekly" -> ((s, dir) =>
+      Sketches.rollupQuantiles(
+        Sketches.dailyHistogramStore(Tables.events(s, dir), "ts", "value",
+          lo = 0.0, hi = 600.0, nBins = 600),
+        date_trunc("week", _), lo = 0.0, hi = 600.0, nBins = 600,
+        ps = Seq(0.5, 0.95))),
+
     // ---- CDC changelog apply (upserts + deletes -> current snapshot) -------
     "q_cdc_apply" -> ((s, dir) =>
       // events as a CDC feed: 'error' events are tombstones; the snapshot
@@ -1822,6 +1832,22 @@ object SparkEntry {
       Quality.nullPatterns(WindowAgg.hourlyFeatures(ev(s, dir)),
         Seq("primary_k", "avg_view_value", "click_through_rate",
           "conversion_rate"))),
+
+    // ---- per-key OLS trend (regr_* sufficient statistics, one agg) ---------
+    "q_trend_per_key" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("x"))
+        .agg(round(sum(col("value")), 2).as("y"))
+      Stats.trendPerKey(daily, "user_id", "x", "y")
+    }),
+
+    // ---- video frame-sampling plumbing (metadata-only projection) ----------
+    "x_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSampleOffsets(Tables.documents(s, dir), "doc_id",
+        round(col("n_chars") / 50.0, 2), fps = 30.0, k = 4)),
 
     // ---- schema-evolution read (mergeSchema across generations) ------------
     "s_schema_evolution" -> ((s, dir) => {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -124,5 +124,34 @@ object Multimodal {
       }
     }.toDF(idCol, "n_bytes", "n_chars", "n_lines", "content_md5")
       .orderBy(col(idCol))
+  }
+
+  /** Deterministic uniform frame sampling for video-shaped media: from each
+    * asset's (duration, fps) metadata, emit `k` frame indices at the
+    * centers of k equal time slices — `floor((i + 0.5)/k · duration ·
+    * fps)` — the standard decode-k-frames plan a vision pipeline feeds to
+    * the (partition-initialized) decoder. Pure metadata projection +
+    * bounded explode: the binary payload column is never touched, so
+    * column pruning keeps it out of the scan entirely; the decode stage
+    * dropping into [[decodeBase64]]'s mapPartitions slot consumes
+    * (id, frame_idx) pairs.
+    */
+  def frameSampleOffsets(media: DataFrame, idCol: String,
+                         durationCol: Column, fps: Double,
+                         k: Int): DataFrame = {
+    require(fps > 0 && k >= 1,
+      s"frameSampleOffsets: fps > 0 and k >= 1 (got $fps, $k)")
+    media
+      .select(col(idCol), durationCol.as("duration_s"))
+      .select(col(idCol), col("duration_s"),
+        explode(sequence(lit(0), lit(k - 1))).as("frame_no"))
+      .select(
+        col(idCol),
+        col("frame_no"),
+        floor((col("frame_no") + 0.5) / k * col("duration_s") * fps)
+          .as("frame_idx"),
+        round(floor((col("frame_no") + 0.5) / k * col("duration_s") * fps)
+          / fps, 6).as("t_offset_s"))
+      .orderBy(col(idCol), col("frame_no"))
   }
 }

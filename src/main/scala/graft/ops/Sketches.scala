@@ -73,4 +73,70 @@ object Sketches {
           greatest(lit(5.0), col("exact_distinct") * 0.03)).as("approx_ok"))
       .orderBy("bucket")
   }
+
+  /** The percentile twin of the sketch store: per-day EQUI-WIDTH HISTOGRAMS
+    * over a declared [lo, hi) range. Bin counts are exact integers and sum
+    * under any regrouping, so the store is perfectly mergeable — and unlike
+    * an HLL/t-digest sketch the whole pipeline is deterministic integer
+    * arithmetic, replayable bit-for-bit by a SQL oracle. Quantiles read
+    * from the merged histogram land within one bin width ((hi−lo)/nBins)
+    * of the DISCRETE quantile — the ceil(p·n)-th order statistic; an
+    * interpolated-percentile consumer additionally sees the local gap
+    * between adjacent order statistics, which no histogram can shrink.
+    * Size nBins to the precision the consumer needs, not to the data
+    * volume — the store stays O(days × nBins) forever. Out-of-range
+    * values clamp into the edge bins (so totals are preserved and the
+    * declared range is an accuracy knob, not a filter).
+    */
+  def dailyHistogramStore(df: DataFrame, tsCol: String, valCol: String,
+                          lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo,
+      s"dailyHistogramStore: need nBins >= 2 and hi > lo (got $nBins, [$lo,$hi))")
+    val width = (hi - lo) / nBins
+    val bin = least(lit(nBins - 1),
+      greatest(lit(0), floor((col(valCol) - lo) / width).cast("int")))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile readout at an arbitrary grain from the merged histogram:
+    * for each requested p, the standard grouped-histogram interpolation
+    * `lo + (bin + (target − cum_before)/cnt) · width` where `target =
+    * p · total`. Runs entirely over the bounded store (merge = one sum
+    * per (bucket, bin); the cumulative window spans ≤ nBins rows per
+    * bucket) — the raw table is never re-read.
+    */
+  def rollupQuantiles(store: DataFrame, grain: Column => Column,
+                      lo: Double, hi: Double, nBins: Int,
+                      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"rollupQuantiles: percentiles in (0, 1], got ${ps.mkString(",")}")
+    val width = (hi - lo) / nBins
+    val merged = store
+      .groupBy(grain(col("day")).cast("date").as("bucket"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("bin"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(whole))
+    val qs = ps.map { p =>
+      // FIRST bin whose cumulative count reaches ceil(p·total) wins —
+      // elected as min(struct(bin, est)) so the bin index, not the
+      // estimate value, decides (a later bin's negative within-bin
+      // fraction could otherwise undercut the true first candidate)
+      val target = ceil(col("total") * p)
+      val est = lit(lo) + (col("bin") +
+        (target - (col("cum") - col("cnt"))) / col("cnt")) * width
+      round(min(when(col("cum") >= target,
+        struct(col("bin"), est.as("est")))).getField("est")
+        .cast("double"), 6).as(s"p${(p * 100).round}")
+    }
+    cum.groupBy(col("bucket"))
+      .agg(qs.head, qs.tail: _*)
+      .orderBy("bucket")
+  }
 }

@@ -766,4 +766,27 @@ object Stats {
           col("__x")).otherwise(lit(0.0))) / max(col("__t")), 6)
           .as("top10_pct_share"))
   }
+
+  /** Per-key ordinary-least-squares trend: slope / intercept / R² of
+    * y over x via the SQL-standard `regr_*` aggregates — closed-form
+    * sufficient statistics in ONE map-side-combined aggregation, the
+    * per-entity trend screen ("is this user's spend rising?") that needs
+    * no window, no sort, and no ML runtime. Keys with fewer than
+    * `minPoints` observations (or zero x-variance — regr_slope's NULL
+    * case) are reported with NULL slope rather than dropped, so the
+    * output stays a full entity roster.
+    */
+  def trendPerKey(df: DataFrame, keyCol: String, xCol: String,
+                  yCol: String, minPoints: Int = 2): DataFrame = {
+    require(minPoints >= 2, s"trendPerKey: minPoints >= 2 (got $minPoints)")
+    val keep = count(col(xCol)) >= minPoints
+    df.groupBy(col(keyCol))
+      .agg(
+        count(col(xCol)).as("n_points"),
+        round(when(keep, regr_slope(col(yCol), col(xCol))), 6).as("slope"),
+        round(when(keep, regr_intercept(col(yCol), col(xCol))), 6)
+          .as("intercept"),
+        round(when(keep, regr_r2(col(yCol), col(xCol))), 6).as("r2"))
+      .orderBy(keyCol)
+  }
 }

@@ -60,4 +60,24 @@ class MultimodalSpec extends SparkSpec {
     val scan = meta.queryExecution.executedPlan.toString
     assert(scan.contains("ReadSchema") && !scan.contains("payload"))
   }
+
+  test("frameSampleOffsets: slice-center frames, monotone within asset, " +
+      "never past the end") {
+    // 10 s at 30 fps, 4 frames: centers at 1.25/3.75/6.25/8.75 s ->
+    // frames 37/112/187/262
+    val media = Seq((1L, 10.0), (2L, 0.4)).toDF("media_id", "dur")
+    val out = Multimodal.frameSampleOffsets(media, "media_id",
+      col("dur"), fps = 30.0, k = 4)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out.filter(_._1 == 1L).map(_._3) == Seq(37L, 112L, 187L, 262L))
+    // a 0.4 s clip has 12 frames; every sampled index must stay < 12
+    val clip = out.filter(_._1 == 2L)
+    assert(clip.map(_._3) == Seq(1L, 4L, 7L, 10L))
+    assert(clip.forall(_._3 < 12L))
+    // t_offset is frame_idx / fps
+    assert(out.forall(r => math.abs(r._4 - r._3 / 30.0) < 1e-6))
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSampleOffsets(media, "media_id", col("dur"), 30.0, 0)
+    }
+  }
 }

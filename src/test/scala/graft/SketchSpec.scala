@@ -60,4 +60,48 @@ class SketchSpec extends SparkSpec {
       .head().getLong(0)
     assert(merged2 == merged)
   }
+
+  test("histogram store: weekly quantiles from merged daily bins are " +
+      "within one bin width of exact, and merging is associative") {
+    import graft.ops.Sketches
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val store = Sketches.dailyHistogramStore(ev, "ts", "value", 0.0, 600.0, 600)
+    val weekly = Sketches.rollupQuantiles(store, date_trunc("week", _),
+      0.0, 600.0, 600, Seq(0.5, 0.95)).collect()
+    // reference: the DISCRETE quantile (ceil(p·n)-th order statistic) —
+    // the definition the histogram targets; interpolated percentile can
+    // additionally differ by the gap between adjacent order statistics
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = ev.withColumn("bucket",
+      date_trunc("week", to_date(col("ts"))).cast("date"))
+    val rn = row_number().over(
+      Window.partitionBy("bucket").orderBy("value"))
+    val n = count(lit(1)).over(Window.partitionBy("bucket"))
+    val ranked = bucketed.withColumn("rn", rn).withColumn("n", n)
+    def disc(p: Double) = ranked
+      .filter(col("rn") === ceil(col("n") * p))
+      .select(col("bucket"), col("value"))
+      .collect().map(r =>
+        r.getAs[java.sql.Date]("bucket") -> r.getAs[Double]("value")).toMap
+    val (d50, d95) = (disc(0.5), disc(0.95))
+    assert(weekly.nonEmpty)
+    weekly.foreach { r =>
+      val b = r.getAs[java.sql.Date]("bucket")
+      assert(math.abs(r.getAs[Double]("p50") - d50(b)) <= 1.0,
+        s"p50 ${r.getAs[Double]("p50")} vs discrete ${d50(b)}")
+      assert(math.abs(r.getAs[Double]("p95") - d95(b)) <= 1.0,
+        s"p95 ${r.getAs[Double]("p95")} vs discrete ${d95(b)}")
+    }
+    // associativity: quantiles from the DAILY store rolled to one global
+    // bucket == quantiles from a single direct histogram of everything
+    val viaDaily = Sketches.rollupQuantiles(store,
+      _ => lit("1970-01-01").cast("date"), 0.0, 600.0, 600, Seq(0.5))
+      .collect().head.getAs[Double]("p50")
+    val direct = Sketches.rollupQuantiles(
+      Sketches.dailyHistogramStore(
+        ev.withColumn("ts", lit("1970-01-01 00:00:00").cast("timestamp_ntz")),
+        "ts", "value", 0.0, 600.0, 600),
+      d => d, 0.0, 600.0, 600, Seq(0.5)).collect().head.getAs[Double]("p50")
+    assert(viaDaily == direct, s"daily-merged=$viaDaily direct=$direct")
+  }
 }

@@ -332,4 +332,24 @@ class StatsSpec extends SparkSpec {
       .select("gini", "top1_pct_share").as[(Double, Double)].head()
     assert(s._1 == 0.75 && s._2 == 1.0)   // (n-1)/n with n=4
   }
+
+  test("trendPerKey: closed-form OLS on exact points; short series NULLed " +
+      "but kept in the roster") {
+    val df = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0),   // y = 2x + 1, R²=1
+      ("b", 0.0, 4.0), ("b", 2.0, 2.0),                    // y = -x + 4
+      ("c", 5.0, 9.0)                                      // 1 point -> NULL
+    ).toDF("k", "x", "y")
+    val out = Stats.trendPerKey(df, "k", "x", "y")
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_points"), Option(r.getAs[java.lang.Double]("slope")),
+          Option(r.getAs[java.lang.Double]("intercept")),
+          Option(r.getAs[java.lang.Double]("r2")))).toMap
+    assert(out("a") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(out("b") == ((2L, Some(-1.0), Some(4.0), Some(1.0))))
+    assert(out("c") == ((1L, None, None, None)))
+    intercept[IllegalArgumentException] {
+      Stats.trendPerKey(df, "k", "x", "y", minPoints = 1)
+    }
+  }
 }
