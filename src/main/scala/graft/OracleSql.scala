@@ -3814,6 +3814,60 @@ object OracleSql {
                AS share
       FROM m GROUP BY pattern ORDER BY n_rows DESC, pattern""",
 
+    // partition-continuity audit over the distinct-day table
+    "q_partition_gaps" -> """
+      WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+                 FROM orders),
+      g AS (SELECT day,
+              date_diff('day', lag(day) OVER (ORDER BY day), day) AS gap
+            FROM d)
+      SELECT min(day) AS first_day, max(day) AS last_day,
+             CAST(count(*) AS BIGINT) AS days_present,
+             CAST(date_diff('day', min(day), max(day)) + 1 - count(*)
+               AS BIGINT) AS days_missing,
+             CAST(coalesce(max(gap) - 1, 0) AS BIGINT) AS largest_gap_days
+      FROM g""",
+
+    // rendezvous re-sharding 8 -> 10: per-doc argmax of md5(doc:shard)
+    // weights on both shard counts; movement must target NEW shards only
+    "q_shard_movement" -> """
+      WITH docs AS (SELECT doc_id FROM documents),
+      w8 AS (SELECT doc_id, arg_max(gs.s, CAST(concat('0x',
+               substr(md5(doc_id || ':' || gs.s), 1, 15)) AS BIGINT))
+               AS shard_from
+             FROM docs CROSS JOIN generate_series(0, 7) gs(s)
+             GROUP BY doc_id),
+      w10 AS (SELECT doc_id, arg_max(gs.s, CAST(concat('0x',
+               substr(md5(doc_id || ':' || gs.s), 1, 15)) AS BIGINT))
+               AS shard_to
+             FROM docs CROSS JOIN generate_series(0, 9) gs(s)
+             GROUP BY doc_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN shard_from <> shard_to THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved,
+             round(sum(CASE WHEN shard_from <> shard_to THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS moved_share,
+             min(CASE WHEN shard_from <> shard_to
+                 THEN shard_to >= 8 END) AS moved_only_to_new
+      FROM w8 JOIN w10 USING (doc_id)""",
+
+    // histogram-rank normalization: same bins/cumulative/within-bin
+    // fraction as Sketches.rankNormalize
+    "q_rank_normalize" -> """
+      WITH h AS (
+        SELECT least(599, greatest(0, CAST(floor(value) AS INTEGER)))
+                 AS bin, count(*) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+                   sum(cnt) OVER () AS total FROM h)
+      SELECT e.event_id, e.value,
+             round(((c.cum - c.cnt) + least(1.0, greatest(0.0,
+               e.value - c.bin)) * c.cnt) / c.total, 6) AS rank_est
+      FROM events e
+      JOIN c ON least(599, greatest(0, CAST(floor(e.value) AS INTEGER)))
+                = c.bin
+      ORDER BY e.event_id""",
+
     // per-user OLS trend over daily purchase revenue (regr_* closed form;
     // day-resolution x, 2-rounded daily y on BOTH sides)
     "q_trend_per_key" -> """

@@ -1833,6 +1833,23 @@ object SparkEntry {
         Seq("primary_k", "avg_view_value", "click_through_rate",
           "conversion_rate"))),
 
+    // ---- partition-continuity audit (backfill planner input) ---------------
+    "q_partition_gaps" -> ((s, dir) =>
+      Stats.partitionGaps(Tables.orders(s, dir), "o_orderdate")),
+
+    // ---- rendezvous re-sharding audit (minimal-movement property) ----------
+    "q_shard_movement" -> ((s, dir) =>
+      Sampling.rendezvousMovementReport(Tables.documents(s, dir), "doc_id",
+        nFrom = 8, nTo = 10)),
+
+    // ---- histogram-based percentile-rank normalization (no global sort) ----
+    "q_rank_normalize" -> ((s, dir) =>
+      Sketches.rankNormalize(
+        Tables.events(s, dir).select("event_id", "value"),
+        "value", lo = 0.0, hi = 600.0, nBins = 600)
+        .select("event_id", "value", "rank_est")
+        .orderBy("event_id")),
+
     // ---- per-key OLS trend (regr_* sufficient statistics, one agg) ---------
     "q_trend_per_key" -> ((s, dir) => {
       val daily = Tables.events(s, dir)

@@ -593,4 +593,50 @@ object Sampling {
                     channel: Long = 71L): DataFrame =
     corpusShuffleRelation(docs, idCol, nShards, channel)
       .orderBy(col("shard"), col("shard_pos"))
+
+  /** Rendezvous (highest-random-weight) shard assignment: each doc goes to
+    * the shard with the largest md5(doc ‖ shard) weight. Unlike
+    * `hash(doc) % n`, growing the shard count moves ONLY the docs won by
+    * the NEW shard (expected share 1/(n+1)) — the minimal-movement
+    * property that makes incremental re-sharding of a 100 TB layout an
+    * append, not a full rewrite. Pure projection over a bounded
+    * shard-candidate explode (rows × nShards); no shuffle.
+    */
+  def rendezvousAssign(docs: DataFrame, idCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards >= 1, s"rendezvousAssign: nShards >= 1 (got $nShards)")
+    // 15 hex chars = 60 bits, positive in a signed BIGINT on both engines
+    val w = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      col("cand").cast("string"))), 1, 15), 16, 10).cast("long")
+    docs
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(nShards - 1))).as("cand"))
+      .select(col(idCol), struct(w.as("w"), col("cand").as("s")).as("ws"))
+      .groupBy(col(idCol))
+      .agg(max(col("ws")).getField("s").as("shard"))
+  }
+
+  /** The re-sharding audit: assignments at `nFrom` vs `nTo` shards
+    * (nTo > nFrom), ONE row — how many docs moved, the moved share
+    * (expect ≈ (nTo−nFrom)/nTo), and `moved_only_to_new` — TRUE iff every
+    * moved doc landed on a NEW shard id (the rendezvous guarantee; FALSE
+    * would mean the hash is not behaving and a modulo-style reshuffle is
+    * happening).
+    */
+  def rendezvousMovementReport(docs: DataFrame, idCol: String,
+                               nFrom: Int, nTo: Int): DataFrame = {
+    require(nTo > nFrom, s"rendezvousMovementReport: nTo > nFrom ($nFrom, $nTo)")
+    val a = rendezvousAssign(docs, idCol, nFrom)
+      .withColumnRenamed("shard", "shard_from")
+    val b = rendezvousAssign(docs, idCol, nTo)
+      .withColumnRenamed("shard", "shard_to")
+    a.join(b, idCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("shard_from") =!= col("shard_to"), 1).otherwise(0))
+        .cast("long").as("n_moved"),
+      round(sum(when(col("shard_from") =!= col("shard_to"), 1).otherwise(0)) /
+        count(lit(1)), 6).as("moved_share"),
+      min(when(col("shard_from") =!= col("shard_to"),
+        col("shard_to") >= nFrom)).as("moved_only_to_new"))
+  }
 }

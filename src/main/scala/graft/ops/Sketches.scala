@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The mergeable-sketch store: pre-aggregate per-day Apache DataSketches
@@ -138,5 +139,38 @@ object Sketches {
     cum.groupBy(col("bucket"))
       .agg(qs.head, qs.tail: _*)
       .orderBy("bucket")
+  }
+
+  /** Percentile-rank normalization WITHOUT a global sort: estimate each
+    * row's rank from the (bounded, broadcastable) global histogram —
+    * `rank ≈ (cum_before + within-bin value fraction · cnt) / total` —
+    * instead of `percent_rank()`, whose empty-partition window funnels
+    * the whole column through one task. Error is bounded by the heaviest
+    * bin's mass share (uniform-within-bin assumption); at 100 TB the
+    * histogram aggregate is the only shuffle and the join is a broadcast
+    * of ≤ nBins rows. Output appends `rank_est` ∈ [0, 1].
+    */
+  def rankNormalize(df: DataFrame, valCol: String,
+                    lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo,
+      s"rankNormalize: need nBins >= 2 and hi > lo (got $nBins, [$lo,$hi))")
+    val width = (hi - lo) / nBins
+    val bin = least(lit(nBins - 1),
+      greatest(lit(0), floor((col(valCol) - lo) / width).cast("int")))
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(bin.as("__bin")).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy().orderBy(col("__bin"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__total",
+        sum(col("__cnt")).over(Window.partitionBy()))
+    val frac = least(lit(1.0), greatest(lit(0.0),
+      (col(valCol) - (lit(lo) + col("__bin") * width)) / width))
+    df.withColumn("__bin", bin)
+      .join(broadcast(cum), Seq("__bin"), "left")
+      .withColumn("rank_est",
+        round(((col("__cum") - col("__cnt")) + frac * col("__cnt")) /
+          col("__total"), 6))
+      .drop("__bin", "__cnt", "__cum", "__total")
   }
 }

@@ -411,6 +411,28 @@ object Stats {
     df.select(col(dateCol)).distinct()
       .orderBy(col(dateCol).desc).limit(n)
 
+  /** Partition-continuity audit (the backfill planner's input): ONE row —
+    * the [min, max] day span, how many days actually hold data, how many
+    * calendar days are missing inside the span, and the largest
+    * consecutive gap. The whole computation runs over the distinct-day
+    * table (bounded by the calendar, never by data volume); the lag
+    * window spans that same tiny frame.
+    */
+  def partitionGaps(df: DataFrame, dateCol: String): DataFrame = {
+    val days = df.select(to_date(col(dateCol)).as("day")).distinct()
+    val w = Window.partitionBy().orderBy(col("day"))
+    days
+      .withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(w)))
+      .agg(
+        min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"),
+        count(lit(1)).as("days_present"),
+        (datediff(max(col("day")), min(col("day"))) + 1 - count(lit(1)))
+          .cast("long").as("days_missing"),
+        coalesce(max(col("gap")) - 1, lit(0)).cast("long")
+          .as("largest_gap_days"))
+  }
+
   /** Robust outlier report: per group, the median, the median absolute
     * deviation (MAD), and the count of rows beyond `k`·MAD — the
     * heavy-tail-safe sibling of the Tukey IQR fences (a single wild value

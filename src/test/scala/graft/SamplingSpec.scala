@@ -515,4 +515,29 @@ class SamplingSpec extends SparkSpec {
       Sampling.budgetSample(df, "g", "id", "cost", Map.empty)
     }
   }
+
+  test("rendezvous sharding: deterministic in-range assignment, balanced-" +
+      "ish, and growing the ring moves docs ONLY to new shards") {
+    val docs = spark.range(2000).toDF("id")
+    val a = Sampling.rendezvousAssign(docs, "id", 8)
+    val shards = a.groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+    assert(shards.keySet.subsetOf((0 until 8).toSet))
+    // 2000 docs over 8 shards: every shard used, no shard > 2x fair share
+    assert(shards.size == 8 && shards.values.forall(c => c > 0 && c < 500))
+    // determinism
+    assert(Sampling.rendezvousAssign(docs, "id", 8).collect().toSet ==
+      a.collect().toSet)
+
+    val r = Sampling.rendezvousMovementReport(docs, "id", 8, 10)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 2000L)
+    val share = r.getAs[Double]("moved_share")
+    // expected 2/10 = 0.2; allow generous sampling noise
+    assert(share > 0.1 && share < 0.3, s"moved_share=$share")
+    assert(r.getAs[Boolean]("moved_only_to_new"))
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousMovementReport(docs, "id", 8, 8)
+    }
+  }
 }

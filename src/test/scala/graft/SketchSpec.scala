@@ -104,4 +104,23 @@ class SketchSpec extends SparkSpec {
       d => d, 0.0, 600.0, 600, Seq(0.5)).collect().head.getAs[Double]("p50")
     assert(viaDaily == direct, s"daily-merged=$viaDaily direct=$direct")
   }
+
+  test("rankNormalize tracks exact percent_rank within the heaviest bin's " +
+      "mass share, without a global sort in the row-transform path") {
+    import graft.ops.Sketches
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select("event_id", "value")
+    val out = Sketches.rankNormalize(ev, "value", 0.0, 600.0, 600)
+    val exact = ev.withColumn("pr",
+      percent_rank().over(Window.partitionBy().orderBy("value")))
+    val joined = out.join(exact.select("event_id", "pr"), "event_id")
+      .select(abs(col("rank_est") - col("pr")).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    // heaviest 1.0-wide bin holds well under 2% of 10 K values
+    assert(joined < 0.02, s"max |rank_est - percent_rank| = $joined")
+    // every estimate lands in [0, 1]
+    val bounds = out.agg(min(col("rank_est")), max(col("rank_est"))).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+  }
 }

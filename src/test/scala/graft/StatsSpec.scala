@@ -352,4 +352,21 @@ class StatsSpec extends SparkSpec {
       Stats.trendPerKey(df, "k", "x", "y", minPoints = 1)
     }
   }
+
+  test("partitionGaps: crafted holes counted, largest run reported") {
+    // days: 1,2,3, [4,5 missing], 6, [7 missing], 8 -> span 8, present 5
+    val df = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-06",
+      "2024-01-08").toDF("d").select(col("d").cast("date").as("d"))
+    val r = Stats.partitionGaps(df, "d").collect().head
+    assert(r.getAs[java.sql.Date]("first_day").toString == "2024-01-01")
+    assert(r.getAs[java.sql.Date]("last_day").toString == "2024-01-08")
+    assert(r.getAs[Long]("days_present") == 5L)
+    assert(r.getAs[Long]("days_missing") == 3L)
+    assert(r.getAs[Long]("largest_gap_days") == 2L)
+    // a dense single day: no gaps, largest 0
+    val one = Stats.partitionGaps(Seq("2024-01-01").toDF("d")
+      .select(col("d").cast("date").as("d")), "d").collect().head
+    assert(one.getAs[Long]("days_missing") == 0L &&
+      one.getAs[Long]("largest_gap_days") == 0L)
+  }
 }
