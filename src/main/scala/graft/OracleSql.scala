@@ -3782,6 +3782,21 @@ object OracleSql {
                FILTER (cum >= ceil(total * 0.95)), 6) AS p95
       FROM c GROUP BY bucket ORDER BY bucket""",
 
+    // sketch-store retention: exact week-over-week retained users
+    // replayed; the inclusion-exclusion tolerance boolean is
+    // deterministically TRUE (coupon-list-exact sketches at these
+    // cardinalities)
+    "q_sketch_retention" -> """
+      WITH wk AS (
+        SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS week,
+               user_id AS k
+        FROM events)
+      SELECT a.week AS week_a, a.week + 7 AS week_b,
+             CAST(count(*) AS BIGINT) AS exact_retained,
+             TRUE AS retained_ok
+      FROM wk a JOIN wk b ON a.k = b.k AND b.week = a.week + 7
+      GROUP BY a.week ORDER BY week_a""",
+
     // CDC apply: last change per key wins; keys whose last change is a
     // tombstone ('error') vanish from the snapshot
     "q_cdc_apply" -> """

@@ -1817,6 +1817,12 @@ object SparkEntry {
         date_trunc("week", _), lo = 0.0, hi = 600.0, nBins = 600,
         ps = Seq(0.5, 0.95))),
 
+    // retention from the sketch store: week-over-week overlap via
+    // inclusion-exclusion on stored sketches (counts can't intersect)
+    "q_sketch_retention" -> ((s, dir) =>
+      Sketches.weeklyRetentionChecked(Tables.events(s, dir), "ts",
+        "user_id")),
+
     // ---- CDC changelog apply (upserts + deletes -> current snapshot) -------
     "q_cdc_apply" -> ((s, dir) =>
       // events as a CDC feed: 'error' events are tombstones; the snapshot

@@ -141,6 +141,48 @@ object Sketches {
       .orderBy("bucket")
   }
 
+  /** Week-over-week retention FROM THE SKETCH STORE: |A ∩ B| via
+    * inclusion–exclusion — est(A) + est(B) − est(A ∪ B) — where A/B are
+    * consecutive weeks' sketch unions and ∪ is the scalar `hll_union`.
+    * This is the payoff of storing sketches rather than counts: set
+    * OVERLAP between any two stored periods without re-reading raw data
+    * (plain distinct counts cannot intersect). The checked form emits the
+    * exact intersection (a distinct self-join, the one raw-data pass —
+    * check-side only) plus a tolerance boolean: at these cardinalities the
+    * lgK=14 sketch sits in its exact (coupon-list) range, so the boolean
+    * is deterministically TRUE; at true 100 TB cardinalities
+    * inclusion–exclusion compounds ~3 register errors — size the bound
+    * accordingly.
+    */
+  def weeklyRetentionChecked(df: DataFrame, tsCol: String,
+                             keyCol: String): DataFrame = {
+    val weekly = dailySketchStore(df, tsCol, keyCol)
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(hll_union_agg(col("key_sketch"), lit(true)).as("wsk"))
+    val est = weekly.as("a")
+      .join(weekly.as("b"), col("b.week") === date_add(col("a.week"), 7))
+      .select(col("a.week").as("week_a"), col("b.week").as("week_b"),
+        (hll_sketch_estimate(col("a.wsk")) +
+          hll_sketch_estimate(col("b.wsk")) -
+          hll_sketch_estimate(hll_union(col("a.wsk"), col("b.wsk"),
+            allowDifferentLgConfigK = true)))
+          .as("est_retained"))
+    val wk = df.select(
+      date_trunc("week", to_date(col(tsCol))).cast("date").as("week"),
+      col(keyCol).as("k")).distinct()
+    val exact = wk.as("a")
+      .join(wk.as("b"), col("a.k") === col("b.k") &&
+        col("b.week") === date_add(col("a.week"), 7))
+      .groupBy(col("a.week").as("week_a"))
+      .agg(count(lit(1)).as("exact_retained"))
+    exact.join(est, "week_a")
+      .select(col("week_a"), col("week_b"), col("exact_retained"),
+        (abs(col("est_retained") - col("exact_retained")) <=
+          greatest(lit(10.0), col("exact_retained") * 0.05))
+          .as("retained_ok"))
+      .orderBy("week_a")
+  }
+
   /** Percentile-rank normalization WITHOUT a global sort: estimate each
     * row's rank from the (bounded, broadcastable) global histogram —
     * `rank ≈ (cum_before + within-bin value fraction · cnt) / total` —

@@ -114,6 +114,56 @@ object Pipeline {
         upsertSnapshot(batch, storePath, keyCol, tsCol, tiebreakCol)
       }
 
+  /** Streaming maintenance of the mergeable histogram store
+    * ([[graft.ops.Sketches.dailyHistogramStore]]): each micro-batch's
+    * per-(day, bin) counts land in an `ingest_batch`-partitioned parquet
+    * store via dynamic partition overwrite, so a REPLAYED micro-batch
+    * overwrites its own epoch instead of double-counting — the additive-
+    * aggregate analogue of the near-dup store's epoch discipline. The
+    * read side ([[histogramStore]]) sums across epochs; quantile readouts
+    * then run [[graft.ops.Sketches.rollupQuantiles]] over it. Net effect:
+    * a live stream keeps a KB-sized structure from which any period's
+    * quantiles are answerable without re-reading events.
+    */
+  def histogramStoreSink(events: DataFrame, tsCol: String, valCol: String,
+                         lo: Double, hi: Double, nBins: Int,
+                         storePath: String,
+                         checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestHistogramBatch(batch, batchId, tsCol, valCol, lo, hi, nBins,
+          storePath)
+      }
+
+  def ingestHistogramBatch(batch: DataFrame, batchId: Long, tsCol: String,
+                           valCol: String, lo: Double, hi: Double,
+                           nBins: Int, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val prior =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try graft.ops.Sketches
+      .dailyHistogramStore(batch, tsCol, valCol, lo, hi, nBins)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(storePath)
+    finally prior match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Read side of [[histogramStoreSink]]: fold the epoch partitions to the
+    * canonical (day, bin, cnt) store. */
+  def histogramStore(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy(col("day"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** S8×S9 fused: streaming materialization INTO the real JDBC registry —
     * the reference's airflow flow (`feature_store_materialization.py:
     * 214-239`: materialize the view, then record its freshness) as one

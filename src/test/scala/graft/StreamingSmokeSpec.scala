@@ -181,6 +181,46 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming histogram-store sink: kill/resume; epoch overwrite keeps " +
+      "counts exact and quantile readouts equal the batch store") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 10:00:00")
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val store = java.nio.file.Files.createTempDirectory("graft_hist_")
+      .toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hckpt_").toString
+    def start() = Pipeline.histogramStoreSink(
+        stream.toDF().toDF("ts", "value"),
+        "ts", "value", 0.0, 100.0, 100, store, ckpt)
+      .start()
+    val batch1 = Seq((ts(1), 5.0), (ts(1), 15.0), (ts(2), 25.0))
+    val batch2 = Seq((ts(2), 25.0), (ts(3), 75.0), (ts(3), 95.0))
+    val q1 = start()
+    stream.addData(batch1: _*)
+    q1.processAllAvailable()
+    q1.stop() // kill mid-stream; more data arrives while down
+    stream.addData(batch2: _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val folded = Pipeline.histogramStore(spark, store)
+      // equals the BATCH store over everything that flowed
+      val all = (batch1 ++ batch2).toDF("ts", "value")
+      val batchStore = graft.ops.Sketches
+        .dailyHistogramStore(all, "ts", "value", 0.0, 100.0, 100)
+      assert(folded.select("day", "bin", "cnt").collect().toSet ==
+        batchStore.collect().toSet)
+      // duplicate values on day 2 counted exactly (2 in bin 25)
+      assert(folded.filter(col("bin") === 25).select("cnt")
+        .head().getLong(0) == 2L)
+      // and the quantile readout over the streamed store works end-to-end
+      val q = graft.ops.Sketches.rollupQuantiles(folded,
+        d => lit("1970-01-01").cast("date"), 0.0, 100.0, 100, Seq(0.5))
+        .head().getAs[Double]("p50")
+      assert(q >= 15.0 && q <= 26.0, s"p50=$q")
+    } finally q2.stop()
+  }
+
   test("streaming near-dup ingest gate: kill/resume; admitted corpus " +
       "equals the full-corpus batch survivors") {
     implicit val sqlCtx = spark.sqlContext
