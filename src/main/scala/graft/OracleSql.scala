@@ -3782,6 +3782,47 @@ object OracleSql {
                FILTER (cum >= ceil(total * 0.95)), 6) AS p95
       FROM c GROUP BY bucket ORDER BY bucket""",
 
+    // backfill grid: latest order per customer as of each cutoff
+    "q_snapshot_series" -> """
+      WITH cuts AS (SELECT unnest([TIMESTAMP '1996-12-31 23:59:59',
+               TIMESTAMP '1998-12-31 23:59:59',
+               TIMESTAMP '2000-12-31 23:59:59']) AS cutoff),
+      r AS (SELECT c.cutoff, o.o_custkey, o.o_orderdate, o.o_orderkey,
+               o.o_totalprice, o.o_orderstatus,
+               row_number() OVER (PARTITION BY c.cutoff, o.o_custkey
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM orders o CROSS JOIN cuts c
+            WHERE o.o_orderdate <= c.cutoff)
+      SELECT cutoff, o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             o_orderstatus
+      FROM r WHERE rn = 1 ORDER BY cutoff, o_custkey""",
+
+    // store-side PSI: same 600-bin day grid, Laplace smoothing and
+    // (p-q)·ln(p/q) fold as Sketches.psiFromStore
+    "q_psi_from_store" -> """
+      WITH h AS (SELECT CAST(ts AS DATE) AS day,
+               least(599, greatest(0, CAST(floor(value) AS INTEGER)))
+                 AS bin, count(*) AS cnt
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      ref AS (SELECT bin, sum(cnt) AS ref_cnt FROM h
+              WHERE day BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+              GROUP BY 1),
+      rt AS (SELECT CAST(sum(ref_cnt) AS DOUBLE) AS ref_tot FROM ref),
+      dt AS (SELECT day, sum(cnt) AS day_total FROM h GROUP BY 1),
+      grid AS (SELECT d.day, gs.b AS bin
+               FROM (SELECT DISTINCT day FROM h) d
+               CROSS JOIN generate_series(0, 599) gs(b)),
+      j AS (SELECT g.day,
+               (coalesce(h.cnt, 0) + 1.0)
+                 / (CAST(dt.day_total AS DOUBLE) + 600) AS p,
+               (coalesce(ref.ref_cnt, 0) + 1.0) / (rt.ref_tot + 600) AS q
+            FROM grid g
+            LEFT JOIN h ON g.day = h.day AND g.bin = h.bin
+            LEFT JOIN ref ON g.bin = ref.bin
+            JOIN dt ON g.day = dt.day, rt)
+      SELECT day, round(sum((p - q) * ln(p / q)), 6) AS psi
+      FROM j GROUP BY day ORDER BY day""",
+
     // sketch-store retention: exact week-over-week retained users
     // replayed; the inclusion-exclusion tolerance boolean is
     // deterministically TRUE (coupon-list-exact sketches at these
@@ -3883,22 +3924,37 @@ object OracleSql {
                 = c.bin
       ORDER BY e.event_id""",
 
-    // per-user OLS trend over daily purchase revenue (regr_* closed form;
-    // day-resolution x, 2-rounded daily y on BOTH sides)
+    // per-user OLS trend over daily purchase revenue: the SAME plain
+    // sufficient-sum closed form as Stats.trendPerKey (NOT regr_* —
+    // engine-internal co-moment algorithms differ at ~1e-8 and flake the
+    // 6-decimal hash; n·Σx²−(Σx)² is integer-exact on both engines)
     "q_trend_per_key" -> """
       WITH d AS (
         SELECT user_id,
                date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
                round(sum(value), 2) AS y
         FROM events WHERE event_type = 'purchase'
-        GROUP BY 1, 2)
-      SELECT user_id, CAST(count(x) AS BIGINT) AS n_points,
-             round(CASE WHEN count(x) >= 2 THEN regr_slope(y, x) END, 6)
-               AS slope,
-             round(CASE WHEN count(x) >= 2 THEN regr_intercept(y, x) END, 6)
+        GROUP BY 1, 2),
+      s AS (
+        SELECT user_id, CAST(count(x) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+               sum(y * y) AS syy
+        FROM d GROUP BY user_id)
+      SELECT user_id, n AS n_points,
+             round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+               THEN (n * sxy - sx * sy)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+             round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+               THEN (sy * sxx - sx * sxy)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
                AS intercept,
-             round(CASE WHEN count(x) >= 2 THEN regr_r2(y, x) END, 6) AS r2
-      FROM d GROUP BY user_id ORDER BY user_id""",
+             round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                         AND n * syy - sy * sy > 0
+               THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                    / (CAST(n * sxx - sx * sx AS DOUBLE)
+                       * (n * syy - sy * sy)) END, 6) AS r2
+      FROM s ORDER BY user_id""",
 
     // uniform k-frame sampling offsets (same left-to-right double
     // arithmetic as the Spark expression -> bit-identical floors)

@@ -1817,6 +1817,22 @@ object SparkEntry {
         date_trunc("week", _), lo = 0.0, hi = 600.0, nBins = 600,
         ps = Seq(0.5, 0.95))),
 
+    // backfill grid: as-of snapshots at three year-end cutoffs in ONE pass
+    "q_snapshot_series" -> ((s, dir) =>
+      Materialize.snapshotSeries(Tables.orders(s, dir), "o_custkey",
+        "o_orderdate", "o_orderkey",
+        Seq("1996-12-31 23:59:59", "1998-12-31 23:59:59",
+          "2000-12-31 23:59:59"),
+        Seq("o_totalprice", "o_orderstatus"))),
+
+    // drift monitoring from the histogram store: daily PSI vs the first
+    // week's pooled bin distribution, no raw re-read
+    "q_psi_from_store" -> ((s, dir) =>
+      Sketches.psiFromStore(
+        Sketches.dailyHistogramStore(Tables.events(s, dir), "ts", "value",
+          lo = 0.0, hi = 600.0, nBins = 600),
+        "2024-01-01", "2024-01-07", nBins = 600)),
+
     // retention from the sketch store: week-over-week overlap via
     // inclusion-exclusion on stored sketches (counts can't intersect)
     "q_sketch_retention" -> ((s, dir) =>

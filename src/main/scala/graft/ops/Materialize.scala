@@ -297,6 +297,35 @@ object Materialize {
         col("last_ts"), col("n_rows"), col("valid_to"), col("is_current")))
   }
 
+  /** Backfill grid: the latest-per-key snapshot AS OF every cutoff in one
+    * pass — the training-set backfill shape ("features as they stood at
+    * each week end") that would otherwise run [[latestPerKey]] once per
+    * cutoff, re-scanning history each time. One bounded ×|cutoffs| row
+    * replication (the sliding-window trick) feeding ONE max(struct)
+    * aggregation on (key, cutoff) — same skew-proof partial-agg shape as
+    * the single-snapshot fold; rows where no history precedes the cutoff
+    * simply don't appear (no as-of row exists yet).
+    */
+  def snapshotSeries(history: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, cutoffs: Seq[String],
+                     payloadCols: Seq[String]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.size <= 1000,
+      s"snapshotSeries: 1..1000 cutoffs (got ${cutoffs.size})")
+    val cuts = array(cutoffs.map(c =>
+      lit(c).cast("timestamp_ntz")): _*)
+    val packed = struct(
+      col(tsCol) +: col(tieCol) +: payloadCols.map(col): _*)
+    history
+      .withColumn("cutoff", explode(cuts))
+      .filter(col(tsCol) <= col("cutoff"))
+      .groupBy(col(keyCol), col("cutoff"))
+      .agg(max(packed).as("__last"))
+      .select(col("cutoff") +: col(keyCol) +:
+        (Seq(tsCol, tieCol) ++ payloadCols).map(c =>
+          col(s"__last.$c").as(c)): _*)
+      .orderBy("cutoff", keyCol)
+  }
+
   /** Apply a CDC changelog (upserts AND deletes) to produce the current
     * snapshot — the MERGE INTO semantics a feature store consuming a
     * Debezium/CDC feed needs, where [[latestPerKey]] alone is wrong: a key

@@ -141,6 +141,45 @@ object Sketches {
       .orderBy("bucket")
   }
 
+  /** Drift monitoring FROM THE HISTOGRAM STORE: daily PSI against a
+    * reference period's bin distribution, computed entirely over the
+    * bounded (day, bin, cnt) store — the monitoring loop never re-reads
+    * raw events. Laplace-smoothed shares ((cnt+1)/(total+nBins)) keep
+    * empty bins finite exactly like the raw-data PSI operator
+    * (`ops/Drift.psiDrift`); PSI = Σ (p−q)·ln(p/q) per day. Days INSIDE
+    * the reference window monitor against their own pooled baseline —
+    * reported, conventionally small, and a sanity check that the fold is
+    * consistent.
+    */
+  def psiFromStore(store: DataFrame, refFrom: String, refTo: String,
+                   nBins: Int): DataFrame = {
+    val ref = store
+      .filter(col("day") >= lit(refFrom).cast("date") &&
+        col("day") <= lit(refTo).cast("date"))
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("ref_cnt"))
+    val refTotRow = ref.agg(sum(col("ref_cnt"))).head()
+    val refTot = if (refTotRow.isNullAt(0)) 0L else refTotRow.getLong(0)
+    require(refTot > 0, s"psiFromStore: empty reference [$refFrom, $refTo]")
+    val dayTotals = store.groupBy(col("day"))
+      .agg(sum(col("cnt")).as("day_total"))
+    // densify to the FULL day × bin grid (bounded: days · nBins rows) —
+    // a day MISSING a heavy reference bin is precisely the drift signal,
+    // so absent bins must enter the fold with cnt 0, not be skipped
+    val grid = store.select(col("day")).distinct()
+      .select(col("day"),
+        explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val q = (coalesce(col("ref_cnt"), lit(0L)) + 1.0) / (refTot + nBins)
+    val p = (coalesce(col("cnt"), lit(0L)) + 1.0) /
+      (col("day_total") + nBins)
+    grid
+      .join(store, Seq("day", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .join(broadcast(dayTotals), "day")
+      .groupBy(col("day"))
+      .agg(round(sum((p - q) * log(p / q)), 6).as("psi"))
+      .orderBy("day")
+  }
+
   /** Week-over-week retention FROM THE SKETCH STORE: |A ∩ B| via
     * inclusion–exclusion — est(A) + est(B) − est(A ∪ B) — where A/B are
     * consecutive weeks' sketch unions and ∪ is the scalar `hll_union`.

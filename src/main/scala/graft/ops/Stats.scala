@@ -789,26 +789,43 @@ object Stats {
           .as("top10_pct_share"))
   }
 
-  /** Per-key ordinary-least-squares trend: slope / intercept / R² of
-    * y over x via the SQL-standard `regr_*` aggregates — closed-form
-    * sufficient statistics in ONE map-side-combined aggregation, the
-    * per-entity trend screen ("is this user's spend rising?") that needs
-    * no window, no sort, and no ML runtime. Keys with fewer than
-    * `minPoints` observations (or zero x-variance — regr_slope's NULL
-    * case) are reported with NULL slope rather than dropped, so the
-    * output stays a full entity roster.
+  /** Per-key ordinary-least-squares trend: slope / intercept / R² of y
+    * over x from PLAIN sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) in ONE
+    * map-side-combined aggregation — the per-entity trend screen ("is
+    * this user's spend rising?") that needs no window, no sort, and no
+    * ML runtime. Deliberately NOT the built-in `regr_*` aggregates:
+    * their shifted/updating co-moment algorithms differ across engines
+    * at ~1e-8, which flakes a 6-decimal oracle; the explicit closed form
+    * over plain sums — with an INTEGER x so `n·Σx² − (Σx)²` is exact —
+    * is reproducible bit-for-bit by any SQL engine writing the same
+    * expression tree. x must be an integer column of modest magnitude
+    * (a day/index number, not epoch millis): the integer denominator
+    * products must not overflow a long. Keys with fewer than `minPoints`
+    * observations or zero x-variance report NULLs rather than being
+    * dropped, so the output stays a full entity roster.
     */
   def trendPerKey(df: DataFrame, keyCol: String, xCol: String,
                   yCol: String, minPoints: Int = 2): DataFrame = {
     require(minPoints >= 2, s"trendPerKey: minPoints >= 2 (got $minPoints)")
-    val keep = count(col(xCol)) >= minPoints
-    df.groupBy(col(keyCol))
-      .agg(
-        count(col(xCol)).as("n_points"),
-        round(when(keep, regr_slope(col(yCol), col(xCol))), 6).as("slope"),
-        round(when(keep, regr_intercept(col(yCol), col(xCol))), 6)
-          .as("intercept"),
-        round(when(keep, regr_r2(col(yCol), col(xCol))), 6).as("r2"))
+    val agged = df.groupBy(col(keyCol)).agg(
+      count(col(xCol)).as("__n"),
+      sum(col(xCol)).as("__sx"),
+      sum(col(yCol)).as("__sy"),
+      sum(col(xCol) * col(yCol)).as("__sxy"),
+      sum(col(xCol) * col(xCol)).as("__sxx"),
+      sum(col(yCol) * col(yCol)).as("__syy"))
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val sxy = col("__sxy"); val sxx = col("__sxx"); val syy = col("__syy")
+    val denX = n * sxx - sx * sx          // integer-exact on both engines
+    val num = n * sxy - sx * sy
+    val denY = n * syy - sy * sy
+    val keep = n >= minPoints && denX =!= 0
+    agged
+      .select(col(keyCol), n.as("n_points"),
+        round(when(keep, num / denX), 6).as("slope"),
+        round(when(keep, (sy * sxx - sx * sxy) / denX), 6).as("intercept"),
+        round(when(keep && denY > 0, (num * num) / (denX * denY)), 6)
+          .as("r2"))
       .orderBy(keyCol)
   }
 }

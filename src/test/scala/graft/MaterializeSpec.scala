@@ -211,4 +211,35 @@ class MaterializeSpec extends SparkSpec {
     assert(out == Seq((1L, 20L, 2L, "b"), (3L, 40L, 6L, "z"),
       (4L, 50L, 8L, "new")))
   }
+
+  test("snapshotSeries: one pass equals latestPerKey at every cutoff; " +
+      "keys with no prior history absent from that cutoff") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val hist = Seq(
+      (1L, t("2024-01-05 00:00:00"), 1L, 10.0),
+      (1L, t("2024-02-05 00:00:00"), 2L, 11.0),
+      (2L, t("2024-02-20 00:00:00"), 3L, 20.0)   // first appears in Feb
+    ).toDF("k", "ts", "id", "v")
+    val cutoffs = Seq("2024-01-31 23:59:59", "2024-02-28 23:59:59")
+    val series = Materialize.snapshotSeries(hist, "k", "ts", "id",
+      cutoffs, Seq("v"))
+      .as[(java.sql.Timestamp, Long, java.sql.Timestamp, Long, Double)]
+      .collect().toSeq
+    // cutoff 1: only k=1 (v=10); cutoff 2: k=1 latest (11) and k=2 (20)
+    assert(series.map(r => (r._1.toString.take(10), r._2, r._5)) ==
+      Seq(("2024-01-31", 1L, 10.0),
+        ("2024-02-28", 1L, 11.0), ("2024-02-28", 2L, 20.0)))
+    // equivalence with per-cutoff latestPerKey
+    cutoffs.foreach { c =>
+      val one = Materialize.latestPerKey(
+        hist.filter(col("ts") <= lit(c).cast("timestamp_ntz")),
+        "k", "ts", "id")
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .toSet
+      val fromSeries = series
+        .filter(_._1 == java.sql.Timestamp.valueOf(c))
+        .map(r => (r._2, r._5)).toSet
+      assert(one == fromSeries, s"cutoff $c")
+    }
+  }
 }

@@ -143,4 +143,29 @@ class SketchSpec extends SparkSpec {
       "2024-01-01").get
     assert(first.getAs[Long]("exact_retained") == (w1 & w2).size.toLong)
   }
+
+  test("psiFromStore: identical-to-reference day scores ~0, a shifted day " +
+      "scores clearly higher, all PSI non-negative") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    // hand-built store: ref day d1 uniform over bins 0..9; d2 identical;
+    // d3 shifted mass onto bins 10..19
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val store = (
+      (0 until 10).map(b => (day("2024-01-01"), b, 100L)) ++
+      (0 until 10).map(b => (day("2024-01-02"), b, 100L)) ++
+      (10 until 20).map(b => (day("2024-01-03"), b, 100L))
+    ).toDF("day", "bin", "cnt")
+    val psi = Sketches.psiFromStore(store, "2024-01-01", "2024-01-01", 20)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Double]("psi")).toMap
+    assert(psi.values.forall(_ >= 0.0))
+    assert(psi("2024-01-02") == psi("2024-01-01")) // identical histograms
+    assert(psi("2024-01-02") < 0.01)
+    assert(psi("2024-01-03") > 1.0,                // full mass displacement
+      s"shifted-day PSI ${psi("2024-01-03")}")
+    intercept[IllegalArgumentException] {
+      Sketches.psiFromStore(store, "2030-01-01", "2030-01-02", 20)
+    }
+  }
 }
