@@ -3782,6 +3782,42 @@ object OracleSql {
                FILTER (cum >= ceil(total * 0.95)), 6) AS p95
       FROM c GROUP BY bucket ORDER BY bucket""",
 
+    // time-to-convert: first view -> first purchase at-or-after it
+    "q_time_to_convert" -> """
+      WITH f AS (SELECT user_id, min(ts) AS t0 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t1
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+            GROUP BY 1),
+      l AS (SELECT f.user_id,
+              date_diff('microsecond', f.t0, c.t1) / 1000000.0 AS lat
+            FROM f LEFT JOIN c ON f.user_id = c.user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_from,
+             CAST(count(lat) AS BIGINT) AS n_converted,
+             round(count(lat) / CAST(count(*) AS DOUBLE), 6)
+               AS conversion_rate,
+             round(avg(lat), 6) AS avg_latency_s,
+             round(quantile_cont(lat, 0.5), 6) AS p50_latency_s,
+             round(quantile_cont(lat, 0.9), 6) AS p90_latency_s
+      FROM l""",
+
+    // Freedman-Diaconis histogram sizing (same expression tree)
+    "q_histogram_config" -> """
+      WITH s AS (SELECT CAST(count(value) AS BIGINT) AS n,
+               min(value) AS lo, max(value) AS hi,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+             FROM events WHERE value IS NOT NULL)
+      SELECT n AS n_values, round(lo, 6) AS lo, round(hi, 6) AS hi,
+             round(q3 - q1, 6) AS iqr,
+             round(2.0 * (q3 - q1) / cbrt(n), 6) AS fd_width,
+             CAST(CASE WHEN q3 - q1 > 0 AND hi > lo
+               THEN least(10000, greatest(2, CAST(ceil((hi - lo)
+                 / (2.0 * (q3 - q1) / cbrt(n))) AS BIGINT)))
+               ELSE 2 END AS BIGINT) AS n_bins
+      FROM s""",
+
     // backfill grid: latest order per customer as of each cutoff
     "q_snapshot_series" -> """
       WITH cuts AS (SELECT unnest([TIMESTAMP '1996-12-31 23:59:59',

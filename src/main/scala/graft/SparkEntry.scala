@@ -1817,6 +1817,16 @@ object SparkEntry {
         date_trunc("week", _), lo = 0.0, hi = 600.0, nBins = 600,
         ps = Seq(0.5, 0.95))),
 
+    // latency complement of q_funnel: how long conversion takes
+    "q_time_to_convert" -> ((s, dir) =>
+      Eval.timeToConvert(Tables.events(s, dir), "user_id", "ts",
+        "event_type", fromType = "view", toType = "purchase")),
+
+    // Freedman-Diaconis sizing for the histogram store
+    "q_histogram_config" -> ((s, dir) =>
+      Sketches.histogramConfig(
+        Tables.events(s, dir).select("value"), "value")),
+
     // backfill grid: as-of snapshots at three year-end cutoffs in ONE pass
     "q_snapshot_series" -> ((s, dir) =>
       Materialize.snapshotSeries(Tables.orders(s, dir), "o_custkey",

@@ -372,4 +372,37 @@ object Eval {
         round(col("__x") - col("trend") - col("__seas"), 6).as("residual"))
       .orderBy("day")
   }
+
+  /** Time-to-convert latency distribution: for each user, the delay from
+    * their FIRST `fromType` event to their first `toType` event at or
+    * after it, summarized in one row (population, converted count, rate,
+    * mean and exact p50/p90 latency seconds). The funnel query
+    * (`q_funnel`) reports stage COUNTS; this is the latency complement —
+    * "how long does conversion take", the metric that sizes attribution
+    * windows and TTLs. Both stage frames are one-row-per-user bounded
+    * aggregates; the final fold is a single 1-row summary.
+    */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromType: String,
+                    toType: String): DataFrame = {
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    val conv = events.filter(col(typeCol) === toType)
+      .join(first, userCol)
+      .filter(col(tsCol) >= col("__t0"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t1"))
+    first.join(conv, Seq(userCol), "left")
+      .select(col("__t0"),
+        ((unix_micros(col("__t1").cast("timestamp")) -
+          unix_micros(col("__t0").cast("timestamp"))) / 1000000.0)
+          .as("__lat"))
+      .agg(
+        count(lit(1)).as("n_from"),
+        count(col("__lat")).as("n_converted"),
+        round(count(col("__lat")) / count(lit(1)).cast("double"), 6)
+          .as("conversion_rate"),
+        round(avg(col("__lat")), 6).as("avg_latency_s"),
+        round(expr("percentile(__lat, 0.5D)"), 6).as("p50_latency_s"),
+        round(expr("percentile(__lat, 0.9D)"), 6).as("p90_latency_s"))
+  }
 }

@@ -141,6 +141,36 @@ object Sketches {
       .orderBy("bucket")
   }
 
+  /** Freedman–Diaconis sizing for [[dailyHistogramStore]]: recommend
+    * (lo, hi, nBins) from the data — bin width 2·IQR/∛n, clamped to
+    * [2, maxBins] — in ONE exact-percentile aggregation. Closes the
+    * histogram-store loop: run this once on a bounded sample or the first
+    * day, then declare the returned range for the store (the declared
+    * range is the accuracy contract; this op is how you pick it instead
+    * of guessing).
+    */
+  def histogramConfig(df: DataFrame, valCol: String,
+                      maxBins: Int = 10000): DataFrame = {
+    require(maxBins >= 2, s"histogramConfig: maxBins >= 2 (got $maxBins)")
+    val s = df.filter(col(valCol).isNotNull).agg(
+      count(col(valCol)).as("n"),
+      min(col(valCol)).cast("double").as("lo"),
+      max(col(valCol)).cast("double").as("hi"),
+      expr(s"percentile($valCol, array(0.25D, 0.75D))").as("q"))
+    val iqr = col("q")(1) - col("q")(0)
+    val fd = lit(2.0) * iqr / cbrt(col("n"))
+    s.select(
+      col("n").as("n_values"),
+      round(col("lo"), 6).as("lo"),
+      round(col("hi"), 6).as("hi"),
+      round(iqr, 6).as("iqr"),
+      round(fd, 6).as("fd_width"),
+      when(iqr > 0 && col("hi") > col("lo"),
+        least(lit(maxBins.toLong),
+          greatest(lit(2L), ceil((col("hi") - col("lo")) / fd))))
+        .otherwise(lit(2L)).cast("long").as("n_bins"))
+  }
+
   /** Drift monitoring FROM THE HISTOGRAM STORE: daily PSI against a
     * reference period's bin distribution, computed entirely over the
     * bounded (day, bin, cnt) store — the monitoring loop never re-reads

@@ -200,4 +200,30 @@ class EvalSpec extends SparkSpec {
       f.getAs[Any]("powered") == null &&
       f.getAs[Any]("mde_at_current_n") != null)
   }
+
+  test("timeToConvert: pre-exposure purchases excluded, non-converters " +
+      "counted in the base, latencies hand-checked") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: view 10:00, purchase 10:10 -> 600 s
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:10:00"), "purchase"),
+      // u2: purchase BEFORE first view (excluded), converts at +30 s
+      (2L, t("2024-01-01 08:00:00"), "purchase"),
+      (2L, t("2024-01-01 09:00:00"), "view"),
+      (2L, t("2024-01-01 09:00:30"), "purchase"),
+      // u3: views, never purchases
+      (3L, t("2024-01-01 12:00:00"), "view"),
+      // u4: purchases only — no view, outside the base entirely
+      (4L, t("2024-01-01 13:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Eval.timeToConvert(ev, "user_id", "ts", "event_type",
+      "view", "purchase").head()
+    assert(r.getAs[Long]("n_from") == 3L)
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Double]("conversion_rate") == 0.666667)
+    assert(r.getAs[Double]("avg_latency_s") == 315.0)   // (600+30)/2
+    assert(r.getAs[Double]("p50_latency_s") == 315.0)   // interp of 30,600
+    assert(r.getAs[Double]("p90_latency_s") == 543.0)
+  }
 }

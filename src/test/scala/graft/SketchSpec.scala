@@ -168,4 +168,26 @@ class SketchSpec extends SparkSpec {
       Sketches.psiFromStore(store, "2030-01-01", "2030-01-02", 20)
     }
   }
+
+  test("histogramConfig: Freedman-Diaconis width on a known set; " +
+      "degenerate (constant) data falls back to 2 bins") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    // 0..999: IQR = 749.5 - 249.5 = 499.5? (type-7 interp) — just assert
+    // the structural relations instead of brittle constants
+    val df = (0 until 1000).map(_.toDouble).toDF("v")
+    val r = Sketches.histogramConfig(df, "v").head()
+    val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+    assert(lo == 0.0 && hi == 999.0)
+    val fd = r.getAs[Double]("fd_width")
+    assert(math.abs(fd - 2.0 * r.getAs[Double]("iqr") /
+      math.cbrt(1000.0)) < 1e-6)
+    assert(r.getAs[Long]("n_bins") ==
+      math.ceil((hi - lo) / (2.0 * r.getAs[Double]("iqr") /
+        math.cbrt(1000.0))).toLong)
+    // constant column: zero IQR -> the 2-bin fallback, no div-by-zero
+    val const = Seq.fill(50)(7.0).toDF("v")
+    assert(Sketches.histogramConfig(const, "v").head()
+      .getAs[Long]("n_bins") == 2L)
+  }
 }
