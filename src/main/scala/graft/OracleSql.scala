@@ -2754,6 +2754,41 @@ object OracleSql {
     // mutual information: joint counts → window marginals → Σ p·ln(p/pq),
     // the same bounded-table fold both engines run; round(6) absorbs
     // last-ulp summation-order drift
+    // all-pairs MI/NMI: same per-pair record explosion, joint counts and
+    // pair-partitioned folds as Stats.mutualInfoMatrix
+    "q_mi_matrix" -> """
+      WITH base AS (
+        SELECT event_type AS c1, CAST(isodow(ts) - 1 AS VARCHAR) AS c2,
+               CASE WHEN value/1000.0 < 0.1 THEN 'negligible'
+                    WHEN value/1000.0 < 0.2 THEN 'small'
+                    WHEN value/1000.0 < 0.3 THEN 'moderate'
+                    WHEN value/1000.0 < 0.5 THEN 'large'
+                    ELSE 'very large' END AS c3
+        FROM events),
+      recs AS (
+        SELECT 'event_type' AS col_a, 'dow' AS col_b, c1 AS x, c2 AS y
+        FROM base WHERE c1 IS NOT NULL AND c2 IS NOT NULL
+        UNION ALL
+        SELECT 'event_type', 'vbin', c1, c3
+        FROM base WHERE c1 IS NOT NULL AND c3 IS NOT NULL
+        UNION ALL
+        SELECT 'dow', 'vbin', c2, c3
+        FROM base WHERE c2 IS NOT NULL AND c3 IS NOT NULL),
+      joint AS (SELECT col_a, col_b, x, y, CAST(count(*) AS DOUBLE) AS nxy
+                FROM recs GROUP BY 1, 2, 3, 4),
+      t AS (SELECT col_a, col_b,
+              nxy / sum(nxy) OVER (PARTITION BY col_a, col_b) AS pxy,
+              sum(nxy) OVER (PARTITION BY col_a, col_b, x)
+                / sum(nxy) OVER (PARTITION BY col_a, col_b) AS px,
+              sum(nxy) OVER (PARTITION BY col_a, col_b, y)
+                / sum(nxy) OVER (PARTITION BY col_a, col_b) AS py
+            FROM joint)
+      SELECT col_a, col_b,
+             round(sum(pxy * ln(pxy / (px * py))), 6) AS mi_nats,
+             round(sum(pxy * ln(pxy / (px * py)))
+               / least(-sum(pxy * ln(px)), -sum(pxy * ln(py))), 6) AS nmi
+      FROM t GROUP BY 1, 2 ORDER BY col_a, col_b""",
+
     "q_mutual_info" -> """
       WITH joint AS (
         SELECT event_type AS x,

@@ -1547,6 +1547,14 @@ object SparkEntry {
         Tables.events(s, dir)
           .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
         "event_type", "vbin")),
+    "q_mi_matrix" -> ((s, dir) =>
+      // all-pairs MI/NMI in one scan: event type x weekday x magnitude
+      // bin (weekday(ts) 0=Monday matches DuckDB isodow-1)
+      Stats.mutualInfoMatrix(
+        Tables.events(s, dir)
+          .withColumn("dow", weekday(col("ts")))
+          .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
+        Seq("event_type", "dow", "vbin"))),
     "q_calibration" -> ((s, dir) =>
       // reliability diagram + ECE: score = clipped value/500 against the
       // purchase outcome, 10 equal-width bins

@@ -269,6 +269,25 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** Piggyback quality counters on ANY query via `Dataset.observe`: row
+    * count and per-column null counts accumulate DURING the host query's
+    * one pass — the 100 TB answer to "monitor quality without a second
+    * scan". The caller runs any action on the returned frame, then reads
+    * `observation.get` for the counters (the standard Spark `Observation`
+    * contract: metrics are aggregate expressions folded by the executors
+    * alongside the real work). Contrast with the Q5 report, which IS the
+    * query; this instruments someone else's.
+    */
+  def withObservedQuality(df: DataFrame, cols: Seq[String],
+                          obs: org.apache.spark.sql.Observation)
+      : DataFrame = {
+    require(cols.nonEmpty, "withObservedQuality: at least one column")
+    val metrics = count(lit(1)).as("n_rows") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"${c}_null_count"))
+    df.observe(obs, metrics.head, metrics.tail: _*)
+  }
+
   /** Missingness-pattern profile: group rows by WHICH of the declared
     * columns are null (a '1'/'0' presence mask, leftmost = first column)
     * and count each pattern. Per-column null rates (the Q1 report) can't

@@ -643,6 +643,46 @@ object Stats {
     * bounded joint table. NULLs excluded (MI over observed pairs). One
     * output row; doubles rounded at 6 for cross-engine parity.
     */
+  /** [[mutualInfo]] for EVERY pair of a declared column set in ONE scan:
+    * each row explodes into one (col_a, col_b, x, y) record per pair
+    * (bounded ×C(k,2) replication, the snapshot-series trick), then one
+    * shuffled joint count covers all pairs at once and the MI/NMI folds
+    * run as windows PARTITIONED BY PAIR over the bounded joint tables —
+    * never a scan per pair (k columns would otherwise cost k²/2 passes
+    * over a 100 TB table). The feature-redundancy screen: NMI ≈ 1 pairs
+    * are duplicate features.
+    */
+  def mutualInfoMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"mutualInfoMatrix: 2..8 columns (got ${cols.size})")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val recs = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(a).cast("string").as("x"), col(b).cast("string").as("y"))
+      }: _*)).as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+        col("r.x").as("x"), col("r.y").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val joint = recs.groupBy("col_a", "col_b", "x", "y")
+      .agg(count(lit(1)).cast("double").as("nxy"))
+    val wp = Window.partitionBy("col_a", "col_b")
+    val wx = Window.partitionBy("col_a", "col_b", "x")
+    val wy = Window.partitionBy("col_a", "col_b", "y")
+    val mi = sum(col("pxy") * log(col("pxy") / (col("px") * col("py"))))
+    joint
+      .withColumn("n", sum(col("nxy")).over(wp))
+      .withColumn("px", sum(col("nxy")).over(wx) / col("n"))
+      .withColumn("py", sum(col("nxy")).over(wy) / col("n"))
+      .withColumn("pxy", col("nxy") / col("n"))
+      .groupBy("col_a", "col_b")
+      .agg(round(mi, 6).as("mi_nats"),
+        round(mi / least(-sum(col("pxy") * log(col("px"))),
+          -sum(col("pxy") * log(col("py")))), 6).as("nmi"))
+      .orderBy("col_a", "col_b")
+  }
+
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val joint = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)

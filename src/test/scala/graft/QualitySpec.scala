@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Quality
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Q1–Q5 against the reference's dirty-fixture catalogue (FIXTURES.md §A5):
   * null age, out-of-range age, unknown tier, duplicate/missing ids.
@@ -166,5 +167,22 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Quality.nullPatterns(df, Seq.empty)
     }
+  }
+
+  test("withObservedQuality: counters accumulate during the HOST query's " +
+      "single pass and match direct computation") {
+    val df = Seq[(Option[Int], Option[String])](
+      (Some(1), Some("a")), (None, Some("b")), (Some(3), None),
+      (None, None), (Some(5), Some("e"))
+    ).toDF("x", "y")
+    val obs = org.apache.spark.sql.Observation()
+    val instrumented = Quality.withObservedQuality(df, Seq("x", "y"), obs)
+    // the host query is someone else's aggregate — one action, one scan
+    val hostResult = instrumented.agg(count(lit(1))).head().getLong(0)
+    assert(hostResult == 5L)
+    val m = obs.get
+    assert(m("n_rows") == 5L)
+    assert(m("x_null_count") == 2L)
+    assert(m("y_null_count") == 2L)
   }
 }
