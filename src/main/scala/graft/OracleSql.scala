@@ -3955,6 +3955,31 @@ object OracleSql {
              CAST(coalesce(max(gap) - 1, 0) AS BIGINT) AS largest_gap_days
       FROM g""",
 
+    // backfill work-list: calendar spine minus present days
+    "q_backfill_plan" -> """
+      WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+                 FROM orders),
+      spine AS (SELECT unnest(generate_series(
+                  (SELECT min(day) FROM d), (SELECT max(day) FROM d),
+                  INTERVAL 1 DAY))::DATE AS day)
+      SELECT day FROM spine
+      WHERE day NOT IN (SELECT day FROM d)
+      ORDER BY day""",
+
+    // export manifest: the same per-partition XOR-of-row-hashes replayed
+    // straight from events (write/read round trip must be content-neutral)
+    "s_export_manifest" -> """
+      SELECT CAST(ts AS DATE) AS event_date,
+             bit_xor(CAST(CAST(concat('0x', substr(md5(
+               concat_ws(chr(1),
+                 coalesce(CAST(event_id AS VARCHAR), chr(2)),
+                 coalesce(CAST(user_id AS VARCHAR), chr(2)),
+                 coalesce(event_type, chr(2)),
+                 coalesce(props, chr(2)))), 1, 15)) AS BIGINT) AS BIGINT))
+               AS fingerprint,
+             count(*) AS n_rows
+      FROM events GROUP BY 1 ORDER BY event_date""",
+
     // rendezvous re-sharding 8 -> 10: per-doc argmax of md5(doc:shard)
     // weights on both shard counts; movement must target NEW shards only
     "q_shard_movement" -> """

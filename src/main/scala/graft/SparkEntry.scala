@@ -1877,6 +1877,22 @@ object SparkEntry {
     "q_partition_gaps" -> ((s, dir) =>
       Stats.partitionGaps(Tables.orders(s, dir), "o_orderdate")),
 
+    // the backfill WORK-LIST: the actual missing days, one row each
+    "q_backfill_plan" -> ((s, dir) =>
+      Stats.missingDays(Tables.orders(s, dir), "o_orderdate")),
+
+    // export manifest: per-partition row counts + order-invariant content
+    // fingerprints of the date-partitioned offline store, read back from
+    // the written files — the handoff integrity record
+    "s_export_manifest" -> ((s, dir) => {
+      val withDate = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      val root = graft.sources.Sources.writeOfflineStore(withDate, "event_date")
+      Quality.groupFingerprints(
+        s.read.parquet(root), "event_date",
+        Seq("event_id", "user_id", "event_type", "props"))
+    }),
+
     // ---- rendezvous re-sharding audit (minimal-movement property) ----------
     "q_shard_movement" -> ((s, dir) =>
       Sampling.rendezvousMovementReport(Tables.documents(s, dir), "doc_id",

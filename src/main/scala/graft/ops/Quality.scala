@@ -196,6 +196,27 @@ object Quality {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Per-PARTITION [[datasetFingerprint]]: one (n_rows, fingerprint) row
+    * per group — the export MANIFEST a data handoff ships next to the
+    * files, so the consumer can verify each partition it ingests without
+    * re-reading any other (and the producer can diff manifests across
+    * re-exports to find exactly which partitions changed). Same
+    * order-invariant XOR-of-row-hashes as the dataset form; ONE shuffled
+    * aggregation on the partition key.
+    */
+  def groupFingerprints(df: DataFrame, groupCol: String,
+                        cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "groupFingerprints: at least one column")
+    val repr = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val h = conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+    df.select(col(groupCol), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(expr("bit_xor(__h)").as("fingerprint"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(groupCol)
+  }
+
   /** Referential-integrity audit across table relationships — the
     * cross-TABLE expectation the single-table suite can't express: for each
     * declared (child, fk) → (parent, pk) edge, one report row with total

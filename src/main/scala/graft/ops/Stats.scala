@@ -433,6 +433,19 @@ object Stats {
           .as("largest_gap_days"))
   }
 
+  /** The backfill WORK-LIST companion of [[partitionGaps]]: the actual
+    * missing calendar days inside the data's span, one row each — what a
+    * backfill orchestrator iterates. Calendar-bounded: the generated
+    * spine and the anti-join both live on the distinct-day table.
+    */
+  def missingDays(df: DataFrame, dateCol: String): DataFrame = {
+    val days = df.select(to_date(col(dateCol)).as("day")).distinct()
+    val spine = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    spine.join(days, Seq("day"), "left_anti").orderBy("day")
+  }
+
   /** Robust outlier report: per group, the median, the median absolute
     * deviation (MAD), and the count of rows beyond `k`·MAD — the
     * heavy-tail-safe sibling of the Tukey IQR fences (a single wild value

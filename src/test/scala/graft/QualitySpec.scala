@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Quality
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Q1–Q5 against the reference's dirty-fixture catalogue (FIXTURES.md §A5):
   * null age, out-of-range age, unknown tier, duplicate/missing ids.
@@ -184,5 +184,30 @@ class QualitySpec extends SparkSpec {
     assert(m("n_rows") == 5L)
     assert(m("x_null_count") == 2L)
     assert(m("y_null_count") == 2L)
+  }
+
+  test("groupFingerprints: partition-order invariant, agrees with the " +
+      "dataset fingerprint of each group, detects a 1-row change") {
+    val df = Seq((1, "a", 10.0), (1, "b", 20.0), (2, "c", 30.0),
+      (2, "d", 40.0), (2, "e", 50.0)).toDF("g", "s", "v")
+    val manifest = Quality.groupFingerprints(df, "g", Seq("s", "v"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("fingerprint"), r.getAs[Long]("n_rows"))).toMap
+    assert(manifest(1)._2 == 2L && manifest(2)._2 == 3L)
+    // repartitioned input -> identical manifest (XOR is order-free)
+    val shuffled = Quality.groupFingerprints(df.repartition(7), "g",
+      Seq("s", "v")).collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("fingerprint"), r.getAs[Long]("n_rows"))).toMap
+    assert(shuffled == manifest)
+    // per-group rows equal the whole-dataset fingerprint of that slice
+    val g2 = Quality.datasetFingerprint(df.filter(col("g") === 2),
+      Seq("s", "v")).head()
+    assert(g2.getAs[Long]("fingerprint") == manifest(2)._1)
+    // a single changed row flips that group's fingerprint only
+    val changed = Quality.groupFingerprints(
+      df.withColumn("v", when(col("s") === "e", 51.0).otherwise(col("v"))),
+      "g", Seq("s", "v")).collect().map(r => r.getInt(0) ->
+        r.getAs[Long]("fingerprint")).toMap
+    assert(changed(1) == manifest(1)._1 && changed(2) != manifest(2)._1)
   }
 }

@@ -368,5 +368,9 @@ class StatsSpec extends SparkSpec {
       .select(col("d").cast("date").as("d")), "d").collect().head
     assert(one.getAs[Long]("days_missing") == 0L &&
       one.getAs[Long]("largest_gap_days") == 0L)
+    // the work-list twin: exactly the holes, in order
+    val missing = Stats.missingDays(df, "d").collect()
+      .map(_.getAs[java.sql.Date]("day").toString).toSeq
+    assert(missing == Seq("2024-01-04", "2024-01-05", "2024-01-07"))
   }
 }
