@@ -296,6 +296,48 @@ object OracleSql {
       GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
       ORDER BY user_id, window_start""",
 
+    // incremental flagship: SAME oracle as the approx-checked flagship —
+    // all additive/min columns must hash-match the merged-partials path,
+    // the exact distinct replays, the sketch boolean is stably TRUE
+    "q_incremental_hourly" -> s"""
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             $clickAggs,
+             CAST(time_bucket(INTERVAL '1 hour', ts) AS DATE) AS event_date,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS feature_timestamp,
+             TRUE AS unique_k_ok
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+      ORDER BY user_id, window_start""",
+
+    // manifest diff: the same per-day fingerprints derived for the two
+    // export generations, full-outer joined to the resync action list
+    "q_manifest_diff" -> """
+      WITH fp AS (
+        SELECT CAST(ts AS DATE) AS event_date, event_id,
+               CAST(CAST(concat('0x', substr(md5(
+                 concat_ws(chr(1),
+                   coalesce(CAST(event_id AS VARCHAR), chr(2)),
+                   coalesce(CAST(user_id AS VARCHAR), chr(2)),
+                   coalesce(event_type, chr(2)),
+                   coalesce(props, chr(2)))), 1, 15)) AS BIGINT) AS BIGINT)
+                 AS h
+        FROM events),
+      b AS (SELECT event_date, bit_xor(h) AS f, count(*) AS n FROM fp
+            WHERE event_date <> DATE '2024-01-05' GROUP BY 1),
+      a AS (SELECT event_date, bit_xor(h) AS f, count(*) AS n FROM fp
+            WHERE event_date = DATE '2024-01-05' OR event_id % 97 <> 0
+            GROUP BY 1),
+      j AS (SELECT coalesce(b.event_date, a.event_date) AS event_date,
+               CASE WHEN b.f IS NULL THEN 'added'
+                    WHEN a.f IS NULL THEN 'removed'
+                    WHEN b.f <> a.f THEN 'changed' END AS status,
+               b.n AS rows_before, a.n AS rows_after
+            FROM b FULL OUTER JOIN a ON b.event_date = a.event_date)
+      SELECT event_date, status, rows_before, rows_after
+      FROM j WHERE status IS NOT NULL ORDER BY event_date""",
+
     "q_clickstream_sliding" -> s"""
       WITH expanded AS (
         SELECT e.*, time_bucket(INTERVAL '10 minutes', e.ts)

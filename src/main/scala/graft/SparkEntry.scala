@@ -1555,6 +1555,32 @@ object SparkEntry {
           .withColumn("dow", weekday(col("ts")))
           .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
         Seq("event_type", "dow", "vbin"))),
+    "q_incremental_hourly" -> ((s, dir) => {
+      // incremental flagship maintenance: two ingest halves fold to
+      // mergeable partials, merge, finalize — additive/min columns from
+      // the MERGED state (the oracle hash proves the merge), exact
+      // unique_k recomputed check-side, sketch bounded by unique_k_ok
+      val e = ev(s, dir)
+      val merged = WindowAgg.mergeHourlyPartials(
+        WindowAgg.hourlyPartials(e.filter(pmod(col("event_id"), lit(2)) === 0)),
+        WindowAgg.hourlyPartials(e.filter(pmod(col("event_id"), lit(2)) === 1)))
+      WindowAgg.finalizeHourlyChecked(merged, e)
+    }),
+    "q_manifest_diff" -> ((s, dir) => {
+      // partition-level resync list between two export generations:
+      // BEFORE lacks 2024-01-05 (-> added in AFTER); AFTER drops every
+      // 97th event of other days (-> those days changed)
+      val e = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      val before = Quality.groupFingerprints(
+        e.filter(col("event_date") =!= lit("2024-01-05").cast("date")),
+        "event_date", Seq("event_id", "user_id", "event_type", "props"))
+      val after = Quality.groupFingerprints(
+        e.filter(col("event_date") === lit("2024-01-05").cast("date") ||
+          pmod(col("event_id"), lit(97)) =!= 0),
+        "event_date", Seq("event_id", "user_id", "event_type", "props"))
+      Quality.manifestDiff(before, after, "event_date")
+    }),
     "q_calibration" -> ((s, dir) =>
       // reliability diagram + ECE: score = clipped value/500 against the
       // purchase outcome, 10 equal-width bins

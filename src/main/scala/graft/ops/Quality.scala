@@ -217,6 +217,30 @@ object Quality {
       .orderBy(groupCol)
   }
 
+  /** Diff two export manifests ([[groupFingerprints]] outputs): the
+    * partition-level action list — `added` / `removed` / `changed` — a
+    * consumer resyncs from, with unchanged partitions excluded (they are
+    * the whole point of manifests: nothing to re-ship). A full-outer join
+    * over two calendar-bounded manifests; at 100 TB this compares KBs,
+    * not data.
+    */
+  def manifestDiff(before: DataFrame, after: DataFrame,
+                   groupCol: String): DataFrame = {
+    val b = before.select(col(groupCol),
+      col("fingerprint").as("fp_before"), col("n_rows").as("rows_before"))
+    val a = after.select(col(groupCol),
+      col("fingerprint").as("fp_after"), col("n_rows").as("rows_after"))
+    b.join(a, Seq(groupCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_before").isNull, "added")
+          .when(col("fp_after").isNull, "removed")
+          .when(col("fp_before") =!= col("fp_after"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(groupCol), col("status"), col("rows_before"),
+        col("rows_after"))
+      .orderBy(groupCol)
+  }
+
   /** Referential-integrity audit across table relationships — the
     * cross-TABLE expectation the single-table suite can't express: for each
     * declared (child, fk) → (parent, pk) edge, one report row with total

@@ -200,6 +200,109 @@ object WindowAgg {
       .orderBy("user_id", "window_start")
   }
 
+  /** Mergeable PARTIAL state of the flagship hourly aggregation — the
+    * aggregate-table (incremental view maintenance) architecture: each
+    * ingest batch folds to per-(user, window) partials, partial tables
+    * MERGE by key without re-reading raw events, and [[finalizeHourly]]
+    * projects the serving schema. Every column's state is associative —
+    * counts and value sums add, primary_k mins — and the one
+    * non-additive statistic (distinct k) is carried as a DataSketches
+    * HLL sketch (union-mergeable) instead of a final count. This is how
+    * a 100 TB flagship table stays fresh: O(batch) work per ingest, a
+    * bounded merge over partials, never a full recompute.
+    */
+  def hourlyPartials(parsedEvents: DataFrame): DataFrame = {
+    val w = window(col("ts_parsed"), "1 hour")
+    parsedEvents
+      .groupBy(col("user_id"), w.as("win"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(Parse.flagIf(col("event_type") === "click")).as("click_count"),
+        sum(Parse.flagIf(col("event_type") === "view")).as("view_count"),
+        sum(Parse.flagIf(col("event_type") === "purchase"))
+          .as("purchase_count"),
+        sum(Parse.flagIf(col("event_type") === "signup")).as("signup_count"),
+        sum(Parse.flagIf(col("event_type") === "error")).as("error_count"),
+        hll_sketch_agg(col("k"), lit(12)).as("k_sketch"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("revenue_sum"),
+        sum(when(col("event_type") === "view", col("value")))
+          .as("view_value_sum"),
+        count(when(col("event_type") === "view", col("value")))
+          .as("view_value_cnt"),
+        min(when(col("event_type") === "click", col("k")))
+          .as("primary_k_min"))
+      .withColumn("window_start", col("win.start"))
+      .withColumn("window_end", col("win.end"))
+      .drop("win")
+  }
+
+  /** Merge any number of partial tables: sums add, sketches union, mins
+    * min — one keyed shuffle over the BOUNDED partial tables. */
+  def mergeHourlyPartials(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("user_id"), col("window_start"), col("window_end"))
+      .agg(
+        sum(col("total_events")).cast("long").as("total_events"),
+        sum(col("click_count")).cast("long").as("click_count"),
+        sum(col("view_count")).cast("long").as("view_count"),
+        sum(col("purchase_count")).cast("long").as("purchase_count"),
+        sum(col("signup_count")).cast("long").as("signup_count"),
+        sum(col("error_count")).cast("long").as("error_count"),
+        hll_union_agg(col("k_sketch"), lit(true)).as("k_sketch"),
+        sum(col("revenue_sum")).as("revenue_sum"),
+        sum(col("view_value_sum")).as("view_value_sum"),
+        sum(col("view_value_cnt")).cast("long").as("view_value_cnt"),
+        min(col("primary_k_min")).as("primary_k_min"))
+
+  /** Project merged partials into the flagship serving schema; the
+    * distinct column surfaces as `unique_k_approx` (sketch estimate). */
+  def finalizeHourly(partials: DataFrame): DataFrame =
+    partials.select(
+      col("user_id"), col("window_start"), col("window_end"),
+      col("total_events"), col("click_count"), col("view_count"),
+      col("purchase_count"), col("signup_count"), col("error_count"),
+      hll_sketch_estimate(col("k_sketch")).as("unique_k_approx"),
+      round(col("revenue_sum"), 2).as("total_revenue"),
+      round(when(col("view_value_cnt") > 0,
+        col("view_value_sum") / col("view_value_cnt")), 6)
+        .as("avg_view_value"),
+      col("primary_k_min").as("primary_k"),
+      round(Parse.safeRatio(col("click_count"), col("view_count")), 6)
+        .as("click_through_rate"),
+      round(Parse.safeRatio(col("purchase_count"), col("click_count")), 6)
+        .as("conversion_rate"),
+      to_date(col("window_start")).as("event_date"),
+      col("window_end").as("feature_timestamp"))
+
+  /** The CHECK form of the incremental path, oracle-shaped exactly like
+    * [[hourlyFeaturesApproxChecked]]: every additive/min column comes
+    * from the MERGED PARTIALS (so the oracle hash proves the merge), the
+    * exact `unique_k` is recomputed from raw (check-side only), and
+    * `unique_k_ok` bounds the sketch against it.
+    */
+  def finalizeHourlyChecked(partials: DataFrame,
+                            parsedEvents: DataFrame): DataFrame = {
+    val fin = finalizeHourly(partials)
+    val exactK = parsedEvents
+      .groupBy(col("user_id"), window(col("ts_parsed"), "1 hour").as("win"))
+      .agg(countDistinct(col("k")).as("unique_k"))
+      .withColumn("window_start", col("win.start"))
+      .drop("win")
+    fin.join(exactK, Seq("user_id", "window_start"))
+      .withColumn("unique_k_ok",
+        abs(col("unique_k_approx") - col("unique_k")).cast("double") <=
+          greatest(lit(2.0), col("unique_k") * 0.15))
+      .select(
+        col("user_id"), col("window_start"), col("window_end"),
+        col("total_events"), col("click_count"), col("view_count"),
+        col("purchase_count"), col("signup_count"), col("error_count"),
+        col("unique_k"), col("total_revenue"), col("avg_view_value"),
+        col("primary_k"), col("click_through_rate"), col("conversion_rate"),
+        col("event_date"), col("feature_timestamp"), col("unique_k_ok"))
+      .orderBy("user_id", "window_start")
+  }
+
   /** Rolling distinct actives — DAU + trailing-`windowDays` WAU per day,
     * EXACT. Distinct counts don't sum across days, so the rolling window
     * can't reuse daily aggregates; the scalable exact form replicates

@@ -210,4 +210,20 @@ class QualitySpec extends SparkSpec {
         r.getAs[Long]("fingerprint")).toMap
     assert(changed(1) == manifest(1)._1 && changed(2) != manifest(2)._1)
   }
+
+  test("manifestDiff: added / removed / changed classified, unchanged " +
+      "partitions excluded from the resync list") {
+    val v1 = Seq((1, "a", 1.0), (1, "b", 2.0), (2, "c", 3.0)).toDF("g", "s", "v")
+    val v2 = Seq((1, "a", 1.0), (1, "b", 2.0),          // g=1 unchanged
+      (2, "c", 99.0),                                   // g=2 changed
+      (3, "d", 4.0)).toDF("g", "s", "v")                // g=3 added
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Quality.groupFingerprints(df, "g", Seq("s", "v"))
+    val diff = Quality.manifestDiff(m(v1), m(v2), "g")
+      .collect().map(r => r.getInt(0) -> r.getAs[String]("status")).toMap
+    assert(diff == Map(2 -> "changed", 3 -> "added"))
+    val back = Quality.manifestDiff(m(v2), m(v1), "g")
+      .collect().map(r => r.getInt(0) -> r.getAs[String]("status")).toMap
+    assert(back == Map(2 -> "changed", 3 -> "removed"))
+  }
 }

@@ -66,4 +66,37 @@ class WindowAggSpec extends SparkSpec {
       .select("day", "wau_ok").as[(java.sql.Date, Boolean)].collect()
     assert(chk.length == 3 && chk.forall(_._2))
   }
+
+  test("incremental flagship partials: merge of split halves equals the " +
+      "single-pass partials exactly, and finalize matches hourlyFeatures " +
+      "on every non-sketch column") {
+    val halves = Seq(
+      parsed.filter(pmod(col("event_id"), lit(2)) === 0),
+      parsed.filter(pmod(col("event_id"), lit(2)) === 1))
+    val merged = WindowAgg.mergeHourlyPartials(
+      halves.map(WindowAgg.hourlyPartials): _*)
+    val single = WindowAgg.mergeHourlyPartials(
+      WindowAgg.hourlyPartials(parsed))
+    val nonSketch = Seq("user_id", "window_start", "window_end",
+      "total_events", "click_count", "view_count", "purchase_count",
+      "signup_count", "error_count", "revenue_sum", "view_value_cnt",
+      "primary_k_min")
+    // associativity on exactly-additive state (double sums compared via
+    // finalize's rounding below; counts/mins exactly here)
+    assert(merged.select(nonSketch.map(col): _*).collect().toSet ==
+      single.select(nonSketch.map(col): _*).collect().toSet)
+
+    val fin = WindowAgg.finalizeHourly(merged)
+    val ref = WindowAgg.hourlyFeatures(parsed)
+    val keep = ref.columns.filterNot(_ == "unique_k")
+    assert(fin.select(keep.map(col): _*).collect().toSet ==
+      ref.select(keep.map(col): _*).collect().toSet)
+    // the one sketched column stays within HLL tolerance of exact
+    val chk = fin.join(ref.select(col("user_id"), col("window_start"),
+        col("unique_k")), Seq("user_id", "window_start"))
+      .select((abs(col("unique_k_approx") - col("unique_k"))
+        .cast("double") <= greatest(lit(2.0), col("unique_k") * 0.15))
+        .as("ok"))
+    assert(chk.collect().forall(_.getBoolean(0)))
+  }
 }
