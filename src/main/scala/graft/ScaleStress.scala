@@ -280,9 +280,24 @@ object ScaleStress {
           "user_id", "ts", "event_id", "op", "delete",
           Seq("event_type", "value")).queryExecution.toRdd.count()
       }
+      // incremental flagship: two ingest halves -> partials -> merge ->
+      // finalize; linear in events, merge bounded by the partial tables
+      val parsedK = evk
+        .withColumn("ts_parsed", col("ts"))
+        .withColumn("k", col("user_id") % 50L)
+      val (tIvm, nWindows) = timeMin2 {
+        graft.ops.WindowAgg.finalizeHourly(
+          graft.ops.WindowAgg.mergeHourlyPartials(
+            graft.ops.WindowAgg.hourlyPartials(
+              parsedK.filter(col("event_id") % 2 === 0)),
+            graft.ops.WindowAgg.hourlyPartials(
+              parsedK.filter(col("event_id") % 2 === 1))))
+          .queryExecution.toRdd.count()
+      }
       println(f"STRESS-CURATE k=$k docs=$nD t_boiler=$tBoiler%.2f " +
         f"scored=$nBoiler events=$nE t_sketch=$tSketch%.2f " +
-        f"weeks=$nBuckets t_cdc=$tCdc%.2f live=$nLive")
+        f"weeks=$nBuckets t_cdc=$tCdc%.2f live=$nLive " +
+        f"t_ivm=$tIvm%.2f windows=$nWindows")
     }
     spark.stop()
   }

@@ -164,6 +164,52 @@ object Pipeline {
       .groupBy(col("day"), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Streaming leg of the flagship aggregate-table architecture: each
+    * micro-batch of PARSED events folds to its mergeable hourly partials
+    * ([[graft.ops.WindowAgg.hourlyPartials]] — sums/counts/mins + HLL
+    * sketch) and lands in an `ingest_batch` epoch partition via dynamic
+    * overwrite, so a replayed batch overwrites its own epoch instead of
+    * double-counting (same discipline as [[histogramStoreSink]]). The
+    * read side merges epochs and finalizes — the LIVE flagship table
+    * without ever re-aggregating raw history, and without streaming-
+    * aggregation state: watermark bookkeeping is traded for idempotent
+    * epoch folds, which is the right trade when the serving store IS the
+    * state.
+    */
+  def flagshipPartialsSink(parsedEvents: DataFrame, storePath: String,
+                           checkpoint: String): DataStreamWriter[Row] =
+    parsedEvents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestFlagshipBatch(batch, batchId, storePath)
+      }
+
+  def ingestFlagshipBatch(batch: DataFrame, batchId: Long,
+                          storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val prior =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try graft.ops.WindowAgg.hourlyPartials(batch)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(storePath)
+    finally prior match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Read side of [[flagshipPartialsSink]]: merge all epochs' partials
+    * and finalize into the flagship serving schema. */
+  def flagshipFromStore(spark: SparkSession, storePath: String): DataFrame =
+    graft.ops.WindowAgg.finalizeHourly(
+      graft.ops.WindowAgg.mergeHourlyPartials(
+        spark.read.parquet(storePath).drop("ingest_batch")))
+
   /** S8×S9 fused: streaming materialization INTO the real JDBC registry —
     * the reference's airflow flow (`feature_store_materialization.py:
     * 214-239`: materialize the view, then record its freshness) as one

@@ -221,6 +221,42 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming flagship-partials sink: kill/resume; merged epochs " +
+      "finalize to the same table as a batch fold over everything") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double, Long)]
+    val store = java.nio.file.Files.createTempDirectory("graft_fpart_")
+      .toString + "/partials"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fckpt_").toString
+    val cols = Seq("user_id", "ts_parsed", "event_type", "value", "k")
+    def start() = Pipeline.flagshipPartialsSink(
+      stream.toDF().toDF(cols: _*), store, ckpt).start()
+    val b1 = Seq((1L, ts(0), "view", 10.0, 7L), (1L, ts(5), "click", 0.0, 7L),
+      (2L, ts(10), "view", 30.0, 9L))
+    val b2 = Seq((1L, ts(20), "purchase", 99.0, 7L),
+      (2L, ts(90), "view", 40.0, 8L))   // second hour for u2
+    val q1 = start()
+    stream.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop() // kill; data keeps arriving
+    stream.addData(b2: _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val live = Pipeline.flagshipFromStore(spark, store)
+      val batch = graft.ops.WindowAgg.finalizeHourly(
+        graft.ops.WindowAgg.mergeHourlyPartials(
+          graft.ops.WindowAgg.hourlyPartials((b1 ++ b2).toDF(cols: _*))))
+      assert(live.collect().toSet == batch.collect().toSet)
+      // spot-check: u1's first-hour window saw view+click+purchase
+      val u1 = live.filter(col("user_id") === 1L).collect()
+      assert(u1.length == 1)
+      assert(u1.head.getAs[Long]("total_events") == 3L)
+      assert(u1.head.getAs[Double]("total_revenue") == 99.0)
+    } finally q2.stop()
+  }
+
   test("streaming near-dup ingest gate: kill/resume; admitted corpus " +
       "equals the full-corpus batch survivors") {
     implicit val sqlCtx = spark.sqlContext
