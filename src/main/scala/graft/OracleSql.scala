@@ -3951,6 +3951,30 @@ object OracleSql {
       FROM wk a JOIN wk b ON a.k = b.k AND b.week = a.week + 7
       GROUP BY a.week ORDER BY week_a""",
 
+    // grouped histogram-store quantiles: q_histogram_weekly with the
+    // event_type dimension in every partition/group
+    "q_histogram_by_type" -> """
+      WITH h AS (
+        SELECT date_trunc('week', CAST(ts AS DATE)) AS bucket,
+               event_type AS grp,
+               least(599, greatest(0, CAST(floor(value) AS INTEGER))) AS bin,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2, 3),
+      c AS (
+        SELECT bucket, grp, bin, cnt,
+               sum(cnt) OVER (PARTITION BY bucket, grp ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY bucket, grp) AS total
+        FROM h)
+      SELECT bucket, grp,
+             round(arg_min(bin + (ceil(total * 0.5) - (cum - cnt))
+                 / CAST(cnt AS DOUBLE), bin)
+               FILTER (cum >= ceil(total * 0.5)), 6) AS p50,
+             round(arg_min(bin + (ceil(total * 0.95) - (cum - cnt))
+                 / CAST(cnt AS DOUBLE), bin)
+               FILTER (cum >= ceil(total * 0.95)), 6) AS p95
+      FROM c GROUP BY bucket, grp ORDER BY bucket, grp""",
+
     // CDC apply: last change per key wins; keys whose last change is a
     // tombstone ('error') vanish from the snapshot
     "q_cdc_apply" -> """

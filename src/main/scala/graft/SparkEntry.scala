@@ -1883,6 +1883,15 @@ object SparkEntry {
       Sketches.weeklyRetentionChecked(Tables.events(s, dir), "ts",
         "user_id")),
 
+    // per-segment store: weekly p50/p95 per event type from the grouped
+    // histogram store (the per-feature monitoring shape)
+    "q_histogram_by_type" -> ((s, dir) =>
+      Sketches.rollupGroupedQuantiles(
+        Sketches.dailyGroupedHistogramStore(Tables.events(s, dir), "ts",
+          "event_type", "value", lo = 0.0, hi = 600.0, nBins = 600),
+        date_trunc("week", _), lo = 0.0, hi = 600.0, nBins = 600,
+        ps = Seq(0.5, 0.95))),
+
     // ---- CDC changelog apply (upserts + deletes -> current snapshot) -------
     "q_cdc_apply" -> ((s, dir) =>
       // events as a CDC feed: 'error' events are tombstones; the snapshot

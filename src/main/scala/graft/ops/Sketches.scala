@@ -141,6 +141,60 @@ object Sketches {
       .orderBy("bucket")
   }
 
+  /** [[dailyHistogramStore]] with a grouping dimension: one histogram per
+    * (day, group) — the per-feature / per-segment store a monitoring
+    * stack actually keeps (every feature's quantiles, not one global
+    * distribution). Store size O(days × groups × nBins); the group column
+    * must be bounded-cardinality (a feature name / segment, not an id).
+    */
+  def dailyGroupedHistogramStore(df: DataFrame, tsCol: String,
+                                 groupCol: String, valCol: String,
+                                 lo: Double, hi: Double,
+                                 nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo,
+      s"dailyGroupedHistogramStore: need nBins >= 2 and hi > lo " +
+        s"(got $nBins, [$lo,$hi))")
+    val width = (hi - lo) / nBins
+    val bin = least(lit(nBins - 1),
+      greatest(lit(0), floor((col(valCol) - lo) / width).cast("int")))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"), col(groupCol).as("grp"),
+        bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile readout per (bucket, group) from the grouped store — same
+    * first-candidate-bin election as [[rollupQuantiles]], windows
+    * partitioned by (bucket, group) so every frame stays ≤ nBins rows.
+    */
+  def rollupGroupedQuantiles(store: DataFrame, grain: Column => Column,
+                             lo: Double, hi: Double, nBins: Int,
+                             ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"rollupGroupedQuantiles: percentiles in (0, 1], got ${ps.mkString(",")}")
+    val width = (hi - lo) / nBins
+    val merged = store
+      .groupBy(grain(col("day")).cast("date").as("bucket"), col("grp"),
+        col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy(col("bucket"), col("grp")).orderBy(col("bin"))
+    val whole = Window.partitionBy(col("bucket"), col("grp"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(whole))
+    val qs = ps.map { p =>
+      val target = ceil(col("total") * p)
+      val est = lit(lo) + (col("bin") +
+        (target - (col("cum") - col("cnt"))) / col("cnt")) * width
+      round(min(when(col("cum") >= target,
+        struct(col("bin"), est.as("est")))).getField("est")
+        .cast("double"), 6).as(s"p${(p * 100).round}")
+    }
+    cum.groupBy(col("bucket"), col("grp"))
+      .agg(qs.head, qs.tail: _*)
+      .orderBy("bucket", "grp")
+  }
+
   /** Freedman–Diaconis sizing for [[dailyHistogramStore]]: recommend
     * (lo, hi, nBins) from the data — bin width 2·IQR/∛n, clamped to
     * [2, maxBins] — in ONE exact-percentile aggregation. Closes the

@@ -124,6 +124,33 @@ class SketchSpec extends SparkSpec {
     assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
   }
 
+  test("grouped histogram store: per-(week, type) quantiles track the " +
+      "discrete quantile of that slice within one bin") {
+    import graft.ops.Sketches
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val out = Sketches.rollupGroupedQuantiles(
+      Sketches.dailyGroupedHistogramStore(ev, "ts", "event_type", "value",
+        0.0, 600.0, 600),
+      date_trunc("week", _), 0.0, 600.0, 600, Seq(0.5)).collect()
+    assert(out.length == 25) // 5 weeks x 5 event types
+    // check one slice against its discrete p50
+    val slice = ev
+      .filter(col("event_type") === "purchase" &&
+        date_trunc("week", to_date(col("ts"))).cast("date") ===
+          lit("2024-01-08").cast("date"))
+    val ranked = slice
+      .withColumn("rn", row_number().over(Window.orderBy("value")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val disc = ranked.filter(col("rn") === ceil(col("n") * 0.5))
+      .select("value").head().getDouble(0)
+    val got = out.find(r =>
+      r.getAs[java.sql.Date]("bucket").toString == "2024-01-08" &&
+        r.getAs[String]("grp") == "purchase").get.getAs[Double]("p50")
+    assert(math.abs(got - disc) <= 1.0, s"got=$got disc=$disc")
+  }
+
   test("sketch-store retention: inclusion-exclusion overlap of stored " +
       "weekly sketches matches the exact intersection") {
     import graft.ops.Sketches
