@@ -4138,6 +4138,116 @@ object OracleSql {
              round(sum(o_totalprice), 2) AS usd_total,
              round(sum(CASE WHEN o_orderkey % 2 = 1
                THEN round(o_totalprice * 0.92, 2) END), 2) AS eur_total
-      FROM orders"""
+      FROM orders""",
+
+    // interpolated bigram LM (λ=0.5 — exactly complementable in binary):
+    // vocab/counts from the English slice, every doc scored; <unk> fold,
+    // add-one unigram, first token unigram-only — mirrors
+    // TextAnalysis.bigramPerplexity line by line
+    "x_lm_perplexity" -> """
+      WITH toks AS (SELECT doc_id, lang,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> t <> '') AS w
+            FROM documents WHERE trim(text) <> ''),
+      rtok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+                      unnest(w) AS t
+               FROM toks WHERE lang = 'en'),
+      runi AS (SELECT t, count(*) AS cnt FROM rtok GROUP BY t),
+      vocab AS (SELECT t FROM runi ORDER BY cnt DESC, t LIMIT 100),
+      rmap AS (SELECT r.doc_id, r.pos,
+                      CASE WHEN v.t IS NOT NULL THEN r.t
+                           ELSE '<unk>' END AS v
+               FROM rtok r LEFT JOIN vocab v ON r.t = v.t),
+      uni AS (SELECT v, count(*) AS cu FROM rmap GROUP BY v),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rmap),
+      vn AS (SELECT count(*) + 1.0 AS vp FROM vocab),
+      big AS (SELECT pv, v, count(*) AS cb FROM (
+                SELECT lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv,
+                       v FROM rmap)
+              WHERE pv IS NOT NULL GROUP BY pv, v),
+      stok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+                      unnest(w) AS t FROM toks),
+      smap AS (SELECT s.doc_id, s.pos,
+                      CASE WHEN v.t IS NOT NULL THEN s.t
+                           ELSE '<unk>' END AS v,
+                      CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+               FROM stok s LEFT JOIN vocab v ON s.t = v.t),
+      sprev AS (SELECT doc_id, pos, v, oov,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
+                FROM smap),
+      scored AS (SELECT s.doc_id, s.oov,
+             (coalesce(u.cu, 0) + 1.0)
+               / ((SELECT n FROM n) + (SELECT vp FROM vn)) AS pu,
+             s.pv, coalesce(b.cb, 0) AS cb,
+             greatest(coalesce(up.cu, 0), 1) AS cup
+           FROM sprev s
+             LEFT JOIN uni u ON s.v = u.v
+             LEFT JOIN uni up ON s.pv = up.v
+             LEFT JOIN big b ON s.pv = b.pv AND s.v = b.v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             round(avg(-log2(CASE WHEN pv IS NULL THEN pu
+               ELSE 0.5 * CAST(cb AS DOUBLE) / cup + 0.5 * pu END)), 6)
+               AS ce_bits
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "x_bpe_merges" -> bpeSql(
+      (1 to graft.ops.Bpe.OracleK).map(i =>
+        s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l||r AS merged" +
+          s" FROM m$i").mkString(" UNION ALL ") + " ORDER BY rank"),
+
+    "x_bpe_tokens" -> bpeSql(s"""
+      SELECT doc_id, n_words,
+             CAST(len(string_split(trim(s), ' ')) - (n_words - 1)
+               AS BIGINT) AS n_tokens,
+             round((len(string_split(trim(s), ' ')) - (n_words - 1))
+               / CAST(n_words AS DOUBLE), 6) AS fertility,
+             replace(replace(s, ' ', ''), chr(1), '') = norm AS roundtrip_ok
+      FROM d${graft.ops.Bpe.OracleK} ORDER BY doc_id""")
   )
+
+  /** BPE training replayed as dynamically-parameterized unrolled
+    * supersteps (the PageRank/k-means unrolling precedent, except each
+    * superstep's rewrite pattern is COMPUTED by the previous step's
+    * argmax): `ws{i}` re-segments the word-frequency table under merge i,
+    * `d{i}` applies the same merge to whole documents (word boundaries
+    * marked chr(1) — merges are trained per word so no pattern can cross
+    * one). The three-`replace` space-doubling chain is byte-identical to
+    * `Bpe.applyMerge`; tie-break and pair counting mirror
+    * `Bpe.trainMergesLocal` (count desc, pair ascending, overlapping
+    * adjacent occurrences).
+    */
+  private def bpeSql(select: String): String = {
+    val steps = (1 to graft.ops.Bpe.OracleK).map { i =>
+      s"""
+      p$i AS (SELECT p[1] AS l, p[2] AS r, sum(freq) AS cnt FROM (
+          SELECT unnest(list_zip(syms, syms[2:])) AS p, freq FROM (
+            SELECT string_split(trim(s), ' ') AS syms, freq FROM ws${i - 1}))
+        WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+      m$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+      ws$i AS (SELECT replace(replace(replace(s, ' ', '  '),
+          (SELECT ' '||l||'  '||r||' ' FROM m$i),
+          (SELECT ' '||l||r||' ' FROM m$i)), '  ', ' ') AS s, freq
+        FROM ws${i - 1}),
+      d$i AS (SELECT doc_id, n_words, norm,
+          replace(replace(replace(s, ' ', '  '),
+            (SELECT ' '||l||'  '||r||' ' FROM m$i),
+            (SELECT ' '||l||r||' ' FROM m$i)), '  ', ' ') AS s
+        FROM d${i - 1})"""
+    }.mkString(",")
+    s"""
+      WITH w0 AS (SELECT w, count(*) AS freq FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+            '\\s+'), t -> t <> '')) AS w FROM documents) GROUP BY w),
+      ws0 AS (SELECT ' '||trim(regexp_replace(w, '(.)', '\\1 ', 'g'))||' '
+               AS s, freq FROM w0),
+      d0 AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(lower(text)),
+            '\\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+          regexp_replace(trim(lower(text)), '\\s+', '', 'g') AS norm,
+          ' '||trim(regexp_replace(regexp_replace(trim(lower(text)),
+            '\\s+', chr(1), 'g'), '(.)', '\\1 ', 'g'))||' ' AS s
+        FROM documents WHERE trim(text) <> ''),$steps
+      $select"""
+  }
 }

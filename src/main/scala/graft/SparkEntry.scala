@@ -1068,6 +1068,12 @@ object SparkEntry {
       // floor path carries real weight
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 100)),
+    "x_lm_perplexity" -> ((s, dir) =>
+      // the full CCNet recipe (x_lm_surprisal is the unigram degenerate):
+      // interpolated bigram LM fitted on the English reference slice,
+      // per-token cross-entropy scored over EVERY document
+      TextAnalysis.bigramPerplexity(Tables.documents(s, dir), "doc_id",
+        "text", col("lang") === "en", vocabSize = 100)),
     "x_dsir_sample" -> ((s, dir) => {
       // DSIR: weight every doc by the hashed-unigram LM ratio toward the
       // English target slice, then Gumbel-top-k importance resampling —
@@ -1745,6 +1751,23 @@ object SparkEntry {
       // frequency-ordered dense-index vocabulary — embedding-table prep
       TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text",
         minCount = 10)),
+    "x_bpe_merges" -> ((s, dir) =>
+      // distributed BPE trainer: ONE corpus scan → vocab-bounded word
+      // table → merge supersteps (pair-count agg + 1-row argmax each).
+      // The oracle re-derives the merges in SQL as dynamically-
+      // parameterized unrolled supersteps — the PageRank/k-means
+      // precedent, except each superstep's rewrite PATTERN is itself
+      // computed by the previous step's argmax
+      Bpe.mergesDf(s, Bpe.trainMergesDistributed(
+        Tables.documents(s, dir), "text", Bpe.OracleK))),
+    "x_bpe_tokens" -> ((s, dir) => {
+      // subword corpus statistics under the trained merges: per-doc token
+      // count, fertility (tokens/word — THE tokenizer quality number) and
+      // the round-trip invariant, every column replayed exactly by DuckDB
+      val docs = Tables.documents(s, dir)
+      Bpe.tokenStats(docs, "doc_id", "text",
+        Bpe.trainMergesDistributed(docs, "text", Bpe.OracleK))
+    }),
     "q_basket_rules" -> ((s, dir) =>
       // market-basket mining: top part-pair association rules by lift,
       // pairs bounded per order (never corpus²)

@@ -399,6 +399,83 @@ object Native {
     override def prettyName: String = "pq_reconstruct"
   }
 
+  /** BPE-encode a document with a trained merge list (Sennrich 2016):
+    * lowercase + whitespace-tokenize, then per WORD replay the merges in
+    * rank order — replay-in-training-order is the definition of BPE
+    * encoding (the rank-priority-queue form is an equivalent
+    * optimization). Merges never cross word boundaries, so concatenating
+    * a word's tokens reproduces the word exactly — the round-trip
+    * invariant `x_bpe_tokens` oracle-checks.
+    *
+    * The merge table (k entries, the vocab budget) rides inside the
+    * expression like [[NearestCentroid]]'s centroids — broadcast with the
+    * plan, no join. One tight JVM loop per row with a bounded per-word
+    * memo (natural-language corpora repeat words heavily, so most words
+    * hit the memo and cost one hash probe instead of k merge scans).
+    * Codepoint-safe symbol splitting (a surrogate pair is ONE symbol).
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    // per-task instance (plans deserialize per task), so no sync needed
+    @transient private lazy val memo =
+      new java.util.HashMap[String, Array[UTF8String]]()
+
+    private def encodeWord(w: String): Array[UTF8String] = {
+      val hit = memo.get(w)
+      if (hit != null) return hit
+      // codepoint-safe char split
+      var syms = {
+        val b = Array.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          val n = Character.charCount(w.codePointAt(i))
+          b += w.substring(i, i + n)
+          i += n
+        }
+        b.result()
+      }
+      merges.foreach { case (a, b) =>
+        var i = 0
+        var found = false
+        while (i < syms.length - 1 && !found) {
+          found = syms(i) == a && syms(i + 1) == b; i += 1
+        }
+        if (found) { // skip the rebuild when the pair is absent (common)
+          val out = Array.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      val arr = syms.map(UTF8String.fromString)
+      if (memo.size < 65536) memo.put(w, arr)
+      arr
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString
+        .toLowerCase.trim.split("\\s+")
+      val out = Array.newBuilder[UTF8String]
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) out ++= encodeWord(words(i))
+        i += 1
+      }
+      new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "bpe_encode"
+  }
+
   // Spark 4 classic bridge: Column <-> catalyst Expression
   private def toExpr(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)
@@ -431,4 +508,7 @@ object Native {
 
   def cosine_similarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeEncode(toExpr(text), merges))
 }

@@ -334,6 +334,85 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Interpolated bigram-LM cross-entropy scoring — the full CCNet recipe
+    * ([[lmSurprisal]] is the unigram degenerate): fit a bigram language
+    * model on a REFERENCE slice of the corpus (`refFilter`, e.g. the
+    * high-confidence English documents), then score EVERY document by its
+    * per-token cross-entropy under that model. The standard perplexity
+    * filter for LLM training data: in-distribution fluent text scores
+    * low, boilerplate/gibberish/off-domain text scores high.
+    *
+    * Model (all arithmetic DuckDB-replayable):
+    *   - vocabulary = top-`vocabSize` reference unigrams (count desc,
+    *     term asc); every other token maps to `<unk>`.
+    *   - `P_u(v) = (c_u(v)+1) / (N + |vocab|+1)` — add-one unigram.
+    *   - `P(w|prev) = λ·c_b(prev,w)/max(c_u(prev),1) + (1−λ)·P_u(w)`;
+    *     the first token of a document scores `P_u` alone.
+    *   - doc score = mean −log₂ P, rounded at the very end.
+    * `lambda` must be exactly representable with its complement in binary
+    * (0.5, 0.25, 0.75…) so both engines fold identical literals.
+    *
+    * Scale shape: the reference slice is tokenized once — unigram and
+    * bigram count tables are bounded by |vocab+1| and |vocab+1|² and
+    * BROADCAST; the vocabulary election is a distributed top-k whose
+    * result rides as a literal array (the IVF-codebook precedent, ≤
+    * `vocabSize` strings). Scoring is one pass over the corpus: per-doc
+    * `lag` window (bounded by document length, never corpus-wide) +
+    * three broadcast joins + one keyed aggregation. No corpus self-join.
+    */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                       refFilter: Column, vocabSize: Int,
+                       lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1 &&
+      lambda * 16 == math.rint(lambda * 16),
+      s"bigramPerplexity: lambda must be a dyadic sixteenth (0.5, 0.25, " +
+        s"0.75, …) so 1−λ folds to the identical literal in both engines; " +
+        s"got $lambda")
+    val toksArr = filter(split(trim(lower(col(textCol))), "\\s+"),
+      w => w =!= "")
+    val base = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), toksArr.as("toks"))
+    val refTok = docs.filter(trim(col(textCol)) =!= "").filter(refFilter)
+      .select(col(idCol), posexplode(toksArr).as(Seq("pos", "t")))
+    val vocab: Array[String] = refTok.groupBy("t")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc).limit(vocabSize)
+      .select("t").collect().map(_.getString(0))
+    val vocabArr = array(vocab.toIndexedSeq.map(lit): _*)
+    def mapped(t: Column) =
+      when(array_contains(vocabArr, t), t).otherwise(lit("<unk>"))
+    val rm = refTok.select(col(idCol), col("pos"), mapped(col("t")).as("v"))
+    val uni = rm.groupBy("v").agg(count(lit(1)).as("cu"))
+    val nTotal = rm.agg(count(lit(1)).cast("double").as("__n"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bigr = rm.withColumn("pv", lag(col("v"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .groupBy("pv", "v").agg(count(lit(1)).as("cb"))
+    val vPlus = vocab.length + 1.0
+    val scored = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "t")))
+      .select(col(idCol), col("pos"), mapped(col("t")).as("v"),
+        (!array_contains(vocabArr, col("t"))).cast("int").as("oov"))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .join(broadcast(uni), Seq("v"), "left")
+      .join(broadcast(uni.select(col("v").as("pv"), col("cu").as("cu_prev"))),
+        Seq("pv"), "left")
+      .join(broadcast(bigr), Seq("pv", "v"), "left")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("pu",
+        (coalesce(col("cu"), lit(0L)) + 1.0) / (col("__n") + vPlus))
+      .withColumn("p", when(col("pv").isNull, col("pu"))
+        .otherwise(lit(lambda) *
+          coalesce(col("cb"), lit(0L)).cast("double") /
+          greatest(coalesce(col("cu_prev"), lit(0L)), lit(1L)) +
+          lit(1.0 - lambda) * col("pu")))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("oov").cast("long").as("n_oov"),
+        round(avg(-log2(col("p"))), 6).as("ce_bits"))
+      .orderBy(col(idCol))
+  }
+
   /** PII redaction: emails, phone-number shapes, then any leftover long
     * digit run (account ids, SSN-ish tokens) become typed placeholders.
     * A chained `regexp_replace` — codegen'd, no UDF; the patterns avoid

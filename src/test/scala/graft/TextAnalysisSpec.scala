@@ -401,4 +401,47 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.boilerplateShingles(docs, "doc_id", "text", "source", 2, 1)
     }
   }
+
+  test("bigramPerplexity: hand-checked model, OOV fold, ranking sanity") {
+    // reference slice = docs 1..2 (en); vocabSize 3 keeps "a b c",
+    // everything else folds to <unk>
+    val docs = Seq(
+      (1L, "a b a b c", "en"),
+      (2L, "a b c c", "en"),
+      (3L, "a b a b c", "fr"),   // scored, not trained on
+      (4L, "z z z z", "fr")      // pure OOV gibberish
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bigramPerplexity(docs, "doc_id", "text",
+        $"lang" === "en", vocabSize = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // model: ref tokens (9 total): a,b,a,b,c | a,b,c,c
+    // cu: a=3 b=3 c=3; vocab={a,b,c}; N=9, |vocab|+1=4
+    // pu(a)=pu(b)=pu(c)=4/13; pu(unk)=1/13
+    // cb: (a,b)=3 (b,a)=1 (b,c)=2 (c,c)=1
+    def pu(cu: Int) = (cu + 1.0) / 13.0
+    def p(cb: Int, cup: Int, cuw: Int) =
+      0.5 * cb / math.max(cup, 1) + 0.5 * pu(cuw)
+    val l2 = (x: Double) => -math.log(x) / math.log(2.0)
+    // doc 1: a | b|a a|b b|a a|b ... tokens a b a b c
+    val ce1 = (l2(pu(3)) + l2(p(3, 3, 3)) + l2(p(1, 3, 3)) +
+      l2(p(3, 3, 3)) + l2(p(2, 3, 3))) / 5.0
+    assert(math.abs(out(1L)._4 - ce1) < 1e-6)
+    assert(out(1L)._2 == 5L && out(1L)._3 == 0L)
+    // doc 3 is identical text to doc 1 -> identical score
+    assert(out(3L)._4 == out(1L)._4)
+    // doc 4: all OOV -> every token <unk> (cu=0): first pu=1/13, then
+    // p = 0.5*0/1 + 0.5/13
+    val ce4 = (l2(1.0 / 13) + 3 * l2(0.5 / 13)) / 4.0
+    assert(math.abs(out(4L)._4 - ce4) < 1e-6)
+    assert(out(4L)._3 == 4L)
+    // gibberish scores strictly worse than fluent in-distribution text
+    assert(out(4L)._4 > out(1L)._4)
+    // non-complementable lambda fails loud
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramPerplexity(docs, "doc_id", "text",
+        $"lang" === "en", 3, lambda = 0.7)
+    }
+  }
 }
