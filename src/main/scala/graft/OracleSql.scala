@@ -4140,6 +4140,54 @@ object OracleSql {
                THEN round(o_totalprice * 0.92, 2) END), 2) AS eur_total
       FROM orders""",
 
+    // cascading erasure: lineitem is hit THROUGH the purged orders
+    "q_forget_cascade" -> """
+      WITH reqs AS (
+        SELECT DISTINCT c_custkey AS uid FROM customer
+        WHERE c_custkey % 100 = 0
+        UNION SELECT 1000000 AS uid),
+      po AS (SELECT DISTINCT o_orderkey FROM orders
+             WHERE o_custkey IN (SELECT uid FROM reqs)),
+      m AS (
+        SELECT 'customer' AS table_name, count(*) AS n_total,
+               count(r.uid) AS n_purged
+        FROM customer c LEFT JOIN reqs r ON c.c_custkey = r.uid
+        UNION ALL
+        SELECT 'orders', count(*), count(r.uid)
+        FROM orders o LEFT JOIN reqs r ON o.o_custkey = r.uid
+        UNION ALL
+        SELECT 'lineitem', count(*), count(p.o_orderkey)
+        FROM lineitem l LEFT JOIN po p ON l.l_orderkey = p.o_orderkey
+        UNION ALL
+        SELECT 'events', count(*), count(r.uid)
+        FROM events e LEFT JOIN reqs r ON e.user_id = r.uid)
+      SELECT table_name, CAST(n_total AS BIGINT) AS n_total,
+             CAST(n_purged AS BIGINT) AS n_purged,
+             CAST(n_total - n_purged AS BIGINT) AS n_retained,
+             round(n_purged / CAST(n_total AS DOUBLE), 6) AS purge_share
+      FROM m ORDER BY table_name""",
+
+    // 3 unrolled peel rounds at k=3 over the w>=5 co-order graph
+    "q_supplier_kcore" -> """
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+                    FROM lineitem),
+      canon AS (SELECT a.sk AS a, b.sk AS b FROM base a JOIN base b
+                ON a.bk = b.bk AND a.sk < b.sk
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+      s0 AS (SELECT a AS u, b AS v FROM canon
+             UNION ALL SELECT b, a FROM canon),
+      k1 AS (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 3),
+      s1 AS (SELECT s.u, s.v FROM s0 s
+             JOIN k1 x ON s.u = x.u JOIN k1 y ON s.v = y.u),
+      k2 AS (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 3),
+      s2 AS (SELECT s.u, s.v FROM s1 s
+             JOIN k2 x ON s.u = x.u JOIN k2 y ON s.v = y.u),
+      k3 AS (SELECT u FROM s2 GROUP BY u HAVING count(*) >= 3),
+      s3 AS (SELECT s.u, s.v FROM s2 s
+             JOIN k3 x ON s.u = x.u JOIN k3 y ON s.v = y.u)
+      SELECT u AS s_suppkey, CAST(count(*) AS BIGINT) AS degree
+      FROM s3 GROUP BY u ORDER BY s_suppkey""",
+
     // interpolated bigram LM (λ=0.5 — exactly complementable in binary):
     // vocab/counts from the English slice, every doc scored; <unk> fold,
     // add-one unigram, first token unigram-only — mirrors

@@ -1520,6 +1520,48 @@ object SparkEntry {
           .select(col("c_custkey").as("uid"))
           .unionByName(s.range(1).select((col("id") + 1000000L).as("uid"))),
         "uid")),
+    "q_forget_cascade" -> ((s, dir) => {
+      // cascading right-to-be-forgotten manifest across the relational
+      // schema: requested customers hit customer/orders/events directly,
+      // lineitem transitively THROUGH the purged orders (the FK cascade a
+      // single-table purge silently misses). One scan per table; the
+      // derived order-key set is data-proportional, so no broadcast hint
+      // on the lineitem hop
+      val reqs = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("uid"))
+        .unionByName(s.range(1).select((col("id") + 1000000L).as("uid")))
+      val purgedOrders = Tables.orders(s, dir)
+        .join(broadcast(reqs.distinct()), col("o_custkey") === col("uid"),
+          "left_semi")
+        .select(col("o_orderkey"))
+      Materialize.purgeManifestRow("customer", Tables.customer(s, dir),
+          "c_custkey", reqs, "uid")
+        .unionByName(Materialize.purgeManifestRow("orders",
+          Tables.orders(s, dir), "o_custkey", reqs, "uid"))
+        .unionByName(Materialize.purgeManifestRow("lineitem",
+          Tables.lineitem(s, dir), "l_orderkey", purgedOrders, "o_orderkey",
+          hintBroadcast = false))
+        .unionByName(Materialize.purgeManifestRow("events",
+          Tables.events(s, dir), "user_id", reqs, "uid"))
+        .orderBy("table_name")
+    }),
+    "q_supplier_kcore" -> ((s, dir) => {
+      // 3-round k=3 core peel of the co-order supplier graph (w>=5 —
+      // non-empty at every SF; q_triangles' w>=10 cut empties at sf0.1
+      // where co-order weight dilutes across 1000 suppliers): the dense-
+      // backbone vs periphery separation, unrolled supersteps replayed
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 5)
+        .select("src", "dst")
+      Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
+        .withColumnRenamed("node", "s_suppkey")
+    }),
     "x_embedding_outliers" -> ((s, dir) =>
       // mislabeled-sample screen: 10 vectors farthest from their label
       // centroid, per label; distances rounded before the rank election

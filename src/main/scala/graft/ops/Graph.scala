@@ -125,4 +125,44 @@ object Graph {
           .otherwise(lit(0.0)), 6).as("clustering_coeff"))
       .orderBy("node")
   }
+
+  /** Fixed-round k-core peeling over an UNDIRECTED graph: each round
+    * drops every node whose CURRENT degree is below `k`, together with
+    * its incident edges — `rounds` unrolled supersteps of the k-core
+    * onion. The graph-curation primitive (dense backbone vs noisy
+    * periphery; e.g. spam/SEO link farms peel off early); with enough
+    * rounds it converges to the exact k-core, and a FIXED round count
+    * keeps the output deterministic and engine-replayable (the
+    * [[pageRank]] unrolling posture). Output: surviving nodes with their
+    * residual degree.
+    *
+    * One superstep = one keyed degree aggregation + two semi-joins
+    * against the shrinking survivor set — all equi-joins on node ids,
+    * map-side combined, nothing corpus-sized beyond the edge list itself;
+    * lineage truncated per superstep.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1, s"kCore: k >= 1 (got $k)")
+    require(rounds >= 1 && rounds <= 20,
+      s"kCore: rounds in [1, 20] (got $rounds)")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint(eager = false)
+    var sym = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+      sym = sym
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+      .orderBy("node")
+  }
 }

@@ -152,6 +152,30 @@ object Materialize {
         col("keys_requested"), col("keys_hit"))
   }
 
+  /** One row of a cascading-erasure manifest: how many of `df`'s rows a
+    * deletion-key set hits, in ONE pass over the table (broadcast-join
+    * the bounded key set — GDPR batches are human-scale — then a
+    * predicate aggregate; set `hintBroadcast = false` for derived key
+    * sets whose size is data-proportional, e.g. the order keys of purged
+    * customers, and let Catalyst/AQE pick the join). NULL keys never
+    * match a request — they count as retained, the LEFT-JOIN semantics
+    * both engines share (a `NOT IN` would turn them into silent drops).
+    */
+  def purgeManifestRow(name: String, df: DataFrame, keyCol: String,
+                       keys: DataFrame, kCol: String,
+                       hintBroadcast: Boolean = true): DataFrame = {
+    val k0 = keys.select(col(kCol).as("__k")).distinct()
+    val k = if (hintBroadcast) broadcast(k0) else k0
+    df.join(k, col(keyCol) === col("__k"), "left")
+      .agg(count(lit(1)).cast("long").as("n_total"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_purged"))
+      .select(lit(name).as("table_name"), col("n_total"), col("n_purged"),
+        (col("n_total") - col("n_purged")).as("n_retained"),
+        round(col("n_purged").cast("double") / col("n_total"), 6)
+          .as("purge_share"))
+  }
+
   /** Snapshot diff — what changed in the online store between two as-of
     * cutoffs: per key, `added` (absent at t1, present at t2), `removed`
     * (the reverse; impossible over append-only history but real when

@@ -62,4 +62,32 @@ class GraphSpec extends SparkSpec {
     assert(graft.ops.Graph.triangleCounts(star, "src", "dst",
       maxDegree = 12).count() == 13)
   }
+
+  test("kCore: peels periphery in dependency order, keeps the clique") {
+    // K4 clique {1,2,3,4} + a chain 4-5-6: node 6 peels in round 1
+    // (deg 1 < 2), node 5 only BECOMES sub-core after 6 is gone —
+    // the cascading dependency a single degree filter misses
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val r1 = graft.ops.Graph.kCore(edges, "src", "dst", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L, 5L)) // 5 survives round 1
+    val r2 = graft.ops.Graph.kCore(edges, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2.keySet == Set(1L, 2L, 3L, 4L))     // ...but not round 2
+    assert(r2.values.forall(_ == 3L))            // residual clique degrees
+    // converged: further rounds change nothing
+    val r3 = graft.ops.Graph.kCore(edges, "src", "dst", k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == r2)
+    // k above the clique degree empties the graph
+    assert(graft.ops.Graph.kCore(edges, "src", "dst", k = 4, rounds = 3)
+      .count() == 0)
+    // direction/duplicate insensitivity: reversed + duplicated edges
+    val noisy = edges.unionByName(
+      edges.select($"dst".as("src"), $"src".as("dst")))
+    val rn = graft.ops.Graph.kCore(noisy, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(rn == r2)
+  }
 }

@@ -242,4 +242,19 @@ class MaterializeSpec extends SparkSpec {
       assert(one == fromSeries, s"cutoff $c")
     }
   }
+
+  test("purgeManifestRow: hit accounting, NULL keys retained, share math") {
+    val t = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("uid")
+    val reqs = Seq(1L, 9L).toDF("k") // 9 hits nothing
+    val row = Materialize.purgeManifestRow("t", t, "uid", reqs, "k")
+      .as[(String, Long, Long, Long, Double)].head()
+    // 2 rows of uid=1 purged; NULL uid never matches -> retained
+    assert(row == (("t", 5L, 2L, 3L, 0.4)))
+    // duplicate request keys must not double-count matched rows
+    val dup = Seq(1L, 1L, 1L).toDF("k")
+    val row2 = Materialize.purgeManifestRow("t", t, "uid", dup, "k")
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(row2._3 == 2L && row2._2 == 5L)
+  }
 }
