@@ -4239,6 +4239,63 @@ object OracleSql {
                AS ce_bits
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    // kappa over the langId-vs-gold joint; po/pe rounded first, kappa
+    // chained from the rounded values (q_auc→gini precedent)
+    "x_langid_kappa" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS INTEGER) AS score_de,
+          CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))) AS INTEGER) AS score_en,
+          CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS INTEGER) AS score_es,
+          CAST(len(list_filter(toks, t -> list_contains(['le','la','de','et','les'], t))) AS INTEGER) AS score_fr,
+          CAST(len(list_filter(toks, t -> list_contains(['de','le','shi','wo','ni'], t))) AS INTEGER) AS score_zh
+        FROM d),
+      p AS (
+        SELECT lang AS b, CASE
+          WHEN score_de >= score_en AND score_de >= score_es
+           AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+          WHEN score_en >= score_de AND score_en >= score_es
+           AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+          WHEN score_es >= score_de AND score_es >= score_en
+           AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+          WHEN score_fr >= score_de AND score_fr >= score_en
+           AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+          ELSE 'zh' END AS a
+        FROM s WHERE lang IS NOT NULL),
+      joint AS (SELECT a, b, count(*) AS n FROM p GROUP BY a, b),
+      tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+                CAST(coalesce(sum(CASE WHEN a = b THEN n END), 0)
+                  AS DOUBLE) AS agree FROM joint),
+      na AS (SELECT a, sum(n) AS na FROM joint GROUP BY a),
+      nb AS (SELECT b, sum(n) AS nb FROM joint GROUP BY b),
+      pe AS (SELECT coalesce(sum(CAST(na.na AS DOUBLE) * nb.nb
+                / ((SELECT t FROM tot) * (SELECT t FROM tot))), 0.0)
+               AS pe
+             FROM na JOIN nb ON na.a = nb.b),
+      r AS (SELECT CAST(t AS BIGINT) AS n_items,
+              round(agree / t, 6) AS po,
+              round((SELECT pe FROM pe), 6) AS pe FROM tot)
+      SELECT n_items, po, pe,
+             CASE WHEN pe < 1.0
+               THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+      FROM r""",
+
+    "x_bpe_fertility" -> bpeSql(s"""
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t.n_words) AS BIGINT) AS total_words,
+             CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+             round(sum(t.n_tokens) / CAST(sum(t.n_words) AS DOUBLE), 6)
+               AS fertility
+      FROM (SELECT doc_id, n_words,
+              len(string_split(trim(s), ' ')) - (n_words - 1) AS n_tokens
+            FROM d${graft.ops.Bpe.OracleK}) t
+      JOIN documents d ON t.doc_id = d.doc_id
+      GROUP BY d.lang ORDER BY d.lang"""),
+
     "x_bpe_merges" -> bpeSql(
       (1 to graft.ops.Bpe.OracleK).map(i =>
         s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l||r AS merged" +

@@ -1068,6 +1068,33 @@ object SparkEntry {
       // floor path carries real weight
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 100)),
+    "x_langid_kappa" -> ((s, dir) => {
+      // classifier-vs-gold label quality: Cohen's kappa of the n-gram
+      // language-ID heuristic against the corpus lang column — the
+      // chance-corrected agreement plain accuracy overstates
+      val docs = Tables.documents(s, dir)
+      val pred = TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      Eval.cohensKappa(
+        pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "predicted_lang", "lang")
+    }),
+    "x_bpe_fertility" -> ((s, dir) => {
+      // tokenizer fairness: per-language fertility under the trained
+      // merges — the multilingual-equity readout (a vocab fitted on one
+      // language taxes the others with more tokens per word)
+      val docs = Tables.documents(s, dir)
+      Bpe.tokenStats(docs, "doc_id", "text",
+          Bpe.trainMergesDistributed(docs, "text", Bpe.OracleK))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_words").cast("long").as("total_words"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          round(sum("n_tokens").cast("double") / sum("n_words"), 6)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
     "x_lm_perplexity" -> ((s, dir) =>
       // the full CCNet recipe (x_lm_surprisal is the unigram degenerate):
       // interpolated bigram LM fitted on the English reference slice,

@@ -405,4 +405,42 @@ object Eval {
         round(expr("percentile(__lat, 0.5D)"), 6).as("p50_latency_s"),
         round(expr("percentile(__lat, 0.9D)"), 6).as("p90_latency_s"))
   }
+
+  /** Cohen's kappa agreement between two categorical label columns —
+    * chance-corrected accuracy, the standard readout for classifier-vs-
+    * gold (or annotator-vs-annotator) label quality. Rows where either
+    * side is NULL are excluded (unlabeled items carry no agreement
+    * information).
+    *
+    * ONE shuffled aggregation builds the (a, b) joint count table
+    * (bounded by |domain(a)|·|domain(b)|, never corpus-sized); observed
+    * agreement, marginal-product chance agreement and kappa all fold
+    * from that KB-sized table. Kappa is recomputed from the ROUNDED
+    * po/pe the row exposes (the `q_auc`→gini precedent) so both engines
+    * chain identically. Perfect chance agreement (pe = 1: both sides
+    * constant) yields NULL kappa — 0/0 has no defined agreement.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val na = joint.groupBy("a").agg(sum("n").as("na"))
+    val nb = joint.groupBy("b").agg(sum("n").as("nb"))
+    val tot = joint.agg(sum("n").cast("double").as("__t"),
+      coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0L))
+        .cast("double").as("__agree"))
+    val pe = na.join(nb, col("a") === col("b"))
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(sum(col("na").cast("double") * col("nb") /
+        (col("__t") * col("__t"))), lit(0.0)).as("__pe"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("__t").cast("long").as("n_items"),
+        round(col("__agree") / col("__t"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
+  }
 }

@@ -226,4 +226,31 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_latency_s") == 315.0)   // interp of 30,600
     assert(r.getAs[Double]("p90_latency_s") == 543.0)
   }
+
+  test("cohensKappa: closed-form golden, NULL exclusion, degenerate cases") {
+    // 10 items, 2 classes: joint x/x=4, x/y=1, y/x=2, y/y=3
+    // po = 7/10; marginals a: x=5 y=5, b: x=6 y=4
+    // pe = 0.5*0.6 + 0.5*0.4 = 0.5; kappa = (0.7-0.5)/0.5 = 0.4
+    val pairs = Seq.fill(4)(("x", "x")) ++ Seq(("x", "y")) ++
+      Seq.fill(2)(("y", "x")) ++ Seq.fill(3)(("y", "y"))
+    val df = pairs.toDF("a", "b")
+    val r = Eval.cohensKappa(df, "a", "b").head()
+    assert(r.getAs[Long]("n_items") == 10L)
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+    // NULL on either side excluded from the joint
+    val withNulls = (pairs.map { case (a, b) => (Option(a), Option(b)) } ++
+      Seq((None: Option[String], Some("x")), (Some("y"), None))).toDF("a", "b")
+    assert(Eval.cohensKappa(withNulls, "a", "b").head()
+      .getAs[Long]("n_items") == 10L)
+    // both sides constant and equal: pe = 1 -> kappa undefined (NULL)
+    val const = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    val rc = Eval.cohensKappa(const, "a", "b").head()
+    assert(rc.getAs[Double]("po") == 1.0 && rc.isNullAt(rc.fieldIndex("kappa")))
+    // perfect disagreement on balanced marginals: kappa = -1
+    val anti = (Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x"))).toDF("a", "b")
+    assert(Eval.cohensKappa(anti, "a", "b").head()
+      .getAs[Double]("kappa") == -1.0)
+  }
 }
