@@ -23,6 +23,19 @@ object SparkEntry {
     Materialize.latestPerKey(Tables.orders(s, dir), "o_custkey", "o_orderdate",
       "o_orderkey")
 
+  /** Trained BPE merges per corpus dir — a deterministic artifact (the
+    * trainer is superstep-exact), cached so the three BPE registry
+    * entries train once per corpus instead of once per query; production
+    * would persist the merge table next to the corpus like any fitted
+    * vocabulary.
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeCache.computeIfAbsent(dir, _ =>
+      Bpe.trainMergesDistributed(Tables.documents(s, dir), "text",
+        Bpe.OracleK))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WindowAgg.hourlyFeatures(ev(spark, "/root/testdata/sf0.001"))
@@ -1084,8 +1097,7 @@ object SparkEntry {
       // merges — the multilingual-equity readout (a vocab fitted on one
       // language taxes the others with more tokens per word)
       val docs = Tables.documents(s, dir)
-      Bpe.tokenStats(docs, "doc_id", "text",
-          Bpe.trainMergesDistributed(docs, "text", Bpe.OracleK))
+      Bpe.tokenStats(docs, "doc_id", "text", bpeMerges(s, dir))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy("lang")
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -1827,15 +1839,13 @@ object SparkEntry {
       // parameterized unrolled supersteps — the PageRank/k-means
       // precedent, except each superstep's rewrite PATTERN is itself
       // computed by the previous step's argmax
-      Bpe.mergesDf(s, Bpe.trainMergesDistributed(
-        Tables.documents(s, dir), "text", Bpe.OracleK))),
+      Bpe.mergesDf(s, bpeMerges(s, dir))),
     "x_bpe_tokens" -> ((s, dir) => {
       // subword corpus statistics under the trained merges: per-doc token
       // count, fertility (tokens/word — THE tokenizer quality number) and
       // the round-trip invariant, every column replayed exactly by DuckDB
       val docs = Tables.documents(s, dir)
-      Bpe.tokenStats(docs, "doc_id", "text",
-        Bpe.trainMergesDistributed(docs, "text", Bpe.OracleK))
+      Bpe.tokenStats(docs, "doc_id", "text", bpeMerges(s, dir))
     }),
     "q_basket_rules" -> ((s, dir) =>
       // market-basket mining: top part-pair association rules by lift,
