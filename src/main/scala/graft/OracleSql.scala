@@ -4239,6 +4239,43 @@ object OracleSql {
                AS ce_bits
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    // winnowing (k=32, w=16): per-gram base-257 polynomial hash mod
+    // 2^31-1 (list_reduce — the engine computes the same polynomial
+    // rolling), min-per-window election with the identical
+    // h*10^4 + (9999-pos) arithmetic; rightmost tie wins
+    "x_shared_spans" -> """
+      WITH norm AS (SELECT doc_id,
+              regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+            FROM documents WHERE trim(text) <> ''),
+      p AS (SELECT doc_id, s,
+              unnest(generate_series(1, greatest(len(s) - 31, 0))) AS pos
+            FROM norm),
+      kg AS (SELECT doc_id, pos, substr(s, pos, 32) AS gram,
+               list_reduce(list_transform(
+                   string_split_regex(substr(s, pos, 32), ''),
+                   c -> CAST(ascii(c) AS BIGINT)),
+                 (acc, c) -> (acc * 257 + c) % 2147483647) AS h
+             FROM p),
+      enc AS (SELECT doc_id, pos, h * 10000 + (9999 - pos) AS e FROM kg),
+      win AS (SELECT doc_id, pos,
+                min(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS we
+              FROM enc),
+      fp0 AS (SELECT DISTINCT doc_id, 9999 - (we % 10000) AS pos
+              FROM win WHERE pos >= 16),
+      fp AS (SELECT f.doc_id, f.pos, k.gram FROM fp0 f
+             JOIN kg k ON f.doc_id = k.doc_id AND f.pos = k.pos),
+      gdf AS (SELECT gram, count(DISTINCT doc_id) AS df
+              FROM fp GROUP BY gram),
+      sel AS (SELECT DISTINCT f.doc_id, f.gram FROM fp f
+              JOIN gdf g ON f.gram = g.gram WHERE g.df BETWEEN 2 AND 5)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             min(a.gram) AS sample_gram
+      FROM sel a JOIN sel b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+
     // kappa over the langId-vs-gold joint; po/pe rounded first, kappa
     // chained from the rounded values (q_auc→gini precedent)
     "x_langid_kappa" -> """

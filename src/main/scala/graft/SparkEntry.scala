@@ -1081,6 +1081,12 @@ object SparkEntry {
       // floor path carries real weight
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 100)),
+    "x_shared_spans" -> ((s, dir) =>
+      // winnowing dup-span detection (MOSS): any shared 47-char run
+      // (k+w−1) is guaranteed a shared fingerprint; df∈[2,5] drops
+      // corpus-wide boilerplate grams
+      TextAnalysis.sharedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 32, w = 16, maxDf = 5)),
     "x_langid_kappa" -> ((s, dir) => {
       // classifier-vs-gold label quality: Cohen's kappa of the n-gram
       // language-ID heuristic against the corpus lang column — the

@@ -399,6 +399,81 @@ object Native {
     override def prettyName: String = "pq_reconstruct"
   }
 
+  /** Winnowing fingerprint positions (Schleimer/Wilkerson/Aiken 2003) of
+    * a document in ONE loop per row: polynomial rolling hash of every
+    * `k`-char gram (base 257 mod 2³¹−1 — the oracle replays the same
+    * polynomial per gram via `list_reduce`), then each sliding window of
+    * `w` hashes elects its minimum with the rightmost-on-ties rule via
+    * the `h·10⁴ + (9999−pos)` encoding, and contiguous winner runs
+    * collapse to their first window. Returns the strictly-increasing
+    * 1-based winner positions. The dataflow formulation (1.3M-row gram
+    * explode → md5/conv projection → per-doc window shuffle → lag
+    * dedupe) computes the identical set ~5× slower; TextAnalysisSpec
+    * keeps it as the semantic cross-check.
+    *
+    * Hash chars are UTF-16 units (== codepoints == bytes on the ASCII
+    * corpora the oracle checks; non-BMP text would diverge from
+    * DuckDB's per-codepoint replay — same caveat class as the BPE
+    * trainer's ordering note). Documents with more than 9999 grams
+    * throw (position slot width); fewer than `w` grams fingerprint
+    * nothing, exactly like the window formulation's `pos >= w` filter.
+    */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    private val M = 2147483647L
+    private val B = 257L
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val total = s.length - k + 1
+      if (total > 9999)
+        throw new IllegalArgumentException(
+          s"winnow_fingerprints: document exceeds 9999 $k-grams " +
+            "(position slot of the winnow encoding); chunk first")
+      if (total < w) return new GenericArrayData(Array.empty[Any])
+      var p = 1L
+      var i = 0
+      while (i < k - 1) { p = p * B % M; i += 1 }
+      val h = new Array[Long](total)
+      var acc = 0L
+      i = 0
+      while (i < k) { acc = (acc * B + s.charAt(i)) % M; i += 1 }
+      h(0) = acc
+      i = 1
+      while (i < total) {
+        acc = ((acc - s.charAt(i - 1) * p % M + M) % M * B +
+          s.charAt(i + k - 1)) % M
+        h(i) = acc
+        i += 1
+      }
+      val out = Array.newBuilder[Any]
+      var lastWinner = -1L
+      var pos = w
+      while (pos <= total) {
+        var best = Long.MaxValue
+        var j = pos - w
+        while (j < pos) {
+          val e = h(j) * 10000L + (9999L - (j + 1))
+          if (e < best) best = e
+          j += 1
+        }
+        if (best != lastWinner) {
+          lastWinner = best
+          out += (9999L - best % 10000L).toInt
+        }
+        pos += 1
+      }
+      new GenericArrayData(out.result())
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "winnow_fingerprints"
+  }
+
   /** BPE-encode a document with a trained merge list (Sennrich 2016):
     * lowercase + whitespace-tokenize, then per WORD replay the merges in
     * rank order — replay-in-training-order is the definition of BPE
@@ -511,4 +586,7 @@ object Native {
 
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeEncode(toExpr(text), merges))
+
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    toCol(WinnowFingerprints(toExpr(text), k, w))
 }

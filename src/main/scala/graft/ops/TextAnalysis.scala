@@ -334,6 +334,72 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Cross-document duplicated-span detection via winnowing fingerprints
+    * (Schleimer/Wilkerson/Aiken 2003 — the MOSS scheme; the practical
+    * Spark answer to Lee et al.'s exact-substring dedup): every `k`-char
+    * gram of the normalized text is hashed, each sliding window of `w`
+    * consecutive hashes elects its minimum (rightmost on ties — the
+    * paper's rule), and the distinct winners are the document's
+    * fingerprints. Any shared substring of length ≥ k+w−1 is GUARANTEED
+    * to share at least one fingerprint (the winnowing coverage theorem),
+    * at ~2/(w+1) the density of full k-gram shingling. Fingerprinted
+    * grams shared by 2..`maxDf` documents (the df cap is the stop-gram
+    * guard — chrome shared by everything is boilerplate, not
+    * duplication) pair up into a per-pair shared-span count.
+    *
+    * Determinism + cross-engine parity: gram hash = base-257 polynomial
+    * mod 2³¹−1 (DuckDB replays it per gram with `list_reduce`; the
+    * native expression computes it rolling — same polynomial); the
+    * min-with-rightmost-tie election is pure arithmetic —
+    * `h·10⁴ + (9999 − pos)` — so both engines elect identical winners.
+    * That base-10⁴ position slot caps documents at 9999 grams; longer
+    * documents raise in-plan (the `sweepExact` posture) — chunk them
+    * first ([[chunkWindows]]) or widen the slot.
+    *
+    * Scale shape: k-gram expansion is a narrow per-doc projection; the
+    * winnow is a per-doc bounded window; the winner→gram join is keyed
+    * (doc, pos); pair fan-out is bounded by Σ df² over df ≤ maxDf —
+    * never corpus². One pair aggregation keyed (a, b).
+    */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 32, w: Int = 16, maxDf: Int = 5): DataFrame = {
+    require(k >= 4, s"sharedSpans: k >= 4 (got $k)")
+    require(w >= 2, s"sharedSpans: w >= 2 (got $w)")
+    require(maxDf >= 2, s"sharedSpans: maxDf >= 2 (got $maxDf)")
+    val normRaw = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val norm = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        when(length(normRaw) - (k - 1) <= 9999, normRaw)
+          .otherwise(raise_error(concat(
+            lit("sharedSpans: document "), col(idCol).cast("string"),
+            lit(s" exceeds 9999 $k-grams (position slot of the winnow " +
+              "encoding); chunk long documents first")))).as("s"))
+    // the native WinnowFingerprints expression does the whole election —
+    // rolling gram hashes, window-min with rightmost ties, run collapse —
+    // in ONE loop per document: no corpus-sized gram explode, no per-doc
+    // window shuffle. Only the ~2/(w+1)-density winners are exploded.
+    // (TextAnalysisSpec keeps the explode+window dataflow formulation as
+    // the semantic cross-check.)
+    val fp = norm
+      .select(col("doc_id"), col("s"),
+        explode(graft.functions.Native.winnow_fingerprints(col("s"), k, w))
+          .as("pos"))
+      .select(col("doc_id"),
+        col("s").substr(col("pos"), lit(k)).as("gram"))
+      .distinct()
+    // doc frequency as a window over the (doc, gram)-distinct table —
+    // partitioned by gram, which the self-join then reuses co-partitioned
+    val sel = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df").between(2, maxDf))
+    sel.as("a").join(sel.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        min(col("a.gram")).as("sample_gram"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Interpolated bigram-LM cross-entropy scoring — the full CCNet recipe
     * ([[lmSurprisal]] is the unigram degenerate): fit a bigram language
     * model on a REFERENCE slice of the corpus (`refFilter`, e.g. the

@@ -402,6 +402,73 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprints native == explode+window dataflow formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8; val w = 4
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "omega", "zeta")
+    val texts = Seq.tabulate(40)(_ =>
+      Seq.fill(rnd.nextInt(30) + 3)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val norm = docs.select($"doc_id",
+      regexp_replace(trim(lower($"text")), "\\s+", " ").as("s"))
+    val native = norm.select($"doc_id",
+        explode(graft.functions.Native.winnow_fingerprints($"s", k, w))
+          .as("pos"))
+      .as[(Long, Int)].collect().toSet
+    // independent dataflow formulation: gram explode -> polynomial hash
+    // via aggregate() -> window min -> lag run-dedupe
+    val M = 2147483647L
+    val enc = norm
+      .select($"doc_id", $"s",
+        posexplode(sequence(lit(1), greatest(length($"s") - (k - 1), lit(0))))
+          .as(Seq("idx", "pos")))
+      .select($"doc_id", $"pos",
+        (aggregate(
+          transform(split($"s".substr($"pos", lit(k)), ""),
+            c => ascii(c).cast("long")),
+          lit(0L), (acc, c) => (acc * 257L + c) % M)
+          * 10000L + (lit(9999L) - $"pos")).as("e"))
+    val winWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val ref = enc.withColumn("we", min($"e").over(winWin))
+      .filter($"pos" >= w)
+      .withColumn("prev",
+        lag($"we", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter($"prev".isNull || $"prev" =!= $"we")
+      .select($"doc_id", (lit(9999L) - ($"we" % 10000L)).cast("int").as("pos"))
+      .as[(Long, Int)].collect().toSet
+    assert(native == ref)
+    assert(native.nonEmpty)
+  }
+
+  test("sharedSpans: planted duplicate span found, coverage guarantee") {
+    val span = "the exact same stolen paragraph of text here"
+    val docs = Seq(
+      (1L, s"unique alpha words then $span and more alpha tail"),
+      (2L, s"different beta opening $span closing beta remarks"),
+      (3L, "completely unrelated gamma content with nothing shared at all " +
+        "padding padding gamma delta omega")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sharedSpans(docs, "doc_id", "text",
+        k = 16, w = 8, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // span length 44 >= k+w-1 = 23: the coverage theorem guarantees a
+    // shared fingerprint for the 1-2 pair; doc 3 shares nothing
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, _) => a == 1L && b == 2L })
+    assert(out.head._3 >= 1L)
+    // oversized document fails loud, not silently mis-elected
+    val big = Seq((9L, Seq.fill(3000)("word").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextAnalysis.sharedSpans(big, "doc_id", "text", 16, 8, 5).collect()
+    }
+    assert(ex.getMessage.contains("chunk long documents"))
+  }
+
   test("bigramPerplexity: hand-checked model, OOV fold, ranking sanity") {
     // reference slice = docs 1..2 (en); vocabSize 3 keeps "a b c",
     // everything else folds to <unk>
