@@ -50,11 +50,12 @@ object ScaleStress {
       (math.min(a._1, b._1), b._2)
     }
 
-    // "mining" / "curate" as the sole arg run ONLY that loop below
+    // "mining" / "curate" / "tokenize" as the sole arg run ONLY that loop
     val miningOnly = args.headOption.contains("mining")
     val curateOnly = args.headOption.contains("curate")
+    val tokOnly = args.headOption.contains("tokenize")
     val ks =
-      if (miningOnly || curateOnly) Seq.empty[Int]
+      if (miningOnly || curateOnly || tokOnly) Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
     for (k <- ks) {
@@ -298,6 +299,55 @@ object ScaleStress {
         f"scored=$nBoiler events=$nE t_sketch=$tSketch%.2f " +
         f"weeks=$nBuckets t_cdc=$tCdc%.2f live=$nLive " +
         f"t_ivm=$tIvm%.2f windows=$nWindows")
+    }
+    // tokenizer-ops stress at 1×/10×/100×: each copy applies a SEEDED
+    // LETTER PERMUTATION (translate a-z → perm_i) — a bijection, so
+    // within-copy structure (word lengths, gram equalities, vocab sizes,
+    // bigram topology) is EXACTLY the base corpus's, while cross-copy
+    // grams/words are disjoint with overwhelming probability. (Token
+    // SUFFIXES — the scheme the word-level loops use — are wrong here:
+    // a shared per-copy suffix on every word drops per-char entropy and
+    // inflated within-copy 32-gram matches 28× when first tried.) Pass
+    // criteria: trainer cost tracks the VOCAB table, encode/winnow/LM
+    // scale linearly with the corpus.
+    val alphaAz = "abcdefghijklmnopqrstuvwxyz"
+    def azPerm(i: Int): String =
+      if (i == 0) alphaAz
+      else {
+        val arr = alphaAz.toCharArray
+        val r = new scala.util.Random(i)
+        for (j <- arr.length - 1 to 1 by -1) {
+          val m = r.nextInt(j + 1)
+          val t = arr(j); arr(j) = arr(m); arr(m) = t
+        }
+        new String(arr)
+      }
+    for (k <- if (args.isEmpty || tokOnly) Seq(1, 10, 100)
+              else Seq.empty[Int]) {
+      val dk = (0 until k).map { i =>
+        base.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+          translate(col("text"), alphaAz, azPerm(i)).as("text"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val nD = dk.count()
+      val t0 = System.nanoTime()
+      val merges = graft.ops.Bpe.trainMergesDistributed(dk, "text", 6)
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val (tEnc, nToks) = timeMin2 {
+        dk.select(explode(graft.ops.Bpe.encode(col("text"), merges)))
+          .queryExecution.toRdd.count()
+      }
+      val (tSpan, nPairs) = timeMin2 {
+        graft.ops.TextAnalysis.sharedSpans(dk, "doc_id", "text",
+          k = 32, w = 16, maxDf = 5).queryExecution.toRdd.count()
+      }
+      val (tPpl, _) = timeMin2 {
+        graft.ops.TextAnalysis.bigramPerplexity(dk, "doc_id", "text",
+          col("doc_id") % 5L === 0, vocabSize = 100)
+          .queryExecution.toRdd.count()
+      }
+      println(f"STRESS-TOKENIZE k=$k docs=$nD t_bpe_train=$tTrain%.2f " +
+        f"t_bpe_encode=$tEnc%.2f toks=$nToks t_spans=$tSpan%.2f " +
+        f"pairs=$nPairs t_bigram_ppl=$tPpl%.2f")
     }
     spark.stop()
   }
