@@ -4192,52 +4192,27 @@ object OracleSql {
     // vocab/counts from the English slice, every doc scored; <unk> fold,
     // add-one unigram, first token unigram-only — mirrors
     // TextAnalysis.bigramPerplexity line by line
-    "x_lm_perplexity" -> """
-      WITH toks AS (SELECT doc_id, lang,
-              list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                t -> t <> '') AS w
-            FROM documents WHERE trim(text) <> ''),
-      rtok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
-                      unnest(w) AS t
-               FROM toks WHERE lang = 'en'),
-      runi AS (SELECT t, count(*) AS cnt FROM rtok GROUP BY t),
-      vocab AS (SELECT t FROM runi ORDER BY cnt DESC, t LIMIT 100),
-      rmap AS (SELECT r.doc_id, r.pos,
-                      CASE WHEN v.t IS NOT NULL THEN r.t
-                           ELSE '<unk>' END AS v
-               FROM rtok r LEFT JOIN vocab v ON r.t = v.t),
-      uni AS (SELECT v, count(*) AS cu FROM rmap GROUP BY v),
-      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rmap),
-      vn AS (SELECT count(*) + 1.0 AS vp FROM vocab),
-      big AS (SELECT pv, v, count(*) AS cb FROM (
-                SELECT lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv,
-                       v FROM rmap)
-              WHERE pv IS NOT NULL GROUP BY pv, v),
-      stok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
-                      unnest(w) AS t FROM toks),
-      smap AS (SELECT s.doc_id, s.pos,
-                      CASE WHEN v.t IS NOT NULL THEN s.t
-                           ELSE '<unk>' END AS v,
-                      CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
-               FROM stok s LEFT JOIN vocab v ON s.t = v.t),
-      sprev AS (SELECT doc_id, pos, v, oov,
-                  lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
-                FROM smap),
-      scored AS (SELECT s.doc_id, s.oov,
-             (coalesce(u.cu, 0) + 1.0)
-               / ((SELECT n FROM n) + (SELECT vp FROM vn)) AS pu,
-             s.pv, coalesce(b.cb, 0) AS cb,
-             greatest(coalesce(up.cu, 0), 1) AS cup
-           FROM sprev s
-             LEFT JOIN uni u ON s.v = u.v
-             LEFT JOIN uni up ON s.pv = up.v
-             LEFT JOIN big b ON s.pv = b.pv AND s.v = b.v)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(oov) AS BIGINT) AS n_oov,
-             round(avg(-log2(CASE WHEN pv IS NULL THEN pu
-               ELSE 0.5 * CAST(cb AS DOUBLE) / cup + 0.5 * pu END)), 6)
-               AS ce_bits
-      FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "x_lm_perplexity" -> lmSql("""
+      SELECT doc_id, n_tokens, n_oov, ce_bits
+      FROM perdoc ORDER BY doc_id"""),
+
+    // curriculum staging: perplexity quartiles over the scored corpus →
+    // clean→noisy training stages with per-stage token budgets
+    "x_curriculum" -> lmSql("""
+      , cuts AS (SELECT
+          round(quantile_cont(ce_bits, 0.25), 6) AS q1,
+          round(quantile_cont(ce_bits, 0.5), 6) AS q2,
+          round(quantile_cont(ce_bits, 0.75), 6) AS q3 FROM perdoc)
+      SELECT CASE WHEN ce_bits <= (SELECT q1 FROM cuts) THEN 0
+                  WHEN ce_bits <= (SELECT q2 FROM cuts) THEN 1
+                  WHEN ce_bits <= (SELECT q3 FROM cuts) THEN 2
+                  ELSE 3 END AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(avg(ce_bits), 6) AS avg_ce_bits,
+             round(min(ce_bits), 6) AS min_ce_bits,
+             round(max(ce_bits), 6) AS max_ce_bits
+      FROM perdoc GROUP BY 1 ORDER BY stage"""),
 
     // winnowing (k=32, w=16): per-gram base-257 polynomial hash mod
     // 2^31-1 (list_reduce — the engine computes the same polynomial
@@ -4333,6 +4308,23 @@ object OracleSql {
       JOIN documents d ON t.doc_id = d.doc_id
       GROUP BY d.lang ORDER BY d.lang"""),
 
+    // packing by REAL tokenizer cost: q_pack_sequences' prefix-sum rule
+    // with the BPE token counts from the unrolled-superstep replay
+    "x_pack_bpe" -> bpeSql(s"""
+      SELECT d.lang, t.doc_id, CAST(t.n_tokens AS INTEGER) AS n_tokens,
+             CAST(sum(t.n_tokens) OVER (PARTITION BY d.lang ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
+             CAST(floor((sum(t.n_tokens) OVER (PARTITION BY d.lang
+               ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - t.n_tokens) / 4096) AS INTEGER) AS pack_id
+      FROM (SELECT doc_id,
+              len(string_split(trim(s), ' ')) - (n_words - 1) AS n_tokens
+            FROM d${graft.ops.Bpe.OracleK}) t
+      JOIN documents d ON t.doc_id = d.doc_id
+      ORDER BY d.lang, t.doc_id"""),
+
     "x_bpe_merges" -> bpeSql(
       (1 to graft.ops.Bpe.OracleK).map(i =>
         s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l||r AS merged" +
@@ -4347,6 +4339,59 @@ object OracleSql {
              replace(replace(s, ' ', ''), chr(1), '') = norm AS roundtrip_ok
       FROM d${graft.ops.Bpe.OracleK} ORDER BY doc_id""")
   )
+
+  /** The interpolated bigram-LM replay (see `x_lm_perplexity`) up to the
+    * per-document table `perdoc(doc_id, n_tokens, n_oov, ce_bits)`;
+    * `select` continues from there (it may open with another CTE via a
+    * leading comma).
+    */
+  private def lmSql(select: String): String = s"""
+      WITH toks AS (SELECT doc_id, lang,
+              list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> t <> '') AS w
+            FROM documents WHERE trim(text) <> ''),
+      rtok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+                      unnest(w) AS t
+               FROM toks WHERE lang = 'en'),
+      runi AS (SELECT t, count(*) AS cnt FROM rtok GROUP BY t),
+      vocab AS (SELECT t FROM runi ORDER BY cnt DESC, t LIMIT 100),
+      rmap AS (SELECT r.doc_id, r.pos,
+                      CASE WHEN v.t IS NOT NULL THEN r.t
+                           ELSE '<unk>' END AS v
+               FROM rtok r LEFT JOIN vocab v ON r.t = v.t),
+      uni AS (SELECT v, count(*) AS cu FROM rmap GROUP BY v),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rmap),
+      vn AS (SELECT count(*) + 1.0 AS vp FROM vocab),
+      big AS (SELECT pv, v, count(*) AS cb FROM (
+                SELECT lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv,
+                       v FROM rmap)
+              WHERE pv IS NOT NULL GROUP BY pv, v),
+      stok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+                      unnest(w) AS t FROM toks),
+      smap AS (SELECT s.doc_id, s.pos,
+                      CASE WHEN v.t IS NOT NULL THEN s.t
+                           ELSE '<unk>' END AS v,
+                      CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+               FROM stok s LEFT JOIN vocab v ON s.t = v.t),
+      sprev AS (SELECT doc_id, pos, v, oov,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
+                FROM smap),
+      scored AS (SELECT s.doc_id, s.oov,
+             (coalesce(u.cu, 0) + 1.0)
+               / ((SELECT n FROM n) + (SELECT vp FROM vn)) AS pu,
+             s.pv, coalesce(b.cb, 0) AS cb,
+             greatest(coalesce(up.cu, 0), 1) AS cup
+           FROM sprev s
+             LEFT JOIN uni u ON s.v = u.v
+             LEFT JOIN uni up ON s.pv = up.v
+             LEFT JOIN big b ON s.pv = b.pv AND s.v = b.v),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             round(avg(-log2(CASE WHEN pv IS NULL THEN pu
+               ELSE 0.5 * CAST(cb AS DOUBLE) / cup + 0.5 * pu END)), 6)
+               AS ce_bits
+           FROM scored GROUP BY doc_id)
+      $select"""
 
   /** BPE training replayed as dynamically-parameterized unrolled
     * supersteps (the PageRank/k-means unrolling precedent, except each

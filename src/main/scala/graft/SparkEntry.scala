@@ -1119,6 +1119,43 @@ object SparkEntry {
       // per-token cross-entropy scored over EVERY document
       TextAnalysis.bigramPerplexity(Tables.documents(s, dir), "doc_id",
         "text", col("lang") === "en", vocabSize = 100)),
+    "x_curriculum" -> ((s, dir) => {
+      // curriculum staging: perplexity quartiles → clean→noisy training
+      // stages with per-stage token budgets (cuts are a broadcast 1-row
+      // aggregate; stage election compares ROUNDED values both engines
+      // share)
+      val scored = TextAnalysis.bigramPerplexity(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", vocabSize = 100)
+      val cuts = scored.agg(
+        round(expr("percentile(ce_bits, 0.25D)"), 6).as("q1"),
+        round(expr("percentile(ce_bits, 0.5D)"), 6).as("q2"),
+        round(expr("percentile(ce_bits, 0.75D)"), 6).as("q3"))
+      scored.crossJoin(broadcast(cuts))
+        .withColumn("stage",
+          when(col("ce_bits") <= col("q1"), 0)
+            .when(col("ce_bits") <= col("q2"), 1)
+            .when(col("ce_bits") <= col("q3"), 2).otherwise(3))
+        .groupBy("stage")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          round(avg("ce_bits"), 6).as("avg_ce_bits"),
+          round(min("ce_bits"), 6).as("min_ce_bits"),
+          round(max("ce_bits"), 6).as("max_ce_bits"))
+        .orderBy("stage")
+    }),
+    "x_pack_bpe" -> ((s, dir) => {
+      // context-window packing by REAL tokenizer cost (the whitespace
+      // counts q_pack_sequences uses under-fill windows by the fertility
+      // factor ~4×): same prefix-sum rule, BPE token costs
+      val docs = Tables.documents(s, dir)
+      val counts = Bpe.tokenStats(docs, "doc_id", "text", bpeMerges(s, dir))
+        .select(col("doc_id"), col("n_tokens"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"), col("doc_id"), col("n_tokens"))
+      Sampling.packSequences(counts, "lang", "doc_id", "n_tokens",
+          maxTokens = 4096)
+        .orderBy("lang", "doc_id")
+    }),
     "x_dsir_sample" -> ((s, dir) => {
       // DSIR: weight every doc by the hashed-unigram LM ratio toward the
       // English target slice, then Gumbel-top-k importance resampling —
