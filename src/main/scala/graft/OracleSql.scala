@@ -4218,38 +4218,32 @@ object OracleSql {
     // 2^31-1 (list_reduce — the engine computes the same polynomial
     // rolling), min-per-window election with the identical
     // h*10^4 + (9999-pos) arithmetic; rightmost tie wins
-    "x_shared_spans" -> """
-      WITH norm AS (SELECT doc_id,
-              regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
-            FROM documents WHERE trim(text) <> ''),
-      p AS (SELECT doc_id, s,
-              unnest(generate_series(1, greatest(len(s) - 31, 0))) AS pos
-            FROM norm),
-      kg AS (SELECT doc_id, pos, substr(s, pos, 32) AS gram,
-               list_reduce(list_transform(
-                   string_split_regex(substr(s, pos, 32), ''),
-                   c -> CAST(ascii(c) AS BIGINT)),
-                 (acc, c) -> (acc * 257 + c) % 2147483647) AS h
-             FROM p),
-      enc AS (SELECT doc_id, pos, h * 10000 + (9999 - pos) AS e FROM kg),
-      win AS (SELECT doc_id, pos,
-                min(e) OVER (PARTITION BY doc_id ORDER BY pos
-                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS we
-              FROM enc),
-      fp0 AS (SELECT DISTINCT doc_id, 9999 - (we % 10000) AS pos
-              FROM win WHERE pos >= 16),
-      fp AS (SELECT f.doc_id, f.pos, k.gram FROM fp0 f
-             JOIN kg k ON f.doc_id = k.doc_id AND f.pos = k.pos),
-      gdf AS (SELECT gram, count(DISTINCT doc_id) AS df
-              FROM fp GROUP BY gram),
-      sel AS (SELECT DISTINCT f.doc_id, f.gram FROM fp f
-              JOIN gdf g ON f.gram = g.gram WHERE g.df BETWEEN 2 AND 5)
+    "x_shared_spans" -> spanSql("""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS n_shared,
              min(a.gram) AS sample_gram
       FROM sel a JOIN sel b
         ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+      GROUP BY 1, 2 ORDER BY doc_a, doc_b"""),
+
+    // span-level benchmark contamination: cross-role pairs from the
+    // winnow fingerprint table, folded per training doc
+    "x_contamination_spans" -> spanSql("""
+      , pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+               FROM sel a JOIN sel b
+                 ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      hits AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END
+                 AS train_doc,
+               CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+                 AS bench_doc,
+               n_shared
+               FROM pr WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0))
+      SELECT train_doc, CAST(count(*) AS BIGINT) AS n_bench_docs,
+             CAST(sum(n_shared) AS BIGINT) AS n_shared_grams,
+             min(bench_doc) AS first_bench_doc
+      FROM hits GROUP BY train_doc ORDER BY train_doc"""),
 
     // kappa over the langId-vs-gold joint; po/pe rounded first, kappa
     // chained from the rounded values (q_auc→gini precedent)
@@ -4325,6 +4319,37 @@ object OracleSql {
       JOIN documents d ON t.doc_id = d.doc_id
       ORDER BY d.lang, t.doc_id"""),
 
+    // the round-7 curation capstone, every stage individually
+    // oracle-verified then chained: perplexity filter (≤ p75) → winnow
+    // span dedup (keep first occurrence) → BPE-cost packing → manifest
+    "x_llm_pipeline_v3" -> s"""
+      WITH $lmCtes,
+      $spanCtes,
+      $bpeCtes,
+      q3 AS (SELECT round(quantile_cont(ce_bits, 0.75), 6) AS v
+             FROM perdoc),
+      kept AS (SELECT doc_id FROM perdoc
+               WHERE ce_bits <= (SELECT v FROM q3)),
+      drops AS (SELECT DISTINCT b.doc_id FROM sel a JOIN sel b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      surv AS (SELECT doc_id FROM kept
+               WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      counts AS (SELECT d.lang, t.doc_id,
+                   len(string_split(trim(t.s), ' ')) - (t.n_words - 1)
+                     AS n_tokens
+                 FROM d${graft.ops.Bpe.OracleK} t
+                 JOIN documents d ON t.doc_id = d.doc_id
+                 WHERE t.doc_id IN (SELECT doc_id FROM surv)),
+      packed AS (SELECT lang, doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 4096) AS INTEGER) AS pack_id
+                 FROM counts)
+      SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id""",
+
     "x_bpe_merges" -> bpeSql(
       (1 to graft.ops.Bpe.OracleK).map(i =>
         s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l||r AS merged" +
@@ -4345,8 +4370,8 @@ object OracleSql {
     * `select` continues from there (it may open with another CTE via a
     * leading comma).
     */
-  private def lmSql(select: String): String = s"""
-      WITH toks AS (SELECT doc_id, lang,
+  private lazy val lmCtes: String = s"""
+      toks AS (SELECT doc_id, lang,
               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                 t -> t <> '') AS w
             FROM documents WHERE trim(text) <> ''),
@@ -4390,8 +4415,43 @@ object OracleSql {
              round(avg(-log2(CASE WHEN pv IS NULL THEN pu
                ELSE 0.5 * CAST(cb AS DOUBLE) / cup + 0.5 * pu END)), 6)
                AS ce_bits
-           FROM scored GROUP BY doc_id)
-      $select"""
+           FROM scored GROUP BY doc_id)"""
+
+  /** The winnowing fingerprint replay (see `x_shared_spans`) up to the
+    * df-capped fingerprint table `sel(doc_id, gram)`.
+    */
+  private lazy val spanCtes: String = """
+      norm AS (SELECT doc_id,
+              regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+            FROM documents WHERE trim(text) <> ''),
+      p AS (SELECT doc_id, s,
+              unnest(generate_series(1, greatest(len(s) - 31, 0))) AS pos
+            FROM norm),
+      kg AS (SELECT doc_id, pos, substr(s, pos, 32) AS gram,
+               list_reduce(list_transform(
+                   string_split_regex(substr(s, pos, 32), ''),
+                   c -> CAST(ascii(c) AS BIGINT)),
+                 (acc, c) -> (acc * 257 + c) % 2147483647) AS h
+             FROM p),
+      enc AS (SELECT doc_id, pos, h * 10000 + (9999 - pos) AS e FROM kg),
+      win AS (SELECT doc_id, pos,
+                min(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS we
+              FROM enc),
+      fp0 AS (SELECT DISTINCT doc_id, 9999 - (we % 10000) AS pos
+              FROM win WHERE pos >= 16),
+      fp AS (SELECT f.doc_id, f.pos, k.gram FROM fp0 f
+             JOIN kg k ON f.doc_id = k.doc_id AND f.pos = k.pos),
+      gdf AS (SELECT gram, count(DISTINCT doc_id) AS df
+              FROM fp GROUP BY gram),
+      sel AS (SELECT DISTINCT f.doc_id, f.gram FROM fp f
+              JOIN gdf g ON f.gram = g.gram WHERE g.df BETWEEN 2 AND 5)"""
+
+  private def spanSql(select: String): String =
+    s"\n      WITH $spanCtes\n      $select"
+
+  private def lmSql(select: String): String =
+    s"\n      WITH $lmCtes\n      $select"
 
   /** BPE training replayed as dynamically-parameterized unrolled
     * supersteps (the PageRank/k-means unrolling precedent, except each
@@ -4404,7 +4464,7 @@ object OracleSql {
     * `Bpe.trainMergesLocal` (count desc, pair ascending, overlapping
     * adjacent occurrences).
     */
-  private def bpeSql(select: String): String = {
+  private lazy val bpeCtes: String = {
     val steps = (1 to graft.ops.Bpe.OracleK).map { i =>
       s"""
       p$i AS (SELECT p[1] AS l, p[2] AS r, sum(freq) AS cnt FROM (
@@ -4423,7 +4483,7 @@ object OracleSql {
         FROM d${i - 1})"""
     }.mkString(",")
     s"""
-      WITH w0 AS (SELECT w, count(*) AS freq FROM (
+      w0 AS (SELECT w, count(*) AS freq FROM (
           SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
             '\\s+'), t -> t <> '')) AS w FROM documents) GROUP BY w),
       ws0 AS (SELECT ' '||trim(regexp_replace(w, '(.)', '\\1 ', 'g'))||' '
@@ -4434,7 +4494,9 @@ object OracleSql {
           regexp_replace(trim(lower(text)), '\\s+', '', 'g') AS norm,
           ' '||trim(regexp_replace(regexp_replace(trim(lower(text)),
             '\\s+', chr(1), 'g'), '(.)', '\\1 ', 'g'))||' ' AS s
-        FROM documents WHERE trim(text) <> ''),$steps
-      $select"""
+        FROM documents WHERE trim(text) <> ''),$steps"""
   }
+
+  private def bpeSql(select: String): String =
+    s"\n      WITH $bpeCtes\n      $select"
 }

@@ -1087,6 +1087,27 @@ object SparkEntry {
       // corpus-wide boilerplate grams
       TextAnalysis.sharedSpans(Tables.documents(s, dir), "doc_id", "text",
         k = 32, w = 16, maxDf = 5)),
+    "x_contamination_spans" -> ((s, dir) => {
+      // benchmark-contamination detection at SPAN level (stronger than
+      // x_contamination's shingle overlap): training docs sharing a
+      // winnow-fingerprinted 32-gram with any held-out benchmark doc
+      // (doc_id % 10 == 0), with the matched-span evidence
+      val spans = TextAnalysis.sharedSpans(Tables.documents(s, dir),
+        "doc_id", "text", k = 32, w = 16, maxDf = 5)
+      val hits = spans
+        .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+        .select(
+          when(col("doc_a") % 10 === 0, col("doc_b"))
+            .otherwise(col("doc_a")).as("train_doc"),
+          when(col("doc_a") % 10 === 0, col("doc_a"))
+            .otherwise(col("doc_b")).as("bench_doc"),
+          col("n_shared"))
+      hits.groupBy("train_doc")
+        .agg(count(lit(1)).cast("long").as("n_bench_docs"),
+          sum("n_shared").cast("long").as("n_shared_grams"),
+          min("bench_doc").as("first_bench_doc"))
+        .orderBy("train_doc")
+    }),
     "x_langid_kappa" -> ((s, dir) => {
       // classifier-vs-gold label quality: Cohen's kappa of the n-gram
       // language-ID heuristic against the corpus lang column — the
@@ -1142,6 +1163,34 @@ object SparkEntry {
           round(min("ce_bits"), 6).as("min_ce_bits"),
           round(max("ce_bits"), 6).as("max_ce_bits"))
         .orderBy("stage")
+    }),
+    "x_llm_pipeline_v3" -> ((s, dir) => {
+      // round-7 curation capstone — every stage individually
+      // oracle-verified, chained end to end: bigram-perplexity filter
+      // (≤ p75) → winnow span dedup (keep first occurrence, drop the
+      // later doc of every fingerprinted pair) → pack survivors by REAL
+      // BPE token cost → per-pack manifest
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.bigramPerplexity(docs, "doc_id", "text",
+        col("lang") === "en", vocabSize = 100)
+      val q3 = scored.agg(
+        round(expr("percentile(ce_bits, 0.75D)"), 6).as("q3"))
+      val kept = scored.crossJoin(broadcast(q3))
+        .filter(col("ce_bits") <= col("q3")).select("doc_id")
+      val drops = TextAnalysis.sharedSpans(docs, "doc_id", "text",
+          k = 32, w = 16, maxDf = 5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val surv = kept.join(drops, Seq("doc_id"), "left_anti")
+      val counts = Bpe.tokenStats(docs, "doc_id", "text", bpeMerges(s, dir))
+        .join(surv, Seq("doc_id"), "left_semi")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"), col("doc_id"), col("n_tokens"))
+      Sampling.packSequences(counts, "lang", "doc_id", "n_tokens",
+          maxTokens = 4096)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("pack_tokens"))
+        .orderBy("lang", "pack_id")
     }),
     "x_pack_bpe" -> ((s, dir) => {
       // context-window packing by REAL tokenizer cost (the whitespace

@@ -50,7 +50,13 @@ object GraftExtensions {
         Native.WordShingles(exprs(0), intArg(exprs(1), "n"))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Native.SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => Native.SimHash64(exprs(0)))
+      (exprs: Seq[Expression]) => Native.SimHash64(exprs(0))),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[Native.WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (exprs: Seq[Expression]) =>
+        Native.WinnowFingerprints(exprs(0),
+          intArg(exprs(1), "k"), intArg(exprs(2), "w")))
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

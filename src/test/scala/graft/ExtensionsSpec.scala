@@ -47,4 +47,24 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(viaSql == viaCol)
   }
+
+  test("winnow_fingerprints callable from SQL, matches column API") {
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog " +
+      "and keeps on running far away")).toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs3")
+    val viaSql = spark.sql(
+      "SELECT winnow_fingerprints(text, 8, 4) AS fp FROM ext_docs3")
+      .head().getSeq[Int](0)
+    val viaCol = docs.select(
+      Native.winnow_fingerprints(col("text"), 8, 4).as("fp"))
+      .head().getSeq[Int](0)
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // non-literal k rejected with the house message
+    val ex = intercept[Exception] {
+      spark.sql("SELECT winnow_fingerprints(text, id + 1, 4) FROM ext_docs3")
+        .head()
+    }
+    assert(ex.getMessage.contains("integer literal"))
+  }
 }

@@ -69,4 +69,27 @@ class PlanRegressionSpec extends SparkSpec {
     // expand/exchange stage) + range exchange for the final orderBy
     assert(shuffles <= 3, s"hourlyFeatures shuffles=$shuffles")
   }
+
+  test("BPE encode path: ZERO shuffles — merges ride in the expression") {
+    val merges = Seq(("e", "r"), ("o", "r"), ("er", "s"))
+    val (shuffles, sorts) = countNodes(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.ops.Bpe.encode(col("text"), merges).as("toks")))
+    assert(shuffles == 0, s"bpeEncode shuffles=$shuffles (merge table " +
+      "stopped riding in the expression?)")
+    assert(sorts == 0, s"bpeEncode sorts=$sorts")
+  }
+
+  test("sharedSpans: bounded exchanges — native winnow keeps the " +
+      "corpus-sized stage narrow") {
+    val (shuffles, _) = countNodes(
+      graft.ops.TextAnalysis.sharedSpans(Tables.documents(spark, dir),
+        "doc_id", "text", k = 32, w = 16, maxDf = 5))
+    // fingerprint distinct + df window + pair agg + export sort, plus
+    // the winner→text join's two sides; the thing to forbid is the old
+    // per-gram window formulation (per-doc exchange of the corpus-sized
+    // gram table) creeping back in on TOP of these
+    assert(shuffles <= 7, s"sharedSpans shuffles=$shuffles")
+  }
 }
