@@ -361,32 +361,40 @@ object TextAnalysis {
     * (doc, pos); pair fan-out is bounded by Σ df² over df ≤ maxDf —
     * never corpus². One pair aggregation keyed (a, b).
     */
-  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 32, w: Int = 16, maxDf: Int = 5): DataFrame = {
-    require(k >= 4, s"sharedSpans: k >= 4 (got $k)")
-    require(w >= 2, s"sharedSpans: w >= 2 (got $w)")
-    require(maxDf >= 2, s"sharedSpans: maxDf >= 2 (got $maxDf)")
+  /** Distinct winnow-fingerprinted `k`-grams per document — the
+    * fingerprint table [[sharedSpans]] pairs up and the streaming span
+    * gate probes. One narrow pass: the native `WinnowFingerprints`
+    * expression does the whole election (rolling gram hashes, window-min
+    * with rightmost ties, run collapse) in ONE loop per document — no
+    * corpus-sized gram explode, no per-doc window shuffle; only the
+    * ~2/(w+1)-density winners are exploded. (TextAnalysisSpec keeps the
+    * explode+window dataflow formulation as the semantic cross-check.)
+    */
+  def winnowGrams(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int): DataFrame = {
+    require(k >= 4, s"winnowGrams: k >= 4 (got $k)")
+    require(w >= 2, s"winnowGrams: w >= 2 (got $w)")
     val normRaw = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
     val norm = docs.filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc_id"),
         when(length(normRaw) - (k - 1) <= 9999, normRaw)
           .otherwise(raise_error(concat(
-            lit("sharedSpans: document "), col(idCol).cast("string"),
+            lit("winnowGrams: document "), col(idCol).cast("string"),
             lit(s" exceeds 9999 $k-grams (position slot of the winnow " +
               "encoding); chunk long documents first")))).as("s"))
-    // the native WinnowFingerprints expression does the whole election —
-    // rolling gram hashes, window-min with rightmost ties, run collapse —
-    // in ONE loop per document: no corpus-sized gram explode, no per-doc
-    // window shuffle. Only the ~2/(w+1)-density winners are exploded.
-    // (TextAnalysisSpec keeps the explode+window dataflow formulation as
-    // the semantic cross-check.)
-    val fp = norm
+    norm
       .select(col("doc_id"), col("s"),
         explode(graft.functions.Native.winnow_fingerprints(col("s"), k, w))
           .as("pos"))
       .select(col("doc_id"),
         col("s").substr(col("pos"), lit(k)).as("gram"))
       .distinct()
+  }
+
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 32, w: Int = 16, maxDf: Int = 5): DataFrame = {
+    require(maxDf >= 2, s"sharedSpans: maxDf >= 2 (got $maxDf)")
+    val fp = winnowGrams(docs, idCol, textCol, k, w)
     // doc frequency as a window over the (doc, gram)-distinct table —
     // partitioned by gram, which the self-join then reuses co-partitioned
     val sel = fp

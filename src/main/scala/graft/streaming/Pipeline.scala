@@ -446,6 +446,90 @@ object Pipeline {
     }
   }
 
+  /** Streaming SPAN-dedup ingest gate — the winnowing twin of
+    * [[nearDupIngestSink]]: each micro-batch of documents is
+    * fingerprinted with the native winnow expression
+    * ([[graft.ops.TextAnalysis.winnowGrams]]) and a document is admitted
+    * iff NONE of its fingerprinted k-grams appears in the accumulated
+    * store or belongs to a senior (lower-id) batch-mate — the
+    * keep-first-occurrence rule for duplicated SPANS (any shared run of
+    * k+w−1 chars is guaranteed a shared fingerprint, the winnowing
+    * coverage theorem). With id-ordered arrival this is verdict-identical
+    * to the one-shot batch rule "kept iff this doc is the min-id holder
+    * of every one of its grams" — StreamingSmokeSpec proves the
+    * equivalence across a kill/resume.
+    *
+    * The store keeps EVERY batch document's fingerprints (admitted or
+    * not): the first occurrence wins even when the first occurrence was
+    * itself dropped for an earlier match — the same dropped-seniors
+    * reasoning as the LSH and SemDeDup gates. Probe cost is
+    * batch-fingerprints × store matches on the gram key — an equi-join,
+    * never batch × corpus. Crash-safe like its siblings: epoch-partitioned
+    * stores, dynamic partition overwrite, probes exclude the current
+    * epoch.
+    */
+  def spanDedupIngestSink(docs: DataFrame, idCol: String, textCol: String,
+                          fpPath: String, corpusPath: String,
+                          checkpoint: String, k: Int = 32,
+                          w: Int = 16): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestSpanDedupBatch(batch, batchId, idCol, textCol, fpPath,
+          corpusPath, k, w)
+      }
+
+  /** One fold of [[spanDedupIngestSink]]: fingerprint, probe, admit,
+    * overwrite-this-epoch.
+    */
+  def ingestSpanDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                           textCol: String, fpPath: String,
+                           corpusPath: String, k: Int, w: Int): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val fps = graft.ops.TextAnalysis.winnowGrams(batch, idCol, textCol, k, w)
+    val fs = new Path(fpPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (fs.exists(new Path(fpPath)))
+        spark.read.parquet(fpPath)
+          .filter(col("ingest_batch") =!= batchId)
+          .select(col("gram"))
+      else fps.limit(0).select(col("gram"))
+    val hitStore = fps
+      .join(seen.distinct(), Seq("gram"), "left_semi")
+      .select(col("doc_id"))
+    val seniorMin = fps.groupBy("gram").agg(min(col("doc_id")).as("__min"))
+    val hitSenior = fps.join(seniorMin, Seq("gram"))
+      .filter(col("__min") < col("doc_id"))
+      .select(col("doc_id"))
+    val dropped = hitStore.unionByName(hitSenior).distinct()
+    val admitted = batch.join(
+      dropped.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+    val prior =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // admitted corpus first (its plan probes the pre-write store), the
+      // batch fingerprints second — a crash between the two replays
+      // cleanly because the probe excludes this epoch's partition
+      admitted.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(corpusPath)
+      fps.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(fpPath)
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Streaming data-quality monitor: the SAME declarative expectations the
     * batch report runs (`ops.Quality`), evaluated as per-window violation
     * counts over a watermarked stream — quality drift becomes a windowed

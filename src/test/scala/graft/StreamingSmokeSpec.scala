@@ -341,6 +341,51 @@ class StreamingSmokeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming span-dedup ingest gate: kill/resume; admitted corpus " +
+      "equals the min-id-holder-of-every-gram batch rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val rows = d.as[(Long, String)].collect().sortBy(_._1).toSeq
+    // ground truth: doc kept iff it is the minimum-id holder of EVERY one
+    // of its winnow fingerprints (keep-first-occurrence over spans)
+    val fps = graft.ops.TextAnalysis.winnowGrams(d, "doc_id", "text",
+      k = 16, w = 8)
+    val minPerGram = fps.groupBy("gram").agg(min($"doc_id").as("m"))
+    val droppedBatch = fps.join(minPerGram, Seq("gram"))
+      .filter($"m" < $"doc_id").select($"doc_id").as[Long].collect().toSet
+    val survivors = rows.map(_._1).toSet -- droppedBatch
+    assert(droppedBatch.nonEmpty && survivors.nonEmpty) // a real test
+
+    val (p1, rest) = rows.splitAt(rows.length / 3)
+    val (p2, p3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_spi_").toString
+    def startSink() = Pipeline.spanDedupIngestSink(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        root + "/fps", root + "/corpus", root + "/ckpt",
+        k = 16, w = 8).start()
+    val q1 = startSink()
+    stream.addData(p1)
+    q1.processAllAvailable()
+    q1.stop() // gate down; documents keep arriving
+    stream.addData(p2)
+    val q2 = startSink() // resume over the SAME checkpoint
+    try {
+      q2.processAllAvailable()
+      stream.addData(p3)
+      q2.processAllAvailable()
+      val admitted = spark.read.parquet(root + "/corpus")
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(admitted.sorted == survivors.toSeq.sorted)
+      // every doc's fingerprints stored exactly once (dropped docs too —
+      // first occurrence wins even if itself dropped), one partition per
+      // micro-batch
+      val store = spark.read.parquet(root + "/fps")
+      assert(store.select($"doc_id").distinct().count() == rows.length)
+      assert(store.select($"ingest_batch").distinct().count() == 3)
+    } finally q2.stop()
+  }
+
   test("streamingFeatures killed and resumed from its checkpoint emits the " +
       "same closed windows as one batch run") {
     implicit val sqlCtx = spark.sqlContext
