@@ -4362,8 +4362,66 @@ object OracleSql {
              round((len(string_split(trim(s), ' ')) - (n_words - 1))
                / CAST(n_words AS DOUBLE), 6) AS fertility,
              replace(replace(s, ' ', ''), chr(1), '') = norm AS roundtrip_ok
-      FROM d${graft.ops.Bpe.OracleK} ORDER BY doc_id""")
+      FROM d${graft.ops.Bpe.OracleK} ORDER BY doc_id"""),
+
+    // 3 unrolled full-batch logistic-GD supersteps (zero init, η=0.5,
+    // intercept prepended): gradient = sum(resid·x)/count with the
+    // division spelled explicitly, weight update via list_transform —
+    // the exact Learn.logisticGD expression tree
+    "x_lr_scores" -> (lrCtes + """
+      SELECT e.id AS vec_id, e.y,
+             round(list_inner_product(w.w, e.x), 6) AS margin,
+             round(1.0 / (1.0 + exp(-list_inner_product(w.w, e.x))), 6)
+               AS prob,
+             CAST(1.0 / (1.0 + exp(-list_inner_product(w.w, e.x))) >= 0.5
+               AS INT) AS pred
+      FROM e, w3 w ORDER BY vec_id"""),
+
+    // metrics chained from the ROUNDED margin (the cross-engine-stable
+    // quantity; see Learn.logisticMetrics scaladoc) — pred from the
+    // unrounded sigmoid exactly as the scores query computes it
+    "x_lr_metrics" -> (lrCtes + """,
+      sc AS (SELECT e.y,
+               round(list_inner_product(w.w, e.x), 6) AS m,
+               CAST(1.0 / (1.0 + exp(-list_inner_product(w.w, e.x)))
+                 >= 0.5 AS INT) AS pred
+             FROM e, w3 w)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             round(sum(CAST(pred = y AS DOUBLE))
+               / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+             round(sum(CASE WHEN y = 1 THEN ln(1.0 + exp(-m))
+               ELSE ln(1.0 + exp(m)) END)
+               / CAST(count(*) AS DOUBLE), 6) AS log_loss
+      FROM sc""")
   )
+
+  /** Unrolled logistic-GD weight chain `e, w0, g1, w1, g2, w2, g3, w3`
+    * over the embeddings table (label ≥ 5 target, intercept at x[1]).
+    */
+  private lazy val lrCtes: String = {
+    val steps = (1 to 3).map { i =>
+      s"""g$i AS (SELECT list(s / n ORDER BY dim) AS g FROM (
+           SELECT dim, sum(r * c) AS s, CAST(count(*) AS DOUBLE) AS n
+           FROM (
+             SELECT 1.0 / (1.0 + exp(-list_inner_product(w.w, e.x)))
+                      - CAST(e.y AS DOUBLE) AS r,
+                    CAST(generate_subscripts(e.x, 1) AS INTEGER) AS dim,
+                    unnest(e.x) AS c
+             FROM e, w${i - 1} w) GROUP BY dim)),
+      w$i AS (SELECT list_transform(generate_series(1, len(w.w)),
+                i -> w.w[i] - 0.5 * g.g[i]) AS w
+              FROM w${i - 1} w, g$i g)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS (SELECT vec_id AS id,
+          list_prepend(1.0, CAST(embedding AS DOUBLE[])) AS x,
+          CAST(label >= 5 AS INT) AS y
+        FROM embeddings),
+      w0 AS (SELECT list_transform(x, c -> 0.0) AS w
+             FROM e ORDER BY id LIMIT 1),
+      $steps"""
+  }
 
   /** The interpolated bigram-LM replay (see `x_lm_perplexity`) up to the
     * per-document table `perdoc(doc_id, n_tokens, n_oov, ce_bits)`;

@@ -2177,7 +2177,22 @@ object SparkEntry {
         .localCheckpoint() // must not lazily re-read the dir removed below
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       out
-    })
+    }),
+
+    // ---- in-engine classifier training (unrolled-GD logistic regression) --
+    "x_lr_scores" -> ((s, dir) =>
+      // train a linear "high-label" classifier on the embeddings by 3
+      // full-batch GD supersteps (zero init, η=0.5, intercept prepended)
+      // and score every vector — the fastText-style quality-filter
+      // trainer as pure dataflow, superstep-replayed by the oracle
+      Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("label") >= 5, eta = 0.5, iterations = 3)),
+    "x_lr_metrics" -> ((s, dir) =>
+      // training-run report chained from the ROUNDED margins (the
+      // cross-engine-stable quantity): accuracy + mean log-loss
+      Learn.logisticMetrics(
+        Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("label") >= 5, eta = 0.5, iterations = 3)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
