@@ -4377,6 +4377,72 @@ object OracleSql {
                AS INT) AS pred
       FROM e, w3 w ORDER BY vec_id"""),
 
+    // exact water-filling replay: price-ordered prefix sums, the unique
+    // valid capped-prefix candidate (p_j <= c_j < p_{j+1}), the j=0 and
+    // all-capped edges split out exactly as Sampling.mixtureWaterfill
+    // computes them; weights are integer-valued doubles so every sum is
+    // FP-exact in any accumulation order
+    "x_mixture_waterfill" -> """
+      WITH per AS (SELECT source AS domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                 AS BIGINT) AS supply_tokens
+             FROM documents GROUP BY source),
+      per2 AS (SELECT *, CAST(CAST(substr(domain, 4) AS INTEGER) + 1
+                 AS DOUBLE) AS weight FROM per),
+      tot AS (SELECT CAST(sum(supply_tokens) AS DOUBLE) AS stot,
+                sum(weight) AS wtot FROM per2),
+      pr AS (SELECT p.*, t.stot, t.wtot, 1.2 * t.stot AS budget,
+               2.0 * supply_tokens / weight AS price FROM per2 p, tot t),
+      rk AS (SELECT *,
+               row_number() OVER (ORDER BY price, domain) AS rnk,
+               sum(CAST(supply_tokens AS DOUBLE)) OVER (
+                 ORDER BY price, domain
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_pfx,
+               sum(weight) OVER (ORDER BY price, domain
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_pfx,
+               lead(price, 1) OVER (ORDER BY price, domain) AS p_next
+             FROM pr),
+      cand AS (SELECT *, (budget - 2.0 * s_pfx) / (wtot - w_pfx) AS c,
+                 budget / wtot AS c0 FROM rk),
+      lv AS (SELECT coalesce(
+               min(CASE WHEN rnk = 1 AND c0 < price THEN c0 END),
+               min(CASE WHEN price <= c AND (p_next IS NULL OR c < p_next)
+                     AND wtot > w_pfx THEN c END),
+               max(CASE WHEN p_next IS NULL AND budget >= 2.0 * s_pfx
+                     THEN price END)) AS level FROM cand)
+      SELECT domain, n_docs, supply_tokens, weight,
+             round(price, 6) AS price,
+             round(level, 6) AS water_level,
+             round(least(2.0 * supply_tokens, level * weight), 2)
+               AS alloc_tokens,
+             round(least(2.0 * supply_tokens, level * weight)
+               / CAST(supply_tokens AS DOUBLE), 6) AS epochs,
+             price <= level AS capped
+      FROM pr, lv ORDER BY domain""",
+
+    // NFC + U+FFFD strip + C0/DEL strip + space/tab collapse, byte
+    // counts throughout (code-unit conventions differ across engines;
+    // octet_length does not) — mirrors TextAnalysis.normalizeText
+    "x_text_normalize" -> """
+      WITH n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc
+                 FROM documents),
+      r AS (SELECT *, replace(nfc, chr(65533), '') AS norepl FROM n),
+      c AS (SELECT *, regexp_replace(norepl,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS noctrl
+            FROM r),
+      f AS (SELECT *, trim(regexp_replace(noctrl, '[ \t]+', ' ', 'g'))
+              AS clean FROM c)
+      SELECT doc_id,
+             CAST(strlen(text) AS INTEGER) AS bytes_raw,
+             CAST(strlen(clean) AS INTEGER) AS bytes_clean,
+             text <> nfc AS nfc_changed,
+             CAST((strlen(nfc) - strlen(norepl)) / 3 AS INTEGER)
+               AS n_replacement,
+             CAST(strlen(norepl) - strlen(noctrl) AS INTEGER) AS n_control,
+             md5(clean) AS clean_md5
+      FROM f ORDER BY doc_id""",
+
     // metrics chained from the ROUNDED margin (the cross-engine-stable
     // quantity; see Learn.logisticMetrics scaladoc) — pred from the
     // unrounded sigmoid exactly as the scores query computes it

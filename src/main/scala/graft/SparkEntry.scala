@@ -2187,6 +2187,18 @@ object SparkEntry {
       // trainer as pure dataflow, superstep-replayed by the oracle
       Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("label") >= 5, eta = 0.5, iterations = 3)),
+    "x_mixture_waterfill" -> ((s, dir) =>
+      // epoch-capped token-budget mixture planning: target weights
+      // ∝ source index + 1, budget 1.2× total supply, 2-epoch cap —
+      // exact closed-form water-filling over the bounded domain frame
+      Sampling.mixtureWaterfill(Tables.documents(s, dir), "text", "source",
+        expr("CAST(substring(domain, 4) AS INT) + 1"),
+        budgetFraction = 1.2, epochCap = 2.0)),
+    "x_text_normalize" -> ((s, dir) =>
+      // Unicode cleanup report: native NFC + control/U+FFFD strip +
+      // whitespace collapse, all counts in engine-independent BYTES
+      TextAnalysis.normalizeText(Tables.documents(s, dir), "doc_id",
+        "text")),
     "x_lr_metrics" -> ((s, dir) =>
       // training-run report chained from the ROUNDED margins (the
       // cross-engine-stable quantity): accuracy + mean log-loss

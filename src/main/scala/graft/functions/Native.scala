@@ -327,6 +327,33 @@ object Native {
     override def prettyName: String = "char_entropy"
   }
 
+  /** Unicode NFC normalization (canonical decomposition + canonical
+    * composition) — the first step of every serious text-cleanup pipeline
+    * (CCNet normalizes before hashing; dedup fingerprints over
+    * un-normalized text miss canonically-equal duplicates: "é" composed
+    * vs "e"+U+0301 decomposed hash apart). Delegates to the JDK's ICU-
+    * derived `java.text.Normalizer`, with an `isNormalized` fast path so
+    * the (overwhelmingly common) already-NFC document costs one scan and
+    * ZERO allocation. DuckDB's `nfc_normalize` implements the same
+    * Unicode algorithm, which is what makes the result oracle-checkable.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "nfc_normalize"
+  }
+
   /** Morton (Z-order) bit interleave of two bucket indices: bit `2i` of
     * the result is bit `i` of `left`, bit `2i+1` is bit `i` of `right`,
     * for `bits` bits per dimension (≤31; result fits a long for bits≤31).
@@ -580,6 +607,8 @@ object Native {
     toCol(InterleaveBits(toExpr(a), toExpr(b), bits))
 
   def char_entropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
+
+  def nfc_normalize(text: Column): Column = toCol(NfcNormalize(toExpr(text)))
 
   def cosine_similarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))

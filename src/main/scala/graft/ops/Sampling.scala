@@ -639,4 +639,114 @@ object Sampling {
       min(when(col("shard_from") =!= col("shard_to"),
         col("shard_to") >= nFrom)).as("moved_only_to_new"))
   }
+
+  /** Epoch-capped token-budget mixture solver — exact water-filling, the
+    * planning step behind every "mix domains to target weights but never
+    * repeat any domain more than E epochs" pretraining recipe (the
+    * tension the LLaMA/Chinchilla data notes describe: target weights
+    * are infeasible for small domains, and naive renormalization leaks
+    * their shortfall to the wrong places).
+    *
+    * Given per-domain token supply s_d (whitespace tokens, the
+    * [[TextAnalysis.tokens]] spelling), a target-weight expression w_d
+    * (evaluated on the per-domain frame, where the domain column is
+    * named `domain`),
+    * a budget B = `budgetFraction`·Σs and an epoch cap E: solve
+    * a_d = min(E·s_d, c·w_d) with Σ a_d = B for the water level c.
+    *
+    * CLOSED FORM, not iteration: a domain caps iff c ≥ p_d where
+    * p_d = E·s_d/w_d (its "cap price"), so domains cap in ascending
+    * price order, and for j capped domains c_j = (B − E·S_j)/(W − W_j)
+    * (prefix sums in price order). The unique feasible j satisfies
+    * p_j ≤ c_j < p_{j+1}. One corpus aggregation to the per-domain
+    * grain, then window prefix sums over the BOUNDED domain frame
+    * (tens of rows at any corpus size) — the standard bounded-global-
+    * window posture (PLANS.md enumerates these).
+    *
+    * Infeasible budgets (B > E·Σs) fail loud in-plan via an ANSI
+    * error; B = E·Σs degenerates to "every domain capped" and is
+    * handled exactly (c = the max price). Requires w_d > 0 for every
+    * domain (guarded in-plan the same way).
+    */
+  def mixtureWaterfill(docs: DataFrame, textCol: String, domainCol: String,
+                       weight: Column, budgetFraction: Double,
+                       epochCap: Double): DataFrame = {
+    require(budgetFraction > 0, s"mixtureWaterfill: budgetFraction > 0")
+    require(epochCap > 0, s"mixtureWaterfill: epochCap > 0")
+    val per = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+          .as("supply_tokens"))
+      .withColumn("weight", weight.cast("double"))
+      // fail loud on nonpositive weights (would put this domain's price
+      // at ±∞ and silently corrupt the prefix order)
+      .withColumn("weight",
+        when(col("weight") > 0, col("weight"))
+          .otherwise(raise_error(concat(lit("mixtureWaterfill: weight <= 0 for domain "),
+            col("domain")))))
+    val tot = per.agg(
+      sum(col("supply_tokens")).cast("double").as("__stot"),
+      sum(col("weight")).as("__wtot"))
+    val priced = per.crossJoin(broadcast(tot))
+      .withColumn("__budget", lit(budgetFraction) * col("__stot"))
+      // infeasibility guard: B must be coverable at the epoch cap
+      .withColumn("__budget",
+        when(col("__budget") <= lit(epochCap) * col("__stot"), col("__budget"))
+          .otherwise(raise_error(lit(
+            "mixtureWaterfill: budget exceeds epochCap * total supply"))))
+      .withColumn("price",
+        lit(epochCap) * col("supply_tokens") / col("weight"))
+    // bounded global window: one row per domain
+    val byPrice = Window.orderBy(col("price"), col("domain"))
+    val j = priced
+      .withColumn("__rank", row_number().over(byPrice))
+      .withColumn("__s_pfx", sum(col("supply_tokens").cast("double"))
+        .over(byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__w_pfx", sum(col("weight"))
+        .over(byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__p_next", lead(col("price"), 1).over(byPrice))
+    // candidate water level with the first (rank) domains capped; rank 0
+    // (nothing capped) is represented by a synthetic row via the j = 0
+    // candidate c0 = B / W computed on every row and validated below
+    val cand = j
+      // ANSI guard: the last row has W − W_pfx = 0; NULL there (same
+      // exclusion DuckDB's NULL-on-/0 gives the replay)
+      .withColumn("__c", when(col("__wtot") > col("__w_pfx"),
+        (col("__budget") - lit(epochCap) * col("__s_pfx"))
+          / (col("__wtot") - col("__w_pfx"))))
+      .withColumn("__c0", col("__budget") / col("__wtot"))
+      .withColumn("__valid",
+        // j = rank capped: price_rank <= c_rank < price_{rank+1}
+        col("price") <= col("__c") &&
+          (col("__p_next").isNull || col("__c") < col("__p_next")))
+      .withColumn("__valid0",
+        col("__rank") === 1 && col("__c0") < col("price"))
+    // exactly-all-capped degeneracy: on the last row W − W_pfx = 0 makes
+    // __c NaN (0/0) or −Inf, so __valid can never fire there; detect it
+    // directly instead — feasibility already guarantees B ≤ E·Σs, so the
+    // last row caps exactly when B ≥ E·S_n, and the level is the max
+    // price (every domain capped)
+    val level = cand
+      .select(
+        min(when(col("__valid0"), col("__c0"))).as("__lv0"),
+        min(when(col("__valid") && col("__wtot") > col("__w_pfx"),
+          col("__c"))).as("__lvj"),
+        max(when(col("__p_next").isNull &&
+          col("__budget") >= lit(epochCap) * col("__s_pfx"),
+          col("price"))).as("__lvall"))
+      .select(coalesce(col("__lv0"), col("__lvj"), col("__lvall"))
+        .as("__level"))
+    priced.crossJoin(broadcast(level))
+      .select(
+        col("domain"), col("n_docs"), col("supply_tokens"), col("weight"),
+        round(col("price"), 6).as("price"),
+        round(col("__level"), 6).as("water_level"),
+        round(least(lit(epochCap) * col("supply_tokens"),
+          col("__level") * col("weight")), 2).as("alloc_tokens"),
+        round(least(lit(epochCap) * col("supply_tokens"),
+          col("__level") * col("weight"))
+          / col("supply_tokens").cast("double"), 6).as("epochs"),
+        (col("price") <= col("__level")).as("capped"))
+      .orderBy(col("domain"))
+  }
 }

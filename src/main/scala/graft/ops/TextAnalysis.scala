@@ -809,4 +809,45 @@ object TextAnalysis {
         round(col("n_boiler") / col("n_shingles"), 6))
       .orderBy(col(idCol))
   }
+
+  /** Unicode text normalization report — the cleanup pass a crawl corpus
+    * goes through before ANY fingerprinting (canonically-unequal byte
+    * sequences for the same text defeat exact AND near dedup): NFC via
+    * the native [[graft.functions.Native.NfcNormalize]] expression, then
+    * strip C0/C1 control characters (keeping \n and \t), strip U+FFFD
+    * replacement characters (the mojibake tombstone a broken decode
+    * leaves), collapse space/tab runs, and trim. One narrow codegen'd
+    * projection per row — no shuffle, no UDF.
+    *
+    * Every count is in BYTES (`octet_length`), deliberately: byte counts
+    * are identical across engines whereas "character" counts depend on
+    * each engine's code-unit convention. U+FFFD is 3 bytes in UTF-8, so
+    * its count is the byte delta / 3; control characters are 1 byte each
+    * (C0 + DEL), so that count IS the byte delta. The cleaned text
+    * travels as an md5 so the output stays narrow at any document size.
+    */
+  def normalizeText(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val nfc = graft.functions.Native.nfc_normalize(col(textCol))
+    val noRepl = regexp_replace(col("__nfc"), "�", "")
+    val noCtrl = regexp_replace(col("__norepl"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(col("__noctrl"), "[ \\t]+", " "))
+    docs
+      .withColumn("__nfc", nfc)
+      .withColumn("__norepl", noRepl)
+      .withColumn("__noctrl", noCtrl)
+      .withColumn("__clean", collapsed)
+      .select(
+        col(idCol),
+        octet_length(col(textCol)).as("bytes_raw"),
+        octet_length(col("__clean")).as("bytes_clean"),
+        (col(textCol) =!= col("__nfc")).as("nfc_changed"),
+        ((octet_length(col("__nfc")) - octet_length(col("__norepl"))) / 3)
+          .cast("int").as("n_replacement"),
+        (octet_length(col("__norepl")) - octet_length(col("__noctrl")))
+          .cast("int").as("n_control"),
+        md5(col("__clean").cast("binary")).as("clean_md5"))
+      .orderBy(col(idCol))
+  }
 }

@@ -540,4 +540,44 @@ class SamplingSpec extends SparkSpec {
       Sampling.rendezvousMovementReport(docs, "id", 8, 8)
     }
   }
+
+  test("mixtureWaterfill: hand-computed level, cap set, and exact budget " +
+      "conservation; all-capped edge; in-plan guards fail loud") {
+    // supplies A=100 (across two docs), B=100, C=100 tokens; weights
+    // 1/1/2; E=1; B=0.75*300=225. Prices: A=100, B=100, C=50 -> C caps
+    // first; j=1 gives level (225-100)/(4-2)=62.5 with 50<=62.5<100.
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      ("A", doc(60)), ("A", doc(40)), ("B", doc(100)), ("C", doc(100))
+    ).toDF("src", "text")
+    val w = when(col("domain") === "C", 2.0).otherwise(1.0)
+    val out = Sampling.mixtureWaterfill(docs, "text", "src", w,
+        budgetFraction = 0.75, epochCap = 1.0)
+      .select("domain", "supply_tokens", "water_level", "alloc_tokens",
+        "epochs", "capped")
+      .as[(String, Long, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 100L, 62.5, 62.5, 0.625, false)))
+    assert(out("B") == (("B", 100L, 62.5, 62.5, 0.625, false)))
+    assert(out("C") == (("C", 100L, 62.5, 100.0, 1.0, true)))
+    assert(out.values.map(_._4).sum == 225.0) // allocations exhaust B
+
+    // B = E*total exactly: every domain capped, level = max price
+    val all = Sampling.mixtureWaterfill(docs, "text", "src", w,
+        budgetFraction = 1.0, epochCap = 1.0)
+      .select("water_level", "epochs", "capped")
+      .as[(Double, Double, Boolean)].collect()
+    assert(all.forall(r => r._1 == 100.0 && r._2 == 1.0 && r._3))
+
+    // infeasible budget and nonpositive weight raise in-plan
+    intercept[Exception] {
+      Sampling.mixtureWaterfill(docs, "text", "src", w,
+        budgetFraction = 1.5, epochCap = 1.0).collect()
+    }
+    intercept[Exception] {
+      Sampling.mixtureWaterfill(docs, "text", "src",
+        when(col("domain") === "C", -1.0).otherwise(1.0),
+        budgetFraction = 0.5, epochCap = 1.0).collect()
+    }
+  }
 }

@@ -511,4 +511,45 @@ class TextAnalysisSpec extends SparkSpec {
         $"lang" === "en", 3, lambda = 0.7)
     }
   }
+
+  test("normalizeText: NFC-composes decomposed diacritics, strips " +
+      "U+FFFD and control chars, collapses space/tab runs; byte counts " +
+      "attribute each removal") {
+    val docs = Seq(
+      // decomposed e + COMBINING ACUTE (1+2 bytes) composes to 2 bytes
+      (0L, "caf" + "e\u0301"),
+      // two U+FFFD tombstones + a BEL control char + a tab run (tabs
+      // survive the control strip, then collapse to one space)
+      (1L, "bad\uFFFD\uFFFDdata\u0007x\t\tend"),
+      // pure ASCII with double spaces and a trailing blank
+      (2L, "plain  text "),
+      (3L, "untouched")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Boolean, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+
+    val (_, raw0, clean0, chg0, rep0, ctl0, _) = out(0L)
+    assert(chg0 && rep0 == 0 && ctl0 == 0)
+    assert(raw0 == 6 && clean0 == 5) // e+combining (1+2 bytes) -> 2
+    val (_, _, _, chg1, rep1, ctl1, _) = out(1L)
+    assert(!chg1 && rep1 == 2 && ctl1 == 1)
+    val (_, raw2, clean2, chg2, rep2, ctl2, _) = out(2L)
+    assert(!chg2 && rep2 == 0 && ctl2 == 0)
+    assert(raw2 == 12 && clean2 == 10) // "plain text" after collapse+trim
+    assert(out(3L)._2 == 9 && out(3L)._3 == 9)
+    // md5 of the cleaned text matches a locally computed digest
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("plain text".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(2L)._7 == md)
+  }
+
+  test("normalizeText: already-clean corpus reports identity " +
+      "(equal byte counts, zero removals)") {
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Boolean, Int, Int, String)].head()
+    assert(r._2 == 11 && r._3 == 11 && !r._4 && r._5 == 0 && r._6 == 0)
+  }
 }
