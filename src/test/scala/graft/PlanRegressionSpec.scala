@@ -92,4 +92,44 @@ class PlanRegressionSpec extends SparkSpec {
     // gram table) creeping back in on TOP of these
     assert(shuffles <= 7, s"sharedSpans shuffles=$shuffles")
   }
+
+  test("normalizeText: ZERO shuffles before the export sort — a pure " +
+      "narrow projection (native NFC + regex strips)") {
+    val (shuffles, _) = countNodes(
+      graft.ops.TextAnalysis.normalizeText(Tables.documents(spark, dir),
+        "doc_id", "text"))
+    // only the deterministic-export range exchange is allowed
+    assert(shuffles <= 1, s"normalizeText shuffles=$shuffles")
+  }
+
+  test("logisticGD: corpus-sized stages shuffle only at (dim) grain — " +
+      "weight/gradient frames stay broadcast (no shuffled join of the " +
+      "corpus against the model)") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.ops.Learn.logisticGD(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("label") >= 5, eta = 0.5, iterations = 2)
+      .queryExecution.executedPlan
+    finally spark.conf.unset("spark.sql.adaptive.enabled")
+    var smj = 0
+    plan.foreach { case _: SortMergeJoinExec => smj += 1; case _ => }
+    assert(smj == 0, s"logisticGD sort-merge joins=$smj (model frame " +
+      "stopped broadcasting?)")
+  }
+
+  test("mixtureWaterfill: one corpus aggregation shuffle; everything " +
+      "after runs on the bounded per-domain frame") {
+    val (shuffles, _) = countNodes(
+      graft.ops.Sampling.mixtureWaterfill(
+        Tables.documents(spark, dir), "text", "source",
+        expr("CAST(substring(domain, 4) AS INT) + 1"),
+        budgetFraction = 1.2, epochCap = 2.0))
+    // corpus groupBy(domain) partial+final = 1 exchange; the bounded
+    // domain frame then passes through the single-partition window and
+    // 1-row level aggregates (their exchanges move tens of rows) and
+    // the export sort. The corpus itself must shuffle exactly once.
+    assert(shuffles <= 6, s"mixtureWaterfill shuffles=$shuffles")
+    assert(shuffles >= 1, "mixtureWaterfill must aggregate per domain")
+  }
 }
