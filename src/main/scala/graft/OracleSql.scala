@@ -4443,6 +4443,26 @@ object OracleSql {
              md5(clean) AS clean_md5
       FROM f ORDER BY doc_id""",
 
+    // reliability bins over the ROUNDED probabilities; gap/ECE chain
+    // from the rounded bin aggregates (kappa/gini precedent)
+    "x_lr_calibration" -> (lrCtes + """,
+      sc AS (SELECT e.y,
+               round(1.0 / (1.0 + exp(-list_inner_product(w.w, e.x))), 6)
+                 AS prob
+             FROM e, w3 w),
+      b AS (SELECT CAST(least(floor(prob * 10), 9) AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(prob) / CAST(count(*) AS DOUBLE), 6) AS mean_prob,
+               round(sum(CAST(y AS DOUBLE)) / CAST(count(*) AS DOUBLE), 6)
+                 AS frac_pos
+            FROM sc GROUP BY 1),
+      g AS (SELECT *, round(abs(mean_prob - frac_pos), 6) AS gap,
+               CAST(sum(n) OVER () AS DOUBLE) AS t FROM b),
+      e2 AS (SELECT round(sum(n / t * gap), 6) AS ece FROM g)
+      SELECT bin, n, mean_prob, frac_pos, gap,
+             round(n / t, 6) AS share, e2.ece
+      FROM g, e2 ORDER BY bin"""),
+
     // metrics chained from the ROUNDED margin (the cross-engine-stable
     // quantity; see Learn.logisticMetrics scaladoc) — pred from the
     // unrounded sigmoid exactly as the scores query computes it

@@ -2199,6 +2199,13 @@ object SparkEntry {
       // whitespace collapse, all counts in engine-independent BYTES
       TextAnalysis.normalizeText(Tables.documents(s, dir), "doc_id",
         "text")),
+    "x_lr_calibration" -> ((s, dir) =>
+      // reliability diagram + ECE over the trained scorer's (rounded)
+      // probabilities — 10 equal-width bins, self-contained report
+      Eval.calibration(
+        Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("label") >= 5, eta = 0.5, iterations = 3),
+        "prob", "y", bins = 10)),
     "x_lr_metrics" -> ((s, dir) =>
       // training-run report chained from the ROUNDED margins (the
       // cross-engine-stable quantity): accuracy + mean log-loss

@@ -443,4 +443,40 @@ object Eval {
         when(col("pe") < 1.0,
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
   }
+
+  /** Calibration / reliability readout for a probabilistic scorer — the
+    * check a quality-filter model gets before its scores become sampling
+    * weights (a miscalibrated filter silently reweights the corpus):
+    * equal-width probability bins, each with its mean predicted
+    * probability, empirical positive rate, the |gap| between them, and
+    * the bin's share of all rows. ECE = Σ share·gap over the (bounded)
+    * bin frame — emitted on every row so the report is self-contained.
+    *
+    * One keyed aggregation at bin grain (≤ `bins` final rows) + a
+    * broadcast total; `gap` chains from the ROUNDED bin aggregates (the
+    * kappa/gini precedent) so both engines compute it identically. The
+    * right-edge probability 1.0 folds into the last bin.
+    */
+  def calibration(df: DataFrame, probCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"calibration: bins in [2, 1000]")
+    val binned = df.withColumn("bin",
+        least(floor(col(probCol) * bins), lit(bins - 1)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(probCol)) / count(lit(1)).cast("double"), 6)
+          .as("mean_prob"),
+        round(sum(col(labelCol).cast("double"))
+          / count(lit(1)).cast("double"), 6).as("frac_pos"))
+      .withColumn("gap", round(abs(col("mean_prob") - col("frac_pos")), 6))
+    val tot = binned.agg(sum(col("n")).cast("double").as("__t"))
+    val withShare = binned.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n") / col("__t"), 6))
+    val ece = withShare
+      .agg(round(sum(col("n") / col("__t") * col("gap")), 6).as("__ece"))
+    withShare.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("mean_prob"), col("frac_pos"),
+        col("gap"), col("share"), col("__ece").as("ece"))
+      .orderBy(col("bin"))
+  }
 }

@@ -601,4 +601,99 @@ object Pipeline {
       .option("startingOffsets", "latest")
       .option("failOnDataLoss", "false")
       .load()
+
+  /** Drift circuit-breaker ingest gate — the data-quality pattern that
+    * keeps a poisoned upstream batch out of the training corpus: each
+    * micro-batch's value distribution is scored with PSI against a FIXED
+    * reference histogram (edges + shares fitted offline, e.g. from
+    * [[graft.ops.Drift.psi]]'s reference deciles); a batch over the
+    * threshold is QUARANTINED wholesale (written to its own store for
+    * forensics, never admitted), and every batch leaves a one-row audit
+    * record (n, psi, verdict). Batch-level, not row-level, deliberately:
+    * distribution shift is a property of the batch, and row-level
+    * clipping would silently reshape the distribution instead of
+    * flagging it.
+    *
+    * Replay safety: all three stores are epoch-partitioned by
+    * `ingest_batch` with dynamic partition overwrite, so a crashed epoch
+    * rewrites itself identically on resume (the PSI decision is a pure
+    * function of the batch and the constant reference). The per-batch
+    * driver action is ONE 1-row aggregate (`head`) — the decision
+    * scalar; everything else is a narrow binned count.
+    */
+  def driftGateSink(events: DataFrame, valCol: String,
+                    edges: Array[Double], refShares: Array[Double],
+                    threshold: Double, admitPath: String,
+                    quarantinePath: String, auditPath: String,
+                    checkpoint: String): DataStreamWriter[Row] = {
+    require(edges.nonEmpty && edges.sameElements(edges.sorted),
+      "driftGateSink: edges must be ascending")
+    require(refShares.length == edges.length + 1,
+      s"driftGateSink: need ${edges.length + 1} reference shares")
+    require(math.abs(refShares.sum - 1.0) < 1e-9,
+      "driftGateSink: reference shares must sum to 1")
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestDriftGateBatch(batch, batchId, valCol, edges, refShares,
+          threshold, admitPath, quarantinePath, auditPath)
+      }
+  }
+
+  /** One fold of [[driftGateSink]]: bin, score, route, audit. */
+  def ingestDriftGateBatch(batch: DataFrame, batchId: Long, valCol: String,
+                           edges: Array[Double], refShares: Array[Double],
+                           threshold: Double, admitPath: String,
+                           quarantinePath: String,
+                           auditPath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bins = refShares.length
+    val binOf = edges.zipWithIndex
+      .map { case (e, _) => when(col(valCol) > e, 1).otherwise(0) }
+      .reduce(_ + _)
+    val counts = batch.select(binOf.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    // densify over the full grid: a missing bin is q = 0, and the
+    // epsilon-free convention (p>0 AND q>0 contribute) then skips it —
+    // identical to Drift.psi
+    val grid = (0 until bins).map(i => (i, refShares(i))).toDF("bin", "p")
+    val scored = grid.join(counts, Seq("bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val psiRow = scored
+      .withColumn("q", when(sum(col("n")).over(tot) > 0,
+        col("n").cast("double") / sum(col("n")).over(tot)).otherwise(0.0))
+      .withColumn("contribution",
+        when(col("p") > 0 && col("q") > 0,
+          (col("p") - col("q")) * log(col("p") / col("q"))).otherwise(0.0))
+      .agg(round(sum(col("contribution")), 6).as("psi"),
+        sum(col("n")).as("n_rows"))
+      .head()
+    val psi = psiRow.getDouble(0)
+    val nRows = psiRow.getLong(1)
+    val admitted = nRows > 0 && psi <= threshold
+    val prior =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val target = if (admitted) admitPath else quarantinePath
+      if (nRows > 0)
+        batch.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("ingest_batch")
+          .parquet(target)
+      Seq((batchId, nRows, psi, admitted))
+        .toDF("ingest_batch", "n_rows", "psi", "admitted")
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(auditPath)
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }

@@ -253,4 +253,32 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cohensKappa(anti, "a", "b").head()
       .getAs[Double]("kappa") == -1.0)
   }
+
+  test("calibration: hand-computed bins, right-edge fold, ECE; a " +
+      "perfectly calibrated scorer has ECE 0") {
+    // bin 1 [0.1,0.2): probs 0.10/0.20? -> 0.20 goes to bin 2; use
+    // explicit probes: two rows at 0.15 (one pos), one at 0.95 (pos),
+    // one at exactly 1.0 (folds into bin 9)
+    val df = Seq(
+      (0.15, 0), (0.15, 1), (0.95, 1), (1.0, 1)
+    ).toDF("prob", "y")
+    val out = Eval.calibration(df, "prob", "y", bins = 10)
+      .as[(Int, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1, 9))
+    val b1 = out(1)
+    assert(b1._2 == 2L && b1._3 == 0.15 && b1._4 == 0.5 &&
+      b1._5 == 0.35 && b1._6 == 0.5)
+    val b9 = out(9)
+    assert(b9._2 == 2L && b9._3 == 0.975 && b9._4 == 1.0 && b9._5 == 0.025)
+    // ECE = 0.5*0.35 + 0.5*0.025 = 0.1875, identical on every row
+    assert(out.values.forall(_._7 == 0.1875))
+
+    // perfect calibration: in each bin frac_pos equals mean prob
+    val perfect = (Seq.fill(3)((0.25, 1)) ++ Seq.fill(9)((0.25, 0)) ++
+      Seq.fill(9)((0.75, 1)) ++ Seq.fill(3)((0.75, 0))).toDF("prob", "y")
+    val e = Eval.calibration(perfect, "prob", "y", bins = 10)
+      .select("ece").distinct().as[Double].collect()
+    assert(e.toSeq == Seq(0.0))
+  }
 }

@@ -582,4 +582,51 @@ class StreamingSmokeSpec extends SparkSpec {
       assert(rows == Set((1L, Some("gold")), (3L, None)))
     } finally q.stop()
   }
+
+  test("drift circuit-breaker gate: in-band batch admitted, shifted batch " +
+      "quarantined wholesale; kill/resume replays the same verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform over (0, 4] binned at 1/2/3 -> shares 0.25 each
+    val edges = Array(1.0, 2.0, 3.0)
+    val shares = Array(0.25, 0.25, 0.25, 0.25)
+    // batch 1 matches the reference; batch 2 is mass-shifted into the top
+    // bin; batch 3 in-band again (post-resume)
+    val b1 = (1 to 40).map(i => (i.toLong, 0.5 + (i % 4) * 1.0))
+    val b2 = (41 to 80).map(i => (i.toLong, 3.5))
+    val b3 = (81 to 120).map(i => (i.toLong, 0.5 + (i % 4) * 1.0))
+    val stream = MemoryStream[(Long, Double)]
+    val root = java.nio.file.Files.createTempDirectory("graft_dg_").toString
+    def startSink() = Pipeline.driftGateSink(
+        stream.toDF().toDF("id", "v"), "v", edges, shares,
+        threshold = 0.25, root + "/admit", root + "/quar",
+        root + "/audit", root + "/ckpt").start()
+    val q1 = startSink()
+    stream.addData(b1)
+    q1.processAllAvailable()
+    q1.stop() // breaker process dies mid-stream
+    stream.addData(b2)
+    val q2 = startSink() // resume over the same checkpoint
+    try {
+      q2.processAllAvailable()
+      stream.addData(b3)
+      q2.processAllAvailable()
+      val admitted = spark.read.parquet(root + "/admit")
+        .select($"id").as[Long].collect().toSet
+      val quarantined = spark.read.parquet(root + "/quar")
+        .select($"id").as[Long].collect().toSet
+      assert(admitted == (b1 ++ b3).map(_._1).toSet)
+      assert(quarantined == b2.map(_._1).toSet)
+      val audit = spark.read.parquet(root + "/audit")
+        .select($"ingest_batch", $"n_rows", $"psi", $"admitted")
+        .as[(Long, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(audit.size == 3)
+      // in-band batches score psi 0 (exact quarter shares); the shifted
+      // batch concentrates in one bin -> only that bin contributes
+      // (epsilon-free convention): (0.25-1)*ln(0.25/1) = 1.039721
+      val verdicts = audit.values.toSeq.sortBy(_._1)
+      assert(verdicts.map(v => (v._2, v._3, v._4)) ==
+        Seq((40L, 0.0, true), (40L, 1.039721, false), (40L, 0.0, true)))
+    } finally q2.stop()
+  }
 }
