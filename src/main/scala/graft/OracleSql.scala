@@ -964,6 +964,12 @@ object OracleSql {
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
       FROM customer ORDER BY c_custkey""",
 
+    // ORC round trip is lossless for these types; oracle reads the
+    // parquet original directly
+    "s_orc_roundtrip" -> """
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      FROM customer ORDER BY c_custkey""",
+
     "q_profile" -> """
       WITH s AS (SELECT count(*) AS n_rows,
         count(c_custkey) AS nn1, count(DISTINCT c_custkey) AS nd1,
@@ -2782,6 +2788,22 @@ object OracleSql {
              round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share
       FROM c""",
 
+    // salted exact-distinct: the rewrite is a pure plan transformation,
+    // so the oracle is the UN-salted aggregate it must equal
+    "q_salted_distinct" -> """
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_cnt,
+             CAST(count(*) AS BIGINT) AS row_cnt
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // salted hot-key join: oracle is the plain inner join + fold the
+    // salted plan must reproduce row-for-row
+    "q_salted_join" -> """
+      SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(e.value), 6) AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
     // rank analytics: tie-free (value, id) order makes rank/percent_rank/
     // ntile identical in both engines
     "q_rank_features" -> """
@@ -2888,6 +2910,14 @@ object OracleSql {
         UNION ALL
         SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem)
       ORDER BY col_a, col_b""",
+
+    // top principal component: corr matrix in one pass, then the SAME
+    // fixed-iteration power sequence Linalg.pcaPowerTop runs — one
+    // MATERIALIZED CTE per step (materialization stops the d^T symbolic
+    // blow-up CTE inlining would cause), identical left-to-right IEEE
+    // operation order
+    "q_pca_power" -> pcaPowerSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 12),
 
     "q_target_encoding" -> """
       WITH t AS (SELECT event_type, value FROM events
@@ -3783,6 +3813,34 @@ object OracleSql {
                AS BIGINT) AS rows_below_l
       FROM cs""",
 
+    // t-closeness: per-class TVD to the global sensitive distribution via
+    // the positive-part identity (sum of greatest(p_c - p_g, 0) over
+    // OBSERVED pairs only — exact, no outer join against the domain)
+    "q_t_closeness" -> """
+      WITH j AS (SELECT c_mktsegment, c_nationkey,
+                   floor(c_acctbal / 2000.0) * 2000.0 AS sens,
+                   CAST(count(*) AS DOUBLE) AS nqs
+                 FROM customer GROUP BY 1, 2, 3),
+      g AS (SELECT floor(c_acctbal / 2000.0) * 2000.0 AS sens,
+                   CAST(count(*) AS DOUBLE) AS ns
+            FROM customer GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer),
+      jw AS (SELECT j.*, sum(nqs) OVER
+               (PARTITION BY c_mktsegment, c_nationkey) AS cls_n
+             FROM j),
+      cls AS (SELECT c_mktsegment, c_nationkey,
+                sum(greatest(nqs / cls_n - ns / n.n, 0.0)) AS tvd,
+                CAST(min(cls_n) AS BIGINT) AS class_size
+              FROM jw JOIN g USING (sens) CROSS JOIN n
+              GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             round(max(tvd), 6) AS t_closeness,
+             CAST(sum(CASE WHEN tvd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_above_t,
+             CAST(sum(CASE WHEN tvd > 0.2 THEN class_size ELSE 0 END)
+               AS BIGINT) AS rows_above_t
+      FROM cls""",
+
     // per-source boilerplate bigrams: distinct (doc, bigram) first (the
     // Spark side dedups shingles within a doc), then doc-frequency >= 3
     "x_boilerplate_ngrams" -> """
@@ -4188,6 +4246,38 @@ object OracleSql {
       SELECT u AS s_suppkey, CAST(count(*) AS BIGINT) AS degree
       FROM s3 GROUP BY u ORDER BY s_suppkey""",
 
+    // 4-round multi-source BFS over the same co-order graph, min-plus
+    // supersteps unrolled: d{t} = min(d{t-1}, 1 + d{t-1} ∘ edges)
+    "q_supplier_bfs" -> """
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+                    FROM lineitem),
+      e AS (SELECT DISTINCT a.sk AS src, b.sk AS dst FROM base a
+            JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
+      d0 AS (SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS hops
+             FROM supplier WHERE s_suppkey % 17 = 0),
+      d1 AS (SELECT node, min(hops) AS hops FROM (
+               SELECT node, hops FROM d0
+               UNION ALL
+               SELECT e.dst, d.hops + 1 FROM e JOIN d0 d ON e.src = d.node)
+             GROUP BY node),
+      d2 AS (SELECT node, min(hops) AS hops FROM (
+               SELECT node, hops FROM d1
+               UNION ALL
+               SELECT e.dst, d.hops + 1 FROM e JOIN d1 d ON e.src = d.node)
+             GROUP BY node),
+      d3 AS (SELECT node, min(hops) AS hops FROM (
+               SELECT node, hops FROM d2
+               UNION ALL
+               SELECT e.dst, d.hops + 1 FROM e JOIN d2 d ON e.src = d.node)
+             GROUP BY node),
+      d4 AS (SELECT node, min(hops) AS hops FROM (
+               SELECT node, hops FROM d3
+               UNION ALL
+               SELECT e.dst, d.hops + 1 FROM e JOIN d3 d ON e.src = d.node)
+             GROUP BY node)
+      SELECT node AS s_suppkey, CAST(hops AS BIGINT) AS hops
+      FROM d4 ORDER BY s_suppkey""",
+
     // interpolated bigram LM (λ=0.5 — exactly complementable in binary):
     // vocab/counts from the English slice, every doc scored; <unk> fold,
     // add-one unigram, first token unigram-only — mirrors
@@ -4590,6 +4680,63 @@ object OracleSql {
               FROM fp GROUP BY gram),
       sel AS (SELECT DISTINCT f.doc_id, f.gram FROM fp f
               JOIN gdf g ON f.gram = g.gram WHERE g.df BETWEEN 2 AND 5)"""
+
+  /** Unrolled power-iteration oracle for `Linalg.pcaPowerTop`: correlation
+    * entries once (diagonal is the literal 1.0 in both engines), then per
+    * iteration one mat-vec CTE (`w{t}`) and one normalize CTE (`v{t}`),
+    * each MATERIALIZED so DuckDB executes the chain instead of inlining it
+    * into a d^T-node expression. Dot products are written in the exact
+    * left-to-right order the Scala fold computes.
+    */
+  private def pcaPowerSql(table: String, cols: Seq[String],
+                          iterations: Int): String = {
+    val d = cols.size
+    val corrSelect = (for { i <- 0 until d; j <- (i + 1) until d } yield
+      s"corr(CAST(${cols(i)} AS DOUBLE), CAST(${cols(j)} AS DOUBLE)) " +
+        s"AS c${i}_$j").mkString(",\n               ")
+    def cRef(i: Int, j: Int): String =
+      if (i == j) "1.0" else if (i < j) s"c.c${i}_$j" else s"c.c${j}_$i"
+    val v0 = (0 until d).map(i =>
+      s"1.0 / sqrt(${d}.0) AS x$i").mkString(", ")
+    def matVec(prev: String) = (0 until d).map { i =>
+      (0 until d).map(j => s"${cRef(i, j)} * $prev.x$j")
+        .mkString(" + ") + s" AS w$i"
+    }.mkString(",\n               ")
+    val steps = (1 to iterations).map { t =>
+      val prev = s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (
+        SELECT ${matVec(prev)}
+        FROM c, $prev),
+      v$t AS MATERIALIZED (
+        SELECT ${(0 until d).map(i =>
+          s"w$i / sqrt(${(0 until d).map(j => s"w$j * w$j")
+            .mkString(" + ")}) AS x$i").mkString(",\n               ")}
+        FROM w$t)"""
+    }.mkString(",\n      ")
+    val vf = s"v$iterations"
+    val lambda = (0 until d).map(i => s"$vf.x$i * f.w$i").mkString(" + ")
+    val rows = (0 until d).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS feature_idx, '${cols(i)}' AS feature, " +
+        s"round(s.sgn * $vf.x$i, 6) AS loading, " +
+        "round(l.lam, 6) AS eigenvalue, " +
+        s"round(l.lam / ${d}.0, 6) AS explained_ratio " +
+        s"FROM $vf, s, l"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH c AS MATERIALIZED (
+        SELECT $corrSelect
+        FROM $table),
+      v0 AS MATERIALIZED (SELECT $v0),
+      $steps,
+      f AS MATERIALIZED (
+        SELECT ${matVec(vf)}
+        FROM c, $vf),
+      l AS MATERIALIZED (SELECT $lambda AS lam FROM $vf, f),
+      s AS MATERIALIZED (
+        SELECT CASE WHEN $vf.x0 < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM $vf)
+      $rows
+      ORDER BY feature_idx"""
+  }
 
   private def spanSql(select: String): String =
     s"\n      WITH $spanCtes\n      $select"

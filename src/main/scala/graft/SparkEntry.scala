@@ -626,6 +626,24 @@ object SparkEntry {
           schema)
         .orderBy("c_custkey")
     }),
+    "s_orc_roundtrip" -> ((s, dir) => {
+      // the Hive-warehouse interchange format next to parquet/CSV/JSON;
+      // schema still DECLARED on the read side (no inference pass)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.sources.Sources.orcRoundTrip(s,
+          Tables.customer(s, dir)
+            .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+          schema)
+        .orderBy("c_custkey")
+    }),
     "s_offline_store" -> ((s, dir) => {
       val withDate = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
@@ -1698,6 +1716,25 @@ object SparkEntry {
       // centroid, per label; distances rounded before the rank election
       Similarity.centroidOutliers(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label", k = 10)),
+    "q_salted_distinct" -> ((s, dir) =>
+      // exact per-key count(DISTINCT user) as TWO bounded shuffles: salt
+      // partitions the distinct-VALUE space so per-salt counts sum exactly
+      // — the skew rewrite for the one aggregate partial-agg can't spread
+      Skew.saltedDistinctAgg(Tables.events(s, dir), "event_type",
+        "user_id", nSalts = 16)),
+    "q_salted_join" -> ((s, dir) => {
+      // hot-key split join: Misra–Gries finds keys ≥1% of probe rows,
+      // those take the replicated (key, salt) path, the rest join plain;
+      // result is row-for-row the plain inner join the oracle replays
+      val joined = Skew.saltedHotKeyJoin(
+        Tables.events(s, dir), Tables.customer(s, dir),
+        probeKey = "user_id", buildKey = "c_custkey", saltBy = "event_id",
+        nSalts = 8, minShare = 0.01)
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
     "q_skew_report" -> ((s, dir) =>
       // pre-shuffle key diagnostics: per-key count percentiles, hottest
       // key share, max/median skew ratio
@@ -1719,6 +1756,13 @@ object SparkEntry {
       // pairwise Pearson matrix in ONE aggregation pass, melted to rows
       Stats.corrMatrix(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_pca_power" -> ((s, dir) =>
+      // MLlib split: corpus-sized work = ONE corr-matrix aggregation pass;
+      // matrix-sized work = fixed-iteration power eigensolve on the
+      // bounded d×d result, replayed step-for-step by the oracle
+      Linalg.pcaPowerTop(s, Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        iterations = 12)),
     "q_mutual_info" -> ((s, dir) =>
       // model-free relevance screen: MI between event type and the value
       // magnitude bin, over the bounded joint-count table
@@ -1957,6 +2001,21 @@ object SparkEntry {
       Graph.pageRank(edges, "src", "dst", iterations = 5)
         .withColumnRenamed("node", "s_suppkey")
     }),
+    "q_supplier_bfs" -> ((s, dir) => {
+      // 4-superstep multi-source BFS (min-plus Pregel) over the same
+      // co-order graph: hop distance from the seed suppliers — the
+      // blast-radius / lineage-closure primitive
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 17 === 0)
+      Graph.bfsHops(edges, "src", "dst", seeds, "s_suppkey", rounds = 4)
+        .withColumnRenamed("node", "s_suppkey")
+    }),
     "q_forecast_baseline" -> ((s, dir) =>
       // the two baselines every forecast must beat: lag-1 naive and
       // lag-7 seasonal-naive over daily revenue, with MAE + MASE folds
@@ -2022,6 +2081,12 @@ object SparkEntry {
       Privacy.lDiversityReport(Tables.customer(s, dir),
         Seq("c_mktsegment", "c_nationkey"),
         Privacy.band(col("c_acctbal"), 2000.0), lThreshold = 4)),
+    "q_t_closeness" -> ((s, dir) =>
+      // the skewness-attack audit l-diversity misses: max TVD between any
+      // class's sensitive distribution and the global one
+      Privacy.tClosenessReport(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"),
+        Privacy.band(col("c_acctbal"), 2000.0), tThreshold = 0.2)),
 
     // ---- web-corpus curation: domain-scoped boilerplate --------------------
     "x_boilerplate_ngrams" -> ((s, dir) =>

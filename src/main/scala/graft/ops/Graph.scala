@@ -126,6 +126,43 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Fixed-round multi-source BFS over a DIRECTED edge list: minimum hop
+    * count from any seed node, for every node reachable within `rounds`
+    * supersteps (unreached nodes are absent — at 100 TB emitting the
+    * unreachable complement would be the bigger table). The reachability /
+    * blast-radius primitive next to [[pageRank]]'s centrality: "every
+    * entity within k joins of a contaminated source", lineage closure,
+    * fraud-ring neighborhoods.
+    *
+    * One superstep = one equi-join of the edge list against the CURRENT
+    * distance table plus one min-aggregation — the min-plus Pregel step
+    * expressed declaratively. The distance table is one row per REACHED
+    * node (≤ nodes, usually far below the edge list); each round's join
+    * shuffles on the edge key with map-side combine on the min. A fixed
+    * round count keeps the result deterministic and engine-replayable
+    * (the unrolled-superstep posture); lineage truncates per round.
+    * For an undirected graph pass both edge directions.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"bfsHops: rounds in [1, 20] (got $rounds)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      .localCheckpoint(eager = false)
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("hops", lit(0L))
+    for (_ <- 1 to rounds) {
+      val next = e
+        .join(dist.select(col("node").as("src"), col("hops")), Seq("src"))
+        .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min(col("hops")).as("hops"))
+        .localCheckpoint(eager = false)
+    }
+    dist.orderBy("node")
+  }
+
   /** Fixed-round k-core peeling over an UNDIRECTED graph: each round
     * drops every node whose CURRENT degree is below `k`, together with
     * its incident edges — `rounds` unrolled supersteps of the k-core

@@ -85,6 +85,51 @@ object Privacy {
         .cast("long").as("rows_below_l"))
   }
 
+  /** T-closeness report (one row): per equivalence class, the total-
+    * variation distance between the class's sensitive-value distribution
+    * and the GLOBAL sensitive distribution; the dataset's t is the
+    * maximum. Closes the gap l-diversity leaves open (Li et al. 2007,
+    * "t-closeness"): a class can hold l distinct sensitive values yet
+    * still be skewed far from the population (the skewness attack — 99%
+    * "positive" in a class where the population is 1% positive leaks
+    * nearly as much as homogeneity).
+    *
+    * TVD identity that keeps the fold join-free over absent values:
+    * Σ_s |p_c − p_g| / 2 = Σ_s max(p_c − p_g, 0), and p_c > p_g ≥ 0
+    * requires s PRESENT in the class — so summing `greatest(p_c − p_g, 0)`
+    * over observed (QI, s) pairs alone is exact, no outer join against the
+    * sensitive domain. One aggregation on (QI, sensitive), one on QI, one
+    * bounded fold — same two-scan shape as [[lDiversityReport]].
+    */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: Column, tThreshold: Double): DataFrame = {
+    require(tThreshold > 0.0 && tThreshold < 1.0,
+      s"tCloseness: threshold in (0,1) (got $tThreshold)")
+    val joint = df
+      .groupBy(quasiCols.map(col) :+ sensitiveCol.as("__sens"): _*)
+      .agg(count(lit(1)).cast("double").as("__nqs"))
+    val global = df.groupBy(sensitiveCol.as("__sens"))
+      .agg(count(lit(1)).cast("double").as("__ns"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val classes = joint
+      .join(global, Seq("__sens"))
+      .crossJoin(broadcast(n))
+      .withColumn("__cls_n",
+        sum(col("__nqs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(quasiCols.map(col): _*)))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(greatest(col("__nqs") / col("__cls_n")
+          - col("__ns") / col("__n"), lit(0.0))).as("tvd"),
+        min(col("__cls_n")).cast("long").as("class_size"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      round(max(col("tvd")), 6).as("t_closeness"),
+      sum(when(col("tvd") > tThreshold, 1).otherwise(0))
+        .cast("long").as("classes_above_t"),
+      sum(when(col("tvd") > tThreshold, col("class_size")).otherwise(0))
+        .cast("long").as("rows_above_t"))
+  }
+
   /** Numeric generalization: coarsen a value to its band floor
     * (`floor(v / width) * width`) — the standard k-anonymity repair move
     * for continuous quasi-identifiers. Pure projection; recompute the

@@ -40,6 +40,22 @@ object Sources {
     spark.read.schema(schema).json(dir)
   }
 
+  /** ORC round trip — the third columnar interchange format next to the
+    * parquet store and the CSV/JSON text paths. ORC carries its own schema
+    * (no inference pass, unlike CSV/JSON), has parquet-grade min/max
+    * stripe statistics for predicate pushdown, and is the incumbent format
+    * in Hive-lineage warehouses — the realistic "switch a 100 TB source
+    * from a Hive warehouse" migration path. The declared schema is still
+    * ENFORCED on the read side (applied over the file schema) so a drifted
+    * producer fails loud instead of silently widening types.
+    */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame,
+                   schema: StructType): DataFrame = {
+    val dir = Files.createTempDirectory("graft_orc_").toString
+    df.write.mode("overwrite").orc(dir)
+    spark.read.schema(schema).orc(dir)
+  }
+
   /** S5: date-partitioned parquet offline store write; returns the root.
     * Repartitioned by the date key first so each partition directory gets
     * one file instead of (shuffle partitions × dates) shards — at scale
