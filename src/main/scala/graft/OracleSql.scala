@@ -4696,8 +4696,11 @@ object OracleSql {
         s"AS c${i}_$j").mkString(",\n               ")
     def cRef(i: Int, j: Int): String =
       if (i == j) "1.0" else if (i < j) s"c.c${i}_$j" else s"c.c${j}_$i"
+    // normalized ramp start vector (see Linalg.pcaPowerTop: the uniform
+    // start is orthogonal to the dominant eigenvector of corr = -1 pairs)
+    val rampSq = (1 to d).map(j => s"$j.0 * $j.0").mkString(" + ")
     val v0 = (0 until d).map(i =>
-      s"1.0 / sqrt(${d}.0) AS x$i").mkString(", ")
+      s"${i + 1}.0 / sqrt($rampSq) AS x$i").mkString(", ")
     def matVec(prev: String) = (0 until d).map { i =>
       (0 until d).map(j => s"${cRef(i, j)} * $prev.x$j")
         .mkString(" + ") + s" AS w$i"

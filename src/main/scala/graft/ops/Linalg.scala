@@ -56,14 +56,24 @@ object Linalg {
       else row.getDouble(pairs.indexOf(if (i < j) (i, j) else (j, i)))
     }
     // unrolled power iteration — identical operation order to the oracle:
-    // w_i = ((c_i0·v_0 + c_i1·v_1) + …), norm = sqrt(((w_0² + w_1²) + …))
+    // w_i = ((c_i0·v_0 + c_i1·v_1) + …), norm = sqrt(((w_0² + w_1²) + …)).
+    // Start vector is the normalized ramp (1, 2, …, d) — the uniform
+    // vector is EXACTLY orthogonal to the dominant eigenvector of any
+    // exchange-antisymmetric matrix (e.g. corr = −1 on two columns),
+    // where the iteration would hit a zero image; the ramp breaks that
+    // symmetry while staying an exact literal both engines share.
     def matVec(v: Array[Double]): Array[Double] =
       Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((acc, j) =>
         acc + c(i)(j) * v(j)))
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    val rampNorm = math.sqrt((1 to d).foldLeft(0.0)((acc, j) =>
+      acc + j.toDouble * j.toDouble))
+    var v = Array.tabulate(d)(i => (i + 1).toDouble / rampNorm)
     for (_ <- 1 to iterations) {
       val w = matVec(v)
       val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      require(norm > 0.0,
+        "pcaPowerTop: iteration image collapsed to zero (start vector " +
+          "lies in the correlation matrix's null space)")
       v = w.map(_ / norm)
     }
     val wFinal = matVec(v)

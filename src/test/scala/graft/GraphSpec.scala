@@ -90,4 +90,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rn == r2)
   }
+
+  test("bfsHops: hop distances from a seed set, direction respected, " +
+      "unreached nodes absent, multi-seed min wins") {
+    // directed chain 1→2→3→4→5 plus shortcut 1→4 and back-edge 3→1;
+    // node 9 unreachable from {1}
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (3L, 1L),
+      (8L, 9L)).toDF("src", "dst")
+    val seed1 = Seq(1L).toDF("s")
+    val d = graft.ops.Graph.bfsHops(g, "src", "dst", seed1, "s", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // shortest paths: 1:0, 2:1, 3:2, 4:1 (shortcut beats chain), 5:2
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    // bounded rounds: with 1 round only the direct frontier is reached
+    val d1 = graft.ops.Graph.bfsHops(g, "src", "dst", seed1, "s", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // multi-seed: distance is the MIN over seeds; seed 8 reaches 9
+    val d2 = graft.ops.Graph.bfsHops(g, "src", "dst",
+        Seq(1L, 8L).toDF("s"), "s", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d2(9L) == 1L && d2(5L) == 2L && d2(8L) == 0L)
+    // a seed not in the graph stays at hop 0 and nothing else changes
+    val d3 = graft.ops.Graph.bfsHops(g, "src", "dst",
+        Seq(1L, 77L).toDF("s"), "s", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d3(77L) == 0L && (d3 - 77L) == d)
+  }
 }

@@ -57,6 +57,33 @@ class PrivacySpec extends SparkSpec {
     assert(coarse >= 5L)
   }
 
+  test("tClosenessReport: hand-checked TVDs, incl. a class missing " +
+      "sensitive values entirely") {
+    // classes A{x:3,y:1} B{x:1,y:3} C{x:2,y:2} D{z:2};
+    // global x=6,y=6,z=2 over N=14 -> p_g = (3/7, 3/7, 1/7)
+    val rows = Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq(("B", "x")) ++ Seq.fill(3)(("B", "y")) ++
+      Seq.fill(2)(("C", "x")) ++ Seq.fill(2)(("C", "y")) ++
+      Seq.fill(2)(("D", "z"))
+    val df = rows.toDF("grp", "cond")
+    val r = Privacy.tClosenessReport(df, Seq("grp"), col("cond"), 0.2)
+      .collect().head
+    assert(r.getAs[Long]("n_classes") == 4L)
+    // D's TVD: |1 - 1/7| positive part = 6/7 (x,y absent contribute only
+    // via the halved-abs identity, which the positive-part sum equals)
+    assert(r.getAs[Double]("t_closeness") == 0.857143)
+    // A = B = 0.321429, C = 0.142857 -> A, B, D above t=0.2
+    assert(r.getAs[Long]("classes_above_t") == 3L)
+    assert(r.getAs[Long]("rows_above_t") == 10L)
+    // a perfectly population-shaped dataset has t = 0
+    val uniform = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("grp", "cond")
+    val u = Privacy.tClosenessReport(uniform, Seq("grp"), col("cond"), 0.2)
+      .collect().head
+    assert(u.getAs[Double]("t_closeness") == 0.0)
+    assert(u.getAs[Long]("classes_above_t") == 0L)
+  }
+
   test("guards fail loud") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityReport(people, Seq.empty, 5)
@@ -65,5 +92,8 @@ class PrivacySpec extends SparkSpec {
       Privacy.kAnonymityReport(people, Seq("city"), 1)
     }
     intercept[IllegalArgumentException] { Privacy.band(col("age"), 0.0) }
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessReport(people, Seq("city"), col("condition"), 0.0)
+    }
   }
 }

@@ -61,4 +61,49 @@ class SkewSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter($"name".isNull).count() == 1)
   }
+
+  test("saltedDistinctAgg equals the plain distinct aggregate under skew " +
+      "and heavy cross-salt value overlap") {
+    // hot key with 400 rows over only 37 distinct values (forces every
+    // salt bucket to see repeats), cold keys with disjoint value sets
+    val rows = (1 to 400).map(i => ("hot", i % 37)) ++
+      (1 to 60).map(i => (s"cold_${i % 5}", 1000 + i))
+    val df = rows.toDF("k", "v").repartition(8)
+    val salted = Skew.saltedDistinctAgg(df, "k", "v", nSalts = 16)
+      .as[(String, Long, Long)].collect().toSeq
+    val plain = df.groupBy($"k")
+      .agg(countDistinct($"v").as("d"), count(lit(1)).as("n"))
+      .orderBy($"k").as[(String, Long, Long)].collect().toSeq
+    assert(salted == plain)
+    // degenerate salt counts still exact
+    val two = Skew.saltedDistinctAgg(df, "k", "v", nSalts = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(two == plain)
+  }
+
+  test("saltedHotKeyJoin equals the plain inner join — hot keys present, " +
+      "absent, and with null keys on both sides") {
+    val probe = ((1 to 300).map(i => (java.lang.Long.valueOf(1L), s"hot_$i")) ++
+      (1 to 60).map(i => (java.lang.Long.valueOf((i % 9 + 2).toLong), s"cold_$i")) ++
+      Seq((null.asInstanceOf[java.lang.Long], "null_row")))
+      .toDF("k", "payload")
+    val build = (Seq((java.lang.Long.valueOf(1L), "one"),
+      (java.lang.Long.valueOf(2L), "two"),
+      (java.lang.Long.valueOf(3L), "three"),
+      (java.lang.Long.valueOf(42L), "unmatched")) ++
+      Seq((null.asInstanceOf[java.lang.Long], "null_dim")))
+      .toDF("bk", "name")
+    val plain = probe.join(build, $"k" === $"bk")
+      .select("k", "payload", "name").collect().toSet
+    val split = Skew.saltedHotKeyJoin(probe, build, "k", "bk",
+        saltBy = "payload", nSalts = 8, minShare = 0.1)
+      .select("k", "payload", "name").collect().toSet
+    assert(split == plain)
+    // hot share too high for any key -> everything takes the cold path,
+    // result still identical
+    val noHot = Skew.saltedHotKeyJoin(probe, build, "k", "bk",
+        saltBy = "payload", nSalts = 8, minShare = 0.99)
+      .select("k", "payload", "name").collect().toSet
+    assert(noHot == plain)
+  }
 }
