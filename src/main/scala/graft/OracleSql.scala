@@ -1229,6 +1229,34 @@ object OracleSql {
       WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02
       ORDER BY id_a, id_b""",
 
+    // asymmetric containment twin: same shingle/df-cap pipeline, metric
+    // i / least(sz_a, sz_b)
+    "x_containment_pairs" -> """
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 60),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      kept AS (
+        SELECT sh.* FROM sh JOIN (
+          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
+          ON sh.s = ok.s),
+      inter AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+        FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id)
+      SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+             CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+             round(CAST(i AS DOUBLE)/least(sa.sz, sb.sz), 6) AS containment
+      FROM inter
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(CAST(i AS DOUBLE)/least(sa.sz, sb.sz), 6) >= 0.05
+      ORDER BY id_a, id_b""",
+
     // recall oracle for the LSH propose + exact-verify pipeline: in the
     // rows-per-band = 1 config a true pair escapes candidacy only if NONE
     // of its 64 MinHash components collide ((1-j)^64 ≤ 5e-20 at j ≥ 0.5),

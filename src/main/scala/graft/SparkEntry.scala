@@ -952,6 +952,12 @@ object SparkEntry {
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
         "doc_id", "text", 3, 0.02, maxDf = 30)),
+    "x_containment_pairs" -> ((s, dir) =>
+      // asymmetric near-dup: |∩|/min(|A|,|B|) catches a short doc quoted
+      // wholesale inside a long one, which symmetric Jaccard scores ~0
+      Dedup.containmentPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 60),
+        "doc_id", "text", 3, 0.05, maxDf = 30)),
     "x_entity_resolution" -> ((s, dir) => {
       // blocked fuzzy match: customers vs deterministically typo'd variants
       // (last two name chars swapped -> edit distance 2). The blocking key

@@ -121,6 +121,46 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Containment near-dup: all pairs (a < b) with
+    * |∩| / min(|A|, |B|) >= threshold — the ASYMMETRIC twin of
+    * [[jaccardPairs]]. Jaccard misses subset duplication (a short doc
+    * quoted wholesale inside a long one scores |A|/|B| ≈ 0 on Jaccard but
+    * 1.0 on containment); this is the quoted-inclusion / excerpt detector
+    * a curation pipeline runs next to symmetric near-dup, and the document
+    * analogue of the span-level winnow overlap. Same bounded plan as
+    * [[jaccardPairs]]: explode → df-capped shingle equi-join → per-pair
+    * count, cost Σ min(df, maxDf)², never corpus².
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val kept =
+      if (maxDf == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("s"),
+        Seq("s"), "left_semi")
+    val inter = kept.as("l").join(kept.as("r"), col("l.s") === col("r.s"))
+      .filter(col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("containment",
+        round(col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** MinHash signatures: for each of `numHashes` permutations
     * h_i(x) = (a_i·x + b_i) mod p, keep the min over the doc's distinct
     * shingles. One narrow pass, ZERO shuffle: the whole signature is the

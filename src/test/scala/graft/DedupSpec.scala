@@ -36,6 +36,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L))) // no shared shingles at all
   }
 
+  test("containment: a doc quoted wholesale inside a longer one scores " +
+      "1.0 where jaccard scores low") {
+    val quoted = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // 3 shingles, all inside 2
+      (2L, "zero one two three four five six seven eight nine " +
+        "alpha beta gamma delta epsilon ten eleven twelve thirteen " +
+        "fourteen fifteen sixteen seventeen eighteen nineteen"),
+      (3L, "totally unrelated words in this document here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(quoted, "doc_id", "text", 3, 0.0)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cont((1L, 2L)) == 1.0)   // full inclusion
+    assert(!cont.contains((1L, 3L)))
+    val jac = Dedup.jaccardPairs(quoted, "doc_id", "text", 3, 0.0)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(jac((1L, 2L)) < 0.2)     // symmetric metric misses it
+    // threshold filters
+    assert(Dedup.containmentPairs(quoted, "doc_id", "text", 3, 0.99)
+      .count() == 1)
+  }
+
   test("minhash signatures of identical-normalized docs are identical") {
     val sig = Dedup.minHashSignatures(
       docs.withColumn("text", org.apache.spark.sql.functions.lower($"text")),
