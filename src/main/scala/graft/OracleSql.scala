@@ -2947,6 +2947,15 @@ object OracleSql {
     "q_pca_power" -> pcaPowerSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 12),
 
+    // the mergeable-partials twin: per-batch raw-moment sums added, the
+    // raw-moment corr formula, then the same unrolled iteration
+    "q_pca_incremental" -> pcaPowerIncSql("lineitem",
+      Seq("CAST(l_quantity AS DOUBLE)", "CAST(l_discount AS DOUBLE)",
+        "CAST(l_tax AS DOUBLE)", "l_extendedprice / 100000.0"),
+      Seq("l_quantity", "l_discount", "l_tax", "l_price_scaled"),
+      Seq("l_shipdate < TIMESTAMP '1997-01-01'",
+        "l_shipdate >= TIMESTAMP '1997-01-01'"), 12),
+
     "q_target_encoding" -> """
       WITH t AS (SELECT event_type, value FROM events
                  WHERE event_type IS NOT NULL),
@@ -4716,15 +4725,16 @@ object OracleSql {
     * into a d^T-node expression. Dot products are written in the exact
     * left-to-right order the Scala fold computes.
     */
-  private def pcaPowerSql(table: String, cols: Seq[String],
-                          iterations: Int): String = {
+  /** The shared iteration chain: given CTE SQL (ending with a `c` CTE
+    * exposing c{i}_{j} off-diagonal correlation columns), unroll the
+    * fixed power iteration and emit the 4-row loading table.
+    */
+  private def pcaPowerChainSql(cols: Seq[String], iterations: Int,
+                               corrCtes: String): String = {
     val d = cols.size
-    val corrSelect = (for { i <- 0 until d; j <- (i + 1) until d } yield
-      s"corr(CAST(${cols(i)} AS DOUBLE), CAST(${cols(j)} AS DOUBLE)) " +
-        s"AS c${i}_$j").mkString(",\n               ")
     def cRef(i: Int, j: Int): String =
       if (i == j) "1.0" else if (i < j) s"c.c${i}_$j" else s"c.c${j}_$i"
-    // normalized ramp start vector (see Linalg.pcaPowerTop: the uniform
+    // normalized ramp start vector (see Linalg.powerIterate: the uniform
     // start is orthogonal to the dominant eigenvector of corr = -1 pairs)
     val rampSq = (1 to d).map(j => s"$j.0 * $j.0").mkString(" + ")
     val v0 = (0 until d).map(i =>
@@ -4754,9 +4764,7 @@ object OracleSql {
         s"FROM $vf, s, l"
     }.mkString("\n      UNION ALL ")
     s"""
-      WITH c AS MATERIALIZED (
-        SELECT $corrSelect
-        FROM $table),
+      WITH $corrCtes,
       v0 AS MATERIALIZED (SELECT $v0),
       $steps,
       f AS MATERIALIZED (
@@ -4767,6 +4775,57 @@ object OracleSql {
         SELECT CASE WHEN $vf.x0 < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM $vf)
       $rows
       ORDER BY feature_idx"""
+  }
+
+  private def pcaPowerSql(table: String, cols: Seq[String],
+                          iterations: Int): String = {
+    val corrSelect = (for { i <- 0 until cols.size; j <- (i + 1) until cols.size }
+      yield s"corr(CAST(${cols(i)} AS DOUBLE), CAST(${cols(j)} AS DOUBLE)) " +
+        s"AS c${i}_$j").mkString(",\n               ")
+    pcaPowerChainSql(cols, iterations,
+      s"""c AS MATERIALIZED (
+        SELECT $corrSelect
+        FROM $table)""")
+  }
+
+  /** Incremental-PCA oracle: per-batch raw-moment partials (n, Σx, Σxy)
+    * merged by addition, then the SAME raw-moment corr formula
+    * Linalg.pcaPowerTopIncremental computes, feeding the shared iteration
+    * chain. `exprs` are the (already scaled) column expressions; `splits`
+    * are WHERE predicates carving the source into disjoint batches.
+    */
+  private def pcaPowerIncSql(table: String, exprs: Seq[String],
+                             names: Seq[String], splits: Seq[String],
+                             iterations: Int): String = {
+    val d = exprs.size
+    val src = exprs.zipWithIndex
+      .map { case (e, i) => s"$e AS e$i" }.mkString(", ")
+    val partial = (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+      (0 until d).map(i => s"sum(e$i) AS s$i") ++
+      (for { i <- 0 until d; j <- i until d } yield
+        s"sum(e$i * e$j) AS s${i}_$j")).mkString(",\n               ")
+    val batches = splits.zipWithIndex.map { case (w, b) =>
+      s"""b$b AS (SELECT $partial
+             FROM src WHERE $w)"""
+    }.mkString(",\n      ")
+    val mergeCols = (Seq("n") ++ (0 until d).map(i => s"s$i") ++
+      (for { i <- 0 until d; j <- i until d } yield s"s${i}_$j"))
+      .map(cn => splits.indices.map(b => s"b$b.$cn").mkString(" + ") +
+        s" AS $cn").mkString(",\n               ")
+    val corrSelect = (for { i <- 0 until d; j <- (i + 1) until d } yield
+      s"(n * s${i}_$j - s$i * s$j) / " +
+        s"(sqrt(n * s${i}_$i - s$i * s$i) * " +
+        s"sqrt(n * s${j}_$j - s$j * s$j)) AS c${i}_$j")
+      .mkString(",\n               ")
+    pcaPowerChainSql(names, iterations,
+      s"""src AS (SELECT ${src}, * FROM $table),
+      $batches,
+      m AS MATERIALIZED (
+        SELECT $mergeCols
+        FROM ${splits.indices.map(b => s"b$b").mkString(", ")}),
+      c AS MATERIALIZED (
+        SELECT $corrSelect
+        FROM m)""")
   }
 
   private def spanSql(select: String): String =

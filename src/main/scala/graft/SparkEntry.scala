@@ -1769,6 +1769,20 @@ object SparkEntry {
       Linalg.pcaPowerTop(s, Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         iterations = 12)),
+    "q_pca_incremental" -> ((s, dir) => {
+      // the mergeable-partials twin of q_pca_power: per-batch raw-moment
+      // sums (split at a ship-date cutoff) add into the merged corr
+      // matrix — no history rescan; extendedprice pre-scaled to O(1)
+      // magnitude so the raw-moment formula stays well-conditioned
+      val li = Tables.lineitem(s, dir)
+        .withColumn("l_price_scaled", col("l_extendedprice") / 100000.0)
+      val cut = lit("1997-01-01").cast("timestamp_ntz")
+      Linalg.pcaPowerTopIncremental(s,
+        Seq(li.filter(col("l_shipdate") < cut),
+          li.filter(col("l_shipdate") >= cut)),
+        Seq("l_quantity", "l_discount", "l_tax", "l_price_scaled"),
+        iterations = 12)
+    }),
     "q_mutual_info" -> ((s, dir) =>
       // model-free relevance screen: MI between event type and the value
       // magnitude bin, over the bounded joint-count table

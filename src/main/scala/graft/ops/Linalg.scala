@@ -25,16 +25,60 @@ import org.apache.spark.sql.functions._
   */
 object Linalg {
 
+  /** The shared fixed-iteration power eigensolve on a bounded correlation
+    * matrix: returns (sign-normalized eigenvector, dominant eigenvalue).
+    * Arithmetic is kept in the exact textual order the oracle replays:
+    * w_i = ((c_i0·v_0 + c_i1·v_1) + …), norm = sqrt(((w_0² + w_1²) + …)).
+    * Start vector is the normalized ramp (1, 2, …, d) — the uniform
+    * vector is EXACTLY orthogonal to the dominant eigenvector of any
+    * exchange-antisymmetric matrix (e.g. corr = −1 on two columns),
+    * where the iteration would hit a zero image; the ramp breaks that
+    * symmetry while staying an exact literal both engines share.
+    */
+  private def powerIterate(c: Array[Array[Double]],
+                           iterations: Int): (Array[Double], Double) = {
+    val d = c.length
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((acc, j) =>
+        acc + c(i)(j) * v(j)))
+    val rampNorm = math.sqrt((1 to d).foldLeft(0.0)((acc, j) =>
+      acc + j.toDouble * j.toDouble))
+    var v = Array.tabulate(d)(i => (i + 1).toDouble / rampNorm)
+    for (_ <- 1 to iterations) {
+      val w = matVec(v)
+      val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      require(norm > 0.0,
+        "powerIterate: iteration image collapsed to zero (start vector " +
+          "lies in the correlation matrix's null space)")
+      v = w.map(_ / norm)
+    }
+    val wFinal = matVec(v)
+    val lambda = (0 until d).foldLeft(0.0)((acc, i) => acc + v(i) * wFinal(i))
+    val sign = if (v(0) < 0) -1.0 else 1.0
+    (v.map(sign * _), lambda)
+  }
+
+  private def emit(spark: SparkSession, cols: Seq[String],
+                   v: Array[Double], lambda: Double): DataFrame = {
+    import spark.implicits._
+    val d = cols.size
+    cols.indices.map { i =>
+      (i.toLong, cols(i), v(i), lambda, lambda / d)
+    }.toDF("feature_idx", "feature", "loading", "eigenvalue",
+        "explained_ratio")
+      .select(col("feature_idx"), col("feature"),
+        round(col("loading"), 6).as("loading"),
+        round(col("eigenvalue"), 6).as("eigenvalue"),
+        round(col("explained_ratio"), 6).as("explained_ratio"))
+      .orderBy("feature_idx")
+  }
+
   /** Top principal component of the CORRELATION matrix of `cols` (scale-
     * free — price-magnitude columns don't drown unit-magnitude ones), via
-    * `iterations` unrolled power-iteration steps from the uniform unit
-    * vector. Output: one row per input column — loading (sign-normalized:
-    * first component ≥ 0), the shared dominant eigenvalue, and
-    * explained_ratio = λ/d (trace of a correlation matrix is exactly d).
-    *
-    * Arithmetic is kept in the exact textual order the oracle replays
-    * (left-to-right dot products) so both engines run the identical IEEE
-    * sequence over near-identical corr inputs; final values round at 6.
+    * `iterations` unrolled power-iteration steps. Output: one row per
+    * input column — loading (sign-normalized: first component ≥ 0), the
+    * shared dominant eigenvalue, and explained_ratio = λ/d (trace of a
+    * correlation matrix is exactly d).
     */
   def pcaPowerTop(spark: SparkSession, df: DataFrame, cols: Seq[String],
                   iterations: Int): DataFrame = {
@@ -55,39 +99,68 @@ object Linalg {
       if (i == j) 1.0 // exact literal diagonal in BOTH engines
       else row.getDouble(pairs.indexOf(if (i < j) (i, j) else (j, i)))
     }
-    // unrolled power iteration — identical operation order to the oracle:
-    // w_i = ((c_i0·v_0 + c_i1·v_1) + …), norm = sqrt(((w_0² + w_1²) + …)).
-    // Start vector is the normalized ramp (1, 2, …, d) — the uniform
-    // vector is EXACTLY orthogonal to the dominant eigenvector of any
-    // exchange-antisymmetric matrix (e.g. corr = −1 on two columns),
-    // where the iteration would hit a zero image; the ramp breaks that
-    // symmetry while staying an exact literal both engines share.
-    def matVec(v: Array[Double]): Array[Double] =
-      Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((acc, j) =>
-        acc + c(i)(j) * v(j)))
-    val rampNorm = math.sqrt((1 to d).foldLeft(0.0)((acc, j) =>
-      acc + j.toDouble * j.toDouble))
-    var v = Array.tabulate(d)(i => (i + 1).toDouble / rampNorm)
-    for (_ <- 1 to iterations) {
-      val w = matVec(v)
-      val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
-      require(norm > 0.0,
-        "pcaPowerTop: iteration image collapsed to zero (start vector " +
-          "lies in the correlation matrix's null space)")
-      v = w.map(_ / norm)
+    val (v, lambda) = powerIterate(c, iterations)
+    emit(spark, cols, v, lambda)
+  }
+
+  /** MERGEABLE correlation partials: one row per input batch holding the
+    * raw-moment sums (n, Σxᵢ, Σxᵢxⱼ for i ≤ j). Partials from disjoint
+    * batches ADD — the incremental-maintenance contract: a 100 TB store
+    * keeps one partials row per ingest batch (or per date partition) and
+    * never rescans history to refresh the correlation structure.
+    *
+    * Numerical note: the raw-moment corr formula cancels catastrophically
+    * when |mean| ≫ stddev on large-magnitude columns — pre-scale such
+    * columns to O(1–100) magnitude before calling (corr is scale-
+    * invariant, so scaling changes nothing but conditioning). The
+    * registry's `q_pca_incremental` scales extendedprice by 1e-5.
+    */
+  def corrPartials(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val d = cols.size
+    require(d >= 2 && d <= 16, s"corrPartials: 2..16 columns (got $d)")
+    val sums = (0 until d).map(i =>
+      sum(col(cols(i)).cast("double")).as(s"s$i"))
+    val crosses = for { i <- 0 until d; j <- i until d } yield
+      sum(col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+        .as(s"s${i}_$j")
+    val aggs = (count(lit(1)).cast("double").as("n") +: sums) ++ crosses
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[pcaPowerTop]] maintained INCREMENTALLY: per-batch [[corrPartials]]
+    * are summed (the mergeable fold), the correlation matrix is rebuilt
+    * from the merged raw moments via
+    * corr = (n·Sᵢⱼ − Sᵢ·Sⱼ) / (√(n·Sᵢᵢ − Sᵢ·Sᵢ) · √(n·Sⱼⱼ − Sⱼ·Sⱼ))
+    * — the exact formula the oracle replays — and the same fixed-iteration
+    * eigensolve runs on the bounded result. Equal to the full-scan
+    * [[pcaPowerTop]] up to raw-moment conditioning (LinalgSpec bounds it).
+    */
+  def pcaPowerTopIncremental(spark: SparkSession, batches: Seq[DataFrame],
+                             cols: Seq[String], iterations: Int): DataFrame = {
+    val d = cols.size
+    require(batches.nonEmpty, "pcaPowerTopIncremental: at least one batch")
+    require(iterations >= 1 && iterations <= 50,
+      s"pcaPowerTopIncremental: iterations in [1, 50] (got $iterations)")
+    val merged = batches.map(corrPartials(_, cols))
+      .reduce(_ unionByName _)
+      .groupBy()
+      .agg(sum(col("n")).as("n"),
+        ((0 until d).map(i => sum(col(s"s$i")).as(s"s$i")) ++
+          (for { i <- 0 until d; j <- i until d } yield
+            sum(col(s"s${i}_$j")).as(s"s${i}_$j"))): _*)
+      .head()
+    val n = merged.getAs[Double]("n")
+    def s(i: Int) = merged.getAs[Double](s"s$i")
+    def sx(i: Int, j: Int) =
+      if (i <= j) merged.getAs[Double](s"s${i}_$j")
+      else merged.getAs[Double](s"s${j}_$i")
+    val c = Array.tabulate(d, d) { (i, j) =>
+      if (i == j) 1.0
+      else (n * sx(i, j) - s(i) * s(j)) /
+        (math.sqrt(n * sx(i, i) - s(i) * s(i)) *
+          math.sqrt(n * sx(j, j) - s(j) * s(j)))
     }
-    val wFinal = matVec(v)
-    val lambda = (0 until d).foldLeft(0.0)((acc, i) => acc + v(i) * wFinal(i))
-    val sign = if (v(0) < 0) -1.0 else 1.0
-    import spark.implicits._
-    cols.indices.map { i =>
-      (i.toLong, cols(i), sign * v(i), lambda, lambda / d)
-    }.toDF("feature_idx", "feature", "loading", "eigenvalue",
-        "explained_ratio")
-      .select(col("feature_idx"), col("feature"),
-        round(col("loading"), 6).as("loading"),
-        round(col("eigenvalue"), 6).as("eigenvalue"),
-        round(col("explained_ratio"), 6).as("explained_ratio"))
-      .orderBy("feature_idx")
+    val (v, lambda) = powerIterate(c, iterations)
+    emit(spark, cols, v, lambda)
   }
 }

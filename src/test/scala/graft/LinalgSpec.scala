@@ -44,6 +44,28 @@ class LinalgSpec extends SparkSpec {
     assert(math.abs(r.head._4 - 2.0) < 1e-6) // eigenvalue exactly 2
   }
 
+  test("incremental PCA over merged batch partials equals the full-scan " +
+      "result after rounding, for any batch split") {
+    val n = 300
+    val df = (1 to n).map { i =>
+      val z = (i % 4) match { case 0 => 1.0; case 1 => -1.0
+        case 2 => -1.0; case _ => 1.0 }
+      (i.toLong, i.toDouble, 2.0 * i + z, z * 3.0 + i % 7)
+    }.toDF("id", "x", "y", "z")
+    val full = graft.ops.Linalg.pcaPowerTop(spark, df, Seq("x", "y", "z"), 20)
+      .collect().map(_.toSeq).toSeq
+    // three arbitrary disjoint batches (uneven sizes)
+    val batches = Seq($"id" % 5 < 2, $"id" % 5 === 2, $"id" % 5 > 2)
+      .map(df.filter(_))
+    val inc = graft.ops.Linalg.pcaPowerTopIncremental(spark, batches,
+      Seq("x", "y", "z"), 20).collect().map(_.toSeq).toSeq
+    assert(inc == full)
+    // a single batch degenerates to the full scan too
+    val one = graft.ops.Linalg.pcaPowerTopIncremental(spark, Seq(df),
+      Seq("x", "y", "z"), 20).collect().map(_.toSeq).toSeq
+    assert(one == full)
+  }
+
   test("guards fail loud") {
     val df = Seq((1.0, 2.0)).toDF("a", "b")
     intercept[IllegalArgumentException] {
