@@ -1662,6 +1662,47 @@ object OracleSql {
     // pruning drops nothing, so every brute row must also be in the
     // learned-IVF output — n_hits 3, recall 1.0 per query, or the learned
     // path has a defect and the hash mismatches
+    // Matryoshka truncation audit: prefix-dim top-10 vs full-dim truth,
+    // every level from the same scored pairs
+    "x_matryoshka_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (SELECT q.query_id, e.vec_id AS cand_id, q.qv, e.v
+                 FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      truth AS (SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY list_inner_product(qv, v)
+                / (sqrt(list_inner_product(qv, qv))
+                   * sqrt(list_inner_product(v, v))) DESC,
+              cand_id ASC) AS rank
+          FROM scored) WHERE rank <= 10),
+      lv AS (SELECT query_id, cand_id, dims,
+               list_inner_product(list_slice(qv, 1, dims),
+                                  list_slice(v, 1, dims))
+                 / (sqrt(list_inner_product(list_slice(qv, 1, dims),
+                                            list_slice(qv, 1, dims)))
+                    * sqrt(list_inner_product(list_slice(v, 1, dims),
+                                              list_slice(v, 1, dims))))
+                 AS cos
+             FROM scored
+             CROSS JOIN (SELECT unnest([4, 8, 16, 32]) AS dims)),
+      topt AS (SELECT dims, query_id, cand_id FROM (
+          SELECT dims, query_id, cand_id, row_number() OVER (
+              PARTITION BY dims, query_id
+              ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM lv) WHERE rank <= 10),
+      hits AS (SELECT t.dims, t.query_id,
+                 sum(CASE WHEN u.cand_id IS NULL THEN 0 ELSE 1 END)
+                   AS n_hits
+               FROM topt t LEFT JOIN truth u
+                 ON t.query_id = u.query_id AND t.cand_id = u.cand_id
+               GROUP BY 1, 2)
+      SELECT dims, query_id, CAST(n_hits AS BIGINT) AS n_hits,
+             round(CAST(n_hits AS DOUBLE) / 10, 6) AS recall
+      FROM hits ORDER BY dims, query_id""",
+
     "x_ann_recall" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -1401,6 +1401,12 @@ object SparkEntry {
       Similarity.topKPq(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", 3)
     }),
+    "x_matryoshka_recall" -> ((s, dir) =>
+      // truncation dial: recall@10 of prefix-dim retrieval (4/8/16/32 of
+      // 64) vs full-dim brute force — one scan, all levels from the same
+      // scored rows
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") < 5, Seq(4, 8, 16, 32), k = 10)),
     "x_ann_recall" -> ((s, dir) => {
       // recall audit that turns the learned-IVF claim into an ORACLE: at
       // full probe width (nProbe = nCells) cell pruning vanishes, so the

@@ -68,6 +68,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka truncation audit: recall@k of top-k retrieval using only
+    * the FIRST `d` embedding components, against full-dimension brute
+    * force as ground truth — the evaluation that decides how far an
+    * MRL-style embedding can be truncated before retrieval quality falls
+    * off (Kusupati et al. 2022, "Matryoshka Representation Learning").
+    * At 100 TB this is the dial between index size and recall: serving at
+    * d=16 of 64 quarters the index bytes and the dot-product cost.
+    *
+    * One corpus scan: the broadcast query set crosses the candidate set
+    * ONCE, and every truncation level's cosine is computed from array
+    * prefixes of the same row (narrow projections — no per-level rescan);
+    * per-level ranking windows run per (level, query) over the bounded
+    * scored frame. Output: one row per (dims, query) with hits and
+    * recall@k; ties broken by candidate id like [[topKBruteForce]].
+    */
+  def matryoshkaRecall(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, dims: Seq[Int],
+                       k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"matryoshkaRecall: dims must be positive (got $dims)")
+    require(k >= 1, s"matryoshkaRecall: k >= 1 (got $k)")
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), d(col(vecCol)).as("qv"))
+    val c = emb.select(col(idCol).as("cand_id"), d(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos_full", cosine(col("qv"), col("cv")))
+    val truthW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("cand_id").asc)
+    val truth = scored
+      .withColumn("rank", row_number().over(truthW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"))
+    // every truncation level from the same scored rows, then one window
+    // per (dims, query) partition over the bounded frame
+    val leveled = scored.select(col("query_id"), col("cand_id"),
+      explode(array(dims.map(dd =>
+        struct(lit(dd).as("dims"),
+          cosine(slice(col("qv"), 1, dd), slice(col("cv"), 1, dd))
+            .as("cos"))): _*)).as("lv"))
+      .select(col("query_id"), col("cand_id"),
+        col("lv.dims").as("dims"), col("lv.cos").as("cos"))
+    val lvlW = Window.partitionBy(col("dims"), col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val topTrunc = leveled
+      .withColumn("rank", row_number().over(lvlW))
+      .filter(col("rank") <= k)
+    // left join (not semi) so a level with ZERO overlap still reports a
+    // recall=0 row — every (dims, query) group has exactly k topTrunc rows
+    topTrunc
+      .join(truth.withColumn("__hit", lit(1)),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy(col("dims"), col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / k, 6))
+      .select(col("dims"), col("query_id"), col("n_hits"), col("recall"))
+      .orderBy(col("dims"), col("query_id"))
+  }
+
   /** IVF-style bucketed ANN: candidates restricted to the query's coarse
     * cell (`cellCol`). Same output shape as brute force; recall < 1 by
     * construction, cost ∝ cell size instead of corpus size.

@@ -313,4 +313,34 @@ class SimilaritySpec extends SparkSpec {
       .as[(Option[Double], Option[Double])].head()
     assert(single == ((None, None)))
   }
+
+  test("matryoshkaRecall: prefix-carried signal scores 1.0, tail-carried " +
+      "signal scores 0 at small dims and recovers at full width") {
+    // 8-dim vectors: first 4 dims = one-hot group signal, last 4 dims
+    // flat — prefix truncation keeps everything
+    def oneHot(g: Int, tail: Boolean): Array[Float] = {
+      val a = Array.fill(8)(0.01f)
+      if (tail) a(4 + g) = 1.0f else a(g) = 1.0f
+      a
+    }
+    val prefixEmb = (0L to 11L).map(i =>
+      (i, oneHot((i % 4).toInt, tail = false))).toDF("vec_id", "embedding")
+    val rPrefix = Similarity.matryoshkaRecall(prefixEmb, "vec_id",
+        "embedding", $"vec_id" < 2, Seq(4, 8), k = 2)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rPrefix.forall(_._4 == 1.0)) // all signal in the first 4 dims
+    // same groups encoded in dims 5..8: truncating to 4 leaves only the
+    // flat floor -> ties broken by id, recall collapses for late queries
+    val tailEmb = (0L to 11L).map(i =>
+      (i, oneHot((i % 4).toInt, tail = true))).toDF("vec_id", "embedding")
+    val rTail = Similarity.matryoshkaRecall(tailEmb, "vec_id",
+        "embedding", $"vec_id" >= 10, Seq(4, 8), k = 2)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    // at full width the true neighbors return
+    assert(rTail((8, 10L)) == 1.0 && rTail((8, 11L)) == 1.0)
+    // at dims=4 every candidate is identical (flat floor): top-2 by id
+    // tie-break picks ids 0,1 — not the group neighbors of queries 10/11
+    assert(rTail((4, 10L)) == 0.0 && rTail((4, 11L)) == 0.0)
+  }
 }
