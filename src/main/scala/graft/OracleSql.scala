@@ -4536,6 +4536,37 @@ object OracleSql {
     // intercept prepended): gradient = sum(resid·x)/count with the
     // division spelled explicitly, weight update via list_transform —
     // the exact Learn.logisticGD expression tree
+    // split-conformal audit: groupwise-mean model on split 0, exact
+    // k-th-smallest calibration residual on split 1 (rank election —
+    // ties share the value, so the elected q-hat is unique), coverage
+    // of pred ± q-hat on split 2
+    "x_conformal" -> """
+      WITH m AS (SELECT event_type, sum(value) / count(*) AS pred
+                 FROM events WHERE event_id % 3 = 0 GROUP BY 1),
+      sc AS (SELECT e.event_id, e.event_id % 3 AS split,
+                    round(abs(e.value - m.pred), 6) AS resid
+             FROM events e JOIN m USING (event_type)
+             WHERE e.event_id % 3 <> 0),
+      cal AS (SELECT resid FROM sc WHERE split = 1),
+      st AS (SELECT count(*) AS n,
+                    least(CAST(ceil((count(*) + 1) * 0.9) AS BIGINT),
+                          count(*)) AS k
+             FROM cal),
+      rk AS (SELECT resid, row_number() OVER (ORDER BY resid) AS rnk
+             FROM cal),
+      q AS (SELECT round(rk.resid, 6) AS qhat, st.n AS n_cal
+            FROM rk, st WHERE rk.rnk = st.k),
+      t AS (SELECT resid FROM sc WHERE split = 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(q.n_cal AS BIGINT) AS n_cal,
+             q.qhat AS q_hat,
+             0.9 AS target_coverage,
+             round(sum(CASE WHEN t.resid <= q.qhat THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS coverage,
+             round(sum(CASE WHEN t.resid <= q.qhat THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) >= 0.9 AS covered
+      FROM t, q GROUP BY q.n_cal, q.qhat""",
+
     "x_lr_scores" -> (lrCtes + """
       SELECT e.id AS vec_id, e.y,
              round(list_inner_product(w.w, e.x), 6) AS margin,

@@ -50,12 +50,14 @@ object ScaleStress {
       (math.min(a._1, b._1), b._2)
     }
 
-    // "mining" / "curate" / "tokenize" as the sole arg run ONLY that loop
+    // "mining" / "curate" / "tokenize" / "r7" as the sole arg run ONLY
+    // that loop
     val miningOnly = args.headOption.contains("mining")
     val curateOnly = args.headOption.contains("curate")
     val tokOnly = args.headOption.contains("tokenize")
+    val r7Only = args.headOption.contains("r7")
     val ks =
-      if (miningOnly || curateOnly || tokOnly) Seq.empty[Int]
+      if (miningOnly || curateOnly || tokOnly || r7Only) Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
     for (k <- ks) {
@@ -299,6 +301,74 @@ object ScaleStress {
         f"scored=$nBoiler events=$nE t_sketch=$tSketch%.2f " +
         f"weeks=$nBuckets t_cdc=$tCdc%.2f live=$nLive " +
         f"t_ivm=$tIvm%.2f windows=$nWindows")
+    }
+    // round-7 ops stress at 1×/10×/100×: BFS supersteps over the
+    // replicated co-order graph (disjoint replicas — frontier and edge
+    // volume both grow linearly), the hot-key salted join vs its plain
+    // form (events ⋈ per-copy users; per-key history constant per copy),
+    // containment pairs (same disjoint-shingle replication as the
+    // jaccard loop — pair space linear under the df cap), and Matryoshka
+    // recall (fixed 5-query broadcast set against a growing corpus —
+    // expect ~linear in corpus bytes, the one-scan-all-levels plan).
+    val r7Ks =
+      if (r7Only) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else if (args.isEmpty) Seq(1, 10, 100)
+      else Seq.empty[Int]
+    for (k <- r7Ks) {
+      val lic7 = (0 until k).map(i =>
+        li.select((col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(i * 10000000L)).as("l_suppkey")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val base7 = lic7.select(col("l_orderkey").as("bk"),
+        col("l_suppkey").as("sk")).distinct()
+      val edges7 = base7.as("a").join(base7.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      val seeds7 = lic7.select(col("l_suppkey").as("s"))
+        .filter(col("s") % 17 === 0).distinct()
+      val (tBfs, nReach) = timeMin2 {
+        graft.ops.Graph.bfsHops(edges7, "src", "dst", seeds7, "s",
+          rounds = 4).queryExecution.toRdd.count()
+      }
+      val evk7 = (0 until k).map(i =>
+        ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("ts")))
+        .reduce(_ unionByName _)
+        .withColumn("value", col("user_id") * 1.0).localCheckpoint()
+      val users7 = evk7.select(col("user_id").as("u_key")).distinct()
+        .withColumn("segment", concat(lit("seg_"), (col("u_key") % 5)))
+        .localCheckpoint()
+      val (tSalted, nJoined) = timeMin2 {
+        graft.ops.Skew.saltedHotKeyJoin(evk7, users7, "user_id", "u_key",
+            saltBy = "event_id", nSalts = 8, minShare = 0.005)
+          .queryExecution.toRdd.count()
+      }
+      val docs7 = (0 until k).map { i =>
+        val text =
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", "$1_r" + i)
+        base.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val (tCont, nContPairs) = timeMin2 {
+        graft.ops.Dedup.containmentPairs(docs7, "doc_id", "text", 3,
+          0.5, maxDf = 50).queryExecution.toRdd.count()
+      }
+      val embK7 = (0 until k).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val (tMat, nMatRows) = timeMin2 {
+        graft.ops.Similarity.matryoshkaRecall(embK7, "vec_id",
+          "embedding", col("vec_id") < 5, Seq(4, 8, 16, 32), k = 10)
+          .queryExecution.toRdd.count()
+      }
+      println(f"STRESS-R7 k=$k t_bfs=$tBfs%.2f reached=$nReach " +
+        f"t_salted_join=$tSalted%.2f joined=$nJoined " +
+        f"t_containment=$tCont%.2f pairs=$nContPairs " +
+        f"t_matryoshka=$tMat%.2f rows=$nMatRows")
     }
     // tokenizer-ops stress at 1×/10×/100×: each copy applies a SEEDED
     // LETTER PERMUTATION (translate a-z → perm_i) — a bijection, so

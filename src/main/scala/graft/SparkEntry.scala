@@ -2271,6 +2271,13 @@ object SparkEntry {
     }),
 
     // ---- in-engine classifier training (unrolled-GD logistic regression) --
+    "x_conformal" -> ((s, dir) =>
+      // distribution-free error bars: split-conformal half-width from the
+      // calibration order statistic, coverage audited on the test split
+      Eval.conformal(
+        Tables.events(s, dir)
+          .withColumn("split", pmod(col("event_id"), lit(3))),
+        "event_id", "event_type", "value", "split", alpha = 0.1)),
     "x_lr_scores" -> ((s, dir) =>
       // train a linear "high-label" classifier on the embeddings by 3
       // full-batch GD supersteps (zero init, η=0.5, intercept prepended)

@@ -479,4 +479,67 @@ object Eval {
         col("gap"), col("share"), col("__ece").as("ece"))
       .orderBy(col("bin"))
   }
+
+  /** Split-conformal prediction audit (one row): fit a groupwise-mean
+    * baseline on the TRAIN split, take the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual on the CALIBRATION split as the interval half-width
+    * q̂ (the EXACT order statistic — no interpolation, so both engines
+    * elect the identical value), and report empirical coverage of
+    * `pred ± q̂` on the TEST split. Split-conformal's guarantee — coverage
+    * ≥ 1−α for ANY model, assuming exchangeability — is the
+    * distribution-free error bar a feature store can attach to every
+    * served prediction without trusting the model; the audit checks the
+    * guarantee holds on held-out data.
+    *
+    * Splits come from the caller's deterministic hash column (0=train,
+    * 1=calibration, 2=test). Scale shape: the model and coverage passes
+    * are keyed aggregations; the order statistic is the exact
+    * `percentile` AGGREGATE evaluated at the integral index
+    * p = (k−1)/(n−1) — index p·(n−1) = k−1 exactly, so no interpolation
+    * happens and no global sort window enters the plan (the calibration
+    * count is the one bounded 1-row `.head()`, the heavyHitters-total
+    * precedent; swap `percentile` for `percentile_approx` at 100 TB like
+    * the q_percentiles family documents).
+    */
+  def conformal(df: DataFrame, idCol: String, groupCol: String,
+                valueCol: String, splitCol: String,
+                alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"conformal: alpha in (0,1) (got $alpha)")
+    val model = df.filter(col(splitCol) === 0)
+      .groupBy(col(groupCol))
+      .agg((sum(col(valueCol)) / count(lit(1))).as("__pred"))
+    val scored = df.filter(col(splitCol) =!= 0)
+      .join(broadcast(model), Seq(groupCol)) // groups absent in train drop
+      // residuals rounded BEFORE the order statistic and the coverage
+      // comparison: both engines then rank/compare identical values, so
+      // a test residual exactly tying q-hat cannot flip on float noise
+      .withColumn("__resid", round(abs(col(valueCol) - col("__pred")), 6))
+    val cal = scored.filter(col(splitCol) === 1)
+    val n = cal.agg(count(lit(1))).head().getLong(0)
+    require(n >= 2, s"conformal: calibration split needs >= 2 rows (got $n)")
+    // k = ceil((n+1)(1-alpha)) clamped to n (alpha below 1/(n+1) would
+    // demand an order statistic past the sample — report the max)
+    val k = math.min(n, math.ceil((n + 1) * (1.0 - alpha)).toLong)
+    // re-rounded at 6: percentile's integral-index evaluation can sit a
+    // few ulp below the true k-th order statistic; the residuals are
+    // 6-rounded, so re-rounding restores exact equality for the <=
+    // coverage comparison. The percentage is a typed DOUBLE literal —
+    // a "a.b / c.d" SQL string would parse as DECIMAL division, truncate
+    // the ratio at ~7 digits, and shift the interpolation off the
+    // integral index (observed: q-hat landing between order statistics).
+    val qhat = cal.agg(
+      round(percentile(col("__resid"),
+        lit((k - 1).toDouble / (n - 1).toDouble)), 6).as("__qhat"))
+    val test = scored.filter(col(splitCol) === 2)
+    test.crossJoin(broadcast(qhat))
+      .agg(
+        count(lit(1)).cast("long").as("n_test"),
+        lit(n).as("n_cal"),
+        min(col("__qhat")).as("q_hat"),
+        lit(1.0 - alpha).as("target_coverage"),
+        round(sum(when(col("__resid") <= col("__qhat"), 1).otherwise(0))
+          / count(lit(1)).cast("double"), 6).as("coverage"))
+      .withColumn("covered", col("coverage") >= col("target_coverage"))
+  }
 }

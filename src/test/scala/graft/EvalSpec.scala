@@ -281,4 +281,27 @@ class EvalSpec extends SparkSpec {
       .select("ece").distinct().as[Double].collect()
     assert(e.toSeq == Seq(0.0))
   }
+
+  test("conformal: hand-checked order statistic, tie covered, guard") {
+    // train (split 0): group g mean = 10; cal (split 1): residuals 1,2,4
+    // alpha=0.5 -> k = ceil(4*0.5) = 2 -> q_hat = 2nd smallest = 2.0
+    // test (split 2): residuals 1.5 (in), 2.0 (tie, in), 3.0 (out)
+    val df = Seq(
+      (1L, "g", 10.0, 0), (2L, "g", 10.0, 0),
+      (3L, "g", 11.0, 1), (4L, "g", 12.0, 1), (5L, "g", 14.0, 1),
+      (6L, "g", 11.5, 2), (7L, "g", 12.0, 2), (8L, "g", 13.0, 2),
+      // a group absent from train must drop from cal/test entirely
+      (9L, "h", 99.0, 2)
+    ).toDF("id", "grp", "value", "split")
+    val r = Eval.conformal(df, "id", "grp", "value", "split", alpha = 0.5)
+      .collect().head
+    assert(r.getAs[Long]("n_cal") == 3L)
+    assert(r.getAs[Long]("n_test") == 3L)
+    assert(r.getAs[Double]("q_hat") == 2.0)
+    assert(r.getAs[Double]("coverage") == 0.666667)
+    assert(r.getAs[Boolean]("covered"))
+    intercept[IllegalArgumentException] {
+      Eval.conformal(df, "id", "grp", "value", "split", alpha = 1.0)
+    }
+  }
 }
