@@ -2594,6 +2594,35 @@ object OracleSql {
              md5(text) AS content_md5
       FROM documents ORDER BY doc_id""",
 
+    // multi-touch attribution: last-touch (latest in window, id
+    // tie-break) + linear (1/n) credit; windowless conversions under
+    // "(none)" so credit totals reconcile
+    "q_attribution" -> """
+      WITH t AS (SELECT user_id, event_type AS channel, ts AS t_ts,
+                        event_id AS t_id
+                 FROM events
+                 WHERE event_type IN ('view', 'click', 'signup')),
+      c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+            WHERE event_type = 'purchase'),
+      m AS (SELECT c.c_id, t.channel, t.t_ts, t.t_id
+            FROM c JOIN t ON c.user_id = t.user_id
+              AND t.t_ts >= c.c_ts - INTERVAL 7 DAY AND t.t_ts < c.c_ts),
+      w AS (SELECT *, count(*) OVER (PARTITION BY c_id) AS n,
+              row_number() OVER (PARTITION BY c_id
+                ORDER BY t_ts DESC, t_id DESC) AS rn
+            FROM m),
+      per AS (SELECT channel,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS last_touch_convs,
+                round(sum(1.0 / n), 6) AS linear_credit,
+                CAST(count(*) AS BIGINT) AS touches
+              FROM w GROUP BY channel),
+      none AS (SELECT '(none)' AS channel,
+                 CAST(count(*) AS BIGINT) AS last_touch_convs,
+                 0.0 AS linear_credit, CAST(0 AS BIGINT) AS touches
+               FROM c WHERE c_id NOT IN (SELECT DISTINCT c_id FROM m))
+      SELECT * FROM per UNION ALL SELECT * FROM none ORDER BY channel""",
+
     "q_funnel" -> """
       WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
                   WHERE event_type = 'view' GROUP BY user_id),
@@ -4226,6 +4255,31 @@ object OracleSql {
     // sufficient-sum closed form as Stats.trendPerKey (NOT regr_* —
     // engine-internal co-moment algorithms differ at ~1e-8 and flake the
     // 6-decimal hash; n·Σx²−(Σx)² is integer-exact on both engines)
+    // Theil-Sen robust trend: median pairwise slope (9-rounded before
+    // the median so both engines interpolate identical values), median
+    // residual intercept; keys without an x-distinct pair keep NULLs
+    "q_theilsen_trend" -> """
+      WITH d AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS DOUBLE) AS x,
+               CAST(round(sum(value), 2) AS DOUBLE) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))),
+      sl AS (SELECT a.user_id,
+                    round((b.y - a.y) / (b.x - a.x), 9) AS slope
+             FROM d a JOIN d b
+               ON a.user_id = b.user_id AND a.x < b.x),
+      sm AS (SELECT user_id, quantile_cont(slope, 0.5) AS m,
+                    CAST(count(*) AS BIGINT) AS n_pairs
+             FROM sl GROUP BY user_id)
+      SELECT d.user_id, CAST(count(*) AS BIGINT) AS n_points,
+             coalesce(CAST(min(sm.n_pairs) AS BIGINT), 0) AS n_pairs,
+             round(min(sm.m), 6) AS slope,
+             round(quantile_cont(d.y - sm.m * d.x, 0.5), 6) AS intercept
+      FROM d LEFT JOIN sm ON d.user_id = sm.user_id
+      GROUP BY d.user_id ORDER BY d.user_id""",
+
     "q_trend_per_key" -> """
       WITH d AS (
         SELECT user_id,

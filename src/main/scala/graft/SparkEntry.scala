@@ -1525,6 +1525,14 @@ object SparkEntry {
         Multimodal.asBase64Table(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id")),
 
+    "q_attribution" -> ((s, dir) =>
+      // last-touch + linear credit per channel, touches paired to
+      // conversions by the binned interval join (7-day lookback)
+      Eval.attribution(Tables.events(s, dir), "user_id", "ts", "event_id",
+        "event_type",
+        isTouch = col("event_type").isin("view", "click", "signup"),
+        isConv = col("event_type") === "purchase",
+        lookback = "7 DAYS")),
     "q_funnel" -> ((s, dir) => {
       // ordered conversion funnel: first view → first click at-or-after
       // it → first purchase at-or-after that; per-user mins keep every
@@ -2235,6 +2243,18 @@ object SparkEntry {
             .as("x"))
         .agg(round(sum(col("value")), 2).as("y"))
       Stats.trendPerKey(daily, "user_id", "x", "y")
+    }),
+    "q_theilsen_trend" -> ((s, dir) => {
+      // the robust twin of q_trend_per_key: median pairwise slope +
+      // median residual intercept, outlier-immune where OLS chases one
+      // corrupted day; per-key pair space guarded fail-loud
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("x"))
+        .agg(round(sum(col("value")), 2).as("y"))
+      Stats.theilSenPerKey(daily, "user_id", "x", "y")
     }),
 
     // ---- video frame-sampling plumbing (metadata-only projection) ----------

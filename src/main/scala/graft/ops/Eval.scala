@@ -480,6 +480,51 @@ object Eval {
       .orderBy(col("bin"))
   }
 
+  /** Multi-touch attribution over an event stream: for every conversion,
+    * the touches (caller-defined predicate) in the `lookback` window
+    * strictly BEFORE it; credit assigned under the two standard models at
+    * once — last-touch (1.0 to the latest touch, ties broken by event id)
+    * and linear (1/n to each of the n touches). Conversions with no touch
+    * in window report under the `(none)` channel so per-model credit
+    * totals reconcile to the conversion count.
+    *
+    * Scale shape: the touch×conversion pairing is the BINNED
+    * [[Retrieval.intervalJoin]] (daily-bin equi-join, never a nested
+    * loop); per-conversion windows (n, latest) partition by conversion id
+    * over the matched pairs — bounded by touches-per-window, never
+    * corpus-wide; the final fold is one keyed aggregation per channel.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, channelCol: String, isTouch: Column,
+                  isConv: Column, lookback: String): DataFrame = {
+    val touches = events.filter(isTouch)
+      .select(col(userCol), col(channelCol).as("__channel"),
+        col(tsCol).as("__t_ts"), col(idCol).as("__t_id"))
+    val convs = events.filter(isConv)
+      .select(col(userCol), col(tsCol).as("__c_ts"), col(idCol).as("__c_id"))
+      .withColumn("__w_start", col("__c_ts") - expr(s"INTERVAL $lookback"))
+    val matched = graft.ops.Retrieval.intervalJoin(
+      touches, convs, Seq(userCol), "__t_ts", "__w_start", "__c_ts")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__c_id"))
+    val wOrd = w.orderBy(col("__t_ts").desc, col("__t_id").desc)
+    val credited = matched
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+    val perChannel = credited.groupBy(col("__channel").as("channel"))
+      .agg(
+        sum(when(col("__rn") === 1, 1).otherwise(0)).cast("long")
+          .as("last_touch_convs"),
+        round(sum(lit(1.0) / col("__n")), 6).as("linear_credit"),
+        count(lit(1)).cast("long").as("touches"))
+    val unattributed = convs
+      .join(matched.select(col("__c_id")).distinct(), Seq("__c_id"),
+        "left_anti")
+      .agg(count(lit(1)).cast("long").as("last_touch_convs"))
+      .select(lit("(none)").as("channel"), col("last_touch_convs"),
+        lit(0.0).as("linear_credit"), lit(0L).as("touches"))
+    perChannel.unionByName(unattributed).orderBy("channel")
+  }
+
   /** Split-conformal prediction audit (one row): fit a groupwise-mean
     * baseline on the TRAIN split, take the ⌈(n+1)(1−α)⌉-th smallest
     * absolute residual on the CALIBRATION split as the interval half-width

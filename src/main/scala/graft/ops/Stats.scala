@@ -881,4 +881,54 @@ object Stats {
           .as("r2"))
       .orderBy(keyCol)
   }
+
+  /** Theil–Sen robust trend per key: slope = MEDIAN of all pairwise
+    * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over xᵢ < xⱼ, intercept = median of
+    * (yᵢ − slope·xᵢ) — the estimator that shrugs off up to ~29% arbitrary
+    * outliers where [[trendPerKey]]'s OLS line chases a single corrupted
+    * point (the MAD-vs-stddev trade, applied to trends).
+    *
+    * Pair space is quadratic PER KEY, so the same fail-loud posture as
+    * `basketRules`: a key beyond `maxPoints` observations raises inside
+    * the pair join's input column (never prunable) instead of silently
+    * detonating — downsample per key first, then raise the knob. The
+    * pair self-join is an equi-join on the key; medians are exact
+    * percentiles grouped per key (interpolating, both engines type-7),
+    * slopes pre-rounded at 9 so the median interpolates identical values
+    * cross-engine.
+    */
+  def theilSenPerKey(df: DataFrame, keyCol: String, xCol: String,
+                     yCol: String, maxPoints: Int = 2000): DataFrame = {
+    require(maxPoints >= 2, s"theilSenPerKey: maxPoints >= 2 (got $maxPoints)")
+    val pts0 = df.select(col(keyCol).as("__k"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    val pts = pts0
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__x",
+        when(col("__cnt") <= maxPoints, col("__x"))
+          .otherwise(raise_error(concat(
+            lit(s"theilSenPerKey: key over $maxPoints points (pair space " +
+              "is quadratic per key); downsample per key first: "),
+            col("__k").cast("string")))))
+      .drop("__cnt")
+    val slopes = pts.as("a").join(pts.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__x") < col("b.__x"))
+      .select(col("a.__k").as("__k"),
+        round((col("b.__y") - col("a.__y")) / (col("b.__x") - col("a.__x")),
+          9).as("__slope"))
+    val slopeMed = slopes.groupBy(col("__k"))
+      .agg(expr("percentile(__slope, 0.5)").as("__m"),
+        count(lit(1)).cast("long").as("n_pairs"))
+    // left join: a key with no x-distinct pair keeps its roster row with
+    // NULL slope/intercept (the trendPerKey full-roster contract)
+    pts
+      .join(slopeMed, Seq("__k"), "left")
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        coalesce(min(col("n_pairs")), lit(0L)).as("n_pairs"),
+        round(min(col("__m")), 6).as("slope"),
+        round(expr("percentile(__y - __m * __x, 0.5)"), 6).as("intercept"))
+      .orderBy(keyCol)
+  }
 }

@@ -282,6 +282,38 @@ class EvalSpec extends SparkSpec {
     assert(e.toSeq == Seq(0.0))
   }
 
+  test("attribution: last-touch picks latest (id tie-break), linear " +
+      "splits 1/n, out-of-window touch excluded, no-touch conv -> (none)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: view then click inside the window, purchase
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 10L, ts("2024-01-02 10:00:00"), "click"),
+      (3L, 10L, ts("2024-01-03 10:00:00"), "purchase"),
+      // u2: purchase with no touches at all
+      (4L, 20L, ts("2024-01-05 10:00:00"), "purchase"),
+      // u3: touch 8 days before conversion — outside the 7-day lookback
+      (5L, 30L, ts("2024-01-01 00:00:00"), "view"),
+      (6L, 30L, ts("2024-01-09 01:00:00"), "purchase"),
+      // u4: two touches at the SAME instant — higher id wins last-touch
+      (7L, 40L, ts("2024-02-01 09:00:00"), "view"),
+      (8L, 40L, ts("2024-02-01 09:00:00"), "click"),
+      (9L, 40L, ts("2024-02-01 10:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Eval.attribution(ev, "user_id", "ts", "event_id",
+        "event_type", col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", "7 DAYS")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // last-touch: u1 -> click, u4 -> click (id 8 > id 7 at equal ts)
+    assert(out("click") == (("click", 2L, 1.0, 2L)))
+    // linear: u1 view 0.5 + u4 view 0.5 = 1.0; u3's view never matches
+    assert(out("view") == (("view", 0L, 1.0, 2L)))
+    // u2 (no touches) and u3 (touch out of window) fall to (none)
+    assert(out("(none)") == (("(none)", 2L, 0.0, 0L)))
+    assert(out.values.map(_._2).sum == 4L) // credit reconciles to convs
+  }
+
   test("conformal: hand-checked order statistic, tie covered, guard") {
     // train (split 0): group g mean = 10; cal (split 1): residuals 1,2,4
     // alpha=0.5 -> k = ceil(4*0.5) = 2 -> q_hat = 2nd smallest = 2.0

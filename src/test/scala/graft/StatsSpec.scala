@@ -373,4 +373,35 @@ class StatsSpec extends SparkSpec {
       .map(_.getAs[java.sql.Date]("day").toString).toSeq
     assert(missing == Seq("2024-01-04", "2024-01-05", "2024-01-07"))
   }
+
+  test("theilSenPerKey: outlier-immune where OLS chases the corruption; " +
+      "single-point key keeps a NULL-roster row; pair guard fails loud") {
+    // key A: y = 2x + 1 on x=0..6 with one wild outlier at the END point
+    // x=6 (max leverage on OLS; an outlier at the x-mean has none)
+    val rows = (0 to 6).map(x =>
+      ("A", x, if (x == 6) 1000.0 else 2.0 * x + 1.0)) :+ (("B", 5, 9.0))
+    val df = rows.toDF("k", "x", "y")
+    val ts = Stats.theilSenPerKey(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // 6 of 7 points lie exactly on the line -> most pairwise slopes are
+    // exactly 2; the median shrugs off the outlier completely
+    assert(ts("A").getAs[Double]("slope") == 2.0)
+    assert(ts("A").getAs[Double]("intercept") == 1.0)
+    assert(ts("A").getAs[Long]("n_pairs") == 21L)
+    // OLS on the same data is dragged far off the true line
+    val ols = Stats.trendPerKey(df.filter($"k" === "A"), "k", "x", "y")
+      .collect().head.getAs[Double]("slope")
+    assert(math.abs(ols - 2.0) > 10.0)
+    // single-point key: full-roster row with NULLs, zero pairs
+    assert(ts("B").getAs[Long]("n_points") == 1L)
+    assert(ts("B").getAs[Long]("n_pairs") == 0L)
+    assert(ts("B").isNullAt(ts("B").fieldIndex("slope")))
+    // guard: a key beyond maxPoints raises inside the plan
+    val big = (1 to 50).map(i => ("hot", i, i.toDouble)).toDF("k", "x", "y")
+    val e = intercept[Exception] {
+      Stats.theilSenPerKey(big, "k", "x", "y", maxPoints = 10).collect()
+    }
+    assert(e.getMessage.contains("theilSenPerKey") ||
+      e.getCause != null)
+  }
 }
