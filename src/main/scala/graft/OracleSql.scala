@@ -890,6 +890,85 @@ object OracleSql {
                AS ks_stat
       FROM c GROUP BY feature ORDER BY feature""",
 
+    // BH-FDR over the 4-feature lineitem sweep: same binned-ECDF CTEs,
+    // then asymptotic KS p (Kolmogorov series), rank, p*m/rank, reverse
+    // running min capped at 1
+    "q_drift_fdr" -> """
+      WITH melted AS (
+        SELECT l_returnflag, 'l_quantity' AS feature,
+               CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+          WHERE l_returnflag IN ('A', 'N')
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+          WHERE l_returnflag IN ('A', 'N')
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', CAST(l_discount AS DOUBLE)
+          FROM lineitem WHERE l_returnflag IN ('A', 'N')
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', CAST(l_tax AS DOUBLE)
+          FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+      clean AS (SELECT * FROM melted WHERE v IS NOT NULL AND NOT isnan(v)),
+      bounds AS (
+        SELECT feature, CAST(min(v) AS DOUBLE) AS lo,
+               CAST(max(v) AS DOUBLE) AS hi
+        FROM clean GROUP BY feature),
+      binned AS (
+        SELECT c.l_returnflag, c.feature,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE least(CAST(floor((c.v - b.lo)
+                               / ((b.hi - b.lo) / 1000))
+                               AS INTEGER), 999) END AS bin
+        FROM clean c JOIN bounds b USING (feature)),
+      pv AS (
+        SELECT feature, bin,
+          CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM binned GROUP BY feature, bin),
+      c AS (
+        SELECT feature,
+          sum(ca) OVER (PARTITION BY feature ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+          sum(cb) OVER (PARTITION BY feature ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+          sum(ca) OVER (PARTITION BY feature) AS na,
+          sum(cb) OVER (PARTITION BY feature) AS nb
+        FROM pv),
+      ks AS (
+        SELECT feature, CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b,
+               round(max(abs(CAST(cuma AS DOUBLE)/na
+                 - CAST(cumb AS DOUBLE)/nb)), 6) AS ks_stat
+        FROM c GROUP BY feature),
+      lamt AS (
+        SELECT *, ks_stat * sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE))
+          AS lam FROM ks),
+      pvals AS (
+        SELECT feature, n_a, n_b, ks_stat,
+               round(CASE WHEN lam < 0.05 THEN 1.0
+                 ELSE least(greatest(
+                   (SELECT sum((CASE WHEN k % 2 = 1 THEN 2.0 ELSE -2.0 END)
+                      * exp(-2.0 * k * k * lam * lam))
+                    FROM range(1, 101) t(k)), 0.0), 1.0) END, 6)
+                 AS p_value
+        FROM lamt),
+      rk AS (
+        SELECT *, row_number() OVER (ORDER BY p_value, feature) AS rnk,
+               count(*) OVER () AS m
+        FROM pvals),
+      adj AS (
+        SELECT *, round(least(min(p_value * m / rnk) OVER (
+            ORDER BY rnk
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 6)
+          AS p_adj
+        FROM rk)
+      SELECT feature, n_a, n_b, ks_stat, p_value,
+             CAST(rnk AS BIGINT) AS rank, p_adj,
+             p_adj <= 0.05 AS reject
+      FROM adj ORDER BY rank""",
+
     "q_drift_sweep_exact" -> s"""
       WITH melted AS (
         SELECT event_type, 'k' AS feature,
@@ -4255,6 +4334,44 @@ object OracleSql {
     // sufficient-sum closed form as Stats.trendPerKey (NOT regr_* —
     // engine-internal co-moment algorithms differ at ~1e-8 and flake the
     // 6-decimal hash; n·Σx²−(Σx)² is integer-exact on both engines)
+    // deterministic Poisson bootstrap: identical resamples from the
+    // shared u01 hash (replicate index as channel), exact Poisson(1)
+    // CDF inversion, percentile CI over the 200 replicate means
+    "q_bootstrap_ci" -> """
+      WITH p AS (SELECT event_id, value FROM events
+                 WHERE event_type = 'purchase'),
+      pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                    round(sum(value) / count(*), 6) AS point_mean FROM p),
+      r AS (SELECT b, value,
+              CAST((h3 * h3) % 2147483647 + 1 AS DOUBLE)
+                / 2147483647.0 AS u
+            FROM (SELECT b, value,
+                    (((h1 * h1 % 2147483647) + 12345) % 2147483647)
+                      * 48271 % 2147483647 AS h3
+                  FROM (SELECT t.b AS b, p.value AS value,
+                          (p.event_id + t.b * 1000003) % 2147483647 AS h1
+                        FROM p CROSS JOIN range(0, 200) t(b)))),
+      w AS (SELECT b, value,
+              CASE WHEN u <= 0.36787944117144233 THEN 0
+                   WHEN u <= 0.7357588823428847 THEN 1
+                   WHEN u <= 0.9196986029286058 THEN 2
+                   WHEN u <= 0.9810118431238462 THEN 3
+                   WHEN u <= 0.9963401531726563 THEN 4
+                   WHEN u <= 0.9994058151824183 THEN 5
+                   WHEN u <= 0.9999167588507642 THEN 6
+                   ELSE 7 END AS w
+            FROM r),
+      m AS (SELECT b, sum(w * value) / nullif(sum(w), 0) AS mu
+            FROM w GROUP BY b),
+      ci AS (SELECT round(quantile_cont(mu, 0.025), 6) AS ci_lo,
+                    round(quantile_cont(mu, 0.975), 6) AS ci_hi,
+                    round(stddev(mu), 6) AS boot_se,
+                    CAST(count(mu) AS BIGINT) AS n_reps
+             FROM m)
+      SELECT pt.n_rows, pt.point_mean, ci.n_reps, ci.ci_lo, ci.ci_hi,
+             ci.boot_se
+      FROM pt, ci""",
+
     // Theil-Sen robust trend: median pairwise slope (9-rounded before
     // the median so both engines interpolate identical values), median
     // residual intercept; keys without an x-distinct pair keep NULLs

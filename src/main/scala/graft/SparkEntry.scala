@@ -417,6 +417,19 @@ object SparkEntry {
           .select(col("event_type"), col("value"),
             get_json_object(col("props"), "$.k").cast("double").as("k")),
         "event_type", "purchase", "view", Seq("k", "value"))),
+    "q_drift_fdr" -> ((s, dir) =>
+      // BH step-up over the 4-feature lineitem sweep (A vs N return
+      // flags): per-feature asymptotic KS p, ranked, adjusted, gated at
+      // FDR 0.05 — the alarm-rate control a wide sweep needs
+      Drift.sweepFdr(
+        Drift.sweep(
+          Tables.lineitem(s, dir)
+            .filter(col("l_returnflag").isin("A", "N"))
+            .select(col("l_returnflag"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "l_returnflag", "A", "N",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+        alpha = 0.05)),
     "q_drift_sweep_exact" -> ((s, dir) =>
       // small-domain opt-in: per-distinct-value ECDF
       Drift.sweepExact(
@@ -2244,6 +2257,13 @@ object SparkEntry {
         .agg(round(sum(col("value")), 2).as("y"))
       Stats.trendPerKey(daily, "user_id", "x", "y")
     }),
+    "q_bootstrap_ci" -> ((s, dir) =>
+      // deterministic Poisson bootstrap: both engines draw identical
+      // resamples via the shared u01 hash, so the CI is oracle-exact
+      Stats.bootstrapCI(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("value")),
+        "event_id", "value", reps = 200)),
     "q_theilsen_trend" -> ((s, dir) => {
       // the robust twin of q_trend_per_key: median pairwise slope +
       // median residual intercept, outlier-immune where OLS chases one

@@ -260,6 +260,52 @@ object Drift {
       .orderBy("feature")
   }
 
+  /** Multiple-testing correction for a [[sweep]] report: attach each
+    * feature's asymptotic KS p-value (Kolmogorov series over the rounded
+    * D and side counts — the [[ksTest]] formula), then Benjamini–Hochberg
+    * step-up: rank p ascending, BH value p·m/rank, adjusted p = the
+    * running minimum of BH values from the largest rank down (capped at
+    * 1), reject where p_adj ≤ alpha. A drift sweep over hundreds of
+    * features WILL fire ~alpha·m false alarms under no drift at all —
+    * BH is what keeps the expected false-discovery rate at alpha instead
+    * of letting per-feature alarms stack up.
+    *
+    * Scale shape: every window here is global BUT over the sweep report —
+    * one row per FEATURE, bounded by the declared feature list, never
+    * data-sized (the registry's bounded-global-window class).
+    */
+  def sweepFdr(report: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"sweepFdr: alpha in (0,1) (got $alpha)")
+    val lam = col("ks_stat") * sqrt(col("n_a") * col("n_b") /
+      (col("n_a") + col("n_b")).cast("double"))
+    val series = expr(
+      """aggregate(
+        |  transform(sequence(1, 100),
+        |    k -> (CASE WHEN k % 2 = 1 THEN 2.0D ELSE -2.0D END)
+        |         * exp(-2.0D * k * k * __lam * __lam)),
+        |  0.0D, (acc, x) -> acc + x)""".stripMargin)
+    val withP = report
+      .withColumn("__lam", lam)
+      .withColumn("p_value",
+        round(when(col("__lam") < 0.05, lit(1.0))
+          .otherwise(least(greatest(series, lit(0.0)), lit(1.0))), 6))
+    val whole = Window.partitionBy()
+    val byP = Window.orderBy(col("p_value").asc, col("feature").asc)
+    val tailMin = Window.orderBy(col("__rank").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    withP
+      .withColumn("__m", count(lit(1)).over(whole))
+      .withColumn("__rank", row_number().over(byP))
+      .withColumn("__bh", col("p_value") * col("__m") / col("__rank"))
+      .withColumn("p_adj",
+        round(least(min(col("__bh")).over(tailMin), lit(1.0)), 6))
+      .select(col("feature"), col("n_a"), col("n_b"), col("ks_stat"),
+        col("p_value"), col("__rank").cast("long").as("rank"),
+        col("p_adj"), (col("p_adj") <= alpha).as("reject"))
+      .orderBy("rank")
+  }
+
   /** The 100 TB KS path documented in SURVEY.md §7.3#1, implemented: the
     * samples are histogrammed into `bins` fixed-width buckets FIRST (one
     * shuffle on the bin id, fully parallel), so the ordered ECDF window

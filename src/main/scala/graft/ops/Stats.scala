@@ -882,6 +882,70 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Deterministic Poisson bootstrap CI for a mean (one row): each row
+    * enters replicate `b` with weight ~ Poisson(1) — the n→∞ limit of
+    * multinomial resampling and THE distributed bootstrap (each row's
+    * weight depends only on (row id, b), so no global coordination, no
+    * sampling pass per replicate). The weight comes from the shared
+    * deterministic u01 hash ([[Gen.u01]] arithmetic with the replicate
+    * index as the channel), inverted through the exact Poisson(1) CDF
+    * thresholds — both engines draw the identical resamples, making the
+    * CI oracle-exact, not merely statistically similar.
+    *
+    * Scale shape: the ×B explode is map-side (no pre-shuffle); the only
+    * shuffle carries B×partitions partial sums (map-side combined), and
+    * the quantile fold runs over the bounded B-row replicate-mean frame.
+    * B is the accuracy knob (SE of the quantile estimate ~ 1/√B).
+    */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                  reps: Int = 200, lo: Double = 0.025,
+                  hi: Double = 0.975): DataFrame = {
+    require(reps >= 10 && reps <= 10000,
+      s"bootstrapCI: reps in [10, 10000] (got $reps)")
+    require(lo > 0.0 && lo < hi && hi < 1.0,
+      s"bootstrapCI: 0 < lo < hi < 1 (got $lo, $hi)")
+    val M = 2147483647L
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(valueCol).cast("double").as("__v"))
+    val point = base.agg(count(lit(1)).cast("long").as("n_rows"),
+      round(sum(col("__v")) / count(lit(1)), 6).as("point_mean"))
+    val rep = base
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      // NOT the two-step Lehmer u01: linear congruential steps are too
+      // EQUIDISTRIBUTED over lattice-like sequential ids — per-replicate
+      // Poisson bucket counts barely fluctuate and the bootstrap variance
+      // collapses ~4x (observed). Two interleaved SQUARING rounds
+      // (quadratic congruential) break the lattice; all intermediates
+      // stay < 2^62, overflow-free in both engines' BIGINT math.
+      .withColumn("__u", {
+        val h1 = (col("__id") + col("__b").cast("long") * lit(1000003L)) % M
+        val h2 = (h1 * h1 % M + lit(12345L)) % M
+        val h3 = (h2 * 48271L) % M
+        val h4 = (h3 * h3) % M
+        (h4 + lit(1L)).cast("double") / M.toDouble
+      })
+      .withColumn("__w", // exact Poisson(1) CDF inversion
+        when(col("__u") <= 0.36787944117144233, 0)
+          .when(col("__u") <= 0.7357588823428847, 1)
+          .when(col("__u") <= 0.9196986029286058, 2)
+          .when(col("__u") <= 0.9810118431238462, 3)
+          .when(col("__u") <= 0.9963401531726563, 4)
+          .when(col("__u") <= 0.9994058151824183, 5)
+          .when(col("__u") <= 0.9999167588507642, 6)
+          .otherwise(7))
+    val means = rep.groupBy(col("__b"))
+      .agg((sum(col("__w") * col("__v")) /
+        when(sum(col("__w")) =!= 0, sum(col("__w")))).as("__mu"))
+    val ci = means.agg(
+      round(percentile(col("__mu"), lit(lo)), 6).as("ci_lo"),
+      round(percentile(col("__mu"), lit(hi)), 6).as("ci_hi"),
+      round(stddev(col("__mu")), 6).as("boot_se"),
+      count(col("__mu")).cast("long").as("n_reps"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_rows"), col("point_mean"), col("n_reps"),
+        col("ci_lo"), col("ci_hi"), col("boot_se"))
+  }
+
   /** Theil–Sen robust trend per key: slope = MEDIAN of all pairwise
     * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over xᵢ < xⱼ, intercept = median of
     * (yᵢ − slope·xᵢ) — the estimator that shrugs off up to ~29% arbitrary

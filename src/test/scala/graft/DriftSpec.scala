@@ -294,4 +294,30 @@ class DriftSpec extends SparkSpec {
       Drift.cusum(df, "t", "v", baselineRows = 1)
     }
   }
+
+  test("sweepFdr: BH step-up — massive drift rejects, null feature " +
+      "doesn't, adjusted p is the reverse running min capped at 1") {
+    import spark.implicits._
+    // hand-built sweep report: f_drift has D=0.5 over 1000v1000
+    // (lambda = 11.2 -> p ~ 0); f_null has D=0 (lambda 0 -> p = 1);
+    // f_mid has a small D with lambda just over the series floor
+    val report = Seq(
+      ("f_drift", 1000L, 1000L, 0.5),
+      ("f_mid", 1000L, 1000L, 0.06),
+      ("f_null", 1000L, 1000L, 0.0)
+    ).toDF("feature", "n_a", "n_b", "ks_stat")
+    val out = Drift.sweepFdr(report, alpha = 0.05)
+      .as[(String, Long, Long, Double, Double, Long, Double, Boolean)]
+      .collect()
+    val byF = out.map(r => r._1 -> r).toMap
+    assert(byF("f_drift")._5 == 0.0 && byF("f_drift")._8)   // p ~ 0, reject
+    assert(byF("f_null")._5 == 1.0 && !byF("f_null")._8)    // p = 1, keep
+    // ranks follow ascending p; adjusted p monotone along ranks, >= raw,
+    // capped at 1
+    val byRank = out.sortBy(_._6)
+    assert(byRank.map(_._1).head == "f_drift" && byRank.last._1 == "f_null")
+    assert(byRank.sliding(2).forall(p => p(0)._7 <= p(1)._7))
+    assert(out.forall(r => r._7 >= r._5 && r._7 <= 1.0))
+    intercept[IllegalArgumentException] { Drift.sweepFdr(report, 0.0) }
+  }
 }

@@ -374,6 +374,30 @@ class StatsSpec extends SparkSpec {
     assert(missing == Seq("2024-01-04", "2024-01-05", "2024-01-07"))
   }
 
+  test("bootstrapCI: deterministic, brackets the point mean, SE tracks " +
+      "sigma/sqrt(n)") {
+    // values 1..400 -> mean 200.5, sigma ~ 115.6, SE ~ 5.78
+    val df = (1 to 400).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val r1 = Stats.bootstrapCI(df, "id", "v", reps = 200).collect().head
+    val r2 = Stats.bootstrapCI(df, "id", "v", reps = 200).collect().head
+    assert(r1 == r2) // hash-driven: bit-identical across runs
+    assert(r1.getAs[Long]("n_rows") == 400L)
+    assert(r1.getAs[Long]("n_reps") == 200L)
+    assert(r1.getAs[Double]("point_mean") == 200.5)
+    val (lo, hi) = (r1.getAs[Double]("ci_lo"), r1.getAs[Double]("ci_hi"))
+    assert(lo < 200.5 && 200.5 < hi, s"CI [$lo, $hi] must bracket the mean")
+    // 95% CI half-width ~ 1.96 * SE ~ 11.3; allow generous slack
+    assert(hi - lo > 10.0 && hi - lo < 35.0, s"CI width ${hi - lo}")
+    val se = r1.getAs[Double]("boot_se")
+    assert(se > 3.0 && se < 12.0, s"boot SE $se vs theoretical ~5.78")
+    intercept[IllegalArgumentException] {
+      Stats.bootstrapCI(df, "id", "v", reps = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.bootstrapCI(df, "id", "v", reps = 100, lo = 0.9, hi = 0.1)
+    }
+  }
+
   test("theilSenPerKey: outlier-immune where OLS chases the corruption; " +
       "single-point key keeps a NULL-roster row; pair guard fails loud") {
     // key A: y = 2x + 1 on x=0..6 with one wild outlier at the END point
