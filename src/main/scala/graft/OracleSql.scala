@@ -669,6 +669,66 @@ object OracleSql {
       SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
       ORDER BY event_date DESC LIMIT 7""",
 
+    // constraint suggestion: one profile pass, one row per satisfied
+    // (column, constraint); typed evidence columns, no number formatting
+    "q_constraint_suggest" -> """
+      WITH p AS (SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(event_id) AS BIGINT) AS nn_eid,
+        CAST(count(DISTINCT event_id) AS BIGINT) AS nd_eid,
+        CAST(count(user_id) AS BIGINT) AS nn_uid,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS nd_uid,
+        CAST(count(value) AS BIGINT) AS nn_val,
+        CAST(count(DISTINCT value) AS BIGINT) AS nd_val,
+        CAST(count(event_type) AS BIGINT) AS nn_et,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS nd_et,
+        round(min(CAST(event_id AS DOUBLE)), 6) AS lo_eid,
+        round(max(CAST(event_id AS DOUBLE)), 6) AS hi_eid,
+        round(min(CAST(user_id AS DOUBLE)), 6) AS lo_uid,
+        round(max(CAST(user_id AS DOUBLE)), 6) AS hi_uid,
+        round(min(value), 6) AS lo_val,
+        round(max(value), 6) AS hi_val,
+        array_to_string(list_sort(list(DISTINCT CAST(event_type
+          AS VARCHAR))), '|') AS dom_et
+      FROM events),
+      rows_ AS (
+        SELECT 'event_id' AS "column", 'not_null' AS "constraint",
+               nn_eid = n AS app, n - nn_eid AS n_nulls,
+               nd_eid AS n_distinct, CAST(NULL AS DOUBLE) AS lo,
+               CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS VARCHAR) AS domain
+        FROM p
+        UNION ALL SELECT 'user_id', 'not_null', nn_uid = n, n - nn_uid,
+               nd_uid, NULL, NULL, NULL FROM p
+        UNION ALL SELECT 'value', 'not_null', nn_val = n, n - nn_val,
+               nd_val, NULL, NULL, NULL FROM p
+        UNION ALL SELECT 'event_type', 'not_null', nn_et = n, n - nn_et,
+               nd_et, NULL, NULL, NULL FROM p
+        UNION ALL SELECT 'event_id', 'unique',
+               nd_eid = n AND nn_eid = n, n - nn_eid, nd_eid,
+               NULL, NULL, NULL FROM p
+        UNION ALL SELECT 'user_id', 'unique',
+               nd_uid = n AND nn_uid = n, n - nn_uid, nd_uid,
+               NULL, NULL, NULL FROM p
+        UNION ALL SELECT 'value', 'unique',
+               nd_val = n AND nn_val = n, n - nn_val, nd_val,
+               NULL, NULL, NULL FROM p
+        UNION ALL SELECT 'event_type', 'unique',
+               nd_et = n AND nn_et = n, n - nn_et, nd_et,
+               NULL, NULL, NULL FROM p
+        UNION ALL SELECT 'event_id', 'between', true, n - nn_eid, nd_eid,
+               lo_eid, hi_eid, NULL FROM p
+        UNION ALL SELECT 'user_id', 'between', true, n - nn_uid, nd_uid,
+               lo_uid, hi_uid, NULL FROM p
+        UNION ALL SELECT 'value', 'between', true, n - nn_val, nd_val,
+               lo_val, hi_val, NULL FROM p
+        UNION ALL SELECT 'event_type', 'in_set',
+               nd_et <= 20 AND nd_et > 1, n - nn_et, nd_et,
+               NULL, NULL, dom_et FROM p)
+      SELECT "column", "constraint", CAST(n_nulls AS BIGINT) AS n_nulls,
+             n_distinct, lo, hi, domain
+      FROM rows_ WHERE app
+      ORDER BY "column", "constraint"""",
+
     "q_quality_report" -> """
       WITH t AS (SELECT
         count(*) AS total,
@@ -3508,6 +3568,61 @@ object OracleSql {
 
     // user-grain conversion + revenue, hash 50/50 split, pooled z +
     // Welch t/df in one conditional fold
+    // always-valid mSPRT: cumulative two-proportion counts per day, the
+    // normal-mixture likelihood ratio, running-min p
+    "q_ab_sequential" -> s"""
+      WITH tagged AS (
+        SELECT CAST(ts AS DATE) AS day,
+               ${uk("user_id", 59)} > 0.5 AS t,
+               CASE WHEN event_type = 'purchase' AND value > 95.0
+                 THEN 1 ELSE 0 END AS conv
+        FROM events),
+      daily AS (
+        SELECT day,
+               CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dnc,
+               CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS dnt,
+               CAST(sum(CASE WHEN NOT t THEN conv ELSE 0 END) AS BIGINT)
+                 AS dxc,
+               CAST(sum(CASE WHEN t THEN conv ELSE 0 END) AS BIGINT)
+                 AS dxt
+        FROM tagged GROUP BY day),
+      cum AS (
+        SELECT day,
+          CAST(sum(dnc) OVER w AS BIGINT) AS n_c,
+          CAST(sum(dnt) OVER w AS BIGINT) AS n_t,
+          CAST(sum(dxc) OVER w AS BIGINT) AS x_c,
+          CAST(sum(dxt) OVER w AS BIGINT) AS x_t
+        FROM daily
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      stat AS (
+        SELECT *,
+          (x_c + x_t) / CAST(n_c + n_t AS DOUBLE) AS pp,
+          x_t / CAST(n_t AS DOUBLE) - x_c / CAST(n_c AS DOUBLE) AS theta
+        FROM cum),
+      lam AS (
+        SELECT *,
+          pp * (1.0 - pp) * (1.0 / n_c + 1.0 / n_t) AS v
+        FROM stat),
+      praw AS (
+        SELECT *,
+          CASE WHEN n_c > 0 AND n_t > 0 AND v > 0 THEN
+            least(1.0 / (sqrt(v / (v + 0.01))
+              * exp(theta * theta * 0.01 / (2.0 * v * (v + 0.01)))), 1.0)
+          ELSE 1.0 END AS p_raw
+        FROM lam)
+      SELECT day, n_c, n_t, x_c, x_t,
+             round(CASE WHEN n_c > 0 AND n_t > 0 THEN theta END, 6)
+               AS lift,
+             round(min(p_raw) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS p_always_valid,
+             round(min(p_raw) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               <= 0.05 AS significant
+      FROM praw ORDER BY day""",
+
     "q_ab_test" -> s"""
       WITH u AS (SELECT user_id,
                max(CASE WHEN event_type = 'purchase' AND value > 95.0

@@ -345,6 +345,12 @@ object SparkEntry {
         "event_date", 7)),
 
     // ---- §2.6 data-quality expectations ------------------------------------
+    "q_constraint_suggest" -> ((s, dir) =>
+      // Deequ-style suggestion: one profile pass emits the expectations
+      // the data currently satisfies (bootstrap of the quality loop)
+      Quality.suggestConstraints(Tables.events(s, dir),
+        numericCols = Seq("event_id", "user_id", "value"),
+        enumCandidates = Seq("event_type"))),
     "q_quality_report" -> ((s, dir) =>
       Quality.report(Tables.customer(s, dir), Seq(
         Quality.NotNull("c_name"),
@@ -1993,6 +1999,15 @@ object SparkEntry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id",
         col("event_type") === "purchase" && col("value") > 95.0, "value")),
+    "q_ab_sequential" -> ((s, dir) =>
+      // always-valid mSPRT over the same hash-split experiment: peek
+      // after every day without inflating false positives
+      Eval.abSequential(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts",
+        isConv = col("event_type") === "purchase" && col("value") > 95.0)),
     "q_kaplan_meier" -> ((s, dir) =>
       // product-limit survival of time-to-first-high-value-purchase,
       // right-censored at each user's last observed event

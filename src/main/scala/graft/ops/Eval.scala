@@ -155,6 +155,66 @@ object Eval {
       .drop("__mc", "__mt", "__vc", "__vt")
   }
 
+  /** Always-valid sequential A/B readout (one row per day): the
+    * normal-mixture SPRT (mSPRT — Johari et al. 2017, "Peeking at A/B
+    * tests") over cumulative two-proportion counts. Unlike the fixed-n
+    * z-test in [[abTest]], the always-valid p may be inspected after
+    * EVERY day without inflating false positives: per day t,
+    * Λ_t = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²))) with θ̂ the cumulative
+    * rate difference and V its pooled variance; p_t = running min of
+    * 1/Λ_t (capped at 1). τ is the mixture scale — the prior spread of
+    * plausible effects; the test is valid for any τ, merely most
+    * powerful near the true effect size.
+    *
+    * Plan: one daily keyed aggregation over the corpus, then cumulative
+    * windows + the closed form over the BOUNDED day table (the
+    * forecast/cusum global-window class).
+    */
+  def abSequential(df: DataFrame, userCol: String, tsCol: String,
+                   isConv: Column, tau: Double = 0.1,
+                   alpha: Double = 0.05, channel: Long = 59L): DataFrame = {
+    require(tau > 0.0, s"abSequential: tau > 0 (got $tau)")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"abSequential: alpha in (0,1) (got $alpha)")
+    val tagged = df
+      .withColumn("__t", Gen.u01(col(userCol), channel) > 0.5)
+      .withColumn("__day", to_date(col(tsCol)))
+    val daily = tagged.groupBy(col("__day").as("day"))
+      .agg(
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__dnc"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__dnt"),
+        sum(when(!col("__t") && isConv, 1L).otherwise(0L)).as("__dxc"),
+        sum(when(col("__t") && isConv, 1L).otherwise(0L)).as("__dxt"))
+    val cumW = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("n_c", sum(col("__dnc")).over(cumW))
+      .withColumn("n_t", sum(col("__dnt")).over(cumW))
+      .withColumn("x_c", sum(col("__dxc")).over(cumW))
+      .withColumn("x_t", sum(col("__dxt")).over(cumW))
+    val ok = col("n_c") > 0 && col("n_t") > 0
+    val pPool = (col("x_c") + col("x_t")) /
+      (col("n_c") + col("n_t")).cast("double")
+    val theta = col("x_t") / col("n_t").cast("double") -
+      col("x_c") / col("n_c").cast("double")
+    val v = pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))
+    val t2 = lit(tau * tau)
+    val lambda = sqrt(v / (v + t2)) *
+      exp(theta * theta * t2 / (lit(2.0) * v * (v + t2)))
+    val pRaw = when(ok && v > 0, least(lit(1.0) / lambda, lit(1.0)))
+      .otherwise(lit(1.0))
+    cum
+      .withColumn("__praw", pRaw)
+      .withColumn("p_always_valid",
+        round(min(col("__praw")).over(cumW), 6))
+      .select(col("day"), col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+        round(when(ok, theta), 6).as("lift"),
+        col("p_always_valid"),
+        (col("p_always_valid") <= alpha).as("significant"))
+      .orderBy("day")
+  }
+
   /** A/B sizing readout — the "is this experiment big enough" audit
     * published next to [[abTest]]: from the same hash assignment and
     * user-grain conversion, the two-proportion sample size required per

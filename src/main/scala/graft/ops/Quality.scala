@@ -344,6 +344,86 @@ object Quality {
     * ONE map-side-combined aggregation; output bounded by 2^|cols|
     * patterns (declare a handful of columns, not hundreds — enforced).
     */
+  /** Deequ-style constraint SUGGESTION: profile the declared columns in
+    * ONE aggregation pass and emit the expectations the data currently
+    * satisfies — `not_null` (zero nulls), `unique` (distinct == rows),
+    * `between` (numeric observed range), `in_set` (full domain when it is
+    * at most `maxDomain` values). The bootstrap step of the quality loop:
+    * run on a healthy snapshot, review, register the survivors as Q1–Q5
+    * expectations.
+    *
+    * `enumCandidates` must be CALLER-DECLARED low-cardinality columns:
+    * domain collection is a `collect_set` in the aggregation buffer,
+    * which on an unbounded-cardinality column is an executor-memory
+    * hazard at 100 TB — the declared list plus the `slice` cap bounds it;
+    * the in_set row is withheld when the true distinct count exceeds
+    * `maxDomain` anyway.
+    *
+    * Output: one row per (column, constraint) with typed evidence
+    * columns (never numbers formatted into strings — engine float
+    * formatting differs; the oracle compares typed values).
+    */
+  def suggestConstraints(df: DataFrame, numericCols: Seq[String],
+                         enumCandidates: Seq[String],
+                         maxDomain: Int = 20): DataFrame = {
+    require(numericCols.nonEmpty || enumCandidates.nonEmpty,
+      "suggestConstraints: declare at least one column")
+    require(maxDomain >= 2 && maxDomain <= 10000,
+      s"suggestConstraints: maxDomain in [2, 10000] (got $maxDomain)")
+    val all = (numericCols ++ enumCandidates).distinct
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      all.flatMap { c =>
+        Seq(count(col(c)).as(s"__nn_$c"),
+          count_distinct(col(c)).as(s"__nd_$c"))
+      } ++
+      numericCols.flatMap { c =>
+        Seq(min(col(c).cast("double")).as(s"__lo_$c"),
+          max(col(c).cast("double")).as(s"__hi_$c"))
+      } ++
+      enumCandidates.map { c =>
+        array_join(slice(array_sort(collect_set(col(c).cast("string"))),
+          1, maxDomain + 1), "|").as(s"__dom_$c")
+      }
+    val prof = df.agg(aggs.head, aggs.tail: _*)
+    def row(c: String, constraint: String, applicable: Column,
+            lo: Column, hi: Column, dom: Column) =
+      struct(lit(c).as("column"), lit(constraint).as("constraint"),
+        applicable.as("applicable"),
+        (col("__n") - col(s"__nn_$c")).cast("long").as("n_nulls"),
+        col(s"__nd_$c").cast("long").as("n_distinct"),
+        lo.as("lo"), hi.as("hi"), dom.as("domain"))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val rows =
+      all.map { c =>
+        row(c, "not_null", col(s"__nn_$c") === col("__n"),
+          nullD, nullD, nullS)
+      } ++
+      all.map { c =>
+        row(c, "unique",
+          col(s"__nd_$c") === col("__n") && col(s"__nn_$c") === col("__n"),
+          nullD, nullD, nullS)
+      } ++
+      numericCols.map { c =>
+        row(c, "between", lit(true),
+          round(col(s"__lo_$c"), 6), round(col(s"__hi_$c"), 6), nullS)
+      } ++
+      enumCandidates.map { c =>
+        row(c, "in_set",
+          col(s"__nd_$c") <= maxDomain && col(s"__nd_$c") > 1,
+          nullD, nullD, col(s"__dom_$c"))
+      }
+    prof.select(explode(array(rows: _*)).as("r"))
+      .filter(col("r.applicable"))
+      .select(col("r.column").as("column"),
+        col("r.constraint").as("constraint"),
+        col("r.n_nulls").as("n_nulls"),
+        col("r.n_distinct").as("n_distinct"),
+        col("r.lo").as("lo"), col("r.hi").as("hi"),
+        col("r.domain").as("domain"))
+      .orderBy("column", "constraint")
+  }
+
   def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.size <= 16,
       s"nullPatterns: 1..16 columns (got ${cols.size})")

@@ -226,4 +226,35 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getAs[String]("status")).toMap
     assert(back == Map(2 -> "changed", 3 -> "removed"))
   }
+
+  test("suggestConstraints: nullable col loses not_null, unique id keeps " +
+      "unique, enum domain sorted, wide domain withheld") {
+    val df = Seq(
+      (1L, Some(10.0), "b", "x1"),
+      (2L, Some(20.0), "a", "x2"),
+      (3L, None, "b", "x3"),
+      (4L, Some(20.0), "c", "x4")
+    ).toDF("id", "v", "cat", "wide")
+    val out = Quality.suggestConstraints(df,
+        numericCols = Seq("id", "v"), enumCandidates = Seq("cat", "wide"),
+        maxDomain = 3)
+      .collect()
+      .map(r => (r.getAs[String]("column"), r.getAs[String]("constraint"))
+        -> r).toMap
+    // id: not_null + unique + between [1, 4]
+    assert(out.contains(("id", "not_null")) && out.contains(("id", "unique")))
+    assert(out(("id", "between")).getAs[Double]("lo") == 1.0 &&
+      out(("id", "between")).getAs[Double]("hi") == 4.0)
+    // v has a null -> no not_null, no unique; between over observed range
+    assert(!out.contains(("v", "not_null")) && !out.contains(("v", "unique")))
+    assert(out(("v", "between")).getAs[Long]("n_nulls") == 1L)
+    // cat: in_set with the SORTED domain
+    assert(out(("cat", "in_set")).getAs[String]("domain") == "a|b|c")
+    // wide: 4 distinct > maxDomain=3 -> in_set withheld (unique kept)
+    assert(!out.contains(("wide", "in_set")))
+    assert(out.contains(("wide", "unique")))
+    intercept[IllegalArgumentException] {
+      Quality.suggestConstraints(df, Seq.empty, Seq.empty)
+    }
+  }
 }
