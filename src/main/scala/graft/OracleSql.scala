@@ -1632,6 +1632,22 @@ object OracleSql {
 
     // cluster resolution: Spark's iterative min-label propagation vs a
     // DuckDB recursive-CTE transitive closure over the SAME pair list
+    // cluster-aware split: same closure, split hashed on the component
+    // (singletons key on their own id), splitAssign thresholds
+    "x_cluster_split" -> (clusterReachCte + s"""
+      , comp AS (
+        SELECT id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY id),
+      lab AS (
+        SELECT dd.doc_id,
+               COALESCE(comp.component, dd.doc_id) AS component
+        FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.id)
+      SELECT doc_id, component,
+             CASE WHEN ${uk("component", 83)} <= 0.8 THEN 'train'
+                  WHEN ${uk("component", 83)} <= 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM lab ORDER BY doc_id"""),
+
     "x_dedup_clusters" -> dedupClustersOracle,
     // same recursive-CTE transitive closure checks BOTH distributed CC
     // algorithms (min-label propagation and large-star/small-star)

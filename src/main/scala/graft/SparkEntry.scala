@@ -1000,6 +1000,15 @@ object SparkEntry {
           concat(substring(t, lit(1), n - 2), least(c1, c2), greatest(c1, c2))
         })
     }),
+    "x_cluster_split" -> ((s, dir) =>
+      // leakage-free split: hash the near-dup CLUSTER id so a document
+      // and its near-copies can never straddle train/test
+      Sampling.clusterAwareSplit(
+        Tables.documents(s, dir), "doc_id",
+        Dedup.jaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 60),
+          "doc_id", "text", 3, 0.02, maxDf = 30).select("id_a", "id_b"),
+        Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))),
     "x_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(
         Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 60),

@@ -48,6 +48,31 @@ object Sampling {
       })
   }
 
+  /** Leakage-free near-dup-aware split: hash the CLUSTER id, not the
+    * document id, so every member of a near-dup cluster lands in the SAME
+    * split. The plain [[splitAssign]] on document ids leaks: two near-
+    * identical documents split across train/test let the model score its
+    * own training text — the contamination a held-out set exists to
+    * prevent. Components come from the caller's near-dup pair list
+    * ([[Dedup.connectedComponents]] — tiny next to the corpus); singletons
+    * key on their own id, which IS their cluster id under min-id
+    * canonicalization, so clustered and unclustered docs share one
+    * unbiased hash stream.
+    */
+  def clusterAwareSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        splits: Seq[(String, Double)],
+                        channel: Long = 83L): DataFrame = {
+    val comp = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val lab = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol)).cast("long"))
+    splitAssign(lab, "component", splits, channel)
+      .select(col(idCol), col("component"), col("split"))
+      .orderBy(idCol)
+  }
+
   /** Purged temporal split (the de Prado time-series protocol): rows at or
     * before `cutoff` train; rows inside the embargo window after it are
     * QUARANTINED rather than tested — features computed over trailing

@@ -580,4 +580,32 @@ class SamplingSpec extends SparkSpec {
         budgetFraction = 0.5, epochCap = 1.0).collect()
     }
   }
+
+  test("clusterAwareSplit: every near-dup cluster lands in ONE split; " +
+      "singletons still hash independently; id-hash split straddles") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // clusters {1..40} chained pairwise, plus {100, 101}
+    val pairs = (1L until 40L).map(i => (i, i + 1)) :+ ((100L, 101L))
+    val pairsDf = pairs.toDF("id_a", "id_b")
+    val splits = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
+    val out = Sampling.clusterAwareSplit(docs, "doc_id", pairsDf, splits)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[String]("split")))
+    assert(out.length == 200)
+    // co-location: one split per component
+    val perComp = out.groupBy(_._2).values
+    assert(perComp.forall(_.map(_._3).distinct.length == 1))
+    // the 40-doc chain is one component rooted at min id 1
+    assert(out.filter(_._1 <= 40).forall(_._2 == 1L))
+    // singletons use their own id as component
+    assert(out.find(_._1 == 150L).get._2 == 150L)
+    // all three splits occur over 161 surviving hash keys
+    assert(out.map(_._3).distinct.toSet == Set("train", "val", "test"))
+    // contrast: the naive id-keyed split DOES straddle the big cluster
+    val naive = Sampling.splitAssign(docs.filter($"doc_id" <= 40),
+        "doc_id", splits)
+      .select("split").distinct().count()
+    assert(naive > 1)
+  }
 }
