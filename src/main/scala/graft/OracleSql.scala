@@ -1630,6 +1630,69 @@ object OracleSql {
       WHERE levenshtein(l.name, r.name) <= 2
       ORDER BY id_a, id_b""",
 
+    // survivorship on top of the entity-resolution pairs: recursive
+    // closure, then most-frequent (ties to smallest) name/nationkey and
+    // max balance per entity
+    "x_golden_record" -> """
+      WITH RECURSIVE c AS (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+               c_nationkey AS nationkey
+        FROM customer WHERE c_custkey < 200),
+      v AS (
+        SELECT id + 100000 AS id,
+               substr(name, 1, length(name)-2)
+                 || substr(name, length(name), 1)
+                 || substr(name, length(name)-1, 1) AS name,
+               acctbal + 0.005 AS acctbal, nationkey
+        FROM c),
+      u AS (SELECT * FROM c UNION ALL SELECT * FROM v),
+      n AS (SELECT id, name,
+                   substr(lower(trim(name)), 1, length(lower(trim(name))) - 2)
+                     || least(substr(lower(trim(name)),
+                                length(lower(trim(name))) - 1, 1),
+                              substr(lower(trim(name)),
+                                length(lower(trim(name))), 1))
+                     || greatest(substr(lower(trim(name)),
+                                   length(lower(trim(name))) - 1, 1),
+                                 substr(lower(trim(name)),
+                                   length(lower(trim(name))), 1)) AS blk,
+                   length(name) AS len
+            FROM u),
+      p AS (SELECT l.id AS id_a, r.id AS id_b
+            FROM n l JOIN n r
+              ON l.blk = r.blk AND abs(l.len - r.len) <= 2 AND l.id < r.id
+            WHERE levenshtein(l.name, r.name) <= 2),
+      nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+      comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+               FROM reach GROUP BY id),
+      lab AS (SELECT u.*, COALESCE(comp.component, u.id) AS entity_id
+              FROM u LEFT JOIN comp ON u.id = comp.id),
+      ne AS (SELECT entity_id, name, count(*) AS cnt
+             FROM lab GROUP BY 1, 2),
+      nw AS (SELECT entity_id, name AS canonical_name FROM (
+               SELECT *, row_number() OVER (PARTITION BY entity_id
+                 ORDER BY cnt DESC, name ASC) AS rn FROM ne)
+             WHERE rn = 1),
+      ke AS (SELECT entity_id, nationkey, count(*) AS cnt
+             FROM lab GROUP BY 1, 2),
+      kw AS (SELECT entity_id, nationkey AS canonical_nationkey FROM (
+               SELECT *, row_number() OVER (PARTITION BY entity_id
+                 ORDER BY cnt DESC, nationkey ASC) AS rn FROM ke)
+             WHERE rn = 1),
+      agg AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+                     round(max(acctbal), 6) AS max_acctbal
+              FROM lab GROUP BY 1)
+      SELECT a.entity_id, a.n_records, a.max_acctbal,
+             nw.canonical_name, kw.canonical_nationkey
+      FROM agg a JOIN nw USING (entity_id) JOIN kw USING (entity_id)
+      ORDER BY a.entity_id""",
+
     // cluster resolution: Spark's iterative min-label propagation vs a
     // DuckDB recursive-CTE transitive closure over the SAME pair list
     // cluster-aware split: same closure, split hashed on the component

@@ -971,6 +971,33 @@ object SparkEntry {
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
         "doc_id", "text", 3, 0.02, maxDf = 30)),
+    "x_golden_record" -> ((s, dir) => {
+      // survivorship after entity resolution: most-frequent name (ties
+      // to smallest), max balance, per matched cluster; variants carry a
+      // cent-drifted balance so the max rule visibly elects
+      val c = Tables.customer(s, dir).filter(col("c_custkey") < 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), col("c_nationkey").as("nationkey"))
+      val variants = c.select((col("id") + 100000).as("id"),
+        concat(
+          substring(col("name"), lit(1), length(col("name")) - 2),
+          substring(col("name"), length(col("name")), lit(1)),
+          substring(col("name"), length(col("name")) - 1, lit(1)))
+          .as("name"),
+        (col("acctbal") + 0.005).as("acctbal"), col("nationkey"))
+      val u = c.unionByName(variants)
+      val pairs = Dedup.fuzzyPairsKeyed(u, "id", "name",
+        maxDistance = 2, blockKey = { s =>
+          val t = lower(trim(s))
+          val n = length(t)
+          val c1 = substring(t, n - 1, lit(1))
+          val c2 = substring(t, n, lit(1))
+          concat(substring(t, lit(1), n - 2), least(c1, c2),
+            greatest(c1, c2))
+        }).select("id_a", "id_b")
+      Dedup.goldenRecord(u, "id", pairs,
+        freqElect = Seq("name", "nationkey"), maxElect = Seq("acctbal"))
+    }),
     "x_containment_pairs" -> ((s, dir) =>
       // asymmetric near-dup: |∩|/min(|A|,|B|) catches a short doc quoted
       // wholesale inside a long one, which symmetric Jaccard scores ~0

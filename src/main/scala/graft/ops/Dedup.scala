@@ -629,6 +629,47 @@ object Dedup {
       .withColumn("is_canonical", col("id") === col("component"))
       .orderBy("id")
 
+  /** Survivorship / golden-record election — the MDM step AFTER entity
+    * resolution: fold every matched cluster to ONE canonical record.
+    * `freqElect` columns take the cluster's most frequent value (ties to
+    * the smallest value — deterministic in both engines); `maxElect`
+    * columns take the maximum (the "freshest/fullest wins" rule for
+    * balances, timestamps, completeness scores). Unmatched records are
+    * their own entity (the retention/split singleton contract).
+    *
+    * Scale shape: components from the pair list only; one keyed count per
+    * frequency-elected column (bounded by cluster sizes), windows
+    * partition per entity, the final fold is one aggregation per entity.
+    */
+  def goldenRecord(records: DataFrame, idCol: String, pairs: DataFrame,
+                   freqElect: Seq[String], maxElect: Seq[String]): DataFrame = {
+    require(freqElect.nonEmpty || maxElect.nonEmpty,
+      "goldenRecord: elect at least one column")
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val lab = records
+      .join(comp, Seq(idCol), "left")
+      .withColumn("entity_id",
+        coalesce(col("component"), col(idCol)).cast("long"))
+      .localCheckpoint(eager = false) // consumed once per elected column
+    val baseAggs = count(lit(1)).cast("long").as("n_records") +:
+      maxElect.map(c => round(max(col(c)), 6).as(s"max_$c"))
+    val base = lab.groupBy(col("entity_id"))
+      .agg(baseAggs.head, baseAggs.tail: _*)
+    val elected = freqElect.map { c =>
+      val cnt = lab.groupBy(col("entity_id"), col(c))
+        .agg(count(lit(1)).as("__cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"))
+        .orderBy(col("__cnt").desc, col(c).asc)
+      cnt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("entity_id"), col(c).as(s"canonical_$c"))
+    }
+    elected.foldLeft(base)((acc, e) => acc.join(e, Seq("entity_id")))
+      .orderBy("entity_id")
+  }
+
   /** Corpus dedup RETENTION — the end product a dedup pipeline actually
     * ships: for every document (near-dups AND singletons), its cluster id
     * and a keep/drop decision that retains the single best-quality member

@@ -61,6 +61,37 @@ class DedupSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("goldenRecord: frequency election with smallest-value ties, max " +
+      "rule, singleton passthrough") {
+    val recs = Seq(
+      (1L, "anna", 10.0, 7), (2L, "annb", 12.0, 7), (3L, "anna", 5.0, 9),
+      (9L, "solo", 3.0, 2)
+    ).toDF("id", "name", "acctbal", "nationkey")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.goldenRecord(recs, "id", pairs,
+        freqElect = Seq("name", "nationkey"), maxElect = Seq("acctbal"))
+      .collect().map(r => r.getAs[Long]("entity_id") -> r).toMap
+    val e1 = out(1L)
+    assert(e1.getAs[Long]("n_records") == 3L)
+    assert(e1.getAs[String]("canonical_name") == "anna")  // 2 beats 1
+    assert(e1.getAs[Int]("canonical_nationkey") == 7)     // 2 beats 1
+    assert(e1.getAs[Double]("max_acctbal") == 12.0)
+    val solo = out(9L)
+    assert(solo.getAs[Long]("n_records") == 1L &&
+      solo.getAs[String]("canonical_name") == "solo")
+    // tie election: equal counts -> smallest value
+    val tied = Dedup.goldenRecord(
+      Seq((1L, "zz", 1.0, 1), (2L, "aa", 1.0, 1)).toDF(
+        "id", "name", "acctbal", "nationkey"),
+      "id", Seq((1L, 2L)).toDF("id_a", "id_b"),
+      freqElect = Seq("name"), maxElect = Seq("acctbal"))
+      .collect().head
+    assert(tied.getAs[String]("canonical_name") == "aa")
+    intercept[IllegalArgumentException] {
+      Dedup.goldenRecord(recs, "id", pairs, Seq.empty, Seq.empty)
+    }
+  }
+
   test("minhash signatures of identical-normalized docs are identical") {
     val sig = Dedup.minHashSignatures(
       docs.withColumn("text", org.apache.spark.sql.functions.lower($"text")),
