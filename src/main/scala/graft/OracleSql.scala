@@ -4941,6 +4941,30 @@ object OracleSql {
                AS INT) AS pred
       FROM e, w3 w ORDER BY vec_id"""),
 
+    // confident-learning label-noise screen: class-conditional mean-prob
+    // thresholds over the same lr pipeline, comparisons on rounded probs
+    "x_label_noise" -> (lrCtes + """
+      , scored AS (
+        SELECT e.id AS vec_id, e.y,
+               round(1.0 / (1.0 + exp(-list_inner_product(w.w, e.x))), 6)
+                 AS prob
+        FROM e, w3 w),
+      th AS (
+        SELECT round(avg(CASE WHEN y = 1 THEN prob END), 6) AS t1,
+               round(avg(CASE WHEN y = 0 THEN prob END), 6) AS t0
+        FROM scored),
+      flagged AS (
+        SELECT s.vec_id, s.y, s.prob,
+               CASE WHEN s.y = 0 AND s.prob >= th.t1 THEN 1
+                    WHEN s.y = 1 AND s.prob <= th.t0 THEN 0 END
+                 AS suspected_label
+        FROM scored s, th)
+      SELECT vec_id, y, prob, suspected_label,
+             round(CASE WHEN y = 1 THEN 1.0 - prob ELSE prob END, 6)
+               AS noise_score
+      FROM flagged WHERE suspected_label IS NOT NULL
+      ORDER BY noise_score DESC, vec_id"""),
+
     // exact water-filling replay: price-ordered prefix sums, the unique
     // valid capped-prefix candidate (p_j <= c_j < p_{j+1}), the j=0 and
     // all-capped edges split out exactly as Sampling.mixtureWaterfill

@@ -2376,6 +2376,28 @@ object SparkEntry {
       // trainer as pure dataflow, superstep-replayed by the oracle
       Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("label") >= 5, eta = 0.5, iterations = 3)),
+    "x_label_noise" -> ((s, dir) => {
+      // confident-learning screen (Northcutt's class-conditional
+      // thresholds): a row is a label-error candidate when its predicted
+      // prob crosses the MEAN prob of the opposite class — flags the
+      // examples the trained scorer is confident were mislabeled
+      val scored = Learn.logisticGD(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") >= 5, eta = 0.5, iterations = 3)
+      val th = scored.agg(
+        round(avg(when(col("y") === 1, col("prob"))), 6).as("t1"),
+        round(avg(when(col("y") === 0, col("prob"))), 6).as("t0"))
+      scored.crossJoin(broadcast(th))
+        .withColumn("suspected_label",
+          when(col("y") === 0 && col("prob") >= col("t1"), 1)
+            .when(col("y") === 1 && col("prob") <= col("t0"), 0))
+        .filter(col("suspected_label").isNotNull)
+        .withColumn("noise_score",
+          round(when(col("y") === 1, lit(1.0) - col("prob"))
+            .otherwise(col("prob")), 6))
+        .select(col("vec_id"), col("y"), col("prob"),
+          col("suspected_label"), col("noise_score"))
+        .orderBy(col("noise_score").desc, col("vec_id"))
+    }),
     "x_mixture_waterfill" -> ((s, dir) =>
       // epoch-capped token-budget mixture planning: target weights
       // ∝ source index + 1, budget 1.2× total supply, 2-epoch cap —
