@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // opt-in nested-loop lint (spark.graft.planGuard.enabled) — see
+    // graft.plans.PlanGuardRule
+    e.injectQueryStagePrepRule(graft.plans.PlanGuardRule(_))
   }
 }
 
