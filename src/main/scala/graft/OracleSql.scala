@@ -3749,6 +3749,83 @@ object OracleSql {
 
     // product-limit estimate over whole-hour durations; the zero-factor
     // flag pins survival to exact 0 instead of routing through ln(0)
+    // Nelson-Aalen: same survival table, cumulative d/n and d/n^2 sums
+    "q_nelson_aalen" -> """
+      WITH k AS (SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' AND value > 95.0
+                        THEN ts END) AS te,
+               max(ts) AS tl
+            FROM events GROUP BY user_id),
+      d AS (SELECT te IS NOT NULL AS obs,
+               CAST(floor((epoch_us(coalesce(te, tl)) - epoch_us(t0))
+                 / 3600000000.0) AS BIGINT) AS t_hours
+            FROM k),
+      p AS (SELECT t_hours,
+               CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_censored
+            FROM d GROUP BY t_hours),
+      r AS (SELECT *,
+               sum(n_events + n_censored) OVER ()
+                 - coalesce(sum(n_events + n_censored) OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+            FROM p),
+      h AS (SELECT *,
+               sum(n_events / CAST(n_risk AS DOUBLE))
+                 OVER (ORDER BY t_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ch,
+               sum(n_events / CAST(n_risk * n_risk AS DOUBLE))
+                 OVER (ORDER BY t_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS hv
+            FROM r)
+      SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+             n_censored, round(ch, 6) AS cum_hazard,
+             round(hv, 6) AS hazard_var
+      FROM h WHERE n_events > 0 ORDER BY t_hours""",
+
+    // RFM grid: tercile cuts from 1-row quantile fold, reversed recency,
+    // <=27 segment cells; metrics and cuts rounded before comparison
+    "q_rfm_segmentation" -> """
+      WITH p AS (SELECT user_id, ts, value FROM events
+                 WHERE event_type = 'purchase'),
+      a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM p),
+      per AS (SELECT user_id,
+                CAST(date_diff('day', max(CAST(ts AS DATE)),
+                  (SELECT anchor FROM a)) AS BIGINT) AS recency_days,
+                CAST(count(*) AS BIGINT) AS frequency,
+                round(sum(value), 6) AS monetary
+              FROM p GROUP BY user_id),
+      c AS (SELECT
+              round(quantile_cont(CAST(recency_days AS DOUBLE), 1.0/3), 6)
+                AS r1,
+              round(quantile_cont(CAST(recency_days AS DOUBLE), 2.0/3), 6)
+                AS r2,
+              round(quantile_cont(CAST(frequency AS DOUBLE), 1.0/3), 6)
+                AS f1,
+              round(quantile_cont(CAST(frequency AS DOUBLE), 2.0/3), 6)
+                AS f2,
+              round(quantile_cont(monetary, 1.0/3), 6) AS m1,
+              round(quantile_cont(monetary, 2.0/3), 6) AS m2
+            FROM per),
+      sc AS (SELECT per.*,
+               CASE WHEN recency_days <= c.r1 THEN 3
+                    WHEN recency_days <= c.r2 THEN 2 ELSE 1 END AS rs,
+               CASE WHEN frequency <= c.f1 THEN 1
+                    WHEN frequency <= c.f2 THEN 2 ELSE 3 END AS fs,
+               CASE WHEN monetary <= c.m1 THEN 1
+                    WHEN monetary <= c.m2 THEN 2 ELSE 3 END AS ms
+             FROM per, c)
+      SELECT rs * 100 + fs * 10 + ms AS segment,
+             CAST(count(*) AS BIGINT) AS n_users,
+             round(avg(recency_days), 6) AS avg_recency_days,
+             round(avg(frequency), 6) AS avg_frequency,
+             round(sum(monetary), 6) AS total_monetary
+      FROM sc GROUP BY 1 ORDER BY segment""",
+
     "q_kaplan_meier" -> """
       WITH k AS (SELECT user_id, min(ts) AS t0,
                min(CASE WHEN event_type = 'purchase' AND value > 95.0

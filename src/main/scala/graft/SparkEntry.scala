@@ -2044,6 +2044,23 @@ object SparkEntry {
             col("value")),
         "user_id", "ts",
         isConv = col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_nelson_aalen" -> ((s, dir) =>
+      // the hazard-scale twin of Kaplan-Meier: cumulative hazard + its
+      // variance over the same time-to-first-event table
+      Eval.nelsonAalen(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_rfm_segmentation" -> ((s, dir) =>
+      // the customer-value grid: tercile-scored recency/frequency/
+      // monetary, folded to <=27 segment cells
+      Eval.rfmSegments(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts", col("event_type") === "purchase", "value")),
     "q_kaplan_meier" -> ((s, dir) =>
       // product-limit survival of time-to-first-high-value-purchase,
       // right-censored at each user's last observed event

@@ -278,6 +278,31 @@ object Eval {
     */
   def kaplanMeier(df: DataFrame, keyCol: String, tsCol: String,
                   isEvent: Column): DataFrame = {
+    val upTo = Window.partitionBy().orderBy(col("t_hours"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRisk = survivalRiskTable(df, keyCol, tsCol, isEvent)
+      .withColumn("__f",
+        lit(1.0) - col("n_events") / col("n_risk").cast("double"))
+    withRisk
+      .withColumn("__hitZero", max((col("__f") === 0.0).cast("int")).over(upTo))
+      .withColumn("survival",
+        when(col("__hitZero") === 1, lit(0.0)).otherwise(
+          round(exp(sum(when(col("__f") > 0, log(col("__f")))
+            .otherwise(lit(0.0))).over(upTo)), 6)))
+      .filter(col("n_events") > 0)
+      .select(col("t_hours"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+      .orderBy("t_hours")
+  }
+
+  /** The shared duration/risk-set derivation behind [[kaplanMeier]] and
+    * [[nelsonAalen]]: per key, first observation starts the clock, first
+    * event observes, last observation censors; durations floored to whole
+    * hours; one row per duration with event/censor counts and the risk
+    * set n_risk = total − everyone who left strictly earlier.
+    */
+  private def survivalRiskTable(df: DataFrame, keyCol: String,
+                                tsCol: String, isEvent: Column): DataFrame = {
     val perKey = df
       .groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__t0"),
@@ -294,25 +319,86 @@ object Eval {
     val whole = Window.partitionBy()
     val before = Window.partitionBy().orderBy(col("t_hours"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val upTo = Window.partitionBy().orderBy(col("t_hours"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val withRisk = perT
+    perT
       .withColumn("n_risk",
         sum(col("n_events") + col("n_censored")).over(whole) -
           coalesce(sum(col("n_events") + col("n_censored")).over(before),
             lit(0L)))
-      .withColumn("__f",
-        lit(1.0) - col("n_events") / col("n_risk").cast("double"))
-    withRisk
-      .withColumn("__hitZero", max((col("__f") === 0.0).cast("int")).over(upTo))
-      .withColumn("survival",
-        when(col("__hitZero") === 1, lit(0.0)).otherwise(
-          round(exp(sum(when(col("__f") > 0, log(col("__f")))
-            .otherwise(lit(0.0))).over(upTo)), 6)))
+  }
+
+  /** Nelson–Aalen cumulative hazard over the same time-to-first-event
+    * table as [[kaplanMeier]]: Ĥ(t) = Σ_{s≤t} dₛ/nₛ with the standard
+    * variance Σ dₛ/nₛ² — the hazard-scale view of the survival curve
+    * (additive where the product-limit is multiplicative, so it stays
+    * finite when a risk set empties, and its increments ARE the hazard
+    * rates a retention model fits). Same bounded plan: key-grain agg →
+    * duration-grain agg → cumulative windows over ≤ distinct-hours rows.
+    */
+  def nelsonAalen(df: DataFrame, keyCol: String, tsCol: String,
+                  isEvent: Column): DataFrame = {
+    val upTo = Window.partitionBy().orderBy(col("t_hours"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    survivalRiskTable(df, keyCol, tsCol, isEvent)
+      .withColumn("cum_hazard",
+        round(sum(col("n_events") / col("n_risk").cast("double"))
+          .over(upTo), 6))
+      .withColumn("hazard_var",
+        round(sum(col("n_events") /
+          (col("n_risk") * col("n_risk")).cast("double")).over(upTo), 6))
       .filter(col("n_events") > 0)
       .select(col("t_hours"), col("n_risk"), col("n_events"),
-        col("n_censored"), col("survival"))
+        col("n_censored"), col("cum_hazard"), col("hazard_var"))
       .orderBy("t_hours")
+  }
+
+  /** RFM segmentation — the classic customer-value grid: per purchaser,
+    * recency (days since last purchase, against the corpus's latest
+    * purchase date), frequency (purchase count), monetary (value sum);
+    * each scored 1–3 by tercile cuts (recency REVERSED — recent is best),
+    * folded to one row per RFM cell (≤27) with size and value rollups.
+    * Segment 333 is "champions", 111 the lapsed low-value tail.
+    *
+    * Determinism: metrics and tercile cutpoints are rounded at 6 before
+    * comparison, so a customer sitting exactly on a cut scores the same
+    * in both engines. Plan: one keyed aggregation, one 1-row percentile
+    * fold broadcast back, one bounded cell fold — no data-sized window
+    * anywhere (the ntile formulation would global-sort the user table).
+    */
+  def rfmSegments(df: DataFrame, userCol: String, tsCol: String,
+                  isPurchase: Column, valueCol: String): DataFrame = {
+    val p = df.filter(isPurchase)
+    val anchor = p.agg(max(to_date(col(tsCol))).as("__a"))
+    val per = p.groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).cast("long").as("frequency"),
+        round(sum(col(valueCol)), 6).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("__a"), col("__last")).cast("long"))
+    def cut(c: String, p: Double, as: String) =
+      round(percentile(col(c), lit(p)), 6).as(as)
+    val cuts = per.agg(
+      cut("recency_days", 1.0 / 3, "r1"), cut("recency_days", 2.0 / 3, "r2"),
+      cut("frequency", 1.0 / 3, "f1"), cut("frequency", 2.0 / 3, "f2"),
+      cut("monetary", 1.0 / 3, "m1"), cut("monetary", 2.0 / 3, "m2"))
+    val scored = per.crossJoin(broadcast(cuts))
+      .withColumn("r_score", // low recency = recent = best
+        when(col("recency_days") <= col("r1"), 3)
+          .when(col("recency_days") <= col("r2"), 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("frequency") <= col("f1"), 1)
+          .when(col("frequency") <= col("f2"), 2).otherwise(3))
+      .withColumn("m_score",
+        when(col("monetary") <= col("m1"), 1)
+          .when(col("monetary") <= col("m2"), 2).otherwise(3))
+    scored
+      .groupBy((col("r_score") * 100 + col("f_score") * 10 +
+        col("m_score")).as("segment"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        round(avg(col("recency_days")), 6).as("avg_recency_days"),
+        round(avg(col("frequency")), 6).as("avg_frequency"),
+        round(sum(col("monetary")), 6).as("total_monetary"))
+      .orderBy("segment")
   }
 
   /** NDCG@k of a scored ranking against binary relevance, per group —

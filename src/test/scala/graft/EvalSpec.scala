@@ -314,6 +314,44 @@ class EvalSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == 4L) // credit reconciles to convs
   }
 
+  test("nelsonAalen: hand-computed hazard increments and variance; " +
+      "censored-only durations drop") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (10L, ts("2024-01-01 01:00:00"), "buy", 100.0),  // event at t=1
+      (20L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (20L, ts("2024-01-01 02:00:00"), "view", 0.0),   // censored at t=2
+      (30L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (30L, ts("2024-01-01 01:00:00"), "buy", 100.0)   // event at t=1
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Eval.nelsonAalen(ev, "user_id", "ts",
+        col("event_type") === "buy")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    // only t=1 has events: risk set 3, d=2 -> H = 2/3, var = 2/9
+    assert(out.toSeq == Seq((1L, 3L, 2L, 0L, 0.666667, 0.222222)))
+  }
+
+  test("rfmSegments: tercile grid separates the champion / mid / lapsed " +
+      "archetypes") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    val ev = (Seq(8, 9, 10).map(d => (1L, ts(d), "purchase", 100.0)) ++
+      Seq(4, 5).map(d => (2L, ts(d), "purchase", 100.0)) ++
+      Seq((3L, ts(0), "purchase", 100.0)) ++
+      Seq((1L, ts(10), "view", 0.0))) // non-purchase noise ignored
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Eval.rfmSegments(ev, "user_id", "ts",
+        col("event_type") === "purchase", "value")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // A: recency 0 freq 3 monetary 300 -> 333; B: 5/2/200 -> 222;
+    // C: 10/1/100 -> 111
+    assert(out.keySet == Set(333, 222, 111))
+    assert(out(333) == ((333, 1L, 0.0, 3.0, 300.0)))
+    assert(out(222) == ((222, 1L, 5.0, 2.0, 200.0)))
+    assert(out(111) == ((111, 1L, 10.0, 1.0, 100.0)))
+  }
+
   test("conformal: hand-checked order statistic, tie covered, guard") {
     // train (split 0): group g mean = 10; cal (split 1): residuals 1,2,4
     // alpha=0.5 -> k = ceil(4*0.5) = 2 -> q_hat = 2nd smallest = 2.0
