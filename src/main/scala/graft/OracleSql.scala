@@ -4668,6 +4668,37 @@ object OracleSql {
       FROM d LEFT JOIN sm ON d.user_id = sm.user_id
       GROUP BY d.user_id ORDER BY d.user_id""",
 
+    // per-brand discount elasticity: BOTH axes integer (x = percent bin,
+    // y = centi-quantity mean) so every OLS sum is exact in any order
+    "q_price_elasticity" -> """
+      WITH d AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_discount * 100) AS INTEGER) AS x,
+               CAST(round(avg(l.l_quantity) * 100) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2),
+      s AS (
+        SELECT p_brand, CAST(count(x) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM d GROUP BY p_brand)
+      SELECT p_brand, n AS n_points,
+             round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+               THEN (n * sxy - sx * sy)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+             round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+               THEN (sy * sxx - sx * sxy)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+               AS intercept,
+             round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                         AND n * syy - sy * sy > 0
+               THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                    / (CAST(n * sxx - sx * sx AS DOUBLE)
+                       * (n * syy - sy * sy)) END, 6) AS r2
+      FROM s ORDER BY p_brand""",
+
     "q_trend_per_key" -> """
       WITH d AS (
         SELECT user_id,
@@ -4899,6 +4930,60 @@ object OracleSql {
              CASE WHEN pe < 1.0
                THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
       FROM r""",
+
+    // per-language P/R/F1 over the same langid joint; gold roster via
+    // left joins (never-predicted class: precision NULL, recall 0)
+    "x_langid_prf" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS INTEGER) AS score_de,
+          CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))) AS INTEGER) AS score_en,
+          CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS INTEGER) AS score_es,
+          CAST(len(list_filter(toks, t -> list_contains(['le','la','de','et','les'], t))) AS INTEGER) AS score_fr,
+          CAST(len(list_filter(toks, t -> list_contains(['de','le','shi','wo','ni'], t))) AS INTEGER) AS score_zh
+        FROM d),
+      p AS (
+        SELECT lang AS g, CASE
+          WHEN score_de >= score_en AND score_de >= score_es
+           AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+          WHEN score_en >= score_de AND score_en >= score_es
+           AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+          WHEN score_es >= score_de AND score_es >= score_en
+           AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+          WHEN score_fr >= score_de AND score_fr >= score_en
+           AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+          ELSE 'zh' END AS pr
+        FROM s WHERE lang IS NOT NULL),
+      joint AS (SELECT g, pr, count(*) AS n FROM p GROUP BY g, pr),
+      goldn AS (SELECT g AS clazz, CAST(sum(n) AS BIGINT) AS support
+                FROM joint GROUP BY g),
+      predn AS (SELECT pr AS clazz, CAST(sum(n) AS BIGINT) AS pred_n
+                FROM joint GROUP BY pr),
+      tp AS (SELECT g AS clazz, CAST(n AS BIGINT) AS tp FROM joint
+             WHERE g = pr)
+      SELECT gn.clazz, gn.support, coalesce(tp.tp, 0) AS tp,
+             coalesce(pn.pred_n, 0) AS pred_n,
+             round(CASE WHEN pn.pred_n > 0
+               THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / pn.pred_n END, 6)
+               AS precision,
+             round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / gn.support, 6)
+               AS recall,
+             round(CASE WHEN pn.pred_n > 0 AND
+                 CAST(coalesce(tp.tp, 0) AS DOUBLE) / pn.pred_n
+                 + CAST(coalesce(tp.tp, 0) AS DOUBLE) / gn.support > 0
+               THEN 2.0 * (CAST(coalesce(tp.tp, 0) AS DOUBLE) / pn.pred_n)
+                 * (CAST(coalesce(tp.tp, 0) AS DOUBLE) / gn.support)
+                 / (CAST(coalesce(tp.tp, 0) AS DOUBLE) / pn.pred_n
+                    + CAST(coalesce(tp.tp, 0) AS DOUBLE) / gn.support)
+               END, 6) AS f1
+      FROM goldn gn
+      LEFT JOIN tp ON gn.clazz = tp.clazz
+      LEFT JOIN predn pn ON gn.clazz = pn.clazz
+      ORDER BY gn.clazz""",
 
     "x_bpe_fertility" -> bpeSql(s"""
       SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1198,6 +1198,16 @@ object SparkEntry {
         pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
         "predicted_lang", "lang")
     }),
+    "x_langid_prf" -> ((s, dir) => {
+      // the class-level complement of the kappa number: per-language
+      // precision/recall/F1 — shows WHICH language the heuristic misses
+      val docs = Tables.documents(s, dir)
+      val pred = TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      Eval.classificationReport(
+        pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        goldCol = "lang", predCol = "predicted_lang")
+    }),
     "x_bpe_fertility" -> ((s, dir) => {
       // tokenizer fairness: per-language fertility under the trained
       // merges — the multilingual-equity readout (a vocab fitted on one
@@ -2332,6 +2342,21 @@ object SparkEntry {
         Tables.events(s, dir).filter(col("event_type") === "purchase")
           .select(col("event_id"), col("value")),
         "event_id", "value", reps = 200)),
+    "q_price_elasticity" -> ((s, dir) => {
+      // demand response per brand: OLS of mean quantity on the discount
+      // level. BOTH axes integer — x = discount percent bin, y = mean
+      // quantity in CENTI-units (quantities are integral, so the mean is
+      // an exact int/int division and round(·100) is engine-identical;
+      // integer y makes every OLS sum exact in any order, where
+      // 6-decimal-rounded doubles left one brand's slope on a rounding
+      // boundary). Slope unit: centi-quantity per discount point.
+      val li = Tables.lineitem(s, dir).join(Tables.part(s, dir),
+        col("l_partkey") === col("p_partkey"))
+      val lvl = li.groupBy(col("p_brand"),
+          round(col("l_discount") * 100).cast("int").as("x"))
+        .agg(round(avg(col("l_quantity")) * 100).cast("long").as("y"))
+      Stats.trendPerKey(lvl, "p_brand", "x", "y")
+    }),
     "q_theilsen_trend" -> ((s, dir) => {
       // the robust twin of q_trend_per_key: median pairwise slope +
       // median residual intercept, outlier-immune where OLS chases one

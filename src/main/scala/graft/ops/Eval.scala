@@ -351,6 +351,43 @@ object Eval {
       .orderBy("t_hours")
   }
 
+  /** Per-class precision / recall / F1 from a (gold, predicted) pair
+    * column — the class-level complement of [[cohensKappa]]'s single
+    * agreement number (kappa can look healthy while one minority class
+    * is never predicted; this table shows exactly which). Classes are
+    * the GOLD roster (left joins — a class never predicted reports
+    * precision NULL, recall 0); support = gold count.
+    *
+    * One shuffled aggregation on the bounded (gold, pred) joint; every
+    * later fold runs over that |classes|²-row table.
+    */
+  def classificationReport(df: DataFrame, goldCol: String,
+                           predCol: String): DataFrame = {
+    val joint = df
+      .filter(col(goldCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val goldN = joint.groupBy(col("__g").as("clazz"))
+      .agg(sum(col("__n")).cast("long").as("support"))
+    val predN = joint.groupBy(col("__p").as("clazz"))
+      .agg(sum(col("__n")).cast("long").as("__pred_n"))
+    val tp = joint.filter(col("__g") === col("__p"))
+      .select(col("__g").as("clazz"), col("__n").cast("long").as("__tp"))
+    val p = col("__tp").cast("double") / col("__pred_n")
+    val r = col("__tp").cast("double") / col("support")
+    goldN
+      .join(tp, Seq("clazz"), "left")
+      .join(predN, Seq("clazz"), "left")
+      .withColumn("__tp", coalesce(col("__tp"), lit(0L)))
+      .select(col("clazz"), col("support"), col("__tp").as("tp"),
+        coalesce(col("__pred_n"), lit(0L)).as("pred_n"),
+        round(when(col("__pred_n") > 0, p), 6).as("precision"),
+        round(r, 6).as("recall"),
+        round(when(col("__pred_n") > 0 && p + r > 0,
+          lit(2.0) * p * r / (p + r)), 6).as("f1"))
+      .orderBy("clazz")
+  }
+
   /** RFM segmentation — the classic customer-value grid: per purchaser,
     * recency (days since last purchase, against the corpus's latest
     * purchase date), frequency (purchase count), monetary (value sum);

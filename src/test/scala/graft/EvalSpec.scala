@@ -314,6 +314,29 @@ class EvalSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == 4L) // credit reconciles to convs
   }
 
+  test("classificationReport: per-class P/R/F1, never-predicted class " +
+      "reports NULL precision and zero recall") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),   // a: support 3, tp 2
+      ("b", "b"), ("b", "a"),               // b: support 2, tp 1
+      ("c", "a")                            // c: never predicted
+    ).toDF("gold", "pred")
+    val out = Eval.classificationReport(df, "gold", "pred")
+      .collect().map(r => r.getAs[String]("clazz") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("support") == 3L && a.getAs[Long]("tp") == 2L)
+    assert(a.getAs[Long]("pred_n") == 4L) // predicted a for 4 rows
+    assert(a.getAs[Double]("precision") == 0.5)
+    assert(a.getAs[Double]("recall") == 0.666667)
+    val b = out("b")
+    assert(b.getAs[Double]("precision") == 0.5 &&
+      b.getAs[Double]("recall") == 0.5 && b.getAs[Double]("f1") == 0.5)
+    val c = out("c")
+    assert(c.isNullAt(c.fieldIndex("precision")))
+    assert(c.getAs[Double]("recall") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("f1")))
+  }
+
   test("nelsonAalen: hand-computed hazard increments and variance; " +
       "censored-only durations drop") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
