@@ -152,6 +152,72 @@ object Native {
     override def prettyName: String = "cosine_similarity"
   }
 
+  /** Banded (Ukkonen) Levenshtein: the edit distance IF it is ≤ `k`,
+    * NULL otherwise — the fuzzy-match filter+distance in one expression.
+    * The full DP the builtin `levenshtein` runs is O(|s|·|t|) per pair;
+    * a blocked fuzzy join only ever cares about distances ≤ k, and the
+    * banded DP visits only the 2k+1 diagonal cells per row — O(k·n) —
+    * with an early exit the moment the whole band exceeds k. At fuzzy-
+    * join scale (millions of candidate pairs after blocking) this is the
+    * difference between a 26×26 table and a 5-cell band per pair.
+    * Exactly equal to `levenshtein(s, t) <= k ? levenshtein(s, t) : NULL`
+    * (DedupSpec asserts equivalence against the builtin).
+    */
+  case class LevenshteinWithin(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression with CodegenFallback {
+    require(k >= 0 && k <= 1000,
+      s"levenshtein_within: k in [0, 1000] (got $k)")
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      // code POINTS, not UTF-16 units — the builtin levenshtein counts
+      // code points, and equivalence with it is the contract
+      val sp = l.asInstanceOf[UTF8String].toString.codePoints().toArray
+      val tp = r.asInstanceOf[UTF8String].toString.codePoints().toArray
+      // ensure b is the longer side (band logic is symmetric)
+      val (a, b) = if (sp.length <= tp.length) (sp, tp) else (tp, sp)
+      val n = a.length; val m = b.length
+      if (m - n > k) return null
+      if (m == 0) return 0
+      val INF = k + 1
+      // prev/cur over b's columns, but only the band [i-k, i+k] is live
+      val prev = new Array[Int](m + 1)
+      val cur = new Array[Int](m + 1)
+      var j = 0
+      while (j <= m) { prev(j) = if (j <= k) j else INF; j += 1 }
+      var i = 1
+      while (i <= n) {
+        val lo = math.max(1, i - k)
+        val hi = math.min(m, i + k)
+        cur(lo - 1) = INF
+        if (lo == 1) cur(0) = if (i <= k) i else INF
+        var bandMin = INF
+        j = lo
+        while (j <= hi) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          val del = if (prev(j) < INF) prev(j) + 1 else INF
+          val ins = if (cur(j - 1) < INF) cur(j - 1) + 1 else INF
+          var v = if (sub < del) sub else del
+          if (ins < v) v = ins
+          if (v > INF) v = INF
+          cur(j) = v
+          if (v < bandMin) bandMin = v
+          j += 1
+        }
+        if (hi < m) cur(hi + 1) = INF
+        if (bandMin > k) return null // whole band over budget: early exit
+        System.arraycopy(cur, 0, prev, 0, m + 1)
+        i += 1
+      }
+      if (prev(m) <= k) prev(m) else null
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
+    override def prettyName: String = "levenshtein_within"
+  }
+
   /** Nearest-centroid assignment against a small codebook carried in the
     * expression itself (the broadcast-codebook IVF pattern: the quantizer
     * is trained on a bounded sample, the assignment is this narrow map).
@@ -612,6 +678,9 @@ object Native {
 
   def cosine_similarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  def levenshtein_within(a: Column, b: Column, k: Int): Column =
+    toCol(LevenshteinWithin(toExpr(a), toExpr(b), k))
 
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeEncode(toExpr(text), merges))

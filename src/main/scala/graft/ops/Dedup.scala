@@ -468,8 +468,12 @@ object Dedup {
         col("l.blk") === col("r.blk") &&
           abs(col("l.len") - col("r.len")) <= maxDistance &&
           col("l.id") < col("r.id"))
-      .withColumn("dist", levenshtein(col("l.s"), col("r.s")))
-      .filter(col("dist") <= maxDistance)
+      // banded O(k·n) verify with early exit — NULL past the budget; the
+      // builtin's full O(n²) DP pays for distances nobody keeps
+      // (DedupSpec asserts exact equivalence with the builtin filter)
+      .withColumn("dist", graft.functions.Native.levenshtein_within(
+        col("l.s"), col("r.s"), maxDistance))
+      .filter(col("dist").isNotNull)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.s").as("name_a"), col("r.s").as("name_b"), col("dist"))
       .orderBy(col("id_a"), col("id_b"))

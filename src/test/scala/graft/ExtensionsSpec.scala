@@ -67,4 +67,31 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("integer literal"))
   }
+
+  test("levenshtein_within ≡ builtin-filtered levenshtein over random " +
+      "pairs; early exit returns NULL; code-point (astral) parity") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val rnd = new scala.util.Random(7)
+    def word(): String =
+      (0 until 3 + rnd.nextInt(10)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString // tiny alphabet -> plenty of near-misses
+    val pairs = (1 to 400).map(_ => (word(), word())).toDF("a", "b")
+    for (k <- Seq(0, 1, 2, 4)) {
+      val got = pairs.select(
+          Native.levenshtein_within(col("a"), col("b"), k).as("d"),
+          sexpr("levenshtein(a, b)").as("ref"))
+        .collect()
+      got.foreach { r =>
+        val ref = r.getInt(1)
+        if (ref <= k) assert(!r.isNullAt(0) && r.getInt(0) == ref,
+          s"k=$k: got ${r.get(0)} want $ref")
+        else assert(r.isNullAt(0), s"k=$k: want NULL for ref=$ref")
+      }
+    }
+    // astral-plane: each emoji is ONE code point (two UTF-16 units)
+    val astral = Seq(("a😀b", "a😁b")).toDF("a", "b")
+    val d = astral.select(
+      Native.levenshtein_within(col("a"), col("b"), 2).as("d")).head()
+    assert(d.getInt(0) == 1)
+  }
 }
