@@ -4931,6 +4931,42 @@ object OracleSql {
                THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
       FROM r""",
 
+    // token-level JS drift: integer-elected top-50 vocab + <other>,
+    // add-alpha smoothing, ln-ratio JS in bits
+    "x_vocab_drift" -> """
+      WITH toks AS (
+        SELECT lang AS side,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE lang IN ('en', 'de')),
+      counts AS (
+        SELECT term,
+               CAST(sum(CASE WHEN side = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cnt_a,
+               CAST(sum(CASE WHEN side = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cnt_b
+        FROM toks WHERE term <> '' GROUP BY term),
+      top AS (SELECT * FROM counts
+              ORDER BY cnt_a + cnt_b DESC, term LIMIT 50),
+      rest AS (SELECT '<other>' AS term,
+                 CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS cnt_a,
+                 CAST(coalesce(sum(cnt_b), 0) AS BIGINT) AS cnt_b
+               FROM counts WHERE term NOT IN (SELECT term FROM top)),
+      vocab AS (SELECT * FROM top UNION ALL SELECT * FROM rest),
+      sized AS (SELECT *, sum(cnt_a) OVER () AS na,
+                  sum(cnt_b) OVER () AS nb, count(*) OVER () AS v
+                FROM vocab),
+      f AS (SELECT *, (cnt_a + 0.5) / (na + 0.5 * v) AS p,
+              (cnt_b + 0.5) / (nb + 0.5 * v) AS q
+            FROM sized),
+      g AS (SELECT *,
+              (0.5 * p * ln(p / ((p + q) / 2.0))
+                + 0.5 * q * ln(q / ((p + q) / 2.0))) / ln(2.0) AS contrib
+            FROM f)
+      SELECT term, cnt_a, cnt_b, round(p, 6) AS p_a, round(q, 6) AS p_b,
+             round(contrib, 6) AS js_contrib,
+             round(sum(contrib) OVER (), 6) AS js_total
+      FROM g ORDER BY cnt_a + cnt_b DESC, term""",
+
     // per-language P/R/F1 over the same langid joint; gold roster via
     // left joins (never-predicted class: precision NULL, recall 0)
     "x_langid_prf" -> """

@@ -1198,6 +1198,11 @@ object SparkEntry {
         pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
         "predicted_lang", "lang")
     }),
+    "x_vocab_drift" -> ((s, dir) =>
+      // corpus drift at the token level: smoothed JS divergence between
+      // slices over an integer-elected top-50 vocabulary + <other>
+      TextAnalysis.vocabDrift(Tables.documents(s, dir), "text", "lang",
+        "en", "de", topV = 50)),
     "x_langid_prf" -> ((s, dir) => {
       // the class-level complement of the kappa number: per-language
       // precision/recall/F1 — shows WHICH language the heuristic misses

@@ -850,4 +850,63 @@ object TextAnalysis {
         md5(col("__clean").cast("binary")).as("clean_md5"))
       .orderBy(col(idCol))
   }
+
+  /** Vocabulary drift between two corpus slices: Jensen–Shannon
+    * divergence (bits) between their smoothed token distributions over
+    * the top-`topV` shared vocabulary, with everything else folded into
+    * one `<other>` bucket so both distributions stay proper. The
+    * corpus-drift readout between crawls / sources / snapshots — the
+    * token-level sibling of the numeric PSI/KS sweeps; js_contrib ranks
+    * WHICH terms moved.
+    *
+    * Determinism: vocabulary membership is elected by INTEGER total count
+    * (ties by term) — never by a float score, so the top-V cut cannot
+    * flip on engine arithmetic; probabilities are exact-count formulas
+    * with literal smoothing, and the JS fold runs over the bounded
+    * (V+1)-row table. Scale shape: one shuffled (term) aggregation over
+    * the token stream, a TakeOrdered top-V, and bounded folds after.
+    */
+  def vocabDrift(docs: DataFrame, textCol: String, sideCol: String,
+                 a: String, b: String, topV: Int = 50,
+                 alpha: Double = 0.5): DataFrame = {
+    require(topV >= 1 && topV <= 100000,
+      s"vocabDrift: topV in [1, 100000] (got $topV)")
+    require(alpha > 0.0, s"vocabDrift: alpha > 0 (got $alpha)")
+    val toks = docs
+      .filter(col(sideCol).isin(a, b))
+      .select(col(sideCol).as("__side"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy(col("term")).agg(
+      sum(when(col("__side") === a, 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(col("__side") === b, 1L).otherwise(0L)).as("cnt_b"))
+    val top = counts
+      .orderBy((col("cnt_a") + col("cnt_b")).desc, col("term"))
+      .limit(topV)
+    val rest = counts.join(top.select("term"), Seq("term"), "left_anti")
+      .agg(coalesce(sum(col("cnt_a")), lit(0L)).as("cnt_a"),
+        coalesce(sum(col("cnt_b")), lit(0L)).as("cnt_b"))
+      .select(lit("<other>").as("term"), col("cnt_a"), col("cnt_b"))
+    val vocab = top.unionByName(rest)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val sized = vocab
+      .withColumn("__na", sum(col("cnt_a")).over(w))
+      .withColumn("__nb", sum(col("cnt_b")).over(w))
+      .withColumn("__v", count(lit(1)).over(w))
+    val p = (col("cnt_a") + lit(alpha)) /
+      (col("__na") + lit(alpha) * col("__v"))
+    val q = (col("cnt_b") + lit(alpha)) /
+      (col("__nb") + lit(alpha) * col("__v"))
+    val m = (p + q) / lit(2.0)
+    val contrib = (lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)) /
+      log(lit(2.0))
+    sized
+      .withColumn("p_a", round(p, 6))
+      .withColumn("p_b", round(q, 6))
+      .withColumn("js_contrib", round(contrib, 6))
+      .withColumn("js_total", round(sum(contrib).over(w), 6))
+      .select(col("term"), col("cnt_a"), col("cnt_b"), col("p_a"),
+        col("p_b"), col("js_contrib"), col("js_total"))
+      .orderBy((col("cnt_a") + col("cnt_b")).desc, col("term"))
+  }
 }

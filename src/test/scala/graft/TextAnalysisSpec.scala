@@ -552,4 +552,26 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Int, Int, Boolean, Int, Int, String)].head()
     assert(r._2 == 11 && r._3 == 11 && !r._4 && r._5 == 0 && r._6 == 0)
   }
+
+  test("vocabDrift: identical slices score 0, disjoint vocabularies " +
+      "approach 1 bit, <other> absorbs the tail under a tight topV") {
+    val same = Seq(("A", "alpha beta beta gamma"),
+      ("B", "alpha beta beta gamma")).toDF("side", "text")
+    val js0 = TextAnalysis.vocabDrift(same, "text", "side", "A", "B")
+      .select("js_total").distinct().as[Double].head()
+    assert(js0 == 0.0)
+    val disjoint = Seq(("A", "aaa bbb aaa bbb aaa bbb aaa bbb"),
+      ("B", "ccc ddd ccc ddd ccc ddd ccc ddd")).toDF("side", "text")
+    val js1 = TextAnalysis.vocabDrift(disjoint, "text", "side", "A", "B")
+      .select("js_total").distinct().as[Double].head()
+    assert(js1 > 0.5 && js1 <= 1.0, s"disjoint JS $js1")
+    // tight vocabulary: one elected term + the <other> fold
+    val cut = TextAnalysis.vocabDrift(same, "text", "side", "A", "B",
+        topV = 1)
+      .select("term").as[String].collect().toSet
+    assert(cut == Set("beta", "<other>")) // beta wins the count election
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabDrift(same, "text", "side", "A", "B", alpha = 0.0)
+    }
+  }
 }
