@@ -2859,6 +2859,40 @@ object OracleSql {
                / CAST((SELECT count(*) FROM fc) AS DOUBLE), 6)
                AS purchase_rate""",
 
+    // deadline funnel: 24h view->click, 72h click->purchase windows,
+    // median stage latencies in seconds
+    "q_funnel_windowed" -> """
+      WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      fc AS (SELECT e.user_id, min(e.ts) AS t_click,
+                    min(fv.t_view) AS t_view
+             FROM events e
+             JOIN fv ON e.user_id = fv.user_id AND e.ts >= fv.t_view
+               AND e.ts < fv.t_view + INTERVAL 24 HOUR
+             WHERE e.event_type = 'click' GROUP BY e.user_id),
+      fp AS (SELECT e.user_id, min(e.ts) AS t_purchase,
+                    min(fc.t_click) AS t_click2
+             FROM events e
+             JOIN fc ON e.user_id = fc.user_id AND e.ts >= fc.t_click
+               AND e.ts < fc.t_click + INTERVAL 72 HOUR
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM fv) AS n_view,
+             (SELECT count(*) FROM fc) AS n_click,
+             (SELECT round(quantile_cont(
+                 (epoch_us(t_click) - epoch_us(t_view)) / 1000000, 0.5), 6)
+              FROM fc) AS median_view_to_click_s,
+             (SELECT count(*) FROM fp) AS n_purchase,
+             (SELECT round(quantile_cont(
+                 (epoch_us(t_purchase) - epoch_us(t_click2)) / 1000000,
+                 0.5), 6)
+              FROM fp) AS median_click_to_purchase_s,
+             round((SELECT count(*) FROM fc)
+               / CAST((SELECT count(*) FROM fv) AS DOUBLE), 6)
+               AS click_rate,
+             round((SELECT count(*) FROM fp)
+               / CAST((SELECT count(*) FROM fc) AS DOUBLE), 6)
+               AS purchase_rate""",
+
     "q_cohort_retention" -> """
       WITH f AS (SELECT user_id,
                         CAST(date_trunc('week', min(CAST(ts AS DATE)))

@@ -1632,6 +1632,43 @@ object SparkEntry {
         .withColumn("purchase_rate",
           round(col("n_purchase") / col("n_click").cast("double"), 6))
     }),
+    "q_funnel_windowed" -> ((s, dir) => {
+      // the deadline funnel: click within 24h of first view, purchase
+      // within 72h of that click — the attribution-realistic variant of
+      // q_funnel's unbounded ordering; adds median stage latencies
+      // (integer seconds -> both engines interpolate identical halves)
+      val e = Tables.events(s, dir)
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        .localCheckpoint()
+      val fc = e.filter(col("event_type") === "click").as("e")
+        .join(fv, Seq("user_id"))
+        .filter(col("ts") >= col("t_view") &&
+          col("ts") < col("t_view") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"),
+          min(col("t_view")).as("t_view"))
+        .localCheckpoint()
+      val fp = e.filter(col("event_type") === "purchase").as("e")
+        .join(fc, Seq("user_id"))
+        .filter(col("ts") >= col("t_click") &&
+          col("ts") < col("t_click") + expr("INTERVAL 72 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"),
+          min(col("t_click")).as("t_click2"))
+      val nv = fv.agg(count(lit(1)).as("n_view"))
+      val nc = fc.agg(count(lit(1)).as("n_click"),
+        round(percentile((unix_micros(col("t_click").cast("timestamp")) -
+          unix_micros(col("t_view").cast("timestamp"))) / lit(1000000L),
+          lit(0.5)), 6).as("median_view_to_click_s"))
+      val np = fp.agg(count(lit(1)).as("n_purchase"),
+        round(percentile((unix_micros(col("t_purchase").cast("timestamp")) -
+          unix_micros(col("t_click2").cast("timestamp"))) / lit(1000000L),
+          lit(0.5)), 6).as("median_click_to_purchase_s"))
+      nv.crossJoin(nc).crossJoin(np)
+        .withColumn("click_rate",
+          round(col("n_click") / col("n_view").cast("double"), 6))
+        .withColumn("purchase_rate",
+          round(col("n_purchase") / col("n_click").cast("double"), 6))
+    }),
     "q_cohort_retention" -> ((s, dir) => {
       // weekly cohort retention: users grouped by first-activity week,
       // distinct active users per (cohort, week offset)
