@@ -2127,6 +2127,46 @@ object OracleSql {
 
     // binned KS (the 100 TB fallback): fixed-width histogram then bounded
     // cumulative window — same floor/least arithmetic in both engines
+    // Wasserstein-1 over the same binning: gap × run-length to the next
+    // present bin (empty bins persist an ECDF gap a MAX never sees)
+    "q_wasserstein" -> """
+      WITH clean AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND event_type IN ('purchase', 'view')),
+      bounds AS (
+        SELECT CAST(min(value) AS DOUBLE) AS lo,
+               CAST(max(value) AS DOUBLE) AS hi FROM clean),
+      binned AS (
+        SELECT event_type,
+               CASE WHEN hi = lo THEN 0
+                    ELSE least(CAST(floor((value - lo) / ((hi - lo) / 1000))
+                               AS INTEGER), 999) END AS bin
+        FROM clean, bounds),
+      per_bin AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM binned GROUP BY bin),
+      cum AS (
+        SELECT bin, ca, cb,
+               sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+               sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+               sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+               lead(bin, 1, 1000) OVER (ORDER BY bin) - bin AS run
+        FROM per_bin),
+      area AS (
+        SELECT coalesce(CAST(max(na) AS BIGINT), 0) AS n_a,
+               coalesce(CAST(max(nb) AS BIGINT), 0) AS n_b,
+               coalesce(sum(abs(CAST(cuma AS DOUBLE) / na
+                 - CAST(cumb AS DOUBLE) / nb) * run), 0.0) AS a
+        FROM cum)
+      SELECT n_a, n_b,
+             round(a * ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))
+               / 1000, 6) AS wasserstein1,
+             round(a / 1000, 6) AS w1_normalized
+      FROM area""",
+
     "q_ks_binned" -> """
       WITH clean AS (
         SELECT event_type, value FROM events

@@ -448,6 +448,11 @@ object SparkEntry {
     "q_ks_binned" -> ((s, dir) =>
       Drift.ksTestBinned(Tables.events(s, dir), "value", "event_type",
         "purchase", "view", bins = 1000)),
+    "q_wasserstein" -> ((s, dir) =>
+      // the AREA between the ECDFs over the same binning KS takes the
+      // MAX of — catches wide-but-shallow drift KS underweights
+      Drift.wasserstein1Binned(Tables.events(s, dir), "value",
+        "event_type", "purchase", "view", bins = 1000)),
     "q_group_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))

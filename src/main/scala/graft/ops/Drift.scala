@@ -349,6 +349,62 @@ object Drift {
           .as("ks_stat_binned"))
   }
 
+  /** Earth-mover drift: Wasserstein-1 distance over the same fixed-width
+    * binning as [[ksTestBinned]] — W₁ = ∫|F_a − F_b| (the AREA between
+    * the ECDFs) where KS is their maximum gap. The two disagree exactly
+    * when drift is wide-but-shallow (mean shift across the whole range:
+    * large W₁, modest KS) vs narrow-but-deep (one relocated mode: large
+    * KS, modest W₁) — a monitoring stack wants both. Also emitted
+    * normalized by the observed range (the average ECDF gap, in [0, 1]).
+    *
+    * Empty bins matter for an INTEGRAL (the ECDF gap persists across
+    * them) where they cannot move a MAX: each present bin's gap is
+    * weighted by the run length to the next present bin. Same bounded
+    * plan: one bin aggregation, cumulative windows over ≤ `bins` rows.
+    */
+  def wasserstein1Binned(tagged: DataFrame, valueCol: String,
+                         sideCol: String, a: String, b: String,
+                         bins: Int = 1000): DataFrame = {
+    val clean = cleanSamples(tagged, valueCol)
+      .filter(col(sideCol) === a || col(sideCol) === b)
+    val bounds = clean.agg(
+      min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    val binned = clean.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(
+            floor((col(valueCol) - col("lo")) / ((col("hi") - col("lo")) / bins))
+              .cast("int"),
+            lit(bins - 1))))
+    val perBin = binned.groupBy(col("bin")).agg(
+      sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
+      sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val step = Window.orderBy(col("bin"))
+    val totW = Window.partitionBy()
+    perBin
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(totW))
+      .withColumn("nb", sum(col("cb")).over(totW))
+      .withColumn("__gap",
+        abs(col("cuma").cast("double") / col("na") -
+          col("cumb").cast("double") / col("nb")))
+      .withColumn("__run",
+        lead(col("bin"), 1, bins).over(step) - col("bin"))
+      .agg(
+        coalesce(max(col("na")), lit(0L)).as("n_a"),
+        coalesce(max(col("nb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("__gap") * col("__run")), lit(0.0)).as("__area"))
+      .crossJoin(broadcast(bounds))
+      .select(col("n_a"), col("n_b"),
+        round(col("__area") * (col("hi") - col("lo")) / bins, 6)
+          .as("wasserstein1"),
+        round(col("__area") / bins, 6).as("w1_normalized"))
+  }
+
   /** D5 (ext): Population Stability Index over reference-decile bins — the
     * industry-standard drift score next to KS (PSI < 0.1 stable, > 0.25
     * drifted). Bin edges come from the REFERENCE side's quantiles (the

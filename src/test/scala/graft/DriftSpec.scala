@@ -295,6 +295,25 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("wasserstein1Binned: point masses at the range ends score ~range, " +
+      "identical sides score 0, empty-bin runs carry the gap") {
+    import spark.implicits._
+    val far = (Seq.fill(50)(("a", 0.0)) ++ Seq.fill(50)(("b", 10.0)))
+      .toDF("side", "v")
+    val r = Drift.wasserstein1Binned(far, "v", "side", "a", "b", bins = 1000)
+      .collect().head
+    // gap 1.0 persists across 999 empty bins: area 999/1000 of range 10
+    assert(r.getAs[Double]("wasserstein1") == 9.99)
+    assert(r.getAs[Double]("w1_normalized") == 0.999)
+    assert(r.getAs[Long]("n_a") == 50L && r.getAs[Long]("n_b") == 50L)
+    val same = (Seq.fill(30)(("a", 1.0)) ++ Seq.fill(30)(("b", 1.0)) ++
+      Seq.fill(30)(("a", 5.0)) ++ Seq.fill(30)(("b", 5.0)))
+      .toDF("side", "v")
+    val z = Drift.wasserstein1Binned(same, "v", "side", "a", "b")
+      .collect().head
+    assert(z.getAs[Double]("wasserstein1") == 0.0)
+  }
+
   test("sweepFdr: BH step-up — massive drift rejects, null feature " +
       "doesn't, adjusted p is the reverse running min capped at 1") {
     import spark.implicits._
