@@ -686,8 +686,11 @@ object Eval {
     val convs = events.filter(isConv)
       .select(col(userCol), col(tsCol).as("__c_ts"), col(idCol).as("__c_id"))
       .withColumn("__w_start", col("__c_ts") - expr(s"INTERVAL $lookback"))
+    // two consumers (credit windows + the unattributed anti-join):
+    // checkpoint so the interval join runs once, not per consumer
     val matched = graft.ops.Retrieval.intervalJoin(
       touches, convs, Seq(userCol), "__t_ts", "__w_start", "__c_ts")
+      .localCheckpoint(eager = false)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__c_id"))
     val wOrd = w.orderBy(col("__t_ts").desc, col("__t_id").desc)
     val credited = matched

@@ -877,9 +877,12 @@ object TextAnalysis {
       .select(col(sideCol).as("__side"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
+    // three consumers (top-V election, the anti-join, the tail fold):
+    // checkpoint so the token explode + term shuffle run once
     val counts = toks.groupBy(col("term")).agg(
       sum(when(col("__side") === a, 1L).otherwise(0L)).as("cnt_a"),
       sum(when(col("__side") === b, 1L).otherwise(0L)).as("cnt_b"))
+      .localCheckpoint(eager = false)
     val top = counts
       .orderBy((col("cnt_a") + col("cnt_b")).desc, col("term"))
       .limit(topV)
