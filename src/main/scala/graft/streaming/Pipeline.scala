@@ -641,6 +641,98 @@ object Pipeline {
       }
   }
 
+  /** Token-level twin of [[driftGateSink]]: every micro-batch of
+    * DOCUMENTS is scored by smoothed Jensen–Shannon divergence (bits)
+    * between its token distribution and a declared REFERENCE distribution
+    * over a fixed vocabulary (+ implicit `<other>` mass), then routed to
+    * the admit or quarantine store with a per-batch audit row — the
+    * ingest gate that catches a crawler suddenly feeding a different
+    * language, boilerplate flood, or spam template, which numeric-column
+    * gates never see. The reference is the bounded artifact
+    * `TextAnalysis.vocabDrift` elects offline (top-V by count + tail).
+    */
+  def vocabGateSink(docs: DataFrame, textCol: String,
+                    refVocab: Seq[(String, Double)], alpha: Double,
+                    threshold: Double, admitPath: String,
+                    quarantinePath: String, auditPath: String,
+                    checkpoint: String): DataStreamWriter[Row] = {
+    require(refVocab.nonEmpty, "vocabGateSink: empty reference vocabulary")
+    require(refVocab.map(_._2).forall(_ >= 0) && refVocab.map(_._2).sum <= 1.0 + 1e-9,
+      "vocabGateSink: reference shares must be non-negative and sum <= 1")
+    require(alpha > 0, s"vocabGateSink: alpha > 0 (got $alpha)")
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestVocabGateBatch(batch, batchId, textCol, refVocab, alpha,
+          threshold, admitPath, quarantinePath, auditPath)
+      }
+  }
+
+  /** One fold of [[vocabGateSink]]: tokenize, fold counts onto the
+    * reference grid (+ `<other>`), smoothed JS, route, audit.
+    */
+  def ingestVocabGateBatch(batch: DataFrame, batchId: Long, textCol: String,
+                           refVocab: Seq[(String, Double)], alpha: Double,
+                           threshold: Double, admitPath: String,
+                           quarantinePath: String, auditPath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val otherP = math.max(0.0, 1.0 - refVocab.map(_._2).sum)
+    val grid = (refVocab :+ ("<other>", otherP)).toDF("term", "p")
+    val toks = batch
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val known = toks.join(broadcast(grid.select("term")), Seq("term"),
+      "left_semi").groupBy("term").agg(count(lit(1)).as("n"))
+    val other = toks.join(broadcast(grid.select("term")), Seq("term"),
+        "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"))
+      .select(lit("<other>").as("term"), col("n"))
+    val counts = known.unionByName(other)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val v = refVocab.size + 1
+    val scored = grid.join(counts, Seq("term"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__nTot", sum(col("n")).over(tot))
+      .withColumn("q",
+        (col("n") + lit(alpha)) / (col("__nTot") + lit(alpha * v)))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("contribution",
+        (when(col("p") > 0,
+          lit(0.5) * col("p") * log(col("p") / col("m"))).otherwise(0.0) +
+          lit(0.5) * col("q") * log(col("q") / col("m"))) / log(lit(2.0)))
+    val row = scored
+      .agg(round(sum(col("contribution")), 6).as("js"),
+        max(col("__nTot")).as("n_tokens"))
+      .head()
+    val js = row.getDouble(0)
+    val nToks = row.getLong(1)
+    val nDocs = batch.count()
+    val admitted = nToks > 0 && js <= threshold
+    val prior =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val target = if (admitted) admitPath else quarantinePath
+      if (nDocs > 0)
+        batch.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("ingest_batch")
+          .parquet(target)
+      Seq((batchId, nDocs, nToks, js, admitted))
+        .toDF("ingest_batch", "n_docs", "n_tokens", "js", "admitted")
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(auditPath)
+    } finally {
+      prior match {
+        case Some(pv) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", pv)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** One fold of [[driftGateSink]]: bin, score, route, audit. */
   def ingestDriftGateBatch(batch: DataFrame, batchId: Long, valCol: String,
                            edges: Array[Double], refShares: Array[Double],

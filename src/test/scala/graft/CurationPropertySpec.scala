@@ -121,4 +121,37 @@ class CurationPropertySpec extends SparkSpec {
     assert(merged.select(cols.map(col): _*).collect().toSet ==
       single.select(cols.map(col): _*).collect().toSet)
   }
+
+  test("saltedHotKeyJoin ≡ plain inner join over random skewed frames " +
+      "(random key domains, null rates, salt counts, hot shares)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 8) {
+      val nKeys = 1 + rnd.nextInt(20)
+      val hotKey = rnd.nextInt(nKeys)
+      val probe = (1 to 300 + rnd.nextInt(300)).map { i =>
+        val kv: java.lang.Long =
+          if (rnd.nextDouble() < 0.05) null
+          else java.lang.Long.valueOf(
+            (if (rnd.nextDouble() < 0.4) hotKey // manufactured skew
+             else rnd.nextInt(nKeys)).toLong)
+        (kv, s"p$i")
+      }.toDF("k", "payload")
+      val build = (0 until nKeys + 3).map { k =>
+        (if (rnd.nextDouble() < 0.1) null.asInstanceOf[java.lang.Long]
+         else java.lang.Long.valueOf(k.toLong), s"dim$k")
+      }.toDF("bk", "name")
+      val nSalts = 2 + rnd.nextInt(15)
+      val minShare = 0.02 + rnd.nextDouble() * 0.5
+      val plain = probe.join(build, $"k" === $"bk")
+        .select("k", "payload", "name").collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val salted = graft.ops.Skew.saltedHotKeyJoin(probe, build, "k", "bk",
+          "payload", nSalts, minShare)
+        .select("k", "payload", "name").collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted == plain,
+        s"trial $trial: nKeys=$nKeys nSalts=$nSalts minShare=$minShare")
+    }
+  }
 }

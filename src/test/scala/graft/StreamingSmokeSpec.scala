@@ -629,4 +629,47 @@ class StreamingSmokeSpec extends SparkSpec {
         Seq((40L, 0.0, true), (40L, 1.039721, false), (40L, 0.0, true)))
     } finally q2.stop()
   }
+
+  test("vocabulary gate: reference-shaped batch admitted, alien-token " +
+      "batch quarantined; kill/resume replays the same verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: 'alpha' and 'beta' half-and-half, no tail mass
+    val ref = Seq(("alpha", 0.5), ("beta", 0.5))
+    val b1 = (1 to 20).map(i => (i.toLong, "alpha beta alpha beta"))
+    val b2 = (21 to 40).map(i => (i.toLong, "spam casino pills spam"))
+    val b3 = (41 to 60).map(i => (i.toLong, "beta alpha beta alpha"))
+    val stream = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_vg_").toString
+    def startSink() = Pipeline.vocabGateSink(
+        stream.toDF().toDF("doc_id", "text"), "text", ref, alpha = 0.5,
+        threshold = 0.2, root + "/admit", root + "/quar",
+        root + "/audit", root + "/ckpt").start()
+    val q1 = startSink()
+    stream.addData(b1)
+    q1.processAllAvailable()
+    q1.stop() // gate dies mid-stream
+    stream.addData(b2)
+    val q2 = startSink() // resume over the same checkpoint
+    try {
+      q2.processAllAvailable()
+      stream.addData(b3)
+      q2.processAllAvailable()
+      val admitted = spark.read.parquet(root + "/admit")
+        .select($"doc_id").as[Long].collect().toSet
+      val quarantined = spark.read.parquet(root + "/quar")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(admitted == (b1 ++ b3).map(_._1).toSet)
+      assert(quarantined == b2.map(_._1).toSet)
+      val audit = spark.read.parquet(root + "/audit")
+        .select($"ingest_batch", $"n_docs", $"n_tokens", $"js", $"admitted")
+        .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      assert(audit.length == 3)
+      // in-band batches: tiny smoothing-only JS; alien batch: all mass
+      // lands in <other>, which the reference gives ZERO share -> large
+      assert(audit(0)._4 < 0.05 && audit(0)._5)
+      assert(audit(1)._4 > 0.5 && !audit(1)._5)
+      assert(audit(2)._4 < 0.05 && audit(2)._5)
+      assert(audit.forall(_._3 == 80L)) // 20 docs x 4 tokens per batch
+    } finally q2.stop()
+  }
 }
