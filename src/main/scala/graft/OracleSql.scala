@@ -5095,6 +5095,23 @@ object OracleSql {
       LEFT JOIN predn pn ON gn.clazz = pn.clazz
       ORDER BY gn.clazz""",
 
+    // unigram degenerate anchor: single-char pieces => token count =
+    // non-whitespace character count (ASCII corpus: chars = code points)
+    "x_unigram_chars" -> """
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t <> '') AS words
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(words) AS INTEGER) AS n_words,
+             CAST(length(array_to_string(words, '')) AS INTEGER)
+               AS n_tokens,
+             round(CASE WHEN len(words) > 0
+               THEN CAST(length(array_to_string(words, '')) AS DOUBLE)
+                 / len(words) END, 6) AS fertility
+      FROM w ORDER BY doc_id""",
+
     "x_bpe_fertility" -> bpeSql(s"""
       SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(t.n_words) AS BIGINT) AS total_words,

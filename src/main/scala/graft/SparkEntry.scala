@@ -36,6 +36,17 @@ object SparkEntry {
       Bpe.trainMergesDistributed(Tables.documents(s, dir), "text",
         Bpe.OracleK))
 
+  /** Trained unigram piece table per corpus dir — the [[bpeMerges]]
+    * pattern for the second tokenizer family (deterministic artifact,
+    * trained once per corpus across its registry entries).
+    */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+  private def unigramTable(s: SparkSession, dir: String): Seq[(String, Double)] =
+    unigramCache.computeIfAbsent(dir, _ =>
+      Unigram.trainDistributed(Tables.documents(s, dir), "text",
+        vocabSize = 200, rounds = 2, maxPieceLen = 4))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WindowAgg.hourlyFeatures(ev(spark, "/root/testdata/sf0.001"))
@@ -1218,6 +1229,22 @@ object SparkEntry {
         pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
         goldCol = "lang", predCol = "predicted_lang")
     }),
+    "x_unigram_tokens" -> ((s, dir) =>
+      // the second tokenizer family: hard-EM (Viterbi) unigram-LM pieces
+      // (Kudo 2018), trained once per corpus; per-doc token stats under
+      // the trained table. Rows-only (the Viterbi DP is not SQL-
+      // expressible); anchored by x_unigram_chars' oracle-exact
+      // degenerate config + UnigramSpec trainer/segmentation equivalences
+      Unigram.tokenStats(Tables.documents(s, dir), "doc_id", "text",
+        unigramTable(s, dir), maxPieceLen = 4)),
+    "x_unigram_chars" -> ((s, dir) =>
+      // the provably-replayable anchor: maxPieceLen = 1 forces every
+      // segmentation to single characters, so token counts equal
+      // non-whitespace character counts — which SQL computes directly
+      Unigram.tokenStats(Tables.documents(s, dir), "doc_id", "text",
+        Unigram.trainDistributed(Tables.documents(s, dir), "text",
+          vocabSize = 200, rounds = 1, maxPieceLen = 1),
+        maxPieceLen = 1)),
     "x_bpe_fertility" -> ((s, dir) => {
       // tokenizer fairness: per-language fertility under the trained
       // merges — the multilingual-equity readout (a vocab fitted on one

@@ -152,6 +152,96 @@ object Native {
     override def prettyName: String = "cosine_similarity"
   }
 
+  /** All substrings of a word up to `maxLen` CODE POINTS, with
+    * multiplicity — the unigram trainer's seed-candidate generator as a
+    * narrow expression over the vocab-bounded word table.
+    */
+  case class SubstringsUpto(child: Expression, maxLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(maxLen >= 1 && maxLen <= 16,
+      s"substrings_upto: maxLen in [1, 16] (got $maxLen)")
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val cps = graft.ops.Bpe.charSymbols(
+        input.asInstanceOf[UTF8String].toString)
+      val out = Array.newBuilder[UTF8String]
+      var i = 0
+      while (i < cps.length) {
+        var l = 1
+        val lim = math.min(maxLen, cps.length - i)
+        while (l <= lim) {
+          out += UTF8String.fromString(cps.slice(i, i + l).mkString)
+          l += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "substrings_upto"
+  }
+
+  /** Viterbi unigram segmentation with the piece table riding in the
+    * expression (the [[BpeEncode]] deployment shape): `perWord = true`
+    * segments the input AS one word (the trainer's E-step over the word
+    * table); `perWord = false` lower/splits the input text and
+    * concatenates per-word segmentations (the corpus tokenizer), with
+    * per-task word memoization. Tie-break and reachability contract live
+    * in `graft.ops.Unigram.segmentLocal`, which this must match exactly
+    * (UnigramSpec asserts it).
+    */
+  case class UnigramSegment(child: Expression,
+                            table: Seq[(String, Double)], maxLen: Int,
+                            perWord: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(table.nonEmpty, "unigram_segment: empty piece table")
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val logp: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double]()
+      table.foreach { case (p, lp) => m.put(p, lp) }
+      m
+    }
+    @transient private lazy val memo =
+      new java.util.HashMap[String, Array[UTF8String]]()
+
+    private def segmentWord(w: String): Array[UTF8String] = {
+      val hit = memo.get(w)
+      if (hit != null) return hit
+      val toks = graft.ops.Unigram.segmentLocal(w, { k =>
+        val v = logp.get(k)
+        if (v == null) None else Some(v.doubleValue())
+      }, maxLen)
+      val arr = toks.iterator.map(UTF8String.fromString).toArray
+      if (memo.size < 65536) memo.put(w, arr)
+      arr
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (perWord) {
+        new GenericArrayData(segmentWord(s).asInstanceOf[Array[Any]])
+      } else {
+        val words = s.toLowerCase.trim.split("\\s+")
+        val out = Array.newBuilder[UTF8String]
+        var i = 0
+        while (i < words.length) {
+          if (words(i).nonEmpty) out ++= segmentWord(words(i))
+          i += 1
+        }
+        new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "unigram_segment"
+  }
+
   /** Banded (Ukkonen) Levenshtein: the edit distance IF it is ≤ `k`,
     * NULL otherwise — the fuzzy-match filter+distance in one expression.
     * The full DP the builtin `levenshtein` runs is O(|s|·|t|) per pair;
@@ -681,6 +771,19 @@ object Native {
 
   def levenshtein_within(a: Column, b: Column, k: Int): Column =
     toCol(LevenshteinWithin(toExpr(a), toExpr(b), k))
+
+  def substrings_upto(w: Column, maxLen: Int): Column =
+    toCol(SubstringsUpto(toExpr(w), maxLen))
+
+  /** Per-WORD Viterbi segmentation (the trainer's E-step). */
+  def unigram_segment(w: Column, table: Seq[(String, Double)],
+                      maxLen: Int): Column =
+    toCol(UnigramSegment(toExpr(w), table, maxLen, perWord = true))
+
+  /** Whole-text unigram tokenization (lower/split, per-word memoized). */
+  def unigram_segment_text(text: Column, table: Seq[(String, Double)],
+                           maxLen: Int): Column =
+    toCol(UnigramSegment(toExpr(text), table, maxLen, perWord = false))
 
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeEncode(toExpr(text), merges))

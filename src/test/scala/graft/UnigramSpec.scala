@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Unigram
+
+/** Unigram-LM tokenizer: Viterbi optimality, trainer agreement
+  * (local ≡ distributed), native-expression parity, and the
+  * fertility-improvement sanity the trained vocabulary must show.
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteBestScore(w: String, logp: Map[String, Double],
+                             maxLen: Int): Double = {
+    // enumerate every segmentation; -inf when a piece is missing
+    def rec(i: Int): Double =
+      if (i == w.length) 0.0
+      else (1 to math.min(maxLen, w.length - i)).map { l =>
+        logp.get(w.substring(i, i + l))
+          .map(_ + rec(i + l)).getOrElse(Double.NegativeInfinity)
+      }.max
+    rec(0)
+  }
+
+  test("segmentLocal attains the brute-force-optimal score and " +
+      "reconstructs the word; high-prob pieces win") {
+    val logp = Map("a" -> math.log(0.05), "b" -> math.log(0.05),
+      "c" -> math.log(0.05), "ab" -> math.log(0.4), "bc" -> math.log(0.3),
+      "abc" -> math.log(0.15))
+    for (w <- Seq("abc", "abcabc", "aabbcc", "cab", "abcbcab")) {
+      val seg = Unigram.segmentLocal(w, logp.get, 3)
+      assert(seg.mkString == w, s"$w reconstructs")
+      val score = seg.map(logp).sum
+      val best = bruteBestScore(w, logp, 3)
+      assert(math.abs(score - best) < 1e-12, s"$w: $score vs $best")
+    }
+    // 'abc' as one piece scores ln(.15); 'ab'+'c' scores ln(.4*.05)=ln(.02)
+    assert(Unigram.segmentLocal("abc", logp.get, 3) == Vector("abc"))
+    // missing coverage fails loud
+    intercept[IllegalArgumentException] {
+      Unigram.segmentLocal("xyz", logp.get, 3)
+    }
+  }
+
+  test("local and distributed trainers produce the identical piece table") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the rat"),
+      (3L, "a cat and a rat and a mat"),
+      (4L, "the the the cat cat rat")
+    ).toDF("doc_id", "text")
+    val wordFreq = docs
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toSeq
+    val local = Unigram.trainLocal(wordFreq, vocabSize = 20, rounds = 2,
+      maxPieceLen = 3)
+    val dist = Unigram.trainDistributed(docs, "text", vocabSize = 20,
+      rounds = 2, maxPieceLen = 3)
+    assert(local == dist)
+    // single chars always survive pruning (coverage guarantee)
+    val pieces = local.map(_._1).toSet
+    assert(Set("t", "h", "e", "c", "a", "s", "o", "n", "m", "r", "d")
+      .subsetOf(pieces))
+  }
+
+  test("native unigram_segment matches segmentLocal word for word; the " +
+      "whole-text form concatenates per-word segmentations") {
+    val table = Unigram.trainLocal(
+      Seq(("banana", 10L), ("bandana", 5L), ("nanab", 2L)),
+      vocabSize = 15, rounds = 2, maxPieceLen = 4)
+    val lp = table.toMap
+    val words = Seq("banana", "bandana", "nanab", "ban")
+    val viaExpr = words.toDF("w")
+      .select(graft.functions.Native.unigram_segment($"w", table, 4))
+      .as[Seq[String]].collect()
+    words.zip(viaExpr).foreach { case (w, got) =>
+      assert(got == Unigram.segmentLocal(w, lp.get, 4), s"word $w")
+    }
+    val text = Seq("Banana  bandana\tnanab").toDF("t")
+      .select(graft.functions.Native.unigram_segment_text($"t", table, 4))
+      .as[Seq[String]].head()
+    assert(text == words.take(3).flatMap(w =>
+      Unigram.segmentLocal(w, lp.get, 4)))
+  }
+
+  test("trained vocabulary beats the char baseline on a repetitive " +
+      "corpus (fertility strictly below char count per word)") {
+    val docs = (1L to 30L).map(i =>
+      (i, "tokenize tokenize subword subword model model"))
+      .toDF("doc_id", "text")
+    val table = Unigram.trainDistributed(docs, "text", vocabSize = 30,
+      rounds = 2, maxPieceLen = 4)
+    val stats = Unigram.tokenStats(docs, "doc_id", "text", table, 4)
+      .select("n_words", "n_tokens").as[(Int, Int)].head()
+    val charTokens = "tokenizetokenizesubwordsubwordmodelmodel".length
+    assert(stats._1 == 6)
+    assert(stats._2 < charTokens,
+      s"trained pieces (${stats._2}) must beat chars ($charTokens)")
+  }
+}
