@@ -415,9 +415,22 @@ object ScaleStress {
           col("doc_id") % 5L === 0, vocabSize = 100)
           .queryExecution.toRdd.count()
       }
+      // unigram: trainer cost tracks the WORD table (flat under the
+      // letter-bijection replication — per-copy vocab identical), the
+      // segment pass is the memoized native expression over the corpus
+      val tU0 = System.nanoTime()
+      val utab = graft.ops.Unigram.trainDistributed(dk, "text",
+        vocabSize = 200, rounds = 2, maxPieceLen = 4)
+      val tUniTrain = (System.nanoTime() - tU0) / 1e9
+      val (tUniSeg, nUniToks) = timeMin2 {
+        dk.select(explode(graft.functions.Native.unigram_segment_text(
+          col("text"), utab, 4))).queryExecution.toRdd.count()
+      }
       println(f"STRESS-TOKENIZE k=$k docs=$nD t_bpe_train=$tTrain%.2f " +
         f"t_bpe_encode=$tEnc%.2f toks=$nToks t_spans=$tSpan%.2f " +
-        f"pairs=$nPairs t_bigram_ppl=$tPpl%.2f")
+        f"pairs=$nPairs t_bigram_ppl=$tPpl%.2f " +
+        f"t_uni_train=$tUniTrain%.2f t_uni_seg=$tUniSeg%.2f " +
+        f"uni_toks=$nUniToks")
     }
     spark.stop()
   }

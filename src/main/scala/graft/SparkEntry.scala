@@ -1245,6 +1245,22 @@ object SparkEntry {
         Unigram.trainDistributed(Tables.documents(s, dir), "text",
           vocabSize = 200, rounds = 1, maxPieceLen = 1),
         maxPieceLen = 1)),
+    "x_unigram_fertility" -> ((s, dir) => {
+      // tokenizer-fairness twin of x_bpe_fertility under the unigram
+      // vocabulary (rows-only like x_unigram_tokens; same anchor)
+      val docs = Tables.documents(s, dir)
+      val stats = Unigram.tokenStats(docs, "doc_id", "text",
+        unigramTable(s, dir), maxPieceLen = 4)
+      docs.select(col("doc_id"), col("lang"))
+        .join(stats, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("total_words"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(sum(col("n_tokens")).cast("double") /
+            sum(col("n_words")), 6).as("fertility"))
+        .orderBy("lang")
+    }),
     "x_bpe_fertility" -> ((s, dir) => {
       // tokenizer fairness: per-language fertility under the trained
       // merges — the multilingual-equity readout (a vocab fitted on one
