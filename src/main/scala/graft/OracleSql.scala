@@ -5177,6 +5177,24 @@ object OracleSql {
         s"SELECT $i AS rank, l AS left_sym, r AS right_sym, l||r AS merged" +
           s" FROM m$i").mkString(" UNION ALL ") + " ORDER BY rank"),
 
+    // vocabulary utilization over the replayed encoding: usage counts,
+    // shares, cumulative coverage in (cnt desc, token) order
+    "x_bpe_vocab_usage" -> bpeSql(s"""
+      , tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token
+                FROM d${graft.ops.Bpe.OracleK}),
+      t2 AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+             WHERE token <> chr(1) AND token <> '' GROUP BY token),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM t2),
+      rk AS (SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+               sum(cnt) OVER (ORDER BY cnt DESC, token
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t2)
+      SELECT CAST(rank AS BIGINT) AS rank, token, cnt,
+             round(cnt / (SELECT t FROM tot), 6) AS share,
+             round(cum / (SELECT t FROM tot), 6) AS cum_share
+      FROM rk ORDER BY rank"""),
+
     "x_bpe_tokens" -> bpeSql(s"""
       SELECT doc_id, n_words,
              CAST(len(string_split(trim(s), ' ')) - (n_words - 1)

@@ -1245,6 +1245,30 @@ object SparkEntry {
         Unigram.trainDistributed(Tables.documents(s, dir), "text",
           vocabSize = 200, rounds = 1, maxPieceLen = 1),
         maxPieceLen = 1)),
+    "x_bpe_vocab_usage" -> ((s, dir) => {
+      // vocabulary utilization: per-token usage over the encoded corpus
+      // with cumulative coverage — the dead-weight-vocab audit (pieces
+      // the budget paid for that the corpus never uses); vocab-bounded
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.ops.Bpe.encode(col("text"),
+          bpeMerges(s, dir))).as("token"))
+      val counts = toks.groupBy("token")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val ord = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      counts
+        .withColumn("__tot", sum(col("cnt")).over(w))
+        .withColumn("share", round(col("cnt") / col("__tot"), 6))
+        .withColumn("cum_share",
+          round(sum(col("cnt")).over(ord.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            / col("__tot"), 6))
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .select(col("rank"), col("token"), col("cnt"), col("share"),
+          col("cum_share"))
+        .orderBy("rank")
+    }),
     "x_unigram_fertility" -> ((s, dir) => {
       // tokenizer-fairness twin of x_bpe_fertility under the unigram
       // vocabulary (rows-only like x_unigram_tokens; same anchor)
