@@ -1720,6 +1720,24 @@ object OracleSql {
     "x_dedup_clusters_full" -> dedupClustersFullOracle,
     // retention over the full corpus: same closure, keep-best per cluster
     "x_dedup_retain" -> dedupRetainOracle,
+    // survivor weights: same closure + keep-best, weight = cluster size
+    "x_dedup_weights" -> (clusterReachCte + """
+      , comp AS (
+        SELECT id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY id),
+      lab AS (
+        SELECT dd.doc_id, dd.n_chars AS quality,
+               COALESCE(comp.component, dd.doc_id) AS component
+        FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.id),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY component
+                 ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM lab),
+      wsz AS (SELECT component, CAST(count(*) AS BIGINT) AS weight
+              FROM lab GROUP BY component)
+      SELECT rk.doc_id, rk.component, rk.quality, wsz.weight
+      FROM rk JOIN wsz ON rk.component = wsz.component
+      WHERE rk.rn = 1 ORDER BY rk.doc_id"""),
 
     // DSIR: both hashed-unigram LMs from one token stream; Gumbel key
     // replayed from the shared u01 hash and rounded at 6 before top-k

@@ -1082,6 +1082,14 @@ object SparkEntry {
         Dedup.jaccardPairs(d.filter(col("doc_id") < 60),
           "doc_id", "text", 3, 0.02, maxDf = 30).select("id_a", "id_b"))
     }),
+    "x_dedup_weights" -> ((s, dir) => {
+      // unbiased dedup: survivors weighted by cluster size so corpus
+      // statistics keep their totals (sum of weights = corpus size)
+      val d = Tables.documents(s, dir)
+      Dedup.dedupRetainWeighted(d, "doc_id", col("n_chars"),
+        Dedup.jaccardPairs(d.filter(col("doc_id") < 60),
+          "doc_id", "text", 3, 0.02, maxDf = 30).select("id_a", "id_b"))
+    }),
     "x_contamination" -> ((s, dir) => {
       // decontamination: per-test-doc 3-gram overlap with the train split
       val d = Tables.documents(s, dir)

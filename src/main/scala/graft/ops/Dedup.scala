@@ -705,6 +705,27 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** [[dedupRetain]] with SURVIVOR WEIGHTS: each kept document carries
+    * its cluster size, so downstream statistics over the deduplicated
+    * corpus can stay UNBIASED — dropping near-dups without reweighting
+    * silently downweights popular content (boilerplate-heavy mirrors,
+    * syndicated articles), shifting every frequency estimate; weighting
+    * the survivor by its cluster size preserves totals exactly
+    * (Σ weight = corpus size — DedupSpec asserts the reconciliation).
+    * Output: kept docs only, with (component, quality, weight).
+    */
+  def dedupRetainWeighted(docs: DataFrame, idCol: String, quality: Column,
+                          pairs: DataFrame): DataFrame = {
+    val base = dedupRetain(docs, idCol, quality, pairs)
+      .localCheckpoint(eager = false) // two consumers: sizes + the filter
+    val sizes = base.groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("weight"))
+    base.filter(col("keep"))
+      .join(sizes, Seq("component"))
+      .select(col(idCol), col("component"), col("quality"), col("weight"))
+      .orderBy(idCol)
+  }
+
   /** Train/test contamination check — the decontamination primitive every
     * eval pipeline needs: for each TEST document, the fraction of its
     * distinct word `n`-gram shingles that also appear anywhere in the

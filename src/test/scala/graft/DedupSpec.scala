@@ -61,6 +61,21 @@ class DedupSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("dedupRetainWeighted: weights reconcile to the corpus size and " +
+      "the best-quality member carries its whole cluster") {
+    val corpus = Seq(
+      (1L, "short", 5L), (2L, "longer text", 11L), (3L, "longest texts", 13L),
+      (9L, "solo", 4L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupRetainWeighted(corpus, "doc_id", col("n_chars"),
+        pairs)
+      .as[(Long, Long, Long, Long)].collect()
+    // survivors: doc 3 (quality 13, carries cluster of 3) and solo 9
+    assert(out.toSeq == Seq((3L, 1L, 13L, 3L), (9L, 9L, 4L, 1L)))
+    assert(out.map(_._4).sum == 4L) // totals preserved
+  }
+
   test("goldenRecord: frequency election with smallest-value ties, max " +
       "rule, singleton passthrough") {
     val recs = Seq(
