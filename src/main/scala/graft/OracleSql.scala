@@ -1103,6 +1103,19 @@ object OracleSql {
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
       FROM customer ORDER BY c_custkey""",
 
+    // malformed-CSV audit: every custkey % 10 = 0 row was text-corrupted
+    // (unparseable double), so the oracle recomputes the clean/corrupt
+    // split and the clean-side sum from the source table directly
+    "s_csv_malformed" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c_custkey % 10 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clean,
+             CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt,
+             round(sum(CASE WHEN c_custkey % 10 <> 0 THEN c_acctbal
+               ELSE 0 END), 6) AS clean_acctbal_sum
+      FROM customer""",
+
     // ORC round trip is lossless for these types; oracle reads the
     // parquet original directly
     "s_orc_roundtrip" -> """

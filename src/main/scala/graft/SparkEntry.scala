@@ -661,6 +661,33 @@ object SparkEntry {
           schema)
         .orderBy("c_custkey")
     }),
+    "s_csv_malformed" -> ((s, dir) => {
+      // robustness: every 10th row's numeric field is corrupted at the
+      // TEXT level; PERMISSIVE + corrupt-record audit must neither kill
+      // the read (FAILFAST) nor drop rows silently (DROPMALFORMED)
+      val lines = Tables.customer(s, dir).select(concat_ws(",",
+        col("c_custkey"), col("c_name"),
+        when(pmod(col("c_custkey"), lit(10)) === 0,
+          concat(col("c_acctbal").cast("string"), lit("x")))
+          .otherwise(col("c_acctbal").cast("string"))).as("value"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      val parsed = graft.sources.Sources.csvPermissiveRead(s, lines,
+        schema, "_corrupt")
+      parsed.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("_corrupt").isNull, 1).otherwise(0)).cast("long")
+          .as("n_clean"),
+        sum(when(col("_corrupt").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_corrupt"),
+        round(sum(when(col("_corrupt").isNull, col("c_acctbal"))
+          .otherwise(0.0)), 6).as("clean_acctbal_sum"))
+    }),
     "s_orc_roundtrip" -> ((s, dir) => {
       // the Hive-warehouse interchange format next to parquet/CSV/JSON;
       // schema still DECLARED on the read side (no inference pass)

@@ -56,6 +56,30 @@ object Sources {
     spark.read.schema(schema).orc(dir)
   }
 
+  /** Malformed-input ingestion report: write raw CSV LINES (some
+    * deliberately unparseable), read back PERMISSIVE with a declared
+    * schema + corrupt-record column, and report clean/corrupt counts
+    * plus an aggregate over the clean rows — the robustness posture a
+    * 100 TB text-ingest needs (a single bad row must neither kill the
+    * job (FAILFAST) nor silently vanish (DROPMALFORMED); PERMISSIVE +
+    * audit is the production setting). The parsed frame is cached
+    * before the fold: Spark refuses to filter on the corrupt-record
+    * column of a streaming-parsed CSV otherwise (the documented
+    * interaction), and the cache also keeps the report a single read.
+    */
+  def csvPermissiveRead(spark: SparkSession, lines: DataFrame,
+                        schema: StructType,
+                        corruptCol: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_csvbad_").toString
+    lines.write.mode("overwrite").text(dir)
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(dir)
+      .cache()
+  }
+
   /** S5: date-partitioned parquet offline store write; returns the root.
     * Repartitioned by the date key first so each partition directory gets
     * one file instead of (shuffle partitions × dates) shards — at scale
