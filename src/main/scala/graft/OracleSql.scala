@@ -370,6 +370,57 @@ object OracleSql {
       FROM s GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
 
+    // SLO burn: daily error rate vs the 1% budget, burn multiple,
+    // cumulative consumption, fast-burn alert
+    "q_slo_burn" -> """
+      WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS errors
+        FROM events GROUP BY 1)
+      SELECT day, n, errors,
+             round(errors / CAST(n AS DOUBLE), 6) AS error_rate,
+             round(errors / CAST(n AS DOUBLE) / 0.01, 6) AS burn,
+             round(sum(errors) OVER w
+               / (0.01 * CAST(sum(n) OVER w AS DOUBLE)), 6)
+               AS budget_consumed,
+             errors / CAST(n AS DOUBLE) / 0.01 > 2.0 AS fast_burn
+      FROM d
+      WINDOW w AS (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY day""",
+
+    // session product stats over the same lag/gap replay: bounce, depth,
+    // median active span (end minus start minus the 30-min gap), value
+    "q_session_stats" -> """
+      WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM o),
+      sess AS (
+        SELECT user_id,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS span_s,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, sid)
+      SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+             round(sum(n_events) / CAST(count(*) AS DOUBLE), 6)
+               AS avg_events,
+             round(quantile_cont(CAST(span_s AS DOUBLE), 0.5), 6)
+               AS median_span_s,
+             round(sum(session_value), 2) AS total_value
+      FROM sess""",
+
     "x_sql_cosine" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1102,6 +1153,18 @@ object OracleSql {
     "s_csv_roundtrip" -> """
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
       FROM customer ORDER BY c_custkey""",
+
+    // malformed-JSON audit: every event_id % 7 = 0 payload invalidated;
+    // oracle recomputes the split + clean k sum from the source
+    "p_json_malformed" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_parsed,
+             CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt,
+             CAST(sum(CASE WHEN event_id % 7 <> 0 THEN $k ELSE 0 END)
+               AS BIGINT) AS clean_k_sum
+      FROM events""",
 
     // malformed-CSV audit: every custkey % 10 = 0 row was text-corrupted
     // (unparseable double), so the oracle recomputes the clean/corrupt

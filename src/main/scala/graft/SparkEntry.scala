@@ -90,6 +90,53 @@ object SparkEntry {
     "q_sessions" -> ((s, dir) =>
       Session.sessionWindows(Tables.events(s, dir), "user_id", "ts",
         "30 minutes").orderBy("user_id", "session_start")),
+    "q_slo_burn" -> ((s, dir) => {
+      // SRE burn-rate over the event stream: daily error rate against a
+      // 1% error budget (99% SLO), burn multiple, cumulative budget
+      // consumed, and the fast-burn alert (burn > 2x) — windows over the
+      // bounded day table (the cusum/forecast class)
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errors"))
+      val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val budget = 0.01
+      daily
+        .withColumn("error_rate",
+          round(col("errors") / col("n").cast("double"), 6))
+        .withColumn("burn",
+          round(col("errors") / col("n").cast("double") / lit(budget), 6))
+        .withColumn("budget_consumed",
+          round(sum(col("errors")).over(cumW) /
+            (lit(budget) * sum(col("n")).over(cumW).cast("double")), 6))
+        .withColumn("fast_burn",
+          col("errors") / col("n").cast("double") / lit(budget) > 2.0)
+        .select(col("day"), col("n"), col("errors"), col("error_rate"),
+          col("burn"), col("budget_consumed"), col("fast_burn"))
+        .orderBy("day")
+    }),
+    "q_session_stats" -> ((s, dir) => {
+      // the product readout over sessionization: bounce rate (single-
+      // event sessions), mean depth, median active span, value totals —
+      // one bounded fold over the session table
+      val sw = Session.sessionWindows(Tables.events(s, dir), "user_id",
+        "ts", "30 minutes")
+      val spanS = (unix_micros(col("session_end").cast("timestamp")) -
+        unix_micros(col("session_start").cast("timestamp"))) /
+        lit(1000000L) - lit(1800.0) // session_window end includes the gap
+      sw.agg(
+        count(lit(1)).cast("long").as("n_sessions"),
+        count_distinct(col("user_id")).cast("long").as("n_users"),
+        round(sum(when(col("n_events") === 1, 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 6).as("bounce_rate"),
+        round(sum(col("n_events")) / count(lit(1)).cast("double"), 6)
+          .as("avg_events"),
+        round(percentile(spanS, lit(0.5)), 6).as("median_span_s"),
+        round(sum(col("session_value")), 2).as("total_value"))
+    }),
     "q_rolling_active_users" -> ((s, dir) =>
       // DAU + exact trailing-7-day WAU via bounded pair replication
       WindowAgg.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts")),
@@ -660,6 +707,31 @@ object SparkEntry {
             .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
           schema)
         .orderBy("c_custkey")
+    }),
+    "p_json_malformed" -> ((s, dir) => {
+      // from_json robustness twin of s_csv_malformed: every 7th props
+      // payload is TRUNCATED (unterminated object — a trailing brace is
+      // NOT enough, from_json stops at the root value and ignores
+      // trailing bytes) — the parse must null it, not kill the job, and
+      // the audit reconciles counts and the clean-side k sum
+      val raw = Tables.events(s, dir).select(col("event_id"),
+        when(pmod(col("event_id"), lit(7)) === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props")).as("js"))
+      val parsed = raw.select(col("event_id"),
+        from_json(col("js"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .as("p"))
+      parsed.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("p").isNotNull && col("p.k").isNotNull, 1)
+          .otherwise(0)).cast("long").as("n_parsed"),
+        sum(when(col("p").isNull || col("p.k").isNull, 1).otherwise(0))
+          .cast("long").as("n_corrupt"),
+        sum(when(col("p").isNotNull, col("p.k")).otherwise(0L))
+          .cast("long").as("clean_k_sum"))
     }),
     "s_csv_malformed" -> ((s, dir) => {
       // robustness: every 10th row's numeric field is corrupted at the
