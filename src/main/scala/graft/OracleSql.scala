@@ -3536,6 +3536,60 @@ object OracleSql {
       FROM lastk WHERE rn <= 20
       GROUP BY user_id ORDER BY user_id""",
 
+    // hybrid RRF: BM25 and cosine rankings cut at 100, fused by
+    // 1/(60+rank) over the outer join, top-20 by (rrf desc, doc_id)
+    "x_hybrid_rrf" -> """
+      WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS dl
+        FROM documents),
+      stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+                FROM dl),
+      toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('spark', 'join', 'window')
+             GROUP BY doc_id, term),
+      dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + ((SELECT n_docs FROM stats) - dft.df_t + 0.5)
+                        / (dft.df_t + 0.5))
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (0.25
+                     + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS w
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)),
+      bm AS (SELECT doc_id, round(sum(w), 6) AS bm25
+             FROM scored GROUP BY doc_id),
+      lex AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS BIGINT) AS lex_rank
+              FROM bm QUALIFY lex_rank <= 100),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      semscored AS (
+        SELECT e.vec_id AS doc_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+      sem AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                  AS BIGINT) AS sem_rank
+              FROM semscored QUALIFY sem_rank <= 100),
+      fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.lex_rank, sem.sem_rank,
+               round(coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+                 + coalesce(1.0 / (60 + sem.sem_rank), 0.0), 6) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      SELECT doc_id, lex_rank, sem_rank, rrf
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+
     "x_bm25_search" -> """
       WITH dl AS (
         SELECT doc_id,

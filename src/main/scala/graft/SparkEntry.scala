@@ -2147,6 +2147,32 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity_z"), col("l_extendedprice_z"), col("l_discount_z"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "x_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+      // lexical ranking and the cosine semantic ranking — the fusion
+      // rule hybrid search engines ship (a doc strong in either channel
+      // surfaces; no score calibration needed, only ranks). Both
+      // channels cut to top-100 via TakeOrdered; the fusion window runs
+      // over those bounded lists
+      val lex = TextAnalysis.bm25Scores(Tables.documents(s, dir),
+          "doc_id", "text", Seq("spark", "join", "window"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+      val lexRank = lex.withColumn("lex_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.topKBruteForce(emb.filter(col("vec_id") === 0),
+          emb, "vec_id", "embedding", 100)
+        .select(col("cand_id").as("doc_id"),
+          col("rank").cast("long").as("sem_rank"))
+      lexRank.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+    }),
     "x_bm25_search" -> ((s, dir) =>
       // BM25 lexical search over the corpus for a fixed 3-term query
       TextAnalysis.bm25Scores(Tables.documents(s, dir), "doc_id", "text",
