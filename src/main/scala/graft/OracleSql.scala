@@ -3536,6 +3536,10 @@ object OracleSql {
       FROM lastk WHERE rn <= 20
       GROUP BY user_id ORDER BY user_id""",
 
+    // MMR diversity re-rank: unrolled greedy steps in exact tenth-micro
+    // integers over the bounded cosine pool
+    "x_mmr_rerank" -> mmrSql(poolK = 20, selectK = 5, lamT = 7),
+
     // hybrid RRF: BM25 and cosine rankings cut at 100, fused by
     // 1/(60+rank) over the outer join, top-20 by (rrf desc, doc_id)
     "x_hybrid_rrf" -> """
@@ -5742,6 +5746,64 @@ object OracleSql {
       c AS MATERIALIZED (
         SELECT $corrSelect
         FROM m)""")
+  }
+
+  /** Unrolled MMR oracle: cosine pool vs query vec 0, pairwise micro-unit
+    * sims, one CTE pair (selection + accumulated set) per greedy step —
+    * the election runs in EXACT tenth-micro integers like
+    * Similarity.mmrDiversify.
+    */
+  private def mmrSql(poolK: Int, selectK: Int, lamT: Int): String = {
+    val steps = (1 to selectK).map { i =>
+      val prev = if (i == 1) "" else s"sel${i - 1}"
+      val notIn =
+        if (i == 1) "" else s"WHERE pm.id NOT IN (SELECT id FROM $prev)"
+      val maxSim =
+        if (i == 1) "0"
+        else s"coalesce((SELECT max(simu) FROM simt WHERE simt.ia = pm.id " +
+          s"AND simt.ib IN (SELECT id FROM $prev)), 0)"
+      val sel =
+        if (i == 1) s"sel1 AS (SELECT id FROM s1)"
+        else s"sel$i AS (SELECT id FROM sel${i - 1} " +
+          s"UNION ALL SELECT id FROM s$i)"
+      s"""s$i AS (
+        SELECT id, rel, mmr FROM (
+          SELECT pm.id, pm.rel,
+                 $lamT * pm.relu - ${10 - lamT} * $maxSim AS mmr
+          FROM pm $notIn)
+        ORDER BY mmr DESC, id LIMIT 1),
+      $sel"""
+    }.mkString(",\n      ")
+    val out = (1 to selectK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS pick, id AS vec_id, rel AS relevance, " +
+        s"CAST(mmr AS BIGINT) AS mmr_score_e7 FROM s$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id AS id, e.v,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+      pool AS (SELECT id, v, cos,
+                 row_number() OVER (ORDER BY cos DESC, id) AS rnk
+               FROM scored QUALIFY rnk <= $poolK),
+      pm AS (SELECT id, round(cos, 6) AS rel,
+               CAST(round(cos * 1000000) AS BIGINT) AS relu
+             FROM pool),
+      simt AS (
+        SELECT a.id AS ia, b.id AS ib,
+               CAST(round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))) * 1000000)
+                 AS BIGINT) AS simu
+        FROM pool a JOIN pool b ON a.id <> b.id),
+      $steps
+      $out
+      ORDER BY pick"""
   }
 
   private def spanSql(select: String): String =

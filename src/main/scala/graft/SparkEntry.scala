@@ -2147,6 +2147,13 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity_z"), col("l_extendedprice_z"), col("l_discount_z"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "x_mmr_rerank" -> ((s, dir) =>
+      // diversity-aware re-rank: greedy MMR (lambda = 0.7) over the
+      // top-20 cosine pool — stops the list collapsing onto near-copies
+      // of the best hit; election in exact integer micro-units
+      Similarity.mmrDiversify(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") === 0, poolK = 20, selectK = 5,
+        lambdaTenths = 7)),
     "x_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
       // lexical ranking and the cosine semantic ranking — the fusion

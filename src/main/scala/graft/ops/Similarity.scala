@@ -128,6 +128,71 @@ object Similarity {
       .orderBy(col("dims"), col("query_id"))
   }
 
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `selectK` of the top-`poolK` semantic candidates,
+    * each step maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected — the diversity-aware re-rank that stops a result list
+    * collapsing onto near-duplicates of the best hit.
+    *
+    * Scale shape: the corpus-sized work is the top-`poolK` retrieval
+    * (TakeOrdered); the greedy loop runs on the BOUNDED pool collected
+    * driver-side (the codebook precedent — poolK rows, data-size-
+    * independent). Every score is rounded at 6 BEFORE each comparison
+    * and ties break by id, so the oracle's unrolled-step replay elects
+    * identical winners.
+    */
+  def mmrDiversify(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, poolK: Int, selectK: Int,
+                   lambdaTenths: Int): DataFrame = {
+    require(poolK >= selectK && selectK >= 1,
+      s"mmrDiversify: need poolK >= selectK >= 1 (got $poolK, $selectK)")
+    require(lambdaTenths >= 1 && lambdaTenths <= 9,
+      s"mmrDiversify: lambdaTenths in [1, 9] (got $lambdaTenths)")
+    val spark = emb.sparkSession
+    val q = emb.filter(queryPred)
+    val pool = topKBruteForce(q, emb, idCol, vecCol, poolK)
+      .select(col("cand_id"), col("cosine"))
+    val vecs = emb.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(pool.select(col("cand_id").as("__id")), Seq("__id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cands = pool.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))) // (id, rel) rel rounded 6
+    // EXACT integer election space: 6-rounded scores in micro-units, the
+    // MMR combination in tenth-micro units — the λ·rel − (1−λ)·sim
+    // lattice lands exactly on half-rounding boundaries, where double
+    // re-rounding would flip between engines; integers cannot
+    def microRound(x: Double): Long = math.round(x * 1e6)
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      microRound(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val selected = collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val remaining = collection.mutable.LinkedHashMap(cands: _*)
+    for (_ <- 1 to selectK) {
+      val scoredStep = remaining.toSeq.map { case (id, rel) =>
+        val maxSimMicro =
+          if (selected.isEmpty) 0L
+          else selected.map(s => cosMicro(vecs(id), vecs(s._1))).max
+        val mmrE7 = lambdaTenths * microRound(rel) -
+          (10 - lambdaTenths) * maxSimMicro
+        (id, rel, mmrE7)
+      }
+      val best = scoredStep.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, rel, mmrE7), i) =>
+      (i + 1L, id, rel, mmrE7)
+    }.toSeq.toDF("pick", idCol, "relevance", "mmr_score_e7")
+      .orderBy("pick")
+  }
+
   /** IVF-style bucketed ANN: candidates restricted to the query's coarse
     * cell (`cellCol`). Same output shape as brute force; recall < 1 by
     * construction, cost ∝ cell size instead of corpus size.

@@ -314,6 +314,34 @@ class SimilaritySpec extends SparkSpec {
     assert(single == ((None, None)))
   }
 
+  test("mmrDiversify: the second pick jumps to the diverse candidate " +
+      "where plain top-k would take the near-copy of the best hit") {
+    // query 0 along (1,0); candidates: 1,2 nearly identical high-rel;
+    // 3 moderately relevant but orthogonal-ish
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.10f, 0.0f)),
+      (2L, Array(0.99f, 0.11f, 0.0f)),   // near-copy of 1
+      (3L, Array(0.70f, 0.0f, 0.71f))    // diverse
+    ).toDF("vec_id", "embedding")
+    // diversity-heavy lambda: the near-copy's ~1.0 similarity to pick 1
+    // must outweigh its relevance edge over the diverse candidate
+    val mmr = Similarity.mmrDiversify(emb, "vec_id", "embedding",
+        $"vec_id" === 0, poolK = 3, selectK = 3, lambdaTenths = 3)
+      .select("pick", "vec_id").as[(Long, Long)].collect().toMap
+    val topk = Similarity.topKBruteForce(emb.filter($"vec_id" === 0), emb,
+        "vec_id", "embedding", 3)
+      .select("rank", "cand_id").as[(Int, Long)].collect().toMap
+    assert(topk(1) == 1L && topk(2) == 2L) // plain ranking: the near-copy
+    assert(mmr(1L) == 1L)
+    assert(mmr(2L) == 3L, "MMR must promote the diverse candidate")
+    assert(mmr(3L) == 2L)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrDiversify(emb, "vec_id", "embedding",
+        $"vec_id" === 0, poolK = 2, selectK = 3, lambdaTenths = 7)
+    }
+  }
+
   test("matryoshkaRecall: prefix-carried signal scores 1.0, tail-carried " +
       "signal scores 0 at small dims and recovers at full width") {
     // 8-dim vectors: first 4 dims = one-hot group signal, last 4 dims
