@@ -3873,6 +3873,29 @@ object OracleSql {
 
     // user-grain conversion + revenue, hash 50/50 split, pooled z +
     // Welch t/df in one conditional fold
+    // empirical-Bayes shrinkage: beta prior moment-matched on user-level
+    // rates, posterior (x + m*k)/(n + k) with k = m(1-m)/v - 1
+    "q_eb_shrinkage" -> """
+      WITH per AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' AND value > 95.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id),
+      mom AS (SELECT avg(conv / CAST(n AS DOUBLE)) AS m,
+                     var_samp(conv / CAST(n AS DOUBLE)) AS v
+              FROM per)
+      SELECT user_id, n, conv,
+             round(conv / CAST(n AS DOUBLE), 6) AS raw_rate,
+             round(CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+               THEN m * (m * (1.0 - m) / v - 1.0) END, 6) AS alpha,
+             round(CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+               THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END, 6) AS beta,
+             round(CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+               THEN (conv + m * (m * (1.0 - m) / v - 1.0))
+                    / (n + m * (1.0 - m) / v - 1.0)
+               ELSE conv / CAST(n AS DOUBLE) END, 6) AS shrunk_rate
+      FROM per, mom ORDER BY user_id""",
+
     // always-valid mSPRT: cumulative two-proportion counts per day, the
     // normal-mixture likelihood ratio, running-min p
     "q_ab_sequential" -> s"""

@@ -2299,6 +2299,12 @@ object SparkEntry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id",
         col("event_type") === "purchase" && col("value") > 95.0, "value")),
+    "q_eb_shrinkage" -> ((s, dir) =>
+      // the leaderboard fix: per-user conversion rates posterior-shrunk
+      // under a moment-matched beta prior — evidence-proportional pull
+      // toward the population mean
+      Eval.ebShrinkage(Tables.events(s, dir), "user_id",
+        col("event_type") === "purchase" && col("value") > 95.0)),
     "q_ab_sequential" -> ((s, dir) =>
       // always-valid mSPRT over the same hash-split experiment: peek
       // after every day without inflating false positives

@@ -351,6 +351,44 @@ object Eval {
       .orderBy("t_hours")
   }
 
+  /** Empirical-Bayes shrinkage of per-key conversion rates: a beta prior
+    * moment-matched on the observed key-level rates
+    * (α = m·(m(1−m)/v − 1), β = (1−m)·(m(1−m)/v − 1)), then every key's
+    * rate posterior-shrunk to (x+α)/(n+α+β). The small-sample fix every
+    * per-entity rate leaderboard needs: a 1-for-1 user stops outranking a
+    * 9,800-for-10,000 one, keys pull toward the population mean in
+    * proportion to their evidence. Degenerate spread (v ≤ 0 or an
+    * out-of-range implied prior) falls back to the raw rate with NULL
+    * prior columns — fail-soft, flagged, never a division blow-up.
+    *
+    * Plan: one keyed aggregation, one 1-row moment fold broadcast back,
+    * a narrow projection — no windows at all.
+    */
+  def ebShrinkage(df: DataFrame, keyCol: String, isConv: Column): DataFrame = {
+    val per = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(isConv.cast("long")).as("conv"))
+      .withColumn("raw_rate",
+        round(col("conv") / col("n").cast("double"), 6))
+    val mom = per.agg(
+      avg(col("conv") / col("n").cast("double")).as("__m"),
+      var_samp(col("conv") / col("n").cast("double")).as("__v"))
+    val k = col("__m") * (lit(1.0) - col("__m")) / col("__v") - lit(1.0)
+    val ok = col("__v") > 0 && k > 0
+    per.crossJoin(broadcast(mom))
+      .withColumn("alpha", round(when(ok, col("__m") * k), 6))
+      .withColumn("beta",
+        round(when(ok, (lit(1.0) - col("__m")) * k), 6))
+      .withColumn("shrunk_rate",
+        round(when(ok,
+          (col("conv") + col("__m") * k) /
+            (col("n") + k)).otherwise(
+          col("conv") / col("n").cast("double")), 6))
+      .select(col(keyCol), col("n"), col("conv"), col("raw_rate"),
+        col("alpha"), col("beta"), col("shrunk_rate"))
+      .orderBy(keyCol)
+  }
+
   /** Per-class precision / recall / F1 from a (gold, predicted) pair
     * column — the class-level complement of [[cohensKappa]]'s single
     * agreement number (kappa can look healthy while one minority class

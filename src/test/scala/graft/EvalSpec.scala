@@ -314,6 +314,34 @@ class EvalSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == 4L) // credit reconciles to convs
   }
 
+  test("ebShrinkage: every rate pulls toward the mean, small-n keys pull " +
+      "hardest, degenerate spread falls back to raw") {
+    // users with identical raw rate 0.5 at n=2 vs n=100, plus extremes
+    val rows =
+      Seq.fill(1)(("tiny", true)) ++ Seq.fill(1)(("tiny", false)) ++
+      (1 to 50).map(_ => ("big", true)) ++ (1 to 50).map(_ => ("big", false)) ++
+      (1 to 10).map(_ => ("low", false)) ++
+      (1 to 10).map(_ => ("high", true))
+    val df = rows.toDF("k", "c")
+    val out = Eval.ebShrinkage(df, "k", col("c"))
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val m = 0.5 // rates are {0.5, 0.5, 0.0, 1.0} -> mean 0.5
+    def shrunk(k: String) = out(k).getAs[Double]("shrunk_rate")
+    def raw(k: String) = out(k).getAs[Double]("raw_rate")
+    // pull toward the mean, never past it
+    assert(shrunk("low") > raw("low") && shrunk("low") < m)
+    assert(shrunk("high") < raw("high") && shrunk("high") > m)
+    // same raw rate: the small-n key ends closer to its prior-dominated
+    // value but both sit AT the mean here (raw == m -> no movement)
+    assert(shrunk("tiny") == 0.5 && shrunk("big") == 0.5)
+    // degenerate spread: all keys identical -> v = 0 -> raw passthrough
+    val flat = (1 to 4).flatMap(i =>
+      Seq((s"u$i", true), (s"u$i", false))).toDF("k", "c")
+    val f = Eval.ebShrinkage(flat, "k", col("c")).collect().head
+    assert(f.getAs[Double]("shrunk_rate") == 0.5 &&
+      f.isNullAt(f.fieldIndex("alpha")))
+  }
+
   test("classificationReport: per-class P/R/F1, never-predicted class " +
       "reports NULL precision and zero recall") {
     val df = Seq(
