@@ -3536,6 +3536,11 @@ object OracleSql {
       FROM lastk WHERE rn <= 20
       GROUP BY user_id ORDER BY user_id""",
 
+    // Markov steady state: 30 unrolled normalized power steps over the
+    // exact-integer-division transition matrix
+    "q_markov_steady" -> markovSql(
+      Seq("click", "error", "purchase", "signup", "view"), 30),
+
     // MMR diversity re-rank: unrolled greedy steps in exact tenth-micro
     // integers over the bounded cosine pool
     "x_mmr_rerank" -> mmrSql(poolK = 20, selectK = 5, lamT = 7),
@@ -5769,6 +5774,60 @@ object OracleSql {
       c AS MATERIALIZED (
         SELECT $corrSelect
         FROM m)""")
+  }
+
+  /** Unrolled Markov steady-state oracle: transition counts via the
+    * lead() replay, exact-integer-division probabilities into a wide
+    * 1-row matrix CTE (self-loop completion for rows with no outgoing
+    * mass), then one materialized (mat-vec + normalize) CTE pair per
+    * power step — Retrieval.markovSteadyState's arithmetic verbatim.
+    */
+  private def markovSql(states: Seq[String], iterations: Int): String = {
+    val d = states.size
+    def q(s: String) = s.replace("'", "''")
+    val pCells = (for { i <- 0 until d; j <- 0 until d } yield {
+      val si = q(states(i)); val sj = q(states(j))
+      s"""CASE WHEN (SELECT tn FROM tot WHERE f = '$si') IS NULL
+           THEN ${if (i == j) "1.0" else "0.0"}
+           ELSE coalesce((SELECT CAST(n AS DOUBLE) FROM c
+                          WHERE f = '$si' AND t = '$sj'), 0.0)
+                / (SELECT tn FROM tot WHERE f = '$si') END AS p${i}_$j"""
+    }).mkString(",\n          ")
+    val v0 = (0 until d).map(i => s"1.0 / $d.0 AS x$i").mkString(", ")
+    def matVec(prev: String) = (0 until d).map { j =>
+      (0 until d).map(i => s"P.p${i}_$j * $prev.x$i").mkString(" + ") +
+        s" AS w$j"
+    }.mkString(",\n            ")
+    val steps = (1 to iterations).map { t =>
+      val prev = s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (
+          SELECT ${matVec(prev)}
+          FROM P, $prev),
+      v$t AS MATERIALIZED (
+          SELECT ${(0 until d).map(j =>
+        s"w$j / (${(0 until d).map(i => s"w$i").mkString(" + ")}) AS x$j")
+        .mkString(",\n            ")}
+          FROM w$t)"""
+    }.mkString(",\n      ")
+    val vf = s"v$iterations"
+    val rows = (0 until d).map(i =>
+      s"SELECT '${q(states(i))}' AS state, round($vf.x$i, 6) " +
+        s"AS stationary FROM $vf").mkString("\n      UNION ALL ")
+    s"""
+      WITH pairs AS (
+        SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+        FROM events),
+      c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pairs
+            WHERE t IS NOT NULL GROUP BY f, t),
+      tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY f),
+      P AS MATERIALIZED (
+        SELECT $pCells),
+      v0 AS MATERIALIZED (SELECT $v0),
+      $steps
+      $rows
+      ORDER BY state"""
   }
 
   /** Unrolled MMR oracle: cosine pool vs query vec 0, pairwise micro-unit

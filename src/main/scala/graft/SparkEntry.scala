@@ -544,6 +544,14 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("ts"), col("event_type")),
         "user_id", "ts", "event_id", "event_type")),
+    "q_markov_steady" -> ((s, dir) =>
+      // where the behavioral flow settles: stationary distribution of
+      // the event-type chain (30 unrolled power steps on the bounded
+      // transition table, oracle-replayed step for step)
+      Retrieval.markovSteadyState(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type", iterations = 30)),
     "q_future_labels" -> ((s, dir) =>
       // forward-window conversion labels: did the user purchase within
       // 24h after each event? — one per-key window, no self-join

@@ -237,6 +237,54 @@ object Retrieval {
       .orderBy("from_state", "to_state")
   }
 
+  /** Stationary distribution of the [[transitionMatrix]] chain: where the
+    * behavioral flow settles in the long run — the one-number-per-state
+    * summary of the whole transition structure (which states accumulate
+    * sessions, which are transient). Fixed-count power iteration
+    * v ← normalize(v·P) from uniform, on the BOUNDED |states|² count
+    * table collected driver-side (the codebook precedent; probabilities
+    * are exact-integer divisions, so both engines iterate identical
+    * doubles and the oracle unrolls the same steps). A state with no
+    * observed outgoing transition self-loops (row-stochastic completion).
+    */
+  def markovSteadyState(events: DataFrame, key: String, ts: String,
+                        id: String, stateCol: String,
+                        iterations: Int = 30): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"markovSteadyState: iterations in [1, 100] (got $iterations)")
+    val spark = events.sparkSession
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val counts = events
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("f"), col("__next").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = counts.keysIterator
+      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct.sorted
+    val d = states.length
+    require(d >= 1, "markovSteadyState: no transitions observed")
+    val totals = states.map(f =>
+      states.foldLeft(0L)((acc, t) => acc + counts.getOrElse((f, t), 0L)))
+    val p = Array.tabulate(d, d) { (i, j) =>
+      if (totals(i) == 0L) { if (i == j) 1.0 else 0.0 }
+      else counts.getOrElse((states(i), states(j)), 0L).toDouble / totals(i)
+    }
+    var v = Array.fill(d)(1.0 / d)
+    for (_ <- 1 to iterations) {
+      val nv = Array.tabulate(d)(j =>
+        (0 until d).foldLeft(0.0)((acc, i) => acc + v(i) * p(i)(j)))
+      val s = nv.foldLeft(0.0)(_ + _)
+      v = nv.map(_ / s)
+    }
+    import spark.implicits._
+    states.zip(v).map { case (st, pr) => (st, pr) }
+      .toDF("state", "stationary")
+      .select(col("state"), round(col("stationary"), 6).as("stationary"))
+      .orderBy("state")
+  }
+
   /** Nearest-event temporal join — for each probe row, the same key's
     * closest reference row in EITHER time direction (the bidirectional
     * generalization of as-of, which only looks backward): "the view

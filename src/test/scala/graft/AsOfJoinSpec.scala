@@ -174,4 +174,25 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("maxBinsPerInterval"))
   }
+
+  test("markovSteadyState: two-state chain converges to the closed form " +
+      "(1/3, 2/3); terminal state self-loops and absorbs") {
+    // sequence a,b,b,a,b -> P(a)=[0,1], P(b)=[1/2,1/2]; pi = (1/3, 2/3)
+    val ev = Seq("a", "b", "b", "a", "b").zipWithIndex.map { case (s, i) =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:00:${i}%02d"), s)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val pi = graft.ops.Retrieval.markovSteadyState(ev, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, Double)].collect().toMap
+    assert(pi == Map("a" -> 0.333333, "b" -> 0.666667))
+    // c only ever receives (never emits): self-loop completion makes it
+    // absorbing, so all stationary mass collapses onto it
+    val ev2 = Seq("a", "b", "a", "c").zipWithIndex.map { case (s, i) =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:00:${i}%02d"), s)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val pi2 = graft.ops.Retrieval.markovSteadyState(ev2, "user_id", "ts",
+        "event_id", "event_type", iterations = 60)
+      .as[(String, Double)].collect().toMap
+    assert(pi2("c") > 0.99)
+  }
 }
