@@ -3541,6 +3541,11 @@ object OracleSql {
     "q_markov_steady" -> markovSql(
       Seq("click", "error", "purchase", "signup", "view"), 30),
 
+    // expected steps to first purchase: 60 unrolled value-iteration
+    // steps, target row pinned to 0
+    "q_steps_to_convert" -> markovHitSql(
+      Seq("click", "error", "purchase", "signup", "view"), "purchase", 60),
+
     // MMR diversity re-rank: unrolled greedy steps in exact tenth-micro
     // integers over the bounded cosine pool
     "x_mmr_rerank" -> mmrSql(poolK = 20, selectK = 5, lamT = 7),
@@ -5825,6 +5830,56 @@ object OracleSql {
       P AS MATERIALIZED (
         SELECT $pCells),
       v0 AS MATERIALIZED (SELECT $v0),
+      $steps
+      $rows
+      ORDER BY state"""
+  }
+
+  /** Unrolled hitting-steps oracle: the markovSql transition matrix, the
+    * target row pinned to 0, one materialized CTE per value-iteration
+    * step h ← 1 + P·h.
+    */
+  private def markovHitSql(states: Seq[String], target: String,
+                           iterations: Int): String = {
+    val d = states.size
+    val ti = states.indexOf(target)
+    require(ti >= 0, s"markovHitSql: unknown target $target")
+    def q(s: String) = s.replace("'", "''")
+    val pCells = (for { i <- 0 until d; j <- 0 until d } yield {
+      val si = q(states(i)); val sj = q(states(j))
+      s"""CASE WHEN (SELECT tn FROM tot WHERE f = '$si') IS NULL
+           THEN ${if (i == j) "1.0" else "0.0"}
+           ELSE coalesce((SELECT CAST(n AS DOUBLE) FROM c
+                          WHERE f = '$si' AND t = '$sj'), 0.0)
+                / (SELECT tn FROM tot WHERE f = '$si') END AS p${i}_$j"""
+    }).mkString(",\n          ")
+    val h0 = (0 until d).map(i => s"0.0 AS x$i").mkString(", ")
+    val steps = (1 to iterations).map { t =>
+      val prev = s"h${t - 1}"
+      s"""h$t AS MATERIALIZED (
+          SELECT ${(0 until d).map { i =>
+        if (i == ti) s"0.0 AS x$i"
+        else "1.0 + (" + (0 until d).map(j =>
+          s"P.p${i}_$j * $prev.x$j").mkString(" + ") + s") AS x$i"
+      }.mkString(",\n            ")}
+          FROM P, $prev)"""
+    }.mkString(",\n      ")
+    val hf = s"h$iterations"
+    val rows = (0 until d).map(i =>
+      s"SELECT '${q(states(i))}' AS state, round($hf.x$i, 6) " +
+        s"AS expected_steps FROM $hf").mkString("\n      UNION ALL ")
+    s"""
+      WITH pairs AS (
+        SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+        FROM events),
+      c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pairs
+            WHERE t IS NOT NULL GROUP BY f, t),
+      tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY f),
+      P AS MATERIALIZED (
+        SELECT $pCells),
+      h0 AS MATERIALIZED (SELECT $h0),
       $steps
       $rows
       ORDER BY state"""

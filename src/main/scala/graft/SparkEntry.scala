@@ -552,6 +552,14 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("ts"), col("event_type")),
         "user_id", "ts", "event_id", "event_type", iterations = 30)),
+    "q_steps_to_convert" -> ((s, dir) =>
+      // expected transitions until the first purchase from each state —
+      // the step-count companion to time_to_convert's wall-clock view
+      Retrieval.markovHittingSteps(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type", target = "purchase",
+        iterations = 60)),
     "q_future_labels" -> ((s, dir) =>
       // forward-window conversion labels: did the user purchase within
       // 24h after each event? — one per-key window, no self-join

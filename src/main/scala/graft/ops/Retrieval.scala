@@ -285,6 +285,55 @@ object Retrieval {
       .orderBy("state")
   }
 
+  /** Expected transitions until first reaching `target`, from every
+    * state of the [[transitionMatrix]] chain — the step-count companion
+    * to [[Eval.timeToConvert]]'s wall-clock view: h(target) = 0,
+    * h(i) = 1 + Σⱼ P(i,j)·h(j), computed by `iterations` unrolled value-
+    * iteration steps from h = 0 (the truncated expectation — the exact
+    * hitting time capped at the iteration budget; states that cannot
+    * reach the target report the cap's partial sum rather than
+    * diverging). Same bounded-matrix/exact-division determinism contract
+    * as [[markovSteadyState]]; the oracle unrolls identical steps.
+    */
+  def markovHittingSteps(events: DataFrame, key: String, ts: String,
+                         id: String, stateCol: String, target: String,
+                         iterations: Int = 60): DataFrame = {
+    require(iterations >= 1 && iterations <= 200,
+      s"markovHittingSteps: iterations in [1, 200] (got $iterations)")
+    val spark = events.sparkSession
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val counts = events
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("f"), col("__next").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = counts.keysIterator
+      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct.sorted
+    require(states.contains(target),
+      s"markovHittingSteps: target '$target' never observed")
+    val d = states.length
+    val totals = states.map(f =>
+      states.foldLeft(0L)((acc, t) => acc + counts.getOrElse((f, t), 0L)))
+    val p = Array.tabulate(d, d) { (i, j) =>
+      if (totals(i) == 0L) { if (i == j) 1.0 else 0.0 }
+      else counts.getOrElse((states(i), states(j)), 0L).toDouble / totals(i)
+    }
+    val ti = states.indexOf(target)
+    var h = Array.fill(d)(0.0)
+    for (_ <- 1 to iterations) {
+      h = Array.tabulate(d)(i =>
+        if (i == ti) 0.0
+        else 1.0 + (0 until d).foldLeft(0.0)((acc, j) =>
+          acc + p(i)(j) * h(j)))
+    }
+    import spark.implicits._
+    states.zip(h).toSeq.toDF("state", "hit")
+      .select(col("state"), round(col("hit"), 6).as("expected_steps"))
+      .orderBy("state")
+  }
+
   /** Nearest-event temporal join — for each probe row, the same key's
     * closest reference row in EITHER time direction (the bidirectional
     * generalization of as-of, which only looks backward): "the view

@@ -195,4 +195,26 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(pi2("c") > 0.99)
   }
+
+  test("markovHittingSteps: closed-form hitting times on the two-state " +
+      "chain; target reports 0; unknown target fails loud") {
+    // P(a)=[0,1], P(b)=[1/2,1/2]; h(b) = 0; h(a) = 1 + h(b) = 1? target b:
+    // h(a) = 1 + 1*h(b) = 1; check also target a: h(b) = 1 + 0.5*h(b)
+    // -> h(b) = 2
+    val ev = Seq("a", "b", "b", "a", "b").zipWithIndex.map { case (s, i) =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:00:${i}%02d"), s)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val hb = graft.ops.Retrieval.markovHittingSteps(ev, "user_id", "ts",
+        "event_id", "event_type", target = "b")
+      .as[(String, Double)].collect().toMap
+    assert(hb == Map("a" -> 1.0, "b" -> 0.0))
+    val ha = graft.ops.Retrieval.markovHittingSteps(ev, "user_id", "ts",
+        "event_id", "event_type", target = "a", iterations = 200)
+      .as[(String, Double)].collect().toMap
+    assert(ha("a") == 0.0 && math.abs(ha("b") - 2.0) < 1e-4)
+    intercept[IllegalArgumentException] {
+      graft.ops.Retrieval.markovHittingSteps(ev, "user_id", "ts",
+        "event_id", "event_type", target = "zz")
+    }
+  }
 }
