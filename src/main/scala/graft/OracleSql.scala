@@ -3546,6 +3546,12 @@ object OracleSql {
     "q_steps_to_convert" -> markovHitSql(
       Seq("click", "error", "purchase", "signup", "view"), "purchase", 60),
 
+    // competing risks: P(purchase before error), win row pinned 1 and
+    // lose row pinned 0 through the same unrolled iteration
+    "q_convert_before_error" -> markovAbsorbSql(
+      Seq("click", "error", "purchase", "signup", "view"),
+      "purchase", "error", 60),
+
     // MMR diversity re-rank: unrolled greedy steps in exact tenth-micro
     // integers over the bounded cosine pool
     "x_mmr_rerank" -> mmrSql(poolK = 20, selectK = 5, lamT = 7),
@@ -5880,6 +5886,59 @@ object OracleSql {
       P AS MATERIALIZED (
         SELECT $pCells),
       h0 AS MATERIALIZED (SELECT $h0),
+      $steps
+      $rows
+      ORDER BY state"""
+  }
+
+  /** Unrolled absorption oracle: win row pinned 1, lose row pinned 0,
+    * a ← P·a per materialized step.
+    */
+  private def markovAbsorbSql(states: Seq[String], win: String,
+                              lose: String, iterations: Int): String = {
+    val d = states.size
+    val wi = states.indexOf(win)
+    val li = states.indexOf(lose)
+    require(wi >= 0 && li >= 0 && wi != li,
+      s"markovAbsorbSql: bad win/lose $win/$lose")
+    def q(s: String) = s.replace("'", "''")
+    val pCells = (for { i <- 0 until d; j <- 0 until d } yield {
+      val si = q(states(i)); val sj = q(states(j))
+      s"""CASE WHEN (SELECT tn FROM tot WHERE f = '$si') IS NULL
+           THEN ${if (i == j) "1.0" else "0.0"}
+           ELSE coalesce((SELECT CAST(n AS DOUBLE) FROM c
+                          WHERE f = '$si' AND t = '$sj'), 0.0)
+                / (SELECT tn FROM tot WHERE f = '$si') END AS p${i}_$j"""
+    }).mkString(",\n          ")
+    val a0 = (0 until d).map(i =>
+      s"${if (i == wi) "1.0" else "0.0"} AS x$i").mkString(", ")
+    val steps = (1 to iterations).map { t =>
+      val prev = s"a${t - 1}"
+      s"""a$t AS MATERIALIZED (
+          SELECT ${(0 until d).map { i =>
+        if (i == wi) s"1.0 AS x$i"
+        else if (i == li) s"0.0 AS x$i"
+        else (0 until d).map(j => s"P.p${i}_$j * $prev.x$j")
+          .mkString(" + ") + s" AS x$i"
+      }.mkString(",\n            ")}
+          FROM P, $prev)"""
+    }.mkString(",\n      ")
+    val af = s"a$iterations"
+    val rows = (0 until d).map(i =>
+      s"SELECT '${q(states(i))}' AS state, round($af.x$i, 6) " +
+        s"AS p_win_first FROM $af").mkString("\n      UNION ALL ")
+    s"""
+      WITH pairs AS (
+        SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+        FROM events),
+      c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pairs
+            WHERE t IS NOT NULL GROUP BY f, t),
+      tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY f),
+      P AS MATERIALIZED (
+        SELECT $pCells),
+      a0 AS MATERIALIZED (SELECT $a0),
       $steps
       $rows
       ORDER BY state"""

@@ -560,6 +560,14 @@ object SparkEntry {
           col("ts"), col("event_type")),
         "user_id", "ts", "event_id", "event_type", target = "purchase",
         iterations = 60)),
+    "q_convert_before_error" -> ((s, dir) =>
+      // competing risks on the behavioral chain: P(purchase before
+      // error) from every state — outcome odds next to the step counts
+      Retrieval.markovAbsorbProb(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type",
+        win = "purchase", lose = "error", iterations = 60)),
     "q_future_labels" -> ((s, dir) =>
       // forward-window conversion labels: did the user purchase within
       // 24h after each event? — one per-key window, no self-join

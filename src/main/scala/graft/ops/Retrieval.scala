@@ -334,6 +334,55 @@ object Retrieval {
       .orderBy("state")
   }
 
+  /** Competing-risks absorption: P(reach `win` before `lose`) from every
+    * state — "does this session convert before it errors out", the
+    * outcome-odds companion to [[markovHittingSteps]]' step counts.
+    * Value iteration a ← P·a with the `win` row pinned to 1 and the
+    * `lose` row to 0 (truncated at the iteration budget, converging from
+    * below). Same bounded-matrix/exact-division determinism contract.
+    */
+  def markovAbsorbProb(events: DataFrame, key: String, ts: String,
+                       id: String, stateCol: String, win: String,
+                       lose: String, iterations: Int = 60): DataFrame = {
+    require(iterations >= 1 && iterations <= 200,
+      s"markovAbsorbProb: iterations in [1, 200] (got $iterations)")
+    require(win != lose, "markovAbsorbProb: win and lose must differ")
+    val spark = events.sparkSession
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val counts = events
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("f"), col("__next").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = counts.keysIterator
+      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct.sorted
+    require(states.contains(win) && states.contains(lose),
+      s"markovAbsorbProb: '$win' and '$lose' must both be observed")
+    val d = states.length
+    val totals = states.map(f =>
+      states.foldLeft(0L)((acc, t) => acc + counts.getOrElse((f, t), 0L)))
+    val p = Array.tabulate(d, d) { (i, j) =>
+      if (totals(i) == 0L) { if (i == j) 1.0 else 0.0 }
+      else counts.getOrElse((states(i), states(j)), 0L).toDouble / totals(i)
+    }
+    val wi = states.indexOf(win)
+    val li = states.indexOf(lose)
+    var a = Array.tabulate(d)(i => if (i == wi) 1.0 else 0.0)
+    for (_ <- 1 to iterations) {
+      a = Array.tabulate(d) { i =>
+        if (i == wi) 1.0
+        else if (i == li) 0.0
+        else (0 until d).foldLeft(0.0)((acc, j) => acc + p(i)(j) * a(j))
+      }
+    }
+    import spark.implicits._
+    states.zip(a).toSeq.toDF("state", "p")
+      .select(col("state"), round(col("p"), 6).as("p_win_first"))
+      .orderBy("state")
+  }
+
   /** Nearest-event temporal join — for each probe row, the same key's
     * closest reference row in EITHER time direction (the bidirectional
     * generalization of as-of, which only looks backward): "the view

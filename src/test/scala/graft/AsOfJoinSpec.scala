@@ -217,4 +217,24 @@ class AsOfJoinSpec extends SparkSpec {
         "event_id", "event_type", target = "zz")
     }
   }
+
+  test("markovAbsorbProb: fair competing risks give 1/2 from the " +
+      "transient state; win and lose rows pin to 1 and 0") {
+    // m -> w half the time, m -> l half the time; w and l terminal
+    // sequences: m,w and m,l (two users)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "m"),
+      (2L, 1L, ts("2024-01-01 00:00:01"), "w"),
+      (3L, 2L, ts("2024-01-01 00:00:00"), "m"),
+      (4L, 2L, ts("2024-01-01 00:00:01"), "l")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val a = graft.ops.Retrieval.markovAbsorbProb(ev, "user_id", "ts",
+        "event_id", "event_type", win = "w", lose = "l")
+      .as[(String, Double)].collect().toMap
+    assert(a == Map("m" -> 0.5, "w" -> 1.0, "l" -> 0.0))
+    intercept[IllegalArgumentException] {
+      graft.ops.Retrieval.markovAbsorbProb(ev, "user_id", "ts",
+        "event_id", "event_type", win = "w", lose = "w")
+    }
+  }
 }
