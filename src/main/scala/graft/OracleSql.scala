@@ -3027,6 +3027,34 @@ object OracleSql {
                / CAST((SELECT count(*) FROM fc) AS DOUBLE), 6)
                AS purchase_rate""",
 
+    // cohort LTV: purchase revenue per (cohort, age week), cumulative
+    // and per-member, over the bounded cohort grid
+    "q_cohort_ltv" -> """
+      WITH f AS (SELECT user_id,
+                        CAST(date_trunc('week', min(CAST(ts AS DATE)))
+                          AS DATE) AS cohort_week
+                 FROM events GROUP BY user_id),
+      sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+                FROM f GROUP BY cohort_week),
+      rev AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                 CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)) / 7
+                 AS INTEGER) AS week_offset,
+               sum(e.value) AS r
+        FROM events e JOIN f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2)
+      SELECT rev.cohort_week, rev.week_offset, sizes.cohort_size,
+             round(rev.r, 6) AS week_revenue,
+             round(sum(rev.r) OVER w, 6) AS cum_revenue,
+             round(sum(rev.r) OVER w
+               / CAST(sizes.cohort_size AS DOUBLE), 6) AS cum_ltv_per_user
+      FROM rev JOIN sizes USING (cohort_week)
+      WINDOW w AS (PARTITION BY rev.cohort_week ORDER BY rev.week_offset
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY rev.cohort_week, rev.week_offset""",
+
     "q_cohort_retention" -> """
       WITH f AS (SELECT user_id,
                         CAST(date_trunc('week', min(CAST(ts AS DATE)))

@@ -1872,6 +1872,40 @@ object SparkEntry {
         .withColumn("purchase_rate",
           round(col("n_purchase") / col("n_click").cast("double"), 6))
     }),
+    "q_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime value: cumulative purchase revenue per cohort
+      // member by week of age — retention's revenue-sided twin (the
+      // "when does a cohort pay back" curve); cumulative window over the
+      // bounded (cohort, offset) grid
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("day"))).cast("date")
+          .as("cohort_week"))
+      val sizes = first.groupBy("cohort_week")
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val rev = e.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(date_trunc("week", col("day")).cast("date"),
+            col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(sum(col("value")).as("__rev"))
+      val cum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      rev.join(sizes, Seq("cohort_week"))
+        .withColumn("week_revenue", round(col("__rev"), 6))
+        .withColumn("cum_revenue", round(sum(col("__rev")).over(cum), 6))
+        .withColumn("cum_ltv_per_user",
+          round(sum(col("__rev")).over(cum) /
+            col("cohort_size").cast("double"), 6))
+        .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+          col("week_revenue"), col("cum_revenue"), col("cum_ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     "q_cohort_retention" -> ((s, dir) => {
       // weekly cohort retention: users grouped by first-activity week,
       // distinct active users per (cohort, week offset)
