@@ -2836,10 +2836,10 @@ object OracleSql {
     "x_budget_sample" -> s"""
       WITH t AS (
         SELECT lang, doc_id, n_chars,
-               sum(n_chars) OVER (PARTITION BY lang
+               CAST(sum(n_chars) OVER (PARTITION BY lang
                  ORDER BY ${uk("doc_id", 47)}, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS cum_cost
+                 AS BIGINT) AS cum_cost
         FROM documents WHERE lang IN ('en', 'de', 'zh'))
       SELECT lang, doc_id, n_chars, cum_cost FROM t
       WHERE cum_cost <= CASE lang WHEN 'en' THEN 20000
@@ -4987,23 +4987,25 @@ object OracleSql {
                AS intercept,
              round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
                          AND n * syy - sy * sy > 0
-               THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE))
                     / (CAST(n * sxx - sx * sx AS DOUBLE)
-                       * (n * syy - sy * sy)) END, 6) AS r2
+                       * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
       FROM s ORDER BY p_brand""",
 
     "q_trend_per_key" -> """
       WITH d AS (
         SELECT user_id,
                date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-               round(sum(value), 2) AS y
+               sum(CAST(round(value * 100) AS BIGINT)) AS y
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1, 2),
       s AS (
         SELECT user_id, CAST(count(x) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
-               sum(x * y) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
-               sum(y * y) AS syy
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
         FROM d GROUP BY user_id)
       SELECT user_id, n AS n_points,
              round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
@@ -5015,9 +5017,10 @@ object OracleSql {
                AS intercept,
              round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
                          AND n * syy - sy * sy > 0
-               THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE))
                     / (CAST(n * sxx - sx * sx AS DOUBLE)
-                       * (n * syy - sy * sy)) END, 6) AS r2
+                       * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
       FROM s ORDER BY user_id""",
 
     // uniform k-frame sampling offsets (same left-to-right double

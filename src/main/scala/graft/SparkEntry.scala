@@ -2645,13 +2645,18 @@ object SparkEntry {
 
     // ---- per-key OLS trend (regr_* sufficient statistics, one agg) ---------
     "q_trend_per_key" -> ((s, dir) => {
+      // y on an INTEGER lattice (centi-revenue): values carry 2 decimals,
+      // so round(value*100) is per-row exact and sum(long) is identical
+      // in any accumulation order — the q_price_elasticity lesson; a
+      // double y left one intercept on a round(6) boundary (r7 hash miss).
+      // Slope unit: centi-revenue per day.
       val daily = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"),
           datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
             .as("x"))
-        .agg(round(sum(col("value")), 2).as("y"))
-      Stats.trendPerKey(daily, "user_id", "x", "y")
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      Stats.trendPerKey(daily, "user_id", "x", "y", exact = true)
     }),
     "q_bootstrap_ci" -> ((s, dir) =>
       // deterministic Poisson bootstrap: both engines draw identical
@@ -2673,7 +2678,7 @@ object SparkEntry {
       val lvl = li.groupBy(col("p_brand"),
           round(col("l_discount") * 100).cast("int").as("x"))
         .agg(round(avg(col("l_quantity")) * 100).cast("long").as("y"))
-      Stats.trendPerKey(lvl, "p_brand", "x", "y")
+      Stats.trendPerKey(lvl, "p_brand", "x", "y", exact = true)
     }),
     "q_theilsen_trend" -> ((s, dir) => {
       // the robust twin of q_trend_per_key: median pairwise slope +

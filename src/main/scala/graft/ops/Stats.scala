@@ -858,8 +858,28 @@ object Stats {
     * dropped, so the output stays a full entity roster.
     */
   def trendPerKey(df: DataFrame, keyCol: String, xCol: String,
-                  yCol: String, minPoints: Int = 2): DataFrame = {
+                  yCol: String, minPoints: Int = 2,
+                  exact: Boolean = false): DataFrame = {
     require(minPoints >= 2, s"trendPerKey: minPoints >= 2 (got $minPoints)")
+    // exact=true pins the determinism contract in the API instead of in
+    // call-site folklore: a DOUBLE y makes Σy/Σxy/Σy² accumulation-order
+    // dependent (the r7 q_trend_per_key 6th-decimal flake), and the fix —
+    // put y on an integer lattice first — kept getting rediscovered per
+    // caller. Under exact mode a non-integral x or y fails loud at plan
+    // time with the lattice recipe in the message.
+    if (exact) {
+      import org.apache.spark.sql.types._
+      def check(c: String): Unit = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+        case d: DecimalType if d.scale == 0 =>
+        case other => throw new IllegalArgumentException(
+          s"trendPerKey(exact=true): column '$c' must be integral (got " +
+          s"${other.simpleString}); put doubles on an integer lattice " +
+          """first, e.g. round(v * 100).cast("long"), so every """ +
+          "sufficient sum is exact in any accumulation order")
+      }
+      check(xCol); check(yCol)
+    }
     val agged = df.groupBy(col(keyCol)).agg(
       count(col(xCol)).as("__n"),
       sum(col(xCol)).as("__sx"),
@@ -873,11 +893,20 @@ object Stats {
     val num = n * sxy - sx * sy
     val denY = n * syy - sy * sy
     val keep = n >= minPoints && denX =!= 0
+    // r² squares two co-moment terms; with long-lattice y those squares
+    // can exceed Long range even when every SUFFICIENT sum fits (num ~
+    // n·Σxy can reach 1e12, num² 1e24) — under ANSI that is a runtime
+    // abort, not a wrong answer. Square in DOUBLE: the inputs are the
+    // exact integer sums (< 2^53, bit-identical in any engine), and the
+    // double product of identical doubles is IEEE-identical, so the
+    // 6-decimal oracle contract holds while the overflow cliff vanishes.
+    val numD = num.cast("double"); val dxD = denX.cast("double")
+    val dyD = denY.cast("double")
     agged
       .select(col(keyCol), n.as("n_points"),
         round(when(keep, num / denX), 6).as("slope"),
         round(when(keep, (sy * sxx - sx * sxy) / denX), 6).as("intercept"),
-        round(when(keep && denY > 0, (num * num) / (denX * denY)), 6)
+        round(when(keep && denY > 0, (numD * numD) / (dxD * dyD)), 6)
           .as("r2"))
       .orderBy(keyCol)
   }

@@ -353,6 +353,38 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("trendPerKey exact mode: rejects double y with the lattice recipe; " +
+      "integer-lattice y is bit-stable across adversarial partition orders") {
+    // adversarial magnitudes: 2-decimal values spanning 1e-2..1e7 so a
+    // DOUBLE Σy genuinely depends on accumulation order, keyed so every
+    // repartition slices the series differently
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 240).map { i =>
+      val mag = math.pow(10, rnd.nextInt(9) - 2)   // 1e-2 .. 1e6
+      val v = math.rint(rnd.nextDouble() * mag * 100) / 100.0
+      (s"k${i % 5}", i % 37, v)
+    }
+    val df = rows.toDF("k", "x", "v")
+    // the guard: a double y fails loud and the message carries the recipe
+    val e = intercept[IllegalArgumentException] {
+      Stats.trendPerKey(df.withColumnRenamed("v", "y"), "k", "x", "y",
+        exact = true)
+    }
+    assert(e.getMessage.contains("integer lattice"))
+    // the recipe: centi-lattice y -> identical output (r2 doubles included)
+    // under 1/4/32 partitions and a shuffled row order
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val daily = d.groupBy($"k", $"x")
+        .agg(sum(round($"v" * 100).cast("long")).as("y"))
+      Stats.trendPerKey(daily, "k", "x", "y", exact = true)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val ref = run(df.repartition(1))
+    assert(run(df.repartition(4)) == ref)
+    assert(run(df.repartition(32)) == ref)
+    assert(run(df.orderBy($"v".desc).repartition(7)) == ref)
+  }
+
   test("partitionGaps: crafted holes counted, largest run reported") {
     // days: 1,2,3, [4,5 missing], 6, [7 missing], 8 -> span 8, present 5
     val df = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-06",
