@@ -1229,6 +1229,21 @@ object OracleSql {
       FROM events WHERE event_type IN ('click', 'purchase')
       GROUP BY event_type ORDER BY feature_view_name""",
 
+    // embedded-KV online store: out-of-order + replayed upserts must
+    // converge to the plain latest-per-key window over the full history
+    "s_kv_store" -> """
+      WITH f AS (
+        SELECT user_id, ts, event_id, value, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      r AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM f)
+      SELECT user_id, ts AS feature_ts, event_id, round(value, 6) AS value,
+             event_type
+      FROM r WHERE rn = 1 ORDER BY user_id""",
+
     "g_events" -> s"""
       WITH seqd AS (
         SELECT c_custkey, CAST(gs.sq AS INTEGER) AS sq,

@@ -852,6 +852,41 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(dbDir)
       out
     }),
+    "s_kv_store" -> ((s, dir) => {
+      // S8, for real: the Redis online store stood in by an embedded KV
+      // engine (RocksDB, from Spark's own jars). Split the feature history
+      // at a date cutoff, upsert the halves OUT OF ORDER (new half first,
+      // then the old half, then REPLAY the old half): event-time
+      // last-write-wins must converge to exactly latestPerKey(full
+      // history) regardless of arrival order or replay — the foreachBatch
+      // idempotency contract, verified here against DuckDB's window
+      // replay of the full history. Doubles round-trip as raw IEEE bits,
+      // so the hash compare sees the parquet-exact values.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kv_")
+      val path = tmp.toString + "/store"
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          col("event_type"))
+      val cutoff = lit("2024-01-15").cast("timestamp_ntz")
+      val feats = Seq("value", "event_type")
+      val kv = graft.sources.KvStore
+      kv.upsertLatest(e.filter(col("ts") >= cutoff), path, "user_id", "ts",
+        "event_id", feats)
+      kv.upsertLatest(e.filter(col("ts") < cutoff), path, "user_id", "ts",
+        "event_id", feats)
+      kv.upsertLatest(e.filter(col("ts") < cutoff), path, "user_id", "ts",
+        "event_id", feats)
+      val out = kv.snapshot(s, path)
+        .select(col("entity_id").cast("long").as("user_id"),
+          col("feature_ts"), col("tiebreak").as("event_id"),
+          round(col("value"), 6).as("value"), col("event_type"))
+        .orderBy("user_id")
+        .localCheckpoint()
+      kv.destroy(path)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      out
+    }),
     "s_sorted_layout" -> ((s, dir) => {
       // layout round trip: range-clustered sorted write, read back through a
       // range predicate (file/row-group skipping path), aggregate — oracle
