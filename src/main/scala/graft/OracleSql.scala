@@ -3951,7 +3951,7 @@ object OracleSql {
                THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END, 6) AS beta,
              round(CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
                THEN (conv + m * (m * (1.0 - m) / v - 1.0))
-                    / (n + m * (1.0 - m) / v - 1.0)
+                    / (n + (m * (1.0 - m) / v - 1.0))
                ELSE conv / CAST(n AS DOUBLE) END, 6) AS shrunk_rate
       FROM per, mom ORDER BY user_id""",
 

@@ -551,7 +551,8 @@ object SparkEntry {
       Retrieval.markovSteadyState(
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("ts"), col("event_type")),
-        "user_id", "ts", "event_id", "event_type", iterations = 30)),
+        "user_id", "ts", "event_id", "event_type", iterations = 30,
+        expectedStates = Seq("click", "error", "purchase", "signup", "view"))),
     "q_steps_to_convert" -> ((s, dir) =>
       // expected transitions until the first purchase from each state —
       // the step-count companion to time_to_convert's wall-clock view
@@ -559,7 +560,7 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("ts"), col("event_type")),
         "user_id", "ts", "event_id", "event_type", target = "purchase",
-        iterations = 60)),
+        iterations = 60, expectedStates = Seq("click", "error", "purchase", "signup", "view"))),
     "q_convert_before_error" -> ((s, dir) =>
       // competing risks on the behavioral chain: P(purchase before
       // error) from every state — outcome odds next to the step counts
@@ -567,7 +568,8 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("ts"), col("event_type")),
         "user_id", "ts", "event_id", "event_type",
-        win = "purchase", lose = "error", iterations = 60)),
+        win = "purchase", lose = "error", iterations = 60,
+        expectedStates = Seq("click", "error", "purchase", "signup", "view"))),
     "q_future_labels" -> ((s, dir) =>
       // forward-window conversion labels: did the user purchase within
       // 24h after each event? — one per-key window, no self-join

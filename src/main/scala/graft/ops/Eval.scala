@@ -162,18 +162,22 @@ object Eval {
     * EVERY day without inflating false positives: per day t,
     * Λ_t = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²))) with θ̂ the cumulative
     * rate difference and V its pooled variance; p_t = running min of
-    * 1/Λ_t (capped at 1). τ is the mixture scale — the prior spread of
-    * plausible effects; the test is valid for any τ, merely most
-    * powerful near the true effect size.
+    * 1/Λ_t (capped at 1). τ² (taken directly, as `tau2`) is the mixture
+    * VARIANCE — the prior spread of plausible effects; the test is valid
+    * for any τ², merely most powerful near the true effect size. The
+    * parameter is the square, not τ itself, so the exact double that
+    * enters exp() is the same literal an oracle SQL writes (squaring
+    * 0.1 yields 0.010000000000000002 ≠ the literal 0.01 — a latent
+    * 6-decimal hash flake the old `tau` form carried).
     *
     * Plan: one daily keyed aggregation over the corpus, then cumulative
     * windows + the closed form over the BOUNDED day table (the
     * forecast/cusum global-window class).
     */
   def abSequential(df: DataFrame, userCol: String, tsCol: String,
-                   isConv: Column, tau: Double = 0.1,
+                   isConv: Column, tau2: Double = 0.01,
                    alpha: Double = 0.05, channel: Long = 59L): DataFrame = {
-    require(tau > 0.0, s"abSequential: tau > 0 (got $tau)")
+    require(tau2 > 0.0, s"abSequential: tau2 > 0 (got $tau2)")
     require(alpha > 0.0 && alpha < 1.0,
       s"abSequential: alpha in (0,1) (got $alpha)")
     val tagged = df
@@ -199,7 +203,7 @@ object Eval {
       col("x_c") / col("n_c").cast("double")
     val v = pPool * (lit(1.0) - pPool) *
       (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))
-    val t2 = lit(tau * tau)
+    val t2 = lit(tau2)
     val lambda = sqrt(v / (v + t2)) *
       exp(theta * theta * t2 / (lit(2.0) * v * (v + t2)))
     val pRaw = when(ok && v > 0, least(lit(1.0) / lambda, lit(1.0)))

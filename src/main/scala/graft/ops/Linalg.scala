@@ -95,6 +95,14 @@ object Linalg {
         .as(s"c${i}_$j")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // corr() returns NULL for a constant column or < 2 non-null pairs;
+    // name the degenerate pair instead of NPE-ing out of getDouble
+    pairs.foreach { case (i, j) =>
+      require(!row.isNullAt(pairs.indexOf((i, j))),
+        s"pcaPowerTop: corr(${cols(i)}, ${cols(j)}) is undefined " +
+        "(constant column or fewer than 2 non-null pairs) — drop or " +
+        "re-scale the degenerate column before the PCA pass")
+    }
     val c = Array.tabulate(d, d) { (i, j) =>
       if (i == j) 1.0 // exact literal diagonal in BOTH engines
       else row.getDouble(pairs.indexOf(if (i < j) (i, j) else (j, i)))

@@ -237,6 +237,47 @@ object Retrieval {
       .orderBy("from_state", "to_state")
   }
 
+  /** Shared chain derivation for the three Markov readouts: collect the
+    * |states|²-bounded transition counts (the codebook precedent), sort
+    * the observed roster, and build the exact-integer-division transition
+    * matrix with self-loop completion. When `expectedStates` is declared
+    * (the companion oracle SQL hardcodes its roster), an observed roster
+    * that differs — a corpus slice missing an event type, or a new type
+    * appearing — fails LOUD here instead of silently diverging from the
+    * oracle in row count and matrix shape.
+    */
+  private def observedChain(events: DataFrame, key: String, ts: String,
+                            id: String, stateCol: String,
+                            expectedStates: Seq[String], op: String)
+      : (Seq[String], Array[Array[Double]]) = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val counts = events
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("f"), col("__next").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = counts.keysIterator
+      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct.sorted
+    if (expectedStates.nonEmpty) {
+      val exp = expectedStates.sorted
+      require(states == exp,
+        s"$op: observed state roster ${states.mkString("[", ", ", "]")} " +
+        s"differs from the declared roster ${exp.mkString("[", ", ", "]")}" +
+        " — the companion oracle hardcodes the roster, so a drifted " +
+        "corpus must fail loud, not hash-flake")
+    }
+    val d = states.length
+    val totals = states.map(f =>
+      states.foldLeft(0L)((acc, t) => acc + counts.getOrElse((f, t), 0L)))
+    val p = Array.tabulate(d, d) { (i, j) =>
+      if (totals(i) == 0L) { if (i == j) 1.0 else 0.0 }
+      else counts.getOrElse((states(i), states(j)), 0L).toDouble / totals(i)
+    }
+    (states, p)
+  }
+
   /** Stationary distribution of the [[transitionMatrix]] chain: where the
     * behavioral flow settles in the long run — the one-number-per-state
     * summary of the whole transition structure (which states accumulate
@@ -249,28 +290,15 @@ object Retrieval {
     */
   def markovSteadyState(events: DataFrame, key: String, ts: String,
                         id: String, stateCol: String,
-                        iterations: Int = 30): DataFrame = {
+                        iterations: Int = 30,
+                        expectedStates: Seq[String] = Nil): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"markovSteadyState: iterations in [1, 100] (got $iterations)")
     val spark = events.sparkSession
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
-    val counts = events
-      .withColumn("__next", lead(col(stateCol), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .groupBy(col(stateCol).as("f"), col("__next").as("t"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val states = counts.keysIterator
-      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct.sorted
+    val (states, p) = observedChain(events, key, ts, id, stateCol,
+      expectedStates, "markovSteadyState")
     val d = states.length
     require(d >= 1, "markovSteadyState: no transitions observed")
-    val totals = states.map(f =>
-      states.foldLeft(0L)((acc, t) => acc + counts.getOrElse((f, t), 0L)))
-    val p = Array.tabulate(d, d) { (i, j) =>
-      if (totals(i) == 0L) { if (i == j) 1.0 else 0.0 }
-      else counts.getOrElse((states(i), states(j)), 0L).toDouble / totals(i)
-    }
     var v = Array.fill(d)(1.0 / d)
     for (_ <- 1 to iterations) {
       val nv = Array.tabulate(d)(j =>
@@ -297,29 +325,16 @@ object Retrieval {
     */
   def markovHittingSteps(events: DataFrame, key: String, ts: String,
                          id: String, stateCol: String, target: String,
-                         iterations: Int = 60): DataFrame = {
+                         iterations: Int = 60,
+                         expectedStates: Seq[String] = Nil): DataFrame = {
     require(iterations >= 1 && iterations <= 200,
       s"markovHittingSteps: iterations in [1, 200] (got $iterations)")
     val spark = events.sparkSession
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
-    val counts = events
-      .withColumn("__next", lead(col(stateCol), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .groupBy(col(stateCol).as("f"), col("__next").as("t"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val states = counts.keysIterator
-      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct.sorted
+    val (states, p) = observedChain(events, key, ts, id, stateCol,
+      expectedStates, "markovHittingSteps")
     require(states.contains(target),
       s"markovHittingSteps: target '$target' never observed")
     val d = states.length
-    val totals = states.map(f =>
-      states.foldLeft(0L)((acc, t) => acc + counts.getOrElse((f, t), 0L)))
-    val p = Array.tabulate(d, d) { (i, j) =>
-      if (totals(i) == 0L) { if (i == j) 1.0 else 0.0 }
-      else counts.getOrElse((states(i), states(j)), 0L).toDouble / totals(i)
-    }
     val ti = states.indexOf(target)
     var h = Array.fill(d)(0.0)
     for (_ <- 1 to iterations) {
@@ -343,30 +358,17 @@ object Retrieval {
     */
   def markovAbsorbProb(events: DataFrame, key: String, ts: String,
                        id: String, stateCol: String, win: String,
-                       lose: String, iterations: Int = 60): DataFrame = {
+                       lose: String, iterations: Int = 60,
+                       expectedStates: Seq[String] = Nil): DataFrame = {
     require(iterations >= 1 && iterations <= 200,
       s"markovAbsorbProb: iterations in [1, 200] (got $iterations)")
     require(win != lose, "markovAbsorbProb: win and lose must differ")
     val spark = events.sparkSession
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
-    val counts = events
-      .withColumn("__next", lead(col(stateCol), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .groupBy(col(stateCol).as("f"), col("__next").as("t"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val states = counts.keysIterator
-      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct.sorted
+    val (states, p) = observedChain(events, key, ts, id, stateCol,
+      expectedStates, "markovAbsorbProb")
     require(states.contains(win) && states.contains(lose),
       s"markovAbsorbProb: '$win' and '$lose' must both be observed")
     val d = states.length
-    val totals = states.map(f =>
-      states.foldLeft(0L)((acc, t) => acc + counts.getOrElse((f, t), 0L)))
-    val p = Array.tabulate(d, d) { (i, j) =>
-      if (totals(i) == 0L) { if (i == j) 1.0 else 0.0 }
-      else counts.getOrElse((states(i), states(j)), 0L).toDouble / totals(i)
-    }
     val wi = states.indexOf(win)
     val li = states.indexOf(lose)
     var a = Array.tabulate(d)(i => if (i == wi) 1.0 else 0.0)

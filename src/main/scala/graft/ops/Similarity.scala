@@ -89,6 +89,16 @@ object Similarity {
     require(dims.nonEmpty && dims.forall(_ >= 1),
       s"matryoshkaRecall: dims must be positive (got $dims)")
     require(k >= 1, s"matryoshkaRecall: k >= 1 (got $k)")
+    // slice() past the vector length silently returns the full vector,
+    // which would report full-dimension recall 1.0 under a misleading
+    // dims label — check the declared levels against one observed row
+    emb.select(size(col(vecCol))).head(1).foreach { r =>
+      val obs = r.getInt(0)
+      require(dims.forall(_ <= obs),
+        s"matryoshkaRecall: dims ${dims.filter(_ > obs).mkString(", ")} " +
+        s"exceed the embedding dimension $obs — a clamped slice would " +
+        "mislabel full-dimension recall")
+    }
     val q = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), d(col(vecCol)).as("qv"))
     val c = emb.select(col(idCol).as("cand_id"), d(col(vecCol)).as("cv"))
