@@ -602,6 +602,46 @@ object Pipeline {
       .option("failOnDataLoss", "false")
       .load()
 
+  /** G7's stand-in made real: the reference's rate-limited stream
+    * generator (`scripts/stream_generator.py:233-269`) synthesizes
+    * clickstream events at a fixed rate; `rate-micro-batch` is Spark's
+    * broker-free equivalent, and DETERMINISTIC — batch b carries the
+    * contiguous values [b·rowsPerBatch, (b+1)·rowsPerBatch). Event
+    * fields (including EVENT TIME) derive purely from the sequence
+    * value, never from the source's wall-clock column, so replaying the
+    * same value range as a batch frame ([[syntheticEvents]] over
+    * `spark.range`) is the exact parity oracle for the streaming run —
+    * the closed-window agreement RateSourceSpec pins.
+    */
+  def rateSource(spark: SparkSession, rowsPerBatch: Int,
+                 numPartitions: Int = 4): DataFrame =
+    syntheticEvents(spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("numPartitions", numPartitions)
+      .load())
+
+  /** The shared value→event projection behind [[rateSource]]: one
+    * deterministic narrow select, usable on any frame with a `value`
+    * long column (the rate source's own schema, or `spark.range` for
+    * the batch twin). Event time marches one minute per value from a
+    * fixed epoch, so watermarks advance and windows close on a schedule
+    * that is a pure function of how many rows have been consumed.
+    */
+  def syntheticEvents(raw: DataFrame): DataFrame = {
+    val v = col("value")
+    raw.select(
+      v.as("event_id"),
+      // 2024-03-01 00:00:00 UTC + one minute per value
+      timestamp_seconds(lit(1709251200L) + v * 60L).as("ts"),
+      (v % 7L).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("cart")),
+        (v % 4L).cast("int") + 1).as("event_type"),
+      (v % 100L).cast("double").as("value"),
+      concat(lit("{\"k\":\"k"), (v % 13L).cast("string"), lit("\"}"))
+        .as("props"))
+  }
+
   /** Drift circuit-breaker ingest gate — the data-quality pattern that
     * keeps a poisoned upstream batch out of the training corpus: each
     * micro-batch's value distribution is scored with PSI against a FIXED
