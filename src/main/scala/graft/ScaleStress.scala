@@ -56,8 +56,10 @@ object ScaleStress {
     val curateOnly = args.headOption.contains("curate")
     val tokOnly = args.headOption.contains("tokenize")
     val r7Only = args.headOption.contains("r7")
+    val asofOnly = args.headOption.contains("asof")
     val ks =
-      if (miningOnly || curateOnly || tokOnly || r7Only) Seq.empty[Int]
+      if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly)
+        Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
     for (k <- ks) {
@@ -431,6 +433,71 @@ object ScaleStress {
         f"pairs=$nPairs t_bigram_ppl=$tPpl%.2f " +
         f"t_uni_train=$tUniTrain%.2f t_uni_seg=$tUniSeg%.2f " +
         f"uni_toks=$nUniToks")
+    }
+    // bucketed-as-of stress at 1×/10×/100×: the same native as-of join
+    // planned two ways — over plain frames (EnsureRequirements inserts
+    // hash exchanges + per-key sorts on both sides) and over
+    // bucketed-sorted tables (scan satisfies distribution AND ordering:
+    // zero exchanges, zero sorts). The one-time bucketed WRITE is timed
+    // separately — it is the amortized cost a feature store pays once,
+    // while every retrieval afterwards rides the exchange-free plan; the
+    // pass criterion is the read-path advantage GROWING with scale
+    // (exchange cost is data-proportional; the bucketed scan's isn't).
+    val asofKs =
+      if (asofOnly) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else if (args.isEmpty) Seq(1, 10, 100)
+      else Seq.empty[Int]
+    if (asofKs.nonEmpty)
+      spark.conf
+        .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    for (k <- asofKs) {
+      val evFull = Tables.events(spark, "/root/testdata/sf0.1")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+      val evA = (0 until k).map(i =>
+        evFull.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("ts"), col("value")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val probesA = evA.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts")).localCheckpoint()
+      val featsA = evA.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("fts"))
+        .agg(max(col("value")).as("last_purchase_value")).localCheckpoint()
+      val nProbes = probesA.count(); val nFeats = featsA.count()
+      val ttl = 7L * 86400L * 1000000L
+      val (tPlain, nPlain) = timeMin2 {
+        graft.ops.Retrieval.asOfJoinNative(probesA, featsA, "user_id",
+          "ts", "fts", ttl).queryExecution.toRdd.count()
+      }
+      for (t <- Seq("graft_stress_probes_bkt", "graft_stress_feats_bkt")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      val tw0 = System.nanoTime()
+      probesA.repartition(32, col("user_id"))
+        .write.mode("overwrite").bucketBy(32, "user_id")
+        .sortBy("user_id", "ts").saveAsTable("graft_stress_probes_bkt")
+      featsA.repartition(32, col("user_id"))
+        .write.mode("overwrite").bucketBy(32, "user_id")
+        .sortBy("user_id", "fts").saveAsTable("graft_stress_feats_bkt")
+      val tWrite = (System.nanoTime() - tw0) / 1e9
+      val (tBkt, nBkt) = timeMin2 {
+        graft.ops.Retrieval.asOfJoinNative(
+          spark.table("graft_stress_probes_bkt"),
+          spark.table("graft_stress_feats_bkt"), "user_id", "ts", "fts",
+          ttl).queryExecution.toRdd.count()
+      }
+      require(nPlain == nBkt,
+        s"STRESS-ASOF row mismatch: plain $nPlain vs bucketed $nBkt")
+      println(f"STRESS-ASOF k=$k probes=$nProbes feats=$nFeats " +
+        f"t_plain=$tPlain%.2f t_bucketed_read=$tBkt%.2f " +
+        f"t_bucketed_write=$tWrite%.2f rows=$nBkt " +
+        f"speedup=${tPlain / tBkt}%.2fx")
     }
     spark.stop()
   }
