@@ -4230,6 +4230,56 @@ object OracleSql {
       SELECT term_a, term_b, pair_count, count_a, count_b, pmi
       FROM s ORDER BY pmi DESC, term_a, term_b LIMIT 50""",
 
+    // Heaps curve: first-occurrence reduce + two window cumsums over the
+    // doc-id order (the Spark side runs the sliced prefix scan; CAST AS
+    // BIGINT so DuckDB's HUGEINT window sums hash like Spark longs)
+    "x_heaps_law" -> """
+      WITH tok AS (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents),
+      tnz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      per AS (SELECT doc_id, count(*) AS n_tokens FROM tnz GROUP BY 1),
+      nw AS (SELECT first_doc AS doc_id, count(*) AS new_words FROM
+               (SELECT token, min(doc_id) AS first_doc FROM tnz GROUP BY 1)
+             GROUP BY 1),
+      b AS (SELECT d.doc_id,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(nw.new_words, 0) AS new_words
+            FROM documents d
+            LEFT JOIN per ON d.doc_id = per.doc_id
+            LEFT JOIN nw ON d.doc_id = nw.doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(n_tokens) OVER w AS BIGINT) AS tokens_so_far,
+             CAST(new_words AS BIGINT) AS new_words,
+             CAST(sum(new_words) OVER w AS BIGINT) AS vocab_size
+      FROM b
+      WINDOW w AS (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY doc_id""",
+
+    // n-gram novelty: the x_jaccard_pairs shingle construction (3-gram,
+    // within-doc DISTINCT) + per-gram first-doc, one gram-keyed join
+    "x_ngram_novelty" -> """
+      WITH d AS (SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk
+                FROM d))),
+      fo AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+      per AS (SELECT sh.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN fo.first_doc < sh.doc_id THEN 1 ELSE 0 END)
+                 AS dup_grams
+              FROM sh JOIN fo ON sh.s = fo.s GROUP BY 1)
+      SELECT doc.doc_id,
+             CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(per.dup_grams, 0) AS BIGINT) AS dup_grams,
+             round(CASE WHEN per.n_grams > 0
+               THEN per.dup_grams / CAST(per.n_grams AS DOUBLE) END, 6)
+               AS dup_share
+      FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+      ORDER BY doc.doc_id""",
+
     "x_vocabulary" -> """
       WITH tok AS (SELECT doc_id,
                unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

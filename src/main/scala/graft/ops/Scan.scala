@@ -20,8 +20,21 @@ import org.apache.spark.sql.functions._
   * (groups, order) guarantees (equal keys land in one slice). The slice id
   * is `spark_partition_id()` evaluated directly on the range-exchange
   * output — nondeterministic expressions are not pushed past exchanges, so
-  * it is precisely the range-slice index, deterministic for a
-  * deterministic input.
+  * it is precisely the range-slice index.
+  *
+  * The sliced frame is MATERIALIZED (eager localCheckpoint) before its
+  * two consumers read it, and this is a correctness requirement, not a
+  * cache: the slice-totals aggregate and the final offset join both
+  * consume the sliced assignment, and without materialization each
+  * consumer re-executes the range exchange INDEPENDENTLY —
+  * `spark_partition_id` is nondeterministic, which blocks exchange/stage
+  * reuse, and `repartitionByRange` re-SAMPLES its bounds per execution
+  * with a lineage-dependent seed, so the two executions can disagree
+  * about where slices start. Local cums computed under one slicing and
+  * offsets under another silently corrupt the scan (observed at sf0.1 in
+  * round 8: x_heaps_law drifted mid-corpus). Checkpointing pins ONE
+  * slicing for both reads; the storage cost is one pass of the scanned
+  * frame, which the two-phase algorithm reads twice anyway.
   */
 object Scan {
 
@@ -40,6 +53,7 @@ object Scan {
     val sliced = df
       .repartitionByRange(nSlices, groups :+ orderCol: _*)
       .withColumn("__slice", spark_partition_id())
+      .localCheckpoint() // pin ONE slicing for both consumers (see above)
     val local = Window.partitionBy(groups :+ col("__slice"): _*)
       .orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

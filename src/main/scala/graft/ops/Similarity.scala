@@ -203,6 +203,29 @@ object Similarity {
       .orderBy("pick")
   }
 
+  /** Seed centroids: the first `n` vectors by id, collected as the
+    * bounded codebook array (n rows — the trainCodebook sample posture,
+    * never corpus-sized). Seeds instead of a fitted codebook keep oracle
+    * replays exact — DuckDB re-derives the identical centroids from the
+    * same rows; production swaps in [[trainCodebook]] without changing
+    * any downstream plumbing.
+    */
+  def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                    n: Int): Array[Array[Double]] = {
+    require(n >= 1 && n <= 4096, s"seedCentroids: n in [1, 4096] (got $n)")
+    emb.filter(col(idCol) < n).orderBy(idCol)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** The distinct coarse cells a bounded query set probes — the literal
+    * list for a partition-pruning predicate over a cell-partitioned
+    * serving index (one row per PROBE cell; the collect is query-set
+    * bounded, ≤ |queries|).
+    */
+  def probeCells(queries: DataFrame, cellCol: String): Array[Int] =
+    queries.select(col(cellCol)).distinct().collect().map(_.getInt(0))
+
   /** IVF-style bucketed ANN: candidates restricted to the query's coarse
     * cell (`cellCol`). Same output shape as brute force; recall < 1 by
     * construction, cost ∝ cell size instead of corpus size.

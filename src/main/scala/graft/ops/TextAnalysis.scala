@@ -760,6 +760,82 @@ object TextAnalysis {
       .orderBy("idx")
   }
 
+  /** Heaps-law vocabulary-growth curve: for the corpus in doc-id order,
+    * the running token count and running DISTINCT-vocabulary size after
+    * each document (V(n) ~ K·n^β is the classic sub-linear law; a curve
+    * that bends away from it flags template/duplicated text or synthetic
+    * filler — the corpus-health diagnostic next to [[vocabulary]]'s
+    * static Zipf table).
+    *
+    * Plan: one token explode → per-token `min(doc_id)` (the FIRST-
+    * occurrence reduce, map-side combined), per-doc new-word counts from
+    * the bounded first-doc table, then BOTH running curves via
+    * [[Scan.prefixSum]]'s sliced two-level scan — no global-sort window
+    * over the corpus, no state beyond the doc table. Output is one row
+    * per document (doc-table-sized, never token-sized).
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newWords = toks.groupBy(col("token"))
+      .agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("new_words"))
+    val base = docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(newWords, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+    val withTok = Scan.prefixSum(base, Nil, col(idCol), col("n_tokens"),
+      "tokens_so_far")
+    Scan.prefixSum(withTok, Nil, col(idCol), col("new_words"), "vocab_size")
+      .select(col(idCol), col("n_tokens"), col("tokens_so_far"),
+        col("new_words"), col("vocab_size"))
+      .orderBy(idCol)
+  }
+
+  /** N-gram novelty / duplicated-text share (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" metric,
+    * doc-granular): per document, how many of its distinct word n-grams
+    * FIRST appeared in an earlier document — dup_share near 1 means the
+    * doc is assembled from text the corpus already contains (template
+    * page, quote farm, crawl echo), the row a curation pass drops or
+    * down-weights even when no single near-dup pair fires.
+    *
+    * Plan: distinct shingles per doc ([[Dedup.shingles]] dedups within
+    * the doc) → explode → per-gram `min(doc_id)` (map-side-combined
+    * reduce) → ONE equi-join back on the gram and a per-doc count — all
+    * shuffles are linear in the gram table; there is no pair space at
+    * all, which is what makes this metric cheaper than any pairwise
+    * near-dup scan at 100 TB.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 2 && n <= 16, s"ngramNovelty: n in [2, 16] (got $n)")
+    val grams = docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+    val first = grams.groupBy(col("g"))
+      .agg(min(col(idCol)).as("__first"))
+    val joined = grams.join(first, Seq("g"))
+    val perDoc = joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") < col(idCol), 1L).otherwise(0L))
+          .as("dup_grams"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        round(when(col("n_grams") > 0,
+          col("dup_grams") / col("n_grams").cast("double")), 6)
+          .as("dup_share"))
+      .orderBy(idCol)
+  }
+
   /** Domain-scoped boilerplate detection: the word n-gram shingles that
     * recur across `minDf`+ DISTINCT documents of the same group (site /
     * source) — navigation chrome, footers, license blurbs — the segments a

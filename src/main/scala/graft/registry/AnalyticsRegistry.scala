@@ -1,0 +1,884 @@
+package graft
+package registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import Shared._
+
+/** classic analytics heft: OLAP composites, sessionization,
+  * stats/eval/privacy extensions, layout round trips, learning ops.
+  *
+  * One domain slice of the query registry (split out of SparkEntry in
+  * round 8 — wiring only, no behavior change; [[graft.SparkEntry]]
+  * assembles and uniqueness-checks the full map).
+  */
+object AnalyticsRegistry {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- classic analytics heft (A6/A10/J4 composites) ---------------------
+    "q_lineitem_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_selective_revenue" -> ((s, dir) =>
+      // TPC-H Q6 shape: tight filters pushed into the parquet scan
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n_rows"))),
+    "q_regional_revenue" -> ((s, dir) => {
+      // TPC-H Q5 shape: fact ⋈ fact ⋈ broadcast dimension chain
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q_winsorize" -> ((s, dir) =>
+      // heavy-tail clipping at the 5th/95th percentile: one array-
+      // percentile fit, broadcast bounds, narrow clip projection
+      Stats.winsorize(
+          Tables.events(s, dir).select(col("event_id"), col("value")),
+          "value", 0.05, 0.95)
+        .select(col("event_id"), round(col("value"), 6).as("value"),
+          round(col("value_w"), 6).as("value_w"))
+        .orderBy("event_id")),
+    "q_ewma_features" -> ((s, dir) =>
+      // per-user exponentially-weighted trailing mean, truncated to the
+      // last 8 events (bounded state — the honest 100 TB recursion)
+      Stats.ewmaFeatures(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "value", alpha = 0.3, frameRows = 8)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("value"), col("ewma"))
+        .orderBy("event_id")),
+    "q_rollup_pricing" -> ((s, dir) =>
+      // ROLLUP subtotal lattice: leaf (flag, status), per-flag, grand
+      // total — all three dashboard granularities from ONE shuffled
+      // aggregation instead of three GROUP BY passes
+      Olap.rollupAgg(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(
+          "sum_qty" -> round(sum(col("l_quantity")), 2),
+          "revenue" ->
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
+          "n_items" -> count(lit(1))))),
+    "q_cube_events" -> ((s, dir) =>
+      // CUBE over (event_type, month): all four grouping sets in one pass
+      Olap.cubeAgg(
+        Tables.events(s, dir).withColumn("month", month(col("ts"))),
+        Seq("event_type", "month"),
+        Seq(
+          "n_events" -> count(lit(1)),
+          "avg_value" -> round(avg(col("value")), 6)))),
+    "q_pivot_events" -> ((s, dir) =>
+      // wide per-day activity matrix over the DECLARED event-type set —
+      // static schema, single aggregation, no distinct-discovery job
+      Olap.pivotCounts(Tables.events(s, dir), to_date(col("ts")), "day",
+        "event_type", Seq("view", "click", "purchase", "signup", "error"))),
+    "q_feature_hashing" -> ((s, dir) =>
+      // hashing-trick encoder: md5-prefix bucket per category — no fitted
+      // vocabulary, stable under unseen categories (the 100 TB encoder)
+      Encoding.featureHash(
+          Tables.events(s, dir).select(col("event_id"), col("event_type")),
+          Seq("event_type"), nBuckets = 64)
+        .orderBy("event_id")),
+    "q_onehot_events" -> ((s, dir) =>
+      // explicit one-hot over a DECLARED category list; 'error' rows fall
+      // outside it and get all-zero indicators (handle-unknown=ignore)
+      Encoding.oneHot(
+          Tables.events(s, dir).select(col("event_id"), col("event_type")),
+          "event_type", Seq("view", "click", "purchase", "signup"))
+        .orderBy("event_id")),
+    "q_activity_profile" -> ((s, dir) =>
+      // behavioral rhythm per user: hour histogram entropy + peak hour
+      Stats.activityProfile(Tables.events(s, dir), "user_id", "ts")),
+    "q_join_cardinality" -> ((s, dir) =>
+      // forecast lineitem ⋈ orders size + hottest key BEFORE running it
+      Stats.joinCardinality(Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")),
+    "q_purge_audit" -> ((s, dir) =>
+      // GDPR erasure audit: purge the probe-sampled users (plus one
+      // never-present key) from events; file the proof
+      Materialize.purgeAudit(Tables.events(s, dir), "user_id",
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey").as("uid"))
+          .unionByName(s.range(1).select((col("id") + 1000000L).as("uid"))),
+        "uid")),
+    "q_forget_cascade" -> ((s, dir) => {
+      // cascading right-to-be-forgotten manifest across the relational
+      // schema: requested customers hit customer/orders/events directly,
+      // lineitem transitively THROUGH the purged orders (the FK cascade a
+      // single-table purge silently misses). One scan per table; the
+      // derived order-key set is data-proportional, so no broadcast hint
+      // on the lineitem hop
+      val reqs = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("uid"))
+        .unionByName(s.range(1).select((col("id") + 1000000L).as("uid")))
+      val purgedOrders = Tables.orders(s, dir)
+        .join(broadcast(reqs.distinct()), col("o_custkey") === col("uid"),
+          "left_semi")
+        .select(col("o_orderkey"))
+      Materialize.purgeManifestRow("customer", Tables.customer(s, dir),
+          "c_custkey", reqs, "uid")
+        .unionByName(Materialize.purgeManifestRow("orders",
+          Tables.orders(s, dir), "o_custkey", reqs, "uid"))
+        .unionByName(Materialize.purgeManifestRow("lineitem",
+          Tables.lineitem(s, dir), "l_orderkey", purgedOrders, "o_orderkey",
+          hintBroadcast = false))
+        .unionByName(Materialize.purgeManifestRow("events",
+          Tables.events(s, dir), "user_id", reqs, "uid"))
+        .orderBy("table_name")
+    }),
+    "q_supplier_kcore" -> ((s, dir) => {
+      // 3-round k=3 core peel of the co-order supplier graph (w>=5 —
+      // non-empty at every SF; q_triangles' w>=10 cut empties at sf0.1
+      // where co-order weight dilutes across 1000 suppliers): the dense-
+      // backbone vs periphery separation, unrolled supersteps replayed
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 5)
+        .select("src", "dst")
+      Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
+        .withColumnRenamed("node", "s_suppkey")
+    }),
+    "x_embedding_outliers" -> ((s, dir) =>
+      // mislabeled-sample screen: 10 vectors farthest from their label
+      // centroid, per label; distances rounded before the rank election
+      Similarity.centroidOutliers(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", k = 10)),
+    "q_salted_distinct" -> ((s, dir) =>
+      // exact per-key count(DISTINCT user) as TWO bounded shuffles: salt
+      // partitions the distinct-VALUE space so per-salt counts sum exactly
+      // — the skew rewrite for the one aggregate partial-agg can't spread
+      Skew.saltedDistinctAgg(Tables.events(s, dir), "event_type",
+        "user_id", nSalts = 16)),
+    "q_salted_join" -> ((s, dir) => {
+      // hot-key split join: Misra–Gries finds keys ≥1% of probe rows,
+      // those take the replicated (key, salt) path, the rest join plain;
+      // result is row-for-row the plain inner join the oracle replays
+      val joined = Skew.saltedHotKeyJoin(
+        Tables.events(s, dir), Tables.customer(s, dir),
+        probeKey = "user_id", buildKey = "c_custkey", saltBy = "event_id",
+        nSalts = 8, minShare = 0.01)
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_skew_report" -> ((s, dir) =>
+      // pre-shuffle key diagnostics: per-key count percentiles, hottest
+      // key share, max/median skew ratio
+      Stats.skewReport(Tables.events(s, dir), "user_id")),
+    "q_rank_features" -> ((s, dir) =>
+      // within-group standing: rank / percent_rank / quartile of value
+      // inside each event type; sorts are group-local
+      Stats.rankFeatures(
+          Tables.events(s, dir).select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value", "event_id")
+        .orderBy("event_id")),
+    "q_mad_outliers" -> ((s, dir) =>
+      // robust (median/MAD) outlier report — the heavy-tail-safe sibling
+      // of the Tukey IQR fences
+      Stats.madOutliers(Tables.events(s, dir), "event_type", "value",
+        k = 3.0)),
+    "q_feature_corr" -> ((s, dir) =>
+      // pairwise Pearson matrix in ONE aggregation pass, melted to rows
+      Stats.corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_pca_power" -> ((s, dir) =>
+      // MLlib split: corpus-sized work = ONE corr-matrix aggregation pass;
+      // matrix-sized work = fixed-iteration power eigensolve on the
+      // bounded d×d result, replayed step-for-step by the oracle
+      Linalg.pcaPowerTop(s, Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        iterations = 12)),
+    "q_pca_incremental" -> ((s, dir) => {
+      // the mergeable-partials twin of q_pca_power: per-batch raw-moment
+      // sums (split at a ship-date cutoff) add into the merged corr
+      // matrix — no history rescan; extendedprice pre-scaled to O(1)
+      // magnitude so the raw-moment formula stays well-conditioned
+      val li = Tables.lineitem(s, dir)
+        .withColumn("l_price_scaled", col("l_extendedprice") / 100000.0)
+      val cut = lit("1997-01-01").cast("timestamp_ntz")
+      Linalg.pcaPowerTopIncremental(s,
+        Seq(li.filter(col("l_shipdate") < cut),
+          li.filter(col("l_shipdate") >= cut)),
+        Seq("l_quantity", "l_discount", "l_tax", "l_price_scaled"),
+        iterations = 12)
+    }),
+    "q_mutual_info" -> ((s, dir) =>
+      // model-free relevance screen: MI between event type and the value
+      // magnitude bin, over the bounded joint-count table
+      Stats.mutualInfo(
+        Tables.events(s, dir)
+          .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
+        "event_type", "vbin")),
+    "q_mi_matrix" -> ((s, dir) =>
+      // all-pairs MI/NMI in one scan: event type x weekday x magnitude
+      // bin (weekday(ts) 0=Monday matches DuckDB isodow-1)
+      Stats.mutualInfoMatrix(
+        Tables.events(s, dir)
+          .withColumn("dow", weekday(col("ts")))
+          .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
+        Seq("event_type", "dow", "vbin"))),
+    "q_incremental_hourly" -> ((s, dir) => {
+      // incremental flagship maintenance: two ingest halves fold to
+      // mergeable partials, merge, finalize — additive/min columns from
+      // the MERGED state (the oracle hash proves the merge), exact
+      // unique_k recomputed check-side, sketch bounded by unique_k_ok
+      val e = ev(s, dir)
+      val merged = WindowAgg.mergeHourlyPartials(
+        WindowAgg.hourlyPartials(e.filter(pmod(col("event_id"), lit(2)) === 0)),
+        WindowAgg.hourlyPartials(e.filter(pmod(col("event_id"), lit(2)) === 1)))
+      WindowAgg.finalizeHourlyChecked(merged, e)
+    }),
+    "q_manifest_diff" -> ((s, dir) => {
+      // partition-level resync list between two export generations:
+      // BEFORE lacks 2024-01-05 (-> added in AFTER); AFTER drops every
+      // 97th event of other days (-> those days changed)
+      val e = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      val before = Quality.groupFingerprints(
+        e.filter(col("event_date") =!= lit("2024-01-05").cast("date")),
+        "event_date", Seq("event_id", "user_id", "event_type", "props"))
+      val after = Quality.groupFingerprints(
+        e.filter(col("event_date") === lit("2024-01-05").cast("date") ||
+          pmod(col("event_id"), lit(97)) =!= 0),
+        "event_date", Seq("event_id", "user_id", "event_type", "props"))
+      Quality.manifestDiff(before, after, "event_date")
+    }),
+    "q_calibration" -> ((s, dir) =>
+      // reliability diagram + ECE: score = clipped value/500 against the
+      // purchase outcome, 10 equal-width bins
+      Stats.calibrationBins(
+        Tables.events(s, dir)
+          .withColumn("score", least(col("value") / 500.0, lit(1.0))),
+        "score", col("event_type") === "purchase", bins = 10)),
+    "q_target_encoding" -> ((s, dir) =>
+      // smoothed mean encoding of event_type against the purchase value —
+      // the fitted table a serving join broadcasts
+      Encoding.targetEncode(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        "event_type", "value", smoothing = 10.0)),
+    "q_standard_scale" -> ((s, dir) =>
+      // z-score standardization: one broadcast stats row, narrow transform
+      Encoding.standardScale(
+          Tables.lineitem(s, dir).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_z"), col("l_extendedprice_z"), col("l_discount_z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "x_mmr_rerank" -> ((s, dir) =>
+      // diversity-aware re-rank: greedy MMR (lambda = 0.7) over the
+      // top-20 cosine pool — stops the list collapsing onto near-copies
+      // of the best hit; election in exact integer micro-units
+      Similarity.mmrDiversify(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") === 0, poolK = 20, selectK = 5,
+        lambdaTenths = 7)),
+    "x_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+      // lexical ranking and the cosine semantic ranking — the fusion
+      // rule hybrid search engines ship (a doc strong in either channel
+      // surfaces; no score calibration needed, only ranks). Both
+      // channels cut to top-100 via TakeOrdered; the fusion window runs
+      // over those bounded lists
+      val lex = TextAnalysis.bm25Scores(Tables.documents(s, dir),
+          "doc_id", "text", Seq("spark", "join", "window"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+      val lexRank = lex.withColumn("lex_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.topKBruteForce(emb.filter(col("vec_id") === 0),
+          emb, "vec_id", "embedding", 100)
+        .select(col("cand_id").as("doc_id"),
+          col("rank").cast("long").as("sem_rank"))
+      lexRank.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+    }),
+    "x_bm25_search" -> ((s, dir) =>
+      // BM25 lexical search over the corpus for a fixed 3-term query
+      TextAnalysis.bm25Scores(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window"))),
+    "q_js_divergence" -> ((s, dir) =>
+      // symmetric bounded drift score over pooled-decile bins
+      Drift.jsDivergence(Tables.events(s, dir), "value", "event_type",
+        "view", "purchase", bins = 10)),
+    "q_quantile_bins" -> ((s, dir) =>
+      // equal-frequency discretization audit: per-bucket count and range
+      Stats.quantileBin(
+          Tables.lineitem(s, dir).select(col("l_extendedprice")),
+          "l_extendedprice", 10)
+        .groupBy(col("l_extendedprice_bin").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy(col("bin"))),
+    "q_robust_scale" -> ((s, dir) =>
+      // median/IQR scaling of the heavy-tailed purchase value
+      Encoding.robustScale(
+          Tables.events(s, dir).select(col("event_id"), col("value")),
+          Seq("value"))
+        .select(col("event_id"), col("value_rs"))
+        .orderBy(col("event_id"))),
+    "x_user_sequences" -> ((s, dir) =>
+      // last-20 action strings per user, oldest->newest — sequence-model
+      // training features
+      Session.eventSequences(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", k = 20)),
+    "q_promo_revenue" -> ((s, dir) =>
+      // TPC-H Q14 shape: fact ⋈ broadcast part dim, conditional revenue
+      // share — part is orders-of-magnitude smaller than lineitem, so the
+      // dim broadcasts and the fact never shuffles
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+            .as("promo_revenue_pct"),
+          count(lit(1)).as("n_items"))),
+    "q_supplier_volume" -> ((s, dir) => {
+      // TPC-H Q9-lite: revenue by supplier nation — fact ⋈ broadcast
+      // supplier ⋈ broadcast nation, one hash aggregate
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    "q_bloom_semi" -> ((s, dir) => {
+      // explicit runtime filter: bloom built from the selective dim side
+      // prunes the fact scan BEFORE the join shuffle; the exact semi join
+      // on the survivors makes the result fpp-independent (≡ plain ⋉)
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      Bloom.bloomSemiJoin(Tables.orders(s, dir), dim,
+          "o_custkey", "c_custkey", expectedItems = 1L << 17)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_bloom_anti" -> ((s, dir) => {
+      // bloom short-circuit anti join: definite misses skip the join
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      Bloom.bloomAntiJoin(Tables.orders(s, dir), dim,
+          "o_custkey", "c_custkey", expectedItems = 1L << 17)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_revenue_by_segment" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_auc" -> ((s, dir) =>
+      // per-day ROC AUC of value as a purchase score — Mann–Whitney
+      // rank-sum with midrank ties, no curve materialization
+      Eval.rocAuc(
+        Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("value")),
+        "day", col("event_type") === "purchase", "value")),
+    "q_lift_table" -> ((s, dir) =>
+      // decile gains table: per-decile positive rate, lift over base,
+      // cumulative capture from the top decile down
+      Eval.liftTable(
+        Tables.events(s, dir).select(col("value"), col("event_type")),
+        col("event_type") === "purchase", "value", bins = 10)),
+    "q_ab_test" -> ((s, dir) =>
+      // deterministic 50/50 hash-split experiment readout: pooled
+      // two-proportion z on high-value conversion + Welch t on revenue
+      Eval.abTest(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value")),
+        "user_id",
+        col("event_type") === "purchase" && col("value") > 95.0, "value")),
+    "q_eb_shrinkage" -> ((s, dir) =>
+      // the leaderboard fix: per-user conversion rates posterior-shrunk
+      // under a moment-matched beta prior — evidence-proportional pull
+      // toward the population mean
+      Eval.ebShrinkage(Tables.events(s, dir), "user_id",
+        col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_ab_sequential" -> ((s, dir) =>
+      // always-valid mSPRT over the same hash-split experiment: peek
+      // after every day without inflating false positives
+      Eval.abSequential(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts",
+        isConv = col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_nelson_aalen" -> ((s, dir) =>
+      // the hazard-scale twin of Kaplan-Meier: cumulative hazard + its
+      // variance over the same time-to-first-event table
+      Eval.nelsonAalen(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_rfm_segmentation" -> ((s, dir) =>
+      // the customer-value grid: tercile-scored recency/frequency/
+      // monetary, folded to <=27 segment cells
+      Eval.rfmSegments(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts", col("event_type") === "purchase", "value")),
+    "q_kaplan_meier" -> ((s, dir) =>
+      // product-limit survival of time-to-first-high-value-purchase,
+      // right-censored at each user's last observed event
+      Eval.kaplanMeier(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_seasonality" -> ((s, dir) =>
+      // additive period-7 decomposition of daily order revenue with a
+      // calendar-free epoch-mod-7 weekday slot
+      Eval.seasonality(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
+    "x_collocations" -> ((s, dir) =>
+      // top PMI bigrams (Church–Hanks collocations) with a min-count cut
+      TextAnalysis.collocations(Tables.documents(s, dir), "text",
+        minCount = 5, k = 50)),
+    "x_vocabulary" -> ((s, dir) =>
+      // frequency-ordered dense-index vocabulary — embedding-table prep
+      TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 10)),
+    "x_bpe_merges" -> ((s, dir) =>
+      // distributed BPE trainer: ONE corpus scan → vocab-bounded word
+      // table → merge supersteps (pair-count agg + 1-row argmax each).
+      // The oracle re-derives the merges in SQL as dynamically-
+      // parameterized unrolled supersteps — the PageRank/k-means
+      // precedent, except each superstep's rewrite PATTERN is itself
+      // computed by the previous step's argmax
+      Bpe.mergesDf(s, bpeMerges(s, dir))),
+    "x_bpe_tokens" -> ((s, dir) => {
+      // subword corpus statistics under the trained merges: per-doc token
+      // count, fertility (tokens/word — THE tokenizer quality number) and
+      // the round-trip invariant, every column replayed exactly by DuckDB
+      val docs = Tables.documents(s, dir)
+      Bpe.tokenStats(docs, "doc_id", "text", bpeMerges(s, dir))
+    }),
+    "q_basket_rules" -> ((s, dir) =>
+      // market-basket mining: top part-pair association rules by lift,
+      // pairs bounded per order (never corpus²)
+      Frequency.basketRules(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minPairSupport = 2, k = 100)),
+    "q_supplier_pagerank" -> ((s, dir) => {
+      // 5-superstep damped PageRank over the supplier co-order graph —
+      // the declarative Pregel loop, deterministic via fixed iterations
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .withColumnRenamed("node", "s_suppkey")
+    }),
+    "q_supplier_bfs" -> ((s, dir) => {
+      // 4-superstep multi-source BFS (min-plus Pregel) over the same
+      // co-order graph: hop distance from the seed suppliers — the
+      // blast-radius / lineage-closure primitive
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 17 === 0)
+      Graph.bfsHops(edges, "src", "dst", seeds, "s_suppkey", rounds = 4)
+        .withColumnRenamed("node", "s_suppkey")
+    }),
+    "q_forecast_baseline" -> ((s, dir) =>
+      // the two baselines every forecast must beat: lag-1 naive and
+      // lag-7 seasonal-naive over daily revenue, with MAE + MASE folds
+      Eval.forecastBaseline(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
+    "q_benford" -> ((s, dir) =>
+      // Benford first-digit audit of order totals: observed vs
+      // log10(1+1/d) shares with per-digit and total chi-square
+      Quality.benford(Tables.orders(s, dir), "o_totalprice")),
+    "x_silhouette" -> ((s, dir) =>
+      // centroid-silhouette cluster quality of the labeled embedding
+      // partition: per-label intra/nearest-other distance and score
+      Similarity.silhouette(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label")),
+    "x_kmeans" -> ((s, dir) =>
+      // deterministic Lloyd k-means (id-ordered seeds, fixed supersteps,
+      // lowest-cluster tie rule) — assignment + distance per vector
+      Clustering.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iterations = 3)),
+    "q_ndcg" -> ((s, dir) =>
+      // ranking quality of value-as-score against purchase relevance,
+      // per user: DCG@10 / ideal, ln-ratio log2 on both engines
+      Eval.ndcgAtK(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("event_type")),
+        "user_id", "event_id", "value",
+        col("event_type") === "purchase" && col("value") > 90.0, k = 10)),
+    "q_revenue_gini" -> ((s, dir) =>
+      // revenue concentration across customers: Gini + Lorenz tail
+      // shares over the entity-grain aggregate
+      Stats.giniConcentration(Tables.orders(s, dir), "o_custkey",
+        "o_totalprice")),
+    "q_woe_encoding" -> ((s, dir) =>
+      // weight-of-evidence of event_type for predicting high-value
+      // events, with the information-value feature-power total
+      Encoding.woeEncode(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        "event_type", col("value") > 90.0)),
+    "q_triangles" -> ((s, dir) => {
+      // community density of the strong co-order supplier graph (pairs
+      // sharing >= 10 orders): per-node triangles + clustering coeff
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 10)
+        .select("src", "dst")
+      Graph.triangleCounts(edges, "src", "dst")
+        .withColumnRenamed("node", "s_suppkey")
+    }),
+
+    // ---- privacy release audits (k-anonymity / l-diversity) ----------------
+    "q_k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymityReport(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"), kThreshold = 10)),
+    "q_k_offenders" -> ((s, dir) =>
+      Privacy.kAnonymityOffenders(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"), kThreshold = 8)),
+    "q_l_diversity" -> ((s, dir) =>
+      Privacy.lDiversityReport(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"),
+        Privacy.band(col("c_acctbal"), 2000.0), lThreshold = 4)),
+    "q_t_closeness" -> ((s, dir) =>
+      // the skewness-attack audit l-diversity misses: max TVD between any
+      // class's sensitive distribution and the global one
+      Privacy.tClosenessReport(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"),
+        Privacy.band(col("c_acctbal"), 2000.0), tThreshold = 0.2)),
+
+    // ---- web-corpus curation: domain-scoped boilerplate --------------------
+    "x_boilerplate_ngrams" -> ((s, dir) =>
+      TextAnalysis.boilerplateShingles(Tables.documents(s, dir), "doc_id",
+        "text", "source", n = 2, minDf = 3)),
+    "x_boilerplate_ratio" -> ((s, dir) =>
+      TextAnalysis.boilerplateRatio(Tables.documents(s, dir), "doc_id",
+        "text", "source", n = 2, minDf = 3)),
+
+    // ---- mergeable-sketch store (pre-agg daily HLL, union rollup) ----------
+    "q_sketch_weekly" -> ((s, dir) =>
+      Sketches.weeklyDistinctChecked(Tables.events(s, dir), "ts", "user_id")),
+
+    // histogram store: per-day equi-width bins merged to weekly quantile
+    // readouts — exact integer bin counts, so (unlike HLL) the whole
+    // pipeline is deterministic arithmetic the oracle replays bit-for-bit
+    "q_histogram_weekly" -> ((s, dir) =>
+      Sketches.rollupQuantiles(
+        Sketches.dailyHistogramStore(Tables.events(s, dir), "ts", "value",
+          lo = 0.0, hi = 600.0, nBins = 600),
+        date_trunc("week", _), lo = 0.0, hi = 600.0, nBins = 600,
+        ps = Seq(0.5, 0.95))),
+
+    // latency complement of q_funnel: how long conversion takes
+    "q_time_to_convert" -> ((s, dir) =>
+      Eval.timeToConvert(Tables.events(s, dir), "user_id", "ts",
+        "event_type", fromType = "view", toType = "purchase")),
+
+    // Freedman-Diaconis sizing for the histogram store
+    "q_histogram_config" -> ((s, dir) =>
+      Sketches.histogramConfig(
+        Tables.events(s, dir).select("value"), "value")),
+
+    // backfill grid: as-of snapshots at three year-end cutoffs in ONE pass
+    "q_snapshot_series" -> ((s, dir) =>
+      Materialize.snapshotSeries(Tables.orders(s, dir), "o_custkey",
+        "o_orderdate", "o_orderkey",
+        Seq("1996-12-31 23:59:59", "1998-12-31 23:59:59",
+          "2000-12-31 23:59:59"),
+        Seq("o_totalprice", "o_orderstatus"))),
+
+    // drift monitoring from the histogram store: daily PSI vs the first
+    // week's pooled bin distribution, no raw re-read
+    "q_psi_from_store" -> ((s, dir) =>
+      Sketches.psiFromStore(
+        Sketches.dailyHistogramStore(Tables.events(s, dir), "ts", "value",
+          lo = 0.0, hi = 600.0, nBins = 600),
+        "2024-01-01", "2024-01-07", nBins = 600)),
+
+    // retention from the sketch store: week-over-week overlap via
+    // inclusion-exclusion on stored sketches (counts can't intersect)
+    "q_sketch_retention" -> ((s, dir) =>
+      Sketches.weeklyRetentionChecked(Tables.events(s, dir), "ts",
+        "user_id")),
+
+    // per-segment store: weekly p50/p95 per event type from the grouped
+    // histogram store (the per-feature monitoring shape)
+    "q_histogram_by_type" -> ((s, dir) =>
+      Sketches.rollupGroupedQuantiles(
+        Sketches.dailyGroupedHistogramStore(Tables.events(s, dir), "ts",
+          "event_type", "value", lo = 0.0, hi = 600.0, nBins = 600),
+        date_trunc("week", _), lo = 0.0, hi = 600.0, nBins = 600,
+        ps = Seq(0.5, 0.95))),
+
+    // ---- CDC changelog apply (upserts + deletes -> current snapshot) -------
+    "q_cdc_apply" -> ((s, dir) =>
+      // events as a CDC feed: 'error' events are tombstones; the snapshot
+      // keeps only keys whose LATEST change is an upsert
+      Materialize.applyChangelog(
+        Tables.events(s, dir).withColumn("op",
+          when(col("event_type") === "error", "delete").otherwise("upsert")),
+        "user_id", "ts", "event_id", "op", "delete",
+        Seq("event_type", "value"))),
+
+    // ---- missingness-pattern profile over the feature table ----------------
+    "q_null_patterns" -> ((s, dir) =>
+      Quality.nullPatterns(WindowAgg.hourlyFeatures(ev(s, dir)),
+        Seq("primary_k", "avg_view_value", "click_through_rate",
+          "conversion_rate"))),
+
+    // ---- partition-continuity audit (backfill planner input) ---------------
+    "q_partition_gaps" -> ((s, dir) =>
+      Stats.partitionGaps(Tables.orders(s, dir), "o_orderdate")),
+
+    // the backfill WORK-LIST: the actual missing days, one row each
+    "q_backfill_plan" -> ((s, dir) =>
+      Stats.missingDays(Tables.orders(s, dir), "o_orderdate")),
+
+    // export manifest: per-partition row counts + order-invariant content
+    // fingerprints of the date-partitioned offline store, read back from
+    // the written files — the handoff integrity record
+    "s_export_manifest" -> ((s, dir) => {
+      val withDate = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      val root = graft.sources.Sources.writeOfflineStore(withDate, "event_date")
+      Quality.groupFingerprints(
+        s.read.parquet(root), "event_date",
+        Seq("event_id", "user_id", "event_type", "props"))
+    }),
+
+    // ---- rendezvous re-sharding audit (minimal-movement property) ----------
+    "q_shard_movement" -> ((s, dir) =>
+      Sampling.rendezvousMovementReport(Tables.documents(s, dir), "doc_id",
+        nFrom = 8, nTo = 10)),
+
+    // ---- histogram-based percentile-rank normalization (no global sort) ----
+    "q_rank_normalize" -> ((s, dir) =>
+      Sketches.rankNormalize(
+        Tables.events(s, dir).select("event_id", "value"),
+        "value", lo = 0.0, hi = 600.0, nBins = 600)
+        .select("event_id", "value", "rank_est")
+        .orderBy("event_id")),
+
+    // ---- per-key OLS trend (regr_* sufficient statistics, one agg) ---------
+    "q_trend_per_key" -> ((s, dir) => {
+      // y on an INTEGER lattice (centi-revenue): values carry 2 decimals,
+      // so round(value*100) is per-row exact and sum(long) is identical
+      // in any accumulation order — the q_price_elasticity lesson; a
+      // double y left one intercept on a round(6) boundary (r7 hash miss).
+      // Slope unit: centi-revenue per day.
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("x"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      Stats.trendPerKey(daily, "user_id", "x", "y", exact = true)
+    }),
+    "q_bootstrap_ci" -> ((s, dir) =>
+      // deterministic Poisson bootstrap: both engines draw identical
+      // resamples via the shared u01 hash, so the CI is oracle-exact
+      Stats.bootstrapCI(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("value")),
+        "event_id", "value", reps = 200)),
+    "q_price_elasticity" -> ((s, dir) => {
+      // demand response per brand: OLS of mean quantity on the discount
+      // level. BOTH axes integer — x = discount percent bin, y = mean
+      // quantity in CENTI-units (quantities are integral, so the mean is
+      // an exact int/int division and round(·100) is engine-identical;
+      // integer y makes every OLS sum exact in any order, where
+      // 6-decimal-rounded doubles left one brand's slope on a rounding
+      // boundary). Slope unit: centi-quantity per discount point.
+      val li = Tables.lineitem(s, dir).join(Tables.part(s, dir),
+        col("l_partkey") === col("p_partkey"))
+      val lvl = li.groupBy(col("p_brand"),
+          round(col("l_discount") * 100).cast("int").as("x"))
+        .agg(round(avg(col("l_quantity")) * 100).cast("long").as("y"))
+      Stats.trendPerKey(lvl, "p_brand", "x", "y", exact = true)
+    }),
+    "q_theilsen_trend" -> ((s, dir) => {
+      // the robust twin of q_trend_per_key: median pairwise slope +
+      // median residual intercept, outlier-immune where OLS chases one
+      // corrupted day; per-key pair space guarded fail-loud
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("x"))
+        .agg(round(sum(col("value")), 2).as("y"))
+      Stats.theilSenPerKey(daily, "user_id", "x", "y")
+    }),
+
+    // ---- video frame-sampling plumbing (metadata-only projection) ----------
+    "x_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSampleOffsets(Tables.documents(s, dir), "doc_id",
+        round(col("n_chars") / 50.0, 2), fps = 30.0, k = 4)),
+
+    // ---- schema-evolution read (mergeSchema across generations) ------------
+    "s_schema_evolution" -> ((s, dir) => {
+      // two parquet generations of the same table — gen2 grew a derived
+      // column — read back as ONE frame via mergeSchema (the decade-of-
+      // partitions reality at 100 TB: old files simply surface NULLs for
+      // columns they predate). The aggregate proves column alignment and
+      // NULL-fill; DuckDB replays it straight from orders.parquet.
+      val o = Tables.orders(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          round(col("o_totalprice") * 0.92, 2).as("o_totalprice_eur"))
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen1", s"$root/gen2")
+      val out = merged.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_totalprice_eur")).as("n_eur"),
+        round(sum(col("o_totalprice")), 2).as("usd_total"),
+        round(sum(col("o_totalprice_eur")), 2).as("eur_total"))
+        .localCheckpoint() // must not lazily re-read the dir removed below
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      out
+    }),
+
+    // ---- in-engine classifier training (unrolled-GD logistic regression) --
+    "x_conformal" -> ((s, dir) =>
+      // distribution-free error bars: split-conformal half-width from the
+      // calibration order statistic, coverage audited on the test split
+      Eval.conformal(
+        Tables.events(s, dir)
+          .withColumn("split", pmod(col("event_id"), lit(3))),
+        "event_id", "event_type", "value", "split", alpha = 0.1)),
+    "x_lr_scores" -> ((s, dir) =>
+      // train a linear "high-label" classifier on the embeddings by 3
+      // full-batch GD supersteps (zero init, η=0.5, intercept prepended)
+      // and score every vector — the fastText-style quality-filter
+      // trainer as pure dataflow, superstep-replayed by the oracle
+      Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("label") >= 5, eta = 0.5, iterations = 3)),
+    "x_label_noise" -> ((s, dir) => {
+      // confident-learning screen (Northcutt's class-conditional
+      // thresholds): a row is a label-error candidate when its predicted
+      // prob crosses the MEAN prob of the opposite class — flags the
+      // examples the trained scorer is confident were mislabeled
+      val scored = Learn.logisticGD(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") >= 5, eta = 0.5, iterations = 3)
+      val th = scored.agg(
+        round(avg(when(col("y") === 1, col("prob"))), 6).as("t1"),
+        round(avg(when(col("y") === 0, col("prob"))), 6).as("t0"))
+      scored.crossJoin(broadcast(th))
+        .withColumn("suspected_label",
+          when(col("y") === 0 && col("prob") >= col("t1"), 1)
+            .when(col("y") === 1 && col("prob") <= col("t0"), 0))
+        .filter(col("suspected_label").isNotNull)
+        .withColumn("noise_score",
+          round(when(col("y") === 1, lit(1.0) - col("prob"))
+            .otherwise(col("prob")), 6))
+        .select(col("vec_id"), col("y"), col("prob"),
+          col("suspected_label"), col("noise_score"))
+        .orderBy(col("noise_score").desc, col("vec_id"))
+    }),
+    "x_mixture_waterfill" -> ((s, dir) =>
+      // epoch-capped token-budget mixture planning: target weights
+      // ∝ source index + 1, budget 1.2× total supply, 2-epoch cap —
+      // exact closed-form water-filling over the bounded domain frame
+      Sampling.mixtureWaterfill(Tables.documents(s, dir), "text", "source",
+        expr("CAST(substring(domain, 4) AS INT) + 1"),
+        budgetFraction = 1.2, epochCap = 2.0)),
+    "x_text_normalize" -> ((s, dir) =>
+      // Unicode cleanup report: native NFC + control/U+FFFD strip +
+      // whitespace collapse, all counts in engine-independent BYTES
+      TextAnalysis.normalizeText(Tables.documents(s, dir), "doc_id",
+        "text")),
+    "x_lr_calibration" -> ((s, dir) =>
+      // reliability diagram + ECE over the trained scorer's (rounded)
+      // probabilities — 10 equal-width bins, self-contained report
+      Eval.calibration(
+        Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("label") >= 5, eta = 0.5, iterations = 3),
+        "prob", "y", bins = 10)),
+    "x_lr_metrics" -> ((s, dir) =>
+      // training-run report chained from the ROUNDED margins (the
+      // cross-engine-stable quantity): accuracy + mean log-loss
+      Learn.logisticMetrics(
+        Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("label") >= 5, eta = 0.5, iterations = 3))),
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+package registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Helpers shared across the registry slices (and by
+  * [[graft.SparkEntry.entry]]): the parsed-events frame, the reused A12
+  * snapshot, and the two per-corpus trained-tokenizer caches.
+  */
+private[graft] object Shared {
+
+  private[graft] def ev(s: SparkSession, dir: String): DataFrame =
+    Parse.parseEvents(Tables.events(s, dir))
+
+  /** A12 snapshot reused by several queries. */
+  private[graft] def snapshot(s: SparkSession, dir: String): DataFrame =
+    Materialize.latestPerKey(Tables.orders(s, dir), "o_custkey",
+      "o_orderdate", "o_orderkey")
+
+  /** Trained BPE merges per corpus dir — a deterministic artifact (the
+    * trainer is superstep-exact), cached so the three BPE registry
+    * entries train once per corpus instead of once per query; production
+    * would persist the merge table next to the corpus like any fitted
+    * vocabulary.
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private[graft] def bpeMerges(s: SparkSession,
+                               dir: String): Seq[(String, String)] =
+    bpeCache.computeIfAbsent(dir, _ =>
+      Bpe.trainMergesDistributed(Tables.documents(s, dir), "text",
+        Bpe.OracleK))
+
+  /** Trained unigram piece table per corpus dir — the [[bpeMerges]]
+    * pattern for the second tokenizer family (deterministic artifact,
+    * trained once per corpus across its registry entries).
+    */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+  private[graft] def unigramTable(s: SparkSession,
+                                  dir: String): Seq[(String, Double)] =
+    unigramCache.computeIfAbsent(dir, _ =>
+      Unigram.trainDistributed(Tables.documents(s, dir), "text",
+        vocabSize = 200, rounds = 2, maxPieceLen = 4))
+}

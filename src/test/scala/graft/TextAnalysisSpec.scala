@@ -574,4 +574,44 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.vocabDrift(same, "text", "side", "A", "B", alpha = 0.0)
     }
   }
+
+  test("heapsLaw: hand-computed growth curve; empty doc keeps its row; " +
+      "curve is partition-order independent") {
+    val docs = Seq(
+      (1L, "a b a"),          // tokens 3, new {a,b}=2
+      (2L, ""),               // tokens 0, new 0
+      (3L, "b c c d"),        // tokens 4, new {c,d}=2
+      (4L, "A d e")           // lowercased: tokens 3, new {e}=1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.heapsLaw(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, 2L, 2L),
+      (2L, 0L, 3L, 0L, 2L),
+      (3L, 4L, 7L, 2L, 4L),
+      (4L, 3L, 10L, 1L, 5L)))
+    val shuffled = TextAnalysis.heapsLaw(docs.repartition(3), "doc_id",
+      "text").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(shuffled == out)
+  }
+
+  test("ngramNovelty: exact duplicate scores dup_share 1, fresh doc 0, " +
+      "partial overlap counted gram-by-gram; short docs keep NULL share") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),      // 3 grams, all first here
+      (2L, "the quick brown fox jumps"),      // exact dup -> share 1.0
+      (3L, "a wholly different sentence here"), // fresh -> 0.0
+      (4L, "the quick brown cat sits down"),  // shares 1 of 4 grams
+      (5L, "too short")                       // < 3 words -> no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("dup_share"))))).toMap
+    assert(out(1L) == ((3L, 0L, Some(0.0))))
+    assert(out(2L) == ((3L, 3L, Some(1.0))))
+    assert(out(3L) == ((3L, 0L, Some(0.0))))
+    assert(out(4L) == ((4L, 1L, Some(0.25))))
+    assert(out(5L) == ((0L, 0L, None)))
+  }
 }
