@@ -4353,6 +4353,97 @@ object OracleSql {
       FROM p5 ORDER BY s_suppkey"""
     },
 
+    // uplift/Qini: user fold -> rounded quantile-cut bands (band 1 =
+    // top scores) -> integer-count arms; qini = cumCT - cumCC*(cumNT/cumNC)
+    "q_uplift_qini" -> s"""
+      WITH u AS (SELECT user_id,
+              max(CASE WHEN event_type = 'purchase' AND value > 95.0
+                       THEN 1 ELSE 0 END) AS conv,
+              round(CAST(count(*) AS DOUBLE), 6) AS score
+            FROM events GROUP BY user_id),
+      a AS (SELECT conv, score, ${uk("user_id", 59)} > 0.5 AS t FROM u),
+      c AS (SELECT round(quantile_cont(score, 1.0/5), 6) AS c1,
+                   round(quantile_cont(score, 2.0/5), 6) AS c2,
+                   round(quantile_cont(score, 3.0/5), 6) AS c3,
+                   round(quantile_cont(score, 4.0/5), 6) AS c4
+            FROM a),
+      b AS (SELECT a.*,
+              5 - ((CASE WHEN score > c.c1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > c.c2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > c.c3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > c.c4 THEN 1 ELSE 0 END)) AS band
+            FROM a, c),
+      per AS (SELECT band,
+              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treat,
+              CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n_ctrl,
+              CAST(coalesce(sum(CASE WHEN t THEN conv END), 0) AS BIGINT)
+                AS conv_treat,
+              CAST(coalesce(sum(CASE WHEN NOT t THEN conv END), 0)
+                AS BIGINT) AS conv_ctrl
+            FROM b GROUP BY band),
+      cum AS (SELECT *,
+              CAST(sum(n_treat) OVER w AS BIGINT) AS cnt,
+              CAST(sum(n_ctrl) OVER w AS BIGINT) AS cnc,
+              CAST(sum(conv_treat) OVER w AS BIGINT) AS cct,
+              CAST(sum(conv_ctrl) OVER w AS BIGINT) AS ccc
+            FROM per WINDOW w AS (ORDER BY band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT band, n_treat, n_ctrl, conv_treat, conv_ctrl,
+             CASE WHEN n_treat > 0 THEN
+               round(conv_treat / CAST(n_treat AS DOUBLE), 6) END
+               AS rate_treat,
+             CASE WHEN n_ctrl > 0 THEN
+               round(conv_ctrl / CAST(n_ctrl AS DOUBLE), 6) END AS rate_ctrl,
+             CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+               round(conv_treat / CAST(n_treat AS DOUBLE)
+                 - conv_ctrl / CAST(n_ctrl AS DOUBLE), 6) END AS uplift,
+             CASE WHEN cnc > 0 THEN
+               round(cct - ccc * (CAST(cnt AS DOUBLE) / cnc), 6) END AS qini
+      FROM cum ORDER BY band""",
+
+    // off-policy evaluation: empirical-frequency propensities,
+    // per-action-mean reward model, every per-row estimator term
+    // committed to the 1e-6 lattice before the fold (exact long sums)
+    "q_offpolicy_eval" -> """
+      WITH base AS (SELECT event_type AS a,
+              CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'click' END
+                AS pi,
+              CAST(round(value * 100, 0) AS BIGINT) AS rc
+            FROM events),
+      freq AS (SELECT a, CAST(count(*) AS BIGINT) AS na,
+                      CAST(sum(rc) AS BIGINT) AS sc
+               FROM base GROUP BY a),
+      rhat AS (SELECT a, na, sc / (100.0 * na) AS rhat FROM freq),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+      scored AS (SELECT b.a, b.pi,
+              CASE WHEN b.a = b.pi
+                THEN CAST(t.n AS DOUBLE) / CAST(f.na AS DOUBLE)
+                ELSE 0.0 END AS w,
+              CAST(b.rc AS DOUBLE) / 100.0 AS r,
+              f.rhat AS rhat_a, coalesce(p.rhat, 0.0) AS rp
+            FROM base b JOIN rhat f ON b.a = f.a
+            LEFT JOIN rhat p ON b.pi = p.a CROSS JOIN tot t),
+      folded AS (SELECT CAST(count(*) AS BIGINT) AS n_logged,
+              CAST(sum(CASE WHEN a = pi THEN 1 ELSE 0 END) AS BIGINT)
+                AS matched,
+              CAST(sum(CAST(round(w * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                AS wm,
+              CAST(sum(CAST(round(w * r * 1000000.0, 0) AS BIGINT))
+                AS BIGINT) AS im,
+              CAST(sum(CAST(round(rp * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                AS dm0,
+              CAST(sum(CAST(round((rp + w * (r - rhat_a)) * 1000000.0, 0)
+                AS BIGINT)) AS BIGINT) AS drm
+            FROM scored)
+      SELECT n_logged,
+             round(CAST(matched AS DOUBLE) / n_logged, 6) AS match_rate,
+             round(dm0 / 1000000.0 / n_logged, 6) AS dm,
+             round(im / 1000000.0 / n_logged, 6) AS ips,
+             CASE WHEN wm > 0
+               THEN round(CAST(im AS DOUBLE) / wm, 6) END AS snips,
+             round(drm / 1000000.0 / n_logged, 6) AS dr
+      FROM folded""",
+
     "q_forecast_baseline" -> """
       WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
                sum(o_totalprice) AS x FROM orders GROUP BY 1),
@@ -4554,6 +4645,46 @@ object OracleSql {
                ELSE 0.0 END, 6) AS clustering_coeff
       FROM deg d LEFT JOIN pn p ON d.node = p.node
       ORDER BY s_suppkey""",
+
+    // link prediction over non-edges of the 1995 part co-order graph:
+    // the same ordered wedge join as q_triangles, with each wedge's
+    // Adamic-Adar term committed to the 1e-6 integer lattice BEFORE the
+    // sum so the fold is exact long addition on both engines; global
+    // top-500 elected on the exact lattice score with (u, v) tie-break
+    "q_link_prediction" -> """
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS sk
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                      AND o_orderdate < TIMESTAMP '1996-01-01'),
+      e AS (SELECT a.sk AS a, b.sk AS b FROM base a JOIN base b
+            ON a.bk = b.bk AND a.sk < b.sk GROUP BY 1, 2),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+              (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY node),
+      adj AS (SELECT adj0.w, adj0.n,
+                     CAST(CASE WHEN d.deg >= 2 THEN
+                       round(1000000.0 / ln(CAST(d.deg AS DOUBLE)), 0)
+                       ELSE 0.0 END AS BIGINT) AS aa_m
+              FROM (SELECT a AS w, b AS n FROM e
+                    UNION ALL SELECT b, a FROM e) adj0
+              JOIN deg d ON adj0.w = d.node),
+      pairs AS (SELECT l.n AS u, r.n AS v,
+                       CAST(count(*) AS BIGINT) AS common_neighbors,
+                       CAST(sum(l.aa_m) AS BIGINT) AS aa_m
+                FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      cand AS (SELECT p.* FROM pairs p WHERE NOT EXISTS
+               (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.v)),
+      top AS (SELECT c.u, c.v, c.common_neighbors, c.aa_m,
+                     du.deg AS du, dv.deg AS dv
+              FROM cand c JOIN deg du ON c.u = du.node
+                          JOIN deg dv ON c.v = dv.node
+              ORDER BY c.aa_m DESC, c.u, c.v LIMIT 500)
+      SELECT u, v, common_neighbors,
+             round(aa_m / 1000000.0, 6) AS adamic_adar,
+             round(CAST(common_neighbors AS DOUBLE)
+               / CAST(du + dv - common_neighbors AS DOUBLE), 6) AS jaccard
+      FROM top ORDER BY u, v""",
 
     // fixed z-quantile literals (alpha=.05 two-sided, power=.80) — the
     // identical closed form on both engines, no inverse-CDF calls

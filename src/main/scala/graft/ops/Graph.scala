@@ -202,4 +202,89 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("degree"))
       .orderBy("node")
   }
+
+  /** Link prediction over an UNDIRECTED graph: for every NON-edge pair
+    * with at least `minCommon` common neighbors, the three classic
+    * neighborhood scores — common-neighbor count, Adamic–Adar
+    * (Σ_w 1/ln deg(w), the inverse-log-degree weighting that discounts
+    * hub-mediated wedges), and neighborhood Jaccard
+    * (|Γu∩Γv| / |Γu∪Γv|). The "which entities SHOULD be connected"
+    * primitive: recommended co-suppliers, missing joins in an entity
+    * graph, candidate merges in record linkage.
+    *
+    * Plan: the same ordered wedge join as [[triangleCounts]] — adjacency
+    * (center w, neighbor n) self-joined on w with n1 < n2 enumerates each
+    * candidate pair once per common neighbor; one keyed aggregation folds
+    * the scores; one anti-join against the canonical edge set keeps only
+    * non-edges. Wedge volume is Σ deg², so the identical fail-loud
+    * `maxDegree` hub guard rides in the plan. All equi-joins.
+    *
+    * Float determinism: each wedge's Adamic–Adar term is committed to the
+    * integer lattice (`round(1e6/ln deg)` as BIGINT) BEFORE the keyed
+    * sum, so the fold is exact long addition in any partition order —
+    * the engine-replayable form of an otherwise order-sensitive double
+    * sum (the q_price_elasticity lesson applied at the operator level).
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     minCommon: Int = 2, topK: Int = 0,
+                     maxDegree: Int = 10000): DataFrame = {
+    require(minCommon >= 1, s"linkPrediction: minCommon >= 1 (got $minCommon)")
+    require(topK >= 0, s"linkPrediction: topK >= 0 (got $topK)")
+    val canon0 = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint(eager = false)
+    val deg = canon0.select(col("a").as("node"))
+      .unionByName(canon0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // fail-loud hub guard, same contract as triangleCounts: one hub node
+    // costs deg² wedges, so refuse loudly instead of detonating.
+    val canon = canon0
+      .crossJoin(broadcast(deg.agg(max(col("deg")).as("__maxdeg"))))
+      .withColumn("a",
+        when(col("__maxdeg") <= maxDegree, col("a"))
+          .otherwise(raise_error(concat(
+            lit(s"linkPrediction: a node exceeds degree $maxDegree " +
+              "(wedge space is quadratic per node); cap or sample hub " +
+              "neighborhoods first — max degree seen: "),
+            col("__maxdeg").cast("string")))))
+      .drop("__maxdeg")
+    // adjacency keyed by wedge CENTER, each center row carrying its
+    // integer-lattice Adamic–Adar contribution. Degree-1 centers never
+    // form a wedge but their rows still evaluate the projection, so the
+    // ln(1)=0 division is guarded (ANSI mode fails loud otherwise).
+    val adj = canon.select(col("a").as("w"), col("b").as("n"))
+      .unionByName(canon.select(col("b").as("w"), col("a").as("n")))
+      .join(deg.withColumnRenamed("node", "w"), Seq("w"))
+      .withColumn("aa_m",
+        when(col("deg") >= 2,
+          round(lit(1000000.0) / log(col("deg").cast("double")), 0))
+          .otherwise(lit(0.0)).cast("long"))
+      .select("w", "n", "aa_m")
+    val pairs = adj.as("l")
+      .join(adj.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("u"), col("r.n").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("l.aa_m")).as("aa_m"))
+      .filter(col("common_neighbors") >= minCommon)
+    val scored = pairs
+      .join(canon.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    // optional deterministic global top-k on the LATTICE score (exact
+    // longs, ties broken by the pair id) — orderBy+limit plans as
+    // TakeOrderedAndProject, the distributed partial-top-k merge, never
+    // a single-partition global sort. Candidate volume grows with graph
+    // density, so serving paths should cap; audits pass topK = 0.
+    val capped = if (topK > 0)
+      scored.orderBy(col("aa_m").desc, col("u"), col("v")).limit(topK)
+    else scored
+    capped
+      .select(col("u"), col("v"), col("common_neighbors"),
+        round(col("aa_m") / lit(1000000.0), 6).as("adamic_adar"),
+        round(col("common_neighbors").cast("double") /
+          (col("du") + col("dv") - col("common_neighbors")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("u", "v")
+  }
 }

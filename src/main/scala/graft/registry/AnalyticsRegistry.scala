@@ -551,6 +551,22 @@ object AnalyticsRegistry {
       Graph.bfsHops(edges, "src", "dst", seeds, "s_suppkey", rounds = 4)
         .withColumnRenamed("node", "s_suppkey")
     }),
+    "q_uplift_qini" -> ((s, dir) =>
+      // does targeting by activity concentrate incremental conversions?
+      // per-quintile treated/control rates + cumulative Qini over the
+      // hash-randomized arms (band 1 = most active users)
+      Eval.upliftBands(Tables.events(s, dir), "user_id",
+        col("event_type") === "purchase" && col("value") > 95.0,
+        count(lit(1)), bands = 5)),
+    "q_offpolicy_eval" -> ((s, dir) =>
+      // would "recommend purchase to even users, click to odd" have
+      // beaten the logged traffic? DM / IPS / SNIPS / DR estimators
+      // from the log alone, every estimator sum on the integer lattice
+      Eval.offPolicyEval(
+        Tables.events(s, dir).withColumn("target_action",
+          when(col("user_id") % 2 === 0, lit("purchase"))
+            .otherwise(lit("click"))),
+        "event_type", "value", "target_action")),
     "q_forecast_baseline" -> ((s, dir) =>
       // the two baselines every forecast must beat: lag-1 naive and
       // lag-7 seasonal-naive over daily revenue, with MAE + MASE folds
@@ -603,6 +619,23 @@ object AnalyticsRegistry {
         .select("src", "dst")
       Graph.triangleCounts(edges, "src", "dst")
         .withColumnRenamed("node", "s_suppkey")
+    }),
+    "q_link_prediction" -> ((s, dir) => {
+      // which parts SHOULD be co-ordered but weren't: top-500
+      // common-neighbor / Adamic-Adar / Jaccard non-edges of the 1995
+      // part co-order graph (the year slice keeps the graph sparse at
+      // every SF — the full-history projection saturates into a clique)
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+      val base = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      Graph.linkPrediction(edges, "src", "dst", minCommon = 2, topK = 500)
     }),
 
     // ---- privacy release audits (k-anonymity / l-diversity) ----------------

@@ -44,6 +44,26 @@ class GraphSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 1L, 1.0)))
     assert(out(4L) == ((4L, 1L, 0L, 0.0)))
   }
+  test("linkPrediction: only non-edges scored, closed-form Adamic-Adar " +
+      "and Jaccard, minCommon filters, reversed duplicate edges collapse") {
+    // triangle {1,2,3} + 4 attached to {2,3} + pendant 5 on 1; one edge
+    // duplicated reversed. Non-edges with a common neighbor: (1,4) via
+    // {2,3}, (2,5) and (3,5) via {1}.
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("src", "dst")
+    val out = Graph.linkPrediction(g, "src", "dst", minCommon = 1)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // deg: 1->3, 2->3, 3->3, 4->2, 5->1; lattice term 1/ln3 = 0.910239
+    val t3 = math.round(1e6 / math.log(3.0)) / 1e6
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, 2 * t3, 0.666667), // 2/(3+2-2)
+      (2L, 5L, 1L, t3, 0.333333), // 1/(3+1-1)
+      (3L, 5L, 1L, t3, 0.333333)))
+    // minCommon=2 keeps only the two-wedge pair
+    val strict = Graph.linkPrediction(g, "src", "dst", minCommon = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(strict.toSeq == Seq((1L, 4L, 2L, 2 * t3, 0.666667)))
+  }
   test("guards fire loud: oversized basket and hub degree raise in-plan") {
     val fat = (1 to 30).map(i => (1L, i.toLong)).toDF("bk", "it")
     val e1 = intercept[Exception] {
