@@ -815,4 +815,128 @@ object Eval {
           / count(lit(1)).cast("double"), 6).as("coverage"))
       .withColumn("covered", col("coverage") >= col("target_coverage"))
   }
+
+  /** Uplift / Qini readout of a targeting score over the hash-randomized
+    * experiment of [[abTest]]: users fold to (converted, score, arm),
+    * score quantile cuts split them into `bands` equal-population bands
+    * (band 1 = TOP scores — the targeting order), and each band reports
+    * treated/control conversion rates, their difference (the band's
+    * uplift — a GOOD targeting score concentrates uplift in band 1), and
+    * the cumulative Qini number Q(d) = cumConvT − cumConvC·(cumNT/cumNC)
+    * — the incremental conversions earned by treating only the top d
+    * bands, the area under which is the Qini coefficient.
+    *
+    * Plan: one corpus aggregation to user grain, one broadcast
+    * quantile-cut assignment (the [[rfmSegments]] pattern — no global
+    * sort; cuts are rounded so both engines band identical values), one
+    * keyed band aggregation, then cumulative windows over the ≤20-row
+    * band table. Everything downstream of the user fold is integer
+    * counts and single divisions — engine-exact by construction.
+    */
+  def upliftBands(df: DataFrame, userCol: String, isConv: Column,
+                  scoreAgg: Column, bands: Int = 5,
+                  channel: Long = 59L): DataFrame = {
+    require(bands >= 2 && bands <= 20,
+      s"upliftBands: bands in [2, 20] (got $bands)")
+    val users = df.groupBy(col(userCol))
+      .agg(max(isConv.cast("int")).as("__conv"),
+        round(scoreAgg.cast("double"), 6).as("__score"))
+      .withColumn("__t", Gen.u01(col(userCol), channel) > 0.5)
+    val cutExprs = (1 until bands).map(i =>
+      round(percentile(col("__score"), lit(i.toDouble / bands)), 6)
+        .as(s"__c$i"))
+    val cuts = users.agg(cutExprs.head, cutExprs.tail: _*)
+    val banded = users.crossJoin(broadcast(cuts))
+      .withColumn("band",
+        lit(bands) - (1 until bands).map(i =>
+          when(col("__score") > col(s"__c$i"), 1).otherwise(0))
+          .reduce(_ + _))
+    val per = banded.groupBy("band").agg(
+      count(when(col("__t"), 1)).as("n_treat"),
+      count(when(!col("__t"), 1)).as("n_ctrl"),
+      coalesce(sum(when(col("__t"), col("__conv"))), lit(0)).cast("long")
+        .as("conv_treat"),
+      coalesce(sum(when(!col("__t"), col("__conv"))), lit(0)).cast("long")
+        .as("conv_ctrl"))
+    val w = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("rate_treat", when(col("n_treat") > 0,
+        round(col("conv_treat") / col("n_treat").cast("double"), 6)))
+      .withColumn("rate_ctrl", when(col("n_ctrl") > 0,
+        round(col("conv_ctrl") / col("n_ctrl").cast("double"), 6)))
+      .withColumn("uplift", when(col("n_treat") > 0 && col("n_ctrl") > 0,
+        round(col("conv_treat") / col("n_treat").cast("double")
+          - col("conv_ctrl") / col("n_ctrl").cast("double"), 6)))
+      .withColumn("qini", when(sum(col("n_ctrl")).over(w) > 0,
+        round(sum(col("conv_treat")).over(w)
+          - sum(col("conv_ctrl")).over(w)
+            * (sum(col("n_treat")).over(w).cast("double")
+              / sum(col("n_ctrl")).over(w)), 6)))
+      .orderBy("band")
+  }
+
+  /** Off-policy evaluation of a deterministic target policy from logged
+    * bandit feedback — the "would the new recommendation rule beat what
+    * we logged?" readout computed WITHOUT an online experiment. One row:
+    * the four standard estimators over (logged action, reward, target
+    * action) — DM (direct method: the reward model's score of the
+    * target policy, biased when the model is), IPS (inverse-propensity,
+    * unbiased, high variance), SNIPS (self-normalized IPS — the weight
+    * renormalization that trades a vanishing bias for much lower
+    * variance), and DR (doubly robust: DM baseline + IPS correction of
+    * its residual; unbiased if EITHER the propensities or the reward
+    * model are right). Propensities are the logging policy's empirical
+    * action frequencies; the reward model is the per-action mean —
+    * both estimated from the same log, the standard offline protocol.
+    *
+    * Plan: one bounded action-frequency aggregate (broadcast), two
+    * broadcast lookups (logged and target action), then ONE corpus pass
+    * folding the per-row estimator terms. Float determinism: every
+    * per-row term is committed to the 1e-6 integer lattice BEFORE the
+    * fold (per-row scalar chains are engine-identical; only SUM order
+    * isn't), and rewards ride the centi lattice, so every sum is exact
+    * long addition — the q_price_elasticity rule applied to estimator
+    * sums. Rows whose target action never appears in the log take
+    * rhat(π)=0 (DM scores what the model knows; IPS/SNIPS are unaffected
+    * since the weight is 0 there anyway).
+    */
+  def offPolicyEval(df: DataFrame, actionCol: String, rewardCol: String,
+                    targetCol: String): DataFrame = {
+    val base = df.select(col(actionCol).as("__a"), col(targetCol).as("__pi"),
+      round(col(rewardCol) * 100, 0).cast("long").as("__rc"))
+    val freq = base.groupBy("__a")
+      .agg(count(lit(1)).as("__na"), sum(col("__rc")).as("__sc"))
+      .withColumn("__rhat", col("__sc") / (lit(100.0) * col("__na")))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val scored = base
+      .join(broadcast(freq.select(col("__a"), col("__na"), col("__rhat"))),
+        Seq("__a"))
+      .join(broadcast(freq.select(col("__a").as("__pi"),
+        col("__rhat").as("__rhat_pi"))), Seq("__pi"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__w", when(col("__a") === col("__pi"),
+        col("__n").cast("double") / col("__na").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("__r", col("__rc").cast("double") / lit(100.0))
+      .withColumn("__rp", coalesce(col("__rhat_pi"), lit(0.0)))
+    val folded = scored.agg(
+      count(lit(1)).as("n_logged"),
+      sum(when(col("__a") === col("__pi"), 1L).otherwise(0L)).as("__match"),
+      sum(round(col("__w") * lit(1000000.0), 0).cast("long")).as("__wm"),
+      sum(round(col("__w") * col("__r") * lit(1000000.0), 0).cast("long"))
+        .as("__im"),
+      sum(round(col("__rp") * lit(1000000.0), 0).cast("long")).as("__dm"),
+      sum(round((col("__rp") + col("__w") * (col("__r") - col("__rhat")))
+        * lit(1000000.0), 0).cast("long")).as("__drm"))
+    folded.select(
+      col("n_logged"),
+      round(col("__match").cast("double") / col("n_logged"), 6)
+        .as("match_rate"),
+      round(col("__dm") / lit(1000000.0) / col("n_logged"), 6).as("dm"),
+      round(col("__im") / lit(1000000.0) / col("n_logged"), 6).as("ips"),
+      when(col("__wm") > 0,
+        round(col("__im").cast("double") / col("__wm"), 6)).as("snips"),
+      round(col("__drm") / lit(1000000.0) / col("n_logged"), 6).as("dr"))
+  }
 }

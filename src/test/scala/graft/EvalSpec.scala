@@ -425,4 +425,59 @@ class EvalSpec extends SparkSpec {
       Eval.conformal(df, "id", "grp", "value", "split", alpha = 1.0)
     }
   }
+
+  test("upliftBands: quantile bands partition users top-down, counts and " +
+      "rates match a hand fold, qini matches the closed form per band") {
+    // 40 users, score = user_id, conversion for even ids
+    val df = (1L to 40L).map(u => (u, if (u % 2 == 0) 1 else 0, u.toDouble))
+      .toDF("user", "cf", "sc")
+    val out = Eval.upliftBands(df, "user", col("cf") === 1,
+        max(col("sc")), bands = 4)
+      .as[(Int, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect()
+    // independent fold: arms from the same hash, banding replicated with
+    // the known quantile cuts of 1..40 (10.75 / 20.5 / 30.25)
+    val arms = df.select(col("user"),
+        (graft.ops.Gen.u01(col("user"), 59L) > 0.5).as("t"))
+      .as[(Long, Boolean)].collect().toMap
+    def band(u: Long): Int =
+      4 - Seq(10.75, 20.5, 30.25).count(c => u.toDouble > c)
+    val byBand = (1L to 40L).groupBy(band)
+    var (cnt, cnc, cct, ccc) = (0L, 0L, 0L, 0L)
+    for (b <- 1 to 4) {
+      val us = byBand(b)
+      val (tr, ct) = us.partition(arms)
+      val row = out.find(_._1 == b).get
+      assert(row._2 == tr.size && row._3 == ct.size)
+      assert(row._4 == tr.count(_ % 2 == 0) && row._5 == ct.count(_ % 2 == 0))
+      cnt += tr.size; cnc += ct.size
+      cct += tr.count(_ % 2 == 0); ccc += ct.count(_ % 2 == 0)
+      val qini = BigDecimal(cct - ccc * (cnt.toDouble / cnc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row._9.contains(qini))
+    }
+    assert(out.map(r => r._2 + r._3).sum == 40L)
+  }
+
+  test("offPolicyEval: DM/IPS/SNIPS/DR match the closed form, unlogged " +
+      "target action takes rhat 0, zero-match log yields NULL SNIPS") {
+    // n=4, na(A)=na(B)=2, rhat(A)=15, rhat(B)=75, n/na=2
+    val log = Seq(("A", 10.0, "A"), ("A", 20.0, "A"),
+      ("B", 100.0, "A"), ("B", 50.0, "B")).toDF("a", "r", "pi")
+    val out = Eval.offPolicyEval(log, "a", "r", "pi").collect().head
+    assert(out.getAs[Long]("n_logged") == 4L)
+    assert(out.getAs[Double]("match_rate") == 0.75)
+    assert(out.getAs[Double]("dm") == 30.0) // (15+15+15+75)/4
+    assert(out.getAs[Double]("ips") == 40.0) // (20+40+0+100)/4
+    assert(out.getAs[Double]("snips") == 26.666667) // 160/6
+    assert(out.getAs[Double]("dr") == 17.5) // (5+25+15+25)/4
+    // target action never logged: DM term 0, weight 0
+    val out2 = Eval.offPolicyEval(
+      Seq(("A", 10.0, "C"), ("A", 30.0, "C")).toDF("a", "r", "pi"),
+      "a", "r", "pi").collect().head
+    assert(out2.getAs[Double]("dm") == 0.0)
+    assert(out2.getAs[Double]("ips") == 0.0)
+    assert(out2.isNullAt(out2.fieldIndex("snips"))) // Σw = 0
+    assert(out2.getAs[Double]("dr") == 0.0)
+  }
 }
