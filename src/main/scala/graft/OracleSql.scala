@@ -3464,6 +3464,32 @@ object OracleSql {
                    / (count(*) + 10.0), 6) AS enc
       FROM t GROUP BY event_type ORDER BY event_type""",
 
+    // leakage-safe OOF encoding: user-hash folds, per-(cat,fold) leave-
+    // fold-out smoothed means; target sums ride the centi lattice so the
+    // single final division is the only float op on either engine
+    "q_target_encoding_oof" -> s"""
+      WITH t AS (SELECT event_type AS category,
+              CAST(least(floor(${uk("user_id", 83)} * 5), 4) AS INTEGER)
+                AS fold,
+              CAST(round(value * 100, 0) AS BIGINT) AS tc
+            FROM events WHERE event_type IS NOT NULL),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(tc) AS BIGINT) AS s FROM t),
+      pcf AS (SELECT category, fold, CAST(count(*) AS BIGINT) AS n_in_fold,
+                     CAST(sum(tc) AS BIGINT) AS sc
+              FROM t GROUP BY 1, 2),
+      wc AS (SELECT *,
+              CAST(sum(n_in_fold) OVER (PARTITION BY category) AS BIGINT)
+                AS nc,
+              CAST(sum(sc) OVER (PARTITION BY category) AS BIGINT) AS scat
+            FROM pcf)
+      SELECT category, fold, n_in_fold,
+             nc - n_in_fold AS n_out_of_fold,
+             round((((scat - sc) / 100.0)
+                 + 10.0 * ((SELECT s FROM g) / (100.0 * (SELECT n FROM g))))
+               / ((nc - n_in_fold) + 10.0), 6) AS enc
+      FROM wc ORDER BY category, fold""",
+
     "q_standard_scale" -> """
       WITH s AS (SELECT avg(l_quantity) AS mq, stddev_pop(l_quantity) AS sq,
                         avg(l_extendedprice) AS mp,

@@ -81,6 +81,58 @@ object Encoding {
       .orderBy(col(catCol))
   }
 
+  /** Leakage-safe (out-of-fold) smoothed target encoding — the form of
+    * [[targetEncode]] a training pipeline must actually use: rows are
+    * assigned to `folds` deterministic hash folds BY ENTITY (`keyCol`,
+    * so all of one user's rows share a fold and a user can never see its
+    * own label), and fold f's encoding of category c is fitted on the
+    * OTHER folds only: enc(c, f) = (Σ_oof target + m·G) / (n_oof + m),
+    * with G the global mean and m the prior strength. A category seen
+    * only inside fold f collapses to G exactly ((0 + mG)/(0 + m)) — the
+    * smoothing is the cold-start path, not a special case.
+    *
+    * Returns the fitted (category, fold) TABLE — category × folds rows,
+    * the bounded artifact a trainer broadcast-joins onto each row by
+    * (cat, fold(key)) — computed as ONE category×fold aggregation plus
+    * in-plan totals (no per-fold passes over the corpus).
+    *
+    * Float determinism: per-row targets commit to the centi lattice
+    * before any sum, so fold/total sums are exact longs and the single
+    * final division is engine-identical — encodings can be compared
+    * across engines at 6 decimals without accumulation-order risk.
+    */
+  def targetEncodeOof(df: DataFrame, catCol: String, targetCol: String,
+                      keyCol: String, folds: Int = 5,
+                      smoothing: Double = 10.0,
+                      channel: Long = 83L): DataFrame = {
+    require(folds >= 2 && folds <= 64,
+      s"targetEncodeOof: folds in [2, 64] (got $folds)")
+    require(smoothing > 0,
+      s"targetEncodeOof: smoothing > 0 (got $smoothing)")
+    val base = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).as("category"),
+        least(floor(Gen.u01(col(keyCol), channel) * folds),
+          lit(folds - 1L)).cast("int").as("fold"),
+        round(col(targetCol) * 100, 0).cast("long").as("__tc"))
+    val perCatFold = base.groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n_in_fold"), sum(col("__tc")).as("__sc"))
+    val wCat = Window.partitionBy(col("category"))
+    val tot = base.agg(count(lit(1)).as("__n"), sum(col("__tc")).as("__s"))
+      .withColumn("__g", col("__s") / (lit(100.0) * col("__n")))
+    perCatFold
+      .withColumn("__nc", sum(col("n_in_fold")).over(wCat))
+      .withColumn("__scat", sum(col("__sc")).over(wCat))
+      .crossJoin(broadcast(tot.select(col("__g"))))
+      .withColumn("n_out_of_fold", col("__nc") - col("n_in_fold"))
+      .withColumn("enc", round(
+        (((col("__scat") - col("__sc")) / lit(100.0))
+          + lit(smoothing) * col("__g"))
+          / (col("n_out_of_fold") + lit(smoothing)), 6))
+      .select(col("category"), col("fold"), col("n_in_fold"),
+        col("n_out_of_fold"), col("enc"))
+      .orderBy("category", "fold")
+  }
+
   /** Z-score standardization of numeric columns: `(x − μ)/σ_pop` appended
     * as `<col>_z`, with constant columns (σ = 0) mapping to 0.0 instead
     * of NULL/Inf. The fit is ONE broadcast 1-row aggregate over all

@@ -287,6 +287,14 @@ object AnalyticsRegistry {
       Encoding.targetEncode(
         Tables.events(s, dir).select(col("event_type"), col("value")),
         "event_type", "value", smoothing = 10.0)),
+    "q_target_encoding_oof" -> ((s, dir) =>
+      // the leakage-safe form: user-hash folds, each fold's encoding
+      // fitted on the other folds only — the table a trainer joins by
+      // (event_type, fold(user))
+      Encoding.targetEncodeOof(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"), col("user_id")),
+        "event_type", "value", "user_id", folds = 5, smoothing = 10.0)),
     "q_standard_scale" -> ((s, dir) =>
       // z-score standardization: one broadcast stats row, narrow transform
       Encoding.standardScale(

@@ -105,4 +105,37 @@ class EncodingSpec extends SparkSpec {
       (share(1, 4) - share(3, 4)) * woe(1, 3)
     assert(out.values.forall(_._7 == r6(iv)))
   }
+
+  test("targetEncodeOof: folds partition by key, leave-fold-out means " +
+      "match the closed form, single-fold category collapses to global") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cat A over keys 1..8 (target = key), cat B only on key 9
+    val df = ((1L to 8L).map(k => ("A", k.toDouble, k)) :+ (("B", 100.0, 9L)))
+      .toDF("cat", "t", "k")
+    val out = Encoding.targetEncodeOof(df, "cat", "t", "k",
+        folds = 3, smoothing = 2.0)
+      .as[(String, Int, Long, Long, Double)].collect()
+    // replicate the hash-fold assignment and the lattice arithmetic
+    val M = 2147483647L
+    def u01(key: Long, c: Long): Double = {
+      val h1 = (key + c * 1000003L) % M
+      (((h1 * 48271L % M) * 48271L % M) + 1).toDouble / M
+    }
+    def fold(k: Long): Int =
+      math.min(math.floor(u01(k, 83L) * 3).toLong, 2L).toInt
+    val g = 13600 / (100.0 * 9) // Σ centi-targets / (100 · n)
+    val bRow = out.filter(_._1 == "B").head
+    assert(bRow._4 == 0L && bRow._5 == r6(g)) // cold start = global mean
+    val byFold = (1L to 8L).groupBy(fold)
+    for ((f, ks) <- byFold) {
+      val row = out.find(r => r._1 == "A" && r._2 == f).get
+      val oof = (1L to 8L).filterNot(ks.contains)
+      assert(row._3 == ks.size.toLong && row._4 == oof.size.toLong)
+      val enc = ((oof.map(_ * 100L).sum / 100.0) + 2.0 * g) /
+        (oof.size + 2.0)
+      assert(row._5 == r6(enc))
+    }
+    assert(out.filter(_._1 == "A").map(_._3).sum == 8L)
+  }
 }
