@@ -722,6 +722,29 @@ object OracleSql {
 
     // constraint suggestion: one profile pass, one row per satisfied
     // (column, constraint); typed evidence columns, no number formatting
+    // g3 functional-dependency error per declared pair: per-key max-count
+    // fold (linear; identical to the quadratic violating-pair definition)
+    "q_fd_audit" -> {
+      def pair(a: String, b: String) = s"""
+      SELECT '$a' AS determinant, '$b' AS dependent,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(coalesce(sum(n) - sum(m), 0) AS BIGINT) AS violations,
+             CASE WHEN coalesce(sum(n), 0) > 0 THEN
+               round(coalesce(sum(n) - sum(m), 0)
+                 / CAST(sum(n) AS DOUBLE), 6) END AS error_g3,
+             coalesce(sum(n) - sum(m), 0) = 0 AS holds
+      FROM (SELECT d, sum(c) AS n, max(c) AS m
+            FROM (SELECT $a AS d, $b AS v, count(*) AS c FROM orders
+                  WHERE $a IS NOT NULL GROUP BY 1, 2)
+            GROUP BY d)"""
+      Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"),
+        ("o_totalprice", "o_orderkey"))
+        .map { case (a, b) => pair(a, b) }
+        .mkString("", " UNION ALL ", " ORDER BY determinant, dependent")
+    },
+
     "q_constraint_suggest" -> """
       WITH p AS (SELECT
         CAST(count(*) AS BIGINT) AS n,

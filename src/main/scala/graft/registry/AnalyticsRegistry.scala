@@ -743,6 +743,16 @@ object AnalyticsRegistry {
         Seq("primary_k", "avg_view_value", "click_through_rate",
           "conversion_rate"))),
 
+    // ---- declared functional-dependency audit (TANE g3 measure) ------------
+    "q_fd_audit" -> ((s, dir) =>
+      // key -> attribute holds; is totalprice a candidate key?;
+      // behavioral attributes don't — the schema-inference readout
+      Quality.fdAudit(Tables.orders(s, dir), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"),
+        ("o_totalprice", "o_orderkey")))),
+
     // ---- partition-continuity audit (backfill planner input) ---------------
     "q_partition_gaps" -> ((s, dir) =>
       Stats.partitionGaps(Tables.orders(s, dir), "o_orderdate")),

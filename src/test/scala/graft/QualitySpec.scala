@@ -257,4 +257,20 @@ class QualitySpec extends SparkSpec {
       Quality.suggestConstraints(df, Seq.empty, Seq.empty)
     }
   }
+
+  test("fdAudit: g3 counts minimal row deletions, NULL determinants " +
+      "excluded, NULL dependents agree, exact FDs flagged") {
+    val df = Seq((Option(1L), "a", 10), (Option(1L), "a", 20),
+      (Option(2L), "b", 10), (Option(2L), "c", 10), (None, "d", 1))
+      .toDF("k", "v1", "v2")
+    val out = Quality.fdAudit(df,
+        Seq(("k", "v1"), ("v2", "k"), ("v1", "v1")))
+      .as[(String, String, Long, Long, Long, Option[Double], Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // k=1 -> {a,a}; k=2 -> {b,c}: delete 1 of 4 rows; null k excluded
+    assert(out(("k", "v1")) == (("k", "v1", 4L, 2L, 1L, Some(0.25), false)))
+    // v2=10 -> k {1,2,2} (NULL k is a value here): 1 deletion of 5 rows
+    assert(out(("v2", "k")) == (("v2", "k", 5L, 3L, 1L, Some(0.2), false)))
+    assert(out(("v1", "v1"))._7) // reflexive FD holds exactly
+  }
 }
