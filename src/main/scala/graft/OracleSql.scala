@@ -3644,6 +3644,12 @@ object OracleSql {
       Seq("click", "error", "purchase", "signup", "view"),
       "purchase", "error", 60),
 
+    // Markov removal-effect attribution: journeys truncated at first
+    // purchase, one unrolled absorption chain per variant (full + each
+    // channel pinned), shares in sorted-channel literal sum order
+    "q_removal_attribution" -> removalAttributionSql(
+      Seq("click", "error", "signup", "view"), 40),
+
     // MMR diversity re-rank: unrolled greedy steps in exact tenth-micro
     // integers over the bounded cosine pool
     "x_mmr_rerank" -> mmrSql(poolK = 20, selectK = 5, lamT = 7),
@@ -6165,6 +6171,100 @@ object OracleSql {
       $steps
       $rows
       ORDER BY state"""
+  }
+
+  /** Unrolled removal-effect attribution oracle: journeys truncate at
+    * the first purchase and frame as start → touches → conv|null; one
+    * absorption chain per variant (full + each channel pinned to 0),
+    * every value-iteration step a materialized CTE; removal effects and
+    * shares fold in sorted-channel literal order exactly like
+    * Eval.removalAttribution's driver fold.
+    */
+  private def removalAttributionSql(channels: Seq[String],
+                                    iterations: Int): String = {
+    val states = (channels ++ Seq("conv", "null", "start")).sorted
+    val d = states.size
+    val ci = states.indexOf("conv")
+    val ni = states.indexOf("null")
+    val si = states.indexOf("start")
+    def q(s: String) = s.replace("'", "''")
+    val pCells = (for { i <- 0 until d; j <- 0 until d } yield {
+      val sti = q(states(i)); val stj = q(states(j))
+      s"""CASE WHEN (SELECT tn FROM tot WHERE f = '$sti') IS NULL
+           THEN ${if (i == j) "1.0" else "0.0"}
+           ELSE coalesce((SELECT CAST(n AS DOUBLE) FROM c
+                          WHERE f = '$sti' AND t = '$stj'), 0.0)
+                / (SELECT tn FROM tot WHERE f = '$sti') END AS p${i}_$j"""
+    }).mkString(",\n          ")
+    // one absorption variant per pinned index (-1 = full chain)
+    def variant(tag: String, removedIdx: Int): String = {
+      val a0 = (0 until d).map(i =>
+        s"${if (i == ci) "1.0" else "0.0"} AS x$i").mkString(", ")
+      val steps = (1 to iterations).map { t =>
+        val prev = s"a${tag}_${t - 1}"
+        s"""a${tag}_$t AS MATERIALIZED (
+          SELECT ${(0 until d).map { i =>
+          if (i == ci) s"1.0 AS x$i"
+          else if (i == ni || i == removedIdx) s"0.0 AS x$i"
+          else (0 until d).map(j => s"P.p${i}_$j * $prev.x$j")
+            .mkString(" + ") + s" AS x$i"
+        }.mkString(",\n            ")}
+          FROM P, $prev)"""
+      }.mkString(",\n      ")
+      s"""a${tag}_0 AS MATERIALIZED (SELECT $a0),
+      $steps"""
+    }
+    val chansSorted = channels.sorted
+    val variants = (variant("f", -1) +: chansSorted.zipWithIndex.map {
+      case (ch, m) => variant(s"r$m", states.indexOf(ch))
+    }).mkString(",\n      ")
+    val effCols = chansSorted.indices.map { m =>
+      s"""CASE WHEN (SELECT x$si FROM af_$iterations) > 0.0
+           THEN 1.0 - (SELECT x$si FROM ar${m}_$iterations)
+                / (SELECT x$si FROM af_$iterations)
+           ELSE 0.0 END AS r$m""" }.mkString(",\n            ")
+    val totExpr = chansSorted.indices.map(m => s"r$m").mkString(" + ")
+    val rows = chansSorted.zipWithIndex.map { case (ch, m) =>
+      s"""SELECT '${q(ch)}' AS channel,
+             round((SELECT x$si FROM af_$iterations), 6) AS p_conv_full,
+             round((SELECT x$si FROM ar${m}_$iterations), 6)
+               AS p_conv_removed,
+             round(r$m, 6) AS removal_effect,
+             round(CASE WHEN $totExpr > 0.0
+               THEN r$m / ($totExpr) ELSE 0.0 END, 6) AS attribution
+      FROM eff""" }.mkString("\n      UNION ALL ")
+    s"""
+      WITH seq AS (SELECT user_id, ts, event_id, event_type,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cp
+            FROM events),
+      j AS (SELECT user_id, ts, event_id,
+              CASE WHEN event_type = 'purchase' THEN 'conv'
+                   ELSE event_type END AS s
+            FROM seq
+            WHERE cp - (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  = 0),
+      p0 AS (SELECT user_id, s,
+              lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev,
+              lead(s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS nxt
+            FROM j),
+      pairs AS (SELECT 'start' AS f, s AS t FROM p0 WHERE prev IS NULL
+        UNION ALL SELECT s, nxt FROM p0 WHERE nxt IS NOT NULL
+        UNION ALL SELECT s, 'null' FROM p0
+                  WHERE nxt IS NULL AND s <> 'conv'),
+      c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pairs
+            GROUP BY f, t),
+      tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY f),
+      P AS MATERIALIZED (
+        SELECT $pCells),
+      $variants,
+      eff AS MATERIALIZED (SELECT $effCols)
+      $rows
+      ORDER BY channel"""
   }
 
   /** Unrolled absorption oracle: win row pinned 1, lose row pinned 0,

@@ -939,4 +939,113 @@ object Eval {
         round(col("__im").cast("double") / col("__wm"), 6)).as("snips"),
       round(col("__drm") / lit(1000000.0) / col("n_logged"), 6).as("dr"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * principled multi-touch alternative to [[attribution]]'s positional
+    * rules: per-user journeys are truncated at the first `convState`
+    * touch and framed as start → touches → conv|null chains; the
+    * baseline conversion probability is the absorbing-chain P(conv from
+    * start), and each channel's REMOVAL EFFECT is how much of it dies
+    * when journeys through that channel are lost
+    * (1 − P_removed/P_full, with the channel's absorption pinned to 0).
+    * Shares normalize the removal effects — a channel whose removal
+    * kills most conversions earns most credit, regardless of position.
+    *
+    * Plan: journey framing is ONE per-user window pass (truncation flag
+    * + lag/lead neighbors — no self-joins), transition counts collect a
+    * |states|²-bounded table (the [[Retrieval.markovSteadyState]]
+    * codebook precedent), and the |channels|+1 value iterations run on
+    * that bounded matrix driver-side with exact-integer-division
+    * probabilities — both engines iterate identical doubles and the
+    * oracle unrolls the same supersteps. `channels` declares the
+    * expected roster so a drifted corpus fails loud instead of
+    * hash-flaking against a hardcoded oracle.
+    */
+  def removalAttribution(df: DataFrame, userCol: String, tsCol: String,
+                         idCol: String, stateCol: String, convState: String,
+                         channels: Seq[String] = Nil,
+                         iterations: Int = 40): DataFrame = {
+    require(iterations >= 1 && iterations <= 200,
+      s"removalAttribution: iterations in [1, 200] (got $iterations)")
+    require(!channels.exists(Set("start", "conv", "null")),
+      "removalAttribution: 'start'/'conv'/'null' are reserved state names")
+    val spark = df.sparkSession
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val isConv = (col(stateCol) === convState).cast("int")
+    val j = df
+      .withColumn("__cp", sum(isConv)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cp") - isConv === 0) // up to + incl. first conversion
+      .withColumn("__s",
+        when(col(stateCol) === convState, "conv").otherwise(col(stateCol)))
+      .select(col(userCol), col(tsCol), col(idCol), col("__s"))
+    val jw = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val p0 = j
+      .withColumn("__prev", lag(col("__s"), 1).over(jw))
+      .withColumn("__nxt", lead(col("__s"), 1).over(jw))
+    val pairs = p0.filter(col("__prev").isNull)
+      .select(lit("start").as("f"), col("__s").as("t"))
+      .unionByName(p0.filter(col("__nxt").isNotNull)
+        .select(col("__s").as("f"), col("__nxt").as("t")))
+      .unionByName(p0.filter(col("__nxt").isNull && col("__s") =!= "conv")
+        .select(col("__s").as("f"), lit("null").as("t")))
+    val counts = pairs.groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val states = counts.keysIterator
+      .flatMap { case (f, t) => Iterator(f, t) }.toSeq.distinct.sorted
+    val observedChannels =
+      states.filterNot(Set("start", "conv", "null")).sorted
+    if (channels.nonEmpty) {
+      val exp = channels.sorted
+      require(observedChannels == exp,
+        s"removalAttribution: observed channel roster " +
+        s"${observedChannels.mkString("[", ", ", "]")} differs from the " +
+        s"declared roster ${exp.mkString("[", ", ", "]")} — the companion " +
+        "oracle hardcodes the roster, so a drifted corpus must fail loud")
+    }
+    val d = states.length
+    val totals = states.map(f =>
+      states.foldLeft(0L)((acc, t) => acc + counts.getOrElse((f, t), 0L)))
+    val p = Array.tabulate(d, d) { (i, k) =>
+      if (totals(i) == 0L) { if (i == k) 1.0 else 0.0 }
+      else counts.getOrElse((states(i), states(k)), 0L).toDouble / totals(i)
+    }
+    val ci = states.indexOf("conv")
+    val ni = states.indexOf("null")
+    val si = states.indexOf("start")
+    require(si >= 0, "removalAttribution: no journeys observed")
+    // absorption P(conv from each state) with an optional extra pinned-0
+    // state (the removed channel); both engines fold j ascending
+    def absorb(removed: Int): Double = {
+      var a = Array.tabulate(d)(i => if (i == ci) 1.0 else 0.0)
+      for (_ <- 1 to iterations) {
+        a = Array.tabulate(d) { i =>
+          if (i == ci) 1.0
+          else if (i == ni || i == removed) 0.0
+          else (0 until d).foldLeft(0.0)((acc, k) => acc + p(i)(k) * a(k))
+        }
+      }
+      a(si)
+    }
+    val pFull = absorb(-1)
+    val removed = observedChannels.map(c => c -> absorb(states.indexOf(c)))
+    val effects = removed.map { case (c, pr) =>
+      (c, pr, if (pFull > 0.0) 1.0 - pr / pFull else 0.0)
+    }
+    // fixed left-to-right fold in sorted channel order = the oracle's
+    // literal sum order
+    val totalEffect = effects.foldLeft(0.0)((acc, e) => acc + e._3)
+    import spark.implicits._
+    effects.map { case (c, pr, re) =>
+      (c, pFull, pr, re,
+        if (totalEffect > 0.0) re / totalEffect else 0.0)
+    }.toDF("channel", "p_conv_full", "p_conv_removed", "removal_effect",
+      "attribution")
+      .select(col("channel"), round(col("p_conv_full"), 6).as("p_conv_full"),
+        round(col("p_conv_removed"), 6).as("p_conv_removed"),
+        round(col("removal_effect"), 6).as("removal_effect"),
+        round(col("attribution"), 6).as("attribution"))
+      .orderBy("channel")
+  }
 }

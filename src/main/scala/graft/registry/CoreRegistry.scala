@@ -533,6 +533,15 @@ object CoreRegistry {
         "user_id", "ts", "event_id", "event_type",
         win = "purchase", lose = "error", iterations = 60,
         expectedStates = Seq("click", "error", "purchase", "signup", "view"))),
+    "q_removal_attribution" -> ((s, dir) =>
+      // principled multi-touch credit: each channel's share of the
+      // conversions that die when journeys through it are removed
+      Eval.removalAttribution(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type", convState = "purchase",
+        channels = Seq("click", "error", "signup", "view"),
+        iterations = 40)),
     "q_future_labels" -> ((s, dir) =>
       // forward-window conversion labels: did the user purchase within
       // 24h after each event? — one per-key window, no self-join

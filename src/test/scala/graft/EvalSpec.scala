@@ -459,6 +459,27 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => r._2 + r._3).sum == 40L)
   }
 
+  test("removalAttribution: closed-form removal effects on a DAG chain, " +
+      "no-impact channel earns zero, roster drift fails loud") {
+    // u1: view,click,purchase ; u2: view,error(lost) ; u3: click,purchase
+    val rows = Seq((1L, 1, 1L, "view"), (1L, 2, 2L, "click"),
+      (1L, 3, 3L, "purchase"), (2L, 1, 4L, "view"), (2L, 2, 5L, "error"),
+      (3L, 1, 6L, "click"), (3L, 2, 7L, "purchase"))
+      .toDF("u", "t", "id", "s")
+    val out = Eval.removalAttribution(rows, "u", "t", "id", "s",
+        convState = "purchase", channels = Seq("click", "error", "view"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // P_full = 2/3; removing click kills all paths, view half, error none
+    assert(out("click") == (("click", 0.666667, 0.0, 1.0, 0.666667)))
+    assert(out("view") == (("view", 0.666667, 0.333333, 0.5, 0.333333)))
+    assert(out("error") == (("error", 0.666667, 0.666667, 0.0, 0.0)))
+    intercept[IllegalArgumentException] {
+      Eval.removalAttribution(rows, "u", "t", "id", "s",
+        convState = "purchase", channels = Seq("click", "view")).collect()
+    }
+  }
+
   test("offPolicyEval: DM/IPS/SNIPS/DR match the closed form, unlogged " +
       "target action takes rhat 0, zero-match log yields NULL SNIPS") {
     // n=4, na(A)=na(B)=2, rhat(A)=15, rhat(B)=75, n/na=2
