@@ -2053,6 +2053,8 @@ object OracleSql {
              round(CAST(n_hits AS DOUBLE) / 10, 6) AS recall
       FROM hits ORDER BY dims, query_id""",
 
+    "x_jl_projection_recall" -> jlRecallSql(64, 16, 10),
+
     "x_ann_recall" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
@@ -6171,6 +6173,55 @@ object OracleSql {
       $steps
       $rows
       ORDER BY state"""
+  }
+
+  /** JL-projection recall oracle: the IDENTICAL literal ±1 sign matrix
+    * (Similarity.jlSigns — one shared constant, not two PRNGs), each
+    * vector projected once, then the matryoshka-style recall compare of
+    * projected top-k against full-dimension brute force.
+    */
+  private def jlRecallSql(d: Int, p: Int, k: Int): String = {
+    val m = graft.ops.Similarity.jlSigns(d, p)
+    val mLit = m.map(_.map(x => if (x > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")).mkString("[", ",\n            ", "]")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      pr AS (SELECT vec_id, v,
+               list_transform($mLit,
+                 r -> list_inner_product(r, v)) AS pv
+             FROM e),
+      q AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv FROM pr
+            WHERE vec_id < 5),
+      scored AS (SELECT q.query_id, pr.vec_id AS cand_id,
+                        q.qv, pr.v, q.qpv, pr.pv
+                 FROM pr CROSS JOIN q WHERE pr.vec_id <> q.query_id),
+      truth AS (SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY list_inner_product(qv, v)
+                / (sqrt(list_inner_product(qv, qv))
+                   * sqrt(list_inner_product(v, v))) DESC,
+              cand_id ASC) AS rank
+          FROM scored) WHERE rank <= $k),
+      topp AS (SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY list_inner_product(qpv, pv)
+                / (sqrt(list_inner_product(qpv, qpv))
+                   * sqrt(list_inner_product(pv, pv))) DESC,
+              cand_id ASC) AS rank
+          FROM scored) WHERE rank <= $k),
+      hits AS (SELECT t.query_id,
+                 sum(CASE WHEN u.cand_id IS NULL THEN 0 ELSE 1 END)
+                   AS n_hits
+               FROM topp t LEFT JOIN truth u
+                 ON t.query_id = u.query_id AND t.cand_id = u.cand_id
+               GROUP BY 1)
+      SELECT CAST($p AS INTEGER) AS proj_dims, query_id,
+             CAST(n_hits AS BIGINT) AS n_hits,
+             round(CAST(n_hits AS DOUBLE) / $k, 6) AS recall
+      FROM hits ORDER BY query_id"""
   }
 
   /** Unrolled removal-effect attribution oracle: journeys truncate at

@@ -138,6 +138,77 @@ object Similarity {
       .orderBy(col("dims"), col("query_id"))
   }
 
+  /** Deterministic Achlioptas ±1 projection matrix shared with the
+    * DuckDB oracle generator: sign(j, i) from one minstd step, so both
+    * engines embed the IDENTICAL literal matrix (p rows of d signs).
+    */
+  def jlSigns(d: Int, p: Int): Array[Array[Double]] =
+    Array.tabulate(p, d) { (j, i) =>
+      val h = ((j.toLong * 10007L + i.toLong + 1L) * 48271L) % 2147483647L
+      if (h % 2 == 0L) 1.0 else -1.0
+    }
+
+  /** Random-projection (Johnson–Lindenstrauss) retrieval audit: recall@k
+    * of top-k retrieval in a `projDims`-dimensional ±1 projection
+    * (Achlioptas 2003 — database-friendly JL: signs instead of
+    * Gaussians, no scaling needed for cosine ranking) against
+    * full-dimension brute force. The dial next to [[matryoshkaRecall]]:
+    * truncation assumes the embedding was TRAINED nested; the random
+    * projection needs no such training and works on any vector column —
+    * at 100 TB, a 64→16 projection quarters index bytes and dot cost
+    * for whatever recall this audit measures.
+    *
+    * One corpus scan: each candidate's projection is computed ONCE
+    * (p literal-sign dot products — narrow, codegen'd), the broadcast
+    * query set crosses the projected candidates once, and ranking
+    * windows run per query over the bounded scored frame. Ties break by
+    * candidate id like [[topKBruteForce]]; the sign matrix is the
+    * [[jlSigns]] constant, so the oracle replays bit-identical
+    * projections.
+    */
+  def randomProjectionRecall(emb: DataFrame, idCol: String, vecCol: String,
+                             queryPred: Column, projDims: Int,
+                             k: Int): DataFrame = {
+    require(projDims >= 1, s"randomProjectionRecall: projDims >= 1 " +
+      s"(got $projDims)")
+    require(k >= 1, s"randomProjectionRecall: k >= 1 (got $k)")
+    val obsDim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(projDims < obsDim,
+      s"randomProjectionRecall: projDims $projDims must be below the " +
+      s"embedding dimension $obsDim — projecting up is not a reduction")
+    val signs = jlSigns(obsDim, projDims)
+    def proj(v: Column): Column = array(signs.map(row =>
+      dot(v, array(row.map(lit): _*))): _*)
+    val base = emb.select(col(idCol), d(col(vecCol)).as("__v"))
+      .withColumn("__pv", proj(col("__v")))
+    val q = base.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("__v").as("qv"),
+        col("__pv").as("qpv"))
+    val c = base.select(col(idCol).as("cand_id"), col("__v").as("cv"),
+      col("__pv").as("cpv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+    val truthW = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("qv"), col("cv")).desc, col("cand_id").asc)
+    val truth = scored
+      .withColumn("rank", row_number().over(truthW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"))
+    val projW = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("qpv"), col("cpv")).desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(projW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"))
+      .join(truth.withColumn("__hit", lit(1)),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .select(lit(projDims).as("proj_dims"), col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
     * greedily pick `selectK` of the top-`poolK` semantic candidates,
     * each step maximizing λ·relevance − (1−λ)·max-similarity-to-already-

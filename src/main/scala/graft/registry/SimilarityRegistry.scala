@@ -54,6 +54,13 @@ object SimilarityRegistry {
       // scored rows
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir), "vec_id",
         "embedding", col("vec_id") < 5, Seq(4, 8, 16, 32), k = 10)),
+    "x_jl_projection_recall" -> ((s, dir) =>
+      // the training-free reduction dial: recall@10 of retrieval in the
+      // shared ±1 Achlioptas projection (64 -> 16) vs full-dim brute
+      // force — projections computed once per candidate, oracle replays
+      // the identical literal sign matrix
+      Similarity.randomProjectionRecall(Tables.embeddings(s, dir),
+        "vec_id", "embedding", col("vec_id") < 5, projDims = 16, k = 10)),
     "x_ann_recall" -> ((s, dir) => {
       // recall audit that turns the learned-IVF claim into an ORACLE: at
       // full probe width (nProbe = nCells) cell pruning vanishes, so the

@@ -371,4 +371,31 @@ class SimilaritySpec extends SparkSpec {
     // tie-break picks ids 0,1 — not the group neighbors of queries 10/11
     assert(rTail((4, 10L)) == 0.0 && rTail((4, 11L)) == 0.0)
   }
+
+  test("randomProjectionRecall: shared sign matrix is ±1 and stable, " +
+      "duplicate-of-query retrieval survives projection, projecting up " +
+      "is refused") {
+    val s1 = Similarity.jlSigns(8, 4)
+    assert(s1.length == 4 && s1.forall(_.length == 8))
+    assert(s1.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(s1.flatten.toSeq == Similarity.jlSigns(8, 4).flatten.toSeq)
+    assert(s1.flatten.distinct.length == 2) // both signs occur
+    // corpus: query 0, its exact duplicate 1, and orthogonal-ish noise;
+    // a linear projection preserves exact-duplicate cosine 1.0, so the
+    // duplicate must stay the top hit at k=1
+    val rows = Seq(
+      (0L, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1L, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (2L, Array(-5.0, 1.0, -4.0, 2.0, 8.0, -1.0, 0.5, -7.0)),
+      (3L, Array(4.0, -6.0, 2.0, -8.0, 1.0, 3.0, -2.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjectionRecall(rows, "vec_id",
+        "embedding", $"vec_id" === 0, projDims = 4, k = 1)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((4, 0L, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjectionRecall(rows, "vec_id", "embedding",
+        $"vec_id" === 0, projDims = 8, k = 1)
+    }
+  }
 }
