@@ -1599,6 +1599,28 @@ object OracleSql {
     // empty docs are excluded on BOTH sides (the operator itself keeps
     // them as one blank line, which this line-derivation CTE cannot
     // express)
+    // ExactSubstr replay: corpus k-gram table -> count + packed-long
+    // first occurrence -> per-doc island merge (all integer logic)
+    "x_dup_substrings" -> s"""
+      WITH $dupSpanCtes
+      SELECT doc_id, span_start, span_end,
+             span_end - span_start AS span_len
+      FROM sp ORDER BY doc_id, span_start""",
+
+    "x_dup_substring_stats" -> s"""
+      WITH $dupSpanCtes,
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(span_end - span_start) AS BIGINT) AS dup
+              FROM sp GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS doc_chars,
+             CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(a.dup, 0) AS BIGINT) AS dup_chars,
+             CASE WHEN len(d.text) > 0 THEN
+               round(coalesce(a.dup, 0) / CAST(len(d.text) AS DOUBLE), 6)
+               ELSE 0.0 END AS dup_ratio
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id""",
+
     "x_dedup_lines" -> """
       WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                  FROM documents WHERE trim(text) <> ''),
@@ -5930,6 +5952,34 @@ object OracleSql {
                ELSE 0.5 * CAST(cb AS DOUBLE) / cup + 0.5 * pu END)), 6)
                AS ce_bits
            FROM scored GROUP BY doc_id)"""
+
+  /** The ExactSubstr replay (see `x_dup_substrings`) up to the merged
+    * per-doc span table `sp(doc_id, isle, span_start, span_end)`.
+    */
+  private lazy val dupSpanCtes: String = """
+      base AS (SELECT doc_id, text AS t FROM documents
+               WHERE len(text) >= 20),
+      g AS (SELECT doc_id, pos, substr(t, pos, 20) AS gram
+            FROM base, LATERAL unnest(generate_series(1, len(t) - 19))
+              AS u(pos)),
+      s AS (SELECT gram, count(*) AS c,
+                   min(doc_id * 1000000 + pos) AS f
+            FROM g GROUP BY gram),
+      d AS (SELECT g.doc_id, g.pos FROM g JOIN s ON g.gram = s.gram
+            WHERE s.c >= 2 AND g.doc_id * 1000000 + g.pos <> s.f),
+      isl AS (SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 20)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) THEN 1 ELSE 0 END AS nf
+             FROM d),
+      grp AS (SELECT doc_id, pos,
+               sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+             FROM isl),
+      sp AS (SELECT doc_id, isle, CAST(min(pos) AS BIGINT) AS span_start,
+                    CAST(max(pos) + 20 AS BIGINT) AS span_end
+             FROM grp GROUP BY doc_id, isle)"""
 
   /** The winnowing fingerprint replay (see `x_shared_spans`) up to the
     * df-capped fingerprint table `sel(doc_id, gram)`.

@@ -773,4 +773,99 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         graft.functions.Native.simhash64(col(textCol)).as("simhash"))
       .orderBy(col("id"))
+
+  /** Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * transform, suffix-array semantics re-expressed as dataflow): every
+    * character position whose k-gram occurs anywhere else in the corpus
+    * — EXCEPT the corpus-global first occurrence, which is the kept copy
+    * — is a duplicated position; per document, overlapping/adjacent
+    * duplicated k-gram intervals merge into MAXIMAL spans (the
+    * gaps-and-islands pass). The output span table is exactly the
+    * character ranges ExactSubstr would cut, with first occurrences
+    * retained so every duplicated string survives once.
+    *
+    * Plan: positions explode once (corpus-chars rows — the inherent cost
+    * of exact substring dedup; the suffix array pays the same), the
+    * k-gram table aggregates on the gram (count + packed-long first
+    * occurrence — min over `doc·10⁶+pos`, one BIGINT not a struct), the
+    * join back is co-partitioned on the gram, and the island merge is a
+    * per-document window (per-doc-bounded). No pairwise joins anywhere.
+    * The packed key rides an in-plan fail-loud guard: a document at or
+    * beyond 10⁶ chars would alias positions, so it raises instead.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 20): DataFrame = {
+    require(k >= 4 && k <= 256, s"duplicatedSpans: k in [4, 256] (got $k)")
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= k)
+      .withColumn("__t",
+        when(length(col("__t")) < 1000000, col("__t"))
+          .otherwise(raise_error(concat(
+            lit("duplicatedSpans: document at or beyond 1e6 chars would " +
+              "alias the packed doc*1e6+pos first-occurrence key; chunk " +
+              "it first — doc_id: "), col("doc_id").cast("string")))))
+    val grams = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__t")) - lit(k - 1)))
+          .as("pos"),
+        col("__t"))
+      .select(col("doc_id"), col("pos"),
+        col("__t").substr(col("pos"), lit(k)).as("__gram"))
+    // corpus stats as a WINDOW over the gram partition (the sharedSpans
+    // df-window pattern): ONE gram shuffle serves count + first
+    // occurrence + the filter — no groupBy + join-back, which would
+    // shuffle the 20-char gram strings twice more and recompute the
+    // explode for each branch
+    val gramW = Window.partitionBy("__gram")
+    val dup = grams
+      .withColumn("__c", count(lit(1)).over(gramW))
+      .withColumn("__f",
+        min(col("doc_id") * 1000000L + col("pos")).over(gramW))
+      .filter(col("__c") >= 2 &&
+        col("doc_id") * 1000000L + col("pos") =!= col("__f"))
+      .select(col("doc_id"), col("pos"))
+    val before = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dup
+      .withColumn("__nf",
+        when(col("pos") >
+          coalesce(max(col("pos") + lit(k)).over(before), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("__isle", sum(col("__nf")).over(upToHere))
+      .groupBy(col("doc_id"), col("__isle"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Per-document rollup of [[duplicatedSpans]]: how much of each doc is
+    * removable duplicated text (spans are disjoint by construction, so
+    * the char sum never double-counts). Docs with no duplicated span
+    * report 0 — the corpus-wide duplication-ratio readout that decides
+    * whether ExactSubstr is worth running. One left join of the doc
+    * length table against the span rollup.
+    */
+  def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 20): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("__dup"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        length(col(textCol)).cast("long").as("doc_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("doc_chars"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("__dup"), lit(0L)).cast("long").as("dup_chars"))
+      .withColumn("dup_ratio", when(col("doc_chars") > 0,
+        round(col("dup_chars") / col("doc_chars").cast("double"), 6))
+        .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
 }

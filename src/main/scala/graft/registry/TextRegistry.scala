@@ -63,6 +63,17 @@ object TextRegistry {
       // corpus-wide boilerplate grams
       TextAnalysis.sharedSpans(Tables.documents(s, dir), "doc_id", "text",
         k = 32, w = 16, maxDf = 5)),
+    "x_dup_substrings" -> ((s, dir) =>
+      // ExactSubstr (Lee et al. 2022): maximal duplicated 20-gram span
+      // islands per doc, corpus-global first occurrence kept — the
+      // exact character ranges substring dedup would cut
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 20)),
+    "x_dup_substring_stats" -> ((s, dir) =>
+      // the go/no-go readout: per-doc removable duplicated chars and
+      // ratio (zero-span docs included)
+      Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id",
+        "text", k = 20)),
     "x_contamination_spans" -> ((s, dir) => {
       // benchmark-contamination detection at SPAN level (stronger than
       // x_contamination's shingle overlap): training docs sharing a

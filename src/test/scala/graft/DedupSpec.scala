@@ -473,4 +473,33 @@ class DedupSpec extends SparkSpec {
       assert(dupOf == truth.get(id), s"doc $id dup_of mismatch")
     }
   }
+
+  test("duplicatedSpans: first occurrence kept, later copies cut, " +
+      "overlapping dup grams merge to one maximal span, stats roll up") {
+    import org.apache.spark.sql.functions.col
+    val shared20 = "0123456789ABCDEFGHIJ" // one exact 20-gram
+    val shared21 = "abcdefghijklmnopqrstu" // 21 chars -> two dup 20-grams
+    val docs = Seq(
+      (1L, shared20 + "-unique-tail-one-xyz"),
+      (2L, "prefix-junk-qqq" + shared20), // dup at pos 16
+      (3L, shared21 + "-t3tail"),
+      (4L, "ZZZZZ" + shared21)) // dup grams at pos 6,7 -> one span
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 20)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans.toSeq == Seq((2L, 16L, 36L, 20L), (4L, 6L, 27L, 21L)))
+    val stats = Dedup.duplicatedSpanStats(docs, "doc_id", "text", k = 20)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats(1L)._3 == 0L && stats(3L)._3 == 0L) // kept copies intact
+    assert(stats(2L) == ((2L, 35L, 1L, 20L, 0.571429)))
+    assert(stats(4L) == ((4L, 26L, 1L, 21L, 0.807692)))
+    // a doc shorter than k never explodes a gram but still reports
+    val tiny = Seq((9L, "short")).toDF("doc_id", "text")
+    val ts = Dedup.duplicatedSpanStats(tiny, "doc_id", "text", k = 20)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(ts.toSeq == Seq((9L, 5L, 0L, 0L, 0.0)))
+    assert(Dedup.duplicatedSpans(tiny, "doc_id", "text", k = 20)
+      .filter(col("doc_id") === 9L).count() == 0L)
+  }
 }
