@@ -722,6 +722,24 @@ object OracleSql {
 
     // constraint suggestion: one profile pass, one row per satisfied
     // (column, constraint); typed evidence columns, no number formatting
+    // ε-DP histogram: two-sided geometric noise seeded per category via
+    // the md5-prefix key through the shared minstd stream — integer end
+    // to end except the two ln calls, floor(ln u / −ε) both engines
+    "q_dp_histogram" -> {
+      val dpKey = "CAST(concat('0x', substr(md5(category), 1, 8)) AS BIGINT)"
+      s"""
+      WITH h AS (SELECT event_type AS category,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      g AS (SELECT category, n,
+              CAST(floor(ln(${uk(dpKey, 97)}) / (-0.5)) AS BIGINT)
+              - CAST(floor(ln(${uk(dpKey, 98)}) / (-0.5)) AS BIGINT)
+                AS noise
+            FROM h)
+      SELECT category, n, noise, n + noise AS noisy_n, 0.5 AS epsilon
+      FROM g ORDER BY category"""
+    },
+
     // g3 functional-dependency error per declared pair: per-key max-count
     // fold (linear; identical to the quadratic violating-pair definition)
     "q_fd_audit" -> {
@@ -1599,6 +1617,32 @@ object OracleSql {
     // empty docs are excluded on BOTH sides (the operator itself keeps
     // them as one blank line, which this line-derivation CTE cannot
     // express)
+    // Flesch reading ease: vowel-group syllables (floored at one per
+    // word), terminal-punctuation sentences (floored at 1), banding on
+    // the rounded score so both engines band identical values
+    "x_readability" -> """
+      WITH b AS (SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                AS n_words,
+              CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+              CAST(greatest(len(regexp_extract_all(lower(text),
+                  '[aeiouy]+')),
+                len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                AS n_syllables
+            FROM documents WHERE trim(text) <> ''),
+      f AS (SELECT *,
+              round(206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+                AS flesch
+            FROM b)
+      SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+             CASE WHEN flesch >= 60.0 THEN 'easy'
+                  WHEN flesch >= 30.0 THEN 'standard'
+                  ELSE 'difficult' END AS band
+      FROM f ORDER BY doc_id""",
+
     // ExactSubstr replay: corpus k-gram table -> count + packed-long
     // first occurrence -> per-doc island merge (all integer logic)
     "x_dup_substrings" -> s"""
@@ -3667,6 +3711,30 @@ object OracleSql {
     "q_convert_before_error" -> markovAbsorbSql(
       Seq("click", "error", "purchase", "signup", "view"),
       "purchase", "error", 60),
+
+    // modal next-state predictor scored in-sample: the row_number pick
+    // (count desc, state asc) replayed, then one join-back fold
+    "q_next_event_accuracy" -> """
+      WITH pairs AS (SELECT event_type AS from_state,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS actual
+            FROM events),
+      p2 AS (SELECT from_state, actual FROM pairs WHERE actual IS NOT NULL),
+      c AS (SELECT from_state, actual AS cand, CAST(count(*) AS BIGINT) AS n
+            FROM p2 GROUP BY 1, 2),
+      pred AS (SELECT from_state, cand AS predicted_next FROM (
+          SELECT from_state, cand, row_number() OVER (
+              PARTITION BY from_state ORDER BY n DESC, cand ASC) AS rn
+          FROM c) WHERE rn = 1)
+      SELECT p2.from_state, CAST(count(*) AS BIGINT) AS n_transitions,
+             min(pred.predicted_next) AS predicted_next,
+             CAST(sum(CASE WHEN p2.actual = pred.predicted_next
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             round(sum(CASE WHEN p2.actual = pred.predicted_next
+                            THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS accuracy
+      FROM p2 JOIN pred ON p2.from_state = pred.from_state
+      GROUP BY p2.from_state ORDER BY p2.from_state""",
 
     // Markov removal-effect attribution: journeys truncated at first
     // purchase, one unrolled absorption chain per variant (full + each

@@ -57,8 +57,10 @@ object ScaleStress {
     val tokOnly = args.headOption.contains("tokenize")
     val r7Only = args.headOption.contains("r7")
     val asofOnly = args.headOption.contains("asof")
+    val exactsubstrOnly = args.headOption.contains("exactsubstr")
     val ks =
-      if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly)
+      if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly ||
+          exactsubstrOnly)
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
@@ -433,6 +435,31 @@ object ScaleStress {
         f"pairs=$nPairs t_bigram_ppl=$tPpl%.2f " +
         f"t_uni_train=$tUniTrain%.2f t_uni_seg=$tUniSeg%.2f " +
         f"uni_toks=$nUniToks")
+    }
+    // ExactSubstr stress at 1×/10×/100× under the same letter-bijection
+    // replication (within-copy duplicate structure exact, cross-copy
+    // 20-grams disjoint): the gram table grows linearly in k and the
+    // only corpus-sized shuffles are the gram window and the per-doc
+    // island window, so ~linear runtime with span count ≈ k× base is
+    // the pass criterion (superlinear would mean the gram partition is
+    // degenerating, e.g. a boilerplate gram going corpus-hot).
+    for (k <- if (args.isEmpty || exactsubstrOnly) Seq(1, 10, 100)
+              else Seq.empty[Int]) {
+      val dk = (0 until k).map { i =>
+        base.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+          translate(col("text"), alphaAz, azPerm(i)).as("text"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val nD = dk.count()
+      val (tSpans, nSpans) = timeMin2 {
+        Dedup.duplicatedSpans(dk, "doc_id", "text", k = 20)
+          .queryExecution.toRdd.count()
+      }
+      val (tStats, nDocs) = timeMin2 {
+        Dedup.duplicatedSpanStats(dk, "doc_id", "text", k = 20)
+          .queryExecution.toRdd.count()
+      }
+      println(f"STRESS-EXACTSUBSTR k=$k docs=$nD t_spans=$tSpans%.2f " +
+        f"spans=$nSpans t_stats=$tStats%.2f rows=$nDocs")
     }
     // bucketed-as-of stress at 1×/10×/100×: the same native as-of join
     // planned two ways — over plain frames (EnsureRequirements inserts

@@ -139,4 +139,38 @@ object Privacy {
     require(width > 0, s"band: width > 0 (got $width)")
     floor(c / width) * width
   }
+
+  /** ε-differentially-private histogram release via the two-sided
+    * geometric mechanism (Ghosh–Roughgarden–Sundararajan 2009 — the
+    * discrete Laplace: noise = G₁ − G₂ with Gᵢ geometric, the optimal
+    * integer mechanism for counting queries at sensitivity 1). Noise is
+    * SEEDED per category from the md5-prefix key through the shared
+    * minstd [[Gen.u01]] stream (two channels), so the release is
+    * reproducible and oracle-checkable — the audit form of the
+    * mechanism: swap a real entropy source over the same inverse-CDF
+    * (floor(ln u / −ε)) for production. Raw noisy counts are released
+    * unclamped (negative counts are part of the unbiased mechanism;
+    * post-process downstream if a consumer needs ℕ).
+    *
+    * Plan: one keyed count (the only corpus-sized stage), then a narrow
+    * projection per category row — the noise costs nothing at any
+    * scale. Integer end to end except the two per-category ln calls.
+    */
+  def dpHistogram(df: DataFrame, catCol: String,
+                  epsilon: Double, channel: Long = 97L): DataFrame = {
+    require(epsilon > 0.0 && epsilon <= 10.0,
+      s"dpHistogram: epsilon in (0, 10] (got $epsilon)")
+    val key = conv(substring(md5(col("category")), 1, 8), 16, 10)
+      .cast("long")
+    def geom(c: Long): Column =
+      floor(log(Gen.u01(key, c)) / lit(-epsilon)).cast("long")
+    val noise = (geom(channel) - geom(channel + 1)).as("noise")
+    df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("category"), col("n"), noise,
+        (col("n") + (geom(channel) - geom(channel + 1))).as("noisy_n"),
+        lit(epsilon).as("epsilon"))
+      .orderBy("category")
+  }
 }

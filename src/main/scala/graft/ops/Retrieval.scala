@@ -385,6 +385,46 @@ object Retrieval {
       .orderBy("state")
   }
 
+  /** Top-1 accuracy of the Markov next-event predictor: the
+    * [[transitionMatrix]] chain's modal next state per from-state
+    * (ties to the lexicographically smallest — deterministic), scored
+    * against every observed transition. The in-sample "is the chain
+    * worth serving" readout: a from-state whose accuracy ≈ its modal
+    * share means the chain adds nothing over the marginal; structure
+    * shows up as accuracy ABOVE the global modal share.
+    *
+    * Plan: one per-key window for transitions (the corpus-sized stage),
+    * one keyed (from, next) count, the modal pick as a row_number over
+    * the |states|²-bounded count table, and one broadcast join back —
+    * no driver collect, no global sort.
+    */
+  def nextEventAccuracy(events: DataFrame, key: String, ts: String,
+                        id: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val pairs = events
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(stateCol).as("from_state"), col("__next").as("actual"))
+    val counts = pairs
+      .groupBy(col("from_state"), col("actual").as("cand"))
+      .agg(count(lit(1)).as("__n"))
+    val pick = Window.partitionBy(col("from_state"))
+      .orderBy(col("__n").desc, col("cand").asc)
+    val predicted = counts
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("from_state"), col("cand").as("predicted_next"))
+    pairs.join(broadcast(predicted), Seq("from_state"))
+      .groupBy(col("from_state"))
+      .agg(count(lit(1)).as("n_transitions"),
+        min(col("predicted_next")).as("predicted_next"),
+        sum(when(col("actual") === col("predicted_next"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct") / col("n_transitions").cast("double"), 6))
+      .orderBy("from_state")
+  }
+
   /** Nearest-event temporal join — for each probe row, the same key's
     * closest reference row in EITHER time direction (the bidirectional
     * generalization of as-of, which only looks backward): "the view

@@ -988,4 +988,40 @@ object TextAnalysis {
         col("p_b"), col("js_contrib"), col("js_total"))
       .orderBy((col("cnt_a") + col("cnt_b")).desc, col("term"))
   }
+
+  /** Flesch reading ease per document (Flesch 1948; the curation-filter
+    * staple next to [[qualityScores]]): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words), with sentences counted as terminal-
+    * punctuation runs (floored at 1 — a fragment is one sentence) and
+    * syllables approximated by vowel-group runs floored at one per word
+    * (the standard dictionary-free estimate). Banding happens on the
+    * ROUNDED score so both engines band identical values.
+    *
+    * Pure narrow projection — three regex counts per row, no shuffle;
+    * the corpus-filter use is `WHERE flesch < threshold` pushed into the
+    * scan at any scale.
+    */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val words = size(tokens(col(textCol))).cast("long")
+    val sentences =
+      greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+        .cast("long")
+    val syllables =
+      greatest(regexp_count(lower(col(textCol)), lit("[aeiouy]+")),
+        size(tokens(col(textCol)))).cast("long")
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+        6))
+      .withColumn("band",
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "standard")
+          .otherwise("difficult"))
+      .orderBy(idCol)
+  }
 }

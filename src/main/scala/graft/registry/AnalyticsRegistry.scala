@@ -743,6 +743,13 @@ object AnalyticsRegistry {
         Seq("primary_k", "avg_view_value", "click_through_rate",
           "conversion_rate"))),
 
+    "q_dp_histogram" -> ((s, dir) =>
+      // ε=0.5 DP release of the event-type histogram: two-sided
+      // geometric noise seeded per category through the shared minstd
+      // stream — reproducible, oracle-checkable, unclamped
+      Privacy.dpHistogram(Tables.events(s, dir), "event_type",
+        epsilon = 0.5)),
+
     // ---- declared functional-dependency audit (TANE g3 measure) ------------
     "q_fd_audit" -> ((s, dir) =>
       // key -> attribute holds; is totalprice a candidate key?;

@@ -533,6 +533,13 @@ object CoreRegistry {
         "user_id", "ts", "event_id", "event_type",
         win = "purchase", lose = "error", iterations = 60,
         expectedStates = Seq("click", "error", "purchase", "signup", "view"))),
+    "q_next_event_accuracy" -> ((s, dir) =>
+      // is the chain worth serving: top-1 accuracy of the modal
+      // next-state predictor per from-state (in-sample audit)
+      Retrieval.nextEventAccuracy(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type")),
     "q_removal_attribution" -> ((s, dir) =>
       // principled multi-touch credit: each channel's share of the
       // conversions that die when journeys through it are removed

@@ -63,6 +63,11 @@ object TextRegistry {
       // corpus-wide boilerplate grams
       TextAnalysis.sharedSpans(Tables.documents(s, dir), "doc_id", "text",
         k = 32, w = 16, maxDf = 5)),
+    "x_readability" -> ((s, dir) =>
+      // Flesch reading ease per doc (vowel-group syllable estimate,
+      // terminal-punctuation sentences) + banding on the rounded score
+      TextAnalysis.readability(Tables.documents(s, dir), "doc_id",
+        "text")),
     "x_dup_substrings" -> ((s, dir) =>
       // ExactSubstr (Lee et al. 2022): maximal duplicated 20-gram span
       // islands per doc, corpus-global first occurrence kept — the

@@ -237,4 +237,26 @@ class AsOfJoinSpec extends SparkSpec {
         "event_id", "event_type", win = "w", lose = "w")
     }
   }
+
+  test("nextEventAccuracy: modal pick with lexicographic tie-break, " +
+      "per-state fold matches the hand count") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1, 1L, "a"), (1L, 2, 2L, "b"), (1L, 3, 3L, "a"),
+      (1L, 4, 4L, "b"), (1L, 5, 5L, "c"),
+      (2L, 1, 6L, "a"), (2L, 2, 7L, "b"), (2L, 3, 8L, "a"), (2L, 4, 9L, "c"),
+      // a 1-1 tie out of 'd': lexicographic winner 'x'
+      (3L, 1, 10L, "d"), (3L, 2, 11L, "y"),
+      (4L, 1, 12L, "d"), (4L, 2, 13L, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Retrieval.nextEventAccuracy(rows, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // from a: b,b,b,c -> modal b 3/4 ; from b: a,c,a -> modal a 2/3
+    assert(out("a") == (("a", 4L, "b", 3L, 0.75)))
+    assert(out("b") == (("b", 3L, "a", 2L, 0.666667)))
+    assert(out("d") == (("d", 2L, "x", 1L, 0.5)))
+    assert(!out.contains("c")) // terminal only — never a from-state
+  }
 }

@@ -84,6 +84,39 @@ class PrivacySpec extends SparkSpec {
     assert(u.getAs[Long]("classes_above_t") == 0L)
   }
 
+  test("dpHistogram: noise replays the seeded two-sided geometric " +
+      "exactly, counts reconcile, release is reproducible") {
+    import spark.implicits._
+    val df = (Seq.fill(7)("alpha") ++ Seq.fill(3)("beta")).toDF("c")
+    val out = Privacy.dpHistogram(df, "c", epsilon = 0.5)
+      .as[(String, Long, Long, Long, Double)].collect()
+    // replicate: md5-prefix key -> two minstd u01 channels -> geometric
+    def key(cat: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(cat.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(8), 16)
+    }
+    val M = 2147483647L
+    def u01(k: Long, c: Long): Double = {
+      val h1 = (k + c * 1000003L) % M
+      (((h1 * 48271L % M) * 48271L % M) + 1).toDouble / M
+    }
+    def g(k: Long, c: Long): Long =
+      math.floor(math.log(u01(k, c)) / -0.5).toLong
+    val expected = Map("alpha" -> 7L, "beta" -> 3L).map { case (cat, n) =>
+      val noise = g(key(cat), 97L) - g(key(cat), 98L)
+      (cat, n, noise, n + noise, 0.5)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected)
+    // reproducible: a second run releases the identical histogram
+    val again = Privacy.dpHistogram(df, "c", epsilon = 0.5)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(again.toSeq == out.toSeq)
+    intercept[IllegalArgumentException] {
+      Privacy.dpHistogram(df, "c", epsilon = 0.0)
+    }
+  }
+
   test("guards fail loud") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityReport(people, Seq.empty, 5)

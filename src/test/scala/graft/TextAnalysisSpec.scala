@@ -614,4 +614,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((4L, 1L, Some(0.25))))
     assert(out(5L) == ((0L, 0L, None)))
   }
+
+  test("readability: Flesch replays the closed form, fragment counts one " +
+      "sentence, vowel-free words floor syllables, bands split on the " +
+      "rounded score") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "tsk tsk"), // no vowels -> syllables floor at word count
+      (3L, "extraordinarily unquestionably indubitably polysyllabically"),
+      (4L, "   ")) // blank -> dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def rep(t: String): (Long, Long, Long, Double) = {
+      val w = t.trim.split("\\s+").length.toLong
+      val s = math.max("[.!?]+".r.findAllIn(t).size, 1).toLong
+      val y = math.max("[aeiouy]+".r.findAllIn(t.toLowerCase).size, w.toInt)
+        .toLong
+      val f = BigDecimal(206.835 - 1.015 * (w.toDouble / s)
+          - 84.6 * (y.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (w, s, y, f)
+    }
+    assert(!out.contains(4L) && out.size == 3)
+    val samples: Seq[(Long, String)] = Seq(
+      1L -> "The cat sat. The dog ran!", 2L -> "tsk tsk",
+      3L -> ("extraordinarily unquestionably indubitably " +
+        "polysyllabically"))
+    for ((id, t) <- samples) {
+      val (w, s, y, f) = rep(t)
+      val band = if (f >= 60.0) "easy"
+        else if (f >= 30.0) "standard" else "difficult"
+      assert(out(id) == ((id, w, s, y, f, band)), s"doc $id")
+    }
+    assert(out(1L)._6 == "easy" && out(3L)._6 == "difficult")
+  }
 }
