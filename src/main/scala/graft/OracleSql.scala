@@ -740,6 +740,28 @@ object OracleSql {
       FROM g ORDER BY category"""
     },
 
+    // compaction planning: per-day manifest, contiguous 4 KiB bin fill
+    // by file id (floor(startOffset/target)), per-bin totals — integer
+    // end to end; the prefix sum replays as one plain window
+    "q_compaction_plan" -> """
+      WITH m AS (SELECT CAST(ts AS DATE) AS "partition",
+              user_id % 16 AS file_id,
+              CAST(sum(len(props) + 64) AS BIGINT) AS bytes
+            FROM events GROUP BY 1, 2),
+      c AS (SELECT *, CAST(sum(bytes) OVER (PARTITION BY "partition"
+              ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS BIGINT) AS cum_bytes FROM m),
+      b AS (SELECT *, CAST(floor((cum_bytes - bytes)
+              / CAST(4096 AS DOUBLE)) AS BIGINT) AS bin FROM c)
+      SELECT "partition", file_id, bytes, cum_bytes, bin,
+             CAST(sum(bytes) OVER (PARTITION BY "partition", bin)
+               AS BIGINT) AS bin_bytes,
+             CAST(count(*) OVER (PARTITION BY "partition", bin)
+               AS BIGINT) AS bin_files,
+             (CAST(sum(bytes) OVER (PARTITION BY "partition", bin)
+               AS BIGINT) < 4096) AS undersized
+      FROM b ORDER BY "partition", file_id""",
+
     // g3 functional-dependency error per declared pair: per-key max-count
     // fold (linear; identical to the quadratic violating-pair definition)
     "q_fd_audit" -> {
@@ -4591,6 +4613,12 @@ object OracleSql {
              round(drm / 1000000.0 / n_logged, 6) AS dr
       FROM folded""",
 
+    // pinball loss of the lag-7 seasonal naive at q=0.1/0.5/0.9: daily
+    // centi totals, per-day losses on the milli-centi lattice; the
+    // (1-q) factors are the Scala-computed doubles interpolated
+    // verbatim (0.1's complement is NOT the literal 0.9)
+    "q_pinball_loss" -> pinballSql(Seq(0.1, 0.5, 0.9), 7),
+
     "q_forecast_baseline" -> """
       WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
                sum(o_totalprice) AS x FROM orders GROUP BY 1),
@@ -5438,6 +5466,39 @@ object OracleSql {
 
     // 4-round multi-source BFS over the same co-order graph, min-plus
     // supersteps unrolled: d{t} = min(d{t-1}, 1 + d{t-1} ∘ edges)
+    // seed-sampled harmonic centrality: the BFS unroll keyed by
+    // (node, seed); each 1/d term on the 1e-6 lattice before the fold
+    "q_harmonic_centrality" -> """
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+                    FROM lineitem),
+      e AS (SELECT DISTINCT a.sk AS src, b.sk AS dst FROM base a
+            JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
+      d0 AS (SELECT s_suppkey AS node, s_suppkey AS seed,
+                    CAST(0 AS BIGINT) AS d
+             FROM supplier WHERE s_suppkey % 17 = 0),
+      d1 AS (SELECT node, seed, min(d) AS d FROM (
+               SELECT node, seed, d FROM d0
+               UNION ALL
+               SELECT e.dst, x.seed, x.d + 1 FROM e JOIN d0 x
+               ON e.src = x.node)
+             GROUP BY node, seed),
+      d2 AS (SELECT node, seed, min(d) AS d FROM (
+               SELECT node, seed, d FROM d1
+               UNION ALL
+               SELECT e.dst, x.seed, x.d + 1 FROM e JOIN d1 x
+               ON e.src = x.node)
+             GROUP BY node, seed),
+      d3 AS (SELECT node, seed, min(d) AS d FROM (
+               SELECT node, seed, d FROM d2
+               UNION ALL
+               SELECT e.dst, x.seed, x.d + 1 FROM e JOIN d2 x
+               ON e.src = x.node)
+             GROUP BY node, seed)
+      SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_seeds_reached,
+             round(CAST(sum(CAST(round(1000000.0 / d, 0) AS BIGINT))
+               AS BIGINT) / 1000000.0, 6) AS harmonic
+      FROM d3 WHERE d > 0 GROUP BY node ORDER BY s_suppkey""",
+
     "q_supplier_bfs" -> """
       WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
                     FROM lineitem),
@@ -6291,6 +6352,36 @@ object OracleSql {
       $steps
       $rows
       ORDER BY state"""
+  }
+
+  /** Pinball-loss oracle generator: per-quantile UNION arms with the
+    * EXACT Scala-computed q and (1−q) doubles interpolated (forced to
+    * DOUBLE so DuckDB's decimal literals never change the arithmetic),
+    * losses on the milli-centi lattice like Eval.pinballLoss.
+    */
+  private def pinballSql(quantiles: Seq[Double], season: Int): String = {
+    val arms = quantiles.map { q =>
+      s"""SELECT CAST($q AS DOUBLE) AS quantile,
+             CASE WHEN vc >= fc
+               THEN CAST(round(CAST($q AS DOUBLE) * (vc - fc) * 1000, 0)
+                    AS BIGINT)
+               ELSE CAST(round(CAST(${1.0 - q} AS DOUBLE) * (fc - vc)
+                    * 1000, 0) AS BIGINT) END AS lm
+           FROM wf"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS vc
+            FROM orders GROUP BY 1),
+      wf AS (SELECT * FROM (
+               SELECT day, vc, lag(vc, $season) OVER (ORDER BY day) AS fc
+               FROM daily) WHERE fc IS NOT NULL),
+      arms AS ($arms)
+      SELECT quantile, CAST(count(*) AS BIGINT) AS n_days,
+             round(CAST(sum(lm) AS BIGINT) / 100000.0 / count(*), 6)
+               AS mean_pinball
+      FROM arms GROUP BY quantile ORDER BY quantile"""
   }
 
   /** JL-projection recall oracle: the IDENTICAL literal ±1 sign matrix

@@ -940,6 +940,52 @@ object Eval {
       round(col("__drm") / lit(1000000.0) / col("n_logged"), 6).as("dr"))
   }
 
+  /** Pinball (quantile) loss of the lag-`season` seasonal-naive
+    * forecast over the daily series — the scoring rule that makes
+    * quantile forecasts honest (loss_q = q·(y−f)⁺ + (1−q)·(f−y)⁺; the
+    * forecast minimizing it IS the q-quantile), reported per requested
+    * quantile. The [[forecastBaseline]] companion: MAE scores the
+    * median path; this prices the asymmetric tails a capacity planner
+    * actually cares about (under-forecast at q=0.9 costs 9× what
+    * over-forecast does).
+    *
+    * Plan: one keyed daily aggregation (corpus-sized, values on the
+    * centi lattice so the day totals are exact longs), a lag window
+    * over the calendar-bounded day table, and a per-quantile fold with
+    * every per-day loss committed to an integer lattice (milli-centi)
+    * before the sum — engine-exact even though q·diff is irrational in
+    * binary. The (1−q) factors are computed ONCE here and mirrored
+    * literally by the oracle generator (the tau2 lesson: 1−0.9 is not
+    * the literal 0.1).
+    */
+  def pinballLoss(df: DataFrame, dateCol: Column, valueCol: String,
+                  quantiles: Seq[Double], season: Int = 7): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
+      s"pinballLoss: quantiles in (0,1) (got $quantiles)")
+    require(season >= 1, s"pinballLoss: season >= 1 (got $season)")
+    val daily = df.groupBy(dateCol.as("day"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__vc"))
+    val w = Window.orderBy("day")
+    val withF = daily
+      .withColumn("__fc", lag(col("__vc"), season).over(w))
+      .filter(col("__fc").isNotNull)
+    val perQ = withF.select(explode(array(quantiles.map { q =>
+      struct(lit(q).as("q"),
+        when(col("__vc") >= col("__fc"),
+          round(lit(q) * (col("__vc") - col("__fc")) * 1000, 0))
+          .otherwise(
+            round(lit(1.0 - q) * (col("__fc") - col("__vc")) * 1000, 0))
+          .cast("long").as("lm"))
+    }: _*)).as("s"))
+      .select(col("s.q").as("quantile"), col("s.lm"))
+    perQ.groupBy("quantile")
+      .agg(count(lit(1)).as("n_days"), sum(col("lm")).as("__l"))
+      .select(col("quantile"), col("n_days"),
+        round(col("__l") / lit(100000.0) / col("n_days"), 6)
+          .as("mean_pinball"))
+      .orderBy("quantile")
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2014) — the
     * principled multi-touch alternative to [[attribution]]'s positional
     * rules: per-user journeys are truncated at the first `convState`

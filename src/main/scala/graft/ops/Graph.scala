@@ -203,6 +203,58 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Seed-sampled harmonic centrality over a DIRECTED edge list: for
+    * every node, Σ_seeds 1/d(seed → node) over the seeds that reach it
+    * within `rounds` supersteps — the standard scalable estimator of
+    * harmonic (closeness-family) centrality (Boldi & Vigna 2014:
+    * exact closeness is all-pairs; a uniform seed sample gives an
+    * unbiased Σ 1/d up to normalization). Unreached (node, seed) pairs
+    * contribute 0 by omission; seeds contribute nothing to themselves
+    * (d = 0 excluded).
+    *
+    * Plan: the [[bfsHops]] min-plus Pregel with the state keyed by
+    * (node, seed) instead of node — one edge-keyed equi-join plus one
+    * min-aggregation per superstep, state bounded by |nodes|·|seeds|
+    * (seeds are a SAMPLE; the knob that makes this tractable at any
+    * scale). Each 1/d term commits to the 1e-6 integer lattice before
+    * the per-node fold, so the sum is exact long addition in any
+    * partition order (the linkPrediction contract).
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"harmonicCentrality: rounds in [1, 10] (got $rounds)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      .localCheckpoint(eager = false)
+    var dist = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+      .select(col("seed").as("node"), col("seed"), lit(0L).as("d"))
+      .localCheckpoint(eager = false)
+    // frontier (delta) BFS: with unit weights, first discovery IS the
+    // shortest distance, so each round relaxes only the pairs found in
+    // the previous round — every (edge, seed) relaxes ONCE over the
+    // whole run instead of once per round (3× on a diameter-2 graph)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = e
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("seed"), (col("d") + 1L).as("d"))
+        .groupBy("node", "seed").agg(min(col("d")).as("d"))
+      frontier = cand
+        .join(dist.select("node", "seed"), Seq("node", "seed"), "left_anti")
+        .localCheckpoint(eager = false)
+      dist = dist.unionByName(frontier).localCheckpoint(eager = false)
+    }
+    dist.filter(col("d") > 0)
+      .withColumn("__hm", round(lit(1000000.0) / col("d"), 0).cast("long"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_seeds_reached"), sum(col("__hm")).as("__h"))
+      .select(col("node"), col("n_seeds_reached"),
+        round(col("__h") / lit(1000000.0), 6).as("harmonic"))
+      .orderBy("node")
+  }
+
   /** Link prediction over an UNDIRECTED graph: for every NON-edge pair
     * with at least `minCommon` common neighbors, the three classic
     * neighborhood scores — common-neighbor count, Adamic–Adar

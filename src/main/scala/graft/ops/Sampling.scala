@@ -556,6 +556,43 @@ object Sampling {
       .select(col(groupCol), col(idCol), col(tokenCol).cast("int").as(tokenCol),
         col("cum_tokens"), col("pack_id"))
 
+  /** Compaction (small-file bin-packing) planner — the Delta
+    * OPTIMIZE / Iceberg rewrite-data-files PLANNING step as a query:
+    * within each partition, files fill target-size bins contiguously in
+    * file-id order (bin = floor(startOffset / target) — the same
+    * greedy-fill [[packSequences]] uses for token packing, applied to
+    * bytes), and each file row carries its bin's totals so the rewrite
+    * job can group-by (partition, bin) directly. The trailing
+    * `undersized` bin per partition is flagged — the residue a planner
+    * either merges across partitions or leaves for the next cycle.
+    *
+    * Plan: [[Scan.prefixSum]] (slice-parallel two-level scan — a
+    * 100 M-file manifest plans at full parallelism; no group-wide
+    * window sort) plus one bounded per-(partition, bin) window.
+    * Integer end to end.
+    */
+  def compactionPlan(manifest: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0,
+      s"compactionPlan: targetBytes > 0 (got $targetBytes)")
+    val base = manifest.select(col(partCol).as("partition"),
+      col(fileCol).as("file_id"), col(bytesCol).cast("long").as("bytes"))
+    val withBin = Scan.prefixSum(base, Seq("partition"), col("file_id"),
+        col("bytes"), "cum_bytes")
+      .withColumn("bin",
+        floor((col("cum_bytes") - col("bytes"))
+          / lit(targetBytes).cast("double")).cast("long"))
+    val binW = Window.partitionBy("partition", "bin")
+    withBin
+      .withColumn("bin_bytes", sum(col("bytes")).over(binW))
+      .withColumn("bin_files", count(lit(1)).over(binW))
+      .withColumn("undersized", col("bin_bytes") < lit(targetBytes))
+      .select(col("partition"), col("file_id"), col("bytes"),
+        col("cum_bytes"), col("bin"), col("bin_bytes"), col("bin_files"),
+        col("undersized"))
+      .orderBy("partition", "file_id")
+  }
+
   /** Uniform hash shard of a numeric key (the u = 1.0 edge clamps into the
     * last shard) — the assignment half of [[corpusShuffle]], exposed so
     * pipelines that only need the shard column skip the within-shard rank

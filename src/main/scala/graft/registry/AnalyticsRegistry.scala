@@ -575,11 +575,32 @@ object AnalyticsRegistry {
           when(col("user_id") % 2 === 0, lit("purchase"))
             .otherwise(lit("click"))),
         "event_type", "value", "target_action")),
+    "q_harmonic_centrality" -> ((s, dir) => {
+      // seed-sampled harmonic centrality of the supplier co-order graph
+      // (Σ 1/d from the %17 seed sample, 3 supersteps, lattice-exact)
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = base.as("a").join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 17 === 0)
+      Graph.harmonicCentrality(edges, "src", "dst", seeds, "s_suppkey",
+          rounds = 3)
+        .withColumnRenamed("node", "s_suppkey")
+    }),
     "q_forecast_baseline" -> ((s, dir) =>
       // the two baselines every forecast must beat: lag-1 naive and
       // lag-7 seasonal-naive over daily revenue, with MAE + MASE folds
       Eval.forecastBaseline(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_pinball_loss" -> ((s, dir) =>
+      // quantile scoring of the seasonal-naive path: pinball loss at
+      // q=0.1/0.5/0.9 over daily revenue, per-day losses lattice-exact
+      Eval.pinballLoss(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice",
+        Seq(0.1, 0.5, 0.9), season = 7)),
     "q_benford" -> ((s, dir) =>
       // Benford first-digit audit of order totals: observed vs
       // log10(1+1/d) shares with per-digit and total chi-square
@@ -778,6 +799,17 @@ object AnalyticsRegistry {
       Quality.groupFingerprints(
         s.read.parquet(root), "event_date",
         Seq("event_id", "user_id", "event_type", "props"))
+    }),
+
+    // ---- small-file compaction planning (OPTIMIZE as a query) --------------
+    "q_compaction_plan" -> ((s, dir) => {
+      // synthesize a realistic manifest (per-day shard files with
+      // payload-sum sizes), then plan 4 KiB target bins per day
+      val manifest = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"),
+          (col("user_id") % 16).as("f"))
+        .agg(sum(length(col("props")) + 64).cast("long").as("b"))
+      Sampling.compactionPlan(manifest, "d", "f", "b", targetBytes = 4096L)
     }),
 
     // ---- rendezvous re-sharding audit (minimal-movement property) ----------

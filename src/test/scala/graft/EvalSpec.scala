@@ -459,6 +459,23 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => r._2 + r._3).sum == 40L)
   }
 
+  test("pinballLoss: asymmetric closed form at q=0.5/0.9, lag rows drop, " +
+      "losses ride the lattice") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 1, i))
+    val rows = Seq((d(1), 10.0), (d(2), 20.0), (d(3), 15.0), (d(4), 5.0))
+      .toDF("day", "v")
+    val out = Eval.pinballLoss(rows, col("day"), "v",
+        Seq(0.5, 0.9), season = 1)
+      .as[(Double, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // forecasts (lag 1): 10, 20, 15 -> diffs +10, -5, -10
+    assert(out(0.5) == ((0.5, 3L, 4.166667))) // (5 + 2.5 + 5)/3
+    assert(out(0.9) == ((0.9, 3L, 3.5))) // (9 + 0.5 + 1)/3
+    intercept[IllegalArgumentException] {
+      Eval.pinballLoss(rows, col("day"), "v", Seq(1.5))
+    }
+  }
+
   test("removalAttribution: closed-form removal effects on a DAG chain, " +
       "no-impact channel earns zero, roster drift fails loud") {
     // u1: view,click,purchase ; u2: view,error(lost) ; u3: click,purchase

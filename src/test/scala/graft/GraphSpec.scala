@@ -64,6 +64,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double)].collect()
     assert(strict.toSeq == Seq((1L, 4L, 2L, 2 * t3, 0.666667)))
   }
+  test("harmonicCentrality: path-graph closed form, multi-seed terms " +
+      "add on the lattice, seeds exclude themselves, direction respected") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val one = Graph.harmonicCentrality(path, "src", "dst",
+        Seq(1L).toDF("s"), "s", rounds = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!one.contains(1L)) // d=0 to itself only
+    assert(one(2L) == ((2L, 1L, 1.0)))
+    assert(one(3L) == ((3L, 1L, 0.5)))
+    assert(one(4L) == ((4L, 1L, 0.333333)))
+    val two = Graph.harmonicCentrality(path, "src", "dst",
+        Seq(1L, 3L).toDF("s"), "s", rounds = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(two(4L) == ((4L, 2L, 1.333333))) // 1/3 from seed 1 + 1 from 3
+    assert(two(2L) == ((2L, 1L, 1.0))) // 3 cannot reach 2 (directed)
+  }
+
   test("guards fire loud: oversized basket and hub degree raise in-plan") {
     val fat = (1 to 30).map(i => (1L, i.toLong)).toDF("bk", "it")
     val e1 = intercept[Exception] {

@@ -608,4 +608,23 @@ class SamplingSpec extends SparkSpec {
       .select("split").distinct().count()
     assert(naive > 1)
   }
+
+  test("compactionPlan: contiguous fill by file id, bins never straddle " +
+      "partitions, trailing residue flagged undersized") {
+    val manifest = ((1L to 5L).map(f => ("p1", f, 3000L)) :+
+      (("p2", 1L, 100L))).toDF("pt", "f", "b")
+    val out = Sampling.compactionPlan(manifest, "pt", "f", "b", 4096L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    val p1 = out.filter(_._1 == "p1").map(r => r._2 -> r).toMap
+    // starts 0/3000/6000/9000/12000 -> bins 0,0,1,2,2
+    assert(p1(1L)._5 == 0L && p1(2L)._5 == 0L)
+    assert(p1(3L)._5 == 1L)
+    assert(p1(4L)._5 == 2L && p1(5L)._5 == 2L)
+    assert(p1(1L)._6 == 6000L && p1(1L)._7 == 2L && !p1(1L)._8)
+    assert(p1(3L)._6 == 3000L && p1(3L)._8) // residue bin undersized
+    // p2's lone tiny file is its own bin 0 — never merged across
+    // partitions by this planner
+    val p2 = out.filter(_._1 == "p2")
+    assert(p2.toSeq == Seq(("p2", 1L, 100L, 100L, 0L, 100L, 1L, true)))
+  }
 }
