@@ -1279,6 +1279,15 @@ object OracleSql {
       SELECT event_id, user_id, event_type, value FROM events
       WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id""",
 
+    // footer value counts must reconcile with row counts per column —
+    // the schema roster is the corpus contract (a drifted file layout
+    // or schema fails the compare loudly)
+    "s_parquet_footer" -> Seq("event_id", "event_type", "props", "ts",
+        "user_id", "value")
+      .map(c => s"SELECT '$c' AS column_name, " +
+        "CAST(count(*) AS BIGINT) AS num_values FROM events")
+      .mkString("", " UNION ALL ", " ORDER BY column_name"),
+
     "s_partition_probe" -> """
       SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
       ORDER BY event_date DESC LIMIT 7""",
@@ -4612,6 +4621,66 @@ object OracleSql {
                THEN round(CAST(im AS DOUBLE) / wm, 6) END AS snips,
              round(drm / 1000000.0 / n_logged, 6) AS dr
       FROM folded""",
+
+    // weekly growth accounting: per-user lag/lead classification, churn
+    // attributed one week forward, full-outer merged (trailing churn
+    // week included); Deltaactive = new + resurrected - churned
+    "q_growth_accounting" -> """
+      WITH act AS (SELECT DISTINCT user_id AS u,
+              CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+            FROM events),
+      l AS (SELECT u, wk,
+              lag(wk) OVER (PARTITION BY u ORDER BY wk) AS prev,
+              lead(wk) OVER (PARTITION BY u ORDER BY wk) AS nxt
+            FROM act),
+      a AS (SELECT wk AS week, CAST(count(*) AS BIGINT) AS n_active,
+              CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+              CAST(sum(CASE WHEN prev IS NOT NULL
+                AND date_diff('day', prev, wk) = 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+              CAST(sum(CASE WHEN prev IS NOT NULL
+                AND date_diff('day', prev, wk) > 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected
+            FROM l GROUP BY wk),
+      c AS (SELECT wk + 7 AS week, CAST(count(*) AS BIGINT) AS n_churned
+            FROM l WHERE nxt IS NULL OR date_diff('day', wk, nxt) > 7
+            GROUP BY wk + 7)
+      SELECT coalesce(a.week, c.week) AS week,
+             CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+             CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+             CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+             CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+             CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned,
+             CAST(coalesce(n_new, 0) + coalesce(n_resurrected, 0)
+               - coalesce(n_churned, 0) AS BIGINT) AS net_growth
+      FROM a FULL JOIN c ON a.week = c.week ORDER BY week""",
+
+    // lagged cross-correlation: daily (avg value, purchase count), one
+    // window pass shifting y, every lag's corr in one fold
+    "q_cross_correlation" -> {
+      val shifts = (-7 to 7).filter(_ != 0).map { k =>
+        val f = if (k < 0) s"lead(y, ${-k})" else s"lag(y, $k)"
+        s"$f OVER (ORDER BY bucket) AS s${k + 7}"
+      }.mkString(",\n               ")
+      val arms = (-7 to 7).map { k =>
+        val cn = if (k == 0) "y" else s"s${k + 7}"
+        s"SELECT $k AS lag, corr(x, $cn) AS c, " +
+          s"CAST(count($cn) AS BIGINT) AS n_pairs FROM l"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH s AS (SELECT CAST(ts AS DATE) AS bucket,
+              avg(value) AS x,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS y
+            FROM events GROUP BY 1),
+      l AS (SELECT bucket, x, y,
+               $shifts
+            FROM s)
+      SELECT lag, round(c, 6) AS ccf, n_pairs
+      FROM ($arms)
+      ORDER BY lag"""
+    },
 
     // pinball loss of the lag-7 seasonal naive at q=0.1/0.5/0.9: daily
     // centi totals, per-day losses on the milli-centi lattice; the

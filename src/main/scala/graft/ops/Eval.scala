@@ -940,6 +940,57 @@ object Eval {
       round(col("__drm") / lit(1000000.0) / col("n_logged"), 6).as("dr"))
   }
 
+  /** Weekly growth accounting — the standard active-user decomposition
+    * (new / retained / resurrected, plus churned attributed to the week
+    * the user FAILED to return): for every (user, active-week),
+    * `new` = first week ever, `retained` = also active the previous
+    * week, `resurrected` = returning after a gap; a user active in w
+    * but not w+1 churns INTO w+1. The identity
+    * Δactive = new + resurrected − churned holds by construction —
+    * the product-analytics ledger behind "are we growing or churning".
+    *
+    * Plan: one distinct to (user, week) grain (the corpus-sized stage),
+    * one per-user lag/lead window (per-key bounded), two keyed weekly
+    * counts, one bounded full-outer merge (the churn series extends one
+    * week past the last active week). Integer end to end.
+    */
+  def growthAccounting(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val act = df.select(col(userCol).as("__u"),
+      date_trunc("week", to_date(col(tsCol))).cast("date").as("__wk"))
+      .distinct()
+    val w = Window.partitionBy("__u").orderBy("__wk")
+    val lagged = act
+      .withColumn("__prev", lag(col("__wk"), 1).over(w))
+      .withColumn("__next", lead(col("__wk"), 1).over(w))
+    val status = when(col("__prev").isNull, "new")
+      .when(datediff(col("__wk"), col("__prev")) === 7, "retained")
+      .otherwise("resurrected")
+    val active = lagged.groupBy(col("__wk").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(status === "new", 1).otherwise(0)).cast("long")
+          .as("n_new"),
+        sum(when(status === "retained", 1).otherwise(0)).cast("long")
+          .as("n_retained"),
+        sum(when(status === "resurrected", 1).otherwise(0)).cast("long")
+          .as("n_resurrected"))
+    val churn = lagged
+      .filter(col("__next").isNull ||
+        datediff(col("__next"), col("__wk")) > 7)
+      .groupBy(date_add(col("__wk"), 7).as("week"))
+      .agg(count(lit(1)).cast("long").as("n_churned"))
+    active.join(churn, Seq("week"), "full")
+      .select(col("week"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("net_growth",
+        col("n_new") + col("n_resurrected") - col("n_churned"))
+      .orderBy("week")
+  }
+
   /** Pinball (quantile) loss of the lag-`season` seasonal-naive
     * forecast over the daily series — the scoring rule that makes
     * quantile forecasts honest (loss_q = q·(y−f)⁺ + (1−q)·(f−y)⁺; the

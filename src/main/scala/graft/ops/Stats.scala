@@ -800,6 +800,40 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Lagged cross-correlation between two aggregates of the same
+    * bucketed series — "does purchase volume LEAD average value by k
+    * days?": ccf(k) = corr(xₜ, yₜ₋ₖ) for k = −maxLag..maxLag (positive k
+    * means y EARLIER — y leading x; negative k the reverse). The
+    * cross-series companion to [[autocorr]]: same one-aggregation-plus-
+    * bounded-global-window shape, same gap honesty (lag k = k observed
+    * buckets back, no calendar fill), same single fold computing every
+    * lag's corr at once.
+    */
+  def crossCorrelation(df: DataFrame, bucket: Column, xAgg: Column,
+                       yAgg: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32,
+      s"crossCorrelation: maxLag in [1, 32] (got $maxLag)")
+    val s = df.groupBy(bucket.as("bucket"))
+      .agg(xAgg.cast("double").as("x"), yAgg.cast("double").as("y"))
+    val w = Window.partitionBy().orderBy("bucket")
+    val ks = -maxLag to maxLag
+    def nm(k: Int) = s"__s${k + maxLag}"
+    val lagged = ks.foldLeft(s) { (d, k) =>
+      d.withColumn(nm(k), if (k == 0) col("y") else lag(col("y"), k).over(w))
+    }
+    val aggs = ks.flatMap { k =>
+      Seq(corr(col("x"), col(nm(k))).as(s"__c${k + maxLag}"),
+        count(col(nm(k))).as(s"__n${k + maxLag}"))
+    }
+    val folded = lagged.groupBy().agg(aggs.head, aggs.tail: _*)
+    folded.select(expr(
+      ks.map(k => s"$k, __c${k + maxLag}, __n${k + maxLag}")
+        .mkString(s"stack(${ks.size}, ", ", ", ")")
+        + " AS (lag, ccf, n_pairs)"))
+      .withColumn("ccf", round(col("ccf"), 6))
+      .orderBy("lag")
+  }
+
   /** Gini coefficient + Lorenz tail shares of a value's concentration
     * across entities ("do 1% of customers carry half the revenue?") —
     * the skew diagnostic that decides salting/bucketing strategy AND the

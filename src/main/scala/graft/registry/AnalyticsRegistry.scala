@@ -595,6 +595,17 @@ object AnalyticsRegistry {
       // lag-7 seasonal-naive over daily revenue, with MAE + MASE folds
       Eval.forecastBaseline(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_growth_accounting" -> ((s, dir) =>
+      // the weekly active-user ledger: new/retained/resurrected plus
+      // churned-into-week; net = new + resurrected - churned
+      Eval.growthAccounting(Tables.events(s, dir), "user_id", "ts")),
+    "q_cross_correlation" -> ((s, dir) =>
+      // does purchase volume lead or lag average order value? CCF at
+      // k = -7..7 over the daily series (one fold, all lags at once)
+      Stats.crossCorrelation(Tables.events(s, dir), to_date(col("ts")),
+        avg(col("value")),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)),
+        maxLag = 7)),
     "q_pinball_loss" -> ((s, dir) =>
       // quantile scoring of the seasonal-naive path: pinball loss at
       // q=0.1/0.5/0.9 over daily revenue, per-day losses lattice-exact

@@ -268,6 +268,15 @@ object SourcesRegistry {
           min(col("event_id")).as("min_event"),
           max(col("event_id")).as("max_event"))
     }),
+    "s_parquet_footer" -> ((s, dir) =>
+      // storage metadata audit from footers only (no data pages): the
+      // oracle-checkable projection — per-column value counts must
+      // reconcile with the table's row count exactly; byte-size fields
+      // are layout-dependent and verified in LayoutSpec instead
+      graft.sources.Sources.parquetFooter(s, s"$dir/events.parquet")
+        .groupBy("column_name")
+        .agg(sum(col("num_values")).cast("long").as("num_values"))
+        .orderBy("column_name")),
     "s_partition_probe" -> ((s, dir) => {
       val withDate = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))

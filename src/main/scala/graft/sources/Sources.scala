@@ -265,4 +265,51 @@ object Sources {
   def recentPartitions(spark: SparkSession, root: String, dateCol: String,
                        n: Int): DataFrame =
     graft.ops.Stats.recentPartitions(spark.read.parquet(root), dateCol, n)
+
+  /** Parquet footer profile: per column chunk, the value count and
+    * compressed/uncompressed byte sizes read from FILE METADATA only —
+    * no data pages touched. The storage-engineering readout that drives
+    * encoding and compaction decisions ("which column carries the
+    * bytes, how well does it compress, how many row groups"), the same
+    * numbers `parquet-tools meta` / DuckDB's `parquet_metadata()` show.
+    *
+    * Footers are read driver-side, capped at 1 000 files (a footer is a
+    * few KB; this audit is for a table or partition, not a lake — for a
+    * 100 TB sweep, map a file-path manifest through this per partition
+    * instead).
+    */
+  def parquetFooter(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      else Seq(p)
+    require(files.nonEmpty, s"parquetFooter: no parquet files under $path")
+    require(files.size <= 1000,
+      s"parquetFooter: ${files.size} files — cap is 1000; profile per " +
+      "partition via a manifest for larger sweeps")
+    val rows = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+          case (b, gi) =>
+            b.getColumns.asScala.toSeq.map { c =>
+              (f.getName, gi.toLong, c.getPath.toDotString,
+                c.getValueCount, c.getTotalSize,
+                c.getTotalUncompressedSize)
+            }
+        }
+      } finally r.close()
+    }
+    import spark.implicits._
+    rows.toDF("file_name", "row_group", "column_name", "num_values",
+      "compressed_bytes", "uncompressed_bytes")
+      .orderBy("file_name", "row_group", "column_name")
+  }
 }

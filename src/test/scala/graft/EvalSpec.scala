@@ -459,6 +459,41 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => r._2 + r._3).sum == 40L)
   }
 
+  test("growthAccounting: ledger identity holds, churn lands one week " +
+      "forward, trailing churn week appears, resurrection needs a gap") {
+    def t(d: String) = java.sql.Timestamp.valueOf(s"2024-01-$d 10:00:00")
+    // u1: W1,W2,W4 ; u2: W1 only ; u3: W3 only (weeks start Mon 01-01)
+    val rows = Seq((1L, t("02")), (1L, t("10")), (1L, t("23")),
+      (2L, t("03")), (3L, t("17"))).toDF("user_id", "ts")
+    val out = Eval.growthAccounting(rows, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long)].collect()
+    def wk(d: String) = java.sql.Date.valueOf(s"2024-01-$d")
+    assert(out.toSeq == Seq(
+      (wk("01"), 2L, 2L, 0L, 0L, 0L, 2L), // W1: both new
+      (wk("08"), 1L, 0L, 1L, 0L, 1L, -1L), // u1 retained, u2 churned in
+      (wk("15"), 1L, 1L, 0L, 0L, 1L, 0L), // u3 new, u1 churned in
+      (wk("22"), 1L, 0L, 0L, 1L, 1L, 0L), // u1 resurrected, u3 churned
+      (wk("29"), 0L, 0L, 0L, 0L, 1L, -1L))) // trailing: u1 churns
+    // ledger identity: delta active == net growth, week over week
+    out.sliding(2).foreach { case Array(p, c) =>
+      assert(c._2 - p._2 == c._7, s"identity at ${c._1}")
+    }
+  }
+
+  test("crossCorrelation: an exact 2-step shift peaks at lag -2 with " +
+      "full pair count, output covers every requested lag") {
+    val x = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8).map(_.toDouble)
+    val rows = (1 to 12).map { d =>
+      (d, x(d - 1), if (d >= 3) x(d - 3) else 0.0) // y_t = x_{t-2}
+    }.toDF("day", "x", "y")
+    val out = graft.ops.Stats.crossCorrelation(rows, col("day"),
+        avg(col("x")), avg(col("y")), maxLag = 3)
+      .as[(Int, Option[Double], Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == (-3 to 3).toSet)
+    assert(out(-2)._2.contains(1.0) && out(-2)._3 == 10L)
+    assert(out(0)._2.exists(c => math.abs(c) < 1.0))
+  }
+
   test("pinballLoss: asymmetric closed form at q=0.5/0.9, lag rows drop, " +
       "losses ride the lattice") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate

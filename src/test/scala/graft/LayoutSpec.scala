@@ -156,4 +156,29 @@ class LayoutSpec extends SparkSpec {
     val back = spark.read.parquet(qRoot).select("id", "k", "v")
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
+
+  test("parquetFooter: value counts reconcile per column, compressed " +
+      "never exceeds uncompressed, directories and bare files both read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_footer_")
+      .toString
+    (1L to 1000L).map(i => (i, s"name_$i", i * 1.5))
+      .toDF("id", "name", "v").coalesce(2)
+      .write.mode("overwrite").parquet(dir)
+    val out = Sources.parquetFooter(spark, dir)
+      .as[(String, Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every column's value counts sum to the row count
+    val perCol = out.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    assert(perCol == Map("id" -> 1000L, "name" -> 1000L, "v" -> 1000L))
+    assert(out.forall(r => r._5 <= r._6), "compressed <= uncompressed")
+    assert(out.forall(r => r._1.endsWith(".parquet") && r._2 >= 0))
+    // a single bare file reads the same way
+    val one = out.map(_._1).distinct.sorted.head
+    val single = Sources.parquetFooter(spark, s"$dir/$one")
+      .as[(String, Long, String, Long, Long, Long)].collect()
+    assert(single.map(_._3).distinct.sorted.toSeq ==
+      Seq("id", "name", "v"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
