@@ -4622,6 +4622,83 @@ object OracleSql {
              round(drm / 1000000.0 / n_logged, 6) AS dr
       FROM folded""",
 
+    // caliper matching with replacement: bin-banded candidate join
+    // (probe own + adjacent caliper buckets), nearest pick by
+    // (rounded distance, control id), centi-lattice ATT fold
+    "q_psm_att" -> s"""
+      WITH u AS (SELECT user_id AS uid,
+              round(least(avg(value) / 600.0, 1.0), 6) AS score,
+              CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value
+                ELSE 0.0 END) * 100, 0) AS BIGINT) AS yc
+            FROM events GROUP BY user_id),
+      a AS (SELECT uid, score, yc, ${uk("uid", 59)} > 0.5 AS t,
+              CAST(floor(score / 0.02) AS BIGINT) AS bin FROM u),
+      tr AS (SELECT uid AS tid, score AS ts, yc AS ty, bin FROM a WHERE t),
+      co AS (SELECT uid AS cid, score AS cs, yc AS cy, bin AS jb
+             FROM a WHERE NOT t),
+      cand AS (SELECT tr.tid, co.cid, co.cy, tr.ty,
+                 round(abs(tr.ts - co.cs), 6) AS d
+               FROM tr CROSS JOIN (SELECT unnest([-1, 0, 1]) AS nb) n
+               JOIN co ON co.jb = tr.bin + n.nb
+               WHERE round(abs(tr.ts - co.cs), 6) <= 0.02),
+      m0 AS (SELECT *, row_number() OVER (PARTITION BY tid
+               ORDER BY d, cid) AS rn FROM cand),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(sum(ty - cy) AS BIGINT) AS dsum
+            FROM m0 WHERE rn = 1),
+      arms AS (SELECT
+              CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_treated,
+              CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_control,
+              CAST(sum(CASE WHEN t THEN yc END) AS BIGINT) AS st,
+              CAST(sum(CASE WHEN NOT t THEN yc END) AS BIGINT) AS sc
+            FROM a)
+      SELECT n_treated, n_control, n_matched,
+             round(CAST(n_matched AS DOUBLE) / n_treated, 6)
+               AS match_rate,
+             round(st / (100.0 * n_treated) - sc / (100.0 * n_control), 6)
+               AS naive_diff,
+             CASE WHEN n_matched > 0 THEN
+               round(dsum / (100.0 * n_matched), 6) END AS att
+      FROM arms, m""",
+
+    // diff-in-differences: 8 conditional counters in one pass, outcomes
+    // on the centi lattice, each mean one engine-identical division
+    "q_diff_in_diff" -> s"""
+      WITH b AS (SELECT ${uk("user_id", 59)} > 0.5 AS t,
+              ts >= TIMESTAMP '2024-01-15' AS post,
+              CAST(round(value * 100, 0) AS BIGINT) AS vc
+            FROM events),
+      f AS (SELECT
+              CAST(count(CASE WHEN NOT t AND NOT post THEN 1 END)
+                AS BIGINT) AS n_ctrl_pre,
+              CAST(count(CASE WHEN NOT t AND post THEN 1 END) AS BIGINT)
+                AS n_ctrl_post,
+              CAST(count(CASE WHEN t AND NOT post THEN 1 END) AS BIGINT)
+                AS n_treat_pre,
+              CAST(count(CASE WHEN t AND post THEN 1 END) AS BIGINT)
+                AS n_treat_post,
+              CAST(sum(CASE WHEN NOT t AND NOT post THEN vc END)
+                AS BIGINT) AS s00,
+              CAST(sum(CASE WHEN NOT t AND post THEN vc END) AS BIGINT)
+                AS s01,
+              CAST(sum(CASE WHEN t AND NOT post THEN vc END) AS BIGINT)
+                AS s10,
+              CAST(sum(CASE WHEN t AND post THEN vc END) AS BIGINT)
+                AS s11
+            FROM b)
+      SELECT n_ctrl_pre, n_ctrl_post, n_treat_pre, n_treat_post,
+             round(s00 / (100.0 * n_ctrl_pre), 6) AS mean_ctrl_pre,
+             round(s01 / (100.0 * n_ctrl_post), 6) AS mean_ctrl_post,
+             round(s10 / (100.0 * n_treat_pre), 6) AS mean_treat_pre,
+             round(s11 / (100.0 * n_treat_post), 6) AS mean_treat_post,
+             round((s11 / (100.0 * n_treat_post)
+                 - s10 / (100.0 * n_treat_pre))
+               - (s01 / (100.0 * n_ctrl_post)
+                 - s00 / (100.0 * n_ctrl_pre)), 6) AS did
+      FROM f""",
+
     // weekly growth accounting: per-user lag/lead classification, churn
     // attributed one week forward, full-outer merged (trailing churn
     // week included); Deltaactive = new + resurrected - churned

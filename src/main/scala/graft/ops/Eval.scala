@@ -940,6 +940,114 @@ object Eval {
       round(col("__drm") / lit(1000000.0) / col("n_logged"), 6).as("dr"))
   }
 
+  /** Propensity-style caliper matching ATT: each treated user matches
+    * its nearest control BY SCORE within a caliper (with replacement —
+    * the deterministic, order-free variant; greedy without-replacement
+    * matching is sequential by construction), and the average
+    * treated-minus-matched-control outcome estimates the effect on the
+    * treated. Reported next to the naive arm-mean difference — the gap
+    * between them is what matching corrected. Unmatched treated users
+    * (no control within the caliper) are excluded and counted.
+    *
+    * Plan: one user-grain fold, then a BIN-BANDED candidate join —
+    * scores bucket at caliper width and each treated row probes only
+    * its own and adjacent buckets (never treated × controls), the
+    * [[Dedup]] blocking idiom; the nearest pick is a per-treated-user
+    * window with (rounded distance, control id) tie-break. Outcomes on
+    * the centi lattice; ATT is one exact-sum division.
+    */
+  def psmAtt(df: DataFrame, userCol: String, scoreAgg: Column,
+             outcomeAgg: Column, caliper: Double,
+             channel: Long = 59L): DataFrame = {
+    require(caliper > 0, s"psmAtt: caliper > 0 (got $caliper)")
+    val users = df.groupBy(col(userCol).as("__u"))
+      .agg(round(scoreAgg.cast("double"), 6).as("__score"),
+        round(outcomeAgg.cast("double") * 100, 0).cast("long").as("__yc"))
+      .withColumn("__t", Gen.u01(col("__u"), channel) > 0.5)
+      .withColumn("__bin", floor(col("__score") / lit(caliper)).cast("long"))
+    val treated = users.filter(col("__t"))
+      .select(col("__u").as("__tid"), col("__score").as("__ts"),
+        col("__yc").as("__ty"), col("__bin"))
+    val controls = users.filter(!col("__t"))
+      .select(col("__u").as("__cid"), col("__score").as("__cs"),
+        col("__yc").as("__cy"), col("__bin").as("__jb"))
+    val cand = treated
+      .withColumn("__nb", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__jb", col("__bin") + col("__nb"))
+      .join(controls, Seq("__jb"))
+      .withColumn("__d", round(abs(col("__ts") - col("__cs")), 6))
+      .filter(col("__d") <= caliper)
+    val pickW = Window.partitionBy(col("__tid"))
+      .orderBy(col("__d"), col("__cid"))
+    val matched = cand
+      .withColumn("__rn", row_number().over(pickW))
+      .filter(col("__rn") === 1)
+    val m = matched.agg(
+      count(lit(1)).as("n_matched"),
+      sum(col("__ty") - col("__cy")).as("__dsum"))
+    val arms = users.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_treated"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("__t"), col("__yc"))).as("__st"),
+      sum(when(!col("__t"), col("__yc"))).as("__sc"))
+    arms.crossJoin(broadcast(m)).select(
+      col("n_treated"), col("n_control"), col("n_matched"),
+      round(col("n_matched").cast("double") / col("n_treated"), 6)
+        .as("match_rate"),
+      round(col("__st") / (lit(100.0) * col("n_treated"))
+        - col("__sc") / (lit(100.0) * col("n_control")), 6)
+        .as("naive_diff"),
+      when(col("n_matched") > 0,
+        round(col("__dsum") / (lit(100.0) * col("n_matched")), 6))
+        .as("att"))
+  }
+
+  /** Difference-in-differences estimate around a policy cutoff: the
+    * four (arm × pre/post) cell means of the outcome and
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the causal
+    * workhorse when randomization is the hash arm but the INTERVENTION
+    * is a launch date: the control arm's pre/post drift nets out
+    * seasonality and shocks the naive post-mean comparison would absorb
+    * as treatment effect. Repeated cross-section form (cells over
+    * events); one wide row.
+    *
+    * Plan: ONE conditional-aggregate pass (8 counters), outcomes on the
+    * centi lattice so cell sums are exact longs and each mean is a
+    * single engine-identical division — the [[abTest]] shape with the
+    * time axis added.
+    */
+  def diffInDiff(df: DataFrame, userCol: String, tsCol: String,
+                 valueCol: String, cutoff: String,
+                 channel: Long = 59L): DataFrame = {
+    val base = df.select(
+      (Gen.u01(col(userCol), channel) > 0.5).as("__t"),
+      (col(tsCol) >= lit(cutoff).cast("timestamp_ntz")).as("__post"),
+      round(col(valueCol) * 100, 0).cast("long").as("__vc"))
+    def cell(t: Boolean, post: Boolean, c: Column) =
+      when(col("__t") === t && col("__post") === post, c)
+    val folded = base.agg(
+      count(cell(false, false, lit(1))).as("n_ctrl_pre"),
+      count(cell(false, true, lit(1))).as("n_ctrl_post"),
+      count(cell(true, false, lit(1))).as("n_treat_pre"),
+      count(cell(true, true, lit(1))).as("n_treat_post"),
+      sum(cell(false, false, col("__vc"))).as("__s00"),
+      sum(cell(false, true, col("__vc"))).as("__s01"),
+      sum(cell(true, false, col("__vc"))).as("__s10"),
+      sum(cell(true, true, col("__vc"))).as("__s11"))
+    def mean(s: String, n: String) =
+      col(s) / (lit(100.0) * col(n))
+    folded.select(
+      col("n_ctrl_pre"), col("n_ctrl_post"),
+      col("n_treat_pre"), col("n_treat_post"),
+      round(mean("__s00", "n_ctrl_pre"), 6).as("mean_ctrl_pre"),
+      round(mean("__s01", "n_ctrl_post"), 6).as("mean_ctrl_post"),
+      round(mean("__s10", "n_treat_pre"), 6).as("mean_treat_pre"),
+      round(mean("__s11", "n_treat_post"), 6).as("mean_treat_post"),
+      round((mean("__s11", "n_treat_post") - mean("__s10", "n_treat_pre"))
+        - (mean("__s01", "n_ctrl_post") - mean("__s00", "n_ctrl_pre")), 6)
+        .as("did"))
+  }
+
   /** Weekly growth accounting — the standard active-user decomposition
     * (new / retained / resurrected, plus churned attributed to the week
     * the user FAILED to return): for every (user, active-week),

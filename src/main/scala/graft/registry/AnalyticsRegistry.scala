@@ -595,6 +595,19 @@ object AnalyticsRegistry {
       // lag-7 seasonal-naive over daily revenue, with MAE + MASE folds
       Eval.forecastBaseline(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_psm_att" -> ((s, dir) =>
+      // caliper-matched treatment effect on the treated: value-profile
+      // score, purchase-revenue outcome, matched vs naive contrast
+      Eval.psmAtt(Tables.events(s, dir), "user_id",
+        least(avg(col("value")) / 600.0, lit(1.0)),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)),
+        caliper = 0.02)),
+    "q_diff_in_diff" -> ((s, dir) =>
+      // causal readout around the 2024-01-15 "launch": arm-by-period
+      // cell means + DiD, control drift netting out seasonality
+      Eval.diffInDiff(Tables.events(s, dir), "user_id", "ts", "value",
+        cutoff = "2024-01-15")),
     "q_growth_accounting" -> ((s, dir) =>
       // the weekly active-user ledger: new/retained/resurrected plus
       // churned-into-week; net = new + resurrected - churned

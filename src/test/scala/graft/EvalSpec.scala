@@ -459,6 +459,59 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => r._2 + r._3).sum == 40L)
   }
 
+  test("diffInDiff: cell means replay the hash-arm fold and DiD nets " +
+      "out the common shift") {
+    val M = 2147483647L
+    def u01(key: Long, c: Long): Double = {
+      val h1 = (key + c * 1000003L) % M
+      (((h1 * 48271L % M) * 48271L % M) + 1).toDouble / M
+    }
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    // every user: pre value 10+u%3, post value 30+u%3 (common +20 shift,
+    // no true effect) -> did must be exactly 0
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u, ts(5), 10.0 + (u % 3)), (u, ts(25), 30.0 + (u % 3)))
+    }.toDF("user_id", "ts", "value")
+    val out = Eval.diffInDiff(rows, "user_id", "ts", "value",
+      cutoff = "2024-01-15").collect().head
+    val byArm = (1L to 40L).groupBy(u => u01(u, 59L) > 0.5)
+    def m(us: Seq[Long], off: Double) = BigDecimal(
+        us.map(u => off + (u % 3)).sum / us.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Long]("n_treat_pre") == byArm(true).size.toLong)
+    assert(out.getAs[Double]("mean_ctrl_pre") == m(byArm(false), 10.0))
+    assert(out.getAs[Double]("mean_treat_post") == m(byArm(true), 30.0))
+    assert(out.getAs[Double]("did") == 0.0)
+  }
+
+  test("psmAtt: nearest in-caliper control wins, out-of-caliper treated " +
+      "unmatched, naive and matched contrasts replay the closed form") {
+    val M = 2147483647L
+    def u01(key: Long, c: Long): Double = {
+      val h1 = (key + c * 1000003L) % M
+      (((h1 * 48271L % M) * 48271L % M) + 1).toDouble / M
+    }
+    val arm = (1L to 50L).map(u => u -> (u01(u, 59L) > 0.5)).toMap
+    val tIds = (1L to 50L).filter(arm).take(2)
+    val cIds = (1L to 50L).filterNot(arm).take(2)
+    // treated A score .01/outcome 6; controls at .011 (outcome 6.6, the
+    // nearest) and .013 (7.8); treated B at .5 has no in-caliper control
+    val rows = Seq(
+      (tIds(0), "purchase", 6.0), (tIds(1), "purchase", 300.0),
+      (cIds(0), "purchase", 6.6), (cIds(1), "purchase", 7.8))
+      .toDF("user_id", "event_type", "value")
+    val out = Eval.psmAtt(rows, "user_id",
+      least(avg(col("value")) / 600.0, lit(1.0)),
+      sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)),
+      caliper = 0.02).collect().head
+    assert(out.getAs[Long]("n_treated") == 2L)
+    assert(out.getAs[Long]("n_matched") == 1L)
+    assert(out.getAs[Double]("match_rate") == 0.5)
+    assert(out.getAs[Double]("att") == -0.6) // 6.0 - 6.6
+    assert(out.getAs[Double]("naive_diff") == 145.8) // 153 - 7.2
+  }
+
   test("growthAccounting: ledger identity holds, churn lands one week " +
       "forward, trailing churn week appears, resurrection needs a gap") {
     def t(d: String) = java.sql.Timestamp.valueOf(s"2024-01-$d 10:00:00")
