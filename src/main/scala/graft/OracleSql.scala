@@ -3264,6 +3264,33 @@ object OracleSql {
       FROM events GROUP BY CUBE(event_type, month(ts))
       ORDER BY gid, event_type, month""",
 
+    // explicit grouping sets: the declared lattice slices only, same
+    // sentinel/grouping_id conventions as cube/rollup
+    "q_grouping_sets" -> """
+      SELECT coalesce(CAST(event_type AS VARCHAR), '(all)') AS event_type,
+             coalesce(CAST(month(ts) AS VARCHAR), '(all)') AS month,
+             CAST(GROUPING(event_type, month(ts)) AS BIGINT) AS gid,
+             count(*) AS n_events,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY GROUPING SETS ((event_type, month(ts)),
+        (event_type), (month(ts)))
+      ORDER BY gid, event_type, month""",
+
+    // trailing 1-hour RANGE frame over epoch micros per user: count +
+    // centi-lattice sum, equal-timestamp peers share the frame
+    "q_rolling_time_window" -> """
+      WITH b AS (SELECT event_id, user_id, ts, round(value, 6) AS value,
+              epoch_us(ts) AS es,
+              CAST(round(value * 100, 0) AS BIGINT) AS vc
+            FROM events)
+      SELECT event_id, user_id, ts, value,
+             CAST(count(*) OVER w AS BIGINT) AS n_window,
+             round(CAST(sum(vc) OVER w AS BIGINT) / 100.0, 2)
+               AS sum_window
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY es
+        RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+
     "q_pivot_events" -> """
       SELECT CAST(ts AS DATE) AS day,
              count(*) FILTER (WHERE event_type = 'view') AS "view",

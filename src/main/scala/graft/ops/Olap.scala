@@ -43,6 +43,22 @@ object Olap {
               aggs: Seq[(String, Column)]): DataFrame =
     finish(df.cube(keys.map(col): _*), keys, aggs)
 
+  /** EXPLICIT grouping sets — the lattice slices a dashboard actually
+    * reads, without the 2^n levels CUBE materializes or the prefix-only
+    * ones ROLLUP allows (e.g. Seq(Seq(a,b), Seq(a), Seq(b)) skips the
+    * grand total; Seq(Seq(a), Seq(b)) never groups jointly). Same
+    * single-shuffle shape and `(all)` sentinel / grouping_id conventions
+    * as [[rollupAgg]]; every named set must draw from `keys`.
+    */
+  def groupingSetsAgg(df: DataFrame, keys: Seq[String],
+                      sets: Seq[Seq[String]],
+                      aggs: Seq[(String, Column)]): DataFrame = {
+    require(sets.nonEmpty && sets.flatten.forall(keys.contains),
+      s"groupingSetsAgg: every set column must be in $keys (got $sets)")
+    finish(df.groupingSets(sets.map(_.map(col)), keys.map(col): _*),
+      keys, aggs)
+  }
+
   private def finish(grouped: org.apache.spark.sql.RelationalGroupedDataset,
                      keys: Seq[String],
                      aggs: Seq[(String, Column)]): DataFrame = {

@@ -155,6 +155,33 @@ object Stats {
       row_number().over(order).as("event_idx"))
   }
 
+  /** Trailing TIME-RANGE window features — "everything in the last hour"
+    * regardless of event count, the frame family [[rollingFeatures]]'
+    * ROWS frames can't express (k rows ≠ k seconds under bursty
+    * traffic; rate limits, velocity checks, and freshness features are
+    * all time-denominated). Implemented as a `rangeBetween` window over
+    * epoch micros — Spark evaluates it with a sliding frame pointer per
+    * key, same one-shuffle cost as a ROWS frame. Equal-timestamp peers
+    * all see the same frame (RANGE semantics), so no id tiebreak is
+    * needed for determinism; value sums ride the centi lattice.
+    */
+  def rollingTimeWindow(df: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, valCol: String,
+                        windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1,
+      s"rollingTimeWindow: windowSeconds >= 1 (got $windowSeconds)")
+    val micros = windowSeconds * 1000000L
+    val frame = Window.partitionBy(col(keyCol))
+      .orderBy(col("__es")).rangeBetween(-(micros - 1), 0)
+    df.withColumn("__es", unix_micros(col(tsCol).cast("timestamp")))
+      .select(col(idCol), col(keyCol), col(tsCol),
+        round(col(valCol), 6).as(valCol),
+        count(lit(1)).over(frame).as("n_window"),
+        round(sum(round(col(valCol) * 100, 0).cast("long")).over(frame)
+          / lit(100.0), 2).as("sum_window"))
+      .orderBy(idCol)
+  }
+
   /** Feature scaling transforms — the standardize / min-max normalize
     * step of a feature pipeline, as ONE stats aggregate + a broadcast
     * 1-row join (never a per-row subquery): `z_col` = (x−μ)/σ (NULL when

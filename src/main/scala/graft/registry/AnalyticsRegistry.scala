@@ -90,6 +90,16 @@ object AnalyticsRegistry {
         Seq(
           "n_events" -> count(lit(1)),
           "avg_value" -> round(avg(col("value")), 6)))),
+    "q_grouping_sets" -> ((s, dir) =>
+      // the three slices a dashboard reads — (type, month), (type),
+      // (month) — WITHOUT cube's grand total or rollup's prefix rule
+      Olap.groupingSetsAgg(
+        Tables.events(s, dir).withColumn("month", month(col("ts"))),
+        Seq("event_type", "month"),
+        Seq(Seq("event_type", "month"), Seq("event_type"), Seq("month")),
+        Seq(
+          "n_events" -> count(lit(1)),
+          "avg_value" -> round(avg(col("value")), 6)))),
     "q_pivot_events" -> ((s, dir) =>
       // wide per-day activity matrix over the DECLARED event-type set —
       // static schema, single aggregation, no distinct-discovery job

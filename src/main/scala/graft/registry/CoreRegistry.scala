@@ -343,6 +343,12 @@ object CoreRegistry {
           Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
           "user_id", "ts", "event_id", "value")
         .orderBy("event_id")),
+    "q_rolling_time_window" -> ((s, dir) =>
+      // trailing ONE HOUR per user (RANGE frame over epoch micros) —
+      // the time-denominated velocity feature a ROWS frame can't express
+      Stats.rollingTimeWindow(
+        Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", windowSeconds = 3600L)),
     "q_rolling_anomalies" -> ((s, dir) =>
       // trailing-window z-score anomalies per user (|z| > 2 on the
       // ROUNDED score, so both engines select identical rows)

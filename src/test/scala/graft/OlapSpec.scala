@@ -71,4 +71,25 @@ class OlapSpec extends SparkSpec {
       Olap.pivotCounts(ev, $"day", "day", "event_type", Seq("has space"))
     }
   }
+
+  test("groupingSetsAgg: only the declared slices materialize, gid " +
+      "bitmask and sentinels match rollup conventions, bad set refused") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0))
+      .toDF("k1", "k2", "v")
+    val out = Olap.groupingSetsAgg(df, Seq("k1", "k2"),
+        Seq(Seq("k1", "k2"), Seq("k1"), Seq("k2")),
+        Seq("n" -> count(lit(1)), "s" -> sum(col("v"))))
+      .as[(String, String, Long, Long, Double)].collect()
+    val byKey = out.map(r => (r._1, r._2) -> r).toMap
+    // three leaf rows (gid 0), two k1 rows (gid 1), two k2 rows (gid 2),
+    // NO grand total (gid 3 absent)
+    assert(out.count(_._3 == 0) == 3 && out.count(_._3 == 1) == 2 &&
+      out.count(_._3 == 2) == 2 && !out.exists(_._3 == 3))
+    assert(byKey(("a", "(all)")) == (("a", "(all)", 1L, 2L, 30.0)))
+    assert(byKey(("(all)", "1")) == (("(all)", "1", 2L, 2L, 40.0)))
+    intercept[IllegalArgumentException] {
+      Olap.groupingSetsAgg(df, Seq("k1"), Seq(Seq("nope")),
+        Seq("n" -> count(lit(1))))
+    }
+  }
 }

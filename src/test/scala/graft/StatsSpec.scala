@@ -7,6 +7,24 @@ import org.apache.spark.sql.functions._
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rollingTimeWindow: the hour boundary is exclusive at exactly " +
+      "-1h, bursts count by time not rows, keys isolate") {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq((1L, 1L, ts(0), 10.0), (2L, 1L, ts(30), 20.0),
+      (3L, 1L, ts(59), 30.0), (4L, 1L, ts(61), 40.0),
+      (5L, 2L, ts(59), 99.0)).toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ops.Stats.rollingTimeWindow(rows, "user_id", "ts",
+        "event_id", "value", windowSeconds = 3600L)
+      .as[(Long, Long, java.sql.Timestamp, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._5 == 1L && out(1L)._6 == 10.0)
+    assert(out(2L)._5 == 2L && out(2L)._6 == 30.0)
+    assert(out(3L)._5 == 3L && out(3L)._6 == 60.0) // min 0 is 59' back
+    // at minute 61 the minute-0 event is 61' old -> out of the hour
+    assert(out(4L)._5 == 3L && out(4L)._6 == 90.0)
+    assert(out(5L)._5 == 1L && out(5L)._6 == 99.0) // other key isolated
+  }
+
   test("rollingFeatures: lag, bounded rolling mean, running index") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val df = Seq(
