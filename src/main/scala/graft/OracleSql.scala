@@ -722,6 +722,83 @@ object OracleSql {
 
     // constraint suggestion: one profile pass, one row per satisfied
     // (column, constraint); typed evidence columns, no number formatting
+    // seeded randomized response: honest-vs-forced coin per user from
+    // two minstd channels; estimate = (rate - 0.125) / 0.75
+    "q_randomized_response" -> s"""
+      WITH u AS (SELECT user_id AS uid,
+              max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS truth
+            FROM events GROUP BY user_id),
+      r AS (SELECT uid, truth,
+              CASE WHEN ${uk("uid", 101)} <= 0.75 THEN truth
+                   ELSE CASE WHEN ${uk("uid", 102)} > 0.5 THEN 1
+                        ELSE 0 END END AS reported
+            FROM u),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(reported) AS BIGINT) AS n_reported_yes,
+                   CAST(sum(truth) AS BIGINT) AS n_true_yes
+            FROM r)
+      SELECT n, n_reported_yes, n_true_yes,
+             round(n_reported_yes / CAST(n AS DOUBLE), 6)
+               AS reported_rate,
+             round((n_reported_yes / CAST(n AS DOUBLE) - 0.125) / 0.75, 6)
+               AS estimated_rate,
+             round(n_true_yes / CAST(n AS DOUBLE), 6) AS true_rate,
+             CAST(0.75 AS DOUBLE) AS p_truth
+      FROM f""",
+
+    // Spearman via exact integer 2x-midranks (2*#smaller + count + 1):
+    // five exact long statistics, one closed-form double combine
+    "q_spearman" -> """
+      WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+              CAST(l_extendedprice AS DOUBLE) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      px AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY x),
+      rx AS (SELECT x, CAST(2 * coalesce(sum(n) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS rx2 FROM px),
+      py AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY y),
+      ry AS (SELECT y, CAST(2 * coalesce(sum(n) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS ry2 FROM py),
+      r AS (SELECT b.x, b.y, rx.rx2, ry.ry2 FROM base b
+            JOIN rx ON b.x = rx.x JOIN ry ON b.y = ry.y),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(rx2) AS BIGINT) AS sx,
+                CAST(sum(ry2) AS BIGINT) AS sy,
+                CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+                CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+                CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+                corr(x, y) AS pr
+              FROM r)
+      SELECT n,
+             round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+               AS spearman_rho,
+             round(pr, 6) AS pearson
+      FROM agg""",
+
+    // MRR@10 / success@10: first relevant position in the (value desc,
+    // id asc) top-10 per user; 1/rank is a single exact division
+    "q_mrr" -> """
+      WITH ranked AS (SELECT user_id,
+              CASE WHEN event_type = 'purchase' AND value > 90.0
+                   THEN 1 ELSE 0 END AS rel,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY value DESC, event_id ASC) AS pos
+            FROM events),
+      g AS (SELECT user_id,
+              min(CASE WHEN rel = 1 THEN pos END) AS first_rank,
+              max(rel) AS any_rel
+            FROM ranked WHERE pos <= 10 GROUP BY user_id)
+      SELECT user_id, CAST(first_rank AS INTEGER) AS first_rank,
+             round(coalesce(1.0 / first_rank, 0.0), 6)
+               AS reciprocal_rank,
+             any_rel = 1 AS success
+      FROM g ORDER BY user_id""",
+
     // ε-DP histogram: two-sided geometric noise seeded per category via
     // the md5-prefix key through the shared minstd stream — integer end
     // to end except the two ln calls, floor(ln u / −ε) both engines

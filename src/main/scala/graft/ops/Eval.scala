@@ -1002,6 +1002,33 @@ object Eval {
         .as("att"))
   }
 
+  /** MRR@k / success@k per group — the first-relevant-hit metrics next
+    * to [[ndcgAtK]]'s graded view: reciprocal rank of the FIRST relevant
+    * item within the top k of the (score desc, id asc) ranking (0 when
+    * none lands in the window), and the binary success flag. The
+    * metric pair navigation/QA retrieval is actually tuned on (one
+    * right answer; position 1 vs 3 matters, graded gain doesn't).
+    * Same per-group bounded-window plan shape as ndcg.
+    */
+  def mrrAtK(df: DataFrame, groupCol: String, idCol: String,
+             scoreCol: String, isRelevant: Column, k: Int): DataFrame = {
+    require(k >= 1, s"mrrAtK: k >= 1 (got $k)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol), col(scoreCol),
+        isRelevant.cast("int").as("__rel"))
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <= k)
+      .groupBy(col(groupCol))
+      .agg(min(when(col("__rel") === 1, col("__pos"))).as("first_rank"),
+        max(col("__rel")).as("__any"))
+      .select(col(groupCol), col("first_rank"),
+        round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 6)
+          .as("reciprocal_rank"),
+        (col("__any") === 1).as("success"))
+      .orderBy(groupCol)
+  }
+
   /** Difference-in-differences estimate around a policy cutoff: the
     * four (arm × pre/post) cell means of the outcome and
     * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the causal

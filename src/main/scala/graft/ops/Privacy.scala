@@ -156,6 +156,46 @@ object Privacy {
     * projection per category row — the noise costs nothing at any
     * scale. Integer end to end except the two per-category ln calls.
     */
+  /** Seeded randomized-response prevalence estimate (Warner 1965,
+    * forced-response variant — the local-DP mechanism): each entity
+    * answers TRUTHFULLY with probability p, otherwise a forced coin
+    * answers yes/no 50/50; the population rate deconvolves as
+    * π̂ = (reported_rate − (1−p)/2) / p. Like [[dpHistogram]] the
+    * randomness is seeded per entity through the shared minstd stream —
+    * the reproducible AUDIT form (the true rate rides along so the
+    * estimator's error is visible; a real deployment never sees it and
+    * uses client entropy). ε = ln((p + (1−p)/2) / ((1−p)/2)).
+    *
+    * One entity-grain fold + one 1-row aggregate; the estimate is a
+    * single engine-identical division chain over exact counts.
+    */
+  def randomizedResponse(df: DataFrame, userCol: String,
+                         sensitive: Column, p: Double = 0.75,
+                         channel: Long = 101L): DataFrame = {
+    require(p > 0.0 && p < 1.0,
+      s"randomizedResponse: p in (0,1) (got $p)")
+    val forcedYesShare = (1.0 - p) / 2.0
+    val users = df.groupBy(col(userCol).as("__u"))
+      .agg(max(sensitive.cast("int")).as("__truth"))
+      .withColumn("__honest", Gen.u01(col("__u"), channel) <= p)
+      .withColumn("__forced",
+        (Gen.u01(col("__u"), channel + 1) > 0.5).cast("int"))
+      .withColumn("__reported",
+        when(col("__honest"), col("__truth")).otherwise(col("__forced")))
+    users.agg(
+      count(lit(1)).as("n"),
+      sum(col("__reported")).cast("long").as("n_reported_yes"),
+      sum(col("__truth")).cast("long").as("n_true_yes"))
+      .select(col("n"), col("n_reported_yes"), col("n_true_yes"),
+        round(col("n_reported_yes") / col("n").cast("double"), 6)
+          .as("reported_rate"),
+        round((col("n_reported_yes") / col("n").cast("double")
+          - lit(forcedYesShare)) / lit(p), 6).as("estimated_rate"),
+        round(col("n_true_yes") / col("n").cast("double"), 6)
+          .as("true_rate"),
+        lit(p).as("p_truth"))
+  }
+
   def dpHistogram(df: DataFrame, catCol: String,
                   epsilon: Double, channel: Long = 97L): DataFrame = {
     require(epsilon > 0.0 && epsilon <= 10.0,

@@ -827,6 +827,54 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Spearman rank correlation (with Pearson alongside for the
+    * linearity contrast): Pearson over MIDRANKS, with every rank held
+    * as the INTEGER 2·midrank (= 2·#smaller + count + 1), so the five
+    * sufficient statistics are exact long sums in any partition order
+    * and the closed form runs once on engine-identical doubles — the
+    * monotone-association readout that survives the outliers and
+    * nonlinearity plain corr() absorbs.
+    *
+    * Plan: one per-value count aggregation and one cumulative window
+    * per axis (distinct-value grain — the q_ks ECDF class; pre-bin the
+    * axis first if its distinct count is data-sized), two value-keyed
+    * joins back, ONE five-statistic fold. Long sums need
+    * n·(2n)² < 2⁶³: fine through ~10⁸ rows; bin first beyond that.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rank2(c: String, out: String): DataFrame = {
+      val per = base.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per.withColumn(out,
+          lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+            + col("__n") + lit(1L))
+        .select(col(c), col(out))
+    }
+    val ranked = base
+      .join(rank2("__x", "__rx2"), Seq("__x"))
+      .join(rank2("__y", "__ry2"), Seq("__y"))
+    val folded = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx2")).as("__sx"), sum(col("__ry2")).as("__sy"),
+      sum(col("__rx2") * col("__rx2")).as("__sxx"),
+      sum(col("__ry2") * col("__ry2")).as("__syy"),
+      sum(col("__rx2") * col("__ry2")).as("__sxy"),
+      corr(col("__x"), col("__y")).as("__pr"))
+    folded.select(col("n"),
+      round((col("n").cast("double") * col("__sxy")
+          - col("__sx").cast("double") * col("__sy"))
+        / sqrt((col("n").cast("double") * col("__sxx")
+            - col("__sx").cast("double") * col("__sx"))
+          * (col("n").cast("double") * col("__syy")
+            - col("__sy").cast("double") * col("__sy"))), 6)
+        .as("spearman_rho"),
+      round(col("__pr"), 6).as("pearson"))
+  }
+
   /** Lagged cross-correlation between two aggregates of the same
     * bucketed series — "does purchase volume LEAD average value by k
     * days?": ccf(k) = corr(xₜ, yₜ₋ₖ) for k = −maxLag..maxLag (positive k

@@ -798,6 +798,25 @@ object AnalyticsRegistry {
         Seq("primary_k", "avg_view_value", "click_through_rate",
           "conversion_rate"))),
 
+    "q_randomized_response" -> ((s, dir) =>
+      // local-DP prevalence of "ever hit an error": seeded forced-
+      // response mechanism + deconvolved estimate next to the truth
+      Privacy.randomizedResponse(Tables.events(s, dir), "user_id",
+        col("event_type") === "error", p = 0.75)),
+    "q_spearman" -> ((s, dir) =>
+      // monotone association of quantity and line price: exact integer
+      // midranks (2x lattice), Pearson alongside for the contrast
+      Stats.spearman(Tables.lineitem(s, dir), "l_quantity",
+        "l_extendedprice")),
+    "q_mrr" -> ((s, dir) =>
+      // first-relevant-hit retrieval metrics per user, same ranking
+      // convention as q_ndcg
+      Eval.mrrAtK(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("event_type")),
+        "user_id", "event_id", "value",
+        col("event_type") === "purchase" && col("value") > 90.0, k = 10)),
     "q_dp_histogram" -> ((s, dir) =>
       // ε=0.5 DP release of the event-type histogram: two-sided
       // geometric noise seeded per category through the shared minstd

@@ -459,6 +459,21 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => r._2 + r._3).sum == 40L)
   }
 
+  test("mrrAtK: first hit at rank 2 scores 0.5, relevance outside k " +
+      "scores 0 with NULL rank, success tracks any hit") {
+    val rows = Seq(
+      // g1: relevant at predicted rank 2
+      ("g1", 1L, 9.0, 0), ("g1", 2L, 8.0, 1), ("g1", 3L, 7.0, 1),
+      // g2: only relevant item sits at rank 4 — outside k=3
+      ("g2", 1L, 9.0, 0), ("g2", 2L, 8.0, 0), ("g2", 3L, 7.0, 0),
+      ("g2", 4L, 6.0, 1)).toDF("g", "id", "s", "r")
+    val out = Eval.mrrAtK(rows, "g", "id", "s", col("r") === 1, k = 3)
+      .as[(String, Option[Int], Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("g1") == (("g1", Some(2), 0.5, true)))
+    assert(out("g2") == (("g2", None, 0.0, false)))
+  }
+
   test("diffInDiff: cell means replay the hash-arm fold and DiD nets " +
       "out the common shift") {
     val M = 2147483647L

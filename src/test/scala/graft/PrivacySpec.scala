@@ -117,6 +117,33 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("randomizedResponse: reported answers replay the seeded coins, " +
+      "estimator deconvolves the forced share exactly") {
+    import spark.implicits._
+    val M = 2147483647L
+    def u01(k: Long, c: Long): Double = {
+      val h1 = (k + c * 1000003L) % M
+      (((h1 * 48271L % M) * 48271L % M) + 1).toDouble / M
+    }
+    // truth: users 1..10, sensitive for ids <= 4
+    val df = (1L to 10L).map(u => (u, u <= 4)).toDF("u", "s")
+    val out = Privacy.randomizedResponse(df, "u", col("s"), p = 0.75)
+      .collect().head
+    val reported = (1L to 10L).map { u =>
+      if (u01(u, 101L) <= 0.75) (if (u <= 4) 1 else 0)
+      else if (u01(u, 102L) > 0.5) 1 else 0
+    }.sum
+    assert(out.getAs[Long]("n") == 10L)
+    assert(out.getAs[Long]("n_reported_yes") == reported.toLong)
+    assert(out.getAs[Long]("n_true_yes") == 4L)
+    val est = BigDecimal((reported / 10.0 - 0.125) / 0.75)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("estimated_rate") == est)
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(df, "u", col("s"), p = 1.0)
+    }
+  }
+
   test("guards fail loud") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityReport(people, Seq.empty, 5)

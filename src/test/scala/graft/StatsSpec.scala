@@ -7,6 +7,29 @@ import org.apache.spark.sql.functions._
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spearman: monotone nonlinear is exactly 1 while pearson is not, " +
+      "reversal is -1, ties take midranks") {
+    // y = x^3: perfectly monotone, curved
+    val cube = (1 to 20).map(i => (i.toDouble, math.pow(i, 3))).toDF("x", "y")
+    val c = graft.ops.Stats.spearman(cube, "x", "y").collect().head
+    assert(c.getAs[Long]("n") == 20L)
+    assert(c.getAs[Double]("spearman_rho") == 1.0)
+    assert(c.getAs[Double]("pearson") < 1.0)
+    val rev = (1 to 20).map(i => (i.toDouble, -math.pow(i, 3)))
+      .toDF("x", "y")
+    assert(graft.ops.Stats.spearman(rev, "x", "y")
+      .collect().head.getAs[Double]("spearman_rho") == -1.0)
+    // ties: x = 1,2,2,3 (midranks 1, 2.5, 2.5, 4) vs strictly rising y
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0))
+      .toDF("x", "y")
+    val t = graft.ops.Stats.spearman(tied, "x", "y").collect().head
+    // closed form: Pearson([1, 2.5, 2.5, 4], [1, 2, 3, 4])
+    // = 4.5 / sqrt(4.5 * 5) = 0.948683
+    val expected = BigDecimal(4.5 / math.sqrt(22.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(t.getAs[Double]("spearman_rho") - expected) <= 1e-6)
+  }
+
   test("rollingTimeWindow: the hour boundary is exclusive at exactly " +
       "-1h, bursts count by time not rows, keys isolate") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
