@@ -4863,6 +4863,61 @@ object OracleSql {
       ORDER BY lag"""
     },
 
+    // Mann-Kendall: pair signs over the bounded day table (exact centi
+    // comparisons), tie-corrected variance, continuity-corrected z
+    "q_mann_kendall" -> """
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS vc
+            FROM orders GROUP BY 1),
+      p AS (SELECT CAST(coalesce(sum(CASE WHEN b.vc > a.vc THEN 1
+              WHEN b.vc < a.vc THEN -1 ELSE 0 END), 0) AS BIGINT)
+              AS s_stat
+            FROM d a JOIN d b ON a.day < b.day),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+      t AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+              AS BIGINT) AS tsum
+            FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d
+                  GROUP BY vc)),
+      f AS (SELECT n_days, s_stat,
+              round(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tsum
+                AS DOUBLE) / 18.0, 6) AS var_s
+            FROM n, p, t)
+      SELECT n_days, s_stat, var_s,
+             CASE WHEN var_s > 0.0 THEN round(
+               (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     ELSE 0.0 END) / sqrt(var_s), 6) END AS z,
+             CASE WHEN s_stat > 0 THEN 'increasing'
+                  WHEN s_stat < 0 THEN 'decreasing'
+                  ELSE 'none' END AS trend
+      FROM f""",
+
+    // single-changepoint locator: argmax of exact |n*S_k - k*S_n| over
+    // the day table, earliest-day tie-break, means in value units
+    "q_changepoint" -> """
+      WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS vc
+            FROM orders GROUP BY 1),
+      s AS (SELECT day, vc,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+              CAST(sum(vc) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(count(*) OVER () AS BIGINT) AS n,
+              CAST(sum(vc) OVER () AS BIGINT) AS tot
+            FROM d),
+      f AS (SELECT *, abs(n * cum - rn * tot) AS t FROM s WHERE rn < n),
+      pick AS (SELECT * FROM f ORDER BY t DESC, day LIMIT 1)
+      SELECT n AS n_days, day AS change_day, rn AS days_before,
+             round(CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+               AS t_stat,
+             round(cum / (100.0 * rn), 6) AS mean_before,
+             round((tot - cum) / (100.0 * (n - rn)), 6) AS mean_after,
+             round(round((tot - cum) / (100.0 * (n - rn)), 6)
+               - round(cum / (100.0 * rn), 6), 6) AS shift
+      FROM pick""",
+
     // pinball loss of the lag-7 seasonal naive at q=0.1/0.5/0.9: daily
     // centi totals, per-day losses on the milli-centi lattice; the
     // (1-q) factors are the Scala-computed doubles interpolated

@@ -571,4 +571,47 @@ object Drift {
         col("alarm"))
       .orderBy(col(ordCol))
   }
+
+  /** Single-changepoint locator over the daily series (the binary-
+    * segmentation step): the split k maximizing the centered cumulative
+    * deviation |S_k − (k/n)·S_n| — where [[cusum]] streams an alarm
+    * PATH, this names the most likely change DAY with the before/after
+    * means. Elected on the EXACT integer |n·S_k − k·S_n| (centi-lattice
+    * prefix sums, so the argmax can never flip on float noise; ties to
+    * the earliest day), then the statistic is reported in value units.
+    *
+    * Plan: one keyed daily aggregation, one cumulative window + one
+    * max-election over the calendar-bounded day table. One output row.
+    */
+  def changepoint(df: DataFrame, dateCol: Column,
+                  valueCol: String): DataFrame = {
+    val ord = Window.orderBy(col("__d"))
+    val upToHere = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val whole = Window.partitionBy()
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__vc"))
+    val scored = daily
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("__cum", sum(col("__vc")).over(upToHere))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__tot", sum(col("__vc")).over(whole))
+      .filter(col("__rn") < col("__n")) // a split needs a right side
+      .withColumn("__t",
+        abs(col("__n") * col("__cum") - col("__rn") * col("__tot")))
+    scored
+      .withColumn("__pick",
+        row_number().over(Window.orderBy(col("__t").desc, col("__d"))))
+      .filter(col("__pick") === 1)
+      .select(col("__n").as("n_days"), col("__d").as("change_day"),
+        col("__rn").as("days_before"),
+        round(col("__t").cast("double")
+          / (col("__n").cast("double") * 100.0), 6).as("t_stat"),
+        round(col("__cum") / (lit(100.0) * col("__rn")), 6)
+          .as("mean_before"),
+        round((col("__tot") - col("__cum"))
+          / (lit(100.0) * (col("__n") - col("__rn"))), 6).as("mean_after"))
+      .withColumn("shift",
+        round(col("mean_after") - col("mean_before"), 6))
+  }
 }

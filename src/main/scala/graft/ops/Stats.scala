@@ -827,6 +827,47 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Mann–Kendall trend test over the daily series — the nonparametric
+    * "is there a monotone trend" companion to [[theilSenPerKey]]'s slope
+    * (same kernel: sign of every pair): S = Σ_{i<j} sgn(xⱼ − xᵢ) with
+    * the tie-corrected variance Var S = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18 and the continuity-corrected z. Values ride
+    * the centi lattice so every pair SIGN is exact — the float-boundary
+    * failure mode of comparing near-equal doubles cannot occur.
+    *
+    * Plan: one keyed daily aggregation, then a pairwise self-join over
+    * the CALENDAR-BOUNDED day table (the theilSen pair kernel; ~days²/2
+    * pairs — 3 M for a decade of days) plus a tie fold at the distinct-
+    * value grain. One output row.
+    */
+  def mannKendall(df: DataFrame, dateCol: Column,
+                  valueCol: String): DataFrame = {
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__vc"))
+      .localCheckpoint(eager = false)
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.__d") < col("b.__d"))
+      .select(signum(col("b.__vc") - col("a.__vc")).cast("long").as("__s"))
+    val sStat = pairs.agg(coalesce(sum(col("__s")), lit(0L)).as("s_stat"))
+    val nRow = daily.agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("__vc")).agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L)
+        * (lit(2L) * col("__t") + 5L)), lit(0L)).as("__tsum"))
+    nRow.crossJoin(broadcast(sStat)).crossJoin(broadcast(ties))
+      .withColumn("var_s", round(
+        (col("n_days") * (col("n_days") - 1L)
+          * (lit(2L) * col("n_days") + 5L) - col("__tsum")).cast("double")
+          / lit(18.0), 6))
+      .withColumn("z", when(col("var_s") > 0.0, round(
+        when(col("s_stat") > 0, (col("s_stat") - 1L).cast("double"))
+          .when(col("s_stat") < 0, (col("s_stat") + 1L).cast("double"))
+          .otherwise(lit(0.0)) / sqrt(col("var_s")), 6)))
+      .withColumn("trend",
+        when(col("s_stat") > 0, "increasing")
+          .when(col("s_stat") < 0, "decreasing").otherwise("none"))
+      .select("n_days", "s_stat", "var_s", "z", "trend")
+  }
+
   /** Spearman rank correlation (with Pearson alongside for the
     * linearity contrast): Pearson over MIDRANKS, with every rank held
     * as the INTEGER 2·midrank (= 2·#smaller + count + 1), so the five

@@ -629,6 +629,16 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_mann_kendall" -> ((s, dir) =>
+      // nonparametric monotone-trend test on daily revenue: exact pair
+      // signs on the centi lattice, tie-corrected variance, z
+      Stats.mannKendall(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
+    "q_changepoint" -> ((s, dir) =>
+      // the most likely level-shift day of daily revenue: argmax of the
+      // exact integer |n*S_k - k*S_n| with before/after means
+      Drift.changepoint(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_pinball_loss" -> ((s, dir) =>
       // quantile scoring of the seasonal-naive path: pinball loss at
       // q=0.1/0.5/0.9 over daily revenue, per-day losses lattice-exact

@@ -339,4 +339,28 @@ class DriftSpec extends SparkSpec {
     assert(out.forall(r => r._7 >= r._5 && r._7 <= 1.0))
     intercept[IllegalArgumentException] { Drift.sweepFdr(report, 0.0) }
   }
+
+  test("changepoint: a clean level shift locates the last pre-shift day " +
+      "with exact means, ties break to the earliest day") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 3, i))
+    // 5 days at 10, then 5 at 20 -> split after day 5
+    val series = ((1 to 5).map(i => (d(i), 10.0)) ++
+      (6 to 10).map(i => (d(i), 20.0))).toDF("day", "v")
+    val out = Drift.changepoint(series, col("day"), "v").collect().head
+    assert(out.getAs[Long]("n_days") == 10L)
+    assert(out.getAs[java.sql.Date]("change_day") == d(5))
+    assert(out.getAs[Long]("days_before") == 5L)
+    assert(out.getAs[Double]("t_stat") == 25.0) // |10*50 - 5*150|/10
+    assert(out.getAs[Double]("mean_before") == 10.0)
+    assert(out.getAs[Double]("mean_after") == 20.0)
+    assert(out.getAs[Double]("shift") == 10.0)
+    // flat series: every split scores 0 -> earliest day wins
+    val flat = (1 to 6).map(i => (d(i), 5.0)).toDF("day", "v")
+    val f = Drift.changepoint(flat, col("day"), "v").collect().head
+    assert(f.getAs[java.sql.Date]("change_day") == d(1))
+    assert(f.getAs[Double]("t_stat") == 0.0 && f.getAs[Double]("shift") == 0.0)
+  }
 }

@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mannKendall: strictly rising closed form, flat series degenerate " +
+      "with zero variance, direction mirrors") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 2, i))
+    val up = (1 to 10).map(i => (d(i), i.toDouble)).toDF("day", "v")
+    val r = graft.ops.Stats.mannKendall(up, col("day"), "v").collect().head
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Long]("s_stat") == 45L) // all C(10,2) pairs rise
+    assert(r.getAs[Double]("var_s") == 125.0) // 10*9*25/18
+    assert(r.getAs[Double]("z") == BigDecimal(44.0 / math.sqrt(125.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[String]("trend") == "increasing")
+    val flat = (1 to 10).map(i => (d(i), 7.0)).toDF("day", "v")
+    val f = graft.ops.Stats.mannKendall(flat, col("day"), "v")
+      .collect().head
+    assert(f.getAs[Long]("s_stat") == 0L && f.getAs[Double]("var_s") == 0.0)
+    assert(f.isNullAt(f.fieldIndex("z")) && f.getAs[String]("trend") == "none")
+    val down = (1 to 10).map(i => (d(i), -i.toDouble)).toDF("day", "v")
+    assert(graft.ops.Stats.mannKendall(down, col("day"), "v")
+      .collect().head.getAs[Long]("s_stat") == -45L)
+  }
+
   test("spearman: monotone nonlinear is exactly 1 while pearson is not, " +
       "reversal is -1, ties take midranks") {
     // y = x^3: perfectly monotone, curved
