@@ -3847,6 +3847,86 @@ object OracleSql {
       Seq("click", "error", "purchase", "signup", "view"),
       "purchase", "error", 60),
 
+    // top path trigrams: two leads per key, keyed count, deterministic
+    // top-25 on (count desc, trigram asc), corpus share
+    "q_path_trigrams" -> """
+      WITH t AS (SELECT event_type AS step1,
+              lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS step2,
+              lead(event_type, 2) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS step3
+            FROM events),
+      c AS (SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+            GROUP BY 1, 2, 3),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      SELECT step1, step2, step3, n,
+             round(n / CAST((SELECT tot FROM tot) AS DOUBLE), 6) AS share
+      FROM c ORDER BY n DESC, step1, step2, step3 LIMIT 25""",
+
+    // two-sample log-rank over integer-hour durations: risk sets from
+    // cumulative windows on the bounded duration grid, per-time
+    // (d1-E1)/V terms on the 1e-6 lattice before the fold
+    "q_logrank" -> s"""
+      WITH u AS (SELECT user_id AS uid, min(ts) AS start,
+              min(CASE WHEN event_type = 'purchase' THEN ts END) AS ev,
+              max(ts) AS last
+            FROM events GROUP BY user_id),
+      a AS (SELECT uid, ${uk("uid", 59)} > 0.5 AS t,
+              CAST(floor((epoch_us(coalesce(ev, last))
+                - epoch_us(start)) / 3600000000) AS BIGINT) AS dur,
+              CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END AS e
+            FROM u),
+      g AS (SELECT dur,
+              CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+              CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+                AS a0,
+              CAST(sum(CASE WHEN t THEN e ELSE 0 END) AS BIGINT) AS d1,
+              CAST(sum(CASE WHEN NOT t THEN e ELSE 0 END) AS BIGINT)
+                AS d0
+            FROM a GROUP BY dur),
+      r AS (SELECT *,
+              CAST(sum(a1) OVER () AS BIGINT)
+                - CAST(coalesce(sum(a1) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS r1,
+              CAST(sum(a0) OVER () AS BIGINT)
+                - CAST(coalesce(sum(a0) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS r0,
+              CAST(sum(a1) OVER () AS BIGINT) AS n1,
+              CAST(sum(a0) OVER () AS BIGINT) AS n0,
+              CAST(sum(d1) OVER () AS BIGINT) AS e1s,
+              CAST(sum(d0) OVER () AS BIGINT) AS e0s
+            FROM g),
+      terms AS (SELECT n1, n0, e1s, e0s,
+              CAST(round((CAST(d1 AS DOUBLE)
+                - CAST(d1 + d0 AS DOUBLE)
+                  * (CAST(r1 AS DOUBLE) / (r1 + r0))) * 1000000, 0)
+                AS BIGINT) AS om,
+              CAST(round((CASE WHEN r1 + r0 > 1 THEN
+                CAST(d1 + d0 AS DOUBLE)
+                  * (CAST(r1 AS DOUBLE) / (r1 + r0))
+                  * (1.0 - (CAST(r1 AS DOUBLE) / (r1 + r0)))
+                  * (CAST((r1 + r0) - (d1 + d0) AS DOUBLE)
+                    / ((r1 + r0) - 1))
+                ELSE 0.0 END) * 1000000, 0) AS BIGINT) AS vm
+            FROM r WHERE d1 + d0 > 0),
+      f AS (SELECT CAST(min(n1) AS BIGINT) AS n_treat,
+              CAST(min(n0) AS BIGINT) AS n_ctrl,
+              CAST(min(e1s) AS BIGINT) AS events_treat,
+              CAST(min(e0s) AS BIGINT) AS events_ctrl,
+              CAST(sum(om) AS BIGINT) AS omt,
+              CAST(sum(vm) AS BIGINT) AS vmt
+            FROM terms)
+      SELECT n_treat, n_ctrl, events_treat, events_ctrl,
+             round(omt / 1000000.0, 6) AS observed_minus_expected,
+             round(vmt / 1000000.0, 6) AS variance,
+             CASE WHEN vmt > 0 THEN round(
+               (omt / 1000000.0) * (omt / 1000000.0)
+                 / (vmt / 1000000.0), 6) END AS chi2
+      FROM f""",
+
     // modal next-state predictor scored in-sample: the row_number pick
     // (count desc, state asc) replayed, then one join-back fold
     "q_next_event_accuracy" -> """

@@ -1002,6 +1002,77 @@ object Eval {
         .as("att"))
   }
 
+  /** Two-sample log-rank test between the hash-randomized arms'
+    * survival curves — the significance companion to [[kaplanMeier]]'s
+    * picture: at every event time, the treated arm's observed events
+    * are compared with the expectation under "both curves are equal"
+    * (E₁ = d·n₁/n, hypergeometric variance), and
+    * χ² = (Σ(d₁−E₁))² / ΣV. Durations are whole hours from first
+    * activity to first event (censored at last activity) — integer, so
+    * the risk-set arithmetic is exact.
+    *
+    * Plan: one user-grain fold, one (duration, arm)-grain count, risk
+    * sets via cumulative windows over the BOUNDED distinct-duration
+    * table (the kaplanMeier grain), per-time (d₁−E₁) and V terms
+    * committed to the 1e-6 lattice before the fold. One output row.
+    */
+  def logRank(df: DataFrame, userCol: String, tsCol: String,
+              isEvent: Column, channel: Long = 59L): DataFrame = {
+    val users = df.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__start"),
+        min(when(isEvent, col(tsCol))).as("__ev"),
+        max(col(tsCol)).as("__last"))
+      .withColumn("__t", Gen.u01(col("__u"), channel) > 0.5)
+      .withColumn("__dur",
+        floor((unix_micros(coalesce(col("__ev"), col("__last"))
+          .cast("timestamp"))
+          - unix_micros(col("__start").cast("timestamp")))
+          / lit(3600000000L)).cast("long"))
+      .withColumn("__e", col("__ev").isNotNull.cast("int"))
+    val g = users.groupBy(col("__dur"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__a1"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__a0"),
+        sum(when(col("__t"), col("__e")).otherwise(0)).cast("long")
+          .as("__d1"),
+        sum(when(!col("__t"), col("__e")).otherwise(0)).cast("long")
+          .as("__d0"))
+    val before = Window.orderBy("__dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy()
+    val risk = g
+      .withColumn("__r1", sum(col("__a1")).over(whole)
+        - coalesce(sum(col("__a1")).over(before), lit(0L)))
+      .withColumn("__r0", sum(col("__a0")).over(whole)
+        - coalesce(sum(col("__a0")).over(before), lit(0L)))
+      .withColumn("__n1", sum(col("__a1")).over(whole))
+      .withColumn("__n0", sum(col("__a0")).over(whole))
+      .withColumn("__e1s", sum(col("__d1")).over(whole))
+      .withColumn("__e0s", sum(col("__d0")).over(whole))
+      .filter(col("__d1") + col("__d0") > 0)
+    val dt = (col("__d1") + col("__d0")).cast("double")
+    val nt = col("__r1") + col("__r0")
+    val share = col("__r1").cast("double") / nt
+    val e1 = dt * share
+    val v = when(nt > 1L,
+      dt * share * (lit(1.0) - share)
+        * ((nt - (col("__d1") + col("__d0"))).cast("double") / (nt - 1L)))
+      .otherwise(lit(0.0))
+    val folded = risk.agg(
+      min(col("__n1")).as("n_treat"), min(col("__n0")).as("n_ctrl"),
+      min(col("__e1s")).as("events_treat"),
+      min(col("__e0s")).as("events_ctrl"),
+      sum(round((col("__d1").cast("double") - e1) * 1000000, 0)
+        .cast("long")).as("__om"),
+      sum(round(v * 1000000, 0).cast("long")).as("__vm"))
+    folded.select(col("n_treat"), col("n_ctrl"), col("events_treat"),
+      col("events_ctrl"),
+      round(col("__om") / lit(1000000.0), 6).as("observed_minus_expected"),
+      round(col("__vm") / lit(1000000.0), 6).as("variance"),
+      when(col("__vm") > 0L, round(
+        (col("__om") / lit(1000000.0)) * (col("__om") / lit(1000000.0))
+          / (col("__vm") / lit(1000000.0)), 6)).as("chi2"))
+  }
+
   /** MRR@k / success@k per group — the first-relevant-hit metrics next
     * to [[ndcgAtK]]'s graded view: reciprocal rank of the FIRST relevant
     * item within the top k of the (score desc, id asc) ranking (0 when

@@ -385,6 +385,36 @@ object Retrieval {
       .orderBy("state")
   }
 
+  /** Top-k behavioral path trigrams: the most frequent 3-step event
+    * sequences across all per-key journeys, with each trigram's share
+    * of all observed trigrams — the "what do sessions actually DO"
+    * readout one order above [[transitionMatrix]]'s pairs (a chain that
+    * passes the trigram test rarely needs more memory; one that fails
+    * it does — the practical Markov-order diagnostic).
+    *
+    * Plan: one per-key window pass (two leads), one keyed count, a
+    * TakeOrdered top-k on (count desc, trigram asc) — deterministic,
+    * never a global sort of the full trigram table.
+    */
+  def pathTrigrams(events: DataFrame, key: String, ts: String,
+                   id: String, stateCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"pathTrigrams: k in [1, 1000] (got $k)")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val tri = events
+      .withColumn("__s2", lead(col(stateCol), 1).over(w))
+      .withColumn("__s3", lead(col(stateCol), 2).over(w))
+      .filter(col("__s2").isNotNull && col("__s3").isNotNull)
+      .groupBy(col(stateCol).as("step1"), col("__s2").as("step2"),
+        col("__s3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+    val total = tri.agg(sum(col("n")).as("__tot"))
+    tri.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("__tot").cast("double"), 6))
+      .select("step1", "step2", "step3", "n", "share")
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Top-1 accuracy of the Markov next-event predictor: the
     * [[transitionMatrix]] chain's modal next state per from-state
     * (ties to the lexicographically smallest — deterministic), scored

@@ -539,6 +539,20 @@ object CoreRegistry {
         "user_id", "ts", "event_id", "event_type",
         win = "purchase", lose = "error", iterations = 60,
         expectedStates = Seq("click", "error", "purchase", "signup", "view"))),
+    "q_path_trigrams" -> ((s, dir) =>
+      // top 3-step behavioral sequences with corpus share — the
+      // Markov-order diagnostic one step above the transition matrix
+      Retrieval.pathTrigrams(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type", k = 25)),
+    "q_logrank" -> ((s, dir) =>
+      // do the hash arms' time-to-first-purchase curves differ? the
+      // significance number next to q_kaplan_meier's picture
+      Eval.logRank(
+        Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type")),
+        "user_id", "ts", col("event_type") === "purchase")),
     "q_next_event_accuracy" -> ((s, dir) =>
       // is the chain worth serving: top-1 accuracy of the modal
       // next-state predictor per from-state (in-sample audit)

@@ -238,6 +238,23 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("pathTrigrams: per-key windows never cross users, counts and " +
+      "shares fold, top-k cut is deterministic") {
+    import spark.implicits._
+    val rows = Seq((1L, 1, 1L, "a"), (1L, 2, 2L, "b"), (1L, 3, 3L, "c"),
+      (1L, 4, 4L, "d"), (2L, 1, 5L, "a"), (2L, 2, 6L, "b"),
+      (2L, 3, 7L, "c")).toDF("user_id", "ts", "event_id", "event_type")
+    val all = graft.ops.Retrieval.pathTrigrams(rows, "user_id", "ts",
+        "event_id", "event_type", k = 25)
+      .as[(String, String, String, Long, Double)].collect()
+    assert(all.toSet == Set(("a", "b", "c", 2L, 0.666667),
+      ("b", "c", "d", 1L, 0.333333)))
+    val top1 = graft.ops.Retrieval.pathTrigrams(rows, "user_id", "ts",
+        "event_id", "event_type", k = 1)
+      .as[(String, String, String, Long, Double)].collect()
+    assert(top1.toSeq == Seq(("a", "b", "c", 2L, 0.666667)))
+  }
+
   test("nextEventAccuracy: modal pick with lexicographic tie-break, " +
       "per-state fold matches the hand count") {
     import spark.implicits._

@@ -459,6 +459,43 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => r._2 + r._3).sum == 40L)
   }
 
+  test("logRank: identical arm curves score zero, early-vs-late events " +
+      "replay the closed form on the lattice") {
+    val M = 2147483647L
+    def u01(key: Long, c: Long): Double = {
+      val h1 = (key + c * 1000003L) % M
+      (((h1 * 48271L % M) * 48271L % M) + 1).toDouble / M
+    }
+    val arm = (1L to 50L).map(u => u -> (u01(u, 59L) > 0.5)).toMap
+    val tIds = (1L to 50L).filter(arm).take(2)
+    val cIds = (1L to 50L).filterNot(arm).take(2)
+    def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    // symmetric: each arm has one 1-hour event and one 2-hour censor
+    val sym = Seq(
+      (tIds(0), ts(0), "s"), (tIds(0), ts(1), "purchase"),
+      (cIds(0), ts(0), "s"), (cIds(0), ts(1), "purchase"),
+      (tIds(1), ts(0), "s"), (tIds(1), ts(2), "s"),
+      (cIds(1), ts(0), "s"), (cIds(1), ts(2), "s"))
+      .toDF("user_id", "ts", "event_type")
+    val s = Eval.logRank(sym, "user_id", "ts",
+      col("event_type") === "purchase").collect().head
+    assert(s.getAs[Long]("n_treat") == 2L && s.getAs[Long]("n_ctrl") == 2L)
+    assert(s.getAs[Double]("observed_minus_expected") == 0.0)
+    assert(s.getAs[Double]("chi2") == 0.0)
+    // treated events at 1h, control at 10h: om = 1, V = 1/3
+    val asym = Seq(
+      (tIds(0), ts(0), "s"), (tIds(0), ts(1), "purchase"),
+      (tIds(1), ts(0), "s"), (tIds(1), ts(1), "purchase"),
+      (cIds(0), ts(0), "s"), (cIds(0), ts(10), "purchase"),
+      (cIds(1), ts(0), "s"), (cIds(1), ts(10), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val a = Eval.logRank(asym, "user_id", "ts",
+      col("event_type") === "purchase").collect().head
+    assert(a.getAs[Double]("observed_minus_expected") == 1.0)
+    assert(a.getAs[Double]("variance") == 0.333333)
+    assert(a.getAs[Double]("chi2") == 3.000003) // 1 / 0.333333
+  }
+
   test("mrrAtK: first hit at rank 2 scores 0.5, relevance outside k " +
       "scores 0 with NULL rank, success tracks any hit") {
     val rows = Seq(
