@@ -181,4 +181,32 @@ class LayoutSpec extends SparkSpec {
       Seq("id", "name", "v"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("compression audit via footers: zstd beats snappy on repetitive " +
+      "text, codec choice never changes logical contents") {
+    import spark.implicits._
+    // highly repetitive text column — the case where codec choice matters
+    val df = (1L to 2000L)
+      .map(i => (i, ("the quick brown fox " * 10) + (i % 7)))
+      .toDF("id", "txt")
+    def writeWith(codec: String): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_codec_${codec}_").toString
+      df.coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(d)
+      d
+    }
+    val (snappyDir, zstdDir) = (writeWith("snappy"), writeWith("zstd"))
+    def txtBytes(dir: String): Long = Sources.parquetFooter(spark, dir)
+      .filter($"column_name" === "txt")
+      .agg(org.apache.spark.sql.functions.sum($"compressed_bytes"))
+      .head().getLong(0)
+    assert(txtBytes(zstdDir) < txtBytes(snappyDir),
+      s"zstd ${txtBytes(zstdDir)} vs snappy ${txtBytes(snappyDir)}")
+    // logical contents identical either way
+    val back = spark.read.parquet(zstdDir)
+    assert(back.exceptAll(spark.read.parquet(snappyDir)).isEmpty)
+    Seq(snappyDir, zstdDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
 }
