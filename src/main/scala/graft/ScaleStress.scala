@@ -58,9 +58,10 @@ object ScaleStress {
     val r7Only = args.headOption.contains("r7")
     val asofOnly = args.headOption.contains("asof")
     val exactsubstrOnly = args.headOption.contains("exactsubstr")
+    val graph8Mode = args.headOption.contains("graph8")
     val ks =
       if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly ||
-          exactsubstrOnly)
+          exactsubstrOnly || graph8Mode)
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
@@ -460,6 +461,49 @@ object ScaleStress {
       }
       println(f"STRESS-EXACTSUBSTR k=$k docs=$nD t_spans=$tSpans%.2f " +
         f"spans=$nSpans t_stats=$tStats%.2f rows=$nDocs")
+    }
+    // round-8 graph ops at 1×/10×/100×: k disjoint shifted replicas of
+    // the 1995 part co-order graph (structure and degree distribution
+    // exactly preserved per copy; no cross-copy wedges), so candidate
+    // volume and wedge volume both scale k× — ~linear runtime is the
+    // pass criterion for the wedge join; the frontier BFS's state is
+    // |nodes|·|seeds| per copy and also k×.
+    val graph8Only = args.headOption.contains("graph8")
+    for (k <- if (graph8Only) Seq(1, 10, 100) else Seq.empty[Int]) {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      val o = Tables.orders(spark, "/root/testdata/sf0.1")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+      val base8 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("sk"))
+        .distinct()
+      val e1 = base8.as("a").join(base8.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      val ek = (0 until k).map(i =>
+        e1.select((col("src") + lit(i * 10000000L)).as("src"),
+          (col("dst") + lit(i * 10000000L)).as("dst")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nE = ek.count()
+      val (tLp, nLp) = timeMin2 {
+        graft.ops.Graph.linkPrediction(ek, "src", "dst", minCommon = 2,
+          topK = 500).queryExecution.toRdd.count()
+      }
+      // sparse seed sample (~nodes/1700 per copy): the |nodes|·|seeds|
+      // state knob the operator documents — dense seeding on a 12 K-node
+      // copy would be an all-pairs BFS, which is not the estimator
+      val seeds8 = (0 until k).map(i =>
+        base8.select(col("sk")).distinct()
+          .filter(col("sk") % 1700 === 0)
+          .select((col("sk") + lit(i * 10000000L)).as("s")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nS = seeds8.count()
+      val (tHc, nHc) = timeMin2 {
+        graft.ops.Graph.harmonicCentrality(ek, "src", "dst", seeds8, "s",
+          rounds = 3).queryExecution.toRdd.count()
+      }
+      println(f"STRESS-GRAPH8 k=$k edges=$nE t_linkpred=$tLp%.2f " +
+        f"top=$nLp seeds=$nS t_harmonic=$tHc%.2f nodes=$nHc")
     }
     // bucketed-as-of stress at 1×/10×/100×: the same native as-of join
     // planned two ways — over plain frames (EnsureRequirements inserts
