@@ -4943,6 +4943,75 @@ object OracleSql {
       ORDER BY lag"""
     },
 
+    // seasonal strength: the q_seasonality decomposition replayed, then
+    // both variances from exact whole-unit-lattice long sums
+    "q_seasonal_strength" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(o_totalprice) AS x,
+               date_diff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) % 7 AS dow
+        FROM orders GROUP BY 1, 3),
+      tr AS (SELECT *,
+               CASE WHEN count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                 THEN avg(x) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END AS trend
+            FROM daily),
+      sl AS (SELECT dow, avg(x - trend) AS raw FROM tr GROUP BY dow),
+      ce AS (SELECT dow, raw - avg(raw) OVER () AS seas FROM sl),
+      dec AS (SELECT * FROM (
+          SELECT round(tr.x - tr.trend - ce.seas, 6) AS residual,
+                 round(ce.seas, 6) AS seasonal
+          FROM tr LEFT JOIN ce ON tr.dow = ce.dow)
+        WHERE residual IS NOT NULL),
+      l AS (SELECT CAST(round(residual, 0) AS BIGINT) AS r,
+                   CAST(round(seasonal + residual, 0) AS BIGINT) AS sr
+            FROM dec),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(r) AS BIGINT) AS s1,
+              CAST(sum(r * r) AS BIGINT) AS q1,
+              CAST(sum(sr) AS BIGINT) AS s2,
+              CAST(sum(sr * sr) AS BIGINT) AS q2
+            FROM l)
+      SELECT n AS n_days,
+             round(CAST(q1 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
+               AS var_residual,
+             round(CAST(q2 AS DOUBLE) / n
+               - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n), 6)
+               AS var_detrended,
+             CASE WHEN (CAST(q2 AS DOUBLE) / n
+                 - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))
+                 > 0.0 THEN
+               round(greatest(0.0, 1.0
+                 - (CAST(q1 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / (CAST(q2 AS DOUBLE) / n
+                   - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))),
+                 6) END AS seasonal_strength
+      FROM f""",
+
+    // Fano factor of daily counts per user: exact integer moments
+    "q_burstiness" -> """
+      WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+      p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(c) AS BIGINT) AS n_events,
+              CAST(sum(c * c) AS BIGINT) AS ss
+            FROM d GROUP BY user_id)
+      SELECT user_id, n_days, n_events,
+             round(CAST(n_events AS DOUBLE) / n_days, 6) AS mean_daily,
+             round(CAST(ss AS DOUBLE) / n_days
+               - (CAST(n_events AS DOUBLE) / n_days)
+                 * (CAST(n_events AS DOUBLE) / n_days), 6) AS var_daily,
+             round((CAST(ss AS DOUBLE) / n_days
+               - (CAST(n_events AS DOUBLE) / n_days)
+                 * (CAST(n_events AS DOUBLE) / n_days))
+               / (CAST(n_events AS DOUBLE) / n_days), 6) AS fano
+      FROM p ORDER BY user_id""",
+
     // Mann-Kendall: pair signs over the bounded day table (exact centi
     // comparisons), tie-corrected variance, continuity-corrected z
     "q_mann_kendall" -> """

@@ -1002,6 +1002,38 @@ object Eval {
         .as("att"))
   }
 
+  /** Seasonal-strength summary of the [[seasonality]] decomposition
+    * (Hyndman's F_s): 1 − Var(residual)/Var(seasonal + residual),
+    * clamped at 0 — the one-number "is the weekly pattern real" readout
+    * over the decomposition's full-window days. Components enter on the
+    * WHOLE-unit integer lattice (daily aggregates are large, so a centi
+    * lattice would overflow the squared sums; unit rounding is far
+    * below the variance scale), so both variances come from exact long
+    * sums and the ratio is a single engine-identical double chain.
+    */
+  def seasonalStrength(df: DataFrame, dateCol: Column,
+                       valueCol: String): DataFrame = {
+    val dec = seasonality(df, dateCol, valueCol)
+      .filter(col("residual").isNotNull)
+      .select(round(col("residual"), 0).cast("long").as("__r"),
+        round(col("seasonal") + col("residual"), 0).cast("long")
+          .as("__sr"))
+    val folded = dec.agg(count(lit(1)).as("n_days"),
+      sum(col("__r")).as("__s1"), sum(col("__r") * col("__r")).as("__q1"),
+      sum(col("__sr")).as("__s2"),
+      sum(col("__sr") * col("__sr")).as("__q2"))
+    val m1 = col("__s1").cast("double") / col("n_days")
+    val m2 = col("__s2").cast("double") / col("n_days")
+    val vr = col("__q1").cast("double") / col("n_days") - m1 * m1
+    val vsr = col("__q2").cast("double") / col("n_days") - m2 * m2
+    folded.select(col("n_days"),
+      round(vr, 6).as("var_residual"),
+      round(vsr, 6).as("var_detrended"),
+      when(vsr > 0.0,
+        round(greatest(lit(0.0), lit(1.0) - vr / vsr), 6))
+        .as("seasonal_strength"))
+  }
+
   /** Two-sample log-rank test between the hash-randomized arms'
     * survival curves — the significance companion to [[kaplanMeier]]'s
     * picture: at every event time, the treated arm's observed events

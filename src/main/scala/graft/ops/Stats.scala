@@ -827,6 +827,33 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Per-entity burstiness of ACTIVE days: the Fano factor
+    * (Var/Mean of daily event counts over days the entity appeared —
+    * zeros excluded by construction, so this reads dispersion of
+    * activity, not sparsity) plus the raw moments. Fano ≈ 1 is
+    * Poisson-like; ≫ 1 is bursty (sessions, spikes); the
+    * feature-engineering and anomaly-triage signal next to
+    * [[activityProfile]]'s hour rhythm. Counts are integers, so every
+    * moment is an exact long sum and the two divisions are engine-
+    * identical.
+    */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("__k"),
+        to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val per = daily.groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__c")).cast("long").as("n_events"),
+        sum(col("__c") * col("__c")).cast("long").as("__ss"))
+    val mean = col("n_events").cast("double") / col("n_days")
+    val vr = col("__ss").cast("double") / col("n_days") - mean * mean
+    per.select(col(keyCol), col("n_days"), col("n_events"),
+      round(mean, 6).as("mean_daily"),
+      round(vr, 6).as("var_daily"),
+      round(vr / mean, 6).as("fano"))
+      .orderBy(keyCol)
+  }
+
   /** Mann–Kendall trend test over the daily series — the nonparametric
     * "is there a monotone trend" companion to [[theilSenPerKey]]'s slope
     * (same kernel: sign of every pair): S = Σ_{i<j} sgn(xⱼ − xᵢ) with

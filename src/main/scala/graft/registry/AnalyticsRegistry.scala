@@ -629,6 +629,14 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_seasonal_strength" -> ((s, dir) =>
+      // is the weekly pattern real: Hyndman F_s over the decomposition,
+      // components on the centi lattice
+      Eval.seasonalStrength(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
+    "q_burstiness" -> ((s, dir) =>
+      // active-day dispersion per user: Fano factor of daily counts
+      Stats.burstiness(Tables.events(s, dir), "user_id", "ts")),
     "q_mann_kendall" -> ((s, dir) =>
       // nonparametric monotone-trend test on daily revenue: exact pair
       // signs on the centi lattice, tie-corrected variance, z

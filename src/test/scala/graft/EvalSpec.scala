@@ -459,6 +459,23 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => r._2 + r._3).sum == 40L)
   }
 
+  test("seasonalStrength: pure weekday signal scores 1, flat series " +
+      "degenerates to NULL strength") {
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val pure = (0 until 21).map { i =>
+      val d = d0.plusDays(i.toLong)
+      (java.sql.Date.valueOf(d), 700.0 + (d.toEpochDay % 7).toDouble)
+    }.toDF("d", "v")
+    val p = Eval.seasonalStrength(pure, col("d"), "v").collect().head
+    assert(p.getAs[Long]("n_days") == 15L) // 21 minus 3-day edges
+    assert(p.getAs[Double]("var_residual") == 0.0)
+    assert(p.getAs[Double]("seasonal_strength") == 1.0)
+    val flat = (0 until 21).map(i =>
+      (java.sql.Date.valueOf(d0.plusDays(i.toLong)), 5.0)).toDF("d", "v")
+    val f = Eval.seasonalStrength(flat, col("d"), "v").collect().head
+    assert(f.isNullAt(f.fieldIndex("seasonal_strength")))
+  }
+
   test("logRank: identical arm curves score zero, early-vs-late events " +
       "replay the closed form on the lattice") {
     val M = 2147483647L

@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("burstiness: constant days score Fano 0, a burst inflates it, " +
+      "zero-activity days never enter") {
+    def ts(d: Int, i: Int) = java.sql.Timestamp
+      .valueOf(f"2024-01-$d%02d 0$i:00:00")
+    // u1: 2 events on each of 3 days; u2: 1 then 5 (gap day untouched)
+    val rows = (Seq(1, 2, 3).flatMap(d => Seq((1L, ts(d, 1)),
+      (1L, ts(d, 2)))) ++
+      Seq((2L, ts(1, 1))) ++ (1 to 5).map(i => (2L, ts(9, i))))
+      .toDF("user_id", "ts")
+    val out = graft.ops.Stats.burstiness(rows, "user_id", "ts")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 6L, 2.0, 0.0, 0.0)))
+    // u2: counts {1,5}: mean 3, var 4, fano 1.333333
+    assert(out(2L) == ((2L, 2L, 6L, 3.0, 4.0, 1.333333)))
+  }
+
   test("mannKendall: strictly rising closed form, flat series degenerate " +
       "with zero variance, direction mirrors") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
