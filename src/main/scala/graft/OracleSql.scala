@@ -4943,6 +4943,73 @@ object OracleSql {
       ORDER BY lag"""
     },
 
+    // Kruskal-Wallis: exact 2x-midranks, per-group rank sums CASE-folded
+    // into one row, fixed left-to-right H combine, exact tie sums
+    "q_kruskal_wallis" -> {
+      val gs = Seq("click", "error", "purchase", "signup", "view")
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n$i,
+             CAST(sum(CASE WHEN g = '$g' THEN r2 ELSE 0 END) AS BIGINT)
+               AS s$i""" }.mkString(",\n             ")
+      val hTerms = gs.indices
+        .map(i => s"CAST(s$i AS DOUBLE) * s$i / n$i").mkString(" + ")
+      val nn = "CAST(n AS DOUBLE)"
+      val tie = s"1.0 - CAST(tsum AS DOUBLE) / ($nn * $nn * $nn - $nn)"
+      val h = s"3.0 / ($nn * ($nn + 1.0)) * ($hTerms) - 3.0 * ($nn + 1.0)"
+      val nCols = gs.zipWithIndex
+        .map { case (g, i) => s"n$i AS n_$g" }.mkString(", ")
+      s"""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      pv AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY v),
+      r AS (SELECT v, CAST(2 * coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS r2 FROM pv),
+      j AS (SELECT b.g, r.r2 FROM base b JOIN r ON b.v = r.v),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             $caseCols
+            FROM j),
+      t AS (SELECT CAST(coalesce(sum(n * n * n - n), 0) AS BIGINT) AS tsum
+            FROM pv)
+      SELECT n, $nCols,
+             round($h, 6) AS h,
+             round($tie, 6) AS tie_correction,
+             round(($h) / ($tie), 6) AS h_adjusted,
+             CAST(${gs.size - 1} AS INTEGER) AS df
+      FROM f, t"""
+    },
+
+    // Ljung-Box: the q_autocorr chain folded to Q = n(n+2) Sum rho_k^2/(n-k),
+    // each lag's term on the 1e-12 lattice before the bounded sum
+    "q_ljung_box" -> {
+      val lags = (1 to 14)
+        .map(k => s"lag(x, $k) OVER (ORDER BY bucket) AS l$k")
+        .mkString(",\n               ")
+      val arms = (1 to 14)
+        .map(k => s"SELECT $k AS lag, corr(x, l$k) AS c FROM l")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH s AS (SELECT CAST(o_orderdate AS DATE) AS bucket,
+                        avg(o_totalprice) AS x
+                 FROM orders GROUP BY 1),
+      l AS (SELECT bucket, x,
+               $lags
+            FROM s),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+      a AS (SELECT lag, round(c, 6) AS rho FROM ($arms)),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS lags_used,
+              CAST(sum(CAST(round(rho * rho
+                / ((SELECT n FROM nn) - lag) * 1e12, 0) AS BIGINT))
+                AS BIGINT) AS qm
+            FROM a WHERE rho IS NOT NULL)
+      SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_buckets, lags_used,
+             round(CAST((SELECT n FROM nn) * ((SELECT n FROM nn) + 2)
+               AS DOUBLE) * (qm / 1e12), 6) AS q_stat
+      FROM f"""
+    },
+
     // seasonal strength: the q_seasonality decomposition replayed, then
     // both variances from exact whole-unit-lattice long sums
     "q_seasonal_strength" -> """

@@ -827,6 +827,85 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Kruskal–Wallis rank test across DECLARED groups — the
+    * nonparametric ANOVA ("do the value distributions differ across
+    * event types at all?") gating any pairwise drill-down. Ranks are
+    * the exact integer 2×-midranks of [[spearman]]; per-group rank sums
+    * are CASE-folded into ONE row so the k-term H combine is a fixed
+    * left-to-right literal chain (never an aggregation whose order the
+    * engine picks), and the tie correction Σ(t³−t)/(n³−n) comes from
+    * exact long sums at the distinct-value grain. The declared roster
+    * fails loud on drift (the markov-oracle contract).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"kruskalWallis: 1..32 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val observed = base.select("__g").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(observed == groups.sorted,
+      s"kruskalWallis: observed groups ${observed.mkString("[", ", ", "]")}"
+        + s" differ from the declared roster — fail loud, don't hash-flake")
+    val perVal = base.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = perVal.withColumn("__r2",
+      lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+        + col("__n") + lit(1L))
+    val ranked = base.join(ranks.select(col("__v"), col("__r2")), Seq("__v"))
+    val aggs = groups.sorted.zipWithIndex.flatMap { case (g, i) =>
+      Seq(sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(col("__g") === g, col("__r2")).otherwise(0L)).as(s"__s$i"))
+    } :+ count(lit(1)).as("n")
+    val folded = ranked.agg(aggs.head, aggs.tail: _*)
+    val ties = perVal.agg(coalesce(sum(col("__n") * col("__n") * col("__n")
+      - col("__n")), lit(0L)).as("__tsum"))
+    // H = 3/(n(n+1)) · Σ s2ⱼ²/nⱼ − 3(n+1)  (2×-rank algebra folds the
+    // usual 12/(n(n+1)) and the /4 from squaring the doubled ranks)
+    val hTerms = groups.indices.map(i =>
+      col(s"__s$i").cast("double") * col(s"__s$i") / col(s"__n$i"))
+      .reduce(_ + _)
+    val nn = col("n").cast("double")
+    val h = lit(3.0) / (nn * (nn + 1.0)) * hTerms - lit(3.0) * (nn + 1.0)
+    folded.crossJoin(broadcast(ties))
+      .select((Seq(col("n")) ++
+        groups.sorted.zipWithIndex.map { case (g, i) =>
+          col(s"__n$i").as(s"n_$g") } ++ Seq(
+        round(h, 6).as("h"),
+        round(lit(1.0) - col("__tsum").cast("double")
+          / (nn * nn * nn - nn), 6).as("tie_correction"),
+        round(h / (lit(1.0) - col("__tsum").cast("double")
+          / (nn * nn * nn - nn)), 6).as("h_adjusted"),
+        lit(groups.size - 1).as("df"))): _*)
+  }
+
+  /** Ljung–Box portmanteau test over the daily series: is there ANY
+    * autocorrelation in the first `maxLag` lags —
+    * Q = n(n+2)·Σ ρ̂ₖ²/(n−k), the one-number gate before trusting an
+    * i.i.d. assumption (residual diagnostics, bootstrap validity).
+    * Built ON [[autocorr]]'s rounded coefficients (both engines fold
+    * identical 6-decimal ρ̂ values), with each lag's term committed to
+    * a 1e-12 lattice before the ≤maxLag-row sum.
+    */
+  def ljungBox(df: DataFrame, bucketCol: Column, valueCol: String,
+               maxLag: Int): DataFrame = {
+    val ac = autocorr(df, bucketCol, valueCol, maxLag)
+    val nSeries = df.select(bucketCol.as("__b")).distinct().count()
+    require(nSeries > maxLag,
+      s"ljungBox: series length $nSeries must exceed maxLag $maxLag")
+    val folded = ac.filter(col("autocorr").isNotNull).agg(
+      count(lit(1)).as("lags_used"),
+      sum(round(col("autocorr") * col("autocorr")
+        / (lit(nSeries) - col("lag")) * 1e12, 0).cast("long")).as("__qm"))
+    folded.select(lit(nSeries).as("n_buckets"), col("lags_used"),
+      round(lit((nSeries * (nSeries + 2)).toDouble)
+        * (col("__qm") / lit(1e12)), 6).as("q_stat"))
+  }
+
   /** Per-entity burstiness of ACTIVE days: the Fano factor
     * (Var/Mean of daily event counts over days the entity appeared —
     * zeros excluded by construction, so this reads dispersion of

@@ -629,6 +629,16 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_kruskal_wallis" -> ((s, dir) =>
+      // nonparametric ANOVA: do value distributions differ across event
+      // types at all? exact 2x-midrank sums, fixed-order H combine
+      Stats.kruskalWallis(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_ljung_box" -> ((s, dir) =>
+      // any autocorrelation in the first 14 lags of daily revenue? the
+      // portmanteau gate on i.i.d. assumptions
+      Stats.ljungBox(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice", maxLag = 14)),
     "q_seasonal_strength" -> ((s, dir) =>
       // is the weekly pattern real: Hyndman F_s over the decomposition,
       // components on the centi lattice

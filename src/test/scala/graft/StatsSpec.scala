@@ -7,6 +7,47 @@ import org.apache.spark.sql.functions._
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kruskalWallis: separated groups score the closed-form H, " +
+      "identical groups score ~0, roster drift fails loud") {
+    val sep = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = graft.ops.Stats.kruskalWallis(sep, "g", "v", Seq("a", "b"))
+      .collect().head
+    // ranks 1..6: Ra=6, Rb=15 -> H = 12/42*(12+75) - 21 = 3.857143
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("h") == 3.857143)
+    assert(r.getAs[Double]("tie_correction") == 1.0)
+    assert(r.getAs[Double]("h_adjusted") == 3.857143)
+    // interleaved identical distributions: H exactly 0 (rank sums equal)
+    val same = (Seq(1.0, 3.0, 5.0).map(("a", _)) ++
+      Seq(1.0, 3.0, 5.0).map(("b", _))).toDF("g", "v")
+    val s = graft.ops.Stats.kruskalWallis(same, "g", "v", Seq("a", "b"))
+      .collect().head
+    assert(math.abs(s.getAs[Double]("h_adjusted")) < 1e-6)
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.kruskalWallis(sep, "g", "v", Seq("a", "b", "c"))
+    }
+  }
+
+  test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
+      "closed form; short series refused") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 1, 1).plusDays(i.toLong))
+    val lin = (0 until 30).map(i => (d(i), (i + 1).toDouble)).toDF("b", "v")
+    val out = graft.ops.Stats.ljungBox(lin, col("b"), "v", maxLag = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_buckets") == 30L)
+    assert(out.getAs[Long]("lags_used") == 2L)
+    val qm = math.round(1.0 / 28 * 1e12) + math.round(1.0 / 29 * 1e12)
+    val expected = BigDecimal(960.0 * (qm / 1e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("q_stat") == expected)
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.ljungBox(lin.limit(2), col("b"), "v", maxLag = 2)
+    }
+  }
+
   test("burstiness: constant days score Fano 0, a burst inflates it, " +
       "zero-activity days never enter") {
     def ts(d: Int, i: Int) = java.sql.Timestamp
