@@ -4945,6 +4945,127 @@ object OracleSql {
 
     // Kruskal-Wallis: exact 2x-midranks, per-group rank sums CASE-folded
     // into one row, fixed left-to-right H combine, exact tie sums
+    // Cramér's V: joint counts exact, each OBSERVED cell's n·nxy²/(nx·ny)
+    // term from one fixed double tree on the 1e-9 lattice; chi2 = Σ − n
+    // (empty cells absorbed by the identity, never densified)
+    "q_cramers_v" -> """
+      WITH base AS (SELECT lang AS x, source AS y FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL),
+      j AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+            FROM base GROUP BY x, y),
+      m AS (SELECT x, y, nxy,
+              CAST(sum(nxy) OVER () AS BIGINT) AS n,
+              CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+              CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny
+            FROM j),
+      f AS (SELECT CAST(max(n) AS BIGINT) AS n,
+              CAST(count(DISTINCT x) AS BIGINT) AS r,
+              CAST(count(DISTINCT y) AS BIGINT) AS c,
+              CAST(sum(CAST(round(
+                  CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)
+                    * CAST(nxy AS DOUBLE)
+                    / (CAST(nx AS DOUBLE) * ny) * 1e9, 0)
+                AS BIGINT)) AS BIGINT) / 1e9 AS traw
+            FROM m),
+      g AS (SELECT n, r, c,
+              traw - CAST(n AS DOUBLE) AS chi2raw
+            FROM f)
+      SELECT n, r, c,
+             CAST((r - 1) * (c - 1) AS INTEGER) AS dof,
+             round(chi2raw, 6) AS chi2,
+             round(sqrt(chi2raw / CAST(n AS DOUBLE)
+               / least(CAST(r AS DOUBLE) - 1.0, CAST(c AS DOUBLE) - 1.0)),
+               6) AS cramers_v,
+             round(sqrt(greatest(0.0, chi2raw / CAST(n AS DOUBLE)
+                 - (CAST(r AS DOUBLE) - 1.0) * (CAST(c AS DOUBLE) - 1.0)
+                   / (CAST(n AS DOUBLE) - 1.0))
+               / least(CAST(r AS DOUBLE) - (CAST(r AS DOUBLE) - 1.0)
+                   * (CAST(r AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 1.0)
+                   - 1.0,
+                 CAST(c AS DOUBLE) - (CAST(c AS DOUBLE) - 1.0)
+                   * (CAST(c AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 1.0)
+                   - 1.0)), 6) AS cramers_v_corrected
+      FROM g""",
+
+    // Brown-Forsythe: exact interpolated group medians (quantile_cont ==
+    // Spark percentile), |v-med| on the micro lattice, CASE-folded exact
+    // sums, fixed left-to-right W combine (scale cancels in the ratio)
+    "q_brown_forsythe" -> {
+      val gs = Seq("click", "error", "purchase", "signup", "view")
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n$i,
+             CAST(sum(CASE WHEN g = '$g' THEN zu ELSE 0 END) AS BIGINT)
+               AS s$i,
+             sum(CASE WHEN g = '$g'
+                 THEN CAST(zu AS HUGEINT) * zu
+                 ELSE CAST(0 AS HUGEINT) END) AS q$i""" }.mkString(",\n             ")
+      val k = gs.size
+      val grand = s"CAST(${gs.indices.map(i => s"s$i").mkString(" + ")}"
+        .concat(s" AS DOUBLE) / CAST(n AS DOUBLE)")
+      def mj(i: Int) = s"CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)"
+      val num = gs.indices.map(i =>
+        s"CAST(n$i AS DOUBLE) * (${mj(i)} - ($grand))"
+          + s" * (${mj(i)} - ($grand))").mkString(" + ")
+      val den = gs.indices.map(i => s"(CAST(q$i AS DOUBLE)"
+        + s" - CAST(s$i AS DOUBLE) * s$i / CAST(n$i AS DOUBLE))")
+        .mkString(" + ")
+      val w = s"(CAST(n AS DOUBLE) - $k.0) / ${k - 1}.0 * ($num) / ($den)"
+      val nCols = gs.zipWithIndex
+        .map { case (g, i) => s"n$i AS n_$g" }.mkString(", ")
+      s"""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY g),
+      z AS (SELECT b.g,
+              CAST(round(abs(b.v - m.med) * 1e6, 0) AS BIGINT) AS zu
+            FROM base b JOIN med m ON b.g = m.g),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             $caseCols
+            FROM z)
+      SELECT n, $nCols,
+             round($w, 6) AS w_stat,
+             CAST(${k - 1} AS INTEGER) AS df1,
+             n - $k AS df2
+      FROM f"""
+    },
+
+    // McNemar: user-grain paired binary table — pure long ratios, no
+    // float sum anywhere
+    "q_mcnemar" -> """
+      WITH u AS (SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+             FROM events GROUP BY user_id),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+              CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a_only,
+              CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b_only,
+              CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neither
+            FROM u)
+      SELECT n_users, n_both, n_a_only, n_b_only, n_neither,
+        CASE WHEN n_a_only + n_b_only > 0 THEN
+          round((CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+            * (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+            / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE)), 6)
+        END AS chi2,
+        CASE WHEN n_a_only + n_b_only > 0 THEN
+          round((abs(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+              - 1.0)
+            * (abs(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+              - 1.0)
+            / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE)), 6)
+        END AS chi2_corrected,
+        CASE WHEN n_b_only > 0 THEN
+          round(CAST(n_a_only AS DOUBLE) / CAST(n_b_only AS DOUBLE), 6)
+        END AS discordant_odds
+      FROM f""",
+
     "q_kruskal_wallis" -> {
       val gs = Seq("click", "error", "purchase", "signup", "view")
       val caseCols = gs.zipWithIndex.map { case (g, i) =>

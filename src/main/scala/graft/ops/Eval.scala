@@ -155,6 +155,45 @@ object Eval {
       .drop("__mc", "__mt", "__vc", "__vt")
   }
 
+  /** McNemar's test over PAIRED binary outcomes at the user grain —
+    * "among the same users, is behavior A more prevalent than behavior
+    * B?" (e.g. clicked-ever vs purchased-ever). The paired design makes
+    * this the right test where the two-proportion z of [[abTest]] would
+    * be wrong: each user is their own control, and only the DISCORDANT
+    * cells (A-only / B-only) carry information. Reports the 2×2 paired
+    * table, the χ² form (b−c)²/(b+c), Edwards' continuity-corrected
+    * (|b−c|−1)²/(b+c), and the discordant odds ratio b/c.
+    *
+    * Every number is a ratio of exact longs from ONE user-grain
+    * aggregation (map-side combined) plus a single-row fold — no float
+    * sum anywhere, so the oracle matches bit-for-bit.
+    */
+  def mcnemar(df: DataFrame, userCol: String, aCond: Column,
+              bCond: Column): DataFrame = {
+    val users = df.groupBy(col(userCol))
+      .agg(max(aCond.cast("int")).as("__a"),
+        max(bCond.cast("int")).as("__b"))
+    val folded = users.groupBy().agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("__a") === 1 && col("__b") === 0, 1L).otherwise(0L))
+        .as("n_a_only"),
+      sum(when(col("__a") === 0 && col("__b") === 1, 1L).otherwise(0L))
+        .as("n_b_only"),
+      sum(when(col("__a") === 0 && col("__b") === 0, 1L).otherwise(0L))
+        .as("n_neither"))
+    val b = col("n_a_only").cast("double")
+    val c = col("n_b_only").cast("double")
+    val disc = b + c
+    folded.select(col("n_users"), col("n_both"), col("n_a_only"),
+      col("n_b_only"), col("n_neither"),
+      when(disc > 0, round((b - c) * (b - c) / disc, 6)).as("chi2"),
+      when(disc > 0, round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / disc,
+        6)).as("chi2_corrected"),
+      when(col("n_b_only") > 0, round(b / c, 6)).as("discordant_odds"))
+  }
+
   /** Always-valid sequential A/B readout (one row per day): the
     * normal-mixture SPRT (mSPRT — Johari et al. 2017, "Peeking at A/B
     * tests") over cumulative two-proportion counts. Unlike the fixed-n

@@ -906,6 +906,132 @@ object Stats {
         * (col("__qm") / lit(1e12)), 6).as("q_stat"))
   }
 
+  /** Cramér's V association between two CATEGORICAL columns — "how much
+    * does knowing `lang` tell you about `source`?" on a 0..1 scale, the
+    * effect-size companion to a raw χ² (which grows with n even for
+    * trivial association). Includes the Bergsma (2013) bias-corrected
+    * variant, which is ~0 for independent columns at any n (the raw V is
+    * biased upward on small/filtered slices).
+    *
+    * Determinism: joint counts are exact longs; each observed cell's
+    * term n·nxy²/(nx·ny) is evaluated in doubles from exact integers
+    * with ONE fixed expression tree, committed to a 1e-9 lattice, and
+    * summed as longs — the cell-order of the shuffle can't move the
+    * statistic. χ² = Σterms − n (the sum-of-squares identity), so the
+    * EMPTY cells the joint count never emits are absorbed exactly by
+    * the −n and sparse tables need no densify pass.
+    *
+    * Plan: one shuffled joint count at the (x, y) grain (map-side
+    * combined), windows over the bounded contingency table. One row out.
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val all = Window.partitionBy()
+    val wx = Window.partitionBy(col("__x"))
+    val wy = Window.partitionBy(col("__y"))
+    // chi2 = n·Σ nxy²/(nx·ny) − n over OBSERVED cells only — the empty
+    // cells of the contingency table (never emitted by the joint count)
+    // are absorbed by the −n, so sparse tables need no densify pass
+    val nxyD = col("__nxy").cast("double")
+    val term = col("__n").cast("double") * nxyD * nxyD /
+      (col("__nx").cast("double") * col("__ny"))
+    val folded = joint
+      .withColumn("__n", sum(col("__nxy")).over(all))
+      .withColumn("__nx", sum(col("__nxy")).over(wx))
+      .withColumn("__ny", sum(col("__nxy")).over(wy))
+      .withColumn("__cell", round(term * 1e9, 0).cast("long"))
+      .agg(max(col("__n")).as("n"),
+        countDistinct(col("__x")).as("r"),
+        countDistinct(col("__y")).as("c"),
+        (sum(col("__cell")) / 1e9).as("__t"))
+    val nD = col("n").cast("double")
+    val rD = col("r").cast("double")
+    val cD = col("c").cast("double")
+    val chi2 = col("__t") - nD
+    val phi2 = chi2 / nD
+    // Bergsma bias correction: subtract the independence-expected phi2
+    // and shrink the table dims; max(0, .) keeps degenerate slices at 0
+    val phi2c = greatest(lit(0.0),
+      phi2 - (rD - 1.0) * (cD - 1.0) / (nD - 1.0))
+    val rC = rD - (rD - 1.0) * (rD - 1.0) / (nD - 1.0)
+    val cC = cD - (cD - 1.0) * (cD - 1.0) / (nD - 1.0)
+    folded.select(col("n"), col("r"), col("c"),
+      ((col("r") - 1L) * (col("c") - 1L)).cast("int").as("dof"),
+      round(chi2, 6).as("chi2"),
+      round(sqrt(phi2 / least(rD - 1.0, cD - 1.0)), 6).as("cramers_v"),
+      round(sqrt(phi2c / least(rC - 1.0, cC - 1.0)), 6)
+        .as("cramers_v_corrected"))
+  }
+
+  /** Brown–Forsythe (median-centered Levene) test: do the DECLARED
+    * groups have equal value SPREAD? The variance-homogeneity gate in
+    * front of any pooled-variance comparison ([[kruskalWallis]] asks
+    * about location; this asks about scale — a drifted segment often
+    * moves its variance first). Median-centered (Brown–Forsythe 1974)
+    * rather than mean-centered for robustness to the heavy tails real
+    * value columns have.
+    *
+    * Determinism: group medians are exact interpolated percentiles
+    * (identical definition in Spark's `percentile` and DuckDB's
+    * `quantile_cont`); each |v − med| deviation is committed to the 1e-6
+    * lattice as a long, so Σz is exact and Σz² is an exact DECIMAL sum;
+    * the W combine is a fixed left-to-right chain over the k CASE-folded
+    * per-group sums in micro units (W is scale-invariant, so the lattice
+    * scale cancels and never needs unwinding).
+    *
+    * Plan: one keyed exact-percentile aggregation (k groups), medians
+    * broadcast back, one corpus fold to a single row. The exact
+    * percentile is the documented per-group-sorted caveat shared with
+    * `q_percentiles` — swap to approx_percentile off the oracle path.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
+                    groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"brownForsythe: 1..32 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val observed = base.select("__g").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(observed == groups.sorted,
+      s"brownForsythe: observed groups ${observed.mkString("[", ", ", "]")}"
+        + s" differ from the declared roster — fail loud, don't hash-flake")
+    val med = base.groupBy(col("__g"))
+      .agg(expr("percentile(__v, 0.5D)").as("__med"))
+    val z = base.join(broadcast(med), Seq("__g"))
+      .withColumn("__zu",
+        round(abs(col("__v") - col("__med")) * 1e6, 0).cast("long"))
+    val sorted = groups.sorted
+    val aggs = sorted.zipWithIndex.flatMap { case (g, i) =>
+      Seq(sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(col("__g") === g, col("__zu")).otherwise(0L)).as(s"__s$i"),
+        sum(when(col("__g") === g,
+          col("__zu").cast("decimal(38,0)") * col("__zu"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"__q$i"))
+    } :+ count(lit(1)).as("n")
+    val folded = z.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val k = sorted.size
+    def nj(i: Int) = col(s"__n$i").cast("double")
+    def mj(i: Int) = col(s"__s$i").cast("double") / nj(i)
+    val grand = sorted.indices.map(i => col(s"__s$i"))
+      .reduce(_ + _).cast("double") / nD
+    val num = sorted.indices
+      .map(i => nj(i) * (mj(i) - grand) * (mj(i) - grand)).reduce(_ + _)
+    val den = sorted.indices.map(i => col(s"__q$i").cast("double") -
+      col(s"__s$i").cast("double") * col(s"__s$i") / nj(i)).reduce(_ + _)
+    val w = (nD - k) / lit((k - 1).toDouble) * num / den
+    folded.select((Seq(col("n")) ++
+      sorted.zipWithIndex.map { case (g, i) => col(s"__n$i").as(s"n_$g") } ++
+      Seq(round(w, 6).as("w_stat"),
+        lit(k - 1).as("df1"),
+        (col("n") - k).as("df2"))): _*)
+  }
+
   /** Per-entity burstiness of ACTIVE days: the Fano factor
     * (Var/Mean of daily event counts over days the entity appeared —
     * zeros excluded by construction, so this reads dispersion of

@@ -467,6 +467,13 @@ object AnalyticsRegistry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id",
         col("event_type") === "purchase" && col("value") > 95.0, "value")),
+    "q_mcnemar" -> ((s, dir) =>
+      // paired binary prevalence at the user grain: clicked-ever vs
+      // purchased-ever — only the discordant cells carry information
+      Eval.mcnemar(
+        Tables.events(s, dir).select(col("user_id"), col("event_type")),
+        "user_id",
+        col("event_type") === "click", col("event_type") === "purchase")),
     "q_eb_shrinkage" -> ((s, dir) =>
       // the leaderboard fix: per-user conversion rates posterior-shrunk
       // under a moment-matched beta prior — evidence-proportional pull
@@ -629,6 +636,15 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_cramers_v" -> ((s, dir) =>
+      // association strength between document language and source on a
+      // 0..1 scale, with the Bergsma small-sample bias correction
+      Stats.cramersV(Tables.documents(s, dir), "lang", "source")),
+    "q_brown_forsythe" -> ((s, dir) =>
+      // variance-homogeneity gate: do event types have equal value
+      // SPREAD? median-centered deviations on the micro lattice
+      Stats.brownForsythe(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
     "q_kruskal_wallis" -> ((s, dir) =>
       // nonparametric ANOVA: do value distributions differ across event
       // types at all? exact 2x-midrank sums, fixed-order H combine

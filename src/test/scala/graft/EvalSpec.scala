@@ -45,6 +45,33 @@ class EvalSpec extends SparkSpec {
     assert((3 to 9).forall(d => out(d)._3 == 0L && out(d)._5.get == 1.0))
   }
 
+  test("mcnemar: the paired 2x2 folds per user and the discordant " +
+      "statistics hit the closed form") {
+    // u1 A-only; u2,u3 B-only; u4 both; u5 neither
+    val rows = Seq((1L, "click"), (2L, "purchase"), (3L, "purchase"),
+      (4L, "click"), (4L, "purchase"), (5L, "view"))
+    val df = rows.toDF("user_id", "event_type")
+    val out = Eval.mcnemar(df, "user_id",
+      col("event_type") === "click", col("event_type") === "purchase")
+      .collect().head
+    assert(out.getAs[Long]("n_users") == 5L)
+    assert(out.getAs[Long]("n_both") == 1L)
+    assert(out.getAs[Long]("n_a_only") == 1L)
+    assert(out.getAs[Long]("n_b_only") == 2L)
+    assert(out.getAs[Long]("n_neither") == 1L)
+    assert(out.getAs[Double]("chi2") == 0.333333)   // (1-2)^2 / 3
+    assert(out.getAs[Double]("chi2_corrected") == 0.0) // (|1-2|-1)^2 / 3
+    assert(out.getAs[Double]("discordant_odds") == 0.5)
+    // no discordance at all: statistics are NULL, not a crash or a 0/0
+    val tied = Seq((1L, "click"), (1L, "purchase"), (2L, "view"))
+      .toDF("user_id", "event_type")
+    val t = Eval.mcnemar(tied, "user_id",
+      col("event_type") === "click", col("event_type") === "purchase")
+      .collect().head
+    assert(t.isNullAt(t.fieldIndex("chi2")) &&
+      t.isNullAt(t.fieldIndex("discordant_odds")))
+  }
+
   test("abTest: arms partition the users and the statistics replay the " +
       "closed-form formulas on the hash assignment") {
     val M = 2147483647L

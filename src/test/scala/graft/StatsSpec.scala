@@ -30,6 +30,44 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cramersV: identical columns score V=1 (raw and corrected), " +
+      "independent columns score 0") {
+    val perfect = Seq("a", "b", "a", "b", "a", "b", "a", "b")
+      .map(v => (v, v)).toDF("x", "y")
+    val p = graft.ops.Stats.cramersV(perfect, "x", "y").collect().head
+    assert(p.getAs[Long]("n") == 8L && p.getAs[Long]("r") == 2L)
+    assert(p.getAs[Double]("cramers_v") == 1.0)
+    assert(p.getAs[Double]("cramers_v_corrected") == 1.0)
+    // balanced 2x2 with equal cells: zero association, corrected stays 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("c", "d");
+                       _ <- 1 to 3 } yield (x, y)).toDF("x", "y")
+    val i = graft.ops.Stats.cramersV(indep, "x", "y").collect().head
+    assert(i.getAs[Double]("chi2") == 0.0)
+    assert(i.getAs[Double]("cramers_v") == 0.0)
+    assert(i.getAs[Double]("cramers_v_corrected") == 0.0)
+  }
+
+  test("brownForsythe: equal spreads score W=0, a doubled spread the " +
+      "closed form, roster drift fails loud") {
+    val eq = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("b", _))).toDF("g", "v")
+    val e = graft.ops.Stats.brownForsythe(eq, "g", "v", Seq("a", "b"))
+      .collect().head
+    assert(e.getAs[Long]("n") == 6L)
+    assert(e.getAs[Long]("n_a") == 3L && e.getAs[Long]("n_b") == 3L)
+    assert(e.getAs[Double]("w_stat") == 0.0)
+    // b twice as spread: z_a = (1,0,1), z_b = (2,0,2) -> W = 4*(2/3)/(10/3)
+    val un = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(10.0, 12.0, 14.0).map(("b", _))).toDF("g", "v")
+    val u = graft.ops.Stats.brownForsythe(un, "g", "v", Seq("a", "b"))
+      .collect().head
+    assert(u.getAs[Double]("w_stat") == 0.8)
+    assert(u.getAs[Int]("df1") == 1 && u.getAs[Long]("df2") == 4L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.brownForsythe(eq, "g", "v", Seq("a"))
+    }
+  }
+
   test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
       "closed form; short series refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
