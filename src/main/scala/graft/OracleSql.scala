@@ -5131,6 +5131,68 @@ object OracleSql {
       FROM f"""
     },
 
+    // Hurst R/S: m-scaled integer block arithmetic (centi-lattice daily
+    // revenue), per-block R/S on the micro lattice, ln(m) regressor
+    // literals injected from the SAME Scala doubles the Spark side folds
+    "q_hurst" -> {
+      val ms = Seq(8, 16, 32, 64, 128)
+      val xs = ms.map(m => math.log(m.toDouble))
+      def d2s(v: Double) = java.lang.Double.toString(v)
+      val k = ms.size
+      val sx = d2s(xs.reduce(_ + _))
+      val sxx = d2s(xs.map(x => x * x).reduce(_ + _))
+      val ys = ms.zipWithIndex.map { case (m, i) =>
+        s"sum(CASE WHEN m = $m THEN log_rs END) AS y$i" }.mkString(",\n          ")
+      val sxy = ms.indices.map(i => s"${d2s(xs(i))} * y$i").mkString(" + ")
+      val sy = ms.indices.map(i => s"y$i").mkString(" + ")
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      r AS (SELECT x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+            FROM daily),
+      e AS (SELECT CAST(m AS BIGINT) AS m, rn, x
+            FROM r CROSS JOIN
+              (SELECT unnest([${ms.mkString(",")}]) AS m)),
+      b AS (SELECT m, x, (rn - 1) // m AS blk,
+              (rn - 1) - ((rn - 1) // m) * m AS pos
+            FROM e),
+      f AS (SELECT m, blk, pos, x,
+              count(*) OVER (PARTITION BY m, blk) AS cnt,
+              CAST(sum(x) OVER (PARTITION BY m, blk) AS BIGINT) AS s,
+              CAST(sum(x) OVER (PARTITION BY m, blk ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS csum
+            FROM b),
+      g AS (SELECT m, blk,
+              CAST(max(m * csum - (pos + 1) * s)
+                - min(m * csum - (pos + 1) * s) AS BIGINT) AS rng,
+              sum(CAST(m * x - s AS HUGEINT) * (m * x - s)) AS ss
+            FROM f WHERE cnt = m GROUP BY m, blk),
+      h AS (SELECT m,
+              CAST(round((CAST(rng AS DOUBLE) / CAST(m AS DOUBLE))
+                / sqrt(CAST(ss AS DOUBLE) / (CAST(m AS DOUBLE)
+                  * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))) * 1e6, 0)
+                AS BIGINT) AS rsu
+            FROM g WHERE ss > 0),
+      p AS (SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+              CAST(sum(rsu) AS BIGINT) AS rst FROM h GROUP BY m),
+      q AS (SELECT m, n_blocks,
+              CAST(rst AS DOUBLE) / n_blocks / 1e6 AS rs_mean_raw,
+              round(ln(CAST(rst AS DOUBLE) / n_blocks / 1e6), 6) AS log_rs
+            FROM p),
+      yf AS (SELECT $ys
+             FROM q),
+      sc AS (SELECT round(($k.0 * ($sxy) - $sx * ($sy))
+               / ($k.0 * $sxx - $sx * $sx), 6) AS hurst
+             FROM yf)
+      SELECT m AS block_m, n_blocks, round(rs_mean_raw, 6) AS rs_mean,
+             log_rs, hurst
+      FROM q, sc
+      ORDER BY block_m"""
+    },
+
     // seasonal strength: the q_seasonality decomposition replayed, then
     // both variances from exact whole-unit-lattice long sums
     "q_seasonal_strength" -> """

@@ -1032,6 +1032,99 @@ object Stats {
         (col("n") - k).as("df2"))): _*)
   }
 
+  /** Hurst exponent via rescaled-range (R/S) analysis over the daily
+    * series — long-range dependence in one number: H ≈ 0.5 is a random
+    * walk, H > 0.5 persistent (trends feed themselves: load, revenue
+    * momentum), H < 0.5 mean-reverting. The capacity-planning and
+    * forecast-model-selection gate next to [[autocorr]]/[[ljungBox]]
+    * (which only see FIXED lags; R/S sees scaling across lags).
+    *
+    * Method: for each block size m, split the rank-ordered daily series
+    * into ⌊N/m⌋ full blocks; per block compute the range R of cumulative
+    * deviations from the block mean and the population std S; average
+    * R/S per m; H = OLS slope of ln(mean R/S) on ln(m).
+    *
+    * Determinism: daily values ride the centi lattice (exact longs);
+    * block arithmetic is m-SCALED so the block mean never appears as a
+    * rational — m·W_j = m·csum_j − j·S_blk and m·d_i = m·x_i − S_blk are
+    * exact longs, Σ(m·d)² an exact decimal, so R and S derive from exact
+    * integers and one fixed double tree. Per-block R/S commits to the
+    * 1e-6 lattice before the per-m mean; the ln(m) regressor literals are
+    * computed ONCE here and injected verbatim into both engines (the
+    * shared-literal contract), and the 5-point slope folds left-to-right.
+    *
+    * Plan: one keyed daily aggregation (corpus-sized), then ×|blockSizes|
+    * replication of the CALENDAR-BOUNDED day table through partitioned
+    * windows — the documented bounded-global-window class.
+    */
+  def hurstRS(df: DataFrame, dateCol: Column, valueCol: String,
+              blockSizes: Seq[Int] = Seq(8, 16, 32, 64, 128)): DataFrame = {
+    require(blockSizes.nonEmpty && blockSizes.size <= 8 &&
+      blockSizes.forall(_ >= 4) && blockSizes.distinct == blockSizes,
+      s"hurstRS: 1..8 distinct block sizes >= 4 (got $blockSizes)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
+    val nDays = daily.count()
+    require(nDays >= 2L * blockSizes.max,
+      s"hurstRS: need >= ${2 * blockSizes.max} days for >= 2 blocks at " +
+        s"the largest block size, got $nDays")
+    val ranked = daily.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__d"))).cast("long"))
+    val blk = ranked
+      .select(explode(array(blockSizes.map(m => lit(m.toLong)): _*))
+        .as("__m"), col("__rn"), col("__x"))
+      .withColumn("__blk", expr("(__rn - 1) div __m"))
+      .withColumn("__pos", col("__rn") - 1L - col("__blk") * col("__m"))
+    val wBlk = Window.partitionBy(col("__m"), col("__blk"))
+    val wCum = wBlk.orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = blk
+      .withColumn("__cnt", count(lit(1)).over(wBlk))
+      .filter(col("__cnt") === col("__m"))
+      .withColumn("__s", sum(col("__x")).over(wBlk))
+      .withColumn("__csum", sum(col("__x")).over(wCum))
+      .withColumn("__mw",
+        col("__m") * col("__csum") - (col("__pos") + 1L) * col("__s"))
+      .withColumn("__md", col("__m") * col("__x") - col("__s"))
+    val mD = col("__m").cast("double")
+    val rs = (col("__range").cast("double") / mD) /
+      sqrt(col("__ss").cast("double") / (mD * mD * mD))
+    val perM = full.groupBy(col("__m"), col("__blk"))
+      .agg((max(col("__mw")) - min(col("__mw"))).as("__range"),
+        sum(col("__md").cast("decimal(38,0)") * col("__md")).as("__ss"))
+      .filter(col("__ss") > 0)
+      .withColumn("__rsu", round(rs * 1e6, 0).cast("long"))
+      .groupBy(col("__m"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__rsu")).as("__rst"))
+      .withColumn("__rsMean",
+        col("__rst").cast("double") / col("n_blocks") / 1e6)
+      .withColumn("log_rs", round(log(col("__rsMean")), 6))
+    val ms = blockSizes.sorted
+    val folds = ms.zipWithIndex.map { case (m, i) =>
+      sum(when(col("__m") === m.toLong, col("log_rs"))).as(s"__y$i")
+    }
+    val folded = perM.agg(folds.head, folds.tail: _*)
+    val k = ms.size
+    val xs = ms.map(m => math.log(m.toDouble))
+    val sx = lit(xs.reduce(_ + _))
+    val sxx = lit(xs.map(x => x * x).reduce(_ + _))
+    val sxy = ms.indices.map(i => lit(xs(i)) * col(s"__y$i")).reduce(_ + _)
+    val sy = ms.indices.map(i => col(s"__y$i")).reduce(_ + _)
+    val hurst = (lit(k.toDouble) * sxy - sx * sy) /
+      (lit(k.toDouble) * sxx - sx * sx)
+    val scalar = folded.select(round(hurst, 6).as("hurst"))
+    perM.select(col("__m").as("block_m"), col("n_blocks"),
+        round(col("__rsMean"), 6).as("rs_mean"), col("log_rs"))
+      .crossJoin(broadcast(scalar))
+      .orderBy("block_m")
+  }
+
+  /** ln(m) regressor literals for [[hurstRS]]'s oracle — computed once
+    * here so both engines fold the IDENTICAL doubles (Double.toString
+    * round-trips exactly through DuckDB's literal parser). */
+  def hurstLogLiterals(blockSizes: Seq[Int]): Seq[String] =
+    blockSizes.sorted.map(m => java.lang.Double.toString(math.log(m.toDouble)))
+
   /** Per-entity burstiness of ACTIVE days: the Fano factor
     * (Var/Mean of daily event counts over days the entity appeared —
     * zeros excluded by construction, so this reads dispersion of

@@ -655,6 +655,11 @@ object AnalyticsRegistry {
       // portmanteau gate on i.i.d. assumptions
       Stats.ljungBox(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice", maxLag = 14)),
+    "q_hurst" -> ((s, dir) =>
+      // long-range dependence of daily revenue: R/S rescaled-range
+      // slope — H>0.5 persistent, <0.5 mean-reverting
+      Stats.hurstRS(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_seasonal_strength" -> ((s, dir) =>
       // is the weekly pattern real: Hyndman F_s over the decomposition,
       // components on the centi lattice

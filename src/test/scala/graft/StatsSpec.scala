@@ -86,6 +86,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("hurstRS: a period-2 alternation is perfectly anti-persistent " +
+      "(R/S = 1 at every scale, H = 0), a ramp is persistent, short " +
+      "series refused") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 1, 1).plusDays(i.toLong))
+    val alt = (0 until 32).map(i => (d(i), if (i % 2 == 0) 0.0 else 1.0))
+      .toDF("b", "v")
+    val a = graft.ops.Stats.hurstRS(alt, col("b"), "v", Seq(4, 8))
+      .collect()
+    assert(a.map(_.getAs[Long]("block_m")).toSeq == Seq(4L, 8L))
+    assert(a.forall(_.getAs[Double]("rs_mean") == 1.0))
+    assert(a.forall(_.getAs[Double]("hurst") == 0.0))
+    assert(a.head.getAs[Long]("n_blocks") == 8L)
+    val ramp = (0 until 32).map(i => (d(i), i.toDouble)).toDF("b", "v")
+    val r = graft.ops.Stats.hurstRS(ramp, col("b"), "v", Seq(4, 8))
+      .collect().head
+    assert(r.getAs[Double]("hurst") > 0.9)
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.hurstRS(alt.limit(10), col("b"), "v", Seq(4, 8))
+    }
+  }
+
   test("burstiness: constant days score Fano 0, a burst inflates it, " +
       "zero-activity days never enter") {
     def ts(d: Int, i: Int) = java.sql.Timestamp
