@@ -799,6 +799,46 @@ object OracleSql {
              any_rel = 1 AS success
       FROM g ORDER BY user_id""",
 
+    // P@k / R@k / AP / MAP: every AP term scaled by lcm(1..10)=2520 into
+    // exact longs (no in-group lattice), per-group APs fold to MAP on
+    // the 1e-6 lattice
+    "q_precision_recall" -> """
+      WITH base AS (SELECT user_id AS g, event_id AS id, value AS s,
+              CASE WHEN event_type = 'purchase' AND value > 90.0
+                   THEN 1 ELSE 0 END AS rel
+            FROM events),
+      r AS (SELECT g, rel,
+              row_number() OVER (PARTITION BY g
+                ORDER BY s DESC, id ASC) AS pos,
+              CAST(sum(rel) OVER (PARTITION BY g) AS BIGINT) AS rel_total
+            FROM base),
+      c AS (SELECT g, rel, pos, rel_total,
+              CAST(sum(rel) OVER (PARTITION BY g ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM r WHERE pos <= 10),
+      p AS (SELECT g, CAST(max(rel_total) AS BIGINT) AS n_rel_total,
+              CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+              CAST(sum(rel * cum * (2520 // pos)) AS BIGINT) AS apnum
+            FROM c GROUP BY g),
+      q AS (SELECT g, n_rel_total, n_rel_at_k,
+              round(CAST(n_rel_at_k AS DOUBLE) / 10.0, 6)
+                AS precision_at_k,
+              CASE WHEN n_rel_total > 0 THEN
+                round(CAST(n_rel_at_k AS DOUBLE)
+                  / CAST(n_rel_total AS DOUBLE), 6) END AS recall_at_k,
+              CASE WHEN n_rel_total > 0 THEN
+                CAST(apnum AS DOUBLE)
+                  / CAST(2520 * least(n_rel_total, 10) AS DOUBLE)
+                ELSE 0.0 END AS ap_raw
+            FROM p)
+      SELECT g AS user_id, n_rel_total, n_rel_at_k, precision_at_k,
+             recall_at_k, round(ap_raw, 6) AS avg_precision,
+             round(CAST(sum(CAST(round(ap_raw * 1e6, 0) AS BIGINT))
+                 OVER () AS BIGINT)
+               / CAST(count(*) OVER () AS DOUBLE) / 1e6, 6) AS map
+      FROM q ORDER BY user_id""",
+
     // ε-DP histogram: two-sided geometric noise seeded per category via
     // the md5-prefix key through the shared minstd stream — integer end
     // to end except the two ln calls, floor(ln u / −ε) both engines

@@ -1171,6 +1171,71 @@ object Eval {
       .orderBy(groupCol)
   }
 
+  /** Precision@k / recall@k / average precision per ranking group, with
+    * the corpus MAP repeated on every row — the full ranked-retrieval
+    * report card next to [[mrrAtK]] (first hit only) and [[ndcgAtK]]
+    * (graded gains): precision reads top-k purity, recall coverage of
+    * ALL relevant items (denominator from the full list, not the cut),
+    * AP the area under the precision-recall curve.
+    *
+    * Determinism: every AP term cum_i/i is a rational with denominator
+    * dividing lcm(1..k), so terms are EXACT longs after scaling by the
+    * lcm (no lattice rounding anywhere inside a group); the group AP is
+    * one division, and MAP folds the per-group APs through the 1e-6
+    * lattice. Groups with no relevant items score AP 0 (kept in the
+    * roster, not dropped) and a NULL recall.
+    *
+    * Plan: one partitioned rank + one cumulative window + one keyed
+    * aggregation — corpus-sized but fully keyed, no global stage except
+    * the bounded MAP window over the group roster.
+    */
+  def precisionRecallAtK(df: DataFrame, groupCol: String, idCol: String,
+                         scoreCol: String, isRelevant: Column,
+                         k: Int): DataFrame = {
+    require(k >= 1 && k <= 20,
+      s"precisionRecallAtK: 1 <= k <= 20 so lcm(1..k) stays exact " +
+        s"(got $k)")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1 to k).foldLeft(1L)((l, i) => l * i / gcd(l, i))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wg = Window.partitionBy(col(groupCol))
+    val base = df.select(col(groupCol), col(idCol), col(scoreCol),
+        isRelevant.cast("int").as("__rel"))
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__relTotal", sum(col("__rel")).over(wg).cast("long"))
+      .filter(col("__pos") <= k)
+      .withColumn("__cum", sum(col("__rel"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("__apn", expr(s"__rel * __cum * ($lcm div __pos)"))
+    val per = base.groupBy(col(groupCol))
+      .agg(max(col("__relTotal")).as("n_rel_total"),
+        sum(col("__rel")).cast("long").as("n_rel_at_k"),
+        sum(col("__apn")).cast("long").as("__apnum"))
+    val apRaw = when(col("n_rel_total") > 0,
+      col("__apnum").cast("double") /
+        (lit(lcm) * least(col("n_rel_total"), lit(k.toLong)))
+          .cast("double"))
+      .otherwise(lit(0.0))
+    val all = Window.partitionBy()
+    per
+      .withColumn("__ap", apRaw)
+      .withColumn("precision_at_k",
+        round(col("n_rel_at_k").cast("double") / lit(k.toDouble), 6))
+      .withColumn("recall_at_k", when(col("n_rel_total") > 0,
+        round(col("n_rel_at_k").cast("double") /
+          col("n_rel_total").cast("double"), 6)))
+      .withColumn("avg_precision", round(col("__ap"), 6))
+      .withColumn("map", round(
+        sum(round(col("__ap") * 1e6, 0).cast("long")).over(all) /
+          count(lit(1)).over(all).cast("double") / 1e6, 6))
+      .select(col(groupCol), col("n_rel_total"), col("n_rel_at_k"),
+        col("precision_at_k"), col("recall_at_k"), col("avg_precision"),
+        col("map"))
+      .orderBy(groupCol)
+  }
+
   /** Difference-in-differences estimate around a policy cutoff: the
     * four (arm × pre/post) cell means of the outcome and
     * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the causal

@@ -866,6 +866,15 @@ object AnalyticsRegistry {
             col("event_type")),
         "user_id", "event_id", "value",
         col("event_type") === "purchase" && col("value") > 90.0, k = 10)),
+    "q_precision_recall" -> ((s, dir) =>
+      // full ranked-retrieval report card per user: P@10, R@10, exact
+      // lcm-rational AP, corpus MAP — same relevance rule as q_mrr
+      Eval.precisionRecallAtK(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("event_type")),
+        "user_id", "event_id", "value",
+        col("event_type") === "purchase" && col("value") > 90.0, k = 10)),
     "q_dp_histogram" -> ((s, dir) =>
       // ε=0.5 DP release of the event-type histogram: two-sided
       // geometric noise seeded per category through the shared minstd

@@ -45,6 +45,32 @@ class EvalSpec extends SparkSpec {
     assert((3 to 9).forall(d => out(d)._3 == 0L && out(d)._5.get == 1.0))
   }
 
+  test("precisionRecallAtK: the lcm-exact AP hits the closed form, " +
+      "relevant items beyond the cut feed recall's denominator, and " +
+      "no-relevant groups score AP 0 with NULL recall") {
+    // u1 ranked [rel,0,rel | rel]: top-3 holds 2 of 3 relevant
+    val rows = Seq((1L, 10L, 5.0, 1), (1L, 11L, 4.0, 0), (1L, 12L, 3.0, 1),
+      (1L, 13L, 1.0, 1), (2L, 20L, 9.0, 0), (2L, 21L, 8.0, 0))
+    val df = rows.toDF("g", "id", "s", "r")
+    val out = Eval.precisionRecallAtK(df, "g", "id", "s",
+      col("r") === 1, k = 3).collect()
+    val u1 = out.find(_.getAs[Long]("g") == 1L).get
+    assert(u1.getAs[Long]("n_rel_total") == 3L)
+    assert(u1.getAs[Long]("n_rel_at_k") == 2L)
+    assert(u1.getAs[Double]("precision_at_k") == 0.666667)
+    assert(u1.getAs[Double]("recall_at_k") == 0.666667)
+    // AP = (1/1 + 2/3) / min(3,3) = 5/9
+    assert(u1.getAs[Double]("avg_precision") == 0.555556)
+    val u2 = out.find(_.getAs[Long]("g") == 2L).get
+    assert(u2.getAs[Double]("avg_precision") == 0.0)
+    assert(u2.isNullAt(u2.fieldIndex("recall_at_k")))
+    // MAP folds the rounded per-group APs: (0.555556 + 0) / 2
+    assert(out.forall(_.getAs[Double]("map") == 0.277778))
+    intercept[IllegalArgumentException] {
+      Eval.precisionRecallAtK(df, "g", "id", "s", col("r") === 1, k = 21)
+    }
+  }
+
   test("mcnemar: the paired 2x2 folds per user and the discordant " +
       "statistics hit the closed form") {
     // u1 A-only; u2,u3 B-only; u4 both; u5 neither
