@@ -5071,6 +5071,83 @@ object OracleSql {
       FROM f"""
     },
 
+    // Odds ratio / relative risk: exact 2x2 cells, fixed double trees,
+    // z = 1.959964 shared verbatim, ln/exp/sqrt on the parity precedent
+    "q_odds_ratio" -> {
+      val a = "CAST(n_exposed_pos AS DOUBLE)"
+      val b = "CAST(n_exposed_neg AS DOUBLE)"
+      val c = "CAST(n_unexposed_pos AS DOUBLE)"
+      val d = "CAST(n_unexposed_neg AS DOUBLE)"
+      val or = s"$a * $d / ($b * $c)"
+      val seOr = s"sqrt(1.0 / $a + 1.0 / $b + 1.0 / $c + 1.0 / $d)"
+      val rr = s"($a / ($a + $b)) / ($c / ($c + $d))"
+      val seRr = s"sqrt(1.0 / $a - 1.0 / ($a + $b) + 1.0 / $c" +
+        s" - 1.0 / ($c + $d))"
+      val ok = "n_exposed_pos > 0 AND n_exposed_neg > 0 AND " +
+        "n_unexposed_pos > 0 AND n_unexposed_neg > 0"
+      s"""
+      WITH u AS (SELECT user_id,
+               max(CASE WHEN event_type = 'error' AND value > 160.0
+                 THEN 1 ELSE 0 END) AS e,
+               max(CASE WHEN event_type = 'purchase' AND value > 175.0
+                 THEN 1 ELSE 0 END) AS o
+             FROM events GROUP BY user_id),
+      f AS (SELECT
+              CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exposed_pos,
+              CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exposed_neg,
+              CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unexposed_pos,
+              CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unexposed_neg
+            FROM u)
+      SELECT n_exposed_pos, n_exposed_neg, n_unexposed_pos,
+             n_unexposed_neg,
+             CASE WHEN $ok THEN round($or, 6) END AS odds_ratio,
+             CASE WHEN $ok THEN
+               round(exp(ln($or) - 1.959964 * $seOr), 6) END AS or_ci_lo,
+             CASE WHEN $ok THEN
+               round(exp(ln($or) + 1.959964 * $seOr), 6) END AS or_ci_hi,
+             CASE WHEN $ok THEN round($rr, 6) END AS relative_risk,
+             CASE WHEN $ok THEN
+               round(exp(ln($rr) - 1.959964 * $seRr), 6) END AS rr_ci_lo,
+             CASE WHEN $ok THEN
+               round(exp(ln($rr) + 1.959964 * $seRr), 6) END AS rr_ci_hi
+      FROM f"""
+    },
+
+    // tier migration: centi-lattice weekly spend, declared tier CASE in
+    // the same descending order as the Spark when-chain, week+7 join,
+    // churned via left join
+    "q_tier_migration" -> """
+      WITH weekly AS (SELECT user_id AS k,
+              CAST(date_trunc('week', ts) AS DATE) AS w,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM events GROUP BY 1, 2),
+      t AS (SELECT k, w,
+              CASE WHEN cents >= 120000 THEN 'high'
+                   WHEN cents >= 50000 THEN 'mid'
+                   WHEN cents >= 0 THEN 'low'
+                   ELSE 'low' END AS tier
+            FROM weekly),
+      cur AS (SELECT c.k, c.w, c.tier
+              FROM t c, (SELECT max(w) AS maxw FROM t) mx
+              WHERE c.w < mx.maxw),
+      mv AS (SELECT cur.w AS week_from, cur.tier AS tier_from,
+               coalesce(n.tier, 'churned') AS tier_to
+             FROM cur LEFT JOIN t n
+               ON cur.k = n.k AND cur.w + 7 = n.w),
+      g AS (SELECT week_from, tier_from, tier_to,
+              CAST(count(*) AS BIGINT) AS n_entities
+            FROM mv GROUP BY 1, 2, 3)
+      SELECT week_from, tier_from, tier_to, n_entities,
+             round(CAST(n_entities AS DOUBLE)
+               / CAST(sum(n_entities) OVER (PARTITION BY week_from,
+                   tier_from) AS DOUBLE), 6) AS cohort_share
+      FROM g ORDER BY 1, 2, 3""",
+
     // McNemar: user-grain paired binary table — pure long ratios, no
     // float sum anywhere
     "q_mcnemar" -> """

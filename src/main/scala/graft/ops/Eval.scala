@@ -1171,6 +1171,55 @@ object Eval {
       .orderBy(groupCol)
   }
 
+  /** Odds ratio and relative risk of a binary outcome given a binary
+    * exposure, both at the user grain, with Wald log-scale 95% CIs —
+    * the observational-association readout ([[abTest]] needs a
+    * randomized arm; this quantifies "high-value users purchase X×
+    * more often" from exposure the data already carries, CI and all).
+    *
+    * Cells are exact longs from ONE user-grain fold; OR = ad/bc and
+    * RR = (a/(a+b))/(c/(c+d)) are fixed double trees over them;
+    * CIs are exp(ln(est) ± z·se) with z = 1.959964 shared verbatim by
+    * both engines and se the textbook Wald forms. Any empty cell nulls
+    * the estimates (the report stays, the math doesn't divide by zero).
+    */
+  def oddsRatioRR(df: DataFrame, userCol: String, exposure: Column,
+                  outcome: Column): DataFrame = {
+    val z = 1.959964
+    val users = df.groupBy(col(userCol))
+      .agg(max(exposure.cast("int")).as("__e"),
+        max(outcome.cast("int")).as("__o"))
+    val folded = users.groupBy().agg(
+      sum(when(col("__e") === 1 && col("__o") === 1, 1L).otherwise(0L))
+        .as("n_exposed_pos"),
+      sum(when(col("__e") === 1 && col("__o") === 0, 1L).otherwise(0L))
+        .as("n_exposed_neg"),
+      sum(when(col("__e") === 0 && col("__o") === 1, 1L).otherwise(0L))
+        .as("n_unexposed_pos"),
+      sum(when(col("__e") === 0 && col("__o") === 0, 1L).otherwise(0L))
+        .as("n_unexposed_neg"))
+    val a = col("n_exposed_pos").cast("double")
+    val b = col("n_exposed_neg").cast("double")
+    val c = col("n_unexposed_pos").cast("double")
+    val d = col("n_unexposed_neg").cast("double")
+    val ok = col("n_exposed_pos") > 0 && col("n_exposed_neg") > 0 &&
+      col("n_unexposed_pos") > 0 && col("n_unexposed_neg") > 0
+    val or = a * d / (b * c)
+    val seOr = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c +
+      lit(1.0) / d)
+    val rr = (a / (a + b)) / (c / (c + d))
+    val seRr = sqrt(lit(1.0) / a - lit(1.0) / (a + b) + lit(1.0) / c -
+      lit(1.0) / (c + d))
+    folded.select(col("n_exposed_pos"), col("n_exposed_neg"),
+      col("n_unexposed_pos"), col("n_unexposed_neg"),
+      when(ok, round(or, 6)).as("odds_ratio"),
+      when(ok, round(exp(log(or) - lit(z) * seOr), 6)).as("or_ci_lo"),
+      when(ok, round(exp(log(or) + lit(z) * seOr), 6)).as("or_ci_hi"),
+      when(ok, round(rr, 6)).as("relative_risk"),
+      when(ok, round(exp(log(rr) - lit(z) * seRr), 6)).as("rr_ci_lo"),
+      when(ok, round(exp(log(rr) + lit(z) * seRr), 6)).as("rr_ci_hi"))
+  }
+
   /** Precision@k / recall@k / average precision per ranking group, with
     * the corpus MAP repeated on every row — the full ranked-retrieval
     * report card next to [[mrrAtK]] (first hit only) and [[ndcgAtK]]

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-level OLAP aggregation — ROLLUP / CUBE subtotal lattices and
@@ -92,5 +93,58 @@ object Olap {
       .select(col(rowKeyName) +:
         values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
       .orderBy(col(rowKeyName))
+  }
+
+  /** Customer tier-migration matrix: per period (week), classify each
+    * entity into a DECLARED spend tier, then count period-over-period
+    * transitions — the retention/upsell flow dashboard ("how many `high`
+    * users dropped to `mid` last week?"). Entities present in period t
+    * but absent in t+1 land in the `churned` column; each row carries
+    * the share of its (period, from-tier) cohort. The LAST period has no
+    * successor and is excluded from the from-side by construction.
+    *
+    * Determinism: spend rides the centi lattice so tier thresholds
+    * compare exact longs; counts are exact; shares are single rational
+    * divisions rounded at 6.
+    *
+    * Plan: one keyed weekly aggregation (corpus-sized, map-side
+    * combined), one self-join on (entity, week+7d) at the entity-week
+    * grain, one keyed count; the share window runs over the bounded
+    * (weeks × tiers²) matrix.
+    */
+  def tierMigration(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String,
+                    tiers: Seq[(String, Double)]): DataFrame = {
+    require(tiers.nonEmpty && tiers.size <= 16 &&
+      tiers.map(_._2) == tiers.map(_._2).sorted &&
+      tiers.head._2 == 0.0 &&
+      tiers.map(_._1).distinct == tiers.map(_._1) &&
+      !tiers.map(_._1).contains("churned"),
+      s"tierMigration: ascending thresholds starting at 0.0, unique " +
+        s"names, 'churned' reserved (got $tiers)")
+    val centiCuts = tiers.map { case (n, t) => (n, math.round(t * 100)) }
+    val weekly = df.groupBy(col(keyCol).as("__k"),
+        date_trunc("week", col(tsCol)).cast("date").as("__w"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__cents"))
+    val tier = centiCuts.reverse.tail.foldLeft(
+      when(col("__cents") >= centiCuts.last._2, centiCuts.last._1)) {
+      case (acc, (n, cut)) => acc.when(col("__cents") >= cut, n)
+    }.otherwise(tiers.head._1)
+    val tiered = weekly.select(col("__k"), col("__w"), tier.as("__tier"))
+    val lastWeek = tiered.agg(max(col("__w")).as("__maxW"))
+    val next = tiered.select(col("__k").as("__kNext"),
+      col("__w").as("__wNext"), col("__tier").as("__tierNext"))
+    val moved = tiered
+      .crossJoin(broadcast(lastWeek)).filter(col("__w") < col("__maxW"))
+      .join(next, col("__k") === col("__kNext") &&
+        date_add(col("__w"), 7) === col("__wNext"), "left")
+      .select(col("__w").as("week_from"), col("__tier").as("tier_from"),
+        coalesce(col("__tierNext"), lit("churned")).as("tier_to"))
+    val cohort = Window.partitionBy(col("week_from"), col("tier_from"))
+    moved.groupBy(col("week_from"), col("tier_from"), col("tier_to"))
+      .agg(count(lit(1)).as("n_entities"))
+      .withColumn("cohort_share", round(col("n_entities").cast("double") /
+        sum(col("n_entities")).over(cohort).cast("double"), 6))
+      .orderBy("week_from", "tier_from", "tier_to")
   }
 }

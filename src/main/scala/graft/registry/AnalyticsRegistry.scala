@@ -467,6 +467,19 @@ object AnalyticsRegistry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id",
         col("event_type") === "purchase" && col("value") > 95.0, "value")),
+    "q_odds_ratio" -> ((s, dir) =>
+      // observational association with Wald CIs: do high-value users
+      // purchase more often? OR and RR from the user-grain 2x2
+      Eval.oddsRatioRR(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value")),
+        "user_id", col("event_type") === "error" && col("value") > 160.0,
+        col("event_type") === "purchase" && col("value") > 175.0)),
+    "q_tier_migration" -> ((s, dir) =>
+      // week-over-week spend-tier flow matrix with churn column and
+      // per-cohort shares — the retention/upsell dashboard
+      Olap.tierMigration(Tables.events(s, dir), "user_id", "ts", "value",
+        Seq(("low", 0.0), ("mid", 500.0), ("high", 1200.0)))),
     "q_mcnemar" -> ((s, dir) =>
       // paired binary prevalence at the user grain: clicked-ever vs
       // purchased-ever — only the discordant cells carry information

@@ -45,6 +45,38 @@ class EvalSpec extends SparkSpec {
     assert((3 to 9).forall(d => out(d)._3 == 0L && out(d)._5.get == 1.0))
   }
 
+  test("oddsRatioRR: the 2x2 folds exactly and OR/RR + Wald CIs hit " +
+      "the closed forms; an empty cell nulls the estimates") {
+    // users: 2 exposed+pos, 2 exposed+neg, 1 unexposed+pos, 5 unexposed+neg
+    val rows = (1L to 2L).flatMap(u => Seq((u, "x", 1), (u, "y", 1))) ++
+      (3L to 4L).map(u => (u, "x", 0)) ++ Seq((5L, "n", 1)) ++
+      (6L to 10L).map(u => (u, "n", 0))
+    val df = rows.toDF("user_id", "tag", "out")
+    val r = Eval.oddsRatioRR(df, "user_id", col("tag") === "x",
+      col("out") === 1).collect().head
+    assert(r.getAs[Long]("n_exposed_pos") == 2L &&
+      r.getAs[Long]("n_unexposed_neg") == 5L)
+    assert(r.getAs[Double]("odds_ratio") == 5.0)   // 2*5 / (2*1)
+    assert(r.getAs[Double]("relative_risk") == 3.0) // (2/4) / (1/6)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seOr = math.sqrt(1.0 / 2 + 1.0 / 2 + 1.0 / 1 + 1.0 / 5)
+    assert(r.getAs[Double]("or_ci_lo") ==
+      r6(math.exp(math.log(5.0) - 1.959964 * seOr)))
+    assert(r.getAs[Double]("or_ci_hi") ==
+      r6(math.exp(math.log(5.0) + 1.959964 * seOr)))
+    val seRr = math.sqrt(1.0 / 2 - 1.0 / 4 + 1.0 / 1 - 1.0 / 6)
+    assert(r.getAs[Double]("rr_ci_lo") ==
+      r6(math.exp(math.log(3.0) - 1.959964 * seRr)))
+    // no unexposed positives: estimates NULL, cells still reported
+    val deg = Seq((1L, "x", 1), (2L, "x", 0), (3L, "n", 0))
+      .toDF("user_id", "tag", "out")
+    val d = Eval.oddsRatioRR(deg, "user_id", col("tag") === "x",
+      col("out") === 1).collect().head
+    assert(d.isNullAt(d.fieldIndex("odds_ratio")) &&
+      d.getAs[Long]("n_unexposed_neg") == 1L)
+  }
+
   test("precisionRecallAtK: the lcm-exact AP hits the closed form, " +
       "relevant items beyond the cut feed recall's denominator, and " +
       "no-relevant groups score AP 0 with NULL recall") {

@@ -92,4 +92,38 @@ class OlapSpec extends SparkSpec {
         Seq("n" -> count(lit(1))))
     }
   }
+
+  test("tierMigration: weekly tiers follow the declared cuts, absence " +
+      "becomes churned, the last week never appears on the from side, " +
+      "and bad rosters fail loud") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, day).atTime(12, 0))
+    // weeks start Mon 2024-01-01 / 01-08 / 01-15
+    val rows = Seq(
+      (1L, ts(2), 1300.0),  // u1 w1 high
+      (1L, ts(9), 600.0),   // u1 w2 mid, absent w3 -> churned
+      (2L, ts(3), 50.0),    // u2 w1 low
+      (2L, ts(10), 30.0),   // u2 w2 low
+      (2L, ts(16), 2000.0)) // u2 w3 high (to-side only)
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = graft.ops.Olap.tierMigration(df, "user_id", "ts", "value",
+      Seq(("low", 0.0), ("mid", 500.0), ("high", 1200.0)))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("week_from").toString,
+        r.getAs[String]("tier_from"), r.getAs[String]("tier_to"),
+        r.getAs[Long]("n_entities"), r.getAs[Double]("cohort_share")))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", "high", "mid", 1L, 1.0),
+      ("2024-01-01", "low", "low", 1L, 1.0),
+      ("2024-01-08", "low", "high", 1L, 1.0),
+      ("2024-01-08", "mid", "churned", 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Olap.tierMigration(df, "user_id", "ts", "value",
+        Seq(("mid", 500.0), ("low", 0.0)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Olap.tierMigration(df, "user_id", "ts", "value",
+        Seq(("low", 0.0), ("churned", 500.0)))
+    }
+  }
 }
