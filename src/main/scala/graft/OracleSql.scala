@@ -5071,6 +5071,82 @@ object OracleSql {
       FROM f"""
     },
 
+    // CUPED: centi-lattice pre/post user totals, theta from exact
+    // HUGEINT sufficient sums (one double division), per-user adjusted
+    // outcome on the 1e-6 lattice, arm folds + pooled variances exact
+    "q_cuped" -> s"""
+      WITH u AS (SELECT user_id,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+                 CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+                 CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) AS y
+             FROM events GROUP BY user_id),
+      a AS (SELECT x, y, ${uk("user_id", 59)} > 0.5 AS t FROM u),
+      tf AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx
+             FROM a),
+      th AS (SELECT n, sx,
+               CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0 THEN
+                 CAST(CAST(n AS HUGEINT) * sxy
+                   - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               ELSE 0.0 END AS theta,
+               CAST(sx AS DOUBLE) / n AS xbar
+             FROM tf),
+      adj AS (SELECT a.t, a.y,
+                CAST(round((CAST(a.y AS DOUBLE) - th.theta
+                  * (CAST(a.x AS DOUBLE) - th.xbar)) * 1e6, 0)
+                  AS BIGINT) AS yadj,
+                th.theta
+              FROM a, th),
+      f AS (SELECT max(theta) AS th,
+              CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT)
+                AS n_control,
+              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT)
+                AS n_treatment,
+              CAST(sum(CASE WHEN NOT t THEN y END) AS BIGINT) AS yc,
+              CAST(sum(CASE WHEN t THEN y END) AS BIGINT) AS yt,
+              CAST(sum(CASE WHEN NOT t THEN yadj END) AS BIGINT) AS ac,
+              CAST(sum(CASE WHEN t THEN yadj END) AS BIGINT) AS att,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(y AS HUGEINT) * y) AS syy,
+              CAST(sum(yadj) AS BIGINT) AS sa,
+              sum(CAST(yadj AS HUGEINT) * yadj) AS saa
+            FROM adj)
+      SELECT n_control, n_treatment,
+             round(th, 6) AS theta,
+             round(CAST(yc AS DOUBLE) / n_control / 100.0, 6)
+               AS mean_raw_control,
+             round(CAST(yt AS DOUBLE) / n_treatment / 100.0, 6)
+               AS mean_raw_treatment,
+             round(CAST(yt AS DOUBLE) / n_treatment / 100.0
+               - CAST(yc AS DOUBLE) / n_control / 100.0, 6) AS raw_lift,
+             round(CAST(ac AS DOUBLE) / n_control / 1e8, 6)
+               AS mean_adj_control,
+             round(CAST(att AS DOUBLE) / n_treatment / 1e8, 6)
+               AS mean_adj_treatment,
+             round(CAST(att AS DOUBLE) / n_treatment / 1e8
+               - CAST(ac AS DOUBLE) / n_control / 1e8, 6) AS adj_lift,
+             CASE WHEN CAST(CAST(n AS HUGEINT) * syy
+                 - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n) > 0 THEN
+               round(1.0 - CAST(CAST(n AS HUGEINT) * saa
+                   - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n) / 1e12
+                 / (CAST(CAST(n AS HUGEINT) * syy
+                   - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n)), 6)
+             END AS var_reduction
+      FROM f""",
+
     // Odds ratio / relative risk: exact 2x2 cells, fixed double trees,
     // z = 1.959964 shared verbatim, ln/exp/sqrt on the parity precedent
     "q_odds_ratio" -> {

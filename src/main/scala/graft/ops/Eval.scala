@@ -1171,6 +1171,96 @@ object Eval {
       .orderBy(groupCol)
   }
 
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    * al. 2013) variance-reduced A/B readout: per user, pre-period and
+    * post-period revenue around `cutoff`; θ = cov(pre, post)/var(pre)
+    * fitted on the POOLED users (assignment-independent, so the
+    * adjustment is unbiased); adjusted outcome y − θ·(x − x̄) compared
+    * across the deterministic hash arms of [[abTest]]. Reports raw and
+    * adjusted arm means, both lifts, θ, and the realized variance
+    * reduction — the point of CUPED: the same experiment decided with
+    * substantially fewer users.
+    *
+    * Determinism: pre/post user totals ride the centi lattice (exact
+    * longs); θ's sufficient sums n·Σxy − Σx·Σy and n·Σx² − (Σx)² are
+    * exact DECIMAL integers (their ratio is ONE double division); each
+    * user's adjusted outcome commits to the 1e-6 lattice before arm
+    * sums, and the pooled variances fold from exact lattice sums.
+    *
+    * Plan: ONE user-grain aggregation (map-side combined), a single-row
+    * θ fold broadcast back, a second single-row arm fold — no global
+    * sort, no window, corpus touched once.
+    */
+  def cuped(df: DataFrame, userCol: String, tsCol: String,
+            valueCol: String, cutoff: String,
+            channel: Long = 59L): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp_ntz")
+    val users = df.groupBy(col(userCol))
+      .agg(
+        sum(when(col(tsCol) < cut,
+          round(col(valueCol) * 100, 0).cast("long")).otherwise(0L))
+          .as("__x"),
+        sum(when(col(tsCol) >= cut,
+          round(col(valueCol) * 100, 0).cast("long")).otherwise(0L))
+          .as("__y"))
+      .withColumn("__t", Gen.u01(col(userCol), channel) > 0.5)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val thetaFold = users.groupBy().agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(dec(col("__x")) * col("__y")).as("__sxy"),
+      sum(dec(col("__x")) * col("__x")).as("__sxx"))
+    val num = (dec(col("__n")) * col("__sxy") -
+      dec(col("__sx")) * col("__sy")).cast("double")
+    val den = (dec(col("__n")) * col("__sxx") -
+      dec(col("__sx")) * col("__sx")).cast("double")
+    val scalar = thetaFold.select(col("__n"), col("__sx"), col("__sy"),
+      when(den > 0, num / den).otherwise(lit(0.0)).as("__theta"),
+      (col("__sx").cast("double") / col("__n")).as("__xbar"))
+    // per-user adjusted outcome in cents, committed to the 1e-6 lattice
+    val adj = users.crossJoin(broadcast(scalar))
+      .withColumn("__yadj", round((col("__y").cast("double") -
+        col("__theta") * (col("__x").cast("double") - col("__xbar")))
+        * 1e6, 0).cast("long"))
+    def arm(t: Boolean, c: Column) = when(col("__t") === t, c)
+    val folded = adj.groupBy().agg(
+      max(col("__theta")).as("__th"),
+      count(arm(false, lit(1))).as("n_control"),
+      count(arm(true, lit(1))).as("n_treatment"),
+      sum(arm(false, col("__y"))).as("__yc"),
+      sum(arm(true, col("__y"))).as("__yt"),
+      sum(arm(false, col("__yadj"))).as("__ac"),
+      sum(arm(true, col("__yadj"))).as("__at"),
+      count(lit(1)).as("__n"),
+      sum(col("__y")).as("__sy"),
+      sum(dec(col("__y")) * col("__y")).as("__syy"),
+      sum(col("__yadj")).as("__sa"),
+      sum(dec(col("__yadj")) * col("__yadj")).as("__saa"))
+    // pooled variances from exact sums: var = (n·Σv² − (Σv)²)/n² — the
+    // adjusted one descaled by the 1e6 lattice factor squared
+    val varY = (dec(col("__n")) * col("__syy") -
+      dec(col("__sy")) * col("__sy")).cast("double") /
+      (col("__n").cast("double") * col("__n"))
+    val varA = (dec(col("__n")) * col("__saa") -
+      dec(col("__sa")) * col("__sa")).cast("double") /
+      (col("__n").cast("double") * col("__n")) / 1e12
+    val mrc = col("__yc").cast("double") / col("n_control") / 100.0
+    val mrt = col("__yt").cast("double") / col("n_treatment") / 100.0
+    val mac = col("__ac").cast("double") / col("n_control") / 1e8
+    val mat = col("__at").cast("double") / col("n_treatment") / 1e8
+    folded.select(col("n_control"), col("n_treatment"),
+      round(col("__th"), 6).as("theta"),
+      round(mrc, 6).as("mean_raw_control"),
+      round(mrt, 6).as("mean_raw_treatment"),
+      round(mrt - mrc, 6).as("raw_lift"),
+      round(mac, 6).as("mean_adj_control"),
+      round(mat, 6).as("mean_adj_treatment"),
+      round(mat - mac, 6).as("adj_lift"),
+      when(varY > 0, round(lit(1.0) - varA / varY, 6))
+        .as("var_reduction"))
+  }
+
   /** Odds ratio and relative risk of a binary outcome given a binary
     * exposure, both at the user grain, with Wald log-scale 95% CIs —
     * the observational-association readout ([[abTest]] needs a

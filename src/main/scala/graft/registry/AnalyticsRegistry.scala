@@ -467,6 +467,13 @@ object AnalyticsRegistry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id",
         col("event_type") === "purchase" && col("value") > 95.0, "value")),
+    "q_cuped" -> ((s, dir) =>
+      // variance-reduced A/B: pre-period revenue as the CUPED covariate
+      // (theta on pooled users), adjusted lift + realized var reduction
+      Eval.cuped(
+        Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("value")),
+        "user_id", "ts", "value", cutoff = "2024-01-16")),
     "q_odds_ratio" -> ((s, dir) =>
       // observational association with Wald CIs: do high-value users
       // purchase more often? OR and RR from the user-grain 2x2

@@ -45,6 +45,34 @@ class EvalSpec extends SparkSpec {
     assert((3 to 9).forall(d => out(d)._3 == 0L && out(d)._5.get == 1.0))
   }
 
+  test("cuped: a perfectly predictive covariate scores theta from the " +
+      "exact sums, zeroes the adjusted lift, and reduces variance to 0") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, day).atTime(12, 0))
+    // post == 2 * pre exactly: yadj = 2*xbar for every user
+    val rows = (1L to 8L).flatMap(u =>
+      Seq((u, ts(10), u.toDouble), (u, ts(20), 2.0 * u)))
+    val df = rows.toDF("user_id", "ts", "value")
+    val r = Eval.cuped(df, "user_id", "ts", "value", "2024-01-16")
+      .collect().head
+    assert(r.getAs[Long]("n_control") + r.getAs[Long]("n_treatment") == 8L)
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("mean_adj_control") == 9.0) // 2 * mean(1..8)
+    assert(r.getAs[Double]("mean_adj_treatment") == 9.0)
+    assert(r.getAs[Double]("adj_lift") == 0.0)
+    assert(r.getAs[Double]("var_reduction") == 1.0)
+    // constant pre-period: zero covariate variance -> theta 0, adjusted
+    // readout degenerates to the raw one instead of dividing by zero
+    val flat = (1L to 4L).flatMap(u =>
+      Seq((u, ts(10), 5.0), (u, ts(20), u.toDouble)))
+      .toDF("user_id", "ts", "value")
+    val f = Eval.cuped(flat, "user_id", "ts", "value", "2024-01-16")
+      .collect().head
+    assert(f.getAs[Double]("theta") == 0.0)
+    assert(f.getAs[Double]("adj_lift") == f.getAs[Double]("raw_lift"))
+    assert(f.getAs[Double]("var_reduction") == 0.0)
+  }
+
   test("oddsRatioRR: the 2x2 folds exactly and OR/RR + Wald CIs hit " +
       "the closed forms; an empty cell nulls the estimates") {
     // users: 2 exposed+pos, 2 exposed+neg, 1 unexposed+pos, 5 unexposed+neg
