@@ -2698,6 +2698,68 @@ object OracleSql {
 
     // CUSUM: the prefix-minus-running-min identity replayed verbatim;
     // P₀ = 0 participates via least(0, running min)
+    // Page-Hinkley: running-mean drift monitor — daily means from exact
+    // centi sums, the sequential statistic as running-sum-minus-running-
+    // min (cusum's identity), rounded stats vs the shared lambda literal
+    "q_page_hinkley" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                / count(*) / 100.0 AS x
+            FROM events GROUP BY 1),
+      r AS (SELECT day, x,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+              sum(x) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM daily),
+      t AS (SELECT day, x,
+              x - cum / rn - 0.05 AS up,
+              cum / rn - x - 0.05 AS dn
+            FROM r),
+      m AS (SELECT day, x,
+              sum(up) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mu,
+              sum(dn) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS md
+            FROM t),
+      f AS (SELECT day, x,
+              round(mu - least(0.0, min(mu) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                AS ph_up,
+              round(md - least(0.0, min(md) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                AS ph_down
+            FROM m)
+      SELECT day, round(x, 6) AS x, ph_up, ph_down,
+             ph_up > 5.0 OR ph_down > 5.0 AS alarm
+      FROM f ORDER BY day""",
+
+    // inter-arrival profile: exact microsecond gaps, CV from exact
+    // HUGEINT moment sums (the µs unit cancels in the ratio)
+    "q_interarrival" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      g AS (SELECT user_id,
+              us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us)
+                AS gap
+            FROM e),
+      p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+              CAST(sum(gap) AS BIGINT) AS sg,
+              sum(CAST(gap AS HUGEINT) * gap) AS sgg,
+              CAST(min(gap) AS BIGINT) AS mn,
+              CAST(max(gap) AS BIGINT) AS mx
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n_gaps,
+             round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6, 6)
+               AS mean_gap_s,
+             round(CAST(mn AS DOUBLE) / 1e6, 6) AS min_gap_s,
+             round(CAST(mx AS DOUBLE) / 1e6, 6) AS max_gap_s,
+             CASE WHEN CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+             THEN round(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sgg
+                 - CAST(sg AS HUGEINT) * sg AS DOUBLE)
+               / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+               / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+             END AS cv
+      FROM p ORDER BY user_id""",
+
     "q_cusum_drift" -> """
       WITH d AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS x
                  FROM events GROUP BY 1),

@@ -572,6 +572,48 @@ object Drift {
       .orderBy(col(ordCol))
   }
 
+  /** Page–Hinkley mean-shift monitor over a PRE-AGGREGATED ordered
+    * series — [[cusum]]'s drift-literature sibling: where CUSUM tests
+    * against a FIXED baseline mean µ₀ (the first `baselineRows`), PH
+    * tests each point against the RUNNING mean of everything seen so
+    * far, so it needs no in-control period and keeps adapting — the
+    * standard concept-drift detector for model-monitoring streams
+    * (Gama et al. 2004). Two-sided: `ph_up` catches upward shifts,
+    * `ph_down` downward; alarm when either rounded statistic exceeds
+    * `lambda`. `delta` is the magnitude slack (drifts smaller than δ
+    * per point never accumulate).
+    *
+    * The sequential m_t = Σ_{i≤t}(x_i − x̄_i − δ) distributes exactly
+    * like cusum: a running sum minus its own running min (empty prefix
+    * 0 a legal minimum). Same bounded-global-window class; alarms
+    * compare ROUNDED statistics against the shared λ literal so
+    * verdicts replay engine-independently.
+    */
+  def pageHinkley(series: DataFrame, ordCol: String, valCol: String,
+                  delta: Double, lambda: Double): DataFrame = {
+    require(delta >= 0 && lambda > 0,
+      s"pageHinkley: delta >= 0 and lambda > 0 (got $delta, $lambda)")
+    val ord = Window.orderBy(col(ordCol))
+    val upToHere = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    series.select(col(ordCol), col(valCol).cast("double").as("x"))
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("__rbar", sum(col("x")).over(upToHere) / col("__rn"))
+      .withColumn("__up", col("x") - col("__rbar") - lit(delta))
+      .withColumn("__dn", col("__rbar") - col("x") - lit(delta))
+      .withColumn("__mu", sum(col("__up")).over(upToHere))
+      .withColumn("__md", sum(col("__dn")).over(upToHere))
+      .withColumn("ph_up", round(
+        col("__mu") - least(lit(0.0), min(col("__mu")).over(upToHere)), 6))
+      .withColumn("ph_down", round(
+        col("__md") - least(lit(0.0), min(col("__md")).over(upToHere)), 6))
+      .withColumn("alarm",
+        col("ph_up") > lambda || col("ph_down") > lambda)
+      .select(col(ordCol), round(col("x"), 6).as("x"),
+        col("ph_up"), col("ph_down"), col("alarm"))
+      .orderBy(col(ordCol))
+  }
+
   /** Single-changepoint locator over the daily series (the binary-
     * segmentation step): the split k maximizing the centered cumulative
     * deviation |S_k − (k/n)·S_n| — where [[cusum]] streams an alarm

@@ -1152,6 +1152,48 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Per-entity inter-arrival profile: mean / min / max gap between
+    * consecutive events and the coefficient of variation of the gaps —
+    * the Poisson-ness check at the WITHIN-day grain [[burstiness]]'s
+    * daily Fano factor can't see (CV ≈ 1 exponential/memoryless, ≫ 1
+    * bursty sessions, ≪ 1 metronomic bots — the bot-detection and
+    * session-gap-tuning signal). Entities with fewer than two events
+    * have no gap and are excluded by construction.
+    *
+    * Gaps are exact long microseconds (ties in ts are fine: consecutive
+    * differences depend only on the sorted multiset, not the tiebreak);
+    * CV folds from exact Σg and HUGEINT Σg², and the µs unit cancels in
+    * the ratio, so no descaling double enters the statistic.
+    *
+    * Plan: one per-key lag window + one keyed fold — corpus-sized but
+    * fully keyed, map-side combined, no global stage.
+    */
+  def interArrival(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+    val gaps = df
+      .select(col(keyCol), unix_micros(col(tsCol).cast("timestamp"))
+        .as("__us"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val per = gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("__sg"),
+        sum(col("__gap").cast("decimal(38,0)") * col("__gap")).as("__sgg"),
+        min(col("__gap")).as("__mn"),
+        max(col("__gap")).as("__mx"))
+    val nD = col("n_gaps").cast("double")
+    val meanUs = col("__sg").cast("double") / nD
+    val varUs = (col("n_gaps").cast("decimal(38,0)") * col("__sgg") -
+      col("__sg").cast("decimal(38,0)") * col("__sg")).cast("double") /
+      (nD * nD)
+    per.select(col(keyCol), col("n_gaps"),
+      round(meanUs / 1e6, 6).as("mean_gap_s"),
+      round(col("__mn").cast("double") / 1e6, 6).as("min_gap_s"),
+      round(col("__mx").cast("double") / 1e6, 6).as("max_gap_s"),
+      when(meanUs > 0, round(sqrt(varUs) / meanUs, 6)).as("cv"))
+      .orderBy(keyCol)
+  }
+
   /** Mann–Kendall trend test over the daily series — the nonparametric
     * "is there a monotone trend" companion to [[theilSenPerKey]]'s slope
     * (same kernel: sign of every pair): S = Σ_{i<j} sgn(xⱼ − xᵢ) with

@@ -637,6 +637,20 @@ object CoreRegistry {
       Stats.autocorr(
         Tables.orders(s, dir), to_date(col("o_orderdate")),
         "o_totalprice", maxLag = 14)),
+    "q_page_hinkley" -> ((s, dir) =>
+      // running-mean drift monitor (no baseline period needed): daily
+      // means built from exact centi sums so both engines fold the same
+      // doubles; delta 0.05, alarm at lambda 5
+      Drift.pageHinkley(
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(round(col("value") * 100, 0).cast("long"))
+            .cast("double") / count(lit(1)) / 100.0).as("daily_avg")),
+        "day", "daily_avg", delta = 0.05, lambda = 5.0)),
+    "q_interarrival" -> ((s, dir) =>
+      // Poisson-ness of each user's event stream: gap mean/min/max and
+      // CV from exact microsecond gaps
+      Stats.interArrival(Tables.events(s, dir), "user_id", "ts")),
     "q_cusum_drift" -> ((s, dir) =>
       // two-sided CUSUM over the daily-mean series: baseline = first 7
       // in-control days, slack 0.5σ₀, alarm at 3σ₀ — the sequential

@@ -295,6 +295,35 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("pageHinkley: prefix identity ≡ the sequential recursion; a " +
+      "constant run stays at 0, a step change alarms upward only") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vals = Seq.fill(10)(10.0) ++ Seq.fill(10)(11.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i + 1, v) }
+      .toDF("t", "v")
+    val out = Drift.pageHinkley(df, "t", "v", delta = 0.1, lambda = 2.0)
+      .select("t", "ph_up", "ph_down", "alarm")
+      .as[(Int, Double, Double, Boolean)].collect().toList
+    // sequential replay: m_t = Σ(x - runningMean - δ), PH = m - min(0, m*)
+    var cum = 0.0; var mu = 0.0; var md = 0.0
+    var mnU = 0.0; var mnD = 0.0
+    val expect = vals.zipWithIndex.map { case (x, i) =>
+      cum += x
+      val rbar = cum / (i + 1)
+      mu += x - rbar - 0.1; md += rbar - x - 0.1
+      mnU = math.min(mnU, mu); mnD = math.min(mnD, md)
+      (r6(mu - mnU), r6(md - mnD))
+    }
+    assert(out.map(r => (r._2, r._3)) == expect)
+    // constant prefix never alarms; the shift alarms on the up side only
+    assert(out.take(10).forall(r => r._2 == 0.0 && !r._4))
+    assert(out.last._4 && out.last._2 > 2.0 && out.forall(_._3 == 0.0))
+    intercept[IllegalArgumentException] {
+      Drift.pageHinkley(df, "t", "v", delta = -1.0, lambda = 2.0)
+    }
+  }
+
   test("wasserstein1Binned: point masses at the range ends score ~range, " +
       "identical sides score 0, empty-bin runs carry the gap") {
     import spark.implicits._

@@ -86,6 +86,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("interArrival: gaps fold exactly in microseconds, CV hits the " +
+      "closed form, single-event entities are excluded") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(30)), (2L, ts(5)))
+      .toDF("user_id", "ts")
+    val out = graft.ops.Stats.interArrival(df, "user_id", "ts").collect()
+    assert(out.length == 1) // user 2 has no gap
+    val r = out.head
+    assert(r.getAs[Long]("n_gaps") == 2L)
+    assert(r.getAs[Double]("mean_gap_s") == 15.0)
+    assert(r.getAs[Double]("min_gap_s") == 10.0)
+    assert(r.getAs[Double]("max_gap_s") == 20.0)
+    // gaps (10, 20): sd = 5, mean = 15 -> CV = 1/3
+    assert(r.getAs[Double]("cv") == 0.333333)
+  }
+
   test("hurstRS: a period-2 alternation is perfectly anti-persistent " +
       "(R/S = 1 at every scale, H = 0), a ramp is persistent, short " +
       "series refused") {
