@@ -26,6 +26,43 @@ object OracleSql {
 
   private val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
+  /** Kaplan–Meier CTE chain (time-to-first-high-value-purchase, right-
+    * censored at last observation) — shared by q_kaplan_meier and
+    * q_rmst so the step curve both integrate is ONE definition. */
+  private val kmChain = """WITH k AS (SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' AND value > 95.0
+                        THEN ts END) AS te,
+               max(ts) AS tl
+            FROM events GROUP BY user_id),
+      d AS (SELECT te IS NOT NULL AS obs,
+               CAST(floor((epoch_us(coalesce(te, tl)) - epoch_us(t0))
+                 / 3600000000.0) AS BIGINT) AS t_hours
+            FROM k),
+      p AS (SELECT t_hours,
+               CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_censored
+            FROM d GROUP BY t_hours),
+      r AS (SELECT *,
+               sum(n_events + n_censored) OVER ()
+                 - coalesce(sum(n_events + n_censored) OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+            FROM p),
+      f AS (SELECT *,
+               1.0 - n_events / CAST(n_risk AS DOUBLE) AS fac FROM r),
+      s AS (SELECT *,
+               max(CASE WHEN fac = 0.0 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS hit0,
+               sum(CASE WHEN fac > 0 THEN ln(fac) ELSE 0.0 END)
+                 OVER (ORDER BY t_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS lsum
+            FROM f)"""
+
   /** Full-history SCD2 — shared by q_scd2 and q_scd2_incremental (the
     * incremental fold's contract is exact equality with this).
     */
@@ -4598,45 +4635,39 @@ object OracleSql {
              round(sum(monetary), 6) AS total_monetary
       FROM sc GROUP BY 1 ORDER BY segment""",
 
-    "q_kaplan_meier" -> """
-      WITH k AS (SELECT user_id, min(ts) AS t0,
-               min(CASE WHEN event_type = 'purchase' AND value > 95.0
-                        THEN ts END) AS te,
-               max(ts) AS tl
-            FROM events GROUP BY user_id),
-      d AS (SELECT te IS NOT NULL AS obs,
-               CAST(floor((epoch_us(coalesce(te, tl)) - epoch_us(t0))
-                 / 3600000000.0) AS BIGINT) AS t_hours
-            FROM k),
-      p AS (SELECT t_hours,
-               CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_events,
-               CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
-                 AS n_censored
-            FROM d GROUP BY t_hours),
-      r AS (SELECT *,
-               sum(n_events + n_censored) OVER ()
-                 - coalesce(sum(n_events + n_censored) OVER (ORDER BY t_hours
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 AS n_risk
-            FROM p),
-      f AS (SELECT *,
-               1.0 - n_events / CAST(n_risk AS DOUBLE) AS fac FROM r),
-      s AS (SELECT *,
-               max(CASE WHEN fac = 0.0 THEN 1 ELSE 0 END)
-                 OVER (ORDER BY t_hours
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS hit0,
-               sum(CASE WHEN fac > 0 THEN ln(fac) ELSE 0.0 END)
-                 OVER (ORDER BY t_hours
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS lsum
-            FROM f)
+    "q_kaplan_meier" -> s"""
+      $kmChain
       SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk, n_events,
              n_censored,
              CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(lsum), 6) END
                AS survival
       FROM s WHERE n_events > 0 ORDER BY t_hours""",
+
+    // RMST: the KM chain replayed, each step's survival x whole-hour
+    // width exact on the 1e-6 lattice, S=1 head segment, tau fallback
+    "q_rmst" -> s"""
+      $kmChain,
+      km AS (SELECT CAST(t_hours AS BIGINT) AS t,
+               CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(lsum), 6) END
+                 AS sv
+             FROM s WHERE n_events > 0),
+      st AS (SELECT t, sv,
+               coalesce(lead(t, 1) OVER (ORDER BY t), 336) AS nxt
+             FROM km WHERE t < 336),
+      cb AS (SELECT t,
+               CAST(round(sv * CAST(nxt - t AS DOUBLE) * 1e6, 0)
+                 AS BIGINT) AS c
+             FROM st),
+      fd AS (SELECT CAST(count(*) AS BIGINT) AS n_steps,
+               CAST(coalesce(min(t), 336) AS BIGINT) AS fst,
+               CAST(coalesce(sum(c), 0) AS BIGINT) AS sc
+             FROM cb)
+      SELECT CAST(336 AS BIGINT) AS horizon_hours, n_steps,
+             round(CAST(fst * 1000000 + sc AS DOUBLE) / 1e6, 6)
+               AS rmst_hours,
+             round(CAST(fst * 1000000 + sc AS DOUBLE) / 1e6 / 336.0, 6)
+               AS mean_survival
+      FROM fd""",
 
     // centered 7-row MA trend (NULL edges), epoch-mod-7 weekday slot,
     // slot means re-centered to sum 0 across the 7 slots
@@ -5047,6 +5078,35 @@ object OracleSql {
 
     // Kruskal-Wallis: exact 2x-midranks, per-group rank sums CASE-folded
     // into one row, fixed left-to-right H combine, exact tie sums
+    // Kendall tau-b: exact integer pair kernel over the bounded day
+    // table, tie-corrected denominator, one double tree
+    "q_kendall_tau" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS b,
+              CAST(count(*) AS BIGINT) AS x,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      p AS (SELECT sign(CAST(r.x - l.x AS DOUBLE)) AS sx,
+              sign(CAST(r.y - l.y AS DOUBLE)) AS sy
+            FROM daily l JOIN daily r ON l.b < r.b),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN sx * sy = 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS concordant,
+              CAST(sum(CASE WHEN sx * sy = -1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS discordant,
+              CAST(sum(CASE WHEN sx = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS ties_x,
+              CAST(sum(CASE WHEN sy = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS ties_y
+            FROM p)
+      SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+             CASE WHEN n_pairs > ties_x AND n_pairs > ties_y THEN
+               round(CAST(concordant - discordant AS DOUBLE)
+                 / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                   * CAST(n_pairs - ties_y AS DOUBLE)), 6)
+             END AS tau_b
+      FROM f""",
+
     // Cramér's V: joint counts exact, each OBSERVED cell's n·nxy²/(nx·ny)
     // term from one fixed double tree on the 1e-9 lattice; chi2 = Σ − n
     // (empty cells absorbed by the identity, never densified)

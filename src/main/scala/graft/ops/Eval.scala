@@ -338,6 +338,42 @@ object Eval {
       .orderBy("t_hours")
   }
 
+  /** Restricted mean survival time: ∫₀^τ S(t)dt under the
+    * [[kaplanMeier]] step curve — the clinically-preferred one-number
+    * summary when the median is never reached ("average event-free
+    * hours in the first τ hours"), reported with its S(t)-average. The
+    * integral is the exact step sum Σ sᵢ·(tᵢ₊₁∧τ − tᵢ) plus the
+    * S=1 head segment [0, t₁∧τ); with no step below the horizon it
+    * degenerates to exactly τ.
+    *
+    * Each step's contribution sᵢ·Δt is integer-valued on the 1e-6
+    * lattice (6-decimal survival × whole hours), so the fold is an
+    * exact long sum — step order can't move it. Runs entirely on the
+    * BOUNDED KM step table (distinct event hours).
+    */
+  def rmst(df: DataFrame, keyCol: String, tsCol: String, isEvent: Column,
+           horizonHours: Long): DataFrame = {
+    require(horizonHours >= 1,
+      s"rmst: horizonHours >= 1 (got $horizonHours)")
+    val steps = kaplanMeier(df, keyCol, tsCol, isEvent)
+      .select(col("t_hours").cast("long").as("__t"),
+        col("survival").as("__s"))
+      .filter(col("__t") < horizonHours)
+    val ord = Window.orderBy(col("__t"))
+    val contrib = steps
+      .withColumn("__nxt",
+        coalesce(lead(col("__t"), 1).over(ord), lit(horizonHours)))
+      .withColumn("__c", round(col("__s") *
+        (col("__nxt") - col("__t")).cast("double") * 1e6, 0).cast("long"))
+    val folded = contrib.agg(count(lit(1)).as("n_steps"),
+      coalesce(min(col("__t")), lit(horizonHours)).as("__first"),
+      coalesce(sum(col("__c")), lit(0L)).as("__sc"))
+    val raw = (col("__first") * 1000000L + col("__sc")).cast("double") / 1e6
+    folded.select(lit(horizonHours).as("horizon_hours"), col("n_steps"),
+      round(raw, 6).as("rmst_hours"),
+      round(raw / lit(horizonHours.toDouble), 6).as("mean_survival"))
+  }
+
   /** The shared duration/risk-set derivation behind [[kaplanMeier]] and
     * [[nelsonAalen]]: per key, first observation starts the clock, first
     * event observes, last observation censors; durations floored to whole

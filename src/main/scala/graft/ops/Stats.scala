@@ -1152,6 +1152,53 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Kendall's τ-b between two INTEGER daily aggregates — the
+    * pair-concordance association measure completing the correlation
+    * triple ([[corrMatrix]] Pearson, [[spearman]] rank): τ reads "what
+    * fraction of day pairs move together", is robust to any monotone
+    * transform, and its tie correction (τ-b) keeps it honest on
+    * discrete counts. Integer inputs make every pair comparison exact —
+    * concordant/discordant/tie counts are pure longs and the statistic
+    * is one fixed double tree over five integers.
+    *
+    * Plan: one keyed daily aggregation, then the [[mannKendall]] /
+    * [[theilSenPerKey]] pair kernel over the CALENDAR-BOUNDED day table
+    * (~days²/2 pairs — 3 M for a decade). One output row.
+    */
+  def kendallTau(df: DataFrame, bucketCol: Column, xAgg: Column,
+                 yAgg: Column): DataFrame = {
+    val daily = df.groupBy(bucketCol.as("__b"))
+      .agg(xAgg.as("__x"), yAgg.as("__y"))
+    Seq("__x", "__y").foreach { c =>
+      daily.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => ()
+        case other => throw new IllegalArgumentException(
+          s"kendallTau: aggregates must be integral for exact pair " +
+            s"comparisons; $c is $other — put values on a lattice first")
+      }
+    }
+    val l = daily.select(col("__b").as("__b1"), col("__x").as("__x1"),
+      col("__y").as("__y1"))
+    val r = daily.select(col("__b").as("__b2"), col("__x").as("__x2"),
+      col("__y").as("__y2"))
+    val sx = signum((col("__x2") - col("__x1")).cast("double"))
+    val sy = signum((col("__y2") - col("__y1")).cast("double"))
+    val folded = l.join(r, col("__b1") < col("__b2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(sx * sy === 1.0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sx * sy === -1.0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(sx === 0.0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(sy === 0.0, 1L).otherwise(0L)).as("ties_y"))
+    val tau = (col("concordant") - col("discordant")).cast("double") /
+      sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+        (col("n_pairs") - col("ties_y")))
+    folded.select(col("n_pairs"), col("concordant"), col("discordant"),
+      col("ties_x"), col("ties_y"),
+      when(col("n_pairs") > col("ties_x") &&
+        col("n_pairs") > col("ties_y"), round(tau, 6)).as("tau_b"))
+  }
+
   /** Per-entity inter-arrival profile: mean / min / max gap between
     * consecutive events and the coefficient of variation of the gaps —
     * the Poisson-ness check at the WITHIN-day grain [[burstiness]]'s

@@ -526,6 +526,16 @@ object AnalyticsRegistry {
           .select(col("user_id"), col("ts"), col("event_type"),
             col("value")),
         "user_id", "ts", col("event_type") === "purchase", "value")),
+    "q_rmst" -> ((s, dir) =>
+      // restricted mean survival time over the first 14 days: exact
+      // step integral of the q_kaplan_meier curve
+      Eval.rmst(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 95.0,
+        horizonHours = 336L)),
     "q_kaplan_meier" -> ((s, dir) =>
       // product-limit survival of time-to-first-high-value-purchase,
       // right-censored at each user's last observed event
@@ -656,6 +666,13 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_kendall_tau" -> ((s, dir) =>
+      // pair-concordance of daily order volume and daily revenue:
+      // tie-corrected tau-b from exact integer pair comparisons
+      Stats.kendallTau(Tables.orders(s, dir),
+        to_date(col("o_orderdate")),
+        count(lit(1)).cast("long"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")))),
     "q_cramers_v" -> ((s, dir) =>
       // association strength between document language and source on a
       // 0..1 scale, with the Bergsma small-sample bias correction

@@ -45,6 +45,32 @@ class EvalSpec extends SparkSpec {
     assert((3 to 9).forall(d => out(d)._3 == 0L && out(d)._5.get == 1.0))
   }
 
+  test("rmst: the step integral of the KM curve hits the closed form, " +
+      "and a horizon below the first step degenerates to exactly tau") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // per-user durations to first qualifying event: 10, 10, 20, 40 h
+    val rows = Seq(
+      (1L, ts(0), 0), (1L, ts(10), 1),
+      (2L, ts(0), 0), (2L, ts(10), 1),
+      (3L, ts(0), 0), (3L, ts(20), 1),
+      (4L, ts(0), 0), (4L, ts(40), 1))
+    val df = rows.toDF("user_id", "ts", "flag")
+    // S: [0,10)=1, [10,20)=.5, [20,40)=.25, [40,..)=0
+    val r = Eval.rmst(df, "user_id", "ts", col("flag") === 1,
+      horizonHours = 30L).collect().head
+    assert(r.getAs[Long]("n_steps") == 2L)
+    assert(r.getAs[Double]("rmst_hours") == 17.5) // 10 + 5 + 2.5
+    assert(r.getAs[Double]("mean_survival") == 0.583333)
+    val early = Eval.rmst(df, "user_id", "ts", col("flag") === 1,
+      horizonHours = 5L).collect().head
+    assert(early.getAs[Long]("n_steps") == 0L)
+    assert(early.getAs[Double]("rmst_hours") == 5.0)
+    assert(early.getAs[Double]("mean_survival") == 1.0)
+    intercept[IllegalArgumentException] {
+      Eval.rmst(df, "user_id", "ts", col("flag") === 1, 0L)
+    }
+  }
+
   test("cuped: a perfectly predictive covariate scores theta from the " +
       "exact sums, zeroes the adjusted lift, and reduces variance to 0") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(

@@ -86,6 +86,27 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("kendallTau: monotone-with-one-tie hits the closed-form tau-b, " +
+      "non-integral aggregates are refused") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 1, 1).plusDays(i.toLong))
+    val df = Seq((d(1), 1L, 1L), (d(2), 2L, 2L), (d(3), 2L, 3L),
+      (d(4), 3L, 4L)).toDF("b", "x", "y")
+    val r = graft.ops.Stats.kendallTau(df, col("b"),
+      min(col("x")).cast("long"), min(col("y")).cast("long"))
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("concordant") == 5L &&
+      r.getAs[Long]("discordant") == 0L)
+    assert(r.getAs[Long]("ties_x") == 1L && r.getAs[Long]("ties_y") == 0L)
+    // 5 / sqrt(5 * 6)
+    assert(r.getAs[Double]("tau_b") == 0.912871)
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.kendallTau(df, col("b"),
+        min(col("x")).cast("double"), min(col("y")).cast("long"))
+    }
+  }
+
   test("interArrival: gaps fold exactly in microseconds, CV hits the " +
       "closed form, single-event entities are excluded") {
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
