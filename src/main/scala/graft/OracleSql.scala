@@ -3975,6 +3975,11 @@ object OracleSql {
     "q_markov_steady" -> markovSql(
       Seq("click", "error", "purchase", "signup", "view"), 30),
 
+    // entropy rate of the behavior chain: same prelude + power steps,
+    // per-state conditional entropies folded in ascending order
+    "q_markov_entropy" -> markovEntropySql(
+      Seq("click", "error", "purchase", "signup", "view"), 30),
+
     // expected steps to first purchase: 60 unrolled value-iteration
     // steps, target row pinned to 0
     "q_steps_to_convert" -> markovHitSql(
@@ -7319,6 +7324,74 @@ object OracleSql {
         SELECT $pCells),
       v0 AS MATERIALIZED (SELECT $v0),
       $steps
+      $rows
+      ORDER BY state"""
+  }
+
+  /** Entropy-rate oracle: the markovSql prelude + unrolled power steps,
+    * then per-state conditional entropies and the πᵢ·Hᵢ fold in the
+    * exact ascending orders the Scala driver uses; ln d is the SAME
+    * literal [[graft.ops.Retrieval.lnStatesLiteral]] computes.
+    */
+  private def markovEntropySql(states: Seq[String],
+                               iterations: Int): String = {
+    val d = states.size
+    def q(s: String) = s.replace("'", "''")
+    val pCells = (for { i <- 0 until d; j <- 0 until d } yield {
+      val si = q(states(i)); val sj = q(states(j))
+      s"""CASE WHEN (SELECT tn FROM tot WHERE f = '$si') IS NULL
+           THEN ${if (i == j) "1.0" else "0.0"}
+           ELSE coalesce((SELECT CAST(n AS DOUBLE) FROM c
+                          WHERE f = '$si' AND t = '$sj'), 0.0)
+                / (SELECT tn FROM tot WHERE f = '$si') END AS p${i}_$j"""
+    }).mkString(",\n          ")
+    val v0 = (0 until d).map(i => s"1.0 / $d.0 AS x$i").mkString(", ")
+    def matVec(prev: String) = (0 until d).map { j =>
+      (0 until d).map(i => s"P.p${i}_$j * $prev.x$i").mkString(" + ") +
+        s" AS w$j"
+    }.mkString(",\n            ")
+    val steps = (1 to iterations).map { t =>
+      val prev = s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (
+          SELECT ${matVec(prev)}
+          FROM P, $prev),
+      v$t AS MATERIALIZED (
+          SELECT ${(0 until d).map(j =>
+        s"w$j / (${(0 until d).map(i => s"w$i").mkString(" + ")}) AS x$j")
+        .mkString(",\n            ")}
+          FROM w$t)"""
+    }.mkString(",\n      ")
+    val vf = s"v$iterations"
+    val hCols = (0 until d).map { i =>
+      val terms = (0 until d).map(j =>
+        s"CASE WHEN p${i}_$j > 0 THEN p${i}_$j * ln(p${i}_$j) " +
+          s"ELSE 0.0 END").mkString(" + ")
+      s"-($terms) AS h$i"
+    }.mkString(",\n            ")
+    val rateExpr = (0 until d).map(i => s"$vf.x$i * hs.h$i")
+      .mkString(" + ")
+    val lnD = graft.ops.Retrieval.lnStatesLiteral(d)
+    val rows = (0 until d).map(i =>
+      s"SELECT '${q(states(i))}' AS state, round($vf.x$i, 6) " +
+        s"AS stationary, round(hs.h$i, 6) AS h_state, " +
+        s"round(er.rate, 6) AS entropy_rate, " +
+        s"round(1.0 - er.rate / $lnD, 6) AS predictability " +
+        s"FROM $vf, hs, er").mkString("\n      UNION ALL ")
+    s"""
+      WITH pairs AS (
+        SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+        FROM events),
+      c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pairs
+            WHERE t IS NOT NULL GROUP BY f, t),
+      tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY f),
+      P AS MATERIALIZED (
+        SELECT $pCells),
+      v0 AS MATERIALIZED (SELECT $v0),
+      $steps,
+      hs AS MATERIALIZED (SELECT $hCols FROM P),
+      er AS MATERIALIZED (SELECT ($rateExpr) AS rate FROM $vf, hs)
       $rows
       ORDER BY state"""
   }

@@ -299,6 +299,20 @@ object Retrieval {
       expectedStates, "markovSteadyState")
     val d = states.length
     require(d >= 1, "markovSteadyState: no transitions observed")
+    val v = steadyVec(p, d, iterations)
+    import spark.implicits._
+    states.zip(v).map { case (st, pr) => (st, pr) }
+      .toDF("state", "stationary")
+      .select(col("state"), round(col("stationary"), 6).as("stationary"))
+      .orderBy("state")
+  }
+
+  /** Power iteration to the stationary vector — the EXACT arithmetic
+    * sequence (ascending-i folds, renormalize each step) both
+    * [[markovSteadyState]] and [[markovEntropyRate]] share with their
+    * oracles' unrolled CTE replay. */
+  private def steadyVec(p: Array[Array[Double]], d: Int,
+                        iterations: Int): Array[Double] = {
     var v = Array.fill(d)(1.0 / d)
     for (_ <- 1 to iterations) {
       val nv = Array.tabulate(d)(j =>
@@ -306,12 +320,53 @@ object Retrieval {
       val s = nv.foldLeft(0.0)(_ + _)
       v = nv.map(_ / s)
     }
+    v
+  }
+
+  /** Entropy rate of the behavioral Markov chain:
+    * H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ — "how many nats of surprise per step
+    * does a user's NEXT action carry once you know the current one" —
+    * with the per-state conditional entropies and the predictability
+    * score 1 − H/ln d (0 = uniformly random next action, 1 = fully
+    * deterministic journeys). The one-number answer to "is behavior
+    * model-able at all", next to [[markovSteadyState]]'s "where do
+    * users spend their time".
+    *
+    * Same chain derivation and power iteration as the steady state
+    * (bounded d×d driver matrix, declared-roster fail-loud); the
+    * entropy folds run in fixed ascending order and ln d is computed
+    * ONCE here — the oracle embeds the identical literal.
+    */
+  def markovEntropyRate(events: DataFrame, key: String, ts: String,
+                        id: String, stateCol: String,
+                        iterations: Int = 30,
+                        expectedStates: Seq[String] = Nil): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"markovEntropyRate: iterations in [1, 100] (got $iterations)")
+    val spark = events.sparkSession
+    val (states, p) = observedChain(events, key, ts, id, stateCol,
+      expectedStates, "markovEntropyRate")
+    val d = states.length
+    require(d >= 2, s"markovEntropyRate: need >= 2 states (got $d)")
+    val v = steadyVec(p, d, iterations)
+    val h = Array.tabulate(d)(i => -(0 until d).foldLeft(0.0)((acc, j) =>
+      if (p(i)(j) > 0) acc + p(i)(j) * math.log(p(i)(j)) else acc))
+    val rate = (0 until d).foldLeft(0.0)((acc, i) => acc + v(i) * h(i))
+    val pred = 1.0 - rate / math.log(d.toDouble)
     import spark.implicits._
-    states.zip(v).map { case (st, pr) => (st, pr) }
-      .toDF("state", "stationary")
-      .select(col("state"), round(col("stationary"), 6).as("stationary"))
+    states.indices.map(i => (states(i), v(i), h(i), rate, pred))
+      .toDF("state", "__pi", "__h", "__rate", "__pred")
+      .select(col("state"), round(col("__pi"), 6).as("stationary"),
+        round(col("__h"), 6).as("h_state"),
+        round(col("__rate"), 6).as("entropy_rate"),
+        round(col("__pred"), 6).as("predictability"))
       .orderBy("state")
   }
+
+  /** ln(d) literal for [[markovEntropyRate]]'s oracle — computed once
+    * here so both engines divide by the IDENTICAL double. */
+  def lnStatesLiteral(d: Int): String =
+    java.lang.Double.toString(math.log(d.toDouble))
 
   /** Expected transitions until first reaching `target`, from every
     * state of the [[transitionMatrix]] chain — the step-count companion

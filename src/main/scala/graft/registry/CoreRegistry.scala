@@ -513,6 +513,14 @@ object CoreRegistry {
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("ts"), col("event_type")),
         "user_id", "ts", "event_id", "event_type")),
+    "q_markov_entropy" -> ((s, dir) =>
+      // nats of surprise per step of the behavior chain + the 1-H/ln d
+      // predictability score — "is next-action modelling worth it"
+      Retrieval.markovEntropyRate(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type", iterations = 30,
+        expectedStates = Seq("click", "error", "purchase", "signup", "view"))),
     "q_markov_steady" -> ((s, dir) =>
       // where the behavioral flow settles: stationary distribution of
       // the event-type chain (30 unrolled power steps on the bounded

@@ -196,6 +196,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(pi2("c") > 0.99)
   }
 
+  test("markovEntropyRate: a deterministic cycle scores 0 nats / " +
+      "predictability 1; a half-random state scores pi_a*ln2") {
+    // a,b,a,b: P(a)=[0,1], P(b)=[1,0] — fully deterministic
+    val det = Seq("a", "b", "a", "b").zipWithIndex.map { case (s, i) =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:00:${i}%02d"), s)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val d = graft.ops.Retrieval.markovEntropyRate(det, "user_id", "ts",
+      "event_id", "event_type").collect()
+    assert(d.forall(_.getAs[Double]("entropy_rate") == 0.0))
+    assert(d.forall(_.getAs[Double]("predictability") == 1.0))
+    // a,a,b,a,a,b,a: P(a)=[1/2,1/2], P(b)=[1,0] -> pi=(2/3,1/3),
+    // H_a = ln 2, H_b = 0 -> rate = 2/3 ln 2, pred = 1/3
+    val half = Seq("a", "a", "b", "a", "a", "b", "a").zipWithIndex.map {
+      case (s, i) => (i.toLong, 1L, ts(f"2024-01-01 00:00:${i}%02d"), s)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val h = graft.ops.Retrieval.markovEntropyRate(half, "user_id", "ts",
+      "event_id", "event_type").collect()
+      .map(r => r.getAs[String]("state") ->
+        (r.getAs[Double]("h_state"), r.getAs[Double]("entropy_rate"),
+          r.getAs[Double]("predictability"))).toMap
+    assert(h("a")._1 == 0.693147 && h("b")._1 == 0.0)
+    assert(h("a")._2 == 0.462098)
+    assert(h("a")._3 == 0.333333)
+    intercept[IllegalArgumentException] {
+      graft.ops.Retrieval.markovEntropyRate(det, "user_id", "ts",
+        "event_id", "event_type", expectedStates = Seq("a", "b", "c"))
+    }
+  }
+
   test("markovHittingSteps: closed-form hitting times on the two-state " +
       "chain; target reports 0; unknown target fails loud") {
     // P(a)=[0,1], P(b)=[1/2,1/2]; h(b) = 0; h(a) = 1 + h(b) = 1? target b:
