@@ -59,9 +59,10 @@ object ScaleStress {
     val asofOnly = args.headOption.contains("asof")
     val exactsubstrOnly = args.headOption.contains("exactsubstr")
     val graph8Mode = args.headOption.contains("graph8")
+    val stats8Mode = args.headOption.contains("stats8")
     val ks =
       if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly ||
-          exactsubstrOnly || graph8Mode)
+          exactsubstrOnly || graph8Mode || stats8Mode)
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
@@ -504,6 +505,56 @@ object ScaleStress {
       }
       println(f"STRESS-GRAPH8 k=$k edges=$nE t_linkpred=$tLp%.2f " +
         f"top=$nLp seeds=$nS t_harmonic=$tHc%.2f nodes=$nHc")
+    }
+    // round-8 stats/eval ops stress at 1×/10×/100×: replicated events
+    // with per-copy user/event id shifts (group cardinality scales, the
+    // day calendar and value distribution are preserved). Pass criteria:
+    // Kruskal-Wallis tracks the corpus linearly (its rank table is
+    // bounded by DISTINCT values, not rows), inter-arrival and P@k/MAP
+    // are keyed single-window passes, CUPED is two single-row folds over
+    // one user-grain aggregation.
+    val stats8Ks =
+      if (stats8Mode) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (stats8Ks.nonEmpty) {
+      val ev8 = Tables.events(spark, "/root/testdata/sf0.1")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      for (k <- stats8Ks) {
+        val corpus = (0 until k).map(i =>
+          ev8.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            (col("user_id") + lit(i * 10000000L)).as("user_id"),
+            col("ts"), col("event_type"), col("value")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val n = corpus.count()
+        val (tKw, _) = timeMin2 {
+          graft.ops.Stats.kruskalWallis(corpus, "event_type", "value",
+            Seq("view", "click", "purchase", "signup", "error"))
+            .queryExecution.toRdd.count()
+        }
+        val (tIa, nUsers) = timeMin2 {
+          graft.ops.Stats.interArrival(corpus, "user_id", "ts")
+            .queryExecution.toRdd.count()
+        }
+        val (tPr, _) = timeMin2 {
+          graft.ops.Eval.precisionRecallAtK(
+            corpus.select(col("user_id"), col("event_id"), col("value"),
+              col("event_type")),
+            "user_id", "event_id", "value",
+            col("event_type") === "purchase" && col("value") > 90.0,
+            k = 10).queryExecution.toRdd.count()
+        }
+        val (tCu, _) = timeMin2 {
+          graft.ops.Eval.cuped(
+            corpus.select(col("user_id"), col("ts"), col("value")),
+            "user_id", "ts", "value", "2024-01-16")
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-STATS8 k=$k rows=$n users=$nUsers " +
+          f"t_kw=$tKw%.2f t_interarrival=$tIa%.2f t_pr=$tPr%.2f " +
+          f"t_cuped=$tCu%.2f")
+      }
     }
     // bucketed-as-of stress at 1×/10×/100×: the same native as-of join
     // planned two ways — over plain frames (EnsureRequirements inserts
