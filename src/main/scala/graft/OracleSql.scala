@@ -5083,6 +5083,36 @@ object OracleSql {
 
     // Kruskal-Wallis: exact 2x-midranks, per-group rank sums CASE-folded
     // into one row, fixed left-to-right H combine, exact tie sums
+    // ABC classification: centi-lattice revenue, rank desc with key
+    // tiebreak, exact cross-multiplied class boundaries at 80/95
+    "q_abc_parts" -> """
+      WITH per AS (SELECT l_partkey AS k,
+              CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS c
+            FROM lineitem GROUP BY 1),
+      r AS (SELECT k, c,
+              CAST(sum(c) OVER (ORDER BY c DESC, k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST(sum(c) OVER () AS BIGINT) AS tot,
+              CAST(count(*) OVER () AS BIGINT) AS nk
+            FROM per),
+      cl AS (SELECT *,
+               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                    WHEN cum * 100 <= tot * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+             FROM r),
+      g AS (SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(c) AS BIGINT) AS cc,
+              CAST(max(tot) AS BIGINT) AS t,
+              CAST(max(nk) AS BIGINT) AS nk
+            FROM cl GROUP BY 1)
+      SELECT abc_class, n_keys,
+             round(CAST(n_keys AS DOUBLE) / nk, 6) AS key_share,
+             round(CAST(cc AS DOUBLE) / 100.0, 2) AS class_revenue,
+             round(CAST(cc AS DOUBLE) / t, 6) AS revenue_share
+      FROM g ORDER BY abc_class""",
+
     // Kendall tau-b: exact integer pair kernel over the bounded day
     // table, tie-corrected denominator, one double tree
     "q_kendall_tau" -> """

@@ -1152,6 +1152,50 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** ABC (Pareto) classification of entities by value contribution —
+    * the inventory/catalog working answer to [[giniConcentration]]'s
+    * diagnosis: rank entities by revenue, class A carries the first
+    * `cutA`% of cumulative value, B to `cutB`%, C the tail; one summary
+    * row per class with entity and revenue rollups. Cuts are INTEGER
+    * percents and the boundary test cross-multiplies exact centi-lattice
+    * longs (cum·100 ≤ total·cut), so no entity ever flips class on
+    * float noise.
+    *
+    * Plan: one keyed aggregation, one global rank over the ENTITY table
+    * (dimension-sized — the documented Pareto/Lorenz global-sort class,
+    * same as giniConcentration), one ≤3-row fold.
+    */
+  def abcClassification(df: DataFrame, keyCol: String, valueCol: String,
+                        cutA: Int = 80, cutB: Int = 95): DataFrame = {
+    require(0 < cutA && cutA < cutB && cutB < 100,
+      s"abcClassification: 0 < cutA < cutB < 100 (got $cutA, $cutB)")
+    val per = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__c"))
+    val ord = Window.orderBy(col("__c").desc, col("__k"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    per
+      .withColumn("__cum", sum(col("__c")).over(cum))
+      .withColumn("__tot", sum(col("__c")).over(whole))
+      .withColumn("__nk", count(lit(1)).over(whole))
+      .withColumn("abc_class",
+        when(col("__cum") * 100L <= col("__tot") * cutA, "A")
+          .when(col("__cum") * 100L <= col("__tot") * cutB, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("__cc"),
+        max(col("__tot")).as("__t"),
+        max(col("__nk")).as("__nk"))
+      .select(col("abc_class"), col("n_keys"),
+        round(col("n_keys").cast("double") / col("__nk"), 6)
+          .as("key_share"),
+        round(col("__cc").cast("double") / 100.0, 2).as("class_revenue"),
+        round(col("__cc").cast("double") / col("__t"), 6)
+          .as("revenue_share"))
+      .orderBy("abc_class")
+  }
+
   /** Kendall's τ-b between two INTEGER daily aggregates — the
     * pair-concordance association measure completing the correlation
     * triple ([[corrMatrix]] Pearson, [[spearman]] rank): τ reads "what

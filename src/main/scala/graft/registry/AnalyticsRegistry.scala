@@ -666,6 +666,11 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_abc_parts" -> ((s, dir) =>
+      // Pareto working answer for the catalog: parts classed A/B/C by
+      // cumulative revenue share, exact integer boundaries at 80/95
+      Stats.abcClassification(Tables.lineitem(s, dir), "l_partkey",
+        "l_extendedprice")),
     "q_kendall_tau" -> ((s, dir) =>
       // pair-concordance of daily order volume and daily revenue:
       // tie-corrected tau-b from exact integer pair comparisons

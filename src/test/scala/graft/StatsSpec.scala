@@ -86,6 +86,24 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("abcClassification: exact integer boundaries put the 80/15/5 " +
+      "split on the class edges, bad cuts fail loud") {
+    val df = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("k", "v")
+    val out = graft.ops.Stats.abcClassification(df, "k", "v")
+      .collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Double]("class_revenue"),
+          r.getAs[Double]("revenue_share"))).toMap
+    // cum shares hit the cut boundaries exactly: 80 <= 80 -> A,
+    // 95 <= 95 -> B, tail -> C
+    assert(out("A") == ((1L, 80.0, 0.8)))
+    assert(out("B") == ((1L, 15.0, 0.15)))
+    assert(out("C") == ((1L, 5.0, 0.05)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.abcClassification(df, "k", "v", cutA = 95, cutB = 80)
+    }
+  }
+
   test("kendallTau: monotone-with-one-tie hits the closed-form tau-b, " +
       "non-integral aggregates are refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
