@@ -1393,18 +1393,20 @@ object Eval {
         (lit(lcm) * least(col("n_rel_total"), lit(k.toLong)))
           .cast("double"))
       .otherwise(lit(0.0))
-    val all = Window.partitionBy()
-    per
-      .withColumn("__ap", apRaw)
+    // MAP as a 1-row fold broadcast back — NOT a partition-less window,
+    // which would drag the whole group roster into one partition at scale
+    val withAp = per.withColumn("__ap", apRaw)
+    val mapScalar = withAp.agg(round(
+      sum(round(col("__ap") * 1e6, 0).cast("long")) /
+        count(lit(1)).cast("double") / 1e6, 6).as("map"))
+    withAp
       .withColumn("precision_at_k",
         round(col("n_rel_at_k").cast("double") / lit(k.toDouble), 6))
       .withColumn("recall_at_k", when(col("n_rel_total") > 0,
         round(col("n_rel_at_k").cast("double") /
           col("n_rel_total").cast("double"), 6)))
       .withColumn("avg_precision", round(col("__ap"), 6))
-      .withColumn("map", round(
-        sum(round(col("__ap") * 1e6, 0).cast("long")).over(all) /
-          count(lit(1)).over(all).cast("double") / 1e6, 6))
+      .crossJoin(broadcast(mapScalar))
       .select(col(groupCol), col("n_rel_total"), col("n_rel_at_k"),
         col("precision_at_k"), col("recall_at_k"), col("avg_precision"),
         col("map"))
