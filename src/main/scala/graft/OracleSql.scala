@@ -6919,6 +6919,29 @@ object OracleSql {
                / CAST(count(*) AS DOUBLE), 6) >= 0.9 AS covered
       FROM t, q GROUP BY q.n_cal, q.qhat""",
 
+    "x_lr_importance" -> {
+      val std = "sqrt(CAST(CAST(n AS HUGEINT) * svv" +
+        " - CAST(sv AS HUGEINT) * sv AS DOUBLE)" +
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1e6"
+      lrCtes + s""",
+      wd AS (SELECT CAST(generate_subscripts(w, 1) AS INTEGER) - 1 AS dim,
+               unnest(w) AS wv FROM w3),
+      st AS (SELECT CAST(generate_subscripts(x, 1) AS INTEGER) - 1 AS dim,
+               CAST(round(unnest(x) * 1e6, 0) AS BIGINT) AS vu FROM e),
+      sg AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vu) AS BIGINT) AS sv,
+               sum(CAST(vu AS HUGEINT) * vu) AS svv
+             FROM st GROUP BY dim),
+      im AS (SELECT s.dim, round(wd.wv, 6) AS weight,
+               round($std, 6) AS feature_std,
+               round(abs(wd.wv) * ($std), 6) AS importance
+             FROM sg s JOIN wd ON s.dim = wd.dim)
+      SELECT dim, weight, feature_std, importance,
+             CAST(row_number() OVER (ORDER BY importance DESC, dim)
+               AS INTEGER) AS rank
+      FROM im ORDER BY dim"""
+    },
+
     "x_lr_scores" -> (lrCtes + """
       SELECT e.id AS vec_id, e.y,
              round(list_inner_product(w.w, e.x), 6) AS margin,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** In-engine model training — deterministic full-batch logistic regression
@@ -59,6 +60,22 @@ object Learn {
         concat(array(lit(1.0)), col(vecCol).cast("array<double>")).as("__x"),
         label.cast("int").as("__y"))
       .localCheckpoint()
+    val w = fitLr(vecs, eta, iterations)
+    vecs.crossJoin(broadcast(w))
+      .withColumn("__m", dot(col("__w"), col("__x")))
+      .select(col("__id").as(idCol),
+        col("__y").as("y"),
+        round(col("__m"), 6).as("margin"),
+        round(sigmoid(col("__m")), 6).as("prob"),
+        (sigmoid(col("__m")) >= 0.5).cast("int").as("pred"))
+      .orderBy(idCol)
+  }
+
+  /** The full-batch GD weight fit shared by [[logisticGD]] and
+    * [[logisticImportance]] — zero init, `iterations` supersteps of
+    * w ← w − η·mean((σ(w·x) − y)·x), oracle-replayed step for step. */
+  private def fitLr(vecs: DataFrame, eta: Double,
+                    iterations: Int): DataFrame = {
     // zero init: length from any row (values are zeros either way)
     var w = vecs.orderBy(col("__id")).limit(1)
       .select(transform(col("__x"), _ => lit(0.0)).as("__w"))
@@ -79,14 +96,55 @@ object Learn {
           (a, g) => a - lit(eta) * g).as("__w"))
         .localCheckpoint(eager = false)
     }
-    vecs.crossJoin(broadcast(w))
-      .withColumn("__m", dot(col("__w"), col("__x")))
-      .select(col("__id").as(idCol),
-        col("__y").as("y"),
-        round(col("__m"), 6).as("margin"),
-        round(sigmoid(col("__m")), 6).as("prob"),
-        (sigmoid(col("__m")) >= 0.5).cast("int").as("pred"))
-      .orderBy(idCol)
+    w
+  }
+
+  /** Standardized-coefficient feature importance of the [[logisticGD]]
+    * model: per dimension, the fitted weight, the feature's population
+    * std, and importance = |w|·std — the unit-free ranking (a large
+    * weight on a tiny-variance feature moves nothing). The honest
+    * screen for "which embedding dimensions does the quality filter
+    * actually use", without k refit passes.
+    *
+    * Feature moments ride the 1e-6 lattice (exact long/HUGEINT sums),
+    * the weight comes from the superstep-replayed fit, and the rank
+    * orders by the ROUNDED importance (dim tiebreak) so it can never
+    * flip on sub-rounding noise. Dim 0 is the intercept (std 0,
+    * importance 0, kept and labeled).
+    */
+  def logisticImportance(emb: DataFrame, idCol: String, vecCol: String,
+                         label: Column, eta: Double = 0.5,
+                         iterations: Int = 3): DataFrame = {
+    require(eta > 0 && eta <= 10.0,
+      s"logisticImportance: eta in (0, 10] (got $eta)")
+    require(iterations >= 1 && iterations <= 20,
+      s"logisticImportance: iterations in [1, 20] (got $iterations)")
+    val vecs = emb.select(col(idCol).as("__id"),
+        concat(array(lit(1.0)), col(vecCol).cast("array<double>")).as("__x"),
+        label.cast("int").as("__y"))
+      .localCheckpoint()
+    val w = fitLr(vecs, eta, iterations)
+    val wDims = w.select(posexplode(col("__w")).as(Seq("__dim", "__wv")))
+    val stats = vecs
+      .select(posexplode(col("__x")).as(Seq("__dim", "__v")))
+      .withColumn("__vu", round(col("__v") * 1e6, 0).cast("long"))
+      .groupBy(col("__dim"))
+      .agg(count(lit(1)).as("__n"), sum(col("__vu")).as("__sv"),
+        sum(col("__vu").cast("decimal(38,0)") * col("__vu")).as("__svv"))
+    val nD = col("__n").cast("double")
+    val std = sqrt((col("__n").cast("decimal(38,0)") * col("__svv") -
+      col("__sv").cast("decimal(38,0)") * col("__sv")).cast("double") /
+      (nD * nD)) / 1e6
+    val scored = stats.join(broadcast(wDims), Seq("__dim"))
+      .withColumn("feature_std", round(std, 6))
+      .withColumn("weight", round(col("__wv"), 6))
+      .withColumn("importance", round(abs(col("__wv")) * std, 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("importance").desc, col("__dim"))))
+      .select(col("__dim").as("dim"), col("weight"), col("feature_std"),
+        col("importance"), col("rank"))
+      .orderBy("dim")
   }
 
   /** Training-run report over [[logisticGD]] scores: count, base rate,

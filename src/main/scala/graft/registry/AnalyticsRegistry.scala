@@ -1117,6 +1117,12 @@ object AnalyticsRegistry {
         Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
           col("label") >= 5, eta = 0.5, iterations = 3),
         "prob", "y", bins = 10)),
+    "x_lr_importance" -> ((s, dir) =>
+      // which embedding dims the quality filter actually uses:
+      // standardized-coefficient importance |w|·std, rank on the
+      // rounded score
+      Learn.logisticImportance(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("label") >= 5, eta = 0.5, iterations = 3)),
     "x_lr_metrics" -> ((s, dir) =>
       // training-run report chained from the ROUNDED margins (the
       // cross-engine-stable quantity): accuracy + mean log-loss

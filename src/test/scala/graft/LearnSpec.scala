@@ -81,6 +81,25 @@ class LearnSpec extends SparkSpec {
     assert(m._4 > 0.0 && m._4 < 0.35, s"log_loss ${m._4}")
   }
 
+  test("logisticImportance: the predictive feature outranks the " +
+      "constant one; intercept and constant dims score importance 0") {
+    // dim 1 (signed feature) separates the classes; dim 2 is constant
+    val rows = (0L until 16L).map { id =>
+      val y = (id % 2).toInt
+      (id, Array(if (y == 1) 1.0f else -1.0f, 3.0f), y)
+    }
+    val df = rows.toDF("vec_id", "embedding", "y")
+    val out = Learn.logisticImportance(df, "vec_id", "embedding",
+      col("y") === 1, eta = 0.5, iterations = 3).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Double]("feature_std"), r.getAs[Double]("importance"),
+          r.getAs[Int]("rank"))).toMap
+    assert(out(0)._1 == 0.0 && out(0)._2 == 0.0) // intercept
+    assert(out(1)._1 == 1.0 && out(1)._2 > 0.0)  // signed feature: std 1
+    assert(out(2)._1 == 0.0 && out(2)._2 == 0.0) // constant feature
+    assert(out(1)._3 == 1)                       // top importance rank
+  }
+
   test("first superstep from zero init moves the intercept by " +
       "η·(base_rate − 1/2): exact closed form") {
     // at w=0 every σ(w·x)=1/2, so the intercept gradient is (1/2 − p̂)
