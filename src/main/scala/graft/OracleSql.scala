@@ -2735,6 +2735,22 @@ object OracleSql {
 
     // CUSUM: the prefix-minus-running-min identity replayed verbatim;
     // P₀ = 0 participates via least(0, running min)
+    // DAU/MAU stickiness: each user-day fans out to the 7 days it keeps
+    // the user window-active for; day roster clips the tail
+    "q_stickiness" -> """
+      WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                  FROM events),
+      dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+              FROM ud GROUP BY 1),
+      ex AS (SELECT DISTINCT u, d + CAST(x AS INTEGER) AS day
+             FROM ud, (SELECT unnest(generate_series(0, 6)) AS x)),
+      mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau
+              FROM ex GROUP BY 1)
+      SELECT dau.day, dau.dau, mau.mau,
+             round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+      FROM dau JOIN mau ON dau.day = mau.day
+      ORDER BY dau.day""",
+
     // Page-Hinkley: running-mean drift monitor — daily means from exact
     // centi sums, the sequential statistic as running-sum-minus-running-
     // min (cusum's identity), rounded stats vs the shared lambda literal

@@ -1152,6 +1152,34 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** DAU / MAU / stickiness per day — the canonical engagement ratio
+    * ("what fraction of the monthly audience shows up daily"). MAU(d)
+    * counts distinct users active in (d−windowDays, d]; rather than a
+    * distinct-count over a sliding window (quadratic rescans), each
+    * user-day FANS OUT to the `windowDays` future days it keeps the
+    * user "monthly-active" for — a bounded ×window replication, one
+    * distinct, one keyed count (the standard scalable MAU shape). Days
+    * past the last observed day are clipped via the day roster. All
+    * counts exact; stickiness is one rounded division.
+    */
+  def stickiness(df: DataFrame, keyCol: String, tsCol: String,
+                 windowDays: Int = 30): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"stickiness: windowDays in [1, 366] (got $windowDays)")
+    val ud = df.select(col(keyCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val dau = ud.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("__u"), explode(sequence(col("__d"),
+        date_add(col("__d"), windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** ABC (Pareto) classification of entities by value contribution —
     * the inventory/catalog working answer to [[giniConcentration]]'s
     * diagnosis: rank entities by revenue, class A carries the first

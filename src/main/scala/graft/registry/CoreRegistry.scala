@@ -645,6 +645,11 @@ object CoreRegistry {
       Stats.autocorr(
         Tables.orders(s, dir), to_date(col("o_orderdate")),
         "o_totalprice", maxLag = 14)),
+    "q_stickiness" -> ((s, dir) =>
+      // DAU/MAU engagement per day: exact fan-out MAU over a 7-day
+      // window (the corpus spans one month, so a weekly "MAU")
+      Stats.stickiness(Tables.events(s, dir), "user_id", "ts",
+        windowDays = 7)),
     "q_page_hinkley" -> ((s, dir) =>
       // running-mean drift monitor (no baseline period needed): daily
       // means built from exact centi sums so both engines fold the same

@@ -86,6 +86,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("stickiness: fan-out MAU counts window-active users exactly and " +
+      "inactive days never appear") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, day).atTime(12, 0))
+    val df = Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(1)))
+      .toDF("user_id", "ts")
+    val out = graft.ops.Stats.stickiness(df, "user_id", "ts",
+      windowDays = 2).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+          r.getAs[Double]("stickiness")))
+    assert(out.toSeq == Seq(
+      "2024-01-01" -> ((2L, 2L, 1.0)),
+      "2024-01-02" -> ((1L, 2L, 0.5))))
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.stickiness(df, "user_id", "ts", windowDays = 0)
+    }
+  }
+
   test("abcClassification: exact integer boundaries put the 80/15/5 " +
       "split on the class edges, bad cuts fail loud") {
     val df = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("k", "v")
