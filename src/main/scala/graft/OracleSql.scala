@@ -5756,37 +5756,35 @@ object OracleSql {
     // 3 unrolled Lloyd supersteps: id-ordered seeds, argmin by
     // (d2, cluster) row_number, ‖v−c‖² expanded as v·v − 2·v·c + c·c in
     // the exact Spark operation order
-    "x_kmeans" -> {
-      def assignFrom(c: String, a: String) =
-        s"""$a AS (SELECT id, cl, d2 FROM (
-             SELECT id, cl, d2,
-                    row_number() OVER (PARTITION BY id ORDER BY d2, cl)
-                      AS rn
-             FROM (SELECT e.id, c.cl,
-                     list_inner_product(e.v, e.v)
-                       - 2.0 * list_inner_product(e.v, c.c)
-                       + list_inner_product(c.c, c.c) AS d2
-                   FROM e, $c c)) WHERE rn = 1)"""
-      def updateFrom(a: String, c: String) =
-        s"""$c AS (SELECT cl, list(m ORDER BY dim) AS c FROM (
-             SELECT x.cl, x.dim, avg(x.comp) AS m FROM (
-               SELECT a.cl,
-                      CAST(generate_subscripts(e.v, 1) AS INTEGER) AS dim,
-                      unnest(e.v) AS comp
-               FROM $a a JOIN e ON a.id = e.id) x
-             GROUP BY x.cl, x.dim) GROUP BY cl)"""
-      s"""
-      WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings),
-      c0 AS (SELECT id AS cl, v AS c FROM e ORDER BY id LIMIT 8),
-      ${assignFrom("c0", "a1")},
-      ${updateFrom("a1", "c1")},
-      ${assignFrom("c1", "a2")},
-      ${updateFrom("a2", "c2")},
-      ${assignFrom("c2", "a3")}
+    // external validation of the same Lloyd run: purity from exact
+    // majority counts; MI/NMI folds spelled exactly as q_mutual_info
+    "x_cluster_purity" -> (kmeansCtes + """,
+      lab AS (SELECT vec_id AS id, CAST(label AS VARCHAR) AS y
+              FROM embeddings),
+      rows_ AS (SELECT a.cl AS x, l.y FROM a3 a JOIN lab l ON a.id = l.id),
+      joint AS (SELECT x, y, CAST(count(*) AS DOUBLE) AS nxy
+                FROM rows_ GROUP BY 1, 2),
+      pc AS (SELECT x, CAST(max(nxy) AS BIGINT) AS mx,
+               CAST(sum(nxy) AS BIGINT) AS sz
+             FROM joint GROUP BY x),
+      pf AS (SELECT CAST(sum(sz) AS BIGINT) AS n,
+               CAST(count(*) AS INTEGER) AS n_clusters,
+               round(CAST(sum(mx) AS DOUBLE) / CAST(sum(sz) AS DOUBLE), 6)
+                 AS purity
+             FROM pc),
+      t AS (SELECT nxy / sum(nxy) OVER () AS pxy,
+               sum(nxy) OVER (PARTITION BY x) / sum(nxy) OVER () AS px,
+               sum(nxy) OVER (PARTITION BY y) / sum(nxy) OVER () AS py
+            FROM joint),
+      mi AS (SELECT round(sum(pxy * ln(pxy / (px * py))), 6) AS mi_nats,
+               round(sum(pxy * ln(pxy / (px * py))) /
+                 least(-sum(pxy * ln(px)), -sum(pxy * ln(py))), 6) AS nmi
+             FROM t)
+      SELECT n, n_clusters, purity, mi_nats, nmi FROM pf, mi"""),
+
+    "x_kmeans" -> (kmeansCtes + """
       SELECT id AS vec_id, cl AS cluster, round(d2, 6) AS dist2
-      FROM a3 ORDER BY vec_id"""
-    },
+      FROM a3 ORDER BY vec_id"""),
 
     // DCG discounts via ln(pos+1)/ln(2) — spelled identically in Spark;
     // IDCG folds the 1..min(rel,k) sequence; no-relevant groups NULL
@@ -7099,6 +7097,40 @@ object OracleSql {
   /** Unrolled logistic-GD weight chain `e, w0, g1, w1, g2, w2, g3, w3`
     * over the embeddings table (label ≥ 5 target, intercept at x[1]).
     */
+  /** The deterministic Lloyd k-means CTE chain (k=8, 3 supersteps,
+    * id-ordered seeds, lowest-cluster tie rule) ending at the final
+    * assignment `a3(id, cl, d2)` — shared by x_kmeans and
+    * x_cluster_purity so both replay ONE definition. */
+  private lazy val kmeansCtes: String = {
+    def assignFrom(c: String, a: String) =
+      s"""$a AS (SELECT id, cl, d2 FROM (
+           SELECT id, cl, d2,
+                  row_number() OVER (PARTITION BY id ORDER BY d2, cl)
+                    AS rn
+           FROM (SELECT e.id, c.cl,
+                   list_inner_product(e.v, e.v)
+                     - 2.0 * list_inner_product(e.v, c.c)
+                     + list_inner_product(c.c, c.c) AS d2
+                 FROM e, $c c)) WHERE rn = 1)"""
+    def updateFrom(a: String, c: String) =
+      s"""$c AS (SELECT cl, list(m ORDER BY dim) AS c FROM (
+           SELECT x.cl, x.dim, avg(x.comp) AS m FROM (
+             SELECT a.cl,
+                    CAST(generate_subscripts(e.v, 1) AS INTEGER) AS dim,
+                    unnest(e.v) AS comp
+             FROM $a a JOIN e ON a.id = e.id) x
+           GROUP BY x.cl, x.dim) GROUP BY cl)"""
+    s"""
+      WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c0 AS (SELECT id AS cl, v AS c FROM e ORDER BY id LIMIT 8),
+      ${assignFrom("c0", "a1")},
+      ${updateFrom("a1", "c1")},
+      ${assignFrom("c1", "a2")},
+      ${updateFrom("a2", "c2")},
+      ${assignFrom("c2", "a3")}"""
+  }
+
   private lazy val lrCtes: String = {
     val steps = (1 to 3).map { i =>
       s"""g$i AS (SELECT list(s / n ORDER BY dim) AS g FROM (

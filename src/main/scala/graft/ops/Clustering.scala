@@ -78,4 +78,38 @@ object Clustering {
         round(col("dist2"), 6).as("dist2"))
       .orderBy(idCol)
   }
+
+  /** External cluster validation of [[kmeans]] against a ground-truth
+    * label column: purity (Σ per-cluster majority-label counts / n —
+    * "how homogeneous is each cluster") and MI/NMI between assignment
+    * and label (the symmetric view purity can't give: a clustering that
+    * shatters one label across many pure clusters scores purity 1 but
+    * low NMI). The "did unsupervised structure find the labels" gate
+    * before trusting clusters for curation or stratification.
+    *
+    * Purity is exact integers + one division; MI/NMI reuse
+    * [[Stats.mutualInfo]]'s fold verbatim over the (cluster, label)
+    * contingency. One wide row.
+    */
+  def clusterPurity(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int,
+                    iterations: Int): DataFrame = {
+    val asg = kmeans(emb, idCol, vecCol, k, iterations)
+      .select(col(idCol), col("cluster"))
+    val lab = emb.select(col(idCol),
+      col(labelCol).cast("string").as("__label"))
+    val rows = asg.join(lab, Seq(idCol))
+    val perCluster = rows
+      .groupBy(col("cluster"), col("__label"))
+      .agg(count(lit(1)).as("__nxy"))
+      .groupBy(col("cluster"))
+      .agg(max(col("__nxy")).as("__mx"), sum(col("__nxy")).as("__sz"))
+    val purity = perCluster.agg(
+      sum(col("__sz")).cast("long").as("n"),
+      count(lit(1)).cast("int").as("n_clusters"),
+      round(sum(col("__mx")).cast("double") /
+        sum(col("__sz")).cast("double"), 6).as("purity"))
+    purity.crossJoin(broadcast(
+      Stats.mutualInfo(rows, "cluster", "__label")))
+  }
 }

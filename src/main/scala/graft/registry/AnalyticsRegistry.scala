@@ -740,6 +740,11 @@ object AnalyticsRegistry {
       // lowest-cluster tie rule) — assignment + distance per vector
       Clustering.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iterations = 3)),
+    "x_cluster_purity" -> ((s, dir) =>
+      // did unsupervised structure find the labels: purity + NMI of the
+      // same Lloyd run against the ground-truth label column
+      Clustering.clusterPurity(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", k = 8, iterations = 3)),
     "q_ndcg" -> ((s, dir) =>
       // ranking quality of value-as-score against purchase relevance,
       // per user: DCG@10 / ideal, ln-ratio log2 on both engines

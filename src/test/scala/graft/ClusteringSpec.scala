@@ -27,4 +27,28 @@ class ClusteringSpec extends SparkSpec {
       out(0L)._3 < 0.011)
     assert(out(4L)._3 < 1e-6 && out(3L)._3 > 0.009)
   }
+
+  test("clusterPurity: clusters that recover the labels score purity 1 " +
+      "and NMI 1; labels orthogonal to structure score near 0") {
+    import spark.implicits._
+    // two well-separated blobs; ids 0 and 1 (the k=2 seeds) land in
+    // different blobs, so Lloyd recovers them exactly
+    val rows = (0L until 8L).map { id =>
+      val blob = (id % 2).toInt
+      (id, Array(if (blob == 0) 10.0f else 0.0f,
+        if (blob == 0) 0.0f else 10.0f), blob)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Clustering.clusterPurity(df, "vec_id", "embedding",
+      "label", k = 2, iterations = 3).collect().head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Int]("n_clusters") == 2)
+    assert(r.getAs[Double]("purity") == 1.0)
+    assert(r.getAs[Double]("nmi") == 1.0)
+    // same blobs, labels split WITHIN each blob: clusters say nothing
+    val noise = rows.map { case (id, v, _) => (id, v, (id % 4 < 2)) }
+      .toDF("vec_id", "embedding", "label")
+    val n = graft.ops.Clustering.clusterPurity(noise, "vec_id",
+      "embedding", "label", k = 2, iterations = 3).collect().head
+    assert(n.getAs[Double]("nmi") < 0.01)
+  }
 }
