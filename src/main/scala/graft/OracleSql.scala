@@ -2241,6 +2241,30 @@ object OracleSql {
                AS mean_component
       FROM e ORDER BY vec_id""",
 
+    // hard negatives: the knn kernel with a label-mismatch filter
+    // BEFORE ranking — every row a usable contrastive negative
+    "x_hard_negatives" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, label AS ql
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, q.ql AS query_label,
+               e.vec_id AS cand_id, e.label AS cand_label,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+      ranked AS (
+        SELECT query_id, query_label, cand_id, cand_label, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, query_label, cand_id, cand_label,
+             round(cos, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
     "x_knn_bruteforce" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

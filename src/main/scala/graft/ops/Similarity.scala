@@ -68,6 +68,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the k nearest candidates with a DIFFERENT label — the examples a
+    * contrastive or reranker loss learns the most from (easy random
+    * negatives saturate in one epoch; the near-but-wrong ones define
+    * the decision boundary). Same broadcast-query brute-force kernel,
+    * ranking convention, and tiebreak as [[topKBruteForce]], with the
+    * label-mismatch filter applied BEFORE ranking so every returned
+    * row is a usable negative.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, isQuery: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"hardNegatives: k >= 1 (got $k)")
+    val q = emb.filter(isQuery).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("query_label"))
+    val c = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(labelCol).as("cand_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id") &&
+        col("cand_label") =!= col("query_label"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("cand_id"),
+        col("cand_label"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Matryoshka truncation audit: recall@k of top-k retrieval using only
     * the FIRST `d` embedding components, against full-dimension brute
     * force as ground truth — the evaluation that decides how far an

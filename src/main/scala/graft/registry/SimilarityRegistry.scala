@@ -23,6 +23,11 @@ object SimilarityRegistry {
       Similarity.topKBruteForce(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", 3)
     }),
+    "x_hard_negatives" -> ((s, dir) =>
+      // contrastive-training curation: the 3 nearest WRONG-label
+      // vectors per probe — the boundary-defining negatives
+      Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", col("vec_id") < 5, k = 3)),
     "x_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.topKIvf(emb.filter(col("vec_id") < 10), emb,

@@ -14,6 +14,16 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(2.0f, 0.0f, 0.0f), 1)    // same direction as 0, other cell
   ).toDF("vec_id", "embedding", "label")
 
+  test("hardNegatives: only wrong-label candidates rank — the nearest " +
+      "same-label vectors never appear") {
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+        "label", col("vec_id") === 0, k = 2)
+      .select("cand_id", "cand_label", "cosine", "rank")
+      .as[(Long, Int, Double, Int)].collect().toList
+    // same-label 1 (cos ~0.994) and 2 are filtered; label-1 vecs rank
+    assert(out == List((4L, 1, 1.0, 1), (3L, 1, -1.0, 2)))
+  }
+
   test("brute-force top-k ranks by cosine with deterministic tiebreak") {
     val out = Similarity.topKBruteForce(
         vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
