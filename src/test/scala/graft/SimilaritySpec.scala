@@ -17,7 +17,7 @@ class SimilaritySpec extends SparkSpec {
   test("hardNegatives: only wrong-label candidates rank — the nearest " +
       "same-label vectors never appear") {
     val out = Similarity.hardNegatives(vecs, "vec_id", "embedding",
-        "label", col("vec_id") === 0, k = 2)
+        "label", $"vec_id" === 0, k = 2)
       .select("cand_id", "cand_label", "cosine", "rank")
       .as[(Long, Int, Double, Int)].collect().toList
     // same-label 1 (cos ~0.994) and 2 are filtered; label-1 vecs rank
