@@ -2106,6 +2106,54 @@ object OracleSql {
 
     // DSIR: both hashed-unigram LMs from one token stream; Gumbel key
     // replayed from the shared u01 hash and rounded at 6 before top-k
+    // Kish ESS over the DSIR per-token-normalized weights: the dsir
+    // chain replayed, weight from the ROUNDED log_w, moments exact on
+    // the 1e-6 lattice (scale cancels in the ratio)
+    "x_dsir_ess" -> """
+      WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS t,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tok2 AS (
+        SELECT doc_id, t,
+               CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+                 % 1024 AS BIGINT) AS bucket
+        FROM toks WHERE term <> ''),
+      bc AS (SELECT bucket, count(*) FILTER (t) AS ct, count(*) AS cs
+             FROM tok2 GROUP BY bucket),
+      tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM bc),
+      sc AS (SELECT bucket,
+                    ln(CAST(ct + 1 AS DOUBLE) / (nt + 1024)) -
+                    ln(CAST(cs + 1 AS DOUBLE) / (ns + 1024)) AS dlog
+             FROM bc, tot),
+      tf AS (SELECT doc_id, bucket, count(*) AS tf
+             FROM tok2 GROUP BY doc_id, bucket),
+      w AS (SELECT d.doc_id,
+                   coalesce(sum(tf.tf), 0) AS n_tokens,
+                   coalesce(sum(tf.tf * sc.dlog), 0.0) AS log_w
+            FROM documents d
+            LEFT JOIN tf ON d.doc_id = tf.doc_id
+            LEFT JOIN sc ON tf.bucket = sc.bucket
+            GROUP BY d.doc_id),
+      wu AS (SELECT CAST(round(exp(round(log_w, 6)
+               / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1e6, 0)
+               AS BIGINT) AS wq
+             FROM w),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(wq) AS BIGINT) AS sw,
+              sum(CAST(wq AS HUGEINT) * wq) AS sww,
+              CAST(min(wq) AS BIGINT) AS mn
+            FROM wu)
+      SELECT n, round(CAST(sw AS DOUBLE) / 1e6, 6) AS sum_weight,
+             CASE WHEN mn >= 0 AND sww > 0 THEN
+               round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE)
+                 / CAST(sww AS DOUBLE), 6) END AS ess,
+             CASE WHEN mn >= 0 AND sww > 0 THEN
+               round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE)
+                 / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             END AS ess_ratio
+      FROM f""",
+
     "x_dsir_sample" -> s"""
       WITH toks AS (
         SELECT doc_id, (lang = 'en') AS t,

@@ -399,6 +399,34 @@ object Sampling {
     * by keyed hash. Equivalent in distribution to a seeded reservoir, but
     * deterministic, mergeable, and executed as TakeOrdered.
     */
+  /** Effective sample size of a weighted dataset — Kish's
+    * ESS = (Σw)²/Σw², the one-number diagnostic for every importance-
+    * weighted corpus (DSIR, dedup survivor weights, mixture reweights):
+    * "this 100 K-doc weighted set carries as much statistical mass as
+    * ESS unweighted docs". ess_ratio ≪ 1 means a few heavy documents
+    * dominate and downstream estimates will be noisy.
+    *
+    * Weights commit to the 1e-6 lattice, both moment sums are exact
+    * (long / HUGEINT-class decimal), and the lattice scale cancels in
+    * the ratio. A negative weight nulls the statistic (fail-visible)
+    * rather than producing a nonsense ESS.
+    */
+  def effectiveSampleSize(df: DataFrame, weightCol: String): DataFrame = {
+    val folded = df
+      .select(round(col(weightCol) * 1e6, 0).cast("long").as("__w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w")).as("__sw"),
+        sum(col("__w").cast("decimal(38,0)") * col("__w")).as("__sww"),
+        min(col("__w")).as("__mn"))
+    val ess = (col("__sw").cast("decimal(38,0)") * col("__sw"))
+      .cast("double") / col("__sww").cast("double")
+    folded.select(col("n"),
+      round(col("__sw").cast("double") / 1e6, 6).as("sum_weight"),
+      when(col("__mn") >= 0 && col("__sww") > 0, round(ess, 6)).as("ess"),
+      when(col("__mn") >= 0 && col("__sww") > 0,
+        round(ess / col("n").cast("double"), 6)).as("ess_ratio"))
+  }
+
   def uniformSample(df: DataFrame, keyCol: String, n: Int,
                     channel: Long = 35L): DataFrame =
     df.orderBy(Gen.u01(col(keyCol), channel), col(keyCol)).limit(n)

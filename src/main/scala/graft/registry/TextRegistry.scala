@@ -268,6 +268,16 @@ object TextRegistry {
           maxTokens = 4096)
         .orderBy("lang", "doc_id")
     }),
+    "x_dsir_ess" -> ((s, dir) => {
+      // how much statistical mass survives the DSIR reweighting: Kish
+      // ESS over the per-token-normalized importance weights
+      val w = TextAnalysis.dsirWeights(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", numBuckets = 1024)
+      Sampling.effectiveSampleSize(
+        w.select(col("doc_id"), exp(round(col("log_w"), 6) /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("weight")),
+        "weight")
+    }),
     "x_dsir_sample" -> ((s, dir) => {
       // DSIR: weight every doc by the hashed-unigram LM ratio toward the
       // English target slice, then Gumbel-top-k importance resampling —

@@ -627,4 +627,19 @@ class SamplingSpec extends SparkSpec {
     val p2 = out.filter(_._1 == "p2")
     assert(p2.toSeq == Seq(("p2", 1L, 100L, 100L, 0L, 100L, 1L, true)))
   }
+
+  test("effectiveSampleSize: uniform weights score ESS = n, one heavy " +
+      "weight collapses it, a negative weight nulls the statistic") {
+    val uniform = Seq(1.0, 1.0, 1.0, 1.0).toDF("w")
+    val u = Sampling.effectiveSampleSize(uniform, "w").collect().head
+    assert(u.getAs[Long]("n") == 4L && u.getAs[Double]("ess") == 4.0)
+    assert(u.getAs[Double]("ess_ratio") == 1.0)
+    val heavy = Seq(4.0, 0.0, 0.0, 0.0).toDF("w")
+    val h = Sampling.effectiveSampleSize(heavy, "w").collect().head
+    assert(h.getAs[Double]("ess") == 1.0 &&
+      h.getAs[Double]("ess_ratio") == 0.25)
+    val neg = Seq(1.0, -1.0).toDF("w")
+    val x = Sampling.effectiveSampleSize(neg, "w").collect().head
+    assert(x.isNullAt(x.fieldIndex("ess")))
+  }
 }
