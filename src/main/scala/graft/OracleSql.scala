@@ -5858,6 +5858,17 @@ object OracleSql {
       SELECT id AS vec_id, cl AS cluster, round(d2, 6) AS dist2
       FROM a3 ORDER BY vec_id"""),
 
+    // cluster-balanced diverse sample: the same Lloyd assignment, then
+    // a seeded per-cell quota in rounded-u01 order with id tiebreak
+    "x_diverse_sample" -> (kmeansCtes + s""",
+      u AS (SELECT id, cl, round(${uk("id", 131)}, 6) AS uu FROM a3),
+      r AS (SELECT id, cl,
+              CAST(row_number() OVER (PARTITION BY cl
+                ORDER BY uu, id) AS INTEGER) AS pick_rank
+            FROM u)
+      SELECT id AS vec_id, cl AS cluster, pick_rank
+      FROM r WHERE pick_rank <= 5 ORDER BY cluster, pick_rank"""),
+
     // DCG discounts via ln(pos+1)/ln(2) — spelled identically in Spark;
     // IDCG folds the 1..min(rel,k) sequence; no-relevant groups NULL
     "q_ndcg" -> """

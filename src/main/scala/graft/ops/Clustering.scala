@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch clustering over embedding columns — deterministic Lloyd k-means
@@ -111,5 +112,29 @@ object Clustering {
         sum(col("__sz")).cast("double"), 6).as("purity"))
     purity.crossJoin(broadcast(
       Stats.mutualInfo(rows, "cluster", "__label")))
+  }
+
+  /** Cluster-balanced diverse sampling: run [[kmeans]], then take a
+    * seeded per-cell quota — the structure-aware downsample that keeps
+    * every region of embedding space represented where a uniform
+    * sample follows the density (SemDeDup's complement: that removes
+    * redundancy pairwise, this enforces coverage globally). The pick
+    * inside each cell is the channel-keyed [[Gen.u01]] hash order with
+    * id tiebreak — reproducible, engine-replayable, and independent of
+    * the corpus partitioning.
+    */
+  def diverseSample(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iterations: Int, perCell: Int,
+                    channel: Long = 131L): DataFrame = {
+    require(perCell >= 1, s"diverseSample: perCell >= 1 (got $perCell)")
+    val asg = kmeans(emb, idCol, vecCol, k, iterations)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__u"), col(idCol))
+    asg
+      .withColumn("__u", round(Gen.u01(col(idCol), channel), 6))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= perCell)
+      .select(col(idCol), col("cluster"), col("pick_rank"))
+      .orderBy("cluster", "pick_rank")
   }
 }

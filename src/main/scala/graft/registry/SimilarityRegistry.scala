@@ -23,6 +23,11 @@ object SimilarityRegistry {
       Similarity.topKBruteForce(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", 3)
     }),
+    "x_diverse_sample" -> ((s, dir) =>
+      // structure-aware downsample: 5 seeded picks per Lloyd cell —
+      // every region of embedding space stays represented
+      Clustering.diverseSample(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8, iterations = 3, perCell = 5)),
     "x_hard_negatives" -> ((s, dir) =>
       // contrastive-training curation: the 3 nearest WRONG-label
       // vectors per probe — the boundary-defining negatives

@@ -51,4 +51,37 @@ class ClusteringSpec extends SparkSpec {
       "embedding", "label", k = 2, iterations = 3).collect().head
     assert(n.getAs[Double]("nmi") < 0.01)
   }
+
+  test("diverseSample: every cell contributes up to its quota and the " +
+      "pick is the seeded hash order") {
+    import spark.implicits._
+    // blob 0: ids 0,2,4,6; blob 1: ids 1,3,5,7 (seeds 0 and 1 separate)
+    val rows = (0L until 8L).map { id =>
+      val blob = (id % 2).toInt
+      (id, Array(if (blob == 0) 10.0f else 0.0f,
+        if (blob == 0) 0.0f else 10.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.ops.Clustering.diverseSample(df, "vec_id",
+      "embedding", k = 2, iterations = 3, perCell = 2).collect()
+    assert(out.length == 4) // 2 cells x quota 2
+    val byCell = out.groupBy(_.getAs[Long]("cluster"))
+    assert(byCell.size == 2 && byCell.values.forall(_.length == 2))
+    // picks replay the channel-131 hash order with id tiebreak
+    val M = 2147483647L
+    def u01(key: Long): Double = {
+      val h1 = (key + 131L * 1000003L) % M
+      ((h1 * 48271L % M) * 48271L % M + 1).toDouble / M
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    byCell.foreach { case (_, picks) =>
+      val ids = picks.sortBy(_.getAs[Int]("pick_rank"))
+        .map(_.getAs[Long]("vec_id")).toList
+      val cellIds = rows.map(_._1)
+        .filter(id => (id % 2) == (ids.head % 2))
+      val expect = cellIds.sortBy(id => (r6(u01(id)), id)).take(2).toList
+      assert(ids == expect, s"cell picks $ids vs $expect")
+    }
+  }
 }
