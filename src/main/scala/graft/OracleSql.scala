@@ -5171,6 +5171,34 @@ object OracleSql {
 
     // Kruskal-Wallis: exact 2x-midranks, per-group rank sums CASE-folded
     // into one row, fixed left-to-right H combine, exact tie sums
+    // Hill tail exponent: centi-lattice top-(k+1) order stats, log-ratio
+    // terms on the 1e-12 lattice, sqrt(k) as the shared literal
+    "q_hill_tail" -> {
+      val sqrtK = java.lang.Double.toString(math.sqrt(100.0))
+      s"""
+      WITH per AS (SELECT * FROM (
+              SELECT o_custkey AS e,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS c
+              FROM orders GROUP BY 1) WHERE c > 0),
+      r AS (SELECT e, c,
+              CAST(row_number() OVER (ORDER BY c DESC, e) AS BIGINT) AS rn
+            FROM per),
+      xm AS (SELECT c AS xmin FROM r WHERE rn = 101),
+      f AS (SELECT CAST(sum(CAST(round(
+                ln(CAST(c AS DOUBLE) / xmin) * 1e12, 0) AS BIGINT))
+                AS BIGINT) AS ts,
+              CAST(max(xmin) AS BIGINT) AS xmin
+            FROM r, xm WHERE rn <= 100),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_entities FROM per)
+      SELECT n_entities, CAST(100 AS INTEGER) AS k,
+             round(CAST(xmin AS DOUBLE) / 100.0, 2) AS xmin,
+             round(100.0 / (CAST(ts AS DOUBLE) / 1e12), 6) AS alpha,
+             round(100.0 / (CAST(ts AS DOUBLE) / 1e12) / $sqrtK, 6)
+               AS alpha_se
+      FROM f, n"""
+    },
+
     // ABC classification: centi-lattice revenue, rank desc with key
     // tiebreak, exact cross-multiplied class boundaries at 80/95
     "q_abc_parts" -> """

@@ -1152,6 +1152,50 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Hill estimator of the Pareto tail exponent over the top-k entity
+    * values: α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) — the heavy-tail sharpness
+    * [[giniConcentration]] (one number for the WHOLE curve) and
+    * [[abcClassification]] (fixed cuts) can't read: α ≤ 2 means
+    * infinite variance (capacity planning on means is wrong), and the
+    * asymptotic se = α̂/√k says how far to trust it.
+    *
+    * Entity values ride the centi lattice; the top-(k+1) election is a
+    * deterministic integer sort (value desc, entity tiebreak); each
+    * log-ratio term commits to the 1e-12 lattice so the k-term sum is
+    * exact; √k is injected as one shared literal. Fails loud when the
+    * roster has fewer than k+1 positive entities.
+    *
+    * Plan: one keyed aggregation + the documented Pareto global-rank
+    * class + a k-row fold. One row out.
+    */
+  def hillTail(df: DataFrame, entityCol: String, valueCol: String,
+               k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"hillTail: k in [2, 1e5] (got $k)")
+    val per = df.groupBy(col(entityCol).as("__e"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__c"))
+      .filter(col("__c") > 0)
+    val nEnt = per.count()
+    require(nEnt > k,
+      s"hillTail: need more than k=$k positive entities, got $nEnt")
+    val ord = Window.orderBy(col("__c").desc, col("__e"))
+    val top = per.withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <= k + 1)
+    val xmin = top.filter(col("__rn") === k + 1)
+      .select(col("__c").as("__xmin"))
+    val folded = top.filter(col("__rn") <= k)
+      .crossJoin(broadcast(xmin))
+      .select(round(log(col("__c").cast("double") / col("__xmin"))
+        * 1e12, 0).cast("long").as("__t"), col("__xmin"))
+      .groupBy(col("__xmin"))
+      .agg(sum(col("__t")).as("__ts"))
+    val alphaRaw = lit(k.toDouble) / (col("__ts").cast("double") / 1e12)
+    val sqrtK = math.sqrt(k.toDouble)
+    folded.select(lit(nEnt).as("n_entities"), lit(k).as("k"),
+      round(col("__xmin").cast("double") / 100.0, 2).as("xmin"),
+      round(alphaRaw, 6).as("alpha"),
+      round(alphaRaw / lit(sqrtK), 6).as("alpha_se"))
+  }
+
   /** DAU / MAU / stickiness per day — the canonical engagement ratio
     * ("what fraction of the monthly audience shows up daily"). MAU(d)
     * counts distinct users active in (d−windowDays, d]; rather than a

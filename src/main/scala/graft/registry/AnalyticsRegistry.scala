@@ -666,6 +666,11 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_hill_tail" -> ((s, dir) =>
+      // how heavy is the revenue tail: Hill exponent over the top-100
+      // customers — alpha <= 2 means infinite-variance planning territory
+      Stats.hillTail(Tables.orders(s, dir), "o_custkey", "o_totalprice",
+        k = 100)),
     "q_abc_parts" -> ((s, dir) =>
       // Pareto working answer for the catalog: parts classed A/B/C by
       // cumulative revenue share, exact integer boundaries at 80/95

@@ -86,6 +86,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("hillTail: the estimator replays the latticed log-ratio fold " +
+      "exactly; short rosters are refused") {
+    val df = Seq((1L, 7.39), (2L, 2.72), (3L, 1.00)).toDF("e", "v")
+    val out = graft.ops.Stats.hillTail(df, "e", "v", k = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_entities") == 3L)
+    assert(out.getAs[Double]("xmin") == 1.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ts = math.round(math.log(739.0 / 100.0) * 1e12) +
+      math.round(math.log(272.0 / 100.0) * 1e12)
+    val alphaRaw = 2.0 / (ts.toDouble / 1e12)
+    assert(out.getAs[Double]("alpha") == r6(alphaRaw))
+    assert(out.getAs[Double]("alpha_se") == r6(alphaRaw / math.sqrt(2.0)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.hillTail(df, "e", "v", k = 3)
+    }
+  }
+
   test("stickiness: fan-out MAU counts window-active users exactly and " +
       "inactive days never appear") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(
