@@ -5171,6 +5171,87 @@ object OracleSql {
 
     // Kruskal-Wallis: exact 2x-midranks, per-group rank sums CASE-folded
     // into one row, fixed left-to-right H combine, exact tie sums
+    // runs test: exact sign moves on the centi lattice, ties dropped,
+    // R / n+ / n- exact, one fixed z tree
+    "q_runs_test" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      mv AS (SELECT d,
+               sign(CAST(x - lag(x, 1) OVER (ORDER BY d) AS DOUBLE)) AS s
+             FROM daily),
+      f AS (SELECT d, s, lag(s, 1) OVER (ORDER BY d) AS prev
+            FROM mv WHERE s IS NOT NULL AND s <> 0.0),
+      g AS (SELECT
+              CAST(sum(CASE WHEN s = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_up,
+              CAST(sum(CASE WHEN s = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_down,
+              CAST(sum(CASE WHEN prev IS NULL OR s <> prev
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+            FROM f)
+      SELECT n_up, n_down, n_runs,
+        round(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+          / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0, 6)
+          AS expected_runs,
+        CASE WHEN n_up > 0 AND n_down > 0 AND
+          2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+            * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+              - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+            / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+              * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+              * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0))
+            > 0
+        THEN round((CAST(n_runs AS DOUBLE)
+          - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+            / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0))
+          / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+            * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+              - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+            / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+              * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+              * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0))),
+          6)
+        END AS z_stat
+      FROM g""",
+
+    // Jarque-Bera: exact HUGEINT raw moments on the centi lattice,
+    // central moments by the raw-moment identities in fixed trees
+    "q_jarque_bera" -> """
+      WITH b AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS x
+                 FROM events),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS s1,
+              sum(CAST(x AS HUGEINT) * x) AS s2,
+              sum(CAST(x AS HUGEINT) * x * x) AS s3,
+              sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+            FROM b),
+      g AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+              CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+              CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+              CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+              CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+            FROM f),
+      h AS (SELECT n, nd, m,
+              r2 - m * m AS m2,
+              r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+              r4 - 4.0 * m * r3 + 6.0 * (m * m) * r2
+                - 3.0 * (m * m * m * m) AS m4
+            FROM g),
+      k AS (SELECT n, nd, m, m2,
+              m3 / (m2 * sqrt(m2)) AS skew,
+              m4 / (m2 * m2) - 3.0 AS kurt
+            FROM h)
+      SELECT n, round(m / 100.0, 6) AS mean,
+             CASE WHEN m2 > 0 THEN round(skew, 6) END AS skewness,
+             CASE WHEN m2 > 0 THEN round(kurt, 6) END
+               AS excess_kurtosis,
+             CASE WHEN m2 > 0 THEN
+               round(nd / 6.0 * (skew * skew + kurt * kurt / 4.0), 6)
+             END AS jb_stat
+      FROM k""",
+
     // Hill tail exponent: centi-lattice top-(k+1) order stats, log-ratio
     // terms on the 1e-12 lattice, sqrt(k) as the shared literal
     "q_hill_tail" -> {

@@ -1152,6 +1152,84 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Wald–Wolfowitz runs test over the daily series' up/down moves —
+    * "are the direction changes random, or do up-days cluster?" The
+    * sequence-randomness companion to [[autocorr]] (which reads linear
+    * memory; runs reads ANY sign clustering). Ties (zero moves on the
+    * exact centi lattice) are dropped per the standard treatment; R,
+    * n⁺, n⁻ are exact integers and the normal approximation
+    * z = (R − μ)/σ is one fixed tree over them.
+    *
+    * Plan: one keyed daily aggregation + lag windows over the
+    * calendar-bounded day table. One row out.
+    */
+  def runsTest(df: DataFrame, dateCol: Column,
+               valueCol: String): DataFrame = {
+    val ord = Window.orderBy(col("__d"))
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
+    val moves = daily
+      .withColumn("__s", signum((col("__x") - lag(col("__x"), 1)
+        .over(ord)).cast("double")))
+      .filter(col("__s").isNotNull && col("__s") =!= 0.0)
+    val runs = moves
+      .withColumn("__prev", lag(col("__s"), 1).over(Window.orderBy("__d")))
+      .agg(
+        sum(when(col("__s") === 1.0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("__s") === -1.0, 1L).otherwise(0L)).as("n_down"),
+        (sum(when(col("__prev").isNull ||
+          col("__s") =!= col("__prev"), 1L).otherwise(0L))).as("n_runs"))
+    val n1 = col("n_up").cast("double")
+    val n2 = col("n_down").cast("double")
+    val nn = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nn + 1.0
+    val sig2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      (nn * nn * (nn - 1.0))
+    runs.select(col("n_up"), col("n_down"), col("n_runs"),
+      round(mu, 6).as("expected_runs"),
+      when(col("n_up") > 0 && col("n_down") > 0 && sig2 > 0,
+        round((col("n_runs").cast("double") - mu) / sqrt(sig2), 6))
+        .as("z_stat"))
+  }
+
+  /** Jarque–Bera normality test over the value column: skewness and
+    * excess kurtosis from EXACT raw moments (centi-lattice longs; Σx²,
+    * Σx³, Σx⁴ as exact decimals), central moments by the raw-moment
+    * identities in ONE fixed double tree each, and
+    * JB = n/6·(S² + K²/4). The "can I use z-tests / normal CIs on
+    * this column at all" gate — heavy tails blow K up immediately.
+    * Scale cancels in S and K, so the lattice unit never needs
+    * unwinding. One corpus fold, one row.
+    */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    val x = round(col(valueCol) * 100, 0).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val folded = df.select(x.as("__x"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__s1"),
+        sum(dec(col("__x")) * col("__x")).as("__s2"),
+        sum(dec(col("__x")) * col("__x") * col("__x")).as("__s3"),
+        sum(dec(col("__x")) * col("__x") * col("__x") * col("__x"))
+          .as("__s4"))
+    val nD = col("n").cast("double")
+    val m = col("__s1").cast("double") / nD
+    val r2 = col("__s2").cast("double") / nD
+    val r3 = col("__s3").cast("double") / nD
+    val r4 = col("__s4").cast("double") / nD
+    val m2 = r2 - m * m
+    val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
+    val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * (m * m) * r2 -
+      lit(3.0) * (m * m * m * m)
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2) - 3.0
+    folded.select(col("n"),
+      round(m / 100.0, 6).as("mean"),
+      when(m2 > 0, round(skew, 6)).as("skewness"),
+      when(m2 > 0, round(kurt, 6)).as("excess_kurtosis"),
+      when(m2 > 0, round(nD / 6.0 * (skew * skew + kurt * kurt / 4.0), 6))
+        .as("jb_stat"))
+  }
+
   /** Hill estimator of the Pareto tail exponent over the top-k entity
     * values: α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) — the heavy-tail sharpness
     * [[giniConcentration]] (one number for the WHOLE curve) and

@@ -666,6 +666,15 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_runs_test" -> ((s, dir) =>
+      // are daily revenue up/down moves random, or do up-days cluster?
+      // Wald-Wolfowitz runs over exact centi-lattice sign moves
+      Stats.runsTest(Tables.orders(s, dir), to_date(col("o_orderdate")),
+        "o_totalprice")),
+    "q_jarque_bera" -> ((s, dir) =>
+      // can value take normal-theory tests at all: skew/kurtosis from
+      // exact raw moments, JB = n/6 (S^2 + K^2/4)
+      Stats.jarqueBera(Tables.events(s, dir), "value")),
     "q_hill_tail" -> ((s, dir) =>
       // how heavy is the revenue tail: Hill exponent over the top-100
       // customers — alpha <= 2 means infinite-variance planning territory

@@ -86,6 +86,39 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("runsTest: a perfect alternation hits the closed form, a " +
+      "constant series yields no moves and a NULL z") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 1, 1).plusDays(i.toLong))
+    val alt = Seq(10.0, 20.0, 10.0, 20.0, 10.0).zipWithIndex
+      .map { case (v, i) => (d(i), v) }.toDF("b", "v")
+    val r = graft.ops.Stats.runsTest(alt, col("b"), "v").collect().head
+    assert(r.getAs[Long]("n_up") == 2L && r.getAs[Long]("n_down") == 2L)
+    assert(r.getAs[Long]("n_runs") == 4L)
+    assert(r.getAs[Double]("expected_runs") == 3.0)
+    // z = (4 - 3) / sqrt(2/3)
+    assert(r.getAs[Double]("z_stat") == 1.224745)
+    val flat = (0 until 5).map(i => (d(i), 7.0)).toDF("b", "v")
+    val f = graft.ops.Stats.runsTest(flat, col("b"), "v").collect().head
+    assert(f.getAs[Long]("n_runs") == 0L &&
+      f.isNullAt(f.fieldIndex("z_stat")))
+  }
+
+  test("jarqueBera: a symmetric two-point mass scores skew 0, excess " +
+      "kurtosis -2, and the closed-form JB") {
+    val df = Seq(0.0, 2.0, 0.0, 2.0).toDF("value")
+    val r = graft.ops.Stats.jarqueBera(df, "value").collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mean") == 1.0)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("excess_kurtosis") == -2.0)
+    assert(r.getAs[Double]("jb_stat") == 0.666667) // 4/6 * (0 + 4/4)
+    // constant column: zero variance nulls the statistic
+    val c = graft.ops.Stats.jarqueBera(
+      Seq(5.0, 5.0).toDF("value"), "value").collect().head
+    assert(c.isNullAt(c.fieldIndex("jb_stat")))
+  }
+
   test("hillTail: the estimator replays the latticed log-ratio fold " +
       "exactly; short rosters are refused") {
     val df = Seq((1L, 7.39), (2L, 2.72), (3L, 1.00)).toDF("e", "v")
