@@ -5613,6 +5613,45 @@ object OracleSql {
         END AS discordant_odds
       FROM f""",
 
+    // Friedman: complete day-blocks only, exact within-day 2x-midranks
+    // (rank + tie count), CASE-folded rank sums, fixed chi2 chain
+    "q_friedman" -> {
+      val gs = Seq("click", "error", "purchase", "signup", "view")
+      val k = gs.size
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN r2 ELSE 0 END) AS BIGINT)
+               AS s$i""" }.mkString(",\n             ")
+      val s2 = gs.indices.map(i => s"CAST(s$i AS DOUBLE) * s$i")
+        .mkString(" + ")
+      val nd = "CAST(n_days AS DOUBLE)"
+      val chi2 = s"3.0 / ($nd * $k.0 * ${k + 1}.0) * ($s2)" +
+        s" - 3.0 * $nd * ${k + 1}.0"
+      val sCols = gs.zipWithIndex
+        .map { case (g, i) => s"s$i AS ranksum2_$g" }.mkString(", ")
+      s"""
+      WITH base AS (SELECT CAST(ts AS DATE) AS d, event_type AS g,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                AS x
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2),
+      c AS (SELECT d, g, x, count(*) OVER (PARTITION BY d) AS cnt
+            FROM base),
+      r AS (SELECT d, g,
+              CAST(2 * (rank() OVER (PARTITION BY d ORDER BY x) - 1)
+                + count(*) OVER (PARTITION BY d, x) + 1 AS BIGINT) AS r2
+            FROM c WHERE cnt = $k),
+      f AS (SELECT
+             $caseCols,
+             CAST(count(*) / $k AS BIGINT) AS n_days
+            FROM r)
+      SELECT n_days, $sCols,
+             round($chi2, 6) AS chi2_f,
+             CAST(${k - 1} AS INTEGER) AS df,
+             round(($chi2) / ($nd * ${k - 1}.0), 6) AS kendalls_w
+      FROM f"""
+    },
+
     "q_kruskal_wallis" -> {
       val gs = Seq("click", "error", "purchase", "signup", "view")
       val caseCols = gs.zipWithIndex.map { case (g, i) =>

@@ -1152,6 +1152,61 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Friedman test over day-blocks: rank the DECLARED treatments within
+    * every day (daily centi-lattice totals — exact 2×-midranks from
+    * rank + tie counts), then χ²_F = 3/(nk(k+1))·ΣR₂ⱼ² − 3n(k+1) (the
+    * 2×-rank algebra folding the usual 12/…/4) — the repeated-measures
+    * complement to [[kruskalWallis]]: day blocks absorb the day-to-day
+    * level shifts KW would read as group differences. Kendall's W
+    * = χ²/(n(k−1)) reports agreement strength. Only COMPLETE blocks
+    * (all k treatments present that day) enter, symmetrically on both
+    * engines; the roster fails loud on drift.
+    *
+    * Plan: one keyed daily aggregation, per-day rank windows (k-row
+    * partitions), one CASE-folded row. Calendar-bounded throughout.
+    */
+  def friedman(df: DataFrame, dateCol: Column, groupCol: String,
+               valueCol: String, groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"friedman: 2..32 distinct declared groups (got $groups)")
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(dateCol.as("__d"), col(groupCol).as("__g"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
+    val observed = base.select("__g").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(observed == groups.sorted,
+      s"friedman: observed groups ${observed.mkString("[", ", ", "]")} " +
+        "differ from the declared roster — fail loud, don't hash-flake")
+    val k = groups.size
+    val wDay = Window.partitionBy(col("__d"))
+    val complete = base
+      .withColumn("__cnt", count(lit(1)).over(wDay))
+      .filter(col("__cnt") === k)
+      .withColumn("__r2",
+        lit(2L) * (rank().over(wDay.orderBy(col("__x"))) - 1L) +
+          count(lit(1)).over(Window.partitionBy(col("__d"), col("__x"))) +
+          1L)
+    val sorted = groups.sorted
+    val aggs = sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, col("__r2")).otherwise(0L)).as(s"__s$i")
+    } :+ (count(lit(1)) / k).cast("long").as("n_days")
+    val folded = complete.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n_days").cast("double")
+    val kD = k.toDouble
+    val s2 = sorted.indices
+      .map(i => col(s"__s$i").cast("double") * col(s"__s$i"))
+      .reduce(_ + _)
+    val chi2 = lit(3.0) / (nD * kD * (kD + 1.0)) * s2 -
+      lit(3.0) * nD * (kD + 1.0)
+    folded.select((Seq(col("n_days")) ++
+      sorted.zipWithIndex.map { case (g, i) =>
+        col(s"__s$i").as(s"ranksum2_$g") } ++ Seq(
+      round(chi2, 6).as("chi2_f"),
+      lit(k - 1).as("df"),
+      round(chi2 / (nD * (kD - 1.0)), 6).as("kendalls_w"))): _*)
+  }
+
   /** Wald–Wolfowitz runs test over the daily series' up/down moves —
     * "are the direction changes random, or do up-days cluster?" The
     * sequence-randomness companion to [[autocorr]] (which reads linear

@@ -701,6 +701,12 @@ object AnalyticsRegistry {
       // SPREAD? median-centered deviations on the micro lattice
       Stats.brownForsythe(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
+    "q_friedman" -> ((s, dir) =>
+      // blocked rank ANOVA: do event types differ in daily revenue once
+      // day-level shifts are absorbed? exact within-day 2x-midranks
+      Stats.friedman(Tables.events(s, dir), to_date(col("ts")),
+        "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
     "q_kruskal_wallis" -> ((s, dir) =>
       // nonparametric ANOVA: do value distributions differ across event
       // types at all? exact 2x-midrank sums, fixed-order H combine

@@ -86,6 +86,29 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("friedman: perfectly consistent day rankings score Kendall's W " +
+      "= 1 and the closed-form chi2; incomplete blocks are excluded") {
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, day).atTime(h, 0))
+    // 3 complete days with a > b; day 4 has only a -> excluded
+    val rows = (1 to 3).flatMap(d =>
+      Seq((ts(d, 1), "a", 10.0), (ts(d, 2), "b", 5.0))) :+
+      ((ts(4, 1), "a", 99.0))
+    val df = rows.toDF("ts", "g", "v")
+    val r = graft.ops.Stats.friedman(df, to_date(col("ts")), "g", "v",
+      Seq("a", "b")).collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("ranksum2_a") == 12L)
+    assert(r.getAs[Long]("ranksum2_b") == 6L)
+    // chi2 = 3/(3*2*3) * (144 + 36) - 3*3*3 = 3
+    assert(r.getAs[Double]("chi2_f") == 3.0)
+    assert(r.getAs[Double]("kendalls_w") == 1.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.friedman(df, to_date(col("ts")), "g", "v",
+        Seq("a", "b", "c"))
+    }
+  }
+
   test("runsTest: a perfect alternation hits the closed form, a " +
       "constant series yields no moves and a NULL z") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
