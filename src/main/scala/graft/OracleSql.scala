@@ -5613,6 +5613,37 @@ object OracleSql {
         END AS discordant_odds
       FROM f""",
 
+    // Cliff's delta: dominance counts from the distinct-value table
+    // (per-value counts x other side's strict cumulative), exact longs
+    "q_cliffs_delta" -> """
+      WITH pv AS (SELECT CAST(value AS DOUBLE) AS v,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS ca,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cb
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+              AND value IS NOT NULL
+            GROUP BY 1),
+      w AS (SELECT ca, cb,
+              CAST(coalesce(sum(cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS b_below,
+              CAST(sum(cb) OVER () AS BIGINT) AS b_tot
+            FROM pv),
+      f AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+              CAST(max(b_tot) AS BIGINT) AS n_b,
+              CAST(sum(ca * b_below) AS BIGINT) AS gt,
+              CAST(sum(ca * (b_tot - b_below - cb)) AS BIGINT) AS lt,
+              CAST(sum(ca * cb) AS BIGINT) AS eq
+            FROM w)
+      SELECT n_a, n_b, gt AS n_greater, lt AS n_less, eq AS n_ties,
+             round(CAST(gt - lt AS DOUBLE)
+               / CAST(n_a * n_b AS DOUBLE), 6) AS cliffs_delta,
+             round((CAST(gt AS DOUBLE) + 0.5 * eq)
+               / CAST(n_a * n_b AS DOUBLE), 6) AS p_superior
+      FROM f""",
+
     // Friedman: complete day-blocks only, exact within-day 2x-midranks
     // (rank + tie count), CASE-folded rank sums, fixed chi2 chain
     "q_friedman" -> {

@@ -1152,6 +1152,53 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Cliff's delta between two groups — the ordinal effect size the
+    * rank tests deliberately don't report: δ = (#(a>b) − #(a<b))/(n₁n₂)
+    * ∈ [−1, 1], with the common-language P(A>B) + ½P(=) alongside.
+    * [[kruskalWallis]] says WHETHER distributions differ; δ says HOW
+    * MUCH, robustly (no variance, no normality).
+    *
+    * Never the n₁·n₂ pair join: both dominance counts fold from the
+    * DISTINCT-VALUE table (per-value counts × the other side's strict
+    * cumulative) — exact longs end to end, one division at the close.
+    * The ordered window runs at the distinct-value grain (the
+    * q_ks_binned documented class — pre-bin a truly continuous axis
+    * first, as q_spearman's scaladoc directs).
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "cliffsDelta: groups must differ")
+    val perVal = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val ord = Window.orderBy(col("__v"))
+    val below = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy()
+    val folded = perVal
+      .withColumn("__bBelow", coalesce(sum(col("__cb")).over(below),
+        lit(0L)))
+      .withColumn("__bTot", sum(col("__cb")).over(whole))
+      .withColumn("__bAbove",
+        col("__bTot") - col("__bBelow") - col("__cb"))
+      .agg(sum(col("__ca")).as("n_a"),
+        max(col("__bTot")).as("n_b"),
+        sum(col("__ca") * col("__bBelow")).as("__gt"),
+        sum(col("__ca") * col("__bAbove")).as("__lt"),
+        sum(col("__ca") * col("__cb")).as("__eq"))
+    val pairs = (col("n_a") * col("n_b")).cast("double")
+    folded.select(col("n_a"), col("n_b"),
+      col("__gt").as("n_greater"), col("__lt").as("n_less"),
+      col("__eq").as("n_ties"),
+      round((col("__gt") - col("__lt")).cast("double") / pairs, 6)
+        .as("cliffs_delta"),
+      round((col("__gt").cast("double") + lit(0.5) * col("__eq")) / pairs,
+        6).as("p_superior"))
+  }
+
   /** Friedman test over day-blocks: rank the DECLARED treatments within
     * every day (daily centi-lattice totals — exact 2×-midranks from
     * rank + tie counts), then χ²_F = 3/(nk(k+1))·ΣR₂ⱼ² − 3n(k+1) (the

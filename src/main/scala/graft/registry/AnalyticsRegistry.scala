@@ -701,6 +701,11 @@ object AnalyticsRegistry {
       // SPREAD? median-centered deviations on the micro lattice
       Stats.brownForsythe(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
+    "q_cliffs_delta" -> ((s, dir) =>
+      // HOW MUCH do purchase and view values differ: ordinal effect
+      // size from exact distinct-value dominance counts
+      Stats.cliffsDelta(Tables.events(s, dir), "event_type", "value",
+        "purchase", "view")),
     "q_friedman" -> ((s, dir) =>
       // blocked rank ANOVA: do event types differ in daily revenue once
       // day-level shifts are absorbed? exact within-day 2x-midranks

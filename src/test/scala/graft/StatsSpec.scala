@@ -86,6 +86,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cliffsDelta: full dominance scores +1, symmetric overlap 0, " +
+      "and ties split p_superior") {
+    val dom = (Seq(10.0, 11.0).map(("a", _)) ++
+      Seq(1.0, 2.0).map(("b", _))).toDF("g", "v")
+    val d = graft.ops.Stats.cliffsDelta(dom, "g", "v", "a", "b")
+      .collect().head
+    assert(d.getAs[Long]("n_greater") == 4L &&
+      d.getAs[Long]("n_less") == 0L)
+    assert(d.getAs[Double]("cliffs_delta") == 1.0)
+    assert(d.getAs[Double]("p_superior") == 1.0)
+    // a = {1, 3}, b = {2}: one win, one loss -> delta 0, P = 0.5
+    val sym = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0)).toDF("g", "v")
+    val s = graft.ops.Stats.cliffsDelta(sym, "g", "v", "a", "b")
+      .collect().head
+    assert(s.getAs[Double]("cliffs_delta") == 0.0)
+    assert(s.getAs[Double]("p_superior") == 0.5)
+    // all tied: delta 0 via the tie path, P still 0.5
+    val tie = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val t = graft.ops.Stats.cliffsDelta(tie, "g", "v", "a", "b")
+      .collect().head
+    assert(t.getAs[Long]("n_ties") == 1L &&
+      t.getAs[Double]("p_superior") == 0.5)
+  }
+
   test("friedman: perfectly consistent day rankings score Kendall's W " +
       "= 1 and the closed-form chi2; incomplete blocks are excluded") {
     def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
