@@ -1044,6 +1044,24 @@ object OracleSql {
         AND NOT (c_acctbal >= 0.0 AND c_acctbal <= 9000.0)
       ORDER BY c_custkey LIMIT 5""",
 
+    // QQ drift table: exact interpolated deciles per side, zipped
+    // positionally, per-quantile gap
+    "q_qq_drift" -> {
+      val qs = (1 to 9).map(q => s"0.$q").mkString("[", ", ", "]")
+      s"""
+      WITH r AS (SELECT quantile_cont(value, $qs) AS q FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL),
+      c AS (SELECT quantile_cont(value, $qs) AS q FROM events
+            WHERE event_type = 'view' AND value IS NOT NULL),
+      z AS (SELECT generate_subscripts(r.q, 1) AS i,
+              unnest(r.q) AS qr, unnest(c.q) AS qc
+            FROM r, c)
+      SELECT $qs[i] AS quantile,
+             round(qr, 6) AS q_ref, round(qc, 6) AS q_cur,
+             round(qc - qr, 6) AS gap
+      FROM z ORDER BY quantile"""
+    },
+
     "q_ks_drift" -> """
       WITH clean AS (
         SELECT value AS v, event_type FROM events

@@ -572,6 +572,39 @@ object Drift {
       .orderBy(col(ordCol))
   }
 
+  /** Quantile–quantile drift table: the ref and cur distributions'
+    * exact interpolated quantiles side by side with the per-quantile
+    * gap — WHERE along the distribution the drift lives, which the
+    * scalar KS/PSI verdicts can't say (a pure tail shift and a median
+    * shift can share a D statistic; their QQ tables look nothing
+    * alike). Exact percentiles (the `percentile`/`quantile_cont`
+    * parity contract of [[graft.ops.Stats.brownForsythe]]) in ONE
+    * array pass per side; swap to approx_percentile off the oracle
+    * path at extreme scale.
+    */
+  def qqTable(tagged: DataFrame, valueCol: String, sideCol: String,
+              ref: String, cur: String,
+              quantiles: Seq[Double] =
+                (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.size <= 99 &&
+      quantiles == quantiles.sorted &&
+      quantiles.forall(q => q > 0 && q < 1),
+      s"qqTable: sorted quantiles strictly inside (0, 1), got $quantiles")
+    val arr = quantiles.map(q => s"${q}D").mkString("array(", ", ", ")")
+    def side(s: String, out: String) = tagged
+      .filter(col(sideCol) === s && col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, $arr)").as(out))
+    val qCol = array(quantiles.map(lit): _*)
+    side(ref, "__qr").crossJoin(side(cur, "__qc"))
+      .select(posexplode(arrays_zip(col("__qr"), col("__qc")))
+        .as(Seq("__i", "__z")))
+      .select(element_at(qCol, col("__i") + 1).as("quantile"),
+        round(col("__z.__qr"), 6).as("q_ref"),
+        round(col("__z.__qc"), 6).as("q_cur"),
+        round(col("__z.__qc") - col("__z.__qr"), 6).as("gap"))
+      .orderBy("quantile")
+  }
+
   /** Page–Hinkley mean-shift monitor over a PRE-AGGREGATED ordered
     * series — [[cusum]]'s drift-literature sibling: where CUSUM tests
     * against a FIXED baseline mean µ₀ (the first `baselineRows`), PH

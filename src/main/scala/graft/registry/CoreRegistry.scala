@@ -424,6 +424,11 @@ object CoreRegistry {
         .orderBy("o_custkey")),
 
     // ---- §2.7 drift detection ----------------------------------------------
+    "q_qq_drift" -> ((s, dir) =>
+      // WHERE along the distribution the purchase/view gap lives:
+      // exact decile QQ table with per-quantile gaps
+      Drift.qqTable(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view")),
     "q_ks_drift" -> ((s, dir) =>
       // large-sample KS: asymptotic p pinned (exactBelow=0) so the series
       // oracle holds at every sf — sf0.001 sides (~200) would otherwise

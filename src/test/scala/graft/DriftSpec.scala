@@ -295,6 +295,23 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("qqTable: a pure location shift moves every quantile by the " +
+      "shift; quantile labels and order are exact") {
+    val rows = (1 to 5).map(i => ("r", i.toDouble)) ++
+      (1 to 5).map(i => ("c", i + 10.0))
+    val df = rows.toDF("side", "v")
+    val out = Drift.qqTable(df, "v", "side", "r", "c",
+      quantiles = Seq(0.25, 0.5, 0.75)).collect()
+    assert(out.map(_.getAs[Double]("quantile")).toSeq ==
+      Seq(0.25, 0.5, 0.75))
+    assert(out.forall(_.getAs[Double]("gap") == 10.0))
+    assert(out(1).getAs[Double]("q_ref") == 3.0 &&
+      out(1).getAs[Double]("q_cur") == 13.0)
+    intercept[IllegalArgumentException] {
+      Drift.qqTable(df, "v", "side", "r", "c", quantiles = Seq(0.5, 0.1))
+    }
+  }
+
   test("pageHinkley: prefix identity ≡ the sequential recursion; a " +
       "constant run stays at 0, a step change alarms upward only") {
     def r6(x: Double) = BigDecimal(x)
