@@ -3021,6 +3021,40 @@ object OracleSql {
              round(sum(contribution) OVER (), 6) AS psi
       FROM contrib ORDER BY bin""",
 
+    // TVD: exact-integer cross-multiplied |p - q| terms over the same
+    // magnitude bins, scalar repeated per row (the psi shape)
+    "q_tvd_drift" -> """
+      WITH t AS (
+        SELECT CASE WHEN value/1000.0 < 0.1 THEN 'negligible'
+                    WHEN value/1000.0 < 0.2 THEN 'small'
+                    WHEN value/1000.0 < 0.3 THEN 'moderate'
+                    WHEN value/1000.0 < 0.5 THEN 'large'
+                    ELSE 'very large' END AS category, event_type
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      counts AS (
+        SELECT category,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_cur
+        FROM t GROUP BY category),
+      x AS (
+        SELECT category, n_ref, n_cur,
+               CAST(sum(n_ref) OVER () AS BIGINT) AS tr,
+               CAST(sum(n_cur) OVER () AS BIGINT) AS tc
+        FROM counts),
+      y AS (
+        SELECT *, CAST(abs(n_ref * tc - n_cur * tr) AS BIGINT) AS num
+        FROM x)
+      SELECT category, n_ref, n_cur,
+             round(CAST(num AS DOUBLE)
+               / (2.0 * CAST(tr AS DOUBLE) * CAST(tc AS DOUBLE)), 6)
+               AS contribution,
+             round(CAST(sum(num) OVER () AS DOUBLE)
+               / (2.0 * CAST(tr AS DOUBLE) * CAST(tc AS DOUBLE)), 6)
+               AS tvd
+      FROM y ORDER BY category""",
+
     "q_chi2_drift" -> """
       WITH t AS (
         SELECT CASE WHEN value/1000.0 < 0.1 THEN 'negligible'

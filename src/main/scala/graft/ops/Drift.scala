@@ -572,6 +572,40 @@ object Drift {
       .orderBy(col(ordCol))
   }
 
+  /** Total variation distance between two categorical distributions —
+    * TVD = ½·Σ|pᵢ − qᵢ|, the "what fraction of probability mass moved"
+    * number with a direct operational meaning ([[chiSquare]] tests
+    * significance, [[jsDivergence]] is information-theoretic; TVD is
+    * the bound on how differently ANY downstream decision can behave).
+    * Per-category rows carry the contribution, the scalar repeats on
+    * every row (the psi shape).
+    *
+    * Exact integers until the last division: each |pᵢ − qᵢ| term is
+    * |cᵢ·n_cur − dᵢ·n_ref| over the common denominator, so category
+    * order can't move the statistic.
+    */
+  def tvd(tagged: DataFrame, catCol: String, sideCol: String,
+          ref: String, cur: String): DataFrame = {
+    val counts = tagged
+      .filter(col(sideCol).isin(ref, cur) && col(catCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(sum(when(col(sideCol) === ref, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col(sideCol) === cur, 1L).otherwise(0L)).as("n_cur"))
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("__tr", sum(col("n_ref")).over(tot))
+      .withColumn("__tc", sum(col("n_cur")).over(tot))
+      .withColumn("__num",
+        abs(col("n_ref") * col("__tc") - col("n_cur") * col("__tr")))
+      .withColumn("contribution", round(col("__num").cast("double") /
+        (lit(2.0) * col("__tr") * col("__tc")), 6))
+      .withColumn("tvd", round(sum(col("__num")).over(tot).cast("double") /
+        (lit(2.0) * col("__tr") * col("__tc")), 6))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        col("contribution"), col("tvd"))
+      .orderBy("category")
+  }
+
   /** Quantile–quantile drift table: the ref and cur distributions'
     * exact interpolated quantiles side by side with the per-quantile
     * gap — WHERE along the distribution the drift lives, which the

@@ -497,6 +497,13 @@ object CoreRegistry {
     "q_psi_drift" -> ((s, dir) =>
       Drift.psi(Tables.events(s, dir), "value", "event_type",
         "view", "purchase")),
+    "q_tvd_drift" -> ((s, dir) =>
+      // what fraction of probability mass moved between the view and
+      // purchase value-bin distributions: exact-integer TVD
+      Drift.tvd(
+        Tables.events(s, dir)
+          .withColumn("vbin", Parse.magnitudeBin(col("value") / 1000.0)),
+        "vbin", "event_type", "view", "purchase")),
     "q_chi2_drift" -> ((s, dir) =>
       Drift.chiSquare(
         Tables.events(s, dir)

@@ -295,6 +295,25 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("tvd: disjoint supports score 1, identical distributions 0, " +
+      "and the half-moved case hits 0.5 exactly") {
+    val disjoint = Seq(("a", "r"), ("b", "c")).toDF("cat", "side")
+    val d = Drift.tvd(disjoint, "cat", "side", "r", "c").collect()
+    assert(d.forall(_.getAs[Double]("tvd") == 1.0))
+    val same = Seq(("a", "r"), ("b", "r"), ("a", "c"), ("b", "c"))
+      .toDF("cat", "side")
+    val s = Drift.tvd(same, "cat", "side", "r", "c").collect()
+    assert(s.forall(_.getAs[Double]("tvd") == 0.0))
+    // ref (a,a), cur (a,b): half the mass moved from a to b
+    val half = Seq(("a", "r"), ("a", "r"), ("a", "c"), ("b", "c"))
+      .toDF("cat", "side")
+    val h = Drift.tvd(half, "cat", "side", "r", "c").collect()
+    assert(h.forall(_.getAs[Double]("tvd") == 0.5))
+    val contrib = h.map(r => r.getAs[String]("category") ->
+      r.getAs[Double]("contribution")).toMap
+    assert(contrib("a") == 0.25 && contrib("b") == 0.25)
+  }
+
   test("qqTable: a pure location shift moves every quantile by the " +
       "shift; quantile labels and order are exact") {
     val rows = (1 to 5).map(i => ("r", i.toDouble)) ++
