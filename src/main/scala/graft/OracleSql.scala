@@ -3021,6 +3021,45 @@ object OracleSql {
              round(sum(contribution) OVER (), 6) AS psi
       FROM contrib ORDER BY bin""",
 
+    // Kuiper V = D+ + D-: both sups elected on exact cross-multiplied
+    // integers over the distinct-value ECDF (the ks_drift chain)
+    "q_kuiper" -> """
+      WITH clean AS (
+        SELECT value AS v, event_type FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND event_type IN ('purchase', 'view')),
+      pv AS (SELECT v,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM clean GROUP BY v),
+      c AS (SELECT
+          CAST(sum(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cuma,
+          CAST(sum(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumb,
+          CAST(sum(ca) OVER () AS BIGINT) AS na,
+          CAST(sum(cb) OVER () AS BIGINT) AS nb
+        FROM pv),
+      f AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+          CAST(max(nb) AS BIGINT) AS n_b,
+          CAST(max(cuma * nb - cumb * na) AS BIGINT) AS dp,
+          CAST(max(cumb * na - cuma * nb) AS BIGINT) AS dm
+        FROM c)
+      SELECT n_a, n_b,
+        round(CAST(greatest(dp, 0) AS DOUBLE)
+          / CAST(n_a * n_b AS DOUBLE), 6) AS d_plus,
+        round(CAST(greatest(dm, 0) AS DOUBLE)
+          / CAST(n_a * n_b AS DOUBLE), 6) AS d_minus,
+        round(CAST(greatest(dp, 0) AS DOUBLE)
+            / CAST(n_a * n_b AS DOUBLE)
+          + CAST(greatest(dm, 0) AS DOUBLE)
+            / CAST(n_a * n_b AS DOUBLE), 6) AS v_stat
+      FROM f""",
+
     // TVD: exact-integer cross-multiplied |p - q| terms over the same
     // magnitude bins, scalar repeated per row (the psi shape)
     "q_tvd_drift" -> """

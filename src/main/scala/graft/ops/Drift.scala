@@ -572,6 +572,45 @@ object Drift {
       .orderBy(col(ordCol))
   }
 
+  /** Kuiper two-sample statistic V = D⁺ + D⁻ — the tail-balanced
+    * sibling of [[ksTest]]'s D = max|·|: KS is most sensitive near the
+    * median and nearly blind at the tails; Kuiper weighs every part of
+    * the distribution equally (and is invariant under cyclic shifts —
+    * the right test for hour-of-day style wrapped axes). Both
+    * one-sided sups are elected on EXACT cross-multiplied integers
+    * (max of cuma·n_b − cumb·n_a over the distinct-value ECDF), so no
+    * float comparison ever picks the argmax; the two divisions happen
+    * once at the close. Same bounded distinct-value window class as
+    * ksTest.
+    */
+  def kuiperTest(tagged: DataFrame, valueCol: String, sideCol: String,
+                 a: String, b: String): DataFrame = {
+    val clean = cleanSamples(tagged, valueCol)
+      .filter(col(sideCol) === a || col(sideCol) === b)
+    val perValue = clean.groupBy(col(valueCol).as("v")).agg(
+      sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
+      sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy()
+    val folded = perValue
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(totW))
+      .withColumn("nb", sum(col("cb")).over(totW))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("cuma") * col("nb") - col("cumb") * col("na"))
+          .as("__dp"),
+        max(col("cumb") * col("na") - col("cuma") * col("nb"))
+          .as("__dm"))
+    val denom = (col("n_a") * col("n_b")).cast("double")
+    val dp = greatest(col("__dp"), lit(0L)).cast("double") / denom
+    val dm = greatest(col("__dm"), lit(0L)).cast("double") / denom
+    folded.select(col("n_a"), col("n_b"),
+      round(dp, 6).as("d_plus"), round(dm, 6).as("d_minus"),
+      round(dp + dm, 6).as("v_stat"))
+  }
+
   /** Total variation distance between two categorical distributions —
     * TVD = ½·Σ|pᵢ − qᵢ|, the "what fraction of probability mass moved"
     * number with a direct operational meaning ([[chiSquare]] tests

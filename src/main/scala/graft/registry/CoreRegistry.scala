@@ -497,6 +497,11 @@ object CoreRegistry {
     "q_psi_drift" -> ((s, dir) =>
       Drift.psi(Tables.events(s, dir), "value", "event_type",
         "view", "purchase")),
+    "q_kuiper" -> ((s, dir) =>
+      // tail-balanced two-sample distance V = D+ + D- on the same
+      // purchase/view split as q_ks_drift — argmax on exact integers
+      Drift.kuiperTest(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view")),
     "q_tvd_drift" -> ((s, dir) =>
       // what fraction of probability mass moved between the view and
       // purchase value-bin distributions: exact-integer TVD

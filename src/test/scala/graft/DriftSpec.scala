@@ -295,6 +295,26 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("kuiperTest: a pure location shift loads one side only; " +
+      "crossing distributions load both and V sums them") {
+    // a strictly above b: D- = 1, D+ = 0, V = 1
+    val shift = (Seq(10.0, 11.0).map(("a", _)) ++
+      Seq(1.0, 2.0).map(("b", _))).toDF("side", "v")
+    val s = Drift.kuiperTest(shift, "v", "side", "a", "b")
+      .collect().head
+    assert(s.getAs[Double]("d_plus") == 0.0)
+    assert(s.getAs[Double]("d_minus") == 1.0)
+    assert(s.getAs[Double]("v_stat") == 1.0)
+    // a = {1, 4}, b = {2, 3}: ECDFs cross — both sides carry 0.5
+    val cross = (Seq(1.0, 4.0).map(("a", _)) ++
+      Seq(2.0, 3.0).map(("b", _))).toDF("side", "v")
+    val c = Drift.kuiperTest(cross, "v", "side", "a", "b")
+      .collect().head
+    assert(c.getAs[Double]("d_plus") == 0.5 &&
+      c.getAs[Double]("d_minus") == 0.5)
+    assert(c.getAs[Double]("v_stat") == 1.0)
+  }
+
   test("tvd: disjoint supports score 1, identical distributions 0, " +
       "and the half-moved case hits 0.5 exactly") {
     val disjoint = Seq(("a", "r"), ("b", "c")).toDF("cat", "side")
