@@ -5704,6 +5704,29 @@ object OracleSql {
         END AS discordant_odds
       FROM f""",
 
+    // weighted lower median: integral weights, exact 2*cumw >= total
+    // election at the distinct-value grain
+    "q_weighted_median" -> """
+      WITH pv AS (SELECT l_returnflag AS g,
+              CAST(l_extendedprice AS DOUBLE) AS v,
+              CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                AS w
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            GROUP BY 1, 2),
+      p2 AS (SELECT * FROM pv WHERE w > 0),
+      c AS (SELECT g, v,
+              CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cw,
+              CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+            FROM p2)
+      SELECT g AS l_returnflag,
+             CAST(max(tot) AS BIGINT) AS total_weight,
+             round(min(v), 6) AS weighted_median
+      FROM c WHERE cw * 2 >= tot
+      GROUP BY g ORDER BY l_returnflag""",
+
     // Cliff's delta: dominance counts from the distinct-value table
     // (per-value counts x other side's strict cumulative), exact longs
     "q_cliffs_delta" -> """

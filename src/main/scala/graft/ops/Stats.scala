@@ -1152,6 +1152,39 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Weighted (lower) median per group — the "median dollar/unit" the
+    * plain median misquotes whenever weights are skewed: each value
+    * counts by its integral weight (quantities, survivor weights,
+    * importance counts), and the elected value is the first whose
+    * cumulative weight reaches half the total — an EXACT integer test
+    * (2·cumw ≥ total), so no rational ever meets a float comparison.
+    * Weights must be integral (rounded on entry, fail-visible via the
+    * exact mirror); non-positive weights are dropped symmetrically.
+    *
+    * Plan: one keyed (group, value) aggregation + per-group cumulative
+    * windows at the distinct-value grain + one keyed min-election.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val pv = df
+      .filter(col(weightCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).cast("double")
+        .as("__v"))
+      .agg(sum(round(col(weightCol), 0).cast("long")).as("__w"))
+      .filter(col("__w") > 0)
+    val wg = Window.partitionBy(col("__g"))
+    val cum = wg.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pv
+      .withColumn("__cw", sum(col("__w")).over(cum))
+      .withColumn("__tot", sum(col("__w")).over(wg))
+      .filter(col("__cw") * 2L >= col("__tot"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__tot")).as("total_weight"),
+        round(min(col("__v")), 6).as("weighted_median"))
+      .orderBy(groupCol)
+  }
+
   /** Cliff's delta between two groups — the ordinal effect size the
     * rank tests deliberately don't report: δ = (#(a>b) − #(a<b))/(n₁n₂)
     * ∈ [−1, 1], with the common-language P(A>B) + ½P(=) alongside.

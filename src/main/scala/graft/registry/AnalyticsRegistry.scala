@@ -701,6 +701,11 @@ object AnalyticsRegistry {
       // SPREAD? median-centered deviations on the micro lattice
       Stats.brownForsythe(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
+    "q_weighted_median" -> ((s, dir) =>
+      // the median DOLLAR's line price, not the median LINE's: price
+      // weighted by quantity per return flag, exact integer election
+      Stats.weightedMedian(Tables.lineitem(s, dir), "l_returnflag",
+        "l_extendedprice", "l_quantity")),
     "q_cliffs_delta" -> ((s, dir) =>
       // HOW MUCH do purchase and view values differ: ordinal effect
       // size from exact distinct-value dominance counts

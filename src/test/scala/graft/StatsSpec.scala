@@ -86,6 +86,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("weightedMedian: a heavy weight drags the median to its value " +
+      "where the unweighted median would sit elsewhere") {
+    // values 1,2,3 with weights 1,1,4: cum 1,2,6 vs total 6 -> first
+    // 2*cum >= 6 is value 2... 2*2=4 < 6, so value 3 is elected
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 4.0),
+      ("b", 5.0, 1.0)).toDF("g", "v", "w")
+    val out = graft.ops.Stats.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("total_weight"), r.getAs[Double]("weighted_median")))
+      .toMap
+    assert(out("a") == ((6L, 3.0)))
+    assert(out("b") == ((1L, 5.0)))
+    // equal weights: the boundary 2*cum == total elects the LOWER median
+    val even = Seq(("c", 1.0, 1.0), ("c", 2.0, 1.0)).toDF("g", "v", "w")
+    val e = graft.ops.Stats.weightedMedian(even, "g", "v", "w")
+      .collect().head
+    assert(e.getAs[Double]("weighted_median") == 1.0)
+  }
+
   test("cliffsDelta: full dominance scores +1, symmetric overlap 0, " +
       "and ties split p_superior") {
     val dom = (Seq(10.0, 11.0).map(("a", _)) ++
