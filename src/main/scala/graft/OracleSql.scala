@@ -2124,6 +2124,33 @@ object OracleSql {
 
     // DSIR: both hashed-unigram LMs from one token stream; Gumbel key
     // replayed from the shared u01 hash and rounded at 6 before top-k
+    // dataset card: exact counts + single divisions, the x_dedup_exact
+    // normalized-md5 dup key, metric/value rows
+    "x_dataset_card" -> """
+      WITH f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS en,
+              CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                AS BIGINT) AS toks,
+              CAST(sum(length(text)) AS BIGINT) AS chars,
+              CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+                '\s+', ' ', 'g')))) AS BIGINT) AS uniq
+            FROM documents)
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM f
+        UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM f
+        UNION ALL SELECT 'pct_english',
+          round(CAST(en AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM f
+        UNION ALL SELECT 'total_tokens', CAST(toks AS DOUBLE) FROM f
+        UNION ALL SELECT 'mean_doc_chars',
+          round(CAST(chars AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM f
+        UNION ALL SELECT 'mean_doc_tokens',
+          round(CAST(toks AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM f
+        UNION ALL SELECT 'exact_dup_rate',
+          round(CAST(n - uniq AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM f)
+      ORDER BY metric""",
+
     // Kish ESS over the DSIR per-token-normalized weights: the dsir
     // chain replayed, weight from the ROUNDED log_w, moments exact on
     // the 1e-6 lattice (scale cancels in the ratio)

@@ -120,6 +120,41 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Dataset card: the one-glance corpus summary a dataset release
+    * ships with — size, language spread, token volume, exact-duplicate
+    * rate — as (metric, value) rows from ONE corpus scan (every number
+    * is an exact count or one division; the dup key is the
+    * whitespace-normalized md5 of `x_dedup_exact`). Deeper numbers
+    * (quality pass rate, near-dup clusters, perplexity mix) live in
+    * their own queries; the card is the cover page, not the appendix.
+    */
+  def datasetCard(docs: DataFrame, textCol: String,
+                  langCol: String): DataFrame = {
+    val key = md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+    val folded = docs.agg(
+      count(lit(1)).as("__n"),
+      countDistinct(col(langCol)).as("__nl"),
+      sum((col(langCol) === "en").cast("long")).as("__en"),
+      sum(size(tokens(col(textCol))).cast("long")).as("__toks"),
+      sum(length(col(textCol)).cast("long")).as("__chars"),
+      countDistinct(key).as("__uniq"))
+    val nD = col("__n").cast("double")
+    def m(name: String, v: Column) =
+      struct(lit(name).as("metric"), v.as("value"))
+    folded.select(explode(array(
+        m("n_docs", col("__n").cast("double")),
+        m("n_langs", col("__nl").cast("double")),
+        m("pct_english", round(col("__en").cast("double") / nD, 6)),
+        m("total_tokens", col("__toks").cast("double")),
+        m("mean_doc_chars", round(col("__chars").cast("double") / nD, 6)),
+        m("mean_doc_tokens", round(col("__toks").cast("double") / nD, 6)),
+        m("exact_dup_rate",
+          round((col("__n") - col("__uniq")).cast("double") / nD, 6))))
+        .as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+      .orderBy("metric")
+  }
+
   /** Per-language corpus statistics. */
   def langStats(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol).as("lang"))

@@ -268,6 +268,10 @@ object TextRegistry {
           maxTokens = 4096)
         .orderBy("lang", "doc_id")
     }),
+    "x_dataset_card" -> ((s, dir) =>
+      // the release cover page: size, language spread, token volume,
+      // exact-dup rate as metric/value rows from one scan
+      TextAnalysis.datasetCard(Tables.documents(s, dir), "text", "lang")),
     "x_dsir_ess" -> ((s, dir) => {
       // how much statistical mass survives the DSIR reweighting: Kish
       // ESS over the per-token-normalized importance weights

@@ -650,4 +650,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(out(1L)._6 == "easy" && out(3L)._6 == "difficult")
   }
+
+  test("datasetCard: counts, ratios and the normalized dup key fold " +
+      "exactly into metric rows") {
+    import spark.implicits._
+    // doc 3 is a whitespace-variant duplicate of doc 1
+    val docs = Seq(
+      (1L, "the cat sat", "en"),
+      (2L, "le chat", "fr"),
+      (3L, "  the   cat sat ", "en")).toDF("doc_id", "text", "lang")
+    val out = graft.ops.TextAnalysis.datasetCard(docs, "text", "lang")
+      .collect().map(r => r.getAs[String]("metric") ->
+        r.getAs[Double]("value")).toMap
+    assert(out("n_docs") == 3.0 && out("n_langs") == 2.0)
+    assert(out("pct_english") == 0.666667)
+    assert(out("total_tokens") == 8.0) // 3 + 2 + 3
+    assert(out("exact_dup_rate") == 0.333333)
+    assert(out("mean_doc_tokens") == 2.666667)
+  }
 }
