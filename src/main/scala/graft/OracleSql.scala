@@ -2124,6 +2124,41 @@ object OracleSql {
 
     // DSIR: both hashed-unigram LMs from one token stream; Gumbel key
     // replayed from the shared u01 hash and rounded at 6 before top-k
+    // raking: unrolled IPF half-steps, weights committed to the 1e-6
+    // lattice each half-step so marginal sums are exact longs
+    "x_rake_weights" -> {
+      val steps = (1 to 3).flatMap { i =>
+        val p = if (i == 1) "base" else s"s${2 * (i - 1)}"
+        Seq(
+          s"""s${2 * i - 1} AS (SELECT r, c, n, tot,
+             CAST(round(wu * ((CAST(tot AS DOUBLE) / (SELECT v FROM nr))
+               / (CAST(sum(wu) OVER (PARTITION BY r) AS DOUBLE) / 1e6)),
+               0) AS BIGINT) AS wu
+           FROM $p)""",
+          s"""s${2 * i} AS (SELECT r, c, n, tot,
+             CAST(round(wu * ((CAST(tot AS DOUBLE) / (SELECT v FROM nc))
+               / (CAST(sum(wu) OVER (PARTITION BY c) AS DOUBLE) / 1e6)),
+               0) AS BIGINT) AS wu
+           FROM s${2 * i - 1})""")
+      }.mkString(",\n      ")
+      s"""
+      WITH cells AS (SELECT lang AS r, source AS c,
+              CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2),
+      nr AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS v FROM cells),
+      nc AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS v FROM cells),
+      base AS (SELECT r, c, n, CAST(sum(n) OVER () AS BIGINT) AS tot,
+              CAST(n * 1000000 AS BIGINT) AS wu
+            FROM cells),
+      $steps
+      SELECT r AS lang, c AS source, n AS n_docs,
+             round(wu / 1e6, 6) AS raked_weight,
+             round(wu / 1e6 / n, 6) AS weight_ratio
+      FROM s6 ORDER BY lang, source"""
+    },
+
     // dataset card: exact counts + single divisions, the x_dedup_exact
     // normalized-md5 dup key, metric/value rows
     "x_dataset_card" -> """

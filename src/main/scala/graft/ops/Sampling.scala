@@ -399,6 +399,54 @@ object Sampling {
     * by keyed hash. Equivalent in distribution to a seeded reservoir, but
     * deterministic, mergeable, and executed as TakeOrdered.
     */
+  /** Iterative proportional fitting (raking) of the (row, col) cell
+    * counts toward UNIFORM marginals — the survey-weighting workhorse
+    * applied to corpus balancing: after raking, every language carries
+    * equal total weight AND every source does, while within-cell
+    * proportions stay as observed (the maximum-entropy adjustment).
+    * The per-doc sampling weight is `weight_ratio` of the doc's cell.
+    *
+    * Each half-step scales cells by (target / marginal-sum) and COMMITS
+    * the weights to the 1e-6 lattice, so every marginal sum is an exact
+    * long and the iteration replays engine-identically (the unrolled-
+    * superstep oracle contract of markov/kmeans/BPE). Cell table is
+    * |rows|·|cols| — bounded by construction.
+    */
+  def rakeWeights(df: DataFrame, rowCol: String, colCol: String,
+                  iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"rakeWeights: iterations in [1, 10] (got $iterations)")
+    val cells = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val nR = cells.select("__r").distinct().count()
+    val nC = cells.select("__c").distinct().count()
+    require(nR >= 1 && nC >= 1 && nR * nC <= 100000,
+      s"rakeWeights: cell table must stay bounded (got $nR x $nC)")
+    val wr = Window.partitionBy(col("__r"))
+    val wc = Window.partitionBy(col("__c"))
+    val all = Window.partitionBy()
+    var cur = cells
+      .withColumn("__tot", sum(col("__n")).over(all))
+      .withColumn("__wu", col("__n") * 1000000L)
+    for (_ <- 1 to iterations) {
+      cur = cur.withColumn("__wu", round(col("__wu") *
+        ((col("__tot").cast("double") / nR) /
+          (sum(col("__wu")).over(wr).cast("double") / 1e6)), 0)
+        .cast("long"))
+      cur = cur.withColumn("__wu", round(col("__wu") *
+        ((col("__tot").cast("double") / nC) /
+          (sum(col("__wu")).over(wc).cast("double") / 1e6)), 0)
+        .cast("long"))
+    }
+    cur.select(col("__r").as(rowCol), col("__c").as(colCol),
+        col("__n").as("n_docs"),
+        round(col("__wu") / 1e6, 6).as("raked_weight"),
+        round(col("__wu") / 1e6 / col("__n"), 6).as("weight_ratio"))
+      .orderBy(rowCol, colCol)
+  }
+
   /** Effective sample size of a weighted dataset — Kish's
     * ESS = (Σw)²/Σw², the one-number diagnostic for every importance-
     * weighted corpus (DSIR, dedup survivor weights, mixture reweights):

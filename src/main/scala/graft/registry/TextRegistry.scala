@@ -268,6 +268,10 @@ object TextRegistry {
           maxTokens = 4096)
         .orderBy("lang", "doc_id")
     }),
+    "x_rake_weights" -> ((s, dir) =>
+      // balance the corpus mixture: IPF-rake (lang x source) cells to
+      // uniform marginals, 3 lattice-committed supersteps
+      Sampling.rakeWeights(Tables.documents(s, dir), "lang", "source")),
     "x_dataset_card" -> ((s, dir) =>
       // the release cover page: size, language spread, token volume,
       // exact-dup rate as metric/value rows from one scan

@@ -628,6 +628,25 @@ class SamplingSpec extends SparkSpec {
     assert(p2.toSeq == Seq(("p2", 1L, 100L, 100L, 0L, 100L, 1L, true)))
   }
 
+  test("rakeWeights: a uniform table is an exact fixed point; a skewed " +
+      "table converges to the uniform marginals") {
+    val uniform = (for { r <- Seq("a", "b"); c <- Seq("x", "y") }
+      yield (r, c)).toDF("r", "c")
+    val u = Sampling.rakeWeights(uniform, "r", "c").collect()
+    assert(u.forall(_.getAs[Double]("raked_weight") == 1.0))
+    assert(u.forall(_.getAs[Double]("weight_ratio") == 1.0))
+    // skewed: a-row holds 6 of 8 docs; raking must pull rows to 4 each
+    val skew = (Seq.fill(5)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq(("b", "x")) ++ Seq(("b", "y"))).toDF("r", "c")
+    val s = Sampling.rakeWeights(skew, "r", "c").collect()
+    val rowSums = s.groupBy(_.getAs[String]("r"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Double]("raked_weight")).sum }
+    rowSums.values.foreach(v => assert(math.abs(v - 4.0) < 0.05, s"$rowSums"))
+    intercept[IllegalArgumentException] {
+      Sampling.rakeWeights(skew, "r", "c", iterations = 0)
+    }
+  }
+
   test("effectiveSampleSize: uniform weights score ESS = n, one heavy " +
       "weight collapses it, a negative weight nulls the statistic") {
     val uniform = Seq(1.0, 1.0, 1.0, 1.0).toDF("w")
