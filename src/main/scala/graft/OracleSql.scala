@@ -5324,6 +5324,50 @@ object OracleSql {
 
     // Kruskal-Wallis: exact 2x-midranks, per-group rank sums CASE-folded
     // into one row, fixed left-to-right H combine, exact tie sums
+    // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
+    // on the micro lattice, both quadratic forms exact
+    "q_durbin_watson" -> {
+      val num = "CAST(CAST(n AS HUGEINT) * sty" +
+        " - CAST(st AS HUGEINT) * sy AS DOUBLE)"
+      val den = "CAST(CAST(n AS HUGEINT) * stt" +
+        " - CAST(st AS HUGEINT) * st AS DOUBLE)"
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      r AS (SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+            FROM daily),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(t) AS BIGINT) AS st,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(t AS HUGEINT) * y) AS sty,
+              CAST(sum(t * t) AS BIGINT) AS stt
+            FROM r),
+      sc AS (SELECT n, $num / $den AS b,
+               (CAST(sy AS DOUBLE) - $num / $den * st) / n AS a
+             FROM f),
+      e AS (SELECT r.t,
+              CAST(round((CAST(r.y AS DOUBLE) - sc.a - sc.b * r.t)
+                * 1e6, 0) AS BIGINT) AS eu
+            FROM r, sc),
+      g AS (SELECT eu, eu - lag(eu, 1) OVER (ORDER BY t) AS de FROM e),
+      h AS (SELECT sum(CAST(eu AS HUGEINT) * eu) AS see,
+              sum(CASE WHEN de IS NOT NULL
+                THEN CAST(de AS HUGEINT) * de
+                ELSE CAST(0 AS HUGEINT) END) AS sdd
+            FROM g)
+      SELECT (SELECT n FROM f) AS n_days,
+             CASE WHEN see > 0 THEN
+               round(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE), 6)
+             END AS dw_stat,
+             CASE WHEN see > 0 THEN
+               round(1.0 - CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+                 / 2.0, 6)
+             END AS rho_approx
+      FROM h"""
+    },
+
     // runs test: exact sign moves on the centi lattice, ties dropped,
     // R / n+ / n- exact, one fixed z tree
     "q_runs_test" -> """

@@ -1152,6 +1152,54 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Durbin–Watson statistic over the residuals of the daily linear
+    * trend — first-order residual autocorrelation AFTER detrending,
+    * which [[ljungBox]] on the raw series conflates with the trend
+    * itself: DW ≈ 2 independent errors, → 0 positive serial
+    * correlation (your trend CI is overconfident), → 4 negative.
+    * Reports ρ̂ ≈ 1 − DW/2 alongside.
+    *
+    * The OLS slope folds from EXACT integer sufficient sums (integer
+    * day index × centi-lattice daily totals, decimal cross terms — the
+    * trendPerKey contract); each residual is one fixed double tree,
+    * committed to the micro lattice so both quadratic-form sums are
+    * exact decimals. Calendar-bounded windows only.
+    */
+  def durbinWatson(df: DataFrame, dateCol: Column,
+                   valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__d"))).cast("long"))
+    val fit = daily.agg(count(lit(1)).as("__n"),
+      sum(col("__t")).as("__st"), sum(col("__y")).as("__sy"),
+      sum(dec(col("__t")) * col("__y")).as("__sty"),
+      sum(col("__t") * col("__t")).as("__stt"))
+    val num = (dec(col("__n")) * col("__sty") -
+      dec(col("__st")) * col("__sy")).cast("double")
+    val den = (dec(col("__n")) * col("__stt") -
+      dec(col("__st")) * col("__st")).cast("double")
+    val scalars = fit.select(col("__n"),
+      (num / den).as("__b"),
+      ((col("__sy").cast("double") - num / den * col("__st")) /
+        col("__n")).as("__a"))
+    val ord = Window.orderBy(col("__t"))
+    val resid = daily.crossJoin(broadcast(scalars))
+      .withColumn("__eu", round((col("__y").cast("double") - col("__a") -
+        col("__b") * col("__t")) * 1e6, 0).cast("long"))
+      .withColumn("__de", col("__eu") - lag(col("__eu"), 1).over(ord))
+    val folded = resid.agg(max(col("__n")).as("n_days"),
+      sum(dec(col("__eu")) * col("__eu")).as("__see"),
+      sum(when(col("__de").isNotNull, dec(col("__de")) * col("__de"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__sdd"))
+    val dw = col("__sdd").cast("double") / col("__see").cast("double")
+    folded.select(col("n_days"),
+      when(col("__see") > 0, round(dw, 6)).as("dw_stat"),
+      when(col("__see") > 0, round(lit(1.0) - dw / 2.0, 6))
+        .as("rho_approx"))
+  }
+
   /** Weighted (lower) median per group — the "median dollar/unit" the
     * plain median misquotes whenever weights are skewed: each value
     * counts by its integral weight (quantities, survivor weights,

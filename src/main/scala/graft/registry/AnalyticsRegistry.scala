@@ -666,6 +666,11 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_durbin_watson" -> ((s, dir) =>
+      // serial correlation of the DETRENDED daily revenue: DW around 2
+      // is clean, toward 0 the trend CI is overconfident
+      Stats.durbinWatson(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_runs_test" -> ((s, dir) =>
       // are daily revenue up/down moves random, or do up-days cluster?
       // Wald-Wolfowitz runs over exact centi-lattice sign moves

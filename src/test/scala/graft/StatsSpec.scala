@@ -86,6 +86,24 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("durbinWatson: alternating residuals hit the closed form near " +
+      "4; an exact linear trend has zero residuals and a NULL statistic") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 1, 1).plusDays(i.toLong))
+    val alt = Seq(100.0, 0.0, 100.0, 0.0).zipWithIndex
+      .map { case (v, i) => (d(i), v) }.toDF("b", "v")
+    val r = graft.ops.Stats.durbinWatson(alt, col("b"), "v")
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    // residuals (2000,-6000,6000,-2000) micro-cents -> DW = 272/80
+    assert(r.getAs[Double]("dw_stat") == 3.4)
+    assert(r.getAs[Double]("rho_approx") == -0.7)
+    val line = (0 until 5).map(i => (d(i), (i + 1).toDouble)).toDF("b", "v")
+    val l = graft.ops.Stats.durbinWatson(line, col("b"), "v")
+      .collect().head
+    assert(l.isNullAt(l.fieldIndex("dw_stat")))
+  }
+
   test("weightedMedian: a heavy weight drags the median to its value " +
       "where the unweighted median would sit elsewhere") {
     // values 1,2,3 with weights 1,1,4: cum 1,2,6 vs total 6 -> first
