@@ -5622,6 +5622,47 @@ object OracleSql {
       FROM f"""
     },
 
+    // Kitagawa/Bennet decomposition: exact shares/rates, fixed trees,
+    // totals folded on the 1e-12 lattice
+    "q_rate_decomposition" -> {
+      val sh1 = "CAST(n1 AS DOUBLE) / t1"
+      val sh2 = "CAST(n2 AS DOUBLE) / t2"
+      val r1 = "CASE WHEN n1 > 0 THEN CAST(p1 AS DOUBLE) / n1 ELSE 0.0 END"
+      val r2 = "CASE WHEN n2 > 0 THEN CAST(p2 AS DOUBLE) / n2 ELSE 0.0 END"
+      val mix = s"($sh2 - $sh1) * (($r1 + $r2) / 2.0)"
+      val rate = s"(($sh1 + $sh2) / 2.0) * ($r2 - $r1)"
+      val chg = s"$sh2 * ($r2) - $sh1 * ($r1)"
+      s"""
+      WITH seg AS (SELECT event_type AS segment,
+              CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                AND value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+              CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                AND value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS p2
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1),
+      w AS (SELECT *, CAST(sum(n1) OVER () AS BIGINT) AS t1,
+              CAST(sum(n2) OVER () AS BIGINT) AS t2
+            FROM seg)
+      SELECT segment,
+             round($sh1, 6) AS share_pre,
+             round($sh2, 6) AS share_post,
+             round($r1, 6) AS rate_pre,
+             round($r2, 6) AS rate_post,
+             round($mix, 6) AS mix_effect,
+             round($rate, 6) AS rate_effect,
+             round(CAST(sum(CAST(round(($mix) * 1e12, 0) AS BIGINT))
+               OVER () AS BIGINT) / 1e12, 6) AS total_mix_effect,
+             round(CAST(sum(CAST(round(($rate) * 1e12, 0) AS BIGINT))
+               OVER () AS BIGINT) / 1e12, 6) AS total_rate_effect,
+             round(CAST(sum(CAST(round(($chg) * 1e12, 0) AS BIGINT))
+               OVER () AS BIGINT) / 1e12, 6) AS total_change
+      FROM w ORDER BY segment"""
+    },
+
     // CUPED: centi-lattice pre/post user totals, theta from exact
     // HUGEINT sufficient sums (one double division), per-user adjusted
     // outcome on the 1e-6 lattice, arm folds + pooled variances exact

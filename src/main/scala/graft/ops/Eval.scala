@@ -1207,6 +1207,66 @@ object Eval {
       .orderBy(groupCol)
   }
 
+  /** Kitagawa / Bennet decomposition of a rate difference: how much of
+    * the period-over-period move in an overall rate came from the MIX
+    * shifting between segments vs the within-segment RATES changing —
+    * the first question a metrics review asks ("did conversion drop,
+    * or did traffic shift to a low-converting segment?"). Symmetric
+    * (Bennet) weights make the two effects sum EXACTLY to the total
+    * change, per segment and overall; a segment absent from one period
+    * enters with share 0 / rate 0 and the identity still closes.
+    *
+    * Every share and rate is a single division of exact longs from ONE
+    * conditional-aggregate pass; contributions are fixed double trees
+    * over them, and the totals fold over the bounded segment table.
+    */
+  def rateDecomposition(df: DataFrame, segmentCol: String, tsCol: String,
+                        isPositive: Column, cutoff: String): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp_ntz")
+    val seg = df.filter(col(segmentCol).isNotNull)
+      .groupBy(col(segmentCol).as("segment"))
+      .agg(
+        sum(when(col(tsCol) < cut, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(tsCol) < cut && isPositive, 1L).otherwise(0L))
+          .as("p1"),
+        sum(when(col(tsCol) >= cut, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(tsCol) >= cut && isPositive, 1L).otherwise(0L))
+          .as("p2"))
+    val tot = Window.partitionBy()
+    val withT = seg
+      .withColumn("__t1", sum(col("n1")).over(tot))
+      .withColumn("__t2", sum(col("n2")).over(tot))
+    val sh1 = col("n1").cast("double") / col("__t1")
+    val sh2 = col("n2").cast("double") / col("__t2")
+    val r1 = when(col("n1") > 0,
+      col("p1").cast("double") / col("n1")).otherwise(lit(0.0))
+    val r2 = when(col("n2") > 0,
+      col("p2").cast("double") / col("n2")).otherwise(lit(0.0))
+    val mix = (sh2 - sh1) * ((r1 + r2) / 2.0)
+    val rate = ((sh1 + sh2) / 2.0) * (r2 - r1)
+    withT
+      .withColumn("share_pre", round(sh1, 6))
+      .withColumn("share_post", round(sh2, 6))
+      .withColumn("rate_pre", round(r1, 6))
+      .withColumn("rate_post", round(r2, 6))
+      .withColumn("mix_effect", round(mix, 6))
+      .withColumn("rate_effect", round(rate, 6))
+      // totals fold per-segment terms committed to the 1e-12 lattice so
+      // the segment order can't move them
+      .withColumn("total_mix_effect", round(
+        sum(round(mix * 1e12, 0).cast("long")).over(tot) / 1e12, 6))
+      .withColumn("total_rate_effect", round(
+        sum(round(rate * 1e12, 0).cast("long")).over(tot) / 1e12, 6))
+      .withColumn("total_change", round(
+        sum(round((sh2 * r2 - sh1 * r1) * 1e12, 0).cast("long"))
+          .over(tot) / 1e12, 6))
+      .select(col("segment"), col("share_pre"), col("share_post"),
+        col("rate_pre"), col("rate_post"), col("mix_effect"),
+        col("rate_effect"), col("total_mix_effect"),
+        col("total_rate_effect"), col("total_change"))
+      .orderBy("segment")
+  }
+
   /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
     * al. 2013) variance-reduced A/B readout: per user, pre-period and
     * post-period revenue around `cutoff`; θ = cov(pre, post)/var(pre)

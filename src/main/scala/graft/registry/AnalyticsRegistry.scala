@@ -467,6 +467,14 @@ object AnalyticsRegistry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id",
         col("event_type") === "purchase" && col("value") > 95.0, "value")),
+    "q_rate_decomposition" -> ((s, dir) =>
+      // why did the high-value rate move: mix shift between event types
+      // vs within-type rate changes, Bennet-symmetric, identity-exact
+      Eval.rateDecomposition(
+        Tables.events(s, dir).select(col("event_type"), col("ts"),
+          col("value")),
+        "event_type", "ts", col("value") > 150.0,
+        cutoff = "2024-01-16")),
     "q_cuped" -> ((s, dir) =>
       // variance-reduced A/B: pre-period revenue as the CUPED covariate
       // (theta on pooled users), adjusted lift + realized var reduction

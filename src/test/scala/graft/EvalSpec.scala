@@ -45,6 +45,37 @@ class EvalSpec extends SparkSpec {
     assert((3 to 9).forall(d => out(d)._3 == 0L && out(d)._5.get == 1.0))
   }
 
+  test("rateDecomposition: Bennet effects hit the closed form and sum " +
+      "exactly to the total change; absent segments keep the identity") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, day).atTime(12, 0))
+    val rows = Seq(
+      ("a", ts(10), 1), ("a", ts(10), 0), ("b", ts(10), 0),
+      ("b", ts(10), 0),
+      ("a", ts(20), 1), ("b", ts(20), 0), ("b", ts(20), 0),
+      ("b", ts(20), 0))
+    val df = rows.toDF("seg", "ts", "pos")
+    val out = Eval.rateDecomposition(df, "seg", "ts", col("pos") === 1,
+      "2024-01-16").collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Double]("mix_effect") == -0.1875)
+    assert(a.getAs[Double]("rate_effect") == 0.1875)
+    assert(out("b").getAs[Double]("mix_effect") == 0.0)
+    assert(a.getAs[Double]("total_change") == 0.0)
+    assert(a.getAs[Double]("total_mix_effect") == -0.1875)
+    assert(a.getAs[Double]("total_rate_effect") == 0.1875)
+    // a segment absent pre-period enters with share 0 / rate 0 and the
+    // identity still closes: only-post segment c converts fully
+    val withC = rows ++ Seq(("c", ts(20), 1))
+    val o2 = Eval.rateDecomposition(withC.toDF("seg", "ts", "pos"),
+      "seg", "ts", col("pos") === 1, "2024-01-16").collect()
+    val tm = o2.head.getAs[Double]("total_mix_effect")
+    val tr = o2.head.getAs[Double]("total_rate_effect")
+    val tc = o2.head.getAs[Double]("total_change")
+    assert(math.abs(tm + tr - tc) < 2e-6, s"$tm + $tr != $tc")
+  }
+
   test("rmst: the step integral of the KM curve hits the closed form, " +
       "and a horizon below the first step degenerates to exactly tau") {
     def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
