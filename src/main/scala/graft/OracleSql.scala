@@ -26,6 +26,49 @@ object OracleSql {
 
   private val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
+  /** Naive-Bayes per-test-doc prediction chain (modulus-5 split,
+    * Laplace-1 smoothing, unseen-token drop, exact-long argmax with
+    * ascending-label tiebreak) — shared by x_naive_bayes and
+    * x_nb_confusion so the classifier both read is ONE definition. */
+  private val nbBestCte = """WITH base AS (SELECT doc_id AS id, lang AS l,
+               text AS t
+            FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+      tok AS (SELECT id, l,
+               unnest(string_split_regex(trim(lower(t)), '\s+')) AS tk
+            FROM base),
+      tk2 AS (SELECT id, l, tk FROM tok WHERE tk <> ''),
+      cnt AS (SELECT l, tk, CAST(count(*) AS BIGINT) AS ct
+              FROM tk2 WHERE id % 5 <> 0 GROUP BY 1, 2),
+      tot AS (SELECT l, CAST(sum(ct) AS BIGINT) AS tot
+              FROM cnt GROUP BY 1),
+      voc AS (SELECT DISTINCT tk FROM cnt),
+      vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+      dense AS (SELECT t2.l, v2.tk,
+                 CAST(round(ln((CAST(coalesce(c.ct, 0) AS DOUBLE) + 1.0)
+                   / (CAST(t2.tot AS DOUBLE)
+                     + 1.0 * CAST(vs.v AS DOUBLE)))
+                   * 1e9, 0) AS BIGINT) AS lp
+               FROM voc v2 CROSS JOIN tot t2
+               LEFT JOIN cnt c ON c.l = t2.l AND c.tk = v2.tk, vs),
+      tr AS (SELECT l FROM base WHERE id % 5 <> 0),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tr),
+      pri AS (SELECT l, CAST(round(ln(CAST(count(*) AS DOUBLE)
+                / CAST(nd.nd AS DOUBLE)) * 1e9, 0) AS BIGINT) AS lp0
+              FROM tr, nd GROUP BY l, nd.nd),
+      tf AS (SELECT id, tk, CAST(count(*) AS BIGINT) AS tf
+             FROM tk2 WHERE id % 5 = 0 GROUP BY 1, 2),
+      sums AS (SELECT tf.id, d.l, CAST(sum(tf.tf * d.lp) AS BIGINT) AS s
+               FROM tf JOIN dense d ON tf.tk = d.tk GROUP BY 1, 2),
+      td AS (SELECT id, l AS label FROM base WHERE id % 5 = 0),
+      scored AS (SELECT td.id, td.label, p.l,
+                  coalesce(s.s, 0) + p.lp0 AS score
+                 FROM td CROSS JOIN pri p
+                 LEFT JOIN sums s ON s.id = td.id AND s.l = p.l),
+      best AS (SELECT id, label, l AS predicted, score,
+                row_number() OVER (PARTITION BY id
+                  ORDER BY score DESC, l) AS rn
+               FROM scored)"""
+
   /** Kaplan–Meier CTE chain (time-to-first-high-value-purchase, right-
     * censored at last observation) — shared by q_kaplan_meier and
     * q_rmst so the step curve both integrate is ONE definition. */
@@ -4025,6 +4068,164 @@ object OracleSql {
                    / sum(n) OVER (), 6) AS ece
       FROM b ORDER BY bin""",
 
+    // Granger lag-1 screen: exact HUGEINT sufficient sums per direction,
+    // centered moments / Cramer solve / F as the Spark side's fixed
+    // double trees (scale cancels in F and the RSS ratio)
+    "q_granger" -> {
+      val nD = "CAST(n_eff AS DOUBLE)"
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val cyy = s"(${dd("syy")} - ${dd("sy")} * ${dd("sy")} / $nD)"
+      val cy1 = s"(${dd("sy1")} - ${dd("sy")} * ${dd("s1")} / $nD)"
+      val cy2 = s"(${dd("sy2")} - ${dd("sy")} * ${dd("s2")} / $nD)"
+      val c11 = s"(${dd("s11")} - ${dd("s1")} * ${dd("s1")} / $nD)"
+      val c12 = s"(${dd("s12")} - ${dd("s1")} * ${dd("s2")} / $nD)"
+      val c22 = s"(${dd("s22")} - ${dd("s2")} * ${dd("s2")} / $nD)"
+      val rssR = s"($cyy - $cy1 * $cy1 / $c11)"
+      val det = s"($c11 * $c22 - $c12 * $c12)"
+      val b1 = s"(($cy1 * $c22 - $cy2 * $c12) / $det)"
+      val b2 = s"(($cy2 * $c11 - $cy1 * $c12) / $det)"
+      val rssU = s"($cyy - $b1 * $cy1 - $b2 * $cy2)"
+      val ok = s"n_eff >= 5 AND $c11 > 0 AND $det > 0"
+      def sumsSql(resp: String, own: String, oth: String) = s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_eff,
+          sum(CAST($resp AS HUGEINT)) AS sy,
+          sum(CAST($own AS HUGEINT)) AS s1,
+          sum(CAST($oth AS HUGEINT)) AS s2,
+          sum(CAST($resp AS HUGEINT) * $resp) AS syy,
+          sum(CAST($resp AS HUGEINT) * $own) AS sy1,
+          sum(CAST($resp AS HUGEINT) * $oth) AS sy2,
+          sum(CAST($own AS HUGEINT) * $own) AS s11,
+          sum(CAST($own AS HUGEINT) * $oth) AS s12,
+          sum(CAST($oth AS HUGEINT) * $oth) AS s22
+        FROM l"""
+      val proj = s"""n_eff, n_eff - 3 AS df2,
+             round(CASE WHEN $ok AND $rssU > 0
+               THEN ($rssR - $rssU) / ($rssU / ($nD - 3.0)) END, 6)
+               AS f_stat,
+             round(CASE WHEN $ok THEN $b1 END, 6) AS lag_own_coef,
+             round(CASE WHEN $ok THEN $b2 END, 6) AS lag_other_coef,
+             round(CASE WHEN $ok AND $rssU > 0
+               THEN $rssR / $rssU END, 6) AS rss_ratio"""
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      l0 AS (SELECT y, x, lag(y) OVER (ORDER BY d) AS y1,
+               lag(x) OVER (ORDER BY d) AS x1
+             FROM daily),
+      l AS (SELECT y, x, y1, x1 FROM l0 WHERE y1 IS NOT NULL),
+      sa AS (${sumsSql("y", "y1", "x1")}),
+      sb AS (${sumsSql("x", "x1", "y1")})
+      SELECT 'volume->value' AS direction, $proj FROM sa
+      UNION ALL
+      SELECT 'value->volume' AS direction, $proj FROM sb
+      ORDER BY direction"""
+    },
+
+    // Murphy decomposition: row and bin terms on integer lattices, one
+    // fixed tree per output; residual reported, never hidden
+    "q_brier" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val obar = s"CAST(n_pos AS DOUBLE) / $nD"
+      val nkD = "CAST(nk AS DOUBLE)"
+      val fbar = s"CAST(sk AS DOUBLE) / 1e9 / $nkD"
+      val obk = s"CAST(ok AS DOUBLE) / $nkD"
+      val brier = s"CAST(bsum AS DOUBLE) / 1e12 / $nD"
+      val rel = s"CAST(rel AS DOUBLE) / 1e12 / $nD"
+      val res = s"CAST(res AS DOUBLE) / 1e12 / $nD"
+      val unc = s"($obar) * (1.0 - ($obar))"
+      s"""
+      WITH rows0 AS (
+        SELECT least(value/500.0, 1.0) AS s,
+               CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS BIGINT) AS o
+        FROM events),
+      rows1 AS (
+        SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, o,
+               CAST(round(s * 1e9, 0) AS BIGINT) AS su,
+               CAST(round((s - CAST(o AS DOUBLE))
+                 * (s - CAST(o AS DOUBLE)) * 1e12, 0) AS BIGINT) AS du
+        FROM rows0),
+      perbin AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+                   CAST(sum(o) AS BIGINT) AS ok,
+                   CAST(sum(su) AS BIGINT) AS sk
+                 FROM rows1 GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(o) AS BIGINT) AS n_pos,
+                CAST(sum(du) AS BIGINT) AS bsum
+              FROM rows1),
+      folded AS (SELECT
+                  CAST(sum(CAST(round($nkD * (($fbar) - ($obk))
+                    * (($fbar) - ($obk)) * 1e12, 0) AS BIGINT))
+                    AS BIGINT) AS rel,
+                  CAST(sum(CAST(round($nkD * (($obk) - ($obar))
+                    * (($obk) - ($obar)) * 1e12, 0) AS BIGINT))
+                    AS BIGINT) AS res
+                 FROM perbin, tot)
+      SELECT n, n_pos,
+             round($brier, 6) AS brier,
+             round($rel, 6) AS reliability,
+             round($res, 6) AS resolution,
+             round($unc, 6) AS uncertainty,
+             round($brier - ($rel - $res + $unc), 6) AS residual,
+             round(CASE WHEN $unc > 0
+               THEN 1.0 - ($brier) / ($unc) END, 6) AS brier_skill
+      FROM tot, folded"""
+    },
+
+    // Effect sizes: lattice sufficient statistics, scale cancelling in
+    // d/g/delta, z-critical literal shared verbatim with the Spark side
+    "q_effect_sizes" -> {
+      def nD(s: String) = s"CAST(n$s AS DOUBLE)"
+      def m(s: String) = s"(CAST(s$s AS DOUBLE) / ${nD(s)})"
+      def ssd(s: String) = s"(CAST(q$s AS DOUBLE)"
+        .concat(s" - CAST(s$s AS DOUBLE) * s$s / ${nD(s)})")
+      val nT = s"(${nD("a")} + ${nD("b")})"
+      val sp = s"sqrt((${ssd("a")} + ${ssd("b")}) / ($nT - 2.0))"
+      val sb = s"sqrt(${ssd("b")} / (${nD("b")} - 1.0))"
+      val d = s"((${m("a")} - ${m("b")}) / $sp)"
+      val ok = s"na >= 2 AND nb >= 2 AND ${ssd("a")} + ${ssd("b")} > 0"
+      val corr = s"(1.0 - 3.0 / (4.0 * $nT - 9.0))"
+      val se = s"sqrt($nT / (${nD("a")} * ${nD("b")})"
+        .concat(s" + $d * $d / (2.0 * $nT))")
+      s"""
+      WITH base AS (SELECT event_type AS g,
+               CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT) AS vu
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+              AND value IS NOT NULL),
+      f AS (SELECT
+              CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS na,
+              CAST(sum(CASE WHEN g = 'purchase' THEN vu ELSE 0 END)
+                AS BIGINT) AS sa,
+              sum(CASE WHEN g = 'purchase' THEN CAST(vu AS HUGEINT) * vu
+                  ELSE CAST(0 AS HUGEINT) END) AS qa,
+              CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nb,
+              CAST(sum(CASE WHEN g = 'view' THEN vu ELSE 0 END)
+                AS BIGINT) AS sb,
+              sum(CASE WHEN g = 'view' THEN CAST(vu AS HUGEINT) * vu
+                  ELSE CAST(0 AS HUGEINT) END) AS qb
+            FROM base)
+      SELECT na AS n_a, nb AS n_b,
+             round(${m("a")} / 1e6, 6) AS mean_a,
+             round(${m("b")} / 1e6, 6) AS mean_b,
+             round((${m("a")} - ${m("b")}) / 1e6, 6) AS mean_diff,
+             round(CASE WHEN $ok THEN $sp / 1e6 END, 6) AS sd_pooled,
+             round(CASE WHEN $ok THEN $d END, 6) AS cohens_d,
+             round(CASE WHEN $ok THEN $d * $corr END, 6) AS hedges_g,
+             round(CASE WHEN nb >= 2 AND ${ssd("b")} > 0
+               THEN (${m("a")} - ${m("b")}) / $sb END, 6) AS glass_delta,
+             round(CASE WHEN $ok
+               THEN $d - 1.959963984540054 * $se END, 6) AS d_lo,
+             round(CASE WHEN $ok
+               THEN $d + 1.959963984540054 * $se END, 6) AS d_hi
+      FROM f"""
+    },
+
     "q_feature_corr" -> """
       SELECT col_a, col_b, round(c, 6) AS corr FROM (
         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
@@ -5021,6 +5222,72 @@ object OracleSql {
       FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
       ORDER BY doc.doc_id""",
 
+    // Naive Bayes: lattice log-likelihoods, exact-long document scores,
+    // argmax = ORDER BY score DESC, label (the min-struct election)
+    "x_naive_bayes" -> (nbBestCte + """
+      SELECT id AS doc_id, label, predicted,
+             round(CAST(score AS DOUBLE) / 1e9, 6) AS log_score,
+             (label = predicted) AS correct
+      FROM best WHERE rn = 1 ORDER BY doc_id"""),
+
+    // confusion matrix over the same chain, shares within the true label
+    "x_nb_confusion" -> (nbBestCte + """,
+      conf AS (SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+               FROM best WHERE rn = 1 GROUP BY 1, 2)
+      SELECT label, predicted, n,
+             round(n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6)
+               AS share
+      FROM conf ORDER BY label, predicted"""),
+
+    // Zipf fit: ln-terms on integer lattices before the OLS folds, one
+    // fixed tree per output column (shares the x_vocabulary CTE shape)
+    "x_zipf_law" -> {
+      val nD = "CAST(n_terms AS DOUBLE)"
+      val sx = "(CAST(sx AS DOUBLE) / 1e9)"
+      val sy = "(CAST(sy AS DOUBLE) / 1e9)"
+      val sxy = "(CAST(sxy AS DOUBLE) / 1e12)"
+      val sxx = "(CAST(sxx AS DOUBLE) / 1e12)"
+      val syy = "(CAST(syy AS DOUBLE) / 1e12)"
+      val num = s"($nD * $sxy - $sx * $sy)"
+      val denX = s"($nD * $sxx - $sx * $sx)"
+      val denY = s"($nD * $syy - $sy * $sy)"
+      s"""
+      WITH tok AS (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS token
+            FROM documents),
+      dt AS (SELECT doc_id, token, count(*) AS tf
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+      v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS term_count
+            FROM dt GROUP BY token HAVING sum(tf) >= 5),
+      r AS (SELECT CAST(row_number() OVER (ORDER BY term_count DESC,
+               token) - 1 AS BIGINT) AS idx, term_count
+            FROM v),
+      top AS (SELECT CAST(idx + 1 AS DOUBLE) AS rk,
+                CAST(term_count AS DOUBLE) AS c
+              FROM r WHERE idx < 300),
+      t AS (SELECT CAST(round(ln(rk) * 1e9, 0) AS BIGINT) AS x,
+               CAST(round(ln(c) * 1e9, 0) AS BIGINT) AS y,
+               CAST(round(ln(rk) * ln(c) * 1e12, 0) AS BIGINT) AS xy,
+               CAST(round(ln(rk) * ln(rk) * 1e12, 0) AS BIGINT) AS xx,
+               CAST(round(ln(c) * ln(c) * 1e12, 0) AS BIGINT) AS yy
+            FROM top),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(xy) AS BIGINT) AS sxy,
+              CAST(sum(xx) AS BIGINT) AS sxx,
+              CAST(sum(yy) AS BIGINT) AS syy
+            FROM t)
+      SELECT n_terms,
+             round(CASE WHEN n_terms >= 3 AND $denX > 0
+               THEN $num / $denX END, 6) AS slope,
+             round(CASE WHEN n_terms >= 3 AND $denX > 0
+               THEN ($sy - $num / $denX * $sx) / $nD END, 6) AS intercept,
+             round(CASE WHEN n_terms >= 3 AND $denX > 0 AND $denY > 0
+               THEN $num * $num / ($denX * $denY) END, 6) AS r2
+      FROM f"""
+    },
+
     "x_vocabulary" -> """
       WITH tok AS (SELECT doc_id,
                unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -5093,6 +5360,108 @@ object OracleSql {
       SELECT node AS s_suppkey, out_deg, round(rank, 6) AS pagerank
       FROM p5 ORDER BY s_suppkey"""
     },
+
+    // HITS: 4 unrolled supersteps, scores on the 1e-9 integer lattice —
+    // each half-step is an exact BIGINT fold plus ONE correctly-rounded
+    // division, so DuckDB replays the recursion bit-for-bit
+    "q_supplier_hits" -> {
+      val steps = (1 to 4).map { i =>
+        s"""ar$i AS (SELECT e.dst AS node, CAST(sum(h.hm) AS BIGINT) AS raw
+             FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+      at$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$i),
+      a$i AS (SELECT n.node,
+                CAST(round(CAST(coalesce(r.raw, 0) AS DOUBLE)
+                  / CAST(t.tot AS DOUBLE) * 1.0e9, 0) AS BIGINT) AS am
+              FROM nodes n LEFT JOIN ar$i r ON n.node = r.node, at$i t),
+      hr$i AS (SELECT e.src AS node, CAST(sum(a.am) AS BIGINT) AS raw
+             FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+      ht$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$i),
+      h$i AS (SELECT n.node,
+                CAST(round(CAST(coalesce(r.raw, 0) AS DOUBLE)
+                  / CAST(t.tot AS DOUBLE) * 1.0e9, 0) AS BIGINT) AS hm
+              FROM nodes n LEFT JOIN hr$i r ON n.node = r.node, ht$i t)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+                    FROM lineitem),
+      e AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+            FROM base a JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS hm FROM nodes),
+      $steps
+      SELECT a4.node AS s_suppkey,
+             round(CAST(am AS DOUBLE) / 1.0e9, 6) AS authority,
+             round(CAST(hm AS DOUBLE) / 1.0e9, 6) AS hub
+      FROM a4 JOIN h4 ON a4.node = h4.node ORDER BY s_suppkey"""
+    },
+
+    // degree assortativity: HUGEINT sufficient sums over the
+    // orientation-doubled edge list (x/y marginals coincide by
+    // symmetry), one correctly-rounded division at the end
+    "q_assortativity" -> """
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+                    FROM lineitem),
+      e0 AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+             FROM base a JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
+      canon AS (SELECT DISTINCT least(src, dst) AS a,
+                  greatest(src, dst) AS b
+                FROM e0 WHERE least(src, dst) < greatest(src, dst)),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS node FROM canon
+                    UNION ALL SELECT b FROM canon) t GROUP BY 1),
+      sym AS (SELECT du.deg AS du, dv.deg AS dv
+              FROM (SELECT a AS u, b AS v FROM canon
+                    UNION ALL SELECT b, a FROM canon) s
+              JOIN deg du ON s.u = du.node
+              JOIN deg dv ON s.v = dv.node),
+      f AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              sum(CAST(du AS HUGEINT)) AS sx,
+              sum(CAST(du AS HUGEINT) * du) AS sxx,
+              sum(CAST(du AS HUGEINT) * dv) AS sxy
+            FROM sym)
+      SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+             round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_degree,
+             round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+               CAST(n * sxy - sx * sx AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+               AS assortativity
+      FROM f""",
+
+    // Newman modularity by nation: exact integer e_c/d_c/m, per-community
+    // terms committed to the 1e-12 lattice before the global fold
+    "q_modularity" -> """
+      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+                    FROM lineitem),
+      e0 AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+             FROM base a JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
+      canon AS (SELECT DISTINCT least(src, dst) AS a,
+                  greatest(src, dst) AS b
+                FROM e0 WHERE least(src, dst) < greatest(src, dst)),
+      lab AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node,
+                CAST(s_nationkey AS VARCHAR) AS community FROM supplier),
+      tagged AS (SELECT la.community AS ca, lb.community AS cb
+                 FROM canon c
+                 JOIN lab la ON c.a = la.node
+                 JOIN lab lb ON c.b = lb.node),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tagged),
+      win AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_in
+              FROM tagged WHERE ca = cb GROUP BY 1),
+      ds AS (SELECT community, CAST(count(*) AS BIGINT) AS d_tot
+             FROM (SELECT ca AS community FROM tagged
+                   UNION ALL SELECT cb FROM tagged) t GROUP BY 1),
+      per AS (SELECT d.community,
+                CAST(coalesce(w.e_in, 0) AS BIGINT) AS e_in, d.d_tot,
+                CAST(coalesce(w.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                  - (CAST(d.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                  * (CAST(d.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                  AS term
+              FROM ds d LEFT JOIN win w ON d.community = w.community, m),
+      tl AS (SELECT *, CAST(round(term * 1.0e12, 0) AS BIGINT) AS t12
+             FROM per),
+      q AS (SELECT CAST(sum(t12) AS BIGINT) AS ql FROM tl)
+      SELECT community, e_in, d_tot, round(term, 6) AS term,
+             round(CAST(ql AS DOUBLE) / 1.0e12, 6) AS modularity
+      FROM tl, q ORDER BY community""",
 
     // uplift/Qini: user fold -> rounded quantile-cut bands (band 1 =
     // top scores) -> integer-count arms; qini = cumCT - cumCC*(cumNT/cumNC)
@@ -5741,6 +6110,91 @@ object OracleSql {
 
     // Odds ratio / relative risk: exact 2x2 cells, fixed double trees,
     // z = 1.959964 shared verbatim, ln/exp/sqrt on the parity precedent
+    // Decision stump: ntile bins, exact cumulative class counts, Gini
+    // trees on exact longs, winner elected on the 1e-12 gain lattice
+    "q_decision_stump" -> {
+      def g(p: String, n: String) =
+        s"2.0 * CAST($p AS DOUBLE) / CAST($n AS DOUBLE)" +
+          s" * (1.0 - CAST($p AS DOUBLE) / CAST($n AS DOUBLE))"
+      val gp = g("pt", "nt")
+      val gl = g("pl", "nl")
+      val gr = g("pr", "nr")
+      val a = "CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)"
+      val b2 = "CAST(nr AS DOUBLE) / CAST(nt AS DOUBLE)"
+      s"""
+      WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+      base AS (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS f,
+                 (b.o_custkey IS NOT NULL) AS y
+               FROM customer LEFT JOIN buyers b ON c_custkey = b.o_custkey),
+      binned AS (SELECT ntile(10) OVER (ORDER BY f, k) AS b, f, y
+                 FROM base),
+      per AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                max(f) AS thr
+              FROM binned GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                CAST(sum(p) AS BIGINT) AS pt
+              FROM per),
+      cum AS (SELECT b, thr,
+                CAST(sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+                CAST(sum(p) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+              FROM per),
+      cand AS (SELECT c.b, c.thr, c.nl, c.pl,
+                 t.nt - c.nl AS nr, t.pt - c.pl AS pr, t.nt, t.pt
+               FROM cum c, tot t WHERE c.b < 10),
+      gains AS (SELECT b, thr, nl, pl, nr, pr,
+                  $gp - ($a * ($gl) + $b2 * ($gr)) AS gn,
+                  $gl AS gleft, $gr AS gright
+                FROM cand),
+      glat AS (SELECT *, CAST(round(gn * 1e12, 0) AS BIGINT) AS gz
+               FROM gains),
+      best AS (SELECT b AS bb FROM glat ORDER BY gz DESC, b LIMIT 1)
+      SELECT b AS split_bin, round(thr, 6) AS threshold,
+             nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+             round(gleft, 6) AS gini_left, round(gright, 6) AS gini_right,
+             round(gn, 6) AS gini_gain,
+             (b = (SELECT bb FROM best)) AS is_best
+      FROM glat ORDER BY split_bin"""
+    },
+
+    // Cochran-Armitage trend: exact integer sufficient statistics over
+    // acctbal deciles (same ntile fill rule both engines), one fixed
+    // double tree per test column
+    "q_cochran_armitage" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val p = s"CAST(successes AS DOUBLE) / $nD"
+      val tD = "CAST(t AS DOUBLE)"
+      val e = s"($p) * CAST(sn1 AS DOUBLE)"
+      val sxx = s"(CAST(sn2 AS DOUBLE) - CAST(sn1 AS DOUBLE) * sn1 / $nD)"
+      val varT = s"(($p) * (1.0 - ($p)) * $sxx)"
+      s"""
+      WITH scored AS (SELECT c_custkey,
+               ntile(10) OVER (ORDER BY c_acctbal, c_custkey) - 1 AS s
+            FROM customer),
+      buyers AS (SELECT DISTINCT o_custkey FROM orders),
+      base AS (SELECT CAST(s AS BIGINT) AS s,
+                 (b.o_custkey IS NOT NULL) AS y
+               FROM scored LEFT JOIN buyers b ON c_custkey = b.o_custkey),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                AS successes,
+              CAST(count(DISTINCT s) AS BIGINT) AS n_groups,
+              CAST(sum(CASE WHEN y THEN s ELSE 0 END) AS BIGINT) AS t,
+              CAST(sum(s) AS BIGINT) AS sn1,
+              CAST(sum(s * s) AS BIGINT) AS sn2
+            FROM base)
+      SELECT n, successes, n_groups, t AS t_stat,
+             round(CASE WHEN $varT > 0
+               THEN ($tD - $e) / sqrt($varT) END, 6) AS z,
+             round(CASE WHEN $varT > 0
+               THEN ($tD - $e) * ($tD - $e) / $varT END, 6) AS chi2_trend,
+             round(CASE WHEN $sxx > 0
+               THEN ($tD - $e) / $sxx END, 6) AS prop_slope
+      FROM f"""
+    },
+
     "q_odds_ratio" -> {
       val a = "CAST(n_exposed_pos AS DOUBLE)"
       val b = "CAST(n_exposed_neg AS DOUBLE)"
@@ -5978,6 +6432,71 @@ object OracleSql {
              round(($h) / ($tie), 6) AS h_adjusted,
              CAST(${gs.size - 1} AS INTEGER) AS df
       FROM f, t"""
+    },
+
+    // One-way ANOVA: lattice-exact sufficient statistics, then F /
+    // eta2 / omega2 / Welch as the SAME fixed double trees the Spark
+    // side folds (scale cancels in every ratio)
+    "q_anova" -> {
+      val gs = Seq("click", "error", "purchase", "signup", "view")
+      val k = gs.size
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n$i,
+             CAST(sum(CASE WHEN g = '$g' THEN vu ELSE 0 END) AS BIGINT)
+               AS s$i,
+             sum(CASE WHEN g = '$g'
+                 THEN CAST(vu AS HUGEINT) * vu
+                 ELSE CAST(0 AS HUGEINT) END) AS q$i""" }
+        .mkString(",\n             ")
+      val nD = "CAST(n AS DOUBLE)"
+      def njD(i: Int) = s"CAST(n$i AS DOUBLE)"
+      def mj(i: Int) = s"CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)"
+      def ssw(i: Int) = s"(CAST(q$i AS DOUBLE)"
+        .concat(s" - CAST(s$i AS DOUBLE) * s$i / CAST(n$i AS DOUBLE))")
+      val grand = s"CAST(${gs.indices.map(i => s"s$i").mkString(" + ")}"
+        .concat(s" AS DOUBLE) / $nD")
+      val ssb = gs.indices.map(i =>
+        s"${njD(i)} * (${mj(i)} - ($grand)) * (${mj(i)} - ($grand))")
+        .mkString(" + ")
+      val sswAll = gs.indices.map(ssw).mkString(" + ")
+      val msw = s"(($sswAll) / ($nD - $k))"
+      val fStat = s"($ssb) / ${k - 1}.0 / $msw"
+      def wjS(i: Int) = s"(CASE WHEN ${ssw(i)} > 0 THEN ${njD(i)}"
+        .concat(s" / (${ssw(i)} / (${njD(i)} - 1.0)) END)")
+      val wSum = s"(${gs.indices.map(wjS).mkString(" + ")})"
+      val mW = s"((${gs.indices.map(i => s"${wjS(i)} * (${mj(i)})")
+        .mkString(" + ")}) / $wSum)"
+      val aW = s"((${gs.indices.map(i =>
+          s"${wjS(i)} * ((${mj(i)}) - $mW) * ((${mj(i)}) - $mW)")
+        .mkString(" + ")}) / ${k - 1}.0)"
+      val lam = s"(${gs.indices.map(i =>
+          s"(1.0 - ${wjS(i)} / $wSum) * (1.0 - ${wjS(i)} / $wSum)"
+            + s" / (${njD(i)} - 1.0)").mkString(" + ")})"
+      val bLit = java.lang.Double.toString(2.0 * (k - 2) / (k * k - 1))
+      val dfLit = java.lang.Double.toString((k * k - 1).toDouble)
+      val bW = s"(1.0 + $bLit * $lam)"
+      val nCols = gs.zipWithIndex
+        .map { case (g, i) => s"n$i AS n_$g" }.mkString(", ")
+      s"""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      lat AS (SELECT g, CAST(round(v * 1e6, 0) AS BIGINT) AS vu
+              FROM base),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             $caseCols
+            FROM lat)
+      SELECT n, $nCols,
+             round($fStat, 6) AS f_stat,
+             CAST(${k - 1} AS INTEGER) AS df1,
+             n - $k AS df2,
+             round(($ssb) / (($ssb) + ($sswAll)), 6) AS eta2,
+             round(greatest(0.0, (($ssb) - ${k - 1}.0 * $msw)
+               / (($ssb) + ($sswAll) + $msw)), 6) AS omega2,
+             round($aW / $bW, 6) AS welch_f,
+             round($dfLit / (3.0 * $lam), 6) AS welch_df2
+      FROM f"""
     },
 
     // Ljung-Box: the q_autocorr chain folded to Q = n(n+2) Sum rho_k^2/(n-k),
@@ -6360,6 +6879,90 @@ object OracleSql {
                  - CAST(greatest(ceil(n / 10.0), 1.0) AS BIGINT)
                THEN x ELSE 0.0 END) / max(t), 6) AS top10_pct_share
       FROM r""",
+
+    // Theil T decomposition: centi-lattice entity sums, per-entity and
+    // per-group terms on the 1e-12 lattice before every fold, totals
+    // additive by construction
+    "q_theil" -> """
+      WITH lat AS (SELECT n_name AS g, o_custkey AS e,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS vu
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey),
+      per AS (SELECT g, e, CAST(sum(vu) AS BIGINT) AS x
+              FROM lat GROUP BY 1, 2),
+      pos AS (SELECT g, e, x FROM per WHERE x > 0),
+      gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(x) AS BIGINT) AS sg
+             FROM pos GROUP BY 1),
+      wi AS (SELECT p.g,
+               CAST(sum(CAST(round(
+                 CAST(p.x AS DOUBLE)
+                   / (CAST(s.sg AS DOUBLE) / CAST(s.ng AS DOUBLE))
+                 * ln(CAST(p.x AS DOUBLE)
+                   / (CAST(s.sg AS DOUBLE) / CAST(s.ng AS DOUBLE)))
+                 * 1e12, 0) AS BIGINT)) AS BIGINT) AS tw
+             FROM pos p JOIN gs s ON p.g = s.g GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS t
+              FROM pos),
+      terms AS (SELECT s.g, s.ng, s.sg, w.tw, tot.n, tot.t,
+               CAST(round(CAST(s.ng AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * ((CAST(s.sg AS DOUBLE) / CAST(s.ng AS DOUBLE))
+                   / (CAST(tot.t AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                 * ln((CAST(s.sg AS DOUBLE) / CAST(s.ng AS DOUBLE))
+                   / (CAST(tot.t AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                 * 1e12, 0) AS BIGINT) AS bt,
+               CAST(round(CAST(s.ng AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * ((CAST(s.sg AS DOUBLE) / CAST(s.ng AS DOUBLE))
+                   / (CAST(tot.t AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                 * (CAST(w.tw AS DOUBLE) / 1e12 / CAST(s.ng AS DOUBLE))
+                 * 1e12, 0) AS BIGINT) AS wt
+             FROM gs s JOIN wi w ON s.g = w.g, tot),
+      tt AS (SELECT CAST(sum(bt) AS BIGINT) AS b,
+               CAST(sum(wt) AS BIGINT) AS w
+             FROM terms)
+      SELECT g AS "group", ng AS n_entities,
+             round(CAST(sg AS DOUBLE) / CAST(t AS DOUBLE), 6)
+               AS value_share,
+             round((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+               / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mean_ratio,
+             round(CAST(tw AS DOUBLE) / 1e12 / CAST(ng AS DOUBLE), 6)
+               AS theil_within_group,
+             round(CAST(bt AS DOUBLE) / 1e12, 6) AS between_term,
+             round(CAST(wt AS DOUBLE) / 1e12, 6) AS within_term,
+             round(CAST(tt.b AS DOUBLE) / 1e12, 6) AS theil_between,
+             round(CAST(tt.w AS DOUBLE) / 1e12, 6) AS theil_within,
+             round(CAST(tt.b + tt.w AS DOUBLE) / 1e12, 6) AS theil_total
+      FROM terms, tt ORDER BY g""",
+
+    // HHI per nation market: centi-lattice row revenue, exact entity and
+    // market sums, share-squared terms on the 1e-12 lattice before the
+    // per-market fold
+    "q_hhi" -> """
+      WITH lat AS (SELECT n_name AS m, s_suppkey AS e,
+               CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                 AS BIGINT) AS vu
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey),
+      per AS (SELECT m, e, CAST(sum(vu) AS BIGINT) AS x
+              FROM lat GROUP BY 1, 2),
+      pos AS (SELECT m, e, x FROM per WHERE x > 0),
+      terms AS (SELECT m, x,
+               CAST(sum(x) OVER (PARTITION BY m) AS BIGINT) AS t,
+               CAST(x AS DOUBLE)
+                 / CAST(sum(x) OVER (PARTITION BY m) AS DOUBLE) AS sh
+            FROM pos),
+      h AS (SELECT m, t, sh,
+               CAST(round(sh * sh * 1e12, 0) AS BIGINT) AS hterm
+            FROM terms)
+      SELECT m AS market,
+             CAST(count(*) AS BIGINT) AS n_entities,
+             round(CAST(max(t) AS DOUBLE) / 100.0, 2) AS market_value,
+             round(CAST(sum(hterm) AS DOUBLE) / 1e12, 6) AS hhi,
+             round(1e12 / CAST(sum(hterm) AS DOUBLE), 6) AS effective_n,
+             round(max(sh), 6) AS top_share
+      FROM h GROUP BY m ORDER BY market""",
 
     // WOE over smoothed class shares (s=0.5 spread across K observed
     // categories — the dsirWeights smoothing convention), IV fold over

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on DataFrames — PageRank as the reference
@@ -253,6 +253,178 @@ object Graph {
       .select(col("node"), col("n_seeds_reached"),
         round(col("__h") / lit(1000000.0), 6).as("harmonic"))
       .orderBy("node")
+  }
+
+  /** HITS hubs-and-authorities over a DIRECTED edge list for a fixed
+    * number of supersteps (Kleinberg 1999) — the bipartite-flavored twin
+    * of [[pageRank]]: an authority is pointed at by good hubs, a hub
+    * points at good authorities. On the supplier co-order graph the two
+    * scores coincide by symmetry-of-construction only when the graph is
+    * symmetric; on any directed slice (status-filtered orders, follows,
+    * citations) they split into "sourced-by-many" vs "sources-many".
+    *
+    * Determinism: scores live on the 1e-9 INTEGER lattice (longs), so
+    * every superstep's in/out fold is exact long addition in any
+    * partition order; the only floating-point op per half-step is the
+    * single L1-normalizing division (correctly-rounded IEEE on exact
+    * integer inputs, identical in any engine). This is strictly stronger
+    * than [[pageRank]]'s double supersteps and makes the whole unrolled
+    * recursion replayable in SQL.
+    *
+    * Plan per half-step: one equi-join of the edge list against the
+    * one-row-per-node score vector + one keyed sum (map-side combined)
+    * + one scalar total broadcast back — the Pregel shape; lineage
+    * truncated per superstep.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"hits: iterations in [1, 20] (got $iterations)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = false)
+    // one normalized half-step: exact long fold -> one division -> back
+    // to the lattice. coalesce BEFORE the division so sink/source nodes
+    // (no in/out edges) carry an exact 0.
+    def norm(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(col("__raw"), lit(0L)).cast("double") /
+            col("__tot").cast("double") * lit(1.0e9), 0)
+            .cast("long").as(out))
+        .localCheckpoint(eager = false)
+    }
+    var h = nodes.select(col("node"), lit(1000000000L).as("hm"))
+    var a = nodes.select(col("node"), lit(0L).as("am"))
+    for (_ <- 1 to iterations) {
+      a = norm(e.join(h.select(col("node").as("src"), col("hm")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hm")).as("__raw")), "am")
+      h = norm(e.join(a.select(col("node").as("dst"), col("am")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("am")).as("__raw")), "hm")
+    }
+    a.join(h, Seq("node"))
+      .select(col("node"),
+        round(col("am").cast("double") / lit(1.0e9), 6).as("authority"),
+        round(col("hm").cast("double") / lit(1.0e9), 6).as("hub"))
+      .orderBy("node")
+  }
+
+  /** Degree assortativity of an UNDIRECTED graph: the Pearson
+    * correlation of endpoint degrees over the symmetrized edge set
+    * (each undirected edge contributes both orientations — the standard
+    * networkx/Newman 2002 convention). Positive = hubs link to hubs
+    * (social cores), negative = hub-and-spoke (star topologies,
+    * supplier hierarchies). One scalar row, plus the degree moments a
+    * reader needs to interpret it.
+    *
+    * Exactness: degrees are integers, so every sufficient statistic
+    * (n, Σd_u, Σd_u², Σd_u·d_v) folds exactly in decimal(38,0) — the
+    * long-overflow-proof form (Σ n·d² products cross 2⁶³ near 10⁹
+    * edges); the closed-form Pearson is two exact subtractions and one
+    * correctly-rounded division. By symmetry of the orientation-doubled
+    * edge list, the x and y marginals coincide, so the formula
+    * collapses to (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²).
+    *
+    * Plan: one distinct + one degree aggregation + two node-keyed
+    * equi-joins + one scalar fold. Nothing beyond the edge list is
+    * materialized; no quadratic anything.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint(eager = false)
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val sym = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val f = sym.agg(
+      count(lit(1)).as("__n"),
+      sum(dec(col("du"))).as("__sx"),
+      sum(dec(col("du")) * col("du")).as("__sxx"),
+      sum(dec(col("du")) * col("dv")).as("__sxy"))
+    val num = (dec(col("__n")) * col("__sxy") -
+      col("__sx") * col("__sx")).cast("double")
+    val den = (dec(col("__n")) * col("__sxx") -
+      col("__sx") * col("__sx")).cast("double")
+    f.select(
+      (col("__n") / 2).cast("long").as("n_edges"),
+      round(col("__sx").cast("double") / col("__n").cast("double"), 6)
+        .as("avg_degree"),
+      round(when(den > 0, num / den), 6).as("assortativity"))
+  }
+
+  /** Newman modularity of a NODE PARTITION over an UNDIRECTED graph:
+    * Q = Σ_c (e_c/m − (d_c/2m)²), where e_c = edges inside community c,
+    * d_c = total degree in c, m = total edges — "how much denser inside
+    * the declared communities than a degree-preserving random rewiring".
+    * The partition-quality readout for any clustering the engine
+    * produces (connected components, LSH dedup clusters, k-means cells)
+    * or any label the data carries (nation, domain, language). Output:
+    * one row per community with its term, plus the lattice-exact Q fold
+    * repeated on every row (the psi shape).
+    *
+    * Exactness: e_c, d_c, m are integers (exact folds); each
+    * community's term is a fixed tree of correctly-rounded double ops
+    * on those integers, committed to the 1e-12 lattice BEFORE the
+    * global fold, so Q is exact long addition in any partition order.
+    *
+    * Plan: one distinct, two node-keyed equi-joins to attach labels to
+    * endpoints, two keyed aggregations. Communities frame is one row
+    * per node (the label side of a latest-snapshot); never quadratic.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint(eager = false)
+    val lab = labels
+      .select(col(nodeCol).cast("long").as("node"),
+        col(labelCol).cast("string").as("community"))
+      .distinct()
+    val tagged = canon
+      .join(lab.select(col("node").as("a"), col("community").as("ca")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("community").as("cb")),
+        Seq("b"))
+      .localCheckpoint(eager = false)
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    // within-community edges + community degree sums (each edge adds 1
+    // to both endpoints' communities; within-edges add 2 to their own)
+    val within = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val degSum = tagged
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("d_tot"))
+    val per = degSum.join(within, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+      .crossJoin(broadcast(m))
+      .withColumn("__term",
+        col("e_in").cast("double") / col("__m").cast("double") -
+          (col("d_tot").cast("double") /
+            (lit(2.0) * col("__m").cast("double"))) *
+          (col("d_tot").cast("double") /
+            (lit(2.0) * col("__m").cast("double"))))
+      .withColumn("__tl", round(col("__term") * lit(1.0e12), 0).cast("long"))
+    per.crossJoin(broadcast(
+        per.agg(sum(col("__tl")).as("__q"))))
+      .select(col("community"), col("e_in"), col("d_tot"),
+        round(col("__term"), 6).as("term"),
+        round(col("__q").cast("double") / lit(1.0e12), 6).as("modularity"))
+      .orderBy("community")
   }
 
   /** Link prediction over an UNDIRECTED graph: for every NON-edge pair

@@ -166,4 +166,157 @@ object Learn {
         / count(lit(1)).cast("double"), 6).as("accuracy"),
       round(sum(loss) / count(lit(1)).cast("double"), 6).as("log_loss"))
   }
+
+  /** Depth-1 decision tree (stump) on one numeric feature: every
+    * quantile-bin boundary scored as a candidate split by Gini gain on
+    * a BINARY target — the univariate "is this feature predictive, and
+    * where does it cut" screen (CART's inner loop, run once,
+    * declaratively). Output is the full candidate table — one row per
+    * boundary with both children's class counts, impurities, and the
+    * gain — with the winner flagged, so a reader sees the whole gain
+    * curve rather than one opaque threshold.
+    *
+    * Determinism: bin assignment is ntile over the (feature, key)
+    * total order (exact, engine-replayable); all class counts are
+    * exact long folds; each candidate's impurities and gain are ONE
+    * fixed double tree on those longs, and the winner is elected on
+    * the 1e-12-lattice gain with an ascending-boundary tiebreak — no
+    * float crosses an aggregation boundary.
+    *
+    * Plan: the global ntile sort is the entity-grain caveat shared
+    * with the gini/decile queries (swap quantile-bin thresholds at
+    * billions of rows); after that one aggregation to the BOUNDED
+    * bin frame, windows and the election run over ≤ `bins` rows.
+    */
+  def decisionStump(df: DataFrame, keyCol: String, featureCol: String,
+                    target: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 256,
+      s"decisionStump: bins in [2, 256] (got $bins)")
+    val base = df.select(col(keyCol).as("__k"),
+        col(featureCol).cast("double").as("__f"),
+        target.cast("boolean").as("__y"))
+      .filter(col("__f").isNotNull && col("__y").isNotNull)
+    val binned = base.withColumn("__b",
+      ntile(bins).over(Window.orderBy(col("__f"), col("__k"))))
+    val per = binned.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        max(col("__f")).as("__thr"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = per.agg(sum(col("__n")).as("__nt"), sum(col("__p")).as("__pt"))
+    def g(p: Column, n: Column): Column = {
+      val pD = p.cast("double"); val nD = n.cast("double")
+      lit(2.0) * pD / nD * (lit(1.0) - pD / nD)
+    }
+    val cand = per
+      .withColumn("__nl", sum(col("__n")).over(wCum))
+      .withColumn("__pl", sum(col("__p")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("__b") < bins)
+      .withColumn("__nr", col("__nt") - col("__nl"))
+      .withColumn("__pr", col("__pt") - col("__pl"))
+      .withColumn("__gain",
+        g(col("__pt"), col("__nt")) -
+          (col("__nl").cast("double") / col("__nt").cast("double") *
+            g(col("__pl"), col("__nl")) +
+           col("__nr").cast("double") / col("__nt").cast("double") *
+            g(col("__pr"), col("__nr"))))
+      .withColumn("__gl", round(col("__gain") * 1e12, 0).cast("long"))
+    val best = cand.agg(
+      min(struct((-col("__gl")).as("__neg"), col("__b").as("__bb")))
+        .as("__best"))
+    cand.crossJoin(broadcast(best))
+      .select(col("__b").as("split_bin"),
+        round(col("__thr"), 6).as("threshold"),
+        col("__nl").as("n_left"), col("__pl").as("pos_left"),
+        col("__nr").as("n_right"), col("__pr").as("pos_right"),
+        round(g(col("__pl"), col("__nl")), 6).as("gini_left"),
+        round(g(col("__pr"), col("__nr")), 6).as("gini_right"),
+        round(col("__gain"), 6).as("gini_gain"),
+        (col("__b") === col("__best.__bb")).as("is_best"))
+      .orderBy("split_bin")
+  }
+
+  /** Multinomial Naive Bayes text classifier, trained and scored fully
+    * in-engine: the classic counting classifier (language ID, topic/
+    * source routing) whose entire "training" is two keyed aggregations —
+    * the model a curation pipeline can refit per-shard at 100 TB because
+    * nothing is iterative and nothing leaves the cluster. Split is the
+    * deterministic modulus rule (id % `testModulus` == 0 is test — the
+    * probeSample seeding convention); Laplace-`alpha` smoothing over the
+    * train vocabulary; test tokens unseen in training are DROPPED (the
+    * standard "ignore unknown words" convention, documented here so the
+    * oracle and any reimplementation agree).
+    *
+    * Determinism: every per-(token, label) log-likelihood and per-label
+    * log-prior commits to the 1e-9 integer lattice ONCE; a document's
+    * score is then Σ tf·lp + prior — exact long arithmetic in any
+    * partition order — and the argmax is elected on exact longs with an
+    * ascending-label tiebreak (min-struct on the negated score). No
+    * float ever crosses an aggregation boundary.
+    *
+    * Plan: token explode → (label, token) counts (corpus-sized,
+    * map-side combined) → dense vocab×label likelihood table (labels
+    * are a bounded roster; vocab-linear) → one join of test-doc term
+    * frequencies against it + one (doc, label) aggregation + the 1-row
+    * label-roster broadcasts. No window over unbounded data, no
+    * driver-side model state.
+    */
+  def naiveBayesText(docs: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, testModulus: Int = 5,
+                     alpha: Double = 1.0): DataFrame = {
+    require(testModulus >= 2 && testModulus <= 1000,
+      s"naiveBayesText: testModulus in [2, 1000] (got $testModulus)")
+    require(alpha > 0.0, s"naiveBayesText: alpha > 0 (got $alpha)")
+    val base = docs.select(col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("string").as("__l"), col(textCol).as("__t"))
+      .filter(col("__l").isNotNull && col("__t").isNotNull)
+    val isTest = col("__id") % testModulus === 0
+    val toks = base.select(col("__id"), col("__l"),
+        explode(TextAnalysis.tokens(lower(col("__t")))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val counts = toks.filter(!isTest).groupBy(col("__l"), col("__tok"))
+      .agg(count(lit(1)).as("__ct"))
+      .localCheckpoint(eager = false)
+    val totals = counts.groupBy(col("__l")).agg(sum(col("__ct")).as("__tot"))
+    val vocab = counts.select(col("__tok")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("__v"))
+    val dense = vocab.crossJoin(broadcast(totals))
+      .join(counts, Seq("__l", "__tok"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("__l"), col("__tok"),
+        round(log((coalesce(col("__ct"), lit(0L)).cast("double")
+            + alpha) /
+          (col("__tot").cast("double")
+            + lit(alpha) * col("__v").cast("double")))
+          * 1e9, 0).cast("long").as("__lp"))
+    val trainDocs = base.filter(!isTest)
+    val priors = trainDocs.groupBy(col("__l")).agg(count(lit(1)).as("__nl"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("__nd"))))
+      .select(col("__l"),
+        round(log(col("__nl").cast("double") / col("__nd").cast("double"))
+          * 1e9, 0).cast("long").as("__lp0"))
+    val tf = toks.filter(isTest).groupBy(col("__id"), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val sums = tf.join(dense, Seq("__tok"))
+      .groupBy(col("__id"), col("__l"))
+      .agg(sum(col("__tf") * col("__lp")).as("__s"))
+    val testDocs = base.filter(isTest)
+      .select(col("__id"), col("__l").as("label"))
+    val scored = testDocs
+      .crossJoin(broadcast(priors))
+      .join(sums, Seq("__id", "__l"), "left")
+      .select(col("__id"), col("label"), col("__l"),
+        (coalesce(col("__s"), lit(0L)) + col("__lp0")).as("__score"))
+    scored.groupBy(col("__id"), col("label"))
+      .agg(min(struct((-col("__score")).as("__neg"), col("__l").as("__pl")))
+        .as("__best"))
+      .select(col("__id").as(idCol), col("label"),
+        col("__best.__pl").as("predicted"),
+        round((-col("__best.__neg")).cast("double") / 1e9, 6)
+          .as("log_score"),
+        (col("label") === col("__best.__pl")).as("correct"))
+      .orderBy(idCol)
+  }
 }

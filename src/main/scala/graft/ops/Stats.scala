@@ -785,6 +785,132 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** Murphy decomposition of the Brier score over [[calibrationBins]]'
+    * binning: BRIER = RELIABILITY − RESOLUTION + UNCERTAINTY (+ the
+    * within-bin residual, reported rather than hidden — the three-term
+    * identity is exact only when every forecast in a bin equals the bin
+    * mean). ECE says "how far off are the bins"; this says how much of
+    * the score is miscalibration (reliability, fixable by remapping)
+    * vs discrimination the model actually has (resolution) vs the
+    * irreducible base-rate noise (uncertainty) — the triage a model
+    * owner needs before deciding whether to recalibrate or retrain.
+    * Also emits the Brier skill score 1 − BRIER/UNC.
+    *
+    * Determinism: per-row squared errors and scores commit to integer
+    * lattices (1e-12 / 1e-9) before any fold; per-bin terms commit to
+    * the 1e-12 lattice before the bin fold; every output is a fixed
+    * double tree on exact longs. Out-of-range scores fail loud (the
+    * calibrationBins guard).
+    *
+    * Plan: one corpus fold at row grain + one at bin grain, then
+    * arithmetic over the BOUNDED bin frame. One output row.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+                         positive: Column, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 100,
+      s"brierDecomposition: bins in [2, 100] (got $bins)")
+    val s = col(scoreCol)
+    val guarded = when(s.isNull || s < 0.0 || s > 1.0,
+      raise_error(concat(
+        lit(s"brierDecomposition: $scoreCol out of [0,1]: "),
+        s.cast("string")))).otherwise(s)
+    val rows = df.select(guarded.as("__s"),
+        when(positive, 1L).otherwise(0L).as("__o"))
+      .withColumn("__bin",
+        least(floor(col("__s") * bins), lit(bins - 1L)).cast("int"))
+      .withColumn("__su", round(col("__s") * 1e9, 0).cast("long"))
+      .withColumn("__du",
+        round((col("__s") - col("__o").cast("double")) *
+          (col("__s") - col("__o").cast("double")) * 1e12, 0).cast("long"))
+    val perBin = rows.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nk"), sum(col("__o")).as("__ok"),
+        sum(col("__su")).as("__sk"))
+    val tot = rows.agg(count(lit(1)).as("n"), sum(col("__o")).as("n_pos"),
+      sum(col("__du")).as("__bsum"))
+    val nD = col("n").cast("double")
+    val obar = col("n_pos").cast("double") / nD
+    val nkD = col("__nk").cast("double")
+    val fbar = col("__sk").cast("double") / 1e9 / nkD
+    val obk = col("__ok").cast("double") / nkD
+    val folded = perBin.crossJoin(broadcast(tot))
+      .select(
+        round(nkD * (fbar - obk) * (fbar - obk) * 1e12, 0).cast("long")
+          .as("__rt"),
+        round(nkD * (obk - obar) * (obk - obar) * 1e12, 0).cast("long")
+          .as("__st"))
+      .agg(sum(col("__rt")).as("__rel"), sum(col("__st")).as("__res"))
+    val brier = col("__bsum").cast("double") / 1e12 / nD
+    val rel = col("__rel").cast("double") / 1e12 / nD
+    val res = col("__res").cast("double") / 1e12 / nD
+    val unc = obar * (lit(1.0) - obar)
+    tot.crossJoin(broadcast(folded))
+      .select(col("n"), col("n_pos"),
+        round(brier, 6).as("brier"),
+        round(rel, 6).as("reliability"),
+        round(res, 6).as("resolution"),
+        round(unc, 6).as("uncertainty"),
+        round(brier - (rel - res + unc), 6).as("residual"),
+        round(when(unc > 0, lit(1.0) - brier / unc), 6).as("brier_skill"))
+  }
+
+  /** Standardized effect sizes between two DECLARED groups: Cohen's d
+    * (pooled), Hedges' g (the small-sample bias repair), and Glass's Δ
+    * (control-only spread, for when the treatment changes variance),
+    * with a normal-approximation 95% CI on d — the "is the difference
+    * MEANINGFUL" companion to [[anovaOneWay]]'s "is it real" and
+    * [[cliffsDelta]]'s ordinal cousin. Group A is the treatment,
+    * B the control (Glass denominates in B's sd).
+    *
+    * Determinism: values commit to the 1e-6 lattice once; all
+    * sufficient statistics are exact long/decimal folds; every output
+    * is one fixed double tree (the lattice scale cancels in d/g/Δ and
+    * is unwound by a single division in the reported means/sds). The
+    * z-critical literal is injected into both engines verbatim.
+    * Degenerate slices (n < 2, zero variance) surface as NULLs.
+    *
+    * Plan: one corpus fold to a single row, map-side combined.
+    */
+  def effectSizes(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB,
+      s"effectSizes: groups must differ (got '$groupA' twice)")
+    val zCrit = 1.959963984540054
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isin(groupA, groupB) && col("__v").isNotNull)
+      .withColumn("__vu", round(col("__v") * 1e6, 0).cast("long"))
+    def agg3(g: String, sfx: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$sfx"),
+      sum(when(col("__g") === g, col("__vu")).otherwise(0L)).as(s"__s$sfx"),
+      sum(when(col("__g") === g,
+        col("__vu").cast("decimal(38,0)") * col("__vu"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"__q$sfx"))
+    val aggs = agg3(groupA, "a") ++ agg3(groupB, "b")
+    val f = base.agg(aggs.head, aggs.tail: _*)
+    def nD(s: String) = col(s"__n$s").cast("double")
+    def m(s: String) = col(s"__s$s").cast("double") / nD(s)
+    def ssd(s: String) = col(s"__q$s").cast("double") -
+      col(s"__s$s").cast("double") * col(s"__s$s") / nD(s)
+    val nT = nD("a") + nD("b")
+    val sp = sqrt((ssd("a") + ssd("b")) / (nT - 2.0))
+    val sb = sqrt(ssd("b") / (nD("b") - 1.0))
+    val d = (m("a") - m("b")) / sp
+    val ok = col("__na") >= 2 && col("__nb") >= 2 && ssd("a") + ssd("b") > 0
+    val corr = lit(1.0) - lit(3.0) / (lit(4.0) * nT - 9.0)
+    val se = sqrt(nT / (nD("a") * nD("b")) + d * d / (lit(2.0) * nT))
+    f.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(m("a") / 1e6, 6).as("mean_a"),
+      round(m("b") / 1e6, 6).as("mean_b"),
+      round((m("a") - m("b")) / 1e6, 6).as("mean_diff"),
+      round(when(ok, sp / 1e6), 6).as("sd_pooled"),
+      round(when(ok, d), 6).as("cohens_d"),
+      round(when(ok, d * corr), 6).as("hedges_g"),
+      round(when(col("__nb") >= 2 && ssd("b") > 0,
+        (m("a") - m("b")) / sb), 6).as("glass_delta"),
+      round(when(ok, d - lit(zCrit) * se), 6).as("d_lo"),
+      round(when(ok, d + lit(zCrit) * se), 6).as("d_hi"))
+  }
+
   /** Lag-k autocorrelation of a regular time series — the seasonality /
     * persistence diagnostic for forecast features ("is daily revenue
     * weekly-periodic?"): Pearson corr(xₜ, xₜ₋ₖ) for k = 1..maxLag over the
@@ -1030,6 +1156,90 @@ object Stats {
       Seq(round(w, 6).as("w_stat"),
         lit(k - 1).as("df1"),
         (col("n") - k).as("df2"))): _*)
+  }
+
+  /** One-way ANOVA across DECLARED groups — the parametric companion to
+    * [[kruskalWallis]] (which tests rank shifts) and [[brownForsythe]]
+    * (which tests spread): "do the group MEANS differ, and by how much
+    * of the total variance?" Emits the classic equal-variance F with
+    * both effect sizes (η² biased-up on small slices, ω² its unbiased
+    * repair) AND Welch's heteroscedastic F with Satterthwaite df — the
+    * variant a reader should trust when [[brownForsythe]] rejects.
+    *
+    * Determinism: values commit to the 1e-6 integer lattice ONCE, so
+    * every sufficient statistic (nⱼ, Σv, Σv²) is an exact long/decimal
+    * fold in any partition order; F, η², ω², and Welch's F are all
+    * ratios of lattice-scaled quantities whose scale cancels, evaluated
+    * as ONE fixed left-to-right chain over the k CASE-folded per-group
+    * columns. The declared roster fails loud on drift (the
+    * markov-oracle contract). Degenerate slices (a zero-variance group)
+    * surface as NULL Welch columns, never a divide-by-zero throw.
+    *
+    * Plan: one corpus fold to a single row (map-side combined CASE
+    * aggregates) — no shuffle beyond the 1-row combine, no window.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String, valueCol: String,
+                  groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"anovaOneWay: 2..32 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val observed = base.select("__g").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(observed == groups.sorted,
+      s"anovaOneWay: observed groups ${observed.mkString("[", ", ", "]")}"
+        + s" differ from the declared roster — fail loud, don't hash-flake")
+    val lat = base.withColumn("__vu",
+      round(col("__v") * 1e6, 0).cast("long"))
+    val sorted = groups.sorted
+    val k = sorted.size
+    val aggs = sorted.zipWithIndex.flatMap { case (g, i) =>
+      Seq(sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(col("__g") === g, col("__vu")).otherwise(0L)).as(s"__s$i"),
+        sum(when(col("__g") === g,
+          col("__vu").cast("decimal(38,0)") * col("__vu"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"__q$i"))
+    } :+ count(lit(1)).as("n")
+    val folded = lat.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def nj(i: Int) = col(s"__n$i").cast("double")
+    def mj(i: Int) = col(s"__s$i").cast("double") / nj(i)
+    // per-group sum of squared deviations from the group mean, exact
+    // decimal minus one rational — the shared SSW building block
+    def ssw(i: Int) = col(s"__q$i").cast("double") -
+      col(s"__s$i").cast("double") * col(s"__s$i") / nj(i)
+    val grand = sorted.indices.map(i => col(s"__s$i"))
+      .reduce(_ + _).cast("double") / nD
+    val ssb = sorted.indices
+      .map(i => nj(i) * (mj(i) - grand) * (mj(i) - grand)).reduce(_ + _)
+    val sswAll = sorted.indices.map(ssw).reduce(_ + _)
+    val msw = sswAll / (nD - k)
+    val f = ssb / lit((k - 1).toDouble) / msw
+    // Welch: weights wj = nj/s2j (NULL-guarded on zero-variance groups)
+    def s2j(i: Int) = ssw(i) / (nj(i) - 1.0)
+    def wj(i: Int) = when(ssw(i) > 0, nj(i) / s2j(i))
+    val wSum = sorted.indices.map(wj).reduce(_ + _)
+    val mW = sorted.indices.map(i => wj(i) * mj(i)).reduce(_ + _) / wSum
+    val aW = sorted.indices
+      .map(i => wj(i) * (mj(i) - mW) * (mj(i) - mW)).reduce(_ + _) /
+      lit((k - 1).toDouble)
+    val lam = sorted.indices
+      .map(i => (lit(1.0) - wj(i) / wSum) * (lit(1.0) - wj(i) / wSum) /
+        (nj(i) - 1.0)).reduce(_ + _)
+    val bW = lit(1.0) + lit(2.0 * (k - 2) / (k * k - 1).toDouble) * lam
+    folded.select((Seq(col("n")) ++
+      sorted.zipWithIndex.map { case (g, i) => col(s"__n$i").as(s"n_$g") } ++
+      Seq(round(f, 6).as("f_stat"),
+        lit(k - 1).as("df1"),
+        (col("n") - k).as("df2"),
+        round(ssb / (ssb + sswAll), 6).as("eta2"),
+        round(greatest(lit(0.0), (ssb - lit((k - 1).toDouble) * msw) /
+          (ssb + sswAll + msw)), 6).as("omega2"),
+        round(aW / bW, 6).as("welch_f"),
+        round(lit((k * k - 1).toDouble) / (lit(3.0) * lam), 6)
+          .as("welch_df2"))): _*)
   }
 
   /** Hurst exponent via rescaled-range (R/S) analysis over the daily
@@ -1741,6 +1951,73 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Lag-1 Granger-causality screen between the DAILY value series and
+    * the DAILY volume series: does yesterday's volume improve today's
+    * revenue prediction beyond yesterday's revenue (and vice versa)?
+    * One row per direction with the F-statistic of the nested-model
+    * comparison (restricted: own lag; unrestricted: own + other lag),
+    * both fitted lag coefficients, and the RSS ratio. The lead-lag
+    * companion to [[crossCorrelation]] (which sees raw correlation,
+    * not incremental predictive value).
+    *
+    * Determinism: daily revenue rides the centi lattice and volume is
+    * a count, so all ten sufficient sums (Σy, Σy², cross-products) are
+    * exact decimal folds in any partition order; the centered moments,
+    * Cramer solve, and F are ONE fixed double tree per output (scale
+    * cancels in F and the ratio). Degenerate series (zero lag variance,
+    * singular normal equations, zero residual) surface as NULLs.
+    *
+    * Plan: one corpus-sized keyed aggregation to the calendar-bounded
+    * daily table, one lag window over that bounded frame (the
+    * documented global-window class), two 1-row folds.
+    */
+  def grangerLagOne(df: DataFrame, dateCol: Column,
+                    valueCol: String): DataFrame = {
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"),
+        count(lit(1)).as("__x"))
+    val w = Window.partitionBy().orderBy(col("__d"))
+    val lagged = daily
+      .withColumn("__y1", lag(col("__y"), 1).over(w))
+      .withColumn("__x1", lag(col("__x"), 1).over(w))
+      .filter(col("__y1").isNotNull)
+      .localCheckpoint(eager = false)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def sums(resp: Column, own: Column, oth: Column, tag: String) =
+      lagged.agg(count(lit(1)).as("n_eff"),
+        sum(dec(resp)).as("__sy"), sum(dec(own)).as("__s1"),
+        sum(dec(oth)).as("__s2"),
+        sum(dec(resp) * resp).as("__syy"), sum(dec(resp) * own).as("__sy1"),
+        sum(dec(resp) * oth).as("__sy2"), sum(dec(own) * own).as("__s11"),
+        sum(dec(own) * oth).as("__s12"), sum(dec(oth) * oth).as("__s22"))
+        .withColumn("direction", lit(tag))
+    val both = sums(col("__y"), col("__y1"), col("__x1"), "volume->value")
+      .unionByName(sums(col("__x"), col("__x1"), col("__y1"),
+        "value->volume"))
+    val nD = col("n_eff").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cyy = d("__syy") - d("__sy") * d("__sy") / nD
+    val cy1 = d("__sy1") - d("__sy") * d("__s1") / nD
+    val cy2 = d("__sy2") - d("__sy") * d("__s2") / nD
+    val c11 = d("__s11") - d("__s1") * d("__s1") / nD
+    val c12 = d("__s12") - d("__s1") * d("__s2") / nD
+    val c22 = d("__s22") - d("__s2") * d("__s2") / nD
+    val rssR = cyy - cy1 * cy1 / c11
+    val det = c11 * c22 - c12 * c12
+    val b1 = (cy1 * c22 - cy2 * c12) / det
+    val b2 = (cy2 * c11 - cy1 * c12) / det
+    val rssU = cyy - b1 * cy1 - b2 * cy2
+    val ok = col("n_eff") >= 5 && c11 > 0 && det > 0
+    both.select(col("direction"), col("n_eff"),
+      (col("n_eff") - 3L).as("df2"),
+      round(when(ok && rssU > 0,
+        (rssR - rssU) / (rssU / (nD - 3.0))), 6).as("f_stat"),
+      round(when(ok, b1), 6).as("lag_own_coef"),
+      round(when(ok, b2), 6).as("lag_other_coef"),
+      round(when(ok && rssU > 0, rssR / rssU), 6).as("rss_ratio"))
+      .orderBy("direction")
+  }
+
   /** Gini coefficient + Lorenz tail shares of a value's concentration
     * across entities ("do 1% of customers carry half the revenue?") —
     * the skew diagnostic that decides salting/bucketing strategy AND the
@@ -1781,6 +2058,162 @@ object Stats {
             greatest(ceil(col("__n") / lit(10.0)), lit(1.0)).cast("long"),
           col("__x")).otherwise(lit(0.0))) / max(col("__t")), 6)
           .as("top10_pct_share"))
+  }
+
+  /** Cochran–Armitage trend test: does a BINARY outcome rate rise or
+    * fall monotonically across ORDERED integer scores (deciles, age
+    * bands, dose tiers)? The ordered-alternative companion to a plain
+    * χ² (which ignores order) — strictly more powerful when the
+    * question is "does conversion climb with the score", not "does it
+    * differ at all". Emits the exact integer trend statistic T = Σs·r,
+    * its z under H₀, the χ²₁ trend component, and the per-unit-score
+    * proportion slope.
+    *
+    * Determinism: scores and outcomes are integers, so every
+    * sufficient statistic (N, R, Σs·r, Σs·n, Σs²·n) is an exact long
+    * fold in any partition order; z/χ²/slope are ONE fixed double tree
+    * each on those exact longs. Degenerate slices (constant score, or
+    * all/no successes) surface as NULL test columns, never a throw.
+    *
+    * Plan: one corpus fold to a single row (map-side combined) plus
+    * the countDistinct score-roster pass. No window, no join.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      success: Column): DataFrame = {
+    val base = df.select(col(scoreCol).cast("long").as("__s"),
+        success.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val f = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("successes"),
+      countDistinct(col("__s")).as("n_groups"),
+      sum(when(col("__y"), col("__s")).otherwise(0L)).as("__t"),
+      sum(col("__s")).as("__sn1"),
+      sum(col("__s") * col("__s")).as("__sn2"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val tD = col("__t").cast("double")
+    val e = p * col("__sn1").cast("double")
+    val sxx = col("__sn2").cast("double") -
+      col("__sn1").cast("double") * col("__sn1") / nD
+    val varT = p * (lit(1.0) - p) * sxx
+    f.select(col("n"), col("successes"), col("n_groups"),
+      col("__t").as("t_stat"),
+      round(when(varT > 0, (tD - e) / sqrt(varT)), 6).as("z"),
+      round(when(varT > 0, (tD - e) * (tD - e) / varT), 6)
+        .as("chi2_trend"),
+      round(when(sxx > 0, (tD - e) / sxx), 6).as("prop_slope"))
+  }
+
+  /** Herfindahl–Hirschman concentration per MARKET: HHI = Σ shareᵢ² of
+    * each entity's value share within its market, with the
+    * effective-competitor count 1/HHI and the leader's share — the
+    * per-market companion to [[giniConcentration]]'s single global
+    * number ("which nations' supply is a de-facto monopoly?"). The same
+    * readout doubles as a partition-skew screen with market=shuffle-key
+    * grain (HHI→1 means one entity owns the partition).
+    *
+    * Determinism: values commit to the centi lattice at the row grain
+    * (one fixed double tree per row, identical in any engine), so
+    * entity and market sums are exact longs; each share² term commits
+    * to the 1e-12 lattice before the per-market fold, making HHI exact
+    * long addition in any partition order.
+    *
+    * Plan: one (market, entity)-grain aggregation (the corpus-sized
+    * stage, map-side combined), one market-partitioned window over the
+    * ENTITY-grain frame, one market-grain fold. Never a global window;
+    * output is one row per market.
+    */
+  def herfindahl(df: DataFrame, marketCol: String, entityCol: String,
+                 valueCol: String): DataFrame = {
+    val per = df.select(col(marketCol).as("__m"), col(entityCol).as("__e"),
+        round(col(valueCol) * 100, 0).cast("long").as("__vu"))
+      .filter(col("__m").isNotNull && col("__e").isNotNull)
+      .groupBy(col("__m"), col("__e")).agg(sum(col("__vu")).as("__x"))
+      .filter(col("__x") > 0)
+    val wm = Window.partitionBy(col("__m"))
+    val terms = per.withColumn("__t", sum(col("__x")).over(wm))
+      .withColumn("__sh",
+        col("__x").cast("double") / col("__t").cast("double"))
+      .withColumn("__h",
+        round(col("__sh") * col("__sh") * 1e12, 0).cast("long"))
+    terms.groupBy(col("__m").as("market"))
+      .agg(count(lit(1)).as("n_entities"),
+        round(max(col("__t")).cast("double") / 100.0, 2).as("market_value"),
+        round(sum(col("__h")).cast("double") / 1e12, 6).as("hhi"),
+        round(lit(1e12) / sum(col("__h")).cast("double"), 6)
+          .as("effective_n"),
+        round(max(col("__sh")), 6).as("top_share"))
+      .orderBy("market")
+  }
+
+  /** Theil T inequality decomposition: how much of the value
+    * concentration across entities is BETWEEN the declared groups
+    * (nations, segments) vs WITHIN them — the additive split
+    * T = T_between + Σ share_g·T_g that [[giniConcentration]] (not
+    * decomposable) and [[herfindahl]] (per-market only) can't give.
+    * One row per group: its entity count, value share, mean ratio, own
+    * within-group Theil, and its two contribution terms, with the three
+    * repeated totals (the psi/modularity output shape).
+    *
+    * Zero/negative entity totals are excluded (ln domain — the standard
+    * Theil convention); the reported n is the post-filter roster.
+    *
+    * Determinism: entity values ride the centi lattice (exact long
+    * sums at entity, group, and corpus grain); each entity's
+    * (x/μ_g)·ln(x/μ_g) term and each group's between/within
+    * contribution commit to the 1e-12 lattice BEFORE their folds, so
+    * every sum is exact long addition in any partition order and
+    * theil_total is exactly theil_between + theil_within by
+    * construction.
+    *
+    * Plan: one (group, entity)-grain aggregation (the corpus-sized
+    * stage), one group-grain aggregation of committed terms, one
+    * broadcast of the 1-row corpus totals and one of the bounded
+    * group-term fold. No global window over unbounded data.
+    */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         entityCol: String, valueCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("__g"), col(entityCol).as("__e"),
+        round(col(valueCol) * 100, 0).cast("long").as("__vu"))
+      .filter(col("__g").isNotNull && col("__e").isNotNull)
+      .groupBy(col("__g"), col("__e")).agg(sum(col("__vu")).as("__x"))
+      .filter(col("__x") > 0)
+      .localCheckpoint(eager = false)
+    val gs = per.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__x")).as("__sg"))
+    val muG = col("__sg").cast("double") / col("__ng").cast("double")
+    val ratio = col("__x").cast("double") / muG
+    val within = per.join(broadcast(gs), Seq("__g"))
+      .withColumn("__ti",
+        round(ratio * log(ratio) * 1e12, 0).cast("long"))
+      .groupBy(col("__g")).agg(sum(col("__ti")).as("__tw"))
+    val tot = per.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__t"))
+    val nD = col("__n").cast("double")
+    val tD = col("__t").cast("double")
+    val ngD = col("__ng").cast("double")
+    val muRatio = muG / (tD / nD)
+    val theilG = col("__tw").cast("double") / 1e12 / ngD
+    val terms = gs.join(within, Seq("__g")).crossJoin(broadcast(tot))
+      .withColumn("__bt",
+        round(ngD / nD * muRatio * log(muRatio) * 1e12, 0).cast("long"))
+      .withColumn("__wt",
+        round(ngD / nD * muRatio * theilG * 1e12, 0).cast("long"))
+    val totals = terms.agg(sum(col("__bt")).as("__b"),
+      sum(col("__wt")).as("__w"))
+    terms.crossJoin(broadcast(totals))
+      .select(col("__g").as("group"),
+        col("__ng").as("n_entities"),
+        round(col("__sg").cast("double") / tD, 6).as("value_share"),
+        round(muRatio, 6).as("mean_ratio"),
+        round(theilG, 6).as("theil_within_group"),
+        round(col("__bt").cast("double") / 1e12, 6).as("between_term"),
+        round(col("__wt").cast("double") / 1e12, 6).as("within_term"),
+        round(col("__b").cast("double") / 1e12, 6).as("theil_between"),
+        round(col("__w").cast("double") / 1e12, 6).as("theil_within"),
+        round((col("__b") + col("__w")).cast("double") / 1e12, 6)
+          .as("theil_total"))
+      .orderBy("group")
   }
 
   /** Per-key ordinary-least-squares trend: slope / intercept / R² of y

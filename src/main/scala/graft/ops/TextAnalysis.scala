@@ -795,6 +795,64 @@ object TextAnalysis {
       .orderBy("idx")
   }
 
+  /** Zipf-law fit over the [[vocabulary]] table: OLS of ln(count) on
+    * ln(rank) for the top `maxRank` retained terms — slope ≈ −1 is the
+    * classic law; a much flatter slope flags template/synthetic text
+    * (mass spread across equally-common boilerplate tokens), a much
+    * steeper one a degenerate vocabulary. The static-power-law
+    * companion to [[heapsLaw]]'s growth curve and the one-number
+    * summary of [[vocabulary]]'s long tail.
+    *
+    * Determinism: counts and ranks are exact integers; each rank's
+    * ln-terms commit to integer lattices (1e-9 for the sums, 1e-12 for
+    * the products) BEFORE the fold, so the OLS sufficient sums are
+    * exact long addition in any partition order and slope/intercept/R²
+    * are one fixed double tree each. Degenerate fits (under 3 terms,
+    * zero rank variance) surface as NULLs, never a throw.
+    *
+    * Plan: [[vocabulary]]'s corpus-sized (doc, term) aggregation is the
+    * only heavy stage; the fit folds the BOUNDED top-`maxRank` table to
+    * one row.
+    */
+  def zipfLaw(docs: DataFrame, idCol: String, textCol: String,
+              minCount: Int, maxRank: Int): DataFrame = {
+    require(maxRank >= 8 && maxRank <= 100000,
+      s"zipfLaw: maxRank in [8, 100000] (got $maxRank)")
+    val v = vocabulary(docs, idCol, textCol, minCount)
+      .filter(col("idx") < maxRank)
+      .select((col("idx") + 1L).cast("double").as("__r"),
+        col("term_count").cast("double").as("__c"))
+    val t = v.select(
+      round(log(col("__r")) * 1e9, 0).cast("long").as("__x"),
+      round(log(col("__c")) * 1e9, 0).cast("long").as("__y"),
+      round(log(col("__r")) * log(col("__c")) * 1e12, 0).cast("long")
+        .as("__xy"),
+      round(log(col("__r")) * log(col("__r")) * 1e12, 0).cast("long")
+        .as("__xx"),
+      round(log(col("__c")) * log(col("__c")) * 1e12, 0).cast("long")
+        .as("__yy"))
+    val f = t.agg(count(lit(1)).as("n_terms"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__xy")).as("__sxy"), sum(col("__xx")).as("__sxx"),
+      sum(col("__yy")).as("__syy"))
+    val nD = col("n_terms").cast("double")
+    val sx = col("__sx").cast("double") / 1e9
+    val sy = col("__sy").cast("double") / 1e9
+    val sxy = col("__sxy").cast("double") / 1e12
+    val sxx = col("__sxx").cast("double") / 1e12
+    val syy = col("__syy").cast("double") / 1e12
+    val num = nD * sxy - sx * sy
+    val denX = nD * sxx - sx * sx
+    val denY = nD * syy - sy * sy
+    f.select(col("n_terms"),
+      round(when(col("n_terms") >= 3 && denX > 0, num / denX), 6)
+        .as("slope"),
+      round(when(col("n_terms") >= 3 && denX > 0,
+        (sy - num / denX * sx) / nD), 6).as("intercept"),
+      round(when(col("n_terms") >= 3 && denX > 0 && denY > 0,
+        num * num / (denX * denY)), 6).as("r2"))
+  }
+
   /** Heaps-law vocabulary-growth curve: for the corpus in doc-id order,
     * the running token count and running DISTINCT-vocabulary size after
     * each document (V(n) ~ K·n^β is the classic sub-linear law; a curve

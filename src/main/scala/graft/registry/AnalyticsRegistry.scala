@@ -2,6 +2,7 @@ package graft
 package registry
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
 import Shared._
@@ -291,6 +292,18 @@ object AnalyticsRegistry {
         Tables.events(s, dir)
           .withColumn("score", least(col("value") / 500.0, lit(1.0))),
         "score", col("event_type") === "purchase", bins = 10)),
+    "q_brier" -> ((s, dir) =>
+      // recalibrate or retrain? Murphy split of the Brier score into
+      // reliability / resolution / uncertainty over the same bins
+      Stats.brierDecomposition(
+        Tables.events(s, dir)
+          .withColumn("score", least(col("value") / 500.0, lit(1.0))),
+        "score", col("event_type") === "purchase", bins = 10)),
+    "q_effect_sizes" -> ((s, dir) =>
+      // is the purchase-vs-view value gap MEANINGFUL? Cohen's d /
+      // Hedges' g / Glass's delta with a 95% CI on d
+      Stats.effectSizes(Tables.events(s, dir), "event_type", "value",
+        "purchase", "view")),
     "q_target_encoding" -> ((s, dir) =>
       // smoothed mean encoding of event_type against the purchase value —
       // the fitted table a serving join broadcasts
@@ -490,6 +503,29 @@ object AnalyticsRegistry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id", col("event_type") === "error" && col("value") > 160.0,
         col("event_type") === "purchase" && col("value") > 175.0)),
+    "q_cochran_armitage" -> ((s, dir) => {
+      // does conversion climb with account balance? exact integer trend
+      // statistic over acctbal deciles vs has-an-order. The decile
+      // window is the entity-grain global sort (the gini caveat); at
+      // billions of customers swap ntile for quantile-bin thresholds.
+      val scored = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("c_acctbal"), col("c_custkey"))) - 1)
+      val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      Stats.cochranArmitage(
+        scored.join(buyers, col("c_custkey") === col("o_custkey"), "left"),
+        "decile", col("o_custkey").isNotNull)
+    }),
+    "q_decision_stump" -> ((s, dir) => {
+      // where does account balance best split buyers from non-buyers?
+      // full Gini-gain curve over decile boundaries, winner flagged
+      val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      Learn.decisionStump(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+          .join(buyers, col("c_custkey") === col("o_custkey"), "left"),
+        "c_custkey", "c_acctbal", col("o_custkey").isNotNull, bins = 10)
+    }),
     "q_tier_migration" -> ((s, dir) =>
       // week-over-week spend-tier flow matrix with churn column and
       // per-cohort shares — the retention/upsell dashboard
@@ -614,6 +650,22 @@ object AnalyticsRegistry {
       Graph.bfsHops(edges, "src", "dst", seeds, "s_suppkey", rounds = 4)
         .withColumnRenamed("node", "s_suppkey")
     }),
+    "q_supplier_hits" -> ((s, dir) =>
+      // 4-superstep HITS over the co-order graph: lattice-exact
+      // normalized hub/authority scores, SQL-replayable recursion
+      Graph.hits(Shared.coOrderEdges(s, dir), "src", "dst",
+          iterations = 4)
+        .withColumnRenamed("node", "s_suppkey")),
+    "q_assortativity" -> ((s, dir) =>
+      // do well-connected suppliers co-order with each other or with
+      // the periphery? Degree-degree Pearson, decimal-exact folds
+      Graph.degreeAssortativity(Shared.coOrderEdges(s, dir),
+        "src", "dst")),
+    "q_modularity" -> ((s, dir) =>
+      // is the co-order graph denser within nations than a
+      // degree-preserving rewiring? Newman Q by s_nationkey partition
+      Graph.modularity(Shared.coOrderEdges(s, dir), "src", "dst",
+        Tables.supplier(s, dir), "s_suppkey", "s_nationkey")),
     "q_uplift_qini" -> ((s, dir) =>
       // does targeting by activity concentrate incremental conversions?
       // per-quintile treated/control rates + cumulative Qini over the
@@ -674,6 +726,12 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_granger" -> ((s, dir) =>
+      // does yesterday's order volume predict today's revenue beyond
+      // yesterday's revenue (and the reverse)? nested-OLS F per
+      // direction from exact lattice sums
+      Stats.grangerLagOne(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_durbin_watson" -> ((s, dir) =>
       // serial correlation of the DETRENDED daily revenue: DW around 2
       // is clean, toward 0 the trend CI is overconfident
@@ -734,6 +792,11 @@ object AnalyticsRegistry {
       // nonparametric ANOVA: do value distributions differ across event
       // types at all? exact 2x-midrank sums, fixed-order H combine
       Stats.kruskalWallis(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_anova" -> ((s, dir) =>
+      // parametric companion: classic F + eta2/omega2 effect sizes +
+      // Welch's heteroscedastic F, all from one lattice-exact fold
+      Stats.anovaOneWay(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
     "q_ljung_box" -> ((s, dir) =>
       // any autocorrelation in the first 14 lags of daily revenue? the
@@ -802,6 +865,28 @@ object AnalyticsRegistry {
       // shares over the entity-grain aggregate
       Stats.giniConcentration(Tables.orders(s, dir), "o_custkey",
         "o_totalprice")),
+    "q_theil" -> ((s, dir) =>
+      // is customer-revenue inequality a nation story or a within-nation
+      // story? additive Theil T split, lattice-exact folds
+      Stats.theilDecomposition(
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, dir),
+            col("c_nationkey") === col("n_nationkey")),
+        "n_name", "o_custkey", "o_totalprice")),
+    "q_hhi" -> ((s, dir) =>
+      // supply concentration per nation market: HHI over supplier
+      // revenue shares, effective-competitor count, leader share
+      Stats.herfindahl(
+        Tables.lineitem(s, dir)
+          .join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.nation(s, dir),
+            col("s_nationkey") === col("n_nationkey"))
+          .withColumn("rev",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        "n_name", "s_suppkey", "rev")),
     "q_woe_encoding" -> ((s, dir) =>
       // weight-of-evidence of event_type for predicting high-value
       // events, with the information-value feature-power total

@@ -13,6 +13,19 @@ private[graft] object Shared {
   private[graft] def ev(s: SparkSession, dir: String): DataFrame =
     Parse.parseEvents(Tables.events(s, dir))
 
+  /** Supplier co-order edge list (suppliers sharing an order, both
+    * orientations) — the graph the q_supplier_* family analyzes.
+    */
+  private[graft] def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
+      .distinct()
+    base.as("a").join(base.as("b"),
+        col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+  }
+
   /** A12 snapshot reused by several queries. */
   private[graft] def snapshot(s: SparkSession, dir: String): DataFrame =
     Materialize.latestPerKey(Tables.orders(s, dir), "o_custkey",

@@ -2,6 +2,7 @@ package graft
 package registry
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
 import Shared._
@@ -23,6 +24,28 @@ object TextRegistry {
       // running distinct-vocab size via the sliced prefix scan — the
       // corpus-health diagnostic that flags template/duplicated filler
       TextAnalysis.heapsLaw(Tables.documents(s, dir), "doc_id", "text")),
+    "x_zipf_law" -> ((s, dir) =>
+      // the static power-law companion: OLS of ln(count) on ln(rank)
+      // over the top-300 vocabulary, lattice-committed OLS sums
+      TextAnalysis.zipfLaw(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 5, maxRank = 300)),
+    "x_naive_bayes" -> ((s, dir) =>
+      // counting classifier trained in-engine on the modulus split:
+      // per-test-doc language prediction, exact-long argmax
+      Learn.naiveBayesText(Tables.documents(s, dir), "doc_id", "text",
+        "lang")),
+    "x_nb_confusion" -> ((s, dir) => {
+      // true-vs-predicted language matrix with within-truth shares —
+      // the one-glance readout over x_naive_bayes
+      val nb = Learn.naiveBayesText(Tables.documents(s, dir), "doc_id",
+        "text", "lang")
+      val w = Window.partitionBy(col("label"))
+      nb.groupBy(col("label"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n") / sum(col("n")).over(w).cast("double"), 6))
+        .orderBy("label", "predicted")
+    }),
     "x_ngram_novelty" -> ((s, dir) =>
       // duplicated-text share per doc (Lee et al. 2022, doc-granular):
       // fraction of each doc's distinct 3-grams first seen in an earlier

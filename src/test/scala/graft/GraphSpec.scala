@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Graph
+import org.apache.spark.sql.functions.lit
 
 /** PageRank golden cases on hand-solvable graphs. */
 class GraphSpec extends SparkSpec {
@@ -153,5 +154,50 @@ class GraphSpec extends SparkSpec {
         Seq(1L, 77L).toDF("s"), "s", rounds = 4)
       .as[(Long, Long)].collect().toMap
     assert(d3(77L) == 0L && (d3 - 77L) == d)
+  }
+  test("hits: lattice supersteps match the hand-run recursion on a " +
+      "two-hub/two-authority graph; pure sinks and sources score zero " +
+      "on the opposite side") {
+    // hubs {1,2} -> authorities {3,4}: 1->3, 1->4, 2->3
+    val g = Seq((1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.hits(g, "src", "dst", iterations = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // hand-run on the 1e-9 lattice: step1 a=(2/3, 1/3) -> h=(0.6, 0.4);
+    // step2 a raw=(1e9, 6e8) -> a=(0.625, 0.375); h raw=(1e9, 625e6)
+    // -> h=(615384615, 384615385) on the lattice
+    assert(out(3L) == ((3L, 0.625, 0.0)))
+    assert(out(4L) == ((4L, 0.375, 0.0)))
+    assert(out(1L) == ((1L, 0.0, 0.615385)))
+    assert(out(2L) == ((2L, 0.0, 0.384615)))
+  }
+  test("degreeAssortativity: perfect star is -1, single edge is " +
+      "undefined (null), mixed directions and duplicates collapse") {
+    val star = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star, "src", "dst")
+      .as[(Long, Double, Option[Double])].collect().head
+    assert(r == ((3L, 2.0, Some(-1.0))))
+    val edge = Graph.degreeAssortativity(
+        Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Double, Option[Double])].collect().head
+    assert(edge == ((1L, 1.0, None)))
+  }
+  test("modularity: two labeled triangles joined by one bridge match " +
+      "the closed form; a random-graph-like single community scores 0") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("node", "community")
+    val out = Graph.modularity(g, "src", "dst", lab, "node", "community")
+      .as[(String, Long, Long, Double, Double)].collect()
+    // m=7, e_A=e_B=3, d_A=d_B=7: term = 3/7 - (7/14)^2 = 0.178571,
+    // Q = 0.357143 on the 1e-12 lattice
+    assert(out.toSeq == Seq(("A", 3L, 7L, 0.178571, 0.357143),
+      ("B", 3L, 7L, 0.178571, 0.357143)))
+    // everything in one community: Q = m/m - (2m/2m)^2 = 0
+    val one = Graph.modularity(g, "src", "dst",
+        lab.withColumn("community", lit("all")), "node", "community")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(one.toSeq == Seq(("all", 7L, 14L, 0.0, 0.0)))
   }
 }

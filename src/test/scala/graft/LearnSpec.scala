@@ -100,6 +100,56 @@ class LearnSpec extends SparkSpec {
     assert(out(1)._3 == 1)                       // top importance rank
   }
 
+  test("naiveBayesText: hand-computed smoothed posteriors; all-unseen " +
+      "doc falls back to the prior with ascending-label tiebreak") {
+    // train (id % 5 != 0): A="spam spam ham", B="eggs eggs"; V=3
+    // test id 5 "spam eggs": score_A = ln(1/2)+ln(3/6)+ln(1/6) = ln(1/24)
+    //                        score_B = ln(1/2)+ln(1/5)+ln(3/5) = ln(0.06)
+    val docs = Seq(
+      (1L, "spam spam ham", "A"), (2L, "eggs eggs", "B"),
+      (5L, "spam eggs", "A"), (10L, "zzz qqq", "B"))
+      .toDF("doc_id", "text", "lang")
+    val r = Learn.naiveBayesText(docs, "doc_id", "text", "lang")
+      .collect()
+    assert(r.length == 2)
+    val d5 = r.find(_.getLong(0) == 5L).get
+    assert(d5.getAs[String]("label") == "A")
+    assert(d5.getAs[String]("predicted") == "B") // ln0.06 > ln(1/24)
+    assert(d5.getAs[Double]("log_score") == -2.813411)
+    assert(!d5.getAs[Boolean]("correct"))
+    // unseen tokens dropped -> prior-only tie, smaller label elected
+    val d10 = r.find(_.getLong(0) == 10L).get
+    assert(d10.getAs[String]("predicted") == "A")
+    assert(d10.getAs[Double]("log_score") == -0.693147)
+    intercept[IllegalArgumentException] {
+      Learn.naiveBayesText(docs, "doc_id", "text", "lang", testModulus = 1)
+    }
+  }
+
+  test("decisionStump: a perfectly separable feature gains the full " +
+      "parent impurity; a non-informative one gains zero") {
+    val sep = Seq((1L, 1.0, false), (2L, 2.0, false),
+      (3L, 3.0, true), (4L, 4.0, true)).toDF("k", "f", "y")
+    val r = Learn.decisionStump(sep, "k", "f", col("y"), bins = 2)
+      .collect()
+    assert(r.length == 1)
+    val c = r.head
+    assert(c.getAs[Int]("split_bin") == 1)
+    assert(c.getAs[Double]("threshold") == 2.0)
+    assert(c.getAs[Long]("n_left") == 2L && c.getAs[Long]("pos_left") == 0L)
+    assert(c.getAs[Long]("n_right") == 2L &&
+      c.getAs[Long]("pos_right") == 2L)
+    assert(c.getAs[Double]("gini_left") == 0.0)
+    assert(c.getAs[Double]("gini_right") == 0.0)
+    assert(c.getAs[Double]("gini_gain") == 0.5)
+    assert(c.getAs[Boolean]("is_best"))
+    val flat = Seq((1L, 1.0, true), (2L, 2.0, false),
+      (3L, 3.0, true), (4L, 4.0, false)).toDF("k", "f", "y")
+    val f = Learn.decisionStump(flat, "k", "f", col("y"), bins = 2)
+      .collect().head
+    assert(f.getAs[Double]("gini_gain") == 0.0)
+  }
+
   test("first superstep from zero init moves the intercept by " +
       "η·(base_rate − 1/2): exact closed form") {
     // at w=0 every σ(w·x)=1/2, so the intercept gradient is (1/2 − p̂)

@@ -68,6 +68,178 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("anovaOneWay: shifted equal-variance groups score the closed-form " +
+      "F/eta2/omega2/Welch; identical groups score 0; roster fails loud") {
+    // a=(1,2,3) b=(2,3,4) c=(3,4,5): SSB=6, SSW=6 -> F=3, eta2=0.5,
+    // omega2=(6-2)/(12+1)=0.307692; Welch: wj=3, A=3, lam=2/3,
+    // B=1+0.25*(2/3) -> F_w=2.571429, df2_w=8/2=4
+    val sep = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 3.0, 4.0).map(("b", _)) ++
+      Seq(3.0, 4.0, 5.0).map(("c", _))).toDF("g", "v")
+    val r = Stats.anovaOneWay(sep, "g", "v", Seq("a", "b", "c"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("f_stat") == 3.0)
+    assert(r.getAs[Int]("df1") == 2 && r.getAs[Long]("df2") == 6L)
+    assert(r.getAs[Double]("eta2") == 0.5)
+    assert(r.getAs[Double]("omega2") == 0.307692)
+    assert(r.getAs[Double]("welch_f") == 2.571429)
+    assert(r.getAs[Double]("welch_df2") == 4.0)
+    // identical groups: F = 0 and omega2 clamps at 0, Welch A = 0
+    val same = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("b", _))).toDF("g", "v")
+    val s = Stats.anovaOneWay(same, "g", "v", Seq("a", "b")).collect().head
+    assert(s.getAs[Double]("f_stat") == 0.0)
+    assert(s.getAs[Double]("eta2") == 0.0)
+    assert(s.getAs[Double]("omega2") == 0.0)
+    assert(s.getAs[Double]("welch_f") == 0.0)
+    intercept[IllegalArgumentException] {
+      Stats.anovaOneWay(sep, "g", "v", Seq("a", "b"))
+    }
+  }
+
+  test("herfindahl: a monopoly market scores HHI=1, an equal duopoly " +
+      "0.5 with two effective competitors") {
+    val df = Seq(
+      ("mono", "e1", 10.0), ("mono", "e1", 5.0),
+      ("duo", "a", 7.0), ("duo", "b", 3.5), ("duo", "b", 3.5))
+      .toDF("m", "e", "v")
+    val r = Stats.herfindahl(df, "m", "e", "v").collect()
+    val mono = r.find(_.getString(0) == "mono").get
+    assert(mono.getAs[Long]("n_entities") == 1L)
+    assert(mono.getAs[Double]("market_value") == 15.0)
+    assert(mono.getAs[Double]("hhi") == 1.0)
+    assert(mono.getAs[Double]("effective_n") == 1.0)
+    assert(mono.getAs[Double]("top_share") == 1.0)
+    val duo = r.find(_.getString(0) == "duo").get
+    assert(duo.getAs[Long]("n_entities") == 2L)
+    assert(duo.getAs[Double]("market_value") == 14.0)
+    assert(duo.getAs[Double]("hhi") == 0.5)
+    assert(duo.getAs[Double]("effective_n") == 2.0)
+    assert(duo.getAs[Double]("top_share") == 0.5)
+  }
+
+  test("theilDecomposition: within-equal groups put all inequality " +
+      "between; uniform values score 0 everywhere") {
+    // A: 100+100, B: 300+300 -> mu=200; T_b = 0.25*ln(0.5)+0.75*ln(1.5)
+    val df = Seq(("A", 1L, 100.0), ("A", 2L, 100.0),
+      ("B", 3L, 300.0), ("B", 4L, 300.0)).toDF("g", "e", "v")
+    val r = Stats.theilDecomposition(df, "g", "e", "v")
+      .collect()
+    val a = r.find(_.getString(0) == "A").get
+    assert(a.getAs[Double]("value_share") == 0.25)
+    assert(a.getAs[Double]("mean_ratio") == 0.5)
+    assert(a.getAs[Double]("theil_within_group") == 0.0)
+    assert(a.getAs[Double]("theil_within") == 0.0)
+    assert(a.getAs[Double]("theil_between") == 0.130812)
+    assert(a.getAs[Double]("theil_total") == 0.130812)
+    val b = r.find(_.getString(0) == "B").get
+    assert(b.getAs[Double]("mean_ratio") == 1.5)
+    // uniform corpus: every term 0
+    val flat = Seq(("A", 1L, 5.0), ("A", 2L, 5.0), ("B", 3L, 5.0))
+      .toDF("g", "e", "v")
+    val f = Stats.theilDecomposition(flat, "g", "e", "v").collect().head
+    assert(f.getAs[Double]("theil_total") == 0.0)
+    assert(f.getAs[Double]("theil_between") == 0.0)
+    assert(f.getAs[Double]("theil_within") == 0.0)
+  }
+
+  test("cochranArmitage: a perfect dose response scores the closed " +
+      "form; degenerate slices go NULL, not throw") {
+    // scores 0,1,2 with 2 obs each, successes 0/1/2:
+    // T=5, E=3, Sxx=4, Var=1 -> z=2, chi2=4, slope=0.5
+    val df = Seq((0, false), (0, false), (1, true), (1, false),
+      (2, true), (2, true)).toDF("s", "y")
+    val r = Stats.cochranArmitage(df, "s", col("y")).collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("successes") == 3L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("t_stat") == 5L)
+    assert(r.getAs[Double]("z") == 2.0)
+    assert(r.getAs[Double]("chi2_trend") == 4.0)
+    assert(r.getAs[Double]("prop_slope") == 0.5)
+    // constant score: zero variance -> NULL test columns
+    val const = Seq((1, true), (1, false)).toDF("s", "y")
+    val c = Stats.cochranArmitage(const, "s", col("y")).collect().head
+    assert(c.isNullAt(c.fieldIndex("z")))
+    assert(c.isNullAt(c.fieldIndex("prop_slope")))
+    // all successes: varT = 0 -> NULL z, slope exactly 0
+    val all = Seq((0, true), (1, true), (2, true)).toDF("s", "y")
+    val a = Stats.cochranArmitage(all, "s", col("y")).collect().head
+    assert(a.isNullAt(a.fieldIndex("z")))
+    assert(a.getAs[Double]("prop_slope") == 0.0)
+  }
+
+  test("brierDecomposition: equal-forecast bins satisfy the exact " +
+      "three-term Murphy identity (residual 0)") {
+    // (0.2,0)x2, (0.8,1), (0.8,0): brier .19, rel .065, res .0625,
+    // unc .1875 -> residual exactly 0, skill 1 - .19/.1875
+    val df = Seq((0.2, false), (0.2, false), (0.8, true), (0.8, false))
+      .toDF("score", "y")
+    val r = Stats.brierDecomposition(df, "score", col("y"), bins = 10)
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 1L)
+    assert(r.getAs[Double]("brier") == 0.19)
+    assert(r.getAs[Double]("reliability") == 0.065)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    assert(r.getAs[Double]("uncertainty") == 0.1875)
+    assert(r.getAs[Double]("residual") == 0.0)
+    assert(r.getAs[Double]("brier_skill") == -0.013333)
+    intercept[Exception] {
+      Stats.brierDecomposition(Seq((1.2, true)).toDF("score", "y"),
+        "score", col("y"), bins = 10).collect()
+    }
+  }
+
+  test("effectSizes: hand-computed d/g/delta and CI; degenerate " +
+      "spread reports NULLs") {
+    val df = Seq(("t", 2.0), ("t", 4.0), ("c", 1.0), ("c", 3.0))
+      .toDF("g", "v")
+    val r = Stats.effectSizes(df, "g", "v", "t", "c").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 3.0)
+    assert(r.getAs[Double]("mean_b") == 2.0)
+    assert(r.getAs[Double]("mean_diff") == 1.0)
+    assert(r.getAs[Double]("sd_pooled") == 1.414214)
+    assert(r.getAs[Double]("cohens_d") == 0.707107)
+    assert(r.getAs[Double]("hedges_g") == 0.404061)
+    assert(r.getAs[Double]("glass_delta") == 0.707107)
+    assert(r.getAs[Double]("d_lo") == -1.313178)
+    assert(r.getAs[Double]("d_hi") == 2.727391)
+    // constant values in both groups: zero spread -> NULL d family
+    val flat = Seq(("t", 5.0), ("t", 5.0), ("c", 5.0), ("c", 5.0))
+      .toDF("g", "v")
+    val f = Stats.effectSizes(flat, "g", "v", "t", "c").collect().head
+    assert(f.isNullAt(f.fieldIndex("cohens_d")))
+    assert(f.getAs[Double]("mean_diff") == 0.0)
+  }
+
+  test("grangerLagOne: both directions replay an independent " +
+      "closed-form solve; degenerate series go NULL") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 3, 1).plusDays(i.toLong))
+    // per-day counts [1,2,3,1,2,3,2], centi-revenue [500,...,600]
+    val rows = Seq(
+      (d(0), 5.0), (d(1), 1.0), (d(1), 2.0),
+      (d(2), 2.0), (d(2), 3.0), (d(2), 3.0), (d(3), 2.0),
+      (d(4), 3.0), (d(4), 4.0), (d(5), 1.0), (d(5), 1.0), (d(5), 2.0),
+      (d(6), 3.0), (d(6), 3.0)).toDF("day", "v")
+    val r = Stats.grangerLagOne(rows, col("day"), "v").collect()
+    val v2v = r.find(_.getString(0) == "volume->value").get
+    assert(v2v.getAs[Long]("n_eff") == 6L && v2v.getAs[Long]("df2") == 3L)
+    assert(v2v.getAs[Double]("f_stat") == 1.315342)
+    assert(v2v.getAs[Double]("lag_own_coef") == -1.044534)
+    assert(v2v.getAs[Double]("lag_other_coef") == 80.566802)
+    assert(v2v.getAs[Double]("rss_ratio") == 1.438447)
+    val rev = r.find(_.getString(0) == "value->volume").get
+    assert(rev.getAs[Double]("f_stat") == 0.148437)
+    assert(rev.getAs[Double]("lag_other_coef") == -0.000769)
+    // constant volume: zero other-lag variance -> singular -> NULLs
+    val flat = (0 until 7).map(i => (d(i), (i + 1).toDouble))
+      .toDF("day", "v")
+    val f = Stats.grangerLagOne(flat, col("day"), "v").collect()
+    assert(f.forall(_.isNullAt(f.head.fieldIndex("f_stat"))))
+  }
+
   test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
       "closed form; short series refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate

@@ -575,6 +575,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("zipfLaw: an exact 6/rank corpus fits slope -1 with R2 = 1; " +
+      "a degenerate vocabulary reports NULLs") {
+    // counts 6, 3, 2 at ranks 1, 2, 3 lie exactly on c = 6/r
+    val words = Seq.fill(6)("aa") ++ Seq.fill(3)("bb") ++ Seq.fill(2)("cc")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfLaw(docs, "doc_id", "text",
+      minCount = 1, maxRank = 300).collect().head
+    assert(r.getAs[Long]("n_terms") == 3L)
+    assert(r.getAs[Double]("slope") == -1.0)
+    assert(r.getAs[Double]("intercept") == 1.791759) // ln 6
+    assert(r.getAs[Double]("r2") == 1.0)
+    // two terms: under the 3-term floor -> NULL fit, n still reported
+    val tiny = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val t = TextAnalysis.zipfLaw(tiny, "doc_id", "text", 1, 300)
+      .collect().head
+    assert(t.getAs[Long]("n_terms") == 2L)
+    assert(t.isNullAt(t.fieldIndex("slope")))
+  }
+
   test("heapsLaw: hand-computed growth curve; empty doc keeps its row; " +
       "curve is partition-order independent") {
     val docs = Seq(
