@@ -6499,6 +6499,183 @@ object OracleSql {
       FROM f"""
     },
 
+    // Tukey HSD: the q_anova lattice fold, then one fixed tree per pair
+    // (scale cancels in q and d, one division unwinds the reported diff)
+    "q_tukey_hsd" -> {
+      val gs = Seq("click", "error", "purchase", "signup", "view")
+      val k = gs.size
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n$i,
+             CAST(sum(CASE WHEN g = '$g' THEN vu ELSE 0 END) AS BIGINT)
+               AS s$i,
+             sum(CASE WHEN g = '$g'
+                 THEN CAST(vu AS HUGEINT) * vu
+                 ELSE CAST(0 AS HUGEINT) END) AS q$i""" }
+        .mkString(",\n             ")
+      def njD(i: Int) = s"CAST(n$i AS DOUBLE)"
+      def mj(i: Int) = s"CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)"
+      def ssw(i: Int) = s"(CAST(q$i AS DOUBLE)"
+        .concat(s" - CAST(s$i AS DOUBLE) * s$i / CAST(n$i AS DOUBLE))")
+      val msw = s"((${gs.indices.map(ssw).mkString(" + ")})"
+        .concat(s" / (CAST(nt AS DOUBLE) - $k))")
+      val pairRows = (for (i <- 0 until k; j <- (i + 1) until k) yield {
+        val diff = s"(${mj(i)} - ${mj(j)})"
+        val se = s"sqrt($msw / 2.0 * (1.0 / ${njD(i)} + 1.0 / ${njD(j)}))"
+        s"""SELECT '${gs(i)}' AS group_a, '${gs(j)}' AS group_b,
+             n$i AS n_a, n$j AS n_b,
+             round($diff / 1e6, 6) AS mean_diff,
+             round(CASE WHEN $msw > 0 THEN $se / 1e6 END, 6) AS se_pooled,
+             round(CASE WHEN $msw > 0 THEN abs($diff) / $se END, 6)
+               AS q_stat,
+             round(CASE WHEN $msw > 0 THEN $diff / sqrt($msw) END, 6)
+               AS cohens_d
+           FROM f"""
+      }).mkString("\n        UNION ALL ")
+      s"""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      lat AS (SELECT g, CAST(round(v * 1e6, 0) AS BIGINT) AS vu
+              FROM base),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+             $caseCols
+            FROM lat)
+      SELECT * FROM ($pairRows) ORDER BY group_a, group_b"""
+    },
+
+    // ICC(1): exact per-group folds over the unbounded user grouping,
+    // per-group terms committed to integers before the global fold
+    "q_icc" -> {
+      val jD = "CAST(n_groups AS DOUBLE)"
+      val nT = "CAST(n AS DOUBLE)"
+      val ssb = s"(CAST(sb AS DOUBLE) - CAST(st AS DOUBLE) * st / $nT)"
+      val msb = s"($ssb / ($jD - 1.0))"
+      val msw = s"(CAST(sw AS DOUBLE) / ($nT - $jD))"
+      val kbar = s"(($nT - CAST(n2 AS DOUBLE) / $nT) / ($jD - 1.0))"
+      val den = s"($msb + ($kbar - 1.0) * $msw)"
+      val ok = "n_groups >= 2 AND n > n_groups"
+      s"""
+      WITH lat AS (SELECT user_id AS g,
+               CAST(round(CAST(value AS DOUBLE) * 1e2, 0) AS BIGINT) AS vu
+            FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(vu) AS BIGINT) AS s,
+                sum(CAST(vu AS HUGEINT) * vu) AS q
+              FROM lat GROUP BY 1),
+      terms AS (SELECT n,
+                 CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE), 0) AS BIGINT) AS bn,
+                 CAST(round(CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0) AS BIGINT)
+                   AS ww
+               FROM per),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(n * n) AS BIGINT) AS n2,
+              sum(CAST(bn AS HUGEINT)) AS sb,
+              sum(CAST(ww AS HUGEINT)) AS sw
+            FROM terms),
+      grand AS (SELECT CAST(sum(vu) AS BIGINT) AS st FROM lat)
+      SELECT n, n_groups,
+             round(CASE WHEN $ok THEN $kbar END, 6) AS kbar,
+             round(CASE WHEN $ok THEN $msb / 1e4 END, 6) AS ms_between,
+             round(CASE WHEN $ok THEN $msw / 1e4 END, 6) AS ms_within,
+             round(CASE WHEN $ok AND $den > 0
+               THEN ($msb - $msw) / $den END, 6) AS icc
+      FROM f, grand"""
+    },
+
+    // Retention half-life: the q_cohort_retention chain rated against
+    // week 0, ln(rate) on the 1e-9 lattice, per-cohort exact OLS sums
+    "q_retention_halflife" -> {
+      val nD = "CAST(n_points AS DOUBLE)"
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val num = s"($nD * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")})"
+      val denX = s"($nD * ${dd("sxx")} - ${dd("sx")} * ${dd("sx")})"
+      val denY = s"($nD * ${dd("syy")} - ${dd("sy")} * ${dd("sy")})"
+      val slope = s"($num / $denX / 1e9)"
+      val ok = s"n_points >= 3 AND $denX > 0"
+      s"""
+      WITH f0 AS (SELECT user_id,
+                   CAST(date_trunc('week', min(CAST(ts AS DATE)))
+                     AS DATE) AS cohort_week
+                  FROM events GROUP BY user_id),
+      a0 AS (SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                 AS act_week
+             FROM events),
+      ret AS (SELECT cohort_week,
+                CAST(date_diff('day', cohort_week, act_week) / 7
+                  AS INTEGER) AS w,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM a0 JOIN f0 USING (user_id) GROUP BY 1, 2),
+      base0 AS (SELECT cohort_week, n_users AS base FROM ret WHERE w = 0),
+      rates AS (SELECT r.cohort_week, r.w,
+                  CAST(r.n_users AS DOUBLE) / CAST(b.base AS DOUBLE)
+                    AS rate
+                FROM ret r JOIN base0 b USING (cohort_week)
+                WHERE r.w >= 1),
+      lat AS (SELECT cohort_week, CAST(w AS BIGINT) AS x,
+                CAST(round(ln(rate) * 1e9, 0) AS BIGINT) AS yl
+              FROM rates WHERE rate > 0),
+      per AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_points,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(yl) AS BIGINT) AS sy,
+                CAST(sum(x * yl) AS BIGINT) AS sxy,
+                sum(CAST(yl AS HUGEINT) * yl) AS syy
+              FROM lat GROUP BY 1)
+      SELECT cohort_week, n_points,
+             round(CASE WHEN $ok THEN $slope END, 6) AS decay_rate,
+             round(CASE WHEN $ok AND $slope < 0
+               THEN 0.6931471805599453 / (0.0 - $slope) END, 6)
+               AS half_life,
+             round(CASE WHEN $ok AND $denY > 0
+               THEN $num * $num / ($denX * $denY) END, 6) AS r2
+      FROM per ORDER BY cohort_week"""
+    },
+
+    // Entropy profile: per-value p ln p terms on the 1e-12 lattice,
+    // ln 2 literal shared verbatim; grouping identity is all the string
+    // cast must preserve
+    "q_entropy_profile" -> {
+      val hNat = "(0.0 - CAST(st AS DOUBLE) / 1e12)"
+      s"""
+      WITH m AS (
+        SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR)
+          AS value FROM events
+        UNION ALL SELECT 'event_day', CAST(CAST(ts AS DATE) AS VARCHAR)
+          FROM events
+        UNION ALL SELECT 'event_hour', CAST(hour(ts) AS VARCHAR)
+          FROM events),
+      nulls AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(count(value) AS BIGINT) AS nn
+                FROM m GROUP BY 1),
+      counts AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS c
+                 FROM m WHERE value IS NOT NULL GROUP BY 1, 2),
+      terms AS (SELECT c.col_name,
+                 CAST(round(CAST(c.c AS DOUBLE) / CAST(u.nn AS DOUBLE)
+                   * ln(CAST(c.c AS DOUBLE) / CAST(u.nn AS DOUBLE))
+                   * 1e12, 0) AS BIGINT) AS t,
+                 c.c
+                FROM counts c JOIN nulls u USING (col_name)),
+      percol AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(max(c) AS BIGINT) AS top
+                 FROM terms GROUP BY 1)
+      SELECT u.col_name, u.n_rows, u.n_rows - u.nn AS n_nulls,
+             CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+             round($hNat / 0.6931471805599453, 6) AS entropy_bits,
+             round(CASE WHEN p.n_distinct > 1
+               THEN $hNat / ln(CAST(p.n_distinct AS DOUBLE)) END, 6)
+               AS norm_entropy,
+             round(CAST(p.top AS DOUBLE) / CAST(u.nn AS DOUBLE), 6)
+               AS top_share
+      FROM nulls u LEFT JOIN percol p USING (col_name)
+      ORDER BY col_name"""
+    },
+
     // Ljung-Box: the q_autocorr chain folded to Q = n(n+2) Sum rho_k^2/(n-k),
     // each lag's term on the 1e-12 lattice before the bounded sum
     "q_ljung_box" -> {

@@ -152,6 +152,59 @@ object Quality {
       .orderBy("col_name")
   }
 
+  /** Shannon-entropy column profile: for each declared column, the
+    * null count, distinct count, entropy in bits, entropy normalized
+    * by log₂(distinct) (1 = uniform, →0 = one dominant value), and the
+    * modal value's share — the information-content companion to
+    * [[profile]]'s min/max/null report. Low normalized entropy on a
+    * supposedly-informative column flags a broken upstream join or a
+    * default-value flood before any model sees it.
+    *
+    * Determinism: value counts are exact longs; each value's p·ln p
+    * term commits to the 1e-12 lattice before the per-column fold, and
+    * the ln 2 / natural-log conversions are fixed double trees with the
+    * literal injected verbatim into both engines. All-null columns
+    * keep their row with NULL entropy columns.
+    *
+    * Plan: one stack projection (no shuffle), one (column, value)-grain
+    * aggregation — bounded by the columns' combined distinct counts —
+    * plus a ≤32-row broadcast join. Never a window over raw rows.
+    */
+  def entropyProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty && columns.size <= 32 &&
+      columns.distinct == columns,
+      s"entropyProfile: 1..32 distinct columns (got $columns)")
+    val ln2 = 0.6931471805599453
+    val melted = df.select(expr(
+      columns.map(c => s"'$c', CAST(`$c` AS STRING)")
+        .mkString(s"stack(${columns.size}, ", ", ", ")") +
+        " AS (col_name, value)"))
+    val nulls = melted.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"), count(col("value")).as("__n"))
+    val counts = melted.filter(col("value").isNotNull)
+      .groupBy(col("col_name"), col("value")).agg(count(lit(1)).as("__c"))
+    val terms = counts.join(broadcast(nulls), Seq("col_name"))
+      .withColumn("__p",
+        col("__c").cast("double") / col("__n").cast("double"))
+      .withColumn("__t",
+        round(col("__p") * log(col("__p")) * 1e12, 0).cast("long"))
+    val perCol = terms.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("__t")).as("__st"),
+        max(col("__c")).as("__top"))
+    val hNat = lit(0.0) - col("__st").cast("double") / 1e12
+    nulls.join(perCol, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("__n")).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(hNat / ln2, 6).as("entropy_bits"),
+        round(when(col("n_distinct") > 1,
+          hNat / log(col("n_distinct").cast("double"))), 6)
+          .as("norm_entropy"),
+        round(col("__top").cast("double") / col("__n").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("col_name")
+  }
+
   /** Quality as a time series: per event-time window, total rows and the
     * violation count of every expectation — the batch twin of
     * `streaming.Pipeline.streamingQualityMonitor` (identical compiled

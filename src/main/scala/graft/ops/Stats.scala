@@ -2060,6 +2060,184 @@ object Stats {
           .as("top10_pct_share"))
   }
 
+  /** Per-key exponential-decay fit: OLS of ln(y) on an INTEGER x for
+    * every key, reported as the decay rate, the half-life in x units
+    * (ln 2 / −rate, NULL unless decaying), and R² — the curve-fit that
+    * turns a retention/engagement table into one comparable number per
+    * cohort ("this cohort halves every 3.2 weeks"). The log-linear
+    * sibling of [[trendPerKey]], with the same exact-sums discipline.
+    *
+    * Determinism: x is integral, ln(y) commits to the 1e-9 lattice per
+    * point, so all six sufficient sums fold exactly in any partition
+    * order; slope/half-life/R² are one fixed double tree each (the ln 2
+    * literal is injected verbatim into both engines). Keys with fewer
+    * than `minPoints` usable points or zero x-variance keep their row
+    * with NULL fit columns (full-roster honesty).
+    *
+    * Plan: one keyed aggregation, map-side combined. No window.
+    */
+  def expDecayPerKey(df: DataFrame, keyCol: String, xCol: String,
+                     yCol: String, minPoints: Int = 3): DataFrame = {
+    require(minPoints >= 3,
+      s"expDecayPerKey: minPoints >= 3 (got $minPoints)")
+    val ln2 = 0.6931471805599453
+    val base = df.select(col(keyCol).as("__k"),
+        col(xCol).cast("long").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__y") > 0.0)
+      .withColumn("__yl", round(log(col("__y")) * 1e9, 0).cast("long"))
+    val per = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__yl")).as("__sy"),
+        sum(col("__x") * col("__yl")).as("__sxy"),
+        sum(col("__yl").cast("decimal(38,0)") * col("__yl")).as("__syy"))
+    val nD = col("n_points").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("__sxy") - d("__sx") * d("__sy")
+    val denX = nD * d("__sxx") - d("__sx") * d("__sx")
+    val denY = nD * d("__syy") - d("__sy") * d("__sy")
+    val slope = num / denX / 1e9
+    val ok = col("n_points") >= minPoints && denX > 0
+    per.select(col("__k").as(keyCol), col("n_points"),
+      round(when(ok, slope), 6).as("decay_rate"),
+      round(when(ok && slope < 0, lit(ln2) / (lit(0.0) - slope)), 6)
+        .as("half_life"),
+      round(when(ok && denY > 0, num * num / (denX * denY)), 6).as("r2"))
+      .orderBy(keyCol)
+  }
+
+  /** ICC(1) — one-way random-effects intraclass correlation over an
+    * UNBOUNDED grouping (users, sessions, devices): what fraction of a
+    * value's variance lives BETWEEN groups? The clustering diagnostic
+    * that tells an experimenter whether user-level randomization is
+    * mandatory (high ICC ⇒ events within a user are not independent ⇒
+    * per-event tests overstate n) and a feature engineer whether a
+    * user-level aggregate will carry signal. Unlike [[anovaOneWay]]
+    * (declared bounded roster, CASE fold), this aggregates AT the
+    * group grain first, so millions of groups are fine.
+    *
+    * Determinism: values ride the CENTI lattice (coarse on purpose:
+    * per-group squared sums stay far inside long range even for
+    * million-event groups — the 1e-6 lattice overflows here); each
+    * group's between/within contribution commits to an integer BEFORE
+    * the group fold, and the group-count-scaled global sums fold in
+    * decimal(38,0) so no corpus size overflows them; MSB/MSW/k̄/ICC
+    * are one fixed double tree each.
+    *
+    * Plan: one corpus-sized keyed aggregation (map-side combined) +
+    * one fold of the group-grain frame to a single row. No window,
+    * no roster, no driver state.
+    */
+  def iccOneWay(df: DataFrame, groupCol: String,
+                valueCol: String): DataFrame = {
+    val lat = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .withColumn("__vu", round(col("__v") * 1e2, 0).cast("long"))
+    val per = lat.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__vu")).as("__s"),
+        sum(col("__vu").cast("decimal(38,0)") * col("__vu")).as("__q"))
+    val nD = col("__n").cast("double")
+    val sD = col("__s").cast("double")
+    val terms = per.select(col("__n"),
+      round(sD * sD / nD, 0).cast("long").as("__bn"),
+      round(col("__q").cast("double") - sD * sD / nD, 0).cast("long")
+        .as("__ww"))
+    val f = terms.agg(count(lit(1)).as("n_groups"),
+      sum(col("__n")).as("n"),
+      sum(col("__n") * col("__n")).as("__n2"),
+      sum(col("__bn").cast("decimal(38,0)")).as("__sb"),
+      sum(col("__ww").cast("decimal(38,0)")).as("__sw"))
+    val jD = col("n_groups").cast("double")
+    val nT = col("n").cast("double")
+    val grand = lat.agg(sum(col("__vu")).as("__st"))
+    val out = f.crossJoin(broadcast(grand))
+    val ssb = col("__sb").cast("double") -
+      col("__st").cast("double") * col("__st") / nT
+    val msb = ssb / (jD - 1.0)
+    val msw = col("__sw").cast("double") / (nT - jD)
+    val kbar = (nT - col("__n2").cast("double") / nT) / (jD - 1.0)
+    val den = msb + (kbar - 1.0) * msw
+    val ok = col("n_groups") >= 2 && col("n") > col("n_groups")
+    out.select(col("n"), col("n_groups"),
+      round(when(ok, kbar), 6).as("kbar"),
+      round(when(ok, msb / 1e4), 6).as("ms_between"),
+      round(when(ok, msw / 1e4), 6).as("ms_within"),
+      round(when(ok && den > 0, (msb - msw) / den), 6).as("icc"))
+  }
+
+  /** Tukey-HSD post-hoc table: after [[anovaOneWay]] rejects, WHICH
+    * group pairs differ? One row per unordered pair with the mean
+    * difference, its pooled standard error, the studentized-range
+    * statistic q = |Δ|/√(MSW/2·(1/nᵢ+1/nⱼ)), and Hedges-free Cohen's d
+    * against the pooled sd — the drill-down that keeps a reader from
+    * running k² ad-hoc t-tests. Critical q values are table lookups the
+    * engine deliberately does not embed; the statistic is the output.
+    *
+    * Determinism: identical lattice fold as [[anovaOneWay]] (values on
+    * the 1e-6 integer lattice, exact long/decimal sufficient sums);
+    * each pair's Δ/se/q/d is one fixed double tree on those longs, and
+    * the lattice scale cancels in q and d and is unwound by a single
+    * division in the reported difference. Zero-variance slices
+    * surface as NULL test columns.
+    *
+    * Plan: one corpus fold to a single row, then `stack` melts the
+    * k·(k−1)/2 pair expressions — all driver-free, all bounded.
+    */
+  def tukeyHsd(df: DataFrame, groupCol: String, valueCol: String,
+               groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 16 &&
+      groups.distinct == groups,
+      s"tukeyHsd: 2..16 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val observed = base.select("__g").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(observed == groups.sorted,
+      s"tukeyHsd: observed groups ${observed.mkString("[", ", ", "]")}"
+        + s" differ from the declared roster — fail loud, don't hash-flake")
+    val lat = base.withColumn("__vu",
+      round(col("__v") * 1e6, 0).cast("long"))
+    val sorted = groups.sorted
+    val k = sorted.size
+    val aggs = sorted.zipWithIndex.flatMap { case (g, i) =>
+      Seq(sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(col("__g") === g, col("__vu")).otherwise(0L)).as(s"__s$i"),
+        sum(when(col("__g") === g,
+          col("__vu").cast("decimal(38,0)") * col("__vu"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"__q$i"))
+    } :+ count(lit(1)).as("__nt")
+    val folded = lat.agg(aggs.head, aggs.tail: _*)
+    def nj(i: Int) = col(s"__n$i").cast("double")
+    def mj(i: Int) = col(s"__s$i").cast("double") / nj(i)
+    def ssw(i: Int) = col(s"__q$i").cast("double") -
+      col(s"__s$i").cast("double") * col(s"__s$i") / nj(i)
+    val msw = sorted.indices.map(ssw).reduce(_ + _) /
+      (col("__nt").cast("double") - k)
+    val pairs = for (i <- 0 until k; j <- (i + 1) until k) yield (i, j)
+    val pairCols = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
+      val diff = mj(i) - mj(j)
+      val se = sqrt(msw / 2.0 * (lit(1.0) / nj(i) + lit(1.0) / nj(j)))
+      Seq(lit(sorted(i)).as(s"__ga$p"), lit(sorted(j)).as(s"__gb$p"),
+        col(s"__n$i").as(s"__na$p"), col(s"__n$j").as(s"__nb$p"),
+        round(diff / 1e6, 6).as(s"__d$p"),
+        round(when(msw > 0, se / 1e6), 6).as(s"__se$p"),
+        round(when(msw > 0, abs(diff) / se), 6).as(s"__q$p"),
+        round(when(msw > 0, diff / sqrt(msw)), 6).as(s"__cd$p"))
+    }
+    val wide = folded.select(pairCols: _*)
+    wide.select(expr(pairs.indices
+      .map(p => s"__ga$p, __gb$p, __na$p, __nb$p, __d$p, __se$p, " +
+        s"__q$p, __cd$p").mkString(s"stack(${pairs.size}, ", ", ", ")")
+      + " AS (group_a, group_b, n_a, n_b, mean_diff, se_pooled, " +
+      "q_stat, cohens_d)"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Cochran–Armitage trend test: does a BINARY outcome rate rise or
     * fall monotonically across ORDERED integer scores (deciles, age
     * bands, dose tiers)? The ordered-alternative companion to a plain

@@ -798,6 +798,48 @@ object AnalyticsRegistry {
       // Welch's heteroscedastic F, all from one lattice-exact fold
       Stats.anovaOneWay(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
+    "q_tukey_hsd" -> ((s, dir) =>
+      // the post-hoc drill-down: which event-type pairs differ?
+      // studentized-range q per pair from the same lattice fold
+      Stats.tukeyHsd(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_icc" -> ((s, dir) =>
+      // are event values user-clustered? ICC(1) over the unbounded
+      // user grouping — the per-event-tests-overstate-n warning light
+      Stats.iccOneWay(Tables.events(s, dir), "user_id", "value")),
+    "q_retention_halflife" -> ((s, dir) => {
+      // one number per cohort: weeks to lose half the active users —
+      // exponential fit of the weekly retention curve
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("day"))).cast("date")
+          .as("cohort_week"))
+      val act = e.select(col("user_id"),
+        date_trunc("week", col("day")).cast("date").as("act_week"))
+        .distinct()
+      val ret = act.join(first, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("act_week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val base0 = ret.filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("n_users").as("base"))
+      val rates = ret.filter(col("week_offset") >= 1)
+        .join(base0, Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"),
+          (col("n_users").cast("double") / col("base").cast("double"))
+            .as("rate"))
+      Stats.expDecayPerKey(rates, "cohort_week", "week_offset", "rate")
+    }),
+    "q_entropy_profile" -> ((s, dir) =>
+      // information content per column: entropy / normalized entropy /
+      // modal share — the default-value-flood detector
+      Quality.entropyProfile(
+        Tables.events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("event_day"),
+          hour(col("ts")).as("event_hour")),
+        Seq("event_type", "event_day", "event_hour"))),
     "q_ljung_box" -> ((s, dir) =>
       // any autocorrelation in the first 14 lags of daily revenue? the
       // portmanteau gate on i.i.d. assumptions

@@ -120,6 +120,28 @@ class QualitySpec extends SparkSpec {
     assert(dup.getLong(1) == 4L && dup.getLong(3) == 1L)
   }
 
+  test("entropyProfile: uniform column scores log2(k) bits with norm 1, " +
+      "constant column 0 bits with NULL norm, nulls counted") {
+    val df = Seq(("a", "x", Some(1)), ("b", "x", Some(1)),
+      ("c", "x", None), ("d", "x", Some(2)))
+      .toDF("u", "k", "m")
+    val r = graft.ops.Quality.entropyProfile(df, Seq("u", "k", "m"))
+      .collect()
+    val u = r.find(_.getString(0) == "u").get
+    assert(u.getAs[Long]("n_rows") == 4L && u.getAs[Long]("n_nulls") == 0L)
+    assert(u.getAs[Long]("n_distinct") == 4L)
+    assert(u.getAs[Double]("entropy_bits") == 2.0)
+    assert(u.getAs[Double]("norm_entropy") == 1.0)
+    assert(u.getAs[Double]("top_share") == 0.25)
+    val k = r.find(_.getString(0) == "k").get
+    assert(k.getAs[Double]("entropy_bits") == 0.0)
+    assert(k.isNullAt(k.fieldIndex("norm_entropy")))
+    assert(k.getAs[Double]("top_share") == 1.0)
+    val m = r.find(_.getString(0) == "m").get
+    assert(m.getAs[Long]("n_nulls") == 1L)
+    assert(m.getAs[Long]("n_distinct") == 2L)
+  }
+
   test("profile: one-pass column catalog with nulls and distincts") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),

@@ -240,6 +240,60 @@ class StatsSpec extends SparkSpec {
     assert(f.forall(_.isNullAt(f.head.fieldIndex("f_stat"))))
   }
 
+  test("tukeyHsd: shifted unit-variance groups score the closed-form " +
+      "pairwise q and d; roster drift fails loud") {
+    // a=(1,2,3) b=(2,3,4) c=(3,4,5): MSW=1, se=sqrt(1/3)
+    val sep = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 3.0, 4.0).map(("b", _)) ++
+      Seq(3.0, 4.0, 5.0).map(("c", _))).toDF("g", "v")
+    val r = Stats.tukeyHsd(sep, "g", "v", Seq("a", "b", "c")).collect()
+    assert(r.length == 3)
+    val ab = r.find(x => x.getString(0) == "a" && x.getString(1) == "b").get
+    assert(ab.getAs[Long]("n_a") == 3L && ab.getAs[Long]("n_b") == 3L)
+    assert(ab.getAs[Double]("mean_diff") == -1.0)
+    assert(ab.getAs[Double]("se_pooled") == 0.57735)
+    assert(ab.getAs[Double]("q_stat") == 1.732051)
+    assert(ab.getAs[Double]("cohens_d") == -1.0)
+    val ac = r.find(x => x.getString(0) == "a" && x.getString(1) == "c").get
+    assert(ac.getAs[Double]("mean_diff") == -2.0)
+    assert(ac.getAs[Double]("q_stat") == 3.464102)
+    intercept[IllegalArgumentException] {
+      Stats.tukeyHsd(sep, "g", "v", Seq("a", "b"))
+    }
+  }
+
+  test("iccOneWay: perfectly clustered groups score ICC 1, perfectly " +
+      "anti-clustered score the -1/(k-1) floor") {
+    val clustered = Seq(("g1", 1.0), ("g1", 1.0), ("g2", 5.0), ("g2", 5.0))
+      .toDF("g", "v")
+    val c = Stats.iccOneWay(clustered, "g", "v").collect().head
+    assert(c.getAs[Long]("n") == 4L && c.getAs[Long]("n_groups") == 2L)
+    assert(c.getAs[Double]("kbar") == 2.0)
+    assert(c.getAs[Double]("ms_between") == 16.0)
+    assert(c.getAs[Double]("ms_within") == 0.0)
+    assert(c.getAs[Double]("icc") == 1.0)
+    val anti = Seq(("g1", 1.0), ("g1", 5.0), ("g2", 1.0), ("g2", 5.0))
+      .toDF("g", "v")
+    val a = Stats.iccOneWay(anti, "g", "v").collect().head
+    assert(a.getAs[Double]("ms_between") == 0.0)
+    assert(a.getAs[Double]("icc") == -1.0)
+  }
+
+  test("expDecayPerKey: exact halving fits rate -ln2, half-life 1, " +
+      "R2 1; short series keep a NULL-fit row") {
+    val df = Seq(("k1", 1, 0.5), ("k1", 2, 0.25), ("k1", 3, 0.125),
+      ("k2", 1, 0.9)).toDF("k", "w", "r")
+    val out = Stats.expDecayPerKey(df, "k", "w", "r").collect()
+    val k1 = out.find(_.getString(0) == "k1").get
+    assert(k1.getAs[Long]("n_points") == 3L)
+    assert(k1.getAs[Double]("decay_rate") == -0.693147)
+    assert(k1.getAs[Double]("half_life") == 1.0)
+    assert(k1.getAs[Double]("r2") == 1.0)
+    val k2 = out.find(_.getString(0) == "k2").get
+    assert(k2.getAs[Long]("n_points") == 1L)
+    assert(k2.isNullAt(k2.fieldIndex("decay_rate")))
+  }
+
   test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
       "closed form; short series refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
