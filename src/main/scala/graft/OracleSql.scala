@@ -6499,6 +6499,208 @@ object OracleSql {
       FROM f"""
     },
 
+    // Mann-Whitney: the kruskal 2x-midrank machinery restricted to two
+    // groups; 2U exact, tie-corrected z, one fixed tree per output
+    "q_mann_whitney" -> {
+      val naD = "CAST(n_a AS DOUBLE)"
+      val nbD = "CAST(n_b AS DOUBLE)"
+      val nD = s"($naD + $nbD)"
+      val u2a = "(ra2 - n_a * (n_a + 1))"
+      val varU = s"($naD * $nbD / 12.0 * (($nD + 1.0)"
+        .concat(s" - CAST(tsum AS DOUBLE) / ($nD * ($nD - 1.0))))")
+      val z = s"((CAST($u2a AS DOUBLE) - $naD * $nbD)"
+        .concat(s" / (2.0 * sqrt($varU)))")
+      val ok = "n_a >= 1 AND n_b >= 1"
+      s"""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IN ('purchase', 'view')
+                      AND value IS NOT NULL),
+      pv AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY v),
+      r AS (SELECT v, CAST(2 * coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS r2 FROM pv),
+      t AS (SELECT CAST(coalesce(sum(n * n * n - n), 0) AS BIGINT) AS tsum
+            FROM pv),
+      f AS (SELECT
+              CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN g = 'purchase' THEN r2 ELSE 0 END)
+                AS BIGINT) AS ra2
+            FROM base b JOIN r ON b.v = r.v)
+      SELECT n_a, n_b,
+             round(CASE WHEN $ok
+               THEN CAST($u2a AS DOUBLE) / 2.0 END, 6) AS u_a,
+             round(CASE WHEN $ok
+               THEN ($naD * $nbD) - CAST($u2a AS DOUBLE) / 2.0 END, 6)
+               AS u_b,
+             round(CASE WHEN $ok AND $varU > 0 THEN $z END, 6) AS z,
+             round(CASE WHEN $ok AND $varU > 0
+               THEN $z / sqrt($nD) END, 6) AS effect_size_r
+      FROM f, t"""
+    },
+
+    // Welch t-test: the effect-sizes lattice fold, Welch-Satterthwaite
+    // df, z-critical CI literal shared verbatim
+    "q_welch_ttest" -> {
+      def nD(s: String) = s"CAST(n$s AS DOUBLE)"
+      def m(s: String) = s"(CAST(s$s AS DOUBLE) / ${nD(s)})"
+      def ssd(s: String) = s"(CAST(q$s AS DOUBLE)"
+        .concat(s" - CAST(s$s AS DOUBLE) * s$s / ${nD(s)})")
+      def va(s: String) = s"(${ssd(s)} / (${nD(s)} - 1.0) / ${nD(s)})"
+      val se = s"sqrt(${va("a")} + ${va("b")})"
+      val t = s"((${m("a")} - ${m("b")}) / $se)"
+      val dfW = s"((${va("a")} + ${va("b")}) * (${va("a")} + ${va("b")})"
+        .concat(s" / (${va("a")} * ${va("a")} / (${nD("a")} - 1.0)")
+        .concat(s" + ${va("b")} * ${va("b")} / (${nD("b")} - 1.0)))")
+      val ok = s"na >= 2 AND nb >= 2 AND ${ssd("a")} + ${ssd("b")} > 0"
+      s"""
+      WITH base AS (SELECT event_type AS g,
+               CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT) AS vu
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+              AND value IS NOT NULL),
+      f AS (SELECT
+              CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS na,
+              CAST(sum(CASE WHEN g = 'purchase' THEN vu ELSE 0 END)
+                AS BIGINT) AS sa,
+              sum(CASE WHEN g = 'purchase' THEN CAST(vu AS HUGEINT) * vu
+                  ELSE CAST(0 AS HUGEINT) END) AS qa,
+              CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nb,
+              CAST(sum(CASE WHEN g = 'view' THEN vu ELSE 0 END)
+                AS BIGINT) AS sb,
+              sum(CASE WHEN g = 'view' THEN CAST(vu AS HUGEINT) * vu
+                  ELSE CAST(0 AS HUGEINT) END) AS qb
+            FROM base)
+      SELECT na AS n_a, nb AS n_b,
+             round((${m("a")} - ${m("b")}) / 1e6, 6) AS mean_diff,
+             round(CASE WHEN $ok THEN $se / 1e6 END, 6) AS se_diff,
+             round(CASE WHEN $ok THEN $t END, 6) AS t_stat,
+             round(CASE WHEN $ok THEN $dfW END, 6) AS welch_df,
+             round(CASE WHEN $ok THEN (${m("a")} - ${m("b")}
+               - 1.959963984540054 * $se) / 1e6 END, 6) AS diff_lo,
+             round(CASE WHEN $ok THEN (${m("a")} - ${m("b")}
+               + 1.959963984540054 * $se) / 1e6 END, 6) AS diff_hi
+      FROM f"""
+    },
+
+    // Daily OHLC bars: open/close via the exact (ts, id) row_number
+    // election (the Spark side's struct min/max), lattice VWAP
+    "q_daily_bars" -> """
+      WITH base AS (SELECT ts, event_id AS id, CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL),
+      o AS (SELECT CAST(ts AS DATE) AS day, v,
+              row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                ORDER BY ts, id) AS rn_a,
+              row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                ORDER BY ts DESC, id DESC) AS rn_d
+            FROM base),
+      agg AS (SELECT day, max(v) AS hi, min(v) AS lo,
+                CAST(count(*) AS BIGINT) AS n_trades,
+                CAST(sum(CAST(round(v * 1e6, 0) AS BIGINT)) AS BIGINT)
+                  AS vs
+              FROM o GROUP BY 1),
+      op AS (SELECT day, v AS open FROM o WHERE rn_a = 1),
+      cl AS (SELECT day, v AS close FROM o WHERE rn_d = 1),
+      j AS (SELECT a.day, op.open, a.hi, a.lo, cl.close, a.n_trades,
+              a.vs, lag(cl.close) OVER (ORDER BY a.day) AS prev
+            FROM agg a JOIN op USING (day) JOIN cl USING (day))
+      SELECT day, round(open, 6) AS open, round(hi, 6) AS high,
+             round(lo, 6) AS low, round(close, 6) AS close, n_trades,
+             round(CAST(vs AS DOUBLE) / 1e6 / CAST(n_trades AS DOUBLE), 6)
+               AS vwap,
+             round(CASE WHEN prev > 0 THEN close / prev - 1.0 END, 6)
+               AS day_return
+      FROM j ORDER BY day""",
+
+    // Price indexes: centi-lattice period sums per part, p*q cross
+    // terms on the 1e-6-scaled lattice before the basket folds
+    "q_price_index" -> {
+      def term(e: String, q: String, qw: String) =
+        s"CAST(round(CAST($e AS DOUBLE) / CAST($q AS DOUBLE)" +
+          s" * CAST($qw AS DOUBLE) * 1e6, 0) AS BIGINT)"
+      val lasp = "CAST(l1 AS DOUBLE) / CAST(l0 AS DOUBLE)"
+      val paas = "CAST(p1 AS DOUBLE) / CAST(p0 AS DOUBLE)"
+      val ok = "n_items >= 1 AND l0 > 0 AND p0 > 0"
+      s"""
+      WITH base AS (SELECT l_partkey AS i,
+               CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS e,
+               (year(o_orderdate) = 1994) AS b,
+               (year(o_orderdate) = 1995) AS c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE (year(o_orderdate) = 1994) OR (year(o_orderdate) = 1995)),
+      per0 AS (SELECT i,
+                CAST(sum(CASE WHEN b THEN q ELSE 0 END) AS BIGINT) AS q0,
+                CAST(sum(CASE WHEN b THEN e ELSE 0 END) AS BIGINT) AS e0,
+                CAST(sum(CASE WHEN c THEN q ELSE 0 END) AS BIGINT) AS q1,
+                CAST(sum(CASE WHEN c THEN e ELSE 0 END) AS BIGINT) AS e1
+               FROM base GROUP BY 1),
+      per AS (SELECT * FROM per0 WHERE q0 > 0 AND q1 > 0),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(${term("e1", "q1", "q0")}) AS BIGINT) AS l1,
+              CAST(sum(${term("e0", "q0", "q0")}) AS BIGINT) AS l0,
+              CAST(sum(${term("e1", "q1", "q1")}) AS BIGINT) AS p1,
+              CAST(sum(${term("e0", "q0", "q1")}) AS BIGINT) AS p0
+            FROM per)
+      SELECT n_items,
+             round(CASE WHEN $ok THEN $lasp END, 6) AS laspeyres,
+             round(CASE WHEN $ok THEN $paas END, 6) AS paasche,
+             round(CASE WHEN $ok
+               THEN sqrt(($lasp) * ($paas)) END, 6) AS fisher
+      FROM f"""
+    },
+
+    // Regression influence: exact daily sums, slope/intercept/RSS from
+    // the standard identities, one fixed tree per diagnostic
+    "q_regression_influence" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val b = s"(($nD * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")})"
+        .concat(s" / ($nD * ${dd("sxx")} - ${dd("sx")} * ${dd("sx")}))")
+      val a = s"((${dd("sy")} - $b * ${dd("sx")}) / $nD)"
+      val sxxC = s"(${dd("sxx")} - ${dd("sx")} * ${dd("sx")} / $nD)"
+      val xbar = s"(${dd("sx")} / $nD)"
+      val rss = s"(${dd("syy")} - $a * ${dd("sy")} - $b * ${dd("sxy")})"
+      val s2 = s"($rss / ($nD - 2.0))"
+      val xD = "CAST(x AS DOUBLE)"
+      val e = s"(CAST(y AS DOUBLE) - ($a + $b * $xD))"
+      val h = s"(1.0 / $nD + ($xD - $xbar) * ($xD - $xbar) / $sxxC)"
+      val rr = s"($e / sqrt($s2 * (1.0 - $h)))"
+      val cooks = s"($rr * $rr / 2.0 * ($h / (1.0 - $h)))"
+      val okH = s"n >= 4 AND $sxxC > 0"
+      val ok = s"$okH AND $s2 > 0"
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      r AS (SELECT day, y,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
+            FROM daily),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM r)
+      SELECT day, x AS day_index,
+             round(CAST(y AS DOUBLE) / 100.0, 2) AS value,
+             round(CASE WHEN $okH THEN $h END, 6) AS leverage,
+             round(CASE WHEN $ok THEN $e / 100.0 END, 2) AS residual,
+             round(CASE WHEN $ok AND $h < 1 THEN $rr END, 6) AS std_resid,
+             round(CASE WHEN $ok AND $h < 1 THEN $cooks END, 6)
+               AS cooks_d,
+             CASE WHEN $ok AND $h < 1
+               THEN ($cooks > 4.0 / $nD) END AS influential
+      FROM r, f ORDER BY day"""
+    },
+
     // Tukey HSD: the q_anova lattice fold, then one fixed tree per pair
     // (scale cancels in q and d, one division unwinds the reported diff)
     "q_tukey_hsd" -> {

@@ -147,4 +147,98 @@ object Olap {
         sum(col("n_entities")).over(cohort).cast("double"), 6))
       .orderBy("week_from", "tier_from", "tier_to")
   }
+
+  /** Daily OHLC bars with VWAP and day-over-day close return — the
+    * market-data summary shape ("candlesticks") applied to any valued
+    * event stream: open/close are the first/last value IN EVENT ORDER
+    * (timestamp with id tiebreak — an exact struct election, never a
+    * nondeterministic `first()`), high/low the extremes, VWAP the
+    * lattice-exact mean.
+    *
+    * Determinism: open/close elected via min/max over the (ts, id,
+    * value) struct — exact lexicographic comparison; VWAP folds 1e-6
+    * lattice longs; the return column divides the two elected doubles
+    * (one fixed tree). One row per day; the return lag runs over the
+    * calendar-bounded frame (documented global-window class).
+    *
+    * Plan: one keyed aggregation (map-side combined: min/max/sum all
+    * merge), one bounded lag window. No raw-row window.
+    */
+  def dailyBars(df: DataFrame, tsCol: String, idCol: String,
+                valueCol: String): DataFrame = {
+    val base = df.select(col(tsCol).as("__ts"), col(idCol).as("__id"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val per = base.groupBy(to_date(col("__ts")).as("day"))
+      .agg(
+        min(struct(col("__ts"), col("__id"), col("__v"))).as("__o"),
+        max(struct(col("__ts"), col("__id"), col("__v"))).as("__c"),
+        max(col("__v")).as("__hi"), min(col("__v")).as("__lo"),
+        count(lit(1)).as("n_trades"),
+        sum(round(col("__v") * 1e6, 0).cast("long")).as("__vs"))
+    val w = Window.partitionBy().orderBy(col("day"))
+    per
+      .withColumn("__close", col("__c").getField("__v"))
+      .withColumn("__prev", lag(col("__close"), 1).over(w))
+      .select(col("day"),
+        round(col("__o").getField("__v"), 6).as("open"),
+        round(col("__hi"), 6).as("high"),
+        round(col("__lo"), 6).as("low"),
+        round(col("__close"), 6).as("close"),
+        col("n_trades"),
+        round(col("__vs").cast("double") / 1e6 /
+          col("n_trades").cast("double"), 6).as("vwap"),
+        round(when(col("__prev") > 0,
+          col("__close") / col("__prev") - 1.0), 6).as("day_return"))
+      .orderBy("day")
+  }
+
+  /** Laspeyres / Paasche / Fisher price indexes between a declared BASE
+    * and CURRENT period over a (item, quantity, extended-value) fact
+    * table: "how much did like-for-like prices move, holding the basket
+    * at base (Laspeyres) or current (Paasche) quantities?" — with
+    * Fisher's geometric compromise. Only items traded in BOTH periods
+    * enter (the matched-basket convention, reported as n_items).
+    *
+    * Determinism: per-(item, period) quantity and value sums ride the
+    * centi lattice (exact longs); each item's p·q cross term commits to
+    * the 1e-6-scaled integer lattice BEFORE the basket fold, so all
+    * four basket sums are exact long addition and the three indexes are
+    * one fixed double tree each (the lattice scales cancel in every
+    * ratio).
+    *
+    * Plan: one (item)-grain CASE-folded aggregation (corpus-sized,
+    * map-side combined) + one fold of the item frame to a single row.
+    */
+  def priceIndex(df: DataFrame, itemCol: String, qtyCol: String,
+                 extCol: String, isBase: Column,
+                 isCurrent: Column): DataFrame = {
+    val base = df.select(col(itemCol).as("__i"),
+        round(col(qtyCol) * 100, 0).cast("long").as("__q"),
+        round(col(extCol) * 100, 0).cast("long").as("__e"),
+        isBase.as("__b"), isCurrent.as("__c"))
+      .filter(col("__b") || col("__c"))
+    val per = base.groupBy(col("__i")).agg(
+      sum(when(col("__b"), col("__q")).otherwise(0L)).as("__q0"),
+      sum(when(col("__b"), col("__e")).otherwise(0L)).as("__e0"),
+      sum(when(col("__c"), col("__q")).otherwise(0L)).as("__q1"),
+      sum(when(col("__c"), col("__e")).otherwise(0L)).as("__e1"))
+      .filter(col("__q0") > 0 && col("__q1") > 0)
+    def p(e: String, q: String) =
+      col(e).cast("double") / col(q).cast("double")
+    def term(e: String, q: String, qw: String) =
+      round(p(e, q) * col(qw).cast("double") * 1e6, 0).cast("long")
+    val f = per.agg(count(lit(1)).as("n_items"),
+      sum(term("__e1", "__q1", "__q0")).as("__l1"),
+      sum(term("__e0", "__q0", "__q0")).as("__l0"),
+      sum(term("__e1", "__q1", "__q1")).as("__p1"),
+      sum(term("__e0", "__q0", "__q1")).as("__p0"))
+    val lasp = col("__l1").cast("double") / col("__l0").cast("double")
+    val paas = col("__p1").cast("double") / col("__p0").cast("double")
+    val ok = col("n_items") >= 1 && col("__l0") > 0 && col("__p0") > 0
+    f.select(col("n_items"),
+      round(when(ok, lasp), 6).as("laspeyres"),
+      round(when(ok, paas), 6).as("paasche"),
+      round(when(ok, sqrt(lasp * paas)), 6).as("fisher"))
+  }
 }

@@ -911,6 +911,61 @@ object Stats {
       round(when(ok, d + lit(zCrit) * se), 6).as("d_hi"))
   }
 
+  /** Welch two-sample t-test: the unequal-variance comparison of two
+    * DECLARED group means with the Welch–Satterthwaite df and a
+    * normal-approximation 95% CI on the raw difference — the classic
+    * named test between [[effectSizes]] (which standardizes the gap)
+    * and [[anovaOneWay]] (which generalizes to k groups). The CI uses
+    * the z critical value, not t (no t-table in-engine) — documented,
+    * and conservative only below ~30 df.
+    *
+    * Determinism: the [[effectSizes]] lattice fold (1e-6 integer
+    * commits, exact long/decimal sums); t and df are one fixed double
+    * tree each (the lattice scale cancels in t and df and is unwound
+    * by one division in the reported difference and CI).
+    *
+    * Plan: one corpus fold to a single row, map-side combined.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB,
+      s"welchTTest: groups must differ (got '$groupA' twice)")
+    val zCrit = 1.959963984540054
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isin(groupA, groupB) && col("__v").isNotNull)
+      .withColumn("__vu", round(col("__v") * 1e6, 0).cast("long"))
+    def agg3(g: String, sfx: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$sfx"),
+      sum(when(col("__g") === g, col("__vu")).otherwise(0L)).as(s"__s$sfx"),
+      sum(when(col("__g") === g,
+        col("__vu").cast("decimal(38,0)") * col("__vu"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"__q$sfx"))
+    val aggs = agg3(groupA, "a") ++ agg3(groupB, "b")
+    val f = base.agg(aggs.head, aggs.tail: _*)
+    def nD(s: String) = col(s"__n$s").cast("double")
+    def m(s: String) = col(s"__s$s").cast("double") / nD(s)
+    def ssd(s: String) = col(s"__q$s").cast("double") -
+      col(s"__s$s").cast("double") * col(s"__s$s") / nD(s)
+    def va(s: String) = ssd(s) / (nD(s) - 1.0) / nD(s)
+    val se = sqrt(va("a") + va("b"))
+    val t = (m("a") - m("b")) / se
+    val dfW = (va("a") + va("b")) * (va("a") + va("b")) /
+      (va("a") * va("a") / (nD("a") - 1.0) +
+       va("b") * va("b") / (nD("b") - 1.0))
+    val ok = col("__na") >= 2 && col("__nb") >= 2 &&
+      ssd("a") + ssd("b") > 0
+    f.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round((m("a") - m("b")) / 1e6, 6).as("mean_diff"),
+      round(when(ok, se / 1e6), 6).as("se_diff"),
+      round(when(ok, t), 6).as("t_stat"),
+      round(when(ok, dfW), 6).as("welch_df"),
+      round(when(ok, (m("a") - m("b") - lit(zCrit) * se) / 1e6), 6)
+        .as("diff_lo"),
+      round(when(ok, (m("a") - m("b") + lit(zCrit) * se) / 1e6), 6)
+        .as("diff_hi"))
+  }
+
   /** Lag-k autocorrelation of a regular time series — the seasonality /
     * persistence diagnostic for forecast features ("is daily revenue
     * weekly-periodic?"): Pearson corr(xₜ, xₜ₋ₖ) for k = 1..maxLag over the
@@ -1007,6 +1062,60 @@ object Stats {
         round(h / (lit(1.0) - col("__tsum").cast("double")
           / (nn * nn * nn - nn)), 6).as("h_adjusted"),
         lit(groups.size - 1).as("df"))): _*)
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between TWO declared groups:
+    * the two-sample special case a reader reaches for before
+    * [[kruskalWallis]]'s k-sample H — "do purchases stochastically
+    * dominate views?" — with the tie-corrected normal z and the
+    * effect size r = z/√n. U is reported exactly even under midrank
+    * ties (2U is always an integer).
+    *
+    * Determinism: the exact integer 2×-midranks of [[kruskalWallis]]
+    * (distinct-value grain, no per-row sort); 2U and the tie term
+    * Σ(t³−t) are exact long folds; z and r are one fixed double tree
+    * each. Degenerate slices (a group empty after filtering, zero rank
+    * variance) surface as NULLs.
+    *
+    * Plan: one distinct-value aggregation + a bounded window over the
+    * distinct-value frame + one corpus fold. One output row.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB,
+      s"mannWhitney: groups must differ (got '$groupA' twice)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isin(groupA, groupB) && col("__v").isNotNull)
+    val perVal = base.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = perVal.withColumn("__r2",
+      lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+        + col("__n") + lit(1L))
+    val ties = perVal.agg(coalesce(sum(col("__n") * col("__n") * col("__n")
+      - col("__n")), lit(0L)).as("__tsum"))
+    val f = base.join(ranks.select(col("__v"), col("__r2")), Seq("__v"))
+      .agg(
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__g") === groupA, col("__r2")).otherwise(0L))
+          .as("__ra2"))
+      .crossJoin(broadcast(ties))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    // 2U_a = R_a2 − n_a(n_a+1): exact long; U_b from U_a + U_b = n_a·n_b
+    val u2a = col("__ra2") - col("n_a") * (col("n_a") + 1L)
+    val varU = naD * nbD / 12.0 *
+      ((nD + 1.0) - col("__tsum").cast("double") / (nD * (nD - 1.0)))
+    val z = (u2a.cast("double") - naD * nbD) / (lit(2.0) * sqrt(varU))
+    val ok = col("n_a") >= 1 && col("n_b") >= 1
+    f.select(col("n_a"), col("n_b"),
+      round(when(ok, u2a.cast("double") / 2.0), 6).as("u_a"),
+      round(when(ok, (naD * nbD) - u2a.cast("double") / 2.0), 6).as("u_b"),
+      round(when(ok && varU > 0, z), 6).as("z"),
+      round(when(ok && varU > 0, z / sqrt(nD)), 6).as("effect_size_r"))
   }
 
   /** Ljung–Box portmanteau test over the daily series: is there ANY
@@ -1949,6 +2058,62 @@ object Stats {
         + " AS (lag, ccf, n_pairs)"))
       .withColumn("ccf", round(col("ccf"), 6))
       .orderBy("lag")
+  }
+
+  /** OLS influence diagnostics over the daily trend: for each day of
+    * the aggregated series, its leverage hᵢ, standardized residual,
+    * and Cook's distance against the simple day-index regression —
+    * "which days are actually steering the trend line?" The per-point
+    * companion to [[trendPerKey]]'s per-key summary: a quarter-end
+    * spike with high Cook's D means the reported slope is one event,
+    * not a trend. Days with Cook's D > 4/n are flagged.
+    *
+    * Determinism: the trendPerKey discipline — integer x (dense day
+    * index), centi-lattice y, exact sufficient sums — then ONE fixed
+    * double tree per diagnostic (slope/intercept/RSS from the standard
+    * identities on exact longs; lattice scale cancels in h, r, and D
+    * and is unwound by one division in the reported value/residual).
+    *
+    * Plan: one corpus-sized keyed aggregation to the calendar-bounded
+    * daily frame, the dense-index window over that bounded frame, one
+    * 1-row fold broadcast back. Output is day-grain.
+    */
+  def regressionInfluence(df: DataFrame, dateCol: Column,
+                          valueCol: String): DataFrame = {
+    val daily = df.groupBy(dateCol.as("day"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val ranked = daily.withColumn("__x",
+      row_number().over(Window.partitionBy().orderBy(col("day")))
+        .cast("long"))
+      .localCheckpoint(eager = false)
+    val f = ranked.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__syy"))
+    val nD = col("__n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val b = (nD * d("__sxy") - d("__sx") * d("__sy")) /
+      (nD * d("__sxx") - d("__sx") * d("__sx"))
+    val a = (d("__sy") - b * d("__sx")) / nD
+    val sxxC = d("__sxx") - d("__sx") * d("__sx") / nD
+    val xbar = d("__sx") / nD
+    val rss = d("__syy") - a * d("__sy") - b * d("__sxy")
+    val s2 = rss / (nD - 2.0)
+    val xD = col("__x").cast("double")
+    val e = col("__y").cast("double") - (a + b * xD)
+    val h = lit(1.0) / nD + (xD - xbar) * (xD - xbar) / sxxC
+    val r = e / sqrt(s2 * (lit(1.0) - h))
+    val cooks = r * r / 2.0 * (h / (lit(1.0) - h))
+    val ok = col("__n") >= 4 && sxxC > 0 && s2 > 0
+    ranked.crossJoin(broadcast(f))
+      .select(col("day"), col("__x").as("day_index"),
+        round(col("__y").cast("double") / 100.0, 2).as("value"),
+        round(when(col("__n") >= 4 && sxxC > 0, h), 6).as("leverage"),
+        round(when(ok, e / 100.0), 2).as("residual"),
+        round(when(ok && h < 1, r), 6).as("std_resid"),
+        round(when(ok && h < 1, cooks), 6).as("cooks_d"),
+        when(ok && h < 1, cooks > lit(4.0) / nD).as("influential"))
+      .orderBy("day")
   }
 
   /** Lag-1 Granger-causality screen between the DAILY value series and

@@ -798,6 +798,34 @@ object AnalyticsRegistry {
       // Welch's heteroscedastic F, all from one lattice-exact fold
       Stats.anovaOneWay(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
+    "q_mann_whitney" -> ((s, dir) =>
+      // do purchase values stochastically dominate views? exact
+      // 2x-midrank U, tie-corrected z, effect size r
+      Stats.mannWhitney(Tables.events(s, dir), "event_type", "value",
+        "purchase", "view")),
+    "q_welch_ttest" -> ((s, dir) =>
+      // the classic named two-sample test: Welch t and df with a CI on
+      // the raw purchase-vs-view value gap
+      Stats.welchTTest(Tables.events(s, dir), "event_type", "value",
+        "purchase", "view")),
+    "q_daily_bars" -> ((s, dir) =>
+      // OHLC candlesticks + VWAP + day-over-day return for the event
+      // value stream; open/close elected exactly in (ts, id) order
+      Olap.dailyBars(Tables.events(s, dir), "ts", "event_id", "value")),
+    "q_price_index" -> ((s, dir) =>
+      // like-for-like 1994->1995 price movement over the matched part
+      // basket: Laspeyres / Paasche / Fisher from lattice cross terms
+      Olap.priceIndex(
+        Tables.lineitem(s, dir).join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey")),
+        "l_partkey", "l_quantity", "l_extendedprice",
+        year(col("o_orderdate")) === 1994,
+        year(col("o_orderdate")) === 1995)),
+    "q_regression_influence" -> ((s, dir) =>
+      // which days steer the revenue trend line? leverage, standardized
+      // residuals, Cook's D per day with the 4/n flag
+      Stats.regressionInfluence(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_tukey_hsd" -> ((s, dir) =>
       // the post-hoc drill-down: which event-type pairs differ?
       // studentized-range q per pair from the same lattice fold

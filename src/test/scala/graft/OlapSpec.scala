@@ -126,4 +126,45 @@ class OlapSpec extends SparkSpec {
         Seq(("low", 0.0), ("churned", 500.0)))
     }
   }
+
+  test("dailyBars: open/close elected in event order, VWAP exact, " +
+      "day-over-day return from elected closes") {
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 6, 1 + d, h, 0, 0))
+    val df = Seq(
+      (t(0, 9), 1L, 10.0), (t(0, 12), 2L, 20.0), (t(0, 16), 3L, 15.0),
+      (t(1, 10), 4L, 30.0)).toDF("ts", "event_id", "value")
+    val r = graft.ops.Olap.dailyBars(df, "ts", "event_id", "value")
+      .collect()
+    val d1 = r.head
+    assert(d1.getAs[Double]("open") == 10.0)
+    assert(d1.getAs[Double]("high") == 20.0)
+    assert(d1.getAs[Double]("low") == 10.0)
+    assert(d1.getAs[Double]("close") == 15.0)
+    assert(d1.getAs[Long]("n_trades") == 3L)
+    assert(d1.getAs[Double]("vwap") == 15.0)
+    assert(d1.isNullAt(d1.fieldIndex("day_return")))
+    val d2 = r(1)
+    assert(d2.getAs[Double]("open") == 30.0 &&
+      d2.getAs[Double]("close") == 30.0)
+    assert(d2.getAs[Double]("day_return") == 1.0) // 30/15 - 1
+  }
+
+  test("priceIndex: matched two-item basket replays the closed-form " +
+      "Laspeyres/Paasche/Fisher; unmatched items drop") {
+    // item 1: p0=10 (q0=10,e0=100) -> p1=12 (q1=5,e1=60)
+    // item 2: p0=2  (q0=4, e0=8)   -> p1=3  (q1=8,e1=24)
+    // item 3: base only -> excluded from the matched basket
+    val df = Seq(
+      (1L, 10.0, 100.0, true, false), (1L, 5.0, 60.0, false, true),
+      (2L, 4.0, 8.0, true, false), (2L, 8.0, 24.0, false, true),
+      (3L, 9.0, 9.0, true, false))
+      .toDF("item", "qty", "ext", "isb", "isc")
+    val r = graft.ops.Olap.priceIndex(df, "item", "qty", "ext",
+      col("isb"), col("isc")).collect().head
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Double]("laspeyres") == 1.222222)
+    assert(r.getAs[Double]("paasche") == 1.272727)
+    assert(r.getAs[Double]("fisher") == 1.247219)
+  }
 }

@@ -294,6 +294,62 @@ class StatsSpec extends SparkSpec {
     assert(k2.isNullAt(k2.fieldIndex("decay_rate")))
   }
 
+  test("mannWhitney: fully separated groups hit U = n_a*n_b with the " +
+      "closed-form z and effect size") {
+    val df = (Seq(3.0, 4.0, 5.0).map(("a", _)) ++
+      Seq(1.0, 2.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.mannWhitney(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_a") == 6.0)
+    assert(r.getAs[Double]("u_b") == 0.0)
+    assert(r.getAs[Double]("z") == 1.732051)
+    assert(r.getAs[Double]("effect_size_r") == 0.774597)
+    // interleaved ties: U_a = U_b = n_a*n_b/2, z = 0
+    val tied = (Seq(1.0, 2.0).map(("a", _)) ++
+      Seq(1.0, 2.0).map(("b", _))).toDF("g", "v")
+    val s = Stats.mannWhitney(tied, "g", "v", "a", "b").collect().head
+    assert(s.getAs[Double]("u_a") == 2.0 && s.getAs[Double]("z") == 0.0)
+  }
+
+  test("welchTTest: hand-computed t/df/CI on unequal groups; constant " +
+      "groups report NULL test columns") {
+    val df = Seq(("t", 2.0), ("t", 4.0), ("c", 1.0), ("c", 3.0))
+      .toDF("g", "v")
+    val r = Stats.welchTTest(df, "g", "v", "t", "c").collect().head
+    assert(r.getAs[Double]("mean_diff") == 1.0)
+    assert(r.getAs[Double]("se_diff") == 1.414214)
+    assert(r.getAs[Double]("t_stat") == 0.707107)
+    assert(r.getAs[Double]("welch_df") == 2.0)
+    assert(r.getAs[Double]("diff_lo") == -1.771808)
+    assert(r.getAs[Double]("diff_hi") == 3.771808)
+    val flat = Seq(("t", 5.0), ("t", 5.0), ("c", 5.0), ("c", 5.0))
+      .toDF("g", "v")
+    val f = Stats.welchTTest(flat, "g", "v", "t", "c").collect().head
+    assert(f.isNullAt(f.fieldIndex("t_stat")))
+  }
+
+  test("regressionInfluence: hand-computed leverage, residuals and " +
+      "Cook's D on a four-day series") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 5, 1).plusDays(i.toLong))
+    val df = Seq((d(0), 1.0), (d(1), 2.0), (d(2), 2.0), (d(3), 3.0))
+      .toDF("day", "v")
+    val out = Stats.regressionInfluence(df, col("day"), "v").collect()
+    assert(out.length == 4)
+    val p1 = out.head
+    assert(p1.getAs[Long]("day_index") == 1L)
+    assert(p1.getAs[Double]("value") == 1.0)
+    assert(p1.getAs[Double]("leverage") == 0.7)
+    assert(p1.getAs[Double]("residual") == -0.1)
+    assert(p1.getAs[Double]("std_resid") == -0.57735)
+    assert(p1.getAs[Double]("cooks_d") == 0.388889)
+    assert(!p1.getAs[Boolean]("influential"))
+    val p2 = out(1)
+    assert(p2.getAs[Double]("leverage") == 0.3)
+    assert(p2.getAs[Double]("std_resid") == 1.133893)
+    assert(p2.getAs[Double]("cooks_d") == 0.27551)
+  }
+
   test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
       "closed form; short series refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
