@@ -4068,6 +4068,56 @@ object OracleSql {
                    / sum(n) OVER (), 6) AS ece
       FROM b ORDER BY bin""",
 
+    // Quadratic trend: exact HUGEINT sums up to Sum x^4, the granger
+    // centered-moment Cramer solve on (x, x^2), nested-F of curvature
+    "q_quadratic_trend" -> {
+      val nD = "CAST(n_days AS DOUBLE)"
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val cyy = s"(${dd("syy")} - ${dd("sy")} * ${dd("sy")} / $nD)"
+      val cy1 = s"(${dd("sy1")} - ${dd("sy")} * ${dd("s1")} / $nD)"
+      val cy2 = s"(${dd("sy2")} - ${dd("sy")} * ${dd("s2")} / $nD)"
+      val c11 = s"(${dd("s2")} - ${dd("s1")} * ${dd("s1")} / $nD)"
+      val c12 = s"(${dd("s3")} - ${dd("s1")} * ${dd("s2")} / $nD)"
+      val c22 = s"(${dd("s4")} - ${dd("s2")} * ${dd("s2")} / $nD)"
+      val rssR = s"($cyy - $cy1 * $cy1 / $c11)"
+      val det = s"($c11 * $c22 - $c12 * $c12)"
+      val b1 = s"(($cy1 * $c22 - $cy2 * $c12) / $det)"
+      val b2 = s"(($cy2 * $c11 - $cy1 * $c12) / $det)"
+      val rssU = s"($cyy - $b1 * $cy1 - $b2 * $cy2)"
+      val ok = s"n_days >= 5 AND $c11 > 0 AND $det > 0"
+      val fS = s"(($rssR - $rssU) / ($rssU / ($nD - 3.0)))"
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      r AS (SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS x
+            FROM daily),
+      r2 AS (SELECT y, x, x * x AS x2 FROM r),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+              sum(CAST(x AS HUGEINT)) AS s1,
+              sum(CAST(x2 AS HUGEINT)) AS s2,
+              sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(x AS HUGEINT) * x2) AS s3,
+              sum(CAST(x2 AS HUGEINT) * x2) AS s4,
+              sum(CAST(y AS HUGEINT) * x) AS sy1,
+              sum(CAST(y AS HUGEINT) * x2) AS sy2,
+              sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM r2)
+      SELECT n_days,
+             round(CASE WHEN $ok THEN $cy1 / $c11 / 100.0 END, 6)
+               AS linear_slope,
+             round(CASE WHEN $ok THEN $b1 / 100.0 END, 6)
+               AS quad_linear_coef,
+             round(CASE WHEN $ok THEN $b2 / 100.0 END, 6)
+               AS quad_curvature,
+             round(CASE WHEN $ok AND $rssU > 0 THEN $fS END, 6)
+               AS f_curvature,
+             round(CASE WHEN $ok AND $rssU > 0
+               THEN $rssR / $rssU END, 6) AS rss_ratio
+      FROM f"""
+    },
+
     // Granger lag-1 screen: exact HUGEINT sufficient sums per direction,
     // centered moments / Cramer solve / F as the Spark side's fixed
     // double trees (scale cancels in F and the RSS ratio)
@@ -5221,6 +5271,35 @@ object OracleSql {
                AS dup_share
       FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
       ORDER BY doc.doc_id""",
+
+    // Span corruption: the shared minstd u01 hash on the pos-key
+    // encoding picks spans; island grouping and ordered string_agg
+    // replay the Spark sort-struct reassembly exactly
+    "x_span_corruption" -> {
+      val u = uk("(doc_id * 1000000 + pos)", 7)
+      s"""
+      WITH arr AS (SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS w
+            FROM documents),
+      pos0 AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+                 unnest(w) AS tok
+               FROM arr),
+      tok AS (SELECT doc_id, pos, tok FROM pos0 WHERE tok <> ''),
+      masked AS (SELECT doc_id, pos, tok FROM tok WHERE $u < 0.15),
+      grp AS (SELECT doc_id, pos, tok,
+                pos - row_number() OVER (PARTITION BY doc_id
+                  ORDER BY pos) AS g
+              FROM masked),
+      spans AS (SELECT doc_id, g, CAST(min(pos) AS INTEGER) AS start_pos,
+                  CAST(count(*) AS BIGINT) AS span_len,
+                  string_agg(tok, ' ' ORDER BY pos) AS span_text
+                FROM grp GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY start_pos) AS BIGINT) AS span_id,
+             start_pos, span_len, span_text
+      FROM spans ORDER BY doc_id, span_id"""
+    },
 
     // Naive Bayes: lattice log-likelihoods, exact-long document scores,
     // argmax = ORDER BY score DESC, label (the min-struct election)

@@ -2183,6 +2183,63 @@ object Stats {
       .orderBy("direction")
   }
 
+  /** Quadratic trend of the daily series: y on (x, x²) with the nested
+    * F-test of curvature against the plain linear fit — "is revenue
+    * accelerating, or just rising?" The polynomial sibling of
+    * [[grangerLagOne]]'s nested-model machinery (same centered-moment
+    * Cramer solve), answering the question [[trendPerKey]]'s straight
+    * line can't.
+    *
+    * Determinism: x is the dense day index (integers), y rides the
+    * centi lattice, so all sufficient sums — up to Σx⁴, folded in
+    * decimal(38,0) so centuries of days can't overflow — are exact;
+    * every output is one fixed double tree. Degenerate series surface
+    * as NULLs.
+    *
+    * Plan: one corpus-sized keyed aggregation to the calendar-bounded
+    * daily frame, the dense-index window over that bounded frame, one
+    * 1-row fold.
+    */
+  def quadraticTrend(df: DataFrame, dateCol: Column,
+                     valueCol: String): DataFrame = {
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val ranked = daily.withColumn("__x",
+      row_number().over(Window.partitionBy().orderBy(col("__d")))
+        .cast("long"))
+      .withColumn("__x2", col("__x") * col("__x"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val f = ranked.agg(count(lit(1)).as("n_days"),
+      sum(dec(col("__x"))).as("__s1"), sum(dec(col("__x2"))).as("__s2"),
+      sum(dec(col("__y"))).as("__sy"),
+      sum(dec(col("__x")) * col("__x2")).as("__s3"),
+      sum(dec(col("__x2")) * col("__x2")).as("__s4"),
+      sum(dec(col("__y")) * col("__x")).as("__sy1"),
+      sum(dec(col("__y")) * col("__x2")).as("__sy2"),
+      sum(dec(col("__y")) * col("__y")).as("__syy"))
+    val nD = col("n_days").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cyy = d("__syy") - d("__sy") * d("__sy") / nD
+    val cy1 = d("__sy1") - d("__sy") * d("__s1") / nD
+    val cy2 = d("__sy2") - d("__sy") * d("__s2") / nD
+    val c11 = d("__s2") - d("__s1") * d("__s1") / nD
+    val c12 = d("__s3") - d("__s1") * d("__s2") / nD
+    val c22 = d("__s4") - d("__s2") * d("__s2") / nD
+    val rssR = cyy - cy1 * cy1 / c11
+    val det = c11 * c22 - c12 * c12
+    val b1 = (cy1 * c22 - cy2 * c12) / det
+    val b2 = (cy2 * c11 - cy1 * c12) / det
+    val rssU = cyy - b1 * cy1 - b2 * cy2
+    val ok = col("n_days") >= 5 && c11 > 0 && det > 0
+    val fStat = (rssR - rssU) / (rssU / (nD - 3.0))
+    f.select(col("n_days"),
+      round(when(ok, cy1 / c11 / 100.0), 6).as("linear_slope"),
+      round(when(ok, b1 / 100.0), 6).as("quad_linear_coef"),
+      round(when(ok, b2 / 100.0), 6).as("quad_curvature"),
+      round(when(ok && rssU > 0, fStat), 6).as("f_curvature"),
+      round(when(ok && rssU > 0, rssR / rssU), 6).as("rss_ratio"))
+  }
+
   /** Gini coefficient + Lorenz tail shares of a value's concentration
     * across entities ("do 1% of customers carry half the revenue?") —
     * the skew diagnostic that decides salting/bucketing strategy AND the

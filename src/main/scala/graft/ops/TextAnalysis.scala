@@ -609,6 +609,50 @@ object TextAnalysis {
         lit(" — the id*1e6+idx encoding would collide; split the " +
           "document or widen the key"))))
 
+  /** T5-style span corruption plan: deterministically select ~`rate` of
+    * each document's token positions via the engine's seeded u01 hash
+    * (the [[graft.ops.Gen.u01]] / probeSample seeding convention — NO
+    * RNG, every re-run and the oracle pick the same spans), coalesce
+    * adjacent picks into spans, and emit one row per span with its
+    * start position, length, and text — the target side of a
+    * denoising-objective training-pair generator, with the input side
+    * reconstructable by deleting these positions.
+    *
+    * Determinism: the mask decision is pure integer hashing on the
+    * guarded [[posKey]] encoding; span grouping is the exact
+    * pos − rank island trick; span text reassembles via the sort-struct
+    * idiom (bounded by span length, never a corpus sort).
+    *
+    * Plan: one narrow posexplode, one doc-partitioned window over the
+    * MASKED subset (≈rate·tokens rows), one (doc, island) aggregation.
+    * All shuffles linear in the masked-token count.
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+                     rate: Double = 0.15, salt: Long = 7L): DataFrame = {
+    require(rate > 0.0 && rate < 1.0,
+      s"spanCorruption: rate in (0, 1) (got $rate)")
+    val toks = docs.select(col(idCol),
+        posexplode(tokens(trim(col(textCol)))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val masked = toks
+      .filter(Gen.u01(posKey(col(idCol), col("pos")), salt) < rate)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val grp = masked.withColumn("__grp",
+      col("pos") - row_number().over(w))
+    val spans = grp.groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("span_len"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("span_text"))
+    spans.withColumn("span_id", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("start_pos")))
+        .cast("long"))
+      .select(col(idCol), col("span_id"), col("start_pos"),
+        col("span_len"), col("span_text"))
+      .orderBy(idCol, "span_id")
+  }
+
   /** Cross-document LINE deduplication (the RefinedWeb/Dolma paragraph
     * dedup rule): every non-blank line keeps exactly its FIRST occurrence
     * corpus-wide (smallest (doc, line-position)); later occurrences are

@@ -726,6 +726,11 @@ object AnalyticsRegistry {
         avg(col("value")),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)),
         maxLag = 7)),
+    "q_quadratic_trend" -> ((s, dir) =>
+      // is revenue accelerating or just rising? quadratic fit with the
+      // nested F-test of curvature against the linear model
+      Stats.quadraticTrend(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_granger" -> ((s, dir) =>
       // does yesterday's order volume predict today's revenue beyond
       // yesterday's revenue (and the reverse)? nested-OLS F per

@@ -350,6 +350,26 @@ class StatsSpec extends SparkSpec {
     assert(p2.getAs[Double]("cooks_d") == 0.27551)
   }
 
+  test("quadraticTrend: near-quadratic series replays the closed-form " +
+      "Cramer solve; straight line scores zero curvature") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
+      .of(2024, 7, 1).plusDays(i.toLong))
+    val curved = Seq(0.02, 0.03, 0.07, 0.11, 0.18, 0.27).zipWithIndex
+      .map { case (v, i) => (d(i), v) }.toDF("day", "v")
+    val r = Stats.quadraticTrend(curved, col("day"), "v").collect().head
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Double]("linear_slope") == 0.049714)
+    assert(r.getAs[Double]("quad_linear_coef") == -0.015286)
+    assert(r.getAs[Double]("quad_curvature") == 0.009286)
+    assert(r.getAs[Double]("f_curvature") == 153.636364)
+    assert(r.getAs[Double]("rss_ratio") == 52.212121)
+    // perfectly linear: curvature 0, residual 0 -> F NULL by guard
+    val line = (0 until 6).map(i => (d(i), (i + 1) * 1.0)).toDF("day", "v")
+    val l = Stats.quadraticTrend(line, col("day"), "v").collect().head
+    assert(l.getAs[Double]("quad_curvature") == 0.0)
+    assert(l.isNullAt(l.fieldIndex("f_curvature")))
+  }
+
   test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
       "closed form; short series refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate

@@ -594,6 +594,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.isNullAt(t.fieldIndex("slope")))
   }
 
+  test("spanCorruption: seeded-hash picks replay the minstd recurrence " +
+      "and adjacent picks coalesce into one span") {
+    // u01(doc*1e6+pos, 7) < 0.15 masks doc1 pos {8,9}, doc2 pos {3}
+    val docs = Seq(
+      (1L, (0 until 12).map(i => s"t$i").mkString(" ")),
+      (2L, (0 until 12).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.spanCorruption(docs, "doc_id", "text").collect()
+    assert(r.length == 2)
+    val d1 = r.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Long]("span_id") == 1L)
+    assert(d1.getAs[Int]("start_pos") == 8)
+    assert(d1.getAs[Long]("span_len") == 2L)
+    assert(d1.getAs[String]("span_text") == "t8 t9")
+    val d2 = r.find(_.getLong(0) == 2L).get
+    assert(d2.getAs[Int]("start_pos") == 3)
+    assert(d2.getAs[Long]("span_len") == 1L)
+    assert(d2.getAs[String]("span_text") == "w3")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.spanCorruption(docs, "doc_id", "text", rate = 1.5)
+    }
+  }
+
   test("heapsLaw: hand-computed growth curve; empty doc keeps its row; " +
       "curve is partition-order independent") {
     val docs = Seq(
