@@ -69,6 +69,54 @@ object OracleSql {
                   ORDER BY score DESC, l) AS rn
                FROM scored)"""
 
+  /** The x_quality_filter verdict query — shared with x_curation_funnel
+    * so the rule definitions both read are ONE SQL text. */
+  private val qualityFilterSql = """
+      WITH d AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents),
+      g2 AS (SELECT doc_id, count(DISTINCT s) AS d2 FROM (
+        SELECT doc_id, w[kk] || ' ' || w[kk+1] AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS kk FROM d))
+        GROUP BY doc_id),
+      ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      hist AS (
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM ch GROUP BY doc_id, c),
+      ent AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+               sum(cnt * (ln(CAST(cnt AS DOUBLE)) / ln(2.0))) AS acc
+        FROM hist GROUP BY doc_id),
+      sig AS (
+        SELECT d.doc_id,
+               CAST(len(d.w) AS INTEGER) AS n_tokens,
+               round(list_aggregate(list_transform(d.w, x -> len(x)), 'sum')
+                 / CAST(len(d.w) AS DOUBLE), 6) AS mean_word_len,
+               round(len(list_filter(d.w, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','on','for'],
+                   x))) / CAST(len(d.w) AS DOUBLE), 6) AS stopword_ratio,
+               CASE WHEN len(d.w) - 1 > 0 THEN round(1.0 -
+                 coalesce(g2.d2, 0) / (CAST(len(d.w) AS DOUBLE) - 1), 6)
+                 ELSE 0.0 END AS dup_2gram_ratio,
+               round(CASE WHEN e.n IS NULL OR e.n = 0 THEN 0.0
+                 ELSE ln(CAST(e.n AS DOUBLE))/ln(2.0) - e.acc/e.n END, 6)
+                 AS entropy_bits
+        FROM d LEFT JOIN g2 ON d.doc_id = g2.doc_id
+               LEFT JOIN ent e ON d.doc_id = e.doc_id)
+      SELECT *,
+             (r_len AND r_word_len AND r_stopwords AND r_repetition
+              AND r_entropy) AS keep
+      FROM (SELECT *,
+             n_tokens BETWEEN 20 AND 5000 AS r_len,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+             stopword_ratio >= 0.01 AS r_stopwords,
+             dup_2gram_ratio <= 0.08 AS r_repetition,
+             entropy_bits BETWEEN 2.0 AND 6.0 AS r_entropy
+            FROM sig)
+      ORDER BY doc_id"""
+
   /** Kaplan–Meier CTE chain (time-to-first-high-value-purchase, right-
     * censored at last observation) — shared by q_kaplan_meier and
     * q_rmst so the step curve both integrate is ONE definition. */
@@ -4749,51 +4797,34 @@ object OracleSql {
     // the split-token list, dup-2-gram via the distinct-shingle count,
     // entropy via the codepoint histogram — all rounded before their
     // threshold compares, exactly as the Spark projection does
-    "x_quality_filter" -> """
-      WITH d AS (
-        SELECT doc_id, text,
-               string_split_regex(trim(lower(text)), '\s+') AS w
-        FROM documents),
-      g2 AS (SELECT doc_id, count(DISTINCT s) AS d2 FROM (
-        SELECT doc_id, w[kk] || ' ' || w[kk+1] AS s
-        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS kk FROM d))
-        GROUP BY doc_id),
-      ch AS (
-        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
-      hist AS (
-        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
-        FROM ch GROUP BY doc_id, c),
-      ent AS (
-        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
-               sum(cnt * (ln(CAST(cnt AS DOUBLE)) / ln(2.0))) AS acc
-        FROM hist GROUP BY doc_id),
-      sig AS (
-        SELECT d.doc_id,
-               CAST(len(d.w) AS INTEGER) AS n_tokens,
-               round(list_aggregate(list_transform(d.w, x -> len(x)), 'sum')
-                 / CAST(len(d.w) AS DOUBLE), 6) AS mean_word_len,
-               round(len(list_filter(d.w, x -> list_contains(
-                   ['the','a','an','and','or','of','to','in','is','on','for'],
-                   x))) / CAST(len(d.w) AS DOUBLE), 6) AS stopword_ratio,
-               CASE WHEN len(d.w) - 1 > 0 THEN round(1.0 -
-                 coalesce(g2.d2, 0) / (CAST(len(d.w) AS DOUBLE) - 1), 6)
-                 ELSE 0.0 END AS dup_2gram_ratio,
-               round(CASE WHEN e.n IS NULL OR e.n = 0 THEN 0.0
-                 ELSE ln(CAST(e.n AS DOUBLE))/ln(2.0) - e.acc/e.n END, 6)
-                 AS entropy_bits
-        FROM d LEFT JOIN g2 ON d.doc_id = g2.doc_id
-               LEFT JOIN ent e ON d.doc_id = e.doc_id)
-      SELECT *,
-             (r_len AND r_word_len AND r_stopwords AND r_repetition
-              AND r_entropy) AS keep
-      FROM (SELECT *,
-             n_tokens BETWEEN 20 AND 5000 AS r_len,
-             mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
-             stopword_ratio >= 0.01 AS r_stopwords,
-             dup_2gram_ratio <= 0.08 AS r_repetition,
-             entropy_bits BETWEEN 2.0 AND 6.0 AS r_entropy
-            FROM sig)
-      ORDER BY doc_id""",
+    "x_quality_filter" -> qualityFilterSql,
+
+    // stage-level rollup of the same chain: prefix-AND counts, one fold
+    "x_curation_funnel" -> {
+      val pf = Seq("r_len", "r_word_len", "r_stopwords", "r_repetition",
+        "r_entropy")
+      val cs = pf.indices.map(i =>
+        s"CAST(sum(CASE WHEN ${pf.take(i + 1).mkString(" AND ")}"
+          + s" THEN 1 ELSE 0 END) AS BIGINT) AS c$i").mkString(",\n        ")
+      val stageRows = pf.zipWithIndex.map { case (r, i) =>
+        val nIn = if (i == 0) "n" else s"c${i - 1}"
+        if (i == 0)
+          s"SELECT 1 AS stage, 'r_len' AS rule, n AS n_in, c0 AS n_out, n AS n_total FROM f"
+        else s"SELECT ${i + 1}, '$r', $nIn, c$i, n FROM f"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH qf AS ($qualityFilterSql),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        $cs
+        FROM qf),
+      stages AS ($stageRows)
+      SELECT stage, rule, n_in, n_out, n_in - n_out AS n_dropped,
+             round(CASE WHEN n_in > 0
+               THEN (n_in - n_out) / CAST(n_in AS DOUBLE) END, 6)
+               AS drop_share,
+             round(n_out / CAST(n_total AS DOUBLE), 6) AS kept_share
+      FROM stages ORDER BY stage"""
+    },
 
     "x_repetition" -> """
       WITH d AS (
@@ -6779,6 +6810,90 @@ object OracleSql {
                THEN ($cooks > 4.0 / $nD) END AS influential
       FROM r, f ORDER BY day"""
     },
+
+    // Crosstab residuals: bounded contingency windows, one fixed tree
+    // per observed cell (absent cells are absent by documentation)
+    "q_crosstab_residuals" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val e = s"(CAST(nx AS DOUBLE) * ny / $nD)"
+      val diff = s"(CAST(n_obs AS DOUBLE) - $e)"
+      val adjDen = s"sqrt($e * (1.0 - CAST(nx AS DOUBLE) / $nD)"
+        .concat(s" * (1.0 - CAST(ny AS DOUBLE) / $nD))")
+      s"""
+      WITH joint AS (SELECT lang AS x, source AS y,
+               CAST(count(*) AS BIGINT) AS n_obs
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2),
+      t AS (SELECT x, y, n_obs,
+              CAST(sum(n_obs) OVER () AS BIGINT) AS n,
+              CAST(sum(n_obs) OVER (PARTITION BY x) AS BIGINT) AS nx,
+              CAST(sum(n_obs) OVER (PARTITION BY y) AS BIGINT) AS ny
+            FROM joint)
+      SELECT x, y, n_obs,
+             round($e, 6) AS expected,
+             round(CASE WHEN $e > 0 THEN $diff / sqrt($e) END, 6)
+               AS std_residual,
+             round(CASE WHEN $adjDen > 0 THEN $diff / $adjDen END, 6)
+               AS adj_residual
+      FROM t ORDER BY x, y"""
+    },
+
+    // Cochran's Q: exact slot/row folds with full-roster semantics, one
+    // fixed double tree
+    "q_cochran_q" -> {
+      val slots = Seq(0, 1, 2, 3)
+      val k = slots.size
+      val cCols = slots.zipWithIndex.map { case (sl, i) =>
+        s"CAST(coalesce(sum(CASE WHEN slot = $sl THEN 1 ELSE 0 END), 0)"
+          .concat(s" AS BIGINT) AS c$i") }.mkString(",\n              ")
+      val cSq = slots.indices
+        .map(i => s"CAST(c$i AS DOUBLE) * c$i").mkString(" + ")
+      val tD = "CAST(t AS DOUBLE)"
+      val den = s"($k.0 * $tD - CAST(r2 AS DOUBLE))"
+      val q = s"${k - 1}.0 * ($k.0 * ($cSq) - $tD * $tD) / $den"
+      val cOut = slots.zipWithIndex
+        .map { case (sl, i) => s"c$i AS c_$sl" }.mkString(", ")
+      s"""
+      WITH base AS (SELECT user_id AS k,
+               CAST(floor((day(ts) - 1) / 7) AS INTEGER) AS slot,
+               (event_type = 'purchase') AS y
+            FROM events WHERE user_id IS NOT NULL),
+      users AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_entities
+                FROM base),
+      hits AS (SELECT DISTINCT k, slot FROM base
+               WHERE y AND slot IN (${slots.mkString(", ")})),
+      cc AS (SELECT $cCols
+             FROM hits),
+      rr AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS t,
+               CAST(coalesce(sum(r * r), 0) AS BIGINT) AS r2
+             FROM (SELECT k, CAST(count(*) AS BIGINT) AS r
+                   FROM hits GROUP BY k))
+      SELECT n_entities, CAST($k AS INTEGER) AS k_slots,
+             t AS t_successes, $cOut,
+             round(CASE WHEN $den > 0 THEN $q END, 6) AS q_stat,
+             CAST(${k - 1} AS INTEGER) AS df
+      FROM users, cc, rr"""
+    },
+
+    // 2-D skyline: exact RANGE window on the centi-lattice minimize
+    // axis, same-x partition max, frontier only
+    "q_skyline_parts" -> """
+      WITH base AS (SELECT p_partkey,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS x,
+               CAST(p_size AS DOUBLE) AS y
+            FROM part
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+      f AS (SELECT p_partkey, x, y,
+              max(y) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) AS pm,
+              max(y) OVER (PARTITION BY x) AS sm
+            FROM base)
+      SELECT p_partkey,
+             round(CAST(x AS DOUBLE) / 100.0, 2) AS p_retailprice,
+             round(y, 6) AS p_size
+      FROM f WHERE NOT ((pm IS NOT NULL AND pm >= y) OR sm > y)
+      ORDER BY p_retailprice, p_partkey""",
 
     // Tukey HSD: the q_anova lattice fold, then one fixed tree per pair
     // (scale cancels in q and d, one division unwinds the reported diff)

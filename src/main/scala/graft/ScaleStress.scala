@@ -62,7 +62,8 @@ object ScaleStress {
     val stats8Mode = args.headOption.contains("stats8")
     val ks =
       if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly ||
-          exactsubstrOnly || graph8Mode || stats8Mode)
+          exactsubstrOnly || graph8Mode || stats8Mode ||
+          args.headOption.contains("text8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
@@ -554,6 +555,44 @@ object ScaleStress {
         println(f"STRESS-STATS8 k=$k rows=$n users=$nUsers " +
           f"t_kw=$tKw%.2f t_interarrival=$tIa%.2f t_pr=$tPr%.2f " +
           f"t_cuped=$tCu%.2f")
+      }
+    }
+    // round-8 text-pipeline stress: span corruption (hash mask + island
+    // windows over the masked subset), Naive Bayes train+score (two
+    // keyed aggs + a vocab-linear dense table), and the curation-funnel
+    // fold — all over the k×-replicated doc corpus (suffix-perturbed
+    // copies keep per-copy vocab disjoint, so the NB dense table grows
+    // with the corpus like a real multilingual crawl's would)
+    val text8Ks =
+      if (args.headOption.contains("text8")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (text8Ks.nonEmpty) {
+      val docs8 = Tables.documents(spark, "/root/testdata/sf0.1")
+        .select(col("doc_id"), col("text"), col("lang"))
+      for (k <- text8Ks) {
+        val corpus = (0 until k).map { i =>
+          val text =
+            if (i == 0) col("text")
+            else regexp_replace(col("text"), "(\\S+)", "$1_c" + i)
+          docs8.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+            text.as("text"), col("lang"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val n = corpus.count()
+        val (tSpan, nSpans) = timeMin2 {
+          graft.ops.TextAnalysis.spanCorruption(corpus, "doc_id", "text")
+            .queryExecution.toRdd.count()
+        }
+        val (tNb, nPred) = timeMin2 {
+          graft.ops.Learn.naiveBayesText(corpus, "doc_id", "text", "lang")
+            .queryExecution.toRdd.count()
+        }
+        val (tFun, _) = timeMin2 {
+          graft.ops.TextAnalysis.curationFunnel(corpus, "doc_id", "text")
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-TEXT8 k=$k docs=$n spans=$nSpans preds=$nPred " +
+          f"t_span=$tSpan%.2f t_nbayes=$tNb%.2f t_funnel=$tFun%.2f")
       }
     }
     // bucketed-as-of stress at 1×/10×/100×: the same native as-of join

@@ -193,6 +193,46 @@ object Olap {
       .orderBy("day")
   }
 
+  /** 2-D skyline (Pareto frontier): the entities NOT dominated on a
+    * (minimize, maximize) metric pair — "which parts are on the
+    * price-vs-size efficiency frontier?" — the multi-objective query
+    * SQL engines have no operator for. A point is dominated iff some
+    * other point is no worse on both axes and strictly better on one;
+    * duplicate (x, y) points are mutually non-dominating and all kept.
+    *
+    * Determinism: the minimize axis commits to the centi lattice, so
+    * the strictly-smaller-x running max is an exact RANGE-frame window
+    * on integers; dominance tests compare exact longs/doubles — no
+    * tolerance anywhere.
+    *
+    * Plan: one entity-grain projection, one RANGE window ordered by
+    * the lattice x over the ENTITY-grain frame (the giniConcentration
+    * global-sort class — at billions of entities pre-prune with a
+    * coarse grid, keeping per-cell minima, before the exact pass), one
+    * same-x partition max. Output is the frontier only.
+    */
+  def skyline2D(df: DataFrame, idCol: String, minimizeCol: String,
+                maximizeCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+        round(col(minimizeCol) * 100, 0).cast("long").as("__x"),
+        col(maximizeCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val wStrict = Window.orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSameX = Window.partitionBy(col("__x"))
+    val flagged = base
+      .withColumn("__prevMax", max(col("__y")).over(wStrict))
+      .withColumn("__sameMax", max(col("__y")).over(wSameX))
+      .withColumn("__dominated",
+        (col("__prevMax").isNotNull && col("__prevMax") >= col("__y")) ||
+          col("__sameMax") > col("__y"))
+    flagged.filter(!col("__dominated"))
+      .select(col(idCol),
+        round(col("__x").cast("double") / 100.0, 2).as(minimizeCol),
+        round(col("__y"), 6).as(maximizeCol))
+      .orderBy(col(minimizeCol), col(idCol))
+  }
+
   /** Laspeyres / Paasche / Fisher price indexes between a declared BASE
     * and CURRENT period over a (item, quantity, extended-value) fact
     * table: "how much did like-for-like prices move, holding the basket

@@ -1201,6 +1201,96 @@ object Stats {
         .as("cramers_v_corrected"))
   }
 
+  /** Standardized and adjusted Pearson residuals per contingency cell:
+    * after [[cramersV]] says the two categoricals are associated, WHICH
+    * cells carry it? Adjusted residuals are asymptotically N(0,1), so
+    * |r| > 2 marks a cell over/under-represented beyond chance — the
+    * drill-down from "lang and source are associated" to "de docs are
+    * over-represented in crawl B". Only OBSERVED cells are emitted
+    * (the −n absorption of [[cramersV]] does not apply here; an
+    * all-zero cell has residual −√e, which a reader finds by its
+    * absence — documented).
+    *
+    * Determinism: joint/marginal counts are exact longs via windows
+    * over the bounded contingency table; each residual is one fixed
+    * double tree on those longs.
+    */
+  def crosstabResiduals(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_obs"))
+    val all = Window.partitionBy()
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    val t = joint
+      .withColumn("__n", sum(col("n_obs")).over(all))
+      .withColumn("__nx", sum(col("n_obs")).over(wx))
+      .withColumn("__ny", sum(col("n_obs")).over(wy))
+    val nD = col("__n").cast("double")
+    val e = col("__nx").cast("double") * col("__ny") / nD
+    val diff = col("n_obs").cast("double") - e
+    val adjDen = sqrt(e * (lit(1.0) - col("__nx").cast("double") / nD) *
+      (lit(1.0) - col("__ny").cast("double") / nD))
+    t.select(col("x"), col("y"), col("n_obs"),
+      round(e, 6).as("expected"),
+      round(when(e > 0, diff / sqrt(e)), 6).as("std_residual"),
+      round(when(adjDen > 0, diff / adjDen), 6).as("adj_residual"))
+      .orderBy("x", "y")
+  }
+
+  /** Cochran's Q across DECLARED time slots: did the per-entity BINARY
+    * outcome rate change across the k repeated measurements ("did the
+    * same users keep purchasing week over week")? The k-sample
+    * McNemar generalization for within-subject designs, where
+    * [[anovaOneWay]]'s independence assumption is wrong by
+    * construction. An entity with no row in a slot counts as a
+    * failure there (full-roster semantics).
+    *
+    * Determinism: every sufficient statistic (slot totals Cⱼ, ΣRᵢ,
+    * ΣRᵢ²) is an exact long fold; Q is one fixed double tree. The
+    * declared slot roster bounds the CASE fold; out-of-roster slots
+    * are ignored.
+    *
+    * Plan: one distinct on (entity, slot) hits, one entity-grain
+    * aggregation, two 1-row folds. No window.
+    */
+  def cochranQ(df: DataFrame, keyCol: String, slotCol: Column,
+               success: Column, slots: Seq[Int]): DataFrame = {
+    require(slots.size >= 2 && slots.size <= 32 &&
+      slots.distinct == slots,
+      s"cochranQ: 2..32 distinct declared slots (got $slots)")
+    val k = slots.size
+    val base = df.select(col(keyCol).as("__k"),
+        slotCol.cast("int").as("__slot"), success.as("__y"))
+      .filter(col("__k").isNotNull)
+    val users = base.select(col("__k")).distinct()
+    val hits = base.filter(col("__y") && col("__slot").isin(slots: _*))
+      .select(col("__k"), col("__slot")).distinct()
+      .localCheckpoint(eager = false)
+    val cAggs = slots.zipWithIndex.map { case (sl, i) =>
+      sum(when(col("__slot") === sl, 1L).otherwise(0L)).as(s"__c$i") }
+    val cols0 = hits.agg(cAggs.head, cAggs.tail: _*)
+    val rows0 = hits.groupBy(col("__k")).agg(count(lit(1)).as("__r"))
+      .agg(sum(col("__r")).as("__t"),
+        sum(col("__r") * col("__r")).as("__r2"))
+    val nU = users.agg(count(lit(1)).as("n_entities"))
+    val f = nU.crossJoin(broadcast(cols0)).crossJoin(broadcast(rows0))
+      .na.fill(0L)
+    val cSq = slots.indices.map(i =>
+      col(s"__c$i").cast("double") * col(s"__c$i")).reduce(_ + _)
+    val tD = col("__t").cast("double")
+    val den = lit(k.toDouble) * tD - col("__r2").cast("double")
+    val q = lit((k - 1).toDouble) * (lit(k.toDouble) * cSq - tD * tD) / den
+    f.select((Seq(col("n_entities"), lit(k).as("k_slots"),
+      col("__t").as("t_successes")) ++
+      slots.zipWithIndex.map { case (sl, i) =>
+        col(s"__c$i").as(s"c_$sl") } ++ Seq(
+      round(when(den > 0, q), 6).as("q_stat"),
+      lit(k - 1).as("df"))): _*)
+  }
+
   /** Brown–Forsythe (median-centered Levene) test: do the DECLARED
     * groups have equal value SPREAD? The variance-homogeneity gate in
     * front of any pooled-variance comparison ([[kruskalWallis]] asks

@@ -120,6 +120,46 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Curation-funnel attrition table over [[qualityFilter]]'s rules
+    * applied IN ORDER: per stage, how many documents entered, survived,
+    * and dropped, plus the share of the whole corpus still alive — the
+    * observability readout that tells a pipeline owner WHICH gate eats
+    * their data (the per-doc verdicts live in `x_quality_filter`; this
+    * is the stage-level rollup a dashboard wants).
+    *
+    * Determinism: pure boolean counting — every stage count is one
+    * exact CASE-folded long over the verdict frame; shares are one
+    * fixed double tree each.
+    *
+    * Plan: the [[qualityFilter]] scan plus ONE corpus fold to a single
+    * row; `stack` melts the bounded stage columns.
+    */
+  def curationFunnel(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val q = qualityFilter(docs, idCol, textCol)
+    val rules = Seq("r_len", "r_word_len", "r_stopwords",
+      "r_repetition", "r_entropy")
+    val prefixes = rules.indices.map(i =>
+      rules.take(i + 1).map(col).reduce(_ && _))
+    val aggs = count(lit(1)).as("__n") +:
+      prefixes.zipWithIndex.map { case (p, i) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"__c$i") }
+    val f = q.agg(aggs.head, aggs.tail: _*)
+    f.select(expr(rules.zipWithIndex.map { case (r, i) =>
+        val nIn = if (i == 0) "__n" else s"__c${i - 1}"
+        s"${i + 1}, '$r', $nIn, __c$i, __n"
+      }.mkString(s"stack(${rules.size}, ", ", ", ")")
+        + " AS (stage, rule, n_in, n_out, n_total)"))
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .withColumn("drop_share", round(when(col("n_in") > 0,
+        (col("n_in") - col("n_out")) / col("n_in").cast("double")), 6))
+      .withColumn("kept_share",
+        round(col("n_out") / col("n_total").cast("double"), 6))
+      .select("stage", "rule", "n_in", "n_out", "n_dropped",
+        "drop_share", "kept_share")
+      .orderBy("stage")
+  }
+
   /** Dataset card: the one-glance corpus summary a dataset release
     * ships with — size, language spread, token volume, exact-duplicate
     * rate — as (metric, value) rows from ONE corpus scan (every number

@@ -772,6 +772,22 @@ object AnalyticsRegistry {
       // association strength between document language and source on a
       // 0..1 scale, with the Bergsma small-sample bias correction
       Stats.cramersV(Tables.documents(s, dir), "lang", "source")),
+    "q_crosstab_residuals" -> ((s, dir) =>
+      // WHICH lang x source cells drive the association: standardized
+      // and adjusted Pearson residuals per observed cell
+      Stats.crosstabResiduals(Tables.documents(s, dir), "lang",
+        "source")),
+    "q_cochran_q" -> ((s, dir) =>
+      // did the same users keep purchasing week over week? Cochran's Q
+      // across the four declared week slots, full-roster semantics
+      Stats.cochranQ(Tables.events(s, dir), "user_id",
+        floor((dayofmonth(col("ts")) - 1) / 7),
+        col("event_type") === "purchase", Seq(0, 1, 2, 3))),
+    "q_skyline_parts" -> ((s, dir) =>
+      // the price-vs-size Pareto frontier over parts: nothing cheaper
+      // is at least as large, nothing as cheap is larger
+      Olap.skyline2D(Tables.part(s, dir), "p_partkey", "p_retailprice",
+        "p_size")),
     "q_brown_forsythe" -> ((s, dir) =>
       // variance-homogeneity gate: do event types have equal value
       // SPREAD? median-centered deviations on the micro lattice

@@ -29,6 +29,11 @@ object TextRegistry {
       // over the top-300 vocabulary, lattice-committed OLS sums
       TextAnalysis.zipfLaw(Tables.documents(s, dir), "doc_id", "text",
         minCount = 5, maxRank = 300)),
+    "x_curation_funnel" -> ((s, dir) =>
+      // which quality gate eats the corpus: per-stage attrition over
+      // the ordered filter rules, one fold
+      TextAnalysis.curationFunnel(Tables.documents(s, dir), "doc_id",
+        "text")),
     "x_span_corruption" -> ((s, dir) =>
       // T5 denoising targets: seeded-hash span selection (no RNG),
       // island coalescing, per-span rows with exact reassembled text

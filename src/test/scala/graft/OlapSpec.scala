@@ -150,6 +150,18 @@ class OlapSpec extends SparkSpec {
     assert(d2.getAs[Double]("day_return") == 1.0) // 30/15 - 1
   }
 
+  test("skyline2D: dominated points drop, weak dominance drops the " +
+      "same-y-higher-x point, exact duplicates both survive") {
+    val df = Seq((1L, 1.0, 5.0), (2L, 2.0, 4.0), (3L, 2.0, 7.0),
+      (4L, 3.0, 7.0), (5L, 1.0, 5.0)).toDF("id", "price", "size")
+    val r = graft.ops.Olap.skyline2D(df, "id", "price", "size")
+      .collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L, 5L, 3L))
+    val p3 = r.find(_.getLong(0) == 3L).get
+    assert(p3.getAs[Double]("price") == 2.0)
+    assert(p3.getAs[Double]("size") == 7.0)
+  }
+
   test("priceIndex: matched two-item basket replays the closed-form " +
       "Laspeyres/Paasche/Fisher; unmatched items drop") {
     // item 1: p0=10 (q0=10,e0=100) -> p1=12 (q1=5,e1=60)

@@ -370,6 +370,44 @@ class StatsSpec extends SparkSpec {
     assert(l.isNullAt(l.fieldIndex("f_curvature")))
   }
 
+  test("crosstabResiduals: hand-computed expected counts and residuals " +
+      "on a 2x2 table; independent table scores 0") {
+    val rows = Seq.fill(20)(("a", "c")) ++ Seq.fill(10)(("a", "d")) ++
+      Seq.fill(10)(("b", "c")) ++ Seq.fill(20)(("b", "d"))
+    val df = rows.toDF("x", "y")
+    val r = Stats.crosstabResiduals(df, "x", "y").collect()
+    assert(r.length == 4)
+    val ac = r.find(c => c.getString(0) == "a" && c.getString(1) == "c").get
+    assert(ac.getAs[Long]("n_obs") == 20L)
+    assert(ac.getAs[Double]("expected") == 15.0)
+    assert(ac.getAs[Double]("std_residual") == 1.290994)
+    assert(ac.getAs[Double]("adj_residual") == 2.581989)
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("c", "d") }
+      yield (x, y)).toDF("x", "y")
+    val i = Stats.crosstabResiduals(indep, "x", "y").collect()
+    assert(i.forall(_.getAs[Double]("adj_residual") == 0.0))
+  }
+
+  test("cochranQ: hand-computed three-user three-slot design; empty " +
+      "hits keep the roster with NULL Q") {
+    val df = Seq((1L, 0, true), (1L, 1, true), (1L, 2, true),
+      (2L, 0, true), (2L, 1, false), (3L, 2, false))
+      .toDF("u", "slot", "y")
+    val r = Stats.cochranQ(df, "u", col("slot"), col("y"), Seq(0, 1, 2))
+      .collect().head
+    assert(r.getAs[Long]("n_entities") == 3L)
+    assert(r.getAs[Int]("k_slots") == 3)
+    assert(r.getAs[Long]("t_successes") == 4L)
+    assert(r.getAs[Long]("c_0") == 2L && r.getAs[Long]("c_1") == 1L)
+    assert(r.getAs[Double]("q_stat") == 2.0)
+    assert(r.getAs[Int]("df") == 2)
+    val none = Seq((1L, 0, false), (2L, 1, false)).toDF("u", "slot", "y")
+    val z = Stats.cochranQ(none, "u", col("slot"), col("y"), Seq(0, 1))
+      .collect().head
+    assert(z.getAs[Long]("n_entities") == 2L)
+    assert(z.isNullAt(z.fieldIndex("q_stat")))
+  }
+
   test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
       "closed form; short series refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate

@@ -594,6 +594,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.isNullAt(t.fieldIndex("slope")))
   }
 
+  test("curationFunnel: stage chain is consistent with the per-doc " +
+      "verdicts — n_in chains, final survivors equal keep=true") {
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "the cat naps on a warm mat for hours today")
+    val docs = Seq((1L, good), (2L, "too short"),
+      (3L, good + " " + good)).toDF("doc_id", "text")
+    val f = TextAnalysis.curationFunnel(docs, "doc_id", "text").collect()
+    assert(f.length == 5)
+    assert(f.head.getAs[Long]("n_in") == 3L)
+    // n_in of each stage equals n_out of the previous
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out")) }
+    val keeps = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .filter(col("keep")).count()
+    assert(f.last.getAs[Long]("n_out") == keeps)
+    // shares consistent
+    f.foreach { row =>
+      assert(row.getAs[Long]("n_dropped") ==
+        row.getAs[Long]("n_in") - row.getAs[Long]("n_out")) }
+  }
+
   test("spanCorruption: seeded-hash picks replay the minstd recurrence " +
       "and adjacent picks coalesce into one span") {
     // u01(doc*1e6+pos, 7) < 0.15 masks doc1 pos {8,9}, doc2 pos {3}
