@@ -5171,6 +5171,86 @@ object OracleSql {
                AS survival
       FROM s WHERE n_events > 0 ORDER BY t_hours""",
 
+    // Weibull fit: chained from the ROUNDED KM survival, ln/lnln terms
+    // on the 1e-9 lattice, HUGEINT product folds, ln(ln 2) literal
+    // shared verbatim
+    "q_weibull_fit" -> {
+      val nD = "CAST(n_steps AS DOUBLE)"
+      val sx = "(CAST(sx AS DOUBLE) / 1e9)"
+      val sy = "(CAST(sy AS DOUBLE) / 1e9)"
+      val sxy = "(CAST(sxy AS DOUBLE) / 1e18)"
+      val sxx = "(CAST(sxx AS DOUBLE) / 1e18)"
+      val syy = "(CAST(syy AS DOUBLE) / 1e18)"
+      val num = s"($nD * $sxy - $sx * $sy)"
+      val denX = s"($nD * $sxx - $sx * $sx)"
+      val denY = s"($nD * $syy - $sy * $sy)"
+      val b = s"($num / $denX)"
+      val a = s"(($sy - $b * $sx) / $nD)"
+      val ok = s"n_steps >= 3 AND $denX > 0"
+      s"""
+      $kmChain,
+      km AS (SELECT t_hours,
+               CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(lsum), 6) END
+                 AS sv
+             FROM s WHERE n_events > 0),
+      lt AS (SELECT
+               CAST(round(ln(CAST(t_hours AS DOUBLE)) * 1e9, 0)
+                 AS BIGINT) AS x,
+               CAST(round(ln(0.0 - ln(sv)) * 1e9, 0) AS BIGINT) AS y
+             FROM km WHERE sv > 0.0 AND sv < 1.0 AND t_hours > 0),
+      wf AS (SELECT CAST(count(*) AS BIGINT) AS n_steps,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM lt)
+      SELECT n_steps,
+             round(CASE WHEN $ok THEN $b END, 6) AS shape,
+             round(CASE WHEN $ok AND $b > 0
+               THEN exp((0.0 - $a) / $b) END, 6) AS scale,
+             round(CASE WHEN $ok AND $b > 0
+               THEN exp((-0.36651292058166435 - $a) / $b) END, 6)
+               AS median_t,
+             round(CASE WHEN $ok AND $denY > 0
+               THEN $num * $num / ($denX * $denY) END, 6) AS r2
+      FROM wf"""
+    },
+
+    // Chapman capture-recapture: exact per-user window flags, one fixed
+    // tree per output, z-critical literal shared verbatim
+    "q_capture_recapture" -> {
+      val n1 = "CAST(n_a AS DOUBLE)"
+      val n2 = "CAST(n_b AS DOUBLE)"
+      val m = "CAST(n_both AS DOUBLE)"
+      val nHat = s"(($n1 + 1.0) * ($n2 + 1.0) / ($m + 1.0) - 1.0)"
+      val varN = s"(($n1 + 1.0) * ($n2 + 1.0) * ($n1 - $m) * ($n2 - $m)"
+        .concat(s" / (($m + 1.0) * ($m + 1.0) * ($m + 2.0)))")
+      val ok = "n_a >= 1 AND n_b >= 1"
+      s"""
+      WITH per AS (SELECT user_id,
+               CAST(max(CASE WHEN ts < TIMESTAMP '2024-01-08'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                 AND ts < TIMESTAMP '2024-01-15'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b
+            FROM events GROUP BY 1),
+      f AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(b) AS BIGINT) AS n_b,
+              CAST(sum(a * b) AS BIGINT) AS n_both
+            FROM per)
+      SELECT n_a, n_b, n_both,
+             round(CASE WHEN $ok THEN $nHat END, 6) AS n_hat,
+             round(CASE WHEN $ok AND $varN >= 0
+               THEN sqrt($varN) END, 6) AS se,
+             round(CASE WHEN $ok AND $varN >= 0
+               THEN $nHat - 1.959963984540054 * sqrt($varN) END, 6)
+               AS n_lo,
+             round(CASE WHEN $ok AND $varN >= 0
+               THEN $nHat + 1.959963984540054 * sqrt($varN) END, 6)
+               AS n_hi
+      FROM f"""
+    },
+
     // RMST: the KM chain replayed, each step's survival x whole-hour
     // width exact on the 1e-6 lattice, S=1 head segment, tau fallback
     "q_rmst" -> s"""

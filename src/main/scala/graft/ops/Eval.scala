@@ -413,6 +413,64 @@ object Eval {
     * rates a retention model fits). Same bounded plan: key-grain agg →
     * duration-grain agg → cumulative windows over ≤ distinct-hours rows.
     */
+  /** Parametric Weibull fit of the [[kaplanMeier]] curve: OLS of
+    * ln(−ln S) on ln t over the step table gives the shape k (slope)
+    * and scale λ (from the intercept) — one smooth two-parameter
+    * summary where KM gives a staircase, with the implied median
+    * survival time and the fit R² so a reader can SEE whether the
+    * Weibull family even applies (R² well below 1 = don't trust the
+    * extrapolation). Shape < 1 means the hazard falls with time
+    * (early-dropout dynamics), > 1 it rises (wear-out).
+    *
+    * Determinism: chains from the ROUNDED 6-decimal survival column
+    * (the logisticMetrics rounded-margin convention — both engines
+    * fold identical S values); ln t and ln(−ln S) commit to the 1e-9
+    * lattice per step, products fold in decimal(38,0), and
+    * shape/scale/median/R² are one fixed double tree each (the
+    * ln(ln 2) literal is injected verbatim). Degenerate step tables
+    * (< 3 usable steps, zero ln-t variance, non-positive shape)
+    * surface as NULLs.
+    *
+    * Plan: the KM chain (bounded distinct-hour step table) plus one
+    * 1-row fold. Nothing data-sized.
+    */
+  def weibullFit(df: DataFrame, keyCol: String, tsCol: String,
+                 isEvent: Column): DataFrame = {
+    val lnln2 = -0.36651292058166435 // ln(ln 2), shared literal
+    val steps = kaplanMeier(df, keyCol, tsCol, isEvent)
+      .filter(col("survival") > 0.0 && col("survival") < 1.0 &&
+        col("t_hours") > 0)
+      .select(
+        round(log(col("t_hours").cast("double")) * 1e9, 0).cast("long")
+          .as("__x"),
+        round(log(lit(0.0) - log(col("survival"))) * 1e9, 0).cast("long")
+          .as("__y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val f = steps.agg(count(lit(1)).as("n_steps"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(dec(col("__x")) * col("__y")).as("__sxy"),
+      sum(dec(col("__x")) * col("__x")).as("__sxx"),
+      sum(dec(col("__y")) * col("__y")).as("__syy"))
+    val nD = col("n_steps").cast("double")
+    val sx = col("__sx").cast("double") / 1e9
+    val sy = col("__sy").cast("double") / 1e9
+    val sxy = col("__sxy").cast("double") / 1e18
+    val sxx = col("__sxx").cast("double") / 1e18
+    val syy = col("__syy").cast("double") / 1e18
+    val num = nD * sxy - sx * sy
+    val denX = nD * sxx - sx * sx
+    val denY = nD * syy - sy * sy
+    val b = num / denX
+    val a = (sy - b * sx) / nD
+    val ok = col("n_steps") >= 3 && denX > 0
+    f.select(col("n_steps"),
+      round(when(ok, b), 6).as("shape"),
+      round(when(ok && b > 0, exp((lit(0.0) - a) / b)), 6).as("scale"),
+      round(when(ok && b > 0, exp((lit(lnln2) - a) / b)), 6)
+        .as("median_t"),
+      round(when(ok && denY > 0, num * num / (denX * denY)), 6).as("r2"))
+  }
+
   def nelsonAalen(df: DataFrame, keyCol: String, tsCol: String,
                   isEvent: Column): DataFrame = {
     val upTo = Window.partitionBy().orderBy(col("t_hours"))

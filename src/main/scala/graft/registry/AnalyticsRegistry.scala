@@ -589,6 +589,22 @@ object AnalyticsRegistry {
             col("value")),
         "user_id", "ts",
         col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_weibull_fit" -> ((s, dir) =>
+      // parametric smooth of the KM staircase: Weibull shape/scale via
+      // ln(-ln S) OLS, implied median, and the fit R2 honesty check
+      Eval.weibullFit(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value")),
+        "user_id", "ts",
+        col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_capture_recapture" -> ((s, dir) =>
+      // how many users exist beyond what either week saw? Chapman
+      // two-window census from exact per-user flags
+      Stats.chapmanEstimate(Tables.events(s, dir), "user_id",
+        col("ts") < lit("2024-01-08").cast("timestamp"),
+        col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))),
     "q_seasonality" -> ((s, dir) =>
       // additive period-7 decomposition of daily order revenue with a
       // calendar-free epoch-mod-7 weekday slot

@@ -250,6 +250,30 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(g("z_stat").asInstanceOf[Double] - z) < 1e-5)
   }
 
+  test("weibullFit: OLS over the rounded KM steps replays an " +
+      "independent computation; under 3 usable steps reports NULLs") {
+    def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    // four users, events at 1/2/4/8h: steps S = .75, .5, .25, 0 (last
+    // dropped by the 0 < S < 1 filter) -> 3 usable (t, S) points
+    val rows = Seq(
+      (1L, ts(0), "s"), (1L, ts(1), "e"),
+      (2L, ts(0), "s"), (2L, ts(2), "e"),
+      (3L, ts(0), "s"), (3L, ts(4), "e"),
+      (4L, ts(0), "s"), (4L, ts(8), "e")).toDF("user_id", "fts", "kind")
+    val r = Eval.weibullFit(rows, "user_id", "fts", col("kind") === "e")
+      .collect().head
+    assert(r.getAs[Long]("n_steps") == 3L)
+    assert(r.getAs[Double]("shape") == 1.134343)
+    assert(r.getAs[Double]("scale") == 2.918239)
+    assert(r.getAs[Double]("median_t") == 2.112505)
+    assert(r.getAs[Double]("r2") == 0.995346)
+    val tiny = Seq((1L, ts(0), "s"), (1L, ts(1), "e"),
+      (2L, ts(0), "s"), (2L, ts(2), "e")).toDF("user_id", "fts", "kind")
+    val t2 = Eval.weibullFit(tiny, "user_id", "fts", col("kind") === "e")
+      .collect().head
+    assert(t2.isNullAt(t2.fieldIndex("shape")))
+  }
+
   test("kaplanMeier: survival steps only at event hours, censoring " +
       "shrinks the risk set, exhausted risk set pins survival to 0") {
     def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)

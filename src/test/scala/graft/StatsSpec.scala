@@ -408,6 +408,25 @@ class StatsSpec extends SparkSpec {
     assert(z.isNullAt(z.fieldIndex("q_stat")))
   }
 
+  test("chapmanEstimate: closed-form Chapman census on hand flags; " +
+      "entities outside both windows don't bias the counts") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, d, 10, 0, 0))
+    // A-window day 1, B-window day 5: A={1,2,3}, B={3,4}, both={3};
+    // user 5 appears only outside both windows
+    val df = Seq((1L, t(1)), (2L, t(1)), (3L, t(1)), (3L, t(5)),
+      (4L, t(5)), (5L, t(20))).toDF("u", "ts")
+    val r = Stats.chapmanEstimate(df, "u",
+      col("ts") < t(2), col("ts") >= t(5) && col("ts") < t(6))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_both") == 1L)
+    assert(r.getAs[Double]("n_hat") == 5.0)
+    assert(r.getAs[Double]("se") == 1.414214)
+    assert(r.getAs[Double]("n_lo") == 2.228192)
+    assert(r.getAs[Double]("n_hi") == 7.771808)
+  }
+
   test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
       "closed form; short series refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
