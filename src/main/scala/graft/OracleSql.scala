@@ -5555,33 +5555,47 @@ object OracleSql {
     // each half-step is an exact BIGINT fold plus ONE correctly-rounded
     // division, so DuckDB replays the recursion bit-for-bit
     "q_supplier_hits" -> {
+      // exact integer half-up rounding of raw*1e9/tot — no float in
+      // the recursion (mirrors Graph.hits' decimal `div`). Every CTE is
+      // MATERIALIZED: ar/hr are referenced twice (total + normalize),
+      // and inlining would re-evaluate the whole chain per reference —
+      // 2^8 blowup over four supersteps at sf0.1.
       val steps = (1 to 4).map { i =>
-        s"""ar$i AS (SELECT e.dst AS node, CAST(sum(h.hm) AS BIGINT) AS raw
+        s"""ar$i AS MATERIALIZED (SELECT e.dst AS node,
+               CAST(sum(h.hm) AS BIGINT) AS raw
              FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
-      at$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$i),
-      a$i AS (SELECT n.node,
-                CAST(round(CAST(coalesce(r.raw, 0) AS DOUBLE)
-                  / CAST(t.tot AS DOUBLE) * 1.0e9, 0) AS BIGINT) AS am
+      at$i AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS tot
+              FROM ar$i),
+      a$i AS MATERIALIZED (SELECT n.node,
+                CAST((CAST(coalesce(r.raw, 0) AS HUGEINT) * 2000000000
+                  + t.tot) // (CAST(t.tot AS HUGEINT) * 2) AS BIGINT)
+                  AS am
               FROM nodes n LEFT JOIN ar$i r ON n.node = r.node, at$i t),
-      hr$i AS (SELECT e.src AS node, CAST(sum(a.am) AS BIGINT) AS raw
+      hr$i AS MATERIALIZED (SELECT e.src AS node,
+               CAST(sum(a.am) AS BIGINT) AS raw
              FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
-      ht$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$i),
-      h$i AS (SELECT n.node,
-                CAST(round(CAST(coalesce(r.raw, 0) AS DOUBLE)
-                  / CAST(t.tot AS DOUBLE) * 1.0e9, 0) AS BIGINT) AS hm
+      ht$i AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS tot
+              FROM hr$i),
+      h$i AS MATERIALIZED (SELECT n.node,
+                CAST((CAST(coalesce(r.raw, 0) AS HUGEINT) * 2000000000
+                  + t.tot) // (CAST(t.tot AS HUGEINT) * 2) AS BIGINT)
+                  AS hm
               FROM nodes n LEFT JOIN hr$i r ON n.node = r.node, ht$i t)"""
       }.mkString(",\n      ")
       s"""
-      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
+      WITH base AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+                      l_suppkey AS sk
                     FROM lineitem),
-      e AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+      e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
             FROM base a JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS hm FROM nodes),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e
+                             UNION SELECT dst FROM e),
+      h0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS hm
+                          FROM nodes),
       $steps
       SELECT a4.node AS s_suppkey,
-             round(CAST(am AS DOUBLE) / 1.0e9, 6) AS authority,
-             round(CAST(hm AS DOUBLE) / 1.0e9, 6) AS hub
+             CAST((am * 2 + 1000) // 2000 AS DOUBLE) / 1e6 AS authority,
+             CAST((hm * 2 + 1000) // 2000 AS DOUBLE) / 1e6 AS hub
       FROM a4 JOIN h4 ON a4.node = h4.node ORDER BY s_suppkey"""
     },
 

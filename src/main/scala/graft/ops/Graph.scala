@@ -263,13 +263,15 @@ object Graph {
     * symmetric; on any directed slice (status-filtered orders, follows,
     * citations) they split into "sourced-by-many" vs "sources-many".
     *
-    * Determinism: scores live on the 1e-9 INTEGER lattice (longs), so
-    * every superstep's in/out fold is exact long addition in any
-    * partition order; the only floating-point op per half-step is the
-    * single L1-normalizing division (correctly-rounded IEEE on exact
-    * integer inputs, identical in any engine). This is strictly stronger
-    * than [[pageRank]]'s double supersteps and makes the whole unrolled
-    * recursion replayable in SQL.
+    * Determinism: scores live on the 1e-9 INTEGER lattice (longs), and
+    * the per-half-step L1 normalization is EXACT INTEGER half-up
+    * rounding — (2·raw·10⁹ + tot) integer-divided by 2·tot in
+    * decimal(38,0) — so NO floating-point op exists anywhere in the
+    * recursion (a double division here put one sf0.1 node on a
+    * shortest-decimal .5 boundary where the engines' round() split by
+    * one lattice unit). Strictly stronger than [[pageRank]]'s double
+    * supersteps; the whole unrolled recursion is replayable in SQL with
+    * `//`.
     *
     * Plan per half-step: one equi-join of the edge list against the
     * one-row-per-node score vector + one keyed sum (map-side combined)
@@ -286,17 +288,19 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(eager = false)
-    // one normalized half-step: exact long fold -> one division -> back
-    // to the lattice. coalesce BEFORE the division so sink/source nodes
-    // (no in/out edges) carry an exact 0.
+    // one normalized half-step: exact long fold -> exact integer
+    // half-up rounding of raw·1e9/tot via (2·raw·1e9 + tot) div (2·tot)
+    // in decimal(38,0) (IntegralDivide returns a long) -> back to the
+    // lattice. coalesce BEFORE the division so sink/source nodes (no
+    // in/out edges) carry an exact 0. No float anywhere.
     def norm(raw: DataFrame, out: String): DataFrame = {
       val tot = raw.agg(sum(col("__raw")).as("__tot"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))
         .select(col("node"),
-          round(coalesce(col("__raw"), lit(0L)).cast("double") /
-            col("__tot").cast("double") * lit(1.0e9), 0)
-            .cast("long").as(out))
+          expr("CAST((CAST(coalesce(__raw, 0L) AS DECIMAL(38,0)) " +
+            "* 2000000000 + __tot) div " +
+            "(CAST(__tot AS DECIMAL(38,0)) * 2) AS BIGINT)").as(out))
         .localCheckpoint(eager = false)
     }
     var h = nodes.select(col("node"), lit(1000000000L).as("hm"))
@@ -307,10 +311,15 @@ object Graph {
       h = norm(e.join(a.select(col("node").as("dst"), col("am")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("am")).as("__raw")), "hm")
     }
+    // display at 6 decimals via exact integer half-up rounding of the
+    // lattice (am/1e9 rounded in doubles flips engines when a node
+    // lands on a .5 boundary — sf0.1 supplier 37 did)
     a.join(h, Seq("node"))
       .select(col("node"),
-        round(col("am").cast("double") / lit(1.0e9), 6).as("authority"),
-        round(col("hm").cast("double") / lit(1.0e9), 6).as("hub"))
+        (expr("(am * 2 + 1000) div 2000").cast("double") / 1e6)
+          .as("authority"),
+        (expr("(hm * 2 + 1000) div 2000").cast("double") / 1e6)
+          .as("hub"))
       .orderBy("node")
   }
 
