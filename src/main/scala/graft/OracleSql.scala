@@ -5171,6 +5171,59 @@ object OracleSql {
                AS survival
       FROM s WHERE n_events > 0 ORDER BY t_hours""",
 
+    // Shapley attribution: exact exposure-mask lattice, factorial
+    // weights as shared literals, marginal terms on the 1e-12 lattice
+    "q_shapley_attribution" -> {
+      val channels = Seq("view", "click", "signup")
+      val k = channels.size
+      def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+      val w = (0 until k).map(s => fact(s) * fact(k - 1 - s) / fact(k))
+      val wCase = "CASE bit_count(a1.m) " + (0 until k).map(s =>
+        s"WHEN $s THEN ${java.lang.Double.toString(w(s))}")
+        .mkString(" ") + " END"
+      val cCols = channels.zipWithIndex.map { case (c, i) =>
+        s"CAST(max(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END)"
+          .concat(s" AS BIGINT) AS c$i") }.mkString(",\n             ")
+      val maskExpr = channels.indices
+        .map(i => s"c$i * ${1L << i}").mkString(" + ")
+      val chanRows = channels.zipWithIndex.map { case (c, i) =>
+        val b = 1L << i
+        s"""SELECT '$c' AS channel,
+             (SELECT CAST(sum(n) AS BIGINT) FROM allm WHERE (m & $b) <> 0)
+               AS n_exposed,
+             (SELECT round(v, 6) FROM allm WHERE m = $b) AS v_alone,
+             (SELECT CAST(sum(CAST(round((a2.v - a1.v) * ($wCase) * 1e12,
+                  0) AS BIGINT)) AS BIGINT)
+              FROM allm a1 JOIN allm a2 ON a1.m + $b = a2.m
+              WHERE (a1.m & $b) = 0) AS phil"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH per AS (SELECT user_id,
+             $cCols,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+            FROM events GROUP BY 1),
+      sub AS (SELECT $maskExpr AS m, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(y) AS BIGINT) AS cv
+              FROM per GROUP BY 1),
+      allm AS MATERIALIZED (SELECT r.m, coalesce(s.n, 0) AS n,
+               coalesce(s.cv, 0) AS cv,
+               CASE WHEN coalesce(s.n, 0) > 0
+                 THEN CAST(coalesce(s.cv, 0) AS DOUBLE)
+                   / CAST(coalesce(s.n, 0) AS DOUBLE)
+                 ELSE 0.0 END AS v
+             FROM (SELECT unnest(range(0, ${1L << k})) AS m) r
+             LEFT JOIN sub s ON r.m = s.m),
+      rows0 AS ($chanRows),
+      tot AS (SELECT CAST(sum(phil) AS BIGINT) AS t FROM rows0)
+      SELECT channel, n_exposed, v_alone,
+             round(CAST(phil AS DOUBLE) / 1e12, 6) AS shapley,
+             round(CASE WHEN t <> 0
+               THEN CAST(phil AS DOUBLE) / t END, 6) AS share,
+             round(CAST(t AS DOUBLE) / 1e12, 6) AS total_phi
+      FROM rows0, tot ORDER BY channel"""
+    },
+
     // Weibull fit: chained from the ROUNDED KM survival, ln/lnln terms
     // on the 1e-9 lattice, HUGEINT product folds, ln(ln 2) literal
     // shared verbatim

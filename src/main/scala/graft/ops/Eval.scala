@@ -413,6 +413,86 @@ object Eval {
     * rates a retention model fits). Same bounded plan: key-grain agg →
     * duration-grain agg → cumulative windows over ≤ distinct-hours rows.
     */
+  /** Exact Shapley-value channel attribution over a DECLARED bounded
+    * channel roster: each user's exposure SET (did they ever touch the
+    * channel) defines a coalition; v(S) = conversion rate of users
+    * exposed to exactly S (unobserved coalitions value 0 — the
+    * standard data-driven-attribution convention); each channel's
+    * credit is its exact Shapley value
+    * φᵢ = Σ_{S∌i} |S|!(k−1−|S|)!/k! · (v(S∪i) − v(S)).
+    * The game-theoretic completion of the attribution suite: last-touch
+    * (`q_attribution`) over-credits closers, Markov removal
+    * (`q_removal_attribution`) depends on the chain model; Shapley is
+    * the unique symmetric/efficient split. Efficiency means Σφᵢ =
+    * v(all) − v(∅), emitted as `total_phi` on every row so a reader can
+    * verify it.
+    *
+    * Determinism: exposure masks and coalition counts are exact integer
+    * folds; v values are single divisions of exact longs; each
+    * marginal-contribution term commits to the 1e-12 lattice (with the
+    * factorial weights injected as shared literals) before the
+    * per-channel fold over the BOUNDED 2^k subset frame.
+    *
+    * Plan: one entity-grain aggregation (corpus-sized, map-side
+    * combined), one ≤2^k-row subset aggregation, then k bounded
+    * self-joins of the subset frame (≤ k·2^k rows total). Requires
+    * k ≤ 8 — the subset lattice is the whole point and the whole cost.
+    */
+  def shapleyAttribution(df: DataFrame, keyCol: String,
+                         channelCol: String, channels: Seq[String],
+                         isConv: Column): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8 &&
+      channels.distinct == channels,
+      s"shapleyAttribution: 1..8 distinct channels (got $channels)")
+    val k = channels.size
+    val aggs = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col(channelCol) === c, 1L).otherwise(0L)).as(s"__c$i")
+    } :+ max(when(isConv, 1L).otherwise(0L)).as("__y")
+    val per = df.groupBy(col(keyCol).as("__k")).agg(aggs.head, aggs.tail: _*)
+    val mask = channels.indices
+      .map(i => col(s"__c$i") * (1L << i)).reduce(_ + _)
+    val subsets = per.withColumn("__m", mask)
+      .groupBy(col("__m"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__cv"))
+    val all = df.sparkSession.range(1L << k).toDF("__m")
+      .join(subsets, Seq("__m"), "left")
+      .select(col("__m"), coalesce(col("__n"), lit(0L)).as("__n"),
+        coalesce(col("__cv"), lit(0L)).as("__cv"))
+      .withColumn("__v", when(col("__n") > 0,
+        col("__cv").cast("double") / col("__n").cast("double"))
+        .otherwise(lit(0.0)))
+      .localCheckpoint(eager = false)
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    val w = (0 until k).map(s => fact(s) * fact(k - 1 - s) / fact(k))
+    val wArr = array(w.map(lit): _*)
+    val perChannel = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1L << i
+      val s = all.filter(col("__m").bitwiseAND(bit) === 0)
+        .select(col("__m"), col("__v").as("__vs"))
+      val joined = s.join(
+        all.select(col("__m").as("__m2"), col("__v").as("__vsi")),
+        col("__m") + bit === col("__m2"))
+        .withColumn("__w",
+          element_at(wArr, expr("bit_count(__m)").cast("int") + 1))
+        .agg(sum(round((col("__vsi") - col("__vs")) * col("__w") * 1e12,
+          0).cast("long")).as("__phil"))
+      val exposed = all.filter(col("__m").bitwiseAND(bit) =!= 0)
+        .agg(sum(col("__n")).as("n_exposed"))
+      val alone = all.filter(col("__m") === bit)
+        .select(round(col("__v"), 6).as("v_alone"))
+      joined.crossJoin(broadcast(exposed)).crossJoin(broadcast(alone))
+        .withColumn("channel", lit(c))
+    }.reduce(_ unionByName _).localCheckpoint(eager = false)
+    val tot = perChannel.agg(sum(col("__phil")).as("__tot"))
+    perChannel.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_exposed"), col("v_alone"),
+        round(col("__phil").cast("double") / 1e12, 6).as("shapley"),
+        round(when(col("__tot") =!= 0L,
+          col("__phil").cast("double") / col("__tot")), 6).as("share"),
+        round(col("__tot").cast("double") / 1e12, 6).as("total_phi"))
+      .orderBy("channel")
+  }
+
   /** Parametric Weibull fit of the [[kaplanMeier]] curve: OLS of
     * ln(−ln S) on ln t over the step table gives the shape k (slope)
     * and scale λ (from the intercept) — one smooth two-parameter

@@ -589,6 +589,12 @@ object AnalyticsRegistry {
             col("value")),
         "user_id", "ts",
         col("event_type") === "purchase" && col("value") > 95.0)),
+    "q_shapley_attribution" -> ((s, dir) =>
+      // the game-theoretic split next to last-touch and Markov removal:
+      // exact Shapley credit per channel over the 2^3 exposure lattice
+      Eval.shapleyAttribution(Tables.events(s, dir), "user_id",
+        "event_type", Seq("view", "click", "signup"),
+        col("event_type") === "purchase")),
     "q_weibull_fit" -> ((s, dir) =>
       // parametric smooth of the KM staircase: Weibull shape/scale via
       // ln(-ln S) OLS, implied median, and the fit R2 honesty check

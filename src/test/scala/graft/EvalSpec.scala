@@ -250,6 +250,30 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(g("z_stat").asInstanceOf[Double] - z) < 1e-5)
   }
 
+  test("shapleyAttribution: hand-computed two-channel game satisfies " +
+      "the closed form and the efficiency identity") {
+    // v(0)=0, v(A)=1/2, v(B)=0, v(AB)=1 -> phi_A=.75, phi_B=.25
+    val df = Seq((1L, "A"), (1L, "conv"), (2L, "A"), (3L, "B"),
+      (4L, "A"), (4L, "B"), (4L, "conv"), (5L, "other"))
+      .toDF("u", "ch")
+    val r = Eval.shapleyAttribution(df, "u", "ch", Seq("A", "B"),
+      col("ch") === "conv").collect()
+    val a = r.find(_.getString(0) == "A").get
+    assert(a.getAs[Long]("n_exposed") == 3L)
+    assert(a.getAs[Double]("v_alone") == 0.5)
+    assert(a.getAs[Double]("shapley") == 0.75)
+    assert(a.getAs[Double]("share") == 0.75)
+    assert(a.getAs[Double]("total_phi") == 1.0) // v(all) - v(empty)
+    val b = r.find(_.getString(0) == "B").get
+    assert(b.getAs[Long]("n_exposed") == 2L)
+    assert(b.getAs[Double]("v_alone") == 0.0)
+    assert(b.getAs[Double]("shapley") == 0.25)
+    intercept[IllegalArgumentException] {
+      Eval.shapleyAttribution(df, "u", "ch", Seq.fill(9)("x")
+        .zipWithIndex.map(t => t._1 + t._2), col("ch") === "conv")
+    }
+  }
+
   test("weibullFit: OLS over the rounded KM steps replays an " +
       "independent computation; under 3 usable steps reports NULLs") {
     def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
