@@ -7655,6 +7655,75 @@ object OracleSql {
              round(CAST(tt.b + tt.w AS DOUBLE) / 1e12, 6) AS theil_total
       FROM terms, tt ORDER BY g""",
 
+    // Lorenz deciles: centi-lattice entity sums, ntile over the exact
+    // (value, entity) order, bounded cumulative windows
+    "q_lorenz" -> """
+      WITH per AS (SELECT o_custkey AS e,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      b AS (SELECT ntile(10) OVER (ORDER BY x, e) AS d, x FROM per),
+      a AS (SELECT d, CAST(count(*) AS BIGINT) AS n_entities,
+              CAST(sum(x) AS BIGINT) AS v
+            FROM b GROUP BY 1),
+      c AS (SELECT d, n_entities, v,
+              CAST(sum(n_entities) OVER (ORDER BY d ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+              CAST(sum(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cv,
+              CAST(sum(n_entities) OVER () AS DOUBLE) AS nd,
+              CAST(sum(v) OVER () AS DOUBLE) AS td
+            FROM a)
+      SELECT d AS decile, n_entities,
+             round(CAST(v AS DOUBLE) / 100.0, 2) AS decile_value,
+             round(CAST(cn AS DOUBLE) / nd, 6) AS cum_entity_share,
+             round(CAST(cv AS DOUBLE) / td, 6) AS cum_value_share,
+             round(CAST(cn AS DOUBLE) / nd - CAST(cv AS DOUBLE) / td, 6)
+               AS equality_gap
+      FROM c ORDER BY decile""",
+
+    // TOPSIS: lattice criteria, exact HUGEINT norm sums, fixed distance
+    // trees, rank over the ROUNDED closeness with id tiebreak
+    "q_topsis_suppliers" -> {
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val dp = s"sqrt(${sq("r0", "p0")} + ${sq("r1", "p1")}"
+        .concat(s" + ${sq("r2", "p2")})")
+      val dm = s"sqrt(${sq("r0", "q0")} + ${sq("r1", "q1")}"
+        .concat(s" + ${sq("r2", "q2")})")
+      s"""
+      WITH per AS (SELECT l_suppkey AS s_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                 * 100, 0) AS BIGINT)) AS BIGINT) AS x0,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS x1,
+               CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT))
+                 AS BIGINT) AS x2
+            FROM lineitem GROUP BY 1),
+      s AS (SELECT sum(CAST(x0 AS HUGEINT) * x0) AS s0,
+              sum(CAST(x1 AS HUGEINT) * x1) AS s1,
+              sum(CAST(x2 AS HUGEINT) * x2) AS s2
+            FROM per),
+      r AS MATERIALIZED (SELECT s_suppkey,
+              CAST(x0 AS DOUBLE) / sqrt(CAST(s0 AS DOUBLE)) AS r0,
+              CAST(x1 AS DOUBLE) / sqrt(CAST(s1 AS DOUBLE)) AS r1,
+              CAST(x2 AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) AS r2
+            FROM per, s),
+      i AS (SELECT max(r0) AS p0, max(r1) AS p1, min(r2) AS p2,
+              min(r0) AS q0, min(r1) AS q1, max(r2) AS q2
+            FROM r),
+      sc AS (SELECT s_suppkey, r0, r1, r2,
+               CASE WHEN $dp + $dm > 0
+                 THEN $dm / ($dp + $dm) ELSE 0.0 END AS cls
+             FROM r, i)
+      SELECT s_suppkey,
+             round(r0, 6) AS norm_revenue,
+             round(r1, 6) AS norm_n_orders,
+             round(r2, 6) AS norm_discount_bp,
+             round(cls, 6) AS closeness,
+             CAST(row_number() OVER (ORDER BY round(cls, 6) DESC,
+               s_suppkey) AS BIGINT) AS "rank"
+      FROM sc ORDER BY "rank""""
+    },
+
     // HHI per nation market: centi-lattice row revenue, exact entity and
     // market sums, share-squared terms on the 1e-12 lattice before the
     // per-market fold

@@ -193,6 +193,70 @@ object Olap {
       .orderBy("day")
   }
 
+  /** TOPSIS multi-criteria ranking over a bounded criteria set: each
+    * entity's closeness to the ideal point (best value per criterion)
+    * vs the anti-ideal — the classic MCDM answer to "rank suppliers by
+    * revenue AND volume AND price discipline at once" that a
+    * single-metric ORDER BY can't give. Criteria are declared with a
+    * direction (benefit = higher better); equal weights (the declared
+    * baseline — a weighted variant is a literal change).
+    *
+    * Determinism: each criterion commits to an integer lattice at the
+    * entity grain BEFORE the vector normalization, so Σx² folds
+    * exactly in decimal(38,0); the normalized values, ideal points
+    * (exact max/min of identical doubles), distances, and closeness
+    * are one fixed double tree each; the final rank orders by the
+    * ROUNDED closeness with the entity id tiebreak (the basket-rules
+    * rounded-ordering convention).
+    *
+    * Plan: one entity-grain aggregation, one 1-row Σx²/ideal
+    * broadcast, one entity-grain rank window (the giniConcentration
+    * global-sort class). Criteria count is bounded by declaration.
+    */
+  def topsis(df: DataFrame, entityCol: String,
+             criteria: Seq[(String, Boolean)]): DataFrame = {
+    require(criteria.size >= 2 && criteria.size <= 8 &&
+      criteria.map(_._1).distinct.size == criteria.size,
+      s"topsis: 2..8 distinct criteria (got $criteria)")
+    val k = criteria.size
+    // entity frame must carry one integer-lattice value per criterion
+    val folded = criteria.zipWithIndex.foldLeft(df) { case (d, ((c, _), i)) =>
+      d.withColumn(s"__x$i", col(c)) }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val sumAggs = criteria.indices.map(i =>
+      sum(dec(col(s"__x$i")) * col(s"__x$i")).as(s"__s$i"))
+    val norms = folded.agg(sumAggs.head, sumAggs.tail: _*)
+    val rCols = criteria.indices.map(i =>
+      (col(s"__x$i").cast("double") /
+        sqrt(col(s"__s$i").cast("double"))).as(s"__r$i"))
+    val normed = folded.crossJoin(broadcast(norms))
+      .select(col(entityCol) +: rCols: _*)
+      .localCheckpoint(eager = false)
+    val idealAggs = criteria.zipWithIndex.map { case ((_, benefit), i) =>
+      (if (benefit) max(col(s"__r$i")) else min(col(s"__r$i")))
+        .as(s"__p$i")
+    } ++ criteria.zipWithIndex.map { case ((_, benefit), i) =>
+      (if (benefit) min(col(s"__r$i")) else max(col(s"__r$i")))
+        .as(s"__q$i")
+    }
+    val ideals = normed.agg(idealAggs.head, idealAggs.tail: _*)
+    val withI = normed.crossJoin(broadcast(ideals))
+    def dist(pfx: String) = sqrt(criteria.indices.map(i =>
+      (col(s"__r$i") - col(s"__$pfx$i")) *
+        (col(s"__r$i") - col(s"__$pfx$i"))).reduce(_ + _))
+    val dPlus = dist("p")
+    val dMinus = dist("q")
+    val close = when(dPlus + dMinus > 0, dMinus / (dPlus + dMinus))
+      .otherwise(lit(0.0))
+    val scored = withI.select(
+      (col(entityCol) +: criteria.indices.map(i =>
+        round(col(s"__r$i"), 6).as(s"norm_${criteria(i)._1}"))) :+
+      round(close, 6).as("closeness"): _*)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("closeness").desc, col(entityCol))).cast("long"))
+      .orderBy("rank")
+  }
+
   /** 2-D skyline (Pareto frontier): the entities NOT dominated on a
     * (minimize, maximize) metric pair — "which parts are on the
     * price-vs-size efficiency frontier?" — the multi-objective query

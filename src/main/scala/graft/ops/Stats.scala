@@ -2745,6 +2745,48 @@ object Stats {
       .orderBy("group")
   }
 
+  /** Lorenz-curve decile table: cumulative entity share vs cumulative
+    * value share per value-ordered decile — the full concentration
+    * CURVE behind [[giniConcentration]]'s single number ("the bottom
+    * 50% of customers carry 9% of revenue; the top decile carries
+    * 41%"), with each decile's gap to the equality diagonal.
+    *
+    * Determinism: entity values ride the centi lattice (exact sums);
+    * decile assignment is ntile over the (value, entity) total order
+    * (exact, engine-replayable); cumulative folds run over the BOUNDED
+    * decile frame; shares are one fixed double tree each.
+    *
+    * Plan: one entity-grain aggregation, the entity-grain ntile sort
+    * (the giniConcentration global-sort class), then ≤`deciles`-row
+    * windows. Output is one row per decile.
+    */
+  def lorenzCurve(df: DataFrame, entityCol: String, valueCol: String,
+                  deciles: Int = 10): DataFrame = {
+    require(deciles >= 2 && deciles <= 100,
+      s"lorenzCurve: deciles in [2, 100] (got $deciles)")
+    val per = df.groupBy(col(entityCol).as("__e"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
+    val binned = per.withColumn("__d",
+      ntile(deciles).over(Window.orderBy(col("__x"), col("__e"))))
+    val agg0 = binned.groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__x")).as("__v"))
+    val wCum = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val nD = sum(col("n_entities")).over(all).cast("double")
+    val tD = sum(col("__v")).over(all).cast("double")
+    agg0
+      .withColumn("__cn", sum(col("n_entities")).over(wCum))
+      .withColumn("__cv", sum(col("__v")).over(wCum))
+      .select(col("__d").as("decile"), col("n_entities"),
+        round(col("__v").cast("double") / 100.0, 2).as("decile_value"),
+        round(col("__cn").cast("double") / nD, 6).as("cum_entity_share"),
+        round(col("__cv").cast("double") / tD, 6).as("cum_value_share"),
+        round(col("__cn").cast("double") / nD -
+          col("__cv").cast("double") / tD, 6).as("equality_gap"))
+      .orderBy("decile")
+  }
+
   /** Per-key ordinary-least-squares trend: slope / intercept / R² of y
     * over x from PLAIN sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) in ONE
     * map-side-combined aggregation — the per-entity trend screen ("is

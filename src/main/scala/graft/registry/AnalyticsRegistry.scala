@@ -988,6 +988,25 @@ object AnalyticsRegistry {
           .join(Tables.nation(s, dir),
             col("c_nationkey") === col("n_nationkey")),
         "n_name", "o_custkey", "o_totalprice")),
+    "q_lorenz" -> ((s, dir) =>
+      // the full concentration curve behind the Gini number: cumulative
+      // entity vs value share per revenue decile, diagonal gaps
+      Stats.lorenzCurve(Tables.orders(s, dir), "o_custkey",
+        "o_totalprice")),
+    "q_topsis_suppliers" -> ((s, dir) => {
+      // rank suppliers by revenue AND order volume AND discount spend
+      // at once: TOPSIS closeness to the ideal point, exact lattices
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(sum(round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * 100, 0).cast("long"))
+          .as("revenue"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(round(col("l_discount") * 10000, 0).cast("long"))
+            .as("discount_bp"))
+      Olap.topsis(per, "s_suppkey", Seq(("revenue", true),
+        ("n_orders", true), ("discount_bp", false)))
+    }),
     "q_hhi" -> ((s, dir) =>
       // supply concentration per nation market: HHI over supplier
       // revenue shares, effective-competitor count, leader share

@@ -162,6 +162,24 @@ class OlapSpec extends SparkSpec {
     assert(p3.getAs[Double]("size") == 7.0)
   }
 
+  test("topsis: the entity matching the ideal point scores closeness 1, " +
+      "the anti-ideal scores 0, cost direction respected") {
+    val df = Seq((1L, 3L, 4L), (2L, 4L, 3L)).toDF("id", "a", "b")
+    val r = graft.ops.Olap.topsis(df, "id",
+      Seq(("a", true), ("b", false))).collect()
+    val e2 = r.find(_.getLong(0) == 2L).get
+    assert(e2.getAs[Double]("norm_a") == 0.8)
+    assert(e2.getAs[Double]("norm_b") == 0.6)
+    assert(e2.getAs[Double]("closeness") == 1.0)
+    assert(e2.getAs[Long]("rank") == 1L)
+    val e1 = r.find(_.getLong(0) == 1L).get
+    assert(e1.getAs[Double]("closeness") == 0.0)
+    assert(e1.getAs[Long]("rank") == 2L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Olap.topsis(df, "id", Seq(("a", true)))
+    }
+  }
+
   test("priceIndex: matched two-item basket replays the closed-form " +
       "Laspeyres/Paasche/Fisher; unmatched items drop") {
     // item 1: p0=10 (q0=10,e0=100) -> p1=12 (q1=5,e1=60)

@@ -427,6 +427,23 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("lorenzCurve: hand-computed two-decile shares and diagonal gaps") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("e", "v")
+    val r = Stats.lorenzCurve(df, "e", "v", deciles = 2).collect()
+    assert(r.length == 2)
+    val d1 = r.head
+    assert(d1.getAs[Long]("n_entities") == 2L)
+    assert(d1.getAs[Double]("decile_value") == 3.0)
+    assert(d1.getAs[Double]("cum_entity_share") == 0.5)
+    assert(d1.getAs[Double]("cum_value_share") == 0.3)
+    assert(d1.getAs[Double]("equality_gap") == 0.2)
+    val d2 = r(1)
+    assert(d2.getAs[Double]("cum_entity_share") == 1.0)
+    assert(d2.getAs[Double]("cum_value_share") == 1.0)
+    assert(d2.getAs[Double]("equality_gap") == 0.0)
+  }
+
   test("ljungBox: a linear trend pins every rho to 1 and Q to the " +
       "closed form; short series refused") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate
