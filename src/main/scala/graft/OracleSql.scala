@@ -2976,6 +2976,61 @@ object OracleSql {
       ORDER BY lag"""
     },
 
+    // PACF lags 1-3: centi-lattice daily series, exact HUGEINT per-lag
+    // sufficient sums, fixed correlation and Durbin-Levinson trees
+    "q_pacf" -> {
+      def sums(k: Int) =
+        s"""count(CASE WHEN l$k IS NOT NULL THEN 1 END) AS n$k,
+              sum(CASE WHEN l$k IS NOT NULL THEN CAST(y AS HUGEINT)
+                END) AS sa$k,
+              sum(CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS HUGEINT)
+                END) AS sb$k,
+              sum(CASE WHEN l$k IS NOT NULL THEN CAST(y AS HUGEINT) * y
+                END) AS saa$k,
+              sum(CASE WHEN l$k IS NOT NULL THEN CAST(y AS HUGEINT) * l$k
+                END) AS sab$k,
+              sum(CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS HUGEINT) * l$k
+                END) AS sbb$k"""
+      def rK(k: Int) =
+        s"""CASE WHEN sqrt((CAST(n$k AS DOUBLE) * CAST(saa$k AS DOUBLE)
+               - CAST(sa$k AS DOUBLE) * CAST(sa$k AS DOUBLE))
+              * (CAST(n$k AS DOUBLE) * CAST(sbb$k AS DOUBLE)
+               - CAST(sb$k AS DOUBLE) * CAST(sb$k AS DOUBLE))) > 0
+            THEN (CAST(n$k AS DOUBLE) * CAST(sab$k AS DOUBLE)
+               - CAST(sa$k AS DOUBLE) * CAST(sb$k AS DOUBLE))
+              / sqrt((CAST(n$k AS DOUBLE) * CAST(saa$k AS DOUBLE)
+               - CAST(sa$k AS DOUBLE) * CAST(sa$k AS DOUBLE))
+              * (CAST(n$k AS DOUBLE) * CAST(sbb$k AS DOUBLE)
+               - CAST(sb$k AS DOUBLE) * CAST(sb$k AS DOUBLE))) END AS r$k"""
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      l AS (SELECT y, lag(y, 1) OVER (ORDER BY d) AS l1,
+              lag(y, 2) OVER (ORDER BY d) AS l2,
+              lag(y, 3) OVER (ORDER BY d) AS l3
+            FROM daily),
+      f AS (SELECT ${sums(1)},
+              ${sums(2)},
+              ${sums(3)} FROM l),
+      r AS (SELECT n1, n2, n3, ${rK(1)}, ${rK(2)}, ${rK(3)} FROM f),
+      p2 AS (SELECT *, 1.0 - r1 * r1 AS d22 FROM r),
+      p3 AS (SELECT *, CASE WHEN d22 > 0
+               THEN (r2 - r1 * r1) / d22 END AS p22 FROM p2),
+      p4 AS (SELECT *, r1 - p22 * r1 AS p21 FROM p3),
+      p5 AS (SELECT *, 1.0 - p21 * r1 - p22 * r2 AS den3 FROM p4),
+      p6 AS (SELECT *, CASE WHEN den3 > 0
+               THEN (r3 - p21 * r2 - p22 * r1) / den3 END AS p33 FROM p5)
+      SELECT 1 AS lag, CAST(n1 AS BIGINT) AS n_pairs,
+             round(r1, 6) AS acf, round(r1, 6) AS pacf FROM p6
+      UNION ALL
+      SELECT 2, CAST(n2 AS BIGINT), round(r2, 6), round(p22, 6) FROM p6
+      UNION ALL
+      SELECT 3, CAST(n3 AS BIGINT), round(r3, 6), round(p33, 6) FROM p6
+      ORDER BY lag"""
+    },
+
     // CUSUM: the prefix-minus-running-min identity replayed verbatim;
     // P₀ = 0 participates via least(0, running min)
     // DAU/MAU stickiness: each user-day fans out to the 7 days it keeps
@@ -4115,6 +4170,41 @@ object OracleSql {
              round(sum(abs(accuracy - confidence) * n) OVER ()
                    / sum(n) OVER (), 6) AS ece
       FROM b ORDER BY bin""",
+
+    // Isotonic calibration: exact per-bin (n, k), pooled rates as one
+    // division of exact prefix-sum differences, min-max PAVA election
+    "q_isotonic_calibration" -> """
+      WITH s AS (
+        SELECT least(value/500.0, 1.0) AS score,
+               (event_type = 'purchase') AS pos
+        FROM events),
+      b AS (
+        SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM s GROUP BY 1),
+      pre AS (
+        SELECT bin, n, k,
+               CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+               CAST(sum(k) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS ck
+        FROM b),
+      pairs AS (
+        SELECT i.bin AS bi, j.bin AS t,
+               CAST(j.ck - (i.ck - i.k) AS DOUBLE) /
+               CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+        FROM pre i JOIN pre j ON i.bin <= j.bin),
+      mv AS (
+        SELECT bi, t, min(a) OVER (PARTITION BY bi ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+        FROM pairs),
+      iso AS (SELECT t, max(m) AS iso FROM mv GROUP BY 1)
+      SELECT b.bin, b.n, b.k AS n_pos,
+             round(CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+               AS raw_rate,
+             round(iso.iso, 6) AS iso_rate
+      FROM b JOIN iso ON b.bin = iso.t ORDER BY b.bin""",
 
     // Quadratic trend: exact HUGEINT sums up to Sum x^4, the granger
     // centered-moment Cramer solve on (x, x^2), nested-F of curvature
@@ -7681,6 +7771,74 @@ object OracleSql {
              round(CAST(cn AS DOUBLE) / nd - CAST(cv AS DOUBLE) / td, 6)
                AS equality_gap
       FROM c ORDER BY decile""",
+
+    // Inequality ratios: centi-lattice entity sums, exact integer
+    // floor-division rank cutoffs, fixed share/ratio trees
+    "q_inequality_ratios" -> """
+      WITH per AS (SELECT o_custkey AS e,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      r AS (SELECT x, row_number() OVER (ORDER BY x, e) AS rn,
+              count(*) OVER () AS n FROM per),
+      f AS (SELECT CAST(max(n) AS BIGINT) AS n_entities,
+              CAST(sum(x) AS BIGINT) AS tot,
+              CAST(coalesce(sum(CASE WHEN rn <= (5 * n) // 10
+                THEN x END), 0) AS BIGINT) AS b50,
+              CAST(coalesce(sum(CASE WHEN rn <= (4 * n) // 10
+                THEN x END), 0) AS BIGINT) AS b40,
+              CAST(coalesce(sum(CASE WHEN rn <= (2 * n) // 10
+                THEN x END), 0) AS BIGINT) AS b20,
+              CAST(coalesce(sum(CASE WHEN rn > (9 * n) // 10
+                THEN x END), 0) AS BIGINT) AS t10,
+              CAST(coalesce(sum(CASE WHEN rn > (8 * n) // 10
+                THEN x END), 0) AS BIGINT) AS t20,
+              CAST(coalesce(sum(CASE WHEN rn > (99 * n) // 100
+                THEN x END), 0) AS BIGINT) AS t01
+            FROM r)
+      SELECT n_entities,
+             round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_value,
+             round(CAST(b50 AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS bottom50_share,
+             round(CAST(t10 AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS top10_share,
+             round(CAST(t01 AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS top1_share,
+             round(CASE WHEN b40 > 0 THEN CAST(t10 AS DOUBLE) /
+               CAST(b40 AS DOUBLE) END, 6) AS palma_ratio,
+             round(CASE WHEN b20 > 0 THEN CAST(t20 AS DOUBLE) /
+               CAST(b20 AS DOUBLE) END, 6) AS s80s20_ratio
+      FROM f""",
+
+    // Wilson interval: exact user-grain (n, k) longs, one fixed double
+    // tree with z and z^2 interpolated verbatim (the tau^2 lesson)
+    "q_wilson_ci" -> {
+      val z = 1.959963984540054
+      val z2 = z * z
+      s"""
+      WITH users AS (SELECT user_id % 8 AS segment, user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+            FROM events GROUP BY 1, 2),
+      per AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(conv) AS BIGINT) AS n_converted
+              FROM users GROUP BY 1),
+      t AS (SELECT segment, n_users, n_converted,
+              CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+              CAST(n_users AS DOUBLE) AS nd
+            FROM per),
+      w AS (SELECT segment, n_users, n_converted, p,
+              (p + $z2 / (2.0 * nd)) / (1.0 + $z2 / nd) AS center,
+              $z * sqrt((p * (1.0 - p) + $z2 / (4.0 * nd)) / nd) /
+                (1.0 + $z2 / nd) AS half
+            FROM t)
+      SELECT segment, n_users, n_converted,
+             round(p, 6) AS rate,
+             round(center - half, 6) AS wilson_lo,
+             round(center + half, 6) AS wilson_hi,
+             round((center + half) - (center - half), 6) AS wilson_width
+      FROM w ORDER BY segment"""
+    },
 
     // TOPSIS: lattice criteria, exact HUGEINT norm sums, fixed distance
     // trees, rank over the ROUNDED closeness with id tiebreak

@@ -785,6 +785,63 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** Isotonic (PAVA) calibration over [[calibrationBins]]' binning —
+    * the monotone score→probability remap a serving layer applies when
+    * the reliability diagram shows miscalibration ("scores near 0.8
+    * convert at 0.55"): the least-squares MONOTONE fit to the per-bin
+    * conversion rates, computed by the pool-adjacent-violators
+    * min–max identity ŷ_t = max_{i≤t} min_{j≥t} A(i,j) where A(i,j)
+    * is the pooled rate of bins i..j — no iteration, no driver loop.
+    *
+    * Determinism: per-bin (n, k) are exact longs; every pooled rate
+    * A(i,j) is ONE double division of exact integer differences of
+    * prefix sums, so both engines elect identical min/max winners;
+    * output rounds at display only.
+    *
+    * Plan: one corpus-sized aggregation to ≤`bins` rows, then a
+    * bins×bins self-join (≤64² rows — a documented BOUNDED
+    * nested-loop on the bin frame, never corpus-sized), a bounded
+    * window, one bounded fold.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          positive: Column, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 64,
+      s"isotonicCalibration: bins in [2, 64] (got $bins)")
+    val s = col(scoreCol)
+    val guarded = when(s.isNull || s < 0.0 || s > 1.0,
+      raise_error(concat(
+        lit(s"isotonicCalibration: $scoreCol out of [0,1]: "),
+        s.cast("string")))).otherwise(s)
+    val bin = least(floor(guarded * bins), lit(bins - 1L)).cast("int")
+    val perBin = df.withColumn("__b", bin).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(positive, 1L).otherwise(0L)).as("__k"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = perBin
+      .withColumn("__cn", sum(col("__n")).over(wCum))
+      .withColumn("__ck", sum(col("__k")).over(wCum))
+    val li = pre.select(col("__b").as("__i"),
+      (col("__cn") - col("__n")).as("__cni"),
+      (col("__ck") - col("__k")).as("__cki"))
+    val rj = pre.select(col("__b").as("__t"), col("__cn").as("__cnj"),
+      col("__ck").as("__ckj"))
+    val pairs = li.join(rj, col("__i") <= col("__t"))
+      .withColumn("__a", (col("__ckj") - col("__cki")).cast("double") /
+        (col("__cnj") - col("__cni")).cast("double"))
+    val wMin = Window.partitionBy(col("__i")).orderBy(col("__t"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val iso = pairs.withColumn("__mv", min(col("__a")).over(wMin))
+      .groupBy(col("__t")).agg(max(col("__mv")).as("__iso"))
+    perBin.join(iso, col("__b") === col("__t"))
+      .select(col("__b").as("bin"), col("__n").as("n"),
+        col("__k").as("n_pos"),
+        round(col("__k").cast("double") / col("__n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("__iso"), 6).as("iso_rate"))
+      .orderBy("bin")
+  }
+
   /** Murphy decomposition of the Brier score over [[calibrationBins]]'
     * binning: BRIER = RELIABILITY − RESOLUTION + UNCERTAINTY (+ the
     * within-bin residual, reported rather than hidden — the three-term
@@ -1005,6 +1062,73 @@ object Stats {
           .mkString("stack(" + maxLag + ", ", ", ", ")")
           + " AS (lag, autocorr, n_pairs)"))
       .withColumn("autocorr", round(col("autocorr"), 6))
+      .orderBy("lag")
+  }
+
+  /** Partial autocorrelation of a daily series at lags 1–3 — the
+    * AR-order diagnostic [[autocorr]] can't give ("is the lag-2
+    * correlation real structure, or just lag-1 echoing twice?"):
+    * Durbin–Levinson closed forms over the lag-k Pearson correlations
+    * of the observed (xₜ, xₜ₋ₖ) pairs. An AR(p) series shows PACF
+    * cutting off after lag p while the ACF tails; three lags decide
+    * AR(1) vs AR(2) vs AR(3), which is as deep as a forecast-feature
+    * screen needs.
+    *
+    * Determinism: the daily value rides the centi lattice; per-lag
+    * sufficient sums (n, Σa, Σb, Σab, Σa², Σb²) are EXACT decimal
+    * folds (order-free), and every correlation and Durbin–Levinson
+    * coefficient is one fixed double tree over those exact sums —
+    * never a `corr()` whose accumulation order the engine picks.
+    *
+    * Plan: one corpus-sized keyed aggregation to the calendar-bounded
+    * daily table, one lag window over that bounded frame (the
+    * documented global-window class), one 1-row fold, a 3-row stack.
+    */
+  def pacf(df: DataFrame, dateCol: Column, valueCol: String): DataFrame = {
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val w = Window.partitionBy().orderBy(col("__d"))
+    val lagged = daily
+      .withColumn("__l1", lag(col("__y"), 1).over(w))
+      .withColumn("__l2", lag(col("__y"), 2).over(w))
+      .withColumn("__l3", lag(col("__y"), 3).over(w))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def sumsFor(k: Int): Seq[Column] = {
+      val b = col(s"__l$k"); val in = b.isNotNull
+      Seq(count(when(in, lit(1))).as(s"__n$k"),
+        sum(when(in, dec(col("__y")))).as(s"__sa$k"),
+        sum(when(in, dec(b))).as(s"__sb$k"),
+        sum(when(in, dec(col("__y")) * col("__y"))).as(s"__saa$k"),
+        sum(when(in, dec(col("__y")) * b)).as(s"__sab$k"),
+        sum(when(in, dec(b) * b)).as(s"__sbb$k"))
+    }
+    val allSums = (1 to 3).flatMap(sumsFor)
+    val f = lagged.groupBy().agg(allSums.head, allSums.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def rK(k: Int): Column = {
+      val nD = d(s"__n$k")
+      val num = nD * d(s"__sab$k") - d(s"__sa$k") * d(s"__sb$k")
+      val den = sqrt((nD * d(s"__saa$k") - d(s"__sa$k") * d(s"__sa$k")) *
+        (nD * d(s"__sbb$k") - d(s"__sb$k") * d(s"__sb$k")))
+      when(den > 0, num / den)
+    }
+    f.withColumn("__r1", rK(1))
+      .withColumn("__r2", rK(2))
+      .withColumn("__r3", rK(3))
+      .withColumn("__d22", lit(1.0) - col("__r1") * col("__r1"))
+      .withColumn("__p22", when(col("__d22") > 0,
+        (col("__r2") - col("__r1") * col("__r1")) / col("__d22")))
+      .withColumn("__p21", col("__r1") - col("__p22") * col("__r1"))
+      .withColumn("__den3", lit(1.0) - col("__p21") * col("__r1") -
+        col("__p22") * col("__r2"))
+      .withColumn("__p33", when(col("__den3") > 0,
+        (col("__r3") - col("__p21") * col("__r2") -
+          col("__p22") * col("__r1")) / col("__den3")))
+      .select(expr(
+        "stack(3, 1, __n1, round(__r1, 6), round(__r1, 6)," +
+          " 2, __n2, round(__r2, 6), round(__p22, 6)," +
+          " 3, __n3, round(__r3, 6), round(__p33, 6))" +
+          " AS (lag, n_pairs, acf, pacf)"))
       .orderBy("lag")
   }
 
@@ -2785,6 +2909,99 @@ object Stats {
         round(col("__cn").cast("double") / nD -
           col("__cv").cast("double") / tD, 6).as("equality_gap"))
       .orderBy("decile")
+  }
+
+  /** Per-group conversion rate with the WILSON score interval — the
+    * small-n-honest confidence bound a dashboard should show instead of
+    * the normal-approximation ±z·se (which collapses to a zero-width or
+    * out-of-[0,1] interval at low counts). One row per group: users,
+    * conversions, point rate, Wilson lo/hi/width at the given z.
+    *
+    * Determinism: n and k are exact longs from a user-grain max-fold
+    * (any number of events per user collapses to one 0/1); every double
+    * then flows through ONE fixed expression tree (z and z² are shared
+    * literals the oracle generator interpolates verbatim — the tau²
+    * lesson), so both engines compute identical IEEE results before the
+    * 6-decimal display round.
+    *
+    * Plan: one user-grain aggregation (map-side combined), one
+    * group-grain aggregation, zero windows — fully scalable.
+    */
+  def wilsonIntervals(df: DataFrame, groupCol: Column, userCol: String,
+                      isConv: Column,
+                      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0.0, s"wilsonIntervals: z > 0 (got $z)")
+    val z2 = z * z
+    val users = df.groupBy(groupCol.as("segment"), col(userCol))
+      .agg(max(isConv.cast("int")).as("__conv"))
+    val per = users.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__conv")).cast("long").as("n_converted"))
+    val nD = col("n_users").cast("double")
+    val pHat = col("n_converted").cast("double") / nD
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = (pHat + lit(z2) / (lit(2.0) * nD)) / denom
+    val half = lit(z) *
+      sqrt((pHat * (lit(1.0) - pHat) + lit(z2) / (lit(4.0) * nD)) / nD) /
+      denom
+    per.select(col("segment"), col("n_users"), col("n_converted"),
+        round(pHat, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"),
+        round((center + half) - (center - half), 6).as("wilson_width"))
+      .orderBy("segment")
+  }
+
+  /** Inequality ratio table over per-entity value sums — the standard
+    * distribution summary next to [[giniConcentration]]'s single number
+    * and [[lorenzCurve]]'s full curve: bottom-50% / top-10% / top-1%
+    * value shares, the Palma ratio (top-10% value over bottom-40%
+    * value) and the S80/S20 quintile ratio, one output row.
+    *
+    * Determinism: entity values ride the centi lattice (exact long
+    * sums); rank cutoffs are exact integer floor-divisions of the
+    * entity count (`(4·n) div 10` etc. — identical on both engines);
+    * ranks come from `row_number` over the (value, entity) total order;
+    * shares and ratios are fixed double trees over exact sums.
+    *
+    * Plan: one entity-grain aggregation, one entity-grain global window
+    * (the documented giniConcentration global-sort class — entity grain,
+    * not corpus grain), one single-row fold.
+    */
+  def inequalityRatios(df: DataFrame, entityCol: String,
+                       valueCol: String): DataFrame = {
+    val per = df.groupBy(col(entityCol).as("__e"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
+    val all = Window.partitionBy()
+    val ranked = per
+      .withColumn("__rn", row_number()
+        .over(Window.orderBy(col("__x"), col("__e"))))
+      .withColumn("__n", count(lit(1)).over(all))
+    def below(tenths: Int) =
+      col("__rn") <= expr(s"($tenths * __n) div 10")
+    def above(tenths: Int) =
+      col("__rn") > expr(s"($tenths * __n) div 10")
+    val f = ranked.groupBy().agg(
+      max(col("__n")).as("n_entities"),
+      sum(col("__x")).as("__tot"),
+      coalesce(sum(when(below(5), col("__x"))), lit(0L)).as("__b50"),
+      coalesce(sum(when(below(4), col("__x"))), lit(0L)).as("__b40"),
+      coalesce(sum(when(below(2), col("__x"))), lit(0L)).as("__b20"),
+      coalesce(sum(when(above(9), col("__x"))), lit(0L)).as("__t10"),
+      coalesce(sum(when(above(8), col("__x"))), lit(0L)).as("__t20"),
+      coalesce(sum(when(col("__rn") > expr("(99 * __n) div 100"),
+        col("__x"))), lit(0L)).as("__t01"))
+    def d(c: String) = col(c).cast("double")
+    val totD = d("__tot")
+    f.select(col("n_entities"),
+      round(totD / 100.0, 2).as("total_value"),
+      round(d("__b50") / totD, 6).as("bottom50_share"),
+      round(d("__t10") / totD, 6).as("top10_share"),
+      round(d("__t01") / totD, 6).as("top1_share"),
+      round(when(col("__b40") > 0, d("__t10") / d("__b40")), 6)
+        .as("palma_ratio"),
+      round(when(col("__b20") > 0, d("__t20") / d("__b20")), 6)
+        .as("s80s20_ratio"))
   }
 
   /** Per-key ordinary-least-squares trend: slope / intercept / R² of y

@@ -292,6 +292,13 @@ object AnalyticsRegistry {
         Tables.events(s, dir)
           .withColumn("score", least(col("value") / 500.0, lit(1.0))),
         "score", col("event_type") === "purchase", bins = 10)),
+    "q_isotonic_calibration" -> ((s, dir) =>
+      // the monotone remap that FIXES what q_calibration diagnoses:
+      // PAVA via the min-max identity over the same 10 bins
+      Stats.isotonicCalibration(
+        Tables.events(s, dir)
+          .withColumn("score", least(col("value") / 500.0, lit(1.0))),
+        "score", col("event_type") === "purchase", bins = 10)),
     "q_brier" -> ((s, dir) =>
       // recalibrate or retrain? Murphy split of the Brier score into
       // reliability / resolution / uncertainty over the same bins
@@ -993,6 +1000,17 @@ object AnalyticsRegistry {
       // entity vs value share per revenue decile, diagonal gaps
       Stats.lorenzCurve(Tables.orders(s, dir), "o_custkey",
         "o_totalprice")),
+    "q_inequality_ratios" -> ((s, dir) =>
+      // the distribution summary next to gini/lorenz: bottom-50%/
+      // top-10%/top-1% shares, Palma and S80/S20 ratios, one row
+      Stats.inequalityRatios(Tables.orders(s, dir), "o_custkey",
+        "o_totalprice")),
+    "q_wilson_ci" -> ((s, dir) =>
+      // per-cohort purchase conversion with the small-n-honest Wilson
+      // score interval (user-grain trials, pmod cohorts)
+      Stats.wilsonIntervals(Tables.events(s, dir),
+        pmod(col("user_id"), lit(8L)), "user_id",
+        col("event_type") === "purchase")),
     "q_topsis_suppliers" -> ((s, dir) => {
       // rank suppliers by revenue AND order volume AND discount spend
       // at once: TOPSIS closeness to the ideal point, exact lattices

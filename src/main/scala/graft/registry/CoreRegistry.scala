@@ -662,6 +662,12 @@ object CoreRegistry {
       Stats.autocorr(
         Tables.orders(s, dir), to_date(col("o_orderdate")),
         "o_totalprice", maxLag = 14)),
+    "q_pacf" -> ((s, dir) =>
+      // AR-order screen the ACF can't give: Durbin-Levinson partial
+      // autocorrelations of daily revenue at lags 1-3, exact lattice
+      // sufficient sums
+      Stats.pacf(Tables.orders(s, dir), to_date(col("o_orderdate")),
+        "o_totalprice")),
     "q_stickiness" -> ((s, dir) =>
       // DAU/MAU engagement per day: exact fan-out MAU over a 7-day
       // window (the corpus spans one month, so a weekly "MAU")

@@ -427,6 +427,115 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("isotonicCalibration: pools the adjacent violator pair exactly " +
+      "as hand-run PAVA; already-monotone input is returned unchanged") {
+    // bins (n, k): bin0 (2, 1) rate .5 > bin1 (5, 1) rate .2 -> pool to
+    // 2/7; bin2 (5, 2) rate .4 stays
+    def rows(score: Double, n: Int, k: Int) =
+      (0 until n).map(i => (score, i < k))
+    val df = (rows(0.1, 2, 1) ++ rows(0.4, 5, 1) ++ rows(0.8, 5, 2))
+      .toDF("score", "pos")
+    val r = Stats.isotonicCalibration(df, "score", col("pos"), bins = 3)
+      .collect()
+    assert(r.map(_.getAs[Int]("bin")).toSeq == Seq(0, 1, 2))
+    assert(r(0).getAs[Double]("raw_rate") == 0.5)
+    assert(r(0).getAs[Double]("iso_rate") == 0.285714)
+    assert(r(1).getAs[Double]("iso_rate") == 0.285714)
+    assert(r(2).getAs[Double]("iso_rate") == 0.4)
+    // monotone input passes through: rates .2 < .4 < .6
+    val mono = (rows(0.1, 5, 1) ++ rows(0.4, 5, 2) ++ rows(0.8, 5, 3))
+      .toDF("score", "pos")
+    val m = Stats.isotonicCalibration(mono, "score", col("pos"), bins = 3)
+      .collect()
+    assert(m.map(_.getAs[Double]("iso_rate")).toSeq == Seq(0.2, 0.4, 0.6))
+    assert(m.map(_.getAs[Double]("raw_rate")).toSeq ==
+      m.map(_.getAs[Double]("iso_rate")).toSeq)
+  }
+
+  test("pacf: matches an independent Durbin-Levinson computation; " +
+      "perfectly-correlated series degrades to null pacf at lag 2") {
+    val vals = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.0, 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), v)
+    }.toDF("d", "v")
+    val r = Stats.pacf(df, col("d"), "v").collect()
+    assert(r.length == 3)
+    // independent computation over the same centi-lattice pairs
+    val y = vals.map(v => math.round(v * 100))
+    def rk(k: Int): Double = {
+      val pairs = y.drop(k).zip(y.dropRight(k))
+      val n = pairs.size.toDouble
+      val sa = pairs.map(_._1).sum.toDouble
+      val sb = pairs.map(_._2).sum.toDouble
+      val saa = pairs.map(p => p._1 * p._1).sum.toDouble
+      val sab = pairs.map(p => p._1 * p._2).sum.toDouble
+      val sbb = pairs.map(p => p._2 * p._2).sum.toDouble
+      (n * sab - sa * sb) /
+        math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (r1, r2, r3) = (rk(1), rk(2), rk(3))
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    assert(r(0).getAs[Long]("n_pairs") == 7L)
+    assert(r(0).getAs[Double]("acf") == r6(r1))
+    assert(r(0).getAs[Double]("pacf") == r6(r1))
+    assert(r(1).getAs[Double]("acf") == r6(r2))
+    assert(r(1).getAs[Double]("pacf") == r6(p22))
+    assert(r(2).getAs[Double]("pacf") == r6(p33))
+    // a linear ramp: r1 = 1 exactly -> the lag-2 denominator vanishes
+    val ramp = (1 to 6).map(i =>
+      (java.sql.Date.valueOf(f"2024-02-$i%02d"), i.toDouble)).toDF("d", "v")
+    val rr = Stats.pacf(ramp, col("d"), "v").collect()
+    assert(rr(0).getAs[Double]("acf") == 1.0)
+    assert(rr(1).isNullAt(rr(1).fieldIndex("pacf")))
+  }
+
+  test("inequalityRatios: hand-computed shares over values 1..10") {
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("e", "v")
+    val r = Stats.inequalityRatios(df, "e", "v").collect().head
+    assert(r.getAs[Long]("n_entities") == 10L)
+    assert(r.getAs[Double]("total_value") == 55.0)
+    // bottom 5 of 10 entities carry 1+2+3+4+5 = 15 of 55
+    assert(r.getAs[Double]("bottom50_share") == 0.272727)
+    // top decile = rank 10 only -> 10 of 55; top-1% cutoff (99*10)//100
+    // = 9 also isolates rank 10
+    assert(r.getAs[Double]("top10_share") == 0.181818)
+    assert(r.getAs[Double]("top1_share") == 0.181818)
+    // palma: top-10% value 10 over bottom-40% value 1+2+3+4 = 10
+    assert(r.getAs[Double]("palma_ratio") == 1.0)
+    // s80/s20: (9+10) over (1+2)
+    assert(r.getAs[Double]("s80s20_ratio") == 6.333333)
+  }
+
+  test("wilsonIntervals: closed-form bound at n=2, k=1; symmetric " +
+      "center at p=0.5; zero-conversion cohort stays in [0,1]") {
+    val df = Seq((2L, "purchase"), (2L, "view"), (4L, "view"),
+      (1L, "view"), (3L, "view")).toDF("u", "et")
+    val r = Stats.wilsonIntervals(df, pmod(col("u"), lit(2L)), "u",
+      col("et") === "purchase").collect()
+    assert(r.length == 2)
+    val even = r.find(_.getAs[Long]("segment") == 0L).get
+    assert(even.getAs[Long]("n_users") == 2L)
+    assert(even.getAs[Long]("n_converted") == 1L)
+    assert(even.getAs[Double]("rate") == 0.5)
+    val z = 1.959963984540054; val z2 = z * z; val nd = 2.0; val p = 0.5
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val center = (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+    val half = z * math.sqrt((p * (1.0 - p) + z2 / (4.0 * nd)) / nd) /
+      (1.0 + z2 / nd)
+    assert(even.getAs[Double]("wilson_lo") == r6(center - half))
+    assert(even.getAs[Double]("wilson_hi") == r6(center + half))
+    val odd = r.find(_.getAs[Long]("segment") == 1L).get
+    assert(odd.getAs[Long]("n_converted") == 0L)
+    assert(odd.getAs[Double]("wilson_lo") >= 0.0)
+    assert(odd.getAs[Double]("wilson_hi") <= 1.0 &&
+      odd.getAs[Double]("wilson_hi") > 0.0)
+  }
+
   test("lorenzCurve: hand-computed two-decile shares and diagonal gaps") {
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
       .toDF("e", "v")
