@@ -7623,6 +7623,45 @@ object OracleSql {
              FROM t)
       SELECT n, n_clusters, purity, mi_nats, nmi FROM pf, mi"""),
 
+    // Grid-density clusters: floor(coord/eps) cells from the same
+    // stored floats, dense >= 5, 8-adjacency recursive closure, integer
+    // counts only; sparse remainder as cluster -1
+    "x_grid_density_clusters" -> """
+      WITH RECURSIVE pts AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.02) AS BIGINT)
+                 AS cx,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.02) AS BIGINT)
+                 AS cy
+        FROM embeddings),
+      cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
+                FROM pts GROUP BY 1, 2),
+      dense AS (SELECT (cx + 500000) * 2000000 + (cy + 500000) AS cell,
+                       cx, cy, n
+                FROM cells WHERE n >= 3),
+      edges AS (SELECT a.cell AS src, b.cell AS dst
+                FROM dense a JOIN dense b
+                  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                 AND b.cy BETWEEN a.cy - 1 AND a.cy + 1),
+      reach(id, r) AS (
+        SELECT cell, cell FROM dense
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+      comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+               FROM reach GROUP BY id),
+      clusters AS (
+        SELECT c.component AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(d.n) AS BIGINT) AS n_points
+        FROM dense d JOIN comp c ON d.cell = c.id GROUP BY 1),
+      noise AS (
+        SELECT CAST(-1 AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points
+        FROM cells WHERE n < 3)
+      SELECT * FROM clusters
+      UNION ALL SELECT * FROM noise
+      ORDER BY cluster_id""",
+
     "x_kmeans" -> (kmeansCtes + """
       SELECT id AS vec_id, cl AS cluster, round(d2, 6) AS dist2
       FROM a3 ORDER BY vec_id"""),

@@ -137,4 +137,70 @@ object Clustering {
       .select(col(idCol), col("cluster"), col("pick_rank"))
       .orderBy("cluster", "pick_rank")
   }
+
+  /** Grid-density clustering (the cell-grid relaxation of DBSCAN) over
+    * the first two embedding dimensions: hash points to eps-cells, call
+    * a cell DENSE when it holds ≥ minPts points, union 8-adjacent dense
+    * cells into clusters via distributed connected components, and
+    * report each cluster — plus the sparse-cell noise remainder as
+    * cluster_id −1 — as one (n_cells, n_points) summary row. Unlike
+    * pairwise DBSCAN there is NO distance join anywhere: the only
+    * corpus-sized stages are one cell aggregation and the groupings
+    * that feed it — work scales with OCCUPIED CELLS (∝ data spread),
+    * never points², the shape that survives 100 TB.
+    *
+    * Determinism: cell coords are floor(coord/eps) over doubles both
+    * engines derive identically from the same stored floats; cell ids
+    * are exact integer encodings (fail-loud when a coordinate leaves
+    * the ±500 000-cell envelope); components are min-reachable-id via
+    * [[Dedup.connectedComponents]]; every output is an integer count.
+    *
+    * Plan: one corpus aggregation to cells, a 9-offset explode +
+    * EQUI-join for adjacency (bounded: dense cells only), log-bounded
+    * CC supersteps over the tiny cell graph, two bounded folds.
+    */
+  def gridDensityClusters(emb: DataFrame, vecCol: String,
+                          eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0.0, s"gridDensityClusters: eps > 0 (got $eps)")
+    require(minPts >= 1 && minPts <= 1000000,
+      s"gridDensityClusters: minPts in [1, 1e6] (got $minPts)")
+    val half = 500000L
+    val pts = emb.select(
+      floor(element_at(col(vecCol), 1).cast("double") / eps).as("__cx"),
+      floor(element_at(col(vecCol), 2).cast("double") / eps).as("__cy"))
+    val cells = pts.groupBy(col("__cx"), col("__cy"))
+      .agg(count(lit(1)).as("__n"))
+    def cid(cx: Column, cy: Column): Column =
+      when(abs(cx) >= half || abs(cy) >= half,
+        raise_error(lit("gridDensityClusters: cell coordinate beyond " +
+          "±500000 — eps too small for this coordinate range")))
+        .otherwise((cx + lit(half)) * lit(2 * half * 2) + (cy + lit(half)))
+    val dense = cells.filter(col("__n") >= minPts)
+      .withColumn("__cell", cid(col("__cx"), col("__cy")))
+      .localCheckpoint()
+    val nbr = dense
+      .select(col("__cell").as("__src"), col("__cx"), col("__cy"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("__dx"))
+      .select(col("__src"), (col("__cx") + col("__dx")).as("__nx"),
+        col("__cy"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("__dy"))
+      .select(col("__src"), col("__nx"),
+        (col("__cy") + col("__dy")).as("__ny"))
+    val edges = nbr.join(
+      dense.select(col("__cell").as("__dst"), col("__cx").as("__nx"),
+        col("__cy").as("__ny")),
+      Seq("__nx", "__ny"))
+      .select(col("__src"), col("__dst"))
+    val comp = Dedup.connectedComponents(edges, "__src", "__dst")
+    val clusters = dense.join(comp, dense("__cell") === comp("id"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__n")).as("n_points"))
+    val noise = cells.filter(col("__n") < minPts)
+      .groupBy().agg(count(lit(1)).as("n_cells"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_points"))
+      .select(lit(-1L).as("cluster_id"), col("n_cells"), col("n_points"))
+    clusters.select(col("cluster_id"), col("n_cells"), col("n_points"))
+      .unionByName(noise)
+      .orderBy("cluster_id")
+  }
 }

@@ -961,6 +961,11 @@ object AnalyticsRegistry {
       // partition: per-label intra/nearest-other distance and score
       Similarity.silhouette(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label")),
+    "x_grid_density_clusters" -> ((s, dir) =>
+      // DBSCAN's cell-grid relaxation with NO distance join: eps-cells,
+      // dense >= 3, 8-adjacency CC; noise remainder rides as -1
+      Clustering.gridDensityClusters(Tables.embeddings(s, dir),
+        "embedding", eps = 0.02, minPts = 3)),
     "x_kmeans" -> ((s, dir) =>
       // deterministic Lloyd k-means (id-ordered seeds, fixed supersteps,
       // lowest-cluster tie rule) — assignment + distance per vector

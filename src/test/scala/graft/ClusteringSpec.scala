@@ -84,4 +84,33 @@ class ClusteringSpec extends SparkSpec {
       assert(ids == expect, s"cell picks $ids vs $expect")
     }
   }
+
+  test("gridDensityClusters: adjacent dense cells merge, the isolated " +
+      "dense cell stands alone, sparse cells pool into the -1 noise row") {
+    def v(x: Float, y: Float) = Array(x, y, 0.0f)
+    val emb = Seq(
+      // dense cell (0,0) and dense cell (1,0) — 8-adjacent, one cluster
+      v(0.5f, 0.5f), v(0.4f, 0.4f), v(1.5f, 0.2f), v(1.2f, 0.8f),
+      // isolated dense cell (5,5)
+      v(5.5f, 5.5f), v(5.2f, 5.1f),
+      // two sparse singles: cell (9,0) and the NEGATIVE cell (-1,-1)
+      v(9.5f, 0.3f), v(-0.5f, -0.5f)
+    ).zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("vec_id", "embedding")
+    val r = Clustering.gridDensityClusters(emb, "embedding",
+      eps = 1.0, minPts = 2).collect()
+    assert(r.length == 3)
+    val noise = r(0)
+    assert(noise.getAs[Long]("cluster_id") == -1L)
+    assert(noise.getAs[Long]("n_cells") == 2L)
+    assert(noise.getAs[Long]("n_points") == 2L)
+    // component labels are the min cell encoding: cell (0,0) for the
+    // merged pair, cell (5,5) for the singleton
+    val a = r(1)
+    assert(a.getAs[Long]("cluster_id") == 500000L * 2000000L + 500000L)
+    assert(a.getAs[Long]("n_cells") == 2L && a.getAs[Long]("n_points") == 4L)
+    val b = r(2)
+    assert(b.getAs[Long]("cluster_id") == 500005L * 2000000L + 500005L)
+    assert(b.getAs[Long]("n_cells") == 1L && b.getAs[Long]("n_points") == 2L)
+  }
 }
