@@ -6042,6 +6042,101 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Sign test: centi-lattice daily comparisons, exact binomial tail
+    // replayed as an index-ordered recursive-CTE recurrence from the
+    // dyadic 0.5^n seed — the same IEEE chain Spark folds in-sequence
+    "q_sign_test" -> """
+      WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      l AS (SELECT y, lag(y, 7) OVER (ORDER BY d) AS y0 FROM daily),
+      f AS (SELECT
+         CAST(count(CASE WHEN y0 IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_obs,
+         CAST(sum(CASE WHEN y0 IS NOT NULL AND y > y0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y0 IS NOT NULL AND y < y0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN y0 IS NOT NULL AND y = y0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_ties
+       FROM l),
+      g AS (SELECT *, n_pos + n_neg AS n, least(n_pos, n_neg) AS m,
+              CAST(n_pos + n_neg AS DOUBLE) AS nd FROM f),
+      r(i, pmf, cum) AS (
+        SELECT 0, pow(0.5, (SELECT nd FROM g)),
+               pow(0.5, (SELECT nd FROM g))
+        UNION ALL
+        SELECT i + 1,
+          (pmf * ((SELECT nd FROM g) - (i + 1) + 1.0)) / (i + 1),
+          cum + CASE WHEN (i + 1) <= (SELECT m FROM g)
+            THEN (pmf * ((SELECT nd FROM g) - (i + 1) + 1.0)) / (i + 1)
+            ELSE 0.0 END
+        FROM r WHERE i < (SELECT n FROM g))
+      SELECT n_obs, n_pos, n_neg, n_ties,
+        round(CASE WHEN n >= 1 THEN least(1.0,
+          2.0 * (SELECT cum FROM r WHERE i = (SELECT n FROM g)))
+        END, 6) AS sign_p
+      FROM g""",
+
+    // Engle-Granger: lattice OLS of revenue on volume, residuals on the
+    // 1e-6 lattice (the DW trick), exact HUGEINT ADF(0) folds, MacKinnon
+    // 5% critical literal -3.37
+    "q_cointegration" -> {
+      val num = "CAST(CAST(n AS HUGEINT) * sxy" +
+        " - CAST(sx AS HUGEINT) * sy AS DOUBLE)"
+      val den = "CAST(CAST(n AS HUGEINT) * sxx" +
+        " - CAST(sx AS HUGEINT) * sx AS DOUBLE)"
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y,
+              CAST(count(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM daily),
+      sc AS (SELECT n, $num / $den AS b,
+               (CAST(sy AS DOUBLE) - $num / $den * sx) / n AS a
+             FROM f),
+      e AS (SELECT daily.d,
+              CAST(round((CAST(daily.y AS DOUBLE) - sc.a - sc.b * daily.x)
+                * 1e6, 0) AS BIGINT) AS eu
+            FROM daily, sc),
+      g AS (SELECT eu, lag(eu, 1) OVER (ORDER BY d) AS e1 FROM e),
+      h AS (SELECT count(e1) AS np,
+              sum(CASE WHEN e1 IS NOT NULL
+                THEN CAST(e1 AS HUGEINT) * e1
+                ELSE CAST(0 AS HUGEINT) END) AS s1,
+              sum(CASE WHEN e1 IS NOT NULL
+                THEN CAST(e1 AS HUGEINT) * (eu - e1)
+                ELSE CAST(0 AS HUGEINT) END) AS s2,
+              sum(CASE WHEN e1 IS NOT NULL
+                THEN CAST(eu - e1 AS HUGEINT) * (eu - e1)
+                ELSE CAST(0 AS HUGEINT) END) AS s3
+            FROM g),
+      t AS (SELECT np, s1, s2, s3,
+              CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) AS gamma,
+              CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                / CAST(s1 AS DOUBLE) AS rss
+            FROM h)
+      SELECT (SELECT n FROM f) AS n_days,
+             CAST(np AS BIGINT) AS n_pairs,
+             round((SELECT b FROM sc), 6) AS beta,
+             round(CASE WHEN s1 > 0 AND np >= 3 THEN gamma END, 6)
+               AS gamma,
+             round(CASE WHEN s1 > 0 AND np >= 3 AND rss > 0 THEN
+               gamma / sqrt((rss / (CAST(np AS DOUBLE) - 1.0))
+                 / CAST(s1 AS DOUBLE)) END, 6) AS adf_t,
+             CASE WHEN s1 > 0 AND np >= 3 AND rss > 0 THEN
+               gamma / sqrt((rss / (CAST(np AS DOUBLE) - 1.0))
+                 / CAST(s1 AS DOUBLE)) < -3.37 END AS cointegrated
+      FROM t"""
+    },
+
     "q_durbin_watson" -> {
       val num = "CAST(CAST(n AS HUGEINT) * sty" +
         " - CAST(st AS HUGEINT) * sy AS DOUBLE)"

@@ -1733,6 +1733,124 @@ object Stats {
         .as("rho_approx"))
   }
 
+  /** Paired sign test of a daily series against itself `lagK` positions
+    * earlier — "is this week's daily revenue SYSTEMATICALLY above last
+    * week's?" with an EXACT binomial p-value, no normal approximation
+    * and no distributional assumption beyond symmetry under the null
+    * (the nonparametric sibling of a paired t-test that survives heavy
+    * tails and outliers unmoved). Ties are dropped, reported, and the
+    * two-sided p is 2·P(X ≤ min(pos, neg)) for X ~ Bin(n, ½), capped
+    * at 1.
+    *
+    * Determinism: daily values ride the centi lattice so comparisons
+    * are exact; the binomial tail is an INDEX-ORDERED recurrence
+    * pmf_i = pmf_{i−1}·(n−i+1)/i folded left-to-right from
+    * pmf₀ = 0.5ⁿ (exact dyadic) — both engines replay the identical
+    * IEEE chain, the oracle as a recursive CTE, Spark as a
+    * higher-order `aggregate` over `sequence(1, n)` (n is
+    * calendar-bounded, so the per-row array is bounded too).
+    *
+    * Plan: one corpus aggregation to the daily table, one bounded lag
+    * window, one 1-row fold carrying the bounded sequence. No corpus
+    * sort, no driver loop.
+    */
+  def signTest(df: DataFrame, dateCol: Column, valueCol: String,
+               lagK: Int = 7): DataFrame = {
+    require(lagK >= 1 && lagK <= 400,
+      s"signTest: lagK in [1, 400] (got $lagK)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val w = Window.partitionBy().orderBy(col("__d"))
+    val paired = daily
+      .withColumn("__y0", lag(col("__y"), lagK).over(w))
+      .filter(col("__y0").isNotNull)
+    val f = paired.agg(count(lit(1)).as("n_obs"),
+      sum(when(col("__y") > col("__y0"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("__y") < col("__y0"), 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("__y") === col("__y0"), 1L).otherwise(0L)).as("n_ties"))
+    val n = col("n_pos") + col("n_neg")
+    val nD = n.cast("double")
+    val mD = least(col("n_pos"), col("n_neg")).cast("double")
+    val p0 = pow(lit(0.5), nD)
+    val cum = aggregate(
+      sequence(lit(1L), greatest(n, lit(1L))),
+      struct(p0.as("pmf"), p0.as("cum")),
+      (acc, i) => {
+        val iD = i.cast("double")
+        val pmf2 = (acc.getField("pmf") * (nD - iD + lit(1.0))) / iD
+        struct(pmf2.as("pmf"),
+          (acc.getField("cum") +
+            when(iD <= mD, pmf2).otherwise(lit(0.0))).as("cum"))
+      },
+      acc => acc.getField("cum"))
+    f.select(col("n_obs"), col("n_pos"), col("n_neg"), col("n_ties"),
+      round(when(n >= 1, least(lit(1.0), lit(2.0) * cum)), 6)
+        .as("sign_p"))
+  }
+
+  /** Engle–Granger cointegration screen between the daily revenue and
+    * daily order-volume series — "do these two series share a common
+    * stochastic trend, or does their spread wander?" (the gate before
+    * trusting a ratio/spread feature like revenue-per-order to be
+    * mean-reverting). Step 1: OLS revenue on volume from exact lattice
+    * sufficient sums; step 2: residuals committed to the 1e-6 integer
+    * lattice (the [[durbinWatson]] trick); step 3: the ADF(0)
+    * no-constant regression Δe_t = γ·e_{t−1} with its t-statistic from
+    * exact decimal folds — γ near 0 means the spread drifts (no
+    * cointegration), a strongly negative t means it snaps back.
+    * `cointegrated` compares against the MacKinnon asymptotic 5%
+    * critical value −3.37 for one fitted relation (shared literal —
+    * a SCREEN, not a small-sample test).
+    *
+    * Plan: one corpus aggregation to the calendar-bounded daily table,
+    * two bounded lag windows, three 1-row folds. No corpus sort.
+    */
+  def cointegration(df: DataFrame, dateCol: Column,
+                    valueCol: String): DataFrame = {
+    val crit = -3.37
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"),
+        count(lit(1)).as("__x"))
+    val fit = daily.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(dec(col("__x")) * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val num = (dec(col("__n")) * col("__sxy") -
+      dec(col("__sx")) * col("__sy")).cast("double")
+    val den = (dec(col("__n")) * col("__sxx") -
+      dec(col("__sx")) * col("__sx")).cast("double")
+    val scalars = fit.select(col("__n"),
+      (num / den).as("__b"),
+      ((col("__sy").cast("double") - num / den * col("__sx")) /
+        col("__n")).as("__a"))
+    val ord = Window.orderBy(col("__d"))
+    val resid = daily.crossJoin(broadcast(scalars))
+      .withColumn("__eu", round((col("__y").cast("double") - col("__a") -
+        col("__b") * col("__x")) * 1e6, 0).cast("long"))
+      .withColumn("__e1", lag(col("__eu"), 1).over(ord))
+      .withColumn("__de", col("__eu") - col("__e1"))
+    val folded = resid.agg(max(col("__n")).as("n_days"),
+      max(col("__b")).as("__bb"),
+      count(col("__e1")).as("__np"),
+      sum(when(col("__e1").isNotNull, dec(col("__e1")) * col("__e1"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__s1"),
+      sum(when(col("__e1").isNotNull, dec(col("__e1")) * col("__de"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__s2"),
+      sum(when(col("__e1").isNotNull, dec(col("__de")) * col("__de"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__s3"))
+    def d(c: String) = col(c).cast("double")
+    val gamma = d("__s2") / d("__s1")
+    val rss = d("__s3") - d("__s2") * d("__s2") / d("__s1")
+    val se = sqrt((rss / (d("__np") - lit(1.0))) / d("__s1"))
+    val ok = col("__s1") > 0 && col("__np") >= 3
+    folded.select(col("n_days"), col("__np").as("n_pairs"),
+      round(col("__bb"), 6).as("beta"),
+      round(when(ok, gamma), 6).as("gamma"),
+      round(when(ok && rss > 0, gamma / se), 6).as("adf_t"),
+      when(ok && rss > 0, gamma / se < lit(crit)).as("cointegrated"))
+  }
+
   /** Weighted (lower) median per group — the "median dollar/unit" the
     * plain median misquotes whenever weights are skewed: each value
     * counts by its integral weight (quantities, survivor weights,

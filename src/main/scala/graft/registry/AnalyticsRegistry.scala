@@ -766,6 +766,17 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_sign_test" -> ((s, dir) =>
+      // week-over-week shift with an EXACT binomial p (no normal
+      // approximation): daily event value vs 7 positions earlier
+      Stats.signTest(Tables.events(s, dir), to_date(col("ts")),
+        "value", lagK = 7)),
+    "q_cointegration" -> ((s, dir) =>
+      // do daily revenue and order volume share a trend, or does their
+      // spread wander? Engle-Granger: lattice OLS + 1e-6 residual
+      // lattice + exact ADF(0) folds
+      Stats.cointegration(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_durbin_watson" -> ((s, dir) =>
       // serial correlation of the DETRENDED daily revenue: DW around 2
       // is clean, toward 0 the trend CI is overconfident

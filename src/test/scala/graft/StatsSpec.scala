@@ -427,6 +427,84 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("signTest: exact binomial two-sided p from hand-countable " +
+      "paired days; ties drop; all-positive run hits the dyadic floor") {
+    // lag 1 over 6 days: diffs + - + + - -> pos 3, neg 2, m = 2
+    // p = 2 * (C(5,0)+C(5,1)+C(5,2)) / 2^5 = 2 * 16/32 = 1.0
+    val vals = Seq(10.0, 12.0, 11.0, 13.0, 14.0, 9.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(f"2024-05-${i + 1}%02d"), v)
+    }.toDF("d", "v")
+    val r = Stats.signTest(df, col("d"), "v", lagK = 1).collect().head
+    assert(r.getAs[Long]("n_obs") == 5L)
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("n_ties") == 0L)
+    assert(r.getAs[Double]("sign_p") == 1.0)
+    // strictly increasing 9 days: 8 pos, 0 neg -> p = 2 * 2^-8 = 0.007813
+    val inc = (1 to 9).map(i =>
+      (java.sql.Date.valueOf(f"2024-06-$i%02d"), i.toDouble)).toDF("d", "v")
+    val ri = Stats.signTest(inc, col("d"), "v", lagK = 1).collect().head
+    assert(ri.getAs[Long]("n_pos") == 8L)
+    assert(ri.getAs[Double]("sign_p") == 0.007813)
+    // a tie is dropped from n but reported
+    val tie = Seq(1.0, 1.0, 2.0).zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(f"2024-07-${i + 1}%02d"), v)
+    }.toDF("d", "v")
+    val rt = Stats.signTest(tie, col("d"), "v", lagK = 1).collect().head
+    assert(rt.getAs[Long]("n_ties") == 1L && rt.getAs[Long]("n_pos") == 1L)
+    assert(rt.getAs[Double]("sign_p") == 1.0)
+  }
+
+  test("cointegration: matches an independent replay of the two-stage " +
+      "Engle-Granger computation; exact-fit residuals disable the test") {
+    val prices = Seq(
+      1 -> Seq(12.0), 2 -> Seq(10.0, 15.5), 3 -> Seq(11.0),
+      4 -> Seq(12.0, 12.0, 12.0), 5 -> Seq(10.0, 14.0), 6 -> Seq(13.0),
+      7 -> Seq(11.0, 12.0, 12.0), 8 -> Seq(13.0, 13.0))
+    val df = prices.flatMap { case (day, ps) =>
+      ps.map(p => (java.sql.Date.valueOf(f"2024-03-$day%02d"), p))
+    }.toDF("d", "v")
+    val r = Stats.cointegration(df, col("d"), "v").collect().head
+    // independent replay over the same lattice
+    val xs = prices.map(_._2.size.toLong)
+    val ys = prices.map(_._2.map(p => math.round(p * 100)).sum)
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum.toDouble
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+    val eu = xs.zip(ys).map { case (x, y) =>
+      BigDecimal((y.toDouble - a - b * x) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val (e1, de) = (eu.dropRight(1), eu.drop(1).zip(eu.dropRight(1))
+      .map(p => p._1 - p._2))
+    val s1 = e1.map(e => e * e).sum.toDouble
+    val s2 = e1.zip(de).map(p => p._1 * p._2).sum.toDouble
+    val s3 = de.map(e => e * e).sum.toDouble
+    val np = e1.size.toDouble
+    val gamma = s2 / s1
+    val rss = s3 - s2 * s2 / s1
+    val adf = gamma / math.sqrt((rss / (np - 1.0)) / s1)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_days") == 8L && r.getAs[Long]("n_pairs") == 7L)
+    assert(r.getAs[Double]("beta") == r6(b))
+    assert(r.getAs[Double]("gamma") == r6(gamma))
+    assert(r.getAs[Double]("adf_t") == r6(adf))
+    assert(r.getAs[Boolean]("cointegrated") == (adf < -3.37))
+    // exact fit y = 1000x: zero residuals -> s1 = 0 -> screen disabled
+    val exact = Seq(1 -> 1, 2 -> 2, 3 -> 1, 4 -> 3, 5 -> 2).flatMap {
+      case (day, k) => (1 to k).map(_ =>
+        (java.sql.Date.valueOf(f"2024-04-$day%02d"), 10.0))
+    }.toDF("d", "v")
+    val e = Stats.cointegration(exact, col("d"), "v").collect().head
+    assert(e.getAs[Double]("beta") == 1000.0)
+    assert(e.isNullAt(e.fieldIndex("gamma")))
+    assert(e.isNullAt(e.fieldIndex("cointegrated")))
+  }
+
   test("isotonicCalibration: pools the adjacent violator pair exactly " +
       "as hand-run PAVA; already-monotone input is returned unchanged") {
     // bins (n, k): bin0 (2, 1) rate .5 > bin1 (5, 1) rate .2 -> pool to
