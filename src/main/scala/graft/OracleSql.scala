@@ -5253,6 +5253,71 @@ object OracleSql {
              round(sum(monetary), 6) AS total_monetary
       FROM sc GROUP BY 1 ORDER BY segment""",
 
+    // Aalen-Johansen: first-event election with A-priority ties, exact
+    // risk table, the KM log-sum-exp chain for S(t-) and both CIFs
+    "q_competing_risks" -> """
+      WITH k AS (SELECT user_id, min(ts) AS t0,
+            min(CASE WHEN event_type = 'purchase' THEN ts END) AS ta,
+            min(CASE WHEN event_type = 'error' THEN ts END) AS tb,
+            max(ts) AS tl
+          FROM events GROUP BY user_id),
+      e AS (SELECT t0, tl,
+            CASE WHEN ta IS NOT NULL AND tb IS NOT NULL
+              THEN least(ta, tb) ELSE coalesce(ta, tb) END AS te,
+            (ta IS NOT NULL AND (tb IS NULL OR ta <= tb)) AS isa
+          FROM k),
+      d AS (SELECT te IS NOT NULL AS obs, isa,
+            CAST(floor((epoch_us(coalesce(te, tl)) - epoch_us(t0))
+              / 3600000000.0) AS BIGINT) AS t_hours
+          FROM e),
+      p AS (SELECT t_hours,
+            CAST(sum(CASE WHEN obs AND isa THEN 1 ELSE 0 END) AS BIGINT)
+              AS d_a,
+            CAST(sum(CASE WHEN obs AND NOT isa THEN 1 ELSE 0 END)
+              AS BIGINT) AS d_b,
+            CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_censored
+          FROM d GROUP BY t_hours),
+      r AS (SELECT *,
+            sum(d_a + d_b + n_censored) OVER ()
+              - coalesce(sum(d_a + d_b + n_censored) OVER (ORDER BY
+                  t_hours ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  1 PRECEDING), 0) AS n_risk
+          FROM p),
+      f AS (SELECT *,
+            1.0 - (d_a + d_b) / CAST(n_risk AS DOUBLE) AS fac FROM r),
+      s AS (SELECT *,
+            max(CASE WHEN fac = 0.0 THEN 1 ELSE 0 END)
+              OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS hit0,
+            coalesce(max(CASE WHEN fac = 0.0 THEN 1 ELSE 0 END)
+              OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS hit0b,
+            sum(CASE WHEN fac > 0 THEN ln(fac) ELSE 0.0 END)
+              OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS lsum,
+            coalesce(sum(CASE WHEN fac > 0 THEN ln(fac) ELSE 0.0 END)
+              OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0.0) AS lsumb
+          FROM f),
+      g AS (SELECT *,
+            CASE WHEN hit0b = 1 THEN 0.0 ELSE exp(lsumb) END AS sm
+          FROM s),
+      c AS (SELECT *,
+            sum(sm * (d_a / CAST(n_risk AS DOUBLE)))
+              OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cifa,
+            sum(sm * (d_b / CAST(n_risk AS DOUBLE)))
+              OVER (ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cifb
+          FROM g)
+      SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk, d_a, d_b,
+        n_censored,
+        CASE WHEN hit0 = 1 THEN 0.0 ELSE round(exp(lsum), 6) END
+          AS survival_allcause,
+        round(cifa, 6) AS cif_a, round(cifb, 6) AS cif_b
+      FROM c WHERE d_a + d_b > 0 ORDER BY t_hours""",
+
     "q_kaplan_meier" -> s"""
       $kmChain
       SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk, n_events,
@@ -6042,6 +6107,42 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Haar bands: integer details from centi sums, exact HUGEINT
+    // energies, common-denominator share — doubles only at display
+    "q_haar_energy" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      t AS (SELECT y,
+              CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS t
+            FROM daily),
+      arms AS (
+        SELECT 1 AS level, t // 2 AS blk,
+          CASE WHEN (t // 1) % 2 = 0 THEN y ELSE -y END AS s, 2 AS sz
+        FROM t
+        UNION ALL
+        SELECT 2, t // 4,
+          CASE WHEN (t // 2) % 2 = 0 THEN y ELSE -y END, 4 FROM t
+        UNION ALL
+        SELECT 3, t // 8,
+          CASE WHEN (t // 4) % 2 = 0 THEN y ELSE -y END, 8 FROM t),
+      blocks AS (
+        SELECT level, blk, CAST(sum(s) AS BIGINT) AS dtl
+        FROM arms GROUP BY 1, 2 HAVING count(*) = max(sz)),
+      per AS (
+        SELECT level, CAST(count(*) AS BIGINT) AS n_blocks,
+          sum(CAST(dtl AS HUGEINT) * dtl) AS e,
+          sum(CAST(dtl AS HUGEINT) * dtl) *
+            CAST(pow(4.0, 3 - level) AS HUGEINT) AS sc
+        FROM blocks GROUP BY 1)
+      SELECT level, n_blocks,
+        round(CAST(e AS DOUBLE) / pow(4.0, CAST(level AS DOUBLE)), 6)
+          AS band_energy,
+        round(CAST(sc AS DOUBLE) / CAST(sum(sc) OVER () AS DOUBLE), 6)
+          AS band_share
+      FROM per ORDER BY level""",
+
     // Sign test: centi-lattice daily comparisons, exact binomial tail
     // replayed as an index-ordered recursive-CTE recurrence from the
     // dyadic 0.5^n seed — the same IEEE chain Spark folds in-sequence

@@ -380,6 +380,87 @@ object Eval {
     * hours; one row per duration with event/censor counts and the risk
     * set n_risk = total − everyone who left strictly earlier.
     */
+  /** Aalen–Johansen competing-risks table — when a user's journey can
+    * END two different ways ("first purchase" vs "first error"),
+    * 1−KM on either event alone OVERSTATES its incidence because it
+    * treats the competing event as censoring; the cumulative incidence
+    * function CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s) (S = all-cause
+    * Kaplan–Meier) splits the all-cause risk correctly, with
+    * CIF_a + CIF_b + S = 1 at every step. First-event election per
+    * key; a same-timestamp tie elects event A (declared priority,
+    * deterministic); keys with neither event censor at last sight.
+    *
+    * Determinism: durations and the (d_a, d_b, censored, n_risk)
+    * table are exact integers; S and the CIFs replay the
+    * [[kaplanMeier]] log-sum-exp cumulative pattern over the BOUNDED
+    * distinct-hours frame with identical expression trees both sides.
+    *
+    * Plan: one key-grain aggregation, one duration-grain aggregation,
+    * cumulative windows over ≤ distinct-hours rows. No corpus sort.
+    */
+  def competingRisks(df: DataFrame, keyCol: String, tsCol: String,
+                     isEventA: Column, isEventB: Column): DataFrame = {
+    val perKey = df.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__t0"),
+        min(when(isEventA, col(tsCol))).as("__ta"),
+        min(when(isEventB, col(tsCol))).as("__tb"),
+        max(col(tsCol)).as("__tl"))
+      .withColumn("__te",
+        when(col("__ta").isNotNull && col("__tb").isNotNull,
+          least(col("__ta"), col("__tb")))
+          .otherwise(coalesce(col("__ta"), col("__tb"))))
+      .withColumn("__isA", col("__ta").isNotNull &&
+        (col("__tb").isNull || col("__ta") <= col("__tb")))
+      .withColumn("t_hours",
+        floor((unix_micros(coalesce(col("__te"), col("__tl"))
+          .cast("timestamp")) - unix_micros(col("__t0").cast("timestamp")))
+          / lit(3600000000L)))
+    val perT = perKey.groupBy(col("t_hours"))
+      .agg(sum((col("__te").isNotNull && col("__isA")).cast("long"))
+          .as("d_a"),
+        sum((col("__te").isNotNull && !col("__isA")).cast("long"))
+          .as("d_b"),
+        sum(col("__te").isNull.cast("long")).as("n_censored"))
+    val whole = Window.partitionBy()
+    val before = Window.partitionBy().orderBy(col("t_hours"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy().orderBy(col("t_hours"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val atRisk = perT.withColumn("n_risk",
+      sum(col("d_a") + col("d_b") + col("n_censored")).over(whole) -
+        coalesce(sum(col("d_a") + col("d_b") + col("n_censored"))
+          .over(before), lit(0L)))
+    val fac = lit(1.0) -
+      (col("d_a") + col("d_b")) / col("n_risk").cast("double")
+    val steps = atRisk.withColumn("__f", fac)
+      .withColumn("__hit0", max((col("__f") === 0.0).cast("int"))
+        .over(upTo))
+      .withColumn("__hit0b",
+        coalesce(max((col("__f") === 0.0).cast("int")).over(before),
+          lit(0)))
+      .withColumn("__lsum", sum(when(col("__f") > 0, log(col("__f")))
+        .otherwise(lit(0.0))).over(upTo))
+      .withColumn("__lsumb",
+        coalesce(sum(when(col("__f") > 0, log(col("__f")))
+          .otherwise(lit(0.0))).over(before), lit(0.0)))
+      .withColumn("__sm", when(col("__hit0b") === 1, lit(0.0))
+        .otherwise(exp(col("__lsumb"))))
+      .withColumn("__inca",
+        col("__sm") * (col("d_a") / col("n_risk").cast("double")))
+      .withColumn("__incb",
+        col("__sm") * (col("d_b") / col("n_risk").cast("double")))
+      .withColumn("__cifa", sum(col("__inca")).over(upTo))
+      .withColumn("__cifb", sum(col("__incb")).over(upTo))
+    steps.filter(col("d_a") + col("d_b") > 0)
+      .select(col("t_hours"), col("n_risk"), col("d_a"), col("d_b"),
+        col("n_censored"),
+        when(col("__hit0") === 1, lit(0.0))
+          .otherwise(round(exp(col("__lsum")), 6)).as("survival_allcause"),
+        round(col("__cifa"), 6).as("cif_a"),
+        round(col("__cifb"), 6).as("cif_b"))
+      .orderBy("t_hours")
+  }
+
   private def survivalRiskTable(df: DataFrame, keyCol: String,
                                 tsCol: String, isEvent: Column): DataFrame = {
     val perKey = df

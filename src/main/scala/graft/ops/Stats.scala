@@ -1733,6 +1733,66 @@ object Stats {
         .as("rho_approx"))
   }
 
+  /** Haar band-energy decomposition of a daily series — WHICH TIMESCALE
+    * carries the variance ("do revenue swings live day-to-day, in
+    * 2-day alternation, or in 4-day waves?"): for each level l, the
+    * series is cut into blocks of 2^l consecutive observed days, each
+    * block's detail is (left-half sum − right-half sum), and the band
+    * energy is Σ detail²/4^l with each level's share of the total.
+    * The multi-resolution complement of [[autocorr]]: a lag-k
+    * correlation says "day t echoes day t−k", a band says "this
+    * timescale holds X% of the energy".
+    *
+    * Determinism: everything is EXACT integer arithmetic until the two
+    * display divisions — details are integer differences of centi
+    * sums, energies are exact decimal Σd², and the cross-level share
+    * uses the common-denominator trick (Σd²·4^(levels−l) over the
+    * exact decimal total), so neither engine ever folds doubles.
+    * Partial trailing blocks are dropped (cnt = 2^l enforcement), not
+    * padded.
+    *
+    * Plan: one corpus aggregation to the daily table, one bounded
+    * row-number window, a `levels`-arm union over the bounded daily
+    * frame, one keyed aggregation to ≤Σ 2^−l·days block rows, one
+    * bounded fold. No corpus sort.
+    */
+  def haarEnergy(df: DataFrame, dateCol: Column, valueCol: String,
+                 levels: Int = 3): DataFrame = {
+    require(levels >= 1 && levels <= 6,
+      s"haarEnergy: levels in [1, 6] (got $levels)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__d"))).cast("long") - 1L)
+    val arms = (1 to levels).map { l =>
+      val bs = 1L << l
+      daily.select(lit(l).as("level"),
+        expr(s"__t div $bs").as("__blk"),
+        when(expr(s"pmod(__t div ${bs / 2}, 2)") === 0L, col("__y"))
+          .otherwise(-col("__y")).as("__s"),
+        lit(bs).as("__sz"))
+    }.reduce(_ unionByName _)
+    val blocks = arms.groupBy(col("level"), col("__blk"))
+      .agg(sum(col("__s")).as("__dtl"), count(lit(1)).as("__cnt"),
+        max(col("__sz")).as("__sz"))
+      .filter(col("__cnt") === col("__sz"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val perLevel = blocks.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("__dtl")) * col("__dtl")).as("__e"))
+      // common-denominator scaling: __e · 4^(levels − l), exact decimal
+      .withColumn("__sc", col("__e") *
+        pow(lit(4.0), lit(levels).cast("double") -
+          col("level").cast("double")).cast("decimal(12,0)"))
+    val all = Window.partitionBy()
+    perLevel.select(col("level"), col("n_blocks"),
+        round(col("__e").cast("double") /
+          pow(lit(4.0), col("level").cast("double")), 6).as("band_energy"),
+        round(col("__sc").cast("double") /
+          sum(col("__sc")).over(all).cast("double"), 6).as("band_share"))
+      .orderBy("level")
+  }
+
   /** Paired sign test of a daily series against itself `lagK` positions
     * earlier — "is this week's daily revenue SYSTEMATICALLY above last
     * week's?" with an EXACT binomial p-value, no normal approximation

@@ -587,6 +587,14 @@ object AnalyticsRegistry {
         "user_id", "ts",
         col("event_type") === "purchase" && col("value") > 95.0,
         horizonHours = 336L)),
+    "q_competing_risks" -> ((s, dir) =>
+      // which resolution wins a user's journey, purchase or error?
+      // Aalen-Johansen CIFs splitting the all-cause KM risk correctly
+      Eval.competingRisks(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type")),
+        "user_id", "ts",
+        col("event_type") === "purchase", col("event_type") === "error")),
     "q_kaplan_meier" -> ((s, dir) =>
       // product-limit survival of time-to-first-high-value-purchase,
       // right-censored at each user's last observed event
@@ -766,6 +774,11 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_haar_energy" -> ((s, dir) =>
+      // which timescale carries the revenue variance: Haar band energy
+      // at 2/4/8-day blocks, exact integer details end-to-end
+      Stats.haarEnergy(Tables.orders(s, dir), to_date(col("o_orderdate")),
+        "o_totalprice", levels = 3)),
     "q_sign_test" -> ((s, dir) =>
       // week-over-week shift with an EXACT binomial p (no normal
       // approximation): daily event value vs 7 positions earlier

@@ -893,4 +893,33 @@ class EvalSpec extends SparkSpec {
     assert(out2.isNullAt(out2.fieldIndex("snips"))) // Σw = 0
     assert(out2.getAs[Double]("dr") == 0.0)
   }
+
+  test("competingRisks: hand-computed Aalen-Johansen CIFs; the " +
+      "same-hour tie elects event A; S + CIF_a + CIF_b = 1 throughout") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val rows = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(1), "error"),
+      (3L, ts(0), "view"), (3L, ts(2), "view"), // censored at 2h
+      (4L, ts(0), "view"), (4L, ts(3), "purchase"),
+      (5L, ts(0), "view"), (5L, ts(1), "purchase"), (5L, ts(1), "error"))
+    val df = rows.toDF("user_id", "ts", "event_type")
+    val r = Eval.competingRisks(df, "user_id", "ts",
+      col("event_type") === "purchase", col("event_type") === "error")
+      .collect()
+    assert(r.length == 2)
+    val t1 = r(0)
+    assert(t1.getAs[Long]("t_hours") == 1L)
+    assert(t1.getAs[Long]("n_risk") == 5L)
+    assert(t1.getAs[Long]("d_a") == 2L && t1.getAs[Long]("d_b") == 1L)
+    assert(t1.getAs[Double]("survival_allcause") == 0.4)
+    assert(t1.getAs[Double]("cif_a") == 0.4)
+    assert(t1.getAs[Double]("cif_b") == 0.2)
+    val t3 = r(1)
+    assert(t3.getAs[Long]("t_hours") == 3L)
+    assert(t3.getAs[Long]("n_risk") == 1L)
+    assert(t3.getAs[Double]("survival_allcause") == 0.0)
+    assert(t3.getAs[Double]("cif_a") == 0.8)
+    assert(t3.getAs[Double]("cif_b") == 0.2)
+  }
 }

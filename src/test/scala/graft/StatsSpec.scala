@@ -427,6 +427,29 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("haarEnergy: hand-computed band energies and common-denominator " +
+      "shares; the trailing partial block is dropped at every level") {
+    val vals = Seq(1.0, 3.0, 2.0, 2.0, 5.0, 1.0, 4.0, 4.0, 7.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(f"2024-08-${i + 1}%02d"), v)
+    }.toDF("d", "v")
+    val r = Stats.haarEnergy(df, col("d"), "v", levels = 3).collect()
+    assert(r.length == 3)
+    // centi series 100,300,200,200,500,100,400,400 (day 9 drops)
+    // L1 details -200,0,400,0 -> E 200000/4; L2: 0,-200 -> 40000/16;
+    // L3: 800-1400 = -600 -> 360000/64
+    assert(r(0).getAs[Long]("n_blocks") == 4L)
+    assert(r(0).getAs[Double]("band_energy") == 50000.0)
+    assert(r(1).getAs[Long]("n_blocks") == 2L)
+    assert(r(1).getAs[Double]("band_energy") == 2500.0)
+    assert(r(2).getAs[Long]("n_blocks") == 1L)
+    assert(r(2).getAs[Double]("band_energy") == 5625.0)
+    // shares over the 4^3 common denominator: 3.2M / 160k / 360k of 3.72M
+    assert(r(0).getAs[Double]("band_share") == 0.860215)
+    assert(r(1).getAs[Double]("band_share") == 0.043011)
+    assert(r(2).getAs[Double]("band_share") == 0.096774)
+  }
+
   test("signTest: exact binomial two-sided p from hand-countable " +
       "paired days; ties drop; all-positive run hits the dyadic floor") {
     // lag 1 over 6 days: diffs + - + + - -> pos 3, neg 2, m = 2
