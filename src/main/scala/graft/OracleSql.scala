@@ -6009,6 +6009,39 @@ object OracleSql {
 
     // diff-in-differences: 8 conditional counters in one pass, outcomes
     // on the centi lattice, each mean one engine-identical division
+    // Event-study: per-rel-day arm cells on the centi lattice, pooled
+    // pre-period gap broadcast back, null att when an arm is absent
+    "q_event_study" -> s"""
+      WITH b AS (SELECT ${uk("user_id", 59)} > 0.5 AS t,
+              CAST(datediff('day', DATE '2024-01-15', CAST(ts AS DATE))
+                AS INTEGER) AS rel_day,
+              CAST(round(value * 100, 0) AS BIGINT) AS vc
+            FROM events),
+      daily AS (SELECT rel_day,
+              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treat,
+              CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n_ctrl,
+              CAST(coalesce(sum(CASE WHEN t THEN vc END), 0) AS BIGINT)
+                AS st,
+              CAST(coalesce(sum(CASE WHEN NOT t THEN vc END), 0)
+                AS BIGINT) AS sc
+            FROM b GROUP BY 1),
+      pre AS (SELECT CASE WHEN sum(n_treat) > 0 AND sum(n_ctrl) > 0 THEN
+                sum(st) / (100.0 * sum(n_treat))
+                  - sum(sc) / (100.0 * sum(n_ctrl)) END AS gap_pre
+              FROM daily WHERE rel_day < 0)
+      SELECT rel_day, n_treat, n_ctrl,
+             round(CASE WHEN n_treat > 0
+               THEN st / (100.0 * n_treat) END, 6) AS mean_treat,
+             round(CASE WHEN n_ctrl > 0
+               THEN sc / (100.0 * n_ctrl) END, 6) AS mean_ctrl,
+             round(CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+               st / (100.0 * n_treat) - sc / (100.0 * n_ctrl) END, 6)
+               AS gap,
+             round(CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+               (st / (100.0 * n_treat) - sc / (100.0 * n_ctrl))
+                 - gap_pre END, 6) AS att
+      FROM daily, pre ORDER BY rel_day""",
+
     "q_diff_in_diff" -> s"""
       WITH b AS (SELECT ${uk("user_id", 59)} > 0.5 AS t,
               ts >= TIMESTAMP '2024-01-15' AS post,
@@ -8006,6 +8039,71 @@ object OracleSql {
              round(CAST(cn AS DOUBLE) / nd - CAST(cv AS DOUBLE) / td, 6)
                AS equality_gap
       FROM c ORDER BY decile""",
+
+    // Bradley-Terry: matchups from shared orders, 4 MM supersteps on
+    // the exact 1e-9 lattice — every division the half-up
+    // (2A+B)//(2B) in HUGEINT, mirroring the Spark decimal chain
+    "q_bradley_terry" -> {
+      val steps = (1 to 4).map { k =>
+        val p = k - 1
+        s"""
+      t$k AS MATERIALIZED (SELECT pr.i AS node,
+              (CAST(pr.nij AS HUGEINT) * 2000000000000000000
+                + greatest(wa.wm + wb.wm, 1))
+               // (greatest(wa.wm + wb.wm, 1) * 2) AS term
+            FROM pairs pr
+            JOIN w$p wa ON pr.i = wa.node
+            JOIN w$p wb ON pr.j = wb.node),
+      d$k AS MATERIALIZED (SELECT node, greatest(sum(term), 1) AS den
+              FROM t$k GROUP BY 1),
+      r$k AS MATERIALIZED (SELECT nw.node,
+              (CAST(nw.n_wins AS HUGEINT) * 2000000000000000000
+                + coalesce(d.den, 1)) // (coalesce(d.den, 1) * 2) AS raw
+            FROM nw LEFT JOIN d$k d ON nw.node = d.node),
+      s$k AS MATERIALIZED (SELECT greatest(sum(raw), 1) AS tot FROM r$k),
+      w$k AS MATERIALIZED (SELECT node,
+              (CAST(raw AS HUGEINT) * (SELECT np FROM np) * 2000000000
+                + (SELECT tot FROM s$k))
+               // ((SELECT tot FROM s$k) * 2) AS wm
+            FROM r$k)"""
+      }.mkString(",")
+      s"""
+      WITH rev AS MATERIALIZED (SELECT l_orderkey AS ok, l_suppkey AS sk,
+              CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem GROUP BY 1, 2),
+      comps AS MATERIALIZED (SELECT
+              CASE WHEN a.rev > b.rev THEN a.sk ELSE b.sk END AS w,
+              CASE WHEN a.rev > b.rev THEN b.sk ELSE a.sk END AS l
+            FROM rev a JOIN rev b ON a.ok = b.ok AND a.sk < b.sk
+            WHERE a.rev <> b.rev),
+      pairs AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS nij FROM (
+              SELECT w AS i, l AS j FROM comps
+              UNION ALL SELECT l, w FROM comps)
+            GROUP BY 1, 2),
+      wins AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS n_wins
+               FROM comps GROUP BY 1),
+      nodes AS (SELECT DISTINCT i AS node FROM pairs),
+      nw AS MATERIALIZED (SELECT n.node, CAST(coalesce(wi.n_wins, 0) AS BIGINT)
+               AS n_wins
+             FROM nodes n LEFT JOIN wins wi ON n.node = wi.node),
+      np AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS np FROM nodes),
+      w0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS HUGEINT) AS wm FROM nodes),
+      $steps,
+      ncmp AS (SELECT i AS node, CAST(sum(nij) AS BIGINT)
+                 AS n_comparisons FROM pairs GROUP BY 1),
+      fin AS (SELECT nw.node AS player, nw.n_wins,
+              coalesce(nc.n_comparisons, 0) AS n_comparisons,
+              CAST((w4.wm * 2 + 1000) // 2000 AS DOUBLE) / 1e6
+                AS strength
+            FROM nw LEFT JOIN ncmp nc ON nw.node = nc.node
+            JOIN w4 ON nw.node = w4.node)
+      SELECT player, n_wins, CAST(n_comparisons AS BIGINT)
+               AS n_comparisons, strength,
+             CAST(row_number() OVER (ORDER BY strength DESC, player)
+               AS BIGINT) AS "rank"
+      FROM fin ORDER BY "rank""""
+    },
 
     // Inequality ratios: centi-lattice entity sums, exact integer
     // floor-division rank cutoffs, fixed share/ratio trees

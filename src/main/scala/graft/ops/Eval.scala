@@ -1738,6 +1738,54 @@ object Eval {
         .as("did"))
   }
 
+  /** Event-study readout around the [[diffInDiff]] cutoff — the
+    * PER-DAY view a single DiD number hides: for every day relative to
+    * the intervention, the treat−control gap and the ATT after
+    * netting the pooled PRE-period gap. Pre-period rows are the
+    * parallel-trends diagnostic (their att should hover near 0 — a
+    * drifting pre-period att says the DiD identification is broken);
+    * post-period rows show effect onset and decay.
+    *
+    * Determinism: the arm is the shared u01 hash; per-(day, arm) cells
+    * are exact centi sums and counts; means, gaps, and att are fixed
+    * double trees; days with either arm absent emit null att rather
+    * than a silent zero.
+    *
+    * Plan: one corpus aggregation to (rel_day, arm), one bounded
+    * pre-period fold broadcast back, calendar-bounded output.
+    */
+  def eventStudy(df: DataFrame, userCol: String, tsCol: String,
+                 valueCol: String, cutoff: String,
+                 channel: Long = 59L): DataFrame = {
+    val base = df.select(
+      (Gen.u01(col(userCol), channel) > 0.5).as("__t"),
+      datediff(to_date(col(tsCol)),
+        lit(cutoff).cast("date")).as("rel_day"),
+      round(col(valueCol) * 100, 0).cast("long").as("__vc"))
+    def arm(t: Boolean, c: Column) = when(col("__t") === t, c)
+    val daily = base.groupBy(col("rel_day")).agg(
+      count(arm(true, lit(1))).as("n_treat"),
+      count(arm(false, lit(1))).as("n_ctrl"),
+      coalesce(sum(arm(true, col("__vc"))), lit(0L)).as("__st"),
+      coalesce(sum(arm(false, col("__vc"))), lit(0L)).as("__sc"))
+    val pre = daily.filter(col("rel_day") < 0).agg(
+      sum(col("n_treat")).as("__npt"), sum(col("n_ctrl")).as("__npc"),
+      sum(col("__st")).as("__spt"), sum(col("__sc")).as("__spc"))
+      .select(when(col("__npt") > 0 && col("__npc") > 0,
+        col("__spt") / (lit(100.0) * col("__npt")) -
+          col("__spc") / (lit(100.0) * col("__npc"))).as("__gap_pre"))
+    val mt = col("__st") / (lit(100.0) * col("n_treat"))
+    val mc = col("__sc") / (lit(100.0) * col("n_ctrl"))
+    val both = col("n_treat") > 0 && col("n_ctrl") > 0
+    daily.crossJoin(broadcast(pre))
+      .select(col("rel_day"), col("n_treat"), col("n_ctrl"),
+        round(when(col("n_treat") > 0, mt), 6).as("mean_treat"),
+        round(when(col("n_ctrl") > 0, mc), 6).as("mean_ctrl"),
+        round(when(both, mt - mc), 6).as("gap"),
+        round(when(both, (mt - mc) - col("__gap_pre")), 6).as("att"))
+      .orderBy("rel_day")
+  }
+
   /** Weekly growth accounting — the standard active-user decomposition
     * (new / retained / resurrected, plus churned attributed to the week
     * the user FAILED to return): for every (user, active-week),

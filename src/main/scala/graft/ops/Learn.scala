@@ -319,4 +319,90 @@ object Learn {
         (col("label") === col("__best.__pl")).as("correct"))
       .orderBy(idCol)
   }
+
+  /** Bradley–Terry strength ranking from pairwise comparisons — the
+    * principled league table when entities only ever meet PAIRWISE
+    * ("supplier A beat B on the orders they shared; who's strongest
+    * overall?"): the minorization–maximization fixed point
+    * wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ), mean-normalized, run for a FIXED
+    * superstep count. Win counts alone misrank under uneven schedules;
+    * BT credits wins by opponent strength.
+    *
+    * Determinism (the [[Graph.hits]] discipline): strengths live on an
+    * exact 1e-9 integer lattice end to end — every division is the
+    * exact integer HALF-UP (2A+B) div (2B) in decimal(38,0), every
+    * fold is an exact integer sum, and the display commits to the
+    * 1e-6 lattice by the same integer rounding. No float anywhere.
+    * Zero-sum denominators floor at one lattice unit (all-losing
+    * players keep an exact 0 without dividing by it).
+    *
+    * Plan per superstep: matchup-grain join against the strength
+    * frame, one keyed fold, one 1-row total broadcast back — the
+    * iterate-with-checkpoint shape of [[Clustering.kmeans]].
+    */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+                   loserCol: String, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 12,
+      s"bradleyTerry: iterations in [1, 12] (got $iterations)")
+    val comps = comparisons.select(col(winnerCol).cast("long").as("__w"),
+      col(loserCol).cast("long").as("__l"))
+      .filter(col("__w") =!= col("__l"))
+      .localCheckpoint(eager = false)
+    val pairs = comps
+      .select(col("__w").as("__i"), col("__l").as("__j"))
+      .unionByName(comps.select(col("__l").as("__i"), col("__w").as("__j")))
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint(eager = false)
+    val wins = comps.groupBy(col("__w").as("node"))
+      .agg(count(lit(1)).as("n_wins"))
+    val nodes = pairs.select(col("__i").as("node")).distinct()
+      .join(wins, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+      .localCheckpoint(eager = false)
+    def step(w: DataFrame): DataFrame = {
+      val terms = pairs
+        .join(w.select(col("node").as("__i"), col("wm").as("__wi")),
+          Seq("__i"))
+        .join(w.select(col("node").as("__j"), col("wm").as("__wj")),
+          Seq("__j"))
+        .withColumn("__den0", greatest(col("__wi") + col("__wj"), lit(1L)))
+        .withColumn("__term", expr(
+          "CAST((CAST(__nij AS DECIMAL(38,0)) * 2000000000000000000" +
+            " + __den0) div (CAST(__den0 AS DECIMAL(38,0)) * 2)" +
+            " AS BIGINT)"))
+      val denom = terms.groupBy(col("__i").as("node"))
+        .agg(greatest(sum(col("__term").cast("decimal(38,0)")),
+          lit(1L).cast("decimal(38,0)")).as("__den"))
+      val raw = nodes.join(denom, Seq("node"), "left")
+        .withColumn("__den",
+          coalesce(col("__den"), lit(1L).cast("decimal(38,0)")))
+        .withColumn("__raw", expr(
+          "CAST((CAST(n_wins AS DECIMAL(38,0)) * 2000000000000000000" +
+            " + __den) div (__den * 2) AS BIGINT)"))
+        .select(col("node"), col("__raw"))
+      val tot = raw.agg(
+        greatest(sum(col("__raw").cast("decimal(38,0)")),
+          lit(1L).cast("decimal(38,0)")).as("__tot"),
+        count(lit(1)).cast("decimal(38,0)").as("__np"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"), expr(
+          "CAST((CAST(__raw AS DECIMAL(38,0)) * __np * 2000000000" +
+            " + __tot) div (CAST(__tot AS DECIMAL(38,0)) * 2)" +
+            " AS BIGINT)").as("wm"))
+        .localCheckpoint(eager = false)
+    }
+    var w = nodes.select(col("node"), lit(1000000000L).as("wm"))
+    for (_ <- 1 to iterations) w = step(w)
+    val nComp = pairs.groupBy(col("__i").as("node"))
+      .agg(sum(col("__nij")).as("n_comparisons"))
+    nodes.join(nComp, Seq("node"), "left")
+      .join(w, Seq("node"))
+      .select(col("node").as("player"), col("n_wins"),
+        coalesce(col("n_comparisons"), lit(0L)).as("n_comparisons"),
+        (expr("(wm * 2 + 1000) div 2000").cast("double") / 1e6)
+          .as("strength"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("strength").desc, col("player"))).cast("long"))
+      .orderBy("rank")
+  }
 }

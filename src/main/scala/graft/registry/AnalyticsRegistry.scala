@@ -752,6 +752,11 @@ object AnalyticsRegistry {
       // cell means + DiD, control drift netting out seasonality
       Eval.diffInDiff(Tables.events(s, dir), "user_id", "ts", "value",
         cutoff = "2024-01-15")),
+    "q_event_study" -> ((s, dir) =>
+      // the per-day view the single DiD number hides: daily ATT around
+      // the 2024-01-15 launch, pre-period rows = parallel-trends check
+      Eval.eventStudy(Tables.events(s, dir), "user_id", "ts", "value",
+        cutoff = "2024-01-15")),
     "q_growth_accounting" -> ((s, dir) =>
       // the weekly active-user ledger: new/retained/resurrected plus
       // churned-into-week; net = new + resurrected - churned
@@ -1040,6 +1045,23 @@ object AnalyticsRegistry {
       Stats.wilsonIntervals(Tables.events(s, dir),
         pmod(col("user_id"), lit(8L)), "user_id",
         col("event_type") === "purchase")),
+    "q_bradley_terry" -> ((s, dir) => {
+      // who wins head-to-head: supplier with the larger revenue share
+      // on each shared order; BT credits wins by opponent strength
+      // (win COUNTS misrank under uneven schedules)
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100, 0).cast("long")).as("rev"))
+      val comps = rev.as("a").join(rev.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .filter(col("a.rev") =!= col("b.rev"))
+        .select(when(col("a.rev") > col("b.rev"), col("a.sk"))
+            .otherwise(col("b.sk")).as("winner"),
+          when(col("a.rev") > col("b.rev"), col("b.sk"))
+            .otherwise(col("a.sk")).as("loser"))
+      Learn.bradleyTerry(comps, "winner", "loser", iterations = 4)
+    }),
     "q_topsis_suppliers" -> ((s, dir) => {
       // rank suppliers by revenue AND order volume AND discount spend
       // at once: TOPSIS closeness to the ideal point, exact lattices

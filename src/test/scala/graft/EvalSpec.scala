@@ -894,6 +894,29 @@ class EvalSpec extends SparkSpec {
     assert(out2.getAs[Double]("dr") == 0.0)
   }
 
+  test("eventStudy: pre-period att is exactly 0 under parallel trends " +
+      "and the post-period att recovers the planted lift") {
+    import graft.ops.Gen
+    val ids = (1L to 40L)
+    val arms = ids.map(_ -> false).toDF("user_id", "dummy")
+      .select(col("user_id"), (Gen.u01(col("user_id"), 59L) > 0.5)
+        .as("t")).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(arms.values.exists(identity) && arms.values.exists(!_))
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val rows = ids.flatMap { id =>
+      val lift = if (arms(id)) 5.0 else 0.0
+      Seq((id, ts(10), 10.0), (id, ts(20), 10.0 + lift))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val r = Eval.eventStudy(df, "user_id", "ts", "value", "2024-01-15")
+      .collect().map(x => x.getAs[Int]("rel_day") -> x).toMap
+    assert(r.keySet == Set(-5, 5))
+    assert(r(-5).getAs[Double]("att") == 0.0)
+    assert(r(-5).getAs[Double]("gap") == 0.0)
+    assert(r(5).getAs[Double]("att") == 5.0)
+    assert(r(5).getAs[Long]("n_treat") + r(5).getAs[Long]("n_ctrl") == 40L)
+  }
+
   test("competingRisks: hand-computed Aalen-Johansen CIFs; the " +
       "same-hour tie elects event A; S + CIF_a + CIF_b = 1 throughout") {
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")

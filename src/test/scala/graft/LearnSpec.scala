@@ -161,4 +161,31 @@ class LearnSpec extends SparkSpec {
     // margin = intercept = −η·(1/2 − 0.3) = −0.2 for every row (x=0)
     assert(out.toSeq == Seq(-0.2))
   }
+
+  test("bradleyTerry: transitive league ranks 1 > 2 > 3, strengths are " +
+      "mean-normalized on the lattice, and schedule strength matters") {
+    val comps = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L), (1L, 3L),
+      (3L, 1L)).toDF("winner", "loser")
+    val r = Learn.bradleyTerry(comps, "winner", "loser", iterations = 4)
+      .collect()
+    assert(r.map(_.getAs[Long]("player")).toSeq == Seq(1L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val s = r.map(_.getAs[Double]("strength"))
+    assert(s(0) > s(1) && s(1) > s(2) && s(2) > 0.0)
+    // mean-1 normalization: the lattice sum stays within one micro-unit
+    assert(math.abs(s.sum - 3.0) < 1e-4)
+    assert(r.map(_.getAs[Long]("n_wins")).toSeq == Seq(3L, 2L, 1L))
+    assert(r.map(_.getAs[Long]("n_comparisons")).toSeq == Seq(4L, 4L, 4L))
+    // schedule strength: b beats only the strong a; c beats only the
+    // weak d (same 1-1 record) -> b outranks c
+    val sched = Seq((10L, 20L), (10L, 20L), (10L, 30L), (20L, 10L),
+      (30L, 40L), (40L, 30L), (30L, 40L)).toDF("winner", "loser")
+    // 20 ("b") has 1 win over 10 (2 losses to it); 40 ("c") has 1 win
+    // over 30 (2 losses) — but 10 is stronger than 30
+    val m = Learn.bradleyTerry(sched, "winner", "loser", iterations = 6)
+      .collect().map(x => x.getAs[Long]("player") ->
+        x.getAs[Double]("strength")).toMap
+    assert(m(10L) > m(30L))
+    assert(m(20L) > m(40L))
+  }
 }
