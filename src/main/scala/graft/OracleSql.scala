@@ -2360,6 +2360,46 @@ object OracleSql {
       FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 100)
       ORDER BY doc_id""",
 
+    // KN bigram entropy: exact count tables off one (v,t) grain, the
+    // fixed -log2 tree committed to the 1e-9 lattice pre-fold
+    "x_kn_bigram" -> {
+      val d = 0.75
+      s"""
+      WITH tw AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+          '\\s+'), x -> x <> '') AS w
+        FROM documents),
+      bi AS (
+        SELECT doc_id, w[i] AS v, w[i + 1] AS t
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM tw WHERE len(w) >= 2)),
+      cvw AS MATERIALIZED (
+        SELECT v, t, CAST(count(*) AS BIGINT) AS cvw
+        FROM bi GROUP BY 1, 2),
+      cv AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
+               CAST(count(*) AS BIGINT) AS n1v FROM cvw GROUP BY 1),
+      cw AS (SELECT t, CAST(count(*) AS BIGINT) AS n1w
+             FROM cvw GROUP BY 1),
+      nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM cvw),
+      model AS (
+        SELECT cvw.v, cvw.t,
+          CAST(round(-log2((greatest(CAST(cvw AS DOUBLE) - $d, 0.0)
+            + $d * CAST(n1v AS DOUBLE)
+              * (CAST(n1w AS DOUBLE) / CAST(nbb AS DOUBLE)))
+            / CAST(cv AS DOUBLE)) * 1e9, 0) AS BIGINT) AS s9
+        FROM cvw JOIN cv USING (v) JOIN cw USING (t), nbb),
+      per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(s9) AS BIGINT) AS ss
+        FROM bi JOIN model USING (v, t) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             coalesce(round(CAST(per.ss AS DOUBLE) / 1e9
+               / CAST(per.n_bigrams AS DOUBLE), 6), 0.0) AS kn_entropy
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id"""
+    },
+
     "x_lm_surprisal" -> """
       WITH toks AS (
         SELECT doc_id,

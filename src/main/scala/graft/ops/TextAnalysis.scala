@@ -409,6 +409,67 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Interpolated Kneser–Ney BIGRAM cross-entropy per document — the
+    * context-aware upgrade of [[lmSurprisal]]'s unigram score: a doc
+    * whose words are individually common but strung together improbably
+    * ("the of and is the") scores low on unigram surprisal and HIGH
+    * here, which is exactly the word-salad/SEO-spam signal a curation
+    * pipeline wants. Absolute discount d with the continuation-
+    * probability backoff: p(w|v) = (max(c(vw)−d,0) + d·N₁₊(v·)·
+    * N₁₊(·w)/N₁₊(··)) / c(v). The corpus scores itself (every scored
+    * bigram is in the counts — no OOV path; a production run fits on a
+    * reference corpus with the same shape).
+    *
+    * Determinism: all counts are exact longs; each bigram's −log₂ p is
+    * one fixed double tree COMMITTED TO THE 1e-9 INTEGER LATTICE before
+    * the per-doc fold, so the sum is order-free (unlike a raw double
+    * fold, whose accumulation order differs per engine).
+    *
+    * Scale shape: bigram expansion is a narrow per-doc projection; the
+    * model is three keyed aggregations off ONE (v,w) count table (text
+    * never re-read); scoring is one keyed join back + one per-doc fold.
+    * No window, no broadcast of corpus-sized state.
+    */
+  def knBigramEntropy(docs: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"knBigramEntropy: discount in (0, 1) (got $discount)")
+    val toksArr = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val bi = docs.select(col(idCol).as("__id"), toksArr.as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(0, size(__w) - 2), i -> " +
+          "struct(__w[i] AS v, __w[i + 1] AS w))")).as("__b"))
+      .select(col("__id"), col("__b.v").as("__v"), col("__b.w").as("__t"))
+    val cvw = bi.groupBy(col("__v"), col("__t"))
+      .agg(count(lit(1)).as("__cvw"))
+      .localCheckpoint(eager = false)
+    val cv = cvw.groupBy(col("__v")).agg(sum(col("__cvw")).as("__cv"),
+      count(lit(1)).as("__n1v"))
+    val cw = cvw.groupBy(col("__t")).agg(count(lit(1)).as("__n1w"))
+    val nbb = cvw.agg(count(lit(1)).as("__nbb"))
+    val model = cvw.join(cv, Seq("__v")).join(cw, Seq("__t"))
+      .crossJoin(broadcast(nbb))
+      .withColumn("__p",
+        (greatest(col("__cvw").cast("double") - lit(discount), lit(0.0)) +
+          lit(discount) * col("__n1v").cast("double") *
+            (col("__n1w").cast("double") / col("__nbb").cast("double"))) /
+          col("__cv").cast("double"))
+      .select(col("__v"), col("__t"),
+        round(-log2(col("__p")) * 1e9, 0).cast("long").as("__s9"))
+    val perDoc = bi.join(model, Seq("__v", "__t"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__s9")).as("__ss"))
+      .withColumn("kn_entropy",
+        round(col("__ss").cast("double") / 1e9 /
+          col("n_bigrams").cast("double"), 6))
+    docs.select(col(idCol).as("__id")).join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_entropy"), lit(0.0)).as("kn_entropy"))
+      .orderBy(idCol)
+  }
+
   /** Cross-document duplicated-span detection via winnowing fingerprints
     * (Schleimer/Wilkerson/Aiken 2003 — the MOSS scheme; the practical
     * Spark answer to Lee et al.'s exact-substring dedup): every `k`-char

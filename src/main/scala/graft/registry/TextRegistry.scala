@@ -90,6 +90,11 @@ object TextRegistry {
       // floor path carries real weight
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 100)),
+    "x_kn_bigram" -> ((s, dir) =>
+      // word-salad detector the unigram score misses: interpolated
+      // Kneser-Ney bigram cross-entropy, -log2 p on the 1e-9 lattice
+      TextAnalysis.knBigramEntropy(Tables.documents(s, dir), "doc_id",
+        "text", discount = 0.75)),
     "x_shared_spans" -> ((s, dir) =>
       // winnowing dup-span detection (MOSS): any shared 47-char run
       // (k+w−1) is guaranteed a shared fingerprint; df∈[2,5] drops

@@ -731,4 +731,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("exact_dup_rate") == 0.333333)
     assert(out("mean_doc_tokens") == 2.666667)
   }
+
+  test("knBigramEntropy: hand-computed interpolated-KN probabilities " +
+      "on a 3-bigram corpus; sub-2-token docs emit the zero row") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, ""), (4L, "z"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis
+      .knBigramEntropy(docs, "doc_id", "text", discount = 0.75)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // cvw: (a,b)=3 (b,a)=1 (b,c)=1; cv(a)=3 n1v(a)=1; cv(b)=2 n1v(b)=2;
+    // n1w = 1 for each of a,b,c; N1+(..) = 3
+    val d = 0.75
+    def p(cvw: Long, cv: Long, n1v: Long, n1w: Long): Double =
+      (math.max(cvw.toDouble - d, 0.0) +
+        d * n1v.toDouble * (n1w.toDouble / 3.0)) / cv.toDouble
+    def s9(pp: Double): Long = BigDecimal(-math.log(pp) / math.log(2.0)
+      * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sAB = s9(p(3, 3, 1, 1)); val sBA = s9(p(1, 2, 2, 1))
+    assert(r(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(r(1L).getAs[Double]("kn_entropy") ==
+      r6((2 * sAB + sBA).toDouble / 1e9 / 3.0))
+    assert(r(2L).getAs[Long]("n_bigrams") == 2L)
+    assert(r(2L).getAs[Double]("kn_entropy") ==
+      r6((sAB + sBA).toDouble / 1e9 / 2.0))
+    assert(r(3L).getAs[Long]("n_bigrams") == 0L)
+    assert(r(3L).getAs[Double]("kn_entropy") == 0.0)
+    assert(r(4L).getAs[Long]("n_bigrams") == 0L)
+  }
 }
