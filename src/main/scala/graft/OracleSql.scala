@@ -2360,6 +2360,51 @@ object OracleSql {
       FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 100)
       ORDER BY doc_id""",
 
+    // RAKE: cumulative break segmentation, exact freq/degree, word
+    // scores on the 1e-9 lattice before the phrase fold, total-order
+    // top-20
+    "x_rake_keywords" -> {
+      val stop = Seq("the", "a", "an", "of", "and", "in", "to", "is")
+        .map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH tw AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+          '\\s+'), x -> x <> '') AS w
+        FROM documents),
+      toks AS (
+        SELECT doc_id, kk AS p,
+               regexp_replace(w[kk], '[^a-z0-9]+', '', 'g') AS t
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS kk
+              FROM tw)),
+      brk AS (SELECT doc_id, p, t,
+               (t = '' OR t IN ($stop)) AS brk FROM toks),
+      ph AS (SELECT *, sum(CASE WHEN brk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS phid
+             FROM brk),
+      wr AS MATERIALIZED (
+        SELECT doc_id, phid, p, t,
+               count(*) OVER (PARTITION BY doc_id, phid) AS len
+        FROM ph WHERE NOT brk),
+      ws AS (SELECT t, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(len) AS BIGINT) AS deg FROM wr GROUP BY 1),
+      s9 AS (SELECT t, CAST(round(CAST(deg AS DOUBLE)
+               / CAST(freq AS DOUBLE) * 1e9, 0) AS BIGINT) AS s9
+             FROM ws),
+      ps AS (SELECT wr.doc_id, wr.phid,
+               CAST(sum(s9.s9) AS BIGINT) AS ps9
+             FROM wr JOIN s9 ON wr.t = s9.t GROUP BY 1, 2),
+      pstr AS (SELECT doc_id, phid, string_agg(t, ' ' ORDER BY p)
+                 AS phrase
+               FROM wr GROUP BY 1, 2),
+      agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+                max(ps9) AS s
+              FROM pstr JOIN ps USING (doc_id, phid) GROUP BY 1)
+      SELECT phrase, n_occurrences,
+             round(CAST(s AS DOUBLE) / 1e9, 6) AS rake_score
+      FROM agg ORDER BY rake_score DESC, phrase LIMIT 20"""
+    },
+
     // KN bigram entropy: exact count tables off one (v,t) grain, the
     // fixed -log2 tree committed to the 1e-9 lattice pre-fold
     "x_kn_bigram" -> {
@@ -6180,6 +6225,47 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Gumbel L-moments: exact centi block maxima, integer rank sums,
+    // one fixed tree with ln2 / Euler-gamma / T-quantile literals
+    "q_gumbel_maxima" -> {
+      val ln2 = 0.6931471805599453
+      val gamma = 0.5772156649015329
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      weekly AS (SELECT (d - DATE '1970-01-01') // 7 AS wk,
+              CAST(max(y) AS BIGINT) AS m
+            FROM daily GROUP BY 1),
+      ranked AS (SELECT m,
+              CAST(row_number() OVER (ORDER BY m, wk) AS BIGINT) AS r
+            FROM weekly),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+              CAST(sum(m) AS BIGINT) AS sm,
+              sum(CAST(r - 1 AS HUGEINT) * m) AS srm
+            FROM ranked),
+      t AS (SELECT n_blocks,
+              CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS b0,
+              CAST(srm AS DOUBLE) / (CAST(n_blocks AS DOUBLE)
+                * (CAST(n_blocks AS DOUBLE) - 1.0)) AS b1
+            FROM f),
+      g AS (SELECT n_blocks, b0,
+              (2.0 * b1 - b0) / $ln2 AS scale FROM t),
+      h AS (SELECT n_blocks, b0, scale,
+              b0 - $gamma * scale AS loc FROM g)
+      SELECT n_blocks,
+             round(b0 / 100.0, 6) AS block_mean,
+             round(CASE WHEN n_blocks >= 2 THEN loc / 100.0 END, 6)
+               AS gumbel_loc,
+             round(CASE WHEN n_blocks >= 2 THEN scale / 100.0 END, 6)
+               AS gumbel_scale,
+             round(CASE WHEN n_blocks >= 2 THEN
+               (loc - scale * ln(-ln(1.0 - 1.0 / 52.0))) / 100.0 END, 6)
+               AS ret_level_52w
+      FROM h"""
+    },
+
     // Haar bands: integer details from centi sums, exact HUGEINT
     // energies, common-denominator share — doubles only at display
     "q_haar_energy" -> """

@@ -1733,6 +1733,53 @@ object Stats {
         .as("rho_approx"))
   }
 
+  /** Gumbel extreme-value fit over weekly block maxima — "how big a
+    * revenue day should we expect once a year?": the method-of-L-moments
+    * estimator (Hosking 1990) over the weekly maxima of the daily
+    * series, with the T=52-block return level. The BLOCK-maxima
+    * complement of [[hillTail]]'s peaks-over-threshold exponent: Hill
+    * says how heavy the tail is; this says how large the periodic
+    * extreme is. L-moments (not ML) because they are closed forms over
+    * order statistics — no iteration, no optimizer.
+    *
+    * Determinism: block maxima are exact centi longs; b₀ and b₁ come
+    * from exact integer/decimal sums over the row_number total order
+    * ((value, week) tiebreak); λ/scale/location/return-level are one
+    * fixed double tree with ln 2, the Euler–Mascheroni constant, and
+    * the T-quantile literal shared verbatim with the oracle.
+    *
+    * Plan: one corpus aggregation to days, one to weeks, one bounded
+    * rank window at week grain, one 1-row fold.
+    */
+  def gumbelMaxima(df: DataFrame, dateCol: Column,
+                   valueCol: String): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val gamma = 0.5772156649015329
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val weekly = daily
+      .withColumn("__wk", expr("datediff(__d, DATE '1970-01-01') div 7"))
+      .groupBy(col("__wk")).agg(max(col("__y")).as("__m"))
+    val ranked = weekly.withColumn("__r", row_number()
+      .over(Window.orderBy(col("__m"), col("__wk"))).cast("long"))
+    val f = ranked.agg(count(lit(1)).as("n_blocks"),
+      sum(col("__m")).as("__sm"),
+      sum((col("__r") - 1L).cast("decimal(38,0)") * col("__m"))
+        .as("__srm"))
+    val nD = col("n_blocks").cast("double")
+    val b0 = col("__sm").cast("double") / nD
+    val b1 = col("__srm").cast("double") / (nD * (nD - lit(1.0)))
+    val scale = (lit(2.0) * b1 - b0) / lit(ln2)
+    val loc = b0 - lit(gamma) * scale
+    val ret = loc - scale * log(-log(lit(1.0) - lit(1.0) / lit(52.0)))
+    val ok = col("n_blocks") >= 2
+    f.select(col("n_blocks"),
+      round(b0 / 100.0, 6).as("block_mean"),
+      round(when(ok, loc / 100.0), 6).as("gumbel_loc"),
+      round(when(ok, scale / 100.0), 6).as("gumbel_scale"),
+      round(when(ok, ret / 100.0), 6).as("ret_level_52w"))
+  }
+
   /** Haar band-energy decomposition of a daily series — WHICH TIMESCALE
     * carries the variance ("do revenue swings live day-to-day, in
     * 2-day alternation, or in 4-day waves?"): for each level l, the

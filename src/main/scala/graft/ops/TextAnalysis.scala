@@ -409,6 +409,63 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) over the corpus — the
+    * PHRASE-level keyword table [[tfidfTopTerms]]'s single words can't
+    * give: candidate phrases are maximal runs between stopword/
+    * punctuation breaks, each word scores degree/frequency (degree =
+    * total length of phrases it appears in — co-occurring with many
+    * words raises it), and a phrase scores the sum of its word scores,
+    * which favors the multi-word domain terms ("hash join column")
+    * plain counts bury under common single words.
+    *
+    * Determinism: phrase segmentation is an exact per-doc cumulative
+    * break count; freq/degree are exact longs; each word score commits
+    * to the 1e-9 lattice BEFORE the per-phrase fold (order-free sums);
+    * the top-k is a (score desc, phrase) total order.
+    *
+    * Plan: tokenize → per-doc position window (per-key bounded) →
+    * one (word) aggregation + one keyed join back → one phrase
+    * aggregation → distributed TakeOrdered(k). No corpus sort.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], k: Int = 20): DataFrame = {
+    require(stopwords.nonEmpty && stopwords.distinct == stopwords,
+      "rakeKeywords: stopwords must be non-empty and distinct")
+    require(k >= 1 && k <= 1000, s"rakeKeywords: k in [1, 1000] (got $k)")
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(filter(tokens(lower(col(textCol))), t => t =!= ""))
+          .as(Seq("__p", "__t0")))
+      .withColumn("__t", regexp_replace(col("__t0"), "[^a-z0-9]+", ""))
+      .withColumn("__brk",
+        (col("__t") === "") || col("__t").isin(stopwords: _*))
+    val wPh = Window.partitionBy(col("__id")).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wordRows = toks
+      .withColumn("__ph", sum(col("__brk").cast("long")).over(wPh))
+      .filter(!col("__brk"))
+      .withColumn("__len",
+        count(lit(1)).over(Window.partitionBy(col("__id"), col("__ph"))))
+      .localCheckpoint(eager = false)
+    val wstats = wordRows.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__t"), round(col("__deg").cast("double") /
+        col("__freq").cast("double") * 1e9, 0).cast("long").as("__s9"))
+    val scored = wordRows.join(wstats, Seq("__t"))
+      .groupBy(col("__id"), col("__ph"))
+      .agg(sum(col("__s9")).as("__ps9"))
+    val phrases = wordRows.groupBy(col("__id"), col("__ph"))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(__p, __t)))," +
+          " s -> s.__t)")).as("phrase"))
+    phrases.join(scored, Seq("__id", "__ph"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("__ps9")).as("__s"))
+      .select(col("phrase"), col("n_occurrences"),
+        round(col("__s").cast("double") / 1e9, 6).as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Interpolated Kneser–Ney BIGRAM cross-entropy per document — the
     * context-aware upgrade of [[lmSurprisal]]'s unigram score: a doc
     * whose words are individually common but strung together improbably

@@ -779,6 +779,11 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_gumbel_maxima" -> ((s, dir) =>
+      // how big a revenue day once a year? Gumbel L-moment fit over
+      // weekly block maxima with the 52-block return level
+      Stats.gumbelMaxima(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_haar_energy" -> ((s, dir) =>
       // which timescale carries the revenue variance: Haar band energy
       // at 2/4/8-day blocks, exact integer details end-to-end

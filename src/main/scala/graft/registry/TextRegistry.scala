@@ -90,6 +90,12 @@ object TextRegistry {
       // floor path carries real weight
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 100)),
+    "x_rake_keywords" -> ((s, dir) =>
+      // phrase-level keywords tf-idf's single words can't give: RAKE
+      // degree/frequency over stopword-break runs, top 20
+      TextAnalysis.rakeKeywords(Tables.documents(s, dir), "doc_id",
+        "text", stopwords = Seq("the", "a", "an", "of", "and", "in",
+          "to", "is"), k = 20)),
     "x_kn_bigram" -> ((s, dir) =>
       // word-salad detector the unigram score misses: interpolated
       // Kneser-Ney bigram cross-entropy, -log2 p on the 1e-9 lattice

@@ -427,6 +427,31 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("gumbelMaxima: L-moment closed forms over four hand-placed " +
+      "weekly maxima match an independent computation") {
+    // one order per week -> weekly maxima exactly 1,2,3,4 dollars
+    val df = Seq(1, 2, 3, 4).zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(7L * i)), v.toDouble)
+    }.toDF("d", "v")
+    val r = Stats.gumbelMaxima(df, col("d"), "v").collect().head
+    assert(r.getAs[Long]("n_blocks") == 4L)
+    // centi maxima 100..400: b0 = 250, srm = 0*100+1*200+2*300+3*400
+    val b0 = 250.0
+    val b1 = 2000.0 / (4.0 * 3.0)
+    val scale = (2.0 * b1 - b0) / 0.6931471805599453
+    val loc = b0 - 0.5772156649015329 * scale
+    val ret = loc - scale * math.log(-math.log(1.0 - 1.0 / 52.0))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("block_mean") == 2.5)
+    assert(r.getAs[Double]("gumbel_loc") == r6(loc / 100.0))
+    assert(r.getAs[Double]("gumbel_scale") == r6(scale / 100.0))
+    assert(r.getAs[Double]("ret_level_52w") == r6(ret / 100.0))
+    // a once-a-year level must sit far above the block mean
+    assert(r.getAs[Double]("ret_level_52w") > 4.0)
+  }
+
   test("haarEnergy: hand-computed band energies and common-denominator " +
       "shares; the trailing partial block is dropped at every level") {
     val vals = Seq(1.0, 3.0, 2.0, 2.0, 5.0, 1.0, 4.0, 4.0, 7.0)

@@ -732,6 +732,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("mean_doc_tokens") == 2.666667)
   }
 
+  test("rakeKeywords: degree/frequency word scores and phrase sums " +
+      "replay the hand computation; empty-normalized tokens break runs") {
+    val docs = Seq(
+      (1L, "deep learning of deep learning systems"),
+      (2L, "deep learning"),
+      (3L, "fast - cars")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.rakeKeywords(docs, "doc_id", "text",
+      stopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is"),
+      k = 20).collect()
+    // deep/learning: freq 3, deg 2+3+2 = 7 -> s9 = round(7/3 * 1e9);
+    // systems: 3.0 exactly
+    assert(r.length == 4)
+    assert(r(0).getAs[String]("phrase") == "deep learning systems")
+    assert(r(0).getAs[Long]("n_occurrences") == 1L)
+    assert(r(0).getAs[Double]("rake_score") == 7.666667)
+    assert(r(1).getAs[String]("phrase") == "deep learning")
+    assert(r(1).getAs[Long]("n_occurrences") == 2L)
+    assert(r(1).getAs[Double]("rake_score") == 4.666667)
+    // "-" normalizes to empty -> break: two single-word phrases
+    assert(r.map(_.getAs[String]("phrase")).toSet
+      .contains("cars") && r.map(_.getAs[String]("phrase")).toSet
+      .contains("fast"))
+    assert(r(2).getAs[Double]("rake_score") == 1.0)
+  }
+
   test("knBigramEntropy: hand-computed interpolated-KN probabilities " +
       "on a 3-bigram corpus; sub-2-token docs emit the zero row") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, ""), (4L, "z"))
