@@ -6225,6 +6225,46 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Control chart: 1e-6 lattice weekly means by exact half-up
+    // division, exact integer grand sums, Shewhart n=7 constants
+    "q_control_chart" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      weekly AS (SELECT wk, n, s, r,
+              (CAST(s AS HUGEINT) * 20000 + n)
+                // (CAST(n AS HUGEINT) * 2) AS m6
+            FROM (SELECT (d - DATE '1970-01-01') // 7 AS wk,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS s,
+                    CAST(max(y) - min(y) AS BIGINT) AS r
+                  FROM daily GROUP BY 1)
+            WHERE n = 7),
+      grand AS (SELECT CAST(count(*) AS BIGINT) AS w,
+              CAST(sum(m6) AS BIGINT) AS sm,
+              CAST(sum(r) AS BIGINT) AS sr
+            FROM weekly),
+      lim AS (SELECT w,
+              CAST(sm AS DOUBLE) / CAST(w AS DOUBLE) / 1e6 AS xbb,
+              CAST(sr AS DOUBLE) / CAST(w AS DOUBLE) / 100.0 AS rbar
+            FROM grand),
+      lim2 AS (SELECT w, xbb, rbar,
+              xbb + 0.419 * rbar AS ucl, xbb - 0.419 * rbar AS lcl,
+              1.924 * rbar AS uclr, 0.076 * rbar AS lclr
+            FROM lim)
+      SELECT wk AS week,
+             round(CAST(m6 AS DOUBLE) / 1e6, 6) AS week_mean,
+             round(CAST(r AS DOUBLE) / 100.0, 6) AS week_range,
+             round(xbb, 6) AS grand_mean,
+             round(ucl, 6) AS ucl_mean, round(lcl, 6) AS lcl_mean,
+             round(uclr, 6) AS ucl_range,
+             (CAST(m6 AS DOUBLE) / 1e6 > ucl
+               OR CAST(m6 AS DOUBLE) / 1e6 < lcl) AS mean_out,
+             (CAST(r AS DOUBLE) / 100.0 > uclr
+               OR CAST(r AS DOUBLE) / 100.0 < lclr) AS range_out
+      FROM weekly, lim2 WHERE w >= 2 ORDER BY week""",
+
     // Gumbel L-moments: exact centi block maxima, integer rank sums,
     // one fixed tree with ln2 / Euler-gamma / T-quantile literals
     "q_gumbel_maxima" -> {
@@ -6338,6 +6378,64 @@ object OracleSql {
           2.0 * (SELECT cum FROM r WHERE i = (SELECT n FROM g)))
         END, 6) AS sign_p
       FROM g""",
+
+    // White test: whole-dollar residual lattice (the fourth power must fit),
+    // exact HUGEINT auxiliary sums, quadratic Cramer solve, chi2(2) 5%
+    "q_white_test" -> {
+      val num = "CAST(CAST(n AS HUGEINT) * sxy" +
+        " - CAST(sx AS HUGEINT) * sy AS DOUBLE)"
+      val den = "CAST(CAST(n AS HUGEINT) * sxx" +
+        " - CAST(sx AS HUGEINT) * sx AS DOUBLE)"
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val nD = "CAST(n_days AS DOUBLE)"
+      val czz = s"(${dd("azz")} - ${dd("az")} * ${dd("az")} / $nD)"
+      val cz1 = s"(${dd("az1")} - ${dd("az")} * ${dd("ax")} / $nD)"
+      val cz2 = s"(${dd("az2")} - ${dd("az")} * ${dd("ax2")} / $nD)"
+      val c11 = s"(${dd("ax2")} - ${dd("ax")} * ${dd("ax")} / $nD)"
+      val c12 = s"(${dd("ax3")} - ${dd("ax")} * ${dd("ax2")} / $nD)"
+      val c22 = s"(${dd("ax4")} - ${dd("ax2")} * ${dd("ax2")} / $nD)"
+      val det = s"($c11 * $c22 - $c12 * $c12)"
+      val b1 = s"(($cz1 * $c22 - $cz2 * $c12) / $det)"
+      val b2 = s"(($cz2 * $c11 - $cz1 * $c12) / $det)"
+      val r2 = s"(($b1 * $cz1 + $b2 * $cz2) / $czz)"
+      val okc = s"n_days >= 4 AND $det > 0 AND $czz > 0"
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y,
+              CAST(count(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM daily),
+      sc AS (SELECT $num / $den AS b,
+               (CAST(sy AS DOUBLE) - $num / $den * sx) / n AS a
+             FROM f),
+      e AS (SELECT daily.x,
+              CAST(round((CAST(daily.y AS DOUBLE) - sc.a - sc.b * daily.x)
+                / 100.0, 0) AS BIGINT) AS e2
+            FROM daily, sc),
+      z AS (SELECT x, CAST(e2 AS HUGEINT) * e2 AS z FROM e),
+      aux AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(x) AS BIGINT) AS ax,
+              CAST(sum(x * x) AS BIGINT) AS ax2,
+              sum(CAST(x AS HUGEINT) * x * x) AS ax3,
+              sum(CAST(x AS HUGEINT) * x * x * x) AS ax4,
+              sum(z) AS az,
+              sum(z * x) AS az1,
+              sum(z * x * x) AS az2,
+              sum(z * z) AS azz
+            FROM z)
+      SELECT n_days,
+             round(CASE WHEN $okc THEN $r2 END, 6) AS r2_aux,
+             round(CASE WHEN $okc THEN $nD * $r2 END, 6) AS lm_stat,
+             CASE WHEN $okc THEN $nD * $r2 > 5.991464547107979 END
+               AS heteroskedastic
+      FROM aux"""
+    },
 
     // Engle-Granger: lattice OLS of revenue on volume, residuals on the
     // 1e-6 lattice (the DW trick), exact HUGEINT ADF(0) folds, MacKinnon

@@ -1733,6 +1733,66 @@ object Stats {
         .as("rho_approx"))
   }
 
+  /** Shewhart X̄/R control chart over weekly subgroups of the daily
+    * series — the SPC view of "is this week's revenue OUT OF CONTROL
+    * or just noise?": each FULL 7-day week is a subgroup with its mean
+    * and range; limits are the classic X̄̄ ± A₂·R̄ and D₃·R̄/D₄·R̄ with
+    * the n=7 Shewhart constants (A₂ = 0.419, D₃ = 0.076, D₄ = 1.924 —
+    * shared literals). Partial weeks are dropped, not padded (the
+    * constants are n-specific).
+    *
+    * Determinism: weekly means commit to the 1e-6 integer lattice via
+    * exact half-up division of centi sums (never a float mean), ranges
+    * are exact centi integers, and the grand statistics are fixed
+    * trees over exact integer sums; flags compare identically-derived
+    * doubles.
+    *
+    * Plan: one corpus aggregation to days, one to weeks, one 1-row
+    * grand fold broadcast back. No window, no sort beyond output.
+    */
+  def controlChart(df: DataFrame, dateCol: Column,
+                   valueCol: String): DataFrame = {
+    val (a2, d3, d4) = (0.419, 0.076, 1.924)
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val weekly = daily
+      .withColumn("__wk", expr("datediff(__d, DATE '1970-01-01') div 7"))
+      .groupBy(col("__wk"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"),
+        (max(col("__y")) - min(col("__y"))).as("__r"))
+      .filter(col("__n") === 7L)
+      // exact half-up mean on the 1e-6 dollar lattice:
+      // (2·s·10⁴ + n) div (2·n)
+      .withColumn("__m6", expr(
+        "CAST((CAST(__s AS DECIMAL(38,0)) * 20000 + __n)" +
+          " div (CAST(__n AS DECIMAL(38,0)) * 2) AS BIGINT)"))
+    val grand = weekly.agg(count(lit(1)).as("__w"),
+      sum(col("__m6")).as("__sm"), sum(col("__r")).as("__sr"))
+    val wD = col("__w").cast("double")
+    val xbb = col("__sm").cast("double") / wD / 1e6
+    val rbar = col("__sr").cast("double") / wD / 100.0
+    val limits = grand.select(col("__w"),
+      xbb.as("__xbb"), rbar.as("__rbar"),
+      (xbb + lit(a2) * rbar).as("__ucl"),
+      (xbb - lit(a2) * rbar).as("__lcl"),
+      (lit(d4) * rbar).as("__uclr"),
+      (lit(d3) * rbar).as("__lclr"))
+    val m = col("__m6").cast("double") / 1e6
+    val r = col("__r").cast("double") / 100.0
+    weekly.crossJoin(broadcast(limits))
+      .filter(col("__w") >= 2)
+      .select(col("__wk").as("week"),
+        round(m, 6).as("week_mean"),
+        round(r, 6).as("week_range"),
+        round(col("__xbb"), 6).as("grand_mean"),
+        round(col("__ucl"), 6).as("ucl_mean"),
+        round(col("__lcl"), 6).as("lcl_mean"),
+        round(col("__uclr"), 6).as("ucl_range"),
+        (m > col("__ucl") || m < col("__lcl")).as("mean_out"),
+        (r > col("__uclr") || r < col("__lclr")).as("range_out"))
+      .orderBy("week")
+  }
+
   /** Gumbel extreme-value fit over weekly block maxima — "how big a
     * revenue day should we expect once a year?": the method-of-L-moments
     * estimator (Hosking 1990) over the weekly maxima of the daily
@@ -1893,6 +1953,76 @@ object Stats {
     f.select(col("n_obs"), col("n_pos"), col("n_neg"), col("n_ties"),
       round(when(n >= 1, least(lit(1.0), lit(2.0) * cum)), 6)
         .as("sign_p"))
+  }
+
+  /** White heteroskedasticity test on the daily revenue-vs-volume
+    * regression — "does the noise grow with volume?" (if yes, the OLS
+    * trend's plain standard errors and every CI built on them are
+    * wrong, and a weighted fit or robust errors are needed — the
+    * variance-side companion of [[durbinWatson]]'s correlation-side
+    * check): squared residuals regressed on (x, x²), LM = n·R² of that
+    * auxiliary fit against the χ²(2) 5% critical value 5.991464547107979
+    * (shared literal).
+    *
+    * Determinism: residuals commit to the WHOLE-DOLLAR integer
+    * lattice (coarser than [[durbinWatson]]'s 1e-6 because the
+    * auxiliary fit needs Σ(e²)² — finer lattices overflow decimal(38)
+    * at bench scale);
+    * all auxiliary sufficient sums are exact decimal folds; the
+    * two-regressor Cramer solve and R² are one fixed double tree.
+    *
+    * Plan: one corpus aggregation to days, two 1-row folds with a
+    * broadcast between. No window over the corpus.
+    */
+  def whiteTest(df: DataFrame, dateCol: Column,
+                valueCol: String): DataFrame = {
+    val chi2crit = 5.991464547107979
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"),
+        count(lit(1)).as("__x"))
+    val fit = daily.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(dec(col("__x")) * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val num = (dec(col("__n")) * col("__sxy") -
+      dec(col("__sx")) * col("__sy")).cast("double")
+    val den = (dec(col("__n")) * col("__sxx") -
+      dec(col("__sx")) * col("__sx")).cast("double")
+    val scalars = fit.select(
+      (num / den).as("__b"),
+      ((col("__sy").cast("double") - num / den * col("__sx")) /
+        col("__n")).as("__a"))
+    val resid = daily.crossJoin(broadcast(scalars))
+      .withColumn("__e2", round((col("__y").cast("double") - col("__a") -
+        col("__b") * col("__x")) / 100.0, 0).cast("long"))
+      .withColumn("__z", dec(col("__e2")) * col("__e2"))
+    val aux = resid.agg(count(lit(1)).as("n_days"),
+      sum(col("__x")).as("__ax"), sum(col("__x") * col("__x")).as("__ax2"),
+      sum(dec(col("__x")) * col("__x") * col("__x")).as("__ax3"),
+      sum(dec(col("__x")) * col("__x") * col("__x") * col("__x"))
+        .as("__ax4"),
+      sum(col("__z")).as("__az"),
+      sum(col("__z") * col("__x")).as("__az1"),
+      sum(col("__z") * col("__x") * col("__x")).as("__az2"),
+      sum(col("__z") * col("__z")).as("__azz"))
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n_days")
+    val czz = d("__azz") - d("__az") * d("__az") / nD
+    val cz1 = d("__az1") - d("__az") * d("__ax") / nD
+    val cz2 = d("__az2") - d("__az") * d("__ax2") / nD
+    val c11 = d("__ax2") - d("__ax") * d("__ax") / nD
+    val c12 = d("__ax3") - d("__ax") * d("__ax2") / nD
+    val c22 = d("__ax4") - d("__ax2") * d("__ax2") / nD
+    val det = c11 * c22 - c12 * c12
+    val b1 = (cz1 * c22 - cz2 * c12) / det
+    val b2 = (cz2 * c11 - cz1 * c12) / det
+    val r2 = (b1 * cz1 + b2 * cz2) / czz
+    val ok = col("n_days") >= 4 && det > 0 && czz > 0
+    aux.select(col("n_days"),
+      round(when(ok, r2), 6).as("r2_aux"),
+      round(when(ok, nD * r2), 6).as("lm_stat"),
+      when(ok, nD * r2 > lit(chi2crit)).as("heteroskedastic"))
   }
 
   /** Engle–Granger cointegration screen between the daily revenue and

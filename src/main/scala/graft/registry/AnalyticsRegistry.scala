@@ -779,6 +779,11 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_control_chart" -> ((s, dir) =>
+      // SPC: is this week out of control or just noise? Shewhart
+      // X-bar/R over full 7-day weeks with the n=7 constants
+      Stats.controlChart(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_gumbel_maxima" -> ((s, dir) =>
       // how big a revenue day once a year? Gumbel L-moment fit over
       // weekly block maxima with the 52-block return level
@@ -794,6 +799,11 @@ object AnalyticsRegistry {
       // approximation): daily event value vs 7 positions earlier
       Stats.signTest(Tables.events(s, dir), to_date(col("ts")),
         "value", lagK = 7)),
+    "q_white_test" -> ((s, dir) =>
+      // does the noise grow with volume? White LM = n*R2 of e^2 on
+      // (x, x^2) against the chi2(2) 5% critical value
+      Stats.whiteTest(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_cointegration" -> ((s, dir) =>
       // do daily revenue and order volume share a trend, or does their
       // spread wander? Engle-Granger: lattice OLS + 1e-6 residual

@@ -427,6 +427,29 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("controlChart: hand-computed Shewhart limits flag both shifted " +
+      "weeks; the partial trailing week is dropped") {
+    // 2024-01-04 opens an epoch-aligned week (epoch day 19726 = 2818*7)
+    val start = java.time.LocalDate.of(2024, 1, 4)
+    val rows = (0 until 14).map { i =>
+      (java.sql.Date.valueOf(start.plusDays(i.toLong)),
+        (i % 7 + 1 + (i / 7) * 7).toDouble) // week1: 1..7, week2: 8..14
+    } :+ (java.sql.Date.valueOf(start.plusDays(14L)), 100.0)
+    val df = rows.toDF("d", "v")
+    val r = Stats.controlChart(df, col("d"), "v").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("week_mean") == 4.0)
+    assert(r(1).getAs[Double]("week_mean") == 11.0)
+    assert(r(0).getAs[Double]("week_range") == 6.0)
+    assert(r(0).getAs[Double]("grand_mean") == 7.5)
+    // UCL = 7.5 + 0.419*6 = 10.014, LCL = 4.986: both weeks breach
+    assert(r(0).getAs[Double]("ucl_mean") == 10.014)
+    assert(r(0).getAs[Double]("lcl_mean") == 4.986)
+    assert(r(0).getAs[Boolean]("mean_out") && r(1).getAs[Boolean]("mean_out"))
+    assert(!r(0).getAs[Boolean]("range_out") &&
+      !r(1).getAs[Boolean]("range_out"))
+  }
+
   test("gumbelMaxima: L-moment closed forms over four hand-placed " +
       "weekly maxima match an independent computation") {
     // one order per week -> weekly maxima exactly 1,2,3,4 dollars
@@ -501,6 +524,55 @@ class StatsSpec extends SparkSpec {
     val rt = Stats.signTest(tie, col("d"), "v", lagK = 1).collect().head
     assert(rt.getAs[Long]("n_ties") == 1L && rt.getAs[Long]("n_pos") == 1L)
     assert(rt.getAs[Double]("sign_p") == 1.0)
+  }
+
+  test("whiteTest: matches an independent replay of the auxiliary " +
+      "e2-on-(x, x2) regression and its LM statistic") {
+    val prices = Seq(
+      1 -> Seq(12.0), 2 -> Seq(10.0, 15.5), 3 -> Seq(11.0),
+      4 -> Seq(12.0, 12.0, 12.0), 5 -> Seq(10.0, 14.0), 6 -> Seq(13.0),
+      7 -> Seq(11.0, 12.0, 12.0), 8 -> Seq(13.0, 13.0))
+    val df = prices.flatMap { case (day, ps) =>
+      ps.map(p => (java.sql.Date.valueOf(f"2024-03-$day%02d"), p))
+    }.toDF("d", "v")
+    val r = Stats.whiteTest(df, col("d"), "v").collect().head
+    val xs = prices.map(_._2.size.toLong)
+    val ys = prices.map(_._2.map(p => math.round(p * 100)).sum)
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum.toDouble
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+    val e2 = xs.zip(ys).map { case (x, y) =>
+      BigDecimal((y.toDouble - a - b * x) / 100.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val z = e2.map(e => BigInt(e) * BigInt(e))
+    val ax = sx; val ax2 = sxx
+    val ax3 = xs.map(x => BigInt(x).pow(3)).sum.toDouble
+    val ax4 = xs.map(x => BigInt(x).pow(4)).sum.toDouble
+    val az = z.sum.toDouble
+    val az1 = z.zip(xs).map(p => p._1 * p._2).sum.toDouble
+    val az2 = z.zip(xs).map(p => p._1 * p._2 * p._2).sum.toDouble
+    val azz = z.map(v => v * v).sum.toDouble
+    val czz = azz - az * az / n
+    val cz1 = az1 - az * ax / n
+    val cz2 = az2 - az * ax2 / n
+    val c11 = ax2 - ax * ax / n
+    val c12 = ax3 - ax * ax2 / n
+    val c22 = ax4 - ax2 * ax2 / n
+    val det = c11 * c22 - c12 * c12
+    val b1 = (cz1 * c22 - cz2 * c12) / det
+    val b2 = (cz2 * c11 - cz1 * c12) / det
+    val r2 = (b1 * cz1 + b2 * cz2) / czz
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_days") == 8L)
+    assert(r.getAs[Double]("r2_aux") == r6(r2))
+    assert(r.getAs[Double]("lm_stat") == r6(n * r2))
+    assert(r.getAs[Boolean]("heteroskedastic") ==
+      (n * r2 > 5.991464547107979))
   }
 
   test("cointegration: matches an independent replay of the two-stage " +
