@@ -2076,6 +2076,36 @@ object OracleSql {
       LEFT JOIN hit ON d.doc_id = hit.doc_id
       ORDER BY d.doc_id""",
 
+    // DL vs plain levenshtein on the blocked typo corpus — DuckDB's
+    // damerau_levenshtein is an independent implementation of the
+    // native expression's Lowrance-Wagner DP
+    "x_fuzzy_match_dl" -> """
+      WITH c AS (
+        SELECT c_custkey AS id, c_name AS name FROM customer
+        WHERE c_custkey < 200),
+      v AS (
+        SELECT id + 100000 AS id,
+               substr(name, 1, length(name)-2)
+                 || substr(name, length(name), 1)
+                 || substr(name, length(name)-1, 1) AS name
+        FROM c),
+      u AS (SELECT * FROM c UNION ALL SELECT * FROM v),
+      n AS (SELECT id, name,
+                   substr(lower(trim(name)), 1, length(lower(trim(name))) - 2)
+                     || least(substr(lower(trim(name)), length(lower(trim(name))) - 1, 1),
+                              substr(lower(trim(name)), length(lower(trim(name))), 1))
+                     || greatest(substr(lower(trim(name)), length(lower(trim(name))) - 1, 1),
+                                 substr(lower(trim(name)), length(lower(trim(name))), 1))
+                     AS blk
+            FROM u)
+      SELECT l.id AS id_a, r.id AS id_b,
+             CAST(levenshtein(l.name, r.name) AS INTEGER) AS lev,
+             CAST(damerau_levenshtein(l.name, r.name) AS INTEGER) AS dl,
+             (damerau_levenshtein(l.name, r.name) = 1
+               AND levenshtein(l.name, r.name) = 2) AS transposition_only
+      FROM n l JOIN n r ON l.blk = r.blk AND l.id < r.id
+      ORDER BY id_a, id_b""",
+
     "x_entity_resolution" -> """
       WITH c AS (
         SELECT c_custkey AS id, c_name AS name FROM customer
@@ -6225,6 +6255,29 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // NB moment fit: exact count sums, one fixed ddof-0 tree
+    "q_negbin_fit" -> """
+      WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+                 FROM events GROUP BY 1),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(k) AS BIGINT) AS s,
+              sum(CAST(k AS HUGEINT) * k) AS s2
+            FROM k),
+      t AS (SELECT n_keys,
+              CAST(s AS DOUBLE) / CAST(n_keys AS DOUBLE) AS m,
+              CAST(s2 AS DOUBLE) / CAST(n_keys AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n_keys AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS v
+            FROM f)
+      SELECT n_keys,
+             round(m, 6) AS mean_count,
+             round(v, 6) AS var_count,
+             round(CASE WHEN m > 0 THEN v / m END, 6) AS dispersion,
+             CASE WHEN m > 0 THEN v > m END AS overdispersed,
+             round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS nb_r,
+             round(CASE WHEN v > m THEN m / v END, 6) AS nb_p
+      FROM t""",
+
     // Control chart: 1e-6 lattice weekly means by exact half-up
     // division, exact integer grand sums, Shewhart n=7 constants
     "q_control_chart" -> """

@@ -308,6 +308,65 @@ object Native {
     override def prettyName: String = "levenshtein_within"
   }
 
+  /** TRUE Damerau–Levenshtein distance (Lowrance–Wagner, unrestricted:
+    * transposing two adjacent characters costs 1 even when later edits
+    * land between them — 'CA'→'ABC' is 2 here where the common OSA
+    * shortcut answers 3). Spark ships only plain `levenshtein`, which
+    * bills every swapped-letter typo ("Mirheal" for "Mihreal") as TWO
+    * edits and pushes it past tight fuzzy-join cutoffs; transpositions
+    * are the most common human typo class, so entity resolution wants
+    * them at cost 1. Matches DuckDB's `damerau_levenshtein` — the
+    * oracle cross-check runs against a genuinely independent
+    * implementation. Code points, like the builtin levenshtein.
+    */
+  case class DamerauLevenshtein(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[UTF8String].toString.codePoints().toArray
+      val b = r.asInstanceOf[UTF8String].toString.codePoints().toArray
+      val n = a.length; val m = b.length
+      if (n == 0) return m
+      if (m == 0) return n
+      val inf = n + m
+      val d = Array.ofDim[Int](n + 2, m + 2)
+      d(0)(0) = inf
+      var i = 0
+      while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+      var j = 0
+      while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+      // da: last row where each code point appeared in `a`
+      val da = scala.collection.mutable.HashMap.empty[Int, Int]
+      i = 1
+      while (i <= n) {
+        var db = 0 // last column where b matched a's current row
+        j = 1
+        while (j <= m) {
+          val k = da.getOrElse(b(j - 1), 0)
+          val l2 = db
+          val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+          val sub = d(i)(j) + cost
+          val ins = d(i + 1)(j) + 1
+          val del = d(i)(j + 1) + 1
+          val trans = d(k)(l2) + (i - 1 - k) + 1 + (j - 1 - l2)
+          var v = if (sub < ins) sub else ins
+          if (del < v) v = del
+          if (trans < v) v = trans
+          d(i + 1)(j + 1) = v
+          j += 1
+        }
+        da(a(i - 1)) = i
+        i += 1
+      }
+      d(n + 1)(m + 1)
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
+    override def prettyName: String = "damerau_levenshtein"
+  }
+
   /** Nearest-centroid assignment against a small codebook carried in the
     * expression itself (the broadcast-codebook IVF pattern: the quantizer
     * is trained on a bounded sample, the assignment is this narrow map).
@@ -771,6 +830,9 @@ object Native {
 
   def levenshtein_within(a: Column, b: Column, k: Int): Column =
     toCol(LevenshteinWithin(toExpr(a), toExpr(b), k))
+
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    toCol(DamerauLevenshtein(toExpr(a), toExpr(b)))
 
   def substrings_upto(w: Column, maxLen: Int): Column =
     toCol(SubstringsUpto(toExpr(w), maxLen))

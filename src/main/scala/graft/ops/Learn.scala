@@ -359,12 +359,15 @@ object Learn {
       .join(wins, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
       .localCheckpoint(eager = false)
+    // the strength frame is PLAYER-grain (leagues are entities, not
+    // events) — broadcast it so the matchup table is never re-shuffled
+    // per superstep; beyond ~10M players switch these to keyed joins
     def step(w: DataFrame): DataFrame = {
       val terms = pairs
-        .join(w.select(col("node").as("__i"), col("wm").as("__wi")),
-          Seq("__i"))
-        .join(w.select(col("node").as("__j"), col("wm").as("__wj")),
-          Seq("__j"))
+        .join(broadcast(w.select(col("node").as("__i"),
+          col("wm").as("__wi"))), Seq("__i"))
+        .join(broadcast(w.select(col("node").as("__j"),
+          col("wm").as("__wj"))), Seq("__j"))
         .withColumn("__den0", greatest(col("__wi") + col("__wj"), lit(1L)))
         .withColumn("__term", expr(
           "CAST((CAST(__nij AS DECIMAL(38,0)) * 2000000000000000000" +
@@ -373,7 +376,7 @@ object Learn {
       val denom = terms.groupBy(col("__i").as("node"))
         .agg(greatest(sum(col("__term").cast("decimal(38,0)")),
           lit(1L).cast("decimal(38,0)")).as("__den"))
-      val raw = nodes.join(denom, Seq("node"), "left")
+      val raw = nodes.join(broadcast(denom), Seq("node"), "left")
         .withColumn("__den",
           coalesce(col("__den"), lit(1L).cast("decimal(38,0)")))
         .withColumn("__raw", expr(

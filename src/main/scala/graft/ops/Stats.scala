@@ -1733,6 +1733,39 @@ object Stats {
         .as("rho_approx"))
   }
 
+  /** Negative-binomial method-of-moments fit over per-key event counts
+    * — "is per-user activity Poisson, or overdispersed?" (the
+    * distributional gate before modeling counts: a Poisson model on
+    * NB-dispersed users underestimates heavy users badly). Emits the
+    * dispersion index v/m and, when overdispersed, the moment
+    * estimators r = m²/(v−m) and p = m/v of the NB(r, p)
+    * parameterization; the companion of [[q_burstiness]]'s per-user
+    * Fano factor at the population grain.
+    *
+    * Determinism: counts are exact longs; Σk and Σk² fold exactly in
+    * decimal; mean/variance/r/p are one fixed double tree (population
+    * variance — ddof 0, the [[Drift.distSummary]] convention).
+    *
+    * Plan: one key-grain aggregation, one 1-row fold. No window.
+    */
+  def negbinFit(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__k"))
+    val f = perKey.agg(count(lit(1)).as("n_keys"),
+      sum(col("__k")).as("__s"),
+      sum(col("__k").cast("decimal(38,0)") * col("__k")).as("__s2"))
+    val nD = col("n_keys").cast("double")
+    val m = col("__s").cast("double") / nD
+    val v = col("__s2").cast("double") / nD - m * m
+    val over = v > m
+    f.select(col("n_keys"),
+      round(m, 6).as("mean_count"),
+      round(v, 6).as("var_count"),
+      round(when(m > 0, v / m), 6).as("dispersion"),
+      when(m > 0, over).as("overdispersed"),
+      round(when(over, m * m / (v - m)), 6).as("nb_r"),
+      round(when(over, m / v), 6).as("nb_p"))
+  }
+
   /** Shewhart X̄/R control chart over weekly subgroups of the daily
     * series — the SPC view of "is this week's revenue OUT OF CONTROL
     * or just noise?": each FULL 7-day week is a subgroup with its mean

@@ -779,6 +779,10 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_negbin_fit" -> ((s, dir) =>
+      // Poisson or overdispersed? NB moment fit over per-user lifetime
+      // event counts; the population view of q_burstiness
+      Stats.negbinFit(Tables.events(s, dir), "user_id")),
     "q_control_chart" -> ((s, dir) =>
       // SPC: is this week out of control or just noise? Shewhart
       // X-bar/R over full 7-day weeks with the n=7 constants

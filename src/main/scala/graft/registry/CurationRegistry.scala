@@ -216,6 +216,38 @@ object CurationRegistry {
           concat(substring(t, lit(1), n - 2), least(c1, c2), greatest(c1, c2))
         })
     }),
+    "x_fuzzy_match_dl" -> ((s, dir) => {
+      // the same blocked typo corpus scored by BOTH edit distances:
+      // plain levenshtein bills the swapped-letters typo 2, true
+      // Damerau-Levenshtein (native expression) bills it 1 — the
+      // distance an entity-resolution cutoff should use
+      val c = Tables.customer(s, dir).filter(col("c_custkey") < 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val variants = c.select((col("id") + 100000).as("id"),
+        concat(
+          substring(col("name"), lit(1), length(col("name")) - 2),
+          substring(col("name"), length(col("name")), lit(1)),
+          substring(col("name"), length(col("name")) - 1, lit(1)))
+          .as("name"))
+      def key(sc: org.apache.spark.sql.Column) = {
+        val t = lower(trim(sc))
+        val n = length(t)
+        val c1 = substring(t, n - 1, lit(1))
+        val c2 = substring(t, n, lit(1))
+        concat(substring(t, lit(1), n - 2), least(c1, c2),
+          greatest(c1, c2))
+      }
+      val all = c.unionByName(variants).withColumn("__k", key(col("name")))
+      all.as("a").join(all.as("b"),
+          col("a.__k") === col("b.__k") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          levenshtein(col("a.name"), col("b.name")).as("lev"),
+          graft.functions.Native.damerau_levenshtein(
+            col("a.name"), col("b.name")).as("dl"))
+        .withColumn("transposition_only",
+          col("dl") === 1 && col("lev") === 2)
+        .orderBy("id_a", "id_b")
+    }),
     "x_cluster_split" -> ((s, dir) =>
       // leakage-free split: hash the near-dup CLUSTER id so a document
       // and its near-copies can never straddle train/test

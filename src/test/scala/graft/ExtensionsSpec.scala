@@ -94,4 +94,35 @@ class ExtensionsSpec extends SparkSpec {
       Native.levenshtein_within(col("a"), col("b"), 2).as("d")).head()
     assert(d.getInt(0) == 1)
   }
+
+  test("damerau_levenshtein: TRUE (unrestricted) DL cases incl. the " +
+      "OSA-separating CA->ABC, never exceeds levenshtein, astral parity") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val cases = Seq(
+      ("CA", "ABC", 2),      // unrestricted DL; OSA would say 3
+      ("ab", "ba", 1),       // plain transposition
+      ("abcd", "acbd", 1),   // interior transposition
+      ("xy", "yxz", 2),
+      ("kitten", "sitting", 3),
+      ("abc", "ca", 2),
+      ("", "", 0), ("a", "", 1), ("", "abc", 3),
+      ("same", "same", 0))
+    val df = cases.map(c => (c._1, c._2, c._3)).toDF("a", "b", "want")
+    df.select(Native.damerau_levenshtein(col("a"), col("b")).as("d"),
+        col("want")).collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // DL <= levenshtein everywhere (transposition only ever helps)
+    val rnd = new scala.util.Random(11)
+    def word(): String =
+      (0 until 2 + rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString
+    val pairs = (1 to 300).map(_ => (word(), word())).toDF("a", "b")
+    pairs.select(Native.damerau_levenshtein(col("a"), col("b")).as("d"),
+        sexpr("levenshtein(a, b)").as("lev")).collect()
+      .foreach(r => assert(r.getInt(0) <= r.getInt(1) && r.getInt(0) >= 0))
+    // swapped astral code points: one transposition
+    val astral = Seq(("a😀😁", "a😁😀")).toDF("a", "b")
+    assert(astral.select(Native.damerau_levenshtein(col("a"), col("b")))
+      .head().getInt(0) == 1)
+  }
 }

@@ -427,6 +427,29 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("negbinFit: moment estimators on hand-computed counts; " +
+      "underdispersed data disables the NB parameters") {
+    def events(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (k, u) => Seq.fill(k)(u.toLong)
+    }.toDF("user_id")
+    // k = 1,1,1,9: m = 3, v = 21 - 9 = 12 -> r = 9/9 = 1, p = 0.25
+    val over = Stats.negbinFit(events(Seq(1, 1, 1, 9)), "user_id")
+      .collect().head
+    assert(over.getAs[Long]("n_keys") == 4L)
+    assert(over.getAs[Double]("mean_count") == 3.0)
+    assert(over.getAs[Double]("var_count") == 12.0)
+    assert(over.getAs[Double]("dispersion") == 4.0)
+    assert(over.getAs[Boolean]("overdispersed"))
+    assert(over.getAs[Double]("nb_r") == 1.0)
+    assert(over.getAs[Double]("nb_p") == 0.25)
+    // k = 1,2,3,2: v = 0.5 < m = 2 -> NB params null
+    val under = Stats.negbinFit(events(Seq(1, 2, 3, 2)), "user_id")
+      .collect().head
+    assert(under.getAs[Double]("dispersion") == 0.25)
+    assert(!under.getAs[Boolean]("overdispersed"))
+    assert(under.isNullAt(under.fieldIndex("nb_r")))
+  }
+
   test("controlChart: hand-computed Shewhart limits flag both shifted " +
       "weeks; the partial trailing week is dropped") {
     // 2024-01-04 opens an epoch-aligned week (epoch day 19726 = 2818*7)
