@@ -1768,6 +1768,74 @@ object OracleSql {
                AS BIGINT) AS duplicate_docs
       FROM documents""",
 
+    // BLEU-2 over the jaccard near-dup pairs: exact clipped counts,
+    // fixed precision/brevity/geometric-mean tree
+    "x_bleu_pairs" -> """
+      WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 60),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk
+                FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      kept AS (
+        SELECT sh.* FROM sh JOIN (
+          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
+          ON sh.s = ok.s),
+      inter AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+        FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id),
+      p AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02),
+      tw AS (SELECT doc_id, list_filter(string_split_regex(
+               trim(lower(text)), '\s+'), x -> x <> '') AS w
+             FROM documents WHERE doc_id < 60),
+      lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM tw),
+      uni AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, unnest(w) AS g FROM tw) GROUP BY 1, 2),
+      bi AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+               FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                     FROM tw WHERE len(w) >= 2)) GROUP BY 1, 2),
+      c1 AS (SELECT p.id_a, p.id_b,
+               CAST(sum(least(a.c, b.c)) AS BIGINT) AS cl
+             FROM p JOIN uni b ON b.doc_id = p.id_b
+                    JOIN uni a ON a.doc_id = p.id_a AND a.g = b.g
+             GROUP BY 1, 2),
+      c2 AS (SELECT p.id_a, p.id_b,
+               CAST(sum(least(a.c, b.c)) AS BIGINT) AS cl
+             FROM p JOIN bi b ON b.doc_id = p.id_b
+                    JOIN bi a ON a.doc_id = p.id_a AND a.g = b.g
+             GROUP BY 1, 2),
+      j AS (SELECT p.id_a, p.id_b, la.len AS la, lb.len AS lb,
+              CAST(coalesce(c1.cl, 0) AS BIGINT) AS cl1,
+              CAST(coalesce(c2.cl, 0) AS BIGINT) AS cl2
+            FROM p JOIN lens la ON la.doc_id = p.id_a
+                   JOIN lens lb ON lb.doc_id = p.id_b
+                   LEFT JOIN c1 ON c1.id_a = p.id_a AND c1.id_b = p.id_b
+                   LEFT JOIN c2 ON c2.id_a = p.id_a AND c2.id_b = p.id_b)
+      SELECT id_a, id_b, la AS len_ref, lb AS len_cand,
+        round(CASE WHEN lb > 0
+          THEN CAST(cl1 AS DOUBLE) / CAST(lb AS DOUBLE) END, 6) AS p1,
+        round(CASE WHEN lb >= 2
+          THEN CAST(cl2 AS DOUBLE) / CAST(lb - 1 AS DOUBLE) END, 6) AS p2,
+        round(CASE WHEN lb >= la THEN 1.0
+          ELSE exp(1.0 - CAST(la AS DOUBLE) / CAST(lb AS DOUBLE)) END, 6)
+          AS brevity_penalty,
+        round(CASE WHEN lb >= 2 AND cl1 > 0 AND cl2 > 0 THEN
+          (CASE WHEN lb >= la THEN 1.0
+             ELSE exp(1.0 - CAST(la AS DOUBLE) / CAST(lb AS DOUBLE)) END)
+          * exp((ln(CAST(cl1 AS DOUBLE) / CAST(lb AS DOUBLE))
+               + ln(CAST(cl2 AS DOUBLE) / CAST(lb - 1 AS DOUBLE))) / 2.0)
+        ELSE 0.0 END, 6) AS bleu2
+      FROM j ORDER BY id_a, id_b""",
+
     "x_jaccard_pairs" -> """
       WITH d AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
@@ -6255,6 +6323,57 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Chow test: exact per-segment OLS sums via conditional folds,
+    // fixed RSS/F tree; declared break 1995-06-30
+    "q_chow_test" -> {
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      def rss(t: String) =
+        s"((${dd(s"syy$t")} - ${dd(s"sy$t")} * ${dd(s"sy$t")} / ${dd(s"n$t")})" +
+          s" - (${dd(s"sty$t")} - ${dd(s"st$t")} * ${dd(s"sy$t")} / ${dd(s"n$t")})" +
+          s" * (${dd(s"sty$t")} - ${dd(s"st$t")} * ${dd(s"sy$t")} / ${dd(s"n$t")})" +
+          s" / (${dd(s"stt$t")} - ${dd(s"st$t")} * ${dd(s"st$t")} / ${dd(s"n$t")}))"
+      def slope(t: String) =
+        s"((${dd(s"sty$t")} - ${dd(s"st$t")} * ${dd(s"sy$t")} / ${dd(s"n$t")})" +
+          s" / (${dd(s"stt$t")} - ${dd(s"st$t")} * ${dd(s"st$t")} / ${dd(s"n$t")}))"
+      def sums(flag: String, t: String) =
+        s"""CAST(count(CASE WHEN $flag THEN 1 END) AS BIGINT) AS n$t,
+              CAST(coalesce(sum(CASE WHEN $flag THEN tt END), 0) AS BIGINT)
+                AS st$t,
+              CAST(coalesce(sum(CASE WHEN $flag THEN y END), 0) AS BIGINT)
+                AS sy$t,
+              coalesce(sum(CASE WHEN $flag THEN CAST(tt AS HUGEINT) * y
+                END), 0) AS sty$t,
+              CAST(coalesce(sum(CASE WHEN $flag THEN tt * tt END), 0)
+                AS BIGINT) AS stt$t,
+              coalesce(sum(CASE WHEN $flag THEN CAST(y AS HUGEINT) * y
+                END), 0) AS syy$t"""
+      val fStat = s"(((${rss("p")} - ${rss("1")} - ${rss("2")}) / 2.0)" +
+        s" / ((${rss("1")} + ${rss("2")}) / (${dd("np")} - 4.0)))"
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      r AS (SELECT y,
+              CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS tt,
+              d < DATE '1995-06-30' AS pre
+            FROM daily),
+      f AS (SELECT ${sums("pre", "1")},
+              ${sums("NOT pre", "2")},
+              ${sums("TRUE", "p")}
+            FROM r)
+      SELECT n1 AS n_pre, n2 AS n_post,
+             round(CASE WHEN n1 >= 3 THEN ${slope("1")} / 100.0 END, 6)
+               AS slope_pre,
+             round(CASE WHEN n2 >= 3 THEN ${slope("2")} / 100.0 END, 6)
+               AS slope_post,
+             round(CASE WHEN n1 >= 3 AND n2 >= 3
+               AND (${rss("1")} + ${rss("2")}) > 0 THEN $fStat END, 6)
+               AS f_stat,
+             CAST(np - 4 AS BIGINT) AS df2
+      FROM f"""
+    },
+
     // NB moment fit: exact count sums, one fixed ddof-0 tree
     "q_negbin_fit" -> """
       WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k

@@ -1733,6 +1733,70 @@ object Stats {
         .as("rho_approx"))
   }
 
+  /** Chow structural-break test of the daily trend at a DECLARED date —
+    * "did the trend actually change when we think it did?" (pricing
+    * change, launch, pipeline migration): fit the linear day-trend
+    * separately before and after the break, pool it over the whole
+    * span, and test F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁+RSS₂)/(n−4)).
+    * The CONFIRMATORY complement of [[Drift.cusumDrift]]'s exploratory
+    * changepoint hunt: CUSUM finds a break date, Chow tests a declared
+    * one.
+    *
+    * Determinism: the day index and centi values are exact integers;
+    * each segment's (n, Σt, Σy, Σty, Σt²) folds exactly in decimal via
+    * conditional aggregation; every RSS and the F ratio is one fixed
+    * double tree (RSS = cyy − cty²/ctt over exact sums).
+    *
+    * Plan: one corpus aggregation to days, one bounded index window,
+    * one 1-row three-segment fold. No corpus sort.
+    */
+  def chowTest(df: DataFrame, dateCol: Column, valueCol: String,
+               breakDate: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__d"))).cast("long"))
+      .withColumn("__pre", col("__d") < lit(breakDate).cast("date"))
+    def sums(flag: Column, tag: String) = Seq(
+      count(when(flag, lit(1))).as(s"n$tag"),
+      coalesce(sum(when(flag, col("__t"))), lit(0L)).as(s"st$tag"),
+      coalesce(sum(when(flag, col("__y"))), lit(0L)).as(s"sy$tag"),
+      coalesce(sum(when(flag, dec(col("__t")) * col("__y"))),
+        lit(0L).cast("decimal(38,0)")).as(s"sty$tag"),
+      coalesce(sum(when(flag, col("__t") * col("__t"))), lit(0L))
+        .as(s"stt$tag"),
+      coalesce(sum(when(flag, dec(col("__y")) * col("__y"))),
+        lit(0L).cast("decimal(38,0)")).as(s"syy$tag"))
+    val allSums = sums(col("__pre"), "1") ++ sums(!col("__pre"), "2") ++
+      sums(lit(true), "p")
+    val f = daily.agg(allSums.head, allSums.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def rss(tag: String): Column = {
+      val nD = d(s"n$tag")
+      val cyy = d(s"syy$tag") - d(s"sy$tag") * d(s"sy$tag") / nD
+      val cty = d(s"sty$tag") - d(s"st$tag") * d(s"sy$tag") / nD
+      val ctt = d(s"stt$tag") - d(s"st$tag") * d(s"st$tag") / nD
+      cyy - cty * cty / ctt
+    }
+    def slope(tag: String): Column = {
+      val nD = d(s"n$tag")
+      val cty = d(s"sty$tag") - d(s"st$tag") * d(s"sy$tag") / nD
+      val ctt = d(s"stt$tag") - d(s"st$tag") * d(s"st$tag") / nD
+      cty / ctt
+    }
+    val nD = d("np")
+    val rssSum = rss("1") + rss("2")
+    val fStat = ((rss("p") - rss("1") - rss("2")) / lit(2.0)) /
+      (rssSum / (nD - lit(4.0)))
+    val ok = col("n1") >= 3 && col("n2") >= 3 && rssSum > 0
+    f.select(col("n1").as("n_pre"), col("n2").as("n_post"),
+      round(when(col("n1") >= 3, slope("1") / 100.0), 6).as("slope_pre"),
+      round(when(col("n2") >= 3, slope("2") / 100.0), 6).as("slope_post"),
+      round(when(ok, fStat), 6).as("f_stat"),
+      (col("np") - 4L).as("df2"))
+  }
+
   /** Negative-binomial method-of-moments fit over per-key event counts
     * — "is per-user activity Poisson, or overdispersed?" (the
     * distributional gate before modeling counts: a Poisson model on

@@ -409,6 +409,77 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** BLEU-2 scoring of candidate/reference document pairs — the
+    * n-gram-overlap metric used to audit near-duplicates, paraphrase
+    * candidates, or model outputs against references, computed the
+    * Papineni-2002 way: clipped modified unigram and bigram precisions
+    * (candidate n-gram counts capped by the reference's), the brevity
+    * penalty exp(1 − r/c) for short candidates, and the geometric mean
+    * exp((ln p₁ + ln p₂)/2). A Jaccard near-dup score says "how much
+    * vocabulary is shared"; BLEU says "how much ORDERED phrasing is
+    * shared" — the distinction that separates a paraphrase from a
+    * shuffled bag of the same words.
+    *
+    * Determinism: all n-gram counts/clips/lengths are exact longs from
+    * keyed joins; precisions, the brevity penalty, and the geometric
+    * mean are one fixed double tree. Zero-precision pairs score an
+    * exact 0. The pair with id_a as reference, id_b as candidate.
+    *
+    * Plan: two narrow tokenize passes (uni/bigram count tables derived
+    * once), pair-keyed joins bounded by the PAIR table (callers pass a
+    * blocked/near-dup pair list — never corpus²), one pair-grain fold.
+    */
+  def bleuPairs(docs: DataFrame, idCol: String, textCol: String,
+                pairs: DataFrame): DataFrame = {
+    val toksArr = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val base = docs.select(col(idCol).as("__id"), toksArr.as("__w"))
+      .localCheckpoint(eager = false)
+    val uni = base.select(col("__id"), explode(col("__w")).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
+    val bi = base.filter(size(col("__w")) >= 2)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(0, size(__w) - 2)," +
+          " i -> concat(__w[i], ' ', __w[i + 1]))")).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
+    val lens = base.select(col("__id"),
+      size(col("__w")).cast("long").as("__len"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    def clipped(grams: DataFrame): DataFrame = p
+      .join(grams.select(col("__id").as("id_b"), col("__g"),
+        col("__c").as("__cb")), Seq("id_b"))
+      .join(grams.select(col("__id").as("id_a"), col("__g"),
+        col("__c").as("__ca")), Seq("id_a", "__g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("__clip"))
+    val c1 = clipped(uni); val c2 = clipped(bi)
+    val withLens = p
+      .join(lens.select(col("__id").as("id_a"), col("__len").as("__la")),
+        Seq("id_a"))
+      .join(lens.select(col("__id").as("id_b"), col("__len").as("__lb")),
+        Seq("id_b"))
+      .join(c1.withColumnRenamed("__clip", "__cl1"), Seq("id_a", "id_b"),
+        "left")
+      .join(c2.withColumnRenamed("__clip", "__cl2"), Seq("id_a", "id_b"),
+        "left")
+      .withColumn("__cl1", coalesce(col("__cl1"), lit(0L)))
+      .withColumn("__cl2", coalesce(col("__cl2"), lit(0L)))
+    val p1 = col("__cl1").cast("double") / col("__lb").cast("double")
+    val p2 = col("__cl2").cast("double") /
+      (col("__lb") - lit(1L)).cast("double")
+    val bp = when(col("__lb") >= col("__la"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("__la").cast("double") /
+        col("__lb").cast("double")))
+    val ok = col("__lb") >= 2 && col("__cl1") > 0 && col("__cl2") > 0
+    withLens.select(col("id_a"), col("id_b"),
+        col("__la").as("len_ref"), col("__lb").as("len_cand"),
+        round(when(col("__lb") > 0, p1), 6).as("p1"),
+        round(when(col("__lb") >= 2, p2), 6).as("p2"),
+        round(bp, 6).as("brevity_penalty"),
+        round(when(ok, bp * exp((log(p1) + log(p2)) / lit(2.0)))
+          .otherwise(lit(0.0)), 6).as("bleu2"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010) over the corpus — the
     * PHRASE-level keyword table [[tfidfTopTerms]]'s single words can't
     * give: candidate phrases are maximal runs between stopword/

@@ -779,6 +779,11 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_chow_test" -> ((s, dir) =>
+      // did the revenue trend break at the declared mid-span date?
+      // two-segment lattice OLS + the pooled-RSS F ratio
+      Stats.chowTest(Tables.orders(s, dir), to_date(col("o_orderdate")),
+        "o_totalprice", breakDate = "1995-06-30")),
     "q_negbin_fit" -> ((s, dir) =>
       // Poisson or overdispersed? NB moment fit over per-user lifetime
       // event counts; the population view of q_burstiness

@@ -160,6 +160,15 @@ object CurationRegistry {
       Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
         "doc_id", "text", 3, 0.02, maxDf = 30)),
+    "x_bleu_pairs" -> ((s, dir) => {
+      // ordered-phrasing overlap where jaccard only sees shared
+      // vocabulary: BLEU-2 (clipped precisions, brevity penalty) over
+      // the near-dup pair table
+      val probe = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      TextAnalysis.bleuPairs(probe, "doc_id", "text",
+        Dedup.jaccardPairs(probe, "doc_id", "text", 3, 0.02, maxDf = 30)
+          .select("id_a", "id_b"))
+    }),
     "x_golden_record" -> ((s, dir) => {
       // survivorship after entity resolution: most-frequent name (ties
       // to smallest), max balance, per matched cluster; variants carry a

@@ -427,6 +427,53 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("chowTest: recovers both planted slopes and matches an " +
+      "independent F computation; a continuous trend scores F near 0") {
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 2, 1)
+        .plusDays(i.toLong)), v)
+    }.toDF("d", "v")
+    // pre (t=1..5): 10 + t; post (t=6..10): 100 + 5t — a clear break
+    val vals = (1 to 5).map(t => 10.0 + t) ++ (6 to 10).map(t => 100.0 + 5 * t)
+    val r = Stats.chowTest(mk(vals), col("d"), "v", "2024-02-06")
+      .collect().head
+    assert(r.getAs[Long]("n_pre") == 5L && r.getAs[Long]("n_post") == 5L)
+    assert(r.getAs[Double]("slope_pre") == 1.0)
+    assert(r.getAs[Double]("slope_post") == 5.0)
+    // exact-fit segments -> RSS1 = RSS2 = 0 -> the guard nulls F
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+    // noisy segments: independent replay of the F ratio
+    val noisy = Seq(11.0, 12.5, 12.8, 14.2, 15.1, 118.0, 125.5, 128.1,
+      136.0, 140.2)
+    val rn = Stats.chowTest(mk(noisy), col("d"), "v", "2024-02-06")
+      .collect().head
+    val y = noisy.map(v => math.round(v * 100))
+    def seg(ts: Seq[Int]): (Double, Double) = {
+      val n = ts.size.toDouble
+      val st = ts.map(_.toLong).sum.toDouble
+      val sy = ts.map(t => y(t - 1)).sum.toDouble
+      val sty = ts.map(t => t.toLong * y(t - 1)).sum.toDouble
+      val stt = ts.map(t => t.toLong * t).sum.toDouble
+      val syy = ts.map(t => BigInt(y(t - 1)) * BigInt(y(t - 1))).sum.toDouble
+      val cyy = syy - sy * sy / n
+      val cty = sty - st * sy / n
+      val ctt = stt - st * st / n
+      (cyy - cty * cty / ctt, cty / ctt)
+    }
+    val (r1, _) = seg(1 to 5); val (r2, _) = seg(6 to 10)
+    val (rp, _) = seg(1 to 10)
+    val fExp = ((rp - r1 - r2) / 2.0) / ((r1 + r2) / (10.0 - 4.0))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rn.getAs[Double]("f_stat") == r6(fExp))
+    assert(rn.getAs[Double]("f_stat") > 10.0) // the break is real
+    // one continuous line, split arbitrarily: F ~ 0
+    val line = (1 to 10).map(t => 50.0 + 3 * t + (if (t % 2 == 0) 0.3 else -0.3))
+    val rl = Stats.chowTest(mk(line), col("d"), "v", "2024-02-06")
+      .collect().head
+    assert(rl.getAs[Double]("f_stat") < 1.5)
+  }
+
   test("negbinFit: moment estimators on hand-computed counts; " +
       "underdispersed data disables the NB parameters") {
     def events(counts: Seq[Int]) = counts.zipWithIndex.flatMap {

@@ -732,6 +732,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("mean_doc_tokens") == 2.666667)
   }
 
+  test("bleuPairs: hand-computed clipped precisions, brevity penalty " +
+      "and geometric mean; identical pair scores 1; no overlap scores 0") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "xyz zzz qqq www")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val r = graft.ops.TextAnalysis.bleuPairs(docs, "doc_id", "text", pairs)
+      .collect().map(x => x.getAs[Long]("id_b") -> x).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cand 2 vs ref 1: p1 = 5/5, p2 = 3/4, bp = exp(1 - 6/5)
+    val b2 = r(2L)
+    assert(b2.getAs[Long]("len_ref") == 6L && b2.getAs[Long]("len_cand") == 5L)
+    assert(b2.getAs[Double]("p1") == 1.0)
+    assert(b2.getAs[Double]("p2") == 0.75)
+    val bp = math.exp(1.0 - 6.0 / 5.0)
+    assert(b2.getAs[Double]("brevity_penalty") == r6(bp))
+    assert(b2.getAs[Double]("bleu2") ==
+      r6(bp * math.exp((math.log(1.0) + math.log(0.75)) / 2.0)))
+    // identical text: everything 1
+    assert(r(3L).getAs[Double]("bleu2") == 1.0)
+    assert(r(3L).getAs[Double]("brevity_penalty") == 1.0)
+    // zero overlap: clipped counts 0 -> exact 0
+    assert(r(4L).getAs[Double]("p1") == 0.0)
+    assert(r(4L).getAs[Double]("bleu2") == 0.0)
+  }
+
   test("rakeKeywords: degree/frequency word scores and phrase sums " +
       "replay the hand computation; empty-normalized tokens break runs") {
     val docs = Seq(
