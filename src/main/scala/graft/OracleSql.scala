@@ -1153,6 +1153,98 @@ object OracleSql {
       FROM z ORDER BY quantile"""
     },
 
+    // CvM: centi-lattice values, exact HUGEINT numerator, Anderson 5%
+    "q_cvm_drift" -> """
+      WITH pv AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+          AND value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1),
+      c AS (SELECT *,
+              sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cuma,
+              sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cumb,
+              sum(ca) OVER () AS n, sum(cb) OVER () AS m
+            FROM pv),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+              CAST(max(n) AS BIGINT) AS n_a,
+              CAST(max(m) AS BIGINT) AS n_b,
+              sum(CAST(ca + cb AS HUGEINT)
+                * (CAST(cuma AS HUGEINT) * m - CAST(cumb AS HUGEINT) * n)
+                * (CAST(cuma AS HUGEINT) * m - CAST(cumb AS HUGEINT) * n))
+                AS num
+            FROM c)
+      SELECT n_a, n_b, n_values,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(num AS DOUBLE)
+          / (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) END, 6)
+          AS cvm_t,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(num AS DOUBLE)
+          / (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) > 0.461 END
+          AS drifted
+      FROM f""",
+
+    // Energy distance: exact integer gap-folds for the three E|.| terms
+    "q_energy_drift" -> """
+      WITH pv AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+          AND value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1),
+      c AS (SELECT *,
+              sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cuma,
+              sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cumb,
+              lead(v, 1) OVER (ORDER BY v) - v AS gap,
+              sum(ca) OVER () AS n, sum(cb) OVER () AS m
+            FROM pv),
+      f AS (SELECT
+              CAST(max(n) AS BIGINT) AS n_a, CAST(max(m) AS BIGINT) AS n_b,
+              sum(CAST(gap AS HUGEINT) * (CAST(cuma AS HUGEINT)
+                * (m - cumb) + CAST(cumb AS HUGEINT) * (n - cuma)))
+                AS sxy,
+              sum(CAST(gap AS HUGEINT) * CAST(cuma AS HUGEINT)
+                * (n - cuma)) AS sxx,
+              sum(CAST(gap AS HUGEINT) * CAST(cumb AS HUGEINT)
+                * (m - cumb)) AS syy
+            FROM c WHERE gap IS NOT NULL),
+      t AS (SELECT n_a, n_b,
+              CAST(sxy AS DOUBLE) / (CAST(n_a AS DOUBLE)
+                * CAST(n_b AS DOUBLE)) / 100.0 AS exy,
+              2.0 * CAST(sxx AS DOUBLE) / (CAST(n_a AS DOUBLE)
+                * CAST(n_a AS DOUBLE)) / 100.0 AS exx,
+              2.0 * CAST(syy AS DOUBLE) / (CAST(n_b AS DOUBLE)
+                * CAST(n_b AS DOUBLE)) / 100.0 AS eyy
+            FROM f)
+      SELECT n_a, n_b,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN exy END, 6) AS e_between,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN exx END, 6)
+          AS e_within_a,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN eyy END, 6)
+          AS e_within_b,
+        round(CASE WHEN n_a > 0 AND n_b > 0
+          THEN 2.0 * exy - exx - eyy END, 6) AS energy_d2,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(n_a AS DOUBLE)
+          * CAST(n_b AS DOUBLE) / (CAST(n_a AS DOUBLE)
+          + CAST(n_b AS DOUBLE)) * (2.0 * exy - exx - eyy) END, 6)
+          AS e_stat
+      FROM t""",
+
     "q_ks_drift" -> """
       WITH clean AS (
         SELECT value AS v, event_type FROM events

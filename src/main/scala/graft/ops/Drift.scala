@@ -30,6 +30,111 @@ object Drift {
   def cleanSamples(df: DataFrame, valueCol: String): DataFrame =
     df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
 
+  /** Two-sample Cramér–von Mises statistic — the INTEGRATED-squared
+    * ECDF-gap drift test where KS takes only the single worst gap: a
+    * distribution that drifts a little EVERYWHERE moves CvM long before
+    * the KS supremum clears noise, and vice versa for one localized
+    * spike — run both. T = nm/(n+m)² · Σ_pooled w·(F₁−F₂)², with the
+    * asymptotic 5% critical value 0.461 (Anderson) as a shared literal
+    * for the drift flag.
+    *
+    * Determinism: values commit to the centi lattice; the numerator
+    * Σ w·(cumA·m − cumB·n)² is an EXACT decimal fold (never a float
+    * ECDF difference); one fixed double tree at the end.
+    *
+    * Plan: one corpus aggregation to the distinct-value grain, the
+    * documented bounded ECDF window (the q_ks_drift class), one 1-row
+    * fold.
+    */
+  def cvmTest(tagged: DataFrame, valueCol: String, sideCol: String,
+              a: String, b: String): DataFrame = {
+    val perValue = cleanSamples(tagged, valueCol)
+      .filter(col(sideCol) === a || col(sideCol) === b)
+      .groupBy(round(col(valueCol) * 100, 0).cast("long").as("__v"))
+      .agg(sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val totW = Window.partitionBy()
+    val cum2 = cum
+      .withColumn("__n", sum(col("__ca")).over(totW))
+      .withColumn("__m", sum(col("__cb")).over(totW))
+      .withColumn("__t", dec(col("__cuma")) * col("__m") -
+        dec(col("__cumb")) * col("__n"))
+    val f = cum2.agg(count(lit(1)).as("n_values"),
+      max(col("__n")).as("n_a"), max(col("__m")).as("n_b"),
+      sum(dec(col("__ca") + col("__cb")) * col("__t") * col("__t"))
+        .as("__num"))
+    val nD = col("n_a").cast("double"); val mD = col("n_b").cast("double")
+    val t = col("__num").cast("double") /
+      (((nD + mD) * (nD + mD)) * (nD * mD))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    f.select(col("n_a"), col("n_b"), col("n_values"),
+      round(when(ok, t), 6).as("cvm_t"),
+      when(ok, t > lit(0.461)).as("drifted"))
+  }
+
+  /** Two-sample ENERGY distance over centi-lattice values — the
+    * moment-free drift metric with the clean closed form in 1-D:
+    * D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, each expectation an EXACT
+    * integer gap-fold over the pooled distinct-value grain
+    * (E|X−Y| = Σ gap·(cumA·(m−cumB) + cumB·(n−cumA)) / nm — the
+    * ∫ F(1−G)+G(1−F) identity), plus the Székely–Rizzo test statistic
+    * nm/(n+m)·D². Zero iff the distributions are identical — it sees
+    * mean shifts KS underweights AND shape changes a t-test misses.
+    *
+    * Determinism: gaps and cumulative counts are exact integers; all
+    * three folds are exact decimal sums; one fixed double tree each.
+    *
+    * Plan: distinct-value aggregation + the bounded ECDF window + a
+    * lead(1) gap + one 1-row fold (the q_ks_drift class).
+    */
+  def energyDistance(tagged: DataFrame, valueCol: String, sideCol: String,
+                     a: String, b: String): DataFrame = {
+    val perValue = cleanSamples(tagged, valueCol)
+      .filter(col(sideCol) === a || col(sideCol) === b)
+      .groupBy(round(col(valueCol) * 100, 0).cast("long").as("__v"))
+      .agg(sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val ord = Window.orderBy(col("__v"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__gap", lead(col("__v"), 1).over(ord) - col("__v"))
+    val totW = Window.partitionBy()
+    val cum2 = cum
+      .withColumn("__n", sum(col("__ca")).over(totW))
+      .withColumn("__m", sum(col("__cb")).over(totW))
+      .filter(col("__gap").isNotNull)
+    val f = cum2.agg(
+      max(col("__n")).as("n_a"), max(col("__m")).as("n_b"),
+      sum(dec(col("__gap")) * (dec(col("__cuma")) *
+        (col("__m") - col("__cumb")) + dec(col("__cumb")) *
+        (col("__n") - col("__cuma")))).as("__sxy"),
+      sum(dec(col("__gap")) * dec(col("__cuma")) *
+        (col("__n") - col("__cuma"))).as("__sxx"),
+      sum(dec(col("__gap")) * dec(col("__cumb")) *
+        (col("__m") - col("__cumb"))).as("__syy"))
+    val nD = col("n_a").cast("double"); val mD = col("n_b").cast("double")
+    val exy = col("__sxy").cast("double") / (nD * mD) / 100.0
+    val exx = lit(2.0) * col("__sxx").cast("double") / (nD * nD) / 100.0
+    val eyy = lit(2.0) * col("__syy").cast("double") / (mD * mD) / 100.0
+    val d2 = lit(2.0) * exy - exx - eyy
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    f.select(col("n_a"), col("n_b"),
+      round(when(ok, exy), 6).as("e_between"),
+      round(when(ok, exx), 6).as("e_within_a"),
+      round(when(ok, eyy), 6).as("e_within_b"),
+      round(when(ok, d2), 6).as("energy_d2"),
+      round(when(ok, nD * mD / (nD + mD) * d2), 6).as("e_stat"))
+  }
+
   /** Exact two-sample KS survival probability P(D ≥ d) under the null, by
     * lattice-path counting (Hodges 1958 — the same construction
     * `scipy.stats.ks_2samp` uses in exact mode, which its auto mode picks

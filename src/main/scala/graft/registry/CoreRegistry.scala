@@ -429,6 +429,16 @@ object CoreRegistry {
       // exact decile QQ table with per-quantile gaps
       Drift.qqTable(Tables.events(s, dir), "value", "event_type",
         "purchase", "view")),
+    "q_cvm_drift" -> ((s, dir) =>
+      // integrated-squared ECDF gap where KS takes one worst point:
+      // exact decimal numerator, Anderson 5% critical 0.461
+      Drift.cvmTest(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view")),
+    "q_energy_drift" -> ((s, dir) =>
+      // moment-free energy distance: exact integer gap-folds for all
+      // three E|.| terms plus the Szekely-Rizzo statistic
+      Drift.energyDistance(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view")),
     "q_ks_drift" -> ((s, dir) =>
       // large-sample KS: asymptotic p pinned (exactBelow=0) so the series
       // oracle holds at every sf — sf0.001 sides (~200) would otherwise

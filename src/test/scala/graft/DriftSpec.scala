@@ -448,4 +448,42 @@ class DriftSpec extends SparkSpec {
     assert(f.getAs[java.sql.Date]("change_day") == d(1))
     assert(f.getAs[Double]("t_stat") == 0.0 && f.getAs[Double]("shift") == 0.0)
   }
+
+  test("cvmTest: hand-computed T over {1,2} vs {2,3}; identical " +
+      "samples score exactly 0") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("side", "value")
+    val r = Drift.cvmTest(df, "value", "side", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_values") == 3L)
+    // num = 1*(2)^2 + 2*(2)^2 + 1*0 = 12; T = 12 / (16 * 4) = 0.1875
+    assert(r.getAs[Double]("cvm_t") == 0.1875)
+    assert(!r.getAs[Boolean]("drifted"))
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("side", "value")
+    val s = Drift.cvmTest(same, "value", "side", "a", "b").collect().head
+    assert(s.getAs[Double]("cvm_t") == 0.0)
+  }
+
+  test("energyDistance: closed-form expectations over {1,2} vs {2,3}; " +
+      "identical samples give D2 exactly 0") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("side", "value")
+    val r = Drift.energyDistance(df, "value", "side", "a", "b")
+      .collect().head
+    // E|X-Y| = (1+2+0+1)/4 = 1; E|X-X'| = E|Y-Y'| = 0.5
+    assert(r.getAs[Double]("e_between") == 1.0)
+    assert(r.getAs[Double]("e_within_a") == 0.5)
+    assert(r.getAs[Double]("e_within_b") == 0.5)
+    assert(r.getAs[Double]("energy_d2") == 1.0)
+    assert(r.getAs[Double]("e_stat") == 1.0)
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("side", "value")
+    val s = Drift.energyDistance(same, "value", "side", "a", "b")
+      .collect().head
+    assert(s.getAs[Double]("energy_d2") == 0.0)
+    assert(s.getAs[Double]("e_between") == 1.0) // E|X-Y| = (0+2+2+0)/4
+  }
 }
