@@ -6284,6 +6284,29 @@ object OracleSql {
 
     // diff-in-differences: 8 conditional counters in one pass, outcomes
     // on the centi lattice, each mean one engine-identical division
+    // QTE: quantile_cont ≡ Spark percentile (linear interpolation),
+    // per-arm arrays from one pass, fixed gap trees
+    "q_qte" -> {
+      val probs = (1 to 9).map(i => s"0.$i").mkString(", ")
+      s"""
+      WITH b AS (SELECT ${uk("user_id", 59)} > 0.5 AS t, value AS v
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+      f AS (SELECT
+              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treat,
+              CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT)
+                AS n_ctrl,
+              quantile_cont(v, [$probs]) FILTER (WHERE t) AS qt,
+              quantile_cont(v, [$probs]) FILTER (WHERE NOT t) AS qc
+            FROM b)
+      SELECT CAST(i AS INTEGER) AS decile, n_treat, n_ctrl,
+             round(qt[i], 6) AS q_treat,
+             round(qc[i], 6) AS q_ctrl,
+             round(qt[i] - qc[i], 6) AS qte
+      FROM f, (SELECT unnest(range(1, 10)) AS i)
+      ORDER BY decile"""
+    },
+
     // Event-study: per-rel-day arm cells on the centi lattice, pooled
     // pre-period gap broadcast back, null att when an arm is absent
     "q_event_study" -> s"""

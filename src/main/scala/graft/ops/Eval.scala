@@ -1738,6 +1738,49 @@ object Eval {
         .as("did"))
   }
 
+  /** Quantile treatment effects across the u01 hash arms — the
+    * DISTRIBUTIONAL readout a mean-lift A/B test hides: the per-decile
+    * treat−control quantile gap shows whether a +2% mean lift is a
+    * broad shift (all deciles up) or a whale effect (p90 up, median
+    * flat) — the decision between "ship for everyone" and "ship for
+    * the top segment". Exact (interpolated) quantiles per arm from ONE
+    * array-percentile pass each, melted to one row per decile.
+    *
+    * Determinism: Spark's `percentile` and DuckDB's `quantile_cont`
+    * share the linear-interpolation definition over identical values
+    * (the q_percentiles parity); gaps are fixed trees of the two
+    * elected quantiles. EXACT percentile buffers the values — at
+    * 100 TB swap in the sketch variant (the
+    * [[Stats.percentilesApprox]] posture).
+    *
+    * Plan: one narrow projection, one 1-row two-array fold, a 9-row
+    * stack. No window, no join.
+    */
+  def quantileTreatmentEffects(df: DataFrame, userCol: String,
+                               valueCol: String,
+                               channel: Long = 59L): DataFrame = {
+    val base = df.select(
+      (Gen.u01(col(userCol), channel) > 0.5).as("__t"),
+      col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val probs = (1 to 9).map(i => s"0.${i}D").mkString(", ")
+    val f = base.agg(
+      count(when(col("__t"), lit(1))).as("n_treat"),
+      count(when(!col("__t"), lit(1))).as("n_ctrl"),
+      expr(s"percentile(CASE WHEN __t THEN __v END, array($probs))")
+        .as("__qt"),
+      expr(s"percentile(CASE WHEN NOT __t THEN __v END, array($probs))")
+        .as("__qc"))
+    val arms = (1 to 9).map { i =>
+      s"$i, n_treat, n_ctrl, round(element_at(__qt, $i), 6)," +
+        s" round(element_at(__qc, $i), 6)," +
+        s" round(element_at(__qt, $i) - element_at(__qc, $i), 6)"
+    }.mkString(", ")
+    f.select(expr(s"stack(9, $arms) AS (decile, n_treat, n_ctrl," +
+        " q_treat, q_ctrl, qte)"))
+      .orderBy("decile")
+  }
+
   /** Event-study readout around the [[diffInDiff]] cutoff — the
     * PER-DAY view a single DiD number hides: for every day relative to
     * the intervention, the treat−control gap and the ATT after

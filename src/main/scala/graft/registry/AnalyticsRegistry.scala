@@ -752,6 +752,11 @@ object AnalyticsRegistry {
       // cell means + DiD, control drift netting out seasonality
       Eval.diffInDiff(Tables.events(s, dir), "user_id", "ts", "value",
         cutoff = "2024-01-15")),
+    "q_qte" -> ((s, dir) =>
+      // broad shift or whale effect? per-decile treat-control quantile
+      // gaps across the same hash arms as q_ab_test
+      Eval.quantileTreatmentEffects(Tables.events(s, dir), "user_id",
+        "value")),
     "q_event_study" -> ((s, dir) =>
       // the per-day view the single DiD number hides: daily ATT around
       // the 2024-01-15 launch, pre-period rows = parallel-trends check

@@ -894,6 +894,33 @@ class EvalSpec extends SparkSpec {
     assert(out2.getAs[Double]("dr") == 0.0)
   }
 
+  test("quantileTreatmentEffects: planted uniform +5 shift appears at " +
+      "every decile; null data gives qte 0 rows") {
+    import graft.ops.Gen
+    val ids = (1L to 60L)
+    val arms = ids.map(_ -> false).toDF("user_id", "x")
+      .select(col("user_id"), (Gen.u01(col("user_id"), 59L) > 0.5)
+        .as("t")).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // each user contributes values 1..5; treated users shifted +5
+    val rows = ids.flatMap { id =>
+      val lift = if (arms(id)) 5.0 else 0.0
+      (1 to 5).map(v => (id, v.toDouble + lift))
+    }
+    val df = rows.toDF("user_id", "value")
+    val r = Eval.quantileTreatmentEffects(df, "user_id", "value")
+      .collect()
+    assert(r.length == 9)
+    assert(r.map(_.getAs[Int]("decile")).toSeq == (1 to 9))
+    // identical within-arm distributions shifted by +5: every decile
+    // gap is exactly 5
+    r.foreach(x => assert(x.getAs[Double]("qte") == 5.0))
+    // no shift: every gap 0
+    val flat = ids.flatMap(id => (1 to 5).map(v => (id, v.toDouble)))
+      .toDF("user_id", "value")
+    Eval.quantileTreatmentEffects(flat, "user_id", "value").collect()
+      .foreach(x => assert(x.getAs[Double]("qte") == 0.0))
+  }
+
   test("eventStudy: pre-period att is exactly 0 under parallel trends " +
       "and the post-period att recovers the planted lift") {
     import graft.ops.Gen
