@@ -6284,6 +6284,52 @@ object OracleSql {
 
     // diff-in-differences: 8 conditional counters in one pass, outcomes
     // on the centi lattice, each mean one engine-identical division
+    // Permutation test: user-grain centi revenue, observed u01 arm +
+    // 64 multiplier-map permutations (the channel family is affine —
+    // rotations, not permutations) in one fold, add-one p
+    "q_permutation_test" -> {
+      val perms = 64
+      def aggsFor(cond: String, t: String) =
+        s"""CAST(count(CASE WHEN $cond THEN 1 END) AS BIGINT) AS nt$t,
+              CAST(count(CASE WHEN NOT ($cond) THEN 1 END) AS BIGINT)
+                AS nc$t,
+              CAST(coalesce(sum(CASE WHEN $cond THEN rev END), 0)
+                AS BIGINT) AS st$t,
+              CAST(coalesce(sum(CASE WHEN NOT ($cond) THEN rev END), 0)
+                AS BIGINT) AS sc$t"""
+      def permCond(b: Int) =
+        s"((user_id * ${48271L + 1000003L * b}) % 2147483647 * 48271)" +
+          " % 2147483647 > 1073741823"
+      val allAggs = (aggsFor(s"${uk("user_id", 59)} > 0.5", "o") +:
+        (1 to perms).map(b => aggsFor(permCond(b), s"$b"))).mkString(",\n")
+      def d(t: String) =
+        s"(CAST(st$t AS DOUBLE) / (100.0 * nt$t)" +
+          s" - CAST(sc$t AS DOUBLE) / (100.0 * nc$t))"
+      val nGeq = (1 to perms)
+        .map(b => s"(CASE WHEN nt$b = 0 OR nc$b = 0 THEN 1 " +
+          s"WHEN abs(${d(s"$b")}) >= abs(${d("o")})" +
+          " THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH users AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(coalesce(value, 0) * 100, 0)
+                 AS BIGINT)) AS BIGINT) AS rev
+        FROM events GROUP BY 1),
+      f AS (SELECT
+              $allAggs
+            FROM users)
+      SELECT CAST(nto + nco AS BIGINT) AS n_users,
+             round(CASE WHEN nto > 0 AND nco > 0 THEN ${d("o")} END, 6)
+               AS obs_diff,
+             64 AS n_perms,
+             CAST(CASE WHEN nto > 0 AND nco > 0 THEN ($nGeq) END
+               AS BIGINT) AS n_geq,
+             round(CASE WHEN nto > 0 AND nco > 0 THEN
+               (1.0 + CAST(($nGeq) AS DOUBLE)) / 65.0 END, 6) AS perm_p
+      FROM f"""
+    },
+
     // QTE: quantile_cont ≡ Spark percentile (linear interpolation),
     // per-arm arrays from one pass, fixed gap trees
     "q_qte" -> {

@@ -63,7 +63,8 @@ object ScaleStress {
     val ks =
       if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly ||
           exactsubstrOnly || graph8Mode || stats8Mode ||
-          args.headOption.contains("text8"))
+          args.headOption.contains("text8") ||
+          args.headOption.contains("ext8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(1, 2, 5, 10))
@@ -659,6 +660,91 @@ object ScaleStress {
         f"t_plain=$tPlain%.2f t_bucketed_read=$tBkt%.2f " +
         f"t_bucketed_write=$tWrite%.2f rows=$nBkt " +
         f"speedup=${tPlain / tBkt}%.2fx")
+    }
+    // round-8 extension stress: the new heavy families at 1×/10×/100×.
+    // grid-density runs BOTH replication shapes: "dense" (identical
+    // copies — cells constant, only counts grow, so runtime should stay
+    // near-FLAT: the cell grain is the whole point) and "spread"
+    // (copies shifted a full coordinate unit apart — cells grow ∝ k,
+    // runtime may grow with cells but never with points²).
+    // Bradley–Terry replicates lineitem with per-copy ORDER shifts
+    // (players fixed, matchups ×k — superstep count constant). Energy/
+    // CvM replicate events with a per-copy +i-cent value shift so the
+    // distinct-value grain genuinely grows ×k.
+    val ext8Ks =
+      if (args.headOption.contains("ext8")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (ext8Ks.nonEmpty) {
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .select(col("vec_id"), col("embedding"))
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val ev = Tables.events(spark, "/root/testdata/sf0.1")
+        .select(col("event_type"), col("value"))
+      for (k <- ext8Ks) {
+        val dense = (0 until k).map(i =>
+          emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val nP = dense.count()
+        val (tDense, cDense) = timeMin2 {
+          graft.ops.Clustering.gridDensityClusters(dense, "embedding",
+            eps = 0.02, minPts = 3).queryExecution.toRdd.count()
+        }
+        val spread = (0 until k).map { i =>
+          val shifted = expr(
+            s"transform(embedding, (x, j) -> CASE WHEN j = 0 " +
+              s"THEN x + CAST($i AS FLOAT) ELSE x END)")
+          emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            shifted.as("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val (tSpread, cSpread) = timeMin2 {
+          graft.ops.Clustering.gridDensityClusters(spread, "embedding",
+            eps = 0.02, minPts = 3).queryExecution.toRdd.count()
+        }
+        val liK = (0 until k).map(i =>
+          li.select((col("l_orderkey") + lit(i * 100000000L))
+            .as("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+            col("l_discount")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val nL = liK.count()
+        val (tBt, nPlayers) = timeMin2 {
+          val rev = liK.groupBy(col("l_orderkey").as("ok"),
+              col("l_suppkey").as("sk"))
+            .agg(sum(round(col("l_extendedprice") *
+              (lit(1.0) - col("l_discount")) * 100, 0).cast("long"))
+              .as("rev"))
+          val comps = rev.as("a").join(rev.as("b"),
+              col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+            .filter(col("a.rev") =!= col("b.rev"))
+            .select(when(col("a.rev") > col("b.rev"), col("a.sk"))
+                .otherwise(col("b.sk")).as("winner"),
+              when(col("a.rev") > col("b.rev"), col("b.sk"))
+                .otherwise(col("a.sk")).as("loser"))
+          graft.ops.Learn.bradleyTerry(comps, "winner", "loser",
+            iterations = 4).queryExecution.toRdd.count()
+        }
+        val evK = (0 until k).map(i =>
+          ev.select(col("event_type"),
+            (col("value") + lit(i * 0.01)).as("value")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val nE = evK.count()
+        val (tEnergy, _) = timeMin2 {
+          graft.ops.Drift.energyDistance(evK, "value", "event_type",
+            "purchase", "view").queryExecution.toRdd.count()
+        }
+        val (tCvm, _) = timeMin2 {
+          graft.ops.Drift.cvmTest(evK, "value", "event_type",
+            "purchase", "view").queryExecution.toRdd.count()
+        }
+        println(f"STRESS-EXT8 k=$k points=$nP t_grid_dense=$tDense%.2f " +
+          f"clusters_dense=$cDense t_grid_spread=$tSpread%.2f " +
+          f"clusters_spread=$cSpread lineitems=$nL t_bt=$tBt%.2f " +
+          f"players=$nPlayers events=$nE t_energy=$tEnergy%.2f " +
+          f"t_cvm=$tCvm%.2f")
+      }
     }
     spark.stop()
   }

@@ -1738,6 +1738,77 @@ object Eval {
         .as("did"))
   }
 
+  /** Hash-seeded permutation test of the arm mean difference — the
+    * distribution-free significance check that needs NO normality, no
+    * variance formula, and no asymptotics: re-randomize the arm
+    * assignment B times (each permutation is the shared multiplicative
+    * hash on its own channel — no RNG, both engines replay it),
+    * recompute the mean difference under each, and report
+    * p = (1 + #{|d_b| ≥ |d_obs|}) / (B + 1) (the add-one rule that
+    * keeps p valid at any B). The exact-inference sibling of
+    * [[abTest]]'s z/Welch approximations.
+    *
+    * Determinism: user revenue commits to the centi lattice; every
+    * permutation's means come from exact conditional integer sums in
+    * ONE fold; the B comparisons are identical doubles both engines
+    * derive from those sums.
+    *
+    * Permutation family — NOT the u01 channel family: u01(id, c) is
+    * AFFINE in c (u01(id, c₂) = u01(id, c₁) + const mod M), so two
+    * channels give the same partition rotated — some "permutations"
+    * would be near-copies of the observed split and the null would be
+    * degenerate. Each permutation instead uses its own MULTIPLIER map
+    * (id·(48271 + 1 000 003·b) mod 2³¹−1): different multipliers are
+    * genuinely different permutations of Z_M, and none equals the
+    * observed channel's composite multiplier.
+    *
+    * Plan: one user-grain aggregation, one 1-row fold carrying
+    * 4·(B+1) conditional aggregates (wide but single-pass — B is a
+    * knob, not data), zero joins.
+    */
+  def permutationTest(df: DataFrame, userCol: String, valueCol: String,
+                      channel: Long = 59L, perms: Int = 64): DataFrame = {
+    require(perms >= 8 && perms <= 256,
+      s"permutationTest: perms in [8, 256] (got $perms)")
+    val M = 2147483647L
+    val users = df.groupBy(col(userCol))
+      .agg(sum(round(coalesce(col(valueCol), lit(0.0)) * 100, 0)
+        .cast("long")).as("__rev"))
+      .localCheckpoint(eager = false)
+    // the extra ·48271 mod M scramble matters: id·m_b alone stays
+    // below M/2 for small consecutive ids (an EMPTY arm and an ANSI
+    // divide-by-zero); the second multiplication wraps it thousands of
+    // times regardless of the id range
+    def arm(b: Int): Column =
+      pmod(pmod(col(userCol) * lit(48271L + 1000003L * b), lit(M)) *
+        lit(48271L), lit(M)) > lit((M - 1) / 2)
+    def armAggs(t: Column, tag: String): Seq[Column] =
+      Seq(count(when(t, lit(1))).as(s"__nt$tag"),
+        count(when(!t, lit(1))).as(s"__nc$tag"),
+        coalesce(sum(when(t, col("__rev"))), lit(0L)).as(s"__st$tag"),
+        coalesce(sum(when(!t, col("__rev"))), lit(0L)).as(s"__sc$tag"))
+    val allAggs = armAggs(Gen.u01(col(userCol), channel) > 0.5, "o") ++
+      (1 to perms).flatMap(b => armAggs(arm(b), s"$b"))
+    val f = users.agg(allAggs.head, allAggs.tail: _*)
+    def diff(tag: String): Column =
+      col(s"__st$tag").cast("double") /
+        (lit(100.0) * col(s"__nt$tag")) -
+        col(s"__sc$tag").cast("double") / (lit(100.0) * col(s"__nc$tag"))
+    // a degenerate permutation (an empty arm) counts as ≥ — the
+    // CONSERVATIVE direction (p can only grow) — and is never divided
+    val nGeq = (1 to perms).map(b =>
+      when(col(s"__nt$b") === 0L || col(s"__nc$b") === 0L, 1L)
+        .when(abs(diff(s"$b")) >= abs(diff("o")), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val ok = col("__nto") > 0 && col("__nco") > 0
+    f.select((col("__nto") + col("__nco")).as("n_users"),
+      round(when(ok, diff("o")), 6).as("obs_diff"),
+      lit(perms).as("n_perms"),
+      when(ok, nGeq).as("n_geq"),
+      round(when(ok, (lit(1.0) + nGeq.cast("double")) /
+        lit((perms + 1).toDouble)), 6).as("perm_p"))
+  }
+
   /** Quantile treatment effects across the u01 hash arms — the
     * DISTRIBUTIONAL readout a mean-lift A/B test hides: the per-decile
     * treat−control quantile gap shows whether a +2% mean lift is a

@@ -752,6 +752,10 @@ object AnalyticsRegistry {
       // cell means + DiD, control drift netting out seasonality
       Eval.diffInDiff(Tables.events(s, dir), "user_id", "ts", "value",
         cutoff = "2024-01-15")),
+    "q_permutation_test" -> ((s, dir) =>
+      // distribution-free significance for the arm revenue gap: 64
+      // hash-seeded re-randomizations, add-one p — no asymptotics
+      Eval.permutationTest(Tables.events(s, dir), "user_id", "value")),
     "q_qte" -> ((s, dir) =>
       // broad shift or whale effect? per-decile treat-control quantile
       // gaps across the same hash arms as q_ab_test

@@ -894,6 +894,30 @@ class EvalSpec extends SparkSpec {
     assert(out2.getAs[Double]("dr") == 0.0)
   }
 
+  test("permutationTest: a planted massive effect hits the add-one " +
+      "floor 1/65; exchangeable data returns p = 1") {
+    import graft.ops.Gen
+    val ids = (1L to 200L)
+    val arms = ids.map(_ -> false).toDF("user_id", "x")
+      .select(col("user_id"), (Gen.u01(col("user_id"), 59L) > 0.5)
+        .as("t")).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val planted = ids.map(id =>
+      (id, if (arms(id)) 1000.0 else 10.0)).toDF("user_id", "value")
+    val r = Eval.permutationTest(planted, "user_id", "value")
+      .collect().head
+    assert(r.getAs[Long]("n_users") == 200L)
+    assert(r.getAs[Double]("obs_diff") == 990.0)
+    // no hash re-randomization can match the aligned split: p = 1/65
+    assert(r.getAs[Long]("n_geq") == 0L)
+    assert(r.getAs[Double]("perm_p") == 0.015385)
+    // constant outcome: every permutation ties the observed 0 -> p = 1
+    val flat = ids.map(id => (id, 50.0)).toDF("user_id", "value")
+    val f = Eval.permutationTest(flat, "user_id", "value").collect().head
+    assert(f.getAs[Double]("obs_diff") == 0.0)
+    assert(f.getAs[Long]("n_geq") == 64L)
+    assert(f.getAs[Double]("perm_p") == 1.0)
+  }
+
   test("quantileTreatmentEffects: planted uniform +5 shift appears at " +
       "every decile; null data gives qte 0 rows") {
     import graft.ops.Gen
