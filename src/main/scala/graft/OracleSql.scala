@@ -6484,6 +6484,61 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Cp/Cpk: exact centi sums, explicit sample-variance tree, 1.33 bar
+    "q_process_capability" -> """
+      WITH f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS s,
+               sum(CAST(CAST(round(value * 100, 0) AS BIGINT) AS HUGEINT)
+                 * CAST(round(value * 100, 0) AS BIGINT)) AS s2
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+      t AS (SELECT n,
+              CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mu,
+              (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                / 10000.0 AS v
+            FROM f)
+      SELECT n, round(mu, 6) AS mean,
+        round(CASE WHEN n >= 2 AND v > 0 THEN sqrt(v) END, 6) AS sigma,
+        round(CASE WHEN n >= 2 AND v > 0 THEN
+          (500.0 - 0.0) / (6.0 * sqrt(v)) END, 6) AS cp,
+        round(CASE WHEN n >= 2 AND v > 0 THEN
+          least(500.0 - mu, mu - 0.0) / (3.0 * sqrt(v)) END, 6) AS cpk,
+        CASE WHEN n >= 2 AND v > 0 THEN
+          least(500.0 - mu, mu - 0.0) / (3.0 * sqrt(v)) >= 1.33 END
+          AS capable,
+        round(CASE WHEN n >= 2 AND v > 0 THEN
+          (500.0 - 0.0) / (6.0 * sqrt(v))
+          - least(500.0 - mu, mu - 0.0) / (3.0 * sqrt(v)) END, 6)
+          AS centering_loss
+      FROM t""",
+
+    // Turning points: strict lattice extrema, Kendall E/Var literals
+    "q_turning_points" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      l AS (SELECT y, lag(y, 1) OVER (ORDER BY d) AS p,
+              lead(y, 1) OVER (ORDER BY d) AS x
+            FROM daily),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(CASE WHEN p IS NOT NULL AND x IS NOT NULL
+                AND ((p < y AND y > x) OR (p > y AND y < x))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+            FROM l)
+      SELECT n_days, n_turning,
+        round(CASE WHEN n_days >= 4 THEN
+          2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0 END, 6) AS expected,
+        round(CASE WHEN n_days >= 4
+            AND (16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0 > 0 THEN
+          (CAST(n_turning AS DOUBLE)
+            - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)
+          / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0) END, 6)
+          AS z_stat
+      FROM f""",
+
     // Chow test: exact per-segment OLS sums via conditional folds,
     // fixed RSS/F tree; declared break 1995-06-30
     "q_chow_test" -> {

@@ -708,7 +708,8 @@ object ScaleStress {
           li.select((col("l_orderkey") + lit(i * 100000000L))
             .as("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
             col("l_discount")))
-          .reduce(_ unionByName _).localCheckpoint()
+          .reduce(_ unionByName _) // NOT checkpointed: 60M rows at k=100
+                                   // would pin GBs of block memory
         val nL = liK.count()
         val (tBt, nPlayers) = timeMin2 {
           val rev = liK.groupBy(col("l_orderkey").as("ok"),
@@ -729,7 +730,7 @@ object ScaleStress {
         val evK = (0 until k).map(i =>
           ev.select(col("event_type"),
             (col("value") + lit(i * 0.01)).as("value")))
-          .reduce(_ unionByName _).localCheckpoint()
+          .reduce(_ unionByName _)
         val nE = evK.count()
         val (tEnergy, _) = timeMin2 {
           graft.ops.Drift.energyDistance(evK, "value", "event_type",

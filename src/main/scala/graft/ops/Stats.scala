@@ -1733,6 +1733,88 @@ object Stats {
         .as("rho_approx"))
   }
 
+  /** Process-capability indices against DECLARED spec limits — the
+    * [[controlChart]] companion answering a different question: the
+    * chart asks "is the process stable?", Cp/Cpk ask "does a stable
+    * process even FIT the spec?" Cp = (USL−LSL)/6σ is the potential
+    * (centering ignored), Cpk = min(USL−μ, μ−LSL)/3σ the reality;
+    * Cpk ≥ 1.33 is the conventional capable bar (shared literal), and
+    * Cp − Cpk > 0 quantifies how much is lost to off-centering alone.
+    *
+    * Determinism: μ and σ come from exact centi sums (sample variance
+    * spelled (Σx² − (Σx)²/n)/(n−1) over exact decimals — never a
+    * built-in stddev whose co-moment order differs); indices are one
+    * fixed double tree.
+    *
+    * Plan: one 1-row fold. Nothing else.
+    */
+  def processCapability(df: DataFrame, valueCol: String, lsl: Double,
+                        usl: Double): DataFrame = {
+    require(usl > lsl, s"processCapability: USL $usl must exceed LSL $lsl")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = round(col(valueCol) * 100, 0).cast("long")
+    val f = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(x.as("__x"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+        sum(dec(col("__x")) * col("__x")).as("__s2"))
+    val nD = col("n").cast("double")
+    val mu = col("__s").cast("double") / nD / 100.0
+    val variance = (col("__s2").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) /
+      (nD - lit(1.0)) / 10000.0
+    val sigma = sqrt(variance)
+    val cp = (lit(usl) - lit(lsl)) / (lit(6.0) * sigma)
+    val cpk = least(lit(usl) - mu, mu - lit(lsl)) / (lit(3.0) * sigma)
+    val ok = col("n") >= 2 && variance > 0
+    f.select(col("n"),
+      round(mu, 6).as("mean"),
+      round(when(ok, sigma), 6).as("sigma"),
+      round(when(ok, cp), 6).as("cp"),
+      round(when(ok, cpk), 6).as("cpk"),
+      when(ok, cpk >= lit(1.33)).as("capable"),
+      round(when(ok, cp - cpk), 6).as("centering_loss"))
+  }
+
+  /** Turning-points randomness test of the daily series — the
+    * local-extremum companion of [[runsTest]]'s sign view: an i.i.d.
+    * series has E[T] = 2(n−2)/3 strict local maxima+minima with
+    * Var = (16n−29)/90 (Kendall); too FEW turning points means trend/
+    * persistence, too MANY means alternation (negative autocorrelation
+    * — over-correction, odd/even batching). Ties break a peak: only
+    * STRICT y₋ < y > y₊ / y₋ > y < y₊ count (documented, and exact on
+    * the centi lattice — no float equality ambiguity).
+    *
+    * Determinism: the count is an exact integer over lattice
+    * comparisons; E/Var/z are one fixed double tree.
+    *
+    * Plan: one corpus aggregation to days, one bounded lag/lead
+    * window, one 1-row fold.
+    */
+  def turningPoints(df: DataFrame, dateCol: Column,
+                    valueCol: String): DataFrame = {
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val w = Window.partitionBy().orderBy(col("__d"))
+    val flagged = daily
+      .withColumn("__p", lag(col("__y"), 1).over(w))
+      .withColumn("__x", lead(col("__y"), 1).over(w))
+      .withColumn("__tp", when(col("__p").isNotNull &&
+        col("__x").isNotNull &&
+        ((col("__p") < col("__y") && col("__y") > col("__x")) ||
+          (col("__p") > col("__y") && col("__y") < col("__x"))), 1L)
+        .otherwise(0L))
+    val f = flagged.agg(count(lit(1)).as("n_days"),
+      sum(col("__tp")).as("n_turning"))
+    val nD = col("n_days").cast("double")
+    val e = lit(2.0) * (nD - lit(2.0)) / lit(3.0)
+    val v = (lit(16.0) * nD - lit(29.0)) / lit(90.0)
+    val ok = col("n_days") >= 4
+    f.select(col("n_days"), col("n_turning"),
+      round(when(ok, e), 6).as("expected"),
+      round(when(ok && v > 0,
+        (col("n_turning").cast("double") - e) / sqrt(v)), 6).as("z_stat"))
+  }
+
   /** Chow structural-break test of the daily trend at a DECLARED date —
     * "did the trend actually change when we think it did?" (pricing
     * change, launch, pipeline migration): fit the linear day-trend

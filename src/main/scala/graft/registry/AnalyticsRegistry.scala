@@ -788,6 +788,16 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_process_capability" -> ((s, dir) =>
+      // does the stable process FIT the spec? Cp/Cpk of event values
+      // against the declared 0..500 envelope; capable bar 1.33
+      Stats.processCapability(Tables.events(s, dir), "value",
+        lsl = 0.0, usl = 500.0)),
+    "q_turning_points" -> ((s, dir) =>
+      // too few local extrema = trend, too many = over-correction:
+      // Kendall's turning-points z over the daily revenue series
+      Stats.turningPoints(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_chow_test" -> ((s, dir) =>
       // did the revenue trend break at the declared mid-span date?
       // two-segment lattice OLS + the pooled-RSS F ratio

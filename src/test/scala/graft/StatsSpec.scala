@@ -427,6 +427,49 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("processCapability: hand-computed Cp/Cpk; off-centering shows " +
+      "up as centering_loss; constant input disables the indices") {
+    val df = Seq(10.0, 20.0, 30.0).toDF("v")
+    val r = Stats.processCapability(df, "v", lsl = 0.0, usl = 100.0)
+      .collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("mean") == 20.0)
+    assert(r.getAs[Double]("sigma") == 10.0)
+    assert(r.getAs[Double]("cp") == 1.666667)
+    assert(r.getAs[Double]("cpk") == 0.666667)
+    assert(!r.getAs[Boolean]("capable"))
+    assert(r.getAs[Double]("centering_loss") == 1.0)
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val c = Stats.processCapability(const, "v", 0.0, 100.0).collect().head
+    assert(c.isNullAt(c.fieldIndex("cp")))
+  }
+
+  test("turningPoints: zigzag counts every interior point, monotone " +
+      "counts none, a plateau peak does not count (strict extrema)") {
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 9, 1)
+        .plusDays(i.toLong)), v)
+    }.toDF("d", "v")
+    val zig = Stats.turningPoints(
+      mk(Seq(1, 3, 1, 3, 1, 3, 1).map(_.toDouble)), col("d"), "v")
+      .collect().head
+    assert(zig.getAs[Long]("n_days") == 7L)
+    assert(zig.getAs[Long]("n_turning") == 5L)
+    // E = 2*5/3, Var = (16*7-29)/90
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(zig.getAs[Double]("expected") == r6(10.0 / 3.0))
+    assert(zig.getAs[Double]("z_stat") ==
+      r6((5.0 - 10.0 / 3.0) / math.sqrt(83.0 / 90.0)))
+    val mono = Stats.turningPoints(
+      mk((1 to 7).map(_.toDouble)), col("d"), "v").collect().head
+    assert(mono.getAs[Long]("n_turning") == 0L)
+    // 1,2,2,1: the plateau (2,2) is not a strict peak
+    val plateau = Stats.turningPoints(
+      mk(Seq(1.0, 2.0, 2.0, 1.0)), col("d"), "v").collect().head
+    assert(plateau.getAs[Long]("n_turning") == 0L)
+  }
+
   test("chowTest: recovers both planted slopes and matches an " +
       "independent F computation; a continuous trend scores F near 0") {
     def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
