@@ -6484,6 +6484,50 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Seasonal MK: slot-constrained pairs, integer variance numerators,
+    // one /18 division, combined row slot -1
+    "q_seasonal_mk" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS vc
+            FROM orders GROUP BY 1),
+      sl AS (SELECT d, vc,
+              CAST((d - DATE '1970-01-01') % 7 AS INTEGER) AS slot
+            FROM daily),
+      sp AS (SELECT a.slot,
+              CAST(sum(CASE WHEN b.vc > a.vc THEN 1
+                WHEN b.vc < a.vc THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM sl a JOIN sl b ON a.slot = b.slot AND a.d < b.d
+            GROUP BY 1),
+      np AS (SELECT slot, CAST(count(*) AS BIGINT) AS n_days
+             FROM sl GROUP BY 1),
+      tp AS (SELECT slot,
+              CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                AS tsum
+            FROM (SELECT slot, vc, CAST(count(*) AS BIGINT) AS t
+                  FROM sl GROUP BY 1, 2)
+            GROUP BY 1),
+      slots AS (SELECT np.slot, np.n_days,
+              CAST(coalesce(sp.s_stat, 0) AS BIGINT) AS s_stat,
+              np.n_days * (np.n_days - 1) * (2 * np.n_days + 5)
+                - tp.tsum AS num
+            FROM np LEFT JOIN sp ON np.slot = sp.slot
+                    JOIN tp ON np.slot = tp.slot),
+      total AS (SELECT CAST(-1 AS INTEGER) AS slot,
+              CAST(sum(n_days) AS BIGINT) AS n_days,
+              CAST(sum(s_stat) AS BIGINT) AS s_stat,
+              CAST(sum(num) AS BIGINT) AS num
+            FROM slots),
+      allr AS (SELECT slot, n_days, s_stat, num FROM slots
+               UNION ALL SELECT slot, n_days, s_stat, num FROM total)
+      SELECT slot, n_days, s_stat,
+        round(CAST(num AS DOUBLE) / 18.0, 6) AS var_s,
+        CASE WHEN CAST(num AS DOUBLE) / 18.0 > 0 THEN round(
+          (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+            ELSE 0.0 END) / sqrt(CAST(num AS DOUBLE) / 18.0), 6) END AS z
+      FROM allr ORDER BY slot""",
+
     // Cp/Cpk: exact centi sums, explicit sample-variance tree, 1.33 bar
     "q_process_capability" -> """
       WITH f AS (

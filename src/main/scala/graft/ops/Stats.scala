@@ -2726,6 +2726,64 @@ object Stats {
       .select("n_days", "s_stat", "var_s", "z", "trend")
   }
 
+  /** Seasonal Mann–Kendall trend test — [[mannKendall]] restricted to
+    * WITHIN-weekday-slot pairs (Hirsch–Slack): a strong weekly cycle
+    * poisons the plain MK (Monday-vs-Sunday pairs read seasonality as
+    * trend); comparing each weekday only with the same weekday removes
+    * the cycle without modeling it. Emits one row per epoch-mod-7 slot
+    * (its own S, variance, z) plus the combined slot = −1 row
+    * (S = ΣS_k, Var = ΣVar_k, the continuity-corrected z — the
+    * seasonal-MK readout).
+    *
+    * Determinism: sign sums are exact integers over the centi lattice;
+    * variance NUMERATORS stay integer per slot (n(n−1)(2n+5) − ties)
+    * so the combined variance is one exact long sum over ≤7 slots
+    * divided once by 18 — never a float fold across slots.
+    *
+    * Plan: the [[mannKendall]] slot-constrained day-pair join
+    * (calendar-bounded: Σ per-slot (n_k choose 2) ≤ (days/7)²·7), two
+    * keyed slot aggregations, one bounded fold.
+    */
+  def seasonalMannKendall(df: DataFrame, dateCol: Column,
+                          valueCol: String): DataFrame = {
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__vc"))
+      .withColumn("__slot",
+        expr("pmod(datediff(__d, DATE '1970-01-01'), 7)").cast("int"))
+      .localCheckpoint(eager = false)
+    val sPer = daily.as("a").join(daily.as("b"),
+        col("a.__slot") === col("b.__slot") && col("a.__d") < col("b.__d"))
+      .groupBy(col("a.__slot").as("slot"))
+      .agg(sum(signum(col("b.__vc") - col("a.__vc")).cast("long"))
+        .as("s_stat"))
+    val nPer = daily.groupBy(col("__slot").as("slot"))
+      .agg(count(lit(1)).as("n_days"))
+    val tiesPer = daily.groupBy(col("__slot").as("slot"), col("__vc"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("slot"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+        (lit(2L) * col("__t") + 5L)), lit(0L)).as("__tsum"))
+    val slots = nPer.join(sPer, Seq("slot"), "left")
+      .join(tiesPer, Seq("slot"))
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("__num", col("n_days") * (col("n_days") - 1L) *
+        (lit(2L) * col("n_days") + 5L) - col("__tsum"))
+    val total = slots.agg(sum(col("n_days")).as("n_days"),
+        sum(col("s_stat")).as("s_stat"), sum(col("__num")).as("__num"))
+      .withColumn("slot", lit(-1))
+    def zOf(d: DataFrame): DataFrame = {
+      val vs = col("__num").cast("double") / lit(18.0)
+      d.withColumn("var_s", round(vs, 6))
+        .withColumn("z", when(vs > 0, round(
+          when(col("s_stat") > 0, (col("s_stat") - 1L).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1L).cast("double"))
+            .otherwise(lit(0.0)) / sqrt(vs), 6)))
+        .select(col("slot"), col("n_days"), col("s_stat"),
+          col("var_s"), col("z"))
+    }
+    zOf(slots).unionByName(zOf(total)).orderBy("slot")
+  }
+
   /** Spearman rank correlation (with Pearson alongside for the
     * linearity contrast): Pearson over MIDRANKS, with every rank held
     * as the INTEGER 2·midrank (= 2·#smaller + count + 1), so the five

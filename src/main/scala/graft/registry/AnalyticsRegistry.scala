@@ -788,6 +788,11 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_seasonal_mk" -> ((s, dir) =>
+      // trend test a weekly cycle can't poison: Mann-Kendall within
+      // weekday slots (Hirsch-Slack), per-slot rows + combined -1 row
+      Stats.seasonalMannKendall(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_process_capability" -> ((s, dir) =>
       // does the stable process FIT the spec? Cp/Cpk of event values
       // against the declared 0..500 envelope; capable bar 1.33

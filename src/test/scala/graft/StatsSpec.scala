@@ -427,6 +427,30 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("seasonalMannKendall: week2 = week1 + 10 gives one concordant " +
+      "pair per slot and the combined continuity-corrected z") {
+    val rows = (0 until 14).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 4)
+        .plusDays(i.toLong)), 10.0 + (i / 7) * 10.0)
+    }.toDF("d", "v")
+    val r = Stats.seasonalMannKendall(rows, col("d"), "v").collect()
+    assert(r.length == 8)
+    val total = r.head
+    assert(total.getAs[Int]("slot") == -1)
+    assert(total.getAs[Long]("n_days") == 14L)
+    assert(total.getAs[Long]("s_stat") == 7L)
+    assert(total.getAs[Double]("var_s") == 7.0)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(total.getAs[Double]("z") == r6(6.0 / math.sqrt(7.0)))
+    r.tail.foreach { s =>
+      assert(s.getAs[Long]("n_days") == 2L)
+      assert(s.getAs[Long]("s_stat") == 1L)
+      assert(s.getAs[Double]("var_s") == 1.0)
+      assert(s.getAs[Double]("z") == 0.0) // continuity correction: s=1
+    }
+  }
+
   test("processCapability: hand-computed Cp/Cpk; off-centering shows " +
       "up as centering_loss; constant input disables the indices") {
     val df = Seq(10.0, 20.0, 30.0).toDF("v")
