@@ -6484,6 +6484,46 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Partial correlation: three lattice columns, ten exact sums, one
+    // fixed tree
+    "q_partial_corr" -> {
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      def r(ab: String, a: String, b: String, aa: String, bb: String) =
+        s"""(CASE WHEN sqrt((${dd("n")} * ${dd(aa)} - ${dd(a)} * ${dd(a)})
+              * (${dd("n")} * ${dd(bb)} - ${dd(b)} * ${dd(b)})) > 0
+            THEN (${dd("n")} * ${dd(ab)} - ${dd(a)} * ${dd(b)})
+              / sqrt((${dd("n")} * ${dd(aa)} - ${dd(a)} * ${dd(a)})
+              * (${dd("n")} * ${dd(bb)} - ${dd(b)} * ${dd(b)})) END)"""
+      val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+      val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+      val ryz = r("syz", "sy", "sz", "syy", "szz")
+      s"""
+      WITH b AS (SELECT
+              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+              CAST(round(l_quantity * 100, 0) AS BIGINT) AS y,
+              CAST(round(l_discount * 100, 0) AS BIGINT) AS z
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+              AND l_discount IS NOT NULL),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(z) AS BIGINT) AS sz,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy,
+              sum(CAST(z AS HUGEINT) * z) AS szz,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * z) AS sxz,
+              sum(CAST(y AS HUGEINT) * z) AS syz
+            FROM b)
+      SELECT n, round($rxy, 6) AS r_xy, round($rxz, 6) AS r_xz,
+             round($ryz, 6) AS r_yz,
+             round(CASE WHEN sqrt((1.0 - $rxz * $rxz)
+                 * (1.0 - $ryz * $ryz)) > 0 THEN
+               ($rxy - $rxz * $ryz) / sqrt((1.0 - $rxz * $rxz)
+                 * (1.0 - $ryz * $ryz)) END, 6) AS partial_r_xy_z
+      FROM f"""
+    },
+
     // Seasonal MK: slot-constrained pairs, integer variance numerators,
     // one /18 division, combined row slot -1
     "q_seasonal_mk" -> """

@@ -2726,6 +2726,57 @@ object Stats {
       .select("n_days", "s_stat", "var_s", "z", "trend")
   }
 
+  /** First-order partial correlation — "are price and quantity REALLY
+    * related, or does discount drive both?": r_xy·z = (r_xy −
+    * r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) over three lattice columns,
+    * with all three raw Pearsons emitted beside it so the reader sees
+    * what conditioning removed. The 3-variable confounder screen
+    * [[featureCorr]]'s pairwise matrix can't answer.
+    *
+    * Determinism: each column commits to its integer lattice (×100);
+    * all ten sufficient sums fold exactly in decimal; the three
+    * correlations and the partial are one fixed double tree.
+    *
+    * Plan: ONE map-side-combined fold over the corpus. Nothing else.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def lat(c: String) = round(col(c) * 100, 0).cast("long")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(lat(xCol).as("__x"), lat(yCol).as("__y"), lat(zCol).as("__z"))
+    val f = base.agg(count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__z")).as("__sz"),
+      sum(dec(col("__x")) * col("__x")).as("__sxx"),
+      sum(dec(col("__y")) * col("__y")).as("__syy"),
+      sum(dec(col("__z")) * col("__z")).as("__szz"),
+      sum(dec(col("__x")) * col("__y")).as("__sxy"),
+      sum(dec(col("__x")) * col("__z")).as("__sxz"),
+      sum(dec(col("__y")) * col("__z")).as("__syz"))
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n")
+    def r(ab: String, a: String, b: String, aa: String,
+          bb: String): Column = {
+      val num = nD * d(ab) - d(a) * d(b)
+      val den = sqrt((nD * d(aa) - d(a) * d(a)) *
+        (nD * d(bb) - d(b) * d(b)))
+      when(den > 0, num / den)
+    }
+    val rxy = r("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    val rxz = r("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    val ryz = r("__syz", "__sy", "__sz", "__syy", "__szz")
+    val denP = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    f.select(col("n"),
+      round(rxy, 6).as("r_xy"),
+      round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round(when(denP > 0, (rxy - rxz * ryz) / denP), 6)
+        .as("partial_r_xy_z"))
+  }
+
   /** Seasonal Mann–Kendall trend test — [[mannKendall]] restricted to
     * WITHIN-weekday-slot pairs (Hirsch–Slack): a strong weekly cycle
     * poisons the plain MK (Monday-vs-Sunday pairs read seasonality as

@@ -788,6 +788,11 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_partial_corr" -> ((s, dir) =>
+      // are price and quantity related, or does discount drive both?
+      // first-order partial correlation from one exact-lattice fold
+      Stats.partialCorr(Tables.lineitem(s, dir), "l_extendedprice",
+        "l_quantity", "l_discount")),
     "q_seasonal_mk" -> ((s, dir) =>
       // trend test a weekly cycle can't poison: Mann-Kendall within
       // weekday slots (Hirsch-Slack), per-slot rows + combined -1 row

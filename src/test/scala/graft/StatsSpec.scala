@@ -427,6 +427,43 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("partialCorr: matches an independent replay; conditioning on " +
+      "the common driver shrinks a spurious correlation") {
+    val rows = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 1.0), (3.0, 5.0, 2.0),
+      (4.0, 9.0, 3.0), (5.0, 8.0, 2.0))
+    val df = rows.toDF("x", "y", "z")
+    val r = Stats.partialCorr(df, "x", "y", "z").collect().head
+    val l = rows.map { case (x, y, z) =>
+      (math.round(x * 100), math.round(y * 100), math.round(z * 100)) }
+    val n = l.size.toDouble
+    def s(f: ((Long, Long, Long)) => Long) = l.map(f).sum.toDouble
+    def s2(f: ((Long, Long, Long)) => (Long, Long)) =
+      l.map(t => { val (a, b) = f(t); BigInt(a) * BigInt(b) }).sum.toDouble
+    val (sx, sy, sz) = (s(_._1), s(_._2), s(_._3))
+    def corr(sab: Double, sa: Double, sb: Double, saa: Double,
+             sbb: Double) =
+      (n * sab - sa * sb) /
+        math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    val rxy = corr(s2(t => (t._1, t._2)), sx, sy,
+      s2(t => (t._1, t._1)), s2(t => (t._2, t._2)))
+    val rxz = corr(s2(t => (t._1, t._3)), sx, sz,
+      s2(t => (t._1, t._1)), s2(t => (t._3, t._3)))
+    val ryz = corr(s2(t => (t._2, t._3)), sy, sz,
+      s2(t => (t._2, t._2)), s2(t => (t._3, t._3)))
+    val part = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("r_xy") == r6(rxy))
+    assert(r.getAs[Double]("r_xz") == r6(rxz))
+    assert(r.getAs[Double]("r_yz") == r6(ryz))
+    assert(r.getAs[Double]("partial_r_xy_z") == r6(part))
+    // conditioning removes part of the raw association
+    assert(math.abs(r.getAs[Double]("partial_r_xy_z")) <
+      math.abs(r.getAs[Double]("r_xy")))
+  }
+
   test("seasonalMannKendall: week2 = week1 + 10 gives one concordant " +
       "pair per slot and the combined continuity-corrected z") {
     val rows = (0 until 14).map { i =>
