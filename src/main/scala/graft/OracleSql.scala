@@ -6284,6 +6284,81 @@ object OracleSql {
 
     // diff-in-differences: 8 conditional counters in one pass, outcomes
     // on the centi lattice, each mean one engine-identical division
+    // SRM: exact user-grain arm counts, chi2(1) vs the declared ratio,
+    // 0.001 alarm literal
+    "q_srm_check" -> s"""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      a AS (SELECT ${uk("user_id", 59)} > 0.5 AS t FROM u),
+      f AS (SELECT CAST(count(CASE WHEN t THEN 1 END) AS BIGINT)
+              AS n_treat,
+              CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n_ctrl
+            FROM a),
+      g AS (SELECT n_treat, n_ctrl,
+              CAST(n_treat + n_ctrl AS DOUBLE) AS nd,
+              CAST(n_treat AS DOUBLE) AS td,
+              CAST(n_ctrl AS DOUBLE) AS cd
+            FROM f),
+      h AS (SELECT *,
+              (td - nd * 0.5) * (td - nd * 0.5) / (nd * 0.5)
+              + (cd - nd * 0.5) * (cd - nd * 0.5) / (nd * 0.5) AS chi2
+            FROM g)
+      SELECT n_treat, n_ctrl,
+        round(CASE WHEN n_treat + n_ctrl > 0 THEN td / nd END, 6)
+          AS treat_share,
+        0.5 AS expected_share,
+        round(CASE WHEN n_treat + n_ctrl > 0 THEN chi2 END, 6) AS chi2,
+        CASE WHEN n_treat + n_ctrl > 0
+          THEN chi2 > 10.827566170662733 END AS srm_alarm
+      FROM h""",
+
+    // TOST: user-grain centi revenue, explicit sample-variance trees,
+    // one-sided 5% literal, equivalent iff both sides reject
+    "q_tost_equivalence" -> s"""
+      WITH users AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(coalesce(value, 0) * 100, 0)
+                 AS BIGINT)) AS BIGINT) AS rev,
+               max(${uk("user_id", 59)}) > 0.5 AS t
+        FROM events GROUP BY 1),
+      f AS (SELECT
+              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treat,
+              CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT)
+                AS n_ctrl,
+              CAST(coalesce(sum(CASE WHEN t THEN rev END), 0) AS BIGINT)
+                AS st,
+              CAST(coalesce(sum(CASE WHEN NOT t THEN rev END), 0)
+                AS BIGINT) AS sc,
+              coalesce(sum(CASE WHEN t THEN CAST(rev AS HUGEINT) * rev
+                END), 0) AS st2,
+              coalesce(sum(CASE WHEN NOT t THEN CAST(rev AS HUGEINT)
+                * rev END), 0) AS sc2
+            FROM users),
+      g AS (SELECT n_treat, n_ctrl,
+              CAST(n_treat AS DOUBLE) AS nt, CAST(n_ctrl AS DOUBLE) AS nc,
+              CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE) / 100.0 AS mt,
+              CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) / 100.0 AS mc,
+              (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE)
+                * CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE))
+                / (CAST(n_treat AS DOUBLE) - 1.0) / 10000.0 AS vt,
+              (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
+                * CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+                / (CAST(n_ctrl AS DOUBLE) - 1.0) / 10000.0 AS vc
+            FROM f),
+      h AS (SELECT *, mt - mc AS diff,
+              sqrt(vt / nt + vc / nc) AS se FROM g)
+      SELECT n_treat, n_ctrl,
+        round(CASE WHEN n_treat >= 2 AND n_ctrl >= 2 AND vt + vc > 0
+          THEN diff END, 6) AS mean_diff,
+        5.0 AS margin,
+        round(CASE WHEN n_treat >= 2 AND n_ctrl >= 2 AND vt + vc > 0
+          THEN (diff + 5.0) / se END, 6) AS z_lower,
+        round(CASE WHEN n_treat >= 2 AND n_ctrl >= 2 AND vt + vc > 0
+          THEN (5.0 - diff) / se END, 6) AS z_upper,
+        CASE WHEN n_treat >= 2 AND n_ctrl >= 2 AND vt + vc > 0 THEN
+          (diff + 5.0) / se > 1.6448536269514722
+          AND (5.0 - diff) / se > 1.6448536269514722 END AS equivalent
+      FROM h""",
+
     // Permutation test: user-grain centi revenue, observed u01 arm +
     // 64 multiplier-map permutations (the channel family is affine —
     // rotations, not permutations) in one fold, add-one p

@@ -1738,6 +1738,98 @@ object Eval {
         .as("did"))
   }
 
+  /** Sample-ratio-mismatch check — the FIRST thing to read on any A/B
+    * dashboard: if the arm split itself deviates from the declared
+    * ratio, every downstream metric is suspect (broken assignment,
+    * bot filtering one arm, logging loss) and no lift number should be
+    * trusted. χ² with 1 df against the declared ratio, flagged at the
+    * conventional SRM alarm p < 0.001 (χ² > 10.828 — shared literal;
+    * the loose 0.05 would false-alarm a healthy platform weekly).
+    *
+    * Determinism: counts are exact user-grain longs; the χ² is one
+    * fixed tree over them and the declared-ratio literal.
+    *
+    * Plan: one user-grain aggregation, one 1-row fold.
+    */
+  def sampleRatioCheck(df: DataFrame, userCol: String,
+                       expectedTreatShare: Double = 0.5,
+                       channel: Long = 59L): DataFrame = {
+    require(expectedTreatShare > 0.0 && expectedTreatShare < 1.0,
+      s"sampleRatioCheck: share in (0,1) (got $expectedTreatShare)")
+    val chi2crit = 10.827566170662733 // chi2(1) at p = 0.001
+    val users = df.select(col(userCol)).distinct()
+      .select((Gen.u01(col(userCol), channel) > 0.5).as("__t"))
+    val f = users.agg(count(when(col("__t"), lit(1))).as("n_treat"),
+      count(when(!col("__t"), lit(1))).as("n_ctrl"))
+    val nD = (col("n_treat") + col("n_ctrl")).cast("double")
+    val et = nD * lit(expectedTreatShare)
+    val ec = nD * lit(1.0 - expectedTreatShare)
+    val tD = col("n_treat").cast("double")
+    val cD = col("n_ctrl").cast("double")
+    val chi2 = (tD - et) * (tD - et) / et + (cD - ec) * (cD - ec) / ec
+    val ok = col("n_treat") + col("n_ctrl") > 0
+    f.select(col("n_treat"), col("n_ctrl"),
+      round(when(ok, tD / nD), 6).as("treat_share"),
+      lit(expectedTreatShare).as("expected_share"),
+      round(when(ok, chi2), 6).as("chi2"),
+      when(ok, chi2 > lit(chi2crit)).as("srm_alarm"))
+  }
+
+  /** TOST equivalence test on the arm revenue means — the inverted
+    * question a significance test can't answer: "can we SHOW the arms
+    * are the same (within ±margin)?" — the do-no-harm gate for
+    * refactors and migrations, where failing to find a difference is
+    * NOT evidence of equivalence. Two one-sided z tests against the
+    * declared margin; equivalent iff BOTH reject at 5% one-sided
+    * (z > 1.6448536269514722, shared literal).
+    *
+    * Determinism: user-grain revenue on the centi lattice; means and
+    * the pooled-variance se from exact sums via explicit
+    * (Σx²−(Σx)²/n)/(n−1) trees; z's are fixed trees with the margin
+    * literal.
+    *
+    * Plan: one user-grain aggregation, one 1-row fold.
+    */
+  def tostEquivalence(df: DataFrame, userCol: String, valueCol: String,
+                      margin: Double, channel: Long = 59L): DataFrame = {
+    require(margin > 0.0, s"tostEquivalence: margin > 0 (got $margin)")
+    val zCrit = 1.6448536269514722
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val users = df.groupBy(col(userCol))
+      .agg(sum(round(coalesce(col(valueCol), lit(0.0)) * 100, 0)
+        .cast("long")).as("__rev"))
+      .withColumn("__t", Gen.u01(col(userCol), channel) > 0.5)
+    def arm(t: Boolean, c: Column) = when(col("__t") === t, c)
+    val f = users.agg(
+      count(arm(true, lit(1))).as("n_treat"),
+      count(arm(false, lit(1))).as("n_ctrl"),
+      coalesce(sum(arm(true, col("__rev"))), lit(0L)).as("__st"),
+      coalesce(sum(arm(false, col("__rev"))), lit(0L)).as("__sc"),
+      coalesce(sum(arm(true, dec(col("__rev")) * col("__rev"))),
+        lit(0L).cast("decimal(38,0)")).as("__st2"),
+      coalesce(sum(arm(false, dec(col("__rev")) * col("__rev"))),
+        lit(0L).cast("decimal(38,0)")).as("__sc2"))
+    def d(c: String) = col(c).cast("double")
+    val (nt, nc) = (d("n_treat"), d("n_ctrl"))
+    val mt = d("__st") / nt / 100.0
+    val mc = d("__sc") / nc / 100.0
+    val vt = (d("__st2") - d("__st") * d("__st") / nt) / (nt - lit(1.0)) /
+      10000.0
+    val vc = (d("__sc2") - d("__sc") * d("__sc") / nc) / (nc - lit(1.0)) /
+      10000.0
+    val se = sqrt(vt / nt + vc / nc)
+    val diff = mt - mc
+    val z1 = (diff + lit(margin)) / se
+    val z2 = (lit(margin) - diff) / se
+    val ok = col("n_treat") >= 2 && col("n_ctrl") >= 2 && vt + vc > 0
+    f.select(col("n_treat"), col("n_ctrl"),
+      round(when(ok, diff), 6).as("mean_diff"),
+      lit(margin).as("margin"),
+      round(when(ok, z1), 6).as("z_lower"),
+      round(when(ok, z2), 6).as("z_upper"),
+      when(ok, z1 > lit(zCrit) && z2 > lit(zCrit)).as("equivalent"))
+  }
+
   /** Hash-seeded permutation test of the arm mean difference — the
     * distribution-free significance check that needs NO normality, no
     * variance formula, and no asymptotics: re-randomize the arm

@@ -752,6 +752,15 @@ object AnalyticsRegistry {
       // cell means + DiD, control drift netting out seasonality
       Eval.diffInDiff(Tables.events(s, dir), "user_id", "ts", "value",
         cutoff = "2024-01-15")),
+    "q_srm_check" -> ((s, dir) =>
+      // read this before any lift number: does the arm split itself
+      // deviate from 50/50? chi2(1) at the 0.001 SRM alarm bar
+      Eval.sampleRatioCheck(Tables.events(s, dir), "user_id")),
+    "q_tost_equivalence" -> ((s, dir) =>
+      // the do-no-harm gate: can we SHOW the arms are equal within
+      // +-5 dollars of user revenue? two one-sided z tests
+      Eval.tostEquivalence(Tables.events(s, dir), "user_id", "value",
+        margin = 5.0)),
     "q_permutation_test" -> ((s, dir) =>
       // distribution-free significance for the arm revenue gap: 64
       // hash-seeded re-randomizations, add-one p — no asymptotics

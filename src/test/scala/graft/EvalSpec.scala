@@ -894,6 +894,56 @@ class EvalSpec extends SparkSpec {
     assert(out2.getAs[Double]("dr") == 0.0)
   }
 
+  test("sampleRatioCheck: hash arms on 200 users pass the 0.001 alarm; " +
+      "a deliberately wrong declared ratio trips it") {
+    import graft.ops.Gen
+    val ids = (1L to 200L)
+    val df = ids.flatMap(id => Seq((id, 1.0), (id, 2.0)))
+      .toDF("user_id", "value")
+    val arms = ids.map(_ -> false).toDF("user_id", "x")
+      .select(col("user_id"), (Gen.u01(col("user_id"), 59L) > 0.5)
+        .as("t")).collect().count(_.getBoolean(1))
+    val r = Eval.sampleRatioCheck(df, "user_id").collect().head
+    assert(r.getAs[Long]("n_treat") == arms.toLong)
+    assert(r.getAs[Long]("n_treat") + r.getAs[Long]("n_ctrl") == 200L)
+    val (t, c) = (r.getAs[Long]("n_treat").toDouble,
+      r.getAs[Long]("n_ctrl").toDouble)
+    val chi2 = (t - 100.0) * (t - 100.0) / 100.0 +
+      (c - 100.0) * (c - 100.0) / 100.0
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("chi2") == r6(chi2))
+    assert(!r.getAs[Boolean]("srm_alarm"))
+    // declare 95/5 against a ~50/50 reality: alarm
+    val w = Eval.sampleRatioCheck(df, "user_id",
+      expectedTreatShare = 0.95).collect().head
+    assert(w.getAs[Boolean]("srm_alarm"))
+  }
+
+  test("tostEquivalence: near-identical arms prove equivalence within " +
+      "the margin; a planted 90-dollar gap fails the upper side") {
+    import graft.ops.Gen
+    val ids = (1L to 200L)
+    val arms = ids.map(_ -> false).toDF("user_id", "x")
+      .select(col("user_id"), (Gen.u01(col("user_id"), 59L) > 0.5)
+        .as("t")).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def mk(base: Long => Double) =
+      ids.map(id => (id, base(id) + (if (id % 2 == 0) 1.0 else -1.0)))
+        .toDF("user_id", "value")
+    val same = mk(_ => 10.0)
+    val r = Eval.tostEquivalence(same, "user_id", "value", margin = 5.0)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("mean_diff")) < 1.0)
+    assert(r.getAs[Boolean]("equivalent"))
+    assert(r.getAs[Double]("z_lower") > 0 && r.getAs[Double]("z_upper") > 0)
+    val shifted = mk(id => if (arms(id)) 100.0 else 10.0)
+    val s = Eval.tostEquivalence(shifted, "user_id", "value", margin = 5.0)
+      .collect().head
+    assert(s.getAs[Double]("mean_diff") > 80.0)
+    assert(!s.getAs[Boolean]("equivalent"))
+    assert(s.getAs[Double]("z_upper") < 0)
+  }
+
   test("permutationTest: a planted massive effect hits the add-one " +
       "floor 1/65; exchangeable data returns p = 1") {
     import graft.ops.Gen
