@@ -4446,6 +4446,44 @@ object OracleSql {
                    / sum(n) OVER (), 6) AS ece
       FROM b ORDER BY bin""",
 
+    // Hosmer-Lemeshow: 1e-6 lattice expected sums, per-bin chi2 terms
+    // on the 1e-9 lattice before the fold, df=8 critical literal
+    "q_hosmer_lemeshow" -> """
+      WITH s AS (
+        SELECT least(value/500.0, 1.0) AS score,
+               (event_type = 'purchase') AS pos
+        FROM events),
+      b AS (
+        SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS k,
+               CAST(sum(CAST(round(score * 1e6, 0) AS BIGINT)) AS BIGINT)
+                 AS e6
+        FROM s GROUP BY 1),
+      t AS (
+        SELECT *, CAST(e6 AS DOUBLE) / 1e6 AS e,
+               (CAST(e6 AS DOUBLE) / 1e6)
+                 * (1.0 - CAST(e6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                 AS den
+        FROM b),
+      t9 AS (
+        SELECT *, CASE WHEN den > 0 THEN
+          CAST(round((CAST(k AS DOUBLE) - e) * (CAST(k AS DOUBLE) - e)
+            / den * 1e9, 0) AS BIGINT) END AS t9
+        FROM t),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              CAST(count(t9) AS BIGINT) AS nused,
+              CAST(coalesce(sum(t9), 0) AS BIGINT) AS hl9
+            FROM t9)
+      SELECT n_bins, n_rows, CAST(nused - 2 AS BIGINT) AS df,
+        round(CASE WHEN nused >= 3
+          THEN CAST(hl9 AS DOUBLE) / 1e9 END, 6) AS hl_stat,
+        CASE WHEN nused = 10 THEN
+          CAST(hl9 AS DOUBLE) / 1e9 > 15.507313055865453 END
+          AS miscalibrated
+      FROM f""",
+
     // Isotonic calibration: exact per-bin (n, k), pooled rates as one
     // division of exact prefix-sum differences, min-max PAVA election
     "q_isotonic_calibration" -> """

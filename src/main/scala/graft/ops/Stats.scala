@@ -785,6 +785,59 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit over [[calibrationBins]]' binning
+    * — the TEST the reliability diagram eyeballs: per bin, observed
+    * positives O against the model's OWN expected Σp (not the bin's
+    * mean outcome), HL = Σ (O−E)²/(E(1−E/n)), compared to the χ²(g−2)
+    * 5% critical value (g = 10 → 15.507313055865453, shared literal).
+    * ECE says "how far off on average"; HL says "is the miscalibration
+    * statistically real".
+    *
+    * Determinism: scores commit to the 1e-6 lattice so each bin's
+    * expected sum is an exact integer; each bin's χ² term commits to
+    * the 1e-9 lattice BEFORE the cross-bin fold (10 doubles summed in
+    * engine order would flake the 6th decimal).
+    *
+    * Plan: one corpus aggregation to ≤bins rows, one bounded fold.
+    */
+  def hosmerLemeshow(df: DataFrame, scoreCol: String, positive: Column,
+                     bins: Int = 10): DataFrame = {
+    require(bins >= 3 && bins <= 64,
+      s"hosmerLemeshow: bins in [3, 64] (got $bins)")
+    val chi2crit = 15.507313055865453 // chi2(8) at 5%, for the default 10
+    val s = col(scoreCol)
+    val guarded = when(s.isNull || s < 0.0 || s > 1.0,
+      raise_error(concat(lit(s"hosmerLemeshow: $scoreCol out of [0,1]: "),
+        s.cast("string")))).otherwise(s)
+    val bin = least(floor(guarded * bins), lit(bins - 1L)).cast("int")
+    val perBin = df.withColumn("__b", bin)
+      .withColumn("__s6", round(col(scoreCol) * 1e6, 0).cast("long"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(positive, 1L).otherwise(0L)).as("__k"),
+        sum(col("__s6")).as("__e6"))
+    val nD = col("__n").cast("double")
+    val e = col("__e6").cast("double") / 1e6
+    val den = e * (lit(1.0) - e / nD)
+    val term = (col("__k").cast("double") - e) *
+      (col("__k").cast("double") - e) / den
+    val terms = perBin
+      .withColumn("__t9", when(den > 0, round(term * 1e9, 0).cast("long")))
+    val f = terms.agg(count(lit(1)).as("n_bins"),
+      sum(col("__n")).as("n_rows"),
+      count(col("__t9")).as("__nused"),
+      coalesce(sum(col("__t9")), lit(0L)).as("__hl9"))
+    val hl = col("__hl9").cast("double") / 1e9
+    val ok = col("__nused") >= 3
+    f.select(col("n_bins"), col("n_rows"),
+      (col("__nused") - 2L).as("df"),
+      round(when(ok, hl), 6).as("hl_stat"),
+      // the critical literal is df = 8 (10 populated bins); with any
+      // other df the flag is NULL rather than silently wrong
+      when(col("__nused") === 10L, hl > lit(chi2crit))
+        .as("miscalibrated"))
+  }
+
   /** Isotonic (PAVA) calibration over [[calibrationBins]]' binning —
     * the monotone score→probability remap a serving layer applies when
     * the reliability diagram shows miscalibration ("scores near 0.8

@@ -292,6 +292,13 @@ object AnalyticsRegistry {
         Tables.events(s, dir)
           .withColumn("score", least(col("value") / 500.0, lit(1.0))),
         "score", col("event_type") === "purchase", bins = 10)),
+    "q_hosmer_lemeshow" -> ((s, dir) =>
+      // is the miscalibration statistically real? HL chi2 over the
+      // same 10 bins, expected = the model's own score sums
+      Stats.hosmerLemeshow(
+        Tables.events(s, dir)
+          .withColumn("score", least(col("value") / 500.0, lit(1.0))),
+        "score", col("event_type") === "purchase", bins = 10)),
     "q_isotonic_calibration" -> ((s, dir) =>
       // the monotone remap that FIXES what q_calibration diagnoses:
       // PAVA via the min-max identity over the same 10 bins

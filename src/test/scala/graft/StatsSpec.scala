@@ -799,6 +799,27 @@ class StatsSpec extends SparkSpec {
     assert(e.isNullAt(e.fieldIndex("cointegrated")))
   }
 
+  test("hosmerLemeshow: hand-computed chi2 terms over three bins; the " +
+      "flag stays NULL off the df=8 critical literal") {
+    def rows(score: Double, n: Int, k: Int) =
+      (0 until n).map(i => (score, i < k))
+    val df = (rows(0.1, 4, 1) ++ rows(0.5, 4, 2) ++ rows(0.9, 4, 4))
+      .toDF("score", "pos")
+    val r = Stats.hosmerLemeshow(df, "score", col("pos"), bins = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_bins") == 3L && r.getAs[Long]("n_rows") == 12L)
+    assert(r.getAs[Long]("df") == 1L)
+    // terms: (1-.4)^2/(.4*.9) = 1; 0; (4-3.6)^2/(3.6*.1) = 4/9
+    assert(r.getAs[Double]("hl_stat") == 1.444444)
+    assert(r.isNullAt(r.fieldIndex("miscalibrated")))
+    // perfectly calibrated bins: HL exactly 0
+    val cal = (rows(0.25, 4, 1) ++ rows(0.5, 4, 2) ++ rows(0.75, 4, 3))
+      .toDF("score", "pos")
+    val c = Stats.hosmerLemeshow(cal, "score", col("pos"), bins = 3)
+      .collect().head
+    assert(c.getAs[Double]("hl_stat") == 0.0)
+  }
+
   test("isotonicCalibration: pools the adjacent violator pair exactly " +
       "as hand-run PAVA; already-monotone input is returned unchanged") {
     // bins (n, k): bin0 (2, 1) rate .5 > bin1 (5, 1) rate .2 -> pool to
