@@ -6597,6 +6597,50 @@ object OracleSql {
     // into one row, fixed left-to-right H combine, exact tie sums
     // Durbin-Watson: OLS from exact HUGEINT sufficient sums, residuals
     // on the micro lattice, both quadratic forms exact
+    // Tail dependence: quantile_cont thresholds (percentile parity,
+    // lower probs generated from the SAME 1-q doubles Spark uses),
+    // exact strict-exceedance counts, fixed ratio trees
+    "q_tail_dependence" -> {
+      val qs = Seq(0.9, 0.95, 0.99)
+      val up = qs.mkString(", ")
+      val lo = qs.map(q => (1.0 - q).toString).mkString(", ")
+      val aggs = qs.indices.map { i =>
+        s"""CAST(sum(CASE WHEN x > xu[${i + 1}] THEN 1 ELSE 0 END)
+                AS BIGINT) AS nxu$i,
+              CAST(sum(CASE WHEN x > xu[${i + 1}] AND y > yu[${i + 1}]
+                THEN 1 ELSE 0 END) AS BIGINT) AS nju$i,
+              CAST(sum(CASE WHEN x < xl[${i + 1}] THEN 1 ELSE 0 END)
+                AS BIGINT) AS nxl$i,
+              CAST(sum(CASE WHEN x < xl[${i + 1}] AND y < yl[${i + 1}]
+                THEN 1 ELSE 0 END) AS BIGINT) AS njl$i"""
+      }.mkString(",\n")
+      val arms = qs.zipWithIndex.map { case (q, i) =>
+        s"""SELECT $q AS q, n AS n_rows, nxu$i AS n_exceed_x,
+               nju$i AS n_joint,
+               round(CASE WHEN nxu$i > 0 THEN CAST(nju$i AS DOUBLE)
+                 / CAST(nxu$i AS DOUBLE) END, 6) AS lambda_upper,
+               round(CASE WHEN nxl$i > 0 THEN CAST(njl$i AS DOUBLE)
+                 / CAST(nxl$i AS DOUBLE) END, 6) AS lambda_lower
+             FROM f"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+               CAST(l_quantity AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+      th AS (SELECT quantile_cont(x, [$up]) AS xu,
+               quantile_cont(y, [$up]) AS yu,
+               quantile_cont(x, [$lo]) AS xl,
+               quantile_cont(y, [$lo]) AS yl
+             FROM b),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              $aggs
+            FROM b, th)
+      SELECT * FROM ($arms) ORDER BY q"""
+    },
+
     // Partial correlation: three lattice columns, ten exact sums, one
     // fixed tree
     "q_partial_corr" -> {

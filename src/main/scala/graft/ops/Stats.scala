@@ -2779,6 +2779,68 @@ object Stats {
       .select("n_days", "s_stat", "var_s", "z", "trend")
   }
 
+  /** Empirical tail dependence — the dependence correlation can't see:
+    * λ_U(q) = P(Y > y_q | X > x_q) at matched upper quantiles (and the
+    * lower-tail mirror), the "do extremes co-occur?" readout risk
+    * management needs (two columns can be ρ ≈ 0 yet crash together —
+    * or ρ ≈ 0.9 with fully independent tails). Emitted at each
+    * declared q with the exceedance counts so the reader sees the
+    * support behind each ratio. Under independence λ → 1−q; values
+    * far above that mean joint extremes cluster.
+    *
+    * Determinism: thresholds come from the array-percentile election
+    * (quantile_cont parity); exceedance counts are exact longs from
+    * strict lattice comparisons; ratios are fixed trees.
+    *
+    * Plan: one percentile fold broadcast back, one conditional-count
+    * fold per declared q (stacked into one pass). No window, no join
+    * beyond the 1-row broadcast.
+    */
+  def tailDependence(df: DataFrame, xCol: String, yCol: String,
+                     qs: Seq[Double] = Seq(0.9, 0.95, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.size <= 16 &&
+      qs.forall(q => q > 0.5 && q < 1.0) && qs.distinct == qs,
+      s"tailDependence: 1..16 distinct quantiles in (0.5, 1) (got $qs)")
+    val base = df
+      .filter(col(xCol).isNotNull && !isnan(col(xCol)) &&
+        col(yCol).isNotNull && !isnan(col(yCol)))
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .localCheckpoint(eager = false)
+    val upProbs = qs.map(q => s"${q}D").mkString(", ")
+    val loProbs = qs.map(q => s"${1.0 - q}D").mkString(", ")
+    val th = base.agg(
+      expr(s"percentile(__x, array($upProbs))").as("__xu"),
+      expr(s"percentile(__y, array($upProbs))").as("__yu"),
+      expr(s"percentile(__x, array($loProbs))").as("__xl"),
+      expr(s"percentile(__y, array($loProbs))").as("__yl"))
+    val joined = base.crossJoin(broadcast(th))
+    val aggs = qs.zipWithIndex.flatMap { case (_, i) =>
+      val (xu, yu) = (element_at(col("__xu"), i + 1),
+        element_at(col("__yu"), i + 1))
+      val (xl, yl) = (element_at(col("__xl"), i + 1),
+        element_at(col("__yl"), i + 1))
+      Seq(
+        sum(when(col("__x") > xu, 1L).otherwise(0L)).as(s"__nxu$i"),
+        sum(when(col("__x") > xu && col("__y") > yu, 1L).otherwise(0L))
+          .as(s"__nju$i"),
+        sum(when(col("__x") < xl, 1L).otherwise(0L)).as(s"__nxl$i"),
+        sum(when(col("__x") < xl && col("__y") < yl, 1L).otherwise(0L))
+          .as(s"__njl$i"))
+    }
+    val f = joined.agg(count(lit(1)).as("__n"), aggs: _*)
+    val arms = qs.zipWithIndex.map { case (q, i) =>
+      s"${q}D, __n, __nxu$i, __nju$i," +
+        s" round(CASE WHEN __nxu$i > 0 THEN CAST(__nju$i AS DOUBLE)" +
+        s" / CAST(__nxu$i AS DOUBLE) END, 6)," +
+        s" round(CASE WHEN __nxl$i > 0 THEN CAST(__njl$i AS DOUBLE)" +
+        s" / CAST(__nxl$i AS DOUBLE) END, 6)"
+    }.mkString(", ")
+    f.select(expr(s"stack(${qs.size}, $arms) AS (q, n_rows," +
+        " n_exceed_x, n_joint, lambda_upper, lambda_lower)"))
+      .orderBy("q")
+  }
+
   /** First-order partial correlation — "are price and quantity REALLY
     * related, or does discount drive both?": r_xy·z = (r_xy −
     * r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) over three lattice columns,

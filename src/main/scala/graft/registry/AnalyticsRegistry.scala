@@ -804,6 +804,11 @@ object AnalyticsRegistry {
       // direction from exact lattice sums
       Stats.grangerLagOne(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_tail_dependence" -> ((s, dir) =>
+      // do extremes co-occur? empirical upper/lower tail dependence of
+      // (price, quantity) at matched 0.9/0.95/0.99 quantiles
+      Stats.tailDependence(Tables.lineitem(s, dir), "l_extendedprice",
+        "l_quantity")),
     "q_partial_corr" -> ((s, dir) =>
       // are price and quantity related, or does discount drive both?
       // first-order partial correlation from one exact-lattice fold

@@ -427,6 +427,26 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("n_hi") == 7.771808)
   }
 
+  test("tailDependence: comonotone data scores lambda 1 in both tails," +
+      " antithetic data scores 0; exceedance counts are exact") {
+    val co = (1 to 100).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val r = Stats.tailDependence(co, "x", "y", qs = Seq(0.9, 0.95))
+      .collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Double]("lambda_upper") == 1.0)
+      assert(row.getAs[Double]("lambda_lower") == 1.0)
+    }
+    assert(r(0).getAs[Long]("n_exceed_x") == 10L) // x > q90 of 1..100
+    assert(r(0).getAs[Long]("n_joint") == 10L)
+    val anti = (1 to 100).map(i => (i.toDouble, 101.0 - i)).toDF("x", "y")
+    Stats.tailDependence(anti, "x", "y", qs = Seq(0.9)).collect()
+      .foreach { row =>
+        assert(row.getAs[Double]("lambda_upper") == 0.0)
+        assert(row.getAs[Double]("lambda_lower") == 0.0)
+      }
+  }
+
   test("partialCorr: matches an independent replay; conditioning on " +
       "the common driver shrinks a spurious correlation") {
     val rows = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 1.0), (3.0, 5.0, 2.0),
