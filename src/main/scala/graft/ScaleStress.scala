@@ -687,7 +687,10 @@ object ScaleStress {
         val dense = (0 until k).map(i =>
           emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
             col("embedding")))
-          .reduce(_ unionByName _).localCheckpoint()
+          .reduce(_ unionByName _) // NOT checkpointed: at k=100 the
+                                   // replicated vectors pin multi-GB block
+                                   // memory (the lineitem posture below);
+                                   // union-of-parquet lineage is cheap
         val nP = dense.count()
         val (tDense, cDense) = timeMin2 {
           graft.ops.Clustering.gridDensityClusters(dense, "embedding",
@@ -699,7 +702,7 @@ object ScaleStress {
               s"THEN x + CAST($i AS FLOAT) ELSE x END)")
           emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
             shifted.as("embedding"))
-        }.reduce(_ unionByName _).localCheckpoint()
+        }.reduce(_ unionByName _) // NOT checkpointed (same posture)
         val (tSpread, cSpread) = timeMin2 {
           graft.ops.Clustering.gridDensityClusters(spread, "embedding",
             eps = 0.02, minPts = 3).queryExecution.toRdd.count()

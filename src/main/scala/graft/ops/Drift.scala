@@ -30,6 +30,55 @@ object Drift {
   def cleanSamples(df: DataFrame, valueCol: String): DataFrame =
     df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
 
+  /** INTEGER-LATTICE fixed-width binning — the shared scale move behind
+    * every `*Binned` rank/ECDF twin (round-9: the one plan family the
+    * round-8 audit called weak was exact rank statistics whose ordered
+    * window runs at the distinct-value grain; on a continuous axis
+    * distinct ≈ rows, so at 100 TB that window is a one-partition sort
+    * of the corpus). Binning FIRST bounds every downstream ordered
+    * window at ≤ `bins` rows while keeping the whole pipeline exactly
+    * engine-replayable:
+    *
+    *   1. values commit to the centi lattice (`round(v·100)` as long —
+    *      the [[cvmTest]] lattice);
+    *   2. `lo`/`hi` are exact integer mins/maxes (a 1-row broadcast);
+    *   3. `__bin = (vl − lo)·bins div (hi − lo + 1)` — INTEGER floor
+    *      division of non-negative longs, so Spark's `div` and
+    *      DuckDB's `//` agree bit-for-bit and `__bin ∈ [0, bins)` by
+    *      construction (no float width, no `least` clamp);
+    *   4. `__binv = (lo + (__bin·span) div bins)/100` — the bin's
+    *      integer-lattice representative back in value units, for the
+    *      twins whose statistic needs magnitudes (energy gaps,
+    *      weighted median), not just order.
+    *
+    * The coarsening error is ≤ one bin width by construction; each
+    * twin's spec pins its statistic-level bound. Overflow-safe while
+    * span·bins < 2⁶³ (span = lattice range): ~9·10¹⁵ lattice units at
+    * bins=1000 — fail-loud is the engines' ANSI/ overflow behavior,
+    * not silence, because the product is integer arithmetic.
+    *
+    * Plan: one 1-row bounds aggregate broadcast into a projection —
+    * zero extra shuffles; the downstream stat's per-bin aggregation is
+    * the only corpus-sized exchange.
+    */
+  def latticeBin(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"latticeBin: bins in [2, 100000] (got $bins)")
+    val v = col(valueCol).cast("double")
+    val lat = df.filter(v.isNotNull && !isnan(v))
+      .withColumn("__vl", round(v * 100, 0).cast("long"))
+    val bounds = lat.agg(min(col("__vl")).as("__lo"),
+      max(col("__vl")).as("__hi"))
+    lat.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        expr(s"((__vl - __lo) * $bins) div (__hi - __lo + 1)"))
+      .withColumn("__binv",
+        (col("__lo") +
+          expr(s"(__bin * (__hi - __lo + 1)) div $bins"))
+          .cast("double") / 100.0)
+      .drop("__vl", "__lo", "__hi")
+  }
+
   /** Two-sample Cramér–von Mises statistic — the INTEGRATED-squared
     * ECDF-gap drift test where KS takes only the single worst gap: a
     * distribution that drifts a little EVERYWHERE moves CvM long before
@@ -45,6 +94,15 @@ object Drift {
     * Plan: one corpus aggregation to the distinct-value grain, the
     * documented bounded ECDF window (the q_ks_drift class), one 1-row
     * fold.
+    *
+    * Precision bound (fail-quiet edge): the numerator Σ(ca+cb)·t² with
+    * |t| ≤ n·m grows like (n+m)·(nm)² — decimal(38,0) holds it through
+    * ~5·10⁷ rows per side; beyond that Spark's non-ANSI decimal sum
+    * would overflow to a silent NULL cvm_t. Past that scale use
+    * [[cvmBinned]]: the same fold over ≤bins rows keeps the sum under
+    * bins·(nm)², safe through ~5·10⁸ per side at bins=1000 (and the
+    * single-partition distinct-value window is gone, which is the real
+    * reason to switch long before the decimal bound bites).
     */
   def cvmTest(tagged: DataFrame, valueCol: String, sideCol: String,
               a: String, b: String): DataFrame = {
@@ -76,6 +134,28 @@ object Drift {
     f.select(col("n_a"), col("n_b"), col("n_values"),
       round(when(ok, t), 6).as("cvm_t"),
       when(ok, t > lit(0.461)).as("drifted"))
+  }
+
+  /** [[cvmTest]] over [[latticeBin]]-coarsened values — the 100 TB form
+    * of the CvM drift test (the ksTestBinned pattern): the ordered ECDF
+    * window runs over ≤ `bins` non-empty bins instead of the
+    * distinct-value grain, and the decimal numerator stays within
+    * bounds through ~5·10⁸ rows per side (vs ~5·10⁷ exact). The
+    * statistic is the CvM T of the coarsened distributions — within-bin
+    * mass relocates to one shared point on BOTH sides symmetrically, so
+    * the T error is bounded by the pooled ECDF moving at most one bin's
+    * mass (DriftSpec pins it on a shifted-normal pair). Delegation IS
+    * the definition: binned twin ≡ exact statistic of coarsened values,
+    * which is what the DuckDB oracle replays.
+    */
+  def cvmBinned(tagged: DataFrame, valueCol: String, sideCol: String,
+                a: String, b: String, bins: Int = 1000): DataFrame = {
+    val binned = latticeBin(
+      cleanSamples(tagged, valueCol)
+        .filter(col(sideCol) === a || col(sideCol) === b),
+      valueCol, bins)
+    cvmTest(binned.select(col("__bin").cast("double").as("__bv"),
+      col(sideCol)), "__bv", sideCol, a, b)
   }
 
   /** Two-sample ENERGY distance over centi-lattice values — the
@@ -133,6 +213,27 @@ object Drift {
       round(when(ok, eyy), 6).as("e_within_b"),
       round(when(ok, d2), 6).as("energy_d2"),
       round(when(ok, nD * mD / (nD + mD) * d2), 6).as("e_stat"))
+  }
+
+  /** [[energyDistance]] over [[latticeBin]]-coarsened values — the
+    * 100 TB form: every E|·−·| expectation folds over gaps between ≤
+    * `bins` bin representatives instead of the distinct-value grain
+    * (the one-partition ECDF window is bounded). Magnitudes matter for
+    * an integral, so the coarsened axis is `__binv` — the bin's
+    * integer-lattice representative in ORIGINAL value units — and each
+    * |x−y| moves by at most one bin width under coarsening, so
+    * e_between, both e_within terms, and energy_d2 are each within one
+    * bin width of exact (DriftSpec pins it). Same delegation contract as
+    * [[cvmBinned]].
+    */
+  def energyBinned(tagged: DataFrame, valueCol: String, sideCol: String,
+                   a: String, b: String, bins: Int = 1000): DataFrame = {
+    val binned = latticeBin(
+      cleanSamples(tagged, valueCol)
+        .filter(col(sideCol) === a || col(sideCol) === b),
+      valueCol, bins)
+    energyDistance(binned.select(col("__binv"), col(sideCol)),
+      "__binv", sideCol, a, b)
   }
 
   /** Exact two-sample KS survival probability P(D ≥ d) under the null, by
@@ -714,6 +815,24 @@ object Drift {
     folded.select(col("n_a"), col("n_b"),
       round(dp, 6).as("d_plus"), round(dm, 6).as("d_minus"),
       round(dp + dm, 6).as("v_stat"))
+  }
+
+  /** [[kuiperTest]] over [[latticeBin]]-coarsened values — the 100 TB
+    * form: both one-sided sups are elected over ≤ `bins` ECDF points.
+    * Kuiper only reads ORDER, so the coarsened axis is the bin id; each
+    * one-sided sup can lose at most the largest single-bin mass, so V
+    * is within one bin's pooled mass below exact (never above — a sup
+    * over a subset of evaluation points). Same delegation contract as
+    * [[cvmBinned]].
+    */
+  def kuiperBinned(tagged: DataFrame, valueCol: String, sideCol: String,
+                   a: String, b: String, bins: Int = 1000): DataFrame = {
+    val binned = latticeBin(
+      cleanSamples(tagged, valueCol)
+        .filter(col(sideCol) === a || col(sideCol) === b),
+      valueCol, bins)
+    kuiperTest(binned.select(col("__bin").cast("double").as("__bv"),
+      col(sideCol)), "__bv", sideCol, a, b)
   }
 
   /** Total variation distance between two categorical distributions —

@@ -1870,10 +1870,14 @@ object Eval {
     // the extra ·48271 mod M scramble matters: id·m_b alone stays
     // below M/2 for small consecutive ids (an EMPTY arm and an ANSI
     // divide-by-zero); the second multiplication wraps it thousands of
-    // times regardless of the id range
+    // times regardless of the id range. The id is reduced mod M BEFORE
+    // the first multiplication so the product stays within 63 bits for
+    // ANY BIGINT id (< M·1.7e7 < 2^63): ids above ~3.6e10 would
+    // otherwise wrap silently in Spark but raise in ANSI engines — an
+    // engine divergence the shared-replay contract forbids.
     def arm(b: Int): Column =
-      pmod(pmod(col(userCol) * lit(48271L + 1000003L * b), lit(M)) *
-        lit(48271L), lit(M)) > lit((M - 1) / 2)
+      pmod(pmod(pmod(col(userCol), lit(M)) * lit(48271L + 1000003L * b),
+        lit(M)) * lit(48271L), lit(M)) > lit((M - 1) / 2)
     def armAggs(t: Column, tag: String): Seq[Column] =
       Seq(count(when(t, lit(1))).as(s"__nt$tag"),
         count(when(!t, lit(1))).as(s"__nc$tag"),
@@ -2138,6 +2142,17 @@ object Eval {
         .select(col("__s").as("f"), col("__nxt").as("t")))
       .unionByName(p0.filter(col("__nxt").isNull && col("__s") =!= "conv")
         .select(col("__s").as("f"), lit("null").as("t")))
+    // Bounded pre-probe BEFORE the |states|² count collect (the
+    // observedChain posture): ≤65 rows ever reach the driver, so a
+    // drifted corpus with millions of distinct states fails loud
+    // without materializing its transition table.
+    val statesProbe = j.select(col("__s")).distinct().limit(65).collect()
+      .map(_.getString(0))
+    require(statesProbe.length <= 64,
+      s"removalAttribution: observed >64 distinct states (sample: " +
+        statesProbe.take(8).sorted.mkString("[", ", ", ", ...]") +
+        ") — the chain collects a |states|^2 table; declare/clean the " +
+        "roster first")
     val counts = pairs.groupBy("f", "t").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap

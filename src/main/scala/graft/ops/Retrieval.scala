@@ -250,6 +250,17 @@ object Retrieval {
                             id: String, stateCol: String,
                             expectedStates: Seq[String], op: String)
       : (Seq[String], Array[Array[Double]]) = {
+    // Bounded pre-probe BEFORE the |states|² count collect: on
+    // adversarial data with millions of distinct states the count
+    // table itself is data-sized, so cap the roster first with a
+    // distributed distinct that ships ≤65 rows to the driver.
+    val probe = events.select(col(stateCol)).filter(col(stateCol).isNotNull)
+      .distinct().limit(65).collect().map(_.getString(0))
+    require(probe.length <= 64,
+      s"$op: observed >64 distinct states (sample: " +
+        probe.take(8).sorted.mkString("[", ", ", ", ...]") +
+        ") — the chain collects a |states|^2 table; declare/clean the " +
+        "roster first")
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
     val counts = events
       .withColumn("__next", lead(col(stateCol), 1).over(w))

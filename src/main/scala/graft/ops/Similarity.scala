@@ -257,6 +257,10 @@ object Similarity {
                    lambdaTenths: Int): DataFrame = {
     require(poolK >= selectK && selectK >= 1,
       s"mmrDiversify: need poolK >= selectK >= 1 (got $poolK, $selectK)")
+    require(poolK <= 4096,
+      s"mmrDiversify: poolK <= 4096 (got $poolK) — the greedy loop " +
+        "collects the pool driver-side (the seedCentroids cap); an " +
+        "unbounded poolK is a driver OOM, not a bigger re-rank")
     require(lambdaTenths >= 1 && lambdaTenths <= 9,
       s"mmrDiversify: lambdaTenths in [1, 9] (got $lambdaTenths)")
     val spark = emb.sparkSession

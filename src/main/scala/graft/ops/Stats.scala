@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Roster drift check with a BOUNDED driver footprint: the observed
+    * group set must equal the declared one, but on adversarial data
+    * (millions of distinct group values) a plain
+    * `distinct().collect()` would materialize all of them driver-side
+    * BEFORE the require fails. `distinct().limit(33).collect()` is a
+    * fully distributed distinct with ≤33 rows ever reaching the
+    * driver: since every declared roster is ≤32, a 33rd distinct value
+    * is already proof of drift, and ≤32 observed means the limit never
+    * truncated, so the equality check is exact.
+    */
+  private[ops] def checkRoster(base: DataFrame, op: String,
+                               declared: Seq[String]): Unit = {
+    val observed = base.select("__g").distinct().limit(33).collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(observed.size <= 32,
+      s"$op: observed >32 distinct groups (sample: " +
+        observed.take(8).mkString("[", ", ", ", ...]") +
+        s") — declared roster is ${declared.sorted}; fail loud, " +
+        "don't hash-flake")
+    require(observed == declared.sorted,
+      s"$op: observed groups ${observed.mkString("[", ", ", "]")}" +
+        s" differ from the declared roster — fail loud, don't hash-flake")
+  }
+
   /** T1: top-k groups by count desc (`batch_generator.py:165-167`), with a
     * deterministic name tiebreak.
     */
@@ -1203,11 +1227,7 @@ object Stats {
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
-    val observed = base.select("__g").distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
-    require(observed == groups.sorted,
-      s"kruskalWallis: observed groups ${observed.mkString("[", ", ", "]")}"
-        + s" differ from the declared roster — fail loud, don't hash-flake")
+    checkRoster(base, "kruskalWallis", groups)
     val perVal = base.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1239,6 +1259,25 @@ object Stats {
         round(h / (lit(1.0) - col("__tsum").cast("double")
           / (nn * nn * nn - nn)), 6).as("h_adjusted"),
         lit(groups.size - 1).as("df"))): _*)
+  }
+
+  /** [[kruskalWallis]] over [[Drift.latticeBin]]-coarsened values — the
+    * 100 TB form of the rank ANOVA: 2×-midranks are computed at the
+    * BIN grain (≤ `bins` rows under the ordered window) instead of the
+    * distinct-value grain, which on a continuous axis is data-sized.
+    * Within-bin values become exact ties at the bin's midrank — the
+    * H statistic of the coarsened distributions, within the one-bin
+    * rank-relocation bound (StatsSpec pins it: same verdict as exact
+    * on separated groups, H within a few % at bins=100 on interleaved
+    * ones). Delegation IS the definition: binned twin ≡ exact
+    * statistic of coarsened values, which the DuckDB oracle replays.
+    */
+  def kruskalWallisBinned(df: DataFrame, groupCol: String, valueCol: String,
+                          groups: Seq[String], bins: Int = 1000): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull)
+    val binned = Drift.latticeBin(base, valueCol, bins)
+    kruskalWallis(binned.select(col(groupCol),
+      col("__bin").cast("double").as("__bv")), groupCol, "__bv", groups)
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) between TWO declared groups:
@@ -1293,6 +1332,26 @@ object Stats {
       round(when(ok, (naD * nbD) - u2a.cast("double") / 2.0), 6).as("u_b"),
       round(when(ok && varU > 0, z), 6).as("z"),
       round(when(ok && varU > 0, z / sqrt(nD)), 6).as("effect_size_r"))
+  }
+
+  /** [[mannWhitney]] over [[Drift.latticeBin]]-coarsened values — the
+    * 100 TB form: 2×-midranks at the bin grain, the tie term counts
+    * within-bin mass as exact ties, U/z/r are the statistics of the
+    * coarsened distributions (one-bin rank-relocation bound; the
+    * direction of stochastic dominance is preserved whenever the true
+    * |z| clears the coarsening noise — StatsSpec pins it). Same
+    * delegation contract as [[kruskalWallisBinned]].
+    */
+  def mannWhitneyBinned(df: DataFrame, groupCol: String, valueCol: String,
+                        groupA: String, groupB: String,
+                        bins: Int = 1000): DataFrame = {
+    require(groupA != groupB,
+      s"mannWhitneyBinned: groups must differ (got '$groupA' twice)")
+    val base = df.filter(col(groupCol).isin(groupA, groupB))
+    val binned = Drift.latticeBin(base, valueCol, bins)
+    mannWhitney(binned.select(col(groupCol),
+      col("__bin").cast("double").as("__bv")), groupCol, "__bv",
+      groupA, groupB)
   }
 
   /** Ljung–Box portmanteau test over the daily series: is there ANY
@@ -1497,11 +1556,7 @@ object Stats {
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
-    val observed = base.select("__g").distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
-    require(observed == groups.sorted,
-      s"brownForsythe: observed groups ${observed.mkString("[", ", ", "]")}"
-        + s" differ from the declared roster — fail loud, don't hash-flake")
+    checkRoster(base, "brownForsythe", groups)
     val med = base.groupBy(col("__g"))
       .agg(expr("percentile(__v, 0.5D)").as("__med"))
     val z = base.join(broadcast(med), Seq("__g"))
@@ -1562,11 +1617,7 @@ object Stats {
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
-    val observed = base.select("__g").distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
-    require(observed == groups.sorted,
-      s"anovaOneWay: observed groups ${observed.mkString("[", ", ", "]")}"
-        + s" differ from the declared roster — fail loud, don't hash-flake")
+    checkRoster(base, "anovaOneWay", groups)
     val lat = base.withColumn("__vu",
       round(col("__v") * 1e6, 0).cast("long"))
     val sorted = groups.sorted
@@ -2353,6 +2404,23 @@ object Stats {
       .orderBy(groupCol)
   }
 
+  /** [[weightedMedian]] over [[Drift.latticeBin]]-coarsened values —
+    * the 100 TB form: the per-group cumulative-weight election runs at
+    * the bin grain (≤ `bins` rows per group partition) on ONE value
+    * grid shared by every group (bounds from the whole corpus, so
+    * groups stay comparable), and the elected value is the bin's
+    * integer-lattice representative — within one bin width of the
+    * exact weighted median (StatsSpec pins it). total_weight stays
+    * exact. Same delegation contract as [[kruskalWallisBinned]].
+    */
+  def weightedMedianBinned(df: DataFrame, groupCol: String,
+                           valueCol: String, weightCol: String,
+                           bins: Int = 1000): DataFrame = {
+    val binned = Drift.latticeBin(
+      df.filter(col(weightCol).isNotNull), valueCol, bins)
+    weightedMedian(binned, groupCol, "__binv", weightCol)
+  }
+
   /** Cliff's delta between two groups — the ordinal effect size the
     * rank tests deliberately don't report: δ = (#(a>b) − #(a<b))/(n₁n₂)
     * ∈ [−1, 1], with the common-language P(A>B) + ½P(=) alongside.
@@ -2400,6 +2468,24 @@ object Stats {
         6).as("p_superior"))
   }
 
+  /** [[cliffsDelta]] over [[Drift.latticeBin]]-coarsened values — the
+    * 100 TB form: dominance counts fold from ≤ `bins` ECDF points;
+    * within-bin cross pairs migrate into n_ties (they can no longer be
+    * ordered), which biases δ toward 0 by at most the cross-pair mass
+    * of one bin — the conservative direction for an effect size
+    * (StatsSpec pins the bound). Order-only statistic, so the
+    * coarsened axis is the bin id. Same delegation contract as
+    * [[kruskalWallisBinned]].
+    */
+  def cliffsDeltaBinned(df: DataFrame, groupCol: String, valueCol: String,
+                        groupA: String, groupB: String,
+                        bins: Int = 1000): DataFrame = {
+    require(groupA != groupB, "cliffsDeltaBinned: groups must differ")
+    val binned = Drift.latticeBin(
+      df.filter(col(groupCol).isin(groupA, groupB)), valueCol, bins)
+    cliffsDelta(binned, groupCol, "__bin", groupA, groupB)
+  }
+
   /** Friedman test over day-blocks: rank the DECLARED treatments within
     * every day (daily centi-lattice totals — exact 2×-midranks from
     * rank + tie counts), then χ²_F = 3/(nk(k+1))·ΣR₂ⱼ² − 3n(k+1) (the
@@ -2421,11 +2507,7 @@ object Stats {
     val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(dateCol.as("__d"), col(groupCol).as("__g"))
       .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
-    val observed = base.select("__g").distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
-    require(observed == groups.sorted,
-      s"friedman: observed groups ${observed.mkString("[", ", ", "]")} " +
-        "differ from the declared roster — fail loud, don't hash-flake")
+    checkRoster(base.select("__g"), "friedman", groups)
     val k = groups.size
     val wDay = Window.partitionBy(col("__d"))
     val complete = base
@@ -2998,6 +3080,31 @@ object Stats {
       round(col("__pr"), 6).as("pearson"))
   }
 
+  /** [[spearman]] over [[Drift.latticeBin]]-coarsened axes — the
+    * 100 TB form: each axis is binned on its OWN integer-lattice grid
+    * first, so both per-axis midrank windows run over ≤ `bins` rows
+    * instead of the distinct-value grain (on continuous axes, distinct
+    * ≈ rows — the round-8 audit's one weak plan family). ρ is the
+    * Spearman of the coarsened pair — within-bin relocation moves each
+    * 2×-midrank by at most that bin's mass, and StatsSpec pins the
+    * observed gap on a monotone-plus-noise corpus. The pearson column
+    * is computed on the bin representatives in original value units.
+    * Rows drop only when EITHER axis is null/NaN (pairwise, mirroring
+    * exact). Same delegation contract as [[kruskalWallisBinned]].
+    */
+  def spearmanBinned(df: DataFrame, xCol: String, yCol: String,
+                     bins: Int = 1000): DataFrame = {
+    val vx = col(xCol).cast("double"); val vy = col(yCol).cast("double")
+    val base = df
+      .filter(vx.isNotNull && !isnan(vx) && vy.isNotNull && !isnan(vy))
+      .select(vx.as("__x0"), vy.as("__y0"))
+    val bx = Drift.latticeBin(base, "__x0", bins)
+      .withColumnRenamed("__binv", "__bx").drop("__bin")
+    val bxy = Drift.latticeBin(bx, "__y0", bins)
+      .withColumnRenamed("__binv", "__by").drop("__bin")
+    spearman(bxy, "__bx", "__by")
+  }
+
   /** Lagged cross-correlation between two aggregates of the same
     * bucketed series — "does purchase volume LEAD average value by k
     * days?": ccf(k) = corr(xₜ, yₜ₋ₖ) for k = −maxLag..maxLag (positive k
@@ -3428,11 +3535,7 @@ object Stats {
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
-    val observed = base.select("__g").distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
-    require(observed == groups.sorted,
-      s"tukeyHsd: observed groups ${observed.mkString("[", ", ", "]")}"
-        + s" differ from the declared roster — fail loud, don't hash-flake")
+    checkRoster(base, "tukeyHsd", groups)
     val lat = base.withColumn("__vu",
       round(col("__v") * 1e6, 0).cast("long"))
     val sorted = groups.sorted

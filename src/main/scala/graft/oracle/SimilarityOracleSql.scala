@@ -1,0 +1,452 @@
+package graft
+package oracle
+
+/** DuckDB oracle SQL — embedding similarity / ANN families (SimilarityRegistry). One domain slice of the former
+  * monolithic OracleSql map; entries are verbatim, parity rules on
+  * [[graft.OracleSql]].
+  */
+private[graft] object SimilarityOracleSql {
+  import OracleShared._
+
+  val sql: Map[String, String] = Map(
+
+    "x_vector_stats" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id, CAST(len(v) AS INTEGER) AS dim,
+             round(sqrt(list_inner_product(v, v)), 6) AS l2_norm,
+             round(CAST(list_aggregate(v, 'sum') AS DOUBLE) / len(v), 6)
+               AS mean_component
+      FROM e ORDER BY vec_id""",
+
+
+    // hard negatives: the knn kernel with a label-mismatch filter
+    // BEFORE ranking — every row a usable contrastive negative
+    "x_hard_negatives" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, label AS ql
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, q.ql AS query_label,
+               e.vec_id AS cand_id, e.label AS cand_label,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+      ranked AS (
+        SELECT query_id, query_label, cand_id, cand_label, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, query_label, cand_id, cand_label,
+             round(cos, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+
+    "x_knn_bruteforce" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, round(cos, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+
+    // recall audit of the learned-IVF pipeline at full probe width: DuckDB
+    // independently replays BRUTE FORCE top-3; nProbe = nCells means cell
+    // pruning drops nothing, so every brute row must also be in the
+    // learned-IVF output — n_hits 3, recall 1.0 per query, or the learned
+    // path has a defect and the hash mismatches
+    // Matryoshka truncation audit: prefix-dim top-10 vs full-dim truth,
+    // every level from the same scored pairs
+    "x_matryoshka_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (SELECT q.query_id, e.vec_id AS cand_id, q.qv, e.v
+                 FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      truth AS (SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY list_inner_product(qv, v)
+                / (sqrt(list_inner_product(qv, qv))
+                   * sqrt(list_inner_product(v, v))) DESC,
+              cand_id ASC) AS rank
+          FROM scored) WHERE rank <= 10),
+      lv AS (SELECT query_id, cand_id, dims,
+               list_inner_product(list_slice(qv, 1, dims),
+                                  list_slice(v, 1, dims))
+                 / (sqrt(list_inner_product(list_slice(qv, 1, dims),
+                                            list_slice(qv, 1, dims)))
+                    * sqrt(list_inner_product(list_slice(v, 1, dims),
+                                              list_slice(v, 1, dims))))
+                 AS cos
+             FROM scored
+             CROSS JOIN (SELECT unnest([4, 8, 16, 32]) AS dims)),
+      topt AS (SELECT dims, query_id, cand_id FROM (
+          SELECT dims, query_id, cand_id, row_number() OVER (
+              PARTITION BY dims, query_id
+              ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM lv) WHERE rank <= 10),
+      hits AS (SELECT t.dims, t.query_id,
+                 sum(CASE WHEN u.cand_id IS NULL THEN 0 ELSE 1 END)
+                   AS n_hits
+               FROM topt t LEFT JOIN truth u
+                 ON t.query_id = u.query_id AND t.cand_id = u.cand_id
+               GROUP BY 1, 2)
+      SELECT dims, query_id, CAST(n_hits AS BIGINT) AS n_hits,
+             round(CAST(n_hits AS DOUBLE) / 10, 6) AS recall
+      FROM hits ORDER BY dims, query_id""",
+
+
+    "x_jl_projection_recall" -> jlRecallSql(64, 16, 10),
+
+
+    "x_ann_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(3 AS INTEGER) AS k,
+             round(CAST(count(*) AS DOUBLE) / 3, 6) AS recall
+      FROM ranked WHERE rank <= 3
+      GROUP BY query_id ORDER BY query_id""",
+
+
+    // PQ / IVF-PQ exactness audits: the degenerate kCodes ≥ corpus
+    // codebook makes reconstruction lossless (and nProbe = nCells disarms
+    // cell pruning for IVF-PQ), so both must reproduce brute-force top-3
+    // over the vec_id < 500 corpus — DuckDB replays brute force
+    "x_pq_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 500),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(3 AS INTEGER) AS k,
+             round(CAST(count(*) AS DOUBLE) / 3, 6) AS recall
+      FROM ranked WHERE rank <= 3
+      GROUP BY query_id ORDER BY query_id""",
+
+
+    "x_ivfpq_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 500),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(3 AS INTEGER) AS k,
+             round(CAST(count(*) AS DOUBLE) / 3, 6) AS recall
+      FROM ranked WHERE rank <= 3
+      GROUP BY query_id ORDER BY query_id""",
+
+
+    "x_knn_ivf" -> """
+      WITH e AS (SELECT vec_id, label AS cell,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, cell, v AS qv FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, q.cell, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e JOIN q ON e.cell = q.cell WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cell, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, cell, cand_id, round(cos, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+
+    "x_cosine_neardups" -> """
+      WITH e AS (SELECT vec_id, label AS cell,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT l.cell, l.vec_id AS id_a, r.vec_id AS id_b,
+             round(list_inner_product(l.v, r.v)
+               / (sqrt(list_inner_product(l.v, l.v))
+                  * sqrt(list_inner_product(r.v, r.v))), 6) AS cos
+      FROM e l JOIN e r ON l.cell = r.cell AND l.vec_id < r.vec_id
+      WHERE round(list_inner_product(l.v, r.v)
+               / (sqrt(list_inner_product(l.v, l.v))
+                  * sqrt(list_inner_product(r.v, r.v))), 6) >= 0.4
+      ORDER BY id_a, id_b""",
+
+
+    // SemDeDup with seed centroids: DuckDB replays the nearest-centroid
+    // assignment (squared-L2 argmin, lowest-index tiebreak — margins are
+    // >=1e-4 at every SF so cross-engine float noise cannot flip it), the
+    // within-cell rounded-cosine pair scan, and the lower-id drop rule
+    "x_semdedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cidx, v AS cv FROM e WHERE vec_id < 8),
+      asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, CAST(c.cidx AS INTEGER) AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_inner_product(e.v, e.v)
+                     - 2 * list_inner_product(e.v, c.cv)
+                     + list_inner_product(c.cv, c.cv) ASC,
+                   c.cidx ASC) AS rn
+          FROM e CROSS JOIN c) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             JOIN e ea ON a.vec_id = ea.vec_id
+             JOIN e eb ON b.vec_id = eb.vec_id
+        WHERE round(list_inner_product(ea.v, eb.v)
+                / (sqrt(list_inner_product(ea.v, ea.v))
+                   * sqrt(list_inner_product(eb.v, eb.v))), 6) >= 0.4)
+      SELECT asg.vec_id, asg.cell, (d.id_b IS NULL) AS kept
+      FROM asg LEFT JOIN dropped d ON asg.vec_id = d.id_b
+      ORDER BY asg.vec_id""",
+
+
+    // vector transforms: components exploded so the oracle checks every
+    // element, not a summary
+    "x_vector_normalize" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM v),
+      e AS (SELECT vec_id, nrm, unnest(range(1, len(v)+1)) AS kk, v FROM n)
+      SELECT vec_id, CAST(kk - 1 AS INTEGER) AS idx,
+             round(CASE WHEN nrm <> 0 THEN v[kk] / nrm ELSE v[kk] END, 6) AS nval
+      FROM e ORDER BY vec_id, idx""",
+
+
+    "x_quantize_int8" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM v),
+      e AS (SELECT vec_id, sc, unnest(range(1, len(v)+1)) AS kk, v FROM s)
+      SELECT vec_id, CAST(kk - 1 AS INTEGER) AS idx,
+             CAST(round(CASE WHEN sc <> 0 THEN v[kk] * 127.0 / sc ELSE 0.0 END)
+               AS INTEGER) AS q,
+             round(sc, 6) AS scale
+      FROM e ORDER BY vec_id, idx""",
+
+
+    "x_quantized_ann" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM v),
+      q AS (SELECT vec_id, sc,
+              list_transform(range(1, len(v)+1),
+                kk -> CAST(round(CASE WHEN sc <> 0 THEN v[kk] * 127.0 / sc
+                                      ELSE 0.0 END) AS INTEGER)) AS qv
+            FROM s),
+      p AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+              round(list_inner_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+                    * a.sc * b.sc / 16129.0, 6) AS qcos
+            FROM q a JOIN q b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 5),
+      r AS (SELECT query_id, cand_id, qcos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY qcos DESC, cand_id) AS INTEGER) AS rank
+            FROM p)
+      SELECT query_id, cand_id, qcos, rank FROM r WHERE rank <= 3
+      ORDER BY query_id, rank""",
+
+
+    "x_binary_features" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             md5(text) AS content_md5,
+             substr(hex(encode(text)), 1, 2) AS first_byte_hex
+      FROM documents ORDER BY doc_id""",
+
+
+    // real mapPartitions codec (Base64 → UTF-8): every feature is a
+    // function of the DECODED bytes, so computing the same features from
+    // the original text pins the round trip — content_md5 makes the check
+    // byte-exact (a single corrupted byte anywhere in the decode flips it)
+    "x_decode_base64" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(length(text) - length(replace(text, chr(10), '')) + 1
+               AS INTEGER) AS n_lines,
+             md5(text) AS content_md5
+      FROM documents ORDER BY doc_id""",
+
+
+    // multi-touch attribution: last-touch (latest in window, id
+    // tie-break) + linear (1/n) credit; windowless conversions under
+    // "(none)" so credit totals reconcile
+    "q_attribution" -> """
+      WITH t AS (SELECT user_id, event_type AS channel, ts AS t_ts,
+                        event_id AS t_id
+                 FROM events
+                 WHERE event_type IN ('view', 'click', 'signup')),
+      c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+            WHERE event_type = 'purchase'),
+      m AS (SELECT c.c_id, t.channel, t.t_ts, t.t_id
+            FROM c JOIN t ON c.user_id = t.user_id
+              AND t.t_ts >= c.c_ts - INTERVAL 7 DAY AND t.t_ts < c.c_ts),
+      w AS (SELECT *, count(*) OVER (PARTITION BY c_id) AS n,
+              row_number() OVER (PARTITION BY c_id
+                ORDER BY t_ts DESC, t_id DESC) AS rn
+            FROM m),
+      per AS (SELECT channel,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS last_touch_convs,
+                round(sum(1.0 / n), 6) AS linear_credit,
+                CAST(count(*) AS BIGINT) AS touches
+              FROM w GROUP BY channel),
+      none AS (SELECT '(none)' AS channel,
+                 CAST(count(*) AS BIGINT) AS last_touch_convs,
+                 0.0 AS linear_credit, CAST(0 AS BIGINT) AS touches
+               FROM c WHERE c_id NOT IN (SELECT DISTINCT c_id FROM m))
+      SELECT * FROM per UNION ALL SELECT * FROM none ORDER BY channel""",
+
+
+    "q_funnel" -> """
+      WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      fc AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+             JOIN fv ON e.user_id = fv.user_id AND e.ts >= fv.t_view
+             WHERE e.event_type = 'click' GROUP BY e.user_id),
+      fp AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+             JOIN fc ON e.user_id = fc.user_id AND e.ts >= fc.t_click
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM fv) AS n_view,
+             (SELECT count(*) FROM fc) AS n_click,
+             (SELECT count(*) FROM fp) AS n_purchase,
+             round((SELECT count(*) FROM fc)
+               / CAST((SELECT count(*) FROM fv) AS DOUBLE), 6) AS click_rate,
+             round((SELECT count(*) FROM fp)
+               / CAST((SELECT count(*) FROM fc) AS DOUBLE), 6)
+               AS purchase_rate""",
+
+
+    // deadline funnel: 24h view->click, 72h click->purchase windows,
+    // median stage latencies in seconds
+    "q_funnel_windowed" -> """
+      WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      fc AS (SELECT e.user_id, min(e.ts) AS t_click,
+                    min(fv.t_view) AS t_view
+             FROM events e
+             JOIN fv ON e.user_id = fv.user_id AND e.ts >= fv.t_view
+               AND e.ts < fv.t_view + INTERVAL 24 HOUR
+             WHERE e.event_type = 'click' GROUP BY e.user_id),
+      fp AS (SELECT e.user_id, min(e.ts) AS t_purchase,
+                    min(fc.t_click) AS t_click2
+             FROM events e
+             JOIN fc ON e.user_id = fc.user_id AND e.ts >= fc.t_click
+               AND e.ts < fc.t_click + INTERVAL 72 HOUR
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM fv) AS n_view,
+             (SELECT count(*) FROM fc) AS n_click,
+             (SELECT round(quantile_cont(
+                 (epoch_us(t_click) - epoch_us(t_view)) / 1000000, 0.5), 6)
+              FROM fc) AS median_view_to_click_s,
+             (SELECT count(*) FROM fp) AS n_purchase,
+             (SELECT round(quantile_cont(
+                 (epoch_us(t_purchase) - epoch_us(t_click2)) / 1000000,
+                 0.5), 6)
+              FROM fp) AS median_click_to_purchase_s,
+             round((SELECT count(*) FROM fc)
+               / CAST((SELECT count(*) FROM fv) AS DOUBLE), 6)
+               AS click_rate,
+             round((SELECT count(*) FROM fp)
+               / CAST((SELECT count(*) FROM fc) AS DOUBLE), 6)
+               AS purchase_rate""",
+
+
+    // cohort LTV: purchase revenue per (cohort, age week), cumulative
+    // and per-member, over the bounded cohort grid
+    "q_cohort_ltv" -> """
+      WITH f AS (SELECT user_id,
+                        CAST(date_trunc('week', min(CAST(ts AS DATE)))
+                          AS DATE) AS cohort_week
+                 FROM events GROUP BY user_id),
+      sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+                FROM f GROUP BY cohort_week),
+      rev AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                 CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)) / 7
+                 AS INTEGER) AS week_offset,
+               sum(e.value) AS r
+        FROM events e JOIN f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2)
+      SELECT rev.cohort_week, rev.week_offset, sizes.cohort_size,
+             round(rev.r, 6) AS week_revenue,
+             round(sum(rev.r) OVER w, 6) AS cum_revenue,
+             round(sum(rev.r) OVER w
+               / CAST(sizes.cohort_size AS DOUBLE), 6) AS cum_ltv_per_user
+      FROM rev JOIN sizes USING (cohort_week)
+      WINDOW w AS (PARTITION BY rev.cohort_week ORDER BY rev.week_offset
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY rev.cohort_week, rev.week_offset""",
+
+
+    "q_cohort_retention" -> """
+      WITH f AS (SELECT user_id,
+                        CAST(date_trunc('week', min(CAST(ts AS DATE)))
+                          AS DATE) AS cohort_week
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                     AS act_week
+            FROM events)
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, act_week) / 7 AS INTEGER)
+               AS week_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    // cluster-balanced diverse sample: the same Lloyd assignment, then
+    // a seeded per-cell quota in rounded-u01 order with id tiebreak
+    "x_diverse_sample" -> (kmeansCtes + s""",
+      u AS (SELECT id, cl, round(${uk("id", 131)}, 6) AS uu FROM a3),
+      r AS (SELECT id, cl,
+              CAST(row_number() OVER (PARTITION BY cl
+                ORDER BY uu, id) AS INTEGER) AS pick_rank
+            FROM u)
+      SELECT id AS vec_id, cl AS cluster, pick_rank
+      FROM r WHERE pick_rank <= 5 ORDER BY cluster, pick_rank"""))
+}

@@ -408,4 +408,14 @@ class SimilaritySpec extends SparkSpec {
         $"vec_id" === 0, projDims = 8, k = 1)
     }
   }
+
+  test("mmrDiversify: poolK above the 4096 driver-side cap fails loud") {
+    val rows = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrDiversify(rows, "vec_id", "embedding",
+        $"vec_id" === 0, poolK = 5000, selectK = 2, lambdaTenths = 5)
+    }
+    assert(e.getMessage.contains("poolK <= 4096"))
+  }
 }

@@ -1749,4 +1749,31 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("theilSenPerKey") ||
       e.getCause != null)
   }
+
+  test("checkRoster: adversarial 100K-distinct-group corpus fails fast " +
+      "with the bounded probe (<=33 rows ever reach the driver)") {
+    import org.apache.spark.sql.functions._
+    // a million-distinct-group corpus must NOT be materialized driver-side
+    // before the roster require fires — the bounded distinct().limit(33)
+    // probe fails loud on the 33rd distinct value
+    val adversarial = spark.range(100000L)
+      .select(concat(lit("g"), col("id")).as("g"),
+        (col("id") % 7).cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Stats.kruskalWallis(adversarial, "g", "v", Seq("a", "b"))
+    }
+    assert(e.getMessage.contains(">32 distinct groups"))
+    // a conforming roster still passes through the bounded probe exactly
+    val ok = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(3.0, 4.0).map(("b", _)))
+      .toDF("g", "v")
+    assert(Stats.kruskalWallis(ok, "g", "v", Seq("a", "b"))
+      .collect().head.getAs[Long]("n") == 4L)
+    // drift within the bound still reports the full observed roster
+    val drifted = (Seq(1.0).map(("a", _)) ++ Seq(2.0).map(("c", _)))
+      .toDF("g", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.anovaOneWay(drifted, "g", "v", Seq("a", "b"))
+    }
+    assert(e2.getMessage.contains("[a, c]"))
+  }
 }
