@@ -64,6 +64,8 @@ object ScaleStress {
       if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly ||
           exactsubstrOnly || graph8Mode || stats8Mode ||
           args.headOption.contains("text8") ||
+          args.headOption.contains("rank9") ||
+          args.headOption.contains("ckpt9") ||
           args.headOption.contains("ext8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
@@ -556,6 +558,141 @@ object ScaleStress {
         println(f"STRESS-STATS8 k=$k rows=$n users=$nUsers " +
           f"t_kw=$tKw%.2f t_interarrival=$tIa%.2f t_pr=$tPr%.2f " +
           f"t_cuped=$tCu%.2f")
+      }
+    }
+    // round-9 rank/ECDF stress: the exact rank statistics' ordered
+    // window runs at the DISTINCT-VALUE grain — on a continuous axis
+    // distinct ≈ rows, so the window is a one-partition sort of the
+    // corpus (the round-8 audit's one weak plan family). Each copy here
+    // shifts the centi lattice by one unit AND adds a per-row jitter of
+    // up to 9.97 value units, so the distinct-value axis grows with k
+    // like a real continuous feature's would (plain replication would
+    // keep distinct flat and hide the tail). The binned twins bound the
+    // same window at 1000 rows; flat-vs-growing is the pass criterion.
+    val rank9Ks =
+      if (args.headOption.contains("rank9")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (rank9Ks.nonEmpty) {
+      val ev9 = Tables.events(spark, "/root/testdata/sf0.1")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      for (k <- rank9Ks) {
+        // a bounded range caps the centi lattice at range·100 points no
+        // matter how many rows exist — so each copy occupies a DISJOINT
+        // 1,180-unit block and every row gets an event-keyed jitter that
+        // actually widens the block (0..1000 in 0.01 steps): distinct
+        // lattice points then track rows (~90%), the 100 TB shape
+        val corpus = (0 until k).map(i =>
+          ev9.select(col("event_type"),
+            (col("value") + lit(i * 1200.0) +
+              (col("event_id") % 100000).cast("double") * 0.01)
+              .as("value"),
+            (col("value") * 3.0 + lit(i * 3600.0) +
+              (col("user_id") % 100000).cast("double") * 0.03)
+              .as("value2")))
+          .reduce(_ unionByName _) // NOT checkpointed (lineage is cheap;
+                                   // the k=100 copy would pin GBs)
+        val n = corpus.count()
+        val dv = corpus.select(round(col("value") * 100, 0)).distinct()
+          .count()
+        val (tMwE, _) = timeMin2 {
+          graft.ops.Stats.mannWhitney(corpus, "event_type", "value",
+            "purchase", "view").queryExecution.toRdd.count()
+        }
+        val (tMwB, _) = timeMin2 {
+          graft.ops.Stats.mannWhitneyBinned(corpus, "event_type", "value",
+            "purchase", "view").queryExecution.toRdd.count()
+        }
+        val (tCvE, _) = timeMin2 {
+          graft.ops.Drift.cvmTest(corpus, "value", "event_type",
+            "purchase", "view").queryExecution.toRdd.count()
+        }
+        val (tCvB, _) = timeMin2 {
+          graft.ops.Drift.cvmBinned(corpus, "value", "event_type",
+            "purchase", "view").queryExecution.toRdd.count()
+        }
+        val (tSpE, _) = timeMin2 {
+          graft.ops.Stats.spearman(corpus, "value", "value2")
+            .queryExecution.toRdd.count()
+        }
+        val (tSpB, _) = timeMin2 {
+          graft.ops.Stats.spearmanBinned(corpus, "value", "value2")
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-RANK9 k=$k rows=$n distinct_v=$dv " +
+          f"t_mw_exact=$tMwE%.2f t_mw_binned=$tMwB%.2f " +
+          f"t_cvm_exact=$tCvE%.2f t_cvm_binned=$tCvB%.2f " +
+          f"t_spearman_exact=$tSpE%.2f t_spearman_binned=$tSpB%.2f")
+      }
+      // entity-grain leg: the decision stump's ntile is a one-partition
+      // sort of the ENTITY table (customers) — smaller grain than
+      // events, so the sort bites later; this pins where. Copies get
+      // disjoint acctbal blocks (same range logic as above).
+      val cust9 = Tables.customer(spark, "/root/testdata/sf0.1")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val buyers9 = Tables.orders(spark, "/root/testdata/sf0.1")
+        .select(col("o_custkey")).distinct().localCheckpoint(eager = false)
+      for (k <- rank9Ks) {
+        val ck = (0 until k).map(i =>
+          cust9.select((col("c_custkey") + lit(i * 10000000L))
+            .as("c_custkey"),
+            (col("c_acctbal") + lit(i * 12000.0) +
+              (col("c_custkey") % 100000).cast("double") * 0.01)
+              .as("c_acctbal")))
+          .reduce(_ unionByName _)
+          .join(buyers9, col("c_custkey") % 10000000L === col("o_custkey"),
+            "left")
+        val nC = ck.count()
+        val (tStE, _) = timeMin2 {
+          graft.ops.Learn.decisionStump(ck, "c_custkey", "c_acctbal",
+            col("o_custkey").isNotNull, bins = 10)
+            .queryExecution.toRdd.count()
+        }
+        val (tStB, _) = timeMin2 {
+          graft.ops.Learn.decisionStumpBinned(ck, "c_custkey", "c_acctbal",
+            col("o_custkey").isNotNull, bins = 256)
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-RANK9-STUMP k=$k entities=$nC " +
+          f"t_stump_ntile=$tStE%.2f t_stump_binned=$tStB%.2f")
+      }
+    }
+    // round-9 checkpoint-posture stress (verdict item 4): the iterative
+    // family's localCheckpoint pins every truncated frame in EXECUTOR
+    // STORAGE memory for the whole run — data-proportional and not
+    // fault-tolerant. The reliable checkpoint (Ckpt.cut with a dir)
+    // trades one disk write/read per superstep for ~zero pinned block
+    // memory. This leg measures both on the same k×-replicated graph:
+    // pinned storage bytes is the readout (it is what OOM'd the 100×
+    // ext8 sweep at 8g before round 9 removed those checkpoints).
+    val ckpt9Ks =
+      if (args.headOption.contains("ckpt9")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (ckpt9Ks.nonEmpty) {
+      val li9 = Tables.lineitem(spark, "/root/testdata/sf0.1")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      for (k <- ckpt9Ks) {
+        val edgesK = (0 until k).map(i =>
+          li9.select((col("l_orderkey") + lit(i * 100000000L)).as("src"),
+            (col("l_suppkey") + lit(i * 1000000L)).as("dst")))
+          .reduce(_ unionByName _)
+        for (mode <- Seq("local", "reliable")) {
+          val dir =
+            if (mode == "reliable") Some("/tmp/graft-ckpt9") else None
+          val (t, nOut) = timeMin2 {
+            graft.ops.Graph.pageRank(edgesK, "src", "dst",
+              iterations = 5, checkpointDir = dir)
+              .queryExecution.toRdd.count()
+          }
+          val pinned = spark.sparkContext.getRDDStorageInfo
+            .map(_.memSize).sum
+          println(f"STRESS-CKPT9 k=$k mode=$mode t=$t%.2f nodes=$nOut " +
+            f"storage_pinned_mb=${pinned / 1e6}%.1f")
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+        }
       }
     }
     // round-8 text-pipeline stress: span corruption (hash mask + island

@@ -41,15 +41,19 @@ object Clustering {
     * seed selection is TakeOrdered(k).
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-             iterations: Int): DataFrame = {
+             iterations: Int,
+             checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && k <= 1024, s"kmeans: k in [1, 1024] (got $k)")
     require(iterations >= 1 && iterations <= 20,
       s"kmeans: iterations in [1, 20] (got $iterations)")
-    val vecs = emb.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v")).localCheckpoint()
-    var cent = vecs.orderBy(col("__id")).limit(k)
-      .select(col("__id").as("__cl"), col("__v").as("__c"))
-      .localCheckpoint()
+    // vecs is CORPUS-sized — localCheckpoint pins it in block memory
+    // for the whole run; checkpointDir = the reliable posture
+    val vecs = Ckpt.cut(emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v")),
+      checkpointDir, eager = true)
+    var cent = Ckpt.cut(vecs.orderBy(col("__id")).limit(k)
+      .select(col("__id").as("__cl"), col("__v").as("__c")),
+      checkpointDir, eager = true)
     def assign(c: DataFrame): DataFrame = vecs
       .crossJoin(broadcast(c))
       .withColumn("__d2",
@@ -72,7 +76,7 @@ object Clustering {
           .as("__sm"))
         .select(col("__cl"),
           transform(col("__sm"), s => s.getField("__m")).as("__c"))
-        .localCheckpoint(eager = false)
+      cent = Ckpt.cut(cent, checkpointDir)
     }
     assign(cent)
       .select(col("__id").as(idCol), col("cluster"),

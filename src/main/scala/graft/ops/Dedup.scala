@@ -498,16 +498,18 @@ object Dedup {
     * component shows up.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // checkpoint once — the union below consumes `half` twice, and the
-    // upstream pair plan (LSH/shingle self-join) must not recompute
-    val half = pairs.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
-    val edges = half
+    // upstream pair plan (LSH/shingle self-join) must not recompute.
+    // checkpointDir = reliable-checkpoint posture (Ckpt.cut scaladoc)
+    val half = Ckpt.cut(pairs.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")), checkpointDir, eager = true)
+    val edges = Ckpt.cut(half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+      .distinct(), checkpointDir, eager = true)
+    var labels = Ckpt.cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")), checkpointDir, eager = true)
     // labels only ever DECREASE under min-propagation, so the exact label
     // sum is strictly monotone — comparing sums detects convergence with
     // one tiny aggregate over the checkpointed frame instead of a join
@@ -520,12 +522,12 @@ object Dedup {
     var changed = true
     var i = 0
     while (changed && i < maxIters) {
-      val prop = edges.as("e")
+      val prop = Ckpt.cut(edges.as("e")
         .join(labels.as("l"), col("e.src") === col("l.id"))
         .select(col("e.dst").as("id"), col("l.component").as("component"))
         .union(labels)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .groupBy("id").agg(min("component").as("component")),
+        checkpointDir, eager = true)
       val newSum = labelSum(prop)
       changed = newSum.compareTo(prevSum) != 0
       prevSum = newSum
@@ -563,22 +565,25 @@ object Dedup {
     * inside `maxIters` throws loudly, like the propagation form.
     */
   def connectedComponentsStar(pairs: DataFrame, srcCol: String,
-                              dstCol: String, maxIters: Int = 40): DataFrame = {
+                              dstCol: String, maxIters: Int = 40,
+                              checkpointDir: Option[String] = None)
+      : DataFrame = {
     // checkpoint the raw pair list ONCE: `pairs` is typically an expensive
     // upstream plan (LSH/shingle self-join) and is consumed three times
     // below (nodes twice via the union, edges once) — without this the
     // whole upstream recomputes per consumer
-    val raw = pairs.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b")).localCheckpoint()
-    val nodes = raw.select(col("a").as("id"))
-      .union(raw.select(col("b").as("id"))).distinct().localCheckpoint()
+    val raw = Ckpt.cut(pairs.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")), checkpointDir, eager = true)
+    val nodes = Ckpt.cut(raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct(),
+      checkpointDir, eager = true)
     if (nodes.isEmpty)
       return nodes.withColumn("component", col("id"))
     // canonical orientation: (u = bigger, v = smaller), no self loops
-    var edges = raw.filter(col("a") =!= col("b"))
+    var edges = Ckpt.cut(raw.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct(), checkpointDir, eager = true)
     // decimal(38,0) sum: ANSI mode forbids the wrapping long sum a hash
     // aggregate would need (same device as the propagation convergence)
     def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -604,12 +609,12 @@ object Dedup {
       // small-star: edges are all (bigger, smaller) now, so each node's
       // smaller neighborhood is exactly its outgoing edge list
       val mSmall = afterLarge.groupBy("u").agg(min("v").as("m"))
-      val afterSmall = afterLarge.join(mSmall, "u")
+      val afterSmall = Ckpt.cut(afterLarge.join(mSmall, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mSmall.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct(), checkpointDir, eager = true)
       val cur = signature(afterSmall)
       converged = cur == prev
       prev = cur

@@ -79,6 +79,71 @@ object Drift {
       .drop("__vl", "__lo", "__hi")
   }
 
+  /** Shared first step of the two-sample lattice statistics: ONE
+    * corpus-sized aggregation to per-centi-lattice-value side counts.
+    * Everything downstream (exact fold, or bin-then-fold) works on the
+    * distinct-value frame — so the binned twins cost the SAME single
+    * corpus pass as their exact siblings (the rank9 lesson: a separate
+    * bounds pass over the corpus doubled the binned forms' scan cost).
+    */
+  private def sideCounts(tagged: DataFrame, valueCol: String,
+                         sideCol: String, a: String, b: String): DataFrame =
+    cleanSamples(tagged, valueCol)
+      .filter(col(sideCol) === a || col(sideCol) === b)
+      .groupBy(round(col(valueCol) * 100, 0).cast("long").as("__v"))
+      .agg(sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("__cb"))
+
+  /** [[latticeBin]]'s integer binning applied to a PER-DISTINCT-VALUE
+    * count frame (`__v` on the centi lattice + `countCols`): exact
+    * integer bounds from the distinct frame itself (cheap — no corpus
+    * pass), floor-division bin and representative per the latticeBin
+    * contract, counts re-summed at the bin grain. Binning is a pure
+    * function of `__v`, so bin-of-rows ≡ bin-of-distinct-values and the
+    * `*_binned` oracles replay either way.
+    */
+  private[ops] def binCounts(perValue: DataFrame, bins: Int,
+                             countCols: Seq[String]): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"binCounts: bins in [2, 100000] (got $bins)")
+    val bounds = perValue.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"))
+    val aggs = countCols.map(c => sum(col(c)).as(c))
+    perValue.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)"))
+      .withColumn("__rv",
+        expr(s"__lo + (__bin * (__hi - __lo + 1)) div $bins"))
+      .groupBy(col("__bin"), col("__rv"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def cvmFold(perValue: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val totW = Window.partitionBy()
+    val cum2 = cum
+      .withColumn("__n", sum(col("__ca")).over(totW))
+      .withColumn("__m", sum(col("__cb")).over(totW))
+      .withColumn("__t", dec(col("__cuma")) * col("__m") -
+        dec(col("__cumb")) * col("__n"))
+    val f = cum2.agg(count(lit(1)).as("n_values"),
+      max(col("__n")).as("n_a"), max(col("__m")).as("n_b"),
+      sum(dec(col("__ca") + col("__cb")) * col("__t") * col("__t"))
+        .as("__num"))
+    val nD = col("n_a").cast("double"); val mD = col("n_b").cast("double")
+    val t = col("__num").cast("double") /
+      (((nD + mD) * (nD + mD)) * (nD * mD))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    f.select(col("n_a"), col("n_b"), col("n_values"),
+      round(when(ok, t), 6).as("cvm_t"),
+      when(ok, t > lit(0.461)).as("drifted"))
+  }
+
   /** Two-sample Cramér–von Mises statistic — the INTEGRATED-squared
     * ECDF-gap drift test where KS takes only the single worst gap: a
     * distribution that drifts a little EVERYWHERE moves CvM long before
@@ -105,36 +170,8 @@ object Drift {
     * reason to switch long before the decimal bound bites).
     */
   def cvmTest(tagged: DataFrame, valueCol: String, sideCol: String,
-              a: String, b: String): DataFrame = {
-    val perValue = cleanSamples(tagged, valueCol)
-      .filter(col(sideCol) === a || col(sideCol) === b)
-      .groupBy(round(col(valueCol) * 100, 0).cast("long").as("__v"))
-      .agg(sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("__cb"))
-    val w = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cum = perValue
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-    val totW = Window.partitionBy()
-    val cum2 = cum
-      .withColumn("__n", sum(col("__ca")).over(totW))
-      .withColumn("__m", sum(col("__cb")).over(totW))
-      .withColumn("__t", dec(col("__cuma")) * col("__m") -
-        dec(col("__cumb")) * col("__n"))
-    val f = cum2.agg(count(lit(1)).as("n_values"),
-      max(col("__n")).as("n_a"), max(col("__m")).as("n_b"),
-      sum(dec(col("__ca") + col("__cb")) * col("__t") * col("__t"))
-        .as("__num"))
-    val nD = col("n_a").cast("double"); val mD = col("n_b").cast("double")
-    val t = col("__num").cast("double") /
-      (((nD + mD) * (nD + mD)) * (nD * mD))
-    val ok = col("n_a") > 0 && col("n_b") > 0
-    f.select(col("n_a"), col("n_b"), col("n_values"),
-      round(when(ok, t), 6).as("cvm_t"),
-      when(ok, t > lit(0.461)).as("drifted"))
-  }
+              a: String, b: String): DataFrame =
+    cvmFold(sideCounts(tagged, valueCol, sideCol, a, b))
 
   /** [[cvmTest]] over [[latticeBin]]-coarsened values — the 100 TB form
     * of the CvM drift test (the ksTestBinned pattern): the ordered ECDF
@@ -144,19 +181,20 @@ object Drift {
     * statistic is the CvM T of the coarsened distributions — within-bin
     * mass relocates to one shared point on BOTH sides symmetrically, so
     * the T error is bounded by the pooled ECDF moving at most one bin's
-    * mass (DriftSpec pins it on a shifted-normal pair). Delegation IS
-    * the definition: binned twin ≡ exact statistic of coarsened values,
-    * which is what the DuckDB oracle replays.
+    * mass (DriftSpec pins it on a shifted-normal pair). Binned twin ≡
+    * exact statistic of coarsened values (what the oracle replays), at
+    * the SAME single corpus pass as the exact form: per-value counts
+    * first, the [[latticeBin]] integer binning applied to the distinct
+    * frame ([[binCounts]]), the identical fold after.
     */
   def cvmBinned(tagged: DataFrame, valueCol: String, sideCol: String,
-                a: String, b: String, bins: Int = 1000): DataFrame = {
-    val binned = latticeBin(
-      cleanSamples(tagged, valueCol)
-        .filter(col(sideCol) === a || col(sideCol) === b),
-      valueCol, bins)
-    cvmTest(binned.select(col("__bin").cast("double").as("__bv"),
-      col(sideCol)), "__bv", sideCol, a, b)
-  }
+                a: String, b: String, bins: Int = 1000): DataFrame =
+    cvmFold(binCounts(sideCounts(tagged, valueCol, sideCol, a, b), bins,
+      Seq("__ca", "__cb"))
+      // __v = bin·100: the lattice the delegation form committed to
+      // (cvmTest re-lattices its value ×100), kept so the registered
+      // oracle replays unchanged; ordering is the bin order either way
+      .select((col("__bin") * 100L).as("__v"), col("__ca"), col("__cb")))
 
   /** Two-sample ENERGY distance over centi-lattice values — the
     * moment-free drift metric with the clean closed form in 1-D:
@@ -174,12 +212,10 @@ object Drift {
     * lead(1) gap + one 1-row fold (the q_ks_drift class).
     */
   def energyDistance(tagged: DataFrame, valueCol: String, sideCol: String,
-                     a: String, b: String): DataFrame = {
-    val perValue = cleanSamples(tagged, valueCol)
-      .filter(col(sideCol) === a || col(sideCol) === b)
-      .groupBy(round(col(valueCol) * 100, 0).cast("long").as("__v"))
-      .agg(sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("__cb"))
+                     a: String, b: String): DataFrame =
+    energyFold(sideCounts(tagged, valueCol, sideCol, a, b))
+
+  private def energyFold(perValue: DataFrame): DataFrame = {
     val ord = Window.orderBy(col("__v"))
     val w = ord.rowsBetween(Window.unboundedPreceding, 0)
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -223,18 +259,16 @@ object Drift {
     * integer-lattice representative in ORIGINAL value units — and each
     * |x−y| moves by at most one bin width under coarsening, so
     * e_between, both e_within terms, and energy_d2 are each within one
-    * bin width of exact (DriftSpec pins it). Same delegation contract as
-    * [[cvmBinned]].
+    * bin width of exact (DriftSpec pins it). Same single-corpus-pass
+    * count-grain plan as [[cvmBinned]].
     */
   def energyBinned(tagged: DataFrame, valueCol: String, sideCol: String,
-                   a: String, b: String, bins: Int = 1000): DataFrame = {
-    val binned = latticeBin(
-      cleanSamples(tagged, valueCol)
-        .filter(col(sideCol) === a || col(sideCol) === b),
-      valueCol, bins)
-    energyDistance(binned.select(col("__binv"), col(sideCol)),
-      "__binv", sideCol, a, b)
-  }
+                   a: String, b: String, bins: Int = 1000): DataFrame =
+    energyFold(binCounts(sideCounts(tagged, valueCol, sideCol, a, b), bins,
+      Seq("__ca", "__cb"))
+      // __v = the bin's lattice representative: gaps stay in value
+      // units for the E|·| integrals (the registered oracle's repr)
+      .select(col("__rv").as("__v"), col("__ca"), col("__cb")))
 
   /** Exact two-sample KS survival probability P(D ≥ d) under the null, by
     * lattice-path counting (Hodges 1958 — the same construction
@@ -439,11 +473,116 @@ object Drift {
     ecdfMax(guarded, col("v"))
   }
 
-  private def melt(df: DataFrame, sideCol: String,
-                   features: Seq[String]): DataFrame = {
+  private[graft] def meltKeep(df: DataFrame, keep: Seq[String],
+                              features: Seq[String]): DataFrame = {
     val stackExpr = features.map(f => s"'$f', cast($f as double)")
       .mkString(s"stack(${features.size}, ", ", ", ") as (feature, v)")
-    df.selectExpr(sideCol, stackExpr)
+    df.selectExpr(keep :+ stackExpr: _*)
+  }
+
+  private def melt(df: DataFrame, sideCol: String,
+                   features: Seq[String]): DataFrame =
+    meltKeep(df, Seq(sideCol), features)
+
+  /** REFERENCE-frozen per-feature bin bounds — the production drift-
+    * monitor posture: bin edges are fixed from the reference (training/
+    * baseline) sample once, so the live side can be histogrammed
+    * incrementally (a streaming aggregation) without a second pass over
+    * the data for bounds. Live values outside the reference range clamp
+    * into the edge bins — exactly the "new mass beyond the training
+    * support" a drift monitor should pile up at the extremes, not drop.
+    */
+  def refBounds(ref: DataFrame, features: Seq[String]): DataFrame =
+    cleanSamples(meltKeep(ref, Nil, features), "v")
+      .groupBy(col("feature"))
+      .agg(min(col("v")).cast("double").as("lo"),
+        max(col("v")).cast("double").as("hi"))
+
+  /** Per-feature histogram of `df` against the FROZEN `bounds` (from
+    * [[refBounds]]): one broadcast join + one keyed count — the shape a
+    * streaming engine can run incrementally (`keep` carries the
+    * event-time window column through the melt). Bin rule matches
+    * [[sweep]] plus the lower clamp frozen bounds make necessary.
+    */
+  /** The clamped frozen-bounds bin assignment shared by the batch and
+    * streaming histogram twins — ONE definition so closed stream
+    * windows can equal the batch sweep bit-for-bit. */
+  private[graft] def binAgainstBounds(melted: DataFrame, bounds: DataFrame,
+                                      bins: Int): DataFrame =
+    melted.join(broadcast(bounds), "feature")
+      .withColumn("bin",
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(greatest(
+            floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / bins))
+              .cast("int"), lit(0)), lit(bins - 1))))
+
+  def refHistogram(df: DataFrame, features: Seq[String],
+                   bounds: DataFrame, bins: Int = 1000,
+                   keep: Seq[String] = Nil): DataFrame =
+    binAgainstBounds(cleanSamples(meltKeep(df, keep, features), "v"),
+      bounds, bins)
+      .groupBy((keep :+ "feature" :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Binned KS of a current histogram against the reference histogram,
+    * per (`groupCols`, feature) — the fold half of the split
+    * histogram-then-compare drift monitor: all corpus-sized work
+    * happened upstream in [[refHistogram]] (or its streaming twin
+    * [[graft.streaming.Pipeline.streamingDriftHistogram]]); this joins
+    * two ≤ features·bins-row frames and runs the bounded ECDF window.
+    * `curHist` needs (groupCols, feature, bin, ca); `refHist`
+    * (feature, bin, cb) — the reference repeats across every group
+    * (window), including bins the live side never produced (an empty
+    * live bin still moves the ECDF gap).
+    */
+  def ksFromHistograms(curHist: DataFrame, refHist: DataFrame,
+                       groupCols: Seq[String] = Nil): DataFrame = {
+    val refAll =
+      if (groupCols.isEmpty) refHist
+      else refHist.crossJoin(
+        broadcast(curHist.select(groupCols.map(col): _*).distinct()))
+    // merge via union + re-aggregate, not a full outer join: the
+    // window roster above derives FROM curHist, and joining a frame
+    // against its own lineage trips Catalyst's conflicting-reference
+    // resolution; the union is also one shuffle on the final key
+    val keyCols = groupCols ++ Seq("feature", "bin")
+    val merged = curHist
+      .select((keyCols.map(col) :+ col("ca") :+ lit(0L).as("cb")): _*)
+      .unionByName(refAll.select(
+        (keyCols.map(col) :+ lit(0L).as("ca") :+ col("cb")): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val keys = (groupCols :+ "feature").map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(keys: _*)
+    merged
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .groupBy(keys: _*)
+      .agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(max(abs(col("cuma").cast("double") / col("na") -
+          col("cumb").cast("double") / col("nb"))), 6).as("ks_stat"))
+      .orderBy((groupCols :+ "feature").map(col): _*)
+  }
+
+  /** D4 against a SEPARATE reference frame: the batch twin of the
+    * streaming drift monitor (bounds frozen from `ref`, live side
+    * clamped) — closed stream windows reproduce this bit-for-bit
+    * (StreamingSmokeSpec asserts it). Use [[sweep]] when both sides
+    * live in one tagged frame and bounds may pool.
+    */
+  def sweepVsRef(cur: DataFrame, ref: DataFrame, features: Seq[String],
+                 bins: Int = 1000): DataFrame = {
+    val bounds = refBounds(ref, features)
+    val curH = refHistogram(cur, features, bounds, bins)
+      .withColumnRenamed("cnt", "ca")
+    val refH = refHistogram(ref, features, bounds, bins)
+      .withColumnRenamed("cnt", "cb")
+    ksFromHistograms(curH, refH)
   }
 
   /** Shared ECDF tail of both sweep forms: running sums over the ordered
@@ -796,6 +935,10 @@ object Drift {
     val perValue = clean.groupBy(col(valueCol).as("v")).agg(
       sum(when(col(sideCol) === a, 1L).otherwise(0L)).as("ca"),
       sum(when(col(sideCol) === b, 1L).otherwise(0L)).as("cb"))
+    kuiperFold(perValue)
+  }
+
+  private def kuiperFold(perValue: DataFrame): DataFrame = {
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy()
@@ -822,18 +965,15 @@ object Drift {
     * Kuiper only reads ORDER, so the coarsened axis is the bin id; each
     * one-sided sup can lose at most the largest single-bin mass, so V
     * is within one bin's pooled mass below exact (never above — a sup
-    * over a subset of evaluation points). Same delegation contract as
-    * [[cvmBinned]].
+    * over a subset of evaluation points). Same single-corpus-pass
+    * count-grain plan as [[cvmBinned]].
     */
   def kuiperBinned(tagged: DataFrame, valueCol: String, sideCol: String,
-                   a: String, b: String, bins: Int = 1000): DataFrame = {
-    val binned = latticeBin(
-      cleanSamples(tagged, valueCol)
-        .filter(col(sideCol) === a || col(sideCol) === b),
-      valueCol, bins)
-    kuiperTest(binned.select(col("__bin").cast("double").as("__bv"),
-      col(sideCol)), "__bv", sideCol, a, b)
-  }
+                   a: String, b: String, bins: Int = 1000): DataFrame =
+    kuiperFold(binCounts(sideCounts(tagged, valueCol, sideCol, a, b), bins,
+      Seq("__ca", "__cb"))
+      .select(col("__bin").as("v"), col("__ca").as("ca"),
+        col("__cb").as("cb")))
 
   /** Total variation distance between two categorical distributions —
     * TVD = ½·Σ|pᵢ − qᵢ|, the "what fraction of probability mass moved"

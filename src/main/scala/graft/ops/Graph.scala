@@ -24,26 +24,32 @@ object Graph {
     * the standard stochastic-matrix completion, so total rank stays 1.
     *
     * For an undirected graph, pass both edge directions.
+    *
+    * `checkpointDir` switches superstep lineage truncation from
+    * `localCheckpoint` (executor-storage-pinned, not fault-tolerant —
+    * the edge list stays resident for the whole run) to reliable
+    * `checkpoint` under the given path — see [[Ckpt.cut]] for the
+    * memory/fault-tolerance budget at 100 TB.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, damping: Double = 0.85): DataFrame = {
+               iterations: Int, damping: Double = 0.85,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"pageRank: iterations in [1, 50] (got $iterations)")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping in (0, 1) (got $damping)")
     // lazy checkpoints: both materialize during the single deg.count()
     // action below instead of paying one eager pass each
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
-      .localCheckpoint(eager = false)
+    val e = Ckpt.cut(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct(), checkpointDir)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-    val deg = nodes.join(
+    val deg = Ckpt.cut(nodes.join(
         e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg")),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
-      .localCheckpoint(eager = false)
+      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg")),
+      checkpointDir)
     val nN = deg.count() // bounded: one long, drives the 1/N literals
     var pr = deg.withColumn("rank", lit(1.0 / nN))
     for (_ <- 1 to iterations) {
@@ -54,14 +60,14 @@ object Graph {
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("out_deg")).as("__in"))
-      pr = deg
+      pr = Ckpt.cut(deg
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .withColumn("rank",
           lit((1.0 - damping) / nN) + lit(damping) *
             (coalesce(col("__in"), lit(0.0)) + col("__dm") / lit(nN.toDouble)))
-        .select(col("node"), col("out_deg"), col("rank"))
-        .localCheckpoint(eager = false)
+        .select(col("node"), col("out_deg"), col("rank")),
+        checkpointDir)
     }
     pr.select(col("node"), col("out_deg"), round(col("rank"), 6).as("pagerank"))
       .orderBy("node")
@@ -279,15 +285,15 @@ object Graph {
     * truncated per superstep.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iterations: Int): DataFrame = {
+           iterations: Int,
+           checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"hits: iterations in [1, 20] (got $iterations)")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
-      .localCheckpoint(eager = false)
-    val nodes = e.select(col("src").as("node"))
+    val e = Ckpt.cut(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct(), checkpointDir)
+    val nodes = Ckpt.cut(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(eager = false)
+      .distinct(), checkpointDir)
     // one normalized half-step: exact long fold -> exact integer
     // half-up rounding of raw·1e9/tot via (2·raw·1e9 + tot) div (2·tot)
     // in decimal(38,0) (IntegralDivide returns a long) -> back to the
@@ -295,13 +301,13 @@ object Graph {
     // in/out edges) carry an exact 0. No float anywhere.
     def norm(raw: DataFrame, out: String): DataFrame = {
       val tot = raw.agg(sum(col("__raw")).as("__tot"))
-      nodes.join(raw, Seq("node"), "left")
+      Ckpt.cut(nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))
         .select(col("node"),
           expr("CAST((CAST(coalesce(__raw, 0L) AS DECIMAL(38,0)) " +
             "* 2000000000 + __tot) div " +
-            "(CAST(__tot AS DECIMAL(38,0)) * 2) AS BIGINT)").as(out))
-        .localCheckpoint(eager = false)
+            "(CAST(__tot AS DECIMAL(38,0)) * 2) AS BIGINT)").as(out)),
+        checkpointDir)
     }
     var h = nodes.select(col("node"), lit(1000000000L).as("hm"))
     var a = nodes.select(col("node"), lit(0L).as("am"))

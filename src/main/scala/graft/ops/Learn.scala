@@ -238,6 +238,82 @@ object Learn {
       .orderBy("split_bin")
   }
 
+  /** [[decisionStump]] over [[Drift.latticeBin]] fixed-width bins — the
+    * 100 TB form: the exact stump's `ntile` quantile binning is a
+    * SINGLE-PARTITION sort of the entity grain (fine for customers,
+    * the scale-killer for event-grain features); fixed-width lattice
+    * bins need only the 1-row bounds broadcast plus one keyed
+    * aggregation, so nothing ever sorts the corpus. Split candidates
+    * are the ≤ `bins` non-empty bin boundaries (every present bin but
+    * the last) — the threshold grid is value-uniform instead of
+    * mass-uniform, the standard histogram-split trade (LightGBM's
+    * default posture). Same output schema; the elected threshold is
+    * within one bin width of a boundary the exact form could pick.
+    */
+  def decisionStumpBinned(df: DataFrame, keyCol: String,
+                          featureCol: String, target: Column,
+                          bins: Int = 256): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"decisionStumpBinned: bins in [2, 100000] (got $bins)")
+    val base = df.select(col(keyCol).as("__k"),
+        col(featureCol).cast("double").as("__f"),
+        target.cast("boolean").as("__y"))
+      .filter(col("__f").isNotNull && !isnan(col("__f")) &&
+        col("__y").isNotNull)
+    // ONE corpus pass to per-lattice-value sufficient stats, then the
+    // latticeBin integer binning on the DISTINCT frame (the rank9
+    // lesson: row-grain binning pays the corpus twice for bounds)
+    val perVal = base
+      .groupBy(round(col("__f") * 100, 0).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        max(col("__f")).as("__thr"))
+    val bounds = perVal.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"))
+    val per = perVal.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"),
+        max(col("__thr")).as("__thr"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy()
+    val tot = per.agg(sum(col("__n")).as("__nt"), sum(col("__p")).as("__pt"))
+    def g(p: Column, n: Column): Column = {
+      val pD = p.cast("double"); val nD = n.cast("double")
+      lit(2.0) * pD / nD * (lit(1.0) - pD / nD)
+    }
+    val cand = per
+      .withColumn("__nl", sum(col("__n")).over(wCum))
+      .withColumn("__pl", sum(col("__p")).over(wCum))
+      .withColumn("__bmax", max(col("__b")).over(whole))
+      .crossJoin(broadcast(tot))
+      .filter(col("__b") < col("__bmax"))
+      .withColumn("__nr", col("__nt") - col("__nl"))
+      .withColumn("__pr", col("__pt") - col("__pl"))
+      .withColumn("__gain",
+        g(col("__pt"), col("__nt")) -
+          (col("__nl").cast("double") / col("__nt").cast("double") *
+            g(col("__pl"), col("__nl")) +
+           col("__nr").cast("double") / col("__nt").cast("double") *
+            g(col("__pr"), col("__nr"))))
+      .withColumn("__gl", round(col("__gain") * 1e12, 0).cast("long"))
+    val best = cand.agg(
+      min(struct((-col("__gl")).as("__neg"), col("__b").as("__bb")))
+        .as("__best"))
+    cand.crossJoin(broadcast(best))
+      .select(col("__b").as("split_bin"),
+        round(col("__thr"), 6).as("threshold"),
+        col("__nl").as("n_left"), col("__pl").as("pos_left"),
+        col("__nr").as("n_right"), col("__pr").as("pos_right"),
+        round(g(col("__pl"), col("__nl")), 6).as("gini_left"),
+        round(g(col("__pr"), col("__nr")), 6).as("gini_right"),
+        round(col("__gain"), 6).as("gini_gain"),
+        (col("__b") === col("__best.__bb")).as("is_best"))
+      .orderBy("split_bin")
+  }
+
   /** Multinomial Naive Bayes text classifier, trained and scored fully
     * in-engine: the classic counting classifier (language ID, topic/
     * source routing) whose entire "training" is two keyed aggregations —
@@ -341,24 +417,28 @@ object Learn {
     * iterate-with-checkpoint shape of [[Clustering.kmeans]].
     */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
-                   loserCol: String, iterations: Int = 4): DataFrame = {
+                   loserCol: String, iterations: Int = 4,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 12,
       s"bradleyTerry: iterations in [1, 12] (got $iterations)")
-    val comps = comparisons.select(col(winnerCol).cast("long").as("__w"),
-      col(loserCol).cast("long").as("__l"))
-      .filter(col("__w") =!= col("__l"))
-      .localCheckpoint(eager = false)
-    val pairs = comps
+    // comps/pairs are MATCHUP-grain (data-sized): under the default
+    // localCheckpoint they pin block memory for the whole run — pass
+    // checkpointDir for the reliable posture (Ckpt.cut scaladoc)
+    val comps = Ckpt.cut(
+      comparisons.select(col(winnerCol).cast("long").as("__w"),
+        col(loserCol).cast("long").as("__l"))
+        .filter(col("__w") =!= col("__l")), checkpointDir)
+    val pairs = Ckpt.cut(comps
       .select(col("__w").as("__i"), col("__l").as("__j"))
       .unionByName(comps.select(col("__l").as("__i"), col("__w").as("__j")))
-      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__nij"))
-      .localCheckpoint(eager = false)
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__nij")),
+      checkpointDir)
     val wins = comps.groupBy(col("__w").as("node"))
       .agg(count(lit(1)).as("n_wins"))
-    val nodes = pairs.select(col("__i").as("node")).distinct()
+    val nodes = Ckpt.cut(pairs.select(col("__i").as("node")).distinct()
       .join(wins, Seq("node"), "left")
-      .select(col("node"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
-      .localCheckpoint(eager = false)
+      .select(col("node"), coalesce(col("n_wins"), lit(0L)).as("n_wins")),
+      checkpointDir)
     // the strength frame is PLAYER-grain (leagues are entities, not
     // events) — broadcast it so the matchup table is never re-shuffled
     // per superstep; beyond ~10M players switch these to keyed joins
@@ -387,12 +467,11 @@ object Learn {
         greatest(sum(col("__raw").cast("decimal(38,0)")),
           lit(1L).cast("decimal(38,0)")).as("__tot"),
         count(lit(1)).cast("decimal(38,0)").as("__np"))
-      raw.crossJoin(broadcast(tot))
+      Ckpt.cut(raw.crossJoin(broadcast(tot))
         .select(col("node"), expr(
           "CAST((CAST(__raw AS DECIMAL(38,0)) * __np * 2000000000" +
             " + __tot) div (CAST(__tot AS DECIMAL(38,0)) * 2)" +
-            " AS BIGINT)").as("wm"))
-        .localCheckpoint(eager = false)
+            " AS BIGINT)").as("wm")), checkpointDir)
     }
     var w = nodes.select(col("node"), lit(1000000000L).as("wm"))
     for (_ <- 1 to iterations) w = step(w)

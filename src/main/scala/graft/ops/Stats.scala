@@ -1228,28 +1228,47 @@ object Stats {
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
     checkRoster(base, "kruskalWallis", groups)
-    val perVal = base.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    val perValAggs = groups.sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i") }
+    // per-(distinct value, group) counts carry EVERYTHING the H combine
+    // needs (rank sums are Σ cⱼ(v)·r2(v)), so the exact form never
+    // joins ranks back to the corpus — ONE corpus pass (the round-9
+    // plan fix), and the binned twin reuses the identical fold
+    val perVal = base.groupBy(col("__v"))
+      .agg(perValAggs.head, perValAggs.tail: _*)
+    kwFold(perVal, groups)
+  }
+
+  /** Kruskal–Wallis close over a per-distinct-value per-group count
+    * frame (`__v` + `__c0..__c{k-1}` in groups.sorted order): bounded
+    * ordered window for the 2×-midranks, one CASE-free fold (rank
+    * products in decimal(38,0)), fixed-order H combine. */
+  private def kwFold(perVal: DataFrame, groups: Seq[String]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withN = perVal.withColumn("__n",
+      groups.indices.map(i => col(s"__c$i")).reduce(_ + _))
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = perVal.withColumn("__r2",
+    val ranked = withN.withColumn("__r2",
       lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
         + col("__n") + lit(1L))
-    val ranked = base.join(ranks.select(col("__v"), col("__r2")), Seq("__v"))
-    val aggs = groups.sorted.zipWithIndex.flatMap { case (g, i) =>
-      Seq(sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$i"),
-        sum(when(col("__g") === g, col("__r2")).otherwise(0L)).as(s"__s$i"))
-    } :+ count(lit(1)).as("n")
+    val aggs = groups.indices.flatMap { i =>
+      Seq(coalesce(sum(col(s"__c$i")), lit(0L)).as(s"__n$i"),
+        coalesce(sum(dec(col(s"__c$i")) * col("__r2")),
+          lit(0L).cast("decimal(38,0)")).as(s"__s$i"))
+    } ++ Seq(coalesce(sum(col("__n")), lit(0L)).as("n"),
+      coalesce(sum(col("__n") * col("__n") * col("__n") - col("__n")),
+        lit(0L)).as("__tsum"))
     val folded = ranked.agg(aggs.head, aggs.tail: _*)
-    val ties = perVal.agg(coalesce(sum(col("__n") * col("__n") * col("__n")
-      - col("__n")), lit(0L)).as("__tsum"))
     // H = 3/(n(n+1)) · Σ s2ⱼ²/nⱼ − 3(n+1)  (2×-rank algebra folds the
     // usual 12/(n(n+1)) and the /4 from squaring the doubled ranks)
     val hTerms = groups.indices.map(i =>
-      col(s"__s$i").cast("double") * col(s"__s$i") / col(s"__n$i"))
+      col(s"__s$i").cast("double") * col(s"__s$i").cast("double")
+        / col(s"__n$i"))
       .reduce(_ + _)
     val nn = col("n").cast("double")
     val h = lit(3.0) / (nn * (nn + 1.0)) * hTerms - lit(3.0) * (nn + 1.0)
-    folded.crossJoin(broadcast(ties))
+    folded
       .select((Seq(col("n")) ++
         groups.sorted.zipWithIndex.map { case (g, i) =>
           col(s"__n$i").as(s"n_$g") } ++ Seq(
@@ -1269,15 +1288,29 @@ object Stats {
     * H statistic of the coarsened distributions, within the one-bin
     * rank-relocation bound (StatsSpec pins it: same verdict as exact
     * on separated groups, H within a few % at bins=100 on interleaved
-    * ones). Delegation IS the definition: binned twin ≡ exact
-    * statistic of coarsened values, which the DuckDB oracle replays.
+    * ones). Same single corpus pass as the exact form (per-value
+    * counts first, binned on the distinct frame), identical fold; the
+    * DuckDB oracle replays the statistic of the coarsened values.
     */
   def kruskalWallisBinned(df: DataFrame, groupCol: String, valueCol: String,
                           groups: Seq[String], bins: Int = 1000): DataFrame = {
-    val base = df.filter(col(groupCol).isNotNull)
-    val binned = Drift.latticeBin(base, valueCol, bins)
-    kruskalWallis(binned.select(col(groupCol),
-      col("__bin").cast("double").as("__bv")), groupCol, "__bv", groups)
+    require(groups.nonEmpty && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"kruskalWallisBinned: 1..32 distinct declared groups (got $groups)")
+    val v = col(valueCol).cast("double")
+    val base = df.select(col(groupCol).as("__g"), v.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v")))
+    checkRoster(base, "kruskalWallisBinned", groups)
+    val perValAggs = groups.sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i") }
+    val perVal = base
+      .groupBy(round(col("__v") * 100, 0).cast("long").as("__v"))
+      .agg(perValAggs.head, perValAggs.tail: _*)
+    kwFold(Drift.binCounts(perVal, bins,
+        groups.indices.map(i => s"__c$i"))
+      .select((col("__bin").cast("double").as("__v") +:
+        groups.indices.map(i => col(s"__c$i"))): _*), groups)
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) between TWO declared groups:
@@ -1303,25 +1336,41 @@ object Stats {
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isin(groupA, groupB) && col("__v").isNotNull)
-    val perVal = base.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    val perVal = base.groupBy(col("__v")).agg(
+      sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+    mwFold(perVal)
+  }
+
+  /** The Mann–Whitney close over a per-distinct-value two-side count
+    * frame — R_a2 = Σ ca(v)·r2(v) needs only the counts, so the exact
+    * form never joins ranks back to the corpus (ONE corpus pass, the
+    * round-9 plan fix) and [[mannWhitneyBinned]] reuses the identical
+    * fold over the bin grain. Rank-sum products go through
+    * decimal(38,0) (they aggregate to ~2n², the spearman overflow
+    * lesson applied preemptively).
+    */
+  private def mwFold(perVal: DataFrame): DataFrame = {
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = perVal.withColumn("__r2",
-      lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
-        + col("__n") + lit(1L))
-    val ties = perVal.agg(coalesce(sum(col("__n") * col("__n") * col("__n")
-      - col("__n")), lit(0L)).as("__tsum"))
-    val f = base.join(ranks.select(col("__v"), col("__r2")), Seq("__v"))
-      .agg(
-        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("__g") === groupA, col("__r2")).otherwise(0L))
-          .as("__ra2"))
-      .crossJoin(broadcast(ties))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withR = perVal
+      .withColumn("__n", col("__ca") + col("__cb"))
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+          + col("__n") + lit(1L))
+    val f = withR.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+      coalesce(sum(dec(col("__ca")) * col("__r2")),
+        lit(0L).cast("decimal(38,0)")).as("__ra2"),
+      coalesce(sum(col("__n") * col("__n") * col("__n") - col("__n")),
+        lit(0L)).as("__tsum"))
     val naD = col("n_a").cast("double")
     val nbD = col("n_b").cast("double")
     val nD = naD + nbD
-    // 2U_a = R_a2 − n_a(n_a+1): exact long; U_b from U_a + U_b = n_a·n_b
+    // 2U_a = R_a2 − n_a(n_a+1): exact integer (decimal-held); U_b from
+    // U_a + U_b = n_a·n_b
     val u2a = col("__ra2") - col("n_a") * (col("n_a") + 1L)
     val varU = naD * nbD / 12.0 *
       ((nD + 1.0) - col("__tsum").cast("double") / (nD * (nD - 1.0)))
@@ -1340,18 +1389,24 @@ object Stats {
     * coarsened distributions (one-bin rank-relocation bound; the
     * direction of stochastic dominance is preserved whenever the true
     * |z| clears the coarsening noise — StatsSpec pins it). Same
-    * delegation contract as [[kruskalWallisBinned]].
+    * single-corpus-pass count-grain plan as [[kruskalWallisBinned]].
     */
   def mannWhitneyBinned(df: DataFrame, groupCol: String, valueCol: String,
                         groupA: String, groupB: String,
                         bins: Int = 1000): DataFrame = {
     require(groupA != groupB,
       s"mannWhitneyBinned: groups must differ (got '$groupA' twice)")
-    val base = df.filter(col(groupCol).isin(groupA, groupB))
-    val binned = Drift.latticeBin(base, valueCol, bins)
-    mannWhitney(binned.select(col(groupCol),
-      col("__bin").cast("double").as("__bv")), groupCol, "__bv",
-      groupA, groupB)
+    val v = col(valueCol).cast("double")
+    val perVal = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        v.isNotNull && !isnan(v))
+      .groupBy(round(v * 100, 0).cast("long").as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    mwFold(Drift.binCounts(perVal, bins, Seq("__ca", "__cb"))
+      .select(col("__bin").cast("double").as("__v"), col("__ca"),
+        col("__cb")))
   }
 
   /** Ljung–Box portmanteau test over the daily series: is there ANY
@@ -2411,14 +2466,33 @@ object Stats {
     * groups stay comparable), and the elected value is the bin's
     * integer-lattice representative — within one bin width of the
     * exact weighted median (StatsSpec pins it). total_weight stays
-    * exact. Same delegation contract as [[kruskalWallisBinned]].
+    * exact. Same single-corpus-pass count-grain plan as
+    * [[kruskalWallisBinned]].
     */
   def weightedMedianBinned(df: DataFrame, groupCol: String,
                            valueCol: String, weightCol: String,
                            bins: Int = 1000): DataFrame = {
-    val binned = Drift.latticeBin(
-      df.filter(col(weightCol).isNotNull), valueCol, bins)
-    weightedMedian(binned, groupCol, "__binv", weightCol)
+    val v = col(valueCol).cast("double")
+    // ONE corpus pass to (group, lattice value, weight); bounds and
+    // binning on that distinct frame. The bin grid is GLOBAL (bounds
+    // over all groups) so groups stay comparable; per-(group, value)
+    // partial weights re-sum at (group, representative) and the exact
+    // election runs unchanged via weightedMedian.
+    val perGV = df
+      .filter(col(weightCol).isNotNull && v.isNotNull && !isnan(v))
+      .groupBy(col(groupCol).as("__g0"),
+        round(v * 100, 0).cast("long").as("__v"))
+      .agg(sum(round(col(weightCol), 0).cast("long")).as("__w"))
+    val bounds = perGV.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"))
+    val binned = perGV.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)"))
+      .withColumn("__rv",
+        expr(s"__lo + (__bin * (__hi - __lo + 1)) div $bins"))
+    weightedMedian(binned.select(col("__g0").as(groupCol),
+      (col("__rv").cast("double") / 100.0).as("__bv"), col("__w")),
+      groupCol, "__bv", "__w")
   }
 
   /** Cliff's delta between two groups — the ordinal effect size the
@@ -2444,6 +2518,13 @@ object Stats {
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
         .as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    cdFold(perVal)
+  }
+
+  /** Cliff's-delta close over a per-distinct-value two-side count
+    * frame — shared verbatim by [[cliffsDelta]] (distinct-value grain)
+    * and [[cliffsDeltaBinned]] (bin grain). */
+  private def cdFold(perVal: DataFrame): DataFrame = {
     val ord = Window.orderBy(col("__v"))
     val below = ord.rowsBetween(Window.unboundedPreceding, -1)
     val whole = Window.partitionBy()
@@ -2474,16 +2555,24 @@ object Stats {
     * ordered), which biases δ toward 0 by at most the cross-pair mass
     * of one bin — the conservative direction for an effect size
     * (StatsSpec pins the bound). Order-only statistic, so the
-    * coarsened axis is the bin id. Same delegation contract as
-    * [[kruskalWallisBinned]].
+    * coarsened axis is the bin id. Same single-corpus-pass count-grain
+    * plan as [[kruskalWallisBinned]].
     */
   def cliffsDeltaBinned(df: DataFrame, groupCol: String, valueCol: String,
                         groupA: String, groupB: String,
                         bins: Int = 1000): DataFrame = {
     require(groupA != groupB, "cliffsDeltaBinned: groups must differ")
-    val binned = Drift.latticeBin(
-      df.filter(col(groupCol).isin(groupA, groupB)), valueCol, bins)
-    cliffsDelta(binned, groupCol, "__bin", groupA, groupB)
+    val v = col(valueCol).cast("double")
+    val perVal = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        v.isNotNull && !isnan(v))
+      .groupBy(round(v * 100, 0).cast("long").as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
+        .as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    cdFold(Drift.binCounts(perVal, bins, Seq("__ca", "__cb"))
+      .select(col("__bin").cast("double").as("__v"), col("__ca"),
+        col("__cb")))
   }
 
   /** Friedman test over day-blocks: rank the DECLARED treatments within
@@ -3043,8 +3132,10 @@ object Stats {
     * Plan: one per-value count aggregation and one cumulative window
     * per axis (distinct-value grain — the q_ks ECDF class; pre-bin the
     * axis first if its distinct count is data-sized), two value-keyed
-    * joins back, ONE five-statistic fold. Long sums need
-    * n·(2n)² < 2⁶³: fine through ~10⁸ rows; bin first beyond that.
+    * joins back, ONE five-statistic fold in decimal(38,0) (the rank
+    * products aggregate to ~4n³, which overflows BIGINT past ~13M rows
+    * — measured by the rank9 ScaleStress leg; decimal carries ~10¹²).
+    * For a data-sized distinct axis use [[spearmanBinned]].
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(xCol).cast("double").as("__x"),
@@ -3062,12 +3153,18 @@ object Stats {
     val ranked = base
       .join(rank2("__x", "__rx2"), Seq("__x"))
       .join(rank2("__y", "__ry2"), Seq("__y"))
+    // decimal(38,0) sufficient sums: the rank products are ~4n³ in
+    // aggregate, which overflows BIGINT (ANSI fail-loud) past ~13M rows
+    // — rank9 ScaleStress hit it at the 10M-row leg. Decimal headroom
+    // carries ~10¹² rows; the close casts to double either way.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val folded = ranked.agg(
       count(lit(1)).as("n"),
-      sum(col("__rx2")).as("__sx"), sum(col("__ry2")).as("__sy"),
-      sum(col("__rx2") * col("__rx2")).as("__sxx"),
-      sum(col("__ry2") * col("__ry2")).as("__syy"),
-      sum(col("__rx2") * col("__ry2")).as("__sxy"),
+      sum(dec(col("__rx2"))).as("__sx"),
+      sum(dec(col("__ry2"))).as("__sy"),
+      sum(dec(col("__rx2")) * col("__rx2")).as("__sxx"),
+      sum(dec(col("__ry2")) * col("__ry2")).as("__syy"),
+      sum(dec(col("__rx2")) * col("__ry2")).as("__sxy"),
       corr(col("__x"), col("__y")).as("__pr"))
     folded.select(col("n"),
       round((col("n").cast("double") * col("__sxy")
@@ -3090,19 +3187,77 @@ object Stats {
     * observed gap on a monotone-plus-noise corpus. The pearson column
     * is computed on the bin representatives in original value units.
     * Rows drop only when EITHER axis is null/NaN (pairwise, mirroring
-    * exact). Same delegation contract as [[kruskalWallisBinned]].
+    * exact). Two corpus passes total (one shared bounds aggregate for
+    * both axes, one shuffle to the ≤bins² pair grain); the pearson
+    * column is exact integer lattice moments through one fixed double
+    * tree — corr() cannot weight by pair counts.
     */
   def spearmanBinned(df: DataFrame, xCol: String, yCol: String,
                      bins: Int = 1000): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"spearmanBinned: bins in [2, 100000] (got $bins)")
     val vx = col(xCol).cast("double"); val vy = col(yCol).cast("double")
     val base = df
       .filter(vx.isNotNull && !isnan(vx) && vy.isNotNull && !isnan(vy))
-      .select(vx.as("__x0"), vy.as("__y0"))
-    val bx = Drift.latticeBin(base, "__x0", bins)
-      .withColumnRenamed("__binv", "__bx").drop("__bin")
-    val bxy = Drift.latticeBin(bx, "__y0", bins)
-      .withColumnRenamed("__binv", "__by").drop("__bin")
-    spearman(bxy, "__bx", "__by")
+      .select(round(vx * 100, 0).cast("long").as("__xl"),
+        round(vy * 100, 0).cast("long").as("__yl"))
+    // ONE bounds pass for BOTH axes, then one shuffle of the corpus to
+    // the (x-bin, y-bin) PAIR grain (≤ bins² rows) — every rank window
+    // and every sufficient sum after that is bin-bounded, and the
+    // corpus is scanned exactly twice (bounds + pair counts)
+    val bnd = base.agg(min(col("__xl")).as("__lox"),
+      max(col("__xl")).as("__hix"),
+      min(col("__yl")).as("__loy"), max(col("__yl")).as("__hiy"))
+    def repr(v: String, lo: String, hi: String): Column = expr(
+      s"$lo + ((((($v) - $lo) * $bins) div (($hi) - ($lo) + 1))" +
+        s" * (($hi) - ($lo) + 1)) div $bins")
+    val pairs = base.crossJoin(broadcast(bnd))
+      .select(repr("__xl", "__lox", "__hix").as("__bx"),
+        repr("__yl", "__loy", "__hiy").as("__by"))
+      .groupBy(col("__bx"), col("__by")).agg(count(lit(1)).as("__c"))
+    def rank2(c: String, out: String): DataFrame = {
+      val per = pairs.groupBy(col(c)).agg(sum(col("__c")).as("__n"))
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per.withColumn(out,
+          lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+            + col("__n") + lit(1L))
+        .select(col(c), col(out))
+    }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val j = pairs
+      .join(rank2("__bx", "__rx2"), Seq("__bx"))
+      .join(rank2("__by", "__ry2"), Seq("__by"))
+    val folded = j.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n"),
+      sum(dec(col("__c")) * col("__rx2")).as("__sx"),
+      sum(dec(col("__c")) * col("__ry2")).as("__sy"),
+      sum(dec(col("__c")) * col("__rx2") * col("__rx2")).as("__sxx"),
+      sum(dec(col("__c")) * col("__ry2") * col("__ry2")).as("__syy"),
+      sum(dec(col("__c")) * col("__rx2") * col("__ry2")).as("__sxy"),
+      // pearson from exact integer lattice moments (the /100 scale
+      // cancels in the ratio); corr() can't weight by pair counts
+      sum(dec(col("__c")) * col("__bx")).as("__px"),
+      sum(dec(col("__c")) * col("__by")).as("__py"),
+      sum(dec(col("__c")) * col("__bx") * col("__bx")).as("__pxx"),
+      sum(dec(col("__c")) * col("__by") * col("__by")).as("__pyy"),
+      sum(dec(col("__c")) * col("__bx") * col("__by")).as("__pxy"))
+    def assoc(sx: String, sy: String, sxx: String, syy: String,
+              sxy: String): Column = {
+      val nD = col("n").cast("double")
+      val num = nD * col(sxy).cast("double") -
+        col(sx).cast("double") * col(sy).cast("double")
+      val den = sqrt((nD * col(sxx).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double")) *
+        (nD * col(syy).cast("double") -
+          col(sy).cast("double") * col(sy).cast("double")))
+      when(den > 0, num / den)
+    }
+    folded.select(col("n"),
+      round(assoc("__sx", "__sy", "__sxx", "__syy", "__sxy"), 6)
+        .as("spearman_rho"),
+      round(assoc("__px", "__py", "__pxx", "__pyy", "__pxy"), 6)
+        .as("pearson"))
   }
 
   /** Lagged cross-correlation between two aggregates of the same

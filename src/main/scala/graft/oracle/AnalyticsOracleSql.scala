@@ -3430,6 +3430,60 @@ private[graft] object AnalyticsOracleSql {
       FROM glat ORDER BY split_bin"""
     },
 
+    // Binned stump: fixed-width lattice bins (OracleShared.binExpr)
+    // replace the ntile global sort; split candidates = every present
+    // bin but the last
+    "q_decision_stump_binned" -> {
+      def g(p: String, n: String) =
+        s"2.0 * CAST($p AS DOUBLE) / CAST($n AS DOUBLE)" +
+          s" * (1.0 - CAST($p AS DOUBLE) / CAST($n AS DOUBLE))"
+      val gp = g("pt", "nt")
+      val gl = g("pl", "nl")
+      val gr = g("pr", "nr")
+      val a = "CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)"
+      val b2 = "CAST(nr AS DOUBLE) / CAST(nt AS DOUBLE)"
+      s"""
+      WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+      base AS (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS f,
+                 (b.o_custkey IS NOT NULL) AS y
+               FROM customer LEFT JOIN buyers b ON c_custkey = b.o_custkey),
+      lat AS (SELECT y, f, CAST(round(f * 100, 0) AS BIGINT) AS vl
+              FROM base WHERE f IS NOT NULL AND NOT isnan(f)),
+      bnd AS (SELECT min(vl) AS lo, max(vl) AS hi FROM lat),
+      binned AS (SELECT y, f, ${binExpr("vl", "lo", "hi", 256)} AS b
+                 FROM lat, bnd),
+      per AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                max(f) AS thr
+              FROM binned GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                CAST(sum(p) AS BIGINT) AS pt
+              FROM per),
+      bm AS (SELECT max(b) AS mb FROM per),
+      cum AS (SELECT b, thr,
+                CAST(sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+                CAST(sum(p) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+              FROM per),
+      cand AS (SELECT c.b, c.thr, c.nl, c.pl,
+                 t.nt - c.nl AS nr, t.pt - c.pl AS pr, t.nt, t.pt
+               FROM cum c, tot t WHERE c.b < (SELECT mb FROM bm)),
+      gains AS (SELECT b, thr, nl, pl, nr, pr,
+                  $gp - ($a * ($gl) + $b2 * ($gr)) AS gn,
+                  $gl AS gleft, $gr AS gright
+                FROM cand),
+      glat AS (SELECT *, CAST(round(gn * 1e12, 0) AS BIGINT) AS gz
+               FROM gains),
+      best AS (SELECT b AS bb FROM glat ORDER BY gz DESC, b LIMIT 1)
+      SELECT b AS split_bin, round(thr, 6) AS threshold,
+             nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+             round(gleft, 6) AS gini_left, round(gright, 6) AS gini_right,
+             round(gn, 6) AS gini_gain,
+             (b = (SELECT bb FROM best)) AS is_best
+      FROM glat ORDER BY split_bin"""
+    },
+
 
     // Cochran-Armitage trend: exact integer sufficient statistics over
     // acctbal deciles (same ntile fill rule both engines), one fixed
@@ -5942,5 +5996,214 @@ private[graft] object AnalyticsOracleSql {
              round(sum(CASE WHEN y = 1 THEN ln(1.0 + exp(-m))
                ELSE ln(1.0 + exp(m)) END)
                / CAST(count(*) AS DOUBLE), 6) AS log_loss
-      FROM sc"""))
+      FROM sc"""),
+
+    // ---- round-9 binned rank/ECDF twins (the latticeBin chain) ------------
+    // Each replays the Scala delegation exactly: latticeBin first, then
+    // the SAME midrank/dominance fold as the exact sibling over the bin
+    // grain (v = bin id for order-only stats, repr/100 where magnitudes
+    // matter).
+
+    "q_mann_whitney_binned" -> {
+      val naD = "CAST(n_a AS DOUBLE)"
+      val nbD = "CAST(n_b AS DOUBLE)"
+      val nD = s"($naD + $nbD)"
+      val u2a = "(ra2 - n_a * (n_a + 1))"
+      val varU = s"($naD * $nbD / 12.0 * (($nD + 1.0)"
+        .concat(s" - CAST(tsum AS DOUBLE) / ($nD * ($nD - 1.0))))")
+      val z = s"((CAST($u2a AS DOUBLE) - $naD * $nbD)"
+        .concat(s" / (2.0 * sqrt($varU)))")
+      val ok = "n_a >= 1 AND n_b >= 1"
+      s"""
+      WITH ${latticeBinCtes("events", "value",
+        "event_type IN ('purchase', 'view') AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type")},
+      base AS (SELECT event_type AS g, CAST(bin AS DOUBLE) AS v
+               FROM binned),
+      pv AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY v),
+      r AS (SELECT v, CAST(2 * coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS r2 FROM pv),
+      t AS (SELECT CAST(coalesce(sum(n * n * n - n), 0) AS BIGINT) AS tsum
+            FROM pv),
+      f AS (SELECT
+              CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN g = 'purchase' THEN r2 ELSE 0 END)
+                AS BIGINT) AS ra2
+            FROM base b JOIN r ON b.v = r.v)
+      SELECT n_a, n_b,
+             round(CASE WHEN $ok
+               THEN CAST($u2a AS DOUBLE) / 2.0 END, 6) AS u_a,
+             round(CASE WHEN $ok
+               THEN ($naD * $nbD) - CAST($u2a AS DOUBLE) / 2.0 END, 6)
+               AS u_b,
+             round(CASE WHEN $ok AND $varU > 0 THEN $z END, 6) AS z,
+             round(CASE WHEN $ok AND $varU > 0
+               THEN $z / sqrt($nD) END, 6) AS effect_size_r
+      FROM f, t"""
+    },
+
+    "q_kruskal_wallis_binned" -> {
+      val gs = Seq("click", "error", "purchase", "signup", "view")
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n$i,
+             CAST(sum(CASE WHEN g = '$g' THEN r2 ELSE 0 END) AS BIGINT)
+               AS s$i""" }.mkString(",\n             ")
+      val hTerms = gs.indices
+        .map(i => s"CAST(s$i AS DOUBLE) * s$i / n$i").mkString(" + ")
+      val nn = "CAST(n AS DOUBLE)"
+      val tie = s"1.0 - CAST(tsum AS DOUBLE) / ($nn * $nn * $nn - $nn)"
+      val h = s"3.0 / ($nn * ($nn + 1.0)) * ($hTerms) - 3.0 * ($nn + 1.0)"
+      val nCols = gs.zipWithIndex
+        .map { case (g, i) => s"n$i AS n_$g" }.mkString(", ")
+      s"""
+      WITH ${latticeBinCtes("events", "value",
+        "event_type IS NOT NULL AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type")},
+      base AS (SELECT event_type AS g, CAST(bin AS DOUBLE) AS v
+               FROM binned),
+      pv AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY v),
+      r AS (SELECT v, CAST(2 * coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS r2 FROM pv),
+      j AS (SELECT b.g, r.r2 FROM base b JOIN r ON b.v = r.v),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             $caseCols
+            FROM j),
+      t AS (SELECT CAST(coalesce(sum(n * n * n - n), 0) AS BIGINT) AS tsum
+            FROM pv)
+      SELECT n, $nCols,
+             round($h, 6) AS h,
+             round($tie, 6) AS tie_correction,
+             round(($h) / ($tie), 6) AS h_adjusted,
+             CAST(${gs.size - 1} AS INTEGER) AS df
+      FROM f, t"""
+    },
+
+    "q_cliffs_delta_binned" -> s"""
+      WITH ${latticeBinCtes("events", "value",
+        "event_type IN ('purchase', 'view') AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type")},
+      pv AS (SELECT bin AS v,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS ca,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cb
+            FROM binned GROUP BY 1),
+      w AS (SELECT ca, cb,
+              CAST(coalesce(sum(cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS b_below,
+              CAST(sum(cb) OVER () AS BIGINT) AS b_tot
+            FROM pv),
+      f AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+              CAST(max(b_tot) AS BIGINT) AS n_b,
+              CAST(sum(ca * b_below) AS BIGINT) AS gt,
+              CAST(sum(ca * (b_tot - b_below - cb)) AS BIGINT) AS lt,
+              CAST(sum(ca * cb) AS BIGINT) AS eq
+            FROM w)
+      SELECT n_a, n_b, gt AS n_greater, lt AS n_less, eq AS n_ties,
+             round(CAST(gt - lt AS DOUBLE)
+               / CAST(n_a * n_b AS DOUBLE), 6) AS cliffs_delta,
+             round((CAST(gt AS DOUBLE) + 0.5 * eq)
+               / CAST(n_a * n_b AS DOUBLE), 6) AS p_superior
+      FROM f""",
+
+    // Weighted median over the shared (all-groups) bin grid: elected
+    // value is the bin representative in value units (repr/100)
+    "q_weighted_median_binned" -> s"""
+      WITH lat AS (SELECT l_returnflag AS g,
+              CAST(round(l_quantity, 0) AS BIGINT) AS wq,
+              CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0)
+                AS BIGINT) AS vl
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      bnd AS (SELECT min(vl) AS lo, max(vl) AS hi FROM lat),
+      binned AS (SELECT g, wq,
+              ${reprExpr("vl", "lo", "hi", 1000)} AS repr
+            FROM lat, bnd),
+      pv AS (SELECT g, CAST(repr AS DOUBLE) / 100.0 AS v,
+              CAST(sum(wq) AS BIGINT) AS w
+            FROM binned GROUP BY 1, 2),
+      p2 AS (SELECT * FROM pv WHERE w > 0),
+      c AS (SELECT g, v,
+              CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cw,
+              CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+            FROM p2)
+      SELECT g AS l_returnflag,
+             CAST(max(tot) AS BIGINT) AS total_weight,
+             round(min(v), 6) AS weighted_median
+      FROM c WHERE cw * 2 >= tot
+      GROUP BY g ORDER BY l_returnflag""",
+
+    // Spearman over per-axis bin grids: one bounds CTE for both axes,
+    // pair-count grain (<= bins^2), midranks from pair-count marginals,
+    // pearson from exact integer lattice moments (mirrors the Spark
+    // fold's fixed double trees term for term)
+    "q_spearman_binned" -> {
+      def reprS(v: String, lo: String, hi: String) =
+        s"($lo + (((($v - $lo) * 1000) // ($hi - $lo + 1))" +
+          s" * ($hi - $lo + 1)) // 1000)"
+      def assoc(sx: String, sy: String, sxx: String, syy: String,
+                sxy: String) =
+        s"""((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+            - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+              - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+              - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))))"""
+      s"""
+      WITH lat AS (SELECT
+              CAST(round(CAST(l_quantity AS DOUBLE) * 100, 0) AS BIGINT)
+                AS xl,
+              CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0)
+                AS BIGINT) AS yl
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+              AND NOT isnan(CAST(l_quantity AS DOUBLE))
+              AND l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      bnd AS (SELECT min(xl) AS lox, max(xl) AS hix,
+                min(yl) AS loy, max(yl) AS hiy FROM lat),
+      pairs AS (SELECT ${reprS("xl", "lox", "hix")} AS bx,
+                  ${reprS("yl", "loy", "hiy")} AS by_,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM lat, bnd GROUP BY 1, 2),
+      px AS (SELECT bx, CAST(sum(c) AS BIGINT) AS n FROM pairs
+             GROUP BY bx),
+      rx AS (SELECT bx, CAST(2 * coalesce(sum(n) OVER (ORDER BY bx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS rx2 FROM px),
+      py AS (SELECT by_, CAST(sum(c) AS BIGINT) AS n FROM pairs
+             GROUP BY by_),
+      ry AS (SELECT by_, CAST(2 * coalesce(sum(n) OVER (ORDER BY by_
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS ry2 FROM py),
+      agg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                sum(CAST(c AS HUGEINT) * rx2) AS sx,
+                sum(CAST(c AS HUGEINT) * ry2) AS sy,
+                sum(CAST(c AS HUGEINT) * rx2 * rx2) AS sxx,
+                sum(CAST(c AS HUGEINT) * ry2 * ry2) AS syy,
+                sum(CAST(c AS HUGEINT) * rx2 * ry2) AS sxy,
+                sum(CAST(c AS HUGEINT) * p.bx) AS px_,
+                sum(CAST(c AS HUGEINT) * p.by_) AS py_,
+                sum(CAST(c AS HUGEINT) * p.bx * p.bx) AS pxx,
+                sum(CAST(c AS HUGEINT) * p.by_ * p.by_) AS pyy,
+                sum(CAST(c AS HUGEINT) * p.bx * p.by_) AS pxy
+              FROM pairs p
+              JOIN rx ON p.bx = rx.bx JOIN ry ON p.by_ = ry.by_)
+      SELECT n,
+             round(${assoc("sx", "sy", "sxx", "syy", "sxy")}, 6)
+               AS spearman_rho,
+             round(${assoc("px_", "py_", "pxx", "pyy", "pxy")}, 6)
+               AS pearson
+      FROM agg"""
+    })
 }

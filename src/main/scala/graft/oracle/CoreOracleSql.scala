@@ -1877,5 +1877,187 @@ private[graft] object CoreOracleSql {
              CASE WHEN delta > 0 THEN
                nmin >= ceil(zs * zs * (rc * (1.0 - rc) + rt * (1.0 - rt))
                  / (delta * delta)) END AS powered
-      FROM e""")
+      FROM e""",
+
+    // ---- round-9 binned rank/ECDF twins (the latticeBin chain) ------------
+    // Each replays the Scala delegation exactly: latticeBin first (shared
+    // integer-lattice binning, OracleShared.latticeBinCtes), then the SAME
+    // statistic fold as the exact sibling over the bin grain.
+
+    // CvM over bins: pv at v = bin*100 (the Scala side feeds the bin id
+    // into cvmTest, whose centi-lattice commit lands on exactly bin*100)
+    "q_cvm_binned" -> s"""
+      WITH ${latticeBinCtes("events", "value",
+        "event_type IN ('purchase', 'view') AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type")},
+      pv AS (SELECT bin * 100 AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+             FROM binned GROUP BY 1),
+      c AS (SELECT *,
+              sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cuma,
+              sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cumb,
+              sum(ca) OVER () AS n, sum(cb) OVER () AS m
+            FROM pv),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+              CAST(max(n) AS BIGINT) AS n_a,
+              CAST(max(m) AS BIGINT) AS n_b,
+              sum(CAST(ca + cb AS HUGEINT)
+                * (CAST(cuma AS HUGEINT) * m - CAST(cumb AS HUGEINT) * n)
+                * (CAST(cuma AS HUGEINT) * m - CAST(cumb AS HUGEINT) * n))
+                AS num
+            FROM c)
+      SELECT n_a, n_b, n_values,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(num AS DOUBLE)
+          / (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) END, 6)
+          AS cvm_t,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(num AS DOUBLE)
+          / (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) > 0.461 END
+          AS drifted
+      FROM f""",
+
+    // Energy over bins: pv at v = repr (the bin's centi-lattice
+    // representative — magnitudes matter for the gap integral)
+    "q_energy_binned" -> s"""
+      WITH ${latticeBinCtes("events", "value",
+        "event_type IN ('purchase', 'view') AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type")},
+      pv AS (SELECT repr AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+             FROM binned GROUP BY 1),
+      c AS (SELECT *,
+              sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cuma,
+              sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cumb,
+              lead(v, 1) OVER (ORDER BY v) - v AS gap,
+              sum(ca) OVER () AS n, sum(cb) OVER () AS m
+            FROM pv),
+      f AS (SELECT
+              CAST(max(n) AS BIGINT) AS n_a, CAST(max(m) AS BIGINT) AS n_b,
+              sum(CAST(gap AS HUGEINT) * (CAST(cuma AS HUGEINT)
+                * (m - cumb) + CAST(cumb AS HUGEINT) * (n - cuma)))
+                AS sxy,
+              sum(CAST(gap AS HUGEINT) * CAST(cuma AS HUGEINT)
+                * (n - cuma)) AS sxx,
+              sum(CAST(gap AS HUGEINT) * CAST(cumb AS HUGEINT)
+                * (m - cumb)) AS syy
+            FROM c WHERE gap IS NOT NULL),
+      t AS (SELECT n_a, n_b,
+              CAST(sxy AS DOUBLE) / (CAST(n_a AS DOUBLE)
+                * CAST(n_b AS DOUBLE)) / 100.0 AS exy,
+              2.0 * CAST(sxx AS DOUBLE) / (CAST(n_a AS DOUBLE)
+                * CAST(n_a AS DOUBLE)) / 100.0 AS exx,
+              2.0 * CAST(syy AS DOUBLE) / (CAST(n_b AS DOUBLE)
+                * CAST(n_b AS DOUBLE)) / 100.0 AS eyy
+            FROM f)
+      SELECT n_a, n_b,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN exy END, 6) AS e_between,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN exx END, 6)
+          AS e_within_a,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN eyy END, 6)
+          AS e_within_b,
+        round(CASE WHEN n_a > 0 AND n_b > 0
+          THEN 2.0 * exy - exx - eyy END, 6) AS energy_d2,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(n_a AS DOUBLE)
+          * CAST(n_b AS DOUBLE) / (CAST(n_a AS DOUBLE)
+          + CAST(n_b AS DOUBLE)) * (2.0 * exy - exx - eyy) END, 6)
+          AS e_stat
+      FROM t""",
+
+    // Frozen-bounds drift (streaming monitor's batch twin): bounds from
+    // the view (reference) side only, live side clamped into edge bins,
+    // full-outer histogram merge, per-feature binned ECDF max
+    "q_drift_vs_ref" -> """
+      WITH cur AS (SELECT 'value' AS feature, CAST(value AS DOUBLE) AS v
+                   FROM events WHERE event_type = 'purchase'
+                     AND value IS NOT NULL AND NOT isnan(value)),
+      ref AS (SELECT 'value' AS feature, CAST(value AS DOUBLE) AS v
+              FROM events WHERE event_type = 'view'
+                AND value IS NOT NULL AND NOT isnan(value)),
+      bounds AS (SELECT feature, CAST(min(v) AS DOUBLE) AS lo,
+                   CAST(max(v) AS DOUBLE) AS hi
+                 FROM ref GROUP BY feature),
+      binc AS (SELECT c.feature,
+                 CASE WHEN b.hi = b.lo THEN 0
+                   ELSE least(greatest(CAST(floor((c.v - b.lo)
+                     / ((b.hi - b.lo) / 1000)) AS INTEGER), 0), 999) END
+                   AS bin
+               FROM cur c JOIN bounds b USING (feature)),
+      binr AS (SELECT r.feature,
+                 CASE WHEN b.hi = b.lo THEN 0
+                   ELSE least(greatest(CAST(floor((r.v - b.lo)
+                     / ((b.hi - b.lo) / 1000)) AS INTEGER), 0), 999) END
+                   AS bin
+               FROM ref r JOIN bounds b USING (feature)),
+      hc AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS ca
+             FROM binc GROUP BY 1, 2),
+      hr AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS cb
+             FROM binr GROUP BY 1, 2),
+      merged AS (SELECT coalesce(hc.feature, hr.feature) AS feature,
+                   coalesce(hc.bin, hr.bin) AS bin,
+                   coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                 FROM hc FULL JOIN hr
+                   ON hc.feature = hr.feature AND hc.bin = hr.bin),
+      c AS (SELECT feature,
+              sum(ca) OVER (PARTITION BY feature ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+              sum(cb) OVER (PARTITION BY feature ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+              sum(ca) OVER (PARTITION BY feature) AS na,
+              sum(cb) OVER (PARTITION BY feature) AS nb
+            FROM merged)
+      SELECT feature, CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b,
+             round(max(abs(CAST(cuma AS DOUBLE) / na
+               - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_stat
+      FROM c GROUP BY feature ORDER BY feature""",
+
+    // Kuiper over bins: order-only, pv at v = bin
+    "q_kuiper_binned" -> s"""
+      WITH ${latticeBinCtes("events", "value",
+        "event_type IN ('purchase', 'view') AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type")},
+      pv AS (SELECT bin AS v,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM binned GROUP BY 1),
+      c AS (SELECT
+          CAST(sum(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cuma,
+          CAST(sum(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumb,
+          CAST(sum(ca) OVER () AS BIGINT) AS na,
+          CAST(sum(cb) OVER () AS BIGINT) AS nb
+        FROM pv),
+      f AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+          CAST(max(nb) AS BIGINT) AS n_b,
+          CAST(max(cuma * nb - cumb * na) AS BIGINT) AS dp,
+          CAST(max(cumb * na - cuma * nb) AS BIGINT) AS dm
+        FROM c)
+      SELECT n_a, n_b,
+        round(CAST(greatest(dp, 0) AS DOUBLE)
+          / CAST(n_a * n_b AS DOUBLE), 6) AS d_plus,
+        round(CAST(greatest(dm, 0) AS DOUBLE)
+          / CAST(n_a * n_b AS DOUBLE), 6) AS d_minus,
+        round(CAST(greatest(dp, 0) AS DOUBLE)
+            / CAST(n_a * n_b AS DOUBLE)
+          + CAST(greatest(dm, 0) AS DOUBLE)
+            / CAST(n_a * n_b AS DOUBLE), 6) AS v_stat
+      FROM f""")
 }

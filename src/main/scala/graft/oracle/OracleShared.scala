@@ -11,6 +11,34 @@ package oracle
 private[graft] object OracleShared {
 
 
+  /** Integer-lattice fixed-width binning shared by every `*_binned`
+    * oracle — replays [[graft.ops.Drift.latticeBin]] bit-for-bit:
+    * centi-lattice commit, exact integer bounds, and floor division
+    * (DuckDB `//` ≡ Spark `div` on non-negative longs). `binExpr` is
+    * the bin id in [0, bins); `reprExpr` the bin's integer-lattice
+    * representative (still in centi units — divide by 100.0 for value
+    * units, exactly as the Scala side's `__binv`). */
+  def binExpr(vl: String, lo: String, hi: String, bins: Int): String =
+    s"((($vl) - $lo) * $bins) // (($hi) - ($lo) + 1)"
+  def reprExpr(vl: String, lo: String, hi: String, bins: Int): String =
+    s"($lo + ((${binExpr(vl, lo, hi, bins)}) * (($hi) - ($lo) + 1))" +
+      s" // $bins)"
+
+  /** The standard binning chain over one source: `lat` commits the
+    * value to the centi lattice under `where`, `bnd` takes exact
+    * integer bounds, `binned` carries `keep` plus `bin` and `repr`. */
+  def latticeBinCtes(src: String, valueExpr: String, where: String,
+                     keep: String, bins: Int = 1000): String =
+    s"""lat AS (SELECT $keep,
+               CAST(round(CAST($valueExpr AS DOUBLE) * 100, 0) AS BIGINT)
+                 AS vl
+             FROM $src WHERE $where),
+      bnd AS (SELECT min(vl) AS lo, max(vl) AS hi FROM lat),
+      binned AS (SELECT $keep,
+               ${binExpr("vl", "lo", "hi", bins)} AS bin,
+               ${reprExpr("vl", "lo", "hi", bins)} AS repr
+             FROM lat, bnd)"""
+
   /** Uniform-(0,1] hash shared with graft.ops.Gen.u01 (two minstd steps). */
   def uk(key: String, c: Int): String =
     s"(CAST(((($key + ${c}*1000003) % 2147483647) * 48271 % 2147483647)" +

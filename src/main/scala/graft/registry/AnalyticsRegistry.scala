@@ -540,6 +540,15 @@ object AnalyticsRegistry {
           .join(buyers, col("c_custkey") === col("o_custkey"), "left"),
         "c_custkey", "c_acctbal", col("o_custkey").isNotNull, bins = 10)
     }),
+    "q_decision_stump_binned" -> ((s, dir) => {
+      // 100 TB twin: fixed-width lattice bins replace the ntile global
+      // sort — no corpus sort anywhere, histogram-split posture
+      val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      Learn.decisionStumpBinned(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+          .join(buyers, col("c_custkey") === col("o_custkey"), "left"),
+        "c_custkey", "c_acctbal", col("o_custkey").isNotNull, bins = 256)
+    }),
     "q_tier_migration" -> ((s, dir) =>
       // week-over-week spend-tier flow matrix with churn column and
       // per-cohort shares — the retention/upsell dashboard
@@ -935,6 +944,16 @@ object AnalyticsRegistry {
       // size from exact distinct-value dominance counts
       Stats.cliffsDelta(Tables.events(s, dir), "event_type", "value",
         "purchase", "view")),
+    "q_cliffs_delta_binned" -> ((s, dir) =>
+      // 100 TB twin: dominance folds over <=1000 lattice bins instead
+      // of the data-sized distinct-value axis
+      Stats.cliffsDeltaBinned(Tables.events(s, dir), "event_type",
+        "value", "purchase", "view")),
+    "q_weighted_median_binned" -> ((s, dir) =>
+      // 100 TB twin of q_weighted_median: per-group election over one
+      // shared <=1000-bin grid; median within one bin width
+      Stats.weightedMedianBinned(Tables.lineitem(s, dir), "l_returnflag",
+        "l_extendedprice", "l_quantity")),
     "q_friedman" -> ((s, dir) =>
       // blocked rank ANOVA: do event types differ in daily revenue once
       // day-level shifts are absorbed? exact within-day 2x-midranks
@@ -946,6 +965,11 @@ object AnalyticsRegistry {
       // types at all? exact 2x-midrank sums, fixed-order H combine
       Stats.kruskalWallis(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
+    "q_kruskal_wallis_binned" -> ((s, dir) =>
+      // 100 TB twin: 2x-midranks at the <=1000-bin grain, bounded
+      // ordered window; within-bin values are exact ties
+      Stats.kruskalWallisBinned(Tables.events(s, dir), "event_type",
+        "value", Seq("view", "click", "purchase", "signup", "error"))),
     "q_anova" -> ((s, dir) =>
       // parametric companion: classic F + eta2/omega2 effect sizes +
       // Welch's heteroscedastic F, all from one lattice-exact fold
@@ -956,6 +980,11 @@ object AnalyticsRegistry {
       // 2x-midrank U, tie-corrected z, effect size r
       Stats.mannWhitney(Tables.events(s, dir), "event_type", "value",
         "purchase", "view")),
+    "q_mann_whitney_binned" -> ((s, dir) =>
+      // 100 TB twin: U/z/r from bin-grain midranks; dominance direction
+      // preserved when |z| clears the coarsening noise
+      Stats.mannWhitneyBinned(Tables.events(s, dir), "event_type",
+        "value", "purchase", "view")),
     "q_welch_ttest" -> ((s, dir) =>
       // the classic named two-sample test: Welch t and df with a CI on
       // the raw purchase-vs-view value gap
@@ -1306,6 +1335,11 @@ object AnalyticsRegistry {
       // monotone association of quantity and line price: exact integer
       // midranks (2x lattice), Pearson alongside for the contrast
       Stats.spearman(Tables.lineitem(s, dir), "l_quantity",
+        "l_extendedprice")),
+    "q_spearman_binned" -> ((s, dir) =>
+      // 100 TB twin: per-axis <=1000-bin grids bound both midrank
+      // windows; pearson on the bin representatives
+      Stats.spearmanBinned(Tables.lineitem(s, dir), "l_quantity",
         "l_extendedprice")),
     "q_mrr" -> ((s, dir) =>
       // first-relevant-hit retrieval metrics per user, same ranking

@@ -434,10 +434,20 @@ object CoreRegistry {
       // exact decimal numerator, Anderson 5% critical 0.461
       Drift.cvmTest(Tables.events(s, dir), "value", "event_type",
         "purchase", "view")),
+    "q_cvm_binned" -> ((s, dir) =>
+      // 100 TB twin: same exact-decimal CvM fold over <=1000 lattice
+      // bins (bounded ECDF window, wider decimal headroom)
+      Drift.cvmBinned(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view")),
     "q_energy_drift" -> ((s, dir) =>
       // moment-free energy distance: exact integer gap-folds for all
       // three E|.| terms plus the Szekely-Rizzo statistic
       Drift.energyDistance(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view")),
+    "q_energy_binned" -> ((s, dir) =>
+      // 100 TB twin: gap-folds over bin representatives in value units;
+      // every E|.| term within one bin width of exact
+      Drift.energyBinned(Tables.events(s, dir), "value", "event_type",
         "purchase", "view")),
     "q_ks_drift" -> ((s, dir) =>
       // large-sample KS: asymptotic p pinned (exactBelow=0) so the series
@@ -507,10 +517,23 @@ object CoreRegistry {
     "q_psi_drift" -> ((s, dir) =>
       Drift.psi(Tables.events(s, dir), "value", "event_type",
         "view", "purchase")),
+    "q_drift_vs_ref" -> ((s, dir) =>
+      // frozen-bounds drift: purchase (live) vs view (reference), bin
+      // edges from the reference ONLY with live-side clamping — the
+      // batch twin the streaming drift monitor must reproduce
+      Drift.sweepVsRef(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        Tables.events(s, dir).filter(col("event_type") === "view"),
+        Seq("value"))),
     "q_kuiper" -> ((s, dir) =>
       // tail-balanced two-sample distance V = D+ + D- on the same
       // purchase/view split as q_ks_drift — argmax on exact integers
       Drift.kuiperTest(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view")),
+    "q_kuiper_binned" -> ((s, dir) =>
+      // 100 TB twin: both one-sided sups elected over <=1000 ECDF
+      // points; V within one bin's pooled mass below exact
+      Drift.kuiperBinned(Tables.events(s, dir), "value", "event_type",
         "purchase", "view")),
     "q_tvd_drift" -> ((s, dir) =>
       // what fraction of probability mass moved between the view and

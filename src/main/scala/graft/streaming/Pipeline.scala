@@ -551,6 +551,46 @@ object Pipeline {
       .select(graft.ops.Quality.windowedSelect(checks): _*)
   }
 
+  /** Streaming drift monitor — the reference's batch-scheduled drift
+    * loop (`scripts/drift_detection.py:171-225`) lifted to a LIVE
+    * windowed job (round-9 verdict item 5). Split design, one
+    * definition of every numeric step shared with the batch twin
+    * [[graft.ops.Drift.sweepVsRef]]:
+    *
+    *   1. bin edges are FROZEN from the reference sample
+    *      ([[graft.ops.Drift.refBounds]], computed batch-side once and
+    *      broadcast — a stream can't take a second pass for bounds);
+    *   2. THIS stage: the live stream melts to (feature, v), joins the
+    *      broadcast bounds (stream-static, stateless), and counts per
+    *      (event-time window, feature, clamped bin) — a standard
+    *      incremental windowed aggregation with watermark + append
+    *      mode, state bounded by windows·features·bins;
+    *   3. each finalized window's histogram meets the reference
+    *      histogram in [[graft.ops.Drift.ksFromHistograms]] (inside
+    *      `foreachBatch`, or batch over the landed sink) — a join of
+    *      two ≤ features·bins frames, never data-sized.
+    *
+    * Checkpoint/resume comes from the engine (the KvStore/rate-source
+    * precedent); StreamingSmokeSpec asserts closed windows ≡ the batch
+    * sweep on the same rows.
+    */
+  def streamingDriftHistogram(stream: DataFrame, tsCol: String,
+                              bounds: DataFrame, features: Seq[String],
+                              windowLen: String = "1 hour",
+                              delay: String = "15 minutes",
+                              bins: Int = 1000): DataFrame = {
+    val melted = graft.ops.Drift.meltKeep(
+      stream.withColumn(tsCol, col(tsCol).cast("timestamp")),
+      Seq(tsCol), features)
+    val clean = graft.ops.Drift.cleanSamples(melted, "v")
+      .withWatermark(tsCol, delay)
+    graft.ops.Drift.binAgainstBounds(clean, bounds, bins)
+      .groupBy(window(col(tsCol), windowLen), col("feature"), col("bin"))
+      .agg(count(lit(1)).as("ca"))
+      .select(col("window.start").as("window_start"), col("feature"),
+        col("bin"), col("ca"))
+  }
+
   /** Stream-static enrichment: the serving-path J4 — a live event stream
     * LEFT-joined against a static (or periodically reloaded) broadcast
     * dimension. No state, no watermark needed (stream-static joins are

@@ -113,4 +113,18 @@ class ClusteringSpec extends SparkSpec {
     assert(b.getAs[Long]("cluster_id") == 500005L * 2000000L + 500005L)
     assert(b.getAs[Long]("n_cells") == 1L && b.getAs[Long]("n_points") == 2L)
   }
+
+  test("reliable-checkpoint parity: kmeans identical via Ckpt.cut(dir)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    val emb = Seq(
+      (0L, Array(0.0, 0.1)), (1L, Array(0.1, 0.0)), (2L, Array(0.05, 0.05)),
+      (3L, Array(5.0, 5.1)), (4L, Array(5.1, 5.0)), (5L, Array(5.05, 5.05)))
+      .toDF("vec_id", "embedding")
+    val local = Clustering.kmeans(emb, "vec_id", "embedding", k = 2,
+      iterations = 5).collect().toSeq
+    val rel = Clustering.kmeans(emb, "vec_id", "embedding", k = 2,
+      iterations = 5, checkpointDir = Some(dir)).collect().toSeq
+    assert(local == rel)
+  }
 }

@@ -502,4 +502,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(tiny, "doc_id", "text", k = 20)
       .filter(col("doc_id") === 9L).count() == 0L)
   }
+
+  test("reliable-checkpoint parity: both connected-components forms " +
+      "identical via Ckpt.cut(dir) as via localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().toSeq.sortBy(_.getLong(0))
+      == Dedup.connectedComponents(pairs, "id_a", "id_b",
+        checkpointDir = Some(dir)).collect().toSeq.sortBy(_.getLong(0)))
+    assert(Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        .collect().toSeq.sortBy(_.getLong(0))
+      == Dedup.connectedComponentsStar(pairs, "id_a", "id_b",
+        checkpointDir = Some(dir)).collect().toSeq.sortBy(_.getLong(0)))
+  }
 }

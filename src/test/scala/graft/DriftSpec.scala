@@ -486,4 +486,52 @@ class DriftSpec extends SparkSpec {
     assert(s.getAs[Double]("energy_d2") == 0.0)
     assert(s.getAs[Double]("e_between") == 1.0) // E|X-Y| = (0+2+2+0)/4
   }
+
+  test("binned rank/ECDF twins: with bins >= lattice span the order-only " +
+      "twins equal exact BIT-FOR-BIT; coarse bins stay within one bin's " +
+      "mass/width of exact") {
+    import spark.implicits._
+    // two shifted samples on a small lattice: values 0.01..20.00 -> span
+    // 2000 lattice units, so bins = 100000 >= span makes binning an
+    // order-preserving relabeling (each lattice point its own bin)
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map(i => ("a", 1.0 + 10.0 * ((i * 37 % 400) / 400.0))) ++
+      (1 to 400).map(i => ("b", 6.0 + 10.0 * ((i * 91 % 400) / 400.0)))
+    val df = rows.toDF("side", "value")
+      .withColumn("value", round(col("value"), 2))
+    // exact == fine-binned for the order-only statistics
+    val cvmE = Drift.cvmTest(df, "value", "side", "a", "b").collect().head
+    val cvmF = Drift.cvmBinned(df, "value", "side", "a", "b",
+      bins = 100000).collect().head
+    assert(cvmE.getAs[Double]("cvm_t") == cvmF.getAs[Double]("cvm_t"))
+    assert(cvmE.getAs[Long]("n_values") == cvmF.getAs[Long]("n_values"))
+    val kuE = Drift.kuiperTest(df, "value", "side", "a", "b").collect().head
+    val kuF = Drift.kuiperBinned(df, "value", "side", "a", "b",
+      bins = 100000).collect().head
+    assert(kuE.getAs[Double]("v_stat") == kuF.getAs[Double]("v_stat"))
+    assert(kuE.getAs[Double]("d_plus") == kuF.getAs[Double]("d_plus"))
+    // coarse bins: kuiper V is a sup over fewer evaluation points -> can
+    // only drop, and by at most one bin's pooled mass (here <= ~2 bins'
+    // share of 800 rows at bins=20 on a near-uniform pair)
+    val kuC = Drift.kuiperBinned(df, "value", "side", "a", "b", bins = 20)
+      .collect().head
+    assert(kuC.getAs[Double]("v_stat") <= kuE.getAs[Double]("v_stat") + 1e-9)
+    assert(kuE.getAs[Double]("v_stat") - kuC.getAs[Double]("v_stat") <= 0.15)
+    // energy: repr-based, within one bin width (span 19.99 value units /
+    // 100 bins ~ 0.2) on every expectation term
+    val enE = Drift.energyDistance(df, "value", "side", "a", "b")
+      .collect().head
+    val enC = Drift.energyBinned(df, "value", "side", "a", "b", bins = 100)
+      .collect().head
+    val w = 19.99 / 100
+    for (c <- Seq("e_between", "e_within_a", "e_within_b", "energy_d2"))
+      assert(math.abs(enE.getAs[Double](c) - enC.getAs[Double](c)) <= w,
+        s"$c off by more than one bin width")
+    // cvm coarse: integrated statistic moves by at most O(one bin mass)
+    val cvmC = Drift.cvmBinned(df, "value", "side", "a", "b", bins = 20)
+      .collect().head
+    assert(math.abs(cvmC.getAs[Double]("cvm_t")
+      - cvmE.getAs[Double]("cvm_t")) <= 0.5)
+    assert(cvmC.getAs[Boolean]("drifted") == cvmE.getAs[Boolean]("drifted"))
+  }
 }

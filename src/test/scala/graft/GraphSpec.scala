@@ -200,4 +200,22 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double)].collect()
     assert(one.toSeq == Seq(("all", 7L, 14L, 0.0, 0.0)))
   }
+
+  test("reliable-checkpoint parity: pageRank and hits produce identical " +
+      "results via Ckpt.cut(dir) as via localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val prLocal = Graph.pageRank(g, "src", "dst", iterations = 5)
+      .collect().toSeq
+    val prRel = Graph.pageRank(g, "src", "dst", iterations = 5,
+      checkpointDir = Some(dir)).collect().toSeq
+    assert(prLocal == prRel)
+    val hLocal = Graph.hits(g, "src", "dst", iterations = 3)
+      .collect().toSeq
+    val hRel = Graph.hits(g, "src", "dst", iterations = 3,
+      checkpointDir = Some(dir)).collect().toSeq
+    assert(hLocal == hRel)
+  }
 }

@@ -188,4 +188,38 @@ class LearnSpec extends SparkSpec {
     assert(m(10L) > m(30L))
     assert(m(20L) > m(40L))
   }
+
+  test("reliable-checkpoint parity: bradleyTerry identical via " +
+      "Ckpt.cut(dir) as via localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    val comps = Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 2L))
+      .toDF("winner", "loser")
+    val local = Learn.bradleyTerry(comps, "winner", "loser",
+      iterations = 4).collect().toSeq
+    val rel = Learn.bradleyTerry(comps, "winner", "loser", iterations = 4,
+      checkpointDir = Some(dir)).collect().toSeq
+    assert(local == rel)
+  }
+
+  test("decisionStumpBinned: clean separation elects a boundary within " +
+      "one bin width of the true split, with no ntile global sort") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 200).map(i => (i.toLong, i / 10.0, i > 100))
+    val df = rows.toDF("k", "f", "y")
+    val out = Learn.decisionStumpBinned(df, "k", "f", col("y"), bins = 50)
+    val best = out.filter(col("is_best")).collect()
+    assert(best.length == 1)
+    // true boundary is f = 10.0; bin width = 19.9/50 ~ 0.4
+    assert(math.abs(best.head.getAs[Double]("threshold") - 10.0) <= 0.5)
+    assert(best.head.getAs[Double]("gini_gain") > 0.45)
+    // the exact form's scale hazard is the ntile window; the binned
+    // plan must not contain one
+    assert(!out.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("ntile"))
+    // parity of totals with the exact stump on the same rows
+    val exact = Learn.decisionStump(df, "k", "f", col("y"), bins = 10)
+      .filter(col("is_best")).collect().head
+    assert(math.abs(exact.getAs[Double]("threshold") - 10.0) <= 2.0)
+  }
 }

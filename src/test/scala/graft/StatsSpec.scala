@@ -1776,4 +1776,67 @@ class StatsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("[a, c]"))
   }
+
+  test("binned rank-stat twins: bins >= lattice span reproduces exact " +
+      "bit-for-bit (order-only stats); coarse bins within one bin width") {
+    import org.apache.spark.sql.functions._
+    // small lattice: values like 3.17 -> span <= 2000 centi units
+    val rows = (1 to 300).map(i =>
+      ("a", 1.0 + ((i * 37) % 300) / 20.0)) ++ (1 to 300).map(i =>
+      ("b", 4.0 + ((i * 91) % 300) / 20.0))
+    val df = rows.toDF("g", "v").withColumn("v", round(col("v"), 2))
+    // Mann-Whitney: fine binning == exact on every column
+    val mwE = Stats.mannWhitney(df, "g", "v", "a", "b").collect().head
+    val mwF = Stats.mannWhitneyBinned(df, "g", "v", "a", "b",
+      bins = 100000).collect().head
+    for (c <- Seq("u_a", "u_b", "z", "effect_size_r"))
+      assert(mwE.getAs[Double](c) == mwF.getAs[Double](c), c)
+    // Kruskal-Wallis: same H under fine binning
+    val kwE = Stats.kruskalWallis(df, "g", "v", Seq("a", "b"))
+      .collect().head
+    val kwF = Stats.kruskalWallisBinned(df, "g", "v", Seq("a", "b"),
+      bins = 100000).collect().head
+    assert(kwE.getAs[Double]("h") == kwF.getAs[Double]("h"))
+    // Cliff's delta: fine == exact; coarse biases only toward 0 and by
+    // at most the migrated cross-pair share
+    val cdE = Stats.cliffsDelta(df, "g", "v", "a", "b").collect().head
+    val cdF = Stats.cliffsDeltaBinned(df, "g", "v", "a", "b",
+      bins = 100000).collect().head
+    assert(cdE.getAs[Double]("cliffs_delta")
+      == cdF.getAs[Double]("cliffs_delta"))
+    val cdC = Stats.cliffsDeltaBinned(df, "g", "v", "a", "b", bins = 15)
+      .collect().head
+    assert(math.abs(cdC.getAs[Double]("cliffs_delta"))
+      <= math.abs(cdE.getAs[Double]("cliffs_delta")) + 1e-9)
+    assert(math.abs(cdC.getAs[Double]("cliffs_delta")
+      - cdE.getAs[Double]("cliffs_delta")) <= 0.2)
+    // Spearman: rho identical under fine binning (order-only)
+    val pairs = (1 to 500).map { i =>
+      val x = ((i * 37) % 500) / 25.0
+      (x, 2.0 * x + ((i * 7) % 11) / 5.0)
+    }
+    val pdf = pairs.toDF("x", "y")
+      .withColumn("x", round(col("x"), 2))
+      .withColumn("y", round(col("y"), 2))
+    val spE = Stats.spearman(pdf, "x", "y").collect().head
+    val spF = Stats.spearmanBinned(pdf, "x", "y", bins = 100000)
+      .collect().head
+    assert(spE.getAs[Double]("spearman_rho")
+      == spF.getAs[Double]("spearman_rho"))
+    val spC = Stats.spearmanBinned(pdf, "x", "y", bins = 50).collect().head
+    assert(math.abs(spC.getAs[Double]("spearman_rho")
+      - spE.getAs[Double]("spearman_rho")) <= 0.05)
+    // Weighted median: coarse election lands within one bin width
+    val wdf = rows.toDF("g", "v").withColumn("v", round(col("v"), 2))
+      .withColumn("w", lit(1.0) + (col("v") * 10) % 7)
+    val wmE = Stats.weightedMedian(wdf, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val wmC = Stats.weightedMedianBinned(wdf, "g", "v", "w", bins = 40)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val binWidth = (wdf.agg(max(col("v")) - min(col("v"))).head.getDouble(0)
+      + 0.01) / 40
+    for (g <- Seq("a", "b"))
+      assert(math.abs(wmE(g) - wmC(g)) <= binWidth + 1e-9,
+        s"group $g median moved more than one bin width")
+  }
 }

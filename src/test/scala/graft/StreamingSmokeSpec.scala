@@ -672,4 +672,53 @@ class StreamingSmokeSpec extends SparkSpec {
       assert(audit.forall(_._3 == 80L)) // 20 docs x 4 tokens per batch
     } finally q2.stop()
   }
+
+  test("streaming drift monitor: closed-window histogram + ref fold " +
+      "reproduces the batch sweepVsRef on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Drift
+    // reference = a fixed baseline sample; live = shifted values
+    val ref = (1 to 200).map(i => 1.0 + (i % 50) / 5.0).toDF("value")
+    val bounds = Drift.refBounds(ref, Seq("value"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val live = (1 to 150).map(i => (ts(i % 40), 4.0 + (i % 60) / 4.0))
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val sdf = stream.toDF().toDF("ts", "value")
+    val hist = Pipeline.streamingDriftHistogram(sdf, "ts", bounds,
+      Seq("value"), windowLen = "1 hour", delay = "10 minutes", bins = 50)
+    val q = hist.writeStream.format("memory").queryName("drifthist")
+      .outputMode("append").start()
+    try {
+      stream.addData(live)
+      q.processAllAvailable()
+      // closing event far in the future finalizes the 00:00 window
+      stream.addData(Seq((ts(24 * 60), -1.0)))
+      q.processAllAvailable()
+      val refHist = Drift.refHistogram(ref, Seq("value"), bounds, bins = 50)
+        .withColumnRenamed("cnt", "cb")
+      val closed = spark.table("drifthist")
+        .filter($"window_start" === java.sql.Timestamp.valueOf(
+          "2024-01-01 00:00:00"))
+      assert(closed.count() > 0)
+      val streamKs = Drift.ksFromHistograms(
+        closed.select($"window_start", $"feature", $"bin", $"ca"),
+        refHist, groupCols = Seq("window_start")).collect()
+      // batch twin over exactly the rows of that closed window
+      val batchRows = live.filter(_._1.before(
+          java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+        .map(_._2).toDF("value")
+      val batchKs = Drift.sweepVsRef(batchRows, ref, Seq("value"),
+        bins = 50).collect()
+      assert(streamKs.length == 1 && batchKs.length == 1)
+      assert(streamKs.head.getAs[Double]("ks_stat")
+        == batchKs.head.getAs[Double]("ks_stat"))
+      assert(streamKs.head.getAs[Long]("n_a")
+        == batchKs.head.getAs[Long]("n_a"))
+      assert(streamKs.head.getAs[Long]("n_b")
+        == batchKs.head.getAs[Long]("n_b"))
+      // and the shifted live sample actually reads as drifted
+      assert(streamKs.head.getAs[Double]("ks_stat") > 0.2)
+    } finally q.stop()
+  }
 }
