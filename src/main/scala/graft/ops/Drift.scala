@@ -196,6 +196,74 @@ object Drift {
       // oracle replays unchanged; ordering is the bin order either way
       .select((col("__bin") * 100L).as("__v"), col("__ca"), col("__cb")))
 
+  /** Two-sample Anderson–Darling statistic (Scholz–Stephens 1987,
+    * midrank/tie version A²akN) — the TAIL-WEIGHTED member of the
+    * two-sample family: KS takes the worst single ECDF gap, CvM
+    * integrates the squared gap uniformly, AD divides each gap by
+    * H(1−H) so deviations in the TAILS — exactly where a drifted
+    * feature hurts a trained model first — count most. Each distinct
+    * value's term is a ratio of exact integers (2× mid-cumulatives, so
+    * no half ever floats); the per-term double commits to the 1e-12
+    * lattice (the ljungBox device) and sums in decimal(38,0), so
+    * partition order cannot move the statistic.
+    *
+    * Plan: the [[cvmTest]] class — ONE corpus pass to per-value side
+    * counts, the bounded ordered ECDF window, one fold. Use
+    * [[andersonDarlingBinned]] when the distinct axis is data-sized.
+    */
+  def andersonDarling(tagged: DataFrame, valueCol: String, sideCol: String,
+                      a: String, b: String): DataFrame =
+    adFold(sideCounts(tagged, valueCol, sideCol, a, b))
+
+  /** [[andersonDarling]] over the shared integer binning — same single
+    * corpus pass, the fold over ≤ `bins` rows (order-only statistic,
+    * so the coarsened axis is the bin id). */
+  def andersonDarlingBinned(tagged: DataFrame, valueCol: String,
+                            sideCol: String, a: String, b: String,
+                            bins: Int = 1000): DataFrame =
+    adFold(binCounts(sideCounts(tagged, valueCol, sideCol, a, b), bins,
+      Seq("__ca", "__cb"))
+      .select(col("__bin").as("__v"), col("__ca"), col("__cb")))
+
+  private def adFold(perValue: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy()
+    val cum = perValue
+      .withColumn("__l", col("__ca") + col("__cb"))
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cum", sum(col("__ca") + col("__cb")).over(w))
+      .withColumn("__n", sum(col("__ca")).over(totW))
+      .withColumn("__m", sum(col("__cb")).over(totW))
+    // 2× mid-cumulatives keep the ½-tie convention integral
+    val N = col("__n") + col("__m")
+    val b2 = col("__cum") * 2L - col("__l")
+    val m2a = col("__cuma") * 2L - col("__ca")
+    val m2b = (col("__cum") - col("__cuma")) * 2L -
+      (col("__l") - col("__ca"))
+    val denom = b2 * (N * 2L - b2) - N * col("__l")
+    def numTerm(m2: Column, ng: Column): Column = {
+      val d = (N * m2 - ng * b2).cast("double")
+      d * d / ng.cast("double")
+    }
+    val term = (col("__l").cast("double") / N.cast("double")) *
+      (numTerm(m2a, col("__n")) + numTerm(m2b, col("__m"))) /
+      denom.cast("double")
+    val withT = cum
+      .withColumn("__term",
+        when(denom > 0 && col("__n") > 0 && col("__m") > 0,
+          round(term * 1e12, 0).cast("decimal(38,0)")))
+    val f = withT.agg(count(lit(1)).as("n_values"),
+      max(col("__n")).as("n_a"), max(col("__m")).as("n_b"),
+      coalesce(sum(col("__term")), lit(0L).cast("decimal(38,0)"))
+        .as("__s"))
+    val nD = col("n_a").cast("double") + col("n_b").cast("double")
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    f.select(col("n_a"), col("n_b"), col("n_values"),
+      round(when(ok, (nD - 1.0) / nD *
+        (col("__s").cast("double") / 1e12)), 6).as("ad_stat"))
+  }
+
   /** Two-sample ENERGY distance over centi-lattice values — the
     * moment-free drift metric with the clean closed form in 1-D:
     * D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, each expectation an EXACT

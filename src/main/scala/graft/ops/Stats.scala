@@ -2626,6 +2626,288 @@ object Stats {
       round(chi2 / (nD * (kD - 1.0)), 6).as("kendalls_w"))): _*)
   }
 
+  /** Jonckheere–Terpstra trend test across DECLARED-ORDER groups — the
+    * ordered-alternative k-sample test [[kruskalWallis]] deliberately
+    * isn't: KW asks "do the distributions differ AT ALL?"; JT asks "do
+    * values increase ALONG the declared order?" (view → click → signup
+    * → purchase), which concentrates the power on the monotone
+    * alternative. JT = Σ_{i<j} U_ij over ordered pairs, each U the
+    * Mann–Whitney count with the ½-tie convention, so 2·JT is an exact
+    * integer; the normal approximation uses the tie-corrected variance
+    * (Hollander & Wolfe 6.19) — every Σt(t−1)(2t+5)-style term is an
+    * exact integer fold at the distinct-value grain.
+    *
+    * Plan: ONE corpus pass to per-(distinct value, group) counts (the
+    * [[kruskalWallis]] count-grain posture — 2U folds from
+    * Σ_v c_j(v)·below_i(v), never a pair join), k cumulative windows
+    * over the distinct frame, one fold, one fixed double tree.
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valueCol: String,
+                         ordered: Seq[String]): DataFrame = {
+    require(ordered.size >= 3 && ordered.size <= 8 &&
+      ordered.distinct == ordered,
+      s"jonckheereTerpstra: 3..8 distinct ORDERED groups (got $ordered)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isin(ordered: _*) && col("__v").isNotNull)
+    checkRoster(base, "jonckheereTerpstra", ordered)
+    val k = ordered.size
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perValAggs = ordered.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i") }
+    val perVal = base.groupBy(col("__v"))
+      .agg(perValAggs.head, perValAggs.tail: _*)
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = ordered.indices.foldLeft(perVal)((d, i) =>
+      d.withColumn(s"__b$i",
+        coalesce(sum(col(s"__c$i")).over(w), lit(0L))))
+    val nv = ordered.indices.map(i => col(s"__c$i")).reduce(_ + _)
+    // 2U_ij per value: 2·c_j·below_i + c_i·c_j (strict wins ×2 + ties)
+    val pairTerm = (for { i <- 0 until k; j <- (i + 1) until k } yield
+      dec(col(s"__c$j")) * col(s"__b$i") * 2L +
+        dec(col(s"__c$i")) * col(s"__c$j")).reduce(_ + _)
+    val aggs = ordered.indices.map(i =>
+      coalesce(sum(col(s"__c$i")), lit(0L)).as(s"__n$i")) ++ Seq(
+      coalesce(sum(pairTerm), lit(0L).cast("decimal(38,0)")).as("__u2"),
+      coalesce(sum(dec(nv) * (nv - 1L) * (nv * 2L + 5L)), lit(0L)
+        .cast("decimal(38,0)")).as("__t1"),
+      coalesce(sum(dec(nv) * (nv - 1L) * (nv - 2L)), lit(0L)
+        .cast("decimal(38,0)")).as("__t2"),
+      coalesce(sum(dec(nv) * (nv - 1L)), lit(0L).cast("decimal(38,0)"))
+        .as("__t3"))
+    val folded = withCum.agg(aggs.head, aggs.tail: _*)
+    def nI(i: Int) = col(s"__n$i")
+    val nTot = ordered.indices.map(nI).reduce(_ + _)
+    val nD = nTot.cast("double")
+    // group-side tie-style sums (exact integer chains in declared order)
+    val g1 = ordered.indices.map(i =>
+      dec(nI(i)) * (nI(i) - 1L) * (nI(i) * 2L + 5L)).reduce(_ + _)
+    val g2 = ordered.indices.map(i =>
+      dec(nI(i)) * (nI(i) - 1L) * (nI(i) - 2L)).reduce(_ + _)
+    val g3 = ordered.indices.map(i =>
+      dec(nI(i)) * (nI(i) - 1L)).reduce(_ + _)
+    val sumSq = ordered.indices.map(i => dec(nI(i)) * nI(i)).reduce(_ + _)
+    val eJt = (nD * nD - sumSq.cast("double")) / 4.0
+    val varJt =
+      (nD * (nD - 1.0) * (nD * 2.0 + 5.0) - col("__t1").cast("double")
+        - g1.cast("double")) / 72.0 +
+      col("__t2").cast("double") * g2.cast("double") /
+        (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0)) +
+      col("__t3").cast("double") * g3.cast("double") /
+        (lit(8.0) * nD * (nD - 1.0))
+    val jt = col("__u2").cast("double") / 2.0
+    val ok = varJt > 0
+    folded.select((Seq(nTot.cast("long").as("n")) ++
+      ordered.zipWithIndex.map { case (g, i) => nI(i).as(s"n_$g") } ++ Seq(
+      round(jt, 6).as("jt_stat"),
+      round(eJt, 6).as("e_jt"),
+      round(when(ok, varJt), 6).as("var_jt"),
+      round(when(ok, (jt - eJt) / sqrt(varJt)), 6).as("z"))): _*)
+  }
+
+  /** Mood's median test across DECLARED groups — the coarsest, most
+    * outlier-proof of the k-sample location tests: only "above the
+    * pooled median or not" enters, so a single corrupted extreme value
+    * cannot move it at all (where even [[kruskalWallis]]'s ranks shift
+    * by one). Low power when distributions are clean — the point is
+    * the robustness rung below KW on the same ladder.
+    *
+    * The pooled median is the exact LOWER median elected on integers
+    * (first distinct value whose doubled cumulative count reaches N —
+    * the [[weightedMedian]] election, no float quantile); values ≤
+    * median count "below" (the classic convention, stated so both
+    * engines and any reimplementation agree). χ² = Σ 2k cells
+    * (O−E)²/E with E from exact integer margins — one fixed tree.
+    *
+    * Plan: one corpus pass to per-(value, group) counts, the bounded
+    * ordered election window, a 1-row median broadcast, one fold.
+    */
+  def moodMedian(df: DataFrame, groupCol: String, valueCol: String,
+                 groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"moodMedian: 2..32 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    checkRoster(base, "moodMedian", groups)
+    val sorted = groups.sorted
+    val perValAggs = sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i") }
+    val perVal = base.groupBy(col("__v"))
+      .agg(perValAggs.head, perValAggs.tail: _*)
+    val nv = sorted.indices.map(i => col(s"__c$i")).reduce(_ + _)
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy()
+    val withCum = perVal
+      .withColumn("__cum", sum(nv).over(w))
+      .withColumn("__N", sum(nv).over(totW))
+    val med = withCum.filter(col("__cum") * 2L >= col("__N"))
+      .agg(min(col("__v")).as("__med"))
+    val aggs = sorted.zipWithIndex.flatMap { case (g, i) =>
+      Seq(coalesce(sum(when(col("__v") > col("__med"), col(s"__c$i"))),
+        lit(0L)).as(s"__a$i"),
+        coalesce(sum(when(col("__v") <= col("__med"), col(s"__c$i"))),
+          lit(0L)).as(s"__b$i"))
+    }
+    val folded = perVal.crossJoin(broadcast(med))
+      .agg(aggs.head, aggs.tail: _*)
+    def aI(i: Int) = col(s"__a$i"); def bI(i: Int) = col(s"__b$i")
+    val aTot = sorted.indices.map(aI).reduce(_ + _)
+    val bTot = sorted.indices.map(bI).reduce(_ + _)
+    val nTot = aTot + bTot
+    val nD = nTot.cast("double")
+    // (O−E)²/E per cell, E = n_g·margin/N — fixed left-to-right chain
+    val chi2 = sorted.indices.map { i =>
+      val ngD = (aI(i) + bI(i)).cast("double")
+      val ea = ngD * aTot.cast("double") / nD
+      val eb = ngD * bTot.cast("double") / nD
+      (aI(i).cast("double") - ea) * (aI(i).cast("double") - ea) / ea +
+        (bI(i).cast("double") - eb) * (bI(i).cast("double") - eb) / eb
+    }.reduce(_ + _)
+    val ok = aTot > 0 && bTot > 0
+    folded.crossJoin(broadcast(med))
+      .select((Seq(nTot.cast("long").as("n"),
+        round(col("__med"), 6).as("grand_median"),
+        aTot.cast("long").as("n_above")) ++
+        sorted.zipWithIndex.map { case (g, i) =>
+          (aI(i) + bI(i)).as(s"n_$g") } ++ Seq(
+        round(when(ok, chi2), 6).as("chi2"),
+        lit(groups.size - 1).as("df"))): _*)
+  }
+
+  /** Brunner–Munzel test between two groups — the modern replacement
+    * for [[mannWhitney]] when the two spreads differ (the rank-test
+    * Behrens–Fisher problem): MW's variance assumes exchangeability
+    * under H₀; BM studentizes the relative effect
+    * p̂ = P(X<Y) + ½P(X=Y) with per-group placement variances and a
+    * Welch-style df, staying honest when one side is noisier.
+    *
+    * Exactness: pooled AND within-group 2×-midranks come from per-
+    * (value, side) counts; the variance terms fold as
+    * E_g = Σ_v c_g·(n_g·(r2p − r2g + n_g + 1) − S2g)² — exact decimals
+    * once the 1-row rank-sum totals (S2g) broadcast back (the
+    * [[graft.ops.Graph.hits]] two-stage shape) — so
+    * S_g² = E_g/(4n_g²(n_g−1)) exactly, and p̂/W/df are each ONE fixed
+    * double tree over exact integers.
+    *
+    * Plan: one corpus pass to per-value side counts, three bounded
+    * windows over the distinct frame, a 1-row totals broadcast, one
+    * fold. Pre-bin a data-sized axis first (the [[mannWhitneyBinned]]
+    * contract applies unchanged — coarsen, then call this).
+    */
+  def brunnerMunzel(df: DataFrame, groupCol: String, valueCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB,
+      s"brunnerMunzel: groups must differ (got '$groupA' twice)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isin(groupA, groupB) && col("__v").isNotNull)
+    val perVal = base.groupBy(col("__v")).agg(
+      sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def below(c: String): Column = coalesce(
+      sum(col(c)).over(Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    // 2×-midranks: pooled, within-A, within-B — all from one window set
+    val ranked = perVal
+      .withColumn("__r2p",
+        lit(2L) * (below("__ca") + below("__cb")) +
+          col("__ca") + col("__cb") + 1L)
+      .withColumn("__r2a", lit(2L) * below("__ca") + col("__ca") + 1L)
+      .withColumn("__r2b", lit(2L) * below("__cb") + col("__cb") + 1L)
+    val totals = ranked.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"),
+      coalesce(sum(dec(col("__ca")) * col("__r2p")),
+        lit(0L).cast("decimal(38,0)")).as("__s2a"),
+      coalesce(sum(dec(col("__cb")) * col("__r2p")),
+        lit(0L).cast("decimal(38,0)")).as("__s2b"))
+    def eTerm(cg: String, r2g: String, n: Column, s2: Column): Column = {
+      val d = dec(n) * (col("__r2p") - col(r2g) + n + 1L) - s2
+      sum(dec(col(cg)) * d * d)
+    }
+    val f = ranked.crossJoin(broadcast(totals)).agg(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      max(col("__s2a")).as("__sa"), max(col("__s2b")).as("__sb"),
+      eTerm("__ca", "__r2a", col("__na"), col("__s2a")).as("__ea"),
+      eTerm("__cb", "__r2b", col("__nb"), col("__s2b")).as("__eb"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    // S_g² = E_g / (4 n_g² (n_g − 1)); the statistic needs n_g·S_g²
+    val nxSx = col("__ea").cast("double") /
+      (lit(4.0) * naD * (naD - 1.0))
+    val nySy = col("__eb").cast("double") /
+      (lit(4.0) * nbD * (nbD - 1.0))
+    val pHat = (col("__sb").cast("double") / (lit(2.0) * nbD) -
+      (nbD + 1.0) / 2.0) / naD
+    val num = naD * nbD *
+      (col("__sb").cast("double") / (lit(2.0) * nbD) -
+        col("__sa").cast("double") / (lit(2.0) * naD)) / nD
+    val varSum = nxSx + nySy
+    val w = num / sqrt(varSum)
+    val dfW = varSum * varSum /
+      (nxSx * nxSx / (naD - 1.0) + nySy * nySy / (nbD - 1.0))
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    f.select(col("n_a"), col("n_b"),
+      round(when(ok, pHat), 6).as("p_hat"),
+      round(when(ok && varSum > 0, w), 6).as("w_stat"),
+      round(when(ok && varSum > 0, dfW), 6).as("df"))
+  }
+
+  /** Page's trend test over day blocks — the ordered-alternative
+    * repeated-measures sibling: [[friedman]] asks "do treatments differ
+    * within days at all?"; Page asks "do they increase along the
+    * DECLARED order?" L = Σⱼ j·Rⱼ over within-day 2×-midranks (L2 =
+    * Σ j·R2ⱼ is exact), z = (L − E)/σ with the classic
+    * E = n·k(k+1)²/4 and Var = n·k²(k+1)(k²−1)/144. Only COMPLETE
+    * blocks enter (the friedman contract); the roster fails loud.
+    */
+  def pageTrend(df: DataFrame, dateCol: Column, groupCol: String,
+                valueCol: String, ordered: Seq[String]): DataFrame = {
+    require(ordered.size >= 3 && ordered.size <= 32 &&
+      ordered.distinct == ordered,
+      s"pageTrend: 3..32 distinct ORDERED groups (got $ordered)")
+    val base = df
+      .filter(col(groupCol).isin(ordered: _*) && col(valueCol).isNotNull)
+      .groupBy(dateCol.as("__d"), col(groupCol).as("__g"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
+    // isin-filtered, so the probe enforces "every DECLARED treatment
+    // observed" (a missing funnel stage must fail loud, not silently
+    // shrink every block)
+    checkRoster(base.select("__g"), "pageTrend", ordered)
+    val k = ordered.size
+    val wDay = Window.partitionBy(col("__d"))
+    val complete = base
+      .withColumn("__cnt", count(lit(1)).over(wDay))
+      .filter(col("__cnt") === k)
+      .withColumn("__r2",
+        lit(2L) * (rank().over(wDay.orderBy(col("__x"))) - 1L) +
+          count(lit(1)).over(Window.partitionBy(col("__d"), col("__x"))) +
+          1L)
+    // position j = 1-based index in the DECLARED order (not sorted)
+    val aggs = ordered.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, col("__r2")).otherwise(0L)).as(s"__s$i")
+    } :+ (count(lit(1)) / k).cast("long").as("n_days")
+    val folded = complete.agg(aggs.head, aggs.tail: _*)
+    val l2 = ordered.indices.map(i => col(s"__s$i") * (i + 1L)).reduce(_ + _)
+    val nD = col("n_days").cast("double")
+    val kD = k.toDouble
+    val l = l2.cast("double") / 2.0
+    val eL = nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val varL = nD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) / 144.0
+    val ok = col("n_days") > 0
+    folded.select((Seq(col("n_days")) ++
+      ordered.zipWithIndex.map { case (g, i) =>
+        col(s"__s$i").as(s"ranksum2_$g") } ++ Seq(
+      round(when(ok, l), 6).as("page_l"),
+      round(when(ok, eL), 6).as("e_l"),
+      round(when(ok && varL > 0, (l - eL) / sqrt(varL)), 6).as("z"))): _*)
+  }
+
   /** Wald–Wolfowitz runs test over the daily series' up/down moves —
     * "are the direction changes random, or do up-days cluster?" The
     * sequence-randomness companion to [[autocorr]] (which reads linear

@@ -6004,6 +6004,114 @@ private[graft] object AnalyticsOracleSql {
     // grain (v = bin id for order-only stats, repr/100 where magnitudes
     // matter).
 
+    // Jonckheere-Terpstra: 2U from count-grain pair folds, HW 6.19
+    // tie-corrected variance, fixed double tree mirroring the Scala
+    "q_jonckheere" -> {
+      val gs = Seq("view", "click", "signup", "purchase")
+      val k = gs.size
+      val inList = gs.map(g => s"'$g'").mkString(", ")
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+      }.mkString(",\n               ")
+      val cumCols = gs.indices.map(i =>
+        s"coalesce(sum(c$i) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+          s"PRECEDING AND 1 PRECEDING), 0) AS b$i").mkString(",\n               ")
+      val nv = gs.indices.map(i => s"c$i").mkString(" + ")
+      val pairTerm = (for { i <- 0 until k; j <- (i + 1) until k } yield
+        s"CAST(c$j AS HUGEINT) * b$i * 2 + CAST(c$i AS HUGEINT) * c$j")
+        .mkString(" + ")
+      val nSums = gs.indices.map(i =>
+        s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
+      val nTot = gs.indices.map(i => s"n$i").mkString(" + ")
+      val nD = s"CAST($nTot AS DOUBLE)"
+      val g1 = gs.indices.map(i =>
+        s"CAST(n$i AS HUGEINT) * (n$i - 1) * (2 * n$i + 5)").mkString(" + ")
+      val g2 = gs.indices.map(i =>
+        s"CAST(n$i AS HUGEINT) * (n$i - 1) * (n$i - 2)").mkString(" + ")
+      val g3 = gs.indices.map(i =>
+        s"CAST(n$i AS HUGEINT) * (n$i - 1)").mkString(" + ")
+      val ssq = gs.indices.map(i =>
+        s"CAST(n$i AS HUGEINT) * n$i").mkString(" + ")
+      val eJt = s"($nD * $nD - CAST($ssq AS DOUBLE)) / 4.0"
+      val varJt =
+        s"(($nD * ($nD - 1.0) * ($nD * 2.0 + 5.0) - CAST(t1 AS DOUBLE)" +
+        s" - CAST($g1 AS DOUBLE)) / 72.0" +
+        s" + CAST(t2 AS DOUBLE) * CAST($g2 AS DOUBLE)" +
+        s" / (36.0 * $nD * ($nD - 1.0) * ($nD - 2.0))" +
+        s" + CAST(t3 AS DOUBLE) * CAST($g3 AS DOUBLE)" +
+        s" / (8.0 * $nD * ($nD - 1.0)))"
+      val jt = "CAST(u2 AS DOUBLE) / 2.0"
+      val nGCols = gs.zipWithIndex.map { case (g, i) => s"n$i AS n_$g" }
+        .mkString(", ")
+      s"""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IN ($inList) AND value IS NOT NULL),
+      pv AS (SELECT v,
+               $caseCols
+             FROM base GROUP BY v),
+      cumc AS (SELECT *,
+               $cumCols
+             FROM pv),
+      f AS (SELECT $nSums,
+              sum($pairTerm) AS u2,
+              sum(CAST($nv AS HUGEINT) * (($nv) - 1) * (2 * ($nv) + 5))
+                AS t1,
+              sum(CAST($nv AS HUGEINT) * (($nv) - 1) * (($nv) - 2)) AS t2,
+              sum(CAST($nv AS HUGEINT) * (($nv) - 1)) AS t3
+            FROM cumc)
+      SELECT CAST($nTot AS BIGINT) AS n, $nGCols,
+             round($jt, 6) AS jt_stat,
+             round($eJt, 6) AS e_jt,
+             round(CASE WHEN $varJt > 0 THEN $varJt END, 6) AS var_jt,
+             round(CASE WHEN $varJt > 0
+               THEN ($jt - $eJt) / sqrt($varJt) END, 6) AS z
+      FROM f"""
+    },
+
+    // Page's trend: friedman's complete-block 2x-midranks, L = sum of
+    // declared-position-weighted rank sums, classic E/Var
+    "q_page_trend" -> {
+      val gs = Seq("view", "click", "signup", "purchase")
+      val k = gs.size
+      val inList = gs.map(g => s"'$g'").mkString(", ")
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN r2 ELSE 0 END) AS BIGINT)
+               AS s$i""" }.mkString(",\n             ")
+      val l2 = gs.indices.map(i => s"s$i * ${i + 1}").mkString(" + ")
+      val nd = "CAST(n_days AS DOUBLE)"
+      val kD = s"$k.0"
+      val l = s"CAST($l2 AS DOUBLE) / 2.0"
+      val eL = s"($nd * $kD * ($kD + 1.0) * ($kD + 1.0) / 4.0)"
+      val varL = s"($nd * $kD * $kD * ($kD + 1.0)" +
+        s" * ($kD * $kD - 1.0) / 144.0)"
+      val sCols = gs.zipWithIndex
+        .map { case (g, i) => s"s$i AS ranksum2_$g" }.mkString(", ")
+      s"""
+      WITH base AS (SELECT CAST(ts AS DATE) AS d, event_type AS g,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                AS x
+            FROM events
+            WHERE event_type IN ($inList) AND value IS NOT NULL
+            GROUP BY 1, 2),
+      c AS (SELECT d, g, x, count(*) OVER (PARTITION BY d) AS cnt
+            FROM base),
+      r AS (SELECT d, g,
+              CAST(2 * (rank() OVER (PARTITION BY d ORDER BY x) - 1)
+                + count(*) OVER (PARTITION BY d, x) + 1 AS BIGINT) AS r2
+            FROM c WHERE cnt = $k),
+      f AS (SELECT
+             $caseCols,
+             CAST(count(*) / $k AS BIGINT) AS n_days
+            FROM r)
+      SELECT n_days, $sCols,
+             round(CASE WHEN n_days > 0 THEN $l END, 6) AS page_l,
+             round(CASE WHEN n_days > 0 THEN $eL END, 6) AS e_l,
+             round(CASE WHEN n_days > 0 AND $varL > 0
+               THEN ($l - $eL) / sqrt($varL) END, 6) AS z
+      FROM f"""
+    },
+
     "q_mann_whitney_binned" -> {
       val naD = "CAST(n_a AS DOUBLE)"
       val nbD = "CAST(n_b AS DOUBLE)"
@@ -6044,6 +6152,118 @@ private[graft] object AnalyticsOracleSql {
              round(CASE WHEN $ok AND $varU > 0
                THEN $z / sqrt($nD) END, 6) AS effect_size_r
       FROM f, t"""
+    },
+
+    // Mood's median: exact lower-median election, <=median counts
+    // "below", 2xk chi-square from exact integer margins
+    "q_mood_median" -> {
+      val gs = Seq("click", "error", "purchase", "signup", "view")
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+      }.mkString(",\n               ")
+      val nv = gs.indices.map(i => s"c$i").mkString(" + ")
+      val abCols = gs.indices.map(i =>
+        s"""CAST(coalesce(sum(CASE WHEN v > med THEN c$i END), 0)
+               AS BIGINT) AS a$i,
+             CAST(coalesce(sum(CASE WHEN v <= med THEN c$i END), 0)
+               AS BIGINT) AS b$i""").mkString(",\n             ")
+      val aTot = gs.indices.map(i => s"a$i").mkString(" + ")
+      val bTot = gs.indices.map(i => s"b$i").mkString(" + ")
+      val nTot = s"($aTot + $bTot)"
+      val nD = s"CAST($nTot AS DOUBLE)"
+      val chi2 = gs.indices.map { i =>
+        val ngD = s"CAST(a$i + b$i AS DOUBLE)"
+        val ea = s"($ngD * CAST($aTot AS DOUBLE) / $nD)"
+        val eb = s"($ngD * CAST($bTot AS DOUBLE) / $nD)"
+        s"(CAST(a$i AS DOUBLE) - $ea) * (CAST(a$i AS DOUBLE) - $ea) / $ea" +
+          s" + (CAST(b$i AS DOUBLE) - $eb) * (CAST(b$i AS DOUBLE) - $eb)" +
+          s" / $eb"
+      }.mkString(" + ")
+      val nGCols = gs.zipWithIndex
+        .map { case (g, i) => s"CAST(a$i + b$i AS BIGINT) AS n_$g" }
+        .mkString(", ")
+      s"""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      pv AS (SELECT v,
+               $caseCols
+             FROM base GROUP BY v),
+      cumt AS (SELECT v, $nv AS l,
+               sum($nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum,
+               sum($nv) OVER () AS N
+             FROM pv),
+      m AS (SELECT min(v) AS med FROM cumt WHERE cum * 2 >= N),
+      f AS (SELECT
+             $abCols
+            FROM pv, m)
+      SELECT CAST($nTot AS BIGINT) AS n,
+             round((SELECT med FROM m), 6) AS grand_median,
+             CAST($aTot AS BIGINT) AS n_above, $nGCols,
+             round(CASE WHEN ($aTot) > 0 AND ($bTot) > 0
+               THEN $chi2 END, 6) AS chi2,
+             CAST(${gs.size - 1} AS INTEGER) AS df
+      FROM f"""
+    },
+
+    // Brunner-Munzel: pooled + within-group 2x-midranks from per-value
+    // counts, 1-row rank-sum totals, exact E_g variance folds, one
+    // fixed double tree per output (mirrors Stats.brunnerMunzel)
+    "q_brunner_munzel" -> {
+      val naD = "CAST(n_a AS DOUBLE)"
+      val nbD = "CAST(n_b AS DOUBLE)"
+      val nD = s"($naD + $nbD)"
+      val nxSx = s"(CAST(ea AS DOUBLE) / (4.0 * $naD * ($naD - 1.0)))"
+      val nySy = s"(CAST(eb AS DOUBLE) / (4.0 * $nbD * ($nbD - 1.0)))"
+      val varSum = s"($nxSx + $nySy)"
+      val pHat = s"((CAST(sb AS DOUBLE) / (2.0 * $nbD)" +
+        s" - ($nbD + 1.0) / 2.0) / $naD)"
+      val num = s"($naD * $nbD * (CAST(sb AS DOUBLE) / (2.0 * $nbD)" +
+        s" - CAST(sa AS DOUBLE) / (2.0 * $naD)) / $nD)"
+      val dfW = s"($varSum * $varSum / ($nxSx * $nxSx / ($naD - 1.0)" +
+        s" + $nySy * $nySy / ($nbD - 1.0)))"
+      val ok = "n_a > 1 AND n_b > 1"
+      s"""
+      WITH pv AS (SELECT CAST(value AS DOUBLE) AS v,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS ca,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cb
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+              AND value IS NOT NULL
+            GROUP BY 1),
+      r AS (SELECT *,
+              2 * (coalesce(sum(ca) OVER w0, 0)
+                 + coalesce(sum(cb) OVER w0, 0)) + ca + cb + 1 AS r2p,
+              2 * coalesce(sum(ca) OVER w0, 0) + ca + 1 AS r2a,
+              2 * coalesce(sum(cb) OVER w0, 0) + cb + 1 AS r2b
+            FROM pv
+            WINDOW w0 AS (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb,
+                coalesce(sum(CAST(ca AS HUGEINT) * r2p), 0) AS s2a,
+                coalesce(sum(CAST(cb AS HUGEINT) * r2p), 0) AS s2b
+              FROM r),
+      f AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+              max(s2a) AS sa, max(s2b) AS sb,
+              sum(CAST(ca AS HUGEINT)
+                * (CAST(na AS HUGEINT) * (r2p - r2a + na + 1) - s2a)
+                * (CAST(na AS HUGEINT) * (r2p - r2a + na + 1) - s2a))
+                AS ea,
+              sum(CAST(cb AS HUGEINT)
+                * (CAST(nb AS HUGEINT) * (r2p - r2b + nb + 1) - s2b)
+                * (CAST(nb AS HUGEINT) * (r2p - r2b + nb + 1) - s2b))
+                AS eb
+            FROM r, tot)
+      SELECT n_a, n_b,
+             round(CASE WHEN $ok THEN $pHat END, 6) AS p_hat,
+             round(CASE WHEN $ok AND $varSum > 0
+               THEN $num / sqrt($varSum) END, 6) AS w_stat,
+             round(CASE WHEN $ok AND $varSum > 0 THEN $dfW END, 6) AS df
+      FROM f"""
     },
 
     "q_kruskal_wallis_binned" -> {

@@ -1924,6 +1924,105 @@ private[graft] object CoreOracleSql {
           AS drifted
       FROM f""",
 
+    // Anderson-Darling (Scholz-Stephens midrank A2akN): 2x mid-
+    // cumulatives keep half-ties integral; per-value term is a ratio of
+    // exact integers committed to the 1e-12 lattice before the fold
+    "q_anderson_darling" -> """
+      WITH pv AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+          AND value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1),
+      c AS (SELECT *, ca + cb AS l,
+              sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cuma,
+              sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS cum,
+              sum(ca) OVER () AS n, sum(cb) OVER () AS m
+            FROM pv),
+      t AS (SELECT n, m,
+              CASE WHEN (cum * 2 - l) * ((n + m) * 2 - (cum * 2 - l))
+                     - (n + m) * l > 0 AND n > 0 AND m > 0
+                THEN CAST(round(
+                  ((CAST(l AS DOUBLE) / CAST(n + m AS DOUBLE))
+                    * (CAST((n + m) * (cuma * 2 - ca) - n * (cum * 2 - l)
+                         AS DOUBLE)
+                       * CAST((n + m) * (cuma * 2 - ca)
+                           - n * (cum * 2 - l) AS DOUBLE)
+                       / CAST(n AS DOUBLE)
+                     + CAST((n + m) * ((cum - cuma) * 2 - (l - ca))
+                         - m * (cum * 2 - l) AS DOUBLE)
+                       * CAST((n + m) * ((cum - cuma) * 2 - (l - ca))
+                           - m * (cum * 2 - l) AS DOUBLE)
+                       / CAST(m AS DOUBLE))
+                    / CAST((cum * 2 - l) * ((n + m) * 2 - (cum * 2 - l))
+                        - (n + m) * l AS DOUBLE)) * 1e12, 0) AS HUGEINT)
+                END AS term
+            FROM c),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+              CAST(max(n) AS BIGINT) AS n_a, CAST(max(m) AS BIGINT) AS n_b,
+              coalesce(sum(term), 0) AS sterm
+            FROM t)
+      SELECT n_a, n_b, n_values,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+          (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+            * (CAST(sterm AS DOUBLE) / 1e12) END, 6) AS ad_stat
+      FROM f""",
+
+    // AD over bins: same fold, pv at the bin grain
+    "q_anderson_darling_binned" -> s"""
+      WITH ${latticeBinCtes("events", "value",
+        "event_type IN ('purchase', 'view') AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type")},
+      pv AS (SELECT bin AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+             FROM binned GROUP BY 1),
+      c AS (SELECT *, ca + cb AS l,
+              sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cuma,
+              sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS cum,
+              sum(ca) OVER () AS n, sum(cb) OVER () AS m
+            FROM pv),
+      t AS (SELECT n, m,
+              CASE WHEN (cum * 2 - l) * ((n + m) * 2 - (cum * 2 - l))
+                     - (n + m) * l > 0 AND n > 0 AND m > 0
+                THEN CAST(round(
+                  ((CAST(l AS DOUBLE) / CAST(n + m AS DOUBLE))
+                    * (CAST((n + m) * (cuma * 2 - ca) - n * (cum * 2 - l)
+                         AS DOUBLE)
+                       * CAST((n + m) * (cuma * 2 - ca)
+                           - n * (cum * 2 - l) AS DOUBLE)
+                       / CAST(n AS DOUBLE)
+                     + CAST((n + m) * ((cum - cuma) * 2 - (l - ca))
+                         - m * (cum * 2 - l) AS DOUBLE)
+                       * CAST((n + m) * ((cum - cuma) * 2 - (l - ca))
+                           - m * (cum * 2 - l) AS DOUBLE)
+                       / CAST(m AS DOUBLE))
+                    / CAST((cum * 2 - l) * ((n + m) * 2 - (cum * 2 - l))
+                        - (n + m) * l AS DOUBLE)) * 1e12, 0) AS HUGEINT)
+                END AS term
+            FROM c),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+              CAST(max(n) AS BIGINT) AS n_a, CAST(max(m) AS BIGINT) AS n_b,
+              coalesce(sum(term), 0) AS sterm
+            FROM t)
+      SELECT n_a, n_b, n_values,
+        round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+          (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+            * (CAST(sterm AS DOUBLE) / 1e12) END, 6) AS ad_stat
+      FROM f""",
+
     // Energy over bins: pv at v = repr (the bin's centi-lattice
     // representative — magnitudes matter for the gap integral)
     "q_energy_binned" -> s"""

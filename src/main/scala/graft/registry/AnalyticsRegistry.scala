@@ -970,6 +970,17 @@ object AnalyticsRegistry {
       // ordered window; within-bin values are exact ties
       Stats.kruskalWallisBinned(Tables.events(s, dir), "event_type",
         "value", Seq("view", "click", "purchase", "signup", "error"))),
+    "q_jonckheere" -> ((s, dir) =>
+      // do values INCREASE along the funnel order? ordered-alternative
+      // trend test, 2U exact from count-grain folds, tie-corrected z
+      Stats.jonckheereTerpstra(Tables.events(s, dir), "event_type",
+        "value", Seq("view", "click", "signup", "purchase"))),
+    "q_page_trend" -> ((s, dir) =>
+      // do daily revenues increase along the funnel WITHIN each day
+      // block? Page's L over within-day 2x-midranks
+      Stats.pageTrend(Tables.events(s, dir), to_date(col("ts")),
+        "event_type", "value",
+        Seq("view", "click", "signup", "purchase"))),
     "q_anova" -> ((s, dir) =>
       // parametric companion: classic F + eta2/omega2 effect sizes +
       // Welch's heteroscedastic F, all from one lattice-exact fold
@@ -985,6 +996,16 @@ object AnalyticsRegistry {
       // preserved when |z| clears the coarsening noise
       Stats.mannWhitneyBinned(Tables.events(s, dir), "event_type",
         "value", "purchase", "view")),
+    "q_mood_median" -> ((s, dir) =>
+      // coarsest k-sample location test: above/below the exact pooled
+      // median, outlier-proof 2xk chi-square
+      Stats.moodMedian(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_brunner_munzel" -> ((s, dir) =>
+      // rank Behrens-Fisher: relative effect P(purchase<view)+ties/2
+      // with per-group placement variances and Welch-style df
+      Stats.brunnerMunzel(Tables.events(s, dir), "event_type", "value",
+        "purchase", "view")),
     "q_welch_ttest" -> ((s, dir) =>
       // the classic named two-sample test: Welch t and df with a CI on
       // the raw purchase-vs-view value gap

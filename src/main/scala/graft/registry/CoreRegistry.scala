@@ -439,6 +439,15 @@ object CoreRegistry {
       // bins (bounded ECDF window, wider decimal headroom)
       Drift.cvmBinned(Tables.events(s, dir), "value", "event_type",
         "purchase", "view")),
+    "q_anderson_darling" -> ((s, dir) =>
+      // tail-weighted two-sample distance: each ECDF gap divided by
+      // H(1-H), so tail drift counts most; 1e-12 per-term lattice
+      Drift.andersonDarling(Tables.events(s, dir), "value", "event_type",
+        "purchase", "view")),
+    "q_anderson_darling_binned" -> ((s, dir) =>
+      // 100 TB twin: same fold over <=1000 lattice bins
+      Drift.andersonDarlingBinned(Tables.events(s, dir), "value",
+        "event_type", "purchase", "view")),
     "q_energy_drift" -> ((s, dir) =>
       // moment-free energy distance: exact integer gap-folds for all
       // three E|.| terms plus the Szekely-Rizzo statistic

@@ -534,4 +534,31 @@ class DriftSpec extends SparkSpec {
       - cvmE.getAs[Double]("cvm_t")) <= 0.5)
     assert(cvmC.getAs[Boolean]("drifted") == cvmE.getAs[Boolean]("drifted"))
   }
+
+  test("andersonDarling: identical per-value counts give exactly 0; a " +
+      "shift registers; order-only invariance; binned == exact when " +
+      "bins cover the lattice") {
+    import spark.implicits._
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("side", "value")
+    assert(Drift.andersonDarling(same, "value", "side", "a", "b")
+      .collect().head.getAs[Double]("ad_stat") == 0.0)
+    val rows = (1 to 300).map(i => ("a", 1.0 + (i % 60) / 4.0)) ++
+      (1 to 300).map(i => ("b", 6.0 + (i % 60) / 4.0))
+    val df = rows.toDF("side", "value")
+    val ad = Drift.andersonDarling(df, "value", "side", "a", "b")
+      .collect().head.getAs[Double]("ad_stat")
+    assert(ad > 10.0) // strong shift on 300-vs-300
+    // monotone lattice-preserving transform leaves AD unchanged
+    val scaled = df.withColumn("value", col("value") * 2.0)
+    assert(Drift.andersonDarling(scaled, "value", "side", "a", "b")
+      .collect().head.getAs[Double]("ad_stat") == ad)
+    // fine binning == exact (order-only statistic)
+    assert(Drift.andersonDarlingBinned(df, "value", "side", "a", "b",
+      bins = 100000).collect().head.getAs[Double]("ad_stat") == ad)
+    // coarse binning stays within a modest distance
+    val adC = Drift.andersonDarlingBinned(df, "value", "side", "a", "b",
+      bins = 20).collect().head.getAs[Double]("ad_stat")
+    assert(math.abs(adC - ad) / ad < 0.25)
+  }
 }

@@ -1839,4 +1839,85 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(wmE(g) - wmC(g)) <= binWidth + 1e-9,
         s"group $g median moved more than one bin width")
   }
+
+  test("jonckheereTerpstra: perfect monotone trend hits max JT with the " +
+      "hand-computed z; all-ties collapse to zero variance; pageTrend " +
+      "perfect within-day trend matches the closed form") {
+    import org.apache.spark.sql.functions._
+    // A={1,2} B={3,4} C={5,6}: every cross pair increases -> JT = 12,
+    // E = (36-12)/4 = 6, Var = (510-0-54)/72 = 6.3333, z = 6/sqrt(...)
+    val inc = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0),
+      ("C", 5.0), ("C", 6.0)).toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(inc, "g", "v", Seq("A", "B", "C"))
+      .collect().head
+    assert(r.getAs[Double]("jt_stat") == 12.0)
+    assert(r.getAs[Double]("e_jt") == 6.0)
+    assert(r.getAs[Double]("z") == 2.384158)
+    // all ties: JT = E exactly and the tie-corrected variance is 0
+    val ties = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0),
+      ("C", 5.0), ("C", 5.0)).toDF("g", "v")
+    val t = Stats.jonckheereTerpstra(ties, "g", "v", Seq("A", "B", "C"))
+      .collect().head
+    assert(t.getAs[Double]("jt_stat") == t.getAs[Double]("e_jt"))
+    assert(t.isNullAt(t.fieldIndex("z")))
+    // missing declared group fails loud
+    intercept[IllegalArgumentException] {
+      Stats.jonckheereTerpstra(inc.filter($"g" =!= "B"), "g", "v",
+        Seq("A", "B", "C"))
+    }
+    // Page: 3 days, treatments increase within every day ->
+    // L = 42, E = 36, Var = 6, z = 6/sqrt(6)
+    val days = (1 to 3).flatMap(d => Seq(
+      (s"2024-01-0$d", "t1", 1.0), (s"2024-01-0$d", "t2", 2.0),
+      (s"2024-01-0$d", "t3", 3.0))).toDF("d", "g", "v")
+    val pg = Stats.pageTrend(days, to_date(col("d")), "g", "v",
+      Seq("t1", "t2", "t3")).collect().head
+    assert(pg.getAs[Long]("n_days") == 3L)
+    assert(pg.getAs[Double]("page_l") == 42.0)
+    assert(pg.getAs[Double]("e_l") == 36.0)
+    assert(pg.getAs[Double]("z") == 2.44949)
+  }
+
+  test("brunnerMunzel: matches the Brunner-Munzel (2000) worked example " +
+      "(scipy's doc case) to 6 decimals; symmetric under swap") {
+    // x1/x2 from the scipy.stats.brunnermunzel docstring; expected
+    // W/df/p_hat recomputed independently from the paper's formulas
+    val x1 = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1)
+    val x2 = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4)
+    val df = (x1.map(("a", _)) ++ x2.map(("b", _)))
+      .toDF("g", "v")
+    val r = Stats.brunnerMunzel(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 14L && r.getAs[Long]("n_b") == 11L)
+    assert(r.getAs[Double]("w_stat") == 3.137467)
+    assert(r.getAs[Double]("df") == 17.682842)
+    assert(r.getAs[Double]("p_hat") == 0.788961)
+    // swapping the groups negates W and reflects the effect
+    val sw = Stats.brunnerMunzel(df, "g", "v", "b", "a").collect().head
+    assert(sw.getAs[Double]("w_stat") == -3.137467)
+    assert(math.abs(sw.getAs[Double]("p_hat") + r.getAs[Double]("p_hat")
+      - 1.0) < 1e-9)
+  }
+
+  test("moodMedian: hand-computed 2x2 chi-square on a split design; an " +
+      "extreme outlier moves NOTHING; roster drift fails loud") {
+    // A = {1,2,3,4}, B = {5,6,7,8}: pooled lower median = 4 (first value
+    // with 2*cum >= 8). <=4 counts below: A -> 4 below, 0 above;
+    // B -> 0 below, 4 above. chi2 of the perfectly split 2x2 = N = 8.
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("A", _)) ++
+      Seq(5.0, 6.0, 7.0, 8.0).map(("B", _))).toDF("g", "v")
+    val r = Stats.moodMedian(df, "g", "v", Seq("A", "B")).collect().head
+    assert(r.getAs[Double]("grand_median") == 4.0)
+    assert(r.getAs[Long]("n_above") == 4L)
+    assert(r.getAs[Double]("chi2") == 8.0)
+    // corrupting one extreme value (8 -> 8e9) changes nothing at all
+    val corrupted = df.withColumn("v",
+      when(col("v") === 8.0, 8e9).otherwise(col("v")))
+    val c = Stats.moodMedian(corrupted, "g", "v", Seq("A", "B"))
+      .collect().head
+    assert(c.getAs[Double]("chi2") == 8.0)
+    assert(c.getAs[Double]("grand_median") == 4.0)
+    intercept[IllegalArgumentException] {
+      Stats.moodMedian(df, "g", "v", Seq("A", "B", "C"))
+    }
+  }
 }
