@@ -4034,13 +4034,56 @@ object Stats {
     val base = df.select(col(scoreCol).cast("long").as("__s"),
         success.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
-    val f = base.agg(
+    caClose(base.agg(
       count(lit(1)).as("n"),
       sum(when(col("__y"), 1L).otherwise(0L)).as("successes"),
       countDistinct(col("__s")).as("n_groups"),
       sum(when(col("__y"), col("__s")).otherwise(0L)).as("__t"),
       sum(col("__s")).as("__sn1"),
-      sum(col("__s") * col("__s")).as("__sn2"))
+      sum(col("__s") * col("__s")).as("__sn2")))
+  }
+
+  /** [[cochranArmitage]] with scores from FIXED-WIDTH lattice bins of a
+    * continuous column — the 100 TB form: the registered exact query
+    * scores by ntile deciles, and ntile is a one-partition sort of the
+    * entity grain (the decisionStump escape, implemented here the same
+    * way). Fixed-width bins need only the 1-row integer-bounds
+    * broadcast; the trend statistic is then CA over a value-uniform
+    * score instead of a mass-uniform one — the histogram-split trade,
+    * stated. One corpus pass (per-lattice-value sufficient counts
+    * first), everything after at the distinct/bin grain.
+    */
+  def cochranArmitageBinned(df: DataFrame, valueCol: String,
+                            success: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"cochranArmitageBinned: bins in [2, 100000] (got $bins)")
+    val v = col(valueCol).cast("double")
+    val base = df.select(v.as("__f"), success.cast("boolean").as("__y"))
+      .filter(v.isNotNull && !isnan(v) && success.isNotNull)
+    val perVal = base
+      .groupBy(round(col("__f") * 100, 0).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__succ"))
+    val bounds = perVal.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"))
+    val perBin = perVal.crossJoin(broadcast(bounds))
+      .withColumn("__s",
+        expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__cnt")).as("__cnt"), sum(col("__succ")).as("__succ"))
+    caClose(perBin.agg(
+      coalesce(sum(col("__cnt")), lit(0L)).as("n"),
+      coalesce(sum(col("__succ")), lit(0L)).as("successes"),
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(col("__succ") * col("__s")), lit(0L)).as("__t"),
+      coalesce(sum(col("__cnt") * col("__s")), lit(0L)).as("__sn1"),
+      coalesce(sum(col("__cnt") * col("__s") * col("__s")), lit(0L))
+        .as("__sn2")))
+  }
+
+  /** Shared Cochran–Armitage close over the six sufficient statistics
+    * (exact integers in; one fixed double tree out). */
+  private def caClose(f: DataFrame): DataFrame = {
     val nD = col("n").cast("double")
     val p = col("successes").cast("double") / nD
     val tD = col("__t").cast("double")
@@ -4299,6 +4342,65 @@ object Stats {
       round(when(col("__b40") > 0, d("__t10") / d("__b40")), 6)
         .as("palma_ratio"),
       round(when(col("__b20") > 0, d("__t20") / d("__b20")), 6)
+        .as("s80s20_ratio"))
+  }
+
+  /** [[inequalityRatios]] over FIXED-WIDTH lattice bins of the entity
+    * totals — the billions-of-entities form: the exact op ranks every
+    * entity under one global `row_number` (a one-partition sort of the
+    * entity grain — fine for suppliers/customers, the documented
+    * escape for user-grain corpora). Here entity totals bin on the
+    * integer lattice (1-row bounds broadcast), the Lorenz cumulative
+    * runs over ≤ `bins` rows, and each quantile share takes WHOLE bins
+    * while the cumulative ENTITY count stays ≤ the exact op's
+    * `(k·n) div 10` cutoff — a deterministic under-approximation whose
+    * error is bounded by the crossing bin's value mass (StatsSpec pins
+    * it; top shares are correspondingly over-approximated, the
+    * conservative direction for a concentration alarm).
+    */
+  def inequalityRatiosBinned(df: DataFrame, entityCol: String,
+                             valueCol: String,
+                             bins: Int = 1000): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"inequalityRatiosBinned: bins in [2, 100000] (got $bins)")
+    val per = df.groupBy(col(entityCol).as("__e"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__x"))
+    val bounds = per.agg(min(col("__x")).as("__lo"),
+      max(col("__x")).as("__hi"))
+    val perBin = per.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"((__x - __lo) * $bins) div (__hi - __lo + 1)"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__x")).as("__v"))
+    val ord = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val cum = perBin
+      .withColumn("__ccnt", sum(col("__cnt")).over(ord))
+      .withColumn("__cval", sum(col("__v")).over(ord))
+      .withColumn("__n", sum(col("__cnt")).over(all))
+    def below(tenths: Int) =
+      col("__ccnt") <= expr(s"($tenths * __n) div 10")
+    val f = cum.groupBy().agg(
+      max(col("__n")).as("n_entities"),
+      sum(col("__v")).as("__tot"),
+      coalesce(max(when(below(5), col("__cval"))), lit(0L)).as("__b50"),
+      coalesce(max(when(below(4), col("__cval"))), lit(0L)).as("__b40"),
+      coalesce(max(when(below(2), col("__cval"))), lit(0L)).as("__b20"),
+      coalesce(max(when(below(9), col("__cval"))), lit(0L)).as("__b90"),
+      coalesce(max(when(below(8), col("__cval"))), lit(0L)).as("__b80"),
+      coalesce(max(when(col("__ccnt") <= expr("(99 * __n) div 100"),
+        col("__cval"))), lit(0L)).as("__b99"))
+    def d(c: String) = col(c).cast("double")
+    val totD = d("__tot")
+    f.select(col("n_entities"),
+      round(totD / 100.0, 2).as("total_value"),
+      round(d("__b50") / totD, 6).as("bottom50_share"),
+      round((totD - d("__b90")) / totD, 6).as("top10_share"),
+      round((totD - d("__b99")) / totD, 6).as("top1_share"),
+      round(when(col("__b40") > 0, (totD - d("__b90")) / d("__b40")), 6)
+        .as("palma_ratio"),
+      round(when(col("__b20") > 0, (totD - d("__b80")) / d("__b20")), 6)
         .as("s80s20_ratio"))
   }
 

@@ -4922,6 +4922,100 @@ private[graft] object AnalyticsOracleSql {
       FROM f""",
 
 
+    // CA over fixed-width lattice bins of acctbal (no ntile sort):
+    // per-lattice-value counts -> integer bins -> same six sufficient
+    // stats and the same close tree
+    "q_cochran_armitage_binned" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val p = s"CAST(successes AS DOUBLE) / $nD"
+      val tD = "CAST(t AS DOUBLE)"
+      val e = s"($p) * CAST(sn1 AS DOUBLE)"
+      val sxx = s"(CAST(sn2 AS DOUBLE) - CAST(sn1 AS DOUBLE) * sn1 / $nD)"
+      val varT = s"(($p) * (1.0 - ($p)) * $sxx)"
+      s"""
+      WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+      base AS (SELECT CAST(c_acctbal AS DOUBLE) AS f,
+                 (b.o_custkey IS NOT NULL) AS y
+               FROM customer LEFT JOIN buyers b ON c_custkey = b.o_custkey
+               WHERE c_acctbal IS NOT NULL
+                 AND NOT isnan(CAST(c_acctbal AS DOUBLE))),
+      pv AS (SELECT CAST(round(f * 100, 0) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS succ
+             FROM base GROUP BY 1),
+      bnd AS (SELECT min(v) AS lo, max(v) AS hi FROM pv),
+      pb AS (SELECT ((v - lo) * 10) // (hi - lo + 1) AS s,
+               CAST(sum(cnt) AS BIGINT) AS cnt,
+               CAST(sum(succ) AS BIGINT) AS succ
+             FROM pv, bnd GROUP BY 1),
+      f AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+              CAST(coalesce(sum(succ), 0) AS BIGINT) AS successes,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(coalesce(sum(succ * s), 0) AS BIGINT) AS t,
+              CAST(coalesce(sum(cnt * s), 0) AS BIGINT) AS sn1,
+              CAST(coalesce(sum(cnt * s * s), 0) AS BIGINT) AS sn2
+            FROM pb)
+      SELECT n, successes, n_groups, t AS t_stat,
+             round(CASE WHEN $varT > 0
+               THEN ($tD - $e) / sqrt($varT) END, 6) AS z,
+             round(CASE WHEN $varT > 0
+               THEN ($tD - $e) * ($tD - $e) / $varT END, 6) AS chi2_trend,
+             round(CASE WHEN $sxx > 0
+               THEN ($tD - $e) / $sxx END, 6) AS prop_slope
+      FROM f"""
+    },
+
+    // Binned Lorenz shares: per-customer totals -> lattice bins ->
+    // cumulative over <=1000 rows, whole-bin quantile shares (top
+    // shares as total minus the below-cumulative, mirroring the Scala)
+    "q_inequality_binned" -> """
+      WITH per AS (SELECT o_custkey AS e,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      bnd AS (SELECT min(x) AS lo, max(x) AS hi FROM per),
+      pb AS (SELECT ((x - lo) * 1000) // (hi - lo + 1) AS b,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(x) AS BIGINT) AS v
+             FROM per, bnd GROUP BY 1),
+      c AS (SELECT b, v,
+              CAST(sum(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS ccnt,
+              CAST(sum(v) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cval,
+              CAST(sum(cnt) OVER () AS BIGINT) AS n
+            FROM pb),
+      f AS (SELECT CAST(max(n) AS BIGINT) AS n_entities,
+              CAST(sum(v) AS BIGINT) AS tot,
+              CAST(coalesce(max(CASE WHEN ccnt <= (5 * n) // 10
+                THEN cval END), 0) AS BIGINT) AS b50,
+              CAST(coalesce(max(CASE WHEN ccnt <= (4 * n) // 10
+                THEN cval END), 0) AS BIGINT) AS b40,
+              CAST(coalesce(max(CASE WHEN ccnt <= (2 * n) // 10
+                THEN cval END), 0) AS BIGINT) AS b20,
+              CAST(coalesce(max(CASE WHEN ccnt <= (9 * n) // 10
+                THEN cval END), 0) AS BIGINT) AS b90,
+              CAST(coalesce(max(CASE WHEN ccnt <= (8 * n) // 10
+                THEN cval END), 0) AS BIGINT) AS b80,
+              CAST(coalesce(max(CASE WHEN ccnt <= (99 * n) // 100
+                THEN cval END), 0) AS BIGINT) AS b99
+            FROM c)
+      SELECT n_entities,
+             round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_value,
+             round(CAST(b50 AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS bottom50_share,
+             round((CAST(tot AS DOUBLE) - CAST(b90 AS DOUBLE))
+               / CAST(tot AS DOUBLE), 6) AS top10_share,
+             round((CAST(tot AS DOUBLE) - CAST(b99 AS DOUBLE))
+               / CAST(tot AS DOUBLE), 6) AS top1_share,
+             round(CASE WHEN b40 > 0
+               THEN (CAST(tot AS DOUBLE) - CAST(b90 AS DOUBLE))
+                 / CAST(b40 AS DOUBLE) END, 6) AS palma_ratio,
+             round(CASE WHEN b20 > 0
+               THEN (CAST(tot AS DOUBLE) - CAST(b80 AS DOUBLE))
+                 / CAST(b20 AS DOUBLE) END, 6) AS s80s20_ratio
+      FROM f""",
+
     // Wilson interval: exact user-grain (n, k) longs, one fixed double
     // tree with z and z^2 interpolated verbatim (the tau^2 lesson)
     "q_wilson_ci" -> {

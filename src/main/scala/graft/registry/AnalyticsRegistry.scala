@@ -531,6 +531,15 @@ object AnalyticsRegistry {
         scored.join(buyers, col("c_custkey") === col("o_custkey"), "left"),
         "decile", col("o_custkey").isNotNull)
     }),
+    "q_cochran_armitage_binned" -> ((s, dir) => {
+      // 100 TB twin: fixed-width lattice-bin scores replace the ntile
+      // decile sort (value-uniform scoring, stated)
+      val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      Stats.cochranArmitageBinned(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+          .join(buyers, col("c_custkey") === col("o_custkey"), "left"),
+        "c_acctbal", col("o_custkey").isNotNull, bins = 10)
+    }),
     "q_decision_stump" -> ((s, dir) => {
       // where does account balance best split buyers from non-buyers?
       // full Gini-gain curve over decile boundaries, winner flagged
@@ -1162,6 +1171,11 @@ object AnalyticsRegistry {
       // the distribution summary next to gini/lorenz: bottom-50%/
       // top-10%/top-1% shares, Palma and S80/S20 ratios, one row
       Stats.inequalityRatios(Tables.orders(s, dir), "o_custkey",
+        "o_totalprice")),
+    "q_inequality_binned" -> ((s, dir) =>
+      // billions-of-entities twin: Lorenz over <=1000 lattice bins of
+      // the per-customer totals, whole-bin quantile shares
+      Stats.inequalityRatiosBinned(Tables.orders(s, dir), "o_custkey",
         "o_totalprice")),
     "q_wilson_ci" -> ((s, dir) =>
       // per-cohort purchase conversion with the small-n-honest Wilson

@@ -1920,4 +1920,44 @@ class StatsSpec extends SparkSpec {
       Stats.moodMedian(df, "g", "v", Seq("A", "B", "C"))
     }
   }
+
+  test("inequalityRatiosBinned / cochranArmitageBinned: binned twins " +
+      "track exact within the crossing-bin bound; trend direction agrees") {
+    import org.apache.spark.sql.functions._
+    // skewed per-entity totals (power-ish): 200 entities
+    val rows = (1 to 200).map(i => (i.toLong, (i / 10.0) * (i / 10.0)))
+    val df = rows.toDF("e", "v")
+    val ex = Stats.inequalityRatios(df, "e", "v").collect().head
+    val bn = Stats.inequalityRatiosBinned(df, "e", "v", bins = 2000)
+      .collect().head
+    assert(ex.getAs[Long]("n_entities") == bn.getAs[Long]("n_entities"))
+    assert(ex.getAs[Double]("total_value")
+      == bn.getAs[Double]("total_value"))
+    // bottom shares under-approximate (whole bins only), top shares
+    // over-approximate — and both stay within a few % here
+    assert(bn.getAs[Double]("bottom50_share")
+      <= ex.getAs[Double]("bottom50_share") + 1e-9)
+    assert(bn.getAs[Double]("top10_share")
+      >= ex.getAs[Double]("top10_share") - 1e-9)
+    assert(math.abs(bn.getAs[Double]("bottom50_share")
+      - ex.getAs[Double]("bottom50_share")) < 0.05)
+    assert(math.abs(bn.getAs[Double]("top10_share")
+      - ex.getAs[Double]("top10_share")) < 0.05)
+    // CA: rising success probability along the value axis -> positive z
+    // on both the ntile-score exact form and the fixed-width-bin form
+    val ca = (1 to 400).map(i => (i.toDouble, i > 200))
+      .toDF("f", "y")
+    val scored = ca.withColumn("decile",
+      ntile(10).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("f"))) - 1)
+    val exCa = Stats.cochranArmitage(scored, "decile", col("y"))
+      .collect().head
+    val bnCa = Stats.cochranArmitageBinned(ca, "f", col("y"), bins = 10)
+      .collect().head
+    assert(exCa.getAs[Double]("z") > 5 && bnCa.getAs[Double]("z") > 5)
+    assert(bnCa.getAs[Long]("n") == 400L)
+    // uniform f means fixed-width bins == deciles: identical statistic
+    assert(math.abs(bnCa.getAs[Double]("z")
+      - exCa.getAs[Double]("z")) < 0.15)
+  }
 }
