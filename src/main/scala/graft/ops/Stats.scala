@@ -2706,6 +2706,67 @@ object Stats {
       round(when(ok, (jt - eJt) / sqrt(varJt)), 6).as("z"))): _*)
   }
 
+  /** Ansari–Bradley dispersion test between two groups — the rank test
+    * for SPREAD that completes the nonparametric matrix (location:
+    * [[mannWhitney]]/[[brunnerMunzel]]/[[moodMedian]]; omnibus:
+    * [[graft.ops.Drift.ksTest]]/cvm/AD; dispersion: this). Scores fold
+    * from both ends inward, a = min(R, N+1−R), so a sample concentrated
+    * near the pooled center collects LARGE scores — AB above its mean
+    * means group A is TIGHTER than B. Under ties the conditional
+    * mean/variance come from the realized midrank scores (the standard
+    * treatment), so both moments are exact-integer folds:
+    * 2×-scores a₂ = min(r₂, 2(N+1)−r₂) are integers, AB₂ = Σ cₐ·a₂,
+    * and Var uses N·Σl·a₂² − (Σl·a₂)² — one fixed double tree.
+    *
+    * Plan: one corpus pass to per-value side counts, the bounded
+    * distinct-grain windows, one fold (the [[mannWhitney]] class; bin
+    * first on a data-sized axis, same contract).
+    */
+  def ansariBradley(df: DataFrame, groupCol: String, valueCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB,
+      s"ansariBradley: groups must differ (got '$groupA' twice)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isin(groupA, groupB) && col("__v").isNotNull)
+    val perVal = base.groupBy(col("__v")).agg(
+      sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val l = col("__ca") + col("__cb")
+    val below = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum(l).over(below), lit(0L)) + l + 1L)
+      .withColumn("__N",
+        sum(l).over(Window.partitionBy()))
+      .withColumn("__a2",
+        least(col("__r2"), (col("__N") + 1L) * 2L - col("__r2")))
+    val f = ranked.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+      coalesce(sum(dec(col("__ca")) * col("__a2")),
+        lit(0L).cast("decimal(38,0)")).as("__ab2"),
+      coalesce(sum(dec(l) * col("__a2")),
+        lit(0L).cast("decimal(38,0)")).as("__s1"),
+      coalesce(sum(dec(l) * col("__a2") * col("__a2")),
+        lit(0L).cast("decimal(38,0)")).as("__s2"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val e2 = naD * col("__s1").cast("double") / nD
+    val var2 = naD * nbD *
+      (nD * col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double")) /
+      (nD * nD * (nD - 1.0))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    f.select(col("n_a"), col("n_b"),
+      round(when(ok, col("__ab2").cast("double") / 2.0), 6).as("ab_stat"),
+      round(when(ok, e2 / 2.0), 6).as("e_ab"),
+      round(when(ok && var2 > 0,
+        (col("__ab2").cast("double") - e2) / sqrt(var2)), 6).as("z"))
+  }
+
   /** Mood's median test across DECLARED groups — the coarsest, most
     * outlier-proof of the k-sample location tests: only "above the
     * pooled median or not" enters, so a single corrupted extreme value

@@ -6248,6 +6248,52 @@ private[graft] object AnalyticsOracleSql {
       FROM f, t"""
     },
 
+    // Ansari-Bradley: center-folded 2x scores from pooled midranks,
+    // tie-conditional moments, one fixed double tree
+    "q_ansari_bradley" -> {
+      val naD = "CAST(n_a AS DOUBLE)"
+      val nbD = "CAST(n_b AS DOUBLE)"
+      val nD = s"($naD + $nbD)"
+      val e2 = s"($naD * CAST(s1 AS DOUBLE) / $nD)"
+      val var2 = s"($naD * $nbD * ($nD * CAST(s2 AS DOUBLE)" +
+        s" - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))" +
+        s" / ($nD * $nD * ($nD - 1.0)))"
+      val ok = "n_a > 0 AND n_b > 0"
+      s"""
+      WITH pv AS (SELECT CAST(value AS DOUBLE) AS v,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS ca,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cb
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+              AND value IS NOT NULL
+            GROUP BY 1),
+      r AS (SELECT ca, cb,
+              2 * coalesce(sum(ca + cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + ca + cb + 1 AS r2,
+              sum(ca + cb) OVER () AS N
+            FROM pv),
+      a AS (SELECT ca, cb, ca + cb AS l,
+              least(r2, (N + 1) * 2 - r2) AS a2
+            FROM r),
+      f AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+              CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b,
+              coalesce(sum(CAST(ca AS HUGEINT) * a2), 0) AS ab2,
+              coalesce(sum(CAST(l AS HUGEINT) * a2), 0) AS s1,
+              coalesce(sum(CAST(l AS HUGEINT) * a2 * a2), 0) AS s2
+            FROM a)
+      SELECT n_a, n_b,
+             round(CASE WHEN $ok
+               THEN CAST(ab2 AS DOUBLE) / 2.0 END, 6) AS ab_stat,
+             round(CASE WHEN $ok THEN $e2 / 2.0 END, 6) AS e_ab,
+             round(CASE WHEN $ok AND $var2 > 0
+               THEN (CAST(ab2 AS DOUBLE) - $e2) / sqrt($var2) END, 6)
+               AS z
+      FROM f"""
+    },
+
     // Mood's median: exact lower-median election, <=median counts
     // "below", 2xk chi-square from exact integer margins
     "q_mood_median" -> {

@@ -1005,6 +1005,11 @@ object AnalyticsRegistry {
       // preserved when |z| clears the coarsening noise
       Stats.mannWhitneyBinned(Tables.events(s, dir), "event_type",
         "value", "purchase", "view")),
+    "q_ansari_bradley" -> ((s, dir) =>
+      // rank dispersion test: are purchase values more SPREAD than
+      // views? center-folded scores, tie-honest conditional moments
+      Stats.ansariBradley(Tables.events(s, dir), "event_type", "value",
+        "purchase", "view")),
     "q_mood_median" -> ((s, dir) =>
       // coarsest k-sample location test: above/below the exact pooled
       // median, outlier-proof 2xk chi-square

@@ -1960,4 +1960,22 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(bnCa.getAs[Double]("z")
       - exCa.getAs[Double]("z")) < 0.15)
   }
+
+  test("ansariBradley: hand-computed tie case matches (AB=28, E=21.5, " +
+      "z=1.995176); equal-dispersion symmetric samples score z~0") {
+    // A tight around 10 vs B spread 8..13; one three-way tie at 10.0
+    // spans both groups — scores from midranks, conditional moments
+    val a = Seq(9.7, 9.9, 10.0, 10.1, 10.3, 10.0)
+    val b = Seq(8.0, 9.0, 10.0, 11.0, 12.0, 13.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val r = Stats.ansariBradley(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Double]("ab_stat") == 28.0)
+    assert(r.getAs[Double]("e_ab") == 21.5)
+    assert(r.getAs[Double]("z") == 1.995176)
+    // identical distributions: AB lands exactly on its mean
+    val same = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0).map(("b", _))).toDF("g", "v")
+    val s0 = Stats.ansariBradley(same, "g", "v", "a", "b").collect().head
+    assert(s0.getAs[Double]("ab_stat") == s0.getAs[Double]("e_ab"))
+  }
 }
