@@ -2212,4 +2212,149 @@ object Eval {
         round(col("attribution"), 6).as("attribution"))
       .orderBy("channel")
   }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 analysis — the
+    * confounder-proof companion to [[oddsRatioRR]]: when exposure and
+    * outcome are both associated with a stratum variable (Simpson's
+    * trap), the crude OR lies; CMH tests the exposure–outcome
+    * association WITHIN strata and pools a common odds ratio across
+    * them (Mantel–Haenszel estimator with the Robins–Breslow–Greenland
+    * variance for its CI).
+    *
+    * Scale posture: strata are NOT a declared bounded roster — the op
+    * aggregates per-stratum 2×2 cells with one keyed shuffle, commits
+    * each stratum's rational terms (Eᵢ, Vᵢ, Rᵢ, Sᵢ, the three RBG
+    * products) to the 1e-6 lattice, and folds exact decimal sums — so
+    * millions of strata cost two exchanges and no window, and both
+    * engines replay the identical per-stratum double→lattice step. The
+    * lattice coarsening bounds each summed term's error at 5e-7 per
+    * stratum (spec'd). Single-unit strata contribute zero variance
+    * (V's N−1 guard), the standard treatment.
+    *
+    * Emits the continuity-corrected CMH χ² (df=1), the pooled MH odds
+    * ratio with its RBG 95% CI, and the crude pooled 2×2 beside it —
+    * the Simpson's-paradox readout is crude OR vs MH OR.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+                     exposure: Column, outcome: Column): DataFrame = {
+    val z = 1.959964
+    val cells = df.select(col(stratumCol).as("__s"),
+        exposure.cast("int").as("__e"), outcome.cast("int").as("__o"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(
+        sum(when(col("__e") === 1 && col("__o") === 1, 1L).otherwise(0L))
+          .as("__a"),
+        sum(when(col("__e") === 1 && col("__o") === 0, 1L).otherwise(0L))
+          .as("__b"),
+        sum(when(col("__e") === 0 && col("__o") === 1, 1L).otherwise(0L))
+          .as("__c"),
+        sum(when(col("__e") === 0 && col("__o") === 0, 1L).otherwise(0L))
+          .as("__d"))
+    val aD = col("__a").cast("double"); val bD = col("__b").cast("double")
+    val cD = col("__c").cast("double"); val dD = col("__d").cast("double")
+    val nD = aD + bD + cD + dD
+    val eI = (aD + bD) * (aD + cD) / nD
+    val vI = when(nD > 1.0,
+      (aD + bD) * (cD + dD) * (aD + cD) * (bD + dD) /
+        (nD * nD * (nD - 1.0))).otherwise(lit(0.0))
+    val rI = aD * dD / nD
+    val sI = bD * cD / nD
+    val pI = (aD + dD) / nD
+    val qI = (bD + cD) / nD
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def lat(c: Column) = dec(round(c * 1e6, 0).cast("long"))
+    val f = cells.agg(count(lit(1)).as("n_strata"),
+      sum(col("__a")).as("n_exposed_pos"),
+      sum(col("__b")).as("n_exposed_neg"),
+      sum(col("__c")).as("n_unexposed_pos"),
+      sum(col("__d")).as("n_unexposed_neg"),
+      sum(lat(eI)).as("__se"), sum(lat(vI)).as("__sv"),
+      sum(lat(rI)).as("__sr"), sum(lat(sI)).as("__ss"),
+      sum(lat(pI * rI)).as("__spr"),
+      sum(lat(pI * sI + qI * rI)).as("__spsqr"),
+      sum(lat(qI * sI)).as("__sqs"))
+    val sumA = col("n_exposed_pos").cast("double")
+    val sE = col("__se").cast("double") / 1e6
+    val sV = col("__sv").cast("double") / 1e6
+    val sR = col("__sr").cast("double") / 1e6
+    val sS = col("__ss").cast("double") / 1e6
+    val sPR = col("__spr").cast("double") / 1e6
+    val sPSQR = col("__spsqr").cast("double") / 1e6
+    val sQS = col("__sqs").cast("double") / 1e6
+    // denominators guarded IN PLACE (the cronbachAlpha lesson: repeated
+    // subexpressions escape the when(ok) gate via hoisting under ANSI)
+    val sRg = when(sR > 0, sR); val sSg = when(sS > 0, sS)
+    val gap = abs(sumA - sE) - 0.5
+    val chi2 = greatest(gap, lit(0.0)) * greatest(gap, lit(0.0)) /
+      when(sV > 0, sV)
+    val mhOr = sR / sSg
+    val seLn = sqrt(sPR / (lit(2.0) * sRg * sRg) +
+      sPSQR / (lit(2.0) * sRg * sSg) +
+      sQS / (lit(2.0) * sSg * sSg))
+    val crudeOr = sumA * col("n_unexposed_neg").cast("double") /
+      when(col("n_exposed_neg") > 0 && col("n_unexposed_pos") > 0,
+        col("n_exposed_neg").cast("double") * col("n_unexposed_pos"))
+    val ok = sV > 0 && sR > 0 && sS > 0
+    f.select(col("n_strata"), col("n_exposed_pos"), col("n_exposed_neg"),
+      col("n_unexposed_pos"), col("n_unexposed_neg"),
+      round(when(ok, chi2), 6).as("cmh_chi2"),
+      round(when(ok, mhOr), 6).as("mh_odds_ratio"),
+      round(when(ok, exp(log(mhOr) - lit(z) * seLn)), 6).as("or_ci_lo"),
+      round(when(ok, exp(log(mhOr) + lit(z) * seLn)), 6).as("or_ci_hi"),
+      round(crudeOr, 6).as("crude_odds_ratio"))
+  }
+
+  /** Two-sample Poisson rate test — the guardrail for COUNT-per-
+    * exposure metrics (error rates, crash rates, requests per user)
+    * where [[abTest]]'s per-user means are the wrong grain: compares
+    * eventA-count / exposure between two declared groups with the Wald
+    * z on the log rate ratio AND the conditional (binomial) z — the
+    * exact-conditioning framing X_a | X ~ Bin(X, T_a/(T_a+T_b)) that
+    * stays honest when one side's count is small.
+    *
+    * All four inputs are exact integer counts from ONE corpus fold;
+    * every emitted number is a fixed double tree over them (z =
+    * 1.959964 shared verbatim). Empty counts or exposures NULL the
+    * estimates rather than throw.
+    *
+    * Plan: one map-side-combined fold to a single row — no shuffle
+    * beyond the 1-row combine, no window, no join.
+    */
+  def poissonRateTest(df: DataFrame, group: Column, groupA: String,
+                      groupB: String, isEvent: Column): DataFrame = {
+    val z = 1.959964
+    val base = df.select(group.as("__g"), isEvent.cast("int").as("__x"))
+      .filter(col("__g").isin(groupA, groupB))
+    val f = base.agg(
+      sum(when(col("__g") === groupA, col("__x").cast("long"))
+        .otherwise(0L)).as("n_events_a"),
+      sum(when(col("__g") === groupA, 1L).otherwise(0L))
+        .as("n_exposure_a"),
+      sum(when(col("__g") === groupB, col("__x").cast("long"))
+        .otherwise(0L)).as("n_events_b"),
+      sum(when(col("__g") === groupB, 1L).otherwise(0L))
+        .as("n_exposure_b"))
+    val xa = col("n_events_a").cast("double")
+    val ta = col("n_exposure_a").cast("double")
+    val xb = col("n_events_b").cast("double")
+    val tb = col("n_exposure_b").cast("double")
+    val ok = col("n_events_a") > 0 && col("n_events_b") > 0 &&
+      col("n_exposure_a") > 0 && col("n_exposure_b") > 0
+    // in-place denominator guards (the cronbachAlpha hoisting lesson)
+    val taG = when(ta > 0, ta); val tbG = when(tb > 0, tb)
+    val xaG = when(xa > 0, xa); val xbG = when(xb > 0, xb)
+    val rr = (xa / taG) / (xb / tbG)
+    val seLn = sqrt(lit(1.0) / xaG + lit(1.0) / xbG)
+    val p = ta / when(ta + tb > 0, ta + tb)
+    val zCond = (xa - (xa + xb) * p) / sqrt((xa + xb) * p * (lit(1.0) - p))
+    f.select(col("n_events_a"), col("n_exposure_a"),
+      col("n_events_b"), col("n_exposure_b"),
+      round(when(ok, xa / taG), 6).as("rate_a"),
+      round(when(ok, xb / tbG), 6).as("rate_b"),
+      round(when(ok, rr), 6).as("rate_ratio"),
+      round(when(ok, exp(log(rr) - lit(z) * seLn)), 6).as("rr_ci_lo"),
+      round(when(ok, exp(log(rr) + lit(z) * seLn)), 6).as("rr_ci_hi"),
+      round(when(ok, log(rr) / seLn), 6).as("z_wald"),
+      round(when(ok, zCond), 6).as("z_conditional"))
+  }
 }

@@ -1313,6 +1313,122 @@ object Stats {
         groups.indices.map(i => col(s"__c$i"))): _*), groups)
   }
 
+  /** Dunn's post-hoc test — the pairwise drill-down AFTER
+    * [[kruskalWallis]] rejects: which groups actually differ? For each
+    * of the k(k−1)/2 pairs, z = (R̄ᵢ − R̄ⱼ) / √(σ²·(1/nᵢ + 1/nⱼ)) with
+    * the POOLED tie-corrected rank variance σ² = [n(n+1) −
+    * Σ(t³−t)/(n−1)]/12 — the shared-ranking form that makes the pairs
+    * comparable (re-ranking each pair separately, à la pairwise
+    * [[mannWhitney]], answers a different question). Readers apply
+    * Bonferroni/BH on |z| downstream — |z| order ≡ p order, so the
+    * emitted `abs_z_rank` IS the BH ordering.
+    *
+    * Determinism: the exact integer 2×-midranks of [[kruskalWallis]]
+    * (identical fold — per-distinct-value CASE counts, bounded ordered
+    * window, decimal rank-sum products); each pair's z is a fixed
+    * double tree over the one folded row. Degenerate pairs (an empty
+    * group) surface as NULL z.
+    *
+    * Plan: ONE corpus pass to per-value counts, the bounded
+    * distinct-grain window, one fold, then a k(k−1)/2-row explode of
+    * the single folded row — pairs cost projection, not passes. On a
+    * continuous (data-sized) value axis use [[dunnTestBinned]], same
+    * contract as the [[kruskalWallisBinned]] twin.
+    */
+  def dunnTest(df: DataFrame, groupCol: String, valueCol: String,
+               groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 16 &&
+      groups.distinct == groups,
+      s"dunnTest: 2..16 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    checkRoster(base, "dunnTest", groups)
+    val perValAggs = groups.sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i") }
+    val perVal = base.groupBy(col("__v"))
+      .agg(perValAggs.head, perValAggs.tail: _*)
+    dunnFold(perVal, groups)
+  }
+
+  /** [[dunnTest]] over [[Drift.latticeBin]]-coarsened values — the
+    * 100 TB form (the [[kruskalWallisBinned]] contract: bin-grain
+    * midranks, within-one-bin rank relocation, identical downstream
+    * fold; the oracle replays the coarsened statistic). */
+  def dunnTestBinned(df: DataFrame, groupCol: String, valueCol: String,
+                     groups: Seq[String], bins: Int = 1000): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 16 &&
+      groups.distinct == groups,
+      s"dunnTestBinned: 2..16 distinct declared groups (got $groups)")
+    val v = col(valueCol).cast("double")
+    val base = df.select(col(groupCol).as("__g"), v.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v")))
+    checkRoster(base, "dunnTestBinned", groups)
+    val perValAggs = groups.sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i") }
+    val perVal = base
+      .groupBy(round(col("__v") * 100, 0).cast("long").as("__v"))
+      .agg(perValAggs.head, perValAggs.tail: _*)
+    dunnFold(Drift.binCounts(perVal, bins,
+        groups.indices.map(i => s"__c$i"))
+      .select((col("__bin").cast("double").as("__v") +:
+        groups.indices.map(i => col(s"__c$i"))): _*), groups)
+  }
+
+  /** Dunn close over the [[kwFold]] input frame: shared-pool midranks,
+    * pooled tie-corrected variance, one z per pair from the single
+    * folded row (exploded to pair rows, ordered). */
+  private def dunnFold(perVal: DataFrame, groups: Seq[String]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sorted = groups.sorted
+    val withN = perVal.withColumn("__n",
+      groups.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = withN.withColumn("__r2",
+      lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+        + col("__n") + lit(1L))
+    val aggs = groups.indices.flatMap { i =>
+      Seq(coalesce(sum(col(s"__c$i")), lit(0L)).as(s"__n$i"),
+        coalesce(sum(dec(col(s"__c$i")) * col("__r2")),
+          lit(0L).cast("decimal(38,0)")).as(s"__s$i"))
+    } ++ Seq(coalesce(sum(col("__n")), lit(0L)).as("__nt"),
+      coalesce(sum(col("__n") * col("__n") * col("__n") - col("__n")),
+        lit(0L)).as("__tsum"))
+    val folded = ranked.agg(aggs.head, aggs.tail: _*)
+    val nn = col("__nt").cast("double")
+    // pooled tie-corrected rank variance (1×-rank units)
+    val sig2 = (nn * (nn + 1.0) -
+      col("__tsum").cast("double") / when(nn > 1.0, nn - 1.0)) / 12.0
+    def nj(i: Int) = col(s"__n$i").cast("double")
+    // mean 1×-midrank: the 2×-rank sum halves once, per group
+    def mr(i: Int) = col(s"__s$i").cast("double") /
+      (lit(2.0) * when(nj(i) > 0, nj(i)))
+    val pairs = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+    } yield (i, j)
+    val pairStructs = pairs.map { case (i, j) =>
+      val z = (mr(i) - mr(j)) /
+        sqrt(when(sig2 > 0, sig2) * (lit(1.0) / when(nj(i) > 0, nj(i)) +
+          lit(1.0) / when(nj(j) > 0, nj(j))))
+      struct(lit(sorted(i)).as("group_a"), lit(sorted(j)).as("group_b"),
+        col(s"__n$i").as("n_a"), col(s"__n$j").as("n_b"),
+        round(when(nj(i) > 0, mr(i)), 6).as("mean_rank_a"),
+        round(when(nj(j) > 0, mr(j)), 6).as("mean_rank_b"),
+        round(when(col(s"__n$i") > 0 && col(s"__n$j") > 0 && sig2 > 0, z),
+          6).as("z"))
+    }
+    val exploded = folded.select(explode(array(pairStructs: _*)).as("__p"))
+      .select(col("__p.*"))
+    // |z| rank = the BH/Bonferroni ordering (largest |z| = rank 1)
+    exploded.withColumn("abs_z_rank",
+        row_number().over(Window.orderBy(
+          abs(col("z")).desc_nulls_last,
+          col("group_a").asc, col("group_b").asc)))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between TWO declared groups:
     * the two-sample special case a reader reaches for before
     * [[kruskalWallis]]'s k-sample H — "do purchases stochastically
@@ -2424,6 +2540,132 @@ object Stats {
       round(when(ok, gamma), 6).as("gamma"),
       round(when(ok && rss > 0, gamma / se), 6).as("adf_t"),
       when(ok && rss > 0, gamma / se < lit(crit)).as("cointegrated"))
+  }
+
+  /** KPSS level-stationarity test over the daily series — the
+    * confirmatory COMPLEMENT of [[adfTest]]: ADF's null is a unit root
+    * (reject ⇒ stationary), KPSS's null is stationarity (reject ⇒
+    * unit root), so the pair classifies a series four ways where either
+    * alone leaves "failed to reject" ambiguous. Statistic η =
+    * n⁻²ΣS_t²/λ̂ with S_t the partial sums of mean-deviations and λ̂
+    * the Bartlett-kernel long-run variance at the declared weekly lag
+    * window q=7 (w_l = 1 − l/8).
+    *
+    * Determinism: daily values ride the centi lattice; deviations are
+    * n-SCALED (E_t = n·y_t − Σy, an exact integer — the hurst device,
+    * so the mean never appears as a float), partial sums and all eight
+    * autocovariance terms are exact decimal folds, and η is one fixed
+    * double tree in which the n-scaling cancels algebraically:
+    * η = ΣS²_scaled / (n · (g₀ + 2Σw_l·g_l)). Decimal bound:
+    * |E_t| ≤ n·max|dev|·100 and ΣS² ≤ n·(n·maxE)² must stay under
+    * 10³⁸ — at a daily grain that holds through ~10¹² of daily-summed
+    * value units; past that, pre-scale the value column.
+    *
+    * Plan: one corpus-sized keyed aggregation to the calendar-bounded
+    * daily table, one 1-row total broadcast, ordered windows over the
+    * bounded daily frame (the [[pacf]] class), one fold.
+    */
+  def kpss(df: DataFrame, dateCol: Column, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val tot = daily.agg(count(lit(1)).as("__n"),
+      sum(col("__y")).as("__sy"))
+    val ord = Window.orderBy(col("__d"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val dev = daily.crossJoin(broadcast(tot))
+      .withColumn("__e", dec(col("__n")) * col("__y") - col("__sy"))
+      .withColumn("__s", sum(col("__e")).over(cum))
+    val lagged = (1 to 7).foldLeft(dev)((d, l) =>
+      d.withColumn(s"__e$l", lag(col("__e"), l).over(ord)))
+    val aggs = Seq(max(col("__n")).as("n_days"),
+      sum(col("__s") * col("__s")).as("__ss2"),
+      sum(col("__e") * col("__e")).as("__g0")) ++
+      (1 to 7).map(l => coalesce(sum(col("__e") * col(s"__e$l")),
+        lit(0L).cast("decimal(38,0)")).as(s"__g$l"))
+    val f = lagged.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n_days").cast("double")
+    def g(l: Int) = col(s"__g$l").cast("double")
+    val lrvScaled = g(0) + lit(2.0) *
+      (1 to 7).map(l => lit(1.0 - l / 8.0) * g(l)).reduce(_ + _)
+    val eta = col("__ss2").cast("double") /
+      (nD * when(lrvScaled > 0, lrvScaled))
+    val ok = col("n_days") >= 16L && lrvScaled > 0
+    f.select(col("n_days"),
+      round(when(ok, eta), 6).as("kpss_stat"),
+      // long-run variance back in value units²: /n³ de-scales the two
+      // E factors and the 1/n of gamma; /1e4 the centi lattice
+      round(when(ok, lrvScaled / (nD * nD * nD) / 1e4), 6)
+        .as("long_run_var"),
+      when(ok, eta < 0.463).as("stationary_at_05"),
+      lit(0.463).as("crit_05"))
+  }
+
+  /** Augmented Dickey–Fuller test (constant + one augmentation lag)
+    * over the daily series — the unit-root half of the [[kpss]] pair:
+    * Δy_t = α + ρ·y_{t−1} + φ·Δy_{t−1} + ε, reject ρ=0 (t below the
+    * 5% constant-case critical −2.863) ⇒ the level series is
+    * stationary, not a random walk — the "is this metric mean-
+    * reverting or drifting" gate before any forecast-feature choice
+    * ([[cointegration]] runs the same regression shape on residuals).
+    *
+    * Determinism: the daily series rides the centi lattice; all ten
+    * OLS moment sums are exact decimal folds over the lag-completed
+    * rows; the 3-regressor solve reduces to a 2×2 Cramer system on
+    * CENTERED moments (exact decimals minus one rational each), and
+    * ρ, φ, RSS, se(ρ), t are one fixed double tree — the lattice scale
+    * cancels in t exactly (ρ and se scale together).
+    *
+    * Plan: the [[kpss]] class — keyed daily aggregation, bounded
+    * ordered lag windows, one fold, one output row.
+    */
+  def adfTest(df: DataFrame, dateCol: Column,
+              valueCol: String): DataFrame = {
+    val crit = -2.863
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val ord = Window.orderBy(col("__d"))
+    val rows = daily
+      .withColumn("__y1", lag(col("__y"), 1).over(ord))
+      .withColumn("__y2", lag(col("__y"), 2).over(ord))
+      .withColumn("__dy", col("__y") - col("__y1"))
+      .withColumn("__x2", col("__y1") - col("__y2"))
+      .filter(col("__y2").isNotNull)
+      .select(col("__y1").as("__x1"), col("__x2"), col("__dy"))
+    val f = rows.agg(count(lit(1)).as("n_obs"),
+      sum(dec(col("__x1"))).as("__s1"),
+      sum(dec(col("__x2"))).as("__s2"),
+      sum(dec(col("__dy"))).as("__sy"),
+      sum(dec(col("__x1")) * col("__x1")).as("__s11"),
+      sum(dec(col("__x1")) * col("__x2")).as("__s12"),
+      sum(dec(col("__x2")) * col("__x2")).as("__s22"),
+      sum(dec(col("__x1")) * col("__dy")).as("__s1y"),
+      sum(dec(col("__x2")) * col("__dy")).as("__s2y"),
+      sum(dec(col("__dy")) * col("__dy")).as("__syy"))
+    val nD = col("n_obs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val c11 = d("__s11") - d("__s1") * d("__s1") / nD
+    val c12 = d("__s12") - d("__s1") * d("__s2") / nD
+    val c22 = d("__s22") - d("__s2") * d("__s2") / nD
+    val c1y = d("__s1y") - d("__s1") * d("__sy") / nD
+    val c2y = d("__s2y") - d("__s2") * d("__sy") / nD
+    val cyy = d("__syy") - d("__sy") * d("__sy") / nD
+    val det = c11 * c22 - c12 * c12
+    val detG = when(det > 0, det)
+    val rho = (c1y * c22 - c2y * c12) / detG
+    val phi = (c2y * c11 - c1y * c12) / detG
+    val rss = cyy - rho * c1y - phi * c2y
+    val s2 = rss / when(nD > 3.0, nD - 3.0)
+    val seRho = sqrt(when(s2 > 0, s2) * c22 / detG)
+    val ok = col("n_obs") >= 8L && det > 0 && rss > 0
+    f.select(col("n_obs"),
+      round(when(ok, rho), 6).as("rho"),
+      round(when(ok, phi), 6).as("phi_lag1"),
+      round(when(ok, rho / seRho), 6).as("adf_t"),
+      when(ok, rho / seRho < lit(crit)).as("rejects_unit_root_05"),
+      lit(crit).as("crit_05"))
   }
 
   /** Weighted (lower) median per group — the "median dollar/unit" the
@@ -4646,5 +4888,219 @@ object Stats {
         round(min(col("__m")), 6).as("slope"),
         round(expr("percentile(__y - __m * __x, 0.5)"), 6).as("intercept"))
       .orderBy(keyCol)
+  }
+
+  /** Bartlett's test for equal variances across DECLARED groups — the
+    * parametric rung of the dispersion ladder ([[brownForsythe]] is its
+    * robust sibling, [[ansariBradley]] the rank one): maximum power when
+    * the groups really are normal, famously oversensitive when they are
+    * not, which is exactly why all three are registered side by side.
+    *
+    * Determinism: values commit to the 1e-6 integer lattice once, so
+    * every per-group sufficient statistic (nⱼ, Σv, Σv²) is an exact
+    * long/decimal fold in any partition order. The statistic
+    * T = [(N−k)·ln s_p² − Σ(nⱼ−1)·ln sⱼ²] / C is evaluated on
+    * LATTICE-scaled variances: the ln(1e12) scale offsets cancel exactly
+    * because Σ(nⱼ−1) = N−k, and both engines replay the identical double
+    * tree, so the float-level cancellation is bit-identical too.
+    * Degenerate slices (a group with n<2 or zero variance) surface as a
+    * NULL statistic, never a throw.
+    *
+    * Plan: one corpus fold to a single row (map-side combined CASE
+    * aggregates over the declared roster) — the [[anovaOneWay]] class;
+    * no shuffle beyond the 1-row combine, no window.
+    */
+  def bartlett(df: DataFrame, groupCol: String, valueCol: String,
+               groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"bartlett: 2..32 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    checkRoster(base, "bartlett", groups)
+    val lat = base.withColumn("__vu",
+      round(col("__v") * 1e6, 0).cast("long"))
+    val sorted = groups.sorted
+    val k = sorted.size
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val aggs = sorted.zipWithIndex.flatMap { case (g, i) =>
+      Seq(sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(col("__g") === g, col("__vu")).otherwise(0L)).as(s"__s$i"),
+        sum(when(col("__g") === g, dec(col("__vu")) * col("__vu"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"__q$i"))
+    } :+ count(lit(1)).as("n")
+    val folded = lat.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def nj(i: Int) = col(s"__n$i").cast("double")
+    def ssw(i: Int) = col(s"__q$i").cast("double") -
+      col(s"__s$i").cast("double") * col(s"__s$i") / nj(i)
+    def s2(i: Int) = ssw(i) / (nj(i) - 1.0)
+    val sswAll = sorted.indices.map(ssw).reduce(_ + _)
+    val sp2 = sswAll / (nD - k)
+    val lnTerm = (nD - k) * log(sp2) -
+      sorted.indices.map(i => (nj(i) - 1.0) * log(s2(i))).reduce(_ + _)
+    val cFac = lit(1.0) +
+      (sorted.indices.map(i => lit(1.0) / (nj(i) - 1.0)).reduce(_ + _) -
+        lit(1.0) / (nD - k)) / lit(3.0 * (k - 1))
+    val ok = sorted.indices
+      .map(i => col(s"__n$i") >= 2L && ssw(i) > 0).reduce(_ && _)
+    folded.select((Seq(col("n")) ++
+      sorted.zipWithIndex.map { case (g, i) => col(s"__n$i").as(s"n_$g") } ++
+      Seq(round(when(ok, lnTerm / cFac), 6).as("bartlett_t"),
+        lit(k - 1).as("df"),
+        round(when(ok, cFac), 6).as("c_factor"),
+        round(when(ok, sp2 / 1e12), 6).as("pooled_var"))): _*)
+  }
+
+  /** D'Agostino–Pearson K² normality omnibus — the refinement of
+    * [[jarqueBera]] that transforms the sample skewness and kurtosis to
+    * SEPARATELY-calibrated normal deviates (D'Agostino 1970 for √b₁,
+    * Anscombe–Glynn 1983 for b₂) before squaring, so it holds its size
+    * at moderate n where JB's asymptotic χ² is badly anti-conservative.
+    * Emits both component z's beside K² — the direction readout (skewed
+    * vs heavy-tailed) a single omnibus number hides.
+    *
+    * Determinism: values commit to the centi lattice (the [[graft.ops.Drift.cvmTest]]
+    * lattice), so the four raw power sums S₁..S₄ are exact decimal folds
+    * in any partition order; central moments, both transforms, and K²
+    * are one fixed double tree both engines replay (cbrt for the
+    * Wilson–Hilferty cube root — negative bases keep their sign).
+    * Lattice bound: |v·100|⁴ · rows < 10³⁸ — a [0, 10⁶] axis is safe
+    * through ~10¹² rows; past that, rescale the column first.
+    * Requires n ≥ 20 (the transforms' own validity floor) — NULL below.
+    *
+    * Plan: ONE corpus fold to a single row (map-side combined) — no
+    * shuffle beyond the 1-row combine, no window, no join.
+    */
+  def dagostinoK2(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .select(round(v * 100, 0).cast("long").as("__vu"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vu = col("__vu")
+    val f = base.agg(count(lit(1)).as("n"),
+      sum(dec(vu)).as("__s1"),
+      sum(dec(vu) * vu).as("__s2"),
+      sum(dec(vu) * vu * vu).as("__s3"),
+      sum(dec(vu) * vu * vu * vu).as("__s4"))
+    val nD = col("n").cast("double")
+    val m = col("__s1").cast("double") / nD
+    val r2 = col("__s2").cast("double") / nD
+    val r3 = col("__s3").cast("double") / nD
+    val r4 = col("__s4").cast("double") / nD
+    val m2 = r2 - m * m
+    val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
+    val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 -
+      lit(3.0) * m * m * m * m
+    val g1 = m3 / pow(m2, 1.5)
+    val b2 = m4 / (m2 * m2)
+    // D'Agostino (1970) skewness transform
+    val y = g1 * sqrt((nD + 1.0) * (nD + 3.0) / (lit(6.0) * (nD - 2.0)))
+    val beta2 = lit(3.0) * (nD * nD + lit(27.0) * nD - 70.0) *
+      (nD + 1.0) * (nD + 3.0) /
+      ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0))
+    val w2 = sqrt(lit(2.0) * (beta2 - 1.0)) - 1.0
+    val delta = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - 1.0))
+    val zSkew = delta * log(y / alpha + sqrt(y / alpha * (y / alpha) + 1.0))
+    // Anscombe–Glynn (1983) kurtosis transform
+    val eb2 = lit(3.0) * (nD - 1.0) / (nD + 1.0)
+    val vb2 = lit(24.0) * nD * (nD - 2.0) * (nD - 3.0) /
+      ((nD + 1.0) * (nD + 1.0) * (nD + 3.0) * (nD + 5.0))
+    val x = (b2 - eb2) / sqrt(vb2)
+    val sb1 = lit(6.0) * (nD * nD - lit(5.0) * nD + 2.0) /
+      ((nD + 7.0) * (nD + 9.0)) *
+      sqrt(lit(6.0) * (nD + 3.0) * (nD + 5.0) /
+        (nD * (nD - 2.0) * (nD - 3.0)))
+    val aA = lit(6.0) + lit(8.0) / sb1 *
+      (lit(2.0) / sb1 + sqrt(lit(1.0) + lit(4.0) / (sb1 * sb1)))
+    val zKurt = ((lit(1.0) - lit(2.0) / (lit(9.0) * aA)) -
+      cbrt((lit(1.0) - lit(2.0) / aA) /
+        (lit(1.0) + x * sqrt(lit(2.0) / (aA - 2.0))))) /
+      sqrt(lit(2.0) / (lit(9.0) * aA))
+    val ok = col("n") >= 20L && m2 > 0
+    f.select(col("n"),
+      round(m / 100.0, 6).as("mean"),
+      round(when(ok, g1), 6).as("skewness"),
+      round(when(ok, b2), 6).as("kurtosis"),
+      round(when(ok, zSkew), 6).as("z_skew"),
+      round(when(ok, zKurt), 6).as("z_kurt"),
+      round(when(ok, zSkew * zSkew + zKurt * zKurt), 6).as("k2_stat"))
+  }
+
+  /** Cronbach's alpha over a declared item battery — the internal-
+    * consistency readout for any composite score (a quality rubric, a
+    * multi-signal feature bundle, an annotation rubric's items): do the
+    * items move together enough to justify summing them? Emits raw α
+    * (scale-weighted, the classic), standardized α (from the mean
+    * inter-item correlation — the one to read when item scales differ),
+    * and r̄ itself.
+    *
+    * Determinism: every item commits to the SAME 1e-6 lattice, so item
+    * sums/squares, all k(k−1)/2 cross-products, and the row-total
+    * moments are exact decimal folds; the common lattice factor cancels
+    * from α exactly (α is invariant to shared rescaling), and both
+    * engines replay one fixed double tree. Rows with ANY null item are
+    * dropped (listwise deletion, the classical treatment, stated so
+    * both engines agree). Decimal bound: |v·1e6|² · rows < 10³⁸ per
+    * item — a [0, 10⁶] axis is safe through ~10¹⁴ rows.
+    *
+    * Plan: ONE corpus fold to a single row carrying 2k + k(k−1)/2 + 3
+    * aggregates (wide but map-side combined; k ≤ 16 is a knob, not
+    * data) — no shuffle beyond the 1-row combine.
+    */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2 && itemCols.size <= 16 &&
+      itemCols.distinct == itemCols,
+      s"cronbachAlpha: 2..16 distinct item columns (got $itemCols)")
+    val k = itemCols.size
+    val base = df.filter(itemCols.map(c =>
+        col(c).isNotNull && !isnan(col(c).cast("double"))).reduce(_ && _))
+      .select(itemCols.zipWithIndex.map { case (c, i) =>
+        round(col(c).cast("double") * 1e6, 0).cast("long").as(s"__v$i")
+      }: _*)
+      .withColumn("__t", itemCols.indices.map(i => col(s"__v$i"))
+        .reduce(_ + _))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = for {
+      i <- 0 until k; j <- (i + 1) until k
+    } yield (i, j)
+    val aggs = itemCols.indices.flatMap { i =>
+      Seq(sum(dec(col(s"__v$i"))).as(s"__s$i"),
+        sum(dec(col(s"__v$i")) * col(s"__v$i")).as(s"__q$i"))
+    } ++ pairs.map { case (i, j) =>
+      sum(dec(col(s"__v$i")) * col(s"__v$j")).as(s"__c${i}_$j")
+    } ++ Seq(count(lit(1)).as("n"),
+      sum(dec(col("__t"))).as("__st"),
+      sum(dec(col("__t")) * col("__t")).as("__qt"))
+    val f = base.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def sxx(i: Int) = col(s"__q$i").cast("double") -
+      col(s"__s$i").cast("double") * col(s"__s$i") / nD
+    def vItem(i: Int) = sxx(i) / (nD - 1.0)
+    val vTot = (col("__qt").cast("double") -
+      col("__st").cast("double") * col("__st") / nD) / (nD - 1.0)
+    // denominators guarded IN PLACE (NULL, not a throw): `when(ok, …)`
+    // alone is not enough — repeated subexpressions (rbar feeds two
+    // outputs) get hoisted out of the CaseWhen by subexpression
+    // elimination and evaluated unconditionally under ANSI mode
+    val alpha = lit(k / (k - 1).toDouble) *
+      (lit(1.0) - itemCols.indices.map(vItem).reduce(_ + _) /
+        when(vTot > 0, vTot))
+    def corr(i: Int, j: Int) = (col(s"__c${i}_$j").cast("double") -
+      col(s"__s$i").cast("double") * col(s"__s$j") / nD) /
+      when(sxx(i) * sxx(j) > 0, sqrt(sxx(i) * sxx(j)))
+    val rbar = pairs.map { case (i, j) => corr(i, j) }.reduce(_ + _) /
+      lit(pairs.size.toDouble)
+    val stdDen = lit(1.0) + lit((k - 1).toDouble) * rbar
+    val alphaStd = lit(k.toDouble) * rbar / when(stdDen =!= 0.0, stdDen)
+    val ok = col("n") >= 3L && vTot > 0 &&
+      itemCols.indices.map(i => sxx(i) > 0).reduce(_ && _)
+    f.select(col("n"), lit(k).as("k_items"),
+      round(when(ok, alpha), 6).as("alpha"),
+      round(when(ok, rbar), 6).as("mean_inter_item_corr"),
+      round(when(ok, alphaStd), 6).as("alpha_standardized"),
+      round(when(ok, vTot / 1e12), 6).as("var_total"))
   }
 }

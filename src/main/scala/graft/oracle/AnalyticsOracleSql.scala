@@ -3522,6 +3522,123 @@ private[graft] object AnalyticsOracleSql {
     },
 
 
+    // CMH: per-stratum 2x2 cells, rational terms committed to the 1e-6
+    // lattice per stratum (exact HUGEINT fold across strata), RBG CI
+    "q_mantel_haenszel" -> {
+      val aD = "CAST(a AS DOUBLE)"; val bD = "CAST(b AS DOUBLE)"
+      val cD = "CAST(c AS DOUBLE)"; val dD = "CAST(d AS DOUBLE)"
+      val nD = s"($aD + $bD + $cD + $dD)"
+      val eI = s"(($aD + $bD) * ($aD + $cD) / $nD)"
+      val vI = s"(CASE WHEN $nD > 1.0 THEN ($aD + $bD) * ($cD + $dD)" +
+        s" * ($aD + $cD) * ($bD + $dD) / ($nD * $nD * ($nD - 1.0))" +
+        s" ELSE 0.0 END)"
+      val rI = s"($aD * $dD / $nD)"
+      val sI = s"($bD * $cD / $nD)"
+      val pI = s"(($aD + $dD) / $nD)"
+      val qI = s"(($bD + $cD) / $nD)"
+      def lat(t: String) = s"CAST(round($t * 1e6, 0) AS BIGINT)"
+      val sumA = "CAST(n_exposed_pos AS DOUBLE)"
+      val sE = "(CAST(se AS DOUBLE) / 1e6)"
+      val sV = "(CAST(sv AS DOUBLE) / 1e6)"
+      val sR = "(CAST(sr AS DOUBLE) / 1e6)"
+      val sS = "(CAST(ss AS DOUBLE) / 1e6)"
+      val sPR = "(CAST(spr AS DOUBLE) / 1e6)"
+      val sPSQR = "(CAST(spsqr AS DOUBLE) / 1e6)"
+      val sQS = "(CAST(sqs AS DOUBLE) / 1e6)"
+      val gap = s"(abs($sumA - $sE) - 0.5)"
+      val chi2 = s"(greatest($gap, 0.0) * greatest($gap, 0.0) / $sV)"
+      val mhOr = s"($sR / $sS)"
+      val seLn = s"sqrt($sPR / (2.0 * $sR * $sR)" +
+        s" + $sPSQR / (2.0 * $sR * $sS) + $sQS / (2.0 * $sS * $sS))"
+      val crude = s"($sumA * CAST(n_unexposed_neg AS DOUBLE)" +
+        s" / (CASE WHEN n_exposed_neg > 0 AND n_unexposed_pos > 0" +
+        s" THEN CAST(n_exposed_neg AS DOUBLE) * n_unexposed_pos END))"
+      val ok = s"$sV > 0 AND $sR > 0 AND $sS > 0"
+      val z = "1.959964"
+      s"""
+      WITH b0 AS (SELECT o_orderpriority AS s,
+              CAST(o_totalprice > 150000.0 AS INT) AS e,
+              CAST(o_orderstatus = 'F' AS INT) AS o
+            FROM orders WHERE o_orderpriority IS NOT NULL),
+      cells AS (SELECT s,
+              CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+              CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+              CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+              CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d
+            FROM b0 GROUP BY 1),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+              CAST(sum(a) AS BIGINT) AS n_exposed_pos,
+              CAST(sum(b) AS BIGINT) AS n_exposed_neg,
+              CAST(sum(c) AS BIGINT) AS n_unexposed_pos,
+              CAST(sum(d) AS BIGINT) AS n_unexposed_neg,
+              sum(CAST(${lat(eI)} AS HUGEINT)) AS se,
+              sum(CAST(${lat(vI)} AS HUGEINT)) AS sv,
+              sum(CAST(${lat(rI)} AS HUGEINT)) AS sr,
+              sum(CAST(${lat(sI)} AS HUGEINT)) AS ss,
+              sum(CAST(${lat(s"($pI * $rI)")} AS HUGEINT)) AS spr,
+              sum(CAST(${lat(s"($pI * $sI + $qI * $rI)")} AS HUGEINT))
+                AS spsqr,
+              sum(CAST(${lat(s"($qI * $sI)")} AS HUGEINT)) AS sqs
+            FROM cells)
+      SELECT n_strata, n_exposed_pos, n_exposed_neg, n_unexposed_pos,
+             n_unexposed_neg,
+             round(CASE WHEN $ok THEN $chi2 END, 6) AS cmh_chi2,
+             round(CASE WHEN $ok THEN $mhOr END, 6) AS mh_odds_ratio,
+             round(CASE WHEN $ok
+               THEN exp(ln($mhOr) - $z * $seLn) END, 6) AS or_ci_lo,
+             round(CASE WHEN $ok
+               THEN exp(ln($mhOr) + $z * $seLn) END, 6) AS or_ci_hi,
+             round($crude, 6) AS crude_odds_ratio
+      FROM f"""
+    },
+
+    // Poisson rate test: four exact counts from one fold, Wald z on the
+    // log rate ratio + the conditional binomial z, shared z literal
+    "q_poisson_rate" -> {
+      val xa = "CAST(n_events_a AS DOUBLE)"
+      val ta = "CAST(n_exposure_a AS DOUBLE)"
+      val xb = "CAST(n_events_b AS DOUBLE)"
+      val tb = "CAST(n_exposure_b AS DOUBLE)"
+      val rr = s"(($xa / $ta) / ($xb / $tb))"
+      val seLn = s"sqrt(1.0 / $xa + 1.0 / $xb)"
+      val p = s"($ta / ($ta + $tb))"
+      val zCond = s"(($xa - ($xa + $xb) * $p)" +
+        s" / sqrt(($xa + $xb) * $p * (1.0 - $p)))"
+      val ok = "n_events_a > 0 AND n_events_b > 0" +
+        " AND n_exposure_a > 0 AND n_exposure_b > 0"
+      val z = "1.959964"
+      s"""
+      WITH base AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+               THEN 'pre' ELSE 'post' END AS g,
+              CAST(event_type = 'error' AS INT) AS x
+            FROM events),
+      f AS (SELECT
+              CAST(sum(CASE WHEN g = 'pre' THEN CAST(x AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS n_events_a,
+              CAST(sum(CASE WHEN g = 'pre' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_exposure_a,
+              CAST(sum(CASE WHEN g = 'post' THEN CAST(x AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS n_events_b,
+              CAST(sum(CASE WHEN g = 'post' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_exposure_b
+            FROM base)
+      SELECT n_events_a, n_exposure_a, n_events_b, n_exposure_b,
+             round(CASE WHEN $ok THEN $xa / $ta END, 6) AS rate_a,
+             round(CASE WHEN $ok THEN $xb / $tb END, 6) AS rate_b,
+             round(CASE WHEN $ok THEN $rr END, 6) AS rate_ratio,
+             round(CASE WHEN $ok
+               THEN exp(ln($rr) - $z * $seLn) END, 6) AS rr_ci_lo,
+             round(CASE WHEN $ok
+               THEN exp(ln($rr) + $z * $seLn) END, 6) AS rr_ci_hi,
+             round(CASE WHEN $ok THEN ln($rr) / $seLn END, 6) AS z_wald,
+             round(CASE WHEN $ok THEN $zCond END, 6) AS z_conditional
+      FROM f"""
+    },
+
     "q_odds_ratio" -> {
       val a = "CAST(n_exposed_pos AS DOUBLE)"
       val b = "CAST(n_exposed_neg AS DOUBLE)"
@@ -6344,6 +6461,273 @@ private[graft] object AnalyticsOracleSql {
              round(CASE WHEN ($aTot) > 0 AND ($bTot) > 0
                THEN $chi2 END, 6) AS chi2,
              CAST(${gs.size - 1} AS INTEGER) AS df
+      FROM f"""
+    },
+
+    // KPSS: n-scaled exact deviations, decimal partial sums, Bartlett
+    // q=7 long-run variance; eta's n-scaling cancels in one fixed tree
+    "q_kpss" -> {
+      val nD = "CAST(n_days AS DOUBLE)"
+      val lrv = s"(CAST(g0 AS DOUBLE) + 2.0 * (${(1 to 7).map(l =>
+        s"${1.0 - l / 8.0} * CAST(g$l AS DOUBLE)").mkString(" + ")}))"
+      val eta = s"(CAST(ss2 AS DOUBLE) / ($nD * $lrv))"
+      val ok = s"n_days >= 16 AND $lrv > 0"
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS sy FROM daily),
+      dev AS (SELECT d, CAST(n AS HUGEINT) * y - sy AS e, n
+              FROM daily, tot),
+      ps AS (SELECT *, sum(e) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             ${(1 to 7).map(l =>
+               s"lag(e, $l) OVER (ORDER BY d) AS e$l").mkString(", ")}
+            FROM dev),
+      f AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+              sum(s * s) AS ss2,
+              sum(e * e) AS g0,
+              ${(1 to 7).map(l =>
+                s"coalesce(sum(e * e$l), 0) AS g$l").mkString(", ")}
+            FROM ps)
+      SELECT n_days,
+             round(CASE WHEN $ok THEN $eta END, 6) AS kpss_stat,
+             round(CASE WHEN $ok
+               THEN $lrv / ($nD * $nD * $nD) / 1e4 END, 6)
+               AS long_run_var,
+             CASE WHEN $ok THEN $eta < 0.463 END AS stationary_at_05,
+             0.463 AS crit_05
+      FROM f"""
+    },
+
+    // ADF (constant + 1 aug lag): exact decimal moment folds, centered
+    // 2x2 Cramer solve, t in one fixed tree (lattice scale cancels)
+    "q_adf" -> {
+      val nD = "CAST(n_obs AS DOUBLE)"
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      val c11 = s"(${d("s11")} - ${d("s1")} * ${d("s1")} / $nD)"
+      val c12 = s"(${d("s12")} - ${d("s1")} * ${d("s2")} / $nD)"
+      val c22 = s"(${d("s22")} - ${d("s2")} * ${d("s2")} / $nD)"
+      val c1y = s"(${d("s1y")} - ${d("s1")} * ${d("sy")} / $nD)"
+      val c2y = s"(${d("s2y")} - ${d("s2")} * ${d("sy")} / $nD)"
+      val cyy = s"(${d("syy")} - ${d("sy")} * ${d("sy")} / $nD)"
+      val det = s"($c11 * $c22 - $c12 * $c12)"
+      val rho = s"(($c1y * $c22 - $c2y * $c12) / $det)"
+      val phi = s"(($c2y * $c11 - $c1y * $c12) / $det)"
+      val rss = s"($cyy - $rho * $c1y - $phi * $c2y)"
+      val seRho = s"sqrt($rss / ($nD - 3.0) * $c22 / $det)"
+      val ok = s"n_obs >= 8 AND $det > 0 AND $rss > 0"
+      s"""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+      lagd AS (SELECT y,
+              lag(y, 1) OVER (ORDER BY d) AS y1,
+              lag(y, 2) OVER (ORDER BY d) AS y2
+            FROM daily),
+      rows_ AS (SELECT y1 AS x1, y1 - y2 AS x2, y - y1 AS dy
+            FROM lagd WHERE y2 IS NOT NULL),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_obs,
+              sum(CAST(x1 AS HUGEINT)) AS s1,
+              sum(CAST(x2 AS HUGEINT)) AS s2,
+              sum(CAST(dy AS HUGEINT)) AS sy,
+              sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+              sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+              sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+              sum(CAST(x1 AS HUGEINT) * dy) AS s1y,
+              sum(CAST(x2 AS HUGEINT) * dy) AS s2y,
+              sum(CAST(dy AS HUGEINT) * dy) AS syy
+            FROM rows_)
+      SELECT n_obs,
+             round(CASE WHEN $ok THEN $rho END, 6) AS rho,
+             round(CASE WHEN $ok THEN $phi END, 6) AS phi_lag1,
+             round(CASE WHEN $ok THEN $rho / $seRho END, 6) AS adf_t,
+             CASE WHEN $ok THEN $rho / $seRho < -2.863 END
+               AS rejects_unit_root_05,
+             -2.863 AS crit_05
+      FROM f"""
+    },
+
+    // Dunn post-hoc (exact + binned twins): shared-pool 2x-midranks,
+    // pooled tie-corrected variance, one z per pair, |z| rank appended
+    "q_dunn_test" -> dunnSql(
+      """base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL)"""),
+
+    "q_dunn_test_binned" -> dunnSql(
+      latticeBinCtes("events", "value",
+        "event_type IS NOT NULL AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type") +
+        """,
+      base AS (SELECT event_type AS g, CAST(bin AS DOUBLE) AS v
+               FROM binned)"""),
+
+    // Bartlett: the q_anova lattice fold, then the ln-variance tree —
+    // lattice scale offsets cancel exactly because sum(nj-1) = N-k
+    "q_bartlett" -> {
+      val gs = Seq("click", "error", "purchase", "signup", "view")
+      val k = gs.size
+      val caseCols = gs.zipWithIndex.map { case (g, i) =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n$i,
+             CAST(sum(CASE WHEN g = '$g' THEN vu ELSE 0 END) AS BIGINT)
+               AS s$i,
+             sum(CASE WHEN g = '$g'
+                 THEN CAST(vu AS HUGEINT) * vu
+                 ELSE CAST(0 AS HUGEINT) END) AS q$i""" }
+        .mkString(",\n             ")
+      val nD = "CAST(n AS DOUBLE)"
+      def njD(i: Int) = s"CAST(n$i AS DOUBLE)"
+      def ssw(i: Int) = s"(CAST(q$i AS DOUBLE)"
+        .concat(s" - CAST(s$i AS DOUBLE) * s$i / CAST(n$i AS DOUBLE))")
+      def s2(i: Int) = s"(${ssw(i)} / (${njD(i)} - 1.0))"
+      val sswAll = gs.indices.map(ssw).mkString(" + ")
+      val sp2 = s"(($sswAll) / ($nD - $k))"
+      val lnTerm = s"(($nD - $k) * ln($sp2) - (${gs.indices.map(i =>
+        s"(${njD(i)} - 1.0) * ln(${s2(i)})").mkString(" + ")}))"
+      val cFac = s"(1.0 + ((${gs.indices.map(i =>
+        s"1.0 / (${njD(i)} - 1.0)").mkString(" + ")})"
+        .concat(s" - 1.0 / ($nD - $k)) / ${3.0 * (k - 1)})")
+      val ok = gs.indices.map(i => s"n$i >= 2 AND ${ssw(i)} > 0")
+        .mkString(" AND ")
+      val nCols = gs.zipWithIndex
+        .map { case (g, i) => s"n$i AS n_$g" }.mkString(", ")
+      s"""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      lat AS (SELECT g, CAST(round(v * 1e6, 0) AS BIGINT) AS vu
+              FROM base),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             $caseCols
+            FROM lat)
+      SELECT n, $nCols,
+             round(CASE WHEN $ok THEN $lnTerm / $cFac END, 6)
+               AS bartlett_t,
+             CAST(${k - 1} AS INTEGER) AS df,
+             round(CASE WHEN $ok THEN $cFac END, 6) AS c_factor,
+             round(CASE WHEN $ok THEN $sp2 / 1e12 END, 6) AS pooled_var
+      FROM f"""
+    },
+
+    // D'Agostino-Pearson K2: centi-lattice power sums S1..S4, central
+    // moments, the 1970 skew + 1983 kurtosis transforms, one fixed tree
+    "q_dagostino_k2" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val m = s"(CAST(s1 AS DOUBLE) / $nD)"
+      val r2 = s"(CAST(s2 AS DOUBLE) / $nD)"
+      val r3 = s"(CAST(s3 AS DOUBLE) / $nD)"
+      val r4 = s"(CAST(s4 AS DOUBLE) / $nD)"
+      val m2 = s"($r2 - $m * $m)"
+      val m3 = s"($r3 - 3.0 * $m * $r2 + 2.0 * $m * $m * $m)"
+      val m4 = s"($r4 - 4.0 * $m * $r3 + 6.0 * $m * $m * $r2" +
+        s" - 3.0 * $m * $m * $m * $m)"
+      val g1 = s"($m3 / pow($m2, 1.5))"
+      val b2 = s"($m4 / ($m2 * $m2))"
+      val y = s"($g1 * sqrt(($nD + 1.0) * ($nD + 3.0)" +
+        s" / (6.0 * ($nD - 2.0))))"
+      val beta2 = s"(3.0 * ($nD * $nD + 27.0 * $nD - 70.0)" +
+        s" * ($nD + 1.0) * ($nD + 3.0) / (($nD - 2.0) * ($nD + 5.0)" +
+        s" * ($nD + 7.0) * ($nD + 9.0)))"
+      val w2 = s"(sqrt(2.0 * ($beta2 - 1.0)) - 1.0)"
+      val delta = s"(1.0 / sqrt(ln(sqrt($w2))))"
+      val alpha = s"(sqrt(2.0 / ($w2 - 1.0)))"
+      val zSkew = s"($delta * ln($y / $alpha + sqrt($y / $alpha" +
+        s" * ($y / $alpha) + 1.0)))"
+      val eb2 = s"(3.0 * ($nD - 1.0) / ($nD + 1.0))"
+      val vb2 = s"(24.0 * $nD * ($nD - 2.0) * ($nD - 3.0)" +
+        s" / (($nD + 1.0) * ($nD + 1.0) * ($nD + 3.0) * ($nD + 5.0)))"
+      val x = s"(($b2 - $eb2) / sqrt($vb2))"
+      val sb1 = s"(6.0 * ($nD * $nD - 5.0 * $nD + 2.0)" +
+        s" / (($nD + 7.0) * ($nD + 9.0)) * sqrt(6.0 * ($nD + 3.0)" +
+        s" * ($nD + 5.0) / ($nD * ($nD - 2.0) * ($nD - 3.0))))"
+      val aA = s"(6.0 + 8.0 / $sb1 * (2.0 / $sb1" +
+        s" + sqrt(1.0 + 4.0 / ($sb1 * $sb1))))"
+      val zKurt = s"(((1.0 - 2.0 / (9.0 * $aA)) - cbrt((1.0 - 2.0 / $aA)" +
+        s" / (1.0 + $x * sqrt(2.0 / ($aA - 2.0)))))" +
+        s" / sqrt(2.0 / (9.0 * $aA)))"
+      val ok = s"n >= 20 AND $m2 > 0"
+      s"""
+      WITH base AS (SELECT CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                 AS BIGINT) AS vu
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(vu AS HUGEINT)) AS s1,
+             sum(CAST(vu AS HUGEINT) * vu) AS s2,
+             sum(CAST(vu AS HUGEINT) * vu * vu) AS s3,
+             sum(CAST(vu AS HUGEINT) * vu * vu * vu) AS s4
+            FROM base)
+      SELECT n,
+             round($m / 100.0, 6) AS mean,
+             round(CASE WHEN $ok THEN $g1 END, 6) AS skewness,
+             round(CASE WHEN $ok THEN $b2 END, 6) AS kurtosis,
+             round(CASE WHEN $ok THEN $zSkew END, 6) AS z_skew,
+             round(CASE WHEN $ok THEN $zKurt END, 6) AS z_kurt,
+             round(CASE WHEN $ok THEN $zSkew * $zSkew
+               + $zKurt * $zKurt END, 6) AS k2_stat
+      FROM f"""
+    },
+
+    // Cronbach alpha: shared 1e-6 lattice item/total/cross-product
+    // folds (HUGEINT), listwise deletion, one fixed tree per output
+    "q_cronbach_alpha" -> {
+      val items = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val k = items.size
+      val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
+      val latCols = items.zipWithIndex.map { case (c, i) =>
+        s"CAST(round(CAST($c AS DOUBLE) * 1e6, 0) AS BIGINT) AS v$i" }
+        .mkString(",\n             ")
+      val tot = items.indices.map(i => s"v$i").mkString(" + ")
+      val aggCols = (items.indices.flatMap { i =>
+        Seq(s"sum(CAST(v$i AS HUGEINT)) AS s$i",
+          s"sum(CAST(v$i AS HUGEINT) * v$i) AS q$i")
+      } ++ pairs.map { case (i, j) =>
+        s"sum(CAST(v$i AS HUGEINT) * v$j) AS c${i}_$j"
+      } ++ Seq("CAST(count(*) AS BIGINT) AS n",
+        "sum(CAST(t AS HUGEINT)) AS st",
+        "sum(CAST(t AS HUGEINT) * t) AS qt")).mkString(",\n             ")
+      val nD = "CAST(n AS DOUBLE)"
+      def sxx(i: Int) = s"(CAST(q$i AS DOUBLE)" +
+        s" - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / $nD)"
+      def vItem(i: Int) = s"(${sxx(i)} / ($nD - 1.0))"
+      val vTot = s"((CAST(qt AS DOUBLE)" +
+        s" - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / $nD) / ($nD - 1.0))"
+      val alpha = s"(${k / (k - 1).toDouble} * (1.0 - (${items.indices
+        .map(vItem).mkString(" + ")}) / $vTot))"
+      def corr(i: Int, j: Int) = s"((CAST(c${i}_$j AS DOUBLE)" +
+        s" - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE) / $nD)" +
+        s" / sqrt(${sxx(i)} * ${sxx(j)}))"
+      val rbar = s"((${pairs.map { case (i, j) => corr(i, j) }
+        .mkString(" + ")}) / ${pairs.size.toDouble})"
+      val alphaStd = s"(${k.toDouble} * $rbar" +
+        s" / nullif(1.0 + ${(k - 1).toDouble} * $rbar, 0.0))"
+      val ok = (s"n >= 3 AND $vTot > 0 AND " +
+        items.indices.map(i => s"${sxx(i)} > 0").mkString(" AND "))
+      val notNull = items.map(c =>
+        s"$c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))")
+        .mkString(" AND ")
+      s"""
+      WITH lat0 AS (SELECT
+             $latCols
+            FROM lineitem
+            WHERE $notNull),
+      lat AS (SELECT *, $tot AS t FROM lat0),
+      f AS (SELECT
+             $aggCols
+            FROM lat)
+      SELECT n, CAST($k AS INTEGER) AS k_items,
+             round(CASE WHEN $ok THEN $alpha END, 6) AS alpha,
+             round(CASE WHEN $ok THEN $rbar END, 6)
+               AS mean_inter_item_corr,
+             round(CASE WHEN $ok THEN $alphaStd END, 6)
+               AS alpha_standardized,
+             round(CASE WHEN $ok THEN $vTot / 1e12 END, 6) AS var_total
       FROM f"""
     },
 

@@ -39,6 +39,59 @@ private[graft] object OracleShared {
                ${reprExpr("vl", "lo", "hi", bins)} AS repr
              FROM lat, bnd)"""
 
+  /** Dunn post-hoc SQL over a `base(g, v)` CTE chain (exact or binned
+    * value axis — mirrors Stats.dunnFold): per-value per-group counts,
+    * shared-pool 2x-midranks, pooled tie-corrected variance, one z per
+    * alphabetical pair, |z| rank appended. Roster fixed to the five
+    * event types (the registered queries' roster). */
+  def dunnSql(baseCtes: String): String = {
+    val gs = Seq("click", "error", "purchase", "signup", "view")
+    val nn = "CAST(nt AS DOUBLE)"
+    val sig2 = s"(($nn * ($nn + 1.0)" +
+      s" - CAST(tsum AS DOUBLE) / ($nn - 1.0)) / 12.0)"
+    def njD(i: Int) = s"CAST(n$i AS DOUBLE)"
+    def mr(i: Int) = s"(CAST(s$i AS DOUBLE) / (2.0 * ${njD(i)}))"
+    val pairs = for {
+      i <- gs.indices; j <- (i + 1) until gs.size
+    } yield (i, j)
+    val pairRows = pairs.map { case (i, j) =>
+      val ok = s"n$i > 0 AND n$j > 0 AND $sig2 > 0"
+      val z = s"(${mr(i)} - ${mr(j)}) / sqrt($sig2" +
+        s" * (1.0 / ${njD(i)} + 1.0 / ${njD(j)}))"
+      s"""SELECT '${gs(i)}' AS group_a, '${gs(j)}' AS group_b,
+             n$i AS n_a, n$j AS n_b,
+             round(CASE WHEN n$i > 0 THEN ${mr(i)} END, 6) AS mean_rank_a,
+             round(CASE WHEN n$j > 0 THEN ${mr(j)} END, 6) AS mean_rank_b,
+             round(CASE WHEN $ok THEN $z END, 6) AS z
+           FROM f"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH $baseCtes,
+      pv AS (SELECT v,
+             ${gs.zipWithIndex.map { case (g, i) =>
+               s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END)" +
+                 s" AS BIGINT) AS c$i" }.mkString(",\n             ")},
+             CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY v),
+      r AS (SELECT *, CAST(2 * coalesce(sum(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS BIGINT) AS r2
+            FROM pv),
+      f AS (SELECT ${gs.indices.map(i =>
+              s"CAST(coalesce(sum(c$i), 0) AS BIGINT) AS n$i," +
+                s" coalesce(sum(CAST(c$i AS HUGEINT) * r2), 0) AS s$i")
+              .mkString(",\n             ")},
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS nt,
+             CAST(coalesce(sum(n * n * n - n), 0) AS BIGINT) AS tsum
+            FROM r),
+      p AS ($pairRows)
+      SELECT group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z,
+             CAST(row_number() OVER (ORDER BY abs(z) DESC NULLS LAST,
+               group_a, group_b) AS INTEGER) AS abs_z_rank
+      FROM p
+      ORDER BY group_a, group_b"""
+  }
+
   /** Uniform-(0,1] hash shared with graft.ops.Gen.u01 (two minstd steps). */
   def uk(key: String, c: Int): String =
     s"(CAST(((($key + ${c}*1000003) % 2147483647) * 48271 % 2147483647)" +

@@ -517,6 +517,19 @@ object AnalyticsRegistry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id", col("event_type") === "error" && col("value") > 160.0,
         col("event_type") === "purchase" && col("value") > 175.0)),
+    "q_mantel_haenszel" -> ((s, dir) =>
+      // stratified 2x2: big-order -> unfinished status association
+      // pooled across order priorities; crude OR beside the MH OR is
+      // the Simpson's-paradox readout, CI is Robins-Breslow-Greenland
+      Eval.mantelHaenszel(Tables.orders(s, dir), "o_orderpriority",
+        col("o_totalprice") > 150000.0, col("o_orderstatus") === "F")),
+    "q_poisson_rate" -> ((s, dir) =>
+      // did the error rate per event change after mid-month? Wald z on
+      // the log rate ratio + the conditional binomial z
+      Eval.poissonRateTest(Tables.events(s, dir),
+        when(col("ts") < lit("2024-01-16").cast("timestamp_ntz"),
+          lit("pre")).otherwise(lit("post")),
+        "pre", "post", col("event_type") === "error")),
     "q_cochran_armitage" -> ((s, dir) => {
       // does conversion climb with account balance? exact integer trend
       // statistic over acctbal deciles vs has-an-order. The decile
@@ -1015,6 +1028,40 @@ object AnalyticsRegistry {
       // median, outlier-proof 2xk chi-square
       Stats.moodMedian(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
+    "q_kpss" -> ((s, dir) =>
+      // stationarity null: is daily revenue mean-stable? Bartlett
+      // long-run variance at the weekly lag window, eta vs 0.463
+      Stats.kpss(Tables.orders(s, dir), to_date(col("o_orderdate")),
+        "o_totalprice")),
+    "q_adf" -> ((s, dir) =>
+      // unit-root null (the kpss complement): constant + 1 aug lag,
+      // exact centered-moment Cramer solve, t vs -2.863
+      Stats.adfTest(Tables.orders(s, dir), to_date(col("o_orderdate")),
+        "o_totalprice")),
+    "q_dunn_test" -> ((s, dir) =>
+      // post-hoc pairwise drill-down after kruskal_wallis rejects:
+      // shared-pool midrank z per pair, |z| rank = the BH ordering
+      Stats.dunnTest(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_dunn_test_binned" -> ((s, dir) =>
+      // 100 TB twin: bin-grain midranks (the kruskal_wallis_binned
+      // contract), pairwise z's within the one-bin relocation bound
+      Stats.dunnTestBinned(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_bartlett" -> ((s, dir) =>
+      // parametric equal-variance test across the 5 event types: max
+      // power under normality, the ladder rung above brown_forsythe
+      Stats.bartlett(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_dagostino_k2" -> ((s, dir) =>
+      // normality omnibus with separately-calibrated skew/kurtosis z's
+      // (the moderate-n repair of jarque_bera's asymptotic chi2)
+      Stats.dagostinoK2(Tables.events(s, dir), "value")),
+    "q_cronbach_alpha" -> ((s, dir) =>
+      // internal consistency of the 4-item lineitem numeric battery:
+      // raw + standardized alpha with the mean inter-item correlation
+      Stats.cronbachAlpha(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_brunner_munzel" -> ((s, dir) =>
       // rank Behrens-Fisher: relative effect P(purchase<view)+ties/2
       // with per-group placement variances and Welch-style df

@@ -1046,4 +1046,53 @@ class EvalSpec extends SparkSpec {
     assert(t3.getAs[Double]("cif_a") == 0.8)
     assert(t3.getAs[Double]("cif_b") == 0.2)
   }
+
+  test("mantelHaenszel: hand-computed two-stratum case (chi2, MH OR, " +
+      "RBG CI, crude OR); a single-unit stratum contributes zero " +
+      "variance instead of dividing by zero") {
+    import spark.implicits._
+    // stratum 1: a=4 b=1 c=2 d=3; stratum 2: a=3 b=2 c=1 d=4
+    val rows =
+      Seq.fill(4)(("s1", 1, 1)) ++ Seq.fill(1)(("s1", 1, 0)) ++
+      Seq.fill(2)(("s1", 0, 1)) ++ Seq.fill(3)(("s1", 0, 0)) ++
+      Seq.fill(3)(("s2", 1, 1)) ++ Seq.fill(2)(("s2", 1, 0)) ++
+      Seq.fill(1)(("s2", 0, 1)) ++ Seq.fill(4)(("s2", 0, 0))
+    val df = rows.toDF("s", "e", "o")
+    val r = graft.ops.Eval.mantelHaenszel(df, "s",
+      col("e") === 1, col("o") === 1).collect().head
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("n_exposed_pos") == 7L)
+    assert(r.getAs[Double]("cmh_chi2") == 1.687499)
+    assert(r.getAs[Double]("mh_odds_ratio") == 6.0)
+    assert(r.getAs[Double]("or_ci_lo") == 0.811703)
+    assert(r.getAs[Double]("or_ci_hi") == 44.351182)
+    assert(r.getAs[Double]("crude_odds_ratio") == 5.444444)
+    // a 1-unit stratum: V-term guarded to 0, everything still finite
+    val deg = (rows :+ (("s3", 1, 1))).toDF("s", "e", "o")
+    val d = graft.ops.Eval.mantelHaenszel(deg, "s",
+      col("e") === 1, col("o") === 1).collect().head
+    assert(d.getAs[Long]("n_strata") == 3L)
+    assert(!d.isNullAt(d.fieldIndex("mh_odds_ratio")))
+  }
+
+  test("poissonRateTest: hand-computed 8/100 vs 2/50 case (rate ratio " +
+      "2, both z's, CI); an empty arm NULLs the estimates") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(("pre", 1)) ++ Seq.fill(92)(("pre", 0)) ++
+      Seq.fill(2)(("post", 1)) ++ Seq.fill(48)(("post", 0)))
+      .toDF("g", "x")
+    val r = graft.ops.Eval.poissonRateTest(df, col("g"), "pre", "post",
+      col("x") === 1).collect().head
+    assert(r.getAs[Long]("n_events_a") == 8L &&
+      r.getAs[Long]("n_exposure_a") == 100L)
+    assert(r.getAs[Double]("rate_ratio") == 2.0)
+    assert(r.getAs[Double]("z_wald") == 0.87677)
+    assert(r.getAs[Double]("z_conditional") == 0.894427)
+    assert(r.getAs[Double]("rr_ci_lo") == 0.424714)
+    assert(r.getAs[Double]("rr_ci_hi") == 9.418113)
+    val empty = Seq(("pre", 1), ("pre", 0)).toDF("g", "x")
+    val e = graft.ops.Eval.poissonRateTest(empty, col("g"), "pre",
+      "post", col("x") === 1).collect().head
+    assert(e.isNullAt(e.fieldIndex("rate_ratio")))
+  }
 }

@@ -1978,4 +1978,155 @@ class StatsSpec extends SparkSpec {
     val s0 = Stats.ansariBradley(same, "g", "v", "a", "b").collect().head
     assert(s0.getAs[Double]("ab_stat") == s0.getAs[Double]("e_ab"))
   }
+
+  test("kpss: a level series is stationary (hand-computed eta), a pure " +
+      "trend is not; short series NULL out") {
+    import java.sql.Date
+    val mk = (ys: Seq[Double]) => ys.zipWithIndex.map { case (y, i) =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), y)
+    }.toDF("d", "v")
+    val lvl = mk((0 until 40).map(i => 10.0 + ((i * 7) % 5) * 0.5))
+    val r = Stats.kpss(lvl, col("d"), "v").collect().head
+    assert(r.getAs[Long]("n_days") == 40L)
+    assert(r.getAs[Double]("kpss_stat") == 0.156522)
+    assert(r.getAs[Double]("long_run_var") == 0.071875)
+    assert(r.getAs[Boolean]("stationary_at_05"))
+    val tr = Stats.kpss(mk((1 to 40).map(_.toDouble)), col("d"), "v")
+      .collect().head
+    assert(tr.getAs[Double]("kpss_stat") == 0.621813)
+    assert(!tr.getAs[Boolean]("stationary_at_05"))
+    val tiny = Stats.kpss(mk((1 to 10).map(_.toDouble)), col("d"), "v")
+      .collect().head
+    assert(tiny.isNullAt(tiny.fieldIndex("kpss_stat")))
+  }
+
+  test("adfTest: a mean-reverting series rejects the unit root " +
+      "(hand-computed t), a hash walk does not, a deterministic trend " +
+      "NULLs out (rss exactly 0)") {
+    import java.sql.Date
+    val mk = (ys: Seq[Double]) => ys.zipWithIndex.map { case (y, i) =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), y)
+    }.toDF("d", "v")
+    val mr = mk((0 until 30).map(i =>
+      10.0 + (if (i % 2 == 0) 2.0 else -2.0) + 0.1 * (i % 3)))
+    val r = Stats.adfTest(mr, col("d"), "v").collect().head
+    assert(r.getAs[Long]("n_obs") == 28L)
+    assert(r.getAs[Double]("rho") == -3.058939)
+    assert(r.getAs[Double]("phi_lag1") == 0.531435)
+    assert(r.getAs[Double]("adf_t") == -9.037396)
+    assert(r.getAs[Boolean]("rejects_unit_root_05"))
+    var x = 0L; var v = 0.0
+    val walk = mk((0 until 40).map { _ =>
+      x = (x * 48271L + 11L) % 1000L; v += (x % 7L) - 3.0; 100.0 + v })
+    val w = Stats.adfTest(walk, col("d"), "v").collect().head
+    assert(w.getAs[Double]("adf_t") == -1.320772)
+    assert(!w.getAs[Boolean]("rejects_unit_root_05"))
+    // y quadratic in t: dy = x2 + const exactly -> rss 0 -> NULL
+    val det = Stats.adfTest(
+      mk((1 to 30).map(i => (1 to i).map(_ * 0.1).sum)), col("d"), "v")
+      .collect().head
+    assert(det.isNullAt(det.fieldIndex("adf_t")))
+  }
+
+  test("dunnTest: hand-computed pairwise z's (tied 3-group case), " +
+      "|z| rank is the BH ordering, binned twin agrees on separated " +
+      "groups, roster drift fails loud") {
+    val two = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r2 = Stats.dunnTest(two, "g", "v", Seq("a", "b")).collect()
+    assert(r2.length == 1)
+    assert(r2.head.getAs[Double]("z") == -1.963961)
+    assert(r2.head.getAs[Int]("abs_z_rank") == 1)
+    // ties: a={1,2} b={2,3} c={10,11} — midranks 2.5, pooled tie term
+    val tied = (Seq(1.0, 2.0).map(("a", _)) ++
+      Seq(2.0, 3.0).map(("b", _)) ++
+      Seq(10.0, 11.0).map(("c", _))).toDF("g", "v")
+    val rt = Stats.dunnTest(tied, "g", "v", Seq("a", "b", "c"))
+      .collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b"), r.getAs[Double]("z"),
+        r.getAs[Int]("abs_z_rank")))
+    assert(rt.toSeq == Seq(("a", "b", -0.813489, 3),
+      ("a", "c", -2.033723, 1), ("b", "c", -1.220234, 2)))
+    // binned twin: same verdict ordering on well-separated groups
+    val rb = Stats.dunnTestBinned(tied, "g", "v", Seq("a", "b", "c"),
+      bins = 100).collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b"), r.getAs[Int]("abs_z_rank")))
+    assert(rb.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", "b", 3), ("a", "c", 1), ("b", "c", 2)))
+    intercept[IllegalArgumentException] {
+      Stats.dunnTest(two, "g", "v", Seq("a", "b", "c"))
+    }
+  }
+
+  test("bartlett: hand-computed 3-group case matches; equal variances " +
+      "score ~0; a single-point group NULLs the statistic; roster " +
+      "drift fails loud") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0, 10.0).map(("b", _)) ++
+      Seq(1.5, 2.5, 3.5, 4.5, 5.5).map(("c", _))).toDF("g", "v")
+    val r = Stats.bartlett(df, "g", "v", Seq("a", "b", "c"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 15L && r.getAs[Int]("df") == 2)
+    assert(r.getAs[Double]("bartlett_t") == 2.495330)
+    assert(r.getAs[Double]("c_factor") == 1.111111)
+    assert(r.getAs[Double]("pooled_var") == 5.0)
+    // identical spreads: T exactly 0 (all ln terms cancel)
+    val same = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("b", _))).toDF("g", "v")
+    val s = Stats.bartlett(same, "g", "v", Seq("a", "b")).collect().head
+    assert(math.abs(s.getAs[Double]("bartlett_t")) < 1e-6)
+    // a group with n=1 cannot contribute a variance: NULL, not a throw
+    val deg = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(5.0).map(("b", _)))
+      .toDF("g", "v")
+    assert(Stats.bartlett(deg, "g", "v", Seq("a", "b")).collect()
+      .head.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Stats.bartlett(df, "g", "v", Seq("a", "b"))
+    }
+  }
+
+  test("dagostinoK2: hand-computed outlier case matches both transforms; " +
+      "a symmetric sample scores z_skew 0; n<20 NULLs the statistic") {
+    val x = ((1 to 19).map(_.toDouble) :+ 100.0).map(Tuple1(_))
+      .toDF("v")
+    val r = Stats.dagostinoK2(x, "v").collect().head
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("skewness") == 3.663948)
+    assert(r.getAs[Double]("kurtosis") == 15.677731)
+    assert(r.getAs[Double]("z_skew") == 5.114892)
+    assert(r.getAs[Double]("z_kurt") == 4.394367)
+    assert(r.getAs[Double]("k2_stat") == 45.472583)
+    // symmetric sample: m3 = 0 exactly on the lattice -> z_skew = 0
+    val sym = (1 to 25).map(_.toDouble).map(Tuple1(_)).toDF("v")
+    val s = Stats.dagostinoK2(sym, "v").collect().head
+    assert(math.abs(s.getAs[Double]("z_skew")) < 1e-6)
+    val tiny = (1 to 10).map(_.toDouble).map(Tuple1(_)).toDF("v")
+    assert(Stats.dagostinoK2(tiny, "v").collect().head.isNullAt(2))
+  }
+
+  test("cronbachAlpha: perfectly correlated items score rbar=1 and " +
+      "standardized alpha=1 (raw alpha below 1 when scales differ); " +
+      "independent noise scores near 0; a constant item NULLs out") {
+    val perfect = (1 to 10).map(i => (i * 1.0, i * 2.0, i * 3.0))
+      .toDF("i1", "i2", "i3")
+    val p = Stats.cronbachAlpha(perfect, Seq("i1", "i2", "i3"))
+      .collect().head
+    assert(p.getAs[Long]("n") == 10L && p.getAs[Int]("k_items") == 3)
+    assert(p.getAs[Double]("mean_inter_item_corr") == 1.0)
+    assert(p.getAs[Double]("alpha_standardized") == 1.0)
+    assert(p.getAs[Double]("alpha") == 0.916667)
+    // anti-correlated second item drives alpha negative (slope -2 so
+    // the row total is not constant -> var_total stays positive)
+    val anti = (1 to 10).map(i => (i * 1.0, 22.0 - 2.0 * i))
+      .toDF("i1", "i2")
+    val a = Stats.cronbachAlpha(anti, Seq("i1", "i2")).collect().head
+    assert(a.getAs[Double]("mean_inter_item_corr") == -1.0)
+    assert(a.getAs[Double]("alpha") < 0)
+    val const = (1 to 10).map(i => (i * 1.0, 5.0)).toDF("i1", "i2")
+    assert(Stats.cronbachAlpha(const, Seq("i1", "i2")).collect()
+      .head.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      Stats.cronbachAlpha(perfect, Seq("i1"))
+    }
+  }
 }
