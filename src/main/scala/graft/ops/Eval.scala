@@ -2213,6 +2213,143 @@ object Eval {
       .orderBy("channel")
   }
 
+  /** Fleiss' kappa — chance-corrected agreement for a FIXED-SIZE rater
+    * panel (R raters per unit, R > 2 where [[cohensKappa]] stops): the
+    * annotation-QA readout for LLM labeling pipelines — "do the R
+    * labelers (human or model) agree beyond what their marginal label
+    * rates predict?" before any majority-vote label is trusted.
+    *
+    * Determinism: per-unit agreement P_u has the FIXED denominator
+    * R(R−1), so ΣΣ n_uc² is an exact long fold and P̄ is one rational;
+    * P_e folds the k declared-category totals through one fixed double
+    * tree. Units with a rating count ≠ R fail loud (Fleiss requires a
+    * complete panel; [[krippendorffAlpha]] is the missing-tolerant
+    * sibling). Categories outside the declared roster fail loud.
+    *
+    * Plan: one keyed (unit, category) aggregation, one keyed per-unit
+    * fold, one 1-row combine — no windows, no joins; scales in the
+    * unit count.
+    */
+  def fleissKappa(df: DataFrame, unitCol: String, catCol: String,
+                  nRaters: Int, cats: Seq[String]): DataFrame = {
+    require(nRaters >= 2 && nRaters <= 64,
+      s"fleissKappa: 2..64 raters (got $nRaters)")
+    require(cats.size >= 2 && cats.size <= 32 && cats.distinct == cats,
+      s"fleissKappa: 2..32 distinct declared categories (got $cats)")
+    val sorted = cats.sorted
+    val base = df.select(col(unitCol).as("__u"), col(catCol).as("__c"))
+      .filter(col("__u").isNotNull)
+      .withColumn("__c", when(col("__c").isin(sorted: _*), col("__c"))
+        .otherwise(raise_error(concat(
+          lit("fleissKappa: category outside the declared roster: "),
+          col("__c").cast("string")))))
+    val uc = base.groupBy(col("__u"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val perUnit = uc.groupBy(col("__u"))
+      .agg(sum(col("__n")).as("__nu"),
+        sum(col("__n") * col("__n")).as("__sq"))
+      .withColumn("__nu", when(col("__nu") === nRaters, col("__nu"))
+        .otherwise(raise_error(concat(
+          lit(s"fleissKappa: unit with rating count != $nRaters " +
+            "(incomplete panel; use krippendorffAlpha): "),
+          col("__u").cast("string")))))
+    val catAggs = sorted.zipWithIndex.map { case (c, i) =>
+      sum(when(col("__c") === c, col("__n")).otherwise(0L)).as(s"__t$i") }
+    val catTotals = uc.agg(catAggs.head, catAggs.tail: _*)
+    // __nu feeds the fold so the complete-panel raise_error guard
+    // survives column pruning (a dead guard column is no guard)
+    val f = perUnit.agg(count(lit(1)).as("n_units"),
+        sum(col("__nu")).as("__totr"),
+        sum(col("__sq")).as("__ssq"))
+      .crossJoin(broadcast(catTotals))
+    val totR = col("__totr").cast("double")
+    val pBar = (col("__ssq").cast("double") - totR) /
+      (totR * lit((nRaters - 1).toDouble))
+    val pE = sorted.indices.map { i =>
+      val p = col(s"__t$i").cast("double") / totR
+      p * p
+    }.reduce(_ + _)
+    val ok = col("n_units") >= 2L && pE < 1.0
+    f.select(col("n_units"), lit(nRaters).as("n_raters"),
+      round(pBar, 6).as("p_bar"),
+      round(pE, 6).as("p_e"),
+      round(when(ok, (pBar - pE) / (lit(1.0) - pE)), 6)
+        .as("fleiss_kappa"))
+  }
+
+  /** Krippendorff's alpha (nominal) — the agreement coefficient that
+    * tolerates MISSING ratings (abstaining labelers, sampled audits):
+    * the general-purpose annotation-reliability number when
+    * [[fleissKappa]]'s complete-panel requirement doesn't hold. α =
+    * 1 − D_o/D_e over the coincidence matrix; units with fewer than 2
+    * ratings carry no pairable information and are dropped (the
+    * standard treatment, stated so both engines agree).
+    *
+    * Determinism: each unit's disagreement term (n_u² − Σ_c n_uc²)/
+    * (n_u − 1) is scaled by L = lcm(1..maxRaters−1) so it is an EXACT
+    * integer (the per-unit factor L/(n_u−1) divides evenly), folded as
+    * an exact long sum; D_e folds the k declared-category totals in
+    * one fixed double tree. A unit with more than `maxRaters` ratings
+    * fails loud (the L guarantee would silently break).
+    *
+    * Plan: the [[fleissKappa]] plan — two keyed aggregations + a 1-row
+    * combine; scales in the unit count, no windows.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, catCol: String,
+                        cats: Seq[String],
+                        maxRaters: Int = 8): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 13,
+      s"krippendorffAlpha: 2..13 maxRaters so lcm stays exact " +
+        s"(got $maxRaters)")
+    require(cats.size >= 2 && cats.size <= 32 && cats.distinct == cats,
+      s"krippendorffAlpha: 2..32 distinct declared categories " +
+        s"(got $cats)")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmL = (1 until maxRaters).foldLeft(1L)((l, i) => l * i / gcd(l, i))
+    val sorted = cats.sorted
+    val base = df.select(col(unitCol).as("__u"), col(catCol).as("__c"))
+      .filter(col("__u").isNotNull && col("__c").isNotNull)
+      .withColumn("__c", when(col("__c").isin(sorted: _*), col("__c"))
+        .otherwise(raise_error(concat(
+          lit("krippendorffAlpha: category outside the declared " +
+            "roster: "), col("__c").cast("string")))))
+    val uc = base.groupBy(col("__u"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val catAggsU = sorted.zipWithIndex.map { case (c, i) =>
+      sum(when(col("__c") === c, col("__n")).otherwise(0L)).as(s"__c$i") }
+    val puAggs = Seq(sum(col("__n")).as("__nu"),
+      sum(col("__n") * col("__n")).as("__sq")) ++ catAggsU
+    val perUnit = uc.groupBy(col("__u"))
+      .agg(puAggs.head, puAggs.tail: _*)
+      .filter(col("__nu") >= 2L)
+      .withColumn("__nu", when(col("__nu") <= maxRaters, col("__nu"))
+        .otherwise(raise_error(concat(
+          lit(s"krippendorffAlpha: unit with more than $maxRaters " +
+            "ratings: "), col("__u").cast("string")))))
+      // L/(n_u - 1) divides evenly by the lcm construction -> exact long
+      .withColumn("__w",
+        (col("__nu") * col("__nu") - col("__sq")) *
+          (lit(lcmL) / (col("__nu") - 1L)).cast("long"))
+    val aggs = Seq(count(lit(1)).as("n_units"),
+      sum(col("__nu")).as("n_ratings"),
+      sum(col("__w")).as("__sw")) ++
+      sorted.zipWithIndex.map { case (_, i) =>
+        sum(col(s"__c$i")).as(s"__t$i") }
+    val f = perUnit.agg(aggs.head, aggs.tail: _*)
+    val nT = col("n_ratings").cast("double")
+    val dO = col("__sw").cast("double") /
+      (lit(lcmL.toDouble) * when(nT > 0, nT))
+    val sumT2 = sorted.indices.map(i =>
+      col(s"__t$i").cast("double") * col(s"__t$i")).reduce(_ + _)
+    val dE = (nT * nT - sumT2) / (nT * when(nT > 1.0, nT - 1.0))
+    val ok = col("n_units") >= 2L && dE > 0
+    f.select(col("n_units"), col("n_ratings"),
+      round(when(ok, dO), 6).as("d_observed"),
+      round(when(ok, dE), 6).as("d_expected"),
+      round(when(ok, lit(1.0) - dO / when(dE > 0, dE)), 6)
+        .as("kripp_alpha"))
+  }
+
   /** Cochran–Mantel–Haenszel stratified 2×2 analysis — the
     * confounder-proof companion to [[oddsRatioRR]]: when exposure and
     * outcome are both associated with a stratum variable (Simpson's

@@ -933,6 +933,97 @@ private[graft] object TextOracleSql {
       FROM hits GROUP BY train_doc ORDER BY train_doc"""),
 
 
+    // Fleiss kappa over the 5-rater synthetic panel (u01 channels
+    // 100+r accurate / 300+r confused, replayed via uk); exact S2 fold
+    "x_fleiss_kappa" -> {
+      def rater(r: Int) =
+        s"""SELECT doc_id,
+             CASE WHEN ${uk("doc_id", 100 + r)} < 0.7 THEN lang
+               ELSE CASE CAST(ceil(${uk("doc_id", 300 + r)} * 5)
+                 AS INT) - 1
+                 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+                 WHEN 3 THEN 'fr' ELSE 'zh' END
+             END AS cat
+           FROM docs"""
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val totR = "CAST(totr AS DOUBLE)"
+      val pBar = s"((CAST(ssq AS DOUBLE) - $totR) / ($totR * 4.0))"
+      val pE = s"(${langs.indices.map(i =>
+        s"(CAST(t$i AS DOUBLE) / $totR)" +
+          s" * (CAST(t$i AS DOUBLE) / $totR)").mkString(" + ")})"
+      val ok = s"n_units >= 2 AND $pE < 1.0"
+      s"""
+      WITH docs AS (SELECT doc_id, lang FROM documents
+                    WHERE lang IS NOT NULL),
+      ratings AS (${(1 to 5).map(rater).mkString("\n      UNION ALL ")}),
+      uc AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n
+             FROM ratings GROUP BY 1, 2),
+      pu AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nu,
+               CAST(sum(n * n) AS BIGINT) AS sq
+             FROM uc GROUP BY 1),
+      ct AS (SELECT ${langs.zipWithIndex.map { case (l, i) =>
+               s"CAST(sum(CASE WHEN cat = '$l' THEN n ELSE 0 END)" +
+                 s" AS BIGINT) AS t$i" }.mkString(", ")}
+             FROM uc),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+              CAST(sum(nu) AS BIGINT) AS totr,
+              CAST(sum(sq) AS BIGINT) AS ssq FROM pu)
+      SELECT n_units, CAST(5 AS INTEGER) AS n_raters,
+             round($pBar, 6) AS p_bar,
+             round($pE, 6) AS p_e,
+             round(CASE WHEN $ok
+               THEN ($pBar - $pE) / (1.0 - $pE) END, 6) AS fleiss_kappa
+      FROM f, ct"""
+    },
+
+    // Krippendorff alpha: same panel + 15% abstention (channel 200+r);
+    // per-unit disagreement scaled by lcm(1..7)=420 -> exact long fold
+    "x_kripp_alpha" -> {
+      def rater(r: Int) =
+        s"""SELECT doc_id,
+             CASE WHEN ${uk("doc_id", 100 + r)} < 0.7 THEN lang
+               ELSE CASE CAST(ceil(${uk("doc_id", 300 + r)} * 5)
+                 AS INT) - 1
+                 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+                 WHEN 3 THEN 'fr' ELSE 'zh' END
+             END AS cat
+           FROM docs WHERE ${uk("doc_id", 200 + r)} >= 0.15"""
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val nT = "CAST(n_ratings AS DOUBLE)"
+      val dO = s"(CAST(sw AS DOUBLE) / (420.0 * $nT))"
+      val sumT2 = s"(${langs.indices.map(i =>
+        s"CAST(t$i AS DOUBLE) * t$i").mkString(" + ")})"
+      val dE = s"(($nT * $nT - $sumT2) / ($nT * ($nT - 1.0)))"
+      val ok = s"n_units >= 2 AND $dE > 0"
+      s"""
+      WITH docs AS (SELECT doc_id, lang FROM documents
+                    WHERE lang IS NOT NULL),
+      ratings AS (${(1 to 5).map(rater).mkString("\n      UNION ALL ")}),
+      uc AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n
+             FROM ratings GROUP BY 1, 2),
+      pu AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nu,
+               CAST(sum(n * n) AS BIGINT) AS sq,
+               ${langs.zipWithIndex.map { case (l, i) =>
+                 s"CAST(sum(CASE WHEN cat = '$l' THEN n ELSE 0 END)" +
+                   s" AS BIGINT) AS c$i" }.mkString(", ")}
+             FROM uc GROUP BY 1),
+      kept AS (SELECT *,
+               (nu * nu - sq) * CAST(420 / (nu - 1) AS BIGINT) AS w
+             FROM pu WHERE nu >= 2),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+              CAST(sum(nu) AS BIGINT) AS n_ratings,
+              CAST(sum(w) AS BIGINT) AS sw,
+              ${langs.indices.map(i =>
+                s"CAST(sum(c$i) AS BIGINT) AS t$i").mkString(", ")}
+            FROM kept)
+      SELECT n_units, n_ratings,
+             round(CASE WHEN $ok THEN $dO END, 6) AS d_observed,
+             round(CASE WHEN $ok THEN $dE END, 6) AS d_expected,
+             round(CASE WHEN $ok THEN 1.0 - $dO / $dE END, 6)
+               AS kripp_alpha
+      FROM f"""
+    },
+
     // kappa over the langId-vs-gold joint; po/pe rounded first, kappa
     // chained from the rounded values (q_auc→gini precedent)
     "x_langid_kappa" -> """

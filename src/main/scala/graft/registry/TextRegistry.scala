@@ -155,6 +155,51 @@ object TextRegistry {
         pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
         "predicted_lang", "lang")
     }),
+    "x_fleiss_kappa" -> ((s, dir) => {
+      // annotation QA for a 5-labeler panel: each synthetic rater
+      // reports the gold lang at 70% (u01 channel 100+r) and a hash-
+      // confused lang otherwise (channel 300+r) — the complete-panel
+      // agreement readout before majority-vote labels are trusted
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang")).filter(col("lang").isNotNull)
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      def confused(r: Int) = {
+        val idx = (ceil(Gen.u01(col("doc_id"), 300L + r) * 5)
+          .cast("int") - 1)
+        when(idx === 0, langs(0)).when(idx === 1, langs(1))
+          .when(idx === 2, langs(2)).when(idx === 3, langs(3))
+          .otherwise(langs(4))
+      }
+      val ratings = (1 to 5).map(r => docs.select(col("doc_id"),
+          when(Gen.u01(col("doc_id"), 100L + r) < 0.7, col("lang"))
+            .otherwise(confused(r)).as("cat")))
+        .reduce(_ unionByName _)
+      Eval.fleissKappa(ratings, "doc_id", "cat", nRaters = 5,
+        cats = langs)
+    }),
+    "x_kripp_alpha" -> ((s, dir) => {
+      // the missing-tolerant sibling: the same 5-rater panel but each
+      // rater abstains 15% of the time (channel 200+r); units keep
+      // pairable information with >=2 ratings — Krippendorff's alpha
+      // over the exact-integer coincidence fold
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang")).filter(col("lang").isNotNull)
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      def confused(r: Int) = {
+        val idx = (ceil(Gen.u01(col("doc_id"), 300L + r) * 5)
+          .cast("int") - 1)
+        when(idx === 0, langs(0)).when(idx === 1, langs(1))
+          .when(idx === 2, langs(2)).when(idx === 3, langs(3))
+          .otherwise(langs(4))
+      }
+      val ratings = (1 to 5).map(r => docs
+          .filter(Gen.u01(col("doc_id"), 200L + r) >= 0.15)
+          .select(col("doc_id"),
+            when(Gen.u01(col("doc_id"), 100L + r) < 0.7, col("lang"))
+              .otherwise(confused(r)).as("cat")))
+        .reduce(_ unionByName _)
+      Eval.krippendorffAlpha(ratings, "doc_id", "cat", cats = langs)
+    }),
     "x_vocab_drift" -> ((s, dir) =>
       // corpus drift at the token level: smoothed JS divergence between
       // slices over an integer-elected top-50 vocabulary + <other>

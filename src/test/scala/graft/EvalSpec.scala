@@ -1047,6 +1047,52 @@ class EvalSpec extends SparkSpec {
     assert(t3.getAs[Double]("cif_b") == 0.2)
   }
 
+  test("fleissKappa: hand case kappa=0.55, perfect agreement kappa=1, " +
+      "incomplete panel fails loud, off-roster category fails loud") {
+    import spark.implicits._
+    val r3 = Seq(("u1", "a"), ("u1", "a"), ("u1", "a"),
+      ("u2", "a"), ("u2", "b"), ("u2", "b"),
+      ("u3", "b"), ("u3", "b"), ("u3", "b")).toDF("u", "c")
+    val r = graft.ops.Eval.fleissKappa(r3, "u", "c", 3, Seq("a", "b"))
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 3L)
+    assert(r.getAs[Double]("p_bar") == 0.777778)
+    assert(r.getAs[Double]("p_e") == 0.506173)
+    assert(r.getAs[Double]("fleiss_kappa") == 0.55)
+    val perfect = Seq(("u1", "a"), ("u1", "a"), ("u1", "a"),
+      ("u2", "b"), ("u2", "b"), ("u2", "b")).toDF("u", "c")
+    assert(graft.ops.Eval.fleissKappa(perfect, "u", "c", 3,
+      Seq("a", "b")).collect().head.getAs[Double]("fleiss_kappa") == 1.0)
+    val incomplete = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"))
+      .toDF("u", "c")
+    intercept[Exception] {
+      graft.ops.Eval.fleissKappa(incomplete, "u", "c", 3, Seq("a", "b"))
+        .collect()
+    }
+    intercept[Exception] {
+      graft.ops.Eval.fleissKappa(r3, "u", "c", 3, Seq("a", "x"))
+        .collect()
+    }
+  }
+
+  test("krippendorffAlpha: hand case alpha=0.444444 with a <2-rating " +
+      "unit dropped; unanimous panel scores alpha=1") {
+    import spark.implicits._
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+      ("u3", "b"), ("u3", "b"), ("u4", "b")).toDF("u", "c")
+    val r = graft.ops.Eval.krippendorffAlpha(df, "u", "c", Seq("a", "b"))
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 3L)
+    assert(r.getAs[Long]("n_ratings") == 6L)
+    assert(r.getAs[Double]("d_observed") == 0.333333)
+    assert(r.getAs[Double]("d_expected") == 0.6)
+    assert(r.getAs[Double]("kripp_alpha") == 0.444444)
+    val unan = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b"))
+      .toDF("u", "c")
+    assert(graft.ops.Eval.krippendorffAlpha(unan, "u", "c",
+      Seq("a", "b")).collect().head.getAs[Double]("kripp_alpha") == 1.0)
+  }
+
   test("mantelHaenszel: hand-computed two-stratum case (chi2, MH OR, " +
       "RBG CI, crude OR); a single-unit stratum contributes zero " +
       "variance instead of dividing by zero") {
