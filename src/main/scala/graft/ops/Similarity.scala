@@ -799,4 +799,79 @@ object Similarity {
         round(avg(col("__s")), 6).as("mean_silhouette"))
       .orderBy("label")
   }
+
+  /** Item-item collaborative filtering — top-k neighbors per item by
+    * co-occurrence cosine over user baskets ("customers who bought X
+    * also bought Y"), the classic implicit-feedback recommender that
+    * needs no embeddings at all: sim(i,j) = c_ij / √(c_i·c_j) where
+    * c_ij counts users holding both.
+    *
+    * Scale posture — the pair space is the hazard, bounded twice by
+    * construction (the LSH maxDf discipline):
+    *   1. `maxBasket` DROPS power users before the self-join: a user
+    *      with B items mints B²/2 pairs, so the join is bounded at
+    *      users·maxBasket² regardless of skew (power users carry
+    *      near-zero signal per pair — the standard implicit-CF cut);
+    *   2. `minDf`/`maxDf` drop one-off items (no pairable evidence)
+    *      and ubiquitous items (co-occur with everything, recommend
+    *      nothing) before pairs form.
+    * Counts c_i are re-measured AFTER both cuts so the cosine is
+    * internally consistent with the pair counts. All counts are exact
+    * longs; the cosine double is the same tree in both engines, and
+    * the per-item top-k window breaks ties (cosine, then co-count)
+    * deterministically by neighbor id.
+    *
+    * Plan: distinct → keyed basket-size window → keyed self-join on
+    * the user → pair aggregation → two keyed df joins → per-item
+    * top-k window. Every exchange is keyed; no global sort, no
+    * cartesian (the self-join is an equi-join on the user key).
+    */
+  def itemItemCF(interactions: DataFrame, userCol: String,
+                 itemCol: String, minDf: Int = 2, maxDf: Int = 100000,
+                 maxBasket: Int = 256, k: Int = 10): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"itemItemCF: need 1 <= minDf <= maxDf (got $minDf..$maxDf)")
+    require(maxBasket >= 2 && maxBasket <= 4096,
+      s"itemItemCF: maxBasket in [2, 4096] bounds the pair space " +
+        s"(got $maxBasket)")
+    require(k >= 1 && k <= 100, s"itemItemCF: k in [1, 100] (got $k)")
+    val ui = interactions
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val capped = ui
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("__u"))))
+      .filter(col("__bsz") <= maxBasket)
+      .drop("__bsz")
+    val dfs = capped.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf && col("__df") <= maxDf)
+    val kept = capped.join(dfs, Seq("__i"))
+    val pairs = kept.select(col("__u"), col("__i")).as("a")
+      .join(kept.select(col("__u"), col("__i")).as("b"),
+        col("a.__u") === col("b.__u") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("__ia"), col("b.__i").as("__ib"))
+      .agg(count(lit(1)).as("n_co"))
+    val sym = pairs.select(col("__ia").as("item"),
+        col("__ib").as("neighbor"), col("n_co"))
+      .unionByName(pairs.select(col("__ib").as("item"),
+        col("__ia").as("neighbor"), col("n_co")))
+    val scored = sym
+      .join(dfs.select(col("__i").as("item"), col("__df").as("df_item")),
+        Seq("item"))
+      .join(dfs.select(col("__i").as("neighbor"),
+        col("__df").as("df_neighbor")), Seq("neighbor"))
+      .withColumn("cosine",
+        round(col("n_co").cast("double") /
+          sqrt(col("df_item").cast("double") * col("df_neighbor")), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("item"))
+        .orderBy(col("cosine").desc, col("n_co").desc,
+          col("neighbor").asc)))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("neighbor"), col("n_co"),
+        col("df_item"), col("df_neighbor"), col("cosine"))
+      .orderBy(col("item"), col("rank"))
+  }
 }

@@ -448,5 +448,38 @@ private[graft] object SimilarityOracleSql {
                 ORDER BY uu, id) AS INTEGER) AS pick_rank
             FROM u)
       SELECT id AS vec_id, cl AS cluster, pick_rank
-      FROM r WHERE pick_rank <= 5 ORDER BY cluster, pick_rank"""))
+      FROM r WHERE pick_rank <= 5 ORDER BY cluster, pick_rank"""),
+
+    // item-item CF: distinct baskets, maxBasket power-user cut, df-cut
+    // items, user-keyed pair join, cosine rounded BEFORE the top-k
+    // window so tie order is engine-stable
+    "x_item_cf" -> """
+      WITH ui AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bs AS (SELECT u, i, count(*) OVER (PARTITION BY u) AS bsz FROM ui),
+      capped AS (SELECT u, i FROM bs WHERE bsz <= 256),
+      dfs AS (SELECT i, CAST(count(*) AS BIGINT) AS df
+              FROM capped GROUP BY i
+              HAVING count(*) >= 2 AND count(*) <= 1000),
+      kept AS (SELECT c.u, c.i FROM capped c JOIN dfs d ON c.i = d.i),
+      pairs AS (SELECT a.i AS ia, b.i AS ib,
+              CAST(count(*) AS BIGINT) AS n_co
+            FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+            GROUP BY 1, 2),
+      sym AS (SELECT ia AS item, ib AS neighbor, n_co FROM pairs
+              UNION ALL
+              SELECT ib AS item, ia AS neighbor, n_co FROM pairs),
+      scored AS (SELECT s.item, s.neighbor, s.n_co,
+              di.df AS df_item, dn.df AS df_neighbor,
+              round(CAST(s.n_co AS DOUBLE)
+                / sqrt(CAST(di.df AS DOUBLE) * dn.df), 6) AS cosine
+            FROM sym s JOIN dfs di ON s.item = di.i
+                       JOIN dfs dn ON s.neighbor = dn.i),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+              ORDER BY cosine DESC, n_co DESC, neighbor ASC)
+              AS INTEGER) AS rank
+            FROM scored)
+      SELECT item, rank, neighbor, n_co, df_item, df_neighbor, cosine
+      FROM r WHERE rank <= 10 ORDER BY item, rank""")
 }

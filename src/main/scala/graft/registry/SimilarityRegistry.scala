@@ -312,5 +312,19 @@ object SimilarityRegistry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+    "x_item_cf" -> ((s, dir) => {
+      // customers-who-bought-X-also-bought-Y: co-occurrence cosine
+      // top-10 per part over customer baskets, pair space bounded by
+      // the maxBasket power-user cut and the minDf/maxDf item cuts
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      Similarity.itemItemCF(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("o_custkey"), col("l_partkey")),
+        "o_custkey", "l_partkey",
+        minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
+    }),
   )
 }

@@ -418,4 +418,32 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("poolK <= 4096"))
   }
+
+  test("itemItemCF: hand-computed cosines with deterministic tie-break, " +
+      "minDf drops one-off items, maxBasket drops the power user") {
+    val ui = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "D")).toDF("u", "i")
+    val r = Similarity.itemItemCF(ui, "u", "i", minDf = 2, maxDf = 100,
+      maxBasket = 16, k = 10).collect()
+    // D (df=1) dropped: no pair row mentions it
+    assert(!r.exists(row => row.getAs[String]("item") == "D" ||
+      row.getAs[String]("neighbor") == "D"))
+    val aRows = r.filter(_.getAs[String]("item") == "A")
+    // cos(A,B) = cos(A,C) = 2/sqrt(6); tie broken by neighbor asc
+    assert(aRows.map(_.getAs[String]("neighbor")).toSeq == Seq("B", "C"))
+    assert(aRows.head.getAs[Double]("cosine") == 0.816497)
+    assert(aRows.head.getAs[Long]("n_co") == 2L)
+    val bc = r.filter(row => row.getAs[String]("item") == "B" &&
+      row.getAs[String]("neighbor") == "C").head
+    assert(bc.getAs[Double]("cosine") == 0.5)
+    // a power user touching everything is cut before the pair join:
+    // with maxBasket=3 the 4-item user mints no pairs at all
+    val power = ui.unionByName(Seq((9L, "A"), (9L, "B"), (9L, "C"),
+      (9L, "D")).toDF("u", "i"))
+    val rp = Similarity.itemItemCF(power, "u", "i", minDf = 2,
+      maxDf = 100, maxBasket = 3, k = 10).collect()
+    val ab = rp.filter(row => row.getAs[String]("item") == "A" &&
+      row.getAs[String]("neighbor") == "B").head
+    assert(ab.getAs[Long]("n_co") == 2L) // unchanged by user 9
+  }
 }
