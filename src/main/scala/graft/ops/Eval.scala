@@ -1399,6 +1399,77 @@ object Eval {
           / (col("__vm") / lit(1000000.0)), 6)).as("chi2"))
   }
 
+  /** Cox proportional-hazards SCORE test at β=0 for a single
+    * integer-valued covariate — the continuous-covariate
+    * generalization of [[logRank]] (which IS this test for a binary
+    * covariate): "does time-to-event depend on x?" without fitting
+    * anything — U = Σ_t [s_t − d_t·(Sx_t/n_t)] compares the covariate
+    * mass of the users who convert at each event time against the
+    * risk-set mean (Breslow tie handling), V = Σ_t d_t·(Sxx_t/n_t −
+    * (Sx_t/n_t)²), z = U/√V. A positive z means high-x users convert
+    * FASTER (higher hazard).
+    *
+    * Determinism: durations are whole hours (the [[kaplanMeier]]
+    * grain) and the covariate is required integral, so risk-set sums
+    * (n_t, Sx_t, Sxx_t) are exact long/decimal cumulative folds; each
+    * event-time's U and V terms commit to the 1e-6 lattice before the
+    * final fold (the [[logRank]] device). One output row.
+    *
+    * Plan: one user-grain fold, one duration-grain aggregation,
+    * cumulative windows over the BOUNDED distinct-duration table, one
+    * fold.
+    */
+  def coxScore(df: DataFrame, userCol: String, tsCol: String,
+               isEvent: Column, covarAgg: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val users = df.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__start"),
+        min(when(isEvent, col(tsCol))).as("__ev"),
+        max(col(tsCol)).as("__last"),
+        covarAgg.cast("long").as("__x"))
+      .withColumn("__dur",
+        floor((unix_micros(coalesce(col("__ev"), col("__last"))
+          .cast("timestamp"))
+          - unix_micros(col("__start").cast("timestamp")))
+          / lit(3600000000L)).cast("long"))
+      .withColumn("__e", col("__ev").isNotNull.cast("int"))
+    val g = users.groupBy(col("__dur"))
+      .agg(count(lit(1)).as("__a"),
+        sum(col("__e")).cast("long").as("__d"),
+        sum(col("__x")).as("__sxa"),
+        sum(when(col("__e") === 1, col("__x")).otherwise(0L)).as("__sxe"),
+        sum(dec(col("__x")) * col("__x")).as("__sxx"))
+    val before = Window.orderBy("__dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy()
+    val risk = g
+      .withColumn("__nt", sum(col("__a")).over(whole)
+        - coalesce(sum(col("__a")).over(before), lit(0L)))
+      .withColumn("__sx", sum(col("__sxa")).over(whole)
+        - coalesce(sum(col("__sxa")).over(before), lit(0L)))
+      .withColumn("__sxx2", sum(col("__sxx")).over(whole)
+        - coalesce(sum(col("__sxx")).over(before),
+          lit(0L).cast("decimal(38,0)")))
+      .withColumn("__nu", sum(col("__a")).over(whole))
+      .withColumn("__ne", sum(col("__d")).over(whole))
+      .filter(col("__d") > 0)
+    val ntD = col("__nt").cast("double")
+    val mx = col("__sx").cast("double") / ntD
+    val uT = col("__sxe").cast("double") - col("__d").cast("double") * mx
+    val vT = col("__d").cast("double") *
+      (col("__sxx2").cast("double") / ntD - mx * mx)
+    val folded = risk.agg(
+      min(col("__nu")).as("n_users"), min(col("__ne")).as("n_events"),
+      sum(round(uT * 1000000, 0).cast("long")).as("__um"),
+      sum(round(vT * 1000000, 0).cast("long")).as("__vm"))
+    folded.select(col("n_users"), col("n_events"),
+      round(col("__um") / lit(1000000.0), 6).as("score_u"),
+      round(col("__vm") / lit(1000000.0), 6).as("variance"),
+      when(col("__vm") > 0L, round(
+        (col("__um") / lit(1000000.0)) /
+          sqrt(col("__vm") / lit(1000000.0)), 6)).as("z"))
+  }
+
   /** MRR@k / success@k per group — the first-relevant-hit metrics next
     * to [[ndcgAtK]]'s graded view: reciprocal rank of the FIRST relevant
     * item within the top k of the (score desc, id asc) ranking (0 when

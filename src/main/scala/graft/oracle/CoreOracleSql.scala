@@ -1747,6 +1747,65 @@ private[graft] object CoreOracleSql {
     // two-sample log-rank over integer-hour durations: risk sets from
     // cumulative windows on the bounded duration grid, per-time
     // (d1-E1)/V terms on the 1e-6 lattice before the fold
+    // Cox score at beta=0, covariate = per-user event count: exact
+    // duration-grain risk-set folds, per-event-time U/V on the 1e-6
+    // lattice (the logrank device), z in one fixed tree
+    "q_cox_score" -> s"""
+      WITH u AS (SELECT user_id AS uid, min(ts) AS start,
+              min(CASE WHEN event_type = 'purchase' THEN ts END) AS ev,
+              max(ts) AS last,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id),
+      a AS (SELECT uid, x,
+              CAST(floor((epoch_us(coalesce(ev, last))
+                - epoch_us(start)) / 3600000000) AS BIGINT) AS dur,
+              CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END AS e
+            FROM u),
+      g AS (SELECT dur,
+              CAST(count(*) AS BIGINT) AS na,
+              CAST(sum(e) AS BIGINT) AS d,
+              CAST(sum(x) AS BIGINT) AS sxa,
+              CAST(sum(CASE WHEN e = 1 THEN x ELSE 0 END) AS BIGINT)
+                AS sxe,
+              sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM a GROUP BY dur),
+      r AS (SELECT *,
+              CAST(sum(na) OVER () AS BIGINT)
+                - CAST(coalesce(sum(na) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS nt,
+              CAST(sum(sxa) OVER () AS BIGINT)
+                - CAST(coalesce(sum(sxa) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS sx,
+              sum(sxx) OVER ()
+                - coalesce(sum(sxx) OVER (ORDER BY dur ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sxx2,
+              CAST(sum(na) OVER () AS BIGINT) AS nu,
+              CAST(sum(d) OVER () AS BIGINT) AS ne
+            FROM g),
+      terms AS (SELECT nu, ne,
+              CAST(round((CAST(sxe AS DOUBLE) - CAST(d AS DOUBLE)
+                * (CAST(sx AS DOUBLE) / CAST(nt AS DOUBLE)))
+                * 1000000, 0) AS BIGINT) AS um,
+              CAST(round((CAST(d AS DOUBLE)
+                * (CAST(sxx2 AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(nt AS DOUBLE))))
+                * 1000000, 0) AS BIGINT) AS vm
+            FROM r WHERE d > 0),
+      f AS (SELECT CAST(min(nu) AS BIGINT) AS n_users,
+              CAST(min(ne) AS BIGINT) AS n_events,
+              CAST(sum(um) AS BIGINT) AS umt,
+              CAST(sum(vm) AS BIGINT) AS vmt
+            FROM terms)
+      SELECT n_users, n_events,
+             round(umt / 1000000.0, 6) AS score_u,
+             round(vmt / 1000000.0, 6) AS variance,
+             CASE WHEN vmt > 0 THEN round((umt / 1000000.0)
+               / sqrt(vmt / 1000000.0), 6) END AS z
+      FROM f""",
+
     "q_logrank" -> s"""
       WITH u AS (SELECT user_id AS uid, min(ts) AS start,
               min(CASE WHEN event_type = 'purchase' THEN ts END) AS ev,

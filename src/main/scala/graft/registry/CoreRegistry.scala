@@ -620,6 +620,15 @@ object CoreRegistry {
         Tables.events(s, dir).select(col("user_id"), col("ts"),
           col("event_type")),
         "user_id", "ts", col("event_type") === "purchase")),
+    "q_cox_score" -> ((s, dir) =>
+      // do busier users purchase sooner? Cox score test at beta=0 with
+      // the user's event count as the covariate — logrank's
+      // continuous-covariate generalization, Breslow ties
+      Eval.coxScore(
+        Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type")),
+        "user_id", "ts", col("event_type") === "purchase",
+        count(lit(1)))),
     "q_next_event_accuracy" -> ((s, dir) =>
       // is the chain worth serving: top-1 accuracy of the modal
       // next-state predictor per from-state (in-sample audit)

@@ -1047,6 +1047,31 @@ class EvalSpec extends SparkSpec {
     assert(t3.getAs[Double]("cif_b") == 0.2)
   }
 
+  test("coxScore: hand-computed Breslow-tie case (U=0.25, V=2.020833, " +
+      "z=0.175863); a covariate-free design scores U=0 terms") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00")
+    val rows = Seq(
+      (1L, t(0), "view"), (1L, t(1), "purchase"),
+      (2L, t(0), "view"), (2L, t(2), "view"), (2L, t(3), "purchase"),
+      (3L, t(0), "view"), (3L, t(5), "view"),
+      (4L, t(0), "view"), (4L, t(1), "view"), (4L, t(2), "view"),
+      (4L, t(3), "purchase")).toDF("user_id", "ts", "event_type")
+    val r = graft.ops.Eval.coxScore(rows, "user_id", "ts",
+      col("event_type") === "purchase", count(lit(1))).collect().head
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(r.getAs[Double]("score_u") == 0.25)
+    assert(r.getAs[Double]("variance") == 2.020833)
+    assert(r.getAs[Double]("z") == 0.175863)
+    // constant covariate: every U term is s_t - d_t*x = 0 and V = 0
+    val c = graft.ops.Eval.coxScore(rows, "user_id", "ts",
+      col("event_type") === "purchase", lit(7L)).collect().head
+    assert(c.getAs[Double]("score_u") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("z")))
+  }
+
   test("fleissKappa: hand case kappa=0.55, perfect agreement kappa=1, " +
       "incomplete panel fails loud, off-roster category fails loud") {
     import spark.implicits._
