@@ -4890,6 +4890,42 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** Probit Φ⁻¹(p) — Acklam's rational approximation (|ε| < 1.15e-9
+    * over (0,1)), evaluated as ONE fixed arithmetic tree (two Horner
+    * chains per region, region picked by CASE) so Spark and DuckDB
+    * produce bit-identical doubles from identical p. This is what lets
+    * rank statistics with NORMAL SCORES ([[vanDerWaerden]],
+    * [[flignerKilleen]]) keep the exact-replay oracle contract: the
+    * score is a pure function both engines spell the same way.
+    * Out-of-range p (≤0 or ≥1) → NULL, never ±∞.
+    */
+  private[ops] def probit(p: Column): Column = {
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    def horner(cs: Seq[Double], x: Column): Column =
+      cs.tail.foldLeft(lit(cs.head): Column)((acc, k) => acc * x + k)
+    val pLow = 0.02425
+    val qc = p - 0.5
+    val rc = qc * qc
+    val central = horner(a, rc) * qc / (horner(b, rc) * rc + 1.0)
+    val qlo = sqrt(lit(-2.0) * log(p))
+    val lower = horner(c, qlo) / (horner(d, qlo) * qlo + 1.0)
+    val qhi = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val upper = -(horner(c, qhi) / (horner(d, qhi) * qhi + 1.0))
+    when(p > 0 && p < pLow, lower)
+      .when(p >= pLow && p <= 1.0 - pLow, central)
+      .when(p < 1.0 && p > 1.0 - pLow, upper)
+  }
+
   /** Bartlett's test for equal variances across DECLARED groups — the
     * parametric rung of the dispersion ladder ([[brownForsythe]] is its
     * robust sibling, [[ansariBradley]] the rank one): maximum power when
@@ -4951,6 +4987,222 @@ object Stats {
         lit(k - 1).as("df"),
         round(when(ok, cFac), 6).as("c_factor"),
         round(when(ok, sp2 / 1e12), 6).as("pooled_var"))): _*)
+  }
+
+  /** Van der Waerden normal-scores test across DECLARED groups — the
+    * rank ANOVA that transforms midranks to NORMAL scores
+    * s(v) = Φ⁻¹(r/(n+1)) before folding, recovering near-parametric
+    * power when the data really are normal while keeping rank
+    * robustness ([[kruskalWallis]] keeps raw ranks and pays power for
+    * it). T = Σⱼ Sⱼ²/nⱼ / s² ~ χ²(k−1), s² = Σs²/(n−1).
+    *
+    * Determinism: midranks are the exact integer 2×-ranks of
+    * [[kruskalWallis]]; each distinct value's normal score is the
+    * [[probit]] fixed tree (bit-identical in both engines) committed
+    * to the 1e-6 lattice, so every downstream sum is an exact
+    * long/decimal fold and T is one fixed double tree in which the
+    * lattice scale cancels. On a continuous (data-sized) axis use
+    * [[vanDerWaerdenBinned]] — the [[kruskalWallisBinned]] contract.
+    *
+    * Plan: one corpus pass to per-value counts, the bounded
+    * distinct-grain window, one fold, one row.
+    */
+  def vanDerWaerden(df: DataFrame, groupCol: String, valueCol: String,
+                    groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"vanDerWaerden: 2..32 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    checkRoster(base, "vanDerWaerden", groups)
+    val perValAggs = groups.sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i") }
+    val perVal = base.groupBy(col("__v"))
+      .agg(perValAggs.head, perValAggs.tail: _*)
+    vdwFold(perVal, groups)
+  }
+
+  /** [[vanDerWaerden]] over [[Drift.latticeBin]]-coarsened values (the
+    * [[kruskalWallisBinned]] 100 TB contract: bin-grain midranks,
+    * within-one-bin score relocation, identical fold). */
+  def vanDerWaerdenBinned(df: DataFrame, groupCol: String,
+                          valueCol: String, groups: Seq[String],
+                          bins: Int = 1000): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"vanDerWaerdenBinned: 2..32 distinct declared groups " +
+        s"(got $groups)")
+    val v = col(valueCol).cast("double")
+    val base = df.select(col(groupCol).as("__g"), v.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v")))
+    checkRoster(base, "vanDerWaerdenBinned", groups)
+    val perValAggs = groups.sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i") }
+    val perVal = base
+      .groupBy(round(col("__v") * 100, 0).cast("long").as("__v"))
+      .agg(perValAggs.head, perValAggs.tail: _*)
+    vdwFold(Drift.binCounts(perVal, bins,
+        groups.indices.map(i => s"__c$i"))
+      .select((col("__bin").cast("double").as("__v") +:
+        groups.indices.map(i => col(s"__c$i"))): _*), groups)
+  }
+
+  /** Van der Waerden close over the [[kwFold]] input frame: probit of
+    * the midrank fraction, 1e-6 lattice commit, exact group folds. */
+  private def vdwFold(perVal: DataFrame, groups: Seq[String]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sorted = groups.sorted
+    val withN = perVal.withColumn("__n",
+      groups.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = withN
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+          + col("__n") + lit(1L))
+      .withColumn("__wtot", sum(col("__n")).over(Window.partitionBy()))
+      .withColumn("__s", round(probit(
+        col("__r2").cast("double") /
+          (lit(2.0) * (col("__wtot").cast("double") + 1.0))) * 1e6, 0)
+        .cast("long"))
+    val aggs = groups.indices.flatMap { i =>
+      Seq(coalesce(sum(col(s"__c$i")), lit(0L)).as(s"__n$i"),
+        coalesce(sum(dec(col(s"__c$i")) * col("__s")),
+          lit(0L).cast("decimal(38,0)")).as(s"__a$i"))
+    } ++ Seq(coalesce(sum(col("__n")), lit(0L)).as("n"),
+      coalesce(sum(dec(col("__n")) * col("__s") * col("__s")),
+        lit(0L).cast("decimal(38,0)")).as("__q"))
+    val folded = ranked.agg(aggs.head, aggs.tail: _*)
+    val nn = col("n").cast("double")
+    val s2 = col("__q").cast("double") / when(nn > 1.0, nn - 1.0)
+    val num = sorted.indices.map(i =>
+      col(s"__a$i").cast("double") * col(s"__a$i").cast("double") /
+        when(col(s"__n$i") > 0, col(s"__n$i"))).reduce(_ + _)
+    val ok = col("n") >= 2L && s2 > 0 &&
+      sorted.indices.map(i => col(s"__n$i") > 0L).reduce(_ && _)
+    folded.select((Seq(col("n")) ++
+      sorted.zipWithIndex.map { case (g, i) => col(s"__n$i").as(s"n_$g") } ++
+      Seq(round(when(ok, num / when(s2 > 0, s2)), 6).as("t_stat"),
+        lit(groups.size - 1).as("df"))): _*)
+  }
+
+  /** Fligner–Killeen test across DECLARED groups — the most robust of
+    * the k-sample DISPERSION tests ([[bartlett]] parametric,
+    * [[brownForsythe]] its median-based repair, this the rank one):
+    * each value becomes |v − group median|, the pooled midranks of
+    * those deviations become half-normal scores a = Φ⁻¹(½ + r/(2(N+1))),
+    * and χ² = Σⱼ nⱼ(Āⱼ − ā)²/V ~ χ²(k−1) — outlier-proof where
+    * Bartlett's log-variances explode.
+    *
+    * Determinism: group medians are exact lower-median elections (the
+    * [[moodMedian]] device); deviations commit to the centi lattice;
+    * scores are the [[probit]] fixed tree committed to the 1e-6
+    * lattice; every fold is exact. On a continuous axis use
+    * [[flignerKilleenBinned]] (deviations from the bin representative
+    * — the [[Drift.latticeBin]] `__binv` contract).
+    *
+    * Plan: one corpus pass to (group, value) counts, bounded
+    * per-group election windows, a k-row broadcast of medians, the
+    * bounded pooled-deviation window, one fold.
+    */
+  def flignerKilleen(df: DataFrame, groupCol: String, valueCol: String,
+                     groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"flignerKilleen: 2..32 distinct declared groups (got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    checkRoster(base, "flignerKilleen", groups)
+    val gv = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    fkFold(gv, groups)
+  }
+
+  /** [[flignerKilleen]] over [[Drift.latticeBin]]-coarsened values:
+    * deviations are measured from the bin REPRESENTATIVE (`__binv`) so
+    * magnitudes stay in value units; same election/score/fold. */
+  def flignerKilleenBinned(df: DataFrame, groupCol: String,
+                           valueCol: String, groups: Seq[String],
+                           bins: Int = 1000): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32 &&
+      groups.distinct == groups,
+      s"flignerKilleenBinned: 2..32 distinct declared groups " +
+        s"(got $groups)")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v")))
+    checkRoster(base, "flignerKilleenBinned", groups)
+    val binned = Drift.latticeBin(base, "__v", bins)
+    val gv = binned.groupBy(col("__g"), col("__binv").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    fkFold(gv, groups)
+  }
+
+  /** Fligner–Killeen close over a (group, value, count) frame: exact
+    * per-group median elections, centi-lattice |deviation|, pooled
+    * midrank half-normal scores on the 1e-6 lattice, one fold. */
+  private def fkFold(gv: DataFrame, groups: Seq[String]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sorted = groups.sorted
+    val wg = Window.partitionBy(col("__g"))
+    val cum = wg.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val meds = gv
+      .withColumn("__cw", sum(col("__c")).over(cum))
+      .withColumn("__tot", sum(col("__c")).over(wg))
+      .filter(col("__cw") * 2 >= col("__tot"))
+      .groupBy(col("__g"))
+      .agg(min(col("__v")).as("__med"))
+    val devAggs = sorted.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, col("__c")).otherwise(0L)).as(s"__c$i") }
+    val dev = gv.join(broadcast(meds), Seq("__g"))
+      .withColumn("__d",
+        round(abs(col("__v") - col("__med")) * 100, 0).cast("long"))
+      .groupBy(col("__d"))
+      .agg(devAggs.head, devAggs.tail: _*)
+      .withColumn("__n",
+        groups.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    val w = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = dev
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+          + col("__n") + lit(1L))
+      .withColumn("__wtot", sum(col("__n")).over(Window.partitionBy()))
+      .withColumn("__s", round(probit(
+        lit(0.5) + col("__r2").cast("double") /
+          (lit(4.0) * (col("__wtot").cast("double") + 1.0))) * 1e6, 0)
+        .cast("long"))
+    val aggs = groups.indices.flatMap { i =>
+      Seq(coalesce(sum(col(s"__c$i")), lit(0L)).as(s"__n$i"),
+        coalesce(sum(dec(col(s"__c$i")) * col("__s")),
+          lit(0L).cast("decimal(38,0)")).as(s"__a$i"))
+    } ++ Seq(coalesce(sum(col("__n")), lit(0L)).as("n"),
+      coalesce(sum(dec(col("__n")) * col("__s")), lit(0L)
+        .cast("decimal(38,0)")).as("__sa"),
+      coalesce(sum(dec(col("__n")) * col("__s") * col("__s")),
+        lit(0L).cast("decimal(38,0)")).as("__q"))
+    val folded = ranked.agg(aggs.head, aggs.tail: _*)
+    val nn = col("n").cast("double")
+    val abar = col("__sa").cast("double") / when(nn > 0, nn)
+    val vv = (col("__q").cast("double") -
+      col("__sa").cast("double") * col("__sa") / when(nn > 0, nn)) /
+      when(nn > 1.0, nn - 1.0)
+    val num = sorted.indices.map { i =>
+      val dj = col(s"__a$i").cast("double") -
+        col(s"__n$i").cast("double") * abar
+      dj * dj / when(col(s"__n$i") > 0, col(s"__n$i"))
+    }.reduce(_ + _)
+    val ok = col("n") >= 2L && vv > 0 &&
+      sorted.indices.map(i => col(s"__n$i") > 0L).reduce(_ && _)
+    folded.select((Seq(col("n")) ++
+      sorted.zipWithIndex.map { case (g, i) => col(s"__n$i").as(s"n_$g") } ++
+      Seq(round(when(ok, num / when(vv > 0, vv)), 6).as("fk_stat"),
+        lit(groups.size - 1).as("df"))): _*)
   }
 
   /** D'Agostino–Pearson K² normality omnibus — the refinement of

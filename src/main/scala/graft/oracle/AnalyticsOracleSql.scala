@@ -6551,6 +6551,36 @@ private[graft] object AnalyticsOracleSql {
       FROM f"""
     },
 
+    // Van der Waerden (exact + binned): probit midrank normal scores
+    // on the shared fixed tree, 1e-6 lattice commit, exact folds
+    "q_van_der_waerden" -> vdwSql(
+      """base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL)"""),
+
+    "q_van_der_waerden_binned" -> vdwSql(
+      latticeBinCtes("events", "value",
+        "event_type IS NOT NULL AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type") +
+        """,
+      base AS (SELECT event_type AS g, CAST(bin AS DOUBLE) AS v
+               FROM binned)"""),
+
+    // Fligner-Killeen (exact + binned): per-group exact median
+    // elections, centi-lattice |dev|, half-normal probit scores
+    "q_fligner_killeen" -> fkSql(
+      """base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL)"""),
+
+    "q_fligner_killeen_binned" -> fkSql(
+      latticeBinCtes("events", "value",
+        "event_type IS NOT NULL AND value IS NOT NULL " +
+          "AND NOT isnan(value)", "event_type") +
+        """,
+      base AS (SELECT event_type AS g, CAST(repr AS DOUBLE) / 100.0 AS v
+               FROM binned)"""),
+
     // Dunn post-hoc (exact + binned twins): shared-pool 2x-midranks,
     // pooled tie-corrected variance, one z per pair, |z| rank appended
     "q_dunn_test" -> dunnSql(

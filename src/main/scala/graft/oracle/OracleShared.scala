@@ -39,6 +39,139 @@ private[graft] object OracleShared {
                ${reprExpr("vl", "lo", "hi", bins)} AS repr
              FROM lat, bnd)"""
 
+  /** Acklam probit — the EXACT textual twin of `Stats.probit`'s fixed
+    * arithmetic tree (same Horner order, same literals), so both
+    * engines produce bit-identical doubles from identical p. */
+  def probitSql(p: String): String = {
+    val a = Seq("-3.969683028665376e+01", "2.209460984245205e+02",
+      "-2.759285104469687e+02", "1.383577518672690e+02",
+      "-3.066479806614716e+01", "2.506628277459239e+00")
+    val b = Seq("-5.447609879822406e+01", "1.615858368580409e+02",
+      "-1.556989798598866e+02", "6.680131188771972e+01",
+      "-1.328068155288572e+01")
+    val c = Seq("-7.784894002430293e-03", "-3.223964580411365e-01",
+      "-2.400758277161838e+00", "-2.549732539343734e+00",
+      "4.374664141464968e+00", "2.938163982698783e+00")
+    val d = Seq("7.784695709041462e-03", "3.224671290700398e-01",
+      "2.445134137142996e+00", "3.754408661907416e+00")
+    def horner(cs: Seq[String], x: String): String =
+      cs.tail.foldLeft(cs.head)((acc, k) => s"($acc * $x + $k)")
+    val qc = s"(($p) - 0.5)"
+    val rc = s"($qc * $qc)"
+    val central = s"(${horner(a, rc)} * $qc" +
+      s" / (${horner(b, rc)} * $rc + 1.0))"
+    val qlo = s"sqrt(-2.0 * ln($p))"
+    val lower = s"(${horner(c, qlo)} / (${horner(d, qlo)} * $qlo + 1.0))"
+    val qhi = s"sqrt(-2.0 * ln(1.0 - ($p)))"
+    val upper =
+      s"(-(${horner(c, qhi)} / (${horner(d, qhi)} * $qhi + 1.0)))"
+    s"(CASE WHEN ($p) > 0 AND ($p) < 0.02425 THEN $lower" +
+      s" WHEN ($p) >= 0.02425 AND ($p) <= 1.0 - 0.02425 THEN $central" +
+      s" WHEN ($p) < 1.0 AND ($p) > 1.0 - 0.02425 THEN $upper END)"
+  }
+
+  /** Van der Waerden SQL over a `base(g, v)` CTE chain — mirrors
+    * Stats.vdwFold (probit of the midrank fraction on the 1e-6
+    * lattice, exact HUGEINT folds). Five-event-type roster. */
+  def vdwSql(baseCtes: String): String = {
+    val gs = Seq("click", "error", "purchase", "signup", "view")
+    val score = probitSql(
+      "CAST(r2 AS DOUBLE) / (2.0 * (CAST(N AS DOUBLE) + 1.0))")
+    val nn = "CAST(n AS DOUBLE)"
+    val s2 = s"(CAST(q AS DOUBLE) / ($nn - 1.0))"
+    val num = s"(${gs.indices.map(i =>
+      s"CAST(a$i AS DOUBLE) * CAST(a$i AS DOUBLE) / n$i")
+      .mkString(" + ")})"
+    val ok = (s"n >= 2 AND $s2 > 0 AND " +
+      gs.indices.map(i => s"n$i > 0").mkString(" AND "))
+    val nCols = gs.zipWithIndex
+      .map { case (g, i) => s"n$i AS n_$g" }.mkString(", ")
+    s"""
+      WITH $baseCtes,
+      pv AS (SELECT v,
+             ${gs.zipWithIndex.map { case (g, i) =>
+               s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END)" +
+                 s" AS BIGINT) AS c$i" }.mkString(",\n             ")},
+             CAST(count(*) AS BIGINT) AS nv
+            FROM base GROUP BY v),
+      r AS (SELECT *, CAST(2 * coalesce(sum(nv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + nv + 1 AS BIGINT) AS r2,
+              CAST(sum(nv) OVER () AS BIGINT) AS N
+            FROM pv),
+      sc AS (SELECT *, CAST(round($score * 1e6, 0) AS BIGINT) AS s
+             FROM r),
+      f AS (SELECT ${gs.indices.map(i =>
+              s"CAST(coalesce(sum(c$i), 0) AS BIGINT) AS n$i," +
+                s" coalesce(sum(CAST(c$i AS HUGEINT) * s), 0) AS a$i")
+              .mkString(",\n             ")},
+             CAST(coalesce(sum(nv), 0) AS BIGINT) AS n,
+             coalesce(sum(CAST(nv AS HUGEINT) * s * s), 0) AS q
+            FROM sc)
+      SELECT n, $nCols,
+             round(CASE WHEN $ok THEN $num / $s2 END, 6) AS t_stat,
+             CAST(${gs.size - 1} AS INTEGER) AS df
+      FROM f"""
+  }
+
+  /** Fligner–Killeen SQL over a `base(g, v)` CTE chain — mirrors
+    * Stats.fkFold (exact per-group median elections, centi-lattice
+    * |deviation|, half-normal probit scores, exact folds). */
+  def fkSql(baseCtes: String): String = {
+    val gs = Seq("click", "error", "purchase", "signup", "view")
+    val score = probitSql(
+      "0.5 + CAST(r2 AS DOUBLE) / (4.0 * (CAST(N AS DOUBLE) + 1.0))")
+    val nn = "CAST(n AS DOUBLE)"
+    val abar = s"(CAST(sa AS DOUBLE) / $nn)"
+    val vv = s"((CAST(q AS DOUBLE)" +
+      s" - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / $nn)" +
+      s" / ($nn - 1.0))"
+    val num = s"(${gs.indices.map { i =>
+      val dj = s"(CAST(a$i AS DOUBLE) - CAST(n$i AS DOUBLE) * $abar)"
+      s"$dj * $dj / n$i" }.mkString(" + ")})"
+    val ok = (s"n >= 2 AND $vv > 0 AND " +
+      gs.indices.map(i => s"n$i > 0").mkString(" AND "))
+    val nCols = gs.zipWithIndex
+      .map { case (g, i) => s"n$i AS n_$g" }.mkString(", ")
+    s"""
+      WITH $baseCtes,
+      gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2),
+      cw AS (SELECT g, v,
+              sum(c) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwv,
+              sum(c) OVER (PARTITION BY g) AS tot
+            FROM gv),
+      m AS (SELECT g, min(v) AS med FROM cw
+            WHERE cwv * 2 >= tot GROUP BY g),
+      dv AS (SELECT CAST(round(abs(gv.v - m.med) * 100, 0) AS BIGINT)
+               AS d,
+             ${gs.zipWithIndex.map { case (g, i) =>
+               s"CAST(sum(CASE WHEN gv.g = '$g' THEN c ELSE 0 END)" +
+                 s" AS BIGINT) AS c$i" }.mkString(",\n             ")},
+             CAST(sum(c) AS BIGINT) AS nv
+            FROM gv JOIN m ON gv.g = m.g GROUP BY 1),
+      r AS (SELECT *, CAST(2 * coalesce(sum(nv) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + nv + 1 AS BIGINT) AS r2,
+              CAST(sum(nv) OVER () AS BIGINT) AS N
+            FROM dv),
+      sc AS (SELECT *, CAST(round($score * 1e6, 0) AS BIGINT) AS s
+             FROM r),
+      f AS (SELECT ${gs.indices.map(i =>
+              s"CAST(coalesce(sum(c$i), 0) AS BIGINT) AS n$i," +
+                s" coalesce(sum(CAST(c$i AS HUGEINT) * s), 0) AS a$i")
+              .mkString(",\n             ")},
+             CAST(coalesce(sum(nv), 0) AS BIGINT) AS n,
+             coalesce(sum(CAST(nv AS HUGEINT) * s), 0) AS sa,
+             coalesce(sum(CAST(nv AS HUGEINT) * s * s), 0) AS q
+            FROM sc)
+      SELECT n, $nCols,
+             round(CASE WHEN $ok THEN $num / $vv END, 6) AS fk_stat,
+             CAST(${gs.size - 1} AS INTEGER) AS df
+      FROM f"""
+  }
+
   /** Dunn post-hoc SQL over a `base(g, v)` CTE chain (exact or binned
     * value axis — mirrors Stats.dunnFold): per-value per-group counts,
     * shared-pool 2x-midranks, pooled tie-corrected variance, one z per

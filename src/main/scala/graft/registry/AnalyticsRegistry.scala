@@ -1028,6 +1028,24 @@ object AnalyticsRegistry {
       // median, outlier-proof 2xk chi-square
       Stats.moodMedian(Tables.events(s, dir), "event_type", "value",
         Seq("view", "click", "purchase", "signup", "error"))),
+    "q_van_der_waerden" -> ((s, dir) =>
+      // normal-scores rank ANOVA: near-parametric power, rank
+      // robustness — probit midrank scores on the shared fixed tree
+      Stats.vanDerWaerden(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_van_der_waerden_binned" -> ((s, dir) =>
+      // 100 TB twin (kruskal_wallis_binned contract)
+      Stats.vanDerWaerdenBinned(Tables.events(s, dir), "event_type",
+        "value", Seq("view", "click", "purchase", "signup", "error"))),
+    "q_fligner_killeen" -> ((s, dir) =>
+      // rank dispersion across all 5 event types: half-normal scores
+      // of |v - group median|, the outlier-proof rung above bartlett
+      Stats.flignerKilleen(Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))),
+    "q_fligner_killeen_binned" -> ((s, dir) =>
+      // 100 TB twin: deviations from the bin representative (__binv)
+      Stats.flignerKilleenBinned(Tables.events(s, dir), "event_type",
+        "value", Seq("view", "click", "purchase", "signup", "error"))),
     "q_kpss" -> ((s, dir) =>
       // stationarity null: is daily revenue mean-stable? Bartlett
       // long-run variance at the weekly lag window, eta vs 0.463

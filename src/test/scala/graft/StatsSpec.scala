@@ -1979,6 +1979,46 @@ class StatsSpec extends SparkSpec {
     assert(s0.getAs[Double]("ab_stat") == s0.getAs[Double]("e_ab"))
   }
 
+  test("vanDerWaerden: hand-computed separated case (probit midrank " +
+      "scores, T=3.672915); identical groups score ~0; binned twin " +
+      "agrees on separated groups") {
+    val sep = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.vanDerWaerden(sep, "g", "v", Seq("a", "b"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("t_stat") == 3.672915)
+    val same = (Seq(1.0, 3.0, 5.0).map(("a", _)) ++
+      Seq(1.0, 3.0, 5.0).map(("b", _))).toDF("g", "v")
+    val s = Stats.vanDerWaerden(same, "g", "v", Seq("a", "b"))
+      .collect().head
+    assert(math.abs(s.getAs[Double]("t_stat")) < 1e-3)
+    val b = Stats.vanDerWaerdenBinned(sep, "g", "v", Seq("a", "b"),
+      bins = 100).collect().head
+    assert(b.getAs[Double]("t_stat") > 3.0)
+  }
+
+  test("flignerKilleen: hand-computed tied case (half-normal probit " +
+      "scores, chi2=0.079024); a clearly wider group drives the " +
+      "statistic up; binned twin agrees in direction") {
+    val df = (Seq(1.0, 2.0, 3.0, 10.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0, 7.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.flignerKilleen(df, "g", "v", Seq("a", "b"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("fk_stat") == 0.079024)
+    // strongly different spreads: tight a vs wide b
+    val strong = (Seq(9.9, 10.0, 10.1, 10.2, 9.8, 10.3).map(("a", _)) ++
+      Seq(2.0, 18.0, 4.0, 16.0, 1.0, 19.0).map(("b", _))).toDF("g", "v")
+    val st = Stats.flignerKilleen(strong, "g", "v", Seq("a", "b"))
+      .collect().head
+    assert(st.getAs[Double]("fk_stat") > 4.0)
+    val bn = Stats.flignerKilleenBinned(strong, "g", "v", Seq("a", "b"),
+      bins = 200).collect().head
+    assert(bn.getAs[Double]("fk_stat") > 4.0)
+  }
+
   test("kpss: a level series is stationary (hand-computed eta), a pure " +
       "trend is not; short series NULL out") {
     import java.sql.Date
