@@ -66,6 +66,8 @@ object ScaleStress {
           args.headOption.contains("text8") ||
           args.headOption.contains("rank9") ||
           args.headOption.contains("ckpt9") ||
+          args.headOption.contains("rank10") ||
+          args.headOption.contains("itemcf10") ||
           args.headOption.contains("ext8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
@@ -885,6 +887,78 @@ object ScaleStress {
           f"clusters_spread=$cSpread lineitems=$nL t_bt=$tBt%.2f " +
           f"players=$nPlayers events=$nE t_energy=$tEnergy%.2f " +
           f"t_cvm=$tCvm%.2f")
+      }
+    }
+    // round-10 rank-score stress: van der Waerden / Fligner-Killeen
+    // exact vs binned at 1x/10x/100x. Events replicate with a per-copy
+    // +i-cent value shift (the ext8 energy/CvM device) so the DISTINCT-
+    // VALUE grain genuinely grows xk — the exact forms' single-partition
+    // ordered window should show the data-sized tail, the binned twins
+    // stay flat (<=1000 window rows regardless of k).
+    val rank10Ks =
+      if (args.headOption.contains("rank10")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (rank10Ks.nonEmpty) {
+      val ev10 = Tables.events(spark, "/root/testdata/sf0.1")
+        .select(col("event_type"), col("value"))
+      val groups = Seq("view", "click", "purchase", "signup", "error")
+      for (k <- rank10Ks) {
+        val evK = (0 until k).map(i =>
+          ev10.select(col("event_type"),
+            (col("value") + lit(i * 0.01)).as("value")))
+          .reduce(_ unionByName _)
+        val nE = evK.count()
+        val (tVdw, _) = timeMin2 {
+          graft.ops.Stats.vanDerWaerden(evK, "event_type", "value",
+            groups).queryExecution.toRdd.count()
+        }
+        val (tVdwB, _) = timeMin2 {
+          graft.ops.Stats.vanDerWaerdenBinned(evK, "event_type", "value",
+            groups).queryExecution.toRdd.count()
+        }
+        val (tFk, _) = timeMin2 {
+          graft.ops.Stats.flignerKilleen(evK, "event_type", "value",
+            groups).queryExecution.toRdd.count()
+        }
+        val (tFkB, _) = timeMin2 {
+          graft.ops.Stats.flignerKilleenBinned(evK, "event_type", "value",
+            groups).queryExecution.toRdd.count()
+        }
+        println(f"STRESS-RANK10 k=$k events=$nE t_vdw_exact=$tVdw%.2f " +
+          f"t_vdw_binned=$tVdwB%.2f t_fk_exact=$tFk%.2f " +
+          f"t_fk_binned=$tFkB%.2f")
+      }
+    }
+    // round-10 item-CF stress: replicate CUSTOMERS (custkey and partkey
+    // both shifted per copy, so baskets keep their size and per-copy
+    // item universes are disjoint) — pair count grows xk exactly; the
+    // maxBasket cap guarantees no quadratic arm regardless of k.
+    val itemcf10Ks =
+      if (args.headOption.contains("itemcf10")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (itemcf10Ks.nonEmpty) {
+      val li10 = Tables.lineitem(spark, "/root/testdata/sf0.1")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o10 = Tables.orders(spark, "/root/testdata/sf0.1")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val ui10 = li10.join(o10, li10("l_orderkey") === o10("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      for (k <- itemcf10Ks) {
+        val uiK = (0 until k).map(i =>
+          ui10.select((col("o_custkey") + lit(i * 10000000L))
+            .as("o_custkey"),
+            (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+          .reduce(_ unionByName _)
+        val nI = uiK.count()
+        val (tCf, nOut) = timeMin2 {
+          graft.ops.Similarity.itemItemCF(uiK, "o_custkey", "l_partkey",
+            minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-ITEMCF10 k=$k interactions=$nI t_cf=$tCf%.2f " +
+          f"rows_out=$nOut")
       }
     }
     spark.stop()

@@ -1399,6 +1399,101 @@ object Eval {
           / (col("__vm") / lit(1000000.0)), 6)).as("chi2"))
   }
 
+  /** Fisher's EXACT test for a user-grain 2×2 — the small-sample
+    * companion to [[oddsRatioRR]]/[[mantelHaenszel]]: when any cell is
+    * in single digits the χ² approximation lies, and the exact
+    * hypergeometric tail is the honest answer. Emits the two-sided p
+    * (R's convention: sum of all tables no more probable than the
+    * observed, with the 1+1e-7 relative tolerance), both one-sided
+    * tails, and the sample OR.
+    *
+    * No factorials anywhere: the hypergeometric support (k from
+    * max(0, c₁−r₂) to min(r₁, c₁)) is generated as a bounded series,
+    * consecutive-term log-ratios ln[(r₁−k+1)(c₁−k+1)/(k(r₂−c₁+k))]
+    * accumulate in ONE ordered window, terms normalize by their own
+    * max-shifted ordered sum — so both engines replay the identical
+    * double chain (no Σexp whose order the engine picks). Fisher is
+    * inherently a SMALL-margin test: a support wider than `maxTerms`
+    * fails loud with the pointer to [[mantelHaenszel]]/chi2 (the
+    * theilSenPerKey fail-loud contract), so the bounded windows are
+    * bounded by construction.
+    *
+    * Plan: one user-grain fold to a 1-row frame, a bounded explode,
+    * bounded ordered windows, one fold.
+    */
+  def fisherExact(df: DataFrame, userCol: String, exposure: Column,
+                  outcome: Column, maxTerms: Int = 4096): DataFrame = {
+    require(maxTerms >= 2 && maxTerms <= 1000000,
+      s"fisherExact: maxTerms in [2, 1e6] (got $maxTerms)")
+    val users = df.groupBy(col(userCol))
+      .agg(max(exposure.cast("int")).as("__e"),
+        max(outcome.cast("int")).as("__o"))
+    val folded = users.groupBy().agg(
+      sum(when(col("__e") === 1 && col("__o") === 1, 1L).otherwise(0L))
+        .as("__a"),
+      sum(when(col("__e") === 1 && col("__o") === 0, 1L).otherwise(0L))
+        .as("__b"),
+      sum(when(col("__e") === 0 && col("__o") === 1, 1L).otherwise(0L))
+        .as("__c"),
+      sum(when(col("__e") === 0 && col("__o") === 0, 1L).otherwise(0L))
+        .as("__d"))
+      .withColumn("__r1", col("__a") + col("__b"))
+      .withColumn("__r2", col("__c") + col("__d"))
+      .withColumn("__c1", col("__a") + col("__c"))
+      .withColumn("__kmin", greatest(lit(0L), col("__c1") - col("__r2")))
+      .withColumn("__kmax", least(col("__r1"), col("__c1")))
+      .withColumn("__kmax",
+        when(col("__kmax") - col("__kmin") + 1L <= maxTerms, col("__kmax"))
+          .otherwise(raise_error(concat(lit(
+            s"fisherExact: hypergeometric support wider than $maxTerms " +
+              "terms — Fisher is a small-sample test; use chi2/" +
+              "mantelHaenszel at this scale. margins: "),
+            col("__r1").cast("string"), lit("x"),
+            col("__c1").cast("string")))))
+    val series = folded.withColumn("k",
+      explode(sequence(col("__kmin"), col("__kmax"))))
+    val r1D = col("__r1").cast("double"); val r2D = col("__r2").cast("double")
+    val c1D = col("__c1").cast("double"); val kD = col("k").cast("double")
+    val lr = when(col("k") > col("__kmin"),
+      log((r1D - kD + 1.0) * (c1D - kD + 1.0) /
+        (kD * (r2D - c1D + kD)))).otherwise(lit(0.0))
+    val ordK = Window.partitionBy(col("__a")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("__a"))
+    val scored = series
+      .withColumn("__L", sum(lr).over(ordK))
+      .withColumn("__M", max(col("__L")).over(whole))
+      .withColumn("__w", exp(col("__L") - col("__M")))
+      .withColumn("__wa",
+        max(when(col("k") === col("__a"), col("__w"))).over(whole))
+      .withColumn("__cumw", sum(col("__w")).over(ordK))
+      .withColumn("__cumt",
+        sum(when(col("__w") <= col("__wa") * (1.0 + 1e-7), col("__w"))
+          .otherwise(lit(0.0))).over(ordK))
+    val f = scored.agg(
+      max(col("__a")).as("n_exposed_pos"),
+      max(col("__b")).as("n_exposed_neg"),
+      max(col("__c")).as("n_unexposed_pos"),
+      max(col("__d")).as("n_unexposed_neg"),
+      max(col("__cumw")).as("__tot"),
+      max(col("__cumt")).as("__tott"),
+      max(when(col("k") === col("__a"), col("__cumw"))).as("__cwa"),
+      max(when(col("k") === col("__a"), col("__w"))).as("__wobs"))
+    val tot = col("__tot")
+    val aD = col("n_exposed_pos").cast("double")
+    val bD = col("n_exposed_neg").cast("double")
+    val cD = col("n_unexposed_pos").cast("double")
+    val dD = col("n_unexposed_neg").cast("double")
+    val orOk = col("n_exposed_neg") > 0 && col("n_unexposed_pos") > 0
+    f.select(col("n_exposed_pos"), col("n_exposed_neg"),
+      col("n_unexposed_pos"), col("n_unexposed_neg"),
+      round(least(col("__tott") / tot, lit(1.0)), 6).as("p_two_sided"),
+      round(col("__cwa") / tot, 6).as("p_left"),
+      round(lit(1.0) - col("__cwa") / tot + col("__wobs") / tot, 6)
+        .as("p_right"),
+      round(when(orOk, aD * dD / (bD * cD)), 6).as("odds_ratio"))
+  }
+
   /** Cox proportional-hazards SCORE test at β=0 for a single
     * integer-valued covariate — the continuous-covariate
     * generalization of [[logRank]] (which IS this test for a binary

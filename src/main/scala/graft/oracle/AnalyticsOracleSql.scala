@@ -3522,6 +3522,73 @@ private[graft] object AnalyticsOracleSql {
     },
 
 
+    // Fisher exact: bounded hypergeometric support, consecutive-term
+    // log-ratio recurrence in ONE ordered window, max-shifted
+    // normalization — no factorials, every float chain order-fixed
+    "q_fisher_exact" -> {
+      val kD = "CAST(k AS DOUBLE)"
+      val r1D = "CAST(r1 AS DOUBLE)"; val r2D = "CAST(r2 AS DOUBLE)"
+      val c1D = "CAST(c1 AS DOUBLE)"
+      val lr = s"(CASE WHEN k > kmin THEN ln(($r1D - $kD + 1.0)" +
+        s" * ($c1D - $kD + 1.0) / ($kD * ($r2D - $c1D + $kD)))" +
+        s" ELSE 0.0 END)"
+      val cum = "ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING" +
+        " AND CURRENT ROW"
+      s"""
+      WITH u AS (SELECT o_orderkey,
+              max(CAST(o_orderpriority = '1-URGENT' AS INT)) AS e,
+              max(CAST(o_orderstatus = 'F' AS INT)) AS o
+            FROM orders WHERE o_totalprice > 400000.0
+            GROUP BY o_orderkey),
+      cells AS (SELECT
+              CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+              CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+              CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+              CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d
+            FROM u),
+      m AS (SELECT *, a + b AS r1, c + d AS r2, a + c AS c1,
+              greatest(CAST(0 AS BIGINT), (a + c) - (c + d)) AS kmin,
+              least(a + b, a + c) AS kmax
+            FROM cells),
+      series AS (SELECT m.*, unnest(range(kmin, kmax + 1)) AS k FROM m),
+      sc AS (SELECT *,
+              sum($lr) OVER ($cum) AS L
+            FROM series),
+      sc2 AS (SELECT *, exp(L - max(L) OVER ()) AS w FROM sc),
+      sc3 AS (SELECT *,
+              max(CASE WHEN k = a THEN w END) OVER () AS wa,
+              sum(w) OVER ($cum) AS cumw
+            FROM sc2),
+      sc4 AS (SELECT *,
+              sum(CASE WHEN w <= wa * (1.0 + 1e-7) THEN w ELSE 0.0 END)
+                OVER ($cum) AS cumt
+            FROM sc3),
+      f AS (SELECT CAST(max(a) AS BIGINT) AS n_exposed_pos,
+              CAST(max(b) AS BIGINT) AS n_exposed_neg,
+              CAST(max(c) AS BIGINT) AS n_unexposed_pos,
+              CAST(max(d) AS BIGINT) AS n_unexposed_neg,
+              max(cumw) AS tot, max(cumt) AS tott,
+              max(CASE WHEN k = a THEN cumw END) AS cwa,
+              max(CASE WHEN k = a THEN w END) AS wobs
+            FROM sc4)
+      SELECT n_exposed_pos, n_exposed_neg, n_unexposed_pos,
+             n_unexposed_neg,
+             round(least(tott / tot, 1.0), 6) AS p_two_sided,
+             round(cwa / tot, 6) AS p_left,
+             round(1.0 - cwa / tot + wobs / tot, 6) AS p_right,
+             round(CASE WHEN n_exposed_neg > 0 AND n_unexposed_pos > 0
+               THEN CAST(n_exposed_pos AS DOUBLE)
+                 * CAST(n_unexposed_neg AS DOUBLE)
+                 / (CAST(n_exposed_neg AS DOUBLE)
+                   * CAST(n_unexposed_pos AS DOUBLE)) END, 6)
+               AS odds_ratio
+      FROM f"""
+    },
+
     // CMH: per-stratum 2x2 cells, rational terms committed to the 1e-6
     // lattice per stratum (exact HUGEINT fold across strata), RBG CI
     "q_mantel_haenszel" -> {

@@ -517,6 +517,14 @@ object AnalyticsRegistry {
           .select(col("user_id"), col("event_type"), col("value")),
         "user_id", col("event_type") === "error" && col("value") > 160.0,
         col("event_type") === "purchase" && col("value") > 175.0)),
+    "q_fisher_exact" -> ((s, dir) =>
+      // the small-sample 2x2: among very large orders, is URGENT
+      // priority associated with finished status? exact hypergeometric
+      // tails via the bounded log-ratio recurrence (no factorials)
+      Eval.fisherExact(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+        "o_orderkey", col("o_orderpriority") === "1-URGENT",
+        col("o_orderstatus") === "F", maxTerms = 65536)),
     "q_mantel_haenszel" -> ((s, dir) =>
       // stratified 2x2: big-order -> unfinished status association
       // pooled across order priorities; crude OR beside the MH OR is

@@ -1047,6 +1047,31 @@ class EvalSpec extends SparkSpec {
     assert(t3.getAs[Double]("cif_b") == 0.2)
   }
 
+  test("fisherExact: tea-tasting 3/1/1/3 table scores the textbook " +
+      "p=0.485714; a strongly associated table is significant; " +
+      "over-wide support fails loud with the chi2 pointer") {
+    import spark.implicits._
+    def mk(a: Int, b: Int, c: Int, d: Int) = (
+      (1 to a).map(i => (i.toLong, 1, 1)) ++
+        (1 to b).map(i => (1000L + i, 1, 0)) ++
+        (1 to c).map(i => (2000L + i, 0, 1)) ++
+        (1 to d).map(i => (3000L + i, 0, 0))).toDF("u", "e", "o")
+    val r = graft.ops.Eval.fisherExact(mk(3, 1, 1, 3), "u",
+      col("e") === 1, col("o") === 1).collect().head
+    assert(r.getAs[Double]("p_two_sided") == 0.485714)
+    assert(r.getAs[Double]("p_left") == 0.985714)
+    assert(r.getAs[Double]("p_right") == 0.242857)
+    assert(r.getAs[Double]("odds_ratio") == 9.0)
+    val s = graft.ops.Eval.fisherExact(mk(10, 2, 3, 15), "u",
+      col("e") === 1, col("o") === 1).collect().head
+    assert(s.getAs[Double]("p_two_sided") == 0.000537)
+    assert(s.getAs[Double]("p_right") == 0.000465)
+    intercept[Exception] {
+      graft.ops.Eval.fisherExact(mk(5, 5, 5, 5), "u",
+        col("e") === 1, col("o") === 1, maxTerms = 4).collect()
+    }
+  }
+
   test("coxScore: hand-computed Breslow-tie case (U=0.25, V=2.020833, " +
       "z=0.175863); a covariate-free design scores U=0 terms") {
     import spark.implicits._
