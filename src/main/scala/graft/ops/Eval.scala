@@ -1904,6 +1904,136 @@ object Eval {
         .as("did"))
   }
 
+  /** Instrumental-variable (Wald) estimator under an encouragement
+    * design: when the hash arm z only ENCOURAGES a behavior d (nobody
+    * can be forced to be a heavy user), the naive treated-vs-untreated
+    * contrast is confounded by self-selection; the IV ratio
+    * LATE = ITT_y / ITT_d = (ȳ_{z=1} − ȳ_{z=0}) / (d̄_{z=1} − d̄_{z=0})
+    * recovers the complier-average effect using only the randomized z.
+    * Emits both stages, the naive (confounded) contrast beside the
+    * LATE, and the standard weak-instrument alarm: first-stage
+    * F = t² < 10 (two-proportion z over exact counts) means the ratio
+    * is noise-amplified and should not be read.
+    *
+    * Determinism: user-grain outcome sums on the centi lattice and
+    * treatment counts are exact longs; every rate/mean/F/LATE is one
+    * fixed double tree over them.
+    *
+    * Plan: one user-grain aggregation (outcome + behavior per user),
+    * one 1-row eight-counter fold. No window, no sort.
+    */
+  def ivWald(df: DataFrame, userCol: String, treatedIf: Column,
+             outcome: Column, channel: Long = 61L): DataFrame = {
+    val users = df.groupBy(col(userCol))
+      .agg(treatedIf.as("__d"),
+        round(outcome * 100, 0).cast("long").as("__yc"))
+      .select((Gen.u01(col(userCol), channel) > 0.5).as("__z"),
+        col("__d"), col("__yc"))
+    val f = users.agg(
+      count(when(col("__z"), lit(1))).as("n_z1"),
+      count(when(!col("__z"), lit(1))).as("n_z0"),
+      count(when(col("__z") && col("__d"), lit(1))).as("__d1"),
+      count(when(!col("__z") && col("__d"), lit(1))).as("__d0"),
+      coalesce(sum(when(col("__z"), col("__yc"))), lit(0L)).as("__s1"),
+      coalesce(sum(when(!col("__z"), col("__yc"))), lit(0L)).as("__s0"),
+      coalesce(sum(when(col("__d"), col("__yc"))), lit(0L)).as("__sd1"),
+      count(when(col("__d"), lit(1))).as("__nd1"))
+    val n1 = col("n_z1").cast("double")
+    val n0 = col("n_z0").cast("double")
+    val p1 = col("__d1").cast("double") / n1
+    val p0 = col("__d0").cast("double") / n0
+    val firstStage = p1 - p0
+    val m1 = col("__s1").cast("double") / (lit(100.0) * n1)
+    val m0 = col("__s0").cast("double") / (lit(100.0) * n0)
+    val itt = m1 - m0
+    // two-proportion z on the first stage; F = z² (weak-IV rule F < 10)
+    val se2 = p1 * (lit(1.0) - p1) / n1 + p0 * (lit(1.0) - p0) / n0
+    val fStat = when(se2 > 0, firstStage * firstStage / se2)
+    val nAll = col("n_z1") + col("n_z0")
+    val nD0 = (nAll - col("__nd1")).cast("double")
+    val naive = when(col("__nd1") > 0 && nAll > col("__nd1"),
+      col("__sd1").cast("double") / (lit(100.0) * col("__nd1").cast("double"))
+        - (col("__s1") + col("__s0") - col("__sd1")).cast("double")
+        / (lit(100.0) * nD0))
+    val ok = col("n_z1") > 0 && col("n_z0") > 0
+    f.select(col("n_z1"), col("n_z0"),
+      round(when(ok, p1), 6).as("treat_rate_z1"),
+      round(when(ok, p0), 6).as("treat_rate_z0"),
+      round(when(ok, firstStage), 6).as("first_stage"),
+      round(when(ok, fStat), 6).as("first_stage_f"),
+      round(when(ok, m1), 6).as("mean_y_z1"),
+      round(when(ok, m0), 6).as("mean_y_z0"),
+      round(when(ok, itt), 6).as("itt"),
+      round(when(ok, naive), 6).as("naive_contrast"),
+      round(when(ok && firstStage =!= 0.0, itt / firstStage), 6).as("late"),
+      // strong iff F >= 10, or the degenerate perfect stage (zero
+      // sampling variance with a nonzero effect — F is +inf)
+      when(ok, !(coalesce(fStat >= 10.0, lit(false)) ||
+        (se2 === 0.0 && firstStage =!= 0.0))).as("weak_instrument"))
+  }
+
+  /** Sharp regression discontinuity at a DECLARED cutoff of a running
+    * variable: fit the local linear trend separately just below and
+    * just above the cutoff (within ±bandwidth) and read the outcome
+    * jump τ = α_right − α_left at the threshold — the causal design
+    * for rule-based treatments (free shipping over $X, review flag
+    * over a score) where units just beside the line are comparable.
+    * Emits both local fits so a slope mismatch (a kinked trend
+    * masquerading as a jump) is visible next to τ.
+    *
+    * Determinism: the centered running variable and the outcome live
+    * on centi lattices, so each side's (n, Σx, Σy, Σxy, Σx²) folds
+    * exactly in decimal; intercepts/slopes/τ are fixed double trees
+    * (the [[Stats.chowTest]] OLS shape at a value cutoff instead of a
+    * date cutoff).
+    *
+    * Plan: one bandwidth-filtered aggregation (pushed to the scan),
+    * one 1-row two-segment fold. No window, no sort.
+    */
+  def regDiscontinuity(df: DataFrame, runningCol: String, outcome: Column,
+                       cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, s"regDiscontinuity: bandwidth > 0 (got $bandwidth)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(runningCol) >= cutoff - bandwidth &&
+        col(runningCol) < cutoff + bandwidth)
+      .select(
+        (round(col(runningCol) * 100, 0).cast("long") -
+          lit(math.round(cutoff * 100))).as("__x"),
+        round(outcome * 100, 0).cast("long").as("__y"))
+      .withColumn("__right", col("__x") >= 0L)
+    def sums(flag: Column, tag: String) = Seq(
+      count(when(flag, lit(1))).as(s"n$tag"),
+      coalesce(sum(when(flag, col("__x"))), lit(0L)).as(s"sx$tag"),
+      coalesce(sum(when(flag, col("__y"))), lit(0L)).as(s"sy$tag"),
+      coalesce(sum(when(flag, dec(col("__x")) * col("__y"))),
+        lit(0L).cast("decimal(38,0)")).as(s"sxy$tag"),
+      coalesce(sum(when(flag, dec(col("__x")) * col("__x"))),
+        lit(0L).cast("decimal(38,0)")).as(s"sxx$tag"))
+    val allSums = sums(!col("__right"), "l") ++ sums(col("__right"), "r")
+    val f = base.agg(allSums.head, allSums.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def fit(tag: String): (Column, Column, Column) = {
+      val nD = d(s"n$tag")
+      val cxy = d(s"sxy$tag") - d(s"sx$tag") * d(s"sy$tag") / nD
+      val cxx = d(s"sxx$tag") - d(s"sx$tag") * d(s"sx$tag") / nD
+      val slope = cxy / cxx
+      val alpha = d(s"sy$tag") / nD - slope * (d(s"sx$tag") / nD)
+      val ok = col(s"n$tag") >= 3 && cxx > 0
+      // centi x, centi y: intercept /100 to dollars; slope is y-centi
+      // per x-centi = dollars per dollar already
+      (when(ok, alpha / 100.0), when(ok, slope), ok)
+    }
+    val (aL, bL, okL) = fit("l")
+    val (aR, bR, okR) = fit("r")
+    f.select(col("nl").as("n_left"), col("nr").as("n_right"),
+      round(aL, 6).as("intercept_left"),
+      round(aR, 6).as("intercept_right"),
+      round(bL, 6).as("slope_left"),
+      round(bR, 6).as("slope_right"),
+      round(when(okL && okR, aR - aL), 6).as("rdd_tau"))
+  }
+
   /** Sample-ratio-mismatch check — the FIRST thing to read on any A/B
     * dashboard: if the arm split itself deviates from the declared
     * ratio, every downstream metric is suspect (broken assignment,

@@ -2349,6 +2349,126 @@ private[graft] object AnalyticsOracleSql {
                  - s00 / (100.0 * n_ctrl_pre)), 6) AS did
       FROM f""",
 
+    // IV/Wald encouragement design: user grain (behavior + centi
+    // revenue), hash arm channel 61 as instrument, LATE = ITT_y/ITT_d
+    // with the first-stage-F weak-IV alarm; every double division
+    // mirrors the Spark fixed tree term-for-term
+    "q_iv_wald" -> s"""
+      WITH u AS (SELECT user_id, count(*) >= 30 AS d,
+              CAST(round(sum(CASE WHEN event_type = 'purchase'
+                THEN value ELSE 0.0 END) * 100, 0) AS BIGINT) AS yc
+            FROM events GROUP BY user_id),
+      b AS (SELECT ${uk("user_id", 61)} > 0.5 AS z, d, yc FROM u),
+      f AS (SELECT
+              CAST(count(CASE WHEN z THEN 1 END) AS BIGINT) AS n_z1,
+              CAST(count(CASE WHEN NOT z THEN 1 END) AS BIGINT) AS n_z0,
+              CAST(count(CASE WHEN z AND d THEN 1 END) AS BIGINT) AS d1,
+              CAST(count(CASE WHEN NOT z AND d THEN 1 END) AS BIGINT)
+                AS d0,
+              CAST(coalesce(sum(CASE WHEN z THEN yc END), 0) AS BIGINT)
+                AS s1,
+              CAST(coalesce(sum(CASE WHEN NOT z THEN yc END), 0)
+                AS BIGINT) AS s0,
+              CAST(coalesce(sum(CASE WHEN d THEN yc END), 0) AS BIGINT)
+                AS sd1,
+              CAST(count(CASE WHEN d THEN 1 END) AS BIGINT) AS nd1
+            FROM b),
+      t AS (SELECT *,
+              CAST(d1 AS DOUBLE) / CAST(n_z1 AS DOUBLE) AS p1,
+              CAST(d0 AS DOUBLE) / CAST(n_z0 AS DOUBLE) AS p0,
+              CAST(s1 AS DOUBLE) / (100.0 * CAST(n_z1 AS DOUBLE)) AS m1,
+              CAST(s0 AS DOUBLE) / (100.0 * CAST(n_z0 AS DOUBLE)) AS m0,
+              n_z1 > 0 AND n_z0 > 0 AS ok
+            FROM f),
+      t2 AS (SELECT *,
+              p1 - p0 AS fs, m1 - m0 AS itt,
+              p1 * (1.0 - p1) / CAST(n_z1 AS DOUBLE)
+                + p0 * (1.0 - p0) / CAST(n_z0 AS DOUBLE) AS se2
+            FROM t)
+      SELECT n_z1, n_z0,
+             round(CASE WHEN ok THEN p1 END, 6) AS treat_rate_z1,
+             round(CASE WHEN ok THEN p0 END, 6) AS treat_rate_z0,
+             round(CASE WHEN ok THEN fs END, 6) AS first_stage,
+             round(CASE WHEN ok THEN
+               CASE WHEN se2 > 0 THEN fs * fs / se2 END END, 6)
+               AS first_stage_f,
+             round(CASE WHEN ok THEN m1 END, 6) AS mean_y_z1,
+             round(CASE WHEN ok THEN m0 END, 6) AS mean_y_z0,
+             round(CASE WHEN ok THEN itt END, 6) AS itt,
+             round(CASE WHEN ok AND nd1 > 0 AND n_z1 + n_z0 > nd1 THEN
+                 CAST(sd1 AS DOUBLE) / (100.0 * CAST(nd1 AS DOUBLE))
+                 - CAST(s1 + s0 - sd1 AS DOUBLE)
+                   / (100.0 * CAST(n_z1 + n_z0 - nd1 AS DOUBLE)) END, 6)
+               AS naive_contrast,
+             round(CASE WHEN ok AND fs <> 0.0 THEN itt / fs END, 6)
+               AS late,
+             CASE WHEN ok THEN NOT (coalesce(
+                 CASE WHEN se2 > 0 THEN fs * fs / se2 END >= 10.0, FALSE)
+               OR (se2 = 0.0 AND fs <> 0.0)) END AS weak_instrument
+      FROM t2""",
+
+    // sharp RDD at the $300k order-value cutoff, +-$100k bandwidth:
+    // per-side exact centi OLS sums, intercept jump at the threshold
+    "q_reg_discontinuity" -> """
+      WITH b AS (SELECT
+              CAST(round(o_totalprice * 100, 0) AS BIGINT) - 30000000
+                AS x,
+              CAST(round(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN 1.0 ELSE 0.0 END * 100, 0) AS BIGINT) AS y
+            FROM orders
+            WHERE o_totalprice >= 200000.0 AND o_totalprice < 400000.0),
+      f AS (SELECT
+              CAST(count(CASE WHEN x < 0 THEN 1 END) AS BIGINT) AS nl,
+              CAST(coalesce(sum(CASE WHEN x < 0 THEN x END), 0)
+                AS BIGINT) AS sxl,
+              CAST(coalesce(sum(CASE WHEN x < 0 THEN y END), 0)
+                AS BIGINT) AS syl,
+              CAST(coalesce(sum(CASE WHEN x < 0 THEN x * y END), 0)
+                AS BIGINT) AS sxyl,
+              CAST(coalesce(sum(CASE WHEN x < 0 THEN x * x END), 0)
+                AS BIGINT) AS sxxl,
+              CAST(count(CASE WHEN x >= 0 THEN 1 END) AS BIGINT) AS nr,
+              CAST(coalesce(sum(CASE WHEN x >= 0 THEN x END), 0)
+                AS BIGINT) AS sxr,
+              CAST(coalesce(sum(CASE WHEN x >= 0 THEN y END), 0)
+                AS BIGINT) AS syr,
+              CAST(coalesce(sum(CASE WHEN x >= 0 THEN x * y END), 0)
+                AS BIGINT) AS sxyr,
+              CAST(coalesce(sum(CASE WHEN x >= 0 THEN x * x END), 0)
+                AS BIGINT) AS sxxr
+            FROM b),
+      t AS (SELECT *,
+              CAST(sxyl AS DOUBLE) - CAST(sxl AS DOUBLE)
+                * CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE) AS cxyl,
+              CAST(sxxl AS DOUBLE) - CAST(sxl AS DOUBLE)
+                * CAST(sxl AS DOUBLE) / CAST(nl AS DOUBLE) AS cxxl,
+              CAST(sxyr AS DOUBLE) - CAST(sxr AS DOUBLE)
+                * CAST(syr AS DOUBLE) / CAST(nr AS DOUBLE) AS cxyr,
+              CAST(sxxr AS DOUBLE) - CAST(sxr AS DOUBLE)
+                * CAST(sxr AS DOUBLE) / CAST(nr AS DOUBLE) AS cxxr
+            FROM f),
+      t2 AS (SELECT *,
+              cxyl / cxxl AS bl, cxyr / cxxr AS br,
+              nl >= 3 AND cxxl > 0 AS okl,
+              nr >= 3 AND cxxr > 0 AS okr
+            FROM t),
+      t3 AS (SELECT *,
+              CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE)
+                - bl * (CAST(sxl AS DOUBLE) / CAST(nl AS DOUBLE)) AS al,
+              CAST(syr AS DOUBLE) / CAST(nr AS DOUBLE)
+                - br * (CAST(sxr AS DOUBLE) / CAST(nr AS DOUBLE)) AS ar
+            FROM t2)
+      SELECT nl AS n_left, nr AS n_right,
+             round(CASE WHEN okl THEN al / 100.0 END, 6)
+               AS intercept_left,
+             round(CASE WHEN okr THEN ar / 100.0 END, 6)
+               AS intercept_right,
+             round(CASE WHEN okl THEN bl END, 6) AS slope_left,
+             round(CASE WHEN okr THEN br END, 6) AS slope_right,
+             round(CASE WHEN okl AND okr
+               THEN ar / 100.0 - al / 100.0 END, 6) AS rdd_tau
+      FROM t3""",
+
 
     // weekly growth accounting: per-user lag/lead classification, churn
     // attributed one week forward, full-outer merged (trailing churn

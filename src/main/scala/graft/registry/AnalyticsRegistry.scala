@@ -798,6 +798,21 @@ object AnalyticsRegistry {
       // cell means + DiD, control drift netting out seasonality
       Eval.diffInDiff(Tables.events(s, dir), "user_id", "ts", "value",
         cutoff = "2024-01-15")),
+    "q_iv_wald" -> ((s, dir) =>
+      // encouragement design: hash arm z as instrument for the
+      // self-selected "heavy user" behavior (>= 30 events), outcome
+      // total purchase revenue; LATE = ITT_y / ITT_d with the
+      // first-stage-F weak-instrument alarm
+      Eval.ivWald(Tables.events(s, dir), "user_id",
+        count(lit(1)) >= 30L,
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)))),
+    "q_reg_discontinuity" -> ((s, dir) =>
+      // sharp RDD at the $300k order-value line: does URGENT-priority
+      // share jump at the threshold, or is the local trend smooth?
+      Eval.regDiscontinuity(Tables.orders(s, dir), "o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0),
+        cutoff = 300000.0, bandwidth = 100000.0)),
     "q_srm_check" -> ((s, dir) =>
       // read this before any lift number: does the arm split itself
       // deviate from 50/50? chi2(1) at the 0.001 SRM alarm bar

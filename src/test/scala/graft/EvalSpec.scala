@@ -1191,4 +1191,79 @@ class EvalSpec extends SparkSpec {
       "post", col("x") === 1).collect().head
     assert(e.isNullAt(e.fieldIndex("rate_ratio")))
   }
+
+  test("ivWald: LATE replays ITT_y/ITT_d on a constructed compliance " +
+      "pattern; weak-instrument flag fires when arms behave alike") {
+    import spark.implicits._
+    val M = 2147483647L
+    def u01(key: Long, c: Long): Double = {
+      val h1 = (key + c * 1000003L) % M
+      (((h1 * 48271L % M) * 48271L % M) + 1).toDouble / M
+    }
+    val arm = (1L to 60L).map(u => u -> (u01(u, 61L) > 0.5)).toMap
+    // encouraged (z=1) users emit 30 events (heavy), others 5; heavy
+    // users buy 10.00 twice, light users once -> d perfectly tracks z
+    val rows = (1L to 60L).flatMap { u =>
+      val heavy = arm(u)
+      val n = if (heavy) 30 else 5
+      val buys = if (heavy) 2 else 1
+      (1 to n).map(i =>
+        (u, if (i <= buys) "purchase" else "view",
+          if (i <= buys) 10.0 else 0.0))
+    }.toDF("user_id", "event_type", "value")
+    val r = Eval.ivWald(rows, "user_id", count(lit(1)) >= 30L,
+      sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0))).collect().head
+    val nT = arm.values.count(identity).toLong
+    assert(r.getAs[Long]("n_z1") == nT)
+    assert(r.getAs[Long]("n_z0") == 60L - nT)
+    // first stage: p1=1, p0=0; ITT_y = 20 - 10; LATE = 10 exactly
+    assert(r.getAs[Double]("treat_rate_z1") == 1.0)
+    assert(r.getAs[Double]("treat_rate_z0") == 0.0)
+    assert(r.getAs[Double]("first_stage") == 1.0)
+    assert(r.getAs[Double]("itt") == 10.0)
+    assert(r.getAs[Double]("late") == 10.0)
+    assert(!r.getAs[Boolean]("weak_instrument"))
+    // no arm-behavior link: first stage 0, LATE NULL, weak flag on
+    val flat = (1L to 60L).map(u => (u, "purchase", 5.0))
+      .toDF("user_id", "event_type", "value")
+    val w = Eval.ivWald(flat, "user_id", count(lit(1)) >= 30L,
+      sum(col("value"))).collect().head
+    assert(w.getAs[Double]("first_stage") == 0.0)
+    assert(w.isNullAt(w.fieldIndex("late")))
+    assert(w.getAs[Boolean]("weak_instrument"))
+  }
+
+  test("regDiscontinuity: a constructed jump at the cutoff is recovered " +
+      "exactly; thin sides NULL out") {
+    import spark.implicits._
+    // left of 100: y = 10 flat; right: y = 30 flat -> tau = 20, zero
+    // slopes; x values symmetric inside the +-50 bandwidth
+    val rows = (1 to 20).map(i => (50.0 + 2.0 * i, 10.0)) ++
+      (0 until 20).map(i => (100.0 + 2.0 * i, 30.0))
+    val df = rows.toDF("x", "y")
+    val r = Eval.regDiscontinuity(df, "x", col("y"),
+      cutoff = 100.0, bandwidth = 50.0).collect().head
+    assert(r.getAs[Long]("n_left") == 20L)
+    assert(r.getAs[Long]("n_right") == 20L)
+    assert(r.getAs[Double]("intercept_left") == 10.0)
+    assert(r.getAs[Double]("intercept_right") == 30.0)
+    assert(r.getAs[Double]("slope_left") == 0.0)
+    assert(r.getAs[Double]("slope_right") == 0.0)
+    assert(r.getAs[Double]("rdd_tau") == 20.0)
+    // sloped but continuous: y = x -> intercepts meet at the cutoff
+    val cont = (1 to 40).map(i => (75.0 + i.toDouble, 75.0 + i))
+      .toDF("x", "y")
+    val c = Eval.regDiscontinuity(cont, "x", col("y"), 100.0, 50.0)
+      .collect().head
+    assert(c.getAs[Double]("rdd_tau") == 0.0)
+    assert(c.getAs[Double]("slope_left") == 1.0)
+    // two points on a side: fit guarded NULL
+    val thin = Seq((98.0, 1.0), (99.0, 2.0), (101.0, 1.0), (102.0, 2.0),
+      (103.0, 3.0)).toDF("x", "y")
+    val t = Eval.regDiscontinuity(thin, "x", col("y"), 100.0, 50.0)
+      .collect().head
+    assert(t.isNullAt(t.fieldIndex("intercept_left")))
+    assert(t.isNullAt(t.fieldIndex("rdd_tau")))
+  }
 }
