@@ -852,6 +852,76 @@ object Eval {
       .orderBy("day")
   }
 
+  /** Holt–Winters additive smoothing (level + trend + weekly season)
+    * over the daily series: one-step-ahead fitted values and residuals
+    * per day — the first REAL forecaster to reach for once a model must
+    * beat [[forecastBaseline]]'s naive/seasonal-naive floor. The weekday
+    * slot is days-since-epoch mod 7 ([[seasonality]]'s calendar-free
+    * convention); smoothing weights default to DYADIC rationals
+    * (1/4, 1/8, 1/4) so the complements (3/4, 7/8) are exactly
+    * representable doubles in any engine.
+    *
+    * Determinism: the recursion is inherently sequential, so BOTH
+    * engines run the SAME left fold over the day-ordered series — the
+    * update expressions are identical fixed double trees (here: one
+    * `aggregate` HOF over the sorted day array; oracle: a recursive
+    * CTE stepping the same formulas) and IEEE-754 round-to-nearest
+    * makes every per-step double bit-identical by induction. Daily
+    * sums commit to the centi lattice before entering the fold.
+    *
+    * Plan: ONE corpus aggregation to the calendar-bounded day grain,
+    * then a single 1-row fold over the collected day array (bounded by
+    * the calendar — ~2.6k rows for seven years; the PLANS.md
+    * bounded-fold contract) exploded back to per-day rows. The corpus
+    * stage distributes; the fold is O(days) on one task.
+    */
+  def holtWinters(df: DataFrame, dateCol: Column, valueCol: String,
+                  alpha: Double = 0.25, beta: Double = 0.125,
+                  gamma: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta >= 0 && beta < 1 &&
+      gamma >= 0 && gamma < 1,
+      s"holtWinters: weights in (0,1) (got $alpha/$beta/$gamma)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__yc"))
+    val arr = daily.agg(sort_array(collect_list(
+      struct(col("__d").as("d"), col("__yc").as("yc")))).as("__a"))
+    val init = struct(lit(0).as("n"), lit(0.0).as("lvl"),
+      lit(0.0).as("trd"), array_repeat(lit(0.0), 7).as("s"),
+      array().cast("array<struct<d:date,actual:double,fitted:double>>")
+        .as("out"))
+    val folded = arr.select(aggregate(col("__a"), init, (acc, x) => {
+      val d = x.getField("d")
+      val y = x.getField("yc").cast("double") / lit(100.0)
+      val slot = pmod(
+        datediff(d, lit("1970-01-01").cast("date")), lit(7))
+      val sPrev = element_at(acc.getField("s"), slot + lit(1))
+      val first = acc.getField("n") === 0
+      val fitted = when(first, y)
+        .otherwise(acc.getField("lvl") + acc.getField("trd") + sPrev)
+      val lvlNew = when(first, y)
+        .otherwise(lit(alpha) * (y - sPrev) +
+          lit(1.0 - alpha) * (acc.getField("lvl") + acc.getField("trd")))
+      val trdNew = when(first, lit(0.0))
+        .otherwise(lit(beta) * (lvlNew - acc.getField("lvl")) +
+          lit(1.0 - beta) * acc.getField("trd"))
+      val sNew = when(first, acc.getField("s")).otherwise(
+        zip_with(acc.getField("s"), sequence(lit(1), lit(7)), (v, i) =>
+          when(i === slot + lit(1),
+            lit(gamma) * (y - lvlNew) + lit(1.0 - gamma) * v)
+            .otherwise(v)))
+      struct((acc.getField("n") + lit(1)).as("n"), lvlNew.as("lvl"),
+        trdNew.as("trd"), sNew.as("s"),
+        concat(acc.getField("out"), array(struct(d.as("d"),
+          y.as("actual"), fitted.as("fitted")))).as("out"))
+    }).as("__f"))
+    folded.select(explode(col("__f").getField("out")).as("r"))
+      .select(col("r.d").as("day"),
+        round(col("r.actual"), 6).as("actual"),
+        round(col("r.fitted"), 6).as("fitted"),
+        round(col("r.actual") - col("r.fitted"), 6).as("resid"))
+      .orderBy("day")
+  }
+
   /** Additive seasonal decomposition of a daily series with period 7:
     * trend = centered 7-day moving average (NULL on the 3-day edges, no
     * silent partial windows), seasonal = the mean detrended value of the

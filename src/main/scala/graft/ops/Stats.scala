@@ -2090,6 +2090,48 @@ object Stats {
         (col("n_turning").cast("double") - e) / sqrt(v)), 6).as("z_stat"))
   }
 
+  /** Maximum drawdown of the daily series per key: the worst decline
+    * from any historical daily peak — max over days of
+    * (running max − value) — with the trough pinned by total order
+    * (largest drawdown first, earliest trough on ties). The "how bad
+    * did it get" readout beside [[Drift.cusumDrift]]'s "when did it
+    * break": a monitoring dashboard alarms on drawdown_pct before any
+    * distributional test fires.
+    *
+    * Determinism: daily centi sums are exact longs; the running max
+    * and every drawdown are integers; only the final /100 display
+    * scaling and the percent divide.
+    *
+    * Plan: one corpus aggregation to (key, day), per-key windows over
+    * the calendar-bounded day grain (the PLANS.md bounded-window
+    * contract), a per-key 1-row pick. No corpus sort.
+    */
+  def maxDrawdown(df: DataFrame, keyCol: String, dateCol: Column,
+                  valueCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("__peak", max(col("__y")).over(run))
+      .withColumn("__dd", col("__peak") - col("__y"))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(col("__dd").desc, col("__d"))
+    scored.withColumn("__rn", row_number().over(pick))
+      .withColumn("__nd",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__nd").as("n_days"),
+        round(col("__peak") / lit(100.0), 2).as("peak_daily"),
+        round(col("__y") / lit(100.0), 2).as("trough_daily"),
+        round(col("__dd") / lit(100.0), 2).as("max_drawdown"),
+        round(when(col("__peak") > 0,
+          col("__dd").cast("double") / col("__peak").cast("double")), 6)
+          .as("drawdown_pct"),
+        col("__d").as("trough_date"))
+      .orderBy(keyCol)
+  }
+
   /** Chow structural-break test of the daily trend at a DECLARED date —
     * "did the trend actually change when we think it did?" (pricing
     * change, launch, pipeline migration): fit the linear day-trend

@@ -4855,6 +4855,87 @@ private[graft] object AnalyticsOracleSql {
              CASE WHEN m1 > 0 THEN round(m7 / m1, 6) END AS mase
       FROM m ORDER BY day""",
 
+    // Holt-Winters additive (alpha 1/4, beta 1/8, gamma 1/4 — dyadic,
+    // complements exact): the recursive CTE steps the SAME fixed double
+    // trees the Spark fold evaluates, one day per iteration, so every
+    // level/trend/season double is bit-identical by induction
+    "q_holt_winters" -> """
+      WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS yc
+            FROM orders GROUP BY 1),
+      seq AS (SELECT d, CAST(yc AS DOUBLE) / 100.0 AS y,
+              CAST((d - DATE '1970-01-01') % 7 AS INTEGER) AS slot,
+              row_number() OVER (ORDER BY d) AS t FROM daily),
+      hw AS (
+        SELECT t, d, y, y AS fitted, y AS lvl,
+               CAST(0.0 AS DOUBLE) AS trd,
+               CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+               CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+               CAST(0.0 AS DOUBLE) AS s4, CAST(0.0 AS DOUBLE) AS s5,
+               CAST(0.0 AS DOUBLE) AS s6
+        FROM seq WHERE t = 1
+        UNION ALL
+        SELECT t, d, y, lvl0 + trd0 + sp AS fitted, lvln AS lvl,
+               0.125 * (lvln - lvl0) + 0.875 * trd0 AS trd,
+               CASE WHEN slot = 0 THEN 0.25 * (y - lvln) + 0.75 * s0
+                 ELSE s0 END AS s0,
+               CASE WHEN slot = 1 THEN 0.25 * (y - lvln) + 0.75 * s1
+                 ELSE s1 END AS s1,
+               CASE WHEN slot = 2 THEN 0.25 * (y - lvln) + 0.75 * s2
+                 ELSE s2 END AS s2,
+               CASE WHEN slot = 3 THEN 0.25 * (y - lvln) + 0.75 * s3
+                 ELSE s3 END AS s3,
+               CASE WHEN slot = 4 THEN 0.25 * (y - lvln) + 0.75 * s4
+                 ELSE s4 END AS s4,
+               CASE WHEN slot = 5 THEN 0.25 * (y - lvln) + 0.75 * s5
+                 ELSE s5 END AS s5,
+               CASE WHEN slot = 6 THEN 0.25 * (y - lvln) + 0.75 * s6
+                 ELSE s6 END AS s6
+        FROM (SELECT q.t, q.d, q.y, q.slot,
+                hw.lvl AS lvl0, hw.trd AS trd0,
+                hw.s0, hw.s1, hw.s2, hw.s3, hw.s4, hw.s5, hw.s6,
+                CASE q.slot WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1
+                  WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3 WHEN 4 THEN hw.s4
+                  WHEN 5 THEN hw.s5 ELSE hw.s6 END AS sp,
+                0.25 * (q.y - CASE q.slot WHEN 0 THEN hw.s0
+                    WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3
+                    WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5 ELSE hw.s6 END)
+                  + 0.75 * (hw.lvl + hw.trd) AS lvln
+              FROM hw JOIN seq q ON q.t = hw.t + 1))
+      SELECT d AS day, round(y, 6) AS actual, round(fitted, 6) AS fitted,
+             round(y - fitted, 6) AS resid
+      FROM hw ORDER BY day""",
+
+    // max drawdown per priority lane: exact centi running max over the
+    // calendar-bounded day grain, trough by (dd DESC, date ASC)
+    "q_max_drawdown" -> """
+      WITH daily AS (SELECT o_orderpriority,
+              CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders GROUP BY 1, 2),
+      s AS (SELECT o_orderpriority, d, y,
+              max(y) OVER (PARTITION BY o_orderpriority ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS peak,
+              CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                AS BIGINT) AS nd
+            FROM daily),
+      s2 AS (SELECT *, peak - y AS dd,
+              row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY peak - y DESC, d) AS rn
+            FROM s)
+      SELECT o_orderpriority, nd AS n_days,
+             round(peak / 100.0, 2) AS peak_daily,
+             round(y / 100.0, 2) AS trough_daily,
+             round(dd / 100.0, 2) AS max_drawdown,
+             round(CASE WHEN peak > 0 THEN
+               CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE) END, 6)
+               AS drawdown_pct,
+             d AS trough_date
+      FROM s2 WHERE rn = 1 ORDER BY o_orderpriority""",
+
 
     // leading digit via floor(x / 10^floor(log10 x)); expectation
     // ln(1+1/d)/ln(10) mirrors the Spark operation order exactly

@@ -785,6 +785,17 @@ object AnalyticsRegistry {
       // lag-7 seasonal-naive over daily revenue, with MAE + MASE folds
       Eval.forecastBaseline(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_holt_winters" -> ((s, dir) =>
+      // level+trend+weekly-season smoother over daily revenue: per-day
+      // one-step-ahead fit via the bit-exact sequential fold (dyadic
+      // weights 1/4, 1/8, 1/4; oracle steps the same recursion)
+      Eval.holtWinters(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
+    "q_max_drawdown" -> ((s, dir) =>
+      // worst peak-to-trough decline of daily revenue per priority
+      // lane, trough pinned by (drawdown desc, date asc) total order
+      Stats.maxDrawdown(Tables.orders(s, dir), "o_orderpriority",
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_psm_att" -> ((s, dir) =>
       // caliper-matched treatment effect on the treated: value-profile
       // score, purchase-revenue outcome, matched vs naive contrast

@@ -1234,6 +1234,45 @@ class EvalSpec extends SparkSpec {
     assert(w.getAs[Boolean]("weak_instrument"))
   }
 
+  test("holtWinters: fitted values replay the sequential fold " +
+      "bit-for-bit; the first day anchors level with zero residual") {
+    import spark.implicits._
+    val start = java.time.LocalDate.parse("2024-01-01")
+    val vals = Seq(10.0, 12.0, 11.0, 15.0, 9.0, 14.0, 13.0, 16.0,
+      12.0, 18.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(start.plusDays(i.toLong)), v) }
+    val out = Eval.holtWinters(rows.toDF("d", "v"), col("d"), "v")
+      .collect()
+    // Scala replay of the identical fold (same IEEE ops, same order)
+    var lvl = 0.0; var trd = 0.0; var n = 0
+    val s = Array.fill(7)(0.0)
+    val expect = rows.map { case (dt, v) =>
+      val y = math.round(v * 100).toDouble / 100.0
+      val slot = (((dt.toLocalDate.toEpochDay % 7) + 7) % 7).toInt
+      val sp = s(slot)
+      val fitted = if (n == 0) y else lvl + trd + sp
+      val lvlN = if (n == 0) y else 0.25 * (y - sp) + 0.75 * (lvl + trd)
+      val trdN = if (n == 0) 0.0 else 0.125 * (lvlN - lvl) + 0.875 * trd
+      if (n > 0) s(slot) = 0.25 * (y - lvlN) + 0.75 * sp
+      lvl = lvlN; trd = trdN; n += 1
+      (dt, y, fitted)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.length == 10)
+    out.zip(expect).foreach { case (row, (dt, y, f)) =>
+      assert(row.getAs[java.sql.Date]("day") == dt)
+      assert(row.getAs[Double]("actual") == r6(y))
+      assert(row.getAs[Double]("fitted") == r6(f))
+      assert(row.getAs[Double]("resid") == r6(y - f))
+    }
+    assert(out.head.getAs[Double]("resid") == 0.0)
+    intercept[IllegalArgumentException] {
+      Eval.holtWinters(rows.toDF("d", "v"), col("d"), "v", alpha = 1.5)
+    }
+  }
+
   test("regDiscontinuity: a constructed jump at the cutoff is recovered " +
       "exactly; thin sides NULL out") {
     import spark.implicits._

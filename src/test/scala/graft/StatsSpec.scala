@@ -2169,4 +2169,30 @@ class StatsSpec extends SparkSpec {
       Stats.cronbachAlpha(perfect, Seq("i1"))
     }
   }
+
+  test("maxDrawdown: running-peak decline replays the hand fold per " +
+      "key; monotonic series draws down zero at the first day") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-$i%02d")
+    val rows =
+      Seq(10.0, 20.0, 15.0, 5.0, 8.0, 25.0, 12.0).zipWithIndex.map {
+        case (v, i) => ("a", d(i + 1), v)
+      } ++ Seq(1.0, 2.0, 3.0).zipWithIndex.map {
+        case (v, i) => ("b", d(i + 1), v)
+      }
+    val out = Stats.maxDrawdown(rows.toDF("k", "dt", "v"), "k",
+      col("dt"), "v").collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_days") == 7L)
+    assert(a.getAs[Double]("peak_daily") == 20.0)
+    assert(a.getAs[Double]("trough_daily") == 5.0)
+    assert(a.getAs[Double]("max_drawdown") == 15.0)
+    assert(a.getAs[Double]("drawdown_pct") == 0.75)
+    assert(a.getAs[java.sql.Date]("trough_date") == d(4))
+    val b = out("b")
+    assert(b.getAs[Double]("max_drawdown") == 0.0)
+    assert(b.getAs[Double]("drawdown_pct") == 0.0)
+    // all-zero drawdowns tie -> earliest day wins the pick
+    assert(b.getAs[java.sql.Date]("trough_date") == d(1))
+  }
 }
