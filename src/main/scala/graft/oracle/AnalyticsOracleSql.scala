@@ -4936,6 +4936,76 @@ private[graft] object AnalyticsOracleSql {
              d AS trough_date
       FROM s2 WHERE rn = 1 ORDER BY o_orderpriority""",
 
+    // grid-bucketed nearest site: the oracle replays the SEMANTICS
+    // (nearest supplier with exact integer dist^2 <= r^2, ties by site
+    // id, unmatched kept as NULL) by brute force — the Spark side's
+    // 9-cell bucketing is a plan choice that is provably invisible in
+    // the result (cell size = radius => 3x3 covers the radius ball)
+    "q_geo_nearest" -> s"""
+      WITH p AS (SELECT c_custkey,
+              CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
+                AS BIGINT) AS x,
+              CAST(floor(${uk("c_custkey", 172)} * 10000000.0)
+                AS BIGINT) AS y
+            FROM customer),
+      st AS (SELECT s_suppkey,
+              CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
+                AS BIGINT) AS x,
+              CAST(floor(${uk("s_suppkey", 174)} * 10000000.0)
+                AS BIGINT) AS y
+            FROM supplier),
+      cand AS (SELECT p.c_custkey, st.s_suppkey,
+              (p.x - st.x) * (p.x - st.x) + (p.y - st.y) * (p.y - st.y)
+                AS d2
+            FROM p CROSS JOIN st
+            WHERE (p.x - st.x) * (p.x - st.x)
+              + (p.y - st.y) * (p.y - st.y) <= 640000000000),
+      best AS (SELECT c_custkey, s_suppkey, d2, row_number() OVER (
+              PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
+            FROM cand)
+      SELECT p.c_custkey, b.s_suppkey AS nearest_site,
+             round(sqrt(CAST(b.d2 AS DOUBLE)) / 10000000.0, 6) AS dist
+      FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        USING (c_custkey)
+      ORDER BY c_custkey""",
+
+    "q_geo_coverage" -> s"""
+      WITH p AS (SELECT c_custkey,
+              CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
+                AS BIGINT) AS x,
+              CAST(floor(${uk("c_custkey", 172)} * 10000000.0)
+                AS BIGINT) AS y
+            FROM customer),
+      st AS (SELECT s_suppkey,
+              CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
+                AS BIGINT) AS x,
+              CAST(floor(${uk("s_suppkey", 174)} * 10000000.0)
+                AS BIGINT) AS y
+            FROM supplier),
+      cand AS (SELECT p.c_custkey, st.s_suppkey,
+              (p.x - st.x) * (p.x - st.x) + (p.y - st.y) * (p.y - st.y)
+                AS d2
+            FROM p CROSS JOIN st
+            WHERE (p.x - st.x) * (p.x - st.x)
+              + (p.y - st.y) * (p.y - st.y) <= 640000000000),
+      best AS (SELECT c_custkey, s_suppkey, d2, row_number() OVER (
+              PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
+            FROM cand),
+      nr AS (SELECT p.c_custkey, b.s_suppkey AS nearest_site,
+              round(sqrt(CAST(b.d2 AS DOUBLE)) / 10000000.0, 6) AS dist
+            FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              USING (c_custkey))
+      SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(count(nearest_site) AS BIGINT) AS n_matched,
+             round(CAST(count(nearest_site) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS coverage,
+             round(CASE WHEN count(nearest_site) > 0 THEN
+               CAST(sum(CAST(round(dist * 1000000.0, 0) AS BIGINT))
+                 AS DOUBLE)
+               / (1000000.0 * CAST(count(nearest_site) AS DOUBLE)) END, 6)
+               AS mean_dist
+      FROM nr""",
+
 
     // leading digit via floor(x / 10^floor(log10 x)); expectation
     // ln(1+1/d)/ln(10) mirrors the Spark operation order exactly

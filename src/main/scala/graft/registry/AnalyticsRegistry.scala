@@ -796,6 +796,24 @@ object AnalyticsRegistry {
       // lane, trough pinned by (drawdown desc, date asc) total order
       Stats.maxDrawdown(Tables.orders(s, dir), "o_orderpriority",
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_geo_nearest" -> ((s, dir) =>
+      // nearest supplier site within radius 0.08 for every customer on
+      // the hash-synthesized [0,1]^2 map: bounded 9-cell fan-out
+      // equi-join (never a cross join), exact integer dist^2 cut,
+      // unmatched customers carried through as NULL coverage signal
+      Geo.gridNearest(
+        Geo.hashPoints(Tables.customer(s, dir), "c_custkey", 171L, 172L),
+        "c_custkey",
+        Geo.hashPoints(Tables.supplier(s, dir), "s_suppkey", 173L, 174L),
+        "s_suppkey", radiusMicro = 800000L)),
+    "q_geo_coverage" -> ((s, dir) =>
+      // the aggregate readout over q_geo_nearest: match rate + mean
+      // in-range distance on the 1e-6 lattice
+      Geo.gridCoverage(Geo.gridNearest(
+        Geo.hashPoints(Tables.customer(s, dir), "c_custkey", 171L, 172L),
+        "c_custkey",
+        Geo.hashPoints(Tables.supplier(s, dir), "s_suppkey", 173L, 174L),
+        "s_suppkey", radiusMicro = 800000L), "c_custkey")),
     "q_psm_att" -> ((s, dir) =>
       // caliper-matched treatment effect on the treated: value-profile
       // score, purchase-revenue outcome, matched vs naive contrast
