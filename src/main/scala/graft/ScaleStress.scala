@@ -68,6 +68,7 @@ object ScaleStress {
           args.headOption.contains("ckpt9") ||
           args.headOption.contains("rank10") ||
           args.headOption.contains("itemcf10") ||
+          args.headOption.contains("geo9") ||
           args.headOption.contains("ext8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
@@ -959,6 +960,44 @@ object ScaleStress {
         }
         println(f"STRESS-ITEMCF10 k=$k interactions=$nI t_cf=$tCf%.2f " +
           f"rows_out=$nOut")
+      }
+    }
+
+    // geo9: the spatial grid join at 1x/10x/100x — each replica gets
+    // its own DISJOINT map tile (x offset 2e7 per copy, gap > radius),
+    // so site DENSITY per cell is preserved and candidate volume grows
+    // linearly in k: ~linear runtime is the pass criterion; anything
+    // superlinear means the cell bucketing is not bounding the fan-out.
+    // (Naive replication onto ONE map would multiply per-cell density
+    // by k and measure a k-squared candidate problem instead.)
+    val geo9Ks =
+      if (args.headOption.contains("geo9")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (geo9Ks.nonEmpty) {
+      val cust9 = Tables.customer(spark, "/root/testdata/sf0.1")
+        .select(col("c_custkey"))
+      val supp9 = Tables.supplier(spark, "/root/testdata/sf0.1")
+        .select(col("s_suppkey"))
+      def tiled(df: org.apache.spark.sql.DataFrame, key: String,
+                chX: Long, chY: Long, k: Int) =
+        (0 until k).map { i =>
+          graft.ops.Geo.hashPoints(
+            df.select((col(key) + lit(i * 10000000L)).as(key)),
+            key, chX, chY)
+            .withColumn("x", col("x") + lit(i * 20000000L))
+        }.reduce(_ unionByName _).localCheckpoint()
+      for (k <- geo9Ks) {
+        val pk = tiled(cust9, "c_custkey", 171L, 172L, k)
+        val sk = tiled(supp9, "s_suppkey", 173L, 174L, k)
+        val nP = pk.count(); val nS = sk.count()
+        val (tGeo, nOut) = timeMin2 {
+          graft.ops.Geo.gridNearest(pk, "c_custkey", sk, "s_suppkey",
+            radiusMicro = 800000L)
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-GEO9 k=$k probes=$nP sites=$nS t_nearest=" +
+          f"$tGeo%.2f rows_out=$nOut")
       }
     }
     spark.stop()

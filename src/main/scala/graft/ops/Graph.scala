@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on DataFrames — PageRank as the reference
@@ -70,6 +71,58 @@ object Graph {
         checkpointDir)
     }
     pr.select(col("node"), col("out_deg"), round(col("rank"), 6).as("pagerank"))
+      .orderBy("node")
+  }
+
+  /** Synchronous label-propagation community detection over an
+    * UNDIRECTED graph: every node starts as its own community and each
+    * superstep adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — fully deterministic, unlike
+    * the classic randomized-order LPA. Runs a FIXED number of rounds
+    * (convergence is not required and sync LPA can 2-cycle on
+    * bipartite structures — star centers/leaves swap forever; the
+    * fixed-round output is still a deterministic function of the
+    * graph, which is what an oracle-checked engine needs). The
+    * communities this PRODUCES are exactly what [[modularity]] grades.
+    *
+    * Plan: per superstep, one keyed join (edges ⋈ labels), one
+    * (node,label) count aggregation, one per-node window over the
+    * label-count frame (bounded by the node's distinct neighbor
+    * labels ≤ degree). Lineage cut per superstep via [[Ckpt.cut]] —
+    * `checkpointDir` switches executor-pinned localCheckpoint to
+    * reliable checkpoints for the 1000-executor posture.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"labelPropagation: rounds in [1, 20] (got $rounds)")
+    val e = Ckpt.cut(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+        .unionByName(edges.select(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val pick = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label"))
+      labels = Ckpt.cut(votes
+        .withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label")), checkpointDir)
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("community"),
+        col("community_size"))
       .orderBy("node")
   }
 

@@ -1874,6 +1874,34 @@ private[graft] object AnalyticsOracleSql {
     },
 
 
+    // deterministic sync LPA: 4 unrolled supersteps, each = neighbor
+    // label counts + (count DESC, label ASC) pick — integer-only, so
+    // the replay is exact; community sizes off the final round
+    "q_label_propagation" -> {
+      val steps = (1 to 4).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT e.src AS node, l.label,
+               count(*) AS c
+             FROM e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+      l$i AS MATERIALIZED (SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, label) AS rn FROM v$i)
+            WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH base AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+              l_suppkey AS sk FROM lineitem),
+      e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+            FROM base a JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+      $steps,
+      sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+             FROM l4 GROUP BY 1)
+      SELECT l4.node AS s_suppkey, l4.label AS community,
+             sz.community_size
+      FROM l4 JOIN sz ON l4.label = sz.label
+      ORDER BY s_suppkey"""
+    },
+
     // HITS: 4 unrolled supersteps, scores on the 1e-9 integer lattice —
     // each half-step is an exact BIGINT fold plus ONE correctly-rounded
     // division, so DuckDB replays the recursion bit-for-bit

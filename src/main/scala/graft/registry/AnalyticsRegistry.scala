@@ -749,6 +749,13 @@ object AnalyticsRegistry {
       // degree-preserving rewiring? Newman Q by s_nationkey partition
       Graph.modularity(Shared.coOrderEdges(s, dir), "src", "dst",
         Tables.supplier(s, dir), "s_suppkey", "s_nationkey")),
+    "q_label_propagation" -> ((s, dir) =>
+      // deterministic sync LPA (most-frequent neighbor label, min-label
+      // ties, 4 fixed supersteps) — PRODUCES the communities q_modularity
+      // grades; per-node community + its size
+      Graph.labelPropagation(Shared.coOrderEdges(s, dir), "src", "dst",
+          rounds = 4)
+        .withColumnRenamed("node", "s_suppkey")),
     "q_uplift_qini" -> ((s, dir) =>
       // does targeting by activity concentrate incremental conversions?
       // per-quintile treated/control rates + cumulative Qini over the

@@ -218,4 +218,34 @@ class GraphSpec extends SparkSpec {
       checkpointDir = Some(dir)).collect().toSeq
     assert(hLocal == hRel)
   }
+
+  test("labelPropagation: disjoint triangles converge to their min id; " +
+      "a star 2-cycles deterministically at fixed rounds") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(tri, "src", "dst", rounds = 4)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size")))
+      .toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == (1L, 3L)))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == (10L, 3L)))
+    // star 20-(21,22,23): sync LPA 2-cycles center<->leaves; at even
+    // rounds the center holds 20 and the leaves hold 21 (min leaf)
+    val star = Seq((20L, 21L), (20L, 22L), (20L, 23L)).toDF("src", "dst")
+    val s = Graph.labelPropagation(star, "src", "dst", rounds = 4)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size")))
+      .toMap
+    assert(s(20L) == (20L, 1L))
+    assert(Seq(21L, 22L, 23L).forall(s(_) == (21L, 3L)))
+    // reliable-checkpoint path is bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("lpa_ckpt")
+      .toString
+    val rel = Graph.labelPropagation(tri, "src", "dst", rounds = 4,
+      checkpointDir = Some(dir)).collect().toSeq
+    val loc = Graph.labelPropagation(tri, "src", "dst", rounds = 4)
+      .collect().toSeq
+    assert(rel == loc)
+  }
 }
