@@ -322,6 +322,61 @@ object Stats {
       .drop("__fv")
   }
 
+  /** Half-life time-decayed sum per key at a DECLARED as-of date — the
+    * classic feature-store recency feature ("revenue, halved every H
+    * days of age") next to [[ewmaFeatures]]'s per-event trailing form.
+    * Age buckets are floor(Δdays / H), so the weight is exactly 2^−k —
+    * and the decay is PURE INTEGER arithmetic: each centi value is
+    * half-up shifted ((v + 2^(k−1)) div 2^k), committed to the lattice
+    * BEFORE the per-key sum, making the fold order-free and exact (no
+    * pow(), whose cross-engine rounding is not guaranteed). Buckets
+    * past 48 half-lives round to 0 by construction (2⁻⁴⁸ of a centi
+    * value is < 10⁻⁸ dollars).
+    *
+    * Requires non-negative values (the half-up shift and an engine's
+    * floor-vs-truncate integer division only agree on positives) —
+    * fail-loud guarded in the plan. Events after the as-of date are
+    * excluded (a feature must not see the future — the
+    * [[Sampling]]-family leakage rule).
+    *
+    * Plan: one filtered scan, one per-key aggregation. No window, no
+    * sort.
+    */
+  def decayedSum(df: DataFrame, keyCol: String, dateCol: Column,
+                 valueCol: String, asOf: String,
+                 halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1,
+      s"decayedSum: halfLifeDays >= 1 (got $halfLifeDays)")
+    val vc = round(col(valueCol) * 100, 0).cast("long")
+    val base = df
+      .filter(dateCol <= lit(asOf).cast("date") && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        // ANSI fail-loud: a negative value makes the shift semantics
+        // engine-dependent — raise instead of silently diverging
+        when(vc >= 0L, vc)
+          .otherwise(raise_error(lit(
+            "decayedSum: negative value — decay requires v >= 0")))
+          .as("__vc"),
+        floor(datediff(lit(asOf).cast("date"), dateCol).cast("double") /
+          lit(halfLifeDays.toDouble)).cast("int").as("__k"))
+      .withColumn("__t",
+        when(col("__k") >= 48, lit(0L))
+          .when(col("__k") === 0, col("__vc"))
+          .otherwise(expr("(__vc + shiftleft(CAST(1 AS BIGINT), " +
+            "__k - 1)) DIV shiftleft(CAST(1 AS BIGINT), __k)")))
+    base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__vc")).as("__raw"),
+        sum(col("__t")).as("__dec"))
+      .select(col(keyCol), col("n_events"),
+        round(col("__raw") / lit(100.0), 2).as("raw_sum"),
+        round(col("__dec") / lit(100.0), 2).as("decayed_sum"),
+        round(when(col("__raw") > 0,
+          col("__dec").cast("double") / col("__raw").cast("double")), 6)
+          .as("decay_ratio"))
+      .orderBy(keyCol)
+  }
+
   /** IQR outlier report per group: exact quartiles, Tukey fences at
     * 1.5·IQR, and the count outside them. Two passes — a per-group
     * quantile aggregate, then a broadcast join back to count offenders —

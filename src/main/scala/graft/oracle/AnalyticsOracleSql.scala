@@ -4964,6 +4964,35 @@ private[graft] object AnalyticsOracleSql {
              d AS trough_date
       FROM s2 WHERE rn = 1 ORDER BY o_orderpriority""",
 
+    // half-life decayed per-user revenue at the declared as-of: age
+    // bucket k = floor(days/7), weight 2^-k applied as a half-up
+    // INTEGER shift before the fold — order-free, pow()-free
+    "q_decayed_features" -> """
+      WITH b AS (SELECT user_id,
+              CAST(round(value * 100, 0) AS BIGINT) AS vc,
+              CAST(floor(CAST((DATE '2024-01-31' - CAST(ts AS DATE))
+                AS DOUBLE) / 7.0) AS INTEGER) AS k
+            FROM events
+            WHERE CAST(ts AS DATE) <= DATE '2024-01-31'
+              AND value IS NOT NULL),
+      t AS (SELECT user_id, vc,
+              CASE WHEN k >= 48 THEN 0
+                   WHEN k = 0 THEN vc
+                   ELSE (vc + (CAST(1 AS BIGINT) << (k - 1)))
+                     // (CAST(1 AS BIGINT) << k) END AS tv
+            FROM b),
+      g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(vc) AS BIGINT) AS raw,
+              CAST(sum(tv) AS BIGINT) AS dsum
+            FROM t GROUP BY 1)
+      SELECT user_id, n_events,
+             round(raw / 100.0, 2) AS raw_sum,
+             round(dsum / 100.0, 2) AS decayed_sum,
+             round(CASE WHEN raw > 0 THEN
+               CAST(dsum AS DOUBLE) / CAST(raw AS DOUBLE) END, 6)
+               AS decay_ratio
+      FROM g ORDER BY user_id""",
+
     // grid-bucketed nearest site: the oracle replays the SEMANTICS
     // (nearest supplier with exact integer dist^2 <= r^2, ties by site
     // id, unmatched kept as NULL) by brute force — the Spark side's

@@ -803,6 +803,13 @@ object AnalyticsRegistry {
       // lane, trough pinned by (drawdown desc, date asc) total order
       Stats.maxDrawdown(Tables.orders(s, dir), "o_orderpriority",
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_decayed_features" -> ((s, dir) =>
+      // the feature-store recency feature: per-user revenue halved
+      // every 7 days of age at the 2024-01-31 as-of — pure-integer
+      // half-up shifts, order-free exact fold, no pow()
+      Stats.decayedSum(Tables.events(s, dir), "user_id",
+        to_date(col("ts")), "value", asOf = "2024-01-31",
+        halfLifeDays = 7)),
     "q_geo_nearest" -> ((s, dir) =>
       // nearest supplier site within radius 0.08 for every customer on
       // the hash-synthesized [0,1]^2 map: bounded 9-cell fan-out

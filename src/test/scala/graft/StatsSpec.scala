@@ -2195,4 +2195,32 @@ class StatsSpec extends SparkSpec {
     // all-zero drawdowns tie -> earliest day wins the pick
     assert(b.getAs[java.sql.Date]("trough_date") == d(1))
   }
+
+  test("decayedSum: pure-integer half-life shifts replay the hand fold; " +
+      "future rows excluded; negative values fail loud") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(
+      (1L, d("2024-01-31"), 10.01), // k=0 -> 1001
+      (1L, d("2024-01-24"), 10.01), // k=1 -> (1001+1) div 2 = 501
+      (1L, d("2024-01-10"), 10.01), // delta 21, k=3 -> (1001+4) div 8 = 125
+      (1L, d("2024-02-05"), 99.0),  // after as-of -> excluded
+      (2L, d("2024-01-31"), 5.0)
+    ).toDF("u", "dt", "v")
+    val out = Stats.decayedSum(rows, "u", col("dt"), "v",
+      asOf = "2024-01-31", halfLifeDays = 7)
+      .collect().map(r => r.getAs[Long]("u") -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Long]("n_events") == 3L)
+    assert(a.getAs[Double]("raw_sum") == 30.03)
+    assert(a.getAs[Double]("decayed_sum") == 16.27)
+    assert(a.getAs[Double]("decay_ratio") == 0.541792)
+    assert(out(2L).getAs[Double]("decayed_sum") == 5.0)
+    assert(out(2L).getAs[Double]("decay_ratio") == 1.0)
+    val neg = Seq((1L, d("2024-01-31"), -1.0)).toDF("u", "dt", "v")
+    intercept[Exception] {
+      Stats.decayedSum(neg, "u", col("dt"), "v", "2024-01-31", 7)
+        .collect()
+    }
+  }
 }
