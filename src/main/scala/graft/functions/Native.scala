@@ -242,6 +242,89 @@ object Native {
     override def prettyName: String = "unigram_segment"
   }
 
+  /** WordPiece-style greedy longest-match tokenization: per word,
+    * repeatedly take the LONGEST vocabulary piece matching at the
+    * current position — word-initial pieces from `initials`,
+    * continuation pieces (emitted with the "##" prefix) from `conts`.
+    * The vocabulary is trained on the same corpus with all single
+    * characters force-included ([[graft.ops.Bpe.wordPieceVocab]]), so
+    * a match always exists there; any out-of-vocabulary character
+    * FAILS LOUD instead of emitting a silent [UNK] (the sweepExact
+    * guard precedent — an engine that silently degrades token counts
+    * poisons every downstream fertility metric).
+    *
+    * Greedy maxmatch is the canonical WordPiece inference (Devlin et
+    * al. 2019 §B; the trainer here is frequency-ranked rather than
+    * likelihood-ranked — documented simplification). Completes the
+    * tokenizer triad next to [[BpeEncode]] (merge-order) and
+    * [[UnigramSegment]] (Viterbi).
+    */
+  case class WordPieceEncode(child: Expression, initials: Seq[String],
+                             conts: Seq[String], maxPieceLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(initials.nonEmpty && conts.nonEmpty,
+      "wordpiece_encode: empty vocabulary")
+    require(maxPieceLen >= 1, "wordpiece_encode: maxPieceLen >= 1")
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val initSet = {
+      val s = new java.util.HashSet[String]()
+      initials.foreach(s.add); s
+    }
+    @transient private lazy val contSet = {
+      val s = new java.util.HashSet[String]()
+      conts.foreach(s.add); s
+    }
+    @transient private lazy val memo =
+      new java.util.HashMap[String, Array[UTF8String]]()
+
+    private def encodeWord(w: String): Array[UTF8String] = {
+      val hit = memo.get(w)
+      if (hit != null) return hit
+      val out = Array.newBuilder[UTF8String]
+      var pos = 0
+      while (pos < w.length) {
+        var l = math.min(maxPieceLen, w.length - pos)
+        var matched = -1
+        while (l >= 1 && matched < 0) {
+          val piece = w.substring(pos, pos + l)
+          val inVocab =
+            if (pos == 0) initSet.contains(piece)
+            else contSet.contains(piece)
+          if (inVocab) matched = l else l -= 1
+        }
+        if (matched < 0)
+          throw new IllegalStateException(
+            s"wordpiece_encode: no piece matches '$w' at $pos — " +
+              "vocabulary not trained on this corpus")
+        val piece = w.substring(pos, pos + matched)
+        out += UTF8String.fromString(
+          if (pos == 0) piece else "##" + piece)
+        pos += matched
+      }
+      val arr = out.result()
+      if (memo.size < 65536) memo.put(w, arr)
+      arr
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val words = s.toLowerCase.trim.split("\\s+")
+      val out = Array.newBuilder[UTF8String]
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) out ++= encodeWord(words(i))
+        i += 1
+      }
+      new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "wordpiece_encode"
+  }
+
   /** Banded (Ukkonen) Levenshtein: the edit distance IF it is ≤ `k`,
     * NULL otherwise — the fuzzy-match filter+distance in one expression.
     * The full DP the builtin `levenshtein` runs is O(|s|·|t|) per pair;
@@ -852,4 +935,8 @@ object Native {
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     toCol(WinnowFingerprints(toExpr(text), k, w))
+
+  def wordpiece_encode(text: Column, initials: Seq[String],
+                       conts: Seq[String], maxPieceLen: Int): Column =
+    toCol(WordPieceEncode(toExpr(text), initials, conts, maxPieceLen))
 }

@@ -250,4 +250,106 @@ object Bpe {
         col("roundtrip_ok"))
       .orderBy(col(idCol))
   }
+
+  // -------------------------------------------------------------------
+  // WordPiece (greedy longest-match) — the third tokenizer of the triad
+  // -------------------------------------------------------------------
+
+  /** Frequency-ranked WordPiece-style vocabulary: the top `topK`
+    * word-INITIAL substrings and top `topK` CONTINUATION substrings
+    * (length ≤ `maxPieceLen`, weighted by word frequency, ties by piece
+    * string), with every corpus single character force-included in both
+    * forms so greedy maxmatch always terminates. The canonical WordPiece
+    * trainer ranks merges by likelihood gain; frequency ranking is the
+    * deterministic, one-pass, SQL-replayable stand-in (documented
+    * simplification — inference is the standard greedy maxmatch either
+    * way).
+    *
+    * Scale posture: substring explosion runs on the DISTINCT-WORD grain
+    * (bounded by Heaps' law, not corpus size) with fan-out ≤
+    * len·maxPieceLen per word; the two driver-side collects are
+    * top-K/alphabet bounded by construction.
+    *
+    * Returns (initial pieces, continuation pieces), each sorted.
+    */
+  def wordPieceVocab(docs: DataFrame, textCol: String,
+                     maxPieceLen: Int = 6,
+                     topK: Int = 64): (Seq[String], Seq[String]) = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"wordPieceVocab: maxPieceLen in [1,16] (got $maxPieceLen)")
+    require(topK >= 1 && topK <= 4096,
+      s"wordPieceVocab: topK in [1,4096] (got $topK)")
+    val ranked = wordPieceVocabDf(docs, textCol, maxPieceLen, topK)
+      .collect()
+    val (cont, init) = ranked.partition(_.getAs[Boolean]("is_continuation"))
+    (init.map(_.getAs[String]("piece")).toSeq.sorted,
+      cont.map(_.getAs[String]("piece")).toSeq.sorted)
+  }
+
+  /** The trained WordPiece vocabulary as a DataFrame — one row per
+    * (piece, form) with its corpus frequency; the oracle-checkable
+    * artifact behind [[wordPieceVocab]].
+    */
+  def wordPieceVocabDf(docs: DataFrame, textCol: String,
+                       maxPieceLen: Int = 6, topK: Int = 64): DataFrame = {
+    val words = docs
+      .select(explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val pieces = words
+      .select(col("w"), col("f"),
+        explode(expr("sequence(0, length(w) - 1)")).as("i"))
+      .select(col("f"), col("i"),
+        explode(expr(s"sequence(1, least($maxPieceLen, " +
+          "length(w) - i))")).as("l"),
+        col("w"))
+      .select(expr("substr(w, i + 1, l)").as("piece"),
+        (col("i") > 0).as("is_continuation"), col("f"), col("l"))
+    val freq = pieces.groupBy(col("piece"), col("is_continuation"))
+      .agg(sum(col("f")).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("is_continuation"))
+      .orderBy(col("freq").desc, col("piece"))
+    val top = freq.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK).drop("__rn")
+    // force-include every single character in both forms (coverage)
+    val chars = freq.filter(length(col("piece")) === 1)
+    top.unionByName(chars)
+      .groupBy(col("piece"), col("is_continuation"))
+      .agg(max(col("freq")).as("freq"))
+      .orderBy(col("is_continuation"), col("piece"))
+  }
+
+  /** Per-document WordPiece statistics under a trained vocabulary:
+    * word count, greedy-maxmatch token count, fertility. Fails loud on
+    * words longer than `maxWordLen` (the oracle replays maxmatch as a
+    * fixed-depth unroll — a longer word means the corpus changed under
+    * the declared bound and the query must not silently diverge).
+    *
+    * Plan: one narrow projection per document (the native
+    * [[graft.functions.Native.WordPieceEncode]] expression, per-word
+    * memoized); no shuffle before the final doc-grain aggregation.
+    */
+  def wordPieceStats(docs: DataFrame, idCol: String, textCol: String,
+                     initials: Seq[String], conts: Seq[String],
+                     maxPieceLen: Int = 6,
+                     maxWordLen: Int = 12): DataFrame = {
+    val t = col(textCol)
+    val wordsArr = filter(split(trim(lower(t)), "\\s+"), w => w =!= "")
+    val guarded = when(
+      aggregate(wordsArr, lit(0),
+        (acc, w) => greatest(acc, length(w))) <= maxWordLen, t)
+      .otherwise(raise_error(lit(
+        s"wordPieceStats: word longer than $maxWordLen — oracle unroll " +
+          "bound violated")))
+    val toks = Native.wordpiece_encode(guarded, initials, conts,
+      maxPieceLen)
+    docs.select(col(idCol), size(wordsArr).as("n_words"),
+        size(toks).as("n_tokens"))
+      .filter(col("n_words") > 0)
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6))
+      .orderBy(col(idCol))
+  }
 }

@@ -1364,4 +1364,56 @@ private[graft] object OracleShared {
 
   def bpeSql(select: String): String =
     s"\n      WITH $bpeCtes\n      $select"
+
+  /** WordPiece trainer + greedy-maxmatch replay: frequency-ranked
+    * vocabulary on the distinct-word grain (top-64 per form + forced
+    * single characters; ties freq DESC, piece ASC — mirrors
+    * `Bpe.wordPieceVocabDf`), then maxmatch unrolled to a fixed depth
+    * of 12 (each step consumes ≥ 1 character; the Spark side fail-loud
+    * guards word length ≤ 12, so depth 12 always finishes). The greedy
+    * "longest piece matching here" is the correlated
+    * max(length(piece)) — single chars are force-included so it never
+    * returns NULL.
+    */
+  lazy val wordPieceCtes: String = {
+    val steps = (1 to 12).map { i =>
+      s"""wps$i AS (SELECT w,
+            CASE WHEN pos >= length(w) THEN pos ELSE pos + (
+              SELECT max(length(v.piece)) FROM wpv v
+              WHERE v.is_continuation = (pos > 0)
+                AND v.piece = substr(w, pos + 1, length(v.piece))) END
+              AS pos,
+            CASE WHEN pos >= length(w) THEN ntok ELSE ntok + 1 END
+              AS ntok
+          FROM wps${i - 1})"""
+    }.mkString(",\n      ")
+    s"""wpw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT unnest(list_filter(string_split_regex(
+              trim(lower(text)), '\\s+'), t -> t <> '')) AS w
+              FROM documents) GROUP BY w),
+      wpp AS (SELECT substr(w, i + 1, l) AS piece,
+              i > 0 AS is_continuation, f
+            FROM (SELECT w, f, i,
+                    unnest(range(1, least(6, length(w) - i) + 1)) AS l
+                  FROM (SELECT w, f, unnest(range(0, length(w))) AS i
+                        FROM wpw))),
+      wpf AS (SELECT piece, is_continuation,
+              CAST(sum(f) AS BIGINT) AS freq
+            FROM wpp GROUP BY 1, 2),
+      wpv AS MATERIALIZED (SELECT piece, is_continuation,
+              CAST(max(freq) AS BIGINT) AS freq FROM (
+              SELECT piece, is_continuation, freq FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY is_continuation
+                  ORDER BY freq DESC, piece) AS rn FROM wpf)
+              WHERE rn <= 64
+              UNION ALL
+              SELECT piece, is_continuation, freq FROM wpf
+              WHERE length(piece) = 1) GROUP BY 1, 2),
+      wps0 AS (SELECT w, 0 AS pos, 0 AS ntok FROM wpw),
+      $steps"""
+  }
+
+  def wordPieceSql(select: String): String =
+    s"\n      WITH $wordPieceCtes\n      $select"
 }

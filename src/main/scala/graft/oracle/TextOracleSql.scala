@@ -1164,6 +1164,29 @@ private[graft] object TextOracleSql {
 
     // unigram degenerate anchor: single-char pieces => token count =
     // non-whitespace character count (ASCII corpus: chars = code points)
+    // WordPiece vocabulary: top-64 per form + forced single chars —
+    // trainer replayed verbatim (substr explode on the distinct-word
+    // grain, freq DESC / piece ASC ranks)
+    "x_wordpiece_vocab" -> wordPieceSql("""
+      SELECT piece, is_continuation, freq FROM wpv
+      ORDER BY is_continuation, piece"""),
+
+    // per-doc greedy-maxmatch token stats: the unrolled 12-step replay
+    // produces per-word token counts; docs re-explode to word
+    // occurrences and fold
+    "x_wordpiece_tokens" -> wordPieceSql(s"""
+      SELECT doc_id, n_words, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS fertility
+      FROM (SELECT d.doc_id, CAST(count(*) AS INTEGER) AS n_words,
+              CAST(sum(t.ntok) AS INTEGER) AS n_tokens
+            FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+                    trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+                  FROM documents) d
+            JOIN wps12 t ON d.w = t.w
+            GROUP BY 1)
+      ORDER BY doc_id"""),
+
     "x_unigram_chars" -> """
       WITH w AS (
         SELECT doc_id,

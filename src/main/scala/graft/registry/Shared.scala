@@ -56,4 +56,15 @@ private[graft] object Shared {
     unigramCache.computeIfAbsent(dir, _ =>
       Unigram.trainDistributed(Tables.documents(s, dir), "text",
         vocabSize = 200, rounds = 2, maxPieceLen = 4))
+
+  /** Trained WordPiece vocabulary per corpus dir — the [[bpeMerges]]
+    * pattern for the third tokenizer family.
+    */
+  private val wordPieceCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Seq[String])]()
+  private[graft] def wordPieceTables(
+      s: SparkSession, dir: String): (Seq[String], Seq[String]) =
+    wordPieceCache.computeIfAbsent(dir, _ =>
+      Bpe.wordPieceVocab(Tables.documents(s, dir), "text",
+        maxPieceLen = 6, topK = 64))
 }

@@ -215,6 +215,20 @@ object TextRegistry {
         pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
         goldCol = "lang", predCol = "predicted_lang")
     }),
+    "x_wordpiece_vocab" -> ((s, dir) =>
+      // the third tokenizer family: frequency-ranked WordPiece pieces
+      // (top-64 initial + top-64 continuation + forced single chars),
+      // trained on the distinct-word grain — fully SQL-replayable
+      Bpe.wordPieceVocabDf(Tables.documents(s, dir), "text",
+        maxPieceLen = 6, topK = 64)),
+    "x_wordpiece_tokens" -> ((s, dir) => {
+      // per-doc greedy-maxmatch token stats under the trained vocab;
+      // the oracle replays maxmatch as a fixed-depth unroll over the
+      // distinct-word grain (fail-loud guard on the unroll bound)
+      val (init, cont) = wordPieceTables(s, dir)
+      Bpe.wordPieceStats(Tables.documents(s, dir), "doc_id", "text",
+        init, cont, maxPieceLen = 6, maxWordLen = 12)
+    }),
     "x_unigram_tokens" -> ((s, dir) =>
       // the second tokenizer family: hard-EM (Viterbi) unigram-LM pieces
       // (Kudo 2018), trained once per corpus; per-doc token stats under

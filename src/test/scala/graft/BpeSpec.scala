@@ -159,4 +159,44 @@ class BpeSpec extends SparkSpec {
     val out = Bpe.tokenStats(docs, "doc_id", "text", Nil)
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("wordPieceVocab: trainer replays the hand count (top-k per form " +
+      "by freq desc / piece asc, single chars force-included)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc ab c")).toDF("doc_id", "text")
+    val (init, cont) = Bpe.wordPieceVocab(docs, "text",
+      maxPieceLen = 2, topK = 1)
+    // initial: a(2) beats ab(2) on the piece-asc tie; chars a, c forced
+    assert(init == Seq("a", "c"))
+    // continuation: b(2) tops; chars b, c forced
+    assert(cont == Seq("b", "c"))
+  }
+
+  test("wordPieceStats: greedy maxmatch counts replay the hand encode; " +
+      "over-long words and out-of-vocab characters fail loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc ab c")).toDF("doc_id", "text")
+    val (init, cont) = Bpe.wordPieceVocab(docs, "text",
+      maxPieceLen = 2, topK = 1)
+    val out = Bpe.wordPieceStats(docs, "doc_id", "text", init, cont,
+      maxPieceLen = 2, maxWordLen = 12).collect().head
+    // abc -> a ##b ##c (3), ab -> a ##b (2), c -> c (1)
+    assert(out.getAs[Int]("n_words") == 3)
+    assert(out.getAs[Int]("n_tokens") == 6)
+    assert(out.getAs[Double]("fertility") == 2.0)
+    // direct encode spot check including the ## continuation marks
+    val toks = docs.select(graft.functions.Native.wordpiece_encode(
+        col("text"), init, cont, 2).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("a", "##b", "##c", "a", "##b", "c"))
+    intercept[Exception] {
+      Bpe.wordPieceStats(
+        Seq((1L, "abcdefghabcdefgh")).toDF("doc_id", "text"),
+        "doc_id", "text", init, cont, 2, maxWordLen = 12).collect()
+    }
+    intercept[Exception] {
+      Bpe.wordPieceStats(Seq((1L, "xyz")).toDF("doc_id", "text"),
+        "doc_id", "text", init, cont, 2, maxWordLen = 12).collect()
+    }
+  }
 }
