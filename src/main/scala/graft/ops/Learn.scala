@@ -487,4 +487,112 @@ object Learn {
         Window.orderBy(col("strength").desc, col("player"))).cast("long"))
       .orderBy("rank")
   }
+
+  /** RANSAC line fit with HASH-SEEDED minimal samples — the robust
+    * regression that survives gross outliers OLS and even Theil–Sen
+    * (breakdown 29%) cannot: `arms` deterministic "random" 2-point
+    * samples (per arm, the corpus argmin/argmax of a per-arm u01 hash
+    * — the [[graft.ops.Gen.u01]] recipe with channel 301+arm, so any
+    * engine replays the draw), each proposing the line through its
+    * pair; the consensus arm is the one with the most inliers
+    * (|residual| ≤ eps, ties to the smaller arm), and the answer is
+    * the exact OLS refit on that arm's inliers, with the naive
+    * full-data OLS beside it for contrast.
+    *
+    * Determinism: x/y live on centi lattices; the sample pick is an
+    * exact (hash, id) total order; each candidate line and residual is
+    * a fixed double tree over lattice ints (boundary ties at eps are
+    * still engine-identical — same IEEE ops, same order); the refit
+    * uses exact decimal sums.
+    *
+    * Plan: one ×`arms` NARROW fan-out feeding a map-side-combined
+    * `arms`-row aggregate (sample pick), one broadcast of the `arms`
+    * candidate lines back over the corpus for the inlier counts
+    * (again map-side to `arms` rows), one broadcast of the winning
+    * line for the refit fold. Cost ∝ arms·n CPU with shuffles of
+    * O(arms) rows only; no corpus sort, no collect.
+    */
+  def ransacLine(df: DataFrame, idCol: String, xCol: String, yCol: String,
+                 eps: Double, arms: Int = 64): DataFrame = {
+    require(arms >= 1 && arms <= 256, s"ransacLine: arms in [1,256]")
+    require(eps > 0, s"ransacLine: eps > 0 (got $eps)")
+    val M = 2147483647L
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      round(col(xCol) * 100, 0).cast("long").as("__x"),
+      round(col(yCol) * 100, 0).cast("long").as("__y"))
+    // per-arm u01: Gen.u01 with channel 301+b, b a COLUMN
+    def armHash(b: Column): Column = {
+      val h1 = (col("__id") + (lit(301L) + b) * 1000003L) % M
+      val h2 = (h1 * 48271L) % M
+      val h3 = (h2 * 48271L) % M
+      (h3 + 1L).cast("double") / M.toDouble
+    }
+    val fan = base
+      .withColumn("__b", explode(expr(s"sequence(0, ${arms - 1})")))
+      .withColumn("__h", armHash(col("__b").cast("long")))
+    val picks = fan.groupBy(col("__b"))
+      .agg(min(struct(col("__h"), col("__id"), col("__x"), col("__y")))
+          .as("__p1"),
+        max(struct(col("__h"), col("__id"), col("__x"), col("__y")))
+          .as("__p2"))
+      .select(col("__b"),
+        col("__p1.__x").as("x1"), col("__p1.__y").as("y1"),
+        col("__p2.__x").as("x2"), col("__p2.__y").as("y2"))
+      .withColumn("__ok", col("x2") =!= col("x1"))
+      .withColumn("__m", when(col("__ok"),
+        (col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")))
+    // inlier counts: every row scores all arms (broadcast lines)
+    val epsC = eps * 100.0
+    val scored = base.crossJoin(broadcast(picks))
+      .withColumn("__resid",
+        col("__y").cast("double") - (col("y1").cast("double") +
+          col("__m") * (col("__x") - col("x1")).cast("double")))
+      .groupBy(col("__b"), col("__m"), col("x1"), col("y1"))
+      .agg(count(when(col("__ok") && abs(col("__resid")) <= epsC,
+        lit(1))).as("__inl"))
+    val best = scored
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__inl").desc, col("__b"))))
+      .filter(col("__rn") === 1)
+      .select(col("__b").as("best_arm"), col("__m"), col("x1"),
+        col("y1"), col("__inl"))
+    // exact OLS refit on the winning arm's inliers + naive full OLS
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tagged = base.crossJoin(broadcast(best))
+      .withColumn("__in", abs(col("__y").cast("double") -
+        (col("y1").cast("double") +
+          col("__m") * (col("__x") - col("x1")).cast("double"))) <= epsC)
+    def sums(flag: Column, tag: String) = Seq(
+      count(when(flag, lit(1))).as(s"n$tag"),
+      coalesce(sum(when(flag, col("__x"))), lit(0L)).as(s"sx$tag"),
+      coalesce(sum(when(flag, col("__y"))), lit(0L)).as(s"sy$tag"),
+      coalesce(sum(when(flag, dec(col("__x")) * col("__y"))),
+        lit(0L).cast("decimal(38,0)")).as(s"sxy$tag"),
+      coalesce(sum(when(flag, dec(col("__x")) * col("__x"))),
+        lit(0L).cast("decimal(38,0)")).as(s"sxx$tag"))
+    val allSums = sums(col("__in"), "i") ++ sums(lit(true), "a") ++
+      Seq(min(col("best_arm")).as("best_arm"))
+    val f = tagged.agg(allSums.head, allSums.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def fit(tag: String): (Column, Column, Column) = {
+      val nD = d(s"n$tag")
+      val cxy = d(s"sxy$tag") - d(s"sx$tag") * d(s"sy$tag") / nD
+      val cxx = d(s"sxx$tag") - d(s"sx$tag") * d(s"sx$tag") / nD
+      val ok = col(s"n$tag") >= 2 && cxx > 0
+      val slope = cxy / cxx
+      val icept = d(s"sy$tag") / nD - slope * (d(s"sx$tag") / nD)
+      (when(ok, slope), when(ok, icept / 100.0), ok)
+    }
+    val (mi, ai, _) = fit("i")
+    val (ma, aa, _) = fit("a")
+    f.select(col("best_arm"), col("na").as("n"),
+      col("ni").as("n_inliers"),
+      round(col("ni").cast("double") / col("na").cast("double"), 6)
+        .as("inlier_share"),
+      round(mi, 6).as("ransac_slope"),
+      round(ai, 6).as("ransac_intercept"),
+      round(ma, 6).as("ols_slope"),
+      round(aa, 6).as("ols_intercept"))
+  }
 }

@@ -4964,6 +4964,88 @@ private[graft] object AnalyticsOracleSql {
              d AS trough_date
       FROM s2 WHERE rn = 1 ORDER BY o_orderpriority""",
 
+    // RANSAC: 64 hash-seeded 2-point samples (per arm: corpus
+    // argmin/argmax of the channel-(301+arm) u01 — replayed exactly),
+    // consensus by inlier count at eps centi 2e6, exact-lattice OLS
+    // refit on the winning inliers; every double tree mirrored
+    "q_ransac_fit" -> """
+      WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+              CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+            FROM lineitem),
+      fan AS (SELECT b.id, b.x, b.y, g.arm,
+              CAST(((((b.id + (301 + g.arm) * 1000003) % 2147483647)
+                * 48271 % 2147483647) * 48271 % 2147483647) + 1
+                AS DOUBLE) / 2147483647.0 AS h
+            FROM b, (SELECT unnest(range(0, 64)) AS arm) g),
+      p1 AS (SELECT arm, x AS x1, y AS y1 FROM (
+              SELECT arm, x, y, row_number() OVER (PARTITION BY arm
+                ORDER BY h, id) AS rn FROM fan) WHERE rn = 1),
+      p2 AS (SELECT arm, x AS x2, y AS y2 FROM (
+              SELECT arm, x, y, row_number() OVER (PARTITION BY arm
+                ORDER BY h DESC, id DESC) AS rn FROM fan) WHERE rn = 1),
+      ln AS (SELECT p1.arm, x1, y1, x2, y2, x2 <> x1 AS ok,
+              CASE WHEN x2 <> x1 THEN CAST(y2 - y1 AS DOUBLE)
+                / CAST(x2 - x1 AS DOUBLE) END AS m
+            FROM p1 JOIN p2 ON p1.arm = p2.arm),
+      sc AS (SELECT l.arm, l.m, l.x1, l.y1,
+              CAST(count(CASE WHEN l.ok AND abs(CAST(b.y AS DOUBLE)
+                - (CAST(l.y1 AS DOUBLE)
+                   + l.m * CAST(b.x - l.x1 AS DOUBLE))) <= 2000000.0
+                THEN 1 END) AS BIGINT) AS inl
+            FROM b CROSS JOIN ln l GROUP BY 1, 2, 3, 4),
+      bst AS (SELECT * FROM (SELECT *, row_number() OVER (
+              ORDER BY inl DESC, arm) AS rn FROM sc) WHERE rn = 1),
+      tg AS (SELECT b.x, b.y, t.arm,
+              abs(CAST(b.y AS DOUBLE) - (CAST(t.y1 AS DOUBLE)
+                + t.m * CAST(b.x - t.x1 AS DOUBLE))) <= 2000000.0
+                AS isin
+            FROM b CROSS JOIN bst t),
+      f AS (SELECT CAST(min(arm) AS INTEGER) AS best_arm,
+              CAST(count(*) AS BIGINT) AS na,
+              CAST(coalesce(sum(x), 0) AS BIGINT) AS sxa,
+              CAST(coalesce(sum(y), 0) AS BIGINT) AS sya,
+              CAST(coalesce(sum(x * y), 0) AS BIGINT) AS sxya,
+              CAST(coalesce(sum(x * x), 0) AS BIGINT) AS sxxa,
+              CAST(count(CASE WHEN isin THEN 1 END) AS BIGINT) AS ni,
+              CAST(coalesce(sum(CASE WHEN isin THEN x END), 0)
+                AS BIGINT) AS sxi,
+              CAST(coalesce(sum(CASE WHEN isin THEN y END), 0)
+                AS BIGINT) AS syi,
+              CAST(coalesce(sum(CASE WHEN isin THEN x * y END), 0)
+                AS BIGINT) AS sxyi,
+              CAST(coalesce(sum(CASE WHEN isin THEN x * x END), 0)
+                AS BIGINT) AS sxxi
+            FROM tg),
+      t2 AS (SELECT *,
+              CAST(sxyi AS DOUBLE) - CAST(sxi AS DOUBLE)
+                * CAST(syi AS DOUBLE) / CAST(ni AS DOUBLE) AS cxyi,
+              CAST(sxxi AS DOUBLE) - CAST(sxi AS DOUBLE)
+                * CAST(sxi AS DOUBLE) / CAST(ni AS DOUBLE) AS cxxi,
+              CAST(sxya AS DOUBLE) - CAST(sxa AS DOUBLE)
+                * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS cxya,
+              CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
+                * CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS cxxa
+            FROM f),
+      t3 AS (SELECT *,
+              ni >= 2 AND cxxi > 0 AS oki, na >= 2 AND cxxa > 0 AS oka,
+              cxyi / cxxi AS mi, cxya / cxxa AS ma
+            FROM t2)
+      SELECT best_arm, na AS n, ni AS n_inliers,
+             round(CAST(ni AS DOUBLE) / CAST(na AS DOUBLE), 6)
+               AS inlier_share,
+             round(CASE WHEN oki THEN mi END, 6) AS ransac_slope,
+             round(CASE WHEN oki THEN (CAST(syi AS DOUBLE)
+                 / CAST(ni AS DOUBLE) - mi * (CAST(sxi AS DOUBLE)
+                 / CAST(ni AS DOUBLE))) / 100.0 END, 6)
+               AS ransac_intercept,
+             round(CASE WHEN oka THEN ma END, 6) AS ols_slope,
+             round(CASE WHEN oka THEN (CAST(sya AS DOUBLE)
+                 / CAST(na AS DOUBLE) - ma * (CAST(sxa AS DOUBLE)
+                 / CAST(na AS DOUBLE))) / 100.0 END, 6)
+               AS ols_intercept
+      FROM t3""",
+
     // half-life decayed per-user revenue at the declared as-of: age
     // bucket k = floor(days/7), weight 2^-k applied as a half-up
     // INTEGER shift before the fold — order-free, pow()-free

@@ -803,6 +803,16 @@ object AnalyticsRegistry {
       // lane, trough pinned by (drawdown desc, date asc) total order
       Stats.maxDrawdown(Tables.orders(s, dir), "o_orderpriority",
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_ransac_fit" -> ((s, dir) =>
+      // robust price-vs-quantity line: 64 hash-seeded 2-point samples,
+      // consensus by inlier count at eps=$20k, exact OLS refit on the
+      // winning inliers with the naive full OLS beside it
+      Learn.ransacLine(
+        Tables.lineitem(s, dir).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+          col("l_quantity"), col("l_extendedprice")),
+        "rid", "l_quantity", "l_extendedprice", eps = 20000.0,
+        arms = 64)),
     "q_decayed_features" -> ((s, dir) =>
       // the feature-store recency feature: per-user revenue halved
       // every 7 days of age at the 2024-01-31 as-of — pure-integer

@@ -222,4 +222,23 @@ class LearnSpec extends SparkSpec {
       .filter(col("is_best")).collect().head
     assert(math.abs(exact.getAs[Double]("threshold") - 10.0) <= 2.0)
   }
+
+  test("ransacLine: consensus recovers the planted line exactly under " +
+      "gross outliers the naive OLS absorbs") {
+    import spark.implicits._
+    // 10 points exactly on y = 2x + 1, 3 gross outliers
+    val rows = (1 to 10).map(i => (i.toLong, i.toDouble, 2.0 * i + 1.0)) ++
+      Seq((11L, 1.0, 100.0), (12L, 2.0, -50.0), (13L, 3.0, 80.0))
+    val df = rows.toDF("rid", "x", "y")
+    val r = graft.ops.Learn.ransacLine(df, "rid", "x", "y",
+      eps = 0.5, arms = 64).collect().head
+    assert(r.getAs[Long]("n") == 13L)
+    assert(r.getAs[Long]("n_inliers") == 10L)
+    assert(r.getAs[Double]("inlier_share") == 0.769231)
+    assert(r.getAs[Double]("ransac_slope") == 2.0)
+    assert(r.getAs[Double]("ransac_intercept") == 1.0)
+    // the naive OLS is pulled off the truth by the outliers
+    assert(math.abs(r.getAs[Double]("ols_slope") - 2.0) > 0.5 ||
+      math.abs(r.getAs[Double]("ols_intercept") - 1.0) > 0.5)
+  }
 }
