@@ -878,6 +878,49 @@ object Eval {
   def holtWinters(df: DataFrame, dateCol: Column, valueCol: String,
                   alpha: Double = 0.25, beta: Double = 0.125,
                   gamma: Double = 0.25): DataFrame = {
+    val folded = hwFold(df, dateCol, valueCol, alpha, beta, gamma)
+    folded.select(explode(col("__f").getField("out")).as("r"))
+      .select(col("r.d").as("day"),
+        round(col("r.actual"), 6).as("actual"),
+        round(col("r.fitted"), 6).as("fitted"),
+        round(col("r.actual") - col("r.fitted"), 6).as("resid"))
+      .orderBy("day")
+  }
+
+  /** The h-step-ahead forecast off [[holtWinters]]' final state:
+    * ŷ(T+h) = level + h·trend + s[slot(T+h)] for h = 1..horizon — the
+    * actual forward readout (the per-day query shows the FIT; this one
+    * answers "what does next week look like"). Same bit-exact fold;
+    * the oracle reads the recursion's final row and steps the same
+    * projection tree.
+    */
+  def holtWintersForecast(df: DataFrame, dateCol: Column,
+                          valueCol: String, horizon: Int = 7,
+                          alpha: Double = 0.25, beta: Double = 0.125,
+                          gamma: Double = 0.25): DataFrame = {
+    require(horizon >= 1 && horizon <= 365,
+      s"holtWintersForecast: horizon in [1,365] (got $horizon)")
+    val folded = hwFold(df, dateCol, valueCol, alpha, beta, gamma)
+    val f = col("__f")
+    val lastDay = element_at(f.getField("out"),
+      size(f.getField("out"))).getField("d")
+    folded
+      .select(f.getField("lvl").as("__lvl"), f.getField("trd").as("__trd"),
+        f.getField("s").as("__s"), lastDay.as("__last"))
+      .withColumn("h", explode(expr(s"sequence(1, $horizon)")))
+      .withColumn("day", date_add(col("__last"), col("h")))
+      .withColumn("forecast", round(col("__lvl") +
+        col("h").cast("double") * col("__trd") +
+        element_at(col("__s"),
+          pmod(datediff(col("day"), lit("1970-01-01").cast("date")),
+            lit(7)) + lit(1)), 6))
+      .select(col("h"), col("day"), col("forecast"))
+      .orderBy("h")
+  }
+
+  private def hwFold(df: DataFrame, dateCol: Column, valueCol: String,
+                     alpha: Double, beta: Double,
+                     gamma: Double): DataFrame = {
     require(alpha > 0 && alpha < 1 && beta >= 0 && beta < 1 &&
       gamma >= 0 && gamma < 1,
       s"holtWinters: weights in (0,1) (got $alpha/$beta/$gamma)")
@@ -914,12 +957,7 @@ object Eval {
         concat(acc.getField("out"), array(struct(d.as("d"),
           y.as("actual"), fitted.as("fitted")))).as("out"))
     }).as("__f"))
-    folded.select(explode(col("__f").getField("out")).as("r"))
-      .select(col("r.d").as("day"),
-        round(col("r.actual"), 6).as("actual"),
-        round(col("r.fitted"), 6).as("fitted"),
-        round(col("r.actual") - col("r.fitted"), 6).as("resid"))
-      .orderBy("day")
+    folded
   }
 
   /** Additive seasonal decomposition of a daily series with period 7:

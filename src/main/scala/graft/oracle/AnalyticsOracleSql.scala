@@ -8,6 +8,53 @@ package oracle
 private[graft] object AnalyticsOracleSql {
   import OracleShared._
 
+  /** Shared Holt-Winters recursive CTE chain (daily -> seq -> hw);
+    * both HW queries append their own projection. */
+  private val hwCtes: String = """
+      WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS yc
+            FROM orders GROUP BY 1),
+      seq AS (SELECT d, CAST(yc AS DOUBLE) / 100.0 AS y,
+              CAST((d - DATE '1970-01-01') % 7 AS INTEGER) AS slot,
+              row_number() OVER (ORDER BY d) AS t FROM daily),
+      hw AS (
+        SELECT t, d, y, y AS fitted, y AS lvl,
+               CAST(0.0 AS DOUBLE) AS trd,
+               CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+               CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+               CAST(0.0 AS DOUBLE) AS s4, CAST(0.0 AS DOUBLE) AS s5,
+               CAST(0.0 AS DOUBLE) AS s6
+        FROM seq WHERE t = 1
+        UNION ALL
+        SELECT t, d, y, lvl0 + trd0 + sp AS fitted, lvln AS lvl,
+               0.125 * (lvln - lvl0) + 0.875 * trd0 AS trd,
+               CASE WHEN slot = 0 THEN 0.25 * (y - lvln) + 0.75 * s0
+                 ELSE s0 END AS s0,
+               CASE WHEN slot = 1 THEN 0.25 * (y - lvln) + 0.75 * s1
+                 ELSE s1 END AS s1,
+               CASE WHEN slot = 2 THEN 0.25 * (y - lvln) + 0.75 * s2
+                 ELSE s2 END AS s2,
+               CASE WHEN slot = 3 THEN 0.25 * (y - lvln) + 0.75 * s3
+                 ELSE s3 END AS s3,
+               CASE WHEN slot = 4 THEN 0.25 * (y - lvln) + 0.75 * s4
+                 ELSE s4 END AS s4,
+               CASE WHEN slot = 5 THEN 0.25 * (y - lvln) + 0.75 * s5
+                 ELSE s5 END AS s5,
+               CASE WHEN slot = 6 THEN 0.25 * (y - lvln) + 0.75 * s6
+                 ELSE s6 END AS s6
+        FROM (SELECT q.t, q.d, q.y, q.slot,
+                hw.lvl AS lvl0, hw.trd AS trd0,
+                hw.s0, hw.s1, hw.s2, hw.s3, hw.s4, hw.s5, hw.s6,
+                CASE q.slot WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1
+                  WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3 WHEN 4 THEN hw.s4
+                  WHEN 5 THEN hw.s5 ELSE hw.s6 END AS sp,
+                0.25 * (q.y - CASE q.slot WHEN 0 THEN hw.s0
+                    WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3
+                    WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5 ELSE hw.s6 END)
+                  + 0.75 * (hw.lvl + hw.trd) AS lvln
+              FROM hw JOIN seq q ON q.t = hw.t + 1))"""
+
   val sql: Map[String, String] = Map(
 
     // incremental flagship: SAME oracle as the approx-checked flagship —
@@ -4887,53 +4934,24 @@ private[graft] object AnalyticsOracleSql {
     // complements exact): the recursive CTE steps the SAME fixed double
     // trees the Spark fold evaluates, one day per iteration, so every
     // level/trend/season double is bit-identical by induction
-    "q_holt_winters" -> """
-      WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
-              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                AS BIGINT) AS yc
-            FROM orders GROUP BY 1),
-      seq AS (SELECT d, CAST(yc AS DOUBLE) / 100.0 AS y,
-              CAST((d - DATE '1970-01-01') % 7 AS INTEGER) AS slot,
-              row_number() OVER (ORDER BY d) AS t FROM daily),
-      hw AS (
-        SELECT t, d, y, y AS fitted, y AS lvl,
-               CAST(0.0 AS DOUBLE) AS trd,
-               CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
-               CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
-               CAST(0.0 AS DOUBLE) AS s4, CAST(0.0 AS DOUBLE) AS s5,
-               CAST(0.0 AS DOUBLE) AS s6
-        FROM seq WHERE t = 1
-        UNION ALL
-        SELECT t, d, y, lvl0 + trd0 + sp AS fitted, lvln AS lvl,
-               0.125 * (lvln - lvl0) + 0.875 * trd0 AS trd,
-               CASE WHEN slot = 0 THEN 0.25 * (y - lvln) + 0.75 * s0
-                 ELSE s0 END AS s0,
-               CASE WHEN slot = 1 THEN 0.25 * (y - lvln) + 0.75 * s1
-                 ELSE s1 END AS s1,
-               CASE WHEN slot = 2 THEN 0.25 * (y - lvln) + 0.75 * s2
-                 ELSE s2 END AS s2,
-               CASE WHEN slot = 3 THEN 0.25 * (y - lvln) + 0.75 * s3
-                 ELSE s3 END AS s3,
-               CASE WHEN slot = 4 THEN 0.25 * (y - lvln) + 0.75 * s4
-                 ELSE s4 END AS s4,
-               CASE WHEN slot = 5 THEN 0.25 * (y - lvln) + 0.75 * s5
-                 ELSE s5 END AS s5,
-               CASE WHEN slot = 6 THEN 0.25 * (y - lvln) + 0.75 * s6
-                 ELSE s6 END AS s6
-        FROM (SELECT q.t, q.d, q.y, q.slot,
-                hw.lvl AS lvl0, hw.trd AS trd0,
-                hw.s0, hw.s1, hw.s2, hw.s3, hw.s4, hw.s5, hw.s6,
-                CASE q.slot WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1
-                  WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3 WHEN 4 THEN hw.s4
-                  WHEN 5 THEN hw.s5 ELSE hw.s6 END AS sp,
-                0.25 * (q.y - CASE q.slot WHEN 0 THEN hw.s0
-                    WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3
-                    WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5 ELSE hw.s6 END)
-                  + 0.75 * (hw.lvl + hw.trd) AS lvln
-              FROM hw JOIN seq q ON q.t = hw.t + 1))
+    "q_holt_winters" -> (hwCtes + """
       SELECT d AS day, round(y, 6) AS actual, round(fitted, 6) AS fitted,
              round(y - fitted, 6) AS resid
-      FROM hw ORDER BY day""",
+      FROM hw ORDER BY day"""),
+
+    // h-step forecast off the recursion's final row: the same
+    // lvl + h*trd + s[slot] projection tree the Spark side evaluates
+    "q_holt_winters_forecast" -> (hwCtes + """,
+      fin AS (SELECT * FROM hw WHERE t = (SELECT max(t) FROM hw))
+      SELECT CAST(g.h AS INTEGER) AS h,
+             fin.d + CAST(g.h AS INTEGER) AS day,
+             round(fin.lvl + CAST(g.h AS DOUBLE) * fin.trd +
+               CASE CAST(((fin.d + CAST(g.h AS INTEGER))
+                   - DATE '1970-01-01') % 7 AS INTEGER)
+                 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+                 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5
+                 ELSE s6 END, 6) AS forecast
+      FROM fin, (SELECT unnest(range(1, 8)) AS h) g ORDER BY h"""),
 
     // max drawdown per priority lane: exact centi running max over the
     // calendar-bounded day grain, trough by (dd DESC, date ASC)

@@ -798,6 +798,11 @@ object AnalyticsRegistry {
       // weights 1/4, 1/8, 1/4; oracle steps the same recursion)
       Eval.holtWinters(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_holt_winters_forecast" -> ((s, dir) =>
+      // the forward readout: 7-day-ahead level + h*trend + season off
+      // the fold's final state (same bit-exact recursion)
+      Eval.holtWintersForecast(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_max_drawdown" -> ((s, dir) =>
       // worst peak-to-trough decline of daily revenue per priority
       // lane, trough pinned by (drawdown desc, date asc) total order

@@ -1268,6 +1268,20 @@ class EvalSpec extends SparkSpec {
       assert(row.getAs[Double]("resid") == r6(y - f))
     }
     assert(out.head.getAs[Double]("resid") == 0.0)
+    // forward readout: lvl + h*trd + s[slot] off the final fold state
+    val fc = Eval.holtWintersForecast(rows.toDF("d", "v"), col("d"),
+      "v", horizon = 3).collect()
+    assert(fc.length == 3)
+    fc.zipWithIndex.foreach { case (row, i) =>
+      val h = i + 1
+      val day = start.plusDays(9L + h)
+      val slot = (((day.toEpochDay % 7) + 7) % 7).toInt
+      assert(row.getAs[Int]("h") == h)
+      assert(row.getAs[java.sql.Date]("day") ==
+        java.sql.Date.valueOf(day))
+      assert(row.getAs[Double]("forecast") ==
+        r6(lvl + h.toDouble * trd + s(slot)))
+    }
     intercept[IllegalArgumentException] {
       Eval.holtWinters(rows.toDF("d", "v"), col("d"), "v", alpha = 1.5)
     }
