@@ -2012,6 +2012,95 @@ object Eval {
         .as("did"))
   }
 
+  /** Synthetic-control-lite at the unit×month grain: the counterfactual
+    * for ONE treated unit is the harmonic-weighted mean of its `donors`
+    * nearest donor units by pre-period squared distance (weights
+    * 1, 1/2, …, 1/donors over the closeness ranks — the deterministic,
+    * closed-form stand-in for the constrained-regression weights of
+    * Abadie et al.; the rank weights need no QP solver and replay in
+    * any engine). Emits the month-by-month treated vs synthetic series
+    * with the gap, and the ATT (mean post gap − mean pre gap) repeated
+    * on every row — the placebo readout is the PRE-period gap hovering
+    * near zero: a pre gap as large as the post gap means the donors
+    * never tracked the treated unit and the ATT is fiction.
+    *
+    * Determinism: the panel is completed to a full unit×month grid
+    * (missing cells = 0 — absence of revenue IS the value here);
+    * distances are exact decimal sums of centi diffs²; donor ranks
+    * break ties by unit name; rank weights are exact integers
+    * L/r (L = lcm(1..donors)), so the weighted fold is an exact
+    * decimal sum with ONE final division; per-month gaps commit to
+    * the 1e-6 lattice before the ATT fold.
+    *
+    * Plan: one corpus aggregation to the unit×month grain; everything
+    * after runs on bounded frames (|units|·|months|) — the bounded
+    * grid crossJoin, the ≤donors ranked frame, 1-row ATT fold
+    * broadcast back. No corpus sort.
+    */
+  def syntheticControl(df: DataFrame, unitCol: String, dateCol: Column,
+                       valueCol: String, treatedUnit: String,
+                       intervention: String,
+                       donors: Int = 5): DataFrame = {
+    require(donors >= 1 && donors <= 20,
+      s"syntheticControl: donors in [1,20] (got $donors)")
+    val L = (1 to donors).foldLeft(1L)((a, r) =>
+      a / BigInt(a).gcd(BigInt(r)).toLong * r) // lcm(1..donors)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val monthly = df.groupBy(col(unitCol).as("__u"),
+        date_trunc("month", dateCol).cast("date").as("__m"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val months = monthly.select(col("__m")).distinct()
+    val units = monthly.select(col("__u")).distinct()
+    val grid = months.crossJoin(broadcast(units))
+      .join(monthly, Seq("__u", "__m"), "left")
+      .withColumn("__y", coalesce(col("__y"), lit(0L)))
+    val treated = grid.filter(col("__u") === treatedUnit)
+      .select(col("__m"), col("__y").as("__yt"))
+    val donorsG = grid.filter(col("__u") =!= treatedUnit)
+    val cut = lit(intervention).cast("date")
+    val dist = donorsG.join(treated, Seq("__m"))
+      .filter(col("__m") < cut)
+      .groupBy(col("__u"))
+      .agg(sum(dec(col("__y") - col("__yt")) *
+        (col("__y") - col("__yt"))).as("__d2"))
+    val ranked = dist
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__d2"), col("__u"))))
+      .filter(col("__r") <= donors)
+      .withColumn("__w", (lit(L) / col("__r").cast("long")).cast("long"))
+    val denom = ranked.agg(sum(col("__w")).as("__wsum"))
+    val synth = donorsG
+      .join(broadcast(ranked.select(col("__u"), col("__w"))), Seq("__u"))
+      .groupBy(col("__m"))
+      .agg(sum(dec(col("__y")) * col("__w")).as("__num"))
+      .crossJoin(broadcast(denom))
+    val series = treated.join(synth, Seq("__m"))
+      .withColumn("__synD", (col("__num").cast("double") /
+        col("__wsum").cast("double")) / 100.0)
+      .withColumn("__tD", col("__yt").cast("double") / 100.0)
+      .withColumn("__gapLat",
+        round((col("__tD") - col("__synD")) * 1e6, 0).cast("long"))
+      .withColumn("__post", col("__m") >= cut)
+    val att = series.agg(
+      count(when(col("__post"), lit(1))).as("__np"),
+      count(when(!col("__post"), lit(1))).as("__nb"),
+      coalesce(sum(when(col("__post"), col("__gapLat"))), lit(0L))
+        .as("__sp"),
+      coalesce(sum(when(!col("__post"), col("__gapLat"))), lit(0L))
+        .as("__sb"))
+    series.crossJoin(broadcast(att))
+      .select(col("__m").as("month"),
+        round(col("__tD"), 2).as("treated"),
+        round(col("__synD"), 6).as("synthetic"),
+        round(col("__gapLat").cast("double") / 1e6, 6).as("gap"),
+        col("__post").as("is_post"),
+        round(when(col("__np") > 0 && col("__nb") > 0,
+          col("__sp").cast("double") / (lit(1e6) * col("__np").cast("double"))
+            - col("__sb").cast("double") /
+              (lit(1e6) * col("__nb").cast("double"))), 6).as("att"))
+      .orderBy("month")
+  }
+
   /** Instrumental-variable (Wald) estimator under an encouragement
     * design: when the hash arm z only ENCOURAGES a behavior d (nobody
     * can be forced to be a heavy user), the naive treated-vs-untreated

@@ -874,4 +874,83 @@ object Similarity {
         col("df_item"), col("df_neighbor"), col("cosine"))
       .orderBy(col("item"), col("rank"))
   }
+
+  /** The serving pass over [[itemItemCF]]'s neighbor table: per user,
+    * score every neighbor of every basket item (similarities on the
+    * 1e-6 lattice, so the per-candidate sum is an exact long in any
+    * fold order), drop items the user already has (anti-join — a
+    * recommender that recommends what you own is broken), and keep the
+    * top `k` by (score, item) total order.
+    *
+    * Plan: one keyed join of the basket table against the BOUNDED
+    * neighbor table (≤ k rows per item), one (user, candidate)
+    * aggregation, one left-anti join, one per-user window over ≤
+    * |basket|·k candidate rows. No cross join, no corpus sort.
+    */
+  def recommendTopK(interactions: DataFrame, userCol: String,
+                    itemCol: String, neighbors: DataFrame,
+                    k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 100, s"recommendTopK: k in [1,100] (got $k)")
+    val ui = interactions
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val nb = neighbors.select(col("item").as("__i"),
+      col("neighbor").as("__cand"),
+      round(col("cosine") * 1e6, 0).cast("long").as("__cl"))
+    val cand = ui.join(nb, Seq("__i"))
+      .groupBy(col("__u"), col("__cand"))
+      .agg(sum(col("__cl")).as("__score"), count(lit(1)).as("n_sources"))
+    val owned = ui.select(col("__u"), col("__i").as("__cand"))
+    cand.join(owned, Seq("__u", "__cand"), "left_anti")
+      .withColumn("rec_rank", row_number().over(
+        Window.partitionBy(col("__u"))
+          .orderBy(col("__score").desc, col("__cand").asc)))
+      .filter(col("rec_rank") <= k)
+      .select(col("__u").as(userCol), col("rec_rank"),
+        col("__cand").as("rec_item"), col("n_sources"),
+        round(col("__score").cast("double") / 1e6, 6).as("score"))
+      .orderBy(userCol, "rec_rank")
+  }
+
+  /** Recommender-quality scorecard over a [[recommendTopK]] output:
+    * catalog coverage (share of the interaction catalog that appears in
+    * ANY list — a recommender that only ever surfaces 50 blockbusters
+    * scores high on accuracy and useless on discovery), mean list
+    * size, and mean novelty −log₂(df/users) of recommended items (high
+    * = long-tail surfacing; each item's novelty commits to the 1e-9
+    * lattice before the fold).
+    *
+    * Plan: bounded 1-row folds + one keyed join of the rec list
+    * against the item-popularity table; no window.
+    */
+  def recMetrics(recs: DataFrame, interactions: DataFrame,
+                 userCol: String, itemCol: String): DataFrame = {
+    val ui = interactions
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val pop = ui.groupBy(col("__i")).agg(count(lit(1)).as("__df"))
+    val totals = ui.agg(
+      countDistinct(col("__u")).as("__nu"),
+      countDistinct(col("__i")).as("__cat"))
+    val ln2 = log(lit(2.0))
+    val scored = recs.select(col("rec_item").as("__i"))
+      .join(pop, Seq("__i"))
+      .crossJoin(broadcast(totals))
+      .select(col("__i"),
+        round((lit(0.0) - log(col("__df").cast("double") /
+          col("__nu").cast("double")) / ln2) * 1e9, 0).cast("long")
+          .as("__novLat"))
+    val f = scored.agg(count(lit(1)).as("n_recs"),
+      countDistinct(col("__i")).as("n_rec_items"),
+      coalesce(sum(col("__novLat")), lit(0L)).as("__ns"))
+      .crossJoin(broadcast(totals))
+    f.select(col("__nu").as("n_users"), col("__cat").as("catalog_size"),
+      col("n_recs"), col("n_rec_items"),
+      round(col("n_rec_items").cast("double") /
+        col("__cat").cast("double"), 6).as("catalog_coverage"),
+      round(when(col("n_recs") > 0, col("__ns").cast("double") /
+        (lit(1e9) * col("n_recs").cast("double"))), 6).as("mean_novelty"))
+  }
 }

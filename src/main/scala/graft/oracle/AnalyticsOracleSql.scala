@@ -4982,6 +4982,62 @@ private[graft] object AnalyticsOracleSql {
              d AS trough_date
       FROM s2 WHERE rn = 1 ORDER BY o_orderpriority""",
 
+    // synthetic control: NATION_0 vs the harmonic-weighted mean of its
+    // 5 closest donors by pre-period exact squared distance on the
+    // completed unit x month grid; gaps commit to the 1e-6 lattice
+    // before the ATT fold
+    "q_synthetic_control" -> """
+      WITH m AS (SELECT n.n_name AS u,
+              CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
+                AS DATE) AS mo,
+              CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+      grid AS (SELECT mm.mo, uu.u, coalesce(m.y, 0) AS y
+            FROM (SELECT DISTINCT mo FROM m) mm
+            CROSS JOIN (SELECT DISTINCT u FROM m) uu
+            LEFT JOIN m ON m.mo = mm.mo AND m.u = uu.u),
+      tr AS (SELECT mo, y AS yt FROM grid WHERE u = 'NATION_0'),
+      dn AS (SELECT * FROM grid WHERE u <> 'NATION_0'),
+      dist AS (SELECT dn.u,
+              sum(CAST(dn.y - tr.yt AS HUGEINT) * (dn.y - tr.yt)) AS d2
+            FROM dn JOIN tr ON dn.mo = tr.mo
+            WHERE dn.mo < DATE '1999-01-01' GROUP BY 1),
+      rk AS (SELECT u, CAST(60 // r AS BIGINT) AS w FROM (
+              SELECT u, row_number() OVER (ORDER BY d2, u) AS r
+              FROM dist) WHERE r <= 5),
+      den AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM rk),
+      sy AS (SELECT dn.mo, sum(CAST(dn.y AS HUGEINT) * rk.w) AS num
+            FROM dn JOIN rk ON dn.u = rk.u GROUP BY 1),
+      se AS (SELECT tr.mo, tr.yt,
+              (CAST(sy.num AS DOUBLE) / CAST(den.wsum AS DOUBLE))
+                / 100.0 AS synd,
+              CAST(tr.yt AS DOUBLE) / 100.0 AS td,
+              tr.mo >= DATE '1999-01-01' AS post
+            FROM tr JOIN sy ON tr.mo = sy.mo, den),
+      se2 AS (SELECT *, CAST(round((td - synd) * 1000000.0, 0)
+                AS BIGINT) AS gl FROM se),
+      a AS (SELECT
+              CAST(count(CASE WHEN post THEN 1 END) AS BIGINT) AS np,
+              CAST(count(CASE WHEN NOT post THEN 1 END) AS BIGINT)
+                AS nb,
+              CAST(coalesce(sum(CASE WHEN post THEN gl END), 0)
+                AS BIGINT) AS sp,
+              CAST(coalesce(sum(CASE WHEN NOT post THEN gl END), 0)
+                AS BIGINT) AS sb
+            FROM se2)
+      SELECT se2.mo AS month, round(td, 2) AS treated,
+             round(synd, 6) AS synthetic,
+             round(CAST(gl AS DOUBLE) / 1000000.0, 6) AS gap,
+             post AS is_post,
+             round(CASE WHEN np > 0 AND nb > 0 THEN
+               CAST(sp AS DOUBLE) / (1000000.0 * CAST(np AS DOUBLE))
+               - CAST(sb AS DOUBLE) / (1000000.0 * CAST(nb AS DOUBLE))
+               END, 6) AS att
+      FROM se2, a ORDER BY month""",
+
     // RANSAC: 64 hash-seeded 2-point samples (per arm: corpus
     // argmin/argmax of the channel-(301+arm) u01 — replayed exactly),
     // consensus by inlier count at eps centi 2e6, exact-lattice OLS

@@ -8,6 +8,36 @@ package oracle
 private[graft] object SimilarityOracleSql {
   import OracleShared._
 
+  /** Shared item-item CF CTE chain (ui -> ... -> r); the three CF
+    * queries append their own projection. */
+  private val itemCfCtes: String = """
+      WITH ui AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bs AS (SELECT u, i, count(*) OVER (PARTITION BY u) AS bsz FROM ui),
+      capped AS (SELECT u, i FROM bs WHERE bsz <= 256),
+      dfs AS (SELECT i, CAST(count(*) AS BIGINT) AS df
+              FROM capped GROUP BY i
+              HAVING count(*) >= 2 AND count(*) <= 1000),
+      kept AS (SELECT c.u, c.i FROM capped c JOIN dfs d ON c.i = d.i),
+      pairs AS (SELECT a.i AS ia, b.i AS ib,
+              CAST(count(*) AS BIGINT) AS n_co
+            FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+            GROUP BY 1, 2),
+      sym AS (SELECT ia AS item, ib AS neighbor, n_co FROM pairs
+              UNION ALL
+              SELECT ib AS item, ia AS neighbor, n_co FROM pairs),
+      scored AS (SELECT s.item, s.neighbor, s.n_co,
+              di.df AS df_item, dn.df AS df_neighbor,
+              round(CAST(s.n_co AS DOUBLE)
+                / sqrt(CAST(di.df AS DOUBLE) * dn.df), 6) AS cosine
+            FROM sym s JOIN dfs di ON s.item = di.i
+                       JOIN dfs dn ON s.neighbor = dn.i),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+              ORDER BY cosine DESC, n_co DESC, neighbor ASC)
+              AS INTEGER) AS rank
+            FROM scored)"""
+
   val sql: Map[String, String] = Map(
 
     "x_vector_stats" -> """
@@ -453,33 +483,62 @@ private[graft] object SimilarityOracleSql {
     // item-item CF: distinct baskets, maxBasket power-user cut, df-cut
     // items, user-keyed pair join, cosine rounded BEFORE the top-k
     // window so tie order is engine-stable
-    "x_item_cf" -> """
-      WITH ui AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
-      bs AS (SELECT u, i, count(*) OVER (PARTITION BY u) AS bsz FROM ui),
-      capped AS (SELECT u, i FROM bs WHERE bsz <= 256),
-      dfs AS (SELECT i, CAST(count(*) AS BIGINT) AS df
-              FROM capped GROUP BY i
-              HAVING count(*) >= 2 AND count(*) <= 1000),
-      kept AS (SELECT c.u, c.i FROM capped c JOIN dfs d ON c.i = d.i),
-      pairs AS (SELECT a.i AS ia, b.i AS ib,
-              CAST(count(*) AS BIGINT) AS n_co
-            FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
-            GROUP BY 1, 2),
-      sym AS (SELECT ia AS item, ib AS neighbor, n_co FROM pairs
-              UNION ALL
-              SELECT ib AS item, ia AS neighbor, n_co FROM pairs),
-      scored AS (SELECT s.item, s.neighbor, s.n_co,
-              di.df AS df_item, dn.df AS df_neighbor,
-              round(CAST(s.n_co AS DOUBLE)
-                / sqrt(CAST(di.df AS DOUBLE) * dn.df), 6) AS cosine
-            FROM sym s JOIN dfs di ON s.item = di.i
-                       JOIN dfs dn ON s.neighbor = dn.i),
-      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
-              ORDER BY cosine DESC, n_co DESC, neighbor ASC)
-              AS INTEGER) AS rank
-            FROM scored)
+    "x_item_cf" -> (itemCfCtes + """
       SELECT item, rank, neighbor, n_co, df_item, df_neighbor, cosine
-      FROM r WHERE rank <= 10 ORDER BY item, rank""")
+      FROM r WHERE rank <= 10 ORDER BY item, rank"""),
+
+    // serving pass: per-user candidate scores = lattice-summed neighbor
+    // cosines over basket items, owned items anti-joined out, top-5 by
+    // (score DESC, item ASC)
+    "x_rec_topk" -> (itemCfCtes + """,
+      nb AS (SELECT item AS i, neighbor AS cand,
+              CAST(round(cosine * 1000000.0, 0) AS BIGINT) AS cl
+            FROM r WHERE rank <= 10),
+      cands AS (SELECT ui.u, nb.cand, CAST(sum(nb.cl) AS BIGINT)
+                AS score, CAST(count(*) AS BIGINT) AS n_sources
+            FROM ui JOIN nb ON ui.i = nb.i GROUP BY 1, 2),
+      fresh AS (SELECT c.* FROM cands c
+            LEFT JOIN ui o ON c.u = o.u AND c.cand = o.i
+            WHERE o.u IS NULL),
+      rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY u
+              ORDER BY score DESC, cand ASC) AS INTEGER) AS rec_rank
+            FROM fresh)
+      SELECT u AS o_custkey, rec_rank, cand AS rec_item, n_sources,
+             round(CAST(score AS DOUBLE) / 1000000.0, 6) AS score
+      FROM rr WHERE rec_rank <= 5 ORDER BY o_custkey, rec_rank"""),
+
+    // quality scorecard: catalog coverage + mean -log2(df/users)
+    // novelty of the recommended items (1e-9 lattice before the fold)
+    "x_rec_metrics" -> (itemCfCtes + """,
+      nb AS (SELECT item AS i, neighbor AS cand,
+              CAST(round(cosine * 1000000.0, 0) AS BIGINT) AS cl
+            FROM r WHERE rank <= 10),
+      cands AS (SELECT ui.u, nb.cand, CAST(sum(nb.cl) AS BIGINT)
+                AS score FROM ui JOIN nb ON ui.i = nb.i GROUP BY 1, 2),
+      fresh AS (SELECT c.* FROM cands c
+            LEFT JOIN ui o ON c.u = o.u AND c.cand = o.i
+            WHERE o.u IS NULL),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY u
+              ORDER BY score DESC, cand ASC) AS rec_rank FROM fresh),
+      pop AS (SELECT i, CAST(count(*) AS BIGINT) AS df
+            FROM ui GROUP BY i),
+      tot AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu,
+              CAST(count(DISTINCT i) AS BIGINT) AS cat FROM ui),
+      sc AS (SELECT rr.cand AS i,
+              CAST(round((0.0 - ln(CAST(p.df AS DOUBLE)
+                / CAST(t.nu AS DOUBLE)) / ln(2.0)) * 1000000000.0, 0)
+                AS BIGINT) AS nov
+            FROM rr JOIN pop p ON rr.cand = p.i, tot t
+            WHERE rr.rec_rank <= 5),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS n_recs,
+              CAST(count(DISTINCT i) AS BIGINT) AS n_rec_items,
+              CAST(coalesce(sum(nov), 0) AS BIGINT) AS ns FROM sc)
+      SELECT t.nu AS n_users, t.cat AS catalog_size, f.n_recs,
+             f.n_rec_items,
+             round(CAST(f.n_rec_items AS DOUBLE)
+               / CAST(t.cat AS DOUBLE), 6) AS catalog_coverage,
+             round(CASE WHEN f.n_recs > 0 THEN CAST(f.ns AS DOUBLE)
+               / (1000000000.0 * CAST(f.n_recs AS DOUBLE)) END, 6)
+               AS mean_novelty
+      FROM f, tot t"""))
 }

@@ -808,6 +808,21 @@ object AnalyticsRegistry {
       // lane, trough pinned by (drawdown desc, date asc) total order
       Stats.maxDrawdown(Tables.orders(s, dir), "o_orderpriority",
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_synthetic_control" -> ((s, dir) => {
+      // the causal-suite capstone: NATION_0's monthly revenue vs a
+      // harmonic-weighted synthetic of its 5 closest donors at the
+      // declared 1999-01-01 intervention; pre-gap is the placebo
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      val joined = Tables.orders(s, dir)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      Eval.syntheticControl(joined, "n_name",
+        to_date(col("o_orderdate")), "o_totalprice",
+        treatedUnit = "NATION_0", intervention = "1999-01-01")
+    }),
     "q_ransac_fit" -> ((s, dir) =>
       // robust price-vs-quantity line: 64 hash-seeded 2-point samples,
       // consensus by inlier count at eps=$20k, exact OLS refit on the

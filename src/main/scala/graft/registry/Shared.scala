@@ -57,6 +57,19 @@ private[graft] object Shared {
       Unigram.trainDistributed(Tables.documents(s, dir), "text",
         vocabSize = 200, rounds = 2, maxPieceLen = 4))
 
+  /** The customer-basket interaction table behind the CF family
+    * (x_item_cf / x_rec_topk / x_rec_metrics). */
+  private[graft] def cfInteractions(s: SparkSession,
+                                    dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+  }
+
   /** Trained WordPiece vocabulary per corpus dir — the [[bpeMerges]]
     * pattern for the third tokenizer family.
     */

@@ -326,5 +326,23 @@ object SimilarityRegistry {
         "o_custkey", "l_partkey",
         minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
     }),
+    "x_rec_topk" -> ((s, dir) => {
+      // the serving pass: top-5 unowned parts per customer, scored by
+      // lattice-summed neighbor cosines over the x_item_cf table
+      val ui = Shared.cfInteractions(s, dir)
+      Similarity.recommendTopK(ui, "o_custkey", "l_partkey",
+        Similarity.itemItemCF(ui, "o_custkey", "l_partkey",
+          minDf = 2, maxDf = 1000, maxBasket = 256, k = 10), k = 5)
+    }),
+    "x_rec_metrics" -> ((s, dir) => {
+      // the quality scorecard over those lists: catalog coverage and
+      // long-tail novelty beside the list-size counters
+      val ui = Shared.cfInteractions(s, dir)
+      Similarity.recMetrics(
+        Similarity.recommendTopK(ui, "o_custkey", "l_partkey",
+          Similarity.itemItemCF(ui, "o_custkey", "l_partkey",
+            minDf = 2, maxDf = 1000, maxBasket = 256, k = 10), k = 5),
+        ui, "o_custkey", "l_partkey")
+    }),
   )
 }

@@ -1319,4 +1319,39 @@ class EvalSpec extends SparkSpec {
     assert(t.isNullAt(t.fieldIndex("intercept_left")))
     assert(t.isNullAt(t.fieldIndex("rdd_tau")))
   }
+
+  test("syntheticControl: a donor tracking the treated pre-period " +
+      "becomes the synthetic; the planted post jump is the ATT and the " +
+      "pre gap is the zero placebo") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = Seq("2024-01-01", "2024-02-01", "2024-03-01",
+      "2024-04-01").map(d)
+    // donor A = 10+i; treated = A pre, A+5 post; donor B = 100 flat
+    val rows = months.zipWithIndex.flatMap { case (mo, i) =>
+      val a = 10.0 + i
+      Seq(("A", mo, a), ("B", mo, 100.0),
+        ("T", mo, if (i < 2) a else a + 5.0))
+    }
+    val df = rows.toDF("u", "dt", "v")
+    val out = Eval.syntheticControl(df, "u", col("dt"), "v",
+      treatedUnit = "T", intervention = "2024-03-01", donors = 1)
+      .collect()
+    assert(out.length == 4)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("synthetic") == 10.0 + i)
+      assert(r.getAs[Double]("gap") == (if (i < 2) 0.0 else 5.0))
+      assert(r.getAs[Boolean]("is_post") == (i >= 2))
+      assert(r.getAs[Double]("att") == 5.0)
+    }
+    // two donors, adaptive harmonic weights 2:1 -> (2A + B)/3
+    val two = Eval.syntheticControl(df, "u", col("dt"), "v",
+      treatedUnit = "T", intervention = "2024-03-01", donors = 2)
+      .collect().head
+    assert(two.getAs[Double]("synthetic") == 40.0)
+    intercept[IllegalArgumentException] {
+      Eval.syntheticControl(df, "u", col("dt"), "v", "T",
+        "2024-03-01", donors = 0)
+    }
+  }
 }

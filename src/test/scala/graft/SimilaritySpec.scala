@@ -446,4 +446,34 @@ class SimilaritySpec extends SparkSpec {
       row.getAs[String]("neighbor") == "B").head
     assert(ab.getAs[Long]("n_co") == 2L) // unchanged by user 9
   }
+
+  test("recommendTopK/recMetrics: owned items excluded, scores sum " +
+      "neighbor cosines on the lattice, coverage and novelty replay") {
+    import spark.implicits._
+    // users 1..3; items 10,11 co-occur (users 1,2); item 12 with 11
+    // (user 3 has 11,12); user 1 owns 10,11 -> candidate 12 via 11
+    val ui = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 11L), (3L, 12L)).toDF("u", "i")
+    val nb = graft.ops.Similarity.itemItemCF(ui, "u", "i",
+      minDf = 1, maxDf = 100, maxBasket = 16, k = 10)
+    val recs = graft.ops.Similarity.recommendTopK(ui, "u", "i", nb,
+      k = 2)
+    val byUser = recs.collect()
+      .groupBy(_.getAs[Long]("u")).view.mapValues(_.toSeq).toMap
+    // user 1 owns {10,11}: only unowned neighbor is 12 (via 11)
+    val u1 = byUser(1L)
+    assert(u1.map(_.getAs[Long]("rec_item")).toSet == Set(12L))
+    // cos(11,12) = 1/sqrt(3*1) -> 0.577350
+    assert(u1.head.getAs[Double]("score") == 0.57735)
+    // user 3 owns {11,12}: unowned candidate 10 (via 11)
+    assert(byUser(3L).map(_.getAs[Long]("rec_item")).toSet == Set(10L))
+    val m = graft.ops.Similarity.recMetrics(recs, ui, "u", "i")
+      .collect().head
+    assert(m.getAs[Long]("n_users") == 3L)
+    assert(m.getAs[Long]("catalog_size") == 3L)
+    // recommended items across lists: {12, 12(user2), 10} -> 2 distinct
+    assert(m.getAs[Long]("n_rec_items") == 2L)
+    assert(m.getAs[Double]("catalog_coverage") == 0.666667)
+    assert(m.getAs[Long]("n_recs") == recs.count())
+  }
 }
