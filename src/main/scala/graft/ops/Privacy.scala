@@ -196,6 +196,51 @@ object Privacy {
         lit(p).as("p_truth"))
   }
 
+  /** ε-DP mean release via the standard sum/count decomposition: clip
+    * to the DECLARED [lo, hi] (clipping bounds the sensitivity — an
+    * unbounded value has no finite-ε mean), release a noisy SUM
+    * (two-sided geometric at centi sensitivity (hi−lo)·100, ε/2) and a
+    * noisy COUNT (sensitivity 1, ε/2), and post-process the ratio.
+    * Noise is seeded through the shared minstd stream like
+    * [[dpHistogram]] — the reproducible AUDIT form (the exact mean
+    * rides along so the mechanism's error is visible; production swaps
+    * real entropy over the same inverse CDF). Both engines compute the
+    * ε subdivisions as the same runtime double ops, so the draws are
+    * bit-identical.
+    *
+    * Plan: one clipped 1-row fold; the noise is two ln calls.
+    */
+  def dpMean(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+             epsilon: Double, channel: Long = 201L): DataFrame = {
+    require(epsilon > 0.0 && epsilon <= 10.0,
+      s"dpMean: epsilon in (0, 10] (got $epsilon)")
+    require(hi > lo, s"dpMean: need lo < hi (got [$lo, $hi])")
+    val sens = math.round((hi - lo) * 100)
+    val key = lit(777L) // single-release seed
+    def geom(c: Long, eps: Double): Column =
+      floor(log(Gen.u01(key, c)) / lit(-eps)).cast("long")
+    val e2 = epsilon / 2.0
+    val sumNoise = geom(channel, e2 / sens.toDouble) -
+      geom(channel + 1, e2 / sens.toDouble)
+    val cntNoise = geom(channel + 2, e2) - geom(channel + 3, e2)
+    val vc = round(least(greatest(col(valueCol), lit(lo)), lit(hi)) * 100,
+      0).cast("long")
+    val f = df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"), coalesce(sum(vc), lit(0L)).as("__s"))
+    val noisyN = col("n") + cntNoise
+    val exactMean = when(col("n") > 0,
+      col("__s").cast("double") / (lit(100.0) * col("n").cast("double")))
+    val dpM = when(noisyN > 0, (col("__s") + sumNoise).cast("double") /
+      (lit(100.0) * noisyN.cast("double")))
+    f.select(col("n"),
+      round(exactMean, 6).as("exact_mean"),
+      noisyN.as("noisy_n"),
+      round(dpM, 6).as("dp_mean"),
+      round(when(exactMean.isNotNull && dpM.isNotNull,
+        abs(dpM - exactMean)), 6).as("abs_err"),
+      lit(epsilon).as("epsilon"))
+  }
+
   def dpHistogram(df: DataFrame, catCol: String,
                   epsilon: Double, channel: Long = 97L): DataFrame = {
     require(epsilon > 0.0 && epsilon <= 10.0,

@@ -243,6 +243,36 @@ private[graft] object AnalyticsOracleSql {
     },
 
 
+    // ε=1 DP mean: clipped centi sum + two-sided geometric noise on
+    // sum (ε/2 at sensitivity 50000 centi) and count (ε/2); the ε
+    // subdivisions are the same runtime double ops on both engines
+    "q_dp_mean" -> s"""
+      WITH f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(coalesce(sum(CAST(round(least(greatest(value, 0.0),
+                500.0) * 100, 0) AS BIGINT)), 0) AS BIGINT) AS s
+            FROM events WHERE value IS NOT NULL),
+      g AS (SELECT *,
+              CAST(floor(ln(${uk("CAST(777 AS BIGINT)", 201)}) / (-(0.5 / 50000.0)))
+                AS BIGINT)
+              - CAST(floor(ln(${uk("CAST(777 AS BIGINT)", 202)}) / (-(0.5 / 50000.0)))
+                AS BIGINT) AS snoise,
+              CAST(floor(ln(${uk("CAST(777 AS BIGINT)", 203)}) / (-0.5)) AS BIGINT)
+              - CAST(floor(ln(${uk("CAST(777 AS BIGINT)", 204)}) / (-0.5)) AS BIGINT)
+                AS cnoise
+            FROM f),
+      t AS (SELECT *, n + cnoise AS noisy_n,
+              CASE WHEN n > 0 THEN CAST(s AS DOUBLE)
+                / (100.0 * CAST(n AS DOUBLE)) END AS em,
+              CASE WHEN n + cnoise > 0 THEN CAST(s + snoise AS DOUBLE)
+                / (100.0 * CAST(n + cnoise AS DOUBLE)) END AS dm
+            FROM g)
+      SELECT n, round(em, 6) AS exact_mean, noisy_n,
+             round(dm, 6) AS dp_mean,
+             round(CASE WHEN em IS NOT NULL AND dm IS NOT NULL
+               THEN abs(dm - em) END, 6) AS abs_err,
+             1.0 AS epsilon
+      FROM t""",
+
     // compaction planning: per-day manifest, contiguous 4 KiB bin fill
     // by file id (floor(startOffset/target)), per-bin totals — integer
     // end to end; the prefix sum replays as one plain window

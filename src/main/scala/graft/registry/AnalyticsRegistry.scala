@@ -1566,6 +1566,11 @@ object AnalyticsRegistry {
       // stream — reproducible, oracle-checkable, unclamped
       Privacy.dpHistogram(Tables.events(s, dir), "event_type",
         epsilon = 0.5)),
+    "q_dp_mean" -> ((s, dir) =>
+      // ε=1 DP mean of clipped event value via the sum/count
+      // decomposition (ε/2 each), exact mean beside it for the audit
+      Privacy.dpMean(Tables.events(s, dir), "value", lo = 0.0,
+        hi = 500.0, epsilon = 1.0)),
 
     // ---- declared functional-dependency audit (TANE g3 measure) ------------
     "q_fd_audit" -> ((s, dir) =>

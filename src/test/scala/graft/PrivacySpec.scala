@@ -156,4 +156,37 @@ class PrivacySpec extends SparkSpec {
       Privacy.tClosenessReport(people, Seq("city"), col("condition"), 0.0)
     }
   }
+
+  test("dpMean: exact mean rides along, noisy release replays the " +
+      "seeded inverse-CDF draw, clipping bounds the sensitivity") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => i.toDouble % 50).toDF("v")
+    val r = graft.ops.Privacy.dpMean(df, "v", lo = 0.0, hi = 500.0,
+      epsilon = 1.0).collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    // exact mean of 0..49 twice = 24.5
+    assert(r.getAs[Double]("exact_mean") == 24.5)
+    // replay the seeded geometric draws in scala
+    val M = 2147483647L
+    def u01(key: Long, c: Long): Double = {
+      val h1 = (key + c * 1000003L) % M
+      (((h1 * 48271L % M) * 48271L % M) + 1).toDouble / M
+    }
+    def geom(c: Long, eps: Double): Long =
+      math.floor(math.log(u01(777L, c)) / -eps).toLong
+    val sn = geom(201L, 0.5 / 50000.0) - geom(202L, 0.5 / 50000.0)
+    val cn = geom(203L, 0.5) - geom(204L, 0.5)
+    assert(r.getAs[Long]("noisy_n") == 100L + cn)
+    val dm = (245000.0 + sn) / (100.0 * (100.0 + cn))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("dp_mean") == r6(dm))
+    // values above hi clip: a 10000 outlier contributes only 500
+    val c = graft.ops.Privacy.dpMean(Seq(10000.0).toDF("v"), "v",
+      0.0, 500.0, 1.0).collect().head
+    assert(c.getAs[Double]("exact_mean") == 500.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Privacy.dpMean(df, "v", 0.0, 500.0, epsilon = 0.0)
+    }
+  }
 }
