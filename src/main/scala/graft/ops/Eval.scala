@@ -2012,6 +2012,96 @@ object Eval {
         .as("did"))
   }
 
+  /** Two-way-fixed-effects (TWFE) panel estimator on the completed
+    * unit×month grid: τ̂ = Σ D̃·Ỹ / Σ D̃² after demeaning by unit, by
+    * month, and overall — the regression form of DiD (with ONE treated
+    * group and COMMON timing they coincide exactly; the plain
+    * cell-mean DiD rides along as the in-plan cross-check, and
+    * staggered-adoption designs should NOT use this estimator —
+    * Goodman-Bacon 2021 — which the scaladoc states rather than
+    * silently mis-averaging).
+    *
+    * Determinism: on the balanced grid the within-transform clears
+    * denominators exactly — Ỹ·NT = NT·y − N·S_i − T·S_t + S is an
+    * exact integer (same for D̃) — so both folds are exact decimal
+    * sums and τ̂ is ONE double division (the NT factors cancel).
+    *
+    * Plan: one corpus aggregation to the grid; per-unit / per-month /
+    * total sums are bounded aggregations joined back; one bounded
+    * fold. No corpus sort.
+    */
+  def twfe(df: DataFrame, unitCol: String, dateCol: Column,
+           valueCol: String, treatedUnits: Seq[String],
+           intervention: String): DataFrame = {
+    require(treatedUnits.nonEmpty, "twfe: at least one treated unit")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cut = lit(intervention).cast("date")
+    val g = monthlyPanel(df, unitCol, dateCol, valueCol)
+      .withColumn("__t", col("__u").isin(treatedUnits: _*))
+      .withColumn("__p", col("__m") >= cut)
+      .withColumn("__dd", (col("__t") && col("__p")).cast("long"))
+    val perU = g.groupBy(col("__u"))
+      .agg(sum(col("__y")).as("__si"), sum(col("__dd")).as("__di"))
+    val perM = g.groupBy(col("__m"))
+      .agg(sum(col("__y")).as("__st"), sum(col("__dd")).as("__dt"))
+    val tot = g.agg(sum(col("__y")).as("__s"), sum(col("__dd")).as("__dg"),
+      countDistinct(col("__u")).as("__nu"),
+      countDistinct(col("__m")).as("__nt"))
+    val cells = g.join(perU, Seq("__u")).join(perM, Seq("__m"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__yt", dec(col("__y")) * col("__nu") * col("__nt") -
+        dec(col("__si")) * col("__nu") - dec(col("__st")) * col("__nt") +
+        dec(col("__s")))
+      .withColumn("__dtil", dec(col("__dd")) * col("__nu") * col("__nt") -
+        dec(col("__di")) * col("__nu") - dec(col("__dt")) * col("__nt") +
+        dec(col("__dg")))
+    def cell(t: Boolean, p: Boolean, c: Column) =
+      when(col("__t") === t && col("__p") === p, c)
+    val f = cells.agg(
+      sum(col("__dtil") * col("__yt")).as("__num"),
+      sum(col("__dtil") * col("__dtil")).as("__den"),
+      min(col("__nu")).as("n_units"), min(col("__nt")).as("n_months"),
+      sum(col("__dd")).as("n_treated_cells"),
+      count(cell(true, true, lit(1))).as("__n11"),
+      count(cell(true, false, lit(1))).as("__n10"),
+      count(cell(false, true, lit(1))).as("__n01"),
+      count(cell(false, false, lit(1))).as("__n00"),
+      coalesce(sum(cell(true, true, col("__y"))), lit(0L)).as("__s11"),
+      coalesce(sum(cell(true, false, col("__y"))), lit(0L)).as("__s10"),
+      coalesce(sum(cell(false, true, col("__y"))), lit(0L)).as("__s01"),
+      coalesce(sum(cell(false, false, col("__y"))), lit(0L)).as("__s00"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / (lit(100.0) * col(n).cast("double"))
+    val okDid = col("__n11") > 0 && col("__n10") > 0 &&
+      col("__n01") > 0 && col("__n00") > 0
+    f.select(col("n_units"), col("n_months"), col("n_treated_cells"),
+      round(when(col("__den") > 0,
+        (col("__num").cast("double") / col("__den").cast("double"))
+          / 100.0), 6).as("att_twfe"),
+      round(when(okDid,
+        (mean("__s11", "__n11") - mean("__s10", "__n10")) -
+          (mean("__s01", "__n01") - mean("__s00", "__n00"))), 6)
+        .as("did_check"))
+  }
+
+  /** The completed unit×month panel behind [[twfe]] and
+    * [[syntheticControl]]: corpus → (unit, month, centi sum), grid
+    * completed with zeros so the panel is balanced (absence of revenue
+    * IS the value at this grain).
+    */
+  private def monthlyPanel(df: DataFrame, unitCol: String,
+                           dateCol: Column,
+                           valueCol: String): DataFrame = {
+    val monthly = df.groupBy(col(unitCol).as("__u"),
+        date_trunc("month", dateCol).cast("date").as("__m"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+    val months = monthly.select(col("__m")).distinct()
+    val units = monthly.select(col("__u")).distinct()
+    months.crossJoin(broadcast(units))
+      .join(monthly, Seq("__u", "__m"), "left")
+      .withColumn("__y", coalesce(col("__y"), lit(0L)))
+  }
+
   /** Synthetic-control-lite at the unit×month grain: the counterfactual
     * for ONE treated unit is the harmonic-weighted mean of its `donors`
     * nearest donor units by pre-period squared distance (weights
@@ -2046,14 +2136,7 @@ object Eval {
     val L = (1 to donors).foldLeft(1L)((a, r) =>
       a / BigInt(a).gcd(BigInt(r)).toLong * r) // lcm(1..donors)
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val monthly = df.groupBy(col(unitCol).as("__u"),
-        date_trunc("month", dateCol).cast("date").as("__m"))
-      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
-    val months = monthly.select(col("__m")).distinct()
-    val units = monthly.select(col("__u")).distinct()
-    val grid = months.crossJoin(broadcast(units))
-      .join(monthly, Seq("__u", "__m"), "left")
-      .withColumn("__y", coalesce(col("__y"), lit(0L)))
+    val grid = monthlyPanel(df, unitCol, dateCol, valueCol)
     val treated = grid.filter(col("__u") === treatedUnit)
       .select(col("__m"), col("__y").as("__yt"))
     val donorsG = grid.filter(col("__u") =!= treatedUnit)

@@ -5012,6 +5012,76 @@ private[graft] object AnalyticsOracleSql {
              d AS trough_date
       FROM s2 WHERE rn = 1 ORDER BY o_orderpriority""",
 
+    // TWFE on the balanced nation x month grid: within-transform with
+    // cleared denominators (exact 128-bit integers), one division;
+    // cell-mean DiD beside it (must coincide: one group, common timing)
+    "q_twfe" -> """
+      WITH m AS (SELECT n.n_name AS u,
+              CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
+                AS DATE) AS mo,
+              CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+      grid AS (SELECT mm.mo, uu.u, coalesce(m.y, 0) AS y
+            FROM (SELECT DISTINCT mo FROM m) mm
+            CROSS JOIN (SELECT DISTINCT u FROM m) uu
+            LEFT JOIN m ON m.mo = mm.mo AND m.u = uu.u),
+      g AS (SELECT mo, u, y,
+              u IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                'NATION_4') AS t,
+              mo >= DATE '1999-01-01' AS p,
+              CAST(CASE WHEN u IN ('NATION_0', 'NATION_1', 'NATION_2',
+                'NATION_3', 'NATION_4') AND mo >= DATE '1999-01-01'
+                THEN 1 ELSE 0 END AS BIGINT) AS dd
+            FROM grid),
+      pu AS (SELECT u, CAST(sum(y) AS HUGEINT) AS si,
+              CAST(sum(dd) AS BIGINT) AS di FROM g GROUP BY 1),
+      pm AS (SELECT mo, CAST(sum(y) AS HUGEINT) AS st,
+              CAST(sum(dd) AS BIGINT) AS dt FROM g GROUP BY 1),
+      tt AS (SELECT CAST(sum(y) AS HUGEINT) AS s,
+              CAST(sum(dd) AS BIGINT) AS dg,
+              CAST(count(DISTINCT u) AS BIGINT) AS nu,
+              CAST(count(DISTINCT mo) AS BIGINT) AS nt FROM g),
+      cl AS (SELECT g.t, g.p, g.y, g.dd,
+              CAST(g.y AS HUGEINT) * tt.nu * tt.nt - pu.si * tt.nu
+                - pm.st * tt.nt + tt.s AS yt,
+              CAST(g.dd AS HUGEINT) * tt.nu * tt.nt
+                - CAST(pu.di AS HUGEINT) * tt.nu
+                - CAST(pm.dt AS HUGEINT) * tt.nt + tt.dg AS dtil
+            FROM g JOIN pu ON g.u = pu.u JOIN pm ON g.mo = pm.mo, tt),
+      f AS (SELECT sum(dtil * yt) AS num, sum(dtil * dtil) AS den,
+              CAST(sum(dd) AS BIGINT) AS n_treated_cells,
+              CAST(count(CASE WHEN t AND p THEN 1 END) AS BIGINT)
+                AS n11,
+              CAST(count(CASE WHEN t AND NOT p THEN 1 END) AS BIGINT)
+                AS n10,
+              CAST(count(CASE WHEN NOT t AND p THEN 1 END) AS BIGINT)
+                AS n01,
+              CAST(count(CASE WHEN NOT t AND NOT p THEN 1 END)
+                AS BIGINT) AS n00,
+              CAST(coalesce(sum(CASE WHEN t AND p THEN y END), 0)
+                AS BIGINT) AS s11,
+              CAST(coalesce(sum(CASE WHEN t AND NOT p THEN y END), 0)
+                AS BIGINT) AS s10,
+              CAST(coalesce(sum(CASE WHEN NOT t AND p THEN y END), 0)
+                AS BIGINT) AS s01,
+              CAST(coalesce(sum(CASE WHEN NOT t AND NOT p THEN y END),
+                0) AS BIGINT) AS s00
+            FROM cl)
+      SELECT tt.nu AS n_units, tt.nt AS n_months, f.n_treated_cells,
+             round(CASE WHEN den > 0 THEN (CAST(num AS DOUBLE)
+               / CAST(den AS DOUBLE)) / 100.0 END, 6) AS att_twfe,
+             round(CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0
+                 AND n00 > 0 THEN
+               (CAST(s11 AS DOUBLE) / (100.0 * CAST(n11 AS DOUBLE))
+                 - CAST(s10 AS DOUBLE) / (100.0 * CAST(n10 AS DOUBLE)))
+               - (CAST(s01 AS DOUBLE) / (100.0 * CAST(n01 AS DOUBLE))
+                 - CAST(s00 AS DOUBLE) / (100.0 * CAST(n00 AS DOUBLE)))
+               END, 6) AS did_check
+      FROM f, tt""",
+
     // synthetic control: NATION_0 vs the harmonic-weighted mean of its
     // 5 closest donors by pre-period exact squared distance on the
     // completed unit x month grid; gaps commit to the 1e-6 lattice

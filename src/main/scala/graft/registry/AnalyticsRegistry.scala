@@ -823,6 +823,22 @@ object AnalyticsRegistry {
         to_date(col("o_orderdate")), "o_totalprice",
         treatedUnit = "NATION_0", intervention = "1999-01-01")
     }),
+    "q_twfe" -> ((s, dir) => {
+      // TWFE panel DiD: nations 0-4 treated at 1999-01-01 on the
+      // balanced nation x month grid; the cell-mean DiD rides along —
+      // with one group and common timing the two must coincide
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      val joined = Tables.orders(s, dir)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      Eval.twfe(joined, "n_name", to_date(col("o_orderdate")),
+        "o_totalprice",
+        treatedUnits = (0 to 4).map(i => s"NATION_$i"),
+        intervention = "1999-01-01")
+    }),
     "q_ransac_fit" -> ((s, dir) =>
       // robust price-vs-quantity line: 64 hash-seeded 2-point samples,
       // consensus by inlier count at eps=$20k, exact OLS refit on the

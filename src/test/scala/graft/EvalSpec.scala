@@ -1354,4 +1354,28 @@ class EvalSpec extends SparkSpec {
         "2024-03-01", donors = 0)
     }
   }
+
+  test("twfe: coincides with the cell-mean DiD (one group, common " +
+      "timing) and recovers the planted effect under a common trend") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = Seq("2024-01-01", "2024-02-01", "2024-03-01",
+      "2024-04-01").map(d)
+    // common +1/month trend everywhere; treated jumps +5 post
+    val rows = months.zipWithIndex.flatMap { case (mo, i) =>
+      Seq(("A", mo, 10.0 + i), ("B", mo, 100.0 + i),
+        ("T", mo, if (i < 2) 20.0 + i else 25.0 + i))
+    }
+    val df = rows.toDF("u", "dt", "v")
+    val r = Eval.twfe(df, "u", col("dt"), "v", Seq("T"),
+      intervention = "2024-03-01").collect().head
+    assert(r.getAs[Long]("n_units") == 3L)
+    assert(r.getAs[Long]("n_months") == 4L)
+    assert(r.getAs[Long]("n_treated_cells") == 2L)
+    assert(r.getAs[Double]("att_twfe") == 5.0)
+    assert(r.getAs[Double]("did_check") == 5.0)
+    intercept[IllegalArgumentException] {
+      Eval.twfe(df, "u", col("dt"), "v", Seq.empty, "2024-03-01")
+    }
+  }
 }
