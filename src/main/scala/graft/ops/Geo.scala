@@ -89,6 +89,54 @@ object Geo {
       .orderBy(probeKey)
   }
 
+  /** The range-join complement of [[gridNearest]]: per site, how many
+    * probes fall within the radius (catchment size) and the nearest
+    * one — the site-capacity view ("which stores are overloaded")
+    * where gridNearest answers the probe view. Same bucketing, same
+    * exactness: probes fan out to 9 cells, equi-join sites, exact
+    * integer dist² cut; sites with an EMPTY catchment are kept with
+    * zero (a store nobody can reach is the finding, not a dropped
+    * row).
+    *
+    * Plan: identical to [[gridNearest]] up to the candidate set, then
+    * one site-grain aggregation and a left join back to all sites.
+    */
+  def gridCatchment(probes: DataFrame, probeKey: String,
+                    sites: DataFrame, siteKey: String,
+                    radiusMicro: Long): DataFrame = {
+    require(radiusMicro > 0,
+      s"gridCatchment: radius > 0 (got $radiusMicro)")
+    val cs = lit(radiusMicro.toDouble)
+    def cellOf(c: Column) = floor(c.cast("double") / cs).cast("long")
+    val s = sites.select(col(siteKey), col("x").as("__sx"),
+      col("y").as("__sy"), cellOf(col("x")).as("__cx"),
+      cellOf(col("y")).as("__cy"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val inRange = probes
+      .select(col(probeKey), col("x").as("__px"), col("y").as("__py"),
+        cellOf(col("x")).as("__pcx"), cellOf(col("y")).as("__pcy"))
+      .withColumn("__o", explode(offsets))
+      .withColumn("__jx", col("__pcx") + col("__o.dx"))
+      .withColumn("__jy", col("__pcy") + col("__o.dy"))
+      .join(s, col("__jx") === col("__cx") && col("__jy") === col("__cy"))
+      .withColumn("__d2",
+        (col("__px") - col("__sx")) * (col("__px") - col("__sx")) +
+          (col("__py") - col("__sy")) * (col("__py") - col("__sy")))
+      .filter(col("__d2") <= lit(radiusMicro * radiusMicro))
+    val agg = inRange.groupBy(col(siteKey))
+      .agg(count(lit(1)).as("n_in_range"),
+        min(struct(col("__d2"), col(probeKey))).as("__n"))
+    sites.select(col(siteKey))
+      .join(agg, Seq(siteKey), "left")
+      .select(col(siteKey),
+        coalesce(col("n_in_range"), lit(0L)).as("n_in_range"),
+        col("__n").getField(probeKey).as("nearest_probe"),
+        round(sqrt(col("__n").getField("__d2").cast("double")) /
+          lit(1e7), 6).as("nearest_dist"))
+      .orderBy(siteKey)
+  }
+
   /** Radius coverage summary — the aggregate readout over
     * [[gridNearest]]: how many probes found a site in range, and the
     * distance distribution of those that did (mean via exact micro

@@ -500,17 +500,26 @@ object Learn {
     * full-data OLS beside it for contrast.
     *
     * Determinism: x/y live on centi lattices; the sample pick is an
-    * exact (hash, id) total order; each candidate line and residual is
+    * exact (hash, id, x, y) total order (x/y included because a real
+    * corpus can carry duplicate natural keys — the id alone is not a
+    * total order, and an under-determined pick is flaky in ANY
+    * engine); each candidate line and residual is
     * a fixed double tree over lattice ints (boundary ties at eps are
-    * still engine-identical — same IEEE ops, same order); the refit
-    * uses exact decimal sums.
+    * still engine-identical — same IEEE ops, same order; the
+    * driver-side slope division is the same IEEE op the oracle's
+    * engine performs); the refit uses exact decimal sums.
     *
-    * Plan: one ×`arms` NARROW fan-out feeding a map-side-combined
-    * `arms`-row aggregate (sample pick), one broadcast of the `arms`
-    * candidate lines back over the corpus for the inlier counts
-    * (again map-side to `arms` rows), one broadcast of the winning
-    * line for the refit fold. Cost ∝ arms·n CPU with shuffles of
-    * O(arms) rows only; no corpus sort, no collect.
+    * Plan: THREE narrow corpus passes, each a single wide aggregate —
+    * sample pick (2·arms codegen'd packed-long argmins in one
+    * map-side-combined fold + a tiny winner-resolution pass), inlier
+    * counts (arms conditional counts against LITERAL line
+    * parameters), and the refit fold — with arms-bounded driver-side
+    * reads in between (≤ 2·256 longs/structs by the `arms` require —
+    * the vocab-trainer bounded-collect class). No row multiplication:
+    * the first cut exploded ×arms and crossJoined the line table
+    * (384 M intermediate rows at sf0.1, 54 s); the wide-aggregate
+    * form does the same arithmetic in-row at 5.2 s (BenchOne warm,
+    * 32 arms, sf0.1), cost ∝ arms·n with O(arms) shuffled rows.
     */
   def ransacLine(df: DataFrame, idCol: String, xCol: String, yCol: String,
                  eps: Double, arms: Int = 64): DataFrame = {
@@ -520,49 +529,72 @@ object Learn {
     val base = df.select(col(idCol).cast("long").as("__id"),
       round(col(xCol) * 100, 0).cast("long").as("__x"),
       round(col(yCol) * 100, 0).cast("long").as("__y"))
-    // per-arm u01: Gen.u01 with channel 301+b, b a COLUMN
-    def armHash(b: Column): Column = {
-      val h1 = (col("__id") + (lit(301L) + b) * 1000003L) % M
+    def armH3(b: Int): Column = {
+      val h1 = (col("__id") + lit((301L + b) * 1000003L)) % M
       val h2 = (h1 * 48271L) % M
-      val h3 = (h2 * 48271L) % M
-      (h3 + 1L).cast("double") / M.toDouble
+      (h2 * 48271L) % M
     }
-    val fan = base
-      .withColumn("__b", explode(expr(s"sequence(0, ${arms - 1})")))
-      .withColumn("__h", armHash(col("__b").cast("long")))
-    val picks = fan.groupBy(col("__b"))
-      .agg(min(struct(col("__h"), col("__id"), col("__x"), col("__y")))
-          .as("__p1"),
-        max(struct(col("__h"), col("__id"), col("__x"), col("__y")))
-          .as("__p2"))
-      .select(col("__b"),
-        col("__p1.__x").as("x1"), col("__p1.__y").as("y1"),
-        col("__p2.__x").as("x2"), col("__p2.__y").as("y2"))
-      .withColumn("__ok", col("x2") =!= col("x1"))
-      .withColumn("__m", when(col("__ok"),
-        (col("y2") - col("y1")).cast("double") /
-          (col("x2") - col("x1")).cast("double")))
-    // inlier counts: every row scores all arms (broadcast lines)
+    // pass 1: per-arm argmin/argmax of (h3, id) as ONE codegen'd long
+    // min/max per arm (u01 = (h3+1)/M is monotone in h3, so the packed
+    // integer order is the (h, id) order exactly), plus the id-range
+    // guard the packing needs
+    val keyCols = (0 until arms).flatMap { b =>
+      val k = shiftleft(armH3(b), 32) + col("__id")
+      Seq(min(k).as(s"k1_$b"), max(k).as(s"k2_$b"))
+    } ++ Seq(min(col("__id")).as("__minid"),
+      max(col("__id")).as("__maxid"))
+    val keyRow = base.agg(keyCols.head, keyCols.tail: _*).collect()(0)
+    require(keyRow.getLong(keyRow.fieldIndex("__minid")) >= 0L &&
+      keyRow.getLong(keyRow.fieldIndex("__maxid")) < (1L << 31),
+      "ransacLine: ids must lie in [0, 2^31) for the packed argmin")
+    val lowMask = (1L << 32) - 1
+    val winId: Int => (Long, Long) = b =>
+      (keyRow.getLong(keyRow.fieldIndex(s"k1_$b")) & lowMask,
+        keyRow.getLong(keyRow.fieldIndex(s"k2_$b")) & lowMask)
+    val winIds = (0 until arms).flatMap { b =>
+      val (a, c) = winId(b); Seq(a, c)
+    }.distinct
+    // pass 1b: resolve (x, y) for the ≤ 2·arms winner ids on the tiny
+    // matching subset — duplicate natural keys tiebreak by min/max
+    // (x, y), completing the (h, id, x, y) total order
+    val winFrame = base.filter(col("__id").isin(winIds: _*))
+    val resCols = (0 until arms).flatMap { b =>
+      val (id1, id2) = winId(b)
+      Seq(min(when(col("__id") === id1,
+          struct(col("__x").as("x"), col("__y").as("y")))).as(s"p1_$b"),
+        max(when(col("__id") === id2,
+          struct(col("__x").as("x"), col("__y").as("y")))).as(s"p2_$b"))
+    }
+    val pickRow = winFrame.agg(resCols.head, resCols.tail: _*).collect()(0)
+    // derive the arms candidate lines driver-side (bounded by `arms`);
+    // slope division is the identical IEEE op the oracle engine runs
+    case class Line(b: Int, x1: Long, y1: Long, m: Double, ok: Boolean)
+    val lines = (0 until arms).map { b =>
+      val p1 = pickRow.getStruct(pickRow.fieldIndex(s"p1_$b"))
+      val p2 = pickRow.getStruct(pickRow.fieldIndex(s"p2_$b"))
+      val (x1, y1) = (p1.getLong(0), p1.getLong(1))
+      val (x2, y2) = (p2.getLong(0), p2.getLong(1))
+      val ok = x2 != x1
+      Line(b, x1, y1,
+        if (ok) (y2 - y1).toDouble / (x2 - x1).toDouble else 0.0, ok)
+    }
     val epsC = eps * 100.0
-    val scored = base.crossJoin(broadcast(picks))
-      .withColumn("__resid",
-        col("__y").cast("double") - (col("y1").cast("double") +
-          col("__m") * (col("__x") - col("x1")).cast("double")))
-      .groupBy(col("__b"), col("__m"), col("x1"), col("y1"))
-      .agg(count(when(col("__ok") && abs(col("__resid")) <= epsC,
-        lit(1))).as("__inl"))
-    val best = scored
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("__inl").desc, col("__b"))))
-      .filter(col("__rn") === 1)
-      .select(col("__b").as("best_arm"), col("__m"), col("x1"),
-        col("y1"), col("__inl"))
-    // exact OLS refit on the winning arm's inliers + naive full OLS
+    def resid(l: Line): Column =
+      abs(col("__y").cast("double") - (lit(l.y1.toDouble) +
+        lit(l.m) * (col("__x") - lit(l.x1)).cast("double")))
+    // pass 2: arms conditional inlier counts against literal lines
+    val cntCols = lines.map { l =>
+      (if (l.ok) count(when(resid(l) <= epsC, lit(1)))
+       else lit(-1L)).as(s"c_${l.b}")
+    }
+    val cntRow = base.agg(cntCols.head, cntCols.tail: _*).collect()(0)
+    val best = lines.map(l => (l, cntRow.getLong(cntRow.fieldIndex(s"c_${l.b}"))))
+      .maxBy { case (l, c) => (c, -l.b) }
+    val bestLine = best._1
+    // pass 3: exact OLS refit on the winning inliers + naive full OLS
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val tagged = base.crossJoin(broadcast(best))
-      .withColumn("__in", abs(col("__y").cast("double") -
-        (col("y1").cast("double") +
-          col("__m") * (col("__x") - col("x1")).cast("double"))) <= epsC)
+    val inFlag =
+      if (bestLine.ok) resid(bestLine) <= epsC else lit(false)
     def sums(flag: Column, tag: String) = Seq(
       count(when(flag, lit(1))).as(s"n$tag"),
       coalesce(sum(when(flag, col("__x"))), lit(0L)).as(s"sx$tag"),
@@ -571,9 +603,8 @@ object Learn {
         lit(0L).cast("decimal(38,0)")).as(s"sxy$tag"),
       coalesce(sum(when(flag, dec(col("__x")) * col("__x"))),
         lit(0L).cast("decimal(38,0)")).as(s"sxx$tag"))
-    val allSums = sums(col("__in"), "i") ++ sums(lit(true), "a") ++
-      Seq(min(col("best_arm")).as("best_arm"))
-    val f = tagged.agg(allSums.head, allSums.tail: _*)
+    val allSums = sums(inFlag, "i") ++ sums(lit(true), "a")
+    val f = base.agg(allSums.head, allSums.tail: _*)
     def d(c: String) = col(c).cast("double")
     def fit(tag: String): (Column, Column, Column) = {
       val nD = d(s"n$tag")
@@ -586,7 +617,7 @@ object Learn {
     }
     val (mi, ai, _) = fit("i")
     val (ma, aa, _) = fit("a")
-    f.select(col("best_arm"), col("na").as("n"),
+    f.select(lit(bestLine.b).as("best_arm"), col("na").as("n"),
       col("ni").as("n_inliers"),
       round(col("ni").cast("double") / col("na").cast("double"), 6)
         .as("inlier_share"),

@@ -5138,7 +5138,7 @@ private[graft] object AnalyticsOracleSql {
                END, 6) AS att
       FROM se2, a ORDER BY month""",
 
-    // RANSAC: 64 hash-seeded 2-point samples (per arm: corpus
+    // RANSAC: 32 hash-seeded 2-point samples (per arm: corpus
     // argmin/argmax of the channel-(301+arm) u01 — replayed exactly),
     // consensus by inlier count at eps centi 2e6, exact-lattice OLS
     // refit on the winning inliers; every double tree mirrored
@@ -5151,13 +5151,14 @@ private[graft] object AnalyticsOracleSql {
               CAST(((((b.id + (301 + g.arm) * 1000003) % 2147483647)
                 * 48271 % 2147483647) * 48271 % 2147483647) + 1
                 AS DOUBLE) / 2147483647.0 AS h
-            FROM b, (SELECT unnest(range(0, 64)) AS arm) g),
+            FROM b, (SELECT unnest(range(0, 32)) AS arm) g),
       p1 AS (SELECT arm, x AS x1, y AS y1 FROM (
               SELECT arm, x, y, row_number() OVER (PARTITION BY arm
-                ORDER BY h, id) AS rn FROM fan) WHERE rn = 1),
+                ORDER BY h, id, x, y) AS rn FROM fan) WHERE rn = 1),
       p2 AS (SELECT arm, x AS x2, y AS y2 FROM (
               SELECT arm, x, y, row_number() OVER (PARTITION BY arm
-                ORDER BY h DESC, id DESC) AS rn FROM fan) WHERE rn = 1),
+                ORDER BY h DESC, id DESC, x DESC, y DESC) AS rn
+              FROM fan) WHERE rn = 1),
       ln AS (SELECT p1.arm, x1, y1, x2, y2, x2 <> x1 AS ok,
               CASE WHEN x2 <> x1 THEN CAST(y2 - y1 AS DOUBLE)
                 / CAST(x2 - x1 AS DOUBLE) END AS m
@@ -5281,6 +5282,42 @@ private[graft] object AnalyticsOracleSql {
       FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
         USING (c_custkey)
       ORDER BY c_custkey""",
+
+    // catchment per site: brute-force radius semantics again — count
+    // of in-range probes (zero-kept) + nearest probe by (d2, id)
+    "q_geo_catchment" -> s"""
+      WITH p AS (SELECT c_custkey,
+              CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
+                AS BIGINT) AS x,
+              CAST(floor(${uk("c_custkey", 172)} * 10000000.0)
+                AS BIGINT) AS y
+            FROM customer),
+      st AS (SELECT s_suppkey,
+              CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
+                AS BIGINT) AS x,
+              CAST(floor(${uk("s_suppkey", 174)} * 10000000.0)
+                AS BIGINT) AS y
+            FROM supplier),
+      cand AS (SELECT st.s_suppkey, p.c_custkey,
+              (p.x - st.x) * (p.x - st.x) + (p.y - st.y) * (p.y - st.y)
+                AS d2
+            FROM p CROSS JOIN st
+            WHERE (p.x - st.x) * (p.x - st.x)
+              + (p.y - st.y) * (p.y - st.y) <= 640000000000),
+      agg AS (SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_in_range
+            FROM cand GROUP BY 1),
+      best AS (SELECT s_suppkey, c_custkey, d2, row_number() OVER (
+              PARTITION BY s_suppkey ORDER BY d2, c_custkey) AS rn
+            FROM cand)
+      SELECT st.s_suppkey,
+             coalesce(a.n_in_range, 0) AS n_in_range,
+             b.c_custkey AS nearest_probe,
+             round(sqrt(CAST(b.d2 AS DOUBLE)) / 10000000.0, 6)
+               AS nearest_dist
+      FROM st LEFT JOIN agg a ON st.s_suppkey = a.s_suppkey
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON st.s_suppkey = b.s_suppkey
+      ORDER BY st.s_suppkey""",
 
     "q_geo_coverage" -> s"""
       WITH p AS (SELECT c_custkey,

@@ -840,7 +840,7 @@ object AnalyticsRegistry {
         intervention = "1999-01-01")
     }),
     "q_ransac_fit" -> ((s, dir) =>
-      // robust price-vs-quantity line: 64 hash-seeded 2-point samples,
+      // robust price-vs-quantity line: 32 hash-seeded 2-point samples,
       // consensus by inlier count at eps=$20k, exact OLS refit on the
       // winning inliers with the naive full OLS beside it
       Learn.ransacLine(
@@ -848,7 +848,7 @@ object AnalyticsRegistry {
           (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
           col("l_quantity"), col("l_extendedprice")),
         "rid", "l_quantity", "l_extendedprice", eps = 20000.0,
-        arms = 64)),
+        arms = 32)),
     "q_decayed_features" -> ((s, dir) =>
       // the feature-store recency feature: per-user revenue halved
       // every 7 days of age at the 2024-01-31 as-of — pure-integer
@@ -862,6 +862,15 @@ object AnalyticsRegistry {
       // equi-join (never a cross join), exact integer dist^2 cut,
       // unmatched customers carried through as NULL coverage signal
       Geo.gridNearest(
+        Geo.hashPoints(Tables.customer(s, dir), "c_custkey", 171L, 172L),
+        "c_custkey",
+        Geo.hashPoints(Tables.supplier(s, dir), "s_suppkey", 173L, 174L),
+        "s_suppkey", radiusMicro = 800000L)),
+    "q_geo_catchment" -> ((s, dir) =>
+      // the site-capacity view: per supplier site, customers within
+      // the radius (zero kept — an unreachable store is the finding)
+      // and the nearest one by (dist2, id) total order
+      Geo.gridCatchment(
         Geo.hashPoints(Tables.customer(s, dir), "c_custkey", 171L, 172L),
         "c_custkey",
         Geo.hashPoints(Tables.supplier(s, dir), "s_suppkey", 173L, 174L),

@@ -87,4 +87,34 @@ class GeoSpec extends SparkSpec {
       assert(y == math.floor(u01(k, 172L) * 1e7).toLong)
     }
   }
+
+  test("gridCatchment: in-range counts match brute force, empty " +
+      "catchments kept at zero with NULL nearest") {
+    val out = Geo.gridCatchment(probes, "p", sites, "s", 1000L)
+      .collect().map(r => r.getAs[Long]("s") -> r).toMap
+    assert(out.size == 5)
+    assert(out(1L).getAs[Long]("n_in_range") == 1L &&
+      out(1L).getAs[Long]("nearest_probe") == 1L)
+    assert(out(2L).getAs[Long]("n_in_range") == 1L)
+    assert(out(3L).getAs[Long]("n_in_range") == 1L &&
+      out(3L).getAs[Long]("nearest_probe") == 2L)
+    assert(out(4L).getAs[Long]("n_in_range") == 1L)
+    assert(out(5L).getAs[Long]("n_in_range") == 0L &&
+      out(5L).isNullAt(2) && out(5L).isNullAt(3))
+    // brute-force parity on the hash cloud
+    import spark.implicits._
+    val p300 = Geo.hashPoints((1L to 300L).toDF("k"), "k", 171L, 172L)
+    val s40 = Geo.hashPoints((1L to 40L).toDF("m"), "m", 173L, 174L)
+    val r = 400000L
+    val got = Geo.gridCatchment(p300, "k", s40, "m", r).collect()
+      .map(x => x.getAs[Long]("m") -> x.getAs[Long]("n_in_range")).toMap
+    val pm = p300.collect().map(x => (x.getLong(1), x.getLong(2)))
+    val sm = s40.collect().map(x =>
+      (x.getLong(0), (x.getLong(1), x.getLong(2))))
+    sm.foreach { case (m, (sx, sy)) =>
+      val n = pm.count { case (px, py) =>
+        (px - sx) * (px - sx) + (py - sy) * (py - sy) <= r * r }
+      assert(got(m) == n.toLong)
+    }
+  }
 }
