@@ -839,6 +839,13 @@ object Similarity {
       .select(col(userCol).as("__u"), col(itemCol).as("__i"))
       .filter(col("__u").isNotNull && col("__i").isNotNull)
       .distinct()
+    // user-keyed pair self-join: Catalyst reuses the identical exchange
+    // under both sides, so the distinct+cap+df chain computes once (a
+    // basket-array HOF-explode variant was measured 2.2× SLOWER —
+    // interpreted lambdas per pair vs the codegen'd join). The pair
+    // grain is Σ per-user basket², the inherent cost of exact item-CF;
+    // maxBasket / minDf / maxDf are the knobs that bound it, and at
+    // corpus scale the standard extra cut is a minimum co-count.
     val capped = ui
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("__u"))))

@@ -70,6 +70,22 @@ private[graft] object Shared {
       .select(col("o_custkey"), col("l_partkey"))
   }
 
+  /** The trained item-CF neighbor table per corpus dir — the
+    * [[bpeMerges]] pattern: in production this is a MATERIALIZED
+    * artifact (rebuilt on a schedule, read by every serving query), so
+    * the three CF registry entries share one build instead of
+    * re-deriving the Σ basket² pair table each. localCheckpoint pins
+    * only the neighbor grain (items × k rows).
+    */
+  private val cfNeighborCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def cfNeighbors(s: SparkSession,
+                                 dir: String): DataFrame =
+    cfNeighborCache.computeIfAbsent(dir, _ =>
+      Similarity.itemItemCF(cfInteractions(s, dir), "o_custkey",
+        "l_partkey", minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
+        .localCheckpoint())
+
   /** Trained WordPiece vocabulary per corpus dir — the [[bpeMerges]]
     * pattern for the third tokenizer family.
     */

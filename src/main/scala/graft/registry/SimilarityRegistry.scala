@@ -312,36 +312,25 @@ object SimilarityRegistry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
-    "x_item_cf" -> ((s, dir) => {
+    "x_item_cf" -> ((s, dir) =>
       // customers-who-bought-X-also-bought-Y: co-occurrence cosine
       // top-10 per part over customer baskets, pair space bounded by
-      // the maxBasket power-user cut and the minDf/maxDf item cuts
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val o = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-      Similarity.itemItemCF(
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .select(col("o_custkey"), col("l_partkey")),
-        "o_custkey", "l_partkey",
-        minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
-    }),
-    "x_rec_topk" -> ((s, dir) => {
+      // the maxBasket power-user cut and the minDf/maxDf item cuts;
+      // built once per corpus (Shared.cfNeighbors — the materialized-
+      // artifact posture) and shared with the two rec queries
+      Shared.cfNeighbors(s, dir)),
+    "x_rec_topk" -> ((s, dir) =>
       // the serving pass: top-5 unowned parts per customer, scored by
       // lattice-summed neighbor cosines over the x_item_cf table
-      val ui = Shared.cfInteractions(s, dir)
-      Similarity.recommendTopK(ui, "o_custkey", "l_partkey",
-        Similarity.itemItemCF(ui, "o_custkey", "l_partkey",
-          minDf = 2, maxDf = 1000, maxBasket = 256, k = 10), k = 5)
-    }),
+      Similarity.recommendTopK(Shared.cfInteractions(s, dir),
+        "o_custkey", "l_partkey", Shared.cfNeighbors(s, dir), k = 5)),
     "x_rec_metrics" -> ((s, dir) => {
       // the quality scorecard over those lists: catalog coverage and
       // long-tail novelty beside the list-size counters
       val ui = Shared.cfInteractions(s, dir)
       Similarity.recMetrics(
         Similarity.recommendTopK(ui, "o_custkey", "l_partkey",
-          Similarity.itemItemCF(ui, "o_custkey", "l_partkey",
-            minDf = 2, maxDf = 1000, maxBasket = 256, k = 10), k = 5),
+          Shared.cfNeighbors(s, dir), k = 5),
         ui, "o_custkey", "l_partkey")
     }),
   )
