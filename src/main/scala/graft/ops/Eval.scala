@@ -1000,6 +1000,39 @@ object Eval {
       .orderBy("day")
   }
 
+  /** Seasonal anomaly days: [[seasonality]]'s residual (observed −
+    * trend − weekday effect) fenced by the residual distribution's own
+    * median ± k·MAD — the robust "is today WEIRD given the trend and
+    * the weekday" alarm (a z-fence inflates under exactly the heavy
+    * days it should flag; the MAD fence has 50% breakdown). Emits the
+    * flagged days with the fence beside them. Fences fold the ROUNDED
+    * residual (the engine-stable 6 dp quantity, the
+    * [[graft.ops.Learn.logisticMetrics]] chaining rule).
+    *
+    * Plan: the [[seasonality]] chain (bounded day-grain windows), two
+    * exact percentile folds over the ≤|days| residual frame, one
+    * bounded filter. Day grain everywhere after the first aggregation.
+    */
+  def seasonalAnomalies(df: DataFrame, dateCol: Column,
+                        valueCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"seasonalAnomalies: k > 0 (got $k)")
+    val resid = seasonality(df, dateCol, valueCol)
+      .filter(col("residual").isNotNull)
+      .select(col("day"), col("revenue"), col("residual"))
+    val med = resid.agg(expr("percentile(residual, 0.5D)").as("med"))
+    val fences = resid.crossJoin(broadcast(med))
+      .agg(min(col("med")).as("med"),
+        expr("percentile(abs(residual - med), 0.5D)").as("mad"))
+    resid.crossJoin(broadcast(fences))
+      .filter(abs(col("residual") - col("med")) > col("mad") * k)
+      .select(col("day"), col("revenue"),
+        col("residual"),
+        round(col("med"), 6).as("resid_median"),
+        round(col("mad"), 6).as("resid_mad"),
+        round(col("mad") * k, 6).as("fence"))
+      .orderBy("day")
+  }
+
   /** Time-to-convert latency distribution: for each user, the delay from
     * their FIRST `fromType` event to their first `toType` event at or
     * after it, summarized in one row (population, converted count, rate,

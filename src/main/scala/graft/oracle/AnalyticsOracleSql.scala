@@ -1842,6 +1842,39 @@ private[graft] object AnalyticsOracleSql {
       ORDER BY tr.day""",
 
 
+    // seasonal anomalies: the q_seasonality residual chain, 3-MAD
+    // fence on the rounded residual (the engine-stable 6dp quantity)
+    "q_seasonal_anomalies" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(o_totalprice) AS x,
+               date_diff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) % 7 AS dow
+        FROM orders GROUP BY 1, 3),
+      tr AS (SELECT *,
+               CASE WHEN count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                 THEN avg(x) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END AS trend
+            FROM daily),
+      sl AS (SELECT dow, avg(x - trend) AS raw FROM tr GROUP BY dow),
+      ce AS (SELECT dow, raw - avg(raw) OVER () AS seas FROM sl),
+      res AS (SELECT tr.day, round(tr.x, 2) AS revenue,
+               round(tr.x - tr.trend - ce.seas, 6) AS residual
+            FROM tr LEFT JOIN ce ON tr.dow = ce.dow
+            WHERE tr.x - tr.trend - ce.seas IS NOT NULL),
+      med AS (SELECT quantile_cont(residual, 0.5) AS med FROM res),
+      fen AS (SELECT m.med,
+               quantile_cont(abs(r.residual - m.med), 0.5) AS mad
+            FROM res r, med m GROUP BY m.med)
+      SELECT r.day, r.revenue, r.residual,
+             round(f.med, 6) AS resid_median,
+             round(f.mad, 6) AS resid_mad,
+             round(f.mad * 3.0, 6) AS fence
+      FROM res r, fen f
+      WHERE abs(r.residual - f.med) > f.mad * 3.0
+      ORDER BY r.day""",
+
     // PMI over the unfiltered probability spaces; minCount trims output
     // only. Operation order mirrors the Spark column chain exactly so
     // the IEEE division/multiplication sequence is bit-identical.

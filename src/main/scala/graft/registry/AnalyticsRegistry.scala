@@ -798,6 +798,11 @@ object AnalyticsRegistry {
       // weights 1/4, 1/8, 1/4; oracle steps the same recursion)
       Eval.holtWinters(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_seasonal_anomalies" -> ((s, dir) =>
+      // weird days given trend + weekday: seasonality residual fenced
+      // at 3 MAD of its own distribution, flagged days only
+      Eval.seasonalAnomalies(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice", k = 3.0)),
     "q_holt_winters_forecast" -> ((s, dir) =>
       // the forward readout: 7-day-ahead level + h*trend + season off
       // the fold's final state (same bit-exact recursion)

@@ -1378,4 +1378,29 @@ class EvalSpec extends SparkSpec {
       Eval.twfe(df, "u", col("dt"), "v", Seq.empty, "2024-03-01")
     }
   }
+
+  test("seasonalAnomalies: a planted spike is flagged; the clean weekly " +
+      "pattern is not (only the spike's trend window can co-flag)") {
+    import spark.implicits._
+    val start = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 28).map { i =>
+      val base = 10.0 + (start.plusDays(i.toLong).toEpochDay % 7)
+      (java.sql.Date.valueOf(start.plusDays(i.toLong)),
+        if (i == 14) 100.0 else base)
+    }
+    val out = Eval.seasonalAnomalies(rows.toDF("d", "v"), col("d"), "v",
+      k = 3.0).collect()
+    val flagged = out.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    // the spike is flagged, and it is the MOST extreme flagged day
+    // (the spike also pollutes its trend window and weekday slot, so
+    // a near-zero MAD can legitimately co-flag other days)
+    assert(flagged.contains(start.plusDays(14L)))
+    val worst = out.maxBy(r => math.abs(r.getAs[Double]("residual") -
+      r.getAs[Double]("resid_median")))
+    assert(worst.getAs[java.sql.Date]("day").toLocalDate ==
+      start.plusDays(14L))
+    intercept[IllegalArgumentException] {
+      Eval.seasonalAnomalies(rows.toDF("d", "v"), col("d"), "v", k = 0.0)
+    }
+  }
 }
