@@ -2117,6 +2117,71 @@ object Eval {
         .as("did_check"))
   }
 
+  /** Dynamic-time-warping distance between two units' monthly series
+    * on the completed panel — the alignment-tolerant series similarity
+    * (a one-month lead/lag that would wreck the lockstep L1 costs only
+    * one warp step), with the lockstep L1 beside it: warp_gain near 0
+    * means the series already align, large means one LAGS the other —
+    * the readout correlation can't give. Unconstrained DTW, classic
+    * cumulative DP.
+    *
+    * Determinism: the costs |aᵢ − bⱼ| are exact centi longs, so the
+    * WHOLE DP is integer arithmetic — no float anywhere until the
+    * final /100 display scaling. The DP is inherently sequential and
+    * runs as one bounded fold over the month grain (the
+    * [[holtWinters]] contract, generalized from a 1-D recurrence to a
+    * 2-D table): Spark nests two `aggregate` HOFs (row fold inside
+    * grid fold); the oracle replays cell-by-cell with a sliding
+    * (m+1)-cell list state. Identical integers by induction.
+    *
+    * Plan: one corpus aggregation to the panel, two 1-row series
+    * folds, one O(n·m) in-row DP over the calendar-bounded grain
+    * (≤ ~100 months → ≤ 10⁴ cells). No corpus sort.
+    */
+  def dtwDistance(df: DataFrame, unitCol: String, dateCol: Column,
+                  valueCol: String, unitA: String,
+                  unitB: String): DataFrame = {
+    require(unitA != unitB, "dtwDistance: distinct units")
+    val grid = monthlyPanel(df, unitCol, dateCol, valueCol)
+    def series(u: String, nm: String) = grid.filter(col("__u") === u)
+      .agg(transform(sort_array(collect_list(
+        struct(col("__m").as("m"), col("__y").as("y")))),
+        s => s.getField("y")).as(nm))
+    val inf = lit(Long.MaxValue / 4)
+    val joined = series(unitA, "__a").crossJoin(broadcast(series(unitB, "__b")))
+    val aArr = col("__a"); val bArr = col("__b")
+    val n = size(aArr); val m = size(bArr)
+    val dpLast = aggregate(
+      sequence(lit(1), n),
+      array().cast("array<bigint>"),
+      (prevRow, i) => {
+        val ai = element_at(aArr, i)
+        aggregate(
+          sequence(lit(1), m),
+          array().cast("array<bigint>"),
+          (newRow, j) => {
+            val c = abs(ai - element_at(bArr, j))
+            val up = when(i > 1, element_at(prevRow, j)).otherwise(inf)
+            val diag = when(i === 1 && j === 1, lit(0L))
+              .when(i > 1 && j > 1, element_at(prevRow, j - 1))
+              .otherwise(inf)
+            val left = when(j > 1, element_at(newRow, j - 1))
+              .otherwise(inf)
+            concat(newRow, array(c + least(up, diag, left)))
+          })
+      })
+    val lockstep = aggregate(zip_with(aArr, bArr, (x, y) => abs(x - y)),
+      lit(0L), (acc, x) => acc + x)
+    joined.select(n.as("n_months"),
+        element_at(dpLast, m).as("__dtw"), lockstep.as("__lock"))
+      .select(col("n_months").cast("long").as("n_months"),
+        round(col("__dtw").cast("double") / 100.0, 2).as("dtw_dist"),
+        round(col("__lock").cast("double") / 100.0, 2).as("lockstep_dist"),
+        round(when(col("__lock") > 0,
+          (col("__lock") - col("__dtw")).cast("double") /
+            col("__lock").cast("double")), 6).as("warp_gain"))
+  }
+
   /** The completed unit×month panel behind [[twfe]] and
     * [[syntheticControl]]: corpus → (unit, month, centi sum), grid
     * completed with zeros so the panel is balanced (absence of revenue

@@ -1842,6 +1842,63 @@ private[graft] object AnalyticsOracleSql {
       ORDER BY tr.day""",
 
 
+    // DTW between two nations' monthly series: the WHOLE DP is integer
+    // (centi costs), replayed cell-by-cell — one recursion step per DP
+    // cell, positive-index lookups into the append-only cell list
+    // (left = d[t], up = d[t+1-m], diag = d[t-m]); INF = 2^61-ish
+    // literal shared with the Spark fold
+    "q_dtw_distance" -> """
+      WITH RECURSIVE m AS (SELECT n.n_name AS u,
+              CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
+                AS DATE) AS mo,
+              CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+      mos AS (SELECT DISTINCT mo FROM m),
+      a AS (SELECT list(coalesce(x.y, 0) ORDER BY mos.mo) AS av
+            FROM mos LEFT JOIN (SELECT mo, y FROM m
+              WHERE u = 'NATION_1') x ON mos.mo = x.mo),
+      b AS (SELECT list(coalesce(x.y, 0) ORDER BY mos.mo) AS bv
+            FROM mos LEFT JOIN (SELECT mo, y FROM m
+              WHERE u = 'NATION_2') x ON mos.mo = x.mo),
+      nn AS (SELECT CAST(len(av) AS BIGINT) AS n FROM a),
+      mn AS (SELECT CAST(len(bv) AS BIGINT) AS mm FROM b),
+      dp AS (
+        SELECT CAST(1 AS BIGINT) AS t,
+               [abs(a.av[1] - b.bv[1])] AS d
+        FROM a, b
+        UNION ALL
+        SELECT t + 1,
+               d || [abs(a.av[CAST(t // mn.mm AS INTEGER) + 1]
+                       - b.bv[CAST(t % mn.mm AS INTEGER) + 1])
+                 + least(
+                     CASE WHEN t // mn.mm + 1 > 1
+                       THEN d[CAST(t + 1 - mn.mm AS INTEGER)]
+                       ELSE 2305843009213693951 END,
+                     CASE WHEN t // mn.mm + 1 = 1 AND t % mn.mm + 1 = 1
+                         THEN 0
+                       WHEN t // mn.mm + 1 > 1 AND t % mn.mm + 1 > 1
+                         THEN d[CAST(t - mn.mm AS INTEGER)]
+                       ELSE 2305843009213693951 END,
+                     CASE WHEN t % mn.mm + 1 > 1
+                       THEN d[CAST(t AS INTEGER)]
+                       ELSE 2305843009213693951 END)]
+        FROM dp, a, b, mn, nn WHERE t < nn.n * mn.mm),
+      fin AS (SELECT d[CAST(t AS INTEGER)] AS dtw FROM dp, nn, mn
+              WHERE t = nn.n * mn.mm),
+      lk AS (SELECT CAST(sum(abs(a.av[k] - b.bv[k])) AS BIGINT) AS lock
+             FROM a, b, (SELECT unnest(range(1, CAST((SELECT n FROM nn)
+               AS INTEGER) + 1)) AS k))
+      SELECT nn.n AS n_months,
+             round(CAST(fin.dtw AS DOUBLE) / 100.0, 2) AS dtw_dist,
+             round(CAST(lk.lock AS DOUBLE) / 100.0, 2) AS lockstep_dist,
+             round(CASE WHEN lk.lock > 0 THEN
+               CAST(lk.lock - fin.dtw AS DOUBLE)
+               / CAST(lk.lock AS DOUBLE) END, 6) AS warp_gain
+      FROM fin, lk, nn""",
+
     // seasonal anomalies: the q_seasonality residual chain, 3-MAD
     // fence on the rounded residual (the engine-stable 6dp quantity)
     "q_seasonal_anomalies" -> """

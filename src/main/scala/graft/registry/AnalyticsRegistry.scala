@@ -798,6 +798,20 @@ object AnalyticsRegistry {
       // weights 1/4, 1/8, 1/4; oracle steps the same recursion)
       Eval.holtWinters(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_dtw_distance" -> ((s, dir) => {
+      // alignment-tolerant similarity of two nations' monthly revenue:
+      // integer DTW with the lockstep L1 beside it; warp_gain >> 0
+      // means one series lags the other
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      val joined = Tables.orders(s, dir)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      Eval.dtwDistance(joined, "n_name", to_date(col("o_orderdate")),
+        "o_totalprice", unitA = "NATION_1", unitB = "NATION_2")
+    }),
     "q_seasonal_anomalies" -> ((s, dir) =>
       // weird days given trend + weekday: seasonality residual fenced
       // at 3 MAD of its own distribution, flagged days only

@@ -1403,4 +1403,33 @@ class EvalSpec extends SparkSpec {
       Eval.seasonalAnomalies(rows.toDF("d", "v"), col("d"), "v", k = 0.0)
     }
   }
+
+  test("dtwDistance: a one-month lag costs one warp step (hand DP), " +
+      "lockstep L1 pays it every month") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = Seq("2024-01-01", "2024-02-01", "2024-03-01",
+      "2024-04-01").map(d)
+    val a = Seq(10.0, 20.0, 30.0, 40.0)
+    val b = Seq(10.0, 10.0, 20.0, 30.0) // A lagged one month
+    val rows = months.zipWithIndex.flatMap { case (mo, i) =>
+      Seq(("A", mo, a(i)), ("B", mo, b(i))) }
+    val r = Eval.dtwDistance(rows.toDF("u", "dt", "v"), "u", col("dt"),
+      "v", unitA = "A", unitB = "B").collect().head
+    assert(r.getAs[Long]("n_months") == 4L)
+    // hand DP: DTW = 10.00 (the final unmatched 40 vs 30), L1 = 30.00
+    assert(r.getAs[Double]("dtw_dist") == 10.0)
+    assert(r.getAs[Double]("lockstep_dist") == 30.0)
+    assert(r.getAs[Double]("warp_gain") == 0.666667)
+    // identical series: both distances 0, gain NULL-guarded
+    val same = months.flatMap(mo => Seq(("A", mo, 5.0), ("B", mo, 5.0)))
+    val s0 = Eval.dtwDistance(same.toDF("u", "dt", "v"), "u", col("dt"),
+      "v", "A", "B").collect().head
+    assert(s0.getAs[Double]("dtw_dist") == 0.0)
+    assert(s0.isNullAt(s0.fieldIndex("warp_gain")))
+    intercept[IllegalArgumentException] {
+      Eval.dtwDistance(same.toDF("u", "dt", "v"), "u", col("dt"), "v",
+        "A", "A")
+    }
+  }
 }
