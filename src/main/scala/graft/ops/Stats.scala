@@ -2251,6 +2251,53 @@ object Stats {
       (col("np") - 4L).as("df2"))
   }
 
+  /** Lognormal MLE fit over a positive value column — the canonical
+    * revenue/latency distribution (multiplicative noise): μ̂, σ̂ are the
+    * mean/std of ln(x), giving the fitted median e^μ and the fitted
+    * p95 e^(μ+1.645σ); the OBSERVED exact p95 rides along so the fit's
+    * tail quality is visible in the same row (a lognormal fit on
+    * power-law data under-forecasts the tail — that gap IS the
+    * readout, next to [[hillTail]]'s heavy-tail alternative).
+    *
+    * Determinism: each ln(x) commits to the 1e-9 integer lattice
+    * before the fold (ln parity rides the committed lattice — the
+    * x_char_entropy precedent), so Σ and Σ² are exact; μ/σ/quantiles
+    * are fixed double trees with the z₀.₉₅ shared literal. Non-positive
+    * values are excluded (ln undefined) and counted.
+    *
+    * Plan: ONE aggregation pass (the exact observed p95 buffers the
+    * column once — the [[q_percentiles]] posture; swap
+    * percentile_approx at true scale). No window, no sort.
+    */
+  def lognormalFit(df: DataFrame, valCol: String): DataFrame = {
+    val z95 = 1.6448536269514722 // shared literal (TOST/VdW precedent)
+    val pos = col(valCol).isNotNull && col(valCol) > 0.0
+    val lnLat = round(log(col(valCol).cast("double")) * 1e9, 0)
+      .cast("long")
+    val f = df.agg(
+      count(when(pos, lit(1))).as("n"),
+      count(when(col(valCol).isNotNull && !(col(valCol) > 0.0),
+        lit(1))).as("n_nonpositive"),
+      coalesce(sum(when(pos, lnLat)), lit(0L)).as("__s"),
+      coalesce(sum(when(pos, lnLat.cast("decimal(38,0)") * lnLat)),
+        lit(0L).cast("decimal(38,0)")).as("__s2"),
+      expr(s"percentile(CASE WHEN `$valCol` > 0.0 THEN " +
+        s"CAST(`$valCol` AS DOUBLE) END, 0.95D)").as("__obs95"))
+    val nD = col("n").cast("double")
+    val mu = col("__s").cast("double") / (nD * 1e9)
+    val varL = (col("__s2").cast("double") / nD -
+      (col("__s").cast("double") / nD) * (col("__s").cast("double") / nD)
+      ) / 1e18
+    val sigma = sqrt(varL)
+    val ok = col("n") >= 2 && varL > 0
+    f.select(col("n"), col("n_nonpositive"),
+      round(when(col("n") > 0, mu), 6).as("mu"),
+      round(when(ok, sigma), 6).as("sigma"),
+      round(when(col("n") > 0, exp(mu)), 6).as("fitted_median"),
+      round(when(ok, exp(mu + lit(z95) * sigma)), 6).as("fitted_p95"),
+      round(when(col("n") > 0, col("__obs95")), 6).as("observed_p95"))
+  }
+
   /** Negative-binomial method-of-moments fit over per-key event counts
     * — "is per-user activity Poisson, or overdispersed?" (the
     * distributional gate before modeling counts: a Poisson model on

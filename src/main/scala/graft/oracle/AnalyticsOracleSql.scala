@@ -1842,6 +1842,46 @@ private[graft] object AnalyticsOracleSql {
       ORDER BY tr.day""",
 
 
+    // lognormal MLE: each ln commits to the 1e-9 lattice before the
+    // fold; mu/sigma/quantiles are the mirrored fixed trees
+    "q_lognormal_fit" -> """
+      WITH f AS (SELECT
+              CAST(count(CASE WHEN o_totalprice > 0.0 THEN 1 END)
+                AS BIGINT) AS n,
+              CAST(count(CASE WHEN o_totalprice IS NOT NULL
+                AND NOT (o_totalprice > 0.0) THEN 1 END) AS BIGINT)
+                AS n_nonpositive,
+              CAST(coalesce(sum(CASE WHEN o_totalprice > 0.0 THEN
+                CAST(round(ln(CAST(o_totalprice AS DOUBLE))
+                  * 1000000000.0, 0) AS BIGINT) END), 0) AS BIGINT)
+                AS s,
+              coalesce(sum(CASE WHEN o_totalprice > 0.0 THEN
+                CAST(round(ln(CAST(o_totalprice AS DOUBLE))
+                  * 1000000000.0, 0) AS HUGEINT)
+                * CAST(round(ln(CAST(o_totalprice AS DOUBLE))
+                  * 1000000000.0, 0) AS BIGINT) END), 0) AS s2,
+              quantile_cont(CASE WHEN o_totalprice > 0.0 THEN
+                CAST(o_totalprice AS DOUBLE) END, 0.95) AS obs95
+            FROM orders),
+      t AS (SELECT *,
+              CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mu,
+              (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 1e18
+                AS varl
+            FROM f)
+      SELECT n, n_nonpositive,
+             round(CASE WHEN n > 0 THEN mu END, 6) AS mu,
+             round(CASE WHEN n >= 2 AND varl > 0 THEN sqrt(varl) END, 6)
+               AS sigma,
+             round(CASE WHEN n > 0 THEN exp(mu) END, 6)
+               AS fitted_median,
+             round(CASE WHEN n >= 2 AND varl > 0 THEN
+               exp(mu + 1.6448536269514722 * sqrt(varl)) END, 6)
+               AS fitted_p95,
+             round(CASE WHEN n > 0 THEN obs95 END, 6) AS observed_p95
+      FROM t""",
+
     // DTW between two nations' monthly series: the WHOLE DP is integer
     // (centi costs), replayed cell-by-cell — one recursion step per DP
     // cell, positive-index lookups into the append-only cell list

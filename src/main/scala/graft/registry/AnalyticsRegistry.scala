@@ -798,6 +798,11 @@ object AnalyticsRegistry {
       // weights 1/4, 1/8, 1/4; oracle steps the same recursion)
       Eval.holtWinters(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_lognormal_fit" -> ((s, dir) =>
+      // the canonical revenue distribution: MLE on ln(o_totalprice)
+      // with the fitted p95 vs the observed exact p95 as the
+      // tail-quality readout (the hillTail alternative's counterpart)
+      Stats.lognormalFit(Tables.orders(s, dir), "o_totalprice")),
     "q_dtw_distance" -> ((s, dir) => {
       // alignment-tolerant similarity of two nations' monthly revenue:
       // integer DTW with the lockstep L1 beside it; warp_gain >> 0

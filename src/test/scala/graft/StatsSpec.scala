@@ -2223,4 +2223,34 @@ class StatsSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("lognormalFit: MLE replays the lattice fold, non-positives " +
+      "excluded and counted, observed p95 interpolates exactly") {
+    import spark.implicits._
+    val vals = Seq(1.0, 2.0, 4.0, 8.0, 16.0, -1.0, 0.0)
+    val r = Stats.lognormalFit(vals.toDF("v"), "v").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("n_nonpositive") == 2L)
+    // scala replay of the identical lattice fold + fixed trees
+    val lat = Seq(1.0, 2.0, 4.0, 8.0, 16.0)
+      .map(x => math.round(math.log(x) * 1e9))
+    val s = lat.sum.toDouble
+    val s2 = lat.map(l => BigDecimal(l) * BigDecimal(l)).sum.toDouble
+    val mu = s / (5.0 * 1e9)
+    val varl = (s2 / 5.0 - (s / 5.0) * (s / 5.0)) / 1e18
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("mu") == r6(mu))
+    assert(r.getAs[Double]("sigma") == r6(math.sqrt(varl)))
+    assert(r.getAs[Double]("fitted_median") == r6(math.exp(mu)))
+    assert(r.getAs[Double]("fitted_p95") ==
+      r6(math.exp(mu + 1.6448536269514722 * math.sqrt(varl))))
+    // exact interpolated p95 of (1,2,4,8,16): rank 3.8 -> 8 + .8*8
+    assert(r.getAs[Double]("observed_p95") == 14.4)
+    // degenerate: one value -> sigma/p95 NULL, median = the value
+    val one = Stats.lognormalFit(Seq(10.0).toDF("v"), "v")
+      .collect().head
+    assert(one.isNullAt(one.fieldIndex("sigma")))
+    assert(one.getAs[Double]("fitted_median") == 10.0)
+  }
 }
