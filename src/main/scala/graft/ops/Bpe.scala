@@ -336,15 +336,18 @@ object Bpe {
                      maxWordLen: Int = 12): DataFrame = {
     val t = col(textCol)
     val wordsArr = filter(split(trim(lower(t)), "\\s+"), w => w =!= "")
+    // null text must DROP (the oracle's join silently drops it), not
+    // raise: a null guard condition would fall through to raise_error
     val guarded = when(
-      aggregate(wordsArr, lit(0),
-        (acc, w) => greatest(acc, length(w))) <= maxWordLen, t)
+      coalesce(aggregate(wordsArr, lit(0),
+        (acc, w) => greatest(acc, length(w))), lit(0)) <= maxWordLen, t)
       .otherwise(raise_error(lit(
         s"wordPieceStats: word longer than $maxWordLen — oracle unroll " +
           "bound violated")))
     val toks = Native.wordpiece_encode(guarded, initials, conts,
       maxPieceLen)
-    docs.select(col(idCol), size(wordsArr).as("n_words"),
+    docs.filter(t.isNotNull)
+      .select(col(idCol), size(wordsArr).as("n_words"),
         size(toks).as("n_tokens"))
       .filter(col("n_words") > 0)
       .withColumn("fertility",

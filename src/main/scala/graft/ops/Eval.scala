@@ -2293,18 +2293,22 @@ object Eval {
     * F = t² < 10 (two-proportion z over exact counts) means the ratio
     * is noise-amplified and should not be read.
     *
-    * Determinism: user-grain outcome sums on the centi lattice and
-    * treatment counts are exact longs; every rate/mean/F/LATE is one
-    * fixed double tree over them.
+    * Determinism: the caller commits EACH value to the centi lattice
+    * before the per-user fold (`outcomeCenti` is an exact-long
+    * aggregate, e.g. `sum(round(value*100,0).cast("long"))`), so the
+    * user-grain sums are order-free exact longs in both engines —
+    * a post-sum round of a double fold could flip at a .5-centi
+    * boundary; treatment counts are exact longs; every
+    * rate/mean/F/LATE is one fixed double tree over them.
     *
     * Plan: one user-grain aggregation (outcome + behavior per user),
     * one 1-row eight-counter fold. No window, no sort.
     */
   def ivWald(df: DataFrame, userCol: String, treatedIf: Column,
-             outcome: Column, channel: Long = 61L): DataFrame = {
+             outcomeCenti: Column, channel: Long = 61L): DataFrame = {
     val users = df.groupBy(col(userCol))
       .agg(treatedIf.as("__d"),
-        round(outcome * 100, 0).cast("long").as("__yc"))
+        outcomeCenti.cast("long").as("__yc"))
       .select((Gen.u01(col(userCol), channel) > 0.5).as("__z"),
         col("__d"), col("__yc"))
     val f = users.agg(

@@ -216,6 +216,11 @@ object Privacy {
       s"dpMean: epsilon in (0, 10] (got $epsilon)")
     require(hi > lo, s"dpMean: need lo < hi (got [$lo, $hi])")
     val sens = math.round((hi - lo) * 100)
+    // a clip range under one centi would make sens = 0 and e2/sens
+    // infinite — the geometric noise silently collapses to 0 and the
+    // release is labeled epsilon-DP with NO sum noise; fail loud
+    require(sens >= 1,
+      s"dpMean: clip range must be >= 0.01 (got hi - lo = ${hi - lo})")
     val key = lit(777L) // single-release seed
     def geom(c: Long, eps: Double): Column =
       floor(log(Gen.u01(key, c)) / lit(-eps)).cast("long")

@@ -2590,8 +2590,9 @@ private[graft] object AnalyticsOracleSql {
     // mirrors the Spark fixed tree term-for-term
     "q_iv_wald" -> s"""
       WITH u AS (SELECT user_id, count(*) >= 30 AS d,
-              CAST(round(sum(CASE WHEN event_type = 'purchase'
-                THEN value ELSE 0.0 END) * 100, 0) AS BIGINT) AS yc
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100, 0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS yc
             FROM events GROUP BY user_id),
       b AS (SELECT ${uk("user_id", 61)} > 0.5 AS z, d, yc FROM u),
       f AS (SELECT
@@ -5294,11 +5295,15 @@ private[graft] object AnalyticsOracleSql {
                 / CAST(x2 - x1 AS DOUBLE) END AS m
             FROM p1 JOIN p2 ON p1.arm = p2.arm),
       sc AS (SELECT l.arm, l.m, l.x1, l.y1,
-              CAST(count(CASE WHEN l.ok AND abs(CAST(b.y AS DOUBLE)
-                - (CAST(l.y1 AS DOUBLE)
-                   + l.m * CAST(b.x - l.x1 AS DOUBLE))) <= 2000000.0
-                THEN 1 END) AS BIGINT) AS inl
-            FROM b CROSS JOIN ln l GROUP BY 1, 2, 3, 4),
+              -- degenerate arms (x1 = x2) score the Spark -1 sentinel,
+              -- not 0: if every valid arm has zero inliers the two
+              -- engines must still elect the same smallest OK arm
+              CASE WHEN NOT l.ok THEN CAST(-1 AS BIGINT)
+                ELSE CAST(count(CASE WHEN abs(CAST(b.y AS DOUBLE)
+                  - (CAST(l.y1 AS DOUBLE)
+                     + l.m * CAST(b.x - l.x1 AS DOUBLE))) <= 2000000.0
+                  THEN 1 END) AS BIGINT) END AS inl
+            FROM b CROSS JOIN ln l GROUP BY 1, 2, 3, 4, l.ok),
       bst AS (SELECT * FROM (SELECT *, row_number() OVER (
               ORDER BY inl DESC, arm) AS rn FROM sc) WHERE rn = 1),
       tg AS (SELECT b.x, b.y, t.arm,

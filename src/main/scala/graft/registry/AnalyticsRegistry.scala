@@ -927,8 +927,8 @@ object AnalyticsRegistry {
       // first-stage-F weak-instrument alarm
       Eval.ivWald(Tables.events(s, dir), "user_id",
         count(lit(1)) >= 30L,
-        sum(when(col("event_type") === "purchase", col("value"))
-          .otherwise(0.0)))),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L)))),
     "q_reg_discontinuity" -> ((s, dir) =>
       // sharp RDD at the $300k order-value line: does URGENT-priority
       // share jump at the threshold, or is the local trend smooth?

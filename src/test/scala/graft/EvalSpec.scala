@@ -1212,8 +1212,9 @@ class EvalSpec extends SparkSpec {
           if (i <= buys) 10.0 else 0.0))
     }.toDF("user_id", "event_type", "value")
     val r = Eval.ivWald(rows, "user_id", count(lit(1)) >= 30L,
-      sum(when(col("event_type") === "purchase", col("value"))
-        .otherwise(0.0))).collect().head
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L)))
+      .collect().head
     val nT = arm.values.count(identity).toLong
     assert(r.getAs[Long]("n_z1") == nT)
     assert(r.getAs[Long]("n_z0") == 60L - nT)
@@ -1228,7 +1229,7 @@ class EvalSpec extends SparkSpec {
     val flat = (1L to 60L).map(u => (u, "purchase", 5.0))
       .toDF("user_id", "event_type", "value")
     val w = Eval.ivWald(flat, "user_id", count(lit(1)) >= 30L,
-      sum(col("value"))).collect().head
+      sum(round(col("value") * 100, 0).cast("long"))).collect().head
     assert(w.getAs[Double]("first_stage") == 0.0)
     assert(w.isNullAt(w.fieldIndex("late")))
     assert(w.getAs[Boolean]("weak_instrument"))
