@@ -194,7 +194,7 @@ object Native {
     * (UnigramSpec asserts it).
     */
   case class UnigramSegment(child: Expression,
-                            table: Seq[(String, Double)], maxLen: Int,
+                            table: Seq[(String, Long)], maxLen: Int,
                             perWord: Boolean)
       extends UnaryExpression with CodegenFallback {
     require(table.nonEmpty, "unigram_segment: empty piece table")
@@ -202,8 +202,8 @@ object Native {
       ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
-    @transient private lazy val logp: java.util.HashMap[String, java.lang.Double] = {
-      val m = new java.util.HashMap[String, java.lang.Double]()
+    @transient private lazy val logp: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
       table.foreach { case (p, lp) => m.put(p, lp) }
       m
     }
@@ -215,7 +215,7 @@ object Native {
       if (hit != null) return hit
       val toks = graft.ops.Unigram.segmentLocal(w, { k =>
         val v = logp.get(k)
-        if (v == null) None else Some(v.doubleValue())
+        if (v == null) None else Some(v.longValue())
       }, maxLen)
       val arr = toks.iterator.map(UTF8String.fromString).toArray
       if (memo.size < 65536) memo.put(w, arr)
@@ -920,13 +920,15 @@ object Native {
   def substrings_upto(w: Column, maxLen: Int): Column =
     toCol(SubstringsUpto(toExpr(w), maxLen))
 
-  /** Per-WORD Viterbi segmentation (the trainer's E-step). */
-  def unigram_segment(w: Column, table: Seq[(String, Double)],
+  /** Per-WORD Viterbi segmentation (the trainer's E-step); the piece
+    * table carries 1e-9-lattice log-probs as exact longs.
+    */
+  def unigram_segment(w: Column, table: Seq[(String, Long)],
                       maxLen: Int): Column =
     toCol(UnigramSegment(toExpr(w), table, maxLen, perWord = true))
 
   /** Whole-text unigram tokenization (lower/split, per-word memoized). */
-  def unigram_segment_text(text: Column, table: Seq[(String, Double)],
+  def unigram_segment_text(text: Column, table: Seq[(String, Long)],
                            maxLen: Int): Column =
     toCol(UnigramSegment(toExpr(text), table, maxLen, perWord = false))
 

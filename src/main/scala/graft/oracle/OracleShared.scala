@@ -1416,4 +1416,94 @@ private[graft] object OracleShared {
 
   def wordPieceSql(select: String): String =
     s"\n      WITH $wordPieceCtes\n      $select"
+
+  /** Unigram-LM trainer + Viterbi replay (the wordPiece precedent taken
+    * to the harder tokenizer): seed substring counts on the distinct-word
+    * grain, prune to the alphabet + top-200 multi-char pieces (count
+    * DESC, piece ASC — mirrors `Unigram.prune`), commit each piece's
+    * ln(cnt/total) to the 1e-9 lattice as a BIGINT, then replay the
+    * hard-EM rounds: the Viterbi DP is unrolled CELL PER CELL to the
+    * fail-loud word-length bound of 12 (each cell picks max score over
+    * the ≤4 pieces ending there, ties to the LONGEST piece — `ORDER BY
+    * s DESC, k DESC`), carrying the argmax PATH as a list so usage
+    * counts re-estimate exactly like the trainer's M-step. All-integer
+    * scores make the argmax engine-proof; the only doubles are the ln
+    * calls, each committed to the lattice before any comparison.
+    */
+  lazy val unigramCtes: String = {
+    val V = 200; val P = 4; val W = 12
+    // one full Viterbi pass under piece table `tab` → useg{tag}
+    def viterbi(tag: String, tab: String): String = {
+      val cells = (1 to W).map { i =>
+        val cands = (1 to math.min(P, i)).map { k =>
+          s"""SELECT v.s${i - k} + t.llp AS s,
+                  list_append(v.p${i - k}, t.piece) AS p, $k AS k
+                FROM $tab t
+                WHERE $i <= v.n AND v.s${i - k} IS NOT NULL
+                  AND t.piece = substr(v.w, ${i - k + 1}, $k)"""
+        }.mkString("\n              UNION ALL\n              ")
+        s"""uv${tag}_$i AS (SELECT v.*, b.s AS s$i, b.p AS p$i
+            FROM uv${tag}_${i - 1} v LEFT JOIN LATERAL (
+              SELECT s, p FROM (
+              $cands)
+              ORDER BY s DESC, k DESC LIMIT 1) b ON true)"""
+      }.mkString(",\n      ")
+      s"""uv${tag}_0 AS (SELECT w, freq, length(w) AS n,
+            CAST(0 AS BIGINT) AS s0, []::VARCHAR[] AS p0 FROM uw),
+      $cells,
+      useg$tag AS (SELECT w, freq,
+            CASE n ${(1 to W).map(i => s"WHEN $i THEN p$i").mkString(" ")}
+              END AS pieces
+          FROM uv${tag}_$W)"""
+    }
+    def pruneLat(tag: String, src: String): String =
+      s"""up$tag AS (SELECT piece, cnt FROM $src WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, cnt FROM (
+              SELECT piece, cnt, row_number() OVER (
+                ORDER BY cnt DESC, piece) AS rn
+              FROM $src WHERE length(piece) > 1) WHERE rn <= $V),
+      ut$tag AS MATERIALIZED (SELECT piece,
+            CAST(round(ln(CAST(cnt AS DOUBLE)
+              / (SELECT CAST(sum(cnt) AS DOUBLE) FROM up$tag)) * 1e9, 0)
+              AS BIGINT) AS llp
+          FROM up$tag)"""
+    def emRound(r: Int): String =
+      s"""${viterbi(s"$r", s"ut$r")},
+      uu$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, unnest(pieces) AS piece FROM useg$r)
+          GROUP BY piece),
+      ufl$r AS (SELECT t.piece,
+            greatest(CAST(1 AS BIGINT),
+              CAST(coalesce(u.cnt, 0) AS BIGINT)) AS cnt
+          FROM ut$r t LEFT JOIN uu$r u ON t.piece = u.piece),
+      ${pruneLat(s"${r + 1}", s"ufl$r")}"""
+    s"""uw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(list_filter(string_split_regex(
+            trim(lower(text)), '\\s+'), t -> t <> '')) AS w
+            FROM documents) GROUP BY w),
+      usd AS (SELECT substr(w, i + 1, l) AS piece,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT w, freq, i,
+                  unnest(range(1, least($P, length(w) - i) + 1)) AS l
+                FROM (SELECT w, freq, unnest(range(0, length(w))) AS i
+                      FROM uw))
+          GROUP BY piece),
+      ${pruneLat("1", "usd")},
+      ${emRound(1)},
+      ${emRound(2)},
+      ${viterbi("f", "ut3")},
+      untok AS (SELECT w, CAST(len(pieces) AS INTEGER) AS ntok
+          FROM usegf),
+      uperdoc AS (SELECT d.doc_id, CAST(count(*) AS INTEGER) AS n_words,
+            CAST(sum(t.ntok) AS INTEGER) AS n_tokens
+          FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+                  trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+                FROM documents) d
+          JOIN untok t ON d.w = t.w
+          GROUP BY 1)"""
+  }
+
+  def unigramSql(select: String): String =
+    s"\n      WITH $unigramCtes\n      $select"
 }

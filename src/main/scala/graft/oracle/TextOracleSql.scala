@@ -1187,6 +1187,24 @@ private[graft] object TextOracleSql {
             GROUP BY 1)
       ORDER BY doc_id"""),
 
+    // unigram trainer + Viterbi replayed verbatim (seed prune, two
+    // hard-EM rounds, final segmentation) — all-integer 1e-9-lattice
+    // scores; per-doc stats fold the per-word token counts
+    "x_unigram_tokens" -> unigramSql("""
+      SELECT doc_id, n_words, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility
+      FROM uperdoc ORDER BY doc_id"""),
+
+    // per-language fertility under the same replayed table
+    "x_unigram_fertility" -> unigramSql("""
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(p.n_words) AS BIGINT) AS total_words,
+             CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+             round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words), 6)
+               AS fertility
+      FROM uperdoc p JOIN documents d ON p.doc_id = d.doc_id
+      GROUP BY d.lang ORDER BY d.lang"""),
+
     "x_unigram_chars" -> """
       WITH w AS (
         SELECT doc_id,

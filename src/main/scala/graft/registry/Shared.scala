@@ -50,9 +50,9 @@ private[graft] object Shared {
     * trained once per corpus across its registry entries).
     */
   private val unigramCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
   private[graft] def unigramTable(s: SparkSession,
-                                  dir: String): Seq[(String, Double)] =
+                                  dir: String): Seq[(String, Long)] =
     unigramCache.computeIfAbsent(dir, _ =>
       Unigram.trainDistributed(Tables.documents(s, dir), "text",
         vocabSize = 200, rounds = 2, maxPieceLen = 4))

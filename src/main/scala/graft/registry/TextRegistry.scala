@@ -232,9 +232,9 @@ object TextRegistry {
     "x_unigram_tokens" -> ((s, dir) =>
       // the second tokenizer family: hard-EM (Viterbi) unigram-LM pieces
       // (Kudo 2018), trained once per corpus; per-doc token stats under
-      // the trained table. Rows-only (the Viterbi DP is not SQL-
-      // expressible); anchored by x_unigram_chars' oracle-exact
-      // degenerate config + UnigramSpec trainer/segmentation equivalences
+      // the trained table. FULL hash oracle since the lattice rewrite:
+      // scores are 1e-9-lattice integers, so the oracle replays the
+      // trainer verbatim and unrolls the Viterbi DP cell per cell
       Unigram.tokenStats(Tables.documents(s, dir), "doc_id", "text",
         unigramTable(s, dir), maxPieceLen = 4)),
     "x_unigram_chars" -> ((s, dir) =>
@@ -271,7 +271,7 @@ object TextRegistry {
     }),
     "x_unigram_fertility" -> ((s, dir) => {
       // tokenizer-fairness twin of x_bpe_fertility under the unigram
-      // vocabulary (rows-only like x_unigram_tokens; same anchor)
+      // vocabulary (full hash oracle like x_unigram_tokens)
       val docs = Tables.documents(s, dir)
       val stats = Unigram.tokenStats(docs, "doc_id", "text",
         unigramTable(s, dir), maxPieceLen = 4)

@@ -10,29 +10,31 @@ import graft.ops.Unigram
 class UnigramSpec extends SparkSpec {
   import spark.implicits._
 
-  private def bruteBestScore(w: String, logp: Map[String, Double],
-                             maxLen: Int): Double = {
+  private def lat(p: Double): Long = math.round(math.log(p) * 1e9)
+
+  private def bruteBestScore(w: String, logp: Map[String, Long],
+                             maxLen: Int): Long = {
     // enumerate every segmentation; -inf when a piece is missing
-    def rec(i: Int): Double =
-      if (i == w.length) 0.0
+    def rec(i: Int): Long =
+      if (i == w.length) 0L
       else (1 to math.min(maxLen, w.length - i)).map { l =>
         logp.get(w.substring(i, i + l))
-          .map(_ + rec(i + l)).getOrElse(Double.NegativeInfinity)
+          .map(_ + rec(i + l)).getOrElse(Long.MinValue)
       }.max
     rec(0)
   }
 
   test("segmentLocal attains the brute-force-optimal score and " +
       "reconstructs the word; high-prob pieces win") {
-    val logp = Map("a" -> math.log(0.05), "b" -> math.log(0.05),
-      "c" -> math.log(0.05), "ab" -> math.log(0.4), "bc" -> math.log(0.3),
-      "abc" -> math.log(0.15))
+    val logp = Map("a" -> lat(0.05), "b" -> lat(0.05),
+      "c" -> lat(0.05), "ab" -> lat(0.4), "bc" -> lat(0.3),
+      "abc" -> lat(0.15))
     for (w <- Seq("abc", "abcabc", "aabbcc", "cab", "abcbcab")) {
       val seg = Unigram.segmentLocal(w, logp.get, 3)
       assert(seg.mkString == w, s"$w reconstructs")
       val score = seg.map(logp).sum
       val best = bruteBestScore(w, logp, 3)
-      assert(math.abs(score - best) < 1e-12, s"$w: $score vs $best")
+      assert(score == best, s"$w: $score vs $best")
     }
     // 'abc' as one piece scores ln(.15); 'ab'+'c' scores ln(.4*.05)=ln(.02)
     assert(Unigram.segmentLocal("abc", logp.get, 3) == Vector("abc"))
@@ -82,6 +84,30 @@ class UnigramSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(text == words.take(3).flatMap(w =>
       Unigram.segmentLocal(w, lp.get, 4)))
+  }
+
+  test("adversarial seed scale: 100k distinct word forms — the engine's " +
+      "TakeOrdered seed prune lands on trainLocal's exact table") {
+    // the round-9 verdict's scale hole: the seed used to be a full
+    // driver collect bounded by |distinct words| x maxPieceLen; now it
+    // is pruned in-engine, and this corpus makes the bound bite
+    // (vocabSize 300 << ~hundreds of thousands of distinct substrings)
+    val n = 100000
+    def wordOf(i: Int): String = f"q$i%06d" // 7 chars, all distinct
+    val wordFreq = (1 to n).map(i => (wordOf(i), (i % 3 + 1).toLong))
+    assert(wordFreq.map(_._1).distinct.size == n)
+    val docs = spark.sparkContext
+      .parallelize(wordFreq, 16)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .mapPartitionsWithIndex { case (ix, it) =>
+        it.grouped(1000).zipWithIndex.map { case (g, j) =>
+          (ix * 100000L + j, g.mkString(" ")) }
+      }.toDF("doc_id", "text")
+    val local = Unigram.trainLocal(wordFreq, vocabSize = 300,
+      rounds = 2, maxPieceLen = 4)
+    val dist = Unigram.trainDistributed(docs, "text", vocabSize = 300,
+      rounds = 2, maxPieceLen = 4)
+    assert(dist == local)
   }
 
   test("trained vocabulary beats the char baseline on a repetitive " +
