@@ -69,6 +69,7 @@ object ScaleStress {
           args.headOption.contains("rank10") ||
           args.headOption.contains("itemcf10") ||
           args.headOption.contains("geo9") ||
+          args.headOption.contains("causal10") ||
           args.headOption.contains("ext8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
@@ -958,8 +959,18 @@ object ScaleStress {
             minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
             .queryExecution.toRdd.count()
         }
+        // the bucketed escape beside it: propose via banded user-set
+        // signatures, verify candidates exactly — the crossover readout
+        // is t_cf (pair grain Σ basket², xk) vs t_lsh (signature
+        // aggregation + bucket collisions)
+        val (tLsh, nLsh) = timeMin2 {
+          graft.ops.Similarity.itemItemCFLsh(uiK, "o_custkey",
+            "l_partkey", minDf = 2, maxDf = 1000, maxBasket = 256,
+            k = 10, minCosine = 0.15, numHashes = 32, bands = 32)
+            .queryExecution.toRdd.count()
+        }
         println(f"STRESS-ITEMCF10 k=$k interactions=$nI t_cf=$tCf%.2f " +
-          f"rows_out=$nOut")
+          f"rows_out=$nOut t_lsh=$tLsh%.2f rows_lsh=$nLsh")
       }
     }
 
@@ -998,6 +1009,58 @@ object ScaleStress {
         }
         println(f"STRESS-GEO9 k=$k probes=$nP sites=$nS t_nearest=" +
           f"$tGeo%.2f rows_out=$nOut")
+        // catchment shares the 9-cell bounded fan-out; same linearity
+        // criterion (per-site aggregation instead of per-probe pick)
+        val (tCatch, nCatch) = timeMin2 {
+          graft.ops.Geo.gridCatchment(pk, "c_custkey", sk, "s_suppkey",
+            radiusMicro = 800000L)
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-GEO10 k=$k probes=$nP sites=$nS t_catchment=" +
+          f"$tCatch%.2f rows_out=$nCatch")
+      }
+    }
+
+    // causal10: the round-9 causal/time-series additions at 1x/10x/100x.
+    // Orders replicate with DISJOINT unit names per copy (nation name
+    // suffixed), so the corpus-grain monthly aggregation grows xk while
+    // the per-unit series length stays fixed: the bounded-frame claim
+    // (synthetic-control grid = units x months, DTW grid = months^2)
+    // predicts ~linear runtime dominated by the one corpus aggregation.
+    val causal10Ks =
+      if (args.headOption.contains("causal10")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (causal10Ks.nonEmpty) {
+      val c10 = Tables.customer(spark, "/root/testdata/sf0.1")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n10 = Tables.nation(spark, "/root/testdata/sf0.1")
+        .select(col("n_nationkey"), col("n_name"))
+      val joined0 = Tables.orders(spark, "/root/testdata/sf0.1")
+        .join(c10, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n10), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_orderdate"), col("o_totalprice"))
+        .localCheckpoint()
+      for (k <- causal10Ks) {
+        val jk = (0 until k).map(i =>
+            joined0.select(concat(col("n_name"), lit(s"_C$i"))
+              .as("n_name"), col("o_orderdate"), col("o_totalprice")))
+          .reduce(_ unionByName _)
+        val nRows = jk.count()
+        val (tSc, _) = timeMin2 {
+          graft.ops.Eval.syntheticControl(jk, "n_name",
+            to_date(col("o_orderdate")), "o_totalprice",
+            treatedUnit = "NATION_0_C0", intervention = "1999-01-01")
+            .queryExecution.toRdd.count()
+        }
+        val (tDtw, _) = timeMin2 {
+          graft.ops.Eval.dtwDistance(jk, "n_name",
+            to_date(col("o_orderdate")), "o_totalprice",
+            unitA = "NATION_1_C0", unitB = "NATION_2_C0")
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-CAUSAL10 k=$k rows=$nRows t_synth=$tSc%.2f " +
+          f"t_dtw=$tDtw%.2f")
       }
     }
     spark.stop()

@@ -192,8 +192,8 @@ object Dedup {
     * equi-joins (carrying signatures through the join would shuffle
     * numHashes ints per collision row).
     */
-  private def bandBuckets(sig: DataFrame, numHashes: Int,
-                          bands: Int): DataFrame = {
+  private[ops] def bandBuckets(sig: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -208,8 +208,8 @@ object Dedup {
     * any band bucket, deduped. Hot LSH buckets generate the same pair in
     * several bands, hence the distinct.
     */
-  private def lshCandidatePairs(sig: DataFrame, numHashes: Int,
-                                bands: Int): DataFrame = {
+  private[ops] def lshCandidatePairs(sig: DataFrame, numHashes: Int,
+                                     bands: Int): DataFrame = {
     val buckets = bandBuckets(sig, numHashes, bands)
     buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

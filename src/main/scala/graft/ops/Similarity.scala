@@ -826,26 +826,23 @@ object Similarity {
     * top-k window. Every exchange is keyed; no global sort, no
     * cartesian (the self-join is an equi-join on the user key).
     */
-  def itemItemCF(interactions: DataFrame, userCol: String,
-                 itemCol: String, minDf: Int = 2, maxDf: Int = 100000,
-                 maxBasket: Int = 256, k: Int = 10): DataFrame = {
+  /** Shared basket prep for the CF family: distinct (user, item), power
+    * users past `maxBasket` dropped BEFORE pairs can form, items outside
+    * [minDf, maxDf] dropped, df re-measured after both cuts. Returns
+    * (kept(__u, __i, __df), dfs(__i, __df)).
+    */
+  private def cfKept(interactions: DataFrame, userCol: String,
+                     itemCol: String, minDf: Int, maxDf: Int,
+                     maxBasket: Int): (DataFrame, DataFrame) = {
     require(minDf >= 1 && maxDf >= minDf,
       s"itemItemCF: need 1 <= minDf <= maxDf (got $minDf..$maxDf)")
     require(maxBasket >= 2 && maxBasket <= 4096,
       s"itemItemCF: maxBasket in [2, 4096] bounds the pair space " +
         s"(got $maxBasket)")
-    require(k >= 1 && k <= 100, s"itemItemCF: k in [1, 100] (got $k)")
     val ui = interactions
       .select(col(userCol).as("__u"), col(itemCol).as("__i"))
       .filter(col("__u").isNotNull && col("__i").isNotNull)
       .distinct()
-    // user-keyed pair self-join: Catalyst reuses the identical exchange
-    // under both sides, so the distinct+cap+df chain computes once (a
-    // basket-array HOF-explode variant was measured 2.2× SLOWER —
-    // interpreted lambdas per pair vs the codegen'd join). The pair
-    // grain is Σ per-user basket², the inherent cost of exact item-CF;
-    // maxBasket / minDf / maxDf are the knobs that bound it, and at
-    // corpus scale the standard extra cut is a minimum co-count.
     val capped = ui
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("__u"))))
@@ -854,7 +851,22 @@ object Similarity {
     val dfs = capped.groupBy(col("__i"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf && col("__df") <= maxDf)
-    val kept = capped.join(dfs, Seq("__i"))
+    (capped.join(dfs, Seq("__i")), dfs)
+  }
+
+  def itemItemCF(interactions: DataFrame, userCol: String,
+                 itemCol: String, minDf: Int = 2, maxDf: Int = 100000,
+                 maxBasket: Int = 256, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100, s"itemItemCF: k in [1, 100] (got $k)")
+    // user-keyed pair self-join: Catalyst reuses the identical exchange
+    // under both sides, so the distinct+cap+df chain computes once (a
+    // basket-array HOF-explode variant was measured 2.2× SLOWER —
+    // interpreted lambdas per pair vs the codegen'd join). The pair
+    // grain is Σ per-user basket², the inherent cost of exact item-CF;
+    // maxBasket / minDf / maxDf are the knobs that bound it, and at
+    // corpus scale the standard extra cut is a minimum co-count.
+    val (kept, dfs) = cfKept(interactions, userCol, itemCol, minDf,
+      maxDf, maxBasket)
     val pairs = kept.select(col("__u"), col("__i")).as("a")
       .join(kept.select(col("__u"), col("__i")).as("b"),
         col("a.__u") === col("b.__u") && col("a.__i") < col("b.__i"))
@@ -873,6 +885,93 @@ object Similarity {
         round(col("n_co").cast("double") /
           sqrt(col("df_item").cast("double") * col("df_neighbor")), 6))
     scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("item"))
+        .orderBy(col("cosine").desc, col("n_co").desc,
+          col("neighbor").asc)))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("neighbor"), col("n_co"),
+        col("df_item"), col("df_neighbor"), col("cosine"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  /** MinHash-LSH bucketed item-CF pairs — the 100 TB escape from the
+    * exact pair grain. [[itemItemCF]]'s self-join mints Σ basket² pairs
+    * (12.7 M at sf0.1, BENCH.md's documented inherent cost); here the
+    * pair space is PROPOSED instead: each item's USER SET gets a
+    * `numHashes`-component MinHash signature (per-component min of
+    * `xxhash64(seed=j, user)` — an aggregation on the item key, one
+    * shuffle, map-side combined), signatures band into slim (id, band,
+    * bucket) rows ([[Dedup.bandBuckets]]), and only bucket-colliding
+    * pairs are VERIFIED with exact co-counts (a candidate-keyed join —
+    * never all pairs). Emitted pairs carry exact n_co/df/cosine, so
+    * every survivor is EXACT; only recall is probabilistic: a pair with
+    * user-set Jaccard J is proposed with 1-(1-J^rows)^bands, and
+    * cosine ≥ minCosine bounds J from below through the df caps
+    * (cos ≥ τ forces df_a/df_b ≤ 1/τ² and J ≥ τ·√(ab)/(a+b-τ√(ab))).
+    * Identical user sets (J = 1) are proposed ALWAYS — every band
+    * agrees — which is the provable MUST-FIND the x_item_cf_lsh_twins
+    * anchor pins with a full hash oracle (the x_simhash_recall
+    * pattern).
+    *
+    * Both directions of each pair are emitted (the [[itemItemCF]]
+    * symmetric shape).
+    */
+  def itemItemCFLshPairs(interactions: DataFrame, userCol: String,
+                         itemCol: String, minDf: Int = 2,
+                         maxDf: Int = 100000, maxBasket: Int = 256,
+                         minCosine: Double = 0.5, numHashes: Int = 32,
+                         bands: Int = 16): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"itemItemCFLshPairs: minCosine in (0, 1] (got $minCosine)")
+    require(numHashes % bands == 0,
+      s"itemItemCFLshPairs: bands must divide numHashes " +
+        s"(got $numHashes/$bands)")
+    val (kept, dfs) = cfKept(interactions, userCol, itemCol, minDf,
+      maxDf, maxBasket)
+    val p = lit(2147483647L)
+    val sigCols = (0 until numHashes).map(j =>
+      min(pmod(xxhash64(lit(j), col("__u")), p)).as(s"mh_$j"))
+    val sig = kept.groupBy(col("__i").as("id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val cand = Dedup.lshCandidatePairs(sig, numHashes, bands)
+    // exact verification: co-counts for CANDIDATE pairs only (two keyed
+    // joins against the capped basket table + a user-equality match)
+    val co = cand
+      .join(kept.select(col("__i").as("id_a"), col("__u").as("__ua")),
+        Seq("id_a"))
+      .join(kept.select(col("__i").as("__ib"), col("__u").as("__ub")),
+        col("id_b") === col("__ib") && col("__ua") === col("__ub"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_co"))
+    val sym = co.select(col("id_a").as("item"), col("id_b").as("neighbor"),
+        col("n_co"))
+      .unionByName(co.select(col("id_b").as("item"),
+        col("id_a").as("neighbor"), col("n_co")))
+    sym
+      .join(dfs.select(col("__i").as("item"), col("__df").as("df_item")),
+        Seq("item"))
+      .join(dfs.select(col("__i").as("neighbor"),
+        col("__df").as("df_neighbor")), Seq("neighbor"))
+      .withColumn("__cos", col("n_co").cast("double") /
+        sqrt(col("df_item").cast("double") * col("df_neighbor")))
+      .filter(col("__cos") >= minCosine)
+      .withColumn("cosine", round(col("__cos"), 6))
+      .select(col("item"), col("neighbor"), col("n_co"), col("df_item"),
+        col("df_neighbor"), col("cosine"))
+  }
+
+  /** The serving-shaped top-k over [[itemItemCFLshPairs]] — the
+    * [[itemItemCF]] output contract (item, rank, neighbor, …) on the
+    * bucketed pair set, so the two builds are drop-in swappable.
+    */
+  def itemItemCFLsh(interactions: DataFrame, userCol: String,
+                    itemCol: String, minDf: Int = 2,
+                    maxDf: Int = 100000, maxBasket: Int = 256,
+                    k: Int = 10, minCosine: Double = 0.5,
+                    numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(k >= 1 && k <= 100, s"itemItemCFLsh: k in [1, 100] (got $k)")
+    itemItemCFLshPairs(interactions, userCol, itemCol, minDf, maxDf,
+        maxBasket, minCosine, numHashes, bands)
       .withColumn("rank", row_number().over(Window.partitionBy(col("item"))
         .orderBy(col("cosine").desc, col("n_co").desc,
           col("neighbor").asc)))

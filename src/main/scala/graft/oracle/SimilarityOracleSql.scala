@@ -487,6 +487,26 @@ private[graft] object SimilarityOracleSql {
       SELECT item, rank, neighbor, n_co, df_item, df_neighbor, cosine
       FROM r WHERE rank <= 10 ORDER BY item, rank"""),
 
+    // MUST-FIND twin anchor for the LSH-bucketed CF: identical user
+    // sets are proposed in every band, so the output is exactly one row
+    // per kept original item — its twin pair at n_co = df, cosine 1.0.
+    // The caps replay on the TWINNED corpus (baskets double: 512 cap
+    // keeps the same users as the exact build's 256).
+    "x_item_cf_lsh_twins" -> """
+      WITH ui AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+      tw AS (SELECT u, i FROM ui
+             UNION ALL SELECT u, i + 1000000 FROM ui),
+      bs AS (SELECT u, i, count(*) OVER (PARTITION BY u) AS bsz FROM tw),
+      capped AS (SELECT u, i FROM bs WHERE bsz <= 512),
+      dfs AS (SELECT i, CAST(count(*) AS BIGINT) AS df
+              FROM capped GROUP BY i
+              HAVING count(*) >= 2 AND count(*) <= 1000)
+      SELECT i AS item, i + 1000000 AS neighbor, df AS n_co,
+             df AS df_item, df AS df_neighbor, 1.0 AS cosine
+      FROM dfs WHERE i < 1000000 ORDER BY item""",
+
     // serving pass: per-user candidate scores = lattice-summed neighbor
     // cosines over basket items, owned items anti-joined out, top-5 by
     // (score DESC, item ASC)

@@ -319,6 +319,33 @@ object SimilarityRegistry {
       // built once per corpus (Shared.cfNeighbors — the materialized-
       // artifact posture) and shared with the two rec queries
       Shared.cfNeighbors(s, dir)),
+    "x_item_cf_lsh" -> ((s, dir) =>
+      // the 100 TB CF path: MinHash-banded user-set signatures PROPOSE
+      // (pair space = bucket collisions, never Σ basket²), exact
+      // co-counts VERIFY — every emitted neighbor is exact, only recall
+      // is probabilistic (rows=1 banding: a pair at Jaccard J is missed
+      // with (1-J)^32). Rows-only; the machinery is pinned by
+      // x_item_cf_lsh_twins' provable MUST-FIND full-hash oracle
+      Similarity.itemItemCFLsh(Shared.cfInteractions(s, dir),
+        "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
+        maxBasket = 256, k = 10, minCosine = 0.15, numHashes = 32,
+        bands = 32)),
+    "x_item_cf_lsh_twins" -> ((s, dir) => {
+      // MUST-FIND anchor (the x_simhash_recall pattern): every part
+      // gets a twin with an IDENTICAL customer set, so signatures agree
+      // in every band — proposal is certain, not probabilistic — and
+      // exact verification must land on n_co = df, cosine = 1.0
+      // exactly. DuckDB replays the caps and dfs independently; any
+      // signature / banding / verify-join defect drops a row.
+      val inter = Shared.cfInteractions(s, dir)
+      val twins = inter.select(col("o_custkey"),
+        (col("l_partkey") + 1000000L).as("l_partkey"))
+      Similarity.itemItemCFLshPairs(inter.unionByName(twins),
+          "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
+          maxBasket = 512, minCosine = 1.0, numHashes = 32, bands = 32)
+        .filter(col("neighbor") === col("item") + 1000000L)
+        .orderBy("item")
+    }),
     "x_rec_topk" -> ((s, dir) =>
       // the serving pass: top-5 unowned parts per customer, scored by
       // lattice-summed neighbor cosines over the x_item_cf table

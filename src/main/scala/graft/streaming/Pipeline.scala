@@ -114,6 +114,31 @@ object Pipeline {
         upsertSnapshot(batch, storePath, keyCol, tsCol, tiebreakCol)
       }
 
+  /** The reference platform's core loop (`feature_store_materialization
+    * .py:214-239`: offline aggregate → latest-per-key → online store,
+    * scheduled daily) collapsed into ONE CONTINUOUS streaming job: raw
+    * events → watermarked sliding-window features
+    * ([[streamingFeatures]]) → LWW upsert of every closed window row
+    * into the embedded KV store, keyed by user with the window END as
+    * the event time (so the freshest closed window always wins — the
+    * online row IS the latest materialized feature vector, no daily
+    * cron, no recompute). Checkpointed and idempotent under
+    * foreachBatch's at-least-once replay (the upsert compares event
+    * time, not arrival); killed and resumed, the store converges to the
+    * batch `latestPerKey` fold over the same rows (StreamingSmokeSpec).
+    */
+  def materializeLoopSink(events: DataFrame, storePath: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    streamingFeatures(events).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.KvStore.upsertLatest(batch, storePath, "user_id",
+          "window_end", "window_start",
+          Seq("total_events", "click_count", "unique_k_approx",
+            "total_revenue"))
+      }
+
   /** Streaming maintenance of the mergeable histogram store
     * ([[graft.ops.Sketches.dailyHistogramStore]]): each micro-batch's
     * per-(day, bin) counts land in an `ingest_batch`-partitioned parquet

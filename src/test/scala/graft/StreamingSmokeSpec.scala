@@ -442,6 +442,60 @@ class StreamingSmokeSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("materialize loop (windowed features -> KV store) killed and " +
+      "resumed converges to the batch latestPerKey snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val rows = raw.as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .collect().toSeq.sortBy(_._2.getTime)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_matloop_kv_").toString + "/kv"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_matloop_ckpt_").toString
+    def startSink() = Pipeline.materializeLoopSink(sdf, store, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      stream.addData(first)
+      val q1 = startSink()
+      q1.processAllAvailable(); q1.awaitTermination(60000); q1.stop()
+      // data keeps arriving while the job is down; the sentinel closes
+      // every real window on resume
+      val last = rows.map(_._2.getTime).max
+      stream.addData(second)
+      stream.addData(Seq((-1L,
+        new java.sql.Timestamp(last + 24L * 3600 * 1000), -1L, "view",
+        0.0, "{}")))
+      val q2 = startSink()
+      try {
+        q2.processAllAvailable(); q2.awaitTermination(60000)
+      } finally q2.stop()
+      val got = graft.sources.KvStore.snapshot(spark, store)
+        .filter($"entity_id" =!= "-1")
+        .select($"entity_id", $"feature_ts".cast("timestamp"),
+          $"total_events", $"total_revenue")
+        .as[(String, java.sql.Timestamp, Long, Double)].collect().toSet
+      // batch twin: same transform over all rows, latest closed window
+      // per user (window END is the event time of the materialized row)
+      val batchFeats = Pipeline.streamingFeatures(raw)
+        .filter($"user_id" >= 0)
+      val want = graft.ops.Materialize
+        .latestPerKey(batchFeats, "user_id", "window_end", "window_start")
+        .select($"user_id".cast("string"),
+          $"window_end".cast("timestamp"),
+          $"total_events", $"total_revenue")
+        .as[(String, java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(got.nonEmpty)
+      assert(got == want)
+    } finally graft.sources.KvStore.destroy(store)
+  }
+
   test("registry-fused sink: kill/resume converges snapshot AND the JDBC " +
       "freshness row to the batch fold (S8×S9)") {
     implicit val sqlCtx = spark.sqlContext
