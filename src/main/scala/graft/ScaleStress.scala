@@ -966,7 +966,7 @@ object ScaleStress {
         val (tLsh, nLsh) = timeMin2 {
           graft.ops.Similarity.itemItemCFLsh(uiK, "o_custkey",
             "l_partkey", minDf = 2, maxDf = 1000, maxBasket = 256,
-            k = 10, minCosine = 0.15, numHashes = 32, bands = 32)
+            k = 10, minCosine = 0.1, numHashes = 32, bands = 16)
             .queryExecution.toRdd.count()
         }
         println(f"STRESS-ITEMCF10 k=$k interactions=$nI t_cf=$tCf%.2f " +

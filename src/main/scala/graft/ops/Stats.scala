@@ -3449,6 +3449,64 @@ object Stats {
     * Plan: one keyed aggregation + the documented Pareto global-rank
     * class + a k-row fold. One row out.
     */
+  /** Peaks-over-threshold GPD tail fit (the extreme-value complement of
+    * [[hillTail]]'s log-log slope and [[lognormalFit]]'s body fit):
+    * threshold u at the exact p95 (the house interpolating percentile —
+    * parity with `quantile_cont` is established by q_percentiles),
+    * excesses x − u fitted to a Generalized Pareto by method of moments
+    * (ξ = (1 − m²/s²)/2, σ = m(1 + m²/s²)/2 — closed-form, no solver,
+    * replays in any engine), and the fitted p99.9 quantile
+    * u + σ/ξ·((ζ_u/(1−p))^ξ − 1) as the extrapolation readout beside
+    * the EXACT empirical p99.9 — the gap tells you whether the tail is
+    * GPD-shaped before anyone trusts the extrapolation.
+    *
+    * Determinism: excess sums fold on the centi lattice (variance is
+    * shift-invariant, so s² comes from Σxc, Σxc² over the excess set —
+    * exact 128-bit integers); m/ξ/σ are one fixed double tree; the
+    * boundary filter x > u is safe because an interpolated u either
+    * equals a lattice value exactly (g = 0 in both engines) or lies
+    * strictly between two (no row can sit on it).
+    *
+    * Plan: one percentile aggregation, one filtered 1-row fold. No
+    * window, no sort beyond the percentile buffer.
+    */
+  def gpdTail(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val thr = df.agg(
+      expr(s"percentile($valueCol, array(0.95D, 0.999D))").as("__p"),
+      count(when(v.isNotNull, lit(1))).as("n"))
+      .select(element_at(col("__p"), 1).as("__u"),
+        element_at(col("__p"), 2).as("__q999_emp"), col("n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val exc = df.select(v.as("__x")).crossJoin(broadcast(thr))
+      .filter(col("__x") > col("__u"))
+      .groupBy(col("__u"), col("__q999_emp"), col("n"))
+      .agg(count(lit(1)).as("n_exc"),
+        sum(round(col("__x") * 100, 0).cast("long")).as("__s"),
+        sum(dec(round(col("__x") * 100, 0).cast("long")) *
+          round(col("__x") * 100, 0).cast("long")).as("__q"))
+    val nE = col("n_exc").cast("double")
+    val meanX = col("__s").cast("double") / (lit(100.0) * nE)
+    val m = meanX - col("__u")
+    val s2 = (col("__q").cast("double") / lit(10000.0) -
+      (col("__s").cast("double") / lit(100.0)) *
+        (col("__s").cast("double") / lit(100.0)) / nE) / (nE - lit(1.0))
+    val ratio = m * m / s2
+    val xi = lit(0.5) * (lit(1.0) - ratio)
+    val sigma = lit(0.5) * m * (lit(1.0) + ratio)
+    val zeta = nE / col("n").cast("double")
+    val q999 = when(col("n_exc") >= 2 && s2 > 0 && xi =!= 0.0,
+      col("__u") + sigma / xi *
+        (pow(zeta / lit(0.001), xi) - lit(1.0)))
+    exc.select(col("n"), col("n_exc"),
+      round(col("__u"), 6).as("threshold_p95"),
+      round(when(col("n_exc") >= 1, m), 6).as("mean_excess"),
+      round(when(col("n_exc") >= 2 && s2 > 0, xi), 6).as("xi"),
+      round(when(col("n_exc") >= 2 && s2 > 0, sigma), 6).as("sigma"),
+      round(q999, 6).as("q999_fitted"),
+      round(col("__q999_emp"), 6).as("q999_empirical"))
+  }
+
   def hillTail(df: DataFrame, entityCol: String, valueCol: String,
                k: Int): DataFrame = {
     require(k >= 2 && k <= 100000, s"hillTail: k in [2, 1e5] (got $k)")

@@ -409,6 +409,52 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Per-document lexical diversity — the vocabulary-richness triple
+    * quality filters read next to length/stopword ratios: type-token
+    * ratio (distinct words / words), hapax share (words used exactly
+    * once / distinct words — high in natural prose, low in templated or
+    * looped text), and Simpson diversity 1 − Σ c(c−1)/(n(n−1)) (the
+    * probability two sampled tokens DIFFER — robust to length where raw
+    * TTR is not). Complements [[repetitionScores]] (n-gram loops) and
+    * [[Bpe.tokenStats]] (subword cost) as the type-frequency view.
+    *
+    * Determinism: all counts exact longs from one (doc, term) grain;
+    * ratios are one fixed double tree rounded at 6; single-token docs
+    * emit NULL Simpson (undefined, not 0).
+    *
+    * Plan: tokenize → ONE (doc, term) aggregation → one doc-grain
+    * rollup; a left join carries zero-token docs through with zeros.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__c"))
+    val perDoc = terms.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("__c") * (col("__c") - 1L)).as("__rep2"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        col("__rep2"))
+      .withColumn("ttr", when(col("n_tokens") > 0,
+        round(col("n_types").cast("double") / col("n_tokens"), 6)))
+      .withColumn("hapax_share", when(col("n_types") > 0,
+        round(col("n_hapax").cast("double") / col("n_types"), 6)))
+      .withColumn("simpson_d", when(col("n_tokens") > 1,
+        round(lit(1.0) - col("__rep2").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"), 6)))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("ttr"), col("hapax_share"), col("simpson_d"))
+      .orderBy(col(idCol))
+  }
+
   /** BLEU-2 scoring of candidate/reference document pairs — the
     * n-gram-overlap metric used to audit near-duplicates, paraphrase
     * candidates, or model outputs against references, computed the

@@ -5269,6 +5269,45 @@ private[graft] object AnalyticsOracleSql {
                END, 6) AS att
       FROM se2, a ORDER BY month""",
 
+    // GPD peaks-over-threshold: exact centi excess sums (variance is
+    // shift-invariant), MoM xi/sigma, fitted-vs-empirical p99.9
+    "q_gpd_tail" -> """
+      WITH t AS (SELECT quantile_cont(o_totalprice, 0.95) AS u,
+              quantile_cont(o_totalprice, 0.999) AS q999e,
+              CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL),
+      e AS (SELECT t.u, t.q999e, t.n,
+              CAST(count(*) AS BIGINT) AS n_exc,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS s,
+              sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+                * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS q
+            FROM orders, t WHERE o_totalprice > t.u
+            GROUP BY 1, 2, 3),
+      c AS (SELECT *,
+              CAST(s AS DOUBLE) / (100.0 * CAST(n_exc AS DOUBLE)) - u
+                AS m,
+              (CAST(q AS DOUBLE) / 10000.0
+                - (CAST(s AS DOUBLE) / 100.0) * (CAST(s AS DOUBLE) / 100.0)
+                  / CAST(n_exc AS DOUBLE))
+                / (CAST(n_exc AS DOUBLE) - 1.0) AS s2
+            FROM e),
+      d AS (SELECT *, m * m / s2 AS ratio FROM c),
+      f AS (SELECT *, 0.5 * (1.0 - ratio) AS xi,
+              0.5 * m * (1.0 + ratio) AS sigma,
+              CAST(n_exc AS DOUBLE) / CAST(n AS DOUBLE) AS zeta
+            FROM d)
+      SELECT n, n_exc, round(u, 6) AS threshold_p95,
+             round(CASE WHEN n_exc >= 1 THEN m END, 6) AS mean_excess,
+             round(CASE WHEN n_exc >= 2 AND s2 > 0 THEN xi END, 6) AS xi,
+             round(CASE WHEN n_exc >= 2 AND s2 > 0 THEN sigma END, 6)
+               AS sigma,
+             round(CASE WHEN n_exc >= 2 AND s2 > 0 AND xi <> 0.0
+               THEN u + sigma / xi * (power(zeta / 0.001, xi) - 1.0)
+               END, 6) AS q999_fitted,
+             round(q999e, 6) AS q999_empirical
+      FROM f""",
+
     // RANSAC: 32 hash-seeded 2-point samples (per arm: corpus
     // argmin/argmax of the channel-(301+arm) u01 — replayed exactly),
     // consensus by inlier count at eps centi 2e6, exact-lattice OLS

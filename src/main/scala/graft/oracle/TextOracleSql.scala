@@ -1195,6 +1195,38 @@ private[graft] object TextOracleSql {
              round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility
       FROM uperdoc ORDER BY doc_id"""),
 
+    // lexical diversity: exact (doc, term) counts; TTR / hapax share /
+    // Simpson's D as fixed double trees; single-token docs NULL Simpson
+    "x_lexical_diversity" -> """
+      WITH t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(string_split_regex(
+                    trim(lower(text)), '\s+')) AS term FROM documents)
+            WHERE term <> '' GROUP BY 1, 2),
+      p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hapax,
+              CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+            FROM t GROUP BY 1)
+      SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+             coalesce(p.n_types, 0) AS n_types,
+             coalesce(p.n_hapax, 0) AS n_hapax,
+             round(CASE WHEN p.n_tokens > 0
+               THEN CAST(p.n_types AS DOUBLE) / p.n_tokens END, 6) AS ttr,
+             round(CASE WHEN p.n_types > 0
+               THEN CAST(p.n_hapax AS DOUBLE) / p.n_types END, 6)
+               AS hapax_share,
+             round(CASE WHEN p.n_tokens > 1
+               THEN 1.0 - CAST(p.rep2 AS DOUBLE)
+                 / CAST(p.n_tokens * (p.n_tokens - 1) AS DOUBLE) END, 6)
+               AS simpson_d
+      FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id""",
+
+    // the trained piece table verbatim (two EM rounds deep)
+    "x_unigram_vocab" -> unigramSql("""
+      SELECT piece, llp FROM ut3 ORDER BY piece"""),
+
     // per-language fertility under the same replayed table
     "x_unigram_fertility" -> unigramSql("""
       SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,

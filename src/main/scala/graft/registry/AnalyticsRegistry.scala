@@ -803,6 +803,10 @@ object AnalyticsRegistry {
       // with the fitted p95 vs the observed exact p95 as the
       // tail-quality readout (the hillTail alternative's counterpart)
       Stats.lognormalFit(Tables.orders(s, dir), "o_totalprice")),
+    "q_gpd_tail" -> ((s, dir) =>
+      // extreme-value tail: GPD method-of-moments over the p95 excesses
+      // with the fitted vs empirical p99.9 as the trust readout
+      Stats.gpdTail(Tables.orders(s, dir), "o_totalprice")),
     "q_dtw_distance" -> ((s, dir) => {
       // alignment-tolerant similarity of two nations' monthly revenue:
       // integer DTW with the lockstep L1 beside it; warp_gain >> 0

@@ -323,13 +323,14 @@ object SimilarityRegistry {
       // the 100 TB CF path: MinHash-banded user-set signatures PROPOSE
       // (pair space = bucket collisions, never Σ basket²), exact
       // co-counts VERIFY — every emitted neighbor is exact, only recall
-      // is probabilistic (rows=1 banding: a pair at Jaccard J is missed
-      // with (1-J)^32). Rows-only; the machinery is pinned by
+      // is probabilistic (rows=2 banding
+      // bounds hot buckets: a pair at Jaccard J is proposed with
+      // 1-(1-J^2)^16). Rows-only; the machinery is pinned by
       // x_item_cf_lsh_twins' provable MUST-FIND full-hash oracle
       Similarity.itemItemCFLsh(Shared.cfInteractions(s, dir),
         "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
-        maxBasket = 256, k = 10, minCosine = 0.15, numHashes = 32,
-        bands = 32)),
+        maxBasket = 256, k = 10, minCosine = 0.1, numHashes = 32,
+        bands = 16)),
     "x_item_cf_lsh_twins" -> ((s, dir) => {
       // MUST-FIND anchor (the x_simhash_recall pattern): every part
       // gets a twin with an IDENTICAL customer set, so signatures agree
@@ -342,7 +343,7 @@ object SimilarityRegistry {
         (col("l_partkey") + 1000000L).as("l_partkey"))
       Similarity.itemItemCFLshPairs(inter.unionByName(twins),
           "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
-          maxBasket = 512, minCosine = 1.0, numHashes = 32, bands = 32)
+          maxBasket = 512, minCosine = 1.0, numHashes = 32, bands = 16)
         .filter(col("neighbor") === col("item") + 1000000L)
         .orderBy("item")
     }),

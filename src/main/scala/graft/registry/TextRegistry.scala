@@ -237,6 +237,17 @@ object TextRegistry {
       // trainer verbatim and unrolls the Viterbi DP cell per cell
       Unigram.tokenStats(Tables.documents(s, dir), "doc_id", "text",
         unigramTable(s, dir), maxPieceLen = 4)),
+    "x_lexical_diversity" -> ((s, dir) =>
+      // vocabulary richness per doc: TTR, hapax share, Simpson's D —
+      // the type-frequency quality view beside length/stopword ratios
+      TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "doc_id",
+        "text")),
+    "x_unigram_vocab" -> ((s, dir) => {
+      // the trained artifact itself (the x_wordpiece_vocab twin): piece +
+      // 1e-9-lattice log-prob, full hash oracle via the trainer replay
+      import s.implicits._
+      unigramTable(s, dir).toDF("piece", "llp").orderBy("piece")
+    }),
     "x_unigram_chars" -> ((s, dir) =>
       // the provably-replayable anchor: maxPieceLen = 1 forces every
       // segmentation to single characters, so token counts equal
