@@ -455,6 +455,76 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** ROUGE-L scoring of candidate/reference document pairs — the
+    * longest-common-subsequence twin of [[bleuPairs]]: where BLEU counts
+    * contiguous n-gram overlap, ROUGE-L credits IN-ORDER but gappy
+    * overlap (the standard summarization/recall metric; Lin 2004).
+    * LCS recall = LCS/|ref|, precision = LCS/|cand|, F1.
+    *
+    * The LCS is the classic O(n·m) DP run as a NESTED aggregate fold
+    * (the q_dtw_distance grid-fold pattern): the outer fold walks
+    * reference tokens carrying the previous DP row as an int array; the
+    * inner fold builds the new row cell by cell — all-integer state, so
+    * any engine replaying the recurrence (the DuckDB oracle replays it
+    * cell-per-step over a lockstep recursive CTE) lands on identical
+    * lengths. Token counts are guarded at `maxTokens` (fail loud — the
+    * DP is quadratic per pair and the caller promised near-dup-scale
+    * documents, not books).
+    *
+    * Plan: one tokenize pass, two pair-keyed joins bounded by the PAIR
+    * table (callers pass a blocked/near-dup list — never corpus²), one
+    * narrow projection per pair. No shuffle beyond the pair joins.
+    */
+  def rougeLPairs(docs: DataFrame, idCol: String, textCol: String,
+                  pairs: DataFrame, maxTokens: Int = 256): DataFrame = {
+    require(maxTokens >= 2 && maxTokens <= 1024,
+      s"rougeLPairs: maxTokens in [2, 1024] (got $maxTokens)")
+    val tw = docs.select(col(idCol).as("__id"),
+        filter(tokens(lower(col(textCol))), w => w =!= "").as("__w0"))
+      .select(col("__id"),
+        when(size(col("__w0")).between(1, maxTokens), col("__w0"))
+          .otherwise(raise_error(lit(
+            s"rougeLPairs: document outside [1, $maxTokens] tokens — " +
+              "DP bound violated"))).as("__w"))
+    val base = pairs.select(col("id_a"), col("id_b"))
+      .join(tw.select(col("__id").as("id_a"), col("__w").as("__wa")),
+        Seq("id_a"))
+      .join(tw.select(col("__id").as("id_b"), col("__w").as("__wb")),
+        Seq("id_b"))
+    val nb = size(col("__wb"))
+    val na = size(col("__wa"))
+    // outer fold over reference tokens; state = previous DP row
+    // (int array, nb+1 cells); inner fold builds the new row cell by
+    // cell: DP[i][j] = max(DP[i][j-1], DP[i-1][j],
+    //                      a=b ? DP[i-1][j-1]+1 : 0)
+    val lcsRow = aggregate(col("__wa"),
+      array_repeat(lit(0), nb + lit(1)),
+      (prev, a) =>
+        aggregate(sequence(lit(1), nb), array(lit(0)),
+          (row, j) => concat(row, array(greatest(
+            element_at(row, size(row)),
+            element_at(prev, j + lit(1)),
+            when(element_at(col("__wb"), j) === a,
+              element_at(prev, j) + lit(1)).otherwise(lit(0)))))))
+    val scored = base
+      .withColumn("len_ref", na.cast("long"))
+      .withColumn("len_cand", nb.cast("long"))
+      .withColumn("lcs_len",
+        element_at(lcsRow, nb + lit(1)).cast("long"))
+    val r = col("lcs_len").cast("double") / col("len_ref")
+    val p = col("lcs_len").cast("double") / col("len_cand")
+    scored
+      .withColumn("rouge_recall", round(r, 6))
+      .withColumn("rouge_precision", round(p, 6))
+      .withColumn("rouge_f1",
+        when(col("lcs_len") > 0, round(lit(2.0) * p * r / (p + r), 6))
+          .otherwise(lit(0.0)))
+      .select(col("id_a"), col("id_b"), col("len_ref"), col("len_cand"),
+        col("lcs_len"), col("rouge_recall"), col("rouge_precision"),
+        col("rouge_f1"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** BLEU-2 scoring of candidate/reference document pairs — the
     * n-gram-overlap metric used to audit near-duplicates, paraphrase
     * candidates, or model outputs against references, computed the

@@ -113,6 +113,75 @@ private[graft] object CurationOracleSql {
       FROM j ORDER BY id_a, id_b""",
 
 
+    // ROUGE-L over the jaccard pair table: the LCS DP replayed
+    // cell-per-step in one lockstep recursive CTE (i = s//nb + 1,
+    // j = s%nb + 1; `prev` holds row i-1, `cur` grows cell by cell and
+    // promotes to `prev` at each row wrap) — all-integer state, the
+    // q_dtw_distance replay pattern applied to a per-pair grid
+    "x_rouge_pairs" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 60),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk
+                FROM d))),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      kept AS (
+        SELECT sh.* FROM sh JOIN (
+          SELECT s FROM sh GROUP BY s HAVING count(*) <= 30) ok
+          ON sh.s = ok.s),
+      inter AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+        FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id),
+      p AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.02),
+      tw AS (SELECT doc_id, list_filter(string_split_regex(
+               trim(lower(text)), '\s+'), x -> x <> '') AS w
+             FROM documents WHERE doc_id < 60),
+      base AS (SELECT p.id_a, p.id_b, ta.w AS wa, tb.w AS wb,
+               CAST(len(ta.w) AS INTEGER) AS na,
+               CAST(len(tb.w) AS INTEGER) AS nb
+             FROM p JOIN tw ta ON ta.doc_id = p.id_a
+                    JOIN tw tb ON tb.doc_id = p.id_b),
+      lcs AS (
+        SELECT id_a, id_b, wa, wb, na, nb, 0 AS s,
+               list_transform(range(nb + 1), x -> 0) AS prev,
+               [0] AS cur
+        FROM base
+        UNION ALL
+        SELECT id_a, id_b, wa, wb, na, nb, s + 1,
+               CASE WHEN (s % nb) = nb - 1
+                 THEN list_append(cur, nc) ELSE prev END,
+               CASE WHEN (s % nb) = nb - 1
+                 THEN [0] ELSE list_append(cur, nc) END
+        FROM (
+          SELECT *, greatest(cur[len(cur)], prev[j + 1],
+                   CASE WHEN wa[i] = wb[j] THEN prev[j] + 1 ELSE 0 END)
+                 AS nc
+          FROM (SELECT *, s // nb + 1 AS i, s % nb + 1 AS j
+                FROM lcs WHERE s < na * nb))),
+      res AS (SELECT id_a, id_b, CAST(na AS BIGINT) AS len_ref,
+               CAST(nb AS BIGINT) AS len_cand,
+               CAST(prev[nb + 1] AS BIGINT) AS lcs_len
+             FROM lcs WHERE s = na * nb)
+      SELECT id_a, id_b, len_ref, len_cand, lcs_len,
+             round(CAST(lcs_len AS DOUBLE) / len_ref, 6) AS rouge_recall,
+             round(CAST(lcs_len AS DOUBLE) / len_cand, 6)
+               AS rouge_precision,
+             CASE WHEN lcs_len > 0 THEN
+               round(2.0 * (CAST(lcs_len AS DOUBLE) / len_cand)
+                 * (CAST(lcs_len AS DOUBLE) / len_ref)
+                 / (CAST(lcs_len AS DOUBLE) / len_cand
+                    + CAST(lcs_len AS DOUBLE) / len_ref), 6)
+             ELSE 0.0 END AS rouge_f1
+      FROM res ORDER BY id_a, id_b""",
+
     "x_jaccard_pairs" -> """
       WITH d AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -169,6 +169,15 @@ object CurationRegistry {
         Dedup.jaccardPairs(probe, "doc_id", "text", 3, 0.02, maxDf = 30)
           .select("id_a", "id_b"))
     }),
+    "x_rouge_pairs" -> ((s, dir) => {
+      // the in-order-but-gappy complement of BLEU over the same pair
+      // table: ROUGE-L recall/precision/F1 via the all-integer LCS grid
+      // fold (oracle replays the DP cell-per-step)
+      val probe = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      TextAnalysis.rougeLPairs(probe, "doc_id", "text",
+        Dedup.jaccardPairs(probe, "doc_id", "text", 3, 0.02, maxDf = 30)
+          .select("id_a", "id_b"))
+    }),
     "x_golden_record" -> ((s, dir) => {
       // survivorship after entity resolution: most-frequent name (ties
       // to smallest), max balance, per matched cluster; variants carry a

@@ -814,4 +814,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L).getAs[Double]("kn_entropy") == 0.0)
     assert(r(4L).getAs[Long]("n_bigrams") == 0L)
   }
+
+  test("lexicalDiversity: hand counts; single-token doc gets NULL " +
+      "Simpson; looped text scores low hapax share") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c a"),  // 5 tokens, 3 types (a:3 b:1 c:1), hapax 2
+      (2L, "x"),          // 1 token: TTR 1, Simpson NULL
+      (3L, "go go go go")) // looped: 1 type, 0 hapax
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(x => (x.getAs[Long]("doc_id"), x)).toMap
+    assert(r(1L).getAs[Long]("n_tokens") == 5L)
+    assert(r(1L).getAs[Long]("n_types") == 3L)
+    assert(r(1L).getAs[Long]("n_hapax") == 2L)
+    assert(r(1L).getAs[Double]("ttr") == 0.6)
+    // Simpson: 1 - (3*2 + 0 + 0)/(5*4) = 1 - 0.3 = 0.7
+    assert(r(1L).getAs[Double]("simpson_d") == 0.7)
+    assert(r(2L).getAs[Double]("ttr") == 1.0)
+    assert(r(2L).isNullAt(r(2L).fieldIndex("simpson_d")))
+    assert(r(3L).getAs[Long]("n_hapax") == 0L)
+    assert(r(3L).getAs[Double]("simpson_d") == 0.0)
+  }
+
+  test("rougeLPairs: the nested grid fold lands on hand-computed LCS; " +
+      "gappy in-order overlap scores where contiguity would not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a x b y e"),   // LCS vs 1: a b e = 3
+      (3L, "e d c b a"),   // LCS vs 1: one token = 1 (reversed)
+      (4L, "a b c d e"))   // identical: LCS = 5
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val r = graft.ops.TextAnalysis.rougeLPairs(docs, "doc_id", "text",
+      pairs).collect().map(x => (x.getAs[Long]("id_b"), x)).toMap
+    assert(r(2L).getAs[Long]("lcs_len") == 3L)
+    assert(r(2L).getAs[Double]("rouge_recall") == 0.6)
+    assert(r(2L).getAs[Double]("rouge_f1") == 0.6)
+    assert(r(3L).getAs[Long]("lcs_len") == 1L)
+    assert(r(4L).getAs[Long]("lcs_len") == 5L)
+    assert(r(4L).getAs[Double]("rouge_f1") == 1.0)
+    // fail loud past the DP bound
+    intercept[Exception] {
+      graft.ops.TextAnalysis.rougeLPairs(
+        Seq((1L, Seq.fill(300)("w").mkString(" ")), (2L, "w w"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", Seq((1L, 2L)).toDF("id_a", "id_b"))
+        .collect()
+    }
+  }
 }
