@@ -137,6 +137,106 @@ object Geo {
       .orderBy(siteKey)
   }
 
+  /** Radius-bounded Local Outlier Factor (Breunig et al. 2000) over one
+    * point set — the density-RELATIVE anomaly score the global distance
+    * fences (q_mad_outliers, x_embedding_outliers) cannot express: a
+    * point at the edge of a tight cluster is flagged even though its
+    * absolute distances are small, and a point deep in a sparse region
+    * is NOT flagged even though its neighbors are far.
+    *
+    * Bucketing: the [[gridNearest]] 9-cell discipline — candidates are
+    * pairs sharing a 3×3 cell block (cell = radius), so the self-join is
+    * a keyed equi-join, never corpus². The radius bounds the metric:
+    * LOF here is EXACT classical LOF for every point whose k-th
+    * neighbor lies within the radius, and NULL (with `n_in_radius`
+    * exposed) where the neighborhood outruns the radius — the
+    * documented trade that keeps the pair space bounded at 100 TB.
+    *
+    * Determinism: d² is an exact long; each reach-distance commits to
+    * the 1e-9 map-unit lattice BEFORE the k-fold (integer sums — a
+    * 3-double sum would be fold-order-dependent), lrd commits to 1e-6
+    * before the neighbor fold, and LOF is one final division. kNN ties
+    * break by (d², neighbor id).
+    *
+    * Plan: ×9 fan-out, one cell-keyed self-join, exact d² cut, one
+    * per-point top-k window over the radius-bounded candidate list,
+    * two keyed joins to chain kdist → reach → lrd → lof. No cross
+    * join, no global sort.
+    */
+  def gridLof(points: DataFrame, keyCol: String, radiusMicro: Long,
+              k: Int = 3): DataFrame = {
+    require(radiusMicro > 0, s"gridLof: radius > 0 (got $radiusMicro)")
+    require(k >= 1 && k <= 32, s"gridLof: k in [1, 32] (got $k)")
+    val cs = lit(radiusMicro.toDouble)
+    def cellOf(c: Column) = floor(c.cast("double") / cs).cast("long")
+    val pts = points.select(col(keyCol).as("__id"), col("x"), col("y"))
+    val s = pts.select(col("__id").as("__oid"), col("x").as("__sx"),
+      col("y").as("__sy"), cellOf(col("x")).as("__cx"),
+      cellOf(col("y")).as("__cy"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val cand = pts
+      .select(col("__id"), col("x").as("__px"), col("y").as("__py"),
+        cellOf(col("x")).as("__pcx"), cellOf(col("y")).as("__pcy"))
+      .withColumn("__o", explode(offsets))
+      .withColumn("__jx", col("__pcx") + col("__o.dx"))
+      .withColumn("__jy", col("__pcy") + col("__o.dy"))
+      .join(s, col("__jx") === col("__cx") && col("__jy") === col("__cy") &&
+        col("__id") =!= col("__oid"))
+      .withColumn("__d2",
+        (col("__px") - col("__sx")) * (col("__px") - col("__sx")) +
+          (col("__py") - col("__sy")) * (col("__py") - col("__sy")))
+      .filter(col("__d2") <= lit(radiusMicro * radiusMicro))
+      .select(col("__id"), col("__oid"), col("__d2"))
+    val ranked = cand.withColumn("__rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id"))
+        .orderBy(col("__d2").asc, col("__oid").asc)))
+    val counts = cand.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_in_radius"))
+    val knn = ranked.filter(col("__rk") <= k)
+    // k-distance per point (only meaningful when it has >= k in-radius
+    // neighbors); points failing that emit NULL downstream
+    val kdist = knn.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nk"), max(col("__d2")).as("__kd2"))
+      .filter(col("__nk") === k)
+      .select(col("__id").as("__kid"), col("__kd2"))
+    // reach-dist(p, o) = max(kdist(o), d(p, o)), committed to the 1e-9
+    // map-unit lattice; inner join on o's kdist drops pairs whose
+    // neighbor has no kdist (those points get NULL lof below)
+    val reach = knn
+      .join(kdist, col("__oid") === col("__kid"))
+      .withColumn("__r9",
+        round(sqrt(greatest(col("__d2"), col("__kd2")).cast("double")) /
+          lit(1e7) * lit(1e9), 0).cast("long"))
+    val lrd = reach.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nr"), sum(col("__r9")).as("__sr"))
+      .filter(col("__nr") === k && col("__sr") > 0)
+      // lrd = k / mean reach; committed to 1e-6 before the neighbor fold
+      .select(col("__id").as("__lid"),
+        round(lit(k) * lit(1e9) / col("__sr").cast("double") * lit(1e6), 0)
+          .cast("long").as("__lrd6"))
+    val lofNum = knn
+      .join(lrd.select(col("__lid").as("__oid"),
+        col("__lrd6").as("__olrd6")), Seq("__oid"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__no"), sum(col("__olrd6")).as("__slrd"))
+      .filter(col("__no") === k)
+    val scored = lofNum
+      .join(lrd, col("__id") === col("__lid"))
+      .select(col("__id"),
+        round(col("__slrd").cast("double") /
+          (lit(k) * col("__lrd6").cast("double")), 6).as("lof"),
+        round(col("__lrd6").cast("double") / lit(1e6), 6).as("lrd"))
+    pts.select(col("__id"))
+      .join(counts, Seq("__id"), "left")
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(keyCol),
+        coalesce(col("n_in_radius"), lit(0L)).as("n_in_radius"),
+        col("lrd"), col("lof"))
+      .orderBy(keyCol)
+  }
+
   /** Radius coverage summary — the aggregate readout over
     * [[gridNearest]]: how many probes found a site in range, and the
     * distance distribution of those that did (mean via exact micro

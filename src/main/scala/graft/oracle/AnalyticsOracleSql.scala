@@ -5457,6 +5457,53 @@ private[graft] object AnalyticsOracleSql {
         USING (c_custkey)
       ORDER BY c_custkey""",
 
+    // radius-bounded LOF brute-forced: same kdist -> reach -> lrd -> lof
+    // chain with reach on the 1e-9 lattice and lrd on 1e-6 before each
+    // fold; NULL wherever the point or any of its 3 neighbors lacks a
+    // full in-radius neighborhood
+    "q_lof" -> s"""
+      WITH p AS (SELECT c_custkey,
+              CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
+                AS BIGINT) AS x,
+              CAST(floor(${uk("c_custkey", 172)} * 10000000.0)
+                AS BIGINT) AS y
+            FROM customer),
+      cand AS (SELECT a.c_custkey AS id, b.c_custkey AS oid,
+              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+            FROM p a CROSS JOIN p b
+            WHERE a.c_custkey <> b.c_custkey
+              AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= 640000000000),
+      counts AS (SELECT id, CAST(count(*) AS BIGINT) AS n_in_radius
+            FROM cand GROUP BY id),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY id
+              ORDER BY d2, oid) AS rn FROM cand),
+      knn AS (SELECT * FROM rk WHERE rn <= 3),
+      kd AS (SELECT id AS kid, max(d2) AS kd2 FROM knn GROUP BY id
+             HAVING count(*) = 3),
+      reach AS (SELECT knn.id, knn.oid,
+              CAST(round(sqrt(CAST(greatest(knn.d2, kd.kd2) AS DOUBLE))
+                / 10000000.0 * 1000000000.0, 0) AS BIGINT) AS r9
+            FROM knn JOIN kd ON knn.oid = kd.kid),
+      lrd AS (SELECT id AS lid,
+              CAST(round(3 * 1000000000.0 / CAST(sum(r9) AS DOUBLE)
+                * 1000000.0, 0) AS BIGINT) AS lrd6
+            FROM reach GROUP BY id
+            HAVING count(*) = 3 AND sum(r9) > 0),
+      num AS (SELECT knn.id, CAST(sum(l.lrd6) AS BIGINT) AS slrd
+            FROM knn JOIN lrd l ON knn.oid = l.lid
+            GROUP BY knn.id HAVING count(*) = 3),
+      sc AS (SELECT num.id,
+              round(CAST(l.lrd6 AS DOUBLE) / 1000000.0, 6) AS lrd,
+              round(CAST(num.slrd AS DOUBLE)
+                / (3 * CAST(l.lrd6 AS DOUBLE)), 6) AS lof
+            FROM num JOIN lrd l ON num.id = l.lid)
+      SELECT p.c_custkey, coalesce(c.n_in_radius, 0) AS n_in_radius,
+             sc.lrd, sc.lof
+      FROM p LEFT JOIN counts c ON p.c_custkey = c.id
+             LEFT JOIN sc ON p.c_custkey = sc.id
+      ORDER BY p.c_custkey""",
+
     // catchment per site: brute-force radius semantics again — count
     // of in-range probes (zero-kept) + nearest probe by (d2, id)
     "q_geo_catchment" -> s"""

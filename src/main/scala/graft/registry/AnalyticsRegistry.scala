@@ -903,6 +903,14 @@ object AnalyticsRegistry {
         "c_custkey",
         Geo.hashPoints(Tables.supplier(s, dir), "s_suppkey", 173L, 174L),
         "s_suppkey", radiusMicro = 800000L)),
+    "q_lof" -> ((s, dir) =>
+      // density-RELATIVE outliers on the customer map: radius-bounded
+      // LOF via the 9-cell self-join — exact classical LOF wherever the
+      // k-th neighbor is inside the radius, NULL (with n_in_radius
+      // exposed) where the neighborhood outruns it
+      Geo.gridLof(
+        Geo.hashPoints(Tables.customer(s, dir), "c_custkey", 171L, 172L),
+        "c_custkey", radiusMicro = 800000L, k = 3)),
     "q_geo_coverage" -> ((s, dir) =>
       // the aggregate readout over q_geo_nearest: match rate + mean
       // in-range distance on the 1e-6 lattice
