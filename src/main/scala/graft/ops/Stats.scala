@@ -1500,6 +1500,62 @@ object Stats {
     * Plan: one distinct-value aggregation + a bounded window over the
     * distinct-value frame + one corpus fold. One output row.
     */
+  /** Wilcoxon signed-rank test — the PAIRED complement of
+    * [[mannWhitney]]'s two-sample rank sum: per key, the pre-cutoff and
+    * post-cutoff value totals form one pair; zero diffs drop (the
+    * classical treatment), |diffs| are midranked with ties, and
+    * W⁺ = Σ ranks of positive diffs is normal-approximated with the
+    * tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48. Detects a
+    * consistent per-key shift that a means test dilutes when a few
+    * heavy keys move the other way.
+    *
+    * Determinism: per-key diffs are exact centi longs (each value
+    * commits to the lattice before the per-key fold), so midranks are
+    * exact integers doubled (the mwFold r2 trick) and W⁺ folds through
+    * decimal(38,0); z is one fixed double tree.
+    *
+    * Plan: ONE key-grain aggregation (corpus-sized stage), then the
+    * distinct-|d| count grain — the count-grain rewrite that fixed the
+    * round-8 rank stats, never a rank join back to keys.
+    */
+  def wilcoxonSignedRank(df: DataFrame, keyCol: String, dateCol: Column,
+                         valueCol: String, cutoff: String): DataFrame = {
+    val cut = lit(cutoff).cast("date")
+    val vc = round(col(valueCol) * 100, 0).cast("long")
+    val per = df.groupBy(col(keyCol))
+      .agg(coalesce(sum(when(dateCol < cut, vc)), lit(0L)).as("__pre"),
+        coalesce(sum(when(dateCol >= cut, vc)), lit(0L)).as("__post"))
+      .select((col("__post") - col("__pre")).as("__d"))
+      .filter(col("__d") =!= 0L)
+    val perAbs = per.groupBy(abs(col("__d")).as("__a"))
+      .agg(sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cp"),
+        count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withR = perAbs.withColumn("__r2",
+      lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L))
+        + col("__n") + lit(1L))
+    val f = withR.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_pairs"),
+      coalesce(sum(col("__cp")), lit(0L)).as("n_pos"),
+      coalesce(sum(dec(col("__cp")) * col("__r2")),
+        lit(0L).cast("decimal(38,0)")).as("__w2p"),
+      coalesce(sum(col("__n") * col("__n") * col("__n") - col("__n")),
+        lit(0L)).as("__tsum"))
+    val nD = col("n_pairs").cast("double")
+    val wp = col("__w2p").cast("double") / 2.0
+    val varW = nD * (nD + 1.0) * (nD * 2.0 + 1.0) / 24.0 -
+      col("__tsum").cast("double") / 48.0
+    val z = (wp - nD * (nD + 1.0) / 4.0) / sqrt(varW)
+    val ok = col("n_pairs") >= 1
+    f.select(col("n_pairs"), col("n_pos"),
+      (col("n_pairs") - col("n_pos")).as("n_neg"),
+      round(when(ok, wp), 6).as("w_plus"),
+      round(when(ok, nD * (nD + 1.0) / 2.0 - wp), 6).as("w_minus"),
+      round(when(ok && varW > 0, z), 6).as("z"))
+  }
+
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
                   groupA: String, groupB: String): DataFrame = {
     require(groupA != groupB,

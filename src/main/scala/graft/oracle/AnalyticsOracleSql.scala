@@ -5457,6 +5457,49 @@ private[graft] object AnalyticsOracleSql {
         USING (c_custkey)
       ORDER BY c_custkey""",
 
+    // Wilcoxon signed-rank: exact centi per-user pre/post totals, zero
+    // diffs dropped, doubled midranks over the distinct-|d| grain,
+    // tie-corrected normal z
+    "q_wilcoxon_signed" -> """
+      WITH per AS (SELECT user_id,
+              CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE)
+                  < DATE '2024-01-15'
+                THEN CAST(round(value * 100, 0) AS BIGINT) END), 0)
+                AS BIGINT) AS pre,
+              CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE)
+                  >= DATE '2024-01-15'
+                THEN CAST(round(value * 100, 0) AS BIGINT) END), 0)
+                AS BIGINT) AS post
+            FROM events GROUP BY user_id),
+      d AS (SELECT post - pre AS d FROM per WHERE post <> pre),
+      pa AS (SELECT abs(d) AS a,
+              CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cp,
+              CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1),
+      r AS (SELECT *, 2 * coalesce(sum(n) OVER (ORDER BY a
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + n + 1 AS r2
+            FROM pa),
+      f AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+              CAST(coalesce(sum(cp), 0) AS BIGINT) AS n_pos,
+              CAST(coalesce(sum(CAST(cp AS HUGEINT) * r2), 0)
+                AS HUGEINT) AS w2p,
+              CAST(coalesce(sum(n * n * n - n), 0) AS BIGINT) AS tsum
+            FROM r),
+      t AS (SELECT *, CAST(n_pairs AS DOUBLE) AS nd,
+              CAST(w2p AS DOUBLE) / 2.0 AS wp FROM f),
+      v AS (SELECT *, nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+              - CAST(tsum AS DOUBLE) / 48.0 AS varw FROM t)
+      SELECT n_pairs, n_pos, n_pairs - n_pos AS n_neg,
+             round(CASE WHEN n_pairs >= 1 THEN wp END, 6) AS w_plus,
+             round(CASE WHEN n_pairs >= 1
+               THEN nd * (nd + 1.0) / 2.0 - wp END, 6) AS w_minus,
+             round(CASE WHEN n_pairs >= 1 AND varw > 0
+               THEN (wp - nd * (nd + 1.0) / 4.0) / sqrt(varw) END, 6)
+               AS z
+      FROM v""",
+
     // radius-bounded LOF brute-forced: same kdist -> reach -> lrd -> lof
     // chain with reach on the 1e-9 lattice and lrd on 1e-6 before each
     // fold; NULL wherever the point or any of its 3 neighbors lacks a

@@ -1041,6 +1041,12 @@ object AnalyticsRegistry {
       // at 2/4/8-day blocks, exact integer details end-to-end
       Stats.haarEnergy(Tables.orders(s, dir), to_date(col("o_orderdate")),
         "o_totalprice", levels = 3)),
+    "q_wilcoxon_signed" -> ((s, dir) =>
+      // paired per-user shift at the DiD cutoff: did each user's total
+      // spend move, rank-weighted — robust where a means test is
+      // dragged by a few heavy users moving the other way
+      Stats.wilcoxonSignedRank(Tables.events(s, dir), "user_id",
+        to_date(col("ts")), "value", cutoff = "2024-01-15")),
     "q_sign_test" -> ((s, dir) =>
       // week-over-week shift with an EXACT binomial p (no normal
       // approximation): daily event value vs 7 positions earlier
