@@ -409,6 +409,82 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Skip-gram training pairs with seeded negative sampling — the
+    * word2vec data generator (Mikolov et al. 2013) as a deterministic
+    * corpus transform: every (center, context) token pair within
+    * `window` positions is a positive; each positive occurrence draws
+    * `negK` negatives from the unigram^0.75 distribution via the shared
+    * minstd u01 stream and a prefix-sum inverse CDF (the
+    * [[Gen]] weighted-pick recipe), so the whole training set —
+    * including the "random" negatives — replays bit-identically in any
+    * engine. Emitted at the (center, context, label) count grain.
+    *
+    * Determinism: sampling weights commit cnt^0.75 to a 1e-6 lattice
+    * per vocab word (bounded grain) before the exact cumulative ranges;
+    * each draw's key packs (doc, pos, offset, j) into one integer
+    * channel, so a draw is a pure function of its coordinates.
+    *
+    * Plan: tokenize once, positives via a (doc, pos+off) equi-join
+    * (narrow ×2·window fan-out, one keyed shuffle), negatives via a
+    * broadcast range-join against the VOCAB-BOUNDED cumulative table,
+    * two count aggregations. No corpus sort; docs past 1024 tokens fail
+    * loud (the key packing bound).
+    */
+  def skipGramPairs(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 2, negK: Int = 2,
+                    channel: Long = 401L): DataFrame = {
+    require(window >= 1 && window <= 8,
+      s"skipGramPairs: window in [1, 8] (got $window)")
+    require(negK >= 1 && negK <= 8,
+      s"skipGramPairs: negK in [1, 8] (got $negK)")
+    val arr0 = filter(tokens(lower(col(textCol))), w => w =!= "")
+    val arr = when(size(arr0) <= 1024, arr0)
+      .otherwise(raise_error(lit(
+        "skipGramPairs: document over 1024 tokens — key packing bound")))
+    val toks = docs.select(col(idCol).cast("long").as("__doc"),
+      posexplode(arr).as(Seq("__pos", "__w")))
+    val offs = (-window to window).filter(_ != 0)
+    val fan = toks
+      .withColumn("__off", explode(array(offs.map(o => lit(o)): _*)))
+      .withColumn("__cpos", col("__pos") + col("__off"))
+    val ctx = toks.select(col("__doc").as("__d2"),
+      col("__pos").as("__p2"), col("__w").as("__ctx"))
+    val pos = fan.join(ctx,
+      col("__doc") === col("__d2") && col("__cpos") === col("__p2"))
+    val positives = pos
+      .groupBy(col("__w").as("center"), col("__ctx").as("context"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label", lit(1))
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__wl",
+        round(pow(col("__cnt").cast("double"), 0.75) * 1e6, 0)
+          .cast("long"))
+    val cumW = Window.orderBy(col("__w"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vocab
+      .withColumn("__lo", coalesce(sum(col("__wl")).over(cumW), lit(0L)))
+      .withColumn("__hi", col("__lo") + col("__wl"))
+      .select(col("__w").as("__neg"), col("__lo"), col("__hi"))
+    val total = vocab.agg(sum(col("__wl")).as("__tot"))
+    val negFan = pos
+      .select(col("__doc"), col("__pos"), col("__off"), col("__w"))
+      .withColumn("__j", explode(array((1 to negK).map(j => lit(j)): _*)))
+    val key = col("__doc") * lit(65536L) + col("__pos") * lit(64L) +
+      (col("__off") + lit(window.toLong)) * lit(8L) + col("__j")
+    val negatives = negFan.crossJoin(broadcast(total))
+      .withColumn("__t",
+        floor(Gen.u01(key, channel) * col("__tot").cast("double"))
+          .cast("long"))
+      .join(broadcast(cum),
+        col("__t") >= col("__lo") && col("__t") < col("__hi"))
+      .groupBy(col("__w").as("center"), col("__neg").as("context"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label", lit(0))
+    positives.unionByName(negatives)
+      .select(col("center"), col("context"), col("label"), col("n"))
+      .orderBy("center", "context", "label")
+  }
+
   /** Per-document lexical diversity — the vocabulary-richness triple
     * quality filters read next to length/stopword ratios: type-token
     * ratio (distinct words / words), hapax share (words used exactly

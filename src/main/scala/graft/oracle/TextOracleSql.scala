@@ -1195,6 +1195,48 @@ private[graft] object TextOracleSql {
              round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility
       FROM uperdoc ORDER BY doc_id"""),
 
+    // skip-gram pairs: windowed positives via the (doc, pos+off)
+    // equi-join; negatives replay the minstd draw per (doc, pos, off, j)
+    // against the unigram^0.75 prefix-sum CDF on the 1e-6 lattice
+    "x_skipgram_pairs" -> s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+              trim(lower(text)), '\\s+'), x -> x <> '') AS w
+            FROM documents),
+      tk AS (SELECT doc_id, pos, w[pos + 1] AS tok
+            FROM (SELECT doc_id, unnest(range(len(w))) AS pos, w FROM d)),
+      offs AS (SELECT unnest([-2, -1, 1, 2]) AS off),
+      p AS (SELECT a.doc_id, a.pos, o.off, a.tok AS center, b.tok AS ctx
+            FROM tk a CROSS JOIN offs o
+            JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off),
+      positives AS (SELECT center, ctx AS context, 1 AS label,
+              CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2),
+      vw AS (SELECT tok, CAST(round(power(CAST(count(*) AS DOUBLE), 0.75)
+                * 1000000.0, 0) AS BIGINT) AS wl
+            FROM tk GROUP BY tok),
+      cum AS (SELECT tok AS neg,
+              coalesce(sum(wl) OVER (ORDER BY tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS lo,
+              coalesce(sum(wl) OVER (ORDER BY tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + wl AS hi
+            FROM vw),
+      tot AS (SELECT CAST(sum(wl) AS BIGINT) AS tot FROM vw),
+      nf AS (SELECT center,
+              CAST(floor(${uk(
+                "(doc_id * 65536 + pos * 64 + (off + 2) * 8 + j)", 401)}
+                * CAST(tot.tot AS DOUBLE)) AS BIGINT) AS t
+            FROM p CROSS JOIN (SELECT unnest([1, 2]) AS j) jj, tot),
+      negs AS (SELECT nf.center, c.neg AS context, 0 AS label,
+              CAST(count(*) AS BIGINT) AS n
+            FROM nf JOIN cum c ON nf.t >= c.lo AND nf.t < c.hi
+            GROUP BY 1, 2)
+      SELECT center, context, label, n FROM positives
+      UNION ALL
+      SELECT center, context, label, n FROM negs
+      ORDER BY center, context, label""",
+
     // lexical diversity: exact (doc, term) counts; TTR / hapax share /
     // Simpson's D as fixed double trees; single-token docs NULL Simpson
     "x_lexical_diversity" -> """

@@ -237,6 +237,12 @@ object TextRegistry {
       // trainer verbatim and unrolls the Viterbi DP cell per cell
       Unigram.tokenStats(Tables.documents(s, dir), "doc_id", "text",
         unigramTable(s, dir), maxPieceLen = 4)),
+    "x_skipgram_pairs" -> ((s, dir) =>
+      // the word2vec training-set generator: windowed positives +
+      // seeded unigram^0.75 negatives (prefix-sum inverse CDF), every
+      // draw a pure function of its (doc, pos, off, j) coordinates
+      TextAnalysis.skipGramPairs(Tables.documents(s, dir), "doc_id",
+        "text", window = 2, negK = 2)),
     "x_lexical_diversity" -> ((s, dir) =>
       // vocabulary richness per doc: TTR, hapax share, Simpson's D —
       // the type-frequency quality view beside length/stopword ratios
