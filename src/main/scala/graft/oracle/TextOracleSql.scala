@@ -1195,6 +1195,37 @@ private[graft] object TextOracleSql {
              round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility
       FROM uperdoc ORDER BY doc_id"""),
 
+    // all three tokenizer trainers replayed in ONE statement (their CTE
+    // namespaces are disjoint by construction); totals re-explode word
+    // occurrences against each family's per-word token counts
+    "x_tokenizer_shootout" -> s"""
+      WITH $bpeCtes,
+      $wordPieceCtes,
+      $unigramCtes,
+      tb AS (SELECT CAST(sum(n_words) AS BIGINT) AS w,
+              CAST(sum(len(string_split(trim(s), ' ')) - (n_words - 1))
+                AS BIGINT) AS t
+            FROM d${graft.ops.Bpe.OracleK}),
+      wocc AS (SELECT unnest(list_filter(string_split_regex(
+              trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+            FROM documents),
+      wpt AS (SELECT CAST(count(*) AS BIGINT) AS w,
+              CAST(sum(t.ntok) AS BIGINT) AS t
+            FROM wocc JOIN wps12 t ON wocc.w = t.w),
+      unt AS (SELECT CAST(sum(n_words) AS BIGINT) AS w,
+              CAST(sum(n_tokens) AS BIGINT) AS t FROM uperdoc)
+      SELECT 'bpe' AS tokenizer,
+             CAST(${graft.ops.Bpe.OracleK} AS BIGINT) AS vocab_entries,
+             w AS total_words, t AS total_tokens,
+             round(CAST(t AS DOUBLE) / w, 6) AS fertility FROM tb
+      UNION ALL
+      SELECT 'unigram', (SELECT CAST(count(*) AS BIGINT) FROM ut3),
+             w, t, round(CAST(t AS DOUBLE) / w, 6) FROM unt
+      UNION ALL
+      SELECT 'wordpiece', (SELECT CAST(count(*) AS BIGINT) FROM wpv),
+             w, t, round(CAST(t AS DOUBLE) / w, 6) FROM wpt
+      ORDER BY tokenizer""",
+
     // skip-gram pairs: windowed positives via the (doc, pos+off)
     // equi-join; negatives replay the minstd draw per (doc, pos, off, j)
     // against the unigram^0.75 prefix-sum CDF on the 1e-6 lattice

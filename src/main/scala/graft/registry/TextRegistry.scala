@@ -237,6 +237,34 @@ object TextRegistry {
       // trainer verbatim and unrolls the Viterbi DP cell per cell
       Unigram.tokenStats(Tables.documents(s, dir), "doc_id", "text",
         unigramTable(s, dir), maxPieceLen = 4)),
+    "x_tokenizer_shootout" -> ((s, dir) => {
+      // the tokenizer-selection readout: all three trained families
+      // (BPE merge-order, WordPiece maxmatch, unigram Viterbi) over the
+      // same corpus in one table — artifact size vs corpus fertility is
+      // THE budget trade a pipeline owner actually decides on. Shares
+      // every trained artifact (bpeMerges / wordPieceTables /
+      // unigramTable); the oracle concatenates all three trainer
+      // replays into one statement
+      val docs = Tables.documents(s, dir)
+      val (init, cont) = wordPieceTables(s, dir)
+      def roll(stats: DataFrame, name: String, vocabN: Long) = stats
+        .agg(sum(col("n_words").cast("long")).as("total_words"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .select(lit(name).as("tokenizer"),
+          lit(vocabN).as("vocab_entries"),
+          col("total_words"), col("total_tokens"),
+          round(col("total_tokens").cast("double") /
+            col("total_words"), 6).as("fertility"))
+      roll(Bpe.tokenStats(docs, "doc_id", "text", bpeMerges(s, dir)),
+          "bpe", Bpe.OracleK.toLong)
+        .unionByName(roll(Bpe.wordPieceStats(docs, "doc_id", "text",
+          init, cont, maxPieceLen = 6, maxWordLen = 12),
+          "wordpiece", (init.size + cont.size).toLong))
+        .unionByName(roll(Unigram.tokenStats(docs, "doc_id", "text",
+          unigramTable(s, dir), maxPieceLen = 4),
+          "unigram", unigramTable(s, dir).size.toLong))
+        .orderBy("tokenizer")
+    }),
     "x_skipgram_pairs" -> ((s, dir) =>
       // the word2vec training-set generator: windowed positives +
       // seeded unigram^0.75 negatives (prefix-sum inverse CDF), every
