@@ -954,11 +954,17 @@ object ScaleStress {
             (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
           .reduce(_ unionByName _)
         val nI = uiK.count()
-        val (tCf, nOut) = timeMin2 {
-          graft.ops.Similarity.itemItemCF(uiK, "o_custkey", "l_partkey",
-            minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
-            .queryExecution.toRdd.count()
-        }
+        // "lshonly" third arg skips the exact leg: at 100x the exact
+        // pair build (1.27 B pairs) exhausts shuffle-spill disk on this
+        // box — that failure mode IS the measurement (see BENCH.md)
+        val lshOnly = args.drop(2).headOption.contains("lshonly")
+        val (tCf, nOut) =
+          if (lshOnly) (Double.NaN, -1L)
+          else timeMin2 {
+            graft.ops.Similarity.itemItemCF(uiK, "o_custkey", "l_partkey",
+              minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
+              .queryExecution.toRdd.count()
+          }
         // the bucketed escape beside it: propose via banded user-set
         // signatures, verify candidates exactly — the crossover readout
         // is t_cf (pair grain Σ basket², xk) vs t_lsh (signature
