@@ -918,6 +918,79 @@ object Eval {
       .orderBy("h")
   }
 
+  /** Kleinberg burst detection (Kleinberg 2002, "Bursty and Hierarchical
+    * Structure in Streams", 2-state automaton): each day is in the base
+    * state (Poisson rate λ₀ = corpus mean) or the burst state (λ₁ = s·λ₀);
+    * day costs are the negative Poisson log-likelihoods WITH the ln(c!)
+    * term dropped (identical across states, so the argmin is unchanged)
+    * and entering a burst costs γ·ln(n). The Viterbi argmin path labels
+    * every day — the principled "is this surge sustained enough to be a
+    * burst" detector next to the CUSUM/EWMA threshold fences.
+    *
+    * Determinism: the per-day costs are EXACT integers — A_q − c·B_q with
+    * A_q = round(λ_q·1e9), B_q = round(ln λ_q·1e9) committed once on the
+    * lattice — so the whole DP is integer arithmetic (the q_dtw_distance
+    * contract) and the oracle replays it day per day in one recursive
+    * CTE. Ties prefer the LOWER state at every cell.
+    *
+    * Plan: one day-grain aggregation (the only corpus-sized stage); the
+    * DP and both argmax paths ride in ONE row's aggregate fold
+    * (calendar-bounded array); one final explode back to days.
+    */
+  def kleinbergBursts(df: DataFrame, dateCol: Column, s: Double = 2.0,
+                      gamma: Double = 0.5): DataFrame = {
+    require(s > 1.0 && s <= 16.0,
+      s"kleinbergBursts: s in (1, 16] (got $s)")
+    require(gamma > 0.0 && gamma <= 8.0,
+      s"kleinbergBursts: gamma in (0, 8] (got $gamma)")
+    val daily = df.groupBy(dateCol.as("day"))
+      .agg(count(lit(1)).as("__c"))
+    val arr = daily.agg(
+      sort_array(collect_list(struct(col("day"), col("__c")))).as("__a"),
+      sum(col("__c")).as("__tot"), count(lit(1)).as("__n"))
+    val lam0 = col("__tot").cast("double") / col("__n").cast("double")
+    val lam1 = lam0 * lit(s)
+    val base = arr.select(col("__a"),
+      round(lam0 * 1e9, 0).cast("long").as("__a0"),
+      round(log(lam0) * 1e9, 0).cast("long").as("__b0"),
+      round(lam1 * 1e9, 0).cast("long").as("__a1"),
+      round(log(lam1) * 1e9, 0).cast("long").as("__b1"),
+      round(log(col("__n").cast("double")) * lit(gamma) * 1e9, 0)
+        .cast("long").as("__t"),
+      round(lam0, 6).as("__l0"), round(lam1, 6).as("__l1"))
+    val init = struct(lit(0L).as("d0"),
+      lit(Long.MaxValue / 4).as("d1"),
+      array().cast("array<int>").as("p0"),
+      array().cast("array<int>").as("p1"))
+    val folded = base.select(col("__a"), col("__l0"), col("__l1"),
+      aggregate(col("__a"), init, (acc, x) => {
+        val c = x.getField("__c")
+        val cost0 = col("__a0") - c * col("__b0")
+        val cost1 = col("__a1") - c * col("__b1")
+        val enter = acc.getField("d0") + col("__t")
+        struct(
+          (cost0 + least(acc.getField("d0"), acc.getField("d1"))).as("d0"),
+          (cost1 + least(enter, acc.getField("d1"))).as("d1"),
+          concat(when(acc.getField("d0") <= acc.getField("d1"),
+            acc.getField("p0")).otherwise(acc.getField("p1")),
+            array(lit(0))).as("p0"),
+          concat(when(enter <= acc.getField("d1"),
+            acc.getField("p0")).otherwise(acc.getField("p1")),
+            array(lit(1))).as("p1"))
+      }).as("__f"))
+    val path = when(col("__f.d0") <= col("__f.d1"), col("__f.p0"))
+      .otherwise(col("__f.p1"))
+    folded
+      .select(col("__l0"), col("__l1"),
+        explode(zip_with(col("__a"), path, (d, st) =>
+          struct(d.getField("day").as("day"), d.getField("__c").as("n"),
+            st.as("state")))).as("r"))
+      .select(col("r.day").as("day"), col("r.n").as("n_orders"),
+        col("r.state").as("state"), col("__l0").as("lambda_base"),
+        col("__l1").as("lambda_burst"))
+      .orderBy("day")
+  }
+
   private def hwFold(df: DataFrame, dateCol: Column, valueCol: String,
                      alpha: Double, beta: Double,
                      gamma: Double): DataFrame = {

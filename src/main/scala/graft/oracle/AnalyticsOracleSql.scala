@@ -5457,6 +5457,47 @@ private[graft] object AnalyticsOracleSql {
         USING (c_custkey)
       ORDER BY c_custkey""",
 
+    // Kleinberg bursts: all-integer Viterbi (lattice A_q - c*B_q day
+    // costs, gamma*ln(n) entry toll) replayed day per day; ties prefer
+    // the lower state
+    "q_burst_detection" -> """
+      WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1),
+      seq AS (SELECT d, c, row_number() OVER (ORDER BY d) AS t
+            FROM daily),
+      g AS (SELECT CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              AS lam0, CAST(count(*) AS BIGINT) AS nd FROM daily),
+      kk AS (SELECT
+              CAST(round(lam0 * 1000000000.0, 0) AS BIGINT) AS a0,
+              CAST(round(ln(lam0) * 1000000000.0, 0) AS BIGINT) AS b0,
+              CAST(round(lam0 * 2.0 * 1000000000.0, 0) AS BIGINT) AS a1,
+              CAST(round(ln(lam0 * 2.0) * 1000000000.0, 0) AS BIGINT)
+                AS b1,
+              CAST(round(ln(CAST(nd AS DOUBLE)) * 0.5 * 1000000000.0, 0)
+                AS BIGINT) AS tc,
+              lam0, nd FROM g),
+      v AS (
+        SELECT 0 AS t, CAST(0 AS BIGINT) AS d0,
+               CAST(2305843009213693951 AS BIGINT) AS d1,
+               CAST([] AS INTEGER[]) AS p0, CAST([] AS INTEGER[]) AS p1
+        UNION ALL
+        SELECT q.t,
+               (kk.a0 - q.c * kk.b0) + least(v.d0, v.d1),
+               (kk.a1 - q.c * kk.b1) + least(v.d0 + kk.tc, v.d1),
+               list_append(CASE WHEN v.d0 <= v.d1 THEN v.p0 ELSE v.p1
+                 END, 0),
+               list_append(CASE WHEN v.d0 + kk.tc <= v.d1 THEN v.p0
+                 ELSE v.p1 END, 1)
+        FROM v JOIN seq q ON q.t = v.t + 1, kk),
+      f AS (SELECT * FROM v WHERE t = (SELECT nd FROM kk)),
+      pth AS (SELECT CASE WHEN d0 <= d1 THEN p0 ELSE p1 END AS p FROM f)
+      SELECT q.d AS day, q.c AS n_orders,
+             CAST(p[q.t] AS INTEGER) AS state,
+             round((SELECT lam0 FROM kk), 6) AS lambda_base,
+             round((SELECT lam0 * 2.0 FROM kk), 6) AS lambda_burst
+      FROM seq q, pth ORDER BY q.d""",
+
     // Wilcoxon signed-rank: exact centi per-user pre/post totals, zero
     // diffs dropped, doubled midranks over the distinct-|d| grain,
     // tie-corrected normal z

@@ -821,6 +821,12 @@ object AnalyticsRegistry {
       Eval.dtwDistance(joined, "n_name", to_date(col("o_orderdate")),
         "o_totalprice", unitA = "NATION_1", unitB = "NATION_2")
     }),
+    "q_burst_detection" -> ((s, dir) =>
+      // Kleinberg 2-state bursts on daily order volume: a day is
+      // "bursting" only when the SUSTAINED surge pays the gamma*ln(n)
+      // entry toll — the principled alternative to a threshold fence
+      Eval.kleinbergBursts(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), s = 2.0, gamma = 0.5)),
     "q_seasonal_anomalies" -> ((s, dir) =>
       // weird days given trend + weekday: seasonality residual fenced
       // at 3 MAD of its own distribution, flagged days only

@@ -1235,6 +1235,27 @@ class EvalSpec extends SparkSpec {
     assert(w.getAs[Boolean]("weak_instrument"))
   }
 
+  test("kleinbergBursts: a planted sustained surge is labeled exactly; " +
+      "base days stay base despite the entry toll") {
+    import spark.implicits._
+    val start = java.time.LocalDate.parse("2024-03-01")
+    // 20 days at 5 events/day, days 8-10 surge to 30
+    val rows = (0 until 20).flatMap { d =>
+      val n = if (d >= 7 && d <= 9) 30 else 5
+      (1 to n).map(_ =>
+        Tuple1(java.sql.Date.valueOf(start.plusDays(d.toLong))))
+    }.toDF("d")
+    val out = Eval.kleinbergBursts(rows, col("d"), s = 2.0, gamma = 0.5)
+      .collect()
+    assert(out.length == 20)
+    val burstDays = out.filter(_.getAs[Int]("state") == 1)
+      .map(_.getAs[java.sql.Date]("day").toLocalDate.getDayOfMonth).toSet
+    assert(burstDays == Set(8, 9, 10))
+    // lambda readouts: mean (17*5 + 3*30)/20 = 8.75, burst 17.5
+    assert(out.head.getAs[Double]("lambda_base") == 8.75)
+    assert(out.head.getAs[Double]("lambda_burst") == 17.5)
+  }
+
   test("holtWinters: fitted values replay the sequential fold " +
       "bit-for-bit; the first day anchors level with zero residual") {
     import spark.implicits._
