@@ -626,4 +626,143 @@ object Learn {
       round(ma, 6).as("ols_slope"),
       round(aa, 6).as("ols_intercept"))
   }
+
+  /** Two-component 1-D Gaussian mixture by EM on the BOUNDED histogram
+    * grain — model-based segmentation ("is this distribution one
+    * population or two?") next to the hard k-means partition: the corpus
+    * commits to `bins` integer lattice bins in ONE pass (the
+    * [[Drift.latticeBin]] recipe — (xc−lo)·B div (hi−lo+1), no doubles
+    * near a boundary), and every EM round runs on ≤`bins` rows.
+    *
+    * Determinism (the engine-replay contract): responsibilities commit
+    * to the 1e-6 lattice per (bin, round) BEFORE any weighted fold, so
+    * the M-step moment sums are exact 128-bit integers in (2b+1) units —
+    * Σ c·r6, Σ c·r6·(2b+1), Σ c·r6·(2b+1)² — and the new parameters are
+    * one fixed double tree over them; the per-round component constants
+    * ln w − ½ln σ² commit to the 1e-9 lattice so the log-odds tree is
+    * pure arithmetic between lattice points. Init is deterministic:
+    * means at the 25%/75% span points, shared variance = the exact
+    * corpus variance, equal weights. Fixed `rounds` (no convergence
+    * test). The final row carries the average log-likelihood (per-bin
+    * ln committed to 1e-9 before the count-weighted integer fold).
+    *
+    * Plan: one corpus scan (bounds + moments + bin histogram, the
+    * histogram localCheckpoint'd at ≤`bins` rows); each round is a
+    * 1-row parameter broadcast onto the bin frame and one ≤`bins`-row
+    * aggregation. Nothing downstream of the first pass touches the
+    * corpus.
+    */
+  def gmmEm(df: DataFrame, valueCol: String, bins: Int = 256,
+            rounds: Int = 3): DataFrame = {
+    require(bins >= 8 && bins <= 4096,
+      s"gmmEm: bins in [8, 4096] (got $bins)")
+    require(rounds >= 1 && rounds <= 8,
+      s"gmmEm: rounds in [1, 8] (got $rounds)")
+    val v = col(valueCol).cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .select(round(v * 100, 0).cast("long").as("__xc"))
+    val moments = base.agg(min(col("__xc")).as("__lo"),
+      max(col("__xc")).as("__hi"), count(lit(1)).as("__n"),
+      sum(col("__xc")).as("__s"),
+      sum(dec(col("__xc")) * col("__xc")).as("__q"))
+    val histo = base.crossJoin(broadcast(moments))
+      .withColumn("__b",
+        expr(s"((__xc - __lo) * $bins) div (__hi - __lo + 1)"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(moments))
+      .localCheckpoint() // <= bins rows; one corpus pass total
+    val nD = col("__n").cast("double")
+    val loD = col("__lo").cast("double") / 100.0
+    val rD = (col("__hi") - col("__lo") + lit(1L)).cast("double")
+    val span = rD / 100.0
+    val width = rD / lit(100.0 * bins)
+    val var0 = (col("__q").cast("double") / 1e4 -
+      (col("__s").cast("double") / 1e2) *
+        (col("__s").cast("double") / 1e2) / nD) / nD
+    // params frame: one row carrying (w1, mu1, v1, mu2, v2) + the carried
+    // corpus stats the final readout needs
+    var params = moments.select(col("__n"), col("__lo"), col("__hi"),
+      lit(0.5).as("__w1"),
+      (loD + lit(0.25) * span).as("__mu1"), var0.as("__v1"),
+      (loD + lit(0.75) * span).as("__mu2"), var0.as("__v2"))
+    val mb = loD + (col("__b") * lit(2L) + lit(1L)).cast("double") *
+      width / 2.0
+    for (_ <- 1 to rounds) {
+      val p = params.select(col("__w1").as("__pw1"),
+        col("__mu1").as("__pmu1"), col("__v1").as("__pv1"),
+        col("__mu2").as("__pmu2"), col("__v2").as("__pv2"),
+        // component constants ln w - 0.5 ln v on the 1e-9 lattice
+        round((log(col("__w1")) - lit(0.5) * log(col("__v1"))) * 1e9, 0)
+          .cast("long").as("__k1"),
+        round((log(lit(1.0) - col("__w1")) -
+          lit(0.5) * log(col("__v2"))) * 1e9, 0).cast("long").as("__k2"))
+      val e = histo.crossJoin(broadcast(p))
+        .withColumn("__d",
+          (col("__k1") - col("__k2")).cast("double") / 1e9 -
+            (mb - col("__pmu1")) * (mb - col("__pmu1")) /
+              (lit(2.0) * col("__pv1")) +
+            (mb - col("__pmu2")) * (mb - col("__pmu2")) /
+              (lit(2.0) * col("__pv2")))
+        .withColumn("__r6",
+          round(lit(1.0) / (lit(1.0) + exp(lit(0.0) - col("__d"))) * 1e6,
+            0).cast("long"))
+      val tb = col("__b") * lit(2L) + lit(1L)
+      val m = e.groupBy().agg(
+        first(col("__n")).as("__n"), first(col("__lo")).as("__lo"),
+        first(col("__hi")).as("__hi"),
+        sum(dec(col("__c")) * col("__r6")).as("__n1"),
+        sum(dec(col("__c")) * (lit(1000000L) - col("__r6"))).as("__n2"),
+        sum(dec(col("__c")) * col("__r6") * tb).as("__s1"),
+        sum(dec(col("__c")) * (lit(1000000L) - col("__r6")) * tb)
+          .as("__s2"),
+        sum(dec(col("__c")) * col("__r6") * tb * tb).as("__q1"),
+        sum(dec(col("__c")) * (lit(1000000L) - col("__r6")) * tb * tb)
+          .as("__q2"))
+      def newcomp(nC: String, sC: String, qC: String)
+          : (Column, Column) = {
+        val nn = col(nC).cast("double")
+        val eMean = width * (col(sC).cast("double") / (lit(2.0) * nn))
+        val vv = width * width * (col(qC).cast("double") /
+          (lit(4.0) * nn)) - eMean * eMean
+        (loD + eMean, vv)
+      }
+      params = m.select(col("__n"), col("__lo"), col("__hi"),
+        (col("__n1").cast("double") /
+          (col("__n1").cast("double") + col("__n2").cast("double")))
+          .as("__w1"),
+        newcomp("__n1", "__s1", "__q1")._1.as("__mu1"),
+        newcomp("__n1", "__s1", "__q1")._2.as("__v1"),
+        newcomp("__n2", "__s2", "__q2")._1.as("__mu2"),
+        newcomp("__n2", "__s2", "__q2")._2.as("__v2"))
+    }
+    // final readout + count-weighted average log-likelihood
+    val twoPi = lit(6.283185307179586)
+    val pf = params.select(col("__n").as("__fn"), col("__w1"),
+      col("__mu1"), col("__v1"), col("__mu2"), col("__v2"))
+    val ll = histo.crossJoin(broadcast(pf))
+      .withColumn("__dens",
+        col("__w1") * exp(lit(0.0) - (mb - col("__mu1")) *
+          (mb - col("__mu1")) / (lit(2.0) * col("__v1"))) /
+          sqrt(twoPi * col("__v1")) +
+        (lit(1.0) - col("__w1")) * exp(lit(0.0) - (mb - col("__mu2")) *
+          (mb - col("__mu2")) / (lit(2.0) * col("__v2"))) /
+          sqrt(twoPi * col("__v2")))
+      .withColumn("__ll9", round(log(col("__dens")) * 1e9, 0).cast("long"))
+      .groupBy().agg(first(col("__fn")).as("n"),
+        first(col("__w1")).as("__w1"), first(col("__mu1")).as("__mu1"),
+        first(col("__v1")).as("__v1"), first(col("__mu2")).as("__mu2"),
+        first(col("__v2")).as("__v2"),
+        sum(dec(col("__c")) * col("__ll9")).as("__tll"))
+    ll.select(col("n"),
+      round(col("__w1"), 6).as("w1"),
+      round(col("__mu1"), 6).as("mu1"),
+      round(sqrt(col("__v1")), 6).as("sigma1"),
+      round(lit(1.0) - col("__w1"), 6).as("w2"),
+      round(col("__mu2"), 6).as("mu2"),
+      round(sqrt(col("__v2")), 6).as("sigma2"),
+      round(col("__tll").cast("double") /
+        (lit(1e9) * col("n").cast("double")), 6).as("avg_loglik"))
+  }
 }

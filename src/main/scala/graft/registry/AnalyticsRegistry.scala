@@ -821,6 +821,12 @@ object AnalyticsRegistry {
       Eval.dtwDistance(joined, "n_name", to_date(col("o_orderdate")),
         "o_totalprice", unitA = "NATION_1", unitB = "NATION_2")
     }),
+    "q_gmm_em" -> ((s, dir) =>
+      // is order value one population or two? 2-component Gaussian EM
+      // on the 256-bin lattice histogram, 3 fixed rounds, average
+      // log-likelihood riding along
+      Learn.gmmEm(Tables.orders(s, dir), "o_totalprice", bins = 256,
+        rounds = 3)),
     "q_burst_detection" -> ((s, dir) =>
       // Kleinberg 2-state bursts on daily order volume: a day is
       // "bursting" only when the SUSTAINED surge pays the gamma*ln(n)

@@ -241,4 +241,22 @@ class LearnSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("ols_slope") - 2.0) > 0.5 ||
       math.abs(r.getAs[Double]("ols_intercept") - 1.0) > 0.5)
   }
+
+  test("gmmEm: a planted well-separated bimodal mixture is recovered " +
+      "(means near the modes, weights near the mix, w1 + w2 = 1)") {
+    import spark.implicits._
+    // 2000 points near 10, 1000 near 100 (deterministic sawtooth noise)
+    val rows = ((1 to 2000).map(i => 10.0 + (i % 21 - 10) * 0.1) ++
+      (1 to 1000).map(i => 100.0 + (i % 21 - 10) * 0.2)).toDF("v")
+    val r = graft.ops.Learn.gmmEm(rows, "v", bins = 64, rounds = 8)
+      .collect().head
+    val (w1, mu1) = (r.getAs[Double]("w1"), r.getAs[Double]("mu1"))
+    val (w2, mu2) = (r.getAs[Double]("w2"), r.getAs[Double]("mu2"))
+    assert(r.getAs[Long]("n") == 3000L)
+    assert(math.abs(w1 + w2 - 1.0) < 1e-9)
+    assert(math.abs(mu1 - 10.0) < 3.0, s"mu1 $mu1")
+    assert(math.abs(mu2 - 100.0) < 3.0, s"mu2 $mu2")
+    assert(math.abs(w1 - 2.0 / 3.0) < 0.05, s"w1 $w1")
+    assert(r.getAs[Double]("sigma1") > 0 && r.getAs[Double]("sigma2") > 0)
+  }
 }
