@@ -918,6 +918,61 @@ object Eval {
       .orderBy("h")
   }
 
+  /** Discrete periodogram over candidate periods — FINDS the cycle the
+    * seasonality family assumes (q_seasonality hardcodes period 7): for
+    * each candidate period p the mean-centered daily series projects
+    * onto cos/sin(2πt/p), and spectral power (C²+S²) is reported as a
+    * share of the candidate set's total, dominant period flagged.
+    *
+    * Determinism: the series centers WITHOUT division (ỹ_t = y_t·n − Σy,
+    * exact longs); each trig value commits to the 1e-9 lattice per
+    * (day, period) cell — the only transcendentals — so the projections
+    * are exact 128-bit integer folds and the power shares are one fixed
+    * double tree. Ranks break ties by period.
+    *
+    * Plan: one day-grain aggregation, a ×|periods| bounded fan-out on
+    * the calendar-bounded series (the q_hurst replication class), one
+    * period-grain fold, a ≤|periods|-row ranking window.
+    */
+  def periodogram(df: DataFrame, dateCol: Column, valueCol: String,
+                  minPeriod: Int = 2, maxPeriod: Int = 30): DataFrame = {
+    require(minPeriod >= 2 && maxPeriod > minPeriod && maxPeriod <= 366,
+      s"periodogram: need 2 <= min < max <= 366 (got $minPeriod..$maxPeriod)")
+    val daily = df.groupBy(dateCol.as("__d"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__yc"))
+    val w = Window.orderBy(col("__d"))
+    val seq0 = daily.withColumn("__t", row_number().over(w).cast("long"))
+    val tot = seq0.agg(sum(col("__yc")).as("__s"),
+      count(lit(1)).as("__n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val twoPi = lit(6.283185307179586)
+    val cells = seq0.crossJoin(broadcast(tot))
+      .withColumn("__yt", col("__yc") * col("__n") - col("__s"))
+      .withColumn("__p", explode(array(
+        (minPeriod to maxPeriod).map(p => lit(p.toLong)): _*)))
+      .withColumn("__c9",
+        round(cos(twoPi * col("__t").cast("double") /
+          col("__p").cast("double")) * 1e9, 0).cast("long"))
+      .withColumn("__s9",
+        round(sin(twoPi * col("__t").cast("double") /
+          col("__p").cast("double")) * 1e9, 0).cast("long"))
+    val proj = cells.groupBy(col("__p"))
+      .agg(sum(dec(col("__yt")) * col("__c9")).as("__cp"),
+        sum(dec(col("__yt")) * col("__s9")).as("__sp"))
+      .withColumn("__pow",
+        col("__cp").cast("double") * col("__cp").cast("double") +
+          col("__sp").cast("double") * col("__sp").cast("double"))
+    val all = Window.partitionBy()
+    val rk = Window.orderBy(col("__pow").desc, col("__p").asc)
+    proj
+      .withColumn("power_share",
+        round(col("__pow") / sum(col("__pow")).over(all), 6))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .select(col("__p").as("period"), col("power_share"), col("rank"),
+        (col("rank") === 1L).as("dominant"))
+      .orderBy("period")
+  }
+
   /** Kleinberg burst detection (Kleinberg 2002, "Bursty and Hierarchical
     * Structure in Streams", 2-state automaton): each day is in the base
     * state (Poisson rate λ₀ = corpus mean) or the burst state (λ₁ = s·λ₀);

@@ -5457,6 +5457,38 @@ private[graft] object AnalyticsOracleSql {
         USING (c_custkey)
       ORDER BY c_custkey""",
 
+    // periodogram: n-scaled centering (no division), per-(day, period)
+    // trig on the 1e-9 lattice, exact HUGEINT projections, power shares
+    "q_periodogram" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS yc
+            FROM orders GROUP BY 1),
+      sq AS (SELECT yc, CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+              AS t FROM daily),
+      tt AS (SELECT CAST(sum(yc) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n FROM daily),
+      cells AS (SELECT sq.yc * tt.n - tt.s AS yt, sq.t, p.p,
+              CAST(round(cos(6.283185307179586 * CAST(sq.t AS DOUBLE)
+                / CAST(p.p AS DOUBLE)) * 1e9, 0) AS BIGINT) AS c9,
+              CAST(round(sin(6.283185307179586 * CAST(sq.t AS DOUBLE)
+                / CAST(p.p AS DOUBLE)) * 1e9, 0) AS BIGINT) AS s9
+            FROM sq, tt, (SELECT CAST(unnest(range(2, 31)) AS BIGINT)
+              AS p) p),
+      proj AS (SELECT p,
+              sum(CAST(yt AS HUGEINT) * c9) AS cp,
+              sum(CAST(yt AS HUGEINT) * s9) AS sp
+            FROM cells GROUP BY p),
+      pw AS (SELECT p, CAST(cp AS DOUBLE) * CAST(cp AS DOUBLE)
+              + CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) AS pow
+            FROM proj),
+      r AS (SELECT p, round(pow / sum(pow) OVER (), 6) AS power_share,
+              CAST(row_number() OVER (ORDER BY pow DESC, p ASC)
+                AS BIGINT) AS rank
+            FROM pw)
+      SELECT p AS period, power_share, rank, rank = 1 AS dominant
+      FROM r ORDER BY period""",
+
     // 2-component Gaussian EM on the 256-bin lattice histogram:
     // responsibilities commit to 1e-6 per (bin, round) before the exact
     // integer moment folds; component ln-constants commit to 1e-9; three

@@ -821,6 +821,12 @@ object AnalyticsRegistry {
       Eval.dtwDistance(joined, "n_name", to_date(col("o_orderdate")),
         "o_totalprice", unitA = "NATION_1", unitB = "NATION_2")
     }),
+    "q_periodogram" -> ((s, dir) =>
+      // which cycle does daily revenue actually carry? spectral power
+      // share over candidate periods 2..30 — the detector behind
+      // q_seasonality's hardcoded 7
+      Eval.periodogram(Tables.orders(s, dir),
+        to_date(col("o_orderdate")), "o_totalprice")),
     "q_gmm_em" -> ((s, dir) =>
       // is order value one population or two? 2-component Gaussian EM
       // on the 256-bin lattice histogram, 3 fixed rounds, average
