@@ -918,6 +918,70 @@ object Eval {
       .orderBy("h")
   }
 
+  /** Oaxaca–Blinder twofold decomposition of a group outcome gap
+    * (Oaxaca 1973): fit y = α + βx per group by exact-lattice OLS, then
+    * split ȳ_A − ȳ_B into the ENDOWMENT part β_B·(x̄_A − x̄_B) ("group A
+    * simply has more x, priced at B's rate") and the COEFFICIENT part
+    * (the rest: different slopes/intercepts) — the standard audit for
+    * "is this gap composition or treatment" in pricing/pay-gap
+    * analyses. Group B is the reference.
+    *
+    * Determinism: x and y both commit to the centi lattice per row;
+    * per-group OLS sums are exact 128-bit integers (the q_ransac_fit
+    * refit machinery); every mean/β/share is one fixed double tree.
+    *
+    * Plan: ONE corpus aggregation folding both groups' five sufficient
+    * statistics in a single pass; a 1-row projection after. No window,
+    * no join.
+    */
+  def oaxacaBlinder(df: DataFrame, groupCol: String, groupA: String,
+                    groupB: String, xCol: String,
+                    yCol: String): DataFrame = {
+    require(groupA != groupB,
+      s"oaxacaBlinder: groups must differ (got '$groupA' twice)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val xc = round(col(xCol) * 100, 0).cast("long")
+    val yc = round(col(yCol) * 100, 0).cast("long")
+    val inA = col(groupCol) === groupA
+    val inB = col(groupCol) === groupB
+    def sums(flag: Column, tag: String) = Seq(
+      count(when(flag, lit(1))).as(s"n$tag"),
+      coalesce(sum(when(flag, xc)), lit(0L)).as(s"sx$tag"),
+      coalesce(sum(when(flag, yc)), lit(0L)).as(s"sy$tag"),
+      coalesce(sum(when(flag, dec(xc) * yc)),
+        lit(0L).cast("decimal(38,0)")).as(s"sxy$tag"),
+      coalesce(sum(when(flag, dec(xc) * xc)),
+        lit(0L).cast("decimal(38,0)")).as(s"sxx$tag"))
+    val allSums = sums(inA, "a") ++ sums(inB, "b")
+    val f = df.filter((inA || inB) && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .agg(allSums.head, allSums.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def fit(tag: String): (Column, Column, Column, Column) = {
+      val nD = d(s"n$tag")
+      val mx = d(s"sx$tag") / (lit(100.0) * nD)
+      val my = d(s"sy$tag") / (lit(100.0) * nD)
+      val cxy = d(s"sxy$tag") - d(s"sx$tag") * d(s"sy$tag") / nD
+      val cxx = d(s"sxx$tag") - d(s"sx$tag") * d(s"sx$tag") / nD
+      (mx, my, cxy / cxx, col(s"n$tag") >= 2 && cxx > 0)
+    }
+    val (mxa, mya, ba, oka) = fit("a")
+    val (mxb, myb, bb, okb) = fit("b")
+    val ok = oka && okb
+    val gap = mya - myb
+    val explained = bb * (mxa - mxb)
+    f.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(when(col("na") >= 1, mya), 6).as("mean_y_a"),
+      round(when(col("nb") >= 1, myb), 6).as("mean_y_b"),
+      round(when(col("na") >= 1 && col("nb") >= 1, gap), 6).as("gap"),
+      round(when(oka, ba), 6).as("beta_a"),
+      round(when(okb, bb), 6).as("beta_b"),
+      round(when(ok, explained), 6).as("endowment_part"),
+      round(when(ok, gap - explained), 6).as("coefficient_part"),
+      round(when(ok && gap =!= 0.0, explained / gap), 6)
+        .as("endowment_share"))
+  }
+
   /** Discrete periodogram over candidate periods — FINDS the cycle the
     * seasonality family assumes (q_seasonality hardcodes period 7): for
     * each candidate period p the mean-centered daily series projects

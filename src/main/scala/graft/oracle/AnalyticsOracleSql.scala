@@ -5457,6 +5457,80 @@ private[graft] object AnalyticsOracleSql {
         USING (c_custkey)
       ORDER BY c_custkey""",
 
+    // Oaxaca-Blinder: both groups' exact centi OLS sufficient stats in
+    // one pass, twofold split with group N's slope as reference
+    "q_oaxaca_blinder" -> """
+      WITH f AS (SELECT
+              CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                AS BIGINT) AS na,
+              CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN
+                CAST(round(l_quantity * 100, 0) AS BIGINT) END), 0)
+                AS BIGINT) AS sxa,
+              CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN
+                CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0)
+                AS BIGINT) AS sya,
+              CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN
+                CAST(round(l_quantity * 100, 0) AS HUGEINT)
+                * CAST(round(l_extendedprice * 100, 0) AS BIGINT) END),
+                0) AS HUGEINT) AS sxya,
+              CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN
+                CAST(round(l_quantity * 100, 0) AS HUGEINT)
+                * CAST(round(l_quantity * 100, 0) AS BIGINT) END), 0)
+                AS HUGEINT) AS sxxa,
+              CAST(count(CASE WHEN l_returnflag = 'N' THEN 1 END)
+                AS BIGINT) AS nb,
+              CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN
+                CAST(round(l_quantity * 100, 0) AS BIGINT) END), 0)
+                AS BIGINT) AS sxb,
+              CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN
+                CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0)
+                AS BIGINT) AS syb,
+              CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN
+                CAST(round(l_quantity * 100, 0) AS HUGEINT)
+                * CAST(round(l_extendedprice * 100, 0) AS BIGINT) END),
+                0) AS HUGEINT) AS sxyb,
+              CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN
+                CAST(round(l_quantity * 100, 0) AS HUGEINT)
+                * CAST(round(l_quantity * 100, 0) AS BIGINT) END), 0)
+                AS HUGEINT) AS sxxb
+            FROM lineitem
+            WHERE l_returnflag IN ('R', 'N')
+              AND l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL),
+      t AS (SELECT *,
+              CAST(sxa AS DOUBLE) / (100.0 * CAST(na AS DOUBLE)) AS mxa,
+              CAST(sya AS DOUBLE) / (100.0 * CAST(na AS DOUBLE)) AS mya,
+              CAST(sxya AS DOUBLE) - CAST(sxa AS DOUBLE)
+                * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS cxya,
+              CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
+                * CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS cxxa,
+              CAST(sxb AS DOUBLE) / (100.0 * CAST(nb AS DOUBLE)) AS mxb,
+              CAST(syb AS DOUBLE) / (100.0 * CAST(nb AS DOUBLE)) AS myb,
+              CAST(sxyb AS DOUBLE) - CAST(sxb AS DOUBLE)
+                * CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS cxyb,
+              CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
+                * CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS cxxb
+            FROM f),
+      u AS (SELECT *,
+              na >= 2 AND cxxa > 0 AS oka, nb >= 2 AND cxxb > 0 AS okb,
+              cxya / cxxa AS ba, cxyb / cxxb AS bb,
+              mya - myb AS gap
+            FROM t)
+      SELECT na AS n_a, nb AS n_b,
+             round(CASE WHEN na >= 1 THEN mya END, 6) AS mean_y_a,
+             round(CASE WHEN nb >= 1 THEN myb END, 6) AS mean_y_b,
+             round(CASE WHEN na >= 1 AND nb >= 1 THEN gap END, 6)
+               AS gap,
+             round(CASE WHEN oka THEN ba END, 6) AS beta_a,
+             round(CASE WHEN okb THEN bb END, 6) AS beta_b,
+             round(CASE WHEN oka AND okb THEN bb * (mxa - mxb) END, 6)
+               AS endowment_part,
+             round(CASE WHEN oka AND okb
+               THEN gap - bb * (mxa - mxb) END, 6) AS coefficient_part,
+             round(CASE WHEN oka AND okb AND gap <> 0.0
+               THEN bb * (mxa - mxb) / gap END, 6) AS endowment_share
+      FROM u""",
+
     // periodogram: n-scaled centering (no division), per-(day, period)
     // trig on the 1e-9 lattice, exact HUGEINT projections, power shares
     "q_periodogram" -> """

@@ -821,6 +821,13 @@ object AnalyticsRegistry {
       Eval.dtwDistance(joined, "n_name", to_date(col("o_orderdate")),
         "o_totalprice", unitA = "NATION_1", unitB = "NATION_2")
     }),
+    "q_oaxaca_blinder" -> ((s, dir) =>
+      // is the returned-vs-kept price gap composition or pricing?
+      // twofold decomposition of the mean extendedprice gap over the
+      // quantity covariate, group N as reference
+      Eval.oaxacaBlinder(Tables.lineitem(s, dir), "l_returnflag",
+        groupA = "R", groupB = "N", xCol = "l_quantity",
+        yCol = "l_extendedprice")),
     "q_periodogram" -> ((s, dir) =>
       // which cycle does daily revenue actually carry? spectral power
       // share over candidate periods 2..30 — the detector behind

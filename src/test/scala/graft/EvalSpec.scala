@@ -1235,6 +1235,34 @@ class EvalSpec extends SparkSpec {
     assert(w.getAs[Boolean]("weak_instrument"))
   }
 
+  test("oaxacaBlinder: hand-built lines decompose exactly — same slope " +
+      "means the gap is pure endowment; slope shift shows up as the " +
+      "coefficient part") {
+    import spark.implicits._
+    // A: y = 2x at x in {4,6} (mean x 5, mean y 10); B: y = 2x at
+    // x in {1,3} (mean x 2, mean y 4). Same beta=2 -> gap 6 is ALL
+    // endowment: beta_b*(5-2) = 6.
+    val rows = Seq(("A", 4.0, 8.0), ("A", 6.0, 12.0),
+      ("B", 1.0, 2.0), ("B", 3.0, 6.0)).toDF("g", "x", "y")
+    val r = Eval.oaxacaBlinder(rows, "g", "A", "B", "x", "y")
+      .collect().head
+    assert(r.getAs[Double]("gap") == 6.0)
+    assert(r.getAs[Double]("beta_a") == 2.0)
+    assert(r.getAs[Double]("beta_b") == 2.0)
+    assert(r.getAs[Double]("endowment_part") == 6.0)
+    assert(r.getAs[Double]("coefficient_part") == 0.0)
+    assert(r.getAs[Double]("endowment_share") == 1.0)
+    // now steepen A's slope: y = 3x at the same x -> extra 5 on the
+    // gap (mean_y_a 15): endowment still 6, coefficient picks up 5
+    val rows2 = Seq(("A", 4.0, 12.0), ("A", 6.0, 18.0),
+      ("B", 1.0, 2.0), ("B", 3.0, 6.0)).toDF("g", "x", "y")
+    val r2 = Eval.oaxacaBlinder(rows2, "g", "A", "B", "x", "y")
+      .collect().head
+    assert(r2.getAs[Double]("gap") == 11.0)
+    assert(r2.getAs[Double]("endowment_part") == 6.0)
+    assert(r2.getAs[Double]("coefficient_part") == 5.0)
+  }
+
   test("kleinbergBursts: a planted sustained surge is labeled exactly; " +
       "base days stay base despite the entry toll") {
     import spark.implicits._
