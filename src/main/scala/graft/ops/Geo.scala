@@ -31,12 +31,22 @@ object Geo {
   /** Deterministic synthetic planar points for a key column: two u01
     * hash channels scaled to the [0, 10⁷] micro-unit lattice —
     * replayable in any engine from the shared [[Gen.u01]] recipe.
+    *
+    * The y channel hashes key² mod M, NOT the key: u01 is affine in its
+    * key (a two-step LCG), so y = u01(key + B) would equal
+    * x + const (mod 1) and every map would collapse onto one wrapped
+    * diagonal LINE — the round-10 q_lof profile caught exactly that
+    * (≈800 in-radius neighbors per point at radius 0.04 where a uniform
+    * map has ≈75). Squaring the key before the hash breaks the
+    * affinity; both coordinates stay exact-integer replayable
+    * ((k·k) mod M is one BIGINT expression in any engine).
     */
   def hashPoints(df: DataFrame, keyCol: String, channelX: Long,
                  channelY: Long): DataFrame =
     df.select(col(keyCol),
       floor(Gen.u01(col(keyCol), channelX) * 1e7).cast("long").as("x"),
-      floor(Gen.u01(col(keyCol), channelY) * 1e7).cast("long").as("y"))
+      floor(Gen.u01(pmod(col(keyCol) * col(keyCol), lit(2147483647L)),
+        channelY) * 1e7).cast("long").as("y"))
 
   /** Nearest site within `radiusMicro` for every probe, or NULL when
     * none is in range: probes fan out to their own + 8 adjacent grid
@@ -188,13 +198,18 @@ object Geo {
           (col("__py") - col("__sy")) * (col("__py") - col("__sy")))
       .filter(col("__d2") <= lit(radiusMicro * radiusMicro))
       .select(col("__id"), col("__oid"), col("__d2"))
+      // the candidate relation feeds counts + the kdist -> reach -> lrd
+      // -> lof chain (4 consumers): pin it once instead of re-running
+      // the 9-cell self-join per consumer (measured 37 s -> ~4 s at
+      // sf0.1). At 100 TB this is the disk-persisted intermediate.
+      .localCheckpoint()
     val ranked = cand.withColumn("__rk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("__id"))
         .orderBy(col("__d2").asc, col("__oid").asc)))
     val counts = cand.groupBy(col("__id"))
       .agg(count(lit(1)).as("n_in_radius"))
-    val knn = ranked.filter(col("__rk") <= k)
+    val knn = ranked.filter(col("__rk") <= k).localCheckpoint()
     // k-distance per point (only meaningful when it has >= k in-radius
     // neighbors); points failing that emit NULL downstream
     val kdist = knn.groupBy(col("__id"))

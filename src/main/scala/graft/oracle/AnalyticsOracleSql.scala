@@ -5433,13 +5433,13 @@ private[graft] object AnalyticsOracleSql {
       WITH p AS (SELECT c_custkey,
               CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("c_custkey", 172)} * 10000000.0)
+              CAST(floor(${uk("(c_custkey * c_custkey) % 2147483647", 172)} * 10000000.0)
                 AS BIGINT) AS y
             FROM customer),
       st AS (SELECT s_suppkey,
               CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("s_suppkey", 174)} * 10000000.0)
+              CAST(floor(${uk("(s_suppkey * s_suppkey) % 2147483647", 174)} * 10000000.0)
                 AS BIGINT) AS y
             FROM supplier),
       cand AS (SELECT p.c_custkey, st.s_suppkey,
@@ -5752,7 +5752,7 @@ private[graft] object AnalyticsOracleSql {
       WITH p AS (SELECT c_custkey,
               CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("c_custkey", 172)} * 10000000.0)
+              CAST(floor(${uk("(c_custkey * c_custkey) % 2147483647", 172)} * 10000000.0)
                 AS BIGINT) AS y
             FROM customer),
       cand AS (SELECT a.c_custkey AS id, b.c_custkey AS oid,
@@ -5760,7 +5760,7 @@ private[graft] object AnalyticsOracleSql {
             FROM p a CROSS JOIN p b
             WHERE a.c_custkey <> b.c_custkey
               AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-                <= 640000000000),
+                <= 160000000000),
       counts AS (SELECT id, CAST(count(*) AS BIGINT) AS n_in_radius
             FROM cand GROUP BY id),
       rk AS (SELECT *, row_number() OVER (PARTITION BY id
@@ -5797,13 +5797,13 @@ private[graft] object AnalyticsOracleSql {
       WITH p AS (SELECT c_custkey,
               CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("c_custkey", 172)} * 10000000.0)
+              CAST(floor(${uk("(c_custkey * c_custkey) % 2147483647", 172)} * 10000000.0)
                 AS BIGINT) AS y
             FROM customer),
       st AS (SELECT s_suppkey,
               CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("s_suppkey", 174)} * 10000000.0)
+              CAST(floor(${uk("(s_suppkey * s_suppkey) % 2147483647", 174)} * 10000000.0)
                 AS BIGINT) AS y
             FROM supplier),
       cand AS (SELECT st.s_suppkey, p.c_custkey,
@@ -5831,13 +5831,13 @@ private[graft] object AnalyticsOracleSql {
       WITH p AS (SELECT c_custkey,
               CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("c_custkey", 172)} * 10000000.0)
+              CAST(floor(${uk("(c_custkey * c_custkey) % 2147483647", 172)} * 10000000.0)
                 AS BIGINT) AS y
             FROM customer),
       st AS (SELECT s_suppkey,
               CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("s_suppkey", 174)} * 10000000.0)
+              CAST(floor(${uk("(s_suppkey * s_suppkey) % 2147483647", 174)} * 10000000.0)
                 AS BIGINT) AS y
             FROM supplier),
       cand AS (SELECT p.c_custkey, st.s_suppkey,

@@ -935,7 +935,7 @@ object AnalyticsRegistry {
       // exposed) where the neighborhood outruns it
       Geo.gridLof(
         Geo.hashPoints(Tables.customer(s, dir), "c_custkey", 171L, 172L),
-        "c_custkey", radiusMicro = 800000L, k = 3)),
+        "c_custkey", radiusMicro = 400000L, k = 3)),
     "q_geo_coverage" -> ((s, dir) =>
       // the aggregate readout over q_geo_nearest: match rate + mean
       // in-range distance on the 1e-6 lattice

@@ -84,7 +84,9 @@ class GeoSpec extends SparkSpec {
       .sortBy(_._1)
     got.foreach { case (k, x, y) =>
       assert(x == math.floor(u01(k, 171L) * 1e7).toLong)
-      assert(y == math.floor(u01(k, 172L) * 1e7).toLong)
+      // y hashes key^2 mod M (u01 is affine in its key, so hashing the
+      // raw key would put every point on one diagonal line)
+      assert(y == math.floor(u01(k * k % M, 172L) * 1e7).toLong)
     }
   }
 
