@@ -926,14 +926,38 @@ object Similarity {
     require(numHashes % bands == 0,
       s"itemItemCFLshPairs: bands must divide numHashes " +
         s"(got $numHashes/$bands)")
+    require(numHashes == 2 * bands,
+      s"itemItemCFLshPairs: rows-per-band is fixed at 2 " +
+        s"(got $numHashes hashes / $bands bands)")
     val (kept, dfs) = cfKept(interactions, userCol, itemCol, minDf,
       maxDf, maxBasket)
-    val p = lit(2147483647L)
-    val sigCols = (0 until numHashes).map(j =>
-      min(pmod(xxhash64(lit(j), col("__u")), p)).as(s"mh_$j"))
-    val sig = kept.groupBy(col("__i").as("id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-    val cand = Dedup.lshCandidatePairs(sig, numHashes, bands)
+    val m = lit(2147483647L)
+    // permutation family h_j(u) = minstd-u01 of the QUADRATIC key
+    // (u + j·1000003)² mod M — nonlinear in u per j (the hashPoints
+    // diagonal-line lesson: an affine family would give near-identical
+    // argmin users across permutations), and one exact BIGINT
+    // expression any engine replays — which is what makes this LSH
+    // build FULLY oracle-checkable, unlike the xxhash64/Murmur banding
+    // of the document near-dup path. Fixture keys are small; at real
+    // key ranges swap a 64-bit mixer and keep the anchor discipline.
+    val sigRows = kept
+      .withColumn("__j", explode(array((0 until numHashes)
+        .map(j => lit(j.toLong)): _*)))
+      .withColumn("__qk", pmod((col("__u") + col("__j") * lit(1000003L)) *
+        (col("__u") + col("__j") * lit(1000003L)), m))
+      .groupBy(col("__i").as("id"), col("__j"))
+      .agg(min(floor(Gen.u01(col("__qk"), 500L) * m).cast("long"))
+        .as("__mh"))
+    // band b = (h_{2b}, h_{2b+1}) as a VALUE pair — no hash compression,
+    // so the bucket key itself replays in SQL
+    val bandsDf = sigRows
+      .groupBy(col("id"), (col("__j") / lit(2L)).cast("long").as("band"))
+      .agg(max(when(col("__j") % 2L === 0L, col("__mh"))).as("v1"),
+        max(when(col("__j") % 2L === 1L, col("__mh"))).as("v2"))
+    val cand = bandsDf.as("l").join(bandsDf.as("r"),
+        col("l.band") === col("r.band") && col("l.v1") === col("r.v1") &&
+          col("l.v2") === col("r.v2") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
     // exact verification: co-counts for CANDIDATE pairs only (two keyed
     // joins against the capped basket table + a user-equality match)
     val co = cand

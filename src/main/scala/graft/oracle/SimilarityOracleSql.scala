@@ -487,6 +487,56 @@ private[graft] object SimilarityOracleSql {
       SELECT item, rank, neighbor, n_co, df_item, df_neighbor, cosine
       FROM r WHERE rank <= 10 ORDER BY item, rank"""),
 
+    // the bucketed CF path REPLAYED IN FULL: quadratic-key minstd
+    // permutations, per-(item, j) min-hash, value-pair band keys,
+    // exact verify, cosine >= 0.1, top-10 — a fully oracle-checked LSH
+    // build (the xxhash64 doc-dedup banding cannot do this)
+    "x_item_cf_lsh" -> s"""
+      WITH ui AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bs AS (SELECT u, i, count(*) OVER (PARTITION BY u) AS bsz FROM ui),
+      capped AS (SELECT u, i FROM bs WHERE bsz <= 256),
+      dfs AS (SELECT i, CAST(count(*) AS BIGINT) AS df
+              FROM capped GROUP BY i
+              HAVING count(*) >= 2 AND count(*) <= 1000),
+      kept AS (SELECT c.u, c.i FROM capped c JOIN dfs d ON c.i = d.i),
+      sig AS (SELECT k.i AS id, j.j,
+              min(CAST(floor(${uk(
+                "(((k.u + j.j * 1000003) * (k.u + j.j * 1000003))" +
+                  " % 2147483647)", 500)} * 2147483647.0) AS BIGINT))
+                AS mh
+            FROM kept k, (SELECT unnest(range(0, 32)) AS j) j
+            GROUP BY 1, 2),
+      bnd AS (SELECT id, j // 2 AS band,
+              max(CASE WHEN j % 2 = 0 THEN mh END) AS v1,
+              max(CASE WHEN j % 2 = 1 THEN mh END) AS v2
+            FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT l.id AS ia, r.id AS ib
+            FROM bnd l JOIN bnd r ON l.band = r.band AND l.v1 = r.v1
+              AND l.v2 = r.v2 AND l.id < r.id),
+      co AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT) AS n_co
+            FROM cand c JOIN kept a ON a.i = c.ia
+                        JOIN kept b ON b.i = c.ib AND b.u = a.u
+            GROUP BY 1, 2),
+      sym AS (SELECT ia AS item, ib AS neighbor, n_co FROM co
+              UNION ALL
+              SELECT ib AS item, ia AS neighbor, n_co FROM co),
+      sc AS (SELECT s.item, s.neighbor, s.n_co,
+              di.df AS df_item, dn.df AS df_neighbor,
+              CAST(s.n_co AS DOUBLE)
+                / sqrt(CAST(di.df AS DOUBLE) * dn.df) AS rawcos
+            FROM sym s JOIN dfs di ON s.item = di.i
+                       JOIN dfs dn ON s.neighbor = dn.i),
+      rk AS (SELECT item, neighbor, n_co, df_item, df_neighbor,
+              round(rawcos, 6) AS cosine,
+              CAST(row_number() OVER (PARTITION BY item
+                ORDER BY round(rawcos, 6) DESC, n_co DESC, neighbor ASC)
+                AS INTEGER) AS rank
+            FROM sc WHERE rawcos >= 0.1)
+      SELECT item, rank, neighbor, n_co, df_item, df_neighbor, cosine
+      FROM rk WHERE rank <= 10 ORDER BY item, rank""",
+
     // MUST-FIND twin anchor for the LSH-bucketed CF: identical user
     // sets are proposed in every band, so the output is exactly one row
     // per kept original item — its twin pair at n_co = df, cosine 1.0.

@@ -322,11 +322,11 @@ object SimilarityRegistry {
     "x_item_cf_lsh" -> ((s, dir) =>
       // the 100 TB CF path: MinHash-banded user-set signatures PROPOSE
       // (pair space = bucket collisions, never Σ basket²), exact
-      // co-counts VERIFY — every emitted neighbor is exact, only recall
-      // is probabilistic (rows=2 banding
-      // bounds hot buckets: a pair at Jaccard J is proposed with
-      // 1-(1-J^2)^16). Rows-only; the machinery is pinned by
-      // x_item_cf_lsh_twins' provable MUST-FIND full-hash oracle
+      // co-counts VERIFY — every emitted neighbor is exact, recall is
+      // the documented 1-(1-J²)^16 banding curve. FULL hash oracle:
+      // the quadratic-key minstd permutations and value-pair band keys
+      // replay in SQL end to end (plus the x_item_cf_lsh_twins
+      // MUST-FIND anchor)
       Similarity.itemItemCFLsh(Shared.cfInteractions(s, dir),
         "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
         maxBasket = 256, k = 10, minCosine = 0.1, numHashes = 32,
