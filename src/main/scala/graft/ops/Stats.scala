@@ -2404,6 +2404,45 @@ object Stats {
     * Plan: one corpus aggregation to days, one to weeks, one 1-row
     * grand fold broadcast back. No window, no sort beyond output.
     */
+  /** Attribute (p-) control chart — the PROPORTION complement of the
+    * X̄/R [[controlChart]]: per day, the share of rows matching
+    * `flagged` against 3σ binomial limits around the overall share,
+    * with the limits WIDENING on low-volume days (the variable-n p
+    * chart, Montgomery ch.7) instead of a fixed fence that
+    * over-alarms quiet days. Emits every day with its limits and an
+    * in_control flag — the violations are the finding, the banded
+    * series is the audit trail.
+    *
+    * Determinism: all counts exact longs; p̂, p̄ and the limits are
+    * fixed double trees over them (sqrt is IEEE-exact — no
+    * transcendental anywhere, so no lattice needed).
+    *
+    * Plan: one day-grain aggregation + a 1-row overall-share
+    * broadcast. No window, no sort beyond the presentation order.
+    */
+  def pChart(df: DataFrame, dateCol: Column, flagged: Column,
+             sigma: Double = 3.0): DataFrame = {
+    require(sigma > 0 && sigma <= 6,
+      s"pChart: sigma in (0, 6] (got $sigma)")
+    val daily = df.groupBy(dateCol.as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(flagged, 1L).otherwise(0L)).as("x"))
+    val tot = daily.agg(sum(col("n")).as("__tn"), sum(col("x")).as("__tx"))
+    val pbar = col("__tx").cast("double") / col("__tn").cast("double")
+    val se = sqrt(pbar * (lit(1.0) - pbar) / col("n").cast("double"))
+    val ucl = pbar + lit(sigma) * se
+    val lcl = greatest(lit(0.0), pbar - lit(sigma) * se)
+    val phat = col("x").cast("double") / col("n").cast("double")
+    daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), col("x"),
+        round(phat, 6).as("p_hat"),
+        round(pbar, 6).as("p_bar"),
+        round(lcl, 6).as("lcl"),
+        round(ucl, 6).as("ucl"),
+        (phat >= lcl && phat <= ucl).as("in_control"))
+      .orderBy("day")
+  }
+
   def controlChart(df: DataFrame, dateCol: Column,
                    valueCol: String): DataFrame = {
     val (a2, d3, d4) = (0.419, 0.076, 1.924)

@@ -5457,6 +5457,30 @@ private[graft] object AnalyticsOracleSql {
         USING (c_custkey)
       ORDER BY c_custkey""",
 
+    // variable-n p chart: exact daily counts, binomial 3-sigma limits
+    // around the pooled share (sqrt only — IEEE-exact, no lattice)
+    "q_p_chart" -> """
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+              CAST(sum(x) AS BIGINT) AS tx FROM daily),
+      b AS (SELECT d.day, d.n, d.x,
+              CAST(d.x AS DOUBLE) / CAST(d.n AS DOUBLE) AS phat,
+              CAST(t.tx AS DOUBLE) / CAST(t.tn AS DOUBLE) AS pbar,
+              sqrt((CAST(t.tx AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                * (1.0 - CAST(t.tx AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                / CAST(d.n AS DOUBLE)) AS se
+            FROM daily d, tot t)
+      SELECT day, n, x, round(phat, 6) AS p_hat, round(pbar, 6) AS p_bar,
+             round(greatest(0.0, pbar - 3.0 * se), 6) AS lcl,
+             round(pbar + 3.0 * se, 6) AS ucl,
+             (phat >= greatest(0.0, pbar - 3.0 * se)
+               AND phat <= pbar + 3.0 * se) AS in_control
+      FROM b ORDER BY day""",
+
     // Oaxaca-Blinder: both groups' exact centi OLS sufficient stats in
     // one pass, twofold split with group N's slope as reference
     "q_oaxaca_blinder" -> """

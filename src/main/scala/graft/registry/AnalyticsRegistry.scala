@@ -821,6 +821,12 @@ object AnalyticsRegistry {
       Eval.dtwDistance(joined, "n_name", to_date(col("o_orderdate")),
         "o_totalprice", unitA = "NATION_1", unitB = "NATION_2")
     }),
+    "q_p_chart" -> ((s, dir) =>
+      // attribute SPC: daily URGENT-priority share against variable-n
+      // 3-sigma binomial limits — the proportion complement of the
+      // X-bar/R chart (low-volume days get WIDER fences, not alarms)
+      Stats.pChart(Tables.orders(s, dir), to_date(col("o_orderdate")),
+        col("o_orderpriority") === "1-URGENT")),
     "q_oaxaca_blinder" -> ((s, dir) =>
       // is the returned-vs-kept price gap composition or pricing?
       // twofold decomposition of the mean extendedprice gap over the
