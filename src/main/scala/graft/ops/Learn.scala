@@ -654,6 +654,13 @@ object Learn {
     */
   def gmmEm(df: DataFrame, valueCol: String, bins: Int = 256,
             rounds: Int = 3): DataFrame = {
+    val (histo, params) = gmmFit(df, valueCol, bins, rounds)
+    gmmReadout(histo, params, bins)
+  }
+
+  /** The fitted (histogram, params) pair behind [[gmmEm]] / [[gmmBic]]. */
+  private def gmmFit(df: DataFrame, valueCol: String, bins: Int,
+                     rounds: Int): (DataFrame, DataFrame) = {
     require(bins >= 8 && bins <= 4096,
       s"gmmEm: bins in [8, 4096] (got $bins)")
     require(rounds >= 1 && rounds <= 8,
@@ -737,6 +744,21 @@ object Learn {
         newcomp("__n2", "__s2", "__q2")._1.as("__mu2"),
         newcomp("__n2", "__s2", "__q2")._2.as("__v2"))
     }
+    (histo, params)
+  }
+
+  private def gmmMb(bins: Int): Column = {
+    val loD = col("__lo").cast("double") / 100.0
+    val width = (col("__hi") - col("__lo") + lit(1L)).cast("double") /
+      lit(100.0 * bins)
+    loD + (col("__b") * lit(2L) + lit(1L)).cast("double") * width / 2.0
+  }
+
+  /** [[gmmEm]]'s final readout over a fitted (histo, params) pair. */
+  private def gmmReadout(histo: DataFrame, params: DataFrame,
+                         bins: Int): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val mb = gmmMb(bins)
     // final readout + count-weighted average log-likelihood
     val twoPi = lit(6.283185307179586)
     val pf = params.select(col("__n").as("__fn"), col("__w1"),
@@ -764,5 +786,55 @@ object Learn {
       round(sqrt(col("__v2")), 6).as("sigma2"),
       round(col("__tll").cast("double") /
         (lit(1e9) * col("n").cast("double")), 6).as("avg_loglik"))
+  }
+
+  /** Model selection over [[gmmEm]]: BIC of the 2-component fit vs the
+    * single Gaussian on the SAME lattice histogram — "is the second
+    * component statistically justified, or is this one population".
+    * BIC = k·ln n − 2·LL with k = 5 (w, μ₁, σ₁², μ₂, σ₂²) vs k = 2;
+    * the single-Gaussian LL uses the analytic log-density (no exp/ln
+    * round trip) with the exact corpus moments as its MLE parameters.
+    * Per-bin log-densities commit to the 1e-9 lattice before the
+    * count-weighted integer folds (the [[gmmEm]] contract).
+    */
+  def gmmBic(df: DataFrame, valueCol: String, bins: Int = 256,
+             rounds: Int = 3): DataFrame = {
+    val (histo, params) = gmmFit(df, valueCol, bins, rounds)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val mb = gmmMb(bins)
+    val twoPi = lit(6.283185307179586)
+    val nD = col("__n").cast("double")
+    val mu0 = col("__s").cast("double") / (lit(100.0) * nD)
+    val v0 = (col("__q").cast("double") / 1e4 -
+      (col("__s").cast("double") / 1e2) *
+        (col("__s").cast("double") / 1e2) / nD) / nD
+    val pf = params.select(col("__w1"), col("__mu1"), col("__v1"),
+      col("__mu2"), col("__v2"))
+    val folded = histo.crossJoin(broadcast(pf))
+      .withColumn("__ll2_9", round(log(
+        col("__w1") * exp(lit(0.0) - (mb - col("__mu1")) *
+          (mb - col("__mu1")) / (lit(2.0) * col("__v1"))) /
+          sqrt(twoPi * col("__v1")) +
+        (lit(1.0) - col("__w1")) * exp(lit(0.0) - (mb - col("__mu2")) *
+          (mb - col("__mu2")) / (lit(2.0) * col("__v2"))) /
+          sqrt(twoPi * col("__v2"))) * 1e9, 0).cast("long"))
+      .withColumn("__ll1_9", round((lit(0.0) -
+        (mb - mu0) * (mb - mu0) / (lit(2.0) * v0) -
+        lit(0.5) * log(twoPi * v0)) * 1e9, 0).cast("long"))
+      .groupBy().agg(first(col("__n")).as("n"),
+        sum(dec(col("__c")) * col("__ll1_9")).as("__t1"),
+        sum(dec(col("__c")) * col("__ll2_9")).as("__t2"))
+    val l1 = col("__t1").cast("double") / 1e9
+    val l2 = col("__t2").cast("double") / 1e9
+    val lnN = log(col("n").cast("double"))
+    val bic1 = lit(2.0) * lnN - lit(2.0) * l1
+    val bic2 = lit(5.0) * lnN - lit(2.0) * l2
+    folded.select(col("n"),
+      round(l1, 6).as("loglik_1"),
+      round(l2, 6).as("loglik_2"),
+      round(bic1, 6).as("bic_1"),
+      round(bic2, 6).as("bic_2"),
+      round(bic1 - bic2, 6).as("delta_bic"),
+      (bic2 < bic1).as("prefer_two"))
   }
 }

@@ -55,6 +55,87 @@ private[graft] object AnalyticsOracleSql {
                   + 0.75 * (hw.lvl + hw.trd) AS lvln
               FROM hw JOIN seq q ON q.t = hw.t + 1))"""
 
+  // 2-component Gaussian EM CTE chain (bb -> gg0 -> gg -> hb/hh/hm ->
+  // gp0..gp3) shared by q_gmm_em and q_gmm_bic; `select` appends its
+  // own final CTEs + SELECT
+  private def gmmSql(select: String): String = {
+      val bins = 256; val rounds = 3
+      val roundCtes = (1 to rounds).map { r =>
+        s"""gpk$r AS (SELECT *,
+            CAST(round((ln(w1) - 0.5 * ln(v1)) * 1e9, 0) AS BIGINT)
+              AS k1,
+            CAST(round((ln(1.0 - w1) - 0.5 * ln(v2)) * 1e9, 0)
+              AS BIGINT) AS k2
+          FROM gp${r - 1}),
+      ge$r AS (SELECT h.b, h.c,
+            CAST(round(1.0 / (1.0 + exp(0.0 - (
+              CAST(pk.k1 - pk.k2 AS DOUBLE) / 1e9
+              - (h.mb - pk.mu1) * (h.mb - pk.mu1) / (2.0 * pk.v1)
+              + (h.mb - pk.mu2) * (h.mb - pk.mu2) / (2.0 * pk.v2))))
+              * 1e6, 0) AS BIGINT) AS r6
+          FROM hm h, gpk$r pk),
+      gm$r AS (SELECT
+            sum(CAST(c AS HUGEINT) * r6) AS n1,
+            sum(CAST(c AS HUGEINT) * (1000000 - r6)) AS n2,
+            sum(CAST(c AS HUGEINT) * r6 * (b * 2 + 1)) AS s1,
+            sum(CAST(c AS HUGEINT) * (1000000 - r6) * (b * 2 + 1))
+              AS s2,
+            sum(CAST(c AS HUGEINT) * r6 * (b * 2 + 1) * (b * 2 + 1))
+              AS q1,
+            sum(CAST(c AS HUGEINT) * (1000000 - r6) * (b * 2 + 1)
+              * (b * 2 + 1)) AS q2
+          FROM ge$r),
+      gp$r AS (SELECT n, lo, hi, loD, width, span, var0,
+            CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+              + CAST(n2 AS DOUBLE)) AS w1,
+            loD + e1 AS mu1,
+            width * width * (CAST(q1 AS DOUBLE)
+              / (4.0 * CAST(n1 AS DOUBLE))) - e1 * e1 AS v1,
+            loD + e2 AS mu2,
+            width * width * (CAST(q2 AS DOUBLE)
+              / (4.0 * CAST(n2 AS DOUBLE))) - e2 * e2 AS v2
+          FROM (SELECT gm$r.*, gg.*,
+                  width * (CAST(s1 AS DOUBLE)
+                    / (2.0 * CAST(n1 AS DOUBLE))) AS e1,
+                  width * (CAST(s2 AS DOUBLE)
+                    / (2.0 * CAST(n2 AS DOUBLE))) AS e2
+                FROM gm$r, gg))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH bb AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              AS xc
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)),
+      gg0 AS (SELECT min(xc) AS lo, max(xc) AS hi,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(xc) AS BIGINT) AS s,
+              sum(CAST(xc AS HUGEINT) * xc) AS q
+            FROM bb),
+      gg AS (SELECT lo, hi, n,
+              CAST(lo AS DOUBLE) / 100.0 AS loD,
+              CAST(hi - lo + 1 AS DOUBLE) / 100.0 AS span,
+              CAST(hi - lo + 1 AS DOUBLE) / ${100.0 * bins} AS width,
+              (CAST(q AS DOUBLE) / 1e4 - (CAST(s AS DOUBLE) / 1e2)
+                * (CAST(s AS DOUBLE) / 1e2) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE) AS var0
+            FROM gg0),
+      hb AS (SELECT ((bb.xc - gg.lo) * $bins) // (gg.hi - gg.lo + 1)
+              AS b
+            FROM bb, gg),
+      hh AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY b),
+      hm AS (SELECT hh.b, hh.c,
+              gg.loD + CAST(hh.b * 2 + 1 AS DOUBLE) * gg.width / 2.0
+                AS mb
+            FROM hh, gg),
+      gp0 AS (SELECT n, lo, hi, loD, width, span, var0,
+              0.5 AS w1,
+              loD + 0.25 * span AS mu1, var0 AS v1,
+              loD + 0.75 * span AS mu2, var0 AS v2
+            FROM gg),
+      $roundCtes,
+      $select"""
+  }
+
   val sql: Map[String, String] = Map(
 
     // incremental flagship: SAME oracle as the approx-checked flagship —
@@ -5591,81 +5672,7 @@ private[graft] object AnalyticsOracleSql {
     // responsibilities commit to 1e-6 per (bin, round) before the exact
     // integer moment folds; component ln-constants commit to 1e-9; three
     // unrolled rounds mirror Learn.gmmEm's trees term for term
-    "q_gmm_em" -> {
-      val bins = 256; val rounds = 3
-      val roundCtes = (1 to rounds).map { r =>
-        s"""gpk$r AS (SELECT *,
-            CAST(round((ln(w1) - 0.5 * ln(v1)) * 1e9, 0) AS BIGINT)
-              AS k1,
-            CAST(round((ln(1.0 - w1) - 0.5 * ln(v2)) * 1e9, 0)
-              AS BIGINT) AS k2
-          FROM gp${r - 1}),
-      ge$r AS (SELECT h.b, h.c,
-            CAST(round(1.0 / (1.0 + exp(0.0 - (
-              CAST(pk.k1 - pk.k2 AS DOUBLE) / 1e9
-              - (h.mb - pk.mu1) * (h.mb - pk.mu1) / (2.0 * pk.v1)
-              + (h.mb - pk.mu2) * (h.mb - pk.mu2) / (2.0 * pk.v2))))
-              * 1e6, 0) AS BIGINT) AS r6
-          FROM hm h, gpk$r pk),
-      gm$r AS (SELECT
-            sum(CAST(c AS HUGEINT) * r6) AS n1,
-            sum(CAST(c AS HUGEINT) * (1000000 - r6)) AS n2,
-            sum(CAST(c AS HUGEINT) * r6 * (b * 2 + 1)) AS s1,
-            sum(CAST(c AS HUGEINT) * (1000000 - r6) * (b * 2 + 1))
-              AS s2,
-            sum(CAST(c AS HUGEINT) * r6 * (b * 2 + 1) * (b * 2 + 1))
-              AS q1,
-            sum(CAST(c AS HUGEINT) * (1000000 - r6) * (b * 2 + 1)
-              * (b * 2 + 1)) AS q2
-          FROM ge$r),
-      gp$r AS (SELECT n, lo, hi, loD, width, span, var0,
-            CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE)
-              + CAST(n2 AS DOUBLE)) AS w1,
-            loD + e1 AS mu1,
-            width * width * (CAST(q1 AS DOUBLE)
-              / (4.0 * CAST(n1 AS DOUBLE))) - e1 * e1 AS v1,
-            loD + e2 AS mu2,
-            width * width * (CAST(q2 AS DOUBLE)
-              / (4.0 * CAST(n2 AS DOUBLE))) - e2 * e2 AS v2
-          FROM (SELECT gm$r.*, gg.*,
-                  width * (CAST(s1 AS DOUBLE)
-                    / (2.0 * CAST(n1 AS DOUBLE))) AS e1,
-                  width * (CAST(s2 AS DOUBLE)
-                    / (2.0 * CAST(n2 AS DOUBLE))) AS e2
-                FROM gm$r, gg))"""
-      }.mkString(",\n      ")
-      s"""
-      WITH bb AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
-              AS xc
-            FROM orders
-            WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)),
-      gg0 AS (SELECT min(xc) AS lo, max(xc) AS hi,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(xc) AS BIGINT) AS s,
-              sum(CAST(xc AS HUGEINT) * xc) AS q
-            FROM bb),
-      gg AS (SELECT lo, hi, n,
-              CAST(lo AS DOUBLE) / 100.0 AS loD,
-              CAST(hi - lo + 1 AS DOUBLE) / 100.0 AS span,
-              CAST(hi - lo + 1 AS DOUBLE) / ${100.0 * bins} AS width,
-              (CAST(q AS DOUBLE) / 1e4 - (CAST(s AS DOUBLE) / 1e2)
-                * (CAST(s AS DOUBLE) / 1e2) / CAST(n AS DOUBLE))
-                / CAST(n AS DOUBLE) AS var0
-            FROM gg0),
-      hb AS (SELECT ((bb.xc - gg.lo) * $bins) // (gg.hi - gg.lo + 1)
-              AS b
-            FROM bb, gg),
-      hh AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY b),
-      hm AS (SELECT hh.b, hh.c,
-              gg.loD + CAST(hh.b * 2 + 1 AS DOUBLE) * gg.width / 2.0
-                AS mb
-            FROM hh, gg),
-      gp0 AS (SELECT n, lo, hi, loD, width, span, var0,
-              0.5 AS w1,
-              loD + 0.25 * span AS mu1, var0 AS v1,
-              loD + 0.75 * span AS mu2, var0 AS v2
-            FROM gg),
-      $roundCtes,
+    "q_gmm_em" -> gmmSql("""
       gll AS (SELECT
             sum(CAST(h.c AS HUGEINT) * CAST(round(ln(
               pf.w1 * exp(0.0 - (h.mb - pf.mu1) * (h.mb - pf.mu1)
@@ -5674,15 +5681,55 @@ private[graft] object AnalyticsOracleSql {
                 * (h.mb - pf.mu2) / (2.0 * pf.v2))
                 / sqrt(6.283185307179586 * pf.v2)) * 1e9, 0)
               AS BIGINT)) AS tll
-          FROM hm h, gp$rounds pf)
+          FROM hm h, gp3 pf)
       SELECT p.n, round(p.w1, 6) AS w1, round(p.mu1, 6) AS mu1,
              round(sqrt(p.v1), 6) AS sigma1,
              round(1.0 - p.w1, 6) AS w2, round(p.mu2, 6) AS mu2,
              round(sqrt(p.v2), 6) AS sigma2,
              round(CAST(gll.tll AS DOUBLE)
                / (1e9 * CAST(p.n AS DOUBLE)), 6) AS avg_loglik
-      FROM gp$rounds p, gll"""
-    },
+      FROM gp3 p, gll"""),
+
+    // BIC model selection over the same fit: 2-component vs the single
+    // Gaussian with the exact-moment MLE, analytic log-density on the
+    // 1e-9 lattice per bin
+    "q_gmm_bic" -> gmmSql("""
+      mom AS (SELECT n,
+              CAST(s AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS mu0,
+              (CAST(q AS DOUBLE) / 1e4 - (CAST(s AS DOUBLE) / 1e2)
+                * (CAST(s AS DOUBLE) / 1e2) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE) AS v0
+            FROM gg0),
+      fold AS (SELECT
+            sum(CAST(h.c AS HUGEINT) * CAST(round((0.0
+              - (h.mb - m.mu0) * (h.mb - m.mu0) / (2.0 * m.v0)
+              - 0.5 * ln(6.283185307179586 * m.v0)) * 1e9, 0)
+              AS BIGINT)) AS t1,
+            sum(CAST(h.c AS HUGEINT) * CAST(round(ln(
+              pf.w1 * exp(0.0 - (h.mb - pf.mu1) * (h.mb - pf.mu1)
+                / (2.0 * pf.v1)) / sqrt(6.283185307179586 * pf.v1)
+              + (1.0 - pf.w1) * exp(0.0 - (h.mb - pf.mu2)
+                * (h.mb - pf.mu2) / (2.0 * pf.v2))
+                / sqrt(6.283185307179586 * pf.v2)) * 1e9, 0)
+              AS BIGINT)) AS t2
+          FROM hm h, gp3 pf, mom m)
+      SELECT m.n,
+             round(CAST(f.t1 AS DOUBLE) / 1e9, 6) AS loglik_1,
+             round(CAST(f.t2 AS DOUBLE) / 1e9, 6) AS loglik_2,
+             round(2.0 * ln(CAST(m.n AS DOUBLE))
+               - 2.0 * (CAST(f.t1 AS DOUBLE) / 1e9), 6) AS bic_1,
+             round(5.0 * ln(CAST(m.n AS DOUBLE))
+               - 2.0 * (CAST(f.t2 AS DOUBLE) / 1e9), 6) AS bic_2,
+             round((2.0 * ln(CAST(m.n AS DOUBLE))
+               - 2.0 * (CAST(f.t1 AS DOUBLE) / 1e9))
+               - (5.0 * ln(CAST(m.n AS DOUBLE))
+               - 2.0 * (CAST(f.t2 AS DOUBLE) / 1e9)), 6) AS delta_bic,
+             (5.0 * ln(CAST(m.n AS DOUBLE))
+               - 2.0 * (CAST(f.t2 AS DOUBLE) / 1e9))
+               < (2.0 * ln(CAST(m.n AS DOUBLE))
+               - 2.0 * (CAST(f.t1 AS DOUBLE) / 1e9)) AS prefer_two
+      FROM mom m, fold f"""),
+
 
     // Kleinberg bursts: all-integer Viterbi (lattice A_q - c*B_q day
     // costs, gamma*ln(n) entry toll) replayed day per day; ties prefer

@@ -840,6 +840,12 @@ object AnalyticsRegistry {
       // q_seasonality's hardcoded 7
       Eval.periodogram(Tables.orders(s, dir),
         to_date(col("o_orderdate")), "o_totalprice")),
+    "q_gmm_bic" -> ((s, dir) =>
+      // is the second component statistically justified? BIC of the
+      // 2-component fit vs the exact-moment single Gaussian on the
+      // same lattice histogram
+      Learn.gmmBic(Tables.orders(s, dir), "o_totalprice", bins = 256,
+        rounds = 3)),
     "q_gmm_em" -> ((s, dir) =>
       // is order value one population or two? 2-component Gaussian EM
       // on the 256-bin lattice histogram, 3 fixed rounds, average
