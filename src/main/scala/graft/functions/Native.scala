@@ -19,10 +19,41 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Native {
 
-  /** MinHash signature of a document: word n-gram shingles → FNV-1a 64
-    * hash folded to [0, 2³¹−1) → per-permutation min of
-    * (a_p·h + b_p) mod (2³¹−1). Empty docs (< n words) yield the sentinel
-    * signature of all 2³¹−1 (an empty set's min).
+  /** Per-thread MD5 digest shared by the hash-family expressions below.
+    * Expression instances can be evaluated from several local-mode task
+    * threads at once, so the digest is thread-local, reset per use.
+    */
+  private val md5Digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 64 bits of md5(s as UTF-8) read big-endian — numerically equal
+    * to parsing the first 16 hex chars of the md5 hex string, which is how
+    * the DuckDB oracle replays it (`('0x'||substr(md5(s),1,16))::UBIGINT`).
+    */
+  private def md5Hi64(s: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (bytes(k) & 0xffL); k += 1 }
+    h
+  }
+
+  /** MinHash signature of a document: word n-gram shingles → first 60 bits
+    * of md5(shingle) reduced mod P = 2³¹−1 → per-permutation min of
+    * (a_p·h + b_p) mod P with a_p = 1103515245 + 2p, b_p = 12345 + 7919p
+    * (the Carter–Wegman affine family keyed by the md5 fold). Empty docs
+    * (< n words) yield the sentinel signature of all 2³¹−1 (an empty
+    * set's min).
+    *
+    * Every step is an exact BIGINT computation a SQL engine replays
+    * verbatim: the 60-bit fold is `('0x'||substr(md5(s),1,15))::BIGINT`
+    * and a_p·h < 2⁶² never overflows — which is what moves the whole
+    * MinHash near-dup family onto full DuckDB hash oracles (the
+    * x_item_cf_lsh minstd lesson; the previous FNV-1a fold relied on
+    * wrapping 64-bit multiplies no SQL engine reproduces).
     */
   case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
@@ -36,25 +67,23 @@ object Native {
       val mins = Array.fill(numHashes)(M)
       if (words.length >= n) {
         val seen = new java.util.HashSet[Long]()
+        val sb = new java.lang.StringBuilder()
         var i = 0
         while (i <= words.length - n) {
-          var h = 0xcbf29ce484222325L // FNV-1a offset basis
+          sb.setLength(0)
           var j = 0
           while (j < n) {
-            val w = words(i + j)
-            var k = 0
-            while (k < w.length) {
-              h ^= w.charAt(k); h *= 0x100000001b3L; k += 1
-            }
-            h ^= ' '; h *= 0x100000001b3L
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
             j += 1
           }
-          val hx = java.lang.Math.floorMod(h, M)
-          if (seen.add(hx)) { // distinct shingles only
-            var p = 0
+          // first 60 bits (== first 15 hex chars) of the md5, mod P —
+          // non-negative, so plain % matches SQL %
+          val hx = (md5Hi64(sb.toString) >>> 4) % M
+          if (seen.add(hx)) { // distinct shingles only (min is unaffected;
+            var p = 0         // the set just skips redundant work)
             while (p < numHashes) {
-              val v = java.lang.Math.floorMod(
-                hx * (1103515245L + 2L * p) + (12345L + 7919L * p), M)
+              val v = ((1103515245L + 2L * p) * hx + (12345L + 7919L * p)) % M
               if (v < mins(p)) mins(p) = v
               p += 1
             }
@@ -550,11 +579,15 @@ object Native {
     override def prettyName: String = "nearest_centroids"
   }
 
-  /** 64-bit SimHash fingerprint: lowercase, whitespace-tokenize, xxhash64
-    * each token (seed 42, same as the `xxhash64` SQL function), vote ±1
-    * per bit, sign-aggregate. One tight loop per ROW — the
-    * explode+64-conditional-sums formulation it replaces shuffles
-    * |corpus|×|tokens| rows through a 64-column aggregate.
+  /** 64-bit SimHash fingerprint: lowercase, whitespace-tokenize, hash each
+    * token OCCURRENCE to the top 64 md5 bits (big-endian — exactly
+    * `('0x'||substr(md5(tok),1,16))::UBIGINT`, so a SQL engine replays the
+    * bit votes verbatim), vote ±1 per bit, sign-aggregate (ties → 0). One
+    * tight loop per ROW — the explode+64-conditional-sums formulation it
+    * replaces shuffles |corpus|×|tokens| rows through a 64-column
+    * aggregate. (Previously xxhash64-seeded, which no SQL oracle could
+    * reproduce; md5 voting has the same near-dup behavior and makes the
+    * whole SimHash family hash-checkable.)
     */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -567,8 +600,7 @@ object Native {
       val votes = new Array[Int](64)
       var w = 0
       while (w < words.length) {
-        val h = XxHash64Function.hash(
-          UTF8String.fromString(words(w)), StringType, 42L)
+        val h = md5Hi64(words(w))
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

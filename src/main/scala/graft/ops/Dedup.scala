@@ -190,14 +190,22 @@ object Dedup {
   /** Slim LSH band-bucket relation of a signature table: (id, band,
     * bucket) — one row per (doc, band), the minimal shape for bucket
     * equi-joins (carrying signatures through the join would shuffle
-    * numHashes ints per collision row).
+    * numHashes ints per collision row). The bucket is the band's VALUE
+    * tuple (a struct of rows-per-band components), not a Murmur
+    * compression of it: collision-free — docs share a bucket iff the
+    * band's components are EQUAL — so the banding join is an exact
+    * BIGINT-equality semantics any SQL oracle replays (the x_item_cf_lsh
+    * value-pair-band lesson), and no spurious hash-collision candidates
+    * exist at any scale. Width cost vs the hashed bucket is rows-per-band
+    * longs instead of one int per (doc, band) row — still fixed-width and
+    * tiny next to the corpus.
     */
   private[ops] def bandBuckets(sig: DataFrame, numHashes: Int,
                                bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+        struct((0 until rows).map(j => col(s"mh_${b * rows + j}").as(s"c$j")): _*)
           .as("bucket"))
     }
     sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))

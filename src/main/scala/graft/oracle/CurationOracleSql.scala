@@ -307,6 +307,73 @@ private[graft] object CurationOracleSql {
       FROM documents ORDER BY id_a""",
 
 
+    // FULL hash oracle for the MinHash+LSH banding search (numHashes=16,
+    // bands=4, threshold 0.5): signatures, value-tuple band buckets and
+    // the component-agreement estimate are all exact BIGINT arithmetic
+    // replayed verbatim (md5 60-bit fold → Carter–Wegman permutations →
+    // min) — see OracleShared.minhashCtes
+    "x_minhash_neardups" -> s"""
+      WITH ${OracleShared.minhashCtes(16, 4)},
+      cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+               FROM bkt l JOIN bkt r ON l.band = r.band
+                    AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      est AS (SELECT c.id_a, c.id_b,
+                round(sum(CASE WHEN a.mh = b.mh THEN 1.0 ELSE 0.0 END) / 16.0,
+                      6) AS est_jaccard
+              FROM cand c
+              JOIN sig a ON a.doc_id = c.id_a
+              JOIN sig b ON b.doc_id = c.id_b AND b.p = a.p
+              GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, est_jaccard FROM est
+      WHERE est_jaccard >= 0.5
+      ORDER BY id_a, id_b""",
+
+
+    // FULL hash oracle for the incremental LSH ingest rule: the batch
+    // (doc_id >= 250) probes seen + earlier-batch band buckets, dup_of =
+    // smallest banded candidate whose signature agreement reaches 0.5 —
+    // the same signature/banding replay as x_minhash_neardups
+    "x_dedup_incremental_lsh" -> s"""
+      WITH ${OracleShared.minhashCtes(16, 4)},
+      cand AS (SELECT DISTINCT l.doc_id AS bid, r.doc_id AS cand
+               FROM bkt l JOIN bkt r ON l.band = r.band
+                    AND l.bucket = r.bucket AND r.doc_id < l.doc_id
+               WHERE l.doc_id >= 250),
+      est AS (SELECT c.bid, c.cand,
+                sum(CASE WHEN a.mh = b.mh THEN 1.0 ELSE 0.0 END) / 16.0 AS est
+              FROM cand c
+              JOIN sig a ON a.doc_id = c.bid
+              JOIN sig b ON b.doc_id = c.cand AND b.p = a.p
+              GROUP BY c.bid, c.cand),
+      dup AS (SELECT bid, min(cand) AS dup_of FROM est
+              WHERE est >= 0.5 GROUP BY bid)
+      SELECT b.doc_id AS id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) b
+      LEFT JOIN dup ON b.doc_id = dup.bid
+      ORDER BY id""",
+
+
+    // FULL hash oracle for the SimHash fingerprints: md5-top-64-bit token
+    // votes reassembled into the signed 64-bit pattern — see
+    // OracleShared.simhashCtes
+    "x_simhash" -> s"""
+      WITH ${OracleShared.simhashCtes("WHERE doc_id < 50")}
+      SELECT doc_id AS id, simhash FROM fp ORDER BY id""",
+
+
+    // FULL hash oracle for the SimHash band search: with maxHamming 3 <
+    // bands 4 the pigeonhole guarantee makes the output exactly "all pairs
+    // within hamming 3", so the oracle replays the fingerprints plus the
+    // criterion as a pair scan (the banding only prunes, never decides)
+    "x_simhash_neardups" -> s"""
+      WITH ${OracleShared.simhashCtes("")}
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id_a, id_b""",
+
+
     // contamination: DISTINCT 3-gram shingles per test doc vs the train
     // shingle set; short docs (zero shingles) kept at contamination 0
     "x_contamination" -> """

@@ -1506,4 +1506,60 @@ private[graft] object OracleShared {
 
   def unigramSql(select: String): String =
     s"\n      WITH $unigramCtes\n      $select"
+
+  /** MinHash signature + value-band CTE chain over `documents` — replays
+    * `Native.MinHashSignature` (word 3-gram shingles → 60-bit md5 fold mod
+    * P = 2³¹−1 → per-permutation min of (1103515245+2p)·h + 12345+7919p
+    * mod P, sentinel P for docs with < 3 words) and `Dedup.bandBuckets`'
+    * collision-free value buckets (the band's component tuple — replayed
+    * here as the ':'-joined component string, equality-equivalent to the
+    * engine's struct). Yields `sig(doc_id, p, mh)` for EVERY document and
+    * `bkt(doc_id, band, bucket)`.
+    */
+  def minhashCtes(numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    s"""d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+             FROM documents),
+      shx AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hm
+              FROM (SELECT doc_id, w[kk] || ' ' || w[kk+1] || ' ' || w[kk+2] AS s
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS kk
+                          FROM d))),
+      ps AS (SELECT unnest(range(0, $numHashes)) AS p),
+      mh0 AS (SELECT doc_id, p,
+                min(((1103515245 + 2*p) * hm + (12345 + 7919*p)) % 2147483647)
+                  AS mh
+              FROM shx CROSS JOIN ps GROUP BY doc_id, p),
+      sig AS (SELECT dd.doc_id, ps.p, coalesce(mh0.mh, 2147483647) AS mh
+              FROM (SELECT doc_id FROM documents) dd CROSS JOIN ps
+              LEFT JOIN mh0 ON mh0.doc_id = dd.doc_id AND mh0.p = ps.p),
+      bkt AS (SELECT doc_id, p // $rows AS band,
+                     string_agg(mh::VARCHAR, ':' ORDER BY p) AS bucket
+              FROM sig GROUP BY doc_id, p // $rows)"""
+  }
+
+  /** SimHash fingerprint CTE over `documents` — replays `Native.SimHash64`
+    * verbatim: lowercase, whitespace-tokenize (every OCCURRENCE votes, the
+    * empty string is one token of an empty doc — DuckDB's split of ''
+    * yields [''] exactly like Java's), token hash = top 64 md5 bits
+    * big-endian, ±1 vote per bit, fingerprint bit set iff votes > 0.
+    * Yields `fp(doc_id, simhash BIGINT)`; bit 63 is reassembled through
+    * HUGEINT so the signed BIGINT bit pattern matches the JVM long.
+    */
+  def simhashCtes(where: String): String =
+    s"""t AS (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+             FROM documents $where),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+             FROM t),
+      bits AS (SELECT unnest(range(0, 64)) AS i),
+      v AS (SELECT doc_id, i,
+              sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+            FROM hh CROSS JOIN bits GROUP BY doc_id, i),
+      fp AS (SELECT doc_id,
+               CAST(sum(CASE WHEN vote > 0 THEN
+                      CASE WHEN i = 63 THEN (-9223372036854775808)::HUGEINT
+                           ELSE ((1::BIGINT << i))::HUGEINT END
+                    ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+             FROM v GROUP BY doc_id)"""
 }

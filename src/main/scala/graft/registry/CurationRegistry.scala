@@ -127,9 +127,10 @@ object CurationRegistry {
     }),
     "x_dedup_incremental_lsh" -> ((s, dir) => {
       // ingest-shaped NEAR-dup check: the new batch probes the accumulated
-      // MinHash signature table — corpus text is never re-read (rows-only:
-      // xxhash64-based signatures; DedupSpec proves batch-vs-full-corpus
-      // equivalence of the surviving id set)
+      // MinHash signature table — corpus text is never re-read. FULL hash
+      // oracle: md5-fold Carter–Wegman signatures + value-tuple banding
+      // replay verbatim in DuckDB (DedupSpec additionally proves
+      // batch-vs-full-corpus equivalence of the surviving id set)
       val d = Tables.documents(s, dir)
       val seenSigs = Dedup.minHashSignatures(
         d.filter(col("doc_id") < 250), "doc_id", "text", 3, 16)
@@ -332,7 +333,7 @@ object CurationRegistry {
         "label", 0.4).select("id_a", "id_b")
       Dedup.dedupClusters(textPairs.unionByName(vecPairs))
     }),
-    "x_minhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
+    "x_minhash_neardups" -> ((s, dir) =>   // FULL hash oracle (md5 family)
       Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
     "x_neardups_verified" -> ((s, dir) =>
       // LSH propose + estimate trim + exact verify, in the
@@ -346,10 +347,10 @@ object CurationRegistry {
       Dedup.nearDupsVerified(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 64, bands = 64, threshold = 0.5,
         minEst = 0.125)),
-    "x_simhash" -> ((s, dir) =>            // xxhash64-based; rows-only
+    "x_simhash" -> ((s, dir) =>            // FULL hash oracle (md5 votes)
       Dedup.simHash(Tables.documents(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")),
-    "x_simhash_neardups" -> ((s, dir) =>   // xxhash64-based; rows-only
+    "x_simhash_neardups" -> ((s, dir) =>   // FULL hash oracle (md5 votes)
       // maxHamming < bands(4) keeps the pigeonhole recall guarantee: this
       // is exactly "all pairs within hamming 3", not a banding-luck subset
       Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
