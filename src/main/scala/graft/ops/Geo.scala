@@ -39,13 +39,17 @@ object Geo {
     * (≈800 in-radius neighbors per point at radius 0.04 where a uniform
     * map has ≈75). Squaring the key before the hash breaks the
     * affinity; both coordinates stay exact-integer replayable
-    * ((k·k) mod M is one BIGINT expression in any engine).
+    * (the key is reduced mod M BEFORE squaring —
+    * pmod(k,M)·pmod(k,M) < 2⁶² — so the product never overflows a
+    * signed 64-bit in EITHER engine at any key range; identical values
+    * for k < M).
     */
   def hashPoints(df: DataFrame, keyCol: String, channelX: Long,
                  channelY: Long): DataFrame =
     df.select(col(keyCol),
       floor(Gen.u01(col(keyCol), channelX) * 1e7).cast("long").as("x"),
-      floor(Gen.u01(pmod(col(keyCol) * col(keyCol), lit(2147483647L)),
+      floor(Gen.u01(pmod(pmod(col(keyCol), lit(2147483647L)) *
+        pmod(col(keyCol), lit(2147483647L)), lit(2147483647L)),
         channelY) * 1e7).cast("long").as("y"))
 
   /** Nearest site within `radiusMicro` for every probe, or NULL when

@@ -688,12 +688,18 @@ object Learn {
     val var0 = (col("__q").cast("double") / 1e4 -
       (col("__s").cast("double") / 1e2) *
         (col("__s").cast("double") / 1e2) / nD) / nD
+    // degenerate-corpus guard: a constant column gives var0 = 0, whose
+    // ln/divisions would fan out -Inf/NaN (and Spark's round(-Inf)::long
+    // silently wraps to Long.MinValue where a SQL oracle's cast errors) —
+    // start from NULL params instead, which propagate NULL through every
+    // round and the readout
+    val var0g = when(var0 > lit(0.0), var0)
     // params frame: one row carrying (w1, mu1, v1, mu2, v2) + the carried
     // corpus stats the final readout needs
     var params = moments.select(col("__n"), col("__lo"), col("__hi"),
-      lit(0.5).as("__w1"),
-      (loD + lit(0.25) * span).as("__mu1"), var0.as("__v1"),
-      (loD + lit(0.75) * span).as("__mu2"), var0.as("__v2"))
+      when(var0 > lit(0.0), lit(0.5)).as("__w1"),
+      (loD + lit(0.25) * span).as("__mu1"), var0g.as("__v1"),
+      (loD + lit(0.75) * span).as("__mu2"), var0g.as("__v2"))
     val mb = loD + (col("__b") * lit(2L) + lit(1L)).cast("double") *
       width / 2.0
     for (_ <- 1 to rounds) {
@@ -735,14 +741,26 @@ object Learn {
           (lit(4.0) * nn)) - eMean * eMean
         (loD + eMean, vv)
       }
-      params = m.select(col("__n"), col("__lo"), col("__hi"),
-        (col("__n1").cast("double") /
+      val cand = m.select(col("__n"), col("__lo"), col("__hi"),
+        col("__n1"), col("__n2"),
+        newcomp("__n1", "__s1", "__q1")._1.as("__cmu1"),
+        newcomp("__n1", "__s1", "__q1")._2.as("__cv1"),
+        newcomp("__n2", "__s2", "__q2")._1.as("__cmu2"),
+        newcomp("__n2", "__s2", "__q2")._2.as("__cv2"))
+      // degenerate-round guard: an emptied component (n1/n2 = 0) or a
+      // zero-variance component would send the next round's ln through
+      // -Inf/NaN — emit all-NULL params instead (all-or-nothing, so a
+      // params row is either fully valid or fully NULL)
+      val ok = col("__n1") > lit(0) && col("__n2") > lit(0) &&
+        col("__cv1") > lit(0.0) && col("__cv2") > lit(0.0)
+      params = cand.select(col("__n"), col("__lo"), col("__hi"),
+        when(ok, col("__n1").cast("double") /
           (col("__n1").cast("double") + col("__n2").cast("double")))
           .as("__w1"),
-        newcomp("__n1", "__s1", "__q1")._1.as("__mu1"),
-        newcomp("__n1", "__s1", "__q1")._2.as("__v1"),
-        newcomp("__n2", "__s2", "__q2")._1.as("__mu2"),
-        newcomp("__n2", "__s2", "__q2")._2.as("__v2"))
+        when(ok, col("__cmu1")).as("__mu1"),
+        when(ok, col("__cv1")).as("__v1"),
+        when(ok, col("__cmu2")).as("__mu2"),
+        when(ok, col("__cv2")).as("__v2"))
     }
     (histo, params)
   }
@@ -805,9 +823,12 @@ object Learn {
     val twoPi = lit(6.283185307179586)
     val nD = col("__n").cast("double")
     val mu0 = col("__s").cast("double") / (lit(100.0) * nD)
-    val v0 = (col("__q").cast("double") / 1e4 -
+    val v0raw = (col("__q").cast("double") / 1e4 -
       (col("__s").cast("double") / 1e2) *
         (col("__s").cast("double") / 1e2) / nD) / nD
+    // same degenerate guard as gmmFit: a constant column has v0 = 0, whose
+    // analytic log-density is -Inf — emit NULL likelihoods instead
+    val v0 = when(v0raw > lit(0.0), v0raw)
     val pf = params.select(col("__w1"), col("__mu1"), col("__v1"),
       col("__mu2"), col("__v2"))
     val folded = histo.crossJoin(broadcast(pf))

@@ -937,14 +937,15 @@ object Similarity {
     // diagonal-line lesson: an affine family would give near-identical
     // argmin users across permutations), and one exact BIGINT
     // expression any engine replays — which is what makes this LSH
-    // build FULLY oracle-checkable, unlike the xxhash64/Murmur banding
-    // of the document near-dup path. Fixture keys are small; at real
-    // key ranges swap a 64-bit mixer and keep the anchor discipline.
+    // build FULLY oracle-checkable. The key is reduced mod M BEFORE
+    // squaring (pmod(k,M)² < 2⁶²), so the product never overflows a
+    // signed 64-bit at ANY key range in either engine — identical
+    // values for k < M, i.e. every current fixture.
     val sigRows = kept
       .withColumn("__j", explode(array((0 until numHashes)
         .map(j => lit(j.toLong)): _*)))
-      .withColumn("__qk", pmod((col("__u") + col("__j") * lit(1000003L)) *
-        (col("__u") + col("__j") * lit(1000003L)), m))
+      .withColumn("__qm", pmod(col("__u") + col("__j") * lit(1000003L), m))
+      .withColumn("__qk", pmod(col("__qm") * col("__qm"), m))
       .groupBy(col("__i").as("id"), col("__j"))
       .agg(min(floor(Gen.u01(col("__qk"), 500L) * m).cast("long"))
         .as("__mh"))

@@ -1312,8 +1312,11 @@ object Stats {
         coalesce(sum(dec(col(s"__c$i")) * col("__r2")),
           lit(0L).cast("decimal(38,0)")).as(s"__s$i"))
     } ++ Seq(coalesce(sum(col("__n")), lit(0L)).as("n"),
-      coalesce(sum(col("__n") * col("__n") * col("__n") - col("__n")),
-        lit(0L)).as("__tsum"))
+      // the tie cube folds through decimal(38,0): one tie group over
+      // ~2.1M pairs would silently wrap a Long cube in Spark while the
+      // oracle's wide-integer cube doesn't (the spearman overflow lesson)
+      coalesce(sum(dec(col("__n")) * col("__n") * col("__n") - col("__n")),
+        lit(0L).cast("decimal(38,0)")).as("__tsum"))
     val folded = ranked.agg(aggs.head, aggs.tail: _*)
     // H = 3/(n(n+1)) · Σ s2ⱼ²/nⱼ − 3(n+1)  (2×-rank algebra folds the
     // usual 12/(n(n+1)) and the /4 from squaring the doubled ranks)
@@ -1449,8 +1452,11 @@ object Stats {
         coalesce(sum(dec(col(s"__c$i")) * col("__r2")),
           lit(0L).cast("decimal(38,0)")).as(s"__s$i"))
     } ++ Seq(coalesce(sum(col("__n")), lit(0L)).as("__nt"),
-      coalesce(sum(col("__n") * col("__n") * col("__n") - col("__n")),
-        lit(0L)).as("__tsum"))
+      // the tie cube folds through decimal(38,0): one tie group over
+      // ~2.1M pairs would silently wrap a Long cube in Spark while the
+      // oracle's wide-integer cube doesn't (the spearman overflow lesson)
+      coalesce(sum(dec(col("__n")) * col("__n") * col("__n") - col("__n")),
+        lit(0L).cast("decimal(38,0)")).as("__tsum"))
     val folded = ranked.agg(aggs.head, aggs.tail: _*)
     val nn = col("__nt").cast("double")
     // pooled tie-corrected rank variance (1×-rank units)
@@ -1541,8 +1547,11 @@ object Stats {
       coalesce(sum(col("__cp")), lit(0L)).as("n_pos"),
       coalesce(sum(dec(col("__cp")) * col("__r2")),
         lit(0L).cast("decimal(38,0)")).as("__w2p"),
-      coalesce(sum(col("__n") * col("__n") * col("__n") - col("__n")),
-        lit(0L)).as("__tsum"))
+      // the tie cube folds through decimal(38,0): one tie group over
+      // ~2.1M pairs would silently wrap a Long cube in Spark while the
+      // oracle's wide-integer cube doesn't (the spearman overflow lesson)
+      coalesce(sum(dec(col("__n")) * col("__n") * col("__n") - col("__n")),
+        lit(0L).cast("decimal(38,0)")).as("__tsum"))
     val nD = col("n_pairs").cast("double")
     val wp = col("__w2p").cast("double") / 2.0
     val varW = nD * (nD + 1.0) * (nD * 2.0 + 1.0) / 24.0 -
@@ -1591,8 +1600,11 @@ object Stats {
       coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
       coalesce(sum(dec(col("__ca")) * col("__r2")),
         lit(0L).cast("decimal(38,0)")).as("__ra2"),
-      coalesce(sum(col("__n") * col("__n") * col("__n") - col("__n")),
-        lit(0L)).as("__tsum"))
+      // the tie cube folds through decimal(38,0): one tie group over
+      // ~2.1M pairs would silently wrap a Long cube in Spark while the
+      // oracle's wide-integer cube doesn't (the spearman overflow lesson)
+      coalesce(sum(dec(col("__n")) * col("__n") * col("__n") - col("__n")),
+        lit(0L).cast("decimal(38,0)")).as("__tsum"))
     val naD = col("n_a").cast("double")
     val nbD = col("n_b").cast("double")
     val nD = naD + nbD
@@ -3573,13 +3585,18 @@ object Stats {
       .select(element_at(col("__p"), 1).as("__u"),
         element_at(col("__p"), 2).as("__q999_emp"), col("n"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // the excess fold is a CONDITIONAL aggregation (not a filter → agg):
+    // when nothing strictly exceeds u — a discretized tail where p95
+    // equals the max — the query still emits its one readout row with
+    // n_exc = 0 and NULL fit params (the 1-row contract every other fold
+    // op keeps), instead of grouping an empty relation into zero rows
+    val over = col("__x") > col("__u")
+    val xc = round(col("__x") * 100, 0).cast("long")
     val exc = df.select(v.as("__x")).crossJoin(broadcast(thr))
-      .filter(col("__x") > col("__u"))
       .groupBy(col("__u"), col("__q999_emp"), col("n"))
-      .agg(count(lit(1)).as("n_exc"),
-        sum(round(col("__x") * 100, 0).cast("long")).as("__s"),
-        sum(dec(round(col("__x") * 100, 0).cast("long")) *
-          round(col("__x") * 100, 0).cast("long")).as("__q"))
+      .agg(count(when(over, lit(1))).as("n_exc"),
+        sum(when(over, xc)).as("__s"),
+        sum(when(over, dec(xc) * xc)).as("__q"))
     val nE = col("n_exc").cast("double")
     val meanX = col("__s").cast("double") / (lit(100.0) * nE)
     val m = meanX - col("__u")

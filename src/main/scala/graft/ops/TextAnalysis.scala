@@ -469,7 +469,11 @@ object TextAnalysis {
     val negFan = pos
       .select(col("__doc"), col("__pos"), col("__off"), col("__w"))
       .withColumn("__j", explode(array((1 to negK).map(j => lit(j)): _*)))
-    val key = col("__doc") * lit(65536L) + col("__pos") * lit(64L) +
+    // doc stride 131072 > max sub-key 1023*64 + 2*window*8 + negK
+    // (65608 at window=negK=8), so draw keys NEVER alias across docs for
+    // any legal (window, negK) — the packing is injective, keeping each
+    // draw a pure function of its coordinates
+    val key = col("__doc") * lit(131072L) + col("__pos") * lit(64L) +
       (col("__off") + lit(window.toLong)) * lit(8L) + col("__j")
     val negatives = negFan.crossJoin(broadcast(total))
       .withColumn("__t",

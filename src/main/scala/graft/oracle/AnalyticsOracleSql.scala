@@ -5357,13 +5357,19 @@ private[graft] object AnalyticsOracleSql {
               quantile_cont(o_totalprice, 0.999) AS q999e,
               CAST(count(*) AS BIGINT) AS n
             FROM orders WHERE o_totalprice IS NOT NULL),
+      -- conditional fold (not filter->agg): when nothing strictly exceeds
+      -- u the query still emits ONE row with n_exc = 0 and NULL params —
+      -- the engine's 1-row readout contract
       e AS (SELECT t.u, t.q999e, t.n,
-              CAST(count(*) AS BIGINT) AS n_exc,
-              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              CAST(count(CASE WHEN o_totalprice > t.u THEN 1 END)
+                AS BIGINT) AS n_exc,
+              CAST(sum(CASE WHEN o_totalprice > t.u THEN
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) END)
                 AS BIGINT) AS s,
-              sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
-                * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS q
-            FROM orders, t WHERE o_totalprice > t.u
+              sum(CASE WHEN o_totalprice > t.u THEN
+                  CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+                  * CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS q
+            FROM orders, t
             GROUP BY 1, 2, 3),
       c AS (SELECT *,
               CAST(s AS DOUBLE) / (100.0 * CAST(n_exc AS DOUBLE)) - u
@@ -5514,13 +5520,13 @@ private[graft] object AnalyticsOracleSql {
       WITH p AS (SELECT c_custkey,
               CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("(c_custkey * c_custkey) % 2147483647", 172)} * 10000000.0)
+              CAST(floor(${uk("((c_custkey % 2147483647) * (c_custkey % 2147483647)) % 2147483647", 172)} * 10000000.0)
                 AS BIGINT) AS y
             FROM customer),
       st AS (SELECT s_suppkey,
               CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("(s_suppkey * s_suppkey) % 2147483647", 174)} * 10000000.0)
+              CAST(floor(${uk("((s_suppkey % 2147483647) * (s_suppkey % 2147483647)) % 2147483647", 174)} * 10000000.0)
                 AS BIGINT) AS y
             FROM supplier),
       cand AS (SELECT p.c_custkey, st.s_suppkey,
@@ -5800,7 +5806,8 @@ private[graft] object AnalyticsOracleSql {
               CAST(coalesce(sum(cp), 0) AS BIGINT) AS n_pos,
               CAST(coalesce(sum(CAST(cp AS HUGEINT) * r2), 0)
                 AS HUGEINT) AS w2p,
-              CAST(coalesce(sum(n * n * n - n), 0) AS BIGINT) AS tsum
+              CAST(coalesce(sum(CAST(n AS HUGEINT) * n * n - n), 0)
+                AS HUGEINT) AS tsum
             FROM r),
       t AS (SELECT *, CAST(n_pairs AS DOUBLE) AS nd,
               CAST(w2p AS DOUBLE) / 2.0 AS wp FROM f),
@@ -5823,7 +5830,7 @@ private[graft] object AnalyticsOracleSql {
       WITH p AS (SELECT c_custkey,
               CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("(c_custkey * c_custkey) % 2147483647", 172)} * 10000000.0)
+              CAST(floor(${uk("((c_custkey % 2147483647) * (c_custkey % 2147483647)) % 2147483647", 172)} * 10000000.0)
                 AS BIGINT) AS y
             FROM customer),
       cand AS (SELECT a.c_custkey AS id, b.c_custkey AS oid,
@@ -5868,13 +5875,13 @@ private[graft] object AnalyticsOracleSql {
       WITH p AS (SELECT c_custkey,
               CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("(c_custkey * c_custkey) % 2147483647", 172)} * 10000000.0)
+              CAST(floor(${uk("((c_custkey % 2147483647) * (c_custkey % 2147483647)) % 2147483647", 172)} * 10000000.0)
                 AS BIGINT) AS y
             FROM customer),
       st AS (SELECT s_suppkey,
               CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("(s_suppkey * s_suppkey) % 2147483647", 174)} * 10000000.0)
+              CAST(floor(${uk("((s_suppkey % 2147483647) * (s_suppkey % 2147483647)) % 2147483647", 174)} * 10000000.0)
                 AS BIGINT) AS y
             FROM supplier),
       cand AS (SELECT st.s_suppkey, p.c_custkey,
@@ -5902,13 +5909,13 @@ private[graft] object AnalyticsOracleSql {
       WITH p AS (SELECT c_custkey,
               CAST(floor(${uk("c_custkey", 171)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("(c_custkey * c_custkey) % 2147483647", 172)} * 10000000.0)
+              CAST(floor(${uk("((c_custkey % 2147483647) * (c_custkey % 2147483647)) % 2147483647", 172)} * 10000000.0)
                 AS BIGINT) AS y
             FROM customer),
       st AS (SELECT s_suppkey,
               CAST(floor(${uk("s_suppkey", 173)} * 10000000.0)
                 AS BIGINT) AS x,
-              CAST(floor(${uk("(s_suppkey * s_suppkey) % 2147483647", 174)} * 10000000.0)
+              CAST(floor(${uk("((s_suppkey % 2147483647) * (s_suppkey % 2147483647)) % 2147483647", 174)} * 10000000.0)
                 AS BIGINT) AS y
             FROM supplier),
       cand AS (SELECT p.c_custkey, st.s_suppkey,

@@ -503,7 +503,8 @@ private[graft] object SimilarityOracleSql {
       kept AS (SELECT c.u, c.i FROM capped c JOIN dfs d ON c.i = d.i),
       sig AS (SELECT k.i AS id, j.j,
               min(CAST(floor(${uk(
-                "(((k.u + j.j * 1000003) * (k.u + j.j * 1000003))" +
+                "((((k.u + j.j * 1000003) % 2147483647)" +
+                  " * ((k.u + j.j * 1000003) % 2147483647))" +
                   " % 2147483647)", 500)} * 2147483647.0) AS BIGINT))
                 AS mh
             FROM kept k, (SELECT unnest(range(0, 32)) AS j) j

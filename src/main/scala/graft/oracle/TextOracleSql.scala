@@ -1256,7 +1256,7 @@ private[graft] object TextOracleSql {
       tot AS (SELECT CAST(sum(wl) AS BIGINT) AS tot FROM vw),
       nf AS (SELECT center,
               CAST(floor(${uk(
-                "(doc_id * 65536 + pos * 64 + (off + 2) * 8 + j)", 401)}
+                "(doc_id * 131072 + pos * 64 + (off + 2) * 8 + j)", 401)}
                 * CAST(tot.tot AS DOUBLE)) AS BIGINT) AS t
             FROM p CROSS JOIN (SELECT unnest([1, 2]) AS j) jj, tot),
       negs AS (SELECT nf.center, c.neg AS context, 0 AS label,

@@ -259,4 +259,19 @@ class LearnSpec extends SparkSpec {
     assert(math.abs(w1 - 2.0 / 3.0) < 0.05, s"w1 $w1")
     assert(r.getAs[Double]("sigma1") > 0 && r.getAs[Double]("sigma2") > 0)
   }
+
+  test("gmmEm/gmmBic: a constant column (variance 0) yields NULL params " +
+      "and likelihoods, never -Inf/NaN or a wrapped long") {
+    import spark.implicits._
+    val rows = Seq.fill(100)(7.5).toDF("v")
+    val em = graft.ops.Learn.gmmEm(rows, "v", bins = 64, rounds = 3)
+      .collect().head
+    assert(em.getAs[Long]("n") == 100L)
+    Seq("w1", "mu1", "sigma1", "w2", "mu2", "sigma2", "avg_loglik")
+      .foreach(c => assert(em.isNullAt(em.fieldIndex(c)), s"$c not null"))
+    val bic = graft.ops.Learn.gmmBic(rows, "v", bins = 64, rounds = 3)
+      .collect().head
+    Seq("loglik_1", "loglik_2", "bic_1", "bic_2", "delta_bic")
+      .foreach(c => assert(bic.isNullAt(bic.fieldIndex(c)), s"$c not null"))
+  }
 }
