@@ -856,8 +856,10 @@ object Similarity {
 
   def itemItemCF(interactions: DataFrame, userCol: String,
                  itemCol: String, minDf: Int = 2, maxDf: Int = 100000,
-                 maxBasket: Int = 256, k: Int = 10): DataFrame = {
+                 maxBasket: Int = 256, k: Int = 10,
+                 pairBudget: Long = 200000000L): DataFrame = {
     require(k >= 1 && k <= 100, s"itemItemCF: k in [1, 100] (got $k)")
+    require(pairBudget >= 1L, s"itemItemCF: pairBudget >= 1 (got $pairBudget)")
     // user-keyed pair self-join: Catalyst reuses the identical exchange
     // under both sides, so the distinct+cap+df chain computes once (a
     // basket-array HOF-explode variant was measured 2.2× SLOWER —
@@ -867,6 +869,24 @@ object Similarity {
     // corpus scale the standard extra cut is a minimum co-count.
     val (kept, dfs) = cfKept(interactions, userCol, itemCol, minDf,
       maxDf, maxBasket)
+    // fail-loud pair-budget guard: measure Σ basket·(basket−1)/2 with one
+    // cheap keyed aggregate BEFORE the self-join launches — an over-budget
+    // corpus raises a clean error naming the knobs instead of running an
+    // unbounded-spill job to ENOSPC (the measured 100× failure mode:
+    // 1.27 B pairs exhausted ~80 GB spill disk — BENCH.md itemcf10).
+    val estPairs = kept.groupBy(col("__u"))
+      .agg(count(lit(1)).as("__b"))
+      .agg(coalesce(sum(col("__b").cast("decimal(38,0)") *
+          (col("__b") - lit(1L))),
+        lit(0L).cast("decimal(38,0)")).as("__p2"))
+      .head().getDecimal(0)
+      .divide(java.math.BigDecimal.valueOf(2))
+    require(estPairs.compareTo(
+        java.math.BigDecimal.valueOf(pairBudget)) <= 0,
+      s"itemItemCF: exact pair grain = $estPairs pairs exceeds " +
+        s"pairBudget=$pairBudget — tighten maxBasket/minDf/maxDf, raise " +
+        "pairBudget deliberately, or use the bucketed itemItemCFLsh " +
+        "build (propose-then-verify, the scale-safe alternative)")
     val pairs = kept.select(col("__u"), col("__i")).as("a")
       .join(kept.select(col("__u"), col("__i")).as("b"),
         col("a.__u") === col("b.__u") && col("a.__i") < col("b.__i"))
@@ -898,9 +918,9 @@ object Similarity {
     * exact pair grain. [[itemItemCF]]'s self-join mints Σ basket² pairs
     * (12.7 M at sf0.1, BENCH.md's documented inherent cost); here the
     * pair space is PROPOSED instead: each item's USER SET gets a
-    * `numHashes`-component MinHash signature (per-component min of
-    * `xxhash64(seed=j, user)` — an aggregation on the item key, one
-    * shuffle, map-side combined), signatures band into slim (id, band,
+    * `numHashes`-component MinHash signature (per-component min of the
+    * minstd-u01 of the quadratic key — an aggregation on the item key,
+    * one shuffle, map-side combined), signatures band into slim (id, band,
     * bucket) rows ([[Dedup.bandBuckets]]), and only bucket-colliding
     * pairs are VERIFIED with exact co-counts (a candidate-keyed join —
     * never all pairs). Emitted pairs carry exact n_co/df/cosine, so

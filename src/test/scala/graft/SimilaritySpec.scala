@@ -447,6 +447,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ab.getAs[Long]("n_co") == 2L) // unchanged by user 9
   }
 
+  test("itemItemCF: pair-budget guard fails loud BEFORE the self-join, " +
+      "naming the knobs and the bucketed alternative") {
+    val ui = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C")).toDF("u", "i")
+    // kept baskets: u1 = 3 items, u2 = 2, u3 = 2 -> 3 + 1 + 1 = 5 pairs
+    val e = intercept[IllegalArgumentException] {
+      Similarity.itemItemCF(ui, "u", "i", minDf = 2, maxDf = 100,
+        maxBasket = 16, k = 10, pairBudget = 4L)
+    }
+    assert(e.getMessage.contains("5 pairs exceeds pairBudget=4"))
+    assert(e.getMessage.contains("maxBasket"))
+    assert(e.getMessage.contains("itemItemCFLsh"))
+    // exactly at budget: runs
+    val r = Similarity.itemItemCF(ui, "u", "i", minDf = 2, maxDf = 100,
+      maxBasket = 16, k = 10, pairBudget = 5L).collect()
+    assert(r.nonEmpty)
+  }
+
   test("recommendTopK/recMetrics: owned items excluded, scores sum " +
       "neighbor cosines on the lattice, coverage and novelty replay") {
     import spark.implicits._
