@@ -59,7 +59,17 @@ object Bench {
     val errs = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full per-query map to a repo file: the driver's
+    // BENCH_rN.json captures only a truncated stdout tail (~63 queries of
+    // ~500), which made cross-round per-query diffs impossible (round-10
+    // verdict #4). BENCH_FULL.json is committed after each sweep so any
+    // round can be diffed against any other query-by-query.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => () } // bench must never fail on a write
     spark.stop()
   }
 }
