@@ -706,31 +706,21 @@ object AnalyticsRegistry {
       Frequency.basketRules(
         Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minPairSupport = 2, k = 100)),
-    "q_supplier_pagerank" -> ((s, dir) => {
-      // 5-superstep damped PageRank over the supplier co-order graph —
-      // the declarative Pregel loop, deterministic via fixed iterations
-      val base = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = base.as("a").join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
-        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
-      Graph.pageRank(edges, "src", "dst", iterations = 5)
-        .withColumnRenamed("node", "s_suppkey")
-    }),
+    "q_supplier_pagerank" -> ((s, dir) =>
+      // 5-superstep damped PageRank over the shared supplier co-order
+      // graph artifact — the declarative Pregel loop, deterministic via
+      // fixed iterations
+      Graph.pageRank(Shared.coOrderEdges(s, dir), "src", "dst",
+          iterations = 5)
+        .withColumnRenamed("node", "s_suppkey")),
     "q_supplier_bfs" -> ((s, dir) => {
       // 4-superstep multi-source BFS (min-plus Pregel) over the same
       // co-order graph: hop distance from the seed suppliers — the
       // blast-radius / lineage-closure primitive
-      val base = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = base.as("a").join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
-        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
       val seeds = Tables.supplier(s, dir)
         .filter(col("s_suppkey") % 17 === 0)
-      Graph.bfsHops(edges, "src", "dst", seeds, "s_suppkey", rounds = 4)
+      Graph.bfsHops(Shared.coOrderEdges(s, dir), "src", "dst", seeds,
+          "s_suppkey", rounds = 4)
         .withColumnRenamed("node", "s_suppkey")
     }),
     "q_supplier_hits" -> ((s, dir) =>
