@@ -64,6 +64,7 @@ object ScaleStress {
       if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly ||
           exactsubstrOnly || graph8Mode || stats8Mode ||
           args.headOption.contains("text8") ||
+          args.headOption.contains("text11") ||
           args.headOption.contains("rank9") ||
           args.headOption.contains("ckpt9") ||
           args.headOption.contains("rank10") ||
@@ -735,6 +736,61 @@ object ScaleStress {
         }
         println(f"STRESS-TEXT8 k=$k docs=$n spans=$nSpans preds=$nPred " +
           f"t_span=$tSpan%.2f t_nbayes=$tNb%.2f t_funnel=$tFun%.2f")
+      }
+    }
+    // text11: the round-10 additions at 1×/10×/100× — the word2vec pair
+    // generator (windowed-positive equi-join + negK inverse-CDF draws:
+    // corpus-grain join fan-out worth pinning) and the chained v3
+    // curation pipeline (perplexity filter → winnow span dedup → BPE
+    // token costs → packing), suffix-perturbed copies keeping per-copy
+    // vocab disjoint like text8
+    val text11Ks =
+      if (args.headOption.contains("text11")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (text11Ks.nonEmpty) {
+      val docs11 = Tables.documents(spark, "/root/testdata/sf0.1")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val merges11 =
+        graft.registry.Shared.bpeMerges(spark, "/root/testdata/sf0.1")
+      for (k <- text11Ks) {
+        val corpus = (0 until k).map { i =>
+          val text =
+            if (i == 0) col("text")
+            else regexp_replace(col("text"), "(\\S+)", "$1_c" + i)
+          docs11.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+            text.as("text"), col("lang"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val n = corpus.count()
+        val (tSg, nPairs) = timeMin2 {
+          graft.ops.TextAnalysis.skipGramPairs(corpus, "doc_id", "text",
+            window = 2, negK = 2).queryExecution.toRdd.count()
+        }
+        val (tV3, nPacks) = timeMin2 {
+          val scored = graft.ops.TextAnalysis.bigramPerplexity(corpus,
+            "doc_id", "text", col("lang") === "en", vocabSize = 100)
+          val q3 = scored.agg(
+            round(expr("percentile(ce_bits, 0.75D)"), 6).as("q3"))
+          val kept = scored.crossJoin(broadcast(q3))
+            .filter(col("ce_bits") <= col("q3")).select("doc_id")
+          val drops = graft.ops.TextAnalysis.sharedSpans(corpus, "doc_id",
+              "text", k = 32, w = 16, maxDf = 5)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val surv = kept.join(drops, Seq("doc_id"), "left_anti")
+          val counts = graft.ops.Bpe.tokenStats(corpus, "doc_id", "text",
+              merges11)
+            .join(surv, Seq("doc_id"), "left_semi")
+            .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .select(col("lang"), col("doc_id"), col("n_tokens"))
+          graft.ops.Sampling.packSequences(counts, "lang", "doc_id",
+              "n_tokens", maxTokens = 4096)
+            .groupBy("lang", "pack_id")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum("n_tokens").cast("long").as("pack_tokens"))
+            .queryExecution.toRdd.count()
+        }
+        println(f"STRESS-TEXT11 k=$k docs=$n pairs=$nPairs packs=$nPacks " +
+          f"t_skipgram=$tSg%.2f t_v3=$tV3%.2f")
       }
     }
     // bucketed-as-of stress at 1×/10×/100×: the same native as-of join

@@ -465,8 +465,17 @@ object TextAnalysis {
       .withColumn("__lo", coalesce(sum(col("__wl")).over(cumW), lit(0L)))
       .withColumn("__hi", col("__lo") + col("__wl"))
       .select(col("__w").as("__neg"), col("__lo"), col("__hi"))
-    val total = vocab.agg(sum(col("__wl")).as("__tot"))
-    val negFan = pos
+    val total = vocab.agg(sum(col("__wl")).as("__tot"),
+      count(lit(1)).as("__nv"))
+    // the draw fan derives from DOC LENGTHS, not from the positives join:
+    // positions are dense (empty tokens filtered before posexplode), so
+    // "the context join found a token at pos+off" ⇔ "0 <= pos+off < len"
+    // — identical rows, but the corpus-grain positives join is no longer
+    // computed a second time for the negative side (round-11 text11
+    // profiling: the double computation was ~2× the whole query at 100×)
+    val lens = toks.groupBy(col("__doc")).agg(count(lit(1)).as("__len"))
+    val negFan = fan.join(lens, Seq("__doc"))
+      .filter(col("__cpos") >= 0 && col("__cpos") < col("__len"))
       .select(col("__doc"), col("__pos"), col("__off"), col("__w"))
       .withColumn("__j", explode(array((1 to negK).map(j => lit(j)): _*)))
     // doc stride 131072 > max sub-key 1023*64 + 2*window*8 + negK
@@ -475,12 +484,27 @@ object TextAnalysis {
     // draw a pure function of its coordinates
     val key = col("__doc") * lit(131072L) + col("__pos") * lit(64L) +
       (col("__off") + lit(window.toLong)) * lit(8L) + col("__j")
+    // range-BUCKETED inverse-CDF probe (round-11 text11 measurement: the
+    // plain range join planned as a nested loop — draws × vocab — and went
+    // 39× superlinear at 100×, 287 s). Bucket width W ≈ tot/|vocab| makes
+    // draw buckets uniform (draws are uniform in [0, tot)); each vocab
+    // range replicates onto the ~width/W+1 buckets it overlaps (Σ ≈
+    // 2·|vocab| rows), and the probe becomes an EQUI-join on the bucket id
+    // with the range condition as a residual filter — hash join, linear in
+    // draws at any vocab size. Same draws, same output, plan-only change.
+    val wExpr = "greatest(1L, __tot div __nv)"
     val negatives = negFan.crossJoin(broadcast(total))
       .withColumn("__t",
         floor(Gen.u01(key, channel) * col("__tot").cast("double"))
           .cast("long"))
-      .join(broadcast(cum),
-        col("__t") >= col("__lo") && col("__t") < col("__hi"))
+      .withColumn("__bkt", expr(s"__t div $wExpr"))
+      .drop("__tot", "__nv")
+      .join(cum.crossJoin(broadcast(total))
+          .withColumn("__bkt", explode(expr(
+            s"sequence(__lo div $wExpr, (__hi - 1L) div $wExpr)")))
+          .select(col("__neg"), col("__lo"), col("__hi"), col("__bkt")),
+        Seq("__bkt"))
+      .filter(col("__t") >= col("__lo") && col("__t") < col("__hi"))
       .groupBy(col("__w").as("center"), col("__neg").as("context"))
       .agg(count(lit(1)).as("n"))
       .withColumn("label", lit(0))
