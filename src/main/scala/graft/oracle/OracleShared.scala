@@ -1538,6 +1538,98 @@ private[graft] object OracleShared {
               FROM sig GROUP BY doc_id, p // $rows)"""
   }
 
+  /** Integer-exact Lloyd's codebook replay over `embeddings` — the
+    * verbatim twin of `Similarity.lloyds` + `collectSampleLat`: sample =
+    * md5-hash-ordered top-`sampleCap` rows committed to the 1e-6 lattice;
+    * init = greedy maximin over the
+    * hash-ordered sample (c₀ = rank 1, then k−1 exact-integer argmax
+    * steps, lowest rank on ties); per iteration an exact
+    * integer squared-L2 argmin (lowest-index ties) and a component-sum
+    * update rounded back to the lattice half-away-from-zero via
+    * TRUNCATING division (`//` in DuckDB ≡ `/` on JVM longs); empty cells
+    * keep their previous centroid. `m` subspaces of `subDim` components
+    * train side by side (m = 1 is the IVF coarse codebook). Yields
+    * `cb_$tag(s, c, cd)` with cd the centroid as DOUBLE[]
+    * (`CAST(lattice AS DOUBLE)/1e6`, bit-equal to the JVM's).
+    */
+  def lloydsCtes(tag: String, m: Int, subDim: Int, k: Int, iters: Int,
+                 sampleCap: Int): String = {
+    val d1 = subDim + 1
+    val head =
+      s"""samp0_$tag AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY
+                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                 vec_id) AS rn,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) AS fv
+        FROM embeddings),
+      samp_$tag AS MATERIALIZED (
+        SELECT rn, ss.s AS s,
+               list_transform(range(1 + ss.s * $subDim,
+                 1 + (ss.s + 1) * $subDim), i -> fv[i]) AS xv
+        FROM samp0_$tag, (SELECT unnest(range(0, $m)) AS s) ss
+        WHERE rn <= $sampleCap),
+ch1_$tag AS MATERIALIZED (
+        SELECT s, 0 AS c, xv AS mv FROM samp_$tag WHERE rn = 1)"""
+    // greedy maximin init: ch{j} adds the point farthest from the chosen
+    // set (exact integer d², lowest rank on ties) — k−1 argmax steps
+    val initSteps = (2 to k).map { j =>
+      val p = j - 1
+      s"""md${j}_$tag AS MATERIALIZED (
+        SELECT sa.s, sa.rn,
+               min(list_sum(list_transform(range(1, $d1),
+                 i -> (sa.xv[i] - ce.mv[i]) * (sa.xv[i] - ce.mv[i]))))
+                 AS dmin
+        FROM samp_$tag sa JOIN ch${p}_$tag ce ON sa.s = ce.s
+        GROUP BY sa.s, sa.rn),
+      ch${j}_$tag AS MATERIALIZED (
+        SELECT s, c, mv FROM ch${p}_$tag
+        UNION ALL
+        SELECT pk.s, $p AS c, sa.xv AS mv
+        FROM (SELECT s, rn FROM (
+                SELECT s, rn, row_number() OVER (PARTITION BY s
+                  ORDER BY dmin DESC, rn ASC) AS rk FROM md${j}_$tag)
+              WHERE rk = 1) pk
+        JOIN samp_$tag sa ON sa.s = pk.s AND sa.rn = pk.rn)"""
+    }
+    val centInit =
+      s"""cent0_$tag AS MATERIALIZED (
+        SELECT s, c, mv FROM ch${k}_$tag)"""
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""asg${t}_$tag AS MATERIALIZED (
+        SELECT s, rn, xv, c FROM (
+          SELECT sa.s, sa.rn, sa.xv, ce.c,
+                 row_number() OVER (PARTITION BY sa.s, sa.rn ORDER BY
+                   list_sum(list_transform(range(1, $d1),
+                     i -> (sa.xv[i] - ce.mv[i]) * (sa.xv[i] - ce.mv[i])))
+                     ASC, ce.c ASC) AS rnk
+          FROM samp_$tag sa JOIN cent${p}_$tag ce ON sa.s = ce.s)
+        WHERE rnk = 1),
+      upd${t}_$tag AS MATERIALIZED (
+        SELECT a.s, a.c, ii.i, sum(a.xv[ii.i]) AS sv, count(*) AS n
+        FROM asg${t}_$tag a, (SELECT unnest(range(1, $d1)) AS i) ii
+        GROUP BY 1, 2, 3),
+      new${t}_$tag AS MATERIALIZED (
+        SELECT s, c,
+               list(CAST(CASE WHEN sv >= 0 THEN (2 * sv + n) // (2 * n)
+                              ELSE -((2 * (-sv) + n) // (2 * n)) END
+                    AS BIGINT) ORDER BY i) AS mv
+        FROM upd${t}_$tag GROUP BY s, c),
+      cent${t}_$tag AS MATERIALIZED (
+        SELECT p.s, p.c, coalesce(nw.mv, p.mv) AS mv
+        FROM cent${p}_$tag p
+        LEFT JOIN new${t}_$tag nw ON p.s = nw.s AND p.c = nw.c)"""
+    }
+    val cb =
+      s"""cb_$tag AS MATERIALIZED (
+        SELECT s, c,
+               list_transform(mv, m -> CAST(m AS DOUBLE) / 1000000.0) AS cd
+        FROM cent${iters}_$tag)"""
+    ((head +: initSteps) ++ (centInit +: steps) :+ cb)
+      .mkString(",\n      ")
+  }
+
   /** SimHash fingerprint CTE over `documents` — replays `Native.SimHash64`
     * verbatim: lowercase, whitespace-tokenize (every OCCURRENCE votes, the
     * empty string is one token of an empty doc — DuckDB's split of ''

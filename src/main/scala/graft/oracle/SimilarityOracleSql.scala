@@ -38,6 +38,48 @@ private[graft] object SimilarityOracleSql {
               AS INTEGER) AS rank
             FROM scored)"""
 
+  /** Learned-IVF oracle (nProbe parameterizes the multi-probe twin):
+    * integer-exact codebook replay + decomposition argmin assignment +
+    * cell-joined raw-vector cosine top-3. Output columns match
+    * `Similarity.topKIvf` (query_id, cell, cand_id, cosine, rank).
+    */
+  private def learnedIvfSql(nProbe: Int): String = s"""
+      WITH ${OracleShared.lloydsCtes("ivf", 1, 64, 8, 20, 4096)},
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+      asgc AS MATERIALIZED (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, CAST(cb.c AS INTEGER) AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, e.v)
+                     - 2 * list_inner_product(e.v, cb.cd)
+                     + list_inner_product(cb.cd, cb.cd) ASC, cb.c ASC)
+                   AS rnk
+          FROM e CROSS JOIN cb_ivf cb) WHERE rnk = 1),
+      qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
+          SELECT e.vec_id, e.v, CAST(cb.c AS INTEGER) AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, e.v)
+                     - 2 * list_inner_product(e.v, cb.cd)
+                     + list_inner_product(cb.cd, cb.cd) ASC, cb.c ASC)
+                   AS rnk
+          FROM e CROSS JOIN cb_ivf cb WHERE e.vec_id < 5)
+        WHERE rnk <= $nProbe),
+      scored AS (
+        SELECT q.query_id, q.cell, e.vec_id AS cand_id,
+               list_inner_product(q.qv, e.v)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(e.v, e.v))) AS cos
+        FROM e JOIN asgc a ON e.vec_id = a.vec_id
+             JOIN qp q ON a.cell = q.cell
+        WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cell, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, cell, cand_id, round(cos, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+
   val sql: Map[String, String] = Map(
 
     "x_vector_stats" -> """
@@ -229,6 +271,110 @@ private[graft] object SimilarityOracleSql {
       SELECT query_id, cell, cand_id, round(cos, 6) AS cosine, rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
+
+    // FULL hash oracle for the learned-IVF family: the integer-exact
+    // Lloyd's codebook (md5-ordered lattice sample, first-k init,
+    // trunc-div half-away rounding) replays verbatim via
+    // OracleShared.lloydsCtes; corpus/query cell assignment replays the
+    // squared-L2 argmin through the |v|²−2v·c+|c|² decomposition (the
+    // x_semdedup margin discipline), and scoring/ranking is the
+    // list_inner_product cosine of x_knn_bruteforce
+    "x_knn_learned_ivf" -> learnedIvfSql(nProbe = 1),
+    "x_knn_ivf_multiprobe" -> learnedIvfSql(nProbe = 2),
+
+    // FULL hash oracle for PQ/ADC: both the 8 per-subspace codebooks and
+    // the encode→reconstruct→score chain replay exactly
+    "x_knn_pq" -> s"""
+      WITH ${OracleShared.lloydsCtes("pq", 8, 8, 16, 20, 4096)},
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+      sub AS (SELECT e.vec_id, ss.s AS s,
+                list_transform(range(1 + ss.s * 8, 1 + (ss.s + 1) * 8),
+                  i -> e.v[i]) AS sv
+              FROM e, (SELECT unnest(range(0, 8)) AS s) ss),
+      enc AS MATERIALIZED (SELECT vec_id, s, c FROM (
+          SELECT sub.vec_id, sub.s, cb.c,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                     - 2 * list_inner_product(sub.sv, cb.cd)
+                     + list_inner_product(cb.cd, cb.cd) ASC, cb.c ASC)
+                   AS rnk
+          FROM sub JOIN cb_pq cb ON sub.s = cb.s) WHERE rnk = 1),
+      rv AS MATERIALIZED (
+        SELECT enc.vec_id, flatten(list(cb.cd ORDER BY enc.s)) AS rv
+        FROM enc JOIN cb_pq cb ON enc.s = cb.s AND enc.c = cb.c
+        GROUP BY enc.vec_id),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, r.vec_id AS cand_id,
+               list_inner_product(q.qv, r.rv)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(r.rv, r.rv))) AS cos
+        FROM rv r CROSS JOIN q WHERE r.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, round(cos, 6) AS qcos, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // FULL hash oracle for IVF-PQ: coarse cells bound WHICH candidates
+    // score (nProbe = 2), PQ reconstruction bounds the bandwidth — both
+    // codebooks replay from the same lattice sample
+    "x_knn_ivfpq" -> s"""
+      WITH ${OracleShared.lloydsCtes("ivf", 1, 64, 8, 20, 4096)},
+      ${OracleShared.lloydsCtes("pq", 8, 8, 16, 20, 4096)},
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+      asgc AS MATERIALIZED (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, CAST(cb.c AS INTEGER) AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, e.v)
+                     - 2 * list_inner_product(e.v, cb.cd)
+                     + list_inner_product(cb.cd, cb.cd) ASC, cb.c ASC)
+                   AS rnk
+          FROM e CROSS JOIN cb_ivf cb) WHERE rnk = 1),
+      sub AS (SELECT e.vec_id, ss.s AS s,
+                list_transform(range(1 + ss.s * 8, 1 + (ss.s + 1) * 8),
+                  i -> e.v[i]) AS sv
+              FROM e, (SELECT unnest(range(0, 8)) AS s) ss),
+      enc AS MATERIALIZED (SELECT vec_id, s, c FROM (
+          SELECT sub.vec_id, sub.s, cb.c,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                     - 2 * list_inner_product(sub.sv, cb.cd)
+                     + list_inner_product(cb.cd, cb.cd) ASC, cb.c ASC)
+                   AS rnk
+          FROM sub JOIN cb_pq cb ON sub.s = cb.s) WHERE rnk = 1),
+      rv AS MATERIALIZED (
+        SELECT enc.vec_id, flatten(list(cb.cd ORDER BY enc.s)) AS rv
+        FROM enc JOIN cb_pq cb ON enc.s = cb.s AND enc.c = cb.c
+        GROUP BY enc.vec_id),
+      qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
+          SELECT e.vec_id, e.v, CAST(cb.c AS INTEGER) AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, e.v)
+                     - 2 * list_inner_product(e.v, cb.cd)
+                     + list_inner_product(cb.cd, cb.cd) ASC, cb.c ASC)
+                   AS rnk
+          FROM e CROSS JOIN cb_ivf cb WHERE e.vec_id < 5)
+        WHERE rnk <= 2),
+      scored AS (
+        SELECT q.query_id, r.vec_id AS cand_id,
+               list_inner_product(q.qv, r.rv)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(r.rv, r.rv))) AS cos
+        FROM rv r JOIN asgc a ON r.vec_id = a.vec_id
+             JOIN qp q ON a.cell = q.cell
+        WHERE r.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, round(cos, 6) AS qcos, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "x_cosine_neardups" -> """
       WITH e AS (SELECT vec_id, label AS cell,

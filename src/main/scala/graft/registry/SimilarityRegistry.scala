@@ -38,22 +38,22 @@ object SimilarityRegistry {
       Similarity.topKIvf(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", "label", 3)
     }),
-    "x_knn_learned_ivf" -> ((s, dir) => {   // bounded-sample codebook; rows-only
+    "x_knn_learned_ivf" -> ((s, dir) => {   // FULL oracle: lattice Lloyd's replay
       val emb = Tables.embeddings(s, dir)
       Similarity.learnedIvf(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), 3, nCells = 8)
     }),
-    "x_knn_ivf_multiprobe" -> ((s, dir) => { // nProbe=2 recall knob; rows-only
+    "x_knn_ivf_multiprobe" -> ((s, dir) => { // FULL oracle; nProbe=2 recall knob
       val emb = Tables.embeddings(s, dir)
       Similarity.learnedIvfMultiProbe(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), 3, nCells = 8, nProbe = 2)
     }),
-    "x_knn_ivfpq" -> ((s, dir) => {         // full FAISS IVF-PQ; rows-only
+    "x_knn_ivfpq" -> ((s, dir) => {         // full FAISS IVF-PQ; FULL oracle
       val emb = Tables.embeddings(s, dir)
       Similarity.topKIvfPq(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), 3, nCells = 8, nProbe = 2)
     }),
-    "x_knn_pq" -> ((s, dir) => {            // PQ/ADC ANN; rows-only
+    "x_knn_pq" -> ((s, dir) => {            // PQ/ADC ANN; FULL oracle
       val emb = Tables.embeddings(s, dir)
       Similarity.topKPq(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", 3)
