@@ -211,6 +211,29 @@ object KvStore {
     * [[graft.ops.Retrieval.pointLookup]]'s probe side); each key is one
     * store `get`, the Redis MGET shape.
     */
+  /** The serving-service primitive: raw store-layer batch read (get +
+    * decode, NO Spark plan) — what an online inference service calls per
+    * request (the reference serves Feast get_online_features → Redis this
+    * way; its 1.14 ms average is exactly this path for a 3-key batch).
+    * Returns one feature-value seq per requested key, field order =
+    * stored schema order, all-null for missing keys. [[pointLookup]] is
+    * the DataFrame integration of the same read for batch plans.
+    */
+  def getBatch(path: String, keys: Seq[String]): Seq[Seq[Any]] = {
+    val db = open(path)
+    val schemaRec = db.get(SchemaKey)
+    require(schemaRec != null, s"KvStore.getBatch: $path has no schema")
+    val nFields = new String(schemaRec, "UTF-8").split(Sep).length
+    keys.map { k =>
+      val v = db.get(k.getBytes("UTF-8"))
+      if (v == null) Seq.fill[Any](nFields)(null)
+      else {
+        val parts = new String(v, "UTF-8").split(Sep)
+        (0 until nFields).map(i => decodeField(parts(i + 2)))
+      }
+    }
+  }
+
   def pointLookup(requests: DataFrame, path: String,
                   keyCol: String): DataFrame = {
     val spark = requests.sparkSession

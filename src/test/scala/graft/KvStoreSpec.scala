@@ -60,6 +60,24 @@ class KvStoreSpec extends SparkSpec
     assert(t1 == 12L)
   }
 
+  test("getBatch (the serving primitive) agrees with pointLookup field " +
+      "for field; missing keys come back all-null") {
+    val path = freshPath()
+    val rows = Seq((1L, ts(0), 10L, 7.25, "a"),
+      (2L, ts(1), 11L, 0.1 + 0.2, "b")).toDF("k", "ts", "tb", "v", "s")
+    KvStore.upsertLatest(rows, path, "k", "ts", "tb", Seq("v", "s"))
+    val got = KvStore.getBatch(path, Seq("1", "2", "404"))
+    assert(got(0) == Seq(7.25, "a"))
+    assert(got(1) == Seq(0.1 + 0.2, "b")) // bit-exact double round trip
+    assert(got(2) == Seq(null, null))     // miss -> all-null, no throw
+    val viaDf = KvStore.pointLookup(
+        Seq("1", "2", "404").toDF("k"), path, "k")
+      .select($"v", $"s").collect()
+      .map(r => Seq(if (r.isNullAt(0)) null else r.getDouble(0),
+        r.getString(1)))
+    assert(got.map(_.toList).toList == viaDf.map(_.toList).toList)
+  }
+
   test("same-ts tiebreak decides; equal (ts, tiebreak) replay rewrites " +
       "identically (idempotent)") {
     val path = freshPath()
