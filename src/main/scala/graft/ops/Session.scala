@@ -22,7 +22,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Session end follows Spark's convention: last event + gap.
   */
-object Session {
+object Session extends Serializable {
 
   /** Built-in session windows: per key, windows that extend while events
     * arrive within `gap` of the previous one.
@@ -89,6 +89,14 @@ object Session {
   /** Streaming event with a real timestamp column (watermarkable). */
   final case class SEv(userId: Long, ts: java.sql.Timestamp, value: Double)
 
+  /** Exact Timestamp → epoch micros. `getTime` alone is MILLIS — on a
+    * micro-precision corpus the truncation silently merges/splits
+    * sessions differently from the built-in (caught by the TWS
+    * batch-equality spec); the sub-millisecond micros live in getNanos.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Custom-state sessionization, STREAMING form: open sessions persist in
     * GroupState across micro-batches; a session is emitted (Append mode)
     * only once the event-time watermark passes its end, either because new
@@ -99,25 +107,29 @@ object Session {
     * (an event at exactly last+gap merges, and events at ts >= watermark
     * are still admissible), so only sessions with end < watermark close.
     */
+  /** Gap-split a (sorted, nonempty) per-key event buffer into sessions —
+    * the shared close logic of [[sessionizeStream]] and [[sessionizeTws]].
+    */
+  private def gapSplit(sorted: List[Ev], gapMicros: Long): List[Sess] = {
+    val out = scala.collection.mutable.ListBuffer[Sess]()
+    var start = sorted.head.tsMicros
+    var last = start; var n = 0L; var v = 0.0
+    sorted.foreach { e =>
+      if (n > 0 && e.tsMicros - last > gapMicros) {
+        out += Sess(sorted.head.userId, start, last + gapMicros, n,
+          math.round(v * 100) / 100.0)
+        start = e.tsMicros; n = 0; v = 0.0
+      }
+      last = e.tsMicros; n += 1; v += e.value
+    }
+    out += Sess(sorted.head.userId, start, last + gapMicros, n,
+      math.round(v * 100) / 100.0)
+    out.toList
+  }
+
   def sessionizeStream(events: Dataset[SEv], gapMicros: Long): Dataset[Sess] = {
     import events.sparkSession.implicits._
-
-    def split(sorted: List[Ev]): List[Sess] = {
-      val out = scala.collection.mutable.ListBuffer[Sess]()
-      var start = sorted.head.tsMicros
-      var last = start; var n = 0L; var v = 0.0
-      sorted.foreach { e =>
-        if (n > 0 && e.tsMicros - last > gapMicros) {
-          out += Sess(sorted.head.userId, start, last + gapMicros, n,
-            math.round(v * 100) / 100.0)
-          start = e.tsMicros; n = 0; v = 0.0
-        }
-        last = e.tsMicros; n += 1; v += e.value
-      }
-      out += Sess(sorted.head.userId, start, last + gapMicros, n,
-        math.round(v * 100) / 100.0)
-      out.toList
-    }
+    def split(sorted: List[Ev]): List[Sess] = gapSplit(sorted, gapMicros)
 
     events
       .groupByKey(_.userId)
@@ -125,7 +137,7 @@ object Session {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[SEv], state: GroupState[List[Ev]]) =>
           val incoming = it.map(e =>
-            Ev(userId, e.ts.getTime * 1000L, e.value)).toList
+            Ev(userId, micros(e.ts), e.value)).toList
           val buffered = state.getOption.getOrElse(Nil) ++ incoming
           if (buffered.isEmpty) { state.remove(); Iterator.empty }
           else {
@@ -143,6 +155,74 @@ object Session {
             closed.iterator
           }
       }
+  }
+
+  /** The SAME streaming sessionizer on Spark 4's `transformWithState` —
+    * the arbitrary-state API that supersedes flatMapGroupsWithState
+    * (SPARK-46815). Differences from [[sessionizeStream]] are purely
+    * mechanical: per-key state is a NAMED `ListState[Ev]` (RocksDB-backed
+    * and incrementally appendable, where FMGWS rewrites one whole
+    * `List[Ev]` blob per update), and closing a session without further
+    * key traffic uses an explicit EVENT-TIME TIMER instead of the
+    * GroupStateTimeout side channel. Emission semantics are identical
+    * (a session closes once its end < watermark); SessionSpec pins both
+    * implementations batch-equal and replays the cross-micro-batch
+    * streaming scenario on this one too. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass`) in
+    * streaming mode — the TWS operator's backing store.
+    */
+  def sessionizeTws(events: Dataset[SEv], gapMicros: Long,
+                    forBatch: Boolean = false): Dataset[Sess] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    val evEnc = implicitly[org.apache.spark.sql.Encoder[Ev]]
+    val proc = new StatefulProcessor[Long, SEv, Sess] {
+      @transient private var buf: ListState[Ev] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        buf = getHandle.getListState[Ev]("events", evEnc, TTLConfig.NONE)
+
+      /** Close everything the watermark has passed; re-buffer the rest and
+        * arm a timer at the earliest still-open session end. In batch
+        * (TimeMode.None — EventTime is streaming-only) each key is seen
+        * exactly once with everything, so the watermark is effectively
+        * infinite and no timer exists to arm. */
+      private def closeReady(incoming: List[Ev],
+                             wmMicros: Long): Iterator[Sess] = {
+        val buffered =
+          (if (buf.exists()) buf.get().toList else Nil) ++ incoming
+        if (buffered.isEmpty) { buf.clear(); Iterator.empty }
+        else {
+          val sessions =
+            gapSplit(buffered.sortBy(e => (e.tsMicros, e.value)), gapMicros)
+          val (closed, open) = sessions.partition(_.endMicros < wmMicros)
+          if (open.isEmpty) buf.clear()
+          else {
+            val openStart = open.map(_.startMicros).min
+            buf.put(buffered.filter(_.tsMicros >= openStart).toArray)
+            if (!forBatch)
+              getHandle.registerTimer(open.map(_.endMicros).min / 1000L + 1L)
+          }
+          closed.iterator
+        }
+      }
+
+      override def handleInputRows(key: Long, rows: Iterator[SEv],
+                                   tv: TimerValues): Iterator[Sess] =
+        closeReady(
+          rows.map(e => Ev(key, micros(e.ts), e.value)).toList,
+          if (forBatch) Long.MaxValue
+          else tv.getCurrentWatermarkInMs() * 1000L)
+
+      override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[Sess] =
+        closeReady(Nil, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+    events.groupByKey(_.userId)
+      .transformWithState(proc,
+        if (forBatch) TimeMode.None() else TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Adapter: events DataFrame → typed stream for the stateful variant. */

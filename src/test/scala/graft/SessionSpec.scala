@@ -72,6 +72,68 @@ class SessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer: batch-equal to the built-in, and " +
+      "carries open sessions across micro-batches with event-time timers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // streaming FIRST: beyond being the scenario under test, starting a
+    // streaming query spins up the StateStoreCoordinator that batch-mode
+    // TWS also needs (batch alone hits RpcEndpointNotFoundException —
+    // the coordinator is created by the streaming engine)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Session.SEv]
+    val sessions = Session.sessionizeTws(
+      stream.toDS().withWatermark("ts", "0 seconds"), 30L * 60 * 1000000)
+    val q = sessions.writeStream.format("memory").queryName("sess_tws")
+      .outputMode("append").start()
+    try {
+      stream.addData(Session.SEv(1L, ts(0), 1.0), Session.SEv(1L, ts(10), 1.0))
+      q.processAllAvailable()
+      stream.addData(Session.SEv(1L, ts(20), 1.0)) // extends the session
+      q.processAllAvailable()
+      // advance the watermark with other-key traffic; the TIMER (not key
+      // traffic) must close user 1's session
+      stream.addData(Session.SEv(99L, ts(100000), 0.0))
+      q.processAllAvailable()
+      stream.addData(Session.SEv(99L, ts(200000), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_tws")
+        .filter($"userId" === 1L)
+        .select("startMicros", "endMicros", "nEvents")
+        .as[(Long, Long, Long)].collect().toList
+      assert(out == List((ts(0).getTime * 1000L,
+        ts(20).getTime * 1000L + 30L * 60 * 1000000, 3L)), s"got $out")
+      // batch mode: TWS over the corpus must equal the built-in
+      val events = Tables.events(spark, sfDir)
+      val builtin = Session.sessionWindows(events, "user_id", "ts",
+          "30 minutes")
+        .select($"user_id",
+          unix_micros($"session_start".cast("timestamp")).as("s"),
+          unix_micros($"session_end".cast("timestamp")).as("e"),
+          $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val typedEv = events.select(col("user_id").cast("long").as("userId"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .as[Session.SEv]
+      val tws = Session.sessionizeTws(typedEv, 30L * 60 * 1000000,
+          forBatch = true)
+        .map(x => (x.userId, x.startMicros, x.endMicros, x.nEvents))
+        .collect().toSet
+      assert(tws == builtin)
+      assert(tws.nonEmpty)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("built-in session_window works in streaming append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
