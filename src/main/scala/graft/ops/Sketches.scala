@@ -333,9 +333,14 @@ object Sketches {
       (col(valCol) - (lit(lo) + col("__bin") * width)) / width))
     df.withColumn("__bin", bin)
       .join(broadcast(cum), Seq("__bin"), "left")
+      // scale-0 rounding of the 1e6-scaled estimate: the raw rank is a
+      // rational over 100·total, so round(x, 6) sits on EXACT 7th-digit-5
+      // boundaries for ~1/10 of rows and splits engines (sf0.1 caught 99
+      // of 100 K rows); the pre-scaled half-integer is exactly
+      // representable and rounds identically everywhere
       .withColumn("rank_est",
-        round(((col("__cum") - col("__cnt")) + frac * col("__cnt")) /
-          col("__total"), 6))
+        round((((col("__cum") - col("__cnt")) + frac * col("__cnt")) /
+          col("__total")) * 1e6, 0) / 1e6)
       .drop("__bin", "__cnt", "__cum", "__total")
   }
 }

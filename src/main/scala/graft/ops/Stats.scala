@@ -3801,7 +3801,13 @@ object Stats {
       col("__sg").cast("decimal(38,0)") * col("__sg")).cast("double") /
       (nD * nD)
     per.select(col(keyCol), col("n_gaps"),
-      round(meanUs / 1e6, 6).as("mean_gap_s"),
+      // 6-decimal rounding via SCALE-0 rounding of the µs mean: sg/n is a
+      // small-denominator rational, so its 7th decimal digit is often an
+      // EXACT 5 — round(x, 6) then splits engines (Spark rounds the
+      // double's exact decimal expansion, DuckDB rounds in float math;
+      // caught at sf0.1). round(·, 0) operates on an exactly-representable
+      // half-integer, where both engines agree bit-for-bit.
+      (round(meanUs, 0) / 1e6).as("mean_gap_s"),
       round(col("__mn").cast("double") / 1e6, 6).as("min_gap_s"),
       round(col("__mx").cast("double") / 1e6, 6).as("max_gap_s"),
       when(meanUs > 0, round(sqrt(varUs) / meanUs, 6)).as("cv"))

@@ -2134,28 +2134,34 @@ private[graft] object AnalyticsOracleSql {
     // 5 unrolled PageRank supersteps — identical literal arithmetic to
     // the Spark loop ((1-d)/N, d, dm/N all in the same operation order)
     "q_supplier_pagerank" -> {
+      // every iteration CTE is MATERIALIZED: p_i is referenced TWICE
+      // (dangling fold + contribs), so DuckDB's default inlining expands
+      // the 2.4M-edge chain 2^5-fold — measured OOM at sf0.1
       val iters = (1 to 5).map { i =>
-        s"""d$i AS (SELECT coalesce(sum(rank), 0.0) AS dm
+        s"""d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dm
                FROM p${i - 1} WHERE out_deg = 0),
-      c$i AS (SELECT e.dst AS node, sum(p.rank / p.out_deg) AS inr
+      c$i AS MATERIALIZED (SELECT e.dst AS node,
+              sum(p.rank / p.out_deg) AS inr
               FROM e JOIN p${i - 1} p ON e.src = p.node GROUP BY 1),
-      p$i AS (SELECT g.node, g.out_deg,
+      p$i AS MATERIALIZED (SELECT g.node, g.out_deg,
                 (1.0 - 0.85) / nn.n
                   + 0.85 * (coalesce(c.inr, 0.0) + d.dm / nn.n) AS rank
               FROM deg g LEFT JOIN c$i c ON g.node = c.node, d$i d, nn)"""
       }.mkString(",\n      ")
       s"""
-      WITH base AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS sk
-                    FROM lineitem),
-      e AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+      WITH base AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+                    l_suppkey AS sk FROM lineitem),
+      e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
             FROM base a JOIN base b ON a.bk = b.bk AND a.sk <> b.sk),
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      deg AS (SELECT n.node, CAST(coalesce(d.c, 0) AS BIGINT) AS out_deg
+      deg AS MATERIALIZED (SELECT n.node,
+              CAST(coalesce(d.c, 0) AS BIGINT) AS out_deg
               FROM nodes n LEFT JOIN (SELECT src, count(*) AS c
                                       FROM e GROUP BY 1) d
                 ON n.node = d.src),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-      p0 AS (SELECT node, out_deg, 1.0 / nn.n AS rank FROM deg, nn),
+      p0 AS MATERIALIZED (SELECT node, out_deg, 1.0 / nn.n AS rank
+             FROM deg, nn),
       $iters
       SELECT node AS s_suppkey, out_deg, round(rank, 6) AS pagerank
       FROM p5 ORDER BY s_suppkey"""
@@ -6983,8 +6989,12 @@ private[graft] object AnalyticsOracleSql {
       c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
                    sum(cnt) OVER () AS total FROM h)
       SELECT e.event_id, e.value,
-             round(((c.cum - c.cnt) + least(1.0, greatest(0.0,
-               e.value - c.bin)) * c.cnt) / c.total, 6) AS rank_est
+             -- scale-0 round of the 1e6-scaled estimate (engine parity:
+             -- the raw rank is a rational over 100*total, so round(x, 6)
+             -- sits on exact boundaries)
+             round((((c.cum - c.cnt) + least(1.0, greatest(0.0,
+               e.value - c.bin)) * c.cnt) / c.total) * 1e6, 0) / 1e6
+               AS rank_est
       FROM events e
       JOIN c ON least(599, greatest(0, CAST(floor(e.value) AS INTEGER)))
                 = c.bin

@@ -1354,7 +1354,9 @@ private[graft] object CoreOracleSql {
               CAST(max(gap) AS BIGINT) AS mx
             FROM g WHERE gap IS NOT NULL GROUP BY user_id)
       SELECT user_id, n_gaps,
-             round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6, 6)
+             -- scale-0 round of the us mean (engine parity: round(x, 6)
+             -- splits engines on exact 7th-digit-5 rationals)
+             round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 0) / 1e6
                AS mean_gap_s,
              round(CAST(mn AS DOUBLE) / 1e6, 6) AS min_gap_s,
              round(CAST(mx AS DOUBLE) / 1e6, 6) AS max_gap_s,
