@@ -177,11 +177,37 @@ object Session extends Serializable {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
       StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     val evEnc = implicitly[org.apache.spark.sql.Encoder[Ev]]
+    val longEnc = implicitly[org.apache.spark.sql.Encoder[Long]]
     val proc = new StatefulProcessor[Long, SEv, Sess] {
       @transient private var buf: ListState[Ev] = _
+      // the currently-armed expiry (ms): timers are immutable once
+      // registered, so a later batch that moves the open-session end must
+      // DELETE the superseded timer before arming the new one — without
+      // this, stale timers accumulate per long-lived key and each expiry
+      // re-invokes closeReady as a no-op
+      @transient private var armed: org.apache.spark.sql.streaming
+        .ValueState[Long] = _
 
-      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
         buf = getHandle.getListState[Ev]("events", evEnc, TTLConfig.NONE)
+        armed = getHandle.getValueState[Long]("armed", longEnc, TTLConfig.NONE)
+      }
+
+      /** Arm `atMs`, deleting the previously-armed timer if it moved
+        * (deleteTimer on an already-fired timestamp is a no-op). */
+      private def rearm(atMs: Long): Unit = {
+        if (armed.exists() && armed.get() != atMs)
+          getHandle.deleteTimer(armed.get())
+        getHandle.registerTimer(atMs)
+        armed.update(atMs)
+      }
+
+      private def disarm(): Unit = {
+        if (armed.exists()) {
+          getHandle.deleteTimer(armed.get())
+          armed.clear()
+        }
+      }
 
       /** Close everything the watermark has passed; re-buffer the rest and
         * arm a timer at the earliest still-open session end. In batch
@@ -192,17 +218,19 @@ object Session extends Serializable {
                              wmMicros: Long): Iterator[Sess] = {
         val buffered =
           (if (buf.exists()) buf.get().toList else Nil) ++ incoming
-        if (buffered.isEmpty) { buf.clear(); Iterator.empty }
+        if (buffered.isEmpty) {
+          buf.clear(); if (!forBatch) disarm(); Iterator.empty
+        }
         else {
           val sessions =
             gapSplit(buffered.sortBy(e => (e.tsMicros, e.value)), gapMicros)
           val (closed, open) = sessions.partition(_.endMicros < wmMicros)
-          if (open.isEmpty) buf.clear()
+          if (open.isEmpty) { buf.clear(); if (!forBatch) disarm() }
           else {
             val openStart = open.map(_.startMicros).min
             buf.put(buffered.filter(_.tsMicros >= openStart).toArray)
             if (!forBatch)
-              getHandle.registerTimer(open.map(_.endMicros).min / 1000L + 1L)
+              rearm(open.map(_.endMicros).min / 1000L + 1L)
           }
           closed.iterator
         }

@@ -273,7 +273,7 @@ private[graft] object SimilarityOracleSql {
 
 
     // FULL hash oracle for the learned-IVF family: the integer-exact
-    // Lloyd's codebook (md5-ordered lattice sample, first-k init,
+    // Lloyd's codebook (md5-ordered lattice sample, greedy maximin init,
     // trunc-div half-away rounding) replays verbatim via
     // OracleShared.lloydsCtes; corpus/query cell assignment replays the
     // squared-L2 argmin through the |v|²−2v·c+|c|² decomposition (the
@@ -375,6 +375,23 @@ private[graft] object SimilarityOracleSql {
         FROM scored)
       SELECT query_id, cand_id, round(cos, 6) AS qcos, rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // MUST-FIND anchor for the MLlib MinHashLSH bridge: identical-text
+    // twins (doc_id + 1e6) have identical hashed-shingle vectors, so
+    // their MinHash signatures collide in every hash table at any seed —
+    // approxSimilarityJoin is CERTAIN to emit the pair at distance 0.
+    // The oracle replays only the eligibility condition (>= 3 whitespace
+    // words after trim, the 3-shingle precondition the bridge filters
+    // on) and asserts the certain answer; the seeded hash family itself
+    // never needs replaying because banding recall is 1.0 by identity.
+    "x_minhash_mllib_twins" -> """
+      SELECT CAST(doc_id AS BIGINT) AS id_a,
+             CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+             CAST(1.0 AS DOUBLE) AS est_jaccard
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE doc_id < 60)
+      WHERE len(w) >= 3
+      ORDER BY id_a""",
 
     "x_cosine_neardups" -> """
       WITH e AS (SELECT vec_id, label AS cell,

@@ -25,10 +25,25 @@ private[graft] object Shared {
     * slim rows at sf0.1). The DISTINCT is applied here so consumers that
     * need it (pageRank) don't re-shuffle for it.
     */
-  private val coOrderEdgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Per-corpus cache for CHECKPOINTED DataFrames. A localCheckpoint'd
+    * frame's blocks die with the owning SparkSession, so a dir-only key
+    * would hand a frame referencing dead blocks to a NEW session started
+    * in the same JVM — validate the owner (identity + not stopped) and
+    * rebuild on mismatch. The tokenizer caches hold plain Scala data and
+    * don't need this.
+    */
+  private final class SessionFrameCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      String, (SparkSession, DataFrame)]()
+    def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+      m.compute(dir, (_, cur) =>
+        if (cur != null && (cur._1 eq s) && !s.sparkContext.isStopped) cur
+        else (s, build))._2
+  }
+
+  private val coOrderEdgeCache = new SessionFrameCache
   private[graft] def coOrderEdges(s: SparkSession, dir: String): DataFrame =
-    coOrderEdgeCache.computeIfAbsent(dir, _ => {
+    coOrderEdgeCache.get(s, dir) {
       import org.apache.spark.sql.functions.col
       val base = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
@@ -38,7 +53,7 @@ private[graft] object Shared {
         .select(col("a.sk").as("src"), col("b.sk").as("dst"))
         .distinct()
         .localCheckpoint()
-    })
+    }
 
   /** A12 snapshot reused by several queries. */
   private[graft] def snapshot(s: SparkSession, dir: String): DataFrame =
@@ -91,14 +106,14 @@ private[graft] object Shared {
     * re-deriving the Σ basket² pair table each. localCheckpoint pins
     * only the neighbor grain (items × k rows).
     */
-  private val cfNeighborCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val cfNeighborCache = new SessionFrameCache
   private[graft] def cfNeighbors(s: SparkSession,
                                  dir: String): DataFrame =
-    cfNeighborCache.computeIfAbsent(dir, _ =>
+    cfNeighborCache.get(s, dir) {
       Similarity.itemItemCF(cfInteractions(s, dir), "o_custkey",
         "l_partkey", minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
-        .localCheckpoint())
+        .localCheckpoint()
+    }
 
   /** Trained WordPiece vocabulary per corpus dir — the [[bpeMerges]]
     * pattern for the third tokenizer family.

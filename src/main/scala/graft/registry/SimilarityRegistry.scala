@@ -143,6 +143,26 @@ object SimilarityRegistry {
       MLBridge.minHashLSHNearDups(
         Tables.documents(s, dir).filter(col("doc_id") < 60),
         "doc_id", "text", 3, 0.99)),
+    "x_minhash_mllib_twins" -> ((s, dir) => {
+      // MUST-FIND anchor for the MLlib bridge (the x_item_cf_lsh_twins
+      // pattern): every shingle-eligible doc gets an identical-text twin
+      // at doc_id + 1e6 — identical shingle sets hash to the identical
+      // sparse vector, so the pair's MinHash signatures agree in EVERY
+      // hash table at ANY seed and approxSimilarityJoin must surface it
+      // at jaccard_dist = 0 exactly. DuckDB replays the eligibility set
+      // (>= 3 whitespace words, the 3-shingle precondition) with the
+      // certain answer (est_jaccard = 1.0); a missed twin or a wrong
+      // candidate distance drops or splits a row. This is the registered
+      // hash-green check the rows-only x_minhash_mllib entry anchors to.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      val twins = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+      MLBridge.minHashLSHNearDups(docs.unionByName(twins), "doc_id",
+          "text", 3, maxDistance = 0.5)
+        .filter(col("id_b") === col("id_a") + lit(1000000L))
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"), col("est_jaccard"))
+        .orderBy("id_a")
+    }),
     "x_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label", 0.4)),

@@ -47,6 +47,25 @@ class MLlibSpec extends SparkSpec {
     assert(!native.contains((1L, 3L)) && !mllib.contains((1L, 3L)))
   }
 
+  test("MLlib twins anchor: every eligible doc's identical twin MUST surface") {
+    // the registered x_minhash_mllib_twins contract: identical text ⇒
+    // identical hashed-shingle vector ⇒ signatures collide in every hash
+    // table at any seed ⇒ approxSimilarityJoin emits the pair at
+    // distance 0 with certainty, not probability
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 60)
+    val eligible = docs
+      .filter(size(split(trim($"text"), "\\s+")) >= 3)
+      .select($"doc_id").as[Long].collect().toSet
+    val twins = docs.withColumn("doc_id", $"doc_id" + lit(1000000L))
+    val found = MLBridge.minHashLSHNearDups(docs.unionByName(twins),
+        "doc_id", "text", 3, 0.5)
+      .filter($"id_b" === $"id_a" + 1000000L)
+      .select($"id_a", $"est_jaccard").as[(Long, Double)].collect()
+    assert(found.map(_._1).toSet == eligible,
+      s"missing twins: ${eligible -- found.map(_._1).toSet}")
+    assert(found.forall(_._2 == 1.0))
+  }
+
   test("engine features feed an MLlib training pipeline end to end") {
     val prof = graft.ops.Gen.profiles(
       Tables.customer(spark, sfDir).select("c_custkey"), "c_custkey")

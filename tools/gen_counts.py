@@ -14,6 +14,7 @@ Usage (the close ritual):
 """
 import json
 import re
+import statistics
 import sys
 import glob
 import os
@@ -29,10 +30,15 @@ def test_count():
     counted = 0
     for p in xmls:
         # ignore stale XMLs from deleted suites (e.g. one-off debug specs):
-        # only suites whose source still exists count
-        suite = os.path.basename(p)[len("TEST-graft."):-len(".xml")]
-        if not os.path.exists(os.path.join(ROOT, f"src/test/scala/graft/{suite}.scala")):
-            print(f"ignoring stale XML for deleted suite {suite}")
+        # only suites whose source still exists count. The suite class may
+        # live in a nested package, so search by class-name glob across all
+        # of src/test/scala/** (a flat-path check undercounted those).
+        cls = os.path.basename(p)[len("TEST-"):-len(".xml")]
+        simple = cls.rsplit(".", 1)[-1]
+        hits = glob.glob(os.path.join(ROOT, "src/test/scala/**",
+                                      f"{simple}.scala"), recursive=True)
+        if not hits:
+            print(f"ignoring stale XML for deleted suite {cls}")
             continue
         head = open(p).read(2000)
         m = re.search(r'tests="(\d+)"', head)
@@ -51,6 +57,41 @@ def registry_counts():
     if not os.path.exists(p):
         sys.exit('no target/graft-counts.json — run `sbt "runMain graft.Counts"` first')
     return json.load(open(p))
+
+
+def bench_headline():
+    """Rewrite the generated sweep-headline block in BENCH.md from the
+    committed BENCH_FULL.json (round-11 verdict #2 — the same generated-
+    numbers discipline as the test counts; CountsSpec pins agreement)."""
+    p = os.path.join(ROOT, "BENCH_FULL.json")
+    if not os.path.exists(p):
+        print("no BENCH_FULL.json — skipping sweep headline")
+        return
+    d = json.load(open(p))
+    q = d["queries"]
+    v = sorted(q.values())
+    n = len(v)
+    import math
+    p90 = v[min(n - 1, math.ceil(0.9 * n) - 1)]
+    slow = max(q, key=q.get)
+    block = ("<!-- gen:sweep-headline (tools/gen_counts.py rewrites this "
+             "block from BENCH_FULL.json — do not hand-edit) -->\n"
+             f"**Latest committed full sweep (`BENCH_FULL.json`): {n} "
+             f"queries, measured\nsum {sum(v):.1f} s, median "
+             f"{statistics.median(v):.2f} s, p90 {p90:.2f} s, slowest "
+             f"{max(v):.2f} s\n(`{slow}`), {len(d.get('errors', {}))} "
+             "errors.**\n<!-- /gen:sweep-headline -->")
+    path = os.path.join(ROOT, "BENCH.md")
+    s = open(path).read()
+    s2, cnt = re.subn(
+        r"<!-- gen:sweep-headline.*?/gen:sweep-headline -->", block,
+        s, flags=re.S)
+    if cnt != 1:
+        sys.exit("BENCH.md: gen:sweep-headline block not found")
+    open(path, "w").write(s2)
+    print(f"sweep headline: {n} queries, {sum(v):.1f} s, median "
+          f"{statistics.median(v):.2f}, p90 {p90:.2f}, max {max(v):.2f} "
+          f"({slow})")
 
 
 def rewrite(path, subs):
@@ -89,6 +130,7 @@ def main():
     ])
     print("rewrote:" if ch else "already in sync:",
           len(ch), "patterns updated")
+    bench_headline()
 
 
 if __name__ == "__main__":
