@@ -1550,12 +1550,20 @@ object Eval {
     val folded = scored.agg(
       count(lit(1)).as("n_logged"),
       sum(when(col("__a") === col("__pi"), 1L).otherwise(0L)).as("__match"),
-      sum(round(col("__w") * lit(1000000.0), 0).cast("long")).as("__wm"),
-      sum(round(col("__w") * col("__r") * lit(1000000.0), 0).cast("long"))
-        .as("__im"),
-      sum(round(col("__rp") * lit(1000000.0), 0).cast("long")).as("__dm"),
+      // per-row lattice terms stay exact longs; the SUM container is
+      // decimal(38,0) because the importance-weight products are
+      // O(n/n_arm)·1e6 per row — a long sum overflows near Σterms 9.2e18,
+      // which a skewed logging policy reaches at scale (round-12 audit of
+      // the ADVICE Long-overflow shape); DuckDB's BIGINT sum is HUGEINT
+      // so the oracle already had the exact semantics
+      sum(round(col("__w") * lit(1000000.0), 0).cast("decimal(38,0)"))
+        .as("__wm"),
+      sum(round(col("__w") * col("__r") * lit(1000000.0), 0)
+        .cast("decimal(38,0)")).as("__im"),
+      sum(round(col("__rp") * lit(1000000.0), 0).cast("decimal(38,0)"))
+        .as("__dm"),
       sum(round((col("__rp") + col("__w") * (col("__r") - col("__rhat")))
-        * lit(1000000.0), 0).cast("long")).as("__drm"))
+        * lit(1000000.0), 0).cast("decimal(38,0)")).as("__drm"))
     folded.select(
       col("n_logged"),
       round(col("__match").cast("double") / col("n_logged"), 6)
@@ -1720,9 +1728,13 @@ object Eval {
       min(col("__n1")).as("n_treat"), min(col("__n0")).as("n_ctrl"),
       min(col("__e1s")).as("events_treat"),
       min(col("__e0s")).as("events_ctrl"),
+      // decimal(38,0) sum containers: the O−E and variance terms are
+      // O(deaths-at-t)·1e6 per duration row, so a long sum overflows
+      // once users·durations passes ~3.7e13 (round-12 audit of the
+      // ADVICE Long-overflow shape); per-term lattice rounding unchanged
       sum(round((col("__d1").cast("double") - e1) * 1000000, 0)
-        .cast("long")).as("__om"),
-      sum(round(v * 1000000, 0).cast("long")).as("__vm"))
+        .cast("decimal(38,0)")).as("__om"),
+      sum(round(v * 1000000, 0).cast("decimal(38,0)")).as("__vm"))
     folded.select(col("n_treat"), col("n_ctrl"), col("events_treat"),
       col("events_ctrl"),
       round(col("__om") / lit(1000000.0), 6).as("observed_minus_expected"),
@@ -1888,8 +1900,12 @@ object Eval {
       (col("__sxx2").cast("double") / ntD - mx * mx)
     val folded = risk.agg(
       min(col("__nu")).as("n_users"), min(col("__ne")).as("n_events"),
-      sum(round(uT * 1000000, 0).cast("long")).as("__um"),
-      sum(round(vT * 1000000, 0).cast("long")).as("__vm"))
+      // decimal(38,0) sum containers: the score/information terms are
+      // O(deaths·covar²)·1e6 per duration row — with a wide-lattice
+      // covariate a long sum overflows at moderate event counts
+      // (round-12 audit of the ADVICE Long-overflow shape)
+      sum(round(uT * 1000000, 0).cast("decimal(38,0)")).as("__um"),
+      sum(round(vT * 1000000, 0).cast("decimal(38,0)")).as("__vm"))
     folded.select(col("n_users"), col("n_events"),
       round(col("__um") / lit(1000000.0), 6).as("score_u"),
       round(col("__vm") / lit(1000000.0), 6).as("variance"),

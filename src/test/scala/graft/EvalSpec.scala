@@ -1097,6 +1097,31 @@ class EvalSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("z")))
   }
 
+  test("coxScore survives wide-lattice covariates that overflow a long " +
+      "sum (round-12 decimal-container audit)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00")
+    // covariates ~3e9: the per-duration information term vT·1e6 is
+    // ~1e19 > Long.MaxValue, so the pre-fix long SUM container wrapped
+    // (or threw under ANSI); the decimal(38,0) container must fold it
+    // exactly and produce a finite z
+    val big = 3000000000L
+    val rows = Seq(
+      (1L, t(0), "view", big), (1L, t(1), "purchase", big),
+      (2L, t(0), "view", 0L), (2L, t(2), "purchase", 0L),
+      (3L, t(0), "view", big), (3L, t(3), "purchase", big),
+      (4L, t(0), "view", 0L), (4L, t(4), "view", 0L))
+      .toDF("user_id", "ts", "event_type", "x")
+    val r = graft.ops.Eval.coxScore(rows, "user_id", "ts",
+      col("event_type") === "purchase", max(col("x"))).collect().head
+    assert(r.getAs[Long]("n_events") == 3L)
+    val z = r.getAs[Double]("z")
+    assert(!z.isNaN && !z.isInfinite, s"z=$z")
+    val v = r.getAs[Double]("variance")
+    assert(v > 0, s"variance=$v")
+  }
+
   test("fleissKappa: hand case kappa=0.55, perfect agreement kappa=1, " +
       "incomplete panel fails loud, off-roster category fails loud") {
     import spark.implicits._
