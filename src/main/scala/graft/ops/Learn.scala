@@ -421,64 +421,94 @@ object Learn {
                    checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 12,
       s"bradleyTerry: iterations in [1, 12] (got $iterations)")
-    // comps/pairs are MATCHUP-grain (data-sized): under the default
-    // localCheckpoint they pin block memory for the whole run — pass
-    // checkpointDir for the reliable posture (Ckpt.cut scaladoc)
+    // ONE matchup-grain pass: comparisons pre-aggregate to the DIRECTED
+    // (winner, loser, count) grain — at most players² rows, usually far
+    // fewer — before anything is checkpointed or re-scanned, so the
+    // data-sized frame is read exactly once (round-12: this replaced
+    // checkpointing the raw matchup list and scanning it twice, which
+    // owned the sweep tail at sf0.1)
     val comps = Ckpt.cut(
       comparisons.select(col(winnerCol).cast("long").as("__w"),
         col(loserCol).cast("long").as("__l"))
-        .filter(col("__w") =!= col("__l")), checkpointDir)
+        .filter(col("__w") =!= col("__l"))
+        .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__nwl")),
+      checkpointDir)
     val pairs = Ckpt.cut(comps
-      .select(col("__w").as("__i"), col("__l").as("__j"))
-      .unionByName(comps.select(col("__l").as("__i"), col("__w").as("__j")))
-      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__nij")),
+      .select(col("__w").as("__i"), col("__l").as("__j"), col("__nwl"))
+      .unionByName(comps.select(col("__l").as("__i"),
+        col("__w").as("__j"), col("__nwl")))
+      .groupBy(col("__i"), col("__j")).agg(sum(col("__nwl")).as("__nij")),
       checkpointDir)
     val wins = comps.groupBy(col("__w").as("node"))
-      .agg(count(lit(1)).as("n_wins"))
+      .agg(sum(col("__nwl")).as("n_wins"))
     val nodes = Ckpt.cut(pairs.select(col("__i").as("node")).distinct()
       .join(wins, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_wins"), lit(0L)).as("n_wins")),
       checkpointDir)
-    // the strength frame is PLAYER-grain (leagues are entities, not
-    // events) — broadcast it so the matchup table is never re-shuffled
-    // per superstep; beyond ~10M players switch these to keyed joins
-    def step(w: DataFrame): DataFrame = {
-      val terms = pairs
-        .join(broadcast(w.select(col("node").as("__i"),
+    // The strength vector is PLAYER-grain: the old formulation already
+    // collected it to the driver four times per superstep (broadcast(w),
+    // broadcast(denom), broadcast(tot) are driver collects + re-plans),
+    // which made the per-step JOB overhead — not the matchup fold — own
+    // the sweep tail. Round 12 makes that explicit: the MATCHUP table
+    // stays distributed and is folded ONCE per superstep (the only
+    // data-sized work); the player-grain MM bookkeeping (raw strength,
+    // mean-normalization) runs driver-side in exact BigInt on the same
+    // lattice (BigInt / and decimal div both truncate toward zero on
+    // these all-positive operands — bit-identical, oracle-replayed).
+    // Bounded-collect posture (the mmrDiversify / seedCentroids class):
+    // players are league ENTITIES, capped fail-loud at 65536 — the
+    // matchup/event volume stays unbounded.
+    val nodeRows = nodes.select(col("node"), col("n_wins")).collect()
+    require(nodeRows.length <= 65536,
+      s"bradleyTerry: ${nodeRows.length} players exceeds the 65536 " +
+        "player-vector cap (the strength vector is driver-resident by " +
+        "design — matchups scale, players are entities); pre-aggregate " +
+        "the league or shard by division")
+    val players = nodeRows.map(r => r.getLong(0)).sorted
+    val winsByNode = nodeRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val E18 = BigInt("2000000000000000000")
+    var w: Map[Long, Long] =
+      players.map(_ -> 1000000000L).toMap
+    val sess = comparisons.sparkSession
+    for (_ <- 1 to iterations) {
+      // ONE distributed job: per-matchup nij/(wi+wj) terms on the 1e-18
+      // lattice, keyed fold to player grain (identical expression and
+      // div rounding as before)
+      val wDf = sess.createDataFrame(
+        w.toSeq.map(kv => (kv._1, kv._2))).toDF("node", "wm")
+      val denomRows = pairs
+        .join(broadcast(wDf.select(col("node").as("__i"),
           col("wm").as("__wi"))), Seq("__i"))
-        .join(broadcast(w.select(col("node").as("__j"),
+        .join(broadcast(wDf.select(col("node").as("__j"),
           col("wm").as("__wj"))), Seq("__j"))
         .withColumn("__den0", greatest(col("__wi") + col("__wj"), lit(1L)))
         .withColumn("__term", expr(
           "CAST((CAST(__nij AS DECIMAL(38,0)) * 2000000000000000000" +
             " + __den0) div (CAST(__den0 AS DECIMAL(38,0)) * 2)" +
             " AS BIGINT)"))
-      val denom = terms.groupBy(col("__i").as("node"))
-        .agg(greatest(sum(col("__term").cast("decimal(38,0)")),
-          lit(1L).cast("decimal(38,0)")).as("__den"))
-      val raw = nodes.join(broadcast(denom), Seq("node"), "left")
-        .withColumn("__den",
-          coalesce(col("__den"), lit(1L).cast("decimal(38,0)")))
-        .withColumn("__raw", expr(
-          "CAST((CAST(n_wins AS DECIMAL(38,0)) * 2000000000000000000" +
-            " + __den) div (__den * 2) AS BIGINT)"))
-        .select(col("node"), col("__raw"))
-      val tot = raw.agg(
-        greatest(sum(col("__raw").cast("decimal(38,0)")),
-          lit(1L).cast("decimal(38,0)")).as("__tot"),
-        count(lit(1)).cast("decimal(38,0)").as("__np"))
-      Ckpt.cut(raw.crossJoin(broadcast(tot))
-        .select(col("node"), expr(
-          "CAST((CAST(__raw AS DECIMAL(38,0)) * __np * 2000000000" +
-            " + __tot) div (CAST(__tot AS DECIMAL(38,0)) * 2)" +
-            " AS BIGINT)").as("wm")), checkpointDir)
+        .groupBy(col("__i").as("node"))
+        .agg(sum(col("__term").cast("decimal(38,0)")).as("__den"))
+        .collect()
+      val den: Map[Long, BigInt] = denomRows.map(r =>
+        r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger).max(BigInt(1)))
+        .toMap
+      // driver-side player-grain MM close, exact integer half-up divs
+      val raw: Map[Long, BigInt] = players.map { p =>
+        val d = den.getOrElse(p, BigInt(1))
+        p -> (BigInt(winsByNode(p)) * E18 + d) / (d * 2)
+      }.toMap
+      val tot = raw.values.sum.max(BigInt(1))
+      val np = BigInt(players.length)
+      w = players.map { p =>
+        p -> ((raw(p) * np * BigInt(2000000000) + tot) / (tot * 2)).toLong
+      }.toMap
     }
-    var w = nodes.select(col("node"), lit(1000000000L).as("wm"))
-    for (_ <- 1 to iterations) w = step(w)
+    val wDf = broadcast(sess.createDataFrame(
+      w.toSeq.map(kv => (kv._1, kv._2))).toDF("node", "wm"))
     val nComp = pairs.groupBy(col("__i").as("node"))
       .agg(sum(col("__nij")).as("n_comparisons"))
     nodes.join(nComp, Seq("node"), "left")
-      .join(w, Seq("node"))
+      .join(wDf, Seq("node"))
       .select(col("node").as("player"), col("n_wins"),
         coalesce(col("n_comparisons"), lit(0L)).as("n_comparisons"),
         (expr("(wm * 2 + 1000) div 2000").cast("double") / 1e6)

@@ -1446,7 +1446,13 @@ object AnalyticsRegistry {
     "q_bradley_terry" -> ((s, dir) => {
       // who wins head-to-head: supplier with the larger revenue share
       // on each shared order; BT credits wins by opponent strength
-      // (win COUNTS misrank under uneven schedules)
+      // (win COUNTS misrank under uneven schedules).
+      // Matchup build: per-(order, supplier) cent sums self-joined on
+      // the order key. A one-shuffle collect_list + HOF pair generator
+      // was measured in round 12 and REJECTED (4.4 s vs 3.4 s warm —
+      // the interpreted lambda / per-element array-copy overhead costs
+      // more than the shuffle it saves); the self-join keeps every
+      // operator codegen'd.
       val rev = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .agg(sum(round(col("l_extendedprice") *
