@@ -71,6 +71,7 @@ object ScaleStress {
           args.headOption.contains("itemcf10") ||
           args.headOption.contains("geo9") ||
           args.headOption.contains("causal10") ||
+          args.headOption.contains("r12fam") ||
           args.headOption.contains("ext8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
@@ -158,6 +159,56 @@ object ScaleStress {
       }
       println(f"STRESS-ANN k=$k vecs=$n t_brute=$tBrute%.2f " +
         f"t_ivf=$tIvf%.2f t_semdedup=$tSem%.2f cells=$nCells kept=$nKept")
+    }
+
+    // round-12 re-oracled-family stress (`r12fam [ks]`): the md5-fold
+    // MinHash/SimHash signature families and the integer-lattice learned
+    // PQ/IVF codebooks changed the per-row hash/train/encode cost the
+    // older neardup/ann legs measured — re-time the near-dup banding and
+    // the compound-index search on the NEW families. Disjoint-token doc
+    // replicas preserve near-dup density (the banding fan-out criterion);
+    // vector replicas time the corpus-sized encode/search plans while the
+    // trainers stay bounded samples by construction. Pass criterion:
+    // ~linear in k for all four timings.
+    val famKs =
+      if (args.headOption.contains("r12fam"))
+        args.drop(1).headOption.map(_.split(",").toSeq.map(_.trim.toInt))
+          .getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    for (k <- famKs) {
+      val docsK = (0 until k).map { i =>
+        val text = if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", "$1_f" + i)
+        base.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val nD = docsK.count()
+      val (tMh, nMh) = timeMin2 {
+        Dedup.minHashNearDups(docsK, "doc_id", "text")
+          .queryExecution.toRdd.count()
+      }
+      val (tSh, nSh) = timeMin2 {
+        Dedup.simHashNearDups(docsK, "doc_id", "text", maxHamming = 3)
+          .queryExecution.toRdd.count()
+      }
+      println(f"STRESS-FAM12-NEARDUP k=$k docs=$nD t_minhash=$tMh%.2f " +
+        f"pairs=$nMh t_simhash=$tSh%.2f spairs=$nSh")
+      val embK = (0 until k).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _).localCheckpoint()
+      val nV = embK.count()
+      val queries = embK.filter(col("vec_id") < 5)
+      val (tPq, _) = timeMin2 {
+        graft.ops.Similarity.topKPq(queries, embK, "vec_id", "embedding",
+          3, m = 8, kCodes = 16).queryExecution.toRdd.count()
+      }
+      val (tIvfPq, _) = timeMin2 {
+        graft.ops.Similarity.topKIvfPq(embK, "vec_id", "embedding",
+          queries, 3, nCells = 8, nProbe = 2, m = 8, kCodes = 16)
+          .queryExecution.toRdd.count()
+      }
+      println(f"STRESS-FAM12-ANN k=$k vecs=$nV t_pq=$tPq%.2f " +
+        f"t_ivfpq=$tIvfPq%.2f")
     }
 
     // event-ops stress: interval join, rolling actives, forward labels at
