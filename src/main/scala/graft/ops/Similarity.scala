@@ -495,34 +495,43 @@ object Similarity {
     val n = sample.length
     val chosen = new Array[Int](k)
     chosen(0) = 0
+    // incremental maximin: keep each point's min squared-L2 to the chosen
+    // set and refresh it against only the NEWEST centroid — O(k·n·dim)
+    // instead of the O(k²·n·dim) re-scan (round 12: the re-scan owned the
+    // kCodes=512 recall-config tail at ~4 s of driver time per query);
+    // the argmax election and its lowest-rank tiebreak are unchanged, so
+    // the selection — and the oracle replay — is bit-identical
+    val dmins = new Array[Long](n)
+    java.util.Arrays.fill(dmins, Long.MaxValue)
     var picked = 1
     while (picked < k) {
+      val cv = sample(chosen(picked - 1))
       var best = -1
       var bd = -1L
       var idx = 0
       while (idx < n) {
-        var dmin = Long.MaxValue
-        var c = 0
-        while (c < picked) {
-          val cv = sample(chosen(c))
-          val x = sample(idx)
-          var d2 = 0L; var i = 0
-          while (i < x.length) { val dd = x(i) - cv(i); d2 += dd * dd; i += 1 }
-          if (d2 < dmin) dmin = d2
-          c += 1
-        }
-        if (dmin > bd) { bd = dmin; best = idx }
+        val x = sample(idx)
+        var d2 = 0L; var i = 0
+        while (i < x.length) { val dd = x(i) - cv(i); d2 += dd * dd; i += 1 }
+        if (d2 < dmins(idx)) dmins(idx) = d2
+        if (dmins(idx) > bd) { bd = dmins(idx); best = idx }
         idx += 1
       }
       chosen(picked) = best
       picked += 1
     }
     val centroids = Array.tabulate(k)(j => sample(chosen(j)).clone())
+    val assign = new Array[Int](n)
+    java.util.Arrays.fill(assign, -1)
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       val sums = Array.ofDim[Long](k, dim)
       val counts = new Array[Long](k)
-      sample.foreach { v =>
+      var changed = false
+      var p = 0
+      while (p < n) {
+        val v = sample(p)
         var best = 0; var bestDist = Long.MaxValue
         var c = 0
         while (c < k) {
@@ -531,10 +540,17 @@ object Similarity {
           if (dist < bestDist) { bestDist = dist; best = c }
           c += 1
         }
+        if (assign(p) != best) { assign(p) = best; changed = true }
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
+        p += 1
       }
+      // assignment fixpoint ⇒ identical sums/counts ⇒ identical centroids
+      // forever: stopping here is VALUE-IDENTICAL to running the fixed
+      // iteration budget (the oracle's 20 materialized CTE steps keep
+      // producing the same table), it just stops paying for no-op passes
+      converged = !changed
       var c = 0
       while (c < k) {
         if (counts(c) > 0) {
