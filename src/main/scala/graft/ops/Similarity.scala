@@ -953,8 +953,14 @@ object Similarity {
     // grain is Σ per-user basket², the inherent cost of exact item-CF;
     // maxBasket / minDf / maxDf are the knobs that bound it, and at
     // corpus scale the standard extra cut is a minimum co-count.
-    val (kept, dfs) = cfKept(interactions, userCol, itemCol, minDf,
+    // Exchange reuse covers only the self-join's two sides — the
+    // pair-budget guard action and the two df scoring joins each re-ran
+    // the whole chain, so pin it once and re-derive dfs from the pinned
+    // frame (round 12, same fix as the LSH build).
+    val (kept0, _) = cfKept(interactions, userCol, itemCol, minDf,
       maxDf, maxBasket)
+    val kept = kept0.localCheckpoint()
+    val dfs = kept.select(col("__i"), col("__df")).distinct()
     // fail-loud pair-budget guard: measure Σ basket·(basket−1)/2 with one
     // cheap keyed aggregate BEFORE the self-join launches — an over-budget
     // corpus raises a clean error naming the knobs instead of running an
@@ -1035,8 +1041,19 @@ object Similarity {
     require(numHashes == 2 * bands,
       s"itemItemCFLshPairs: rows-per-band is fixed at 2 " +
         s"(got $numHashes hashes / $bands bands)")
-    val (kept, dfs) = cfKept(interactions, userCol, itemCol, minDf,
+    val (kept0, _) = cfKept(interactions, userCol, itemCol, minDf,
       maxDf, maxBasket)
+    // kept is consumed five times with DIFFERENT downstream shapes
+    // (signature aggregation, both sides of the candidate verify join,
+    // and the two df scoring joins) — no exchange reuse applies, so pin
+    // the slim (item, user, df) frame once instead of re-running the
+    // interaction join + distinct + basket window per consumer
+    // (round 12: the recompute, not the signature fold, owned this
+    // build's wall time), and re-derive the df table from the PINNED
+    // frame (every kept row carries its item's df — identical rows to
+    // cfKept's dfs, zero upstream re-execution)
+    val kept = kept0.localCheckpoint()
+    val dfs = kept.select(col("__i"), col("__df")).distinct()
     val m = lit(2147483647L)
     // permutation family h_j(u) = minstd-u01 of the QUADRATIC key
     // (u + j·1000003)² mod M — nonlinear in u per j (the hashPoints
@@ -1047,20 +1064,31 @@ object Similarity {
     // squaring (pmod(k,M)² < 2⁶²), so the product never overflows a
     // signed 64-bit at ANY key range in either engine — identical
     // values for k < M, i.e. every current fixture.
-    val sigRows = kept
-      .withColumn("__j", explode(array((0 until numHashes)
-        .map(j => lit(j.toLong)): _*)))
-      .withColumn("__qm", pmod(col("__u") + col("__j") * lit(1000003L), m))
-      .withColumn("__qk", pmod(col("__qm") * col("__qm"), m))
-      .groupBy(col("__i").as("id"), col("__j"))
-      .agg(min(floor(Gen.u01(col("__qk"), 500L) * m).cast("long"))
-        .as("__mh"))
+    // all `numHashes` per-component mins fold in ONE item-keyed
+    // aggregation with 32 parallel min columns (round 12 — replaces an
+    // explode to (interaction × numHashes) rows feeding a (id, j)
+    // groupBy, which pushed a 32× row blowup through the shuffle; the
+    // per-(i, j) min expression is unchanged, so signatures — and the
+    // oracle replay — are bit-identical)
+    val sigAggs = (0 until numHashes).map { j =>
+      val qm = pmod(col("__u") + lit(j.toLong * 1000003L), m)
+      val qk = pmod(qm * qm, m)
+      min(floor(Gen.u01(qk, 500L) * m).cast("long")).as(s"__mh$j")
+    }
+    val sig = kept.groupBy(col("__i").as("id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
     // band b = (h_{2b}, h_{2b+1}) as a VALUE pair — no hash compression,
-    // so the bucket key itself replays in SQL
-    val bandsDf = sigRows
-      .groupBy(col("id"), (col("__j") / lit(2L)).cast("long").as("band"))
-      .agg(max(when(col("__j") % 2L === 0L, col("__mh"))).as("v1"),
-        max(when(col("__j") % 2L === 1L, col("__mh"))).as("v2"))
+    // so the bucket key itself replays in SQL; the explode happens at
+    // the ITEM grain (items × bands slim rows), never the interaction
+    // grain
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b.toLong).as("band"), col(s"__mh${2 * b}").as("v1"),
+        col(s"__mh${2 * b + 1}").as("v2"))
+    }
+    val bandsDf = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("__bb"))
+      .select(col("id"), col("__bb.band").as("band"),
+        col("__bb.v1").as("v1"), col("__bb.v2").as("v2"))
     val cand = bandsDf.as("l").join(bandsDf.as("r"),
         col("l.band") === col("r.band") && col("l.v1") === col("r.v1") &&
           col("l.v2") === col("r.v2") && col("l.id") < col("r.id"))
