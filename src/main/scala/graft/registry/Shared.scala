@@ -115,6 +115,22 @@ private[graft] object Shared {
         .localCheckpoint()
     }
 
+  /** The served top-5 rec list per corpus dir — the [[cfNeighbors]]
+    * posture one level up: in production the batch scoring job's output
+    * IS a materialized table (written on a schedule, read by the serving
+    * path and the quality scorecard alike), so the two rec registry
+    * entries share one build instead of each re-running the
+    * basket × neighbor scoring chain. localCheckpoint pins only the
+    * (user × ≤5) rec grain.
+    */
+  private val recTopKCache = new SessionFrameCache
+  private[graft] def recTopK(s: SparkSession, dir: String): DataFrame =
+    recTopKCache.get(s, dir) {
+      Similarity.recommendTopK(cfInteractions(s, dir), "o_custkey",
+          "l_partkey", cfNeighbors(s, dir), k = 5)
+        .localCheckpoint()
+    }
+
   /** Trained WordPiece vocabulary per corpus dir — the [[bpeMerges]]
     * pattern for the third tokenizer family.
     */

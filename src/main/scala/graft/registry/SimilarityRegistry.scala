@@ -369,17 +369,14 @@ object SimilarityRegistry {
     }),
     "x_rec_topk" -> ((s, dir) =>
       // the serving pass: top-5 unowned parts per customer, scored by
-      // lattice-summed neighbor cosines over the x_item_cf table
-      Similarity.recommendTopK(Shared.cfInteractions(s, dir),
-        "o_custkey", "l_partkey", Shared.cfNeighbors(s, dir), k = 5)),
-    "x_rec_metrics" -> ((s, dir) => {
+      // lattice-summed neighbor cosines over the x_item_cf table —
+      // materialized once per corpus (Shared.recTopK) and shared with
+      // the scorecard, the batch-scoring-job posture
+      Shared.recTopK(s, dir)),
+    "x_rec_metrics" -> ((s, dir) =>
       // the quality scorecard over those lists: catalog coverage and
       // long-tail novelty beside the list-size counters
-      val ui = Shared.cfInteractions(s, dir)
-      Similarity.recMetrics(
-        Similarity.recommendTopK(ui, "o_custkey", "l_partkey",
-          Shared.cfNeighbors(s, dir), k = 5),
-        ui, "o_custkey", "l_partkey")
-    }),
+      Similarity.recMetrics(Shared.recTopK(s, dir),
+        Shared.cfInteractions(s, dir), "o_custkey", "l_partkey")),
   )
 }
