@@ -106,12 +106,26 @@ private[graft] object Shared {
     * re-deriving the Σ basket² pair table each. localCheckpoint pins
     * only the neighbor grain (items × k rows).
     */
+  /** The capped-basket (item, user, df) frame at the family's standard
+    * cuts (minDf 2, maxDf 1000, maxBasket 256) — the derived table BOTH
+    * CF trainers start from, materialized once per corpus and handed to
+    * each build via `keptPinned` (the twins anchor keeps its own build:
+    * its doubled input and 512 cap share nothing).
+    */
+  private val cfKeptCache = new SessionFrameCache
+  private[graft] def cfKept(s: SparkSession, dir: String): DataFrame =
+    cfKeptCache.get(s, dir) {
+      Similarity.cfKeptPinned(cfInteractions(s, dir), "o_custkey",
+        "l_partkey", minDf = 2, maxDf = 1000, maxBasket = 256)
+    }
+
   private val cfNeighborCache = new SessionFrameCache
   private[graft] def cfNeighbors(s: SparkSession,
                                  dir: String): DataFrame =
     cfNeighborCache.get(s, dir) {
       Similarity.itemItemCF(cfInteractions(s, dir), "o_custkey",
-        "l_partkey", minDf = 2, maxDf = 1000, maxBasket = 256, k = 10)
+        "l_partkey", minDf = 2, maxDf = 1000, maxBasket = 256, k = 10,
+        keptPinned = Some(cfKept(s, dir)))
         .localCheckpoint()
     }
 

@@ -350,7 +350,7 @@ object SimilarityRegistry {
       Similarity.itemItemCFLsh(Shared.cfInteractions(s, dir),
         "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
         maxBasket = 256, k = 10, minCosine = 0.1, numHashes = 32,
-        bands = 16)),
+        bands = 16, keptPinned = Some(Shared.cfKept(s, dir)))),
     "x_item_cf_lsh_twins" -> ((s, dir) => {
       // MUST-FIND anchor (the x_simhash_recall pattern): every part
       // gets a twin with an IDENTICAL customer set, so signatures agree
