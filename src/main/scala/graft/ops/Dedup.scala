@@ -504,10 +504,24 @@ object Dedup {
     * reliable `checkpoint` to HDFS instead of `localCheckpoint`, and
     * switch to large-star/small-star if a pathological high-diameter
     * component shows up.
+    *
+    * Cost-based fast path: the pair graph a dedup/cluster pipeline
+    * emits is ORDERS smaller than the corpus (dense cells, near-dup
+    * hits — hundreds to thousands of edges where the corpus has
+    * millions of rows), and each distributed superstep costs a fixed
+    * join + groupBy + checkpoint job. When the symmetrized edge list —
+    * already counted by its eager checkpoint — fits `driverEdgeBudget`,
+    * one collect + exact union-find (union-by-min-root, path
+    * compression: the root of every tree IS the component minimum)
+    * replaces `diameter` supersteps; bigger graphs keep the distributed
+    * loop. Identical (id, component = min reachable id) output either
+    * way — the same adaptive physical-strategy choice AQE makes when it
+    * demotes a shuffle join to broadcast on measured size.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          driverEdgeBudget: Long = 2000000L): DataFrame = {
     // checkpoint once — the union below consumes `half` twice, and the
     // upstream pair plan (LSH/shingle self-join) must not recompute.
     // checkpointDir = reliable-checkpoint posture (Ckpt.cut scaladoc)
@@ -516,6 +530,29 @@ object Dedup {
     val edges = Ckpt.cut(half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct(), checkpointDir, eager = true)
+    if (edges.count() <= driverEdgeBudget) {
+      val sp = edges.sparkSession
+      import sp.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("src"), col("dst")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins, so every root is its component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return parent.keysIterator
+        .map(id => (id, find(id))).toSeq.sorted
+        .toDF("id", "component")
+    }
     var labels = Ckpt.cut(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")), checkpointDir, eager = true)
     // labels only ever DECREASE under min-propagation, so the exact label
@@ -574,7 +611,8 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, srcCol: String,
                               dstCol: String, maxIters: Int = 40,
-                              checkpointDir: Option[String] = None)
+                              checkpointDir: Option[String] = None,
+                              driverEdgeBudget: Long = 2000000L)
       : DataFrame = {
     // checkpoint the raw pair list ONCE: `pairs` is typically an expensive
     // upstream plan (LSH/shingle self-join) and is consumed three times
@@ -582,6 +620,13 @@ object Dedup {
     // whole upstream recomputes per consumer
     val raw = Ckpt.cut(pairs.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b")), checkpointDir, eager = true)
+    // same cost-based fast path as [[connectedComponents]] (identical
+    // output contract, and union-find beats BOTH distributed forms when
+    // the checkpointed pair list fits the driver budget) — delegate the
+    // PINNED frame, not `pairs`, so the expensive upstream never re-runs
+    if (raw.count() <= driverEdgeBudget)
+      return connectedComponents(raw, "a", "b", maxIters,
+        checkpointDir, driverEdgeBudget)
     val nodes = Ckpt.cut(raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id"))).distinct(),
       checkpointDir, eager = true)

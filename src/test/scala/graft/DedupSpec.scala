@@ -208,7 +208,25 @@ class DedupSpec extends SparkSpec {
     val longChain = (1 until 10).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(longChain, "id_a", "id_b", maxIters = 3)
+      // driverEdgeBudget = 0 forces the distributed superstep loop (the
+      // union-find fast path would otherwise solve this tiny chain exactly)
+      Dedup.connectedComponents(longChain, "id_a", "id_b", maxIters = 3,
+        driverEdgeBudget = 0L)
+    }
+  }
+
+  test("union-find fast path ≡ distributed propagation on randomized graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val pairs = (1 to n).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).toDF("a", "b")
+      val fast = Dedup.connectedComponents(pairs, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val dist = Dedup.connectedComponents(pairs, "a", "b",
+          driverEdgeBudget = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(fast.sameElements(dist), s"trial $trial: fast != distributed")
     }
   }
 
