@@ -361,9 +361,21 @@ object SimilarityRegistry {
       val inter = Shared.cfInteractions(s, dir)
       val twins = inter.select(col("o_custkey"),
         (col("l_partkey") + 1000000L).as("l_partkey"))
+      // the doubled corpus' capped-basket frame derives EXACTLY from the
+      // shared pin: a twin has its base item's user set, so per-item df
+      // is unchanged (same cuts pass), and a doubled basket of size 2b
+      // fits the 512 cap iff the base basket of size b fit the 256 cap —
+      // so kept(doubled, 512) ≡ kept(base, 256) ∪ shift(kept(base, 256)),
+      // row for row. The DuckDB oracle still replays the prep chain from
+      // the doubled corpus independently, so a wrong derivation would
+      // hash-split.
+      val keptBase = Shared.cfKept(s, dir)
+      val keptTwins = keptBase.unionByName(
+        keptBase.withColumn("__i", col("__i") + 1000000L))
       Similarity.itemItemCFLshPairs(inter.unionByName(twins),
           "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
-          maxBasket = 512, minCosine = 1.0, numHashes = 32, bands = 16)
+          maxBasket = 512, minCosine = 1.0, numHashes = 32, bands = 16,
+          keptPinned = Some(keptTwins))
         .filter(col("neighbor") === col("item") + 1000000L)
         .orderBy("item")
     }),
