@@ -60,6 +60,7 @@ object ScaleStress {
     val exactsubstrOnly = args.headOption.contains("exactsubstr")
     val graph8Mode = args.headOption.contains("graph8")
     val stats8Mode = args.headOption.contains("stats8")
+    val cc12Mode = args.headOption.contains("cc12")
     val ks =
       if (miningOnly || curateOnly || tokOnly || r7Only || asofOnly ||
           exactsubstrOnly || graph8Mode || stats8Mode ||
@@ -72,6 +73,7 @@ object ScaleStress {
           args.headOption.contains("geo9") ||
           args.headOption.contains("causal10") ||
           args.headOption.contains("r12fam") ||
+          cc12Mode ||
           args.headOption.contains("ext8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
@@ -1183,6 +1185,67 @@ object ScaleStress {
         println(f"STRESS-CAUSAL10 k=$k rows=$nRows t_synth=$tSc%.2f " +
           f"t_dtw=$tDtw%.2f")
       }
+    }
+
+    // round-12 CC fast-path stress (`cc12`): (a) grid-density end-to-end
+    // with replicated, cell-shifted embeddings — occupied cells (and the
+    // dense-cell graph) scale ~linearly with k while the fast path keeps
+    // cluster resolution one collect; (b) union-find vs forced-distributed
+    // on star-blob graphs of the shape LSH/dedup pipelines emit; (c) an
+    // over-budget graph (2.8 M edges > 2 M default) proving the cutover
+    // to the distributed loop engages and completes. Pass criteria:
+    // grid ~linear in k; union-find linear and far under the distributed
+    // floor; the big graph resolves through the superstep path.
+    if (cc12Mode) {
+      val emb12 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      for (k <- Seq(1, 10, 100)) {
+        val embK = (0 until k).map { i =>
+          val shifted = transform(col("embedding"),
+            (x, j) => when(j < lit(2),
+              x + lit(i.toDouble * 0.7)).otherwise(x))
+          emb12.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+            shifted.as("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val nV = embK.count()
+        val (tGrid, nRows) = timeMin2 {
+          graft.ops.Clustering.gridDensityClusters(embK, "embedding",
+            eps = 0.02, minPts = 3).queryExecution.toRdd.count()
+        }
+        println(f"STRESS-CC12-GRID k=$k vecs=$nV t_grid=$tGrid%.2f " +
+          f"rows=$nRows")
+      }
+      // chain components (diameter 15 — the elongated-blob shape grid
+      // graphs produce, where the distributed loop needs diameter
+      // supersteps; stars/cliques converge in 1-2 and under-stress it)
+      for (nComp <- Seq(250, 2500, 25000)) {
+        val edges = spark.range(nComp.toLong).select(col("id").as("c"))
+          .crossJoin(spark.range(15).select(col("id").as("j")))
+          .select((col("c") * 16 + col("j")).as("src"),
+            (col("c") * 16 + col("j") + 1).as("dst"))
+          .localCheckpoint()
+        val nE = edges.count()
+        val (tFast, nF) = timeMin2 {
+          graft.ops.Dedup.connectedComponents(edges, "src", "dst").count()
+        }
+        val (tDist, _) = timeMin2 {
+          graft.ops.Dedup.connectedComponents(edges, "src", "dst",
+            driverEdgeBudget = 0L).count()
+        }
+        println(f"STRESS-CC12-UF comps=$nComp edges=$nE " +
+          f"t_unionfind=$tFast%.2f t_distributed=$tDist%.2f nodes=$nF")
+      }
+      val big = spark.range(350000L).select(col("id").as("c"))
+        .crossJoin(spark.range(8).select(col("id").as("j")))
+        .select((col("c") * 9).as("src"),
+          (col("c") * 9 + col("j") + 1).as("dst"))
+        .localCheckpoint()
+      val nBig = big.count()
+      val tB0 = System.nanoTime()
+      val nBigNodes =
+        graft.ops.Dedup.connectedComponents(big, "src", "dst").count()
+      println(f"STRESS-CC12-BIG edges=$nBig " +
+        f"t=${(System.nanoTime() - tB0) / 1e9}%.2f nodes=$nBigNodes " +
+        "(over budget: distributed loop)")
     }
     spark.stop()
   }
