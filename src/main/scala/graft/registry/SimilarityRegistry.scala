@@ -370,8 +370,12 @@ object SimilarityRegistry {
       // the doubled corpus independently, so a wrong derivation would
       // hash-split.
       val keptBase = Shared.cfKept(s, dir)
+      // re-pin the doubled frame: the pairs build consumes kept five
+      // times, and an unpinned union makes each consumer re-plan BOTH
+      // checkpoint scans (plan audit measured 17 -> 27 exchanges)
       val keptTwins = keptBase.unionByName(
         keptBase.withColumn("__i", col("__i") + 1000000L))
+        .localCheckpoint()
       Similarity.itemItemCFLshPairs(inter.unionByName(twins),
           "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
           maxBasket = 512, minCosine = 1.0, numHashes = 32, bands = 16,

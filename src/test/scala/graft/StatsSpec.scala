@@ -2253,4 +2253,29 @@ class StatsSpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("sigma")))
     assert(one.getAs[Double]("fitted_median") == 10.0)
   }
+
+  test("exactQuantiles is bit-identical to the builtin percentile") {
+    // ties, negatives, a null (both forms skip it), and awkward probs —
+    // the count-grain fold must reproduce Spark's Percentile
+    // interpolation term for term (raw-bit compare, no tolerance)
+    val vals: Seq[java.lang.Double] = Seq[java.lang.Double](3.5, -2.0, 3.5,
+      7.25, 0.0, -2.0, 11.0, 5.5, 3.5, null, 8.125, -9.75, 5.5)
+    val df = vals.toDF("v")
+    val probs = Seq(0.0, 0.01, 0.1, 0.25, 1.0 - 0.9, 0.5, 2.0 / 3.0,
+      0.9, 0.95, 0.999, 1.0)
+    val pArr = probs.map(p => s"${p}D").mkString(", ")
+    val builtin = df.agg(expr(s"percentile(v, array($pArr))"))
+      .head().getSeq[Double](0)
+    val mine = Stats.exactQuantiles(df, "v", probs)
+      .head().getSeq[Double](1)
+    assert(builtin.size == mine.size)
+    builtin.zip(mine).zip(probs).foreach { case ((b, m), p) =>
+      assert(java.lang.Double.doubleToRawLongBits(b) ==
+        java.lang.Double.doubleToRawLongBits(m), s"p=$p: $b != $m")
+    }
+    // empty input: one row, n = 0, null array — the builtin's null
+    val empty = Stats.exactQuantiles(
+      Seq.empty[java.lang.Double].toDF("v"), "v", Seq(0.5)).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
 }
