@@ -910,8 +910,13 @@ object Dedup {
     * length table against the span rollup.
     */
   def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 20): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, k)
+                          k: Int = 20,
+                          spansPinned: Option[DataFrame] = None): DataFrame = {
+    // `spansPinned`: a materialized [[duplicatedSpans]] table for the same
+    // (docs, k) — the span table IS the production artifact (written by
+    // the dedup job, read by the cut stage and this readout alike), so
+    // the stats consumer reads it instead of re-mining the gram windows
+    val spans = spansPinned.getOrElse(duplicatedSpans(docs, idCol, textCol, k))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("__dup"))
     docs

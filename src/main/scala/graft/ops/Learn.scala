@@ -52,15 +52,20 @@ object Learn {
     */
   def logisticGD(emb: DataFrame, idCol: String, vecCol: String,
                  label: Column, eta: Double = 0.5,
-                 iterations: Int = 3): DataFrame = {
+                 iterations: Int = 3,
+                 wPinned: Option[DataFrame] = None): DataFrame = {
     require(eta > 0 && eta <= 10.0, s"logisticGD: eta in (0, 10] (got $eta)")
     require(iterations >= 1 && iterations <= 20,
       s"logisticGD: iterations in [1, 20] (got $iterations)")
-    val vecs = emb.select(col(idCol).as("__id"),
+    // with a pinned weight frame the corpus is read ONCE (the scoring
+    // pass), so the checkpoint that amortized it across the supersteps
+    // would be pure overhead
+    val vecsBase = emb.select(col(idCol).as("__id"),
         concat(array(lit(1.0)), col(vecCol).cast("array<double>")).as("__x"),
         label.cast("int").as("__y"))
-      .localCheckpoint()
-    val w = fitLr(vecs, eta, iterations)
+    val vecs =
+      if (wPinned.isDefined) vecsBase else vecsBase.localCheckpoint()
+    val w = wPinned.getOrElse(fitLr(vecs, eta, iterations))
     vecs.crossJoin(broadcast(w))
       .withColumn("__m", dot(col("__w"), col("__x")))
       .select(col("__id").as(idCol),
@@ -69,6 +74,25 @@ object Learn {
         round(sigmoid(col("__m")), 6).as("prob"),
         (sigmoid(col("__m")) >= 0.5).cast("int").as("pred"))
       .orderBy(idCol)
+  }
+
+  /** The fitted weight frame alone (1 row, d+1 doubles) — the artifact a
+    * training job persists beside the corpus. The registry pins it once
+    * per corpus so the five x_lr_* consumers (scores, noise screen,
+    * calibration, metrics, importance) share one superstep run via
+    * `wPinned` instead of five identical refits.
+    */
+  def fitWeights(emb: DataFrame, idCol: String, vecCol: String,
+                 label: Column, eta: Double = 0.5,
+                 iterations: Int = 3): DataFrame = {
+    require(eta > 0 && eta <= 10.0, s"fitWeights: eta in (0, 10] (got $eta)")
+    require(iterations >= 1 && iterations <= 20,
+      s"fitWeights: iterations in [1, 20] (got $iterations)")
+    val vecs = emb.select(col(idCol).as("__id"),
+        concat(array(lit(1.0)), col(vecCol).cast("array<double>")).as("__x"),
+        label.cast("int").as("__y"))
+      .localCheckpoint()
+    fitLr(vecs, eta, iterations)
   }
 
   /** The full-batch GD weight fit shared by [[logisticGD]] and
@@ -114,16 +138,18 @@ object Learn {
     */
   def logisticImportance(emb: DataFrame, idCol: String, vecCol: String,
                          label: Column, eta: Double = 0.5,
-                         iterations: Int = 3): DataFrame = {
+                         iterations: Int = 3,
+                         wPinned: Option[DataFrame] = None): DataFrame = {
     require(eta > 0 && eta <= 10.0,
       s"logisticImportance: eta in (0, 10] (got $eta)")
     require(iterations >= 1 && iterations <= 20,
       s"logisticImportance: iterations in [1, 20] (got $iterations)")
-    val vecs = emb.select(col(idCol).as("__id"),
+    val vecsBase = emb.select(col(idCol).as("__id"),
         concat(array(lit(1.0)), col(vecCol).cast("array<double>")).as("__x"),
         label.cast("int").as("__y"))
-      .localCheckpoint()
-    val w = fitLr(vecs, eta, iterations)
+    val vecs =
+      if (wPinned.isDefined) vecsBase else vecsBase.localCheckpoint()
+    val w = wPinned.getOrElse(fitLr(vecs, eta, iterations))
     val wDims = w.select(posexplode(col("__w")).as(Seq("__dim", "__wv")))
     val stats = vecs
       .select(posexplode(col("__x")).as(Seq("__dim", "__v")))

@@ -166,15 +166,11 @@ object AnalyticsRegistry {
       // 3-round k=3 core peel of the co-order supplier graph (w>=5 —
       // non-empty at every SF; q_triangles' w>=10 cut empties at sf0.1
       // where co-order weight dilutes across 1000 suppliers): the dense-
-      // backbone vs periphery separation, unrolled supersteps replayed
-      val base = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = base.as("a").join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 5)
-        .select("src", "dst")
+      // backbone vs periphery separation, unrolled supersteps replayed.
+      // The weighted pair table is the shared per-corpus graph artifact
+      // (Shared.coOrderPairWeights) q_triangles cuts at w>=10
+      val edges = Shared.coOrderPairWeights(s, dir)
+        .filter(col("w") >= 5).select("src", "dst")
       Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
         .withColumnRenamed("node", "s_suppkey")
     }),
@@ -764,17 +760,14 @@ object AnalyticsRegistry {
         "event_type", "value", "target_action")),
     "q_harmonic_centrality" -> ((s, dir) => {
       // seed-sampled harmonic centrality of the supplier co-order graph
-      // (Σ 1/d from the %17 seed sample, 3 supersteps, lattice-exact)
-      val base = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = base.as("a").join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
-        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      // (Σ 1/d from the %17 seed sample, 3 supersteps, lattice-exact).
+      // Reads the shared co-order edge artifact: the op distincts its
+      // edge input, and the old inline build's multi-edges (one per
+      // shared order) distinct to exactly Shared.coOrderEdges' rows
       val seeds = Tables.supplier(s, dir)
         .filter(col("s_suppkey") % 17 === 0)
-      Graph.harmonicCentrality(edges, "src", "dst", seeds, "s_suppkey",
-          rounds = 3)
+      Graph.harmonicCentrality(Shared.coOrderEdges(s, dir), "src", "dst",
+          seeds, "s_suppkey", rounds = 3)
         .withColumnRenamed("node", "s_suppkey")
     }),
     "q_forecast_baseline" -> ((s, dir) =>
@@ -1500,15 +1493,10 @@ object AnalyticsRegistry {
         "event_type", col("value") > 90.0)),
     "q_triangles" -> ((s, dir) => {
       // community density of the strong co-order supplier graph (pairs
-      // sharing >= 10 orders): per-node triangles + clustering coeff
-      val base = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = base.as("a").join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 10)
-        .select("src", "dst")
+      // sharing >= 10 orders): per-node triangles + clustering coeff —
+      // the w>=10 cut of the shared weighted pair artifact
+      val edges = Shared.coOrderPairWeights(s, dir)
+        .filter(col("w") >= 10).select("src", "dst")
       Graph.triangleCounts(edges, "src", "dst")
         .withColumnRenamed("node", "s_suppkey")
     }),
@@ -1821,16 +1809,16 @@ object AnalyticsRegistry {
       // train a linear "high-label" classifier on the embeddings by 3
       // full-batch GD supersteps (zero init, η=0.5, intercept prepended)
       // and score every vector — the fastText-style quality-filter
-      // trainer as pure dataflow, superstep-replayed by the oracle
-      Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
-        col("label") >= 5, eta = 0.5, iterations = 3)),
+      // trainer as pure dataflow, superstep-replayed by the oracle.
+      // The fit + scored table are the shared per-corpus artifacts all
+      // five x_lr_* entries read (Shared.lrWeights / lrScored)
+      Shared.lrScored(s, dir)),
     "x_label_noise" -> ((s, dir) => {
       // confident-learning screen (Northcutt's class-conditional
       // thresholds): a row is a label-error candidate when its predicted
       // prob crosses the MEAN prob of the opposite class — flags the
       // examples the trained scorer is confident were mislabeled
-      val scored = Learn.logisticGD(Tables.embeddings(s, dir), "vec_id",
-        "embedding", col("label") >= 5, eta = 0.5, iterations = 3)
+      val scored = Shared.lrScored(s, dir)
       val th = scored.agg(
         round(avg(when(col("y") === 1, col("prob"))), 6).as("t1"),
         round(avg(when(col("y") === 0, col("prob"))), 6).as("t0"))
@@ -1861,21 +1849,18 @@ object AnalyticsRegistry {
     "x_lr_calibration" -> ((s, dir) =>
       // reliability diagram + ECE over the trained scorer's (rounded)
       // probabilities — 10 equal-width bins, self-contained report
-      Eval.calibration(
-        Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
-          col("label") >= 5, eta = 0.5, iterations = 3),
-        "prob", "y", bins = 10)),
+      Eval.calibration(Shared.lrScored(s, dir), "prob", "y", bins = 10)),
     "x_lr_importance" -> ((s, dir) =>
       // which embedding dims the quality filter actually uses:
       // standardized-coefficient importance |w|·std, rank on the
-      // rounded score
+      // rounded score (the one consumer that needs the WEIGHTS, not
+      // the scored rows — it reads the pinned fit)
       Learn.logisticImportance(Tables.embeddings(s, dir), "vec_id",
-        "embedding", col("label") >= 5, eta = 0.5, iterations = 3)),
+        "embedding", col("label") >= 5, eta = 0.5, iterations = 3,
+        wPinned = Some(Shared.lrWeights(s, dir)))),
     "x_lr_metrics" -> ((s, dir) =>
       // training-run report chained from the ROUNDED margins (the
       // cross-engine-stable quantity): accuracy + mean log-loss
-      Learn.logisticMetrics(
-        Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
-          col("label") >= 5, eta = 0.5, iterations = 3))),
+      Learn.logisticMetrics(Shared.lrScored(s, dir))),
   )
 }

@@ -41,17 +41,36 @@ private[graft] object Shared {
         else (s, build))._2
   }
 
-  private val coOrderEdgeCache = new SessionFrameCache
-  private[graft] def coOrderEdges(s: SparkSession, dir: String): DataFrame =
-    coOrderEdgeCache.get(s, dir) {
-      import org.apache.spark.sql.functions.col
+  /** The WEIGHTED undirected co-order pair table (src < dst, w = #shared
+    * orders) — the one self-join every co-order graph query starts from.
+    * q_supplier_kcore (w ≥ 5) and q_triangles (w ≥ 10) filter it
+    * directly; [[coOrderEdges]] derives the directed distinct edge list
+    * from it (both orientations of the distinct pairs — identical to the
+    * old direct distinct build, since co-ordering is symmetric), so the
+    * corpus pays the lineitem self-join ONCE for all nine graph queries.
+    */
+  private val coOrderPairWeightCache = new SessionFrameCache
+  private[graft] def coOrderPairWeights(s: SparkSession,
+                                        dir: String): DataFrame =
+    coOrderPairWeightCache.get(s, dir) {
+      import org.apache.spark.sql.functions.{col, count, lit}
       val base = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("bk"), col("l_suppkey").as("sk"))
         .distinct()
       base.as("a").join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.sk") =!= col("b.sk"))
-        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
-        .distinct()
+          col("a.bk") === col("b.bk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+    }
+
+  private val coOrderEdgeCache = new SessionFrameCache
+  private[graft] def coOrderEdges(s: SparkSession, dir: String): DataFrame =
+    coOrderEdgeCache.get(s, dir) {
+      import org.apache.spark.sql.functions.col
+      val pairs = coOrderPairWeights(s, dir).select("src", "dst")
+      pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
     }
 
@@ -142,6 +161,81 @@ private[graft] object Shared {
     recTopKCache.get(s, dir) {
       Similarity.recommendTopK(cfInteractions(s, dir), "o_custkey",
           "l_partkey", cfNeighbors(s, dir), k = 5)
+        .localCheckpoint()
+    }
+
+  /** The fitted quality-filter weights per corpus dir (1 row, 65
+    * doubles) — the trained-model artifact of the x_lr_* family at its
+    * standard config (label ≥ 5, η = 0.5, 3 supersteps). In production
+    * the training job persists exactly this frame; the five consumers
+    * (scores, noise screen, calibration, metrics, importance) read it
+    * via `wPinned` instead of refitting the identical supersteps five
+    * times.
+    */
+  private val lrWeightCache = new SessionFrameCache
+  private[graft] def lrWeights(s: SparkSession, dir: String): DataFrame =
+    lrWeightCache.get(s, dir) {
+      import org.apache.spark.sql.functions.col
+      Learn.fitWeights(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("label") >= 5, eta = 0.5, iterations = 3)
+        .localCheckpoint()
+    }
+
+  /** The scored corpus of the pinned [[lrWeights]] model — the batch
+    * scoring job's output table (id, y, margin, prob, pred), read
+    * directly by four of the five x_lr_* entries. localCheckpoint pins
+    * the |embeddings|-row grain.
+    */
+  private val lrScoredCache = new SessionFrameCache
+  private[graft] def lrScored(s: SparkSession, dir: String): DataFrame =
+    lrScoredCache.get(s, dir) {
+      import org.apache.spark.sql.functions.col
+      Learn.logisticGD(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("label") >= 5, eta = 0.5, iterations = 3,
+          wPinned = Some(lrWeights(s, dir)))
+        .localCheckpoint()
+    }
+
+  /** The bigram-LM perplexity scores per corpus dir — the CCNet-style
+    * quality score table at the family's standard config (English
+    * reference slice, vocab 100, λ = 0.5). The scorer is fitted and run
+    * once; x_lm_perplexity exports it, x_curriculum cuts quartile
+    * stages over it, and x_llm_pipeline_v3's filter stage thresholds
+    * it — in production all three read the one scored table the LM job
+    * writes. localCheckpoint pins the per-doc grain (5 doubles/doc).
+    */
+  private val lmScoredCache = new SessionFrameCache
+  private[graft] def lmScored(s: SparkSession, dir: String): DataFrame =
+    lmScoredCache.get(s, dir) {
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.bigramPerplexity(Tables.documents(s, dir), "doc_id",
+          "text", col("lang") === "en", vocabSize = 100)
+        .localCheckpoint()
+    }
+
+  /** The winnow shared-span pair table per corpus dir (k = 32, w = 16,
+    * maxDf = 5 — the family's standard MOSS config). x_shared_spans
+    * exports it, x_contamination_spans slices the train×benchmark
+    * pairs out of it, and x_llm_pipeline_v3's dedup stage drops the
+    * later doc of each pair — one fingerprint pass for all three.
+    */
+  private val winnowSpanCache = new SessionFrameCache
+  private[graft] def winnowSpans(s: SparkSession, dir: String): DataFrame =
+    winnowSpanCache.get(s, dir) {
+      TextAnalysis.sharedSpans(Tables.documents(s, dir), "doc_id", "text",
+          k = 32, w = 16, maxDf = 5)
+        .localCheckpoint()
+    }
+
+  /** The ExactSubstr duplicated-span table per corpus dir (k = 20) —
+    * the span cut-list the substring-dedup job writes; x_dup_substrings
+    * exports it and x_dup_substring_stats rolls it up per doc.
+    */
+  private val dupSpanCache = new SessionFrameCache
+  private[graft] def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpanCache.get(s, dir) {
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+          k = 20)
         .localCheckpoint()
     }
 

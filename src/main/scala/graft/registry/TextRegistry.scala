@@ -104,9 +104,10 @@ object TextRegistry {
     "x_shared_spans" -> ((s, dir) =>
       // winnowing dup-span detection (MOSS): any shared 47-char run
       // (k+w−1) is guaranteed a shared fingerprint; df∈[2,5] drops
-      // corpus-wide boilerplate grams
-      TextAnalysis.sharedSpans(Tables.documents(s, dir), "doc_id", "text",
-        k = 32, w = 16, maxDf = 5)),
+      // corpus-wide boilerplate grams. The span table is the shared
+      // per-corpus artifact (Shared.winnowSpans) the contamination
+      // screen and the v3 pipeline's dedup stage also read
+      winnowSpans(s, dir)),
     "x_readability" -> ((s, dir) =>
       // Flesch reading ease per doc (vowel-group syllable estimate,
       // terminal-punctuation sentences) + banding on the rounded score
@@ -116,20 +117,20 @@ object TextRegistry {
       // ExactSubstr (Lee et al. 2022): maximal duplicated 20-gram span
       // islands per doc, corpus-global first occurrence kept — the
       // exact character ranges substring dedup would cut
-      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
-        k = 20)),
+      dupSpans(s, dir)),
     "x_dup_substring_stats" -> ((s, dir) =>
       // the go/no-go readout: per-doc removable duplicated chars and
-      // ratio (zero-span docs included)
+      // ratio (zero-span docs included) — rolls up the SAME span table
+      // x_dup_substrings exports (Shared.dupSpans) instead of re-mining
+      // the gram windows
       Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id",
-        "text", k = 20)),
+        "text", k = 20, spansPinned = Some(dupSpans(s, dir)))),
     "x_contamination_spans" -> ((s, dir) => {
       // benchmark-contamination detection at SPAN level (stronger than
       // x_contamination's shingle overlap): training docs sharing a
       // winnow-fingerprinted 32-gram with any held-out benchmark doc
       // (doc_id % 10 == 0), with the matched-span evidence
-      val spans = TextAnalysis.sharedSpans(Tables.documents(s, dir),
-        "doc_id", "text", k = 32, w = 16, maxDf = 5)
+      val spans = winnowSpans(s, dir)
       val hits = spans
         .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
         .select(
@@ -348,16 +349,16 @@ object TextRegistry {
     "x_lm_perplexity" -> ((s, dir) =>
       // the full CCNet recipe (x_lm_surprisal is the unigram degenerate):
       // interpolated bigram LM fitted on the English reference slice,
-      // per-token cross-entropy scored over EVERY document
-      TextAnalysis.bigramPerplexity(Tables.documents(s, dir), "doc_id",
-        "text", col("lang") === "en", vocabSize = 100)),
+      // per-token cross-entropy scored over EVERY document. The scored
+      // table is the shared per-corpus artifact (Shared.lmScored) the
+      // curriculum stager and the v3 pipeline's filter stage also read
+      lmScored(s, dir)),
     "x_curriculum" -> ((s, dir) => {
       // curriculum staging: perplexity quartiles → clean→noisy training
       // stages with per-stage token budgets (cuts are a broadcast 1-row
       // aggregate; stage election compares ROUNDED values both engines
       // share)
-      val scored = TextAnalysis.bigramPerplexity(Tables.documents(s, dir),
-        "doc_id", "text", col("lang") === "en", vocabSize = 100)
+      val scored = lmScored(s, dir)
       val cuts = scored.agg(
         round(expr("percentile(ce_bits, 0.25D)"), 6).as("q1"),
         round(expr("percentile(ce_bits, 0.5D)"), 6).as("q2"),
@@ -382,14 +383,14 @@ object TextRegistry {
       // later doc of every fingerprinted pair) → pack survivors by REAL
       // BPE token cost → per-pack manifest
       val docs = Tables.documents(s, dir)
-      val scored = TextAnalysis.bigramPerplexity(docs, "doc_id", "text",
-        col("lang") === "en", vocabSize = 100)
+      // filter + dedup stages read the shared scored/span artifacts
+      // (Shared.lmScored / winnowSpans) the standalone queries export
+      val scored = lmScored(s, dir)
       val q3 = scored.agg(
         round(expr("percentile(ce_bits, 0.75D)"), 6).as("q3"))
       val kept = scored.crossJoin(broadcast(q3))
         .filter(col("ce_bits") <= col("q3")).select("doc_id")
-      val drops = TextAnalysis.sharedSpans(docs, "doc_id", "text",
-          k = 32, w = 16, maxDf = 5)
+      val drops = winnowSpans(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()
       val surv = kept.join(drops, Seq("doc_id"), "left_anti")
       val counts = Bpe.tokenStats(docs, "doc_id", "text", bpeMerges(s, dir))

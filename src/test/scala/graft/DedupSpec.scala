@@ -519,6 +519,14 @@ class DedupSpec extends SparkSpec {
     assert(ts.toSeq == Seq((9L, 5L, 0L, 0L, 0.0)))
     assert(Dedup.duplicatedSpans(tiny, "doc_id", "text", k = 20)
       .filter(col("doc_id") === 9L).count() == 0L)
+    // spansPinned (the shared-artifact path): rolling up a materialized
+    // span table is row-identical to re-mining the grams
+    val pinned = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 20)
+      .localCheckpoint()
+    val statsPin = Dedup.duplicatedSpanStats(docs, "doc_id", "text",
+        k = 20, spansPinned = Some(pinned))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(statsPin.toSeq == stats.values.toSeq.sortBy(_._1))
   }
 
   test("reliable-checkpoint parity: both connected-components forms " +

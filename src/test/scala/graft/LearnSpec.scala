@@ -274,4 +274,23 @@ class LearnSpec extends SparkSpec {
     Seq("loglik_1", "loglik_2", "bic_1", "bic_2", "delta_bic")
       .foreach(c => assert(bic.isNullAt(bic.fieldIndex(c)), s"$c not null"))
   }
+
+  test("wPinned: scoring and importance from a pinned fitWeights frame " +
+      "are row-identical to the internal fit (the shared-artifact path)") {
+    val df = corpus.toDF("vec_id", "embedding", "y")
+    val w = Learn.fitWeights(df, "vec_id", "embedding", col("y") === 1,
+      eta = 0.5, iterations = 4).localCheckpoint()
+    val scoredFit = Learn.logisticGD(df, "vec_id", "embedding",
+      col("y") === 1, eta = 0.5, iterations = 4).collect().toSeq
+    val scoredPin = Learn.logisticGD(df, "vec_id", "embedding",
+      col("y") === 1, eta = 0.5, iterations = 4, wPinned = Some(w))
+      .collect().toSeq
+    assert(scoredPin == scoredFit)
+    val impFit = Learn.logisticImportance(df, "vec_id", "embedding",
+      col("y") === 1, eta = 0.5, iterations = 4).collect().toSeq
+    val impPin = Learn.logisticImportance(df, "vec_id", "embedding",
+      col("y") === 1, eta = 0.5, iterations = 4, wPinned = Some(w))
+      .collect().toSeq
+    assert(impPin == impFit)
+  }
 }
