@@ -225,6 +225,23 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
   }
 
+  /** [[lshCandidatePairs]] with the per-pair COLLIDING-BAND count kept
+    * (same shuffle — the count rides the dedup aggregation as one long).
+    * At rows-per-band = 1 a band collision IS a component equality, so
+    * `n_bands / numHashes` equals [[sigAgreement]] exactly and the
+    * estimate trim folds into this aggregation instead of re-joining the
+    * wide signature relation onto every candidate pair.
+    */
+  private[graft] def lshCandidatePairCounts(sig: DataFrame, numHashes: Int,
+                                            bands: Int): DataFrame = {
+    val buckets = bandBuckets(sig, numHashes, bands)
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Incremental NEAR-dup ingest — the LSH analogue of [[exactIncremental]]
     * and the production shape at 100 TB: near-dup-check a NEW batch against
     * the accumulated corpus WITHOUT re-scanning corpus text. `seenSigs` is
@@ -251,7 +268,10 @@ object Dedup {
                                  n: Int = 3, numHashes: Int = 16,
                                  bands: Int = 4,
                                  threshold: Double = 0.5): DataFrame = {
+    // pin: batchSigs feeds the bucket build, both estimate-join sides
+    // and the final survivor frame — one batch text scan, not 4
     val batchSigs = minHashSignatures(batch, idCol, textCol, n, numHashes)
+      .localCheckpoint()
     val sigCols = batchSigs.columns
     val seen = seenSigs.select(sigCols.map(col): _*)
     val bb = bandBuckets(batchSigs, numHashes, bands)
@@ -310,21 +330,36 @@ object Dedup {
                                   numHashes: Int = 64, bands: Int = 64,
                                   threshold: Double = 0.5,
                                   minEst: Double = 0.125): DataFrame = {
+    // the batch signature relation feeds the bucket build, both trim-join
+    // sides and the final survivor frame; the batch shingles feed both
+    // verify sides via the union — pin each once so the batch text is
+    // scanned and hashed ONCE per store (the nearDupsVerified pin)
     val batchSigs = minHashSignatures(batch, idCol, textCol, n, numHashes)
+      .localCheckpoint()
     val sigCols = batchSigs.columns
     val seen = seenSigs.select(sigCols.map(col): _*)
     val bb = bandBuckets(batchSigs, numHashes, bands)
     val all = bandBuckets(seen, numHashes, bands).unionByName(bb)
-    val cand = bb.as("l").join(all.as("r"),
+    val candBands = bb.as("l").join(all.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("r.id") < col("l.id"))
-      .select(col("l.id").as("bid"), col("r.id").as("cand")).distinct()
-    val trimmed = cand
-      .join(batchSigs.as("a"), col("bid") === col("a.id"))
-      .join(seen.unionByName(batchSigs).as("b"), col("cand") === col("b.id"))
-      .filter(sigAgreement(numHashes) >= minEst)
-      .select(col("bid"), col("cand"))
+      .groupBy(col("l.id").as("bid"), col("r.id").as("cand"))
+      .agg(count(lit(1)).as("__nb"))
+    val trimmed =
+      if (bands == numHashes)
+        // rows-per-band = 1: colliding-band count IS the component
+        // agreement (the nearDupsVerified fast path) — the estimate trim
+        // folds into the candidate dedup, no signature re-join
+        candBands
+          .filter(col("__nb").cast("double") / numHashes >= minEst)
+          .select(col("bid"), col("cand"))
+      else candBands.select(col("bid"), col("cand"))
+        .join(batchSigs.as("a"), col("bid") === col("a.id"))
+        .join(seen.unionByName(batchSigs).as("b"), col("cand") === col("b.id"))
+        .filter(sigAgreement(numHashes) >= minEst)
+        .select(col("bid"), col("cand"))
     val batchSh = shingleRelation(batch, idCol, textCol, n)
+      .localCheckpoint()
     val allSh = seenShingles.select(col("id"), col("sh"))
       .unionByName(batchSh)
     val dups = trimmed
@@ -350,8 +385,19 @@ object Dedup {
     */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
-    val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
+                      threshold: Double = 0.5,
+                      sigPinned: Option[DataFrame] = None): DataFrame = {
+    // sig feeds the bucket build and both estimate-join sides — pin it
+    // once so the corpus text is scanned and hashed once, not 3×.
+    // `sigPinned`: an already-materialized signature table for the same
+    // (docs, n) with ≥ numHashes components — the per-permutation hash
+    // family depends only on the permutation index, so a narrower
+    // config reads a column prefix of the persisted 64-wide store
+    val sig = sigPinned
+      .map(_.select(col("id") +:
+        (0 until numHashes).map(i => col(s"mh_$i")): _*))
+      .getOrElse(minHashSignatures(docs, idCol, textCol, n, numHashes)
+        .localCheckpoint())
     val cand = lshCandidatePairs(sig, numHashes, bands)
     val simExpr = sigAgreement(numHashes)
     cand
@@ -382,20 +428,39 @@ object Dedup {
   def nearDupsVerified(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, numHashes: Int = 16, bands: Int = 8,
                        threshold: Double = 0.3,
-                       minEst: Double = 0.0): DataFrame = {
-    val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
-    val cand = lshCandidatePairs(sig, numHashes, bands)
+                       minEst: Double = 0.0,
+                       sigPinned: Option[DataFrame] = None,
+                       shPinned: Option[DataFrame] = None): DataFrame = {
+    // the signature relation is referenced by the bucket build AND both
+    // trim-join sides, the shingle relation by both verify-join sides —
+    // pin each once (numHashes ints / one shingle array per doc) so the
+    // corpus text is scanned and hashed ONCE, not 4×/2×. `sigPinned` /
+    // `shPinned` accept an already-materialized table for the same
+    // (docs, n, numHashes) — the persisted signature/shingle stores an
+    // incremental pipeline maintains anyway.
+    val sig = sigPinned.getOrElse(
+      minHashSignatures(docs, idCol, textCol, n, numHashes)
+        .localCheckpoint())
     val trimmed =
-      if (minEst <= 0.0) cand
-      else {
-        cand
+      if (minEst <= 0.0) lshCandidatePairs(sig, numHashes, bands)
+      else if (bands == numHashes) {
+        // rows-per-band = 1: the banding join already counted equal
+        // components per pair, so the estimate trim is a filter on that
+        // count — identical predicate to the signature re-join below
+        // (n_bands/numHashes IS sigAgreement), minus two wide joins
+        lshCandidatePairCounts(sig, numHashes, bands)
+          .filter(col("n_bands").cast("double") / numHashes >= minEst)
+          .select(col("id_a"), col("id_b"))
+      } else {
+        lshCandidatePairs(sig, numHashes, bands)
           .join(sig.as("a"), col("id_a") === col("a.id"))
           .join(sig.as("b"), col("id_b") === col("b.id"))
           .filter(sigAgreement(numHashes) >= minEst)
           .select(col("id_a"), col("id_b"))
       }
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+    val sh = shPinned.getOrElse(
+      docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+        .localCheckpoint())
     val verified = trimmed
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -132,8 +132,12 @@ object CurationRegistry {
       // replay verbatim in DuckDB (DedupSpec additionally proves
       // batch-vs-full-corpus equivalence of the surviving id set)
       val d = Tables.documents(s, dir)
-      val seenSigs = Dedup.minHashSignatures(
-        d.filter(col("doc_id") < 250), "doc_id", "text", 3, 16)
+      // the accumulated store is the shared 64-wide signature artifact:
+      // seen side = id slice of its first-16 column prefix (the same
+      // rows minHashSignatures(seen, 16) would build)
+      val seenSigs = minhashSigs64(s, dir)
+        .select(col("id") +: (0 until 16).map(i => col(s"mh_$i")): _*)
+        .filter(col("id") < 250)
       Dedup.minHashNearDupsIncremental(seenSigs,
         d.filter(col("doc_id") >= 250), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)
@@ -148,10 +152,11 @@ object CurationRegistry {
       // equivalence that previously lived only in DedupSpec into a
       // hash-green registry row.
       val d = Tables.documents(s, dir)
-      val seen = d.filter(col("doc_id") < 250)
+      // seen-side stores = id slices of the shared signature/shingle
+      // artifacts (identical rows to building them over the seen docs)
       Dedup.nearDupsVerifiedIncremental(
-        Dedup.minHashSignatures(seen, "doc_id", "text", 3, 64),
-        Dedup.shingleRelation(seen, "doc_id", "text", 3),
+        minhashSigs64(s, dir).filter(col("id") < 250),
+        shingles3(s, dir).filter(col("id") < 250),
         d.filter(col("doc_id") >= 250), "doc_id", "text",
         n = 3, numHashes = 64, bands = 64, threshold = 0.5,
         minEst = 0.125)
@@ -334,7 +339,9 @@ object CurationRegistry {
       Dedup.dedupClusters(textPairs.unionByName(vecPairs))
     }),
     "x_minhash_neardups" -> ((s, dir) =>   // FULL hash oracle (md5 family)
-      Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text")),
+      // reads the first-16 prefix of the shared 64-wide signature store
+      Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        sigPinned = Some(minhashSigs64(s, dir)))),
     "x_neardups_verified" -> ((s, dir) =>
       // LSH propose + estimate trim + exact verify, in the
       // PROVABLY-COMPLETE banding config (rows-per-band = 1): a pair
@@ -346,7 +353,9 @@ object CurationRegistry {
       // (the recall oracle for the whole LSH pipeline)
       Dedup.nearDupsVerified(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 64, bands = 64, threshold = 0.5,
-        minEst = 0.125)),
+        minEst = 0.125,
+        sigPinned = Some(minhashSigs64(s, dir)),
+        shPinned = Some(shingles3(s, dir)))),
     "x_simhash" -> ((s, dir) =>            // FULL hash oracle (md5 votes)
       Dedup.simHash(Tables.documents(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text")),

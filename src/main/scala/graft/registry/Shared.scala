@@ -227,6 +227,36 @@ private[graft] object Shared {
         .localCheckpoint()
     }
 
+  /** The persisted MinHash signature store per corpus dir — 64 md5-fold
+    * Carter–Wegman components over 3-gram shingles, the accumulated
+    * artifact an incremental near-dup ingest maintains (appended per
+    * batch, never re-derived from text). The per-permutation family
+    * depends only on the permutation index, so every narrower config is
+    * a column prefix: x_neardups_verified reads all 64,
+    * x_minhash_neardups / x_dedup_incremental_lsh read mh_0..15, and
+    * the incremental entries' seen-side slices are id filters.
+    */
+  private val minhashSigCache = new SessionFrameCache
+  private[graft] def minhashSigs64(s: SparkSession,
+                                   dir: String): DataFrame =
+    minhashSigCache.get(s, dir) {
+      Dedup.minHashSignatures(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, numHashes = 64)
+        .localCheckpoint()
+    }
+
+  /** The persisted shingle store per corpus dir (distinct 3-gram arrays
+    * per doc) — the second accumulated near-dup artifact, read by every
+    * exact-Jaccard verify stage.
+    */
+  private val shingleCache = new SessionFrameCache
+  private[graft] def shingles3(s: SparkSession, dir: String): DataFrame =
+    shingleCache.get(s, dir) {
+      Dedup.shingleRelation(Tables.documents(s, dir), "doc_id", "text",
+          n = 3)
+        .localCheckpoint()
+    }
+
   /** The ExactSubstr duplicated-span table per corpus dir (k = 20) —
     * the span cut-list the substring-dedup job writes; x_dup_substrings
     * exports it and x_dup_substring_stats rolls it up per doc.
@@ -236,6 +266,24 @@ private[graft] object Shared {
     dupSpanCache.get(s, dir) {
       Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
           k = 20)
+        .localCheckpoint()
+    }
+
+  /** The cross-document line-dedup relation per corpus dir over the
+    * 8-word re-chunked corpus — the cleaned-corpus artifact the line-
+    * dedup job writes; x_dedup_lines exports it (plus the id sort) and
+    * x_llm_pipeline_v2's clean stage chains from it.
+    */
+  private val dedupLinesCache = new SessionFrameCache
+  private[graft] def dedupedLines(s: SparkSession, dir: String): DataFrame =
+    dedupLinesCache.get(s, dir) {
+      import org.apache.spark.sql.functions.{array_join, col, trim}
+      val lined = Tables.documents(s, dir)
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
+            .as("text"))
+      TextAnalysis.dedupLinesRelation(lined, "doc_id", "text")
         .localCheckpoint()
     }
 

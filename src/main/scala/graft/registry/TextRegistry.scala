@@ -465,12 +465,8 @@ object TextRegistry {
       // docs are excluded symmetrically with the oracle's WHERE (the
       // operator itself keeps them as one blank line; the oracle's
       // line-derivation CTE cannot represent that).
-      val lined = Tables.documents(s, dir)
-        .filter(trim(col("text")) =!= "")
-        .select(col("doc_id"),
-          array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
-            .as("text"))
-      TextAnalysis.dedupLines(lined, "doc_id", "text")
+      // the shared cleaned-corpus artifact plus the export's id sort
+      dedupedLines(s, dir).orderBy(col("doc_id"))
     }),
     "x_corpus_shuffle" -> ((s, dir) =>
       // deterministic shuffled-shard layout for training reads: uniform
@@ -485,15 +481,12 @@ object TextRegistry {
       // windows → deterministic shard layout → per-shard corpus summary.
       // Every stage is individually oracle-checked; the composite chains
       // their CTEs in DuckDB.
-      val lined = Tables.documents(s, dir)
-        .filter(trim(col("text")) =!= "")  // symmetric with the oracle CTE
-        .select(col("doc_id"),
-          array_join(TextAnalysis.chunkTexts(col("text"), 8, 8), "\n")
-            .as("text"))
       // unordered relation forms mid-pipeline: the export sorts inside
       // dedupLines/chunkWindows would otherwise survive as global
-      // range-exchange+Sort stages under the final aggregate
-      val clean = TextAnalysis.dedupLinesRelation(lined, "doc_id", "text")
+      // range-exchange+Sort stages under the final aggregate. The clean
+      // stage chains from the shared line-dedup artifact
+      // (Shared.dedupedLines — the same relation x_dedup_lines exports)
+      val clean = dedupedLines(s, dir)
         .filter(col("n_lines_kept") >= 2)
         .select(col("doc_id"), col("clean_text").as("text"))
       // chunk_key is the ·10⁶ positional encoding, now GUARDED (posKey

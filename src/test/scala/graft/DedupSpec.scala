@@ -383,6 +383,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("rows=1 banding counts components: a pair's colliding-band count " +
+      "equals its number of equal signature components (the folded trim)") {
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .filter($"doc_id" < 120)
+    val sig = Dedup.minHashSignatures(d, "doc_id", "text", 3, 64)
+      .localCheckpoint()
+    val counts = Dedup.lshCandidatePairCounts(sig, 64, 64)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(counts.nonEmpty, "no colliding pairs — test is vacuous")
+    val rows = sig.collect()
+      .map(r => r.getLong(0) -> (1 to 64).map(r.getLong)).toMap
+    for (a <- rows.keys; b <- rows.keys if a < b) {
+      val eq = rows(a).zip(rows(b)).count { case (x, y) => x == y }.toLong
+      assert(counts.getOrElse((a, b), 0L) == eq,
+        s"pair ($a,$b): n_bands ${counts.getOrElse((a, b), 0L)} vs $eq")
+    }
+  }
+
   test("simhash recall audit: every identical-text twin pair surfaces at hamming 0") {
     val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val twins = d.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
