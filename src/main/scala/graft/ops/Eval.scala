@@ -2398,14 +2398,21 @@ object Eval {
   private def monthlyPanel(df: DataFrame, unitCol: String,
                            dateCol: Column,
                            valueCol: String): DataFrame = {
+    // pin the corpus aggregation: the month/unit axes derive from it
+    // (2 more refs here) and every caller re-references the grid 2-4×
+    // (treated/donor splits, per-unit/per-month margins) — without the
+    // pin the corpus re-aggregates once per reference. The pinned frame
+    // is bounded by |units|·|months|.
     val monthly = df.groupBy(col(unitCol).as("__u"),
         date_trunc("month", dateCol).cast("date").as("__m"))
       .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
+      .localCheckpoint()
     val months = monthly.select(col("__m")).distinct()
     val units = monthly.select(col("__u")).distinct()
     months.crossJoin(broadcast(units))
       .join(monthly, Seq("__u", "__m"), "left")
       .withColumn("__y", coalesce(col("__y"), lit(0L)))
+      .localCheckpoint(eager = false)
   }
 
   /** Synthetic-control-lite at the unit×month grain: the counterfactual
