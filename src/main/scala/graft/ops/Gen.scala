@@ -90,7 +90,9 @@ object Gen {
     * purchase .05); view→duration 3–120 s, click→position 1–20 + referrer,
     * cart/purchase→quantity 1–5, purchase→price U(9.99, 499.99); fields
     * NULL for other types (nullable schema per
-    * `clickstream_aggregation.py:61-65`).
+    * `clickstream_aggregation.py:61-65`). Unordered: every column is a
+    * pure function of (key, sq) — callers that export the rows order at
+    * the edge rather than paying a corpus-wide range exchange mid-plan.
     */
   val eventTypes: Seq[(String, Double)] = Seq(
     "view" -> 0.50, "click" -> 0.80, "cart" -> 0.95, "purchase" -> 1.0)
@@ -123,7 +125,6 @@ object Gen {
       .select(col(key), col("sq"), col("event_type"),
         col("view_duration_sec"), col("click_position"), col("referrer"),
         col("quantity"), col("price"))
-      .orderBy(col(key), col("sq"))
   }
 
   /** Full reference-shaped clickstream synthesis (G5 + P14): every field of

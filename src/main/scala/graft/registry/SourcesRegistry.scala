@@ -288,7 +288,8 @@ object SourcesRegistry {
     "g_profiles" -> ((s, dir) =>
       Gen.profiles(Tables.customer(s, dir).select("c_custkey"), "c_custkey")),
     "g_events" -> ((s, dir) =>
-      Gen.events(Tables.customer(s, dir).select("c_custkey"), "c_custkey", 3)),
+      Gen.events(Tables.customer(s, dir).select("c_custkey"), "c_custkey", 3)
+        .orderBy("c_custkey", "sq")),
     "g_weighted_sample" -> ((s, dir) => {
       // Efraimidis–Spirakis weighted sample WITHOUT replacement:
       // inclusion ∝ activity_weight, deterministic via the shared hash
