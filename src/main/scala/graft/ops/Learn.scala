@@ -444,7 +444,8 @@ object Learn {
     */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
                    loserCol: String, iterations: Int = 4,
-                   checkpointDir: Option[String] = None): DataFrame = {
+                   checkpointDir: Option[String] = None,
+                   driverCellBudget: Long = 2000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 12,
       s"bradleyTerry: iterations in [1, 12] (got $iterations)")
     // ONE matchup-grain pass: comparisons pre-aggregate to the DIRECTED
@@ -459,6 +460,14 @@ object Learn {
         .filter(col("__w") =!= col("__l"))
         .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__nwl")),
       checkpointDir)
+    // Cost-based fast path (the connectedComponents driverEdgeBudget
+    // posture): the checkpointed matchup-CELL table is ≤ players² rows
+    // and data-bounded; when it fits the budget (tens of MB), one
+    // collect + the exact MM loop in driver integer math replaces
+    // 4 distributed jobs per run plus the pairs/nodes/nComp folds.
+    // Over-budget leagues keep the distributed superstep loop below.
+    if (comps.count() <= driverCellBudget)
+      return bradleyTerryDriver(comps, iterations)
     val pairs = Ckpt.cut(comps
       .select(col("__w").as("__i"), col("__l").as("__j"), col("__nwl"))
       .unionByName(comps.select(col("__l").as("__i"),
@@ -541,6 +550,102 @@ object Learn {
           .as("strength"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("strength").desc, col("player"))).cast("long"))
+      .orderBy("rank")
+  }
+
+  /** [[bradleyTerry]]'s under-budget path: the same MM fixed point on
+    * the same 1e-9 lattice, computed from ONE collect of the directed
+    * (winner, loser, count) cell table. Arithmetic parity with the
+    * distributed form is exact: the per-matchup term is the identical
+    * integer HALF-UP (2A+B) div (2B) — computed in overflow-checked
+    * Long split-division with a BigInt fallback, both truncating
+    * toward zero like decimal `div` on these positive operands — and
+    * every fold is an exact integer sum (order-free). LearnSpec pins
+    * fast ≡ distributed (`driverCellBudget = 0` forces the loop).
+    */
+  private def bradleyTerryDriver(comps: DataFrame,
+                                 iterations: Int): DataFrame = {
+    val sess = comps.sparkSession
+    import sess.implicits._
+    val rows = comps.select(col("__w"), col("__l"), col("__nwl")).collect()
+    if (rows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Long)]
+        .toDF("player", "n_wins", "n_comparisons", "strength", "rank")
+    val winsBy = scala.collection.mutable.HashMap.empty[Long, Long]
+    val cells = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    for (r <- rows) {
+      val (wk, lk, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      winsBy(wk) = winsBy.getOrElse(wk, 0L) + n
+      val key = if (wk < lk) (wk, lk) else (lk, wk)
+      cells(key) = cells.getOrElse(key, 0L) + n
+    }
+    val players = cells.keysIterator
+      .flatMap(k => Iterator(k._1, k._2)).toArray.distinct.sorted
+    require(players.length <= 65536,
+      s"bradleyTerry: ${players.length} players exceeds the 65536 " +
+        "player-vector cap (the strength vector is driver-resident by " +
+        "design — matchups scale, players are entities); pre-aggregate " +
+        "the league or shard by division")
+    val np = players.length
+    val idx = players.zipWithIndex.toMap
+    // undirected cell arrays (index grain): each cell contributes the
+    // SAME term to both endpoints' denominators (den0 is symmetric)
+    val ai = new Array[Int](cells.size)
+    val bi = new Array[Int](cells.size)
+    val nab = new Array[Long](cells.size)
+    var c = 0
+    for (((a, b), n) <- cells) {
+      ai(c) = idx(a); bi(c) = idx(b); nab(c) = n; c += 1
+    }
+    val nComp = new Array[Long](np)
+    for (k <- 0 until cells.size) {
+      nComp(ai(k)) += nab(k); nComp(bi(k)) += nab(k)
+    }
+    val TwoE18 = 2000000000000000000L
+    val E18 = BigInt(TwoE18)
+    // exact (nij·2e18 + den0) div (2·den0): Long split-division when
+    // every intermediate provably fits, else BigInt — same integer
+    def term(nij: Long, den0: Long): BigInt = {
+      if (den0 <= Long.MaxValue / 2) {
+        val d = den0 * 2
+        val q0 = TwoE18 / d
+        val r0 = TwoE18 - q0 * d
+        if ((q0 == 0L || nij <= Long.MaxValue / q0) &&
+            (r0 == 0L || nij <= (Long.MaxValue - den0) / r0)) {
+          val hi = nij * q0
+          val lo = (nij * r0 + den0) / d
+          if (hi <= Long.MaxValue - lo) return BigInt(hi + lo)
+        }
+      }
+      (BigInt(nij) * E18 + den0) / (BigInt(den0) * 2)
+    }
+    val w = new Array[Long](np)
+    java.util.Arrays.fill(w, 1000000000L)
+    val one = BigInt(1)
+    for (_ <- 1 to iterations) {
+      val den = Array.fill(np)(BigInt(0))
+      for (k <- 0 until cells.size) {
+        val den0 = math.max(w(ai(k)) + w(bi(k)), 1L)
+        val t = term(nab(k), den0)
+        den(ai(k)) += t; den(bi(k)) += t
+      }
+      // identical player-grain MM close as the distributed path
+      val raw = (0 until np).map { i =>
+        val d = den(i).max(one)
+        (BigInt(winsBy.getOrElse(players(i), 0L)) * E18 + d) / (d * 2)
+      }
+      val tot = raw.sum.max(one)
+      val npB = BigInt(np)
+      for (i <- 0 until np)
+        w(i) = ((raw(i) * npB * BigInt(2000000000) + tot) / (tot * 2)).toLong
+    }
+    val out = (0 until np).map { i =>
+      (players(i), winsBy.getOrElse(players(i), 0L), nComp(i),
+        ((w(i) * 2 + 1000L) / 2000L).toDouble / 1e6)
+    }.sortBy { case (p, _, _, s) => (-s, p) }
+      .zipWithIndex
+      .map { case ((p, nw, nc, s), r) => (p, nw, nc, s, r + 1L) }
+    out.toDF("player", "n_wins", "n_comparisons", "strength", "rank")
       .orderBy("rank")
   }
 

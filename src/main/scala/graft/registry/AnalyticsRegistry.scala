@@ -1446,10 +1446,17 @@ object AnalyticsRegistry {
       // the interpreted lambda / per-element array-copy overhead costs
       // more than the shuffle it saves); the self-join keeps every
       // operator codegen'd.
+      // one-exchange prep (the cfKept pattern): cluster by the order
+      // key once — hashpartitioning(ok) satisfies the (ok, sk)
+      // aggregation's distribution AND both self-join sides, so the
+      // (ok, sk) exchange disappears (measured 1.8 -> 1.3 s warm; the
+      // cent sum is an exact integer fold, order-free)
       val rev = Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .agg(sum(round(col("l_extendedprice") *
-          (lit(1.0) - col("l_discount")) * 100, 0).cast("long")).as("rev"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * 100, 0).cast("long").as("c"))
+        .repartition(col("ok"))
+        .groupBy(col("ok"), col("sk")).agg(sum(col("c")).as("rev"))
       val comps = rev.as("a").join(rev.as("b"),
           col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
         .filter(col("a.rev") =!= col("b.rev"))

@@ -202,6 +202,26 @@ class LearnSpec extends SparkSpec {
     assert(local == rel)
   }
 
+  test("bradleyTerry driver fast path ≡ distributed supersteps " +
+      "(driverCellBudget = 0 forces the loop) on a randomized league") {
+    // deterministic pseudo-random schedule: 24 players, 400 matchups
+    // with repeats, skewed toward low ids winning — exercises repeated
+    // cells, uneven schedules, and all-losing players
+    val games = (0 until 400).map { g =>
+      val a = (g * 7919 % 24).toLong
+      val b = ((g * 104729 + 13) % 24).toLong
+      if (a == b) (a, (b + 1) % 24)
+      else if ((g * 31 % 10) < 6) (math.min(a, b), math.max(a, b))
+      else (math.max(a, b), math.min(a, b))
+    }.toDF("winner", "loser")
+    val fast = Learn.bradleyTerry(games, "winner", "loser",
+      iterations = 4).collect().toSeq
+    val dist = Learn.bradleyTerry(games, "winner", "loser",
+      iterations = 4, driverCellBudget = 0L).collect().toSeq
+    assert(fast == dist)
+    assert(fast.nonEmpty)
+  }
+
   test("decisionStumpBinned: clean separation elects a boundary within " +
       "one bin width of the true split, with no ntile global sort") {
     import org.apache.spark.sql.functions._
