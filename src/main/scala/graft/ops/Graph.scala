@@ -526,9 +526,12 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") < col("b")).distinct().localCheckpoint(eager = false)
+    // node-grain, referenced 4x (hub-guard max, adj weights, du, dv) —
+    // pinned so the union+fold over the edge list runs once
     val deg = canon0.select(col("a").as("node"))
       .unionByName(canon0.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
     // fail-loud hub guard, same contract as triangleCounts: one hub node
     // costs deg² wedges, so refuse loudly instead of detonating.
     val canon = canon0
@@ -553,6 +556,9 @@ object Graph {
           round(lit(1000000.0) / log(col("deg").cast("double")), 0))
           .otherwise(lit(0.0)).cast("long"))
       .select("w", "n", "aa_m")
+      // wedge-grain input, consumed by both self-join sides: pinned so
+      // the guard + degree join chain materializes once
+      .localCheckpoint(eager = false)
     val pairs = adj.as("l")
       .join(adj.as("r"), col("l.w") === col("r.w") && col("l.n") < col("r.n"))
       .groupBy(col("l.n").as("u"), col("r.n").as("v"))
