@@ -94,7 +94,8 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int,
-                       checkpointDir: Option[String] = None): DataFrame = {
+                       checkpointDir: Option[String] = None,
+                       driverEdgeBudget: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"labelPropagation: rounds in [1, 20] (got $rounds)")
     val e = Ckpt.cut(
@@ -103,6 +104,13 @@ object Graph {
         .unionByName(edges.select(col(dstCol).cast("long").as("src"),
           col(srcCol).cast("long").as("dst")))
         .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    // cost-based fast path (the connectedComponents driverEdgeBudget
+    // posture): the vote join + count + per-node window cost a fixed
+    // set of jobs per round; under the budget one collect + the exact
+    // integer vote (max count, min-label ties) replaces them. Bigger
+    // graphs keep the distributed loop; GraphSpec pins parity.
+    if (e.count() <= driverEdgeBudget)
+      return labelPropagationDriver(e, rounds)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
@@ -124,6 +132,68 @@ object Graph {
       .select(col("node"), col("label").as("community"),
         col("community_size"))
       .orderBy("node")
+  }
+
+  /** [[labelPropagation]]'s under-budget path: the identical
+    * deterministic sync vote (most-frequent neighbor label, SMALLEST
+    * label on ties) from ONE collect of the symmetrized edge list —
+    * pure integer comparisons, so parity with the distributed rounds
+    * is exact. GraphSpec pins fast ≡ distributed via
+    * `driverEdgeBudget = 0`.
+    */
+  private def labelPropagationDriver(e: DataFrame,
+                                     rounds: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val edgeRows = e.select(col("src"), col("dst")).collect()
+    if (edgeRows.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("node", "community", "community_size")
+    // the edge list is symmetric, so src covers every node
+    val nodes = edgeRows.map(_.getLong(0)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    // CSR adjacency over node indices (grouped by src)
+    val degree = new Array[Int](n)
+    edgeRows.foreach(r => degree(idx(r.getLong(0))) += 1)
+    val start = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { start(i + 1) = start(i) + degree(i); i += 1 }
+    val fill = start.clone()
+    val nbr = new Array[Int](edgeRows.length)
+    edgeRows.foreach { r =>
+      val s = idx(r.getLong(0))
+      nbr(fill(s)) = idx(r.getLong(1)); fill(s) += 1
+    }
+    var label: Array[Long] = nodes.clone()
+    val votes = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        votes.clear()
+        var k = start(i)
+        while (k < start(i + 1)) {
+          val l = label(nbr(k))
+          votes(l) = votes.getOrElse(l, 0L) + 1L
+          k += 1
+        }
+        // max count, ties to the SMALLEST label — the row_number order
+        var bestL = Long.MaxValue
+        var bestC = 0L
+        for ((l, c) <- votes)
+          if (c > bestC || (c == bestC && l < bestL)) {
+            bestC = c; bestL = l
+          }
+        next(i) = bestL
+        i += 1
+      }
+      label = next
+    }
+    val sizes = scala.collection.mutable.HashMap.empty[Long, Long]
+    label.foreach(l => sizes(l) = sizes.getOrElse(l, 0L) + 1L)
+    (0 until n).map(i => (nodes(i), label(i), sizes(label(i))))
+      .toDF("node", "community", "community_size").orderBy("node")
   }
 
   /** Per-node triangle counts + local clustering coefficient over an
@@ -281,13 +351,27 @@ object Graph {
     */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                          seeds: DataFrame, seedCol: String,
-                         rounds: Int): DataFrame = {
+                         rounds: Int,
+                         driverEdgeBudget: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 10,
       s"harmonicCentrality: rounds in [1, 10] (got $rounds)")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
       .localCheckpoint(eager = false)
-    var dist = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+    val seedD = seeds.select(col(seedCol).cast("long").as("seed"))
+      .distinct().localCheckpoint(eager = false)
+    // cost-based fast path (the connectedComponents driverEdgeBudget
+    // posture), CPU-gated on seeds × edges (the driver BFS does
+    // O(seeds·(nodes+edges)) work): under the budget one collect + a
+    // per-seed BFS replaces `rounds` join+anti-join+checkpoint
+    // supersteps. GraphSpec pins fast ≡ distributed.
+    val eCount = e.count()
+    if (eCount <= driverEdgeBudget) {
+      val sn = seedD.count()
+      if (sn * math.max(eCount, 1L) <= 100000000L)
+        return harmonicDriver(e, seedD, rounds)
+    }
+    var dist = seedD
       .select(col("seed").as("node"), col("seed"), lit(0L).as("d"))
       .localCheckpoint(eager = false)
     // frontier (delta) BFS: with unit weights, first discovery IS the
@@ -312,6 +396,83 @@ object Graph {
       .select(col("node"), col("n_seeds_reached"),
         round(col("__h") / lit(1000000.0), 6).as("harmonic"))
       .orderBy("node")
+  }
+
+  /** [[harmonicCentrality]]'s under-budget path: per-seed BFS over a
+    * CSR adjacency from ONE collect of the edge list. Unit-weight BFS
+    * first-discovery distances are the same integers the frontier-delta
+    * supersteps compute; the two roundings replicate Spark's `round`
+    * (BigDecimal HALF_UP on the double) per element — both are pure
+    * per-value functions, so parity is exact and order-free.
+    */
+  private def harmonicDriver(e: DataFrame, seedD: DataFrame,
+                             rounds: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val edgeRows = e.select(col("src"), col("dst")).collect()
+    val seedVals = seedD.collect().map(_.getLong(0))
+    if (edgeRows.isEmpty || seedVals.isEmpty)
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("node", "n_seeds_reached", "harmonic")
+    val nodes = edgeRows
+      .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val degree = new Array[Int](n)
+    edgeRows.foreach(r => degree(idx(r.getLong(0))) += 1)
+    val start = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { start(i + 1) = start(i) + degree(i); i += 1 }
+    val fill = start.clone()
+    val nbr = new Array[Int](edgeRows.length)
+    edgeRows.foreach { r =>
+      val s = idx(r.getLong(0))
+      nbr(fill(s)) = idx(r.getLong(1)); fill(s) += 1
+    }
+    def roundHalfUp(v: Double, scale: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+    // hm(d) replicates round(1e6 / d, 0) for the bounded 1..rounds axis
+    val hm = (0 to rounds).map(d =>
+      if (d == 0) 0L else roundHalfUp(1000000.0 / d, 0).longValue).toArray
+    val cnt = new Array[Long](n)
+    val sumH = new Array[Long](n)
+    val distArr = Array.fill(n)(-1)
+    val queue = new Array[Int](n)
+    for (sv <- seedVals; si <- idx.get(sv)) {
+      java.util.Arrays.fill(distArr, -1)
+      distArr(si) = 0
+      queue(0) = si
+      var head = 0
+      var tail = 1
+      while (head < tail) {
+        val u = queue(head); head += 1
+        val du = distArr(u)
+        if (du < rounds) {
+          var k = start(u)
+          while (k < start(u + 1)) {
+            val v = nbr(k)
+            if (distArr(v) < 0) {
+              distArr(v) = du + 1
+              queue(tail) = v; tail += 1
+            }
+            k += 1
+          }
+        }
+      }
+      i = 0
+      while (i < n) {
+        if (distArr(i) > 0) {
+          cnt(i) += 1L
+          sumH(i) = Math.addExact(sumH(i), hm(distArr(i)))
+        }
+        i += 1
+      }
+    }
+    (0 until n).filter(cnt(_) > 0L).map { i =>
+      (nodes(i), cnt(i),
+        roundHalfUp(sumH(i) / 1000000.0, 6).doubleValue)
+    }.toDF("node", "n_seeds_reached", "harmonic").orderBy("node")
   }
 
   /** HITS hubs-and-authorities over a DIRECTED edge list for a fixed
@@ -339,11 +500,19 @@ object Graph {
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int,
-           checkpointDir: Option[String] = None): DataFrame = {
+           checkpointDir: Option[String] = None,
+           driverEdgeBudget: Long = 2000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"hits: iterations in [1, 20] (got $iterations)")
     val e = Ckpt.cut(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct(), checkpointDir)
+    // cost-based fast path (the connectedComponents driverEdgeBudget
+    // posture): each superstep costs 2 half-steps of join + fold +
+    // scalar broadcast + checkpoint regardless of graph size; under
+    // the budget one collect + the exact lattice recursion in driver
+    // integer math replaces 6 jobs per iteration. Over-budget graphs
+    // keep the distributed loop; GraphSpec pins fast ≡ distributed.
+    if (e.count() <= driverEdgeBudget) return hitsDriver(e, iterations)
     val nodes = Ckpt.cut(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct(), checkpointDir)
@@ -380,6 +549,63 @@ object Graph {
         (expr("(hm * 2 + 1000) div 2000").cast("double") / 1e6)
           .as("hub"))
       .orderBy("node")
+  }
+
+  /** [[hits]]'s under-budget path: the identical lattice recursion from
+    * ONE collect of the checkpointed edge list. Every operation is the
+    * same exact integer as the distributed form — Long folds with
+    * `Math.addExact` (the ANSI-overflow contract), the L1 half-step as
+    * BigInt (2·raw·10⁹ + tot) div (2·tot) — so parity is bit-exact and
+    * order-free. GraphSpec pins fast ≡ distributed via
+    * `driverEdgeBudget = 0`.
+    */
+  private def hitsDriver(e: DataFrame, iterations: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val edgeRows = e.select(col("src"), col("dst")).collect()
+    if (edgeRows.isEmpty)
+      return Seq.empty[(Long, Double, Double)]
+        .toDF("node", "authority", "hub")
+    val nodes = edgeRows
+      .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val srcI = new Array[Int](edgeRows.length)
+    val dstI = new Array[Int](edgeRows.length)
+    var k = 0
+    while (k < edgeRows.length) {
+      srcI(k) = idx(edgeRows(k).getLong(0))
+      dstI(k) = idx(edgeRows(k).getLong(1))
+      k += 1
+    }
+    def norm(raw: Array[Long]): Array[Long] = {
+      var tot = 0L
+      var i = 0
+      while (i < n) { tot = Math.addExact(tot, raw(i)); i += 1 }
+      val totB = BigInt(tot)
+      val t2 = totB * 2
+      raw.map(r => ((BigInt(r) * 2000000000L + totB) / t2).toLong)
+    }
+    var h = Array.fill(n)(1000000000L)
+    var a = new Array[Long](n)
+    for (_ <- 1 to iterations) {
+      val ar = new Array[Long](n)
+      k = 0
+      while (k < edgeRows.length) {
+        ar(dstI(k)) = Math.addExact(ar(dstI(k)), h(srcI(k))); k += 1
+      }
+      a = norm(ar)
+      val hr = new Array[Long](n)
+      k = 0
+      while (k < edgeRows.length) {
+        hr(srcI(k)) = Math.addExact(hr(srcI(k)), a(dstI(k))); k += 1
+      }
+      h = norm(hr)
+    }
+    (0 until n).map { i =>
+      (nodes(i), ((a(i) * 2 + 1000L) / 2000L).toDouble / 1e6,
+        ((h(i) * 2 + 1000L) / 2000L).toDouble / 1e6)
+    }.toDF("node", "authority", "hub").orderBy("node")
   }
 
   /** Degree assortativity of an UNDIRECTED graph: the Pearson

@@ -248,4 +248,36 @@ class GraphSpec extends SparkSpec {
       .collect().toSeq
     assert(rel == loc)
   }
+
+  test("driver fast paths ≡ distributed supersteps (driverEdgeBudget = 0 " +
+      "forces the loop): hits, labelPropagation, harmonicCentrality on a " +
+      "randomized directed graph") {
+    import spark.implicits._
+    // deterministic pseudo-random digraph: 40 nodes, 300 directed edges
+    // with hubs, cycles, sinks, sources, and a self-loop-free mix
+    val edges = (0 until 300).map { g =>
+      val a = (g * 7919 % 40).toLong
+      val b = ((g * 104729 + 17) % 40).toLong
+      if (a == b) (a, (b + 1) % 40) else (a, b)
+    }.toDF("src", "dst")
+    val seeds = (0L until 40L by 7L).toDF("seed")
+
+    val hFast = Graph.hits(edges, "src", "dst", iterations = 4)
+      .collect().toSeq
+    val hDist = Graph.hits(edges, "src", "dst", iterations = 4,
+      driverEdgeBudget = 0L).collect().toSeq
+    assert(hFast == hDist && hFast.nonEmpty)
+
+    val lFast = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().toSeq
+    val lDist = Graph.labelPropagation(edges, "src", "dst", rounds = 4,
+      driverEdgeBudget = 0L).collect().toSeq
+    assert(lFast == lDist && lFast.nonEmpty)
+
+    val cFast = Graph.harmonicCentrality(edges, "src", "dst",
+      seeds, "seed", rounds = 3).collect().toSeq
+    val cDist = Graph.harmonicCentrality(edges, "src", "dst",
+      seeds, "seed", rounds = 3, driverEdgeBudget = 0L).collect().toSeq
+    assert(cFast == cDist && cFast.nonEmpty)
+  }
 }
