@@ -115,8 +115,14 @@ object Frequency {
     // guard lives INSIDE the item column every downstream stage reads, so
     // column pruning can never elide it; its window shuffles on the same
     // basket key the pair join needs anyway.
+    // one-exchange prep + pin (the cfKept pattern): clustering by the
+    // basket key alone satisfies the (basket, item) dedup AND the guard
+    // window, and the cleaned frame is referenced 4x (basket count,
+    // item support, both pair-join sides) — pinned so the chain runs
+    // once instead of per consumer
     val b = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-      .distinct()
+      .repartition(col("__bk"))
+      .dropDuplicates("__bk", "__it")
       .withColumn("__sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__bk"))))
       .withColumn("__it",
@@ -126,6 +132,7 @@ object Frequency {
               "(pair space is quadratic per basket): "),
             col("__bk").cast("string")))))
       .drop("__sz")
+      .localCheckpoint(eager = false)
     val nBaskets = b.agg(countDistinct(col("__bk")).as("__nb"))
     val supp = b.groupBy(col("__it")).agg(count(lit(1)).as("__supp"))
     val pairs = b.as("l").join(b.as("r"),
