@@ -95,15 +95,24 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int,
                        checkpointDir: Option[String] = None,
-                       driverEdgeBudget: Long = 2000000L): DataFrame = {
+                       driverEdgeBudget: Long = 2000000L,
+                       presymmetrized: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"labelPropagation: rounds in [1, 20] (got $rounds)")
-    val e = Ckpt.cut(
-      edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-        .unionByName(edges.select(col(dstCol).cast("long").as("src"),
+    val cast = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // presymmetrized: the caller vouches the input is ALREADY the
+    // distinct, self-loop-free, both-orientations edge list (e.g. the
+    // pinned Shared.coOrderEdges artifact) — re-symmetrizing it (a 2x
+    // union + distinct + fresh checkpoint per call) is the identity and
+    // was the whole cost of the query at bench scale. GraphSpec pins
+    // presymmetrized ≡ default on a symmetrized graph.
+    val e =
+      if (presymmetrized) cast
+      else Ckpt.cut(
+        cast.unionByName(edges.select(col(dstCol).cast("long").as("src"),
           col(srcCol).cast("long").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+          .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
     // cost-based fast path (the connectedComponents driverEdgeBudget
     // posture): the vote join + count + per-node window cost a fixed
     // set of jobs per round; under the budget one collect + the exact

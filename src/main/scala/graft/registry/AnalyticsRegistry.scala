@@ -740,7 +740,7 @@ object AnalyticsRegistry {
       // ties, 4 fixed supersteps) — PRODUCES the communities q_modularity
       // grades; per-node community + its size
       Graph.labelPropagation(Shared.coOrderEdges(s, dir), "src", "dst",
-          rounds = 4)
+          rounds = 4, presymmetrized = true)
         .withColumnRenamed("node", "s_suppkey")),
     "q_uplift_qini" -> ((s, dir) =>
       // does targeting by activity concentrate incremental conversions?

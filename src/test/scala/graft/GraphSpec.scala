@@ -274,6 +274,20 @@ class GraphSpec extends SparkSpec {
       driverEdgeBudget = 0L).collect().toSeq
     assert(lFast == lDist && lFast.nonEmpty)
 
+    // presymmetrized ≡ default: hand-symmetrize (both orientations,
+    // no self-loops, distinct — exactly the Shared.coOrderEdges shape)
+    // and assert the skip-the-resymmetrize path lands on the same
+    // communities, on BOTH the driver fast path and the forced loop
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .filter($"src" =!= $"dst").distinct()
+    val lPre = Graph.labelPropagation(sym, "src", "dst", rounds = 4,
+      presymmetrized = true).collect().toSeq
+    assert(lPre == lFast)
+    val lPreDist = Graph.labelPropagation(sym, "src", "dst", rounds = 4,
+      driverEdgeBudget = 0L, presymmetrized = true).collect().toSeq
+    assert(lPreDist == lFast)
+
     val cFast = Graph.harmonicCentrality(edges, "src", "dst",
       seeds, "seed", rounds = 3).collect().toSeq
     val cDist = Graph.harmonicCentrality(edges, "src", "dst",
