@@ -3876,10 +3876,12 @@ object Stats {
     * full-column value buffer (an OpenHashMap per partial, merged
     * single-threaded at the final agg — 3.2 s for four folds over
     * 600 K lineitem rows). Shape: one map-side-combined (value, count)
-    * aggregation, a running-sum window over the DISTINCT values (the
-    * wilcoxon midrank precedent — a global window is fine at the
-    * distinct grain, which is bounded by value cardinality, not rows),
-    * and one conditional fold that picks each probability's bracketing
+    * aggregation, a DISTRIBUTED running sum over the DISTINCT values
+    * (range-partitioned two-level prefix sum — on a mostly-distinct
+    * column the distinct grain is the corpus, so a single global window
+    * would be a one-task sort at scale; the only global window left is
+    * over one row per shuffle partition), and one conditional fold that
+    * picks each probability's bracketing
     * order statistics. The interpolation replicates Spark's Percentile
     * formula term for term:
     * `(higher − pos) · v_lo + (pos − lower) · v_hi` at
@@ -3899,10 +3901,34 @@ object Stats {
     val counts = df.select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val cum = counts
-      .withColumn("__end", sum(col("__c")).over(
-        Window.orderBy(col("__v"))
+    // Distributed running sum (round 13): the old global
+    // `Window.orderBy(__v)` moved EVERY distinct value to one task — fine
+    // at a bounded-bin grain, a one-task sort on a mostly-distinct
+    // column. Two-level prefix sum instead: range-partition the distinct
+    // values (partition i's values all sort before partition i+1's), sum
+    // WITHIN each range partition, and add the partition's prefix offset.
+    // The lazy localCheckpoint pins ONE materialized range layout so both
+    // consumers (offsets, local sums) see identical spark_partition_id
+    // assignments; integer sums make the split bit-exact, so the raw-bit
+    // StatsSpec parity against the builtin still holds. The one global
+    // window left runs over ONE ROW PER SHUFFLE PARTITION (bounded by
+    // cluster config, not data — the documented bounded-global-window
+    // class).
+    val ranged = counts.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val offs = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__c")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val cum = ranged
+      .withColumn("__lend", sum(col("__c")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn("__end", col("__lend") + col("__off"))
       .withColumn("__start", col("__end") - col("__c"))
     val n1 = cum.agg(coalesce(max(col("__end")), lit(0L)).as("__n"))
     val picks = probs.zipWithIndex.flatMap { case (p, i) =>
