@@ -211,10 +211,18 @@ object WindowAgg {
     * a 100 TB flagship table stays fresh: O(batch) work per ingest, a
     * bounded merge over partials, never a full recompute.
     */
-  def hourlyPartials(parsedEvents: DataFrame): DataFrame = {
+  def hourlyPartials(parsedEvents: DataFrame,
+                     extraKeys: Column*): DataFrame = {
+    // extraKeys: optional additional grouping columns (e.g. an ingest
+    // batch id) — the fold stays one scan + one shuffle while producing
+    // one partial row per (user, window, batch), exactly the rows the
+    // per-batch calls would produce separately (round 13: the
+    // incremental flagship folds both ingest halves in ONE pass keyed by
+    // the half instead of two filtered scans; [[mergeHourlyPartials]] is
+    // unchanged and still proves the merge).
     val w = window(col("ts_parsed"), "1 hour")
     parsedEvents
-      .groupBy(col("user_id"), w.as("win"))
+      .groupBy(Seq(col("user_id"), w.as("win")) ++ extraKeys: _*)
       .agg(
         count(lit(1)).as("total_events"),
         sum(Parse.flagIf(col("event_type") === "click")).as("click_count"),

@@ -261,9 +261,14 @@ object AnalyticsRegistry {
       // the MERGED state (the oracle hash proves the merge), exact
       // unique_k recomputed check-side, sketch bounded by unique_k_ok
       val e = ev(s, dir)
-      val merged = WindowAgg.mergeHourlyPartials(
-        WindowAgg.hourlyPartials(e.filter(pmod(col("event_id"), lit(2)) === 0)),
-        WindowAgg.hourlyPartials(e.filter(pmod(col("event_id"), lit(2)) === 1)))
+      // round 13: both ingest halves fold in ONE scan keyed by the half
+      // (identical partial rows to the two filtered scans — each
+      // (user, window, half) group aggregates exactly its half's events),
+      // then the SAME merge proves the partials are mergeable. One corpus
+      // scan + one shuffle replaces two of each; oracle re-proven x3 SFs.
+      val parts = WindowAgg.hourlyPartials(e,
+        pmod(col("event_id"), lit(2)).as("__batch"))
+      val merged = WindowAgg.mergeHourlyPartials(parts.drop("__batch"))
       WindowAgg.finalizeHourlyChecked(merged, e)
     }),
     "q_manifest_diff" -> ((s, dir) => {

@@ -74,7 +74,7 @@ class WindowAggSpec extends SparkSpec {
       parsed.filter(pmod(col("event_id"), lit(2)) === 0),
       parsed.filter(pmod(col("event_id"), lit(2)) === 1))
     val merged = WindowAgg.mergeHourlyPartials(
-      halves.map(WindowAgg.hourlyPartials): _*)
+      halves.map(h => WindowAgg.hourlyPartials(h)): _*)
     val single = WindowAgg.mergeHourlyPartials(
       WindowAgg.hourlyPartials(parsed))
     val nonSketch = Seq("user_id", "window_start", "window_end",
@@ -85,6 +85,16 @@ class WindowAggSpec extends SparkSpec {
     // finalize's rounding below; counts/mins exactly here)
     assert(merged.select(nonSketch.map(col): _*).collect().toSet ==
       single.select(nonSketch.map(col): _*).collect().toSet)
+
+    // round 13: the ONE-SCAN keyed fold (extraKeys = the ingest half)
+    // produces exactly the rows of the two filtered scans, so the merge
+    // over it lands on the same merged state — the q_incremental_hourly
+    // restructure's parity pin
+    val keyed = WindowAgg.hourlyPartials(parsed,
+      pmod(col("event_id"), lit(2)).as("__batch"))
+    val mergedKeyed = WindowAgg.mergeHourlyPartials(keyed.drop("__batch"))
+    assert(mergedKeyed.select(nonSketch.map(col): _*).collect().toSet ==
+      merged.select(nonSketch.map(col): _*).collect().toSet)
 
     val fin = WindowAgg.finalizeHourly(merged)
     val ref = WindowAgg.hourlyFeatures(parsed)
