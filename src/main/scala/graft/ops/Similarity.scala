@@ -1051,12 +1051,46 @@ object Similarity {
     * Both directions of each pair are emitted (the [[itemItemCF]]
     * symmetric shape).
     */
+  /** The MinHash signature table over a capped-basket frame (`__i`,
+    * `__u`, …) — one row per item, `numHashes` per-component min
+    * columns `__mh0..`. Extracted from [[itemItemCFLshPairs]] (round 13)
+    * so the signature store can be materialized ONCE per corpus and
+    * handed to each consumer via `sigPinned` — the production posture
+    * (an LSH signature table is a persisted artifact, rebuilt with the
+    * basket table, read by every candidate-generation job).
+    *
+    * Permutation family h_j(u) = minstd-u01 of the QUADRATIC key
+    * (u + j·1000003)² mod M — nonlinear in u per j (the hashPoints
+    * diagonal-line lesson: an affine family would give near-identical
+    * argmin users across permutations), and one exact BIGINT expression
+    * any engine replays — which is what makes this LSH build FULLY
+    * oracle-checkable. The key is reduced mod M BEFORE squaring
+    * (pmod(k,M)² < 2⁶²), so the product never overflows a signed 64-bit
+    * at ANY key range in either engine. All `numHashes` per-component
+    * mins fold in ONE item-keyed aggregation with parallel min columns
+    * (round 12 — replaces an explode to (interaction × numHashes) rows;
+    * the per-(i, j) min expression is unchanged, so signatures — and
+    * the oracle replay — are bit-identical).
+    */
+  def cfSignatures(kept: DataFrame, numHashes: Int): DataFrame = {
+    val m = lit(2147483647L)
+    val sigAggs = (0 until numHashes).map { j =>
+      val qm = pmod(col("__u") + lit(j.toLong * 1000003L), m)
+      val qk = pmod(qm * qm, m)
+      min(floor(Gen.u01(qk, 500L) * m).cast("long")).as(s"__mh$j")
+    }
+    kept.groupBy(col("__i").as("id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
   def itemItemCFLshPairs(interactions: DataFrame, userCol: String,
                          itemCol: String, minDf: Int = 2,
                          maxDf: Int = 100000, maxBasket: Int = 256,
                          minCosine: Double = 0.5, numHashes: Int = 32,
                          bands: Int = 16,
-                         keptPinned: Option[DataFrame] = None): DataFrame = {
+                         keptPinned: Option[DataFrame] = None,
+                         candFilter: Option[Column] = None,
+                         sigPinned: Option[DataFrame] = None): DataFrame = {
     require(minCosine > 0.0 && minCosine <= 1.0,
       s"itemItemCFLshPairs: minCosine in (0, 1] (got $minCosine)")
     require(numHashes % bands == 0,
@@ -1079,29 +1113,11 @@ object Similarity {
       cfKept(interactions, userCol, itemCol, minDf, maxDf, maxBasket)
         ._1.localCheckpoint())
     val dfs = kept.select(col("__i"), col("__df")).distinct()
-    val m = lit(2147483647L)
-    // permutation family h_j(u) = minstd-u01 of the QUADRATIC key
-    // (u + j·1000003)² mod M — nonlinear in u per j (the hashPoints
-    // diagonal-line lesson: an affine family would give near-identical
-    // argmin users across permutations), and one exact BIGINT
-    // expression any engine replays — which is what makes this LSH
-    // build FULLY oracle-checkable. The key is reduced mod M BEFORE
-    // squaring (pmod(k,M)² < 2⁶²), so the product never overflows a
-    // signed 64-bit at ANY key range in either engine — identical
-    // values for k < M, i.e. every current fixture.
-    // all `numHashes` per-component mins fold in ONE item-keyed
-    // aggregation with 32 parallel min columns (round 12 — replaces an
-    // explode to (interaction × numHashes) rows feeding a (id, j)
-    // groupBy, which pushed a 32× row blowup through the shuffle; the
-    // per-(i, j) min expression is unchanged, so signatures — and the
-    // oracle replay — are bit-identical)
-    val sigAggs = (0 until numHashes).map { j =>
-      val qm = pmod(col("__u") + lit(j.toLong * 1000003L), m)
-      val qk = pmod(qm * qm, m)
-      min(floor(Gen.u01(qk, 500L) * m).cast("long")).as(s"__mh$j")
-    }
-    val sig = kept.groupBy(col("__i").as("id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
+    // the signature table is itself a persistable artifact (the
+    // minhashSigs64 posture for documents): a registry-cached signature
+    // store arrives via sigPinned — it MUST be cfSignatures(kept,
+    // numHashes) rows for the same kept frame — and skips the fold
+    val sig = sigPinned.getOrElse(cfSignatures(kept, numHashes))
     // band b = (h_{2b}, h_{2b+1}) as a VALUE pair — no hash compression,
     // so the bucket key itself replays in SQL; the explode happens at
     // the ITEM grain (items × bands slim rows), never the interaction
@@ -1114,10 +1130,21 @@ object Similarity {
       .select(col("id"), explode(array(bandStructs: _*)).as("__bb"))
       .select(col("id"), col("__bb.band").as("band"),
         col("__bb.v1").as("v1"), col("__bb.v2").as("v2"))
-    val cand = bandsDf.as("l").join(bandsDf.as("r"),
-        col("l.band") === col("r.band") && col("l.v1") === col("r.v1") &&
-          col("l.v2") === col("r.v2") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    // candFilter (over id_a/id_b) restricts the PROPOSED pair set before
+    // the exact-verify joins. A caller may pass it only when its own
+    // downstream filter provably discards every pair the predicate drops
+    // (the x_item_cf_lsh_twins anchor keeps just id_b = id_a + shift:
+    // its final `neighbor = item + shift` filter can only be satisfied
+    // via the id_a < id_b orientation, so pre-filtering candidates is
+    // output-identical while the verify joins see ~#items pairs instead
+    // of every natural collision in the doubled corpus).
+    val cand = candFilter.foldLeft(
+        bandsDf.as("l").join(bandsDf.as("r"),
+          col("l.band") === col("r.band") && col("l.v1") === col("r.v1") &&
+            col("l.v2") === col("r.v2") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b")))(
+        (df, f) => df.filter(f))
+      .distinct()
     // exact verification: co-counts for CANDIDATE pairs only (two keyed
     // joins against the capped basket table + a user-equality match)
     val co = cand
@@ -1153,10 +1180,12 @@ object Similarity {
                     maxDf: Int = 100000, maxBasket: Int = 256,
                     k: Int = 10, minCosine: Double = 0.5,
                     numHashes: Int = 32, bands: Int = 16,
-                    keptPinned: Option[DataFrame] = None): DataFrame = {
+                    keptPinned: Option[DataFrame] = None,
+                    sigPinned: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && k <= 100, s"itemItemCFLsh: k in [1, 100] (got $k)")
     itemItemCFLshPairs(interactions, userCol, itemCol, minDf, maxDf,
-        maxBasket, minCosine, numHashes, bands, keptPinned)
+        maxBasket, minCosine, numHashes, bands, keptPinned,
+        sigPinned = sigPinned)
       .withColumn("rank", row_number().over(Window.partitionBy(col("item"))
         .orderBy(col("cosine").desc, col("n_co").desc,
           col("neighbor").asc)))

@@ -138,6 +138,22 @@ private[graft] object Shared {
         "l_partkey", minDf = 2, maxDf = 1000, maxBasket = 256)
     }
 
+  /** The MinHash signature store over [[cfKept]] at the family's
+    * standard width (32 hashes) — the [[minhashSigs64]] posture for the
+    * basket table: an LSH signature table is a persisted artifact
+    * (rebuilt with the basket table, read by every candidate-generation
+    * job). x_item_cf_lsh reads it directly; the twins anchor derives the
+    * doubled corpus' signatures from it (a twin has its base item's
+    * user set, so its per-component mins are IDENTICAL — only the id
+    * shifts). localCheckpoint pins the items × 32-longs grain.
+    */
+  private val cfSigCache = new SessionFrameCache
+  private[graft] def cfSigs(s: SparkSession, dir: String): DataFrame =
+    cfSigCache.get(s, dir) {
+      Similarity.cfSignatures(cfKept(s, dir), numHashes = 32)
+        .localCheckpoint()
+    }
+
   private val cfNeighborCache = new SessionFrameCache
   private[graft] def cfNeighbors(s: SparkSession,
                                  dir: String): DataFrame =

@@ -350,7 +350,8 @@ object SimilarityRegistry {
       Similarity.itemItemCFLsh(Shared.cfInteractions(s, dir),
         "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
         maxBasket = 256, k = 10, minCosine = 0.1, numHashes = 32,
-        bands = 16, keptPinned = Some(Shared.cfKept(s, dir)))),
+        bands = 16, keptPinned = Some(Shared.cfKept(s, dir)),
+        sigPinned = Some(Shared.cfSigs(s, dir)))),
     "x_item_cf_lsh_twins" -> ((s, dir) => {
       // MUST-FIND anchor (the x_simhash_recall pattern): every part
       // gets a twin with an IDENTICAL customer set, so signatures agree
@@ -376,10 +377,29 @@ object SimilarityRegistry {
       val keptTwins = keptBase.unionByName(
         keptBase.withColumn("__i", col("__i") + 1000000L))
         .localCheckpoint()
+      // the doubled corpus' SIGNATURES derive from the shared store the
+      // same way: a twin carries its base item's exact user set, and
+      // each signature component is a per-item min over the item's
+      // users — same users, same mins, only the id shifts. (The DuckDB
+      // oracle still replays the signature fold from the doubled corpus
+      // independently, so a wrong derivation would hash-split.)
+      val sigBase = Shared.cfSigs(s, dir)
+      val sigTwins = sigBase.unionByName(
+        sigBase.withColumn("id", col("id") + 1000000L))
+      // candFilter pushes the twin restriction BELOW the exact-verify
+      // joins: the final `neighbor = item + 1e6` filter can only keep
+      // co rows from the id_a < id_b orientation with id_b = id_a + 1e6
+      // (the reverse orientation would need id_a = id_b + 1e6, which
+      // contradicts id_a < id_b), so dropping every other candidate is
+      // output-identical — and the verify joins now expand ~#items
+      // certain twin pairs instead of every natural collision in the
+      // doubled corpus. The final filter stays as the declared contract.
       Similarity.itemItemCFLshPairs(inter.unionByName(twins),
           "o_custkey", "l_partkey", minDf = 2, maxDf = 1000,
           maxBasket = 512, minCosine = 1.0, numHashes = 32, bands = 16,
-          keptPinned = Some(keptTwins))
+          keptPinned = Some(keptTwins),
+          candFilter = Some(col("id_b") === col("id_a") + 1000000L),
+          sigPinned = Some(sigTwins))
         .filter(col("neighbor") === col("item") + 1000000L)
         .orderBy("item")
     }),

@@ -494,4 +494,42 @@ class SimilaritySpec extends SparkSpec {
     assert(m.getAs[Double]("catalog_coverage") == 0.666667)
     assert(m.getAs[Long]("n_recs") == recs.count())
   }
+
+  test("LSH twins fast path (round 13): derived twin signatures equal " +
+      "the recomputed fold, and candFilter + sigPinned leave the " +
+      "filtered pair output bit-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ui = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L),
+      (3L, 12L), (4L, 12L), (4L, 11L), (5L, 12L), (5L, 10L),
+      (6L, 13L), (7L, 13L)).toDF("u", "i")
+    val doubled = ui.unionByName(
+      ui.select(col("u"), (col("i") + 1000000L).as("i")))
+    val keptD = Similarity.cfKeptPinned(doubled, "u", "i",
+      minDf = 2, maxDf = 100, maxBasket = 32)
+    // twin signatures = base signatures with shifted ids: same user
+    // set per item ⇒ same per-component mins
+    val keptB = keptD.filter(col("__i") < 1000000L)
+    val sigB = Similarity.cfSignatures(keptB, numHashes = 8)
+    val derived = sigB.unionByName(
+      sigB.withColumn("id", col("id") + 1000000L))
+    val refit = Similarity.cfSignatures(keptD, numHashes = 8)
+    assert(derived.collect().toSet == refit.collect().toSet)
+    // full pairs build: default vs candFilter+sigPinned, both filtered
+    // to the twin rows — the x_item_cf_lsh_twins restructure's pin
+    val slow = Similarity.itemItemCFLshPairs(doubled, "u", "i",
+        minDf = 2, maxDf = 100, maxBasket = 32, minCosine = 1.0,
+        numHashes = 8, bands = 4, keptPinned = Some(keptD))
+      .filter(col("neighbor") === col("item") + 1000000L)
+      .collect().toSet
+    val fast = Similarity.itemItemCFLshPairs(doubled, "u", "i",
+        minDf = 2, maxDf = 100, maxBasket = 32, minCosine = 1.0,
+        numHashes = 8, bands = 4, keptPinned = Some(keptD),
+        candFilter = Some(col("id_b") === col("id_a") + 1000000L),
+        sigPinned = Some(derived))
+      .filter(col("neighbor") === col("item") + 1000000L)
+      .collect().toSet
+    assert(fast == slow && fast.nonEmpty)
+  }
 }
