@@ -59,8 +59,26 @@ object Bench {
     val errs = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
+    // Pin-cold artifact-build instrumentation (round 13, ADDITIVE — the
+    // timed contract above is untouched): every Shared pin survives
+    // between the two sweep passes, so the per-query min is pin-warm and
+    // one-time artifact builds are charged to no query. Rebuild each
+    // artifact in a FRESH session (session-keyed caches rebuild there)
+    // and report its build seconds as a separate field. NOT added to
+    // "value" — these seconds are the hidden build cost the sweep total
+    // already excluded, now visible instead of invisible.
+    val s2 = spark.newSession()
+    val artifactBuilds = registry.Shared.artifactBuilders.flatMap {
+      case (name, build) =>
+        val t0 = System.nanoTime()
+        try { build(s2, sfDir)
+              Some(name -> (System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+    }
+    val ab = artifactBuilds.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"artifact_builds":$ab,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full per-query map to a repo file: the driver's
     // BENCH_rN.json captures only a truncated stdout tail (~63 queries of

@@ -313,4 +313,42 @@ private[graft] object Shared {
     wordPieceCache.computeIfAbsent(dir, _ =>
       Bpe.wordPieceVocab(Tables.documents(s, dir), "text",
         maxPieceLen = 6, topK = 64))
+
+  /** Every shared artifact's BUILD, enumerated for the bench's pin-cold
+    * instrumentation pass (round 13): the sweep's per-query min is
+    * pin-warm (all pins survive between the two passes), so one-time
+    * builds are charged to no query — this list lets `graft.Bench` time
+    * each build in a fresh session and report it separately. Ordered
+    * dependencies-first so each number is that artifact's OWN cost.
+    * Frame builders run through the session-keyed caches (a fresh
+    * session rebuilds); the dir-keyed tokenizer tables are timed by
+    * invoking their trainers directly with the same args as the cache
+    * entries above (kept adjacent so the configs can't drift).
+    */
+  private[graft] val artifactBuilders:
+      Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "co_order_pair_weights" ->
+      ((s, d) => { coOrderPairWeights(s, d).count(); () }),
+    "co_order_edges" -> ((s, d) => { coOrderEdges(s, d).count(); () }),
+    "cf_kept" -> ((s, d) => { cfKept(s, d).count(); () }),
+    "cf_sigs" -> ((s, d) => { cfSigs(s, d).count(); () }),
+    "cf_neighbors" -> ((s, d) => { cfNeighbors(s, d).count(); () }),
+    "rec_topk" -> ((s, d) => { recTopK(s, d).count(); () }),
+    "lr_weights" -> ((s, d) => { lrWeights(s, d).count(); () }),
+    "lr_scored" -> ((s, d) => { lrScored(s, d).count(); () }),
+    "lm_scored" -> ((s, d) => { lmScored(s, d).count(); () }),
+    "winnow_spans" -> ((s, d) => { winnowSpans(s, d).count(); () }),
+    "minhash_sigs64" -> ((s, d) => { minhashSigs64(s, d).count(); () }),
+    "shingles3" -> ((s, d) => { shingles3(s, d).count(); () }),
+    "dup_spans" -> ((s, d) => { dupSpans(s, d).count(); () }),
+    "deduped_lines" -> ((s, d) => { dedupedLines(s, d).count(); () }),
+    "bpe_merges" -> ((s, d) => {
+      Bpe.trainMergesDistributed(Tables.documents(s, d), "text",
+        Bpe.OracleK); () }),
+    "unigram_table" -> ((s, d) => {
+      Unigram.trainDistributed(Tables.documents(s, d), "text",
+        vocabSize = 200, rounds = 2, maxPieceLen = 4); () }),
+    "wordpiece_tables" -> ((s, d) => {
+      Bpe.wordPieceVocab(Tables.documents(s, d), "text",
+        maxPieceLen = 6, topK = 64); () }))
 }
