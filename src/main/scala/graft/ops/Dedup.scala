@@ -91,9 +91,18 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("s"))
+                   maxDf: Int = Int.MaxValue,
+                   shinglesPinned: Option[DataFrame] = None): DataFrame = {
+    // shinglesPinned: a materialized [[shingleRelation]] (id, sh) for the
+    // SAME docs/n — the persisted shingle-store artifact. The exploded
+    // relation below is consumed by three aggregations plus both join
+    // sides, so without the pin the text re-shingles once per consumer
+    // (round 13: the full-corpus cluster query spent most of its time
+    // re-deriving shingles the session already held pinned).
+    val sh = shinglesPinned
+      .map(p => p.select(col("id"), explode(col("sh")).as("s")))
+      .getOrElse(docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s")))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // stop-shingle cap: a shingle in more than maxDf docs (boilerplate, a
     // common phrase) would contribute df² join rows; dropping it bounds the

@@ -300,9 +300,15 @@ object CurationRegistry {
       // buckets), resolved to components. The DuckDB oracle replays the
       // same pair derivation and a recursive-CTE transitive closure over
       // the whole table.
+      // round 13: the pair derivation reads the SESSION-PINNED shingle
+      // store (Shared.shingles3 — the persisted artifact every verify
+      // stage already reads) instead of re-shingling the corpus text
+      // once per consumer of the exploded relation.
       Dedup.dedupClusters(
         Dedup.jaccardPairs(Tables.documents(s, dir),
-          "doc_id", "text", 3, 0.5, maxDf = 50).select("id_a", "id_b"))),
+          "doc_id", "text", 3, 0.5, maxDf = 50,
+          shinglesPinned = Some(Shared.shingles3(s, dir)))
+          .select("id_a", "id_b"))),
     "x_dedup_retain" -> ((s, dir) => {
       // retention over the FULL corpus: near-dup clusters from the probe
       // subset keep their longest member; every other doc is a singleton

@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L))) // no shared shingles at all
   }
 
+  test("jaccardPairs over a pinned shingle store ≡ re-shingling the " +
+      "text (round 13: the x_dedup_clusters_full fast path)") {
+    val store = Dedup.shingleRelation(docs, "doc_id", "text", 3)
+      .localCheckpoint()
+    val viaPin = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0,
+      shinglesPinned = Some(store)).collect().toSeq
+    val direct = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .collect().toSeq
+    assert(viaPin == direct && viaPin.nonEmpty)
+  }
+
   test("containment: a doc quoted wholesale inside a longer one scores " +
       "1.0 where jaccard scores low") {
     val quoted = Seq(
