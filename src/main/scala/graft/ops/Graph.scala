@@ -34,11 +34,24 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               driverEdgeBudget: Long = 2000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"pageRank: iterations in [1, 50] (got $iterations)")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping in (0, 1) (got $damping)")
+    // round 13: the recursion runs on the 1e-9 INTEGER lattice (the
+    // hits shape — re-oracled with the full DuckDB-replay discipline):
+    // ranks are longs in 1e-9 units, every per-edge share and damping
+    // product is an exact half-up integer division, so the fold order
+    // cannot move a bit — which is what makes the under-budget driver
+    // fast path below parity-safe (the old double recursion summed
+    // contributions in engine-dependent order and was deliberately left
+    // distributed in round 12 for exactly that reason).
+    val dNum = math.round(damping * 100).toInt
+    require(math.abs(damping * 100 - dNum) < 1e-9,
+      s"pageRank: damping must be a multiple of 0.01 for the exact " +
+        s"integer recursion (got $damping)")
     // lazy checkpoints: both materialize during the single deg.count()
     // action below instead of paying one eager pass each
     val e = Ckpt.cut(edges.select(col(srcCol).cast("long").as("src"),
@@ -52,26 +65,109 @@ object Graph {
       .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg")),
       checkpointDir)
     val nN = deg.count() // bounded: one long, drives the 1/N literals
-    var pr = deg.withColumn("rank", lit(1.0 / nN))
+    // half-up integer division a/b for a >= 0, b > 0: (2a + b) div 2b
+    def halfUp(a: Long, b: Long): Long =
+      ((BigInt(a) * 2 + b) / (BigInt(b) * 2)).toLong
+    val r0 = halfUp(1000000000L, nN)                  // 1e9/N
+    val base = halfUp((100L - dNum) * 1000000000L, 100L * nN) // (1-d)/N
+    // cost-based fast path (the hits/labelPropagation posture): under
+    // the budget one collect + the exact lattice recursion in driver
+    // integer math replaces 4 jobs per iteration. GraphSpec pins
+    // fast ≡ distributed at driverEdgeBudget = 0.
+    if (e.count() <= driverEdgeBudget)
+      return pageRankDriver(e, deg, iterations, dNum, nN, r0, base)
+    var pr = deg.withColumn("rank", lit(r0))
     for (_ <- 1 to iterations) {
       val dangling = pr.filter(col("out_deg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dm"))
+      // per-edge share = half-up(rank / out_deg); src nodes have
+      // out_deg >= 1 by construction, so the division is safe
       val contribs = e
         .join(pr.select(col("node").as("src"), col("rank"), col("out_deg")),
           Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("out_deg")).as("__in"))
+        .agg(sum(expr("(2 * rank + out_deg) div (2 * out_deg)")).as("__in"))
       pr = Ckpt.cut(deg
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .withColumn("rank",
-          lit((1.0 - damping) / nN) + lit(damping) *
-            (coalesce(col("__in"), lit(0.0)) + col("__dm") / lit(nN.toDouble)))
+          lit(base) + expr(s"(2 * $dNum * (coalesce(__in, 0L) + " +
+            s"((2 * __dm + $nN) div ${2 * nN})) + 100) div 200"))
         .select(col("node"), col("out_deg"), col("rank")),
         checkpointDir)
     }
-    pr.select(col("node"), col("out_deg"), round(col("rank"), 6).as("pagerank"))
+    latticeRankOut(pr)
+  }
+
+  /** Final projection shared by both pageRank paths: 1e-9-lattice rank
+    * half-up-rounded to the 1e-6 output lattice (the hits readout). */
+  private def latticeRankOut(pr: DataFrame): DataFrame =
+    pr.select(col("node"), col("out_deg"),
+        expr("CAST((rank * 2 + 1000) div 2000 AS BIGINT)")
+          .cast("double")./(lit(1e6)).as("pagerank"))
       .orderBy("node")
+
+  /** [[pageRank]]'s under-budget path: the identical lattice recursion
+    * from ONE collect of the distinct edge list — pure integer sums
+    * (overflow-checked), so parity with the distributed supersteps is
+    * exact. GraphSpec pins fast ≡ distributed via
+    * `driverEdgeBudget = 0`.
+    */
+  private def pageRankDriver(e: DataFrame, deg: DataFrame,
+                             iterations: Int, dNum: Int, nN: Long,
+                             r0: Long, base: Long): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val degRows = deg.select(col("node"), col("out_deg")).collect()
+    if (degRows.isEmpty)
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("node", "out_deg", "pagerank")
+    val nodes = degRows.map(_.getLong(0)).sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val outDeg = new Array[Long](n)
+    degRows.foreach(r => outDeg(idx(r.getLong(0))) = r.getLong(1))
+    val edgeRows = e.select(col("src"), col("dst")).collect()
+    val srcI = new Array[Int](edgeRows.length)
+    val dstI = new Array[Int](edgeRows.length)
+    var k = 0
+    while (k < edgeRows.length) {
+      srcI(k) = idx(edgeRows(k).getLong(0))
+      dstI(k) = idx(edgeRows(k).getLong(1))
+      k += 1
+    }
+    def halfUp(a: Long, b: Long): Long =
+      ((BigInt(a) * 2 + b) / (BigInt(b) * 2)).toLong
+    var rank = Array.fill(n)(r0)
+    for (_ <- 1 to iterations) {
+      var dm = 0L
+      var i = 0
+      while (i < n) {
+        if (outDeg(i) == 0L) dm = Math.addExact(dm, rank(i))
+        i += 1
+      }
+      val sh = halfUp(dm, nN)
+      val inflow = new Array[Long](n)
+      k = 0
+      while (k < srcI.length) {
+        val s = srcI(k)
+        inflow(dstI(k)) = Math.addExact(inflow(dstI(k)),
+          halfUp(rank(s), outDeg(s)))
+        k += 1
+      }
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        next(i) = Math.addExact(base,
+          halfUp(Math.multiplyExact(dNum.toLong,
+            Math.addExact(inflow(i), sh)), 100L))
+        i += 1
+      }
+      rank = next
+    }
+    latticeRankOut(
+      (0 until n).map(i => (nodes(i), outDeg(i), rank(i)))
+        .toDF("node", "out_deg", "rank"))
   }
 
   /** Synchronous label-propagation community detection over an

@@ -2134,18 +2134,28 @@ private[graft] object AnalyticsOracleSql {
     // 5 unrolled PageRank supersteps — identical literal arithmetic to
     // the Spark loop ((1-d)/N, d, dm/N all in the same operation order)
     "q_supplier_pagerank" -> {
-      // every iteration CTE is MATERIALIZED: p_i is referenced TWICE
-      // (dangling fold + contribs), so DuckDB's default inlining expands
-      // the 2.4M-edge chain 2^5-fold — measured OOM at sf0.1
+      // round 13 RE-ORACLE (the q_supplier_hits shape): the recursion
+      // runs on the 1e-9 INTEGER lattice — ranks are BIGINTs, every
+      // per-edge share / damping product / dangling share is an exact
+      // half-up integer division ((2a + b) // (2b)), so DuckDB replays
+      // the recursion bit-for-bit and the Spark driver fast path is
+      // parity-safe (the old double recursion's fold order was
+      // engine-dependent). Every iteration CTE is MATERIALIZED: p_i is
+      // referenced TWICE (dangling fold + contribs), so DuckDB's default
+      // inlining would expand the edge chain 2^5-fold — measured OOM at
+      // sf0.1 with the old form.
       val iters = (1 to 5).map { i =>
-        s"""d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dm
+        s"""d$i AS MATERIALIZED (SELECT CAST(coalesce(sum(rank), 0)
+                 AS BIGINT) AS dm
                FROM p${i - 1} WHERE out_deg = 0),
       c$i AS MATERIALIZED (SELECT e.dst AS node,
-              sum(p.rank / p.out_deg) AS inr
+              CAST(sum((2 * p.rank + p.out_deg)
+                // (2 * p.out_deg)) AS BIGINT) AS inr
               FROM e JOIN p${i - 1} p ON e.src = p.node GROUP BY 1),
       p$i AS MATERIALIZED (SELECT g.node, g.out_deg,
-                (1.0 - 0.85) / nn.n
-                  + 0.85 * (coalesce(c.inr, 0.0) + d.dm / nn.n) AS rank
+                CAST(nn.base + (2 * 85 * (coalesce(c.inr, 0)
+                  + ((2 * d.dm + nn.n) // (2 * nn.n))) + 100) // 200
+                  AS BIGINT) AS rank
               FROM deg g LEFT JOIN c$i c ON g.node = c.node, d$i d, nn)"""
       }.mkString(",\n      ")
       s"""
@@ -2159,11 +2169,17 @@ private[graft] object AnalyticsOracleSql {
               FROM nodes n LEFT JOIN (SELECT src, count(*) AS c
                                       FROM e GROUP BY 1) d
                 ON n.node = d.src),
-      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-      p0 AS MATERIALIZED (SELECT node, out_deg, 1.0 / nn.n AS rank
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST((2 * 1000000000 + count(*)) // (2 * count(*))
+                 AS BIGINT) AS r0,
+               CAST((30000000000 + 100 * count(*))
+                 // (200 * count(*)) AS BIGINT) AS base
+             FROM deg),
+      p0 AS MATERIALIZED (SELECT node, out_deg, nn.r0 AS rank
              FROM deg, nn),
       $iters
-      SELECT node AS s_suppkey, out_deg, round(rank, 6) AS pagerank
+      SELECT node AS s_suppkey, out_deg,
+             CAST((rank * 2 + 1000) // 2000 AS DOUBLE) / 1e6 AS pagerank
       FROM p5 ORDER BY s_suppkey"""
     },
 

@@ -268,6 +268,13 @@ class GraphSpec extends SparkSpec {
       driverEdgeBudget = 0L).collect().toSeq
     assert(hFast == hDist && hFast.nonEmpty)
 
+    // round 13: pageRank joined the lattice-fast-path family
+    val pFast = Graph.pageRank(edges, "src", "dst", iterations = 4)
+      .collect().toSeq
+    val pDist = Graph.pageRank(edges, "src", "dst", iterations = 4,
+      driverEdgeBudget = 0L).collect().toSeq
+    assert(pFast == pDist && pFast.nonEmpty)
+
     val lFast = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
       .collect().toSeq
     val lDist = Graph.labelPropagation(edges, "src", "dst", rounds = 4,
