@@ -300,5 +300,15 @@ class GraphSpec extends SparkSpec {
     val cDist = Graph.harmonicCentrality(edges, "src", "dst",
       seeds, "seed", rounds = 3, driverEdgeBudget = 0L).collect().toSeq
     assert(cFast == cDist && cFast.nonEmpty)
+
+    // round 13: bfsHops joined the family (seed 99 is absent from the
+    // graph — both paths must still emit its hops-0 row)
+    val bSeeds = seeds.union(Seq(99L).toDF("seed"))
+    val bFast = Graph.bfsHops(edges, "src", "dst", bSeeds, "seed",
+      rounds = 3).collect().toSeq
+    val bDist = Graph.bfsHops(edges, "src", "dst", bSeeds, "seed",
+      rounds = 3, driverEdgeBudget = 0L).collect().toSeq
+    assert(bFast == bDist && bFast.nonEmpty)
+    assert(bFast.exists(r => r.getLong(0) == 99L && r.getLong(1) == 0L))
   }
 }
