@@ -58,17 +58,18 @@ object Stats {
     * way as DuckDB `quantile_cont`).
     */
   def percentiles(df: DataFrame, valueCol: String): DataFrame =
-    // one ARRAY percentile, not one aggregate per target: each scalar
-    // percentile(...) keeps its own full value buffer (4 copies of the
-    // column through partial, shuffle, and a sorted final merge) — the
-    // array form computes all targets from a single buffer (measured
-    // 10 s → 6.4 s for 4 targets on 600 K mostly-distinct doubles)
-    df.agg(
-        expr(s"percentile($valueCol, array(0.5D, 0.9D, 0.95D, 0.99D))")
-          .as("__p"),
+    // round 13: the exact anchors come from [[exactQuantiles]] — the
+    // count-grain distributed form StatsSpec pins RAW-BIT equal to the
+    // builtin `percentile(col, array(...))` — instead of the builtin's
+    // full value buffer (every value shuffled into ONE final merge; the
+    // r12 array form had already cut 4 buffers to 1, this removes the
+    // one-task buffer itself). min/max/avg ride a separate narrow fold;
+    // both are 1-row frames, joined by a broadcast cross join.
+    exactQuantiles(df, valueCol, Seq(0.5, 0.9, 0.95, 0.99), "__p")
+      .crossJoin(broadcast(df.agg(
         round(min(col(valueCol)), 6).as("min_v"),
         round(max(col(valueCol)), 6).as("max_v"),
-        round(avg(col(valueCol)), 6).as("avg_v"))
+        round(avg(col(valueCol)), 6).as("avg_v"))))
       .select(
         round(element_at(col("__p"), 1), 6).as("p50"),
         round(element_at(col("__p"), 2), 6).as("p90"),
@@ -95,17 +96,19 @@ object Stats {
     */
   def percentilesApproxChecked(df: DataFrame, valueCol: String,
                                accuracy: Int = 10000): DataFrame = {
-    // one array-percentile for all six exact anchors and one array-sketch
-    // for both targets: the scalar form kept SIX full value buffers plus
-    // two GK sketches (measured 10.5 s → ~4 s on 600 K values)
-    val exact = expr(
-      s"percentile($valueCol, array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))")
+    // round 13: the six exact anchors come from [[exactQuantiles]]
+    // (raw-bit equal to the builtin array-percentile, distributed at the
+    // count grain) instead of the builtin's one-task value buffer; the
+    // GK sketch stays its own narrow fold. (History: the r11 scalar form
+    // kept SIX full value buffers plus two sketches, 10.5 s; the r12
+    // array form one buffer, ~4 s; this removes the buffer.)
     def e(i: Int) = element_at(col("__e"), i)
     def a(i: Int) = element_at(col("__a"), i).cast("double")
-    df.agg(
-        exact.as("__e"),
+    exactQuantiles(df, valueCol,
+        Seq(0.49, 0.5, 0.51, 0.94, 0.95, 0.96), "__e")
+      .crossJoin(broadcast(df.agg(
         percentile_approx(col(valueCol), array(lit(0.5), lit(0.95)),
-          lit(accuracy)).as("__a"))
+          lit(accuracy)).as("__a"))))
       .select(
         round(e(2), 6).as("p50"),
         round(e(5), 6).as("p95"),
