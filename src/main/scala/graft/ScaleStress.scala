@@ -74,6 +74,7 @@ object ScaleStress {
           args.headOption.contains("causal10") ||
           args.headOption.contains("r12fam") ||
           cc12Mode ||
+          args.headOption.contains("quant13") ||
           args.headOption.contains("ext8"))
         Seq.empty[Int]
       else args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
@@ -683,6 +684,40 @@ object ScaleStress {
           f"t_cvm_exact=$tCvE%.2f t_cvm_binned=$tCvB%.2f " +
           f"t_spearman_exact=$tSpE%.2f t_spearman_binned=$tSpB%.2f")
       }
+    }
+
+    // round-13 exactQuantiles distinct-grain stress (`quant13 [ks]`):
+    // the running sum moved from a globally unpartitioned window to the
+    // range-partitioned two-level prefix sum — this leg grows the
+    // DISTINCT-value axis with k (disjoint value blocks + per-row
+    // jitter, the rank9 recipe) and times the quantile fold. ~Linear
+    // growth is the pass criterion; the old one-task window would turn
+    // superlinear (single-task sort) exactly here.
+    val quant13Ks =
+      if (args.headOption.contains("quant13")) args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+      else Seq.empty[Int]
+    if (quant13Ks.nonEmpty) {
+      val li13 = Tables.lineitem(spark, "/root/testdata/sf0.1")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      for (k <- quant13Ks) {
+        val corpus = (0 until k).map(i =>
+          li13.select((col("l_extendedprice") + lit(i * 120000.0) +
+            (col("l_orderkey") % 100000).cast("double") * 0.01)
+            .as("v")))
+          .reduce(_ unionByName _)
+        val n = corpus.count()
+        val dv = corpus.select(col("v")).distinct().count()
+        val (tQ, _) = timeMin2 {
+          graft.ops.Stats.exactQuantiles(corpus, "v",
+            Seq(0.5, 0.9, 0.95, 0.99)).queryExecution.toRdd.count()
+        }
+        println(f"STRESS-QUANT13 k=$k rows=$n distinct_v=$dv " +
+          f"t_exact_quantiles=$tQ%.2f")
+      }
+    }
+
+    if (rank9Ks.nonEmpty) {
       // entity-grain leg: the decision stump's ntile is a one-partition
       // sort of the ENTITY table (customers) — smaller grain than
       // events, so the sort bites later; this pins where. Copies get

@@ -2403,10 +2403,13 @@ object Eval {
     // (treated/donor splits, per-unit/per-month margins) — without the
     // pin the corpus re-aggregates once per reference. The pinned frame
     // is bounded by |units|·|months|.
+    // lazy like the grid frame below (r12 advice): an eager checkpoint
+    // here executed the corpus aggregation at DataFrame-construction
+    // time — even for explain/plan-dump paths that never run the query
     val monthly = df.groupBy(col(unitCol).as("__u"),
         date_trunc("month", dateCol).cast("date").as("__m"))
       .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("__y"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val months = monthly.select(col("__m")).distinct()
     val units = monthly.select(col("__u")).distinct()
     months.crossJoin(broadcast(units))

@@ -518,7 +518,8 @@ object Graph {
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                          seeds: DataFrame, seedCol: String,
                          rounds: Int,
-                         driverEdgeBudget: Long = 2000000L): DataFrame = {
+                         driverEdgeBudget: Long = 2000000L,
+                         driverCpuBudget: Long = 100000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 10,
       s"harmonicCentrality: rounds in [1, 10] (got $rounds)")
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -528,13 +529,18 @@ object Graph {
       .distinct().localCheckpoint(eager = false)
     // cost-based fast path (the connectedComponents driverEdgeBudget
     // posture), CPU-gated on seeds × edges (the driver BFS does
-    // O(seeds·(nodes+edges)) work): under the budget one collect + a
-    // per-seed BFS replaces `rounds` join+anti-join+checkpoint
-    // supersteps. GraphSpec pins fast ≡ distributed.
+    // O(seeds·(nodes+edges)) work, so the edge budget alone would let a
+    // wide seed set run minutes of single-threaded BFS —
+    // driverCpuBudget caps seeds·edges at ~1e8 visited-edge steps,
+    // about a second of driver CPU; named per r12 advice so callers
+    // can tune it alongside driverEdgeBudget). The two gate jobs
+    // (e.count, seedD.count) run against lazily-checkpointed frames
+    // the supersteps reuse when the gate rejects. GraphSpec pins
+    // fast ≡ distributed.
     val eCount = e.count()
     if (eCount <= driverEdgeBudget) {
       val sn = seedD.count()
-      if (sn * math.max(eCount, 1L) <= 100000000L)
+      if (sn * math.max(eCount, 1L) <= driverCpuBudget)
         return harmonicDriver(e, seedD, rounds)
     }
     var dist = seedD

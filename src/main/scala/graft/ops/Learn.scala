@@ -462,10 +462,15 @@ object Learn {
       checkpointDir)
     // Cost-based fast path (the connectedComponents driverEdgeBudget
     // posture): the checkpointed matchup-CELL table is ≤ players² rows
-    // and data-bounded; when it fits the budget (tens of MB), one
-    // collect + the exact MM loop in driver integer math replaces
-    // 4 distributed jobs per run plus the pairs/nodes/nComp folds.
-    // Over-budget leagues keep the distributed superstep loop below.
+    // and data-bounded. Driver-memory envelope at the DEFAULT budget
+    // (r12 advice — the earlier "tens of MB" note undersold it): 2M
+    // collected Rows plus the boxed HashMap[(Long,Long),Long] and idx
+    // maps cost several hundred MB of driver heap near the boundary —
+    // sized against the bench driver's 8g heap; lower driverCellBudget
+    // when the driver is smaller. One collect + the exact MM loop in
+    // driver integer math replaces 4 distributed jobs per run plus the
+    // pairs/nodes/nComp folds. Over-budget leagues keep the distributed
+    // superstep loop below.
     if (comps.count() <= driverCellBudget)
       return bradleyTerryDriver(comps, iterations)
     val pairs = Ckpt.cut(comps
